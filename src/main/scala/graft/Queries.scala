@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Aggregates every operator-query group into the driver contract maps. */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def groups: Seq[QueryGroup] = Seq(
+    ScanQueries,
+    AggQueries)
+
+  lazy val all: Map[String, Q] = groups.flatMap(_.defs).toMap
+  lazy val oracles: Map[String, String] = groups.flatMap(_.oracles).toMap
+
+  def flagship(spark: SparkSession, sfDir: String): DataFrame =
+    ScanQueries.defs("scan_point_get")(spark, sfDir)
+}

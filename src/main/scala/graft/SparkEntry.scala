@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 exercised on the
+  * driver-generated tables; `oracleSql` holds the DuckDB-equivalent SQL for
+  * the hash-match correctness gate. Column names are aliased identically on
+  * both sides (the driver sorts columns by name before hashing).
+  *
+  * Numeric determinism: double-typed measures are cast to DECIMAL before
+  * SUM so both engines aggregate exactly, then cast back to DOUBLE — the
+  * nearest-double of the same exact decimal is bit-identical in Spark and
+  * DuckDB, making hash-match robust to fp summation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Indexed filtered scan: customer WHERE c_nationkey = 7 through the
+    * index-rewrite path (SURVEY §7.2 minimum slice).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.flagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
+  * One parquet file per table under the scale-factor directory.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Ensure session-level settings we rely on (idempotent). AQE and a
+    * local-friendly shuffle-partition count; both are what you'd set on a
+    * real cluster too (AQE coalesces at 100TB, the fixed number only seeds
+    * the initial plan).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

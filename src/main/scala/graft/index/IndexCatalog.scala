@@ -1,0 +1,124 @@
+package graft.index
+
+import java.nio.file.{Files, Paths, Path}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.types.StructType
+
+/** In-memory index catalog with optional JSON persistence.
+  *
+  * Plays the role of the reference's `IndexManager` (singleton name→specs
+  * cache, `hbase-secondaryindex/.../index/manager/IndexManager.java:34-140`)
+  * plus the DDL-time validation performed by
+  * `IndexMasterObserver.preCreateTable`
+  * (`.../coprocessor/master/IndexMasterObserver.java:89-131` and
+  * `checkColumnsForValidityAndConsistency`): indexed columns must exist in
+  * the table schema, and a column referenced by several indices must be
+  * declared with a consistent type/length everywhere.
+  *
+  * A catalog entry also records where the table's data and materialized
+  * index tables live (the reference derives `<table>_idx` from
+  * `Constants.java:36-40`; we keep the same `_idx` convention as a
+  * directory suffix).
+  */
+final class IndexCatalog {
+
+  /** table name -> (definition, base path, index name -> index data path) */
+  final case class Entry(
+      indices: TableIndices,
+      basePath: String,
+      indexPaths: Map[String, String])
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  def register(ti: TableIndices, basePath: String, schema: StructType): Entry = {
+    validate(ti, schema)
+    val e = Entry(ti, basePath, Map.empty)
+    entries.put(ti.table, e)
+    e
+  }
+
+  /** DDL validation — mirrors IndexMasterObserver.java:89-131. */
+  private def validate(ti: TableIndices, schema: StructType): Unit = {
+    val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+    require(fields.contains(ti.rowkey), s"rowkey column ${ti.rowkey} missing from ${ti.table}")
+    // column must exist + consistent (type, maxLen, partition) across indices
+    val seen = scala.collection.mutable.Map.empty[String, IndexedColumn]
+    for (idx <- ti.indices; ic <- idx.columns) {
+      require(fields.contains(ic.column),
+        s"index ${idx.name} references missing column ${ic.column} on ${ti.table}")
+      seen.get(ic.indexColName) match {
+        case Some(prev) =>
+          require(prev.valueType == ic.valueType && prev.maxValueLength == ic.maxValueLength,
+            s"column ${ic.column} declared with inconsistent type/length across indices of ${ti.table}")
+        case None => seen.put(ic.indexColName, ic)
+      }
+    }
+  }
+
+  def addIndexPath(table: String, indexName: String, path: String): Unit =
+    entries.updateWith(table) {
+      case Some(e) => Some(e.copy(indexPaths = e.indexPaths + (indexName -> path)))
+      case None    => throw new NoSuchElementException(s"table $table not registered")
+    }
+
+  /** Drop an index (postModifyTableHandler diff semantics,
+    * IndexMasterObserver.java:133). */
+  def dropIndex(table: String, indexName: String): Unit =
+    entries.updateWith(table) {
+      case Some(e) => Some(e.copy(
+        indices = e.indices.copy(indices = e.indices.indices.filterNot(_.name == indexName)),
+        indexPaths = e.indexPaths - indexName))
+      case None => None
+    }
+
+  def get(table: String): Option[Entry] = entries.get(table)
+  def lookupByBasePath(path: String): Option[Entry] =
+    entries.values.find(e => samePath(e.basePath, path))
+  def tables: Seq[String] = entries.keys.toSeq
+  def clear(): Unit = entries.clear()
+
+  private def samePath(a: String, b: String): Boolean = {
+    def norm(p: String) = p.stripPrefix("file:").replaceAll("/+$", "")
+    norm(a) == norm(b)
+  }
+
+  // --- JSON persistence (TableIndices de/serialization — the reference
+  // serializes IndexSpecifications into the table descriptor,
+  // TableIndices.java:243-300; we use a JSON file next to the data). ---
+
+  def save(path: String): Unit = {
+    val sb = new StringBuilder("{\n")
+    val es = entries.toSeq.sortBy(_._1).map { case (t, e) =>
+      val idxs = e.indices.indices.map { s =>
+        val cols = s.columns.map { c =>
+          val part = c.partition match {
+            case Some(SeparatorPartition(sep, pos)) =>
+              s""","partition":{"kind":"separator","separator":${jstr(sep)},"position":$pos}"""
+            case Some(SpatialPartition(off, len)) =>
+              s""","partition":{"kind":"spatial","offset":$off,"length":$len}"""
+            case None => ""
+          }
+          s"""{"column":${jstr(c.column)},"type":${jstr(c.valueType.name)},"maxLen":${c.maxValueLength}$part}"""
+        }.mkString("[", ",", "]")
+        s"""{"name":${jstr(s.name)},"columns":$cols,"path":${jstr(e.indexPaths.getOrElse(s.name, ""))}}"""
+      }.mkString("[", ",", "]")
+      s"  ${jstr(t)}: {\"rowkey\":${jstr(e.indices.rowkey)},\"basePath\":${jstr(e.basePath)},\"indices\":$idxs}"
+    }
+    sb.append(es.mkString(",\n")).append("\n}\n")
+    val p: Path = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, sb.toString)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+}
+
+object IndexCatalog {
+  /** Process-wide default catalog (reference: IndexManager singleton). */
+  val default: IndexCatalog = new IndexCatalog
+}

@@ -1,0 +1,130 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed value domain for indexed columns.
+  *
+  * The reference (tenggyut/HIndex) declares a fixed-width `ValueType` per
+  * indexed column (`ColumnQualifier.java:208-210`: String, Int, Float, Long,
+  * Double, Short, Byte, Char) and hand-rolls an order-preserving byte
+  * encoding (`util/IndexUtils.java:155-193`) so that unsigned byte compare
+  * equals numeric order. On Spark, columns are natively typed and sort
+  * natively, so we keep only the *type declaration* (used for validation and
+  * index-schema construction) and drop the byte encoding as a semantic no-op
+  * (SURVEY.md §7.3).
+  */
+sealed abstract class ValueType(val name: String, val sparkType: DataType, val fixedWidth: Int)
+object ValueType {
+  case object StringT extends ValueType("String", StringType, -1) // width = declared maxValueLength
+  case object IntT    extends ValueType("Int", IntegerType, 4)
+  case object FloatT  extends ValueType("Float", FloatType, 4)
+  case object LongT   extends ValueType("Long", LongType, 8)
+  case object DoubleT extends ValueType("Double", DoubleType, 8)
+  case object ShortT  extends ValueType("Short", ShortType, 2)
+  case object ByteT   extends ValueType("Byte", ByteType, 1)
+  case object CharT   extends ValueType("Char", StringType, 2)
+  case object TimestampT extends ValueType("Timestamp", TimestampType, 8) // Spark-native addition
+  case object DateT      extends ValueType("Date", DateType, 4)           // Spark-native addition
+
+  val all: Seq[ValueType] =
+    Seq(StringT, IntT, FloatT, LongT, DoubleT, ShortT, ByteT, CharT, TimestampT, DateT)
+  def fromName(n: String): ValueType =
+    all.find(_.name.equalsIgnoreCase(n)).getOrElse(
+      throw new IllegalArgumentException(s"Unknown ValueType: $n"))
+}
+
+/** Index a *part* of a column value rather than the whole value.
+  *
+  * Reference: abstract `ValuePartition.getPartOfValue`
+  * (`hbase-secondaryindex/.../ValuePartition.java:29-39`) with two concrete
+  * forms. On Spark these become *derived-column expressions* applied at
+  * index-build time and at query-rewrite time — Catalyst then treats the
+  * derived column like any other.
+  */
+sealed trait ValuePartition extends Serializable {
+  /** The derived-column expression over the raw column. */
+  def derive(raw: Column): Column
+  /** Stable suffix used to name the derived column in the index schema. */
+  def tag: String
+}
+
+/** Split by separator, take the Nth (1-based) field — mirrors
+  * `SeparatorPartition.java:37,73` (`getPartOfValue` = split(value, sep)[pos]).
+  * Out-of-range position yields null (the reference skips such rows).
+  */
+final case class SeparatorPartition(separator: String, position: Int) extends ValuePartition {
+  require(position >= 1, "SeparatorPartition position is 1-based")
+  override def derive(raw: Column): Column = {
+    val parts = split(raw, java.util.regex.Pattern.quote(separator))
+    when(size(parts) >= position, element_at(parts, position))
+  }
+  override def tag: String = s"sep${position}"
+}
+
+/** Substring at byte offset/length — mirrors `SpatialPartition.java:32,60`
+  * (`getPartOfValue` = value[offset, offset+length)). `offset` is 0-based as
+  * in the reference; Spark's `substring` is 1-based, hence the +1. Values
+  * shorter than offset+length yield null (reference skips them).
+  */
+final case class SpatialPartition(offset: Int, partLength: Int) extends ValuePartition {
+  require(offset >= 0 && partLength > 0)
+  override def derive(raw: Column): Column =
+    when(length(raw) >= offset + partLength, substring(raw, offset + 1, partLength))
+  override def tag: String = s"sp${offset}_$partLength"
+}
+
+/** One indexed column: mirrors `ColumnQualifier` (cf, qualifier, ValueType,
+  * maxValueLength, optional ValuePartition) at
+  * `hbase-secondaryindex/.../ColumnQualifier.java:39-79`. In the flattened
+  * Spark schema, (cf, qualifier) collapses to a single column name.
+  */
+final case class IndexedColumn(
+    column: String,
+    valueType: ValueType = ValueType.StringT,
+    maxValueLength: Int = Int.MaxValue,
+    partition: Option[ValuePartition] = None) {
+
+  /** Name of this column inside the materialized index table. */
+  def indexColName: String = partition match {
+    case Some(p) => s"${column}__${p.tag}"
+    case None    => column
+  }
+
+  /** Expression extracting the indexed value from the base table. */
+  def indexExpr(base: Column): Column = partition match {
+    case Some(p) => p.derive(base)
+    case None    => base
+  }
+}
+
+/** An index definition: name + ordered column list — mirrors
+  * `IndexSpecification` (`hbase-secondaryindex/.../IndexSpecification.java:47-59`,
+  * ordered `LinkedHashSet<ColumnQualifier>`). Column order matters: the
+  * planner may only use an index when predicates cover a *leading prefix*
+  * of `columns` (`ScanFilterEvaluator.java:1030-1099`).
+  */
+final case class IndexSpec(name: String, columns: Seq[IndexedColumn]) {
+  require(columns.nonEmpty, s"index $name has no columns")
+
+  // Name validation mirrors IndexSpecification.java:69-90 (non-empty,
+  // limited charset, bounded length — reference caps at 18 for rowkey
+  // layout; we keep a generous cap since our layout is columnar).
+  require(name.nonEmpty && name.length <= 64, s"index name length invalid: $name")
+  require(name.forall(c => c.isLetterOrDigit || c == '_'),
+    s"index name must be [A-Za-z0-9_]: $name")
+  require(columns.map(_.indexColName).distinct.size == columns.size,
+    s"index $name declares duplicate columns") // IndexSpecification.addIndexColumn dup check
+
+  def columnNames: Seq[String] = columns.map(_.column)
+  def indexColNames: Seq[String] = columns.map(_.indexColName)
+}
+
+/** All indices of one table — mirrors `TableIndices`
+  * (`hbase-secondaryindex/.../index/TableIndices.java`).
+  */
+final case class TableIndices(table: String, rowkey: String, indices: Seq[IndexSpec]) {
+  require(indices.map(_.name).distinct.size == indices.size,
+    s"duplicate index name on table $table")
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Server-side aggregation surface (SURVEY §2.5 — AggregationClient
+  * max/min/rowCount/sum/avg/std/median over `AggregateImplementation`
+  * per-region partials). Catalyst's partial/final HashAggregate is the
+  * exact same shape, so these are built-ins; the custom
+  * `Aggregator[IN,BUF,OUT]` exemplar covering the ColumnInterpreter
+  * extension point lives in graft.functions.Aggregates.
+  *
+  * Determinism notes: double measures are cast to DECIMAL before SUM so
+  * Spark's partial-aggregation order can't perturb low bits vs DuckDB's
+  * sequential sum; the final value is cast back to DOUBLE (same nearest
+  * double on both engines). avg = exact decimal sum / count, divided in
+  * double space. stddev/median are rounded (fp noise ~1e-9 at this scale).
+  */
+object AggQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // AggregationClient.max (AggregationClient.java:101)
+    "agg_max" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(max("l_extendedprice").as("max_price"))
+    }),
+
+    // AggregationClient.min (:196)
+    "agg_min" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(min("l_extendedprice").as("min_price"))
+    }),
+
+    // AggregationClient.rowCount (:276) — FirstKeyOnlyFilter count
+    "agg_rowcount" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // AggregationClient.sum (:350)
+    "agg_sum" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    // AggregationClient.avg (:525) — partial (sum,count) pairs
+    "agg_avg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          count(col("l_extendedprice"))).as("avg_price"))
+    }),
+
+    // AggregationClient.std (:640) — partial (sum, sum², count)
+    "agg_std" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(round(stddev_pop("l_quantity"), 6).as("std_qty"))
+    }),
+
+    // AggregationClient.median (:728) — two-phase weighted partials
+    "agg_median" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
+    }),
+
+    // Grouped aggregation (the engine generalizes §2.5 beyond the
+    // reference's global-only aggs): TPC-H Q1 shape over lineitem.
+    "agg_group_q1" -> ((s, dir) => {
+      val dec = "decimal(18,2)"
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Aggregation under a filtered scan (AggregationClient takes a Scan —
+    // range + filter then aggregate)
+    "agg_filtered_sum" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A" && col("l_quantity") > 10.0)
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_max" -> "SELECT max(l_extendedprice) AS max_price FROM lineitem",
+    "agg_min" -> "SELECT min(l_extendedprice) AS min_price FROM lineitem",
+    "agg_rowcount" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "agg_sum" ->
+      "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem",
+    "agg_avg" ->
+      "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price FROM lineitem",
+    "agg_std" -> "SELECT round(stddev_pop(l_quantity), 6) AS std_qty FROM lineitem",
+    "agg_median" -> "SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem",
+    "agg_group_q1" -> (
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "agg_filtered_sum" ->
+      ("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+        "FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 10.0")
+  )
+}

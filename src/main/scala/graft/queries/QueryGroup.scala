@@ -1,0 +1,12 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One thematic group of driver-contract queries (SURVEY §2 rows). */
+trait QueryGroup {
+  type Q = (SparkSession, String) => DataFrame
+  def defs: Map[String, Q]
+  /** DuckDB-equivalent SQL per query key; omit keys that aren't
+    * SQL-expressible (driver falls back to a rows-only check). */
+  def oracles: Map[String, String]
+}

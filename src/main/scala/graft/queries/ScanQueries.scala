@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scan / Get / filter surface (SURVEY §2.1 + §2.2).
+  *
+  * The reference's Scan/Get/Filter API is a row-oriented predicate-pushdown
+  * surface (`hbase-client/.../client/Scan.java`, the filter package); on Spark
+  * every one of these is a Catalyst `Column` predicate that reaches the
+  * Parquet scan (PushedFilters), so the queries below are deliberately thin
+  * — the interesting part is that the *plan* stays scan-with-pushdown.
+  * The richer programmatic DSL lives in graft.api.{Scan, Filters}.
+  */
+object ScanQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // Get (point read) — HTable.get, Scan.isGetScan (Scan.java:251)
+    "scan_point_get" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") === 42L)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    }),
+
+    // multi-get — HTable.get(List<Get>) (HTable.java:787)
+    "scan_multi_get" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey").isin(1L, 7L, 42L, 99L, 111L))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // range scan [start, stop) — Scan.setStartRow/setStopRow (Scan.java:339,350)
+    "scan_range" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") >= 100L && col("o_orderkey") < 200L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // reversed scan — Scan.setReversed (Scan.java:585); deterministic via
+    // unique rowkey ordering + limit
+    "scan_reversed" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .orderBy(desc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_orderstatus")
+    }),
+
+    // projection — Scan.addFamily/addColumn (Scan.java:266,280): column
+    // pruning reaches the parquet ReadSchema
+    "scan_projection" -> ((s, dir) => {
+      Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    }),
+
+    // PrefixFilter (PrefixFilter.java:40) — sargable startsWith
+    "filter_prefix" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_name").startsWith("sm"))
+        .select("p_partkey", "p_name")
+    }),
+
+    // InclusiveStopFilter (InclusiveStopFilter.java:44)
+    "filter_inclusive_stop" -> ((s, dir) => {
+      Tables.load(s, dir, "nation")
+        .filter(col("n_nationkey") <= 7)
+        .select("n_nationkey", "n_name")
+    }),
+
+    // PageFilter (PageFilter.java:42) — exact global limit (the reference is
+    // per-region; SURVEY §2.2 notes ours is exact). Deterministic via sort.
+    "filter_page" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .orderBy("c_custkey")
+        .limit(25)
+        .select("c_custkey", "c_name")
+    }),
+
+    // SingleColumnValueFilter EQUAL (SingleColumnValueFilter.java:74)
+    "filter_scvf_equal" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    // FilterList MUST_PASS_ALL (FilterList.java:56) — AND tree
+    "filter_list_and" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45.0 && col("l_discount") <= 0.02 &&
+          col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+
+    // FilterList MUST_PASS_ONE (OR)
+    "filter_list_or" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_size") === 1 || col("p_brand") === "Brand#44")
+        .select("p_partkey", "p_brand", "p_size")
+    }),
+
+    // RegexStringComparator (RegexStringComparator.java:68) → rlike
+    "filter_regex" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter(col("c_name").rlike("^Customer#0*1[0-9]$"))
+        .select("c_custkey", "c_name")
+    }),
+
+    // SubstringComparator (SubstringComparator.java:46) → contains
+    "filter_substring" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_type").contains("AND"))
+        .select("p_partkey", "p_type")
+    }),
+
+    // RandomRowFilter (RandomRowFilter.java:38) — Bernoulli sample; made
+    // deterministic (and oracle-checkable) by hashing the rowkey with
+    // modular arithmetic instead of a PRNG.
+    "filter_random_row" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .filter((col("c_custkey") * 2654435761L % 100L) < 10L)
+        .select("c_custkey", "c_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_point_get" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_custkey = 42",
+    "scan_multi_get" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey IN (1,7,42,99,111)",
+    "scan_range" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200",
+    "scan_reversed" ->
+      "SELECT o_orderkey, o_orderstatus FROM (SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 20)",
+    "scan_projection" ->
+      "SELECT p_partkey, p_brand FROM part",
+    "filter_prefix" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'sm%'",
+    "filter_inclusive_stop" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <= 7",
+    "filter_page" ->
+      "SELECT c_custkey, c_name FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 25)",
+    "filter_scvf_equal" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "filter_list_and" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
+        "WHERE l_quantity > 45.0 AND l_discount <= 0.02 AND l_returnflag = 'R'"),
+    "filter_list_or" ->
+      "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size = 1 OR p_brand = 'Brand#44'",
+    "filter_regex" ->
+      "SELECT c_custkey, c_name FROM customer WHERE regexp_matches(c_name, '^Customer#0*1[0-9]$')",
+    "filter_substring" ->
+      "SELECT p_partkey, p_type FROM part WHERE contains(p_type, 'AND')",
+    "filter_random_row" ->
+      "SELECT c_custkey, c_name FROM customer WHERE (c_custkey * 2654435761) % 100 < 10"
+  )
+}

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle hash compare.
+
+Usage: python3 tools_compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb, pyarrow.parquet as pq
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # round-trip floats to stable repr; sort rows by all cols
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    d = f"{outdir}/{name}"
+    if not os.path.isdir(d):
+        print(f"MISSING  {name}"); fails.append(name); continue
+    try:
+        spark_df = pq.read_table(d).to_pandas()
+        duck_df = con.execute(sql).df()
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"SCHEMA   {name}: spark={list(a.columns)} duck={list(b.columns)}"); fails.append(name); continue
+        if len(a) != len(b):
+            print(f"ROWS     {name}: spark={len(a)} duck={len(b)}"); fails.append(name); continue
+        # value compare with tolerance-free exact match on string repr
+        eq = a.astype(str).equals(b.astype(str))
+        if not eq:
+            diff = (a.astype(str) != b.astype(str))
+            print(f"HASH     {name}: {diff.sum().sum()} differing cells")
+            mask = diff.any(axis=1)
+            print(pd.concat([a[mask].head(3).add_prefix('spark_'), b[mask].head(3).add_prefix('duck_')], axis=1))
+            fails.append(name); continue
+        print(f"OK       {name} ({len(a)} rows)")
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fails.append(name)
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
