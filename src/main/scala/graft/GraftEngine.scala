@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index._
+
+/** Engine bootstrap: rule installation + managed warehouse.
+  *
+  * The reference activates its index machinery by attaching coprocessors to
+  * tables (`IndexRegionObserver`, `IndexMasterObserver`); our equivalent is
+  * installing [[IndexRewriteRule]] into the session. Two paths:
+  *   - sessions we build: `SparkSession.builder.withExtensions(new GraftExtensions(...))`
+  *   - sessions handed to us (the driver's smoke test):
+  *     [[GraftEngine.install]] via `spark.experimental.extraOptimizations`,
+  *     which Spark runs as the late "User Provided Optimizers" batch.
+  *
+  * The managed warehouse mirrors the reference's storage layout decisions:
+  * the base table is rewritten range-partitioned + sorted by rowkey (HBase
+  * tables are rowkey-sorted regions), and each index is a sorted
+  * range-partitioned Parquet table (see [[IndexBuilder]]). Warehouse root
+  * is `target/graft-warehouse` (inside the repo, disposable).
+  */
+object GraftEngine {
+
+  val warehouseRoot = "/root/repo/target/graft-warehouse"
+
+  def install(spark: SparkSession, catalog: IndexCatalog = IndexCatalog.default): Unit =
+    spark.experimental.extraOptimizations.synchronized {
+      val present = spark.experimental.extraOptimizations.exists(_.isInstanceOf[IndexRewriteRule])
+      if (!present) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ new IndexRewriteRule(spark, catalog)
+      }
+    }
+
+  /** Declarative DDL for the managed demo tables (reference: table
+    * descriptor + INDEX_SPEC_KEY attribute read by
+    * `IndexMasterObserver.preCreateTable:89-131`). */
+  private def ddl(sfTag: String): Seq[(String, String, Seq[IndexSpec])] = Seq(
+    ("customer", "c_custkey", Seq(
+      IndexSpec(s"idx_nation", Seq(IndexedColumn("c_nationkey", ValueType.IntT))),
+      IndexSpec(s"idx_mkt_nation", Seq(
+        IndexedColumn("c_mktsegment", ValueType.StringT, 10),
+        IndexedColumn("c_nationkey", ValueType.IntT))),
+      IndexSpec(s"idx_name_num", Seq(
+        IndexedColumn("c_name", ValueType.StringT, 25,
+          Some(SeparatorPartition("#", 2))))))),
+    ("orders", "o_orderkey", Seq(
+      IndexSpec(s"idx_status", Seq(IndexedColumn("o_orderstatus", ValueType.StringT, 1))),
+      IndexSpec(s"idx_cust", Seq(IndexedColumn("o_custkey", ValueType.LongT))))))
+
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Managed path of `table` for a given source scale-factor dir. */
+  def tablePath(sfDir: String, table: String): String =
+    s"$warehouseRoot/${sfTag(sfDir)}/$table"
+
+  private def sfTag(sfDir: String): String =
+    sfDir.replaceAll("/+$", "").split("/").last
+
+  /** Catalog key: one logical table per (table, sf) pair so Verify (sf0.01)
+    * and Bench (sf0.1) coexist in one process. */
+  private def tableKey(sfDir: String, table: String): String =
+    s"${table}@${sfTag(sfDir)}"
+
+  /** Idempotently ingest + index the managed tables for one sf dir, and
+    * make sure the rewrite rule is installed in this session. Returns the
+    * catalog used. Skips the (expensive) write if the warehouse dir is
+    * already present from a previous JVM (content is deterministic). */
+  def ensureWarehouse(spark: SparkSession, sfDir: String,
+      catalog: IndexCatalog = IndexCatalog.default): IndexCatalog = {
+    install(spark, catalog)
+    built.getOrElseUpdate(sfTag(sfDir), {
+      ddl(sfTag(sfDir)).foreach { case (table, rowkey, specs) =>
+        val basePath = tablePath(sfDir, table)
+        val src = spark.read.parquet(s"$sfDir/$table.parquet")
+        val marker = Paths.get(basePath, "_SUCCESS")
+        if (!Files.exists(marker)) {
+          // rowkey-sorted base (HBase: rows sorted by rowkey within regions)
+          src.repartitionByRange(8, col(rowkey))
+            .sortWithinPartitions(rowkey)
+            .write.mode(SaveMode.Overwrite).parquet(basePath)
+        }
+        val ti = TableIndices(tableKey(sfDir, table), rowkey, specs)
+        catalog.register(ti, basePath, src.schema)
+        specs.foreach { spec =>
+          val idxPath = s"$warehouseRoot/${sfTag(sfDir)}/${table}_idx/${spec.name}"
+          if (!Files.exists(Paths.get(idxPath, "_SUCCESS"))) {
+            IndexBuilder.build(spark, catalog, tableKey(sfDir, table), spec, idxPath)
+          } else {
+            catalog.addIndexPath(tableKey(sfDir, table), spec.name, idxPath)
+          }
+        }
+      }
+      true
+    })
+    catalog
+  }
+
+  /** Managed table as DataFrame (the engine's `HTable` handle). */
+  def managed(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    ensureWarehouse(spark, sfDir)
+    spark.read.parquet(tablePath(sfDir, table))
+  }
+}

@@ -10,11 +10,12 @@ object Queries {
 
   private def groups: Seq[QueryGroup] = Seq(
     ScanQueries,
-    AggQueries)
+    AggQueries,
+    IndexQueries)
 
   lazy val all: Map[String, Q] = groups.flatMap(_.defs).toMap
   lazy val oracles: Map[String, String] = groups.flatMap(_.oracles).toMap
 
   def flagship(spark: SparkSession, sfDir: String): DataFrame =
-    ScanQueries.defs("scan_point_get")(spark, sfDir)
+    IndexQueries.defs("idx_point")(spark, sfDir)
 }

@@ -1,0 +1,68 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materializes a secondary index as a range-partitioned, sorted Parquet
+  * table of `(indexCol1, …, indexColN, rowkey)`.
+  *
+  * Reference: the batch index build MR job (`TableIndexer.java:49` →
+  * `IndexCreationMapper` → `IndexHFileOutputFormat`) writes index HFiles
+  * whose rowkeys are `[regionStart][indexName][paddedValues][userRowkey]`
+  * (`util/IndexUtils.java:269-377`) so the index is *sorted by value* and a
+  * predicate becomes a key range. On Spark the same property is obtained
+  * columnar-ly: `repartitionByRange` over the index columns gives each
+  * output file a disjoint value range, and `sortWithinPartitions` sorts
+  * rows inside each file — so a value predicate prunes to O(matching
+  * files) via Parquet footer min/max stats, the columnar analogue of the
+  * reference's HFile key-range scan.
+  *
+  * Scale: at 100 TB the only change is `numPartitions` (one range file per
+  * ~128 MB of index data); the build is a single shuffle-by-range, no
+  * driver-side state. Rows whose *leading* index column is null are
+  * dropped — mirrors `IndexUtils.prepareIndexPut:273-285` skipping rows
+  * with no indexed cells, and is safe because no indexable predicate
+  * (=, <, >, IN, BETWEEN) matches NULL.
+  */
+object IndexBuilder {
+
+  /** Default target file count; callers sizing for a cluster should pass
+    * max(32, indexBytes / 128MB). */
+  val DefaultPartitions = 8
+
+  def indexDf(base: DataFrame, rowkey: String, spec: IndexSpec): DataFrame = {
+    val cols = spec.columns.map(ic => ic.indexExpr(base(ic.column)).as(ic.indexColName))
+    base.select(cols :+ base(rowkey).as(rowkey): _*)
+      .filter(col(spec.indexColNames.head).isNotNull)
+  }
+
+  /** Build one index and register its path in the catalog. */
+  def build(
+      spark: SparkSession,
+      catalog: IndexCatalog,
+      table: String,
+      spec: IndexSpec,
+      outPath: String,
+      numPartitions: Int = DefaultPartitions): Unit = {
+    val entry = catalog.get(table).getOrElse(
+      throw new NoSuchElementException(s"table $table not registered"))
+    val base = spark.read.parquet(entry.basePath)
+    val df = indexDf(base, entry.indices.rowkey, spec)
+    val sortCols = spec.indexColNames.map(col) :+ col(entry.indices.rowkey)
+    df.repartitionByRange(numPartitions, spec.indexColNames.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    catalog.addIndexPath(table, spec.name, outPath)
+  }
+
+  /** Build every declared index of a table (DDL `createTable` +
+    * `TableIndexer` in one call). */
+  def buildAll(spark: SparkSession, catalog: IndexCatalog, table: String,
+      indexRoot: String, numPartitions: Int = DefaultPartitions): Unit = {
+    val entry = catalog.get(table).getOrElse(
+      throw new NoSuchElementException(s"table $table not registered"))
+    entry.indices.indices.foreach { spec =>
+      build(spark, catalog, table, spec, s"$indexRoot/${table}_idx/${spec.name}", numPartitions)
+    }
+  }
+}

@@ -1,0 +1,196 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The secondary-index query-rewrite rule — the Spark-native equivalent of
+  * the reference's read-path planner hook
+  * (`IndexRegionObserver.postScannerOpen:464-519` →
+  * `ScanFilterEvaluator.evaluate:88-147` → index scanner tree →
+  * `SeekPointFetcher` semi-join of the data region against index results).
+  *
+  * Rewrite shape:
+  * {{{
+  *   Filter(cond, baseRel)
+  *     ⇒ Filter(cond, Join(baseRel, RowkeyPlan(cond, indices), LeftSemi, rk = rk))
+  * }}}
+  * where `RowkeyPlan` is built from range-partitioned sorted index Parquet
+  * tables (see [[IndexBuilder]]) as intersections/unions of index scans
+  * ([[IndexSelection]] ports the selection policy). The rowkey set is a
+  * *superset* of matching rows; keeping the full residual `cond` above the
+  * join reproduces the reference's re-evaluation of the user filter on
+  * every seek-point row, so correctness never depends on the policy.
+  *
+  * Scale design:
+  *  - the index side carries a selective filter on range-partitioned files
+  *    → Parquet min/max prunes to O(matching files) (the HFile key-range
+  *    scan analogue);
+  *  - Catalyst/AQE picks broadcast when the filtered index result is small
+  *    (the common low-selectivity case this index exists for) → the base
+  *    side is then reduced by Spark's runtime bloom filter / broadcast
+  *    semi join without an extra shuffle;
+  *  - the residual Filter is *above* the join, so the optimizer still
+  *    pushes `cond` into the base Parquet scan (both pushdown and index
+  *    semi-join apply — strictly less work than either alone).
+  *
+  * Hints (reference `SingleIndexExpression`/`NoIndexExpression`,
+  * `.../client/IndexUtils.java:45-70`): session confs
+  * `graft.index.enabled` (= NoIndexExpression when false) and
+  * `graft.index.force` (comma list of index names = SingleIndexExpression)
+  * — resolved per-query by the caller via `GraftConf`.
+  */
+class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
+    extends Rule[LogicalPlan] {
+
+  import IndexSelection._
+
+  private def conf(key: String, dflt: String): String =
+    spark.conf.getOption(key).getOrElse(dflt)
+
+  private def enabled: Boolean = conf("graft.index.enabled", "true").toBoolean
+  private def forced: Option[Set[String]] = {
+    val f = conf("graft.index.force", "")
+    if (f.isEmpty) None else Some(f.split(",").map(_.trim).toSet)
+  }
+
+  /** Root paths of all registered index tables (never rewrite those). */
+  private def indexPaths: Set[String] =
+    catalog.tables.flatMap(t => catalog.get(t).toSeq.flatMap(_.indexPaths.values)).map(norm).toSet
+
+  private def norm(p: String): String = p.stripPrefix("file:").replaceAll("/+$", "")
+
+  private def relationPath(rel: LogicalRelation): Option[String] = rel.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.headOption.map(p => norm(p.toUri.getPath))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled || catalog.tables.isEmpty) return plan
+    // Guard: collect base subtrees already semi-joined against an index
+    // (so the fixed-point optimizer batch doesn't re-rewrite the filter
+    // that predicate-pushdown recreates under our join).
+    val guarded = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case Join(left, right, LeftSemi, _, _) if readsIndex(right) =>
+        left.foreach(n => guarded.add(n))
+      case _ => ()
+    }
+
+    // transformUp, not transformDown: Down recurses into the children of
+    // the node a rule returns, so the original Filter inside our rewritten
+    // Join(filter, idx) would be matched again immediately → infinite
+    // self-wrapping. Up applies the rule post-order and never revisits the
+    // replacement node.
+    plan.transformUp {
+      case f @ Filter(cond, rel: LogicalRelation)
+          if !guarded.contains(f) && !guarded.contains(rel) =>
+        rewrite(f, cond, rel).getOrElse(f)
+    }
+  }
+
+  private def readsIndex(p: LogicalPlan): Boolean = {
+    val paths = indexPaths
+    p.exists {
+      case rel: LogicalRelation => relationPath(rel).exists(paths.contains)
+      case _ => false
+    }
+  }
+
+  private def rewrite(f: Filter, cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
+    for {
+      path <- relationPath(rel)
+      entry <- catalog.lookupByBasePath(path)
+      rowkeyAttr <- rel.output.find(_.name == entry.indices.rowkey)
+      available = entry.indices.indices.filter(s => entry.indexPaths.contains(s.name))
+      usable = forced.map(f => available.filter(s => f.contains(s.name))).getOrElse(available)
+      rkPlan <- select(splitConjuncts(cond), usable)
+      idxPlan <- buildRowkeyPlan(rkPlan, entry)
+    } yield {
+      val idxRk = idxPlan.output.find(_.name == entry.indices.rowkey).get
+      // The ORIGINAL Filter(cond, rel) stays intact as the left child: the
+      // residual predicate both re-verifies every index hit (reference
+      // `postScannerFilterRow:430-462`) and keeps Parquet pushdown working
+      // (FileSourceStrategy extracts Filter-over-relation at physical
+      // planning, so this shape composes pushdown + index semi-join).
+      Join(f, idxPlan, LeftSemi, Some(EqualTo(rowkeyAttr, idxRk)), JoinHint.NONE)
+    }
+  }
+
+  /** Cached analyzed index relations (file listing is driver-side work we
+    * don't want once per optimizer iteration); every use takes a
+    * `newInstance()` so expression IDs stay unique within one query. */
+  private val relCache = scala.collection.concurrent.TrieMap.empty[String, LogicalRelation]
+
+  private def indexRelation(path: String): LogicalRelation = {
+    val cached = relCache.getOrElseUpdate(path,
+      spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+        case r: LogicalRelation => r
+      }.getOrElse(throw new IllegalStateException(s"index read at $path is not a LogicalRelation")))
+    cached.newInstance()
+  }
+
+  /** Materialize a RowkeyPlan as a logical subplan producing one rowkey
+    * column. */
+  private def buildRowkeyPlan(p: RowkeyPlan, entry: IndexCatalog#Entry): Option[LogicalPlan] = p match {
+    case IndexScan(spec, leaves) =>
+      val scan = indexRelation(entry.indexPaths(spec.name))
+      val attrs = scan.output.map(a => a.name -> a).toMap
+      val rk = attrs(entry.indices.rowkey)
+      val pred = leaves.map(leafExpr(_, attrs)).reduceOption(And.apply)
+      pred.map(pr => Project(Seq(rk), Filter(pr, scan)))
+    case AndMerge(parts) =>
+      // chained left-semi intersection on rowkey (reference AND-merge,
+      // IndexRegionScannerForAND.java:35) — Catalyst picks SMJ/BHJ per arm
+      val built = parts.flatMap(buildRowkeyPlan(_, entry))
+      if (built.size != parts.size) None
+      else Some(built.reduce { (l, r) =>
+        val lrk = l.output.head
+        val rrk = r.output.head
+        Join(l, r, LeftSemi, Some(EqualTo(lrk, rrk)), JoinHint.NONE)
+      })
+    case OrMerge(parts) =>
+      // dedup'd union (reference OR-merge dedup TreeMap,
+      // IndexRegionScannerForOR.java:39). Aggregate-on-rowkey rather than
+      // Distinct: ReplaceDistinctWithAggregate ran in an earlier batch,
+      // so a Distinct injected here would reach physical planning raw.
+      // Dedup before the semi-join keeps the build side small.
+      val built = parts.flatMap(buildRowkeyPlan(_, entry))
+      if (built.size != parts.size) None
+      else {
+        val aligned = built.map(b => Project(
+          Seq(Alias(b.output.head, entry.indices.rowkey)()), b))
+        val u = Union(aligned)
+        val rk = u.output.head
+        Some(Aggregate(Seq(rk), Seq(rk), u))
+      }
+  }
+
+  private def leafExpr(l: Leaf, attrs: Map[String, Attribute]): Expression = l match {
+    case Eq(c, v) => EqualTo(attrs(c), v)
+    case EqSet(c, vs) => In(attrs(c), vs)
+    case Range(c, lo, loInc, hi, hiInc) =>
+      val a = attrs(c)
+      val loE = lo.map(v => if (loInc) GreaterThanOrEqual(a, v) else GreaterThan(a, v))
+      val hiE = hi.map(v => if (hiInc) LessThanOrEqual(a, v) else LessThan(a, v))
+      (loE.toSeq ++ hiE.toSeq).reduce(And.apply)
+  }
+}
+
+/** `SparkSessionExtensions` installer — register with
+  * `.withExtensions(new GraftExtensions(catalog))` or the
+  * `spark.sql.extensions=graft.index.GraftExtensions` conf (which uses
+  * the process-wide [[IndexCatalog.default]]).
+  */
+class GraftExtensions(catalog: IndexCatalog) extends (SparkSessionExtensions => Unit) {
+  def this() = this(IndexCatalog.default)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session => new IndexRewriteRule(session, catalog))
+  }
+}

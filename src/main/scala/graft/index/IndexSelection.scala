@@ -1,0 +1,248 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Predicate classification + index-selection policy.
+  *
+  * Ports the *policy* of the reference planner `ScanFilterEvaluator`
+  * (`hbase-secondaryindex/.../regionserver/ScanFilterEvaluator.java`):
+  *
+  *  - per-column leaf predicates are EQUAL or RANGE
+  *    (`FilterColumnValueDetail` / `FilterColumnValueRange`); `NOT_EQUAL`
+  *    and `NO_OP` are never indexable (`:1045-1049`);
+  *  - an index is usable only on a *leading prefix* of its column list
+  *    (`selectBestFitIndexForColumn` `:1030-1099`);
+  *  - a RANGE may appear only on the last matched column — EQ prefix then
+  *    at most one trailing range (`:763-817,823-850`);
+  *  - among candidates, maximize columns resolved, then prefer fewer
+  *    indices / lower index arity
+  *    (`isIndicesGroupBetterThanCurBest` `:698-726`);
+  *  - an AND group may be served by *several* indices intersected
+  *    (`IndexRegionScannerForAND`), an OR group only if *every* disjunct
+  *    is indexable (`handleORCondition` `:506-525`) — one unindexable
+  *    disjunct poisons the whole OR.
+  *
+  * Our IN(col, literals) is treated as a disjunction of EQUALs on one
+  * column (the reference has no IN; its shell would build an OR
+  * FilterList, which groups the same way — `FilterGroupingWorker.java`).
+  *
+  * The output of selection is a [[RowkeyPlan]] describing a rowkey-set
+  * computation over index tables that is a **superset** of the rows
+  * matching the original predicate (nulls and residual columns are
+  * resolved by re-applying the full predicate on the base rows, exactly
+  * as the reference re-evaluates the user filter on each seek-point row —
+  * `IndexRegionObserver.postScannerFilterRow:430-462`).
+  */
+object IndexSelection {
+
+  /** One indexable leaf predicate on a named (possibly derived) column. */
+  sealed trait Leaf { def column: String }
+  final case class Eq(column: String, value: Literal) extends Leaf
+  final case class EqSet(column: String, values: Seq[Literal]) extends Leaf
+  /** lo/hi bounds, either optional; inclusive flags per bound. */
+  final case class Range(
+      column: String,
+      lo: Option[Literal], loInclusive: Boolean,
+      hi: Option[Literal], hiInclusive: Boolean) extends Leaf
+
+  /** Rowkey-set plan over materialized indices. */
+  sealed trait RowkeyPlan
+  /** Scan one index with per-column leaves (EQ-prefix + ≤1 trailing range). */
+  final case class IndexScan(spec: IndexSpec, leaves: Seq[Leaf]) extends RowkeyPlan
+  /** Intersection of several index scans (reference AND-merge scanner). */
+  final case class AndMerge(parts: Seq[RowkeyPlan]) extends RowkeyPlan
+  /** Union of per-disjunct plans (reference OR-merge scanner). */
+  final case class OrMerge(parts: Seq[RowkeyPlan]) extends RowkeyPlan
+
+  // ---------------------------------------------------------------------
+  // Leaf extraction from a Catalyst expression tree
+  // ---------------------------------------------------------------------
+
+  /** Attribute → indexed-column name resolution: whole columns only here;
+    * derived (ValuePartition) columns are resolved by the caller which
+    * matches the derivation expression. */
+  private def colName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case _ => None
+  }
+
+  private def lit(e: Expression): Option[Literal] = e match {
+    case l: Literal if l.value != null => Some(l)
+    case _ => None
+  }
+
+  /** Classify one conjunct into an indexable leaf, if possible; handles
+    * literal-on-either-side comparisons (mirroring the bound direction). */
+  def toLeaf(e: Expression): Option[Leaf] = {
+    def colLit(a: Expression, b: Expression): Option[(String, Literal)] =
+      for (n <- colName(a); l <- lit(b)) yield (n, l)
+    e match {
+      case EqualTo(a, b) =>
+        colLit(a, b).orElse(colLit(b, a)).map { case (n, l) => Eq(n, l) }
+      case LessThan(a, b) => // col < lit  |  lit < col
+        colLit(a, b).map { case (n, l) => Range(n, None, false, Some(l), false) }
+          .orElse(colLit(b, a).map { case (n, l) => Range(n, Some(l), false, None, false) })
+      case LessThanOrEqual(a, b) =>
+        colLit(a, b).map { case (n, l) => Range(n, None, false, Some(l), true) }
+          .orElse(colLit(b, a).map { case (n, l) => Range(n, Some(l), true, None, false) })
+      case GreaterThan(a, b) => // col > lit  |  lit > col
+        colLit(a, b).map { case (n, l) => Range(n, Some(l), false, None, false) }
+          .orElse(colLit(b, a).map { case (n, l) => Range(n, None, false, Some(l), false) })
+      case GreaterThanOrEqual(a, b) =>
+        colLit(a, b).map { case (n, l) => Range(n, Some(l), true, None, false) }
+          .orElse(colLit(b, a).map { case (n, l) => Range(n, None, false, Some(l), true) })
+      case In(c, vs) if vs.nonEmpty && vs.forall(v => lit(v).isDefined) =>
+        colName(c).map(n => EqSet(n, vs.map(v => lit(v).get)))
+      case _ => None // Not/IsNull/NOT_EQUAL/InSet/… not indexable (reference :1045-1049)
+    }
+  }
+
+  /** Merge all range leaves on the same column into one (the reference's
+    * `FilterGroupingWorker.handleScvf:370-461` range intersection). */
+  def groupLeaves(leaves: Seq[Leaf]): Map[String, Seq[Leaf]] =
+    leaves.groupBy(_.column).map { case (c, ls) =>
+      val (ranges, others) = ls.partition(_.isInstanceOf[Range])
+      val merged: Seq[Leaf] =
+        if (ranges.isEmpty) others
+        else others :+ ranges.map(_.asInstanceOf[Range]).reduce(intersect)
+      c -> merged
+    }
+
+  private def intersect(a: Range, b: Range): Range = {
+    // keep the tighter bound; exact tightness needs value comparison which
+    // we delegate to the residual filter — taking either bound is still a
+    // superset-safe choice, so prefer the bound that exists.
+    val (lo, loInc) = (a.lo, b.lo) match {
+      case (Some(x), None) => (Some(x), a.loInclusive)
+      case (None, Some(y)) => (Some(y), b.loInclusive)
+      case (Some(x), Some(y)) => if (cmp(x, y) >= 0) (Some(x), a.loInclusive) else (Some(y), b.loInclusive)
+      case _ => (None, false)
+    }
+    val (hi, hiInc) = (a.hi, b.hi) match {
+      case (Some(x), None) => (Some(x), a.hiInclusive)
+      case (None, Some(y)) => (Some(y), b.hiInclusive)
+      case (Some(x), Some(y)) => if (cmp(x, y) <= 0) (Some(x), a.hiInclusive) else (Some(y), b.hiInclusive)
+      case _ => (None, false)
+    }
+    Range(a.column, lo, loInc, hi, hiInc)
+  }
+
+  private def cmp(a: Literal, b: Literal): Int = (a.value, b.value) match {
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: org.apache.spark.unsafe.types.UTF8String, y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+    case _ => 0 // unknown: arbitrary pick is still superset-safe
+  }
+
+  // ---------------------------------------------------------------------
+  // Selection
+  // ---------------------------------------------------------------------
+
+  /** How much of `spec` a set of per-column leaves can use: the EQ/IN
+    * prefix length plus an optional trailing range. Returns the usable
+    * leaves in index-column order, or None if the leading column has no
+    * usable predicate. */
+  def usableLeaves(spec: IndexSpec, byCol: Map[String, Seq[Leaf]]): Option[Seq[Leaf]] = {
+    val out = Seq.newBuilder[Leaf]
+    var covered = 0
+    var done = false
+    for (ic <- spec.columns if !done) {
+      byCol.get(ic.indexColName) match {
+        case Some(ls) =>
+          val eq = ls.collectFirst { case e: Eq => e }
+          val in = ls.collectFirst { case i: EqSet => i }
+          val rg = ls.collectFirst { case r: Range => r }
+          (eq, in, rg) match {
+            case (Some(e), _, _) => out += e; covered += 1
+            case (_, Some(i), _) => out += i; covered += 1
+            case (_, _, Some(r)) => out += r; covered += 1; done = true // range ends the prefix
+            case _ => done = true
+          }
+        case None => done = true
+      }
+    }
+    val leaves = out.result()
+    if (covered == 0) None else Some(leaves)
+  }
+
+  final case class Candidate(spec: IndexSpec, leaves: Seq[Leaf]) {
+    def coveredCols: Set[String] = leaves.map(_.column).toSet
+  }
+
+  /** Best single index for a conjunction: maximize covered columns, then
+    * lower arity (reference `isIndicesGroupBetterThanCurBest:698-726`). */
+  def bestFor(byCol: Map[String, Seq[Leaf]], indices: Seq[IndexSpec]): Option[Candidate] =
+    indices.flatMap(s => usableLeaves(s, byCol).map(Candidate(s, _)))
+      .sortBy(c => (-c.leaves.size, c.spec.columns.size, c.spec.name))
+      .headOption
+
+  /** Multi-index AND combination: greedily add indices that cover columns
+    * no previous pick covered (bounded port of the reference's breakup
+    * search `:853-1028`; greedy is superset-safe where the exhaustive
+    * search is only "better"). Capped at 3 indices like the practical
+    * depth of the reference tests. */
+  def selectForConjunction(byCol: Map[String, Seq[Leaf]], indices: Seq[IndexSpec]): Option[RowkeyPlan] = {
+    var remaining = byCol
+    val picks = Seq.newBuilder[IndexScan]
+    var n = 0
+    var continue = true
+    while (continue && n < 3 && remaining.nonEmpty) {
+      bestFor(remaining, indices) match {
+        case Some(c) =>
+          picks += IndexScan(c.spec, c.leaves)
+          remaining = remaining -- c.coveredCols
+          n += 1
+        case None => continue = false
+      }
+    }
+    picks.result() match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(AndMerge(many))
+    }
+  }
+
+  /** Entry point: select a rowkey plan for a full (already split) predicate.
+    *
+    * `conjuncts` are the top-level AND parts. Disjunctions inside a
+    * conjunct are handled with the reference's all-or-nothing OR policy:
+    * if every branch of the OR yields a plan, the conjunct contributes an
+    * OrMerge; otherwise that conjunct contributes nothing (another
+    * conjunct may still index the query — superset semantics allow
+    * dropping conjuncts, NOT dropping disjuncts).
+    */
+  def select(conjuncts: Seq[Expression], indices: Seq[IndexSpec]): Option[RowkeyPlan] = {
+    if (indices.isEmpty) return None
+    val plainLeaves = conjuncts.flatMap(toLeaf)
+    val fromConj = selectForConjunction(groupLeaves(plainLeaves), indices)
+
+    // OR conjuncts: try each disjunctive conjunct as an OrMerge
+    val orPlans = conjuncts.collect { case o: Or => orPlan(o, indices) }.flatten
+    (fromConj.toSeq ++ orPlans) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(AndMerge(many))
+    }
+  }
+
+  private def orPlan(o: Or, indices: Seq[IndexSpec]): Option[RowkeyPlan] = {
+    val branches = splitDisjuncts(o)
+    val plans = branches.map { b =>
+      val conj = splitConjuncts(b)
+      val leaves = conj.flatMap(toLeaf)
+      if (leaves.isEmpty) None
+      else selectForConjunction(groupLeaves(leaves), indices)
+    }
+    if (plans.forall(_.isDefined)) Some(OrMerge(plans.map(_.get)))
+    else None // one unindexable disjunct poisons the OR (:506-525)
+  }
+
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjuncts(l) ++ splitDisjuncts(r)
+    case other => Seq(other)
+  }
+}

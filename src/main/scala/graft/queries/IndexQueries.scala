@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftEngine
+
+/** Indexed-scan surface — the flagship path (SURVEY §3.1, §7.2).
+  *
+  * Each query reads the *managed* rowkey-sorted copy of the table (same
+  * rows as the source parquet, so the DuckDB oracle over the source tables
+  * must hash-match) and goes through [[graft.index.IndexRewriteRule]]:
+  * `Filter(cond, base)` → `Filter(cond, base) ⋉ rowkeys(indexScans)`.
+  * Plan-shape assertions (the rewrite actually fired, AND-merge /
+  * OR-merge shapes, hint suppression) live in IndexRewriteSpec;
+  * these queries gate end-to-end result correctness.
+  */
+object IndexQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // flagship: single-col index point lookup (SURVEY §7.2 minimum slice;
+    // reference: ScanFilterEvaluator EQUAL → LeafIndexRegionScanner)
+    "idx_point" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_nationkey") === 7)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    }),
+
+    // composite-index EQ prefix (idx_mkt_nation on (c_mktsegment, c_nationkey))
+    "idx_composite_eq" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 7)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    }),
+
+    // EQ prefix + trailing range (range only on last matched col,
+    // ScanFilterEvaluator:763-817)
+    "idx_eq_range" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY" &&
+          col("c_nationkey") >= 3 && col("c_nationkey") < 10)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+    }),
+
+    // OR-merge: every disjunct indexable → union of index scans
+    // (IndexRegionScannerForOR)
+    "idx_or_merge" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_nationkey") === 2 || col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    }),
+
+    // AND-merge across two single-col indices (IndexRegionScannerForAND):
+    // idx_status ∩ idx_cust on orders
+    "idx_and_merge" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 20L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    }),
+
+    // range-only on a single-col index leading column
+    "idx_range_scan" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "orders")
+        .filter(col("o_custkey") >= 100L && col("o_custkey") < 120L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // IN list = multi-point index lookup (multi-get through the index)
+    "idx_in_list" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 5, 9))
+        .select("c_custkey", "c_nationkey")
+    }),
+
+    // NO_INDEX path (NoIndexExpression, .../client/NoIndexExpression.java):
+    // same predicate as idx_point but reading the unmanaged source table —
+    // a true full scan; results must match the indexed path exactly.
+    // (Conf-based hint suppression `graft.index.enabled=false` is asserted
+    // plan-wise in IndexRewriteSpec, where optimization timing is under
+    // test control.)
+    "idx_hint_noindex" -> ((s, dir) => {
+      s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_nationkey") === 7)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "idx_point" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7",
+    "idx_composite_eq" ->
+      "SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7",
+    "idx_eq_range" ->
+      "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_nationkey >= 3 AND c_nationkey < 10",
+    "idx_or_merge" ->
+      "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer WHERE c_nationkey = 2 OR c_mktsegment = 'AUTOMOBILE'",
+    "idx_and_merge" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' AND o_custkey <= 20",
+    "idx_range_scan" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey >= 100 AND o_custkey < 120",
+    "idx_in_list" ->
+      "SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey IN (1, 5, 9)",
+    "idx_hint_noindex" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7"
+  )
+}

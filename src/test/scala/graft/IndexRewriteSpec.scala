@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planner tests in the spirit of the reference's
+  * `TestScanFilterEvaluator` / `TestMultipleIndicesInScan` — assert which
+  * indices get chosen and what plan shape results, then that indexed and
+  * non-indexed execution return identical rows.
+  */
+class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("IndexRewriteSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftEngine.ensureWarehouse(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def managed(table: String) =
+    spark.read.parquet(GraftEngine.tablePath(sfDir, table))
+
+  /** Names of index tables scanned by the optimized plan. */
+  private def indexScans(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case r: LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).filter(_.contains("_idx/"))
+              .map(_.replaceAll(".*_idx/", ""))
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def semiJoins(plan: LogicalPlan): Int =
+    plan.collect { case j @ Join(_, _, LeftSemi, _, _) => j }.size
+
+  test("point EQ rewrites to semi-join with the single-col index") {
+    val df = managed("customer").filter(col("c_nationkey") === 7)
+    val plan = df.queryExecution.optimizedPlan
+    assert(semiJoins(plan) >= 1, s"no semi-join in:\n$plan")
+    val idx = indexScans(plan)
+    assert(idx.exists(_.startsWith("idx_nation")), s"wrong index: $idx\n$plan")
+    // results identical to full scan
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_nationkey") === 7).collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("composite EQ prefers the 2-col index (max cols resolved)") {
+    val df = managed("customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 7)
+    val idx = indexScans(df.queryExecution.optimizedPlan)
+    assert(idx.exists(_.startsWith("idx_mkt_nation")), s"chose $idx")
+  }
+
+  test("EQ + trailing range uses composite index") {
+    val df = managed("customer")
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_nationkey") >= 3 && col("c_nationkey") < 10)
+    val idx = indexScans(df.queryExecution.optimizedPlan)
+    assert(idx.exists(_.startsWith("idx_mkt_nation")), s"chose $idx")
+  }
+
+  test("AND over two single-col indices intersects them (AND-merge)") {
+    val df = managed("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 20L)
+    val plan = df.queryExecution.optimizedPlan
+    val idx = indexScans(plan)
+    assert(idx.exists(_.startsWith("idx_status")) && idx.exists(_.startsWith("idx_cust")),
+      s"expected both indices, got $idx\n$plan")
+    assert(semiJoins(plan) >= 2, s"expected intersection join tree:\n$plan")
+  }
+
+  test("OR with all disjuncts indexable unions index scans (OR-merge)") {
+    val df = managed("customer")
+      .filter(col("c_nationkey") === 2 || col("c_mktsegment") === "AUTOMOBILE")
+    val plan = df.queryExecution.optimizedPlan
+    val idx = indexScans(plan)
+    assert(idx.exists(_.startsWith("idx_nation")) && idx.exists(_.startsWith("idx_mkt_nation")),
+      s"expected both indices, got $idx\n$plan")
+    assert(plan.collect { case u: Union => u }.nonEmpty
+      || plan.toString.contains("Union"), s"expected union:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_nationkey") === 2 || col("c_mktsegment") === "AUTOMOBILE")
+      .collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("OR with an unindexable disjunct poisons the whole OR (full scan)") {
+    // c_acctbal has no index → reference policy: no index path at all
+    val df = managed("customer")
+      .filter(col("c_nationkey") === 2 || col("c_acctbal") > 0.0)
+    val plan = df.queryExecution.optimizedPlan
+    assert(indexScans(plan).isEmpty, s"OR should not be indexed:\n$plan")
+  }
+
+  test("NOT_EQUAL is never indexed") {
+    val df = managed("customer").filter(col("c_nationkey") =!= 7)
+    assert(indexScans(df.queryExecution.optimizedPlan).isEmpty)
+  }
+
+  test("unindexed column predicate leaves plan untouched") {
+    val df = managed("customer").filter(col("c_acctbal") > 1000.0)
+    assert(indexScans(df.queryExecution.optimizedPlan).isEmpty)
+  }
+
+  test("graft.index.enabled=false suppresses rewrite (NoIndexExpression)") {
+    spark.conf.set("graft.index.enabled", "false")
+    try {
+      val df = managed("customer").filter(col("c_nationkey") === 7)
+      assert(indexScans(df.queryExecution.optimizedPlan).isEmpty)
+    } finally spark.conf.set("graft.index.enabled", "true")
+  }
+
+  test("graft.index.force restricts selection to the named index (SingleIndexExpression)") {
+    spark.conf.set("graft.index.force", "idx_nation")
+    try {
+      val df = managed("customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 7)
+      val idx = indexScans(df.queryExecution.optimizedPlan)
+      assert(idx.nonEmpty && idx.forall(_.startsWith("idx_nation")), s"got $idx")
+    } finally spark.conf.set("graft.index.force", "")
+  }
+
+  test("IN list uses index as multi-point lookup") {
+    val df = managed("customer").filter(col("c_nationkey").isin(1, 5, 9))
+    val idx = indexScans(df.queryExecution.optimizedPlan)
+    assert(idx.exists(_.startsWith("idx_nation")), s"got $idx")
+  }
+
+  test("rewrite is stable (no join nesting explosion on re-optimization)") {
+    val df = managed("customer").filter(col("c_nationkey") === 7)
+    val n1 = semiJoins(df.queryExecution.optimizedPlan)
+    val df2 = df.select("c_custkey", "c_name")
+    val n2 = semiJoins(df2.queryExecution.optimizedPlan)
+    assert(n1 <= 2 && n2 <= 2, s"join explosion: $n1 / $n2")
+  }
+
+  test("contradictory range yields empty result, not an error") {
+    val df = managed("customer")
+      .filter(col("c_nationkey") > 10 && col("c_nationkey") < 5)
+    assert(df.count() === 0)
+  }
+}
