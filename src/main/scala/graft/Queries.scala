@@ -11,7 +11,10 @@ object Queries {
   private def groups: Seq[QueryGroup] = Seq(
     ScanQueries,
     AggQueries,
-    IndexQueries)
+    IndexQueries,
+    FilterQueries,
+    VersionQueries,
+    MutationQueries)
 
   lazy val all: Map[String, Q] = groups.flatMap(_.defs).toMap
   lazy val oracles: Map[String, String] = groups.flatMap(_.oracles).toMap

@@ -10,8 +10,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    // rejects; read it as epoch-nanos long (exact — no truncation, so
+    // ts comparisons/joins match DuckDB's native ns timestamps bit-for-bit)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Epoch-nanos literal for a UTC wall-clock string `yyyy-MM-dd HH:mm:ss`
+    * — comparable against the nanosAsLong-read `events.ts`. */
+  def tsNanos(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
 
   /** Ensure session-level settings we rely on (idempotent). AQE and a
     * local-friendly shuffle-partition count; both are what you'd set on a

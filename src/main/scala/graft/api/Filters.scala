@@ -1,0 +1,108 @@
+package graft.api
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The HBase filter hierarchy as `Column`-predicate builders — every filter
+  * from `hbase-client/.../filter/` (SURVEY §2.2) becomes a Catalyst
+  * expression that Catalyst pushes to the Parquet scan where sargable.
+  *
+  * `CompareOp` mirrors `CompareFilter.CompareOp`; comparators mirror the
+  * `ByteArrayComparable` subclasses (`BinaryComparator`,
+  * `BinaryPrefixComparator`, `RegexStringComparator`, `SubstringComparator`,
+  * `BitComparator`, `NullComparator`).
+  */
+object Filters {
+
+  /** CompareOp ∈ {LESS, LESS_OR_EQUAL, EQUAL, NOT_EQUAL, GREATER_OR_EQUAL,
+    * GREATER, NO_OP} — `CompareFilter.java`. */
+  sealed trait CompareOp {
+    def apply(c: Column, v: Any): Column = this match {
+      case CompareOp.Less           => c < lit(v)
+      case CompareOp.LessOrEqual    => c <= lit(v)
+      case CompareOp.Equal          => c === lit(v)
+      case CompareOp.NotEqual       => c =!= lit(v)
+      case CompareOp.GreaterOrEqual => c >= lit(v)
+      case CompareOp.Greater        => c > lit(v)
+      case CompareOp.NoOp           => lit(false)
+    }
+  }
+  object CompareOp {
+    case object Less extends CompareOp
+    case object LessOrEqual extends CompareOp
+    case object Equal extends CompareOp
+    case object NotEqual extends CompareOp
+    case object GreaterOrEqual extends CompareOp
+    case object Greater extends CompareOp
+    case object NoOp extends CompareOp
+  }
+
+  /** SingleColumnValueFilter (`SingleColumnValueFilter.java:74`). */
+  def singleColumnValue(column: String, op: CompareOp, value: Any): Column =
+    op(col(column), value)
+
+  /** SingleColumnRangeFilter (`.../filter/SingleColumnRangeFilter.java:29`)
+    * — both bounds optional, each open or closed. */
+  def singleColumnRange(column: String,
+      lower: Option[Any] = None, lowerInclusive: Boolean = true,
+      upper: Option[Any] = None, upperInclusive: Boolean = false): Column = {
+    val c = col(column)
+    val lo = lower.map(v => if (lowerInclusive) c >= lit(v) else c > lit(v))
+    val hi = upper.map(v => if (upperInclusive) c <= lit(v) else c < lit(v))
+    (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** FilterList (`FilterList.java:56`): MUST_PASS_ALL / MUST_PASS_ONE. */
+  def mustPassAll(filters: Column*): Column = filters.reduce(_ && _)
+  def mustPassOne(filters: Column*): Column = filters.reduce(_ || _)
+
+  /** RowFilter on the rowkey column (`RowFilter.java:49`). */
+  def rowFilter(rowkey: String, op: CompareOp, value: Any): Column =
+    op(col(rowkey), value)
+
+  /** PrefixFilter (`PrefixFilter.java:40`) — sargable startsWith. */
+  def prefix(column: String, p: String): Column = col(column).startsWith(p)
+
+  /** InclusiveStopFilter (`InclusiveStopFilter.java:44`). */
+  def inclusiveStop(rowkey: String, stop: Any): Column = col(rowkey) <= lit(stop)
+
+  /** TimestampsFilter (`TimestampsFilter.java:43`) — ts ∈ explicit set. */
+  def timestamps(tsCol: String, values: Seq[Any]): Column = col(tsCol).isin(values: _*)
+
+  /** RandomRowFilter (`RandomRowFilter.java:38`) — made deterministic via
+    * Knuth multiplicative hash on the rowkey, so results are reproducible
+    * (and oracle-checkable) unlike the reference's PRNG. */
+  def randomRow(rowkey: String, percent: Int): Column =
+    (col(rowkey) * 2654435761L % 100L) < percent
+
+  /** FuzzyRowFilter (`FuzzyRowFilter.java:68`): fixed bytes + wildcard
+    * positions — a SQL LIKE pattern with `_` wildcards is exactly this. */
+  def fuzzyRow(rowkey: String, pattern: String): Column = col(rowkey).like(pattern)
+
+  /** RegexStringComparator (`RegexStringComparator.java:68`). */
+  def regexMatch(column: String, re: String): Column = col(column).rlike(re)
+
+  /** SubstringComparator (`SubstringComparator.java:46`). */
+  def substringMatch(column: String, s: String): Column = col(column).contains(s)
+
+  /** BinaryPrefixComparator (`BinaryPrefixComparator.java:36`). */
+  def binaryPrefix(column: String, p: String): Column = col(column).startsWith(p)
+
+  /** BitComparator (`BitComparator.java:34`) — AND/OR/XOR mask tests on an
+    * integral column. */
+  def bitAnd(column: String, mask: Long): Column = (col(column).bitwiseAND(mask)) === mask
+  def bitOr(column: String, mask: Long): Column = (col(column).bitwiseOR(mask)) =!= 0L
+  def bitXor(column: String, mask: Long): Column = (col(column).bitwiseXOR(mask)) =!= 0L
+
+  /** NullComparator (`NullComparator.java:35`). */
+  def isNullValue(column: String): Column = col(column).isNull
+
+  /** SkipFilter (`SkipFilter.java:54`) over an array-modelled row: drop
+    * the whole row if any element fails the wrapped predicate. */
+  def skipIfAnyFails(arrayCol: Column, pred: Column => Column): Column =
+    !exists(arrayCol, e => !pred(e))
+
+  /** ParseFilter (`ParseFilter.java:52`) — the shell's string filter DSL.
+    * Spark SQL's expression parser is the same capability. */
+  def parse(sqlPredicate: String): Column = expr(sqlPredicate)
+}

@@ -1,0 +1,95 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's client read surface (`hbase-client/.../client/Scan.java`,
+  * `Get`, `HTable.getScanner`) as an immutable builder over DataFrames.
+  *
+  * Every setter mirrors a `Scan` method (SURVEY §2.1); `toDf` assembles a
+  * plain declarative plan — range predicates on the rowkey (sargable →
+  * Parquet row-group pruning on the rowkey-sorted base), projection
+  * (column pruning), filter (pushdown + index rewrite via
+  * [[graft.index.IndexRewriteRule]] when the source is a managed table),
+  * reversed sort and limit. Version/time-range semantics (multi-version
+  * cells, `setMaxVersions`, `setTimeRange`) are expressed against an
+  * explicit `(versionKey, tsCol)` declaration, since our storage model
+  * keeps versions as rows (SURVEY §1.2).
+  */
+final case class Scan(
+    source: DataFrame,
+    rowkey: String,
+    startRow: Option[Any] = None,
+    stopRow: Option[Any] = None,
+    stopInclusive: Boolean = false,
+    columns: Seq[String] = Seq.empty,
+    filter: Option[Column] = None,
+    reversed: Boolean = false,
+    pageLimit: Option[Int] = None,
+    timeRange: Option[(Any, Any)] = None,
+    tsCol: Option[String] = None,
+    versionKey: Seq[String] = Seq.empty,
+    maxVersions: Int = 1,
+    allVersions: Boolean = false) {
+
+  /** `Scan.setStartRow` (`Scan.java:339`). */
+  def setStartRow(v: Any): Scan = copy(startRow = Some(v))
+  /** `Scan.setStopRow` (`Scan.java:350`) — exclusive, as in the reference. */
+  def setStopRow(v: Any): Scan = copy(stopRow = Some(v), stopInclusive = false)
+  /** `InclusiveStopFilter` variant. */
+  def setStopRowInclusive(v: Any): Scan = copy(stopRow = Some(v), stopInclusive = true)
+  /** `Scan.addColumn/addFamily` (`Scan.java:266,280`). */
+  def addColumns(cols: String*): Scan = copy(columns = columns ++ cols)
+  /** `Scan.setFilter`. */
+  def setFilter(f: Column): Scan = copy(filter = Some(filter.map(_ && f).getOrElse(f)))
+  /** `Scan.setReversed` (`Scan.java:585`). */
+  def setReversed(r: Boolean = true): Scan = copy(reversed = r)
+  /** `PageFilter` — exact global limit (reference is per-region). */
+  def setLimit(n: Int): Scan = copy(pageLimit = Some(n))
+  /** `Scan.setTimeRange` (`Scan.java:305`) — [min, max). */
+  def setTimeRange(min: Any, max: Any): Scan = copy(timeRange = Some((min, max)))
+  /** Declare the multi-version model: logical cell key + version timestamp. */
+  def versionedBy(ts: String, key: String*): Scan = copy(tsCol = Some(ts), versionKey = key)
+  /** `Scan.setMaxVersions(n)` (`Scan.java:369`). */
+  def setMaxVersions(n: Int): Scan = copy(maxVersions = n, allVersions = false)
+  /** `Scan.setMaxVersions()` = all versions (`Scan.java:359`). */
+  def setAllVersions(): Scan = copy(allVersions = true)
+
+  def toDf: DataFrame = {
+    var df = source
+    val rk = col(rowkey)
+    startRow.foreach(v => df = df.filter(rk >= lit(v)))
+    stopRow.foreach(v => df = df.filter(if (stopInclusive) rk <= lit(v) else rk < lit(v)))
+    for ((lo, hi) <- timeRange; t <- tsCol)
+      df = df.filter(col(t) >= lit(lo) && col(t) < lit(hi))
+    filter.foreach(f => df = df.filter(f))
+    // latest-wins / maxVersions semantics (SURVEY §1.2): newest first per
+    // logical cell; ties broken by rowkey for determinism
+    if (tsCol.nonEmpty && versionKey.nonEmpty && !allVersions) {
+      val w = Window.partitionBy(versionKey.map(col): _*)
+        .orderBy(col(tsCol.get).desc, rk.desc)
+      df = df.withColumn("__v", row_number().over(w))
+        .filter(col("__v") <= maxVersions).drop("__v")
+    }
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    if (reversed) df = df.orderBy(rk.desc)
+    pageLimit.foreach(n => df = if (reversed) df.limit(n) else df.orderBy(rk).limit(n))
+    df
+  }
+}
+
+object Scan {
+  /** `HTable.get(Get)` (`HTable.java:767`) — a 1-row scan
+    * (`Scan.isGetScan`, `Scan.java:251`). */
+  def get(source: DataFrame, rowkey: String, key: Any): DataFrame =
+    source.filter(col(rowkey) === lit(key))
+
+  /** `HTable.get(List<Get>)` (`HTable.java:787`). */
+  def multiGet(source: DataFrame, rowkey: String, keys: Seq[Any]): DataFrame =
+    source.filter(col(rowkey).isin(keys: _*))
+
+  /** `HTable.exists` — Get with `FirstKeyOnlyFilter`+`KeyOnlyFilter`. */
+  def exists(source: DataFrame, rowkey: String, key: Any): Boolean =
+    !source.filter(col(rowkey) === lit(key)).select(rowkey).isEmpty
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexCatalog}
+
+/** Batch mutation layer (SURVEY §2.6, §7.1.3) — the reference's
+  * OLTP write path (`HTable.put/delete/increment/append/checkAndPut`,
+  * `HRegion.batchMutate` + the index hooks of
+  * `IndexRegionObserver.java:149-427`) re-expressed as DataFrame batch
+  * merges. Semantics:
+  *
+  *  - Put  = upsert by rowkey, latest-ts wins within the batch
+  *    (`IndexUtils.prepareIndexPut:329-342` keeps the newest cell);
+  *  - Delete = anti-join tombstone application;
+  *  - Increment/Append = read-modify-write folded into one join
+  *    (`HTable.java:1059,1028`);
+  *  - checkAndPut/checkAndDelete = conditional batch variants — the
+  *    row-CAS OLTP loop becomes a predicate on the current row
+  *    (`HTable.java:1153,1181`; divergence documented in SURVEY §7.4);
+  *  - RowMutations/batch = ordered fold of the above (`HTable.java:1002,823`).
+  *
+  * All operators are shuffle-minimal: one hash join on the rowkey per
+  * batch (broadcast when the mutation batch is small, which is the normal
+  * shape at 100 TB — mutating millions of rows of a trillion-row table).
+  */
+object Mutations {
+
+  /** Upsert: replace rows of `base` whose rowkey appears in `puts`; insert
+    * the rest. If `tsCol` is given, the newest row per rowkey within
+    * `puts` wins first (multi-version batch, latest-ts-wins). */
+  def put(base: DataFrame, puts: DataFrame, rowkey: String,
+      tsCol: Option[String] = None): DataFrame = {
+    val dedup = tsCol match {
+      case Some(ts) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(rowkey)).orderBy(col(ts).desc)
+        puts.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case None => puts
+    }
+    base.join(dedup, Seq(rowkey), "left_anti").unionByName(dedup)
+  }
+
+  /** Delete by key set (delete-row semantics; cell/column-granular deletes
+    * are column-null assignments — see `deleteColumns`). */
+  def delete(base: DataFrame, deleteKeys: DataFrame, rowkey: String): DataFrame =
+    base.join(deleteKeys.select(rowkey).distinct(), Seq(rowkey), "left_anti")
+
+  /** Delete specific columns (HBase delete-column tombstone → null out the
+    * cells of matched rows). */
+  def deleteColumns(base: DataFrame, deleteKeys: DataFrame, rowkey: String,
+      columns: Seq[String]): DataFrame = {
+    val marked = base.join(
+      deleteKeys.select(col(rowkey), lit(true).as("__del")), Seq(rowkey), "left")
+    val cleared = columns.foldLeft(marked) { (df, c) =>
+      df.withColumn(c, when(col("__del").isNotNull, lit(null)).otherwise(col(c)))
+    }
+    cleared.drop("__del")
+  }
+
+  /** Increment: add per-key deltas to numeric columns
+    * (`HTable.increment`). `deltas` has (rowkey, delta cols named like
+    * base cols). Missing keys are unchanged. */
+  def increment(base: DataFrame, deltas: DataFrame, rowkey: String,
+      cols: Seq[String]): DataFrame = {
+    val renamed = cols.foldLeft(deltas)((d, c) => d.withColumnRenamed(c, s"__d_$c"))
+    val joined = base.join(renamed, Seq(rowkey), "left")
+    cols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, col(c) + coalesce(col(s"__d_$c"), lit(0)))
+    }.drop(cols.map(c => s"__d_$c"): _*)
+  }
+
+  /** Append: string-concatenate per-key suffixes (`HTable.append`). */
+  def append(base: DataFrame, suffixes: DataFrame, rowkey: String,
+      column: String): DataFrame = {
+    val sfx = suffixes.withColumnRenamed(column, "__sfx")
+    base.join(sfx, Seq(rowkey), "left")
+      .withColumn(column, concat(col(column), coalesce(col("__sfx"), lit(""))))
+      .drop("__sfx")
+  }
+
+  /** checkAndPut: apply only the puts whose current base row satisfies
+    * `check` (rows with no current match are inserted only if
+    * `insertIfAbsent`). */
+  def checkAndPut(base: DataFrame, puts: DataFrame, rowkey: String,
+      check: Column, insertIfAbsent: Boolean = false): DataFrame = {
+    val passing = base.filter(check).select(col(rowkey))
+    val applied = puts.join(passing, Seq(rowkey), "left_semi")
+    val inserts = if (insertIfAbsent) puts.join(base.select(rowkey), Seq(rowkey), "left_anti")
+      else puts.limit(0)
+    put(base, applied.unionByName(inserts), rowkey)
+  }
+
+  /** checkAndDelete (`HTable.java:1181`). */
+  def checkAndDelete(base: DataFrame, deleteKeys: DataFrame, rowkey: String,
+      check: Column): DataFrame = {
+    val passing = base.filter(check).select(col(rowkey))
+    delete(base, deleteKeys.join(passing, Seq(rowkey), "left_semi"), rowkey)
+  }
+
+  /** One mutation step of a batch (`RowMutations` / `HTable.batch`). */
+  sealed trait Mutation
+  final case class Put(puts: DataFrame, tsCol: Option[String] = None) extends Mutation
+  final case class Delete(keys: DataFrame) extends Mutation
+  final case class Increment(deltas: DataFrame, cols: Seq[String]) extends Mutation
+  final case class Append(suffixes: DataFrame, column: String) extends Mutation
+
+  /** Ordered fold of mixed mutations — `HTable.batch(List<Row>)`
+    * (`HTable.java:823`); atomicity comes from writing the folded result
+    * once (commit-protocol swap replaces the reference's region locks,
+    * SURVEY §3.2). */
+  def batch(base: DataFrame, rowkey: String, muts: Seq[Mutation]): DataFrame =
+    muts.foldLeft(base) {
+      case (df, Put(p, ts)) => put(df, p, rowkey, ts)
+      case (df, Delete(k)) => delete(df, k, rowkey)
+      case (df, Increment(d, cs)) => increment(df, d, rowkey, cs)
+      case (df, Append(sfx, c)) => append(df, sfx, rowkey, c)
+    }
+
+  /** Write-through: persist a mutated base table AND rebuild its indices
+    * in the same job — the batch analogue of the reference's synchronous
+    * index maintenance (`IndexRegionObserver.preBatchMutate/postBatchMutate`
+    * + `HRegion.batchMutateForIndex`, `HRegion.java:2267`). The base write
+    * and each index write are separate atomic directory swaps; on a real
+    * deployment the whole sequence runs under one orchestration step (the
+    * reference's WAL-covered window is its region-local equivalent).
+    *
+    * At 100 TB scale, `put`-style mutations touch a small fraction of
+    * partitions; a partition-overwrite (dynamic partitionOverwriteMode)
+    * limits rewrite to affected ranges. Here we rewrite whole (small)
+    * tables for determinism.
+    */
+  def writeThrough(spark: SparkSession, catalog: IndexCatalog, table: String,
+      mutated: DataFrame): Unit = {
+    val entry = catalog.get(table).getOrElse(
+      throw new NoSuchElementException(s"table $table not registered"))
+    val tmp = entry.basePath + ".staging"
+    mutated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: recreate base dir from staging
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val basePath = new org.apache.hadoop.fs.Path(entry.basePath)
+    fs.delete(basePath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
+    entry.indices.indices.foreach { spec =>
+      entry.indexPaths.get(spec.name).foreach { idxPath =>
+        IndexBuilder.build(spark, catalog, table, spec, idxPath)
+      }
+    }
+  }
+}

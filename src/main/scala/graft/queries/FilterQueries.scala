@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.api.{Filters, Scan}
+import graft.api.Filters.CompareOp
+
+/** The rest of the reference filter hierarchy (SURVEY §2.2) — routed
+  * through the graft.api DSL so the public API surface itself is under the
+  * correctness gate. Dynamic-qualifier filters (ColumnPrefix/ColumnRange/
+  * ColumnPagination) are modelled over an array column (`split(text)`), per
+  * the SURVEY §1.2 mapping of HBase's dynamic qualifiers onto collection
+  * columns.
+  */
+object FilterQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // FuzzyRowFilter (FuzzyRowFilter.java:68): fixed bytes + wildcard
+    // positions = SQL LIKE with `_`
+    "filter_fuzzy_row" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "customer"), "c_custkey")
+        .setFilter(Filters.fuzzyRow("c_name", "Customer#0000000_5"))
+        .addColumns("c_custkey", "c_name")
+        .toDf
+    }),
+
+    // Scan.setTimeRange (Scan.java:305) — [min, max) on the version ts
+    "filter_time_range" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "events"), "event_id")
+        .versionedBy("ts").setAllVersions()
+        .setTimeRange(Tables.tsNanos("2024-01-10 00:00:00"),
+          Tables.tsNanos("2024-01-12 00:00:00"))
+        .addColumns("event_id", "user_id", "event_type", "value")
+        .toDf
+    }),
+
+    // TimestampsFilter (TimestampsFilter.java:43) — explicit ts set
+    "filter_timestamps_in" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "orders"), "o_orderkey")
+        .setFilter(Filters.timestamps("o_orderdate", Seq(
+          java.sql.Timestamp.valueOf("1996-03-15 00:00:00"),
+          java.sql.Timestamp.valueOf("1997-07-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1998-11-20 00:00:00"))))
+        .addColumns("o_orderkey", "o_custkey")
+        .toDf
+    }),
+
+    // DependentColumnFilter (DependentColumnFilter.java:51): keep cells
+    // whose ts matches the reference column's ts — here, events sharing
+    // the exact timestamp of that user's latest click
+    "filter_dependent_column" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val ref = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("ref_uid")).agg(max("ts").as("ref_ts"))
+      ev.join(ref, ev("user_id") === ref("ref_uid") && ev("ts") === ref("ref_ts"))
+        .select(ev("event_id"), ev("user_id"), ev("event_type"))
+    }),
+
+    // SkipFilter (SkipFilter.java:54): drop the whole row if any cell
+    // fails the wrapped predicate (no token equals 'slow')
+    "filter_skip" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "documents"), "doc_id")
+        .setFilter(Filters.skipIfAnyFails(split(col("text"), " "), _ =!= "slow"))
+        .addColumns("doc_id", "n_chars")
+        .toDf
+    }),
+
+    // WhileMatchFilter (WhileMatchFilter.java:43): scan sorted rowkeys,
+    // stop at the first row failing the predicate (first n_regionkey = 3)
+    "filter_while_match" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val stop = n.filter(col("n_regionkey") === 3)
+        .agg(min("n_nationkey")).first().getInt(0)
+      n.filter(col("n_nationkey") < stop).select("n_nationkey", "n_name")
+    }),
+
+    // ColumnPaginationFilter (ColumnPaginationFilter.java:43): limit 3 /
+    // offset 1 over a row's (dynamic) columns, modelled as array slice
+    "filter_column_pagination" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 2, 3)).as("cols_page"))
+    }),
+
+    // ColumnPrefixFilter (ColumnPrefixFilter.java:43): qualifiers with a
+    // prefix → array filter by startswith
+    "filter_col_prefix" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            filter(split(col("text"), " "), t => t.startsWith("s"))).as("s_cols"))
+    }),
+
+    // ColumnRangeFilter (ColumnRangeFilter.java:52): qualifier ∈ [min,max)
+    "filter_col_range" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            filter(split(col("text"), " "), t => t >= "b" && t < "n")).as("bn_cols"))
+    }),
+
+    // FirstKeyOnlyFilter / KeyOnlyFilter (FirstKeyOnlyFilter.java:39):
+    // key-only projection
+    "filter_key_only" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "orders"), "o_orderkey")
+        .addColumns("o_orderkey").toDf
+    }),
+
+    // BitComparator (BitComparator.java:34): AND-mask test
+    "filter_bit_mask" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "events"), "event_id")
+        .setFilter(Filters.bitAnd("event_id", 7L))
+        .addColumns("event_id", "event_type")
+        .toDf
+    }),
+
+    // ParseFilter (ParseFilter.java:52): string DSL → predicate
+    "filter_parse_dsl" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "part"), "p_partkey")
+        .setFilter(Filters.parse("p_size >= 40 AND p_brand = 'Brand#7'"))
+        .addColumns("p_partkey", "p_brand", "p_size")
+        .toDf
+    }),
+
+    // Scan DSL end-to-end: start/stop + filter + projection + reversed
+    "scan_dsl_full" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "orders"), "o_orderkey")
+        .setStartRow(500L).setStopRow(1500L)
+        .setFilter(Filters.singleColumnValue("o_orderstatus", CompareOp.Equal, "O"))
+        .addColumns("o_orderkey", "o_orderstatus", "o_totalprice")
+        .setReversed()
+        .setLimit(50)
+        .toDf
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "filter_fuzzy_row" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#0000000_5'",
+    "filter_time_range" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'"),
+    "filter_timestamps_in" ->
+      ("SELECT o_orderkey, o_custkey FROM orders WHERE o_orderdate IN " +
+        "(TIMESTAMP '1996-03-15', TIMESTAMP '1997-07-01', TIMESTAMP '1998-11-20')"),
+    "filter_dependent_column" ->
+      ("SELECT e.event_id, e.user_id, e.event_type FROM events e JOIN " +
+        "(SELECT user_id, max(ts) AS ref_ts FROM events WHERE event_type = 'click' GROUP BY user_id) r " +
+        "ON e.user_id = r.user_id AND e.ts = r.ref_ts"),
+    "filter_skip" ->
+      "SELECT doc_id, n_chars FROM documents WHERE NOT list_contains(string_split(text, ' '), 'slow')",
+    "filter_while_match" ->
+      ("SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < " +
+        "(SELECT min(n_nationkey) FROM nation WHERE n_regionkey = 3)"),
+    "filter_column_pagination" ->
+      ("SELECT doc_id, COALESCE(array_to_string(list_slice(string_split(text, ' '), 2, 4), ' '), '') AS cols_page " +
+        "FROM documents"),
+    "filter_col_prefix" ->
+      ("SELECT doc_id, COALESCE(array_to_string(list_filter(string_split(text, ' '), t -> starts_with(t, 's')), ' '), '') AS s_cols " +
+        "FROM documents"),
+    "filter_col_range" ->
+      ("SELECT doc_id, COALESCE(array_to_string(list_filter(string_split(text, ' '), t -> t >= 'b' AND t < 'n'), ' '), '') AS bn_cols " +
+        "FROM documents"),
+    "filter_key_only" ->
+      "SELECT o_orderkey FROM orders",
+    "filter_bit_mask" ->
+      "SELECT event_id, event_type FROM events WHERE (event_id & 7) = 7",
+    "filter_parse_dsl" ->
+      "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 40 AND p_brand = 'Brand#7'",
+    "scan_dsl_full" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM " +
+        "(SELECT * FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500 " +
+        "AND o_orderstatus = 'O' ORDER BY o_orderkey DESC LIMIT 50)")
+  )
+}

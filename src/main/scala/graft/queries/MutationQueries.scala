@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Mutations
+
+/** Mutation surface under the correctness gate (SURVEY §2.6). Each query
+  * builds a deterministic mutation batch *from the data itself* and
+  * returns the merged table, so DuckDB can replay the same merge with
+  * CTEs. (The reference's tests insert known rows then assert the read —
+  * same idea, with the oracle as the asserting side.)
+  */
+object MutationQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // Put = upsert (HTable.put, HTable.java:906): bump acctbal for keys
+    // <= 10, leave everything else
+    "mut_put_upsert" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val puts = base.filter(col("c_custkey") <= 10)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      Mutations.put(base, puts, "c_custkey")
+    }),
+
+    // Delete rows (HTable.delete, HTable.java:858)
+    "mut_delete_rows" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val dels = base.filter(col("c_nationkey") === 5).select("c_custkey")
+      Mutations.delete(base, dels, "c_custkey")
+    }),
+
+    // Delete-column tombstone (Delete.deleteColumns): null out c_acctbal
+    // for BUILDING customers
+    "mut_delete_column" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val keys = base.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      Mutations.deleteColumns(base, keys, "c_custkey", Seq("c_acctbal"))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    }),
+
+    // Increment (HTable.increment, HTable.java:1059): acctbal += orders
+    // count per customer * 0.01
+    "mut_increment" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val deltas = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg((count(lit(1)) * 0.01).as("c_acctbal"))
+      Mutations.increment(base, deltas, "c_custkey", Seq("c_acctbal"))
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    // Append (HTable.append, HTable.java:1028): tag segment of keys <= 20
+    "mut_append" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val sfx = base.filter(col("c_custkey") <= 20)
+        .select(col("c_custkey"), lit("_X").as("c_mktsegment"))
+      Mutations.append(base, sfx, "c_custkey", "c_mktsegment")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    // checkAndPut (HTable.java:1153): apply the bump only where the
+    // current row is BUILDING
+    "mut_check_and_put" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val puts = base.filter(col("c_custkey") <= 50)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      Mutations.checkAndPut(base, puts, "c_custkey",
+        col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    // RowMutations / batch (HTable.java:1002,823): ordered
+    // delete-then-put-then-increment fold
+    "mut_batch_mixed" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val dels = base.filter(col("c_nationkey") === 9).select("c_custkey")
+      // exclude deleted keys from the put batch — a put after a delete
+      // would re-insert the row (correct HBase semantics, but the oracle
+      // below models the simpler delete-everywhere view)
+      val puts = base.filter(col("c_custkey") <= 5 && col("c_nationkey") =!= 9)
+        .withColumn("c_acctbal", lit(0.0))
+      val incs = base.filter(col("c_custkey").between(100, 120))
+        .select(col("c_custkey"), lit(7.0).as("c_acctbal"))
+      Mutations.batch(base, "c_custkey", Seq(
+        Mutations.Delete(dels),
+        Mutations.Put(puts),
+        Mutations.Increment(incs, Seq("c_acctbal"))))
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mut_put_upsert" ->
+      ("WITH puts AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment " +
+        "FROM customer WHERE c_custkey <= 10) " +
+        "SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM puts) " +
+        "UNION ALL SELECT * FROM puts"),
+    "mut_delete_rows" ->
+      "SELECT * FROM customer WHERE c_nationkey IS DISTINCT FROM 5",
+    "mut_delete_column" ->
+      ("SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal END AS c_acctbal, " +
+        "c_mktsegment FROM customer"),
+    "mut_increment" ->
+      ("SELECT c.c_custkey, c.c_acctbal + COALESCE(o.n * 0.01, 0.0) AS c_acctbal FROM customer c " +
+        "LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o " +
+        "ON c.c_custkey = o.o_custkey"),
+    "mut_append" ->
+      ("SELECT c_custkey, c_mktsegment || CASE WHEN c_custkey <= 20 THEN '_X' ELSE '' END AS c_mktsegment " +
+        "FROM customer"),
+    "mut_check_and_put" ->
+      ("SELECT c_custkey, CASE WHEN c_custkey <= 50 AND c_mktsegment = 'BUILDING' " +
+        "THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal FROM customer"),
+    "mut_batch_mixed" ->
+      ("SELECT c_custkey, " +
+        "CASE WHEN c_custkey <= 5 THEN 0.0 ELSE c_acctbal END + " +
+        "CASE WHEN c_custkey BETWEEN 100 AND 120 THEN 7.0 ELSE 0.0 END AS c_acctbal, " +
+        "c_nationkey FROM customer WHERE c_nationkey IS DISTINCT FROM 9")
+  )
+}

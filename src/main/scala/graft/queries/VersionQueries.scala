@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.api.Scan
+
+/** Multi-version + TTL semantics (SURVEY §1.1 rows "Versions & TTL",
+  * §1.2 mapping): HBase keeps up to `maxVersions` cells per
+  * (row, column) with latest-timestamp-wins reads and per-CF TTL expiry
+  * (`HColumnDescriptor.getTimeToLive/getMaxVersions`, TTL drop during
+  * index scans at `TTLExpiryChecker.java:24`). Our storage keeps versions
+  * as rows; the `events` table models versioned cells with logical cell
+  * key (user_id, event_type) and version timestamp ts.
+  */
+object VersionQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // latest-wins read (Scan default maxVersions=1)
+    "ver_latest" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "events"), "event_id")
+        .versionedBy("ts", "user_id", "event_type")
+        .setMaxVersions(1)
+        .addColumns("user_id", "event_type", "event_id", "value")
+        .toDf
+    }),
+
+    // Scan.setMaxVersions(2) (Scan.java:369)
+    "ver_top2" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "events"), "event_id")
+        .versionedBy("ts", "user_id", "event_type")
+        .setMaxVersions(2)
+        .addColumns("user_id", "event_type", "event_id")
+        .toDf
+    }),
+
+    // TTL expiry (TTLExpiryChecker.java:24): cells older than the TTL
+    // horizon are invisible
+    "ver_ttl" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("ts") >= lit(Tables.tsNanos("2024-01-24 00:00:00")))
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // versions within a time range, then latest per cell — the combined
+    // Scan.setTimeRange + setMaxVersions path
+    "ver_range_latest" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "events"), "event_id")
+        .versionedBy("ts", "user_id", "event_type")
+        .setTimeRange(Tables.tsNanos("2024-01-05 00:00:00"),
+          Tables.tsNanos("2024-01-20 00:00:00"))
+        .setMaxVersions(1)
+        .addColumns("user_id", "event_type", "event_id")
+        .toDf
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ver_latest" ->
+      ("SELECT user_id, event_type, event_id, value FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1"),
+    "ver_top2" ->
+      ("SELECT user_id, event_type, event_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn <= 2"),
+    "ver_ttl" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-24'",
+    "ver_range_latest" ->
+      ("SELECT user_id, event_type, event_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20') WHERE rn = 1")
+  )
+}
