@@ -14,7 +14,8 @@ object Queries {
     IndexQueries,
     FilterQueries,
     VersionQueries,
-    MutationQueries)
+    MutationQueries,
+    PipelineQueries)
 
   lazy val all: Map[String, Q] = groups.flatMap(_.defs).toMap
   lazy val oracles: Map[String, String] = groups.flatMap(_.oracles).toMap

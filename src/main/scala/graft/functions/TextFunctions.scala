@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure codegen'd Column expression (no UDFs, no
+  * shuffles) — at 100 TB these run inside the scan's WholeStageCodegen
+  * span, so throughput is storage-bound, not CPU-bound.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish subword segmentation: word pieces + punctuation as separate
+    * tokens (the usual pre-tokenizer regex shape). */
+  def bpeIshTokens(text: Column): Column =
+    call_function("regexp_extract_all", text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio — a standard repetitiveness signal. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Real deployments plug in fastText-style models via the
+    * same column-in/column-out shape. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "table", "row", "fast"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "los", "una", "por", "con"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "这", "大", "中"))
+
+  /** Count of tokens that hit a marker lexicon. */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Heuristic language ID: argmax of marker hits, 'und' when nothing
+    * matches. Deterministic tie-break by language code order. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (l, ms) =>
+      struct(markerHits(text, ms).as("hits"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score ∈ [0,1]: blends length band, type-token ratio and
+    * mean token length band (the usual cheap pre-filters before model
+    * scoring). Fully arithmetic → identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val ttr = typeTokenRatio(text)
+    val meanLen = (length(text).cast("double") - (nTok - 1)) / nTok // chars per token
+    val lenBand = when(nTok >= 5 && nTok <= 10000, lit(1.0)).otherwise(lit(0.0))
+    val meanBand = when(meanLen >= 2.0 && meanLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    round((lenBand * 0.4) + (ttr * 0.4) + (meanBand * 0.2), 6)
+  }
+
+  /** Document fingerprint: content hash for exact-dup detection (the
+    * rolling-hash fingerprint of the survey brief; md5 keeps it
+    * cross-engine checkable). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit token hash with seed — the building block for MinHash/SimHash
+    * signatures (xxhash64 is Spark-native and codegen'd). */
+  def seededHash(token: Column, seed: Column): Column = xxhash64(seed, token)
+}

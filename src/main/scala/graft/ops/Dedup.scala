@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale design (the only reason these exist): every candidate-generation
+  * step is a *bucket join*, never an all-pairs product —
+  *  - exact: one hash aggregate on the content fingerprint;
+  *  - MinHash LSH: signatures are computed per-row inside codegen
+  *    (higher-order functions over the shingle array — no explode of
+  *    shingles, no shuffle), then one explode per band (b rows per doc)
+  *    and a self-join on (band, bandHash). At 100 TB the band join is the
+  *    only shuffle and its key space is uniform by construction;
+  *  - SimHash: 64-bit signature per row in codegen; candidates via exact
+  *    signature match (or banded chunks), verified by hamming distance
+  *    (xor + bit_count);
+  *  - n-gram Jaccard: blocked pair join + array intersection — exact
+  *    verification used standalone or as the verify stage after LSH.
+  *
+  * Pair outputs are canonicalized (idA < idB) and deduplicated.
+  */
+object Dedup {
+
+  /** Character shingles (default) or word n-grams as the MinHash item set. */
+  def charShingles(text: Column, k: Int = 5): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - (k - 1), lit(1)))
+    array_distinct(transform(idx, i => text.substr(i, lit(k))))
+  }
+
+  /** Word n-grams of the whitespace tokens. */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val toks = split(text, "\\s+")
+    val cnt = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), cnt - 1),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: `numHashes` permutations approximated by seeded
+    * xxhash64; sig[i] = min over shingles of hash_i(shingle). Computed
+    * entirely inside codegen (no shuffle, no UDF). */
+  def minHashSignature(shingles: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH band keys: hash each of `bands` contiguous rows-per-band slices
+    * of the signature. Docs sharing any band key are candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Exact duplicate groups by content fingerprint: returns
+    * (id, keep_id) — keep_id is the smallest id of the group; rows with
+    * id != keep_id are the removable duplicates. */
+  def exactDupMapping(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    df.select(col(idCol), md5(col(textCol)).as("__fp"))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .select(col(idCol), col("keep_id"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs, verified by exact Jaccard on
+    * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b,
+    * jaccard >= threshold. */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      charShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("bands", bandKeys(minHashSignature(col("shingles"), numHashes), bands, rowsPerBand))
+    val exploded = withSig.select(col("id"), col("shingles"),
+      posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val a = exploded.select(col("band"), col("bandHash"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = exploded.select(col("band"), col("bandHash"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val cands = a.join(b, Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cands, threshold)
+  }
+
+  /** Exact Jaccard verification over candidate pairs carrying their
+    * shingle arrays. */
+  private def verifyJaccard(cands: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    cands.withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Blocked exact n-gram Jaccard near-dups (no LSH): candidate pairs are
+    * generated inside `blockCol` groups (e.g. source, language, length
+    * band) — the classic blocking strategy when a natural partition key
+    * exists. */
+  def ngramJaccardNearDups(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val g = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      wordNgrams(col(textCol), n).as("sh"))
+    val a = g.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = g.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    verifyJaccard(
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b")), threshold)
+  }
+
+  /** 64-bit SimHash signature from the token array: bit i is the sign of
+    * the sum over tokens of (token-hash bit i ? +1 : -1). Pure codegen. */
+  def simHashSignature(toks: Column): Column = {
+    // call_function: the SQL shiftright/shiftleft accept a Column shift
+    // amount (the Scala API overloads only take Int)
+    def shr(c: Column, by: Column) = call_function("shiftright", c, by)
+    def shl(c: Column, by: Column) = call_function("shiftleft", c, by)
+    val bitSums = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(toks, lit(0),
+        (acc, t) => acc + when(shr(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, i) => when(s > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dups: candidates via exact match on 16-bit chunks
+    * (hamming ≤ 3 guarantees ≥1 equal chunk of 4), verified by
+    * bit_count(xor) ≤ maxHamming. Returns (id_a, id_b, hamming). */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      simHashSignature(split(col(textCol), "\\s+")).as("sig"))
+    val chunks = sig.withColumn("chunk",
+      explode(transform(sequence(lit(0), lit(3)),
+        i => struct(i.as("ci"),
+          call_function("shiftright", col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cv")))))
+      .select(col("id"), col("sig"), col("chunk.ci"), col("chunk.cv"))
+    val a = chunks.select(col("ci"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunks.select(col("ci"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

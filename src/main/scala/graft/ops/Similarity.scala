@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the usual scale story:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus, one pass, no corpus shuffle. The baseline
+  *    and the verify stage.
+  *  - [[lshTopK]]: random-hyperplane LSH — a deterministic signature
+  *    (hyperplane m, dim d weight = centered xxhash64(m, d)) bucketizes
+  *    the corpus once; queries probe only their bucket. At 100 TB the
+  *    bucketed corpus is written bucketed-by-signature so probes touch
+  *    O(bucket) rows. Recall < 1 by construction; raise `planes`
+  *    granularity or probe multiple buckets for higher recall. An IVF
+  *    variant is the same shape with learned centroids instead of random
+  *    hyperplanes.
+  *
+  * All vector math is `zip_with`/`aggregate` over array columns —
+  * codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small
+    * (it is broadcast). Deterministic tie-break on corpus id. */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * xxhash64 centered to [-0.5, 0.5]. */
+  private def planeWeight(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign bits of `planes` random-hyperplane projections, packed into a
+    * long — the LSH bucket id. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    def shl(c: Column, by: Column) = call_function("shiftleft", c, by)
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeWeight(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shl(lit(1L), p)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Approximate top-k: probe only the query's signature bucket. */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, planes: Int = 8): DataFrame = {
+    val bucketed = corpus.withColumn("__sig", hyperplaneSignature(col(vecCol), planes))
+    val qb = queries.withColumn("__sig", hyperplaneSignature(col(qvecCol), planes))
+    val joined = bucketed.join(broadcast(qb), Seq("__sig"))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
+    * LSH signature (candidates share a bucket) — the embedding flavour of
+    * [[Dedup]]. Exact verify on the cosine. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__sig", hyperplaneSignature(col("v"), planes))
+    val a = sig.select(col("__sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("__sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

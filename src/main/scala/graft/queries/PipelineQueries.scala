@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Similarity}
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (the beyond-reference surface: dedup, similarity search, text
+  * analysis). Oracle-checked where the computation is SQL-expressible in
+  * DuckDB with *identical arithmetic*; LSH/SimHash candidate generation
+  * relies on xxhash64 (Spark-native), so those are gated by property
+  * specs (DedupSpec) + rows-only checks here.
+  */
+object PipelineQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // ---- text analysis -------------------------------------------------
+    "text_langid" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
+    "text_token_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"),
+          TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+          round(TextFunctions.typeTokenRatio(col("text")), 6).as("ttr"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- deduplication -------------------------------------------------
+    // exact dedup on the token-bag fingerprint (word-salad docs collide on
+    // bags, not raw text)
+    "dedup_exact_bag" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+")))).as("bag"))
+      Dedup.exactDupMapping(docs, "doc_id", "bag")
+    }),
+
+    // blocked exact n-gram Jaccard near-dups (the verify stage of the
+    // LSH pipeline, runnable standalone under blocking)
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("blk", concat_ws("|", col("source"), col("lang")))
+      Dedup.ngramJaccardNearDups(docs, "doc_id", "text", "blk", 0.4, n = 3)
+    }),
+
+    // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only check;
+    // recall/precision properties in DedupSpec)
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashNearDups(Tables.load(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+    // SimHash near-dup pairs (rows-only)
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashNearDups(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 8)
+    }),
+
+    // ---- similarity search --------------------------------------------
+    // exact brute-force cosine top-k, queries = first 5 vectors
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10)
+    }),
+
+    // LSH-bucketed approximate top-k (rows-only; recall asserted in spec)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10, planes = 6)
+    }),
+
+    // embedding-cosine near-dup pairs, LSH-blocked (rows-only)
+    "dedup_embedding" -> ((s, dir) => {
+      Similarity.cosineNearDups(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.95, planes = 6)
+    })
+  )
+
+  // DuckDB-side token list / marker helpers
+  private def dkList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val hitsEn = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("en"))}, t)))"
+  private val hitsEs = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("es"))}, t)))"
+  private val hitsZh = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("zh"))}, t)))"
+
+  val oracles: Map[String, String] = Map(
+    // greatest(struct(hits, lang)) tie-break = larger lang code wins on
+    // equal hits → CASE ordered zh >= es >= en
+    "text_langid" ->
+      (s"SELECT doc_id, CASE " +
+        s"WHEN $hitsZh >= $hitsEs AND $hitsZh >= $hitsEn AND $hitsZh > 0 THEN 'zh' " +
+        s"WHEN $hitsEs >= $hitsEn AND $hitsEs > 0 THEN 'es' " +
+        s"WHEN $hitsEn > 0 THEN 'en' ELSE 'und' END AS pred_lang FROM documents"),
+    "text_quality" ->
+      ("SELECT doc_id, round(" +
+        "(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 + " +
+        "(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.4 + " +
+        "(CASE WHEN (CAST(strlen(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) " +
+        " BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality FROM documents"),
+    "text_token_stats" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tok, " +
+        "len(list_distinct(string_split(text, ' '))) AS n_distinct, " +
+        "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS ttr " +
+        "FROM documents"),
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "dedup_exact_bag" ->
+      ("SELECT doc_id, min(doc_id) OVER (PARTITION BY " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keep_id " +
+        "FROM documents"),
+    "dedup_ngram_jaccard" ->
+      ("WITH g AS (SELECT doc_id, source || '|' || lang AS blk, " +
+        "  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), " +
+        "    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh " +
+        "  FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard " +
+        "FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4"),
+    "ann_brute_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +
+        "sims AS (SELECT q.q_id, e.vec_id, " +
+        "  list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+        "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / " +
+        "  (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+        "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * " +
+        "   sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1), " +
+        "    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))) AS sim " +
+        "  FROM embeddings e CROSS JOIN q) " +
+        "SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 10")
+  )
+}
