@@ -15,7 +15,8 @@ object Queries {
     FilterQueries,
     VersionQueries,
     MutationQueries,
-    PipelineQueries)
+    PipelineQueries,
+    BulkQueries)
 
   lazy val all: Map[String, Q] = groups.flatMap(_.defs).toMap
   lazy val oracles: Map[String, String] = groups.flatMap(_.oracles).toMap

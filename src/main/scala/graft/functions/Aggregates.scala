@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregators — the `ColumnInterpreter` extension point
+  * (SURVEY §2.5, §2.10): the reference lets users plug a byte[]→typed
+  * bridge with add/compare into `AggregationClient`
+  * (`client/coprocessor/ColumnInterpreter` with Long/Double/BigDecimal
+  * implementations); Spark's `Aggregator[IN, BUF, OUT]` is the typed
+  * equivalent, with Catalyst handling the partial→final split the
+  * reference hand-rolls in `AggregateImplementation`.
+  */
+object Aggregates {
+
+  /** BigDecimal-exact average of a double column — mirrors
+    * `BigDecimalColumnInterpreter` + the avg partial/final protocol
+    * (`AggregationClient.java:525`: per-region (sum, count) pairs,
+    * client-side divide). Buffer = (exact decimal sum, count). */
+  object ExactAvg extends Aggregator[Double, (BigDecimal, Long), Double] {
+    override def zero: (BigDecimal, Long) = (BigDecimal(0), 0L)
+    override def reduce(b: (BigDecimal, Long), a: Double): (BigDecimal, Long) =
+      (b._1 + BigDecimal(a.toString), b._2 + 1)
+    override def merge(x: (BigDecimal, Long), y: (BigDecimal, Long)): (BigDecimal, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (BigDecimal, Long)): Double =
+      if (r._2 == 0) Double.NaN else (r._1 / r._2).toDouble
+    override def bufferEncoder: Encoder[(BigDecimal, Long)] =
+      Encoders.product[(BigDecimal, Long)]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Long-range (max - min) in one pass — the shape of a custom
+    * `ColumnInterpreter` that carries a composite buffer. */
+  object LongRange extends Aggregator[Long, (Long, Long), Long] {
+    override def zero: (Long, Long) = (Long.MaxValue, Long.MinValue)
+    override def reduce(b: (Long, Long), a: Long): (Long, Long) =
+      (math.min(b._1, a), math.max(b._2, a))
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (math.min(x._1, y._1), math.max(x._2, y._2))
+    override def finish(r: (Long, Long)): Long =
+      if (r._1 == Long.MaxValue) 0L else r._2 - r._1
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Column-function forms (UDAF registration of the typed aggregators). */
+  def exactAvg(c: Column): Column = udaf(ExactAvg).apply(c)
+  def longRange(c: Column): Column = udaf(LongRange).apply(c)
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's MapReduce job fleet (SURVEY §2.1) as one-pass Spark
+  * jobs. Each maps a `hbase-server/.../mapreduce/` tool:
+  *
+  *  - ImportTsv / IndexImportTsv → tsv read (+ write-through index build
+  *    in the same job via [[Mutations.writeThrough]])
+  *  - Export / Import            → parquet dump / load
+  *  - CopyTable                  → read → write
+  *  - RowCounter / CellCounter   → count / per-column non-null counts
+  *  - TableIndexer (batch index build) → [[graft.index.IndexBuilder]]
+  *  - LoadIncrementalHFiles (bulk load) → atomic directory write
+  *  - TableSnapshotInputFormat → reading an immutable dir IS a snapshot
+  *    read (parquet dirs are never mutated in place)
+  *
+  * All are single-stage (no shuffle) except CellCounter's global
+  * aggregate, which is a partial→final count — the same shape the MR
+  * combiners produced.
+  */
+object BulkJobs {
+
+  /** ImportTsv (`ImportTsv.java`, `IndexTsvImporterMapper.java`): parse
+    * TSV into typed rows. `columns` plays the role of
+    * `-Dimporttsv.columns`. */
+  def importTsv(spark: SparkSession, path: String, schema: StructType,
+      sep: String = "\t", header: Boolean = false): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path)
+
+  /** Export (`Export.java`): dump a table scan to files. */
+  def export(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Import (`Import.java`): load a previous export. */
+  def importTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CopyTable (`CopyTable.java`): table → table, optional filter
+    * (the MR job takes a Scan). */
+  def copyTable(src: DataFrame, destPath: String,
+      filterExpr: Option[String] = None): Unit = {
+    val out = filterExpr.map(src.filter).getOrElse(src)
+    out.write.mode(SaveMode.Overwrite).parquet(destPath)
+  }
+
+  /** RowCounter (`RowCounter.java`). */
+  def rowCount(df: DataFrame): Long = df.count()
+
+  /** CellCounter (`CellCounter.java`): total cells + per-column non-null
+    * cell counts (a cell exists where the value is non-null). */
+  def cellCounts(df: DataFrame): DataFrame = {
+    val perCol = df.columns.map(c => sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"cells_$c"))
+    val total = df.columns.map(c => sum(when(col(c).isNotNull, 1L).otherwise(0L)))
+      .reduce(_ + _).as("cells_total")
+    df.agg(total, perCol.toSeq: _*)
+  }
+}

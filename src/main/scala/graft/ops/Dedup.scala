@@ -64,28 +64,41 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidate pairs, verified by exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b,
-    * jaccard >= threshold. */
+    * jaccard >= threshold.
+    *
+    * Signatures run in the [[MinHash]] JVM kernel via mapPartitions (the
+    * higher-order-function formulation is interpreted, ~100× slower —
+    * see MinHash scaladoc); the band self-join carries only
+    * (band, bandHash, id) so the shuffle is a few longs per doc, and
+    * shingle arrays are re-joined only for the (few) candidate pairs. */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      charShingles(col(textCol), shingleSize).as("shingles"))
-      .withColumn("bands", bandKeys(minHashSignature(col("shingles"), numHashes), bands, rowsPerBand))
-    val exploded = withSig.select(col("id"), col("shingles"),
+    val base = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val banded = base.mapPartitions(_.map { case (id, text) =>
+      val sig = MinHash.signature(MinHash.charShingles(text, shingleSize), numHashes)
+      (id, MinHash.bands(sig, bands, rowsPerBand))
+    }).toDF("id", "bands")
+    val exploded = banded.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bandHash")))
-    val a = exploded.select(col("band"), col("bandHash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = exploded.select(col("band"), col("bandHash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val a = exploded.select(col("band"), col("bandHash"), col("id").as("id_a"))
+    val b = exploded.select(col("band"), col("bandHash"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cands, threshold)
+    val shingles = base.mapPartitions(_.map { case (id, text) =>
+      (id, MinHash.charShingles(text, shingleSize))
+    }).toDF("id", "sh")
+    val withSh = cands
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    verifyJaccard(withSh, threshold)
   }
 
   /** Exact Jaccard verification over candidate pairs carrying their
@@ -131,11 +144,17 @@ object Dedup {
 
   /** SimHash near-dups: candidates via exact match on 16-bit chunks
     * (hamming ≤ 3 guarantees ≥1 equal chunk of 4), verified by
-    * bit_count(xor) ≤ maxHamming. Returns (id_a, id_b, hamming). */
+    * bit_count(xor) ≤ maxHamming. Returns (id_a, id_b, hamming).
+    * Signature via the [[MinHash.simHash]] JVM kernel (same
+    * interpreted-HOF rationale as minHashNearDups). */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      simHashSignature(split(col(textCol), "\\s+")).as("sig"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, MinHash.simHash(text.split("\\s+")))
+      }).toDF("id", "sig")
     val chunks = sig.withColumn("chunk",
       explode(transform(sequence(lit(0), lit(3)),
         i => struct(i.as("ci"),

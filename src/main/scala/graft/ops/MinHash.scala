@@ -1,0 +1,104 @@
+package graft.ops
+
+import scala.util.hashing.MurmurHash3
+
+/** JVM-side signature kernels for [[Dedup]].
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`) are
+  * evaluated interpreted, not whole-stage-codegen'd — a 64-hash MinHash
+  * over ~250 shingles per row costs ~16k interpreted expression evals per
+  * document, which measured ~100× slower than this plain-JVM kernel at
+  * sf0.1. The kernels run inside `Dataset.mapPartitions`, the sanctioned
+  * escape hatch for genuine per-partition imperative logic; everything
+  * around them (banding join, verification, dedup) stays DataFrame.
+  *
+  * Hash scheme: one 64-bit base hash per shingle (two murmur3-32 rounds),
+  * then `numHashes` universal-hash mixes `h_i = a_i * h + b_i` — the
+  * standard approximation of independent permutations (Broder et al.,
+  * "Min-wise independent permutations").
+  */
+object MinHash {
+
+  def baseHash(s: String): Long = {
+    val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
+
+  /** Deterministic per-permutation odd multipliers/offsets. */
+  private def mixers(n: Int): Array[(Long, Long)] =
+    Array.tabulate(n) { i =>
+      val a = 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L
+      val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
+      (a, b)
+    }
+
+  /** Distinct character shingles of length k (the whole string when
+    * shorter). */
+  def charShingles(text: String, k: Int): Array[String] = {
+    if (text.length <= k) Array(text)
+    else {
+      val set = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + k <= text.length) { set.add(text.substring(i, i + k)); i += 1 }
+      set.toArray
+    }
+  }
+
+  /** MinHash signature over the shingle set. */
+  def signature(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val mx = mixers(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val h = baseHash(shingles(si))
+      var i = 0
+      while (i < numHashes) {
+        val v = mx(i)._1 * h + mx(i)._2
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** Band keys: hash of each contiguous rows-per-band slice. */
+  def bands(sig: Array[Long], numBands: Int, rowsPerBand: Int): Array[Long] =
+    Array.tabulate(numBands) { b =>
+      var h = 0x27d4eb2f165667c5L + b
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+      h
+    }
+
+  /** Exact Jaccard of two shingle sets. */
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    val sa = a.toSet
+    var inter = 0
+    var i = 0
+    while (i < b.length) { if (sa.contains(b(i))) inter += 1; i += 1 }
+    val union = sa.size + b.toSet.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** 64-bit SimHash over tokens. */
+  def simHash(tokens: Array[String]): Long = {
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = baseHash(tokens(t))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata (SURVEY brief: the Spark-side plumbing — schema,
+  * partitioning, batch shape — is real; the codec calls are STUBS because
+  * no media libraries ship in this environment).
+  *
+  * Batch shape: [[decodeBatched]] mirrors the `mapInPandas` contract — it
+  * drains the partition iterator in fixed-size batches so a real decoder
+  * amortizes per-call overhead (JNI / subprocess / GPU transfer) exactly
+  * like an Arrow batch would. Everything else (schema declaration, column
+  * pruning through the binary column, downstream joins) is stock Spark.
+  *
+  * Scale notes: binary payloads dominate row size — media tables should be
+  * written with small `maxRecordsPerFile` and read with
+  * `spark.sql.files.maxPartitionBytes` tuned so one task holds O(100)
+  * media rows, not O(100k). Metadata-only queries must never touch the
+  * binary column: keep metadata in separate (pruned) columns, as
+  * [[withDecodedMeta]] materializes.
+  */
+object Multimodal {
+
+  /** Typed metadata a real decoder would produce. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** STUB decoder: a real implementation calls an image/audio codec here
+    * (e.g. libjpeg/ffmpeg via JNI). This deterministic fake derives
+    * plausible metadata from the payload bytes so the pipeline shape is
+    * testable end-to-end. */
+  def decodeStub(payload: Array[Byte]): Row = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val fmt = if (n % 3 == 0) "jpeg" else if (n % 3 == 1) "png" else "webp"
+    Row(fmt, (16 + n % 624).toInt, (16 + (n * 7) % 464).toInt, (1 + n % 30).toInt, n)
+  }
+
+  /** Column-expression twin of [[decodeStub]] (same arithmetic) — used
+    * where the metadata can stay in codegen instead of a row-at-a-time
+    * decoder; also what the DuckDB oracle replicates. */
+  def metaExprs(bin: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val n = length(bin).cast("long")
+    Seq(
+      when(n % 3 === 0, "jpeg").when(n % 3 === 1, "png").otherwise("webp").as("format"),
+      (lit(16) + n % 624).cast("int").as("width"),
+      (lit(16) + (n * 7) % 464).cast("int").as("height"),
+      (lit(1) + n % 30).cast("int").as("n_frames"),
+      n.as("n_bytes"))
+  }
+
+  /** mapInPandas-shaped batched decode: partition iterator drained in
+    * `batchSize` chunks through the (stub) decoder. Appends the meta
+    * struct fields to each row. */
+  def decodeBatched(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ metaSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would process `batch` in one codec call here
+        batch.iterator.map { row =>
+          val meta = decodeStub(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq ++ meta.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata materialization in pure codegen (preferred when the decoder
+    * logic is expressible; the batched path above is for codec calls). */
+  def withDecodedMeta(df: DataFrame, binCol: String): DataFrame =
+    df.select((df.columns.map(col) ++ metaExprs(col(binCol))): _*)
+
+  /** Frame sampling: one output row per sampled frame index —
+    * `explode(sequence(0, n_frames-1, step))`, the columnar analogue of
+    * per-video frame extraction. */
+  def frameSample(df: DataFrame, nFramesCol: String, step: Int): DataFrame =
+    df.withColumn("frame_no",
+      explode(sequence(lit(0), col(nFramesCol) - 1, lit(step))))
+
+  /** STUB feature extractor: deterministic pseudo-embedding from the
+    * payload (a real one runs a vision/audio model over the decoded
+    * tensor). Codegen'd: dim hashes of the binary content. */
+  def featureExtractStub(df: DataFrame, binCol: String, dim: Int): DataFrame =
+    df.withColumn("features",
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(i, col(binCol)), lit(1000L)).cast("double") / 500.0) - 1.0))
+
+  /** Resize stub: metadata-level resize (a real impl re-encodes pixels). */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("width", lit(w)).withColumn("height", lit(h))
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Aggregates
+import graft.ops.{BulkJobs, Multimodal}
+
+/** MR-job equivalents, the custom-Aggregator exemplar, and the multimodal
+  * plumbing under the correctness gate.
+  */
+object BulkQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // RowCounter + CellCounter (RowCounter.java / CellCounter.java)
+    "bulk_cell_counter" -> ((s, dir) => {
+      BulkJobs.cellCounts(Tables.load(s, dir, "supplier"))
+    }),
+
+    // ImportTsv (ImportTsv.java): write nation as TSV, read it back
+    // through the importer — end-to-end ingest path
+    "bulk_import_tsv" -> ((s, dir) => {
+      val tsvDir = s"/root/repo/target/graft-warehouse/tsv_${dir.replaceAll(".*/", "")}/nation"
+      val n = Tables.load(s, dir, "nation")
+      n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("sep", "\t").csv(tsvDir)
+      BulkJobs.importTsv(s, tsvDir, StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+    }),
+
+    // Export → Import round-trip (Export.java / Import.java)
+    "bulk_export_import" -> ((s, dir) => {
+      val out = s"/root/repo/target/graft-warehouse/export_${dir.replaceAll(".*/", "")}/region"
+      BulkJobs.export(Tables.load(s, dir, "region"), out)
+      BulkJobs.importTable(s, out)
+    }),
+
+    // CopyTable with a Scan filter (CopyTable.java)
+    "bulk_copy_table" -> ((s, dir) => {
+      val out = s"/root/repo/target/graft-warehouse/copy_${dir.replaceAll(".*/", "")}/supplier"
+      BulkJobs.copyTable(Tables.load(s, dir, "supplier"), out, Some("s_nationkey < 10"))
+      BulkJobs.importTable(s, out)
+    }),
+
+    // ColumnInterpreter exemplar: exact BigDecimal avg via typed
+    // Aggregator (partial/final identical to AggregationClient.avg)
+    "agg_custom_exact_avg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(round(Aggregates.exactAvg(col("l_extendedprice")), 6).as("exact_avg"))
+    }),
+
+    // composite-buffer Aggregator (max-min range)
+    "agg_custom_range" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .agg(Aggregates.longRange(col("o_orderkey")).as("key_range"))
+    }),
+
+    // multimodal: binary payload + codegen'd metadata decode
+    "mm_decode_meta" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.withDecodedMeta(media, "media").drop("media")
+    }),
+
+    // multimodal: frame sampling over the decoded n_frames
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.frameSample(
+        Multimodal.withDecodedMeta(media, "media"), "n_frames", 7)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bulk_cell_counter" ->
+      ("SELECT count(s_suppkey)+count(s_name)+count(s_nationkey)+count(s_acctbal) AS cells_total, " +
+        "count(s_suppkey) AS cells_s_suppkey, count(s_name) AS cells_s_name, " +
+        "count(s_nationkey) AS cells_s_nationkey, count(s_acctbal) AS cells_s_acctbal FROM supplier"),
+    "bulk_import_tsv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "bulk_export_import" ->
+      "SELECT * FROM region",
+    "bulk_copy_table" ->
+      "SELECT * FROM supplier WHERE s_nationkey < 10",
+    "agg_custom_exact_avg" ->
+      "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) / count(*) AS DOUBLE), 6) AS exact_avg FROM lineitem",
+    "agg_custom_range" ->
+      "SELECT max(o_orderkey) - min(o_orderkey) AS key_range FROM orders",
+    "mm_decode_meta" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN strlen(text) % 3 = 0 THEN 'jpeg' WHEN strlen(text) % 3 = 1 THEN 'png' ELSE 'webp' END AS format, " +
+        "CAST(16 + strlen(text) % 624 AS INT) AS width, " +
+        "CAST(16 + (strlen(text) * 7) % 464 AS INT) AS height, " +
+        "CAST(1 + strlen(text) % 30 AS INT) AS n_frames, " +
+        "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"),
+    "mm_frame_sample" ->
+      ("SELECT doc_id, unnest(range(0, 1 + strlen(text) % 30, 7)) AS frame_no " +
+        "FROM documents")
+  )
+}

@@ -52,9 +52,13 @@ object PipelineQueries extends QueryGroup {
 
     // blocked exact n-gram Jaccard near-dups (the verify stage of the
     // LSH pipeline, runnable standalone under blocking)
+    // blocking key includes a length band (n_chars/32): near-dups have
+    // near-equal length, and the band bounds the per-block pair count —
+    // the blocking that keeps this exact operator subquadratic at scale
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-        .withColumn("blk", concat_ws("|", col("source"), col("lang")))
+        .withColumn("blk", concat_ws("|", col("source"), col("lang"),
+          floor(col("n_chars") / 32).cast("int")))
       Dedup.ngramJaccardNearDups(docs, "doc_id", "text", "blk", 0.4, n = 3)
     }),
 
@@ -131,7 +135,7 @@ object PipelineQueries extends QueryGroup {
         "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keep_id " +
         "FROM documents"),
     "dedup_ngram_jaccard" ->
-      ("WITH g AS (SELECT doc_id, source || '|' || lang AS blk, " +
+      ("WITH g AS (SELECT doc_id, source || '|' || lang || '|' || CAST(CAST(FLOOR(n_chars / 32) AS INT) AS VARCHAR) AS blk, " +
         "  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), " +
         "    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh " +
         "  FROM documents) " +

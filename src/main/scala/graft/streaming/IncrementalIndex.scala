@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index.IndexCatalog
+import graft.ops.Mutations
+
+/** Incremental index maintenance over a mutation stream — the Structured
+  * Streaming equivalent of the reference's synchronous write-path hooks
+  * (`IndexRegionObserver.preBatchMutate/postBatchMutate`, SURVEY §3.2):
+  * each micro-batch of puts is merged into the base table AND its indices
+  * within one `foreachBatch` invocation, so readers observe base+index
+  * moving together batch-by-batch (the reference's WAL-covered atomicity
+  * window maps to the micro-batch boundary).
+  *
+  * At scale the same `foreachBatch` body runs against partitioned storage
+  * with dynamic partition overwrite; the full-rebuild here matches the
+  * small managed tables. Streaming aggregation/watermark machinery is
+  * deliberately NOT used — index maintenance needs exactly the batch
+  * merge, and `foreachBatch` gives micro-batch atomicity + retries.
+  */
+object IncrementalIndex {
+
+  /** Start a streaming upsert of `mutations` (a streaming DataFrame with
+    * the base schema) into the registered managed table. */
+  def start(spark: SparkSession, catalog: IndexCatalog, table: String,
+      mutations: DataFrame, checkpoint: String): StreamingQuery = {
+    val entry = catalog.get(table).getOrElse(
+      throw new NoSuchElementException(s"table $table not registered"))
+    val rowkey = entry.indices.rowkey
+    mutations.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val base = spark.read.parquet(entry.basePath)
+          // cache the batch: it is read once per index + once for the base
+          val b = batch.cache()
+          try Mutations.writeThrough(spark, catalog, table,
+            Mutations.put(base, b, rowkey))
+          finally { b.unpersist(); () }
+        }
+      }
+      .start()
+  }
+}

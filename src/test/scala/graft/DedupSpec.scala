@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity}
+
+/** Property tests for the approximate dedup/similarity operators — the
+  * parts whose candidate generation (xxhash64 LSH) the DuckDB oracle
+  * can't replicate. Known-truth construction: plant exact copies and
+  * light mutations of real docs and assert recall/precision properties.
+  */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("DedupSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 50 base docs + exact copies (+10000) + one-token-dropped copies
+    * (+20000). */
+  private def planted(): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    val exact = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val mutated = docs.select((col("doc_id") + 20000).as("doc_id"),
+      // drop the first token — high but not total overlap
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    docs.unionByName(exact).unionByName(mutated)
+  }
+
+  test("minhash LSH finds every exact duplicate with jaccard 1.0") {
+    val pairs = Dedup.minHashNearDups(planted(), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactPairs = pairs.filter { case (a, b, _) => a < 50 && b == a + 10000 }
+    assert(exactPairs.length == 50, s"missing exact dups: ${exactPairs.length}/50")
+    assert(exactPairs.forall(_._3 == 1.0))
+  }
+
+  test("minhash LSH finds most light mutations and no unrelated pairs at high threshold") {
+    val pairs = Dedup.minHashNearDups(planted(), "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mutPairs = pairs.filter { case (a, b, _) => a < 50 && b == a + 20000 }
+    assert(mutPairs.length >= 35, s"recall too low: ${mutPairs.length}/50")
+    // verification stage guarantees precision: every reported pair really
+    // has jaccard >= threshold
+    assert(pairs.forall(_._3 >= 0.6))
+  }
+
+  test("simhash finds exact duplicates at hamming 0") {
+    val pairs = Dedup.simHashNearDups(planted(), "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = pairs.count { case (a, b) => a < 50 && b == a + 10000 }
+    assert(exact == 50, s"simhash exact recall: $exact/50")
+  }
+
+  test("exact bag dedup maps shuffled-token copies to one keeper") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 20)
+    // same token bag, different order: reverse the token sequence
+    val shuffled = docs.select((col("doc_id") + 1000).as("doc_id"),
+      concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    val all = docs.unionByName(shuffled)
+      .select(col("doc_id"),
+        concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+")))).as("bag"))
+    val mapping = Dedup.exactDupMapping(all, "doc_id", "bag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 20).foreach { i =>
+      assert(mapping(i + 1000L) == mapping(i.toLong),
+        s"doc $i and its shuffle landed in different groups")
+    }
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with matching sims") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10, planes = 6).collect()
+    assert(lsh.nonEmpty)
+    // the query vector itself shares its own bucket → rank 1 is the query
+    val self = lsh.filter(r => r.getInt(3) == 1)
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)),
+      "self-match must rank first in its own bucket")
+    // any LSH hit present in the brute-force top-100 must carry the same sim
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(math.abs(s - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
+  test("embedding near-dup: planted copy is found with sim 1.0") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"), col("label"))
+    val all = emb.unionByName(copies)
+    val pairs = Similarity.cosineNearDups(all, "vec_id", "embedding",
+      threshold = 0.999, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val found = pairs.count { case (a, b) => b == a + 5000 }
+    assert(found == 10, s"found $found/10 planted embedding dups")
+  }
+}
