@@ -47,7 +47,10 @@ object GraftEngine {
         IndexedColumn("c_nationkey", ValueType.IntT))),
       IndexSpec(s"idx_name_num", Seq(
         IndexedColumn("c_name", ValueType.StringT, 25,
-          Some(SeparatorPartition("#", 2))))))),
+          Some(SeparatorPartition("#", 2))))),
+      IndexSpec(s"idx_name_tail", Seq(
+        IndexedColumn("c_name", ValueType.StringT, 25,
+          Some(SpatialPartition(13, 5))))))),
     ("orders", "o_orderkey", Seq(
       IndexSpec(s"idx_status", Seq(IndexedColumn("o_orderstatus", ValueType.StringT, 1))),
       IndexSpec(s"idx_cust", Seq(IndexedColumn("o_custkey", ValueType.LongT))))))

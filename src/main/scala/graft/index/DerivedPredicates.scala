@@ -1,0 +1,139 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.StringType
+
+/** ValuePartition (derived-column) predicate recognition — the read-path
+  * half of the reference's `SingleColumnValuePartitionFilter`
+  * (`hbase-secondaryindex/.../filter/SingleColumnValuePartitionFilter.java:57`,
+  * exercised end-to-end by `TestValuePartitionInScan.java`): a predicate on
+  * *part of* a column value is served by an index built over that derived
+  * part ([[SeparatorPartition]] / [[SpatialPartition]], build side in
+  * [[IndexedColumn.indexExpr]]).
+  *
+  * Mechanics: before leaf extraction, comparison operands that structurally
+  * match a registered derivation — `element_at(split(col, sep), n)` /
+  * `split(col, sep)[n-1]` for separator, `substring(col, off+1, len)` for
+  * spatial — are replaced by a synthetic attribute named
+  * [[IndexedColumn.indexColName]]; [[IndexSelection]] then treats the
+  * derived column like any other indexed column, and the materialized
+  * index table carries a real column of that name for the leaf scan.
+  *
+  * Superset-safety (the residual filter re-verifies every hit, so we only
+  * must never *miss* a base row):
+  *  - separator: the derivation yields NULL exactly when `split` has fewer
+  *    than `position` fields — for such rows the user's comparison is
+  *    NULL/ERROR and can never pass, so dropping them from the index is
+  *    safe for every comparison op;
+  *  - spatial: Spark's `substring` TRUNCATES when the value is shorter
+  *    than offset+length while the index derivation yields NULL — a
+  *    truncated (shorter) string can still satisfy a range or equal a
+  *    short literal, so spatial rewrites are restricted to =/IN against
+  *    literals of exactly `partLength` characters (a truncated string can
+  *    never equal a full-length literal). Range predicates on a spatial
+  *    part stay on the residual filter.
+  */
+private[index] object DerivedPredicates {
+
+  /** Rewrite derivation operands of comparisons in `cond` to synthetic
+    * attributes named after the derived index columns. */
+  def normalize(cond: Expression, derived: Seq[IndexedColumn]): Expression = {
+    if (derived.isEmpty) return cond
+    cond.transformUp {
+      case EqualTo(l, r)            => EqualTo(substEq(l, r, derived), substEq(r, l, derived))
+      case LessThan(l, r)           => LessThan(substRange(l, derived), substRange(r, derived))
+      case LessThanOrEqual(l, r)    => LessThanOrEqual(substRange(l, derived), substRange(r, derived))
+      case GreaterThan(l, r)        => GreaterThan(substRange(l, derived), substRange(r, derived))
+      case GreaterThanOrEqual(l, r) => GreaterThanOrEqual(substRange(l, derived), substRange(r, derived))
+      case In(v, lits) if lits.forall(_.isInstanceOf[Literal]) =>
+        In(substIn(v, lits.collect { case l: Literal => l }, derived), lits)
+    }
+  }
+
+  /** Substitution for equality: separator always; spatial only when the
+    * literal side has exactly partLength characters. */
+  private def substEq(e: Expression, other: Expression, derived: Seq[IndexedColumn]): Expression =
+    derived.collectFirst {
+      case ic if matchesSeparator(e, ic) => synthetic(ic, e)
+      case ic if matchesSpatial(e, ic) && litLen(other).contains(spatialLen(ic)) => synthetic(ic, e)
+    }.getOrElse(e)
+
+  /** Substitution for range bounds: separator-derived only (see scaladoc). */
+  private def substRange(e: Expression, derived: Seq[IndexedColumn]): Expression =
+    derived.collectFirst {
+      case ic if matchesSeparator(e, ic) => synthetic(ic, e)
+    }.getOrElse(e)
+
+  private def substIn(e: Expression, lits: Seq[Literal], derived: Seq[IndexedColumn]): Expression =
+    derived.collectFirst {
+      case ic if matchesSeparator(e, ic) => synthetic(ic, e)
+      case ic if matchesSpatial(e, ic) &&
+        lits.forall(l => litLen(l).contains(spatialLen(ic))) => synthetic(ic, e)
+    }.getOrElse(e)
+
+  private def synthetic(ic: IndexedColumn, e: Expression): AttributeReference =
+    AttributeReference(ic.indexColName, e.dataType, nullable = true)()
+
+  private def litLen(e: Expression): Option[Int] = e match {
+    case Literal(s, StringType) if s != null => Some(s.toString.length)
+    case _ => None
+  }
+
+  private def spatialLen(ic: IndexedColumn): Int = ic.partition match {
+    case Some(SpatialPartition(_, len)) => len
+    case _ => -1
+  }
+
+  // --- structural matchers (field access, not unapply — constructor
+  // arity of ElementAt/GetArrayItem varies across Spark versions) ---
+
+  private def matchesSeparator(e: Expression, ic: IndexedColumn): Boolean =
+    ic.partition match {
+      case Some(SeparatorPartition(sep, pos)) => e match {
+        case ea: ElementAt =>
+          isSplit(ea.left, ic.column, sep) && intLit(ea.right).contains(pos)
+        case ga: GetArrayItem =>
+          isSplit(ga.child, ic.column, sep) && intLit(ga.ordinal).contains(pos - 1)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def matchesSpatial(e: Expression, ic: IndexedColumn): Boolean =
+    ic.partition match {
+      case Some(SpatialPartition(off, len)) => e match {
+        case ss: Substring =>
+          isCol(ss.str, ic.column) &&
+            intLit(ss.pos).contains(off + 1) && intLit(ss.len).contains(len)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** split(col, sep[, -1]) where sep is the raw separator or its
+    * Pattern.quote form (the build side quotes; ad-hoc queries usually
+    * don't). */
+  private def isSplit(e: Expression, colName: String, sep: String): Boolean = e match {
+    case ss: StringSplit =>
+      isCol(ss.str, colName) &&
+        (ss.regex match {
+          case Literal(s, StringType) if s != null =>
+            val v = s.toString
+            v == sep || v == java.util.regex.Pattern.quote(sep)
+          case _ => false
+        }) &&
+        intLit(ss.limit).forall(_ == -1)
+    case _ => false
+  }
+
+  private def isCol(e: Expression, name: String): Boolean = e match {
+    case a: Attribute => a.name == name
+    case _ => false
+  }
+
+  private def intLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, _) => Some(v)
+    case Literal(v: Long, _) => Some(v.toInt)
+    case _ => None
+  }
+}

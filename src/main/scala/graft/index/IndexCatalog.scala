@@ -56,11 +56,23 @@ final class IndexCatalog {
     }
   }
 
-  def addIndexPath(table: String, indexName: String, path: String): Unit =
+  /** Monotonic generation per index path, bumped on every (re)build —
+    * consumers (IndexRewriteRule's relation cache) key on it so a rebuilt
+    * index is re-listed instead of resolving deleted files. */
+  private val pathGens = TrieMap.empty[String, Long]
+
+  def pathGeneration(path: String): Long = pathGens.getOrElse(normPath(path), 0L)
+
+  def addIndexPath(table: String, indexName: String, path: String): Unit = {
     entries.updateWith(table) {
       case Some(e) => Some(e.copy(indexPaths = e.indexPaths + (indexName -> path)))
       case None    => throw new NoSuchElementException(s"table $table not registered")
     }
+    pathGens.updateWith(normPath(path)) {
+      case Some(g) => Some(g + 1)
+      case None    => Some(1L)
+    }
+  }
 
   /** Drop an index (postModifyTableHandler diff semantics,
     * IndexMasterObserver.java:133). */
@@ -78,10 +90,10 @@ final class IndexCatalog {
   def tables: Seq[String] = entries.keys.toSeq
   def clear(): Unit = entries.clear()
 
-  private def samePath(a: String, b: String): Boolean = {
-    def norm(p: String) = p.stripPrefix("file:").replaceAll("/+$", "")
-    norm(a) == norm(b)
-  }
+  private def normPath(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  private def samePath(a: String, b: String): Boolean = normPath(a) == normPath(b)
 
   // --- JSON persistence (TableIndices de/serialization — the reference
   // serializes IndexSpecifications into the table descriptor,

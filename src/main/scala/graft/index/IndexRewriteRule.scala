@@ -110,7 +110,12 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
       rowkeyAttr <- rel.output.find(_.name == entry.indices.rowkey)
       available = entry.indices.indices.filter(s => entry.indexPaths.contains(s.name))
       usable = forced.map(f => available.filter(s => f.contains(s.name))).getOrElse(available)
-      rkPlan <- select(splitConjuncts(cond), usable)
+      // ValuePartition read path: comparisons on split(col,sep)[n] /
+      // substring(col,off,len) become leaves on the derived index column
+      // (reference SingleColumnValuePartitionFilter — see DerivedPredicates)
+      normCond = DerivedPredicates.normalize(cond,
+        usable.flatMap(_.columns).filter(_.partition.isDefined))
+      rkPlan <- select(splitConjuncts(normCond), usable)
       idxPlan <- buildRowkeyPlan(rkPlan, entry)
     } yield {
       val idxRk = idxPlan.output.find(_.name == entry.indices.rowkey).get
@@ -125,11 +130,15 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
 
   /** Cached analyzed index relations (file listing is driver-side work we
     * don't want once per optimizer iteration); every use takes a
-    * `newInstance()` so expression IDs stay unique within one query. */
+    * `newInstance()` so expression IDs stay unique within one query.
+    * Keyed by (path, catalog generation) — `IndexCatalog.addIndexPath`
+    * bumps the generation on every (re)build, so a rebuilt index is
+    * re-listed instead of resolving against deleted files (r01 staleness
+    * bug: writeThrough/IncrementalIndex rebuild in place). */
   private val relCache = scala.collection.concurrent.TrieMap.empty[String, LogicalRelation]
 
   private def indexRelation(path: String): LogicalRelation = {
-    val cached = relCache.getOrElseUpdate(path,
+    val cached = relCache.getOrElseUpdate(s"$path#${catalog.pathGeneration(path)}",
       spark.read.parquet(path).queryExecution.analyzed.collectFirst {
         case r: LogicalRelation => r
       }.getOrElse(throw new IllegalStateException(s"index read at $path is not a LogicalRelation")))

@@ -62,6 +62,15 @@ object Dedup {
       .select(col(idCol), col("keep_id"))
   }
 
+  /** Require an integral id column up front — a silent `cast("long")` of a
+    * string id would turn every id into null and collapse all pairs. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+      s"id column $idCol must be integral (found $dt); hash string ids to long explicitly first")
+  }
+
   /** MinHash+LSH near-dup candidate pairs, verified by exact Jaccard on
     * the shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b,
     * jaccard >= threshold.
@@ -70,35 +79,83 @@ object Dedup {
     * higher-order-function formulation is interpreted, ~100× slower —
     * see MinHash scaladoc); the band self-join carries only
     * (band, bandHash, id) so the shuffle is a few longs per doc, and
-    * shingle arrays are re-joined only for the (few) candidate pairs. */
+    * shingle arrays are re-joined only for the (few) candidate pairs.
+    *
+    * Skew strategy (the web-scale failure mode is N byte-identical docs
+    * making an N² group in *every* band):
+    *  1. byte-identical texts are collapsed to one representative per md5
+    *     fingerprint *before* banding — identical-group pairs are emitted
+    *     directly with jaccard 1.0 (their true value), so the band join
+    *     only ever sees distinct texts;
+    *  2. residual hot bands (many *distinct* texts agreeing on one band,
+    *     e.g. boilerplate templates) are capped at `maxBandGroup` docs —
+    *     skipped groups cost recall only for pairs that share no other
+    *     band, the standard bounded-recall trade every production LSH
+    *     dedup makes (document pairs that similar almost always share
+    *     several bands);
+    *  3. verified near-dup pairs between representatives are expanded back
+    *     to all members of both fingerprint groups (same text content ⇒
+    *     same jaccard), so the result is over original ids.
+    */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 5): DataFrame = {
+      shingleSize: Int = 5,
+      maxBandGroup: Int = 5000): DataFrame = {
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val base = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-    val banded = base.mapPartitions(_.map { case (id, text) =>
+    // fingerprint collapse: one representative (min id) per distinct text
+    val fp = df.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("__fp"))
+    val repW = Window.partitionBy(col("__fp"))
+    val members = fp.withColumn("rep", min(col("id")).over(repW)).select("id", "rep")
+    val reps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .join(members.filter(col("id") === col("rep")).select("id"), Seq("id"), "left_semi")
+      .as[(Long, String)]
+    val banded = reps.mapPartitions(_.map { case (id, text) =>
       val sig = MinHash.signature(MinHash.charShingles(text, shingleSize), numHashes)
       (id, MinHash.bands(sig, bands, rowsPerBand))
     }).toDF("id", "bands")
     val exploded = banded.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bandHash")))
-    val a = exploded.select(col("band"), col("bandHash"), col("id").as("id_a"))
-    val b = exploded.select(col("band"), col("bandHash"), col("id").as("id_b"))
+    // hot-band cap (skew guard #2)
+    val grpW = Window.partitionBy(col("band"), col("bandHash"))
+    val capped = exploded.withColumn("__n", count(lit(1)).over(grpW))
+      .filter(col("__n") <= maxBandGroup).drop("__n")
+    val a = capped.select(col("band"), col("bandHash"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bandHash"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val shingles = base.mapPartitions(_.map { case (id, text) =>
+    val shingles = reps.mapPartitions(_.map { case (id, text) =>
       (id, MinHash.charShingles(text, shingleSize))
     }).toDF("id", "sh")
     val withSh = cands
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    verifyJaccard(withSh, threshold)
+    val repPairs = verifyJaccard(withSh, threshold)
+    expandFingerprintGroups(repPairs, members, threshold)
+  }
+
+  /** Expand representative-level near-dup pairs back to original ids:
+    * cross pairs of the two fingerprint groups keep the representatives'
+    * jaccard (identical text content), intra-group pairs are exact dups
+    * (jaccard 1.0). */
+  private def expandFingerprintGroups(repPairs: DataFrame, members: DataFrame,
+      threshold: Double): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    val intra = members.select(col("rep"), col("id").as("id_a"))
+      .join(members.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra).dropDuplicates("id_a", "id_b")
   }
 
   /** Exact Jaccard verification over candidate pairs carrying their
@@ -142,23 +199,36 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dups: candidates via exact match on 16-bit chunks
-    * (hamming ≤ 3 guarantees ≥1 equal chunk of 4), verified by
+  /** SimHash near-dups: candidates via exact match on `maxHamming + 1`
+    * near-equal-width bit chunks — by pigeonhole, two signatures within
+    * hamming distance `maxHamming` differ in at most `maxHamming` chunks,
+    * so they MUST agree on at least one of the `maxHamming + 1` chunks
+    * (the r1 version blocked on 4 fixed chunks while the caller asked for
+    * maxHamming = 8, silently dropping pairs at hamming 4–8). Verified by
     * bit_count(xor) ≤ maxHamming. Returns (id_a, id_b, hamming).
     * Signature via the [[MinHash.simHash]] JVM kernel (same
     * interpreted-HOF rationale as minHashNearDups). */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32) for 64-bit chunk blocking: $maxHamming")
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
+    val numChunks = maxHamming + 1
     val sig = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, MinHash.simHash(text.split("\\s+")))
       }).toDF("id", "sig")
-    val chunks = sig.withColumn("chunk",
-      explode(transform(sequence(lit(0), lit(3)),
-        i => struct(i.as("ci"),
-          call_function("shiftright", col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cv")))))
+    // chunk i covers bits [i*64/c, (i+1)*64/c) — widths differ by ≤1
+    val chunkCols = (0 until numChunks).map { i =>
+      val start = i * 64 / numChunks
+      val width = (i + 1) * 64 / numChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(i).as("ci"),
+        shiftright(col("sig"), start).bitwiseAND(lit(mask)).as("cv"))
+    }
+    val chunks = sig.withColumn("chunk", explode(array(chunkCols: _*)))
       .select(col("id"), col("sig"), col("chunk.ci"), col("chunk.cv"))
     val a = chunks.select(col("ci"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunks.select(col("ci"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))

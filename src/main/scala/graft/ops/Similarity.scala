@@ -7,24 +7,30 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Two paths, per the usual scale story:
-  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
-  *    set against the corpus, one pass, no corpus shuffle. The baseline
-  *    and the verify stage.
+  *  - [[bruteForceTopK]]: exact cosine top-k — the query set is collected
+  *    (it is small by contract) and broadcast; one corpus pass computes
+  *    per-partition top-k heaps per query, so the shuffle carries at most
+  *    `partitions × queries × k` rows into the final exact rank. No corpus
+  *    shuffle, no cross join materialization.
   *  - [[lshTopK]]: random-hyperplane LSH — a deterministic signature
-  *    (hyperplane m, dim d weight = centered xxhash64(m, d)) bucketizes
-  *    the corpus once; queries probe only their bucket. At 100 TB the
-  *    bucketed corpus is written bucketed-by-signature so probes touch
-  *    O(bucket) rows. Recall < 1 by construction; raise `planes`
-  *    granularity or probe multiple buckets for higher recall. An IVF
-  *    variant is the same shape with learned centroids instead of random
-  *    hyperplanes.
+  *    bucketizes the corpus; queries probe only their bucket, fused into
+  *    the same single pass (bucket check is a hash-map lookup per row).
+  *    At 100 TB the corpus signature is computed once and persisted
+  *    bucketed-by-signature (see [[withSignature]]); recall < 1 by
+  *    construction — lower `planes` or multi-probe for higher recall. An
+  *    IVF variant is the same shape with learned centroids instead of
+  *    random hyperplanes.
   *
-  * All vector math is `zip_with`/`aggregate` over array columns —
-  * codegen'd, no UDFs.
+  * Vector math runs in the [[VecKernel]] JVM kernel via `mapPartitions`
+  * (the `aggregate`/`zip_with` formulation is interpreted, ~100× slower —
+  * see VecKernel scaladoc); candidate generation, ranking and rounding
+  * stay DataFrame.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double —
+    * HOF formulation kept for ad-hoc Column use; hot paths go through
+    * [[VecKernel.dot]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -33,66 +39,127 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Collect the (small, by contract) query set to the driver. */
+  private def collectQueries(queries: DataFrame, qidCol: String,
+      qvecCol: String): Array[(Long, Array[Float], Double)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v, VecKernel.norm(v)) }
+  }
+
+  /** Exact rank over the per-partition survivors: at most
+    * `partitions × queries × k` rows reach this window. */
+  private def rankTopK(scored: DataFrame, qidCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("__sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` must be small
-    * (it is broadcast). Deterministic tie-break on corpus id. */
+    * (it is collected + broadcast). Deterministic tie-break on corpus id. */
   def bruteForceTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"), col("rank"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = collectQueries(queries, qidCol, qvecCol)
+    val qb = spark.sparkContext.broadcast(qs)
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = qb.value
+        val heaps = Array.fill(queries.length)(new VecKernel.TopK(k))
+        it.foreach { case (id, v) =>
+          val nv = VecKernel.norm(v)
+          var qi = 0
+          while (qi < queries.length) {
+            val (_, qv, qn) = queries(qi)
+            heaps(qi).offer(VecKernel.dot(v, qv) / (nv * qn), id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (sim, id) => (queries(qi)._1, id, sim) }
+        }
+      }.toDF(qidCol, idCol, "__sim")
+    rankTopK(partial, qidCol, idCol, k)
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * xxhash64 centered to [-0.5, 0.5]. */
-  private def planeWeight(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
-  /** Sign bits of `planes` random-hyperplane projections, packed into a
-    * long — the LSH bucket id. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    def shl(c: Column, by: Column) = call_function("shiftleft", c, by)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeWeight(p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shl(lit(1L), p)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  /** Corpus with its LSH bucket id attached — persist this (partitioned /
+    * bucketed by `__sig`) at scale so probes read O(bucket) rows instead
+    * of re-signing the corpus per query batch. */
+  def withSignature(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, VecKernel.signature(v, planes))
+      }).toDF(idCol, vecCol, "__sig")
   }
 
-  /** Approximate top-k: probe only the query's signature bucket. */
+  /** Approximate top-k: probe only the query's signature bucket (single
+    * probe — recall is the per-bucket hit rate; raise by lowering `planes`
+    * or probing neighbor buckets). Fused into one corpus pass: the bucket
+    * check is a hash-map lookup per corpus row. */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, planes: Int = 8): DataFrame = {
-    val bucketed = corpus.withColumn("__sig", hyperplaneSignature(col(vecCol), planes))
-    val qb = queries.withColumn("__sig", hyperplaneSignature(col(qvecCol), planes))
-    val joined = bucketed.join(broadcast(qb), Seq("__sig"))
-      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"), col("rank"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = collectQueries(queries, qidCol, qvecCol)
+    val bySig: Map[Long, Array[Int]] =
+      qs.indices.groupBy(qi => VecKernel.signature(qs(qi)._2, planes))
+        .map { case (s, is) => s -> is.toArray }
+    val qb = spark.sparkContext.broadcast((qs, bySig))
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (queries, sigMap) = qb.value
+        val heaps = Array.fill(queries.length)(new VecKernel.TopK(k))
+        it.foreach { case (id, v) =>
+          sigMap.get(VecKernel.signature(v, planes)).foreach { qis =>
+            val nv = VecKernel.norm(v)
+            qis.foreach { qi =>
+              val (_, qv, qn) = queries(qi)
+              heaps(qi).offer(VecKernel.dot(v, qv) / (nv * qn), id)
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (sim, id) => (queries(qi)._1, id, sim) }
+        }
+      }.toDF(qidCol, idCol, "__sim")
+    rankTopK(partial, qidCol, idCol, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * LSH signature (candidates share a bucket) — the embedding flavour of
-    * [[Dedup]]. Exact verify on the cosine. */
+    * [[Dedup]]. Exact cosine verify on candidates only; the signature
+    * self-join is the lone shuffle and carries (sig, id, vec). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("__sig", hyperplaneSignature(col("v"), planes))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = withSignature(df, idCol, vecCol, planes)
+      .toDF("id", "v", "__sig")
     val a = sig.select(col("__sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = sig.select(col("__sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("__sig"))
+    val cands = a.join(b, Seq("__sig"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+    cands.mapPartitions(_.map { case (ia, ib, va, vb) =>
+        (ia, ib, VecKernel.cosine(va, vb))
+      }).toDF("id_a", "id_b", "__sim")
+      .withColumn("sim", round(col("__sim"), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -1,0 +1,81 @@
+package graft.ops
+
+/** JVM-side float-vector kernels for [[Similarity]].
+  *
+  * Same rationale as [[MinHash]]: Spark's higher-order array functions
+  * (`aggregate`/`zip_with`) evaluate interpreted — a 64-dim cosine costs
+  * ~200 interpreted expression evals per (row, query) pair, measured
+  * ~100× slower than a plain JVM loop at sf0.1 (VERDICT r01: 69.5 s for
+  * 2,000×5 cosines that should be sub-second). These kernels run inside
+  * `Dataset.mapPartitions`; candidate generation, ranking and rounding
+  * stay DataFrame.
+  *
+  * Arithmetic contract: dot products accumulate left-to-right in double
+  * over float inputs — element order and widening match both the previous
+  * HOF formulation and the DuckDB oracle's `list_sum(list_transform(...))`,
+  * so oracle hash-matches are preserved bit-for-bit.
+  */
+object VecKernel {
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Float], b: Array[Float]): Double =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim),
+    * centered to [-0.5, 0.5) — plays the role of a seeded gaussian in
+    * random-hyperplane LSH (sign patterns only need symmetry around 0). */
+  def planeWeight(plane: Int, dim: Int): Double =
+    (java.lang.Math.floorMod(MinHash.baseHash(plane + ":" + dim), 1000000L)
+      .toDouble / 1000000.0) - 0.5
+
+  /** Materialized plane matrix, memoized per (planes, dim) — computed once
+    * per executor JVM, shared by all partitions (cheaper than a broadcast
+    * for a few KB of deterministic data). */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+
+  def planeMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate((numPlanes, dim),
+      Array.tabulate(numPlanes)(p => Array.tabulate(dim)(d => planeWeight(p, d))))
+
+  /** Sign bits of the hyperplane projections packed into a long — the LSH
+    * bucket id. */
+  def signature(vec: Array[Float], numPlanes: Int): Long = {
+    val mat = planeMatrix(numPlanes, vec.length)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val w = mat(p)
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) { s += vec(i) * w(i); i += 1 }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Bounded worst-first queue for top-k by (sim desc, id asc). */
+  final class TopK(k: Int) {
+    // head = worst kept entry: lowest sim, then highest id
+    private val q = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+      Ordering.fromLessThan((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)))
+    def offer(sim: Double, id: Long): Unit = {
+      if (q.size < k) q.enqueue((sim, id))
+      else {
+        val (ws, wid) = q.head
+        if (sim > ws || (sim == ws && id < wid)) { q.dequeue(); q.enqueue((sim, id)) }
+      }
+    }
+    def drain(): Iterator[(Double, Long)] = q.iterator
+  }
+}

@@ -71,6 +71,25 @@ object IndexQueries extends QueryGroup {
         .select("c_custkey", "c_nationkey")
     }),
 
+    // ValuePartition separator read path (SingleColumnValuePartitionFilter
+    // + SeparatorPartition, TestValuePartitionInScan.java:testSeparator*):
+    // predicate on split(c_name,'#')[2] served by idx_name_num, which
+    // indexes exactly that derived part
+    "idx_value_partition_sep" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(element_at(split(col("c_name"), "#"), 2) === "000000049")
+        .select("c_custkey", "c_name", "c_nationkey")
+    }),
+
+    // ValuePartition spatial read path (SpatialPartition,
+    // TestValuePartitionInScan.java:testSpatialPartition*): predicate on
+    // substring(c_name,14,5) (the 5-digit tail) served by idx_name_tail
+    "idx_value_partition_spatial" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(substring(col("c_name"), 14, 5) === "00049")
+        .select("c_custkey", "c_name", "c_nationkey")
+    }),
+
     // NO_INDEX path (NoIndexExpression, .../client/NoIndexExpression.java):
     // same predicate as idx_point but reading the unmanaged source table —
     // a true full scan; results must match the indexed path exactly.
@@ -99,6 +118,10 @@ object IndexQueries extends QueryGroup {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey >= 100 AND o_custkey < 120",
     "idx_in_list" ->
       "SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey IN (1, 5, 9)",
+    "idx_value_partition_sep" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE string_split(c_name, '#')[2] = '000000049'",
+    "idx_value_partition_spatial" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE substr(c_name, 14, 5) = '00049'",
     "idx_hint_noindex" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7"
   )

@@ -64,6 +64,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == 50, s"simhash exact recall: $exact/50")
   }
 
+  test("simhash finds ALL pairs within the declared radius, including hamming > 3 (pigeonhole blocking)") {
+    // Ground truth driver-side: signatures of every planted doc, all pairs
+    // with hamming ≤ 8. The r1 blocking (4 fixed 16-bit chunks) only
+    // guaranteed recall for hamming ≤ 3 — this asserts the full radius.
+    import graft.ops.MinHash
+    val df = planted()
+    val sigs = df.collect().map(r => r.getLong(0) -> MinHash.simHash(r.getString(1).split("\\s+")))
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 8
+    } yield (ia, ib)).toSet
+    val midRange = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h >= 4 && h <= 8
+    } yield (ia, ib)).toSet
+    assert(midRange.nonEmpty, "test data must contain pairs at hamming 4-8 for this to be a regression test")
+    val got = Dedup.simHashNearDups(df, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"missed: ${(expected -- got).take(5)}; spurious: ${(got -- expected).take(5)}")
+  }
+
   test("exact bag dedup maps shuffled-token copies to one keeper") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").filter(col("doc_id") < 20)

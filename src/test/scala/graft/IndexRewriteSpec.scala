@@ -150,6 +150,61 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 <= 2 && n2 <= 2, s"join explosion: $n1 / $n2")
   }
 
+  // --- ValuePartition read path (reference TestValuePartitionInScan) ---
+
+  test("separator ValuePartition EQ predicate uses the derived-column index") {
+    val df = managed("customer")
+      .filter(element_at(split(col("c_name"), "#"), 2) === "000000049")
+    val plan = df.queryExecution.optimizedPlan
+    val idx = indexScans(plan)
+    assert(idx.exists(_.startsWith("idx_name_num")), s"chose $idx\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(element_at(split(col("c_name"), "#"), 2) === "000000049")
+      .collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("split()[n] bracket form matches the separator index too") {
+    val df = managed("customer")
+      .filter(split(col("c_name"), "#")(1) === "000000049")
+    val idx = indexScans(df.queryExecution.optimizedPlan)
+    assert(idx.exists(_.startsWith("idx_name_num")), s"chose $idx")
+  }
+
+  test("separator ValuePartition range predicate is indexed (derive is null-safe for ranges)") {
+    val df = managed("customer")
+      .filter(element_at(split(col("c_name"), "#"), 2) >= "000000140")
+    val plan = df.queryExecution.optimizedPlan
+    val idx = indexScans(plan)
+    assert(idx.exists(_.startsWith("idx_name_num")), s"chose $idx\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(element_at(split(col("c_name"), "#"), 2) >= "000000140")
+      .collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("spatial ValuePartition EQ predicate uses the substring index") {
+    val df = managed("customer")
+      .filter(substring(col("c_name"), 14, 5) === "00049")
+    val plan = df.queryExecution.optimizedPlan
+    val idx = indexScans(plan)
+    assert(idx.exists(_.startsWith("idx_name_tail")), s"chose $idx\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(substring(col("c_name"), 14, 5) === "00049")
+      .collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("spatial ValuePartition range predicate is NOT indexed (substring truncation is not superset-safe)") {
+    val df = managed("customer").filter(substring(col("c_name"), 14, 5) >= "00049")
+    assert(indexScans(df.queryExecution.optimizedPlan).isEmpty)
+  }
+
+  test("spatial ValuePartition EQ against a wrong-length literal is NOT indexed") {
+    val df = managed("customer").filter(substring(col("c_name"), 14, 5) === "0004")
+    assert(indexScans(df.queryExecution.optimizedPlan).isEmpty)
+  }
+
   test("contradictory range yields empty result, not an error") {
     val df = managed("customer")
       .filter(col("c_nationkey") > 10 && col("c_nationkey") < 5)
