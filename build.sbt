@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads share this one local-mode heap; 8g thrashed GC
+  // (2nd+ runs of shingle-heavy dedup degraded 5x). The box has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms8g",
+  // whole-stage-codegen emits a class per query stage; the JDK default
+  // 240MB code cache fills over a 74-query bench run and JIT-compiled
+  // kernels fall back to interpreter (measured 10x CPU inflation on
+  // identical re-runs of the MinHash kernel stage)
+  "-XX:ReservedCodeCacheSize=1g",
 )

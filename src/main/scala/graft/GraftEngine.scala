@@ -77,26 +77,41 @@ object GraftEngine {
       catalog: IndexCatalog = IndexCatalog.default): IndexCatalog = {
     install(spark, catalog)
     built.getOrElseUpdate(sfTag(sfDir), {
-      ddl(sfTag(sfDir)).foreach { case (table, rowkey, specs) =>
-        val basePath = tablePath(sfDir, table)
-        val src = spark.read.parquet(s"$sfDir/$table.parquet")
-        val marker = Paths.get(basePath, "_SUCCESS")
-        if (!Files.exists(marker)) {
-          // rowkey-sorted base (HBase: rows sorted by rowkey within regions)
-          src.repartitionByRange(8, col(rowkey))
-            .sortWithinPartitions(rowkey)
-            .write.mode(SaveMode.Overwrite).parquet(basePath)
+      val catalogJson = s"$warehouseRoot/${sfTag(sfDir)}/_catalog.json"
+      // Boot from persisted DDL when the whole generation is on disk —
+      // the reference recovers IndexSpecifications from the table
+      // descriptor on region open (TableIndices deserialization); we
+      // recover from the JSON written after the last successful build.
+      val complete = Files.exists(Paths.get(catalogJson)) &&
+        ddl(sfTag(sfDir)).forall { case (table, _, specs) =>
+          Files.exists(Paths.get(tablePath(sfDir, table), "_SUCCESS")) &&
+            specs.forall(s => Files.exists(Paths.get(
+              s"$warehouseRoot/${sfTag(sfDir)}/${table}_idx/${s.name}", "_SUCCESS")))
         }
-        val ti = TableIndices(tableKey(sfDir, table), rowkey, specs)
-        catalog.register(ti, basePath, src.schema)
-        specs.foreach { spec =>
-          val idxPath = s"$warehouseRoot/${sfTag(sfDir)}/${table}_idx/${spec.name}"
-          if (!Files.exists(Paths.get(idxPath, "_SUCCESS"))) {
-            IndexBuilder.build(spark, catalog, tableKey(sfDir, table), spec, idxPath)
-          } else {
-            catalog.addIndexPath(tableKey(sfDir, table), spec.name, idxPath)
+      if (complete) catalog.load(catalogJson)
+      else {
+        ddl(sfTag(sfDir)).foreach { case (table, rowkey, specs) =>
+          val basePath = tablePath(sfDir, table)
+          val src = spark.read.parquet(s"$sfDir/$table.parquet")
+          val marker = Paths.get(basePath, "_SUCCESS")
+          if (!Files.exists(marker)) {
+            // rowkey-sorted base (HBase: rows sorted by rowkey within regions)
+            src.repartitionByRange(8, col(rowkey))
+              .sortWithinPartitions(rowkey)
+              .write.mode(SaveMode.Overwrite).parquet(basePath)
+          }
+          val ti = TableIndices(tableKey(sfDir, table), rowkey, specs)
+          catalog.register(ti, basePath, src.schema)
+          specs.foreach { spec =>
+            val idxPath = s"$warehouseRoot/${sfTag(sfDir)}/${table}_idx/${spec.name}"
+            if (!Files.exists(Paths.get(idxPath, "_SUCCESS"))) {
+              IndexBuilder.build(spark, catalog, tableKey(sfDir, table), spec, idxPath)
+            } else {
+              catalog.addIndexPath(tableKey(sfDir, table), spec.name, idxPath)
+            }
           }
         }
+        catalog.save(catalogJson)
       }
       true
     })
@@ -107,5 +122,36 @@ object GraftEngine {
   def managed(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     ensureWarehouse(spark, sfDir)
     spark.read.parquet(tablePath(sfDir, table))
+  }
+
+  /** Write-path index maintenance end-to-end (the reference's defining
+    * write feature: synchronous index update on Put/Delete,
+    * `IndexRegionObserver.java:149-427`): copy the managed customer table
+    * into a scratch managed table with its own c_nationkey index, push a
+    * put+delete batch through [[graft.ops.Mutations.writeThrough]], then
+    * read back THROUGH the index. The probe value (nationkey 77) exists
+    * only post-mutation, so a stale index — or the r01 stale relation
+    * cache — returns nothing; the DuckDB oracle replays the batch in SQL.
+    */
+  def mutationRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Mutations
+    val catalog = ensureWarehouse(spark, sfDir)
+    val table = tableKey(sfDir, "mutrt")
+    val basePath = tablePath(sfDir, "mutrt")
+    val src = spark.read.parquet(tablePath(sfDir, "customer"))
+    src.write.mode(SaveMode.Overwrite).parquet(basePath)
+    val spec = IndexSpec("idx_rt_nation", Seq(IndexedColumn("c_nationkey", ValueType.IntT)))
+    catalog.register(TableIndices(table, "c_custkey", Seq(spec)), basePath, src.schema)
+    IndexBuilder.build(spark, catalog, table, spec,
+      s"$warehouseRoot/${sfTag(sfDir)}/mutrt_idx/${spec.name}")
+    val base = spark.read.parquet(basePath)
+    val puts = base.filter(col("c_nationkey") === 7).withColumn("c_nationkey", lit(77))
+    val dels = base.filter(col("c_nationkey") === 7 && col("c_custkey") % 10 === 0)
+      .select("c_custkey")
+    val mutated = Mutations.batch(base, "c_custkey",
+      Seq(Mutations.Put(puts), Mutations.Delete(dels)))
+    Mutations.writeThrough(spark, catalog, table, mutated)
+    spark.read.parquet(basePath).filter(col("c_nationkey") === 77)
+      .select("c_custkey", "c_name", "c_nationkey")
   }
 }

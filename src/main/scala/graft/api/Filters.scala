@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The HBase filter hierarchy as `Column`-predicate builders — every filter
@@ -41,6 +41,55 @@ object Filters {
   def singleColumnValue(column: String, op: CompareOp, value: Any): Column =
     op(col(column), value)
 
+  /** SingleColumnValueExcludeFilter (`SingleColumnValueExcludeFilter.java:46`):
+    * filter on the tested column, then exclude that column from the
+    * emitted row. */
+  def singleColumnValueExclude(df: DataFrame, column: String, op: CompareOp,
+      value: Any): DataFrame =
+    df.filter(op(col(column), value)).drop(column)
+
+  /** FamilyFilter (`FamilyFilter.java:46`): select columns whose family —
+    * the prefix before the first '_' in the flattened schema (SURVEY §1.2
+    * maps HBase's (cf, qualifier) onto `cf_qualifier` names) — satisfies
+    * the comparator. */
+  def familyFilter(df: DataFrame, pred: String => Boolean): DataFrame =
+    df.select(df.columns.filter(c => pred(c.split("_", 2).head)).map(col).toSeq: _*)
+
+  /** QualifierFilter (`QualifierFilter.java:46`): select columns whose
+    * qualifier (name after the family prefix) satisfies the comparator. */
+  def qualifierFilter(df: DataFrame, pred: String => Boolean): DataFrame =
+    df.select(df.columns.filter(c => pred(c.split("_", 2).last)).map(col).toSeq: _*)
+
+  /** ValueFilter (`ValueFilter.java:44`): keep rows where ANY cell of the
+    * given columns (all columns when empty) satisfies the comparator —
+    * HBase applies it per-cell; on a row-model engine the surviving unit
+    * is the row. */
+  def valueFilter(df: DataFrame, op: CompareOp, value: Any,
+      columns: Seq[String] = Nil): Column = {
+    val cs = if (columns.isEmpty) df.columns.toSeq else columns
+    cs.map(c => op(col(c), value)).reduce(_ || _)
+  }
+
+  /** MultipleColumnPrefixFilter (`MultipleColumnPrefixFilter.java:44`) over
+    * an array-modelled row: keep elements matching any prefix. */
+  def multipleColumnPrefix(arrayCol: Column, prefixes: Seq[String]): Column =
+    filter(arrayCol, t => prefixes.map(p => t.startsWith(p)).reduce(_ || _))
+
+  /** ColumnCountGetFilter (`ColumnCountGetFilter.java:41`): at most the
+    * first `n` columns of the row (array model). */
+  def columnCountGet(arrayCol: Column, n: Int): Column = slice(arrayCol, 1, n)
+
+  /** FirstKeyValueMatchingQualifiersFilter
+    * (`FirstKeyValueMatchingQualifiersFilter.java:50`): emit cells until a
+    * qualifier from the set is seen (inclusive), then stop the row — the
+    * RowCounter accelerator. Array model: prefix up to and including the
+    * first element in `quals`, the whole array when none occurs. */
+  def firstKeyValueMatchingQualifiers(arrayCol: Column, quals: Seq[String]): Column = {
+    val positions = quals.map(q => nullif(array_position(arrayCol, lit(q)), lit(0L)))
+    val firstPos = if (positions.size == 1) positions.head else least(positions: _*)
+    slice(arrayCol, lit(1), coalesce(firstPos, size(arrayCol).cast("long")).cast("int"))
+  }
+
   /** SingleColumnRangeFilter (`.../filter/SingleColumnRangeFilter.java:29`)
     * — both bounds optional, each open or closed. */
   def singleColumnRange(column: String,
@@ -71,9 +120,13 @@ object Filters {
 
   /** RandomRowFilter (`RandomRowFilter.java:38`) — made deterministic via
     * Knuth multiplicative hash on the rowkey, so results are reproducible
-    * (and oracle-checkable) unlike the reference's PRNG. */
+    * (and oracle-checkable) unlike the reference's PRNG. The key is
+    * reduced mod a prime first so the multiply never overflows Long
+    * (overflow throws under ANSI, and its negative remainder would have
+    * sampled those rows with probability 1); `pmod` keeps negative keys
+    * in [0, 100). Numeric rowkeys only. */
   def randomRow(rowkey: String, percent: Int): Column =
-    (col(rowkey) * 2654435761L % 100L) < percent
+    pmod(col(rowkey) % 1000003L * 2654435761L, lit(100L)) < percent
 
   /** FuzzyRowFilter (`FuzzyRowFilter.java:68`): fixed bytes + wildcard
     * positions — a SQL LIKE pattern with `_` wildcards is exactly this. */

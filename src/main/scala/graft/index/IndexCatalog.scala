@@ -128,6 +128,52 @@ final class IndexCatalog {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+
+  /** Restore entries from a [[save]]d JSON file — the read half of the
+    * reference's `TableIndices` (de)serialization
+    * (`TableIndices.java:243-300`, `readFields`): a fresh JVM recovers the
+    * full DDL + index locations without re-running registration. Schema
+    * validation is skipped (it ran at save time); path generations are
+    * bumped so relation caches re-list restored indices. */
+  def load(path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(Paths.get(path)))
+    val tables = root.fields()
+    while (tables.hasNext) {
+      val t = tables.next()
+      val node = t.getValue
+      val specsB = Seq.newBuilder[IndexSpec]
+      var paths = Map.empty[String, String]
+      val idxIt = node.get("indices").elements()
+      while (idxIt.hasNext) {
+        val in = idxIt.next()
+        val colsB = Seq.newBuilder[IndexedColumn]
+        val colIt = in.get("columns").elements()
+        while (colIt.hasNext) {
+          val cn = colIt.next()
+          val part = Option(cn.get("partition")).map { pn =>
+            pn.get("kind").asText match {
+              case "separator" =>
+                SeparatorPartition(pn.get("separator").asText, pn.get("position").asInt)
+              case "spatial" =>
+                SpatialPartition(pn.get("offset").asInt, pn.get("length").asInt)
+              case k => throw new IllegalArgumentException(s"unknown partition kind: $k")
+            }
+          }
+          colsB += IndexedColumn(cn.get("column").asText,
+            ValueType.fromName(cn.get("type").asText), cn.get("maxLen").asInt, part)
+        }
+        specsB += IndexSpec(in.get("name").asText, colsB.result())
+        val p = in.get("path").asText
+        if (p.nonEmpty) paths += in.get("name").asText -> p
+      }
+      val ti = TableIndices(t.getKey, node.get("rowkey").asText, specsB.result())
+      entries.put(t.getKey, Entry(ti, node.get("basePath").asText, paths))
+      paths.values.foreach(p => pathGens.updateWith(normPath(p)) {
+        case g => Some(g.getOrElse(0L) + 1)
+      })
+    }
+  }
 }
 
 object IndexCatalog {

@@ -46,12 +46,16 @@ object MinHash {
   }
 
   /** MinHash signature over the shingle set. */
-  def signature(shingles: Array[String], numHashes: Int): Array[Long] = {
+  def signature(shingles: Array[String], numHashes: Int): Array[Long] =
+    signatureFromHashes(shingles.map(baseHash), numHashes)
+
+  /** MinHash signature over pre-hashed shingles. */
+  def signatureFromHashes(hashes: Array[Long], numHashes: Int): Array[Long] = {
     val mx = mixers(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var si = 0
-    while (si < shingles.length) {
-      val h = baseHash(shingles(si))
+    while (si < hashes.length) {
+      val h = hashes(si)
       var i = 0
       while (i < numHashes) {
         val v = mx(i)._1 * h + mx(i)._2
@@ -63,6 +67,38 @@ object MinHash {
     sig
   }
 
+  /** Distinct shingle set as SORTED 64-bit hashes — the shuffle/verify
+    * representation: a primitive long array deserializes as one memcpy
+    * where Array[String] costs a per-element UTF8String→String object
+    * churn (jstack'd as the dominant cost of the verify stage), and it is
+    * ~10× smaller on the wire. 64-bit collisions are negligible at
+    * document scale, so hash-set jaccard equals string-set jaccard. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val hs = charShingles(text, k).map(baseHash)
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** [[wordNgrams]] as sorted distinct 64-bit hashes (see
+    * [[shingleHashes]]). */
+  def wordNgramHashes(text: String, n: Int): Array[Long] = {
+    val hs = wordNgrams(text, n).map(baseHash)
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** Exact Jaccard of two SORTED hash arrays (two-pointer intersection). */
+  def jaccardHashes(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Band keys: hash of each contiguous rows-per-band slice. */
   def bands(sig: Array[Long], numBands: Int, rowsPerBand: Int): Array[Long] =
     Array.tabulate(numBands) { b =>
@@ -72,6 +108,32 @@ object MinHash {
       while (i < end) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
       h
     }
+
+  /** Distinct word n-grams (first-occurrence order) — JVM kernel twin of
+    * [[graft.ops.Dedup.wordNgrams]]; arithmetic (split on whitespace,
+    * space-joined n-grams, distinct) matches the Column formulation and
+    * the DuckDB oracle exactly. */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    val toks = text.split("\\s+")
+    if (toks.length <= n) Array(toks.mkString(" "))
+    else {
+      val set = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        set.add(toks.slice(i, i + n).mkString(" ")); i += 1
+      }
+      set.toArray
+    }
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: the fraction of
+    * agreeing components (unbiased, std ≈ sqrt(j(1-j)/k)). */
+  def estimateJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
 
   /** Exact Jaccard of two shingle sets. */
   def jaccard(a: Array[String], b: Array[String]): Double = {

@@ -61,20 +61,31 @@ object Mutations {
 
   /** Increment: add per-key deltas to numeric columns
     * (`HTable.increment`). `deltas` has (rowkey, delta cols named like
-    * base cols). Missing keys are unchanged. */
+    * base cols). Missing keys are unchanged. Multiple deltas for one key
+    * are summed before the join (`HTable.increment` applies each; a plain
+    * left join would instead duplicate the base row per delta). */
   def increment(base: DataFrame, deltas: DataFrame, rowkey: String,
       cols: Seq[String]): DataFrame = {
     val renamed = cols.foldLeft(deltas)((d, c) => d.withColumnRenamed(c, s"__d_$c"))
-    val joined = base.join(renamed, Seq(rowkey), "left")
+    val sums = cols.map(c => sum(col(s"__d_$c")).as(s"__d_$c"))
+    val agg = renamed.groupBy(col(rowkey)).agg(sums.head, sums.tail: _*)
+    val joined = base.join(agg, Seq(rowkey), "left")
     cols.foldLeft(joined) { (df, c) =>
       df.withColumn(c, col(c) + coalesce(col(s"__d_$c"), lit(0)))
     }.drop(cols.map(c => s"__d_$c"): _*)
   }
 
-  /** Append: string-concatenate per-key suffixes (`HTable.append`). */
+  /** Append: string-concatenate per-key suffixes (`HTable.append`).
+    * Multiple suffixes for one key are concatenated in lexicographic
+    * order before the join — DataFrames carry no batch order, so sorted
+    * concatenation is the deterministic reading of HBase's
+    * apply-in-batch-order (divergence documented; single-suffix batches
+    * are identical). */
   def append(base: DataFrame, suffixes: DataFrame, rowkey: String,
       column: String): DataFrame = {
     val sfx = suffixes.withColumnRenamed(column, "__sfx")
+      .groupBy(col(rowkey))
+      .agg(array_join(array_sort(collect_list(col("__sfx"))), "").as("__sfx"))
     base.join(sfx, Seq(rowkey), "left")
       .withColumn(column, concat(col(column), coalesce(col("__sfx"), lit(""))))
       .drop("__sfx")
@@ -135,17 +146,37 @@ object Mutations {
       mutated: DataFrame): Unit = {
     val entry = catalog.get(table).getOrElse(
       throw new NoSuchElementException(s"table $table not registered"))
-    val tmp = entry.basePath + ".staging"
-    mutated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: recreate base dir from staging
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val basePath = new org.apache.hadoop.fs.Path(entry.basePath)
-    fs.delete(basePath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
-    entry.indices.indices.foreach { spec =>
-      entry.indexPaths.get(spec.name).foreach { idxPath =>
-        IndexBuilder.build(spark, catalog, table, spec, idxPath)
-      }
+    val staging = new org.apache.hadoop.fs.Path(entry.basePath + ".staging")
+    val previous = new org.apache.hadoop.fs.Path(entry.basePath + ".prev")
+    mutated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // Generation-keeping swap (no pre-delete): the previous base survives
+    // as `.prev` until the new base AND every index rebuild have landed,
+    // so a crash at any point leaves at least one complete generation on
+    // disk (r01 delete-then-rename had a zero-copy window). Single-dir
+    // renames are atomic on HDFS-like stores; on object stores swap a
+    // manifest pointer instead.
+    fs.delete(previous, true)
+    if (fs.exists(basePath) && !fs.rename(basePath, previous))
+      throw new java.io.IOException(s"writeThrough: cannot stash $basePath")
+    if (!fs.rename(staging, basePath)) {
+      fs.rename(previous, basePath) // roll back to the stashed generation
+      throw new java.io.IOException(s"writeThrough: cannot commit $staging")
     }
+    try {
+      entry.indices.indices.foreach { spec =>
+        entry.indexPaths.get(spec.name).foreach { idxPath =>
+          IndexBuilder.build(spark, catalog, table, spec, idxPath)
+        }
+      }
+    } catch { case e: Throwable =>
+      // base committed but an index rebuild failed: keep `.prev` for
+      // manual recovery and surface the inconsistency loudly
+      throw new IllegalStateException(
+        s"writeThrough: base $basePath committed but index rebuild failed; " +
+          s"previous generation retained at $previous", e)
+    }
+    fs.delete(previous, true)
   }
 }

@@ -123,6 +123,59 @@ object FilterQueries extends QueryGroup {
         .toDf
     }),
 
+    // SingleColumnValueExcludeFilter (SingleColumnValueExcludeFilter.java:46):
+    // test a column, emit the row without it
+    "filter_scvf_exclude" -> ((s, dir) => {
+      Filters.singleColumnValueExclude(
+        Tables.load(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        "c_mktsegment", CompareOp.Equal, "BUILDING")
+    }),
+
+    // MultipleColumnPrefixFilter (MultipleColumnPrefixFilter.java:44):
+    // qualifiers matching ANY of several prefixes (array model)
+    "filter_multi_col_prefix" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", Filters.multipleColumnPrefix(
+            split(col("text"), " "), Seq("s", "t"))).as("st_cols"))
+    }),
+
+    // ColumnCountGetFilter (ColumnCountGetFilter.java:41): first n columns
+    "filter_col_count" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", Filters.columnCountGet(split(col("text"), " "), 4)).as("first_cols"))
+    }),
+
+    // FirstKeyValueMatchingQualifiersFilter
+    // (FirstKeyValueMatchingQualifiersFilter.java:50): row prefix up to
+    // the first matching qualifier, whole row if absent
+    "filter_first_kv_match" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", Filters.firstKeyValueMatchingQualifiers(
+            split(col("text"), " "), Seq("the", "and"))).as("until_cols"))
+    }),
+
+    // FamilyFilter + QualifierFilter (FamilyFilter.java:46,
+    // QualifierFilter.java:46): column selection by family / qualifier
+    // comparator over a two-family row (customer ⋈ nation)
+    "filter_family_qualifier" -> ((s, dir) => {
+      val joined = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+      val nFamily = Filters.familyFilter(joined, _ == "n")
+      Filters.qualifierFilter(nFamily, q => q == "nationkey" || q == "name")
+    }),
+
+    // ValueFilter (ValueFilter.java:44): keep rows where ANY of the string
+    // cells equals the comparator value
+    "filter_value_any" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+      p.filter(Filters.valueFilter(p, CompareOp.Equal, "Brand#7",
+        Seq("p_name", "p_brand", "p_type")))
+    }),
+
     // Scan DSL end-to-end: start/stop + filter + projection + reversed
     "scan_dsl_full" -> ((s, dir) => {
       Scan(Tables.load(s, dir, "orders"), "o_orderkey")
@@ -168,6 +221,25 @@ object FilterQueries extends QueryGroup {
       "SELECT event_id, event_type FROM events WHERE (event_id & 7) = 7",
     "filter_parse_dsl" ->
       "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 40 AND p_brand = 'Brand#7'",
+    "filter_scvf_exclude" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "filter_multi_col_prefix" ->
+      ("SELECT doc_id, COALESCE(array_to_string(list_filter(string_split(text, ' '), " +
+        "t -> starts_with(t, 's') OR starts_with(t, 't')), ' '), '') AS st_cols FROM documents"),
+    "filter_col_count" ->
+      ("SELECT doc_id, COALESCE(array_to_string(list_slice(string_split(text, ' '), 1, 4), ' '), '') " +
+        "AS first_cols FROM documents"),
+    "filter_first_kv_match" ->
+      ("SELECT doc_id, COALESCE(array_to_string(list_slice(string_split(text, ' '), 1, " +
+        "CAST(COALESCE(LEAST(NULLIF(list_position(string_split(text, ' '), 'the'), 0), " +
+        "NULLIF(list_position(string_split(text, ' '), 'and'), 0)), " +
+        "len(string_split(text, ' '))) AS INT)), ' '), '') AS until_cols FROM documents"),
+    "filter_family_qualifier" ->
+      ("SELECT n.n_nationkey, n.n_name FROM customer c JOIN nation n " +
+        "ON c.c_nationkey = n.n_nationkey"),
+    "filter_value_any" ->
+      ("SELECT p_partkey, p_name, p_brand, p_type FROM part " +
+        "WHERE p_name = 'Brand#7' OR p_brand = 'Brand#7' OR p_type = 'Brand#7'"),
     "scan_dsl_full" ->
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM " +
         "(SELECT * FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500 " +

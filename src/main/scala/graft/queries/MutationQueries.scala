@@ -87,7 +87,12 @@ object MutationQueries extends QueryGroup {
         Mutations.Put(puts),
         Mutations.Increment(incs, Seq("c_acctbal"))))
         .select("c_custkey", "c_acctbal", "c_nationkey")
-    })
+    }),
+
+    // Write-path index maintenance under the oracle: put+delete batch
+    // through writeThrough, read back through the rebuilt index
+    // (IndexRegionObserver.java:149-427; see GraftEngine.mutationRoundtrip)
+    "mut_indexed_roundtrip" -> ((s, dir) => graft.GraftEngine.mutationRoundtrip(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,6 +120,9 @@ object MutationQueries extends QueryGroup {
       ("SELECT c_custkey, " +
         "CASE WHEN c_custkey <= 5 THEN 0.0 ELSE c_acctbal END + " +
         "CASE WHEN c_custkey BETWEEN 100 AND 120 THEN 7.0 ELSE 0.0 END AS c_acctbal, " +
-        "c_nationkey FROM customer WHERE c_nationkey IS DISTINCT FROM 9")
+        "c_nationkey FROM customer WHERE c_nationkey IS DISTINCT FROM 9"),
+    "mut_indexed_roundtrip" ->
+      ("SELECT c_custkey, c_name, 77 AS c_nationkey FROM customer " +
+        "WHERE c_nationkey = 7 AND c_custkey % 10 <> 0")
   )
 }

@@ -116,7 +116,7 @@ object ScanQueries extends QueryGroup {
     // modular arithmetic instead of a PRNG.
     "filter_random_row" -> ((s, dir) => {
       Tables.load(s, dir, "customer")
-        .filter((col("c_custkey") * 2654435761L % 100L) < 10L)
+        .filter(graft.api.Filters.randomRow("c_custkey", 10))
         .select("c_custkey", "c_name")
     })
   )
@@ -150,6 +150,6 @@ object ScanQueries extends QueryGroup {
     "filter_substring" ->
       "SELECT p_partkey, p_type FROM part WHERE contains(p_type, 'AND')",
     "filter_random_row" ->
-      "SELECT c_custkey, c_name FROM customer WHERE (c_custkey * 2654435761) % 100 < 10"
+      "SELECT c_custkey, c_name FROM customer WHERE ((c_custkey % 1000003) * 2654435761) % 100 < 10"
   )
 }

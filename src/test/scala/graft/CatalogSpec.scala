@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+
+/** IndexCatalog persistence round-trip — the analogue of the reference's
+  * `TableIndices` write/readFields symmetry (`TableIndices.java:243-300`):
+  * a fresh catalog (fresh JVM) recovers DDL + index locations from JSON.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("name", StringType),
+    StructField("v", IntegerType), StructField("w", DoubleType)))
+
+  private def sampleDdl = TableIndices("t1", "k", Seq(
+    IndexSpec("i_plain", Seq(IndexedColumn("v", ValueType.IntT))),
+    IndexSpec("i_composite", Seq(
+      IndexedColumn("name", ValueType.StringT, 25, Some(SeparatorPartition("#", 2))),
+      IndexedColumn("v", ValueType.IntT))),
+    IndexSpec("i_spatial", Seq(
+      IndexedColumn("name", ValueType.StringT, 25, Some(SpatialPartition(3, 4)))))))
+
+  test("save/load round-trips DDL, base path, index paths, and ValuePartitions") {
+    val cat = new IndexCatalog
+    cat.register(sampleDdl, "/tmp/graft-cat/t1", schema)
+    cat.addIndexPath("t1", "i_plain", "/tmp/graft-cat/t1_idx/i_plain")
+    cat.addIndexPath("t1", "i_composite", "/tmp/graft-cat/t1_idx/i_composite")
+    // i_spatial deliberately left unbuilt (no path) — must survive as spec-only
+    val f = Files.createTempFile("graft-catalog", ".json")
+    cat.save(f.toString)
+
+    val cat2 = new IndexCatalog
+    cat2.load(f.toString)
+    val e = cat2.get("t1").getOrElse(fail("t1 missing after load"))
+    assert(e.indices === sampleDdl)
+    assert(e.basePath === "/tmp/graft-cat/t1")
+    assert(e.indexPaths === Map(
+      "i_plain" -> "/tmp/graft-cat/t1_idx/i_plain",
+      "i_composite" -> "/tmp/graft-cat/t1_idx/i_composite"))
+    // loaded paths get a fresh generation so relation caches re-list
+    assert(cat2.pathGeneration("/tmp/graft-cat/t1_idx/i_plain") >= 1)
+  }
+
+  test("load tolerates strings needing JSON escaping") {
+    val cat = new IndexCatalog
+    val ti = TableIndices("t2", "k", Seq(
+      IndexSpec("i_sep", Seq(
+        IndexedColumn("name", ValueType.StringT, 25, Some(SeparatorPartition("\"\\\n", 1)))))))
+    cat.register(ti, "/tmp/graft-cat/t2", schema)
+    val f = Files.createTempFile("graft-catalog", ".json")
+    cat.save(f.toString)
+    val cat2 = new IndexCatalog
+    cat2.load(f.toString)
+    assert(cat2.get("t2").map(_.indices) === Some(ti))
+  }
+
+  test("generation bumps on every addIndexPath (rebuild invalidation)") {
+    val cat = new IndexCatalog
+    cat.register(TableIndices("t3", "k",
+      Seq(IndexSpec("i1", Seq(IndexedColumn("v", ValueType.IntT))))),
+      "/tmp/graft-cat/t3", schema)
+    val p = "/tmp/graft-cat/t3_idx/i1"
+    assert(cat.pathGeneration(p) === 0L)
+    cat.addIndexPath("t3", "i1", p)
+    assert(cat.pathGeneration(p) === 1L)
+    cat.addIndexPath("t3", "i1", p)
+    assert(cat.pathGeneration(p) === 2L)
+  }
+}

@@ -205,6 +205,18 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(indexScans(df.queryExecution.optimizedPlan).isEmpty)
   }
 
+  test("writeThrough rebuild invalidates the index relation cache (fresh files are read)") {
+    val df1 = GraftEngine.mutationRoundtrip(spark, sfDir)
+    val n1 = df1.count()
+    assert(n1 > 0, "roundtrip must return mutated rows")
+    assert(indexScans(df1.queryExecution.optimizedPlan).exists(_.startsWith("idx_rt_nation")),
+      "read-back must go through the scratch index")
+    // second run rebuilds base+index at the same paths; a stale cached
+    // relation would resolve the previous generation's deleted files
+    val df2 = GraftEngine.mutationRoundtrip(spark, sfDir)
+    assert(df2.count() === n1)
+  }
+
   test("contradictory range yields empty result, not an error") {
     val df = managed("customer")
       .filter(col("c_nationkey") > 10 && col("c_nationkey") < 5)
