@@ -124,6 +124,73 @@ object GraftEngine {
     spark.read.parquet(tablePath(sfDir, table))
   }
 
+  /** Session-catalog names of the co-bucketed customer base/index tables
+    * for one sf dir (dots are not valid in table identifiers). */
+  private def cobucketNames(sfDir: String): (String, String) = {
+    val tag = sfTag(sfDir).replace(".", "_")
+    (s"cust_bkt_$tag", s"cust_bkt_idx_$tag")
+  }
+
+  /** Idempotently create the co-bucketed customer base + c_nationkey
+    * index tables (see [[IndexBuilder.buildCoBucketed]]). */
+  def ensureCoBucketed(spark: SparkSession, sfDir: String): Unit = {
+    ensureWarehouse(spark, sfDir)
+    val (baseT, idxT) = cobucketNames(sfDir)
+    if (!spark.catalog.tableExists(baseT) || !spark.catalog.tableExists(idxT)) {
+      IndexBuilder.buildCoBucketed(spark,
+        spark.read.parquet(tablePath(sfDir, "customer")), "c_custkey",
+        IndexSpec("idx_nation_bkt", Seq(IndexedColumn("c_nationkey", ValueType.IntT))),
+        baseT, idxT)
+    }
+  }
+
+  /** Indexed point query through the co-bucketed layout: semi-join of the
+    * bucketed base against the bucketed index — zero Exchange on either
+    * side (asserted in CoBucketSpec). */
+  def cobucketedSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureCoBucketed(spark, sfDir)
+    val (baseT, idxT) = cobucketNames(sfDir)
+    spark.table(baseT)
+      .join(spark.table(idxT).filter(col("c_nationkey") === 7).select("c_custkey"),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+  }
+
+  /** Index-aware TSV import end-to-end (`IndexImportTsv.java:43` — the
+    * reference's ImportTsv variant that builds index puts in the same
+    * job): dump a deterministic TSV, import it with
+    * [[graft.ops.BulkJobs.importTsv]], write-through into a registered
+    * managed table (base + index in one job), then read back THROUGH the
+    * index. The probe value (nationkey 88) only exists in the imported
+    * rows. */
+  def importTsvIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{BulkJobs, Mutations}
+    import org.apache.spark.sql.types._
+    val catalog = ensureWarehouse(spark, sfDir)
+    val table = tableKey(sfDir, "tsvrt")
+    val basePath = tablePath(sfDir, "tsvrt")
+    val src = spark.read.parquet(tablePath(sfDir, "customer"))
+    src.write.mode(SaveMode.Overwrite).parquet(basePath)
+    val spec = IndexSpec("idx_tsv_nation", Seq(IndexedColumn("c_nationkey", ValueType.IntT)))
+    catalog.register(TableIndices(table, "c_custkey", Seq(spec)), basePath, src.schema)
+    IndexBuilder.build(spark, catalog, table, spec,
+      s"$warehouseRoot/${sfTag(sfDir)}/tsvrt_idx/${spec.name}")
+    // the TSV to import: customers <= 200 re-keyed to nationkey 88
+    val tsvDir = s"$warehouseRoot/${sfTag(sfDir)}/tsvrt_in"
+    src.filter(col("c_custkey") <= 200)
+      .withColumn("c_nationkey", lit(88))
+      .write.mode(SaveMode.Overwrite).option("sep", "\t").csv(tsvDir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val imported = BulkJobs.importTsv(spark, tsvDir, schema)
+    Mutations.writeThrough(spark, catalog, table,
+      Mutations.put(spark.read.parquet(basePath), imported, "c_custkey"))
+    spark.read.parquet(basePath).filter(col("c_nationkey") === 88)
+      .select("c_custkey", "c_name", "c_nationkey")
+  }
+
   /** Write-path index maintenance end-to-end (the reference's defining
     * write feature: synchronous index update on Put/Delete,
     * `IndexRegionObserver.java:149-427`): copy the managed customer table

@@ -21,6 +21,7 @@ object RunOne {
       .config("spark.sql.files.maxPartitionBytes", s"${1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", "0")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

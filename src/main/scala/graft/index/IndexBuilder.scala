@@ -55,6 +55,27 @@ object IndexBuilder {
     catalog.addIndexPath(table, spec.name, outPath)
   }
 
+  /** Co-bucketed base + index layout — the SecIndexLoadBalancer invariant
+    * (`SecIndexLoadBalancer.java:63-705` keeps each index region on the
+    * same server as its data region): both tables are bucketed AND sorted
+    * by rowkey with the same bucket count, so the index→data semi-join is
+    * exchange-free (bucket-zipped sort-merge). This is the layout for the
+    * HIGH-selectivity regime at 100 TB: when the filtered index result is
+    * too large to broadcast, the co-bucketed join avoids shuffling the
+    * base table entirely. Trade-off vs the range-partitioned layout of
+    * [[build]]: the index is ordered by rowkey, not value, so value-range
+    * file pruning is lost — keep both layouts and pick per workload.
+    */
+  def buildCoBucketed(spark: SparkSession, base: DataFrame, rowkey: String,
+      spec: IndexSpec, baseTable: String, indexTable: String,
+      buckets: Int = 8): Unit = {
+    base.write.format("parquet").bucketBy(buckets, rowkey).sortBy(rowkey)
+      .mode(SaveMode.Overwrite).saveAsTable(baseTable)
+    indexDf(spark.table(baseTable), rowkey, spec)
+      .write.format("parquet").bucketBy(buckets, rowkey).sortBy(rowkey)
+      .mode(SaveMode.Overwrite).saveAsTable(indexTable)
+  }
+
   /** Build every declared index of a table (DDL `createTable` +
     * `TableIndexer` in one call). */
   def buildAll(spark: SparkSession, catalog: IndexCatalog, table: String,

@@ -23,11 +23,15 @@ import org.apache.spark.sql.types.StructType
   */
 final class IndexCatalog {
 
-  /** table name -> (definition, base path, index name -> index data path) */
+  /** table name -> (definition, base path, index name -> index data path,
+    * enabled flag — a disabled table's indices are invisible to the
+    * planner, the analogue of the reference disabling index regions
+    * together with the user table). */
   final case class Entry(
       indices: TableIndices,
       basePath: String,
-      indexPaths: Map[String, String])
+      indexPaths: Map[String, String],
+      enabled: Boolean = true)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -74,6 +78,29 @@ final class IndexCatalog {
     }
   }
 
+  /** Enable/disable propagation (`IndexMasterObserver.postEnableTableHandler
+    * / postDisableTableHandler`): the reference enables/disables the index
+    * table whenever the user table flips; here the flag gates the planner,
+    * so a disabled table's queries run as full scans while its data stays
+    * intact. */
+  def setEnabled(table: String, enabled: Boolean): Unit =
+    entries.updateWith(table) {
+      case Some(e) => Some(e.copy(enabled = enabled))
+      case None    => throw new NoSuchElementException(s"table $table not registered")
+    }
+
+  /** Add an index to an existing table, with the same DDL validation as
+    * registration (`IndexMasterObserver.preModifyTable` add-diff path) —
+    * call [[IndexBuilder.build]] afterwards to materialize + publish it. */
+  def addIndex(table: String, spec: IndexSpec, schema: StructType): Unit =
+    entries.updateWith(table) {
+      case Some(e) =>
+        val ti = e.indices.copy(indices = e.indices.indices :+ spec)
+        validate(ti, schema)
+        Some(e.copy(indices = ti))
+      case None => throw new NoSuchElementException(s"table $table not registered")
+    }
+
   /** Drop an index (postModifyTableHandler diff semantics,
     * IndexMasterObserver.java:133). */
   def dropIndex(table: String, indexName: String): Unit =
@@ -115,7 +142,7 @@ final class IndexCatalog {
         }.mkString("[", ",", "]")
         s"""{"name":${jstr(s.name)},"columns":$cols,"path":${jstr(e.indexPaths.getOrElse(s.name, ""))}}"""
       }.mkString("[", ",", "]")
-      s"  ${jstr(t)}: {\"rowkey\":${jstr(e.indices.rowkey)},\"basePath\":${jstr(e.basePath)},\"indices\":$idxs}"
+      s"  ${jstr(t)}: {\"rowkey\":${jstr(e.indices.rowkey)},\"basePath\":${jstr(e.basePath)},\"enabled\":${e.enabled},\"indices\":$idxs}"
     }
     sb.append(es.mkString(",\n")).append("\n}\n")
     val p: Path = Paths.get(path)
@@ -168,7 +195,8 @@ final class IndexCatalog {
         if (p.nonEmpty) paths += in.get("name").asText -> p
       }
       val ti = TableIndices(t.getKey, node.get("rowkey").asText, specsB.result())
-      entries.put(t.getKey, Entry(ti, node.get("basePath").asText, paths))
+      val enabled = Option(node.get("enabled")).forall(_.asBoolean)
+      entries.put(t.getKey, Entry(ti, node.get("basePath").asText, paths, enabled))
       paths.values.foreach(p => pathGens.updateWith(normPath(p)) {
         case g => Some(g.getOrElse(0L) + 1)
       })

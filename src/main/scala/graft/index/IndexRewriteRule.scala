@@ -107,6 +107,7 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
     for {
       path <- relationPath(rel)
       entry <- catalog.lookupByBasePath(path)
+      if entry.enabled // disabled table → full scan (enable/disable propagation)
       rowkeyAttr <- rel.output.find(_.name == entry.indices.rowkey)
       available = entry.indices.indices.filter(s => entry.indexPaths.contains(s.name))
       usable = forced.map(f => available.filter(s => f.contains(s.name))).getOrElse(available)

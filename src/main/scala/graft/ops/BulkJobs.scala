@@ -50,6 +50,31 @@ object BulkJobs {
     out.write.mode(SaveMode.Overwrite).parquet(destPath)
   }
 
+  /** WALPlayer (`WALPlayer.java`) analogue: replay an ordered mutation
+    * log into a table. The engine has no write-ahead log (Spark jobs are
+    * deterministically re-runnable, which is the recovery story WALs
+    * exist for) — what WALPlayer actually DOES for a user is apply a
+    * sequenced stream of put/delete edits to a table, and that is
+    * expressible exactly: the last edit per rowkey (by `seqCol`, the WAL
+    * sequence id) decides the final state — a put upserts the carried
+    * row, a delete removes the key. One window + one merge, no
+    * driver-side iteration. */
+  def walPlayer(base: DataFrame, log: DataFrame, rowkey: String,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(rowkey)).orderBy(col(seqCol).desc)
+    val last = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val puts = last.filter(lower(col(opCol)) === "put").drop(opCol, seqCol)
+    val dels = last.filter(lower(col(opCol)) === "delete").select(rowkey)
+    Mutations.delete(Mutations.put(base, puts, rowkey), dels, rowkey)
+  }
+
+  /** MultiTableInputFormat (`MultiTableInputFormat.java`): one scan over
+    * several tables — aligned projections unioned. */
+  def multiTableScan(scans: Seq[DataFrame]): DataFrame =
+    scans.reduce(_ unionByName _)
+
   /** RowCounter (`RowCounter.java`). */
   def rowCount(df: DataFrame): Long = df.count()
 

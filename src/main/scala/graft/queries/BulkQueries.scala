@@ -31,6 +31,39 @@ object BulkQueries extends QueryGroup {
         StructField("n_regionkey", IntegerType))))
     }),
 
+    // IndexImportTsv (IndexImportTsv.java:43): TSV import + write-through
+    // index build in one job, read back through the index
+    "bulk_import_tsv_indexed" -> ((s, dir) => graft.GraftEngine.importTsvIndexed(s, dir)),
+
+    // WALPlayer (WALPlayer.java): replay a sequenced put/delete edit log;
+    // last edit per rowkey decides the final state
+    "bulk_wal_replay" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val cols = base.columns.map(col)
+      val e1 = base.filter(col("c_custkey") <= 30)
+        .withColumn("c_acctbal", lit(0.0))
+        .select(lit("put").as("op") +: lit(1L).as("seq") +: cols: _*)
+      val e2 = base.filter(col("c_custkey") <= 30 && col("c_custkey") % 3 === 0)
+        .select(lit("delete").as("op") +: lit(2L).as("seq") +: cols: _*)
+      val e3 = base.filter(col("c_custkey") <= 30 && col("c_custkey") % 3 === 1)
+        .withColumn("c_acctbal", lit(50.0))
+        .select(lit("put").as("op") +: lit(3L).as("seq") +: cols: _*)
+      BulkJobs.walPlayer(base, e1.unionByName(e2).unionByName(e3), "c_custkey")
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    // MultiTableInputFormat (MultiTableInputFormat.java): one job scanning
+    // several tables with aligned projections
+    "bulk_multi_table" -> ((s, dir) => {
+      BulkJobs.multiTableScan(Seq(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("name"),
+            lit("customer").as("src")),
+        Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("key"), col("s_name").as("name"),
+            lit("supplier").as("src"))))
+    }),
+
     // Export → Import round-trip (Export.java / Import.java)
     "bulk_export_import" -> ((s, dir) => {
       val out = s"/root/repo/target/graft-warehouse/export_${dir.replaceAll(".*/", "")}/region"
@@ -82,6 +115,15 @@ object BulkQueries extends QueryGroup {
         "count(s_nationkey) AS cells_s_nationkey, count(s_acctbal) AS cells_s_acctbal FROM supplier"),
     "bulk_import_tsv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "bulk_import_tsv_indexed" ->
+      "SELECT c_custkey, c_name, 88 AS c_nationkey FROM customer WHERE c_custkey <= 200",
+    "bulk_wal_replay" ->
+      ("SELECT c_custkey, CASE WHEN c_custkey <= 30 THEN " +
+        "(CASE WHEN c_custkey % 3 = 1 THEN 50.0 ELSE 0.0 END) ELSE c_acctbal END AS c_acctbal " +
+        "FROM customer WHERE NOT (c_custkey <= 30 AND c_custkey % 3 = 0)"),
+    "bulk_multi_table" ->
+      ("SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer " +
+        "UNION ALL SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src FROM supplier"),
     "bulk_export_import" ->
       "SELECT * FROM region",
     "bulk_copy_table" ->

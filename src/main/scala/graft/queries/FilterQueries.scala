@@ -115,6 +115,25 @@ object FilterQueries extends QueryGroup {
         .toDf
     }),
 
+    // BitComparator XOR mode (BitComparator.java:34): value ^ mask != 0
+    // excludes exact-mask values
+    "filter_bit_xor" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "events"), "event_id")
+        .setFilter(Filters.bitXor("event_id", 1024L))
+        .addColumns("event_id", "event_type")
+        .toDf
+    }),
+
+    // NullComparator (NullComparator.java:35) over delete-column
+    // tombstones: rows whose cell was nulled by the tombstone
+    "filter_null_value" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val keys = base.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      graft.ops.Mutations.deleteColumns(base, keys, "c_custkey", Seq("c_acctbal"))
+        .filter(Filters.isNullValue("c_acctbal"))
+        .select("c_custkey", "c_mktsegment")
+    }),
+
     // ParseFilter (ParseFilter.java:52): string DSL → predicate
     "filter_parse_dsl" -> ((s, dir) => {
       Scan(Tables.load(s, dir, "part"), "p_partkey")
@@ -221,6 +240,10 @@ object FilterQueries extends QueryGroup {
       "SELECT event_id, event_type FROM events WHERE (event_id & 7) = 7",
     "filter_parse_dsl" ->
       "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 40 AND p_brand = 'Brand#7'",
+    "filter_bit_xor" ->
+      "SELECT event_id, event_type FROM events WHERE xor(event_id, 1024) <> 0",
+    "filter_null_value" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "filter_scvf_exclude" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
     "filter_multi_col_prefix" ->

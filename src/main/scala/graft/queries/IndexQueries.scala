@@ -90,6 +90,12 @@ object IndexQueries extends QueryGroup {
         .select("c_custkey", "c_name", "c_nationkey")
     }),
 
+    // Co-bucketed base+index semi-join (SecIndexLoadBalancer colocation
+    // analogue, SecIndexLoadBalancer.java:63): same rows as idx_point but
+    // through the exchange-free bucket-zipped layout (CoBucketSpec
+    // asserts the plan shape)
+    "idx_cobucket_point" -> ((s, dir) => graft.GraftEngine.cobucketedSemiJoin(s, dir)),
+
     // NO_INDEX path (NoIndexExpression, .../client/NoIndexExpression.java):
     // same predicate as idx_point but reading the unmanaged source table —
     // a true full scan; results must match the indexed path exactly.
@@ -118,6 +124,8 @@ object IndexQueries extends QueryGroup {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey >= 100 AND o_custkey < 120",
     "idx_in_list" ->
       "SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey IN (1, 5, 9)",
+    "idx_cobucket_point" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7",
     "idx_value_partition_sep" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE string_split(c_name, '#')[2] = '000000049'",
     "idx_value_partition_spatial" ->

@@ -59,6 +59,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat2.get("t2").map(_.indices) === Some(ti))
   }
 
+  test("addIndex validates against the schema and extends the DDL (add-then-build flow)") {
+    val cat = new IndexCatalog
+    cat.register(TableIndices("t4", "k",
+      Seq(IndexSpec("i1", Seq(IndexedColumn("v", ValueType.IntT))))),
+      "/tmp/graft-cat/t4", schema)
+    cat.addIndex("t4", IndexSpec("i2", Seq(IndexedColumn("w", ValueType.DoubleT))), schema)
+    assert(cat.get("t4").get.indices.indices.map(_.name) === Seq("i1", "i2"))
+    // unknown column rejected with the registration-time validation
+    intercept[IllegalArgumentException] {
+      cat.addIndex("t4", IndexSpec("i3", Seq(IndexedColumn("nope", ValueType.IntT))), schema)
+    }
+    // duplicate index name rejected (TableIndices invariant)
+    intercept[IllegalArgumentException] {
+      cat.addIndex("t4", IndexSpec("i1", Seq(IndexedColumn("v", ValueType.IntT))), schema)
+    }
+  }
+
   test("generation bumps on every addIndexPath (rebuild invalidation)") {
     val cat = new IndexCatalog
     cat.register(TableIndices("t3", "k",

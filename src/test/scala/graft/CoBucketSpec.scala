@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape proof for the co-bucketed base+index layout (the
+  * SecIndexLoadBalancer colocation invariant): the index→data semi-join
+  * runs with ZERO shuffle exchanges — each base bucket zips with the
+  * matching index bucket. Broadcast and AQE are disabled so the test pins
+  * the worst case (index result too big to broadcast), which is exactly
+  * the regime this layout exists for at 100 TB.
+  */
+class CoBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-bkt-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .appName("CoBucketSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftEngine.ensureCoBucketed(spark, sfDir)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("co-bucketed semi-join has no Exchange on either side") {
+    val df = GraftEngine.cobucketedSemiJoin(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free bucket join:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("co-bucketed result equals the straight filter") {
+    val got = GraftEngine.cobucketedSemiJoin(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_nationkey") === 7)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .collect().map(_.toString).sorted
+    assert(got === expected)
+  }
+}

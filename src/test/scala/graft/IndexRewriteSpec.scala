@@ -217,6 +217,20 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df2.count() === n1)
   }
 
+  test("disable/enable propagation: a disabled table's queries run as full scans") {
+    val cat = GraftEngine.ensureWarehouse(spark, sfDir)
+    val key = s"customer@sf0.001"
+    cat.setEnabled(key, enabled = false)
+    try {
+      val df = managed("customer").filter(col("c_nationkey") === 7)
+      assert(indexScans(df.queryExecution.optimizedPlan).isEmpty,
+        "disabled table must not be index-rewritten")
+    } finally cat.setEnabled(key, enabled = true)
+    val df2 = managed("customer").filter(col("c_nationkey") === 7)
+    assert(indexScans(df2.queryExecution.optimizedPlan).nonEmpty,
+      "re-enabled table must be index-rewritten again")
+  }
+
   test("contradictory range yields empty result, not an error") {
     val df = managed("customer")
       .filter(col("c_nationkey") > 10 && col("c_nationkey") < 5)

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+
+/** Port of the reference's A1 multi-index planner scenarios
+  * (`TestMultipleIndicesInScan.java:111-150` fixture: sparse columns
+  * c1..c6, indices idx1(c3,c4,c5,c6), idx2(c1), idx3(c2), idx4(c2,c1)) —
+  * asserts WHICH indices the planner chooses (exact-arity beats superset,
+  * fewer-indices-wins, non-leading promotion through a covered prefix,
+  * range-ends-the-prefix) and that results equal the unindexed scan.
+  */
+class MultiIndexScenarioSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val catalog = new IndexCatalog
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("MultiIndexScenarioSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildFixture()
+    GraftEngine.install(spark, catalog)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private var basePath: String = _
+
+  /** Rows mirror putforIDX1/2/3 calls of the reference test: idx1 rows
+    * carry c3..c6, idx2 rows c1='apple', idx3 rows c2='bat'; row4 carries
+    * all three shapes, row9 idx1+idx2. */
+  private def buildFixture(): Unit = {
+    val root = Files.createTempDirectory("graft-a1").toString
+    basePath = s"$root/multi_index"
+    val schema = StructType(
+      StructField("rowkey", StringType) +:
+        (1 to 6).map(i => StructField(s"c$i", StringType, nullable = true)))
+    def idx1(rk: String) = Row(rk, null, null, "cat", "dog", "ele", "fan")
+    def idx2(rk: String) = Row(rk, "apple", null, null, null, null, null)
+    def idx3(rk: String) = Row(rk, null, "bat", null, null, null, null)
+    val rows = Seq(
+      idx1("row0"), idx1("row1"), idx2("row2"), idx3("row3"),
+      Row("row4", "apple", "bat", "cat", "dog", "ele", "fan"),
+      idx1("row5"), idx1("row6"), idx2("row7"), idx3("row8"),
+      Row("row9", "apple", null, "cat", "dog", "ele", "fan"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    df.write.mode(SaveMode.Overwrite).parquet(basePath)
+    val specs = Seq(
+      IndexSpec("idx1", Seq("c3", "c4", "c5", "c6").map(c =>
+        IndexedColumn(c, ValueType.StringT, 10))),
+      IndexSpec("idx2", Seq(IndexedColumn("c1", ValueType.StringT, 10))),
+      IndexSpec("idx3", Seq(IndexedColumn("c2", ValueType.StringT, 10))),
+      IndexSpec("idx4", Seq(
+        IndexedColumn("c2", ValueType.StringT, 10),
+        IndexedColumn("c1", ValueType.StringT, 10))))
+    catalog.register(TableIndices("multi_index", "rowkey", specs), basePath, schema)
+    specs.foreach(s =>
+      IndexBuilder.build(spark, catalog, "multi_index", s, s"$root/multi_index_idx/${s.name}"))
+  }
+
+  private def table: DataFrame = spark.read.parquet(basePath)
+
+  private def chosenIndices(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).filter(_.contains("_idx/"))
+            .map(_.replaceAll(".*_idx/", ""))
+        case _ => Seq.empty[String]
+      }
+    }.flatten.toSet
+
+  test("A1 and-or combination: (c1|c2) AND c3..c6 uses idx1 + OR(idx2, idx3)") {
+    val df = table.filter(
+      (col("c1") === "apple" || col("c2") === "bat") &&
+        col("c3") === "cat" && col("c4") === "dog" &&
+        col("c5") === "ele" && col("c6") === "fan")
+    assert(chosenIndices(df) === Set("idx1", "idx2", "idx3"),
+      s"chose ${chosenIndices(df)}\n${df.queryExecution.optimizedPlan}")
+    // reference asserts exactly 2 surviving rows (row4, row9)
+    assert(df.select("rowkey").collect().map(_.getString(0)).sorted === Array("row4", "row9"))
+  }
+
+  test("A1 c2 AND c1: one composite idx4 beats the idx2+idx3 pair (fewer indices)") {
+    val df = table.filter(col("c2") === "bat" && col("c1") === "apple")
+    assert(chosenIndices(df) === Set("idx4"), s"chose ${chosenIndices(df)}")
+    assert(df.select("rowkey").collect().map(_.getString(0)) === Array("row4"))
+  }
+
+  test("A1 c2 only: exact-arity idx3 beats superset idx4") {
+    val df = table.filter(col("c2") === "bat")
+    assert(chosenIndices(df) === Set("idx3"), s"chose ${chosenIndices(df)}")
+    assert(df.select("rowkey").collect().map(_.getString(0)).sorted
+      === Array("row3", "row4", "row8"))
+  }
+
+  test("A1 c1 through idx4's non-leading position: promoted only when c2 covers the prefix") {
+    // c1 alone: idx4 unusable (leading c2 absent) → idx2
+    assert(chosenIndices(table.filter(col("c1") === "apple")) === Set("idx2"))
+    // c2 EQ + c1 RANGE: idx4 serves both (EQ prefix + trailing range)
+    val df = table.filter(col("c2") === "bat" && col("c1") >= "a")
+    assert(chosenIndices(df) === Set("idx4"), s"chose ${chosenIndices(df)}")
+    assert(df.select("rowkey").collect().map(_.getString(0)) === Array("row4"))
+  }
+
+  test("A1 non-leading column alone is never indexed (no promotion without prefix)") {
+    assert(chosenIndices(table.filter(col("c4") === "dog")).isEmpty)
+  }
+
+  test("A1 range ends the usable prefix: c2 RANGE + c1 EQ splits into idx3 ∩ idx2") {
+    val df = table.filter(col("c2") >= "b" && col("c1") === "apple")
+    // range on c2 closes idx4's prefix after one column, so the planner
+    // prefers exact-arity idx3 for the range and intersects idx2 for c1
+    assert(chosenIndices(df) === Set("idx3", "idx2"), s"chose ${chosenIndices(df)}")
+    assert(df.select("rowkey").collect().map(_.getString(0)) === Array("row4"))
+  }
+
+  test("A1 results always equal the unindexed scan (superset + residual re-check)") {
+    val preds = Seq(
+      (col("c1") === "apple" || col("c2") === "bat") && col("c3") === "cat",
+      col("c2") === "bat" && col("c1") === "apple",
+      col("c2") >= "b" && col("c1") >= "a",
+      col("c3") === "cat" && col("c4") === "dog" && col("c5") === "ele")
+    preds.foreach { p =>
+      val indexed = table.filter(p).select("rowkey").collect().map(_.getString(0)).sorted
+      spark.conf.set("graft.index.enabled", "false")
+      val full = try table.filter(p).select("rowkey").collect().map(_.getString(0)).sorted
+        finally spark.conf.set("graft.index.enabled", "true")
+      assert(indexed === full, s"mismatch for $p")
+    }
+  }
+}
