@@ -95,8 +95,9 @@ object GraftEngine {
           val src = spark.read.parquet(s"$sfDir/$table.parquet")
           val marker = Paths.get(basePath, "_SUCCESS")
           if (!Files.exists(marker)) {
-            // rowkey-sorted base (HBase: rows sorted by rowkey within regions)
-            src.repartitionByRange(8, col(rowkey))
+            // rowkey-sorted base (HBase: rows sorted by rowkey within
+            // regions); file count sized by volume, 128MB per range file
+            src.repartitionByRange(IndexBuilder.sizedPartitions(src), col(rowkey))
               .sortWithinPartitions(rowkey)
               .write.mode(SaveMode.Overwrite).parquet(basePath)
           }
@@ -137,6 +138,14 @@ object GraftEngine {
     ensureWarehouse(spark, sfDir)
     val (baseT, idxT) = cobucketNames(sfDir)
     if (!spark.catalog.tableExists(baseT) || !spark.catalog.tableExists(idxT)) {
+      // a previous JVM may have left the managed locations behind without
+      // catalog metadata (in-memory catalog): clear them so saveAsTable
+      // can recreate (content is deterministic)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      Seq(baseT, idxT).filterNot(spark.catalog.tableExists).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(wh, t)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
       IndexBuilder.buildCoBucketed(spark,
         spark.read.parquet(tablePath(sfDir, "customer")), "c_custkey",
         IndexSpec("idx_nation_bkt", Seq(IndexedColumn("c_nationkey", ValueType.IntT))),

@@ -26,9 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object IndexBuilder {
 
-  /** Default target file count; callers sizing for a cluster should pass
-    * max(32, indexBytes / 128MB). */
+  /** Minimum target file count (local parallelism floor). */
   val DefaultPartitions = 8
+
+  /** Partition count sized from Catalyst plan statistics: one range file
+    * per ~128 MB of input, never below the floor — at 100 TB this yields
+    * ~800k files of index data spread by value range; locally it stays at
+    * the floor. Callers can still pass an explicit count. */
+  def sizedPartitions(df: DataFrame, floor: Int = DefaultPartitions): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = bytes / (128L * 1024 * 1024) + 1
+    math.max(floor, target.min(1 << 20).toInt)
+  }
 
   def indexDf(base: DataFrame, rowkey: String, spec: IndexSpec): DataFrame = {
     val cols = spec.columns.map(ic => ic.indexExpr(base(ic.column)).as(ic.indexColName))
@@ -36,20 +45,23 @@ object IndexBuilder {
       .filter(col(spec.indexColNames.head).isNotNull)
   }
 
-  /** Build one index and register its path in the catalog. */
+  /** Build one index and register its path in the catalog.
+    * `numPartitions < 0` (the default) sizes the range-file count from
+    * the index projection's plan statistics ([[sizedPartitions]]). */
   def build(
       spark: SparkSession,
       catalog: IndexCatalog,
       table: String,
       spec: IndexSpec,
       outPath: String,
-      numPartitions: Int = DefaultPartitions): Unit = {
+      numPartitions: Int = -1): Unit = {
     val entry = catalog.get(table).getOrElse(
       throw new NoSuchElementException(s"table $table not registered"))
     val base = spark.read.parquet(entry.basePath)
     val df = indexDf(base, entry.indices.rowkey, spec)
+    val parts = if (numPartitions > 0) numPartitions else sizedPartitions(df)
     val sortCols = spec.indexColNames.map(col) :+ col(entry.indices.rowkey)
-    df.repartitionByRange(numPartitions, spec.indexColNames.map(col): _*)
+    df.repartitionByRange(parts, spec.indexColNames.map(col): _*)
       .sortWithinPartitions(sortCols: _*)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     catalog.addIndexPath(table, spec.name, outPath)
@@ -79,7 +91,7 @@ object IndexBuilder {
   /** Build every declared index of a table (DDL `createTable` +
     * `TableIndexer` in one call). */
   def buildAll(spark: SparkSession, catalog: IndexCatalog, table: String,
-      indexRoot: String, numPartitions: Int = DefaultPartitions): Unit = {
+      indexRoot: String, numPartitions: Int = -1): Unit = {
     val entry = catalog.get(table).getOrElse(
       throw new NoSuchElementException(s"table $table not registered"))
     entry.indices.indices.foreach { spec =>

@@ -175,27 +175,43 @@ object IndexSelection {
       .sortBy(c => (-c.leaves.size, c.spec.columns.size, c.spec.name))
       .headOption
 
-  /** Multi-index AND combination: greedily add indices that cover columns
-    * no previous pick covered (bounded port of the reference's breakup
-    * search `:853-1028`; greedy is superset-safe where the exhaustive
-    * search is only "better"). Capped at 3 indices like the practical
-    * depth of the reference tests. */
+  /** Width cap on multi-index AND groups — the practical depth of the
+    * reference's breakup search and its tests. */
+  val MaxIndicesPerConjunction = 3
+  /** Candidate-pool cap keeping the subset enumeration tiny
+    * (C(8,3) = 56 groups worst case). */
+  private val MaxCandidatePool = 8
+
+  /** Multi-index AND combination: bounded exhaustive breakup search — the
+    * port of `ScanFilterEvaluator.getColsBreakUps` + combination scoring
+    * (`:853-1028`). All groups of at most [[MaxIndicesPerConjunction]]
+    * usable indices are enumerated and compared by the reference's
+    * better-group ordering (`isIndicesGroupBetterThanCurBest:698-726`):
+    * (1) more predicate columns resolved, (2) fewer indices, (3) lower
+    * net cardinality (sum of index arities), with index names as the
+    * deterministic tie-break. Greedy (r1) missed groups like {B(c1),
+    * C(c2,c3)} when a superset A(c1,c2) shadowed the first pick; the
+    * enumeration cannot. Overlapping column coverage inside a group is
+    * allowed — every leaf is a true predicate, so overlap only tightens
+    * each scan (superset semantics are preserved either way). */
   def selectForConjunction(byCol: Map[String, Seq[Leaf]], indices: Seq[IndexSpec]): Option[RowkeyPlan] = {
-    var remaining = byCol
-    val picks = Seq.newBuilder[IndexScan]
-    var n = 0
-    var continue = true
-    while (continue && n < 3 && remaining.nonEmpty) {
-      bestFor(remaining, indices) match {
-        case Some(c) =>
-          picks += IndexScan(c.spec, c.leaves)
-          remaining = remaining -- c.coveredCols
-          n += 1
-        case None => continue = false
-      }
-    }
-    picks.result() match {
-      case Seq() => None
+    val pool = indices.flatMap(s => usableLeaves(s, byCol).map(Candidate(s, _)))
+      .sortBy(c => (-c.leaves.size, c.spec.columns.size, c.spec.name))
+      .take(MaxCandidatePool)
+    if (pool.isEmpty) return None
+    // (resolved cols desc, group size asc, net arity asc, names) — smaller
+    // tuple = better group under the reference ordering
+    def score(g: Seq[Candidate]): (Int, Int, Int, String) =
+      (-g.flatMap(_.coveredCols).toSet.size, g.size,
+        g.map(_.spec.columns.size).sum, g.map(_.spec.name).sorted.mkString(","))
+    val groups = (1 to math.min(MaxIndicesPerConjunction, pool.size))
+      .iterator.flatMap(k => pool.combinations(k))
+      // drop groups with a redundant member (its columns covered by the
+      // rest) — they can never beat the reduced group under the ordering
+      .filter(g => g.size == 1 || g.forall(c =>
+        !c.coveredCols.subsetOf(g.filterNot(_ eq c).flatMap(_.coveredCols).toSet)))
+    val best = groups.minBy(score)
+    best.map(c => IndexScan(c.spec, c.leaves)) match {
       case Seq(one) => Some(one)
       case many => Some(AndMerge(many))
     }

@@ -140,6 +140,55 @@ object Similarity {
     rankTopK(partial, qidCol, idCol, k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the learned-centroid variant
+    * of [[lshTopK]]: corpus vectors are assigned to their nearest of
+    * `nCentroids` centroids (the inverted lists); each query probes only
+    * its `nProbe` nearest lists. Centroids are trained deterministically
+    * with a few Lloyd rounds on a bounded id-ordered sample, so results
+    * are reproducible. At 100 TB: train once, persist the corpus
+    * partitioned by list id, and each query batch touches
+    * nProbe/nCentroids of the data — same fused single-pass shape as
+    * lshTopK here, with the assignment as the bucket function. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = collectQueries(queries, qidCol, qvecCol)
+    // deterministic training sample: first nCentroids*32 vectors by id
+    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .orderBy(col(idCol)).limit(nCentroids * 32).collect().map(_._2)
+    val centroids = VecKernel.kmeans(sample, nCentroids, lloydIters)
+    val probes: Map[Int, Array[Int]] = qs.indices
+      .flatMap(qi => VecKernel.nearestCentroids(qs(qi)._2, centroids, nProbe)
+        .map(c => c -> qi))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+    val qb = spark.sparkContext.broadcast((qs, centroids, probes))
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (queries, cents, probeMap) = qb.value
+        val heaps = Array.fill(queries.length)(new VecKernel.TopK(k))
+        it.foreach { case (id, v) =>
+          val list = VecKernel.nearestCentroids(v, cents, 1)(0)
+          probeMap.get(list).foreach { qis =>
+            val nv = VecKernel.norm(v)
+            qis.foreach { qi =>
+              val (_, qv, qn) = queries(qi)
+              heaps(qi).offer(VecKernel.dot(v, qv) / (nv * qn), id)
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (sim, id) => (queries(qi)._1, id, sim) }
+        }
+      }.toDF(qidCol, idCol, "__sim")
+    rankTopK(partial, qidCol, idCol, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * LSH signature (candidates share a bucket) — the embedding flavour of
     * [[Dedup]]. Exact cosine verify on candidates only; the signature

@@ -64,6 +64,41 @@ object VecKernel {
     sig
   }
 
+  /** A few Lloyd rounds of cosine k-means over an in-memory sample —
+    * deterministic (first-k init, fixed iteration order), good enough for
+    * IVF list assignment; not a general clustering API. */
+  def kmeans(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "kmeans needs a non-empty sample")
+    val dim = sample(0).length
+    var cents = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val c = nearestCentroids(v, cents, 1)(0)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** Indices of the `n` centroids nearest to `v` by cosine. */
+  def nearestCentroids(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
+    val nv = norm(v)
+    cents.indices
+      .map(c => c -> dot(v, cents(c)) / (nv * norm(cents(c)) + 1e-12))
+      .sortBy { case (c, s) => (-s, c) }
+      .take(n).map(_._1).toArray
+  }
+
   /** Bounded worst-first queue for top-k by (sim desc, id asc). */
   final class TopK(k: Int) {
     // head = worst kept entry: lowest sim, then highest id

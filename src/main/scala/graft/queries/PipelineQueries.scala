@@ -40,6 +40,14 @@ object PipelineQueries extends QueryGroup {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
+    // BPE-ish pre-tokenizer (word pieces + punctuation as tokens)
+    "text_bpe_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.bpeIshTokens(col("text"))).as("n_bpe"),
+          size(array_distinct(TextFunctions.bpeIshTokens(col("text")))).as("n_bpe_distinct"))
+    }),
+
     // ---- deduplication -------------------------------------------------
     // exact dedup on the token-bag fingerprint (word-salad docs collide on
     // bags, not raw text)
@@ -94,9 +102,26 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10, planes = 6)
     }),
 
-    // embedding-cosine near-dup pairs, LSH-blocked (rows-only)
+    // IVF-bucketed approximate top-k: learned-centroid inverted lists,
+    // nProbe lists probed per query (rows-only; recall in DedupSpec)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4)
+    }),
+
+    // embedding-cosine near-dup pairs, LSH-blocked (rows-only). The
+    // synthetic embeddings have no true near-dups (max pairwise cosine
+    // ≈ 0.51 at sf0.01), so exact copies of the first 20 vectors are
+    // planted deterministically — the operator must recover exactly
+    // those pairs at sim 1.0 through the LSH blocking.
     "dedup_embedding" -> ((s, dir) => {
-      Similarity.cosineNearDups(Tables.load(s, dir, "embeddings"),
+      val emb = Tables.load(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      Similarity.cosineNearDups(emb.unionByName(planted),
         "vec_id", "embedding", threshold = 0.95, planes = 6)
     })
   )
@@ -130,6 +155,10 @@ object PipelineQueries extends QueryGroup {
         "FROM documents"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "text_bpe_stats" ->
+      ("SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe, " +
+        "len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))) AS n_bpe_distinct " +
+        "FROM documents"),
     "dedup_exact_bag" ->
       ("SELECT doc_id, min(doc_id) OVER (PARTITION BY " +
         "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keep_id " +

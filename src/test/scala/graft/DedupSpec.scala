@@ -125,6 +125,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF ANN: self-match ranks first, sims agree with brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4).collect()
+    assert(ivf.nonEmpty)
+    // the query's own vector lives in a probed list (its nearest centroid
+    // is by definition among the query's nProbe nearest)
+    val self = ivf.filter(r => r.getInt(3) == 1)
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)),
+      "self-match must rank first")
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(math.abs(s - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
   test("embedding near-dup: planted copy is found with sim 1.0") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val copies = emb.filter(col("vec_id") < 10)

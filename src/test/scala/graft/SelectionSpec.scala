@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+import graft.index.IndexSelection._
+
+/** Pure unit tests of the index-selection policy — the combination search
+  * ported from `ScanFilterEvaluator.getColsBreakUps` + group scoring
+  * (`:853-1028`, `isIndicesGroupBetterThanCurBest:698-726`), exercised
+  * without a SparkSession. */
+class SelectionSpec extends AnyFunSuite {
+
+  private def spec(name: String, cols: String*) =
+    IndexSpec(name, cols.map(c => IndexedColumn(c, ValueType.StringT, 10)))
+
+  private def eqs(cols: String*): Map[String, Seq[Leaf]] =
+    groupLeaves(cols.map(c => Eq(c, Literal("x"))))
+
+  private def chosen(plan: Option[RowkeyPlan]): Set[String] = plan match {
+    case Some(IndexScan(s, _)) => Set(s.name)
+    case Some(AndMerge(ps)) => ps.collect { case IndexScan(s, _) => s.name }.toSet
+    case Some(OrMerge(ps)) => ps.flatMap(p => chosen(Some(p))).toSet
+    case None => Set.empty
+  }
+
+  test("combination search beats greedy: superset first-pick does not shadow the full cover") {
+    // greedy picked A(c1,c2) first, then nothing could serve c3 (C's
+    // leading c2 was consumed) — the enumeration finds {B, C} covering
+    // all three columns with net arity 3
+    val indices = Seq(spec("A", "c1", "c2"), spec("B", "c1"), spec("C", "c2", "c3"))
+    assert(chosen(selectForConjunction(eqs("c1", "c2", "c3"), indices)) === Set("B", "C"))
+  }
+
+  test("net cardinality breaks ties: {B,C} (arity 3) beats {A,C} (arity 4)") {
+    val indices = Seq(spec("A", "c1", "c2"), spec("B", "c1"), spec("C", "c2", "c3"))
+    val plan = selectForConjunction(eqs("c1", "c2", "c3"), indices)
+    assert(chosen(plan) === Set("B", "C"))
+  }
+
+  test("fewer indices beats more at equal coverage") {
+    val indices = Seq(spec("AB", "c1", "c2"), spec("A", "c1"), spec("B", "c2"))
+    assert(chosen(selectForConjunction(eqs("c1", "c2"), indices)) === Set("AB"))
+  }
+
+  test("exact arity beats superset for a single column") {
+    val indices = Seq(spec("wide", "c1", "c2", "c3"), spec("narrow", "c1"))
+    assert(chosen(selectForConjunction(eqs("c1"), indices)) === Set("narrow"))
+  }
+
+  test("redundant group members are pruned") {
+    // C(c1) adds nothing over AB(c1,c2); best group must not include it
+    val indices = Seq(spec("AB", "c1", "c2"), spec("C", "c1"))
+    assert(chosen(selectForConjunction(eqs("c1", "c2"), indices)) === Set("AB"))
+  }
+
+  test("width cap: at most MaxIndicesPerConjunction indices per AND group") {
+    val indices = Seq(spec("I1", "c1"), spec("I2", "c2"), spec("I3", "c3"), spec("I4", "c4"))
+    val picked = chosen(selectForConjunction(eqs("c1", "c2", "c3", "c4"), indices))
+    assert(picked.size === MaxIndicesPerConjunction)
+  }
+
+  test("range ends the usable prefix inside the search") {
+    // c2 RANGE + c1 EQ: composite D(c2,c1) can only use its range'd first
+    // column, so {B(c1), C(c2)} resolves more net columns
+    val indices = Seq(spec("B", "c1"), spec("C", "c2"), spec("D", "c2", "c1"))
+    val byCol = groupLeaves(Seq(
+      Eq("c1", Literal("x")),
+      Range("c2", Some(Literal("a")), loInclusive = true, None, hiInclusive = false)))
+    assert(chosen(selectForConjunction(byCol, indices)) === Set("B", "C"))
+  }
+
+  test("no usable index yields None (leading column uncovered)") {
+    val indices = Seq(spec("A", "c9", "c1"))
+    assert(selectForConjunction(eqs("c1"), indices).isEmpty)
+  }
+}
