@@ -226,7 +226,8 @@ object GraftEngine {
       .select("c_custkey")
     val mutated = Mutations.batch(base, "c_custkey",
       Seq(Mutations.Put(puts), Mutations.Delete(dels)))
-    Mutations.writeThrough(spark, catalog, table, mutated)
+    val changed = puts.select("c_custkey").unionByName(dels)
+    Mutations.writeThrough(spark, catalog, table, mutated, Some(changed))
     spark.read.parquet(basePath).filter(col("c_nationkey") === 77)
       .select("c_custkey", "c_name", "c_nationkey")
   }

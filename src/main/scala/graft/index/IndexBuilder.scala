@@ -67,6 +67,58 @@ object IndexBuilder {
     catalog.addIndexPath(table, spec.name, outPath)
   }
 
+  /** Incremental index update for a mutation touching `changedKeys`:
+    * new index = old entries of UNCHANGED rowkeys ∪ fresh entries derived
+    * from the mutated base rows of the changed keys. Reads the old index
+    * and the changed base rows only — never rescans the full base. This
+    * is the batch shape of the reference's per-row write-path maintenance
+    * (`IndexRegionObserver.java:229-326` computes exactly the index
+    * deletes/puts for each mutated row; `IndexUtils.prepareIndexPut:269`).
+    * At 100 TB: the anti-join prunes by rowkey (sorted index files), the
+    * semi-join touches O(changed) base rows, and the rewrite is one
+    * range shuffle of index-sized (not base-sized) data.
+    * The swap keeps the previous index generation until the new one is
+    * committed; the catalog generation bump re-lists it for planners. */
+  def incrementalUpdate(
+      spark: SparkSession,
+      catalog: IndexCatalog,
+      table: String,
+      spec: IndexSpec,
+      changedKeys: DataFrame): Unit = {
+    val entry = catalog.get(table).getOrElse(
+      throw new NoSuchElementException(s"table $table not registered"))
+    val idxPath = entry.indexPaths.getOrElse(spec.name,
+      throw new NoSuchElementException(s"index ${spec.name} not built for $table"))
+    val rowkey = entry.indices.rowkey
+    val keys = changedKeys.select(col(rowkey)).distinct()
+    val kept = spark.read.parquet(idxPath).join(keys, Seq(rowkey), "left_anti")
+    val changedRows = spark.read.parquet(entry.basePath)
+      .join(keys, Seq(rowkey), "left_semi")
+    // the using-join reorders columns (rowkey first) — restore the
+    // canonical (indexCols..., rowkey) layout of build()
+    val canonical = (spec.indexColNames :+ rowkey).map(col)
+    val next = kept.select(canonical: _*)
+      .unionByName(indexDf(changedRows, rowkey, spec))
+    val sortCols = spec.indexColNames.map(col) :+ col(rowkey)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(idxPath + ".staging")
+    val previous = new org.apache.hadoop.fs.Path(idxPath + ".prev")
+    next.repartitionByRange(sizedPartitions(next), spec.indexColNames.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val target = new org.apache.hadoop.fs.Path(idxPath)
+    fs.delete(previous, true)
+    if (fs.exists(target) && !fs.rename(target, previous))
+      throw new java.io.IOException(s"incrementalUpdate: cannot stash $target")
+    if (!fs.rename(staging, target)) {
+      fs.rename(previous, target)
+      throw new java.io.IOException(s"incrementalUpdate: cannot commit $staging")
+    }
+    fs.delete(previous, true)
+    catalog.addIndexPath(table, spec.name, idxPath) // generation bump
+  }
+
   /** Co-bucketed base + index layout — the SecIndexLoadBalancer invariant
     * (`SecIndexLoadBalancer.java:63-705` keeps each index region on the
     * same server as its data region): both tables are bucketed AND sorted

@@ -142,14 +142,29 @@ object Mutations {
     * limits rewrite to affected ranges. Here we rewrite whole (small)
     * tables for determinism.
     */
+  /** @param changedKeys when provided, index maintenance is INCREMENTAL
+    *   ([[IndexBuilder.incrementalUpdate]]): only entries of the changed
+    *   rowkeys are rewritten, the reference's write-path semantics
+    *   (`IndexRegionObserver.java:229-326`). Without it, every index is
+    *   rebuilt from a full base scan. */
   def writeThrough(spark: SparkSession, catalog: IndexCatalog, table: String,
-      mutated: DataFrame): Unit = {
+      mutated: DataFrame, changedKeys: Option[DataFrame] = None): Unit = {
     val entry = catalog.get(table).getOrElse(
       throw new NoSuchElementException(s"table $table not registered"))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val basePath = new org.apache.hadoop.fs.Path(entry.basePath)
     val staging = new org.apache.hadoop.fs.Path(entry.basePath + ".staging")
     val previous = new org.apache.hadoop.fs.Path(entry.basePath + ".prev")
+    // Materialize the changed-key set BEFORE the swap: a lazy plan
+    // derived from the old base would silently re-evaluate against the
+    // NEW base after the rename (e.g. a delete-key filter matching
+    // nothing anymore) and skip index maintenance for those keys.
+    val keysPath = entry.basePath + ".changedkeys"
+    val materializedKeys = changedKeys.map { keys =>
+      keys.select(entry.indices.rowkey).distinct()
+        .write.mode(SaveMode.Overwrite).parquet(keysPath)
+      spark.read.parquet(keysPath)
+    }
     mutated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // Generation-keeping swap (no pre-delete): the previous base survives
     // as `.prev` until the new base AND every index rebuild have landed,
@@ -167,7 +182,12 @@ object Mutations {
     try {
       entry.indices.indices.foreach { spec =>
         entry.indexPaths.get(spec.name).foreach { idxPath =>
-          IndexBuilder.build(spark, catalog, table, spec, idxPath)
+          materializedKeys match {
+            case Some(keys) =>
+              IndexBuilder.incrementalUpdate(spark, catalog, table, spec, keys)
+            case None =>
+              IndexBuilder.build(spark, catalog, table, spec, idxPath)
+          }
         }
       }
     } catch { case e: Throwable =>
@@ -178,5 +198,6 @@ object Mutations {
           s"previous generation retained at $previous", e)
     }
     fs.delete(previous, true)
+    fs.delete(new org.apache.hadoop.fs.Path(keysPath), true)
   }
 }

@@ -67,12 +67,16 @@ object FilterQueries extends QueryGroup {
     }),
 
     // WhileMatchFilter (WhileMatchFilter.java:43): scan sorted rowkeys,
-    // stop at the first row failing the predicate (first n_regionkey = 3)
+    // stop at the first row failing the predicate (first n_regionkey = 3).
+    // The stop key is a broadcast 1-row join, not a driver-side collect —
+    // one plan, no separate job.
     "filter_while_match" -> ((s, dir) => {
       val n = Tables.load(s, dir, "nation")
       val stop = n.filter(col("n_regionkey") === 3)
-        .agg(min("n_nationkey")).first().getInt(0)
-      n.filter(col("n_nationkey") < stop).select("n_nationkey", "n_name")
+        .agg(min("n_nationkey").as("__stop"))
+      n.crossJoin(broadcast(stop))
+        .filter(col("n_nationkey") < col("__stop"))
+        .select("n_nationkey", "n_name")
     }),
 
     // ColumnPaginationFilter (ColumnPaginationFilter.java:43): limit 3 /

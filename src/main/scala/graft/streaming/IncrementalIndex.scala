@@ -38,8 +38,11 @@ object IncrementalIndex {
           val base = spark.read.parquet(entry.basePath)
           // cache the batch: it is read once per index + once for the base
           val b = batch.cache()
+          // incremental maintenance: only the batch's rowkeys are
+          // rewritten in each index (IndexRegionObserver write-path
+          // semantics at micro-batch granularity)
           try Mutations.writeThrough(spark, catalog, table,
-            Mutations.put(base, b, rowkey))
+            Mutations.put(base, b, rowkey), Some(b.select(rowkey)))
           finally { b.unpersist(); () }
         }
       }

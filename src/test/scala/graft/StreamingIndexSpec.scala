@@ -30,6 +30,41 @@ class StreamingIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("incremental index update equals a full rebuild (put + delete)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-incr").toString
+    val basePath = s"$root/t"
+    val idxPath = s"$root/t_idx/i_cat"
+    val catalog = new IndexCatalog
+    val seed = spark.range(500).select(col("id"),
+      (col("id") % 7).cast("int").as("cat"), lit("seed").as("payload"))
+    seed.write.mode(SaveMode.Overwrite).parquet(basePath)
+    val spec = IndexSpec("i_cat", Seq(IndexedColumn("cat", ValueType.IntT)))
+    catalog.register(TableIndices("t", "id", Seq(spec)), basePath, seed.schema)
+    IndexBuilder.build(spark, catalog, "t", spec, idxPath)
+
+    // mutation: re-categorize ids 0-49 to cat 99, delete ids 100-119
+    val base = spark.read.parquet(basePath)
+    val puts = base.filter(col("id") < 50).withColumn("cat", lit(99))
+    val dels = base.filter(col("id").between(100, 119)).select("id")
+    val mutated = graft.ops.Mutations.batch(base, "id", Seq(
+      graft.ops.Mutations.Put(puts), graft.ops.Mutations.Delete(dels)))
+    val changed = puts.select("id").unionByName(dels)
+    graft.ops.Mutations.writeThrough(spark, catalog, "t", mutated, Some(changed))
+
+    val incremental = spark.read.parquet(idxPath)
+      .collect().map(_.toString).sorted
+    // reference: full rebuild from the committed base
+    val full = IndexBuilder.indexDf(spark.read.parquet(basePath), "id", spec)
+      .collect().map(_.toString).sorted
+    assert(incremental === full,
+      s"incremental drift: ${incremental.length} vs ${full.length} entries")
+    // deleted keys left no stale entries; re-categorized keys moved
+    val idx = spark.read.parquet(idxPath)
+    assert(idx.filter(col("id").between(100, 119)).count() === 0)
+    assert(idx.filter(col("cat") === 99).count() === 50)
+  }
+
   test("streamed puts land in base AND index within one micro-batch") {
     val s = spark
     import s.implicits._
