@@ -28,8 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 executor threads share this one local-mode heap; 8g thrashed GC
   // (2nd+ runs of shingle-heavy dedup degraded 5x). The box has 125 GiB.
+  // Xms pinned to Xmx: lazy heap expansion under the 32-thread bench
+  // showed multi-second stalls windows after allocation-heavy queries
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-Xms8g",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // whole-stage-codegen emits a class per query stage; the JDK default
   // 240MB code cache fills over a 74-query bench run and JIT-compiled
   // kernels fall back to interpreter (measured 10x CPU inflation on

@@ -46,11 +46,25 @@ object Bench {
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
+    // JIT-state telemetry per query: a long-lived codegen-heavy JVM can
+    // degrade (code-cache pressure / recompilation storms) and silently
+    // contaminate later timings — make that visible next to each number
+    def jvmStats(): String = {
+      import scala.jdk.CollectionConverters._
+      val code = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(p => p.getUsage.getUsed / 1024 / 1024).sum
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+      s"code=${code}MB jitMs=$jit gcMs=$gc"
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s  ${jvmStats()}")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

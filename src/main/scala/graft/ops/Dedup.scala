@@ -283,27 +283,45 @@ object Dedup {
     val members = sig.withColumn("rep", min(col("id")).over(repW)).select("id", "rep")
     val repSig = sig.join(members.filter(col("id") === col("rep")).select("id"),
       Seq("id"), "left_semi")
-    // chunk i covers bits [i*64/c, (i+1)*64/c) — widths differ by ≤1
-    val chunkCols = (0 until numChunks).map { i =>
-      val start = i * 64 / numChunks
-      val width = (i + 1) * 64 / numChunks - start
-      val mask = if (width >= 64) -1L else (1L << width) - 1
-      struct(lit(i).as("ci"),
-        shiftright(col("sig"), start).bitwiseAND(lit(mask)).as("cv"))
-    }
-    val chunks = repSig.withColumn("chunk", explode(array(chunkCols: _*)))
-      .select(col("id"), col("sig"), col("chunk.ci"), col("chunk.cv"))
-    val grpW = Window.partitionBy(col("ci"), col("cv"))
-    val capped = chunks.withColumn("__n", count(lit(1)).over(grpW))
-      .filter(col("__n") <= maxChunkGroup).drop("__n")
-    val a = capped.select(col("ci"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("ci"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val repPairs = a.join(b, Seq("ci", "cv"))
-      .filter(col("id_a") < col("id_b"))
+    // chunk keys from the kernel, exploded positionally — the same
+    // blocking shape as the MinHash band join
+    val chunked = repSig.select(col("id"), col("sig")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, s) =>
+        (id, s, MinHash.simHashChunks(s, numChunks))
+      }).toDF("id", "sig", "chunks")
+    val chunks = chunked.select(col("id"), col("sig"),
+      posexplode(col("chunks")).as(Seq("ci", "cv")))
+    // Pair generation + hamming verify per chunk group INSIDE a kernel:
+    // the group cap bounds per-group work at n²/2 long-xors, and only
+    // radius-passing pairs (rare) reach the cross-chunk dedup — a
+    // codegen self-join would instead materialize every candidate pair
+    // (measured 2.8M rows at sf0.1) through the join+dedup machinery.
+    val repPairs = chunks
+      .select(col("ci").cast("int"), col("cv"), col("id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { case (ci, cv, _, _) => (ci, cv) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val arr = it.toArray
+        if (arr.length > maxChunkGroup) Iterator.empty // hot-group cap
+        else {
+          val out = Array.newBuilder[(Long, Long, Int)]
+          var i = 0
+          while (i < arr.length) {
+            var j = i + 1
+            while (j < arr.length) {
+              val h = java.lang.Long.bitCount(arr(i)._4 ^ arr(j)._4)
+              if (h <= maxHamming) {
+                val (ia, ib) = (arr(i)._3, arr(j)._3)
+                out += (if (ia < ib) (ia, ib, h) else (ib, ia, h))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }.toDF("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
     // expand back to original ids: cross pairs keep the reps' hamming
     // (identical signatures), intra-group pairs are hamming 0
     val cross = repPairs

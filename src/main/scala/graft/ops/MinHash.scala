@@ -145,6 +145,16 @@ object MinHash {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Near-equal-width bit chunks of a 64-bit SimHash signature: chunk i
+    * covers bits [i*64/c, (i+1)*64/c). Computed in the kernel so the
+    * blocking path is the same posexplode-join shape as [[bands]]. */
+  def simHashChunks(sig: Long, numChunks: Int): Array[Long] =
+    Array.tabulate(numChunks) { i =>
+      val start = i * 64 / numChunks
+      val width = (i + 1) * 64 / numChunks - start
+      if (width >= 64) sig else (sig >>> start) & ((1L << width) - 1)
+    }
+
   /** 64-bit SimHash over tokens. */
   def simHash(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)

@@ -77,10 +77,13 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", threshold = 0.5)
     }),
 
-    // SimHash near-dup pairs (rows-only)
+    // SimHash near-dup pairs (rows-only). Radius 6 → 7 blocking chunks of
+    // 9-10 bits; the wider chunks keep candidate groups small on this
+    // template-correlated corpus (radius-8 recall is property-tested in
+    // DedupSpec; radius is a per-call knob)
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashNearDups(Tables.load(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 8)
+        "doc_id", "text", maxHamming = 6)
     }),
 
     // ---- similarity search --------------------------------------------
