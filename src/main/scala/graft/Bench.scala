@@ -67,10 +67,32 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ${jvmStats()}")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full per-query line (the complete record; also persisted to a repo
+    // file because the driver's output capture keeps only the last ~2000
+    // chars — this line alone overflows that window, which left
+    // BENCH_r01/r02 with parsed=null).
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+
+    // Compact machine-parsable summary as the LAST stdout line: group
+    // rollups (prefix before first '_') + the slowest individual queries,
+    // sized to always fit the capture window even as the query count grows.
+    val groups = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (g, rs) => "\"" + g + "\":" + r3(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"groups":$groups,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,18 +132,26 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
   /** Cached analyzed index relations (file listing is driver-side work we
     * don't want once per optimizer iteration); every use takes a
     * `newInstance()` so expression IDs stay unique within one query.
-    * Keyed by (path, catalog generation) — `IndexCatalog.addIndexPath`
-    * bumps the generation on every (re)build, so a rebuilt index is
-    * re-listed instead of resolving against deleted files (r01 staleness
-    * bug: writeThrough/IncrementalIndex rebuild in place). */
-  private val relCache = scala.collection.concurrent.TrieMap.empty[String, LogicalRelation]
+    * Value carries the catalog generation — `IndexCatalog.addIndexPath`
+    * bumps it on every (re)build, so a rebuilt index is re-listed instead
+    * of resolving against deleted files (r01 staleness bug), and the stale
+    * entry is replaced in place rather than accumulating one cached
+    * relation per rebuild (unbounded growth under IncrementalIndex
+    * micro-batches). */
+  private val relCache = scala.collection.concurrent.TrieMap.empty[String, (Long, LogicalRelation)]
 
   private def indexRelation(path: String): LogicalRelation = {
-    val cached = relCache.getOrElseUpdate(s"$path#${catalog.pathGeneration(path)}",
-      spark.read.parquet(path).queryExecution.analyzed.collectFirst {
-        case r: LogicalRelation => r
-      }.getOrElse(throw new IllegalStateException(s"index read at $path is not a LogicalRelation")))
-    cached.newInstance()
+    val gen = catalog.pathGeneration(path)
+    val rel = relCache.get(path) match {
+      case Some((g, r)) if g == gen => r
+      case _ =>
+        val fresh = spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+          case r: LogicalRelation => r
+        }.getOrElse(throw new IllegalStateException(s"index read at $path is not a LogicalRelation"))
+        relCache.put(path, (gen, fresh))
+        fresh
+    }
+    rel.newInstance()
   }
 
   /** Materialize a RowkeyPlan as a logical subplan producing one rowkey

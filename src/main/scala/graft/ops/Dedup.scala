@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   *    verification used standalone or as the verify stage after LSH.
   *
   * Pair outputs are canonicalized (idA < idB) and deduplicated.
+  *
+  * Bounded-recall visibility: the skew caps (`maxBandGroup`,
+  * `maxChunkGroup`) trade recall for bounded work; what they actually
+  * dropped is recorded in named Spark accumulators (see [[DedupMetrics]])
+  * so a capped run is distinguishable from a complete one after any
+  * action on the result.
   */
 object Dedup {
 
@@ -120,10 +126,20 @@ object Dedup {
     }).toDF("id", "sig", "bands")
     val exploded = sigBanded.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bandHash")))
-    // hot-band cap (skew guard #2)
+    // hot-band cap (skew guard #2); dropped rows are counted so bounded
+    // recall is observable (accumulator populated once the result is acted on)
+    val bandRowsDropped = DedupMetrics.acc(spark, "graft.dedup.minhash.bandRowsDropped")
     val grpW = Window.partitionBy(col("band"), col("bandHash"))
     val capped = exploded.withColumn("__n", count(lit(1)).over(grpW))
-      .filter(col("__n") <= maxBandGroup).drop("__n")
+      .select(col("band").cast("long"), col("bandHash"), col("id"), col("__n"))
+      .as[(Long, Long, Long, Long)]
+      .filter { r =>
+        val keep = r._4 <= maxBandGroup
+        if (!keep) bandRowsDropped.add(1L)
+        keep
+      }
+      .map { case (band, bandHash, id, _) => (band, bandHash, id) }
+      .toDF("band", "bandHash", "id")
     val a = capped.select(col("band"), col("bandHash"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bandHash"), col("id").as("id_b"))
     // ids-only candidates, spread explicitly: AQE coalesces this tiny
@@ -157,15 +173,14 @@ object Dedup {
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val repPairs = verifyJaccard(withSh, threshold)
-    expandFingerprintGroups(repPairs, members, threshold)
+    expandFingerprintGroups(repPairs, members)
   }
 
   /** Expand representative-level near-dup pairs back to original ids:
     * cross pairs of the two fingerprint groups keep the representatives'
     * jaccard (identical text content), intra-group pairs are exact dups
     * (jaccard 1.0). */
-  private def expandFingerprintGroups(repPairs: DataFrame, members: DataFrame,
-      threshold: Double): DataFrame = {
+  private def expandFingerprintGroups(repPairs: DataFrame, members: DataFrame): DataFrame = {
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
       .join(members.select(col("rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
@@ -296,14 +311,19 @@ object Dedup {
     // radius-passing pairs (rare) reach the cross-chunk dedup — a
     // codegen self-join would instead materialize every candidate pair
     // (measured 2.8M rows at sf0.1) through the join+dedup machinery.
+    val chunkGroupsDropped = DedupMetrics.acc(spark, "graft.dedup.simhash.chunkGroupsDropped")
+    val chunkRowsDropped = DedupMetrics.acc(spark, "graft.dedup.simhash.chunkRowsDropped")
     val repPairs = chunks
       .select(col("ci").cast("int"), col("cv"), col("id"), col("sig"))
       .as[(Int, Long, Long, Long)]
       .groupByKey { case (ci, cv, _, _) => (ci, cv) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
         val arr = it.toArray
-        if (arr.length > maxChunkGroup) Iterator.empty // hot-group cap
-        else {
+        if (arr.length > maxChunkGroup) { // hot-group cap, counted
+          chunkGroupsDropped.add(1L)
+          chunkRowsDropped.add(arr.length.toLong)
+          Iterator.empty
+        } else {
           val out = Array.newBuilder[(Long, Long, Int)]
           var i = 0
           while (i < arr.length) {

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.LongAccumulator
+
+/** Named accumulators recording what the dedup skew caps actually dropped.
+  *
+  * The hot-band cap ([[Dedup.minHashNearDups]] `maxBandGroup`) and
+  * hot-chunk cap ([[Dedup.simHashNearDups]] `maxChunkGroup`) bound
+  * worst-case work by skipping oversized candidate groups — a recall
+  * trade that would otherwise be invisible to callers. Each skip
+  * increments an accumulator named here, so after any action on the
+  * result a caller (or the Spark UI, which lists named accumulators per
+  * stage) can tell a bounded-recall run from a complete one:
+  *
+  * {{{
+  *   val pairs = Dedup.minHashNearDups(df, "id", "text")
+  *   pairs.count()
+  *   DedupMetrics.value(spark, "graft.dedup.minhash.bandRowsDropped") // 0 = complete
+  * }}}
+  *
+  * Accumulators are per-SparkContext and created on first use; repeated
+  * calls with the same name return the same accumulator (values
+  * accumulate across runs in one session — diff before/after if you need
+  * per-run deltas).
+  */
+object DedupMetrics {
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), LongAccumulator]
+
+  /** Get-or-create the named accumulator on this session's context. */
+  def acc(spark: SparkSession, name: String): LongAccumulator =
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, name),
+      spark.sparkContext.longAccumulator(name))
+
+  /** Current value, 0 if the accumulator was never touched. */
+  def value(spark: SparkSession, name: String): Long =
+    cache.get((spark.sparkContext.applicationId, name)).map(_.value.longValue).getOrElse(0L)
+}

@@ -105,10 +105,15 @@ object VecKernel {
     private val q = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
       Ordering.fromLessThan((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)))
     def offer(sim: Double, id: Long): Unit = {
-      if (q.size < k) q.enqueue((sim, id))
-      else {
-        val (ws, wid) = q.head
-        if (sim > ws || (sim == ws && id < wid)) { q.dequeue(); q.enqueue((sim, id)) }
+      // NaN (zero-norm vector) never enters: while the heap is underfull a
+      // NaN would poison comparisons and make eviction order — and thus the
+      // final top-k — arrival-dependent/nondeterministic.
+      if (!sim.isNaN) {
+        if (q.size < k) q.enqueue((sim, id))
+        else {
+          val (ws, wid) = q.head
+          if (sim > ws || (sim == ws && id < wid)) { q.dequeue(); q.enqueue((sim, id)) }
+        }
       }
     }
     def drain(): Iterator[(Double, Long)] = q.iterator
