@@ -1,0 +1,123 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Or}
+
+/** Structured index-hint tree — the Spark-native `MultiIndexExpression`
+  * (reference `.../client/MultiIndexExpression.java:126`, combinator
+  * `GroupingCondition` `.../index/GroupingCondition.java:234-236`, leaf
+  * `SingleIndexExpression.java:5-38`, transported to the server in the
+  * scan attribute `"indexExpression"`, `.../client/IndexUtils.java:45-70`).
+  *
+  * Our transport is the session conf `graft.index.hint` holding a tiny
+  * grammar over index names:
+  *
+  * {{{
+  *   hint   := name | "AND(" hint ("," hint)* ")" | "OR(" hint ("," hint)* ")"
+  *   // e.g.  idx_status
+  *   //       AND(idx_status,idx_cust)
+  *   //       OR(idx_nation,AND(idx_mkt_nation,idx_nation))
+  * }}}
+  *
+  * Semantics (faithful to the reference, which trusts the user's expression
+  * tree but still re-evaluates the row filter on every seek-point row):
+  * the hint fixes the *structure* of the rowkey plan — which indices and
+  * how they merge — while the per-index scan bounds are extracted from the
+  * query predicate exactly as in unhinted planning. Because the residual
+  * filter above the semi-join re-verifies every row, an inefficient hint
+  * can never produce wrong results; an *unsatisfiable* hint (unknown index
+  * name, index with no usable predicate, OR arity mismatch) resolves to
+  * None and the planner falls back to cost-based selection — rather than
+  * the reference's behavior of failing the scan — so a stale hint conf
+  * left in a session degrades to default planning instead of breaking
+  * unrelated queries on other tables.
+  *
+  * AND arms take their bounds from the conjunct pool (each arm is then a
+  * superset of the matching rows, so the intersection is too); an OR node
+  * must line up 1:1 with a top-level disjunction in the predicate, and
+  * arm i takes its bounds from disjunct i only (the union of per-disjunct
+  * supersets is a superset of the whole OR's matches).
+  */
+object IndexHint {
+
+  sealed trait Hint
+  final case class HintIndex(name: String) extends Hint
+  final case class HintAnd(parts: Seq[Hint]) extends Hint
+  final case class HintOr(parts: Seq[Hint]) extends Hint
+
+  /** Parse the conf grammar; None on any syntax error (hint then ignored). */
+  def parse(s: String): Option[Hint] = {
+    val in = s.trim
+    if (in.isEmpty) return None
+    val (h, rest) = parseNode(in)
+    if (rest.trim.nonEmpty) None else h
+  }
+
+  private def parseNode(s: String): (Option[Hint], String) = {
+    val in = s.trim
+    def combinator(kw: String, mk: Seq[Hint] => Hint): Option[(Option[Hint], String)] =
+      if (!in.toUpperCase.startsWith(kw + "(")) None
+      else {
+        var rest = in.drop(kw.length + 1)
+        val parts = Seq.newBuilder[Hint]
+        var ok = true
+        var done = false
+        while (ok && !done) {
+          val (p, r) = parseNode(rest)
+          p match {
+            case Some(h) =>
+              parts += h
+              val t = r.trim
+              if (t.startsWith(",")) rest = t.drop(1)
+              else if (t.startsWith(")")) { rest = t.drop(1); done = true }
+              else ok = false
+            case None => ok = false
+          }
+        }
+        Some(if (ok) (Some(mk(parts.result())), rest) else (None, ""))
+      }
+    combinator("AND", HintAnd.apply)
+      .orElse(combinator("OR", HintOr.apply))
+      .getOrElse {
+        val raw = in.takeWhile(c => c != ',' && c != ')')
+        val name = raw.trim
+        if (name.isEmpty || name.contains('(')) (None, "")
+        else (Some(HintIndex(name)), in.drop(raw.length))
+      }
+  }
+
+  import IndexSelection._
+
+  /** Resolve a hint tree against the query's top-level conjuncts and the
+    * table's available indices. None = unsatisfiable (caller falls back). */
+  def resolve(h: Hint, conjuncts: Seq[Expression], indices: Seq[IndexSpec]): Option[RowkeyPlan] = {
+    val byName = indices.map(s => s.name -> s).toMap
+    def go(h: Hint, conj: Seq[Expression]): Option[RowkeyPlan] = h match {
+      case HintIndex(n) =>
+        for {
+          spec <- byName.get(n)
+          leaves <- usableLeaves(spec, groupLeaves(conj.flatMap(toLeaf)))
+        } yield IndexScan(spec, leaves)
+      case HintAnd(ps) if ps.nonEmpty =>
+        val arms = ps.map(go(_, conj))
+        if (arms.forall(_.isDefined)) {
+          arms.flatten match {
+            case Seq(one) => Some(one)
+            case many => Some(AndMerge(many))
+          }
+        } else None
+      case HintOr(ps) if ps.nonEmpty =>
+        // must line up with a top-level disjunction of matching arity;
+        // arm i draws its bounds from disjunct i only
+        conj.collectFirst { case o: Or => o }.flatMap { o =>
+          val ds = splitDisjuncts(o)
+          if (ds.size != ps.size) None
+          else {
+            val arms = ps.zip(ds).map { case (p, d) => go(p, splitConjuncts(d)) }
+            if (arms.forall(_.isDefined)) Some(OrMerge(arms.flatten)) else None
+          }
+        }
+      case _ => None
+    }
+    go(h, conjuncts)
+  }
+}

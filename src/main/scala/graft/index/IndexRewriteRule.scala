@@ -57,6 +57,13 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
     val f = conf("graft.index.force", "")
     if (f.isEmpty) None else Some(f.split(",").map(_.trim).toSet)
   }
+  /** Structured AND/OR hint tree (reference MultiIndexExpression) — see
+    * [[IndexHint]]. Unsatisfiable/foreign-table hints resolve to None and
+    * planning falls back to cost-based selection. */
+  private def hintTree: Option[IndexHint.Hint] = {
+    val h = conf("graft.index.hint", "")
+    if (h.isEmpty) None else IndexHint.parse(h)
+  }
 
   /** Root paths of all registered index tables (never rewrite those). */
   private def indexPaths: Set[String] =
@@ -116,7 +123,9 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
       // (reference SingleColumnValuePartitionFilter — see DerivedPredicates)
       normCond = DerivedPredicates.normalize(cond,
         usable.flatMap(_.columns).filter(_.partition.isDefined))
-      rkPlan <- select(splitConjuncts(normCond), usable)
+      conjuncts = splitConjuncts(normCond)
+      rkPlan <- hintTree.flatMap(IndexHint.resolve(_, conjuncts, usable))
+        .orElse(select(conjuncts, usable))
       idxPlan <- buildRowkeyPlan(rkPlan, entry)
     } yield {
       val idxRk = idxPlan.output.find(_.name == entry.indices.rowkey).get

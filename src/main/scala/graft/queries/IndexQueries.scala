@@ -96,6 +96,32 @@ object IndexQueries extends QueryGroup {
     // asserts the plan shape)
     "idx_cobucket_point" -> ((s, dir) => graft.GraftEngine.cobucketedSemiJoin(s, dir)),
 
+    // MultiIndexExpression hint tree (.../client/MultiIndexExpression.java:126,
+    // GroupingCondition AND/OR): the conf-transported hint fixes the rowkey
+    // plan structure; bounds still come from the predicate and the residual
+    // filter re-verifies rows, so results must equal the unhinted oracle.
+    // localCheckpoint(eager) executes while the hint conf is active, so the
+    // try/finally reset cannot outrun lazy evaluation (and cannot leak the
+    // hint into later queries in the same session).
+    "idx_hint_single" -> ((s, dir) => {
+      val df = GraftEngine.managed(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 20L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      s.conf.set("graft.index.hint", "idx_status")
+      try df.localCheckpoint(true) finally s.conf.unset("graft.index.hint")
+    }),
+
+    // nested OR(leaf, AND(...)) tree: arm bounds come from the matching
+    // disjunct only (per-disjunct supersets union to a superset)
+    "idx_hint_multi_or" -> ((s, dir) => {
+      val df = GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_nationkey") === 2 ||
+          (col("c_mktsegment") === "AUTOMOBILE" && col("c_nationkey") >= 5))
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+      s.conf.set("graft.index.hint", "OR(idx_nation,AND(idx_mkt_nation,idx_nation))")
+      try df.localCheckpoint(true) finally s.conf.unset("graft.index.hint")
+    }),
+
     // NO_INDEX path (NoIndexExpression, .../client/NoIndexExpression.java):
     // same predicate as idx_point but reading the unmanaged source table —
     // a true full scan; results must match the indexed path exactly.
@@ -131,6 +157,10 @@ object IndexQueries extends QueryGroup {
     "idx_value_partition_spatial" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE substr(c_name, 14, 5) = '00049'",
     "idx_hint_noindex" ->
-      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7"
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7",
+    "idx_hint_single" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' AND o_custkey <= 20",
+    "idx_hint_multi_or" ->
+      "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer WHERE c_nationkey = 2 OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey >= 5)"
   )
 }

@@ -236,4 +236,84 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("c_nationkey") > 10 && col("c_nationkey") < 5)
     assert(df.count() === 0)
   }
+
+  // --- MultiIndexExpression hint tree (graft.index.hint) -----------------
+
+  private def withHint[A](h: String)(body: => A): A = {
+    spark.conf.set("graft.index.hint", h)
+    try body finally spark.conf.unset("graft.index.hint")
+  }
+
+  test("hint leaf forces a single index where selection would AND-merge two") {
+    val q = managed("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 20L)
+    withHint("idx_status") {
+      val idx = indexScans(q.queryExecution.optimizedPlan)
+      assert(idx === Seq("idx_status"), s"hint not honored: $idx")
+      // superset-safe: results identical to the unhinted/full-scan rows
+      val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 20L)
+        .collect().map(_.toString).sorted
+      assert(q.collect().map(_.toString).sorted === expected)
+    }
+  }
+
+  test("hint AND tree builds the intersection structure the user asked for") {
+    val q = managed("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 20L)
+    withHint("AND(idx_status,idx_cust)") {
+      val idx = indexScans(q.queryExecution.optimizedPlan).sorted
+      assert(idx === Seq("idx_cust", "idx_status"), s"chose $idx")
+    }
+  }
+
+  test("hint nested OR(leaf, AND(...)) lines arms up with disjuncts") {
+    val q = managed("customer")
+      .filter(col("c_nationkey") === 2 ||
+        (col("c_mktsegment") === "AUTOMOBILE" && col("c_nationkey") >= 5))
+    withHint("OR(idx_nation,AND(idx_mkt_nation,idx_nation))") {
+      val plan = q.queryExecution.optimizedPlan
+      val idx = indexScans(plan).sorted
+      assert(idx === Seq("idx_mkt_nation", "idx_nation", "idx_nation"), s"chose $idx")
+      assert(plan.collect { case u: Union => u }.nonEmpty, "OR hint must union arms")
+      val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+        .filter(col("c_nationkey") === 2 ||
+          (col("c_mktsegment") === "AUTOMOBILE" && col("c_nationkey") >= 5))
+        .collect().map(_.toString).sorted
+      assert(q.collect().map(_.toString).sorted === expected)
+    }
+  }
+
+  test("unsatisfiable hint (unknown index) falls back to cost-based selection") {
+    val q = managed("customer").filter(col("c_nationkey") === 7)
+    withHint("AND(idx_does_not_exist,idx_nation)") {
+      val idx = indexScans(q.queryExecution.optimizedPlan)
+      assert(idx.nonEmpty, "fallback selection should still index")
+      assert(idx.forall(_.startsWith("idx_nation")), s"chose $idx")
+    }
+  }
+
+  test("hint with OR arity mismatch falls back instead of mis-binding arms") {
+    // predicate has 2 disjuncts, hint names 3 arms → unsatisfiable
+    val q = managed("customer")
+      .filter(col("c_nationkey") === 2 || col("c_mktsegment") === "AUTOMOBILE")
+    withHint("OR(idx_nation,idx_mkt_nation,idx_nation)") {
+      val idx = indexScans(q.queryExecution.optimizedPlan)
+      assert(idx.nonEmpty, "fallback selection should still serve the OR")
+    }
+  }
+
+  test("hint grammar: malformed strings parse to None") {
+    import graft.index.IndexHint
+    assert(IndexHint.parse("").isEmpty)
+    assert(IndexHint.parse("AND(").isEmpty)
+    assert(IndexHint.parse("AND(a,,b)").isEmpty)
+    assert(IndexHint.parse("AND(a)b").isEmpty)
+    assert(IndexHint.parse("OR(a,AND(b,c)").isEmpty)
+    assert(IndexHint.parse("or(a, b)").contains(
+      IndexHint.HintOr(Seq(IndexHint.HintIndex("a"), IndexHint.HintIndex("b")))))
+    assert(IndexHint.parse(" AND( a , OR(b,c) ) ").contains(
+      IndexHint.HintAnd(Seq(IndexHint.HintIndex("a"),
+        IndexHint.HintOr(Seq(IndexHint.HintIndex("b"), IndexHint.HintIndex("c")))))))
+  }
 }
