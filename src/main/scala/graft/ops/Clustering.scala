@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup PAIRS (from [[Dedup]] /
+  * [[Similarity]]) → connected components → a (id, rep) keep-map, the
+  * step every dedup pipeline ends with ("keep one doc per duplicate
+  * cluster"). The reference has no graph surface; this is part of the
+  * training-data-pipeline extension layer.
+  *
+  * Algorithm: distributed min-label propagation with pointer jumping.
+  * Every node starts labeled with its own id; each round every node takes
+  * the min of (its label, its neighbors' labels, its label's label — the
+  * pointer-jumping/shortcutting term that collapses chains in O(log n)
+  * rounds instead of O(diameter), the same doubling idea as the
+  * large-star/small-star MapReduce formulation); fixpoint = every node
+  * holds the min id of its component (the canonical representative).
+  * Each round is a constant number of shuffles (two joins on id + one
+  * min-aggregate), all on the same key. Lineage is truncated per round
+  * with an eager localCheckpoint (iterative plans otherwise grow
+  * unboundedly), and convergence is detected exactly (count of labels
+  * that changed).
+  */
+object Clustering {
+
+  /** Connected components over an undirected pair set.
+    *
+    * @param nodes one row per node (singletons become their own rep)
+    * @param pairs undirected edges; ids must be integral
+    * @return (idCol, rep) — rep = min node id of the component
+    */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true) // the edge set is reused every round
+    var labels = nodes.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      // pointer jumping: follow the current label one hop (label-of-label)
+      val l2 = labels.select(col("id"), col("lbl").as("__via"))
+        .join(labels.select(col("id").as("__via"), col("lbl")), "__via")
+        .select("id", "lbl")
+      val next = labels.unionByName(prop).unionByName(l2)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("lbl", "rep").withColumnRenamed("id", idCol)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities for training-data pipelines: L2 stats and
+  * int8 quantization (the storage/serving compression every large vector
+  * corpus applies — 4× smaller than float32, cosine-rank-preserving for
+  * symmetric per-vector scales).
+  *
+  * Per-element math runs in a JVM kernel via `mapPartitions` (the
+  * `transform`/`aggregate` higher-order functions evaluate interpreted —
+  * same measured ~100× rationale as [[MinHash]]/[[VecKernel]]); scalar
+  * rounding stays in DataFrame land so the arithmetic matches the DuckDB
+  * oracle bit-for-bit.
+  */
+object Embeddings {
+
+  /** Ties away from zero — the rounding DuckDB's `round()` (C `round`)
+    * and Spark's `round()` (BigDecimal HALF_UP) both apply to doubles. */
+  private def roundAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Per-vector L2 stats: (idCol, dim, norm) with norm rounded to 6dp.
+    * Accumulation is left-to-right in double over float elements —
+    * matching the oracle's `list_sum(list_transform(...))`. */
+  def l2Stats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v.length, VecKernel.norm(v)) })
+      .toDF(idCol, "dim", "__norm")
+      .withColumn("norm", round(col("__norm"), 6))
+      .select(idCol, "dim", "norm")
+  }
+
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    * q_i = round(x_i × scale). Returns (idCol, scale rounded to 6dp,
+    * q_csv — the quantized vector as a comma-joined string, which keeps
+    * the oracle compare exact where float-array stringification wouldn't
+    * be). Zero vectors quantize to all-zeros with scale 0. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var am = 0.0
+        var i = 0
+        while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > am) am = a; i += 1 }
+        if (am == 0.0) (id, 0.0, v.map(_ => "0").mkString(","))
+        else {
+          val sb = new StringBuilder
+          i = 0
+          while (i < v.length) {
+            if (i > 0) sb.append(',')
+            // evaluation order (x*127)/am matches the oracle SQL
+            sb.append(roundAway(v(i).toDouble * 127.0 / am))
+            i += 1
+          }
+          (id, 127.0 / am, sb.toString)
+        }
+      })
+      .toDF(idCol, "__scale", "q_csv")
+      .withColumn("scale", round(col("__scale"), 6))
+      .select(idCol, "scale", "q_csv")
+  }
+}

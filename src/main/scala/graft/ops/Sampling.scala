@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * All three are *hash-based*, not RNG-based: the keep/drop decision is a
+  * pure function of the row's id, so a sample is (a) reproducible across
+  * runs, clusters, and engines, (b) stable under repartitioning — unlike
+  * `df.sample`, whose output depends on partition layout and seed
+  * plumbing — and (c) auditable (any row's membership can be re-derived).
+  * That is the property a 100 TB corpus snapshot needs: re-running the
+  * pipeline yields byte-identical training sets.
+  *
+  * The hash is the first 4 hex chars of md5 of the decimal id string —
+  * 16 bits of uniformly distributed key space, compared lexicographically
+  * (hex order = numeric order), so `fraction` resolves to a plain
+  * codegen'd string comparison pushed down to the Parquet scan.
+  */
+object Sampling {
+
+  /** 16-bit hash bucket of the id as a 4-char lowercase hex string. */
+  def hashKey(id: Column): Column = substring(md5(id.cast("string").cast("binary")), 1, 4)
+
+  private def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val t = math.round(fraction * 65536.0).toInt
+    // 'g' sorts after every hex char, so fraction 1.0 keeps all rows
+    // (a 5-char "10000" would lexicographically UNDERSHOOT "a***")
+    if (t >= 65536) "g" else f"$t%04x"
+  }
+
+  /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, chosen by
+    * id hash. */
+  def bernoulli(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashKey(col(idCol)) < lit(thresholdHex(fraction)))
+
+  /** Deterministic stratified sample: per-stratum fractions (e.g. language
+    * rebalancing: downsample English, keep all low-resource languages);
+    * strata absent from the map keep `defaultFraction`. */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    val thresh = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol)) < thresh)
+  }
+
+  /** Deterministic fixed-size-per-group sample ("reservoir of k per key"
+    * without the RNG): the k rows whose id hash orders first within each
+    * group. One shuffle on the group key; ties broken by id so the result
+    * is total-order stable. */
+  def reservoirPerKey(df: DataFrame, keyCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Clustering, Dedup, Embeddings, Sampling, Similarity}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
   * (the beyond-reference surface: dedup, similarity search, text
@@ -70,6 +70,30 @@ object PipelineQueries extends QueryGroup {
       Dedup.ngramJaccardNearDups(docs, "doc_id", "text", "blk", 0.4, n = 3)
     }),
 
+    // duplicate-cluster resolution: near-dup pairs → connected components
+    // → (doc_id, rep) keep-map. Edge set: same (source, lang) and
+    // |Δn_chars| ≤ 2, generated EXACTLY by two offset banded equijoins
+    // (width-4 grids offset by 2: any pair within 2 shares a band on at
+    // least one grid — equijoin-only, no theta join, scale-safe); the
+    // oracle derives the same components with a recursive CTE.
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      def banded(off: Int) = {
+        val k = docs.withColumn("band", floor((col("n_chars") + off) / 4))
+        k.select(col("source"), col("lang"), col("band"),
+            col("doc_id").as("id_a"), col("n_chars").as("nc_a"))
+          .join(k.select(col("source"), col("lang"), col("band"),
+            col("doc_id").as("id_b"), col("n_chars").as("nc_b")),
+            Seq("source", "lang", "band"))
+          .filter(col("id_a") < col("id_b") &&
+            abs(col("nc_a") - col("nc_b")) <= 2)
+          .select("id_a", "id_b")
+      }
+      val edges = banded(0).unionByName(banded(2)).dropDuplicates("id_a", "id_b")
+      Clustering.connectedComponents(docs, "doc_id", edges, "id_a", "id_b")
+    }),
+
     // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only check;
     // recall/precision properties in DedupSpec)
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -126,6 +150,31 @@ object PipelineQueries extends QueryGroup {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
       Similarity.cosineNearDups(emb.unionByName(planted),
         "vec_id", "embedding", threshold = 0.95, planes = 6)
+    }),
+
+    // ---- deterministic sampling ---------------------------------------
+    // stratified hash sample: downsample the high-resource language,
+    // keep low-resource strata at higher rates (corpus rebalancing)
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratified(Tables.load(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.25, "es" -> 0.5), defaultFraction = 0.75)
+        .select("doc_id", "lang", "source")
+    }),
+
+    // fixed-k-per-group hash reservoir (inspection/eval subsets)
+    "sample_reservoir" -> ((s, dir) => {
+      Sampling.reservoirPerKey(Tables.load(s, dir, "documents"),
+          Seq("source", "lang"), "doc_id", k = 3)
+        .select("doc_id", "source", "lang")
+    }),
+
+    // ---- embedding utilities ------------------------------------------
+    "emb_l2_stats" -> ((s, dir) => {
+      Embeddings.l2Stats(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
+    "emb_quantize_int8" -> ((s, dir) => {
+      Embeddings.quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
     })
   )
 
@@ -189,6 +238,50 @@ object PipelineQueries extends QueryGroup {
         "  FROM embeddings e CROSS JOIN q) " +
         "SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
-        "WHERE rank <= 10")
+        "WHERE rank <= 10"),
+
+    // connected components via recursive transitive closure: r holds every
+    // (node, reachable-label) pair; min per node = component representative.
+    // The edge predicate is the exact |Δn_chars| <= 2 relation — the Spark
+    // side generates the same pair set with two offset banded equijoins.
+    "dedup_cluster_cc" ->
+      ("WITH RECURSIVE e AS (" +
+        "  SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a JOIN documents b " +
+        "    ON a.source = b.source AND a.lang = b.lang " +
+        "   AND abs(a.n_chars - b.n_chars) <= 2 AND a.doc_id <> b.doc_id), " +
+        "r(id, lbl) AS (" +
+        "  SELECT doc_id, doc_id FROM documents " +
+        "  UNION " +
+        "  SELECT e.dst, r.lbl FROM e JOIN r ON r.id = e.src) " +
+        "SELECT id AS doc_id, min(lbl) AS rep FROM r GROUP BY id"),
+
+    // thresholds: 0.25→'4000', 0.5→'8000', 0.75→'c000' (16-bit hex grid)
+    "sample_stratified" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        "  CASE WHEN lang = 'es' THEN '8000' WHEN lang = 'en' THEN '4000' ELSE 'c000' END"),
+
+    "sample_reservoir" ->
+      ("SELECT doc_id, source, lang FROM (" +
+        "  SELECT doc_id, source, lang, row_number() OVER (" +
+        "    PARTITION BY source, lang " +
+        "    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn " +
+        "  FROM documents) WHERE rn <= 3"),
+
+    "emb_l2_stats" ->
+      ("SELECT vec_id, len(embedding) AS dim, " +
+        "round(sqrt(list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS norm " +
+        "FROM embeddings"),
+
+    "emb_quantize_int8" ->
+      ("WITH s AS (SELECT vec_id, embedding, " +
+        "  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am FROM embeddings) " +
+        "SELECT vec_id, " +
+        "  CASE WHEN am = 0 THEN 0.0 ELSE round(127.0 / am, 6) END AS scale, " +
+        "  CASE WHEN am = 0 THEN array_to_string(list_transform(embedding, x -> '0'), ',') " +
+        "       ELSE array_to_string(list_transform(embedding, " +
+        "         x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT) AS VARCHAR)), ',') END AS q_csv " +
+        "FROM s")
   )
 }

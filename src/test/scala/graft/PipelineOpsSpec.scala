@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Clustering, Embeddings, Sampling}
+
+/** Unit properties of the round-3 pipeline operators: connected-component
+  * cluster resolution, deterministic sampling, embedding quantization. */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("PipelineOpsSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark; import s.implicits._
+    Clustering.connectedComponents(
+        nodes.toDF("id"), "id", edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: triangle + pair + singleton") {
+    val reps = cc(Seq(1L, 2L, 3L, 10L, 11L, 99L),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)))
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connected components: long chain converges via pointer jumping") {
+    // a 400-node path needs ~200 rounds of plain propagation; pointer
+    // jumping must finish within the default 25-iteration budget
+    val n = 400L
+    val nodes = (1L to n)
+    val edges = (1L until n).map(i => (i, i + 1))
+    val reps = cc(nodes, edges)
+    assert(reps.values.toSet === Set(1L), "whole chain must collapse to rep 1")
+  }
+
+  test("connected components: two chains don't cross") {
+    val reps = cc((1L to 10L) ++ (20L to 30L),
+      (1L until 10L).map(i => (i, i + 1)) ++ (20L until 30L).map(i => (i, i + 1)))
+    assert((1L to 10L).forall(reps(_) == 1L))
+    assert((20L to 30L).forall(reps(_) == 20L))
+  }
+
+  test("deterministic sampling: reproducible, monotone in fraction, partition-independent") {
+    val s = spark; import s.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val s25 = Sampling.bernoulli(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val s25again = Sampling.bernoulli(df.repartition(7), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(s25 === s25again, "sample must not depend on partitioning")
+    val s50 = Sampling.bernoulli(df, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(s25.subsetOf(s50), "smaller fraction must be nested in larger")
+    assert(math.abs(s25.size / 2000.0 - 0.25) < 0.05, s"rate off: ${s25.size}")
+    assert(Sampling.bernoulli(df, "id", 1.0).count() === 2000L, "fraction 1.0 keeps all")
+    assert(Sampling.bernoulli(df, "id", 0.0).count() === 0L)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val s = spark; import s.implicits._
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "fr"))
+      .toDF("id", "lang")
+    val out = Sampling.stratified(df, "id", "lang", Map("en" -> 0.1, "es" -> 0.9), 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") / 1000.0 - 0.1) < 0.06, s"en: ${out("en")}")
+    assert(math.abs(out("es") / 1000.0 - 0.9) < 0.06, s"es: ${out("es")}")
+    assert(math.abs(out("fr") / 1000.0 - 0.5) < 0.08, s"fr: ${out("fr")}")
+  }
+
+  test("reservoirPerKey keeps exactly k per group, deterministically") {
+    val s = spark; import s.implicits._
+    val df = (1L to 500L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+    val out = Sampling.reservoirPerKey(df, Seq("grp"), "id", 7)
+    val counts = out.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 7L))
+    val again = Sampling.reservoirPerKey(df.repartition(11), Seq("grp"), "id", 7)
+    assert(out.collect().map(_.toString).sorted === again.collect().map(_.toString).sorted)
+  }
+
+  test("int8 quantization: range bounds, sign preservation, zero vector") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val q1 = out(1L)._2.split(",").map(_.toInt)
+    assert(q1 === Array(64, -127, 32), s"got ${q1.toSeq}")
+    assert(out(2L) === ((0.0, "0,0")))
+    assert(out(3L)._2 === "-127")
+    // every quantized component within int8 range
+    assert(out.values.flatMap(_._2.split(",")).map(_.toInt).forall(v => v >= -127 && v <= 127))
+  }
+
+  test("l2 stats: norm of a unit vector is 1") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Array(0.6f, 0.8f)), (2L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Embeddings.l2Stats(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((2, 1.0)))
+    assert(out(2L) === ((2, 5.0)))
+  }
+}
