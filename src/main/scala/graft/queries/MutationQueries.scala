@@ -70,6 +70,16 @@ object MutationQueries extends QueryGroup {
         .select("c_custkey", "c_acctbal")
     }),
 
+    // checkAndDelete (HTable.java:1181): delete the keyed rows only
+    // where the current row passes the check
+    "mut_check_and_delete" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val delKeys = base.filter(col("c_custkey") <= 100).select("c_custkey")
+      Mutations.checkAndDelete(base, delKeys, "c_custkey",
+        col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
     // RowMutations / batch (HTable.java:1002,823): ordered
     // delete-then-put-then-increment fold
     "mut_batch_mixed" -> ((s, dir) => {
@@ -116,6 +126,9 @@ object MutationQueries extends QueryGroup {
     "mut_check_and_put" ->
       ("SELECT c_custkey, CASE WHEN c_custkey <= 50 AND c_mktsegment = 'BUILDING' " +
         "THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal FROM customer"),
+    "mut_check_and_delete" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE NOT (c_custkey <= 100 AND c_mktsegment = 'AUTOMOBILE')"),
     "mut_batch_mixed" ->
       ("SELECT c_custkey, " +
         "CASE WHEN c_custkey <= 5 THEN 0.0 ELSE c_acctbal END + " +

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest deduplication — the stateful-streaming member of the
+  * dedup family ([[graft.ops.Dedup]] covers batch): drop every document
+  * whose content fingerprint was already admitted earlier in the stream,
+  * keeping the first arrival. The idiomatic 100 TB-ingest shape: state is
+  * per-fingerprint (hash-partitioned by Spark's streaming state store, one
+  * boolean per distinct doc ever admitted), so each micro-batch does one
+  * shuffle on the fingerprint and a state-store lookup per group — no
+  * joins against the full history table.
+  *
+  * Built on `KeyValueGroupedDataset.flatMapGroupsWithState` (the custom-
+  * state extension point; `dropDuplicates` covers only the
+  * watermark-bounded case, while admitted fingerprints here never expire —
+  * the semantics exact dedup needs). For TTL'd state swap the
+  * `NoTimeout()` for processing-time timeout.
+  */
+object StreamingDedup {
+
+  final case class Doc(doc_id: Long, fp: String, text: String)
+
+  /** First-arrival pass-through over a streaming `(doc_id, text)` frame;
+    * emits rows in Append mode with their md5 fingerprint attached.
+    * Within a micro-batch, the smallest doc_id of a new fingerprint wins
+    * (deterministic, matching the batch operators' min-id convention). */
+  def firstArrivalDedup(input: DataFrame, idCol: String, textCol: String): Dataset[Doc] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input
+      .select(col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol).cast("binary")).as("fp"),
+        col(textCol).as("text"))
+      .as[Doc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var first: Doc = null
+            while (rows.hasNext) {
+              val d = rows.next()
+              if (first == null || d.doc_id < first.doc_id) first = d
+            }
+            Iterator.single(first)
+          }
+      }
+  }
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked event-time windowed aggregation over a streaming event
+  * frame — the `readStream → transforms → writeStream` shape with late-data
+  * handling: events later than the watermark are dropped, closed windows
+  * are emitted exactly once in Append mode. (The reference has no
+  * streaming surface — SURVEY §2.9 — this belongs to the engine's
+  * pipeline-extension layer, e.g. ingest-rate/quality dashboards over a
+  * document firehose.)
+  *
+  * Scale: the aggregation state is one row per (window, event_type) —
+  * bounded by the watermark horizon, not the stream length; partial
+  * aggregation happens map-side before the state-store shuffle.
+  */
+object WindowedStats {
+
+  /** Per-window, per-type event counts with a lateness bound.
+    *
+    * @param events    streaming frame with `tsCol` (timestamp) + `typeCol`
+    * @param window    e.g. "10 minutes"
+    * @param lateness  watermark delay, e.g. "5 minutes"
+    */
+  def eventCounts(events: DataFrame, tsCol: String, typeCol: String,
+      window: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(typeCol), col("n"))
+}

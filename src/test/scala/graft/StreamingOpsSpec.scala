@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StreamingDedup, WindowedStats}
+
+/** Stateful streaming operators: first-arrival dedup
+  * (flatMapGroupsWithState) and watermarked windowed aggregation. */
+class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("StreamingOpsSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming dedup admits the first arrival of each fingerprint across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingDedup.firstArrivalDedup(
+      in.toDF().toDF("id", "text"), "id", "text")
+    val ckpt = Files.createTempDirectory("graft-dedup-ck").toString
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // batch 1: docs a,b + an in-batch duplicate of a (higher id loses)
+      in.addData((3L, "aaa"), (1L, "aaa"), (2L, "bbb"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicates of a and b + new doc c
+      in.addData((10L, "aaa"), (11L, "bbb"), (12L, "ccc"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((1L, "aaa"), (2L, "bbb"), (12L, "ccc")),
+        s"got $rows")
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts close windows and drop late data") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val out = WindowedStats.eventCounts(in.toDF().toDF("ts", "event_type"),
+      "ts", "event_type", "10 minutes", "5 minutes")
+    val ckpt = Files.createTempDirectory("graft-win-ck").toString
+    val q = out.writeStream
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "click"), (ts(2), "click"), (ts(4), "view"))
+      q.processAllAvailable()
+      // advance event time past window end (10:10) + lateness (5 min):
+      // watermark moves to 10:16 > 10:10 → the 10:00 window closes
+      in.addData((ts(21), "click"))
+      q.processAllAvailable()
+      // this event targets the CLOSED 10:00 window → must be dropped
+      in.addData((ts(3), "click"))
+      q.processAllAvailable()
+      // close the 10:20 window too (watermark needs to pass 10:30)
+      in.addData((ts(40), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("win_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L)),
+        s"closed first window must count only pre-watermark clicks: $rows")
+      assert(rows.contains(("2026-01-01 10:00:00.0", "view", 1L)), s"got $rows")
+      assert(rows.contains(("2026-01-01 10:20:00.0", "click", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+}
