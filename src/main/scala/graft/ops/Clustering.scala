@@ -38,10 +38,14 @@ object Clustering {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .dropDuplicates("src", "dst")
       .localCheckpoint(true) // the edge set is reused every round
-    var labels = nodes.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+    // Only edge endpoints iterate; isolated nodes are their own rep and
+    // would just inflate every per-round shuffle (in real dedup graphs
+    // MOST docs are singletons).
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
@@ -52,12 +56,20 @@ object Clustering {
       val next = labels.unionByName(prop).unionByName(l2)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).count()
+      // round 1 always changes a label when any edge exists (the larger
+      // endpoint drops) — skip its convergence-count job
+      val changed =
+        if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+          .filter(col("lbl") < col("prev")).count()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    labels.withColumnRenamed("lbl", "rep").withColumnRenamed("id", idCol)
+    val connected = labels.withColumnRenamed("lbl", "rep").withColumnRenamed("id", idCol)
+    val singletons = nodes.select(col(idCol).cast("long").as(idCol))
+      .join(connected.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("rep"))
+    connected.unionByName(singletons)
   }
 }

@@ -79,18 +79,22 @@ object PipelineQueries extends QueryGroup {
     "dedup_cluster_cc" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-      def banded(off: Int) = {
-        val k = docs.withColumn("band", floor((col("n_chars") + off) / 4))
-        k.select(col("source"), col("lang"), col("band"),
-            col("doc_id").as("id_a"), col("n_chars").as("nc_a"))
-          .join(k.select(col("source"), col("lang"), col("band"),
-            col("doc_id").as("id_b"), col("n_chars").as("nc_b")),
-            Seq("source", "lang", "band"))
-          .filter(col("id_a") < col("id_b") &&
-            abs(col("nc_a") - col("nc_b")) <= 2)
-          .select("id_a", "id_b")
-      }
-      val edges = banded(0).unionByName(banded(2)).dropDuplicates("id_a", "id_b")
+      // both offset grids in one pass: each doc emits (grid, band) keys,
+      // one equijoin covers both grids (a pair can match on both → dedup)
+      val k = docs.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        explode(array(
+          struct(lit(0).as("grid"), floor(col("n_chars") / 4).as("band")),
+          struct(lit(1).as("grid"), floor((col("n_chars") + 2) / 4).as("band")))).as("bk"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          col("bk.grid").as("grid"), col("bk.band").as("band"))
+      val edges = k.select(col("source"), col("lang"), col("grid"), col("band"),
+          col("doc_id").as("id_a"), col("n_chars").as("nc_a"))
+        .join(k.select(col("source"), col("lang"), col("grid"), col("band"),
+          col("doc_id").as("id_b"), col("n_chars").as("nc_b")),
+          Seq("source", "lang", "grid", "band"))
+        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 2)
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
       Clustering.connectedComponents(docs, "doc_id", edges, "id_a", "id_b")
     }),
 
