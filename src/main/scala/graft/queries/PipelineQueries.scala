@@ -179,6 +179,26 @@ object PipelineQueries extends QueryGroup {
 
     "emb_quantize_int8" -> ((s, dir) => {
       Embeddings.quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
+    // embedding-space class separation: mean intra-label pairwise cosine,
+    // computed with the native codegen dot-product expression (graft_dot,
+    // whole-stage codegen — no UDF boundary, no kernel deserialization).
+    // Decimal-sum determinism per AggQueries; label blocks bound the pair
+    // join (same blocking argument as dedup).
+    "emb_label_cosine" -> ((s, dir) => {
+      org.apache.spark.sql.graftfn.GraftFunctions.register(s)
+      def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function(org.apache.spark.sql.graftfn.GraftFunctions.DotName, a, b)
+      val e = Tables.load(s, dir, "embeddings")
+      val x = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      val y = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      x.join(y, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", d(col("va"), col("vb")) /
+          (sqrt(d(col("va"), col("va"))) * sqrt(d(col("vb"), col("vb")))))
+        .groupBy("label")
+        .agg(sum(round(col("cos"), 6).cast("decimal(18,6)")).cast("double").as("sum_cos"),
+          count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -286,6 +306,18 @@ object PipelineQueries extends QueryGroup {
         "  CASE WHEN am = 0 THEN array_to_string(list_transform(embedding, x -> '0'), ',') " +
         "       ELSE array_to_string(list_transform(embedding, " +
         "         x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT) AS VARCHAR)), ',') END AS q_csv " +
-        "FROM s")
+        "FROM s"),
+
+    "emb_label_cosine" ->
+      ("WITH p AS (SELECT a.label, " +
+        "  list_sum(list_transform(range(1, len(a.embedding) + 1), " +
+        "    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +
+        "  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), " +
+        "    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * " +
+        "   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), " +
+        "    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos " +
+        "  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        "SELECT label, CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos, " +
+        "  count(*) AS n_pairs FROM p GROUP BY label")
   )
 }
