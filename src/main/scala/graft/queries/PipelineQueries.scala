@@ -40,6 +40,21 @@ object PipelineQueries extends QueryGroup {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
+    // corpus-level token analytics: top-5 tokens (len >= 4) per language —
+    // the explode/unnest aggregation shape (one shuffle on (lang, tok)
+    // with map-side partial counts; the rank is over the tiny grouped set)
+    "text_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 4)
+      val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("lang", "tok", "cnt", "rnk")
+    }),
+
     // BPE-ish pre-tokenizer (word pieces + punctuation as tokens)
     "text_bpe_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -307,6 +322,13 @@ object PipelineQueries extends QueryGroup {
         "       ELSE array_to_string(list_transform(embedding, " +
         "         x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT) AS VARCHAR)), ',') END AS q_csv " +
         "FROM s"),
+
+    "text_top_terms" ->
+      ("SELECT lang, tok, cnt, rnk FROM (" +
+        "  SELECT lang, tok, count(*) AS cnt, " +
+        "    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rnk " +
+        "  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "  WHERE len(tok) >= 4 GROUP BY lang, tok) WHERE rnk <= 5"),
 
     "emb_label_cosine" ->
       ("WITH p AS (SELECT a.label, " +
