@@ -40,11 +40,16 @@ object Clustering {
       .localCheckpoint(true) // the edge set is reused every round
     // Only edge endpoints iterate; isolated nodes are their own rep and
     // would just inflate every per-round shuffle (in real dedup graphs
-    // MOST docs are singletons).
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // MOST docs are singletons). Labels start at the round-1 fixpoint
+    // min(id, min neighbor) — computed by direct aggregation over the
+    // edge list, because round 1 against identity labels would just be
+    // that aggregation plus two wasted joins (neighbor lookup on
+    // identity, pointer jump through identity).
+    var labels = sym.select(col("src").as("id"), col("dst").as("lbl"))
+      .unionByName(sym.select(col("src").as("id"), col("src").as("lbl")))
+      .groupBy("id").agg(min("lbl").as("lbl"))
       .localCheckpoint(true)
-    var iter = 0
+    var iter = 1
     var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
@@ -56,12 +61,8 @@ object Clustering {
       val next = labels.unionByName(prop).unionByName(l2)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      // round 1 always changes a label when any edge exists (the larger
-      // endpoint drops) — skip its convergence-count job
-      val changed =
-        if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-          .filter(col("lbl") < col("prev")).count()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).count()
       labels = next
       converged = changed == 0
       iter += 1
