@@ -180,6 +180,12 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "lang", "source")
     }),
 
+    // plain deterministic Bernoulli sample (reproducible corpus snapshot)
+    "sample_bernoulli" -> ((s, dir) => {
+      Sampling.bernoulli(Tables.load(s, dir, "documents"), "doc_id", 0.125)
+        .select("doc_id", "lang")
+    }),
+
     // fixed-k-per-group hash reservoir (inspection/eval subsets)
     "sample_reservoir" -> ((s, dir) => {
       Sampling.reservoirPerKey(Tables.load(s, dir, "documents"),
@@ -300,6 +306,10 @@ object PipelineQueries extends QueryGroup {
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
         "  CASE WHEN lang = 'es' THEN '8000' WHEN lang = 'en' THEN '4000' ELSE 'c000' END"),
 
+    // 0.125 → 8192 → '2000' on the 16-bit hex grid
+    "sample_bernoulli" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'"),
     "sample_reservoir" ->
       ("SELECT doc_id, source, lang FROM (" +
         "  SELECT doc_id, source, lang, row_number() OVER (" +
