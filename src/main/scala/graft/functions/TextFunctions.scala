@@ -71,4 +71,38 @@ object TextFunctions {
   /** 64-bit token hash with seed — the building block for MinHash/SimHash
     * signatures (xxhash64 is Spark-native and codegen'd). */
   def seededHash(token: Column, seed: Column): Column = xxhash64(seed, token)
+
+  /** Space-joined token n-grams (empty array when the doc is shorter
+    * than n tokens). Pure codegen: sequence + slice inside the scan. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks) - (n - 1)
+    when(cnt > 0,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicate n-gram fraction (Gopher/RefinedWeb-style repetition
+    * filter): 1 − distinct/total over token n-grams, 0 for short docs. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    when(size(g) > 0,
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII patterns kept to a regex subset with identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4,}"
+
+  /** Redact email/phone-shaped substrings (the standard scrub pass before
+    * corpus release). regexp_replace replaces every match; codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of matches of a PII pattern (regexp_count is codegen'd). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
 }

@@ -70,6 +70,23 @@ object BulkJobs {
     Mutations.delete(Mutations.put(base, puts, rowkey), dels, rowkey)
   }
 
+  /** Export/Import in alternate storage formats (the reference's Export
+    * writes SequenceFiles — the point is a second on-disk format round-
+    * trips losslessly; ORC is columnar+splittable like the HFile). */
+  def exportOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def importOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines export/import (splittable text interchange; the explicit
+    * schema on read pins types — no inference drift). */
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def importJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** MultiTableInputFormat (`MultiTableInputFormat.java`): one scan over
     * several tables — aligned projections unioned. */
   def multiTableScan(scans: Seq[DataFrame]): DataFrame =

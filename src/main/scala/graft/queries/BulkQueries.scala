@@ -71,6 +71,25 @@ object BulkQueries extends QueryGroup {
       BulkJobs.importTable(s, out)
     }),
 
+    // Export → Import via ORC (second columnar format round-trip)
+    "bulk_export_orc" -> ((s, dir) => {
+      val out = s"/root/repo/target/graft-warehouse/orc_${dir.replaceAll(".*/", "")}/supplier"
+      BulkJobs.exportOrc(Tables.load(s, dir, "supplier"), out)
+      BulkJobs.importOrc(s, out)
+    }),
+
+    // Export → Import via JSON lines (schema pinned on read)
+    "bulk_export_json" -> ((s, dir) => {
+      val out = s"/root/repo/target/graft-warehouse/json_${dir.replaceAll(".*/", "")}/nation"
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      BulkJobs.exportJson(n, out)
+      BulkJobs.importJson(s, out, StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+    }),
+
     // CopyTable with a Scan filter (CopyTable.java)
     "bulk_copy_table" -> ((s, dir) => {
       val out = s"/root/repo/target/graft-warehouse/copy_${dir.replaceAll(".*/", "")}/supplier"
@@ -128,6 +147,10 @@ object BulkQueries extends QueryGroup {
       "SELECT * FROM region",
     "bulk_copy_table" ->
       "SELECT * FROM supplier WHERE s_nationkey < 10",
+    "bulk_export_orc" ->
+      "SELECT * FROM supplier",
+    "bulk_export_json" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "agg_custom_exact_avg" ->
       "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) / count(*) AS DOUBLE), 6) AS exact_avg FROM lineitem",
     "agg_custom_range" ->

@@ -55,6 +55,42 @@ object PipelineQueries extends QueryGroup {
         .select("lang", "tok", "cnt", "rnk")
     }),
 
+    // Gopher/RefinedWeb-style repetition filter: duplicate 2-/3-gram
+    // fractions per doc (pure codegen inside the scan — no shuffle)
+    "text_repetition" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupNgramFraction(col("text"), 2).as("dup2"),
+          TextFunctions.dupNgramFraction(col("text"), 3).as("dup3"))
+    }),
+
+    // PII scrub pass: the corpus has no PII, so deterministic fake
+    // email/phone strings derived from doc_id are appended (identically
+    // in the oracle) and must be redacted; counts prove the regexes hit.
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact bob"), col("doc_id").cast("string"),
+        lit("@mail.com or 555-010"), col("doc_id").cast("string"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextFunctions.redactPii(aug)).as("red_fp"),
+          TextFunctions.piiCount(aug, TextFunctions.EmailPattern).as("n_emails"),
+          TextFunctions.piiCount(aug, TextFunctions.PhonePattern).as("n_phones"))
+    }),
+
+    // benchmark-contamination check: docs sharing any 5-gram with the
+    // held-out eval slice (doc_id % 97 = 0). Shuffle is on the distinct
+    // shingle — the eval side is tiny and broadcast at scale.
+    "text_contamination" -> ((s, dir) => {
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.ngrams(col("text"), 5))).as("g"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalG), Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // BPE-ish pre-tokenizer (word pieces + punctuation as tokens)
     "text_bpe_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -227,6 +263,21 @@ object PipelineQueries extends QueryGroup {
   private def dkList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB token n-gram list (mirrors [[TextFunctions.ngrams]]). */
+  private def ngramSql(n: Int): String =
+    s"list_transform(range(1, greatest(len(string_split(text, ' ')) - ${n - 1}, 0) + 1), " +
+      s"i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${n - 1}), ' '))"
+
+  /** DuckDB duplicate n-gram fraction (mirrors [[TextFunctions.dupNgramFraction]]). */
+  private def dupNgramSql(n: Int, as: String): String =
+    s"CASE WHEN len(${ngramSql(n)}) > 0 THEN round(1.0 - " +
+      s"CAST(len(list_distinct(${ngramSql(n)})) AS DOUBLE) / len(${ngramSql(n)}), 6) " +
+      s"ELSE 0.0 END AS $as"
+
+  // identical pattern strings on both engines (Java regex ≡ RE2 on this subset)
+  private val EmailSql = TextFunctions.EmailPattern
+  private val PhoneSql = TextFunctions.PhonePattern
+
   private val hitsEn = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("en"))}, t)))"
   private val hitsEs = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("es"))}, t)))"
   private val hitsZh = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("zh"))}, t)))"
@@ -252,6 +303,20 @@ object PipelineQueries extends QueryGroup {
         "FROM documents"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "text_repetition" ->
+      (s"SELECT doc_id, ${dupNgramSql(2, "dup2")}, ${dupNgramSql(3, "dup3")} FROM documents"),
+    "text_pii_redact" ->
+      (s"WITH a AS (SELECT doc_id, text || ' contact bob' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.com or 555-010' || CAST(doc_id AS VARCHAR) AS aug FROM documents) " +
+        s"SELECT doc_id, md5(regexp_replace(regexp_replace(aug, '$EmailSql', '<EMAIL>', 'g'), " +
+        s"'$PhoneSql', '<PHONE>', 'g')) AS red_fp, " +
+        s"len(regexp_extract_all(aug, '$EmailSql')) AS n_emails, " +
+        s"len(regexp_extract_all(aug, '$PhoneSql')) AS n_phones FROM a"),
+    "text_contamination" ->
+      (s"WITH g AS (SELECT doc_id, unnest(list_distinct(${ngramSql(5)})) AS g FROM documents), " +
+        "e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0) " +
+        "SELECT g.doc_id, count(*) AS n_shared FROM g JOIN e ON g.g = e.g " +
+        "WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id"),
     "text_bpe_stats" ->
       ("SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe, " +
         "len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))) AS n_bpe_distinct " +

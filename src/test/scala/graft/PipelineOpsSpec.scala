@@ -115,4 +115,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === ((2, 1.0)))
     assert(out(2L) === ((2, 5.0)))
   }
+
+  test("ngrams + duplicate-ngram fraction: exact values, short-doc guard") {
+    val s = spark; import s.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "a b a b a"),   // 2-grams: [a b, b a, a b, b a] → 2 distinct of 4
+      (2L, "x y z"),       // 2-grams all distinct
+      (3L, "solo")         // shorter than n → empty, fraction 0
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.ngrams(col("text"), 2).as("g"),
+        TextFunctions.dupNgramFraction(col("text"), 2).as("f"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === Seq("a b", "b a", "a b", "b a"))
+    assert(out(1L)._2 === 0.5)
+    assert(out(2L)._2 === 0.0)
+    assert(out(3L)._1 === Seq.empty && out(3L)._2 === 0.0)
+  }
+
+  test("pii redaction: emails and phones replaced, counts match") {
+    val s = spark; import s.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "mail a.b-c@ex-1.org and b@x.io call 555-0199 now"),
+      (2L, "no pii here 12-34")  // too-short digit runs must NOT match
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.redactPii(col("text")).as("red"),
+        TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern).as("ne"),
+        TextFunctions.piiCount(col("text"), TextFunctions.PhonePattern).as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L)._1 === "mail <EMAIL> and <EMAIL> call <PHONE> now")
+    assert(out(1L)._2 === 2 && out(1L)._3 === 1)
+    assert(out(2L) === (("no pii here 12-34", 0, 0)))
+  }
 }
