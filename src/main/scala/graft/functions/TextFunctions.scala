@@ -72,24 +72,35 @@ object TextFunctions {
     * signatures (xxhash64 is Spark-native and codegen'd). */
   def seededHash(token: Column, seed: Column): Column = xxhash64(seed, token)
 
+  /** Let-binding in Column algebra: evaluate `v` ONCE per row and refer
+    * to it via the lambda variable. An expression captured inside a
+    * higher-order-function lambda is otherwise re-evaluated per array
+    * element (measured 15-90× on token n-grams — `slice(toks, i, n)`
+    * inside `transform` re-runs the whole `split` for every i). */
+  private def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Space-joined token n-grams (empty array when the doc is shorter
-    * than n tokens). Pure codegen: sequence + slice inside the scan. */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val cnt = size(toks) - (n - 1)
-    when(cnt > 0,
-      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * than n tokens). `bind` pins the token array so the transform is
+    * O(tokens), not O(tokens²). */
+  def ngrams(text: Column, n: Int): Column =
+    bind(tokens(text)) { toks =>
+      val cnt = size(toks) - (n - 1)
+      when(cnt > 0,
+        transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Duplicate n-gram fraction (Gopher/RefinedWeb-style repetition
-    * filter): 1 − distinct/total over token n-grams, 0 for short docs. */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val g = ngrams(text, n)
-    when(size(g) > 0,
-      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
-      .otherwise(lit(0.0))
-  }
+    * filter): 1 − distinct/total over token n-grams, 0 for short docs.
+    * The gram array is bound once — not re-derived for each of the three
+    * references. */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    bind(ngrams(text, n)) { g =>
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
 
   /** PII patterns kept to a regex subset with identical semantics in
     * Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */

@@ -31,33 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Character shingles (default) or word n-grams as the MinHash item set. */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val idx = sequence(lit(1), greatest(length(text) - (k - 1), lit(1)))
-    array_distinct(transform(idx, i => text.substr(i, lit(k))))
-  }
-
-  /** Word n-grams of the whitespace tokens. */
-  def wordNgrams(text: Column, n: Int = 3): Column = {
-    val toks = split(text, "\\s+")
-    val cnt = greatest(size(toks) - (n - 1), lit(1))
-    array_distinct(transform(sequence(lit(0), cnt - 1),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
-
-  /** MinHash signature: `numHashes` permutations approximated by seeded
-    * xxhash64; sig[i] = min over shingles of hash_i(shingle). Computed
-    * entirely inside codegen (no shuffle, no UDF). */
-  def minHashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
-
-  /** LSH band keys: hash each of `bands` contiguous rows-per-band slices
-    * of the signature. Docs sharing any band key are candidates. */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
-
   /** Exact duplicate groups by content fingerprint: returns
     * (id, keep_id) — keep_id is the smallest id of the group; rows with
     * id != keep_id are the removable duplicates. */
@@ -245,22 +218,6 @@ object Dedup {
       .join(grams.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     verifyJaccard(withSh, threshold)
-  }
-
-  /** 64-bit SimHash signature from the token array: bit i is the sign of
-    * the sum over tokens of (token-hash bit i ? +1 : -1). Pure codegen. */
-  def simHashSignature(toks: Column): Column = {
-    // call_function: the SQL shiftright/shiftleft accept a Column shift
-    // amount (the Scala API overloads only take Int)
-    def shr(c: Column, by: Column) = call_function("shiftright", c, by)
-    def shl(c: Column, by: Column) = call_function("shiftleft", c, by)
-    val bitSums = transform(sequence(lit(0), lit(63)), i =>
-      aggregate(toks, lit(0),
-        (acc, t) => acc + when(shr(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, i) => when(s > 0, shl(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** SimHash near-dups: candidates via exact match on `maxHamming + 1`

@@ -155,6 +155,40 @@ object MinHash {
       if (width >= 64) sig else (sig >>> start) & ((1L << width) - 1)
     }
 
+  /** (total, distinct) counts over SLIDING-WINDOW word n-grams — kernel
+    * twin of [[graft.functions.TextFunctions.dupNgramFraction]]'s
+    * components. Unlike [[wordNgrams]] (which collapses short docs to one
+    * gram for the dedup item set), this uses total = max(tokens − n + 1, 0)
+    * and exact gram strings — matching the repetition-filter oracle with
+    * zero hash-collision risk. */
+  def ngramDupCounts(toks: Array[String], n: Int): (Int, Int) = {
+    val total = math.max(toks.length - n + 1, 0)
+    if (total == 0) (0, 0)
+    else {
+      val seen = new java.util.HashSet[String](total * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString); i += 1
+      }
+      (total, seen.size)
+    }
+  }
+
+  /** Distinct sliding-window n-gram strings (empty when tokens < n) —
+    * same window semantics as [[ngramDupCounts]]; feeds the
+    * contamination-check join. */
+  def slidingNgramsDistinct(toks: Array[String], n: Int): Array[String] = {
+    val total = math.max(toks.length - n + 1, 0)
+    val set = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i < total) { set.add(toks.slice(i, i + n).mkString(" ")); i += 1 }
+    set.toArray
+  }
+
   /** 64-bit SimHash over tokens. */
   def simHash(tokens: Array[String]): Long = {
     val acc = new Array[Int](64)

@@ -56,12 +56,27 @@ object PipelineQueries extends QueryGroup {
     }),
 
     // Gopher/RefinedWeb-style repetition filter: duplicate 2-/3-gram
-    // fractions per doc (pure codegen inside the scan — no shuffle)
+    // fractions per doc. Gram counting runs in the MinHash-style JVM
+    // kernel (interpreted-HOF n-grams measured ~15× slower); the final
+    // divide + round stays a codegen'd Column so rounding parity with
+    // the oracle is Spark's own.
     "text_repetition" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.dupNgramFraction(col("text"), 2).as("dup2"),
-          TextFunctions.dupNgramFraction(col("text"), 3).as("dup3"))
+      import s.implicits._
+      import graft.ops.MinHash
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val toks = text.split("\\s+")
+          val (t2, d2) = MinHash.ngramDupCounts(toks, 2)
+          val (t3, d3) = MinHash.ngramDupCounts(toks, 3)
+          (id, t2, d2, t3, d3)
+        }).toDF("doc_id", "t2", "d2", "t3", "d3")
+      def frac(t: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+        when(t > 0, round(lit(1.0) - d.cast("double") / t.cast("double"), 6))
+          .otherwise(lit(0.0))
+      counts.select(col("doc_id"),
+        frac(col("t2"), col("d2")).as("dup2"),
+        frac(col("t3"), col("d3")).as("dup3"))
     }),
 
     // PII scrub pass: the corpus has no PII, so deterministic fake
@@ -81,9 +96,13 @@ object PipelineQueries extends QueryGroup {
     // held-out eval slice (doc_id % 97 = 0). Shuffle is on the distinct
     // shingle — the eval side is tiny and broadcast at scale.
     "text_contamination" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.MinHash
       val grams = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextFunctions.ngrams(col("text"), 5))).as("g"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          MinHash.slidingNgramsDistinct(text.split("\\s+"), 5).iterator.map((id, _))
+        }).toDF("doc_id", "g")
       val evalG = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
       grams.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(evalG), Seq("g"))
