@@ -226,6 +226,36 @@ object PipelineQueries extends QueryGroup {
         "vec_id", "embedding", threshold = 0.95, planes = 6)
     }),
 
+    // ---- end-to-end curation composition -------------------------------
+    // the operators above CHAINED the way a real corpus release runs:
+    // language filter → quality floor → exact-bag dedup (keep-first) →
+    // deterministic 50% snapshot. One scan computes both scores (codegen),
+    // one window for dedup, one semi-join back, sample is a pushed-down
+    // string compare — 2 shuffles total regardless of corpus size.
+    "pipeline_curate" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.langId(col("text")).as("pred_lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(col("pred_lang") =!= "und" && col("quality") >= 0.5)
+        .withColumn("bag",
+          concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+")))))
+      val keepIds = Dedup.exactDupMapping(kept, "doc_id", "bag")
+        .filter(col("doc_id") === col("keep_id")).select("doc_id")
+      Sampling.bernoulli(kept.join(keepIds, Seq("doc_id"), "left_semi"), "doc_id", 0.5)
+        .select("doc_id", "pred_lang", "quality")
+    }),
+
+    // corpus composition rollup: per (source, lang) doc/char/token totals
+    // (all-integer sums — deterministic partial→final aggregation)
+    "text_corpus_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_toks"))
+    }),
+
     // ---- deterministic sampling ---------------------------------------
     // stratified hash sample: downsample the high-resource language,
     // keep low-resource strata at higher rates (corpus rebalancing)
@@ -301,20 +331,35 @@ object PipelineQueries extends QueryGroup {
   private val hitsEs = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("es"))}, t)))"
   private val hitsZh = s"len(list_filter(string_split(text, ' '), t -> list_contains(${dkList(TextFunctions.langMarkers("zh"))}, t)))"
 
+  // greatest(struct(hits, lang)) tie-break = larger lang code wins on
+  // equal hits → CASE ordered zh >= es >= en
+  private val langIdSql =
+    s"CASE WHEN $hitsZh >= $hitsEs AND $hitsZh >= $hitsEn AND $hitsZh > 0 THEN 'zh' " +
+      s"WHEN $hitsEs >= $hitsEn AND $hitsEs > 0 THEN 'es' " +
+      s"WHEN $hitsEn > 0 THEN 'en' ELSE 'und' END"
+
+  private val qualitySql =
+    "round(" +
+      "(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 + " +
+      "(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.4 + " +
+      "(CASE WHEN (CAST(strlen(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) " +
+      " BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6)"
+
   val oracles: Map[String, String] = Map(
-    // greatest(struct(hits, lang)) tie-break = larger lang code wins on
-    // equal hits → CASE ordered zh >= es >= en
     "text_langid" ->
-      (s"SELECT doc_id, CASE " +
-        s"WHEN $hitsZh >= $hitsEs AND $hitsZh >= $hitsEn AND $hitsZh > 0 THEN 'zh' " +
-        s"WHEN $hitsEs >= $hitsEn AND $hitsEs > 0 THEN 'es' " +
-        s"WHEN $hitsEn > 0 THEN 'en' ELSE 'und' END AS pred_lang FROM documents"),
+      s"SELECT doc_id, $langIdSql AS pred_lang FROM documents",
     "text_quality" ->
-      ("SELECT doc_id, round(" +
-        "(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.4 + " +
-        "(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 0.4 + " +
-        "(CASE WHEN (CAST(strlen(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) " +
-        " BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality FROM documents"),
+      s"SELECT doc_id, $qualitySql AS quality FROM documents",
+    "pipeline_curate" ->
+      (s"WITH scored AS (SELECT doc_id, text, $langIdSql AS pred_lang, $qualitySql AS quality FROM documents), " +
+        "kept AS (SELECT * FROM scored WHERE pred_lang <> 'und' AND quality >= 0.5), " +
+        "dd AS (SELECT doc_id, pred_lang, quality, min(doc_id) OVER (PARTITION BY " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keep_id FROM kept) " +
+        "SELECT doc_id, pred_lang, quality FROM dd " +
+        "WHERE doc_id = keep_id AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'"),
+    "text_corpus_stats" ->
+      ("SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks FROM documents GROUP BY source, lang"),
     "text_token_stats" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tok, " +
         "len(list_distinct(string_split(text, ' '))) AS n_distinct, " +

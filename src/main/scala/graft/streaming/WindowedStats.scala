@@ -33,4 +33,33 @@ object WindowedStats {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col(typeCol), col("n"))
+
+  /** Session-window aggregation: events of the same key within `gap` of
+    * each other coalesce into one dynamic-length session (the activity-
+    * burst analysis shape). State per open session, closed by watermark. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col(keyCol), col("n"))
+
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key whose timestamp lies within
+    * [left.ts − bound, left.ts + bound]. Both state stores are pruned by
+    * watermark + bound — memory stays proportional to the in-flight
+    * horizon, never the stream length. Column names must be disjoint
+    * apart from `keyCol`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsL: String, tsR: String, lateness: String, bound: String): DataFrame = {
+    val l = left.withWatermark(tsL, lateness)
+    val r = right.withWatermark(tsR, lateness).withColumnRenamed(keyCol, "__rk")
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col(tsR) >= col(tsL) - expr(s"INTERVAL $bound") &&
+        col(tsR) <= col(tsL) + expr(s"INTERVAL $bound"))
+      .drop("__rk")
+  }
 }

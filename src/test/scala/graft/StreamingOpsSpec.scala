@@ -84,4 +84,68 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.contains(("2026-01-01 10:20:00.0", "click", 1L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("session windows coalesce bursts and split on gaps") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int, sec: Int = 0) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:$sec%02d")
+    val out = WindowedStats.sessionCounts(in.toDF().toDF("ts", "user"),
+      "ts", "user", "5 minutes", "5 minutes")
+    val ckpt = Files.createTempDirectory("graft-sess-ck").toString
+    val q = out.writeStream
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // u1: burst at 10:00-10:03 (one session), then 10:20 (a second);
+      // u2: single event
+      in.addData((ts(0), "u1"), (ts(3), "u1"), (ts(20), "u1"), (ts(1), "u2"))
+      q.processAllAvailable()
+      // advance watermark far past every session end
+      in.addData((ts(59), "u3"))
+      q.processAllAvailable()
+      in.addData((ts(59, 30), "u3")) // move watermark again to flush u3? (still open)
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("sess_start", "user", "n")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "u1", 2L)),
+        s"burst must coalesce into one 2-event session: $rows")
+      assert(rows.contains(("2026-01-01 10:20:00.0", "u1", 1L)), s"got $rows")
+      assert(rows.contains(("2026-01-01 10:01:00.0", "u2", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events within the bound, prunes state by watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val views = MemoryStream[(java.sql.Timestamp, String, Long)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val out = WindowedStats.intervalJoin(
+      clicks.toDF().toDF("ts_c", "user", "click_id"),
+      views.toDF().toDF("ts_v", "user", "view_id"),
+      "user", "ts_c", "ts_v", "5 minutes", "2 minutes")
+    val ckpt = Files.createTempDirectory("graft-ssj-ck").toString
+    val q = out.writeStream
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(10), "u1", 100L), (ts(10), "u2", 200L))
+      views.addData((ts(9), "u1", 1L), (ts(11), "u1", 2L),
+        (ts(14), "u1", 3L), // outside +2min bound
+        (ts(9), "u3", 4L))  // no matching user
+      q.processAllAvailable()
+      clicks.addData((ts(40), "zz", 0L)) // advance watermark
+      views.addData((ts(40), "zz", 0L))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((100L, 1L), (100L, 2L), (0L, 0L)),
+        s"only u1 views within ±2 minutes of the click must join: $rows")
+    } finally q.stop()
+  }
 }
