@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * The hash is the first 4 hex chars of md5 of the decimal id string —
   * 16 bits of uniformly distributed key space, compared lexicographically
   * (hex order = numeric order), so `fraction` resolves to a plain
-  * codegen'd string comparison pushed down to the Parquet scan.
+  * codegen'd string comparison evaluated inside the scan stage (a derived
+  * expression can't reach Parquet's row-group pruning, but it shuffles
+  * nothing and joins nothing — PlanAuditSpec pins that shape).
   */
 object Sampling {
 

@@ -86,6 +86,16 @@ object AggQueries extends QueryGroup {
         .filter(col("l_returnflag") === "A" && col("l_quantity") > 10.0)
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
+    }),
+
+    // Exact distinct aggregation (engine extension — the reference has no
+    // distinct-agg; Catalyst plans it as the two-phase partial-distinct
+    // expand, the shape that survives skewed keys at scale)
+    "agg_count_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
     })
   )
 
@@ -110,6 +120,9 @@ object AggQueries extends QueryGroup {
         "GROUP BY l_returnflag, l_linestatus"),
     "agg_filtered_sum" ->
       ("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
-        "FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 10.0")
+        "FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 10.0"),
+    "agg_count_distinct" ->
+      ("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
+        "count(*) AS n_rows FROM lineitem")
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits of the scale properties the engine's 100 TB
+  * design rests on — encoded as specs so a regression (a filter that
+  * stops pushing, a projection that stops pruning, a broadcast that
+  * silently becomes a shuffle join) fails CI instead of only showing up
+  * as a bench cliff. Each test pins ONE property of a real contract
+  * query's executed plan.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      // AQE wraps the tree in AdaptiveSparkPlanExec, which exposes no
+      // children until execution — disable it so plan collects see the
+      // static physical tree (the shapes asserted are AQE-independent)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .appName("PlanAuditSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+
+  test("range scan pushes the rowkey bounds into the Parquet scan") {
+    val pushed = scans(q("scan_range")).flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(p => p.contains("GreaterThanOrEqual") && p.contains("LessThan")),
+      s"rowkey range must reach the scan (row-group pruning at scale): $pushed")
+  }
+
+  test("projection prunes the read schema to the selected columns") {
+    val schemas = scans(q("scan_projection")).map(_.metadata("ReadSchema"))
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      s.contains("p_partkey") && !s.contains("p_retailprice") && !s.contains("p_comment")),
+      s"scan must read only projected columns: $schemas")
+  }
+
+  test("contamination check joins via broadcast, not shuffle") {
+    val joins = q("text_contamination").queryExecution.executedPlan.collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty,
+      "the small eval-gram side must broadcast — a shuffle join here " +
+        "re-shuffles the full corpus gram stream at scale")
+  }
+
+  test("scan-side text scoring stays inside whole-stage codegen") {
+    val plan = q("text_quality").queryExecution.executedPlan
+    val codegen = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(codegen.nonEmpty, s"quality scoring must be codegen'd:\n$plan")
+  }
+
+  test("grouped aggregation runs partial then final (map-side combine)") {
+    val aggs = q("agg_group_q1").queryExecution.executedPlan.collect {
+      case a: HashAggregateExec => a
+    }
+    assert(aggs.size >= 2,
+      s"expected partial+final HashAggregate pair, got ${aggs.size} — " +
+        "without map-side partials the group-by shuffles every input row")
+  }
+
+  test("deterministic sample evaluates as a scan-stage filter (no shuffle, no join)") {
+    val plan = q("sample_bernoulli").queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"hash-based sampling must be a stateless per-row filter:\n$plan")
+  }
+}
