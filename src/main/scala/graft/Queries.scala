@@ -16,6 +16,7 @@ object Queries {
     VersionQueries,
     MutationQueries,
     PipelineQueries,
+    JoinQueries,
     BulkQueries)
 
   lazy val all: Map[String, Q] = groups.flatMap(_.defs).toMap

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators — engine extensions beyond the reference
+  * (SURVEY §2.4: HIndex has no general join surface), covering the two
+  * temporal shapes event/training pipelines need. Both are COMPOSED from
+  * equijoins/windows so Catalyst plans them like any other shuffle or
+  * broadcast join: no theta join, no cross product, no per-key driver
+  * loop — the properties that keep them alive at 100 TB.
+  */
+object Joins {
+
+  /** As-of join: attach to each left row the LATEST right row of the same
+    * key with `rightTs` <= `leftTs` (NULL payload when none exists).
+    *
+    * Implementation: tag and union both sides, then one running
+    * `last(payload, ignoreNulls)` window per key ordered by (ts, side) —
+    * right rows sort before left rows at equal ts, so the bound is
+    * inclusive. One shuffle on the key, one sort — the same cost as a
+    * grouped aggregation; no join state proportional to history length.
+    *
+    * Requirements (enforced): right payload column names must not collide
+    * with left columns; right (key, ts) pairs should be unique for a
+    * deterministic pick (pre-aggregate duplicates away).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left: $collisions — rename before joining")
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__isL", lit(1))
+    val r = right.withColumn("__ts", col(rightTs))
+      .withColumn("__isL", lit(0))
+      .withColumn("__p", struct(payload.map(col): _*))
+      .select((keyCols ++ Seq("__ts", "__isL", "__p")).map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__isL"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__isL") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__last").getField(c).as(c)): _*)
+  }
+
+  /** Point-in-interval join: pair each point row with every interval row
+    * of the same key whose `[startTs, endTs]` contains `ptTs` (bounds
+    * inclusive).
+    *
+    * Implementation: a time grid of `bucketSize` cells — each interval
+    * explodes to the cells it overlaps, each point lands in exactly one
+    * cell, and a plain equijoin on (key, cell) + exact range filter
+    * replaces the O(points × intervals) theta join. Choose `bucketSize`
+    * near the typical interval length: cells per interval =
+    * len/bucket + 1 (the fan-out), while an oversized bucket inflates the
+    * per-cell candidate count — either extreme degrades toward the theta
+    * join, the middle keeps both linear.
+    *
+    * Time columns may be TIMESTAMP (grid unit = microseconds) or any
+    * numeric epoch encoding (grid unit = the encoding's own unit; both
+    * sides must use the same one).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], ptTs: String, startTs: String, endTs: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
+    val collisions = intervals.columns.toSet.intersect(points.columns.toSet) -- keyCols
+    require(collisions.isEmpty,
+      s"interval columns collide with point columns: $collisions — rename before joining")
+    def axis(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+    val pb = points.withColumn("__cell", floor(axis(points, ptTs) / bucketSize))
+    val ib = intervals.withColumn("__cell", explode(sequence(
+      floor(axis(intervals, startTs) / bucketSize),
+      floor(axis(intervals, endTs) / bucketSize))))
+    pb.join(ib, keyCols :+ "__cell")
+      .filter(col(ptTs) >= col(startTs) && col(ptTs) <= col(endTs))
+      .drop("__cell")
+  }
+}

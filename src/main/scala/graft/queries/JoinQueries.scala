@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Joins
+
+/** Join surface (SURVEY §2.4 + temporal extensions): the reference's only
+  * joins are the internal index AND/OR merges and the index→data
+  * semi-join (covered by `idx_*`); a Spark engine exposes general joins,
+  * so the dimensional-enrichment shape and the two temporal operators are
+  * under the oracle here.
+  */
+object JoinQueries extends QueryGroup {
+
+  val defs: Map[String, Q] = Map(
+    // dimensional enrichment rollup: facts joined through a mid-size dim
+    // to a tiny broadcast dim. nation (25 rows) is hinted broadcast —
+    // a true dimension stays broadcast at every SF; customer scales with
+    // the fact table, so Catalyst/AQE picks its join side by stats.
+    "join_enrich" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    // as-of join: for each click, the latest view of the same user at or
+    // before it (attribution shape). Right (user, ts) pairs pre-aggregated
+    // for a deterministic pick on both engines.
+    "join_asof" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("v_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      Joins.asOfJoin(clicks, views, Seq("user_id"), "ts", "v_ts")
+        .select("event_id", "user_id", "view_id")
+    }),
+
+    // point-in-interval join: clicks landing inside each view's
+    // 10-minute attribution window, counted per view (banded equijoin —
+    // bucket = window length, fan-out ≤ 2 cells per interval). events.ts
+    // is epoch-nanos (Tables.load), so the window and bucket are in ns.
+    "join_point_interval" -> ((s, dir) => {
+      val tenMinNs = 10L * 60 * 1000 * 1000 * 1000
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_start"),
+          (col("ts") + tenMinNs).as("v_end"),
+          col("event_id").as("view_id"))
+      Joins.pointInInterval(clicks, views, Seq("user_id"),
+          "c_ts", "v_start", "v_end", bucketSize = tenMinNs)
+        .groupBy("view_id")
+        .agg(count(lit(1)).as("n_clicks"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_enrich" ->
+      ("SELECT n_name, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "join_asof" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, ts AS v_ts, max(event_id) AS view_id FROM events " +
+        "      WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT c.event_id, c.user_id, v.view_id " +
+        "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.v_ts <= c.ts"),
+    "join_point_interval" ->
+      ("WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, ts AS v_start, ts + INTERVAL 10 MINUTE AS v_end, " +
+        "      event_id AS view_id FROM events WHERE event_type = 'view') " +
+        "SELECT v.view_id, count(*) AS n_clicks FROM v JOIN c " +
+        "ON c.user_id = v.user_id AND c.c_ts BETWEEN v.v_start AND v.v_end " +
+        "GROUP BY v.view_id")
+  )
+}

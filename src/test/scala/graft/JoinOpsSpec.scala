@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Joins
+
+/** Unit properties of the temporal join operators. */
+class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("JoinOpsSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("asOfJoin picks the latest right row at or before each left ts") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k1", ts(10)), (2L, "k1", ts(20)), (3L, "k2", ts(5)))
+      .toDF("id", "key", "ts")
+    val right = Seq(("k1", ts(8), "a"), ("k1", ts(10), "b"), ("k1", ts(15), "c"),
+      ("k2", ts(9), "z")).toDF("key", "rts", "tag")
+    val out = Joins.asOfJoin(left, right, Seq("key"), "ts", "rts")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1 at 10:10 → right at SAME ts wins (inclusive bound) = "b"
+    // id 2 at 10:20 → latest earlier = "c"; id 3 at 10:05 → none = null
+    assert(out === Map(1L -> "b", 2L -> "c", 3L -> null))
+  }
+
+  test("asOfJoin rejects payload/left column collisions") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", ts(1))).toDF("id", "key", "ts")
+    val right = Seq(("k", ts(1), 9L)).toDF("key", "rts", "id")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(left, right, Seq("key"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("pointInInterval matches inclusively and only within the bound") {
+    val s = spark; import s.implicits._
+    val points = Seq(("k1", ts(10), 1L), ("k1", ts(25), 2L), ("k2", ts(10), 3L))
+      .toDF("key", "pts", "pid")
+    val ivals = Seq(("k1", ts(10), ts(20), 100L), ("k1", ts(24), ts(30), 200L),
+      ("k3", ts(0), ts(59), 300L)).toDF("key", "lo", "hi", "iid")
+    // tiny 1-minute bucket → intervals span many cells; result must be
+    // identical to the theta join regardless of bucket size
+    val out = Joins.pointInInterval(points, ivals, Seq("key"),
+        "pts", "lo", "hi", bucketSize = 60L * 1000 * 1000)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 100L), (2L, 200L)))
+  }
+
+  test("pointInInterval is bucket-size invariant (no duplicate pairs from multi-cell overlap)") {
+    val s = spark; import s.implicits._
+    val points = Seq(("k", ts(30), 1L)).toDF("key", "pts", "pid")
+    val ivals = Seq(("k", ts(0), ts(59), 10L)).toDF("key", "lo", "hi", "iid")
+    for (bucket <- Seq(1L, 60L, 3600L)) {
+      val out = Joins.pointInInterval(points, ivals, Seq("key"),
+          "pts", "lo", "hi", bucketSize = bucket * 1000 * 1000)
+        .select("pid", "iid").collect()
+      assert(out.length === 1, s"bucket=${bucket}s must yield exactly one pair")
+    }
+  }
+}
