@@ -109,10 +109,10 @@ object MinHash {
       h
     }
 
-  /** Distinct word n-grams (first-occurrence order) — JVM kernel twin of
-    * [[graft.ops.Dedup.wordNgrams]]; arithmetic (split on whitespace,
-    * space-joined n-grams, distinct) matches the Column formulation and
-    * the DuckDB oracle exactly. */
+  /** Distinct word n-grams (first-occurrence order) as the MinHash item
+    * set — short docs collapse to one gram so every doc has a non-empty
+    * set; arithmetic (split on whitespace, space-joined n-grams,
+    * distinct) matches the DuckDB oracle exactly. */
   def wordNgrams(text: String, n: Int): Array[String] = {
     val toks = text.split("\\s+")
     if (toks.length <= n) Array(toks.mkString(" "))

@@ -96,6 +96,17 @@ object AggQueries extends QueryGroup {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // Sketch aggregation — the 100 TB path for distinct counts/quantiles
+    // (HLL++ and t-digest-style partials merge associatively; exact twins
+    // above stay oracle-gated). No DuckDB oracle: sketch algorithms
+    // differ across engines — error bounds are property-tested in
+    // AggApproxSpec against the exact values.
+    "agg_approx_sketch" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("apx_median_qty"))
     })
   )
 

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-bound properties of the sketch aggregations (`agg_approx_sketch`
+  * has no DuckDB oracle — sketch algorithms differ across engines, so
+  * the gate is accuracy against the exact values, the same strategy the
+  * LSH operators use).
+  */
+class AggApproxSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("AggApproxSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("approx_count_distinct within 5% of exact; approx median within one quantile step") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey")).as("apx"),
+      countDistinct(col("l_partkey")).as("exact"),
+      expr("approx_percentile(l_quantity, 0.5, 10000)").as("apx_med"),
+      expr("percentile(l_quantity, 0.5)").as("exact_med")).head()
+    val (apx, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(apx - exact).toDouble / exact <= 0.05,
+      s"HLL++ default rsd must hold: apx=$apx exact=$exact")
+    val (apxMed, exactMed) = (row.getDouble(2), row.getDouble(3))
+    assert(math.abs(apxMed - exactMed) <= 1.0,
+      s"approx median drifted: $apxMed vs $exactMed")
+  }
+
+  test("sketch is merge-consistent: partitioned partials equal the global sketch") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val global = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    val repart = li.repartition(13)
+      .agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    assert(global === repart,
+      "HLL merge must be partition-layout independent (deterministic at any cluster size)")
+  }
+}

@@ -61,6 +61,20 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.toString).sorted === expected)
   }
 
+  test("SQL entry path gets the same rewrite (extraOptimizations applies to spark.sql)") {
+    managed("customer").createOrReplaceTempView("graft_cust_v")
+    try {
+      val df = spark.sql("SELECT c_custkey, c_name FROM graft_cust_v WHERE c_nationkey = 7")
+      val plan = df.queryExecution.optimizedPlan
+      assert(semiJoins(plan) >= 1, s"SQL path must be index-rewritten too:\n$plan")
+      assert(indexScans(plan).exists(_.startsWith("idx_nation")))
+      val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+        .filter(col("c_nationkey") === 7).select("c_custkey", "c_name")
+        .collect().map(_.toString).sorted
+      assert(df.collect().map(_.toString).sorted === expected)
+    } finally spark.catalog.dropTempView("graft_cust_v")
+  }
+
   test("composite EQ prefers the 2-col index (max cols resolved)") {
     val df = managed("customer")
       .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 7)
