@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the pretraining step that concatenates documents
+  * into fixed-size context windows (token budget), assigning each doc its
+  * pack and offset. Concat-and-split model: the shard's token stream is
+  * cut every `budget` tokens, so a doc may straddle a boundary (its
+  * offset + length can exceed the budget — the trainer's splitter handles
+  * the carry), and no token is ever dropped or duplicated.
+  *
+  * Packing is SHARD-LOCAL (`shardCols`), the way real pipelines run it:
+  * a global pack order would serialize the window into one partition,
+  * while per-shard packing is one shuffle on the shard key and
+  * parallelizes across shards at any scale. Deterministic given
+  * (shardCols, orderCol).
+  */
+object Packing {
+
+  def packBySize(df: DataFrame, shardCols: Seq[String], orderCol: String,
+      sizeCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("pack_id", floor((col("__cum") - col(sizeCol)) / budget.toDouble))
+      .withColumn("pack_offset", (col("__cum") - col(sizeCol)) % budget)
+      .drop("__cum")
+  }
+}

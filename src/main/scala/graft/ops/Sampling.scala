@@ -52,6 +52,27 @@ object Sampling {
     df.filter(hashKey(col(idCol)) < thresh)
   }
 
+  /** Deterministic train/val/test assignment: the id hash is cut at the
+    * cumulative-fraction boundaries, so every row lands in exactly one
+    * split, assignment never changes as the corpus grows, and the same
+    * row lands in the same split on every engine (the leakage-free
+    * holdout property). Fractions must sum to ≤ 1; any remainder goes to
+    * the last split. */
+  def splitLabels(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must sum to <= 1: $splits")
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val hk = hashKey(col(idCol))
+    val labeled = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case ((name, hi), acc) =>
+        when(hk < lit(thresholdHex(hi)), lit(name)).otherwise(acc)
+      }
+    // the when-chain tests ascending upper bounds, so the FIRST match is
+    // the row's split — foldRight keeps evaluation order = declaration order
+    df.withColumn(labelCol, labeled)
+  }
+
   /** Deterministic fixed-size-per-group sample ("reservoir of k per key"
     * without the RNG): the k rows whose id hash orders first within each
     * group. One shuffle on the group key; ties broken by id so the result

@@ -278,6 +278,25 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "source", "lang")
     }),
 
+    // shard-local sequence packing: concat-and-split context windows of
+    // 4096 tokens per source shard (one shuffle on the shard key; a
+    // global pack order would serialize — see Packing scaladoc)
+    "pipeline_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ops.Packing.packBySize(docs, Seq("source"), "doc_id", "n_tok", 4096L)
+        .select("doc_id", "source", "pack_id", "pack_offset")
+    }),
+
+    // deterministic leakage-free train/val/test assignment (hash-range
+    // cut: membership never changes as the corpus grows)
+    "sample_split" -> ((s, dir) => {
+      Sampling.splitLabels(Tables.load(s, dir, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "split")
+    }),
+
     // ---- embedding utilities ------------------------------------------
     "emb_l2_stats" -> ((s, dir) => {
       Embeddings.l2Stats(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
@@ -434,6 +453,20 @@ object PipelineQueries extends QueryGroup {
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
         "  CASE WHEN lang = 'es' THEN '8000' WHEN lang = 'en' THEN '4000' ELSE 'c000' END"),
+
+    // token-stream window sum per shard; pack = floor(startOffset/4096)
+    "pipeline_pack" ->
+      ("WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok, " +
+        "  sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
+        "    ROWS UNBOUNDED PRECEDING) AS cum FROM documents) " +
+        "SELECT doc_id, source, CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS pack_id, " +
+        "CAST((cum - n_tok) % 4096 AS BIGINT) AS pack_offset FROM t"),
+
+    // hash-range cuts: 0.8 → 'cccd', 0.8+0.1 → 'e666' on the 16-bit grid
+    "sample_split" ->
+      ("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
 
     // 0.125 → 8192 → '2000' on the 16-bit hex grid
     "sample_bernoulli" ->

@@ -116,6 +116,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === ((2, 5.0)))
   }
 
+  test("sequence packing: offsets are contiguous per shard, packs cut at the budget") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      ("s1", 1L, 60L), ("s1", 2L, 50L), ("s1", 3L, 10L),  // cum: 60,110,120
+      ("s2", 9L, 300L)                                     // own shard
+    ).toDF("source", "doc_id", "n_tok")
+    val out = graft.ops.Packing.packBySize(docs, Seq("source"), "doc_id", "n_tok", 100L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // doc1 starts at 0 → pack 0; doc2 starts at 60 → pack 0 (straddles);
+    // doc3 starts at 110 → pack 1, offset 10; doc9 starts at 0 in s2
+    assert(out === Map(1L -> ((0L, 0L)), 2L -> ((0L, 60L)), 3L -> ((1L, 10L)), 9L -> ((0L, 0L))))
+  }
+
+  test("split labels: total partition, deterministic, fractions within tolerance") {
+    val s = spark; import s.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val out = Sampling.splitLabels(df, "id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === 4000L, "every row gets exactly one split")
+    assert(out("train") > 3000 && out("train") < 3400, s"~80%: $out")
+    assert(out("val") > 250 && out("val") < 550, s"~10%: $out")
+    assert(out("test") > 250 && out("test") < 550, s"~10%: $out")
+    // growing the corpus must not move existing assignments
+    val before = Sampling.splitLabels(df.filter(col("id") <= 2000), "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Sampling.splitLabels(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .filter(col("id") <= 2000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === after, "assignment must be stable under corpus growth")
+  }
+
   test("ngrams + duplicate-ngram fraction: exact values, short-doc guard") {
     val s = spark; import s.implicits._
     import graft.functions.TextFunctions
