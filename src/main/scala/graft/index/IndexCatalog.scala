@@ -165,7 +165,7 @@ final class IndexCatalog {
   def load(path: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(Files.readString(Paths.get(path)))
-    val tables = root.fields()
+    val tables = root.properties().iterator()
     while (tables.hasNext) {
       val t = tables.next()
       val node = t.getValue

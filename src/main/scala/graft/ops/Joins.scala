@@ -35,7 +35,7 @@ object Joins {
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__isL", lit(1))
     val r = right.withColumn("__ts", col(rightTs))
       .withColumn("__isL", lit(0))
-      .withColumn("__p", struct(payload.map(col): _*))
+      .withColumn("__p", struct(payload.toSeq.map(col): _*))
       .select((keyCols ++ Seq("__ts", "__isL", "__p")).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__isL"))
@@ -43,8 +43,8 @@ object Joins {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__isL") === 1)
-      .select(left.columns.map(col) ++
-        payload.map(c => col("__last").getField(c).as(c)): _*)
+      .select((left.columns.map(col) ++
+        payload.map(c => col("__last").getField(c).as(c))).toSeq: _*)
   }
 
   /** Point-in-interval join: pair each point row with every interval row

@@ -77,7 +77,7 @@ object Multimodal {
   /** Metadata materialization in pure codegen (preferred when the decoder
     * logic is expressible; the batched path above is for codec calls). */
   def withDecodedMeta(df: DataFrame, binCol: String): DataFrame =
-    df.select((df.columns.map(col) ++ metaExprs(col(binCol))): _*)
+    df.select((df.columns.map(col) ++ metaExprs(col(binCol))).toSeq: _*)
 
   /** Frame sampling: one output row per sampled frame index —
     * `explode(sequence(0, n_frames-1, step))`, the columnar analogue of

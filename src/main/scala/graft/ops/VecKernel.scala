@@ -34,7 +34,7 @@ object VecKernel {
     * centered to [-0.5, 0.5) — plays the role of a seeded gaussian in
     * random-hyperplane LSH (sign patterns only need symmetry around 0). */
   def planeWeight(plane: Int, dim: Int): Double =
-    (java.lang.Math.floorMod(MinHash.baseHash(plane + ":" + dim), 1000000L)
+    (java.lang.Math.floorMod(MinHash.baseHash(s"$plane:$dim"), 1000000L)
       .toDouble / 1000000.0) - 0.5
 
   /** Materialized plane matrix, memoized per (planes, dim) — computed once

@@ -98,6 +98,17 @@ object AggQueries extends QueryGroup {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Rollup (engine extension): per-(flag,status) counts plus per-flag
+    // subtotals and the grand total in ONE pass — Catalyst's Expand
+    // node replays each input row per grouping set before the partial
+    // aggregate, so it stays a single shuffle at any scale
+    "agg_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
     // Sketch aggregation — the 100 TB path for distinct counts/quantiles
     // (HLL++ and t-digest-style partials merge associatively; exact twins
     // above stay oracle-gated). No DuckDB oracle: sketch algorithms
@@ -134,6 +145,10 @@ object AggQueries extends QueryGroup {
         "FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 10.0"),
     "agg_count_distinct" ->
       ("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
-        "count(*) AS n_rows FROM lineitem")
+        "count(*) AS n_rows FROM lineitem"),
+    "agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")
   )
 }

@@ -42,12 +42,12 @@ object BulkQueries extends QueryGroup {
       val cols = base.columns.map(col)
       val e1 = base.filter(col("c_custkey") <= 30)
         .withColumn("c_acctbal", lit(0.0))
-        .select(lit("put").as("op") +: lit(1L).as("seq") +: cols: _*)
+        .select((lit("put").as("op") +: lit(1L).as("seq") +: cols).toSeq: _*)
       val e2 = base.filter(col("c_custkey") <= 30 && col("c_custkey") % 3 === 0)
-        .select(lit("delete").as("op") +: lit(2L).as("seq") +: cols: _*)
+        .select((lit("delete").as("op") +: lit(2L).as("seq") +: cols).toSeq: _*)
       val e3 = base.filter(col("c_custkey") <= 30 && col("c_custkey") % 3 === 1)
         .withColumn("c_acctbal", lit(50.0))
-        .select(lit("put").as("op") +: lit(3L).as("seq") +: cols: _*)
+        .select((lit("put").as("op") +: lit(3L).as("seq") +: cols).toSeq: _*)
       BulkJobs.walPlayer(base, e1.unionByName(e2).unionByName(e3), "c_custkey")
         .select("c_custkey", "c_acctbal")
     }),

@@ -111,6 +111,17 @@ object ScanQueries extends QueryGroup {
         .select("p_partkey", "p_type")
     }),
 
+    // JSON scalar extraction (SURVEY §2.8 — the reference stores raw
+    // bytes; a Spark engine reads semi-structured columns natively):
+    // pull props.k out of the JSON string, aggregate per event type
+    "filter_json_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k").cast("long")).as("sum_k"), count(lit(1)).as("n"))
+    }),
+
     // RandomRowFilter (RandomRowFilter.java:38) — Bernoulli sample; made
     // deterministic (and oracle-checkable) by hashing the rowkey with
     // modular arithmetic instead of a PRNG.
@@ -150,6 +161,9 @@ object ScanQueries extends QueryGroup {
     "filter_substring" ->
       "SELECT p_partkey, p_type FROM part WHERE contains(p_type, 'AND')",
     "filter_random_row" ->
-      "SELECT c_custkey, c_name FROM customer WHERE ((c_custkey % 1000003) * 2654435761) % 100 < 10"
+      "SELECT c_custkey, c_name FROM customer WHERE ((c_custkey % 1000003) * 2654435761) % 100 < 10",
+    "filter_json_extract" ->
+      ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
+        "count(*) AS n FROM events GROUP BY event_type")
   )
 }
