@@ -92,6 +92,25 @@ object PipelineQueries extends QueryGroup {
           TextFunctions.piiCount(aug, TextFunctions.PhonePattern).as("n_phones"))
     }),
 
+    // text cleaning: HTML-tag strip + whitespace collapse (codegen'd
+    // regexes) + NFC unicode normalization (JVM kernel — Spark has no
+    // built-in normalizer; DuckDB's nfc_normalize is the oracle twin).
+    // The corpus is plain ASCII, so markup and a combining-accent pair
+    // ("e" + U+0301 → "é" under NFC) are appended deterministically —
+    // the cleaner must strip/normalize them or the fingerprint mismatches.
+    "text_clean" -> ((s, dir) => {
+      import s.implicits._
+      val aug = concat(lit("<p class=\"x\">"), col("text"), lit("</p> é  "))
+      val collapsed = trim(regexp_replace(
+        regexp_replace(aug, "<[^>]+>", ""), "\\s+", " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), collapsed.as("c")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+        }).toDF("doc_id", "c")
+        .select(col("doc_id"), md5(col("c")).as("clean_fp"))
+    }),
+
     // benchmark-contamination check: docs sharing any 5-gram with the
     // held-out eval slice (doc_id % 97 = 0). Shuffle is on the distinct
     // shingle — the eval side is tiny and broadcast at scale.
@@ -395,6 +414,11 @@ object PipelineQueries extends QueryGroup {
         s"'$PhoneSql', '<PHONE>', 'g')) AS red_fp, " +
         s"len(regexp_extract_all(aug, '$EmailSql')) AS n_emails, " +
         s"len(regexp_extract_all(aug, '$PhoneSql')) AS n_phones FROM a"),
+    "text_clean" ->
+      ("WITH a AS (SELECT doc_id, '<p class=\"x\">' || text || '</p> e' || chr(769) || '  ' AS aug " +
+        "FROM documents) " +
+        "SELECT doc_id, md5(nfc_normalize(trim(regexp_replace(" +
+        "regexp_replace(aug, '<[^>]+>', '', 'g'), '\\s+', ' ', 'g')))) AS clean_fp FROM a"),
     "text_contamination" ->
       (s"WITH g AS (SELECT doc_id, unnest(list_distinct(${ngramSql(5)})) AS g FROM documents), " +
         "e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0) " +
