@@ -84,7 +84,10 @@ object Bench {
     val results = p1.map { case (name, t1) =>
       name -> math.min(t1, p2.getOrElse(name, t1))
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive — a comma
+    // decimal separator (de_DE etc.) would corrupt the JSON the driver parses
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

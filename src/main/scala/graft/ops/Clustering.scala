@@ -67,6 +67,14 @@ object Clustering {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) {
+      // under-merged labels are a silent correctness hazard for dedup —
+      // make the truncation loud (log) and countable (accumulator)
+      DedupMetrics.acc(nodes.sparkSession, "graft.dedup.cc.unconvergedRuns").add(1L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter before convergence; " +
+          "labels may be under-merged (components can carry >1 representative)")
+    }
     val connected = labels.withColumnRenamed("lbl", "rep").withColumnRenamed("id", idCol)
     val singletons = nodes.select(col(idCol).cast("long").as(idCol))
       .join(connected.select(idCol), Seq(idCol), "left_anti")

@@ -99,20 +99,18 @@ object Dedup {
     }).toDF("id", "sig", "bands")
     val exploded = sigBanded.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bandHash")))
-    // hot-band cap (skew guard #2); dropped rows are counted so bounded
-    // recall is observable (accumulator populated once the result is acted on)
-    val bandRowsDropped = DedupMetrics.acc(spark, "graft.dedup.minhash.bandRowsDropped")
+    // hot-band cap (skew guard #2); dropped rows are counted via
+    // observe → listener → accumulator (DedupMetrics.forwardObserved), so
+    // the cap filter itself stays a codegen'd Column predicate — no
+    // per-row encoder boundary on the doc×bands intermediate
+    DedupMetrics.forwardObserved(spark)
     val grpW = Window.partitionBy(col("band"), col("bandHash"))
     val capped = exploded.withColumn("__n", count(lit(1)).over(grpW))
-      .select(col("band").cast("long"), col("bandHash"), col("id"), col("__n"))
-      .as[(Long, Long, Long, Long)]
-      .filter { r =>
-        val keep = r._4 <= maxBandGroup
-        if (!keep) bandRowsDropped.add(1L)
-        keep
-      }
-      .map { case (band, bandHash, id, _) => (band, bandHash, id) }
-      .toDF("band", "bandHash", "id")
+      .observe(DedupMetrics.obsName("graft.dedup.minhash"),
+        sum(when(col("__n") > maxBandGroup, lit(1L)).otherwise(lit(0L)))
+          .as("bandRowsDropped"))
+      .filter(col("__n") <= maxBandGroup)
+      .select(col("band"), col("bandHash"), col("id"))
     val a = capped.select(col("band"), col("bandHash"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bandHash"), col("id").as("id_b"))
     // ids-only candidates, spread explicitly: AQE coalesces this tiny

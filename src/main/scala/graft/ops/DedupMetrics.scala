@@ -37,4 +37,45 @@ object DedupMetrics {
   /** Current value, 0 if the accumulator was never touched. */
   def value(spark: SparkSession, name: String): Long =
     cache.get((spark.sparkContext.applicationId, name)).map(_.value.longValue).getOrElse(0L)
+
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+  private val forwarding =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Unique observation name for `base` — observed-metric names must be
+    * unique within a query tree; the forwarding listener strips the
+    * `#n` suffix back to `base` when folding into accumulators. */
+  def obsName(base: String): String = s"$base#${obsCounter.incrementAndGet()}"
+
+  /** Register (once per application) a listener folding observed metrics
+    * named `graft.dedup.*` into the named accumulators. `observe` +
+    * listener keeps the skew-cap filter in whole-stage codegen — the
+    * previous per-row typed-lambda count forced every exploded doc×band
+    * row across the encoder boundary just to tally the rare drops. */
+  def forwardObserved(spark: SparkSession): Unit =
+    forwarding.getOrElseUpdate(spark.sparkContext.applicationId, {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          fold(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          fold(qe)
+        private def fold(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            val base = name.takeWhile(_ != '#')
+            if (base.startsWith("graft.dedup.")) {
+              var i = 0
+              while (i < row.length) {
+                val v = row.get(i)
+                if (v != null)
+                  acc(spark, s"$base.${row.schema.fieldNames(i)}")
+                    .add(v.asInstanceOf[Number].longValue)
+                i += 1
+              }
+            }
+          }
+      })
+      true
+    })
 }

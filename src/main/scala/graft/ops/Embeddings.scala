@@ -28,7 +28,10 @@ object Embeddings {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) => (id, v.length, VecKernel.norm(v)) })
+      .mapPartitions(_.map { case (id, v) =>
+        // empty vector → NULL norm, matching the oracle's list_sum([]) = NULL
+        (id, v.length, if (v.isEmpty) None else Some(VecKernel.norm(v)))
+      })
       .toDF(idCol, "dim", "__norm")
       .withColumn("norm", round(col("__norm"), 6))
       .select(idCol, "dim", "norm")
@@ -47,7 +50,10 @@ object Embeddings {
         var am = 0.0
         var i = 0
         while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > am) am = a; i += 1 }
-        if (am == 0.0) (id, 0.0, v.map(_ => "0").mkString(","))
+        // empty vector: oracle's list_max([]) is NULL → scale NULL, and its
+        // else-branch array_to_string([]) is the empty string
+        if (v.isEmpty) (id, None: Option[Double], "")
+        else if (am == 0.0) (id, Some(0.0), v.map(_ => "0").mkString(","))
         else {
           val sb = new StringBuilder
           i = 0
@@ -57,7 +63,7 @@ object Embeddings {
             sb.append(roundAway(v(i).toDouble * 127.0 / am))
             i += 1
           }
-          (id, 127.0 / am, sb.toString)
+          (id, Some(127.0 / am), sb.toString)
         }
       })
       .toDF(idCol, "__scale", "q_csv")

@@ -32,6 +32,10 @@ object Joins {
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left: $collisions — rename before joining")
+    val reserved = Seq("__ts", "__isL", "__p", "__last")
+    val reservedClash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(reservedClash.isEmpty,
+      s"column names ${reservedClash.mkString(", ")} are reserved by asOfJoin — rename before joining")
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__isL", lit(1))
     val r = right.withColumn("__ts", col(rightTs))
       .withColumn("__isL", lit(0))
@@ -71,6 +75,8 @@ object Joins {
     val collisions = intervals.columns.toSet.intersect(points.columns.toSet) -- keyCols
     require(collisions.isEmpty,
       s"interval columns collide with point columns: $collisions — rename before joining")
+    require(!(points.columns ++ intervals.columns).contains("__cell"),
+      "column name __cell is reserved by pointInInterval — rename before joining")
     def axis(df: DataFrame, c: String) = df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
       case _ => col(c).cast("long")

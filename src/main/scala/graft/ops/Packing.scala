@@ -24,9 +24,12 @@ object Packing {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not floor(double /): a double quotient loses low bits
+    // past 2^53 cumulative tokens and could disagree with the exact `%`
     df.withColumn("__cum", sum(col(sizeCol)).over(w))
-      .withColumn("pack_id", floor((col("__cum") - col(sizeCol)) / budget.toDouble))
-      .withColumn("pack_offset", (col("__cum") - col(sizeCol)) % budget)
-      .drop("__cum")
+      .withColumn("__start", col("__cum") - col(sizeCol))
+      .withColumn("pack_id", expr(s"__start div $budget"))
+      .withColumn("pack_offset", col("__start") % budget)
+      .drop("__cum", "__start")
   }
 }

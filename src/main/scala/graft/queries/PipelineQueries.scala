@@ -117,13 +117,17 @@ object PipelineQueries extends QueryGroup {
     "text_contamination" -> ((s, dir) => {
       import s.implicits._
       import graft.ops.MinHash
-      val grams = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          MinHash.slidingNgramsDistinct(text.split("\\s+"), 5).iterator.map((id, _))
-        }).toDF("doc_id", "g")
-      val evalG = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
-      grams.filter(col("doc_id") % 97 =!= 0)
+      val docs = Tables.load(s, dir, "documents")
+      // filter each side BEFORE the gram kernel: mapPartitions is opaque
+      // to predicate pushdown, so gramming first would tokenize the full
+      // corpus on the eval branch and throw 96/97 of it away
+      def grams(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            MinHash.slidingNgramsDistinct(text.split("\\s+"), 5).iterator.map((id, _))
+          }).toDF("doc_id", "g")
+      val evalG = grams(docs.filter(col("doc_id") % 97 === 0)).select("g").distinct()
+      grams(docs.filter(col("doc_id") % 97 =!= 0))
         .join(broadcast(evalG), Seq("g"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
@@ -478,12 +482,13 @@ object PipelineQueries extends QueryGroup {
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
         "  CASE WHEN lang = 'es' THEN '8000' WHEN lang = 'en' THEN '4000' ELSE 'c000' END"),
 
-    // token-stream window sum per shard; pack = floor(startOffset/4096)
+    // token-stream window sum per shard; pack = startOffset // 4096
+    // (integer division on both sides — exact at any cumulative count)
     "pipeline_pack" ->
       ("WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok, " +
         "  sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "    ROWS UNBOUNDED PRECEDING) AS cum FROM documents) " +
-        "SELECT doc_id, source, CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS pack_id, " +
+        "SELECT doc_id, source, CAST((cum - n_tok) // 4096 AS BIGINT) AS pack_id, " +
         "CAST((cum - n_tok) % 4096 AS BIGINT) AS pack_offset FROM t"),
 
     // hash-range cuts: 0.8 → 'cccd', 0.8+0.1 → 'e666' on the 16-bit grid

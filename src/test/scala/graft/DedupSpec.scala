@@ -158,4 +158,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val found = pairs.count { case (a, b) => b == a + 5000 }
     assert(found == 10, s"found $found/10 planted embedding dups")
   }
+
+  test("hot-band cap drops are observable through DedupMetrics (observe → accumulator)") {
+    val s = spark; import s.implicits._
+    import graft.ops.DedupMetrics
+    // 30 identical docs → every band group has 30 members; cap 5 drops all
+    val docs = (1L to 30L).map(i => (i, "same text content for every single doc here"))
+      .toDF("id", "text")
+    val before = DedupMetrics.value(spark, "graft.dedup.minhash.bandRowsDropped")
+    // fingerprint collapse merges identical texts first, so suffix each
+    // doc with its id to keep 30 distinct representatives (still
+    // near-identical → shared band keys → oversized groups)
+    val varied = docs.select(col("id"),
+      concat(col("text"), lit(" tail"), col("id")).as("text"))
+    Dedup.minHashNearDups(varied, "id", "text",
+      threshold = 0.1, maxBandGroup = 2).count()
+    // QueryExecutionListener callbacks are delivered asynchronously —
+    // poll briefly instead of asserting immediately
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var after = DedupMetrics.value(spark, "graft.dedup.minhash.bandRowsDropped")
+    while (after <= before && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      after = DedupMetrics.value(spark, "graft.dedup.minhash.bandRowsDropped")
+    }
+    assert(after > before,
+      s"capped band groups must be counted: before=$before after=$after")
+  }
 }
