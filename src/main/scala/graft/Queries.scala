@@ -19,8 +19,19 @@ object Queries {
     JoinQueries,
     BulkQueries)
 
-  lazy val all: Map[String, Q] = groups.flatMap(_.defs).toMap
-  lazy val oracles: Map[String, String] = groups.flatMap(_.oracles).toMap
+  lazy val all: Map[String, Q] = {
+    val defs = groups.flatMap(_.defs)
+    val dups = defs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names across groups (toMap would silently drop one): ${dups.mkString(", ")}")
+    defs.toMap
+  }
+  lazy val oracles: Map[String, String] = {
+    val os = groups.flatMap(_.oracles)
+    val orphans = os.map(_._1).filterNot(all.contains)
+    require(orphans.isEmpty, s"oracle entries without a query: ${orphans.mkString(", ")}")
+    os.toMap
+  }
 
   def flagship(spark: SparkSession, sfDir: String): DataFrame =
     IndexQueries.defs("idx_point")(spark, sfDir)

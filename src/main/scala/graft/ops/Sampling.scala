@@ -52,6 +52,17 @@ object Sampling {
     df.filter(hashKey(col(idCol)) < thresh)
   }
 
+  /** Deterministic weighted (importance) sampling: keep a row with
+    * probability = `weight` (clamped to [0,1]), decided by the id hash —
+    * the quality-weighted downsampling step of corpus curation, with the
+    * same reproducibility/auditability properties as [[bernoulli]]. The
+    * per-row threshold is the weight scaled onto the same 16-bit hex grid
+    * the fixed-fraction samplers use. */
+  def weighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val cells = least(floor(greatest(weight, lit(0.0)) * 65536.0), lit(65535.0))
+    df.filter(hashKey(col(idCol)) < format_string("%04x", cells.cast("int")))
+  }
+
   /** Deterministic train/val/test assignment: the id hash is cut at the
     * cumulative-fraction boundaries, so every row lands in exactly one
     * split, assignment never changes as the corpus grows, and the same

@@ -312,6 +312,16 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "source", "pack_id", "pack_offset")
     }),
 
+    // quality-weighted downsampling: keep probability ∝ quality score
+    // (hash-decided, so the weighted sample is reproducible and auditable
+    // like every other sampler here)
+    "sample_weighted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      Sampling.weighted(docs, "doc_id", col("quality") * 0.8)
+        .select("doc_id", "lang", "quality")
+    }),
+
     // deterministic leakage-free train/val/test assignment (hash-range
     // cut: membership never changes as the corpus grows)
     "sample_split" -> ((s, dir) => {
@@ -490,6 +500,14 @@ object PipelineQueries extends QueryGroup {
         "    ROWS UNBOUNDED PRECEDING) AS cum FROM documents) " +
         "SELECT doc_id, source, CAST((cum - n_tok) // 4096 AS BIGINT) AS pack_id, " +
         "CAST((cum - n_tok) % 4096 AS BIGINT) AS pack_offset FROM t"),
+
+    // per-row threshold = printf('%04x', floor(quality*0.8*65536)) on the
+    // same 16-bit grid as the fixed-fraction samplers
+    "sample_weighted" ->
+      (s"WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents) " +
+        "SELECT doc_id, lang, quality FROM q " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        "printf('%04x', CAST(least(floor(greatest(quality * 0.8, 0.0) * 65536.0), 65535.0) AS INT))"),
 
     // hash-range cuts: 0.8 → 'cccd', 0.8+0.1 → 'e666' on the 16-bit grid
     "sample_split" ->

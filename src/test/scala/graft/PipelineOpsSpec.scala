@@ -149,6 +149,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before === after, "assignment must be stable under corpus growth")
   }
 
+  test("weighted sampling: zero weight keeps nothing, full weight keeps everything, deterministic") {
+    val s = spark; import s.implicits._
+    val df = (1L to 2000L).toDF("id")
+    assert(Sampling.weighted(df, "id", lit(0.0)).count() === 0L)
+    assert(Sampling.weighted(df, "id", lit(1.0)).count() >= 1960L,
+      "weight 1.0 maps to 65535/65536 of the grid — at most a sliver drops")
+    val half = Sampling.weighted(df, "id", lit(0.5)).count()
+    assert(half > 880 && half < 1120, s"~50%: $half")
+    val again = Sampling.weighted(df.repartition(7), "id", lit(0.5))
+      .collect().map(_.getLong(0)).sorted
+    assert(again === Sampling.weighted(df, "id", lit(0.5)).collect().map(_.getLong(0)).sorted,
+      "partition-layout independent")
+  }
+
   test("ngrams + duplicate-ngram fraction: exact values, short-doc guard") {
     val s = spark; import s.implicits._
     import graft.functions.TextFunctions
