@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexCatalog, IndexBuilder, IndexSpec, IndexedColumn, TableIndices, ValueType}
+
+/** A2 `typed_cols` fixture (FIXTURES.md): the reference guarantees that
+  * index order = numeric order for every fixed-width type via its byte
+  * encodings (`IndexUtils.changeValueAccToDataType`,
+  * `util/IndexUtils.java:155-193`, exercised by
+  * `TestIndexRegionObserver.java` / `TestExtendedPutOps.java`). Our
+  * engine gets the same property from typed Parquet sorting — these
+  * tests pin it at the edge values (sign boundaries, extremes) for every
+  * ValueType, both for index-file ordering and for range queries served
+  * THROUGH the rewrite.
+  */
+class TypedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var catalog: IndexCatalog = _
+  private val table = "typed_cols_t"
+  private var baseDir: String = _
+
+  private val ints = Seq(Int.MinValue, -1, 0, 1, Int.MaxValue)
+  private val longs = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue)
+  private val floats = Seq(Float.MinValue, -1.5f, -0.0f, 0.0f, 1.5f, Float.MaxValue)
+  private val doubles = Seq(Double.MinValue, -1.5d, -0.0d, 0.0d, 1.5d, Double.MaxValue)
+  private val shorts = Seq(Short.MinValue, (-1).toShort, 0.toShort, 1.toShort, Short.MaxValue)
+  private val bytes = Seq(Byte.MinValue, (-1).toByte, 0.toByte, 1.toByte, Byte.MaxValue)
+  private val strs = Seq("", "a", "Z", "aaaaaaaaaa", "zzzzzzzzzz")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("TypedIndexSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    catalog = new IndexCatalog
+    GraftEngine.install(spark, catalog)
+
+    val s = spark; import s.implicits._
+    val n = 8
+    val rows = (0 until n).map { i =>
+      (f"rk$i%02d", ints(i % ints.size), longs(i % longs.size),
+        floats(i % floats.size), doubles(i % doubles.size),
+        shorts(i % shorts.size), bytes(i % bytes.size), strs(i % strs.size))
+    }
+    val df = rows.toDF("rowkey", "q_int", "q_long", "q_float", "q_double",
+      "q_short", "q_byte", "q_str")
+      .select(col("rowkey"), col("q_int"), col("q_long"), col("q_float"),
+        col("q_double"), col("q_short").cast("short").as("q_short"),
+        col("q_byte").cast("byte").as("q_byte"), col("q_str"))
+    baseDir = Files.createTempDirectory("graft-typed-base").toString + "/t"
+    df.write.mode("overwrite").parquet(baseDir)
+
+    val specs = Seq(
+      IndexSpec("tidx_int", Seq(IndexedColumn("q_int", ValueType.IntT))),
+      IndexSpec("tidx_long", Seq(IndexedColumn("q_long", ValueType.LongT))),
+      IndexSpec("tidx_float", Seq(IndexedColumn("q_float", ValueType.FloatT))),
+      IndexSpec("tidx_double", Seq(IndexedColumn("q_double", ValueType.DoubleT))),
+      IndexSpec("tidx_short", Seq(IndexedColumn("q_short", ValueType.ShortT))),
+      IndexSpec("tidx_byte", Seq(IndexedColumn("q_byte", ValueType.ByteT))),
+      IndexSpec("tidx_str", Seq(IndexedColumn("q_str", ValueType.StringT, 10))))
+    catalog.register(TableIndices(table, "rowkey", specs), baseDir,
+      spark.read.parquet(baseDir).schema)
+    val idxRoot = Files.createTempDirectory("graft-typed-idx").toString
+    specs.foreach(spec =>
+      IndexBuilder.build(spark, catalog, table, spec, s"$idxRoot/${spec.name}", 2))
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def base: DataFrame = spark.read.parquet(baseDir)
+
+  private def assertIndexedEqualsFullScan(pred: org.apache.spark.sql.Column): Unit = {
+    val viaIndex = base.filter(pred).select("rowkey").collect().map(_.getString(0)).sorted
+    spark.conf.set("graft.index.enabled", "false")
+    val full = try base.filter(pred).select("rowkey").collect().map(_.getString(0)).sorted
+    finally spark.conf.set("graft.index.enabled", "true")
+    assert(viaIndex === full, s"indexed result differs from full scan for $pred")
+    assert(viaIndex.nonEmpty, s"edge-value fixture should match at least one row for $pred")
+  }
+
+  test("range queries across sign boundaries match full scan for every numeric type") {
+    assertIndexedEqualsFullScan(col("q_int") >= Int.MinValue && col("q_int") < 0)
+    assertIndexedEqualsFullScan(col("q_int") > -1 && col("q_int") <= Int.MaxValue)
+    assertIndexedEqualsFullScan(col("q_long") >= Long.MinValue && col("q_long") < 1L)
+    assertIndexedEqualsFullScan(col("q_float") >= -1.5f && col("q_float") <= 1.5f)
+    assertIndexedEqualsFullScan(col("q_double") > Double.MinValue && col("q_double") <= 0.0)
+    assertIndexedEqualsFullScan(col("q_short") < lit(0.toShort))
+    assertIndexedEqualsFullScan(col("q_byte") >= lit((-1).toByte))
+  }
+
+  test("string index: empty string, padding-length values, case-sensitive order") {
+    assertIndexedEqualsFullScan(col("q_str") === "")
+    assertIndexedEqualsFullScan(col("q_str") >= "Z" && col("q_str") <= "a")
+    assertIndexedEqualsFullScan(col("q_str") === "aaaaaaaaaa")
+  }
+
+  test("point lookups at the extremes go through the index") {
+    assertIndexedEqualsFullScan(col("q_int") === Int.MinValue)
+    assertIndexedEqualsFullScan(col("q_long") === Long.MaxValue)
+    assertIndexedEqualsFullScan(col("q_byte") === lit(Byte.MinValue))
+  }
+
+  test("the typed predicates are actually index-rewritten (semi-join in the plan)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (pred <- Seq(col("q_int") === Int.MinValue,
+        col("q_double") > Double.MinValue && col("q_double") <= 0.0,
+        col("q_str") === "")) {
+      val plan = base.filter(pred).queryExecution.optimizedPlan
+      val semis = plan.collect { case j @ Join(_, _, LeftSemi, _, _) => j }
+      assert(semis.nonEmpty, s"predicate $pred was not index-rewritten:\n$plan")
+    }
+  }
+
+  test("index files are sorted in numeric order (the byte-encoding order guarantee)") {
+    val entry = catalog.get(table).get
+    for ((specName, colName) <- Seq(("tidx_int", "q_int"), ("tidx_long", "q_long"),
+        ("tidx_double", "q_double"))) {
+      val idx = spark.read.parquet(entry.indexPaths(specName))
+      // within each index file, rows must be sorted by the index column
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(input_file_name())
+        .orderBy(monotonically_increasing_id())
+      val violations = idx
+        .withColumn("__prev", lag(col(colName), 1).over(w))
+        .filter(col("__prev").isNotNull && col("__prev") > col(colName))
+        .count()
+      assert(violations === 0L,
+        s"$specName not sorted by $colName within files")
+    }
+  }
+}
