@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+import graft.ops.Mutations
+
+/** Recovery-path behavior — the analogue of the reference's recovery
+  * tests (`TestIndexPutsWithRegionServerRestart`, WAL replay of index
+  * edits): (1) a writeThrough whose index rebuild fails must retain the
+  * previous base generation on disk, loudly; (2) a catalog reloaded from
+  * JSON in a "fresh JVM" must serve indexed queries with no
+  * re-registration.
+  */
+class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("RecoverySpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("writeThrough failure keeps the previous generation on disk for recovery") {
+    val s = spark; import s.implicits._
+    val cat = new IndexCatalog
+    val root = Files.createTempDirectory("graft-recov").toString
+    val basePath = s"$root/t"
+    (1L to 100L).map(i => (i, (i % 7).toInt)).toDF("k", "v")
+      .write.parquet(basePath)
+    cat.register(TableIndices("t", "k",
+      Seq(IndexSpec("i_v", Seq(IndexedColumn("v", ValueType.IntT))))),
+      basePath, spark.read.parquet(basePath).schema)
+    IndexBuilder.build(spark, cat, "t", IndexSpec("i_v",
+      Seq(IndexedColumn("v", ValueType.IntT))), s"$root/t_idx/i_v", 2)
+
+    // a mutation that drops the indexed column: the base swap commits,
+    // then the index rebuild must fail against the new base
+    val broken = spark.read.parquet(basePath).drop("v").withColumn("v2", lit(1))
+    val e = intercept[IllegalStateException] {
+      Mutations.writeThrough(spark, cat, "t", broken)
+    }
+    assert(e.getMessage.contains("previous generation retained"))
+    // the stashed generation is complete and still has the indexed column
+    val prev = spark.read.parquet(basePath + ".prev")
+    assert(prev.columns.contains("v") && prev.count() === 100L,
+      "previous generation must survive a failed index rebuild intact")
+  }
+
+  test("indexed query served after catalog reload from JSON (fresh-JVM recovery)") {
+    val s = spark; import s.implicits._
+    val builderCat = new IndexCatalog
+    val root = Files.createTempDirectory("graft-recov2").toString
+    val basePath = s"$root/t"
+    (1L to 500L).map(i => (i, (i % 13).toInt)).toDF("k", "v")
+      .write.parquet(basePath)
+    val spec = IndexSpec("i_v", Seq(IndexedColumn("v", ValueType.IntT)))
+    builderCat.register(TableIndices("t", "k", Seq(spec)),
+      basePath, spark.read.parquet(basePath).schema)
+    IndexBuilder.build(spark, builderCat, "t", spec, s"$root/t_idx/i_v", 2)
+    val json = s"$root/catalog.json"
+    builderCat.save(json)
+
+    // "fresh JVM": a brand-new catalog hydrated only from the JSON,
+    // installed as the planner's catalog — no register(), no rebuild
+    val freshCat = new IndexCatalog
+    freshCat.load(json)
+    GraftEngine.install(spark, freshCat)
+
+    val df = spark.read.parquet(basePath).filter(col("v") === 5)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j @ Join(_, _, LeftSemi, _, _) => j
+    }
+    assert(semis.nonEmpty, "reloaded catalog must drive the index rewrite")
+    val got = df.select("k").collect().map(_.getLong(0)).sorted
+    assert(got === (1L to 500L).filter(_ % 13 == 5).toArray.sorted)
+  }
+}
