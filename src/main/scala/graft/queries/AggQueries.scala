@@ -98,6 +98,16 @@ object AggQueries extends QueryGroup {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Temporal rollup: orders per month (date_trunc — the §2.8 date
+    // surface under the oracle; one hash-aggregate, month cardinality
+    // is tiny at any scale)
+    "agg_orders_monthly" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
     // Rollup (engine extension): per-(flag,status) counts plus per-flag
     // subtotals and the grand total in ONE pass — Catalyst's Expand
     // node replays each input row per grouping set before the partial
@@ -149,6 +159,10 @@ object AggQueries extends QueryGroup {
     "agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
-        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "agg_orders_monthly" ->
+      ("SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY 1")
   )
 }

@@ -111,6 +111,17 @@ object ScanQueries extends QueryGroup {
         .select("p_partkey", "p_type")
     }),
 
+    // top-N by sort key: Catalyst plans ORDER BY + LIMIT as
+    // TakeOrderedAndProject — per-partition heaps + a driver merge of
+    // N×partitions rows, never a global sort shuffle (PlanAuditSpec
+    // pins the shape). Tie-broken by rowkey for determinism.
+    "scan_top_n" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
     // JSON scalar extraction (SURVEY §2.8 — the reference stores raw
     // bytes; a Spark engine reads semi-structured columns natively):
     // pull props.k out of the JSON string, aggregate per event type
@@ -164,6 +175,9 @@ object ScanQueries extends QueryGroup {
       "SELECT c_custkey, c_name FROM customer WHERE ((c_custkey % 1000003) * 2654435761) % 100 < 10",
     "filter_json_extract" ->
       ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
-        "count(*) AS n FROM events GROUP BY event_type")
+        "count(*) AS n FROM events GROUP BY event_type"),
+    "scan_top_n" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 10")
   )
 }

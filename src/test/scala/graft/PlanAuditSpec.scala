@@ -77,6 +77,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "without map-side partials the group-by shuffles every input row")
   }
 
+  test("top-N plans as TakeOrderedAndProject, not a global sort") {
+    val plan = q("scan_top_n").queryExecution.executedPlan
+    val topK = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(topK.nonEmpty && sorts.isEmpty,
+      s"ORDER BY + LIMIT must be per-partition heaps + driver merge, " +
+        s"never a full sort of the table:\n$plan")
+  }
+
   test("deterministic sample evaluates as a scan-stage filter (no shuffle, no join)") {
     val plan = q("sample_bernoulli").queryExecution.executedPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
