@@ -92,23 +92,22 @@ object PipelineQueries extends QueryGroup {
           TextFunctions.piiCount(aug, TextFunctions.PhonePattern).as("n_phones"))
     }),
 
-    // text cleaning: HTML-tag strip + whitespace collapse (codegen'd
-    // regexes) + NFC unicode normalization (JVM kernel — Spark has no
-    // built-in normalizer; DuckDB's nfc_normalize is the oracle twin).
-    // The corpus is plain ASCII, so markup and a combining-accent pair
-    // ("e" + U+0301 → "é" under NFC) are appended deterministically —
-    // the cleaner must strip/normalize them or the fingerprint mismatches.
+    // text cleaning: HTML-tag strip + whitespace collapse + NFC unicode
+    // normalization, all in ONE WholeStageCodegen span — NFC via the
+    // native graft_nfc expression (Spark has no built-in normalizer;
+    // DuckDB's nfc_normalize is the oracle twin). The corpus is plain
+    // ASCII, so markup and a combining-accent pair ("e" + U+0301 → "é"
+    // under NFC) are appended deterministically — the cleaner must
+    // strip/normalize them or the fingerprint mismatches.
     "text_clean" -> ((s, dir) => {
-      import s.implicits._
+      org.apache.spark.sql.graftfn.GraftFunctions.register(s)
       val aug = concat(lit("<p class=\"x\">"), col("text"), lit("</p> é  "))
       val collapsed = trim(regexp_replace(
         regexp_replace(aug, "<[^>]+>", ""), "\\s+", " "))
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), collapsed.as("c")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) =>
-          (id, java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
-        }).toDF("doc_id", "c")
-        .select(col("doc_id"), md5(col("c")).as("clean_fp"))
+        .select(col("doc_id"),
+          md5(call_function(org.apache.spark.sql.graftfn.GraftFunctions.NfcName,
+            collapsed)).as("clean_fp"))
     }),
 
     // benchmark-contamination check: docs sharing any 5-gram with the

@@ -57,6 +57,35 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** NFC unicode normalization as a codegen'd unary expression — Spark has
+  * no built-in normalizer, and the `mapPartitions` alternative pays a
+  * whole-row encoder boundary just to call one static method. The
+  * generated code calls `java.text.Normalizer` inline, so the expression
+  * composes with the surrounding regex/trim pipeline inside one
+  * WholeStageCodegen span. Arithmetic contract: identical to DuckDB's
+  * `nfc_normalize` (both implement Unicode NFC). */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.NfcName
+
+  override protected def nullSafeEval(s: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        java.text.Normalizer.Form.NFC))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Registration lives under `org.apache.spark.sql` because the function
   * registry is `private[sql]`; this is the one place the library touches
   * a non-public Spark API, and only to install a temp function into
@@ -65,10 +94,15 @@ case class DotProductF(left: Expression, right: Expression)
 object GraftFunctions {
 
   val DotName = "graft_dot"
+  val NfcName = "graft_nfc"
 
   /** Idempotently register the codegen functions in this session. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        DotName, exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      DotName, exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      NfcName, exprs => NfcNormalize(exprs(0)), "built-in")
+  }
 }

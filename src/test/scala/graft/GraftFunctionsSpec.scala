@@ -77,4 +77,24 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"graft_dot project not codegen'd in:\n$plan")
     assert(df.agg(sum("d")).collect()(0).getDouble(0) > 0.0)
   }
+
+  test("graft_nfc normalizes combining sequences, null-safe, codegen'd") {
+    val s = spark; import s.implicits._
+    def nfc(c: org.apache.spark.sql.Column) = call_function(GraftFunctions.NfcName, c)
+    // decomposed e + U+0301 must compose to precomposed U+00E9
+    val df = Seq((1L, Some("caf" + "é")), (2L, Some("plain")), (3L, Option.empty[String]))
+      .toDF("id", "t")
+    val got = df.select(col("id"), nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) === "café")
+    assert(got(1L).length === 4, "NFC must shrink the combining pair to one codepoint")
+    assert(got(2L) === "plain")
+    assert(got(3L) === null)
+    // codegen participation over a parquet scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(nfc(col("text")).as("n"))
+    val plan = docs.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[graft_nfc".r.findFirstIn(plan).isDefined,
+      s"graft_nfc project not codegen'd in:\n$plan")
+  }
 }
