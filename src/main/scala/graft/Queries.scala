@@ -28,6 +28,9 @@ object Queries {
   }
   lazy val oracles: Map[String, String] = {
     val os = groups.flatMap(_.oracles)
+    val dups = os.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate oracle keys across groups (toMap would silently drop one): ${dups.mkString(", ")}")
     val orphans = os.map(_._1).filterNot(all.contains)
     require(orphans.isEmpty, s"oracle entries without a query: ${orphans.mkString(", ")}")
     os.toMap

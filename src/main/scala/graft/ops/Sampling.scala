@@ -59,8 +59,14 @@ object Sampling {
     * per-row threshold is the weight scaled onto the same 16-bit hex grid
     * the fixed-fraction samplers use. */
   def weighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
-    val cells = least(floor(greatest(weight, lit(0.0)) * 65536.0), lit(65535.0))
-    df.filter(hashKey(col(idCol)) < format_string("%04x", cells.cast("int")))
+    val cells = least(floor(greatest(weight, lit(0.0)) * 65536.0), lit(65536.0)).cast("int")
+    // same 'g' sentinel as thresholdHex: weight >= 1.0 keeps every row
+    // (a 4-hex threshold tops out at "ffff" and would drop hash 0xffff).
+    // lpad/hex are plain codegen string ops — format_string would
+    // instantiate a java.util.Formatter per row on the scan-stage path.
+    val thresh = when(cells >= 65536, lit("g"))
+      .otherwise(lpad(lower(hex(cells)), 4, "0"))
+    df.filter(hashKey(col(idCol)) < thresh)
   }
 
   /** Deterministic train/val/test assignment: the id hash is cut at the

@@ -153,8 +153,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark; import s.implicits._
     val df = (1L to 2000L).toDF("id")
     assert(Sampling.weighted(df, "id", lit(0.0)).count() === 0L)
-    assert(Sampling.weighted(df, "id", lit(1.0)).count() >= 1960L,
-      "weight 1.0 maps to 65535/65536 of the grid — at most a sliver drops")
+    assert(Sampling.weighted(df, "id", lit(1.0)).count() === 2000L,
+      "weight 1.0 must keep every row (sentinel threshold, like bernoulli)")
     val half = Sampling.weighted(df, "id", lit(0.5)).count()
     assert(half > 880 && half < 1120, s"~50%: $half")
     val again = Sampling.weighted(df.repartition(7), "id", lit(0.5))
