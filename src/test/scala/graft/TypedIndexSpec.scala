@@ -121,6 +121,23 @@ class TypedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TTL-style residual predicate composes with the index rewrite (A4 TTL-expiry-in-scan)") {
+    // the reference drops index rows older than TTL during the scan
+    // (LeafIndexRegionScanner.java:132, TestScanWhenTTLExpired); here the
+    // equivalent is: only q_int is indexed, the "ts" cutoff stays a
+    // residual filter over the semi-join — results must equal the full
+    // scan with both predicates, and the rewrite must still fire
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val pred = col("q_int") >= 0 && col("q_long") > Long.MinValue // q_long plays the ts role
+    val df = base.filter(pred)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j @ Join(_, _, LeftSemi, _, _) => j
+    }
+    assert(semis.nonEmpty, "indexed predicate + residual cutoff must still rewrite")
+    assertIndexedEqualsFullScan(pred)
+  }
+
   test("index files are sorted in numeric order (the byte-encoding order guarantee)") {
     val entry = catalog.get(table).get
     for ((specName, colName) <- Seq(("tidx_int", "q_int"), ("tidx_long", "q_long"),
