@@ -107,15 +107,18 @@ object IndexHint {
         } else None
       case HintOr(ps) if ps.nonEmpty =>
         // must line up with a top-level disjunction of matching arity;
-        // arm i draws its bounds from disjunct i only
-        conj.collectFirst { case o: Or => o }.flatMap { o =>
+        // arm i draws its bounds from disjunct i only. EVERY top-level OR
+        // conjunct is tried — a predicate like (a OR b) AND (c OR d) can
+        // carry a hint aimed at the second disjunction (collectFirst
+        // would silently fall back to cost-based planning for it)
+        conj.iterator.collect { case o: Or => o }.map { o =>
           val ds = splitDisjuncts(o)
           if (ds.size != ps.size) None
           else {
             val arms = ps.zip(ds).map { case (p, d) => go(p, splitConjuncts(d)) }
             if (arms.forall(_.isDefined)) Some(OrMerge(arms.flatten)) else None
           }
-        }
+        }.collectFirst { case Some(plan) => plan }
       case _ => None
     }
     go(h, conjuncts)

@@ -84,8 +84,11 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
     // that predicate-pushdown recreates under our join).
     val guarded = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    // one catalog snapshot per apply() — indexPaths walks the whole catalog,
+    // which would otherwise run once per semi-join node per optimizer pass
+    val paths = indexPaths
     plan.foreach {
-      case Join(left, right, LeftSemi, _, _) if readsIndex(right) =>
+      case Join(left, right, LeftSemi, _, _) if readsIndex(right, paths) =>
         left.foreach(n => guarded.add(n))
       case _ => ()
     }
@@ -102,13 +105,11 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
     }
   }
 
-  private def readsIndex(p: LogicalPlan): Boolean = {
-    val paths = indexPaths
+  private def readsIndex(p: LogicalPlan, paths: Set[String]): Boolean =
     p.exists {
       case rel: LogicalRelation => relationPath(rel).exists(paths.contains)
       case _ => false
     }
-  }
 
   private def rewrite(f: Filter, cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
     for {

@@ -105,14 +105,21 @@ object Dedup {
     // per-row encoder boundary on the doc×bands intermediate
     DedupMetrics.forwardObserved(spark)
     val grpW = Window.partitionBy(col("band"), col("bandHash"))
-    val capped = exploded.withColumn("__n", count(lit(1)).over(grpW))
+    val counted = exploded.withColumn("__n", count(lit(1)).over(grpW))
+    // the observe node sits on ONE branch of the self-join only — both
+    // branches compute the same rows, but an observe shared by both would
+    // fold the drop count into the accumulator twice per execution
+    val capped = counted
       .observe(DedupMetrics.obsName("graft.dedup.minhash"),
         sum(when(col("__n") > maxBandGroup, lit(1L)).otherwise(lit(0L)))
           .as("bandRowsDropped"))
       .filter(col("__n") <= maxBandGroup)
       .select(col("band"), col("bandHash"), col("id"))
+    val cappedPlain = counted
+      .filter(col("__n") <= maxBandGroup)
+      .select(col("band"), col("bandHash"), col("id"))
     val a = capped.select(col("band"), col("bandHash"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("bandHash"), col("id").as("id_b"))
+    val b = cappedPlain.select(col("band"), col("bandHash"), col("id").as("id_b"))
     // ids-only candidates, spread explicitly: AQE coalesces this tiny
     // shuffle to one partition, which would serialize everything below
     val cands = a.join(b, Seq("band", "bandHash"))

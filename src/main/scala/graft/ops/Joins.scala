@@ -37,7 +37,10 @@ object Joins {
     require(reservedClash.isEmpty,
       s"column names ${reservedClash.mkString(", ")} are reserved by asOfJoin — rename before joining")
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__isL", lit(1))
-    val r = right.withColumn("__ts", col(rightTs))
+    // NULL right timestamps would sort first (nulls-first ascending) and be
+    // attributed as the "latest" match for left rows preceding any real
+    // right row — drop them, per the as-of contract (no match ⇒ NULL payload)
+    val r = right.filter(col(rightTs).isNotNull).withColumn("__ts", col(rightTs))
       .withColumn("__isL", lit(0))
       .withColumn("__p", struct(payload.toSeq.map(col): _*))
       .select((keyCols ++ Seq("__ts", "__isL", "__p")).map(col): _*)

@@ -22,6 +22,10 @@ object Packing {
   def packBySize(df: DataFrame, shardCols: Seq[String], orderCol: String,
       sizeCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    val reserved = Seq("__cum", "__start", "pack_id", "pack_offset")
+    val reservedClash = df.columns.filter(reserved.contains).toSeq
+    require(reservedClash.isEmpty,
+      s"column names ${reservedClash.mkString(", ")} are reserved by packBySize — rename before packing")
     val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // integer `div`, not floor(double /): a double quotient loses low bits

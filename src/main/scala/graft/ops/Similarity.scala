@@ -149,6 +149,24 @@ object Similarity {
     * partitioned by list id, and each query batch touches
     * nProbe/nCentroids of the data — same fused single-pass shape as
     * lshTopK here, with the assignment as the bucket function. */
+  /** Deterministic UNBIASED centroid-training sample: the `n` rows whose
+    * id-hash orders first — a uniform sample without replacement over the
+    * whole id space. (A head-by-id sample would train centroids on the
+    * head of the table only; ids correlate with source/time on real
+    * corpora, degrading list quality on the tail.) orderBy+limit plans as
+    * TakeOrderedAndProject: per-partition heaps of the sample size, no
+    * global sort materialization. Package-visible so the no-head-bias
+    * property is directly testable. */
+  private[graft] def trainingSample(corpus: DataFrame, idCol: String,
+      vecCol: String, n: Int): Array[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(Sampling.hashKey(col(idCol)), col(idCol))
+      .limit(n)
+      .as[(Long, Array[Float])].collect()
+  }
+
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
@@ -157,10 +175,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qs = collectQueries(queries, qidCol, qvecCol)
-    // deterministic training sample: first nCentroids*32 vectors by id
-    val sample = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .orderBy(col(idCol)).limit(nCentroids * 32).collect().map(_._2)
+    val sample = trainingSample(corpus, idCol, vecCol, nCentroids * 32).map(_._2)
     val centroids = VecKernel.kmeans(sample, nCentroids, lloydIters)
     val probes: Map[Int, Array[Int]] = qs.indices
       .flatMap(qi => VecKernel.nearestCentroids(qs(qi)._2, centroids, nProbe)

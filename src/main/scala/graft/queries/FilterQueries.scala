@@ -128,6 +128,16 @@ object FilterQueries extends QueryGroup {
         .toDf
     }),
 
+    // BitComparator OR mode (BitComparator.java:34): value | mask != 0 —
+    // mask 0 makes the test a pure value probe (excludes zero values),
+    // the one OR-mode configuration whose outcome depends on the data
+    "filter_bit_or" -> ((s, dir) => {
+      Scan(Tables.load(s, dir, "events"), "event_id")
+        .setFilter(Filters.bitOr("event_id", 0L))
+        .addColumns("event_id", "event_type")
+        .toDf
+    }),
+
     // NullComparator (NullComparator.java:35) over delete-column
     // tombstones: rows whose cell was nulled by the tombstone
     "filter_null_value" -> ((s, dir) => {
@@ -246,6 +256,8 @@ object FilterQueries extends QueryGroup {
       "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 40 AND p_brand = 'Brand#7'",
     "filter_bit_xor" ->
       "SELECT event_id, event_type FROM events WHERE xor(event_id, 1024) <> 0",
+    "filter_bit_or" ->
+      "SELECT event_id, event_type FROM events WHERE (event_id | 0) <> 0",
     "filter_null_value" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     "filter_scvf_exclude" ->

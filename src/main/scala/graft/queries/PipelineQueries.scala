@@ -500,13 +500,17 @@ object PipelineQueries extends QueryGroup {
         "SELECT doc_id, source, CAST((cum - n_tok) // 4096 AS BIGINT) AS pack_id, " +
         "CAST((cum - n_tok) % 4096 AS BIGINT) AS pack_offset FROM t"),
 
-    // per-row threshold = printf('%04x', floor(quality*0.8*65536)) on the
-    // same 16-bit grid as the fixed-fraction samplers
+    // per-row threshold on the same 16-bit grid as the fixed-fraction
+    // samplers, INCLUDING the weight>=1 'g' sentinel (Sampling.weighted
+    // keeps every row at 65536 cells; a 4-hex threshold tops out at 'ffff'
+    // and would drop rows hashing to 0xffff)
     "sample_weighted" ->
-      (s"WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents) " +
-        "SELECT doc_id, lang, quality FROM q " +
+      (s"WITH q AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents), " +
+        "c AS (SELECT doc_id, lang, quality, " +
+        "CAST(least(floor(greatest(quality * 0.8, 0.0) * 65536.0), 65536.0) AS INT) AS cells FROM q) " +
+        "SELECT doc_id, lang, quality FROM c " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
-        "printf('%04x', CAST(least(floor(greatest(quality * 0.8, 0.0) * 65536.0), 65535.0) AS INT))"),
+        "CASE WHEN cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),
 
     // hash-range cuts: 0.8 → 'cccd', 0.8+0.1 → 'e666' on the 16-bit grid
     "sample_split" ->

@@ -54,6 +54,13 @@ object WindowedStats {
     * apart from `keyCol`. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsL: String, tsR: String, lateness: String, bound: String): DataFrame = {
+    require(bound.trim.matches("""(?i)\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?"""),
+      s"bound must be a simple duration like '10 minutes': '$bound'")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(collisions.isEmpty,
+      s"left/right columns collide beyond the key: $collisions — rename before joining")
+    require(!(left.columns ++ right.columns).contains("__rk"),
+      "column name __rk is reserved by intervalJoin — rename before joining")
     val l = left.withWatermark(tsL, lateness)
     val r = right.withWatermark(tsR, lateness).withColumnRenamed(keyCol, "__rk")
     l.join(r,

@@ -147,6 +147,56 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF recall survives a head/tail distribution shift (unbiased training sample)") {
+    val sp = spark
+    import sp.implicits._
+    val dim = 16
+    def h(id: Long, j: Int): Float = {
+      val r = new scala.util.Random(id * 1000003L + j)
+      r.nextFloat() * 2f - 1f
+    }
+    // head: ids 0..511 live in dims 0..7 only — exactly the window an
+    // id-ordered "first 512" training sample would see
+    val head = (0L until 512L).map { id =>
+      (id, Array.tabulate(dim)(j => if (j < 8) h(id, j) else 0.0f))
+    }
+    // tail: ids 512..4607 (89% of the corpus) live in dims 8..15 with
+    // small noise in 0..7 — head-trained centroids see only that noise,
+    // scattering true neighbors across arbitrary lists (measured recall
+    // ~nProbe/nCentroids); a uniform sample learns the tail subspace
+    val tail = (512L until 4608L).map { id =>
+      (id, Array.tabulate(dim)(j => if (j < 8) 0.05f * h(id, j) else h(id, j)))
+    }
+    val corpus = (head ++ tail).toDF("vec_id", "embedding")
+    val queries = tail.filter(t => Seq(600L, 2000L, 4000L).contains(t._1))
+      .toDF("q_id", "q_vec")
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF tail recall: $recall%.3f")
+    assert(recall >= 0.5,
+      f"IVF recall on the tail distribution: $recall%.2f — head-biased centroid training?")
+  }
+
+  test("IVF training sample is unbiased over the id range and deterministic") {
+    val sp = spark
+    import sp.implicits._
+    // ids 0..9999; a head-biased "first n by id" sample would draw 100%
+    // of its ids from below the median
+    val corpus = (0L until 10000L).map(id => (id, Array(id.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val s1 = Similarity.trainingSample(corpus, "vec_id", "embedding", 512)
+    val s2 = Similarity.trainingSample(corpus, "vec_id", "embedding", 512)
+    assert(s1.map(_._1).toSeq == s2.map(_._1).toSeq, "sample must be deterministic")
+    val aboveMedian = s1.count(_._1 >= 5000).toDouble / s1.length
+    assert(aboveMedian > 0.35 && aboveMedian < 0.65,
+      f"sample is id-biased: $aboveMedian%.2f of sampled ids above the median (expect ~0.5)")
+  }
+
   test("embedding near-dup: planted copy is found with sim 1.0") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val copies = emb.filter(col("vec_id") < 10)
