@@ -36,6 +36,91 @@ object GraftEngine {
       }
     }
 
+  /** Statement-scoped hint SQL entry (reference: per-Scan index
+    * expressions, `.../client/IndexUtils.java:45-70`). For sessions built
+    * with [[GraftExtensions]] the `GRAFT_INDEX`/`GRAFT_NO_INDEX` comment
+    * hint inside `statement` is resolved natively during analysis (see
+    * [[graft.index.GraftHintResolution]]) and this is plain `spark.sql`.
+    * For handed sessions (rule installed via [[install]]) Spark discards
+    * the unrecognized hint during analysis, so the hint is re-extracted
+    * from the statement text and applied through the session confs for
+    * exactly the optimization of this statement: the optimized plan is
+    * forced while the confs are set, then the previous conf values are
+    * restored — no leakage into later queries. (The conf transport is
+    * session-global rather than per-table; the residual filter keeps any
+    * other table in the statement correct regardless.) */
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    val df = spark.sql(statement)
+    if (df.queryExecution.analyzed.exists(_.isInstanceOf[GraftIndexHintNode])) return df
+    val hintBody = HintComment.findFirstMatchIn(statement).map(_.group(1))
+    val noIdx = hintBody.flatMap(extractCall(_, "GRAFT_NO_INDEX"))
+    val idx = hintBody.flatMap(extractCall(_, "GRAFT_INDEX"))
+    if (noIdx.isEmpty && idx.isEmpty) return df
+    val keys = Seq("graft.index.enabled", "graft.index.force", "graft.index.hint")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      noIdx.foreach(_ => spark.conf.set("graft.index.enabled", "false"))
+      idx.map(splitTopLevel(_).map(_.trim)).filter(_.size >= 2).foreach { parts =>
+        val rest = parts.tail.map(stripQuotes)
+        if (rest.size == 1 && rest.head.contains("("))
+          spark.conf.set("graft.index.hint", rest.head)
+        else spark.conf.set("graft.index.force", rest.mkString(","))
+      }
+      val out = spark.sql(statement)
+      out.queryExecution.optimizedPlan // pin the rewrite inside the hint scope
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val HintComment = """(?s)/\*\+(.*?)\*/""".r
+
+  /** Body of `fn(...)` inside `text`, with balanced parentheses (hint
+    * trees contain nested parens a regex can't bound). */
+  private def extractCall(text: String, fn: String): Option[String] = {
+    val i = text.toUpperCase(java.util.Locale.ROOT).indexOf(fn + "(")
+    if (i < 0) None
+    else {
+      var depth = 0
+      var j = i + fn.length
+      while (j < text.length) {
+        text(j) match {
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return Some(text.substring(i + fn.length + 1, j))
+          case _ => ()
+        }
+        j += 1
+      }
+      None
+    }
+  }
+
+  /** Split on commas at paren-depth 0 outside single quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'') t.substring(1, t.length - 1) else t
+  }
+
   /** Declarative DDL for the managed demo tables (reference: table
     * descriptor + INDEX_SPEC_KEY attribute read by
     * `IndexMasterObserver.preCreateTable:89-131`). */

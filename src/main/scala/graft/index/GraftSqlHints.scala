@@ -1,0 +1,126 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, UnresolvedHint}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-statement-scoped index hints — the Spark-native transport for the
+  * reference's per-Scan index expressions (`SingleIndexExpression` /
+  * `NoIndexExpression` serialized into the `"indexExpression"` scan
+  * attribute, `.../client/IndexUtils.java:45-70`). A comment hint inside
+  * the statement travels WITH the query plan, so its scope is exactly that
+  * statement — unlike the session confs `graft.index.force` /
+  * `graft.index.hint`, which leak across queries until unset.
+  *
+  * Syntax (standard Spark hint comment, resolved by [[GraftHintResolution]]
+  * during analysis — requires the session to be built with
+  * [[GraftExtensions]]):
+  *
+  * {{{
+  *   SELECT /*+ GRAFT_INDEX(customer, idx_nation) */ ...          -- force one index
+  *   SELECT /*+ GRAFT_INDEX(orders, idx_status, idx_cust) */ ...  -- force-set
+  *   SELECT /*+ GRAFT_INDEX(customer, 'OR(idx_a,idx_b)') */ ...   -- structured tree
+  *   SELECT /*+ GRAFT_NO_INDEX(customer) */ ...                   -- full scan
+  * }}}
+  *
+  * The first argument names the logical table (the catalog key's
+  * name-part, e.g. `customer`); remaining bare identifiers form a force
+  * set ([[IndexRewriteRule]] restricts selection to them, the
+  * `SingleIndexExpression` semantics), while a single quoted argument is
+  * parsed with the [[IndexHint]] grammar into a structured AND/OR tree
+  * (`MultiIndexExpression` semantics). As with the conf transport, an
+  * unsatisfiable hint degrades to cost-based planning — never a failed
+  * query — because the residual filter re-verifies every row regardless.
+  */
+object GraftSqlHints {
+  val IndexHintName = "GRAFT_INDEX"
+  val NoIndexHintName = "GRAFT_NO_INDEX"
+}
+
+/** Marker node carrying a statement-scoped hint from analysis to the
+  * optimizer. Pass-through unary node; [[IndexRewriteRule]] reads markers
+  * but deliberately does NOT strip them — a session can carry several rule
+  * instances (extension-injected plus `experimental.extraOptimizations`),
+  * and a marker stripped by the first instance would leave the second
+  * blind to a `GRAFT_NO_INDEX` scope. [[GraftHintStrategy]] erases the
+  * marker at physical planning instead. Parsed hints sit at the root of
+  * the hinted (sub)query, so they do not obstruct filter/projection
+  * pushdown below them.
+  */
+case class GraftIndexHintNode(
+    table: String,
+    force: Option[Seq[String]],
+    tree: Option[IndexHint.Hint],
+    noIndex: Boolean,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftIndexHintNode =
+    copy(child = newChild)
+}
+
+/** Physical-planning eraser for [[GraftIndexHintNode]]: by this point
+  * every optimizer-rule instance has read the statement scope, and the
+  * pass-through marker simply plans as its child. Injected alongside
+  * [[GraftHintResolution]] by [[GraftExtensions]]. */
+object GraftHintStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    plan match {
+      case GraftIndexHintNode(_, _, _, _, child) => planLater(child) :: Nil
+      case _ => Nil
+    }
+}
+
+/** Analysis rule translating `UnresolvedHint(GRAFT_INDEX | GRAFT_NO_INDEX)`
+  * into [[GraftIndexHintNode]] markers. Injected via
+  * `SparkSessionExtensions.injectResolutionRule`, which runs in the main
+  * Resolution batch — before Spark's end-of-analysis removal of
+  * unrecognized hints would discard them. Malformed hints are dropped with
+  * a warning (the query then plans as if unhinted).
+  */
+class GraftHintResolution extends Rule[LogicalPlan] {
+
+  private def argName(p: Any): Option[String] = p match {
+    case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+    case Literal(s: UTF8String, StringType) => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case UnresolvedHint(hn, params, child)
+        if hn.equalsIgnoreCase(GraftSqlHints.IndexHintName) =>
+      val names = params.map(argName)
+      if (names.size < 2 || names.exists(_.isEmpty)) {
+        logWarning(s"ignoring malformed ${GraftSqlHints.IndexHintName} hint " +
+          s"(expect (table, idx...) or (table, 'tree')): $params")
+        child
+      } else {
+        val table = names.head.get
+        val rest = names.tail.flatten
+        val tree =
+          if (rest.size == 1 && rest.head.contains("(")) IndexHint.parse(rest.head)
+          else None
+        if (rest.size == 1 && rest.head.contains("(") && tree.isEmpty) {
+          logWarning(s"ignoring unparseable ${GraftSqlHints.IndexHintName} tree: ${rest.head}")
+          child
+        } else if (tree.isDefined) {
+          GraftIndexHintNode(table, None, tree, noIndex = false, child)
+        } else {
+          GraftIndexHintNode(table, Some(rest), None, noIndex = false, child)
+        }
+      }
+
+    case UnresolvedHint(hn, params, child)
+        if hn.equalsIgnoreCase(GraftSqlHints.NoIndexHintName) =>
+      params.headOption.flatMap(argName) match {
+        case Some(table) => GraftIndexHintNode(table, None, None, noIndex = true, child)
+        case None =>
+          logWarning(s"ignoring ${GraftSqlHints.NoIndexHintName} hint without a table argument")
+          child
+      }
+  }
+}

@@ -78,7 +78,14 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled || catalog.tables.isEmpty) return plan
+    // Statement-scoped hints ride the plan as marker nodes (see
+    // GraftSqlHints — the per-Scan indexExpression transport). Markers are
+    // read but NOT stripped: other rule instances in the same session
+    // (extension-injected + experimental-installed) must see the scope
+    // too; GraftHintStrategy erases them at physical planning.
+    val scoped = plan.collect { case h: GraftIndexHintNode => h }
+    val base = plan
+    if (!enabled || catalog.tables.isEmpty) return base
     // Guard: collect base subtrees already semi-joined against an index
     // (so the fixed-point optimizer batch doesn't re-rewrite the filter
     // that predicate-pushdown recreates under our join).
@@ -87,7 +94,7 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
     // one catalog snapshot per apply() — indexPaths walks the whole catalog,
     // which would otherwise run once per semi-join node per optimizer pass
     val paths = indexPaths
-    plan.foreach {
+    base.foreach {
       case Join(left, right, LeftSemi, _, _) if readsIndex(right, paths) =>
         left.foreach(n => guarded.add(n))
       case _ => ()
@@ -98,10 +105,10 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
     // Join(filter, idx) would be matched again immediately → infinite
     // self-wrapping. Up applies the rule post-order and never revisits the
     // replacement node.
-    plan.transformUp {
+    base.transformUp {
       case f @ Filter(cond, rel: LogicalRelation)
           if !guarded.contains(f) && !guarded.contains(rel) =>
-        rewrite(f, cond, rel).getOrElse(f)
+        rewrite(f, cond, rel, scoped).getOrElse(f)
     }
   }
 
@@ -111,21 +118,33 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
       case _ => false
     }
 
-  private def rewrite(f: Filter, cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
+  /** Does a statement-scoped hint's table argument name this catalog
+    * entry? Accepts the bare logical name (`customer`) or the full
+    * catalog key (`customer@sf0.01`). */
+  private def matchesTable(hinted: String, tableKey: String): Boolean =
+    hinted == tableKey || tableKey.takeWhile(_ != '@') == hinted
+
+  private def rewrite(f: Filter, cond: Expression, rel: LogicalRelation,
+      scoped: Seq[GraftIndexHintNode]): Option[LogicalPlan] = {
     for {
       path <- relationPath(rel)
       entry <- catalog.lookupByBasePath(path)
       if entry.enabled // disabled table → full scan (enable/disable propagation)
+      // statement-scoped hint for this table (overrides the session confs)
+      stmtHint = scoped.find(h => matchesTable(h.table, entry.indices.table))
+      if !stmtHint.exists(_.noIndex) // GRAFT_NO_INDEX → full scan
       rowkeyAttr <- rel.output.find(_.name == entry.indices.rowkey)
       available = entry.indices.indices.filter(s => entry.indexPaths.contains(s.name))
-      usable = forced.map(f => available.filter(s => f.contains(s.name))).getOrElse(available)
+      usable = stmtHint.flatMap(_.force).map(_.toSet).orElse(forced)
+        .map(f => available.filter(s => f.contains(s.name))).getOrElse(available)
       // ValuePartition read path: comparisons on split(col,sep)[n] /
       // substring(col,off,len) become leaves on the derived index column
       // (reference SingleColumnValuePartitionFilter — see DerivedPredicates)
       normCond = DerivedPredicates.normalize(cond,
         usable.flatMap(_.columns).filter(_.partition.isDefined))
       conjuncts = splitConjuncts(normCond)
-      rkPlan <- hintTree.flatMap(IndexHint.resolve(_, conjuncts, usable))
+      rkPlan <- stmtHint.flatMap(_.tree).orElse(hintTree)
+        .flatMap(IndexHint.resolve(_, conjuncts, usable))
         .orElse(select(conjuncts, usable))
       idxPlan <- buildRowkeyPlan(rkPlan, entry)
     } yield {
@@ -219,6 +238,16 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
 class GraftExtensions(catalog: IndexCatalog) extends (SparkSessionExtensions => Unit) {
   def this() = this(IndexCatalog.default)
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // analysis: GRAFT_INDEX / GRAFT_NO_INDEX comment hints → marker nodes
+    // (must run during Resolution, before Spark discards unknown hints)
+    ext.injectResolutionRule(_ => new GraftHintResolution)
     ext.injectOptimizerRule(session => new IndexRewriteRule(session, catalog))
+    // physical planning erases the markers after every rule instance has
+    // had its chance to read the statement scope
+    ext.injectPlannerStrategy(_ => GraftHintStrategy)
+    // native codegen functions (graft_dot, graft_nfc) through the public
+    // injection API; GraftFunctions.register stays the handed-session
+    // fallback
+    org.apache.spark.sql.graftfn.GraftFunctions.injections.foreach(ext.injectFunction)
   }
 }

@@ -86,23 +86,42 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
-/** Registration lives under `org.apache.spark.sql` because the function
-  * registry is `private[sql]`; this is the one place the library touches
-  * a non-public Spark API, and only to install a temp function into
-  * sessions we did not build (the driver hands us its session, so the
-  * `SparkSessionExtensions.injectFunction` route is unavailable). */
+/** Function registration. Two paths, preferred first:
+  *
+  *  - sessions the engine builds: [[injections]] feeds
+  *    `SparkSessionExtensions.injectFunction` (public API, wired by
+  *    `graft.index.GraftExtensions`) — functions resolve natively without
+  *    touching session internals;
+  *  - sessions handed to us (the driver's smoke test): [[register]] falls
+  *    back to the `private[sql]` function registry — the one place the
+  *    library touches a non-public Spark API, which is why this file
+  *    lives under `org.apache.spark.sql`.
+  */
 object GraftFunctions {
 
   val DotName = "graft_dot"
   val NfcName = "graft_nfc"
 
-  /** Idempotently register the codegen functions in this session. */
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** (identifier, info, builder) triples in the exact shape
+    * `SparkSessionExtensions.injectFunction` takes. */
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(DotName),
+      new ExpressionInfo(classOf[DotProductF].getName, DotName),
+      exprs => DotProductF(exprs(0), exprs(1))),
+    (FunctionIdentifier(NfcName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, NfcName),
+      exprs => NfcNormalize(exprs(0))))
+
+  /** Idempotently register the codegen functions in a HANDED session —
+    * fallback for sessions built without `GraftExtensions`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      DotName, exprs => DotProductF(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      NfcName, exprs => NfcNormalize(exprs(0)), "built-in")
+    injections.foreach { case (ident, _, builder) =>
+      reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
   }
 }

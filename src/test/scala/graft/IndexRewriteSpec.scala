@@ -298,6 +298,45 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hint OR binds to the matching disjunction, not just the first OR conjunct") {
+    // first OR conjunct is unindexable (c_acctbal); the hint must line up
+    // with the SECOND. It forces arm 1 onto idx_nation where cost-based
+    // selection would pick the composite idx_mkt_nation — so the scan set
+    // proves the hint resolved rather than silently falling back.
+    val q = managed("customer")
+      .filter((col("c_acctbal") > 0.0 || col("c_acctbal") < 100.0) &&
+        ((col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 7) ||
+          col("c_nationkey") === 2))
+    withHint("OR(idx_nation,idx_nation)") {
+      val idx = indexScans(q.queryExecution.optimizedPlan).sorted
+      assert(idx === Seq("idx_nation", "idx_nation"),
+        s"hint skipped the second OR conjunct: $idx")
+      val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+        .filter((col("c_acctbal") > 0.0 || col("c_acctbal") < 100.0) &&
+          ((col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 7) ||
+            col("c_nationkey") === 2))
+        .collect().map(_.toString).sorted
+      assert(q.collect().map(_.toString).sorted === expected)
+    }
+  }
+
+  test("GraftEngine.sql scopes a statement hint on a handed session (conf fallback) without leaking") {
+    managed("orders").createOrReplaceTempView("graft_ord_v")
+    try {
+      val pre = spark.conf.getOption("graft.index.force")
+      val df = GraftEngine.sql(spark,
+        "SELECT /*+ GRAFT_INDEX(orders, idx_status) */ o_orderkey FROM graft_ord_v " +
+          "WHERE o_orderstatus = 'F' AND o_custkey <= 20")
+      val idx = indexScans(df.queryExecution.optimizedPlan)
+      assert(idx === Seq("idx_status"), s"statement hint not honored: $idx")
+      assert(spark.conf.getOption("graft.index.force") === pre, "conf leaked past the statement")
+      // the next, unhinted statement gets the cost-based AND-merge again
+      val plain = spark.sql("SELECT o_orderkey FROM graft_ord_v " +
+        "WHERE o_orderstatus = 'F' AND o_custkey <= 20")
+      assert(indexScans(plain.queryExecution.optimizedPlan).sorted === Seq("idx_cust", "idx_status"))
+    } finally spark.catalog.dropTempView("graft_ord_v")
+  }
+
   test("unsatisfiable hint (unknown index) falls back to cost-based selection") {
     val q = managed("customer").filter(col("c_nationkey") === 7)
     withHint("AND(idx_does_not_exist,idx_nation)") {

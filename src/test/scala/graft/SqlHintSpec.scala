@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{GraftExtensions, GraftIndexHintNode, IndexCatalog}
+
+/** Statement-scoped SQL hints (reference: per-Scan `SingleIndexExpression`
+  * / `NoIndexExpression` transported in the `"indexExpression"` scan
+  * attribute) through the native marker path: a session built with
+  * [[GraftExtensions]] resolves `GRAFT_INDEX`/`GRAFT_NO_INDEX` comment
+  * hints during analysis, and the hint's effect is confined to exactly
+  * that statement.
+  */
+class SqlHintSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions(IndexCatalog.default))
+      .appName("SqlHintSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftEngine.ensureWarehouse(spark, sfDir)
+    spark.read.parquet(GraftEngine.tablePath(sfDir, "customer"))
+      .createOrReplaceTempView("cust_hint_v")
+    spark.read.parquet(GraftEngine.tablePath(sfDir, "orders"))
+      .createOrReplaceTempView("ord_hint_v")
+  }
+
+  override def afterAll(): Unit = if (spark != null) {
+    spark.catalog.dropTempView("cust_hint_v")
+    spark.catalog.dropTempView("ord_hint_v")
+    spark.stop()
+  }
+
+  private def indexScans(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case r: LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).filter(_.contains("_idx/"))
+              .map(_.replaceAll(".*_idx/", ""))
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("GRAFT_INDEX comment hint forces the named index for that statement only") {
+    val hinted = spark.sql("SELECT /*+ GRAFT_INDEX(customer, idx_nation) */ c_custkey " +
+      "FROM cust_hint_v WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7")
+    assert(hinted.queryExecution.analyzed.exists(_.isInstanceOf[GraftIndexHintNode]),
+      "hint must resolve to a marker node during analysis")
+    val idx = indexScans(hinted.queryExecution.optimizedPlan)
+    assert(idx.nonEmpty && idx.forall(_ == "idx_nation"), s"hint not honored: $idx")
+    // marker must never reach physical planning
+    hinted.collect()
+    // the NEXT statement carries no hint → cost-based composite choice
+    val plain = spark.sql("SELECT c_custkey FROM cust_hint_v " +
+      "WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7")
+    assert(indexScans(plain.queryExecution.optimizedPlan).exists(_.startsWith("idx_mkt_nation")),
+      "statement scope leaked into the following query")
+  }
+
+  test("GRAFT_NO_INDEX suppresses the rewrite for one statement") {
+    val off = spark.sql("SELECT /*+ GRAFT_NO_INDEX(customer) */ c_custkey " +
+      "FROM cust_hint_v WHERE c_nationkey = 7")
+    assert(indexScans(off.queryExecution.optimizedPlan).isEmpty, "NO_INDEX not honored")
+    off.collect()
+    val on = spark.sql("SELECT c_custkey FROM cust_hint_v WHERE c_nationkey = 7")
+    assert(indexScans(on.queryExecution.optimizedPlan).nonEmpty,
+      "NO_INDEX leaked into the following query")
+  }
+
+  test("quoted tree argument builds the structured OR the user asked for") {
+    val q = spark.sql(
+      "SELECT /*+ GRAFT_INDEX(customer, 'OR(idx_nation,AND(idx_mkt_nation,idx_nation))') */ " +
+        "c_custkey FROM cust_hint_v " +
+        "WHERE c_nationkey = 2 OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey >= 5)")
+    val idx = indexScans(q.queryExecution.optimizedPlan).sorted
+    assert(idx === Seq("idx_mkt_nation", "idx_nation", "idx_nation"), s"chose $idx")
+  }
+
+  test("hint naming another table leaves this query cost-based") {
+    val q = spark.sql("SELECT /*+ GRAFT_INDEX(nation, idx_nation) */ c_custkey " +
+      "FROM cust_hint_v WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7")
+    assert(indexScans(q.queryExecution.optimizedPlan).exists(_.startsWith("idx_mkt_nation")))
+  }
+
+  test("codegen functions resolve through injectFunction — no registry fallback needed") {
+    // this session was built with GraftExtensions and GraftFunctions.register
+    // was never called on it: graft_dot/graft_nfc must resolve natively
+    val r = spark.sql("SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d, graft_nfc('café') AS n")
+      .collect()(0)
+    assert(r.getDouble(0) === 9.0)
+    assert(r.getString(1) === "café")
+  }
+
+  test("hinted statements return full-scan-identical rows (GraftEngine.sql, marker path)") {
+    val df = GraftEngine.sql(spark, "SELECT /*+ GRAFT_INDEX(orders, idx_status) */ " +
+      "o_orderkey FROM ord_hint_v WHERE o_orderstatus = 'F' AND o_custkey <= 20")
+    assert(indexScans(df.queryExecution.optimizedPlan) === Seq("idx_status"))
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderstatus") === "F" && col("o_custkey") <= 20L)
+      .select("o_orderkey").collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+}
