@@ -210,6 +210,33 @@ object GraftEngine {
     spark.read.parquet(tablePath(sfDir, table))
   }
 
+  /** Managed dynamic-qualifier family table: `doc_id` plus a family column
+    * STORED as `MAP<STRING, BIGINT>` (token → occurrence count derived from
+    * `documents.text`) — the SURVEY §1.2 map encoding for HBase's
+    * per-row-dynamic qualifier space, persisted as a real map-typed parquet
+    * column rather than modelled on the fly. Build is embarrassingly
+    * parallel (each row's family derives from its own text — zero
+    * shuffle), idempotent per sf dir. Queries over it: [[graft.api.MapFamily]]
+    * + the `filter_map_*` gates. */
+  def docFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = tablePath(sfDir, "doc_family")
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      import spark.implicits._
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          // split on single space keeping empties — same token contract as
+          // the array model (Spark split(text,' ') ≡ DuckDB string_split)
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          text.split(" ", -1).foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+          (id, m.toMap)
+        }).toDF("doc_id", "fam")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Session-catalog names of the co-bucketed customer base/index tables
     * for one sf dir (dots are not valid in table identifiers). */
   private def cobucketNames(sfDir: String): (String, String) = {

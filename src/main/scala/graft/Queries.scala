@@ -13,6 +13,7 @@ object Queries {
     AggQueries,
     IndexQueries,
     FilterQueries,
+    MapFamilyQueries,
     VersionQueries,
     MutationQueries,
     PipelineQueries,

@@ -1,0 +1,55 @@
+package graft.api
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dynamic column-family operations over a `MAP<STRING, v>` family column —
+  * SURVEY §1.2's mapping of HBase's unbounded per-row qualifier space for
+  * the genuinely dynamic case. The token-array model (see
+  * [[graft.queries.FilterQueries]]) covers fixed test schemas; a real
+  * HBase row can carry ANY qualifier set per row (`Scan.addColumn`,
+  * `hbase-client/.../client/Scan.java:280`), which only a map-encoded
+  * family column represents faithfully. Each function is the per-row
+  * family projection of the corresponding reference filter:
+  *
+  *  - [[qualifier]]       — Get/addColumn single-qualifier read
+  *  - [[qualifierFilter]] — QualifierFilter (`QualifierFilter.java:46`)
+  *  - [[columnRange]]     — ColumnRangeFilter (`ColumnRangeFilter.java:52`)
+  *  - [[multiPrefix]]     — MultipleColumnPrefixFilter (`MultipleColumnPrefixFilter.java:44`)
+  *  - [[pagination]]      — ColumnPaginationFilter (`ColumnPaginationFilter.java:43`)
+  *
+  * Scale: all of these are per-row Column expressions — no shuffle, no
+  * explode; the family map never leaves its row and the projection runs
+  * scan-side. (`map_filter` lambdas evaluate interpreted; the maps are
+  * row-sized so the per-row cost is bounded by the family width, and the
+  * consumer decides whether to keep the map form or explode to rows.)
+  */
+object MapFamily {
+
+  /** Value of one qualifier, null when the row doesn't carry it. */
+  def qualifier(fam: Column, q: String): Column = element_at(fam, q)
+
+  /** Sub-family of qualifiers satisfying `pred`. */
+  def qualifierFilter(fam: Column, pred: Column => Column): Column =
+    map_filter(fam, (k, _) => pred(k))
+
+  /** Qualifiers in `[lo, hi)` — ColumnRangeFilter with inclusive lower
+    * and exclusive upper bound. */
+  def columnRange(fam: Column, lo: String, hi: String): Column =
+    map_filter(fam, (k, _) => k >= lit(lo) && k < lit(hi))
+
+  /** Qualifiers matching ANY of the prefixes. */
+  def multiPrefix(fam: Column, prefixes: Seq[String]): Column = {
+    require(prefixes.nonEmpty, "multiPrefix needs at least one prefix")
+    map_filter(fam, (k, _) => prefixes.map(p => k.startsWith(p)).reduce(_ || _))
+  }
+
+  /** `limit` qualifiers starting at `offset` (0-based) in qualifier-sorted
+    * order — ColumnPaginationFilter's (limit, offset) over a row's columns.
+    * Qualifiers are unique within a family, so the struct sort on
+    * map_entries is total and deterministic. */
+  def pagination(fam: Column, offset: Int, limit: Int): Column = {
+    require(offset >= 0 && limit > 0, s"bad pagination ($offset, $limit)")
+    map_from_entries(slice(array_sort(map_entries(fam)), offset + 1, limit))
+  }
+}

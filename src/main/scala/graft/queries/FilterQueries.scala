@@ -80,28 +80,35 @@ object FilterQueries extends QueryGroup {
     }),
 
     // ColumnPaginationFilter (ColumnPaginationFilter.java:43): limit 3 /
-    // offset 1 over a row's (dynamic) columns, modelled as array slice
+    // offset 1 over a row's (dynamic) columns — codegen'd token kernel
+    // (the interpreted slice/filter HOFs were the only r2→r3 regressions);
+    // coalesce preserves concat_ws's never-null contract
     "filter_column_pagination" -> ((s, dir) => {
+      org.apache.spark.sql.graftfn.GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          concat_ws(" ", slice(split(col("text"), " "), 2, 3)).as("cols_page"))
+          coalesce(call_function("graft_tok_slice", col("text"), lit(2), lit(3)),
+            lit("")).as("cols_page"))
     }),
 
     // ColumnPrefixFilter (ColumnPrefixFilter.java:43): qualifiers with a
-    // prefix → array filter by startswith
+    // prefix — codegen'd token kernel
     "filter_col_prefix" -> ((s, dir) => {
+      org.apache.spark.sql.graftfn.GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          concat_ws(" ",
-            filter(split(col("text"), " "), t => t.startsWith("s"))).as("s_cols"))
+          coalesce(call_function("graft_tok_prefix", col("text"), lit("s")),
+            lit("")).as("s_cols"))
     }),
 
     // ColumnRangeFilter (ColumnRangeFilter.java:52): qualifier ∈ [min,max)
+    // — codegen'd token kernel
     "filter_col_range" -> ((s, dir) => {
+      org.apache.spark.sql.graftfn.GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          concat_ws(" ",
-            filter(split(col("text"), " "), t => t >= "b" && t < "n")).as("bn_cols"))
+          coalesce(call_function("graft_tok_range", col("text"), lit("b"), lit("n")),
+            lit("")).as("bn_cols"))
     }),
 
     // FirstKeyOnlyFilter / KeyOnlyFilter (FirstKeyOnlyFilter.java:39):

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftEngine
+import graft.api.MapFamily
+
+/** Dynamic-qualifier filters over the STORED map-encoded family table
+  * ([[GraftEngine.docFamily]]: `doc_id`, `fam MAP<STRING,BIGINT>`) — the
+  * faithful model of HBase's per-row-dynamic qualifiers (SURVEY §1.2),
+  * complementing the fixed-schema token-array stand-ins in
+  * [[FilterQueries]]. Results are exploded to (doc_id, qualifier, value)
+  * rows so the DuckDB oracle (which recomputes the family from
+  * `documents.text` with unnest + GROUP BY) hash-matches without
+  * depending on map iteration order.
+  */
+object MapFamilyQueries extends QueryGroup {
+
+  private val unnested =
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+
+  val defs: Map[String, Q] = Map(
+    // Get/addColumn single-qualifier read (Scan.java:280): rows carrying
+    // qualifier 'the', with its cell value
+    "filter_map_qualifier" -> ((s, dir) => {
+      GraftEngine.docFamily(s, dir)
+        .select(col("doc_id"), MapFamily.qualifier(col("fam"), "the").as("value"))
+        .filter(col("value").isNotNull)
+    }),
+
+    // ColumnRangeFilter (ColumnRangeFilter.java:52): qualifiers in [b, n)
+    "filter_map_range" -> ((s, dir) => {
+      GraftEngine.docFamily(s, dir)
+        .select(col("doc_id"),
+          explode(MapFamily.columnRange(col("fam"), "b", "n"))
+            .as(Seq("qualifier", "value")))
+    }),
+
+    // MultipleColumnPrefixFilter (MultipleColumnPrefixFilter.java:44):
+    // qualifiers matching any of the prefixes {s, t}
+    "filter_map_multi_prefix" -> ((s, dir) => {
+      GraftEngine.docFamily(s, dir)
+        .select(col("doc_id"),
+          explode(MapFamily.multiPrefix(col("fam"), Seq("s", "t")))
+            .as(Seq("qualifier", "value")))
+    }),
+
+    // ColumnPaginationFilter (ColumnPaginationFilter.java:43): limit 3 /
+    // offset 1 over the row's qualifier-sorted columns
+    "filter_map_pagination" -> ((s, dir) => {
+      GraftEngine.docFamily(s, dir)
+        .select(col("doc_id"),
+          explode(MapFamily.pagination(col("fam"), 1, 3))
+            .as(Seq("qualifier", "value")))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "filter_map_qualifier" ->
+      (s"SELECT doc_id, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
+        "WHERE tok = 'the' GROUP BY doc_id"),
+    "filter_map_range" ->
+      (s"SELECT doc_id, tok AS qualifier, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
+        "WHERE tok >= 'b' AND tok < 'n' GROUP BY doc_id, tok"),
+    "filter_map_multi_prefix" ->
+      (s"SELECT doc_id, tok AS qualifier, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
+        "WHERE starts_with(tok, 's') OR starts_with(tok, 't') GROUP BY doc_id, tok"),
+    "filter_map_pagination" ->
+      (s"WITH counts AS (SELECT doc_id, tok AS qualifier, CAST(count(*) AS BIGINT) AS value, " +
+        s"row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS rn FROM $unnested " +
+        "GROUP BY doc_id, tok) " +
+        "SELECT doc_id, qualifier, value FROM counts WHERE rn BETWEEN 2 AND 4"))
+}

@@ -101,6 +101,9 @@ object GraftFunctions {
 
   val DotName = "graft_dot"
   val NfcName = "graft_nfc"
+  val TokPrefixName = "graft_tok_prefix"
+  val TokRangeName = "graft_tok_range"
+  val TokSliceName = "graft_tok_slice"
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -113,7 +116,16 @@ object GraftFunctions {
       exprs => DotProductF(exprs(0), exprs(1))),
     (FunctionIdentifier(NfcName),
       new ExpressionInfo(classOf[NfcNormalize].getName, NfcName),
-      exprs => NfcNormalize(exprs(0))))
+      exprs => NfcNormalize(exprs(0))),
+    (FunctionIdentifier(TokPrefixName),
+      new ExpressionInfo(classOf[TokenPrefixJoin].getName, TokPrefixName),
+      exprs => TokenPrefixJoin(exprs(0), exprs(1))),
+    (FunctionIdentifier(TokRangeName),
+      new ExpressionInfo(classOf[TokenRangeJoin].getName, TokRangeName),
+      exprs => TokenRangeJoin(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier(TokSliceName),
+      new ExpressionInfo(classOf[TokenSliceJoin].getName, TokSliceName),
+      exprs => TokenSliceJoin(exprs(0), exprs(1), exprs(2))))
 
   /** Idempotently register the codegen functions in a HANDED session —
     * fallback for sessions built without `GraftExtensions`. */

@@ -1,0 +1,101 @@
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token selectors over a delimited string — the codegen
+  * replacement for the interpreted `filter()`/`slice()` HOF pipelines over
+  * `split(text, ' ')` (higher-order functions never participate in
+  * whole-stage codegen; these were the only r2→r3 bench regressions).
+  * One expression does split + select + join in a JVM kernel call emitted
+  * inline into the generated stage — no intermediate array allocation
+  * churn through codegen boundaries, no per-element lambda dispatch.
+  *
+  * Token contract (identical to the HOF formulation and the DuckDB
+  * oracles): split on a single space keeping empty tokens — Spark
+  * `split(text, ' ')` (limit −1) ≡ DuckDB `string_split(text, ' ')` —
+  * output tokens joined by one space; no match → empty string. Range
+  * comparisons are binary UTF-8 order (UTF8String.compareTo), matching
+  * Spark string comparison semantics. Null inputs follow the standard
+  * null-safe contract (null in → null out); call sites that need
+  * `concat_ws`'s never-null behavior wrap with `coalesce(…, '')`.
+  */
+object TokenKernel {
+
+  private def tokens(text: UTF8String): Array[String] =
+    text.toString.split(" ", -1)
+
+  private def join(ts: Array[String]): UTF8String =
+    UTF8String.fromString(ts.mkString(" "))
+
+  /** Tokens starting with ANY of the comma-separated prefixes. */
+  def filterPrefix(text: UTF8String, prefixes: UTF8String): UTF8String = {
+    val ps = prefixes.toString.split(",", -1)
+    join(tokens(text).filter(t => ps.exists(t.startsWith)))
+  }
+
+  /** Tokens in `[lo, hi)` by binary UTF-8 order. */
+  def filterRange(text: UTF8String, lo: UTF8String, hi: UTF8String): UTF8String =
+    join(tokens(text).filter { t =>
+      val u = UTF8String.fromString(t)
+      u.compareTo(lo) >= 0 && u.compareTo(hi) < 0
+    })
+
+  /** Tokens `[start, start+len)`, 1-based start — `slice()` semantics. */
+  def slice(text: UTF8String, start: Int, len: Int): UTF8String = {
+    val ts = tokens(text)
+    join(ts.slice(start - 1, start - 1 + len))
+  }
+}
+
+/** `graft_tok_prefix(text, 'p1,p2')` — tokens matching any prefix. */
+case class TokenPrefixJoin(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.TokPrefixName
+  override protected def nullSafeEval(t: Any, p: Any): Any =
+    TokenKernel.filterPrefix(t.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"org.apache.spark.sql.graftfn.TokenKernel.filterPrefix($t, $p)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenPrefixJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_tok_range(text, lo, hi)` — tokens in [lo, hi). */
+case class TokenRangeJoin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.TokRangeName
+  override protected def nullSafeEval(t: Any, lo: Any, hi: Any): Any =
+    TokenKernel.filterRange(t.asInstanceOf[UTF8String],
+      lo.asInstanceOf[UTF8String], hi.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, lo, hi) =>
+      s"org.apache.spark.sql.graftfn.TokenKernel.filterRange($t, $lo, $hi)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TokenRangeJoin =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_tok_slice(text, start, len)` — 1-based token slice. */
+case class TokenSliceJoin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.TokSliceName
+  override protected def nullSafeEval(t: Any, s: Any, l: Any): Any =
+    TokenKernel.slice(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[Int], l.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s, l) =>
+      s"org.apache.spark.sql.graftfn.TokenKernel.slice($t, $s, $l)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TokenSliceJoin =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -78,6 +78,52 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(sum("d")).collect()(0).getDouble(0) > 0.0)
   }
 
+  test("graft_tok_* kernels match the HOF formulation on real documents and codegen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // HOF reference results (the formulation the kernels replace)
+    val viaHof = docs.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 3)).as("pag"),
+        concat_ws(" ", filter(split(col("text"), " "), t => t.startsWith("s"))).as("pre"),
+        concat_ws(" ", filter(split(col("text"), " "), t => t >= "b" && t < "n")).as("rng"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val viaKernel = docs.select(col("doc_id"),
+        coalesce(call_function(GraftFunctions.TokSliceName, col("text"), lit(2), lit(3)), lit("")).as("pag"),
+        coalesce(call_function(GraftFunctions.TokPrefixName, col("text"), lit("s")), lit("")).as("pre"),
+        coalesce(call_function(GraftFunctions.TokRangeName, col("text"), lit("b"), lit("n")), lit("")).as("rng"))
+    val got = viaKernel.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(got === viaHof)
+    // and the kernel projection participates in whole-stage codegen
+    val plan = viaKernel.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"token kernels fell out of codegen:\n$plan")
+    // multi-prefix form: comma-separated prefixes = OR of startsWith
+    val multiHof = docs.select(col("doc_id"),
+        concat_ws(" ", filter(split(col("text"), " "),
+          t => t.startsWith("s") || t.startsWith("t"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val multiKernel = docs.select(col("doc_id"),
+        coalesce(call_function(GraftFunctions.TokPrefixName, col("text"), lit("s,t")), lit("")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(multiKernel === multiHof)
+  }
+
+  test("graft_tok_* edge cases: empty text, no matches, out-of-range slice, nulls") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some("")), (2L, Some("zz zz")), (3L, Some("a b")), (4L, Option.empty[String]))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        call_function(GraftFunctions.TokSliceName, col("t"), lit(2), lit(3)).as("sl"),
+        call_function(GraftFunctions.TokPrefixName, col("t"), lit("s")).as("pr"),
+        call_function(GraftFunctions.TokRangeName, col("t"), lit("b"), lit("n")).as("rg"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(got(1L) === (("", "", "")))     // '' splits to one empty token; slice from 2 empty
+    assert(got(2L) === (("zz", "", "")))   // second token kept; no s-prefix; zz >= n
+    assert(got(3L) === (("b", "", "b")))   // slice [2,4] → 'b'; range keeps 'b'
+    assert(got(4L) === ((null, null, null))) // null-safe contract
+  }
+
   test("graft_nfc normalizes combining sequences, null-safe, codegen'd") {
     val s = spark; import s.implicits._
     def nfc(c: org.apache.spark.sql.Column) = call_function(GraftFunctions.NfcName, c)

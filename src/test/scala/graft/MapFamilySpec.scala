@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.MapFamily
+
+/** The dynamic-qualifier MapType column-family model: the managed
+  * doc_family table physically stores a MAP column, and the MapFamily
+  * projections implement the reference's qualifier filters per row.
+  * End-to-end result correctness vs DuckDB lives in the filter_map_*
+  * CORRECTNESS entries; this spec pins storage shape and per-row
+  * semantics on constructed families.
+  */
+class MapFamilySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("MapFamilySpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** One row with a known dynamic family. */
+  private def fam() = {
+    val s = spark; import s.implicits._
+    Seq((1L, Map("alpha" -> 1L, "beta" -> 2L, "gamma" -> 3L, "beak" -> 4L, "tau" -> 5L)))
+      .toDF("id", "fam")
+  }
+
+  test("doc_family is STORED as a map-typed parquet column") {
+    val df = GraftEngine.docFamily(spark, sfDir)
+    val famField = df.schema("fam")
+    assert(famField.dataType.isInstanceOf[MapType], s"fam stored as ${famField.dataType}")
+    val mt = famField.dataType.asInstanceOf[MapType]
+    assert(mt.keyType === StringType && mt.valueType === LongType)
+    assert(df.count() === spark.read.parquet(s"$sfDir/documents.parquet").count(),
+      "one family row per document")
+    // family content round-trips: counts of doc 0's tokens match its text
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val expected = text.split(" ", -1).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val got = df.filter(col("doc_id") === 0).select("fam")
+      .collect()(0).getMap[String, Long](0)
+    assert(got.toMap === expected)
+  }
+
+  test("qualifier read returns the cell value, null when absent") {
+    val got = fam().select(
+      MapFamily.qualifier(col("fam"), "beta").as("b"),
+      MapFamily.qualifier(col("fam"), "nope").as("n")).collect()(0)
+    assert(got.getLong(0) === 2L)
+    assert(got.isNullAt(1))
+  }
+
+  test("columnRange keeps qualifiers in [lo, hi)") {
+    val got = fam().select(map_keys(
+      MapFamily.columnRange(col("fam"), "b", "g")).as("ks"))
+      .collect()(0).getSeq[String](0).sorted
+    assert(got === Seq("beak", "beta"))
+  }
+
+  test("multiPrefix keeps qualifiers matching any prefix") {
+    val got = fam().select(map_keys(
+      MapFamily.multiPrefix(col("fam"), Seq("be", "t"))).as("ks"))
+      .collect()(0).getSeq[String](0).sorted
+    assert(got === Seq("beak", "beta", "tau"))
+  }
+
+  test("pagination slices qualifier-sorted entries (offset, limit)") {
+    // sorted qualifiers: alpha, beak, beta, gamma, tau → offset 1 limit 3
+    val got = fam().select(map_keys(
+      MapFamily.pagination(col("fam"), 1, 3)).as("ks"))
+      .collect()(0).getSeq[String](0).sorted
+    assert(got === Seq("beak", "beta", "gamma"))
+    // offset past the family → empty map, not an error
+    val empty = fam().select(map_keys(
+      MapFamily.pagination(col("fam"), 9, 3)).as("ks"))
+      .collect()(0).getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("qualifierFilter composes an arbitrary key predicate") {
+    val got = fam().select(map_keys(
+      MapFamily.qualifierFilter(col("fam"), k => length(k) === 3)).as("ks"))
+      .collect()(0).getSeq[String](0).sorted
+    assert(got === Seq("tau"))
+  }
+}
