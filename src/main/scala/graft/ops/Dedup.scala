@@ -76,12 +76,24 @@ object Dedup {
     *     to all members of both fingerprint groups (same text content ⇒
     *     same jaccard), so the result is over original ids.
     */
+  /** @param maxExpandGroup identical-text groups larger than this emit the
+    *   KEEP-MAP form instead of the full intra-group clique: star pairs
+    *   (keeper = min id, member) at jaccard 1.0 — linear in group size
+    *   where the clique is quadratic (a million-copy boilerplate doc would
+    *   otherwise make the *result itself* 5·10¹¹ rows). Cross-group pairs
+    *   against a mega-group are likewise emitted against its keeper only.
+    *   Every clustering/removal consumer reconstructs the same groups from
+    *   the star; pair-listing consumers needing the clique of a mega-group
+    *   can raise the cap. Capped groups are counted in the
+    *   `graft.dedup.minhash.keepMapGroups` / `.keepMapMemberRows`
+    *   accumulators (see [[DedupMetrics]]). */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 5,
-      maxBandGroup: Int = 5000): DataFrame = {
+      maxBandGroup: Int = 5000,
+      maxExpandGroup: Int = 512): DataFrame = {
     requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
@@ -151,24 +163,50 @@ object Dedup {
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val repPairs = verifyJaccard(withSh, threshold)
-    expandFingerprintGroups(repPairs, members)
+    expandFingerprintGroups(repPairs, members, maxExpandGroup)
   }
 
   /** Expand representative-level near-dup pairs back to original ids:
     * cross pairs of the two fingerprint groups keep the representatives'
     * jaccard (identical text content), intra-group pairs are exact dups
-    * (jaccard 1.0). */
-  private def expandFingerprintGroups(repPairs: DataFrame, members: DataFrame): DataFrame = {
+    * (jaccard 1.0). Groups above `maxExpandGroup` switch from the
+    * quadratic clique to the linear keep-map star (rep = keeper), counted
+    * via observe → accumulator. */
+  private def expandFingerprintGroups(repPairs: DataFrame, members: DataFrame,
+      maxExpandGroup: Int): DataFrame = {
+    val spark = members.sparkSession
+    DedupMetrics.forwardObserved(spark)
+    val sz = members.groupBy(col("rep")).agg(count(lit(1)).as("__sz"))
+    val sized = members.join(sz, Seq("rep"))
+    // full expansion set: all members of bounded groups; a mega-group is
+    // represented by its keeper alone (rep is a member of its own group,
+    // so cross pairs against it survive at the rep level)
+    val expandable = sized.filter(col("__sz") <= maxExpandGroup).select("rep", "id")
+    val crossExp = expandable.unionByName(
+      sized.filter(col("__sz") > maxExpandGroup && col("id") === col("rep"))
+        .select("rep", "id"))
     val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
-      .join(members.select(col("rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+      .join(crossExp.select(col("rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+      .join(crossExp.select(col("rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
-    val intra = members.select(col("rep"), col("id").as("id_a"))
-      .join(members.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+    val intraClique = expandable.select(col("rep"), col("id").as("id_a"))
+      .join(expandable.select(col("rep"), col("id").as("id_b")), Seq("rep"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    cross.unionByName(intra).dropDuplicates("id_a", "id_b")
+    // keep-map star for mega-groups: (keeper, member) — rep is the min id
+    // of the group, so the pairs are already canonical. The observe node
+    // rides this single-use branch (not the twice-joined expandable).
+    val intraStar = sized
+      .observe(DedupMetrics.obsName("graft.dedup.minhash"),
+        sum(when(col("__sz") > maxExpandGroup && col("id") === col("rep"), lit(1L))
+          .otherwise(lit(0L))).as("keepMapGroups"),
+        sum(when(col("__sz") > maxExpandGroup, lit(1L)).otherwise(lit(0L)))
+          .as("keepMapMemberRows"))
+      .filter(col("__sz") > maxExpandGroup && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intraClique).unionByName(intraStar)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact Jaccard verification over candidate pairs carrying their

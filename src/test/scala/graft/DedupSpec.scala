@@ -234,4 +234,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after > before,
       s"capped band groups must be counted: before=$before after=$after")
   }
+
+  test("mega identical-text cluster returns the keep-map star, not the quadratic clique") {
+    val s = spark; import s.implicits._
+    import graft.ops.DedupMetrics
+    // a 10k-copy boilerplate doc: the clique would be ~5·10⁷ pairs
+    val n = 10000L
+    val mega = (0L until n).map(i => (i, "exactly the same boilerplate text in every copy"))
+    val others = Seq((20000L, "a completely different document about something else"),
+      (20001L, "a completely different document about something else"))
+    val docs = (mega ++ others).toDF("doc_id", "text")
+    val before = DedupMetrics.value(spark, "graft.dedup.minhash.keepMapGroups")
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val megaPairs = pairs.filter { case (a, b, _) => a < n && b < n }
+    assert(megaPairs.length === (n - 1).toInt,
+      s"expected the ${n - 1}-edge star, got ${megaPairs.length} pairs")
+    assert(megaPairs.forall { case (a, _, j) => a == 0L && j == 1.0 },
+      "star pairs must anchor on the keeper (min id) at jaccard 1.0")
+    // the small group still expands to its (single-pair) clique
+    assert(pairs.contains((20000L, 20001L, 1.0)), "bounded groups keep full pairs")
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var after = DedupMetrics.value(spark, "graft.dedup.minhash.keepMapGroups")
+    while (after <= before && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      after = DedupMetrics.value(spark, "graft.dedup.minhash.keepMapGroups")
+    }
+    assert(after > before, s"capped expansion must be counted: before=$before after=$after")
+  }
 }
