@@ -52,4 +52,23 @@ object MapFamily {
     require(offset >= 0 && limit > 0, s"bad pagination ($offset, $limit)")
     map_from_entries(slice(array_sort(map_entries(fam)), offset + 1, limit))
   }
+
+  /** Upsert dynamic qualifiers — `Put.add(cf, qualifier, value)` on the
+    * map model, latest-wins per qualifier. Replaced keys are filtered out
+    * BEFORE the concat so the expression is safe under Spark's default
+    * `mapKeyDedupPolicy=EXCEPTION` (map_concat with duplicate keys would
+    * otherwise fail at runtime). */
+  def putQualifiers(fam: Column, kvs: Seq[(String, Column)]): Column = {
+    require(kvs.nonEmpty, "putQualifiers needs at least one entry")
+    val keys = kvs.map(_._1)
+    val cleaned = map_filter(fam, (k, _) => !k.isInCollection(keys))
+    map_concat(cleaned, map(kvs.flatMap { case (k, v) => Seq(lit(k), v) }: _*))
+  }
+
+  /** Delete dynamic qualifiers — `Delete.deleteColumns(cf, qualifier)` on
+    * the map model; absent qualifiers are a no-op, like the reference. */
+  def deleteQualifiers(fam: Column, quals: Seq[String]): Column = {
+    require(quals.nonEmpty, "deleteQualifiers needs at least one qualifier")
+    map_filter(fam, (k, _) => !k.isInCollection(quals))
+  }
 }

@@ -163,17 +163,20 @@ object Dedup {
       .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     val repPairs = verifyJaccard(withSh, threshold)
-    expandFingerprintGroups(repPairs, members, maxExpandGroup)
+    expandGroups(repPairs, members, "jaccard", lit(1.0), maxExpandGroup,
+      "graft.dedup.minhash")
   }
 
   /** Expand representative-level near-dup pairs back to original ids:
-    * cross pairs of the two fingerprint groups keep the representatives'
-    * jaccard (identical text content), intra-group pairs are exact dups
-    * (jaccard 1.0). Groups above `maxExpandGroup` switch from the
-    * quadratic clique to the linear keep-map star (rep = keeper), counted
-    * via observe → accumulator. */
-  private def expandFingerprintGroups(repPairs: DataFrame, members: DataFrame,
-      maxExpandGroup: Int): DataFrame = {
+    * cross pairs of two identical-content groups keep the
+    * representatives' score, intra-group pairs get `intraScore` (exact
+    * dups: jaccard 1.0 / hamming 0). Groups above `maxExpandGroup` switch
+    * from the quadratic clique to the linear keep-map star (rep = keeper),
+    * counted into `<metricBase>.keepMapGroups/.keepMapMemberRows` via
+    * observe → accumulator. */
+  private def expandGroups(repPairs: DataFrame, members: DataFrame,
+      scoreCol: String, intraScore: Column, maxExpandGroup: Int,
+      metricBase: String): DataFrame = {
     val spark = members.sparkSession
     DedupMetrics.forwardObserved(spark)
     val sz = members.groupBy(col("rep")).agg(count(lit(1)).as("__sz"))
@@ -189,22 +192,22 @@ object Dedup {
       .join(crossExp.select(col("rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
       .join(crossExp.select(col("rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
       .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(scoreCol))
     val intraClique = expandable.select(col("rep"), col("id").as("id_a"))
       .join(expandable.select(col("rep"), col("id").as("id_b")), Seq("rep"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .select(col("id_a"), col("id_b"), intraScore.as(scoreCol))
     // keep-map star for mega-groups: (keeper, member) — rep is the min id
     // of the group, so the pairs are already canonical. The observe node
     // rides this single-use branch (not the twice-joined expandable).
     val intraStar = sized
-      .observe(DedupMetrics.obsName("graft.dedup.minhash"),
+      .observe(DedupMetrics.obsName(metricBase),
         sum(when(col("__sz") > maxExpandGroup && col("id") === col("rep"), lit(1L))
           .otherwise(lit(0L))).as("keepMapGroups"),
         sum(when(col("__sz") > maxExpandGroup, lit(1L)).otherwise(lit(0L)))
           .as("keepMapMemberRows"))
       .filter(col("__sz") > maxExpandGroup && col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("jaccard"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), intraScore.as(scoreCol))
     cross.unionByName(intraClique).unionByName(intraStar)
       .dropDuplicates("id_a", "id_b")
   }
@@ -280,7 +283,8 @@ object Dedup {
     *   only those agreeing on no other chunk; identical-signature pairs
     *   are never lost (they bypass the join entirely). */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxChunkGroup: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxChunkGroup: Int = 1000,
+      maxExpandGroup: Int = 512): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32) for 64-bit chunk blocking: $maxHamming")
     requireIntegralId(df, idCol)
@@ -343,16 +347,9 @@ object Dedup {
       }.toDF("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
     // expand back to original ids: cross pairs keep the reps' hamming
-    // (identical signatures), intra-group pairs are hamming 0
-    val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("id").as("__ma")), Seq("id_a"))
-      .join(members.select(col("rep").as("id_b"), col("id").as("__mb")), Seq("id_b"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
-    val intra = members.select(col("rep"), col("id").as("id_a"))
-      .join(members.select(col("rep"), col("id").as("id_b")), Seq("rep"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
-    cross.unionByName(intra).dropDuplicates("id_a", "id_b")
+    // (identical signatures), intra-group pairs are hamming 0; the same
+    // keep-map star cap as minHashNearDups bounds mega-group output
+    expandGroups(repPairs, members, "hamming", lit(0), maxExpandGroup,
+      "graft.dedup.simhash")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,74 @@ object Similarity {
         val heaps = Array.fill(queries.length)(new VecKernel.TopK(k))
         it.foreach { case (id, v) =>
           val list = VecKernel.nearestCentroids(v, cents, 1)(0)
+          probeMap.get(list).foreach { qis =>
+            val nv = VecKernel.norm(v)
+            qis.foreach { qi =>
+              val (_, qv, qn) = queries(qi)
+              heaps(qi).offer(VecKernel.dot(v, qv) / (nv * qn), id)
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (sim, id) => (queries(qi)._1, id, sim) }
+        }
+      }.toDF(qidCol, idCol, "__sim")
+    rankTopK(partial, qidCol, idCol, k)
+  }
+
+  /** Materialize an IVF index: centroids trained on the unbiased hash
+    * sample, each corpus vector assigned to its nearest inverted list, and
+    * the corpus written DIRECTORY-PARTITIONED by list id (centroids as a
+    * tiny side table). A probe then reads only the probed lists' files via
+    * planning-time partition pruning — the ANN flavour of the index-layout
+    * story measured in SCALE_REHEARSAL.md: at 100 TB each query batch
+    * touches ~nProbe/nCentroids of the corpus, by file listing, before a
+    * single row is read. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16, lloydIters: Int = 5): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = trainingSample(corpus, idCol, vecCol, nCentroids * 32).map(_._2)
+    val cents = VecKernel.kmeans(sample, nCentroids, lloydIters)
+    val cb = spark.sparkContext.broadcast(cents)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, v) => (id, v, VecKernel.nearestCentroids(v, cs, 1)(0)) }
+      }.toDF(idCol, vecCol, "list_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(s"$path/lists")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Probe a materialized IVF index ([[buildIvfIndex]]). Ranking contract
+    * identical to [[ivfTopK]] — same centroids (deterministic training) ⇒
+    * same assignments ⇒ bit-identical top-k — but the scan is bounded to
+    * the probed lists' partitions instead of a full corpus pass. */
+  def ivfIndexTopK(spark: SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val qs = collectQueries(queries, qidCol, qvecCol)
+    val probes: Map[Int, Array[Int]] = qs.indices
+      .flatMap(qi => VecKernel.nearestCentroids(qs(qi)._2, cents, nProbe)
+        .map(c => c -> qi))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+    val qb = spark.sparkContext.broadcast((qs, probes))
+    val partial = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probes.keys.toSeq: _*))
+      .select(col(idCol).cast("long"), col(vecCol), col("list_id").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val (queries, probeMap) = qb.value
+        val heaps = Array.fill(queries.length)(new VecKernel.TopK(k))
+        it.foreach { case (id, v, list) =>
           probeMap.get(list).foreach { qis =>
             val nv = VecKernel.norm(v)
             qis.foreach { qi =>

@@ -52,6 +52,18 @@ object MapFamilyQueries extends QueryGroup {
         .select(col("doc_id"),
           explode(MapFamily.pagination(col("fam"), 1, 3))
             .as(Seq("qualifier", "value")))
+    }),
+
+    // Put/Delete of individual dynamic qualifiers (Put.add /
+    // Delete.deleteColumns on the map model): delete 'the', upsert
+    // 'zzz_new' = 42, read the whole family back
+    "mut_map_qualifiers" -> ((s, dir) => {
+      GraftEngine.docFamily(s, dir)
+        .select(col("doc_id"), explode(
+          MapFamily.putQualifiers(
+            MapFamily.deleteQualifiers(col("fam"), Seq("the")),
+            Seq("zzz_new" -> lit(42L))))
+          .as(Seq("qualifier", "value")))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -68,5 +80,9 @@ object MapFamilyQueries extends QueryGroup {
       (s"WITH counts AS (SELECT doc_id, tok AS qualifier, CAST(count(*) AS BIGINT) AS value, " +
         s"row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS rn FROM $unnested " +
         "GROUP BY doc_id, tok) " +
-        "SELECT doc_id, qualifier, value FROM counts WHERE rn BETWEEN 2 AND 4"))
+        "SELECT doc_id, qualifier, value FROM counts WHERE rn BETWEEN 2 AND 4"),
+    "mut_map_qualifiers" ->
+      (s"SELECT doc_id, tok AS qualifier, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
+        "WHERE tok <> 'the' GROUP BY doc_id, tok " +
+        "UNION ALL SELECT doc_id, 'zzz_new' AS qualifier, CAST(42 AS BIGINT) AS value FROM documents"))
 }

@@ -235,6 +235,19 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4)
     }),
 
+    // materialized-IVF probe: corpus persisted directory-partitioned by
+    // inverted list, probe reads only the probed lists' partitions
+    // (rows-only; exact equality with ivfTopK asserted in DedupSpec)
+    "ann_ivf_index_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = graft.GraftEngine.tablePath(dir, "ivf_emb")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/lists/_SUCCESS")))
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", path)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfIndexTopK(s, path, queries, "q_id", "q_vec", k = 10, nProbe = 4)
+    }),
+
     // embedding-cosine near-dup pairs, LSH-blocked (rows-only). The
     // synthetic embeddings have no true near-dups (max pairwise cosine
     // ≈ 0.51 at sf0.01), so exact copies of the first 20 vectors are

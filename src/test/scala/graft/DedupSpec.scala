@@ -147,6 +147,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("materialized IVF index: list-partitioned layout, bit-identical to the direct probe") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val path = "/root/repo/target/test-ivf-index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 16)
+    // the layout is directory-partitioned by list id (partition pruning
+    // bounds probe reads by file listing — measured in SCALE_REHEARSAL.md)
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(listDirs.nonEmpty, "lists must be written as list_id= partition dirs")
+    // same deterministic centroids ⇒ same assignments ⇒ identical top-k
+    val viaIndex = Similarity.ivfIndexTopK(spark, path, queries, "q_id", "q_vec", k = 10)
+      .collect().map(_.toString).sorted
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(viaIndex === direct)
+  }
+
   test("IVF recall survives a head/tail distribution shift (unbiased training sample)") {
     val sp = spark
     import sp.implicits._

@@ -90,6 +90,16 @@ class MapFamilySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.isEmpty)
   }
 
+  test("putQualifiers upserts (latest wins) and deleteQualifiers drops; absent delete is a no-op") {
+    val out = fam().select(
+      MapFamily.putQualifiers(
+        MapFamily.deleteQualifiers(col("fam"), Seq("gamma", "not_there")),
+        Seq("beta" -> lit(20L), "delta" -> lit(9L))).as("f"))
+      .collect()(0).getMap[String, Long](0).toMap
+    assert(out === Map("alpha" -> 1L, "beta" -> 20L, "beak" -> 4L,
+      "tau" -> 5L, "delta" -> 9L))
+  }
+
   test("qualifierFilter composes an arbitrary key predicate") {
     val got = fam().select(map_keys(
       MapFamily.qualifierFilter(col("fam"), k => length(k) === 3)).as("ks"))
