@@ -98,10 +98,14 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
-    // fingerprint collapse: one representative (min id) per distinct text
+    // fingerprint collapse: one representative (min id) per distinct text;
+    // the same window pass carries the group size expandGroups needs for
+    // the keep-map cap (a separate groupBy+join would add two shuffles)
     val fp = df.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("__fp"))
     val repW = Window.partitionBy(col("__fp"))
-    val members = fp.withColumn("rep", min(col("id")).over(repW)).select("id", "rep")
+    val members = fp.withColumn("rep", min(col("id")).over(repW))
+      .withColumn("__sz", count(lit(1)).over(repW))
+      .select("id", "rep", "__sz")
     val reps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
       .join(members.filter(col("id") === col("rep")).select("id"), Seq("id"), "left_semi")
       .as[(Long, String)]
@@ -117,21 +121,21 @@ object Dedup {
     // per-row encoder boundary on the doc×bands intermediate
     DedupMetrics.forwardObserved(spark)
     val grpW = Window.partitionBy(col("band"), col("bandHash"))
-    val counted = exploded.withColumn("__n", count(lit(1)).over(grpW))
-    // the observe node sits on ONE branch of the self-join only — both
-    // branches compute the same rows, but an observe shared by both would
-    // fold the drop count into the accumulator twice per execution
-    val capped = counted
+    // the observed subtree is SHARED by both sides of the self-join on
+    // purpose: identical subplans let Spark reuse the window exchange
+    // (one physical execution can feed both sides; diverging the branches
+    // forces the doc×bands window to compute twice). Metric semantics are
+    // therefore AT-LEAST-ONCE: if the planner does duplicate the subtree,
+    // drops can be counted once per copy — never turning a complete run
+    // (0) into a capped one (>0), which is the property callers key on.
+    val capped = exploded.withColumn("__n", count(lit(1)).over(grpW))
       .observe(DedupMetrics.obsName("graft.dedup.minhash"),
         sum(when(col("__n") > maxBandGroup, lit(1L)).otherwise(lit(0L)))
           .as("bandRowsDropped"))
       .filter(col("__n") <= maxBandGroup)
       .select(col("band"), col("bandHash"), col("id"))
-    val cappedPlain = counted
-      .filter(col("__n") <= maxBandGroup)
-      .select(col("band"), col("bandHash"), col("id"))
     val a = capped.select(col("band"), col("bandHash"), col("id").as("id_a"))
-    val b = cappedPlain.select(col("band"), col("bandHash"), col("id").as("id_b"))
+    val b = capped.select(col("band"), col("bandHash"), col("id").as("id_b"))
     // ids-only candidates, spread explicitly: AQE coalesces this tiny
     // shuffle to one partition, which would serialize everything below
     val cands = a.join(b, Seq("band", "bandHash"))
@@ -173,14 +177,16 @@ object Dedup {
     * dups: jaccard 1.0 / hamming 0). Groups above `maxExpandGroup` switch
     * from the quadratic clique to the linear keep-map star (rep = keeper),
     * counted into `<metricBase>.keepMapGroups/.keepMapMemberRows` via
-    * observe → accumulator. */
+    * observe → accumulator. `members` must carry (id, rep, __sz) — the
+    * caller's collapse window computes the size in the same pass. */
   private def expandGroups(repPairs: DataFrame, members: DataFrame,
       scoreCol: String, intraScore: Column, maxExpandGroup: Int,
       metricBase: String): DataFrame = {
+    require(members.columns.contains("__sz"),
+      "expandGroups needs members sized by the collapse window (__sz)")
     val spark = members.sparkSession
     DedupMetrics.forwardObserved(spark)
-    val sz = members.groupBy(col("rep")).agg(count(lit(1)).as("__sz"))
-    val sized = members.join(sz, Seq("rep"))
+    val sized = members
     // full expansion set: all members of bounded groups; a mega-group is
     // represented by its keeper alone (rep is a member of its own group,
     // so cross pairs against it survive at the rep level)
@@ -198,16 +204,26 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), intraScore.as(scoreCol))
     // keep-map star for mega-groups: (keeper, member) — rep is the min id
-    // of the group, so the pairs are already canonical. The observe node
-    // rides this single-use branch (not the twice-joined expandable).
-    val intraStar = sized
-      .observe(DedupMetrics.obsName(metricBase),
-        sum(when(col("__sz") > maxExpandGroup && col("id") === col("rep"), lit(1L))
-          .otherwise(lit(0L))).as("keepMapGroups"),
-        sum(when(col("__sz") > maxExpandGroup, lit(1L)).otherwise(lit(0L)))
-          .as("keepMapMemberRows"))
-      .filter(col("__sz") > maxExpandGroup && col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"), intraScore.as(scoreCol))
+    // of the group, so the pairs are already canonical. Counting rides an
+    // accumulator inside a kernel on THIS branch: it sees only mega-group
+    // rows (zero on normal corpora), so the encoder boundary costs
+    // nothing, and the branch stays canonically identical to the other
+    // window-subtree scans for exchange reuse (an observe node here would
+    // force the collapse window to compute once more just for the count).
+    val grpAcc = DedupMetrics.acc(spark, s"$metricBase.keepMapGroups")
+    val rowAcc = DedupMetrics.acc(spark, s"$metricBase.keepMapMemberRows")
+    import spark.implicits._
+    val intraStar = sized.filter(col("__sz") > maxExpandGroup)
+      .select(col("rep"), col("id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (rep, id) =>
+        rowAcc.add(1L)
+        if (rep == id) grpAcc.add(1L)
+        (rep, id)
+      })
+      .filter(t => t._1 != t._2)
+      .toDF("id_a", "id_b")
+      .withColumn(scoreCol, intraScore)
     cross.unionByName(intraClique).unionByName(intraStar)
       .dropDuplicates("id_a", "id_b")
   }
@@ -299,7 +315,9 @@ object Dedup {
     // chunk join then never sees duplicate signatures (the dominant group
     // inflator), and identical-sig pairs are emitted directly at hamming 0
     val repW = Window.partitionBy(col("sig"))
-    val members = sig.withColumn("rep", min(col("id")).over(repW)).select("id", "rep")
+    val members = sig.withColumn("rep", min(col("id")).over(repW))
+      .withColumn("__sz", count(lit(1)).over(repW))
+      .select("id", "rep", "__sz")
     val repSig = sig.join(members.filter(col("id") === col("rep")).select("id"),
       Seq("id"), "left_semi")
     // chunk keys from the kernel, exploded positionally — the same

@@ -104,20 +104,32 @@ object Similarity {
       }).toDF(idCol, vecCol, "__sig")
   }
 
-  /** Approximate top-k: probe only the query's signature bucket (single
-    * probe — recall is the per-bucket hit rate; raise by lowering `planes`
-    * or probing neighbor buckets). Fused into one corpus pass: the bucket
-    * check is a hash-map lookup per corpus row. */
+  /** Approximate top-k: probe the query's signature bucket, plus — with
+    * `multiProbe` > 0 — every bucket within that many sign-flips of it
+    * (classic multi-probe LSH: the next-most-likely buckets for a near
+    * neighbor are the ones differing in the planes the query is closest
+    * to; flipping ≤ m bits probes them all). Recall rises monotonically
+    * with `multiProbe` at zero extra corpus cost: the probe set only
+    * widens the driver-side bucket map — the corpus pass is still one
+    * hash-map lookup per row. `multiProbe = 0` is the single-probe
+    * baseline; `1` probes `planes + 1` buckets per query. */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, planes: Int = 8): DataFrame = {
+      k: Int, planes: Int = 8, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= planes,
+      s"multiProbe must be in [0, planes]: $multiProbe")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qs = collectQueries(queries, qidCol, qvecCol)
+    def probeSet(sig: Long): Set[Long] =
+      (0 until multiProbe).foldLeft(Set(sig)) { (acc, _) =>
+        acc ++ acc.flatMap(s => (0 until planes).map(p => s ^ (1L << p)))
+      }
     val bySig: Map[Long, Array[Int]] =
-      qs.indices.groupBy(qi => VecKernel.signature(qs(qi)._2, planes))
-        .map { case (s, is) => s -> is.toArray }
+      qs.indices.flatMap(qi =>
+        probeSet(VecKernel.signature(qs(qi)._2, planes)).map(_ -> qi))
+        .groupBy(_._1).map { case (s, is) => s -> is.map(_._2).distinct.toArray }
     val qb = spark.sparkContext.broadcast((qs, bySig))
     val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]

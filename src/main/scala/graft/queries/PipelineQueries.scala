@@ -225,6 +225,17 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10, planes = 6)
     }),
 
+    // multi-probe LSH: probes the query bucket plus all ≤2-flip neighbor
+    // buckets — the recall knob without re-signing the corpus (rows-only;
+    // monotone-recall property in DedupSpec)
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10, planes = 8, multiProbe = 2)
+    }),
+
     // IVF-bucketed approximate top-k: learned-centroid inverted lists,
     // nProbe lists probed per query (rows-only; recall in DedupSpec)
     "ann_ivf_topk" -> ((s, dir) => {

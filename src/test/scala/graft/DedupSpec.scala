@@ -125,6 +125,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-probe LSH: recall vs brute force is monotone in the probe radius") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(mp: Int): Double = {
+      val hits = Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10, planes = 8, multiProbe = mp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (hits & brute).size.toDouble / brute.size
+    }
+    val r0 = recall(0); val r1 = recall(1); val r2 = recall(2)
+    // widening the probe set only adds candidates per query, so overlap
+    // with the true top-k cannot shrink
+    assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0 / $r1 / $r2")
+    assert(r2 > r0, s"multi-probe should find more of the true top-k on this corpus ($r0 → $r2)")
+  }
+
   test("IVF ANN: self-match ranks first, sims agree with brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
