@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation selection operators.
+  *
+  * The headline op is [[selectUnderTokenBudget]]: keep the best documents
+  * (by a quality ordering) whose cumulative token count fits a training
+  * budget — the "give me the top N tokens of this corpus" step that ends
+  * most curation pipelines. Its engine is [[runningTotal]], a
+  * DISTRIBUTED prefix sum: the naive formulation is a global
+  * `sum() OVER (ORDER BY …)` window, which Spark executes in a single
+  * partition — a non-starter at 100 TB. Here the total order is realized
+  * as a range repartition; each partition computes a local cumulative
+  * sum, per-partition totals (one row each) are prefix-summed in a tiny
+  * driver-sized window, and the offsets broadcast back. One range
+  * shuffle, no single-partition stage, identical results to the global
+  * window (the prefix sum is order-based, so even the sampled range
+  * boundaries don't affect the output).
+  */
+object Curation {
+
+  /** Cumulative sum of `valueCol` in the total order given by
+    * `orderCols` (which must be a total order — break ties with a key
+    * column), written to `out`. Inclusive of the current row. */
+  def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      out: String): DataFrame = {
+    val reserved = Seq("__pid", "__local", "__psum", "__offset", out)
+    val clash = df.columns.filter(reserved.contains).toSeq
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by runningTotal — rename first")
+    val ranged = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__local", sum(valueCol).over(local))
+    // one row per partition — the only unpartitioned window runs over
+    // #shuffle-partitions rows, not the data
+    val offsets = withLocal.groupBy(col("__pid")).agg(sum(valueCol).as("__psum"))
+      .withColumn("__offset", coalesce(
+        sum(col("__psum")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    withLocal.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
+
+  /** Greedy token-budget selection: documents in (quality DESC, id ASC)
+    * order whose INCLUSIVE cumulative token count fits `budget` — whole
+    * documents only, the deterministic "best tokens first" cut. */
+  def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      qualityCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    runningTotal(df, Seq(col(qualityCol).desc, col(idCol).asc),
+        col(tokenCol), "__cum")
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+}

@@ -171,6 +171,78 @@ object Dedup {
       "graft.dedup.minhash")
   }
 
+  /** Incremental near-dup detection: pairs between NEW documents and an
+    * EXISTING corpus — the nightly-ingest shape. Instead of re-running
+    * the self-join over snapshot ∪ delta (re-pairing the whole snapshot
+    * against itself), only new×corpus band collisions are generated, so
+    * the cost scales with the delta, not the corpus. Returns
+    * (new_id, corpus_id, jaccard ≥ threshold). At 100 TB the corpus
+    * side's (band, bandHash, id) keys are computed once and persisted
+    * bucketed-by-band (the [[Similarity.withSignature]] pattern);
+    * recomputed here for self-containment. Corpus hot bands are capped
+    * and counted under `graft.dedup.incremental.bandRowsDropped`. */
+  def minHashNewVsCorpus(
+      newDf: DataFrame, corpusDf: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+      maxBandGroup: Int = 5000): DataFrame = {
+    requireIntegralId(newDf, idCol)
+    requireIntegralId(corpusDf, idCol)
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    def sigBanded(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val sig = MinHash.signatureFromHashes(
+            MinHash.shingleHashes(text, shingleSize), numHashes)
+          (id, sig, MinHash.bands(sig, bands, rowsPerBand))
+        }).toDF("id", "sig", "bands")
+    def explodeBands(sb: DataFrame): DataFrame =
+      sb.select(col("id"), posexplode(col("bands")).as(Seq("band", "bandHash")))
+    val newSB = sigBanded(newDf)
+    val corpSB = sigBanded(corpusDf)
+    DedupMetrics.forwardObserved(spark)
+    val grpW = Window.partitionBy(col("band"), col("bandHash"))
+    val corpCapped = explodeBands(corpSB)
+      .withColumn("__n", count(lit(1)).over(grpW))
+      .observe(DedupMetrics.obsName("graft.dedup.incremental"),
+        sum(when(col("__n") > maxBandGroup, lit(1L)).otherwise(lit(0L)))
+          .as("bandRowsDropped"))
+      .filter(col("__n") <= maxBandGroup)
+      .select(col("band"), col("bandHash"), col("id").as("corpus_id"))
+    val cands = explodeBands(newSB)
+      .select(col("band"), col("bandHash"), col("id").as("new_id"))
+      .join(corpCapped, Seq("band", "bandHash"))
+      .select("new_id", "corpus_id")
+      .dropDuplicates("new_id", "corpus_id")
+      .repartition(col("new_id"))
+    // same signature prefilter as the self-join variant
+    val margin = 3.0 * math.sqrt(0.25 / numHashes)
+    val prefiltered = cands
+      .join(newSB.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(corpSB.select(col("id").as("corpus_id"), col("sig").as("sig_b")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.collect { case (ia, ib, sa, sb)
+        if MinHash.estimateJaccard(sa, sb) >= threshold - margin => (ia, ib)
+      }).toDF("new_id", "corpus_id")
+    def shingles(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, MinHash.shingleHashes(text, shingleSize))
+        }).toDF("id", "sh")
+    val withSh = prefiltered
+      .join(shingles(newDf).select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(shingles(corpusDf).select(col("id").as("corpus_id"), col("sh").as("sh_b")), Seq("corpus_id"))
+      .withColumnRenamed("new_id", "id_a")
+      .withColumnRenamed("corpus_id", "id_b")
+    verifyJaccard(withSh, threshold)
+      .withColumnRenamed("id_a", "new_id")
+      .withColumnRenamed("id_b", "corpus_id")
+  }
+
   /** Expand representative-level near-dup pairs back to original ids:
     * cross pairs of two identical-content groups keep the
     * representatives' score, intra-group pairs get `intraScore` (exact

@@ -206,6 +206,17 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", maxHamming = 6)
     }),
 
+    // incremental dedup: NEW docs (first-token-dropped mutations of the
+    // first 50) banded against the existing corpus only — no corpus
+    // self-join (rows-only; recall/isolation properties in DedupSpec)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val fresh = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      Dedup.minHashNewVsCorpus(fresh, docs, "doc_id", "text", threshold = 0.5)
+    }),
+
     // ---- similarity search --------------------------------------------
     // exact brute-force cosine top-k, queries = first 5 vectors
     "ann_brute_topk" -> ((s, dir) => {
@@ -335,6 +346,17 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "source", "pack_id", "pack_offset")
     }),
 
+    // token-budget selection: best-quality docs whose cumulative tokens
+    // fit the budget — distributed prefix sum, no single-partition window
+    "pipeline_budget_select" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.ops.Curation.selectUnderTokenBudget(docs, "doc_id", "n_tok", "quality", 20000L)
+        .select("doc_id", "n_tok", "quality")
+    }),
+
     // quality-weighted downsampling: keep probability ∝ quality score
     // (hash-decided, so the weighted sample is reproducible and auditable
     // like every other sampler here)
@@ -425,6 +447,12 @@ object PipelineQueries extends QueryGroup {
       s"SELECT doc_id, $langIdSql AS pred_lang FROM documents",
     "text_quality" ->
       s"SELECT doc_id, $qualitySql AS quality FROM documents",
+    "pipeline_budget_select" ->
+      (s"WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        s"$qualitySql AS quality FROM documents), " +
+        "c AS (SELECT doc_id, n_tok, quality, " +
+        "sum(n_tok) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT doc_id, n_tok, quality FROM c WHERE cum <= 20000"),
     "pipeline_curate" ->
       (s"WITH scored AS (SELECT doc_id, text, $langIdSql AS pred_lang, $qualitySql AS quality FROM documents), " +
         "kept AS (SELECT * FROM scored WHERE pred_lang <> 'und' AND quality >= 0.5), " +

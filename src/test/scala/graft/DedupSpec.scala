@@ -275,6 +275,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"capped band groups must be counted: before=$before after=$after")
   }
 
+  test("incremental dedup pairs new docs against the corpus only, full exact recall") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    val fresh = corpus.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(corpus.select((col("doc_id") + 20000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val pairs = Dedup.minHashNewVsCorpus(fresh, corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // schema isolation: left side is always a new id, right side corpus
+    assert(pairs.forall { case (n, c, _) => n >= 10000 && c < 50 })
+    // every exact copy pairs with its original at jaccard 1.0
+    val exact = pairs.filter { case (n, c, j) => n == c + 10000 && j == 1.0 }
+    assert(exact.length == 50, s"exact recall ${exact.length}/50")
+    // most light mutations found too
+    val mut = pairs.count { case (n, c, _) => n == c + 20000 }
+    assert(mut >= 35, s"mutation recall $mut/50")
+  }
+
   test("mega identical-text cluster returns the keep-map star, not the quadratic clique") {
     val s = spark; import s.implicits._
     import graft.ops.DedupMetrics

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Clustering, Embeddings, Sampling}
+import graft.ops.{Clustering, Curation, Embeddings, Sampling}
 
 /** Unit properties of the round-3 pipeline operators: connected-component
   * cluster resolution, deterministic sampling, embedding quantization. */
@@ -30,6 +30,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Clustering.connectedComponents(
         nodes.toDF("id"), "id", edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("distributed runningTotal equals the single-partition global window") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 10000L).map(i => (i, rnd.nextInt(100).toLong, rnd.nextDouble()))
+      .toDF("id", "v", "q").repartition(8)
+    val got = Curation.runningTotal(df,
+        Seq(col("q").desc, col("id").asc), col("v"), "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ref = df.withColumn("cum", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === ref)
+  }
+
+  test("selectUnderTokenBudget keeps the best-quality prefix that fits, whole docs only") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, 100L, 0.9), (2L, 100L, 0.8), (3L, 100L, 0.8),
+      (4L, 100L, 0.7), (5L, 1000L, 0.95)).toDF("id", "n_tok", "q")
+    // order: 5 (0.95, 1000) → 1 (0.9) → 2 → 3 → 4; budget 1250 fits
+    // 5, 1, 2 (1200) but not 3 (1300)
+    val kept = Curation.selectUnderTokenBudget(df, "id", "n_tok", "q", 1250L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(5L, 1L, 2L))
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Curation.runningTotal(df.withColumn("__pid", lit(1)),
+        Seq(col("id").asc), col("n_tok"), "cum")
+    }
   }
 
   test("connected components: triangle + pair + singleton") {
