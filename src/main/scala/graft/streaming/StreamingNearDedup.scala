@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Dedup
+
+/** Streaming NEAR-dup detection over a document ingest — the approximate
+  * sibling of [[StreamingDedup]] (exact, state-store): each micro-batch is
+  * near-dup-checked with [[Dedup.minHashNewVsCorpus]] against the corpus
+  * accumulated so far (delta-scaled band join — never a snapshot
+  * self-join) PLUS an in-batch self-check, detected pairs are appended to
+  * `pairsPath`, and the whole batch is admitted to `corpusPath`.
+  *
+  * Pair coverage invariant: every near-dup pair among streamed documents
+  * is reported exactly once — same-batch pairs by the self-check of their
+  * batch, cross-batch pairs by the corpus check of the LATER batch.
+  * Admission is deliberately unconditional: with the pair log in hand,
+  * keep/drop policy (min-id keeper, cluster resolution via
+  * [[graft.ops.Clustering]]) is a downstream decision, not something to
+  * hard-code into ingest.
+  *
+  * Scale: state is the parquet corpus itself — no streaming state store
+  * entry per document (shingle sets would blow any state store); the
+  * per-batch cost is the delta-sized band join. At 100 TB the corpus side
+  * persists its band keys (see [[graft.ops.Dedup.minHashNewVsCorpus]]
+  * scaladoc) instead of re-signing. foreachBatch gives micro-batch
+  * atomicity + retries; pairs and corpus move together batch-by-batch.
+  */
+object StreamingNearDedup {
+
+  def start(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      corpusPath: String, pairsPath: String, checkpoint: String,
+      threshold: Double = 0.7): StreamingQuery = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+            .cache()
+          try {
+            val corpus = new org.apache.hadoop.fs.Path(corpusPath)
+            val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // pairs within this batch (the only time these ids meet)
+            val inBatch = Dedup.minHashNearDups(b, idCol, textCol, threshold)
+              .withColumnRenamed("id_a", "new_id")
+              .withColumnRenamed("id_b", "corpus_id")
+            // pairs against everything admitted in earlier batches
+            val pairs =
+              if (fs.exists(corpus)) {
+                val admitted = spark.read.parquet(corpusPath)
+                inBatch.unionByName(Dedup.minHashNewVsCorpus(
+                  b, admitted, idCol, textCol, threshold))
+              } else inBatch
+            pairs.write.mode(SaveMode.Append).parquet(pairsPath)
+            b.write.mode(SaveMode.Append).parquet(corpusPath)
+          } finally {
+            b.unpersist()
+            ()
+          }
+        }
+      }
+      .start()
+  }
+}

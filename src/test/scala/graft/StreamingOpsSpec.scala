@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{StreamingDedup, WindowedStats}
+import graft.streaming.{StreamingDedup, StreamingNearDedup, WindowedStats}
 
 /** Stateful streaming operators: first-arrival dedup
   * (flatMapGroupsWithState) and watermarked windowed aggregation. */
@@ -48,6 +48,39 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows === Set((1L, "aaa"), (2L, "bbb"), (12L, "ccc")),
         s"got $rows")
     } finally q.stop()
+  }
+
+  test("streaming near-dup reports in-batch and cross-batch pairs once, admits everything") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val root = Files.createTempDirectory("graft-neardedup").toString
+    val in = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = StreamingNearDedup.start(spark,
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$root/corpus", s"$root/pairs", s"$root/ckpt", threshold = 0.5)
+      q.awaitTermination(120000)
+    }
+    // batch 1: ten real docs + an in-batch exact copy of doc 0
+    in.addData((0L until 10L).map(i => (i, texts(i))) :+ ((100L, texts(0L))): _*)
+    drain()
+    // batch 2: a cross-batch exact copy of doc 3 + a genuinely novel doc
+    in.addData((200L, texts(3L)), (201L, "a genuinely novel document nothing upstream resembles"))
+    drain()
+    val pairs = spark.read.parquet(s"$root/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactPairs = pairs.filter(_._3 == 1.0)
+      .map { case (a, b, _) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(exactPairs === Set((0L, 100L), (3L, 200L)),
+      s"expected exactly the in-batch and cross-batch copies: $exactPairs")
+    // unconditional admission: every streamed doc is in the corpus once
+    val corpusIds = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(corpusIds.toSeq === ((0L until 10L) ++ Seq(100L, 200L, 201L)).sorted)
   }
 
   test("watermarked windowed counts close windows and drop late data") {
