@@ -237,6 +237,28 @@ object GraftEngine {
     spark.read.parquet(path)
   }
 
+  /** Register + build a secondary index over ONE dynamic qualifier of the
+    * doc_family map column (reference ValuePartition semantics on the map
+    * model: the index table stores `element_at(fam, 'the')` sorted by
+    * value — see [[graft.index.QualifierPartition]]). Idempotent; makes
+    * `WHERE fam['the'] …` predicates go through the rewrite rule. */
+  def ensureDocFamilyIndex(spark: SparkSession, sfDir: String,
+      catalog: IndexCatalog = IndexCatalog.default): Unit = {
+    ensureWarehouse(spark, sfDir, catalog)
+    val df = docFamily(spark, sfDir)
+    val table = tableKey(sfDir, "doc_family")
+    if (catalog.get(table).isEmpty) {
+      val spec = IndexSpec("idx_fam_the", Seq(IndexedColumn("fam",
+        ValueType.LongT, partition = Some(QualifierPartition("the")))))
+      catalog.register(TableIndices(table, "doc_id", Seq(spec)),
+        tablePath(sfDir, "doc_family"), df.schema)
+      val idxPath = s"$warehouseRoot/${sfTag(sfDir)}/doc_family_idx/${spec.name}"
+      if (!Files.exists(Paths.get(idxPath, "_SUCCESS"))) {
+        IndexBuilder.build(spark, catalog, table, spec, idxPath)
+      } else catalog.addIndexPath(table, spec.name, idxPath)
+    }
+  }
+
   /** Session-catalog names of the co-bucketed customer base/index tables
     * for one sf dir (dots are not valid in table identifiers). */
   private def cobucketNames(sfDir: String): (String, String) = {

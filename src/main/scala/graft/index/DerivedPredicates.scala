@@ -50,23 +50,29 @@ private[index] object DerivedPredicates {
     }
   }
 
-  /** Substitution for equality: separator always; spatial only when the
-    * literal side has exactly partLength characters. */
+  /** Substitution for equality: separator and map-qualifier always;
+    * spatial only when the literal side has exactly partLength
+    * characters. */
   private def substEq(e: Expression, other: Expression, derived: Seq[IndexedColumn]): Expression =
     derived.collectFirst {
       case ic if matchesSeparator(e, ic) => synthetic(ic, e)
+      case ic if matchesQualifier(e, ic) => synthetic(ic, e)
       case ic if matchesSpatial(e, ic) && litLen(other).contains(spatialLen(ic)) => synthetic(ic, e)
     }.getOrElse(e)
 
-  /** Substitution for range bounds: separator-derived only (see scaladoc). */
+  /** Substitution for range bounds: separator- and map-qualifier-derived
+    * (both derive NULL exactly where no comparison can pass — see
+    * scaladoc); spatial excluded. */
   private def substRange(e: Expression, derived: Seq[IndexedColumn]): Expression =
     derived.collectFirst {
       case ic if matchesSeparator(e, ic) => synthetic(ic, e)
+      case ic if matchesQualifier(e, ic) => synthetic(ic, e)
     }.getOrElse(e)
 
   private def substIn(e: Expression, lits: Seq[Literal], derived: Seq[IndexedColumn]): Expression =
     derived.collectFirst {
       case ic if matchesSeparator(e, ic) => synthetic(ic, e)
+      case ic if matchesQualifier(e, ic) => synthetic(ic, e)
       case ic if matchesSpatial(e, ic) &&
         lits.forall(l => litLen(l).contains(spatialLen(ic))) => synthetic(ic, e)
     }.getOrElse(e)
@@ -98,6 +104,24 @@ private[index] object DerivedPredicates {
       }
       case _ => false
     }
+
+  /** `fam['q']` / `element_at(fam, 'q')` over a map-encoded family —
+    * GetMapValue is what the bracket syntax resolves to, ElementAt what
+    * `functions.element_at` builds. */
+  private def matchesQualifier(e: Expression, ic: IndexedColumn): Boolean =
+    ic.partition match {
+      case Some(QualifierPartition(q)) => e match {
+        case ea: ElementAt => isCol(ea.left, ic.column) && strLit(ea.right).contains(q)
+        case gm: GetMapValue => isCol(gm.child, ic.column) && strLit(gm.key).contains(q)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(s, StringType) if s != null => Some(s.toString)
+    case _ => None
+  }
 
   private def matchesSpatial(e: Expression, ic: IndexedColumn): Boolean =
     ic.partition match {

@@ -75,6 +75,22 @@ final case class SpatialPartition(offset: Int, partLength: Int) extends ValuePar
   override def tag: String = s"sp${offset}_$partLength"
 }
 
+/** Index the value of ONE dynamic qualifier inside a map-encoded family
+  * column (`MAP<STRING, v>`, see [[graft.api.MapFamily]]) — the map-model
+  * analogue of the reference's ValuePartition: HBase indexes a
+  * `(cf, qualifier)` cell, and when the family is map-encoded on Spark
+  * that cell is `element_at(fam, qualifier)`. Rows not carrying the
+  * qualifier derive NULL and are dropped from the index — safe for every
+  * comparison op, since a predicate over a NULL cell can never pass
+  * (same superset argument as [[SeparatorPartition]]).
+  */
+final case class QualifierPartition(qualifier: String) extends ValuePartition {
+  require(qualifier.nonEmpty, "QualifierPartition needs a qualifier")
+  override def derive(raw: Column): Column = element_at(raw, qualifier)
+  override def tag: String =
+    "q_" + qualifier.map(c => if (c.isLetterOrDigit) c else '_')
+}
+
 /** One indexed column: mirrors `ColumnQualifier` (cf, qualifier, ValueType,
   * maxValueLength, optional ValuePartition) at
   * `hbase-secondaryindex/.../ColumnQualifier.java:39-79`. In the flattened

@@ -54,6 +54,16 @@ object MapFamilyQueries extends QueryGroup {
             .as(Seq("qualifier", "value")))
     }),
 
+    // secondary index over ONE dynamic qualifier (ValuePartition on the
+    // map model): fam['the'] >= 5 rewrites to a semi-join against the
+    // idx_fam_the table (plan shape asserted in MapFamilySpec)
+    "idx_map_qualifier" -> ((s, dir) => {
+      GraftEngine.ensureDocFamilyIndex(s, dir)
+      s.read.parquet(GraftEngine.tablePath(dir, "doc_family"))
+        .filter(element_at(col("fam"), "the") >= 5L)
+        .select(col("doc_id"), element_at(col("fam"), "the").as("value"))
+    }),
+
     // Put/Delete of individual dynamic qualifiers (Put.add /
     // Delete.deleteColumns on the map model): delete 'the', upsert
     // 'zzz_new' = 42, read the whole family back
@@ -81,6 +91,9 @@ object MapFamilyQueries extends QueryGroup {
         s"row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS rn FROM $unnested " +
         "GROUP BY doc_id, tok) " +
         "SELECT doc_id, qualifier, value FROM counts WHERE rn BETWEEN 2 AND 4"),
+    "idx_map_qualifier" ->
+      (s"SELECT doc_id, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
+        "WHERE tok = 'the' GROUP BY doc_id HAVING count(*) >= 5"),
     "mut_map_qualifiers" ->
       (s"SELECT doc_id, tok AS qualifier, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
         "WHERE tok <> 'the' GROUP BY doc_id, tok " +

@@ -100,6 +100,33 @@ class MapFamilySpec extends AnyFunSuite with BeforeAndAfterAll {
       "tau" -> 5L, "delta" -> 9L))
   }
 
+  test("map-qualifier index: fam['the'] predicates rewrite to the index semi-join") {
+    GraftEngine.ensureDocFamilyIndex(spark, sfDir)
+    val df = spark.read.parquet(GraftEngine.tablePath(sfDir, "doc_family"))
+      .filter(element_at(col("fam"), "the") >= 5L)
+      .select(col("doc_id"))
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.toString.contains("LeftSemi"), s"expected index semi-join:\n$plan")
+    val idxScans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).filter(_.contains("_idx/"))
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(idxScans.exists(_.contains("idx_fam_the")), s"wrong index: $idxScans")
+    // residual filter keeps results identical to the true full scan
+    spark.conf.set("graft.index.enabled", "false")
+    val expected = try {
+      spark.read.parquet(GraftEngine.tablePath(sfDir, "doc_family"))
+        .filter(element_at(col("fam"), "the") >= 5L)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    } finally spark.conf.set("graft.index.enabled", "true")
+    assert(df.collect().map(_.getLong(0)).sorted === expected)
+    assert(expected.nonEmpty, "predicate must match something for this test to bite")
+  }
+
   test("qualifierFilter composes an arbitrary key predicate") {
     val got = fam().select(map_keys(
       MapFamily.qualifierFilter(col("fam"), k => length(k) === 3)).as("ks"))
