@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * partition — a non-starter at 100 TB. Here the total order is realized
   * as a range repartition; each partition computes a local cumulative
   * sum, per-partition totals (one row each) are prefix-summed in a tiny
-  * driver-sized window, and the offsets broadcast back. One range
-  * shuffle, no single-partition stage, identical results to the global
-  * window (the prefix sum is order-based, so even the sampled range
-  * boundaries don't affect the output).
+  * driver-sized window, and the offsets broadcast back. Two data
+  * shuffles (the range partition, then the per-`__pid` window hash —
+  * Catalyst can't see that the range layout already satisfies it), but
+  * crucially NO single-partition stage over the data (PlanAuditSpec pins
+  * that), and identical results to the global window: the prefix sum is
+  * order-based, so even the sampled range boundaries don't affect the
+  * output.
   */
 object Curation {
 

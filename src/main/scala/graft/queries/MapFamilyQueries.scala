@@ -64,6 +64,19 @@ object MapFamilyQueries extends QueryGroup {
         .select(col("doc_id"), element_at(col("fam"), "the").as("value"))
     }),
 
+    // corpus-wide qualifier statistics over the map family: total cell
+    // value and carrying-row count per qualifier, top 20 — the "which
+    // dynamic columns exist and how heavy are they" admin query (HBase
+    // answers this with a full scan + client-side tallying)
+    "agg_map_qualifier_freq" -> ((s, dir) => {
+      GraftEngine.docFamily(s, dir)
+        .select(explode(col("fam")).as(Seq("qualifier", "cnt")))
+        .groupBy(col("qualifier"))
+        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_rows"))
+        .orderBy(col("total").desc, col("qualifier"))
+        .limit(20)
+    }),
+
     // Put/Delete of individual dynamic qualifiers (Put.add /
     // Delete.deleteColumns on the map model): delete 'the', upsert
     // 'zzz_new' = 42, read the whole family back
@@ -94,6 +107,10 @@ object MapFamilyQueries extends QueryGroup {
     "idx_map_qualifier" ->
       (s"SELECT doc_id, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
         "WHERE tok = 'the' GROUP BY doc_id HAVING count(*) >= 5"),
+    "agg_map_qualifier_freq" ->
+      (s"SELECT tok AS qualifier, CAST(count(*) AS BIGINT) AS total, " +
+        s"CAST(count(DISTINCT doc_id) AS BIGINT) AS n_rows FROM $unnested " +
+        "GROUP BY tok ORDER BY total DESC, qualifier LIMIT 20"),
     "mut_map_qualifiers" ->
       (s"SELECT doc_id, tok AS qualifier, CAST(count(*) AS BIGINT) AS value FROM $unnested " +
         "WHERE tok <> 'the' GROUP BY doc_id, tok " +

@@ -95,4 +95,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges.isEmpty,
       s"hash-based sampling must be a stateless per-row filter:\n$plan")
   }
+
+  test("token-budget selection never runs a single-partition window over the data") {
+    // the distributed prefix sum's only unpartitioned window must sit on
+    // the tiny per-partition-totals aggregate, never on a table scan —
+    // a global ORDER BY window over the corpus is the 100 TB killer this
+    // operator exists to avoid
+    val plan = q("pipeline_budget_select").queryExecution.executedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected window operators:\n$plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val scansBelow = w.collect { case s: FileSourceScanExec => s }
+      assert(scansBelow.isEmpty,
+        s"single-partition window directly over the corpus scan:\n$w")
+    }
+    val partitioned = windows.filter(_.partitionSpec.nonEmpty)
+    assert(partitioned.nonEmpty, "the per-range local cumsum window must be partitioned")
+  }
 }
