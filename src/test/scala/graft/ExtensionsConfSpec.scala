@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The conf-string deployment path: a session created with
+  * `spark.sql.extensions=graft.index.GraftExtensions` (the no-arg
+  * constructor bound to `IndexCatalog.default`) gets the full stack —
+  * hint resolution, optimizer rule, hint-eraser strategy, injected
+  * functions — without any programmatic wiring. This is how a spark-submit
+  * user enables the engine. */
+class ExtensionsConfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.index.GraftExtensions")
+      .appName("ExtensionsConfSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftEngine.ensureWarehouse(spark, sfDir) // registers into IndexCatalog.default
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("conf-registered extensions: SQL hint resolves, rewrite fires, functions exist") {
+    spark.read.parquet(GraftEngine.tablePath(sfDir, "customer"))
+      .createOrReplaceTempView("cust_conf_v")
+    try {
+      val df = spark.sql("SELECT /*+ GRAFT_INDEX(customer, idx_nation) */ c_custkey " +
+        "FROM cust_conf_v WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7")
+      assert(df.queryExecution.analyzed.exists(
+        _.isInstanceOf[graft.index.GraftIndexHintNode]),
+        "conf-injected resolution rule must produce the hint marker")
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.toString.contains("LeftSemi") && plan.toString.contains("idx_nation"),
+        s"conf-injected optimizer rule must rewrite:\n$plan")
+      assert(df.count() > 0)
+      // injected codegen function resolves without register()
+      assert(spark.sql("SELECT graft_nfc('ok') AS n").collect()(0).getString(0) === "ok")
+    } finally spark.catalog.dropTempView("cust_conf_v")
+  }
+}

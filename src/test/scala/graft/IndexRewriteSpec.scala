@@ -337,6 +337,21 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.dropTempView("graft_ord_v")
   }
 
+  test("GraftEngine.sql conf fallback parses a quoted tree hint (nested parens + commas)") {
+    managed("customer").createOrReplaceTempView("graft_cust_tree_v")
+    try {
+      val df = GraftEngine.sql(spark,
+        "SELECT /*+ GRAFT_INDEX(customer, 'OR(idx_nation,AND(idx_mkt_nation,idx_nation))') */ " +
+          "c_custkey FROM graft_cust_tree_v " +
+          "WHERE c_nationkey = 2 OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey >= 5)")
+      val idx = indexScans(df.queryExecution.optimizedPlan).sorted
+      assert(idx === Seq("idx_mkt_nation", "idx_nation", "idx_nation"),
+        s"tree hint not honored through the text fallback: $idx")
+      assert(spark.conf.getOption("graft.index.hint").forall(_.isEmpty),
+        "hint conf leaked past the statement")
+    } finally spark.catalog.dropTempView("graft_cust_tree_v")
+  }
+
   test("unsatisfiable hint (unknown index) falls back to cost-based selection") {
     val q = managed("customer").filter(col("c_nationkey") === 7)
     withHint("AND(idx_does_not_exist,idx_nation)") {
