@@ -51,6 +51,37 @@ object Curation {
       .drop("__pid", "__local", "__offset")
   }
 
+  /** Document-frequency span pruning — the span-level dedup step of
+    * corpus curation: drop spans that occur in at least
+    * `maxDocFrac` of all documents, rebuilding each document from its
+    * surviving spans in order. With a line separator this is
+    * boilerplate-line dedup (repeated headers/footers vanish); with a
+    * token separator it is DF-based vocabulary pruning. Exact and
+    * all-pairs-free: one groupBy for span document-frequencies (+ a
+    * broadcast scalar for the corpus size), one join, one order-
+    * preserving rebuild aggregation — every stage keyed, nothing
+    * quadratic, so the shape survives any corpus size. */
+  def dropHighDfSpans(df: DataFrame, idCol: String, textCol: String,
+      sep: String, maxDocFrac: Double): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
+      s"maxDocFrac must be in (0, 1]: $maxDocFrac")
+    require(sep.nonEmpty, "separator must be non-empty")
+    val spans = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__span")))
+    val total = df.select(count_distinct(col(idCol)).as("__total"))
+    val freq = spans.groupBy(col("__span"))
+      .agg(count_distinct(col("__id")).as("__df"))
+      .crossJoin(broadcast(total))
+    spans.join(freq, Seq("__span"))
+      .groupBy(col("__id"))
+      .agg(concat_ws(sep, transform(array_sort(collect_list(
+          when(col("__df") < col("__total") * maxDocFrac,
+            struct(col("__pos"), col("__span"))))),
+        e => e.getField("__span"))).as("clean"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Greedy token-budget selection: documents in (quality DESC, id ASC)
     * order whose INCLUSIVE cumulative token count fits `budget` — whole
     * documents only, the deterministic "best tokens first" cut. */

@@ -346,6 +346,15 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "source", "pack_id", "pack_offset")
     }),
 
+    // document-frequency span pruning: tokens occurring in >= half of
+    // all documents are dropped from every doc (the token-mode form of
+    // boilerplate-line dedup; exact, oracle-checked)
+    "text_df_prune" -> ((s, dir) => {
+      graft.ops.Curation.dropHighDfSpans(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", " ", 0.5)
+    }),
+
     // token-budget selection: best-quality docs whose cumulative tokens
     // fit the budget — distributed prefix sum, no single-partition window
     "pipeline_budget_select" -> ((s, dir) => {
@@ -447,6 +456,14 @@ object PipelineQueries extends QueryGroup {
       s"SELECT doc_id, $langIdSql AS pred_lang FROM documents",
     "text_quality" ->
       s"SELECT doc_id, $qualitySql AS quality FROM documents",
+    "text_df_prune" ->
+      ("WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS span, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+        "f AS (SELECT span, count(DISTINCT doc_id) AS df FROM s GROUP BY span), " +
+        "t AS (SELECT count(DISTINCT doc_id) AS total FROM documents) " +
+        "SELECT doc_id, COALESCE(string_agg(span, ' ' ORDER BY pos) " +
+        "FILTER (WHERE df < total * 0.5), '') AS clean " +
+        "FROM s JOIN f USING (span) CROSS JOIN t GROUP BY doc_id"),
     "pipeline_budget_select" ->
       (s"WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
         s"$qualitySql AS quality FROM documents), " +

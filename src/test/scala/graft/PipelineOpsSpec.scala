@@ -65,6 +65,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dropHighDfSpans removes boilerplate lines, keeps unique lines in order") {
+    val s = spark; import s.implicits._
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"alpha one\n$boiler\nalpha two"),
+      (2L, s"$boiler\nbeta only"),
+      (3L, s"gamma\n$boiler"),
+      (4L, "delta solo")).toDF("doc_id", "text")
+    // boilerplate line df = 3/4 docs ≥ 0.5 → dropped everywhere;
+    // every other line df = 1/4 < 0.5 → kept, original order
+    val got = Curation.dropHighDfSpans(docs, "doc_id", "text", "\n", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "alpha one\nalpha two",
+      2L -> "beta only",
+      3L -> "gamma",
+      4L -> "delta solo"))
+  }
+
   test("connected components: triangle + pair + singleton") {
     val reps = cc(Seq(1L, 2L, 3L, 10L, 11L, 99L),
       Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)))
