@@ -41,6 +41,23 @@ object Dedup {
       .select(col(idCol), col("keep_id"))
   }
 
+  /** Canonical-representative selection per duplicate group: like
+    * [[exactDupMapping]] but the keeper is the HIGHEST-`qualityCol`
+    * member (ties → smallest id) instead of first-arrival — "keep the
+    * best copy, not the oldest". The caller supplies the group
+    * fingerprint column (`fpCol`), so this composes with any grouping:
+    * a normalized-bag fingerprint (docs equal up to word order keep the
+    * best-formed raw text), or a near-dup cluster label from
+    * [[graft.ops.Clustering.connectedComponents]]. One hash window on
+    * the fingerprint — same shuffle shape as exactDupMapping. */
+  def canonicalByQuality(df: DataFrame, idCol: String, fpCol: String,
+      qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col(fpCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.withColumn("keep_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("keep_id"))
+  }
+
   /** Require an integral id column up front — a silent `cast("long")` of a
     * string id would turn every id into null and collapse all pairs. */
   private def requireIntegralId(df: DataFrame, idCol: String): Unit = {

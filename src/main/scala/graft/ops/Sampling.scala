@@ -90,6 +90,60 @@ object Sampling {
     df.withColumn(labelCol, labeled)
   }
 
+  /** Deterministic mixture resampling: downsample each stratum so the
+    * OUTPUT proportions match `weights` (the data-mixing step of training
+    * corpus assembly — "40% web, 30% books, 30% code"), keeping the
+    * maximum data consistent with the mixture: the binding stratum (the
+    * one whose count/weight ratio is smallest) is kept whole and every
+    * other stratum is hash-downsampled to match. Strata absent from
+    * `weights` are dropped.
+    *
+    * Per-stratum fraction: with cap = min over s of (count_s / w_s), the
+    * stratum keeps fraction min(cap * w_s / count_s, 1). Decisions ride
+    * the same 16-bit id-hash grid as [[bernoulli]], so the mixture is
+    * reproducible, repartition-stable, and auditable.
+    *
+    * NOTE: computes per-stratum counts eagerly (one tiny job — one row
+    * per stratum) when called; the returned plan itself is a plain
+    * filter, so the op stays a single scan-stage predicate at any scale.
+    */
+  def mixture(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      s"mixture weights must be non-empty and positive: $weights")
+    val counts = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixture strata absent from data (target unattainable): ${missing.mkString(", ")}")
+    val cap = weights.map { case (s, w) => counts(s).toDouble / w }.min
+    // 'g' sentinel per thresholdHex: the binding stratum (fraction 1.0)
+    // keeps every row, including ids hashing to 0xffff
+    def hexThresh(s: String): String = {
+      val cells = math.floor(math.min(cap * weights(s) / counts(s).toDouble, 1.0) * 65536.0).toInt
+      if (cells >= 65536) "g" else f"$cells%04x"
+    }
+    // unweighted strata fall through to NULL → NULL comparison → dropped
+    val thresh = weights.keys.toSeq.sorted.foldLeft(lit(null).cast("string")) {
+      case (acc, s) => when(col(strataCol) === s, lit(hexThresh(s))).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol)) < thresh)
+  }
+
+  /** Deterministic global training-order shuffle: every row gets a dense
+    * rank 1..N in id-hash order — the "shuffle the corpus before packing"
+    * step, reproducible across runs and engines. The naive formulation
+    * (`row_number() OVER (ORDER BY hash)`) is a single-partition window;
+    * here the rank is a distributed prefix COUNT via
+    * [[graft.ops.Curation.runningTotal]] (range partition + per-partition
+    * ranks + broadcast offsets), so no stage ever sees more than one
+    * partition's rows. md5 is collision-free in practice but the id
+    * tie-break keeps the order formally total. */
+  def shuffleRank(df: DataFrame, idCol: String, out: String = "shuffle_rank"): DataFrame =
+    graft.ops.Curation.runningTotal(df,
+      Seq(md5(col(idCol).cast("string").cast("binary")), col(idCol)), lit(1L), out)
+
   /** Deterministic fixed-size-per-group sample ("reservoir of k per key"
     * without the RNG): the k rows whose id hash orders first within each
     * group. One shuffle on the group key; ties broken by id so the result

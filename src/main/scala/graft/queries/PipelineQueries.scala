@@ -376,6 +376,35 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "lang", "quality")
     }),
 
+    // mixture resampling: output lang proportions pinned to 40/30/30
+    // en/zh/fr (other langs dropped), binding stratum kept whole —
+    // the data-mixing step of corpus assembly
+    "sample_mixture" -> ((s, dir) => {
+      Sampling.mixture(Tables.load(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.4, "zh" -> 0.3, "fr" -> 0.3))
+        .select("doc_id", "lang")
+    }),
+
+    // deterministic global training-order shuffle: dense rank in id-hash
+    // order via the distributed prefix count (no single-partition window)
+    "pipeline_shuffle" -> ((s, dir) => {
+      Sampling.shuffleRank(Tables.load(s, dir, "documents")
+          .select("doc_id"), "doc_id")
+        .select("doc_id", "shuffle_rank")
+    }),
+
+    // canonical-copy selection: within each normalized-bag duplicate
+    // group keep the highest-quality RAW text (bag-equal docs differ in
+    // word order/repetition, so raw quality discriminates), not the
+    // smallest id
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+"))))).as("fp"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      Dedup.canonicalByQuality(docs, "doc_id", "fp", "quality")
+    }),
+
     // deterministic leakage-free train/val/test assignment (hash-range
     // cut: membership never changes as the corpus grows)
     "sample_split" -> ((s, dir) => {
@@ -580,6 +609,34 @@ object PipelineQueries extends QueryGroup {
         "SELECT doc_id, lang, quality FROM c " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
         "CASE WHEN cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),
+
+    // mixture fractions recomputed from counts in-SQL: cap = min(cnt/w),
+    // per-stratum cells = floor(least(cap*w/cnt, 1)*65536) — identical
+    // IEEE double ops in both engines, so thresholds agree bit-for-bit;
+    // the binding stratum hits the same 'g' sentinel as the engine
+    "sample_mixture" ->
+      ("WITH w(lang, w) AS (VALUES ('en', CAST(0.4 AS DOUBLE)), " +
+        "  ('zh', CAST(0.3 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE))), " +
+        "n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang), " +
+        "c AS (SELECT min(cnt / w) AS cap FROM n JOIN w USING (lang)), " +
+        "f AS (SELECT lang, CAST(floor(least(cap * w / cnt, 1.0) * 65536.0) AS INT) AS cells " +
+        "  FROM n JOIN w USING (lang) CROSS JOIN c) " +
+        "SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang) " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < " +
+        "CASE WHEN cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),
+
+    // the oracle's global window IS the naive single-partition plan the
+    // engine's distributed prefix count replaces — equal output proves it
+    "pipeline_shuffle" ->
+      ("SELECT doc_id, row_number() OVER (" +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank FROM documents"),
+
+    "dedup_canonical" ->
+      (s"WITH q AS (SELECT doc_id, " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp, " +
+        s"$qualitySql AS quality FROM documents) " +
+        "SELECT doc_id, first_value(doc_id) OVER (" +
+        "PARTITION BY fp ORDER BY quality DESC, doc_id) AS keep_id FROM q"),
 
     // hash-range cuts: 0.8 → 'cccd', 0.8+0.1 → 'e666' on the 16-bit grid
     "sample_split" ->

@@ -132,6 +132,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out("fr") / 1000.0 - 0.5) < 0.08, s"fr: ${out("fr")}")
   }
 
+  test("mixture resampling hits target proportions, keeps binding stratum whole, drops unweighted") {
+    val s = spark; import s.implicits._
+    // 4000 web / 1200 books / 400 code / 300 junk; target 50/30/20.
+    // code is binding (400/0.2 = 2000 is the min cap): kept whole,
+    // web → 1000 (frac 0.25), books → 600 (frac 0.5), junk dropped.
+    val df = (1L to 5900L).map { i =>
+      val src = if (i <= 4000) "web" else if (i <= 5200) "books"
+        else if (i <= 5600) "code" else "junk"
+      (i, src)
+    }.toDF("id", "src")
+    val out = Sampling.mixture(df, "id", "src",
+      Map("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("junk"), "unweighted strata must be dropped")
+    assert(counts("code") === 400L, "binding stratum must be kept whole")
+    assert(math.abs(counts("web") / 1000.0 - 1.0) < 0.06, s"web: ${counts("web")}")
+    assert(math.abs(counts("books") / 600.0 - 1.0) < 0.08, s"books: ${counts("books")}")
+    // repartition-stable (hash-decided, not layout-decided)
+    val again = Sampling.mixture(df.repartition(13), "id", "src",
+      Map("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+    assert(out.collect().map(_.getLong(0)).sorted === again.collect().map(_.getLong(0)).sorted)
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(df, "id", "src", Map("web" -> 0.5, "absent" -> 0.5))
+    }
+  }
+
+  test("shuffleRank is a permutation 1..N equal to the global-window rank, repartition-stable") {
+    val s = spark; import s.implicits._
+    val df = (1L to 3000L).toDF("id")
+    val got = Sampling.shuffleRank(df, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSeq.sorted === (1L to 3000L), "ranks must be a permutation 1..N")
+    val expected = df
+      .withColumn("shuffle_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          md5(col("id").cast("string").cast("binary")), col("id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, "distributed rank must equal the global-window rank")
+    val again = Sampling.shuffleRank(df.repartition(9), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === again, "rank must not depend on input partitioning")
+  }
+
+  test("canonicalByQuality keeps the best-quality member, not the smallest id") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "g1", 0.2), (2L, "g1", 0.9), (3L, "g1", 0.9), // tie → min id among best
+      (4L, "g2", 0.5),
+      (5L, "g3", 0.1), (6L, "g3", 0.3)
+    ).toDF("id", "fp", "q")
+    val out = graft.ops.Dedup.canonicalByQuality(df, "id", "fp", "q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
+  }
+
   test("reservoirPerKey keeps exactly k per group, deterministically") {
     val s = spark; import s.implicits._
     val df = (1L to 500L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
