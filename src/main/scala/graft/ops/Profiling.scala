@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-profiling operators — the "understand the table before touching
+  * 100 TB of it" step: per-column stats and value histograms, each a
+  * SINGLE pass over the data (Spark folds every column's aggregates into
+  * one partial-aggregation scan; nothing is per-column re-scanned).
+  *
+  * Reference analogue: the admin/diagnostic side of HBase tooling
+  * (RowCounter / CellCounter, `hbase-server/.../mapreduce/CellCounter.java`)
+  * generalized to column statistics the way a warehouse profiler would.
+  */
+object Profiling {
+
+  /** One row per profiled column: non-null / null / distinct counts and
+    * numeric min/max (cast to double — exact for integral values up to
+    * 2^53, which covers any id column worth profiling).
+    *
+    * `approxDistinct = false` uses exact `count_distinct`: Spark plans
+    * multi-column distinct aggregation via an Expand (data × #cols
+    * intermediate rows) — fine into the low billions, and the form the
+    * DuckDB oracle can check. At the 100 TB end flip to
+    * `approxDistinct = true`: HLL++ sketches keep the plan a plain
+    * two-phase hash aggregate with NO Expand, one scan, mergeable
+    * partials. Same output schema either way.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__d_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("non_null"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_v"),
+        col(s"__mx_$c").as("max_v"))): _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** Fixed-width value histogram: bucket = floor((x - origin) / width),
+    * one output row per OBSERVED bucket with its lower bound and row
+    * count. Plain floor arithmetic (not `width_bucket`) so the binning is
+    * reproducible in any engine; NULLs are excluded. One groupBy — the
+    * scan + two-phase aggregate shape at any scale. */
+  def histogram(df: DataFrame, valueCol: String, width: Double,
+      origin: Double = 0.0): DataFrame = {
+    require(width > 0.0 && !width.isNaN, s"width must be positive: $width")
+    val bucket = floor((col(valueCol).cast("double") - origin) / width).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bucket_lo", lit(origin) + col("bucket") * width)
+      .select("bucket", "bucket_lo", "n_rows")
+  }
+}

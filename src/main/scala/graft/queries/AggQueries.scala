@@ -119,6 +119,23 @@ object AggQueries extends QueryGroup {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
 
+    // Table profiling: per-column non-null/null/distinct/min/max in ONE
+    // scan (all columns' aggregates fold into a single partial agg; the
+    // approxDistinct=true variant drops the multi-distinct Expand for
+    // the 100 TB path — same schema, property-gated via AggApproxSpec
+    // shapes)
+    "profile_table_stats" -> ((s, dir) => {
+      graft.ops.Profiling.profile(Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    }),
+
+    // Fixed-width value histogram: floor arithmetic (engine-portable
+    // binning), one groupBy — scan + two-phase aggregate at any scale
+    "profile_histogram" -> ((s, dir) => {
+      graft.ops.Profiling.histogram(Tables.load(s, dir, "orders"),
+        "o_totalprice", 25000.0)
+    }),
+
     // Sketch aggregation — the 100 TB path for distinct counts/quantiles
     // (HLL++ and t-digest-style partials merge associatively; exact twins
     // above stay oracle-gated). No DuckDB oracle: sketch algorithms
@@ -132,6 +149,16 @@ object AggQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_table_stats" -> Seq("o_orderkey", "o_custkey", "o_totalprice")
+      .map(c => s"SELECT '$c' AS col_name, count($c) AS non_null, " +
+        s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +
+        s"CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM orders")
+      .mkString(" UNION ALL "),
+    "profile_histogram" ->
+      ("SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket, " +
+        "0.0 + CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo, " +
+        "count(*) AS n_rows FROM orders WHERE o_totalprice IS NOT NULL " +
+        "GROUP BY 1"),
     "agg_max" -> "SELECT max(l_extendedprice) AS max_price FROM lineitem",
     "agg_min" -> "SELECT min(l_extendedprice) AS min_price FROM lineitem",
     "agg_rowcount" -> "SELECT count(*) AS n_rows FROM lineitem",

@@ -188,6 +188,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
   }
 
+  test("profile: exact per-column stats incl. nulls; approx mode keeps schema and lands near exact") {
+    val s = spark; import s.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, 20.0), (3L, null), (4L, 20.0), (null, 5.0)
+    ).toDF("k", "v")
+    val got = graft.ops.Profiling.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("k") === ((4L, 1L, 4L, 1.0, 4.0)))
+    assert(got("v") === ((4L, 1L, 3L, 5.0, 20.0)))
+    val apx = graft.ops.Profiling.profile(df, Seq("k", "v"), approxDistinct = true)
+    assert(apx.columns.toSeq === Seq("col_name", "non_null", "n_null", "n_distinct", "min_v", "max_v"))
+    val apxD = apx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(apxD("k") === 4L && apxD("v") === 3L, "HLL exact at tiny cardinality")
+  }
+
+  test("histogram: floor binning with boundary values, origin shift, nulls excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq[java.lang.Double](0.0, 24999.9, 25000.0, 60000.0, -1.0, null).toDF("x")
+    val got = graft.ops.Profiling.histogram(df, "x", 25000.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got === Map(0L -> ((0.0, 2L)), 1L -> ((25000.0, 1L)),
+      2L -> ((50000.0, 1L)), -1L -> ((-25000.0, 1L))))
+    val shifted = graft.ops.Profiling.histogram(df, "x", 25000.0, origin = 25000.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shifted === Map(-2L -> 1L, -1L -> 2L, 0L -> 1L, 1L -> 1L))
+  }
+
   test("reservoirPerKey keeps exactly k per group, deterministically") {
     val s = spark; import s.implicits._
     val df = (1L to 500L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
