@@ -92,4 +92,38 @@ object Joins {
       .filter(col(ptTs) >= col(startTs) && col(ptTs) <= col(endTs))
       .drop("__cell")
   }
+
+  /** Salted inner equijoin for skewed keys: when one join key holds a
+    * disproportionate share of the big side (the web-corpus "null-ish
+    * key" / hot-domain failure mode), a plain shuffle join lands that
+    * whole key on ONE reducer. Here each big-side row gets a salt in
+    * [0, salts) and the small side is replicated once per salt, so a hot
+    * key's rows spread over `salts` reducers. The result is IDENTICAL to
+    * the unsalted join — each big row matches exactly the one replica
+    * carrying its salt — which is what makes the op oracle-checkable
+    * against the plain SQL join.
+    *
+    * The salt must differ across rows of the SAME key (a key-derived
+    * salt would re-concentrate the hot key), so it comes from
+    * `monotonically_increasing_id` — row-position-dependent, therefore
+    * layout-dependent, but the JOIN RESULT is layout-invariant: salts
+    * only route rows to reducers. Replication multiplies the small side
+    * by `salts` — size it as broadcast-ineligible dimension × small salt
+    * count (8-32), the standard skew-join trade. Spark's AQE skew
+    * handling does this adaptively for sort-merge joins; this op is the
+    * explicit, engine-independent form that also covers the cases AQE
+    * misses (pre-aggregation fan-in, deliberate layout control).
+    */
+  def saltedJoin(big: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1 && salts <= 4096, s"salts out of range: $salts")
+    val collisions = dim.columns.toSet.intersect(big.columns.toSet) -- keyCols
+    require(collisions.isEmpty,
+      s"dim columns collide with big-side columns: $collisions — rename before joining")
+    require(!(big.columns ++ dim.columns).contains("__salt"),
+      "column name __salt is reserved by saltedJoin — rename before joining")
+    val b = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    b.join(d, keyCols :+ "__salt").drop("__salt")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-versioning operators: what changed between two snapshots, and
+  * batch sessionization of an event log — both single-shuffle shapes.
+  */
+object Snapshots {
+
+  /** Row-level diff of two snapshots keyed by `idCol`: returns
+    * (id, change) where change ∈ added | removed | changed — rows whose
+    * `compareCols` are all null-safe-equal are omitted (they are the
+    * unchanged bulk; at 100 TB the diff output must be O(changes), not
+    * O(corpus)). One full outer join on the id — a plain shuffle
+    * equijoin, and the id columns prune to just id+compareCols at the
+    * scan. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldDf.select((idCol +: compareCols).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select((idCol +: compareCols).map(c => col(c).as(s"__n_$c")): _*)
+    val joined = o.join(n, col(s"__o_$idCol") === col(s"__n_$idCol"), "full_outer")
+    val same = compareCols.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    joined.withColumn("change",
+        when(col(s"__o_$idCol").isNull, "added")
+          .when(col(s"__n_$idCol").isNull, "removed")
+          .when(!same, "changed"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col(s"__o_$idCol"), col(s"__n_$idCol")).as(idCol), col("change"))
+  }
+
+  /** Batch sessionization: number each key's events into sessions that
+    * break when the gap to the previous event exceeds `gap` (same unit
+    * as `tsCol` — epoch-nanos for the events table). Classic
+    * lag-flag-then-running-sum: one shuffle on the key, one sort, no
+    * state proportional to session length. `orderCols` must make the
+    * per-key order total (pass a tiebreaker id alongside the
+    * timestamp) or the session boundaries are nondeterministic. */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gap: Long, orderCols: Seq[String], out: String = "session_idx"): DataFrame = {
+    require(gap > 0, s"gap must be positive: $gap")
+    require(orderCols.headOption.contains(tsCol),
+      s"orderCols must start with $tsCol: $orderCols")
+    val reserved = Seq("__gap_flag", out)
+    val clash = df.columns.filter(reserved.contains).toSeq
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by sessionize — rename first")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("__gap_flag",
+        when(col(tsCol) - lag(col(tsCol), 1).over(w) > gap, 1L).otherwise(0L))
+      .withColumn(out, sum(col("__gap_flag")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__gap_flag")
+  }
+}

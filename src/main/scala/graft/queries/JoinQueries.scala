@@ -62,10 +62,30 @@ object JoinQueries extends QueryGroup {
           "c_ts", "v_start", "v_end", bucketSize = tenMinNs)
         .groupBy("view_id")
         .agg(count(lit(1)).as("n_clicks"))
+    }),
+
+    // salted skew join: lineitem→orders with an 8-way salt spread; the
+    // oracle is the PLAIN SQL join — equality proves salting is purely a
+    // layout transform (each big row meets exactly the one dim replica
+    // carrying its salt)
+    "join_salted" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, ord, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "join_salted" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
     "join_enrich" ->
       ("SELECT n_name, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +

@@ -405,6 +405,30 @@ object PipelineQueries extends QueryGroup {
       Dedup.canonicalByQuality(docs, "doc_id", "fp", "quality")
     }),
 
+    // snapshot diff for corpus versioning: removed = doc_id%7==0,
+    // changed = n_chars bumped when doc_id%5==0, added = %11 clones
+    // shifted past the id space — output is O(changes), never O(corpus)
+    "pipeline_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select("doc_id", "n_chars")
+      val base = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+      val added = d.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.ops.Snapshots.snapshotDiff(d, base.unionByName(added),
+        "doc_id", Seq("n_chars"))
+    }),
+
+    // batch sessionization of the event log: 30-minute-gap sessions per
+    // user (lag-flag + running sum — one shuffle, no per-session state)
+    "events_sessionize" -> ((s, dir) => {
+      val gapNs = 30L * 60 * 1000000000L
+      graft.ops.Snapshots.sessionize(
+          Tables.load(s, dir, "events").select("event_id", "user_id", "ts"),
+          Seq("user_id"), "ts", gapNs, Seq("ts", "event_id"))
+        .select("event_id", "user_id", "session_idx")
+    }),
+
     // deterministic leakage-free train/val/test assignment (hash-range
     // cut: membership never changes as the corpus grows)
     "sample_split" -> ((s, dir) => {
@@ -637,6 +661,31 @@ object PipelineQueries extends QueryGroup {
         s"$qualitySql AS quality FROM documents) " +
         "SELECT doc_id, first_value(doc_id) OVER (" +
         "PARTITION BY fp ORDER BY quality DESC, doc_id) AS keep_id FROM q"),
+
+    "pipeline_snapshot_diff" ->
+      ("WITH newsnap AS (" +
+        "  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars " +
+        "  FROM documents WHERE doc_id % 7 <> 0 " +
+        "  UNION ALL " +
+        "  SELECT doc_id + 1000000, n_chars FROM documents WHERE doc_id % 11 = 0), " +
+        "d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "  CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "       WHEN n.doc_id IS NULL THEN 'removed' " +
+        "       WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' END AS change " +
+        "  FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id) " +
+        "SELECT doc_id, change FROM d WHERE change IS NOT NULL"),
+
+    // 30 min = 1.8e12 ns; lag NULL on the first event of a user → CASE
+    // ELSE 0 on both engines; CAST around the window sum (DuckDB sums
+    // INTEGER into HUGEINT)
+    "events_sessionize" ->
+      ("WITH x AS (SELECT event_id, user_id, ts, " +
+        "  CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (" +
+        "    PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000 " +
+        "  THEN 1 ELSE 0 END AS flag FROM events) " +
+        "SELECT event_id, user_id, CAST(sum(flag) OVER (" +
+        "  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) " +
+        "  AS BIGINT) AS session_idx FROM x"),
 
     // hash-range cuts: 0.8 → 'cccd', 0.8+0.1 → 'e666' on the 16-bit grid
     "sample_split" ->

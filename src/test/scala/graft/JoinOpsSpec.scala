@@ -62,6 +62,49 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set((1L, 100L), (2L, 200L)))
   }
 
+  test("saltedJoin equals the plain join on skewed keys, at any salt count and layout") {
+    val s = spark; import s.implicits._
+    // one hot key (900 of 1000 rows) + a long tail
+    val big = (1L to 1000L).map(i => (if (i <= 900) 1L else i, i)).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (950L, "tail"), (999L, "tail2"), (12345L, "nomatch"))
+      .toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).collect().map(_.toString).sorted
+    for (salts <- Seq(1, 8, 32)) {
+      val salted = graft.ops.Joins.saltedJoin(big, dim, Seq("k"), salts)
+        .collect().map(_.toString).sorted
+      assert(salted === plain, s"salted($salts) result diverged from plain join")
+    }
+    val relaid = graft.ops.Joins.saltedJoin(big.repartition(17), dim, Seq("k"), 8)
+      .collect().map(_.toString).sorted
+    assert(relaid === plain, "salted join must be layout-invariant in its RESULT")
+    intercept[IllegalArgumentException] {
+      graft.ops.Joins.saltedJoin(big.withColumnRenamed("v", "__salt"), dim, Seq("k"), 8)
+    }
+  }
+
+  test("snapshotDiff classifies added/removed/changed, omits unchanged, null-safe compare") {
+    val s = spark; import s.implicits._
+    val o = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 20L), (3L, null), (4L, 40L))
+      .toDF("id", "m")
+    val n = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 25L), (3L, null), (5L, 50L))
+      .toDF("id", "m")
+    val got = graft.ops.Snapshots.snapshotDiff(o, n, "id", Seq("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (omitted), 3 unchanged via null<=>null (omitted)
+    assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("sessionize breaks sessions at gaps, numbers from 0, per key") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("u1", 1L, 0L), ("u1", 2L, 100L), ("u1", 3L, 1101L), ("u1", 4L, 1200L),
+      ("u2", 5L, 0L), ("u2", 6L, 5000L)
+    ).toDF("user", "eid", "ts")
+    val got = graft.ops.Snapshots.sessionize(df, Seq("user"), "ts", 1000L, Seq("ts", "eid"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
+  }
+
   test("pointInInterval is bucket-size invariant (no duplicate pairs from multi-cell overlap)") {
     val s = spark; import s.implicits._
     val points = Seq(("k", ts(30), 1L)).toDF("key", "pts", "pid")
