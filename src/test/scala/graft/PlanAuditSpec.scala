@@ -112,4 +112,45 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val partitioned = windows.filter(_.partitionSpec.nonEmpty)
     assert(partitioned.nonEmpty, "the per-range local cumsum window must be partitioned")
   }
+
+  test("mixture resampling evaluates as a scan-stage filter (no shuffle, no join)") {
+    // the eager per-stratum count job runs at plan-construction time;
+    // the RETURNED plan must stay a stateless per-row filter like
+    // bernoulli/stratified — that's what makes it free at 100 TB
+    val plan = q("sample_mixture").queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(exchanges.isEmpty && joins.isEmpty,
+      s"mixture must be a per-row filter, not a join with stratum stats:\n$plan")
+  }
+
+  test("profile reads the table exactly once for all columns' statistics") {
+    val plan = q("profile_table_stats").queryExecution.executedPlan
+    val s = plan.collect { case f: FileSourceScanExec => f }
+    assert(s.size === 1,
+      s"per-column stats must fold into ONE scan, got ${s.size}:\n$plan")
+  }
+
+  test("global shuffle rank never runs a single-partition window over the data") {
+    val plan = q("pipeline_shuffle").queryExecution.executedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected window operators:\n$plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val scansBelow = w.collect { case s: FileSourceScanExec => s }
+      assert(scansBelow.isEmpty,
+        s"single-partition window directly over the corpus scan:\n$w")
+    }
+  }
+
+  test("salted join keys include the salt (hot key spread over reducers)") {
+    val plan = q("join_salted").queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected a join:\n$plan")
+    assert(joins.exists(_.leftKeys.size == 2),
+      s"join keys must be (key, salt) — a single-key join re-concentrates " +
+        s"the hot key: ${joins.map(_.leftKeys)}")
+  }
 }
