@@ -57,9 +57,14 @@ object Profiling {
     * scan + two-phase aggregate shape at any scale. */
   def histogram(df: DataFrame, valueCol: String, width: Double,
       origin: Double = 0.0): DataFrame = {
-    require(width > 0.0 && !width.isNaN, s"width must be positive: $width")
-    val bucket = floor((col(valueCol).cast("double") - origin) / width).cast("long")
-    df.filter(col(valueCol).isNotNull)
+    require(width > 0.0 && !width.isNaN && !width.isInfinite,
+      s"width must be positive and finite: $width")
+    require(!origin.isNaN && !origin.isInfinite, s"origin must be finite: $origin")
+    val v = col(valueCol).cast("double")
+    val bucket = floor((v - origin) / width).cast("long")
+    // NaN would floor-cast to bucket 0 in Spark but error in engines
+    // where floor(NaN) stays NaN — exclude it like NULL, explicitly
+    df.filter(col(valueCol).isNotNull && !isnan(v))
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("bucket_lo", lit(origin) + col("bucket") * width)

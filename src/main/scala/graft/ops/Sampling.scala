@@ -26,12 +26,15 @@ object Sampling {
   /** 16-bit hash bucket of the id as a 4-char lowercase hex string. */
   def hashKey(id: Column): Column = substring(md5(id.cast("string").cast("binary")), 1, 4)
 
+  /** 16-bit cell count → the 4-hex comparison threshold. 'g' sorts after
+    * every hex char, so 65536 cells keeps all rows (a 5-char "10000"
+    * would lexicographically UNDERSHOOT "a***"). */
+  private def cellsToHex(cells: Int): String =
+    if (cells >= 65536) "g" else f"$cells%04x"
+
   private def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
-    val t = math.round(fraction * 65536.0).toInt
-    // 'g' sorts after every hex char, so fraction 1.0 keeps all rows
-    // (a 5-char "10000" would lexicographically UNDERSHOOT "a***")
-    if (t >= 65536) "g" else f"$t%04x"
+    cellsToHex(math.round(fraction * 65536.0).toInt)
   }
 
   /** Deterministic Bernoulli sample: keeps ~`fraction` of rows, chosen by
@@ -118,11 +121,24 @@ object Sampling {
     require(missing.isEmpty,
       s"mixture strata absent from data (target unattainable): ${missing.mkString(", ")}")
     val cap = weights.map { case (s, w) => counts(s).toDouble / w }.min
-    // 'g' sentinel per thresholdHex: the binding stratum (fraction 1.0)
-    // keeps every row, including ids hashing to 0xffff
     def hexThresh(s: String): String = {
-      val cells = math.floor(math.min(cap * weights(s) / counts(s).toDouble, 1.0) * 65536.0).toInt
-      if (cells >= 65536) "g" else f"$cells%04x"
+      // the binding stratum (count/w == cap) is kept whole BY IDENTITY
+      // TEST, not by recomputing its fraction: (count/w)*w/count can
+      // round to 0.999… and floor to 65535 cells, silently dropping
+      // rows hashing to 0xffff — the sentinel must not depend on the
+      // round-trip landing exactly on 1.0
+      if (counts(s).toDouble / weights(s) == cap) "g"
+      else {
+        val cells = math.floor(math.min(cap * weights(s) / counts(s).toDouble, 1.0) * 65536.0).toInt
+        // fail fast rather than silently emptying a requested stratum —
+        // a fraction below the hash-grid resolution means the imbalance
+        // is beyond what 16-bit thresholds can express
+        require(cells >= 1,
+          s"mixture fraction for stratum '$s' (${cap * weights(s) / counts(s).toDouble}) " +
+            "is below the 1/65536 hash-grid resolution — it would keep zero rows; " +
+            "rebalance the weights or pre-filter the dominant stratum")
+        cellsToHex(cells)
+      }
     }
     // unweighted strata fall through to NULL → NULL comparison → dropped
     val thresh = weights.keys.toSeq.sorted.foldLeft(lit(null).cast("string")) {

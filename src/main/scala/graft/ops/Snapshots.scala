@@ -41,6 +41,11 @@ object Snapshots {
   def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
       gap: Long, orderCols: Seq[String], out: String = "session_idx"): DataFrame = {
     require(gap > 0, s"gap must be positive: $gap")
+    // an empty key list would make the window a single-partition global
+    // sort over the data — the exact shape runningTotal/shuffleRank
+    // exist to avoid; sessionization is inherently per-entity, so demand
+    // the entity key
+    require(keyCols.nonEmpty, "sessionize requires at least one key column")
     require(orderCols.headOption.contains(tsCol),
       s"orderCols must start with $tsCol: $orderCols")
     val reserved = Seq("__gap_flag", out)

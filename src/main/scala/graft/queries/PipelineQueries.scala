@@ -636,18 +636,21 @@ object PipelineQueries extends QueryGroup {
 
     // mixture fractions recomputed from counts in-SQL: cap = min(cnt/w),
     // per-stratum cells = floor(least(cap*w/cnt, 1)*65536) — identical
-    // IEEE double ops in both engines, so thresholds agree bit-for-bit;
-    // the binding stratum hits the same 'g' sentinel as the engine
+    // IEEE double ops in both engines, so thresholds agree bit-for-bit.
+    // The binding stratum is detected by the same identity test as the
+    // engine (cnt/w = cap), NOT by its recomputed fraction reaching 1.0
+    // (the (cnt/w)*w/cnt round-trip can land at 0.999…)
     "sample_mixture" ->
       ("WITH w(lang, w) AS (VALUES ('en', CAST(0.4 AS DOUBLE)), " +
         "  ('zh', CAST(0.3 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE))), " +
         "n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY lang), " +
         "c AS (SELECT min(cnt / w) AS cap FROM n JOIN w USING (lang)), " +
-        "f AS (SELECT lang, CAST(floor(least(cap * w / cnt, 1.0) * 65536.0) AS INT) AS cells " +
+        "f AS (SELECT lang, cnt / w = cap AS binding, " +
+        "  CAST(floor(least(cap * w / cnt, 1.0) * 65536.0) AS INT) AS cells " +
         "  FROM n JOIN w USING (lang) CROSS JOIN c) " +
         "SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang) " +
         "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < " +
-        "CASE WHEN cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),
+        "CASE WHEN binding OR cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),
 
     // the oracle's global window IS the naive single-partition plan the
     // engine's distributed prefix count replaces — equal output proves it

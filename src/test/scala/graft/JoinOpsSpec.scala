@@ -103,6 +103,10 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = graft.ops.Snapshots.sessionize(df, Seq("user"), "ts", 1000L, Seq("ts", "eid"))
       .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
+    // empty keys = single-partition global window over the data — reject
+    intercept[IllegalArgumentException] {
+      graft.ops.Snapshots.sessionize(df, Seq.empty, "ts", 1000L, Seq("ts", "eid"))
+    }
   }
 
   test("pointInInterval is bucket-size invariant (no duplicate pairs from multi-cell overlap)") {

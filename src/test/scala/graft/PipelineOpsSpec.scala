@@ -159,6 +159,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixture binding stratum keeps rows hashing to 0xffff despite the FP round-trip") {
+    val s = spark; import s.implicits._
+    // find an id whose md5 starts 'ffff' — the row a 65535-cell
+    // threshold (the floor((cnt/w)*w/cnt * 65536) = 65535 bug) drops
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ffffId = (1L to 300000L).find { i =>
+      val d = md.digest(i.toString.getBytes("UTF-8"))
+      (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xff
+    }.get
+    // count=3, weight=0.7 makes (cnt/w)*w/cnt = 0.999… (verified FP
+    // case); the binding stratum must still be kept WHOLE
+    val df = (Seq(ffffId, 900001L, 900002L).map(i => (i, "bind")) ++
+      (1L to 100L).map(i => (i + 950000L, "tail"))).toDF("id", "src")
+    val out = Sampling.mixture(df, "id", "src", Map("bind" -> 0.7, "tail" -> 0.3))
+    val kept = out.filter(col("src") === "bind").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(ffffId, 900001L, 900002L),
+      "binding stratum must be kept whole, including hash 0xffff rows")
+  }
+
+  test("mixture fails fast when a stratum's fraction is below the hash-grid resolution") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 70000L).map(i => (i, "dominant")) :+ (70001L, "rare"))
+      .toDF("id", "src")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixture(df, "id", "src", Map("dominant" -> 0.0001, "rare" -> 0.9999))
+    }
+    assert(e.getMessage.contains("hash-grid resolution"))
+  }
+
   test("shuffleRank is a permutation 1..N equal to the global-window rank, repartition-stable") {
     val s = spark; import s.implicits._
     val df = (1L to 3000L).toDF("id")
@@ -214,6 +243,14 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shifted = graft.ops.Profiling.histogram(df, "x", 25000.0, origin = 25000.0)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(shifted === Map(-2L -> 1L, -1L -> 2L, 0L -> 1L, 1L -> 1L))
+    // NaN would floor-cast into bucket 0 — must be excluded like NULL
+    val withNan = Seq[java.lang.Double](1.0, Double.NaN).toDF("x")
+    val nanOut = graft.ops.Profiling.histogram(withNan, "x", 25000.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nanOut === Map(0L -> 1L), "NaN must not be binned")
+    intercept[IllegalArgumentException] {
+      graft.ops.Profiling.histogram(withNan, "x", Double.PositiveInfinity)
+    }
   }
 
   test("reservoirPerKey keeps exactly k per group, deterministically") {
