@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-contract validation: declarative constraints evaluated into a
+  * violations report — the pre-training audit step ("is this snapshot
+  * safe to train on?") run before a 100 TB corpus is consumed.
+  *
+  * Each constraint compiles to an aggregate over one scan of its table;
+  * constraints on the same DataFrame share that scan via a single
+  * union-of-aggregates plan only when the caller batches them with
+  * [[report]]. Violation counts (not boolean pass/fail) so a report is
+  * actionable: "3 orphan rows" versus "FK failed".
+  */
+object Validation {
+
+  sealed trait Constraint { def name: String }
+
+  /** `cols` combination occurs at most once. */
+  final case class Unique(name: String, df: DataFrame, cols: Seq[String])
+    extends Constraint
+
+  /** `col` is never NULL. */
+  final case class NotNull(name: String, df: DataFrame, col: String)
+    extends Constraint
+
+  /** Every non-null child key exists in the parent (FK). */
+  final case class Referential(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String) extends Constraint
+
+  /** `predicate` holds on every row (violations = rows where it is
+    * false or null). */
+  final case class Check(name: String, df: DataFrame, predicate: Column)
+    extends Constraint
+
+  private def violations(c: Constraint): DataFrame = c match {
+    case Unique(n, df, cols) =>
+      // duplicates = total - distinct: two aggregates, one scan, no join.
+      // Rows with a NULL key column don't conflict (SQL UNIQUE
+      // semantics — also what count(DISTINCT col) skips in most engines)
+      df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .agg((count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
+          .as("violations"))
+        .select(lit(n).as("check_name"), col("violations"))
+    case NotNull(n, df, c0) =>
+      df.agg(sum(col(c0).isNull.cast("long")).as("violations"))
+        .select(lit(n).as("check_name"), coalesce(col("violations"), lit(0L)).as("violations"))
+    case Referential(n, child, ck, parent, pk) =>
+      // left anti join: orphan child keys; the parent side is the usual
+      // broadcast candidate (dimension), Catalyst picks it by size
+      child.filter(col(ck).isNotNull)
+        .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(n).as("check_name"), col("violations"))
+    case Check(n, df, p) =>
+      df.agg(sum(when(p, 0L).otherwise(1L)).as("violations"))
+        .select(lit(n).as("check_name"), coalesce(col("violations"), lit(0L)).as("violations"))
+  }
+
+  /** Evaluate all constraints into one report DataFrame
+    * (check_name, violations) — a UNION of per-constraint aggregates;
+    * each leg is a one-row aggregate, so the union is driver-cheap at
+    * any data size. */
+  def report(constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "report needs at least one constraint")
+    val dup = constraints.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate constraint names: ${dup.mkString(", ")}")
+    constraints.map(violations).reduce(_ unionByName _)
+  }
+}

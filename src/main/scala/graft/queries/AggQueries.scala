@@ -136,6 +136,25 @@ object AggQueries extends QueryGroup {
         "o_totalprice", 25000.0)
     }),
 
+    // Data-contract validation: PK uniqueness, NOT NULL, referential
+    // integrity, range checks — one violations row per constraint (the
+    // documents_source_unique leg is deliberately violated so the
+    // report's non-zero path is exercised)
+    "validate_constraints" -> ((s, dir) => {
+      import graft.ops.Validation._
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val customer = Tables.load(s, dir, "customer")
+      val docs = Tables.load(s, dir, "documents")
+      report(Seq(
+        Unique("orders_pk_unique", orders, Seq("o_orderkey")),
+        NotNull("orders_custkey_not_null", orders, "o_custkey"),
+        Referential("lineitem_orders_fk", lineitem, "l_orderkey", orders, "o_orderkey"),
+        Referential("orders_customer_fk", orders, "o_custkey", customer, "c_custkey"),
+        Check("lineitem_qty_range", lineitem, col("l_quantity").between(1, 50)),
+        Unique("documents_source_unique", docs, Seq("source"))))
+    }),
+
     // Sketch aggregation — the 100 TB path for distinct counts/quantiles
     // (HLL++ and t-digest-style partials merge associatively; exact twins
     // above stay oracle-gated). No DuckDB oracle: sketch algorithms
@@ -149,6 +168,21 @@ object AggQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "validate_constraints" ->
+      ("SELECT 'orders_pk_unique' AS check_name, " +
+        "  count(*) - count(DISTINCT o_orderkey) AS violations FROM orders " +
+        "UNION ALL SELECT 'orders_custkey_not_null', " +
+        "  CAST(COALESCE(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'lineitem_orders_fk', count(*) FROM lineitem l " +
+        "  WHERE l_orderkey IS NOT NULL AND NOT EXISTS " +
+        "    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+        "UNION ALL SELECT 'orders_customer_fk', count(*) FROM orders " +
+        "  WHERE o_custkey IS NOT NULL AND NOT EXISTS " +
+        "    (SELECT 1 FROM customer c WHERE c.c_custkey = o_custkey) " +
+        "UNION ALL SELECT 'lineitem_qty_range', " +
+        "  CAST(COALESCE(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END), 0) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'documents_source_unique', " +
+        "  count(*) - count(DISTINCT source) FROM documents"),
     "profile_table_stats" -> Seq("o_orderkey", "o_custkey", "o_totalprice")
       .map(c => s"SELECT '$c' AS col_name, count($c) AS non_null, " +
         s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +

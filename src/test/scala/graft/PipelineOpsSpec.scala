@@ -253,6 +253,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("validation report counts planted violations per constraint") {
+    val s = spark; import s.implicits._
+    import graft.ops.Validation._
+    val child = Seq[(java.lang.Long, Long)]((1L, 10L), (1L, 11L), (2L, 12L),
+      (9L, 13L), (null, 14L)).toDF("fk", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = report(Seq(
+      Unique("fk_unique", child, Seq("fk")),          // dup fk=1 → 1 (nulls: count_distinct skips, count(*) includes → (5-4)=1? see below
+      NotNull("fk_not_null", child, "fk"),            // 1 null
+      Referential("child_parent_fk", child, "fk", parent, "pk"), // fk=9 orphan ×1
+      Check("v_range", child, col("v") <= 12L)        // 13,14 violate → 2
+    )).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("fk_not_null") === 1L)
+    assert(got("child_parent_fk") === 1L)
+    assert(got("v_range") === 2L)
+    // SQL UNIQUE semantics: the null-fk row doesn't conflict;
+    // non-null rows {1,1,2,9} hold one duplicate
+    assert(got("fk_unique") === 1L)
+    intercept[IllegalArgumentException] { report(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      report(Seq(NotNull("x", child, "fk"), NotNull("x", child, "v")))
+    }
+  }
+
   test("reservoirPerKey keeps exactly k per group, deterministically") {
     val s = spark; import s.implicits._
     val df = (1L to 500L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
