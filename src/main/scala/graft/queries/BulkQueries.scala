@@ -90,6 +90,17 @@ object BulkQueries extends QueryGroup {
         StructField("n_regionkey", IntegerType))))
     }),
 
+    // Training-shard export → read-back: fixed shard count, hash-stable
+    // membership, per-shard sort (balance/sortedness/determinism pinned
+    // by PipelineOpsSpec; this gate proves round-trip completeness)
+    "bulk_export_shards" -> ((s, dir) => {
+      val out = s"/root/repo/target/graft-warehouse/shards_${dir.replaceAll(".*/", "")}/documents"
+      BulkJobs.exportShards(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", 8, Seq("source", "doc_id"), out)
+      BulkJobs.importTable(s, out).select("doc_id", "n_chars")
+    }),
+
     // CopyTable with a Scan filter (CopyTable.java)
     "bulk_copy_table" -> ((s, dir) => {
       val out = s"/root/repo/target/graft-warehouse/copy_${dir.replaceAll(".*/", "")}/supplier"
@@ -145,6 +156,8 @@ object BulkQueries extends QueryGroup {
         "UNION ALL SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src FROM supplier"),
     "bulk_export_import" ->
       "SELECT * FROM region",
+    "bulk_export_shards" ->
+      "SELECT doc_id, n_chars FROM documents",
     "bulk_copy_table" ->
       "SELECT * FROM supplier WHERE s_nationkey < 10",
     "bulk_export_orc" ->

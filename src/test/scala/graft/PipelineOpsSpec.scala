@@ -277,6 +277,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exportShards: exact file count, per-shard sort, layout-independent membership") {
+    val s = spark; import s.implicits._
+    val df = (1L to 2000L).map(i => (i, s"g${i % 7}", i * 3 % 101)).toDF("id", "grp", "v")
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    def shardIndex(name: String): Int = name.split("-")(1).toInt
+    def readBack(path: String): Map[Int, Seq[(String, Long)]] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      files.map { f =>
+        shardIndex(f.getName) ->
+          s.read.parquet(f.getAbsolutePath)
+            .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+      }.toMap
+    }
+    graft.ops.BulkJobs.exportShards(df, "id", 8, Seq("grp", "id"), s"$base/a")
+    val a = readBack(s"$base/a")
+    assert(a.size === 8, s"expected 8 shard files, got ${a.keys.toSeq.sorted}")
+    a.values.foreach { rows =>
+      assert(rows === rows.sortBy(identity), "shard content must be sorted by (grp, id)")
+    }
+    assert(a.values.map(_.size).sum === 2000, "round-trip must be complete")
+    // membership must not depend on the input partitioning
+    graft.ops.BulkJobs.exportShards(df.repartition(13), "id", 8, Seq("grp", "id"), s"$base/b")
+    val b = readBack(s"$base/b")
+    assert(a.view.mapValues(_.toSet).toMap === b.view.mapValues(_.toSet).toMap,
+      "shard membership must be a pure function of the id")
+  }
+
   test("reservoirPerKey keeps exactly k per group, deterministically") {
     val s = spark; import s.implicits._
     val df = (1L to 500L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
