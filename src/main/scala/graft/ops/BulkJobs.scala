@@ -55,9 +55,18 @@ object BulkJobs {
     * leaving others empty (observed: 8 shards → 4 files). This is the
     * one genuinely imperative-partitioning op in the engine, so the RDD
     * hop is deliberate; the per-shard sort and the parquet encode still
-    * run columnar. One shuffle total, no global sort. */
+    * run columnar. One shuffle total, no global sort.
+    *
+    * Spark writes NO file for an empty partition, so an empty shard
+    * would silently break the fixed-file-count contract (63 files where
+    * the loader maps file i → shard i). `requireComplete` (default on)
+    * verifies every shard is populated and fails fast otherwise — one
+    * extra aggregate scan; disable it only when rows >> numShards makes
+    * an empty shard statistically impossible and the input is too large
+    * to read twice. */
   def exportShards(df: DataFrame, idCol: String, numShards: Int,
-      sortCols: Seq[String], path: String): Unit = {
+      sortCols: Seq[String], path: String,
+      requireComplete: Boolean = true): Unit = {
     require(numShards >= 1 && numShards <= 100000,
       s"numShards out of range: $numShards")
     require(sortCols.nonEmpty, "exportShards needs at least one sort column")
@@ -66,6 +75,14 @@ object BulkJobs {
     val spark = df.sparkSession
     val withShard = df.withColumn("__shard",
       pmod(xxhash64(col(idCol)), lit(numShards.toLong)).cast("int"))
+    if (requireComplete) {
+      val populated = withShard.select(count_distinct(col("__shard")))
+        .head.getLong(0)
+      require(populated == numShards.toLong,
+        s"only $populated of $numShards shards would receive rows — an empty " +
+          "shard writes no file and breaks the fixed-file-count contract; " +
+          "lower numShards (or pass requireComplete = false after sizing)")
+    }
     val schema = withShard.schema
     val shardIdx = schema.fieldIndex("__shard")
     val routed = withShard.rdd

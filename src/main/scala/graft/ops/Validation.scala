@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * violations report — the pre-training audit step ("is this snapshot
   * safe to train on?") run before a 100 TB corpus is consumed.
   *
-  * Each constraint compiles to an aggregate over one scan of its table;
-  * constraints on the same DataFrame share that scan via a single
-  * union-of-aggregates plan only when the caller batches them with
-  * [[report]]. Violation counts (not boolean pass/fail) so a report is
+  * Unique/NotNull/Check constraints handed the SAME DataFrame instance
+  * fold into one aggregate over one scan of that table ([[report]]
+  * groups them by reference); Referential constraints each cost one
+  * anti-join. Violation counts (not boolean pass/fail) so a report is
   * actionable: "3 orphan rows" versus "FK failed".
   */
 object Validation {
@@ -34,38 +34,77 @@ object Validation {
   final case class Check(name: String, df: DataFrame, predicate: Column)
     extends Constraint
 
-  private def violations(c: Constraint): DataFrame = c match {
-    case Unique(n, df, cols) =>
-      // duplicates = total - distinct: two aggregates, one scan, no join.
-      // Rows with a NULL key column don't conflict (SQL UNIQUE
-      // semantics — also what count(DISTINCT col) skips in most engines)
-      df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-        .agg((count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
-          .as("violations"))
-        .select(lit(n).as("check_name"), col("violations"))
-    case NotNull(n, df, c0) =>
-      df.agg(sum(col(c0).isNull.cast("long")).as("violations"))
-        .select(lit(n).as("check_name"), coalesce(col("violations"), lit(0L)).as("violations"))
-    case Referential(n, child, ck, parent, pk) =>
+  /** Aggregate expression counting a constraint's violations — the
+    * foldable form: every aggregate-expressible constraint on the same
+    * table becomes one column of ONE agg over ONE scan. */
+  private def violationExpr(c: Constraint): Column = c match {
+    case Unique(_, _, cols) =>
+      // duplicates among NON-NULL keys = count - distinct (SQL UNIQUE
+      // semantics: null keys never conflict — also what
+      // count(DISTINCT col) skips in most engines); the when(...)
+      // without otherwise yields NULL for null-key rows, which both
+      // count and count_distinct skip
+      val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+      count(when(nonNull, lit(1))) -
+        count_distinct(when(nonNull, struct(cols.map(col): _*)))
+    case NotNull(_, _, c0) =>
+      coalesce(sum(col(c0).isNull.cast("long")), lit(0L))
+    case Check(_, _, p) =>
+      coalesce(sum(when(p, 0L).otherwise(1L)), lit(0L))
+    case _: Referential =>
+      throw new IllegalStateException("Referential is not aggregate-foldable")
+  }
+
+  private def sourceOf(c: Constraint): DataFrame = c match {
+    case Unique(_, df, _) => df
+    case NotNull(_, df, _) => df
+    case Check(_, df, _) => df
+    case Referential(_, child, _, _, _) => child
+  }
+
+  /** Evaluate all constraints into one report DataFrame
+    * (check_name, violations). Aggregate-expressible constraints
+    * (Unique / NotNull / Check) on the SAME DataFrame instance fold
+    * into a single agg — one scan per distinct table, however many
+    * constraints it carries; Referential legs each need their anti-join
+    * and stay separate. Every leg aggregates to one row, so the final
+    * union is driver-cheap at any data size. Row order is unspecified —
+    * read the report by check_name. */
+  def report(constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "report needs at least one constraint")
+    val dup = constraints.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate constraint names: ${dup.mkString(", ")}")
+    val (aggable, refs) = constraints.partition {
+      case _: Referential => false
+      case _ => true
+    }
+    // group by DataFrame REFERENCE (eq): only constraints handed the
+    // same instance provably read the same table snapshot
+    val groups = aggable.foldLeft(Vector.empty[(DataFrame, Vector[Constraint])]) {
+      case (acc, c) =>
+        val df = sourceOf(c)
+        acc.indexWhere(_._1 eq df) match {
+          case -1 => acc :+ (df -> Vector(c))
+          case i  => acc.updated(i, acc(i)._1 -> (acc(i)._2 :+ c))
+        }
+    }
+    val aggLegs = groups.map { case (df, cs) =>
+      val exprs = cs.zipWithIndex.map { case (c, i) => violationExpr(c).as(s"__v$i") }
+      df.agg(exprs.head, exprs.tail: _*)
+        .select(explode(array(cs.zipWithIndex.map { case (c, i) =>
+          struct(lit(c.name).as("check_name"), col(s"__v$i").as("violations"))
+        }: _*)).as("__r"))
+        .select(col("__r.*"))
+    }
+    val refLegs = refs.map { case Referential(n, child, ck, parent, pk) =>
       // left anti join: orphan child keys; the parent side is the usual
       // broadcast candidate (dimension), Catalyst picks it by size
       child.filter(col(ck).isNotNull)
         .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(lit(n).as("check_name"), col("violations"))
-    case Check(n, df, p) =>
-      df.agg(sum(when(p, 0L).otherwise(1L)).as("violations"))
-        .select(lit(n).as("check_name"), coalesce(col("violations"), lit(0L)).as("violations"))
-  }
-
-  /** Evaluate all constraints into one report DataFrame
-    * (check_name, violations) — a UNION of per-constraint aggregates;
-    * each leg is a one-row aggregate, so the union is driver-cheap at
-    * any data size. */
-  def report(constraints: Seq[Constraint]): DataFrame = {
-    require(constraints.nonEmpty, "report needs at least one constraint")
-    val dup = constraints.groupBy(_.name).filter(_._2.size > 1).keys
-    require(dup.isEmpty, s"duplicate constraint names: ${dup.mkString(", ")}")
-    constraints.map(violations).reduce(_ unionByName _)
+      case c => throw new IllegalStateException(s"unexpected constraint: $c")
+    }
+    (aggLegs ++ refLegs).reduce(_ unionByName _)
   }
 }

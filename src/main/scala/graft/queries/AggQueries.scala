@@ -170,7 +170,9 @@ object AggQueries extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "validate_constraints" ->
       ("SELECT 'orders_pk_unique' AS check_name, " +
-        "  count(*) - count(DISTINCT o_orderkey) AS violations FROM orders " +
+        // count(col) (not count(*)) so NULL keys are excluded on both
+        // sides — the engine's Unique uses SQL UNIQUE null semantics
+        "  count(o_orderkey) - count(DISTINCT o_orderkey) AS violations FROM orders " +
         "UNION ALL SELECT 'orders_custkey_not_null', " +
         "  CAST(COALESCE(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders " +
         "UNION ALL SELECT 'lineitem_orders_fk', count(*) FROM lineitem l " +
@@ -182,7 +184,7 @@ object AggQueries extends QueryGroup {
         "UNION ALL SELECT 'lineitem_qty_range', " +
         "  CAST(COALESCE(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END), 0) AS BIGINT) FROM lineitem " +
         "UNION ALL SELECT 'documents_source_unique', " +
-        "  count(*) - count(DISTINCT source) FROM documents"),
+        "  count(source) - count(DISTINCT source) FROM documents"),
     "profile_table_stats" -> Seq("o_orderkey", "o_custkey", "o_totalprice")
       .map(c => s"SELECT '$c' AS col_name, count($c) AS non_null, " +
         s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +

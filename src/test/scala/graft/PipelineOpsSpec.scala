@@ -275,6 +275,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       report(Seq(NotNull("x", child, "fk"), NotNull("x", child, "v")))
     }
+    // same-instance aggregate constraints must share ONE scan of the table
+    val folded = report(Seq(
+      NotNull("a", child, "fk"), Check("b", child, col("v") <= 12L),
+      Unique("c", child, Seq("fk"))))
+    // logical plan (AQE wraps the physical tree until execution): the
+    // source relation must appear exactly once for the three constraints
+    val localScans = folded.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(localScans.size === 1,
+      s"3 same-table constraints must fold into one scan, got ${localScans.size}")
+    val foldedVals = folded.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(foldedVals === Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
   }
 
   test("exportShards: exact file count, per-shard sort, layout-independent membership") {
@@ -303,6 +316,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = readBack(s"$base/b")
     assert(a.view.mapValues(_.toSet).toMap === b.view.mapValues(_.toSet).toMap,
       "shard membership must be a pure function of the id")
+    // an empty shard would write no file — must fail fast, not gap the layout
+    val tiny = Seq(1L, 2L).toDF("id").withColumn("grp", lit("g")).withColumn("v", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.BulkJobs.exportShards(tiny, "id", 64, Seq("grp", "id"), s"$base/c")
+    }
+    assert(e.getMessage.contains("shards"))
   }
 
   test("reservoirPerKey keeps exactly k per group, deterministically") {
