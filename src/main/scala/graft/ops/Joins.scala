@@ -126,4 +126,28 @@ object Joins {
     val d = dim.withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     b.join(d, keyCols :+ "__salt").drop("__salt")
   }
+
+  /** Skew-aware inner equijoin — the production refinement of
+    * [[saltedJoin]]: only the caller-identified hot keys pay the salt
+    * spread (their dim rows replicated `salts`×), every other key joins
+    * plain, so the dim inflation is `salts × |hotKeys|` rows instead of
+    * `salts × |dim|`. Identify `hotKeys` with
+    * [[graft.ops.Profiling.heavyHitters]] (its `share` column is the
+    * skew measure). Like saltedJoin, the RESULT is provably identical
+    * to the plain join — the two paths partition the key space — which
+    * keeps the op oracle-checkable. An empty `hotKeys` degrades to the
+    * plain join. */
+  def skewAwareJoin(big: DataFrame, dim: DataFrame, key: String, salts: Int,
+      hotKeys: Seq[Any]): DataFrame = {
+    if (hotKeys.isEmpty) big.join(dim, Seq(key))
+    else {
+      // inner-join semantics drop NULL keys on both paths: isin yields
+      // NULL for a NULL key, and both filter(NULL) and join-on-NULL
+      // discard the row
+      val hot = col(key).isin(hotKeys: _*)
+      val plain = big.filter(!hot).join(dim.filter(!hot), Seq(key))
+      saltedJoin(big.filter(hot), dim.filter(hot), Seq(key), salts)
+        .unionByName(plain)
+    }
+  }
 }

@@ -50,6 +50,22 @@ object Profiling {
       .select(col("__p.*"))
   }
 
+  /** Exact heavy hitters of a key column: the k most frequent values
+    * with counts and corpus share — the skew diagnosis that decides
+    * whether a join needs [[graft.ops.Joins.skewAwareJoin]]. One
+    * groupBy + a TakeOrdered top-k (no global sort); ties broken by
+    * value for a deterministic report. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val total = df.count()
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("share", round(col("n_rows") / lit(total.toDouble), 6))
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Fixed-width value histogram: bucket = floor((x - origin) / width),
     * one output row per OBSERVED bucket with its lower bound and row
     * count. Plain floor arithmetic (not `width_bucket`) so the binning is

@@ -129,6 +129,12 @@ object AggQueries extends QueryGroup {
         Seq("o_orderkey", "o_custkey", "o_totalprice"))
     }),
 
+    // Exact heavy hitters of the event stream's user key — the skew
+    // diagnosis feeding Joins.skewAwareJoin
+    "profile_heavy_hitters" -> ((s, dir) => {
+      graft.ops.Profiling.heavyHitters(Tables.load(s, dir, "events"), "user_id", 10)
+    }),
+
     // Fixed-width value histogram: floor arithmetic (engine-portable
     // binning), one groupBy — scan + two-phase aggregate at any scale
     "profile_histogram" -> ((s, dir) => {
@@ -190,6 +196,12 @@ object AggQueries extends QueryGroup {
         s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +
         s"CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM orders")
       .mkString(" UNION ALL "),
+    "profile_heavy_hitters" ->
+      ("SELECT user_id, n_rows, share FROM (" +
+        "  SELECT user_id, count(*) AS n_rows, " +
+        "    round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM events), 6) AS share, " +
+        "    row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn " +
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY user_id) WHERE rn <= 10"),
     "profile_histogram" ->
       ("SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket, " +
         "0.0 + CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo, " +

@@ -77,10 +77,31 @@ object JoinQueries extends QueryGroup {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    // skew-aware variant: only detected hot keys pay the salt spread
+    // (heavyHitters → hot set → two-path join); oracle is again the
+    // plain SQL join — the hot/cold paths partition the key space
+    "join_skew_aware" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val hot = graft.ops.Profiling.heavyHitters(li, "l_orderkey", 3)
+        .collect().map(_.getLong(0)).toSeq
+      Joins.skewAwareJoin(li, ord, "l_orderkey", salts = 8, hotKeys = hot)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "join_skew_aware" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
     "join_salted" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +

@@ -82,6 +82,33 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("skewAwareJoin equals the plain join; empty hot set degrades to plain") {
+    val s = spark; import s.implicits._
+    val big = (1L to 1000L).map(i => (if (i <= 900) 1L else i, i)).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (950L, "tail"), (999L, "t2")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).collect().map(_.toString).sorted
+    val aware = graft.ops.Joins.skewAwareJoin(big, dim, "k", 8, Seq(1L))
+      .collect().map(_.toString).sorted
+    assert(aware === plain)
+    // hot set containing a key absent from dim, and the empty hot set
+    val aware2 = graft.ops.Joins.skewAwareJoin(big, dim, "k", 8, Seq(1L, 777L))
+      .collect().map(_.toString).sorted
+    assert(aware2 === plain)
+    val none = graft.ops.Joins.skewAwareJoin(big, dim, "k", 8, Seq.empty)
+      .collect().map(_.toString).sorted
+    assert(none === plain)
+  }
+
+  test("heavyHitters ranks by count with deterministic tie-break and corpus share") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d") :+ null).map(Tuple1(_)).toDF("k")
+    val got = graft.ops.Profiling.heavyHitters(df, "k", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // total includes the null row (14); b before c on the tie
+    assert(got === Array(("a", 6L, 0.428571), ("b", 3L, 0.214286), ("c", 3L, 0.214286)))
+  }
+
   test("snapshotDiff classifies added/removed/changed, omits unchanged, null-safe compare") {
     val s = spark; import s.implicits._
     val o = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 20L), (3L, null), (4L, 40L))
