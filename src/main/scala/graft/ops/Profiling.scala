@@ -31,6 +31,12 @@ object Profiling {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
+    // a string column would silently cast to NULL min/max — route text
+    // columns to profileStrings instead of reporting garbage
+    val nonNumeric = cols.filterNot(c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    require(nonNumeric.isEmpty,
+      s"profile handles numeric columns; use profileStrings for: ${nonNumeric.mkString(", ")}")
     val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__n_$c"),
@@ -47,6 +53,39 @@ object Profiling {
         col(s"__d_$c").as("n_distinct"),
         col(s"__mn_$c").as("min_v"),
         col(s"__mx_$c").as("max_v"))): _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** [[profile]]'s text-column sibling: one row per string column with
+    * non-null/null/distinct counts and length statistics (min/max/avg
+    * — the "is this column boilerplate or content" signal). Same
+    * single-scan folding; avg_len is rounded to 6 places for
+    * cross-engine comparability. */
+  def profileStrings(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profileStrings needs at least one column")
+    val notString = cols.filterNot(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    require(notString.isEmpty,
+      s"profileStrings handles string columns only: ${notString.mkString(", ")}")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__d_$c"),
+        min(length(col(c))).as(s"__mn_$c"),
+        max(length(col(c))).as(s"__mx_$c"),
+        round(avg(length(col(c))), 6).as(s"__av_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("non_null"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__mn_$c").cast("long").as("min_len"),
+        col(s"__mx_$c").cast("long").as("max_len"),
+        col(s"__av_$c").as("avg_len"))): _*)).as("__p"))
       .select(col("__p.*"))
   }
 

@@ -129,6 +129,12 @@ object AggQueries extends QueryGroup {
         Seq("o_orderkey", "o_custkey", "o_totalprice"))
     }),
 
+    // String-column profile: null/distinct/length stats per text column
+    "profile_string_stats" -> ((s, dir) => {
+      graft.ops.Profiling.profileStrings(Tables.load(s, dir, "documents"),
+        Seq("lang", "source", "text"))
+    }),
+
     // Exact heavy hitters of the event stream's user key — the skew
     // diagnosis feeding Joins.skewAwareJoin
     "profile_heavy_hitters" -> ((s, dir) => {
@@ -195,6 +201,12 @@ object AggQueries extends QueryGroup {
       .map(c => s"SELECT '$c' AS col_name, count($c) AS non_null, " +
         s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +
         s"CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM orders")
+      .mkString(" UNION ALL "),
+    "profile_string_stats" -> Seq("lang", "source", "text")
+      .map(c => s"SELECT '$c' AS col_name, count($c) AS non_null, " +
+        s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +
+        s"min(length($c)) AS min_len, max(length($c)) AS max_len, " +
+        s"round(avg(length($c)), 6) AS avg_len FROM documents")
       .mkString(" UNION ALL "),
     "profile_heavy_hitters" ->
       ("SELECT user_id, n_rows, share FROM (" +

@@ -231,6 +231,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(apx.columns.toSeq === Seq("col_name", "non_null", "n_null", "n_distinct", "min_v", "max_v"))
     val apxD = apx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(apxD("k") === 4L && apxD("v") === 3L, "HLL exact at tiny cardinality")
+    // string columns would cast to NULL min/max — must be rejected
+    val withStr = df.withColumn("s", lit("x"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Profiling.profile(withStr, Seq("k", "s"))
+    }
+    val sp = graft.ops.Profiling.profileStrings(
+        Seq(("ab", "xyz"), ("a", null), ("abcd", "xy")).toDF("s", "t"), Seq("s", "t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(sp("s") === ((3L, 0L, 3L, 1L, 4L, 2.333333)))
+    assert(sp("t") === ((2L, 1L, 2L, 2L, 3L, 2.5)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Profiling.profileStrings(df, Seq("k"))
+    }
   }
 
   test("histogram: floor binning with boundary values, origin shift, nulls excluded") {
