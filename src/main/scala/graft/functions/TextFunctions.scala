@@ -80,6 +80,30 @@ object TextFunctions {
   private def bind(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
+  /** Fixed-size overlapping token windows — context-window chunking for
+    * embedding / RAG-style preparation: an array of
+    * (chunk_idx, chunk_text) structs, windows starting every
+    * `chunkSize - overlap` tokens, the last window possibly shorter, a
+    * doc shorter than one window yielding a single chunk. `bind` pins
+    * the token array (the HOF re-eval trap), so cost is
+    * O(tokens × windows per doc) with no re-split; integer window
+    * count via floor((n - overlap + stride - 1) / stride), exact for
+    * any token count a document can hold. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap")
+    val stride = chunkSize - overlap
+    bind(tokens(text)) { toks =>
+      val n = org.apache.spark.sql.functions.size(toks)
+      val k = greatest(
+        floor((n - lit(overlap) + lit(stride - 1)) / lit(stride)).cast("int"), lit(1))
+      transform(sequence(lit(0), k - 1), i =>
+        struct(i.cast("long").as("chunk_idx"),
+          concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))).as("chunk_text")))
+    }
+  }
+
   /** Space-joined token n-grams (empty array when the doc is shorter
     * than n tokens). `bind` pins the token array so the transform is
     * O(tokens), not O(tokens²). */

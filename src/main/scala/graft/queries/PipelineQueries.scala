@@ -405,6 +405,15 @@ object PipelineQueries extends QueryGroup {
       Dedup.canonicalByQuality(docs, "doc_id", "fp", "quality")
     }),
 
+    // context-window chunking: 64-token windows, 8-token overlap —
+    // the embedding/RAG preparation step (one row per window)
+    "text_chunk" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunkTokens(col("text"), 64, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
+    }),
+
     // snapshot diff for corpus versioning: removed = doc_id%7==0,
     // changed = n_chars bumped when doc_id%5==0, added = %11 clones
     // shifted past the id space — output is O(changes), never O(corpus)
@@ -664,6 +673,16 @@ object PipelineQueries extends QueryGroup {
         s"$qualitySql AS quality FROM documents) " +
         "SELECT doc_id, first_value(doc_id) OVER (" +
         "PARTITION BY fp ORDER BY quality DESC, doc_id) AS keep_id FROM q"),
+
+    // same floor((n - overlap + stride - 1) / stride) window count as
+    // the engine; list slicing is end-inclusive → [i*56+1, i*56+64]
+    "text_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "k AS (SELECT doc_id, toks, " +
+        "  greatest(CAST(floor((len(toks) - 8 + 55) / 56.0) AS INT), 1) AS n_chunks FROM t) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        "  array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text " +
+        "FROM k, unnest(generate_series(0, n_chunks - 1)) AS g(i)"),
 
     "pipeline_snapshot_diff" ->
       ("WITH newsnap AS (" +

@@ -440,6 +440,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._1 === Seq.empty && out(3L)._2 === 0.0)
   }
 
+  test("chunkTokens: window starts/overlap/short-doc/last-short-window semantics") {
+    val s = spark; import s.implicits._
+    import graft.functions.TextFunctions
+    def chunksOf(text: String, size: Int, overlap: Int): Seq[(Long, String)] =
+      Seq(text).toDF("t")
+        .select(explode(TextFunctions.chunkTokens(col("t"), size, overlap)).as("c"))
+        .select(col("c.chunk_idx"), col("c.chunk_text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 10 tokens, size 4, overlap 1 (stride 3): [a..d], [d..g], [g..j]
+    val toks = ('a' to 'j').map(_.toString)
+    assert(chunksOf(toks.mkString(" "), 4, 1) === Seq(
+      (0L, "a b c d"), (1L, "d e f g"), (2L, "g h i j")))
+    // short doc → one (short) chunk; exact-fit doc → one chunk
+    assert(chunksOf("x y", 4, 1) === Seq((0L, "x y")))
+    assert(chunksOf("a b c d", 4, 1) === Seq((0L, "a b c d")))
+    // 5 tokens: second window is the short tail
+    assert(chunksOf("a b c d e", 4, 1) === Seq((0L, "a b c d"), (1L, "d e")))
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkTokens(col("t"), 4, 4)
+    }
+  }
+
   test("pii redaction: emails and phones replaced, counts match") {
     val s = spark; import s.implicits._
     import graft.functions.TextFunctions
