@@ -46,7 +46,68 @@ object Aggregates {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Bounded top-k buffer: parallel arrays sorted best-first by
+    * (value desc, id asc), never longer than k. */
+  final case class TopKBuf(vals: Array[Double], ids: Array[Long])
+
+  /** Per-group top-k of (value, id) pairs with a buffer CAPPED at k
+    * entries — the skew-proof alternative to a `row_number()` window for
+    * "keep the best k rows per group": a window routes EVERY row of the
+    * hottest group through one task, while this aggregator's partial
+    * buffers cap each input partition's shuffle contribution at k rows
+    * per group, so a million-row group costs the same as a k-row one
+    * past the map side. Winners ordered by (value desc, id asc); NaN
+    * values must be filtered by the caller (they have no place in a
+    * total order — see [[graft.ops.Curation.capPerGroup]]). */
+  final class BoundedTopK(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+    require(k > 0, s"k must be positive: $k")
+    private def beats(v1: Double, i1: Long, v2: Double, i2: Long): Boolean =
+      v1 > v2 || (v1 == v2 && i1 < i2)
+    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+    override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
+      val n = b.vals.length
+      if (n == k && !beats(a._1, a._2, b.vals(n - 1), b.ids(n - 1))) b
+      else {
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (beats(b.vals(m), b.ids(m), a._1, a._2)) lo = m + 1 else hi = m
+        }
+        val out = math.min(n + 1, k)
+        val vs = new Array[Double](out); val is = new Array[Long](out)
+        System.arraycopy(b.vals, 0, vs, 0, lo)
+        System.arraycopy(b.ids, 0, is, 0, lo)
+        vs(lo) = a._1; is(lo) = a._2
+        val tail = out - lo - 1
+        if (tail > 0) {
+          System.arraycopy(b.vals, lo, vs, lo + 1, tail)
+          System.arraycopy(b.ids, lo, is, lo + 1, tail)
+        }
+        TopKBuf(vs, is)
+      }
+    }
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      val n = math.min(x.vals.length + y.vals.length, k)
+      val vs = new Array[Double](n); val is = new Array[Long](n)
+      var i = 0; var j = 0; var o = 0
+      while (o < n) {
+        val takeX = j >= y.vals.length ||
+          (i < x.vals.length && beats(x.vals(i), x.ids(i), y.vals(j), y.ids(j)))
+        if (takeX) { vs(o) = x.vals(i); is(o) = x.ids(i); i += 1 }
+        else { vs(o) = y.vals(j); is(o) = y.ids(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(vs, is)
+    }
+    override def finish(r: TopKBuf): TopKBuf = r
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
   /** Column-function forms (UDAF registration of the typed aggregators). */
   def exactAvg(c: Column): Column = udaf(ExactAvg).apply(c)
   def longRange(c: Column): Column = udaf(LongRange).apply(c)
+  def boundedTopK(k: Int, value: Column, id: Column): Column =
+    udaf(new BoundedTopK(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)).apply(value, id)
 }

@@ -93,4 +93,32 @@ object Curation {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Per-group row cap — "keep the best `cap` documents per source/domain",
+    * the domain-balancing step of corpus curation. Winners are the top
+    * `cap` by (`valueCol` desc, `idCol` asc) within each `groupCols` key.
+    *
+    * Engine: [[graft.functions.Aggregates.BoundedTopK]], NOT a
+    * `row_number()` window — the window formulation sends every row of the
+    * hottest domain to a single task (the classic 100 TB curation
+    * failure: one domain is 30% of the crawl), while the bounded
+    * aggregator's partial buffers cap each input partition's shuffle
+    * contribution at `cap` rows per group. The kept-id set
+    * (≤ groups × cap rows) then semi-joins back against the input; AQE
+    * plans that as a broadcast semi-join whenever the kept set is small,
+    * so the big side never shuffles. Rows whose value is NULL or NaN are
+    * never kept (no place in a total order). */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(!df.columns.contains("__keep_id"),
+      "column name __keep_id is reserved by capPerGroup — rename first")
+    val v = valueCol.cast("double")
+    val kept = df.filter(v.isNotNull && !isnan(v))
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.Aggregates
+        .boundedTopK(cap, v, col(idCol).cast("long")).as("__k"))
+      .select(explode(col("__k.ids")).as("__keep_id"))
+    df.join(kept, col(idCol).cast("long") === col("__keep_id"), "leftsemi")
+  }
 }

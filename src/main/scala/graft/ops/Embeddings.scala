@@ -70,4 +70,24 @@ object Embeddings {
       .withColumn("scale", round(col("__scale"), 6))
       .select(idCol, "scale", "q_csv")
   }
+
+  /** Per-label centroid vectors, exploded to (label, dim, n, centroid)
+    * rows with `dim` 1-based — the class-prototype computation behind
+    * centroid-seeded clustering, label drift monitoring, and IVF-style
+    * coarse quantizer warm starts. Exploded output instead of an
+    * assembled array keeps the oracle compare element-exact.
+    *
+    * Scale shape: posexplode runs in the scan's codegen span and the
+    * groupBy(label, dim) aggregation combines map-side, so the shuffle
+    * carries ≤ labels × dims × partitions partial rows — never the
+    * n_vectors × dims exploded set. Element sums are exact decimals over
+    * round(x, 6) (order-independent ⇒ deterministic), the final divide
+    * happens once in double. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("label"), (col("__pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__v").cast("double"), 6).cast("decimal(18,6)")).as("__s"))
+      .withColumn("centroid", round(col("__s").cast("double") / col("n"), 6))
+      .select("label", "dim", "n", "centroid")
 }

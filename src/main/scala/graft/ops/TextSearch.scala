@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted text index + BM25 ranked retrieval — the secondary-index
+  * model (SURVEY §2.6; reference materializes value→row postings per
+  * indexed column, `secondaryindex/.../IndexUtils.java`) extended to
+  * free text: a term→document postings table, hash-bucketed by term so
+  * a query's scan is pruned to its terms' buckets at planning time, and
+  * BM25 ranking (Robertson–Spärck Jones probabilistic relevance;
+  * k1 = 1.2, b = 0.75 — the Lucene/Elasticsearch defaults).
+  *
+  * Scoring contract (IDENTICAL for the inline and indexed paths, and
+  * mirrored verbatim by the DuckDB oracle):
+  * {{{
+  *   idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)      // always > 0
+  *   s(d, t)  = idf(t) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl/avgdl))
+  *   score(d) = Σ_t  round(s(d,t), 6)   as exact DECIMAL(18,6) sum
+  * }}}
+  * The per-term round + exact decimal sum makes the ranking (score desc,
+  * doc_id asc) deterministic under any partial-aggregation order; avgdl
+  * is sum(dl)/N with an exact integer sum, so it is bit-identical across
+  * engines too. Tokenization is `lower(split(text, " "))`, matching the
+  * corpus queries' split and DuckDB's `string_split`.
+  *
+  * Scale shape: postings build is one explode + groupBy (map-side
+  * partial counts); the indexed read path lists only `O(query terms)`
+  * bucket directories out of `nBuckets` (directory-level partition
+  * pruning — TextSearchSpec pins files-read < total), and within a
+  * bucket the postings are term-sorted for parquet min/max row-group
+  * pruning. df/N/avgdl come from the index metadata, not a corpus pass.
+  */
+object TextSearch {
+
+  private def toks(textCol: org.apache.spark.sql.Column) = split(textCol, " ")
+
+  /** Corpus → (doc_id, term, tf, dl): one postings row per distinct
+    * (document, term), with the document's total token length
+    * denormalized onto every row (BM25 needs dl at score time; carrying
+    * it beats a second join against a doc-length table at read time). */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val dl = base.select(col("doc_id"), size(col("__t")).as("dl"))
+    base.select(col("doc_id"), explode(col("__t")).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+  }
+
+  /** BM25 score + top-k over a postings set already narrowed to the
+    * query terms. `stats` is one broadcast row (n_docs, sum_dl). */
+  private def scoreTopK(post: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val s = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    post.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", round(s, 6).cast("decimal(18,6)"))
+      .groupBy("doc_id").agg(sum(col("__s")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** One-shot BM25 top-k with no prebuilt index: postings, document
+    * frequencies, and corpus stats all derive from a single corpus scan
+    * lineage, postings filtered to the query terms before the tf
+    * aggregation. The 100 TB form is [[buildIndex]] + [[searchIndex]];
+    * this is the small/ad-hoc form and the oracle anchor both paths
+    * hash-match against. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val terms = query.map(_.toLowerCase).distinct
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(size(col("__t"))).as("sum_dl"))
+    val dl = base.select(col("doc_id"), size(col("__t")).as("dl"))
+    val post = base.select(col("doc_id"), explode(col("__t")).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+    scoreTopK(post, stats, k)
+  }
+
+  /** Materialize the inverted index at `path`: `postings/` directory-
+    * partitioned by `bucket = pmod(hash(term), nBuckets)` (one term-sorted
+    * file per bucket), `meta/` one row (n_docs, sum_dl, n_buckets). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val post = postingsOf(docs, idCol, textCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    post.repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$path/postings")
+    docs.select(toks(col(textCol)).as("__t"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("__t"))).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** BM25 top-k against a [[buildIndex]] layout. The postings filter is
+    * `bucket IN (pmod(hash(lit(term)), n))` — foldable expressions on the
+    * partition column, so pruning happens at planning time and the scan
+    * lists only the query terms' buckets. Ranking is bit-identical to
+    * [[bm25TopK]] (same formula, df from the pruned postings — exact,
+    * since a term's postings live entirely in its bucket). */
+  def searchIndex(spark: SparkSession, path: String, query: Seq[String],
+      k: Int): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val terms = query.map(_.toLowerCase).distinct
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val stats = spark.range(1).select(
+      lit(meta.getAs[Long]("n_docs")).as("n_docs"),
+      lit(meta.getAs[Long]("sum_dl")).as("sum_dl"))
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(terms.map(t => col("bucket") === pmod(hash(lit(t)), lit(nBuckets)))
+        .reduce(_ || _))
+      .filter(col("term").isin(terms: _*))
+    scoreTopK(post, stats, k)
+  }
+}

@@ -366,6 +366,34 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "n_tok", "quality")
     }),
 
+    // domain balancing: best 15 docs per source by (n_chars desc, id) —
+    // bounded top-k aggregator, NOT a row_number window (partial buffers
+    // cap a hot domain at 15 rows per input partition)
+    "pipeline_source_cap" -> ((s, dir) => {
+      graft.ops.Curation.capPerGroup(Tables.load(s, dir, "documents"),
+          Seq("source"), col("n_chars"), "doc_id", 15)
+        .select("doc_id", "source", "n_chars")
+    }),
+
+    // BM25 ranked retrieval, no prebuilt index: one corpus lineage,
+    // postings narrowed to the query terms before aggregation
+    "search_bm25" -> ((s, dir) => {
+      graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
+        "doc_id", "text", Seq("scan", "merge", "la"), 10)
+    }),
+
+    // same query through the materialized inverted index: bucket-pruned
+    // postings scan + metadata stats, hash-matched against the SAME
+    // oracle as search_bm25 (the index path must be exact)
+    "search_bm25_index" -> ((s, dir) => {
+      val path = graft.GraftEngine.tablePath(dir, "text_idx")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/postings/_SUCCESS")))
+        graft.ops.TextSearch.buildIndex(
+          Tables.load(s, dir, "documents"), "doc_id", "text", path)
+      graft.ops.TextSearch.searchIndex(s, path, Seq("scan", "merge", "la"), 10)
+    }),
+
     // quality-weighted downsampling: keep probability ∝ quality score
     // (hash-decided, so the weighted sample is reproducible and auditable
     // like every other sampler here)
@@ -455,6 +483,13 @@ object PipelineQueries extends QueryGroup {
       Embeddings.quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
     }),
 
+    // per-label centroid vectors (class prototypes), exploded to
+    // (label, dim, n, centroid) — map-side-combined groupBy, the shuffle
+    // never carries the exploded n×dims set
+    "emb_label_centroid" -> ((s, dir) => {
+      Embeddings.labelCentroids(Tables.load(s, dir, "embeddings"), "label", "embedding")
+    }),
+
     // embedding-space class separation: mean intra-label pairwise cosine,
     // computed with the native codegen dot-product expression (graft_dot,
     // whole-stage codegen — no UDF boundary, no kernel deserialization).
@@ -513,6 +548,29 @@ object PipelineQueries extends QueryGroup {
       "(CASE WHEN (CAST(strlen(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) " +
       " BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6)"
 
+  /** BM25 over the engine's fixed test query, mirroring
+    * [[graft.ops.TextSearch]] arithmetic operation for operation.
+    * Every fractional literal is CAST(... AS DOUBLE): bare DuckDB
+    * decimals would run the formula in DECIMAL and diverge from Scala
+    * double arithmetic. Serves both search_bm25 and search_bm25_index
+    * (the index path must be exact, so one oracle gates both). */
+  private val bm25OracleSql =
+    ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
+      "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+      " dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+      " st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), " +
+      " post AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
+      "   WHERE term IN ('scan', 'merge', 'la') GROUP BY doc_id, term), " +
+      " dft AS (SELECT term, count(*) AS df FROM post GROUP BY term) " +
+      "SELECT doc_id, CAST(sum(CAST(round(" +
+      "    ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) " +
+      "    * (tf * CAST(2.2 AS DOUBLE)) " +
+      "    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
+      "         + CAST(0.75 AS DOUBLE) * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))" +
+      "  , 6) AS DECIMAL(18,6))) AS DOUBLE) AS score " +
+      "FROM post JOIN dl USING (doc_id) CROSS JOIN st JOIN dft USING (term) " +
+      "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10")
+
   val oracles: Map[String, String] = Map(
     "text_langid" ->
       s"SELECT doc_id, $langIdSql AS pred_lang FROM documents",
@@ -532,6 +590,17 @@ object PipelineQueries extends QueryGroup {
         "c AS (SELECT doc_id, n_tok, quality, " +
         "sum(n_tok) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT doc_id, n_tok, quality FROM c WHERE cum <= 20000"),
+    // engine keeps top-15 via a bounded aggregator; the window
+    // formulation is the oracle's job, not the 100 TB plan
+    "pipeline_source_cap" ->
+      ("SELECT doc_id, source, n_chars FROM (" +
+        "  SELECT doc_id, source, n_chars, row_number() OVER (" +
+        "    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn " +
+        "  FROM documents) WHERE rn <= 15"),
+    // BM25 with the engine's exact arithmetic: per-term scores rounded
+    // to 6dp then summed as exact decimals; avgdl = exact-int sum / N
+    "search_bm25" -> bm25OracleSql,
+    "search_bm25_index" -> bm25OracleSql,
     "pipeline_curate" ->
       (s"WITH scored AS (SELECT doc_id, text, $langIdSql AS pred_lang, $qualitySql AS quality FROM documents), " +
         "kept AS (SELECT * FROM scored WHERE pred_lang <> 'und' AND quality >= 0.5), " +
@@ -741,6 +810,16 @@ object PipelineQueries extends QueryGroup {
         "       ELSE array_to_string(list_transform(embedding, " +
         "         x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT) AS VARCHAR)), ',') END AS q_csv " +
         "FROM s"),
+
+    // 1-based dim via generate_subscripts ≡ Spark posexplode pos + 1;
+    // exact decimal element sums, one double divide at the end
+    "emb_label_centroid" ->
+      ("SELECT label, i AS dim, count(*) AS n, " +
+        "  round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*), 6) AS centroid " +
+        "FROM (SELECT label, unnest(embedding) AS v, " +
+        "  generate_subscripts(embedding, 1) AS i FROM embeddings) " +
+        "GROUP BY label, i"),
 
     "text_top_terms" ->
       ("SELECT lang, tok, cnt, rnk FROM (" +

@@ -462,6 +462,55 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("capPerGroup: equals the window formulation, skew-capped, NaN/null never kept") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // hot group 0 has 5k rows, others 20 — plus planted ties and bad values
+    val rows = (1L to 5000L).map(i => (i, "g0", rnd.nextInt(50).toDouble)) ++
+      (5001L to 5100L).map(i => (i, s"g${1 + i % 5}", rnd.nextInt(50).toDouble)) ++
+      Seq((9001L, "g0", Double.NaN), (9002L, "g1", Double.NaN))
+    val df = rows.toDF("id", "grp", "v").repartition(8)
+      .union(Seq((9003L, "g2", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "grp", "v"))
+    val got = Curation.capPerGroup(df, Seq("grp"), col("v"), "id", 7)
+      .select("id").as[Long].collect().toSet
+    val w = Window.partitionBy("grp").orderBy(col("v").desc, col("id"))
+    val want = df.filter(col("v").isNotNull && !isnan(col("v")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select("id").as[Long].collect().toSet
+    assert(got === want)
+    assert(!got.contains(9001L) && !got.contains(9002L) && !got.contains(9003L))
+    // every group capped at 7, and the hot group is exactly 7
+    val perGroup = df.join(got.toSeq.toDF("id"), Seq("id"), "leftsemi")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(perGroup.values.forall(_ <= 7) && perGroup("g0") === 7)
+  }
+
+  test("BoundedTopK: partial buffers never exceed k (merge of full buffers trims)") {
+    import graft.functions.Aggregates
+    val agg = new Aggregates.BoundedTopK(3)
+    val full = (1L to 10L).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i.toDouble, i)))
+    assert(full.ids.length === 3 && full.ids.toSeq === Seq(10L, 9L, 8L))
+    val merged = agg.merge(full,
+      (20L to 25L).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i.toDouble, i))))
+    assert(merged.ids.toSeq === Seq(25L, 24L, 23L))
+    // value ties break by id asc
+    val tied = Seq((1.0, 5L), (1.0, 2L), (1.0, 9L), (1.0, 1L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(tied.ids.toSeq === Seq(1L, 2L, 5L))
+  }
+
+  test("labelCentroids: exact per-dim averages, 1-based dims") {
+    val s = spark; import s.implicits._
+    val df = Seq((0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)), (1, Array(5.0f, 7.0f)))
+      .toDF("label", "embedding")
+    val out = Embeddings.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set((0, 1L, 2L, 2.0), (0, 2L, 2L, 4.0), (1, 1L, 1L, 5.0), (1, 2L, 1L, 7.0)))
+  }
+
   test("pii redaction: emails and phones replaced, counts match") {
     val s = spark; import s.implicits._
     import graft.functions.TextFunctions

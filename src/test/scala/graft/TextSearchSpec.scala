@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextSearch
+
+/** Inverted-index BM25: the indexed path must return bit-identical
+  * results to the inline path, and must READ only the query terms'
+  * buckets (directory-level partition pruning — the property that makes
+  * the index an index at 100 TB). */
+class TextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var idxPath: String = _
+  private val sfDir = "/root/testdata/sf0.001"
+  private val query = Seq("scan", "merge", "la")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      // static plans for the files-read assertion (see PlanAuditSpec)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .appName("TextSearchSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    idxPath = Files.createTempDirectory("graft-textidx").toString
+    TextSearch.buildIndex(Tables.load(spark, sfDir, "documents"),
+      "doc_id", "text", idxPath, nBuckets = 16)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("indexed search returns bit-identical top-k to the inline path") {
+    val inline = TextSearch.bm25TopK(Tables.load(spark, sfDir, "documents"),
+      "doc_id", "text", query, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = TextSearch.searchIndex(spark, idxPath, query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed.toSeq === inline.toSeq)
+    assert(inline.length === 10)
+    // ranked: scores non-increasing, ties by ascending doc_id
+    assert(inline.sliding(2).forall { case Array((i1, s1), (i2, s2)) =>
+      s1 > s2 || (s1 == s2 && i1 < i2) })
+  }
+
+  test("index scan is pruned to the query terms' buckets") {
+    val df = TextSearch.searchIndex(spark, idxPath, Seq("scan"), 5)
+    val postingsScans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingsScans.nonEmpty)
+    val totalBuckets = 16
+    postingsScans.foreach { s =>
+      val parts = s.selectedPartitions.partitionCount
+      assert(parts < totalBuckets && parts >= 1,
+        s"expected a pruned postings scan, read $parts of $totalBuckets buckets")
+    }
+    // and the single-term query reads exactly one bucket directory
+    assert(postingsScans.exists(_.selectedPartitions.partitionCount === 1))
+  }
+
+  test("multi-term query prunes to at most one bucket per term") {
+    val df = TextSearch.searchIndex(spark, idxPath, query, 5)
+    val postingsScans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingsScans.nonEmpty &&
+      postingsScans.forall(_.selectedPartitions.partitionCount <= query.length))
+  }
+}
