@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained unigram language-model scoring — the classic
+  * perplexity-style quality signal of training-data curation (score each
+  * document by how surprising its tokens are under a model of the corpus;
+  * boilerplate and gibberish both land far from the center). A unigram
+  * model is the degenerate-but-distributable case of the n-gram LM
+  * quality filters used on web-scale corpora: the model is a capped
+  * vocabulary that BROADCASTS, so scoring is one corpus pass.
+  *
+  * Model (all integer counts exact, so the model is bit-identical across
+  * engines):
+  * {{{
+  *   vocab    = top `vocabSize` terms by corpus count (ties: term asc)
+  *   D        = T + min(vocabSize, distinctTerms) + 1     // add-one mass
+  *   P(t)     = (c_t + 1) / D      for t in vocab
+  *   P(oov)   = 1 / D
+  *   xent(d)  = -(1/dl) * Σ_tokens round(ln P(tok), 6)    // exact decimal Σ
+  * }}}
+  * The per-token round + exact DECIMAL(18,6) sum makes the per-document
+  * score independent of partial-aggregation order (same determinism
+  * device as [[TextSearch]] BM25 and the embedding centroid sums).
+  * Tokenization is `lower(split(text, " "))`, the engine's corpus split.
+  *
+  * Scale shape: training is one explode + map-side-combined groupBy plus
+  * a `TakeOrderedAndProject` for the top-V cut (never a global sort of
+  * the vocabulary); scoring joins the exploded tokens against the
+  * BROADCAST vocab and reduces per document — one shuffle keyed by
+  * doc_id. At 100 TB the model would be trained once on a sample slice
+  * and reused; [[unigramVocab]] is that reusable artifact and
+  * [[crossEntropy]] accepts the end-to-end form the oracle gates.
+  */
+object LangModel {
+
+  private def toks(textCol: Column) = split(textCol, " ")
+
+  /** (term, cnt) for the top `vocabSize` corpus terms, ties by term asc. */
+  def unigramVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    docs.select(explode(toks(col(textCol))).as("__tok"))
+      .select(lower(col("__tok")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+  }
+
+  /** Per-document unigram cross-entropy: (doc_id, dl, xent), both the
+    * length and the score rounded/deterministic as documented above. */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(toks(col(textCol))).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("term"))
+    val cnts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(sum(col("cnt")).cast("long").as("tt"),
+      count(lit(1)).as("nterms"))
+    val vocab = cnts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+    val d = (col("tt") + least(lit(vocabSize.toLong), col("nterms")) + 1L).cast("double")
+    val lnp = log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") / d)
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__lnp", round(lnp, 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        round(-sum(col("__lnp")).cast("double") / count(lit(1)), 6).as("xent"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — multi-dimensional clustering so
+  * parquet min/max statistics prune on EVERY clustered column, not just
+  * a lead sort key. A layout sorted on `x` alone answers `x BETWEEN …`
+  * with few files but reads the whole table for `y BETWEEN …`; the
+  * Z-curve interleaves the bits of both, so any 2-D box touches
+  * O(perimeter) files. This is the layout half of the reference's
+  * "make the scan read O(matches)" contract (its secondary index is the
+  * other half; SURVEY §2.6) applied to the file/row-group level, and the
+  * standard clustering device of lakehouse table formats.
+  *
+  * The written data is bit-identical row content — only file placement
+  * and intra-file order change, so any query over the z-ordered copy
+  * must return exactly the plain table's result (the oracle gate), while
+  * scans with range predicates on the clustered columns read fewer row
+  * groups (the LayoutSpec gate, measured via scan-node output rows).
+  *
+  * Scale shape: one stats pass (min/max per clustered column — an
+  * all-map-side agg), then one range repartition by the Morton value.
+  * `repartitionByRange` samples the z-value distribution, so files get
+  * balanced row counts even when the value space is skewed. No shuffle
+  * beyond the one the re-layout IS.
+  */
+object Layout {
+
+  /** Bits per dimension; 2 dims × 16 bits = 32-bit Morton values. */
+  private val Bits = 16
+
+  /** Morton-interleave two `Bits`-bit non-negative longs: x in the even
+    * result bit positions, y in the odd. Plain shift/mask columns — the
+    * whole computation stays inside whole-stage codegen. */
+  private def interleave(x: Column, y: Column): Column =
+    (0 until Bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Scale `c` from [lo, hi] to an integer in [0, 2^Bits): rank-free
+    * linear bucketization off the one-row stats pass. NULLs map to
+    * bucket 0 (they cluster together at the curve origin). */
+  private def toBucket(c: Column, lo: Double, hi: Double): Column = {
+    val span = if (hi > lo) hi - lo else 1.0
+    val scaled = ((c.cast("double") - lo) / span * ((1L << Bits) - 1))
+    coalesce(round(scaled, 0).cast("long"), lit(0L))
+  }
+
+  /** Rewrite `df` at `path` as `nFiles` parquet files clustered on the
+    * Morton order of two numeric columns. Row content is untouched. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive: $nFiles")
+    require(!df.columns.contains("__z"),
+      "column name __z is reserved by zorderWrite — rename first")
+    val s = df.agg(
+      min(col(xCol).cast("double")).as("xlo"), max(col(xCol).cast("double")).as("xhi"),
+      min(col(yCol).cast("double")).as("ylo"), max(col(yCol).cast("double")).as("yhi"))
+      .head()
+    if (s.isNullAt(0) || s.isNullAt(2)) {
+      // empty input or all-NULL cluster column: nothing to order on
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val z = interleave(
+      toBucket(col(xCol), s.getDouble(0), s.getDouble(1)),
+      toBucket(col(yCol), s.getDouble(2), s.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

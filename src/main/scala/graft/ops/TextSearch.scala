@@ -104,6 +104,42 @@ object TextSearch {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
+  /** Incremental index maintenance: append `docs`' postings into an
+    * existing [[buildIndex]] layout and advance the corpus stats — the
+    * text-index analogue of the reference's write-path index upkeep
+    * (`secondaryindex/.../IndexRegionObserver` keeps value→row postings
+    * current on Put; here the postings table gains the new documents'
+    * term rows). Bucketing is stable (`pmod(hash(term), n_buckets)` with
+    * n_buckets read from the index meta), so appended files land in the
+    * same bucket directories and query-time pruning is unchanged;
+    * per-term df is derived from postings at read time, so it is correct
+    * immediately after the append with no df-table rebuild. Cost is
+    * O(new docs) — the existing postings are never rewritten.
+    *
+    * Ordering contract: postings are appended first, meta is swapped
+    * last, so a concurrent reader sees at worst fresh postings with the
+    * old (smaller) corpus stats — scores drift conservatively until the
+    * meta lands, never a missing document. Caller contract: `docs` ids
+    * must be new (re-adding an id would double its postings). */
+  def addDocuments(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    postingsOf(docs, idCol, textCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("bucket").parquet(s"$path/postings")
+    val delta = docs.select(toks(col(textCol)).as("__t"))
+      .agg(count(lit(1)).as("nd"), sum(size(col("__t"))).cast("long").as("sd")).head()
+    spark.range(1).select(
+      lit(meta.getAs[Long]("n_docs") + delta.getAs[Long]("nd")).as("n_docs"),
+      lit(meta.getAs[Long]("sum_dl") + delta.getAs[Long]("sd")).as("sum_dl"),
+      lit(nBuckets).as("n_buckets"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
   /** BM25 top-k against a [[buildIndex]] layout. The postings filter is
     * `bucket IN (pmod(hash(lit(term)), n))` — foldable expressions on the
     * partition column, so pruning happens at planning time and the scan

@@ -394,6 +394,41 @@ object PipelineQueries extends QueryGroup {
       graft.ops.TextSearch.searchIndex(s, path, Seq("scan", "merge", "la"), 10)
     }),
 
+    // the write path: index built on half the corpus, the other half
+    // appended via incremental maintenance — must hash-match the same
+    // oracle as a from-scratch build (append is exact, not approximate)
+    "search_bm25_incr" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.GraftEngine.tablePath(dir, "text_idx_incr")
+      val cut = lit(250)
+      graft.ops.TextSearch.buildIndex(
+        docs.filter(col("doc_id") < cut), "doc_id", "text", path)
+      graft.ops.TextSearch.addDocuments(
+        s, path, docs.filter(col("doc_id") >= cut), "doc_id", "text")
+      graft.ops.TextSearch.searchIndex(s, path, Seq("scan", "merge", "la"), 10)
+    }),
+
+    // z-order re-layout round trip: rewrite documents clustered on the
+    // Morton order of (doc_id, n_chars), then a 2-D box scan — content
+    // must equal the plain table (layout changes file placement only;
+    // LayoutSpec measures the row-group pruning the curve buys)
+    "layout_zorder_read" -> ((s, dir) => {
+      val path = graft.GraftEngine.tablePath(dir, "docs_zorder")
+      graft.ops.Layout.zorderWrite(
+        Tables.load(s, dir, "documents"), "doc_id", "n_chars", path, 8)
+      s.read.parquet(path)
+        .filter(col("doc_id") < 200 && col("n_chars").between(500, 2000))
+        .select("doc_id", "source", "n_chars")
+    }),
+
+    // corpus-trained unigram LM cross-entropy (perplexity-style quality
+    // signal): broadcast top-4096 vocab, one scoring pass, exact-decimal
+    // per-token sums so the score is aggregation-order-independent
+    "text_lm_xent" -> ((s, dir) => {
+      graft.ops.LangModel.crossEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 4096)
+    }),
+
     // quality-weighted downsampling: keep probability ∝ quality score
     // (hash-decided, so the weighted sample is reproducible and auditable
     // like every other sampler here)
@@ -601,6 +636,27 @@ object PipelineQueries extends QueryGroup {
     // to 6dp then summed as exact decimals; avgdl = exact-int sum / N
     "search_bm25" -> bm25OracleSql,
     "search_bm25_index" -> bm25OracleSql,
+    "search_bm25_incr" -> bm25OracleSql,
+    // layout-only rewrite: the z-ordered copy must answer exactly like
+    // the plain table
+    "layout_zorder_read" ->
+      ("SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE doc_id < 200 AND n_chars BETWEEN 500 AND 2000"),
+    // unigram LM with add-one smoothing over the top-4096 vocab;
+    // per-token ln P rounded to 6dp then summed as exact decimals
+    "text_lm_xent" ->
+      ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        " cnts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term), " +
+        " st AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt, count(*) AS nterms FROM cnts), " +
+        " vocab AS (SELECT term, cnt FROM cnts ORDER BY cnt DESC, term LIMIT 4096), " +
+        " scored AS (SELECT doc_id, CAST(round(ln(" +
+        "     CAST(COALESCE(v.cnt, 0) + 1 AS DOUBLE) " +
+        "     / CAST(tt + least(4096, nterms) + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lnp " +
+        "   FROM tok LEFT JOIN vocab v USING (term) CROSS JOIN st) " +
+        "SELECT doc_id, count(*) AS dl, " +
+        "  round(-CAST(sum(lnp) AS DOUBLE) / count(*), 6) AS xent " +
+        "FROM scored GROUP BY doc_id"),
     "pipeline_curate" ->
       (s"WITH scored AS (SELECT doc_id, text, $langIdSql AS pred_lang, $qualitySql AS quality FROM documents), " +
         "kept AS (SELECT * FROM scored WHERE pred_lang <> 'und' AND quality >= 0.5), " +

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+/** Z-order layout: row content must be untouched (set equality with the
+  * source), and a 2-D box scan must read FEWER rows from the z-ordered
+  * files than from a lead-column-sorted layout — the min/max-pruning
+  * property that makes multi-dimensional clustering pay at 100 TB. */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      // static plans so the scan metrics are reachable on executedPlan
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .appName("LayoutSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Rows the parquet scan emitted (post row-group/page pruning). */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("z-order box scan reads fewer rows than a lead-column sort; results identical") {
+    val s = spark; import s.implicits._
+    // 64x64 grid, 64 files of 64 rows each
+    val grid = (0L until 4096L).map(i => (i, i % 64, i / 64)).toDF("id", "x", "y")
+    val zPath = Files.createTempDirectory("graft-zorder").toString + "/t"
+    val linPath = Files.createTempDirectory("graft-linear").toString + "/t"
+    Layout.zorderWrite(grid, "x", "y", zPath, nFiles = 64)
+    grid.repartitionByRange(64, col("x"), col("y")).sortWithinPartitions("x", "y")
+      .write.parquet(linPath)
+
+    val box = (d: DataFrame) => d.filter(col("x") < 8 && col("y") < 8)
+    val zRead = box(spark.read.parquet(zPath))
+    val linRead = box(spark.read.parquet(linPath))
+    assert(zRead.select("id").as[Long].collect().toSet ===
+      grid.filter(col("x") < 8 && col("y") < 8).select("id").as[Long].collect().toSet)
+    assert(zRead.collectAsList().size === 64)
+
+    val (zRows, linRows) = (scanRows(zRead), scanRows(linRead))
+    // x-sorted layout: every x<8 file spans all y, so y prunes nothing
+    // (512 rows); the z-curve maps the 8x8 origin box to one 64-row file
+    assert(zRows < linRows, s"z-order read $zRows rows, lead-sort $linRows")
+    assert(zRows <= 128, s"z-order box read should be near the 64-row box, got $zRows")
+  }
+
+  test("all-null and empty inputs degrade to a plain write") {
+    val s = spark; import s.implicits._
+    val nullPath = Files.createTempDirectory("graft-zorder-null").toString + "/t"
+    Seq((1L, null.asInstanceOf[java.lang.Double], 2.0),
+        (2L, null.asInstanceOf[java.lang.Double], 3.0))
+      .toDF("id", "x", "y").write.mode("overwrite").parquet(nullPath + "_src")
+    val src = spark.read.parquet(nullPath + "_src")
+    Layout.zorderWrite(src, "x", "y", nullPath, nFiles = 2)
+    assert(spark.read.parquet(nullPath).count() === 2)
+    val emptyPath = Files.createTempDirectory("graft-zorder-empty").toString + "/t"
+    Layout.zorderWrite(src.filter(col("id") < 0), "x", "y", emptyPath, nFiles = 2)
+    assert(spark.read.parquet(emptyPath).count() === 0)
+  }
+}

@@ -511,6 +511,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set((0, 1L, 2L, 2.0), (0, 2L, 2L, 4.0), (1, 1L, 1L, 5.0), (1, 2L, 1L, 7.0)))
   }
 
+  test("unigram cross-entropy: exact hand-computed scores, OOV floor, vocab tie-break") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    // counts: a=2, b=1, c=1; vocabSize 2 -> vocab {a, b} (tie c/b broken by term asc)
+    // D = tt(4) + min(2, 3) + 1 = 7; P(a)=3/7, P(b)=2/7, P(oov)=1/7
+    val got = graft.ops.LangModel.crossEntropy(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected1 = r6(-(r6(math.log(3.0 / 7)) * 2 + r6(math.log(2.0 / 7))) / 3)
+    val expected2 = r6(-r6(math.log(1.0 / 7)))
+    assert(got(1L) === ((3L, expected1)))
+    assert(got(2L) === ((1L, expected2)))
+  }
+
   test("pii redaction: emails and phones replaced, counts match") {
     val s = spark; import s.implicits._
     import graft.functions.TextFunctions

@@ -65,6 +65,26 @@ class TextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postingsScans.exists(_.selectedPartitions.partitionCount === 1))
   }
 
+  test("incremental add: half-build + append is bit-identical to a full build") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sfDir, "documents")
+    val incrPath = Files.createTempDirectory("graft-textidx-incr").toString
+    TextSearch.buildIndex(docs.filter(col("doc_id") < 250), "doc_id", "text",
+      incrPath, nBuckets = 16)
+    TextSearch.addDocuments(spark, incrPath,
+      docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    val full = TextSearch.searchIndex(spark, idxPath, query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val incr = TextSearch.searchIndex(spark, incrPath, query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(incr === full)
+    // meta advanced to the full corpus totals
+    val m = spark.read.parquet(s"$incrPath/meta").head()
+    val mFull = spark.read.parquet(s"$idxPath/meta").head()
+    assert(m.getAs[Long]("n_docs") === mFull.getAs[Long]("n_docs"))
+    assert(m.getAs[Long]("sum_dl") === mFull.getAs[Long]("sum_dl"))
+  }
+
   test("multi-term query prunes to at most one bucket per term") {
     val df = TextSearch.searchIndex(spark, idxPath, query, 5)
     val postingsScans = df.queryExecution.executedPlan.collect {
