@@ -94,6 +94,28 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Curriculum binning: cut the corpus into `nBins` equal-count bins of
+    * the `orderCols` total order (bin 1 = first slice) — the
+    * easy-to-hard schedule assignment of curriculum training, or
+    * difficulty/quality deciles for reporting. Bin = ⌈rank·nBins/N⌉
+    * with exact integer arithmetic, so bins are reproducible and sized
+    * within one row of each other.
+    *
+    * Engine: the global rank is [[runningTotal]]'s distributed prefix
+    * count — NOT a `row_number()` over an unpartitioned window (a
+    * single-partition stage at 100 TB); N rides in as one broadcast
+    * row. */
+  def curriculumBins(df: DataFrame, orderCols: Seq[Column], nBins: Int,
+      out: String = "bin"): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    require(!df.columns.contains("__n"),
+      "column name __n is reserved by curriculumBins — rename first")
+    runningTotal(df, orderCols, lit(1L), "__rank")
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .withColumn(out, expr(s"CAST((__rank * $nBins + __n - 1) div __n AS BIGINT)"))
+      .drop("__rank", "__n")
+  }
+
   /** Per-group row cap — "keep the best `cap` documents per source/domain",
     * the domain-balancing step of corpus curation. Winners are the top
     * `cap` by (`valueCol` desc, `idCol` asc) within each `groupCols` key.

@@ -59,4 +59,31 @@ object Snapshots {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__gap_flag")
   }
+
+  /** Tumbling-window dedup of an event log: keep the FIRST row (in
+    * `tieCols` order — pass a total order) per (`keyCols`, window),
+    * where the window is `tsCol div windowSize` in the timestamp's own
+    * unit (epoch-nanos for the events table). The at-most-one-per-window
+    * throttle of telemetry/beacon pipelines; the batch twin of
+    * [[graft.streaming.StreamingDedup]]'s first-arrival semantics.
+    * Output keeps the window id as `window_id`.
+    *
+    * Scale: one shuffle on (keys, window); the window key bounds every
+    * group at one window's traffic for one key, so the per-partition
+    * sort never sees a whole hot key's history — time is the built-in
+    * salt. */
+  def windowDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      windowSize: Long, tieCols: Seq[String]): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive: $windowSize")
+    require(tieCols.nonEmpty, "tieCols must order rows within a window")
+    val reserved = Seq("window_id", "__rn").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"column names ${reserved.mkString(", ")} are reserved by windowDedup — rename first")
+    val w = Window.partitionBy((keyCols.map(col) :+ col("window_id")): _*)
+      .orderBy(tieCols.map(col): _*)
+    df.withColumn("window_id", expr(s"$tsCol div ${windowSize}L"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

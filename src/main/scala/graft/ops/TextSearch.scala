@@ -35,17 +35,21 @@ object TextSearch {
 
   private def toks(textCol: org.apache.spark.sql.Column) = split(textCol, " ")
 
-  /** Corpus → (doc_id, term, tf, dl): one postings row per distinct
-    * (document, term), with the document's total token length
-    * denormalized onto every row (BM25 needs dl at score time; carrying
-    * it beats a second join against a doc-length table at read time). */
+  /** Corpus → (doc_id, term, tf, positions, dl): one postings row per
+    * distinct (document, term), with the term's 0-based token positions
+    * (sorted — phrase queries intersect shifted position sets) and the
+    * document's total token length denormalized onto every row (BM25
+    * needs dl at score time; carrying it beats a second join against a
+    * doc-length table at read time). */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       toks(col(textCol)).as("__t"))
     val dl = base.select(col("doc_id"), size(col("__t")).as("dl"))
-    base.select(col("doc_id"), explode(col("__t")).as("__tok"))
-      .select(col("doc_id"), lower(col("__tok")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    base.select(col("doc_id"), posexplode(col("__t")).as(Seq("__pos", "__tok")))
+      .select(col("doc_id"), lower(col("__tok")).as("term"), col("__pos"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__pos"))).as("positions"))
       .join(dl, "doc_id")
   }
 
@@ -104,6 +108,73 @@ object TextSearch {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
+  /** Exact phrase occurrences from an exploded (doc_id, term, pos) set:
+    * leg i = positions of phrase term i shifted left by i, so an
+    * occurrence is a (doc_id, start) present in EVERY leg — a chain of
+    * narrow equi-joins on (doc_id, start), never a per-document scan.
+    * Each leg is one term's (already query-filtered) postings, so AQE
+    * broadcasts the later legs; repeated phrase terms work because each
+    * leg shifts by its own offset. */
+  private def phraseFromPositions(p: DataFrame, terms: Seq[String]): DataFrame =
+    terms.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("__start"))
+    }.reduce(_.join(_, Seq("doc_id", "__start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occur"))
+
+  /** Exact-phrase search, inline form: (doc_id, n_occur) for every
+    * document containing the token sequence `phrase`. One corpus scan,
+    * tokens filtered to the phrase's terms before anything else. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase must have at least two terms")
+    val terms = phrase.map(_.toLowerCase)
+    val p = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "__tok")))
+      .select(col("doc_id"), lower(col("__tok")).as("term"), col("pos"))
+      .filter(col("term").isin(terms.distinct: _*))
+    phraseFromPositions(p, terms)
+  }
+
+  /** Exact-phrase search against a [[buildIndex]] layout: the postings
+    * scan is bucket-pruned to the phrase's terms, their stored position
+    * lists are exploded, and the same shifted-set intersection runs —
+    * O(phrase-term postings) read, no corpus access at all. */
+  def searchPhrase(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase must have at least two terms")
+    val terms = phrase.map(_.toLowerCase)
+    val p = prunedPostings(spark, path, terms.distinct)
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    phraseFromPositions(p, terms)
+  }
+
+  /** Conjunctive (AND) boolean retrieval against a [[buildIndex]]
+    * layout: documents containing EVERY query term, with the summed
+    * term frequency as a crude rank. Postings are unique per
+    * (doc, term), so "has all terms" is `count(*) = n_terms` after the
+    * bucket-pruned scan. */
+  def searchAllTerms(spark: SparkSession, path: String,
+      query: Seq[String]): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val terms = query.map(_.toLowerCase).distinct
+    prunedPostings(spark, path, terms)
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("total_tf"), count(lit(1)).as("__nt"))
+      .filter(col("__nt") === terms.size)
+      .select("doc_id", "total_tf")
+  }
+
+  /** Postings rows for `terms`, scanning only their hash buckets. */
+  private def prunedPostings(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getAs[Int]("n_buckets")
+    spark.read.parquet(s"$path/postings")
+      .filter(terms.map(t => col("bucket") === pmod(hash(lit(t)), lit(nBuckets)))
+        .reduce(_ || _))
+      .filter(col("term").isin(terms: _*))
+  }
+
   /** Incremental index maintenance: append `docs`' postings into an
     * existing [[buildIndex]] layout and advance the corpus stats — the
     * text-index analogue of the reference's write-path index upkeep
@@ -151,14 +222,9 @@ object TextSearch {
     require(query.nonEmpty, "query must have at least one term")
     val terms = query.map(_.toLowerCase).distinct
     val meta = spark.read.parquet(s"$path/meta").head()
-    val nBuckets = meta.getAs[Int]("n_buckets")
     val stats = spark.range(1).select(
       lit(meta.getAs[Long]("n_docs")).as("n_docs"),
       lit(meta.getAs[Long]("sum_dl")).as("sum_dl"))
-    val post = spark.read.parquet(s"$path/postings")
-      .filter(terms.map(t => col("bucket") === pmod(hash(lit(t)), lit(nBuckets)))
-        .reduce(_ || _))
-      .filter(col("term").isin(terms: _*))
-    scoreTopK(post, stats, k)
+    scoreTopK(prunedPostings(spark, path, terms), stats, k)
   }
 }

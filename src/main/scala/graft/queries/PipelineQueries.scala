@@ -386,12 +386,23 @@ object PipelineQueries extends QueryGroup {
     // postings scan + metadata stats, hash-matched against the SAME
     // oracle as search_bm25 (the index path must be exact)
     "search_bm25_index" -> ((s, dir) => {
-      val path = graft.GraftEngine.tablePath(dir, "text_idx")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/postings/_SUCCESS")))
-        graft.ops.TextSearch.buildIndex(
-          Tables.load(s, dir, "documents"), "doc_id", "text", path)
-      graft.ops.TextSearch.searchIndex(s, path, Seq("scan", "merge", "la"), 10)
+      graft.ops.TextSearch.searchIndex(
+        s, textIndexPath(s, dir), Seq("scan", "merge", "la"), 10)
+    }),
+
+    // exact-phrase retrieval through the positional index: postings
+    // bucket-pruned to the phrase terms, stored position lists
+    // intersected as shifted sets — no corpus access
+    "search_phrase_index" -> ((s, dir) => {
+      graft.ops.TextSearch.searchPhrase(
+        s, textIndexPath(s, dir), Seq("key", "order", "sort"))
+    }),
+
+    // conjunctive boolean retrieval: docs containing ALL query terms,
+    // summed tf as the rank column
+    "search_bool_and" -> ((s, dir) => {
+      graft.ops.TextSearch.searchAllTerms(
+        s, textIndexPath(s, dir), Seq("spark", "stream", "dup"))
     }),
 
     // the write path: index built on half the corpus, the other half
@@ -501,6 +512,26 @@ object PipelineQueries extends QueryGroup {
         .select("event_id", "user_id", "session_idx")
     }),
 
+    // tumbling-window event dedup: at most one event per
+    // (user, type, 5-minute window), first by (ts, event_id)
+    "events_window_dedup" -> ((s, dir) => {
+      graft.ops.Snapshots.windowDedup(
+          Tables.load(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "ts"),
+          Seq("user_id", "event_type"), "ts", 300000000000L,
+          Seq("ts", "event_id"))
+        .select("event_id", "user_id", "event_type", "window_id")
+    }),
+
+    // curriculum bins: corpus deciles of the (n_chars desc, doc_id)
+    // order via the distributed prefix-count rank — no global window
+    "pipeline_curriculum" -> ((s, dir) => {
+      graft.ops.Curation.curriculumBins(
+          Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+          Seq(col("n_chars").desc, col("doc_id").asc), 10)
+        .select("doc_id", "n_chars", "bin")
+    }),
+
     // deterministic leakage-free train/val/test assignment (hash-range
     // cut: membership never changes as the corpus grows)
     "sample_split" -> ((s, dir) => {
@@ -583,6 +614,18 @@ object PipelineQueries extends QueryGroup {
       "(CASE WHEN (CAST(strlen(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) " +
       " BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6)"
 
+  /** Shared positional text index, built on first use per scale-factor
+    * dir ("text_idx2" — the v2 layout carries position lists; the name
+    * bump keeps a stale v1 warehouse from being read). */
+  private def textIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = graft.GraftEngine.tablePath(dir, "text_idx2")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/postings/_SUCCESS")))
+      graft.ops.TextSearch.buildIndex(
+        Tables.load(s, dir, "documents"), "doc_id", "text", path)
+    path
+  }
+
   /** BM25 over the engine's fixed test query, mirroring
     * [[graft.ops.TextSearch]] arithmetic operation for operation.
     * Every fractional literal is CAST(... AS DOUBLE): bare DuckDB
@@ -637,6 +680,24 @@ object PipelineQueries extends QueryGroup {
     "search_bm25" -> bm25OracleSql,
     "search_bm25_index" -> bm25OracleSql,
     "search_bm25_incr" -> bm25OracleSql,
+    // phrase = position-chained self-joins; DuckDB positions are 1-based
+    // vs the engine's 0-based, which cancels out (shift-invariant)
+    "search_phrase_index" ->
+      ("WITH tok AS (SELECT doc_id, lower(t) AS term, p FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t, " +
+        "      generate_subscripts(string_split(text, ' '), 1) AS p FROM documents)) " +
+        "SELECT a.doc_id, count(*) AS n_occur " +
+        "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1 " +
+        "  JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2 " +
+        "WHERE a.term = 'key' AND b.term = 'order' AND c.term = 'sort' " +
+        "GROUP BY a.doc_id"),
+    "search_bool_and" ->
+      ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        " post AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
+        "   WHERE term IN ('spark', 'stream', 'dup') GROUP BY doc_id, term) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf FROM post " +
+        "GROUP BY doc_id HAVING count(*) = 3"),
     // layout-only rewrite: the z-ordered copy must answer exactly like
     // the plain table
     "layout_zorder_read" ->
@@ -834,6 +895,20 @@ object PipelineQueries extends QueryGroup {
         "  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) " +
         "  AS BIGINT) AS session_idx FROM x"),
 
+    "events_window_dedup" ->
+      ("SELECT event_id, user_id, event_type, window_id FROM (" +
+        "  SELECT event_id, user_id, event_type, " +
+        "    epoch_ns(ts) // 300000000000 AS window_id, " +
+        "    row_number() OVER (" +
+        "      PARTITION BY user_id, event_type, epoch_ns(ts) // 300000000000 " +
+        "      ORDER BY ts, event_id) AS rn " +
+        "  FROM events) WHERE rn = 1"),
+    // bin = ceil(rank*10/N) in exact integer arithmetic on both sides
+    "pipeline_curriculum" ->
+      ("SELECT doc_id, n_chars, (rn * 10 + n - 1) // n AS bin FROM (" +
+        "  SELECT doc_id, n_chars, " +
+        "    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn, " +
+        "    count(*) OVER () AS n FROM documents)"),
     // hash-range cuts: 0.8 → 'cccd', 0.8+0.1 → 'e666' on the 16-bit grid
     "sample_split" ->
       ("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train' " +

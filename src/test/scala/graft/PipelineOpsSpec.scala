@@ -511,6 +511,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set((0, 1L, 2L, 2.0), (0, 2L, 2L, 4.0), (1, 1L, 1L, 5.0), (1, 2L, 1L, 7.0)))
   }
 
+  test("curriculumBins equals the global-window formula, equal-count bins") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 103L).map(i => (i, rnd.nextInt(40))).toDF("id", "v").repartition(6)
+    val got = Curation.curriculumBins(df, Seq(col("v").desc, col("id").asc), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id").asc)))
+      .withColumn("bin", expr("CAST((rn * 5 + 103 - 1) div 103 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === want)
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet === (1L to 5L).toSet)
+    assert(sizes.values.forall(n => n == 20 || n == 21))
+  }
+
+  test("windowDedup keeps the first row per key and tumbling window") {
+    val s = spark; import s.implicits._
+    // windows of 10 ns; user 1 has two windows, the second tied on ts
+    val df = Seq(
+      (1L, 1L, 5L), (2L, 1L, 7L),            // window 0: keep event 1
+      (3L, 1L, 15L), (4L, 1L, 15L),          // window 1 tie on ts: keep 3
+      (5L, 2L, 5L)                           // other key untouched
+    ).toDF("event_id", "user_id", "ts").repartition(4)
+    val got = graft.ops.Snapshots.windowDedup(df, Seq("user_id"), "ts", 10L,
+        Seq("ts", "event_id"))
+      .select("event_id", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 0L), (3L, 1L), (5L, 0L)))
+  }
+
   test("unigram cross-entropy: exact hand-computed scores, OOV floor, vocab tie-break") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")

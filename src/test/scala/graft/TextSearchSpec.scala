@@ -85,6 +85,36 @@ class TextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getAs[Long]("sum_dl") === mFull.getAs[Long]("sum_dl"))
   }
 
+  test("phrase search: planted occurrence counts exact; indexed path equals inline") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val planted = Seq((1L, "a b c a b"), (2L, "a b"), (3L, "b a"), (4L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = TextSearch.phraseMatches(planted, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+    val phrase = Seq("key", "order", "sort")
+    val inline = TextSearch.phraseMatches(Tables.load(spark, sfDir, "documents"),
+        "doc_id", "text", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val indexed = TextSearch.searchPhrase(spark, idxPath, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(indexed === inline && inline.nonEmpty)
+  }
+
+  test("boolean AND retrieval returns exactly the docs containing every term") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val terms = Seq("spark", "stream", "dup")
+    val expected = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__t"))
+      .filter(terms.map(t => array_contains(col("__t"), t)).reduce(_ && _))
+      .select("doc_id").as[Long].collect().toSet
+    val got = TextSearch.searchAllTerms(spark, idxPath, terms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("multi-term query prunes to at most one bucket per term") {
     val df = TextSearch.searchIndex(spark, idxPath, query, 5)
     val postingsScans = df.queryExecution.executedPlan.collect {
