@@ -83,6 +83,33 @@ object Embeddings {
     * n_vectors × dims exploded set. Element sums are exact decimals over
     * round(x, 6) (order-independent ⇒ deterministic), the final divide
     * happens once in double. */
+  /** Embedding outliers: squared euclidean distance of every vector to
+    * its OWN label's centroid — the mislabeled/garbage-vector screen of
+    * embedding-table QA (a far-from-prototype vector is a label error,
+    * an encoder glitch, or genuinely hard). Returns all vectors with
+    * `dist2`, callers threshold or top-k as needed.
+    *
+    * Determinism: centroids are [[labelCentroids]]' rounded values;
+    * per-dimension terms `round((round(x,6) − c)², 6)` are summed as
+    * exact decimals, so `dist2` is aggregation-order-independent (the
+    * same device as the centroid sums themselves).
+    *
+    * Scale shape: centroids are labels × dims rows — broadcast; the
+    * exploded vector join is map-side against that broadcast, and the
+    * per-vector reduce ships only partial sums. */
+  def centroidDist2(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol).drop("n")
+    val terms = df.select(col(idCol), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .withColumn("dim", (col("__pos") + 1).cast("long"))
+      .join(broadcast(cents), Seq("label", "dim"))
+      .withColumn("__d", round(col("__v").cast("double"), 6) - col("centroid"))
+      .withColumn("__t", round(col("__d") * col("__d"), 6).cast("decimal(18,6)"))
+    terms.groupBy(col(idCol), col("label"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("dist2"))
+  }
+
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy(col("label"), (col("__pos") + 1).cast("long").as("dim"))

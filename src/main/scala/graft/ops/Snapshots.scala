@@ -86,4 +86,25 @@ object Snapshots {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Per-key rolling mean of the trailing `frame` rows (current row
+    * inclusive) in `orderCols` order — the smoothing/trend feature of
+    * event analytics. The mean is an exact DECIMAL(18,6) sum of the
+    * frame divided by the frame's actual row count (short at each key's
+    * start), so the result is bit-stable however the window engine
+    * associates the additions — sliding-window implementations that
+    * subtract-on-slide (segment trees, running sums) would drift a
+    * plain double mean. One shuffle on the key; frames never cross
+    * keys. */
+  def rollingMean(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, frame: Int, out: String): DataFrame = {
+    require(frame > 0, s"frame must be positive: $frame")
+    require(!df.columns.contains(out), s"output column $out already exists")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    df.withColumn(out, round(
+      sum(round(col(valueCol), 6).cast("decimal(18,6)")).over(w).cast("double")
+        / count(lit(1)).over(w), 6))
+  }
 }

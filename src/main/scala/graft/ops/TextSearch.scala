@@ -165,6 +165,32 @@ object TextSearch {
       .select("doc_id", "total_tf")
   }
 
+  /** Top-`k` TF-IDF terms per document — the classic keyword/topic
+    * extraction pass (and the feature side of sparse retrieval).
+    * score = tf · ln(N/df), rounded to 6dp; winners by (score desc,
+    * term asc). One corpus scan: postings → df counts (equi-join on
+    * term — the vocabulary is corpus-sized, so it is NOT broadcast;
+    * AQE may still choose to) → per-document top-k window. The window
+    * partitions by doc_id, whose group size is bounded by the
+    * document's own distinct-term count — per-document windows are the
+    * one place a window is already skew-safe. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val post = postingsOf(docs, idCol, textCol).drop("positions", "dl")
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    post.join(dfT, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "score", "rnk")
+  }
+
   /** Postings rows for `terms`, scanning only their hash buckets. */
   private def prunedPostings(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {

@@ -512,6 +512,30 @@ object PipelineQueries extends QueryGroup {
         .select("event_id", "user_id", "session_idx")
     }),
 
+    // per-document keyword extraction: top-3 TF-IDF terms (per-doc
+    // window — group size bounded by the doc's own vocabulary)
+    "text_tfidf_top" -> ((s, dir) => {
+      graft.ops.TextSearch.tfidfTopTerms(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+    }),
+
+    // embedding QA: squared distance of each vector to its own label's
+    // centroid (mislabel/garbage screen), exact-decimal dimension sums
+    "emb_outliers" -> ((s, dir) => {
+      graft.ops.Embeddings.centroidDist2(
+        Tables.load(s, dir, "embeddings"), "vec_id", "label", "embedding")
+    }),
+
+    // trailing 3-event rolling mean per user (exact decimal frame sums —
+    // immune to sliding-window FP re-association)
+    "events_rolling" -> ((s, dir) => {
+      graft.ops.Snapshots.rollingMean(
+        Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 3, "avg3")
+        .select("event_id", "user_id", "avg3")
+    }),
+
     // tumbling-window event dedup: at most one event per
     // (user, type, 5-minute window), first by (ts, event_id)
     "events_window_dedup" -> ((s, dir) => {
@@ -895,6 +919,38 @@ object PipelineQueries extends QueryGroup {
         "  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) " +
         "  AS BIGINT) AS session_idx FROM x"),
 
+    "text_tfidf_top" ->
+      ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        " post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), " +
+        " dft AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
+        " n AS (SELECT count(*) AS n_docs FROM documents), " +
+        " sc AS (SELECT doc_id, term, " +
+        "    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score " +
+        "  FROM post JOIN dft USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, score, rnk FROM (" +
+        "  SELECT doc_id, term, score, row_number() OVER (" +
+        "    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc) " +
+        "WHERE rnk <= 3"),
+    // d*d spelled out (not POWER) so both engines square identically;
+    // centroid and per-dim terms all rounded/decimal like the engine
+    "emb_outliers" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "    generate_subscripts(embedding, 1) AS dim FROM embeddings), " +
+        " cent AS (SELECT label, dim, " +
+        "    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) " +
+        "      / count(*), 6) AS centroid FROM e GROUP BY label, dim), " +
+        " d0 AS (SELECT vec_id, e.label, round(v, 6) - centroid AS d " +
+        "   FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim) " +
+        "SELECT vec_id, label, round(CAST(sum(" +
+        "  CAST(round(d * d, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS dist2 " +
+        "FROM d0 GROUP BY vec_id, label"),
+    "events_rolling" ->
+      ("SELECT event_id, user_id, " +
+        "  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) " +
+        "    / count(*) OVER w, 6) AS avg3 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"),
     "events_window_dedup" ->
       ("SELECT event_id, user_id, event_type, window_id FROM (" +
         "  SELECT event_id, user_id, event_type, " +

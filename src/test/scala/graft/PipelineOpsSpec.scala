@@ -511,6 +511,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set((0, 1L, 2L, 2.0), (0, 2L, 2L, 4.0), (1, 1L, 1L, 5.0), (1, 2L, 1L, 7.0)))
   }
 
+  test("tfidfTopTerms: planted scores, rank order, ties by term") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.ops.TextSearch.tfidfTopTerms(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln2 = r6(2 * math.log(2.0)); val ln1 = r6(math.log(2.0))
+    assert(got === Set((1L, "a", ln2, 1), (1L, "b", 0.0, 2),
+      (2L, "c", ln1, 1), (2L, "b", 0.0, 2)))
+  }
+
+  test("centroidDist2: planted distances to own-label centroid") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 0, Array(1.0f, 3.0f)), (2L, 0, Array(3.0f, 5.0f)),
+      (3L, 1, Array(5.0f, 7.0f))).toDF("vec_id", "label", "embedding")
+    val got = Embeddings.centroidDist2(df, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // label-0 centroid is [2,4]: each vector is distance² 1+1=2
+    assert(got === Map(1L -> 2.0, 2L -> 2.0, 3L -> 0.0))
+  }
+
+  test("rollingMean: trailing frame, short at partition start, exact values") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1L, 10L, 1.0), (2L, 1L, 20L, 2.0), (3L, 1L, 30L, 4.0),
+      (4L, 2L, 10L, 9.0)).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.ops.Snapshots.rollingMean(df, Seq("user_id"),
+        Seq("ts", "event_id"), "value", 3, "avg3")
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 1.5, 3L -> 2.333333, 4L -> 9.0))
+  }
+
   test("curriculumBins equals the global-window formula, equal-count bins") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
