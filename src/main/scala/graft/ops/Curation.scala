@@ -143,4 +143,35 @@ object Curation {
       .select(explode(col("__k.ids")).as("__keep_id"))
     df.join(kept, col(idCol).cast("long") === col("__keep_id"), "leftsemi")
   }
+
+  /** Per-group percentile floor: keep rows whose `orderCol` sits at or
+    * above fraction `floor` of their group's order — "drop the worst
+    * 20% of every source", the relative-quality variant of an absolute
+    * quality threshold (which over-prunes strict sources and
+    * under-prunes lax ones).
+    *
+    * The cut keeps rows with `cume_dist() > floor`; on the UNIQUE
+    * order `(orderCol, idCol)` that is `row_number/n`, so exactly
+    * `floor(floor·n)` rows drop per group — and because both operands
+    * are small exact integers, the division is the same IEEE double in
+    * every engine: no interpolated-quantile cross-engine drift, no tie
+    * ambiguity. Single-member groups have cume_dist 1 and are always
+    * kept (a rare source never loses its only document).
+    *
+    * One shuffle (the per-group window); group size bounds the window
+    * partition, and grouping columns at 100 TB (source, language) are
+    * low-cardinality-per-row but high-count — per-group windows stay
+    * parallel across groups. For a HOT single group this would become
+    * one task; cap such groups with [[capPerGroup]] first. */
+  def percentileFloor(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, idCol: String, floor: Double): DataFrame = {
+    require(floor >= 0.0 && floor < 1.0, s"floor must be in [0,1): $floor")
+    require(!df.columns.contains("__pr"),
+      "column name __pr is reserved by percentileFloor — rename first")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol.asc, col(idCol).asc)
+    df.withColumn("__pr", cume_dist().over(w))
+      .filter(col("__pr") > floor)
+      .drop("__pr")
+  }
 }

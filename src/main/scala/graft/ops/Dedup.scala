@@ -459,4 +459,78 @@ object Dedup {
     expandGroups(repPairs, members, "hamming", lit(0), maxExpandGroup,
       "graft.dedup.simhash")
   }
+
+  /** Sliding `width`-token windows of each document, one row per
+    * window: (doc_id, pos, span) with `pos` the 1-based token offset.
+    * Tokens are a plain single-space split (the corpus tokenization
+    * used by the DF-prune and search operators). Documents shorter
+    * than `width` tokens yield no rows.
+    *
+    * The span array is built by a higher-order `transform` over a
+    * `sequence` of start offsets; the lambda references the BOUND
+    * token attribute (not the `split` expression), so the tokenizer
+    * runs once per row, not once per window (the HOF re-evaluation
+    * trap documented at [[graft.functions.TextFunctions]]). */
+  private def spanRows(docs: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")) - width + 1)
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), col("__n")),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(width)))))
+        .as(Seq("__i", "span")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"),
+        col("span"))
+  }
+
+  /** Cross-document duplicated token spans — the substring-granularity
+    * dedup screen of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (exact variant): every `width`-token
+    * window occurring in at least `minDocs` DISTINCT documents, with
+    * its document count and total occurrence count. Boilerplate
+    * headers, license blocks, and templated passages surface here even
+    * when no two whole documents are near-duplicates.
+    *
+    * Scale shape (100 TB): two passes so span STRINGS never shuffle for
+    * the non-duplicated majority. Pass 1 aggregates 8-byte `xxhash64`
+    * span keys (map-side partial combine collapses within-partition
+    * repeats) and keeps hashes with >= `minDocs` total occurrences — a
+    * superset of the answer, since `minDocs` distinct docs imply that
+    * many occurrences and collisions only ADD candidates. Pass 2
+    * re-derives spans (second scan — cheaper than shipping all spans),
+    * semi-joins on the surviving hash set (AQE broadcasts it when
+    * small), and confirms on the exact string with a distinct-doc
+    * count. Output is O(duplicated spans), never corpus-sized. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, minDocs: Int = 2): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val spans = spanRows(docs, idCol, textCol, width)
+    val hot = spans.groupBy(xxhash64(col("span")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minDocs)
+      .select("__h")
+    spanRows(docs, idCol, textCol, width)
+      .join(hot, xxhash64(col("span")) === col("__h"), "left_semi")
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document occurrences of the spans [[dupSpans]] confirms:
+    * (doc_id, pos, span) for every placement of a cross-document
+    * duplicated span — the removal-actionable form (cut these ranges,
+    * keep one canonical placement). Same two-pass hash-prefilter
+    * shape; the confirmed-span set joins back by exact string. */
+  def dupSpanOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, minDocs: Int = 2): DataFrame = {
+    val confirmed = dupSpans(docs, idCol, textCol, width, minDocs)
+      .select("span")
+    spanRows(docs, idCol, textCol, width)
+      .join(confirmed, Seq("span"), "left_semi")
+      .select("doc_id", "pos", "span")
+  }
 }

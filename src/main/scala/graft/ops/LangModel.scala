@@ -66,4 +66,54 @@ object LangModel {
       .agg(count(lit(1)).as("dl"),
         round(-sum(col("__lnp")).cast("double") / count(lit(1)), 6).as("xent"))
   }
+
+  /** Per-term log-odds weights between two document slices — the
+    * trainable half of a fastText/CCNet-style linear quality
+    * classifier, as a TABLE instead of an opaque model file: for the
+    * top `vocabSize` corpus terms (ties term asc),
+    * {{{ w(t) = round(ln((df_pos + 0.5) / (df_neg + 0.5)), 6) }}}
+    * where df_pos / df_neg are the term's DOCUMENT frequencies in the
+    * rows `posPred` selects vs the rest. Add-0.5 smoothing keeps
+    * one-sided terms finite; using document (not token) frequency
+    * makes the weight robust to within-doc repetition.
+    *
+    * Scale: one explode + distinct + pivot-free conditional counts in a
+    * single groupBy; the top-V cut is a `TakeOrderedAndProject`. The
+    * output is a model artifact meant to be saved and broadcast. */
+  def logOddsWeights(docs: DataFrame, idCol: String, textCol: String,
+      posPred: Column, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    docs.select(col(idCol).cast("long").as("doc_id"), posPred.as("__pos"),
+        explode(toks(col(textCol))).as("__tok"))
+      .select(col("doc_id"), col("__pos"), lower(col("__tok")).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        count(when(col("__pos"), 1)).as("__dfp"))
+      .withColumn("weight", round(log(
+        (col("__dfp").cast("double") + 0.5) /
+          ((col("df") - col("__dfp")).cast("double") + 0.5)), 6))
+      .orderBy(col("df").desc, col("term")).limit(vocabSize)
+      .select("term", "weight")
+  }
+
+  /** Score every document against a (term, weight) table:
+    * {{{ score(d) = round(Σ_terms tf_t · w_t, 6) }}}
+    * — the inference half of the linear classifier, run as a BROADCAST
+    * join instead of a model server. Weights are 6-dp and tf integral,
+    * so each product is an exact DECIMAL and the sum is
+    * aggregation-order-independent; one corpus pass, one doc_id-keyed
+    * reduce, no shuffle of the text itself. Documents none of whose
+    * terms are in the table score 0. */
+  def scoreLinear(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(toks(col(textCol))).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("term"))
+    tok.join(broadcast(weights.select(col("term"),
+        col("weight").cast("decimal(18,6)").as("__w"))), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(round(sum(coalesce(col("__w"), lit(BigDecimal(0)).cast("decimal(18,6)")))
+        .cast("double"), 6).as("score"))
+  }
 }

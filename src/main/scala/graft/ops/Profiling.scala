@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-profiling operators — the "understand the table before touching
@@ -124,5 +125,51 @@ object Profiling {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("bucket_lo", lit(origin) + col("bucket") * width)
       .select("bucket", "bucket_lo", "n_rows")
+  }
+
+  /** Per-group z-score outliers: rows whose `valueCol` deviates from
+    * their group's mean by more than `threshold` sample standard
+    * deviations — the metric-anomaly screen (broken sensors, corrupted
+    * ingestion batches, mislabeled units).
+    *
+    * Cross-engine determinism is the hard part: a naive `stddev_samp`
+    * is FP-summation-order-dependent, so the same data gives different
+    * 16th decimals on different engines (or partitionings). Here both
+    * moments are exact decimals over `round(x, 6)`: the mean is the
+    * proven sum-decimal/cast-double device, deviations `d = x − mean`
+    * are exact 6-dp decimals, and the variance is
+    * `Σ round(d², 6) / (n−1)` summed as DECIMAL(18,6). Every double
+    * that follows (sqrt, the final divide) is an IEEE correctly-rounded
+    * op on identical inputs, so `z` is bit-identical however the sum
+    * associates — re-runnable in any engine as the audit trail.
+    *
+    * Groups with fewer than 2 rows or zero variance are excluded (no
+    * outlier is defined there). Two scans of the input (moment pass +
+    * join-back); the stats side is one row per group, broadcastable.
+    * NULL and NaN values are excluded like [[histogram]]. */
+  def zscoreOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, threshold: Double = 2.0): DataFrame = {
+    require(groupCols.nonEmpty, "zscoreOutliers needs at least one group column")
+    require(threshold > 0.0 && !threshold.isNaN && !threshold.isInfinite,
+      s"threshold must be positive and finite: $threshold")
+    val x6 = round(col(valueCol).cast("double"), 6)
+    val clean = df.filter(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")))
+    val stats = clean.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        round(sum(x6.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("__mean"))
+      .filter(col("__n") >= 2)
+    val d = x6 - col("__mean")
+    val withVar = clean.join(stats, groupCols)
+      .withColumn("__d2", round(d * d, 6).cast("decimal(18,6)"))
+      .withColumn("__var",
+        sum(col("__d2")).over(Window.partitionBy(groupCols.map(col): _*))
+          .cast("double") / (col("__n") - 1))
+    withVar
+      .filter(col("__var") > 0.0)
+      .withColumn("z", round(d / sqrt(col("__var")), 6))
+      .filter(abs(col("z")) > threshold)
+      .select(df.columns.map(col) :+ col("z"): _*)
   }
 }

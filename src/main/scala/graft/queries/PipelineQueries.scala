@@ -366,6 +366,52 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "n_tok", "quality")
     }),
 
+    // substring-granularity exact dedup (Lee et al.): 8-token spans in
+    // >= 2 distinct docs; hash-prefilter pass keeps span strings off
+    // the wire for the non-duplicated majority
+    "dedup_span_exact" -> ((s, dir) => {
+      graft.ops.Dedup.dupSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+    }),
+
+    // removal-actionable form: every placement of a confirmed
+    // cross-document duplicated span
+    "dedup_span_occurrences" -> ((s, dir) => {
+      graft.ops.Dedup.dupSpanOccurrences(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+    }),
+
+    // per-user metric anomalies: |z| > 2 under exact-decimal moments
+    // (bit-identical across engines/partitionings — the audit trail)
+    "events_zscore" -> ((s, dir) => {
+      graft.ops.Profiling.zscoreOutliers(
+        Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "value"),
+        Seq("user_id"), "value", 2.0)
+        .select("event_id", "user_id", "z")
+    }),
+
+    // linear quality classifier end-to-end: train per-term log-odds
+    // weights (is-English vs rest, document frequency, add-0.5) and
+    // score every doc via the broadcast weights table
+    "text_classifier_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = graft.ops.LangModel.logOddsWeights(
+        docs, "doc_id", "text", col("lang") === "en", 1000)
+      graft.ops.LangModel.scoreLinear(docs, "doc_id", "text", w)
+    }),
+
+    // relative quality floor: drop the worst 20% of every source by
+    // (quality, doc_id) percent_rank — deterministic, no interpolated
+    // quantiles
+    "pipeline_quality_floor" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.ops.Curation.percentileFloor(
+        docs, Seq("source"), col("quality"), "doc_id", 0.2)
+    }),
+
     // domain balancing: best 15 docs per source by (n_chars desc, id) —
     // bounded top-k aggregator, NOT a row_number window (partial buffers
     // cap a hot domain at 15 rows per input partition)
@@ -692,6 +738,57 @@ object PipelineQueries extends QueryGroup {
         "c AS (SELECT doc_id, n_tok, quality, " +
         "sum(n_tok) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT doc_id, n_tok, quality FROM c WHERE cum <= 20000"),
+    // engine prefilters on span hashes; the oracle states the exact
+    // string semantics the hash pass merely narrows to
+    "dedup_span_exact" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        " s AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-7), " +
+        "    i -> array_to_string(toks[i:i+7], ' '))) AS span FROM t) " +
+        "SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "  CAST(count(*) AS BIGINT) AS n_occ " +
+        "FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2"),
+    "dedup_span_occurrences" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        " s AS (SELECT doc_id, CAST(unnest(generate_series(1, len(toks)-7)) AS BIGINT) " +
+        "    AS pos, toks FROM t), " +
+        " sp AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS span FROM s), " +
+        " hot AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2) " +
+        "SELECT doc_id, pos, span FROM sp WHERE span IN (SELECT span FROM hot)"),
+    // moments as exact decimals over round(x,6) — the engine contract;
+    // everything after is IEEE-identical double ops
+    "events_zscore" ->
+      ("WITH e AS (SELECT event_id, user_id, value FROM events " +
+        "    WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " st AS (SELECT user_id, count(*) AS n, " +
+        "    round(CAST(sum(CAST(round(value,6) AS DECIMAL(18,6))) AS DOUBLE) " +
+        "      / count(*), 6) AS mean " +
+        "  FROM e GROUP BY user_id HAVING count(*) >= 2), " +
+        " j AS (SELECT e.event_id, e.user_id, round(e.value, 6) - mean AS d, n " +
+        "  FROM e JOIN st USING (user_id)), " +
+        " v AS (SELECT *, CAST(sum(CAST(round(d*d, 6) AS DECIMAL(18,6))) " +
+        "    OVER (PARTITION BY user_id) AS DOUBLE) / (n-1) AS var FROM j) " +
+        "SELECT event_id, user_id, round(d / sqrt(var), 6) AS z FROM v " +
+        "WHERE var > 0 AND abs(round(d / sqrt(var), 6)) > 2"),
+    // train + score replicated in full: document-frequency log-odds
+    // weights over the top-1000 vocabulary, then per-token decimal sums
+    "text_classifier_score" ->
+      ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        " d AS (SELECT doc_id, (lang = 'en') AS pos FROM documents), " +
+        " dt AS (SELECT DISTINCT tok.doc_id, term, pos FROM tok JOIN d USING (doc_id)), " +
+        " w0 AS (SELECT term, count(*) AS df, count(*) FILTER (WHERE pos) AS dfp " +
+        "  FROM dt GROUP BY term), " +
+        " wt AS (SELECT term, round(ln((CAST(dfp AS DOUBLE) + 0.5) " +
+        "    / (CAST(df - dfp AS DOUBLE) + 0.5)), 6) AS weight " +
+        "  FROM w0 ORDER BY df DESC, term LIMIT 1000) " +
+        "SELECT tok.doc_id, round(CAST(sum(CAST(coalesce(weight, 0) " +
+        "  AS DECIMAL(18,6))) AS DOUBLE), 6) AS score " +
+        "FROM tok LEFT JOIN wt USING (term) GROUP BY tok.doc_id"),
+    "pipeline_quality_floor" ->
+      (s"WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents), " +
+        " r AS (SELECT *, cume_dist() OVER (" +
+        "    PARTITION BY source ORDER BY quality, doc_id) AS cd FROM q) " +
+        "SELECT doc_id, source, quality FROM r WHERE cd > 0.2"),
     // engine keeps top-15 via a bounded aggregator; the window
     // formulation is the oracle's job, not the 100 TB plan
     "pipeline_source_cap" ->

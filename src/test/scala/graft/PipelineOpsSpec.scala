@@ -543,6 +543,72 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 1.0, 2L -> 1.5, 3L -> 2.333333, 4L -> 9.0))
   }
 
+  test("dupSpans: planted cross-doc span found, within-doc repeat not cross-counted") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a b the quick brown fox sleeps"),
+      (3L, "x y z w v u"),
+      (4L, "p q p q p q p q")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dupSpans(df, "doc_id", "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // "the quick brown fox" is in docs 1+2; doc 4's repeated "p q p q"
+    // occurs 3x but only in ONE doc → excluded by the distinct-doc gate
+    assert(got === Set(("the quick brown fox", 2L, 2L)))
+  }
+
+  test("dupSpanOccurrences: every placement of a confirmed span, 1-based pos") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a b the quick brown fox sleeps")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dupSpanOccurrences(df, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 1L, "the quick brown fox"),
+      (2L, 3L, "the quick brown fox")))
+  }
+
+  test("zscoreOutliers: planted outlier flagged, exact z, degenerate groups excluded") {
+    val s = spark; import s.implicits._
+    // group 1: nine 1.0s and one 10.0 → the 10.0 has z well over 2;
+    // group 2: constant (var 0) → excluded; group 3: single row → excluded
+    val rows = (1L to 9L).map(i => (i, 1L, 1.0)) ++
+      Seq((10L, 1L, 10.0), (11L, 2L, 5.0), (12L, 2L, 5.0), (13L, 3L, 7.0))
+    val df = rows.toDF("event_id", "user_id", "value")
+    val got = graft.ops.Profiling.zscoreOutliers(df, Seq("user_id"), "value", 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // mean=1.9, d=8.1, var=(9*0.81+65.61)/9=8.1, z=8.1/sqrt(8.1)=sqrt(8.1)
+    val z = BigDecimal(8.1 / math.sqrt(8.1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq((10L, z)))
+  }
+
+  test("logOddsWeights + scoreLinear: hand-computed weights and scores") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "good good stuff", true), (2L, "bad stuff", false))
+      .toDF("doc_id", "text", "is_pos")
+    val w = graft.ops.LangModel.logOddsWeights(df, "doc_id", "text", col("is_pos"), 10)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wGood = r6(math.log(1.5 / 0.5)); val wBad = r6(math.log(0.5 / 1.5))
+    val wStuff = r6(math.log(1.5 / 1.5))
+    val gotW = w.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(gotW === Map("good" -> wGood, "bad" -> wBad, "stuff" -> wStuff))
+    // doc 1 = 2*w(good) + w(stuff); doc 2 = w(bad) + w(stuff)
+    val scores = graft.ops.LangModel.scoreLinear(df, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores === Map(1L -> r6(2 * wGood + wStuff), 2L -> r6(wBad + wStuff)))
+  }
+
+  test("percentileFloor: bottom fraction dropped per group, singletons kept") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "a", 5.0), (6L, "b", 9.0)).toDF("id", "grp", "q")
+    val got = graft.ops.Curation.percentileFloor(df, Seq("grp"), col("q"), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    // group a: cume_dist = .2, .4, .6, .8, 1 → only id 1 (.2 <= .3) drops;
+    // group b is a singleton (cume_dist 1) and is kept
+    assert(got === Set(2L, 3L, 4L, 5L, 6L))
+  }
+
   test("curriculumBins equals the global-window formula, equal-count bins") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
