@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-flow analytics: ordered funnels and cohort retention — the two
+  * queries every product-event warehouse runs daily, expressed as
+  * key-local aggregates so they hold at 100 TB.
+  *
+  * Scale shape: both operators only ever shuffle on the entity key
+  * (`user`) or on tiny (cohort, offset) group keys. The funnel's
+  * step-chain is k−1 user-keyed aggregate/join rounds; after the first
+  * shuffle every later round is co-partitioned on the same key, so
+  * Catalyst reuses the exchange layout instead of re-shuffling. No
+  * window ever spans more than one user's events.
+  */
+object Funnels {
+
+  /** Ordered funnel: for each user, how deep into `steps` they got,
+    * where step i+1 must occur STRICTLY AFTER the user's first
+    * completion of step i (first-touch attribution — the standard
+    * product-funnel semantics). Returns one row per user who completed
+    * at least step 1: (user, steps_completed).
+    *
+    * Deterministic by construction: each step time is the MIN event
+    * time satisfying the chain, so ties and event order never matter.
+    * `tsCol` is the engine's epoch-nanos long for events tables. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__t0"))
+    val chained = steps.zipWithIndex.tail.foldLeft(first) {
+      case (prev, (step, i)) =>
+        val stepTs = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol).as("__ts"))
+        // conditional min, NOT a row filter: a user whose step-i events
+        // all precede __t_{i-1} must stay (at depth i), not vanish
+        val gcols = col(userCol) +: (0 until i).map(j => col(s"__t$j"))
+        prev.join(stepTs, Seq(userCol), "left")
+          .groupBy(gcols: _*)
+          .agg(min(when(col("__ts") > col(s"__t${i - 1}"), col("__ts")))
+            .as(s"__t$i"))
+    }
+    // depth = number of non-null step times (nulls only ever trail)
+    val depth = (0 until steps.size).map(j =>
+      when(col(s"__t$j").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    chained.select(col(userCol), depth.as("steps_completed"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * FIRST event; every (cohort_week, week_offset) cell counts the
+    * distinct cohort members active that many weeks later (offset 0 is
+    * the cohort size). Weeks are epoch-nanos floor-division buckets —
+    * engine-portable integer arithmetic, no calendar/ISO-week
+    * ambiguity. Two user-keyed aggregates plus one tiny group-by; the
+    * (user, week) activity set — not raw events — is what reaches the
+    * join. */
+  def retentionWeekly(events: DataFrame, userCol: String,
+      tsNanosCol: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600 * 1000000000L
+    val active = events
+      .select(col(userCol),
+        expr(s"$tsNanosCol div $weekNs").as("__week"))
+      .distinct()
+    val cohort = active.groupBy(col(userCol))
+      .agg(min(col("__week")).as("cohort_week"))
+    active.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (col("__week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

@@ -67,6 +67,52 @@ object LangModel {
         round(-sum(col("__lnp")).cast("double") / count(lit(1)), 6).as("xent"))
   }
 
+  /** Per-document BIGRAM cross-entropy — the next order up from
+    * [[crossEntropy]]: fluent text has predictable token-to-token
+    * transitions, so gibberish and shuffled-word spam (which unigram
+    * perplexity cannot see — same bag, same score) surface here.
+    *
+    * Model, add-one smoothed, trained on the scored corpus itself (the
+    * exact form the oracle gates; at 100 TB train on a sample and cap
+    * the bigram table like the unigram vocab):
+    * {{{
+    *   P(w2|w1)  = (c(w1,w2) + 1) / (c1(w1) + V)
+    *   xent(d)   = -(1/n_big) * Σ_bigrams round(ln P, 6)   // exact Σ
+    * }}}
+    * `c1` counts w1 as a PREDECESSOR (all tokens but each doc's last),
+    * `V` is the corpus distinct-term count over ALL tokens. Documents
+    * with fewer than 2 tokens have no bigrams and are excluded.
+    *
+    * Scale shape: bigrams are generated per row by a bound-attribute
+    * `transform` (no self-join on position); the count tables are
+    * map-side-combined groupBys and the scoring join is keyed by the
+    * bigram itself — never a broadcast assumption on a table that is
+    * vocabulary-squared-sized. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("__toks"))
+    // sequence(1, n-1) would run DESCENDING for 1-token docs — filter first
+    val pairs = base.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(lower(element_at(col("__toks"), i)).as("w1"),
+          lower(element_at(col("__toks"), i + 1)).as("w2")))).as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val cbg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val vocabN = base.select(explode(col("__toks")).as("__tok"))
+      .agg(count_distinct(lower(col("__tok"))).as("__v"))
+    val lnp = log((col("__c12") + 1L).cast("double") /
+      (col("__c1") + col("__v")).cast("double"))
+    pairs.join(cbg, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocabN))
+      .withColumn("__lnp", round(lnp, 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"),
+        round(-sum(col("__lnp")).cast("double") / count(lit(1)), 6).as("xent"))
+  }
+
   /** Per-term log-odds weights between two document slices — the
     * trainable half of a fastText/CCNet-style linear quality
     * classifier, as a TABLE instead of an opaque model file: for the

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenization with a REAL merge table — the exact
+  * token accounting a training pipeline needs (the regex estimate in
+  * [[graft.functions.TextFunctions]] is the cheap screen; this is the
+  * tokenizer-faithful count).
+  *
+  * Architecture mirrors how production BPE trainers actually work:
+  * training never iterates over the corpus, it iterates over the
+  * aggregated WORD-FREQUENCY vocabulary — one distributed pass builds
+  * (word, count), the top `vocabCap` words (deterministic ties) come to
+  * the driver, and the classic merge loop runs there in milliseconds.
+  * Encoding broadcasts the merge ranks and runs as a per-partition
+  * kernel with a word-level memo cache (Zipf makes the cache hit rate
+  * enormous), so the corpus pass is embarrassingly parallel: no
+  * shuffle at all beyond the final per-doc count's map-side fold.
+  *
+  * Determinism: training ties (equal pair counts) break on the
+  * lexicographically smallest pair; encoding merges the lowest-rank
+  * pair first, leftmost occurrence first. Both are total orders, so
+  * the same corpus always yields the same merges and the same tokens.
+  * Tokenization is lower-cased single-space word split, matching the
+  * engine's corpus split; merges never cross word boundaries.
+  */
+object Tokenize {
+
+  /** Train `nMerges` BPE merges on the corpus word-frequency table,
+    * capped to the `vocabCap` most frequent words (count desc, word
+    * asc). Returns the ordered merge list — rank = position. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      vocabCap: Int): Seq[(String, String)] = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    require(vocabCap > 0, s"vocabCap must be positive: $vocabCap")
+    val wordCounts = docs
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .select(lower(col("__w")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnVocab(wordCounts, nMerges)
+  }
+
+  /** The driver-side merge loop, exposed for testing: words as symbol
+    * sequences, repeatedly fuse the highest-total-count adjacent pair. */
+  private[graft] def trainOnVocab(wordCounts: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var words: Seq[(Array[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var k = 0
+    while (k < nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && pairLt(p, best._1))) best = (p, c)
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (fuse(syms, a, b), c) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def pairLt(x: (String, String), y: (String, String)): Boolean =
+    x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+
+  private def fuse(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one word under a rank map: repeatedly merge the
+    * lowest-rank adjacent pair (leftmost first on equal rank — ranks
+    * are unique, so only adjacency order matters). */
+  private[graft] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var go = syms.length > 1
+    while (go) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val r = ranks.getOrElse(p, Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = p }
+        i += 1
+      }
+      if (bestPair == null) go = false
+      else {
+        syms = fuse(syms, bestPair._1, bestPair._2)
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Tokenizer-faithful per-document BPE token count:
+    * (doc_id, n_words, n_tok). The merge table broadcasts; the corpus
+    * pass is a mapPartitions kernel with a per-partition word memo. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        lower(col(textCol)).as("__text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        val memo = new java.util.HashMap[String, Int]()
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1).filter(_.nonEmpty)
+          var tok = 0L
+          words.foreach { w =>
+            tok += memo.computeIfAbsent(w, ww => encodeWord(ww, r).length)
+          }
+          (id, words.length.toLong, tok)
+        }
+      }.toDF("doc_id", "n_words", "n_tok")
+  }
+}

@@ -391,6 +391,38 @@ object PipelineQueries extends QueryGroup {
         .select("event_id", "user_id", "z")
     }),
 
+    // ordered product funnel view→click→purchase: first-touch chain,
+    // conditional-min per step (k−1 user-keyed rounds, exchange reused)
+    "events_funnel" -> ((s, dir) => {
+      graft.ops.Funnels.funnel(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // weekly cohort retention on epoch-nanos week buckets (engine-
+    // portable integer weeks, no ISO-calendar ambiguity)
+    "events_retention" -> ((s, dir) => {
+      graft.ops.Funnels.retentionWeekly(
+        Tables.load(s, dir, "events"), "user_id", "ts")
+    }),
+
+    // bigram LM cross-entropy: transition-level fluency score that
+    // unigram perplexity cannot see (same bag ⇒ same unigram score)
+    "text_lm_bigram" -> ((s, dir) => {
+      graft.ops.LangModel.bigramCrossEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // tokenizer-faithful BPE counts: merges trained on the aggregated
+    // word-frequency vocab (how real BPE trainers work), broadcast
+    // ranks, memoized per-partition kernel. No SQL oracle (iterative
+    // merge loop is not SQL-expressible) — gated by TokenizeSpec's
+    // hand-computed merge sequence and encodings.
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.ops.Tokenize.bpeTrain(docs, "text", 50, 2000)
+      graft.ops.Tokenize.bpeTokenCounts(docs, "doc_id", "text", merges)
+    }),
+
     // linear quality classifier end-to-end: train per-term log-odds
     // weights (is-English vs rest, document frequency, add-0.5) and
     // score every doc via the broadcast weights table
@@ -769,6 +801,41 @@ object PipelineQueries extends QueryGroup {
         "    OVER (PARTITION BY user_id) AS DOUBLE) / (n-1) AS var FROM j) " +
         "SELECT event_id, user_id, round(d / sqrt(var), 6) AS z FROM v " +
         "WHERE var > 0 AND abs(round(d / sqrt(var), 6)) > 2"),
+    "events_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events " +
+        "    WHERE event_type = 'view' GROUP BY user_id), " +
+        " s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e " +
+        "    JOIN s1 USING (user_id) " +
+        "    WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY e.user_id), " +
+        " s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "    JOIN s2 USING (user_id) " +
+        "    WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY e.user_id) " +
+        "SELECT s1.user_id, 1 + CAST(s2.user_id IS NOT NULL AS BIGINT) " +
+        "  + CAST(s3.user_id IS NOT NULL AS BIGINT) AS steps_completed " +
+        "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    "events_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, " +
+        "    epoch_ns(ts) // 604800000000000 AS week FROM events), " +
+        " c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id) " +
+        "SELECT cohort_week, week - cohort_week AS week_offset, " +
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM a JOIN c USING (user_id) GROUP BY cohort_week, week - cohort_week"),
+    // bigram LM replicated in full: predecessor counts, corpus distinct-
+    // term V, add-one transitions, per-bigram round(ln,6) decimal sums
+    "text_lm_bigram" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        " p0 AS (SELECT doc_id, unnest(generate_series(1, len(toks)-1)) AS i, toks FROM t), " +
+        " p AS (SELECT doc_id, lower(toks[i]) AS w1, lower(toks[i+1]) AS w2 FROM p0), " +
+        " cbg AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2), " +
+        " c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY w1), " +
+        " v AS (SELECT count(DISTINCT lower(tok)) AS v FROM " +
+        "    (SELECT unnest(toks) AS tok FROM t)), " +
+        " sc AS (SELECT doc_id, round(ln(CAST(c12 + 1 AS DOUBLE) " +
+        "    / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS lnp " +
+        "  FROM p JOIN cbg USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big, " +
+        "  round(-CAST(sum(CAST(lnp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS xent " +
+        "FROM sc GROUP BY doc_id"),
     // train + score replicated in full: document-frequency log-odds
     // weights over the top-1000 vocabulary, then per-token decimal sums
     "text_classifier_score" ->

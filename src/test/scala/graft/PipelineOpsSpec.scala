@@ -609,6 +609,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("funnel: ordering enforced, stalled users kept at their depth") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full
+      (2L, 50L, "view"), (2L, 40L, "click"),             // click BEFORE view
+      (3L, 10L, "click"),                                // never entered
+      (4L, 10L, "view"), (4L, 20L, "purchase"),          // skipped click
+      (5L, 10L, "view"), (5L, 20L, "click"), (5L, 15L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.ops.Funnels.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("retentionWeekly: integer week buckets, offsets against first-week cohort") {
+    val s = spark; import s.implicits._
+    val wk = 7L * 24 * 3600 * 1000000000L
+    val ev = Seq(
+      (1L, 1L), (1L, 2 * wk + 5L),      // cohort 0, active offsets 0 and 2
+      (2L, wk + 1L),                    // cohort 1, offset 0
+      (3L, 3L), (3L, 7L)                // cohort 0, two same-week events → one cell
+    ).toDF("user_id", "ts")
+    val got = graft.ops.Funnels.retentionWeekly(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("bigramCrossEntropy: hand-computed transition score, short docs excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b")).toDF("doc_id", "text")
+    val got = graft.ops.LangModel.bigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // V=2; c1(a)=1, c1(b)=1; P(b|a)=P(a|b)=(1+1)/(1+2)=2/3;
+    // lnp=round(ln(2/3),6)=-0.405465 → xent = 0.405465, doc 2 has no bigram
+    assert(got === Set((1L, 2L, 0.405465)))
+  }
+
   test("curriculumBins equals the global-window formula, equal-count bins") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window

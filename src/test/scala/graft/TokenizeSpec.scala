@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Tokenize
+
+/** Hand-computed BPE gates: the merge loop's count/tie arithmetic and
+  * the encoder's rank/adjacency order, then the distributed
+  * train-on-vocab → broadcast-encode round trip. */
+class TokenizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("TokenizeSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // Classic BPE example: counts weighted by word frequency.
+  //   low×5, lower×2, newest×6
+  //   pass 1: (w,e)=8 wins;  pass 2: (l,o)=7;
+  //   pass 3: four pairs tie at 6 → lexicographic smallest is (e,we)
+  private val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L))
+
+  test("trainOnVocab: frequency-weighted merges, lexicographic tie-break") {
+    val merges = Tokenize.trainOnVocab(vocab, 3)
+    assert(merges === Seq(("w", "e"), ("l", "o"), ("e", "we")))
+  }
+
+  test("trainOnVocab stops early when no pairs remain") {
+    val merges = Tokenize.trainOnVocab(Seq(("ab", 3L)), 10)
+    assert(merges === Seq(("a", "b")))
+  }
+
+  test("encodeWord: lowest rank first, unseen word segments to learned units") {
+    val ranks = Tokenize.trainOnVocab(vocab, 3).zipWithIndex.toMap
+    // lowest: (w,e) fuses before (l,o) despite appearing later in the word
+    assert(Tokenize.encodeWord("lowest", ranks).toSeq === Seq("lo", "we", "s", "t"))
+    assert(Tokenize.encodeWord("low", ranks).toSeq === Seq("lo", "w"))
+    assert(Tokenize.encodeWord("x", ranks).toSeq === Seq("x"))
+  }
+
+  test("bpeTokenCounts: per-doc counts through the broadcast kernel") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "low lower newest"), (2L, "low  low"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Tokenize.trainOnVocab(vocab, 3)
+    val got = Tokenize.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // low→[lo,w]=2, lower→[lo,we,r]=3, newest→[n,ewe,s,t]=4; double
+    // space yields an empty word that is dropped, not counted
+    assert(got === Set((1L, 3L, 9L), (2L, 2L, 4L), (3L, 0L, 0L)))
+  }
+
+  test("bpeTrain learns from the corpus word-frequency table deterministically") {
+    val s = spark; import s.implicits._
+    // corpus realizes the same vocab frequencies as `vocab`
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(6)("newest")
+    val docs = words.grouped(4).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = graft.ops.Tokenize.bpeTrain(docs, "text", 3, 100)
+    assert(merges === Seq(("w", "e"), ("l", "o"), ("e", "we")))
+  }
+}
