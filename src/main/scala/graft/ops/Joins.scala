@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Grid axis for a time/numeric column: TIMESTAMP (with or without
+    * time zone — parquet often surfaces NTZ) maps to epoch micros,
+    * anything numeric casts to long in its own unit. The mapping only
+    * needs to be monotone and identical on both join sides; the exact
+    * overlap predicate always re-checks the original columns. */
+  private def axis(df: DataFrame, c: String) = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+    case _ => col(c).cast("long")
+  }
+
   /** As-of join: attach to each left row the LATEST right row of the same
     * key with `rightTs` <= `leftTs` (NULL payload when none exists).
     *
@@ -80,10 +92,6 @@ object Joins {
       s"interval columns collide with point columns: $collisions — rename before joining")
     require(!(points.columns ++ intervals.columns).contains("__cell"),
       "column name __cell is reserved by pointInInterval — rename before joining")
-    def axis(df: DataFrame, c: String) = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case _ => col(c).cast("long")
-    }
     val pb = points.withColumn("__cell", floor(axis(points, ptTs) / bucketSize))
     val ib = intervals.withColumn("__cell", explode(sequence(
       floor(axis(intervals, startTs) / bucketSize),
@@ -149,5 +157,47 @@ object Joins {
       saltedJoin(big.filter(hot), dim.filter(hot), Seq(key), salts)
         .unionByName(plain)
     }
+  }
+
+  /** Interval-OVERLAP equijoin: all (left, right) pairs sharing
+    * `keyCols` whose CLOSED intervals `[lStart,lEnd]` and
+    * `[rStart,rEnd]` intersect — the range-join sibling of
+    * [[pointInInterval]] (co-validity windows, shipment congestion,
+    * genomic range intersection).
+    *
+    * Same grid-cell device: both sides explode to the `bucketSize`
+    * cells they cover and equi-join on (keys, cell), so the theta
+    * condition never reaches the planner as a cartesian. A pair whose
+    * intervals span several shared cells would match once per cell;
+    * instead of a `distinct` over the (wide) output, the join keeps
+    * only the cell containing `max(lStart, rStart)` — the FIRST
+    * overlapping cell, which exists and is unique for every truly
+    * overlapping pair. Dedup by arithmetic, no extra shuffle.
+    *
+    * Column names must be disjoint outside `keyCols` (rename first);
+    * time columns as in [[pointInInterval]]: TIMESTAMP (micros grid)
+    * or numeric epoch, both sides in the same unit. Fan-out = interval
+    * length / bucketSize + 1 — size the bucket near the typical
+    * interval length. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], lStart: String, lEnd: String,
+      rStart: String, rEnd: String, bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    require(collisions.isEmpty,
+      s"left columns collide with right columns: $collisions — rename before joining")
+    require(!(left.columns ++ right.columns).contains("__cell"),
+      "column name __cell is reserved by intervalOverlapJoin — rename first")
+    val lb = left.withColumn("__cell", explode(sequence(
+      floor(axis(left, lStart) / bucketSize),
+      floor(axis(left, lEnd) / bucketSize))))
+    val rb = right.withColumn("__cell", explode(sequence(
+      floor(axis(right, rStart) / bucketSize),
+      floor(axis(right, rEnd) / bucketSize))))
+    lb.join(rb, keyCols :+ "__cell")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__cell") ===
+        floor(greatest(axis(left, lStart), axis(right, rStart)) / bucketSize))
+      .drop("__cell")
   }
 }

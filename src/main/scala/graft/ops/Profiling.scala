@@ -127,6 +127,39 @@ object Profiling {
       .select("bucket", "bucket_lo", "n_rows")
   }
 
+  /** Global quantile rank: each row's position in the corpus-wide
+    * `(valueCol, idCol)` order as a [0,1] fraction — quantile
+    * normalization / uniformization of a skewed metric (the monotone
+    * map every "convert score to percentile" feature step needs).
+    *
+    * `qrank = (rank−1)/(n−1)` on the UNIQUE order, so ties are
+    * impossible, the extremes are exactly 0 and 1, and the division of
+    * two exact small integers is the same IEEE double everywhere. A
+    * single row gets 0. NULL/NaN values are excluded (no place in a
+    * total order).
+    *
+    * The global order statistic is the scale trap: `row_number()` over
+    * an unpartitioned window is a single-task stage. Here the rank is
+    * the distributed prefix COUNT of [[graft.ops.Curation.runningTotal]]
+    * (range partition + local ranks + broadcast offsets) — same
+    * machinery as the training-order shuffle, no single-partition
+    * stage (PlanAuditSpec pins that property for runningTotal). */
+  def quantileRank(df: DataFrame, valueCol: String, idCol: String,
+      out: String = "qrank"): DataFrame = {
+    require(!df.columns.contains(out), s"output column $out already exists")
+    require(!df.columns.contains("__rk"),
+      "column name __rk is reserved by quantileRank — rename first")
+    val v = col(valueCol).cast("double")
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(v))
+    val n = clean.count()
+    val ranked = Curation.runningTotal(clean,
+      Seq(col(valueCol), col(idCol)), lit(1L), "__rk")
+    val qr = if (n > 1)
+      round((col("__rk") - 1).cast("double") / (n - 1).toDouble, 6)
+    else lit(0.0)
+    ranked.withColumn(out, qr).drop("__rk")
+  }
+
   /** Per-group z-score outliers: rows whose `valueCol` deviates from
     * their group's mean by more than `threshold` sample standard
     * deviations — the metric-anomaly screen (broken sensors, corrupted

@@ -79,6 +79,25 @@ object JoinQueries extends QueryGroup {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
 
+    // interval-OVERLAP join: same-supplier bulk shipments (qty > 45)
+    // whose 3-day ship windows intersect — grid-cell equijoin, pair
+    // deduped by the first-overlapping-cell identity (no distinct);
+    // canonical (a < b) ordering halves the symmetric output
+    "join_interval_overlap" -> ((s, dir) => {
+      val threeDays = expr("INTERVAL 3 DAY")
+      def side(p: String) = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_orderkey").as(s"${p}_ok"), col("l_linenumber").as(s"${p}_ln"),
+          col("l_shipdate").as(s"${p}_s"),
+          (col("l_shipdate") + threeDays).as(s"${p}_e"))
+      Joins.intervalOverlapJoin(side("a"), side("b"), Seq("suppkey"),
+          "a_s", "a_e", "b_s", "b_e", bucketSize = 7L * 86400 * 1000000)
+        .filter(col("a_ok") < col("b_ok") ||
+          (col("a_ok") === col("b_ok") && col("a_ln") < col("b_ln")))
+        .select("suppkey", "a_ok", "a_ln", "b_ok", "b_ln")
+    }),
+
     // skew-aware variant: only detected hot keys pay the salt spread
     // (heavyHitters → hot set → two-path join); oracle is again the
     // plain SQL join — the hot/cold paths partition the key space
@@ -97,6 +116,18 @@ object JoinQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the theta formulation IS the oracle; the engine's grid-cell plan
+    // must reproduce it exactly
+    "join_interval_overlap" ->
+      ("WITH f AS (SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber, " +
+        "    l_shipdate AS s, l_shipdate + INTERVAL 3 DAY AS e " +
+        "  FROM lineitem WHERE l_quantity > 45) " +
+        "SELECT a.suppkey, a.l_orderkey AS a_ok, a.l_linenumber AS a_ln, " +
+        "  b.l_orderkey AS b_ok, b.l_linenumber AS b_ln " +
+        "FROM f a JOIN f b ON a.suppkey = b.suppkey " +
+        "  AND a.s <= b.e AND b.s <= a.e " +
+        "  AND (a.l_orderkey < b.l_orderkey OR " +
+        "    (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))"),
     "join_skew_aware" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +

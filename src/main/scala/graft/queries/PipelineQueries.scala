@@ -391,6 +391,15 @@ object PipelineQueries extends QueryGroup {
         .select("event_id", "user_id", "z")
     }),
 
+    // global quantile normalization of the event metric — distributed
+    // prefix-count rank, never a single-partition global window
+    "events_quantile_norm" -> ((s, dir) => {
+      graft.ops.Profiling.quantileRank(
+        Tables.load(s, dir, "events").select("event_id", "value"),
+        "value", "event_id", "qnorm")
+        .select("event_id", "qnorm")
+    }),
+
     // ordered product funnel view→click→purchase: first-touch chain,
     // conditional-min per step (k−1 user-keyed rounds, exchange reused)
     "events_funnel" -> ((s, dir) => {
@@ -801,6 +810,14 @@ object PipelineQueries extends QueryGroup {
         "    OVER (PARTITION BY user_id) AS DOUBLE) / (n-1) AS var FROM j) " +
         "SELECT event_id, user_id, round(d / sqrt(var), 6) AS z FROM v " +
         "WHERE var > 0 AND abs(round(d / sqrt(var), 6)) > 2"),
+    // the single-partition window formulation is the ORACLE's job; the
+    // engine realizes the same rank distributively
+    "events_quantile_norm" ->
+      ("WITH e AS (SELECT event_id, value FROM events " +
+        "    WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " r AS (SELECT event_id, row_number() OVER (ORDER BY value, event_id) AS rn, " +
+        "    count(*) OVER () AS n FROM e) " +
+        "SELECT event_id, round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS qnorm FROM r"),
     "events_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events " +
         "    WHERE event_type = 'view' GROUP BY user_id), " +

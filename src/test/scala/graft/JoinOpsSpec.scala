@@ -147,4 +147,41 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.length === 1, s"bucket=${bucket}s must yield exactly one pair")
     }
   }
+
+  test("intervalOverlapJoin: exact overlap set, bucket-size invariant, key-scoped") {
+    val s = spark; import s.implicits._
+    // numeric-axis intervals: a1 [0,10], a2 [20,30] vs b1 [5,25] (hits
+    // both), b2 [40,50] (hits none), b3 on another key (never joins)
+    val l = Seq(("k", 1L, 0L, 10L), ("k", 2L, 20L, 30L))
+      .toDF("key", "aid", "a_s", "a_e")
+    val r = Seq(("k", 10L, 5L, 25L), ("k", 20L, 40L, 50L), ("x", 30L, 0L, 100L))
+      .toDF("key", "bid", "b_s", "b_e")
+    for (bucket <- Seq(1L, 7L, 1000L)) {
+      val got = Joins.intervalOverlapJoin(l, r, Seq("key"),
+          "a_s", "a_e", "b_s", "b_e", bucket)
+        .select("aid", "bid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === Set((1L, 10L), (2L, 10L)), s"bucket=$bucket")
+    }
+  }
+
+  test("intervalOverlapJoin: touching endpoints overlap (closed intervals)") {
+    val s = spark; import s.implicits._
+    val l = Seq(("k", 1L, 0L, 10L)).toDF("key", "aid", "a_s", "a_e")
+    val r = Seq(("k", 10L, 10L, 20L), ("k", 20L, 11L, 20L))
+      .toDF("key", "bid", "b_s", "b_e")
+    val got = Joins.intervalOverlapJoin(l, r, Seq("key"),
+        "a_s", "a_e", "b_s", "b_e", 5L)
+      .select("aid", "bid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("quantileRank: unique order, exact fractions, nulls/NaN excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 5.0), (2L, 1.0), (3L, 5.0), (4L, Double.NaN))
+      .toDF("id", "v").repartition(3)
+    val got = graft.ops.Profiling.quantileRank(df, "v", "id", "q")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // order (v, id): 2 → 0, 1 → 0.5, 3 → 1; NaN row excluded
+    assert(got === Map(2L -> 0.0, 1L -> 0.5, 3L -> 1.0))
+  }
 }
