@@ -174,4 +174,33 @@ object Curation {
       .filter(col("__pr") > floor)
       .drop("__pr")
   }
+
+  /** Benchmark decontamination as a REMOVAL, not just a report: drop
+    * every training document sharing at least one distinct `n`-gram
+    * with the eval corpus (the hard-line contract eval integrity
+    * demands; the count-style report is `text_contamination`).
+    *
+    * Scale shape: the eval side is filtered BEFORE gramming (kernels
+    * are opaque to pushdown), its distinct grams BROADCAST, and the
+    * contaminated-id set — tiny by construction — anti-joins back
+    * against the training rows, which never shuffle. Train docs
+    * shorter than `n` tokens cannot share an n-gram and are kept. */
+  def removeContaminated(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val spark = train.sparkSession
+    import spark.implicits._
+    def grams(d: DataFrame) =
+      d.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.ops.MinHash.slidingNgramsDistinct(text.split("\\s+"), n)
+            .iterator.map((id, _))
+        }).toDF("__cid", "__g")
+    val evalG = grams(eval).select("__g").distinct()
+    val contaminated = grams(train)
+      .join(broadcast(evalG), Seq("__g"))
+      .select("__cid").distinct()
+    train.join(contaminated, train(idCol).cast("long") === col("__cid"),
+      "left_anti")
+  }
 }

@@ -113,6 +113,48 @@ object LangModel {
         round(-sum(col("__lnp")).cast("double") / count(lit(1)), 6).as("xent"))
   }
 
+  /** Top pointwise-mutual-information term pairs — the collocation /
+    * topic-association mining pass (which terms co-occur in documents
+    * far more than chance): over the `vocabSize` most frequent terms,
+    * {{{ pmi(a,b) = round(ln(N · c_ab / (c_a · c_b)), 6) }}}
+    * with document-level counts (c_a docs containing a, c_ab docs
+    * containing both), unordered pairs `a < b`, pairs below `minCount`
+    * co-occurrences dropped, top `k` by (pmi desc, a, b).
+    *
+    * Scale shape: the vocabulary BROADCASTS (top-V cut is a
+    * TakeOrderedAndProject), so the per-doc distinct-term set is
+    * vocab-bounded before the pair self-join on doc_id — each doc
+    * contributes at most V·(V−1)/2 pairs and the join never sees an
+    * unbounded key. Final top-k is again TakeOrderedAndProject, not a
+    * global sort. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minCount: Long, k: Int): DataFrame = {
+    require(vocabSize > 1, s"vocabSize must be > 1: $vocabSize")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k > 0, s"k must be positive: $k")
+    val vocab = unigramVocab(docs, textCol, vocabSize).select("term")
+    val docTerms = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(toks(col(textCol))).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("term"))
+      .distinct()
+      .join(broadcast(vocab), Seq("term"))
+    val c1 = docTerms.groupBy("term").agg(count(lit(1)).as("__c"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val a = docTerms.select(col("doc_id"), col("term").as("t1"))
+    val b = docTerms.select(col("doc_id"), col("term").as("t2"))
+    a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(broadcast(c1.select(col("term").as("t1"), col("__c").as("__c1"))), Seq("t1"))
+      .join(broadcast(c1.select(col("term").as("t2"), col("__c").as("__c2"))), Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi", round(log(
+        (col("__n") * col("c12")).cast("double") /
+          (col("__c1") * col("__c2")).cast("double")), 6))
+      .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(k)
+      .select("t1", "t2", "c12", "pmi")
+  }
+
   /** Per-term log-odds weights between two document slices — the
     * trainable half of a fastText/CCNet-style linear quality
     * classifier, as a TABLE instead of an opaque model file: for the

@@ -74,4 +74,29 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Small-file compaction (the lakehouse `OPTIMIZE` verb): rewrite
+    * `df` at `path` as `ceil(rows / targetRowsPerFile)` parquet files,
+    * optionally range-clustered on `sortCols` so per-file min/max
+    * stats stay tight for pruning. Row content is bit-identical — any
+    * query over the compacted copy must equal the original (the oracle
+    * gate); only file count and placement change.
+    *
+    * At 100 TB the row-count proxy stands in for a byte-size target
+    * (rows × avg row size); the count is one all-map-side agg, the
+    * rewrite is the one shuffle it IS — range (sampled, balanced) when
+    * clustered, round-robin otherwise. */
+  def compactWrite(df: DataFrame, path: String, targetRowsPerFile: Long,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(targetRowsPerFile > 0,
+      s"targetRowsPerFile must be positive: $targetRowsPerFile")
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -132,6 +132,37 @@ object PipelineQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // decontamination as REMOVAL: train docs sharing any 5-gram with
+    // the eval slice are anti-joined away (broadcast eval grams, tiny
+    // contaminated-id set — train rows never shuffle)
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.removeContaminated(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 5)
+        .select("doc_id", "source")
+    }),
+
+    // collocation mining: top-100 PMI pairs over the top-200 vocab,
+    // document-level counts, >= 3 co-occurrences
+    "text_pmi_pairs" -> ((s, dir) => {
+      graft.ops.LangModel.pmiPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 200, 3L, 100)
+    }),
+
+    // small-file compaction: content-identical rewrite at ~150 rows per
+    // file range-clustered on n_chars; any read over the compacted copy
+    // must equal the plain table
+    "layout_compact_read" -> ((s, dir) => {
+      val path = graft.GraftEngine.tablePath(dir, "docs_compact")
+      graft.ops.Layout.compactWrite(
+        Tables.load(s, dir, "documents"), path, 150L, Seq("n_chars"))
+      s.read.parquet(path)
+        .filter(col("n_chars").between(500, 2000))
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // BPE-ish pre-tokenizer (word pieces + punctuation as tokens)
     "text_bpe_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -959,6 +990,32 @@ object PipelineQueries extends QueryGroup {
         "e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0) " +
         "SELECT g.doc_id, count(*) AS n_shared FROM g JOIN e ON g.g = e.g " +
         "WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id"),
+    "pipeline_decontaminate" ->
+      (s"WITH g AS (SELECT doc_id, unnest(list_distinct(${ngramSql(5)})) AS g FROM documents), " +
+        " e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0), " +
+        " c AS (SELECT DISTINCT doc_id FROM g JOIN e USING (g) WHERE doc_id % 97 <> 0) " +
+        "SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0 " +
+        "  AND doc_id NOT IN (SELECT doc_id FROM c)"),
+    // vocab = top-200 by corpus TOKEN count; association by DOC counts
+    "text_pmi_pairs" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, lower(t) AS term FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        " v AS (SELECT lower(t) AS term FROM (" +
+        "    SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
+        "  GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 200), " +
+        " dt AS (SELECT doc_id, term FROM tok JOIN v USING (term)), " +
+        " c1 AS (SELECT term, count(*) AS c FROM dt GROUP BY term), " +
+        " n AS (SELECT count(*) AS n FROM documents), " +
+        " p AS (SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS c12 " +
+        "  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 3) " +
+        "SELECT t1, t2, c12, round(ln(CAST(n.n * c12 AS DOUBLE) " +
+        "    / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi " +
+        "FROM p JOIN c1 ca ON p.t1 = ca.term JOIN c1 cb ON p.t2 = cb.term " +
+        "CROSS JOIN n ORDER BY pmi DESC, t1, t2 LIMIT 100"),
+    "layout_compact_read" ->
+      ("SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE n_chars BETWEEN 500 AND 2000"),
     "text_bpe_stats" ->
       ("SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe, " +
         "len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))) AS n_bpe_distinct " +

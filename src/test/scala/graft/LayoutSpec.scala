@@ -76,4 +76,29 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     Layout.zorderWrite(src.filter(col("id") < 0), "x", "y", emptyPath, nFiles = 2)
     assert(spark.read.parquet(emptyPath).count() === 0)
   }
+
+  test("compactWrite: exact file count from the row target, content identical, clustered") {
+    val s = spark; import s.implicits._
+    val path = Files.createTempDirectory("graft-compact").toString + "/t"
+    val src = (1L to 1000L).map(i => (i, (i * 37) % 1000)).toDF("id", "v")
+      .repartition(64) // fragmented input: 64 tiny files' worth of rows
+    Layout.compactWrite(src, path, targetRowsPerFile = 250L, sortCols = Seq("v"))
+    val files = new java.io.File(path).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length === 4, s"expected ceil(1000/250)=4 files, got ${files.length}")
+    val back = spark.read.parquet(path)
+    assert(back.count() === 1000)
+    assert(back.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === src.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // range clustering: per-file v-spans are disjoint (stats stay tight)
+    val spans = files.sorted.map { f =>
+      val d = spark.read.parquet(f.getPath).agg(min(col("v")), max(col("v"))).head()
+      (d.getLong(0), d.getLong(1))
+    }
+    val ordered = spans.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping file spans: $ordered")
+      case _ =>
+    }
+  }
 }

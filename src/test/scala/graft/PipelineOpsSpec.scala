@@ -647,6 +647,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L, 0.405465)))
   }
 
+  test("removeContaminated: sharing docs dropped, short and clean docs kept") {
+    val s = spark; import s.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares the eval 5-gram
+      (2L, "one two three four five six"),          // clean
+      (3L, "tiny doc")                              // < 5 tokens, cannot share
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "xx alpha beta gamma delta epsilon yy"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Curation.removeContaminated(train, eval, "doc_id", "text", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
+  test("pmiPairs: hand-computed doc-level PMI, deterministic order") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"), (4L, "c d"), (5L, "a c"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.LangModel.pmiPairs(df, "doc_id", "text", 10, 1L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=5; c(a)=3, c(b)=2, c(c)=3, c(d)=2; (a,b):2 → ln(10/6),
+    // (c,d):2 → ln(10/6), (a,c):1 → ln(5/9)
+    val hi = r6(math.log(10.0 / 6.0)); val lo = r6(math.log(5.0 / 9.0))
+    assert(got.toSeq === Seq(("a", "b", 2L, hi), ("c", "d", 2L, hi), ("a", "c", 1L, lo)))
+  }
+
   test("curriculumBins equals the global-window formula, equal-count bins") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
