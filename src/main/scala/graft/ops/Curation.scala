@@ -175,6 +175,48 @@ object Curation {
       .drop("__pr")
   }
 
+  /** Water-fill budget allocation: split a total `budget` (tokens,
+    * chars, bytes) across groups so that no group gets more than it
+    * has, small groups keep everything, and the remainder spreads
+    * EVENLY over the big groups — the max-min fair "how much of each
+    * source/language may I take" step that precedes mixture sampling.
+    * Returns one row per group: (group, total, alloc) where
+    * `alloc = min(total, level)` and the water level solves
+    * `Σ min(total_s, level) = budget` (when the corpus exceeds the
+    * budget; otherwise every group keeps its total).
+    *
+    * Closed form, no iteration: with groups ranked ascending by total
+    * (prefix sums p_r), rank r is fully funded iff
+    * `t_r·(S−r) + p_r <= budget` — a monotone condition, so the funded
+    * set is a rank prefix `[1..K]` and the level is
+    * `(budget − p_K)/(S − K)`. Both the rank and the prefix sum come
+    * from [[runningTotal]] over the per-group totals — at web scale
+    * "groups" are domains (millions), and this keeps even the
+    * allocation step free of single-partition windows. All inputs to
+    * the one division are exact integers: the level is the same IEEE
+    * double in any engine. */
+  def waterFill(df: DataFrame, groupCol: String, valueCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(valueCol).cast("long").as("total"))
+    val order = Seq(col("total"), col(groupCol))
+    val ranked = runningTotal(
+      runningTotal(totals, order, lit(1L), "__rk"), order, col("total"), "__pfx")
+    val sCount = totals.agg(count(lit(1)).as("__s"))
+    val r2 = ranked.crossJoin(broadcast(sCount))
+    val kAgg = r2
+      .filter(col("total") * (col("__s") - col("__rk")) + col("__pfx") <= budget)
+      .agg(coalesce(max(col("__rk")), lit(0L)).as("__k"),
+        coalesce(max(col("__pfx")), lit(0L)).as("__pk"))
+    r2.crossJoin(broadcast(kAgg))
+      .withColumn("alloc",
+        when(col("__rk") <= col("__k"), col("total").cast("double"))
+          .otherwise(round((lit(budget) - col("__pk")).cast("double") /
+            (col("__s") - col("__k")), 6)))
+      .select(col(groupCol), col("total"), col("alloc"))
+  }
+
   /** Benchmark decontamination as a REMOVAL, not just a report: drop
     * every training document sharing at least one distinct `n`-gram
     * with the eval corpus (the hard-line contract eval integrity

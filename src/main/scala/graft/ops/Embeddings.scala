@@ -21,6 +21,50 @@ object Embeddings {
   private def roundAway(x: Double): Long =
     if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
 
+  /** Deterministic sparse random projection (Achlioptas signs) to
+    * `outDim` dimensions — the Johnson–Lindenstrauss shrink applied
+    * before ANN/clustering when the stored embedding is wider than the
+    * search needs: `out_j = (1/√outDim) · Σ_d v_d · s(d,j)` with
+    * `s(d,j) ∈ {−1,+1}` derived from a splitmix64 hash of
+    * `(d, j, seed)`. No projection matrix is stored or shipped — every
+    * executor re-derives any sign in O(1), so the operator is a pure
+    * map with zero shuffle and the same output for any partitioning,
+    * cluster size, or run (the reproducibility contract every
+    * derived-artifact table needs).
+    *
+    * Kernel (`mapPartitions`), not higher-order functions — the
+    * interpreted-HOF cost and the O(dims·outDim) inner loop belong in
+    * JVM code. Gate: distance-preservation + determinism properties in
+    * PipelineOpsSpec (a hash-seeded artifact has no SQL oracle). */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long): DataFrame = {
+    require(outDim > 0, s"outDim must be positive: $outDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val out = new Array[Float](outDim)
+        var j = 0
+        while (j < outDim) {
+          var acc = 0.0
+          var d = 0
+          while (d < v.length) {
+            // splitmix64 finalizer over the (d, j, seed) cell index
+            var z = d.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL + seed
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z = z ^ (z >>> 31)
+            acc += (if ((z & 1L) == 0L) v(d) else -v(d))
+            d += 1
+          }
+          out(j) = (acc * scale).toFloat
+          j += 1
+        }
+        (id, out)
+      }).toDF(idCol, "proj")
+  }
+
   /** Per-vector L2 stats: (idCol, dim, norm) with norm rounded to 6dp.
     * Accumulation is left-to-right in double over float elements —
     * matching the oracle's `list_sum(list_transform(...))`. */

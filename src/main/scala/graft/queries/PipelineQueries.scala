@@ -132,6 +132,23 @@ object PipelineQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // JL dimensionality reduction: 16-dim sparse sign projection, no
+    // stored matrix (signs re-derived per cell from splitmix64). No SQL
+    // oracle (hash-seeded artifact) — distance-preservation and
+    // determinism gated in PipelineOpsSpec.
+    "emb_project" -> ((s, dir) => {
+      graft.ops.Embeddings.randomProject(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 16, 42L)
+    }),
+
+    // max-min fair char-budget allocation across languages (water-fill
+    // closed form over runningTotal rank/prefix — no iteration, no
+    // single-partition window even at millions of groups)
+    "pipeline_waterfill" -> ((s, dir) => {
+      graft.ops.Curation.waterFill(
+        Tables.load(s, dir, "documents"), "lang", col("n_chars"), 100000L)
+    }),
+
     // decontamination as REMOVAL: train docs sharing any 5-gram with
     // the eval slice are anti-joined away (broadcast eval grams, tiny
     // contaminated-id set — train rows never shuffle)
@@ -990,6 +1007,19 @@ object PipelineQueries extends QueryGroup {
         "e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0) " +
         "SELECT g.doc_id, count(*) AS n_shared FROM g JOIN e ON g.g = e.g " +
         "WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id"),
+    // global-window formulation is the oracle's privilege; the funded
+    // set is the rank prefix where t*(S-rk)+pfx fits the budget
+    "pipeline_waterfill" ->
+      ("WITH tot AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total " +
+        "  FROM documents GROUP BY lang), " +
+        " r AS (SELECT lang, total, row_number() OVER (ORDER BY total, lang) AS rk, " +
+        "    sum(total) OVER (ORDER BY total, lang ROWS UNBOUNDED PRECEDING) AS pfx, " +
+        "    count(*) OVER () AS s FROM tot), " +
+        " k AS (SELECT COALESCE(max(rk), 0) AS kk, COALESCE(max(pfx), 0) AS pk " +
+        "  FROM r WHERE total * (s - rk) + pfx <= 100000) " +
+        "SELECT lang, total, CASE WHEN rk <= kk THEN CAST(total AS DOUBLE) " +
+        "  ELSE round(CAST(100000 - pk AS DOUBLE) / (s - kk), 6) END AS alloc " +
+        "FROM r CROSS JOIN k"),
     "pipeline_decontaminate" ->
       (s"WITH g AS (SELECT doc_id, unnest(list_distinct(${ngramSql(5)})) AS g FROM documents), " +
         " e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0), " +

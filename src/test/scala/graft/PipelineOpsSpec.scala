@@ -647,6 +647,52 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L, 0.405465)))
   }
 
+  test("randomProject: deterministic, partitioning-invariant, distance-preserving") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 20L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Embeddings.randomProject(d, "vec_id", "embedding", 16, 42L)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val a = run(df)
+    val b = run(df.repartition(7))
+    assert(a.keySet === b.keySet)
+    a.foreach { case (id, v) => assert(v.toSeq === b(id).toSeq, s"id $id differs") }
+    // JL norm preservation within loose (deterministic, fixed-seed) bounds
+    def n2(v: Array[Float]) = v.map(x => x.toDouble * x).sum
+    vecs.foreach { case (id, v) =>
+      val ratio = n2(a(id)) / n2(v)
+      assert(ratio > 0.4 && ratio < 2.0, s"id $id norm ratio $ratio")
+    }
+  }
+
+  test("waterFill: small groups keep totals, big groups split the remainder evenly") {
+    val s = spark; import s.implicits._
+    // totals: a=10, b=40, c=40; budget 60 → a funded (10·2+10=30 ≤ 60),
+    // b not (40·1+50=90 > 60) → K=1, level=(60−10)/2=25
+    val df = Seq(("a", 10L), ("b", 25L), ("b", 15L), ("c", 40L)).toDF("g", "v")
+    val got = graft.ops.Curation.waterFill(df, "g", col("v"), 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(("a", 10L, 10.0), ("b", 40L, 25.0), ("c", 40L, 25.0)))
+  }
+
+  test("waterFill: budget covering the corpus funds every group fully") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 10L), ("b", 20L)).toDF("g", "v")
+    val got = graft.ops.Curation.waterFill(df, "g", col("v"), 100L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(got === Set(("a", 10.0), ("b", 20.0)))
+  }
+
+  test("waterFill: budget below the smallest group splits evenly everywhere") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 50L), ("b", 70L)).toDF("g", "v")
+    val got = graft.ops.Curation.waterFill(df, "g", col("v"), 30L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(got === Set(("a", 15.0), ("b", 15.0)))
+  }
+
   test("removeContaminated: sharing docs dropped, short and clean docs kept") {
     val s = spark; import s.implicits._
     val train = Seq(
