@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join reduction — the semi-join-reducer pattern of
+  * distributed query processing applied at corpus scale: sketch the
+  * small side's join keys into a fixed-size bit array (128 KiB covers
+  * ~10⁵ keys at <1% false positives), broadcast the sketch, and drop
+  * big-side rows that cannot match BEFORE any shuffle. A Bloom filter
+  * has no false negatives, so composing the prefilter with the exact
+  * join afterwards returns exactly the plain join's answer — the
+  * filter only changes how many rows reach the exchange. At 100 TB
+  * that is the difference between shuffling the corpus and shuffling
+  * the ~matching sliver; the same reasoning Spark applies internally
+  * for runtime row-level filtering, exposed here as an explicit
+  * operator so pipelines can size and reuse the sketch.
+  *
+  * Hashing: keys are first hashed to 64 bits by Catalyst's `xxhash64`
+  * (consistent on both sides for any key type), then `numHashes` bit
+  * positions derive from splitmix64 double hashing — all pure
+  * functions, so the sketch is deterministic and engine-independent.
+  *
+  * Reference analogue: HIndex consults a secondary index to avoid
+  * full-table scans (`SecIndexColocator` reads only matching regions);
+  * this is the schema-free equivalent when no index exists on the
+  * join key.
+  */
+object Bloom {
+
+  /** splitmix64 finalizer — the same mix [[graft.ops.Embeddings]] uses
+    * for projection signs. */
+  private def mix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Set the `numHashes` bits for pre-hashed key `h` in `bits`. */
+  private[graft] def set(bits: Array[Long], numHashes: Int, h: Long): Unit = {
+    val m = bits.length.toLong * 64L
+    val h1 = mix(h)
+    val h2 = mix(h ^ 0x5851F42D4C957F2DL) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val bit = java.lang.Math.floorMod(h1 + i.toLong * h2, m)
+      bits((bit >>> 6).toInt) |= 1L << (bit & 63L)
+      i += 1
+    }
+  }
+
+  /** Membership test for pre-hashed key `h` — false = definitely absent. */
+  private[graft] def contains(bits: Array[Long], numHashes: Int, h: Long): Boolean = {
+    val m = bits.length.toLong * 64L
+    val h1 = mix(h)
+    val h2 = mix(h ^ 0x5851F42D4C957F2DL) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val bit = java.lang.Math.floorMod(h1 + i.toLong * h2, m)
+      if ((bits((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Distributed sketch build: one pass over `keys` (any type `xxhash64`
+    * accepts), per-partition bit arrays OR-merged — numBits/8 bytes of
+    * driver traffic per partition, nothing else moves. */
+  def buildBits(keys: DataFrame, keyCol: String, numBits: Int,
+      numHashes: Int): Array[Long] = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64: $numBits")
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val words = numBits / 64
+    keys.select(xxhash64(col(keyCol)).as("h")).as[Long]
+      .mapPartitions { it =>
+        val arr = new Array[Long](words)
+        it.foreach(h => set(arr, numHashes, h))
+        Iterator.single(arr)
+      }
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < words) { a(i) |= b(i); i += 1 }
+        a
+      }
+  }
+
+  /** Rows of `big` whose `bigKey` appears in `small.smallKey` — exact
+    * (bloom prefilter + exact semi-join on the survivors). NULL keys
+    * never match, as in SQL. */
+  def semiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val pruned = prefilter(big, bigKey, small, smallKey, numBits, numHashes)
+    val dim = small.select(col(smallKey).as("__bk")).distinct()
+    pruned.join(dim, pruned(bigKey) === dim("__bk"), "left_semi")
+  }
+
+  /** Rows of `big` whose `bigKey` does NOT appear in `small.smallKey`
+    * (NOT EXISTS semantics) — rows failing the bloom are definitely
+    * absent and bypass the join entirely; only bloom survivors (true
+    * matches + false positives) pay the exact anti-join. */
+  def antiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val spark = big.sparkSession
+    val bits = buildBits(small, smallKey, numBits, numHashes)
+    val bitsB = spark.sparkContext.broadcast(bits)
+    val hit = udf((h: Long) => contains(bitsB.value, numHashes, h))
+    require(!big.columns.contains("__bh") && !big.columns.contains("__bk"),
+      "column names __bh/__bk are reserved by Bloom.antiJoin — rename first")
+    val keyed = big.withColumn("__bh", xxhash64(col(bigKey)))
+    // NOT EXISTS semantics: a NULL key never equals anything → kept
+    val definiteMiss = keyed.filter(col(bigKey).isNull || !hit(col("__bh")))
+    val candidates = keyed.filter(col(bigKey).isNotNull && hit(col("__bh")))
+    val dim = small.select(col(smallKey).as("__bk")).distinct()
+    val survivors = candidates.join(dim,
+      candidates(bigKey) === dim("__bk"), "left_anti")
+    definiteMiss.unionByName(survivors).drop("__bh")
+  }
+
+  /** The bloom prefilter alone (keeps all true matches plus ~FP-rate of
+    * the rest) — compose with an exact join, or use standalone where
+    * bounded false positives are acceptable. */
+  def prefilter(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val spark = big.sparkSession
+    val bits = buildBits(small, smallKey, numBits, numHashes)
+    val bitsB = spark.sparkContext.broadcast(bits)
+    val hit = udf((h: Long) => contains(bitsB.value, numHashes, h))
+    big.filter(col(bigKey).isNotNull && hit(xxhash64(col(bigKey))))
+  }
+}

@@ -81,4 +81,61 @@ object Clustering {
       .select(col(idCol), col(idCol).as("rep"))
     connected.unionByName(singletons)
   }
+
+  /** PageRank over a directed edge list — the link-authority score used
+    * to weight web documents during corpus curation (a crawl-graph
+    * quality prior alongside the text-level classifiers).
+    *
+    * Standard power iteration with dangling-mass redistribution:
+    * `r' = (1−d)/N + d·(Σ_in r/outdeg + dangling/N)`, run for a FIXED
+    * `iters` rounds so the output is a well-defined function of the
+    * graph (no data-dependent stopping). Each round is one shuffle:
+    * contributions group by destination; out-degrees are computed once
+    * and the rank state joins the edge list by source. Lineage is
+    * truncated per round with localCheckpoint exactly like
+    * [[connectedComponents]] — the two iterative operators share their
+    * scale discipline. Dangling and total-mass terms are single-row
+    * aggregates (broadcast).
+    *
+    * Scores are FP sums whose association varies with partitioning, so
+    * this operator is property-gated (mass conservation, uniform
+    * cycles, hub dominance — ClusteringSpec), not oracle-hashed.
+    *
+    * @param edges directed (srcCol → dstCol), ids integral; parallel
+    *              edges count once
+    * @return (id, rank) for every node appearing in the edge list
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true) // reused every round
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .dropDuplicates("id").localCheckpoint(true)
+    val n = nodes.count()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var iter = 0
+    while (iter < iters) {
+      val contrib = e.join(ranks.join(outDeg, col("id") === col("src")), "src")
+        .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("id").agg(sum("__c").as("__in"))
+      // dangling nodes (no out-edges) leak their mass to everyone
+      val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      ranks = ranks.select("id")
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), (lit((1.0 - damping) / n) + lit(damping) *
+          (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    ranks
+  }
 }

@@ -217,6 +217,36 @@ object Curation {
       .select(col(groupCol), col("total"), col("alloc"))
   }
 
+  /** Equal-WEIGHT shard assignment: cut the `orderCols` order into
+    * `nShards` contiguous runs of ~equal total `weightCol` (tokens,
+    * chars, bytes) — the straggler-free alternative to equal-ROW
+    * sharding when row costs vary by 100× (a 500-token doc and a
+    * 50k-token doc are not the same unit of work). Every downstream
+    * consumer (tokenization workers, embedding jobs, training-data
+    * writers) then gets the same amount of WORK per shard.
+    *
+    * Deterministic closed form: shard = floor(exclusivePrefix · n /
+    * total), clamped to n−1 — pure integer arithmetic over
+    * [[runningTotal]]'s distributed prefix sum, so the assignment is
+    * identical on any engine, partitioning, or cluster size, and no
+    * single-partition window appears at any group count. Weights must
+    * be non-negative longs; `exclusivePrefix·n` stays within Long for
+    * corpora up to 2⁶³/n total weight (10 PB of chars at n=1024). */
+  def balancedShards(df: DataFrame, orderCols: Seq[Column], weightCol: Column,
+      nShards: Int, out: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val clash = df.columns.filter(Seq("__pfx", "__tot", out).contains).toSeq
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by balancedShards — rename first")
+    val cum = runningTotal(df, orderCols, weightCol, "__cw")
+    val tot = df.agg(sum(weightCol).cast("long").as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__pfx", (col("__cw") - weightCol).cast("long"))
+      .withColumn(out, least(
+        expr(s"(__pfx * $nShards) div __tot"), lit(nShards - 1L)))
+      .drop("__cw", "__pfx", "__tot")
+  }
+
   /** Benchmark decontamination as a REMOVAL, not just a report: drop
     * every training document sharing at least one distinct `n`-gram
     * with the eval corpus (the hard-line contract eval integrity

@@ -205,4 +205,51 @@ object Profiling {
       .filter(abs(col("z")) > threshold)
       .select(df.columns.map(col) :+ col("z"): _*)
   }
+
+  /** Per-group ROBUST outliers by modified z-score
+    * `m = 0.6745·(x − median) / MAD` (Iglewicz–Hoaglin): the screen to
+    * use when the anomalies themselves corrupt the moments —
+    * [[zscoreOutliers]]'s mean/stddev are dragged toward heavy
+    * contamination (a batch of 1000× sensor glitches inflates σ until
+    * nothing is an outlier), while the median and the median absolute
+    * deviation have a 50% breakdown point.
+    *
+    * Cross-engine determinism comes free here: both statistics are
+    * exact order statistics over `round(x, 6)` values — no summation,
+    * so no FP-association sensitivity. Every engine computing
+    * `quantile_cont(·, 0.5)` over the same 6-dp doubles produces the
+    * same median, the same deviations, and the same scores bit for
+    * bit.
+    *
+    * Two aggregation passes (median, then MAD over deviations) + two
+    * join-backs; the stats sides are one row per group, so AQE
+    * broadcasts them when groups are few and shuffles when "group" is
+    * a web domain. Groups with MAD = 0 (over half the values at the
+    * median) define no outlier and are excluded, as are NULL/NaN
+    * values. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, threshold: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    require(threshold > 0.0 && !threshold.isNaN && !threshold.isInfinite,
+      s"threshold must be positive and finite: $threshold")
+    val reserved = Seq("__med", "__dev", "__mad", "m")
+    val clashes = df.columns.filter(reserved.contains).toSeq
+    require(clashes.isEmpty,
+      s"column names ${clashes.mkString(", ")} are reserved by madOutliers — rename first")
+    val x6 = round(col(valueCol).cast("double"), 6)
+    val clean = df.filter(col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")))
+    val medExact = clean.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(round(cast($valueCol as double), 6), 0.5)")
+        .as("__med"))
+    val withDev = clean.join(medExact, groupCols)
+      .withColumn("__dev", x6 - col("__med"))
+    val mad = withDev.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(abs(__dev), 0.5)").as("__mad"))
+    withDev.join(mad, groupCols)
+      .filter(col("__mad") > 0.0)
+      .withColumn("m", round(lit(0.6745) * col("__dev") / col("__mad"), 6))
+      .filter(abs(col("m")) > threshold)
+      .select(df.columns.map(col) :+ col("m"): _*)
+  }
 }

@@ -144,4 +144,28 @@ object Tokenize {
         }
       }.toDF("doc_id", "n_words", "n_tok")
   }
+
+  /** Corpus vocabulary with contiguous token ids: (word, cnt, token_id)
+    * for every word occurring at least `minCount` times, ids assigned
+    * 0,1,2,… by (count desc, word asc) — the frequency-cutoff vocab +
+    * stable-id table every tokenizer/embedding-matrix build starts
+    * from. Tokenization matches the engine's corpus convention
+    * (lower-cased single-space split).
+    *
+    * The id is a GLOBAL dense rank, but no single-partition window
+    * appears: [[Curation.runningTotal]] turns the rank into a
+    * distributed prefix count, so a billion-term web vocabulary ranks
+    * with ordinary range partitioning. */
+  def buildVocab(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val counts = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    Curation.runningTotal(counts, Seq(col("cnt").desc, col("word")),
+        lit(1L), "__rk")
+      .withColumn("token_id", col("__rk") - 1L)
+      .drop("__rk")
+  }
 }

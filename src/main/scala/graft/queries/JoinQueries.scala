@@ -98,6 +98,33 @@ object JoinQueries extends QueryGroup {
         .select("suppkey", "a_ok", "a_ln", "b_ok", "b_ln")
     }),
 
+    // bloom-reduced semi-join: a 64 Kib sketch of the urgent-order keys
+    // prefilters lineitem BEFORE the exchange — no false negatives, so
+    // sketch + exact join ≡ the oracle's plain IN-subquery; at 100 TB
+    // the shuffle ships the matching sliver, not the corpus
+    "join_bloom_semi" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.Bloom.semiJoin(li, "l_orderkey", urgent, "o_orderkey",
+        numBits = 1 << 16, numHashes = 5)
+    }),
+
+    // bloom-reduced anti-join (NOT EXISTS): rows failing the bloom are
+    // DEFINITELY absent and bypass the join entirely; only bloom
+    // survivors (matches + false positives) pay the exact anti-join
+    "join_bloom_anti" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.Bloom.antiJoin(li, "l_orderkey", urgent, "o_orderkey",
+          numBits = 1 << 16, numHashes = 5)
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
     // skew-aware variant: only detected hot keys pay the salt spread
     // (heavyHitters → hot set → two-path join); oracle is again the
     // plain SQL join — the hot/cold paths partition the key space
@@ -128,6 +155,17 @@ object JoinQueries extends QueryGroup {
         "  AND a.s <= b.e AND b.s <= a.e " +
         "  AND (a.l_orderkey < b.l_orderkey OR " +
         "    (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))"),
+    // equality with the PLAIN subquery proves the bloom layer is purely
+    // a traffic reduction, never a semantics change
+    "join_bloom_semi" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+        "  WHERE o_orderpriority = '1-URGENT')"),
+    "join_bloom_anti" ->
+      ("SELECT count(*) AS n_items, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')"),
     "join_skew_aware" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +

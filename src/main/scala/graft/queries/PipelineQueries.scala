@@ -149,6 +149,45 @@ object PipelineQueries extends QueryGroup {
         Tables.load(s, dir, "documents"), "lang", col("n_chars"), 100000L)
     }),
 
+    // equal-WEIGHT sharding: cut doc_id order into 8 runs of ~equal
+    // total chars (work-balanced shards for downstream tokenization);
+    // pure integer closed form over the distributed prefix sum
+    "pipeline_balanced_shards" -> ((s, dir) => {
+      graft.ops.Curation.balancedShards(
+        Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(col("doc_id")), col("n_chars"), 8)
+        .select("doc_id", "shard")
+    }),
+
+    // frequency-cutoff vocabulary with contiguous token ids (count desc,
+    // word asc) — global dense rank via distributed prefix count
+    "text_vocab" -> ((s, dir) => {
+      graft.ops.Tokenize.buildVocab(
+        Tables.load(s, dir, "documents"), "text", minCount = 10L)
+    }),
+
+    // robust (modified z-score) outliers: median/MAD have 50% breakdown
+    // vs the moment-based events_zscore; order statistics over 6-dp
+    // values are engine-exact — no FP-summation sensitivity
+    "events_mad_outliers" -> ((s, dir) => {
+      graft.ops.Profiling.madOutliers(
+        Tables.load(s, dir, "events")
+          .select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", 3.0)
+        .select("event_id", "event_type", "m")
+    }),
+
+    // link-authority prior over the part→supplier ship graph: fixed
+    // 10-round power iteration, dangling mass redistributed. FP sums
+    // vary with partitioning → rows-only gate + ClusteringSpec
+    // properties (mass conservation, cycle uniformity, hub dominance).
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.ops.Clustering.pageRank(edges, "src", "dst", 0.85, 10)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
     // decontamination as REMOVAL: train docs sharing any 5-gram with
     // the eval slice are anti-joined away (broadcast eval grams, tiny
     // contaminated-id set — train rows never shuffle)
@@ -1020,6 +1059,32 @@ object PipelineQueries extends QueryGroup {
         "SELECT lang, total, CASE WHEN rk <= kk THEN CAST(total AS DOUBLE) " +
         "  ELSE round(CAST(100000 - pk AS DOUBLE) / (s - kk), 6) END AS alloc " +
         "FROM r CROSS JOIN k"),
+    // the global-window formulation is the oracle's privilege; the
+    // engine computes the same prefix sums distributed
+    "pipeline_balanced_shards" ->
+      ("WITH w AS (SELECT doc_id, n_chars, " +
+        "    CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) " +
+        "      - n_chars AS BIGINT) AS pfx, " +
+        "    CAST(sum(n_chars) OVER () AS BIGINT) AS tot FROM documents) " +
+        "SELECT doc_id, CAST(least(pfx * 8 // tot, 7) AS BIGINT) AS shard FROM w"),
+    "text_vocab" ->
+      ("WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "    (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) " +
+        "  WHERE length(word) > 0 GROUP BY word HAVING count(*) >= 10) " +
+        "SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) - 1 " +
+        "  AS token_id FROM c"),
+    "events_mad_outliers" ->
+      ("WITH e AS (SELECT event_id, event_type, round(CAST(value AS DOUBLE), 6) " +
+        "    AS v FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " med AS (SELECT event_type, quantile_cont(v, 0.5) AS med " +
+        "  FROM e GROUP BY event_type), " +
+        " d AS (SELECT e.event_id, e.event_type, e.v - med.med AS dev " +
+        "  FROM e JOIN med USING (event_type)), " +
+        " md AS (SELECT event_type, quantile_cont(abs(dev), 0.5) AS mad " +
+        "  FROM d GROUP BY event_type) " +
+        "SELECT d.event_id, d.event_type, round(0.6745 * d.dev / md.mad, 6) AS m " +
+        "FROM d JOIN md USING (event_type) " +
+        "WHERE md.mad > 0 AND abs(round(0.6745 * d.dev / md.mad, 6)) > 3.0"),
     "pipeline_decontaminate" ->
       (s"WITH g AS (SELECT doc_id, unnest(list_distinct(${ngramSql(5)})) AS g FROM documents), " +
         " e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0), " +

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Bloom, Clustering, Curation, Profiling, Tokenize}
+
+/** Properties of the bloom join reduction, PageRank, balanced sharding,
+  * vocab build, and MAD outliers. */
+class BloomGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("BloomGraphSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bloom kernel: no false negatives, bounded false positives") {
+    val bits = new Array[Long](1024) // 64 Kib
+    val inserted = (0L until 2000L).map(_ * 7919L)
+    inserted.foreach(h => Bloom.set(bits, 5, h))
+    assert(inserted.forall(h => Bloom.contains(bits, 5, h)), "false negative")
+    val probes = (1L to 20000L).map(_ * 7919L + 13L) // disjoint from inserted
+    val fp = probes.count(h => Bloom.contains(bits, 5, h))
+    // m/n = 32.8 bits/key, k=5 → theoretical FP ~1e-3; allow 10×
+    assert(fp.toDouble / probes.size < 0.01, s"fp rate ${fp.toDouble / probes.size}")
+  }
+
+  test("bloom semiJoin and antiJoin equal the exact joins, nulls kept by anti") {
+    val s = spark; import s.implicits._
+    val big = ((1L to 300L).map(i => (i: java.lang.Long, s"r$i")) :+
+      ((null: java.lang.Long), "rnull")).toDF("k", "payload")
+    val small = (1L to 300L by 3L).toDF("sk")
+    val semi = Bloom.semiJoin(big, "k", small, "sk", numBits = 4096, numHashes = 5)
+      .select("k").as[Long].collect().toSet
+    assert(semi === (1L to 300L by 3L).toSet)
+    val anti = Bloom.antiJoin(big, "k", small, "sk", numBits = 4096, numHashes = 5)
+      .select("payload").as[String].collect().toSet
+    val expected = (1L to 300L).filterNot(i => (i - 1) % 3 == 0)
+      .map(i => s"r$i").toSet + "rnull" // NOT EXISTS keeps the null-key row
+    assert(anti === expected)
+  }
+
+  test("bloom prefilter keeps every true match") {
+    val s = spark; import s.implicits._
+    val big = (1L to 1000L).toDF("k")
+    val small = (500L to 600L).toDF("sk")
+    val kept = Bloom.prefilter(big, "k", small, "sk", numBits = 4096, numHashes = 5)
+      .as[Long].collect().toSet
+    assert((500L to 600L).toSet.subsetOf(kept))
+  }
+
+  test("pageRank: cycle is uniform, mass conserved, hub outranks spokes") {
+    val s = spark; import s.implicits._
+    // 4-cycle: stationary distribution is uniform
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val cr = Clustering.pageRank(cycle, "src", "dst", 0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cr.size === 4)
+    cr.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9, s"cycle rank $v"))
+    // star: spokes all point at the hub; hub is dangling (mass recycles)
+    val star = (1L to 9L).map(i => (i, 10L)).toDF("src", "dst")
+    val sr = Clustering.pageRank(star, "src", "dst", 0.85, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sr.values.sum - 1.0) < 1e-6, s"mass ${sr.values.sum}")
+    val hub = sr(10L)
+    (1L to 9L).foreach(i => assert(hub > 3 * sr(i), s"hub $hub vs spoke ${sr(i)}"))
+  }
+
+  test("balancedShards: contiguous equal-weight runs, deterministic") {
+    val s = spark; import s.implicits._
+    // 100 rows of weight 10 → 4 shards of exactly 250 weight / 25 rows
+    val df = (1L to 100L).map(i => (i, 10L)).toDF("id", "w")
+    val got = Curation.balancedShards(df, Seq(col("id")), col("w"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.values.toSet === Set(0L, 1L, 2L, 3L))
+    (1L to 100L).foreach { i =>
+      assert(got(i) === (i - 1) / 25, s"row $i got shard ${got(i)}")
+    }
+    // heavy-tail weights: per-shard totals within max-single-weight of fair
+    val rnd = new scala.util.Random(7)
+    val skewed = (1L to 200L).map(i =>
+      (i, if (i % 37 == 0) 500L else 1L + rnd.nextInt(20)))
+    val sdf = skewed.toDF("id", "w")
+    val shards = Curation.balancedShards(sdf, Seq(col("id")), col("w"), 5)
+      .groupBy("shard").agg(sum("w").as("tw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = skewed.map(_._2).sum
+    val fair = total.toDouble / 5
+    val maxW = skewed.map(_._2).max
+    shards.values.foreach { tw =>
+      assert(math.abs(tw - fair) <= maxW + fair * 0.01, s"shard weight $tw vs fair $fair")
+    }
+    // repartitioning the input must not change the assignment
+    val a = Curation.balancedShards(sdf, Seq(col("id")), col("w"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = Curation.balancedShards(sdf.repartition(11), Seq(col("id")), col("w"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("buildVocab: contiguous ids by (count desc, word asc), cutoff applied") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      "the cat sat", "the cat ran", "the dog sat", "the end").toDF("text")
+    val v = Tokenize.buildVocab(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      .sortBy(_._3)
+    assert(v === List(("the", 4L, 0L), ("cat", 2L, 1L), ("sat", 2L, 2L)))
+  }
+
+  test("madOutliers: robust to contamination that breaks the z-score") {
+    val s = spark; import s.implicits._
+    // 20 inliers at ~10, eight 1000× glitches: the glitches inflate σ
+    // until their own z ≈ √((n−k)/k) ≈ 1.6 < 2 (masking), while
+    // median/MAD (breakdown 50% > 8/28) still flags all eight
+    val glitches = (101L to 108L).map(i => (i, "g", 9000.0 + (i - 101) * 100))
+    val rows = (1 to 20).map(i => (i.toLong, "g", 10.0 + (i % 5) * 0.1)) ++ glitches
+    val df = rows.toDF("id", "grp", "v")
+    val mad = Profiling.madOutliers(df, Seq("grp"), "v", 3.5)
+      .select("id").as[Long].collect().toSet
+    assert(mad === glitches.map(_._1).toSet)
+    val z = Profiling.zscoreOutliers(df, Seq("grp"), "v", 2.0)
+      .select("id").as[Long].collect().toSet
+    assert(!glitches.map(_._1).toSet.subsetOf(z),
+      "moment z-score should break under 8/28 contamination (masking)")
+  }
+
+  test("madOutliers: zero-MAD groups define no outlier") {
+    val s = spark; import s.implicits._
+    // over half the group at the median → MAD 0 → excluded entirely
+    val df = (Seq.fill(6)(5.0) ++ Seq(100.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "v")
+    val out = Profiling.madOutliers(df, Seq("grp"), "v", 3.5).collect()
+    assert(out.isEmpty)
+  }
+}
