@@ -36,4 +36,59 @@ object Packing {
       .withColumn("pack_offset", col("__start") % budget)
       .drop("__cum", "__start")
   }
+
+  /** Whole-document bin packing by first-fit-decreasing: unlike
+    * [[packBySize]] (which splits straddling docs), every document lands
+    * WHOLE in exactly one bin of `capacity` tokens — the packing used
+    * when examples must not cross sequence boundaries (instruction
+    * tuning, contrastive pairs). FFD is the classic 11/9·OPT + 6/9
+    * guarantee; the padding waste it leaves is what the trainer pads.
+    *
+    * Distribution contract: documents scatter to `nBuckets` independent
+    * packing tasks by id hash (deterministic, partition-independent),
+    * and FFD runs per bucket in a kernel over (size desc, id asc) order.
+    * Bin ids are globally unique: `bucket · 2⁴⁰ + localBin`. Cross-bucket
+    * consolidation is deliberately NOT attempted — per-bucket FFD loses
+    * at most one partially-filled bin per bucket vs global FFD, and
+    * global FFD is inherently sequential (the 100 TB trade: size
+    * `nBuckets` so a bucket's (id, size) pairs fit an executor, e.g.
+    * 10⁶ docs/bucket ≈ 16 MB).
+    *
+    * Oversize documents (size > capacity) get a bin of their own —
+    * flagged downstream by bin total > capacity rather than dropped
+    * silently (dropping data is a pipeline decision, not a packer's).
+    *
+    * @return (idCol, sizeCol, bin) */
+  def binPackFFD(df: DataFrame, idCol: String, sizeCol: String,
+      capacity: Long, nBuckets: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20]: $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(sizeCol).cast("long"),
+        pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int").as("__bucket"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (bucket, it) =>
+        // FFD: sort decreasing, drop each item into the first bin with
+        // room; linear scan over open bins (bounded by bucket size)
+        val items = it.map { case (id, size, _) => (id, size) }.toArray
+        java.util.Arrays.sort(items, (a: (Long, Long), b: (Long, Long)) => {
+          val c = java.lang.Long.compare(b._2, a._2) // size desc
+          if (c != 0) c else java.lang.Long.compare(a._1, b._1) // id asc
+        })
+        val binFree = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val base = bucket.toLong << 40
+        items.iterator.map { case (id, size) =>
+          var b = 0
+          while (b < binFree.length && binFree(b) < size) b += 1
+          if (b == binFree.length) binFree += capacity
+          // oversize doc: its own (over-full) bin, never blocks others
+          binFree(b) = if (size >= capacity) -1L else binFree(b) - size
+          (id, size, base + b)
+        }
+      }
+      .toDF(idCol, sizeCol, "bin")
+  }
 }

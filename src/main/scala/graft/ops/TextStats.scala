@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-document corpus-quality statistics beyond the composite
+  * [[graft.functions.TextFunctions.qualityScore]]: the individual
+  * Gopher-style repetition/shape signals a curation pipeline thresholds
+  * independently (each rule catches a different failure mode — symbol
+  * spam, boilerplate lists, non-linguistic tokens), plus the
+  * compression-ratio signal (highly compressible ≈ templated/repetitive,
+  * incompressible ≈ binary junk — both ends get filtered).
+  *
+  * Single `mapPartitions` kernel per operator, no shuffle, no
+  * interpreted higher-order functions (the [[MinHash]]/[[VecKernel]]
+  * rationale). Word statistics are exact integer counts divided once in
+  * double, so any engine computing the same counts gets bit-identical
+  * ratios — [[graft.queries.PipelineQueries]] carries the DuckDB oracle.
+  * Tokenization is the engine-wide corpus convention: lower-cased
+  * single-space split, empty tokens dropped.
+  */
+object TextStats {
+
+  /** The classic English function-word screen (presence below ~1% is a
+    * strong non-prose signal). Fixed, tiny, part of the operator's
+    * contract — NOT a tunable list, so oracle SQL and engine agree. */
+  private[graft] val StopWords: Set[String] =
+    Set("the", "of", "and", "to", "a", "in", "is", "that", "for", "it")
+
+  private[graft] val SymbolChars: Set[Char] = "#$%&@^~".toSet
+
+  /** (id, n_words, mean_wlen, stop_frac, alpha_frac, sym_per_word):
+    * mean word length, stopword fraction, fraction of purely-alphabetic
+    * words, and symbol characters per word. Documents with no words are
+    * dropped (no ratio is defined). */
+  def wordStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = if (text == null) "" else text.toLowerCase
+        var nWords = 0L; var chars = 0L; var stop = 0L; var alpha = 0L
+        var sym = 0L
+        var i = 0
+        val n = t.length
+        while (i < n) {
+          if (SymbolChars.contains(t.charAt(i))) sym += 1
+          i += 1
+        }
+        var start = 0
+        while (start < n) {
+          var end = t.indexOf(' ', start)
+          if (end < 0) end = n
+          if (end > start) {
+            val w = t.substring(start, end)
+            nWords += 1
+            chars += w.length
+            if (StopWords.contains(w)) stop += 1
+            var allAlpha = true
+            var j = 0
+            while (allAlpha && j < w.length) {
+              val c = w.charAt(j)
+              if (c < 'a' || c > 'z') allAlpha = false
+              j += 1
+            }
+            if (allAlpha) alpha += 1
+          }
+          start = end + 1
+        }
+        // raw IEEE ratios; rounding to 6 dp happens in Column space
+        // (`round(col, 6)`), where Spark ≡ DuckDB parity is proven
+        if (nWords == 0L) None
+        else Some((id, nWords, chars.toDouble / nWords,
+          stop.toDouble / nWords, alpha.toDouble / nWords,
+          sym.toDouble / nWords))
+      })
+      .toDF(idCol, "n_words", "mean_wlen", "stop_frac", "alpha_frac",
+        "sym_per_word")
+  }
+
+  /** (id, n_bytes, ratio): deflate-compressed size over raw UTF-8 size,
+    * level 6. One Deflater per partition, reset per
+    * row. zlib output for a given input and level is deterministic
+    * within a JVM release line, but it is NOT an SQL-expressible
+    * function — gate is the property spec (repetitive text compresses
+    * far below prose, ratio reproducible), rows-only in CORRECTNESS. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.flatMap { case (id, text) =>
+          if (text == null || text.isEmpty) None
+          else {
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished()) {
+              compressed += deflater.deflate(buf)
+            }
+            Some((id, raw.length.toLong, compressed.toDouble / raw.length))
+          }
+        }
+      }
+      .toDF(idCol, "n_bytes", "ratio")
+  }
+}

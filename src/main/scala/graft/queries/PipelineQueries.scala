@@ -177,6 +177,54 @@ object PipelineQueries extends QueryGroup {
         .select("event_id", "event_type", "m")
     }),
 
+    // Gopher-style per-rule word statistics: exact integer counts from a
+    // one-pass kernel, one double division each — engine-exact ratios
+    "text_word_stats" -> ((s, dir) => {
+      graft.ops.TextStats.wordStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_wlen"), 6).as("mean_wlen"),
+          round(col("stop_frac"), 6).as("stop_frac"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          round(col("sym_per_word"), 6).as("sym_per_word"))
+    }),
+
+    // compression-ratio quality signal (templated/repetitive text
+    // compresses far below prose; binary junk doesn't compress). zlib is
+    // not SQL-expressible → rows-only + TextStatsSpec properties.
+    "text_compress_ratio" -> ((s, dir) => {
+      graft.ops.TextStats.compressionRatio(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bytes"), round(col("ratio"), 6).as("ratio"))
+    }),
+
+    // whole-document FFD bin packing (docs never straddle bins, unlike
+    // pipeline_pack's concat-and-split); iterative first-fit order is
+    // not SQL-expressible → rows-only + TextStatsPackingSpec validity
+    // properties
+    "pipeline_binpack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("n_chars") / 4).cast("long").as("n_tok"))
+      graft.ops.Packing.binPackFFD(docs, "doc_id", "n_tok",
+        capacity = 512L, nBuckets = 8)
+    }),
+
+    // in/out-degree profile of the part→supplier ship graph — the sanity
+    // screen run before any iterative graph op (degree skew predicts
+    // which joins need the skew-aware path)
+    "graph_degree" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      val out = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .withColumn("side", lit("out"))
+      val in = e.groupBy("dst").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .withColumn("side", lit("in"))
+      out.unionByName(in).select("side", "deg", "n_nodes")
+    }),
+
     // link-authority prior over the part→supplier ship graph: fixed
     // 10-round power iteration, dangling mass redistributed. FP sums
     // vary with partitioning → rows-only gate + ClusteringSpec
@@ -1073,6 +1121,30 @@ object PipelineQueries extends QueryGroup {
         "  WHERE length(word) > 0 GROUP BY word HAVING count(*) >= 10) " +
         "SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) - 1 " +
         "  AS token_id FROM c"),
+    "text_word_stats" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "    x -> length(x) > 0) AS ws, " +
+        "    length(lower(text)) - length(regexp_replace(lower(text), " +
+        "      '[#$%&@^~]', '', 'g')) AS sym " +
+        "  FROM documents), " +
+        " s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS chars, " +
+        "    CAST(len(list_filter(ws, x -> x IN ('the','of','and','to','a'," +
+        "      'in','is','that','for','it'))) AS DOUBLE) AS stop, " +
+        "    CAST(len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+'))) " +
+        "      AS DOUBLE) AS alpha, " +
+        "    CAST(sym AS DOUBLE) AS sym FROM w WHERE len(ws) > 0) " +
+        "SELECT doc_id, n_words, round(chars / n_words, 6) AS mean_wlen, " +
+        "  round(stop / n_words, 6) AS stop_frac, " +
+        "  round(alpha / n_words, 6) AS alpha_frac, " +
+        "  round(sym / n_words, 6) AS sym_per_word FROM s"),
+    "graph_degree" ->
+      ("WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem), " +
+        " o AS (SELECT 'out' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes FROM " +
+        "  (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src) GROUP BY deg), " +
+        " i AS (SELECT 'in' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes FROM " +
+        "  (SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY dst) GROUP BY deg) " +
+        "SELECT side, deg, n_nodes FROM o UNION ALL SELECT side, deg, n_nodes FROM i"),
     "events_mad_outliers" ->
       ("WITH e AS (SELECT event_id, event_type, round(CAST(value AS DOUBLE), 6) " +
         "    AS v FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +

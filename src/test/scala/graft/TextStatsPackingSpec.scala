@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Packing, TextStats}
+
+/** Properties of the word-stat/compression quality signals and the FFD
+  * whole-document bin packer. */
+class TextStatsPackingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("TextStatsPackingSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("wordStats: hand-computed counts and ratios") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "The cat IS on the mat"),   // 6 words, stops: the,is,the = 3
+      (2L, "x9 #tag $5"),              // 3 words, 0 alpha-only... x9 no, #tag no, $5 no
+      (3L, "   "),                     // no words → dropped
+      (4L, "solo")
+    ).toDF("id", "text")
+    val got = TextStats.wordStats(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L))
+    val (n1, mw1, st1, al1, sy1) = got(1L)
+    assert(n1 === 6L)
+    assert(math.abs(mw1 - 16.0 / 6) < 1e-12) // the+cat+is+on+the+mat = 3+3+2+2+3+3
+    assert(st1 === 3.0 / 6)
+    assert(al1 === 1.0) // all six words purely alphabetic
+    assert(sy1 === 0.0)
+    val (n2, _, st2, al2, sy2) = got(2L)
+    assert(n2 === 3L && st2 === 0.0 && al2 === 0.0)
+    assert(sy2 === 2.0 / 3) // '#' and '$'
+    assert(got(4L) === ((1L, 4.0, 0.0, 1.0, 0.0)))
+  }
+
+  test("compressionRatio: repetition compresses far below prose; deterministic") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val repetitive = "spam ham " * 500
+    val prose = (1 to 700).map(_ => rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val df = Seq((1L, repetitive), (2L, prose)).toDF("id", "text")
+    val got = TextStats.compressionRatio(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === repetitive.getBytes("UTF-8").length.toLong)
+    assert(got(1L)._2 < 0.05, s"repetitive ratio ${got(1L)._2}")
+    assert(got(2L)._2 > 3 * got(1L)._2, "prose should compress much worse")
+    val again = TextStats.compressionRatio(df.repartition(3), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again(1L) === got(1L)._2 && again(2L) === got(2L)._2)
+  }
+
+  test("binPackFFD: every doc in exactly one bin, capacity respected, waste bounded") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 400L).map(i => (i, 1L + rnd.nextInt(200))).toDF("id", "sz")
+    val packed = Packing.binPackFFD(docs, "id", "sz", capacity = 512L, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.map(_._1).toSet === (1L to 400L).toSet, "every doc placed once")
+    val binTotals = packed.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    binTotals.values.foreach(t => assert(t <= 512L, s"bin total $t over capacity"))
+    // FFD waste bound: bins used within ~11/9 of the LP lower bound,
+    // plus one partial bin per bucket (independent packing tasks)
+    val totalSize = packed.map(_._2).sum
+    val lowerBound = math.ceil(totalSize / 512.0)
+    assert(binTotals.size <= math.ceil(11.0 / 9 * lowerBound) + 4,
+      s"${binTotals.size} bins vs LP bound $lowerBound")
+  }
+
+  test("binPackFFD: oversize docs isolate in their own bin; deterministic") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, 900L), (2L, 100L), (3L, 100L), (4L, 950L)).toDF("id", "sz")
+    val run1 = Packing.binPackFFD(docs, "id", "sz", 512L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val byBin = run1.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    // each oversize doc alone in its bin
+    assert(byBin.values.count(g => g == Set(1L)) === 1)
+    assert(byBin.values.count(g => g == Set(4L)) === 1)
+    val run2 = Packing.binPackFFD(docs.repartition(5), "id", "sz", 512L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(run1 === run2)
+  }
+}
