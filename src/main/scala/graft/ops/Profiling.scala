@@ -252,4 +252,37 @@ object Profiling {
       .filter(abs(col("m")) > threshold)
       .select(df.columns.map(col) :+ col("m"): _*)
   }
+
+  /** Per-group EXACT weighted median: the smallest value v whose
+    * cumulative weight (values ≤ v) reaches half the group's total —
+    * the "median doc quality weighted by tokens" statistic that an
+    * unweighted median mis-states whenever weight correlates with
+    * value (long docs dominating a corpus). Lower weighted median, no
+    * interpolation: the answer is always an observed value.
+    *
+    * Engine-exact by construction: weights collapse to one 6-dp
+    * DECIMAL sum per DISTINCT value first (killing both FP-order and
+    * tie-order sensitivity), the cumulative/total comparison
+    * `2·cum ≥ tot` runs in decimal, and the pick is a min — no doubles
+    * anywhere until the caller formats. One shuffle for the
+    * per-(group, value) aggregate; the cumulative window partitions by
+    * group over DISTINCT values (bounded by value cardinality, not
+    * rows). */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, out: String = "wmedian"): DataFrame = {
+    require(groupCols.nonEmpty, "weightedMedian needs at least one group column")
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valueCol): _*)
+      .agg(sum(round(col(weightCol).cast("double"), 6).cast("decimal(18,6)"))
+        .as("__w"))
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val cum = byValue
+      .withColumn("__cum", sum(col("__w")).over(grp.orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(grp))
+    cum.filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as(out))
+  }
 }

@@ -307,4 +307,102 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Distributed Lloyd k-means over the full corpus: (id, cluster,
+    * dist2) — the corpus-organization primitive (topic balancing,
+    * SemDeDup blocking, curriculum by region). Unlike the sample-only
+    * trainer the IVF path uses, every row participates in every update,
+    * and the update step is ENGINE-EXACT: per-(cluster, dim) means are
+    * 6-dp decimal sums (the [[Embeddings.labelCentroids]] device), so
+    * the trajectory — and therefore the final assignment — is identical
+    * on any partitioning or cluster size. Assignment ties break to the
+    * lowest cluster index.
+    *
+    * Per iteration: one kernel pass (assign, broadcast centroids), one
+    * posexplode aggregate (k·dim rows out), one k·dim collect. Init is
+    * the deterministic unbiased hash sample + driver Lloyd of the IVF
+    * path. Scores are O(n·k·dim) kernel flops per pass — the same
+    * work any k-means does, with no shuffle of the vectors themselves. */
+  def kMeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var cents = VecKernel.kmeansL2(
+      trainingSample(corpus, idCol, vecCol, k * 32).map(_._2), k, 5)
+    var iter = 0
+    while (iter < iters) {
+      val cb = spark.sparkContext.broadcast(cents)
+      val assigned = vecs.mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, v) => (id, VecKernel.nearestL2(v, cs), v) }
+      }.toDF("id", "cluster", "v")
+      val next = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("__pos", "__x")))
+        .groupBy(col("cluster"), col("__pos"))
+        .agg(count(lit(1)).as("__n"),
+          sum(round(col("__x").cast("double"), 6).cast("decimal(18,6)")).as("__s"))
+        .select(col("cluster"), col("__pos"),
+          round(col("__s").cast("double") / col("__n"), 6).as("__m"))
+        .collect()
+      // empty clusters keep their previous centroid
+      val updated = Array.tabulate(cents.length)(c => cents(c).clone())
+      next.foreach { r =>
+        updated(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = updated
+      iter += 1
+    }
+    val fb = spark.sparkContext.broadcast(cents)
+    vecs.mapPartitions { it =>
+      val cs = fb.value
+      it.map { case (id, v) =>
+        val c = VecKernel.nearestL2(v, cs)
+        var d2 = 0.0
+        var i = 0
+        while (i < v.length) {
+          val d = v(i).toDouble - cs(c)(i)
+          d2 += d * d
+          i += 1
+        }
+        (id, c, d2)
+      }
+    }.toDF(idCol, "cluster", "__d2")
+      .withColumn("dist2", round(col("__d2"), 6))
+      .select(idCol, "cluster", "dist2")
+  }
+
+  /** SemDeDup: semantic near-duplicate pairs found WITHIN k-means
+    * clusters (Abbas et al.) — clustering is the blocking function, so
+    * pairwise cosine runs per cluster, never corpus-wide. Size k so
+    * clusters fit the pairwise budget (k ≈ n/√pairs-per-cluster); the
+    * cluster-blocked join ships (id, vec) once per member. Identical
+    * and near-identical vectors land in the same cluster by
+    * construction (same nearest centroid), so exact copies are never
+    * split across blocks — the recall property [[cosineNearDups]]'s
+    * random hyperplanes can only approximate. */
+  def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = kMeansAssign(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol).as("__id"), col("cluster"))
+    val vecs = corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+    val tagged = vecs.join(assigned, "__id")
+    val a = tagged.select(col("cluster"), col("__id").as("id_a"), col("__v").as("v_a"))
+    val b = tagged.select(col("cluster"), col("__id").as("id_b"), col("__v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (ia, ib, va, vb) =>
+        (ia, ib, VecKernel.cosine(va, vb))
+      }).toDF("id_a", "id_b", "__sim")
+      .withColumn("sim", round(col("__sim"), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
 }

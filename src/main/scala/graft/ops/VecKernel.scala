@@ -90,6 +90,55 @@ object VecKernel {
     cents
   }
 
+  /** Index of the centroid nearest to `v` by EUCLIDEAN distance, ties
+    * to the lowest index — the metric for general-purpose clustering
+    * ([[graft.ops.Similarity.kMeansAssign]]), where cosine's
+    * scale-invariance is wrong (it clusters directions, not points). */
+  def nearestL2(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d2 = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - ct(i)
+        d2 += d * d
+        i += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-side Euclidean Lloyd over an in-memory sample — the init
+    * for the distributed [[graft.ops.Similarity.kMeansAssign]]; same
+    * determinism contract as [[kmeans]] (first-k init, fixed order). */
+  def kmeansL2(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "kmeansL2 needs a non-empty sample")
+    val dim = sample(0).length
+    var cents = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        val c = nearestL2(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
   /** Indices of the `n` centroids nearest to `v` by cosine. */
   def nearestCentroids(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
     val nv = norm(v)

@@ -63,6 +63,16 @@ object AggQueries extends QueryGroup {
         .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"))
     }),
 
+    // exact per-group weighted median (lower, no interpolation):
+    // decimal cumulative weights over DISTINCT values — engine-exact,
+    // tie-order-free; generalizes AggregationClient.median's weighted
+    // two-phase idea to an explicit weight column
+    "agg_weighted_median" -> ((s, dir) => {
+      graft.ops.Profiling.weightedMedian(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+    }),
+
     // Grouped aggregation (the engine generalizes §2.5 beyond the
     // reference's global-only aggs): TPC-H Q1 shape over lineitem.
     "agg_group_q1" -> ((s, dir) => {
@@ -228,6 +238,16 @@ object AggQueries extends QueryGroup {
       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price FROM lineitem",
     "agg_std" -> "SELECT round(stddev_pop(l_quantity), 6) AS std_qty FROM lineitem",
     "agg_median" -> "SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem",
+    "agg_weighted_median" ->
+      ("WITH bv AS (SELECT l_returnflag, l_extendedprice AS v, " +
+        "    sum(CAST(round(l_quantity, 6) AS DECIMAL(18,6))) AS w " +
+        "  FROM lineitem GROUP BY 1, 2), " +
+        " c AS (SELECT l_returnflag, v, " +
+        "    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v " +
+        "      ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "    sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM bv) " +
+        "SELECT l_returnflag, min(v) AS wmedian FROM c " +
+        "WHERE cum * 2 >= tot GROUP BY l_returnflag"),
     "agg_group_q1" -> (
       "SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -410,6 +410,27 @@ object PipelineQueries extends QueryGroup {
     // ≈ 0.51 at sf0.01), so exact copies of the first 20 vectors are
     // planted deterministically — the operator must recover exactly
     // those pairs at sim 1.0 through the LSH blocking.
+    // full-corpus distributed Lloyd k-means (decimal-exact updates →
+    // identical trajectory on any partitioning). Rows-only: FP distance
+    // ranking has no SQL oracle; BloomGraphSpec gates determinism +
+    // separation recovery.
+    "emb_kmeans" -> ((s, dir) => {
+      Similarity.kMeansAssign(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+    }),
+
+    // SemDeDup: k-means clusters as the blocking function for semantic
+    // near-dup pairs — exact copies share a nearest centroid by
+    // construction (recall the hyperplane blocking of dedup_embedding
+    // can only approximate). Same planted copies as dedup_embedding.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      Similarity.semDedupPairs(emb.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.95, k = 8, iters = 2)
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val planted = emb.filter(col("vec_id") < 20)

@@ -134,6 +134,58 @@ class BloomGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       "moment z-score should break under 8/28 contamination (masking)")
   }
 
+  test("kMeansAssign: separated blobs recovered; partition-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    def blob(center: Float, ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(8)(center + rnd.nextFloat() * 0.1f))
+    }
+    val df = (blob(0f, 1 to 40) ++ blob(10f, 41 to 80)).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.kMeansAssign(df, "vec_id", "embedding", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val c1 = (1 to 40).map(i => got(i.toLong)).toSet
+    val c2 = (41 to 80).map(i => got(i.toLong)).toSet
+    assert(c1.size === 1 && c2.size === 1 && c1 != c2,
+      s"blobs not separated: $c1 vs $c2")
+    val again = graft.ops.Similarity.kMeansAssign(
+      df.repartition(7), "vec_id", "embedding", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(again === got)
+  }
+
+  test("semDedupPairs: planted exact copies land in one cluster and pair at 1.0") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (1L to 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val copies = base.take(5).map { case (i, v) => (i + 1000L, v.clone()) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity.semDedupPairs(
+      df, "vec_id", "embedding", threshold = 0.999, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (1L to 5L).foreach { i =>
+      assert(found.contains((i, i + 1000L)), s"planted copy $i missed")
+    }
+    pairs.filter(p => p._2 - p._1 == 1000L).foreach(p =>
+      assert(p._3 === 1.0, s"copy pair sim ${p._3}"))
+  }
+
+  test("weightedMedian: weight skew moves the median; hand-computed") {
+    val s = spark; import s.implicits._
+    // values 1..4; weight on 4 dominates → weighted median 4, plain 2.5
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 10.0))
+      .map { case (v, w) => ("g", v, w) }.toDF("grp", "v", "w")
+    val got = graft.ops.Profiling.weightedMedian(df, Seq("grp"), "v", "w")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === Map("g" -> 4.0))
+    // equal weights: lower median of {1,2,3,4} = 2 (2*cum(2)=4 >= 4)
+    val eq = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 1.0))
+      .toDF("grp", "v", "w")
+    val got2 = graft.ops.Profiling.weightedMedian(eq, Seq("grp"), "v", "w")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got2 === Map("g" -> 2.0))
+  }
+
   test("madOutliers: zero-MAD groups define no outlier") {
     val s = spark; import s.implicits._
     // over half the group at the median → MAD 0 → excluded entirely
