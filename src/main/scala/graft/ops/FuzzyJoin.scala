@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Edit-distance (fuzzy) string join — the record-linkage operator
+  * (entity resolution on names/titles/codes, near-match lookup of noisy
+  * identifiers). Returns every cross-table pair whose Levenshtein
+  * distance is at most `maxDist`, EXACTLY: blocking never loses a true
+  * pair, and every candidate is re-verified with the real distance.
+  *
+  * Blocking is the deletion-neighborhood scheme (SymSpell): two strings
+  * within edit distance d share at least one string obtainable from
+  * each by deleting at most d characters (take an optimal alignment and
+  * delete the edited positions from both sides), so candidates are an
+  * equi-join on hashed deletion variants. Chosen over segment blocking
+  * (PassJoin-style) deliberately: templated corpora — "Customer#0001",
+  * shared prefixes/suffixes — make any contiguous-segment key
+  * degenerate (every row shares the template segment → one hot block =
+  * the all-pairs join), while a deletion variant keeps the
+  * DISCRIMINATING characters in the key, so block size tracks the true
+  * near-neighbor density, not the template frequency.
+  *
+  * Scale shape: candidate generation is per-DISTINCT-string (identical
+  * strings collapse before any join, the [[Dedup]] fingerprint-collapse
+  * device — a million-copy value contributes ONE blocking row, and
+  * rejoins by string equality only at output). The variant join ships
+  * (hash, string) pairs; verification joins carry ids only. Variant
+  * count is C(len, ≤ maxDist) ≈ len^maxDist per string — the operator's
+  * domain is SHORT strings (names, codes, titles; `maxLen` guards), and
+  * `maxDist` ≤ 3 is enforced. No cartesian anywhere; cross-row hash
+  * collisions only ADD candidates that verification removes (in-row
+  * dedup is by exact string, so no variant — hence no true pair — is
+  * ever dropped).
+  *
+  * Reference frame: HIndex has no fuzzy surface at all (its closest is
+  * the RegexStringComparator scan filter,
+  * hbase-client/.../filter/RegexStringComparator.java) — this is part
+  * of the beyond-reference linkage layer, SURVEY §2.11.
+  */
+object FuzzyJoin {
+
+  /** 64-bit string hash from two seeded murmur32 halves (the
+    * [[MinHash]] device) — join-key width; collisions are candidates,
+    * never matches. */
+  private def h64(s: String): Long =
+    (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+
+  /** Hashes of every string reachable from `s` by deleting up to `d`
+    * characters (`s` itself included). Dedup within a row is by EXACT
+    * string — deduping by hash could prune a distinct variant on a
+    * collision and silently lose a true pair. */
+  private[ops] def deletionVariantHashes(s: String, d: Int): Array[Long] = {
+    val seen = new java.util.HashSet[String]()
+    def rec(str: String, depth: Int): Unit = {
+      if (seen.add(str) && depth < d) {
+        var i = 0
+        while (i < str.length) {
+          rec(str.substring(0, i) + str.substring(i + 1), depth + 1)
+          i += 1
+        }
+      }
+    }
+    rec(s, 0)
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = h64(it.next()); j += 1 }
+    out
+  }
+
+  /** Deletion-variant blocking keys for the DISTINCT strings of
+    * `df(strCol)`: (variant hash, original string). */
+  private def variantKeys(df: DataFrame, strCol: String, maxDist: Int,
+      maxLen: Int, strOut: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(strCol)).filter(col(strCol).isNotNull).distinct()
+      .as[String]
+      .mapPartitions(_.flatMap { s =>
+        require(s.length <= maxLen,
+          s"editDistanceJoin: string of length ${s.length} exceeds maxLen=$maxLen " +
+            "— this operator's domain is short identifier strings; raise maxLen " +
+            "only if the variant fan-out (≈ len^maxDist keys/string) is acceptable")
+        deletionVariantHashes(s, maxDist).iterator.map(h => (h, s))
+      })
+      .toDF("__h", strOut)
+  }
+
+  /** All (id_l, id_r, dist) pairs with
+    * `levenshtein(left(strL), right(strR)) <= maxDist`. Ids are cast to
+    * long; rows with a NULL string never match (SQL semantics). Exact —
+    * see the blocking argument above; the gate oracle is the full
+    * cross-join distance filter. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftStr: String, rightId: String, rightStr: String,
+      maxDist: Int, maxLen: Int = 256): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] (variant fan-out is len^maxDist): $maxDist")
+    val lk = variantKeys(left, leftStr, maxDist, maxLen, "__sl")
+    val rk = variantKeys(right, rightStr, maxDist, maxLen, "__sr")
+    // candidate DISTINCT STRING pairs; verify with the real distance
+    // (thresholded form: -1 above the cap, the true distance within it)
+    val verified = lk.join(rk, "__h")
+      .select(col("__sl"), col("__sr")).distinct()
+      .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("dist") >= 0)
+    // expand distinct-string matches back to id pairs
+    val ls = left.select(col(leftId).cast("long").as("id_l"),
+      col(leftStr).as("__sl"))
+    val rs = right.select(col(rightId).cast("long").as("id_r"),
+      col(rightStr).as("__sr"))
+    verified.join(ls, "__sl").join(rs, "__sr")
+      .select(col("id_l"), col("id_r"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Self-join form: unordered within-table pairs (id_a < id_b) within
+    * `maxDist` — near-duplicate short-field detection. */
+  def selfPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxLen: Int = 256): DataFrame =
+    editDistanceJoin(df, df, idCol, strCol, idCol, strCol, maxDist, maxLen)
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("dist"))
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,5 +284,110 @@ object Profiling {
     cum.filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(groupCols.map(col): _*)
       .agg(min(col(valueCol)).as(out))
+  }
+
+  /** Exact ROC-AUC of `scoreCol` as a ranker for `positive` — the
+    * classifier-quality gate (does the quality score actually separate
+    * good from bad documents before it drives a corpus cut?). One row:
+    * (auc, n_pos, n_neg). Ties get average ranks (the Mann-Whitney U
+    * convention), so a constant score yields exactly 0.5.
+    *
+    * Exact and scale-safe: rows collapse to per-DISTINCT-score
+    * (count, positives) first — one shuffle bounded by score
+    * cardinality — then the rank prefix runs through the distributed
+    * prefix sum ([[Curation.runningTotal]]: range partition + per-
+    * partition window + broadcast offsets; no single-partition window
+    * even when every score is unique). The rank-sum statistic
+    * `2U = Σ pᵢ(2Cᵢ + nᵢ + 1) − P(P+1)` stays INTEGER until the final
+    * divide, so the result is bit-identical on any engine or
+    * partitioning. NULL/NaN scores are excluded. Degenerate inputs
+    * (no positives or no negatives) yield a NULL auc rather than a
+    * misleading 0 or 1. */
+  def rocAuc(df: DataFrame, scoreCol: String, positive: Column): DataFrame = {
+    val v = col(scoreCol).cast("double")
+    val g = df.filter(col(scoreCol).isNotNull && !isnan(v))
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(positive, 1L).otherwise(0L)).as("__p"))
+    val c = Curation.runningTotal(g, Seq(col("__s")), col("__n"), "__cum")
+    // rank-sum terms as DECIMAL(38,0): p·2C is count², which overflows
+    // long around 3·10⁹ rows — decimal is the HUGEINT the oracle sums in
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    c.agg(
+      sum(dec(col("__p")) * (lit(2) * dec(col("__cum") - col("__n"))
+        + dec(col("__n")) + lit(1))).as("__rs"),
+      sum(col("__p")).as("__pos"),
+      sum(col("__n") - col("__p")).as("__neg"))
+      .select(
+        round((col("__rs") - dec(col("__pos")) * (dec(col("__pos")) + lit(1)))
+          .cast("double")
+          / when(col("__pos") > 0 && col("__neg") > 0,
+            (lit(2) * dec(col("__pos")) * dec(col("__neg"))).cast("double")), 6)
+          .as("auc"),
+        col("__pos").cast("long").as("n_pos"),
+        col("__neg").cast("long").as("n_neg"))
+  }
+
+  /** Per-group categorical diversity: category count, Shannon entropy
+    * (nats), perplexity (the "effective number of sources" a mixture
+    * designer actually reasons in), and Gini-Simpson index — the corpus
+    * composition health check (a 40-source corpus with perplexity 2.1
+    * is two sources wearing forty names).
+    *
+    * One shuffle to (group, category) counts; the share window runs
+    * over DISTINCT categories per group (bounded by category
+    * cardinality, not rows). Engine-exact determinism: each category's
+    * `−p·ln p` / `p²` term is rounded to 12 dp and summed as
+    * DECIMAL(28,12) — libm `ln` differs across engines only in the last
+    * ulp (~1e-17 here), far inside the 12-dp round, and the decimal sum
+    * kills FP-order sensitivity, so entropy is reproducible anywhere. */
+  def diversity(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "diversity needs at least one group column")
+    val cnt = df.filter(col(catCol).isNotNull)
+      .groupBy((groupCols :+ catCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val p = cnt.withColumn("__t", sum(col("__c")).over(grp))
+      .withColumn("__p", col("__c").cast("double") / col("__t").cast("double"))
+    p.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_cats"),
+        max(col("__t")).as("n_rows"),
+        round(sum(round(-col("__p") * log(col("__p")), 12)
+          .cast("decimal(28,12)")).cast("double"), 6).as("entropy"),
+        round((lit(1).cast("decimal(28,12)")
+          - sum(round(col("__p") * col("__p"), 12).cast("decimal(28,12)")))
+          .cast("double"), 6).as("gini_simpson"))
+      .withColumn("perplexity", round(exp(col("entropy")), 6))
+  }
+
+  /** Per-group winsorization: clip `valueCol` to its group's exact
+    * [lowPct, highPct] percentiles — the standard heavy-tail tamer
+    * before averaging metrics a few broken sensors would otherwise own.
+    * Appends `out`; NULL and NaN values pass through unclipped (they
+    * carry no magnitude to clip — and `greatest(NULL, lo)` would
+    * otherwise FABRICATE a value for missing data).
+    *
+    * Exact interpolated percentiles (the [[Window]]-free grouped-agg
+    * form), one row per group, broadcast back — the fact table is
+    * touched once and never shuffled. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lowPct: Double, highPct: Double, out: String = "winsorized"): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(0.0 <= lowPct && lowPct <= highPct && highPct <= 1.0,
+      s"need 0 <= lowPct <= highPct <= 1: $lowPct, $highPct")
+    require(!df.columns.contains(out), s"output column $out already exists")
+    Seq("__lo", "__hi").foreach(r => require(!df.columns.contains(r),
+      s"column name $r is reserved by winsorize — rename first"))
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(col(valueCol).isNotNull && !isnan(v))
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(`$valueCol`, $lowPct)").as("__lo"),
+        expr(s"percentile(`$valueCol`, $highPct)").as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(out,
+        when(col(valueCol).isNull || isnan(v), v)
+          .otherwise(round(least(greatest(v, col("__lo")), col("__hi")), 6)))
+      .drop("__lo", "__hi")
   }
 }

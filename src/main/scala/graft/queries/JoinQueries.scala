@@ -139,6 +139,30 @@ object JoinQueries extends QueryGroup {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
+    // fuzzy (edit-distance) record linkage: customers vs a planted
+    // noisy copy of the first 120 names — one substitution (dist 1),
+    // one leading deletion (dist 1), or two substitutions (dist 2,
+    // correctly EXCLUDED at maxDist=1). Deletion-neighborhood blocking
+    // keeps the digits in the key, so the shared "Customer#" template
+    // never forms a hot block; the oracle is the brute-force
+    // cross-join distance filter.
+    "join_fuzzy_name" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val planted = cust.filter(col("c_custkey") < 120)
+        .select((col("c_custkey") + 1000000).as("p_id"),
+          when(pmod(col("c_custkey"), lit(3)) === 0,
+            concat(lit("X"), substring(col("c_name"), 2, 1000)))
+            .when(pmod(col("c_custkey"), lit(3)) === 1,
+              substring(col("c_name"), 2, 1000))
+            .otherwise(concat(lit("XY"), substring(col("c_name"), 3, 1000)))
+            .as("p_name"))
+      graft.ops.FuzzyJoin.editDistanceJoin(cust, planted,
+        "c_custkey", "c_name", "p_id", "p_name", maxDist = 1)
+        .withColumnRenamed("id_l", "cust_id")
+        .withColumnRenamed("id_r", "planted_id")
     })
   )
 
@@ -166,6 +190,17 @@ object JoinQueries extends QueryGroup {
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders " +
         "  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')"),
+    "join_fuzzy_name" ->
+      ("WITH planted AS (SELECT c_custkey + 1000000 AS p_id, " +
+        "  CASE c_custkey % 3 " +
+        "    WHEN 0 THEN 'X' || substr(c_name, 2) " +
+        "    WHEN 1 THEN substr(c_name, 2) " +
+        "    ELSE 'XY' || substr(c_name, 3) END AS p_name " +
+        "  FROM customer WHERE c_custkey < 120) " +
+        "SELECT c.c_custkey AS cust_id, p.p_id AS planted_id, " +
+        "  CAST(levenshtein(c.c_name, p.p_name) AS BIGINT) AS dist " +
+        "FROM customer c, planted p " +
+        "WHERE levenshtein(c.c_name, p.p_name) <= 1"),
     "join_skew_aware" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +

@@ -556,6 +556,35 @@ object PipelineQueries extends QueryGroup {
         .select("event_id", "qnorm")
     }),
 
+    // exact ROC-AUC: does the event metric rank purchases above the
+    // rest? Integer rank-sum statistic (Mann-Whitney U, average ranks
+    // on ties) over the distributed prefix sum — bit-identical AUC on
+    // any engine; the gate is exactness, not the (null) effect size
+    "events_auc" -> ((s, dir) => {
+      graft.ops.Profiling.rocAuc(
+        Tables.load(s, dir, "events"), "value",
+        col("event_type") === "purchase")
+    }),
+
+    // per-group winsorization: clip the event metric to its type's
+    // exact [p05, p95]; one broadcast of per-group bounds, fact table
+    // scanned once and never shuffled
+    "events_winsorize" -> ((s, dir) => {
+      graft.ops.Profiling.winsorize(
+        Tables.load(s, dir, "events")
+          .select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", 0.05, 0.95)
+        .select("event_id", "event_type", "winsorized")
+    }),
+
+    // corpus composition health: per-language source entropy /
+    // perplexity ("effective sources") / Gini-Simpson — 12-dp decimal
+    // term sums make the transcendental math engine-reproducible
+    "text_diversity" -> ((s, dir) => {
+      graft.ops.Profiling.diversity(
+        Tables.load(s, dir, "documents"), Seq("lang"), "source")
+    }),
+
     // ordered product funnel view→click→purchase: first-touch chain,
     // conditional-min per step (k−1 user-keyed rounds, exchange reused)
     "events_funnel" -> ((s, dir) => {
@@ -966,6 +995,48 @@ object PipelineQueries extends QueryGroup {
         "    OVER (PARTITION BY user_id) AS DOUBLE) / (n-1) AS var FROM j) " +
         "SELECT event_id, user_id, round(d / sqrt(var), 6) AS z FROM v " +
         "WHERE var > 0 AND abs(round(d / sqrt(var), 6)) > 2"),
+    // integer rank-sum until the final divide — exact AUC parity
+    "events_auc" ->
+      ("WITH e AS (SELECT value AS s, event_type FROM events " +
+        "    WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " g AS (SELECT s, count(*) AS n, " +
+        "    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p " +
+        "  FROM e GROUP BY s), " +
+        " c AS (SELECT n, p, sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - n " +
+        "    AS cum FROM g), " +
+        " t AS (SELECT sum(p * (2*cum + n + 1)) AS rs, sum(p) AS np, " +
+        "    sum(n - p) AS nn FROM c) " +
+        "SELECT round(CAST(rs - np*(np+1) AS DOUBLE) " +
+        "    / (CASE WHEN np > 0 AND nn > 0 THEN CAST(2*np*nn AS DOUBLE) END), 6) AS auc, " +
+        "  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM t"),
+    "events_winsorize" ->
+      ("WITH b AS (SELECT event_type AS et, quantile_cont(value, 0.05) AS lo, " +
+        "    quantile_cont(value, 0.95) AS hi FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1) " +
+        "SELECT event_id, event_type, " +
+        "  CASE WHEN value IS NULL OR isnan(value) THEN value " +
+        "    WHEN value < lo THEN round(lo, 6) " +
+        "    WHEN value > hi THEN round(hi, 6) " +
+        "    ELSE round(value, 6) END AS winsorized " +
+        "FROM events JOIN b ON event_type = et"),
+    // transcendental terms rounded to 12 dp then summed as
+    // DECIMAL(28,12) — mirrors the engine's determinism device exactly
+    "text_diversity" ->
+      ("WITH c AS (SELECT lang, source, count(*) AS cnt FROM documents " +
+        "  WHERE source IS NOT NULL GROUP BY 1, 2), " +
+        " p AS (SELECT lang, cnt, sum(cnt) OVER (PARTITION BY lang) AS t, " +
+        "    CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) " +
+        "      AS pr FROM c), " +
+        " a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cats, " +
+        "    CAST(max(t) AS BIGINT) AS n_rows, " +
+        "    round(CAST(sum(CAST(round(-pr * ln(pr), 12) AS DECIMAL(28,12))) " +
+        "      AS DOUBLE), 6) AS entropy, " +
+        "    round(CAST(CAST(1 AS DECIMAL(28,12)) " +
+        "      - sum(CAST(round(pr * pr, 12) AS DECIMAL(28,12))) AS DOUBLE), 6) " +
+        "      AS gini_simpson " +
+        "  FROM p GROUP BY lang) " +
+        "SELECT lang, n_cats, n_rows, entropy, gini_simpson, " +
+        "  round(exp(entropy), 6) AS perplexity FROM a"),
     // the single-partition window formulation is the ORACLE's job; the
     // engine realizes the same rank distributively
     "events_quantile_norm" ->

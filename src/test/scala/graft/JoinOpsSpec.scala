@@ -175,6 +175,41 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 10L)))
   }
 
+  test("editDistanceJoin: sub/del/ins at d=1; d=2 pairs only at maxDist=2") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, "kitten"), (2L, "abc")).toDF("id", "name")
+    val r = Seq((10L, "sitten"), (11L, "kitte"), (12L, "abxc"),
+      (13L, "xyz"), (14L, "sittin")).toDF("id", "name")
+    def run(d: Int) = graft.ops.FuzzyJoin
+      .editDistanceJoin(l, r, "id", "name", "id", "name", d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // substitution, suffix deletion, mid insertion — each dist 1
+    assert(run(1) === Set((1L, 10L, 1L), (1L, 11L, 1L), (2L, 12L, 1L)))
+    // kitten→sittin is dist 2: excluded at 1, included at 2
+    assert(run(2).contains((1L, 14L, 2L)))
+    assert(!run(1).exists(_._2 == 14L))
+  }
+
+  test("editDistanceJoin: identical-string groups collapse and expand; nulls drop") {
+    val s = spark; import s.implicits._
+    val many = (1L to 5L).map(i => (i, "same")) :+ ((6L, null: String))
+    val df = many.toDF("id", "name")
+    val got = graft.ops.FuzzyJoin.selfPairs(df, "id", "name", 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // C(5,2) unordered dist-0 pairs; the null row never matches
+    assert(got.size === 10 && got.forall(_._3 == 0L) && !got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("editDistanceJoin: maxLen guard rejects long strings") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x" * 50)).toDF("id", "name")
+    val ex = intercept[Exception] {
+      graft.ops.FuzzyJoin.selfPairs(df, "id", "name", 1, maxLen = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxLen") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("maxLen"))
+  }
+
   test("quantileRank: unique order, exact fractions, nulls/NaN excluded") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 5.0), (2L, 1.0), (3L, 5.0), (4L, Double.NaN))

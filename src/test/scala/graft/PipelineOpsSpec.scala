@@ -782,4 +782,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)._2 === 2 && out(1L)._3 === 1)
     assert(out(2L) === (("no pii here 12-34", 0, 0)))
   }
+
+  test("rocAuc: hand-computed with ties; perfect and degenerate cases") {
+    val s = spark; import s.implicits._
+    import graft.ops.Profiling
+    // pos scores {3, 2}, neg {2, 1}: tied 2s get avg rank 2.5
+    // → U = (2.5 + 4) − 3 = 3.5, AUC = 3.5 / 4 = 0.875
+    val df = Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false))
+      .toDF("sc", "pos").repartition(3)
+    val r1 = Profiling.rocAuc(df, "sc", col("pos")).collect()(0)
+    assert(r1.getDouble(0) === 0.875 && r1.getLong(1) === 2 && r1.getLong(2) === 2)
+    // perfect separation → 1.0; constant score → 0.5 (ties convention)
+    val perfect = Seq((5.0, true), (4.0, true), (1.0, false)).toDF("sc", "pos")
+    assert(Profiling.rocAuc(perfect, "sc", col("pos")).collect()(0).getDouble(0) === 1.0)
+    val const = Seq((2.0, true), (2.0, false)).toDF("sc", "pos")
+    assert(Profiling.rocAuc(const, "sc", col("pos")).collect()(0).getDouble(0) === 0.5)
+    // no negatives → NULL auc, not a fake 1.0
+    val onlyPos = Seq((1.0, true), (2.0, true)).toDF("sc", "pos")
+    assert(Profiling.rocAuc(onlyPos, "sc", col("pos")).collect()(0).isNullAt(0))
+  }
+
+  test("diversity: uniform two-source entropy ln 2; single source degenerates") {
+    val s = spark; import s.implicits._
+    val df = Seq(("en", "a"), ("en", "b"), ("en", "a"), ("en", "b"),
+      ("fr", "a"), ("fr", "a")).toDF("lang", "src")
+    val got = graft.ops.Profiling.diversity(df, Seq("lang"), "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (nc, nr, h, gini, ppl) = got("en")
+    assert(nc === 2 && nr === 4)
+    assert(math.abs(h - math.log(2)) < 1e-5, s"entropy $h")
+    assert(math.abs(ppl - 2.0) < 1e-4, s"perplexity $ppl")
+    assert(math.abs(gini - 0.5) < 1e-6)
+    val (nc2, _, h2, gini2, ppl2) = got("fr")
+    assert(nc2 === 1 && h2 === 0.0 && ppl2 === 1.0 && gini2 === 0.0)
+  }
+
+  test("winsorize: clips to exact group percentiles; null and NaN pass through") {
+    val s = spark; import s.implicits._
+    // group g: 1..4 → p25 = 1.75, p75 = 3.25 (interpolated)
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+      ("g", Double.NaN), ("h", 7.0)).toDF("grp", "v")
+      .union(Seq(("g", Option.empty[Double])).toDF("grp", "v"))
+    val got = graft.ops.Profiling.winsorize(df, Seq("grp"), "v", 0.25, 0.75)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    val gvals = got.filter(x => x._1 == "g" && x._2.exists(v => !v.asInstanceOf[Double].isNaN))
+      .map(x => x._2.get.asInstanceOf[Double] -> x._3.get.asInstanceOf[Double]).toMap
+    assert(gvals === Map(1.0 -> 1.75, 2.0 -> 2.0, 3.0 -> 3.0, 4.0 -> 3.25))
+    // NaN stays NaN, null stays null, singleton group clips to itself
+    assert(got.exists(x => x._1 == "g" && x._2.exists(v => v.asInstanceOf[Double].isNaN)
+      && x._3.exists(v => v.asInstanceOf[Double].isNaN)))
+    assert(got.exists(x => x._1 == "g" && x._2.isEmpty && x._3.isEmpty))
+    assert(got.find(_._1 == "h").get._3.get === 7.0)
+  }
 }
