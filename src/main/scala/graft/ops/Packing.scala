@@ -91,4 +91,43 @@ object Packing {
       }
       .toDF(idCol, sizeCol, "bin")
   }
+
+  /** Per-token loss mask from confirmed duplicated spans — the training
+    * prep that keeps duplicated boilerplate in context (the model still
+    * READS it) while zeroing its loss contribution (the model stops
+    * being TRAINED on it; the Lee et al. alternative to hard span
+    * removal). `spans` is a (doc id, 1-based token position) table of
+    * span starts — [[Dedup.dupSpanOccurrences]] output — each covering
+    * `width` tokens; overlaps union. Returns (doc_id, mask_csv): one
+    * 0/1 flag per token, CSV-serialized (the [[Embeddings]] array
+    * transport the oracle can diff).
+    *
+    * Span lists group per doc and join to the doc's token count — the
+    * kernel writes each mask in one pass, O(tokens + covered); docs
+    * with no spans keep an all-ones mask via the left join. */
+  def lossMask(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame, spanIdCol: String, posCol: String,
+      width: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).as("__n"))
+    val sp = spans.select(col(spanIdCol).cast("long").as("doc_id"),
+      col(posCol).cast("long").as("__pos"))
+      .groupBy("doc_id").agg(collect_list(col("__pos")).as("__ps"))
+    base.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__n"),
+        coalesce(col("__ps"), array().cast("array<bigint>")).as("__ps"))
+      .as[(Long, Int, Seq[Long])]
+      .map { case (id, n, ps) =>
+        val m = Array.fill(n)('1')
+        ps.foreach { p =>
+          var i = math.max(0L, p - 1).toInt // 1-based span starts
+          val end = math.min(n.toLong, p - 1 + width).toInt
+          while (i < end) { m(i) = '0'; i += 1 }
+        }
+        (id, m.mkString(","))
+      }.toDF("doc_id", "mask_csv")
+  }
 }

@@ -253,4 +253,36 @@ object TextSearch {
       lit(meta.getAs[Long]("sum_dl")).as("sum_dl"))
     scoreTopK(prunedPostings(spark, path, terms), stats, k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.): combine several rankings
+    * of the same document space — BM25 + dense ANN hybrid retrieval, or
+    * multi-query fusion in RAG — by summing `1 / (k0 + rank)` across
+    * systems. Rank-based, so incomparable score scales fuse soundly;
+    * `k0` (conventionally 60) damps the head's dominance.
+    *
+    * Input is the stacked rankings (one row per (system, doc, score));
+    * ranks come from a per-system window — bounded by each ranking's
+    * length (top-k lists, never the corpus), so there is no skew or
+    * single-partition hazard. Per-rank reciprocal terms are rounded to
+    * 12 dp and summed as DECIMAL(28,12): the fused score — and hence
+    * the output ORDER — is engine- and partitioning-exact. Ties break
+    * by (score, doc) within a system and by doc id across fused
+    * scores. */
+  def rrfFuse(rankings: DataFrame, systemCol: String, docCol: String,
+      scoreCol: String, k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(systemCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    rankings
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__rr",
+        round(lit(1.0) / (lit(k0) + col("__rank")), 12).cast("decimal(28,12)"))
+      .groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_systems"),
+        sum(col("__rr")).cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col(docCol))
+      .limit(topK)
+  }
 }

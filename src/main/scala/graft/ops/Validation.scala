@@ -107,4 +107,30 @@ object Validation {
     }
     (aggLegs ++ refLegs).reduce(_ unionByName _)
   }
+
+  /** k-anonymity / l-diversity audit — the release-safety check before
+    * a dataset with person-adjacent fields ships: every quasi-identifier
+    * combination must be shared by at least `k` rows (re-identification
+    * resistance), and within those groups the sensitive attribute must
+    * take at least `l` distinct values (a uniform group leaks the
+    * attribute even at size k). Returns only the VIOLATING groups —
+    * (quasi cols, n, n_sensitive, violation) with `violation` ∈
+    * {"small_group", "low_diversity"}, small_group reported first when
+    * both fail — so an empty result IS the pass certificate.
+    *
+    * One hash aggregate over the quasi columns (the distinct-count is
+    * per-group, no Expand); output is bounded by the violating-group
+    * count, never the table. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Long, l: Long = 1): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1: k=$k, l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("violation",
+        when(col("n") < k, lit("small_group"))
+          .when(col("n_sensitive") < l, lit("low_diversity")))
+      .filter(col("violation").isNotNull)
+  }
 }

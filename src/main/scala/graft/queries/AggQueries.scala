@@ -177,6 +177,15 @@ object AggQueries extends QueryGroup {
         Unique("documents_source_unique", docs, Seq("source"))))
     }),
 
+    // k-anonymity / l-diversity release audit: quasi-identifier combos
+    // with fewer than k members, or k+ members whose sensitive attribute
+    // is near-uniform — empty result = safe-to-release certificate
+    "validate_k_anonymity" -> ((s, dir) => {
+      graft.ops.Validation.kAnonymity(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 3)
+    }),
+
     // Sketch aggregation — the 100 TB path for distinct counts/quantiles
     // (HLL++ and t-digest-style partials merge associatively; exact twins
     // above stay oracle-gated). No DuckDB oracle: sketch algorithms
@@ -190,6 +199,13 @@ object AggQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "validate_k_anonymity" ->
+      ("SELECT c_nationkey, c_mktsegment, count(*) AS n, " +
+        "  count(DISTINCT c_acctbal) AS n_sensitive, " +
+        "  CASE WHEN count(*) < 10 THEN 'small_group' " +
+        "    WHEN count(DISTINCT c_acctbal) < 3 THEN 'low_diversity' END AS violation " +
+        "FROM customer GROUP BY c_nationkey, c_mktsegment " +
+        "HAVING count(*) < 10 OR count(DISTINCT c_acctbal) < 3"),
     "validate_constraints" ->
       ("SELECT 'orders_pk_unique' AS check_name, " +
         // count(col) (not count(*)) so NULL keys are excluded on both

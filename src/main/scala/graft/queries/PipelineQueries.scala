@@ -654,6 +654,31 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", Seq("scan", "merge", "la"), 10)
     }),
 
+    // hybrid retrieval: RRF fusion of two BM25 rankings (multi-query
+    // fusion) — rank-based, so incomparable score scales combine
+    // soundly; 12-dp decimal reciprocal sums keep the fused order exact
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val qa = graft.ops.TextSearch
+        .bm25TopK(docs, "doc_id", "text", Seq("scan", "merge", "la"), 50)
+        .withColumn("system", lit("qa"))
+      val qb = graft.ops.TextSearch
+        .bm25TopK(docs, "doc_id", "text", Seq("key", "hash", "join"), 50)
+        .withColumn("system", lit("qb"))
+      graft.ops.TextSearch.rrfFuse(
+        qa.unionByName(qb), "system", "doc_id", "score", k0 = 60, topK = 10)
+    }),
+
+    // loss-mask training prep: duplicated-span placements become
+    // per-token 0-weights (model reads boilerplate, is not trained on
+    // it) — CSV transport so the oracle can diff the arrays
+    "pipeline_loss_mask" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Packing.lossMask(docs, "doc_id", "text",
+        graft.ops.Dedup.dupSpanOccurrences(docs, "doc_id", "text", 8),
+        "doc_id", "pos", 8)
+    }),
+
     // same query through the materialized inverted index: bucket-pruned
     // postings scan + metadata stats, hash-matched against the SAME
     // oracle as search_bm25 (the index path must be exact)
@@ -928,13 +953,16 @@ object PipelineQueries extends QueryGroup {
     * decimals would run the formula in DECIMAL and diverge from Scala
     * double arithmetic. Serves both search_bm25 and search_bm25_index
     * (the index path must be exact, so one oracle gates both). */
-  private val bm25OracleSql =
+  /** The BM25 ranking as parameterizable oracle SQL (`termsSql` like
+    * `"'scan', 'merge'"`) — shared by the direct gates and the RRF
+    * fusion oracle's per-system CTEs. */
+  private def bm25Sql(termsSql: String, limit: Int): String =
     ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
       "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
       " dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
       " st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), " +
       " post AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
-      "   WHERE term IN ('scan', 'merge', 'la') GROUP BY doc_id, term), " +
+      s"   WHERE term IN ($termsSql) GROUP BY doc_id, term), " +
       " dft AS (SELECT term, count(*) AS df FROM post GROUP BY term) " +
       "SELECT doc_id, CAST(sum(CAST(round(" +
       "    ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) " +
@@ -943,7 +971,9 @@ object PipelineQueries extends QueryGroup {
       "         + CAST(0.75 AS DOUBLE) * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))" +
       "  , 6) AS DECIMAL(18,6))) AS DOUBLE) AS score " +
       "FROM post JOIN dl USING (doc_id) CROSS JOIN st JOIN dft USING (term) " +
-      "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10")
+      s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $limit")
+
+  private val bm25OracleSql = bm25Sql("'scan', 'merge', 'la'", 10)
 
   val oracles: Map[String, String] = Map(
     "text_langid" ->
@@ -1112,6 +1142,35 @@ object PipelineQueries extends QueryGroup {
     "search_bm25" -> bm25OracleSql,
     "search_bm25_index" -> bm25OracleSql,
     "search_bm25_incr" -> bm25OracleSql,
+    // two BM25 CTE rankings → row_number ranks → 12-dp decimal
+    // reciprocal sums; CAST(1 AS DOUBLE) keeps the division in double
+    // (a bare 1.0 is DECIMAL in DuckDB and diverges from the engine)
+    "search_hybrid_rrf" ->
+      (s"WITH qa AS (${bm25Sql("'scan', 'merge', 'la'", 50)}), " +
+        s" qb AS (${bm25Sql("'key', 'hash', 'join'", 50)}), " +
+        " u AS (SELECT 'qa' AS sys, doc_id, score FROM qa " +
+        "   UNION ALL SELECT 'qb', doc_id, score FROM qb), " +
+        " r AS (SELECT doc_id, row_number() OVER (PARTITION BY sys " +
+        "     ORDER BY score DESC, doc_id) AS rk FROM u), " +
+        " f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems, " +
+        "     CAST(sum(CAST(round(CAST(1 AS DOUBLE) / (60 + rk), 12) " +
+        "       AS DECIMAL(28,12))) AS DOUBLE) AS rrf " +
+        "   FROM r GROUP BY doc_id) " +
+        "SELECT doc_id, n_systems, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
+    "pipeline_loss_mask" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        " s AS (SELECT doc_id, CAST(unnest(generate_series(1, len(toks)-7)) AS BIGINT) " +
+        "    AS pos, toks FROM t), " +
+        " sp AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS span FROM s), " +
+        " hot AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2), " +
+        " occ AS (SELECT doc_id, pos FROM sp WHERE span IN (SELECT span FROM hot)), " +
+        " idx AS (SELECT doc_id, CAST(unnest(generate_series(1, len(toks))) AS BIGINT) " +
+        "    AS i FROM t), " +
+        " m AS (SELECT idx.doc_id, idx.i, CASE WHEN EXISTS (SELECT 1 FROM occ " +
+        "     WHERE occ.doc_id = idx.doc_id AND idx.i >= occ.pos " +
+        "       AND idx.i < occ.pos + 8) THEN '0' ELSE '1' END AS f FROM idx) " +
+        "SELECT doc_id, string_agg(f, ',' ORDER BY i) AS mask_csv " +
+        "FROM m GROUP BY doc_id"),
     // phrase = position-chained self-joins; DuckDB positions are 1-based
     // vs the engine's 0-based, which cancels out (shift-invariant)
     "search_phrase_index" ->

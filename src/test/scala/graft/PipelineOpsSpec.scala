@@ -783,6 +783,31 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === (("no pii here 12-34", 0, 0)))
   }
 
+  test("kAnonymity: small groups and low-diversity groups flagged, rest pass") {
+    val s = spark; import s.implicits._
+    val rows =
+      (1 to 12).map(i => ("x", s"v${i % 3}")) ++   // big + diverse → pass
+        (1 to 5).map(i => ("y", s"v$i")) ++        // too small
+        (1 to 12).map(_ => ("z", "same"))          // big but uniform
+    val got = graft.ops.Validation.kAnonymity(
+      rows.toDF("q", "sv"), Seq("q"), "sv", k = 10, l = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === Map("y" -> ((5L, 5L, "small_group")),
+      "z" -> ((12L, 1L, "low_diversity"))))
+  }
+
+  test("lossMask: spans zero their width, overlaps union, clamped at doc end") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i")).toDF("id", "text")
+    // doc 1: span at pos 2 (covers 2-4) and pos 5 (covers 5-6, clamped);
+    // overlapping span at pos 3 must not double-flip anything
+    val spans = Seq((1L, 2L), (1L, 3L), (1L, 5L)).toDF("id", "pos")
+    val got = graft.ops.Packing.lossMask(docs, "id", "text", spans, "id", "pos", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "1,0,0,0,0,0", 2L -> "1,1,1"))
+  }
+
   test("rocAuc: hand-computed with ties; perfect and degenerate cases") {
     val s = spark; import s.implicits._
     import graft.ops.Profiling

@@ -124,4 +124,24 @@ class TextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postingsScans.nonEmpty &&
       postingsScans.forall(_.selectedPartitions.partitionCount <= query.length))
   }
+
+  test("rrfFuse: hand-computed fusion, tie-break by doc, n_systems counted") {
+    val s = spark; import s.implicits._
+    // s1 ranks A,B,C; s2 ranks C,A.  k0 = 1:
+    //   A = 1/2 + 1/3 = 0.8333…, C = 1/4 + 1/2 = 0.75, B = 1/3
+    val ranks = Seq(("s1", 1L, 3.0), ("s1", 2L, 2.0), ("s1", 3L, 1.0),
+      ("s2", 3L, 9.0), ("s2", 1L, 8.0)).toDF("system", "doc_id", "score")
+    val got = TextSearch.rrfFuse(ranks, "system", "doc_id", "score", k0 = 1, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L), s"order: ${got.toSeq}")
+    assert(math.abs(got(0)._3 - (0.5 + 1.0 / 3)) < 1e-9)
+    assert(math.abs(got(1)._3 - 0.75) < 1e-9)
+    assert(got(0)._2 === 2 && got(1)._2 === 2 && got(2)._2 === 1)
+    // equal fused scores order by doc id: symmetric two-system swap
+    val tied = Seq(("s1", 10L, 2.0), ("s1", 20L, 1.0),
+      ("s2", 20L, 2.0), ("s2", 10L, 1.0)).toDF("system", "doc_id", "score")
+    val t = TextSearch.rrfFuse(tied, "system", "doc_id", "score", k0 = 1, topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(t === Seq(10L, 20L))
+  }
 }
