@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation aggregates — the QA step between "we trained a
+  * quality/language/topic model" and "we let it cut a 100 TB corpus":
+  * agreement and per-class error structure, computed EXACTLY from
+  * integer confusion counts (every ratio is one IEEE divide of two
+  * integers, so results are bit-identical on any engine or
+  * partitioning — the audit can be re-run anywhere).
+  *
+  * Both operators reduce the data to a label×label confusion matrix
+  * first (one hash aggregate; intermediate size is label-cardinality²,
+  * never rows), so they cost one scan regardless of table size.
+  *
+  * Beyond-reference extension (SURVEY §2.11): HIndex has no evaluation
+  * surface; these pair with [[LangModel.scoreLinear]] and
+  * `TextFunctions.langId` the way `rocAuc` pairs with ranking scores.
+  */
+object Evaluation {
+
+  private def confusion(df: DataFrame, aCol: Column, bCol: Column): DataFrame =
+    df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("__a"), bCol.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** Cohen's kappa between two categorical columns (annotator vs
+    * annotator, or truth vs prediction): chance-corrected agreement
+    * `κ = (pₒ − pₑ) / (1 − pₑ)`. One row: (kappa, n, observed_agreement,
+    * expected_agreement). The marginal products are summed in
+    * DECIMAL(38,0) — `n²` terms overflow long past ~3·10⁹ rows — and
+    * kappa is formed as `(n·diag − Σrᵢcᵢ) / (n² − Σrᵢcᵢ)` so everything
+    * stays integer until the final divide. Rows where either side is
+    * NULL are excluded (no agreement evidence either way). Degenerate
+    * total agreement by a single class (pₑ = 1) yields NULL, not 0/0. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = confusion(df, col(aCol), col(bCol))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val tot = cm.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("__d"))
+    val rows = cm.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__r"))
+    val cols = cm.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__cc"))
+    val pe = rows.join(cols, "__k")
+      .agg(coalesce(sum(dec(col("__r")) * dec(col("__cc"))), lit(0)).as("__pe"))
+    tot.crossJoin(pe).select(
+      round((dec(col("__n")) * dec(col("__d")) - col("__pe")).cast("double")
+        / when(dec(col("__n")) * dec(col("__n")) =!= col("__pe"),
+          (dec(col("__n")) * dec(col("__n")) - col("__pe")).cast("double")), 6)
+        .as("kappa"),
+      col("__n").cast("long").as("n"),
+      round(col("__d").cast("double") / col("__n").cast("double"), 6)
+        .as("observed_agreement"),
+      round(col("__pe").cast("double")
+        / (dec(col("__n")) * dec(col("__n"))).cast("double"), 6)
+        .as("expected_agreement"))
+  }
+
+  /** Per-class precision / recall / F1 of `predCol` against
+    * `truthCol`: one row per label occurring on EITHER side (a class
+    * the model invents shows up with recall NULL-safe 0, one it never
+    * predicts with precision NULL). Ratios are formed directly from
+    * integer counts — `f1 = 2tp / (2tp + fp + fn)` — one divide each,
+    * no compounding. */
+  def classMetrics(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val cm = confusion(df, col(truthCol), col(predCol))
+    val diag = cm.filter(col("__a") === col("__b"))
+      .select(col("__a").as("label"), col("__c").as("__tp"))
+    val truth = cm.groupBy(col("__a").as("label")).agg(sum(col("__c")).as("n_true"))
+    val pred = cm.groupBy(col("__b").as("label")).agg(sum(col("__c")).as("n_pred"))
+    truth.join(pred, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+      .withColumn("precision", round(when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double")), 6))
+      .withColumn("recall", round(when(col("n_true") > 0,
+        col("tp").cast("double") / col("n_true").cast("double")), 6))
+      .withColumn("f1", round((lit(2L) * col("tp")).cast("double")
+        / (col("n_true") + col("n_pred")).cast("double"), 6))
+  }
+}

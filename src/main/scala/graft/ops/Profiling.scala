@@ -265,9 +265,13 @@ object Profiling {
     * tie-order sensitivity), the cumulative/total comparison
     * `2·cum ≥ tot` runs in decimal, and the pick is a min — no doubles
     * anywhere until the caller formats. One shuffle for the
-    * per-(group, value) aggregate; the cumulative window partitions by
-    * group over DISTINCT values (bounded by value cardinality, not
-    * rows). */
+    * per-(group, value) aggregate; the per-group cumulative runs
+    * through the GLOBAL distributed prefix sum over the
+    * (group, value) order ([[Curation.runningTotal]]) minus a
+    * broadcast per-group offset — a near-unique value column with few
+    * groups would make a per-group window one giant partition, while
+    * this shape range-partitions by (group, value) at any
+    * cardinality. */
   def weightedMedian(df: DataFrame, groupCols: Seq[String],
       valueCol: String, weightCol: String, out: String = "wmedian"): DataFrame = {
     require(groupCols.nonEmpty, "weightedMedian needs at least one group column")
@@ -276,12 +280,18 @@ object Profiling {
       .groupBy(groupCols.map(col) :+ col(valueCol): _*)
       .agg(sum(round(col(weightCol).cast("double"), 6).cast("decimal(18,6)"))
         .as("__w"))
-    val grp = Window.partitionBy(groupCols.map(col): _*)
-    val cum = byValue
-      .withColumn("__cum", sum(col("__w")).over(grp.orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tot", sum(col("__w")).over(grp))
-    cum.filter(col("__cum") * 2 >= col("__tot"))
+    val cum = Curation.runningTotal(byValue,
+      groupCols.map(col) :+ col(valueCol), col("__w"), "__gcum")
+    val tots = byValue.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__w")).as("__tot"))
+    // group offsets: one row per group, ordered the same way the global
+    // prefix is — the only unpartitioned window runs over #groups rows
+    val offs = tots.withColumn("__off", coalesce(
+      sum(col("__tot")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(groupCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    cum.join(broadcast(offs), groupCols)
+      .filter((col("__gcum") - col("__off")) * 2 >= col("__tot"))
       .groupBy(groupCols.map(col): _*)
       .agg(min(col(valueCol)).as(out))
   }
@@ -390,4 +400,51 @@ object Profiling {
           .otherwise(round(least(greatest(v, col("__lo")), col("__hi")), 6)))
       .drop("__lo", "__hi")
   }
+
+  /** Mergeable column-statistics state — the incremental form of
+    * [[profile]] for the 100 TB maintenance pattern: profile each NEW
+    * shard/day as it lands ([[statsState]], one scan of the delta),
+    * fold states associatively ([[statsMerge]], input is a few rows per
+    * shard — driver-cheap at any corpus size), and render on demand
+    * ([[statsFinish]]) — the whole corpus is never re-scanned. The sum
+    * is kept as an exact 6-dp DECIMAL(38,6), so the merged mean is
+    * bit-identical to a from-scratch profile however the corpus was
+    * sharded — the gate hash-matches a direct full-table oracle.
+    *
+    * State rows: (col_name, n, n_null, sum6, vmin, vmax). */
+  def statsState(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "statsState needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(count(col(c)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"),
+        sum(round(v, 6).cast("decimal(38,6)")).as(s"__s_$c"),
+        min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col(s"__n_$c").as("n"),
+        col(s"__z_$c").as("n_null"), col(s"__s_$c").as("sum6"),
+        col(s"__mn_$c").as("vmin"), col(s"__mx_$c").as("vmax"))): _*)).as("__r"))
+      .select("__r.*")
+  }
+
+  /** Associative fold of [[statsState]] outputs (any grouping, any
+    * order — count/sum/min/max all merge exactly). */
+  def statsMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "statsMerge needs at least one state")
+    states.reduce(_ unionByName _).groupBy("col_name")
+      .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+        sum(col("sum6")).as("sum6"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+  }
+
+  /** Render a (possibly merged) state: per column non-null/null counts,
+    * exact-decimal mean, min, max. */
+  def statsFinish(state: DataFrame): DataFrame =
+    state.select(col("col_name"),
+      col("n").cast("long").as("n_nonnull"),
+      col("n_null").cast("long").as("n_null"),
+      round(col("sum6").cast("double") / col("n").cast("double"), 6).as("mean"),
+      col("vmin"), col("vmax"))
 }

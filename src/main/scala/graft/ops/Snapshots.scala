@@ -107,4 +107,34 @@ object Snapshots {
       sum(round(col(valueCol), 6).cast("decimal(18,6)")).over(w).cast("double")
         / count(lit(1)).over(w), 6))
   }
+
+  /** Apply a CDC changelog: latest-wins per key, delete-ops tombstone —
+    * the lakehouse MERGE INTO realized as ONE aggregation. Each key's
+    * surviving row is `max_by(payload, order)` where the order is
+    * (`tsCol`, `tieCols`…): max_by partials merge map-side, so unlike
+    * the usual `row_number() = 1` window there is no per-key sort of
+    * full history — a key touched a million times still reduces
+    * combiner-side. Keys whose LATEST op equals `deleteOp` vanish
+    * (tombstone); earlier deletes are simply superseded. `tieCols`
+    * must make (ts, tieCols) a total order per key or the pick is
+    * tie-ambiguous (enforced nowhere cheap — document contract, as-of
+    * style). Output: key columns + all non-key/non-order payload
+    * columns of the latest row. */
+  def applyChangelog(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      opCol: String, tieCols: Seq[String] = Nil,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
+    val orderCols = tsCol +: tieCols
+    // payload keeps tie columns (they identify the surviving row) and
+    // the op (needed for the tombstone filter, dropped from output)
+    val payload = changes.columns
+      .filterNot(c => keyCols.contains(c) || c == tsCol).toSeq
+    val picked = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct((payload :+ opCol).distinct.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__w"))
+    picked.filter(col(s"__w.$opCol") =!= deleteOp)
+      .select(keyCols.map(col) ++ payload.filterNot(_ == opCol)
+        .map(c => col(s"__w.$c").as(c)): _*)
+  }
 }

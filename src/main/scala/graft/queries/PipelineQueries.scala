@@ -22,6 +22,25 @@ object PipelineQueries extends QueryGroup {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
     }),
 
+    // chance-corrected agreement between the stored language label and
+    // the n-gram predictor — integer confusion counts, one divide
+    "eval_langid_kappa" -> ((s, dir) => {
+      graft.ops.Evaluation.cohensKappa(
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), TextFunctions.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
+    // per-class precision/recall/F1 of the langid predictor — the
+    // error-structure view a scalar kappa hides (which class leaks
+    // into which); ratios formed directly from integer counts
+    "eval_langid_confusion" -> ((s, dir) => {
+      graft.ops.Evaluation.classMetrics(
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), TextFunctions.langId(col("text")).as("pred")),
+        "lang", "pred")
+    }),
+
     "text_quality" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
@@ -669,6 +688,33 @@ object PipelineQueries extends QueryGroup {
         qa.unionByName(qb), "system", "doc_id", "score", k0 = 60, topK = 10)
     }),
 
+    // CDC changelog apply (lakehouse MERGE INTO): latest event per user
+    // wins, users whose last event is an error are tombstoned — ONE
+    // map-side-combinable max_by aggregate, no per-key history sort
+    "pipeline_cdc_apply" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      graft.ops.Snapshots.applyChangelog(ev, Seq("user_id"), "ts", "op",
+        tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    // incremental profile maintenance: per-shard stats states folded
+    // associatively — the merged mean hash-matches a from-scratch
+    // full-table oracle (exact decimal sums), corpus never re-scanned
+    "pipeline_stats_merge" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      graft.ops.Profiling.statsFinish(graft.ops.Profiling.statsMerge(Seq(
+        graft.ops.Profiling.statsState(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 0), cols),
+        graft.ops.Profiling.statsState(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === 1), cols))))
+    }),
+
     // loss-mask training prep: duplicated-span placements become
     // per-token 0-weights (model reads boilerplate, is not trained on
     // it) — CSV transport so the oracle can diff the arrays
@@ -1157,6 +1203,60 @@ object PipelineQueries extends QueryGroup {
         "       AS DECIMAL(28,12))) AS DOUBLE) AS rrf " +
         "   FROM r GROUP BY doc_id) " +
         "SELECT doc_id, n_systems, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
+    // integer confusion counts; n·diag − Σrᵢcᵢ over n² − Σrᵢcᵢ, one divide
+    "eval_langid_kappa" ->
+      (s"WITH d AS (SELECT lang AS a, $langIdSql AS b FROM documents " +
+        "    WHERE lang IS NOT NULL), " +
+        " cm AS (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2), " +
+        " t AS (SELECT sum(c) AS n, sum(CASE WHEN a = b THEN c ELSE 0 END) AS dg FROM cm), " +
+        " r AS (SELECT a AS k, sum(c) AS rr FROM cm GROUP BY 1), " +
+        " cc AS (SELECT b AS k, sum(c) AS ccm FROM cm GROUP BY 1), " +
+        " p AS (SELECT COALESCE(sum(rr * ccm), 0) AS pe FROM r JOIN cc USING (k)) " +
+        "SELECT round(CAST(n*dg - pe AS DOUBLE) " +
+        "    / (CASE WHEN n*n <> pe THEN CAST(n*n - pe AS DOUBLE) END), 6) AS kappa, " +
+        "  CAST(n AS BIGINT) AS n, " +
+        "  round(CAST(dg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS observed_agreement, " +
+        "  round(CAST(pe AS DOUBLE) / CAST(n*n AS DOUBLE), 6) AS expected_agreement " +
+        "FROM t CROSS JOIN p"),
+    "eval_langid_confusion" ->
+      (s"WITH d AS (SELECT lang AS a, $langIdSql AS b FROM documents " +
+        "    WHERE lang IS NOT NULL), " +
+        " cm AS (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2), " +
+        " tr AS (SELECT a AS label, sum(c) AS n_true FROM cm GROUP BY 1), " +
+        " pr AS (SELECT b AS label, sum(c) AS n_pred FROM cm GROUP BY 1), " +
+        " dg AS (SELECT a AS label, c AS tp FROM cm WHERE a = b), " +
+        " j AS (SELECT COALESCE(tr.label, pr.label) AS label, " +
+        "    CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true, " +
+        "    CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred " +
+        "  FROM tr FULL OUTER JOIN pr ON tr.label = pr.label) " +
+        "SELECT j.label, n_true, n_pred, CAST(COALESCE(tp, 0) AS BIGINT) AS tp, " +
+        "  round(CASE WHEN n_pred > 0 " +
+        "    THEN CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 6) " +
+        "    AS \"precision\", " +
+        "  round(CASE WHEN n_true > 0 " +
+        "    THEN CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_true AS DOUBLE) END, 6) " +
+        "    AS recall, " +
+        "  round(CAST(2 * COALESCE(tp, 0) AS DOUBLE) " +
+        "    / CAST(n_true + n_pred AS DOUBLE), 6) AS f1 " +
+        "FROM j LEFT JOIN dg ON j.label = dg.label"),
+    // latest-wins per key with (ts, event_id) total order; tombstones out
+    "pipeline_cdc_apply" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, value, " +
+        "    row_number() OVER (PARTITION BY user_id " +
+        "      ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT user_id, event_id, event_type, round(value, 6) AS value " +
+        "FROM r WHERE rn = 1 AND event_type <> 'error'"),
+    // from-scratch full-table stats — the merged incremental state must
+    // hash-match this exactly (decimal sums make the mean order-free)
+    "pipeline_stats_merge" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+          s"  CAST(COALESCE(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null, " +
+          s"  round(CAST(sum(CAST(round(CAST($c AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) " +
+          s"    / count($c), 6) AS mean, " +
+          s"  min(CAST($c AS DOUBLE)) AS vmin, max(CAST($c AS DOUBLE)) AS vmax " +
+          "FROM lineitem"
+      }.mkString(" UNION ALL ")),
     "pipeline_loss_mask" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         " s AS (SELECT doc_id, CAST(unnest(generate_series(1, len(toks)-7)) AS BIGINT) " +

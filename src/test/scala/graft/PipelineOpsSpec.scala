@@ -808,6 +808,63 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> "1,0,0,0,0,0", 2L -> "1,1,1"))
   }
 
+  test("cohensKappa: hand-computed; single-class degeneracy yields NULL") {
+    val s = spark; import s.implicits._
+    // diag 4 of 5; rows a:4 b:1, cols a:3 b:2 → pe_sum 14
+    // κ = (5·4 − 14) / (25 − 14) = 6/11 = 0.545455
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("b", "b"), ("a", "b"))
+      .toDF("r1", "r2")
+    val r = graft.ops.Evaluation.cohensKappa(df, "r1", "r2").collect()(0)
+    assert(r.getDouble(0) === 0.545455 && r.getLong(1) === 5)
+    assert(r.getDouble(2) === 0.8 && r.getDouble(3) === 0.56)
+    val uni = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    assert(graft.ops.Evaluation.cohensKappa(uni, "r1", "r2").collect()(0).isNullAt(0))
+  }
+
+  test("classMetrics: per-class P/R/F1 from integer counts; pred-only and truth-only classes") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("c", "a"))
+      .toDF("t", "p")
+    val got = graft.ops.Evaluation.classMetrics(df, "t", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), r.getDouble(6)))).toMap
+    assert(got("a") === ((3L, 3L, 2L, Some(0.666667), Some(0.666667), 0.666667)))
+    assert(got("b") === ((1L, 2L, 1L, Some(0.5), Some(1.0), 0.666667)))
+    // truth-only class: no predictions → precision NULL, recall/f1 0
+    assert(got("c") === ((1L, 0L, 0L, None, Some(0.0), 0.0)))
+  }
+
+  test("applyChangelog: latest wins, tombstones drop, ties break on tie column") {
+    val s = spark; import s.implicits._
+    val ch = Seq(
+      (1L, 10L, 100L, "U", 1.0), (1L, 20L, 101L, "U", 2.0),   // update chain
+      (2L, 10L, 102L, "U", 3.0), (2L, 20L, 103L, "D", 0.0),   // deleted last
+      (3L, 10L, 104L, "D", 0.0), (3L, 20L, 105L, "U", 9.0),   // delete superseded
+      (4L, 30L, 106L, "U", 4.0), (4L, 30L, 107L, "U", 5.0))   // ts tie → id 107
+      .toDF("key", "ts", "eid", "op", "v")
+    val got = graft.ops.Snapshots.applyChangelog(
+      ch, Seq("key"), "ts", "op", tieCols = Seq("eid"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(1L -> ((101L, 2.0)), 3L -> ((105L, 9.0)), 4L -> ((107L, 5.0))))
+  }
+
+  test("statsState/statsMerge/statsFinish: merged shards equal the direct profile") {
+    val s = spark; import s.implicits._
+    import graft.ops.Profiling._
+    val df = Seq((1L, Some(1.5)), (2L, Some(2.5)), (3L, None), (4L, Some(4.0)),
+      (5L, Some(-1.0)), (6L, Some(0.25))).toDF("id", "x")
+    def render(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val direct = render(statsFinish(statsState(df, Seq("x"))))
+    val merged = render(statsFinish(statsMerge(Seq(
+      statsState(df.filter(col("id") <= 3), Seq("x")),
+      statsState(df.filter(col("id") > 3), Seq("x"))))))
+    assert(merged === direct)
+    assert(direct === Seq(("x", 5L, 1L, 1.45, -1.0, 4.0)))
+  }
+
   test("rocAuc: hand-computed with ties; perfect and degenerate cases") {
     val s = spark; import s.implicits._
     import graft.ops.Profiling
