@@ -447,4 +447,89 @@ object Profiling {
       col("n_null").cast("long").as("n_null"),
       round(col("sum6").cast("double") / col("n").cast("double"), 6).as("mean"),
       col("vmin"), col("vmax"))
+
+  /** Interior percentile edges of `valueCol` (exact interpolated
+    * percentiles), collected to the driver: nBins−1 doubles — a tiny
+    * constant like a centroid table, NOT data-sized. At the 100 TB end
+    * swap the percentile call for `approx_percentile`; the bucketing
+    * below is agnostic. */
+  private def percentileEdges(df: DataFrame, valueCol: String,
+      nBins: Int): Seq[Double] = {
+    val pcts = (1 until nBins).map(_.toDouble / nBins)
+    // edges rounded to 6 dp IN the engine expression (proven round
+    // parity) — raw interpolated doubles could differ by 1 ulp across
+    // engines and flip rows sitting exactly on a bin edge
+    df.agg(expr(
+      s"transform(percentile(`$valueCol`, array(${pcts.mkString("D,") + "D"})), " +
+        "x -> round(x, 6))"))
+      .head().getSeq[Double](0)
+  }
+
+  /** Bucket index: number of edges strictly below the value (values
+    * equal to an edge fall LOW — mirrored by the oracle's
+    * `len(list_filter(edges, e -> x > e))`). A fold of nBins−1 codegen
+    * comparisons; no join, no udf. */
+  private def bucketOf(v: Column, edges: Seq[Double]): Column =
+    edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(v > lit(e), 1).otherwise(0))
+
+  /** Population Stability Index of `valueCol` between a reference and a
+    * current sample — the drift monitor run before retraining on a new
+    * snapshot (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted, by
+    * the usual credit-scoring convention). Bins are the REFERENCE's
+    * exact `nBins`-quantile edges; both sides' proportions get +1
+    * Laplace smoothing so empty bins contribute finitely. One row:
+    * (psi, n_ref, n_cur).
+    *
+    * Each side is one scan + one nBins-row aggregate; the `(p−q)·ln(p/q)`
+    * terms are rounded to 12 dp and summed as DECIMAL(28,12) (the
+    * [[diversity]] determinism device), so PSI is engine-reproducible.
+    * NULL/NaN values are excluded on both sides. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]: $nBins")
+    val v = col(valueCol).cast("double")
+    val refClean = ref.filter(col(valueCol).isNotNull && !isnan(v))
+    val curClean = cur.filter(col(valueCol).isNotNull && !isnan(v))
+    val edges = percentileEdges(refClean, valueCol, nBins)
+    def binCounts(df: DataFrame, out: String) =
+      df.groupBy(bucketOf(v, edges).cast("long").as("bin"))
+        .agg(count(lit(1)).as(out))
+    val spark = ref.sparkSession
+    val bins = spark.range(nBins).select(col("id").as("bin"))
+    val joined = bins
+      .join(binCounts(refClean, "__rn"), Seq("bin"), "left")
+      .join(binCounts(curClean, "__cn"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val tot = joined.agg(sum(col("__rn")).as("__rt"), sum(col("__cn")).as("__ct"))
+    val p = (col("__rn") + lit(1)).cast("double") /
+      (col("__rt") + lit(nBins)).cast("double")
+    val q = (col("__cn") + lit(1)).cast("double") /
+      (col("__ct") + lit(nBins)).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .select(round((p - q) * log(p / q), 12).cast("decimal(28,12)").as("__t"),
+        col("__rt"), col("__ct"))
+      .groupBy("__rt", "__ct")
+      .agg(round(sum(col("__t")).cast("double"), 6).as("psi"))
+      .select(col("psi"), col("__rt").cast("long").as("n_ref"),
+        col("__ct").cast("long").as("n_cur"))
+  }
+
+  /** Equi-depth histogram: `nBuckets` reference-quantile bins with the
+    * observed count/min/max per bin — the skew-revealing complement of
+    * the fixed-width [[histogram]] (a heavy-tailed column packs most
+    * fixed-width bins empty and one full; equi-depth shows WHERE the
+    * mass concentrates by how narrow the busy bins get). Same tiny
+    * driver edge array and codegen bucketing as [[psi]]. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must be in [2, 1000]: $nBuckets")
+    val v = col(valueCol).cast("double")
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(v))
+    val edges = percentileEdges(clean, valueCol, nBuckets)
+    clean.groupBy(bucketOf(v, edges).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(v).as("vmin"), max(v).as("vmax"))
+  }
 }

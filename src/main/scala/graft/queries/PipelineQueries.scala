@@ -604,6 +604,45 @@ object PipelineQueries extends QueryGroup {
         Tables.load(s, dir, "documents"), Seq("lang"), "source")
     }),
 
+    // PSI drift monitor: purchase-value distribution vs the view-value
+    // reference over the reference's exact decile bins (+1 smoothing) —
+    // the "retrain or not" gate; 12-dp decimal term sums
+    "events_psi" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.ops.Profiling.psi(
+        ev.filter(col("event_type") === "view").select("value"),
+        ev.filter(col("event_type") === "purchase").select("value"),
+        "value", 10)
+    }),
+
+    // equi-depth histogram: quantile bins + observed count/min/max —
+    // the skew-revealing complement of the fixed-width profile_histogram
+    "profile_histogram_eqd" -> ((s, dir) => {
+      graft.ops.Profiling.equiDepthHistogram(
+        Tables.load(s, dir, "events").select("value"), "value", 8)
+    }),
+
+    // entity resolution end-to-end: fuzzy edit-distance pairs over
+    // noisy customer copies → connected components → canonical rep per
+    // cluster; oracle replays the whole chain (brute-force levenshtein
+    // edges + recursive-CTE components)
+    "pipeline_entity_resolution" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val planted = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 120)
+        .select((col("c_custkey") + lit(1000000L)).as("id"),
+          when(pmod(col("c_custkey"), lit(3)) === 0,
+            concat(lit("X"), substring(col("c_name"), 2, 1000)))
+            .when(pmod(col("c_custkey"), lit(3)) === 1,
+              substring(col("c_name"), 2, 1000))
+            .otherwise(concat(lit("XY"), substring(col("c_name"), 3, 1000)))
+            .as("name"))
+      val nodes = cust.unionByName(planted)
+      val edges = graft.ops.FuzzyJoin.selfPairs(nodes, "id", "name", 1)
+      graft.ops.Clustering.connectedComponents(nodes, "id", edges, "id_a", "id_b")
+    }),
+
     // ordered product funnel view→click→purchase: first-touch chain,
     // conditional-min per step (k−1 user-keyed rounds, exchange reused)
     "events_funnel" -> ((s, dir) => {
@@ -1239,6 +1278,57 @@ object PipelineQueries extends QueryGroup {
         "  round(CAST(2 * COALESCE(tp, 0) AS DOUBLE) " +
         "    / CAST(n_true + n_pred AS DOUBLE), 6) AS f1 " +
         "FROM j LEFT JOIN dg ON j.label = dg.label"),
+    // reference decile edges rounded to 6 dp on BOTH sides (raw
+    // interpolated doubles could flip exact-boundary rows); +1 Laplace
+    // smoothing; 12-dp decimal term sums
+    "events_psi" ->
+      ("WITH r AS (SELECT value FROM events WHERE event_type = 'view' " +
+        "    AND value IS NOT NULL AND NOT isnan(value)), " +
+        " c AS (SELECT value FROM events WHERE event_type = 'purchase' " +
+        "    AND value IS NOT NULL AND NOT isnan(value)), " +
+        " e AS (SELECT list_transform(quantile_cont(value, " +
+        "    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), x -> round(x, 6)) AS edges FROM r), " +
+        " rb AS (SELECT CAST(len(list_filter(edges, x -> value > x)) AS BIGINT) AS bin " +
+        "    FROM r CROSS JOIN e), " +
+        " cb AS (SELECT CAST(len(list_filter(edges, x -> value > x)) AS BIGINT) AS bin " +
+        "    FROM c CROSS JOIN e), " +
+        " bins AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin), " +
+        " rg AS (SELECT bin, count(*) AS n FROM rb GROUP BY bin), " +
+        " cg AS (SELECT bin, count(*) AS n FROM cb GROUP BY bin), " +
+        " j AS (SELECT bins.bin, COALESCE(rg.n, 0) AS rn, COALESCE(cg.n, 0) AS cn " +
+        "    FROM bins LEFT JOIN rg USING (bin) LEFT JOIN cg USING (bin)), " +
+        " t AS (SELECT CAST(sum(rn) AS BIGINT) AS rt, CAST(sum(cn) AS BIGINT) AS ct FROM j), " +
+        " terms AS (SELECT CAST(round(" +
+        "    (CAST(rn+1 AS DOUBLE)/CAST(rt+10 AS DOUBLE) " +
+        "      - CAST(cn+1 AS DOUBLE)/CAST(ct+10 AS DOUBLE)) " +
+        "    * ln((CAST(rn+1 AS DOUBLE)/CAST(rt+10 AS DOUBLE)) " +
+        "      / (CAST(cn+1 AS DOUBLE)/CAST(ct+10 AS DOUBLE))), 12) AS DECIMAL(28,12)) " +
+        "    AS term, rt, ct FROM j CROSS JOIN t) " +
+        "SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi, rt AS n_ref, ct AS n_cur " +
+        "FROM terms GROUP BY rt, ct"),
+    "profile_histogram_eqd" ->
+      ("WITH d AS (SELECT value FROM events " +
+        "    WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " e AS (SELECT list_transform(quantile_cont(value, " +
+        "    [0.125,0.25,0.375,0.5,0.625,0.75,0.875]), x -> round(x, 6)) AS edges FROM d) " +
+        "SELECT CAST(len(list_filter(edges, x -> value > x)) AS BIGINT) AS bucket, " +
+        "  count(*) AS n, min(value) AS vmin, max(value) AS vmax " +
+        "FROM d CROSS JOIN e GROUP BY 1"),
+    // the full chain replayed: brute-force levenshtein edge list +
+    // recursive-CTE label spreading, min label per node
+    "pipeline_entity_resolution" ->
+      ("WITH RECURSIVE nodes AS (" +
+        "  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer " +
+        "  UNION ALL SELECT CAST(c_custkey + 1000000 AS BIGINT), " +
+        "    CASE c_custkey % 3 WHEN 0 THEN 'X' || substr(c_name, 2) " +
+        "      WHEN 1 THEN substr(c_name, 2) " +
+        "      ELSE 'XY' || substr(c_name, 3) END " +
+        "    FROM customer WHERE c_custkey < 120), " +
+        " e AS (SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b " +
+        "    ON a.id <> b.id AND levenshtein(a.name, b.name) <= 1), " +
+        " r(id, lbl) AS (SELECT id, id FROM nodes " +
+        "  UNION SELECT e.dst, r.lbl FROM e JOIN r ON r.id = e.src) " +
+        "SELECT id, min(lbl) AS rep FROM r GROUP BY id"),
     // latest-wins per key with (ts, event_id) total order; tombstones out
     "pipeline_cdc_apply" ->
       ("WITH r AS (SELECT user_id, event_id, event_type, value, " +

@@ -865,6 +865,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct === Seq(("x", 5L, 1L, 1.45, -1.0, 4.0)))
   }
 
+  test("psi: identical distributions score 0; a shift scores far above 0.25") {
+    val s = spark; import s.implicits._
+    val ref = (1 to 200).map(i => (i % 100).toDouble).toDF("v")
+    val same = graft.ops.Profiling.psi(ref, ref, "v", 10).collect()(0)
+    assert(same.getDouble(0) === 0.0 && same.getLong(1) === 200 && same.getLong(2) === 200)
+    val shifted = (1 to 200).map(i => (i % 100).toDouble + 500).toDF("v")
+    val drift = graft.ops.Profiling.psi(ref, shifted, "v", 10).collect()(0)
+    assert(drift.getDouble(0) > 0.25, s"psi ${drift.getDouble(0)}")
+  }
+
+  test("equiDepthHistogram: uniform data splits into equal-count buckets") {
+    val s = spark; import s.implicits._
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val got = graft.ops.Profiling.equiDepthHistogram(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // edges 2.75 / 4.5 / 6.25 → pairs per bucket
+    assert(got === Map(0L -> ((2L, 1.0, 2.0)), 1L -> ((2L, 3.0, 4.0)),
+      2L -> ((2L, 5.0, 6.0)), 3L -> ((2L, 7.0, 8.0))))
+  }
+
   test("rocAuc: hand-computed with ties; perfect and degenerate cases") {
     val s = spark; import s.implicits._
     import graft.ops.Profiling
