@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import scala.util.hashing.MurmurHash3
-
 /** Edit-distance (fuzzy) string join — the record-linkage operator
   * (entity resolution on names/titles/codes, near-match lookup of noisy
   * identifiers). Returns every cross-table pair whose Levenshtein
@@ -42,12 +40,17 @@ import scala.util.hashing.MurmurHash3
   */
 object FuzzyJoin {
 
-  /** 64-bit string hash from two seeded murmur32 halves (the
-    * [[MinHash]] device) — join-key width; collisions are candidates,
-    * never matches. */
-  private def h64(s: String): Long =
-    (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
-      (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+  /** Per-distance cap on string length: the deletion neighborhood is
+    * ~C(len, maxDist) strings of ~len chars, ALL materialized per row —
+    * at d=3 a 256-char string would be ~2.8M transient strings (~GBs),
+    * so the permissible length shrinks as the distance grows. Callers
+    * may LOWER the limit via `maxLen`, never raise it past these. */
+  private def lenCap(maxDist: Int): Int = maxDist match {
+    case 0 => 4096
+    case 1 => 512
+    case 2 => 64
+    case _ => 24 // C(24,3) ≈ 2k variants — the d=3 budget
+  }
 
   /** Hashes of every string reachable from `s` by deleting up to `d`
     * characters (`s` itself included). Dedup within a row is by EXACT
@@ -68,7 +71,9 @@ object FuzzyJoin {
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0
-    while (it.hasNext) { out(j) = h64(it.next()); j += 1 }
+    // join-key hash = MinHash.baseHash (ONE definition repo-wide);
+    // cross-row collisions only add candidates the verify step removes
+    while (it.hasNext) { out(j) = MinHash.baseHash(it.next()); j += 1 }
     out
   }
 
@@ -94,14 +99,23 @@ object FuzzyJoin {
     * `levenshtein(left(strL), right(strR)) <= maxDist`. Ids are cast to
     * long; rows with a NULL string never match (SQL semantics). Exact —
     * see the blocking argument above; the gate oracle is the full
-    * cross-join distance filter. */
+    * cross-join distance filter.
+    *
+    * `maxLen = 0` (default) resolves to the per-distance length cap
+    * (4096/512/64/24 for d = 0/1/2/3); an explicit value may only
+    * tighten it — the cap is what keeps one long row from
+    * materializing a multi-million-string neighborhood. */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftStr: String, rightId: String, rightStr: String,
-      maxDist: Int, maxLen: Int = 256): DataFrame = {
+      maxDist: Int, maxLen: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist must be in [0, 3] (variant fan-out is len^maxDist): $maxDist")
-    val lk = variantKeys(left, leftStr, maxDist, maxLen, "__sl")
-    val rk = variantKeys(right, rightStr, maxDist, maxLen, "__sr")
+    require(maxLen <= lenCap(maxDist),
+      s"maxLen=$maxLen exceeds the d=$maxDist cap of ${lenCap(maxDist)} " +
+        "(deletion-neighborhood size ~C(len, d) strings per row)")
+    val effLen = if (maxLen > 0) maxLen else lenCap(maxDist)
+    val lk = variantKeys(left, leftStr, maxDist, effLen, "__sl")
+    val rk = variantKeys(right, rightStr, maxDist, effLen, "__sr")
     // candidate DISTINCT STRING pairs; verify with the real distance
     // (thresholded form: -1 above the cap, the true distance within it)
     val verified = lk.join(rk, "__h")
@@ -120,7 +134,7 @@ object FuzzyJoin {
   /** Self-join form: unordered within-table pairs (id_a < id_b) within
     * `maxDist` — near-duplicate short-field detection. */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, maxLen: Int = 256): DataFrame =
+      maxDist: Int, maxLen: Int = 0): DataFrame =
     editDistanceJoin(df, df, idCol, strCol, idCol, strCol, maxDist, maxLen)
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("dist"))

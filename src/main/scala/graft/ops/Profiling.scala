@@ -290,7 +290,12 @@ object Profiling {
       sum(col("__tot")).over(org.apache.spark.sql.expressions.Window
         .orderBy(groupCols.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-    cum.join(broadcast(offs), groupCols)
+    // null-SAFE group join: GROUP BY treats NULL as a real group, so a
+    // plain equi-join would silently drop the NULL group's median
+    val offsR = offs.select(
+      (groupCols.map(g => col(g).as(s"__g_$g")) :+ col("__tot") :+ col("__off")): _*)
+    val cond = groupCols.map(g => cum(g) <=> offsR(s"__g_$g")).reduce(_ && _)
+    cum.join(broadcast(offsR), cond)
       .filter((col("__gcum") - col("__off")) * 2 >= col("__tot"))
       .groupBy(groupCols.map(col): _*)
       .agg(min(col(valueCol)).as(out))
@@ -394,9 +399,13 @@ object Profiling {
       .groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile(`$valueCol`, $lowPct)").as("__lo"),
         expr(s"percentile(`$valueCol`, $highPct)").as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+    // LEFT join: a row-preserving transform must not lose rows whose
+    // group key is NULL (never equi-matches) or whose group has no
+    // bounds (all values NULL/NaN) — those pass through unclipped
+    df.join(broadcast(bounds), groupCols, "left")
       .withColumn(out,
         when(col(valueCol).isNull || isnan(v), v)
+          .when(col("__lo").isNull, round(v, 6))
           .otherwise(round(least(greatest(v, col("__lo")), col("__hi")), 6)))
       .drop("__lo", "__hi")
   }
@@ -416,15 +425,21 @@ object Profiling {
     require(cols.nonEmpty, "statsState needs at least one column")
     val aggs = cols.flatMap { c =>
       val v = col(c).cast("double")
-      Seq(count(col(c)).as(s"__n_$c"),
+      // NaN is neither a value (it would poison the decimal sum — an
+      // ANSI cast error — and min/max) nor a null: it gets its own
+      // count, like every sibling op that guards with !isnan
+      val ok = col(c).isNotNull && !isnan(v)
+      Seq(count(when(ok, lit(1))).as(s"__n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"),
-        sum(round(v, 6).cast("decimal(38,6)")).as(s"__s_$c"),
-        min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
+        coalesce(sum(when(isnan(v), 1L).otherwise(0L)), lit(0L)).as(s"__q_$c"),
+        sum(when(ok, round(v, 6).cast("decimal(38,6)"))).as(s"__s_$c"),
+        min(when(ok, v)).as(s"__mn_$c"), max(when(ok, v)).as(s"__mx_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"), col(s"__n_$c").as("n"),
-        col(s"__z_$c").as("n_null"), col(s"__s_$c").as("sum6"),
+        col(s"__z_$c").as("n_null"), col(s"__q_$c").as("n_nan"),
+        col(s"__s_$c").as("sum6"),
         col(s"__mn_$c").as("vmin"), col(s"__mx_$c").as("vmax"))): _*)).as("__r"))
       .select("__r.*")
   }
@@ -435,16 +450,17 @@ object Profiling {
     require(states.nonEmpty, "statsMerge needs at least one state")
     states.reduce(_ unionByName _).groupBy("col_name")
       .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
-        sum(col("sum6")).as("sum6"),
+        sum(col("n_nan")).as("n_nan"), sum(col("sum6")).as("sum6"),
         min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
   }
 
-  /** Render a (possibly merged) state: per column non-null/null counts,
-    * exact-decimal mean, min, max. */
+  /** Render a (possibly merged) state: per column non-null/null/NaN
+    * counts, exact-decimal mean, min, max. */
   def statsFinish(state: DataFrame): DataFrame =
     state.select(col("col_name"),
       col("n").cast("long").as("n_nonnull"),
       col("n_null").cast("long").as("n_null"),
+      col("n_nan").cast("long").as("n_nan"),
       round(col("sum6").cast("double") / col("n").cast("double"), 6).as("mean"),
       col("vmin"), col("vmax"))
 
@@ -459,10 +475,15 @@ object Profiling {
     // edges rounded to 6 dp IN the engine expression (proven round
     // parity) — raw interpolated doubles could differ by 1 ulp across
     // engines and flip rows sitting exactly on a bin edge
-    df.agg(expr(
+    val edges = df.agg(expr(
       s"transform(percentile(`$valueCol`, array(${pcts.mkString("D,") + "D"})), " +
         "x -> round(x, 6))"))
       .head().getSeq[Double](0)
+    require(edges != null,
+      s"percentile edges of `$valueCol` are undefined — the input has no " +
+        "non-NULL/non-NaN rows (psi needs a non-empty reference; " +
+        "equiDepthHistogram a non-empty column)")
+    edges
   }
 
   /** Bucket index: number of edges strictly below the value (values

@@ -133,7 +133,9 @@ object Snapshots {
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct((payload :+ opCol).distinct.map(col): _*),
         struct(orderCols.map(col): _*)).as("__w"))
-    picked.filter(col(s"__w.$opCol") =!= deleteOp)
+    // null-safe: a malformed record with op = NULL must NOT be treated
+    // as a delete (plain =!= yields NULL and the filter would drop it)
+    picked.filter(!(col(s"__w.$opCol") <=> lit(deleteOp)))
       .select(keyCols.map(col) ++ payload.filterNot(_ == opCol)
         .map(c => col(s"__w.$c").as(c)): _*)
   }

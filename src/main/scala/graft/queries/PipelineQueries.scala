@@ -1130,10 +1130,11 @@ object PipelineQueries extends QueryGroup {
         "  WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1) " +
         "SELECT event_id, event_type, " +
         "  CASE WHEN value IS NULL OR isnan(value) THEN value " +
+        "    WHEN lo IS NULL THEN round(value, 6) " +
         "    WHEN value < lo THEN round(lo, 6) " +
         "    WHEN value > hi THEN round(hi, 6) " +
         "    ELSE round(value, 6) END AS winsorized " +
-        "FROM events JOIN b ON event_type = et"),
+        "FROM events LEFT JOIN b ON event_type = et"),
     // transcendental terms rounded to 12 dp then summed as
     // DECIMAL(28,12) — mirrors the engine's determinism device exactly
     "text_diversity" ->
@@ -1340,11 +1341,15 @@ object PipelineQueries extends QueryGroup {
     // hash-match this exactly (decimal sums make the mean order-free)
     "pipeline_stats_merge" ->
       (Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
-        s"SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+        s"SELECT '$c' AS col_name, " +
+          s"  count(CASE WHEN $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE)) THEN 1 END) AS n_nonnull, " +
           s"  CAST(COALESCE(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null, " +
-          s"  round(CAST(sum(CAST(round(CAST($c AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) " +
-          s"    / count($c), 6) AS mean, " +
-          s"  min(CAST($c AS DOUBLE)) AS vmin, max(CAST($c AS DOUBLE)) AS vmax " +
+          s"  CAST(COALESCE(sum(CASE WHEN isnan(CAST($c AS DOUBLE)) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nan, " +
+          s"  round(CAST(sum(CAST(round(CAST($c AS DOUBLE), 6) AS DECIMAL(38,6))) " +
+          s"      FILTER (WHERE NOT isnan(CAST($c AS DOUBLE))) AS DOUBLE) " +
+          s"    / count(CASE WHEN $c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE)) THEN 1 END), 6) AS mean, " +
+          s"  min(CAST($c AS DOUBLE)) FILTER (WHERE NOT isnan(CAST($c AS DOUBLE))) AS vmin, " +
+          s"  max(CAST($c AS DOUBLE)) FILTER (WHERE NOT isnan(CAST($c AS DOUBLE))) AS vmax " +
           "FROM lineitem"
       }.mkString(" UNION ALL ")),
     "pipeline_loss_mask" ->

@@ -849,20 +849,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> ((101L, 2.0)), 3L -> ((105L, 9.0)), 4L -> ((107L, 5.0))))
   }
 
-  test("statsState/statsMerge/statsFinish: merged shards equal the direct profile") {
+  test("statsState/statsMerge/statsFinish: merged shards equal the direct profile; NaN counted apart") {
     val s = spark; import s.implicits._
     import graft.ops.Profiling._
     val df = Seq((1L, Some(1.5)), (2L, Some(2.5)), (3L, None), (4L, Some(4.0)),
-      (5L, Some(-1.0)), (6L, Some(0.25))).toDF("id", "x")
+      (5L, Some(-1.0)), (6L, Some(0.25)), (7L, Some(Double.NaN))).toDF("id", "x")
     def render(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
     val direct = render(statsFinish(statsState(df, Seq("x"))))
     val merged = render(statsFinish(statsMerge(Seq(
       statsState(df.filter(col("id") <= 3), Seq("x")),
       statsState(df.filter(col("id") > 3), Seq("x"))))))
     assert(merged === direct)
-    assert(direct === Seq(("x", 5L, 1L, 1.45, -1.0, 4.0)))
+    // NaN is neither a value (would poison sum/min/max) nor a null
+    assert(direct === Seq(("x", 5L, 1L, 1L, 1.45, -1.0, 4.0)))
+  }
+
+  test("winsorize and weightedMedian keep NULL group keys (row-preserving / GROUP BY semantics)") {
+    val s = spark; import s.implicits._
+    val df = Seq((Some("g"), 1.0), (Some("g"), 2.0), (Some("g"), 3.0),
+      (Option.empty[String], 5.0), (Option.empty[String], 6.0)).toDF("grp", "v")
+    val w = graft.ops.Profiling.winsorize(df, Seq("grp"), "v", 0.25, 0.75)
+    assert(w.count() === 5, "winsorize must preserve every input row")
+    assert(w.filter(col("grp").isNull).count() === 2)
+    val m = graft.ops.Profiling.weightedMedian(
+      df.withColumn("w", lit(1.0)), Seq("grp"), "v", "w")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // NULL is a real group: lower weighted median of {5, 6} = 5
+    assert(m === Map(Some("g") -> 2.0, None -> 5.0))
+  }
+
+  test("applyChangelog: a NULL op is not a delete") {
+    val s = spark; import s.implicits._
+    val ch = Seq((1L, 10L, "U", 1.0), (1L, 20L, null: String, 2.0))
+      .toDF("key", "ts", "op", "v")
+    val got = graft.ops.Snapshots.applyChangelog(ch, Seq("key"), "ts", "op")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 2.0))
   }
 
   test("psi: identical distributions score 0; a shift scores far above 0.25") {
