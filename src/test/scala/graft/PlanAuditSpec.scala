@@ -144,6 +144,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzzy join plans as equi-joins only — no cartesian, no nested loop") {
+    val plan = q("join_fuzzy_name").queryExecution.executedPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty,
+      s"deletion-neighborhood blocking must never fall back to all-pairs:\n$plan")
+  }
+
+  test("winsorize broadcasts the per-group bounds; the fact table is never shuffled for the clip") {
+    val plan = q("events_winsorize").queryExecution.executedPlan
+    val bcast = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bcast.nonEmpty, s"bounds must broadcast:\n$plan")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"clip join must not sort-merge the fact table:\n$plan")
+  }
+
+  test("CDC apply is one aggregation — no per-key history window or sort") {
+    val plan = q("pipeline_cdc_apply").queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty,
+      s"latest-wins must be max_by (map-side combinable), not row_number:\n$plan")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      s"expected a partial (combiner-side) aggregate:\n$plan")
+  }
+
+  test("RRF windows are per-system (bounded ranking lists), never unpartitioned") {
+    val plan = q("search_hybrid_rrf").queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected ranking windows:\n$plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"fusion rank must partition by system:\n$plan")
+  }
+
   test("salted join keys include the salt (hot key spread over reducers)") {
     val plan = q("join_salted").queryExecution.executedPlan
     val joins = plan.collect {
