@@ -81,4 +81,40 @@ object Evaluation {
       .withColumn("f1", round((lit(2L) * col("tp")).cast("double")
         / (col("n_true") + col("n_pred")).cast("double"), 6))
   }
+
+  /** Calibration reliability table: probability predictions bucketed
+    * into `nBins` equal-width bins with mean predicted probability vs
+    * observed positive rate per bin — a well-calibrated scorer has
+    * mean_pred ≈ obs_rate in every row; a confident-but-wrong one
+    * diverges at the ends. Contract: `probCol` ∈ [0, 1] (p = 1.0 folds
+    * into the top bin); probabilities are 6-dp-rounded BEFORE binning
+    * so a 1-ulp transcendental difference upstream can't flip a
+    * boundary row, and mean_pred is an exact decimal sum. */
+  def calibration(df: DataFrame, probCol: String, positive: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]: $nBins")
+    val raw = col(probCol).cast("double")
+    val p = round(raw, 6)
+    df.filter(col(probCol).isNotNull && !isnan(raw))
+      .groupBy(least(floor(p * nBins), lit(nBins - 1)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(positive, 1L).otherwise(0L)).as("n_pos"),
+        round(sum(p.cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_pred"))
+      .withColumn("obs_rate", round(col("n_pos").cast("double") / col("n"), 6))
+  }
+
+  /** Brier score: mean squared error of probability predictions
+    * against binary outcomes — the strictly proper scoring rule that
+    * punishes confident misses quadratically. One row (brier, n);
+    * per-row terms are 12-dp-rounded decimal sums (engine-exact). */
+  def brierScore(df: DataFrame, probCol: String, positive: Column): DataFrame = {
+    val raw = col(probCol).cast("double")
+    val p = round(raw, 6)
+    val y = when(positive, 1.0).otherwise(0.0)
+    df.filter(col(probCol).isNotNull && !isnan(raw))
+      .agg(round(sum(round((p - y) * (p - y), 12).cast("decimal(28,12)"))
+        .cast("double") / count(lit(1)), 6).as("brier"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -343,6 +343,95 @@ object Profiling {
         col("__neg").cast("long").as("n_neg"))
   }
 
+  /** Per-GROUP exact ROC-AUC — [[rocAuc]] stratified (per language,
+    * per source, per time slice): the aggregate AUC can hide a segment
+    * where the ranker is inverted. Same integer rank-sum statistic;
+    * per-group ranks come from the global distributed prefix sum over
+    * (group, score) order minus a broadcast per-group offset (the
+    * [[weightedMedian]] device), so a group with millions of distinct
+    * scores never serializes into one window partition. Output: group
+    * columns + (auc, n_pos, n_neg); single-class groups get NULL auc. */
+  def rocAucBy(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      positive: Column): DataFrame = {
+    require(groupCols.nonEmpty, "rocAucBy needs group columns — use rocAuc for the global statistic")
+    val v = col(scoreCol).cast("double")
+    val g = df.filter(col(scoreCol).isNotNull && !isnan(v))
+      .groupBy(groupCols.map(col) :+ col(scoreCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(positive, 1L).otherwise(0L)).as("__p"))
+    val cum = Curation.runningTotal(g,
+      groupCols.map(col) :+ col("__s"), col("__n"), "__gcum")
+    val offs = g.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__n")).as("__gt"))
+      .withColumn("__off", coalesce(
+        sum(col("__gt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(groupCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((groupCols.map(gc => col(gc).as(s"__g_$gc")) :+ col("__off")): _*)
+    val cond = groupCols.map(gc => cum(gc) <=> offs(s"__g_$gc")).reduce(_ && _)
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    cum.join(broadcast(offs), cond)
+      .withColumn("__cum", col("__gcum") - col("__off"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(dec(col("__p")) * (lit(2) * dec(col("__cum") - col("__n"))
+          + dec(col("__n")) + lit(1))).as("__rs"),
+        sum(col("__p")).as("__pos"),
+        sum(col("__n") - col("__p")).as("__neg"))
+      .select(groupCols.map(col) ++ Seq(
+        round((col("__rs") - dec(col("__pos")) * (dec(col("__pos")) + lit(1)))
+          .cast("double")
+          / when(col("__pos") > 0 && col("__neg") > 0,
+            (lit(2) * dec(col("__pos")) * dec(col("__neg"))).cast("double")), 6)
+          .as("auc"),
+        col("__pos").cast("long").as("n_pos"),
+        col("__neg").cast("long").as("n_neg")): _*)
+  }
+
+  /** Per-group simple linear regression (OLS) of `yCol` on `xCol`:
+    * (group, n, slope, intercept, r2) — the metric-trend screen ("is
+    * quality drifting over ingestion time, per source?"). Closed form
+    * over five sufficient moments; the moments are 6-dp-rounded decimal
+    * sums (order-free), the closed form is then a fixed chain of IEEE
+    * double ops on identical inputs — reproducible on any engine, and
+    * mergeable across shards the way [[statsState]] is. Degenerate
+    * groups (n < 2 or zero x-variance) yield NULL slope/intercept/r2.
+    *
+    * Scale note on x's magnitude: products are DECIMAL(38,6); keep
+    * |x|, |y| below ~1e12 (pre-scale epoch-nanos to seconds) or the
+    * x² sums overflow. Numerical note: CENTER x near its range (e.g.
+    * seconds since a baseline inside the data's era, not raw epoch
+    * seconds) — when the spread is a tiny fraction of |x|,
+    * `n·Σx² − (Σx)²` cancels most of its digits and a single
+    * cross-engine cast ulp becomes a garbage slope. */
+  def linearTrend(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "linearTrend needs at least one group column")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val d6 = (c: Column) => round(c, 6).cast("decimal(38,6)")
+    val m = df.filter(col(xCol).isNotNull && !isnan(x)
+        && col(yCol).isNotNull && !isnan(y))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(d6(x)).cast("double").as("__sx"),
+        sum(d6(y)).cast("double").as("__sy"),
+        sum(d6(x * y)).cast("double").as("__sxy"),
+        sum(d6(x * x)).cast("double").as("__sxx"),
+        sum(d6(y * y)).cast("double").as("__syy"))
+    val n = col("__n").cast("double")
+    val covN = n * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = n * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = covN / when(col("__n") >= 2 && varXN =!= 0.0, varXN)
+    m.select(groupCols.map(col) ++ Seq(
+      col("__n").cast("long").as("n"),
+      round(slope, 6).as("slope"),
+      round((col("__sy") - slope * col("__sx")) / n, 6).as("intercept"),
+      round(covN * covN / when(col("__n") >= 2 && varXN =!= 0.0 && varYN =!= 0.0,
+        varXN * varYN), 6).as("r2")): _*)
+  }
+
   /** Per-group categorical diversity: category count, Shannon entropy
     * (nats), perplexity (the "effective number of sources" a mixture
     * designer actually reasons in), and Gini-Simpson index — the corpus

@@ -604,6 +604,42 @@ object PipelineQueries extends QueryGroup {
         Tables.load(s, dir, "documents"), Seq("lang"), "source")
     }),
 
+    // stratified AUC: the per-segment view that catches a ranker
+    // inverted in one segment while the global AUC looks fine
+    "events_auc_by_segment" -> ((s, dir) => {
+      graft.ops.Profiling.rocAucBy(
+        Tables.load(s, dir, "events")
+          .withColumn("segment", pmod(col("user_id"), lit(4))),
+        Seq("segment"), "value", col("event_type") === "purchase")
+    }),
+
+    // per-type linear trend of the event metric over time. x = seconds
+    // since a fixed baseline INSIDE the data's era — raw epoch seconds
+    // have a ~3e-4 relative spread, and n·Σx²−(Σx)² would cancel ~10
+    // digits, amplifying any cross-engine decimal→double cast ulp into
+    // garbage slopes (observed before centering)
+    "events_trend" -> ((s, dir) => {
+      val base = Tables.tsNanos("2024-01-01 00:00:00")
+      graft.ops.Profiling.linearTrend(
+        Tables.load(s, dir, "events")
+          .withColumn("t_sec", round((col("ts") - base).cast("double") / 1.0e9, 6)),
+        Seq("event_type"), "t_sec", "value")
+    }),
+
+    // calibration reliability table of a logistic score for clicks
+    "eval_calibration" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("value") - 50) / 10)), 6))
+      graft.ops.Evaluation.calibration(ev, "p", col("event_type") === "click", 10)
+    }),
+
+    // Brier score of the same logistic score (strictly proper rule)
+    "eval_brier" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("value") - 50) / 10)), 6))
+      graft.ops.Evaluation.brierScore(ev, "p", col("event_type") === "click")
+    }),
+
     // PSI drift monitor: purchase-value distribution vs the view-value
     // reference over the reference's exact decile bins (+1 smoothing) —
     // the "retrain or not" gate; 12-dp decimal term sums
@@ -1279,6 +1315,62 @@ object PipelineQueries extends QueryGroup {
         "  round(CAST(2 * COALESCE(tp, 0) AS DOUBLE) " +
         "    / CAST(n_true + n_pred AS DOUBLE), 6) AS f1 " +
         "FROM j LEFT JOIN dg ON j.label = dg.label"),
+    // same integer rank-sum as events_auc, partitioned per segment
+    "events_auc_by_segment" ->
+      ("WITH e AS (SELECT user_id % 4 AS segment, value AS s, event_type FROM events " +
+        "    WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " g AS (SELECT segment, s, count(*) AS n, " +
+        "    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p " +
+        "  FROM e GROUP BY 1, 2), " +
+        " c AS (SELECT segment, n, p, sum(n) OVER (PARTITION BY segment " +
+        "    ORDER BY s ROWS UNBOUNDED PRECEDING) - n AS cum FROM g), " +
+        " t AS (SELECT segment, sum(p * (2*cum + n + 1)) AS rs, sum(p) AS np, " +
+        "    sum(n - p) AS nn FROM c GROUP BY segment) " +
+        "SELECT segment, round(CAST(rs - np*(np+1) AS DOUBLE) " +
+        "    / (CASE WHEN np > 0 AND nn > 0 THEN CAST(2*np*nn AS DOUBLE) END), 6) AS auc, " +
+        "  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM t"),
+    // five 6-dp decimal moments, then one fixed chain of double ops —
+    // the intercept reuses the UNROUNDED slope expression on both sides
+    "events_trend" ->
+      ("WITH d AS (SELECT event_type, " +
+        "    round(CAST(epoch_ns(ts) - epoch_ns(TIMESTAMP '2024-01-01 00:00:00') " +
+        "      AS DOUBLE) / 1e9, 6) AS x, value AS y FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " m AS (SELECT event_type, count(*) AS n, " +
+        "    CAST(sum(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+        "    CAST(sum(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "    CAST(sum(CAST(round(x*y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+        "    CAST(sum(CAST(round(x*x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+        "    CAST(sum(CAST(round(y*y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy " +
+        "  FROM d GROUP BY 1), " +
+        " s2 AS (SELECT event_type, n, sx, sy, sxy, sxx, syy, " +
+        "    n*sxy - sx*sy AS covn, n*sxx - sx*sx AS varxn, n*syy - sy*sy AS varyn " +
+        "  FROM m) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "  round(covn / (CASE WHEN n >= 2 AND varxn <> 0 THEN varxn END), 6) AS slope, " +
+        "  round((sy - (covn / (CASE WHEN n >= 2 AND varxn <> 0 THEN varxn END)) * sx) " +
+        "    / n, 6) AS intercept, " +
+        "  round(covn*covn / (CASE WHEN n >= 2 AND varxn <> 0 AND varyn <> 0 " +
+        "    THEN varxn*varyn END), 6) AS r2 " +
+        "FROM s2"),
+    // probabilities 6-dp-rounded BEFORE binning on both sides
+    "eval_calibration" ->
+      ("WITH d AS (SELECT round(CAST(1 AS DOUBLE) " +
+        "    / (CAST(1 AS DOUBLE) + exp(-(value - 50) / 10)), 6) AS p, " +
+        "    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value)) " +
+        "SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, count(*) AS n, " +
+        "  CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_pred, " +
+        "  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate " +
+        "FROM d GROUP BY 1"),
+    "eval_brier" ->
+      ("WITH d AS (SELECT round(CAST(1 AS DOUBLE) " +
+        "    / (CAST(1 AS DOUBLE) + exp(-(value - 50) / 10)), 6) AS p, " +
+        "    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value)) " +
+        "SELECT round(CAST(sum(CAST(round((p - y)*(p - y), 12) AS DECIMAL(28,12))) " +
+        "    AS DOUBLE) / count(*), 6) AS brier, count(*) AS n FROM d"),
     // reference decile edges rounded to 6 dp on BOTH sides (raw
     // interpolated doubles could flip exact-boundary rows); +1 Laplace
     // smoothing; 12-dp decimal term sums

@@ -889,6 +889,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 2.0))
   }
 
+  test("rocAucBy: per-group AUC separates a perfect and an inverted segment") {
+    val s = spark; import s.implicits._
+    val df = Seq(("g1", 2.0, true), ("g1", 1.0, false),
+      ("g2", 1.0, true), ("g2", 2.0, false)).toDF("seg", "sc", "pos")
+    val got = graft.ops.Profiling.rocAucBy(df, Seq("seg"), "sc", col("pos"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("g1" -> 1.0, "g2" -> 0.0))
+  }
+
+  test("linearTrend: exact fit recovered; degenerate groups yield NULLs") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0),
+      ("one", 5.0, 5.0),               // n = 1
+      ("flat", 2.0, 1.0), ("flat", 2.0, 9.0))  // zero x-variance
+      .toDF("g", "x", "y")
+    val rows = graft.ops.Profiling.linearTrend(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(rows("a") === ((4L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(rows("one") === ((1L, None, None, None)))
+    assert(rows("flat") === ((2L, None, None, None)))
+  }
+
+  test("calibration + brierScore: hand-computed bins and score; p=1 folds into top bin") {
+    val s = spark; import s.implicits._
+    import graft.ops.Evaluation
+    val df = Seq((0.05, false), (0.95, true), (0.95, false), (1.0, true))
+      .toDF("p", "pos")
+    val cal = Evaluation.calibration(df, "p", col("pos"), 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(cal === Map(0L -> ((1L, 0L, 0.05, 0.0)),
+      9L -> ((3L, 2L, 0.966667, 0.666667))))
+    val b = Evaluation.brierScore(
+      Seq((1.0, true), (0.5, false)).toDF("p", "pos"), "p", col("pos")).collect()(0)
+    assert(b.getDouble(0) === 0.125 && b.getLong(1) === 2)
+  }
+
   test("psi: identical distributions score 0; a shift scores far above 0.25") {
     val s = spark; import s.implicits._
     val ref = (1 to 200).map(i => (i % 100).toDouble).toDF("v")
