@@ -39,31 +39,51 @@ object Joins {
     * deterministic pick (pre-aggregate duplicates away).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward': $direction")
+    require(tolerance.forall(_ >= 0), s"tolerance must be >= 0: $tolerance")
     val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left: $collisions — rename before joining")
-    val reserved = Seq("__ts", "__isL", "__p", "__last")
+    val reserved = Seq("__ts", "__isL", "__p", "__last", "__ord", "__mts")
     val reservedClash = (left.columns ++ right.columns).filter(reserved.contains).distinct
     require(reservedClash.isEmpty,
       s"column names ${reservedClash.mkString(", ")} are reserved by asOfJoin — rename before joining")
-    val l = left.withColumn("__ts", col(leftTs)).withColumn("__isL", lit(1))
+    // 'forward' = the same running-last scan over the NEGATED axis:
+    // first right at-or-after t ≡ latest right with −ts ≤ −t
+    val sign = if (direction == "backward") 1L else -1L
+    val l = left
+      .withColumn("__ts", axis(left, leftTs))
+      .withColumn("__ord", col("__ts") * sign)
+      .withColumn("__isL", lit(1))
     // NULL right timestamps would sort first (nulls-first ascending) and be
     // attributed as the "latest" match for left rows preceding any real
     // right row — drop them, per the as-of contract (no match ⇒ NULL payload)
-    val r = right.filter(col(rightTs).isNotNull).withColumn("__ts", col(rightTs))
+    val r = right.filter(col(rightTs).isNotNull)
+      .withColumn("__ts", axis(right, rightTs))
+      .withColumn("__ord", col("__ts") * sign)
       .withColumn("__isL", lit(0))
-      .withColumn("__p", struct(payload.toSeq.map(col): _*))
-      .select((keyCols ++ Seq("__ts", "__isL", "__p")).map(col): _*)
+      .withColumn("__p", struct((payload.toSeq.map(col) :+
+        col("__ts").as("__mts")): _*))
+      .select((keyCols ++ Seq("__ord", "__isL", "__p")).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__isL"))
+      .orderBy(col("__ord"), col("__isL"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // staleness bound: the match only counts within `tolerance` axis
+    // units of the left timestamp (pandas merge_asof semantics)
+    val keep = tolerance.map(t =>
+        (col("__ts") - col("__last").getField("__mts")) * sign <= t)
+      .getOrElse(lit(true))
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__isL") === 1)
       .select((left.columns.map(col) ++
-        payload.map(c => col("__last").getField(c).as(c))).toSeq: _*)
+        payload.map(c =>
+          when(keep, col("__last").getField(c)).as(c))).toSeq: _*)
   }
 
   /** Point-in-interval join: pair each point row with every interval row

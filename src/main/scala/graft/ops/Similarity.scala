@@ -308,6 +308,61 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Product-quantization approximate top-k by SQUARED L2 (asymmetric
+    * distance): corpus vectors compress to m one-byte codes (16 bytes
+    * for a 64-dim float vector — 16× smaller), each query builds its
+    * ADC lookup tables once, and the scan scores a code in m array
+    * lookups instead of dim multiplies. THE memory tier of the ANN
+    * family: [[bruteForceTopK]] reads every float of 100 TB,
+    * [[ivfTopK]] prunes which vectors are read, PQ shrinks what a
+    * vector IS — compose IVF×PQ for both. Approximate (quantization
+    * error), so rows-only + property-gated like LSH/IVF.
+    *
+    * Deterministic end to end: hash-sampled training ([[trainingSample]]),
+    * first-k Lloyd init, lowest-index tie-breaks, and the same
+    * NaN-guarded per-partition heaps as brute force. Output:
+    * (qid, id, adist, rank), ascending approximate distance. */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, m: Int = 8, nCentroids: Int = 16, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = VecKernel.pqTrain(
+      trainingSample(corpus, idCol, vecCol, nCentroids * 32).map(_._2),
+      m, nCentroids, iters)
+    val qs = queries.select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast((qs, books))
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (queryArr, bks) = bc.value
+        val tables = queryArr.map(q => VecKernel.pqTables(q._2, bks))
+        val heaps = Array.fill(queryArr.length)(new VecKernel.TopK(k))
+        it.foreach { case (id, v) =>
+          val code = VecKernel.pqEncode(v, bks)
+          var qi = 0
+          while (qi < queryArr.length) {
+            val t = tables(qi)
+            var dist = 0.0
+            var s = 0
+            while (s < code.length) { dist += t(s)(code(s) & 0xff); s += 1 }
+            // heap keeps LARGEST keys — negate so nearest survive
+            heaps(qi).offer(-dist, id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (nd, id) => (queryArr(qi)._1, id, -nd) }
+        }
+      }.toDF(qidCol, idCol, "__d")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__d"), col(idCol))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("__d"), 6).as("adist"), col("rank"))
+  }
+
   /** Distributed Lloyd k-means over the full corpus: (id, cluster,
     * dist2) — the corpus-organization primitive (topic balancing,
     * SemDeDup blocking, curriculum by region). Unlike the sample-only

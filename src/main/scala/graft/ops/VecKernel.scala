@@ -139,6 +139,59 @@ object VecKernel {
     cents
   }
 
+  /** Product-quantization codebooks: one [[kmeansL2]] per contiguous
+    * subspace slice ([[graft.ops.Similarity.pqTopK]]). `dim % m == 0`
+    * required; `k <= 256` so codes fit a byte. */
+  def pqTrain(sample: Array[Array[Float]], m: Int, k: Int,
+      iters: Int): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "pqTrain needs a non-empty sample")
+    val dim = sample(0).length
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(k >= 1 && k <= 256, s"k must fit a byte code: $k")
+    val d = dim / m
+    Array.tabulate(m) { s =>
+      kmeansL2(sample.map(v => java.util.Arrays.copyOfRange(v, s * d, (s + 1) * d)),
+        k, iters)
+    }
+  }
+
+  /** PQ code of `v`: per-subspace nearest-centroid indices (one byte
+    * each — the 4·dim→m compression that lets a 100 TB corpus's codes
+    * sit in memory). */
+  def pqEncode(v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = books.length
+    val d = v.length / m
+    val code = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      code(s) = nearestL2(
+        java.util.Arrays.copyOfRange(v, s * d, (s + 1) * d), books(s)).toByte
+      s += 1
+    }
+    code
+  }
+
+  /** ADC lookup tables for a query: `tables(s)(c)` = squared L2 from
+    * the query's subspace-s slice to centroid c — built once per query
+    * (O(k·dim)), then every corpus code scores in m table lookups. */
+  def pqTables(q: Array[Float], books: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val m = books.length
+    val d = q.length / m
+    Array.tabulate(m) { s =>
+      val off = s * d
+      books(s).map { c =>
+        var d2 = 0.0
+        var i = 0
+        while (i < d) {
+          val df = q(off + i).toDouble - c(i)
+          d2 += df * df
+          i += 1
+        }
+        d2
+      }
+    }
+  }
+
   /** Indices of the `n` centroids nearest to `v` by cosine. */
   def nearestCentroids(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
     val nv = norm(v)

@@ -141,6 +141,21 @@ object JoinQueries extends QueryGroup {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
 
+    // forward as-of with a staleness bound: the NEXT view within 10
+    // minutes of each click (pandas merge_asof direction='forward',
+    // tolerance) — same running-last scan over the negated axis
+    "join_asof_forward" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("v_ts"))
+        .agg(min(col("event_id")).as("next_view_id"))
+      Joins.asOfJoin(clicks, views, Seq("user_id"), "ts", "v_ts",
+        direction = "forward", tolerance = Some(600L * 1000000000L))
+        .select("event_id", "user_id", "next_view_id")
+    }),
+
     // fuzzy (edit-distance) record linkage: customers vs a planted
     // noisy copy of the first 120 names — one substitution (dist 1),
     // one leading deletion (dist 1), or two substitutions (dist 2,
@@ -190,6 +205,14 @@ object JoinQueries extends QueryGroup {
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders " +
         "  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')"),
+    "join_asof_forward" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "v AS (SELECT user_id, ts AS v_ts, min(event_id) AS next_view_id FROM events " +
+        "      WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT c.event_id, c.user_id, " +
+        "  CASE WHEN v.v_ts <= c.ts + INTERVAL 10 MINUTE THEN v.next_view_id END " +
+        "    AS next_view_id " +
+        "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.v_ts >= c.ts"),
     "join_fuzzy_name" ->
       ("WITH planted AS (SELECT c_custkey + 1000000 AS p_id, " +
         "  CASE c_custkey % 3 " +

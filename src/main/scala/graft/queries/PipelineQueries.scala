@@ -381,6 +381,17 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10)
     }),
 
+    // PQ compressed-scan approximate top-k (rows-only; blob-recall and
+    // partition-invariance asserted in spec): 16 one-byte codes per
+    // 64-dim vector, ADC table scoring — the memory tier of the family
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10)
+    }),
+
     // LSH-bucketed approximate top-k (rows-only; recall asserted in spec)
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")

@@ -153,6 +153,32 @@ class BloomGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === got)
   }
 
+  test("pqTopK: separated blobs retrieved through the compressed codes; partition-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // 4 well-separated blobs in 16 dims: quantization error << blob gap
+    def blob(center: Float, ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(16)(center + rnd.nextFloat() * 0.2f))
+    }
+    val vecs = blob(0f, 0 until 30) ++ blob(10f, 30 until 60) ++
+      blob(20f, 60 until 90) ++ blob(30f, 90 until 120)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id").isin(5L, 35L, 65L, 95L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = graft.ops.Similarity.pqTopK(df, "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10, m = 4, nCentroids = 8, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 40)
+    // every retrieved neighbor comes from the query's own blob
+    got.foreach { case (q, id, _) =>
+      assert(q / 30 === id / 30, s"query $q retrieved cross-blob id $id")
+    }
+    val again = graft.ops.Similarity.pqTopK(df.repartition(7), "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10, m = 4, nCentroids = 8, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sortBy(x => (x._1, x._2)).toSeq === got.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("semDedupPairs: planted exact copies land in one cluster and pair at 1.0") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(17)

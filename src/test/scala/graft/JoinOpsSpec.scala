@@ -175,6 +175,33 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 10L)))
   }
 
+  test("asOfJoin forward direction and tolerance (merge_asof semantics)") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", ts(10)), (2L, "k", ts(30))).toDF("id", "key", "ts")
+    val right = Seq(("k", ts(12), "a"), ("k", ts(15), "b")).toDF("key", "rts", "tag")
+    // forward: earliest right at-or-after each left ts
+    val fwd = Joins.asOfJoin(left, right, Seq("key"), "ts", "rts",
+        direction = "forward")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fwd === Map(1L -> "a", 2L -> null))
+    // tolerance (micros for timestamps): 12 is within 3 min of 10, but a
+    // 1-minute bound nulls the payload without dropping the row
+    val tol = Joins.asOfJoin(left, right, Seq("key"), "ts", "rts",
+        direction = "forward", tolerance = Some(60L * 1000000L))
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tol === Map(1L -> null, 2L -> null))
+    // backward tolerance: id 2 at 10:30 is 15 min past b(10:15) — nulled
+    // under a 10-minute bound, kept under 20
+    val bwd10 = Joins.asOfJoin(left, right, Seq("key"), "ts", "rts",
+        tolerance = Some(10L * 60L * 1000000L))
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bwd10 === Map(1L -> null, 2L -> null))
+    val bwd20 = Joins.asOfJoin(left, right, Seq("key"), "ts", "rts",
+        tolerance = Some(20L * 60L * 1000000L))
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bwd20 === Map(1L -> null, 2L -> "b"))
+  }
+
   test("editDistanceJoin: sub/del/ins at d=1; d=2 pairs only at maxDist=2") {
     val s = spark; import s.implicits._
     val l = Seq((1L, "kitten"), (2L, "abc")).toDF("id", "name")
