@@ -553,12 +553,44 @@ object Profiling {
       round(col("sum6").cast("double") / col("n").cast("double"), 6).as("mean"),
       col("vmin"), col("vmax"))
 
+  /** Mergeable DISTINCT-COUNT sketch state (Apache DataSketches HLL,
+    * Spark-native `hll_sketch_agg`) — the approximate sibling of
+    * [[statsState]] for the one statistic exact states cannot merge:
+    * a per-shard distinct count is not additive, but HLL sketches
+    * union losslessly, so per-shard states give the CORPUS distinct
+    * count without ever rescanning or shuffling raw values. State:
+    * (col_name, sketch binary). `lgK` trades size for error
+    * (12 → ~2.5 KB per sketch, ~1.6% RSE). */
+  def distinctState(df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "distinctState needs at least one column")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21]: $lgK")
+    val aggs = cols.map(c => expr(s"hll_sketch_agg(`$c`, $lgK)").as(s"__sk_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col(s"__sk_$c").as("sketch"))): _*)).as("__r"))
+      .select("__r.*")
+  }
+
+  /** Associative union of [[distinctState]] outputs — any grouping,
+    * any order, bit-identical result. */
+  def distinctMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "distinctMerge needs at least one state")
+    states.reduce(_ unionByName _).groupBy("col_name")
+      .agg(expr("hll_union_agg(sketch)").as("sketch"))
+  }
+
+  /** Render a (possibly merged) sketch state: (col_name,
+    * approx_distinct). */
+  def distinctEstimate(state: DataFrame): DataFrame =
+    state.select(col("col_name"),
+      expr("hll_sketch_estimate(sketch)").as("approx_distinct"))
+
   /** Interior percentile edges of `valueCol` (exact interpolated
     * percentiles), collected to the driver: nBins−1 doubles — a tiny
     * constant like a centroid table, NOT data-sized. At the 100 TB end
     * swap the percentile call for `approx_percentile`; the bucketing
     * below is agnostic. */
-  private def percentileEdges(df: DataFrame, valueCol: String,
+  private[graft] def percentileEdges(df: DataFrame, valueCol: String,
       nBins: Int): Seq[Double] = {
     val pcts = (1 until nBins).map(_.toDouble / nBins)
     // edges rounded to 6 dp IN the engine expression (proven round
@@ -579,7 +611,7 @@ object Profiling {
     * equal to an edge fall LOW — mirrored by the oracle's
     * `len(list_filter(edges, e -> x > e))`). A fold of nBins−1 codegen
     * comparisons; no join, no udf. */
-  private def bucketOf(v: Column, edges: Seq[Double]): Column =
+  private[graft] def bucketOf(v: Column, edges: Seq[Double]): Column =
     edges.foldLeft(lit(0))((acc, e) =>
       acc + when(v > lit(e), 1).otherwise(0))
 

@@ -788,6 +788,19 @@ object PipelineQueries extends QueryGroup {
           round(col("value"), 6).as("value"))
     }),
 
+    // mergeable HLL distinct-count states (DataSketches): per-shard
+    // sketches unioned losslessly — the one statistic exact states
+    // can't merge. Rows-only: sketch internals aren't SQL-replicable;
+    // PipelineOpsSpec gates merge-exactness + error bound
+    "profile_distinct_sketch" -> ((s, dir) => {
+      import graft.ops.Profiling._
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_partkey", "l_suppkey")
+      distinctEstimate(distinctMerge(Seq(
+        distinctState(li.filter(pmod(col("l_orderkey"), lit(2)) === 0), cols),
+        distinctState(li.filter(pmod(col("l_orderkey"), lit(2)) === 1), cols))))
+    }),
+
     // incremental profile maintenance: per-shard stats states folded
     // associatively — the merged mean hash-matches a from-scratch
     // full-table oracle (exact decimal sums), corpus never re-scanned

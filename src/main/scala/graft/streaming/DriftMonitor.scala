@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming PSI drift monitor — [[graft.ops.Profiling.psi]]
+  * operationalized over an ingest: the reference distribution's
+  * quantile edges and smoothed bin proportions are computed ONCE from
+  * the static baseline (a tiny driver array — nothing re-scans the
+  * reference per batch), then every micro-batch bins its values with
+  * the same codegen bucket fold and appends one (batch_id, psi, n) row
+  * to `outPath`. The retrain-trigger loop tails that table.
+  *
+  * Per-batch cost: one pass over the batch + an nBins-row aggregate.
+  * The PSI here is batch-vs-reference (each batch scored alone, the
+  * standard monitoring cadence); cumulative drift is a downstream
+  * rollup of the same output table.
+  */
+object DriftMonitor {
+
+  /** (edges, smoothed reference proportions) — precomputed baseline. */
+  def baseline(ref: DataFrame, valueCol: String,
+      nBins: Int = 10): (Seq[Double], Array[Double]) = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]: $nBins")
+    val v = col(valueCol).cast("double")
+    val clean = ref.filter(col(valueCol).isNotNull && !isnan(v))
+    val edges = graft.ops.Profiling.percentileEdges(clean, valueCol, nBins)
+    val counts = new Array[Long](nBins)
+    clean.groupBy(graft.ops.Profiling.bucketOf(v, edges).as("b"))
+      .count().collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val total = counts.sum
+    (edges, counts.map(c => (c + 1).toDouble / (total + nBins)))
+  }
+
+  /** Start the monitor: one PSI row per micro-batch appended to
+    * `outPath`. */
+  def start(spark: SparkSession, stream: DataFrame, valueCol: String,
+      edges: Seq[Double], refProps: Array[Double],
+      outPath: String, checkpoint: String): StreamingQuery = {
+    val nBins = refProps.length
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = col(valueCol).cast("double")
+        val clean = batch.filter(col(valueCol).isNotNull && !isnan(v))
+        val counts = new Array[Long](nBins)
+        clean.groupBy(graft.ops.Profiling.bucketOf(v, edges).as("b"))
+          .count().collect()
+          .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+        val n = counts.sum
+        val psi = counts.zip(refProps).map { case (c, p) =>
+          val q = (c + 1).toDouble / (n + nBins)
+          BigDecimal((q - p) * math.log(q / p))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        spark.createDataFrame(Seq((batchId, psi, n)))
+          .toDF("batch_id", "psi", "n")
+          .write.mode(SaveMode.Append).parquet(outPath)
+        ()
+      }
+      .start()
+  }
+}

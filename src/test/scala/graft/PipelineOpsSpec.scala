@@ -927,6 +927,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.getDouble(0) === 0.125 && b.getLong(1) === 2)
   }
 
+  test("distinctState/Merge/Estimate: merged sketches equal the direct sketch; error bounded") {
+    val s = spark; import s.implicits._
+    import graft.ops.Profiling._
+    val df = (1 to 5000).map(i => (i.toLong, (i % 1300).toLong)).toDF("a", "b")
+    def est(d: org.apache.spark.sql.DataFrame) =
+      distinctEstimate(d).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val direct = est(distinctState(df, Seq("a", "b")))
+    val merged = est(distinctMerge(Seq(
+      distinctState(df.filter(col("a") <= 2500), Seq("a", "b")),
+      distinctState(df.filter(col("a") > 2500), Seq("a", "b")))))
+    assert(merged === direct, "sketch union must be lossless")
+    assert(math.abs(direct("a") - 5000) / 5000.0 < 0.05, s"a: ${direct("a")}")
+    assert(math.abs(direct("b") - 1300) / 1300.0 < 0.05, s"b: ${direct("b")}")
+  }
+
   test("psi: identical distributions score 0; a shift scores far above 0.25") {
     val s = spark; import s.implicits._
     val ref = (1 to 200).map(i => (i % 100).toDouble).toDF("v")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{StreamingDedup, StreamingNearDedup, WindowedStats}
+import graft.streaming.{DriftMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
 
 /** Stateful streaming operators: first-arrival dedup
   * (flatMapGroupsWithState) and watermarked windowed aggregation. */
@@ -179,6 +179,30 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows === Set((100L, 1L), (100L, 2L), (0L, 0L)),
         s"only u1 views within ±2 minutes of the click must join: $rows")
+    } finally q.stop()
+  }
+
+  test("drift monitor: in-distribution batch scores low, shifted batch high") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 500).map(i => (i % 100).toDouble).toDF("v")
+    val (edges, props) = DriftMonitor.baseline(ref, "v", 10)
+    val root = Files.createTempDirectory("graft-drift").toString
+    val in = MemoryStream[Double]
+    val q = DriftMonitor.start(spark, in.toDF().toDF("v"), "v",
+      edges, props, s"$root/out", s"$root/ck")
+    try {
+      in.addData((1 to 200).map(i => (i % 100).toDouble): _*)
+      q.processAllAvailable()
+      in.addData((1 to 200).map(i => (i % 100).toDouble + 500): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$root/out")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(rows.size === 2)
+      val (inDist, shifted) = (rows(0L), rows(1L))
+      assert(inDist._2 === 200 && shifted._2 === 200)
+      assert(inDist._1 < 0.05, s"in-distribution batch psi ${inDist._1}")
+      assert(shifted._1 > 0.25, s"shifted batch psi ${shifted._1}")
     } finally q.stop()
   }
 }
