@@ -363,6 +363,60 @@ object Similarity {
       .select(col(qidCol), col(idCol), round(col("__d"), 6).as("adist"), col("rank"))
   }
 
+  /** IVF × PQ composed: coarse inverted-list pruning ([[ivfTopK]]'s
+    * cosine-centroid probing decides WHICH vectors are scored) with
+    * compressed-code scoring ([[pqTopK]]'s ADC decides HOW CHEAPLY) —
+    * the standard billion-scale ANN configuration: the scan touches
+    * only probed lists AND reads only byte codes. Same determinism
+    * contract as both parents; squared-L2 ranking like [[pqTopK]].
+    * Output: (qid, id, adist, rank). */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, codeCentroids: Int = 16, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val sample = trainingSample(corpus, idCol, vecCol,
+      math.max(nCentroids, codeCentroids) * 32).map(_._2)
+    val coarse = VecKernel.kmeans(sample, nCentroids, iters)
+    val books = VecKernel.pqTrain(sample, m, codeCentroids, iters)
+    val probes: Map[Int, Array[Int]] = qs.indices
+      .flatMap(qi => VecKernel.nearestCentroids(qs(qi)._2, coarse, nProbe)
+        .map(c => c -> qi))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+    val bc = spark.sparkContext.broadcast((qs, coarse, books, probes))
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (queryArr, cents, bks, probeMap) = bc.value
+        val tables = queryArr.map(q => VecKernel.pqTables(q._2, bks))
+        val heaps = Array.fill(queryArr.length)(new VecKernel.TopK(k))
+        it.foreach { case (id, v) =>
+          val list = VecKernel.nearestCentroids(v, cents, 1)(0)
+          probeMap.get(list).foreach { qis =>
+            val code = VecKernel.pqEncode(v, bks)
+            qis.foreach { qi =>
+              val t = tables(qi)
+              var dist = 0.0
+              var s = 0
+              while (s < code.length) { dist += t(s)(code(s) & 0xff); s += 1 }
+              heaps(qi).offer(-dist, id)
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (nd, id) => (queryArr(qi)._1, id, -nd) }
+        }
+      }.toDF(qidCol, idCol, "__d")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__d"), col(idCol))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("__d"), 6).as("adist"), col("rank"))
+  }
+
   /** Distributed Lloyd k-means over the full corpus: (id, cluster,
     * dist2) — the corpus-organization primitive (topic balancing,
     * SemDeDup blocking, curriculum by region). Unlike the sample-only

@@ -392,6 +392,16 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10)
     }),
 
+    // IVF × PQ composed (rows-only): probed lists decide WHICH vectors
+    // score, byte codes decide HOW CHEAPLY — the billion-scale shape
+    "ann_ivf_pq_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10)
+    }),
+
     // LSH-bucketed approximate top-k (rows-only; recall asserted in spec)
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")

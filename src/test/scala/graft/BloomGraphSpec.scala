@@ -179,6 +179,28 @@ class BloomGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.sortBy(x => (x._1, x._2)).toSeq === got.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("ivfPqTopK: blob recall through pruned lists + compressed codes; partition-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(29)
+    def blob(center: Float, ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(16)(center + rnd.nextFloat() * 0.2f))
+    }
+    val df = (blob(1f, 0 until 40) ++ blob(10f, 40 until 80)).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id").isin(3L, 43L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.ivfPqTopK(d, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10, nCentroids = 4, nProbe = 2,
+        m = 4, codeCentroids = 8, iters = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = run(df)
+    assert(got.length === 20)
+    got.foreach { case (q, id) =>
+      assert(q / 40 === id / 40, s"query $q retrieved cross-blob id $id")
+    }
+    assert(run(df.repartition(5)) === got)
+  }
+
   test("semDedupPairs: planted exact copies land in one cluster and pair at 1.0") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(17)
