@@ -79,18 +79,39 @@ object Sampling {
     * holdout property). Fractions must sum to ≤ 1; any remainder goes to
     * the last split. */
   def splitLabels(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
+      splits: Seq[(String, Double)], labelCol: String = "split"): DataFrame =
+    df.withColumn(labelCol, cutLabels(hashKey(col(idCol)), splits))
+
+  /** Group-disjoint split: the hash-range cut of [[splitLabels]] applied
+    * to a GROUP key instead of the row id, so every member of a group
+    * lands in the same split. This is the split a deduplicated corpus
+    * actually needs: hashing row ids scatters near-identical documents
+    * across train and test (the classic contamination-by-duplication
+    * leak — the eval set "generalizes" to its own training copies);
+    * hashing the duplicate-cluster representative keeps whole clusters
+    * on one side of every cut. Works for any unit that must not
+    * straddle splits: dup clusters, users, sessions, source domains.
+    *
+    * Same properties as [[splitLabels]]: pure function of the key
+    * (reproducible, engine-portable, auditable), membership stable as
+    * the corpus grows, plain codegen predicate — zero shuffle beyond
+    * whatever produced `groupCol`. Expected split sizes are fraction ×
+    * GROUPS (weighted by group size), not fraction × rows — the price
+    * of disjointness when group sizes are skewed. */
+  def splitByGroup(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)], labelCol: String = "split"): DataFrame =
+    df.withColumn(labelCol, cutLabels(hashKey(col(groupCol)), splits))
+
+  private def cutLabels(hk: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
       s"split fractions must sum to <= 1: $splits")
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val hk = hashKey(col(idCol))
-    val labeled = splits.map(_._1).zip(bounds).dropRight(1)
+    // the when-chain tests ascending upper bounds, so the FIRST match is
+    // the row's split — foldRight keeps evaluation order = declaration order
+    splits.map(_._1).zip(bounds).dropRight(1)
       .foldRight(lit(splits.last._1): Column) { case ((name, hi), acc) =>
         when(hk < lit(thresholdHex(hi)), lit(name)).otherwise(acc)
       }
-    // the when-chain tests ascending upper bounds, so the FIRST match is
-    // the row's split — foldRight keeps evaluation order = declaration order
-    df.withColumn(labelCol, labeled)
   }
 
   /** Deterministic mixture resampling: downsample each stratum so the

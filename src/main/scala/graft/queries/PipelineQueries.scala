@@ -1016,6 +1016,22 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "split")
     }),
 
+    // group-disjoint split under duplication: duplicate clusters (exact
+    // bag fingerprint → first-arrival rep) are the split unit, so no
+    // document can appear in train while its near-identical copy sits in
+    // test — the contamination-by-duplication leak a row-id split has.
+    // One window for the rep (same shape as dedup_exact_bag), then the
+    // split is a pure codegen predicate on the rep id.
+    "sample_split_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+")))).as("bag"))
+      Sampling.splitByGroup(
+          Dedup.exactDupMapping(docs, "doc_id", "bag"), "keep_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "keep_id", "split")
+    }),
+
     // ---- embedding utilities ------------------------------------------
     "emb_l2_stats" -> ((s, dir) => {
       Embeddings.l2Stats(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
@@ -1847,6 +1863,16 @@ object PipelineQueries extends QueryGroup {
       ("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents"),
+
+    // same cuts applied to the dup-cluster rep (dedup_exact_bag's keep_id)
+    "sample_split_dedup" ->
+      ("WITH m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keep_id " +
+        "FROM documents) " +
+        "SELECT doc_id, keep_id, " +
+        "CASE WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train' " +
+        "WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val' " +
+        "ELSE 'test' END AS split FROM m"),
 
     // 0.125 → 8192 → '2000' on the 16-bit hex grid
     "sample_bernoulli" ->

@@ -408,6 +408,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before === after, "assignment must be stable under corpus growth")
   }
 
+  test("split by group: groups never straddle splits, duplicates co-travel with their rep") {
+    val s = spark; import s.implicits._
+    // 600 groups of mixed sizes (1..5 members): a row-id split would
+    // scatter multi-member groups across cuts with high probability
+    val rows = (1L to 600L).flatMap(g => (0L until (g % 5 + 1)).map(m => (g * 100 + m, g)))
+    val df = rows.toDF("id", "grp")
+    val out = Sampling.splitByGroup(df, "grp",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    // disjointness: every group maps to exactly one split
+    val perGroup = out.groupBy("grp").agg(countDistinct("split").as("k"))
+      .agg(max("k")).collect()(0).getLong(0)
+    assert(perGroup === 1L, "a group must land in exactly one split")
+    // the group cut must agree with splitLabels applied to the group key
+    // (same hash, same thresholds — the documented contract)
+    val byKey = Sampling.splitLabels(df.select(col("grp").as("id")).distinct(), "id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byGroup = out.select("grp", "split").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byGroup === byKey)
+    // fractions hold over GROUPS (the unit of assignment)
+    val counts = out.select("grp", "split").distinct()
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 600L)
+    assert(counts("train") > 420 && counts("train") < 540, s"~80% of groups: $counts")
+  }
+
   test("weighted sampling: zero weight keeps nothing, full weight keeps everything, deterministic") {
     val s = spark; import s.implicits._
     val df = (1L to 2000L).toDF("id")
