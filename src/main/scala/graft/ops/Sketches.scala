@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch STATES for quantiles and heavy hitters — the two
+  * statistics [[Profiling.statsState]]'s exact decimal states cannot
+  * carry (a per-shard median is not additive; per-shard top-k lists
+  * lose mass invisibly). Together with the exact count/sum/min/max
+  * states and the HLL distinct states ([[Profiling.distinctState]])
+  * this completes the incremental-profile family for the 100 TB
+  * maintenance pattern: sketch each NEW shard/day in one scan of the
+  * delta, fold states associatively (states are KBs — driver-cheap at
+  * any corpus size), render on demand; the corpus is never re-scanned.
+  *
+  * Backed by Apache DataSketches (on the Spark classpath —
+  * `datasketches-java`; the same library Spark's own `hll_sketch_agg`
+  * wraps): KLL for quantiles (k=200 ⇒ ~1.65% normalized rank error,
+  * ~5 KB), the Misra–Gries-style frequent-items sketch for heavy
+  * hitters (NO_FALSE_NEGATIVES: every item with share ≥ ~3.5/maxMapSize
+  * is guaranteed reported, with deterministic count bounds — and while
+  * the distinct-item count stays under the sketch's ~0.75·maxMapSize
+  * load capacity it is EXACT, which is what the DuckDB hash-match gate
+  * exercises; the approximate regime is property-gated in spec).
+  *
+  * State shape: one row per input partition, `(sketch: binary)` — built
+  * in a single `mapPartitions` pass, no shuffle. Merges deserialize a
+  * handful of KB-sized states; estimates render from the merged state.
+  * KLL compaction is randomized (per DataSketches design), so quantile
+  * gates are error-bound properties, not hash matches — same contract
+  * as `agg_approx_sketch`.
+  */
+object Sketches {
+
+  /** Per-partition KLL quantile sketch over `valueCol` (nulls and NaNs
+    * skipped — they have no rank). Output: (sketch binary), one row per
+    * non-empty partition. */
+  def quantileState(df: DataFrame, valueCol: String, k: Int = 200): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(valueCol).cast("double")).as[Option[Double]]
+      .mapPartitions { it =>
+        val sk = KllDoublesSketch.newHeapInstance(k)
+        it.foreach(_.foreach(v => if (!v.isNaN) sk.update(v)))
+        if (sk.isEmpty) Iterator.empty else Iterator.single(sk.toByteArray)
+      }.toDF("sketch")
+  }
+
+  /** Associative fold of [[quantileState]] outputs into a single-row
+    * state. KLL merge is lossless in the error-bound sense: the merged
+    * sketch carries the same rank-error guarantee as a from-scratch
+    * sketch of the union. */
+  def quantileMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "quantileMerge needs at least one state")
+    val spark = states.head.sparkSession
+    import spark.implicits._
+    states.reduce(_ unionByName _).select(col("sketch")).as[Array[Byte]]
+      .coalesce(1)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val acc = KllDoublesSketch.heapify(Memory.wrap(it.next()))
+          it.foreach(b => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+          Iterator.single(acc.toByteArray)
+        }
+      }.toDF("sketch")
+  }
+
+  /** Render quantile estimates from a (possibly merged) state:
+    * (prob, value) rows, inclusive rank semantics. */
+  def quantileEstimate(state: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1]: $probs")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val ps = probs.toArray
+    state.select(col("sketch")).as[Array[Byte]].coalesce(1)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val acc = KllDoublesSketch.heapify(Memory.wrap(it.next()))
+          it.foreach(b => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+          ps.iterator.map(p => (p, acc.getQuantile(p)))
+        }
+      }.toDF("prob", "value")
+  }
+
+  private val serde = new ArrayOfStringsSerDe
+
+  /** Per-partition frequent-items sketch over `itemCol` (nulls skipped).
+    * `maxMapSize` must be a power of 2; the sketch is exact while the
+    * partition's distinct-item count stays under ~0.75·maxMapSize and
+    * degrades to guaranteed-bounds estimates beyond. */
+  def freqState(df: DataFrame, itemCol: String, maxMapSize: Int = 64): DataFrame = {
+    require(maxMapSize >= 2 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"maxMapSize must be a power of 2: $maxMapSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(itemCol).cast("string")).as[Option[String]]
+      .mapPartitions { it =>
+        val sk = new ItemsSketch[String](maxMapSize)
+        it.foreach(_.foreach(sk.update))
+        if (sk.isEmpty) Iterator.empty else Iterator.single(sk.toByteArray(serde))
+      }.toDF("sketch")
+  }
+
+  /** Associative fold of [[freqState]] outputs into a single-row state.
+    * The merged sketch keeps the NO_FALSE_NEGATIVES guarantee: no item
+    * whose total share clears the threshold can be lost by sharding. */
+  def freqMerge(states: Seq[DataFrame], maxMapSize: Int = 64): DataFrame = {
+    require(states.nonEmpty, "freqMerge needs at least one state")
+    require(maxMapSize >= 2 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"maxMapSize must be a power of 2: $maxMapSize")
+    val spark = states.head.sparkSession
+    import spark.implicits._
+    states.reduce(_ unionByName _).select(col("sketch")).as[Array[Byte]]
+      .coalesce(1)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val acc = new ItemsSketch[String](maxMapSize)
+          it.foreach(b => acc.merge(ItemsSketch.getInstance(Memory.wrap(b), serde)))
+          Iterator.single(acc.toByteArray(serde))
+        }
+      }.toDF("sketch")
+  }
+
+  /** Render a (possibly merged) frequent-items state:
+    * (item, estimate, lb, ub) with NO_FALSE_NEGATIVES semantics — every
+    * sufficiently-heavy item appears; some light items may too (their
+    * bounds say so: lb is a hard lower bound, ub a hard upper bound).
+    * In the exact regime (distinct ≤ load capacity) lb = estimate = ub
+    * = the true count. */
+  def freqEstimate(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    state.select(col("sketch")).as[Array[Byte]].coalesce(1)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          // single-row state by contract ([[freqMerge]]); merging here
+          // anyway keeps the renderer total on raw multi-row states
+          val acc = ItemsSketch.getInstance(Memory.wrap(it.next()), serde)
+          it.foreach(b => acc.merge(ItemsSketch.getInstance(Memory.wrap(b), serde)))
+          acc.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).iterator
+            .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+        }
+      }.toDF("item", "estimate", "lb", "ub")
+  }
+}

@@ -811,6 +811,34 @@ object PipelineQueries extends QueryGroup {
         distinctState(li.filter(pmod(col("l_orderkey"), lit(2)) === 1), cols))))
     }),
 
+    // mergeable heavy-hitter states (Misra–Gries frequent-items sketch):
+    // two half-corpus states merged, rendered as (item, estimate). The
+    // 20 sources sit inside the sketch's exact regime (distinct <
+    // 0.75·maxMapSize), so the merged estimates ARE the true counts and
+    // the gate hash-matches a plain GROUP BY oracle; the approximate
+    // regime (bounds, no false negatives) is property-gated in spec
+    "profile_freq_sketch" -> ((s, dir) => {
+      import graft.ops.Sketches._
+      val docs = Tables.load(s, dir, "documents")
+      freqEstimate(freqMerge(Seq(
+          freqState(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "source"),
+          freqState(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "source"))))
+        .select(col("item"), col("estimate"))
+    }),
+
+    // mergeable quantile states (KLL): per-shard sketches of
+    // events.value folded into one, rendered as decile estimates.
+    // KLL compaction is randomized ⇒ rows-only gate; the rank-error
+    // bound and merged≡direct consistency are property-gated in spec
+    "profile_quantile_sketch" -> ((s, dir) => {
+      import graft.ops.Sketches._
+      val ev = Tables.load(s, dir, "events")
+      quantileEstimate(quantileMerge(Seq(
+          quantileState(ev.filter(pmod(col("event_id"), lit(2)) === 0), "value"),
+          quantileState(ev.filter(pmod(col("event_id"), lit(2)) === 1), "value"))),
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // incremental profile maintenance: per-shard stats states folded
     // associatively — the merged mean hash-matches a from-scratch
     // full-table oracle (exact decimal sums), corpus never re-scanned
@@ -1481,6 +1509,10 @@ object PipelineQueries extends QueryGroup {
         "FROM r WHERE rn = 1 AND event_type <> 'error'"),
     // from-scratch full-table stats — the merged incremental state must
     // hash-match this exactly (decimal sums make the mean order-free)
+    // exact regime of the frequent-items sketch: estimates = true counts
+    "profile_freq_sketch" ->
+      "SELECT source AS item, CAST(count(*) AS BIGINT) AS estimate FROM documents GROUP BY source",
+
     "pipeline_stats_merge" ->
       (Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
         s"SELECT '$c' AS col_name, " +

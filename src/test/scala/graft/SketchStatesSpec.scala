@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+/** Properties of the mergeable quantile / heavy-hitter sketch states:
+  * rank-error bounds, merge consistency, the exact regime, and the
+  * no-false-negatives guarantee under sharding. */
+class SketchStatesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("SketchStatesSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("KLL quantile state: estimates within the sketch's rank-error bound") {
+    val s = spark; import s.implicits._
+    // values 1..20000 shuffled across partitions: true quantile of p is ~p*n
+    val n = 20000
+    val df = (1 to n).map(_.toDouble).toDF("v").repartition(8)
+    val est = Sketches.quantileEstimate(
+        Sketches.quantileMerge(Seq(Sketches.quantileState(df, "v"))),
+        Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // k=200 ⇒ ~1.65% normalized rank error at 99% confidence; assert 3%
+    for ((p, v) <- est) {
+      val rankErr = math.abs(v / n - p)
+      assert(rankErr < 0.03, s"quantile($p) = $v → rank error $rankErr")
+    }
+  }
+
+  test("KLL merge: sharded states agree with a direct sketch within bound") {
+    val s = spark; import s.implicits._
+    val n = 20000
+    val df = (1 to n).map(_.toDouble).toDF("v").repartition(8)
+    val parts = Seq(
+      df.filter(col("v") <= n / 3), // skewed shards: merge must still hold
+      df.filter(col("v") > n / 3 && col("v") <= n / 2),
+      df.filter(col("v") > n / 2))
+    val merged = Sketches.quantileEstimate(
+        Sketches.quantileMerge(parts.map(Sketches.quantileState(_, "v"))),
+        Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for ((p, v) <- merged) {
+      val rankErr = math.abs(v / n - p)
+      assert(rankErr < 0.03, s"merged quantile($p) = $v → rank error $rankErr")
+    }
+  }
+
+  test("KLL: nulls and NaNs carry no rank; empty input yields empty estimate") {
+    val s = spark; import s.implicits._
+    val df = Seq[Option[Double]](Some(1.0), None, Some(Double.NaN), Some(3.0), Some(2.0))
+      .toDF("v")
+    val est = Sketches.quantileEstimate(
+        Sketches.quantileState(df, "v"), Seq(0.0, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est(0.0) === 1.0 && est(1.0) === 3.0)
+    val empty = df.filter(col("v") < 0)
+    assert(Sketches.quantileEstimate(
+      Sketches.quantileState(empty, "v"), Seq(0.5)).count() === 0L)
+  }
+
+  test("frequent items, exact regime: merged estimates are the true counts") {
+    val s = spark; import s.implicits._
+    // 10 distinct items < 0.75*64 capacity → exact, lb = est = ub
+    val rows = (1 to 1000).map(i => (i.toLong, s"src${i % 10}"))
+    val df = rows.toDF("id", "item").repartition(8)
+    val states = Seq(
+      Sketches.freqState(df.filter(col("id") % 2 === 0), "item"),
+      Sketches.freqState(df.filter(col("id") % 2 === 1), "item"))
+    val out = Sketches.freqEstimate(Sketches.freqMerge(states))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)
+    for ((item, est, lb, ub) <- out) {
+      assert(est === 100L, s"$item: $est")
+      assert(lb === est && ub === est, s"exact regime must have tight bounds: $item")
+    }
+  }
+
+  test("frequent items, approximate regime: planted heavy hitter survives sharding with true count in bounds") {
+    val s = spark; import s.implicits._
+    // 5000 distinct light items (well past the 64-entry map) + one item
+    // holding ~17% of the stream: must be reported, bounds must bracket
+    val light = (1 to 5000).map(i => s"light$i")
+    val heavy = Seq.fill(1000)("HEAVY")
+    val df = (light ++ heavy).zipWithIndex
+      .map { case (it, i) => (i.toLong, it) }.toDF("id", "item").repartition(8)
+    val states = Seq(
+      Sketches.freqState(df.filter(col("id") % 3 === 0), "item"),
+      Sketches.freqState(df.filter(col("id") % 3 === 1), "item"),
+      Sketches.freqState(df.filter(col("id") % 3 === 2), "item"))
+    val out = Sketches.freqEstimate(Sketches.freqMerge(states))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hh = out.find(_._1 == "HEAVY")
+    assert(hh.isDefined, "a 17%-share item must never be lost (NO_FALSE_NEGATIVES)")
+    val (_, est, lb, ub) = hh.get
+    assert(lb <= 1000L && 1000L <= ub, s"true count outside [$lb, $ub]")
+    assert(est >= lb && est <= ub)
+  }
+
+  test("frequent-items render is total on raw multi-row (unmerged) states") {
+    val s = spark; import s.implicits._
+    val df = (1 to 200).map(i => s"src${i % 4}").toDF("item").repartition(5)
+    val out = Sketches.freqEstimate(Sketches.freqState(df, "item"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("src0" -> 50L, "src1" -> 50L, "src2" -> 50L, "src3" -> 50L))
+  }
+}
