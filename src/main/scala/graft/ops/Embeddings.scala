@@ -154,6 +154,191 @@ object Embeddings {
       .agg(round(sum(col("__t")).cast("double"), 6).as("dist2"))
   }
 
+  /** Exact-decimal covariance of the embedding columns: upper-triangle
+    * entries (di, dj, n, cov) with 1-based dims — the input to
+    * [[pcaComponents]] and a QA artifact in its own right (a
+    * near-singular covariance flags collapsed/duplicated embedding
+    * dimensions).
+    *
+    * Determinism: second moments are exact DECIMAL(18,6) sums over
+    * `round(round(x,6)·round(y,6), 6)` terms (order-independent — the
+    * same device as [[labelCentroids]]), and the final
+    * `E[xy] − E[x]·E[y]` is one fixed double chain, so every entry is
+    * bit-identical across partitionings and engines — the gate
+    * hash-matches a DuckDB oracle.
+    *
+    * Scale shape: the exploded self-join is an equi-join on the vector
+    * id (co-partitioned, no replication), and the (di, dj) aggregation
+    * combines map-side, so the shuffle after the join carries at most
+    * d(d+1)/2 × partitions partial rows — never the n·d² pair set. The
+    * d×d result is driver-sized by construction (embedding dims are
+    * hundreds, not millions). */
+  def covariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("__id"), (col("__pos") + 1).cast("long").as("di"),
+        round(col("__x").cast("double"), 6).as("x"))
+    val moments = e.groupBy("di").agg(count(lit(1)).as("__nd"),
+      sum(col("x").cast("decimal(18,6)")).as("__sd"))
+    val a = e
+    val b = e.select(col("__id"), col("di").as("dj"), col("x").as("y"))
+    val pairs = a.join(b, Seq("__id")).filter(col("di") <= col("dj"))
+      .groupBy("di", "dj")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).as("__sxy"))
+    pairs
+      .join(broadcast(moments), "di")
+      .join(broadcast(moments.select(col("di").as("dj"),
+        col("__nd").as("__ndj"), col("__sd").as("__sdj"))), "dj")
+      .select(col("di"), col("dj"), col("n"),
+        round(col("__sxy").cast("double") / col("n") -
+          (col("__sd").cast("double") / col("__nd")) *
+          (col("__sdj").cast("double") / col("__ndj")), 6).as("cov"))
+  }
+
+  /** Deterministic cyclic Jacobi eigensolver for small symmetric
+    * matrices (the d×d covariance — driver-sized). No randomness: fixed
+    * (p,q) sweep order, fixed rotation-angle formula, convergence by
+    * off-diagonal Frobenius norm. Returns (eigenvalues, eigenvectors)
+    * sorted by eigenvalue DESC (ties → original index order), each
+    * vector sign-fixed so its largest-|loading| element is positive —
+    * the canonical orientation that makes PCA output reproducible
+    * (eigenvectors are otherwise sign-ambiguous). */
+  def jacobiEigen(m: Array[Array[Double]], maxSweeps: Int = 64,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    require(d > 0 && m.forall(_.length == d), "matrix must be square")
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && off() > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // smaller-angle root of t² + 2θt − 1 = 0 (θ=0 → t=1)
+            val t =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s0 = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var i = 0
+            while (i < d) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s0 * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = s0 * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s0 * viq
+              v(i)(q) = s0 * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(j => (-a(j)(j), j))
+    val vals = order.map(j => a(j)(j)).toArray
+    val vecs = order.map { j =>
+      val u = Array.tabulate(d)(i => v(i)(j))
+      var mi = 0; var i = 1
+      while (i < d) { if (math.abs(u(i)) > math.abs(u(mi))) mi = i; i += 1 }
+      if (u(mi) < 0.0) u.map(x => -x) else u
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Top-k principal components from a [[covariance]] result: rows
+    * (comp, dim, loading, eigenvalue, explained_frac), comp and dim
+    * 1-based, components ordered by eigenvalue desc. The d×d eigensolve
+    * runs on the driver ([[jacobiEigen]] — deterministic), which is the
+    * right split at 100 TB: n only enters through the covariance scan;
+    * the eigen problem is O(d³) on a driver-sized matrix. */
+  def pcaComponents(cov: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val rows = cov.select(col("di").cast("long"), col("dj").cast("long"),
+      col("cov").cast("double")).collect()
+    require(rows.nonEmpty, "empty covariance input")
+    val d = rows.iterator.map(r => math.max(r.getLong(0), r.getLong(1)).toInt).max
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt - 1; val j = r.getLong(1).toInt - 1
+      m(i)(j) = r.getDouble(2); m(j)(i) = r.getDouble(2)
+    }
+    val (vals, vecs) = jacobiEigen(m)
+    val trace = vals.sum
+    val kk = math.min(k, d)
+    val spark = cov.sparkSession
+    import spark.implicits._
+    (0 until kk).flatMap { c =>
+      (0 until d).map { i =>
+        (c + 1L, i + 1L, vecs(c)(i), vals(c),
+          if (trace == 0.0) 0.0 else vals(c) / trace)
+      }
+    }.toDF("comp", "dim", "loading", "eigenvalue", "explained_frac")
+  }
+
+  /** Project embeddings onto [[pcaComponents]] loadings (broadcast via
+    * closure — k×d doubles), optionally whitening each component to
+    * unit variance. Pure per-row kernel: zero shuffle, output identical
+    * for any partitioning. Projection sums run in fixed dim order, so
+    * values are deterministic; `proj_csv` carries the 6-dp-rounded
+    * components as text for stable comparison. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      components: DataFrame, whiten: Boolean = false): DataFrame = {
+    val comp = components.select(col("comp").cast("long"),
+        col("dim").cast("long"), col("loading").cast("double"),
+        col("eigenvalue").cast("double")).collect()
+    require(comp.nonEmpty, "empty components input")
+    val k = comp.iterator.map(_.getLong(0).toInt).max
+    val d = comp.iterator.map(_.getLong(1).toInt).max
+    val load = Array.ofDim[Double](k, d)
+    val eig = new Array[Double](k)
+    comp.foreach { r =>
+      val c = r.getLong(0).toInt - 1
+      load(c)(r.getLong(1).toInt - 1) = r.getDouble(2)
+      eig(c) = r.getDouble(3)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, vec) =>
+        val sb = new StringBuilder
+        var c = 0
+        while (c < k) {
+          var acc = 0.0
+          var i = 0
+          val n = math.min(vec.length, d)
+          while (i < n) {
+            // same HALF-AWAY 6-dp input rounding as covariance's round(x,6)
+            acc += roundAway(vec(i).toDouble * 1e6) / 1e6 * load(c)(i)
+            i += 1
+          }
+          if (whiten) acc /= math.sqrt(math.max(eig(c), 1e-12))
+          if (c > 0) sb.append(',')
+          sb.append(roundAway(acc * 1e6) / 1e6)
+          c += 1
+        }
+        (id, sb.toString)
+      }).toDF(idCol, "proj_csv")
+  }
+
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy(col("label"), (col("__pos") + 1).cast("long").as("dim"))

@@ -1076,6 +1076,25 @@ object PipelineQueries extends QueryGroup {
       Embeddings.labelCentroids(Tables.load(s, dir, "embeddings"), "label", "embedding")
     }),
 
+    // exact-decimal embedding covariance (upper triangle): decimal second
+    // moments + one fixed double chain per entry → bit-identical across
+    // partitionings and engines; equi-join on the vector id, (di,dj) agg
+    // combines map-side (shuffle ≤ d²/2 × partitions rows)
+    "emb_pca_cov" -> ((s, dir) => {
+      Embeddings.covariance(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
+    // PCA projection: deterministic driver-side Jacobi eigensolve of the
+    // exact covariance (d×d — n never touches the eigen problem), then a
+    // zero-shuffle per-row projection kernel. Rows-only gate (eigensolve
+    // has no SQL form); orthonormality/recovery/invariance in spec
+    "emb_pca_project" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val comps = Embeddings.pcaComponents(
+        Embeddings.covariance(emb, "vec_id", "embedding"), k = 8)
+      Embeddings.pcaProject(emb, "vec_id", "embedding", comps)
+    }),
+
     // embedding-space class separation: mean intra-label pairwise cosine,
     // computed with the native codegen dot-product expression (graft_dot,
     // whole-stage codegen — no UDF boundary, no kernel deserialization).
@@ -1942,6 +1961,22 @@ object PipelineQueries extends QueryGroup {
         "FROM (SELECT label, unnest(embedding) AS v, " +
         "  generate_subscripts(embedding, 1) AS i FROM embeddings) " +
         "GROUP BY label, i"),
+
+    // mirror of Embeddings.covariance: 6-dp-rounded elements, exact
+    // decimal second moments, the same E[xy] − E[x]E[y] double chain
+    "emb_pca_cov" ->
+      ("WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS di, " +
+        "  round(CAST(unnest(embedding) AS DOUBLE), 6) AS x FROM embeddings), " +
+        "m AS (SELECT di, count(*) AS nd, sum(CAST(x AS DECIMAL(18,6))) AS sd FROM e GROUP BY di), " +
+        "p AS (SELECT a.di AS di, b.di AS dj, count(*) AS n, " +
+        "  sum(CAST(round(a.x * b.x, 6) AS DECIMAL(18,6))) AS sxy " +
+        "  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.di <= b.di GROUP BY 1, 2) " +
+        "SELECT p.di, p.dj, p.n, " +
+        // 0.0 + … folds IEEE −0.0 to 0.0 (Spark's BigDecimal round never
+        // emits −0.0; DuckDB's C round does — same device as agg_rollup)
+        "  0.0 + round(CAST(p.sxy AS DOUBLE) / p.n - " +
+        "    (CAST(ma.sd AS DOUBLE) / ma.nd) * (CAST(mb.sd AS DOUBLE) / mb.nd), 6) AS cov " +
+        "FROM p JOIN m ma ON p.di = ma.di JOIN m mb ON p.dj = mb.di"),
 
     "text_top_terms" ->
       ("SELECT lang, tok, cnt, rnk FROM (" +

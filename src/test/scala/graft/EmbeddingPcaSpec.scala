@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Embeddings
+
+/** Properties of the exact-decimal covariance + deterministic PCA:
+  * eigensolver correctness on hand matrices, orthonormality, planted
+  * dominant-direction recovery, projection invariance, whitening. */
+class EmbeddingPcaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("EmbeddingPcaSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("jacobiEigen: hand 2x2 and diagonal matrices match analytic eigenpairs") {
+    // [[2,1],[1,2]] → λ = 3, 1; vectors (1,1)/√2 and (1,−1)/√2
+    val (vals, vecs) = Embeddings.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-10 && math.abs(vals(1) - 1.0) < 1e-10)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(vecs(0)(0)) - r2) < 1e-10)
+    assert(math.abs(vecs(0)(0) - vecs(0)(1)) < 1e-10, "λ=3 vector is (1,1) direction")
+    // diagonal matrix: eigenvalues sorted desc regardless of input order
+    val (dv, dw) = Embeddings.jacobiEigen(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(dv.toSeq === Seq(5.0, 3.0, 1.0))
+    assert(dw(0).toSeq === Seq(0.0, 1.0, 0.0), "sign-fixed unit vector")
+  }
+
+  test("jacobiEigen: A·v = λ·v and orthonormality on a random symmetric matrix") {
+    val rnd = new scala.util.Random(11)
+    val d = 12
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextGaussian(); m(i)(j) = x; m(j)(i) = x
+    }
+    val (vals, vecs) = Embeddings.jacobiEigen(m)
+    for (c <- 0 until d) {
+      val av = (0 until d).map(i => (0 until d).map(j => m(i)(j) * vecs(c)(j)).sum)
+      for (i <- 0 until d)
+        assert(math.abs(av(i) - vals(c) * vecs(c)(i)) < 1e-8, s"residual at ($c,$i)")
+      for (c2 <- 0 until d) {
+        val dot = (0 until d).map(i => vecs(c)(i) * vecs(c2)(i)).sum
+        val want = if (c == c2) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-8, s"orthonormality ($c,$c2): $dot")
+      }
+    }
+    assert(vals.toSeq === vals.sortBy(-_).toSeq, "eigenvalues sorted desc")
+  }
+
+  test("covariance + PCA recover a planted dominant direction") {
+    val s = spark; import s.implicits._
+    // x_i = t·u + ε with u = (3,4)/5: PC1 must align with u and own
+    // nearly all variance
+    val u = Array(0.6f, 0.8f)
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { i =>
+      val t = rnd.nextGaussian() * 10.0
+      (i, Array((t * u(0) + rnd.nextGaussian() * 0.01).toFloat,
+        (t * u(1) + rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val df = rows.toDF("id", "vec").repartition(5)
+    val cov = Embeddings.covariance(df, "id", "vec")
+    assert(cov.count() === 3L, "2x2 upper triangle")
+    val comps = Embeddings.pcaComponents(cov, k = 2)
+    val pc1 = comps.filter(col("comp") === 1).orderBy("dim")
+      .collect().map(_.getAs[Double]("loading"))
+    assert(math.abs(math.abs(pc1(0)) - 0.6) < 0.01 &&
+      math.abs(math.abs(pc1(1)) - 0.8) < 0.01, s"PC1 ≈ ±u: ${pc1.toSeq}")
+    val ef1 = comps.filter(col("comp") === 1).head().getAs[Double]("explained_frac")
+    assert(ef1 > 0.99, s"planted direction owns the variance: $ef1")
+  }
+
+  test("covariance is partition-invariant bit-for-bit") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 200L).map(i => (i, Array.fill(6)(rnd.nextGaussian().toFloat)))
+    val a = Embeddings.covariance(rows.toDF("id", "vec").repartition(2), "id", "vec")
+      .orderBy("di", "dj").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val b = Embeddings.covariance(rows.toDF("id", "vec").repartition(11), "id", "vec")
+      .orderBy("di", "dj").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("projection: deterministic under repartition; whitening yields unit variances") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 300L).map(i => (i, Array.fill(5)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec")
+    val comps = Embeddings.pcaComponents(
+      Embeddings.covariance(df, "id", "vec"), k = 5)
+    val p1 = Embeddings.pcaProject(df.repartition(3), "id", "vec", comps)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val p2 = Embeddings.pcaProject(df.repartition(9), "id", "vec", comps)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p1 === p2, "projection must not depend on partitioning")
+    // whitened components have ~unit variance (covariance inputs are
+    // 6-dp rounded, so allow a loose tolerance)
+    val w = Embeddings.pcaProject(df, "id", "vec", comps, whiten = true)
+      .collect().map(_.getString(1).split(",").map(_.toDouble))
+    for (c <- 0 until 5) {
+      val xs = w.map(_(c))
+      val mean = xs.sum / xs.length
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(varc - 1.0) < 0.05, s"whitened var comp ${c + 1}: $varc")
+    }
+  }
+}
