@@ -117,4 +117,22 @@ object Evaluation {
         .cast("double") / count(lit(1)), 6).as("brier"),
         count(lit(1)).as("n"))
   }
+
+  /** Recall of an approximate ANN result against the exact (brute-force)
+    * top-k: per query, |approx ∩ exact| / |exact| — the tuning loop for
+    * nProbe / multiProbe / PQ bit budgets (run on a query SAMPLE; the
+    * exact side is the expensive one, and a few hundred queries bound
+    * its cost at any corpus size). Pure integer counts and one divide —
+    * engine-exact. Queries the approximate method missed entirely still
+    * appear (recall 0), via the left join from the exact side. */
+  def annRecall(approx: DataFrame, exact: DataFrame,
+      qidCol: String, idCol: String): DataFrame = {
+    val e = exact.select(col(qidCol), col(idCol))
+    val a = approx.select(col(qidCol), col(idCol)).withColumn("__hit", lit(1L))
+    e.join(a, Seq(qidCol, idCol), "left")
+      .groupBy(qidCol)
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / col("k_exact"), 6))
+  }
 }

@@ -141,6 +141,43 @@ object Sampling {
     val missing = weights.keySet -- counts.keySet
     require(missing.isEmpty,
       s"mixture strata absent from data (target unattainable): ${missing.mkString(", ")}")
+    mixtureWithCounts(df, idCol, strataCol, weights, counts)
+  }
+
+  /** Temperature-scaled mixture (the multilingual-LM "alpha sampling"
+    * rebalance): target proportions ∝ count^(1/T), so T = 1 reproduces
+    * the natural distribution (keeps everything), T → ∞ approaches
+    * uniform (downsample every stratum to the smallest), and values
+    * between soften head-stratum dominance without starving the tail.
+    * One tiny counts job derives the weights; thresholds then ride the
+    * same 16-bit id-hash grid as [[mixture]] — reproducible,
+    * repartition-stable, auditable, recomputable in SQL.
+    *
+    * T = 2 (the gated configuration) uses `sqrt`, which IEEE 754
+    * requires to be correctly rounded — the derived weights are
+    * bit-identical on every engine. General T goes through `pow`,
+    * whose last-ulp behavior is libm-specific; cross-engine
+    * reproducibility there is within an ulp, not exact (documented,
+    * property-gated in spec). */
+  def mixtureTemperature(df: DataFrame, idCol: String, strataCol: String,
+      temperature: Double, strata: Seq[String]): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1: $temperature")
+    require(strata.nonEmpty, "mixtureTemperature needs explicit strata")
+    val counts = df.filter(col(strataCol).isin(strata: _*))
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = strata.toSet -- counts.keySet
+    require(missing.isEmpty,
+      s"strata absent from data: ${missing.mkString(", ")}")
+    val weights = counts.map { case (s, n) =>
+      s -> (if (temperature == 2.0) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, 1.0 / temperature))
+    }
+    mixtureWithCounts(df, idCol, strataCol, weights, counts)
+  }
+
+  private def mixtureWithCounts(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], counts: Map[String, Long]): DataFrame = {
     val cap = weights.map { case (s, w) => counts(s).toDouble / w }.min
     def hexThresh(s: String): String = {
       // the binding stratum (count/w == cap) is kept whole BY IDENTITY

@@ -432,6 +432,21 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4)
     }),
 
+    // the ANN tuning loop: per-query recall of the IVF probe against the
+    // exact brute-force top-k on the same query sample (rows-only — the
+    // approximate side is hash-seeded; hand-computed cases in spec)
+    "eval_ann_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.ops.Evaluation.annRecall(
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "q_id", "q_vec", k = 10),
+        "q_id", "vec_id")
+    }),
+
     // materialized-IVF probe: corpus persisted directory-partitioned by
     // inverted list, probe reads only the probed lists' partitions
     // (rows-only; exact equality with ivfTopK asserted in DedupSpec)
@@ -936,6 +951,15 @@ object PipelineQueries extends QueryGroup {
     "sample_mixture" -> ((s, dir) => {
       Sampling.mixture(Tables.load(s, dir, "documents"), "doc_id", "lang",
           Map("en" -> 0.4, "zh" -> 0.3, "fr" -> 0.3))
+        .select("doc_id", "lang")
+    }),
+
+    // temperature-scaled mixture (alpha sampling): targets ∝ count^(1/T).
+    // T=2 derives weights via sqrt — IEEE-correctly-rounded, so the
+    // whole threshold chain is engine-exact and the gate hash-matches
+    "sample_mixture_temp" -> ((s, dir) => {
+      Sampling.mixtureTemperature(Tables.load(s, dir, "documents"),
+          "doc_id", "lang", 2.0, Seq("en", "zh", "es", "de", "fr"))
         .select("doc_id", "lang")
     }),
 
@@ -1811,6 +1835,20 @@ object PipelineQueries extends QueryGroup {
         "f AS (SELECT lang, cnt / w = cap AS binding, " +
         "  CAST(floor(least(cap * w / cnt, 1.0) * 65536.0) AS INT) AS cells " +
         "  FROM n JOIN w USING (lang) CROSS JOIN c) " +
+        "SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang) " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < " +
+        "CASE WHEN binding OR cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),
+
+    // T=2 mixture: weights = sqrt(count) (correctly rounded per IEEE),
+    // then the same cap/binding/cells chain as sample_mixture
+    "sample_mixture_temp" ->
+      ("WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents " +
+        "  WHERE lang IN ('en','zh','es','de','fr') GROUP BY lang), " +
+        "w AS (SELECT lang, cnt, sqrt(cnt) AS w FROM n), " +
+        "c AS (SELECT min(cnt / w) AS cap FROM w), " +
+        "f AS (SELECT lang, cnt / w = cap AS binding, " +
+        "  CAST(floor(least(cap * w / cnt, 1.0) * 65536.0) AS INT) AS cells " +
+        "  FROM w CROSS JOIN c) " +
         "SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang) " +
         "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < " +
         "CASE WHEN binding OR cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),

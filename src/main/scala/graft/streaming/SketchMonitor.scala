@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming quantile monitor — [[graft.ops.Sketches]]' mergeable KLL
+  * states operationalized over an ingest: every micro-batch is sketched
+  * in one pass (per-partition states, no shuffle), the batch states are
+  * APPENDED to `statePath` (one KB-sized row per batch — the
+  * append-only form of the mergeable-state contract, so a crash between
+  * batches loses nothing and reprocessing a batch id just re-appends an
+  * identical state), and the cumulative distribution is merged-on-read
+  * from all states so far. One long-form row per (batch, prob) lands in
+  * `outPath`: the batch's own quantile next to the corpus-to-date
+  * quantile — the drift view (is THIS batch's p99 where the corpus p99
+  * sits?) the latency/length/score monitors tail.
+  *
+  * Per-batch cost: one batch scan + merging KB-sized sketches (batches
+  * so far × ~5 KB — compact periodically by folding `statePath` through
+  * [[graft.ops.Sketches.quantileMerge]] if the monitor runs for years).
+  */
+object SketchMonitor {
+
+  /** Start the monitor: per-batch + cumulative quantile rows appended
+    * to `outPath`; batch sketch states appended to `statePath`. */
+  def start(spark: SparkSession, stream: DataFrame, valueCol: String,
+      probs: Seq[Double], outPath: String, statePath: String,
+      checkpoint: String, k: Int = 200): StreamingQuery = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1]: $probs")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val states = graft.ops.Sketches.quantileState(batch, valueCol, k)
+          .collect().map(_.getAs[Array[Byte]](0))
+        if (states.nonEmpty) {
+          val bsk = KllDoublesSketch.newHeapInstance(k)
+          states.foreach(b => bsk.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+          import spark.implicits._
+          Seq((batchId, bsk.toByteArray)).toDF("batch_id", "sketch")
+            .write.mode(SaveMode.Append).parquet(statePath)
+          // cumulative = merge-on-read of every state so far (KBs each)
+          val cum = KllDoublesSketch.newHeapInstance(k)
+          spark.read.parquet(statePath).select(col("sketch"))
+            .collect().map(_.getAs[Array[Byte]](0))
+            .foreach(b => cum.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+          probs.map(p => (batchId, p, bsk.getQuantile(p), cum.getQuantile(p),
+              bsk.getN, cum.getN))
+            .toDF("batch_id", "prob", "batch_value", "cum_value", "n_batch", "n_total")
+            .write.mode(SaveMode.Append).parquet(outPath)
+        }
+        ()
+      }
+      .start()
+  }
+}

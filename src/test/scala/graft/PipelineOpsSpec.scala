@@ -435,6 +435,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts("train") > 420 && counts("train") < 540, s"~80% of groups: $counts")
   }
 
+  test("ANN recall: hand-computed overlap, missed queries surface at recall 0") {
+    val s = spark; import s.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (3L, 30L)).toDF("q_id", "vec_id")
+    // q1: 2 of 4 hit (plus a spurious id the exact side doesn't have —
+    // must not count); q2: full hit; q3: approx returned nothing
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 20L), (2L, 21L)).toDF("q_id", "vec_id")
+    val out = graft.ops.Evaluation.annRecall(approx, exact, "q_id", "vec_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 1.0)), 3L -> ((1L, 0L, 0.0))))
+  }
+
+  test("temperature mixture: T=1 keeps the natural mix, large T approaches uniform") {
+    val s = spark; import s.implicits._
+    // skewed strata: a=4000, b=1000, c=250
+    val rows = (1L to 4000L).map((_, "a")) ++ (4001L to 5000L).map((_, "b")) ++
+      (5001L to 5250L).map((_, "c"))
+    val df = rows.toDF("id", "lang").repartition(6)
+    val all = Seq("a", "b", "c")
+    // T=1: weights ∝ counts → every stratum is binding → keep everything
+    assert(Sampling.mixtureTemperature(df, "id", "lang", 1.0, all).count() === 5250L)
+    // T=64 ≈ uniform targets: each stratum ends within ~12% of the
+    // smallest (250), modulo the 16-bit hash grid
+    val flat = Sampling.mixtureTemperature(df, "id", "lang", 64.0, all)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("c") === 250L, "smallest stratum is binding — kept whole")
+    for (l <- Seq("a", "b"))
+      assert(math.abs(flat(l) - 250.0) / 250.0 < 0.12, s"$l: ${flat(l)} vs ~250")
+    // T=2: output proportions ∝ sqrt(counts) — sqrt(4000):sqrt(1000):sqrt(250)
+    // = 4:2:1 after normalizing by the binding stratum
+    val t2 = Sampling.mixtureTemperature(df, "id", "lang", 2.0, all)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t2("c") === 250L)
+    assert(math.abs(t2("a") - 1000.0) / 1000.0 < 0.1, s"a: ${t2("a")} vs ~1000")
+    assert(math.abs(t2("b") - 500.0) / 500.0 < 0.1, s"b: ${t2("b")} vs ~500")
+    // repartition-stable (hash-decided)
+    val again = Sampling.mixtureTemperature(df.repartition(13), "id", "lang", 2.0, all)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.mixtureTemperature(df, "id", "lang", 2.0, all)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
+
   test("weighted sampling: zero weight keeps nothing, full weight keeps everything, deterministic") {
     val s = spark; import s.implicits._
     val df = (1L to 2000L).toDF("id")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{DriftMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
+import graft.streaming.{DriftMonitor, SketchMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
 
 /** Stateful streaming operators: first-arrival dedup
   * (flatMapGroupsWithState) and watermarked windowed aggregation. */
@@ -203,6 +203,35 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(inDist._2 === 200 && shifted._2 === 200)
       assert(inDist._1 < 0.05, s"in-distribution batch psi ${inDist._1}")
       assert(shifted._1 > 0.25, s"shifted batch psi ${shifted._1}")
+    } finally q.stop()
+  }
+
+  test("sketch monitor: per-batch vs cumulative quantiles track a level shift") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-sketchmon").toString
+    val in = MemoryStream[Double]
+    val q = SketchMonitor.start(spark, in.toDF().toDF("v"), "v",
+      Seq(0.5), s"$root/out", s"$root/state", s"$root/ck")
+    try {
+      in.addData((1 to 1000).map(_.toDouble): _*)
+      q.processAllAvailable()
+      in.addData((1001 to 2000).map(_.toDouble): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getLong(0),
+          (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(rows.size === 2)
+      val (b0, b1) = (rows(0L), rows(1L))
+      assert(b0._3 === 1000L && b0._4 === 1000L)
+      assert(b1._3 === 1000L && b1._4 === 2000L, "cumulative n accumulates")
+      // batch 0: p50 of 1..1000 ≈ 500; batch 1's OWN p50 ≈ 1500 (the
+      // level shift) while the cumulative p50 ≈ 1000 (3% rank slack)
+      assert(math.abs(b0._1 - 500) < 60, s"batch0 p50 ${b0._1}")
+      assert(math.abs(b1._1 - 1500) < 60, s"batch1 p50 ${b1._1}")
+      assert(math.abs(b1._2 - 1000) < 120, s"cumulative p50 ${b1._2}")
+      // drift signal: the batch-vs-cumulative gap flags the shift
+      assert(b1._1 - b1._2 > 300)
     } finally q.stop()
   }
 }
