@@ -173,28 +173,53 @@ object Embeddings {
     * d(d+1)/2 × partitions partial rows — never the n·d² pair set. The
     * d×d result is driver-sized by construction (embedding dims are
     * hundreds, not millions). */
-  def covariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def covariance(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    covFinish(covState(df, idCol, vecCol))
+
+  /** Mergeable covariance MOMENT state — the incremental form of
+    * [[covariance]] for the 100 TB maintenance pattern (PCA refresh
+    * without re-scanning the corpus): sketch each new shard's moments
+    * in one pass, fold states associatively ([[covMerge]] — inputs are
+    * d²/2 rows per shard), render on demand ([[covFinish]]). All three
+    * moments are exact decimals, so merged-then-finished is
+    * BIT-IDENTICAL to a from-scratch covariance however the corpus was
+    * sharded — the gate hash-matches the same DuckDB oracle.
+    *
+    * State rows: (di, dj, n, sxy, si, sj) — the per-cell pair moment
+    * plus both marginal sums (each cell row carries its own copy of the
+    * marginals, which keeps the state one self-contained table; they
+    * merge consistently because every cell of a shard sums the same
+    * rows). */
+  def covState(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = df.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .select(col("__id"), (col("__pos") + 1).cast("long").as("di"),
         round(col("__x").cast("double"), 6).as("x"))
-    val moments = e.groupBy("di").agg(count(lit(1)).as("__nd"),
-      sum(col("x").cast("decimal(18,6)")).as("__sd"))
-    val a = e
     val b = e.select(col("__id"), col("di").as("dj"), col("x").as("y"))
-    val pairs = a.join(b, Seq("__id")).filter(col("di") <= col("dj"))
+    e.join(b, Seq("__id")).filter(col("di") <= col("dj"))
       .groupBy("di", "dj")
       .agg(count(lit(1)).as("n"),
-        sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).as("__sxy"))
-    pairs
-      .join(broadcast(moments), "di")
-      .join(broadcast(moments.select(col("di").as("dj"),
-        col("__nd").as("__ndj"), col("__sd").as("__sdj"))), "dj")
-      .select(col("di"), col("dj"), col("n"),
-        round(col("__sxy").cast("double") / col("n") -
-          (col("__sd").cast("double") / col("__nd")) *
-          (col("__sdj").cast("double") / col("__ndj")), 6).as("cov"))
+        sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).as("sxy"),
+        sum(col("x").cast("decimal(18,6)")).as("si"),
+        sum(col("y").cast("decimal(18,6)")).as("sj"))
   }
+
+  /** Associative fold of [[covState]] outputs (any grouping, any order —
+    * counts and decimal sums merge exactly). */
+  def covMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "covMerge needs at least one state")
+    states.reduce(_ unionByName _).groupBy("di", "dj")
+      .agg(sum(col("n")).as("n"), sum(col("sxy")).as("sxy"),
+        sum(col("si")).as("si"), sum(col("sj")).as("sj"))
+  }
+
+  /** Render a (possibly merged) moment state as covariance entries:
+    * cov = E[xy] − E[x]·E[y] in one fixed double chain. */
+  def covFinish(state: DataFrame): DataFrame =
+    state.select(col("di"), col("dj"), col("n").cast("long").as("n"),
+      round(col("sxy").cast("double") / col("n") -
+        (col("si").cast("double") / col("n")) *
+        (col("sj").cast("double") / col("n")), 6).as("cov"))
 
   /** Deterministic cyclic Jacobi eigensolver for small symmetric
     * matrices (the d×d covariance — driver-sized). No randomness: fixed

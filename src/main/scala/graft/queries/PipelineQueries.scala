@@ -432,6 +432,18 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10, nCentroids = 16, nProbe = 4)
     }),
 
+    // filtered vector search (the hybrid "ANN + metadata predicate"
+    // shape): top-k among rows satisfying the predicate — the filter
+    // composes BEFORE the scoring kernel (one scan of the reduced set,
+    // Parquet pushdown applies), not as a post-filter that under-fills k
+    "ann_filtered_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb.filter(col("label") === 3),
+        "vec_id", "embedding", queries, "q_id", "q_vec", k = 10)
+    }),
+
     // the ANN tuning loop: per-query recall of the IVF probe against the
     // exact brute-force top-k on the same query sample (rows-only — the
     // approximate side is hash-seeded; hand-computed cases in spec)
@@ -1108,6 +1120,19 @@ object PipelineQueries extends QueryGroup {
       Embeddings.covariance(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
     }),
 
+    // incremental covariance maintenance: per-shard moment states folded
+    // associatively — merged-then-finished is BIT-identical to the
+    // from-scratch covariance (exact decimal moments), so this entry
+    // shares emb_pca_cov's oracle verbatim
+    "emb_cov_merge" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Embeddings.covFinish(Embeddings.covMerge(Seq(
+        Embeddings.covState(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding"),
+        Embeddings.covState(emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding"))))
+    }),
+
     // PCA projection: deterministic driver-side Jacobi eigensolve of the
     // exact covariance (d×d — n never touches the eigen problem), then a
     // zero-shuffle per-row projection kernel. Rows-only gate (eigensolve
@@ -1216,6 +1241,22 @@ object PipelineQueries extends QueryGroup {
       s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $limit")
 
   private val bm25OracleSql = bm25Sql("'scan', 'merge', 'la'", 10)
+
+  // shared by emb_pca_cov and emb_cov_merge (merged covariance states
+  // are bit-identical to from-scratch by construction)
+  private val covOracleSql: String =
+    ("WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS di, " +
+      "  round(CAST(unnest(embedding) AS DOUBLE), 6) AS x FROM embeddings), " +
+      "m AS (SELECT di, count(*) AS nd, sum(CAST(x AS DECIMAL(18,6))) AS sd FROM e GROUP BY di), " +
+      "p AS (SELECT a.di AS di, b.di AS dj, count(*) AS n, " +
+      "  sum(CAST(round(a.x * b.x, 6) AS DECIMAL(18,6))) AS sxy " +
+      "  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.di <= b.di GROUP BY 1, 2) " +
+      "SELECT p.di, p.dj, p.n, " +
+      // 0.0 + … folds IEEE −0.0 to 0.0 (Spark's BigDecimal round never
+      // emits −0.0; DuckDB's C round does — same device as agg_rollup)
+      "  0.0 + round(CAST(p.sxy AS DOUBLE) / p.n - " +
+      "    (CAST(ma.sd AS DOUBLE) / ma.nd) * (CAST(mb.sd AS DOUBLE) / mb.nd), 6) AS cov " +
+      "FROM p JOIN m ma ON p.di = ma.di JOIN m mb ON p.dj = mb.di")
 
   val oracles: Map[String, String] = Map(
     "text_langid" ->
@@ -1779,6 +1820,21 @@ object PipelineQueries extends QueryGroup {
         "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
         "WHERE rank <= 10"),
 
+    // filtered search: same formula over the label-constrained corpus
+    "ann_filtered_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +
+        "sims AS (SELECT q.q_id, e.vec_id, " +
+        "  list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+        "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / " +
+        "  (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+        "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * " +
+        "   sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1), " +
+        "    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))) AS sim " +
+        "  FROM embeddings e CROSS JOIN q WHERE e.label = 3) " +
+        "SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 10"),
+
     // connected components via recursive transitive closure: r holds every
     // (node, reachable-label) pair; min per node = component representative.
     // The edge predicate is the exact |Δn_chars| <= 2 relation — the Spark
@@ -2002,19 +2058,10 @@ object PipelineQueries extends QueryGroup {
 
     // mirror of Embeddings.covariance: 6-dp-rounded elements, exact
     // decimal second moments, the same E[xy] − E[x]E[y] double chain
-    "emb_pca_cov" ->
-      ("WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS di, " +
-        "  round(CAST(unnest(embedding) AS DOUBLE), 6) AS x FROM embeddings), " +
-        "m AS (SELECT di, count(*) AS nd, sum(CAST(x AS DECIMAL(18,6))) AS sd FROM e GROUP BY di), " +
-        "p AS (SELECT a.di AS di, b.di AS dj, count(*) AS n, " +
-        "  sum(CAST(round(a.x * b.x, 6) AS DECIMAL(18,6))) AS sxy " +
-        "  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.di <= b.di GROUP BY 1, 2) " +
-        "SELECT p.di, p.dj, p.n, " +
-        // 0.0 + … folds IEEE −0.0 to 0.0 (Spark's BigDecimal round never
-        // emits −0.0; DuckDB's C round does — same device as agg_rollup)
-        "  0.0 + round(CAST(p.sxy AS DOUBLE) / p.n - " +
-        "    (CAST(ma.sd AS DOUBLE) / ma.nd) * (CAST(mb.sd AS DOUBLE) / mb.nd), 6) AS cov " +
-        "FROM p JOIN m ma ON p.di = ma.di JOIN m mb ON p.dj = mb.di"),
+    "emb_pca_cov" -> covOracleSql,
+
+    // merged states are bit-identical to from-scratch — same oracle
+    "emb_cov_merge" -> covOracleSql,
 
     "text_top_terms" ->
       ("SELECT lang, tok, cnt, rnk FROM (" +

@@ -84,6 +84,24 @@ class EmbeddingPcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ef1 > 0.99, s"planted direction owns the variance: $ef1")
   }
 
+  test("covariance states: merged shards are bit-identical to from-scratch") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 300L).map(i => (i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec").repartition(7)
+    val direct = Embeddings.covariance(df, "id", "vec")
+      .orderBy("di", "dj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // three uneven shards
+    val merged = Embeddings.covFinish(Embeddings.covMerge(Seq(
+        Embeddings.covState(df.filter(col("id") <= 50), "id", "vec"),
+        Embeddings.covState(df.filter(col("id") > 50 && col("id") <= 260), "id", "vec"),
+        Embeddings.covState(df.filter(col("id") > 260), "id", "vec"))))
+      .orderBy("di", "dj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(merged.toSeq === direct.toSeq)
+  }
+
   test("covariance is partition-invariant bit-for-bit") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(3)
