@@ -41,9 +41,13 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup (not timed): same plans on tiny data → codegen cache warm
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+    // warmup (not timed): same plans on tiny data → codegen cache warm.
+    // Failures here are only logged — the timed passes capture them as
+    // hard per-query errors below.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try run(fn(spark, warmDir)) catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] $name failed: ${e.getClass.getSimpleName}")
+      }
     }
 
     // JIT-state telemetry per query: a long-lived codegen-heavy JVM can
@@ -60,27 +64,41 @@ object Bench {
       s"code=${code}MB jitMs=$jit gcMs=$gc"
     }
 
-    // Two timed passes, per-query MIN: this host shows 100-300 s
+    // Two FULL timed passes, per-query MIN: this host shows 100-300 s
     // hypervisor CPU-steal windows (frozen gc/jit counters while trivial
     // scans take 10-100x) that contaminate whichever queries they land
     // on; a window long enough to cover the same query in both passes is
-    // rare, so the min is the steady-state number. Pass 2 only re-times
-    // queries that exceeded 1 s in pass 1 — a sub-second pass-1 number is
-    // already clean, and a contaminated query is >1 s by definition — so
-    // the second pass costs only the heavy tail. (Queries with side
-    // effects are already idempotent — warmup runs them once too.)
+    // rare, so the min is the steady-state number. Pass 2 re-times EVERY
+    // query — r4's ">1 s only" shortcut let a steal window inflate nine
+    // sub-second filter queries ~10x with no second sample to correct
+    // them. (Queries with side effects are already idempotent — warmup
+    // runs them once too.)
+    //
+    // A query that throws is a hard FAILURE, not a 0.05 s success:
+    // recorded in `errors`, excluded from timings, and the process exits
+    // nonzero — this is the guard that would have caught r4's eight
+    // silently-broken timestamp queries in-round.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def pass(tag: String, names: Set[String]): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => names.contains(name) }
-        .map { case (name, fn) =>
+        .flatMap { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+          val ok =
+            try { run(fn(spark, sfDir)); true }
+            catch { case e: Throwable =>
+              errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+              System.err.println(s"[bench$tag] $name FAILED: ${errors(name)}")
+              false
+            }
           val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench$tag] $name%-28s $dt%8.2f s  ${jvmStats()}")
-          name -> dt
+          if (ok) {
+            System.err.println(f"[bench$tag] $name%-28s $dt%8.2f s  ${jvmStats()}")
+            Some(name -> dt)
+          } else None
         }
     val p1 = pass("1", SparkEntry.queries.keySet)
-    val p2 = pass("2", p1.filter(_._2 > 1.0).map(_._1).toSet).toMap
+    val p2 = pass("2", p1.map(_._1).toSet).toMap
     val results = p1.map { case (name, t1) =>
       name -> math.min(t1, p2.getOrElse(name, t1))
     }
@@ -91,13 +109,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
 
     // Full per-query line (the complete record; also persisted to a repo
     // file because the driver's output capture keeps only the last ~2000
     // chars — this line alone overflows that window, which left
     // BENCH_r01/r02 with parsed=null).
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -112,7 +138,12 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"groups":$groups,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"groups":$groups,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} QUERIES FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -10,12 +10,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Engine time-axis contract: the version/event column `ts` is ALWAYS
+    * an epoch-nanos long after load. The generator has shipped it both as
+    * parquet TIMESTAMP(NANOS) (read as long via nanosAsLong — exact) and
+    * as timestamp[us] (surfaces as TIMESTAMP_NTZ in Spark 4) — normalize
+    * the latter here with `unix_micros * 1000` (exact: µs → ns widens),
+    * so every nanos literal, gap, TTL horizon and as-of tolerance
+    * downstream stays unit-correct regardless of the file encoding.
+    * Other timestamp columns (o_orderdate, l_shipdate) keep their native
+    * type — only the versioned-cell axis has a long contract.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; read it as epoch-nanos long (exact — no truncation, so
-    // ts comparisons/joins match DuckDB's native ns timestamps bit-for-bit)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // NTZ→TIMESTAMP cast reads the wall clock in the session zone; pin
+    // UTC so the epoch value is the file's wall clock, everywhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   /** Epoch-nanos literal for a UTC wall-clock string `yyyy-MM-dd HH:mm:ss`

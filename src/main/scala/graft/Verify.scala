@@ -24,13 +24,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name FAILED: ${errors(name)}")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +51,18 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that fails to run would otherwise just be a missing parquet
+    // dir — invisible in the compare. Persist the failure list so a broken
+    // query is a red artifact, not an absent row (r4 lost 8 queries this
+    // way). Exit stays 0: the driver's DuckDB compare must still run for
+    // every query that DID dump.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} QUERIES FAILED: " +
+        errors.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

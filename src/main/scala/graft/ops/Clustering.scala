@@ -53,18 +53,23 @@ object Clustering {
     var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
+        .select(col("dst").as("id"), col("lbl"), lit(0).as("__own"))
       // pointer jumping: follow the current label one hop (label-of-label)
       val l2 = labels.select(col("id"), col("lbl").as("__via"))
         .join(labels.select(col("id").as("__via"), col("lbl")), "__via")
-        .select("id", "lbl")
-      val next = labels.unionByName(prop).unionByName(l2)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+        .select(col("id"), col("lbl"), lit(0).as("__own"))
+      // convergence detection rides the SAME aggregate: the one __own=1
+      // row per id carries the previous label out as `prev`, so "did
+      // anything change" is a trivial filter over the eagerly
+      // checkpointed result — no second join, no recompute (r4 paid a
+      // full extra join+count job per round here).
+      val next = labels.withColumn("__own", lit(1))
+        .unionByName(prop).unionByName(l2)
+        .groupBy("id").agg(min("lbl").as("lbl"),
+          max(when(col("__own") === 1, col("lbl"))).as("prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      labels = next.select("id", "lbl")
       iter += 1
     }
     if (!converged) {

@@ -35,7 +35,13 @@ object Embeddings {
     * Kernel (`mapPartitions`), not higher-order functions — the
     * interpreted-HOF cost and the O(dims·outDim) inner loop belong in
     * JVM code. Gate: distance-preservation + determinism properties in
-    * PipelineOpsSpec (a hash-seeded artifact has no SQL oracle). */
+    * PipelineOpsSpec (a hash-seeded artifact has no SQL oracle).
+    *
+    * Output carries the projection twice: `proj` (Array[Float], the API
+    * surface downstream ANN/clustering consumes) and `proj_csv` (6-dp
+    * text — the same stable-compare device as [[quantizeInt8]]'s `q_csv`
+    * and [[pcaProject]]'s `proj_csv`; array columns are unsortable in
+    * the driver's pandas compare). */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int, seed: Long): DataFrame = {
     require(outDim > 0, s"outDim must be positive: $outDim")
@@ -45,6 +51,7 @@ object Embeddings {
     df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) =>
         val out = new Array[Float](outDim)
+        val sb = new StringBuilder
         var j = 0
         while (j < outDim) {
           var acc = 0.0
@@ -59,10 +66,12 @@ object Embeddings {
             d += 1
           }
           out(j) = (acc * scale).toFloat
+          if (j > 0) sb.append(',')
+          sb.append(roundAway(out(j).toDouble * 1e6) / 1e6)
           j += 1
         }
-        (id, out)
-      }).toDF(idCol, "proj")
+        (id, out, sb.toString)
+      }).toDF(idCol, "proj", "proj_csv")
   }
 
   /** Per-vector L2 stats: (idCol, dim, norm) with norm rounded to 6dp.
@@ -189,19 +198,124 @@ object Embeddings {
     * plus both marginal sums (each cell row carries its own copy of the
     * marginals, which keeps the state one self-contained table; they
     * merge consistently because every cell of a shard sums the same
-    * rows). */
+    * rows).
+    *
+    * Shape: a `mapPartitions` kernel holding d(d+1)/2 fixed-point (6-dp
+    * scaled long) accumulators per task — each task streams its rows
+    * once and emits ONE partial row per populated cell, so the only
+    * shuffle is P·d²/2 partial rows into the final (di,dj) fold. (The
+    * previous form posexploded both sides of a self-join on the vector
+    * id: correct, but it shuffled the 2·n·d exploded corpus to co-locate
+    * and pushed n·d²/2 joined rows into the aggregate — at 100 TB that
+    * join IS the job. The kernel shuffles kilobytes per task.) Per-task
+    * memory is 4·8·d²/2 bytes (d=1000 → 16 MB) — the d where that bites
+    * is far past where the join shape died. Fixed-point semantics
+    * reproduce the old plan's decimal chain exactly: per-element
+    * `round(x,6)` and per-product `round(x·y,6)` via the same
+    * shortest-repr HALF_UP rounding Spark's `round`/decimal-cast apply
+    * (fast double path, BigDecimal only within 1e-6 of a tie), sums as
+    * scaled longs → DECIMAL(18,6) partials — so state folds and final
+    * covariances stay BIT-IDENTICAL to the join form and the DuckDB
+    * oracle. */
   def covState(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val e = df.select(col(idCol).as("__id"),
-        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
-      .select(col("__id"), (col("__pos") + 1).cast("long").as("di"),
-        round(col("__x").cast("double"), 6).as("x"))
-    val b = e.select(col("__id"), col("di").as("dj"), col("x").as("y"))
-    e.join(b, Seq("__id")).filter(col("di") <= col("dj"))
-      .groupBy("di", "dj")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).as("sxy"),
-        sum(col("x").cast("decimal(18,6)")).as("si"),
-        sum(col("y").cast("decimal(18,6)")).as("sj"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var d = 0
+        var cnt: Array[Long] = null // cell = di*(2*d-di-1)/2 + dj (0-based, di<=dj)
+        var sxy: Array[Long] = null
+        var si: Array[Long] = null
+        var sj: Array[Long] = null
+        var xd: Array[Double] = new Array[Double](0)
+        var xi: Array[Long] = new Array[Long](0)
+        def grow(nd: Int): Unit = {
+          val cells = nd * (nd + 1) / 2
+          val (c0, x0, i0, j0) = (cnt, sxy, si, sj)
+          cnt = new Array[Long](cells); sxy = new Array[Long](cells)
+          si = new Array[Long](cells); sj = new Array[Long](cells)
+          if (c0 != null) {
+            // re-index old triangle cells into the wider triangle
+            var p = 0; var q = 0
+            while (p < d) {
+              var r = p
+              while (r < d) {
+                val nc = p * (2 * nd - p - 1) / 2 + r
+                cnt(nc) = c0(q); sxy(nc) = x0(q); si(nc) = i0(q); sj(nc) = j0(q)
+                r += 1; q += 1
+              }
+              p += 1
+            }
+          }
+          d = nd
+          xd = new Array[Double](nd); xi = new Array[Long](nd)
+        }
+        it.foreach { case (_, v) =>
+          if (v.length > d) grow(v.length)
+          var i = 0
+          while (i < v.length) {
+            val u = round6Unscaled(v(i).toDouble)
+            xi(i) = u; xd(i) = u / 1e6
+            i += 1
+          }
+          i = 0
+          while (i < v.length) {
+            val base = i * (2 * d - i - 1) / 2
+            var j = i
+            while (j < v.length) {
+              val c = base + j
+              cnt(c) += 1L
+              sxy(c) += round6Unscaled(xd(i) * xd(j))
+              si(c) += xi(i); sj(c) += xi(j)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+        var i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) {
+            val c = i * (2 * d - i - 1) / 2 + j
+            if (cnt(c) > 0)
+              out += (((i + 1).toLong, (j + 1).toLong, cnt(c), sxy(c), si(c), sj(c)))
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("di", "dj", "n", "sxy6", "si6", "sj6")
+    // scaled-long partials → DECIMAL state: sum in decimal (a long sum
+    // overflows past ~1e11 rows), then /10^6 — exact, the long IS the
+    // unscaled 6-dp value — and trim to the state scale.
+    partials.groupBy("di", "dj")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sxy6").cast("decimal(28,0)")).as("__sxy"),
+        sum(col("si6").cast("decimal(28,0)")).as("__si"),
+        sum(col("sj6").cast("decimal(28,0)")).as("__sj"))
+      .select(col("di"), col("dj"), col("n"),
+        (col("__sxy") / lit(1000000)).cast("decimal(28,6)").as("sxy"),
+        (col("__si") / lit(1000000)).cast("decimal(28,6)").as("si"),
+        (col("__sj") / lit(1000000)).cast("decimal(28,6)").as("sj"))
+  }
+
+  /** 6-dp HALF_UP rounding of a double, returned as the scaled long
+    * (value·10⁶) — bit-compatible with Spark's `round(x, 6)` / DuckDB's
+    * `round`, both of which round the SHORTEST DECIMAL REPRESENTATION of
+    * the double (`BigDecimal.valueOf`). Fast double path; the exact
+    * BigDecimal path only within 1e-6 of a tie boundary, where the two
+    * could disagree (double scaling error is <1e-7 at |x|≤1e8). */
+  private def round6Unscaled(x: Double): Long = {
+    val y = x * 1e6
+    val ay = math.abs(y)
+    val fr = ay - math.floor(ay)
+    if (math.abs(fr - 0.5) < 1e-6)
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    else if (y >= 0) math.floor(y + 0.5).toLong
+    else math.ceil(y - 0.5).toLong
   }
 
   /** Associative fold of [[covState]] outputs (any grouping, any order —

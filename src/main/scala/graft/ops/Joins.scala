@@ -37,6 +37,14 @@ object Joins {
     * Requirements (enforced): right payload column names must not collide
     * with left columns; right (key, ts) pairs should be unique for a
     * deterministic pick (pre-aggregate duplicates away).
+    *
+    * UNIT CONTRACT: `tolerance` is in the unit `axis` produces for the
+    * ts columns — MICROSECONDS for TIMESTAMP/TIMESTAMP_NTZ columns, the
+    * column's own unit for numeric columns (epoch-NANOS for the engine's
+    * `ts` axis, which `Tables.load` guarantees). Passing a wall-clock
+    * duration against an unknown column type silently scales the bound
+    * by 1000x (the r4 `join_asof_forward` failure) — prefer the
+    * `java.time.Duration` overload, which converts per detected type.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
@@ -84,6 +92,23 @@ object Joins {
       .select((left.columns.map(col) ++
         payload.map(c =>
           when(keep, col("__last").getField(c)).as(c))).toSeq: _*)
+  }
+
+  /** As-of join with a wall-clock staleness bound. Converts `tolerance`
+    * into the axis unit of `leftTs` per its detected type — micros for
+    * TIMESTAMP/TIMESTAMP_NTZ, nanos for a numeric column (the engine's
+    * `Tables.load` epoch-nanos contract) — so a testdata re-encode of the
+    * time column can never silently rescale the bound. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, direction: String,
+      tolerance: java.time.Duration): DataFrame = {
+    val units = left.schema(leftTs).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        tolerance.toNanos / 1000L
+      case _ => tolerance.toNanos
+    }
+    asOfJoin(left, right, keyCols, leftTs, rightTs, direction, Some(units))
   }
 
   /** Point-in-interval join: pair each point row with every interval row

@@ -674,4 +674,45 @@ object Profiling {
     clean.groupBy(bucketOf(v, edges).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), min(v).as("vmin"), max(v).as("vmax"))
   }
+
+  /** Per-key recency-weighted (half-life decayed) value aggregate — the
+    * feature-engineering staple behind "recent activity" signals: each
+    * row contributes `value · 0.5^k`, where `k` is the number of WHOLE
+    * half-lives between the row's timestamp and `refTs` (step decay;
+    * rows after `refTs` count at full weight, k = 0). Returns
+    * (groupCols..., n, decayed_sum).
+    *
+    * Step decay, not continuous `exp(−λΔt)`, on purpose: `k` is exact
+    * integer arithmetic on the nanos axis and `0.5^k` is an exact
+    * binary double for any k, so each term is ONE double multiply +
+    * 6-dp round — reproducible bit-for-bit across engines and
+    * partitionings (continuous decay hangs the result on `exp`/`pow`
+    * libm ULPs, which differ across engines). Terms are decimal-summed
+    * (order-independent) — the same determinism device as the agg
+    * suite. One map-side-combined groupBy; nothing else.
+    *
+    * @param tsCol epoch-nanos long (the [[graft.Tables]] `ts` contract)
+    * @param refTs epoch-nanos reference instant (e.g. "now")
+    * @param halfLifeNs half-life in nanos, > 0
+    */
+  def decaySum(df: DataFrame, groupCols: Seq[String], tsCol: String,
+      valueCol: String, refTs: Long, halfLifeNs: Long): DataFrame = {
+    require(groupCols.nonEmpty, "decaySum needs at least one group column")
+    require(halfLifeNs > 0, s"halfLifeNs must be positive: $halfLifeNs")
+    val v = col(valueCol).cast("double")
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(v) &&
+      col(tsCol).isNotNull)
+    // clamp BEFORE the integer division: trunc-vs-floor division only
+    // disagrees on negatives, so keeping the dividend non-negative makes
+    // Spark `div` and the oracle's `//` provably identical
+    val k = expr(s"greatest(${refTs}L - $tsCol, 0L) div ${halfLifeNs}L")
+    // 0.5^k via pow is exact (binary power, integer exponent); cap k at
+    // 1074 (smallest subnormal) so huge ages are an exact 0.0, not a
+    // libm edge case
+    val wgt = pow(lit(0.5), least(k, lit(1074L)).cast("double"))
+    clean.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(v * wgt, 6).cast("decimal(18,6)")).cast("double"), 6)
+          .as("decayed_sum"))
+  }
 }

@@ -284,6 +284,37 @@ object Similarity {
     rankTopK(partial, qidCol, idCol, k)
   }
 
+  /** Append new vectors to a materialized IVF index ([[buildIvfIndex]])
+    * WITHOUT retraining: each new vector is assigned to its nearest
+    * EXISTING centroid and written into that inverted list's partition
+    * (parquet append — new files land inside the right `list_id=`
+    * directories, old files untouched). The ingest-side half of the
+    * "never re-scan the corpus" maintenance pattern the mergeable-state
+    * family established: index growth is O(batch), probes keep their
+    * partition-pruned cost, and [[ivfIndexTopK]] sees the new vectors
+    * immediately. Assignment is deterministic given the stored
+    * centroids, so append order/batching cannot change any probe's
+    * result set (spec-gated: batched appends ≡ one-shot append,
+    * bit-identical top-k). Retrain (rebuild) when drift makes the
+    * frozen centroids a bad partition of the newer corpus — the same
+    * rebuild-cadence judgement every IVF deployment makes. */
+  def ivfIndexAppend(spark: SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"no centroids at $path — build the index first")
+    val cb = spark.sparkContext.broadcast(cents)
+    newVecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.map { case (id, v) => (id, v, VecKernel.nearestCentroids(v, cs, 1)(0)) }
+      }.toDF(idCol, vecCol, "list_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * LSH signature (candidates share a bucket) — the embedding flavour of
     * [[Dedup]]. Exact cosine verify on candidates only; the signature

@@ -152,7 +152,7 @@ object JoinQueries extends QueryGroup {
         .groupBy(col("user_id"), col("ts").as("v_ts"))
         .agg(min(col("event_id")).as("next_view_id"))
       Joins.asOfJoin(clicks, views, Seq("user_id"), "ts", "v_ts",
-        direction = "forward", tolerance = Some(600L * 1000000000L))
+        direction = "forward", tolerance = java.time.Duration.ofMinutes(10))
         .select("event_id", "user_id", "next_view_id")
     }),
 

@@ -158,6 +158,7 @@ object PipelineQueries extends QueryGroup {
     "emb_project" -> ((s, dir) => {
       graft.ops.Embeddings.randomProject(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 16, 42L)
+        .select("vec_id", "proj_csv")
     }),
 
     // max-min fair char-budget allocation across languages (water-fill
@@ -467,6 +468,31 @@ object PipelineQueries extends QueryGroup {
       val path = graft.GraftEngine.tablePath(dir, "ivf_emb")
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/lists/_SUCCESS")))
         Similarity.buildIvfIndex(emb, "vec_id", "embedding", path)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfIndexTopK(s, path, queries, "q_id", "q_vec", k = 10, nProbe = 4)
+    }),
+
+    // incremental IVF maintenance: index built on the even half, odd
+    // half APPENDED against the frozen centroids (no retrain, O(batch)
+    // ingest), then probed — the ANN counterpart of search_bm25_incr.
+    // Rows-only (FP ranking); batched-append ≡ one-shot equivalence is
+    // spec-gated in SimilaritySearchSpec/PipelineOpsSpec.
+    "ann_ivf_append_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = graft.GraftEngine.tablePath(dir, "ivf_emb_app")
+      val marker = java.nio.file.Paths.get(s"$path/_APPENDED")
+      if (!java.nio.file.Files.exists(marker)) {
+        // appends are not idempotent — rebuild from scratch if the
+        // marker is missing (half-done state from a dead process)
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        Similarity.buildIvfIndex(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding", path)
+        Similarity.ivfIndexAppend(s, path,
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+        java.nio.file.Files.createFile(marker)
+      }
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfIndexTopK(s, path, queries, "q_id", "q_vec", k = 10, nProbe = 4)
@@ -1016,6 +1042,34 @@ object PipelineQueries extends QueryGroup {
         .withColumn("doc_id", col("doc_id") + 1000000L)
       graft.ops.Snapshots.snapshotDiff(d, base.unionByName(added),
         "doc_id", Seq("n_chars"))
+    }),
+
+    // SCD2 dimension build from the event changelog: version intervals
+    // of each (user, event_type)'s props — run-collapse lag + running
+    // version sum + lead close-out, all on one (key, ts) sort
+    "pipeline_scd2" -> ((s, dir) => {
+      graft.ops.Snapshots.scd2(
+          Tables.load(s, dir, "events")
+            .select("user_id", "event_type", "ts", "event_id", "props"),
+          Seq("user_id", "event_type"), "ts", Seq("props"), Seq("event_id"))
+        // open-end sentinel instead of NULL valid_to: a nullable int64
+        // column round-trips through pandas as float64 and 1e18 nanos
+        // values lose low bits — the standard SCD2 "9999-12-31"-style
+        // high date, pinned to a value both engines express exactly
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit(Tables.tsNanos("2100-01-01 00:00:00"))))
+        .select("user_id", "event_type", "props",
+          "valid_from", "valid_to", "is_current")
+    }),
+
+    // recency-weighted activity: per-user half-life-decayed value sum
+    // (step decay — exact integer half-life count, exact 2^-k weight,
+    // decimal term sums → engine-reproducible bit-for-bit)
+    "events_decay" -> ((s, dir) => {
+      graft.ops.Profiling.decaySum(
+        Tables.load(s, dir, "events"), Seq("user_id"), "ts", "value",
+        refTs = Tables.tsNanos("2024-02-01 00:00:00"),
+        halfLifeNs = 7L * 24 * 3600 * 1000000000L)
     }),
 
     // batch sessionization of the event log: 30-minute-gap sessions per
@@ -1944,6 +1998,37 @@ object PipelineQueries extends QueryGroup {
         "       WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' END AS change " +
         "  FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, change FROM d WHERE change IS NOT NULL"),
+
+    // SCD2: run-collapse on props per (user, event_type), intervals by
+    // lead over run starts. IS DISTINCT FROM = the engine's null-safe
+    // change flag; min(props) within a version is well-defined (all
+    // rows of a run hold the identical value by construction)
+    "pipeline_scd2" ->
+      ("WITH x AS (SELECT user_id, event_type, ts, event_id, props, " +
+        "  CASE WHEN lag(ts) OVER w IS NULL " +
+        "    OR props IS DISTINCT FROM lag(props) OVER w THEN 1 ELSE 0 END AS chg " +
+        "  FROM events WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)), " +
+        " v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id, event_type " +
+        "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver FROM x), " +
+        // valid_from/valid_to as epoch-ns BIGINT — the engine's ts axis
+        // is nanos-long and the compare is a raw string diff
+        " c AS (SELECT user_id, event_type, ver, epoch_ns(min(ts)) AS valid_from, " +
+        "    min(props) AS props FROM v GROUP BY user_id, event_type, ver) " +
+        "SELECT user_id, event_type, props, valid_from, " +
+        "  coalesce(lead(valid_from) OVER w2, 4102444800000000000) AS valid_to, " +
+        "  lead(valid_from) OVER w2 IS NULL AS is_current " +
+        "FROM c WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY valid_from)"),
+
+    // step decay: k = whole 7-day half-lives before the 2024-02-01 ref
+    // (clamped non-negative BEFORE the integer division — floor vs trunc
+    // never disagrees on non-negatives), 0.5^k exact, decimal term sums
+    "events_decay" ->
+      ("SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "  round(CAST(sum(CAST(round(value * power(0.5, CAST(least(" +
+        "    greatest(1706745600000000000 - epoch_ns(ts), 0) // 604800000000000, " +
+        "    1074) AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS decayed_sum " +
+        "FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "  AND ts IS NOT NULL GROUP BY user_id"),
 
     // 30 min = 1.8e12 ns; lag NULL on the first event of a user → CASE
     // ELSE 0 on both engines; CAST around the window sum (DuckDB sums

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Profiling, Similarity, Snapshots}
+
+/** Properties of the round-5 additions: SCD2 interval build, half-life
+  * decay aggregation, and incremental IVF append. */
+class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("SnapshotDecaySpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("scd2: runs collapse, intervals chain, last version is current") {
+    val s = spark; import s.implicits._
+    // key 1: a,a,b,a → versions a[10,30) b[30,40) a[40,∞)
+    // key 2: single row → one current version
+    val log = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "a"), (2L, 15L, 5L, "x"))
+      .toDF("k", "ts", "id", "attr").repartition(3)
+    val out = Snapshots.scd2(log, Seq("k"), "ts", Seq("attr"), Seq("id"))
+      .orderBy("k", "valid_from")
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10L, 30L, false),
+      (1L, "b", 30L, 40L, false),
+      (1L, "a", 40L, -1L, true),
+      (2L, "x", 15L, -1L, true)))
+  }
+
+  test("scd2: null-safe change detection (null attr is its own version)") {
+    val s = spark; import s.implicits._
+    val log = Seq((1L, 1L, 1L, Some("a")), (1L, 2L, 2L, None),
+      (1L, 3L, 3L, None), (1L, 4L, 4L, Some("a")))
+      .toDF("k", "ts", "id", "attr")
+    val out = Snapshots.scd2(log, Seq("k"), "ts", Seq("attr"), Seq("id"))
+    assert(out.count() == 3) // a | null-run | a
+  }
+
+  test("scd2 is partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val log = (1L to 2000L).map { i =>
+      (i % 20, i, i, s"v${rnd.nextInt(3)}")
+    }.toDF("k", "ts", "id", "attr")
+    def run(parts: Int) =
+      Snapshots.scd2(log.repartition(parts), Seq("k"), "ts", Seq("attr"), Seq("id"))
+        .orderBy("k", "valid_from").collect().toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("decaySum: hand-computed half-life weights, nulls/NaNs dropped") {
+    val s = spark; import s.implicits._
+    val hl = 100L
+    val ref = 1000L
+    // ages 0, 100, 250, -50(future→k=0); plus a NaN and a null row
+    val df = Seq(
+      (1L, 1000L, Some(8.0)), (1L, 900L, Some(8.0)), (1L, 750L, Some(8.0)),
+      (1L, 1050L, Some(8.0)), (1L, 800L, Some(Double.NaN)), (1L, 700L, None))
+      .toDF("u", "ts", "value")
+    val out = Profiling.decaySum(df, Seq("u"), "ts", "value", ref, hl).head()
+    assert(out.getLong(1) == 4L)
+    // 8*1 + 8*0.5 + 8*0.25 + 8*1 = 22.0
+    assert(out.getDouble(2) == 22.0)
+  }
+
+  test("decaySum is partitioning-invariant (decimal term sums)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 5000L).map(i =>
+      (i % 7, 1000000L - rnd.nextInt(100000).toLong, rnd.nextDouble() * 10))
+      .toDF("u", "ts", "value")
+    def run(parts: Int) =
+      Profiling.decaySum(df.repartition(parts), Seq("u"), "ts", "value",
+        1000000L, 10000L).orderBy("u").collect().toSeq
+    assert(run(1) == run(8))
+  }
+
+  test("ivfIndexAppend: batched appends == one-shot append, bit-identical probes") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val all = (1L to 400L).map(i => (i, vec()))
+    val base = all.filter(_._1 <= 200)
+    val addA = all.filter(x => x._1 > 200 && x._1 <= 300)
+    val addB = all.filter(_._1 > 300)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    val (p1, p2) = (s"$dir/batched", s"$dir/oneshot")
+    Similarity.buildIvfIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding", p1, nCentroids = 4)
+    Similarity.ivfIndexAppend(s, p1, addA.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    Similarity.ivfIndexAppend(s, p1, addB.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    Similarity.buildIvfIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding", p2, nCentroids = 4)
+    Similarity.ivfIndexAppend(s, p2, (addA ++ addB).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val qs = all.take(5).map { case (i, v) => (i, v) }.toDF("q_id", "q_vec")
+    def probe(p: String) =
+      Similarity.ivfIndexTopK(s, p, qs, "q_id", "q_vec", k = 5, nProbe = 2)
+        .orderBy("q_id", "rank").collect().toSeq
+    assert(probe(p1) == probe(p2))
+  }
+
+  test("ivfIndexAppend: appended vectors are immediately retrievable") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val base = (1L to 200L).map(i => (i, vec()))
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp2").toString
+    Similarity.buildIvfIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, nCentroids = 4)
+    // append an exact copy of vector 7 under a new id — nProbe=all lists
+    // makes the probe exact, so the copy MUST surface at similarity ~1
+    val copy = Seq((9999L, base(6)._2)).toDF("vec_id", "embedding")
+    Similarity.ivfIndexAppend(s, dir, copy, "vec_id", "embedding")
+    val q = Seq((7L, base(6)._2)).toDF("q_id", "q_vec")
+    val top = Similarity.ivfIndexTopK(s, dir, q, "q_id", "q_vec", k = 2, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top == Set(7L, 9999L))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canary for the driver-generated testdata: asserts the column types the
+  * engine assumes AFTER `Tables.load` normalization. The r4 regeneration
+  * silently changed `events.ts` from epoch-nanos INT64 to parquet
+  * timestamp[us] and eight timestamp queries dropped out of the
+  * correctness run with no red signal — this spec turns the next silent
+  * re-encode into a failing test naming the drifted column.
+  *
+  * Runs against the smallest generated dir; skips (with a loud message)
+  * if the testdata tree is absent, so `sbt test` still passes in a bare
+  * checkout.
+  */
+class TestdataContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("TestdataContractSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def haveData = new java.io.File(s"$sfDir/events.parquet").exists()
+
+  private def typeOf(table: String, column: String): DataType =
+    Tables.load(spark, sfDir, table).schema(column).dataType
+
+  test("every contract table loads") {
+    assume(haveData, s"testdata absent at $sfDir")
+    Tables.names.foreach { t =>
+      val df = Tables.load(spark, sfDir, t)
+      assert(df.columns.nonEmpty, s"table $t has no columns")
+    }
+  }
+
+  test("events.ts is epoch-nanos LONG after load (the engine time axis)") {
+    assume(haveData, s"testdata absent at $sfDir")
+    assert(typeOf("events", "ts") == LongType,
+      "Tables.load must normalize the ts axis to epoch-nanos long — " +
+        "every nanos literal/gap/TTL/tolerance downstream depends on it")
+    // value-range sanity: 2020..2040 in NANOS. An un-rescaled micros or
+    // millis axis lands orders of magnitude outside this window.
+    val mm = Tables.load(spark, sfDir, "events")
+      .selectExpr("min(ts)", "max(ts)").head()
+    val lo = Tables.tsNanos("2020-01-01 00:00:00")
+    val hi = Tables.tsNanos("2040-01-01 00:00:00")
+    assert(mm.getLong(0) >= lo && mm.getLong(1) < hi,
+      s"events.ts range [${mm.getLong(0)}, ${mm.getLong(1)}] is not " +
+        "nanos-in-(2020..2040) — time axis mis-scaled at load")
+  }
+
+  test("key analytic columns keep their contracted types") {
+    assume(haveData, s"testdata absent at $sfDir")
+    assert(typeOf("events", "event_id") == LongType)
+    assert(typeOf("events", "user_id") == LongType)
+    assert(typeOf("events", "event_type") == StringType)
+    assert(typeOf("events", "value") == DoubleType)
+    assert(typeOf("embeddings", "vec_id") == LongType)
+    assert(typeOf("embeddings", "embedding") == ArrayType(FloatType, containsNull = true) ||
+      typeOf("embeddings", "embedding") == ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding must be array<float>, got ${typeOf("embeddings", "embedding")}")
+    assert(typeOf("documents", "doc_id") == LongType)
+    assert(typeOf("documents", "text") == StringType)
+    assert(typeOf("documents", "n_chars") == LongType)
+    assert(typeOf("lineitem", "l_quantity") == DoubleType)
+    assert(typeOf("customer", "c_custkey") == LongType)
+    // date-ish columns may arrive as DATE or TIMESTAMP[*] — queries only
+    // bucket/order them — but must never be strings or bare longs
+    val dateLike = Set[DataType](DateType, TimestampType, TimestampNTZType)
+    assert(dateLike.contains(typeOf("orders", "o_orderdate")),
+      s"o_orderdate must be date/timestamp, got ${typeOf("orders", "o_orderdate")}")
+    assert(dateLike.contains(typeOf("lineitem", "l_shipdate")),
+      s"l_shipdate must be date/timestamp, got ${typeOf("lineitem", "l_shipdate")}")
+  }
+}
