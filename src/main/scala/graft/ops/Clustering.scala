@@ -124,23 +124,32 @@ object Clustering {
       .dropDuplicates("id").localCheckpoint(true)
     val n = nodes.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // state carries the (static) out-degree alongside the rank: the
+    // rank⋈degree join happens ONCE here instead of once per round, and
+    // a NULL degree doubles as the dangling flag — so each round is one
+    // edge join + one contribution aggregate + one tiny when()-sum for
+    // the dangling mass, with no per-round anti-join
+    var state = nodes.join(outDeg, nodes("id") === outDeg("src"), "left")
+      .select(col("id"), lit(1.0 / n).as("rank"), col("__deg"))
+      .localCheckpoint(true)
     var iter = 0
     while (iter < iters) {
-      val contrib = e.join(ranks.join(outDeg, col("id") === col("src")), "src")
+      val contrib = e.join(state.filter(col("__deg").isNotNull),
+          col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
         .groupBy("id").agg(sum("__c").as("__in"))
       // dangling nodes (no out-edges) leak their mass to everyone
-      val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
-      ranks = ranks.select("id")
+      val dangling = state.agg(coalesce(
+        sum(when(col("__deg").isNull, col("rank"))), lit(0.0)).as("__dm"))
+      state = state.select("id", "__deg")
         .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"), (lit((1.0 - damping) / n) + lit(damping) *
-          (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"))
+          (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"),
+          col("__deg"))
         .localCheckpoint(true)
       iter += 1
     }
-    ranks
+    state.select("id", "rank")
   }
 }

@@ -527,10 +527,26 @@ object Dedup {
     * shape; the confirmed-span set joins back by exact string. */
   def dupSpanOccurrences(docs: DataFrame, idCol: String, textCol: String,
       width: Int, minDocs: Int = 2): DataFrame = {
-    val confirmed = dupSpans(docs, idCol, textCol, width, minDocs)
+    require(width > 0, s"width must be positive: $width")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    // same two-pass shape as dupSpans, but the hash-survivor placements
+    // are materialized ONCE and reused for both the exact confirm and
+    // the final emit — two corpus scans total instead of dupSpans' two
+    // plus a third for the placements. The checkpointed set is
+    // O(duplicated occurrences + collisions), never corpus-sized.
+    val hot = spanRows(docs, idCol, textCol, width)
+      .groupBy(xxhash64(col("span")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minDocs)
+      .select("__h")
+    val survivors = spanRows(docs, idCol, textCol, width)
+      .join(hot, xxhash64(col("span")) === col("__h"), "left_semi")
+      .localCheckpoint(true)
+    val confirmed = survivors.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
       .select("span")
-    spanRows(docs, idCol, textCol, width)
-      .join(confirmed, Seq("span"), "left_semi")
+    survivors.join(confirmed, Seq("span"), "left_semi")
       .select("doc_id", "pos", "span")
   }
 }

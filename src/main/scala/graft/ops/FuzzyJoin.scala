@@ -132,10 +132,38 @@ object FuzzyJoin {
   }
 
   /** Self-join form: unordered within-table pairs (id_a < id_b) within
-    * `maxDist` — near-duplicate short-field detection. */
+    * `maxDist` — near-duplicate short-field detection.
+    *
+    * Specialized over [[editDistanceJoin]](df, df): the deletion-variant
+    * fan-out — the expensive corpus pass — is materialized ONCE and
+    * self-joined (the two-sided form builds it twice; the differing
+    * output aliases block exchange reuse), and candidate string pairs
+    * are verified in ONE orientation (`__sl <= __sr`), halving the
+    * Levenshtein work. Output pairs are normalized to id_a < id_b; the
+    * final `distinct` only deduplicates the both-orientation expansion
+    * of EQUAL-string groups (pair-set-sized, never candidate-sized). */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, maxLen: Int = 0): DataFrame =
-    editDistanceJoin(df, df, idCol, strCol, idCol, strCol, maxDist, maxLen)
-      .filter(col("id_l") < col("id_r"))
-      .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("dist"))
+      maxDist: Int, maxLen: Int = 0): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] (variant fan-out is len^maxDist): $maxDist")
+    require(maxLen <= lenCap(maxDist),
+      s"maxLen=$maxLen exceeds the d=$maxDist cap of ${lenCap(maxDist)} " +
+        "(deletion-neighborhood size ~C(len, d) strings per row)")
+    val effLen = if (maxLen > 0) maxLen else lenCap(maxDist)
+    val vk = variantKeys(df, strCol, maxDist, effLen, "__sl")
+      .localCheckpoint(true)
+    val verified = vk.join(vk.withColumnRenamed("__sl", "__sr"), "__h")
+      .filter(col("__sl") <= col("__sr"))
+      .select(col("__sl"), col("__sr")).distinct()
+      .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("dist") >= 0)
+    val l = df.select(col(idCol).cast("long").as("id_l"), col(strCol).as("__sl"))
+    val r = df.select(col(idCol).cast("long").as("id_r"), col(strCol).as("__sr"))
+    verified.join(l, "__sl").join(r, "__sr")
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+      .distinct()
+  }
 }
