@@ -70,6 +70,33 @@ object Funnels {
     active.join(cohort, Seq(userCol))
       .groupBy(col("cohort_week"),
         (col("__week") - col("cohort_week")).as("week_offset"))
-      .agg(count_distinct(col(userCol)).as("n_users"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Event transition matrix: counts of CONSECUTIVE (from_type →
+    * to_type) steps per key within `maxGapNs` — the empirical Markov
+    * chain of a product's event stream (what users do next), and the
+    * raw material for anomaly screens (a transition that never occurred
+    * before) and session-flow dashboards. One (key, ts) sort for the
+    * lead pair-up, then one tiny (from, to) aggregate — cardinality
+    * |types|², never event-count-sized.
+    *
+    * Determinism contract: (tsCol +: tieCols) must totally order each
+    * key's events (same as [[graft.ops.Snapshots.sessionize]]).
+    *
+    * @param tsCol epoch-nanos long (the engine ts axis)
+    */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, maxGapNs: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(maxGapNs > 0, s"maxGapNs must be positive: $maxGapNs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy((tsCol +: tieCols).map(col): _*)
+    events
+      .withColumn("__tt", lead(col(typeCol), 1).over(w))
+      .withColumn("__gap", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("__tt").isNotNull && col("__gap") <= maxGapNs)
+      .groupBy(col(typeCol).as("from_type"), col("__tt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
   }
 }

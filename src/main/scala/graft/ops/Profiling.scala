@@ -675,6 +675,75 @@ object Profiling {
       .agg(count(lit(1)).as("n"), min(v).as("vmin"), max(v).as("vmax"))
   }
 
+  /** Pairwise Pearson correlation matrix of numeric table columns —
+    * the multicollinearity / redundant-feature screen run before any
+    * numeric column drives a curation rule. Returns the upper triangle
+    * as (col_a, col_b, n, corr) rows, 6-dp.
+    *
+    * Shape: ONE aggregate over listwise-complete rows (every requested
+    * column non-null — documented, matches the oracle) computing all
+    * d(d+1)/2 pair moments + d marginal sums as exact decimals — a
+    * single reduction to one row, no joins, no explode; the matrix
+    * unpivots from that row with a `stack`. Moments are decimal sums of
+    * 6-dp-rounded terms (the [[graft.ops.Embeddings]] covariance
+    * device), the correlation is one fixed double chain per pair —
+    * bit-reproducible across partitionings and engines. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs at least two columns: $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val complete = df.filter(cols.map(c =>
+      col(c).isNotNull && !isnan(col(c).cast("double"))).reduce(_ && _))
+    def x6(c: String) = round(col(c).cast("double"), 6)
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      (count(lit(1)).as("__n") +:
+        cols.map(c => sum(x6(c).cast("decimal(18,6)")).as(s"__s_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(round(x6(a) * x6(b), 6).cast("decimal(18,6)")).as(s"__p_${a}_$b") }
+    val one = complete.agg(aggs.head, aggs.tail: _*)
+    def cov(a: String, b: String) =
+      col(s"__p_${a}_$b").cast("double") / col("__n") -
+        (col(s"__s_$a").cast("double") / col("__n")) *
+        (col(s"__s_$b").cast("double") / col("__n"))
+    val cells = pairs.filter { case (a, b) => a != b }.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(cov(a, b) / sqrt(cov(a, a) * cov(b, b)), 6).as("corr"))
+    }
+    one.select(col("__n").as("n"), explode(array(cells: _*)).as("__c"))
+      .select(col("__c.col_a"), col("__c.col_b"), col("n"), col("__c.corr"))
+  }
+
+  /** Rolling distinct-user counts (trailing-window DAU/WAU): for every
+    * day present in the data, the number of DISTINCT users active in
+    * the trailing `windowDays` days. Exact — the (day, user) activity
+    * set is deduplicated FIRST (one shuffle bounded by days×users, not
+    * events), then each pair fans out to the ≤`windowDays` window
+    * anchors it supports (semi-joined to days that actually occur), and
+    * a final distinct count per anchor. The classic exact shape for
+    * small windows; for 90-day windows at corpus scale, switch to the
+    * mergeable HLL states ([[distinctState]]) and merge day sketches.
+    *
+    * @param tsCol epoch-nanos long (the engine ts axis)
+    */
+  def rollingDistinctUsers(df: DataFrame, tsCol: String, userCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 120,
+      s"windowDays must be in [1, 120] (use HLL day-sketches beyond): $windowDays")
+    val dayNs = 86400L * 1000000000L
+    val pairs = df.filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(expr(s"$tsCol div ${dayNs}L").as("__day"), col(userCol))
+      .distinct()
+    val days = pairs.select(col("__day").as("day")).distinct()
+    pairs
+      .select(explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1).cast("long"))).as("day"), col(userCol))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Per-key recency-weighted (half-life decayed) value aggregate — the
     * feature-engineering staple behind "recent activity" signals: each
     * row contributes `value · 0.5^k`, where `k` is the number of WHOLE

@@ -753,6 +753,30 @@ object PipelineQueries extends QueryGroup {
       graft.ops.Clustering.connectedComponents(nodes, "id", edges, "id_a", "id_b")
     }),
 
+    // empirical Markov transition matrix of the event stream: counts of
+    // consecutive same-user (from→to) steps within a 1-hour gap — one
+    // (user, ts) sort, |types|²-sized output
+    "events_transitions" -> ((s, dir) => {
+      graft.ops.Funnels.transitions(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        maxGapNs = 3600L * 1000000000L, tieCols = Seq("event_id"))
+    }),
+
+    // trailing-7-day rolling distinct users (exact): day×user dedup
+    // first, bounded window fan-out, per-anchor distinct count
+    "events_rolling_dau" -> ((s, dir) => {
+      graft.ops.Profiling.rollingDistinctUsers(
+        Tables.load(s, dir, "events"), "ts", "user_id", 7)
+    }),
+
+    // pairwise Pearson correlation of the lineitem numeric columns in
+    // ONE aggregate row (exact decimal moments, no joins/explode), then
+    // a tiny unpivot
+    "profile_corr_matrix" -> ((s, dir) => {
+      graft.ops.Profiling.corrMatrix(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
     // ordered product funnel view→click→purchase: first-touch chain,
     // conditional-min per step (k−1 user-keyed rounds, exchange reused)
     "events_funnel" -> ((s, dir) => {
@@ -1295,6 +1319,32 @@ object PipelineQueries extends QueryGroup {
       s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $limit")
 
   private val bm25OracleSql = bm25Sql("'scan', 'merge', 'la'", 10)
+
+  // mirror of Profiling.corrMatrix's one-aggregate moment row + per-pair
+  // double chain (0.0 + folds DuckDB's C-round −0.0, same as covariance)
+  private val corrOracleSql: String = {
+    val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val filters = cols.map { case (c, _) =>
+      s"$c IS NOT NULL AND NOT isnan(CAST($c AS DOUBLE))" }.mkString(" AND ")
+    val sel = cols.map { case (c, a) =>
+      s"round(CAST($c AS DOUBLE), 6) AS $a" }.mkString(", ")
+    val pairs = for { i <- cols.indices; j <- i until cols.size }
+      yield (cols(i), cols(j))
+    val moments = cols.map { case (_, a) =>
+      s"sum(CAST($a AS DECIMAL(18,6))) AS s_$a" } ++
+      pairs.map { case ((_, a), (_, b)) =>
+        s"sum(CAST(round($a * $b, 6) AS DECIMAL(18,6))) AS p_$a$b" }
+    def cv(a: String, b: String) =
+      s"(CAST(p_$a$b AS DOUBLE)/n - (CAST(s_$a AS DOUBLE)/n)*(CAST(s_$b AS DOUBLE)/n))"
+    val rows = pairs.collect { case ((ca, a), (cb, b)) if ca != cb =>
+      s"SELECT '$ca' AS col_a, '$cb' AS col_b, n, " +
+        s"0.0 + round(${cv(a, b)} / sqrt(${cv(a, a)} * ${cv(b, b)}), 6) AS corr FROM m"
+    }
+    s"WITH c AS (SELECT $sel FROM lineitem WHERE $filters), " +
+      s"m AS (SELECT CAST(count(*) AS BIGINT) AS n, ${moments.mkString(", ")} FROM c) " +
+      rows.mkString(" UNION ALL ")
+  }
 
   // shared by emb_pca_cov and emb_cov_merge (merged covariance states
   // are bit-identical to from-scratch by construction)
@@ -1998,6 +2048,28 @@ object PipelineQueries extends QueryGroup {
         "       WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed' END AS change " +
         "  FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, change FROM d WHERE change IS NOT NULL"),
+
+    // lead pair-up per user with the same (ts, event_id) total order;
+    // 1 h = 3.6e12 ns on both axes
+    "events_transitions" ->
+      ("WITH x AS (SELECT event_type AS ft, lead(event_type) OVER w AS tt, " +
+        "  epoch_ns(lead(ts) OVER w) - epoch_ns(ts) AS gap FROM events " +
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT ft AS from_type, tt AS to_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM x WHERE tt IS NOT NULL AND gap <= 3600000000000 GROUP BY 1, 2"),
+
+    // exact trailing-7-day distinct users: dedup (day,user) first, fan
+    // each pair to the anchors it supports, count distinct per anchor
+    "events_rolling_dau" ->
+      ("WITH p AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS pday, user_id " +
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+        " days AS (SELECT DISTINCT pday AS day FROM p), " +
+        " f AS (SELECT d.day AS day, p.user_id FROM p JOIN days d " +
+        "   ON d.day BETWEEN p.pday AND p.pday + 6) " +
+        "SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM f GROUP BY day"),
+
+    "profile_corr_matrix" -> corrOracleSql,
 
     // SCD2: run-collapse on props per (user, event_type), intervals by
     // lead over run starts. IS DISTINCT FROM = the engine's null-safe

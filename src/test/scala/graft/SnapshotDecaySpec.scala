@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Profiling, Similarity, Snapshots}
+import graft.ops.{Funnels, Profiling, Similarity, Snapshots}
 
 /** Properties of the round-5 additions: SCD2 interval build, half-life
-  * decay aggregation, and incremental IVF append. */
+  * decay aggregation, incremental IVF append, event transitions,
+  * correlation matrix, rolling distinct users. */
 class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -115,6 +116,51 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.ivfIndexTopK(s, p, qs, "q_id", "q_vec", k = 5, nProbe = 2)
         .orderBy("q_id", "rank").collect().toSeq
     assert(probe(p1) == probe(p2))
+  }
+
+  test("transitions: consecutive pairs within gap, per key, counted") {
+    val s = spark; import s.implicits._
+    // user 1: a→b (gap 5), b→c (gap 200, dropped), c→a (gap 10)
+    // user 2: a→b (gap 1)
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 15L, 2L, "b"), (1L, 215L, 3L, "c"), (1L, 225L, 4L, "a"),
+      (2L, 5L, 5L, "a"), (2L, 6L, 6L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type").repartition(3)
+    val out = Funnels.transitions(ev, "user_id", "ts", "event_type", 100L, Seq("event_id"))
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", "b", 2L), ("c", "a", 1L)))
+  }
+
+  test("corrMatrix: planted perfect correlations, partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 4000).map { _ =>
+      val x = rnd.nextDouble() * 10
+      (x, 2.0 * x + 1.0, -3.0 * x, rnd.nextDouble())
+    }.toDF("x", "y", "z", "w")
+    val out = Profiling.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("x", "y")) == 1.0)
+    assert(out(("x", "z")) == -1.0)
+    assert(math.abs(out(("x", "w"))) < 0.1)
+    val a = Profiling.corrMatrix(df.repartition(1), Seq("x", "y", "z", "w"))
+      .orderBy("col_a", "col_b").collect().toSeq
+    val b = Profiling.corrMatrix(df.repartition(9), Seq("x", "y", "z", "w"))
+      .orderBy("col_a", "col_b").collect().toSeq
+    assert(a == b)
+  }
+
+  test("rollingDistinctUsers: hand-computed trailing windows") {
+    val s = spark; import s.implicits._
+    val day = 86400L * 1000000000L
+    // day 0: users {1,2}; day 1: {2}; day 3: {3}; window 2 days
+    val ev = Seq((1L, 0L), (2L, 10L), (2L, day + 5L), (3L, 3 * day + 1L))
+      .toDF("user_id", "ts")
+    val out = Profiling.rollingDistinctUsers(ev, "ts", "user_id", 2)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // day0: {1,2}; day1: day0∪day1 = {1,2}; day3: {3} (day2 absent from data)
+    assert(out == Seq((0L, 2L), (1L, 2L), (3L, 1L)))
   }
 
   test("ivfIndexAppend: appended vectors are immediately retrievable") {
