@@ -194,4 +194,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"join keys must be (key, salt) — a single-key join re-concentrates " +
         s"the hot key: ${joins.map(_.leftKeys)}")
   }
+
+  test("covariance moments shuffle only per-task partials — no join, no explode") {
+    val plan = q("emb_pca_cov").queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, s"moment kernel must not join:\n$plan")
+    assert(!plan.toString.contains("Generate"),
+      s"moment kernel must not posexplode the corpus:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"exactly ONE shuffle (the d²/2-per-task partial fold), got " +
+        s"${exchanges.size}:\n$plan")
+  }
+
+  test("correlation matrix is one aggregate over one scan — no join, no shuffle of rows") {
+    val df = q("profile_corr_matrix")
+    val plan = df.queryExecution.executedPlan
+    assert(scans(df).size == 1, s"one table scan for all moments:\n$plan")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, s"moment row must not join:\n$plan")
+    // the only exchange is the single-row partial->final agg fold
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1, s"row data must never shuffle:\n$plan")
+  }
+
+  test("event transitions sort once per key — one shuffle, |types|²-sized agg after") {
+    val plan = q("events_transitions").queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // one shuffle for the (key) window + one for the tiny (from,to) agg
+    assert(exchanges.size <= 2, s"expected ≤2 shuffles:\n$plan")
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.count(_.global == false) <= 2 && sorts.forall(!_.global),
+      s"no global sort — only the per-key window sort:\n$plan")
+  }
 }
