@@ -152,4 +152,114 @@ object Clustering {
     }
     state.select("id", "rank")
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected graph — the structure screen for co-occurrence graphs
+    * (duplicate clusters that are cliques vs chains behave differently
+    * under keep-one dedup) and the standard community-density signal.
+    *
+    * Scale shape: edges are ORIENTED from the (degree, id)-smaller
+    * endpoint to the larger before wedge generation — every triangle is
+    * enumerated exactly once from its smallest vertex, and a hub of
+    * degree D generates wedges only from its low-degree neighbors, which
+    * bounds total wedge count by O(m^1.5) (Schank–Wagner) instead of the
+    * Σ deg² a naive self-join pays on skewed graphs. Two shuffles on the
+    * edge list (wedge join + closing-edge semi-join), one aggregate.
+    *
+    * @return (id, deg, triangles, coeff) for every node with deg ≥ 1;
+    *         coeff = 2·T / (deg·(deg−1)), 0 when deg < 2, rounded 6 dp */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient each edge low (deg, id) → high (deg, id); carry both ranks
+    // so the wedge step can order its two endpoints without re-joining
+    val ranked = e
+      .join(deg.select(col("id").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("__db")), "b")
+    val oriented = ranked.select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"),
+        least(struct(col("__da").as("d"), col("a").as("i")),
+          struct(col("__db").as("d"), col("b").as("i"))).as("__ru"),
+        greatest(struct(col("__da").as("d"), col("a").as("i")),
+          struct(col("__db").as("d"), col("b").as("i"))).as("__rv"))
+    // wedges at the orientation-minimal vertex: (u→v, u→w) with v before
+    // w in (deg, id) order; close with the oriented edge v→w
+    val w1 = oriented.select(col("u"), col("v"), col("__rv"))
+    val w2 = oriented.select(col("u"), col("v").as("w"), col("__rv").as("__rw"))
+    val wedges = w1.join(w2, "u").filter(col("__rv") < col("__rw"))
+      .select(col("u"), col("v"), col("w"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
+    val nodeTris = tris.select(col("u").as("id"))
+      .unionAll(tris.select(col("v").as("id")))
+      .unionAll(tris.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(nodeTris, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff",
+        when(col("deg") > 1,
+          round(lit(2.0) * col("triangles") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Label-propagation community detection (synchronous, deterministic):
+    * every node starts in its own community; each round it adopts the
+    * most frequent label among its neighbors, ties to the SMALLEST
+    * label — so the result is a pure function of the graph, independent
+    * of partitioning or scheduling (the async/random variants of LPA
+    * are not). Fixed `iters` rounds rather than a convergence test:
+    * synchronous LPA can 2-cycle on bipartite-ish structures, so a
+    * fixpoint loop may never exit; a handful of rounds is the standard
+    * operating point (labels stabilize in O(diameter) on community
+    * graphs).
+    *
+    * Per round: one edge join + one (node, label) count + one per-node
+    * argmax window — all keyed shuffles on node id, lineage truncated
+    * per round like [[connectedComponents]]. Isolated nodes keep their
+    * own label. */
+  def labelPropagation(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 0 && iters <= 100, s"iters must be in [0, 100]: $iters")
+    val sym = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    var state = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("__n").desc, col("__lbl").asc)
+    var iter = 0
+    while (iter < iters) {
+      val votes = sym
+        .join(state.select(col("id").as("dst"), col("lbl").as("__lbl")), "dst")
+        .select(col("src").as("id"), col("__lbl"))
+        .groupBy("id", "__lbl").agg(count(lit(1)).as("__n"))
+      val picked = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("__lbl"))
+      state = state.select(col("id"), col("lbl").as("__old"))
+        .join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__lbl"), col("__old")).as("lbl"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    state.select(col("id"), col("lbl").as("community"))
+  }
 }

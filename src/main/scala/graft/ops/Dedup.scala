@@ -344,6 +344,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** DIRECTED n-gram containment near-dups: C(A ⊆ B) = |sh(A) ∩ sh(B)|
+    * / |sh(A)| — the asymmetric relation Jaccard misses entirely. A
+    * short document wholly quoted inside a long one scores containment
+    * 1.0 while its Jaccard can be arbitrarily close to 0 (the union is
+    * dominated by the long side), so quote-extraction dupes, subset
+    * pages, and truncated re-crawls survive a Jaccard filter and fall
+    * to this one. Candidate generation and the sorted-hash intersection
+    * kernel are shared with [[ngramJaccardNearDups]] (same block join,
+    * ids only); each undirected candidate is scored ONCE and emitted in
+    * both directions, filtered independently.
+    *
+    * @return (contained_id, container_id, containment ≥ threshold) */
+  def ngramContainment(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    requireIntegralId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(blockCol).as("blk"), col(idCol).cast("long").as("id"))
+    val cands = keys.select(col("blk"), col("id").as("id_a"))
+      .join(keys.select(col("blk"), col("id").as("id_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(col("id_a"))
+    val grams = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, MinHash.wordNgramHashes(text, n)) })
+      .toDF("id", "sh")
+    cands
+      .join(grams.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.flatMap { case (ia, ib, sa, sb) =>
+        var i = 0; var j = 0; var inter = 0
+        while (i < sa.length && j < sb.length) {
+          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sa(i) < sb(j)) i += 1
+          else j += 1
+        }
+        Iterator((ia, ib, inter.toDouble, sa.length.toDouble),
+          (ib, ia, inter.toDouble, sb.length.toDouble))
+      }).toDF("contained_id", "container_id", "__i", "__n")
+      .withColumn("containment", round(col("__i") / col("__n"), 6))
+      .filter(col("containment") >= threshold)
+      .select("contained_id", "container_id", "containment")
+  }
+
   /** Blocked exact n-gram Jaccard near-dups (no LSH): candidate pairs are
     * generated inside `blockCol` groups (e.g. source, language, length
     * band) — the classic blocking strategy when a natural partition key

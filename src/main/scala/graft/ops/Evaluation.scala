@@ -135,4 +135,45 @@ object Evaluation {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .withColumn("recall", round(col("n_hit").cast("double") / col("k_exact"), 6))
   }
+
+  /** Two-proportion z-test between exactly two variants — the A/B
+    * significance gate on conversion-style metrics (did the new
+    * curation recipe change the downstream pass rate?). One row:
+    * (variant_a, variant_b, n_a, x_a, n_b, x_b, p_a, p_b, z), variants
+    * ordered ascending so the sign of z is deterministic. z = (p_a −
+    * p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the pooled p̂ — the classic
+    * large-sample test; |z| > 1.96 ⇒ p < 0.05 two-sided.
+    *
+    * One aggregate over the input (n, successes per variant), then a
+    * two-row pivot — the corpus is scanned once; the arithmetic is one
+    * fixed double chain, engine-reproducible. `successCol` must be
+    * 0/1-valued (booleans cast upstream). */
+  def twoProportionZTest(df: DataFrame, variantCol: String,
+      successCol: String): DataFrame = {
+    val grouped = df.filter(col(variantCol).isNotNull)
+      .groupBy(col(variantCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col(successCol).cast("long")).as("__x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val ranked = grouped.withColumn("__rn", row_number().over(w))
+    val a = ranked.filter(col("__rn") === 1)
+      .select(col("__v").as("variant_a"), col("__n").as("n_a"), col("__x").as("x_a"))
+    val b = ranked.filter(col("__rn") === 2)
+      .select(col("__v").as("variant_b"), col("__n").as("n_b"), col("__x").as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    // degenerate pools (all successes or all failures) have SE 0 and no
+    // defined z — NULL, not a division error
+    val zCol = when((col("x_a") + col("x_b")) > 0 &&
+        ((col("n_a") - col("x_a")) + (col("n_b") - col("x_b"))) > 0,
+      round((pa - pb) / se, 6))
+    a.crossJoin(b)
+      .select(col("variant_a"), col("variant_b"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        zCol.as("z"))
+  }
 }

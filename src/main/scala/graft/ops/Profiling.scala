@@ -784,4 +784,108 @@ object Profiling {
         round(sum(round(v * wgt, 6).cast("decimal(18,6)")).cast("double"), 6)
           .as("decayed_sum"))
   }
+
+  /** Chi-squared drift statistic for a CATEGORICAL column between a
+    * reference and a current sample — the discrete counterpart of
+    * [[psi]] (PSI needs numeric quantile bins; label/source/language
+    * columns need this). Categories are the union of both sides;
+    * expected counts get +1 Laplace smoothing on the reference
+    * proportions so current-only categories contribute finitely instead
+    * of dividing by zero. One row: (chisq, dof, n_ref, n_cur).
+    *
+    * Each side is one scan + one |categories|-row aggregate; the
+    * (o−e)²/e terms are rounded to 12 dp and summed as DECIMAL(28,12)
+    * (the [[diversity]] determinism device). NULL categories excluded. */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("__cat")).agg(count(lit(1)).as(out))
+    val joined = counts(ref, "__rn").join(counts(cur, "__cn"), Seq("__cat"), "full")
+      .select(col("__cat"), coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val tot = joined.agg(sum(col("__rn")).as("__rt"), sum(col("__cn")).as("__ct"),
+      count(lit(1)).as("__nc"))
+    // fixed double chain, mirrored verbatim by the oracle: smoothed ref
+    // proportion first, then scale by the current total
+    val p = (col("__rn") + lit(1)).cast("double") /
+      (col("__rt") + col("__nc")).cast("double")
+    val e = p * col("__ct").cast("double")
+    val term = (col("__cn").cast("double") - e) *
+      (col("__cn").cast("double") - e) / e
+    joined.crossJoin(broadcast(tot))
+      .select(round(term, 12).cast("decimal(28,12)").as("__t"),
+        col("__rt"), col("__ct"), col("__nc"))
+      .groupBy("__rt", "__ct", "__nc")
+      .agg(round(sum(col("__t")).cast("double"), 6).as("chisq"))
+      .select(col("chisq"), (col("__nc") - 1).cast("long").as("dof"),
+        col("__rt").cast("long").as("n_ref"), col("__ct").cast("long").as("n_cur"))
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * feature-relevance / redundancy screen (is `source` informative
+    * about `label`? are two metadata columns near-copies?). One row:
+    * (n_rows, n_cells, mi).
+    *
+    * One scan to the (x, y) cell counts; marginals are window sums OVER
+    * THE CELLS (|X|·|Y| rows, never the corpus); each cell's
+    * p·ln(p/(px·py)) term is rounded to 12 dp and summed as
+    * DECIMAL(28,12) — engine-reproducible like [[diversity]]. Rows with
+    * a NULL in either column are excluded. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val wx = Window.partitionBy(col("__x"))
+    val wy = Window.partitionBy(col("__y"))
+    val wall = Window.partitionBy()
+    val m = cells
+      .withColumn("__nx", sum(col("__c")).over(wx))
+      .withColumn("__ny", sum(col("__c")).over(wy))
+      .withColumn("__n", sum(col("__c")).over(wall))
+    // fixed double chain: (c/N) · ln((c·N)/(nx·ny)), all four operands
+    // cast explicitly so the oracle can mirror the exact op order
+    val term = (col("__c").cast("double") / col("__n").cast("double")) *
+      log((col("__c").cast("double") * col("__n").cast("double")) /
+        (col("__nx").cast("double") * col("__ny").cast("double")))
+    m.select(round(term, 12).cast("decimal(28,12)").as("__t"), col("__n"))
+      .groupBy("__n")
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("__t")).cast("double"), 6).as("mi"))
+      .select(col("__n").cast("long").as("n_rows"), col("n_cells"), col("mi"))
+  }
+
+  /** One-sided CUSUM changepoint alarms per key: the classic
+    * S_i = max(0, S_{i−1} + (x_i − k)) upward-shift detector, emitted as
+    * the rows where S crosses `threshold` — level-shift detection on
+    * metric streams (error rates, latencies, quality scores) that
+    * per-window z-scores smear out. `k` (= target + slack) is the
+    * tolerated level; alarms fire when the cumulative excess above it
+    * exceeds `threshold`.
+    *
+    * The recurrence is NOT a running max — it is window-expressible
+    * exactly: with P_i = Σ_{j≤i}(x_j − k), S_i = P_i − min(0, min_{j≤i}
+    * P_j). One (key, ts) sort, two frame-bounded window passes, terms as
+    * 6-dp DECIMAL(18,6) sums — S is engine-exact, no FP drift down long
+    * streams. NULL/NaN values and NULL timestamps are excluded. */
+  def cusumAlarms(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, k: Double, threshold: Double,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val v = col(valueCol).cast("double")
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(v) &&
+      col(tsCol).isNotNull)
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stat = clean
+      .withColumn("__term", round(v - lit(k), 6).cast("decimal(18,6)"))
+      .withColumn("__cum", sum(col("__term")).over(w))
+      .withColumn("__rmin", min(col("__cum")).over(w))
+      .withColumn("__s",
+        (col("__cum") - least(col("__rmin"), lit(0).cast("decimal(18,6)")))
+          .cast("double"))
+    stat.filter(col("__s") > threshold)
+      .select((Seq(col(keyCol), col(tsCol)) ++ tieCols.map(col)) :+
+        round(v, 6).as("value") :+ round(col("__s"), 6).as("cusum"): _*)
+  }
 }

@@ -545,4 +545,123 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** EXACT k-nearest-neighbor graph: for every corpus row, its k most
+    * cosine-similar OTHER rows — the input to kNN-graph dedup/SemDeDup
+    * variants, label propagation, and embedding-quality audits (a row
+    * whose neighbors disagree with its label is a mislabel candidate).
+    *
+    * Shape: the corpus's (id, vec, norm) triples are broadcast once and
+    * every partition streams its own rows against them with a per-row
+    * bounded heap — O(n²·d) kernel flops but ZERO shuffle (ranks are
+    * assigned inside the scan; nothing moves but the final k·n output
+    * rows). The broadcast bound is explicit: past `maxBroadcastRows`
+    * this form is the wrong tool and the call fails loudly — use
+    * [[knnGraphIvf]], which blocks by inverted list and never
+    * broadcasts the corpus.
+    *
+    * Ties break on neighbor id ascending (same contract as
+    * [[bruteForceTopK]]); zero-norm vectors produce NaN sims which the
+    * heap rejects, so they emit no edges and appear in no one's list. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxBroadcastRows: Int = 4000000): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val all = vecs.collect()
+    require(all.length <= maxBroadcastRows,
+      s"knnGraph broadcasts the corpus: ${all.length} rows > " +
+        s"$maxBroadcastRows — use knnGraphIvf for corpora this size")
+    val withNorm = all.map { case (id, v) => (id, v, VecKernel.norm(v)) }
+    val b = spark.sparkContext.broadcast(withNorm)
+    vecs.mapPartitions { it =>
+      val others = b.value
+      it.flatMap { case (id, v) =>
+        val nv = VecKernel.norm(v)
+        val heap = new VecKernel.TopK(k)
+        var i = 0
+        while (i < others.length) {
+          val (oid, ov, on) = others(i)
+          if (oid != id) heap.offer(VecKernel.dot(v, ov) / (nv * on), oid)
+          i += 1
+        }
+        heap.drain().toArray.sortBy { case (s, oid) => (-s, oid) }
+          .iterator.zipWithIndex
+          .map { case ((sim, oid), r) => (id, oid, sim, r + 1) }
+      }
+    }.toDF(idCol, "nbr_id", "__sim", "rank")
+      .select(col(idCol), col("nbr_id"), round(col("__sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** Approximate kNN graph blocked by IVF inverted lists — the form that
+    * never broadcasts or driver-collects the corpus. Every vector joins
+    * its own nearest list as a MEMBER and its `nProbe` nearest lists as
+    * a PROBE; each list is scored independently (members materialized
+    * per task — bounded by the largest list, ~n/nCentroids when
+    * training is healthy), and a final per-row window ranks the
+    * ≤ nProbe·k survivors. Recall follows list quality exactly like
+    * [[ivfTopK]] (a row's true neighbors share its lists unless they
+    * fall across a centroid boundary outside the probe set); raising
+    * `nProbe` buys recall linearly in scan cost, never in shuffle
+    * width. Self-pairs are excluded. */
+  def knnGraphIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+      lloydIters: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"nProbe must be in [1, nCentroids]: $nProbe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = trainingSample(corpus, idCol, vecCol, nCentroids * 32).map(_._2)
+    val centroids = VecKernel.kmeans(sample, nCentroids, lloydIters)
+    val cb = spark.sparkContext.broadcast(centroids)
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // one stream, both roles: isProbe=false rows are the list's members,
+    // isProbe=true rows are the queries probing it
+    val tagged = vecs.mapPartitions { it =>
+      val cs = cb.value
+      it.flatMap { case (id, v) =>
+        val near = VecKernel.nearestCentroids(v, cs, math.max(nProbe, 1))
+        val member = (near(0), id, v, false)
+        val probes = near.take(nProbe).map(c => (c, id, v, true))
+        Iterator.single(member) ++ probes.iterator
+      }
+    }
+    val partial = tagged
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val members = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Float], Double)]
+        val probes = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Float], Double)]
+        rows.foreach { case (_, id, v, isProbe) =>
+          val t = (id, v, VecKernel.norm(v))
+          if (isProbe) probes += t else members += t
+        }
+        val mArr = members.toArray
+        probes.iterator.flatMap { case (qid, qv, qn) =>
+          val heap = new VecKernel.TopK(k)
+          var i = 0
+          while (i < mArr.length) {
+            val (oid, ov, on) = mArr(i)
+            if (oid != qid) heap.offer(VecKernel.dot(qv, ov) / (qn * on), oid)
+            i += 1
+          }
+          heap.drain().map { case (sim, oid) => (qid, oid, sim) }
+        }
+      }.toDF(idCol, "nbr_id", "__sim")
+    // a member can appear in several probed lists → dedup before ranking
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("nbr_id"))
+    partial.groupBy(col(idCol), col("nbr_id"))
+      .agg(max(col("__sim")).as("__sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("nbr_id"), round(col("__sim"), 6).as("sim"),
+        col("rank"))
+  }
 }

@@ -151,4 +151,82 @@ object Sketches {
         }
       }.toDF("item", "estimate", "lb", "ub")
   }
+
+  /** Per-partition THETA distinct-id sketches, one per segment value —
+    * the set-operation-capable distinct state HLL cannot be: theta
+    * sketches intersect, so "distinct users in BOTH segments" (audience
+    * overlap, cross-surface reach, cohort intersection) folds from
+    * per-shard states without ever re-scanning raw ids. Exact while
+    * each segment's distinct count stays under the sketch's nominal
+    * capacity (2^lgK entries, sampling never triggered) — the regime
+    * the DuckDB hash gate exercises; beyond it, estimates carry the
+    * standard ~1/√(2^lgK) relative error. Ids are updated as longs;
+    * NULL segment or id rows are skipped. */
+  def thetaState(df: DataFrame, segCol: String, idCol: String,
+      lgK: Int = 14): DataFrame = {
+    require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26]: $lgK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(segCol).cast("string"), col(idCol).cast("long"))
+      .as[(Option[String], Option[Long])]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap
+          .empty[String, org.apache.datasketches.theta.UpdateSketch]
+        it.foreach {
+          case (Some(seg), Some(id)) =>
+            sks.getOrElseUpdate(seg,
+              org.apache.datasketches.theta.UpdateSketch.builder()
+                .setLogNominalEntries(lgK).build()).update(id)
+          case _ => ()
+        }
+        sks.iterator.map { case (seg, sk) => (seg, sk.compact().toByteArray) }
+      }.toDF("segment", "sketch")
+  }
+
+  /** Associative fold of [[thetaState]] rows to one state per segment
+    * (theta Union is lossless below capacity, error-bounded above). */
+  def thetaMerge(states: Seq[DataFrame], lgK: Int = 14): DataFrame = {
+    require(states.nonEmpty, "thetaMerge needs at least one state")
+    val spark = states.head.sparkSession
+    import spark.implicits._
+    states.reduce(_ unionByName _)
+      .select(col("segment").cast("string"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (seg, rows) =>
+        val u = org.apache.datasketches.theta.SetOperation.builder()
+          .setLogNominalEntries(lgK).buildUnion()
+        rows.foreach { case (_, b) =>
+          u.union(org.apache.datasketches.theta.Sketches
+            .wrapSketch(Memory.wrap(b)))
+        }
+        (seg, u.getResult.toByteArray)
+      }.toDF("segment", "sketch")
+  }
+
+  /** Pairwise segment overlap from merged theta states: for every
+    * unordered segment pair with a non-empty intersection,
+    * (seg_a, seg_b, distinct_a, distinct_b, overlap) — counts rounded
+    * to longs (exact integers in the exact regime). The pair join runs
+    * over |segments| KB-sized state rows, never the corpus. */
+  def thetaOverlap(merged: DataFrame): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val s = merged.select(col("segment").cast("string"), col("sketch"))
+    val pairs = s.toDF("seg_a", "sk_a")
+      .crossJoin(s.toDF("seg_b", "sk_b"))
+      .filter(col("seg_a") < col("seg_b"))
+      .as[(String, Array[Byte], String, Array[Byte])]
+    pairs.mapPartitions(_.map { case (sa, ba, sb, bb) =>
+      val a = org.apache.datasketches.theta.Sketches.wrapSketch(Memory.wrap(ba))
+      val b = org.apache.datasketches.theta.Sketches.wrapSketch(Memory.wrap(bb))
+      val inter = org.apache.datasketches.theta.SetOperation.builder()
+        .buildIntersection()
+      inter.intersect(a)
+      inter.intersect(b)
+      (sa, sb, Math.round(a.getEstimate), Math.round(b.getEstimate),
+        Math.round(inter.getResult.getEstimate))
+    }).toDF("seg_a", "seg_b", "distinct_a", "distinct_b", "overlap")
+      .filter(col("overlap") > 0)
+  }
 }

@@ -245,6 +245,47 @@ object PipelineQueries extends QueryGroup {
       out.unionByName(in).select("side", "deg", "n_nodes")
     }),
 
+    // per-node triangle counts + clustering coefficient over the
+    // same-order part co-occurrence graph (parts shipped together);
+    // degree-oriented wedge join — O(m^1.5) wedges, hub-safe
+    "graph_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.ops.Clustering.triangleCounts(edges, "src", "dst")
+    }),
+
+    // label-propagation communities over the same co-occurrence graph
+    // (synchronous, smallest-label ties — fully deterministic). Rows-only:
+    // the iterative argmax has no SQL oracle; clique-recovery,
+    // determinism, and isolation properties are spec-gated
+    "graph_label_prop" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      val nodes = li.select(col("pk").as("id")).distinct()
+      graft.ops.Clustering.labelPropagation(nodes, "id", edges, "src", "dst",
+        iters = 4)
+    }),
+
+    // two-proportion z-test: per-user purchase conversion, variants =
+    // user id parity — the A/B significance gate (one scan + a 2-row
+    // pivot; the fixed double chain mirrors the oracle verbatim)
+    "events_ab_test" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val users = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            !isnan(col("value")) && col("value") >= 200, 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      graft.ops.Evaluation.twoProportionZTest(users, "variant", "conv")
+    }),
+
     // link-authority prior over the part→supplier ship graph: fixed
     // 10-round power iteration, dangling mass redistributed. FP sums
     // vary with partitioning → rows-only gate + ClusteringSpec
@@ -315,6 +356,22 @@ object PipelineQueries extends QueryGroup {
         .withColumn("blk", concat_ws("|", col("source"), col("lang"),
           floor(col("n_chars") / 32).cast("int")))
       Dedup.ngramJaccardNearDups(docs, "doc_id", "text", "blk", 0.4, n = 3)
+    }),
+
+    // DIRECTED containment near-dups: 15-word truncations of the first
+    // 10 docs are planted — each must surface as contained_id with
+    // containment 1.0 (its Jaccard vs the full doc is far below any
+    // useful threshold; this is the relation Jaccard can't see)
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text"),
+          col("source"), col("lang"))
+      val all = docs.unionByName(planted)
+        .withColumn("blk", concat_ws("|", col("source"), col("lang")))
+      Dedup.ngramContainment(all, "doc_id", "text", "blk", 0.8, n = 3)
     }),
 
     // duplicate-cluster resolution: near-dup pairs → connected components
@@ -496,6 +553,25 @@ object PipelineQueries extends QueryGroup {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfIndexTopK(s, path, queries, "q_id", "q_vec", k = 10, nProbe = 4)
+    }),
+
+    // EXACT kNN graph: every vector's 10 nearest others — broadcast
+    // corpus, per-row bounded heap, ranks assigned inside the scan
+    // (zero shuffle). The all-pairs oracle is the same cosine formula
+    // as ann_brute_topk with self-pairs excluded.
+    "emb_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10)
+    }),
+
+    // IVF-blocked kNN graph — the never-broadcast form: members +
+    // probes meet per inverted list, a final window ranks ≤ nProbe·k
+    // survivors per row. Rows-only (recall depends on list quality);
+    // exact-agreement-on-blobs and subset-of-exact properties are
+    // spec-gated in GraphStatsSpec.
+    "emb_knn_graph_ivf" -> ((s, dir) => {
+      Similarity.knnGraphIvf(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 3)
     }),
 
     // embedding-cosine near-dup pairs, LSH-blocked (rows-only). The
@@ -914,6 +990,49 @@ object PipelineQueries extends QueryGroup {
           quantileState(ev.filter(pmod(col("event_id"), lit(2)) === 0), "value"),
           quantileState(ev.filter(pmod(col("event_id"), lit(2)) === 1), "value"))),
         Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
+    // mergeable THETA distinct states: per-half-corpus sketches of
+    // (event_type → user ids) folded, then pairwise intersected —
+    // "distinct users in BOTH segments", the set operation HLL states
+    // cannot do. The 150 users sit far under the 2^14 nominal capacity,
+    // so every estimate is EXACT and the gate hash-matches a plain
+    // distinct-join oracle; the approximate regime is spec-gated.
+    "profile_overlap_sketch" -> ((s, dir) => {
+      import graft.ops.Sketches._
+      val ev = Tables.load(s, dir, "events")
+      thetaOverlap(thetaMerge(Seq(
+        thetaState(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          "event_type", "user_id"),
+        thetaState(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          "event_type", "user_id"))))
+    }),
+
+    // chi-squared drift between the first and second half-month of
+    // event types — the categorical drift gate beside events_psi's
+    // numeric one (Laplace-smoothed expected counts, decimal term sums)
+    "events_chisq_drift" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val mid = 1705363200000000000L // 2024-01-16T00:00:00Z in epoch-ns
+      graft.ops.Profiling.chiSquareDrift(
+        ev.filter(col("ts") < mid), ev.filter(col("ts") >= mid), "event_type")
+    }),
+
+    // mutual information between return flag and line status — the
+    // column-redundancy screen (MI ≈ 0 ⇒ independent, MI ≈ H ⇒ copies);
+    // marginals are window sums over the 6 cells, never the corpus
+    "profile_mutual_info" -> ((s, dir) => {
+      graft.ops.Profiling.mutualInfo(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+    }),
+
+    // per-user CUSUM upward-shift alarms on event values: cumulative
+    // excess above level k=60 crossing h=500 — window-expressible
+    // exactly (prefix sum minus running prefix-min), decimal terms
+    "events_cusum" -> ((s, dir) => {
+      graft.ops.Profiling.cusumAlarms(Tables.load(s, dir, "events"),
+        "user_id", "ts", "value", k = 60.0, threshold = 500.0,
+        tieCols = Seq("event_id"))
     }),
 
     // incremental profile maintenance: per-shard stats states folded
@@ -1923,6 +2042,136 @@ object PipelineQueries extends QueryGroup {
         "SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
         "WHERE rank <= 10"),
+
+    // exact kNN graph: the ann_brute_topk formula, all-pairs with self
+    // excluded — operand order mirrors the kernel (row · other, then
+    // norm_row × norm_other)
+    "emb_knn_graph" ->
+      ("WITH sims AS (SELECT a.vec_id, b.vec_id AS nbr_id, " +
+        "  list_sum(list_transform(range(1, len(a.embedding) + 1), " +
+        "    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / " +
+        "  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), " +
+        "    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * " +
+        "   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), " +
+        "    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS sim " +
+        "  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id) " +
+        "SELECT vec_id, nbr_id, round(sim, 6) AS sim, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank FROM sims) " +
+        "WHERE rank <= 10"),
+
+    // per-node triangle counts over the same-order part co-occurrence
+    // graph; canonical a<b edges, 3-way join, explode to nodes
+    "graph_triangles" ->
+      ("WITH raw AS (SELECT l1.l_partkey AS x, l2.l_partkey AS y FROM lineitem l1 " +
+        "  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey), " +
+        "e AS (SELECT DISTINCT x AS a, y AS b FROM raw), " +
+        "d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "  (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id), " +
+        "t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1 " +
+        "  JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "n AS (SELECT u AS id FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t), " +
+        "tc AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM n GROUP BY id) " +
+        "SELECT d.id, d.deg, coalesce(tc.tri, 0) AS triangles, " +
+        "  CASE WHEN d.deg > 1 THEN round(2.0 * coalesce(tc.tri, 0) / (d.deg * (d.deg - 1)), 6) " +
+        "       ELSE 0.0 END AS coeff " +
+        "FROM d LEFT JOIN tc ON tc.id = d.id"),
+
+    // directed containment: same shingle construction as the jaccard
+    // oracle, both directions from each undirected candidate
+    "dedup_containment" ->
+      ("WITH base AS (SELECT doc_id, text, source, lang FROM documents " +
+        "  UNION ALL SELECT doc_id + 200000, " +
+        "    array_to_string(list_slice(string_split(text, ' '), 1, 15), ' '), " +
+        "    source, lang FROM documents WHERE doc_id < 10), " +
+        "g AS (SELECT doc_id, source || '|' || lang AS blk, " +
+        "  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), " +
+        "    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh " +
+        "  FROM base), " +
+        "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+        "  len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb " +
+        "  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id), " +
+        "d AS (SELECT ia AS contained_id, ib AS container_id, " +
+        "    round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment FROM p " +
+        "  UNION ALL SELECT ib, ia, " +
+        "    round(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 6) FROM p) " +
+        "SELECT * FROM d WHERE containment >= 0.8"),
+
+    // two-proportion z: pooled-p̂ SE, identical operand order and casts
+    "events_ab_test" ->
+      ("WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' " +
+        "    AND NOT isnan(value) AND value >= 200 THEN 1 ELSE 0 END) AS conv " +
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+        "v AS (SELECT CAST(user_id % 2 AS VARCHAR) AS vv, CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(sum(conv) AS BIGINT) AS x FROM u GROUP BY 1), " +
+        "a AS (SELECT vv AS variant_a, n AS n_a, x AS x_a FROM v ORDER BY vv LIMIT 1), " +
+        "b AS (SELECT vv AS variant_b, n AS n_b, x AS x_b FROM v ORDER BY vv DESC LIMIT 1) " +
+        "SELECT variant_a, variant_b, n_a, x_a, n_b, x_b, " +
+        "  round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a, " +
+        "  round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b, " +
+        "  round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / " +
+        "    sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "      (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z " +
+        "FROM a, b"),
+
+    // theta overlap in the exact regime ≡ plain distinct-pair join
+    "profile_overlap_sketch" ->
+      ("WITH du AS (SELECT DISTINCT event_type, user_id FROM events " +
+        "  WHERE event_type IS NOT NULL AND user_id IS NOT NULL), " +
+        "tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1), " +
+        "p AS (SELECT a.event_type AS seg_a, b.event_type AS seg_b, " +
+        "  CAST(count(*) AS BIGINT) AS overlap FROM du a " +
+        "  JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT p.seg_a, p.seg_b, ta.n AS distinct_a, tb.n AS distinct_b, p.overlap " +
+        "FROM p JOIN tot ta ON ta.event_type = p.seg_a " +
+        "JOIN tot tb ON tb.event_type = p.seg_b WHERE p.overlap > 0"),
+
+    // chi-squared drift: Laplace-smoothed expected counts, the engine's
+    // exact double chain (p first, then × current total), 12-dp terms
+    "events_chisq_drift" ->
+      ("WITH r AS (SELECT event_type AS cat, CAST(count(*) AS BIGINT) AS rn FROM events " +
+        "  WHERE epoch_ns(ts) < 1705363200000000000 AND event_type IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT event_type AS cat, CAST(count(*) AS BIGINT) AS cn FROM events " +
+        "  WHERE epoch_ns(ts) >= 1705363200000000000 AND event_type IS NOT NULL GROUP BY 1), " +
+        "j AS (SELECT coalesce(r.cat, c.cat) AS cat, coalesce(rn, 0) AS rn, " +
+        "  coalesce(cn, 0) AS cn FROM r FULL OUTER JOIN c ON r.cat = c.cat), " +
+        "t AS (SELECT CAST(sum(rn) AS BIGINT) AS rt, CAST(sum(cn) AS BIGINT) AS ct, " +
+        "  CAST(count(*) AS BIGINT) AS nc FROM j), " +
+        "terms AS (SELECT CAST(round( " +
+        "  (CAST(cn AS DOUBLE) - (CAST(rn + 1 AS DOUBLE) / CAST(rt + nc AS DOUBLE)) * CAST(ct AS DOUBLE)) * " +
+        "  (CAST(cn AS DOUBLE) - (CAST(rn + 1 AS DOUBLE) / CAST(rt + nc AS DOUBLE)) * CAST(ct AS DOUBLE)) / " +
+        "  ((CAST(rn + 1 AS DOUBLE) / CAST(rt + nc AS DOUBLE)) * CAST(ct AS DOUBLE)), 12) " +
+        "  AS DECIMAL(28,12)) AS term, rt, ct, nc FROM j, t) " +
+        "SELECT round(CAST(sum(term) AS DOUBLE), 6) AS chisq, CAST(nc - 1 AS BIGINT) AS dof, " +
+        "  rt AS n_ref, ct AS n_cur FROM terms GROUP BY rt, ct, nc"),
+
+    // MI in nats: (c/N)·ln(c·N/(nx·ny)) with the same operand order and
+    // casts as the engine; marginals are window sums over the cells
+    "profile_mutual_info" ->
+      ("WITH cells AS (SELECT l_returnflag AS x, l_linestatus AS y, " +
+        "  CAST(count(*) AS BIGINT) AS c FROM lineitem " +
+        "  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2), " +
+        "m AS (SELECT *, sum(c) OVER (PARTITION BY x) AS nx, " +
+        "  sum(c) OVER (PARTITION BY y) AS ny, sum(c) OVER () AS n FROM cells), " +
+        "t AS (SELECT CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "  ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+        "     (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 12) AS DECIMAL(28,12)) AS term, n FROM m) " +
+        "SELECT CAST(n AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_cells, " +
+        "  round(CAST(sum(term) AS DOUBLE), 6) AS mi FROM t GROUP BY n"),
+
+    // CUSUM via prefix sum minus running prefix-min (decimal-exact);
+    // nested windows split across CTEs
+    "events_cusum" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, value, " +
+        "  CAST(round(value - 60.0, 6) AS DECIMAL(18,6)) AS term FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL), " +
+        "cu AS (SELECT *, sum(term) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "  ROWS UNBOUNDED PRECEDING) AS cum FROM x), " +
+        "s AS (SELECT *, min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "  ROWS UNBOUNDED PRECEDING) AS rmin FROM cu) " +
+        "SELECT user_id, epoch_ns(ts) AS ts, event_id, round(value, 6) AS value, " +
+        "  round(CAST(cum - least(rmin, CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 6) AS cusum " +
+        "FROM s WHERE CAST(cum - least(rmin, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) > 500.0"),
 
     // filtered search: same formula over the label-constrained corpus
     "ann_filtered_topk" ->

@@ -1,0 +1,347 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Clustering, Dedup, Evaluation, Profiling, Similarity, Sketches}
+
+/** Properties of the round-5 graph/statistics additions: triangle
+  * counting, kNN graphs (exact + IVF-blocked), chi-squared drift,
+  * mutual information, CUSUM alarms, theta-sketch segment overlap. */
+class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("GraphStatsSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---- triangles -----------------------------------------------------
+
+  test("triangleCounts: hand-computed diamond graph") {
+    val s = spark; import s.implicits._
+    // 1-2, 2-3, 1-3, 3-4, 1-4: triangles {1,2,3} and {1,3,4}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val out = Clustering.triangleCounts(edges, "src", "dst")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 0.666667), // 2·2/(3·2) rounded 6 dp
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 2L, 0.666667),
+      (4L, 2L, 1L, 1.0)))
+  }
+
+  test("triangleCounts: duplicate/reversed/self edges canonicalize away") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val out = Clustering.triangleCounts(edges, "src", "dst")
+    assert(out.agg(sum("triangles")).head.getLong(0) == 3L) // one triangle × 3 nodes
+    assert(out.count() == 3)
+  }
+
+  test("triangleCounts: triangle-free star has zero triangles, zero coeff") {
+    val s = spark; import s.implicits._
+    val edges = (2L to 20L).map(i => (1L, i)).toDF("src", "dst")
+    val out = Clustering.triangleCounts(edges, "src", "dst").collect()
+    assert(out.forall(_.getLong(2) == 0L))
+    assert(out.forall(_.getDouble(3) == 0.0))
+  }
+
+  // ---- kNN graphs ----------------------------------------------------
+
+  /** Two well-separated blobs around opposite corners of the hypercube. */
+  private def blobs(n: Int, dim: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map { i =>
+      val hi = i % 2 == 0
+      val base = if (hi) 1.0f else -1.0f
+      // small deterministic jitter keeps vectors distinct
+      val v = Array.tabulate(dim)(d =>
+        base + 0.01f * (((i * 31 + d * 7) % 11) - 5))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("knnGraph: every row's neighbors, blob-pure for small k") {
+    val df = blobs(40, 8).repartition(4)
+    val out = Similarity.knnGraph(df, "vec_id", "embedding", k = 5)
+    assert(out.count() == 40L * 5)
+    // a blob of 20 members: all 5 nearest neighbors share the parity
+    val crossBlob = out.filter(pmod(col("vec_id"), lit(2)) =!=
+      pmod(col("nbr_id"), lit(2)))
+    assert(crossBlob.count() == 0)
+    // ranks are 1..k per row
+    val badRank = out.groupBy("vec_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= 5 || col("n") =!= 5)
+    assert(badRank.count() == 0)
+  }
+
+  test("knnGraph matches bruteForceTopK with self excluded") {
+    val df = blobs(30, 8)
+    // ranks are compared set-free: the brute path re-ranks on ROUNDED
+    // sims, which can swap tied neighbors — membership and sims must
+    // still agree exactly (self is always rank 1 of k+1, so dropping it
+    // leaves precisely the k others)
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", k = 3)
+      .select(col("vec_id"), col("nbr_id"), col("sim"))
+    val q = df.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val b = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        q, "q_id", "q_vec", k = 4)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("sim"))
+    assert(g.exceptAll(b).count() == 0 && b.exceptAll(g).count() == 0)
+  }
+
+  test("knnGraphIvf: agrees with exact on separated blobs; subset sims exact") {
+    val df = blobs(40, 8).repartition(3)
+    val exact = Similarity.knnGraph(df, "vec_id", "embedding", k = 3)
+    val approx = Similarity.knnGraphIvf(df, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 4)
+    // full-probe IVF covers every list → must equal the exact graph
+    assert(approx.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(approx).count() == 0)
+    // narrow probe: every reported (row, nbr, sim) must appear in the
+    // exact ALL-pairs sims (sims are never fabricated, only missed)
+    val narrow = Similarity.knnGraphIvf(df, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 1)
+    val allPairs = Similarity.knnGraph(df, "vec_id", "embedding", k = 39)
+      .select("vec_id", "nbr_id", "sim")
+    assert(narrow.select("vec_id", "nbr_id", "sim")
+      .exceptAll(allPairs).count() == 0)
+  }
+
+  test("knnGraph refuses corpora past the broadcast bound") {
+    val df = blobs(20, 4)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(df, "vec_id", "embedding", k = 2,
+        maxBroadcastRows = 10)
+    }
+    assert(e.getMessage.contains("knnGraphIvf"))
+  }
+
+  // ---- chi-squared drift --------------------------------------------
+
+  test("chiSquareDrift: identical distributions score near zero") {
+    val s = spark; import s.implicits._
+    val ref = Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c")
+    val cur = ref
+    val out = Profiling.chiSquareDrift(ref.toDF("cat"), cur.toDF("cat"), "cat")
+      .head()
+    assert(out.getDouble(0) < 0.1)
+    assert(out.getLong(1) == 2L) // dof = 3 - 1
+    assert(out.getLong(2) == 600L && out.getLong(3) == 600L)
+  }
+
+  test("chiSquareDrift: a shifted distribution scores large") {
+    val s = spark; import s.implicits._
+    val ref = Seq.fill(300)("a") ++ Seq.fill(300)("b")
+    val cur = Seq.fill(500)("a") ++ Seq.fill(100)("b")
+    val stat = Profiling.chiSquareDrift(ref.toDF("cat"), cur.toDF("cat"), "cat")
+      .head().getDouble(0)
+    assert(stat > 100.0) // ~(200²/300)·2 before smoothing
+  }
+
+  test("chiSquareDrift: current-only category contributes finitely") {
+    val s = spark; import s.implicits._
+    val ref = Seq.fill(100)("a")
+    val cur = Seq.fill(50)("a") ++ Seq.fill(50)("z")
+    val out = Profiling.chiSquareDrift(ref.toDF("cat"), cur.toDF("cat"), "cat")
+      .head()
+    assert(!out.getDouble(0).isNaN && !out.getDouble(0).isInfinite)
+    assert(out.getLong(1) == 1L)
+  }
+
+  // ---- mutual information -------------------------------------------
+
+  test("mutualInfo: independent columns score ~0, copies score ln(k)") {
+    val s = spark; import s.implicits._
+    // x uniform over {0,1}, y uniform over {0,1}, all 4 cells equal
+    val ind = (0 until 400).map(i => (i % 2, (i / 2) % 2)).toDF("x", "y")
+    assert(math.abs(Profiling.mutualInfo(ind, "x", "y").head().getDouble(2)) < 1e-9)
+    // y = x over 2 symbols → MI = H(X) = ln 2
+    val dep = (0 until 400).map(i => (i % 2, i % 2)).toDF("x", "y")
+    val mi = Profiling.mutualInfo(dep, "x", "y").head()
+    assert(math.abs(mi.getDouble(2) - math.log(2)) < 1e-6)
+    assert(mi.getLong(0) == 400L && mi.getLong(1) == 2L)
+  }
+
+  test("mutualInfo: hand-computed 2x2 table") {
+    val s = spark; import s.implicits._
+    // cells: (0,0)=50 (0,1)=25 (1,0)=25 (1,1)=100, N=200
+    val rows = Seq.fill(50)((0, 0)) ++ Seq.fill(25)((0, 1)) ++
+      Seq.fill(25)((1, 0)) ++ Seq.fill(100)((1, 1))
+    val out = Profiling.mutualInfo(rows.toDF("x", "y"), "x", "y").head()
+    def term(c: Double, nx: Double, ny: Double) =
+      (c / 200.0) * math.log((c * 200.0) / (nx * ny))
+    val expect = term(50, 75, 75) + term(25, 75, 125) +
+      term(25, 125, 75) + term(100, 125, 125)
+    assert(math.abs(out.getDouble(2) - expect) < 1e-6)
+  }
+
+  // ---- CUSUM ---------------------------------------------------------
+
+  test("cusumAlarms: hand-computed shift with reset") {
+    val s = spark; import s.implicits._
+    // k=10, h=5. values: 12,12,12 → S=2,4,6 (alarm at t3);
+    // then 0 resets (S=max(0, 6-10)=0), then 13,14 → S=3,7 (alarm at t6)
+    val df = Seq((1L, 1L, 12.0), (1L, 2L, 12.0), (1L, 3L, 12.0),
+      (1L, 4L, 0.0), (1L, 5L, 13.0), (1L, 6L, 14.0))
+      .toDF("k", "ts", "v").repartition(3)
+    val out = Profiling.cusumAlarms(df, "k", "ts", "v", k = 10.0,
+        threshold = 5.0)
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((3L, 6.0), (6L, 7.0)))
+  }
+
+  test("cusumAlarms: below-threshold stream emits nothing; keys isolate") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 50).map(i => (1L, i.toLong, 10.2)) ++
+      (1 to 3).map(i => (2L, i.toLong, 100.0))).toDF("k", "ts", "v")
+    val out = Profiling.cusumAlarms(df, "k", "ts", "v", k = 11.0,
+      threshold = 5.0)
+    // key 1 drifts negative (never accumulates); key 2 alarms alone
+    assert(out.filter(col("k") === 1L).count() == 0)
+    assert(out.filter(col("k") === 2L).count() > 0)
+  }
+
+  test("cusumAlarms is partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 200).map(i =>
+      (i % 5L, i.toLong, if (i % 17 == 0) 90.0 else 40.0))
+    val a = Profiling.cusumAlarms(rows.toDF("k", "ts", "v").repartition(1),
+      "k", "ts", "v", 45.0, 80.0)
+    val b = Profiling.cusumAlarms(rows.toDF("k", "ts", "v").repartition(7),
+      "k", "ts", "v", 45.0, 80.0)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  // ---- theta overlap -------------------------------------------------
+
+  test("theta states: exact regime matches set arithmetic, merge ≡ one-shot") {
+    val s = spark; import s.implicits._
+    // seg A: ids 0..99; seg B: ids 50..149; overlap = 50
+    val rows = (0 until 100).map(i => ("A", i.toLong)) ++
+      (50 until 150).map(i => ("B", i.toLong))
+    val df = rows.toDF("seg", "id").repartition(5)
+    val merged = Sketches.thetaMerge(Seq(
+      Sketches.thetaState(df.filter(col("id") % 2 === 0), "seg", "id"),
+      Sketches.thetaState(df.filter(col("id") % 2 === 1), "seg", "id")))
+    val out = Sketches.thetaOverlap(merged).head()
+    assert((out.getString(0), out.getString(1)) == ("A", "B"))
+    assert(out.getLong(2) == 100L && out.getLong(3) == 100L &&
+      out.getLong(4) == 50L)
+    // one-shot state gives the identical exact answer
+    val oneShot = Sketches.thetaOverlap(
+      Sketches.thetaMerge(Seq(Sketches.thetaState(df, "seg", "id")))).head()
+    assert(oneShot.getLong(4) == 50L)
+  }
+
+  test("theta overlap: disjoint segments emit no pair row") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 50).map(i => ("A", i.toLong)) ++
+      (100 until 150).map(i => ("B", i.toLong))
+    val out = Sketches.thetaOverlap(Sketches.thetaMerge(Seq(
+      Sketches.thetaState(rows.toDF("seg", "id"), "seg", "id"))))
+    assert(out.count() == 0)
+  }
+
+  // ---- label propagation --------------------------------------------
+
+  test("labelPropagation: two cliques joined by one bridge separate") {
+    val s = spark; import s.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
+      .toDF("a", "b")
+    val nodes = ((1L to 5L) ++ (11L to 15L)).toDF("id")
+    val out = Clustering.labelPropagation(nodes, "id", edges, "a", "b", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each clique converges to one community; the two stay distinct
+    assert((1L to 5L).map(out).toSet.size == 1)
+    assert((11L to 15L).map(out).toSet.size == 1)
+    assert(out(1L) != out(11L))
+  }
+
+  test("labelPropagation: isolated nodes keep their own label; invariant") {
+    val s = spark; import s.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val a = Clustering.labelPropagation(nodes.repartition(1), "id",
+      edges, "a", "b", 3)
+    val b = Clustering.labelPropagation(nodes.repartition(7), "id",
+      edges, "a", "b", 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val m = a.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (4L to 10L).foreach(i => assert(m(i) == i)) // untouched singletons
+  }
+
+  // ---- containment ---------------------------------------------------
+
+  test("ngramContainment: planted truncation scores 1.0 one way only") {
+    val s = spark; import s.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long, "s"), (2L, short, "s"), (3L, other, "s"))
+      .toDF("id", "text", "blk")
+    val out = Dedup.ngramContainment(df, "id", "text", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((2L, 1L, 1.0))) // short ⊆ long; never reverse
+  }
+
+  test("ngramContainment: blocks isolate candidates") {
+    val s = spark; import s.implicits._
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, t, "x"), (2L, t, "y")).toDF("id", "text", "blk")
+    assert(Dedup.ngramContainment(df, "id", "text", "blk", 0.1).count() == 0)
+  }
+
+  // ---- two-proportion z-test ----------------------------------------
+
+  test("twoProportionZTest: hand-computed and degenerate cases") {
+    val s = spark; import s.implicits._
+    // A: 30/100, B: 20/100 → pooled 0.25,
+    // z = 0.1 / sqrt(0.25·0.75·(0.02)) ≈ 1.632993
+    val rows = (0 until 100).map(i => ("a", if (i < 30) 1 else 0)) ++
+      (0 until 100).map(i => ("b", if (i < 20) 1 else 0))
+    val out = Evaluation.twoProportionZTest(rows.toDF("v", "s"), "v", "s").head()
+    assert(out.getAs[String]("variant_a") == "a")
+    assert(out.getAs[Long]("n_a") == 100L && out.getAs[Long]("x_a") == 30L)
+    assert(math.abs(out.getAs[Double]("z") - 1.632993) < 1e-6)
+    // all-success pool → z is NULL, not an arithmetic error
+    val dg = (0 until 10).map(i => (s"v${i % 2}", 1))
+    val d = Evaluation.twoProportionZTest(dg.toDF("v", "s"), "v", "s").head()
+    assert(d.isNullAt(d.fieldIndex("z")))
+  }
+
+  test("theta estimate stays within error bounds past exact regime") {
+    val s = spark; import s.implicits._
+    // 100k distinct ids at lgK=10 (1024 nominal) → estimation mode
+    val df = (0 until 100000).map(i => ("A", i.toLong)).toDF("seg", "id")
+    val merged = Sketches.thetaMerge(Seq(
+      Sketches.thetaState(df, "seg", "id", lgK = 10)), lgK = 10)
+    val est = {
+      val b = merged.head().getAs[Array[Byte]]("sketch")
+      org.apache.datasketches.theta.Sketches
+        .wrapSketch(org.apache.datasketches.memory.Memory.wrap(b)).getEstimate
+    }
+    assert(math.abs(est - 100000) / 100000.0 < 0.15)
+  }
+}
