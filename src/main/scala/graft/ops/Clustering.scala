@@ -169,11 +169,15 @@ object Clustering {
     * @return (id, deg, triangles, coeff) for every node with deg ≥ 1;
     *         coeff = 2·T / (deg·(deg−1)), 0 when deg < 2, rounded 6 dp */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the canonical edge set feeds THREE consumers (degrees, orientation,
+    // closing-edge probe) — materialize once or the upstream edge
+    // construction (often itself a join) runs three times
     val e = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient each edge low (deg, id) → high (deg, id); carry both ranks
@@ -199,7 +203,20 @@ object Clustering {
     val wedges = w1.join(w2, "u").filter(col("__rv") < col("__rw"))
       .select(col("u"), col("v"), col("w"))
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
+    // the wedge set is the quadratic blow-up (O(m^1.5) rows); shuffling
+    // it all into the closing-edge semi-join is the dominant cost. A
+    // bloom sketch of the m closing edges (no false negatives → exact
+    // composition, the [[Bloom]] reducer pattern) drops non-triangle
+    // wedges BEFORE that exchange — only true triangles + ~FP-rate reach
+    // the shuffle
+    val spark = wedges.sparkSession
+    val bits = Bloom.buildBits(
+      closing.select(struct(col("v"), col("w")).as("__k")), "__k",
+      numBits = 1 << 24, numHashes = 5)
+    val bitsB = spark.sparkContext.broadcast(bits)
+    val hit = udf((h: Long) => Bloom.contains(bitsB.value, 5, h))
+    val wedgesP = wedges.filter(hit(xxhash64(struct(col("v"), col("w")))))
+    val tris = wedgesP.join(closing, Seq("v", "w"), "left_semi")
     val nodeTris = tris.select(col("u").as("id"))
       .unionAll(tris.select(col("v").as("id")))
       .unionAll(tris.select(col("w").as("id")))

@@ -25,14 +25,16 @@ object Funnels {
     * Deterministic by construction: each step time is the MIN event
     * time satisfying the chain, so ties and event order never matter.
     * `tsCol` is the engine's epoch-nanos long for events tables. */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
+  /** Per-user first-touch step times `__t0 … __t(n-1)` (nulls trail):
+    * the shared core of [[funnel]] and [[funnelLatency]]. */
+  private def stepTimes(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("__t0"))
-    val chained = steps.zipWithIndex.tail.foldLeft(first) {
+    steps.zipWithIndex.tail.foldLeft(first) {
       case (prev, (step, i)) =>
         val stepTs = events.filter(col(typeCol) === step)
           .select(col(userCol), col(tsCol).as("__ts"))
@@ -44,10 +46,43 @@ object Funnels {
           .agg(min(when(col("__ts") > col(s"__t${i - 1}"), col("__ts")))
             .as(s"__t$i"))
     }
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val chained = stepTimes(events, userCol, tsCol, typeCol, steps)
     // depth = number of non-null step times (nulls only ever trail)
     val depth = (0 until steps.size).map(j =>
       when(col(s"__t$j").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
     chained.select(col(userCol), depth.as("steps_completed"))
+  }
+
+  /** Time-to-convert distribution per funnel transition: for every
+    * consecutive step pair, the exact interpolated percentiles of
+    * (t_step − t_prev) over the users who completed the transition —
+    * the "WHERE does the funnel stall" companion to [[funnel]]'s "where
+    * does it leak". One row per transition: (step_from, step_to, n,
+    * p50, p90), latencies in the ts axis unit (nanos on the engine
+    * axis). Same chained conditional-min core as [[funnel]] — the
+    * events table is scanned once per step, users once after; the
+    * percentile is a per-transition exact aggregate over ≤ |users|
+    * deltas (the [[graft.ops.Profiling.winsorize]] device, matching
+    * DuckDB's quantile_cont bit-for-bit). */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnelLatency needs at least 2 steps: $steps")
+    val chained = stepTimes(events, userCol, tsCol, typeCol, steps)
+    val perStep = steps.zipWithIndex.tail.map { case (step, i) =>
+      chained.filter(col(s"__t$i").isNotNull)
+        .select((col(s"__t$i") - col(s"__t${i - 1}")).as("__d"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(__d, 0.5)").as("p50"),
+          expr("percentile(__d, 0.9)").as("p90"))
+        .select(lit(steps(i - 1)).as("step_from"), lit(step).as("step_to"),
+          col("n"), round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"))
+    }
+    perStep.reduce(_ unionByName _)
   }
 
   /** Weekly cohort retention: users are cohorted by the week of their

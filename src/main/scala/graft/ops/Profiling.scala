@@ -744,6 +744,37 @@ object Profiling {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** The long-window form of [[rollingDistinctUsers]]: one HLL sketch
+    * per day, each anchor unions its trailing `windowDays` sketches —
+    * the fan-out is `days × window` KB-sized SKETCH rows instead of
+    * `(day, user) × window` id rows, so a 90-day rolling MAU over
+    * billions of ids shuffles megabytes, not the id universe. Estimates
+    * carry the standard HLL error (~1.6% at lgK 12; raise lgK to
+    * trade memory for accuracy); use the exact form when the window and
+    * id volume allow it. Spark's native `hll_sketch_agg` family
+    * (DataSketches-backed) keeps the whole path codegen'd — no UDFs.
+    *
+    * @param tsCol epoch-nanos long (the engine ts axis)
+    * @return (day, n_users_est) for every day with activity */
+  def rollingDistinctUsersSketch(df: DataFrame, tsCol: String,
+      userCol: String, windowDays: Int = 30, lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3650,
+      s"windowDays must be in [1, 3650]: $windowDays")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21]: $lgK")
+    val dayNs = 86400L * 1000000000L
+    val daySk = df.filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(expr(s"$tsCol div ${dayNs}L").as("__day"), col(userCol))
+      .groupBy("__day")
+      .agg(expr(s"hll_sketch_agg(`$userCol`, $lgK)").as("__sk"))
+    val days = daySk.select(col("__day").as("day"))
+    daySk
+      .select(explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1).cast("long"))).as("day"), col("__sk"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("n_users_est"))
+  }
+
   /** Per-key recency-weighted (half-life decayed) value aggregate — the
     * feature-engineering staple behind "recent activity" signals: each
     * row contributes `value · 0.5^k`, where `k` is the number of WHOLE

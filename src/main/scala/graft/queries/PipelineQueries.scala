@@ -860,6 +860,21 @@ object PipelineQueries extends QueryGroup {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     }),
 
+    // WHERE the funnel stalls: exact time-to-convert percentiles per
+    // transition (same chained conditional-min core as events_funnel)
+    "events_funnel_latency" -> ((s, dir) => {
+      graft.ops.Funnels.funnelLatency(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // long-window rolling DAU via HLL day-sketches: the fan-out is
+    // days×window KB sketches, never (day,user)×window ids — rows-only
+    // (HLL estimate); ≤2% agreement with the exact form is spec-gated
+    "events_rolling_dau_sketch" -> ((s, dir) => {
+      graft.ops.Profiling.rollingDistinctUsersSketch(
+        Tables.load(s, dir, "events"), "ts", "user_id", windowDays = 7)
+    }),
+
     // weekly cohort retention on epoch-nanos week buckets (engine-
     // portable integer weeks, no ISO-calendar ambiguity)
     "events_retention" -> ((s, dir) => {
@@ -1594,6 +1609,26 @@ object PipelineQueries extends QueryGroup {
         "SELECT s1.user_id, 1 + CAST(s2.user_id IS NOT NULL AS BIGINT) " +
         "  + CAST(s3.user_id IS NOT NULL AS BIGINT) AS steps_completed " +
         "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    // same three-CTE chain as events_funnel, then per-transition deltas
+    // on the nanos axis and exact interpolated percentiles
+    "events_funnel_latency" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events " +
+        "    WHERE event_type = 'view' GROUP BY user_id), " +
+        " s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e " +
+        "    JOIN s1 USING (user_id) " +
+        "    WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY e.user_id), " +
+        " s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "    JOIN s2 USING (user_id) " +
+        "    WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY e.user_id), " +
+        " d1 AS (SELECT CAST(epoch_ns(t1) - epoch_ns(s1.t0) AS DOUBLE) AS d " +
+        "    FROM s2 JOIN s1 USING (user_id)), " +
+        " d2 AS (SELECT CAST(epoch_ns(t2) - epoch_ns(s2.t1) AS DOUBLE) AS d " +
+        "    FROM s3 JOIN s2 USING (user_id)) " +
+        "SELECT 'view' AS step_from, 'click' AS step_to, CAST(count(*) AS BIGINT) AS n, " +
+        "  round(quantile_cont(d, 0.5), 6) AS p50, round(quantile_cont(d, 0.9), 6) AS p90 FROM d1 " +
+        "UNION ALL SELECT 'click', 'purchase', CAST(count(*) AS BIGINT), " +
+        "  round(quantile_cont(d, 0.5), 6), round(quantile_cont(d, 0.9), 6) FROM d2"),
+
     "events_retention" ->
       ("WITH a AS (SELECT DISTINCT user_id, " +
         "    epoch_ns(ts) // 604800000000000 AS week FROM events), " +

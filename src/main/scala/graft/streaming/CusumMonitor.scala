@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming CUSUM changepoint monitor — the stateful-streaming member
+  * of the drift family ([[graft.ops.Profiling.cusumAlarms]] covers
+  * batch): each key carries its cumulative-excess statistic ACROSS
+  * micro-batches in the streaming state store, so a slow level shift
+  * that accumulates over hours of ingest still alarms, where per-batch
+  * monitors ([[DriftMonitor]], [[SketchMonitor]]) only see one batch at
+  * a time.
+  *
+  * Same recurrence as the batch op — S ← max(0, S + (x − k)), alarm
+  * when S > h — computed in 6-dp fixed-point longs (terms rounded
+  * HALF_UP exactly like the batch op's DECIMAL(18,6) terms), so a
+  * stream replayed as one batch produces bit-identical statistics.
+  * State per key is ONE long; each micro-batch shuffles once on the
+  * key and applies its rows in (ts, id) order. Alarms emit in Append
+  * mode; the statistic keeps accumulating after an alarm (standard
+  * CUSUM practice is to page once and let the level-shift persist —
+  * resetting on alarm is a one-line variant).
+  */
+object CusumMonitor {
+
+  final case class Point(key: Long, ts: Long, id: Long, value: Double)
+  final case class Alarm(key: Long, ts: Long, id: Long, value: Double,
+    cusum: Double)
+
+  private val Scale = 1000000L
+
+  private[streaming] def toMicros(x: Double): Long =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying().unscaledValue().longValueExact()
+
+  /** Start-of-pipeline transform over a streaming `(key, ts, id, value)`
+    * frame: alarm rows where the per-key CUSUM exceeds `threshold`. */
+  def alarms(input: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, k: Double,
+      threshold: Double): Dataset[Alarm] = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val spark = input.sparkSession
+    import spark.implicits._
+    val kMicros = toMicros(k)
+    val hMicros = toMicros(threshold)
+    input
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        col("ts").isNotNull)
+      .as[Point]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Point], state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Alarm]
+          // state-store order is arrival order — impose the (ts, id)
+          // total order inside the batch so replays are deterministic
+          rows.toArray.sortBy(p => (p.ts, p.id)).foreach { p =>
+            s = math.max(0L, s + (toMicros(p.value) - kMicros))
+            if (s > hMicros)
+              out += Alarm(key, p.ts, p.id, p.value, s.toDouble / Scale)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}

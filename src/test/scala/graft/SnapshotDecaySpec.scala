@@ -179,4 +179,54 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(top == Set(7L, 9999L))
   }
+
+  test("funnelLatency: hand-computed per-transition percentiles") {
+    val s = spark; import s.implicits._
+    // u1: view@10 click@20 buy@50 (deltas 10, 30)
+    // u2: view@10 click@40       (delta 30)
+    // u3: view@10 (stalls)
+    val ev = Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 50L, "buy"),
+      (2L, 10L, "view"), (2L, 40L, "click"), (3L, 10L, "view"))
+      .toDF("u", "ts", "t")
+    val out = Funnels.funnelLatency(ev, "u", "ts", "t",
+        Seq("view", "click", "buy"))
+      .orderBy("step_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // click→buy: one delta (30) → p50 = p90 = 30
+    // view→click: deltas (10, 30) → p50 = 20 (interpolated), p90 = 28
+    assert(out.toSeq == Seq(
+      ("click", "buy", 1L, 30.0, 30.0),
+      ("view", "click", 2L, 20.0, 28.0)))
+  }
+
+  test("funnelLatency: out-of-order step events never yield negative deltas") {
+    val s = spark; import s.implicits._
+    // u1's only click precedes its first view → no transition row for it
+    val ev = Seq((1L, 50L, "view"), (1L, 10L, "click"),
+      (2L, 10L, "view"), (2L, 30L, "click")).toDF("u", "ts", "t")
+    val out = Funnels.funnelLatency(ev, "u", "ts", "t", Seq("view", "click"))
+      .head()
+    assert(out.getLong(2) == 1L && out.getDouble(3) == 20.0)
+  }
+
+  test("rollingDistinctUsersSketch tracks the exact form within 2%") {
+    val s = spark; import s.implicits._
+    val dayNs = 86400L * 1000000000L
+    // 60 days, per-day user sets of varying size with heavy overlap
+    val rows = for {
+      d <- 0 until 60
+      u <- 0 until (50 + (d % 7) * 20)
+    } yield (d * dayNs + 5L, (u * 7919 % 800).toLong)
+    val df = rows.toDF("ts", "uid").repartition(6)
+    val exact = Profiling.rollingDistinctUsers(df, "ts", "uid", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val est = Profiling.rollingDistinctUsersSketch(df, "ts", "uid", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toDouble)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      assert(math.abs(est(day) - n) / n.toDouble < 0.02,
+        s"day $day: est ${est(day)} vs exact $n")
+    }
+  }
 }

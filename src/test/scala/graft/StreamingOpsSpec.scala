@@ -234,4 +234,41 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b1._1 - b1._2 > 300)
     } finally q.stop()
   }
+
+  test("cusum monitor: state accumulates across micro-batches, matches batch op") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val out = graft.streaming.CusumMonitor.alarms(
+      in.toDF().toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+      k = 10.0, threshold = 5.0)
+    val ckpt = Files.createTempDirectory("graft-cusum-ck").toString
+    val q = out.writeStream
+      .format("memory").queryName("cusum_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // batch 1 ends at S=4 (no alarm); batch 2's first row pushes the
+      // CARRIED state over: only cross-batch memory can alarm at ts=3
+      in.addData((1L, 1L, 1L, 12.0), (1L, 2L, 2L, 12.0))
+      q.processAllAvailable()
+      in.addData((1L, 3L, 3L, 12.0), (1L, 4L, 4L, 0.0), (1L, 5L, 5L, 18.0))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_out")
+        .select("ts", "cusum").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // S: 2, 4 | 6(alarm), max(0,-4)=0, 8(alarm)
+      assert(rows === Set((3L, 6.0), (5L, 8.0)))
+      // one-shot replay through the BATCH operator agrees exactly
+      val all = Seq((1L, 1L, 1L, 12.0), (1L, 2L, 2L, 12.0),
+        (1L, 3L, 3L, 12.0), (1L, 4L, 4L, 0.0), (1L, 5L, 5L, 18.0))
+        .toDF("k", "ts", "id", "v")
+      val batch = graft.ops.Profiling.cusumAlarms(all, "k", "ts", "v",
+          k = 10.0, threshold = 5.0, tieCols = Seq("id"))
+        .select(col("ts"), col("cusum")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch === rows)
+    } finally q.stop()
+  }
 }
