@@ -260,17 +260,19 @@ object Clustering {
     var state = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-      .orderBy(col("__n").desc, col("__lbl").asc)
     var iter = 0
     while (iter < iters) {
       val votes = sym
         .join(state.select(col("id").as("dst"), col("lbl").as("__lbl")), "dst")
         .select(col("src").as("id"), col("__lbl"))
         .groupBy("id", "__lbl").agg(count(lit(1)).as("__n"))
-      val picked = votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("__lbl"))
+      // argmax as max(struct(n, −lbl)) — a plain hash aggregate with
+      // map-side combine, no per-node sort window (the window form sorts
+      // every node's vote list just to read one row)
+      val picked = votes
+        .groupBy("id")
+        .agg(max(struct(col("__n"), (-col("__lbl")).as("__neg"))).as("__m"))
+        .select(col("id"), (-col("__m.__neg")).as("__lbl"))
       state = state.select(col("id"), col("lbl").as("__old"))
         .join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("__lbl"), col("__old")).as("lbl"))

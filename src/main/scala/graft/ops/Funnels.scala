@@ -134,4 +134,35 @@ object Funnels {
       .groupBy(col(typeCol).as("from_type"), col("__tt").as("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Consecutive event n-gram counts per key — [[transitions]]
+    * generalized to length-`n` paths (the sequence-mining staple: which
+    * 3-step flows dominate, which never-seen path preceded the error).
+    * A window of n events counts iff every consecutive gap is within
+    * `maxGapNs`. Output: (gram_1 … gram_n, cnt), cardinality ≤ |types|ⁿ
+    * — aggregate-sized, never event-sized. Same one-(key, ts)-sort shape
+    * as transitions: n−1 leads over one window, no self-joins.
+    *
+    * Determinism contract: (tsCol +: tieCols) must totally order each
+    * key's events. @param tsCol epoch-nanos long (the engine ts axis) */
+  def sequenceNgrams(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, n: Int, maxGapNs: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 2 && n <= 8, s"n must be in [2, 8]: $n")
+    require(maxGapNs > 0, s"maxGapNs must be positive: $maxGapNs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy((tsCol +: tieCols).map(col): _*)
+    val withLeads = (1 until n).foldLeft(events) { (df, i) =>
+      df.withColumn(s"__t$i", lead(col(typeCol), i).over(w))
+        .withColumn(s"__g$i",
+          lead(col(tsCol), i).over(w) - lead(col(tsCol), i - 1).over(w))
+    }
+    val ok = (1 until n).map(i =>
+      col(s"__t$i").isNotNull && col(s"__g$i") <= maxGapNs).reduce(_ && _)
+    val grams = col(typeCol).as("gram_1") +:
+      (1 until n).map(i => col(s"__t$i").as(s"gram_${i + 1}"))
+    withLeads.filter(ok)
+      .groupBy(grams: _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -744,6 +744,72 @@ object Profiling {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Gini coefficient of per-key activity concentration — the
+    * inequality summary of [[heavyHitters]]' pointwise view (how much
+    * of the corpus do few sources own; is one user generating half the
+    * events). 0 = perfectly even, →1 = one key owns everything. One
+    * row: (n_keys, total, gini).
+    *
+    * Rank form of the formula: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * counts sorted ascending, rank i from the distributed prefix-count
+    * device ([[graft.ops.Curation.runningTotal]] — no single-partition
+    * window). Everything until the final divide is exact integer
+    * arithmetic, so the result is engine-identical. */
+  def giniCoefficient(df: DataFrame, keyCol: String): DataFrame = {
+    val totals = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+    val ranked = Curation.runningTotal(totals,
+      Seq(col("__x"), col(keyCol)), lit(1L), "__rk")
+    ranked.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum((col("__rk") * col("__x")).cast("decimal(38,0)")).as("__sixi"))
+      .select(col("__n").cast("long").as("n_keys"),
+        col("__sx").cast("long").as("total"),
+        round((lit(2).cast("decimal(38,0)") * col("__sixi") -
+            ((col("__n") + 1) * col("__sx")).cast("decimal(38,0)")).cast("double") /
+          (col("__n") * col("__sx")).cast("double"), 6).as("gini"))
+  }
+
+  /** Per-key inter-arrival statistics: gap count, mean gap, coefficient
+    * of variation, max gap — the burstiness screen (bots have tiny
+    * near-constant gaps → CV ≈ 0 at machine cadence; humans are bursty,
+    * CV ≳ 1; a max gap of days flags churn-and-return). One (key, ts)
+    * sort for the lag, then one aggregate.
+    *
+    * Determinism: Σg and Σg² are exact integer sums (DECIMAL(38,0) — at
+    * nanos scale Σg² holds ~10¹² gaps per key before overflow, far past
+    * any per-key stream), and every double after the casts is one fixed
+    * IEEE chain, so mean/CV are engine-identical. Keys with < 2 events
+    * have no gaps and are excluded; `(tsCol +: tieCols)` must totally
+    * order each key's events. */
+  def interArrival(df: DataFrame, keyCol: String, tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieCols).map(c => col(c).asc): _*)
+    val gaps = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val mean = col("__sg").cast("double") / col("__ng").cast("double")
+    val variance = (col("__sg2").cast("double") -
+      col("__sg").cast("double") * mean) / (col("__ng") - 1).cast("double")
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__gap").cast("decimal(38,0)")).as("__sg"),
+        // cast BEFORE the square: a multi-hour nanos gap squared
+        // overflows long; decimal×decimal stays exact
+        sum(col("__gap").cast("decimal(38,0)") *
+          col("__gap").cast("decimal(38,0)")).as("__sg2"),
+        max(col("__gap")).as("max_gap"))
+      .select(col(keyCol), col("__ng").as("n_gaps"),
+        // FLOOR-divided integer mean: round(hugeDouble, 6) differs
+        // between engines at the ulp — integer division never does
+        expr("__sg div __ng").cast("long").as("mean_gap"),
+        // greatest(…, 0): a constant-gap key's variance can land a few
+        // ulps negative after the double casts — clamp, don't NaN
+        when(col("__ng") > 1 && col("__sg") > 0,
+          round(sqrt(greatest(variance, lit(0.0))) / mean, 6)).as("cv"),
+        col("max_gap"))
+  }
+
   /** The long-window form of [[rollingDistinctUsers]]: one HLL sketch
     * per day, each anchor unions its trailing `windowDays` sketches —
     * the fan-out is `days × window` KB-sized SKETCH rows instead of

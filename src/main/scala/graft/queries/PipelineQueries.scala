@@ -838,6 +838,28 @@ object PipelineQueries extends QueryGroup {
         maxGapNs = 3600L * 1000000000L, tieCols = Seq("event_id"))
     }),
 
+    // 3-step sequence mining: which flows dominate (transitions
+    // generalized to length-3 paths, two leads over one window)
+    "events_seq_trigrams" -> ((s, dir) => {
+      graft.ops.Funnels.sequenceNgrams(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", n = 3,
+        maxGapNs = 3600L * 1000000000L, tieCols = Seq("event_id"))
+    }),
+
+    // per-user inter-arrival burstiness: exact integer moment sums →
+    // one fixed double chain (CV ≈ 0 flags machine cadence)
+    "events_interarrival" -> ((s, dir) => {
+      graft.ops.Profiling.interArrival(Tables.load(s, dir, "events"),
+        "user_id", "ts", Seq("event_id"))
+    }),
+
+    // activity concentration: Gini over per-user event counts
+    // (distributed prefix-count rank, integer arithmetic to the last divide)
+    "events_gini" -> ((s, dir) => {
+      graft.ops.Profiling.giniCoefficient(
+        Tables.load(s, dir, "events"), "user_id")
+    }),
+
     // trailing-7-day rolling distinct users (exact): day×user dedup
     // first, bounded window fan-out, per-anchor distinct count
     "events_rolling_dau" -> ((s, dir) => {
@@ -2341,6 +2363,45 @@ object PipelineQueries extends QueryGroup {
         "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
         "SELECT ft AS from_type, tt AS to_type, CAST(count(*) AS BIGINT) AS n " +
         "FROM x WHERE tt IS NOT NULL AND gap <= 3600000000000 GROUP BY 1, 2"),
+
+    // trigram flows: two leads on the same (user, ts, event_id) window
+    "events_seq_trigrams" ->
+      ("WITH x AS (SELECT event_type AS g1, lead(event_type, 1) OVER w AS g2, " +
+        "  lead(event_type, 2) OVER w AS g3, " +
+        "  epoch_ns(lead(ts, 1) OVER w) - epoch_ns(ts) AS ga, " +
+        "  epoch_ns(lead(ts, 2) OVER w) - epoch_ns(lead(ts, 1) OVER w) AS gb " +
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT g1 AS gram_1, g2 AS gram_2, g3 AS gram_3, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM x WHERE g2 IS NOT NULL AND ga <= 3600000000000 " +
+        "  AND g3 IS NOT NULL AND gb <= 3600000000000 GROUP BY 1, 2, 3"),
+
+    // inter-arrival: exact integer Σg/Σg², then the engine's exact
+    // double chain (variance clamped at 0 for constant-gap keys)
+    "events_interarrival" ->
+      ("WITH g AS (SELECT user_id, epoch_ns(ts) - epoch_ns(lag(ts) OVER (" +
+        "    PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events " +
+        "  WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+        "h AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL), " +
+        "a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, sum(gap) AS sg, " +
+        "  sum(CAST(gap AS HUGEINT) * gap) AS sg2, CAST(max(gap) AS BIGINT) AS max_gap FROM h GROUP BY 1) " +
+        "SELECT user_id, n_gaps, " +
+        "  CAST(sg // n_gaps AS BIGINT) AS mean_gap, " +
+        "  CASE WHEN n_gaps > 1 AND sg > 0 THEN " +
+        "    round(sqrt(greatest((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * " +
+        "      (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / CAST(n_gaps - 1 AS DOUBLE), 0)) / " +
+        "      (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) END AS cv, " +
+        "  max_gap FROM a"),
+
+    // Gini rank form — integer arithmetic until the one final divide
+    "events_gini" ->
+      ("WITH t AS (SELECT user_id, count(*) AS x FROM events " +
+        "  WHERE user_id IS NOT NULL GROUP BY 1), " +
+        "r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM t), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "  sum(rk * x) AS sixi FROM r) " +
+        "SELECT n AS n_keys, sx AS total, " +
+        "  round(CAST(2 * sixi - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE), 6) AS gini " +
+        "FROM a"),
 
     // exact trailing-7-day distinct users: dedup (day,user) first, fan
     // each pair to the anchors it supports, count distinct per anchor

@@ -232,6 +232,53 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  // ---- sequence / burstiness / concentration ------------------------
+
+  test("sequenceNgrams: gaps break paths; n=2 equals transitions") {
+    val s = spark; import s.implicits._
+    val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (1L, 500L, "a"), (1L, 510L, "b"), (2L, 5L, "a"), (2L, 10L, "b"))
+      .toDF("u", "ts", "t")
+    val tri = graft.ops.Funnels.sequenceNgrams(ev, "u", "ts", "t", 3, 100L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // only (a,b,c) qualifies: the 470-gap kills a→b@500's extension and
+    // u2 has just two events
+    assert(tri == Set(("a", "b", "c", 1L)))
+    val bi = graft.ops.Funnels.sequenceNgrams(ev, "u", "ts", "t", 2, 100L)
+      .withColumnRenamed("gram_1", "from_type")
+      .withColumnRenamed("gram_2", "to_type").withColumnRenamed("cnt", "n")
+    val tr = graft.ops.Funnels.transitions(ev, "u", "ts", "t", 100L)
+    assert(bi.exceptAll(tr).count() == 0 && tr.exceptAll(bi).count() == 0)
+  }
+
+  test("interArrival: hand-computed mean/cv; constant cadence scores 0") {
+    val s = spark; import s.implicits._
+    val ev = Seq((1L, 0L), (1L, 10L), (1L, 30L), // gaps 10, 20
+      (2L, 0L), (2L, 5L), (2L, 10L), (2L, 15L),  // constant gap 5
+      (3L, 42L))                                  // no gaps → excluded
+      .toDF("u", "ts")
+    val out = Profiling.interArrival(ev, "u", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (n1, m1, cv1, mx1) = out(1L)
+    assert(n1 == 2L && m1 == 15L && mx1 == 20L)
+    assert(math.abs(cv1 - math.sqrt(50.0) / 15.0) < 1e-6)
+    assert(out(2L)._3 == 0.0) // machine cadence
+  }
+
+  test("giniCoefficient: uniform → 0, concentrated → hand-computed") {
+    val s = spark; import s.implicits._
+    val uniform = (1 to 40).map(i => (i % 4).toLong).toDF("k")
+    assert(Profiling.giniCoefficient(uniform, "k").head().getDouble(2) == 0.0)
+    // counts (1,1,1,7): G = (2·34 − 5·10) / (4·10) = 0.45
+    val skewed = (Seq(1L, 2L, 3L) ++ Seq.fill(7)(4L)).toDF("k")
+    val g = Profiling.giniCoefficient(skewed, "k").head()
+    assert(g.getLong(0) == 4L && g.getLong(1) == 10L && g.getDouble(2) == 0.45)
+  }
+
   // ---- theta overlap -------------------------------------------------
 
   test("theta states: exact regime matches set arithmetic, merge ≡ one-shot") {
