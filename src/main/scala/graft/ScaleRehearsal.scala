@@ -50,7 +50,8 @@ object ScaleRehearsal {
     GraftEngine.install(spark, catalog)
     val results = Seq(1, 10).map(measure(spark, catalog, sfDir, _))
     val covResults = Seq(1, 10).map(measureCov(spark, sfDir, _))
-    write(sfDir, results, covResults)
+    val triResults = Seq(1, 3).map(measureTri(spark, sfDir, _))
+    write(sfDir, results, covResults, triResults)
     println(s"[rehearsal] wrote /root/repo/SCALE_REHEARSAL.md")
     spark.stop()
   }
@@ -89,6 +90,51 @@ object ScaleRehearsal {
     spark.sparkContext.removeSparkListener(listener)
     val d = src.selectExpr("max(size(embedding))").head().getInt(0)
     CovMeasure(scale, scaled.count(), d.toLong * (d + 1) / 2, recs.get, t)
+  }
+
+  final case class TriMeasure(scale: Int, edges: Long, triangles: Long,
+    shuffleNoBloom: Long, shuffleBloom: Long, tNoBloom: Double, tBloom: Double)
+
+  /** Wedge-shuffle behavior of triangle counting: the closing-edge bloom
+    * must cut the rows reaching the (v, w) exchange from the O(m^1.5)
+    * wedge set to ~triangles (+FP), at every scale. Disjoint graph
+    * copies (both order and part keys shifted) grow the graph without
+    * changing its density, so the baseline wedge volume scales linearly
+    * and the reduction ratio is directly comparable across scales. */
+  private def measureTri(spark: SparkSession, sfDir: String,
+      scale: Int): TriMeasure = {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val scaled = (0 until scale)
+      .map(i => src.select((col("ok") + lit(i * 100000000L)).as("ok"),
+        (col("pk") + lit(i * 100000000L)).as("pk")))
+      .reduce(_ unionByName _)
+    val edges = scaled.join(scaled.withColumnRenamed("pk", "pk2"), "ok")
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    def run(bloomBits: Int): (Long, Long, Double) = {
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      val out = graft.ops.Clustering.triangleCounts(edges, "src", "dst",
+        wedgeBloomBits = bloomBits)
+      out.write.format("noop").mode("overwrite").save() // warm
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val tris = out.agg(sum("triangles")).head().getLong(0) / 3
+      val t = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(listener)
+      (tris, recs.get, t)
+    }
+    val (tris, recsNo, tNo) = run(0)
+    val (_, recsB, tB) = run(1 << 24)
+    TriMeasure(scale, edges.distinct().count(), tris, recsNo, recsB, tNo, tB)
   }
 
   private def parquetFiles(path: String): Int = {
@@ -193,7 +239,7 @@ object ScaleRehearsal {
   }
 
   private def write(sfDir: String, rs: Seq[Measure],
-      cov: Seq[CovMeasure]): Unit = {
+      cov: Seq[CovMeasure], tri: Seq[TriMeasure]): Unit = {
     def f(d: Double) = String.format(Locale.ROOT, "%.3f", Double.box(d))
     val rows = rs.map { m =>
       s"| ${m.scale}x | ${m.baseRows} | ${m.matched} | ${m.baseFilesTotal} | " +
@@ -267,9 +313,36 @@ object ScaleRehearsal {
          |  tracking the TASK count (more input splits), not the row count:
          |  per-task partials are the constant ${cov.head.cells} cells.
          |  A 1000-executor cluster shuffles kilobytes per task for any n.
+         |
+         |# Triangle counting — wedge shuffle vs closing-edge bloom
+         |
+         |`Clustering.triangleCounts` (`graph_triangles`) on the same-order
+         |part co-occurrence graph, disjoint copies at 1x/3x (density
+         |fixed). The O(m^1.5) wedge set must reach the closing-edge
+         |semi-join's (v, w) exchange; the bloom sketch of the m closing
+         |edges (no false negatives — identical result, same oracle hash)
+         |drops non-triangle wedges BEFORE that shuffle. Total shuffle
+         |records over the run, same listener as above.
+         |
+         || scale | edges | triangles | shuffle recs (no bloom) | shuffle recs (bloom) | t no-bloom (s) | t bloom (s) |
+         ||---|---|---|---|---|---|---|
+         |@TRIROWS@
+         |
+         |- The reduction is the wedge set: at ${tri.last.scale}x the bloom
+         |  removes ${tri.last.shuffleNoBloom - tri.last.shuffleBloom}
+         |  shuffle records
+         |  (${100 * (tri.last.shuffleNoBloom - tri.last.shuffleBloom) /
+              math.max(tri.last.shuffleNoBloom, 1)}%) — on a cluster the
+         |  wedge exchange is the network bottleneck of any triangle /
+         |  clustering-coefficient job, and it now carries ~triangles + FP
+         |  instead of every wedge.
          |""".stripMargin.replace("@ROWS@", rows).replace("@COVROWS@",
         cov.map(m => s"| ${m.scale}x | ${m.rows} | ${m.cells} | " +
           s"${m.shuffleRecords} | ${f(m.t)} |").mkString("\n"))
+      .replace("@TRIROWS@",
+        tri.map(m => s"| ${m.scale}x | ${m.edges} | ${m.triangles} | " +
+          s"${m.shuffleNoBloom} | ${m.shuffleBloom} | ${f(m.tNoBloom)} | " +
+          s"${f(m.tBloom)} |").mkString("\n"))
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/SCALE_REHEARSAL.md"),
       md.getBytes("UTF-8"))
   }

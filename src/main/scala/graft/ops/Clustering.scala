@@ -166,9 +166,13 @@ object Clustering {
     * Σ deg² a naive self-join pays on skewed graphs. Two shuffles on the
     * edge list (wedge join + closing-edge semi-join), one aggregate.
     *
+    * @param wedgeBloomBits size of the closing-edge bloom that prunes the
+    *   wedge set before its exchange (0 disables — the measurement
+    *   baseline in ScaleRehearsal; exactness is unaffected either way)
     * @return (id, deg, triangles, coeff) for every node with deg ≥ 1;
     *         coeff = 2·T / (deg·(deg−1)), 0 when deg < 2, rounded 6 dp */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      wedgeBloomBits: Int = 1 << 24): DataFrame = {
     // the canonical edge set feeds THREE consumers (degrees, orientation,
     // closing-edge probe) — materialize once or the upstream edge
     // construction (often itself a join) runs three times
@@ -209,13 +213,15 @@ object Clustering {
     // composition, the [[Bloom]] reducer pattern) drops non-triangle
     // wedges BEFORE that exchange — only true triangles + ~FP-rate reach
     // the shuffle
-    val spark = wedges.sparkSession
-    val bits = Bloom.buildBits(
-      closing.select(struct(col("v"), col("w")).as("__k")), "__k",
-      numBits = 1 << 24, numHashes = 5)
-    val bitsB = spark.sparkContext.broadcast(bits)
-    val hit = udf((h: Long) => Bloom.contains(bitsB.value, 5, h))
-    val wedgesP = wedges.filter(hit(xxhash64(struct(col("v"), col("w")))))
+    val wedgesP = if (wedgeBloomBits <= 0) wedges else {
+      val spark = wedges.sparkSession
+      val bits = Bloom.buildBits(
+        closing.select(struct(col("v"), col("w")).as("__k")), "__k",
+        numBits = wedgeBloomBits, numHashes = 5)
+      val bitsB = spark.sparkContext.broadcast(bits)
+      val hit = udf((h: Long) => Bloom.contains(bitsB.value, 5, h))
+      wedges.filter(hit(xxhash64(struct(col("v"), col("w")))))
+    }
     val tris = wedgesP.join(closing, Seq("v", "w"), "left_semi")
     val nodeTris = tris.select(col("u").as("id"))
       .unionAll(tris.select(col("v").as("id")))

@@ -233,4 +233,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sorts.count(_.global == false) <= 2 && sorts.forall(!_.global),
       s"no global sort — only the per-key window sort:\n$plan")
   }
+
+  test("exact kNN graph never shuffles — ranks are assigned inside the scan") {
+    val plan = q("emb_knn_graph").queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"broadcast-corpus kNN must be shuffle-free:\n$plan")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, s"no join operator either:\n$plan")
+  }
+
+  test("Gini rank never windows the ranked table in one partition") {
+    val plan = q("events_gini").queryExecution.executedPlan
+    // the distributed prefix-count device allows exactly one kind of
+    // unpartitioned window: the offsets fold over #partitions rows
+    // (ordered by __pid). An unpartitioned window ordered by DATA
+    // columns would be the single-task global rank this op exists to
+    // avoid.
+    val unpart = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w }
+    assert(unpart.nonEmpty, s"offsets fold expected:\n$plan")
+    unpart.foreach { w =>
+      assert(w.orderSpec.forall(_.child.toString.contains("__pid")),
+        s"unpartitioned window over row data:\n$w")
+    }
+  }
 }
