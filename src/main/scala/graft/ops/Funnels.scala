@@ -26,11 +26,15 @@ object Funnels {
     * time satisfying the chain, so ties and event order never matter.
     * `tsCol` is the engine's epoch-nanos long for events tables. */
   /** Per-user first-touch step times `__t0 … __t(n-1)` (nulls trail):
-    * the shared core of [[funnel]] and [[funnelLatency]]. */
+    * the shared core of [[funnel]], [[funnelWithin]] and
+    * [[funnelLatency]]. `maxDelayNs`, when set, bounds each transition:
+    * step i counts only within `maxDelayNs` of step i−1. */
   private def stepTimes(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxDelayNs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    maxDelayNs.foreach(d => require(d > 0, s"maxDelayNs must be positive: $d"))
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("__t0"))
@@ -41,20 +45,41 @@ object Funnels {
         // conditional min, NOT a row filter: a user whose step-i events
         // all precede __t_{i-1} must stay (at depth i), not vanish
         val gcols = col(userCol) +: (0 until i).map(j => col(s"__t$j"))
+        val inWindow = maxDelayNs match {
+          case Some(d) => col("__ts") > col(s"__t${i - 1}") &&
+            col("__ts") <= col(s"__t${i - 1}") + lit(d)
+          case None => col("__ts") > col(s"__t${i - 1}")
+        }
         prev.join(stepTs, Seq(userCol), "left")
           .groupBy(gcols: _*)
-          .agg(min(when(col("__ts") > col(s"__t${i - 1}"), col("__ts")))
-            .as(s"__t$i"))
+          .agg(min(when(inWindow, col("__ts"))).as(s"__t$i"))
     }
   }
+
+  private def depthOf(steps: Seq[String]) =
+    (0 until steps.size).map(j =>
+      when(col(s"__t$j").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
 
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     val chained = stepTimes(events, userCol, tsCol, typeCol, steps)
     // depth = number of non-null step times (nulls only ever trail)
-    val depth = (0 until steps.size).map(j =>
-      when(col(s"__t$j").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
-    chained.select(col(userCol), depth.as("steps_completed"))
+    chained.select(col(userCol), depthOf(steps).as("steps_completed"))
+  }
+
+  /** [[funnel]] with a conversion deadline: each step counts only within
+    * `maxDelayNs` of the previous one — "signed up within an hour of
+    * the ad view", the attribution-window semantics every conversion
+    * metric is actually defined with (an unbounded funnel credits a
+    * purchase made a year later). Note the first-touch semantics
+    * compose: the bounded transition still chains from the FIRST
+    * qualifying earlier step, so a user is never credited via a later
+    * retry their deadline already excluded. */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxDelayNs: Long): DataFrame = {
+    val chained = stepTimes(events, userCol, tsCol, typeCol, steps,
+      Some(maxDelayNs))
+    chained.select(col(userCol), depthOf(steps).as("steps_completed"))
   }
 
   /** Time-to-convert distribution per funnel transition: for every

@@ -229,4 +229,32 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis exponential race): each row gets priority −ln(u)/w with a
+    * hash-derived uniform u, and the k smallest priorities win — every
+    * row's inclusion odds scale with its weight, but (unlike [[weighted]])
+    * the output size is EXACTLY k. Same audit property as the other
+    * samplers: membership is a pure function of (id, weight), stable
+    * under repartitioning, re-derivable in SQL on any engine.
+    *
+    * u is 32 hash bits mapped onto (0, 1] (never 0 — ln(0) is −∞); the
+    * priority is rounded to 12 dp so the cross-engine ranking never
+    * hinges on an ln() ulp, with id as the final tie-break. The top-k
+    * plans as TakeOrderedAndProject — per-partition heaps of k, no
+    * global sort materialization. Rows with weight ≤ 0 or NULL never
+    * win (they cannot be drawn). */
+  def priority(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("priority"),
+      "column name priority is reserved by Sampling.priority — rename first")
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h + 1).cast("double") / lit(4294967296.0)
+    val key = round(-log(u) / weight.cast("double"), 12)
+    df.filter(weight.isNotNull && weight.cast("double") > 0)
+      .withColumn("priority", key)
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

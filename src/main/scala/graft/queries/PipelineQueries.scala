@@ -853,6 +853,15 @@ object PipelineQueries extends QueryGroup {
         "user_id", "ts", Seq("event_id"))
     }),
 
+    // weighted sampling WITHOUT replacement: exponential-race priorities
+    // (−ln(u)/w, hash-derived u) — exactly k rows, inclusion odds ∝
+    // n_chars, re-derivable in SQL on any engine
+    "sample_priority" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      graft.ops.Sampling.priority(docs, "doc_id", col("n_chars"), k = 100)
+    }),
+
     // activity concentration: Gini over per-user event counts
     // (distributed prefix-count rank, integer arithmetic to the last divide)
     "events_gini" -> ((s, dir) => {
@@ -880,6 +889,15 @@ object PipelineQueries extends QueryGroup {
     "events_funnel" -> ((s, dir) => {
       graft.ops.Funnels.funnel(Tables.load(s, dir, "events"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // attribution-window funnel: each step must land within 2 h of the
+    // previous one — the deadline semantics conversion metrics are
+    // actually defined with
+    "events_funnel_deadline" -> ((s, dir) => {
+      graft.ops.Funnels.funnelWithin(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxDelayNs = 2L * 3600 * 1000000000L)
     }),
 
     // WHERE the funnel stalls: exact time-to-convert percentiles per
@@ -1631,6 +1649,32 @@ object PipelineQueries extends QueryGroup {
         "SELECT s1.user_id, 1 + CAST(s2.user_id IS NOT NULL AS BIGINT) " +
         "  + CAST(s3.user_id IS NOT NULL AS BIGINT) AS steps_completed " +
         "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+    // the funnel chain with each conditional min bounded by the 2 h
+    // deadline (7.2e12 ns on the nanos axis, native interval in DuckDB)
+    "events_funnel_deadline" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events " +
+        "    WHERE event_type = 'view' GROUP BY user_id), " +
+        " s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e " +
+        "    JOIN s1 USING (user_id) " +
+        "    WHERE e.event_type = 'click' AND e.ts > s1.t0 " +
+        "      AND e.ts <= s1.t0 + INTERVAL 2 HOUR GROUP BY e.user_id), " +
+        " s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "    JOIN s2 USING (user_id) " +
+        "    WHERE e.event_type = 'purchase' AND e.ts > s2.t1 " +
+        "      AND e.ts <= s2.t1 + INTERVAL 2 HOUR GROUP BY e.user_id) " +
+        "SELECT s1.user_id, 1 + CAST(s2.user_id IS NOT NULL AS BIGINT) " +
+        "  + CAST(s3.user_id IS NOT NULL AS BIGINT) AS steps_completed " +
+        "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
+
+    // exponential-race priorities re-derived in SQL: same 32 hash bits,
+    // same (0,1] mapping, same 12-dp rounding before the rank
+    "sample_priority" ->
+      ("WITH p AS (SELECT doc_id, source, lang, n_chars, " +
+        "  round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) " +
+        "    / 4294967296.0) / CAST(n_chars AS DOUBLE), 12) AS priority " +
+        "  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) " +
+        "SELECT * FROM p ORDER BY priority, doc_id LIMIT 100"),
+
     // same three-CTE chain as events_funnel, then per-transition deltas
     // on the nanos axis and exact interpolated percentiles
     "events_funnel_latency" ->

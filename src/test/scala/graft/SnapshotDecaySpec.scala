@@ -210,6 +210,43 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(2) == 1L && out.getDouble(3) == 20.0)
   }
 
+  test("funnelWithin: late steps don't credit; no rescue by later retries") {
+    val s = spark; import s.implicits._
+    // u1 converts in-window; u2's click lands past the deadline (20);
+    // u3's first in-window click at 15 opens a window its purchase@80
+    // misses — the purchase@25 within u3's click window DOES credit
+    val ev = Seq((1L, 0L, "view"), (1L, 10L, "click"),
+      (2L, 0L, "view"), (2L, 50L, "click"),
+      (3L, 0L, "view"), (3L, 15L, "click"), (3L, 25L, "purchase"))
+      .toDF("u", "ts", "t")
+    val out = Funnels.funnelWithin(ev, "u", "ts", "t",
+        Seq("view", "click", "purchase"), maxDelayNs = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 3L))
+    // unbounded funnel credits u2's late click
+    val unbounded = Funnels.funnel(ev, "u", "ts", "t",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(unbounded(2L) == 2L)
+  }
+
+  test("priority sampling: exact k, partition-invariant, weight-biased") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i <= 50) 10000.0 else 1.0)) // 50 planted heavy rows
+    val df = rows.toDF("id", "w")
+    val a = graft.ops.Sampling.priority(df.repartition(1), "id", col("w"), 60)
+    val b = graft.ops.Sampling.priority(df.repartition(7), "id", col("w"), 60)
+    assert(a.count() == 60)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // ~all 50 heavy rows should win a 60-slot draw at 10000:1 odds
+    assert(a.filter(col("id") <= 50).count() >= 45)
+    // zero/NULL weights can never be drawn
+    val z = graft.ops.Sampling.priority(
+      Seq((1L, 0.0), (2L, -1.0), (3L, 1.0)).toDF("id", "w"), "id", col("w"), 3)
+    assert(z.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("rollingDistinctUsersSketch tracks the exact form within 2%") {
     val s = spark; import s.implicits._
     val dayNs = 86400L * 1000000000L
