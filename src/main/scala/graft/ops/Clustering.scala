@@ -236,6 +236,52 @@ object Clustering {
           .otherwise(lit(0.0)))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly remove nodes
+    * of degree < k until the fixpoint — the surviving subgraph (the
+    * k-core) is the standard "dense enough to matter" screen before
+    * expensive per-node work (a near-dup cluster's 2-core is its
+    * non-leaf structure; spam link farms are high-core, organic link
+    * tails are 1-core). Returns (id, deg) of k-core members with their
+    * WITHIN-CORE degree.
+    *
+    * Each round: one degree aggregate + two semi-joins against the
+    * surviving node set, lineage truncated per round like
+    * [[connectedComponents]]; the peel converges in ≤ the graph's
+    * degeneracy rounds (tiny for real graphs), with `maxIter` as the
+    * loud backstop. Deterministic — the fixpoint is unique regardless
+    * of peel order. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+        .localCheckpoint(true)
+      val pruned = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      // fixpoint when no edge was peeled this round (counts are exact
+      // on the checkpointed sets — one cheap job per round)
+      done = pruned.count() == e.count()
+      e = pruned
+      iter += 1
+    }
+    require(done, s"kCore did not converge in $maxIter rounds")
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+  }
+
   /** Label-propagation community detection (synchronous, deterministic):
     * every node starts in its own community; each round it adopts the
     * most frequent label among its neighbors, ties to the SMALLEST

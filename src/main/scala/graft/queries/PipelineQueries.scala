@@ -257,6 +257,18 @@ object PipelineQueries extends QueryGroup {
       graft.ops.Clustering.triangleCounts(edges, "src", "dst")
     }),
 
+    // 3-core of the co-occurrence graph: iterative peel to the dense
+    // backbone. Rows-only (iterative fixpoint has no SQL oracle);
+    // hand-computed cores + peel-cascade cases are spec-gated
+    "graph_kcore" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.ops.Clustering.kCore(edges, "src", "dst", k = 3)
+    }),
+
     // label-propagation communities over the same co-occurrence graph
     // (synchronous, smallest-label ties — fully deterministic). Rows-only:
     // the iterative argmax has no SQL oracle; clique-recovery,

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization with EVENT-TIME timeouts — the stateful
+  * form of [[graft.ops.Snapshots.sessionize]]: sessions close when the
+  * watermark passes their gap horizon, not when the next event happens
+  * to arrive, so an idle key's final session still emits (the
+  * session_window built-in covers windowed AGGREGATES; this emits the
+  * session entity itself, the shape downstream joins want).
+  *
+  * Semantics match the batch operator exactly: events ≤ `gapUs` apart
+  * chain, a strictly-greater gap breaks — a replay of the closed
+  * sessions agrees with batch sessionize on the same data (spec-gated).
+  * State per key is one open (start, end, n) triple; each micro-batch
+  * shuffles once on the key, applies its rows in ts order, and arms an
+  * event-time timeout at `end + gap`. Sessions emit on close (Append
+  * mode): either a batch event breaks the gap, or the watermark (set by
+  * `withWatermark` upstream, which also bounds how late an event may
+  * extend a session) crosses the horizon.
+  */
+object StreamingSessions {
+
+  final case class Sess(key: Long, sess_start: Long, sess_end: Long, n: Long)
+  final case class OpenSess(start: Long, end: Long, n: Long)
+
+  /** `tsCol` must be a TIMESTAMP column already watermarked by the
+    * caller (`df.withWatermark(tsCol, lateness)`); session bounds are
+    * emitted as epoch-micros longs (the sub-second engine axis). */
+  def sessions(input: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long): Dataset[Sess] = {
+    require(gapUs > 0, s"gapUs must be positive: $gapUs")
+    val spark = input.sparkSession
+    import spark.implicits._
+    input
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tsCol).as("__t"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSess]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Sess(key, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
+            var open = state.getOption
+            sorted.foreach { ts =>
+              open match {
+                case Some(s) if ts - s.end > gapUs =>
+                  out += Sess(key, s.start, s.end, s.n)
+                  open = Some(OpenSess(ts, ts, 1))
+                case Some(s) =>
+                  open = Some(OpenSess(s.start, math.max(s.end, ts), s.n + 1))
+                case None =>
+                  open = Some(OpenSess(ts, ts, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close when the watermark clears the gap horizon
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000 + 1)
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -309,6 +309,23 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 0)
   }
 
+  // ---- k-core --------------------------------------------------------
+
+  test("kCore: peel cascades — K4 plus a tail leaves exactly the K4") {
+    val s = spark; import s.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L)) // 6 peels first, then 5 cascades
+    val edges = (k4 ++ tail).toDF("a", "b")
+    val core2 = Clustering.kCore(edges, "a", "b", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val core3 = Clustering.kCore(edges, "a", "b", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(core3 == Set(1L, 2L, 3L, 4L))
+    // k above the densest core → empty result, clean convergence
+    assert(Clustering.kCore(edges, "a", "b", 4).count() == 0)
+  }
+
   // ---- label propagation --------------------------------------------
 
   test("labelPropagation: two cliques joined by one bridge separate") {

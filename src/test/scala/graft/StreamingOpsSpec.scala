@@ -235,6 +235,52 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sessions: gap-break, watermark close, batch agreement") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, min => smin, max => smax, count => scount, lit}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val watermarked = in.toDF().toDF("k", "t").withWatermark("t", "0 seconds")
+    val out = graft.streaming.StreamingSessions.sessions(
+      watermarked, "k", "t", gapUs = 60L * 1000000) // 1-minute gap
+    val ckpt = Files.createTempDirectory("graft-sess-ck").toString
+    val q = out.writeStream
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // session A: 100s,130s; then a 5-min jump breaks it in-batch
+      // (times sit above the initial epoch-0 watermark, which treats a
+      // t=0 event as late)
+      in.addData((1L, ts(100)), (1L, ts(130)), (1L, ts(430)))
+      q.processAllAvailable()
+      // watermark is now 330s; push it past 330+60 → open session times out
+      in.addData((2L, ts(1000)))
+      q.processAllAvailable()
+      in.addData((2L, ts(2000))) // advances watermark again → key 2 closes too... not yet (2000+60 horizon)
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("key", "sess_start", "sess_end", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, 100000000L, 130000000L, 2L)), s"in-batch gap break: $rows")
+      assert(rows.contains((1L, 430000000L, 430000000L, 1L)),
+        s"watermark-timed-out session: $rows")
+      // batch agreement on key 1's closed sessions
+      val batch = graft.ops.Snapshots.sessionize(
+          Seq((1L, 100000000000L), (1L, 130000000000L), (1L, 430000000000L))
+            .toDF("k", "ts_ns"), Seq("k"), "ts_ns",
+          gap = 60L * 1000000000L, orderCols = Seq("ts_ns"))
+        .groupBy("k", "session_idx")
+        .agg(smin(col("ts_ns")).as("a"), smax(col("ts_ns")).as("b"),
+          scount(lit(1)).as("n"))
+        .select((col("a") / 1000).cast("long"), (col("b") / 1000).cast("long"),
+          col("n")).collect()
+        .map(r => (1L, r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.subsetOf(rows), s"batch $batch vs stream $rows")
+    } finally q.stop()
+  }
+
   test("cusum monitor: state accumulates across micro-batches, matches batch op") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions.col
