@@ -128,6 +128,32 @@ object BulkQueries extends QueryGroup {
       Multimodal.withDecodedMeta(media, "media").drop("media")
     }),
 
+    // multimodal with REAL containers: payloads are genuine PNG/BMP/WAV
+    // bytes built per row (JDK Deflater/CRC32 — no media libs), parsed
+    // back by the real header parser; the oracle re-derives the encode
+    // parameters from doc_id, so any wrong length/offset/CRC in either
+    // codec breaks the round-trip hash
+    "mm_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val m = (id % 3).toInt
+          val bytes =
+            if (m == 0) graft.ops.MediaCodec.encodePng(
+              (16 + id % 64).toInt, (16 + (id * 7) % 48).toInt, seed = id)
+            else if (m == 1) graft.ops.MediaCodec.encodeBmp(
+              (8 + id % 100).toInt, (8 + id % 50).toInt)
+            else graft.ops.MediaCodec.encodeWav(
+              (8000 + (id % 5) * 2000).toInt, (1 + id % 2).toInt,
+              (id % 1000).toInt)
+          (id, bytes)
+        }).toDF("doc_id", "media")
+      Multimodal.decodeMeta(payloads, "media")
+        .select("doc_id", "format", "width", "height", "channels",
+          "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
+    }),
+
     // multimodal: frame sampling over the decoded n_frames
     "mm_frame_sample" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -177,6 +203,21 @@ object BulkQueries extends QueryGroup {
         "CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"),
     "mm_frame_sample" ->
       ("SELECT doc_id, unnest(range(0, 1 + strlen(text) % 30, 7)) AS frame_no " +
+        "FROM documents"),
+    // the encode parameters as pure doc_id arithmetic — the parse must
+    // recover exactly these through the real container bytes
+    "mm_decode_real" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64 " +
+        "  WHEN 1 THEN 8 + doc_id % 100 ELSE -1 END AS INT) AS width, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 48 " +
+        "  WHEN 1 THEN 8 + doc_id % 50 ELSE -1 END AS INT) AS height, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 " +
+        "  ELSE 1 + doc_id % 2 END AS INT) AS channels, " +
+        "CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 5) * 2000 " +
+        "  ELSE -1 END AS INT) AS sample_rate, " +
+        "CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents")
   )
 }

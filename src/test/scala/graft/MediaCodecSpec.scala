@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MediaCodec
+import graft.ops.MediaCodec.MediaMeta
+
+/** The real pure-JVM media codecs: encode→parse round trips, an
+  * INDEPENDENT decode check through the JDK's own ImageIO readers, and
+  * malformed-input totality. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("png: round trip and independent ImageIO decode") {
+    val bytes = MediaCodec.encodePng(37, 21, seed = 42L)
+    val m = MediaCodec.parseMeta(bytes)
+    assert(m == MediaMeta("png", 37, 21, 3, -1, 1, bytes.length.toLong))
+    // the JDK's PNG reader (not our code) must accept the container
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 37 && img.getHeight == 21)
+  }
+
+  test("bmp: round trip and independent ImageIO decode") {
+    val bytes = MediaCodec.encodeBmp(19, 7)
+    val m = MediaCodec.parseMeta(bytes)
+    assert(m == MediaMeta("bmp", 19, 7, 3, -1, 1, bytes.length.toLong))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 19 && img.getHeight == 7)
+  }
+
+  test("wav: round trip, frame math, odd-chunk padding walk") {
+    val bytes = MediaCodec.encodeWav(16000, 2, 1234)
+    val m = MediaCodec.parseMeta(bytes)
+    assert(m == MediaMeta("wav", -1, -1, 2, 16000, 1234, bytes.length.toLong))
+    // the JDK's sound API decodes it independently too
+    val af = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(af.getFormat.getSampleRate == 16000f &&
+      af.getFormat.getChannels == 2 && af.getFrameLength == 1234)
+  }
+
+  test("gif: logical screen descriptor parse") {
+    val header = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x2c, 0x01, 0x0f, 0x00) ++ new Array[Byte](10) // 300 x 15
+    val m = MediaCodec.parseMeta(header)
+    assert(m.format == "gif" && m.width == 300 && m.height == 15)
+  }
+
+  test("jpeg: segment walk finds SOF0 dimensions") {
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((body.length + 2) >> 8).toByte, ((body.length + 2) & 0xff).toByte) ++ body
+    // SOI, APP0 (skipped), SOF0: precision 8, height 480, width 640, 3 comps
+    val sof = Array[Byte](8, 0x01.toByte, 0xe0.toByte, 0x02, 0x80.toByte, 3)
+    val bytes = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, new Array[Byte](14)) ++ seg(0xc0, sof) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val m = MediaCodec.parseMeta(bytes)
+    assert(m.format == "jpeg" && m.width == 640 && m.height == 480 &&
+      m.channels == 3)
+  }
+
+  test("malformed payloads classify as unknown, never throw") {
+    assert(MediaCodec.parseMeta(null).format == "unknown")
+    assert(MediaCodec.parseMeta(Array[Byte](1, 2, 3)).format == "unknown")
+    assert(MediaCodec.parseMeta("not media at all, just text".getBytes)
+      .format == "unknown")
+    // a PNG signature cut off mid-IHDR must not throw
+    val truncated = MediaCodec.encodePng(5, 5).take(14)
+    assert(MediaCodec.parseMeta(truncated).format == "unknown")
+    // a RIFF file that is not WAVE
+    val avi = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++ "AVI ".getBytes
+    assert(MediaCodec.parseMeta(avi).format == "unknown")
+  }
+}
