@@ -188,4 +188,62 @@ object Snapshots {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__ver")
   }
+
+  /** Per-key TIME-weighted mean: each observation weighs by how long it
+    * was the current value (until the next observation) — the correct
+    * average for irregularly-sampled state streams (prices, gauges,
+    * config values), where the plain mean over-counts bursts of
+    * near-simultaneous updates. The final observation carries no
+    * interval and contributes no weight (standard TWAP convention).
+    * Keys with < 2 observations have no spanned time and are excluded.
+    *
+    * One (key, ts) sort for the lead; terms are 6-dp decimal × exact
+    * integer nanos (order-independent decimal sums), one double divide
+    * at the end — engine-identical. Returns (key, n_obs, span, twap). */
+  def timeWeightedMean(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieCols).map(c => col(c).asc): _*)
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(v) &&
+      col(tsCol).isNotNull && col(keyCol).isNotNull)
+    clean
+      .withColumn("__dt", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("__dt").isNotNull)
+      .withColumn("__term",
+        round(v, 6).cast("decimal(18,6)") * col("__dt").cast("decimal(20,0)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__term")).as("__s"),
+        sum(col("__dt")).as("__span"))
+      .select(col(keyCol), (col("__n") + 1).as("n_obs"),
+        col("__span").cast("long").as("span"),
+        round(col("__s").cast("double") / col("__span").cast("double"), 6)
+          .as("twap"))
+  }
+
+  /** OHLC bars: per (key, tumbling window) the opening value (first in
+    * `(ts, tieCols)` order), high, low, closing value (last), count and
+    * decimal-exact volume — the canonical irregular-series → bar
+    * downsampling. Open/close are struct-min/max over the total order
+    * (no per-bar sort window, map-side combinable); windows are
+    * `ts div windowNs` integer buckets on the nanos axis, engine-
+    * portable like [[windowDedup]]. */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowNs: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive: $windowNs")
+    val v = col(valueCol).cast("double")
+    val orderStruct = struct(
+      (col(tsCol) +: tieCols.map(col)) :+ v.as("__v"): _*)
+    df.filter(col(valueCol).isNotNull && !isnan(v) &&
+        col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol), expr(s"$tsCol div ${windowNs}L").as("bar"))
+      .agg(
+        min(orderStruct).getField("__v").as("open"),
+        max(v).as("high"), min(v).as("low"),
+        max(orderStruct).getField("__v").as("close"),
+        count(lit(1)).as("n"),
+        round(sum(round(v, 6).cast("decimal(18,6)")).cast("double"), 6)
+          .as("volume"))
+  }
 }

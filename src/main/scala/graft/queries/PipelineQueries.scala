@@ -874,6 +874,21 @@ object PipelineQueries extends QueryGroup {
       graft.ops.Sampling.priority(docs, "doc_id", col("n_chars"), k = 100)
     }),
 
+    // time-weighted mean: observations weigh by how long they were
+    // current — the correct average for irregularly-sampled streams
+    "events_twap" -> ((s, dir) => {
+      graft.ops.Snapshots.timeWeightedMean(Tables.load(s, dir, "events"),
+        "user_id", "ts", "value", Seq("event_id"))
+    }),
+
+    // daily OHLC bars per user: open/close via struct-min/max over the
+    // (ts, event_id) total order — no per-bar sort window
+    "events_ohlc" -> ((s, dir) => {
+      graft.ops.Snapshots.ohlcBars(Tables.load(s, dir, "events"),
+        "user_id", "ts", "value", windowNs = 86400L * 1000000000L,
+        tieCols = Seq("event_id"))
+    }),
+
     // activity concentration: Gini over per-user event counts
     // (distributed prefix-count rank, integer arithmetic to the last divide)
     "events_gini" -> ((s, dir) => {
@@ -2447,6 +2462,37 @@ object PipelineQueries extends QueryGroup {
         "      (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / CAST(n_gaps - 1 AS DOUBLE), 0)) / " +
         "      (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) END AS cv, " +
         "  max_gap FROM a"),
+
+    // TWAP: 6-dp decimal value × exact nanos interval, one divide
+    "events_twap" ->
+      ("WITH x AS (SELECT user_id, epoch_ns(ts) AS t, value, event_id FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL " +
+        "    AND user_id IS NOT NULL), " +
+        "g AS (SELECT user_id, value, lead(t) OVER (PARTITION BY user_id " +
+        "  ORDER BY t, event_id) - t AS dt FROM x), " +
+        "h AS (SELECT user_id, CAST(round(value, 6) AS DECIMAL(18,6)) * " +
+        "  CAST(dt AS DECIMAL(20,0)) AS term, dt FROM g WHERE dt IS NOT NULL) " +
+        "SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_obs, " +
+        "  CAST(sum(dt) AS BIGINT) AS span, " +
+        "  round(CAST(sum(term) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twap " +
+        "FROM h GROUP BY user_id"),
+
+    // OHLC: first/last by the same (ts, event_id) total order
+    "events_ohlc" ->
+      ("WITH x AS (SELECT user_id, epoch_ns(ts) AS t, " +
+        "  epoch_ns(ts) // 86400000000000 AS bar, value, event_id FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL " +
+        "    AND user_id IS NOT NULL), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bar " +
+        "    ORDER BY t, event_id) AS rn_a, " +
+        "  row_number() OVER (PARTITION BY user_id, bar " +
+        "    ORDER BY t DESC, event_id DESC) AS rn_d FROM x) " +
+        "SELECT user_id, bar, max(CASE WHEN rn_a = 1 THEN value END) AS open, " +
+        "  max(value) AS high, min(value) AS low, " +
+        "  max(CASE WHEN rn_d = 1 THEN value END) AS close, " +
+        "  CAST(count(*) AS BIGINT) AS n, " +
+        "  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume " +
+        "FROM r GROUP BY user_id, bar"),
 
     // Gini rank form — integer arithmetic until the one final divide
     "events_gini" ->

@@ -247,6 +247,40 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("timeWeightedMean: hand-computed; bursts don't over-count; singletons out") {
+    val s = spark; import s.implicits._
+    // key 1: v=10 holds 10ns, v=20 holds 20ns, final obs carries none
+    // → twap (10·10 + 20·20)/30 = 16.666667
+    // key 2: burst of 5 updates in 5ns then v=100 holding 95ns — the
+    // plain mean (~17) would be burst-dominated; twap ≈ 0·5/100 + ...
+    val rows = Seq((1L, 0L, 10.0), (1L, 10L, 20.0), (1L, 30L, 0.0),
+      (3L, 7L, 42.0)) ++
+      (0 until 5).map(i => (2L, i.toLong, 0.0)) ++
+      Seq((2L, 5L, 100.0), (2L, 100L, 0.0))
+    val out = Snapshots.timeWeightedMean(rows.toDF("k", "ts", "v"),
+        "k", "ts", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 30L, 16.666667)))
+    assert(out(2L) == ((7L, 100L, 95.0))) // 100·95/100
+    assert(!out.contains(3L)) // single observation spans no time
+  }
+
+  test("ohlcBars: open/close by total order, bars split on the window") {
+    val s = spark; import s.implicits._
+    // bar 0 (ts 0-9): open=5 (ts0,id1), tie at ts0 broken by id;
+    // close=7 (ts9); bar 1: single row
+    val rows = Seq((1L, 0L, 1L, 5.0), (1L, 0L, 2L, 6.0), (1L, 3L, 3L, 1.0),
+      (1L, 9L, 4L, 7.0), (1L, 12L, 5L, 2.5))
+    val out = Snapshots.ohlcBars(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", windowNs = 10L, tieCols = Seq("id"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7))).toMap
+    assert(out(0L) == ((5.0, 7.0, 1.0, 7.0, 4L, 19.0)))
+    assert(out(1L) == ((2.5, 2.5, 2.5, 2.5, 1L, 2.5)))
+  }
+
   test("rollingDistinctUsersSketch tracks the exact form within 2%") {
     val s = spark; import s.implicits._
     val dayNs = 86400L * 1000000000L
