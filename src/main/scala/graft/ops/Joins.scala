@@ -245,4 +245,30 @@ object Joins {
         floor(greatest(axis(left, lStart), axis(right, rStart)) / bucketSize))
       .drop("__cell")
   }
+
+  /** Windowed ABSENCE join: rows of `left` with NO `right` row of the
+    * same key in `(t, t + toleranceNs]` — the temporal NOT EXISTS
+    * behind churn and dead-man's-switch alerting ("views never followed
+    * by a click within the hour", "no heartbeat within 5 minutes of
+    * the request"). The complement of the forward [[asOfJoin]]: as-of
+    * answers "what followed"; this answers "nothing did".
+    *
+    * Plans as one LEFT ANTI sort-merge join on the key with the time
+    * band as the join residual — the right side ships only (key, ts),
+    * one shuffle each side, per-task work bounded by per-key event
+    * counts (use [[saltedJoin]]'s device first if a key is genuinely
+    * hot). Left rows with NULL key or ts never match anything and are
+    * kept, as NOT EXISTS semantics demand. */
+  def absenceJoin(left: DataFrame, lKey: String, lTs: String,
+      right: DataFrame, rKey: String, rTs: String,
+      toleranceNs: Long): DataFrame = {
+    require(toleranceNs > 0, s"toleranceNs must be positive: $toleranceNs")
+    val r = right.filter(col(rKey).isNotNull && col(rTs).isNotNull)
+      .select(col(rKey).as("__ak"), col(rTs).as("__at"))
+    left.join(r,
+      col(lKey) === col("__ak") &&
+        col("__at") > col(lTs) &&
+        col("__at") <= col(lTs) + lit(toleranceNs),
+      "left_anti")
+  }
 }

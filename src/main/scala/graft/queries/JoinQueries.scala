@@ -156,6 +156,17 @@ object JoinQueries extends QueryGroup {
         .select("event_id", "user_id", "next_view_id")
     }),
 
+    // temporal NOT EXISTS: views with no same-user click within the
+    // hour — one LEFT ANTI merge join on the key, time band as residual
+    "join_absence" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      Joins.absenceJoin(views, "user_id", "ts", clicks, "user_id", "ts",
+        toleranceNs = 3600L * 1000000000L)
+    }),
+
     // fuzzy (edit-distance) record linkage: customers vs a planted
     // noisy copy of the first 120 names — one substitution (dist 1),
     // one leading deletion (dist 1), or two substitutions (dist 2,
@@ -182,6 +193,16 @@ object JoinQueries extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the NOT EXISTS the anti join must reproduce exactly (ts emitted
+    // as epoch-ns by the engine; the compare normalizes timestamps)
+    "join_absence" ->
+      ("SELECT v.event_id, v.user_id, epoch_ns(v.ts) AS ts FROM events v " +
+        "WHERE v.event_type = 'view' AND NOT EXISTS (" +
+        "  SELECT 1 FROM events c WHERE c.event_type = 'click' " +
+        "    AND c.user_id = v.user_id " +
+        "    AND epoch_ns(c.ts) > epoch_ns(v.ts) " +
+        "    AND epoch_ns(c.ts) <= epoch_ns(v.ts) + 3600000000000)"),
+
     // the theta formulation IS the oracle; the engine's grid-cell plan
     // must reproduce it exactly
     "join_interval_overlap" ->

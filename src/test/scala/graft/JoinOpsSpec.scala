@@ -246,4 +246,22 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // order (v, id): 2 → 0, 1 → 0.5, 3 → 1; NaN row excluded
     assert(got === Map(2L -> 0.0, 1L -> 0.5, 3L -> 1.0))
   }
+
+  test("absenceJoin: windowed NOT EXISTS semantics, boundary and NULL rules") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, Some(1L), 100L), (2L, Some(1L), 500L),
+      (3L, Some(2L), 100L), (4L, Some(3L), 100L), (5L, None, 100L))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, 150L),  // inside (100, 200] → left id 1 matched (absent from output)
+      (1L, 700L),  // outside id 2's (500, 600] → id 2 kept
+      (2L, 200L),  // exactly t+T → counts as present, id 3 absent
+      (2L, 100L))  // equal ts does NOT count (strictly after)
+      .toDF("k", "ts")
+    val out = graft.ops.Joins.absenceJoin(left, "k", "ts",
+        right, "k", "ts", toleranceNs = 100L)
+      .collect().map(_.getLong(0)).toSet
+    // id 4: key with no right rows at all; id 5: NULL key never matches
+    assert(out == Set(2L, 4L, 5L))
+  }
 }
