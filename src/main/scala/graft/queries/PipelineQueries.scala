@@ -1307,6 +1307,22 @@ object PipelineQueries extends QueryGroup {
         .select("event_id", "user_id", "session_idx")
     }),
 
+    // sessions as ENTITIES in batch (the shape StreamingSessions emits
+    // live): gap-break sessionize, then one rollup per session
+    "events_session_stats" -> ((s, dir) => {
+      val gapNs = 30L * 60 * 1000000000L
+      val sess = graft.ops.Snapshots.sessionize(
+        Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", gapNs, Seq("ts", "event_id"))
+      sess.groupBy("user_id", "session_idx")
+        .agg(min("ts").as("sess_start"), max("ts").as("sess_end"),
+          count(lit(1)).as("n"),
+          round(sum(when(col("value").isNotNull && !isnan(col("value")),
+            round(col("value"), 6).cast("decimal(18,6)")))
+            .cast("double"), 6).as("sum_value"))
+    }),
+
     // per-document keyword extraction: top-3 TF-IDF terms (per-doc
     // window — group size bounded by the doc's own vocabulary)
     "text_tfidf_top" -> ((s, dir) => {
@@ -2560,6 +2576,21 @@ object PipelineQueries extends QueryGroup {
         "SELECT event_id, user_id, CAST(sum(flag) OVER (" +
         "  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) " +
         "  AS BIGINT) AS session_idx FROM x"),
+
+    // the sessionize CTE + one rollup per session entity
+    "events_session_stats" ->
+      ("WITH x AS (SELECT event_id, user_id, ts, value, " +
+        "  CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (" +
+        "    PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000 " +
+        "  THEN 1 ELSE 0 END AS flag FROM events), " +
+        "s AS (SELECT user_id, ts, value, CAST(sum(flag) OVER (" +
+        "  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) " +
+        "  AS BIGINT) AS session_idx FROM x) " +
+        "SELECT user_id, session_idx, epoch_ns(min(ts)) AS sess_start, " +
+        "  epoch_ns(max(ts)) AS sess_end, CAST(count(*) AS BIGINT) AS n, " +
+        "  round(CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value) " +
+        "    THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS sum_value " +
+        "FROM s GROUP BY user_id, session_idx"),
 
     "text_tfidf_top" ->
       ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +

@@ -245,6 +245,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joins.isEmpty, s"no join operator either:\n$plan")
   }
 
+  test("absence join is ONE anti join on the key — no cartesian, no extra pass") {
+    val plan = q("join_absence").queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.size == 1, s"exactly one join expected:\n$plan")
+    assert(joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti,
+      s"must be LEFT ANTI:\n$plan")
+    assert(joins.head.leftKeys.nonEmpty,
+      s"key equi-condition must drive the join (band is the residual):\n$plan")
+  }
+
   test("Gini rank never windows the ranked table in one partition") {
     val plan = q("events_gini").queryExecution.executedPlan
     // the distributed prefix-count device allows exactly one kind of
