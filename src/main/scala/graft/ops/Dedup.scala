@@ -438,16 +438,31 @@ object Dedup {
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxChunkGroup: Int = 1000,
       maxExpandGroup: Int = 512): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming must be in [0, 32) for 64-bit chunk blocking: $maxHamming")
     requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
-    val numChunks = maxHamming + 1
     val sig = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, MinHash.simHash(text.split("\\s+")))
       }).toDF("id", "sig")
+    hammingNearDups(sig, maxHamming, maxChunkGroup, maxExpandGroup,
+      "graft.dedup.simhash")
+  }
+
+  /** Hamming-radius near-dup pairs over PRECOMPUTED 64-bit signatures
+    * (`sig` = columns (id: long, sig: long)) — the shared engine behind
+    * [[simHashNearDups]] and the image perceptual-hash dedup in
+    * [[Multimodal]]: signature collapse → pigeonhole chunk blocking →
+    * kernel pair verify → keep-map group expansion. Accumulator names
+    * take `metricPrefix`. Returns (id_a, id_b, hamming). */
+  def hammingNearDups(sig: DataFrame, maxHamming: Int,
+      maxChunkGroup: Int, maxExpandGroup: Int,
+      metricPrefix: String): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32) for 64-bit chunk blocking: $maxHamming")
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val numChunks = maxHamming + 1
     // signature collapse: one representative per DISTINCT signature; the
     // chunk join then never sees duplicate signatures (the dominant group
     // inflator), and identical-sig pairs are emitted directly at hamming 0
@@ -470,8 +485,8 @@ object Dedup {
     // radius-passing pairs (rare) reach the cross-chunk dedup — a
     // codegen self-join would instead materialize every candidate pair
     // (measured 2.8M rows at sf0.1) through the join+dedup machinery.
-    val chunkGroupsDropped = DedupMetrics.acc(spark, "graft.dedup.simhash.chunkGroupsDropped")
-    val chunkRowsDropped = DedupMetrics.acc(spark, "graft.dedup.simhash.chunkRowsDropped")
+    val chunkGroupsDropped = DedupMetrics.acc(spark, s"$metricPrefix.chunkGroupsDropped")
+    val chunkRowsDropped = DedupMetrics.acc(spark, s"$metricPrefix.chunkRowsDropped")
     val repPairs = chunks
       .select(col("ci").cast("int"), col("cv"), col("id"), col("sig"))
       .as[(Int, Long, Long, Long)]
@@ -505,7 +520,7 @@ object Dedup {
     // (identical signatures), intra-group pairs are hamming 0; the same
     // keep-map star cap as minHashNearDups bounds mega-group output
     expandGroups(repPairs, members, "hamming", lit(0), maxExpandGroup,
-      "graft.dedup.simhash")
+      metricPrefix)
   }
 
   /** Sliding `width`-token windows of each document, one row per

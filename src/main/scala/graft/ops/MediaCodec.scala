@@ -101,6 +101,32 @@ object MediaCodec {
       "data".getBytes(US_ASCII) ++ le32(dataBytes) ++ new Array[Byte](dataBytes)
   }
 
+  /** A 16-bit PCM WAV carrying a square wave: every sample (all
+    * channels) is +amplitude or −amplitude, flipping each `halfPeriod`
+    * frames. Square waves make energy analytic — RMS is EXACTLY the
+    * amplitude — so audio-math gates can hash-match a SQL oracle. */
+  def encodeWavTone(sampleRate: Int, channels: Int, nFrames: Int,
+      amplitude: Int, halfPeriod: Int): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= Short.MaxValue,
+      s"amplitude out of 16-bit range: $amplitude")
+    require(halfPeriod > 0, s"halfPeriod must be positive: $halfPeriod")
+    val bytes = encodeWav(sampleRate, channels, nFrames)
+    val dataOff = bytes.length - nFrames * channels * 2
+    var f = 0
+    while (f < nFrames) {
+      val v = if ((f / halfPeriod) % 2 == 0) amplitude else -amplitude
+      var c = 0
+      while (c < channels) {
+        val i = dataOff + (f * channels + c) * 2
+        bytes(i) = (v & 0xff).toByte
+        bytes(i + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    bytes
+  }
+
   // ---- real parser ----------------------------------------------------
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
@@ -170,5 +196,325 @@ object MediaCodec {
         out
       } else unknown
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
+  }
+
+  // ---- real pixel / sample decode ------------------------------------
+
+  /** Decoded image: interleaved row-major pixel bytes, top-down.
+    * channels: 1 = gray, 2 = gray+alpha, 3 = RGB, 4 = RGBA. */
+  final case class Raster(width: Int, height: Int, channels: Int,
+    pixels: Array[Byte])
+
+  /** Decoded 16-bit PCM audio, samples interleaved by channel. */
+  final case class Pcm(sampleRate: Int, channels: Int,
+    samples: Array[Short])
+
+  /** Full PNG raster decode, no libraries: concatenate IDAT chunks,
+    * JDK `Inflater`, then per-scanline unfilter of all five PNG filter
+    * types (None/Sub/Up/Average/Paeth — PNG spec §9). Supports the
+    * non-interlaced 8-bit-depth color types (gray / gray+alpha / RGB /
+    * RGBA). Malformed or unsupported payloads → None, never throws. */
+  def decodePng(b: Array[Byte]): Option[Raster] = {
+    if (b == null || b.length < 33 || u8(b, 0) != 0x89 || b(1) != 'P') return None
+    try {
+      val w = rb32(b, 16); val h = rb32(b, 20)
+      val bitDepth = u8(b, 24); val colorType = u8(b, 25)
+      val interlace = u8(b, 28)
+      val ch = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+      }
+      if (w <= 0 || h <= 0 || bitDepth != 8 || ch < 0 || interlace != 0 ||
+          w.toLong * h * ch > (1L << 28)) return None
+      // concatenate every IDAT chunk payload
+      val idat = new java.io.ByteArrayOutputStream
+      var i = 8
+      var stop = false
+      while (!stop && i + 8 <= b.length) {
+        val len = rb32(b, i)
+        val tag = new String(b, i + 4, 4, US_ASCII)
+        if (tag == "IDAT") idat.write(b, i + 8, len)
+        if (tag == "IEND") stop = true
+        i += 12 + len
+      }
+      val inflater = new java.util.zip.Inflater
+      inflater.setInput(idat.toByteArray)
+      val stride = w * ch
+      val raw = new Array[Byte](h * (1 + stride))
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      inflater.end()
+      if (off != raw.length) return None
+      // unfilter in place into the output array
+      val out = new Array[Byte](h * stride)
+      val bpp = ch
+      var y = 0
+      while (y < h) {
+        val filter = raw(y * (1 + stride)) & 0xff
+        val src = y * (1 + stride) + 1
+        val dst = y * stride
+        var x = 0
+        while (x < stride) {
+          val rx = raw(src + x) & 0xff
+          val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+          val up = if (y > 0) out(dst - stride + x) & 0xff else 0
+          val c = if (y > 0 && x >= bpp) out(dst - stride + x - bpp) & 0xff else 0
+          val v = filter match {
+            case 0 => rx
+            case 1 => rx + a
+            case 2 => rx + up
+            case 3 => rx + (a + up) / 2
+            case 4 =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - c)
+              rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+            case _ => return None
+          }
+          out(dst + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Raster(w, h, ch, out))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: java.util.zip.DataFormatException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** 24-bit uncompressed BMP raster decode: bottom-up padded BGR rows →
+    * top-down RGB. */
+  def decodeBmp(b: Array[Byte]): Option[Raster] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    try {
+      val dataOff = rl32(b, 10)
+      val w = rl32(b, 18); val h = rl32(b, 22)
+      val bpp = rl16(b, 28); val compression = rl32(b, 30)
+      if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 ||
+          w.toLong * h * 3 > (1L << 28)) return None
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      if (dataOff.toLong + rowBytes.toLong * h > b.length) return None
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val src = dataOff + (h - 1 - y) * rowBytes
+        var x = 0
+        while (x < w) {
+          out((y * w + x) * 3) = b(src + x * 3 + 2)     // R
+          out((y * w + x) * 3 + 1) = b(src + x * 3 + 1) // G
+          out((y * w + x) * 3 + 2) = b(src + x * 3)     // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(Raster(w, h, 3, out))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Sniff-and-decode: PNG or BMP raster, else None. */
+  def decodeRaster(b: Array[Byte]): Option[Raster] =
+    if (b == null || b.length < 2) None
+    else if (u8(b, 0) == 0x89 && b(1) == 'P') decodePng(b)
+    else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else None
+
+  /** 16-bit PCM WAV sample decode (the format [[encodeWav]] writes). */
+  def decodeWavPcm(b: Array[Byte]): Option[Pcm] = {
+    if (b == null || b.length < 44 || b(0) != 'R' || b(1) != 'I' ||
+        b(8) != 'W' || b(9) != 'A') return None
+    try {
+      var i = 12
+      var ch = -1; var rate = -1; var bits = -1; var fmt = -1
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= b.length) {
+        val tag = new String(b, i, 4, US_ASCII)
+        val len = rl32(b, i + 4)
+        if (tag == "fmt ") {
+          fmt = rl16(b, i + 8); ch = rl16(b, i + 10)
+          rate = rl32(b, i + 12); bits = rl16(b, i + 22)
+        } else if (tag == "data") { dataOff = i + 8; dataLen = len }
+        i += 8 + len + (len & 1)
+      }
+      if (fmt != 1 || bits != 16 || ch <= 0 || rate <= 0 || dataOff < 0 ||
+          dataOff + dataLen > b.length || dataLen % 2 != 0) return None
+      val samples = new Array[Short](dataLen / 2)
+      var s = 0
+      while (s < samples.length) {
+        samples(s) = (u8(b, dataOff + s * 2) |
+          (b(dataOff + s * 2 + 1) << 8)).toShort
+        s += 1
+      }
+      Some(Pcm(rate, ch, samples))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  // ---- pixel math: grayscale grids, perceptual hashes, resize --------
+
+  /** Integer luma (Rec.601-weighted, `(77R+150G+29B) >> 8`) box-averaged
+    * onto a `gw`×`gh` grid — the downsample under both perceptual
+    * hashes. Deterministic integer math throughout (floor division). */
+  def grayGrid(r: Raster, gw: Int, gh: Int): Array[Int] = {
+    require(gw > 0 && gh > 0, s"bad grid: ${gw}x$gh")
+    val out = new Array[Int](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * r.height / gh
+      val y1 = math.max(y0 + 1, (gy + 1) * r.height / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * r.width / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * r.width / gw)
+        var sum = 0L; var cnt = 0L
+        var y = y0
+        while (y < math.min(y1, r.height)) {
+          var x = x0
+          while (x < math.min(x1, r.width)) {
+            val p = (y * r.width + x) * r.channels
+            val luma = r.channels match {
+              case 1 | 2 => r.pixels(p) & 0xff
+              case _ =>
+                (77 * (r.pixels(p) & 0xff) + 150 * (r.pixels(p + 1) & 0xff) +
+                  29 * (r.pixels(p + 2) & 0xff)) >> 8
+            }
+            sum += luma; cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * gw + gx) = if (cnt == 0) 0 else (sum / cnt).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Average hash: 8×8 luma grid, bit set where the cell exceeds the
+    * grid mean. Near-identical images land within a few bits. */
+  def aHash64(r: Raster): Long = {
+    val g = grayGrid(r, 8, 8)
+    val mean = g.map(_.toLong).sum / 64
+    var h = 0L; var i = 0
+    while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** Difference hash: 9×8 luma grid, bit set where each cell exceeds its
+    * left neighbor — gradient sign survives brightness shifts. */
+  def dHash64(r: Raster): Long = {
+    val g = grayGrid(r, 9, 8)
+    var h = 0L; var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) h |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Box-average resize, per channel, floor division — deterministic. */
+  def resizeRaster(r: Raster, nw: Int, nh: Int): Raster = {
+    require(nw > 0 && nh > 0, s"bad resize target: ${nw}x$nh")
+    val out = new Array[Byte](nw * nh * r.channels)
+    var gy = 0
+    while (gy < nh) {
+      val y0 = gy * r.height / nh
+      val y1 = math.max(y0 + 1, (gy + 1) * r.height / nh)
+      var gx = 0
+      while (gx < nw) {
+        val x0 = gx * r.width / nw
+        val x1 = math.max(x0 + 1, (gx + 1) * r.width / nw)
+        var c = 0
+        while (c < r.channels) {
+          var sum = 0L; var cnt = 0L
+          var y = y0
+          while (y < math.min(y1, r.height)) {
+            var x = x0
+            while (x < math.min(x1, r.width)) {
+              sum += r.pixels((y * r.width + x) * r.channels + c) & 0xff
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          out((gy * nw + gx) * r.channels + c) =
+            (if (cnt == 0) 0 else (sum / cnt)).toByte
+          c += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    Raster(nw, nh, r.channels, out)
+  }
+
+  /** Re-encode a raster as PNG (any of the four supported channel
+    * layouts) — filter-0 scanlines, one deflate stream; decodable by
+    * [[decodePng]] and any PNG reader. */
+  def encodePngRaster(r: Raster): Array[Byte] = {
+    val colorType = r.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case c => throw new IllegalArgumentException(s"channels: $c")
+    }
+    val stride = r.width * r.channels
+    val raw = new Array[Byte](r.height * (1 + stride))
+    var y = 0
+    while (y < r.height) {
+      System.arraycopy(r.pixels, y * stride, raw, y * (1 + stride) + 1, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be32(r.width) ++ be32(r.height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Audio energy statistics from 16-bit PCM: overall RMS, peak
+    * absolute sample, and the fraction of `frameSize`-sample analysis
+    * frames whose RMS falls below `silenceThreshold` (the VAD-style
+    * silence screen). Exact integer sums; one sqrt per frame. */
+  final case class AudioStats(rms: Double, peak: Int, silenceRatio: Double,
+    nSamples: Long)
+
+  def audioStats(p: Pcm, frameSize: Int, silenceThreshold: Double): AudioStats = {
+    require(frameSize > 0, s"frameSize must be positive: $frameSize")
+    val n = p.samples.length
+    if (n == 0) return AudioStats(0.0, 0, 1.0, 0L)
+    var sumSq = 0L; var peak = 0
+    var silent = 0L; var frames = 0L
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + frameSize, n)
+      var fSumSq = 0L
+      var j = i
+      while (j < end) {
+        val v = p.samples(j).toInt
+        fSumSq += v.toLong * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        j += 1
+      }
+      sumSq += fSumSq
+      frames += 1
+      if (math.sqrt(fSumSq.toDouble / (end - i)) < silenceThreshold) silent += 1
+      i = end
+    }
+    AudioStats(math.sqrt(sumSq.toDouble / n), peak,
+      silent.toDouble / frames, n.toLong)
   }
 }

@@ -125,4 +125,97 @@ object Multimodal {
   /** Resize stub: metadata-level resize (a real impl re-encodes pixels). */
   def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  // ---- REAL pixel-level transforms (no media libraries) --------------
+  //
+  // PNG rasters decode through MediaCodec.decodePng (JDK Inflater + the
+  // five PNG filter types), BMP through decodeBmp, WAV PCM through
+  // decodeWavPcm — so perceptual hashing, near-dup image detection,
+  // resize, and audio energy below operate on REAL pixels/samples, not
+  // metadata arithmetic. Only formats needing external codecs (JPEG
+  // raster, video) remain out of scope.
+
+  /** Perceptual hashes over decoded rasters: appends `phash_a` (8×8
+    * average hash) and `phash_d` (9×8 difference hash) long columns;
+    * null for payloads that don't decode (non-PNG/BMP, corrupt). */
+  def withImageHashes(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("phash_a", LongType), StructField("phash_d", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        MediaCodec.decodeRaster(row.getAs[Array[Byte]](binIdx)) match {
+          case Some(r) =>
+            Row.fromSeq(row.toSeq ++ Seq(MediaCodec.aHash64(r), MediaCodec.dHash64(r)))
+          case None => Row.fromSeq(row.toSeq ++ Seq(null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate images by perceptual difference-hash within a
+    * Hamming radius — decode → dHash per row (zero shuffle), then the
+    * SAME pigeonhole chunk-blocking engine as SimHash text dedup
+    * ([[Dedup.hammingNearDups]]): no all-pairs comparison, hot blocks
+    * capped and counted. Undecodable payloads are excluded. Returns
+    * (id_a, id_b, hamming). */
+  def imageNearDups(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 4, maxChunkGroup: Int = 1000,
+      maxExpandGroup: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val sig = df.mapPartitions { it =>
+      it.flatMap { row =>
+        MediaCodec.decodeRaster(row.getAs[Array[Byte]](binIdx))
+          .map(r => (row.getLong(idIdx), MediaCodec.dHash64(r)))
+      }
+    }.toDF("id", "sig")
+    Dedup.hammingNearDups(sig, maxHamming, maxChunkGroup, maxExpandGroup,
+      "graft.dedup.imagehash")
+  }
+
+  /** Real resize: decode → box-average resample → re-encode PNG. The
+    * output column `resized` holds a genuine PNG of the target size;
+    * undecodable payloads yield null. */
+  def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("resized", BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val out = MediaCodec.decodeRaster(row.getAs[Array[Byte]](binIdx))
+          .map(r => MediaCodec.encodePngRaster(MediaCodec.resizeRaster(r, w, h)))
+          .orNull
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Audio energy per row from REAL 16-bit PCM decode: appends `rms`,
+    * `peak`, `silence_ratio`, `n_samples`; null for non-PCM payloads.
+    * `frameSize` is the per-frame RMS window for the silence screen. */
+  def withAudioStats(df: DataFrame, binCol: String,
+      frameSize: Int = 1024, silenceThreshold: Double = 50.0): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("rms", DoubleType), StructField("peak", IntegerType),
+      StructField("silence_ratio", DoubleType),
+      StructField("n_samples", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        MediaCodec.decodeWavPcm(row.getAs[Array[Byte]](binIdx)) match {
+          case Some(p) =>
+            val s = MediaCodec.audioStats(p, frameSize, silenceThreshold)
+            // Seq[Any]: a plain Seq literal would numerically widen the
+            // Int/Long fields to Double and break the encoder types
+            Row.fromSeq(row.toSeq ++ Seq[Any](s.rms, s.peak, s.silenceRatio, s.nSamples))
+          case None => Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }(enc)
+  }
 }

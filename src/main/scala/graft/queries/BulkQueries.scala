@@ -154,6 +154,84 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL audio math over REAL WAV bytes: square-wave tones make RMS
+    // analytic (every sample is ±A ⇒ RMS = A exactly, sqrt(A²) exact in
+    // double for integer A), so the full decode→PCM→energy path
+    // hash-matches a pure-arithmetic oracle. Every fourth doc is a
+    // silent WAV (rms 0, silence_ratio 1).
+    "mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (128 + id % 128).toInt
+          val channels = (1 + id % 2).toInt
+          val bytes =
+            if (id % 4 == 0) graft.ops.MediaCodec.encodeWav(8000, channels, frames)
+            else graft.ops.MediaCodec.encodeWavTone(8000, channels, frames,
+              amplitude = (100 + id % 900).toInt, halfPeriod = (1 + id % 7).toInt)
+          (id, bytes)
+        }).toDF("doc_id", "media")
+        .transform(Multimodal.withAudioStats(_, "media", frameSize = 64,
+          silenceThreshold = 50.0))
+        .select("doc_id", "rms", "peak", "silence_ratio", "n_samples")
+    }),
+
+    // REAL image near-dup: adjacent doc_ids share a PNG seed (identical
+    // pixels ⇒ identical dHash ⇒ hamming 0), everything else is
+    // distinct LCG noise — the planted pair list is pure id arithmetic,
+    // so the decode→grayGrid→dHash→chunk-block→verify chain must be
+    // pixel-exact to hash-match
+    "mm_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = id / 2
+          (id, graft.ops.MediaCodec.encodePng(
+            (16 + seed % 40).toInt, (16 + (seed * 3) % 32).toInt, seed))
+        }).toDF("doc_id", "media")
+      Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 0)
+    }),
+
+    // perceptual hashes over decoded rasters (rows-only: the hash value
+    // itself isn't SQL-derivable); PNG and BMP payloads both decode
+    "mm_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 2 == 0) graft.ops.MediaCodec.encodePng(
+              (16 + id % 48).toInt, (16 + (id * 7) % 40).toInt, seed = id)
+            else graft.ops.MediaCodec.encodeBmp(
+              (8 + id % 64).toInt, (8 + id % 32).toInt)
+          (id, bytes)
+        }).toDF("doc_id", "media")
+      Multimodal.withImageHashes(imgs, "media")
+        .select("doc_id", "phash_a", "phash_d")
+    }),
+
+    // real resize: decode → box resample → re-encode PNG → re-decode;
+    // emits the round-tripped dims + mean luma of the resized raster
+    "mm_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val src = graft.ops.MediaCodec.encodePng(
+            (16 + id % 48).toInt, (16 + (id * 7) % 40).toInt, seed = id)
+          (id, src)
+        }).toDF("doc_id", "media")
+        .transform(Multimodal.resizeImages(_, "media", 8, 8))
+        .select(col("doc_id"), col("resized")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, png) =>
+          val r = graft.ops.MediaCodec.decodePng(png).get
+          val grid = graft.ops.MediaCodec.grayGrid(r, 1, 1)
+          (id, r.width, r.height, grid(0))
+        }).toDF("doc_id", "width", "height", "mean_luma")
+    }),
+
     // multimodal: frame sampling over the decoded n_frames
     "mm_frame_sample" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -204,6 +282,21 @@ object BulkQueries extends QueryGroup {
     "mm_frame_sample" ->
       ("SELECT doc_id, unnest(range(0, 1 + strlen(text) % 30, 7)) AS frame_no " +
         "FROM documents"),
+    // square-wave RMS is analytically the amplitude — the real WAV
+    // encode→PCM-decode→energy chain must be sample-exact to match
+    "mm_audio_energy" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 100 + doc_id % 900 END AS DOUBLE) AS rms, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 100 + doc_id % 900 END AS INT) AS peak, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS silence_ratio, " +
+        "CAST((128 + doc_id % 128) * (1 + doc_id % 2) AS BIGINT) AS n_samples " +
+        "FROM documents"),
+    // adjacent ids share a PNG seed ⇒ identical pixels ⇒ dHash hamming 0;
+    // the planted pair list is pure id arithmetic
+    "mm_image_neardup" ->
+      ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 " +
+        "WHERE a.doc_id % 2 = 0"),
     // the encode parameters as pure doc_id arithmetic — the parse must
     // recover exactly these through the real container bytes
     "mm_decode_real" ->

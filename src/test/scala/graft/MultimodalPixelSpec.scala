@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCodec, Multimodal}
+import graft.ops.MediaCodec.Raster
+
+/** REAL pixel/sample decode and the transforms built on it.
+  *
+  * The decode paths are checked against INDEPENDENT references: the
+  * JDK's own ImageIO PNG/BMP readers must produce byte-identical pixels
+  * to [[MediaCodec.decodePng]]/[[MediaCodec.decodeBmp]], and PNG
+  * scanline filters 1–4 are exercised by hand-FILTERING known pixels
+  * forward and requiring the decoder to invert them exactly.
+  */
+class MultimodalPixelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("MultimodalPixelSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def imageIoRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out((y * w + x) * 3) = ((rgb >> 16) & 0xff).toByte
+        out((y * w + x) * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+        out((y * w + x) * 3 + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  test("decodePng: pixels byte-identical to the JDK's independent decoder") {
+    val bytes = MediaCodec.encodePng(37, 21, seed = 42L)
+    val r = MediaCodec.decodePng(bytes).get
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(r.width == w && r.height == h && r.channels == 3)
+    assert(java.util.Arrays.equals(r.pixels, ref))
+  }
+
+  test("decodePng: inverts all five filter types exactly") {
+    // Known pixels, scanlines FILTERED forward per the PNG spec with
+    // filter types 0..4 (one per row), deflated, wrapped in real chunks.
+    // The decoder must unfilter back to the exact source pixels.
+    val w = 5; val h = 5; val ch = 3; val stride = w * ch
+    val px = Array.tabulate[Byte](h * stride)(i => ((i * 37 + 11) % 251).toByte)
+    def p(y: Int, x: Int): Int = if (x < 0 || y < 0) 0 else px(y * stride + x) & 0xff
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      raw(y * (1 + stride)) = y.toByte // filter type = row index
+      for (x <- 0 until stride) {
+        val cur = p(y, x); val a = p(y, x - ch); val b = p(y - 1, x)
+        val c = p(y - 1, x - ch)
+        val enc = y match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 =>
+            val pr = a + b - c
+            val pa = math.abs(pr - a); val pb = math.abs(pr - b)
+            val pc = math.abs(pr - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (1 + stride) + 1 + x) = (enc & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val crc = (tag: String, body: Array[Byte]) => {
+      val c = new java.util.zip.CRC32
+      c.update(tag.getBytes("US-ASCII")); c.update(body)
+      c.getValue.toInt
+    }
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]) =
+      be32(body.length) ++ tag.getBytes("US-ASCII") ++ body ++ be32(crc(tag, body))
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    val r = MediaCodec.decodePng(png).get
+    assert(java.util.Arrays.equals(r.pixels, px))
+    // the JDK agrees the container is valid and decodes the same pixels
+    val (_, _, ref) = imageIoRgb(png)
+    assert(java.util.Arrays.equals(ref, px))
+  }
+
+  test("decodeBmp: patterned pixels byte-identical to ImageIO; bottom-up + BGR handled") {
+    val bytes = MediaCodec.encodeBmp(19, 7)
+    // paint the (zero) pixel area with an LCG pattern in place
+    val rowBytes = (19 * 3 + 3) / 4 * 4
+    var s = 99L
+    for (i <- 54 until 54 + rowBytes * 7) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      bytes(i) = (s >>> 56).toByte
+    }
+    val r = MediaCodec.decodeBmp(bytes).get
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(r.width == w && r.height == h)
+    assert(java.util.Arrays.equals(r.pixels, ref))
+  }
+
+  test("decodeWavPcm + audioStats: square wave has RMS exactly amplitude") {
+    val bytes = MediaCodec.encodeWavTone(8000, 2, 200, amplitude = 700, halfPeriod = 3)
+    val p = MediaCodec.decodeWavPcm(bytes).get
+    assert(p.sampleRate == 8000 && p.channels == 2 && p.samples.length == 400)
+    // frame f (both channels) is +700 while (f/3) even, else −700
+    assert(p.samples(0) == 700 && p.samples(1) == 700)
+    assert(p.samples(3 * 2) == -700 && p.samples(3 * 2 + 1) == -700)
+    val st = MediaCodec.audioStats(p, frameSize = 64, silenceThreshold = 50.0)
+    assert(st.rms == 700.0) // exact, not approximate
+    assert(st.peak == 700 && st.silenceRatio == 0.0 && st.nSamples == 400L)
+    val silent = MediaCodec.decodeWavPcm(MediaCodec.encodeWav(8000, 1, 128)).get
+    val st2 = MediaCodec.audioStats(silent, 64, 50.0)
+    assert(st2.rms == 0.0 && st2.peak == 0 && st2.silenceRatio == 1.0)
+  }
+
+  test("aHash/dHash: hand-computed on a half-dark half-bright image") {
+    // 16×16 gray: left 8 columns luma 10, right 8 columns luma 200
+    val px = Array.tabulate[Byte](16 * 16)(i =>
+      (if (i % 16 < 8) 10 else 200).toByte)
+    val r = Raster(16, 16, 1, px)
+    // aHash 8×8 grid: cells 0-3 of each row avg 10, cells 4-7 avg 200;
+    // mean = 105 → right half bits set
+    val a = MediaCodec.aHash64(r)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(((a >> (y * 8 + x)) & 1L) == (if (x >= 4) 1L else 0L),
+        s"aHash bit ($x,$y)")
+    // dHash 9×8 grid over width 16: grid col c covers x=[16c/9,16(c+1)/9)
+    // → cols 0-4 cover x≤7 (luma 10), cols 5-8 cover x≥8 (luma 200);
+    // the only rising edge is col 4→5, i.e. bit x=4 per row
+    val d = MediaCodec.dHash64(r)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(((d >> (y * 8 + x)) & 1L) == (if (x == 4) 1L else 0L),
+        s"dHash bit ($x,$y)")
+  }
+
+  test("resizeRaster: box averages hand-computed; constant stays constant") {
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120,
+      (130).toByte, (140).toByte, (150).toByte, (160).toByte)
+    val r = Raster(4, 4, 1, px)
+    val small = MediaCodec.resizeRaster(r, 2, 2)
+    // 2×2 boxes: (10+20+50+60)/4=35, (30+40+70+80)/4=55,
+    //            (90+100+130+140)/4=115, (110+120+150+160)/4=135
+    assert(small.pixels.toSeq == Seq[Byte](35, 55, 115, (135).toByte))
+    val const = Raster(7, 5, 3, Array.fill[Byte](7 * 5 * 3)(77))
+    val cr = MediaCodec.resizeRaster(const, 3, 2)
+    assert(cr.pixels.forall(_ == 77))
+  }
+
+  test("encodePngRaster round trip: resize output is a real decodable PNG") {
+    val src = MediaCodec.decodePng(MediaCodec.encodePng(33, 17, seed = 5L)).get
+    val resized = MediaCodec.resizeRaster(src, 8, 6)
+    val png = MediaCodec.encodePngRaster(resized)
+    val back = MediaCodec.decodePng(png).get
+    assert(back.width == 8 && back.height == 6 && back.channels == 3)
+    assert(java.util.Arrays.equals(back.pixels, resized.pixels))
+    val (w, h, ref) = imageIoRgb(png) // JDK agrees
+    assert(w == 8 && h == 6 && java.util.Arrays.equals(ref, resized.pixels))
+  }
+
+  test("imageNearDups: planted identical-seed pairs, nothing else") {
+    val s = spark; import s.implicits._
+    // ids 0..9: pairs (0,1),(2,3),(4,5) share seeds; 6..9 distinct noise;
+    // id 10 is a corrupt payload (excluded, not an exception)
+    val rows = (0L to 9L).map { id =>
+      val seed = if (id < 6) id / 2 else 100 + id
+      (id, MediaCodec.encodePng(24, 24, seed))
+    } :+ ((10L, Array[Byte](1, 2, 3)))
+    val df = rows.toDF("id", "media")
+    val got = Multimodal.imageNearDups(df, "id", "media", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (2L, 3L), (4L, 5L)))
+  }
+
+  test("withImageHashes: nulls for undecodable, equal hashes for equal pixels") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, MediaCodec.encodePng(20, 20, seed = 7L)),
+      (2L, MediaCodec.encodePng(20, 20, seed = 7L)),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "media")
+    val got = Multimodal.withImageHashes(df, "media")
+      .select("id", "phash_a", "phash_d").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(got(1L).isDefined && got(1L) == got(2L) && got(3L).isEmpty)
+  }
+
+  test("withAudioStats: DF-level energy matches kernel; non-wav rows null") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, MediaCodec.encodeWavTone(8000, 1, 100, 500, 2)),
+      (2L, MediaCodec.encodeWav(8000, 1, 100)),
+      (3L, Array[Byte](9, 9, 9))
+    ).toDF("id", "media")
+    val got = Multimodal.withAudioStats(df, "media", frameSize = 32)
+      .select("id", "rms", "silence_ratio").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getDouble(2))))).toMap
+    assert(got(1L).contains((500.0, 0.0)))
+    assert(got(2L).contains((0.0, 1.0)))
+    assert(got(3L).isEmpty)
+  }
+}
