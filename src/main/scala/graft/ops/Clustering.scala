@@ -333,4 +333,53 @@ object Clustering {
     }
     state.select(col("id"), col("lbl").as("community"))
   }
+
+  /** HITS hubs & authorities (Kleinberg): fixed power iterations of
+    * auth ← Σ_{j→i} hub(j), hub ← Σ_{i→j} auth(i), each L2-normalized
+    * per half-step — the directed "good pointer vs good destination"
+    * decomposition PageRank's single score can't express (a crawl
+    * frontier wants hubs; a dedup canonical-pick wants authorities).
+    *
+    * Same scale shape as [[pageRank]]: per round two edge joins + two
+    * aggregates (O(E) shuffle each), the L2 norm is a single-row
+    * broadcast agg, lineage truncated per round. FP sums vary with
+    * partitioning → rows-only gate + spec properties (star, cycle,
+    * norm invariance). Returns (id, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .dropDuplicates("id").localCheckpoint(true)
+    def l2normed(df: DataFrame, c: String): DataFrame = {
+      val nrm = df.agg(sqrt(sum(col(c) * col(c))).as("__l2"))
+      df.crossJoin(broadcast(nrm))
+        .select(col("id"),
+          when(col("__l2") > 0, col(c) / col("__l2")).otherwise(lit(0.0)).as(c))
+    }
+    var state = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iters) {
+      val auth = l2normed(
+        e.join(state.select(col("id"), col("hub")), col("src") === col("id"))
+          .groupBy(col("dst").as("__id")).agg(sum("hub").as("auth"))
+          .select(col("__id").as("id"), col("auth")), "auth")
+      val hub = l2normed(
+        e.join(auth, col("dst") === col("id"))
+          .groupBy(col("src").as("__id")).agg(sum("auth").as("hub"))
+          .select(col("__id").as("id"), col("hub")), "hub")
+      state = nodes
+        .join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+          coalesce(col("auth"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    state
+  }
 }

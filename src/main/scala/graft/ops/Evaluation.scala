@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier-evaluation aggregates — the QA step between "we trained a
@@ -175,5 +176,57 @@ object Evaluation {
         col("n_a"), col("x_a"), col("n_b"), col("x_b"),
         round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
         zCol.as("z"))
+  }
+
+  /** Per-query ranked-retrieval metrics at cutoff k: reciprocal rank,
+    * precision@k, DCG@k and nDCG@k — the IR-evaluation counterpart of
+    * [[annRecall]] (which scores set overlap; these score ORDER).
+    *
+    * Inputs: `results` = one row per (query, doc) with a 1-based
+    * `rankCol`; `qrels` = judged (query, doc, gain) with integer
+    * gain ≥ 0 (unjudged retrieved docs count as gain 0). Output one row
+    * per query appearing in results: (qid, rr, p_at_k, dcg, ndcg).
+    * rr = 1/rank of the first relevant hit in the top k (0.0 if none);
+    * ndcg is NULL when the query has no relevant judged docs at all.
+    *
+    * Numeric determinism: each DCG term `gain·ln2/ln(rank+1)` is
+    * rounded to 6 dp and summed as DECIMAL(18,6) — the same
+    * fixed-point-per-term device as [[LangModel.crossEntropy]], so the
+    * sum is order-independent and engine-exact. The ideal DCG ranks
+    * relevant docs by (gain desc, doc asc) — a total order, so ties
+    * break identically anywhere. One shuffle per side (the group-by /
+    * ideal-rank window); both sides are query-sized, never corpus-sized. */
+  def rankingMetrics(results: DataFrame, qidCol: String, docCol: String,
+      rankCol: String, qrels: DataFrame, relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val topk = results.select(col(qidCol).as("qid"), col(docCol).as("doc"),
+      col(rankCol).cast("int").as("rank")).filter(col("rank") <= k)
+    val qr = qrels.select(col(qidCol).as("qid"), col(docCol).as("doc"),
+      col(relCol).cast("long").as("rel"))
+    val dcgTerm = (rel: Column, rank: Column) =>
+      round(rel.cast("double") * log(lit(2.0)) / log(rank.cast("double") + 1.0), 6)
+        .cast("decimal(18,6)")
+    val j = topk.join(qr, Seq("qid", "doc"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val perQuery = j.groupBy("qid").agg(
+      min(when(col("rel") > 0, col("rank"))).as("__first_rel"),
+      count(when(col("rel") > 0, lit(1))).as("__n_rel"),
+      sum(dcgTerm(col("rel"), col("rank"))).as("__dcg"))
+    val idealW = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("doc").asc)
+    val ideal = qr.filter(col("rel") > 0)
+      .withColumn("__irank", row_number().over(idealW))
+      .filter(col("__irank") <= k)
+      .groupBy("qid")
+      .agg(sum(dcgTerm(col("rel"), col("__irank"))).as("__idcg"))
+    perQuery.join(ideal, Seq("qid"), "left")
+      .select(col("qid"),
+        when(col("__first_rel").isNull, 0.0)
+          .otherwise(lit(1.0) / col("__first_rel").cast("double")).as("rr"),
+        (col("__n_rel").cast("double") / k).as("p_at_k"),
+        coalesce(col("__dcg").cast("double"), lit(0.0)).as("dcg"),
+        when(col("__idcg").isNotNull && col("__idcg") > 0,
+          round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
+          .as("ndcg"))
   }
 }

@@ -90,6 +90,51 @@ object Similarity {
     rankTopK(partial, qidCol, idCol, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most cosine-similar corpus rows with a DIFFERENT label ("looks
+    * like a positive, isn't one" — the negatives that actually teach a
+    * retriever/classifier margins). Same one-scan broadcast-heap shape
+    * as [[bruteForceTopK]] — the label exclusion happens inside the
+    * kernel BEFORE the heap offer, so the top-k is of the excluded set
+    * (never an under-filled post-filter), and self-pairs are skipped by
+    * id. Query sampling bounds the broadcast exactly as in ANN: mine
+    * per batch of a few hundred queries at a time. */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, qlabelCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qidCol).cast("long"), col(qvecCol),
+        col(qlabelCol).cast("long"))
+      .as[(Long, Array[Float], Long)].collect()
+      .map { case (id, v, lbl) => (id, v, VecKernel.norm(v), lbl) }
+    require(qs.length <= 100000,
+      s"query batch too large to broadcast: ${qs.length}; mine in batches")
+    val qb = spark.sparkContext.broadcast(qs)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val queries = qb.value
+        val heaps = Array.fill(queries.length)(new VecKernel.TopK(k))
+        it.foreach { case (id, v, lbl) =>
+          val nv = VecKernel.norm(v)
+          var qi = 0
+          while (qi < queries.length) {
+            val (qid, qv, qn, qlbl) = queries(qi)
+            if (lbl != qlbl && id != qid)
+              heaps(qi).offer(VecKernel.dot(v, qv) / (nv * qn), id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.drain().map { case (sim, id) => (queries(qi)._1, id, sim) }
+        }
+      }.toDF(qidCol, idCol, "__sim")
+    rankTopK(partial, qidCol, idCol, k)
+  }
+
   /** Corpus with its LSH bucket id attached — persist this (partitioned /
     * bucketed by `__sig`) at scale so probes read O(bucket) rows instead
     * of re-signing the corpus per query batch. */

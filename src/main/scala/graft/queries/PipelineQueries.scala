@@ -309,6 +309,18 @@ object PipelineQueries extends QueryGroup {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    // HITS hubs/authorities over the same ship graph: parts that point
+    // at well-pointed-to suppliers (hubs) vs suppliers collecting links
+    // from good hubs (authorities). FP sums vary with partitioning →
+    // rows-only gate + GraphStatsSpec star/cycle properties.
+    "graph_hits" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.ops.Clustering.hits(edges, "src", "dst", 10)
+        .select(col("id"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+    }),
+
     // decontamination as REMOVAL: train docs sharing any 5-gram with
     // the eval slice are anti-joined away (broadcast eval grams, tiny
     // contaminated-id set — train rows never shuffle)
@@ -512,6 +524,18 @@ object PipelineQueries extends QueryGroup {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.bruteForceTopK(emb.filter(col("label") === 3),
         "vec_id", "embedding", queries, "q_id", "q_vec", k = 10)
+    }),
+
+    // hard-negative mining: per query, top-k most-similar vectors with
+    // a DIFFERENT label (self excluded) — the contrastive-training
+    // negative sampler; exclusion inside the kernel before the heap
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        queries, "q_id", "q_vec", "q_label", k = 10)
     }),
 
     // the ANN tuning loop: per-query recall of the IVF probe against the
@@ -793,6 +817,27 @@ object PipelineQueries extends QueryGroup {
       val ev = Tables.load(s, dir, "events").withColumn("p",
         round(lit(1.0) / (lit(1.0) + exp(-(col("value") - 50) / 10)), 6))
       graft.ops.Evaluation.calibration(ev, "p", col("event_type") === "click", 10)
+    }),
+
+    // ranked-retrieval metrics (RR / P@k / DCG / nDCG at k=10) over a
+    // deterministic id-arithmetic retrieval scenario: qid = doc_id % 20,
+    // rank by doc_id within query; judged set = even ids with graded
+    // gains. The metric implementation (first-relevant rank, per-term
+    // 6-dp DCG decimals, (gain desc, doc) ideal order) must be exact to
+    // hash-match the CTE oracle.
+    "eval_search_ranking" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc"))
+      val res = docs.withColumn("qid", col("doc") % 20)
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col("qid")).orderBy(col("doc"))))
+      val qrels = docs.filter(col("doc") % 2 === 0)
+        .withColumn("qid", col("doc") % 20)
+        .withColumn("rel", when(col("doc") % 7 === 0, 3L)
+          .when(col("doc") % 3 === 0, 1L).otherwise(0L))
+      graft.ops.Evaluation.rankingMetrics(res, "qid", "doc", "rank",
+        qrels, "rel", 10)
     }),
 
     // Brier score of the same logistic score (strictly proper rule)
@@ -1893,6 +1938,32 @@ object PipelineQueries extends QueryGroup {
         "  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_pred, " +
         "  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate " +
         "FROM d GROUP BY 1"),
+    "eval_search_ranking" ->
+      ("WITH res AS (SELECT doc_id % 20 AS qid, doc_id AS doc, " +
+        "    row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) AS rank " +
+        "  FROM documents), " +
+        "qrel AS (SELECT doc_id % 20 AS qid, doc_id AS doc, " +
+        "    CASE WHEN doc_id % 7 = 0 THEN 3 WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel " +
+        "  FROM documents WHERE doc_id % 2 = 0), " +
+        "topk AS (SELECT * FROM res WHERE rank <= 10), " +
+        "j AS (SELECT t.qid, t.rank, COALESCE(q.rel, 0) AS rel FROM topk t " +
+        "  LEFT JOIN qrel q ON q.qid = t.qid AND q.doc = t.doc), " +
+        "pq AS (SELECT qid, min(CASE WHEN rel > 0 THEN rank END) AS first_rel, " +
+        "    count(*) FILTER (WHERE rel > 0) AS n_rel, " +
+        "    sum(CAST(round(rel * ln(2) / ln(rank + 1), 6) AS DECIMAL(18,6))) AS dcg " +
+        "  FROM j GROUP BY qid), " +
+        "ideal AS (SELECT qid, " +
+        "    sum(CAST(round(rel * ln(2) / ln(irank + 1), 6) AS DECIMAL(18,6))) AS idcg " +
+        "  FROM (SELECT qid, rel, doc, row_number() OVER " +
+        "      (PARTITION BY qid ORDER BY rel DESC, doc ASC) AS irank " +
+        "    FROM qrel WHERE rel > 0) WHERE irank <= 10 GROUP BY qid) " +
+        "SELECT p.qid, " +
+        "  CASE WHEN first_rel IS NULL THEN 0.0 " +
+        "    ELSE CAST(1 AS DOUBLE) / first_rel END AS rr, " +
+        "  CAST(n_rel AS DOUBLE) / 10 AS p_at_k, " +
+        "  COALESCE(CAST(dcg AS DOUBLE), 0.0) AS dcg, " +
+        "  CASE WHEN idcg > 0 THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg " +
+        "FROM pq p LEFT JOIN ideal i ON i.qid = p.qid"),
     "eval_brier" ->
       ("WITH d AS (SELECT round(CAST(1 AS DOUBLE) " +
         "    / (CAST(1 AS DOUBLE) + exp(-(value - 50) / 10)), 6) AS p, " +
@@ -2183,6 +2254,24 @@ object PipelineQueries extends QueryGroup {
         "   sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1), " +
         "    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))) AS sim " +
         "  FROM embeddings e CROSS JOIN q) " +
+        "SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
+        "WHERE rank <= 10"),
+
+    // hard negatives: the ann_brute_topk formula restricted to
+    // label-mismatched non-self pairs BEFORE ranking
+    "emb_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label " +
+        "  FROM embeddings WHERE vec_id < 5), " +
+        "sims AS (SELECT q.q_id, e.vec_id, " +
+        "  list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+        "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / " +
+        "  (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), " +
+        "    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * " +
+        "   sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1), " +
+        "    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))) AS sim " +
+        "  FROM embeddings e CROSS JOIN q " +
+        "  WHERE e.label <> q.q_label AND e.vec_id <> q.q_id) " +
         "SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
         "WHERE rank <= 10"),

@@ -408,4 +408,25 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(math.abs(est - 100000) / 100000.0 < 0.15)
   }
+
+  test("hits: star center is the sole authority, leaves the hubs; cycle is uniform") {
+    val s = spark; import s.implicits._
+    // leaves 1..4 all point at center 0
+    val star = (1L to 4L).map(l => (l, 0L)).toDF("src", "dst")
+    val got = graft.ops.Clustering.hits(star, "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got(0L)._2 - 1.0) < 1e-9 && got(0L)._1 === 0.0) // pure authority
+    (1L to 4L).foreach { l =>
+      assert(math.abs(got(l)._1 - 0.5) < 1e-9, s"leaf $l hub") // 1/sqrt(4)
+      assert(got(l)._2 === 0.0)
+    }
+    // directed 3-cycle: symmetric → hub = auth = 1/sqrt(3) everywhere
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val c = graft.ops.Clustering.hits(cycle, "src", "dst", 7)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val u = 1.0 / math.sqrt(3)
+    c.foreach { case (h, a) =>
+      assert(math.abs(h - u) < 1e-9 && math.abs(a - u) < 1e-9)
+    }
+  }
 }

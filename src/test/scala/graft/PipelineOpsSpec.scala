@@ -1088,4 +1088,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(x => x._1 == "g" && x._2.isEmpty && x._3.isEmpty))
     assert(got.find(_._1 == "h").get._3.get === 7.0)
   }
+
+  test("rankingMetrics: hand-computed RR/P@k/DCG/nDCG, no-relevant and unjudged-query edges") {
+    val s = spark; import s.implicits._
+    // q1: ranked docs 10,11,12; qrels: 11→rel 2 (rank 2), 12→rel 1 (rank 3),
+    //     99→rel 3 (judged but NOT retrieved — counts toward ideal only)
+    // q2: ranked docs 20,21; no relevant judged → rr 0, ndcg NULL
+    // q3: ranked doc 30; judged rel 0 only → ndcg NULL
+    val res = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 20L, 1), ("q2", 21L, 2), ("q3", 30L, 1)).toDF("qid", "doc", "rank")
+    val qrels = Seq(("q1", 11L, 2L), ("q1", 12L, 1L), ("q1", 99L, 3L),
+      ("q3", 30L, 0L)).toDF("qid", "doc", "rel")
+    val got = graft.ops.Evaluation.rankingMetrics(res, "qid", "doc", "rank",
+      qrels, "rel", 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    def t(rel: Long, rank: Int): BigDecimal =
+      BigDecimal(rel * math.log(2) / math.log(rank + 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // k=2: top-2 of q1 = docs 10 (rel 0), 11 (rel 2) → first rel at rank 2
+    val dcg1 = t(0, 1) + t(2, 2)
+    // ideal@2 from q1's judged rel>0: 99 (rel 3) then 11 (rel 2)
+    val idcg1 = t(3, 1) + t(2, 2)
+    val (rr1, p1, d1, n1) = got("q1")
+    assert(rr1 === 0.5 && p1 === 0.5)
+    assert(d1 === dcg1.toDouble)
+    assert(n1.get === BigDecimal(dcg1.toDouble / idcg1.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got("q2") === ((0.0, 0.0, 0.0, None)))
+    assert(got("q3") === ((0.0, 0.0, 0.0, None)))
+  }
+
+  test("hardNegatives: excludes same-label and self, ranks the rest by cosine") {
+    val s = spark; import s.implicits._
+    // query 1 (label 0) at (1,0); corpus: same-label near-copy must be
+    // excluded, other-label vectors ranked by cosine to (1,0)
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0L),     // self — excluded
+      (2L, Array(0.99f, 0.1f), 0L),// same label — excluded despite sim≈1
+      (3L, Array(1f, 0.5f), 1L),   // sim ≈ 0.894
+      (4L, Array(0f, 1f), 1L),     // sim 0
+      (5L, Array(1f, 0.1f), 2L)    // sim ≈ 0.995
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label".as("q_label"))
+    val got = graft.ops.Similarity.hardNegatives(corpus, "vec_id", "embedding",
+      "label", q, "q_id", "q_vec", "q_label", k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((5L, 1), (3L, 2)))
+  }
 }
