@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL normalization & domain extraction — the curation keys of a
+  * web-crawl corpus (per-domain caps, domain blocklists, URL-level
+  * dedup all key on these).
+  *
+  * Built entirely from codegen'd column functions (`regexp_extract`,
+  * `split`/`filter`/`array_join`) with RE2-compatible patterns (no
+  * lookaround/backrefs), so every step is expressible with IDENTICAL
+  * semantics in DuckDB — the correctness gates hash-match a SQL oracle
+  * rather than trusting a UDF. Parse-then-rebuild (extract parts,
+  * reassemble) instead of sed-chains: replacement-order bugs like
+  * `page&b=2` after a leading-param strip can't happen.
+  *
+  * Canonicalization contract (the usual crawl-frontier normal form):
+  *  - scheme and host lowercased; fragment dropped
+  *  - default ports stripped (`:80` for http, `:443` for https)
+  *  - empty path → `/`
+  *  - tracking params removed (`utm_*`, `gclid`, `fbclid`, `msclkid`),
+  *    remaining params kept in original order; empty query dropped
+  */
+object UrlFunctions {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)"
+  private val portRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)"
+  private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val queryRe = "\\?([^#]*)"
+  private val trackingRe = "^(utm_[^=]*|gclid|fbclid|msclkid)="
+
+  def scheme(url: Column): Column = lower(regexp_extract(url, schemeRe, 1))
+  def host(url: Column): Column = lower(regexp_extract(url, hostRe, 1))
+  def port(url: Column): Column = regexp_extract(url, portRe, 1)
+  def path(url: Column): Column = regexp_extract(url, pathRe, 1)
+  def query(url: Column): Column = regexp_extract(url, queryRe, 1)
+
+  /** Registrable-ish domain: the last two host labels (`a.b.c.com` →
+    * `c.com`). A full public-suffix list is a data file, not an
+    * algorithm — this is the standard cheap approximation for grouping
+    * crawl stats; swap in a broadcast PSL map when exactness matters. */
+  def domain(url: Column): Column = {
+    val h = host(url)
+    val labels = split(h, "\\.")
+    when(size(labels) < 2, h)
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
+  /** Canonical URL per the contract above; null/malformed (no
+    * scheme://host) input → NULL, so bad rows filter instead of
+    * polluting a group key. */
+  def canonicalize(url: Column): Column = {
+    val sch = scheme(url)
+    val h = host(url)
+    val p = port(url)
+    val keepPort = when(p === "", lit(""))
+      .when(sch === "http" && p === "80", lit(""))
+      .when(sch === "https" && p === "443", lit(""))
+      .otherwise(concat(lit(":"), p))
+    val pa = when(path(url) === "", lit("/")).otherwise(path(url))
+    val cleanQ = array_join(
+      filter(split(query(url), "&"),
+        x => x =!= "" && !x.rlike(trackingRe)), "&")
+    val q = when(cleanQ === "", lit("")).otherwise(concat(lit("?"), cleanQ))
+    when(sch =!= "" && h =!= "",
+      concat(sch, lit("://"), h, keepPort, pa, q))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, UrlFunctions}
 import graft.ops.{Clustering, Dedup, Embeddings, Sampling, Similarity}
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -307,6 +307,33 @@ object PipelineQueries extends QueryGroup {
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
       graft.ops.Clustering.pageRank(edges, "src", "dst", 0.85, 10)
         .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
+    // URL canonicalization: scheme/host lowercase, fragment + default
+    // port + tracking params stripped, empty path → '/', malformed →
+    // NULL. Parse-and-rebuild from RE2-compatible regexp_extracts —
+    // the oracle replicates each part with identical patterns, so any
+    // divergence in the normal form hash-fails.
+    "text_url_canonical" -> ((s, dir) => {
+      graft.queries.PipelineQueries.syntheticUrls(s, dir)
+        .select(col("doc_id"), col("url"),
+          UrlFunctions.canonicalize(col("url")).as("canon_url"),
+          when(UrlFunctions.canonicalize(col("url")).isNotNull,
+            UrlFunctions.domain(col("url"))).as("domain"))
+    }),
+
+    // per-domain corpus rollup over the canonical form — the group key
+    // for crawl caps/blocklists; distinct canonical URLs per domain
+    "text_domain_stats" -> ((s, dir) => {
+      graft.queries.PipelineQueries.syntheticUrls(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          UrlFunctions.canonicalize(col("url")).as("canon_url"),
+          UrlFunctions.domain(col("url")).as("domain"))
+        .filter(col("canon_url").isNotNull)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon_url")).as("n_urls"),
+          sum(col("n_chars")).cast("long").as("chars_total"))
     }),
 
     // HITS hubs/authorities over the same ship graph: parts that point
@@ -1624,6 +1651,29 @@ object PipelineQueries extends QueryGroup {
       "    (CAST(ma.sd AS DOUBLE) / ma.nd) * (CAST(mb.sd AS DOUBLE) / mb.nd), 6) AS cov " +
       "FROM p JOIN m ma ON p.di = ma.di JOIN m mb ON p.dj = mb.di")
 
+
+  /** Deterministic URL corpus from doc_id arithmetic — six shapes
+    * covering uppercase scheme/host, default + non-default ports,
+    * tracking-only and mixed queries, empty paths, fragments, and
+    * malformed rows; the oracle re-derives the same strings. */
+  private[queries] def syntheticUrls(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"))
+    val m = col("doc_id") % 6
+    val idm = (col("doc_id") % 40).cast("string")
+    val ids = col("doc_id").cast("string")
+    d.withColumn("url",
+      when(m === 0, concat(lit("HTTP://WWW.Site"), idm, lit(".COM:80/Page"),
+        ids, lit("?utm_source=x&id="), ids, lit("#frag")))
+      .when(m === 1, concat(lit("https://blog.site"), idm, lit(".com/a/b"), ids))
+      .when(m === 2, concat(lit("https://site"), idm,
+        lit(".com:8443/x?a=1&utm_campaign=c&b=2")))
+      .when(m === 3, concat(lit("http://site"), idm, lit(".com")))
+      .when(m === 4, concat(lit("https://site"), idm, lit(".com:443/?gclid=z")))
+      .otherwise(concat(lit("not a url "), ids)))
+  }
+
   val oracles: Map[String, String] = Map(
     "text_langid" ->
       s"SELECT doc_id, $langIdSql AS pred_lang FROM documents",
@@ -1938,6 +1988,10 @@ object PipelineQueries extends QueryGroup {
         "  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_pred, " +
         "  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate " +
         "FROM d GROUP BY 1"),
+    "text_url_canonical" ->
+      ("WITH u AS (SELECT doc_id, n_chars, CASE doc_id % 6 WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 40) || '.COM:80/Page' || doc_id || '?utm_source=x&id=' || doc_id || '#frag' WHEN 1 THEN 'https://blog.site' || (doc_id % 40) || '.com/a/b' || doc_id WHEN 2 THEN 'https://site' || (doc_id % 40) || '.com:8443/x?a=1&utm_campaign=c&b=2' WHEN 3 THEN 'http://site' || (doc_id % 40) || '.com' WHEN 4 THEN 'https://site' || (doc_id % 40) || '.com:443/?gclid=z' ELSE 'not a url ' || doc_id END AS url FROM documents), parts AS (SELECT doc_id, n_chars, url, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS hst, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS prt, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth, regexp_extract(url, '\\?([^#]*)', 1) AS qry FROM u), canon AS (SELECT doc_id, n_chars, url, sch, hst, CASE WHEN prt = '' THEN '' WHEN sch = 'http' AND prt = '80' THEN '' WHEN sch = 'https' AND prt = '443' THEN '' ELSE ':' || prt END AS keep_port, CASE WHEN pth = '' THEN '/' ELSE pth END AS cpath, COALESCE(array_to_string(list_filter(string_split(qry, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid)=')), '&'), '') AS cq FROM parts), final AS (SELECT doc_id, n_chars, url, CASE WHEN sch <> '' AND hst <> '' THEN sch || '://' || hst || keep_port || cpath || CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canon_url, CASE WHEN sch <> '' AND hst <> '' THEN CASE WHEN len(string_split(hst, '.')) < 2 THEN hst ELSE array_to_string(string_split(hst, '.')[-2:], '.') END END AS domain FROM canon) SELECT doc_id, url, canon_url, domain FROM final"),
+    "text_domain_stats" ->
+      ("WITH u AS (SELECT doc_id, n_chars, CASE doc_id % 6 WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 40) || '.COM:80/Page' || doc_id || '?utm_source=x&id=' || doc_id || '#frag' WHEN 1 THEN 'https://blog.site' || (doc_id % 40) || '.com/a/b' || doc_id WHEN 2 THEN 'https://site' || (doc_id % 40) || '.com:8443/x?a=1&utm_campaign=c&b=2' WHEN 3 THEN 'http://site' || (doc_id % 40) || '.com' WHEN 4 THEN 'https://site' || (doc_id % 40) || '.com:443/?gclid=z' ELSE 'not a url ' || doc_id END AS url FROM documents), parts AS (SELECT doc_id, n_chars, url, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS hst, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS prt, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth, regexp_extract(url, '\\?([^#]*)', 1) AS qry FROM u), canon AS (SELECT doc_id, n_chars, url, sch, hst, CASE WHEN prt = '' THEN '' WHEN sch = 'http' AND prt = '80' THEN '' WHEN sch = 'https' AND prt = '443' THEN '' ELSE ':' || prt END AS keep_port, CASE WHEN pth = '' THEN '/' ELSE pth END AS cpath, COALESCE(array_to_string(list_filter(string_split(qry, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid)=')), '&'), '') AS cq FROM parts), final AS (SELECT doc_id, n_chars, url, CASE WHEN sch <> '' AND hst <> '' THEN sch || '://' || hst || keep_port || cpath || CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canon_url, CASE WHEN sch <> '' AND hst <> '' THEN CASE WHEN len(string_split(hst, '.')) < 2 THEN hst ELSE array_to_string(string_split(hst, '.')[-2:], '.') END END AS domain FROM canon) SELECT domain, count(*) AS n_docs, count(DISTINCT canon_url) AS n_urls, CAST(sum(n_chars) AS BIGINT) AS chars_total FROM final WHERE canon_url IS NOT NULL GROUP BY domain"),
     "eval_search_ranking" ->
       ("WITH res AS (SELECT doc_id % 20 AS qid, doc_id AS doc, " +
         "    row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) AS rank " +

@@ -1119,6 +1119,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("q3") === ((0.0, 0.0, 0.0, None)))
   }
 
+  test("UrlFunctions.canonicalize: hand-picked edges") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // lowercase scheme+host, strip :80, fragment, utm param
+      ("HTTP://WWW.Ex.COM:80/P?utm_source=a&q=1#f", "http://www.ex.com/P?q=1"),
+      // https :443 stripped, :8443 kept
+      ("https://ex.com:443/a", "https://ex.com/a"),
+      ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+      // empty path → '/', tracking-only query dropped entirely
+      ("http://ex.com", "http://ex.com/"),
+      ("http://ex.com?gclid=z", "http://ex.com/"),
+      ("http://ex.com/?fbclid=1&msclkid=2", "http://ex.com/"),
+      // params keep original order; utm anywhere is dropped
+      ("http://ex.com/p?b=2&utm_c=x&a=1", "http://ex.com/p?b=2&a=1"),
+      // path case preserved
+      ("http://Ex.com/CaseKeeps", "http://ex.com/CaseKeeps"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.UrlFunctions.canonicalize(col("url"))).as[String]
+      .collect()
+    assert(got.toSeq === cases.map(_._2))
+    // malformed → null
+    val bad = Seq("no scheme here", "http//missing.colon", "")
+      .toDF("url")
+      .select(graft.functions.UrlFunctions.canonicalize(col("url")))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+    // domain: last two labels; single-label host passes through
+    val dom = Seq("https://a.b.c.co/x", "http://localhost/x")
+      .toDF("url").select(graft.functions.UrlFunctions.domain(col("url")))
+      .as[String].collect()
+    assert(dom.toSeq === Seq("c.co", "localhost"))
+  }
+
   test("hardNegatives: excludes same-label and self, ranks the rest by cosine") {
     val s = spark; import s.implicits._
     // query 1 (label 0) at (1,0); corpus: same-label near-copy must be
