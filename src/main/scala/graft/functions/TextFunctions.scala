@@ -140,4 +140,25 @@ object TextFunctions {
   /** Count of matches of a PII pattern (regexp_count is codegen'd). */
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))
+
+  /** HTML → text extraction (the boilerplate-strip step between "we
+    * crawled pages" and every text operator above): drop script/style
+    * blocks and comments, strip tags, decode the five predefined
+    * entities plus `&nbsp;`/`&#39;`, collapse whitespace. All patterns
+    * are RE2-compatible ((?is) flags + non-greedy, no lookaround), so
+    * the DuckDB oracle applies the byte-identical chain. Amp decode runs
+    * LAST — `&amp;lt;` must yield `&lt;`, not `<` (no double decode). */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        // entity names contain no regex metacharacters — safe as patterns
+        regexp_replace(c, from, to)
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
 }

@@ -99,4 +99,43 @@ object Layout {
       else df.repartition(nFiles)
     out.write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** File-level min/max manifest (Iceberg-lite): one row per data file
+    * with row count and min/max of each `statCols` column, written as
+    * parquet beside the data at `<path>_manifest`. One scan builds it
+    * (`_metadata.file_path` + an all-map-side agg); at 100 TB the
+    * manifest is O(files) rows — KBs per million files — and replaces
+    * a footer read of EVERY file with one tiny table read at plan time. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "statCols must not be empty")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "_manifest")
+  }
+
+  /** Range read through the manifest: select only the data files whose
+    * [min, max] interval overlaps [lo, hi], read exactly those, apply
+    * the residual predicate. With a range-clustered layout
+    * ([[compactWrite]] sorted on `statCol`) the file set is
+    * O(matches / rowsPerFile) — the scan never opens non-overlapping
+    * files, which parquet row-group pruning alone cannot promise (it
+    * still reads every footer). Returns exactly
+    * `read(path) WHERE statCol BETWEEN lo AND hi`. */
+  def manifestPrunedRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, statCol: String, lo: Double, hi: Double): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(path + "_manifest")
+      .filter(col(s"min_$statCol").cast("double") <= hi &&
+        col(s"max_$statCol").cast("double") >= lo)
+      .select(col("file")).as[String].collect()
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toSeq: _*)
+    base.filter(col(statCol).cast("double").between(lo, hi))
+  }
 }

@@ -309,6 +309,21 @@ object PipelineQueries extends QueryGroup {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
 
+    // HTML → text extraction over synthesized pages (script/style/
+    // comment blocks, attributes, escaped entities, whitespace runs);
+    // the oracle applies the byte-identical regexp chain, so any
+    // divergence in strip order or entity decode hash-fails
+    "text_html_strip" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var x = 1 < 2;</script></head><body><h1>T"),
+        col("doc_id").cast("string"),
+        lit("</h1><p class=\"a\">"), substring(col("text"), 1, 80),
+        lit(" &amp; more &lt;tag&gt;</p><!-- note --></body></html>"))
+      d.select(col("doc_id"), TextFunctions.stripHtml(html).as("text_out"))
+    }),
+
     // URL canonicalization: scheme/host lowercase, fragment + default
     // port + tracking params stripped, empty path → '/', malformed →
     // NULL. Parse-and-rebuild from RE2-compatible regexp_extracts —
@@ -377,6 +392,22 @@ object PipelineQueries extends QueryGroup {
       s.read.parquet(path)
         .filter(col("n_chars").between(500, 2000))
         .select("doc_id", "source", "n_chars")
+    }),
+
+    // manifest-pruned range read (Iceberg-lite): range-clustered files
+    // + a file-level min/max manifest; the read opens ONLY overlapping
+    // files, then applies the residual predicate — result must equal
+    // the plain WHERE (oracle); LayoutSpec measures the file pruning
+    "layout_manifest_read" -> ((s, dir) => {
+      val path = graft.GraftEngine.tablePath(dir, "li_manifest")
+      graft.ops.Layout.compactWrite(
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        path, 5000L, Seq("l_extendedprice"))
+      graft.ops.Layout.writeManifest(s, path, Seq("l_extendedprice"))
+      graft.ops.Layout.manifestPrunedRead(s, path, "l_extendedprice",
+        10000.0, 20000.0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
     }),
 
     // BPE-ish pre-tokenizer (word pieces + punctuation as tokens)
@@ -1988,6 +2019,10 @@ object PipelineQueries extends QueryGroup {
         "  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_pred, " +
         "  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate " +
         "FROM d GROUP BY 1"),
+    "layout_manifest_read" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) BETWEEN 10000.0 AND 20000.0"),
+    "text_html_strip" ->
+      ("WITH h AS (SELECT doc_id, '<html><head><style>p{color:red}</style><script>var x = 1 < 2;</script></head><body><h1>T' || doc_id || '</h1><p class=\"a\">' || substr(text, 1, 80) || ' &amp; more &lt;tag&gt;</p><!-- note --></body></html>' AS html FROM documents) SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS text_out FROM h"),
     "text_url_canonical" ->
       ("WITH u AS (SELECT doc_id, n_chars, CASE doc_id % 6 WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 40) || '.COM:80/Page' || doc_id || '?utm_source=x&id=' || doc_id || '#frag' WHEN 1 THEN 'https://blog.site' || (doc_id % 40) || '.com/a/b' || doc_id WHEN 2 THEN 'https://site' || (doc_id % 40) || '.com:8443/x?a=1&utm_campaign=c&b=2' WHEN 3 THEN 'http://site' || (doc_id % 40) || '.com' WHEN 4 THEN 'https://site' || (doc_id % 40) || '.com:443/?gclid=z' ELSE 'not a url ' || doc_id END AS url FROM documents), parts AS (SELECT doc_id, n_chars, url, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS hst, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS prt, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth, regexp_extract(url, '\\?([^#]*)', 1) AS qry FROM u), canon AS (SELECT doc_id, n_chars, url, sch, hst, CASE WHEN prt = '' THEN '' WHEN sch = 'http' AND prt = '80' THEN '' WHEN sch = 'https' AND prt = '443' THEN '' ELSE ':' || prt END AS keep_port, CASE WHEN pth = '' THEN '/' ELSE pth END AS cpath, COALESCE(array_to_string(list_filter(string_split(qry, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid)=')), '&'), '') AS cq FROM parts), final AS (SELECT doc_id, n_chars, url, CASE WHEN sch <> '' AND hst <> '' THEN sch || '://' || hst || keep_port || cpath || CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canon_url, CASE WHEN sch <> '' AND hst <> '' THEN CASE WHEN len(string_split(hst, '.')) < 2 THEN hst ELSE array_to_string(string_split(hst, '.')[-2:], '.') END END AS domain FROM canon) SELECT doc_id, url, canon_url, domain FROM final"),
     "text_domain_stats" ->

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming trending top-k: per tumbling event-time window, the k
+  * hottest keys by count — the "what's trending now" feed over an
+  * event ingest.
+  *
+  * Two-stage shape, because a rank-over-aggregate isn't expressible
+  * inside a streaming plan: (1) a watermarked windowed count in APPEND
+  * mode — each (window, key, n) row emits exactly once, when the
+  * watermark closes its window; (2) `foreachBatch` ranks the closed
+  * windows. Correct because window closure is a global watermark event:
+  * ALL finalized rows of a window arrive in the same micro-batch, so
+  * the per-batch rank sees each window complete, exactly once.
+  *
+  * Scale: the streaming state is the open-window counts (keys ×
+  * in-flight windows, pruned by the watermark); the rank touches only
+  * the batch's closed rows. Nothing re-scans history.
+  */
+object Trending {
+
+  /** Stage 1: watermarked tumbling-window counts (append mode). */
+  def windowCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col(keyCol), col("n"))
+
+  /** Stage 2: start the sink — top-k rows per closed window appended to
+    * `outPath` as (win_start, win_end, key, n, rank). Ties break on the
+    * key for a deterministic feed. */
+  def start(counts: DataFrame, keyCol: String, k: Int,
+      outPath: String, checkpoint: String): StreamingQuery = {
+    require(k > 0, s"k must be positive: $k")
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(col("win_start"))
+          .orderBy(col("n").desc, col(keyCol))
+        batch.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .write.mode(SaveMode.Append).parquet(outPath)
+        ()
+      }
+      .start()
+  }
+}

@@ -101,4 +101,30 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _ =>
     }
   }
+
+  test("manifest: pruned read equals plain filter and opens only overlapping files") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-manifest").toString + "/t"
+    val df = (0L until 10000L).map(i => (i, i % 97)).toDF("v", "tag")
+    Layout.compactWrite(df, dir, 1000L, Seq("v"))
+    Layout.writeManifest(spark, dir, Seq("v"))
+    // manifest has one row per data file with exact min/max
+    val man = spark.read.parquet(dir + "_manifest")
+    val nFiles = man.count()
+    assert(nFiles == 10L)
+    assert(man.agg(sum("n_rows")).head.getLong(0) == 10000L)
+    assert(man.agg(min("min_v"), max("max_v")).head() ===
+      org.apache.spark.sql.Row(0L, 9999L))
+    // a 1500-wide range overlaps at most 3 of the 10 range-sorted files
+    val hit = man.filter(col("min_v") <= 3500L && col("max_v") >= 2000L).count()
+    assert(hit <= 3L, s"range touched $hit files")
+    val pruned = Layout.manifestPrunedRead(spark, dir, "v", 2000.0, 3500.0)
+    val direct = df.filter(col("v").between(2000L, 3500L))
+    assert(pruned.count() == 1501L)
+    assert(pruned.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(pruned).count() == 0)
+    // out-of-range window: zero files selected, empty result, schema kept
+    val none = Layout.manifestPrunedRead(spark, dir, "v", 50000.0, 60000.0)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("v", "tag"))
+  }
 }

@@ -1119,6 +1119,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("q3") === ((0.0, 0.0, 0.0, None)))
   }
 
+  test("stripHtml: blocks, tags, entities, no double decode") {
+    val s = spark; import s.implicits._
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      ("<p>Hello <b>world</b></p>", "Hello world"),
+      // script/style bodies vanish even with attributes + newlines
+      ("<script type=\"x\">\nvar a = 1 < 2;\n</script>after", "after"),
+      ("<style media=\"all\">p { color: red }</style>text", "text"),
+      ("<!-- multi\nline comment -->kept", "kept"),
+      // entities decode once: &amp;lt; is the TEXT "&lt;", not "<"
+      ("a &amp;lt; b &lt; c &#39;q&#39; &nbsp;d", "a &lt; b < c 'q' d"),
+      // whitespace runs collapse, outer trimmed
+      ("  <div> spaced   out </div>  ", "spaced out"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("UrlFunctions.canonicalize: hand-picked edges") {
     val s = spark; import s.implicits._
     val cases = Seq(

@@ -317,4 +317,37 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batch === rows)
     } finally q.stop()
   }
+
+  test("trending top-k: closed windows rank complete, exactly once, ties on key") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val counts = graft.streaming.Trending.windowCounts(
+      in.toDF().toDF("ts", "k"), "ts", "k", "10 minutes", "5 minutes")
+    val out = Files.createTempDirectory("graft-trend-out").toString
+    val ckpt = Files.createTempDirectory("graft-trend-ck").toString
+    val q = graft.streaming.Trending.start(counts, "k", 2, out, ckpt)
+    try {
+      // window 10:00: a×3, b×2, c×1 → top-2 = a, b
+      in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "a"),
+        (ts(4), "b"), (ts(5), "b"), (ts(6), "c"))
+      q.processAllAvailable()
+      in.addData((ts(21), "d")) // watermark → 10:16, closes 10:00 window
+      q.processAllAvailable()
+      in.addData((ts(41), "e")) // closes the 10:20 window (d×1)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("win_start", "k", "n", "rank").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "a", 3L, 1)), s"got $rows")
+      assert(rows.contains(("2026-01-01 10:00:00.0", "b", 2L, 2)), s"got $rows")
+      // c was rank 3 → cut; the 10:20 window emits d alone at rank 1
+      assert(!rows.exists(_._2 == "c"), s"got $rows")
+      assert(rows.contains(("2026-01-01 10:20:00.0", "d", 1L, 1)), s"got $rows")
+      // exactly-once: no window/key appears twice
+      assert(rows.size == rows.map(r => (r._1, r._2)).size)
+    } finally q.stop()
+  }
 }
