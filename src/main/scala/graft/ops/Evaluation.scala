@@ -178,6 +178,52 @@ object Evaluation {
         zCol.as("z"))
   }
 
+  /** Welch's unequal-variance t-test between exactly two variants on a
+    * NUMERIC metric — the continuous complement of
+    * [[twoProportionZTest]] (means instead of rates; no equal-variance
+    * assumption, so imbalanced A/B splits stay valid). One aggregate
+    * per variant over 6-dp-rounded decimal moments (Σx, Σx² exact, any
+    * partitioning), then one fixed double chain:
+    * t = (m_a − m_b)/√(s²_a/n_a + s²_b/n_b), df by Welch–Satterthwaite.
+    * Degenerate inputs (a variant with n < 2, or both variances 0)
+    * yield NULL t/df rather than a division error. Output one row:
+    * (variant_a, variant_b, n_a, n_b, mean_a, mean_b, t, df). */
+  def welchTTest(df: DataFrame, variantCol: String,
+      valueCol: String): DataFrame = {
+    val v6 = round(col(valueCol).cast("double"), 6)
+    val grouped = df
+      .filter(col(variantCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .groupBy(col(variantCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        sum(v6.cast("decimal(18,6)")).as("__s"),
+        sum(round(v6 * v6, 6).cast("decimal(28,6)")).as("__s2"))
+    val w = Window.orderBy(col("__v"))
+    val ranked = grouped.withColumn("__rn", row_number().over(w))
+    val a = ranked.filter(col("__rn") === 1).select(col("__v").as("variant_a"),
+      col("__n").as("n_a"), col("__s").as("s_a"), col("__s2").as("s2_a"))
+    val b = ranked.filter(col("__rn") === 2).select(col("__v").as("variant_b"),
+      col("__n").as("n_b"), col("__s").as("s_b"), col("__s2").as("s2_b"))
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def variance(s: Column, s2: Column, n: Column) =
+      (s2.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
+        (n.cast("double") - 1.0)
+    val ma = mean(col("s_a"), col("n_a")); val mb = mean(col("s_b"), col("n_b"))
+    val va = variance(col("s_a"), col("s2_a"), col("n_a"))
+    val vb = variance(col("s_b"), col("s2_b"), col("n_b"))
+    val qa = va / col("n_a").cast("double"); val qb = vb / col("n_b").cast("double")
+    val se2 = qa + qb
+    val defined = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
+    val dfW = se2 * se2 /
+      (qa * qa / (col("n_a").cast("double") - 1.0) +
+        qb * qb / (col("n_b").cast("double") - 1.0))
+    a.crossJoin(b).select(col("variant_a"), col("variant_b"),
+      col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(defined, round((ma - mb) / sqrt(se2), 6)).as("t"),
+      when(defined, round(dfW, 6)).as("df"))
+  }
+
   /** Per-query ranked-retrieval metrics at cutoff k: reciprocal rank,
     * precision@k, DCG@k and nDCG@k — the IR-evaluation counterpart of
     * [[annRecall]] (which scores set overlap; these score ORDER).

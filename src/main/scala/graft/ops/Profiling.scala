@@ -985,4 +985,67 @@ object Profiling {
       .select((Seq(col(keyCol), col(tsCol)) ++ tieCols.map(col)) :+
         round(v, 6).as("value") :+ round(col("__s"), 6).as("cusum"): _*)
   }
+
+  /** Integer Poisson(1) CDF thresholds against a 32-bit uniform —
+    * `⌊cdf·2³²⌋`, shared verbatim with the SQL oracle so resampling
+    * weights are engine-exact. Tail truncated at 8 (P ≈ 1.1e-6). */
+  private val PoissonCdf32: Seq[Long] = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L, 4294609777L,
+    4294923276L)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * error bar no single aggregate gives you at corpus scale. Each row
+    * gets a deterministic Poisson(1) resampling weight per replicate
+    * (the hash-uniform device of `Sampling.priority`, so the whole
+    * resample is re-derivable in SQL), each replicate computes a
+    * weighted mean from exact decimal sums, and the CI is the lower
+    * order statistic of the replicate means at each quantile (no
+    * interpolation — deterministic).
+    *
+    * Scale shape: the fan-out is `nReplicates × rows` but it feeds a
+    * map-side-combinable hash aggregate keyed (group, replicate) —
+    * the shuffle carries groups × nReplicates partial rows, never the
+    * fan-out; the final per-group sort is nReplicates values. */
+  def bootstrapCiMean(df: DataFrame, idCol: String, valueCol: String,
+      groupCols: Seq[String], nReplicates: Int = 100,
+      loQ: Double = 0.025, hiQ: Double = 0.975): DataFrame = {
+    require(nReplicates >= 2 && nReplicates <= 10000,
+      s"nReplicates must be in [2, 10000]: $nReplicates")
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"bad quantiles: $loQ/$hiQ")
+    val x6 = round(col(valueCol).cast("double"), 6)
+    val clean = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select((groupCols.map(col) :+ col(idCol).cast("string").as("__id")) :+
+        x6.cast("decimal(18,6)").as("__x"): _*)
+    val rep = clean.withColumn("__r",
+      explode(sequence(lit(0), lit(nReplicates - 1))))
+    val u = conv(substring(md5(
+      concat(col("__id"), lit(":"), col("__r").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val w = PoissonCdf32.zipWithIndex
+      .foldRight(lit(PoissonCdf32.length): Column) { case ((t, k), acc) =>
+        when(u < t, k).otherwise(acc)
+      }.cast("long")
+    val perRep = rep.withColumn("__w", w)
+      .groupBy((groupCols.map(col) :+ col("__r")): _*)
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__x")).as("__swx"))
+      .filter(col("__sw") > 0)
+      .withColumn("__m", col("__swx").cast("double") / col("__sw").cast("double"))
+    val base = clean.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__x")).cast("double") / count(lit(1))).as("__mean"))
+    val ci = perRep.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
+      .select((groupCols.map(col) :+ size(col("__ms")).as("reps")) ++ Seq(
+        element_at(col("__ms"),
+          (floor(lit(loQ) * (size(col("__ms")) - 1)) + 1).cast("int")).as("__lo"),
+        element_at(col("__ms"),
+          (floor(lit(hiQ) * (size(col("__ms")) - 1)) + 1).cast("int")).as("__hi")): _*)
+    base.join(ci, groupCols)
+      .select((groupCols.map(col) :+ col("n")) ++ Seq(col("reps"),
+        round(col("__mean"), 6).as("mean"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi")): _*)
+  }
 }

@@ -1119,6 +1119,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("q3") === ((0.0, 0.0, 0.0, None)))
   }
 
+  test("welchTTest: hand-computed t and df; degenerate group NULL") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("v", "x")
+    val r = graft.ops.Evaluation.welchTTest(df, "v", "x").head()
+    // a: n=3 m=2 s²=1; b: n=4 m=5 s²=20/3
+    val qa = 1.0 / 3; val qb = (20.0 / 3) / 4
+    val t = BigDecimal((2.0 - 5.0) / math.sqrt(qa + qb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dfw = BigDecimal(math.pow(qa + qb, 2) /
+      (qa * qa / 2 + qb * qb / 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 5.0)
+    assert(r.getDouble(6) == t && r.getDouble(7) == dfw)
+    // single-row variant: t/df NULL, means still reported
+    val deg = graft.ops.Evaluation.welchTTest(
+      Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("v", "x"), "v", "x").head()
+    assert(deg.isNullAt(6) && deg.isNullAt(7))
+  }
+
+  test("bootstrapCiMean: constant values collapse the CI; deterministic across runs") {
+    val s = spark; import s.implicits._
+    val const = (0L until 200L).map(i => (i, "g", 7.5)).toDF("id", "grp", "x")
+    val r = graft.ops.Profiling.bootstrapCiMean(const, "id", "x", Seq("grp"),
+      nReplicates = 20).head()
+    // every replicate mean is exactly 7.5 → degenerate interval
+    assert(r.getAs[Double]("mean") == 7.5)
+    assert(r.getAs[Double]("ci_lo") == 7.5 && r.getAs[Double]("ci_hi") == 7.5)
+    assert(r.getAs[Long]("n") == 200L && r.getAs[Int]("reps") == 20)
+    // varied values: lo ≤ mean ≤ hi, and two runs agree bit-for-bit
+    val varied = (0L until 300L).map(i => (i, "g", (i % 13).toDouble)).toDF("id", "grp", "x")
+    val a = graft.ops.Profiling.bootstrapCiMean(varied, "id", "x", Seq("grp"), 30).head()
+    val b = graft.ops.Profiling.bootstrapCiMean(varied, "id", "x", Seq("grp"), 30).head()
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("mean") &&
+      a.getAs[Double]("mean") <= a.getAs[Double]("ci_hi"))
+    assert(a.getAs[Double]("ci_lo") < a.getAs[Double]("ci_hi"))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("stripHtml: blocks, tags, entities, no double decode") {
     val s = spark; import s.implicits._
     import graft.functions.TextFunctions
