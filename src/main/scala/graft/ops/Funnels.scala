@@ -190,4 +190,51 @@ object Funnels {
       .groupBy(grams: _*)
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Market-basket co-occurrence mining: for every item pair appearing
+    * together in at least `minPairCount` baskets (basket = the DISTINCT
+    * items of one `userCol`), the association statistics —
+    * support = n_ab/N, confidence(a→b) = n_ab/n_a, and
+    * lift = N·n_ab/(n_a·n_b) (> 1 ⇒ positive association; the
+    * "users who did X also did Y" signal). Pairs are canonical
+    * (item_a < item_b); confidence is reported in both directions.
+    *
+    * Scale shape: one distinct pass (user, item), then pair generation
+    * by a per-user self-join — work is Σ basket², so baskets larger
+    * than `maxBasket` items are dropped and counted (the standard
+    * frequent-itemset guard against the one user who did everything);
+    * item marginals join on the item key. All counts integer; each
+    * statistic is one divide. */
+  def coOccurrenceLift(df: DataFrame, userCol: String, itemCol: String,
+      minPairCount: Long = 2, maxBasket: Int = 1000): DataFrame = {
+    require(maxBasket > 1, s"maxBasket must be > 1: $maxBasket")
+    val spark = df.sparkSession
+    val items = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val dropped = DedupMetrics.acc(spark, "graft.basket.usersDropped")
+    val keptUsers = items.groupBy("__u").agg(count(lit(1)).as("__bs"))
+    val kept = items.join(
+      keptUsers.filter(col("__bs") <= maxBasket).select("__u"), Seq("__u"))
+    val nDropped = keptUsers.filter(col("__bs") > maxBasket).count()
+    if (nDropped > 0) dropped.add(nDropped)
+    val nUsers = broadcast(kept.select("__u").distinct()
+      .agg(count(lit(1)).as("__n")))
+    val itemCounts = kept.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val a = kept.select(col("__u"), col("__i").as("item_a"))
+    val b = kept.select(col("__u"), col("__i").as("item_b"))
+    val pairs = a.join(b, Seq("__u")).filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("__i").as("item_a"), col("__c").as("n_a")), "item_a")
+      .join(itemCounts.select(col("__i").as("item_b"), col("__c").as("n_b")), "item_b")
+      .crossJoin(nUsers)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("__n"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
+        round(col("n_ab").cast("double") * col("__n") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
 }

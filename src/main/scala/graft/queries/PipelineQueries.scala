@@ -877,6 +877,15 @@ object PipelineQueries extends QueryGroup {
       graft.ops.Evaluation.calibration(ev, "p", col("event_type") === "click", 10)
     }),
 
+    // market-basket association mining: event-type pairs per user
+    // basket with support / confidence / lift — integer counts, one
+    // divide each
+    "events_pair_lift" -> ((s, dir) => {
+      graft.ops.Funnels.coOccurrenceLift(
+        Tables.load(s, dir, "events"), "user_id", "event_type",
+        minPairCount = 2)
+    }),
+
     // Poisson-bootstrap CI on per-type mean value: deterministic
     // hash-Poisson replicate weights (integer CDF thresholds shared
     // with the oracle), exact decimal weighted sums, order-statistic CI
@@ -2039,6 +2048,8 @@ object PipelineQueries extends QueryGroup {
         "FROM d GROUP BY 1"),
     "layout_manifest_read" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) BETWEEN 10000.0 AND 20000.0"),
+    "events_pair_lift" ->
+      ("WITH it AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), n AS (SELECT count(DISTINCT u) AS nu FROM it), ic AS (SELECT i, count(*) AS c FROM it GROUP BY 1), p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab FROM it a JOIN it b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2) SELECT item_a, item_b, n_ab, ca.c AS n_a, cb.c AS n_b, round(CAST(n_ab AS DOUBLE) / nu, 6) AS support, round(CAST(n_ab AS DOUBLE) / ca.c, 6) AS conf_a_b, round(CAST(n_ab AS DOUBLE) / cb.c, 6) AS conf_b_a, round(CAST(n_ab AS DOUBLE) * nu / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift FROM p JOIN ic ca ON ca.i = p.item_a JOIN ic cb ON cb.i = p.item_b CROSS JOIN n"),
     "events_bootstrap_ci" ->
       ("WITH clean AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id, CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS x FROM events WHERE value IS NOT NULL AND NOT isnan(value)), rep AS (SELECT c.*, r.range AS r FROM clean c CROSS JOIN range(0, 50) r), wtd AS (SELECT event_type, r, x, CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7 ELSE 8 END AS w FROM (SELECT *, ('0x' || substr(md5(id || ':' || r), 1, 8))::BIGINT AS u FROM rep)), perrep AS (SELECT event_type, r, sum(w) AS sw, sum(w * x) AS swx FROM wtd GROUP BY 1, 2), m AS (SELECT event_type, r, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mrep FROM perrep WHERE sw > 0), ci AS (SELECT event_type, count(*) AS reps, list_sort(list(mrep)) AS ms FROM m GROUP BY 1), base AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS DOUBLE) / count(*) AS mean FROM clean GROUP BY 1) SELECT b.event_type, b.n, c.reps, round(b.mean, 6) AS mean, round(ms[CAST(floor(0.025 * (reps - 1)) AS INT) + 1], 6) AS ci_lo, round(ms[CAST(floor(0.975 * (reps - 1)) AS INT) + 1], 6) AS ci_hi FROM base b JOIN ci c ON c.event_type = b.event_type"),
     "events_welch_ttest" ->

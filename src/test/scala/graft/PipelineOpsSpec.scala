@@ -1119,6 +1119,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("q3") === ((0.0, 0.0, 0.0, None)))
   }
 
+  test("coOccurrenceLift: hand-computed support/confidence/lift; basket cap drops the mega user") {
+    val s = spark; import s.implicits._
+    // 4 users: {a,b}, {a,b}, {a,c}, {b} — duplicates within a basket dedupe
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b")).toDF("u", "i")
+    val got = graft.ops.Funnels.coOccurrenceLift(df, "u", "i", minPairCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(8))).toMap
+    // (a,b): n_ab=2, n_a=3, n_b=3, N=4 → support .5, conf(a→b) 2/3, lift 4·2/9
+    val ab = got(("a", "b"))
+    assert(ab._1 == 2L && ab._2 == 0.5)
+    assert(ab._3 == BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(ab._4 == BigDecimal(8.0 / 9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // (a,c): n_ab=1 → present at minPairCount=1, lift = 4·1/(3·1)
+    assert(got(("a", "c"))._1 == 1L)
+    assert(!got.contains(("b", "c")))
+    // mega-basket user is dropped entirely and counted
+    val mega = (0 until 50).map(k => (9L, s"i$k")) ++ Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    val capped = graft.ops.Funnels.coOccurrenceLift(
+      mega.toDF("u", "i"), "u", "i", minPairCount = 1, maxBasket = 10)
+    assert(capped.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+  }
+
   test("welchTTest: hand-computed t and df; degenerate group NULL") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
