@@ -51,7 +51,8 @@ object ScaleRehearsal {
     val results = Seq(1, 10).map(measure(spark, catalog, sfDir, _))
     val covResults = Seq(1, 10).map(measureCov(spark, sfDir, _))
     val triResults = Seq(1, 3).map(measureTri(spark, sfDir, _))
-    write(sfDir, results, covResults, triResults)
+    val manResults = Seq(1, 10).map(measureManifest(spark, sfDir, _))
+    write(sfDir, results, covResults, triResults, manResults)
     println(s"[rehearsal] wrote /root/repo/SCALE_REHEARSAL.md")
     spark.stop()
   }
@@ -135,6 +136,44 @@ object ScaleRehearsal {
     val (tris, recsNo, tNo) = run(0)
     val (_, recsB, tB) = run(1 << 24)
     TriMeasure(scale, edges.distinct().count(), tris, recsNo, recsB, tNo, tB)
+  }
+
+  final case class ManMeasure(scale: Int, rows: Long, matched: Long,
+    filesTotal: Int, filesOpened: Int, t: Double, tFull: Double)
+
+  /** Manifest-pruned range read as the corpus grows: with a
+    * range-clustered layout and a fixed value-range predicate, the
+    * files OPENED must track ceil(matches / rowsPerFile) — the match
+    * share of the corpus — while a plain filtered read lists and
+    * footer-reads every file. Growth keeps the value domain fixed, so
+    * matches grow with the corpus and the opened-file RATIO stays at
+    * the selectivity, at any scale. */
+  private def measureManifest(spark: SparkSession, sfDir: String,
+      scale: Int): ManMeasure = {
+    val path = s"$root/man-x$scale/lineitem"
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val scaled = (0 until scale)
+      .map(i => src.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      graft.ops.Layout.compactWrite(scaled, path, 25000L, Seq("l_extendedprice"))
+      graft.ops.Layout.writeManifest(spark, path, Seq("l_extendedprice"))
+    }
+    val man = spark.read.parquet(path + "_manifest")
+    val opened = man.filter(
+      col("min_l_extendedprice").cast("double") <= 20000.0 &&
+        col("max_l_extendedprice").cast("double") >= 10000.0).count().toInt
+    val (matched, t) = timeMin(2) {
+      graft.ops.Layout.manifestPrunedRead(spark, path,
+        "l_extendedprice", 10000.0, 20000.0).count()
+    }
+    val (_, tFull) = timeMin(2) {
+      spark.read.parquet(path)
+        .filter(col("l_extendedprice").cast("double").between(10000.0, 20000.0))
+        .count()
+    }
+    ManMeasure(scale, scaled.count(), matched, parquetFiles(path), opened, t, tFull)
   }
 
   private def parquetFiles(path: String): Int = {
@@ -239,7 +278,8 @@ object ScaleRehearsal {
   }
 
   private def write(sfDir: String, rs: Seq[Measure],
-      cov: Seq[CovMeasure], tri: Seq[TriMeasure]): Unit = {
+      cov: Seq[CovMeasure], tri: Seq[TriMeasure],
+      man: Seq[ManMeasure]): Unit = {
     def f(d: Double) = String.format(Locale.ROOT, "%.3f", Double.box(d))
     val rows = rs.map { m =>
       s"| ${m.scale}x | ${m.baseRows} | ${m.matched} | ${m.baseFilesTotal} | " +
@@ -336,6 +376,28 @@ object ScaleRehearsal {
          |  wedge exchange is the network bottleneck of any triangle /
          |  clustering-coefficient job, and it now carries ~triangles + FP
          |  instead of every wedge.
+         |
+         |# Manifest-pruned range reads — files opened vs data growth
+         |
+         |`Layout.writeManifest` / `manifestPrunedRead`
+         |(`layout_manifest_read`) on a range-clustered lineitem copy,
+         |`l_extendedprice BETWEEN 10000 AND 20000`, 25k rows/file. The
+         |manifest (O(files) rows, KBs) is consulted at plan time; only
+         |value-overlapping files are opened, so opened files track the
+         |MATCH share of the corpus while a plain filtered read lists and
+         |footer-reads every file at every scale.
+         |
+         || scale | rows | matched | files total | files OPENED | t pruned (s) | t full filter (s) |
+         ||---|---|---|---|---|---|---|
+         |@MANROWS@
+         |
+         |- At ${man.last.scale}x the pruned read opens
+         |  ${man.last.filesOpened} of ${man.last.filesTotal} files
+         |  (matches are ${100 * man.last.matched /
+              math.max(man.last.rows, 1)}% of rows) — the opened-file
+         |  ratio equals the selectivity because range clustering keeps
+         |  per-file value spans disjoint. On a 100 TB table the manifest
+         |  replaces ~million footer reads with one KB-scale table scan.
          |""".stripMargin.replace("@ROWS@", rows).replace("@COVROWS@",
         cov.map(m => s"| ${m.scale}x | ${m.rows} | ${m.cells} | " +
           s"${m.shuffleRecords} | ${f(m.t)} |").mkString("\n"))
@@ -343,6 +405,10 @@ object ScaleRehearsal {
         tri.map(m => s"| ${m.scale}x | ${m.edges} | ${m.triangles} | " +
           s"${m.shuffleNoBloom} | ${m.shuffleBloom} | ${f(m.tNoBloom)} | " +
           s"${f(m.tBloom)} |").mkString("\n"))
+      .replace("@MANROWS@",
+        man.map(m => s"| ${m.scale}x | ${m.rows} | ${m.matched} | " +
+          s"${m.filesTotal} | ${m.filesOpened} | ${f(m.t)} | " +
+          s"${f(m.tFull)} |").mkString("\n"))
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/SCALE_REHEARSAL.md"),
       md.getBytes("UTF-8"))
   }
