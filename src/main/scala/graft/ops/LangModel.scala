@@ -204,4 +204,44 @@ object LangModel {
       .agg(round(sum(coalesce(col("__w"), lit(BigDecimal(0)).cast("decimal(18,6)")))
         .cast("double"), 6).as("score"))
   }
+
+  /** Jensen–Shannon divergence between two corpora's unigram
+    * distributions — the TEXT-drift gate beside PSI (numeric) and
+    * chi-squared (categorical): symmetric, bounded [0, ln 2], defined
+    * without smoothing (a term absent on one side contributes
+    * p·ln 2 / 2, never ∞ — the reason JS beats KL for corpus diffs).
+    *
+    * One count aggregate per side, full outer join on the term (the
+    * only shuffle, term-cardinality-sized), per-term contributions
+    * rounded to 12 dp and summed as DECIMAL — order-independent,
+    * engine-exact. Output one row:
+    * (js, tokens_a, tokens_b, terms_a, terms_b, terms_shared). */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) =
+      df.select(explode(split(lower(col(textCol)), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ca = counts(a); val cb = counts(b)
+    val na = ca.agg(sum("cnt").cast("double").as("na"),
+      count(lit(1)).as("terms_a"))
+    val nb = cb.agg(sum("cnt").cast("double").as("nb"),
+      count(lit(1)).as("terms_b"))
+    val joined = ca.withColumnRenamed("cnt", "ca")
+      .join(cb.withColumnRenamed("cnt", "cb"), Seq("term"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    val pa = coalesce(col("ca"), lit(0L)).cast("double") / col("na")
+    val pb = coalesce(col("cb"), lit(0L)).cast("double") / col("nb")
+    val m = (pa + pb) / 2.0
+    val term =
+      when(pa > 0, pa * log(pa / m)).otherwise(lit(0.0)) / 2.0 +
+        when(pb > 0, pb * log(pb / m)).otherwise(lit(0.0)) / 2.0
+    joined.agg(
+      round(sum(round(term, 12).cast("decimal(28,12)")).cast("double"), 6).as("js"),
+      first(col("na")).cast("long").as("tokens_a"),
+      first(col("nb")).cast("long").as("tokens_b"),
+      first(col("terms_a")).as("terms_a"),
+      first(col("terms_b")).as("terms_b"),
+      count(when(col("ca").isNotNull && col("cb").isNotNull, lit(1)))
+        .as("terms_shared"))
+  }
 }

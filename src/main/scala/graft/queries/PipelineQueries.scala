@@ -877,6 +877,16 @@ object PipelineQueries extends QueryGroup {
       graft.ops.Evaluation.calibration(ev, "p", col("event_type") === "click", 10)
     }),
 
+    // Jensen–Shannon vocabulary drift between the two deterministic
+    // corpus halves — the text-distribution complement of PSI/chi-sq;
+    // 12-dp decimal term sums, no smoothing needed (JS is finite)
+    "text_js_divergence" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.LangModel.jsDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
     // market-basket association mining: event-type pairs per user
     // basket with support / confidence / lift — integer counts, one
     // divide each
@@ -2048,6 +2058,8 @@ object PipelineQueries extends QueryGroup {
         "FROM d GROUP BY 1"),
     "layout_manifest_read" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) BETWEEN 10000.0 AND 20000.0"),
+    "text_js_divergence" ->
+      ("WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents WHERE doc_id % 2 = 0), tb AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents WHERE doc_id % 2 = 1), ca AS (SELECT term, count(*) AS c FROM ta WHERE length(term) > 0 GROUP BY 1), cb AS (SELECT term, count(*) AS c FROM tb WHERE length(term) > 0 GROUP BY 1), na AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS t FROM ca), nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS t FROM cb), j AS (SELECT COALESCE(ca.c, 0) AS xa, COALESCE(cb.c, 0) AS xb, ca.c IS NOT NULL AND cb.c IS NOT NULL AS shared FROM ca FULL OUTER JOIN cb ON ca.term = cb.term), t AS (SELECT shared, CASE WHEN xa > 0 THEN (xa / (SELECT n FROM na)) * ln((xa / (SELECT n FROM na)) / ((xa / (SELECT n FROM na) + xb / (SELECT n FROM nb)) / 2.0)) ELSE 0.0 END / 2.0 + CASE WHEN xb > 0 THEN (xb / (SELECT n FROM nb)) * ln((xb / (SELECT n FROM nb)) / ((xa / (SELECT n FROM na) + xb / (SELECT n FROM nb)) / 2.0)) ELSE 0.0 END / 2.0 AS contrib FROM j) SELECT round(CAST(sum(CAST(round(contrib, 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS js, CAST((SELECT n FROM na) AS BIGINT) AS tokens_a, CAST((SELECT n FROM nb) AS BIGINT) AS tokens_b, (SELECT t FROM na) AS terms_a, (SELECT t FROM nb) AS terms_b, count(*) FILTER (WHERE shared) AS terms_shared FROM t"),
     "events_pair_lift" ->
       ("WITH it AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), n AS (SELECT count(DISTINCT u) AS nu FROM it), ic AS (SELECT i, count(*) AS c FROM it GROUP BY 1), p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab FROM it a JOIN it b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2) SELECT item_a, item_b, n_ab, ca.c AS n_a, cb.c AS n_b, round(CAST(n_ab AS DOUBLE) / nu, 6) AS support, round(CAST(n_ab AS DOUBLE) / ca.c, 6) AS conf_a_b, round(CAST(n_ab AS DOUBLE) / cb.c, 6) AS conf_b_a, round(CAST(n_ab AS DOUBLE) * nu / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift FROM p JOIN ic ca ON ca.i = p.item_a JOIN ic cb ON cb.i = p.item_b CROSS JOIN n"),
     "events_bootstrap_ci" ->

@@ -1119,6 +1119,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("q3") === ((0.0, 0.0, 0.0, None)))
   }
 
+  test("jsDivergence: identical corpora 0, disjoint corpora ln 2, hand-computed mix") {
+    val s = spark; import s.implicits._
+    val a = Seq("x y", "x z").toDF("text")
+    assert(graft.ops.LangModel.jsDivergence(a, a, "text").head().getDouble(0) == 0.0)
+    // fully disjoint vocabularies → JS = ln 2 (each side contributes p·ln2/2)
+    val b = Seq("p q", "p r").toDF("text")
+    val dis = graft.ops.LangModel.jsDivergence(a, b, "text").head()
+    assert(math.abs(dis.getDouble(0) -
+      BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    assert(dis.getAs[Long]("terms_shared") == 0L)
+    // hand case: a = {x:1/2, y:1/2}, b = {x:1/2, z:1/2}
+    // shared x: identical p → 0; y and z each: (1/2)·ln2/2 → total ln2/2
+    val h = graft.ops.LangModel.jsDivergence(
+      Seq("x y").toDF("text"), Seq("x z").toDF("text"), "text").head()
+    assert(math.abs(h.getDouble(0) - math.log(2) / 2) < 2e-6)
+    assert(h.getAs[Long]("tokens_a") == 2L && h.getAs[Long]("terms_b") == 2L &&
+      h.getAs[Long]("terms_shared") == 1L)
+  }
+
   test("coOccurrenceLift: hand-computed support/confidence/lift; basket cap drops the mega user") {
     val s = spark; import s.implicits._
     // 4 users: {a,b}, {a,b}, {a,c}, {b} — duplicates within a basket dedupe
