@@ -18,7 +18,8 @@ object Queries {
     MutationQueries,
     PipelineQueries,
     JoinQueries,
-    BulkQueries)
+    BulkQueries,
+    StatsQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric two-sample tests and per-series time structure — the
+  * distribution-drift and seasonality screens of a data pipeline: "did
+  * the new crawl shift the length distribution" (KS / rank-sum answer
+  * it without normality assumptions, unlike [[Evaluation.welchTTest]])
+  * and "does this metric have weekly structure worth a seasonal
+  * baseline" (autocorrelation / seasonal-naive error).
+  *
+  * Engine notes. Both tests reduce to cumulative counts over the value
+  * order. The naive formulation is `sum() OVER (ORDER BY v)` — a
+  * single-partition window stage over every distinct value at 100 TB —
+  * so the cumulatives here ride the distributed prefix-sum device of
+  * [[Curation.runningTotal]] (range repartition → per-partition local
+  * cumsum → one tiny window over per-partition totals → broadcast
+  * offsets), generalized to carry several counters through ONE range
+  * shuffle. Everything downstream of the distinct-value aggregation is
+  * per-value arithmetic plus one scalar reduction.
+  *
+  * Determinism: counts are exact longs; rank sums are decimals of
+  * exactly-representable .0/.5 doubles; final statistics are one fixed
+  * double chain rounded to 6 dp — reproducible across partitionings and
+  * engines (the DuckDB oracles re-derive them bit-identically).
+  */
+object Stats {
+
+  /** Multi-column distributed prefix sums: cumulative `values` in the
+    * total order of `order` (must be total — tie-break before calling),
+    * each written to `__c_<name>`. One range shuffle serves all
+    * counters; no single-partition stage over the data. */
+  private[graft] def runningTotals(df: DataFrame, order: Seq[Column],
+      values: Seq[(String, Column)]): DataFrame = {
+    val reserved = Seq("__pid") ++ values.flatMap { case (n, _) =>
+      Seq(s"__c_$n", s"__l_$n", s"__p_$n", s"__o_$n") }
+    val clash = df.columns.filter(reserved.contains).toSeq
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by runningTotals")
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = values.foldLeft(ranged) { case (d, (n, v)) =>
+      d.withColumn(s"__l_$n", sum(v).over(local)) }
+    // one row per partition — the only unpartitioned window runs over
+    // #shuffle-partitions rows, not the data
+    val perPid = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = values.foldLeft(
+        ranged.groupBy(col("__pid"))
+          .agg(values.head match { case (n, v) => sum(v).as(s"__p_$n") },
+            values.tail.map { case (n, v) => sum(v).as(s"__p_$n") }: _*)) {
+        case (d, (n, _)) =>
+          d.withColumn(s"__o_$n",
+            coalesce(sum(col(s"__p_$n")).over(perPid), lit(0L)))
+      }.select(col("__pid") +: values.map { case (n, _) => col(s"__o_$n") }: _*)
+    values.foldLeft(withLocal.join(broadcast(offsets), Seq("__pid"))) {
+        case (d, (n, _)) =>
+          d.withColumn(s"__c_$n", col(s"__l_$n") + col(s"__o_$n"))
+            .drop(s"__l_$n", s"__o_$n")
+      }.drop("__pid")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test: D = max |F_a(v) − F_b(v)| over
+    * the empirical CDFs of `valueCol` under `groupCol` ∈ {labelA,
+    * labelB}. Returns one row (n_a, n_b, d, ks_stat, p_approx) where
+    * ks_stat = D·√(n_a·n_b/(n_a+n_b)) and p_approx is the standard
+    * first-term asymptotic 2·exp(−2·ks_stat²) capped at 1 — the
+    * distribution-shift alarm that reacts to ANY difference (location,
+    * scale, shape), not just means.
+    *
+    * Shape: groupBy distinct value (one shuffle, exact counts) →
+    * [[runningTotals]] for both cumulative counts in value order → one
+    * scalar max. NULL/NaN values are excluded. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      labelA: String, labelB: String): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol)
+    val perValue = df
+      .filter(v.isNotNull && !isnan(v) && g.isin(labelA, labelB))
+      .groupBy(v.as("__v"))
+      .agg(count(when(g === labelA, 1)).as("ca"),
+        count(when(g === labelB, 1)).as("cb"))
+    val cum = runningTotals(perValue, Seq(col("__v")),
+      Seq("ca" -> col("ca"), "cb" -> col("cb")))
+    val dm = cum
+      .crossJoin(broadcast(perValue.agg(
+        sum("ca").as("na"), sum("cb").as("nb"))))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("__c_ca").cast("double") / col("na") -
+          col("__c_cb").cast("double") / col("nb"))).as("__d"))
+    val c = round(col("__d") *
+      sqrt(col("n_a").cast("double") * col("n_b") / (col("n_a") + col("n_b"))), 6)
+    dm.select(col("n_a"), col("n_b"), round(col("__d"), 6).as("d"),
+      c.as("ks_stat"),
+      round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * c * c)), 6).as("p_approx"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test with tie-corrected normal
+    * approximation: ranks all values of both samples together (average
+    * ranks on ties), U_a = R_a − n_a(n_a+1)/2, and
+    * z = (U_a − n_a·n_b/2) / σ with σ² = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1))).
+    * The location-shift drift test that is robust to outliers and
+    * arbitrary monotone transforms — the workhorse when metric
+    * distributions are heavy-tailed (latencies, token counts).
+    *
+    * Shape: identical to [[ksTest]] — distinct-value counts, ONE
+    * prefix-sum pass for the cumulative total count (average rank of a
+    * tie group is cumBefore + (t+1)/2), then a scalar aggregate. Rank
+    * sums are exact: average ranks are .0/.5 doubles summed as
+    * DECIMAL(28,1). */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      labelA: String, labelB: String): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol)
+    val perValue = df
+      .filter(v.isNotNull && !isnan(v) && g.isin(labelA, labelB))
+      .groupBy(v.as("__v"))
+      .agg(count(when(g === labelA, 1)).as("ca"),
+        count(when(g === labelB, 1)).as("cb"),
+        count(lit(1)).as("ct"))
+    val cum = runningTotals(perValue, Seq(col("__v")), Seq("ct" -> col("ct")))
+    val avgRank = (col("__c_ct") - col("ct")).cast("double") +
+      (col("ct") + 1).cast("double") / 2.0
+    val agg = cum.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum((col("ca").cast("double") * avgRank).cast("decimal(28,1)")).as("__ra"),
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("__ties"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val ua = col("__ra").cast("double") - na * (na + 1.0) / 2.0
+    val sig2 = na * nb / 12.0 *
+      ((n + 1.0) - col("__ties").cast("double") / (n * (n - 1.0)))
+    agg.select(col("n_a"), col("n_b"), round(ua, 1).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sig2 > 0.0,
+        round((ua - na * nb / 2.0) / sqrt(sig2), 6)).as("z"))
+  }
+
+  /** Per-series sample autocorrelation at lags 1..`maxLag` over
+    * `bucketNs`-bucketed sums of `valueCol` (default daily): for each
+    * `keyCol` series, r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the
+    * full-series mean — the seasonality/memory fingerprint (a weekly
+    * cycle shows as a spike at lag 7) that decides whether
+    * [[seasonalNaiveError]]'s baseline is worth running.
+    *
+    * Shape: one bucketed aggregation (shuffle by key+bucket), per-key
+    * moments, then ONE lag equi-join — the lag side explodes each
+    * observation to its `maxLag` anchors and joins back on
+    * (key, bucket+lag), so every stage is keyed and partition-parallel;
+    * no windows over whole series, no driver collection. Missing
+    * buckets simply produce no pair (calendar-lag semantics, stated in
+    * the oracle too). Sums of 6-dp-rounded terms ride decimals for
+    * cross-engine exactness. */
+  def acf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      maxLag: Int, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1, 64]: $maxLag")
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).cast("double").as("__x"))
+    val stats = daily.groupBy("key").agg(
+      (sum(col("__x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("__m"))
+    val centered = daily.join(stats, Seq("key"))
+    val denom = centered.groupBy("key").agg(
+      sum(round((col("__x") - col("__m")) * (col("__x") - col("__m")), 6)
+        .cast("decimal(28,6)")).as("__den"))
+    val lagged = centered
+      .withColumn("lag", explode(array((1 to maxLag).map(lit): _*)))
+      .select(col("key"), (col("__day") + col("lag")).as("__day"),
+        col("lag"), col("__x").as("__xa"), col("__m"))
+    val pairs = lagged
+      .join(daily.select(col("key"), col("__day"), col("__x").as("__xb")),
+        Seq("key", "__day"))
+      .groupBy("key", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round((col("__xa") - col("__m")) * (col("__xb") - col("__m")), 6)
+          .cast("decimal(28,6)")).as("__num"))
+    pairs.join(denom, Seq("key"))
+      .filter(col("__den").cast("double") > 0.0)
+      .select(col("key"), col("lag").cast("long").as("lag"), col("n_pairs"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("r"))
+  }
+
+  /** Seasonal-naive baseline error per series: forecast each bucketed
+    * observation with the value one `period` earlier (x̂_t = x_{t−period}),
+    * report MAE and MASE (MAE scaled by the mean |x_t − x_prev| of the
+    * observed sequence — the standard scale-free "is any model beating
+    * copy-last-week" yardstick). MASE < 1 means the seasonal baseline
+    * beats the naive one: real seasonality.
+    *
+    * Shape: bucketed aggregation, one (key, bucket−period) equi-join for
+    * the forecast pairs, and a per-key LAG window for the naive scale —
+    * the window is partitioned by key (series length per task, never
+    * corpus length). `prev` is the previous OBSERVED bucket (stated
+    * calendar-gap semantics on both engines). */
+  def seasonalNaiveError(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, period: Int, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(period >= 1, s"period must be >= 1: $period")
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).cast("double").as("__x"))
+    val fc = daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.key") === col("b.key") &&
+          col("b.__day") === col("a.__day") - period)
+      .groupBy(col("a.key").as("key"))
+      .agg(count(lit(1)).as("n_fc"),
+        sum(round(abs(col("a.__x") - col("b.__x")), 6)
+          .cast("decimal(18,6)")).as("__err"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__day"))
+    val scale = daily
+      .withColumn("__prev", lag(col("__x"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("__ns"),
+        sum(round(abs(col("__x") - col("__prev")), 6)
+          .cast("decimal(18,6)")).as("__sc"))
+    val mae = col("__err").cast("double") / col("n_fc")
+    val naive = col("__sc").cast("double") / col("__ns")
+    fc.join(scale, Seq("key"))
+      .select(col("key"), col("n_fc"), round(mae, 6).as("mae"),
+        when(naive > 0.0, round(mae / naive, 6)).as("mase"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distribution-test and time-structure operator gates (SURVEY §2.11):
+  * two-sample KS and Mann–Whitney drift tests, per-series
+  * autocorrelation, seasonal-naive baseline error — all over `events`,
+  * each with a bit-exact DuckDB oracle (the cumulative-count devices
+  * re-derive in SQL windows; the engine side uses the distributed
+  * prefix-sum instead, same values).
+  */
+object StatsQueries extends QueryGroup {
+
+  private val dayNs = 86400000000000L
+
+  def defs: Map[String, Q] = Map(
+
+    // KS distribution drift between click and view purchase values —
+    // the any-shape-change alarm next to events_welch_ttest's
+    // mean-only test.
+    "events_ks_test" -> ((s, dir) => {
+      graft.ops.Stats.ksTest(Tables.load(s, dir, "events"),
+        "value", "event_type", "click", "view")
+    }),
+
+    // rank-sum (tie-corrected z) on the same pair — robust location
+    // shift for heavy-tailed metrics
+    "events_mannwhitney" -> ((s, dir) => {
+      graft.ops.Stats.mannWhitneyU(Tables.load(s, dir, "events"),
+        "value", "event_type", "click", "view")
+    }),
+
+    // daily-sum autocorrelation per event type at lags 1..7 — the
+    // weekly-seasonality fingerprint
+    "events_acf" -> ((s, dir) => {
+      graft.ops.Stats.acf(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value", maxLag = 7)
+    }),
+
+    // copy-last-week baseline error (MAE + MASE) per event type
+    "events_seasonal_naive" -> ((s, dir) => {
+      graft.ops.Stats.seasonalNaiveError(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value", period = 7)
+    })
+  )
+
+  // shared oracle fragments: cleaned two-sample rows and the daily
+  // per-type series with the engine's exact decimal rounding
+  private val twoSample =
+    "SELECT CAST(value AS DOUBLE) AS v, event_type AS g FROM events " +
+      "WHERE event_type IN ('click', 'view') AND value IS NOT NULL " +
+      "AND NOT isnan(value)"
+
+  private val dailySeries =
+    "SELECT event_type AS key, epoch_ns(ts) // " + dayNs + " AS day, " +
+      "    CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) " +
+      "      AS DOUBLE) AS x " +
+      "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+      "  AND event_type IS NOT NULL GROUP BY 1, 2"
+
+  def oracles: Map[String, String] = Map(
+
+    "events_ks_test" ->
+      ("WITH f AS (" + twoSample + "), " +
+        "pv AS (SELECT v, count(*) FILTER (WHERE g = 'click') AS ca, " +
+        "    count(*) FILTER (WHERE g = 'view') AS cb FROM f GROUP BY v), " +
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cca, " +
+        "    sum(cb) OVER (ORDER BY v) AS ccb FROM pv), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+        "    CAST(sum(cb) AS BIGINT) AS nb FROM pv), " +
+        "d AS (SELECT max(na) AS n_a, max(nb) AS n_b, " +
+        "    max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)) AS dm " +
+        "  FROM c, t), " +
+        "k AS (SELECT n_a, n_b, dm, round(dm * sqrt(CAST(n_a AS DOUBLE) * n_b " +
+        "    / (n_a + n_b)), 6) AS ks FROM d) " +
+        "SELECT n_a, n_b, round(dm, 6) AS d, ks AS ks_stat, " +
+        "  round(least(1.0, 2 * exp(-2 * ks * ks)), 6) AS p_approx FROM k"),
+
+    "events_mannwhitney" ->
+      ("WITH f AS (" + twoSample + "), " +
+        "pv AS (SELECT v, count(*) FILTER (WHERE g = 'click') AS ca, " +
+        "    count(*) FILTER (WHERE g = 'view') AS cb, count(*) AS ct " +
+        "  FROM f GROUP BY v), " +
+        "c AS (SELECT *, sum(ct) OVER (ORDER BY v) - ct AS cb4 FROM pv), " +
+        "r AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, " +
+        "    CAST(sum(cb) AS BIGINT) AS n_b, " +
+        "    sum(CAST(CAST(ca AS DOUBLE) * (CAST(cb4 AS DOUBLE) + " +
+        "      CAST(ct + 1 AS DOUBLE) / 2.0) AS DECIMAL(28,1))) AS ra, " +
+        "    CAST(sum(ct * ct * ct - ct) AS BIGINT) AS ties FROM c), " +
+        "s AS (SELECT n_a, n_b, " +
+        "    CAST(ra AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0 AS ua, " +
+        "    CAST(n_a AS DOUBLE) * n_b / 12.0 * ((n_a + n_b + 1.0) - " +
+        "      CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * " +
+        "      (n_a + n_b - 1.0))) AS sig2 FROM r) " +
+        "SELECT n_a, n_b, round(ua, 1) AS u_a, " +
+        "  CASE WHEN n_a > 0 AND n_b > 0 AND sig2 > 0 THEN " +
+        "    round((ua - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 6) " +
+        "  END AS z FROM s"),
+
+    "events_acf" ->
+      ("WITH d AS (" + dailySeries + "), " +
+        "s AS (SELECT key, CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS m FROM d GROUP BY 1), " +
+        "den AS (SELECT d.key, sum(CAST(round((x - m) * (x - m), 6) " +
+        "    AS DECIMAL(28,6))) AS dn " +
+        "  FROM d JOIN s ON d.key = s.key GROUP BY 1), " +
+        "p AS (SELECT a.key, l.lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "    sum(CAST(round((a.x - s.m) * (b.x - s.m), 6) AS DECIMAL(28,6))) AS num " +
+        "  FROM d a " +
+        "  JOIN (SELECT unnest(range(1, 8)) AS lag) l ON true " +
+        "  JOIN d b ON b.key = a.key AND b.day = a.day + l.lag " +
+        "  JOIN s ON s.key = a.key GROUP BY 1, 2) " +
+        "SELECT p.key, CAST(p.lag AS BIGINT) AS lag, p.n_pairs, " +
+        "  round(CAST(num AS DOUBLE) / CAST(dn AS DOUBLE), 6) AS r " +
+        "FROM p JOIN den ON den.key = p.key " +
+        "WHERE CAST(dn AS DOUBLE) > 0"),
+
+    "events_seasonal_naive" ->
+      ("WITH d AS (" + dailySeries + "), " +
+        "fc AS (SELECT a.key, CAST(count(*) AS BIGINT) AS n_fc, " +
+        "    sum(CAST(round(abs(a.x - b.x), 6) AS DECIMAL(18,6))) AS err " +
+        "  FROM d a JOIN d b ON b.key = a.key AND b.day = a.day - 7 " +
+        "  GROUP BY 1), " +
+        "sc AS (SELECT key, CAST(count(*) AS BIGINT) AS ns, " +
+        "    sum(CAST(round(abs(x - prev), 6) AS DECIMAL(18,6))) AS s FROM (" +
+        "    SELECT key, x, lag(x) OVER (PARTITION BY key ORDER BY day) AS prev " +
+        "    FROM d) WHERE prev IS NOT NULL GROUP BY 1) " +
+        "SELECT fc.key, n_fc, " +
+        "  round(CAST(err AS DOUBLE) / n_fc, 6) AS mae, " +
+        "  CASE WHEN CAST(s AS DOUBLE) / ns > 0 THEN " +
+        "    round((CAST(err AS DOUBLE) / n_fc) / (CAST(s AS DOUBLE) / ns), 6) " +
+        "  END AS mase " +
+        "FROM fc JOIN sc ON sc.key = fc.key")
+  )
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Stats
+
+/** Unit properties of the two-sample tests and series-structure ops. */
+class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("StatsSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("ksTest: identical samples give D = 0, disjoint samples give D = 1") {
+    val s = spark; import s.implicits._
+    val same = (1 to 50).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("g", "v")
+    val r0 = Stats.ksTest(same, "v", "g", "a", "b").collect().head
+    assert(r0.getAs[Double]("d") === 0.0)
+    assert(r0.getAs[Double]("p_approx") === 1.0)
+    val disjoint = ((1 to 30).map(i => ("a", i.toDouble)) ++
+      (31 to 60).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val r1 = Stats.ksTest(disjoint, "v", "g", "a", "b").collect().head
+    assert(r1.getAs[Double]("d") === 1.0)
+    assert(r1.getAs[Long]("n_a") === 30L && r1.getAs[Long]("n_b") === 30L)
+  }
+
+  test("ksTest: hand-computed D on a small mixed sample") {
+    val s = spark; import s.implicits._
+    // a = {1,2,3,4}, b = {3,4,5,6}: F_a-F_b gap peaks at v in [2,3): 2/4 - 0 = 0.5
+    val df = (Seq(1, 2, 3, 4).map(v => ("a", v.toDouble)) ++
+      Seq(3, 4, 5, 6).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val r = Stats.ksTest(df, "v", "g", "a", "b").collect().head
+    assert(r.getAs[Double]("d") === 0.5)
+    // ks = 0.5*sqrt(16/8) = 0.707107
+    assert(math.abs(r.getAs[Double]("ks_stat") - 0.707107) < 1e-6)
+  }
+
+  test("ksTest is invariant to partitioning (distributed prefix sums)") {
+    val s = spark; import s.implicits._
+    val df = (1 to 500).map(i =>
+      (if (i % 3 == 0) "a" else "b", (i % 37).toDouble)).toDF("g", "v")
+    val one = Stats.ksTest(df.coalesce(1), "v", "g", "a", "b").collect().head
+    val many = Stats.ksTest(df.repartition(7), "v", "g", "a", "b").collect().head
+    assert(one === many)
+  }
+
+  test("mannWhitneyU: hand-computed U and tie handling") {
+    val s = spark; import s.implicits._
+    // a = {1,2}, b = {2,3}: ranks 1, 2.5, 2.5, 4 → R_a = 3.5, U_a = 3.5-3 = 0.5
+    val df = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(2.0, 3.0).map(("b", _)))
+      .toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "v", "g", "a", "b").collect().head
+    assert(r.getAs[Double]("u_a") === 0.5)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+  }
+
+  test("mannWhitneyU: clear shift gives large |z|, same distribution gives z ~ 0") {
+    val s = spark; import s.implicits._
+    val shifted = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", i + 200.0))).toDF("g", "v")
+    val z1 = Stats.mannWhitneyU(shifted, "v", "g", "a", "b")
+      .collect().head.getAs[Double]("z")
+    assert(z1 < -10.0) // every a below every b → strongly negative
+    val same = (1 to 100).flatMap(i =>
+      Seq(("a", (i % 10).toDouble), ("b", (i % 10).toDouble))).toDF("g", "v")
+    val z0 = Stats.mannWhitneyU(same, "v", "g", "a", "b")
+      .collect().head.getAs[Double]("z")
+    assert(math.abs(z0) < 1e-9)
+  }
+
+  test("acf: a period-2 alternating series has r(1) ~ -1 and r(2) ~ +1") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // 40 days alternating 0, 10, 0, 10 ... on one key
+    val df = (0 until 40).map(i => ("k", i * day, if (i % 2 == 0) 0.0 else 10.0))
+      .toDF("k", "ts", "v")
+    val r = Stats.acf(df, "k", "ts", "v", maxLag = 2).collect()
+      .map(x => x.getAs[Long]("lag") -> x.getAs[Double]("r")).toMap
+    assert(r(1L) < -0.9 && r(2L) > 0.9)
+  }
+
+  test("acf: missing buckets produce no pair (calendar-lag semantics)") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // days 0,1,2,4 — lag 1 pairs: (0,1),(1,2); day 3 missing so (2,?),(4,?) drop
+    val df = Seq(0, 1, 2, 4).map(i => ("k", i * day, i.toDouble)).toDF("k", "ts", "v")
+    val n = Stats.acf(df, "k", "ts", "v", maxLag = 1).collect().head
+      .getAs[Long]("n_pairs")
+    assert(n === 2L)
+  }
+
+  test("seasonalNaiveError: perfectly periodic series has MASE 0; MASE < 1 beats naive") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    val periodic = (0 until 28).map(i => ("k", i * day, (i % 7 * 10).toDouble))
+      .toDF("k", "ts", "v")
+    val r = Stats.seasonalNaiveError(periodic, "k", "ts", "v", period = 7)
+      .collect().head
+    assert(r.getAs[Double]("mae") === 0.0)
+    assert(r.getAs[Double]("mase") === 0.0)
+    assert(r.getAs[Long]("n_fc") === 21L)
+  }
+
+  test("seasonalNaiveError: flat series has zero naive scale -> mase NULL, mae 0") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    val flat = (0 until 20).map(i => ("k", i * day, 5.0)).toDF("k", "ts", "v")
+    val r = Stats.seasonalNaiveError(flat, "k", "ts", "v", period = 7).collect().head
+    assert(r.getAs[Double]("mae") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("mase")))
+  }
+
+  test("runningTotals matches a single-partition window for several columns") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (1 to 200).map(i => (i % 53, i.toLong, (i % 7).toLong))
+      .toDF("v", "x", "y")
+      .groupBy("v").agg(sum("x").as("x"), sum("y").as("y"))
+    val got = Stats.runningTotals(df.repartition(5), Seq(col("v")),
+        Seq("x" -> col("x"), "y" -> col("y")))
+      .select("v", "__c_x", "__c_y").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cx", sum("x").over(w)).withColumn("cy", sum("y").over(w))
+      .select("v", "cx", "cy").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === want)
+  }
+}
