@@ -19,7 +19,8 @@ object Queries {
     PipelineQueries,
     JoinQueries,
     BulkQueries,
-    StatsQueries)
+    StatsQueries,
+    CurationQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

@@ -275,4 +275,93 @@ object Curation {
     train.join(contaminated, train(idCol).cast("long") === col("__cid"),
       "left_anti")
   }
+
+  /** Blocklist term matching — the policy-filter step of crawl curation
+    * ("flag documents containing banned terms") as a KEYED JOIN, not a
+    * per-document regex over a giant alternation: documents explode to
+    * lowercase word tokens, tokens equi-join the term list, and hits
+    * aggregate back per document. The term list can therefore be
+    * millions of entries (it shuffles/broadcasts as a table; AQE picks
+    * broadcast when it is small) where a compiled regex caps out at
+    * thousands. Exact whole-word semantics.
+    *
+    * Returns one row per INPUT document: (id, n_hits, n_distinct_hits)
+    * with zero-hit documents present — callers filter `n_hits > 0` for
+    * the blocked set or `=== 0` for the clean corpus. */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, termCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val hits = tok
+      .join(terms.select(lower(col(termCol)).as("term")).distinct(), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("term")).as("n_distinct_hits"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_distinct_hits"), lit(0L)).as("n_distinct_hits"))
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, word-unigram
+    * variant): score every pool document by how much more likely its
+    * tokens are under the TARGET corpus' add-one-smoothed unigram LM
+    * than under the pool's own, then draw `k` documents with
+    * probability ∝ exp(score) via deterministic Gumbel top-k — the
+    * data-selection step that tilts a raw crawl toward a high-quality
+    * reference distribution without hard filtering.
+    *
+    * {{{
+    *   λ(w)     = ln((c_t(w)+1)/(T_t+V)) − ln((c_p(w)+1)/(T_p+V))   // 6 dp
+    *   score(d) = (1/|d|) · Σ_w∈d λ(w)                              // 6 dp
+    *   draw(d)  = score + Gumbel(hash(id))  → top k                 // 6 dp
+    * }}}
+    *
+    * Scale shape: two count aggregates (pool + target terms), the λ
+    * table is vocab-bounded (top `vocabSize` pool terms) and broadcast;
+    * the pool's tokens join it and reduce per document — one corpus
+    * pass, no text shuffle. The Gumbel uniform is the engine's standard
+    * md5 32-bit device, so selection is a pure function of (corpus,
+    * id): re-derivable in SQL, stable under repartitioning. Top-k plans
+    * as TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def dsirResample(pool: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, vocabSize: Int, k: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(k > 0, s"k must be positive: $k")
+    def tokens(d: DataFrame) =
+      d.select(col(idCol).cast("long").as("doc_id"),
+          explode(split(lower(col(textCol)), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+    val poolTok = tokens(pool)
+    val poolCnt = poolTok.groupBy("term").agg(count(lit(1)).as("cp"))
+    val tgtCnt = tokens(target).groupBy("term").agg(count(lit(1)).as("ct"))
+    val vocab = poolCnt.orderBy(col("cp").desc, col("term")).limit(vocabSize)
+    val totals = poolCnt.agg(
+      sum(col("cp")).cast("long").as("tp"),
+      count(lit(1)).as("np")).crossJoin(
+      tgtCnt.agg(sum(col("ct")).cast("long").as("tt")))
+    val lam = vocab.join(tgtCnt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("v", least(lit(vocabSize.toLong), col("np")))
+      .select(col("term"), round(
+        log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+          (col("tt") + col("v")).cast("double")) -
+        log((col("cp") + 1L).cast("double") /
+          (col("tp") + col("v")).cast("double")), 6)
+        .cast("decimal(18,6)").as("__lam"))
+    val scored = poolTok
+      .join(broadcast(lam), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(round(sum(coalesce(col("__lam"),
+          lit(BigDecimal(0)).cast("decimal(18,6)"))).cast("double") /
+        count(lit(1)), 6).as("score"))
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long") + 1L).cast("double") / lit(4294967296.0)
+    scored
+      .withColumn("draw", round(col("score") - log(-log(u)), 6))
+      .orderBy(col("draw").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

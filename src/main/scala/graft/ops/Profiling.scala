@@ -1048,4 +1048,39 @@ object Profiling {
         round(col("__lo"), 6).as("ci_lo"),
         round(col("__hi"), 6).as("ci_hi")): _*)
   }
+
+  /** Lexical type inference over string columns — the ingestion-time
+    * profiler for schemaless data (TSV imports, JSON props, CDC
+    * payloads): what fraction of each column parses as int / decimal /
+    * ISO date / boolean, plus null and empty rates. The classifier is
+    * pure anchored regex (identical semantics in any RE engine — NOT
+    * `try_cast`, whose coercion rules differ between engines), so the
+    * verdict is portable: the obvious next step "cast the column whose
+    * frac_int = 1.0" behaves the same everywhere.
+    *
+    * One pass: columns unpivot via `stack` into (column, value) rows —
+    * n·|cols| narrow rows, no per-column jobs — then one grouped
+    * aggregate. Fractions are over non-null values, 6 dp. */
+  def inferTypes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "inferTypes needs at least one column")
+    require(cols.forall(df.columns.contains),
+      s"missing columns: ${cols.filterNot(df.columns.contains)}")
+    val pairs = cols.map(c =>
+      s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val long = df.selectExpr(
+      s"stack(${cols.size}, $pairs) AS (column, value)")
+    val v = col("value")
+    def frac(p: Column) = round(
+      count(when(p, 1)).cast("double") /
+        when(count(v) > 0, count(v)), 6)
+    long.groupBy("column").agg(
+      count(lit(1)).as("n"),
+      count(when(v.isNull, 1)).as("n_null"),
+      frac(v.rlike("^[+-]?[0-9]+$")).as("frac_int"),
+      frac(v.rlike("^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$"))
+        .as("frac_num"),
+      frac(v.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")).as("frac_date"),
+      frac(lower(v).rlike("^(true|false|t|f|0|1)$")).as("frac_bool"),
+      frac(v === "").as("frac_empty"))
+  }
 }

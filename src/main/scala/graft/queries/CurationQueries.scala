@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Curation-policy and ingestion-profiling gates (SURVEY §2.11):
+  * blocklist term filtering as a keyed join, DSIR importance
+  * resampling, and lexical type inference for schemaless columns.
+  */
+object CurationQueries extends QueryGroup {
+
+  def defs: Map[String, Q] = Map(
+
+    // whole-word blocklist hits per document (keyed join — term list
+    // scales to millions of entries, unlike a compiled alternation)
+    "text_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("slow", "error", "merge", "spam").toDF("term")
+      graft.ops.Curation.blocklistHits(
+        Tables.load(s, dir, "documents"), "doc_id", "text", terms, "term")
+    }),
+
+    // DSIR word-unigram importance resampling: draw 100 non-English
+    // docs whose token distribution best matches the English target LM
+    // (Gumbel top-k, deterministic md5 uniform)
+    "pipeline_dsir" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.Curation.dsirResample(
+        docs.filter(col("lang") =!= "en"),
+        docs.filter(col("lang") === "en"),
+        "doc_id", "text", vocabSize = 200, k = 100)
+    }),
+
+    // lexical type inference over four constructed string columns
+    // (pure-int, pure-date, free text, mixed) — the TSV-ingestion
+    // profiler; regex classification, portable across engines
+    "profile_type_infer" -> ((s, dir) => {
+      val df = Tables.load(s, dir, "orders").selectExpr(
+        "CAST(o_orderkey AS STRING) AS c_int",
+        "concat('2024-', lpad(CAST(o_orderkey % 12 + 1 AS STRING), 2, '0'), " +
+          "'-', lpad(CAST(o_orderkey % 28 + 1 AS STRING), 2, '0')) AS c_date",
+        "o_orderpriority AS c_text",
+        "CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'true' WHEN 1 THEN '1' " +
+          "WHEN 2 THEN CAST(o_orderkey AS STRING) ELSE '' END AS c_mixed")
+      graft.ops.Profiling.inferTypes(df,
+        Seq("c_int", "c_date", "c_text", "c_mixed"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "text_blocklist" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term " +
+        "  FROM documents), " +
+        "bl AS (SELECT unnest(['slow', 'error', 'merge', 'spam']) AS term), " +
+        "h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "    CAST(count(DISTINCT t.term) AS BIGINT) AS n_distinct_hits " +
+        "  FROM (SELECT doc_id, term FROM tok WHERE len(term) > 0) t " +
+        "  JOIN bl ON bl.term = t.term GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits, " +
+        "  COALESCE(n_distinct_hits, 0) AS n_distinct_hits " +
+        "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"),
+
+    "pipeline_dsir" ->
+      ("WITH ptok AS (SELECT doc_id, t.term FROM (SELECT doc_id, " +
+        "    unnest(string_split(lower(text), ' ')) AS term FROM documents " +
+        "    WHERE lang <> 'en') t WHERE len(t.term) > 0), " +
+        "ttok AS (SELECT t.term FROM (SELECT " +
+        "    unnest(string_split(lower(text), ' ')) AS term FROM documents " +
+        "    WHERE lang = 'en') t WHERE len(t.term) > 0), " +
+        "pc AS (SELECT term, count(*) AS cp FROM ptok GROUP BY 1), " +
+        "tc AS (SELECT term, count(*) AS ct FROM ttok GROUP BY 1), " +
+        "tot AS (SELECT (SELECT CAST(sum(cp) AS BIGINT) FROM pc) AS tp, " +
+        "    (SELECT CAST(count(*) AS BIGINT) FROM pc) AS np, " +
+        "    (SELECT CAST(sum(ct) AS BIGINT) FROM tc) AS tt), " +
+        "vocab AS (SELECT term, cp FROM pc ORDER BY cp DESC, term LIMIT 200), " +
+        "lam AS (SELECT v.term, CAST(round(" +
+        "    ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + least(200, np))) - " +
+        "    ln(CAST(cp + 1 AS DOUBLE) / (tp + least(200, np))), 6) " +
+        "    AS DECIMAL(18,6)) AS lam " +
+        "  FROM vocab v LEFT JOIN tc ON tc.term = v.term, tot), " +
+        "sc AS (SELECT doc_id, round(CAST(sum(COALESCE(lam, 0)) AS DOUBLE) " +
+        "    / count(*), 6) AS score " +
+        "  FROM ptok LEFT JOIN lam ON lam.term = ptok.term GROUP BY doc_id), " +
+        "g AS (SELECT doc_id, score, round(score - ln(-ln(" +
+        "    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) " +
+        "    / 4294967296.0)), 6) AS draw FROM sc) " +
+        "SELECT doc_id, score, draw FROM g ORDER BY draw DESC, doc_id LIMIT 100"),
+
+    "profile_type_infer" ->
+      ("WITH src AS (SELECT CAST(o_orderkey AS VARCHAR) AS c_int, " +
+        "    concat('2024-', lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0'), " +
+        "      '-', lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')) AS c_date, " +
+        "    o_orderpriority AS c_text, " +
+        "    CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'true' WHEN 1 THEN '1' " +
+        "      WHEN 2 THEN CAST(o_orderkey AS VARCHAR) ELSE '' END AS c_mixed " +
+        "  FROM orders), " +
+        "long AS (SELECT 'c_int' AS \"column\", c_int AS value FROM src " +
+        "  UNION ALL SELECT 'c_date', c_date FROM src " +
+        "  UNION ALL SELECT 'c_text', c_text FROM src " +
+        "  UNION ALL SELECT 'c_mixed', c_mixed FROM src) " +
+        "SELECT \"column\", CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null, " +
+        "  round(CAST(count(*) FILTER (WHERE regexp_matches(value, " +
+        "    '^[+-]?[0-9]+$')) AS DOUBLE) / count(value), 6) AS frac_int, " +
+        "  round(CAST(count(*) FILTER (WHERE regexp_matches(value, " +
+        "    '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$')) " +
+        "    AS DOUBLE) / count(value), 6) AS frac_num, " +
+        "  round(CAST(count(*) FILTER (WHERE regexp_matches(value, " +
+        "    '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')) AS DOUBLE) / count(value), 6) " +
+        "    AS frac_date, " +
+        "  round(CAST(count(*) FILTER (WHERE regexp_matches(lower(value), " +
+        "    '^(true|false|t|f|0|1)$')) AS DOUBLE) / count(value), 6) AS frac_bool, " +
+        "  round(CAST(count(*) FILTER (WHERE value = '') AS DOUBLE) " +
+        "    / count(value), 6) AS frac_empty " +
+        "FROM long GROUP BY 1")
+  )
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, Profiling}
+
+/** Unit properties of blocklist matching, DSIR resampling, and lexical
+  * type inference. */
+class CurationPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("CurationPolicySpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("blocklistHits: whole-word, case-insensitive, zero-hit docs present") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the SPAM spam sandwich"),     // 2 hits of one term
+      (2L, "spammy text no match"),       // substring is NOT a hit
+      (3L, "clean document here"),
+      (4L, "viagra and spam together")    // 2 terms
+    ).toDF("id", "text")
+    val terms = Seq("spam", "viagra").toDF("t")
+    val out = Curation.blocklistHits(docs, "id", "text", terms, "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> (2L, 1L), 2L -> (0L, 0L),
+      3L -> (0L, 0L), 4L -> (2L, 2L)))
+  }
+
+  test("dsirResample prefers pool docs that look like the target") {
+    val s = spark; import s.implicits._
+    // target speaks "alpha beta"; half the pool does too, half is "zeta"
+    val target = (1 to 20).map(i => (100L + i, "alpha beta alpha beta"))
+      .toDF("id", "text")
+    val pool = ((1 to 10).map(i => (i.toLong, "alpha beta alpha")) ++
+      (11 to 20).map(i => (i.toLong, "zeta zeta zeta"))).toDF("id", "text")
+    val top = Curation.dsirResample(pool, target, "id", "text",
+      vocabSize = 50, k = 10).collect()
+    // scores of target-like docs strictly exceed the zeta docs; with
+    // k = half the pool the Gumbel noise cannot flip all of them —
+    // require a strong majority of target-like picks
+    val targetLike = top.count(_.getLong(0) <= 10L)
+    assert(targetLike >= 8, s"expected mostly target-like picks, got $targetLike")
+    // deterministic: same inputs, same draw
+    val again = Curation.dsirResample(pool.repartition(5), target, "id", "text",
+      vocabSize = 50, k = 10).collect()
+    assert(top.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+  }
+
+  test("dsirResample: scores are average per-token log-ratios (hand case)") {
+    val s = spark; import s.implicits._
+    val target = Seq((10L, "a a a a")).toDF("id", "text")
+    val pool = Seq((1L, "a a"), (2L, "b b")).toDF("id", "text")
+    val out = Curation.dsirResample(pool, target, "id", "text",
+      vocabSize = 10, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // vocab = {a(cp=2), b(cp=2)}, tp=4, np=2, tt=4, V=2
+    // lam(a) = ln(5/6) - ln(3/6); lam(b) = ln(1/6) - ln(3/6)
+    val lamA = math.round((math.log(5.0 / 6) - math.log(3.0 / 6)) * 1e6) / 1e6
+    val lamB = math.round((math.log(1.0 / 6) - math.log(3.0 / 6)) * 1e6) / 1e6
+    assert(math.abs(out(1L) - lamA) < 1e-6)
+    assert(math.abs(out(2L) - lamB) < 1e-6)
+  }
+
+  test("inferTypes classifies int/num/date/bool/empty fractions") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("1", "2024-01-31", "true", ""),
+      ("-42", "1999-12-01", "F", "x"),
+      ("3.5", "not-a-date", "yes", null.asInstanceOf[String]),
+      ("abc", "2024-02-29", "0", "y")
+    ).toDF("a", "b", "c", "d")
+    val out = Profiling.inferTypes(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("frac_int") === 0.5)    // 1, -42
+    assert(out("a").getAs[Double]("frac_num") === 0.75)   // + 3.5
+    assert(out("b").getAs[Double]("frac_date") === 0.75)
+    assert(out("c").getAs[Double]("frac_bool") === 0.75)  // true, F, 0
+    assert(out("d").getAs[Long]("n_null") === 1L)
+    assert(out("d").getAs[Double]("frac_empty") ===
+      math.rint(1.0 / 3 * 1e6) / 1e6)
+  }
+
+  test("inferTypes rejects unknown columns") {
+    val s = spark; import s.implicits._
+    val df = Seq(("x")).toDF("a")
+    intercept[IllegalArgumentException] {
+      Profiling.inferTypes(df, Seq("a", "nope"))
+    }
+  }
+}
