@@ -20,7 +20,8 @@ object Queries {
     JoinQueries,
     BulkQueries,
     StatsQueries,
-    CurationQueries)
+    CurationQueries,
+    GraphQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph-analytics gates added round 5+ (earlier graph_* rows live in
+  * [[PipelineQueries]]): link prediction and successors. */
+object GraphQueries extends QueryGroup {
+
+  def defs: Map[String, Q] = Map(
+
+    // Adamic-Adar supplier-supplier link prediction through shared
+    // parts, hub-capped at part degree 30 (wedge-bound discipline);
+    // top 100 pairs by score
+    "graph_adamic_adar" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      graft.ops.Clustering.adamicAdar(e, "s", "p", maxRightDeg = 30, k = 100)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "graph_adamic_adar" ->
+      ("WITH e AS (SELECT DISTINCT l_suppkey AS a, l_partkey AS r FROM lineitem), " +
+        "rd AS (SELECT r, count(*) AS d, CAST(round(1.0 / ln(CAST(count(*) " +
+        "    AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w " +
+        "  FROM e GROUP BY r HAVING count(*) >= 2 AND count(*) <= 30), " +
+        "c AS (SELECT e.a, e.r, rd.w FROM e JOIN rd ON rd.r = e.r), " +
+        "ld AS (SELECT a, CAST(count(*) AS BIGINT) AS da FROM c GROUP BY a), " +
+        "wg AS (SELECT c1.a, c2.a AS b, c1.w FROM c c1 " +
+        "  JOIN c c2 ON c2.r = c1.r AND c1.a < c2.a), " +
+        "p AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common, sum(w) AS s " +
+        "  FROM wg GROUP BY a, b) " +
+        "SELECT p.a, p.b, common, round(CAST(s AS DOUBLE), 6) AS score, " +
+        "  round(CAST(common AS DOUBLE) / (la.da + lb.da - common), 6) AS jaccard " +
+        "FROM p JOIN ld la ON la.a = p.a JOIN ld lb ON lb.a = p.b " +
+        "ORDER BY score DESC, p.a, p.b LIMIT 100")
+  )
+}

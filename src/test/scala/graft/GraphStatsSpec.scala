@@ -429,4 +429,49 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(h - u) < 1e-9 && math.abs(a - u) < 1e-9)
     }
   }
+
+  // ---- Adamic-Adar link prediction ----------------------------------
+
+  test("adamicAdar: hand-computed wedge scores on a bipartite toy") {
+    val s = spark; import s.implicits._
+    // left {1,2,3}, right {10,11,12}: r10~{1,2}, r11~{1,2,3}, r12~{3}
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L),
+      (3L, 12L)).toDF("a", "r")
+    val out = Clustering.adamicAdar(edges, "a", "r", maxRightDeg = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("score"), r.getAs[Double]("jaccard"))).toMap
+    // r12 has degree 1 -> excluded everywhere; capped degrees: 1->2, 2->2, 3->1
+    val w2 = math.rint(1.0 / math.log(2.0) * 1e9) / 1e9
+    val w3 = math.rint(1.0 / math.log(3.0) * 1e9) / 1e9
+    val s12 = math.rint((w2 + w3) * 1e6) / 1e6
+    val s13 = math.rint(w3 * 1e6) / 1e6
+    assert(out((1L, 2L))._1 === 2L)
+    assert(out((1L, 2L))._2 === s12)
+    assert(out((1L, 2L))._3 === 1.0)          // 2/(2+2-2)
+    assert(out((1L, 3L)) === ((1L, s13, 0.5)) )  // 1/(2+1-1)
+    assert(out((2L, 3L)) === ((1L, s13, 0.5)) )
+    assert(out.size === 3)
+  }
+
+  test("adamicAdar: hub cap excludes high-degree right nodes from wedges") {
+    val s = spark; import s.implicits._
+    // hub right node 99 connects everyone; capped at 3 it vanishes,
+    // leaving only the wedge through r10
+    val edges = (1L to 10L).map(i => (i, 99L)) ++ Seq((1L, 10L), (2L, 10L))
+    val out = Clustering.adamicAdar(edges.toDF("a", "r"), "a", "r",
+      maxRightDeg = 3, k = 100).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === ((1L, 2L)))
+  }
+
+  test("adamicAdar: k bounds the output and ordering is (score desc, a, b)") {
+    val s = spark; import s.implicits._
+    val edges = (for (r <- 1L to 20L; a <- Seq(r % 5, r % 7 + 5)) yield (a, r))
+      .toDF("a", "r")
+    val rows = Clustering.adamicAdar(edges, "a", "r", maxRightDeg = 10, k = 4)
+      .collect()
+    assert(rows.length <= 4)
+    val keys = rows.map(r => (-r.getAs[Double]("score"), r.getLong(0), r.getLong(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
 }
