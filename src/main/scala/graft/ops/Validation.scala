@@ -133,4 +133,38 @@ object Validation {
           .when(col("n_sensitive") < l, lit("low_diversity")))
       .filter(col("violation").isNotNull)
   }
+
+  /** ε-differentially-private count release: per-group counts plus
+    * Laplace(Δ/ε) noise — the histogram publication mechanism (Dwork et
+    * al.) for sharing per-segment tallies outside the trust boundary.
+    * Released rows carry ONLY the noisy value; the true count never
+    * leaves the aggregate.
+    *
+    * The noise is SEEDED: the uniform comes from the engine's standard
+    * md5 32-bit device over the group key (+ a caller `seed` so two
+    * releases never reuse noise — reusing it would let differencing
+    * recover the true count), pushed through the Laplace inverse CDF
+    * −b·sgn(u−½)·ln(1−2|u−½|). Deterministic noise makes the release
+    * reproducible and auditable (and re-derivable by the SQL oracle);
+    * the DP guarantee holds against recipients who don't know the seed.
+    *
+    * One hash aggregate; noise is per-GROUP scalar arithmetic — the
+    * shape is identical to a plain groupBy count at any scale. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      sensitivity: Double = 1.0, seed: String = "r1"): DataFrame = {
+    require(groupCols.nonEmpty, "dpNoisyCounts needs at least one group column")
+    require(epsilon > 0.0, s"epsilon must be positive: $epsilon")
+    require(sensitivity > 0.0, s"sensitivity must be positive: $sensitivity")
+    val b = sensitivity / epsilon
+    val key = concat_ws("\u0001",
+      (groupCols.map(c => col(c).cast("string")) :+ lit(seed)): _*)
+    val h = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / lit(4294967296.0)
+    val noise = lit(-b) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) :+
+        round(col("__n") + noise, 6).as("noisy_n"): _*)
+  }
 }

@@ -45,6 +45,15 @@ object CurationQueries extends QueryGroup {
           "WHEN 2 THEN CAST(o_orderkey AS STRING) ELSE '' END AS c_mixed")
       graft.ops.Profiling.inferTypes(df,
         Seq("c_int", "c_date", "c_text", "c_mixed"))
+    }),
+
+    // epsilon-DP customer tally per nation: Laplace(1/0.5) noise from
+    // the seeded md5 uniform — reproducible release, true counts
+    // never emitted
+    "validate_dp_counts" -> ((s, dir) => {
+      graft.ops.Validation.dpNoisyCounts(
+        Tables.load(s, dir, "customer"), Seq("c_nationkey"),
+        epsilon = 0.5, sensitivity = 1.0, seed = "r1")
     })
   )
 
@@ -114,6 +123,14 @@ object CurationQueries extends QueryGroup {
         "    '^(true|false|t|f|0|1)$')) AS DOUBLE) / count(value), 6) AS frac_bool, " +
         "  round(CAST(count(*) FILTER (WHERE value = '') AS DOUBLE) " +
         "    / count(value), 6) AS frac_empty " +
-        "FROM long GROUP BY 1")
+        "FROM long GROUP BY 1"),
+
+    "validate_dp_counts" ->
+      ("WITH g AS (SELECT c_nationkey, count(*) AS n, " +
+        "    ((('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || chr(1) || 'r1'), 1, 8))" +
+        "      ::BIGINT) + 0.5) / 4294967296.0 AS u " +
+        "  FROM customer GROUP BY 1) " +
+        "SELECT c_nationkey, round(n + (-2.0) * sign(u - 0.5) * " +
+        "  ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_n FROM g")
   )
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Validation
+
+/** Properties of the seeded Laplace count release. */
+class DpReleaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("DpReleaseSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def counts(seed: String, eps: Double = 1.0) = {
+    val s = spark; import s.implicits._
+    val df = (1 to 300).map(i => (s"g${i % 3}", i)).toDF("g", "x")
+    Validation.dpNoisyCounts(df, Seq("g"), eps, 1.0, seed)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("noisy counts are near the true counts and deterministic") {
+    val a = counts("s1")
+    val b = counts("s1")
+    assert(a === b)                       // same seed -> same release
+    // true count each group = 100; Laplace(1) noise is almost surely < 15
+    a.values.foreach(v => assert(math.abs(v - 100.0) < 15.0, s"far-out noise: $v"))
+  }
+
+  test("different seeds draw different noise") {
+    val a = counts("s1")
+    val b = counts("s2")
+    assert(a.keySet === b.keySet)
+    assert(a.toSet.intersect(b.toSet).size < 3, "seed change should redraw noise")
+  }
+
+  test("smaller epsilon means larger noise scale") {
+    val s = spark; import s.implicits._
+    val df = (1 to 64).flatMap(g => (1 to 50).map(i => (s"g$g", i))).toDF("g", "x")
+    def meanAbsNoise(eps: Double) = {
+      val m = Validation.dpNoisyCounts(df, Seq("g"), eps, 1.0, "s")
+        .collect().map(r => math.abs(r.getDouble(1) - 50.0))
+      m.sum / m.length
+    }
+    // E|Laplace(b)| = b; with 64 draws the ratio is far from 1
+    assert(meanAbsNoise(0.1) > 3.0 * meanAbsNoise(10.0))
+  }
+
+  test("separator prevents key gluing across group columns") {
+    val s = spark; import s.implicits._
+    // ("ab","c") and ("a","bc") must draw DIFFERENT noise
+    val df = Seq(("ab", "c", 1), ("a", "bc", 1)).toDF("g1", "g2", "x")
+    val out = Validation.dpNoisyCounts(df, Seq("g1", "g2"), 1.0, 1.0, "s")
+      .collect().map(_.getDouble(2))
+    assert(out.length === 2)
+    assert(out(0) !== out(1))
+  }
+
+  test("rejects non-positive epsilon and sensitivity") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      Validation.dpNoisyCounts(df, Seq("g"), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Validation.dpNoisyCounts(df, Seq("g"), 1.0, -1.0)
+    }
+  }
+}
