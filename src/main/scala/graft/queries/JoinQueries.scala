@@ -189,6 +189,13 @@ object JoinQueries extends QueryGroup {
         "c_custkey", "c_name", "p_id", "p_name", maxDist = 1)
         .withColumnRenamed("id_l", "cust_id")
         .withColumnRenamed("id_r", "planted_id")
+    }),
+
+    // Jaro-Winkler name-variant pairs over distinct part names: the
+    // codegen'd byte-exact scorer behind a lossless length-band block
+    "join_jaro_winkler" -> ((s, dir) => {
+      graft.ops.FuzzyJoin.jaroWinklerSelfPairs(
+        Tables.load(s, dir, "part"), "p_name", minSim = 0.88)
     })
   )
 
@@ -245,6 +252,13 @@ object JoinQueries extends QueryGroup {
         "  CAST(levenshtein(c.c_name, p.p_name) AS BIGINT) AS dist " +
         "FROM customer c, planted p " +
         "WHERE levenshtein(c.c_name, p.p_name) <= 1"),
+    "join_jaro_winkler" ->
+      ("WITH v AS (SELECT DISTINCT p_name AS a FROM part " +
+        "  WHERE p_name IS NOT NULL AND len(p_name) > 0) " +
+        "SELECT x.a, y.a AS b, " +
+        "  round(jaro_winkler_similarity(x.a, y.a), 6) AS sim " +
+        "FROM v x JOIN v y ON x.a < y.a " +
+        "WHERE round(jaro_winkler_similarity(x.a, y.a), 6) >= 0.88"),
     "join_skew_aware" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +

@@ -86,6 +86,37 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Jaro–Winkler similarity as a codegen'd binary expression — the
+  * record-linkage scorer (names, addresses, titles) the engine's fuzzy
+  * joins filter on. Byte-level over the UTF-8 encoding, exactly
+  * DuckDB's `jaro_winkler_similarity` semantics (verified by fuzzing):
+  * match window ⌊max(|a|,|b|)/2⌋−1, half-transposition counting, prefix
+  * bonus up to 4 bytes at p = 0.1 applied only when jaro > 0.7, empty
+  * string → 0. The loop runs as one static call inside the generated
+  * stage — no UDF serialization boundary.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = GraftFunctions.JaroWinklerName
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.jaroWinklerBytes(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      "org.apache.spark.sql.graftfn.GraftFunctions.jaroWinklerBytes(" +
+        s"$a.getBytes(), $b.getBytes())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Function registration. Two paths, preferred first:
   *
   *  - sessions the engine builds: [[injections]] feeds
@@ -104,6 +135,54 @@ object GraftFunctions {
   val TokPrefixName = "graft_tok_prefix"
   val TokRangeName = "graft_tok_range"
   val TokSliceName = "graft_tok_slice"
+  val JaroWinklerName = "graft_jaro_winkler"
+
+  /** Classic Jaro–Winkler over raw bytes (see [[JaroWinkler]] for the
+    * contract). Static so generated code calls it directly. */
+  def jaroWinklerBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var done = false
+      while (j <= hi && !done) {
+        if (!bMatch(j) && b(j) == a(i)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var trans = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (a(i) != b(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // transpositions floor to an integer (k/2 in INT arithmetic) —
+    // matches DuckDB's implementation on odd mismatch counts
+    val jaro = (md / la + md / lb + (md - trans / 2) / md) / 3.0
+    if (jaro > 0.7) {
+      val maxPref = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxPref && a(l) == b(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -125,7 +204,10 @@ object GraftFunctions {
       exprs => TokenRangeJoin(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier(TokSliceName),
       new ExpressionInfo(classOf[TokenSliceJoin].getName, TokSliceName),
-      exprs => TokenSliceJoin(exprs(0), exprs(1), exprs(2))))
+      exprs => TokenSliceJoin(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier(JaroWinklerName),
+      new ExpressionInfo(classOf[JaroWinkler].getName, JaroWinklerName),
+      exprs => JaroWinkler(exprs(0), exprs(1))))
 
   /** Idempotently register the codegen functions in a HANDED session —
     * fallback for sessions built without `GraftExtensions`. */

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftfn.GraftFunctions
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.FuzzyJoin
+
+/** Contract of the byte-level Jaro-Winkler expression and its
+  * length-banded self-join. */
+class JaroWinklerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("JaroWinklerSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def jw(a: String, b: String): Double =
+    GraftFunctions.jaroWinklerBytes(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  test("classic textbook values") {
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("", "abc") === 0.0)
+    assert(jw("abc", "") === 0.0)
+    assert(jw("", "") === 0.0)
+    assert(jw("ab", "ba") === 0.0) // window 0: no cross-position match
+  }
+
+  test("prefix bonus applies only above the 0.7 boost threshold") {
+    // jaro('abcdxxxxxx','abcdyyyyyy') = 0.6 with common prefix 4:
+    // no boost below threshold
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") === 0.6)
+  }
+
+  test("byte-level semantics: multi-byte chars count as their UTF-8 bytes") {
+    // matches DuckDB: 'éclair' is 7 bytes vs 6 -> (5/7 + 5/6 + 1)/3
+    val expect = (5.0 / 7 + 5.0 / 6 + 1.0) / 3
+    assert(math.abs(jw("éclair", "eclair") - expect) < 1e-12)
+  }
+
+  test("odd transposition counts floor (DuckDB parity)") {
+    // 'é-' vs '-égz z' (bytes): m=3, 3 mismatched positions -> t=1
+    val expect = (1.0 + 3.0 / 7 + (3.0 - 1) / 3) / 3
+    assert(math.abs(jw("é-", "-égz z") - expect) < 1e-12)
+  }
+
+  test("expression is registered and codegen path agrees with the static fn") {
+    val s = spark; import s.implicits._
+    org.apache.spark.sql.graftfn.GraftFunctions.register(s)
+    val rows = Seq(("martha", "marhta"), ("kitten", "sitting"), ("x", "x"))
+      .toDF("a", "b")
+      .selectExpr("graft_jaro_winkler(a, b) AS v", "a", "b").collect()
+    rows.foreach(r =>
+      assert(r.getDouble(0) === jw(r.getString(1), r.getString(2))))
+  }
+
+  test("length-banded self-join equals brute force at the threshold") {
+    val s = spark; import s.implicits._
+    val names = (Seq("alpha bolt", "alpha bol", "alpha bo", "beta gear",
+      "beta gears", "betta gear", "gamma ring", "gamma rin", "delta",
+      "delt", "epsilon widget", "epsilon widgets") ++
+      (1 to 40).map(i => s"name variant $i")).toDF("n")
+    val banded = FuzzyJoin.jaroWinklerSelfPairs(names, "n", 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val vals = names.as[String].collect().distinct
+    val brute = (for {
+      a <- vals; b <- vals if a < b
+      v = math.rint(jw(a, b) * 1e6) / 1e6 if v >= 0.9
+    } yield (a, b, v)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("self-join rejects thresholds where the band is not lossless") {
+    val s = spark; import s.implicits._
+    val df = Seq("a", "b").toDF("n")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.jaroWinklerSelfPairs(df, "n", 0.75)
+    }
+  }
+}
