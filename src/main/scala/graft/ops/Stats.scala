@@ -142,6 +142,56 @@ object Stats {
         round((ua - na * nb / 2.0) / sqrt(sig2), 6)).as("z"))
   }
 
+  /** Kaplan–Meier survival curve with right censoring: S(t) =
+    * Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over the distinct event times, where dᵢ is
+    * the number of events at tᵢ and nᵢ the at-risk count (subjects
+    * whose duration ≥ tᵢ) — THE retention/churn/survival summary that
+    * handles subjects still alive at observation end (censored rows
+    * leave the risk set without counting as deaths; naive "fraction
+    * churned by day t" over incomplete data is biased, which is the
+    * whole point of KM).
+    *
+    * Input: one row per subject, `durationCol` (time to event or to
+    * censoring) and `eventCol` (1 = event observed, 0 = censored).
+    * Output: one row per distinct duration with ≥ 1 event —
+    * (t, n_risk, n_event, n_censored, surv).
+    *
+    * Shape: one groupBy(duration), then the [[runningTotals]] prefix
+    * device carries (cum events+censored) for the risk set and the
+    * cumulative Σ ln(1−dᵢ/nᵢ) for the product — log-terms are rounded
+    * to 12 dp and summed as decimals, so the product is
+    * order-independent and engine-exact; a zero factor (everyone at
+    * risk dies) is carried as a flag, not −∞. No single-partition
+    * stage over the data. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val dur = col(durationCol).cast("long")
+    val ev = col(eventCol).cast("int")
+    val perT = df.filter(dur.isNotNull && dur >= 0 && ev.isin(0, 1))
+      .groupBy(dur.as("t"))
+      .agg(sum(ev.cast("long")).as("d"),
+        sum((lit(1) - ev).cast("long")).as("c"))
+    val total = perT.agg(sum(col("d") + col("c")).cast("long").as("__N"))
+    val base = perT.crossJoin(broadcast(total))
+    val cum = runningTotals(base, Seq(col("t")),
+      Seq("leave" -> (col("d") + col("c"))))
+      .withColumn("n_risk", col("__N") - (col("__c_leave") - col("d") - col("c")))
+    val factor = lit(1.0) - col("d").cast("double") / col("n_risk")
+    val logged = cum
+      .withColumn("__lnf",
+        when(col("d") === 0, lit(BigDecimal(0)).cast("decimal(28,12)"))
+          .when(factor > 0.0, round(log(factor), 12).cast("decimal(28,12)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(28,12)")))
+      .withColumn("__dead", (factor <= 0.0 && col("d") > 0).cast("long"))
+    runningTotals(logged, Seq(col("t")),
+      Seq("ln" -> col("__lnf"), "dead" -> col("__dead")))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_event"),
+        col("c").as("n_censored"),
+        when(col("__c_dead") > 0, lit(0.0))
+          .otherwise(round(exp(col("__c_ln").cast("double")), 6)).as("surv"))
+  }
+
   /** Per-series sample autocorrelation at lags 1..`maxLag` over
     * `bucketNs`-bucketed sums of `valueCol` (default daily): for each
     * `keyCol` series, r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the

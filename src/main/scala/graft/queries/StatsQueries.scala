@@ -43,6 +43,22 @@ object StatsQueries extends QueryGroup {
     "events_seasonal_naive" -> ((s, dir) => {
       graft.ops.Stats.seasonalNaiveError(Tables.load(s, dir, "events"),
         "event_type", "ts", "value", period = 7)
+    }),
+
+    // Kaplan-Meier time-to-first-purchase: users censored at their
+    // last activity if they never purchase
+    "events_kaplan_meier" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("__t0"),
+          max(col("ts")).as("__t1"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"))
+        .select(
+          ((coalesce(col("__tp"), col("__t1")) - col("__t0")) / dayNs)
+            .cast("long").as("dur"),
+          col("__tp").isNotNull.cast("int").as("evt"))
+      graft.ops.Stats.kaplanMeier(u, "dur", "evt")
     })
   )
 
@@ -132,6 +148,34 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN CAST(s AS DOUBLE) / ns > 0 THEN " +
         "    round((CAST(err AS DOUBLE) / n_fc) / (CAST(s AS DOUBLE) / ns), 6) " +
         "  END AS mase " +
-        "FROM fc JOIN sc ON sc.key = fc.key")
+        "FROM fc JOIN sc ON sc.key = fc.key"),
+
+    "events_kaplan_meier" ->
+      ("WITH u AS (SELECT user_id, " +
+        "    (COALESCE(min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END), " +
+        "      max(epoch_ns(ts))) - min(epoch_ns(ts))) // " + dayNs + " AS t, " +
+        "    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) " +
+        "      IS NOT NULL THEN 1 ELSE 0 END AS evt " +
+        "  FROM events GROUP BY user_id), " +
+        "pt AS (SELECT t, CAST(sum(evt) AS BIGINT) AS d, " +
+        "    CAST(sum(1 - evt) AS BIGINT) AS c FROM u GROUP BY t), " +
+        "tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS N FROM pt), " +
+        "cum AS (SELECT *, sum(d + c) OVER (ORDER BY t) AS cl FROM pt, tot), " +
+        "rk AS (SELECT *, N - (cl - d - c) AS n_risk FROM cum), " +
+        "lg AS (SELECT *, CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(28,12)) " +
+        "      WHEN 1.0 - CAST(d AS DOUBLE) / n_risk > 0 THEN " +
+        "        CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 12) " +
+        "          AS DECIMAL(28,12)) " +
+        "      ELSE CAST(0 AS DECIMAL(28,12)) END AS lnf, " +
+        "    CASE WHEN d > 0 AND 1.0 - CAST(d AS DOUBLE) / n_risk <= 0 " +
+        "      THEN 1 ELSE 0 END AS dead FROM rk), " +
+        "fin AS (SELECT t, n_risk, d, c, " +
+        "    sum(lnf) OVER (ORDER BY t) AS cln, " +
+        "    sum(dead) OVER (ORDER BY t) AS cdead FROM lg) " +
+        "SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event, " +
+        "  c AS n_censored, " +
+        "  CASE WHEN cdead > 0 THEN 0.0 " +
+        "    ELSE round(exp(CAST(cln AS DOUBLE)), 6) END AS surv " +
+        "FROM fin WHERE d > 0")
   )
 }

@@ -121,6 +121,40 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(r.fieldIndex("mase")))
   }
 
+  test("kaplanMeier: hand-computed curve with censoring") {
+    val s = spark; import s.implicits._
+    // durations: 1(event) 2(censored) 3(event) 4(event) 5(censored)
+    val df = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0)).toDF("dur", "evt")
+    val out = graft.ops.Stats.kaplanMeier(df, "dur", "evt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("surv"))).toMap
+    // t=1: 5 at risk, S=4/5; t=3: 3 at risk (censor at 2 left), S=0.8*2/3;
+    // t=4: 2 at risk, S=0.533333*1/2 — censored times emit no row
+    assert(out.keySet === Set(1L, 3L, 4L))
+    assert(out(1L) === ((5L, 1L, 0.8)))
+    assert(out(3L)._1 === 3L && math.abs(out(3L)._3 - 0.533333) < 2e-6)
+    assert(out(4L)._1 === 2L && math.abs(out(4L)._3 - 0.266667) < 2e-6)
+  }
+
+  test("kaplanMeier: exhausted risk set yields surv 0, not -Infinity") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("dur", "evt")
+    val out = graft.ops.Stats.kaplanMeier(df, "dur", "evt")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("surv")).toMap
+    assert(out(2L) === 0.0)
+    assert(math.abs(out(1L) - 2.0 / 3) < 2e-6)
+  }
+
+  test("kaplanMeier is invariant to partitioning") {
+    val s = spark; import s.implicits._
+    val df = (1 to 400).map(i => ((i % 23).toLong, i % 3 min 1)).toDF("dur", "evt")
+    val a = graft.ops.Stats.kaplanMeier(df.coalesce(1), "dur", "evt")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = graft.ops.Stats.kaplanMeier(df.repartition(7), "dur", "evt")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a === b)
+  }
+
   test("runningTotals matches a single-partition window for several columns") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
