@@ -271,4 +271,57 @@ object Joins {
         col("__at") <= col(lTs) + lit(toleranceNs),
       "left_anti")
   }
+
+  /** Linear-interpolation temporal join: for every left row, the right
+    * series' value AT the left timestamp — the nearest observations on
+    * either side lerped, exact hits passed through, flat extrapolation
+    * beyond the observed range — i.e. "sensor value at each event time"
+    * for irregular series, one step past [[asOfJoin]]'s
+    * last-observation-carried-forward.
+    *
+    * Composition: one backward and one forward [[asOfJoin]] (each the
+    * merge-scan union shape, no theta join), then a pure per-row lerp:
+    * v = vp + (vn − vp)·(t − tp)/(tn − tp), 6 dp. The right series
+    * must be unique per (key, ts) — pre-aggregate duplicates, or the
+    * bracketing observation at a tied timestamp is arbitrary (both this
+    * engine and DuckDB ASOF pick one unpredictably).
+    *
+    * Contract: both time columns on the engine's LONG axis (epoch
+    * nanos); ratio arithmetic stays exact in double for any pair of
+    * nanos under 2⁵³ apart (~104 days) — beyond that the lerp loses ulps
+    * before it loses meaning. */
+  def interpolateJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, valueCol: String,
+      out: String = "v_interp"): DataFrame = {
+    require(left.schema(leftTs).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      right.schema(rightTs).dataType == org.apache.spark.sql.types.LongType,
+      "interpolateJoin requires long (epoch-nanos) time columns on both sides")
+    val reserved = Seq("__rts", "__tp", "__vp", "__tn", "__vn")
+    val clash = left.columns.filter(reserved.contains).toSeq
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by interpolateJoin")
+    val rb = right.select(
+      (keyCols.map(col) :+ col(rightTs).as("__rts")) ++
+        Seq(col(rightTs).as("__tp"),
+          col(valueCol).cast("double").as("__vp")): _*)
+    val rf = right.select(
+      (keyCols.map(col) :+ col(rightTs).as("__rts")) ++
+        Seq(col(rightTs).as("__tn"),
+          col(valueCol).cast("double").as("__vn")): _*)
+    val b = asOfJoin(left, rb, keyCols, leftTs, "__rts", "backward")
+    val f = asOfJoin(b, rf, keyCols, leftTs, "__rts", "forward")
+    // subtract on the LONG axis first: epoch nanos exceed 2^53, so
+    // casting the absolutes to double would quantize to 256 ns — the
+    // small differences are exact
+    val ratio = (col(leftTs) - col("__tp")).cast("double") /
+      (col("__tn") - col("__tp")).cast("double")
+    val lerp = when(col("__tp").isNull && col("__tn").isNull, lit(null))
+      .when(col("__tp").isNull, col("__vn"))
+      .when(col("__tn").isNull, col("__vp"))
+      .when(col("__tn") === col("__tp"), col("__vp"))
+      .otherwise(col("__vp") + (col("__vn") - col("__vp")) * ratio)
+    f.withColumn(out, round(lerp, 6))
+      .drop("__tp", "__vp", "__tn", "__vn")
+  }
 }

@@ -196,6 +196,21 @@ object JoinQueries extends QueryGroup {
     "join_jaro_winkler" -> ((s, dir) => {
       graft.ops.FuzzyJoin.jaroWinklerSelfPairs(
         Tables.load(s, dir, "part"), "p_name", minSim = 0.88)
+    }),
+
+    // view-value linearly interpolated at each click time per user
+    // (two merge-scan as-ofs + a pure lerp; exact hits pass through,
+    // flat extrapolation at the edges)
+    "join_interpolate" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "view" &&
+          col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 6).as("v"))
+      graft.ops.Joins.interpolateJoin(l, r, Seq("user_id"), "ts", "ts", "v")
+        .select("event_id", "user_id", "ts", "v_interp")
     })
   )
 
@@ -259,6 +274,24 @@ object JoinQueries extends QueryGroup {
         "  round(jaro_winkler_similarity(x.a, y.a), 6) AS sim " +
         "FROM v x JOIN v y ON x.a < y.a " +
         "WHERE round(jaro_winkler_similarity(x.a, y.a), 6) >= 0.88"),
+    "join_interpolate" ->
+      ("WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events " +
+        "  WHERE event_type = 'click'), " +
+        "r AS (SELECT user_id, epoch_ns(ts) AS rt, " +
+        "    round(max(CAST(value AS DOUBLE)), 6) AS v FROM events " +
+        "  WHERE event_type = 'view' AND value IS NOT NULL " +
+        "    AND NOT isnan(value) GROUP BY 1, 2), " +
+        "b AS (SELECT l.event_id, l.user_id, l.t, r.rt AS tp, r.v AS vp " +
+        "  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt), " +
+        "f AS (SELECT b.*, r2.rt AS tn, r2.v AS vn FROM b " +
+        "  ASOF LEFT JOIN r r2 ON b.user_id = r2.user_id AND b.t <= r2.rt) " +
+        "SELECT event_id, user_id, t AS ts, " +
+        "  round(CASE WHEN tp IS NULL AND tn IS NULL THEN NULL " +
+        "    WHEN tp IS NULL THEN vn WHEN tn IS NULL THEN vp " +
+        "    WHEN tn = tp THEN vp " +
+        "    ELSE vp + (vn - vp) * (CAST(t - tp AS DOUBLE) " +
+        "      / CAST(tn - tp AS DOUBLE)) END, 6) AS v_interp " +
+        "FROM f"),
     "join_skew_aware" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +

@@ -264,4 +264,42 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // id 4: key with no right rows at all; id 5: NULL key never matches
     assert(out == Set(2L, 4L, 5L))
   }
+
+  test("interpolateJoin: lerp between brackets, exact hits, flat edges") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", 50L), (2L, "k", 100L), (3L, "k", 150L),
+      (4L, "k", 400L), (5L, "q", 10L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 100L, 10.0), ("k", 200L, 30.0), ("k", 300L, 20.0))
+      .toDF("key", "rts", "v")
+    val out = graft.ops.Joins.interpolateJoin(left, right, Seq("key"),
+        "ts", "rts", "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("v_interp"))) None
+         else Some(r.getAs[Double]("v_interp")))).toMap
+    assert(out(1L) === Some(10.0))   // before first obs -> flat
+    assert(out(2L) === Some(10.0))   // exact hit
+    assert(out(3L) === Some(20.0))   // halfway 10..30
+    assert(out(4L) === Some(20.0))   // past last obs -> flat
+    assert(out(5L) === None)         // key with no observations
+  }
+
+  test("interpolateJoin: nanos-scale axis stays exact (long-diff arithmetic)") {
+    val s = spark; import s.implicits._
+    val base = 1704067200000000000L // 2024-01-01 in epoch nanos
+    val left = Seq((1L, "k", base + 1500L)).toDF("id", "key", "ts")
+    val right = Seq(("k", base + 1000L, 0.0), ("k", base + 2000L, 1.0))
+      .toDF("key", "rts", "v")
+    val v = graft.ops.Joins.interpolateJoin(left, right, Seq("key"),
+        "ts", "rts", "v").collect().head.getAs[Double]("v_interp")
+    assert(v === 0.5)
+  }
+
+  test("interpolateJoin rejects non-long time columns") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", ts(1))).toDF("id", "key", "ts")
+    val right = Seq(("k", 1L, 1.0)).toDF("key", "rts", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Joins.interpolateJoin(left, right, Seq("key"), "ts", "rts", "v")
+    }
+  }
 }
