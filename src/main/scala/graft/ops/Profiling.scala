@@ -1049,6 +1049,120 @@ object Profiling {
         round(col("__hi"), 6).as("ci_hi")): _*)
   }
 
+  /** Multi-feature least-squares fit (optional ridge) from ONE moment
+    * pass — the linear-probe / quality-regression primitive: how much
+    * of `target` do these features explain, with what coefficients.
+    * Returns (term, value) rows: "intercept", each feature, "r2", "n".
+    *
+    * Engine: the normal equations. One aggregate computes every Gram
+    * entry and moment as decimal sums of 6-dp-rounded terms (the
+    * [[corrMatrix]] device — a single reduction to one row, no joins,
+    * no second data pass: SSE comes algebraically from the moments,
+    * SSE = Σy² − 2βᵀXᵀy + βᵀXᵀXβ). The (d+1)×(d+1) solve happens on
+    * the DRIVER — d is feature count, never data count. For d ≤ 2 the
+    * solve is the fixed-order Cramer/Sarrus closed form, bit-identical
+    * to the SQL oracle; larger d uses partial-pivot elimination
+    * (spec-gated; same answer, ulp-level order differences).
+    *
+    * `ridgeLambda` adds λ to the non-intercept diagonal (standard
+    * don't-penalize-intercept convention); r2 is reported against the
+    * unpenalized residuals. */
+  def olsFit(df: DataFrame, features: Seq[String], target: String,
+      ridgeLambda: Double = 0.0): DataFrame = {
+    require(features.nonEmpty && features.size <= 16,
+      s"features must be 1..16 columns: $features")
+    require(ridgeLambda >= 0.0, s"ridgeLambda must be >= 0: $ridgeLambda")
+    val d = features.size
+    val cols6 = (features :+ target).map(c => round(col(c).cast("double"), 6))
+    val clean = df.filter((features :+ target).map(c =>
+      col(c).isNotNull && !isnan(col(c).cast("double"))).reduce(_ && _))
+    def dec(c: Column) = c.cast("decimal(38,6)")
+    val x = cols6.dropRight(1)
+    val y = cols6.last
+    val aggs =
+      (count(lit(1)).as("n") +:
+        x.zipWithIndex.map { case (c, i) => sum(dec(c)).as(s"s_$i") }) ++
+      (for { i <- 0 until d; j <- i until d }
+        yield sum(dec(round(x(i) * x(j), 6))).as(s"p_${i}_$j")) ++
+      x.zipWithIndex.map { case (c, i) =>
+        sum(dec(round(c * y, 6))).as(s"sy_$i") } ++
+      Seq(sum(dec(y)).as("sy"), sum(dec(round(y * y, 6))).as("syy"))
+    val row = clean.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getAs[Long]("n").toDouble
+    require(n > d + 1, s"need more rows than parameters: n=$n, d=$d")
+    def g(name: String): Double =
+      row.getAs[java.math.BigDecimal](name).doubleValue()
+    // A = [[n, s_j...], [s_i, p_ij...]] (+ ridge on non-intercept diag)
+    val k = d + 1
+    val a = Array.tabulate(k, k) { (i, j) =>
+      val base =
+        if (i == 0 && j == 0) n
+        else if (i == 0) g(s"s_${j - 1}")
+        else if (j == 0) g(s"s_${i - 1}")
+        else g(s"p_${math.min(i, j) - 1}_${math.max(i, j) - 1}")
+      if (i == j && i > 0) base + ridgeLambda else base
+    }
+    val b = Array.tabulate(k)(i => if (i == 0) g("sy") else g(s"sy_${i - 1}"))
+    def det3(m: Array[Array[Double]]): Double =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val beta: Array[Double] = k match {
+      case 1 => Array(b(0) / a(0)(0))
+      case 2 =>
+        val det = a(0)(0) * a(1)(1) - a(0)(1) * a(1)(0)
+        require(det != 0.0, "singular normal equations")
+        Array((b(0) * a(1)(1) - a(0)(1) * b(1)) / det,
+          (a(0)(0) * b(1) - b(0) * a(1)(0)) / det)
+      case 3 =>
+        val det = det3(a)
+        require(det != 0.0, "singular normal equations")
+        Array.tabulate(3) { i =>
+          val m = Array.tabulate(3, 3)((r, c) => if (c == i) b(r) else a(r)(c))
+          det3(m) / det
+        }
+      case _ =>
+        // partial-pivot Gaussian elimination (driver-sized)
+        val m = Array.tabulate(k, k + 1)((r, c) => if (c == k) b(r) else a(r)(c))
+        for (p <- 0 until k) {
+          val piv = (p until k).maxBy(r => math.abs(m(r)(p)))
+          require(math.abs(m(piv)(p)) > 1e-12, "singular normal equations")
+          val tmp = m(p); m(p) = m(piv); m(piv) = tmp
+          for (r <- p + 1 until k) {
+            val f = m(r)(p) / m(p)(p)
+            for (c <- p to k) m(r)(c) -= f * m(p)(c)
+          }
+        }
+        val out = new Array[Double](k)
+        for (r <- k - 1 to 0 by -1) {
+          var s = m(r)(k)
+          for (c <- r + 1 until k) s -= m(r)(c) * out(c)
+          out(r) = s / m(r)(r)
+        }
+        out
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val br = beta.map(r6)
+    // SSE from moments with the ROUNDED coefficients, fixed order; the
+    // quadratic form uses the UNpenalized A
+    val a0 = Array.tabulate(k, k) { (i, j) =>
+      if (i == j && i > 0) a(i)(j) - ridgeLambda else a(i)(j)
+    }
+    val t1 = (0 until k).map(i => br(i) * b(i)).sum
+    val q = (0 until k).map(i =>
+      br(i) * (0 until k).map(j => a0(i)(j) * br(j)).sum).sum
+    val syy = g("syy")
+    val sse = syy - 2.0 * t1 + q
+    val sst = syy - g("sy") * g("sy") / n
+    val r2 = if (sst > 0.0) r6(1.0 - sse / sst) else Double.NaN
+    val spark = df.sparkSession
+    import spark.implicits._
+    (Seq("intercept" -> br(0)) ++
+      features.zipWithIndex.map { case (f, i) => f -> br(i + 1) } ++
+      Seq("r2" -> r2, "n" -> n)).toDF("term", "value")
+  }
+
   /** Lexical type inference over string columns — the ingestion-time
     * profiler for schemaless data (TSV imports, JSON props, CDC
     * payloads): what fraction of each column parses as int / decimal /

@@ -54,6 +54,13 @@ object CurationQueries extends QueryGroup {
       graft.ops.Validation.dpNoisyCounts(
         Tables.load(s, dir, "customer"), Seq("c_nationkey"),
         epsilon = 0.5, sensitivity = 1.0, seed = "r1")
+    }),
+
+    // OLS linear probe: price ~ quantity + discount from one exact
+    // moment pass, fixed-order Cramer solve mirrored by the oracle
+    "profile_ols_fit" -> ((s, dir) => {
+      graft.ops.Profiling.olsFit(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount"), "l_extendedprice")
     })
   )
 
@@ -131,6 +138,50 @@ object CurationQueries extends QueryGroup {
         "      ::BIGINT) + 0.5) / 4294967296.0 AS u " +
         "  FROM customer GROUP BY 1) " +
         "SELECT c_nationkey, round(n + (-2.0) * sign(u - 0.5) * " +
-        "  ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_n FROM g")
+        "  ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_n FROM g"),
+
+    "profile_ols_fit" ->
+      ("WITH c AS (SELECT round(CAST(l_quantity AS DOUBLE), 6) AS x0, " +
+        "    round(CAST(l_discount AS DOUBLE), 6) AS x1, " +
+        "    round(CAST(l_extendedprice AS DOUBLE), 6) AS y FROM lineitem " +
+        "  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE)) " +
+        "    AND l_discount IS NOT NULL AND NOT isnan(CAST(l_discount AS DOUBLE)) " +
+        "    AND l_extendedprice IS NOT NULL " +
+        "    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(x0 AS DECIMAL(38,6))) AS DOUBLE) AS s0, " +
+        "    CAST(sum(CAST(x1 AS DECIMAL(38,6))) AS DOUBLE) AS s1, " +
+        "    CAST(sum(CAST(round(x0 * x0, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p00, " +
+        "    CAST(sum(CAST(round(x0 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p01, " +
+        "    CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p11, " +
+        "    CAST(sum(CAST(round(x0 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy0, " +
+        "    CAST(sum(CAST(round(x1 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy1, " +
+        "    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+        "    CAST(sum(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy " +
+        "  FROM c), " +
+        "d AS (SELECT *, CAST(n AS DOUBLE) AS nd, " +
+        "    CAST(n AS DOUBLE) * (p00 * p11 - p01 * p01) - " +
+        "      s0 * (s0 * p11 - p01 * s1) + s1 * (s0 * p01 - p00 * s1) AS det " +
+        "  FROM m), " +
+        "bb AS (SELECT *, " +
+        "    round((sy * (p00 * p11 - p01 * p01) - s0 * (sy0 * p11 - p01 * sy1) " +
+        "      + s1 * (sy0 * p01 - p00 * sy1)) / det, 6) AS b0, " +
+        "    round((nd * (sy0 * p11 - p01 * sy1) - sy * (s0 * p11 - p01 * s1) " +
+        "      + s1 * (s0 * sy1 - sy0 * s1)) / det, 6) AS b1, " +
+        "    round((nd * (p00 * sy1 - sy0 * p01) - s0 * (s0 * sy1 - sy0 * s1) " +
+        "      + sy * (s0 * p01 - p00 * s1)) / det, 6) AS b2 " +
+        "  FROM d), " +
+        "rr AS (SELECT *, " +
+        "    syy - 2 * (b0 * sy + b1 * sy0 + b2 * sy1) + " +
+        "      (b0 * (nd * b0 + s0 * b1 + s1 * b2) + " +
+        "       b1 * (s0 * b0 + p00 * b1 + p01 * b2) + " +
+        "       b2 * (s1 * b0 + p01 * b1 + p11 * b2)) AS sse, " +
+        "    syy - sy * sy / nd AS sst FROM bb) " +
+        "SELECT 'intercept' AS term, b0 AS value FROM rr " +
+        "UNION ALL SELECT 'l_quantity', b1 FROM rr " +
+        "UNION ALL SELECT 'l_discount', b2 FROM rr " +
+        "UNION ALL SELECT 'r2', CASE WHEN sst > 0 " +
+        "  THEN round(1 - sse / sst, 6) END FROM rr " +
+        "UNION ALL SELECT 'n', nd FROM rr")
   )
 }

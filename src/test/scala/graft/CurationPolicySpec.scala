@@ -99,4 +99,59 @@ class CurationPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
       Profiling.inferTypes(df, Seq("a", "nope"))
     }
   }
+
+  test("olsFit recovers an exact linear relationship with r2 = 1") {
+    val s = spark; import s.implicits._
+    val df = (1 to 200).map { i =>
+      val x1 = (i % 17).toDouble; val x2 = (i % 5).toDouble
+      (x1, x2, 3.0 + 2.0 * x1 - 5.0 * x2)
+    }.toDF("x1", "x2", "y")
+    val out = Profiling.olsFit(df, Seq("x1", "x2"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("intercept") - 3.0) < 1e-6)
+    assert(math.abs(out("x1") - 2.0) < 1e-6)
+    assert(math.abs(out("x2") + 5.0) < 1e-6)
+    assert(out("r2") === 1.0)
+    assert(out("n") === 200.0)
+  }
+
+  test("olsFit: elimination path (d > 2) recovers exactly too") {
+    val s = spark; import s.implicits._
+    val df = (1 to 300).map { i =>
+      val a = (i % 7).toDouble; val b = (i % 11).toDouble
+      val c = (i % 13).toDouble; val d = (i % 3).toDouble
+      (a, b, c, d, 1.0 + a - 2.0 * b + 0.5 * c + 4.0 * d)
+    }.toDF("a", "b", "c", "d", "y")
+    val out = Profiling.olsFit(df, Seq("a", "b", "c", "d"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 1.0) < 1e-6)
+    assert(math.abs(out("b") + 2.0) < 1e-6)
+    assert(math.abs(out("c") - 0.5) < 1e-6)
+    assert(math.abs(out("d") - 4.0) < 1e-6)
+    assert(out("r2") === 1.0)
+  }
+
+  test("olsFit ridge shrinks coefficients toward zero") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).map { i =>
+      val x = (i % 19).toDouble
+      (x, 10.0 * x + (if (i % 2 == 0) 1.0 else -1.0))
+    }.toDF("x", "y")
+    val b0 = Profiling.olsFit(df, Seq("x"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val br = Profiling.olsFit(df, Seq("x"), "y", ridgeLambda = 5000.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(br("x")) < math.abs(b0("x")))
+    assert(math.abs(b0("x") - 10.0) < 0.1)
+  }
+
+  test("olsFit rejects a perfectly collinear design") {
+    val s = spark; import s.implicits._
+    val df = (1 to 50).map { i =>
+      val x = i.toDouble; (x, 2.0 * x, x + 1.0)
+    }.toDF("x1", "x2", "y")
+    intercept[IllegalArgumentException] {
+      Profiling.olsFit(df, Seq("x1", "x2"), "y")
+    }
+  }
 }
