@@ -77,7 +77,7 @@ object TextFunctions {
     * higher-order-function lambda is otherwise re-evaluated per array
     * element (measured 15-90× on token n-grams — `slice(toks, i, n)`
     * inside `transform` re-runs the whole `split` for every i). */
-  private def bind(v: Column)(body: Column => Column): Column =
+  private[graft] def bind(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
   /** Fixed-size overlapping token windows — context-window chunking for

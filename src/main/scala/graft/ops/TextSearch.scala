@@ -285,4 +285,60 @@ object TextSearch {
       .orderBy(col("rrf").desc, col(docCol))
       .limit(topK)
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (capped at `maxPhraseLen`), each
+    * scored by the sum of its member words' degree/frequency ratios —
+    * deg(w) counts every phrase-slot w co-occurs in (its own included),
+    * freq(w) its occurrences — so multi-word domain terms outrank
+    * frequent single words. Returns the corpus-level top `k` distinct
+    * phrases (phrase, n_occurrences, score), the
+    * vocabulary-discovery/tag-suggestion step of corpus triage.
+    *
+    * Shape: tokenize with positions, phrase ids are a per-DOCUMENT
+    * running stopword count (window partitioned by doc — document
+    * length per task, never corpus length), then two keyed aggregates
+    * (word stats, phrase scores) and a TakeOrdered top-k. Word scores
+    * are 6-dp decimals summed order-independently; the stopword set is
+    * a broadcast literal. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int, maxPhraseLen: Int = 4): DataFrame = {
+    require(stopwords.nonEmpty, "rakeKeywords needs a stopword list")
+    require(k > 0 && maxPhraseLen >= 1,
+      s"k and maxPhraseLen must be positive: $k, $maxPhraseLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc")).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tok = docs
+      .select(col(idCol).cast("long").as("__doc"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) > 0)
+      .withColumn("__stop", col("__w").isInCollection(stopwords.map(_.toLowerCase)))
+      .withColumn("__pid", sum(col("__stop").cast("long")).over(w))
+    val members = tok.filter(!col("__stop"))
+      .select(col("__doc"), col("__pid"), col("__pos"), col("__w"))
+    val phrases = members
+      .groupBy("__doc", "__pid")
+      .agg(count(lit(1)).as("__len"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("__pos"), col("__w")))), x => x("__w"))).as("phrase"))
+      .filter(col("__len") <= maxPhraseLen)
+    val wordStats = members
+      .join(phrases.select(col("__doc"), col("__pid"), col("__len")),
+        Seq("__doc", "__pid"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__w"), round(col("__deg").cast("double") / col("__freq"), 6)
+        .cast("decimal(18,6)").as("__ws"))
+    members
+      .join(phrases, Seq("__doc", "__pid"))
+      .join(broadcast(wordStats), Seq("__w"))
+      .groupBy("__doc", "__pid", "phrase")
+      .agg(sum(col("__ws")).as("__score"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("__score")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
 }

@@ -61,8 +61,30 @@ object CurationQueries extends QueryGroup {
     "profile_ols_fit" -> ((s, dir) => {
       graft.ops.Profiling.olsFit(Tables.load(s, dir, "lineitem"),
         Seq("l_quantity", "l_discount"), "l_extendedprice")
+    }),
+
+    // RAKE corpus keywords: stopword-free phrase runs scored by summed
+    // word degree/frequency ratios, top 50
+    "text_rake" -> ((s, dir) => {
+      graft.ops.TextSearch.rakeKeywords(Tables.load(s, dir, "documents"),
+        "doc_id", "text", CurationQueries.rakeStops, k = 50)
+    }),
+
+    // 75 km customer proximity pairs over synthetic deterministic
+    // coordinates — the oracle is the FULL cross join, so the gate also
+    // proves the 3x3 modular grid blocking lossless
+    "geo_radius_pairs" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (((col("c_custkey") * 7919) % 16000) / 100.0 - 80.0).as("lat"),
+        (((col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).as("lon"))
+      graft.ops.Geo.radiusSelfJoin(pts, "id", "lat", "lon", radiusKm = 75.0)
     })
   )
+
+  /** Stopword list shared by the text_rake gate and oracle. */
+  val rakeStops: Seq[String] =
+    Seq("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
 
   def oracles: Map[String, String] = Map(
 
@@ -182,6 +204,45 @@ object CurationQueries extends QueryGroup {
         "UNION ALL SELECT 'l_discount', b2 FROM rr " +
         "UNION ALL SELECT 'r2', CASE WHEN sst > 0 " +
         "  THEN round(1 - sse / sst, 6) END FROM rr " +
-        "UNION ALL SELECT 'n', nd FROM rr")
+        "UNION ALL SELECT 'n', nd FROM rr"),
+
+    "text_rake" ->
+      ("WITH tok AS (SELECT doc, pos, w, CASE WHEN w IN ('a', 'the', 'and', " +
+        "    'of', 'to', 'in', 'is', 'on', 'for', 'with') THEN 1 ELSE 0 END AS st " +
+        "  FROM (SELECT doc_id AS doc, " +
+        "      unnest(string_split(lower(text), ' ')) AS w, " +
+        "      generate_subscripts(string_split(lower(text), ' '), 1) AS pos " +
+        "    FROM documents) WHERE len(w) > 0), " +
+        "pid AS (SELECT *, sum(st) OVER (PARTITION BY doc ORDER BY pos) AS pid " +
+        "  FROM tok), " +
+        "mem AS (SELECT doc, pid, pos, w FROM pid WHERE st = 0), " +
+        "ph AS (SELECT doc, pid, count(*) AS len, " +
+        "    string_agg(w, ' ' ORDER BY pos) AS phrase " +
+        "  FROM mem GROUP BY doc, pid HAVING count(*) <= 4), " +
+        "ws AS (SELECT m.w, CAST(round(CAST(sum(p.len) AS DOUBLE) / count(*), 6) " +
+        "    AS DECIMAL(18,6)) AS ws " +
+        "  FROM mem m JOIN ph p ON p.doc = m.doc AND p.pid = m.pid GROUP BY m.w), " +
+        "sc AS (SELECT m.doc, m.pid, p.phrase, sum(ws.ws) AS score " +
+        "  FROM mem m JOIN ph p ON p.doc = m.doc AND p.pid = m.pid " +
+        "  JOIN ws ON ws.w = m.w GROUP BY m.doc, m.pid, p.phrase) " +
+        "SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
+        "  CAST(max(score) AS DOUBLE) AS score " +
+        "FROM sc GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50"),
+
+    "geo_radius_pairs" ->
+      ("WITH p AS (SELECT c_custkey AS id, " +
+        "    ((c_custkey * 7919) % 16000) / 100.0 - 80.0 AS lat, " +
+        "    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon " +
+        "  FROM customer), " +
+        "d AS (SELECT a.id AS id_a, b.id AS id_b, " +
+        "    round(12742.0176 * asin(sqrt(" +
+        "      sin((b.lat - a.lat) * 0.017453292519943295 / 2) * " +
+        "      sin((b.lat - a.lat) * 0.017453292519943295 / 2) + " +
+        "      cos(a.lat * 0.017453292519943295) * " +
+        "      cos(b.lat * 0.017453292519943295) * " +
+        "      sin((b.lon - a.lon) * 0.017453292519943295 / 2) * " +
+        "      sin((b.lon - a.lon) * 0.017453292519943295 / 2))), 6) AS dist_km " +
+        "  FROM p a JOIN p b ON a.id < b.id) " +
+        "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 75.0")
   )
 }

@@ -2063,7 +2063,7 @@ object PipelineQueries extends QueryGroup {
     "events_pair_lift" ->
       ("WITH it AS (SELECT DISTINCT user_id AS u, event_type AS i FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), n AS (SELECT count(DISTINCT u) AS nu FROM it), ic AS (SELECT i, count(*) AS c FROM it GROUP BY 1), p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab FROM it a JOIN it b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 2) SELECT item_a, item_b, n_ab, ca.c AS n_a, cb.c AS n_b, round(CAST(n_ab AS DOUBLE) / nu, 6) AS support, round(CAST(n_ab AS DOUBLE) / ca.c, 6) AS conf_a_b, round(CAST(n_ab AS DOUBLE) / cb.c, 6) AS conf_b_a, round(CAST(n_ab AS DOUBLE) * nu / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift FROM p JOIN ic ca ON ca.i = p.item_a JOIN ic cb ON cb.i = p.item_b CROSS JOIN n"),
     "events_bootstrap_ci" ->
-      ("WITH clean AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id, CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS x FROM events WHERE value IS NOT NULL AND NOT isnan(value)), rep AS (SELECT c.*, r.range AS r FROM clean c CROSS JOIN range(0, 50) r), wtd AS (SELECT event_type, r, x, CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7 ELSE 8 END AS w FROM (SELECT *, ('0x' || substr(md5(id || ':' || r), 1, 8))::BIGINT AS u FROM rep)), perrep AS (SELECT event_type, r, sum(w) AS sw, sum(w * x) AS swx FROM wtd GROUP BY 1, 2), m AS (SELECT event_type, r, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mrep FROM perrep WHERE sw > 0), ci AS (SELECT event_type, count(*) AS reps, list_sort(list(mrep)) AS ms FROM m GROUP BY 1), base AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS DOUBLE) / count(*) AS mean FROM clean GROUP BY 1) SELECT b.event_type, b.n, c.reps, round(b.mean, 6) AS mean, round(ms[CAST(floor(0.025 * (reps - 1)) AS INT) + 1], 6) AS ci_lo, round(ms[CAST(floor(0.975 * (reps - 1)) AS INT) + 1], 6) AS ci_hi FROM base b JOIN ci c ON c.event_type = b.event_type"),
+      ("WITH clean AS (SELECT event_type, CAST(event_id AS VARCHAR) AS id, CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS x, CAST(round(round(CAST(value AS DOUBLE), 6) * 1000000.0, 0) AS BIGINT) AS xm FROM events WHERE value IS NOT NULL AND NOT isnan(value)), rep AS (SELECT c.*, r.range AS r FROM clean c CROSS JOIN range(0, 50) r), wtd AS (SELECT event_type, r, xm, CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7 ELSE 8 END AS w FROM (SELECT *, ('0x' || substr(md5(id || ':' || r), 1, 8))::BIGINT AS u FROM rep)), perrep AS (SELECT event_type, r, CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * xm) AS BIGINT) AS swx FROM wtd GROUP BY 1, 2), m AS (SELECT event_type, r, (CAST(swx AS DOUBLE) / 1000000.0) / CAST(sw AS DOUBLE) AS mrep FROM perrep WHERE sw > 0), ci AS (SELECT event_type, count(*) AS reps, list_sort(list(mrep)) AS ms FROM m GROUP BY 1), base AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS DOUBLE) / count(*) AS mean FROM clean GROUP BY 1) SELECT b.event_type, b.n, c.reps, round(b.mean, 6) AS mean, round(ms[CAST(floor(0.025 * (reps - 1)) AS INT) + 1], 6) AS ci_lo, round(ms[CAST(floor(0.975 * (reps - 1)) AS INT) + 1], 6) AS ci_hi FROM base b JOIN ci c ON c.event_type = b.event_type"),
     "events_welch_ttest" ->
       ("WITH g AS (SELECT event_type AS v, count(*) AS n, sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) AS sm, sum(CAST(round(round(CAST(value AS DOUBLE), 6) * round(CAST(value AS DOUBLE), 6), 6) AS DECIMAL(28,6))) AS s2 FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1), ab AS (SELECT (SELECT v FROM g WHERE v = 'click') AS variant_a, (SELECT v FROM g WHERE v = 'view') AS variant_b, (SELECT n FROM g WHERE v = 'click') AS n_a, (SELECT n FROM g WHERE v = 'view') AS n_b, (SELECT sm FROM g WHERE v = 'click') AS s_a, (SELECT sm FROM g WHERE v = 'view') AS s_b, (SELECT s2 FROM g WHERE v = 'click') AS s2_a, (SELECT s2 FROM g WHERE v = 'view') AS s2_b), c AS (SELECT *, CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma, CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb, ((CAST(s2_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS qa, ((CAST(s2_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS qb FROM ab) SELECT variant_a, variant_b, n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, CASE WHEN n_a >= 2 AND n_b >= 2 AND qa + qb > 0 THEN round((ma - mb) / sqrt(qa + qb), 6) END AS t, CASE WHEN n_a >= 2 AND n_b >= 2 AND qa + qb > 0 THEN round((qa + qb) * (qa + qb) / (qa * qa / (CAST(n_a AS DOUBLE) - 1.0) + qb * qb / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df FROM c"),
     "text_html_strip" ->

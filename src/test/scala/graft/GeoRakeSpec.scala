@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Geo, TextSearch}
+
+/** Properties of RAKE keyword extraction and the geo radius join. */
+class GeoRakeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("GeoRakeSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("rakeKeywords: hand-computed degree/frequency scores") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "red apple the red apple tree")).toDF("id", "text")
+    val out = TextSearch.rakeKeywords(docs, "id", "text", Seq("the"), k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // phrases: [red apple] (len 2), [red apple tree] (len 3)
+    // deg: red 5, apple 5, tree 3; freq: red 2, apple 2, tree 1
+    // scores: red 2.5, apple 2.5, tree 3.0
+    assert(out("red apple") === ((1L, 5.0)))
+    assert(out("red apple tree") === ((1L, 8.0)))
+  }
+
+  test("rakeKeywords: maxPhraseLen drops long runs, k caps output") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "one two three four five the short run")).toDF("id", "text")
+    val out = TextSearch.rakeKeywords(docs, "id", "text", Seq("the"),
+      k = 1, maxPhraseLen = 4).collect()
+    // the 5-token run is dropped; only "short run" survives, k=1 keeps it
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "short run")
+  }
+
+  test("radiusSelfJoin: hand distances at the equator") {
+    val s = spark; import s.implicits._
+    // 1 deg of longitude at the equator is ~111.19 km
+    val pts = Seq((1L, 0.0, 0.0), (2L, 0.0, 1.0), (3L, 0.0, 3.0))
+      .toDF("id", "lat", "lon")
+    val out = Geo.radiusSelfJoin(pts, "id", "lat", "lon", 150.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(math.abs(out((1L, 2L)) - 111.19) < 0.1)
+  }
+
+  test("radiusSelfJoin finds pairs across the antimeridian (modular cells)") {
+    val s = spark; import s.implicits._
+    val pts = Seq((1L, 10.0, 179.97), (2L, 10.0, -179.97), (3L, 10.0, 0.0))
+      .toDF("id", "lat", "lon")
+    val out = Geo.radiusSelfJoin(pts, "id", "lat", "lon", 50.0).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === ((1L, 2L)))
+    assert(out.head.getDouble(2) < 10.0)
+  }
+
+  test("radiusSelfJoin blocking is lossless vs brute force on a cloud") {
+    val s = spark; import s.implicits._
+    val pts = (1 to 300).map { i =>
+      (i.toLong, ((i * 7919) % 1600) / 10.0 - 80.0, ((i * 104729) % 3600) / 10.0 - 180.0)
+    }
+    val blocked = Geo.radiusSelfJoin(pts.toDF("id", "lat", "lon"),
+      "id", "lat", "lon", 500.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val d2r = 0.017453292519943295
+      val sLat = math.sin((b._2 - a._2) * d2r / 2)
+      val sLon = math.sin((b._3 - a._3) * d2r / 2)
+      val h = sLat * sLat +
+        math.cos(a._2 * d2r) * math.cos(b._2 * d2r) * sLon * sLon
+      2 * 6371.0088 * math.asin(math.sqrt(h))
+    }
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      if math.rint(hav(a, b) * 1e6) / 1e6 <= 500.0
+    } yield (a._1, b._1)).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("radiusSelfJoin rejects out-of-band radius") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    intercept[IllegalArgumentException] {
+      Geo.radiusSelfJoin(df, "id", "lat", "lon", 0.0)
+    }
+  }
+}
