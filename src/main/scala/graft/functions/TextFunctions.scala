@@ -137,6 +137,19 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Log-template signature (Drain-lite): mask hex runs then numbers so
+    * structurally-identical log lines collapse to one template —
+    * "user=4231 req=a81f03de" and "user=97 req=ffe210aa" both become
+    * "user=<N> req=<H>". Grouping by this column IS log-template mining:
+    * one masked projection + one count aggregate over any volume.
+    * Patterns are RE2-compatible (no lookaround) so a DuckDB oracle
+    * applies the byte-identical chain; hex masks first — a hex run of
+    * digits would otherwise half-match the number pattern. */
+  def logTemplate(line: Column): Column =
+    regexp_replace(
+      regexp_replace(line, "[0-9a-f]{8,}", "<H>"),
+      "[0-9]+(\\.[0-9]+)?", "<N>")
+
   /** Count of matches of a PII pattern (regexp_count is codegen'd). */
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))

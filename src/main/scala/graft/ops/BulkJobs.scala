@@ -159,4 +159,27 @@ object BulkJobs {
       .reduce(_ + _).as("cells_total")
     df.agg(total, perCol.toSeq: _*)
   }
+
+  /** JSON-lines ingestion with a corrupt-row quarantine — the
+    * schema-on-read import that never drops data silently: every line
+    * parses against `schemaDdl` (Spark PERMISSIVE mode) and comes back
+    * flagged — `line_ok` true with typed columns, or false with nulls
+    * and the raw line preserved for the quarantine sink. A malformed
+    * feed is an auditable row count, not a missing-row mystery. One
+    * codegen'd projection; no shuffle. `ok` = at least one schema
+    * field parsed non-null (a fully-null valid object is
+    * indistinguishable from garbage at this layer — documented). */
+  def importJsonlQuarantine(lines: DataFrame, lineCol: String,
+      schemaDdl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    require(schema.fields.nonEmpty, s"empty schema: $schemaDdl")
+    val parsed = lines.withColumn("__p",
+      from_json(col(lineCol), schema, Map("mode" -> "PERMISSIVE")))
+    val ok = schema.fieldNames.map(f => col("__p")(f).isNotNull)
+      .reduce(_ || _)
+    parsed.select(
+      (ok.as("line_ok") +:
+        schema.fieldNames.toSeq.map(f => col("__p")(f).as(f))) :+
+        col(lineCol).as("raw_line"): _*)
+  }
 }

@@ -275,4 +275,40 @@ object Evaluation {
           round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
           .as("ndcg"))
   }
+
+  /** B-cubed clustering evaluation (Bagga & Baldwin): per-ITEM precision
+    * |C(i) ∩ G(i)|/|C(i)| and recall |C(i) ∩ G(i)|/|G(i)| averaged over
+    * the corpus — THE standard extrinsic score for dedup/entity
+    * clusterings against gold labels, robust where pairwise F1
+    * over-rewards big clusters. One row: (n, precision, recall, f1).
+    *
+    * Closed form over the contingency cells: P = (1/N)·Σ n_cg²/n_c,
+    * R = (1/N)·Σ n_cg²/n_g — so the whole metric is one (cluster, gold)
+    * cell aggregate plus two broadcast-sized marginal joins; nothing
+    * touches pairs. Cell terms are 9-dp decimals summed
+    * order-independently; rows with a NULL cluster or gold are
+    * excluded. */
+  def bCubed(df: DataFrame, clusterCol: String, goldCol: String): DataFrame = {
+    val cells = df
+      .filter(col(clusterCol).isNotNull && col(goldCol).isNotNull)
+      .groupBy(col(clusterCol).as("__c"), col(goldCol).as("__g"))
+      .agg(count(lit(1)).as("__ncg"))
+    val cSize = cells.groupBy("__c").agg(sum("__ncg").as("__nc"))
+    val gSize = cells.groupBy("__g").agg(sum("__ncg").as("__ng"))
+    cells.join(cSize, "__c").join(gSize, "__g")
+      .select(col("__ncg"),
+        round((col("__ncg") * col("__ncg")).cast("double") / col("__nc"), 9)
+          .cast("decimal(28,9)").as("__p"),
+        round((col("__ncg") * col("__ncg")).cast("double") / col("__ng"), 9)
+          .cast("decimal(28,9)").as("__r"))
+      .agg(sum(col("__ncg")).cast("long").as("n"),
+        sum(col("__p")).as("__sp"), sum(col("__r")).as("__sr"))
+      .select(col("n"),
+        round(col("__sp").cast("double") / col("n"), 6).as("precision"),
+        round(col("__sr").cast("double") / col("n"), 6).as("recall"),
+        round(lit(2.0) * (col("__sp").cast("double") / col("n")) *
+          (col("__sr").cast("double") / col("n")) /
+          (col("__sp").cast("double") / col("n") +
+            col("__sr").cast("double") / col("n")), 6).as("f1"))
+  }
 }

@@ -70,6 +70,47 @@ object CurationQueries extends QueryGroup {
         "doc_id", "text", CurationQueries.rakeStops, k = 50)
     }),
 
+    // B-cubed extrinsic clustering score: exact-dup clusters vs lang
+    // labels (cell-closed-form — nothing touches pairs)
+    "eval_bcubed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val clustered = docs.withColumn("cluster",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      graft.ops.Evaluation.bCubed(clustered, "cluster", "lang")
+    }),
+
+    // log-template mining over synthesized event log lines: hex+number
+    // masking collapses structural duplicates
+    "text_log_templates" -> ((s, dir) => {
+      val lines = Tables.load(s, dir, "events").select(
+        concat(lit("ts="), col("ts"), lit(" user="), col("user_id"),
+          lit(" ev="), col("event_type"), lit(" req="),
+          md5(col("event_id").cast("string").cast("binary"))).as("line"),
+        col("user_id"))
+      lines
+        .groupBy(graft.functions.TextFunctions.logTemplate(col("line"))
+          .as("template"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // JSONL ingestion with corrupt-line quarantine: ~9% of lines are
+    // truncated; every line comes back flagged, never dropped
+    "bulk_import_quarantine" -> ((s, dir) => {
+      val json = concat(lit("{\"k\":"), col("o_orderkey"),
+        lit(",\"s\":\""), col("o_orderpriority"), lit("\"}"))
+      val lines = Tables.load(s, dir, "orders").select(
+        when(col("o_orderkey") % 11 === 0,
+          expr("substring(concat('{\"k\":', o_orderkey, ',\"s\":\"', " +
+            "o_orderpriority, '\"}'), 1, " +
+            "length(concat('{\"k\":', o_orderkey, ',\"s\":\"', " +
+            "o_orderpriority, '\"}')) - 5)"))
+          .otherwise(json).as("line"))
+      graft.ops.BulkJobs.importJsonlQuarantine(lines, "line",
+        "k BIGINT, s STRING")
+    }),
+
     // 75 km customer proximity pairs over synthetic deterministic
     // coordinates — the oracle is the FULL cross join, so the gate also
     // proves the 3x3 modular grid blocking lossless
@@ -228,6 +269,44 @@ object CurationQueries extends QueryGroup {
         "SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
         "  CAST(max(score) AS DOUBLE) AS score " +
         "FROM sc GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50"),
+
+    "eval_bcubed" ->
+      ("WITH cl AS (SELECT lang, min(doc_id) OVER (PARTITION BY text) AS cluster " +
+        "  FROM documents WHERE lang IS NOT NULL), " +
+        "cells AS (SELECT cluster, lang, count(*) AS ncg FROM cl GROUP BY 1, 2), " +
+        "cs AS (SELECT cluster, CAST(sum(ncg) AS BIGINT) AS nc FROM cells GROUP BY 1), " +
+        "gs AS (SELECT lang, CAST(sum(ncg) AS BIGINT) AS ng FROM cells GROUP BY 1), " +
+        "t AS (SELECT ncg, " +
+        "    CAST(round(CAST(ncg * ncg AS DOUBLE) / nc, 9) AS DECIMAL(28,9)) AS p, " +
+        "    CAST(round(CAST(ncg * ncg AS DOUBLE) / ng, 9) AS DECIMAL(28,9)) AS r " +
+        "  FROM cells JOIN cs USING (cluster) JOIN gs USING (lang)), " +
+        "a AS (SELECT CAST(sum(ncg) AS BIGINT) AS n, sum(p) AS sp, sum(r) AS sr FROM t) " +
+        "SELECT n, round(CAST(sp AS DOUBLE) / n, 6) AS precision, " +
+        "  round(CAST(sr AS DOUBLE) / n, 6) AS recall, " +
+        "  round(2.0 * (CAST(sp AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n) / " +
+        "    (CAST(sp AS DOUBLE) / n + CAST(sr AS DOUBLE) / n), 6) AS f1 FROM a"),
+
+    "text_log_templates" ->
+      ("WITH l AS (SELECT 'ts=' || epoch_ns(ts) || ' user=' || user_id || " +
+        "    ' ev=' || event_type || ' req=' || md5(CAST(event_id AS VARCHAR)) " +
+        "    AS line, user_id FROM events) " +
+        "SELECT regexp_replace(regexp_replace(line, '[0-9a-f]{8,}', '<H>', 'g'), " +
+        "    '[0-9]+(\\.[0-9]+)?', '<N>', 'g') AS template, " +
+        "  CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM l GROUP BY 1"),
+
+    "bulk_import_quarantine" ->
+      ("WITH j AS (SELECT '{\"k\":' || o_orderkey || ',\"s\":\"' || " +
+        "    o_orderpriority || '\"}' AS good, o_orderkey FROM orders), " +
+        "l AS (SELECT CASE WHEN o_orderkey % 11 = 0 " +
+        "    THEN substr(good, 1, len(good) - 5) ELSE good END AS line FROM j) " +
+        "SELECT json_valid(line) AS line_ok, " +
+        "  CASE WHEN json_valid(line) " +
+        "    THEN CAST(json_extract(line, '$.k') AS BIGINT) END AS k, " +
+        "  CASE WHEN json_valid(line) " +
+        "    THEN json_extract_string(line, '$.s') END AS s, " +
+        "  line AS raw_line FROM l"),
 
     "geo_radius_pairs" ->
       ("WITH p AS (SELECT c_custkey AS id, " +

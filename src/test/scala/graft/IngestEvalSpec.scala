@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{BulkJobs, Evaluation}
+
+/** Properties of B-cubed scoring, log-template masking, and the
+  * quarantined JSONL import. */
+class IngestEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("IngestEvalSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bCubed: perfect clustering scores 1/1/1") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "c"))
+      .toDF("cluster", "gold")
+    val r = Evaluation.bCubed(df, "cluster", "gold").collect().head
+    assert(r.getAs[Double]("precision") === 1.0)
+    assert(r.getAs[Double]("recall") === 1.0)
+    assert(r.getAs[Double]("f1") === 1.0)
+    assert(r.getAs[Long]("n") === 5L)
+  }
+
+  test("bCubed: one giant cluster has perfect recall, degraded precision") {
+    val s = spark; import s.implicits._
+    // 4 items of gold a, 2 of gold b, all in one cluster:
+    // P = (4*(4/6) + 2*(2/6)) / 6 = 20/36; R = 1
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b")).map(("c1", _))
+      .toDF("cluster", "gold")
+    val r = Evaluation.bCubed(df, "cluster", "gold").collect().head
+    assert(math.abs(r.getAs[Double]("precision") - 20.0 / 36) < 1e-6)
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
+
+  test("bCubed: over-split clustering has perfect precision, degraded recall") {
+    val s = spark; import s.implicits._
+    // gold a split into 2 singletons: P = 1, R = (0.5 + 0.5)/2
+    val df = Seq(("c1", "a"), ("c2", "a")).toDF("cluster", "gold")
+    val r = Evaluation.bCubed(df, "cluster", "gold").collect().head
+    assert(r.getAs[Double]("precision") === 1.0)
+    assert(r.getAs[Double]("recall") === 0.5)
+  }
+
+  test("logTemplate masks hex runs before numbers") {
+    val s = spark; import s.implicits._
+    val out = Seq("user=4231 req=a81f03de9912 v=3.75 short=ab12")
+      .toDF("line")
+      .select(graft.functions.TextFunctions.logTemplate(col("line")))
+      .collect().head.getString(0)
+    // 12-char hex masks as <H>; 3.75 as one <N>; 'ab12' is too short
+    // for the hex rule so only its digits mask
+    assert(out === "user=<N> req=<H> v=<N> short=ab<N>")
+  }
+
+  test("importJsonlQuarantine flags truncated lines and keeps the raw line") {
+    val s = spark; import s.implicits._
+    val lines = Seq(
+      """{"k":1,"s":"HIGH"}""",
+      """{"k":2,"s":"LOW""",     // truncated
+      """not json at all""",
+      """{"k":4,"s":"MED"}"""
+    ).toDF("line")
+    val out = BulkJobs.importJsonlQuarantine(lines, "line", "k BIGINT, s STRING")
+      .collect().map(r => r.getString(r.fieldIndex("raw_line")) ->
+        (r.getBoolean(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out("""{"k":1,"s":"HIGH"}""") === ((true, Some(1L))))
+    assert(out("""{"k":4,"s":"MED"}""") === ((true, Some(4L))))
+    assert(out("""not json at all""")._1 === false)
+    assert(out("""{"k":2,"s":"LOW""")._1 === false)
+  }
+}
