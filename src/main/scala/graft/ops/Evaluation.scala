@@ -311,4 +311,120 @@ object Evaluation {
           (col("__sp").cast("double") / col("n") +
             col("__sr").cast("double") / col("n")), 6).as("f1"))
   }
+
+  /** Difference-in-differences estimator — the quasi-experimental lift
+    * read when you have a before/after and a treated/control split but
+    * no randomization: DiD = (treat_post − treat_pre) − (ctrl_post −
+    * ctrl_pre) removes both the group baseline and the common time
+    * trend. Returns one row with the four cell means, the estimate,
+    * its Welch-style standard error √(Σ s²ᵢ/nᵢ) over the four cells,
+    * and t = did/se.
+    *
+    * One grouped aggregate over (group, period) with exact decimal
+    * moments (the [[welchTTest]] device), then a fixed double chain —
+    * engine-exact. Cells with n < 2 yield NULL se/t. */
+  def diffInDiff(df: DataFrame, groupCol: String, periodCol: String,
+      valueCol: String, treatLabel: String, ctrlLabel: String,
+      preLabel: String, postLabel: String): DataFrame = {
+    val v6 = round(col(valueCol).cast("double"), 6)
+    val cells = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")) &&
+        col(groupCol).isin(treatLabel, ctrlLabel) &&
+        col(periodCol).isin(preLabel, postLabel))
+      .groupBy(col(groupCol).as("__g"), col(periodCol).as("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(v6.cast("decimal(18,6)")).as("__s"),
+        sum(round(v6 * v6, 6).cast("decimal(28,6)")).as("__s2"))
+    def cell(g: String, p: String, f: String) =
+      max(when(col("__g") === g && col("__p") === p, col(f)))
+    val one = cells.agg(
+      cell(treatLabel, preLabel, "__n").as("n_tp"),
+      cell(treatLabel, postLabel, "__n").as("n_to"),
+      cell(ctrlLabel, preLabel, "__n").as("n_cp"),
+      cell(ctrlLabel, postLabel, "__n").as("n_co"),
+      cell(treatLabel, preLabel, "__s").as("__stp"),
+      cell(treatLabel, postLabel, "__s").as("__sto"),
+      cell(ctrlLabel, preLabel, "__s").as("__scp"),
+      cell(ctrlLabel, postLabel, "__s").as("__sco"),
+      cell(treatLabel, preLabel, "__s2").as("__qtp"),
+      cell(treatLabel, postLabel, "__s2").as("__qto"),
+      cell(ctrlLabel, preLabel, "__s2").as("__qcp"),
+      cell(ctrlLabel, postLabel, "__s2").as("__qco"))
+    def m(sc: String, nc: String) = col(sc).cast("double") / col(nc)
+    def varOverN(sc: String, qc: String, nc: String) =
+      ((col(qc).cast("double") - col(sc).cast("double") * col(sc).cast("double") /
+        col(nc)) / (col(nc) - 1.0)) / col(nc)
+    val did = (m("__sto", "n_to") - m("__stp", "n_tp")) -
+      (m("__sco", "n_co") - m("__scp", "n_cp"))
+    val se2 = varOverN("__stp", "__qtp", "n_tp") +
+      varOverN("__sto", "__qto", "n_to") +
+      varOverN("__scp", "__qcp", "n_cp") +
+      varOverN("__sco", "__qco", "n_co")
+    val allBig = col("n_tp") >= 2 && col("n_to") >= 2 &&
+      col("n_cp") >= 2 && col("n_co") >= 2
+    one.select(col("n_tp"), col("n_to"), col("n_cp"), col("n_co"),
+      round(m("__stp", "n_tp"), 6).as("mean_treat_pre"),
+      round(m("__sto", "n_to"), 6).as("mean_treat_post"),
+      round(m("__scp", "n_cp"), 6).as("mean_ctrl_pre"),
+      round(m("__sco", "n_co"), 6).as("mean_ctrl_post"),
+      round(did, 6).as("did"),
+      when(allBig && se2 > 0.0, round(sqrt(se2), 6)).as("se"),
+      when(allBig && se2 > 0.0, round(did / sqrt(se2), 6)).as("t"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
+    * experiment metric by its PRE-period covariate, y' = y − θ(x − x̄)
+    * with θ = cov(x,y)/var(x) pooled across variants — same means in
+    * expectation, variance shrunk by the squared correlation, so the
+    * same experiment decides in ~(1−ρ²)× the time. Returns one row per
+    * variant: (variant, n, mean_raw, mean_adj, theta, var_reduction).
+    *
+    * θ and x̄ are POOLED (computed once over all variants — adjusting
+    * with per-variant θ would bias the contrast); everything reduces to
+    * exact decimal moments in ONE pass plus a broadcast of the pooled
+    * scalars. var_reduction = 1 − corr², 6 dp. */
+  def cuped(df: DataFrame, variantCol: String, valueCol: String,
+      covariateCol: String): DataFrame = {
+    val y6 = round(col(valueCol).cast("double"), 6)
+    val x6 = round(col(covariateCol).cast("double"), 6)
+    val clean = df.filter(
+      col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")) &&
+      col(covariateCol).isNotNull && !isnan(col(covariateCol).cast("double")) &&
+      col(variantCol).isNotNull)
+    val pooled = clean.agg(
+      count(lit(1)).as("__n"),
+      sum(x6.cast("decimal(18,6)")).as("__sx"),
+      sum(y6.cast("decimal(18,6)")).as("__sy"),
+      sum(round(x6 * x6, 6).cast("decimal(28,6)")).as("__sxx"),
+      sum(round(x6 * y6, 6).cast("decimal(28,6)")).as("__sxy"),
+      sum(round(y6 * y6, 6).cast("decimal(28,6)")).as("__syy"))
+    val per = clean.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(y6.cast("decimal(18,6)")).as("__vy"),
+        sum(x6.cast("decimal(18,6)")).as("__vx"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n"),
+        col("__vy"), col("__vx"), col("__n"), col("__sx"), col("__sy"),
+        col("__sxx"), col("__sxy"), col("__syy"))
+      .withColumn("__mx", col("__sx").cast("double") / col("__n"))
+      .withColumn("__cxy", col("__sxy").cast("double") / col("__n") -
+        (col("__sx").cast("double") / col("__n")) *
+        (col("__sy").cast("double") / col("__n")))
+      .withColumn("__vxx", col("__sxx").cast("double") / col("__n") -
+        (col("__sx").cast("double") / col("__n")) *
+        (col("__sx").cast("double") / col("__n")))
+      .withColumn("__vyy", col("__syy").cast("double") / col("__n") -
+        (col("__sy").cast("double") / col("__n")) *
+        (col("__sy").cast("double") / col("__n")))
+      .withColumn("__th",
+        when(col("__vxx") > 0.0, col("__cxy") / col("__vxx")).otherwise(lit(0.0)))
+      .select(col("variant"), col("n"),
+        round(col("__vy").cast("double") / col("n"), 6).as("mean_raw"),
+        round(col("__vy").cast("double") / col("n") - col("__th") *
+          (col("__vx").cast("double") / col("n") - col("__mx")), 6).as("mean_adj"),
+        round(col("__th"), 6).as("theta"),
+        when(col("__vxx") > 0.0 && col("__vyy") > 0.0,
+          round((col("__cxy") * col("__cxy")) /
+            (col("__vxx") * col("__vyy")), 6)).as("var_reduction"))
+  }
 }

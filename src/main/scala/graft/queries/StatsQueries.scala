@@ -45,6 +45,38 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value", period = 7)
     }),
 
+    // difference-in-differences: even-user "treatment" vs odd-user
+    // control, before/after the month midpoint
+    "events_diff_in_diff" -> ((s, dir) => {
+      val mid = 1705363200000000000L
+      val d = Tables.load(s, dir, "events").select(
+        when(col("user_id") % 2 === 0, "treat").otherwise("ctrl").as("grp"),
+        when(col("ts") < mid, "pre").otherwise("post").as("period"),
+        col("value"))
+      graft.ops.Evaluation.diffInDiff(d, "grp", "period", "value",
+        "treat", "ctrl", "pre", "post")
+    }),
+
+    // CUPED: per-user post-period total adjusted by the pre-period
+    // total (pooled theta); variance-reduction read per variant
+    "events_cuped" -> ((s, dir) => {
+      val mid = 1705363200000000000L
+      val zero = lit(BigDecimal(0)).cast("decimal(18,6)")
+      val per = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("ts") < mid,
+            round(col("value"), 6).cast("decimal(18,6)"))), zero)
+            .cast("double").as("x"),
+          coalesce(sum(when(col("ts") >= mid,
+            round(col("value"), 6).cast("decimal(18,6)"))), zero)
+            .cast("double").as("y"))
+        .withColumn("variant",
+          concat(lit("v"), (col("user_id") % 2).cast("string")))
+      graft.ops.Evaluation.cuped(per, "variant", "y", "x")
+    }),
+
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
     "events_kaplan_meier" -> ((s, dir) => {
@@ -149,6 +181,82 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(err AS DOUBLE) / n_fc) / (CAST(s AS DOUBLE) / ns), 6) " +
         "  END AS mase " +
         "FROM fc JOIN sc ON sc.key = fc.key"),
+
+    "events_diff_in_diff" ->
+      ("WITH d AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'ctrl' " +
+        "    END AS g, CASE WHEN epoch_ns(ts) < 1705363200000000000 THEN 'pre' " +
+        "    ELSE 'post' END AS p, round(CAST(value AS DOUBLE), 6) AS v " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "c AS (SELECT g, p, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s, " +
+        "    CAST(sum(CAST(round(v * v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS q " +
+        "  FROM d GROUP BY 1, 2), " +
+        "w AS (SELECT " +
+        "    max(CASE WHEN g='treat' AND p='pre' THEN n END) AS n_tp, " +
+        "    max(CASE WHEN g='treat' AND p='post' THEN n END) AS n_to, " +
+        "    max(CASE WHEN g='ctrl' AND p='pre' THEN n END) AS n_cp, " +
+        "    max(CASE WHEN g='ctrl' AND p='post' THEN n END) AS n_co, " +
+        "    max(CASE WHEN g='treat' AND p='pre' THEN s END) AS stp, " +
+        "    max(CASE WHEN g='treat' AND p='post' THEN s END) AS sto, " +
+        "    max(CASE WHEN g='ctrl' AND p='pre' THEN s END) AS scp, " +
+        "    max(CASE WHEN g='ctrl' AND p='post' THEN s END) AS sco, " +
+        "    max(CASE WHEN g='treat' AND p='pre' THEN q END) AS qtp, " +
+        "    max(CASE WHEN g='treat' AND p='post' THEN q END) AS qto, " +
+        "    max(CASE WHEN g='ctrl' AND p='pre' THEN q END) AS qcp, " +
+        "    max(CASE WHEN g='ctrl' AND p='post' THEN q END) AS qco FROM c), " +
+        "e AS (SELECT *, " +
+        "    (sto / n_to - stp / n_tp) - (sco / n_co - scp / n_cp) AS did, " +
+        "    ((qtp - stp * stp / n_tp) / (n_tp - 1.0)) / n_tp + " +
+        "    ((qto - sto * sto / n_to) / (n_to - 1.0)) / n_to + " +
+        "    ((qcp - scp * scp / n_cp) / (n_cp - 1.0)) / n_cp + " +
+        "    ((qco - sco * sco / n_co) / (n_co - 1.0)) / n_co AS se2 FROM w) " +
+        "SELECT n_tp, n_to, n_cp, n_co, " +
+        "  round(stp / n_tp, 6) AS mean_treat_pre, " +
+        "  round(sto / n_to, 6) AS mean_treat_post, " +
+        "  round(scp / n_cp, 6) AS mean_ctrl_pre, " +
+        "  round(sco / n_co, 6) AS mean_ctrl_post, " +
+        "  round(did, 6) AS did, " +
+        "  CASE WHEN n_tp >= 2 AND n_to >= 2 AND n_cp >= 2 AND n_co >= 2 " +
+        "    AND se2 > 0 THEN round(sqrt(se2), 6) END AS se, " +
+        "  CASE WHEN n_tp >= 2 AND n_to >= 2 AND n_cp >= 2 AND n_co >= 2 " +
+        "    AND se2 > 0 THEN round(did / sqrt(se2), 6) END AS t FROM e"),
+
+    "events_cuped" ->
+      ("WITH per AS (SELECT user_id, " +
+        "    CAST(COALESCE(sum(CASE WHEN epoch_ns(ts) < 1705363200000000000 " +
+        "      THEN CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) END), " +
+        "      0) AS DOUBLE) AS x, " +
+        "    CAST(COALESCE(sum(CASE WHEN epoch_ns(ts) >= 1705363200000000000 " +
+        "      THEN CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) END), " +
+        "      0) AS DOUBLE) AS y, " +
+        "    'v' || CAST(user_id % 2 AS VARCHAR) AS variant " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "  GROUP BY user_id), " +
+        "pool AS (SELECT CAST(count(*) AS BIGINT) AS np, " +
+        "    CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx, " +
+        "    CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "    CAST(sum(CAST(round(round(x, 6) * round(x, 6), 6) " +
+        "      AS DECIMAL(28,6))) AS DOUBLE) AS sxx, " +
+        "    CAST(sum(CAST(round(round(x, 6) * round(y, 6), 6) " +
+        "      AS DECIMAL(28,6))) AS DOUBLE) AS sxy, " +
+        "    CAST(sum(CAST(round(round(y, 6) * round(y, 6), 6) " +
+        "      AS DECIMAL(28,6))) AS DOUBLE) AS syy FROM per), " +
+        "pv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS vy, " +
+        "    CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS vx " +
+        "  FROM per GROUP BY 1), " +
+        "m AS (SELECT pv.*, np, sx / np AS mx, " +
+        "    sxy / np - (sx / np) * (sy / np) AS cxy, " +
+        "    sxx / np - (sx / np) * (sx / np) AS vxx, " +
+        "    syy / np - (sy / np) * (sy / np) AS vyy FROM pv, pool), " +
+        "th AS (SELECT *, CASE WHEN vxx > 0 THEN cxy / vxx ELSE 0.0 END AS t0 " +
+        "  FROM m) " +
+        "SELECT variant, n, round(vy / n, 6) AS mean_raw, " +
+        "  round(vy / n - t0 * (vx / n - mx), 6) AS mean_adj, " +
+        "  round(t0, 6) AS theta, " +
+        "  CASE WHEN vxx > 0 AND vyy > 0 " +
+        "    THEN round((cxy * cxy) / (vxx * vyy), 6) END AS var_reduction " +
+        "FROM th"),
 
     "events_kaplan_meier" ->
       ("WITH u AS (SELECT user_id, " +

@@ -81,4 +81,57 @@ class IngestEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("""not json at all""")._1 === false)
     assert(out("""{"k":2,"s":"LOW""")._1 === false)
   }
+
+  test("diffInDiff recovers a planted effect exactly; tiny cells give NULL se") {
+    val s = spark; import s.implicits._
+    // baseline: treat +10, time trend +3, planted effect +2
+    val rows =
+      (1 to 40).map(i => ("treat", "pre", 10.0 + (i % 5))) ++
+      (1 to 40).map(i => ("treat", "post", 10.0 + 3.0 + 2.0 + (i % 5))) ++
+      (1 to 40).map(i => ("ctrl", "pre", 0.0 + (i % 5))) ++
+      (1 to 40).map(i => ("ctrl", "post", 3.0 + (i % 5)))
+    val r = Evaluation.diffInDiff(rows.toDF("g", "p", "v"), "g", "p", "v",
+      "treat", "ctrl", "pre", "post").collect().head
+    assert(r.getAs[Double]("did") === 2.0)
+    assert(r.getAs[Double]("t") > 4.0)
+    val tiny = Seq(("treat", "pre", 1.0), ("treat", "post", 2.0),
+      ("ctrl", "pre", 1.0), ("ctrl", "post", 1.0), ("treat", "pre", 2.0),
+      ("treat", "post", 3.0), ("ctrl", "post", 2.0))
+    val r2 = Evaluation.diffInDiff(tiny.toDF("g", "p", "v"), "g", "p", "v",
+      "treat", "ctrl", "pre", "post").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("se"))) // ctrl_pre has n = 1
+  }
+
+  test("cuped: a fully-explaining covariate removes ~all variance") {
+    val s = spark; import s.implicits._
+    // y = 2x + 1 exactly; variants differ only through x
+    val rows = (1 to 100).map { i =>
+      val x = (i % 13).toDouble
+      (s"v${i % 2}", 2.0 * x + 1.0, x)
+    }
+    val out = Evaluation.cuped(rows.toDF("variant", "y", "x"),
+      "variant", "y", "x").collect().map(r => r.getString(0) -> r).toMap
+    out.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("theta") - 2.0) < 1e-6)
+      assert(r.getAs[Double]("var_reduction") > 0.999999)
+    }
+    // adjusted means collapse to the pooled mean when x explains all
+    val adj = out.values.map(_.getAs[Double]("mean_adj")).toSeq
+    assert(math.abs(adj.head - adj.last) < 1e-4)
+  }
+
+  test("cuped: an uncorrelated covariate leaves means unadjusted") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 200).map { i =>
+      // x cycles independently of y
+      (s"v${i % 2}", (i % 7).toDouble, ((i * 31) % 11).toDouble)
+    }
+    val out = Evaluation.cuped(rows.toDF("variant", "y", "x"),
+      "variant", "y", "x").collect()
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean_raw") -
+        r.getAs[Double]("mean_adj")) < 0.5)
+      assert(r.getAs[Double]("var_reduction") < 0.2)
+    }
+  }
 }
