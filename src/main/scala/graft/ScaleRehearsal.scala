@@ -52,13 +52,78 @@ object ScaleRehearsal {
     val covResults = Seq(1, 10).map(measureCov(spark, sfDir, _))
     val triResults = Seq(1, 3).map(measureTri(spark, sfDir, _))
     val manResults = Seq(1, 10).map(measureManifest(spark, sfDir, _))
-    write(sfDir, results, covResults, triResults, manResults)
+    val blockResults = measureBlocked(spark)
+    write(sfDir, results, covResults, triResults, manResults, blockResults)
     println(s"[rehearsal] wrote /root/repo/SCALE_REHEARSAL.md")
     spark.stop()
   }
 
   final case class CovMeasure(scale: Int, rows: Long, cells: Long,
       shuffleRecords: Long, t: Double)
+
+  final case class BlockMeasure(tag: String, scale: Int, points: Long,
+      fullPairs: Long, candidates: Long, matches: Long, t: Double)
+
+  /** Candidate-pair pruning of the round-5 blocked pair generators as
+    * the corpus grows 10x (sf0.01 -> sf0.1 natural growth):
+    *  - geo radius join: 3x3 modular grid cells vs the full cross join;
+    *  - Adamic-Adar: hub-capped wedge set vs the uncapped wedge set.
+    * Candidates are counted by replaying each operator's blocking step
+    * without its final filter; matches/time come from the real op. */
+  private def measureBlocked(spark: SparkSession): Seq[BlockMeasure] = {
+    import org.apache.spark.sql.functions._
+    val geo = Seq(("/root/testdata/sf0.01", 1), ("/root/testdata/sf0.1", 10))
+      .map { case (dir, scale) =>
+        val pts = Tables.load(spark, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (((col("c_custkey") * 7919) % 16000) / 100.0 - 80.0).as("lat"),
+          (((col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).as("lon"))
+          .localCheckpoint(true)
+        val n = pts.count()
+        // replay the op's grid (radius 75): lat cells 75/110.574 deg,
+        // modular lon cells of at-least-lossless width
+        val latCell = 75.0 / 110.574
+        val nLon = math.floor(360.0 / (75.0 / (111.320 * math.cos(math.toRadians(80.0))))).toLong
+        val lonWidth = 360.0 / nLon
+        val cells = pts
+          .withColumn("__cy", floor(col("lat") / latCell).cast("long"))
+          .withColumn("__cx", least(floor((col("lon") + 180.0) / lonWidth),
+            lit(nLon - 1)).cast("long"))
+        val probes = cells
+          .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("id").as("id_a"), (col("__cy") + col("__dy")).as("__cy"),
+            pmod(col("__cx") + col("__dx"), lit(nLon)).as("__cx"))
+        val candidates = probes
+          .join(cells.select(col("id").as("id_b"), col("__cy"), col("__cx")),
+            Seq("__cy", "__cx"))
+          .filter(col("id_a") < col("id_b")).count()
+        val (matches, t) = timeMin(2) {
+          graft.ops.Geo.radiusSelfJoin(pts, "id", "lat", "lon", 75.0).count()
+        }
+        BlockMeasure("geo-radius-75km", scale, n, n * (n - 1) / 2,
+          candidates, matches, t)
+      }
+    val aa = Seq(("/root/testdata/sf0.01", 1), ("/root/testdata/sf0.1", 10))
+      .map { case (dir, scale) =>
+        val e = Tables.load(spark, dir, "lineitem")
+          .select(col("l_suppkey").as("a"), col("l_partkey").as("r")).distinct()
+          .localCheckpoint(true)
+        val deg = e.groupBy("r").agg(count(lit(1)).as("d"))
+        def wedges(capped: Boolean) = deg
+          .filter(if (capped) col("d") >= 2 && col("d") <= 30 else col("d") >= 2)
+          .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)))
+          .collect().head.getLong(0)
+        val full = wedges(capped = false)
+        val cand = wedges(capped = true)
+        val (matches, t) = timeMin(2) {
+          graft.ops.Clustering.adamicAdar(e, "a", "r", maxRightDeg = 30, k = 100)
+            .count()
+        }
+        BlockMeasure("adamic-adar-cap30", scale, e.count(), full, cand, matches, t)
+      }
+    geo ++ aa
+  }
 
   /** Shuffle-volume behavior of the covariance moment kernel as the
     * corpus grows: the kernel emits d(d+1)/2 partial rows PER TASK, so
@@ -279,7 +344,7 @@ object ScaleRehearsal {
 
   private def write(sfDir: String, rs: Seq[Measure],
       cov: Seq[CovMeasure], tri: Seq[TriMeasure],
-      man: Seq[ManMeasure]): Unit = {
+      man: Seq[ManMeasure], blocks: Seq[BlockMeasure]): Unit = {
     def f(d: Double) = String.format(Locale.ROOT, "%.3f", Double.box(d))
     val rows = rs.map { m =>
       s"| ${m.scale}x | ${m.baseRows} | ${m.matched} | ${m.baseFilesTotal} | " +
@@ -398,6 +463,33 @@ object ScaleRehearsal {
          |  ratio equals the selectivity because range clustering keeps
          |  per-file value spans disjoint. On a 100 TB table the manifest
          |  replaces ~million footer reads with one KB-scale table scan.
+         |
+         |# Blocked pair generators — candidates vs the quadratic cross
+         |
+         |Natural 10x growth (sf0.01 -> sf0.1 customer / lineitem). Each
+         |row replays the operator's blocking step without its final
+         |filter to COUNT the candidate pairs it actually examines, next
+         |to the full-cross pair count the naive formulation would scan.
+         |The oracles already prove both blockings LOSSLESS (full-cross
+         |DuckDB comparisons hash-match); this table shows the prune is
+         |also the difference between linear and quadratic growth.
+         |
+         || operator | scale | points/edges | full-cross pairs | blocked candidates | matches | t (s) |
+         ||---|---|---|---|---|---|---|
+         |@BLOCKROWS@
+         |
+         |- The geo grid examines ${f(100.0 * blocks(1).candidates /
+              math.max(blocks(1).fullPairs, 1).toDouble)}% of the
+         |  cross join at 10x; candidate count grows ~linearly with
+         |  points (cell occupancy is bounded), while the cross grows
+         |  100x — at planetary point sets the 3x3 cell probe IS the
+         |  difference between a shuffle and an impossibility.
+         |- The Adamic-Adar hub cap bounds every right node's emission
+         |  at cap·(cap−1)/2, so the candidate set grew
+         |  ${f(blocks(3).candidates.toDouble / math.max(blocks(2).candidates, 1))}x
+         |  against ${f(blocks(3).fullPairs.toDouble / math.max(blocks(2).fullPairs, 1))}x
+         |  for the uncapped wedge set (which scales with Σd² — one
+         |  degree-d hub alone emits d(d−1)/2 pairs, unboundedly).
          |""".stripMargin.replace("@ROWS@", rows).replace("@COVROWS@",
         cov.map(m => s"| ${m.scale}x | ${m.rows} | ${m.cells} | " +
           s"${m.shuffleRecords} | ${f(m.t)} |").mkString("\n"))
@@ -409,6 +501,10 @@ object ScaleRehearsal {
         man.map(m => s"| ${m.scale}x | ${m.rows} | ${m.matched} | " +
           s"${m.filesTotal} | ${m.filesOpened} | ${f(m.t)} | " +
           s"${f(m.tFull)} |").mkString("\n"))
+      .replace("@BLOCKROWS@",
+        blocks.map(m => s"| ${m.tag} | ${m.scale}x | ${m.points} | " +
+          s"${m.fullPairs} | ${m.candidates} | ${m.matches} | ${f(m.t)} |")
+          .mkString("\n"))
     java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/SCALE_REHEARSAL.md"),
       md.getBytes("UTF-8"))
   }

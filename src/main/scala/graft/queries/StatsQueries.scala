@@ -45,6 +45,37 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value", period = 7)
     }),
 
+    // cohort LTV triangle: users grouped by first-seen week, purchase
+    // revenue accumulated by cohort age — the retention-revenue view
+    // (window only over the per-cohort age rows, never the events)
+    "events_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekNs = 604800000000000L
+      val ev = Tables.load(s, dir, "events")
+      val cohort = ev.groupBy("user_id")
+        .agg(expr(s"min(ts) div ${weekNs}L").as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val cells = ev
+        .filter(col("event_type") === "purchase" &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("user_id"), expr(s"ts div ${weekNs}L").as("__w"),
+          round(col("value"), 6).cast("decimal(18,6)").as("__v"))
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("age_week"))
+        .agg(sum(col("__v")).as("__rev"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("__cum", sum(col("__rev")).over(w))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("age_week"), col("n_users"),
+          round(col("__rev").cast("double"), 6).as("revenue"),
+          round(col("__cum").cast("double"), 6).as("cum_revenue"),
+          round(col("__cum").cast("double") / col("n_users"), 6)
+            .as("ltv_per_user"))
+    }),
+
     // difference-in-differences: even-user "treatment" vs odd-user
     // control, before/after the month midpoint
     "events_diff_in_diff" -> ((s, dir) => {
@@ -181,6 +212,25 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(err AS DOUBLE) / n_fc) / (CAST(s AS DOUBLE) / ns), 6) " +
         "  END AS mase " +
         "FROM fc JOIN sc ON sc.key = fc.key"),
+
+    "events_cohort_ltv" ->
+      ("WITH c AS (SELECT user_id, min(epoch_ns(ts)) // 604800000000000 " +
+        "    AS cohort_week FROM events GROUP BY 1), " +
+        "sz AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) " +
+        "    AS n_users FROM c GROUP BY 1), " +
+        "cells AS (SELECT c.cohort_week, " +
+        "    epoch_ns(e.ts) // 604800000000000 - c.cohort_week AS age_week, " +
+        "    sum(CAST(round(CAST(e.value AS DOUBLE), 6) AS DECIMAL(18,6))) AS rev " +
+        "  FROM events e JOIN c ON c.user_id = e.user_id " +
+        "  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL " +
+        "    AND NOT isnan(e.value) GROUP BY 1, 2), " +
+        "cum AS (SELECT *, sum(rev) OVER (PARTITION BY cohort_week " +
+        "    ORDER BY age_week) AS crev FROM cells) " +
+        "SELECT cohort_week, age_week, n_users, " +
+        "  round(CAST(rev AS DOUBLE), 6) AS revenue, " +
+        "  round(CAST(crev AS DOUBLE), 6) AS cum_revenue, " +
+        "  round(CAST(crev AS DOUBLE) / n_users, 6) AS ltv_per_user " +
+        "FROM cum JOIN sz USING (cohort_week)"),
 
     "events_diff_in_diff" ->
       ("WITH d AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'ctrl' " +
