@@ -195,6 +195,43 @@ object AggQueries extends QueryGroup {
       Tables.load(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("apx_median_qty"))
+    }),
+
+    // PIVOT: priority distribution per order status as a wide matrix
+    // (explicit value list — no extra distinct pass, stable columns)
+    "agg_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+    }),
+
+    // UNPIVOT/melt: the four lineitem measures to (measure, total) long
+    // form via one stack projection + one aggregate
+    "agg_unpivot" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("stack(4, 'quantity', l_quantity, 'extendedprice', " +
+          "l_extendedprice, 'discount', l_discount, 'tax', l_tax) " +
+          "AS (measure, v)")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v").cast("double"), 6).cast("decimal(18,6)"))
+            .cast("double").as("total"))
+    }),
+
+    // analytic-rank suite: ntile/percent_rank/cume_dist per supplier
+    // over a TOTAL order (price, orderkey, linenumber) — deterministic
+    "scan_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
     })
   )
 
@@ -286,6 +323,37 @@ object AggQueries extends QueryGroup {
     "agg_orders_monthly" ->
       ("SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
-        "FROM orders GROUP BY 1")
+        "FROM orders GROUP BY 1"),
+    "agg_pivot" ->
+      ("SELECT o_orderstatus, " +
+        "  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) " +
+        "    AS \"1-URGENT\", " +
+        "  CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) " +
+        "    AS \"2-HIGH\", " +
+        "  CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) " +
+        "    AS \"3-MEDIUM\", " +
+        "  CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') " +
+        "    AS BIGINT) AS \"4-NOT SPECIFIED\", " +
+        "  CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) " +
+        "    AS \"5-LOW\" " +
+        "FROM orders GROUP BY 1"),
+    "agg_unpivot" ->
+      ("WITH l AS (SELECT 'quantity' AS measure, CAST(l_quantity AS DOUBLE) AS v " +
+        "    FROM lineitem " +
+        "  UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) " +
+        "    FROM lineitem " +
+        "  UNION ALL SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem " +
+        "  UNION ALL SELECT 'tax', CAST(l_tax AS DOUBLE) FROM lineitem) " +
+        "SELECT measure, CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total " +
+        "FROM l GROUP BY 1"),
+    "scan_window_rank" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "  ntile(4) OVER w AS quartile, " +
+        "  round(percent_rank() OVER w, 6) AS pct_rank, " +
+        "  round(cume_dist() OVER w, 6) AS cume " +
+        "FROM lineitem WHERE l_suppkey < 5 " +
+        "WINDOW w AS (PARTITION BY l_suppkey " +
+        "  ORDER BY l_extendedprice, l_orderkey, l_linenumber)")
   )
 }
