@@ -92,6 +92,13 @@ object Bench {
               false
             }
           val dt = (System.nanoTime() - t0) / 1e9
+          // free the query's localCheckpoint RDDs OUTSIDE its timing:
+          // iterative ops persist per-round state that otherwise
+          // accumulates across the whole suite (hundreds of queries in,
+          // the storage-memory pressure showed up as a 2-3x tail on
+          // late-alphabet queries — r4's filter_*/mut_* drift cluster)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           if (ok) {
             System.err.println(f"[bench$tag] $name%-28s $dt%8.2f s  ${jvmStats()}")
             Some(name -> dt)

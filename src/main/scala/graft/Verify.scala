@@ -34,6 +34,8 @@ object Verify {
           errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
           System.err.println(s"[verify] $name FAILED: ${errors(name)}")
         }
+        finally spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

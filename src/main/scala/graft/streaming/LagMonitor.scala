@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Event-time LAG observability — the canary that fires BEFORE
+  * watermarked aggregations silently drop data: per micro-batch, the
+  * distribution of (reference clock − event time) and the count already
+  * past the lateness budget. Watermark-based operators discard late
+  * rows without a trace in their OUTPUT; the monitoring table this
+  * writes is where "the mobile pipeline is six hours behind" shows up
+  * as a number.
+  *
+  * Per-batch cost: one pass + a single-row aggregate (min/max/mean lag,
+  * over-budget count) — batch-local, no state, any volume. The
+  * reference clock is injectable (`nowNs`): production passes wall
+  * clock, tests pass a fixed instant so the output is deterministic.
+  * Lag quantiles, if needed, are a downstream rollup of the appended
+  * table (keeping the hot path one aggregate).
+  */
+object LagMonitor {
+
+  /** Start the monitor over a stream whose `tsCol` rides the engine's
+    * epoch-nanos long axis. Appends one row per micro-batch to
+    * `outPath`: (batch_id, n, n_late, lag_min_s, lag_mean_s, lag_max_s)
+    * with lags in seconds at 6 dp (negative = event time ahead of the
+    * reference clock — a clock-skew signal of its own). */
+  def start(spark: SparkSession, stream: DataFrame, tsCol: String,
+      budgetNs: Long, outPath: String, checkpoint: String,
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L): StreamingQuery = {
+    require(budgetNs > 0, s"budgetNs must be positive: $budgetNs")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val now = nowNs()
+        val lag = (lit(now) - col(tsCol)).cast("double") / 1e9
+        val row = batch.filter(col(tsCol).isNotNull)
+          .agg(count(lit(1)).as("n"),
+            count(when(lit(now) - col(tsCol) > budgetNs, 1)).as("n_late"),
+            round(min(lag), 6).as("lag_min_s"),
+            round(avg(lag), 6).as("lag_mean_s"),
+            round(max(lag), 6).as("lag_max_s"))
+          .withColumn("batch_id", lit(batchId))
+          .select("batch_id", "n", "n_late", "lag_min_s", "lag_mean_s",
+            "lag_max_s")
+        row.write.mode(SaveMode.Append).parquet(outPath)
+        ()
+      }
+      .start()
+  }
+}

@@ -350,4 +350,36 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.size == rows.map(r => (r._1, r._2)).size)
     } finally q.stop()
   }
+
+  test("LagMonitor: per-batch lag stats and over-budget counts are deterministic") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val out = Files.createTempDirectory("graft-lag-out").toString
+    val ckpt = Files.createTempDirectory("graft-lag-ck").toString
+    val nowFixed = 1000L * 1000000000L // t = 1000 s on the nanos axis
+    val q = graft.streaming.LagMonitor.start(spark,
+      in.toDF().toDF("ts"), "ts", budgetNs = 60L * 1000000000L,
+      out, ckpt, nowNs = () => nowFixed)
+    try {
+      // lags: 10 s, 30 s, 120 s (late), and -5 s (clock skew)
+      in.addData(990L * 1000000000L, 970L * 1000000000L,
+        880L * 1000000000L, 1005L * 1000000000L)
+      q.processAllAvailable()
+      in.addData(999L * 1000000000L) // 1 s lag, nothing late
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .orderBy("batch_id").collect()
+      assert(rows.length === 2)
+      val b0 = rows(0)
+      assert(b0.getAs[Long]("n") === 4L)
+      assert(b0.getAs[Long]("n_late") === 1L)     // only the 120 s lag
+      assert(b0.getAs[Double]("lag_min_s") === -5.0)
+      assert(b0.getAs[Double]("lag_max_s") === 120.0)
+      assert(b0.getAs[Double]("lag_mean_s") === 38.75) // (10+30+120-5)/4
+      val b1 = rows(1)
+      assert(b1.getAs[Long]("n") === 1L && b1.getAs[Long]("n_late") === 0L)
+      assert(b1.getAs[Double]("lag_mean_s") === 1.0)
+    } finally q.stop()
+  }
 }
