@@ -364,4 +364,35 @@ object Curation {
       .orderBy(col("draw").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Mean imputation for missing/NaN numerics — the feature-hygiene
+    * step before anything numeric consumes the column: NULL/NaN values
+    * fill with their GROUP's mean (exact decimal moments), falling back
+    * to the global mean for groups with no clean observation; every row
+    * carries an `imputed` flag so downstream can weight or audit fills.
+    * All emitted values are 6-dp (clean rows included — one rendering
+    * contract for the whole column).
+    *
+    * Shape: one grouped moment aggregate (groups-sized, broadcast
+    * back) + one single-row global aggregate; the data itself never
+    * shuffles. */
+  def imputeMean(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "imputeMean needs at least one group column")
+    val v = col(valueCol).cast("double")
+    val missing = v.isNull || isnan(v)
+    val dec = round(v, 6).cast("decimal(18,6)")
+    val grp = df.filter(!missing)
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(sum(dec).cast("double") / count(lit(1)), 6).as("__gm"))
+    val glob = df.filter(!missing)
+      .agg(round(sum(dec).cast("double") / count(lit(1)), 6).as("__am"))
+    df.join(broadcast(grp), groupCols, "left")
+      .crossJoin(broadcast(glob))
+      .withColumn("imputed", missing)
+      .withColumn(valueCol,
+        when(missing, coalesce(col("__gm"), col("__am")))
+          .otherwise(round(v, 6)))
+      .drop("__gm", "__am")
+  }
 }

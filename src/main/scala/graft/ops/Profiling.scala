@@ -1175,6 +1175,30 @@ object Profiling {
       Seq("r2" -> r2, "n" -> n)).toDF("term", "value")
   }
 
+  /** Order-independent table content checksum — the anti-entropy
+    * fingerprint for replication/migration verification ("is the copy
+    * on the other cluster byte-equivalent?") that two engines can
+    * compute independently and compare as ONE number. Each row hashes
+    * to the engine's md5 32-bit uniform over a chr(1)-joined key
+    * rendering; the checksum is the exact decimal SUM of row hashes —
+    * commutative, so partitioning, file order, and engine are all
+    * irrelevant, and any single-row difference moves it.
+    *
+    * Columns must render identically across engines: integral/string
+    * types are safe; pass floating-point columns through an explicit
+    * `round(x, k)`-cast-string first (engine float formatting differs —
+    * the caller owns the rendering contract). One projection + one
+    * aggregate; returns (n_rows, checksum as DECIMAL(38,0) string). */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val key = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val h = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(h.cast("decimal(38,0)")).cast("string").as("checksum"))
+  }
+
   /** Lexical type inference over string columns — the ingestion-time
     * profiler for schemaless data (TSV imports, JSON props, CDC
     * payloads): what fraction of each column parses as int / decimal /

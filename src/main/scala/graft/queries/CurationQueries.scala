@@ -70,6 +70,25 @@ object CurationQueries extends QueryGroup {
         "doc_id", "text", CurationQueries.rakeStops, k = 50)
     }),
 
+    // order-independent content checksum over the integral/string key
+    // columns — the anti-entropy replication fingerprint
+    "profile_table_checksum" -> ((s, dir) => {
+      graft.ops.Profiling.tableChecksum(Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))
+    }),
+
+    // per-event-type mean imputation of NaN values, global fallback,
+    // imputed flag per row
+    "pipeline_impute" -> ((s, dir) => {
+      graft.ops.Curation.imputeMean(
+        Tables.load(s, dir, "events")
+          .select("event_id", "event_type", "value"),
+        "value", Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("imputed"))
+    }),
+
     // B-cubed extrinsic clustering score: exact-dup clusters vs lang
     // labels (cell-closed-form — nothing touches pairs)
     "eval_bcubed" -> ((s, dir) => {
@@ -269,6 +288,34 @@ object CurationQueries extends QueryGroup {
         "SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
         "  CAST(max(score) AS DOUBLE) AS score " +
         "FROM sc GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50"),
+
+    "profile_table_checksum" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "  CAST(CAST(sum(('0x' || substr(md5(" +
+        "    COALESCE(CAST(l_orderkey AS VARCHAR), '') || chr(1) || " +
+        "    COALESCE(CAST(l_partkey AS VARCHAR), '') || chr(1) || " +
+        "    COALESCE(CAST(l_suppkey AS VARCHAR), '') || chr(1) || " +
+        "    COALESCE(CAST(l_linenumber AS VARCHAR), '') || chr(1) || " +
+        "    COALESCE(l_returnflag, '') || chr(1) || " +
+        "    COALESCE(l_linestatus, '')), 1, 8))::BIGINT) AS DECIMAL(38,0)) " +
+        "    AS VARCHAR) AS checksum " +
+        "FROM lineitem"),
+
+    "pipeline_impute" ->
+      ("WITH cl AS (SELECT event_type, " +
+        "    round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) " +
+        "      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS gm " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "  GROUP BY 1), " +
+        "g AS (SELECT round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) " +
+        "      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS am " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value)) " +
+        "SELECT event_id, e.event_type, " +
+        "  CASE WHEN value IS NULL OR isnan(value) " +
+        "    THEN COALESCE(gm, am) ELSE round(CAST(value AS DOUBLE), 6) END " +
+        "    AS value, " +
+        "  (value IS NULL OR isnan(value)) AS imputed " +
+        "FROM events e LEFT JOIN cl ON cl.event_type = e.event_type, g"),
 
     "eval_bcubed" ->
       ("WITH cl AS (SELECT lang, min(doc_id) OVER (PARTITION BY text) AS cluster " +

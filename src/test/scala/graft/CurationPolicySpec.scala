@@ -154,4 +154,41 @@ class CurationPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
       Profiling.olsFit(df, Seq("x1", "x2"), "y")
     }
   }
+
+  test("tableChecksum is order- and partitioning-independent, content-sensitive") {
+    val s = spark; import s.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    def ck(d: org.apache.spark.sql.DataFrame) =
+      Profiling.tableChecksum(d, Seq("id", "name")).collect().head.getString(1)
+    val base = ck(df.coalesce(1))
+    assert(ck(df.repartition(7)) === base)
+    assert(ck(df.orderBy(org.apache.spark.sql.functions.col("id").desc)) === base)
+    val mutated = df.withColumn("name",
+      org.apache.spark.sql.functions.when(col("id") === 250L,
+        org.apache.spark.sql.functions.lit("changed")).otherwise(col("name")))
+    assert(ck(mutated) !== base)
+  }
+
+  test("imputeMean fills per group with a global fallback and flags rows") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)), ("a", 3L, None),
+      ("b", 4L, Some(100.0)), ("b", 5L, Some(Double.NaN)),
+      ("c", 6L, None) // group with no clean value -> global mean
+    ).map { case (g, i, v) => (g, i, v.getOrElse(Double.NaN)) }
+      .toDF("g", "id", "v")
+      .select(col("g"), col("id"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.isnan(col("v")), org.apache.spark.sql.functions.lit(Double.NaN))
+          .otherwise(col("v")).as("v"))
+    val out = Curation.imputeMean(df, "v", Seq("g"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(r.fieldIndex("v")), r.getBoolean(r.fieldIndex("imputed")))).toMap
+    assert(out(1L) === ((10.0, false)))
+    assert(out(3L) === ((15.0, true)))    // mean of group a
+    assert(out(5L) === ((100.0, true)))   // NaN fills with b's mean
+    // global mean of clean values = (10+20+100)/3
+    assert(math.abs(out(6L)._1 - 43.333333) < 1e-6)
+    assert(out(6L)._2 === true)
+  }
 }
