@@ -365,6 +365,41 @@ object Curation {
       .limit(k)
   }
 
+  /** Smoothed target encoding with a leave-one-out column — the
+    * high-cardinality-categorical featurizer (domain, source, author →
+    * one number) that one-hot cannot reach: each category maps to its
+    * smoothed target mean (n·mean + m·global)/(n + m), shrinking rare
+    * categories toward the prior so they can't memorize noise. The
+    * `te_loo` column excludes the row's OWN target ((Σ − y)/(n − 1),
+    * same smoothing) — the leakage-free variant for encoding the
+    * training split itself; singleton categories fall back to the
+    * global mean.
+    *
+    * One category-keyed aggregate (exact decimal sums) broadcast back —
+    * the data never shuffles. Emitted values 6-dp. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 20.0): DataFrame = {
+    require(smoothing >= 0.0, s"smoothing must be >= 0: $smoothing")
+    val y = col(targetCol).cast("double")
+    val y6dec = round(y, 6).cast("decimal(18,6)")
+    val clean = df.filter(y.isNotNull && !isnan(y) && col(catCol).isNotNull)
+    val cat = clean.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__cn"), sum(y6dec).as("__cs"))
+    val glob = clean.agg(
+      (sum(y6dec).cast("double") / count(lit(1))).as("__gm"))
+    val te = (col("__cs").cast("double") + lit(smoothing) * col("__gm")) /
+      (col("__cn") + lit(smoothing))
+    val looN = col("__cn") - 1
+    val teLoo = when(looN > 0,
+        ((col("__cs").cast("double") - round(y, 6)) +
+          lit(smoothing) * col("__gm")) / (looN + lit(smoothing)))
+      .otherwise(col("__gm"))
+    clean.join(broadcast(cat), Seq(catCol)).crossJoin(broadcast(glob))
+      .withColumn("te", round(te, 6))
+      .withColumn("te_loo", round(teLoo, 6))
+      .drop("__cn", "__cs", "__gm")
+  }
+
   /** Mean imputation for missing/NaN numerics — the feature-hygiene
     * step before anything numeric consumes the column: NULL/NaN values
     * fill with their GROUP's mean (exact decimal moments), falling back

@@ -257,4 +257,29 @@ object Sampling {
       .orderBy(col("priority").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Temporal train/test split with an EMBARGO gap (purged split):
+    * train = strictly before `cutTs − embargo`, test = at/after
+    * `cutTs`, and the embargo band in between is EXCLUDED — the
+    * time-series leakage guard for label horizons and autocorrelated
+    * features (a row just before the cut carries information about the
+    * first test rows; the hash splits can't see time). Returns every
+    * input row labeled `split` ∈ {train, embargo, test} — the embargo
+    * rows stay visible for audit, callers filter.
+    *
+    * Pure per-row predicate on the engine's long ts axis; no shuffle,
+    * reproducible by construction. */
+  def splitTemporal(df: DataFrame, tsCol: String, cutTs: Long,
+      embargo: Long): DataFrame = {
+    require(embargo >= 0, s"embargo must be >= 0: $embargo")
+    val reserved = "split"
+    require(!df.columns.contains(reserved),
+      "column name split is reserved by splitTemporal — rename first")
+    val t = col(tsCol)
+    df.withColumn(reserved,
+      when(t.isNull, lit(null).cast("string"))
+        .when(t < cutTs - embargo, lit("train"))
+        .when(t >= cutTs, lit("test"))
+        .otherwise(lit("embargo")))
+  }
 }

@@ -70,6 +70,25 @@ object CurationQueries extends QueryGroup {
         "doc_id", "text", CurationQueries.rakeStops, k = 50)
     }),
 
+    // smoothed target encoding of source -> n_chars with the
+    // leave-one-out leakage-free variant
+    "pipeline_target_encode" -> ((s, dir) => {
+      graft.ops.Curation.targetEncode(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "n_chars"),
+        "source", "n_chars", smoothing = 20.0)
+        .select("doc_id", "source", "te", "te_loo")
+    }),
+
+    // purged temporal split: train strictly before cut minus a 2-day
+    // embargo, test at/after the cut, embargo band excluded but audited
+    "sample_split_temporal" -> ((s, dir) => {
+      graft.ops.Sampling.splitTemporal(
+        Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "ts"),
+        "ts", cutTs = 1705708800000000000L, embargo = 172800000000000L)
+    }),
+
     // order-independent content checksum over the integral/string key
     // columns — the anti-entropy replication fingerprint
     "profile_table_checksum" -> ((s, dir) => {
@@ -288,6 +307,30 @@ object CurationQueries extends QueryGroup {
         "SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
         "  CAST(max(score) AS DOUBLE) AS score " +
         "FROM sc GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50"),
+
+    "pipeline_target_encode" ->
+      ("WITH c AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS y " +
+        "  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL), " +
+        "cat AS (SELECT source, CAST(count(*) AS BIGINT) AS cn, " +
+        "    CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS cs " +
+        "  FROM c GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS gm FROM c) " +
+        "SELECT doc_id, c.source, " +
+        "  round((cs + 20.0 * gm) / (cn + 20.0), 6) AS te, " +
+        "  round(CASE WHEN cn - 1 > 0 THEN " +
+        "    ((cs - round(y, 6)) + 20.0 * gm) / ((cn - 1) + 20.0) " +
+        "    ELSE gm END, 6) AS te_loo " +
+        "FROM c JOIN cat ON cat.source = c.source, g"),
+
+    "sample_split_temporal" ->
+      ("SELECT event_id, user_id, epoch_ns(ts) AS ts, " +
+        "  CASE WHEN ts IS NULL THEN NULL " +
+        "    WHEN epoch_ns(ts) < 1705708800000000000 - 172800000000000 " +
+        "      THEN 'train' " +
+        "    WHEN epoch_ns(ts) >= 1705708800000000000 THEN 'test' " +
+        "    ELSE 'embargo' END AS split " +
+        "FROM events"),
 
     "profile_table_checksum" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +

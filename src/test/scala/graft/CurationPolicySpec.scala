@@ -191,4 +191,36 @@ class CurationPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(6L)._1 - 43.333333) < 1e-6)
     assert(out(6L)._2 === true)
   }
+
+  test("targetEncode: smoothing shrinks rare categories; LOO excludes own row") {
+    val s = spark; import s.implicits._
+    // cat a: y = {0, 10} (mean 5); cat b singleton y = 100; global mean
+    val df = Seq((1L, "a", 0.0), (2L, "a", 10.0), (3L, "b", 100.0))
+      .toDF("id", "cat", "y")
+    val out = Curation.targetEncode(df, "cat", "y", smoothing = 2.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("te"), r.getAs[Double]("te_loo"))).toMap
+    val gm = 110.0 / 3
+    val teA = (10.0 + 2 * gm) / 4     // (sum_a + m*gm)/(n_a + m)
+    assert(math.abs(out(1L)._1 - math.rint(teA * 1e6) / 1e6) < 1e-9)
+    // LOO for row 1 (y=0): (10-0 + 2*gm)/(1+2)
+    val loo1 = (10.0 + 2 * gm) / 3
+    assert(math.abs(out(1L)._2 - math.rint(loo1 * 1e6) / 1e6) < 1e-9)
+    // singleton b falls back to the global mean for LOO
+    assert(math.abs(out(3L)._2 - math.rint(gm * 1e6) / 1e6) < 1e-9)
+    // shrinkage: smoothed te of b sits between its own mean and global
+    assert(out(3L)._1 < 100.0 && out(3L)._1 > gm)
+  }
+
+  test("splitTemporal labels train/embargo/test with exclusive embargo band") {
+    val s = spark; import s.implicits._
+    val cut = 1000L; val emb = 100L
+    val df = Seq((1L, 850L), (2L, 899L), (3L, 900L), (4L, 999L),
+      (5L, 1000L), (6L, 1500L)).toDF("id", "ts")
+    val out = graft.ops.Sampling.splitTemporal(df, "ts", cut, emb)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "train" && out(2L) === "train")
+    assert(out(3L) === "embargo" && out(4L) === "embargo")
+    assert(out(5L) === "test" && out(6L) === "test")
+  }
 }
