@@ -21,7 +21,8 @@ object Queries {
     BulkQueries,
     StatsQueries,
     CurationQueries,
-    GraphQueries)
+    GraphQueries,
+    SegmentationQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

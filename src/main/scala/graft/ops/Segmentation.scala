@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer/entity segmentation and distribution-audit operators — the
+  * BI layer a warehouse user expects next to the funnel/retention
+  * family: RFM scoring, Pareto/ABC concentration, dormancy detection,
+  * time-grid gap filling, and a Benford first-digit audit.
+  *
+  * Scale discipline shared by all of them: the event-scale work is ONE
+  * hash aggregation down to the entity grain (users / parts / digits),
+  * and every global total order after that runs through
+  * [[Curation.runningTotal]]'s distributed prefix sum — never an
+  * unpartitioned `row_number()`/`ntile()` window, which would funnel
+  * the whole entity table through a single task at 100 TB.
+  */
+object Segmentation {
+
+  private val dayNs = 86400000000000L
+
+  /** RFM segmentation: per user, Recency (days since last event,
+    * against the corpus max), Frequency (event count) and Monetary
+    * (purchase-value sum), each cut into `nBins` equal-count buckets
+    * (1 = best: most recent / most frequent / highest spend).
+    *
+    * Buckets are ⌈rank·nBins/N⌉ over a deterministic total order
+    * (metric, then user id) — [[Curation.curriculumBins]]' exact
+    * integer device, re-derivable in SQL as
+    * `(row_number()*nBins + N - 1) // N` — so segment membership is
+    * reproducible on any engine. Three prefix-sum passes over the
+    * per-USER aggregate (not the events), one event-scale shuffle
+    * total.
+    */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, purchaseType: String,
+      nBins: Int = 5): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(
+        max(col(tsCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        coalesce(
+          sum(when(col(typeCol) === purchaseType &&
+              col(valueCol).isNotNull && !isnan(col(valueCol)),
+            round(col(valueCol), 6).cast("decimal(18,6)"))),
+          lit(0).cast("decimal(18,6)")).as("__m"))
+    val withRec = perUser
+      .crossJoin(broadcast(events.agg(max(col(tsCol)).as("__gmax"))))
+      .withColumn("recency_days",
+        expr("(__gmax - __last) div 86400000000000"))
+      .drop("__gmax", "__last")
+    val r = Curation.curriculumBins(withRec,
+      Seq(col("recency_days").asc, col("user_id").asc), nBins, "r_bucket")
+    val f = Curation.curriculumBins(r,
+      Seq(col("frequency").desc, col("user_id").asc), nBins, "f_bucket")
+    val m = Curation.curriculumBins(f,
+      Seq(col("__m").desc, col("user_id").asc), nBins, "m_bucket")
+    m.select(col("user_id"), col("recency_days"), col("frequency"),
+      round(col("__m").cast("double"), 6).as("monetary"),
+      col("r_bucket"), col("f_bucket"), col("m_bucket"),
+      concat_ws("-", col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        .as("segment"))
+  }
+
+  /** Pareto / ABC concentration analysis: per-key revenue, cumulative
+    * share in descending-revenue order, and the classic A (first 80% of
+    * revenue) / B (next 15%) / C (tail) class. The class boundary
+    * compares exact decimals cross-multiplied by integers
+    * (`cum·5 ≤ total·4`), so no float threshold ulp can flip a row.
+    * Cumulative sums ride the distributed prefix sum, not a global
+    * window.
+    */
+  def paretoAbc(df: DataFrame, keyCol: String, revenue: Column): DataFrame = {
+    val perKey = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(round(revenue, 6).cast("decimal(18,6)")).as("__rev"))
+      .filter(col("__rev").isNotNull)
+    val cum = Curation.runningTotal(perKey,
+      Seq(col("__rev").desc, col("key").asc), col("__rev"), "__cum")
+    cum.crossJoin(broadcast(perKey.agg(sum(col("__rev")).as("__tot"))))
+      .select(col("key"),
+        round(col("__rev").cast("double"), 6).as("revenue"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_share"),
+        when(col("__cum") * 5 <= col("__tot") * 4, "A")
+          .when(col("__cum") * 20 <= col("__tot") * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Dormant-entity detection: users whose CURRENT silence (time since
+    * their last event, against the corpus max timestamp) exceeds their
+    * own p95 inter-arrival gap — "this user's quietness is abnormal for
+    * this user", the churn-risk primitive that a fixed global inactivity
+    * cutoff gets wrong for both daily and monthly actives.
+    *
+    * The p95 is an exact order statistic (⌈0.95·m⌉-th smallest gap,
+    * integer-selected per user), not a float percentile — everything
+    * stays in epoch-nanos longs. Per-user windows only (the partitioned
+    * kind that scales); needs `minGaps` gaps to qualify. `idCol` breaks
+    * equal-timestamp ties so the gap sequence is a total order.
+    */
+  def dormantUsers(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, minGaps: Int = 5): DataFrame = {
+    require(minGaps >= 1, s"minGaps must be >= 1: $minGaps")
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("user_id"), col(tsCol), col(idCol))
+      .withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(wOrd))
+      .filter(col("__gap").isNotNull)
+    val wGap = Window.partitionBy(col("user_id"))
+      .orderBy(col("__gap").asc, col(tsCol).asc, col(idCol).asc)
+    val ranked = gaps
+      .withColumn("__rn", row_number().over(wGap))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("__last", max(col(tsCol)).over(Window.partitionBy(col("user_id"))))
+    val p95 = ranked
+      .filter(col("__m") >= minGaps &&
+        col("__rn") === expr("(19 * __m + 19) div 20"))
+      .select(col("user_id"), col("__m").as("n_gaps"),
+        col("__gap").as("p95_gap_ns"), col("__last"))
+    p95.crossJoin(broadcast(events.agg(max(col(tsCol)).as("__gmax"))))
+      .withColumn("silence_ns", col("__gmax") - col("__last"))
+      .filter(col("silence_ns") > col("p95_gap_ns"))
+      .select(col("user_id"), col("n_gaps"), col("p95_gap_ns"),
+        col("silence_ns"))
+  }
+
+  /** Time-grid gap filling: regularize an irregular event stream onto a
+    * fixed `stepNs` grid per key (every slot between the key's first and
+    * last event), carrying the last observed value forward into empty
+    * slots — the resample-then-fill step in front of any window/trend
+    * model that assumes an evenly spaced series.
+    *
+    * Slot observation is deterministic (the slot's last event by
+    * (ts, tie-break id) wins); the fill is a per-key ORDERED window
+    * (partitioned — scales), and the grid fan-out is bounded by
+    * span/stepNs slots per key, never events × slots.
+    */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, stepNs: Long): DataFrame = {
+    require(stepNs > 0, s"stepNs must be positive: $stepNs")
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"),
+        when(col(valueCol).isNotNull && !isnan(col(valueCol)),
+          round(col(valueCol), 6)).as("__v"))
+      .withColumn("__slot", expr(s"__ts div ${stepNs}L"))
+    val wSlot = Window.partitionBy(col("key"), col("__slot"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+    val obs = base.withColumn("__rn", row_number().over(wSlot))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("__slot").as("slot"), col("__v"))
+    val grid = base.groupBy("key")
+      .agg(min(col("__slot")).as("__mn"), max(col("__slot")).as("__mx"))
+      .select(col("key"), explode(sequence(col("__mn"), col("__mx"))).as("slot"))
+    val wFill = Window.partitionBy(col("key")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "slot"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(wFill))
+      .select(col("key"), col("slot"),
+        round(col("value"), 6).as("value"),
+        when(col("__v").isNotNull, 1).otherwise(0).as("is_observed"))
+  }
+
+  /** Benford first-digit audit: the distribution of leading digits of a
+    * positive numeric column vs Benford's law — the standard screen for
+    * fabricated or truncated numeric data before it enters a training
+    * corpus. Emits one row per digit (observed, expected, χ² term) plus
+    * the total χ² statistic on every row.
+    *
+    * The digit is extracted via exact integer formatting
+    * (`floor` → string → first char), never `log10` — so no
+    * transcendental ulp can flip a digit between engines. The χ² total
+    * sums 6-dp-rounded decimal terms: order-independent, hash-stable.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // round(p,6) of log10(1 + 1/d), d = 1..9 — fixed public constants
+    val p6 = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .withColumn("__p", element_at(
+        map(p6.zipWithIndex.flatMap { case (p, i) =>
+          Seq(lit(i + 1), lit(p)) }: _*), col("digit")))
+    val counts = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)) &&
+        col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("__c"))
+    val joined = broadcast(digits).join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("__c"), lit(0L)))
+      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
+      .withColumn("__exp", col("__n") * col("__p"))
+      .withColumn("__contrib",
+        (col("n_obs") - col("__exp")) * (col("n_obs") - col("__exp")) /
+          col("__exp"))
+    val chi2 = joined.agg(sum(round(col("__contrib"), 6)
+      .cast("decimal(18,6)")).as("__chi2"))
+    joined.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        round(col("__exp"), 6).as("expected"),
+        round(col("__contrib"), 6).as("chi2_term"),
+        col("__chi2").cast("double").as("chi2"))
+  }
+}

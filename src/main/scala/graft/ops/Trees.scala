@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed decision-stump learning — the simplest useful trainable
+  * model an analytics engine can fit wholly inside one aggregation
+  * pass: for each candidate feature, histogram the (bin, label) counts,
+  * sweep every bin boundary as a split, and pick the boundary with the
+  * lowest Gini impurity. The histogram sweep is the building block of
+  * every distributed tree learner (each boosting/forest round is this,
+  * per node).
+  *
+  * Scale shape: the ONLY event-scale operation is the melt + hash
+  * aggregation down to (feature, bin) counts — map-side combined, so the
+  * shuffle carries ≤ features × bins rows per input partition. The
+  * cumulative split sweep then runs on the tiny histogram (windows
+  * partitioned per feature over ~100 rows). All split statistics derive
+  * from exact integer counts; the Gini expression over those integers is
+  * IEEE-identical on any engine, so the chosen split is reproducible in
+  * SQL.
+  */
+object Trees {
+
+  /** Fit one stump per feature: the split `value < threshold` (threshold
+    * = upper edge of the chosen bin) minimizing weighted Gini impurity
+    * of the binary `labelCol`. Ties break toward the smallest bin.
+    * Features are fixed-width binned (`floor(value/width)`); rows with a
+    * NULL/NaN feature value are excluded from that feature's sweep.
+    *
+    * @param features (column name, bin width) per candidate feature
+    * @param labelCol boolean column (the positive class)
+    * @return one row per feature with its best split and impurity
+    */
+  def stump(df: DataFrame, features: Seq[(String, Double)],
+      labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(features.forall(_._2 > 0), s"bin widths must be positive: $features")
+    val melted = features.map { case (f, w) =>
+      df.filter(col(f).isNotNull && !isnan(col(f).cast("double")))
+        .select(lit(f).as("feature"),
+          floor(col(f).cast("double") / lit(w)).cast("long").as("bin"),
+          when(labelCol, 1L).otherwise(0L).as("__y"))
+    }.reduce(_ unionByName _)
+    val hist = melted.groupBy("feature", "bin")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("feature"))
+    val swept = hist
+      .withColumn("n_left", sum(col("__n")).over(wCum))
+      .withColumn("pos_left", sum(col("__p")).over(wCum))
+      .withColumn("n_total", sum(col("__n")).over(wTot))
+      .withColumn("pos_total", sum(col("__p")).over(wTot))
+      .filter(col("n_left") >= 1 && col("n_left") < col("n_total"))
+    // Gini of a (pos, n) leaf; written once so both sides of the split
+    // share the exact expression shape (IEEE-reproducible from longs)
+    def gini(pos: Column, n: Column): Column = {
+      val p = pos.cast("double") / n.cast("double")
+      val q = (n - pos).cast("double") / n.cast("double")
+      lit(1.0) - p * p - q * q
+    }
+    val nr = col("n_total") - col("n_left")
+    val pr = col("pos_total") - col("pos_left")
+    val weighted =
+      (col("n_left").cast("double") * gini(col("pos_left"), col("n_left")) +
+        nr.cast("double") * gini(pr, nr)) / col("n_total").cast("double")
+    val widthOf = map(features.flatMap { case (f, w) =>
+      Seq(lit(f), lit(w)) }: _*)
+    val wBest = Window.partitionBy(col("feature"))
+      .orderBy(col("__wg").asc, col("bin").asc)
+    swept.withColumn("__wg", weighted)
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("feature"), col("bin").as("split_bin"),
+        ((col("bin") + 1).cast("double") * element_at(widthOf, col("feature")))
+          .as("threshold"),
+        col("n_left"), col("pos_left"), col("n_total"), col("pos_total"),
+        round(col("__wg"), 6).as("wgini"))
+  }
+}

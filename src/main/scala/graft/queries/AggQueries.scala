@@ -129,6 +129,30 @@ object AggQueries extends QueryGroup {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
 
+    // Full cube + grouping_id: every subset of the two grouping keys in
+    // the same single-shuffle Expand pass as rollup; gid disambiguates
+    // "NULL key value" from "aggregated-out key" (leftmost key = MSB,
+    // the convention both Spark and the SQL oracle share)
+    "agg_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // Ordered listagg: the distinct member list of each group as one
+    // deterministic delimited string (collect_set → array_sort, bounded
+    // by group cardinality — the LISTAGG/string_agg surface)
+    "agg_string_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(concat_ws("|", array_sort(collect_set(col("l_linestatus"))))
+            .as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_status"))
+    }),
+
     // Table profiling: per-column non-null/null/distinct/min/max in ONE
     // scan (all columns' aggregates fold into a single partial agg; the
     // approxDistinct=true variant drops the multi-distinct Expand for
@@ -320,6 +344,18 @@ object AggQueries extends QueryGroup {
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    "agg_string_agg" ->
+      ("SELECT l_returnflag, " +
+        "string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) " +
+        "  AS statuses, " +
+        "CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status " +
+        "FROM lineitem GROUP BY 1"),
     "agg_orders_monthly" ->
       ("SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +

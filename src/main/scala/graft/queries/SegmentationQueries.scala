@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Segmentation / distribution-audit / stump-learning gates (SURVEY
+  * §2.11): RFM scoring, Pareto-ABC concentration, dormancy detection,
+  * time-grid gap filling, a Benford first-digit audit, and a
+  * histogram-swept decision stump — each hash-exact against a DuckDB
+  * oracle that re-derives the same integer/decimal arithmetic in SQL
+  * windows (the engine side uses the distributed prefix-sum devices
+  * instead of global windows; same values).
+  */
+object SegmentationQueries extends QueryGroup {
+
+  private val hourNs = 3600000000000L
+
+  def defs: Map[String, Q] = Map(
+
+    // RFM user segmentation: recency/frequency/monetary quintiles (1 =
+    // best), buckets by exact ceil-rank over the per-user aggregate —
+    // prefix-sum binning, no global ntile window
+    "events_rfm" -> ((s, dir) => {
+      graft.ops.Segmentation.rfm(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", "value", "purchase")
+    }),
+
+    // ABC analysis of part revenue: who owns the first 80% / next 15% /
+    // tail of the corpus — exact decimal cumulative shares, class
+    // boundaries integer-cross-multiplied (no float threshold)
+    "events_pareto" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.ops.Segmentation.paretoAbc(li, "l_partkey",
+        col("l_extendedprice") * (lit(1) - col("l_discount")))
+    }),
+
+    // churn-risk screen: users whose current silence exceeds their own
+    // p95 inter-arrival gap (exact per-user order statistic on nanos)
+    "events_dormancy" -> ((s, dir) => {
+      graft.ops.Segmentation.dormantUsers(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", minGaps = 5)
+    }),
+
+    // resample-to-grid + forward fill: hourly slots per user between
+    // first and last event, last observation carried forward (sampled
+    // user subset keeps the gate output bounded; the operator itself is
+    // span/step-bounded per key)
+    "events_gapfill" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 20 === 0)
+      graft.ops.Segmentation.gapFill(ev, "user_id", "ts", "event_id",
+        "value", hourNs)
+    }),
+
+    // Benford first-digit audit of the price column: observed vs
+    // expected digit law + chi-squared, digits via exact integer
+    // formatting (no log10 ulp)
+    "validate_benford" -> ((s, dir) => {
+      graft.ops.Segmentation.benford(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice")
+    }),
+
+    // one-pass decision stump per feature: histogram → boundary sweep →
+    // lowest weighted Gini; the per-round kernel of distributed tree
+    // learners, reproduced exactly by the SQL oracle from integer counts
+    "pipeline_stump" -> ((s, dir) => {
+      graft.ops.Trees.stump(Tables.load(s, dir, "lineitem"),
+        Seq(("l_quantity", 5.0), ("l_discount", 0.01), ("l_tax", 0.01)),
+        col("l_returnflag") === "R")
+    }))
+
+  private val benfordCase =
+    "CAST(CASE d.digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 " +
+      "WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 " +
+      "WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 " +
+      "WHEN 9 THEN 0.045757 END AS DOUBLE)"
+
+  private def stumpArm(feature: String, width: String): String =
+    s"SELECT '$feature' AS feature, " +
+      s"CAST(floor(CAST($feature AS DOUBLE) / $width) AS BIGINT) AS bin, " +
+      s"CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y " +
+      s"FROM lineitem WHERE $feature IS NOT NULL " +
+      s"AND NOT isnan(CAST($feature AS DOUBLE))"
+
+  def oracles: Map[String, String] = Map(
+
+    "events_rfm" ->
+      ("WITH u AS (SELECT user_id, max(epoch_ns(ts)) AS lastts, " +
+        "    CAST(count(*) AS BIGINT) AS frequency, " +
+        "    COALESCE(sum(CASE WHEN event_type = 'purchase' " +
+        "      AND value IS NOT NULL AND NOT isnan(value) " +
+        "      THEN CAST(round(value, 6) AS DECIMAL(18,6)) END), 0) AS m " +
+        "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "  GROUP BY 1), " +
+        "g AS (SELECT max(epoch_ns(ts)) AS gmax FROM events), " +
+        "r AS (SELECT u.*, (gmax - lastts) // 86400000000000 AS recency_days, " +
+        "    CAST(count(*) OVER () AS BIGINT) AS n FROM u, g), " +
+        "b AS (SELECT *, " +
+        "  (row_number() OVER (ORDER BY recency_days ASC, user_id ASC) * 5 " +
+        "    + n - 1) // n AS r_bucket, " +
+        "  (row_number() OVER (ORDER BY frequency DESC, user_id ASC) * 5 " +
+        "    + n - 1) // n AS f_bucket, " +
+        "  (row_number() OVER (ORDER BY m DESC, user_id ASC) * 5 " +
+        "    + n - 1) // n AS m_bucket FROM r) " +
+        "SELECT user_id, recency_days, frequency, " +
+        "  round(CAST(m AS DOUBLE), 6) AS monetary, " +
+        "  CAST(r_bucket AS BIGINT) AS r_bucket, " +
+        "  CAST(f_bucket AS BIGINT) AS f_bucket, " +
+        "  CAST(m_bucket AS BIGINT) AS m_bucket, " +
+        "  CAST(r_bucket AS VARCHAR) || '-' || CAST(f_bucket AS VARCHAR) " +
+        "    || '-' || CAST(m_bucket AS VARCHAR) AS segment FROM b"),
+
+    "events_pareto" ->
+      ("WITH k AS (SELECT l_partkey AS key, " +
+        "    sum(CAST(round(l_extendedprice * (1 - l_discount), 6) " +
+        "      AS DECIMAL(18,6))) AS rev " +
+        "  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1 " +
+        "  HAVING sum(CAST(round(l_extendedprice * (1 - l_discount), 6) " +
+        "      AS DECIMAL(18,6))) IS NOT NULL), " +
+        "t AS (SELECT sum(rev) AS tot FROM k), " +
+        "c AS (SELECT key, rev, " +
+        "    sum(rev) OVER (ORDER BY rev DESC, key ASC " +
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "  FROM k) " +
+        "SELECT key, round(CAST(rev AS DOUBLE), 6) AS revenue, " +
+        "  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share, " +
+        "  CASE WHEN cum * 5 <= tot * 4 THEN 'A' " +
+        "    WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class " +
+        "FROM c, t"),
+
+    "events_dormancy" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id AS id " +
+        "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "g AS (SELECT user_id, t, id, t - lag(t) OVER " +
+        "    (PARTITION BY user_id ORDER BY t, id) AS gap FROM e), " +
+        "f AS (SELECT user_id, t, id, gap FROM g WHERE gap IS NOT NULL), " +
+        "r AS (SELECT user_id, gap, " +
+        "    row_number() OVER (PARTITION BY user_id " +
+        "      ORDER BY gap ASC, t ASC, id ASC) AS rn, " +
+        "    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS m, " +
+        "    max(t) OVER (PARTITION BY user_id) AS lastt FROM f), " +
+        "p AS (SELECT user_id, m AS n_gaps, gap AS p95_gap_ns, lastt " +
+        "  FROM r WHERE m >= 5 AND rn = (19 * m + 19) // 20), " +
+        "mx AS (SELECT max(epoch_ns(ts)) AS gmax FROM events) " +
+        "SELECT user_id, n_gaps, p95_gap_ns, gmax - lastt AS silence_ns " +
+        "FROM p, mx WHERE gmax - lastt > p95_gap_ns"),
+
+    "events_gapfill" ->
+      ("WITH b AS (SELECT user_id AS key, epoch_ns(ts) AS t, event_id AS id, " +
+        "    CASE WHEN value IS NOT NULL AND NOT isnan(value) " +
+        "      THEN round(value, 6) END AS v, " +
+        "    epoch_ns(ts) // " + hourNs + " AS slot " +
+        "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "  AND user_id % 20 = 0), " +
+        "o AS (SELECT key, slot, v FROM (SELECT key, slot, v, " +
+        "    row_number() OVER (PARTITION BY key, slot " +
+        "      ORDER BY t DESC, id DESC) AS rn FROM b) WHERE rn = 1), " +
+        "s AS (SELECT key, unnest(generate_series(mn, mx)) AS slot FROM " +
+        "  (SELECT key, min(slot) AS mn, max(slot) AS mx FROM b GROUP BY 1)), " +
+        "j AS (SELECT s.key, s.slot, o.v FROM s LEFT JOIN o " +
+        "  ON o.key = s.key AND o.slot = s.slot) " +
+        "SELECT key, slot, round(last_value(v IGNORE NULLS) OVER " +
+        "    (PARTITION BY key ORDER BY slot " +
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value, " +
+        "  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed FROM j"),
+
+    "validate_benford" ->
+      ("WITH vv AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) " +
+        "      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit " +
+        "  FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "  AND NOT isnan(l_extendedprice) AND l_extendedprice >= 1), " +
+        "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM vv " +
+        "  GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c), " +
+        "d AS (SELECT unnest(range(1, 10)) AS digit), " +
+        "p AS (SELECT CAST(d.digit AS INT) AS digit, " + benfordCase + " AS pp, " +
+        "    COALESCE(c.cnt, 0) AS n_obs FROM d LEFT JOIN c " +
+        "    ON c.digit = d.digit), " +
+        "e AS (SELECT digit, n_obs, n * pp AS expd, " +
+        "    (n_obs - n * pp) * (n_obs - n * pp) / (n * pp) AS contrib " +
+        "  FROM p, nn) " +
+        "SELECT digit, n_obs, round(expd, 6) AS expected, " +
+        "  round(contrib, 6) AS chi2_term, " +
+        "  CAST(sum(CAST(round(contrib, 6) AS DECIMAL(18,6))) OVER () " +
+        "    AS DOUBLE) AS chi2 FROM e"),
+
+    "pipeline_stump" ->
+      ("WITH m AS (" + stumpArm("l_quantity", "5.0") + " UNION ALL " +
+        stumpArm("l_discount", "0.01") + " UNION ALL " +
+        stumpArm("l_tax", "0.01") + "), " +
+        "h AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(y) AS BIGINT) AS p FROM m GROUP BY 1, 2), " +
+        "s AS (SELECT feature, bin, " +
+        "    CAST(sum(n) OVER w AS BIGINT) AS nl, " +
+        "    CAST(sum(p) OVER w AS BIGINT) AS pl, " +
+        "    CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt, " +
+        "    CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS pt " +
+        "  FROM h WINDOW w AS (PARTITION BY feature ORDER BY bin " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT * FROM s WHERE nl >= 1 AND nl < nt), " +
+        "w AS (SELECT *, (CAST(nl AS DOUBLE) * (1.0 " +
+        "      - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) " +
+        "        * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) " +
+        "      - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)) " +
+        "        * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))) " +
+        "    + CAST(nt - nl AS DOUBLE) * (1.0 " +
+        "      - (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE)) " +
+        "        * (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE)) " +
+        "      - (CAST((nt - nl) - (pt - pl) AS DOUBLE) " +
+        "          / CAST(nt - nl AS DOUBLE)) " +
+        "        * (CAST((nt - nl) - (pt - pl) AS DOUBLE) " +
+        "          / CAST(nt - nl AS DOUBLE)))) / CAST(nt AS DOUBLE) AS wg " +
+        "  FROM g), " +
+        "bb AS (SELECT *, row_number() OVER (PARTITION BY feature " +
+        "    ORDER BY wg ASC, bin ASC) AS rn FROM w) " +
+        "SELECT feature, bin AS split_bin, " +
+        "  CAST(bin + 1 AS DOUBLE) * (CASE feature " +
+        "    WHEN 'l_quantity' THEN 5.0 WHEN 'l_discount' THEN 0.01 " +
+        "    WHEN 'l_tax' THEN 0.01 END) AS threshold, " +
+        "  nl AS n_left, pl AS pos_left, nt AS n_total, pt AS pos_total, " +
+        "  round(wg, 6) AS wgini FROM bb WHERE rn = 1"))
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Segmentation, Trees}
+
+/** Unit properties of the segmentation / audit / stump operators. */
+class SegmentationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val hourNs = 3600000000000L
+  private val dayNs = 86400000000000L
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("SegmentationSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("rfm: five clearly ordered users land in five distinct buckets each way") {
+    val s = spark; import s.implicits._
+    // user i: last event on day i, i events total, one purchase of i*10
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map { j =>
+        (i.toLong, (i.toLong * dayNs) - (i - j) * hourNs,
+          if (j == i) "purchase" else "view", i * 10.0)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val out = Segmentation.rfm(df, "user_id", "ts", "event_type", "value",
+      "purchase").collect().map(r =>
+        r.getAs[Long]("user_id") -> r).toMap
+    // recency: user 5 most recent -> bucket 1; user 1 oldest -> bucket 5
+    assert((1 to 5).forall(i => out(i.toLong).getAs[Long]("r_bucket") == 6 - i))
+    // frequency & monetary: user 5 highest -> bucket 1
+    assert((1 to 5).forall(i => out(i.toLong).getAs[Long]("f_bucket") == 6 - i))
+    assert((1 to 5).forall(i => out(i.toLong).getAs[Long]("m_bucket") == 6 - i))
+    assert(out(5L).getAs[String]("segment") == "1-1-1")
+    assert(out(5L).getAs[Double]("monetary") == 50.0)
+    assert(out(1L).getAs[Long]("recency_days") == 4L)
+  }
+
+  test("rfm: buckets are partitioning-invariant (prefix-sum binning)") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 97).map(i =>
+      (i.toLong, i.toLong * hourNs, "purchase", (i % 13) * 1.0))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val a = Segmentation.rfm(df, "user_id", "ts", "event_type", "value",
+      "purchase").orderBy("user_id").collect().toSeq
+    val b = Segmentation.rfm(df.repartition(7), "user_id", "ts",
+      "event_type", "value", "purchase").orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("paretoAbc: boundary keys classify by exact decimal cross-multiply") {
+    val s = spark; import s.implicits._
+    // revenues 80 / 15 / 5: cum 80 (=80% exactly -> A), 95 (=95% -> B), 100 -> C
+    val df = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("k", "rev")
+    val out = Segmentation.paretoAbc(df, "k", col("rev"))
+      .collect().map(r => r.getAs[Long]("key") ->
+        (r.getAs[String]("abc_class"), r.getAs[Double]("cum_share"))).toMap
+    assert(out(1L) == (("A", 0.8)))
+    assert(out(2L) == (("B", 0.95)))
+    assert(out(3L) == (("C", 1.0)))
+  }
+
+  test("dormantUsers: silence beyond own p95 flags; steady users don't") {
+    val s = spark; import s.implicits._
+    // user 1: 6 events, gaps {1h,1h,1h,1h,100h}; p95 = 5th smallest = 100h.
+    // last event sits 200h before the corpus max -> dormant.
+    val u1 = Seq(0L, 1L, 2L, 3L, 4L, 104L).zipWithIndex.map { case (h, i) =>
+      (1L, h * hourNs, (i + 1).toLong) }
+    // user 2: hourly heartbeat right up to the corpus max -> not dormant
+    val u2 = (0 to 304).map(h => (2L, h.toLong * hourNs, (100 + h).toLong))
+    val df = (u1 ++ u2).toDF("user_id", "ts", "event_id")
+    val out = Segmentation.dormantUsers(df, "user_id", "ts", "event_id",
+      minGaps = 5).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getAs[Long]("p95_gap_ns") == 100L * hourNs)
+    assert(r.getAs[Long]("silence_ns") == 200L * hourNs)
+  }
+
+  test("gapFill: empty slots carry the last observation; slot winner is (ts,id)-latest") {
+    val s = spark; import s.implicits._
+    // slot 0: two events — later (ts,id) wins with value 2.0; slots 1-2 empty;
+    // slot 3 observed with 9.0
+    val df = Seq(
+      (1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0),
+      (1L, 3L * hourNs + 5L, 3L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Segmentation.gapFill(df, "user_id", "ts", "event_id", "value",
+      hourNs).orderBy("slot").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(2.0, 2.0, 2.0, 9.0))
+    assert(out.map(_.getAs[Int]("is_observed")).toSeq == Seq(1, 0, 0, 1))
+  }
+
+  test("benford: digit counts are exact and chi2 vanishes on a Benford-shaped sample") {
+    val s = spark; import s.implicits._
+    // 1000 values with first-digit counts matching round(1000*p_d)
+    val counts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val vals = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(_ => (i + 1) * 10.0 + 1.0) }
+    val out = Segmentation.benford(vals.toDF("v"), "v")
+      .orderBy("digit").collect()
+    assert(out.map(_.getAs[Long]("n_obs")).toSeq ==
+      counts.map(_.toLong).toSeq)
+    // counts were rounded to integers, so chi2 is near zero but not exact
+    assert(out.head.getAs[Double]("chi2") < 0.02)
+    // absent digits still appear with n_obs = 0
+    val sparse = Segmentation.benford(Seq(11.0, 12.0).toDF("v"), "v")
+      .orderBy("digit").collect()
+    assert(sparse.length == 9)
+    assert(sparse.map(_.getAs[Long]("n_obs")).toSeq ==
+      Seq(2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("stump: perfectly separable data splits with zero impurity") {
+    val s = spark; import s.implicits._
+    val df = ((1 to 5).map(_ => (0.5, false)) ++
+      (1 to 5).map(_ => (2.5, true))).toDF("x", "y")
+    val out = Trees.stump(df, Seq(("x", 1.0)), col("y")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("feature") == "x")
+    assert(r.getAs[Long]("split_bin") == 0L)
+    assert(r.getAs[Double]("threshold") == 1.0)
+    assert(r.getAs[Double]("wgini") == 0.0)
+    assert(r.getAs[Long]("n_left") == 5L && r.getAs[Long]("pos_left") == 0L)
+  }
+
+  test("stump: picks the purer boundary among several and ties break low") {
+    val s = spark; import s.implicits._
+    // bins 0,1,2 with pos fractions 0/10, 5/10, 10/10: both boundaries
+    // score wg = 0.25; the tie goes to the lower bin
+    val df = ((1 to 10).map(_ => (0.5, false)) ++
+      (1 to 5).map(_ => (1.5, false)) ++ (1 to 5).map(_ => (1.5, true)) ++
+      (1 to 10).map(_ => (2.5, true))).toDF("x", "y")
+    val r = Trees.stump(df, Seq(("x", 1.0)), col("y")).collect().head
+    assert(r.getAs[Long]("split_bin") == 0L)
+    // left leaf pure; right leaf 15/20 pos: wg = (20/30)*2*(3/4)*(1/4) = 0.25
+    assert(math.abs(r.getAs[Double]("wgini") - 0.25) < 1e-9)
+  }
+
+  test("stump is partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 200).map(i => (i % 17 * 1.0, i % 3 == 0))
+    val df = rows.toDF("x", "y")
+    val a = Trees.stump(df, Seq(("x", 2.0)), col("y")).collect().toSeq
+    val b = Trees.stump(df.repartition(7), Seq(("x", 2.0)), col("y"))
+      .collect().toSeq
+    assert(a == b)
+  }
+}
