@@ -100,15 +100,82 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
       case _ => ()
     }
 
+    // Covering pre-pass (index-only scan): a Project(Filter(base)) whose
+    // every referenced column lives in ONE index table (indexed cols +
+    // rowkey) is answered from the index alone — no base scan, no join.
+    // Must run before the semi-join pass: transformUp visits the Filter
+    // child first, so by the time Project is visited the Filter would
+    // already be wrapped in the semi-join and the pattern lost.
+    val afterCovering = base.transformUp {
+      case p @ Project(list, f @ Filter(cond, rel: LogicalRelation))
+          if !guarded.contains(f) && !guarded.contains(rel) =>
+        coveringRewrite(list, cond, rel, scoped).getOrElse(p)
+    }
+
     // transformUp, not transformDown: Down recurses into the children of
     // the node a rule returns, so the original Filter inside our rewritten
     // Join(filter, idx) would be matched again immediately → infinite
     // self-wrapping. Up applies the rule post-order and never revisits the
     // replacement node.
-    base.transformUp {
+    afterCovering.transformUp {
       case f @ Filter(cond, rel: LogicalRelation)
           if !guarded.contains(f) && !guarded.contains(rel) =>
         rewrite(f, cond, rel, scoped).getOrElse(f)
+    }
+  }
+
+  /** Index-only ("covering") rewrite — the columnar analogue of a covering
+    * secondary index: the reference's index rowkey embeds the indexed
+    * VALUES (`util/IndexUtils.java:269-377` `[paddedValues][userRowkey]`),
+    * so a scan that needs only indexed values + rowkey never has to seek
+    * into the data region at all. Our materialized index table stores
+    * exactly `(indexCols..., rowkey)` ([[IndexBuilder.indexDf]]), so when
+    * every attribute referenced by the projection AND the predicate is one
+    * of those columns, the whole query runs against the sorted
+    * range-partitioned index files — O(matching files) with zero join.
+    *
+    * Soundness: the index drops rows whose LEADING indexed column is NULL
+    * (IndexBuilder — mirrors `IndexUtils.prepareIndexPut:273-285`), so the
+    * rewrite additionally requires a top-level indexable conjunct on the
+    * leading column (such a leaf never matches NULL, hence no dropped row
+    * could have passed the predicate). Only identity columns qualify —
+    * ValuePartition-derived columns hold a *transformation* of the base
+    * value and cannot substitute for it in arbitrary expressions.
+    */
+  private def coveringRewrite(list: Seq[NamedExpression], cond: Expression,
+      rel: LogicalRelation, scoped: Seq[GraftIndexHintNode]): Option[LogicalPlan] = {
+    if (!conf("graft.index.covering", "true").toBoolean) return None
+    for {
+      path <- relationPath(rel)
+      entry <- catalog.lookupByBasePath(path)
+      if entry.enabled
+      stmtHint = scoped.find(h => matchesTable(h.table, entry.indices.table))
+      if !stmtHint.exists(_.noIndex)
+      available = entry.indices.indices.filter(s => entry.indexPaths.contains(s.name))
+      usable = stmtHint.flatMap(_.force).map(_.toSet).orElse(forced)
+        .map(f => available.filter(s => f.contains(s.name))).getOrElse(available)
+      refs = (list.flatMap(_.references) ++ cond.references).map(_.name).toSet
+      leaves = splitConjuncts(cond).flatMap(toLeaf)
+      spec <- usable
+        .filter(_.columns.forall(_.partition.isEmpty))
+        .filter(s => refs.subsetOf((s.columnNames :+ entry.indices.rowkey).toSet))
+        .filter(s => leaves.exists(_.column == s.columns.head.column))
+        .sortBy(s => (s.columns.size, s.name)) // cheapest covering index
+        .headOption
+    } yield {
+      val scan = indexRelation(entry.indexPaths(spec.name))
+      val attrs = scan.output.map(a => a.name -> a).toMap
+      def sub(e: Expression): Expression = e.transform {
+        case a: AttributeReference => attrs(a.name)
+      }
+      // parents reference this Project's output by exprId — keep the
+      // original ids by aliasing the substituted attrs back onto them
+      val newList = list.map {
+        case a: AttributeReference =>
+          Alias(attrs(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        case other => sub(other).asInstanceOf[NamedExpression]
+      }
+      Project(newList, Filter(sub(cond), scan))
     }
   }
 

@@ -454,4 +454,45 @@ object Clustering {
       .orderBy(col("score").desc, col("a").asc, col("b").asc)
       .limit(k)
   }
+
+  /** Multi-source BFS: minimum hop distance from any source node, bounded
+    * at `maxHops` — the neighborhood-expansion primitive under "all docs
+    * within k links of a seed set" crawl scoping and contamination-spread
+    * audits.
+    *
+    * Layered frontier expansion: each round joins the (typically small)
+    * frontier against the edge list and anti-joins already-visited nodes,
+    * so every edge is traversed at most once per endpoint discovery —
+    * O(E) total work across all rounds, not O(E·rounds). The frontier
+    * side is broadcast when small (checkpointed frames carry no stats, so
+    * Catalyst would otherwise sort-merge every round — same lesson as
+    * [[pageRank]]); lineage is truncated per round. Distances are exact
+    * integers → oracle-hashable against a recursive-CTE shortest path.
+    *
+    * @param edges   directed (srcCol → dstCol); symmetrize upstream for
+    *                undirected semantics
+    * @param sources one column of seed node ids (dist 0)
+    * @return (id, dist) for every node reachable within maxHops
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    var visited = sources.toDF("id").distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = e.join(broadcast(frontier.select(col("id").as("src"))), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
 }

@@ -17,6 +17,20 @@ object GraphQueries extends QueryGroup {
       val e = Tables.load(s, dir, "lineitem")
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       graft.ops.Clustering.adamicAdar(e, "s", "p", maxRightDeg = 30, k = 100)
+    }),
+
+    // multi-source BFS hop distances over the part↔supplier bipartite
+    // graph (ids prefixed to keep the two key spaces disjoint), seeded at
+    // parts 1-3, 3 hops — exact min-hop distances, recursive-CTE oracle
+    "graph_bfs_dist" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("p"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+      val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+        .unionByName(li.select(col("sn").as("src"), col("p").as("dst")))
+      val seeds = s.range(1, 4).toDF("k")
+        .select(concat(lit("p"), col("k")).as("id"))
+      graft.ops.Clustering.bfsDistances(edges, "src", "dst", seeds, maxHops = 3)
     })
   )
 
@@ -36,6 +50,18 @@ object GraphQueries extends QueryGroup {
         "SELECT p.a, p.b, common, round(CAST(s AS DOUBLE), 6) AS score, " +
         "  round(CAST(common AS DOUBLE) / (la.da + lb.da - common), 6) AS jaccard " +
         "FROM p JOIN ld la ON la.a = p.a JOIN ld lb ON lb.a = p.b " +
-        "ORDER BY score DESC, p.a, p.b LIMIT 100")
+        "ORDER BY score DESC, p.a, p.b LIMIT 100"),
+
+    "graph_bfs_dist" ->
+      ("WITH RECURSIVE " +
+        "e AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src, " +
+        "    's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem " +
+        "  UNION SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR), " +
+        "    'p' || CAST(l_partkey AS VARCHAR) FROM lineitem), " +
+        "bfs(id, dist) AS (" +
+        "  SELECT 'p' || CAST(k AS VARCHAR), 0 FROM range(1, 4) t(k) " +
+        "  UNION SELECT e.dst, b.dist + 1 FROM bfs b " +
+        "    JOIN e ON e.src = b.id WHERE b.dist < 3) " +
+        "SELECT id, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY id")
   )
 }

@@ -122,6 +122,26 @@ object IndexQueries extends QueryGroup {
       try df.localCheckpoint(true) finally s.conf.unset("graft.index.hint")
     }),
 
+    // Covering (index-only) scan: predicate + projection both live inside
+    // idx_nation's (c_nationkey, rowkey=c_custkey) — the rewrite answers
+    // from the sorted index files alone, zero join, zero base-table I/O
+    // (reference layout `[paddedValues][userRowkey]` makes the same read
+    // possible on HFiles; CoveringIndexSpec asserts the plan shape here).
+    "idx_covering" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_nationkey") >= 3 && col("c_nationkey") <= 9)
+        .select("c_custkey", "c_nationkey")
+    }),
+
+    // covering read over the composite index (EQ prefix + range + an extra
+    // non-leaf predicate all evaluated on index columns)
+    "idx_covering_composite" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") >= 5 &&
+          col("c_nationkey") =!= 7)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+    }),
+
     // NO_INDEX path (NoIndexExpression, .../client/NoIndexExpression.java):
     // same predicate as idx_point but reading the unmanaged source table —
     // a true full scan; results must match the indexed path exactly.
@@ -156,6 +176,10 @@ object IndexQueries extends QueryGroup {
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE string_split(c_name, '#')[2] = '000000049'",
     "idx_value_partition_spatial" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE substr(c_name, 14, 5) = '00049'",
+    "idx_covering" ->
+      "SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey >= 3 AND c_nationkey <= 9",
+    "idx_covering_composite" ->
+      "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 5 AND c_nationkey <> 7",
     "idx_hint_noindex" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7",
     "idx_hint_single" ->

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Covering (index-only) scan rewrite — the columnar analogue of reading
+  * everything from the index rowkey layout `[paddedValues][userRowkey]`
+  * (`util/IndexUtils.java:269-377`) without seeking the data region.
+  * Asserts the plan reads ONLY index files (no base relation, no join),
+  * that results equal the full-scan computation, and that every soundness
+  * guard (NULL-dropping leading column, non-covered projection, disabled
+  * conf) falls back to the ordinary path.
+  */
+class CoveringIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("CoveringIndexSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftEngine.ensureWarehouse(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def managed(table: String) =
+    spark.read.parquet(GraftEngine.tablePath(sfDir, table))
+
+  private def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
+    case r: LogicalRelation => r.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString)
+      case _ => Seq.empty[String]
+    }
+  }.flatten
+
+  private def joins(plan: LogicalPlan): Int =
+    plan.collect { case j: Join => j }.size
+
+  test("covered projection+predicate reads only the index table, no join") {
+    val df = managed("customer")
+      .filter(col("c_nationkey") >= 3 && col("c_nationkey") <= 9)
+      .select("c_custkey", "c_nationkey")
+    val plan = df.queryExecution.optimizedPlan
+    val paths = scanPaths(plan)
+    assert(paths.nonEmpty && paths.forall(_.contains("_idx/")),
+      s"expected index-only scan, got $paths\n$plan")
+    assert(joins(plan) === 0, s"covering read must not join:\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_nationkey") >= 3 && col("c_nationkey") <= 9)
+      .select("c_custkey", "c_nationkey").collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("composite covering: arbitrary residual (<>) evaluated on index columns") {
+    val df = managed("customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") =!= 7)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    val plan = df.queryExecution.optimizedPlan
+    val paths = scanPaths(plan)
+    assert(paths.forall(_.contains("idx_mkt_nation")), s"got $paths\n$plan")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") =!= 7)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("projection outside the index falls back to the semi-join path") {
+    val df = managed("customer")
+      .filter(col("c_nationkey") === 7)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val paths = scanPaths(df.queryExecution.optimizedPlan)
+    assert(paths.exists(!_.contains("_idx/")),
+      s"c_name is not indexed — base table must be scanned: $paths")
+  }
+
+  test("disjunct that could match a NULL leading column blocks covering") {
+    // a row with NULL c_nationkey passes via the c_custkey disjunct but is
+    // absent from idx_nation — covering would lose it, so it must not fire
+    val df = managed("customer")
+      .filter(col("c_nationkey") === 2 || col("c_custkey") === 5L)
+      .select("c_custkey", "c_nationkey")
+    val paths = scanPaths(df.queryExecution.optimizedPlan)
+    assert(paths.exists(!_.contains("_idx/")),
+      s"no top-level leaf on the leading column — must scan base: $paths")
+  }
+
+  test("graft.index.covering=false disables the rewrite") {
+    spark.conf.set("graft.index.covering", "false")
+    try {
+      val df = managed("customer")
+        .filter(col("c_nationkey") >= 3 && col("c_nationkey") <= 9)
+        .select("c_custkey", "c_nationkey")
+      val paths = scanPaths(df.queryExecution.optimizedPlan)
+      assert(paths.exists(!_.contains("_idx/")), s"covering disabled but got $paths")
+    } finally spark.conf.unset("graft.index.covering")
+  }
+}
