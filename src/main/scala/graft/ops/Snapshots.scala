@@ -246,4 +246,36 @@ object Snapshots {
         round(sum(round(v, 6).cast("decimal(18,6)")).cast("double"), 6)
           .as("volume"))
   }
+
+  /** Incremental materialized-view maintenance for grouped count/sum
+    * aggregates: fold an insert/delete changelog into the previous
+    * aggregate state WITHOUT rescanning the base table — the standard
+    * delta-maintenance identity (count and sum are self-maintainable;
+    * avg derives from them).
+    *
+    * `prev` must carry `keyCols`, a `cnt` long and a `total`
+    * DECIMAL(28,6); `changes` carries `keyCols`, `valueCol` and `opCol`
+    * (`deleteOp` rows subtract, anything else adds). Groups whose count
+    * reaches zero are dropped (a group whose rows were all deleted);
+    * groups never seen before enter with their delta. At 100 TB the delta
+    * aggregation touches only the changelog and the merge shuffles only
+    * group-cardinality rows — the base table is never read, which is the
+    * entire point.
+    */
+  def maintainAgg(prev: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      valueCol: String, opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "maintainAgg needs at least one key column")
+    val sign = when(col(opCol) === deleteOp, lit(-1L)).otherwise(lit(1L))
+    val delta = changes.groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).as("__dc"),
+        sum((sign * round(col(valueCol).cast("double"), 6)
+          .cast("decimal(18,6)")).cast("decimal(28,6)")).as("__dt"))
+    prev.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt"),
+        (coalesce(col("total"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")) +
+          coalesce(col("__dt"), lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")))
+          .cast("decimal(28,6)").as("total")): _*)
+      .filter(col("cnt") > 0)
+  }
 }

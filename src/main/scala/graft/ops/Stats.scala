@@ -286,4 +286,55 @@ object Stats {
       .select(col("key"), col("n_fc"), round(mae, 6).as("mae"),
         when(naive > 0.0, round(mae / naive, 6)).as("mase"))
   }
+
+  /** Offline change-point detection per series: the CUSUM
+    * binary-segmentation split (Page 1954 / Pettitt-style statistic) —
+    * the bucket t* maximizing the cumulative sum's deviation from the
+    * straight line, `dev(t) = |n·S_t − t·S_n|`. Unlike the BSS-optimal
+    * split (whose score has a per-candidate denominator n_l·n_r), this
+    * statistic has a CONSTANT denominator per series, so the argmax is an
+    * exact decimal comparison — no float rounding can flip the winner and
+    * the result hash-matches any engine. Ties break to the earliest
+    * bucket.
+    *
+    * Shape: bucketed aggregation, then two per-key windows (prefix sum +
+    * argmax rank) — window width is series length, never corpus size; at
+    * 100 TB the daily aggregation is the only full-data pass.
+    *
+    * @return (key, n, split_pos, split_day, mean_left, mean_right) —
+    *         split after position `split_pos` (1-based) = bucket
+    *         `split_day`; means are the exact decimal sums divided as
+    *         doubles, rounded to 6 dp. Series with n < 2 are dropped
+    *         (no interior split exists).
+    */
+  def changePoint(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__x"))
+    val wPrefix = Window.partitionBy(col("key")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = daily
+      .withColumn("t", row_number().over(Window.partitionBy(col("key")).orderBy(col("__day"))))
+      .withColumn("__st", sum(col("__x")).over(wPrefix))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("__x")).over(wAll))
+      .filter(col("t") < col("n"))
+      .withColumn("__dev", abs(col("n") * col("__st") - col("t") * col("__sn")))
+    val wBest = Window.partitionBy(col("key"))
+      .orderBy(col("__dev").desc, col("t").asc)
+    cum.withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(col("key"), col("n"), col("t").cast("long").as("split_pos"),
+        col("__day").cast("long").as("split_day"),
+        round(col("__st").cast("double") / col("t"), 6).as("mean_left"),
+        round((col("__sn") - col("__st")).cast("double") / (col("n") - col("t")), 6)
+          .as("mean_right"))
+  }
 }

@@ -1162,6 +1162,28 @@ object PipelineQueries extends QueryGroup {
     // CDC changelog apply (lakehouse MERGE INTO): latest event per user
     // wins, users whose last event is an error are tombstoned — ONE
     // map-side-combinable max_by aggregate, no per-key history sort
+    // incremental materialized-view refresh: fold an insert/delete
+    // changelog into yesterday's grouped (cnt, total) state — the base
+    // table is never rescanned; oracle recomputes from the final state,
+    // so the hash proves the delta identity end-to-end
+    "pipeline_mv_refresh" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val price = round(col("o_totalprice").cast("double"), 6)
+        .cast("decimal(18,6)")
+      val prev = o.filter(col("o_orderkey") % 10 =!= 0)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(price).cast("decimal(28,6)").as("total"))
+      val ins = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("op", lit("I"))
+      val del = o.filter(col("o_orderkey") % 10 =!= 0 &&
+        col("o_orderkey") % 7 === 0).withColumn("op", lit("D"))
+      graft.ops.Snapshots.maintainAgg(prev, ins.unionByName(del),
+          Seq("o_orderstatus"), "o_totalprice", "op")
+        .select(col("o_orderstatus"), col("cnt"),
+          round(col("total").cast("double"), 6).as("total"),
+          round(col("total").cast("double") / col("cnt"), 6).as("avg_price"))
+    }),
+
     "pipeline_cdc_apply" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
@@ -2156,6 +2178,17 @@ object PipelineQueries extends QueryGroup {
         " r(id, lbl) AS (SELECT id, id FROM nodes " +
         "  UNION SELECT e.dst, r.lbl FROM e JOIN r ON r.id = e.src) " +
         "SELECT id, min(lbl) AS rep FROM r GROUP BY id"),
+    // the maintained state must equal a from-scratch aggregate over the
+    // post-changelog table state (inserts applied, deletes removed)
+    "pipeline_mv_refresh" ->
+      ("WITH f AS (SELECT o_orderstatus, CAST(round(CAST(o_totalprice " +
+        "      AS DOUBLE), 6) AS DECIMAL(18,6)) AS p FROM orders " +
+        "  WHERE o_orderkey % 10 = 0 " +
+        "     OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)) " +
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, " +
+        "  round(CAST(sum(p) AS DOUBLE), 6) AS total, " +
+        "  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_price " +
+        "FROM f GROUP BY 1"),
     // latest-wins per key with (ts, event_id) total order; tombstones out
     "pipeline_cdc_apply" ->
       ("WITH r AS (SELECT user_id, event_id, event_type, value, " +

@@ -110,6 +110,14 @@ object StatsQueries extends QueryGroup {
 
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
+    // CUSUM change-point split per event type over the daily value
+    // series — exact decimal argmax (constant denominator), so the
+    // detected split hash-matches the oracle bit-for-bit
+    "events_changepoint" -> ((s, dir) => {
+      graft.ops.Stats.changePoint(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value")
+    }),
+
     "events_kaplan_meier" -> ((s, dir) => {
       val dayNs = 86400000000000L
       val u = Tables.load(s, dir, "events")
@@ -139,7 +147,33 @@ object StatsQueries extends QueryGroup {
       "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
+  // decimal-typed daily series (no double round-trip) for the exact
+  // change-point argmax
+  private val dailyDecimalSeries =
+    "SELECT event_type AS key, epoch_ns(ts) // " + dayNs + " AS day, " +
+      "    sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) AS x " +
+      "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+      "  AND event_type IS NOT NULL GROUP BY 1, 2"
+
   def oracles: Map[String, String] = Map(
+
+    "events_changepoint" ->
+      ("WITH d AS (" + dailyDecimalSeries + "), " +
+        "r AS (SELECT key, day, x, " +
+        "    row_number() OVER (PARTITION BY key ORDER BY day) AS t, " +
+        "    sum(x) OVER (PARTITION BY key ORDER BY day " +
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st, " +
+        "    count(*) OVER (PARTITION BY key) AS n, " +
+        "    sum(x) OVER (PARTITION BY key) AS sn FROM d), " +
+        "c AS (SELECT key, day, t, n, st, sn, abs(n*st - t*sn) AS dev " +
+        "  FROM r WHERE t < n), " +
+        "b AS (SELECT c.*, row_number() OVER (PARTITION BY key " +
+        "    ORDER BY dev DESC, t) AS rk FROM c) " +
+        "SELECT key, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_pos, " +
+        "  CAST(day AS BIGINT) AS split_day, " +
+        "  round(CAST(st AS DOUBLE) / t, 6) AS mean_left, " +
+        "  round(CAST(sn - st AS DOUBLE) / (n - t), 6) AS mean_right " +
+        "FROM b WHERE rk = 1"),
 
     "events_ks_test" ->
       ("WITH f AS (" + twoSample + "), " +

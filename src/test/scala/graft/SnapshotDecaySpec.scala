@@ -300,4 +300,38 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"day $day: est ${est(day)} vs exact $n")
     }
   }
+
+  test("maintainAgg: folded changelog equals from-scratch aggregate; zero groups drop, new groups enter") {
+    val s = spark; import s.implicits._
+    val base = Seq(("a", 1.5), ("a", 2.5), ("b", 4.0), ("c", 1.0))
+      .toDF("k", "v")
+    val prev = base.groupBy("k").agg(
+      count(lit(1)).as("cnt"),
+      sum(round(col("v"), 6).cast("decimal(18,6)")).cast("decimal(28,6)").as("total"))
+    // delete both 'a' rows (group vanishes), delete one 'b', insert a new
+    // group 'd' and another 'b'
+    val changes = Seq(
+      ("a", 1.5, "D"), ("a", 2.5, "D"), ("b", 4.0, "D"),
+      ("b", 9.0, "I"), ("d", 7.0, "I")).toDF("k", "v", "op")
+    val got = Snapshots.maintainAgg(prev, changes.repartition(3), Seq("k"), "v", "op")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).sortBy(_._1)
+    // final state: b -> {9.0}, c -> {1.0}, d -> {7.0}
+    assert(got === Array(("b", 1L, 9.0), ("c", 1L, 1.0), ("d", 1L, 7.0)))
+  }
+
+  test("maintainAgg chains: two refreshes equal one combined refresh") {
+    val s = spark; import s.implicits._
+    val prev = Seq(("x", 3L, BigDecimal("6.000000")), ("y", 1L, BigDecimal("2.000000")))
+      .toDF("k", "cnt", "total")
+      .select(col("k"), col("cnt"), col("total").cast("decimal(28,6)").as("total"))
+    val c1 = Seq(("x", 1.0, "I"), ("y", 2.0, "D")).toDF("k", "v", "op")
+    val c2 = Seq(("x", 5.0, "I"), ("z", 4.0, "I")).toDF("k", "v", "op")
+    val chained = Snapshots.maintainAgg(
+      Snapshots.maintainAgg(prev, c1, Seq("k"), "v", "op"), c2, Seq("k"), "v", "op")
+      .collect().map(_.toString).sorted
+    val combined = Snapshots.maintainAgg(prev, c1.unionByName(c2), Seq("k"), "v", "op")
+      .collect().map(_.toString).sorted
+    assert(chained === combined)
+  }
 }

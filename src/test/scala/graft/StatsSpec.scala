@@ -155,6 +155,39 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("changePoint: planted level shift is found at the exact boundary") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // key "a": 10 buckets at 5.0 then 10 at 50.0 → split after t=10;
+    // key "b": flat series (any split, tie-breaks to earliest dev max)
+    val rows = (1 to 20).map(i =>
+        ("a", i.toLong * day, if (i <= 10) 5.0 else 50.0)) ++
+      (1 to 6).map(i => ("b", i.toLong * day, 7.0))
+    val got = Stats.changePoint(rows.toDF("k", "ts", "v").repartition(4),
+      "k", "ts", "v").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    val a = got(0)
+    assert(a === (("a", 20L, 10L, 5.0, 50.0)), s"got $a")
+    // flat series: dev(t) = |n*S_t - t*S_n| = 0 everywhere → earliest t
+    val b = got(1)
+    assert(b._3 === 1L && b._4 === 7.0 && b._5 === 7.0)
+  }
+
+  test("changePoint is invariant to partitioning and drops n<2 series") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    val rows = (1 to 15).map(i => ("a", i.toLong * day, (i * i % 11).toDouble)) :+
+      (("solo", day, 3.0))
+    val df = rows.toDF("k", "ts", "v")
+    val r1 = Stats.changePoint(df.repartition(1), "k", "ts", "v")
+      .collect().map(_.toString).sorted
+    val r8 = Stats.changePoint(df.repartition(8), "k", "ts", "v")
+      .collect().map(_.toString).sorted
+    assert(r1 === r8)
+    assert(!r1.exists(_.contains("solo")), "single-bucket series has no interior split")
+  }
+
   test("runningTotals matches a single-partition window for several columns") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.expressions.Window
