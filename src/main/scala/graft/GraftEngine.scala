@@ -138,7 +138,11 @@ object GraftEngine {
           Some(SpatialPartition(13, 5))))))),
     ("orders", "o_orderkey", Seq(
       IndexSpec(s"idx_status", Seq(IndexedColumn("o_orderstatus", ValueType.StringT, 1))),
-      IndexSpec(s"idx_cust", Seq(IndexedColumn("o_custkey", ValueType.LongT))))))
+      IndexSpec(s"idx_cust", Seq(IndexedColumn("o_custkey", ValueType.LongT))),
+      // partial index: only open orders — a fraction of the table, so the
+      // index is proportionally smaller and its range files denser
+      IndexSpec(s"idx_open_cust", Seq(IndexedColumn("o_custkey", ValueType.LongT)),
+        where = Some(PartialWhere("o_orderstatus", "O"))))))
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 

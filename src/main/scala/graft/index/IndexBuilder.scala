@@ -40,8 +40,12 @@ object IndexBuilder {
   }
 
   def indexDf(base: DataFrame, rowkey: String, spec: IndexSpec): DataFrame = {
-    val cols = spec.columns.map(ic => ic.indexExpr(base(ic.column)).as(ic.indexColName))
-    base.select(cols :+ base(rowkey).as(rowkey): _*)
+    // partial index: only rows satisfying the typed equality are indexed
+    val subset = spec.where.fold(base) { w =>
+      base.filter(base(w.column) === lit(w.value).cast(base.schema(w.column).dataType))
+    }
+    val cols = spec.columns.map(ic => ic.indexExpr(subset(ic.column)).as(ic.indexColName))
+    subset.select(cols :+ subset(rowkey).as(rowkey): _*)
       .filter(col(spec.indexColNames.head).isNotNull)
   }
 

@@ -140,7 +140,9 @@ final class IndexCatalog {
           }
           s"""{"column":${jstr(c.column)},"type":${jstr(c.valueType.name)},"maxLen":${c.maxValueLength}$part}"""
         }.mkString("[", ",", "]")
-        s"""{"name":${jstr(s.name)},"columns":$cols,"path":${jstr(e.indexPaths.getOrElse(s.name, ""))}}"""
+        val wh = s.where.map(w =>
+          s""","where":{"column":${jstr(w.column)},"value":${jstr(w.value)}}""").getOrElse("")
+        s"""{"name":${jstr(s.name)},"columns":$cols$wh,"path":${jstr(e.indexPaths.getOrElse(s.name, ""))}}"""
       }.mkString("[", ",", "]")
       s"  ${jstr(t)}: {\"rowkey\":${jstr(e.indices.rowkey)},\"basePath\":${jstr(e.basePath)},\"enabled\":${e.enabled},\"indices\":$idxs}"
     }
@@ -190,7 +192,9 @@ final class IndexCatalog {
           colsB += IndexedColumn(cn.get("column").asText,
             ValueType.fromName(cn.get("type").asText), cn.get("maxLen").asInt, part)
         }
-        specsB += IndexSpec(in.get("name").asText, colsB.result())
+        val wh = Option(in.get("where")).map(wn =>
+          PartialWhere(wn.get("column").asText, wn.get("value").asText))
+        specsB += IndexSpec(in.get("name").asText, colsB.result(), wh)
         val p = in.get("path").asText
         if (p.nonEmpty) paths += in.get("name").asText -> p
       }

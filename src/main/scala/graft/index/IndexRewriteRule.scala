@@ -154,29 +154,75 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
       available = entry.indices.indices.filter(s => entry.indexPaths.contains(s.name))
       usable = stmtHint.flatMap(_.force).map(_.toSet).orElse(forced)
         .map(f => available.filter(s => f.contains(s.name))).getOrElse(available)
-      refs = (list.flatMap(_.references) ++ cond.references).map(_.name).toSet
-      leaves = splitConjuncts(cond).flatMap(toLeaf)
+      conjuncts = splitConjuncts(cond)
+      projRefs = list.flatMap(_.references).map(_.name).toSet
       spec <- usable
         .filter(_.columns.forall(_.partition.isEmpty))
-        .filter(s => refs.subsetOf((s.columnNames :+ entry.indices.rowkey).toSet))
-        .filter(s => leaves.exists(_.column == s.columns.head.column))
+        .filter(s => partialApplies(s, conjuncts))
+        .filter { s =>
+          // a partial index's own equality conjunct is implied by index
+          // membership — drop it before checking column coverage, and let
+          // the projection reference the where column too (every indexed
+          // row holds exactly the query literal there, so it substitutes
+          // as a constant). `WHERE status='O' AND custkey<=k` then covers
+          // on a partial index over (custkey) WHERE status='O' even
+          // though status is not an index column.
+          val rest = conjuncts.filterNot(c => isWhereConjunct(s, c))
+          val refs = projRefs ++ rest.flatMap(_.references).map(_.name)
+          val covered = s.columnNames.toSet ++ Set(entry.indices.rowkey) ++
+            s.where.map(_.column)
+          refs.subsetOf(covered) &&
+            rest.flatMap(toLeaf).exists(_.column == s.columns.head.column)
+        }
         .sortBy(s => (s.columns.size, s.name)) // cheapest covering index
         .headOption
     } yield {
       val scan = indexRelation(entry.indexPaths(spec.name))
       val attrs = scan.output.map(a => a.name -> a).toMap
+      // where-column references resolve to the query's own equality
+      // literal (index membership pins the value)
+      val whereLit: Map[String, Literal] = spec.where.toSeq.flatMap { w =>
+        conjuncts.collectFirst {
+          case EqualTo(a: Attribute, l: Literal)
+              if a.name == w.column && String.valueOf(l.value) == w.value => w.column -> l
+          case EqualTo(l: Literal, a: Attribute)
+              if a.name == w.column && String.valueOf(l.value) == w.value => w.column -> l
+        }
+      }.toMap
+      def resolve(name: String): Expression =
+        attrs.get(name).orElse(whereLit.get(name)).get
       def sub(e: Expression): Expression = e.transform {
-        case a: AttributeReference => attrs(a.name)
+        case a: AttributeReference => resolve(a.name)
       }
       // parents reference this Project's output by exprId — keep the
-      // original ids by aliasing the substituted attrs back onto them
+      // original ids by aliasing the substituted exprs back onto them
       val newList = list.map {
         case a: AttributeReference =>
-          Alias(attrs(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+          Alias(resolve(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
         case other => sub(other).asInstanceOf[NamedExpression]
       }
-      Project(newList, Filter(sub(cond), scan))
+      val rest = conjuncts.filterNot(c => isWhereConjunct(spec, c))
+      val filtered = rest.reduceOption(And.apply)
+        .map(e => Filter(sub(e), scan)).getOrElse(scan)
+      Project(newList, filtered)
     }
+  }
+
+  /** Is a partial spec applicable: its equality predicate must appear as
+    * a top-level conjunct of the (normalized) query predicate. Whole
+    * specs pass unconditionally. */
+  private def partialApplies(spec: IndexSpec, conjuncts: Seq[Expression]): Boolean =
+    spec.where.forall(w => conjuncts.exists(isWhere(w, _)))
+
+  private def isWhereConjunct(spec: IndexSpec, e: Expression): Boolean =
+    spec.where.exists(isWhere(_, e))
+
+  private def isWhere(w: PartialWhere, e: Expression): Boolean = e match {
+    case EqualTo(a: Attribute, l: Literal) =>
+      a.name == w.column && l.value != null && l.value.toString == w.value
+    case EqualTo(l: Literal, a: Attribute) =>
+      a.name == w.column && l.value != null && l.value.toString == w.value
+    case _ => false
   }
 
   private def readsIndex(p: LogicalPlan, paths: Set[String]): Boolean =
@@ -202,14 +248,17 @@ class IndexRewriteRule(spark: SparkSession, catalog: IndexCatalog)
       if !stmtHint.exists(_.noIndex) // GRAFT_NO_INDEX → full scan
       rowkeyAttr <- rel.output.find(_.name == entry.indices.rowkey)
       available = entry.indices.indices.filter(s => entry.indexPaths.contains(s.name))
-      usable = stmtHint.flatMap(_.force).map(_.toSet).orElse(forced)
+      hinted = stmtHint.flatMap(_.force).map(_.toSet).orElse(forced)
         .map(f => available.filter(s => f.contains(s.name))).getOrElse(available)
       // ValuePartition read path: comparisons on split(col,sep)[n] /
       // substring(col,off,len) become leaves on the derived index column
       // (reference SingleColumnValuePartitionFilter — see DerivedPredicates)
       normCond = DerivedPredicates.normalize(cond,
-        usable.flatMap(_.columns).filter(_.partition.isDefined))
+        hinted.flatMap(_.columns).filter(_.partition.isDefined))
       conjuncts = splitConjuncts(normCond)
+      // a PARTIAL index is usable only when the query carries its
+      // predicate as a top-level conjunct (then index ⊇ matches holds)
+      usable = hinted.filter(s => partialApplies(s, conjuncts))
       rkPlan <- stmtHint.flatMap(_.tree).orElse(hintTree)
         .flatMap(IndexHint.resolve(_, conjuncts, usable))
         .orElse(select(conjuncts, usable))

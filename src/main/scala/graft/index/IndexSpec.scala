@@ -115,13 +115,31 @@ final case class IndexedColumn(
   }
 }
 
+/** Row-subset predicate of a PARTIAL index: only base rows with
+  * `column = value` are indexed. `value` is the literal's canonical
+  * string rendering, compared typed at build time (cast to the base
+  * column's type) and textually at plan time against the query literal —
+  * restrict to string/integral columns, where both renderings agree.
+  * The planner may select a partial index only when the query predicate
+  * carries the same top-level equality conjunct, which makes the index
+  * rowkey set a superset of the query's matches by the standard argument
+  * (every matching row satisfies the predicate, hence was indexed).
+  */
+final case class PartialWhere(column: String, value: String) {
+  require(column.nonEmpty, "PartialWhere needs a column")
+}
+
 /** An index definition: name + ordered column list — mirrors
   * `IndexSpecification` (`hbase-secondaryindex/.../IndexSpecification.java:47-59`,
   * ordered `LinkedHashSet<ColumnQualifier>`). Column order matters: the
   * planner may only use an index when predicates cover a *leading prefix*
-  * of `columns` (`ScanFilterEvaluator.java:1030-1099`).
+  * of `columns` (`ScanFilterEvaluator.java:1030-1099`). An optional
+  * [[PartialWhere]] makes this a partial index over the matching row
+  * subset (beyond-reference; the reference indexes every row carrying the
+  * indexed cells).
   */
-final case class IndexSpec(name: String, columns: Seq[IndexedColumn]) {
+final case class IndexSpec(name: String, columns: Seq[IndexedColumn],
+    where: Option[PartialWhere] = None) {
   require(columns.nonEmpty, s"index $name has no columns")
 
   // Name validation mirrors IndexSpecification.java:69-90 (non-empty,

@@ -287,6 +287,57 @@ object Stats {
         when(naive > 0.0, round(mae / naive, 6)).as("mase"))
   }
 
+  /** Theil–Sen robust trend per series: the median of all pairwise
+    * slopes over the bucketed values — the breakdown-point-0.29 line fit
+    * that one corrupted bucket cannot drag (complements the exact-moment
+    * OLS in [[graft.ops.Profiling.linearTrend]] the way MAD complements
+    * stddev).
+    *
+    * Exactness: pairwise slopes are double divisions of identical inputs
+    * (IEEE-determined on any engine), rounded to 9 dp; the median is the
+    * LOWER order statistic at position ⌈m/2⌉ under the total order
+    * (slope, day_i, day_j) — an exact row pick, no interpolation, so the
+    * result hash-matches any engine.
+    *
+    * Scale contract: pair generation is O(len²) per series — intended for
+    * BUCKETED series (len = time range / bucket, e.g. ≤ a few thousand
+    * days), never raw events; the self-join is per-key so no cross-key
+    * pair is ever materialized, and the median window sorts one series'
+    * pairs per task.
+    *
+    * @return (key, n_buckets, n_pairs, slope) — slope in value-units per
+    *         bucket; series with fewer than 2 buckets are dropped.
+    */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__x"))
+    val pairs = daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.key") === col("b.key") && col("a.__day") < col("b.__day"))
+      .select(col("a.key").as("key"), col("a.__day").as("__di"),
+        col("b.__day").as("__dj"),
+        round((col("b.__x") - col("a.__x")).cast("double") /
+          (col("b.__day") - col("a.__day")), 9).as("__slope"))
+    val wOrd = Window.partitionBy(col("key"))
+      .orderBy(col("__slope").asc, col("__di").asc, col("__dj").asc)
+    val wAll = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val buckets = daily.groupBy("key").agg(count(lit(1)).as("n_buckets"))
+    pairs
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .filter(col("__rn") === expr("(n_pairs + 1) div 2")) // lower median (exact row pick)
+      .join(buckets, Seq("key"))
+      .select(col("key"), col("n_buckets"), col("n_pairs"),
+        col("__slope").as("slope"))
+  }
+
   /** Offline change-point detection per series: the CUSUM
     * binary-segmentation split (Page 1954 / Pettitt-style statistic) —
     * the bucket t* maximizing the cumulative sum's deviation from the

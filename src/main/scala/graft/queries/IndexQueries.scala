@@ -142,6 +142,26 @@ object IndexQueries extends QueryGroup {
         .select("c_custkey", "c_mktsegment", "c_nationkey")
     }),
 
+    // partial index (idx_open_cust: o_custkey WHERE o_orderstatus='O'):
+    // hinted so the plan provably runs through the row-subset index; the
+    // residual filter above the semi-join re-verifies both conjuncts
+    "idx_partial" -> ((s, dir) => {
+      val df = GraftEngine.managed(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_custkey") <= 15L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      s.conf.set("graft.index.hint", "idx_open_cust")
+      try df.localCheckpoint(true) finally s.conf.unset("graft.index.hint")
+    }),
+
+    // partial + covering composed: the where-equality conjunct is implied
+    // by index membership, so projection {rowkey, custkey} is answered
+    // from the partial index files alone (PartialIndexSpec asserts shape)
+    "idx_partial_covering" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_custkey") <= 15L)
+        .select("o_orderkey", "o_custkey")
+    }),
+
     // NO_INDEX path (NoIndexExpression, .../client/NoIndexExpression.java):
     // same predicate as idx_point but reading the unmanaged source table —
     // a true full scan; results must match the indexed path exactly.
@@ -176,6 +196,10 @@ object IndexQueries extends QueryGroup {
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE string_split(c_name, '#')[2] = '000000049'",
     "idx_value_partition_spatial" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE substr(c_name, 14, 5) = '00049'",
+    "idx_partial" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' AND o_custkey <= 15",
+    "idx_partial_covering" ->
+      "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O' AND o_custkey <= 15",
     "idx_covering" ->
       "SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey >= 3 AND c_nationkey <= 9",
     "idx_covering_composite" ->

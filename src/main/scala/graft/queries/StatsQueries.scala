@@ -110,6 +110,13 @@ object StatsQueries extends QueryGroup {
 
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
+    // Theil-Sen robust trend per event type (median pairwise slope over
+    // the daily series — exact lower-median row pick, hash-oracled)
+    "events_theil_sen" -> ((s, dir) => {
+      graft.ops.Stats.theilSen(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value")
+    }),
+
     // CUSUM change-point split per event type over the daily value
     // series — exact decimal argmax (constant denominator), so the
     // detected split hash-matches the oracle bit-for-bit
@@ -156,6 +163,18 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    "events_theil_sen" ->
+      ("WITH d AS (" + dailyDecimalSeries + "), " +
+        "p AS (SELECT a.key, a.day AS di, b.day AS dj, " +
+        "    round(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 9) AS slope " +
+        "  FROM d a JOIN d b ON b.key = a.key AND a.day < b.day), " +
+        "r AS (SELECT key, slope, " +
+        "    row_number() OVER (PARTITION BY key ORDER BY slope, di, dj) AS rn, " +
+        "    count(*) OVER (PARTITION BY key) AS m FROM p), " +
+        "nb AS (SELECT key, CAST(count(*) AS BIGINT) AS n_buckets FROM d GROUP BY 1) " +
+        "SELECT r.key, nb.n_buckets, CAST(m AS BIGINT) AS n_pairs, slope " +
+        "FROM r JOIN nb ON nb.key = r.key WHERE rn = (m + 1) // 2"),
 
     "events_changepoint" ->
       ("WITH d AS (" + dailyDecimalSeries + "), " +

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index._
+
+/** Partial (row-subset) secondary indexes: build-time subsetting,
+  * plan-time applicability gating (the query must carry the index's
+  * equality conjunct), composition with the covering rewrite, and
+  * catalog persistence of the predicate.
+  */
+class PartialIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("PartialIndexSpec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftEngine.ensureWarehouse(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def managed(table: String) =
+    spark.read.parquet(GraftEngine.tablePath(sfDir, table))
+
+  private def scanPaths(plan: LogicalPlan): Seq[String] = plan.collect {
+    case r: LogicalRelation => r.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString)
+      case _ => Seq.empty[String]
+    }
+  }.flatten
+
+  test("indexDf indexes only the rows matching the partial predicate") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "O", 10L), (2L, "F", 20L), (3L, "O", 30L), (4L, "P", 40L))
+      .toDF("k", "st", "v")
+    val spec = IndexSpec("p1", Seq(IndexedColumn("v", ValueType.LongT)),
+      where = Some(PartialWhere("st", "O")))
+    val idx = IndexBuilder.indexDf(base, "k", spec).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(idx === Array((10L, 1L), (30L, 3L)))
+  }
+
+  test("query WITHOUT the predicate conjunct cannot use the partial index, even forced") {
+    spark.conf.set("graft.index.force", "idx_open_cust")
+    try {
+      val df = managed("orders").filter(col("o_custkey") <= 15L)
+      val paths = scanPaths(df.queryExecution.optimizedPlan)
+      assert(!paths.exists(_.contains("idx_open_cust")),
+        s"partial index must not serve a query missing o_orderstatus='O': $paths")
+    } finally spark.conf.unset("graft.index.force")
+  }
+
+  test("query WITH the predicate conjunct uses the partial index when hinted") {
+    spark.conf.set("graft.index.hint", "idx_open_cust")
+    try {
+      val df = managed("orders")
+        .filter(col("o_orderstatus") === "O" && col("o_custkey") <= 15L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val paths = scanPaths(df.queryExecution.optimizedPlan)
+      assert(paths.exists(_.contains("idx_open_cust")), s"got $paths")
+      val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderstatus") === "O" && col("o_custkey") <= 15L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .collect().map(_.toString).sorted
+      assert(df.collect().map(_.toString).sorted === expected)
+    } finally spark.conf.unset("graft.index.hint")
+  }
+
+  test("partial + covering: where-conjunct implied by membership, index-only read") {
+    val df = managed("orders")
+      .filter(col("o_orderstatus") === "O" && col("o_custkey") <= 15L)
+      .select("o_orderkey", "o_custkey")
+    val paths = scanPaths(df.queryExecution.optimizedPlan)
+    assert(paths.nonEmpty && paths.forall(_.contains("idx_open_cust")),
+      s"expected index-only partial read, got $paths")
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderstatus") === "O" && col("o_custkey") <= 15L)
+      .select("o_orderkey", "o_custkey").collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("covering alone must NOT fire when only the where-conjunct constrains rows") {
+    // rows with NULL o_custkey satisfying status='O' would be lost — the
+    // leading-leaf guard has to block the index-only read here
+    val df = managed("orders")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_custkey")
+    val paths = scanPaths(df.queryExecution.optimizedPlan)
+    assert(paths.exists(!_.contains("idx_open_cust")),
+      s"no leaf on the leading index column — base must be scanned: $paths")
+  }
+
+  test("catalog save/load round-trips the partial predicate") {
+    val cat = new IndexCatalog
+    val ti = TableIndices("t_part", "k", Seq(
+      IndexSpec("pw", Seq(IndexedColumn("v", ValueType.LongT)),
+        where = Some(PartialWhere("st", "O")))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("st", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    cat.register(ti, "/tmp/pi_base", schema)
+    val p = "/tmp/pi_catalog.json"
+    cat.save(p)
+    val cat2 = new IndexCatalog
+    cat2.load(p)
+    val restored = cat2.get("t_part").get.indices.indices.head
+    assert(restored.where === Some(PartialWhere("st", "O")))
+  }
+}

@@ -155,6 +155,37 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("theilSen: recovers a clean slope and shrugs off a planted outlier") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // y = 3x exactly, except bucket 7 is corrupted by +1000 — OLS would
+    // tilt, the median pairwise slope must stay exactly 3.0
+    val rows = (1 to 15).map { i =>
+      val y = 3.0 * i + (if (i == 7) 1000.0 else 0.0)
+      ("a", i.toLong * day, y)
+    }
+    val r = Stats.theilSen(rows.toDF("k", "ts", "v").repartition(4),
+      "k", "ts", "v").collect().head
+    assert(r.getAs[Long]("n_buckets") === 15L)
+    assert(r.getAs[Long]("n_pairs") === 105L)
+    assert(r.getAs[Double]("slope") === 3.0)
+  }
+
+  test("theilSen: lower median on an even pair count, partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // 4 buckets -> 6 pairs (even): lower median = 3rd slope in order
+    val rows = Seq(("a", 1L * day, 1.0), ("a", 2L * day, 2.0),
+      ("a", 3L * day, 10.0), ("a", 4L * day, 11.0))
+    val df = rows.toDF("k", "ts", "v")
+    // slopes: (1,2)=1, (1,3)=4.5, (1,4)=10/3, (2,3)=8, (2,4)=4.5, (3,4)=1
+    // sorted: 1, 1, 3.333…, 4.5, 4.5, 8 -> lower median (pos 3) = 3.333333333
+    val r1 = Stats.theilSen(df.repartition(1), "k", "ts", "v").collect().head
+    val r6 = Stats.theilSen(df.repartition(6), "k", "ts", "v").collect().head
+    assert(r1.getAs[Double]("slope") === 3.333333333)
+    assert(r1.toString === r6.toString)
+  }
+
   test("changePoint: planted level shift is found at the exact boundary") {
     val s = spark; import s.implicits._
     val day = 86400000000000L
