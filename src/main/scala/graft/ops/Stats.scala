@@ -287,6 +287,49 @@ object Stats {
         when(naive > 0.0, round(mae / naive, 6)).as("mase"))
   }
 
+  /** Truncated exponentially-weighted moving average per series: at each
+    * observed bucket, the weighted mean of the trailing `window+1` buckets
+    * with half-life-one weights `w_j = 2^-j` (j = calendar-bucket gap) —
+    * missing buckets contribute nothing and the divisor is the sum of the
+    * PRESENT weights, so gaps don't drag the average toward zero.
+    *
+    * Exactness: powers of two are exact in binary double, cast to
+    * DECIMAL(13,12) without rounding; `x·w` and the two sums are decimal —
+    * order-free — and only the final division is a double, rounded to
+    * 6 dp. One lag-explode + equi-join computes every bucket's window
+    * (the [[acf]] shape): no per-row windows over the corpus, fan-out is
+    * `window+1` rows per bucket.
+    *
+    * @return (key, day, n_terms, ewma)
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      window: Int = 12, bucketNs: Long = 86400000000000L): DataFrame = {
+    // 2^-j has exactly j decimal digits — DECIMAL scale 12 is exact
+    // through j = 12 and would round beyond
+    require(window >= 1 && window <= 12,
+      s"window must be in [1, 12] (2^-j exceeds DECIMAL(13,12) scale beyond): $window")
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__x"))
+    val contrib = daily
+      .withColumn("__lag", explode(array((0 to window).map(lit): _*)))
+      .select(col("key"), (col("__day") + col("__lag")).as("__day"),
+        pow(lit(0.5), col("__lag")).cast("decimal(13,12)").as("__w"),
+        col("__x").as("__xb"))
+    contrib.join(daily.select(col("key"), col("__day")), Seq("key", "__day"))
+      .groupBy(col("key"), col("__day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__xb") * col("__w")).as("__num"),
+        sum(col("__w")).as("__den"))
+      .select(col("key"), col("day"), col("n_terms"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("ewma"))
+  }
+
   /** Theil–Sen robust trend per series: the median of all pairwise
     * slopes over the bucketed values — the breakdown-point-0.29 line fit
     * that one corrupted bucket cannot drag (complements the exact-moment

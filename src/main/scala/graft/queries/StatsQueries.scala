@@ -110,6 +110,37 @@ object StatsQueries extends QueryGroup {
 
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
+    // last-touch marketing attribution: each purchase's revenue goes to
+    // the user's latest preceding non-purchase touch within 7 days
+    // (as-of join with staleness bound), else 'direct' — equal-ts touch
+    // ties collapse deterministically to the max (event_id, type)
+    "events_attribution" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = col("value").cast("double")
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && v.isNotNull && !isnan(v))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(v, 6).cast("decimal(18,6)").as("rev"))
+      val touches = ev
+        .filter(col("event_type") =!= "purchase" && col("event_type") =!= "error")
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("event_type"))).as("__t"))
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("__t.event_type").as("ch"))
+      val j = graft.ops.Joins.asOfJoin(purchases, touches, Seq("user_id"),
+        "ts", "touch_ts", "backward", java.time.Duration.ofDays(7))
+      j.groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("rev")).cast("double"), 6).as("revenue"))
+    }),
+
+    // truncated EWMA smoothing of the daily series (half-life-one
+    // powers-of-two weights, gap-aware divisor — exact decimal sums)
+    "events_ewma" -> ((s, dir) => {
+      graft.ops.Stats.ewma(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value", window = 12)
+    }),
+
     // Theil-Sen robust trend per event type (median pairwise slope over
     // the daily series — exact lower-median row pick, hash-oracled)
     "events_theil_sen" -> ((s, dir) => {
@@ -163,6 +194,37 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    "events_attribution" ->
+      ("WITH p AS (SELECT user_id, epoch_ns(ts) AS pt, " +
+        "    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS rev " +
+        "  FROM events WHERE event_type = 'purchase' " +
+        "    AND value IS NOT NULL AND NOT isnan(value)), " +
+        "t0 AS (SELECT user_id, epoch_ns(ts) AS tt, event_type, " +
+        "    row_number() OVER (PARTITION BY user_id, ts " +
+        "      ORDER BY event_id DESC, event_type DESC) AS rn " +
+        "  FROM events WHERE event_type NOT IN ('purchase', 'error')), " +
+        "tch AS (SELECT user_id, tt, event_type FROM t0 WHERE rn = 1), " +
+        "j AS (SELECT p.rev, tch.event_type AS ch, tch.tt, p.pt " +
+        "  FROM p ASOF LEFT JOIN tch " +
+        "    ON p.user_id = tch.user_id AND p.pt >= tch.tt), " +
+        "a AS (SELECT CASE WHEN tt IS NULL OR pt - tt > 604800000000000 " +
+        "    THEN 'direct' ELSE ch END AS channel, rev FROM j) " +
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases, " +
+        "  round(CAST(sum(rev) AS DOUBLE), 6) AS revenue " +
+        "FROM a GROUP BY 1"),
+
+    "events_ewma" ->
+      ("WITH d AS (" + dailyDecimalSeries + ") " +
+        "SELECT a.key, CAST(a.day AS BIGINT) AS day, " +
+        "  CAST(count(*) AS BIGINT) AS n_terms, " +
+        "  round(CAST(sum(b.x * CAST(power(0.5, a.day - b.day) " +
+        "      AS DECIMAL(13,12))) AS DOUBLE) / " +
+        "    CAST(sum(CAST(power(0.5, a.day - b.day) AS DECIMAL(13,12))) " +
+        "      AS DOUBLE), 6) AS ewma " +
+        "FROM d a JOIN d b ON b.key = a.key " +
+        "  AND b.day >= a.day - 12 AND b.day <= a.day " +
+        "GROUP BY 1, 2"),
 
     "events_theil_sen" ->
       ("WITH d AS (" + dailyDecimalSeries + "), " +

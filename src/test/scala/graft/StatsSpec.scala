@@ -155,6 +155,20 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("ewma: hand-computed weights with a calendar gap") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // days 1, 2, 4 (day 3 missing): at day 4 the window sees lags 0,2,3
+    // -> ewma = (8*1 + 4*0.25 + 2*0.125) / (1 + 0.25 + 0.125) = 9.25/1.375
+    val rows = Seq(("a", 1L * day, 2.0), ("a", 2L * day, 4.0), ("a", 4L * day, 8.0))
+    val got = Stats.ewma(rows.toDF("k", "ts", "v").repartition(3), "k", "ts", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got(0) === ((1L, 1L, 2.0)))
+    assert(got(1) === ((2L, 2L, math.rint((4.0 + 2.0 * 0.5) / 1.5 * 1e6) / 1e6)))
+    assert(got(2) === ((4L, 3L, math.rint(9.25 / 1.375 * 1e6) / 1e6)))
+  }
+
   test("theilSen: recovers a clean slope and shrugs off a planted outlier") {
     val s = spark; import s.implicits._
     val day = 86400000000000L
