@@ -135,7 +135,12 @@ object GraftEngine {
           Some(SeparatorPartition("#", 2))))),
       IndexSpec(s"idx_name_tail", Seq(
         IndexedColumn("c_name", ValueType.StringT, 25,
-          Some(SpatialPartition(13, 5))))))),
+          Some(SpatialPartition(13, 5))))),
+      // functional index: lower(c_mktsegment) — serves case-insensitive
+      // predicates written as lower(col) = '...'
+      IndexSpec(s"idx_mkt_lower", Seq(
+        IndexedColumn("c_mktsegment", ValueType.StringT, 10,
+          Some(LowerPartition())))))),
     ("orders", "o_orderkey", Seq(
       IndexSpec(s"idx_status", Seq(IndexedColumn("o_orderstatus", ValueType.StringT, 1))),
       IndexSpec(s"idx_cust", Seq(IndexedColumn("o_custkey", ValueType.LongT))),

@@ -57,6 +57,7 @@ private[index] object DerivedPredicates {
     derived.collectFirst {
       case ic if matchesSeparator(e, ic) => synthetic(ic, e)
       case ic if matchesQualifier(e, ic) => synthetic(ic, e)
+      case ic if matchesLower(e, ic) => synthetic(ic, e)
       case ic if matchesSpatial(e, ic) && litLen(other).contains(spatialLen(ic)) => synthetic(ic, e)
     }.getOrElse(e)
 
@@ -67,12 +68,14 @@ private[index] object DerivedPredicates {
     derived.collectFirst {
       case ic if matchesSeparator(e, ic) => synthetic(ic, e)
       case ic if matchesQualifier(e, ic) => synthetic(ic, e)
+      case ic if matchesLower(e, ic) => synthetic(ic, e)
     }.getOrElse(e)
 
   private def substIn(e: Expression, lits: Seq[Literal], derived: Seq[IndexedColumn]): Expression =
     derived.collectFirst {
       case ic if matchesSeparator(e, ic) => synthetic(ic, e)
       case ic if matchesQualifier(e, ic) => synthetic(ic, e)
+      case ic if matchesLower(e, ic) => synthetic(ic, e)
       case ic if matchesSpatial(e, ic) &&
         lits.forall(l => litLen(l).contains(spatialLen(ic))) => synthetic(ic, e)
     }.getOrElse(e)
@@ -122,6 +125,17 @@ private[index] object DerivedPredicates {
     case Literal(s, StringType) if s != null => Some(s.toString)
     case _ => None
   }
+
+  /** `lower(col)` over a LowerPartition-indexed column — functional
+    * index; NULL-derivation only at NULL raw, safe for every op. */
+  private def matchesLower(e: Expression, ic: IndexedColumn): Boolean =
+    ic.partition match {
+      case Some(LowerPartition()) => e match {
+        case l: Lower => isCol(l.child, ic.column)
+        case _ => false
+      }
+      case _ => false
+    }
 
   private def matchesSpatial(e: Expression, ic: IndexedColumn): Boolean =
     ic.partition match {

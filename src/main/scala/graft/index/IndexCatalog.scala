@@ -136,6 +136,10 @@ final class IndexCatalog {
               s""","partition":{"kind":"separator","separator":${jstr(sep)},"position":$pos}"""
             case Some(SpatialPartition(off, len)) =>
               s""","partition":{"kind":"spatial","offset":$off,"length":$len}"""
+            case Some(LowerPartition()) =>
+              s""","partition":{"kind":"lower"}"""
+            case Some(QualifierPartition(q)) =>
+              s""","partition":{"kind":"qualifier","qualifier":${jstr(q)}}"""
             case None => ""
           }
           s"""{"column":${jstr(c.column)},"type":${jstr(c.valueType.name)},"maxLen":${c.maxValueLength}$part}"""
@@ -186,6 +190,8 @@ final class IndexCatalog {
                 SeparatorPartition(pn.get("separator").asText, pn.get("position").asInt)
               case "spatial" =>
                 SpatialPartition(pn.get("offset").asInt, pn.get("length").asInt)
+              case "lower" => LowerPartition()
+              case "qualifier" => QualifierPartition(pn.get("qualifier").asText)
               case k => throw new IllegalArgumentException(s"unknown partition kind: $k")
             }
           }

@@ -91,6 +91,18 @@ final case class QualifierPartition(qualifier: String) extends ValuePartition {
     "q_" + qualifier.map(c => if (c.isLetterOrDigit) c else '_')
 }
 
+/** Functional index on `lower(column)` — the classic expression-index
+  * example (beyond-reference; HBase ValuePartitions only slice values).
+  * Case-insensitive equality/range/IN predicates written as
+  * `lower(col) = 'x'` are served by an index materialized over the
+  * lowercased value. Derives NULL only where the raw value is NULL, and
+  * no comparison passes on NULL — superset-safe for every op.
+  */
+final case class LowerPartition() extends ValuePartition {
+  override def derive(raw: Column): Column = lower(raw)
+  override def tag: String = "lower"
+}
+
 /** One indexed column: mirrors `ColumnQualifier` (cf, qualifier, ValueType,
   * maxValueLength, optional ValuePartition) at
   * `hbase-secondaryindex/.../ColumnQualifier.java:39-79`. In the flattened

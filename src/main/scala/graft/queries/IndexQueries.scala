@@ -142,6 +142,16 @@ object IndexQueries extends QueryGroup {
         .select("c_custkey", "c_mktsegment", "c_nationkey")
     }),
 
+    // functional index (idx_mkt_lower on lower(c_mktsegment)): the
+    // case-insensitive predicate is served by the expression index — the
+    // derived-predicate normalizer turns lower(col)='x' into a leaf on
+    // the materialized lowercased column
+    "idx_functional" -> ((s, dir) => {
+      GraftEngine.managed(s, dir, "customer")
+        .filter(lower(col("c_mktsegment")) === "building" && col("c_nationkey") < 20)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+    }),
+
     // partial index (idx_open_cust: o_custkey WHERE o_orderstatus='O'):
     // hinted so the plan provably runs through the row-subset index; the
     // residual filter above the semi-join re-verifies both conjuncts
@@ -196,6 +206,8 @@ object IndexQueries extends QueryGroup {
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE string_split(c_name, '#')[2] = '000000049'",
     "idx_value_partition_spatial" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE substr(c_name, 14, 5) = '00049'",
+    "idx_functional" ->
+      "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer WHERE lower(c_mktsegment) = 'building' AND c_nationkey < 20",
     "idx_partial" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' AND o_custkey <= 15",
     "idx_partial_covering" ->

@@ -104,6 +104,50 @@ class PartialIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no leaf on the leading index column — base must be scanned: $paths")
   }
 
+  test("functional index: lower(col) predicate is served by idx_mkt_lower") {
+    val df = managed("customer")
+      .filter(lower(col("c_mktsegment")) === "building")
+      .select("c_custkey", "c_mktsegment")
+    val paths = scanPaths(df.queryExecution.optimizedPlan)
+    assert(paths.exists(_.contains("idx_mkt_lower")), s"got $paths")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(lower(col("c_mktsegment")) === "building")
+      .select("c_custkey", "c_mktsegment").collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("functional index serves range predicates too (NULL-safe derivation)") {
+    val df = managed("customer")
+      .filter(lower(col("c_mktsegment")) >= "m")
+    val paths = scanPaths(df.queryExecution.optimizedPlan)
+    assert(paths.exists(_.contains("idx_mkt_lower")), s"got $paths")
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(lower(col("c_mktsegment")) >= "m").collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted === expected)
+  }
+
+  test("catalog save/load round-trips lower and qualifier partitions") {
+    val cat = new IndexCatalog
+    val ti = TableIndices("t_fn", "k", Seq(
+      IndexSpec("lw", Seq(IndexedColumn("s", ValueType.StringT,
+        partition = Some(LowerPartition())))),
+      IndexSpec("qf", Seq(IndexedColumn("m", ValueType.LongT,
+        partition = Some(QualifierPartition("the")))))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))))
+    cat.register(ti, "/tmp/fn_base", schema)
+    val p = "/tmp/fn_catalog.json"
+    cat.save(p)
+    val cat2 = new IndexCatalog
+    cat2.load(p)
+    val specs = cat2.get("t_fn").get.indices.indices
+    assert(specs.find(_.name == "lw").get.columns.head.partition === Some(LowerPartition()))
+    assert(specs.find(_.name == "qf").get.columns.head.partition === Some(QualifierPartition("the")))
+  }
+
   test("catalog save/load round-trips the partial predicate") {
     val cat = new IndexCatalog
     val ti = TableIndices("t_part", "k", Seq(
