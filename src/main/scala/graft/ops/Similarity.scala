@@ -90,6 +90,84 @@ object Similarity {
     rankTopK(partial, qidCol, idCol, k)
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily select `k` of the `fetchK` nearest candidates maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the standard
+    * relevance/diversity trade-off that keeps near-duplicate hits from
+    * crowding a retrieval page (λ=1 degenerates to plain top-k).
+    *
+    * Shape: one [[bruteForceTopK]] scan for the candidate pool, a
+    * semi-join pulls the ≤ `queries×fetchK` candidate vectors, and the
+    * greedy loop runs per query inside `flatMapGroups` over at most
+    * `fetchK` in-memory vectors — the corpus is scanned once and the
+    * O(k·fetchK) pairwise term never touches it. Deterministic: score
+    * ties break to the lower candidate id; the first pick is always the
+    * top-cosine hit. FP scores → rows-only gate + property spec
+    * (first-pick, duplicate-repulsion, λ=1 degeneracy).
+    *
+    * @return (qid, id, rank, score) — rank 1..k in selection order;
+    *         score is the (6-dp) MMR objective at selection time
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, fetchK: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && fetchK >= k, s"need fetchK >= k >= 1: k=$k fetchK=$fetchK")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, fetchK)
+    val withVec = cands
+      .join(corpus.select(col(idCol).cast("long").as(idCol), col(vecCol).as("__v")), Seq(idCol))
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+        col("sim").cast("double"), col("__v"))
+      .as[(Long, Long, Double, Array[Float])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2)) // relevance desc, id asc
+        val n = cs.length
+        val norms = cs.map(c => VecKernel.norm(c._4))
+        val picked = new Array[Int](math.min(k, n))
+        val isPicked = new Array[Boolean](n)
+        // max similarity of each candidate to the selected set so far
+        // (cosine lower bound — zeros would clamp negative maxima)
+        val maxToSel = Array.fill(n)(-1.0)
+        val out = Seq.newBuilder[(Long, Long, Int, Double)]
+        var r = 0
+        while (r < picked.length) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!isPicked(i)) {
+              val score =
+                if (r == 0) cs(i)._3
+                else lambda * cs(i)._3 - (1.0 - lambda) * maxToSel(i)
+              if (score > bestScore ||
+                  (score == bestScore && best >= 0 && cs(i)._2 < cs(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          picked(r) = best
+          isPicked(best) = true
+          out += ((qid, cs(best)._2, r + 1, math.rint(bestScore * 1e6) / 1e6))
+          // fold the new selection into every candidate's diversity term
+          var j = 0
+          while (j < n) {
+            if (!isPicked(j)) {
+              val s = VecKernel.dot(cs(j)._4, cs(best)._4) / (norms(j) * norms(best))
+              if (s > maxToSel(j)) maxToSel(j) = s
+            }
+            j += 1
+          }
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF(qidCol, idCol, "rank", "score")
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * most cosine-similar corpus rows with a DIFFERENT label ("looks
     * like a positive, isn't one" — the negatives that actually teach a

@@ -521,6 +521,17 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10)
     }),
 
+    // MMR diversified re-rank of the brute-force pool (rows-only: FP
+    // objective; SimilaritySpec-style properties gate first-pick,
+    // duplicate repulsion and the lambda=1 degeneracy)
+    "ann_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.mmrRerank(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10, fetchK = 50, lambda = 0.7)
+    }),
+
     // PQ compressed-scan approximate top-k (rows-only; blob-recall and
     // partition-invariance asserted in spec): 16 one-byte codes per
     // 64-dim vector, ADC table scoring — the memory tier of the family

@@ -125,6 +125,32 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mmrRerank: first pick is top cosine, lambda=1 degenerates to top-k, duplicates repelled") {
+    val s = spark; import s.implicits._
+    // corpus: id 1 = query direction; id 2 = near-duplicate of 1;
+    // id 3 = relevant but diverse; id 4 = orthogonal filler
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)),
+      (3L, Array(0.8f, 0.6f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("q_id", "q_vec")
+    val mmr = Similarity.mmrRerank(corpus, "vec_id", "embedding",
+      q, "q_id", "q_vec", k = 3, fetchK = 4, lambda = 0.5)
+      .collect().sortBy(_.getInt(2)).map(_.getLong(1))
+    assert(mmr(0) === 1L, "rank 1 must be the plain top-cosine hit")
+    // the near-duplicate of the first pick must NOT be second — the
+    // diverse id 3 (or orthogonal 4) wins the diversity term
+    assert(mmr(1) !== 2L, s"near-duplicate crowded the page: ${mmr.mkString(",")}")
+    // lambda=1: exactly brute-force order
+    val plain = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, "q_id", "q_vec", k = 3).collect().sortBy(_.getInt(3)).map(_.getLong(1))
+    val degen = Similarity.mmrRerank(corpus, "vec_id", "embedding",
+      q, "q_id", "q_vec", k = 3, fetchK = 4, lambda = 1.0)
+      .collect().sortBy(_.getInt(2)).map(_.getLong(1))
+    assert(degen.toSeq === plain.toSeq)
+  }
+
   test("multi-probe LSH: recall vs brute force is monotone in the probe radius") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 8)
