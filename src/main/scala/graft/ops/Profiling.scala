@@ -227,6 +227,37 @@ object Profiling {
     * a web domain. Groups with MAD = 0 (over half the values at the
     * median) define no outlier and are excluded, as are NULL/NaN
     * values. */
+  /** Sliding-window rate audit: for each entity, the peak number of
+    * events inside any trailing `[t − windowNs, t]` interval anchored at
+    * an event — the abuse/scraper screen ("N requests per minute") and a
+    * capacity-planning peak-load read. RANGE window on the nanos axis
+    * (both bounds inclusive, identical frame semantics in ANSI SQL), so
+    * equal-ts bursts count fully regardless of row order; the window is
+    * per-entity and the exact integer peak hash-matches any engine.
+    *
+    * @return entities whose peak reaches `threshold`:
+    *         (keyCols..., n_events, peak_rate, peak_ts = earliest anchor
+    *         attaining the peak)
+    */
+  def rateLimitAudit(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      windowNs: Long, threshold: Long): DataFrame = {
+    require(keyCols.nonEmpty, "rateLimitAudit needs at least one key column")
+    require(windowNs > 0 && threshold >= 1,
+      s"need windowNs > 0 and threshold >= 1: $windowNs, $threshold")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol)).rangeBetween(-windowNs, 0)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__rate", count(lit(1)).over(w))
+      .withColumn("__peak", max(col("__rate")).over(wAll))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__rate")).as("peak_rate"),
+        min(when(col("__rate") === col("__peak"), col(tsCol))).as("peak_ts"))
+      .filter(col("peak_rate") >= threshold)
+  }
+
   def madOutliers(df: DataFrame, groupCols: Seq[String],
       valueCol: String, threshold: Double = 3.5): DataFrame = {
     require(groupCols.nonEmpty, "madOutliers needs at least one group column")

@@ -218,6 +218,23 @@ object Sampling {
     graft.ops.Curation.runningTotal(df,
       Seq(md5(col(idCol).cast("string").cast("binary")), col(idCol)), lit(1L), out)
 
+  /** Deterministic stratified k-fold assignment for cross-validation:
+    * within each stratum, rows ordered by (id-hash, id) are dealt
+    * round-robin into `k` folds — fold sizes inside EVERY stratum differ
+    * by at most one (exact balance, which plain hash-mod folds only
+    * approach in expectation), and membership is a pure function of the
+    * stratum's id set: stable under repartitioning and re-derivable in
+    * SQL on any engine. Window is per-stratum (stratum-sized sort per
+    * task — for giant strata switch to the [[shuffleRank]] prefix-count
+    * device, same ordering contract). */
+  def kFold(df: DataFrame, strataCols: Seq[String], idCol: String, k: Int,
+      out: String = "fold"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2: $k")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn(out, (row_number().over(w) - 1) % k)
+  }
+
   /** Deterministic fixed-size-per-group sample ("reservoir of k per key"
     * without the RNG): the k rows whose id hash orders first within each
     * group. One shuffle on the group key; ties broken by id so the result

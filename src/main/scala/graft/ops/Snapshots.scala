@@ -247,6 +247,32 @@ object Snapshots {
           .as("volume"))
   }
 
+  /** Golden-record survivorship (MDM merge): one row per entity where
+    * EACH field independently takes its latest non-null value under the
+    * (ts, tieCols) total order — the standard "most recent known value
+    * per attribute" rule, which row-level latest-wins (see
+    * [[applyChangelog]]) cannot express when different fields were last
+    * observed on different rows.
+    *
+    * One grouped aggregation: per field, `max(struct(ts, tie..., field))`
+    * over rows where the field is non-null (the conditional struct is
+    * NULL otherwise and max skips it) — map-side combinable, no windows,
+    * no joins. Fields are (name → column) pairs so callers can pre-clean
+    * (e.g. NaN→NULL) per field.
+    */
+  def goldenRecord(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      fields: Seq[(String, Column)], tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty && fields.nonEmpty,
+      "goldenRecord needs key columns and at least one field")
+    val ord = (col(tsCol) +: tieCols.map(col))
+    val aggs = fields.map { case (name, c) =>
+      max(when(c.isNotNull, struct(ord :+ c.as("__f"): _*)))
+        .getField("__f").as(name)
+    } ++ Seq(min(col(tsCol)).as("first_seen"), max(col(tsCol)).as("last_seen"),
+      count(lit(1)).as("n_versions"))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Incremental materialized-view maintenance for grouped count/sum
     * aggregates: fold an insert/delete changelog into the previous
     * aggregate state WITHOUT rescanning the base table — the standard

@@ -765,6 +765,36 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "source", "lang")
     }),
 
+    // stratified 5-fold CV assignment: exact within-stratum balance
+    // (round-robin over the hash order), fold populations + id range
+    // prove the deal; membership re-derivable in SQL
+    "sample_kfold" -> ((s, dir) => {
+      Sampling.kFold(Tables.load(s, dir, "documents"), Seq("lang"), "doc_id", k = 5)
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    }),
+
+    // golden-record survivorship: per user, each field independently
+    // takes its latest non-null value — row-level latest-wins can't
+    // express per-field recency
+    "pipeline_golden_record" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = col("value").cast("double")
+      graft.ops.Snapshots.goldenRecord(ev, Seq("user_id"), "ts",
+        fields = Seq(
+          "last_value" -> when(!isnan(v), round(v, 6)),
+          "last_type" -> col("event_type")),
+        tieCols = Seq("event_id"))
+    }),
+
+    // sliding-window rate audit: users whose trailing-24h event count
+    // ever reaches 3 — peak rate + earliest anchor attaining it
+    "events_rate_limit" -> ((s, dir) => {
+      graft.ops.Profiling.rateLimitAudit(Tables.load(s, dir, "events"),
+        Seq("user_id"), "ts", windowNs = 86400000000000L, threshold = 3L)
+    }),
+
     // shard-local sequence packing: concat-and-split context windows of
     // 4096 tokens per source shard (one shuffle on the shard key; a
     // global pack order would serialize — see Packing scaladoc)
@@ -2931,6 +2961,41 @@ object PipelineQueries extends QueryGroup {
         "    PARTITION BY source, lang " +
         "    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn " +
         "  FROM documents) WHERE rn <= 3"),
+    "sample_kfold" ->
+      ("WITH a AS (SELECT lang, doc_id, " +
+        "    CAST((row_number() OVER (PARTITION BY lang " +
+        "      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) - 1) " +
+        "      % 5 AS INT) AS fold FROM documents) " +
+        "SELECT lang, fold, CAST(count(*) AS BIGINT) AS n, " +
+        "  min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM a GROUP BY 1, 2"),
+    "pipeline_golden_record" ->
+      ("WITH v1 AS (SELECT user_id, round(CAST(value AS DOUBLE), 6) AS v, " +
+        "    row_number() OVER (PARTITION BY user_id " +
+        "      ORDER BY ts DESC, event_id DESC) AS rn " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "t1 AS (SELECT user_id, event_type AS et, " +
+        "    row_number() OVER (PARTITION BY user_id " +
+        "      ORDER BY ts DESC, event_id DESC) AS rn " +
+        "  FROM events WHERE event_type IS NOT NULL), " +
+        "b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions, " +
+        "    min(epoch_ns(ts)) AS first_seen, max(epoch_ns(ts)) AS last_seen " +
+        "  FROM events GROUP BY 1) " +
+        "SELECT b.user_id, v1.v AS last_value, t1.et AS last_type, " +
+        "  b.first_seen, b.last_seen, b.n_versions " +
+        "FROM b LEFT JOIN v1 ON v1.user_id = b.user_id AND v1.rn = 1 " +
+        "LEFT JOIN t1 ON t1.user_id = b.user_id AND t1.rn = 1"),
+    "events_rate_limit" ->
+      ("WITH r AS (SELECT user_id, epoch_ns(ts) AS t, " +
+        "    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) " +
+        "      RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW) AS rate " +
+        "  FROM events WHERE ts IS NOT NULL), " +
+        "p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "    max(rate) AS peak FROM r GROUP BY 1), " +
+        "a AS (SELECT r.user_id, min(r.t) AS peak_ts FROM r " +
+        "  JOIN p ON p.user_id = r.user_id AND r.rate = p.peak GROUP BY 1) " +
+        "SELECT p.user_id, p.n_events, CAST(p.peak AS BIGINT) AS peak_rate, " +
+        "  a.peak_ts FROM p JOIN a ON a.user_id = p.user_id WHERE p.peak >= 3"),
 
     "emb_l2_stats" ->
       ("SELECT vec_id, len(embedding) AS dim, " +
