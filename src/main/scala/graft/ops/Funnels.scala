@@ -237,4 +237,33 @@ object Funnels {
         round(col("n_ab").cast("double") * col("__n") /
           (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
   }
+
+  /** Top session paths: the ordered sequence of event types in each
+    * session (capped at the first `maxSteps` events) rendered as a
+    * `a>b>c` string, counted across sessions — the "how do users actually
+    * move" view that single-step transition matrices (events_transitions)
+    * flatten away.
+    *
+    * Shape: sessionization (per-key windows) → per-session rank filter →
+    * one grouped `array_sort(collect_list(struct))` whose size is bounded
+    * by `maxSteps` (collect order doesn't matter, the struct sort imposes
+    * the (ts, tie) total order) → a count by path string. No unbounded
+    * collect: every group holds at most `maxSteps` rows.
+    */
+  def sessionPaths(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      typeCol: String, gap: Long, tieCols: Seq[String],
+      maxSteps: Int): DataFrame = {
+    require(maxSteps >= 1 && maxSteps <= 32, s"maxSteps in [1,32]: $maxSteps")
+    val sess = Snapshots.sessionize(df, keyCols, tsCol, gap, tsCol +: tieCols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ "session_idx").map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val ord = struct((col(tsCol) +: tieCols.map(col)) :+ col(typeCol).as("__t"): _*)
+    sess.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxSteps)
+      .groupBy((keyCols :+ "session_idx").map(col): _*)
+      .agg(array_join(transform(array_sort(collect_list(ord)),
+        x => x.getField("__t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
 }

@@ -247,6 +247,37 @@ object Snapshots {
           .as("volume"))
   }
 
+  /** Column-level snapshot diff: for each tracked column, how many
+    * entities were added, removed, changed (null-safe value comparison)
+    * or unchanged between two snapshots — the schema-stability dashboard
+    * behind [[snapshotDiff]]'s row-level view. One full-outer join on the
+    * entity id and one aggregate; per-column flags ride an exploded
+    * struct array, so the join output is scanned once regardless of how
+    * many columns are tracked.
+    */
+  def snapshotColumnDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "snapshotColumnDiff needs at least one column")
+    val o = oldDf.select(col(idCol) +: cols.map(c => col(c).as("__o_" + c)): _*)
+      .withColumn("__ino", lit(1))
+    val n = newDf.select(col(idCol) +: cols.map(c => col(c).as("__n_" + c)): _*)
+      .withColumn("__inn", lit(1))
+    val j = o.join(n, Seq(idCol), "full_outer")
+    val both = col("__ino").isNotNull && col("__inn").isNotNull
+    val metrics = cols.map { c =>
+      val same = col("__o_" + c) <=> col("__n_" + c)
+      struct(lit(c).as("column"),
+        when(col("__ino").isNull, 1L).otherwise(0L).as("a"),
+        when(col("__inn").isNull, 1L).otherwise(0L).as("r"),
+        when(both && !same, 1L).otherwise(0L).as("c"),
+        when(both && same, 1L).otherwise(0L).as("u"))
+    }
+    j.select(explode(array(metrics: _*)).as("m"))
+      .groupBy(col("m.column").as("column"))
+      .agg(sum("m.a").as("n_added"), sum("m.r").as("n_removed"),
+        sum("m.c").as("n_changed"), sum("m.u").as("n_unchanged"))
+  }
+
   /** Golden-record survivorship (MDM merge): one row per entity where
     * EACH field independently takes its latest non-null value under the
     * (ts, tieCols) total order — the standard "most recent known value

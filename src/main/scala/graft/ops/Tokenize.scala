@@ -168,4 +168,29 @@ object Tokenize {
       .withColumn("token_id", col("__rk") - 1L)
       .drop("__rk")
   }
+
+  /** Out-of-vocabulary rate per document against the corpus vocabulary at
+    * `minCount` (same whitespace-lowercase tokenization as
+    * [[buildVocab]]) — the "how much of this doc will a tokenizer shatter
+    * into rare pieces" screen used to pick vocab sizes and to flag
+    * gibberish. The vocabulary side is a token-distinct aggregate
+    * (broadcast-sized next to the token stream), so the join never
+    * shuffles the corpus tokens by word frequency. Docs with zero
+    * non-empty tokens produce no row (no divisor exists).
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("word"), lit(1L).as("__in"))
+    toks.join(vocab, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

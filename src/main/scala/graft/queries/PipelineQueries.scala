@@ -795,6 +795,39 @@ object PipelineQueries extends QueryGroup {
         Seq("user_id"), "ts", windowNs = 86400000000000L, threshold = 3L)
     }),
 
+    // top session paths: ordered event-type sequences (first 5 steps,
+    // 30-min gap sessions) counted across sessions
+    "events_session_paths" -> ((s, dir) => {
+      graft.ops.Funnels.sessionPaths(
+        Tables.load(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", "event_type",
+        gap = 1800000000000L, tieCols = Seq("event_id"), maxSteps = 5)
+    }),
+
+    // per-doc out-of-vocabulary rate against the minCount=10 corpus
+    // vocabulary — the tokenizer-coverage / gibberish screen
+    "text_oov_rate" -> ((s, dir) => {
+      graft.ops.Tokenize.oovRate(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minCount = 10L)
+    }),
+
+    // column-level snapshot diff: adds/removes/changes per tracked
+    // column between two order-table versions (status flips planted on
+    // key%5, rows added/removed by key%7 vs key%10 membership)
+    "pipeline_snapshot_coldiff" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val newSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice"))
+      graft.ops.Snapshots.snapshotColumnDiff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     // shard-local sequence packing: concat-and-split context windows of
     // 4096 tokens per source shard (one shuffle on the shard key; a
     // global pack order would serialize — see Packing scaladoc)
@@ -2985,6 +3018,58 @@ object PipelineQueries extends QueryGroup {
         "  b.first_seen, b.last_seen, b.n_versions " +
         "FROM b LEFT JOIN v1 ON v1.user_id = b.user_id AND v1.rn = 1 " +
         "LEFT JOIN t1 ON t1.user_id = b.user_id AND t1.rn = 1"),
+    "events_session_paths" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+        "  CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (" +
+        "    PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000 " +
+        "  THEN 1 ELSE 0 END AS flag FROM events), " +
+        "s AS (SELECT user_id, ts, event_id, event_type, " +
+        "  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM x), " +
+        "s2 AS (SELECT user_id, session_idx, event_type, ts, event_id, " +
+        "  row_number() OVER (PARTITION BY user_id, session_idx " +
+        "    ORDER BY ts, event_id) AS rn FROM s), " +
+        "p AS (SELECT user_id, session_idx, " +
+        "  string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
+        "  FROM s2 WHERE rn <= 5 GROUP BY 1, 2) " +
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1"),
+    "text_oov_rate" ->
+      ("WITH t AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+        "    unnest(string_split(lower(text), ' ')) AS word FROM documents) " +
+        "  WHERE length(word) > 0), " +
+        "v AS (SELECT word FROM (SELECT word, count(*) AS c FROM t GROUP BY 1) " +
+        "  WHERE c >= 10), " +
+        "j AS (SELECT t.doc_id, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov " +
+        "  FROM t LEFT JOIN v ON v.word = t.word) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "  CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate " +
+        "FROM j GROUP BY 1"),
+    "pipeline_snapshot_coldiff" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p " +
+        "  FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "n AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+        "    ELSE o_orderstatus END AS s, o_totalprice AS p " +
+        "  FROM orders WHERE o_orderkey % 7 <> 0), " +
+        "j AS (SELECT o.k AS ok, n.k AS nk, o.s AS os, n.s AS ns, " +
+        "    o.p AS op, n.p AS np FROM o FULL OUTER JOIN n ON n.k = o.k), " +
+        "m AS (SELECT 'o_orderstatus' AS col, " +
+        "    CASE WHEN ok IS NULL THEN 1 ELSE 0 END AS a, " +
+        "    CASE WHEN nk IS NULL THEN 1 ELSE 0 END AS r, " +
+        "    CASE WHEN ok IS NOT NULL AND nk IS NOT NULL " +
+        "      AND os IS DISTINCT FROM ns THEN 1 ELSE 0 END AS c, " +
+        "    CASE WHEN ok IS NOT NULL AND nk IS NOT NULL " +
+        "      AND os IS NOT DISTINCT FROM ns THEN 1 ELSE 0 END AS u FROM j " +
+        "  UNION ALL SELECT 'o_totalprice', " +
+        "    CASE WHEN ok IS NULL THEN 1 ELSE 0 END, " +
+        "    CASE WHEN nk IS NULL THEN 1 ELSE 0 END, " +
+        "    CASE WHEN ok IS NOT NULL AND nk IS NOT NULL " +
+        "      AND op IS DISTINCT FROM np THEN 1 ELSE 0 END, " +
+        "    CASE WHEN ok IS NOT NULL AND nk IS NOT NULL " +
+        "      AND op IS NOT DISTINCT FROM np THEN 1 ELSE 0 END FROM j) " +
+        "SELECT col AS \"column\", CAST(sum(a) AS BIGINT) AS n_added, " +
+        "  CAST(sum(r) AS BIGINT) AS n_removed, CAST(sum(c) AS BIGINT) AS n_changed, " +
+        "  CAST(sum(u) AS BIGINT) AS n_unchanged FROM m GROUP BY 1"),
     "events_rate_limit" ->
       ("WITH r AS (SELECT user_id, epoch_ns(ts) AS t, " +
         "    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) " +
