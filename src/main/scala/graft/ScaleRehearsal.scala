@@ -49,11 +49,13 @@ object ScaleRehearsal {
     val catalog = new IndexCatalog
     GraftEngine.install(spark, catalog)
     val results = Seq(1, 10).map(measure(spark, catalog, sfDir, _))
+    // covering reads reuse the layouts measure() just built/registered
+    val coverResults = Seq(1, 10).map(measureCovering(spark, _))
     val covResults = Seq(1, 10).map(measureCov(spark, sfDir, _))
     val triResults = Seq(1, 3).map(measureTri(spark, sfDir, _))
     val manResults = Seq(1, 10).map(measureManifest(spark, sfDir, _))
     val blockResults = measureBlocked(spark)
-    write(sfDir, results, covResults, triResults, manResults, blockResults)
+    write(sfDir, results, coverResults, covResults, triResults, manResults, blockResults)
     println(s"[rehearsal] wrote /root/repo/SCALE_REHEARSAL.md")
     spark.stop()
   }
@@ -342,7 +344,30 @@ object ScaleRehearsal {
       fullFilesRead = fullFilesRead, tIndexed = tIndexed, tFull = tFull)
   }
 
-  private def write(sfDir: String, rs: Seq[Measure],
+  final case class CoverRead(scale: Int, matched: Long,
+      covIdxFiles: Long, covBaseFiles: Long,
+      semiIdxFiles: Long, semiBaseFiles: Long,
+      tCovering: Double, tSemi: Double)
+
+  /** Covering (index-only) read vs the semi-join path on the layouts
+    * [[measure]] built: the covered projection must touch ZERO base
+    * files at every scale, while the semi-join's base side grows with
+    * the corpus. */
+  private def measureCovering(spark: SparkSession, scale: Int): CoverRead = {
+    val basePath = s"$root/x$scale/customer"
+    def q() = spark.read.parquet(basePath).filter(col("c_nationkey") === 7)
+      .select("c_custkey", "c_nationkey")
+    val (dCov, tCov) = timeMin(2) { val d = q(); d.collect(); d }
+    val (covIdx, _, covBase) = scanMetrics(dCov)
+    require(covBase == 0, s"covering read touched $covBase base files")
+    spark.conf.set("graft.index.covering", "false")
+    val (dSemi, tSemi) = try timeMin(2) { val d = q(); d.collect(); d }
+      finally spark.conf.unset("graft.index.covering")
+    val (semiIdx, _, semiBase) = scanMetrics(dSemi)
+    CoverRead(scale, dCov.count(), covIdx, covBase, semiIdx, semiBase, tCov, tSemi)
+  }
+
+  private def write(sfDir: String, rs: Seq[Measure], cover: Seq[CoverRead],
       cov: Seq[CovMeasure], tri: Seq[TriMeasure],
       man: Seq[ManMeasure], blocks: Seq[BlockMeasure]): Unit = {
     def f(d: Double) = String.format(Locale.ROOT, "%.3f", Double.box(d))
@@ -396,6 +421,25 @@ object ScaleRehearsal {
          |  zero-Exchange assertion) covers the regime where the base fetch
          |  must also be bounded — pick per workload, as the reference's
          |  load balancer does by colocating index and data regions.
+         |
+         |# Covering (index-only) reads — base-table I/O vs data growth
+         |
+         |Same layouts, covered projection `(c_custkey, c_nationkey)` with
+         |the same point predicate: the covering rewrite answers entirely
+         |from the index files; the comparator disables it
+         |(`graft.index.covering=false`) and takes the semi-join path.
+         |
+         || scale | matched | covering idx files | covering BASE files | semi-join idx files | semi-join base files | t covering (s) | t semi (s) |
+         ||---|---|---|---|---|---|---|---|
+         |@COVERROWS@
+         |
+         |- **The covering read touches ZERO base files at every scale**
+         |  (asserted, not just observed) while the semi-join's base side
+         |  went ${cover.head.semiBaseFiles} → ${cover.last.semiBaseFiles}
+         |  files with the corpus — for wide tables the covered projection
+         |  turns a data-table fetch per match into nothing at all, the
+         |  columnar equivalent of serving the scan from the index rowkey
+         |  layout `[paddedValues][userRowkey]`.
          |
          |# Covariance moment kernel — shuffle volume vs data growth
          |
@@ -490,7 +534,12 @@ object ScaleRehearsal {
          |  against ${f(blocks(3).fullPairs.toDouble / math.max(blocks(2).fullPairs, 1))}x
          |  for the uncapped wedge set (which scales with Σd² — one
          |  degree-d hub alone emits d(d−1)/2 pairs, unboundedly).
-         |""".stripMargin.replace("@ROWS@", rows).replace("@COVROWS@",
+         |""".stripMargin.replace("@ROWS@", rows)
+      .replace("@COVERROWS@",
+        cover.map(m => s"| ${m.scale}x | ${m.matched} | ${m.covIdxFiles} | " +
+          s"${m.covBaseFiles} | ${m.semiIdxFiles} | ${m.semiBaseFiles} | " +
+          s"${f(m.tCovering)} | ${f(m.tSemi)} |").mkString("\n"))
+      .replace("@COVROWS@",
         cov.map(m => s"| ${m.scale}x | ${m.rows} | ${m.cells} | " +
           s"${m.shuffleRecords} | ${f(m.t)} |").mkString("\n"))
       .replace("@TRIROWS@",

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming golden-record maintenance — the stateful twin of
+  * [[graft.ops.Snapshots.goldenRecord]]: per entity, each field
+  * independently keeps its latest non-null value under the (ts, seq)
+  * total order, updated incrementally as events arrive. State is one
+  * small record per entity in Spark's streaming state store (hash-
+  * partitioned), so each micro-batch shuffles only its own rows — the
+  * merged master record is always current without ever re-reading
+  * history, which is what batch survivorship has to do.
+  *
+  * Late/out-of-order rows are handled by the per-field (ts, seq)
+  * comparison, not arrival order: a stale update can never overwrite a
+  * newer value. Update mode: every batch emits the entities it touched
+  * with their CURRENT golden record.
+  */
+object GoldenState {
+
+  final case class Ev(user_id: Long, ts: Long, seq: Long,
+      etype: String, value: Option[Double])
+
+  final case class Golden(user_id: Long,
+      last_type: String, type_ts: Long, type_seq: Long,
+      last_value: Option[Double], value_ts: Long, value_seq: Long,
+      first_seen: Long, last_seen: Long, n_versions: Long)
+
+  /** Fold a streaming `(user_id, ts, seq, etype, value)` frame into
+    * per-entity golden records (Update-mode emission of touched keys). */
+  def goldenRecords(input: DataFrame): Dataset[Golden] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("seq").cast("long"), col("etype"), col("value").cast("double"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Golden]) =>
+          var g = state.getOption.getOrElse(
+            Golden(uid, null, Long.MinValue, Long.MinValue,
+              None, Long.MinValue, Long.MinValue,
+              Long.MaxValue, Long.MinValue, 0L))
+          rows.foreach { e =>
+            val newer = (ts: Long, seq: Long) =>
+              e.ts > ts || (e.ts == ts && e.seq > seq)
+            if (e.etype != null && newer(g.type_ts, g.type_seq))
+              g = g.copy(last_type = e.etype, type_ts = e.ts, type_seq = e.seq)
+            if (e.value.exists(v => !v.isNaN) && newer(g.value_ts, g.value_seq))
+              g = g.copy(last_value = e.value, value_ts = e.ts, value_seq = e.seq)
+            g = g.copy(first_seen = math.min(g.first_seen, e.ts),
+              last_seen = math.max(g.last_seen, e.ts),
+              n_versions = g.n_versions + 1)
+          }
+          state.update(g)
+          g
+      }
+  }
+}

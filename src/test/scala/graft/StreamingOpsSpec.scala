@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{DriftMonitor, SketchMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
+import graft.streaming.{DriftMonitor, GoldenState, SketchMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
 
 /** Stateful streaming operators: first-arrival dedup
   * (flatMapGroupsWithState) and watermarked windowed aggregation. */
@@ -47,6 +47,40 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(rows === Set((1L, "aaa"), (2L, "bbb"), (12L, "ccc")),
         s"got $rows")
+    } finally q.stop()
+  }
+
+
+  test("streaming golden record: per-field latest non-null survives late arrivals") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Option[Double])]
+    val out = GoldenState.goldenRecords(
+      in.toDF().toDF("user_id", "ts", "seq", "etype", "value"))
+    val ckpt = Files.createTempDirectory("graft-golden-ck").toString
+    val q = out.writeStream
+      .format("memory").queryName("golden_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      // batch 1: value only on the older row; type on both
+      in.addData((1L, 10L, 1L, "view", Some(5.0)), (1L, 20L, 2L, "click", None))
+      q.processAllAvailable()
+      // batch 2: LATE row (ts 15) with a value — newer than the value
+      // holder (ts 10) but older than the type holder (ts 20): value
+      // updates, type must NOT regress; NaN rows never hold the value
+      in.addData((1L, 15L, 3L, "error", Some(7.5)),
+        (1L, 30L, 4L, "nanrow", Some(Double.NaN)))
+      q.processAllAvailable()
+      val g = spark.table("golden_out")
+        .orderBy(org.apache.spark.sql.functions.col("n_versions").desc).limit(1)
+        .select("user_id", "last_type", "last_value", "first_seen", "last_seen", "n_versions")
+        .collect().head
+      assert(g.getLong(0) === 1L)
+      assert(g.getString(1) === "nanrow", "type takes the newest ts regardless of value")
+      assert(g.getDouble(2) === 7.5, "late value updates, NaN row never holds it")
+      assert(g.getLong(3) === 10L && g.getLong(4) === 30L)
+      assert(g.getLong(5) === 4L)
     } finally q.stop()
   }
 
