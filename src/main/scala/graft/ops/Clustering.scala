@@ -455,6 +455,47 @@ object Clustering {
       .limit(k)
   }
 
+  /** Deterministic negative-edge sampling for link-prediction training:
+    * for every source node, `k` candidate destinations drawn from the
+    * destination pool by an md5-derived index, with TRUE edges (and
+    * self-pairs) anti-joined away — the "plausible but absent" pairs a
+    * ranking loss needs next to its positives.
+    *
+    * Determinism/auditability: candidate j of source s is
+    * `pool[md5_32(s:j:seed) mod |pool|]` — membership is a pure function
+    * of (source, pool, seed), re-derivable in SQL on any engine (same
+    * 32-bit md5-uniform device as `sample_priority`). Oversampling
+    * (`oversample`× k proposals) covers collisions with real edges; the
+    * first k survivors in j-order are kept, so output is stable under
+    * partitioning. The pool index is a distributed prefix-count rank
+    * ([[graft.ops.Curation.runningTotal]]) — no single-task sort at any
+    * pool size.
+    */
+  def negativeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, seed: Long, oversample: Int = 3): DataFrame = {
+    require(k >= 1 && oversample >= 2,
+      s"need k >= 1 and oversample >= 2: $k, $oversample")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val pool = Curation.runningTotal(e.select("dst").distinct(),
+        Seq(col("dst")), lit(1L), "__rk")
+      .select((col("__rk") - 1L).as("__idx"), col("dst"))
+    val poolSize = pool.count()
+    val proposals = e.select("src").distinct()
+      .withColumn("j", explode(array((1 to k * oversample).map(lit): _*)))
+      .withColumn("__u", conv(substring(md5(concat_ws(":",
+        col("src"), col("j"), lit(seed))), 1, 8), 16, 10).cast("long"))
+      .withColumn("__idx", pmod(col("__u"), lit(poolSize)))
+    val cand = proposals.join(pool, Seq("__idx"))
+      .filter(col("dst") =!= col("src"))
+      .join(e, Seq("src", "dst"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("j"))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), col("j"))
+  }
+
   /** Multi-source BFS: minimum hop distance from any source node, bounded
     * at `maxHops` — the neighborhood-expansion primitive under "all docs
     * within k links of a seed set" crawl scoping and contamination-spread

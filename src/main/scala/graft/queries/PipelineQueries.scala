@@ -1258,6 +1258,31 @@ object PipelineQueries extends QueryGroup {
           round(col("total").cast("double") / col("cnt"), 6).as("avg_price"))
     }),
 
+    // time-travel (AS OF) read: the CDC latest-wins state reconstructed
+    // at a past instant by bounding the changelog at T — version travel
+    // over the same changelog the live state uses
+    "pipeline_time_travel" -> ((s, dir) => {
+      val asOf = Tables.tsNanos("2024-01-15 00:00:00")
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts") <= asOf)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      graft.ops.Snapshots.applyChangelog(ev, Seq("user_id"), "ts", "op",
+        tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    // deterministic negative-edge sample for link-prediction training:
+    // 2 absent (supplier, part) pairs per supplier, md5-derived pool
+    // draw, true edges anti-joined — fully re-derivable in SQL
+    "graph_negative_edges" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      graft.ops.Clustering.negativeEdges(e, "s", "p", k = 2, seed = 42L)
+    }),
+
     "pipeline_cdc_apply" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
@@ -2263,6 +2288,29 @@ object PipelineQueries extends QueryGroup {
         "  round(CAST(sum(p) AS DOUBLE), 6) AS total, " +
         "  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_price " +
         "FROM f GROUP BY 1"),
+    // the live-state oracle bounded at T — epoch_ns avoids tz ambiguity
+    "pipeline_time_travel" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, value, " +
+        "    row_number() OVER (PARTITION BY user_id " +
+        "      ORDER BY ts DESC, event_id DESC) AS rn FROM events " +
+        "  WHERE epoch_ns(ts) <= 1705276800000000000) " +
+        "SELECT user_id, event_id, event_type, round(value, 6) AS value " +
+        "FROM r WHERE rn = 1 AND event_type <> 'error'"),
+    "graph_negative_edges" ->
+      ("WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem), " +
+        "p AS (SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS idx " +
+        "  FROM (SELECT DISTINCT dst FROM e)), " +
+        "prop AS (SELECT s.src, j.j, " +
+        "    CAST('0x' || substr(md5(s.src || ':' || j.j || ':' || 42), 1, 8) " +
+        "      AS BIGINT) % (SELECT count(*) FROM p) AS idx " +
+        "  FROM (SELECT DISTINCT src FROM e) s CROSS JOIN range(1, 7) j(j)), " +
+        "cand AS (SELECT prop.src, p.dst, prop.j FROM prop " +
+        "  JOIN p ON p.idx = prop.idx WHERE p.dst <> prop.src " +
+        "    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = prop.src " +
+        "      AND e.dst = p.dst)), " +
+        "r AS (SELECT src, dst, j, row_number() OVER (PARTITION BY src " +
+        "    ORDER BY j) AS rn FROM cand) " +
+        "SELECT src, dst, CAST(j AS INT) AS j FROM r WHERE rn <= 2"),
     // latest-wins per key with (ts, event_id) total order; tombstones out
     "pipeline_cdc_apply" ->
       ("WITH r AS (SELECT user_id, event_id, event_type, value, " +

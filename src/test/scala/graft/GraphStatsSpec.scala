@@ -474,4 +474,39 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keys = rows.map(r => (-r.getAs[Double]("score"), r.getLong(0), r.getLong(1)))
     assert(keys.sameElements(keys.sorted))
   }
+
+  test("negativeEdges: no sampled pair is a real edge or self-pair; exactly k per src; deterministic") {
+    val s = spark; import s.implicits._
+    // sparse bipartite-ish graph: 5 sources x 100 dsts, 2 edges each
+    val edges = (1 to 5).flatMap(src => Seq((src.toLong, (src * 10).toLong),
+      (src.toLong, (src * 10 + 1).toLong))).toDF("a", "b")
+    val negA = Clustering.negativeEdges(edges.repartition(4), "a", "b", k = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val negB = Clustering.negativeEdges(edges.repartition(1), "a", "b", k = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(negA.sameElements(negB), "sampling must be partition-invariant")
+    val real = Set((1L,10L),(1L,11L),(2L,20L),(2L,21L),(3L,30L),(3L,31L),
+      (4L,40L),(4L,41L),(5L,50L),(5L,51L))
+    negA.foreach { case (a, b, _) =>
+      assert(!real.contains((a, b)), s"sampled a real edge ($a,$b)")
+      assert(a != b, "self-pair sampled")
+    }
+    // pool is ample (10 dsts, 2 real per src) -> full k per src
+    assert(negA.groupBy(_._1).forall(_._2.length == 3),
+      s"expected 3 negatives per src: ${negA.mkString(",")}")
+    // different seed draws a different sample
+    val neg2 = Clustering.negativeEdges(edges, "a", "b", k = 3, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(!negA.sameElements(neg2), "seed must steer the draw")
+  }
+
+  test("bfsDistances: hand-computed chain with a shortcut") {
+    val s = spark; import s.implicits._
+    // 1->2->3->4 plus shortcut 1->4; dist(4) must be 1, not 3
+    val e = Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L),(4L,5L)).toDF("src","dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = Clustering.bfsDistances(e, "src", "dst", seeds, maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
 }
