@@ -521,6 +521,29 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10)
     }),
 
+    // Matryoshka truncation sweep: brute-force recall@10 of the
+    // truncated-dim embedding (first 8/16/32 components) vs the full
+    // 64-dim ranking — the "how many dims can we drop" read behind
+    // MRL-style tiered retrieval. Rows-only (FP rank order), but the
+    // recall arithmetic itself is exact integer counts.
+    "eval_matryoshka_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", k = 10).localCheckpoint(true)
+      Seq(8, 16, 32).map { d =>
+        val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+        val qTrunc = queries.select(col("q_id"), slice(col("q_vec"), 1, d).as("q_vec"))
+        val approx = Similarity.bruteForceTopK(trunc, "vec_id", "embedding",
+          qTrunc, "q_id", "q_vec", k = 10)
+        graft.ops.Evaluation.annRecall(approx, exact, "q_id", "vec_id")
+          .agg(round(avg(col("recall")), 6).as("mean_recall"),
+            count(lit(1)).as("n_queries"))
+          .withColumn("dim", lit(d))
+      }.reduce(_ unionByName _).select("dim", "n_queries", "mean_recall")
+    }),
+
     // MMR diversified re-rank of the brute-force pool (rows-only: FP
     // objective; SimilaritySpec-style properties gate first-pick,
     // duplicate repulsion and the lambda=1 degeneracy)
