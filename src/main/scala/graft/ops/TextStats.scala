@@ -110,4 +110,57 @@ object TextStats {
       }
       .toDF(idCol, "n_bytes", "ratio")
   }
+
+  /** Flesch reading-ease per document from three exact counts — words
+    * (whitespace tokens), sentences (runs of `.!?`, floored at 1) and
+    * syllables (vowel-group runs, the standard heuristic):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * Counting is pure regex arithmetic (engine-portable, no model), the
+    * two ratios are double divisions of exact integers — hash-exact on
+    * any engine. Docs with zero words are dropped (no divisor).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        size(regexp_extract_all(t, lit("[^\\s]+"), lit(0))).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("n_sent"),
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", round(lit(206.835)
+        - lit(1.015) * col("n_words").cast("double") / col("n_sent")
+        - lit(84.6) * col("n_syll").cast("double") / col("n_words"), 6))
+  }
+
+  /** Zipf slope of the corpus: OLS fit of ln(freq) on ln(rank) over the
+    * top `n` vocabulary terms — natural corpora sit near −1; a flat or
+    * broken slope flags boilerplate floods or templated spam. The rank
+    * table is `n` rows (driver-bounded); the per-term ln products are
+    * rounded to 9 dp and summed as decimals so the tiny OLS is
+    * order-free and engine-exact.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, n: Int = 100): DataFrame = {
+    require(n >= 10, s"need at least 10 ranks for a meaningful fit: $n")
+    val counts = df
+      .select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(n)
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word"))
+    val xy = counts.withColumn("__r", row_number().over(w))
+      .select(round(log(col("__r").cast("double")), 9).cast("decimal(18,9)").as("__x"),
+        round(log(col("cnt").cast("double")), 9).cast("decimal(18,9)").as("__y"))
+    xy.agg(count(lit(1)).as("n_terms"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("n_terms"),
+        round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+          / (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double"), 6)
+          .as("slope"))
+  }
 }

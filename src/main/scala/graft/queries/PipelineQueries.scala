@@ -835,6 +835,19 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", minCount = 10L)
     }),
 
+    // Flesch reading ease from exact regex counts (vowel-group syllable
+    // heuristic) — the classic readability screen
+    "text_readability" -> ((s, dir) => {
+      graft.ops.TextStats.readability(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Zipf slope of the top-100 vocabulary (ln-freq on ln-rank OLS,
+    // decimal term sums) — boilerplate/spam floods flatten it
+    "text_zipf_slope" -> ((s, dir) => {
+      graft.ops.TextStats.zipfSlope(Tables.load(s, dir, "documents"), "text")
+    }),
+
     // column-level snapshot diff: adds/removes/changes per tracked
     // column between two order-table versions (status flips planted on
     // key%5, rows added/removed by key%7 vs key%10 membership)
@@ -3104,6 +3117,27 @@ object PipelineQueries extends QueryGroup {
         "  string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
         "  FROM s2 WHERE rn <= 5 GROUP BY 1, 2) " +
         "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1"),
+    "text_readability" ->
+      ("WITH c AS (SELECT doc_id, " +
+        "    CAST(length(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_words, " +
+        "    CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sent, " +
+        "    CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll " +
+        "  FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, n_words, n_sent, n_syll, " +
+        "  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sent " +
+        "    - 84.6 * CAST(n_syll AS DOUBLE) / n_words, 6) AS flesch " +
+        "FROM c WHERE n_words > 0"),
+    "text_zipf_slope" ->
+      ("WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "    (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) " +
+        "  WHERE length(word) > 0 GROUP BY 1 ORDER BY cnt DESC, word LIMIT 100), " +
+        "r AS (SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, word) " +
+        "      AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x, " +
+        "    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y FROM c) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_terms, " +
+        "  round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) " +
+        "    / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6) AS slope " +
+        "FROM r"),
     "text_oov_rate" ->
       ("WITH t AS (SELECT doc_id, word FROM (SELECT doc_id, " +
         "    unnest(string_split(lower(text), ' ')) AS word FROM documents) " +
