@@ -287,6 +287,45 @@ object Stats {
         when(naive > 0.0, round(mae / naive, 6)).as("mase"))
   }
 
+  /** Maximum drawdown per series over the cumulative daily sum — the
+    * peak-to-trough risk statistic: `max_t (peak_t − cum_t)` with
+    * `peak_t = max_{s≤t} cum_s`, plus the relative form against the
+    * peak. Cumulative and running-peak are per-key prefix windows over
+    * exact decimals; the argmax row (trough) is picked by
+    * (drawdown desc, day asc) — fully deterministic, hash-exact.
+    *
+    * @return (key, n, peak, trough_day, max_drawdown, max_drawdown_rel)
+    *         — rel is NULL when the peak is ≤ 0 (no meaningful ratio).
+    */
+  def maxDrawdown(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__x"))
+    val wPrefix = Window.partitionBy(col("key")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("__cum", sum(col("__x")).over(wPrefix))
+      .withColumn("__peak", max(col("__cum")).over(wPrefix))
+      .withColumn("__dd", col("__peak") - col("__cum"))
+    val wBest = Window.partitionBy(col("key"))
+      .orderBy(col("__dd").desc, col("__day").asc)
+    cum.withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .join(daily.groupBy("key").agg(count(lit(1)).as("n")), Seq("key"))
+      .select(col("key"), col("n"),
+        round(col("__peak").cast("double"), 6).as("peak"),
+        col("__day").cast("long").as("trough_day"),
+        round(col("__dd").cast("double"), 6).as("max_drawdown"),
+        when(col("__peak") > 0,
+          round(col("__dd").cast("double") / col("__peak").cast("double"), 6))
+          .as("max_drawdown_rel"))
+  }
+
   /** Truncated exponentially-weighted moving average per series: at each
     * observed bucket, the weighted mean of the trailing `window+1` buckets
     * with half-life-one weights `w_j = 2^-j` (j = calendar-bucket gap) —

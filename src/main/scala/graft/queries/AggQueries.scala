@@ -142,6 +142,20 @@ object AggQueries extends QueryGroup {
           col("n"), col("sum_qty"))
     }),
 
+    // explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    // two independent one-dim rollups + the grand total in ONE Expand
+    // pass — no union of separate aggregations
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_gs_orders")
+      s.sql("SELECT o_orderstatus, o_orderpriority, " +
+        "  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, " +
+        "  count(*) AS cnt, " +
+        "  round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(18,6))) " +
+        "    AS DOUBLE), 6) AS total " +
+        "FROM graft_gs_orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())")
+    }),
+
     // Ordered listagg: the distinct member list of each group as one
     // deterministic delimited string (collect_set → array_sort, bounded
     // by group cardinality — the LISTAGG/string_agg surface)
@@ -350,6 +364,14 @@ object AggQueries extends QueryGroup {
         "count(*) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    "agg_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, " +
+        "CAST(count(*) AS BIGINT) AS cnt, " +
+        "round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(18,6))) " +
+        "  AS DOUBLE), 6) AS total " +
+        "FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
     "agg_string_agg" ->
       ("SELECT l_returnflag, " +
         "string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) " +

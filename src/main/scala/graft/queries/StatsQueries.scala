@@ -110,6 +110,13 @@ object StatsQueries extends QueryGroup {
 
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
+    // maximum drawdown of the cumulative daily value per event type —
+    // peak-to-trough on exact decimal prefix sums
+    "events_drawdown" -> ((s, dir) => {
+      graft.ops.Stats.maxDrawdown(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value")
+    }),
+
     // last-touch marketing attribution: each purchase's revenue goes to
     // the user's latest preceding non-purchase touch within 7 days
     // (as-of join with staleness bound), else 'direct' — equal-ts touch
@@ -194,6 +201,26 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    "events_drawdown" ->
+      ("WITH d AS (" + dailyDecimalSeries + "), " +
+        "r AS (SELECT key, day, " +
+        "    sum(x) OVER (PARTITION BY key ORDER BY day " +
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "  FROM d), " +
+        "pk AS (SELECT key, day, cum, max(cum) OVER (PARTITION BY key " +
+        "    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "    AS peak FROM r), " +
+        "dd AS (SELECT key, day, peak, peak - cum AS dd, " +
+        "    row_number() OVER (PARTITION BY key ORDER BY peak - cum DESC, day) " +
+        "      AS rk FROM pk), " +
+        "nb AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1) " +
+        "SELECT dd.key, nb.n, round(CAST(peak AS DOUBLE), 6) AS peak, " +
+        "  CAST(day AS BIGINT) AS trough_day, " +
+        "  round(CAST(dd AS DOUBLE), 6) AS max_drawdown, " +
+        "  CASE WHEN peak > 0 THEN round(CAST(dd AS DOUBLE) " +
+        "    / CAST(peak AS DOUBLE), 6) END AS max_drawdown_rel " +
+        "FROM dd JOIN nb ON nb.key = dd.key WHERE rk = 1"),
 
     "events_attribution" ->
       ("WITH p AS (SELECT user_id, epoch_ns(ts) AS pt, " +
