@@ -156,6 +156,62 @@ object Clustering {
     state.select("id", "rank")
   }
 
+  /** Personalized PageRank: power iteration with the teleport vector
+    * concentrated on a SEED set (uniform over seeds) — "importance as
+    * seen from here", the standard seed-expansion scorer for crawl
+    * scoping, related-item panels and local community detection. Same
+    * per-round shape and scale discipline as [[pageRank]] (edge list
+    * never shuffles, node-sized state broadcasts, lineage truncated per
+    * round); dangling mass returns to the seeds, so total mass is
+    * conserved at 1. FP scores → property-gated (mass conservation,
+    * seed locality, uniform-seed ≡ pageRank), not oracle-hashed.
+    *
+    * @return (id, rank) for every node in the edge list
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .dropDuplicates("id").localCheckpoint(true)
+    val seedSet = seeds.toDF("id").select(col("id").cast("long").as("id")).distinct()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    var state = nodes
+      .join(outDeg, nodes("id") === outDeg("src"), "left")
+      .select(col("id"), col("__deg"))
+      .join(seedSet.withColumn("__s", lit(1.0 / nSeeds)), Seq("id"), "left")
+      .select(col("id"), col("__deg"),
+        coalesce(col("__s"), lit(0.0)).as("__p"),
+        coalesce(col("__s"), lit(0.0)).as("rank"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iters) {
+      val contrib = e.join(broadcast(state.filter(col("__deg").isNotNull)),
+          col("src") === col("id"))
+        .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("id").agg(sum("__c").as("__in"))
+      val dangling = state.agg(coalesce(
+        sum(when(col("__deg").isNull, col("rank"))), lit(0.0)).as("__dm"))
+      state = state.select("id", "__deg", "__p")
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("__deg"), col("__p"),
+          (lit(1.0 - damping) * col("__p") + lit(damping) *
+            (coalesce(col("__in"), lit(0.0)) + col("__dm") * col("__p")))
+            .as("rank"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    state.select("id", "rank")
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected graph — the structure screen for co-occurrence graphs
     * (duplicate clusters that are cliques vs chains behave differently

@@ -287,6 +287,66 @@ object Stats {
         when(naive > 0.0, round(mae / naive, 6)).as("mase"))
   }
 
+  /** Additive weekday decomposition per series (STL-lite): each daily
+    * value splits into `overall mean + weekday effect + residual`, where
+    * the weekday effect is that weekday's mean minus the overall mean
+    * (`dow = day mod 7` on the integer day axis — a calendar-free cycle
+    * index both engines compute identically). The classic first look at
+    * "is this spike seasonality or an anomaly": residuals have the
+    * within-week shape removed. Means are exact decimal sums divided as
+    * doubles; everything else is subtraction — hash-exact.
+    *
+    * @return (key, day, dow, x, weekday_effect, residual)
+    */
+  def weekdayDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__x"))
+      .withColumn("dow", pmod(col("__day"), lit(7L)))
+    val overall = daily.groupBy("key")
+      .agg((sum(col("__x")).cast("double") / count(lit(1))).as("__m"))
+    val byDow = daily.groupBy("key", "dow")
+      .agg((sum(col("__x")).cast("double") / count(lit(1))).as("__md"))
+    daily.join(overall, Seq("key")).join(byDow, Seq("key", "dow"))
+      .select(col("key"), col("__day").cast("long").as("day"), col("dow"),
+        round(col("__x").cast("double"), 6).as("x"),
+        round(col("__md") - col("__m"), 6).as("weekday_effect"),
+        round(col("__x").cast("double") - col("__md"), 6).as("residual"))
+  }
+
+  /** Trimmed mean per group: drop the lowest and highest `trim` FRACTION
+    * of rows by exact rank (floor(n·trim) from each side, ties broken by
+    * the tie columns — a total order, so the kept set is identical on
+    * any engine) and average the middle as exact decimals. The
+    * robust-location aggregate between mean (trim 0) and median
+    * (trim 0.5); one per-group window + one aggregate.
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      trim: Double, tieCols: Seq[String]): DataFrame = {
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5): $trim")
+    require(groupCols.nonEmpty, "trimmedMean needs at least one group column")
+    val v = col(valueCol).cast("double")
+    val clean = df.filter(v.isNotNull && !isnan(v))
+      .withColumn("__v", round(v, 6).cast("decimal(18,6)"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v").asc +: tieCols.map(col(_).asc): _*)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    clean.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__cut", floor(col("__n") * trim))
+      .filter(col("__rk") > col("__cut") && col("__rk") <= col("__n") - col("__cut"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col("__v")).cast("double") / count(lit(1)), 6)
+          .as("trimmed_mean"))
+  }
+
   /** Maximum drawdown per series over the cumulative daily sum — the
     * peak-to-trough risk statistic: `max_t (peak_t − cum_t)` with
     * `peak_t = max_{s≤t} cum_s`, plus the relative form against the

@@ -19,6 +19,19 @@ object GraphQueries extends QueryGroup {
       graft.ops.Clustering.adamicAdar(e, "s", "p", maxRightDeg = 30, k = 100)
     }),
 
+    // personalized PageRank from parts 1-3 over the bipartite graph:
+    // seed-local authority (rows-only: FP scores; GraphStatsSpec gates
+    // mass conservation, seed locality and the uniform-seed degeneracy)
+    "graph_ppr" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val e = li.select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .unionByName(li.select((col("l_suppkey") + 1000000L).as("src"),
+          col("l_partkey").as("dst")))
+      val seeds = s.range(1, 4).toDF("id")
+      graft.ops.Clustering.personalizedPageRank(e, "src", "dst", seeds, iters = 8)
+        .filter(col("rank") > 1e-6)
+    }),
+
     // multi-source BFS hop distances over the part↔supplier bipartite
     // graph (ids prefixed to keep the two key spaces disjoint), seeded at
     // parts 1-3, 3 hops — exact min-hop distances, recursive-CTE oracle

@@ -110,6 +110,20 @@ object StatsQueries extends QueryGroup {
 
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
+    // additive weekday decomposition: daily value = mean + weekday
+    // effect + residual (the seasonality-vs-anomaly first look)
+    "events_seasonal_decompose" -> ((s, dir) => {
+      graft.ops.Stats.weekdayDecompose(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value")
+    }),
+
+    // 10%-trimmed mean of event values per type — exact rank cut under
+    // a (value, event_id) total order
+    "agg_trimmed_mean" -> ((s, dir) => {
+      graft.ops.Stats.trimmedMean(Tables.load(s, dir, "events"),
+        Seq("event_type"), "value", trim = 0.1, tieCols = Seq("event_id"))
+    }),
+
     // maximum drawdown of the cumulative daily value per event type —
     // peak-to-trough on exact decimal prefix sums
     "events_drawdown" -> ((s, dir) => {
@@ -201,6 +215,34 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    "events_seasonal_decompose" ->
+      ("WITH d AS (SELECT key, day, x, day % 7 AS dow FROM (" +
+        dailyDecimalSeries + ")), " +
+        "m AS (SELECT key, CAST(sum(x) AS DOUBLE) / count(*) AS m " +
+        "  FROM d GROUP BY 1), " +
+        "md AS (SELECT key, dow, CAST(sum(x) AS DOUBLE) / count(*) AS md " +
+        "  FROM d GROUP BY 1, 2) " +
+        "SELECT d.key, CAST(d.day AS BIGINT) AS day, CAST(d.dow AS BIGINT) AS dow, " +
+        "  round(CAST(d.x AS DOUBLE), 6) AS x, " +
+        "  round(md.md - m.m, 6) AS weekday_effect, " +
+        "  round(CAST(d.x AS DOUBLE) - md.md, 6) AS residual " +
+        "FROM d JOIN m ON m.key = d.key " +
+        "JOIN md ON md.key = d.key AND md.dow = d.dow"),
+
+    "agg_trimmed_mean" ->
+      ("WITH c AS (SELECT event_type, event_id, " +
+        "    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS v " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "    AND event_type IS NOT NULL), " +
+        "r AS (SELECT event_type, v, " +
+        "    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk, " +
+        "    count(*) OVER (PARTITION BY event_type) AS n FROM c), " +
+        "k AS (SELECT event_type, v FROM r " +
+        "  WHERE rk > floor(n * 0.1) AND rk <= n - floor(n * 0.1)) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS trimmed_mean " +
+        "FROM k GROUP BY 1"),
 
     "events_drawdown" ->
       ("WITH d AS (" + dailyDecimalSeries + "), " +

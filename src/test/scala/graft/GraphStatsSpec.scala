@@ -509,4 +509,29 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
   }
+
+  test("personalizedPageRank: mass conserved, seed-local, uniform-seed equals pageRank") {
+    val s = spark; import s.implicits._
+    // two communities bridged by one edge: seeds in community A
+    val a = Seq((1L,2L),(2L,3L),(3L,1L),(2L,1L),(3L,2L),(1L,3L))
+    val b = Seq((10L,11L),(11L,12L),(12L,10L),(11L,10L),(12L,11L),(10L,12L))
+    val bridge = Seq((3L,10L),(10L,3L))
+    val e = (a ++ b ++ bridge).toDF("src","dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val ppr = Clustering.personalizedPageRank(e, "src", "dst", seeds, iters = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9, s"mass: ${ppr.values.sum}")
+    assert(ppr(1L) > ppr(11L) && ppr(2L) > ppr(12L),
+      s"seed community must outrank the far community: $ppr")
+    // uniform seeds over ALL nodes degenerate to standard PageRank
+    val allNodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val uni = Clustering.personalizedPageRank(e, "src", "dst", allNodes, iters = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val pr = Clustering.pageRank(e, "src", "dst", iters = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    uni.foreach { case (id, v) =>
+      assert(math.abs(v - pr(id)) < 1e-12, s"node $id: ppr $v vs pr ${pr(id)}")
+    }
+  }
 }
