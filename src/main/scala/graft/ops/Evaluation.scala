@@ -427,4 +427,39 @@ object Evaluation {
           round((col("__cxy") * col("__cxy")) /
             (col("__vxx") * col("__vyy")), 6)).as("var_reduction"))
   }
+
+  /** Offline policy evaluation by inverse-propensity scoring: replay a
+    * deterministic target policy over logged randomized traffic and
+    * estimate its value as `IPS = (1/n)·Σ r·1[a=π(x)]/p` plus the
+    * self-normalized form `SNIPS = Σ w·r / Σ w` (lower variance, unit-
+    * invariant) — the standard counterfactual readout before an online
+    * A/B. Per-row weights and weighted rewards are rounded to 9 dp and
+    * summed as decimals, so both estimators are order-free and
+    * hash-exact given exact inputs.
+    *
+    * @param actionCol     logged action
+    * @param policyCol     the target policy's action for that context
+    * @param propensityCol logged probability of the logged action (>0)
+    * @param rewardCol     observed reward
+    * @return one row: (n, n_matched, ips_value, snips_value)
+    */
+  def ipsValue(df: DataFrame, actionCol: String, policyCol: String,
+      propensityCol: String, rewardCol: String): DataFrame = {
+    val p = col(propensityCol).cast("double")
+    val r = col(rewardCol).cast("double")
+    val matched = col(actionCol) === col(policyCol)
+    val w = when(matched, round(lit(1.0) / p, 9)).otherwise(lit(0.0))
+      .cast("decimal(28,9)")
+    val wr = when(matched, round(r / p, 9)).otherwise(lit(0.0))
+      .cast("decimal(28,9)")
+    df.filter(p.isNotNull && p > 0.0 && r.isNotNull && !isnan(r))
+      .agg(count(lit(1)).as("n"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+        sum(wr).as("__swr"), sum(w).as("__sw"))
+      .select(col("n"), col("n_matched"),
+        round(col("__swr").cast("double") / col("n"), 6).as("ips_value"),
+        when(col("__sw") > 0,
+          round(col("__swr").cast("double") / col("__sw").cast("double"), 6))
+          .as("snips_value"))
+  }
 }

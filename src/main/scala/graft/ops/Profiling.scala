@@ -1264,4 +1264,28 @@ object Profiling {
       frac(lower(v).rlike("^(true|false|t|f|0|1)$")).as("frac_bool"),
       frac(v === "").as("frac_empty"))
   }
+
+  /** Shannon entropy of a categorical distribution — the imbalance
+    * screen next to [[gini]]-style concentration: H = −Σ pᵢ·ln pᵢ with
+    * the normalized form H/ln(k) in [0,1] (1 = uniform over the k
+    * observed classes). One grouped count; per-class terms are 9-dp
+    * decimal sums, order-free and engine-exact.
+    */
+  def entropy(df: DataFrame, catCol: String): DataFrame = {
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("n_classes"))
+    counts.crossJoin(tot)
+      .select(col("__n"), col("n_classes"),
+        round(-(col("__c").cast("double") / col("__n")) *
+          log(col("__c").cast("double") / col("__n")), 9)
+          .cast("decimal(18,9)").as("__t"))
+      .groupBy(col("__n").as("n"), col("n_classes"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("entropy"))
+      .withColumn("entropy_norm",
+        when(col("n_classes") > 1,
+          round(col("entropy") / log(col("n_classes").cast("double")), 6))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -835,6 +835,28 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", minCount = 10L)
     }),
 
+    // offline policy replay (IPS + SNIPS): value of the deterministic
+    // "click for even users, view for odd" policy over logged traffic,
+    // with an md5-derived logged propensity — the counterfactual
+    // readout before an online A/B
+    "eval_ips_policy" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val u = conv(substring(md5(col("event_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+      val logged = ev
+        .withColumn("propensity",
+          round(lit(0.2) + lit(0.6) * u / lit(4294967296.0), 6))
+        .withColumn("policy_action",
+          when(col("user_id") % 2 === 0, "click").otherwise("view"))
+      graft.ops.Evaluation.ipsValue(logged, "event_type", "policy_action",
+        "propensity", "value")
+    }),
+
+    // Shannon entropy of the source distribution — the imbalance screen
+    "profile_entropy" -> ((s, dir) => {
+      graft.ops.Profiling.entropy(Tables.load(s, dir, "documents"), "source")
+    }),
+
     // Flesch reading ease from exact regex counts (vowel-group syllable
     // heuristic) — the classic readability screen
     "text_readability" -> ((s, dir) => {
@@ -3117,6 +3139,35 @@ object PipelineQueries extends QueryGroup {
         "  string_agg(event_type, '>' ORDER BY ts, event_id) AS path " +
         "  FROM s2 WHERE rn <= 5 GROUP BY 1, 2) " +
         "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1"),
+    "eval_ips_policy" ->
+      ("WITH l AS (SELECT event_type, value, " +
+        "    round(0.2 + 0.6 * ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT " +
+        "      / 4294967296.0, 6) AS p, " +
+        "    CASE WHEN user_id % 2 = 0 THEN 'click' ELSE 'view' END AS pa " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "t AS (SELECT CASE WHEN event_type = pa " +
+        "      THEN CAST(round(1.0 / p, 9) AS DECIMAL(28,9)) " +
+        "      ELSE CAST(0 AS DECIMAL(28,9)) END AS w, " +
+        "    CASE WHEN event_type = pa " +
+        "      THEN CAST(round(CAST(value AS DOUBLE) / p, 9) AS DECIMAL(28,9)) " +
+        "      ELSE CAST(0 AS DECIMAL(28,9)) END AS wr FROM l) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, " +
+        "  round(CAST(sum(wr) AS DOUBLE) / count(*), 6) AS ips_value, " +
+        "  CASE WHEN sum(w) > 0 THEN round(CAST(sum(wr) AS DOUBLE) " +
+        "    / CAST(sum(w) AS DOUBLE), 6) END AS snips_value FROM t"),
+    "profile_entropy" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents " +
+        "  WHERE source IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS n, " +
+        "    CAST(count(*) AS BIGINT) AS k FROM c), " +
+        "e AS (SELECT t.n, t.k, CAST(round(-(CAST(c.c AS DOUBLE) / t.n) " +
+        "    * ln(CAST(c.c AS DOUBLE) / t.n), 9) AS DECIMAL(18,9)) AS term " +
+        "  FROM c CROSS JOIN t) " +
+        "SELECT n, k AS n_classes, round(CAST(sum(term) AS DOUBLE), 6) AS entropy, " +
+        "  CASE WHEN k > 1 THEN round(round(CAST(sum(term) AS DOUBLE), 6) " +
+        "    / ln(CAST(k AS DOUBLE)), 6) ELSE 0.0 END AS entropy_norm " +
+        "FROM e GROUP BY 1, 2"),
     "text_readability" ->
       ("WITH c AS (SELECT doc_id, " +
         "    CAST(length(regexp_extract_all(text, '[^\\s]+')) AS BIGINT) AS n_words, " +
