@@ -552,6 +552,51 @@ object Clustering {
       .select(col("src"), col("dst"), col("j"))
   }
 
+  /** Bounded weighted shortest paths (Bellman–Ford over ≤ maxHops
+    * relaxation rounds): minimum total edge weight from any seed,
+    * non-negative integer weights — route cost / influence distance
+    * where hop count alone ([[bfsDistances]]) is too coarse. Exact
+    * integer distances → recursive-CTE-oracle-able.
+    *
+    * Frontier discipline: each round relaxes only from nodes whose
+    * distance IMPROVED last round (the changed set), so settled regions
+    * stop generating join traffic; parallel edges pre-collapse to their
+    * min weight. Broadcast frontier + per-round lineage truncation as in
+    * [[bfsDistances]].
+    *
+    * @return (id, dist) for every node reachable within maxHops edges
+    */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") >= 0)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources.toDF("id").distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val cand = e.join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("__d"))
+        .groupBy("id").agg(min(col("__d")).as("__d"))
+      val merged = dist.join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("__d")),
+            coalesce(col("__d"), col("dist"))).as("dist"),
+          (col("__d").isNotNull &&
+            (col("dist").isNull || col("__d") < col("dist"))).as("__improved"))
+        .localCheckpoint(true)
+      frontier = merged.filter(col("__improved")).select("id", "dist")
+        .localCheckpoint(true)
+      dist = merged.select("id", "dist")
+    }
+    dist
+  }
+
   /** Multi-source BFS: minimum hop distance from any source node, bounded
     * at `maxHops` — the neighborhood-expansion primitive under "all docs
     * within k links of a seed set" crawl scoping and contamination-spread

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-flow analytics: ordered funnels and cohort retention — the two
@@ -236,6 +237,60 @@ object Funnels {
         round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
         round(col("n_ab").cast("double") * col("__n") /
           (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution: each
+    * conversion's value splits across ALL its in-window touches —
+    * `wFirst` to the first, `wLast` to the last, the remainder evenly
+    * over the middles (1 touch takes all, 2 split half/half) — the
+    * credit model between last-touch (one winner) and linear (flat).
+    * Unattributed conversions fall to the `direct` channel whole.
+    *
+    * One interval join per (key, window) — per-entity windows bound the
+    * pair fan-out — then a per-conversion rank window over its own
+    * touches (≤ window traffic per conversion). Shares are
+    * `round(value·weight, 6)` decimals: order-free sums, hash-exact.
+    *
+    * @param purchases (pIdCol, keyCols..., pTsCol, valueCol) — one row
+    *                  per conversion; value non-null
+    * @param touches   (keyCols..., tTsCol, channelCol)
+    * @return (channel, n_contacts, revenue)
+    */
+  def positionAttribution(purchases: DataFrame, pIdCol: String,
+      keyCols: Seq[String], pTsCol: String, valueCol: String,
+      touches: DataFrame, tTsCol: String, channelCol: String,
+      windowNs: Long, wFirst: Double = 0.4, wLast: Double = 0.4): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive: $windowNs")
+    require(wFirst > 0 && wLast > 0 && wFirst + wLast <= 1.0,
+      s"need wFirst, wLast > 0 and wFirst + wLast <= 1: $wFirst, $wLast")
+    val v = round(col(valueCol).cast("double"), 6)
+    val p = purchases.select(col(pIdCol).as("__pid"),
+      struct(keyCols.map(col): _*).as("__k"), col(pTsCol).as("__pt"), v.as("__v"))
+    val t = touches.select(struct(keyCols.map(col): _*).as("__k"),
+      col(tTsCol).as("__tt"), col(channelCol).as("__ch"))
+    val joined = p.join(t, p("__k") === t("__k") &&
+      col("__tt") <= col("__pt") && col("__tt") > col("__pt") - windowNs)
+    val wOrd = Window.partitionBy(col("__pid")).orderBy(col("__tt"), col("__ch"))
+    val wAll = Window.partitionBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = joined
+      .withColumn("__r", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val weight = when(col("__n") === 1, lit(1.0))
+      .when(col("__n") === 2, lit(0.5))
+      .when(col("__r") === 1, lit(wFirst))
+      .when(col("__r") === col("__n"), lit(wLast))
+      .otherwise(lit(1.0 - wFirst - wLast) / (col("__n") - 2))
+    val attributed = ranked
+      .select(col("__ch").as("channel"),
+        round(col("__v") * weight, 6).cast("decimal(18,6)").as("__share"))
+    val direct = p.join(joined.select("__pid").distinct(), Seq("__pid"), "left_anti")
+      .select(lit("direct").as("channel"),
+        col("__v").cast("decimal(18,6)").as("__share"))
+    attributed.unionByName(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_contacts"),
+        round(sum(col("__share")).cast("double"), 6).as("revenue"))
   }
 
   /** Top session paths: the ordered sequence of event types in each

@@ -35,6 +35,22 @@ object GraphQueries extends QueryGroup {
     // multi-source BFS hop distances over the part↔supplier bipartite
     // graph (ids prefixed to keep the two key spaces disjoint), seeded at
     // parts 1-3, 3 hops — exact min-hop distances, recursive-CTE oracle
+    // bounded weighted shortest paths (Bellman-Ford, 3 relaxation
+    // rounds) over the same bipartite graph with min-quantity edge
+    // weights — exact integer distances, recursive-CTE oracle
+    "graph_weighted_dist" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("p"),
+          concat(lit("s"), col("l_suppkey")).as("sn"),
+          col("l_quantity").cast("long").as("w"))
+      val edges = li.select(col("p").as("src"), col("sn").as("dst"), col("w"))
+        .unionByName(li.select(col("sn").as("src"), col("p").as("dst"), col("w")))
+      val seeds = s.range(1, 4).toDF("k")
+        .select(concat(lit("p"), col("k")).as("id"))
+      graft.ops.Clustering.weightedDistances(edges, "src", "dst", "w",
+        seeds, maxHops = 3)
+    }),
+
     "graph_bfs_dist" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(concat(lit("p"), col("l_partkey")).as("p"),
@@ -64,6 +80,21 @@ object GraphQueries extends QueryGroup {
         "  round(CAST(common AS DOUBLE) / (la.da + lb.da - common), 6) AS jaccard " +
         "FROM p JOIN ld la ON la.a = p.a JOIN ld lb ON lb.a = p.b " +
         "ORDER BY score DESC, p.a, p.b LIMIT 100"),
+
+    "graph_weighted_dist" ->
+      ("WITH RECURSIVE " +
+        "e0 AS (SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src, " +
+        "    's' || CAST(l_suppkey AS VARCHAR) AS dst, " +
+        "    CAST(l_quantity AS BIGINT) AS w FROM lineitem " +
+        "  UNION ALL SELECT 's' || CAST(l_suppkey AS VARCHAR), " +
+        "    'p' || CAST(l_partkey AS VARCHAR), CAST(l_quantity AS BIGINT) " +
+        "  FROM lineitem), " +
+        "e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY 1, 2), " +
+        "sp(id, d, hops) AS (" +
+        "  SELECT 'p' || CAST(k AS VARCHAR), CAST(0 AS BIGINT), 0 FROM range(1, 4) t(k) " +
+        "  UNION SELECT e.dst, sp.d + e.w, sp.hops + 1 FROM sp " +
+        "    JOIN e ON e.src = sp.id WHERE sp.hops < 3) " +
+        "SELECT id, min(d) AS dist FROM sp GROUP BY 1"),
 
     "graph_bfs_dist" ->
       ("WITH RECURSIVE " +

@@ -131,6 +131,23 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value")
     }),
 
+    // position-based (U-shaped 40/20/40) multi-touch attribution: every
+    // in-window touch shares the purchase value; unattributed -> direct
+    "events_attribution_position" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = col("value").cast("double")
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && v.isNotNull && !isnan(v))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val touches = ev
+        .filter(col("event_type") =!= "purchase" && col("event_type") =!= "error")
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("event_type").as("ch"))
+      graft.ops.Funnels.positionAttribution(purchases, "event_id",
+        Seq("user_id"), "ts", "value", touches, "touch_ts", "ch",
+        windowNs = 604800000000000L)
+    }),
+
     // last-touch marketing attribution: each purchase's revenue goes to
     // the user's latest preceding non-purchase touch within 7 days
     // (as-of join with staleness bound), else 'direct' — equal-ts touch
@@ -263,6 +280,29 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN peak > 0 THEN round(CAST(dd AS DOUBLE) " +
         "    / CAST(peak AS DOUBLE), 6) END AS max_drawdown_rel " +
         "FROM dd JOIN nb ON nb.key = dd.key WHERE rk = 1"),
+
+    "events_attribution_position" ->
+      ("WITH p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS pt, " +
+        "    round(CAST(value AS DOUBLE), 6) AS v FROM events " +
+        "  WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)), " +
+        "t AS (SELECT user_id, epoch_ns(ts) AS tt, event_type AS ch FROM events " +
+        "  WHERE event_type NOT IN ('purchase', 'error')), " +
+        "j AS (SELECT p.pid, p.v, t.ch, t.tt FROM p JOIN t " +
+        "  ON t.user_id = p.user_id AND t.tt <= p.pt " +
+        "    AND t.tt > p.pt - 604800000000000), " +
+        "r AS (SELECT pid, v, ch, " +
+        "    row_number() OVER (PARTITION BY pid ORDER BY tt, ch) AS r, " +
+        "    count(*) OVER (PARTITION BY pid) AS n FROM j), " +
+        "sh AS (SELECT ch AS channel, CAST(round(v * (CASE " +
+        "    WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5 " +
+        "    WHEN r = 1 THEN 0.4 WHEN r = n THEN 0.4 " +
+        "    ELSE CAST(0.19999999999999998 AS DOUBLE) / (n - 2) END), 6) " +
+        "    AS DECIMAL(18,6)) AS share FROM r " +
+        "  UNION ALL SELECT 'direct', CAST(p.v AS DECIMAL(18,6)) FROM p " +
+        "  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)) " +
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_contacts, " +
+        "  round(CAST(sum(share) AS DOUBLE), 6) AS revenue " +
+        "FROM sh GROUP BY 1"),
 
     "events_attribution" ->
       ("WITH p AS (SELECT user_id, epoch_ns(ts) AS pt, " +
