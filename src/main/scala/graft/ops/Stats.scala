@@ -287,6 +287,47 @@ object Stats {
         when(naive > 0.0, round(mae / naive, 6)).as("mase"))
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association read that ignores outliers and nonlinearity
+    * (Pearson on ranks, with textbook average ranks for ties).
+    *
+    * Exactness device: DOUBLED average ranks are integers
+    * (`2·r̄ = 2·(cum−ct) + ct + 1`), correlation is scale-invariant, so
+    * every moment is an exact integer summed in DECIMAL(38,0) — only the
+    * final ρ is a double. Ranks come from the [[runningTotals]]
+    * distributed prefix count (no single-partition sort); the per-value
+    * rank tables join back by value (distinct-value-sized build sides).
+    * Per-element doubled-rank products must fit a long: n ≲ 10⁹ rows.
+    *
+    * @return one row (n, rho)
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xr = col(xCol).cast("double")
+    val yr = col(yCol).cast("double")
+    val clean = df.filter(xr.isNotNull && !isnan(xr) && yr.isNotNull && !isnan(yr))
+      .select(xr.as("__x"), yr.as("__y"))
+    def rankTable(vc: String, out: String): DataFrame = {
+      val pv = clean.groupBy(col(vc).as("__v")).agg(count(lit(1)).as("ct"))
+      runningTotals(pv, Seq(col("__v")), Seq("ct" -> col("ct")))
+        .select(col("__v").as(vc),
+          (lit(2L) * (col("__c_ct") - col("ct")) + col("ct") + 1L).as(out))
+    }
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val s = clean
+      .join(rankTable("__x", "__sx"), Seq("__x"))
+      .join(rankTable("__y", "__sy"), Seq("__y"))
+    val agg = s.agg(count(lit(1)).as("n"),
+      sum(dec(col("__sx"))).as("__tx"), sum(dec(col("__sy"))).as("__ty"),
+      sum(dec(col("__sx") * col("__sy"))).as("__txy"),
+      sum(dec(col("__sx") * col("__sx"))).as("__txx"),
+      sum(dec(col("__sy") * col("__sy"))).as("__tyy"))
+    val num = (dec(col("n")) * col("__txy") - col("__tx") * col("__ty")).cast("double")
+    val vx = (dec(col("n")) * col("__txx") - col("__tx") * col("__tx")).cast("double")
+    val vy = (dec(col("n")) * col("__tyy") - col("__ty") * col("__ty")).cast("double")
+    agg.select(col("n"),
+      when(col("n") > 1, round(num / sqrt(vx * vy), 6)).as("rho"))
+  }
+
   /** Additive weekday decomposition per series (STL-lite): each daily
     * value splits into `overall mean + weekday effect + residual`, where
     * the weekday effect is that weekday's mean minus the overall mean

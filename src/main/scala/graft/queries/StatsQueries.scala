@@ -110,6 +110,13 @@ object StatsQueries extends QueryGroup {
 
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
+    // Spearman rank correlation (quantity vs extended price): Pearson
+    // on doubled average ranks — all moments exact integers
+    "stats_spearman" -> ((s, dir) => {
+      graft.ops.Stats.spearman(Tables.load(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")
+    }),
+
     // additive weekday decomposition: daily value = mean + weekday
     // effect + residual (the seasonality-vs-anomaly first look)
     "events_seasonal_decompose" -> ((s, dir) => {
@@ -232,6 +239,25 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    "stats_spearman" ->
+      ("WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+        "    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem " +
+        "  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+        "rx AS (SELECT v, 2 * (cum - ct) + ct + 1 AS sx FROM (" +
+        "  SELECT v, ct, sum(ct) OVER (ORDER BY v) AS cum FROM (" +
+        "    SELECT x AS v, count(*) AS ct FROM c GROUP BY 1))), " +
+        "ry AS (SELECT v, 2 * (cum - ct) + ct + 1 AS sy FROM (" +
+        "  SELECT v, ct, sum(ct) OVER (ORDER BY v) AS cum FROM (" +
+        "    SELECT y AS v, count(*) AS ct FROM c GROUP BY 1))), " +
+        "s AS (SELECT CAST(rx.sx AS HUGEINT) AS sx, CAST(ry.sy AS HUGEINT) AS sy " +
+        "  FROM c JOIN rx ON rx.v = c.x JOIN ry ON ry.v = c.y), " +
+        "a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(sx) AS tx, sum(sy) AS ty, " +
+        "    sum(sx * sy) AS txy, sum(sx * sx) AS txx, sum(sy * sy) AS tyy FROM s) " +
+        "SELECT CAST(n AS BIGINT) AS n, " +
+        "  round(CAST(n * txy - tx * ty AS DOUBLE) " +
+        "    / sqrt(CAST(n * txx - tx * tx AS DOUBLE) " +
+        "      * CAST(n * tyy - ty * ty AS DOUBLE)), 6) AS rho FROM a"),
 
     "events_seasonal_decompose" ->
       ("WITH d AS (SELECT key, day, x, day % 7 AS dow FROM (" +
