@@ -462,4 +462,42 @@ object Evaluation {
           round(col("__swr").cast("double") / col("__sw").cast("double"), 6))
           .as("snips_value"))
   }
+
+  /** Cumulative gains / lift table: rows ranked by score (descending,
+    * tie-broken to a total order), cut into `nBins` exact ceil-rank
+    * bins, each reporting its positive count, cumulative gain (share of
+    * ALL positives captured so far) and lift vs the base rate — the
+    * "top decile catches X% of the positives" targeting read behind
+    * every campaign/priority queue. Ranks ride the distributed
+    * prefix-count device (no single-partition sort); everything is
+    * integer counts until the final divides.
+    *
+    * @return one row per bin: (bin, n, n_pos, cum_pos, gain, lift)
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, positive: Column,
+      tieCols: Seq[String], nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]: $nBins")
+    require(tieCols.nonEmpty, "gainsTable needs tie columns for a total order")
+    val sc = col(scoreCol).cast("double")
+    val clean = df.filter(sc.isNotNull && !isnan(sc))
+      .select(sc.as("__s"), when(positive, 1L).otherwise(0L).as("__y"),
+        struct(tieCols.map(col): _*).as("__t"))
+    val ranked = graft.ops.Stats.runningTotals(clean,
+      Seq(col("__s").desc, col("__t")), Seq("one" -> lit(1L)))
+    val tot = clean.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val bins = ranked.crossJoin(broadcast(tot))
+      // exact ceil-rank bin: ceil(rank*nBins/n) without floats
+      .withColumn("bin", expr(s"(__c_one * $nBins + __n - 1) div __n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        max(col("__n")).as("__n"), max(col("__p")).as("__p"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_pos"),
+        when(col("__p") > 0,
+          round(col("cum_pos").cast("double") / col("__p"), 6)).as("gain"),
+        when(col("__p") > 0, round((col("n_pos").cast("double") / col("n")) /
+          (col("__p").cast("double") / col("__n")), 6)).as("lift"))
+  }
 }

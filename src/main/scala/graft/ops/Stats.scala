@@ -287,6 +287,39 @@ object Stats {
         when(naive > 0.0, round(mae / naive, 6)).as("mase"))
   }
 
+  /** Cramér's V association between two categorical columns — the
+    * normalized chi-squared read in [0,1] ("how strongly does segment
+    * determine event mix"), via the identity χ² = n·(Σ oᵢⱼ²/(rᵢ·cⱼ) − 1)
+    * so the only per-cell float work is one division, rounded to 12 dp
+    * and summed as decimals (order-free). Contingency cells, row and
+    * column totals are one aggregate each — intermediate size is
+    * label-cardinality², never rows.
+    *
+    * @return one row (n, n_rows, n_cols, chi2, cramers_v)
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rows = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+    val colsT = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+    val terms = cells.join(rows, Seq("__a")).join(colsT, Seq("__b"))
+      .select(col("__o"),
+        round((col("__o") * col("__o")).cast("double") /
+          (col("__r") * col("__c")).cast("double"), 12)
+          .cast("decimal(28,12)").as("__t"))
+    val k = cells.agg(countDistinct(col("__a")).as("n_rows"),
+      countDistinct(col("__b")).as("n_cols"))
+    terms.agg(sum(col("__o")).as("n"), sum(col("__t")).as("__s"))
+      .crossJoin(k)
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        round(col("n") * (col("__s").cast("double") - 1.0), 6).as("chi2"),
+        when(least(col("n_rows"), col("n_cols")) > 1,
+          round(sqrt(greatest((col("__s").cast("double") - 1.0) /
+            (least(col("n_rows"), col("n_cols")) - 1.0).cast("double"),
+            lit(0.0))), 6)).as("cramers_v"))
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * monotone-association read that ignores outliers and nonlinearity
     * (Pearson on ranks, with textbook average ranks for ties).

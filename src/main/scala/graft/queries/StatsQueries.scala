@@ -110,6 +110,22 @@ object StatsQueries extends QueryGroup {
 
     // Kaplan-Meier time-to-first-purchase: users censored at their
     // last activity if they never purchase
+    // Cramér's V association between event type and a user segment —
+    // the normalized chi-squared categorical-association read
+    "stats_cramers_v" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("segment", pmod(col("user_id"), lit(4L)))
+      graft.ops.Stats.cramersV(ev, "event_type", "segment")
+    }),
+
+    // cumulative gains / lift deciles: length as the score, English as
+    // the positive — "how much of the target does the top decile catch"
+    "eval_gains_table" -> ((s, dir) => {
+      graft.ops.Evaluation.gainsTable(Tables.load(s, dir, "documents"),
+        "n_chars", col("lang") === "en", tieCols = Seq("doc_id"))
+    }),
+
     // Spearman rank correlation (quantity vs extended price): Pearson
     // on doubled average ranks — all moments exact integers
     "stats_spearman" -> ((s, dir) => {
@@ -240,6 +256,41 @@ object StatsQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
 
+    "stats_cramers_v" ->
+      ("WITH cells AS (SELECT event_type AS a, user_id % 4 AS b, " +
+        "    CAST(count(*) AS BIGINT) AS o FROM events " +
+        "  WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+        "cc AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+        "t AS (SELECT cells.o, CAST(round(CAST(cells.o * cells.o AS DOUBLE) " +
+        "    / (r.r * cc.c), 12) AS DECIMAL(28,12)) AS term " +
+        "  FROM cells JOIN r ON r.a = cells.a JOIN cc ON cc.b = cells.b), " +
+        "k AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS nr, " +
+        "    CAST(count(DISTINCT b) AS BIGINT) AS nc FROM cells) " +
+        "SELECT CAST(sum(o) AS BIGINT) AS n, k.nr AS n_rows, k.nc AS n_cols, " +
+        "  round(CAST(sum(o) AS BIGINT) * (CAST(sum(term) AS DOUBLE) - 1.0), 6) AS chi2, " +
+        "  CASE WHEN least(k.nr, k.nc) > 1 THEN round(sqrt(greatest(" +
+        "    (CAST(sum(term) AS DOUBLE) - 1.0) " +
+        "      / CAST(least(k.nr, k.nc) - 1 AS DOUBLE), 0.0)), 6) END AS cramers_v " +
+        "FROM t CROSS JOIN k GROUP BY k.nr, k.nc"),
+    "eval_gains_table" ->
+      ("WITH c AS (SELECT n_chars AS s, " +
+        "    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, doc_id " +
+        "  FROM documents WHERE n_chars IS NOT NULL), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS nt, " +
+        "    CAST(sum(y) AS BIGINT) AS p FROM c), " +
+        "r AS (SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM c), " +
+        "b AS (SELECT (r.rk * 10 + t.nt - 1) // t.nt AS bin, r.y, t.nt, t.p " +
+        "  FROM r CROSS JOIN t), " +
+        "g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(y) AS BIGINT) AS n_pos, max(nt) AS nt, max(p) AS p " +
+        "  FROM b GROUP BY 1), " +
+        "cu AS (SELECT g.*, CAST(sum(n_pos) OVER (ORDER BY bin " +
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos FROM g) " +
+        "SELECT bin, n, n_pos, cum_pos, " +
+        "  CASE WHEN p > 0 THEN round(CAST(cum_pos AS DOUBLE) / p, 6) END AS gain, " +
+        "  CASE WHEN p > 0 THEN round((CAST(n_pos AS DOUBLE) / n) " +
+        "    / (CAST(p AS DOUBLE) / nt), 6) END AS lift FROM cu"),
     "stats_spearman" ->
       ("WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
         "    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem " +
