@@ -154,6 +154,35 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value")
     }),
 
+    // point-in-time-correct feature join (feature-store semantics): each
+    // signup example gets its user's purchase count and last click value
+    // AS OF the example timestamp — two leakage-free as-of joins; a
+    // future row can never contaminate a training example
+    "pipeline_pit_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val examples = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val wP = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(wP))
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(col("__rn")).cast("long").as("purchases_so_far"))
+      val v = col("value").cast("double")
+      val clicks = ev.filter(col("event_type") === "click" &&
+          v.isNotNull && !isnan(v))
+        .groupBy(col("user_id"), col("ts").as("c_ts"))
+        .agg(max(struct(col("event_id"), round(v, 6).as("__v")))
+          .getField("__v").as("last_click_value"))
+      val j1 = graft.ops.Joins.asOfJoin(examples, purchases,
+        Seq("user_id"), "ts", "p_ts", "backward")
+      graft.ops.Joins.asOfJoin(j1, clicks, Seq("user_id"), "ts", "c_ts", "backward")
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("purchases_so_far"), lit(0L)).as("purchases_so_far"),
+          col("last_click_value"))
+    }),
+
     // position-based (U-shaped 40/20/40) multi-touch attribution: every
     // in-window touch shares the purchase value; unattributed -> direct
     "events_attribution_position" -> ((s, dir) => {
@@ -357,6 +386,28 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN peak > 0 THEN round(CAST(dd AS DOUBLE) " +
         "    / CAST(peak AS DOUBLE), 6) END AS max_drawdown_rel " +
         "FROM dd JOIN nb ON nb.key = dd.key WHERE rk = 1"),
+
+    "pipeline_pit_features" ->
+      ("WITH ex AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events " +
+        "  WHERE event_type = 'signup'), " +
+        "p0 AS (SELECT user_id, epoch_ns(ts) AS pt, " +
+        "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "  FROM events WHERE event_type = 'purchase'), " +
+        "pc AS (SELECT user_id, pt, CAST(max(rn) AS BIGINT) AS c " +
+        "  FROM p0 GROUP BY 1, 2), " +
+        "c0 AS (SELECT user_id, epoch_ns(ts) AS ct, value, " +
+        "    row_number() OVER (PARTITION BY user_id, ts " +
+        "      ORDER BY event_id DESC) AS rn " +
+        "  FROM events WHERE event_type = 'click' " +
+        "    AND value IS NOT NULL AND NOT isnan(value)), " +
+        "cl AS (SELECT user_id, ct, round(CAST(value AS DOUBLE), 6) AS v " +
+        "  FROM c0 WHERE rn = 1), " +
+        "j1 AS (SELECT ex.user_id, ex.t, ex.event_id, pc.c FROM ex " +
+        "  ASOF LEFT JOIN pc ON ex.user_id = pc.user_id AND ex.t >= pc.pt), " +
+        "j2 AS (SELECT j1.*, cl.v FROM j1 " +
+        "  ASOF LEFT JOIN cl ON j1.user_id = cl.user_id AND j1.t >= cl.ct) " +
+        "SELECT user_id, event_id, COALESCE(c, 0) AS purchases_so_far, " +
+        "  v AS last_click_value FROM j2"),
 
     "events_attribution_position" ->
       ("WITH p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS pt, " +

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Snapshots
+
+/** Streaming materialized-view maintenance: each micro-batch of
+  * insert/delete changelog rows folds into a persisted grouped
+  * (cnt, total) state through [[Snapshots.maintainAgg]] — the live
+  * dashboard aggregate that never rescans history. `foreachBatch` gives
+  * the read-modify-write micro-batch atomicity (staging swap, so readers
+  * never observe a half-written state and a failed batch retries against
+  * the previous generation) without streaming-aggregation state-store
+  * limits — deletes are first-class, which Append/Update-mode streaming
+  * aggregation cannot express.
+  */
+object LiveAggregate {
+
+  /** Start folding a streaming changelog (`keyCols`, `valueCol`,
+    * `opCol` with `D` = delete) into the parquet aggregate at
+    * `statePath` (created empty on first batch). */
+  def start(spark: SparkSession, changelog: DataFrame, keyCols: Seq[String],
+      valueCol: String, opCol: String, statePath: String,
+      checkpoint: String): StreamingQuery = {
+    changelog.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val target = new org.apache.hadoop.fs.Path(statePath)
+          val prev: DataFrame =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath, "_SUCCESS")))
+              spark.read.parquet(statePath)
+            else {
+              // empty state with the maintained schema
+              val keyed = batch.select(keyCols.map(batch(_)): _*)
+              keyed.filter(org.apache.spark.sql.functions.lit(false))
+                .withColumn("cnt", org.apache.spark.sql.functions.lit(0L))
+                .withColumn("total", org.apache.spark.sql.functions
+                  .lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"))
+            }
+          val next = Snapshots.maintainAgg(prev, batch, keyCols, valueCol, opCol)
+            .localCheckpoint(true) // sever lineage from the files we replace
+          val staging = new org.apache.hadoop.fs.Path(statePath + ".staging")
+          next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+          val old = new org.apache.hadoop.fs.Path(statePath + ".prev")
+          fs.delete(old, true)
+          if (fs.exists(target) && !fs.rename(target, old))
+            throw new java.io.IOException(s"cannot stash $target")
+          if (!fs.rename(staging, target)) {
+            fs.rename(old, target)
+            throw new java.io.IOException(s"cannot commit $staging")
+          }
+          fs.delete(old, true)
+        }
+        ()
+      }
+      .start()
+  }
+}

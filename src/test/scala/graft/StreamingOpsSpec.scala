@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{DriftMonitor, GoldenState, SketchMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
+import graft.streaming.{DriftMonitor, GoldenState, LiveAggregate, SketchMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
 
 /** Stateful streaming operators: first-arrival dedup
   * (flatMapGroupsWithState) and watermarked windowed aggregation. */
@@ -82,6 +82,26 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g.getLong(3) === 10L && g.getLong(4) === 30L)
       assert(g.getLong(5) === 4L)
     } finally q.stop()
+  }
+
+
+  test("streaming live aggregate: two micro-batches fold to the batch recompute") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, String)]
+    val statePath = Files.createTempDirectory("graft-liveagg-state").toString + "/agg"
+    val ckpt = Files.createTempDirectory("graft-liveagg-ck").toString
+    def startQ() = LiveAggregate.start(spark,
+      in.toDF().toDF("k", "v", "op"), Seq("k"), "v", "op", statePath, ckpt)
+    in.addData(("a", 1.5, "I"), ("a", 2.5, "I"), ("b", 4.0, "I"))
+    var q = startQ(); q.awaitTermination(); // AvailableNow drains batch 1
+    in.addData(("a", 1.5, "D"), ("b", 6.0, "I"), ("c", 9.0, "I"))
+    q = startQ(); q.awaitTermination()
+    val got = spark.read.parquet(statePath)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).sortBy(_._1)
+    // final state: a -> {2.5}, b -> {4.0, 6.0}, c -> {9.0}
+    assert(got === Array(("a", 1L, 2.5), ("b", 2L, 10.0), ("c", 1L, 9.0)))
   }
 
   test("streaming near-dup reports in-batch and cross-batch pairs once, admits everything") {
