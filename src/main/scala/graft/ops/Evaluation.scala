@@ -500,4 +500,49 @@ object Evaluation {
         when(col("__p") > 0, round((col("n_pos").cast("double") / col("n")) /
           (col("__p").cast("double") / col("__n")), 6)).as("lift"))
   }
+
+  /** Qini uplift curve by score decile: rows ranked by uplift score
+    * (descending, total order), cut into exact ceil-rank bins; each
+    * cumulative prefix reports `Qini = cumTP − cumCP·cumNT/cumNC`
+    * (incremental positives vs the control scaled to treated exposure) —
+    * the targeting read for "who should get the treatment", where plain
+    * gains ([[gainsTable]]) can't separate persuadables from sure
+    * things. Integer counts until the final scaling divide.
+    *
+    * @return per bin: (bin, n_treated, n_control, pos_treated,
+    *         pos_control, qini)
+    */
+  def qiniCurve(df: DataFrame, scoreCol: String, treated: Column,
+      positive: Column, tieCols: Seq[String], nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]: $nBins")
+    require(tieCols.nonEmpty, "qiniCurve needs tie columns for a total order")
+    val sc = col(scoreCol).cast("double")
+    val clean = df.filter(sc.isNotNull && !isnan(sc))
+      .select(sc.as("__s"),
+        when(treated, 1L).otherwise(0L).as("__t"),
+        when(positive, 1L).otherwise(0L).as("__y"),
+        struct(tieCols.map(col): _*).as("__tie"))
+    val ranked = graft.ops.Stats.runningTotals(clean,
+      Seq(col("__s").desc, col("__tie")), Seq("one" -> lit(1L)))
+    val n = clean.count()
+    val bins = ranked
+      .withColumn("bin", expr(s"(__c_one * $nBins + $n - 1) div $n"))
+      .groupBy("bin")
+      .agg(sum(col("__t")).as("n_treated"),
+        sum(lit(1L) - col("__t")).as("n_control"),
+        sum(col("__t") * col("__y")).as("pos_treated"),
+        sum((lit(1L) - col("__t")) * col("__y")).as("pos_control"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("__ct", sum(col("n_treated")).over(w))
+      .withColumn("__cc", sum(col("n_control")).over(w))
+      .withColumn("__cpt", sum(col("pos_treated")).over(w))
+      .withColumn("__cpc", sum(col("pos_control")).over(w))
+      .select(col("bin"), col("n_treated"), col("n_control"),
+        col("pos_treated"), col("pos_control"),
+        when(col("__cc") > 0, round(col("__cpt").cast("double") -
+          col("__cpc").cast("double") * col("__ct") / col("__cc"), 6))
+          .as("qini"))
+  }
 }

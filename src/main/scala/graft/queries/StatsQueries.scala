@@ -119,6 +119,16 @@ object StatsQueries extends QueryGroup {
       graft.ops.Stats.cramersV(ev, "event_type", "segment")
     }),
 
+    // Qini uplift deciles: incremental purchases of the "treated" half
+    // vs control scaled to treated exposure, by value-score decile
+    "eval_qini" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.ops.Evaluation.qiniCurve(ev, "value",
+        treated = col("user_id") % 2 === 0,
+        positive = col("event_type") === "purchase",
+        tieCols = Seq("event_id"))
+    }),
+
     // cumulative gains / lift deciles: length as the score, English as
     // the positive — "how much of the target does the top decile catch"
     "eval_gains_table" -> ((s, dir) => {
@@ -302,6 +312,30 @@ object StatsQueries extends QueryGroup {
         "    (CAST(sum(term) AS DOUBLE) - 1.0) " +
         "      / CAST(least(k.nr, k.nc) - 1 AS DOUBLE), 0.0)), 6) END AS cramers_v " +
         "FROM t CROSS JOIN k GROUP BY k.nr, k.nc"),
+    "eval_qini" ->
+      ("WITH c AS (SELECT CAST(value AS DOUBLE) AS s, " +
+        "    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t, " +
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, " +
+        "    event_id FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c), " +
+        "r AS (SELECT t, y, row_number() OVER (ORDER BY s DESC, event_id) AS rk " +
+        "  FROM c), " +
+        "b AS (SELECT (r.rk * 10 + tot.n - 1) // tot.n AS bin, r.t, r.y " +
+        "  FROM r CROSS JOIN tot), " +
+        "g AS (SELECT bin, CAST(sum(t) AS BIGINT) AS n_treated, " +
+        "    CAST(sum(1 - t) AS BIGINT) AS n_control, " +
+        "    CAST(sum(t * y) AS BIGINT) AS pos_treated, " +
+        "    CAST(sum((1 - t) * y) AS BIGINT) AS pos_control FROM b GROUP BY 1), " +
+        "cu AS (SELECT g.*, " +
+        "    CAST(sum(n_treated) OVER wp AS BIGINT) AS ct, " +
+        "    CAST(sum(n_control) OVER wp AS BIGINT) AS cc, " +
+        "    CAST(sum(pos_treated) OVER wp AS BIGINT) AS cpt, " +
+        "    CAST(sum(pos_control) OVER wp AS BIGINT) AS cpc FROM g " +
+        "  WINDOW wp AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT bin, n_treated, n_control, pos_treated, pos_control, " +
+        "  CASE WHEN cc > 0 THEN round(CAST(cpt AS DOUBLE) " +
+        "    - CAST(cpc AS DOUBLE) * ct / cc, 6) END AS qini FROM cu"),
     "eval_gains_table" ->
       ("WITH c AS (SELECT n_chars AS s, " +
         "    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, doc_id " +
