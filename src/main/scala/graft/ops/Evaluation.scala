@@ -545,4 +545,126 @@ object Evaluation {
           col("__cpc").cast("double") * col("__ct") / col("__cc"), 6))
           .as("qini"))
   }
+
+  /** Sample-ratio-mismatch (SRM) check — the first gate on ANY
+    * experiment readout: do the realized per-variant unit counts match
+    * the designed allocation? A significant chi-square here means the
+    * assignment or logging pipeline is broken and every downstream
+    * metric ([[twoProportionZTest]], [[welchTTest]], [[qiniCurve]]) is
+    * untrustworthy.
+    *
+    * `expected` gives the design weights as INTEGER ratio parts (1:1,
+    * 9:1, …) so expected counts are exact until one double divide per
+    * variant. Units are deduplicated before counting (a unit = one
+    * distinct `unitCol` value; multi-event users count once). Variants
+    * observed in the data but absent from the design get expected 0 and
+    * a NULL contribution — they surface as their own red flag rather
+    * than silently inflating chi2.
+    *
+    * @return one row per designed or observed variant:
+    *         (variant, n_units, expected_units, contrib, chi2, df) —
+    *         chi2/df are the test totals, repeated per row
+    */
+  def srmCheck(df: DataFrame, unitCol: String, variantCol: String,
+      expected: Seq[(String, Long)]): DataFrame = {
+    require(expected.nonEmpty, "srmCheck needs at least one designed variant")
+    require(expected.forall(_._2 > 0), s"design weights must be positive: $expected")
+    require(expected.map(_._1).distinct.size == expected.size,
+      s"duplicate design variants: $expected")
+    val spark = df.sparkSession
+    val design = spark.createDataFrame(expected).toDF("variant", "__w")
+    val observed = df
+      .filter(col(unitCol).isNotNull && col(variantCol).isNotNull)
+      .select(col(variantCol).cast("string").as("variant"), col(unitCol).as("__u"))
+      .distinct()
+      .groupBy("variant").agg(count(lit(1)).as("n_units"))
+    val cells = design.join(observed, Seq("variant"), "full_outer")
+      .select(col("variant"), coalesce(col("n_units"), lit(0L)).as("n_units"),
+        col("__w"))
+    // totals as whole-frame window sums — the frame is variant-
+    // cardinality-sized, so the unpartitioned window is over k rows,
+    // never the data (and no self-join ambiguity)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("__n", sum(col("n_units")).over(wAll))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .withColumn("expected_units",
+        when(col("__w").isNotNull,
+          round(col("__n").cast("double") * col("__w") / col("__tw"), 6)))
+      .withColumn("__contrib",
+        when(col("expected_units") > 0, round(
+          (col("n_units").cast("double") - col("expected_units")) *
+            (col("n_units").cast("double") - col("expected_units")) /
+            col("expected_units"), 12).cast("decimal(28,12)")))
+      .withColumn("__chi2", sum(col("__contrib")).over(wAll))
+      .withColumn("__k", count(col("__w")).over(wAll))
+      .select(col("variant"), col("n_units"), col("expected_units"),
+        round(col("__contrib").cast("double"), 6).as("contrib"),
+        round(col("__chi2").cast("double"), 6).as("chi2"),
+        (col("__k") - 1).as("df"))
+  }
+
+  /** Isotonic calibration by pool-adjacent-violators (PAVA) over exact
+    * score-decile bins — the standard monotone recalibration fitted on
+    * [[calibration]]'s reliability cells: observed rates that DECREASE
+    * as the score increases are pooled (weighted-average merged) until
+    * the fitted curve is non-decreasing. The result is the piecewise-
+    * constant monotone map nearest the observed rates in weighted L2 —
+    * what you apply to raw model scores before thresholding.
+    *
+    * Scale shape: the corpus reduces to `nBins` (score-ceil-rank bins ×
+    * integer pos/n counts) in one [[Stats.runningTotals]] pass + one
+    * aggregate; PAVA itself runs on the driver over ≤ nBins cells
+    * (exact long arithmetic — pooled rate compare by cross-
+    * multiplication, no float thresholds) and broadcasts back. The
+    * corpus is never collected.
+    *
+    * @return one row per bin: (bin, n, n_pos, rate, fitted) — fitted is
+    *         non-decreasing in bin
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, positive: Column,
+      tieCols: Seq[String], nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]: $nBins")
+    require(tieCols.nonEmpty, "isotonicCalibration needs tie columns for a total order")
+    val sc = col(scoreCol).cast("double")
+    val clean = df.filter(sc.isNotNull && !isnan(sc))
+      .select(sc.as("__s"), when(positive, 1L).otherwise(0L).as("__y"),
+        struct(tieCols.map(col): _*).as("__t"))
+    val ranked = graft.ops.Stats.runningTotals(clean,
+      Seq(col("__s").asc, col("__t")), Seq("one" -> lit(1L)))
+    val n = clean.count()
+    require(n > 0, "isotonicCalibration: no scored rows")
+    val bins = ranked
+      .withColumn("bin", org.apache.spark.sql.functions.expr(
+        s"(__c_one * $nBins + $n - 1) div $n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    // driver-side PAVA over ≤ nBins cells: pool while the last block's
+    // rate exceeds the next (compare n_pos_a·n_b > n_pos_b·n_a — exact)
+    val cells = bins.orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pooled = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Long], Long, Long)] // (member bins, n, n_pos)
+    cells.foreach { case (b, cn, cp) =>
+      pooled += ((Seq(b), cn, cp))
+      while (pooled.size >= 2 && {
+        val (_, n2, p2) = pooled(pooled.size - 2)
+        val (_, n1, p1) = pooled.last
+        p2 * n1 > p1 * n2 // prev rate > curr rate → violator
+      }) {
+        val (bs1, n1, p1) = pooled.remove(pooled.size - 1)
+        val (bs2, n2, p2) = pooled.remove(pooled.size - 1)
+        pooled += ((bs2 ++ bs1, n2 + n1, p2 + p1))
+      }
+    }
+    val fitted = pooled.flatMap { case (bs, pn, pp) =>
+      bs.map(b => (b, pp.toDouble / pn)) }
+    // literal when-chain (≤ nBins branches) — codegen'd, no UDF
+    val fitCol = fitted.foldLeft(lit(null).cast("double")) {
+      case (acc, (b, v)) => when(col("bin") === b, lit(v)).otherwise(acc) }
+    bins.select(col("bin"), col("n"), col("n_pos"),
+      round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
+      round(fitCol, 6).as("fitted"))
+  }
 }

@@ -213,4 +213,83 @@ object FuzzyJoin {
       .select(col("a"), col("b"), col("sim"))
       .distinct()
   }
+
+  /** One comparison field of a Fellegi–Sunter linkage model: `agree`
+    * builds the agreement predicate from the two sides' column, `m` is
+    * P(agree | same entity), `u` is P(agree | different entities).
+    * Agreement earns ln(m/u) (> 0), disagreement ln((1−m)/(1−u))
+    * (< 0) — the classic log-likelihood-ratio field weights. */
+  final case class FsField(name: String,
+      agree: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column,
+      m: Double, u: Double) {
+    require(m > u && m < 1.0 && u > 0.0,
+      s"FS field '$name' needs 0 < u < m < 1: m=$m u=$u")
+    def agreeWeight: Double = math.log(m / u)
+    def disagreeWeight: Double = math.log((1.0 - m) / (1.0 - u))
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage over blocked candidate
+    * pairs — the decision-theoretic standard behind every dedupe/MDM
+    * system (Fellegi & Sunter 1969): each field comparison contributes
+    * its log-likelihood-ratio weight, the pair score is the sum, and
+    * score thresholds split pairs into link / review / non-link. The
+    * principled composition of [[editDistanceJoin]] /
+    * [[jaroWinklerSelfPairs]]-style single-field matchers.
+    *
+    * Scale shape: candidate pairs come ONLY from the `blockCols`
+    * equi-self-join (never a cross); blocks larger than `maxBlock` rows
+    * are dropped and counted via the `graft.linkage.oversizeBlocks`
+    * accumulator (the standard blocking guard — an oversized block
+    * needs a finer blocking key, not a bigger join). The score is a
+    * FIXED-ORDER chain of literal doubles (field order as given), so it
+    * is bit-reproducible on any engine/partitioning.
+    *
+    * @return (id_a, id_b, agree_<field>… , score) for pairs with
+    *         score ≥ minScore; id_a < id_b
+    */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCols: Seq[String],
+      fields: Seq[FsField], minScore: Double,
+      maxBlock: Int = 10000): DataFrame = {
+    require(blockCols.nonEmpty, "fellegiSunter needs at least one blocking column")
+    require(fields.nonEmpty, "fellegiSunter needs at least one comparison field")
+    val fieldCols = fields.map(_.name).distinct
+    require(fieldCols.size == fields.size, "duplicate FS field names")
+    val spark = df.sparkSession
+    org.apache.spark.sql.graftfn.GraftFunctions.register(spark)
+    val base = df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+    // blocking guard: count rows per block, drop oversize blocks loudly
+    val sizes = base.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val over = DedupMetrics.acc(spark, "graft.linkage.oversizeBlocks")
+    // rides the same blockCols partitioning as the pair self-join below
+    // (block cardinality is unbounded at scale — no broadcast hint)
+    val guarded = base.join(sizes, blockCols)
+      .filter(col("__bn") <= maxBlock)
+    // count dropped blocks once (block-cardinality-sized aggregate)
+    val nOver = sizes.filter(col("__bn") > maxBlock).count()
+    if (nOver > 0) over.add(nOver)
+    val lCols = col(idCol).cast("long").as("id_a") +:
+      blockCols.map(col) ++: fieldCols.map(c => col(c).as(s"__la_$c"))
+    val rCols = col(idCol).cast("long").as("id_b") +:
+      blockCols.map(col) ++: fieldCols.map(c => col(c).as(s"__lb_$c"))
+    val l = guarded.select(lCols: _*)
+    val r = guarded.select(rCols: _*)
+    val pairs = l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+    val withAgree = fields.foldLeft(pairs) { (d, f) =>
+      d.withColumn(s"agree_${f.name}",
+        coalesce(f.agree(col(s"__la_${f.name}"), col(s"__lb_${f.name}")),
+          lit(false)))
+    }
+    // fixed-order literal-double chain — order-stable, engine-exact
+    val score = fields.map(f =>
+        when(col(s"agree_${f.name}"), lit(f.agreeWeight))
+          .otherwise(lit(f.disagreeWeight)))
+      .reduce(_ + _)
+    withAgree
+      .withColumn("score", round(score, 6))
+      .filter(col("score") >= minScore)
+      .select((col("id_a") +: col("id_b") +:
+        fields.map(f => col(s"agree_${f.name}"))) :+ col("score"): _*)
+  }
 }

@@ -111,6 +111,53 @@ object Joins {
     asOfJoin(left, right, keyCols, leftTs, rightTs, direction, Some(units))
   }
 
+  /** Nearest-neighbor match on a shared numeric axis: attach to each
+    * left row the single right row of the same key whose axis value is
+    * CLOSEST (equal distances prefer the lower-side match). This is the
+    * matching primitive behind propensity-score matching — treated
+    * units matched to the control with the nearest score — and any
+    * "closest calibration point" lookup.
+    *
+    * Implementation: one backward + one forward [[asOfJoin]] pass (the
+    * bracket device [[interpolateJoin]] also uses), then a three-way
+    * pick. Two key-shuffles total, no theta join, no per-key candidate
+    * blow-up. Determinism contract: right (key, axis) pairs must be
+    * UNIQUE — perturb the axis into a total order first (e.g.
+    * `score_micros * 10^7 + id` — the propensity gate's device) or
+    * pre-aggregate; equal right axis values otherwise make the pick
+    * partition-order-dependent (same contract as [[asOfJoin]]).
+    *
+    * At corpus scale the single-key use (global matching, key = a
+    * constant) serializes the per-key sort — range-bucket the axis into
+    * keys first (matches never cross a bucket except at its edges; a
+    * two-pass edge fixup or bucket overlap of the max match distance
+    * keeps it exact).
+    *
+    * @return left rows + (match_id, match_axis, match_dist)
+    */
+  def nearestMatch(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftAxis: String, rightAxis: String, rightId: String): DataFrame = {
+    val clash = Seq("match_id", "match_axis", "match_dist",
+      "__mb", "__ab", "__mf", "__af").filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(", ")} are reserved by nearestMatch")
+    val rb = right.select((keyCols.map(col) :+ col(rightAxis) :+
+      col(rightId).as("__mb") :+ axis(right, rightAxis).as("__ab")): _*)
+    val rf = right.select((keyCols.map(col) :+ col(rightAxis) :+
+      col(rightId).as("__mf") :+ axis(right, rightAxis).as("__af")): _*)
+    val p1 = asOfJoin(left, rb, keyCols, leftAxis, rightAxis, "backward")
+    val p2 = asOfJoin(p1, rf, keyCols, leftAxis, rightAxis, "forward")
+    val la = axis(p2, leftAxis)
+    val db = la - col("__ab")
+    val dfw = col("__af") - la
+    val useB = col("__ab").isNotNull && (col("__af").isNull || db <= dfw)
+    p2
+      .withColumn("match_id", when(useB, col("__mb")).otherwise(col("__mf")))
+      .withColumn("match_axis", when(useB, col("__ab")).otherwise(col("__af")))
+      .withColumn("match_dist", when(useB, db).otherwise(dfw))
+      .drop("__mb", "__ab", "__mf", "__af")
+  }
+
   /** Point-in-interval join: pair each point row with every interval row
     * of the same key whose `[startTs, endTs]` contains `ptTs` (bounds
     * inclusive).

@@ -574,6 +574,84 @@ object Stats {
     *         doubles, rounded to 6 dp. Series with n < 2 are dropped
     *         (no interior split exists).
     */
+  /** One-way ANOVA F-test across ALL levels of a categorical column —
+    * the k-group generalization of [[Evaluation.welchTTest]]'s two-variant
+    * comparison (classic equal-variance between/within decomposition:
+    * "do ANY of the segments differ in mean?", the first read before
+    * pairwise drill-downs). One grouped aggregate over exact decimal
+    * moments (n, Σx, Σx² at 6 dp), then the label-cardinality-sized
+    * group rows reduce to a single row:
+    * SSB = Σ_g s_g²/n_g − S²/N, SSW = ΣΣx² − Σ_g s_g²/n_g,
+    * F = (SSB/(k−1)) / (SSW/(N−k)).
+    *
+    * Numeric determinism: the per-group term s_g²/n_g is ONE double
+    * divide per GROUP (never per row), rounded to 6 dp and summed as
+    * decimal — order-independent under any partitioning, and the DuckDB
+    * oracle re-derives it bit-identically. Degenerate inputs (k < 2,
+    * N ≤ k, or SSW = 0) yield NULL f rather than a division error.
+    *
+    * @return one row: (k, n, ss_between, ss_within, f)
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vd = col(valueCol).cast("double")
+    val v6 = round(vd, 6)
+    val grouped = df
+      .filter(col(groupCol).isNotNull && vd.isNotNull && !isnan(vd))
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(v6.cast("decimal(18,6)")).as("__s"),
+        sum(round(v6 * v6, 6).cast("decimal(28,6)")).as("__s2"))
+    val terms = grouped.select(col("__n"), col("__s"), col("__s2"),
+      round(col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double"), 6).cast("decimal(28,6)").as("__t"))
+    val tot = terms.agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      sum(col("__s")).as("__S"), sum(col("__s2")).as("__SS"),
+      sum(col("__t")).as("__T"))
+    val nD = col("n").cast("double")
+    val ssb = round(col("__T").cast("double") -
+      col("__S").cast("double") * col("__S").cast("double") / nD, 6)
+    val ssw = round((col("__SS") - col("__T")).cast("double"), 6)
+    tot.select(col("k"), col("n"),
+        ssb.as("ss_between"), ssw.as("ss_within"),
+        when(col("k") >= 2 && col("n") > col("k") && ssw > 0,
+          round((ssb / (col("k").cast("double") - 1.0)) /
+            (ssw / (nD - col("k").cast("double"))), 6)).as("f"))
+  }
+
+  /** Weight-of-evidence / information value of a binned feature against
+    * a binary label — the credit-scoring-standard univariate screen
+    * ("how separating is this feature?"). Per bin b:
+    * WOE_b = ln(((pos_b + 0.5)/P) / ((neg_b + 0.5)/N)) (Laplace 0.5
+    * keeps empty cells finite), IV term = (pos_b/P − neg_b/N)·WOE_b.
+    * IV < 0.02 ≈ useless, > 0.3 ≈ strong — the tabled read.
+    *
+    * One grouped integer-count aggregate; WOE is a fixed double chain
+    * per BIN; IV terms are 12-dp-rounded decimals summed
+    * order-independently and broadcast back onto every bin row.
+    *
+    * @param positive 0/1 condition defining the positive class
+    * @return one row per bin: (bin, n, n_pos, n_neg, woe, iv) — iv is
+    *         the feature-level total, repeated per row
+    */
+  def woeIv(df: DataFrame, binCol: String, positive: Column): DataFrame = {
+    val cells = df.filter(col(binCol).isNotNull)
+      .groupBy(col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(positive, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = cells.agg(sum(col("n_pos")).as("__P"), sum(col("n_neg")).as("__N"))
+    val joined = cells.crossJoin(broadcast(tot))
+    val woe = round(log(((col("n_pos").cast("double") + 0.5) / col("__P")) /
+      ((col("n_neg").cast("double") + 0.5) / col("__N"))), 6)
+    val ivTerm = round((col("n_pos").cast("double") / col("__P") -
+      col("n_neg").cast("double") / col("__N")) * woe, 12).cast("decimal(28,12)")
+    val withTerm = joined.withColumn("woe", woe).withColumn("__iv", ivTerm)
+    val ivTot = withTerm.agg(sum(col("__iv")).as("__ivt"))
+    withTerm.crossJoin(broadcast(ivTot))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"), col("woe"),
+        round(col("__ivt").cast("double"), 6).as("iv"))
+  }
+
   def changePoint(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, bucketNs: Long = 86400000000000L): DataFrame = {
     require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")

@@ -211,10 +211,100 @@ object JoinQueries extends QueryGroup {
         .agg(round(max(col("value")), 6).as("v"))
       graft.ops.Joins.interpolateJoin(l, r, Seq("user_id"), "ts", "ts", "v")
         .select("event_id", "user_id", "ts", "v_interp")
+    }),
+
+    // Fellegi–Sunter probabilistic linkage over (brand, type)-blocked
+    // part pairs: size equality + Jaro-Winkler name agreement, scored by
+    // literal log-likelihood-ratio weights (fixed-order double chain —
+    // the oracle re-derives byte-identically via DuckDB's
+    // jaro_winkler_similarity, parity-verified)
+    "join_fs_linkage" -> ((s, dir) => {
+      graft.ops.FuzzyJoin.fellegiSunter(
+        Tables.load(s, dir, "part"), "p_partkey",
+        Seq("p_brand", "p_type"), fsFields, minScore = 2.0)
+    }),
+
+    // propensity-score nearest-neighbor matching: treated users (even
+    // id) matched to the control with the closest purchase-share score
+    // on an integer micro-unit axis perturbed to a total order by the
+    // user id — two as-of passes, no theta join; the oracle is the
+    // brute-force argmin
+    "join_propensity_match" -> ((s, dir) => {
+      val users = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+        .withColumn("score_u", expr("(n_purch * 1000000L) div n_events"))
+        .withColumn("axis", col("score_u") * lit(10000000000L) + col("user_id"))
+        .withColumn("__k", lit(1))
+      val treated = users.filter(col("user_id") % 2 === 0)
+      val control = users.filter(col("user_id") % 2 =!= 0)
+        .select(col("__k"), col("axis").as("c_axis"),
+          col("user_id").as("c_id"))
+      graft.ops.Joins.nearestMatch(treated, control, Seq("__k"),
+          "axis", "c_axis", "c_id")
+        .select(col("user_id"), col("n_events"), col("n_purch"),
+          col("score_u"), col("match_id"), col("match_axis"),
+          col("match_dist"))
     })
   )
 
+  /** FS comparison fields for `join_fs_linkage` — m/u literals shared
+    * with the oracle (weights interpolated from the SAME math.log). */
+  private lazy val fsFields = Seq(
+    graft.ops.FuzzyJoin.FsField("p_size", (a, b) => a === b, 0.9, 0.05),
+    graft.ops.FuzzyJoin.FsField("p_name", (a, b) =>
+      call_function(org.apache.spark.sql.graftfn.GraftFunctions.JaroWinklerName,
+        a, b) >= 0.92, 0.85, 0.01))
+
   val oracles: Map[String, String] = Map(
+    // brute-force blocked cross with the same literal weights — the
+    // weight strings interpolate from the SAME Scala math.log values
+    "join_fs_linkage" -> {
+      val Seq(fSize, fName) = fsFields
+      ("WITH b AS (SELECT p_partkey, p_brand, p_type, p_size, p_name FROM part " +
+        "  WHERE p_brand IS NOT NULL AND p_type IS NOT NULL), " +
+        "s AS (SELECT p_brand, p_type, count(*) AS bn FROM b GROUP BY 1, 2), " +
+        "g AS (SELECT b.* FROM b JOIN s USING (p_brand, p_type) WHERE bn <= 10000), " +
+        "pr AS (SELECT l.p_partkey AS id_a, r.p_partkey AS id_b, " +
+        "    COALESCE(l.p_size = r.p_size, FALSE) AS agree_p_size, " +
+        "    COALESCE(jaro_winkler_similarity(l.p_name, r.p_name) >= 0.92, FALSE) " +
+        "      AS agree_p_name " +
+        "  FROM g l JOIN g r ON l.p_brand = r.p_brand AND l.p_type = r.p_type " +
+        "    AND l.p_partkey < r.p_partkey), " +
+        "sc AS (SELECT id_a, id_b, agree_p_size, agree_p_name, " +
+        s"    round(CASE WHEN agree_p_size THEN ${fSize.agreeWeight} " +
+        s"        ELSE ${fSize.disagreeWeight} END + " +
+        s"      CASE WHEN agree_p_name THEN ${fName.agreeWeight} " +
+        s"        ELSE ${fName.disagreeWeight} END, 6) AS score FROM pr) " +
+        "SELECT * FROM sc WHERE score >= 2.0")
+    },
+
+    // brute-force nearest control per treated user; equal distances
+    // prefer the backward (≤) side, axis uniqueness from the id term
+    "join_propensity_match" ->
+      ("WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "      AS n_purch FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+        "a AS (SELECT user_id, n_events, n_purch, " +
+        "    (n_purch * 1000000) // n_events AS score_u, " +
+        "    ((n_purch * 1000000) // n_events) * 10000000000 + user_id AS axis " +
+        "  FROM u), " +
+        "t AS (SELECT * FROM a WHERE user_id % 2 = 0), " +
+        "c AS (SELECT * FROM a WHERE user_id % 2 <> 0), " +
+        "m AS (SELECT t.user_id, t.n_events, t.n_purch, t.score_u, " +
+        "    c.user_id AS match_id, c.axis AS match_axis, " +
+        "    abs(t.axis - c.axis) AS dist, " +
+        "    row_number() OVER (PARTITION BY t.user_id " +
+        "      ORDER BY abs(t.axis - c.axis), " +
+        "        CASE WHEN c.axis <= t.axis THEN 0 ELSE 1 END) AS rk " +
+        "  FROM t CROSS JOIN c) " +
+        "SELECT user_id, n_events, n_purch, CAST(score_u AS BIGINT) AS score_u, " +
+        "  match_id, CAST(match_axis AS BIGINT) AS match_axis, " +
+        "  CAST(dist AS BIGINT) AS match_dist FROM m WHERE rk = 1"),
+
     // the NOT EXISTS the anti join must reproduce exactly (ts emitted
     // as epoch-ns by the engine; the compare normalizes timestamps)
     "join_absence" ->

@@ -136,6 +136,43 @@ object StatsQueries extends QueryGroup {
         "n_chars", col("lang") === "en", tieCols = Seq("doc_id"))
     }),
 
+    // one-way ANOVA F across ALL event types on value — "does ANY
+    // segment differ in mean" before pairwise Welch drill-downs;
+    // per-group s²/n is the only double divide, 6-dp decimal-summed
+    "stats_anova_f" -> ((s, dir) => {
+      graft.ops.Stats.anovaF(Tables.load(s, dir, "events"),
+        "event_type", "value")
+    }),
+
+    // WOE / information value of doc source vs English-ness — the
+    // univariate feature-power screen (Laplace 0.5-smoothed)
+    "stats_woe_iv" -> ((s, dir) => {
+      graft.ops.Stats.woeIv(Tables.load(s, dir, "documents")
+          .filter(col("lang").isNotNull),
+        "source", col("lang") === "en")
+    }),
+
+    // sample-ratio-mismatch chi-square on a designed 1:1 split by user
+    // parity — the is-the-experiment-even-valid gate
+    "eval_srm" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "treatment").otherwise("control"))
+      graft.ops.Evaluation.srmCheck(ev, "user_id", "variant",
+        Seq("treatment" -> 1L, "control" -> 1L))
+    }),
+
+    // isotonic (PAVA) recalibration of the logistic click score over
+    // exact score deciles — driver PAVA over 10 cells; the oracle
+    // re-derives it via the minimax (max-over-j min-over-k block mean)
+    // closed form
+    "eval_isotonic" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("value") - 50) / 10)), 6))
+      graft.ops.Evaluation.isotonicCalibration(ev, "p",
+        col("event_type") === "click", tieCols = Seq("event_id"))
+    }),
+
     // Spearman rank correlation (quantity vs extended price): Pearson
     // on doubled average ranks — all moments exact integers
     "stats_spearman" -> ((s, dir) => {
@@ -294,6 +331,100 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    "stats_anova_f" ->
+      ("WITH g AS (SELECT event_type AS gg, CAST(count(*) AS BIGINT) AS n, " +
+        "    sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) AS s, " +
+        "    sum(CAST(round(round(CAST(value AS DOUBLE), 6) " +
+        "      * round(CAST(value AS DOUBLE), 6), 6) AS DECIMAL(28,6))) AS s2 " +
+        "  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL " +
+        "    AND NOT isnan(value) GROUP BY 1), " +
+        "t AS (SELECT n, s, s2, CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) " +
+        "    / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6)) AS tt FROM g), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n, " +
+        "    sum(s) AS sg, sum(s2) AS ssg, sum(tt) AS tg FROM t) " +
+        "SELECT k, n, " +
+        "  round(CAST(tg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+        "    / CAST(n AS DOUBLE), 6) AS ss_between, " +
+        "  round(CAST(ssg - tg AS DOUBLE), 6) AS ss_within, " +
+        "  CASE WHEN k >= 2 AND n > k " +
+        "      AND round(CAST(ssg - tg AS DOUBLE), 6) > 0 THEN " +
+        "    round((round(CAST(tg AS DOUBLE) - CAST(sg AS DOUBLE) " +
+        "        * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) " +
+        "        / (CAST(k AS DOUBLE) - 1.0)) " +
+        "      / (round(CAST(ssg - tg AS DOUBLE), 6) " +
+        "        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) END AS f " +
+        "FROM a"),
+
+    "stats_woe_iv" ->
+      ("WITH c AS (SELECT source AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+        "  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1), " +
+        "c2 AS (SELECT bin, n, n_pos, n - n_pos AS n_neg FROM c), " +
+        "t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p, " +
+        "    CAST(sum(n_neg) AS BIGINT) AS ng FROM c2), " +
+        "w AS (SELECT bin, n, n_pos, n_neg, " +
+        "    round(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6) AS woe, " +
+        "    CAST(round((CAST(n_pos AS DOUBLE) / p - CAST(n_neg AS DOUBLE) / ng) " +
+        "      * round(ln(((n_pos + 0.5) / p) / ((n_neg + 0.5) / ng)), 6), 12) " +
+        "      AS DECIMAL(28,12)) AS term " +
+        "  FROM c2 CROSS JOIN t), " +
+        "iv AS (SELECT sum(term) AS ivt FROM w) " +
+        "SELECT bin, n, n_pos, n_neg, woe, " +
+        "  round(CAST(ivt AS DOUBLE), 6) AS iv FROM w CROSS JOIN iv"),
+
+    "eval_srm" ->
+      ("WITH u AS (SELECT DISTINCT CASE WHEN user_id % 2 = 0 THEN 'treatment' " +
+        "      ELSE 'control' END AS variant, user_id " +
+        "  FROM events WHERE user_id IS NOT NULL), " +
+        "o AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_units FROM u GROUP BY 1), " +
+        "d AS (SELECT 'treatment' AS variant, CAST(1 AS BIGINT) AS w " +
+        "  UNION ALL SELECT 'control', 1), " +
+        "cells AS (SELECT COALESCE(d.variant, o.variant) AS variant, " +
+        "    COALESCE(n_units, 0) AS n_units, w " +
+        "  FROM d FULL OUTER JOIN o ON o.variant = d.variant), " +
+        "t AS (SELECT CAST(sum(n_units) AS BIGINT) AS tot, " +
+        "    CAST(sum(w) AS BIGINT) AS tw, CAST(count(w) AS BIGINT) AS k FROM cells), " +
+        "e AS (SELECT variant, n_units, " +
+        "    CASE WHEN w IS NOT NULL THEN " +
+        "      round(CAST(tot AS DOUBLE) * w / tw, 6) END AS expected_units, k " +
+        "  FROM cells CROSS JOIN t), " +
+        "e2 AS (SELECT *, CASE WHEN expected_units > 0 THEN " +
+        "    CAST(round((n_units - expected_units) * (n_units - expected_units) " +
+        "      / expected_units, 12) AS DECIMAL(28,12)) END AS contrib_d FROM e), " +
+        "chi AS (SELECT sum(contrib_d) AS chi2 FROM e2) " +
+        "SELECT variant, n_units, expected_units, " +
+        "  round(CAST(contrib_d AS DOUBLE), 6) AS contrib, " +
+        "  round(CAST(chi2 AS DOUBLE), 6) AS chi2, k - 1 AS df " +
+        "FROM e2 CROSS JOIN chi"),
+
+    // isotonic fit via the minimax closed form: fitted(i) = max over
+    // j<=i of min over k>=i of the [j..k] block mean — block means are
+    // the SAME integer divisions PAVA pools, so the doubles agree
+    "eval_isotonic" ->
+      ("WITH d AS (SELECT round(CAST(1 AS DOUBLE) " +
+        "      / (CAST(1 AS DOUBLE) + exp(-(value - 50) / 10)), 6) AS p, " +
+        "    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y, event_id " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d), " +
+        "r AS (SELECT y, row_number() OVER (ORDER BY p, event_id) AS rk FROM d), " +
+        "b AS (SELECT (rk * 10 + n - 1) // n AS bin, y FROM r CROSS JOIN tot), " +
+        "cells AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1), " +
+        "pre AS (SELECT bin, n, n_pos, " +
+        "    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn, " +
+        "    CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM cells), " +
+        "blocks AS (SELECT j.bin AS jb, k.bin AS kb, " +
+        "    CAST(k.cp - j.cp + j.n_pos AS DOUBLE) " +
+        "      / CAST(k.cn - j.cn + j.n AS DOUBLE) AS m " +
+        "  FROM pre j JOIN pre k ON j.bin <= k.bin), " +
+        "im AS (SELECT b.jb, p.bin AS i, min(b.m) AS mn FROM blocks b " +
+        "  JOIN pre p ON b.jb <= p.bin AND b.kb >= p.bin GROUP BY 1, 2), " +
+        "fit AS (SELECT i AS bin, max(mn) AS fitted FROM im GROUP BY 1) " +
+        "SELECT c.bin, c.n, c.n_pos, " +
+        "  round(CAST(c.n_pos AS DOUBLE) / c.n, 6) AS rate, " +
+        "  round(f.fitted, 6) AS fitted " +
+        "FROM cells c JOIN fit f ON f.bin = c.bin"),
 
     "stats_cramers_v" ->
       ("WITH cells AS (SELECT event_type AS a, user_id % 4 AS b, " +

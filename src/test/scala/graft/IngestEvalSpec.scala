@@ -134,4 +134,55 @@ class IngestEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Double]("var_reduction") < 0.2)
     }
   }
+
+  test("srmCheck: balanced split passes, broken split alarms, units dedup") {
+    val s = spark; import s.implicits._
+    // 50 units per variant, each unit logged 3 times — dedup to 50/50
+    val even = (1 to 50).flatMap(u => Seq.fill(3)(("a", u))) ++
+      (1 to 50).flatMap(u => Seq.fill(3)(("b", u + 1000)))
+    val ok = Evaluation.srmCheck(even.toDF("v", "u"), "u", "v",
+      Seq("a" -> 1L, "b" -> 1L)).collect()
+    assert(ok.forall(_.getAs[Long]("n_units") === 50L))
+    assert(ok.forall(_.getAs[Double]("chi2") === 0.0))
+    assert(ok.head.getAs[Long]("df") === 1L)
+    // 90/10 against a 1:1 design → chi2 = (40² / 50)·2 = 64
+    val broken = (1 to 90).map(u => ("a", u)) ++ (1 to 10).map(u => ("b", u + 1000))
+    val bad = Evaluation.srmCheck(broken.toDF("v", "u"), "u", "v",
+      Seq("a" -> 1L, "b" -> 1L)).collect()
+    assert(bad.head.getAs[Double]("chi2") === 64.0)
+  }
+
+  test("srmCheck: undesigned observed variant surfaces with NULL expectation") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 10).map(u => ("a", u)) ++ (1 to 10).map(u => ("b", u + 100)) ++
+      Seq(("mystery", 999))
+    val out = Evaluation.srmCheck(rows.toDF("v", "u"), "u", "v",
+      Seq("a" -> 1L, "b" -> 1L)).collect()
+    val mystery = out.find(_.getString(0) == "mystery").get
+    assert(mystery.getAs[Long]("n_units") === 1L)
+    assert(mystery.isNullAt(2)) // no expected_units
+    assert(mystery.isNullAt(3)) // no contribution
+    assert(out.length === 3)
+  }
+
+  test("isotonicCalibration: fitted curve is non-decreasing and pools violators to the weighted mean") {
+    val s = spark; import s.implicits._
+    // 40 rows in 4 score quartiles with rates 0.1, 0.6, 0.3, 0.9:
+    // bins 2 and 3 violate; PAVA pools them to (6+3)/20 = 0.45
+    def block(lo: Int, nPos: Int): Seq[(Double, Int, Int)] =
+      (0 until 10).map(i => ((lo * 10 + i).toDouble, if (i < nPos) 1 else 0, lo * 10 + i))
+    val df = (block(0, 1) ++ block(1, 6) ++ block(2, 3) ++ block(3, 9))
+      .toDF("p", "y", "id")
+    val out = Evaluation.isotonicCalibration(df, "p", col("y") === 1,
+      tieCols = Seq("id"), nBins = 4).orderBy("bin").collect()
+    val fitted = out.map(_.getAs[Double]("fitted"))
+    assert(fitted.sliding(2).forall(w => w(0) <= w(1)), fitted.mkString(","))
+    assert(fitted.toSeq === Seq(0.1, 0.45, 0.45, 0.9))
+    // already-monotone input passes through unchanged
+    val mono = (block(0, 1) ++ block(1, 3) ++ block(2, 6) ++ block(3, 9))
+      .toDF("p", "y", "id")
+    val out2 = Evaluation.isotonicCalibration(mono, "p", col("y") === 1,
+      tieCols = Seq("id"), nBins = 4).orderBy("bin").collect()
+    assert(out2.map(_.getAs[Double]("fitted")).toSeq === Seq(0.1, 0.3, 0.6, 0.9))
+  }
 }

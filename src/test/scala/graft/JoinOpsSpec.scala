@@ -302,4 +302,69 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Joins.interpolateJoin(left, right, Seq("key"), "ts", "rts", "v")
     }
   }
+
+  test("nearestMatch picks the closest right row; equal distance prefers backward") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", 10L), (2L, "k", 25L), (3L, "k", 100L), (4L, "k2", 5L))
+      .toDF("id", "key", "ax")
+    val right = Seq(("k", 8L, 101L), ("k", 20L, 102L), ("k", 30L, 103L))
+      .toDF("key", "rax", "rid")
+    val out = Joins.nearestMatch(left, right, Seq("key"), "ax", "rax", "rid")
+      .select("id", "match_id", "match_dist").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((101L, 2L)))   // 10 → nearest is 8 (dist 2) vs 20 (dist 10)
+    assert(out(2L) === ((102L, 5L)))   // 25 → equidistant 20/30 → backward wins
+    assert(out(3L) === ((103L, 70L)))  // beyond the last → forward null, backward 30
+    assert(out(4L) === null)           // no right rows for k2 at all
+  }
+
+  test("nearestMatch: left rows before any right row match forward") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", 1L)).toDF("id", "key", "ax")
+    val right = Seq(("k", 50L, 9L)).toDF("key", "rax", "rid")
+    val r = Joins.nearestMatch(left, right, Seq("key"), "ax", "rax", "rid").collect().head
+    assert(r.getAs[Long]("match_id") === 9L && r.getAs[Long]("match_dist") === 49L)
+  }
+
+  test("fellegiSunter: agreement weights add up; oversize blocks are dropped and counted") {
+    val s = spark; import s.implicits._
+    import graft.ops.FuzzyJoin
+    import org.apache.spark.sql.functions.col
+    val f1 = FuzzyJoin.FsField("f1", (a, b) => a === b, 0.9, 0.1)   // ±ln(9)
+    val f2 = FuzzyJoin.FsField("f2", (a, b) => a === b, 0.8, 0.2)   // ±ln(4)
+    val df = Seq(
+      (1L, "blk", "x", "p"), (2L, "blk", "x", "p"),   // both agree
+      (3L, "blk", "x", "q"),                           // f1 agrees with 1,2
+      (10L, "other", "y", "r"))                        // different block
+      .toDF("id", "b", "f1", "f2")
+    val out = FuzzyJoin.fellegiSunter(df, "id", Seq("b"),
+      Seq(f1, f2), minScore = -100.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("score")).toMap
+    assert(out.size === 3) // only within-block pairs
+    assert(math.abs(out((1L, 2L)) -
+      math.round((f1.agreeWeight + f2.agreeWeight) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out((1L, 3L)) -
+      math.round((f1.agreeWeight + f2.disagreeWeight) * 1e6) / 1e6) < 1e-9)
+    // oversize block: all 5 rows share one block, cap at 4 → no pairs
+    val big = (1 to 5).map(i => (i.toLong, "hot", "x", "p")).toDF("id", "b", "f1", "f2")
+    val guarded = FuzzyJoin.fellegiSunter(big, "id", Seq("b"),
+      Seq(f1, f2), minScore = -100.0, maxBlock = 4)
+    assert(guarded.count() === 0L)
+  }
+
+  test("fellegiSunter: minScore filters and NULL fields count as disagreement") {
+    val s = spark; import s.implicits._
+    import graft.ops.FuzzyJoin
+    val f1 = FuzzyJoin.FsField("f1", (a, b) => a === b, 0.9, 0.1)
+    val df = Seq((1L, "blk", "x"), (2L, "blk", "x"), (3L, "blk", null))
+      .toDF("id", "b", "f1")
+    val all = FuzzyJoin.fellegiSunter(df, "id", Seq("b"), Seq(f1), -100.0)
+    // pairs with the NULL row disagree (ln((1-m)/(1-u)) < 0)
+    val scores = all.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("score")).toMap
+    assert(scores((1L, 3L)) < 0 && scores((2L, 3L)) < 0 && scores((1L, 2L)) > 0)
+    // threshold keeps only the agreeing pair
+    val kept = FuzzyJoin.fellegiSunter(df, "id", Seq("b"), Seq(f1), 0.0).collect()
+    assert(kept.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
 }

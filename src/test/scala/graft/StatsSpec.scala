@@ -35,6 +35,51 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getAs[Long]("n_a") === 30L && r1.getAs[Long]("n_b") === 30L)
   }
 
+  test("anovaF: hand-computed two-group case; identical groups give F near 0") {
+    val s = spark; import s.implicits._
+    // groups a = {1,2,3}, b = {4,5,6}: SSB = 13.5, SSW = 4, F = (13.5/1)/(4/4) = 13.5
+    val df = (Seq(1, 2, 3).map(v => ("a", v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Double]("ss_between") === 13.5)
+    assert(r.getAs[Double]("ss_within") === 4.0)
+    assert(r.getAs[Double]("f") === 13.5)
+    // identical distributions: SSB = 0 → F = 0
+    val same = (1 to 3).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    assert(Stats.anovaF(same, "g", "v").collect().head.getAs[Double]("f") === 0.0)
+  }
+
+  test("anovaF: degenerate inputs yield NULL f, not an error") {
+    val s = spark; import s.implicits._
+    // one group → k < 2
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Stats.anovaF(one, "g", "v").collect().head.isNullAt(4))
+    // constant values → SSW = 0 and SSB = 0
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Stats.anovaF(const, "g", "v").collect().head.isNullAt(4))
+  }
+
+  test("woeIv: separating feature has high IV; uninformative feature has near-zero IV") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // bin A = 90% positive, bin B = 10% positive → strongly separating
+    val sep = ((1 to 90).map(_ => ("A", 1)) ++ (1 to 10).map(_ => ("A", 0)) ++
+      (1 to 10).map(_ => ("B", 1)) ++ (1 to 90).map(_ => ("B", 0))).toDF("bin", "y")
+    val rSep = Stats.woeIv(sep, "bin", col("y") === 1).collect()
+    val iv = rSep.head.getAs[Double]("iv")
+    assert(iv > 1.0, s"separating IV should be large: $iv")
+    val woeA = rSep.find(_.getString(0) == "A").get.getAs[Double]("woe")
+    val woeB = rSep.find(_.getString(0) == "B").get.getAs[Double]("woe")
+    assert(woeA > 0 && woeB < 0 && math.abs(woeA + woeB) < 1e-6)
+    // both bins 50/50 → WOE 0, IV 0
+    val flat = ((1 to 10).map(_ => ("A", 1)) ++ (1 to 10).map(_ => ("A", 0)) ++
+      (1 to 10).map(_ => ("B", 1)) ++ (1 to 10).map(_ => ("B", 0))).toDF("bin", "y")
+    val rFlat = Stats.woeIv(flat, "bin", col("y") === 1).collect()
+    assert(rFlat.forall(_.getAs[Double]("woe") === 0.0))
+    assert(rFlat.head.getAs[Double]("iv") === 0.0)
+  }
+
   test("ksTest: hand-computed D on a small mixed sample") {
     val s = spark; import s.implicits._
     // a = {1,2,3,4}, b = {3,4,5,6}: F_a-F_b gap peaks at v in [2,3): 2/4 - 0 = 0.5
