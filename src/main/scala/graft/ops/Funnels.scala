@@ -161,6 +161,117 @@ object Funnels {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Markov-chain multi-touch attribution by REMOVAL EFFECT — the
+    * data-driven alternative to positional rules ([[positionAttribution]]
+    * / last-touch): model user journeys as a first-order Markov chain
+    * over channels with absorbing CONV/NULL states, then credit each
+    * channel by how much the overall conversion probability drops when
+    * that channel is removed (its transitions redirected to NULL) —
+    * `removal_effect(c) = 1 − P_conv(chain without c) / P_conv(chain)`,
+    * attribution share ∝ removal effect (Anderl et al. 2014).
+    *
+    * Journey model: per user, events in (ts, tie) order up to and
+    * INCLUDING the first `convType` event; transitions START→first,
+    * touch→touch, touch→CONV at the conversion, last-touch→NULL for
+    * non-converting journeys. Channels are all non-conversion types.
+    *
+    * Scale shape: ONE per-user window pass produces transition pairs,
+    * one aggregate reduces them to the |channels|²-sized count matrix —
+    * the corpus never leaves the executors. The absorption solve runs
+    * on the DRIVER over that tiny matrix: 100 fixed-point rounds of
+    * v ← p_conv + Σ p·v per removal candidate, every term a
+    * 12-dp-rounded decimal (probabilities = round(cnt/total, 12)), so
+    * the fixpoint is bit-reproducible and the DuckDB oracle re-derives
+    * it through a recursive CTE with the same arithmetic.
+    *
+    * @return one row per channel: (channel, removal_effect,
+    *         attribution) — NULL effects when the chain never converts
+    */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String,
+      tieCols: Seq[String] = Nil, iters: Int = 100): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = events.sparkSession
+    val START = "__START__"; val CONV = "__CONV__"; val NULLS = "__NULL__"
+    val ordCols = (tsCol +: tieCols).map(col)
+    val ev = events.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+    // truncate each journey at the FIRST conversion under the total order
+    val w = Window.partitionBy(col(userCol)).orderBy(ordCols: _*)
+    val seqd = ev
+      .withColumn("__conv", when(col(typeCol) === convType, 1L).otherwise(0L))
+      .withColumn("__nconv", sum(col("__conv")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // rows strictly after the first conversion drop (the conversion row
+      // itself has __nconv = 1 and __conv = 1 — kept)
+      .filter(col("__nconv") === 0 || (col("__nconv") === 1 && col("__conv") === 1))
+    val withPrev = seqd
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+    val fromCol = coalesce(col("__prev"), lit(START))
+    val toCol = when(col("__conv") === 1, lit(CONV)).otherwise(col(typeCol))
+    val trans = withPrev
+      .select(fromCol.as("f"), toCol.as("t"),
+        // a non-conversion journey end also emits (type → NULL)
+        when(col("__next").isNull && col("__conv") === 0, lit(NULLS)).as("__endt"),
+        col(typeCol).as("__self"), col("__conv"))
+    val pairs = trans.select(col("f"), col("t"))
+      .unionByName(trans.filter(col("__endt").isNotNull)
+        .select(col("__self").as("f"), col("__endt").as("t")))
+    val counts = pairs.groupBy("f", "t").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // ---- driver solve over the tiny matrix ----
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def p12(cnt: Long, tot: Long): JBD =
+      JBD.valueOf(cnt.toDouble / tot.toDouble).setScale(12, RoundingMode.HALF_UP)
+    val probs = counts.map { case (f, t, c) => (f, t) -> p12(c, totals(f)) }.toMap
+    val channels = counts.flatMap { case (f, t, _) => Seq(f, t) }
+      .filter(s => s != START && s != CONV && s != NULLS).distinct.sorted
+    val states = START +: channels
+    val zero = JBD.ZERO.setScale(12)
+    def term(p: JBD, v: JBD): JBD = // round(p·v, 12) as doubles — oracle-parity
+      JBD.valueOf(p.doubleValue * v.doubleValue).setScale(12, RoundingMode.HALF_UP)
+    def solve(removed: Option[String]): JBD = {
+      var v = states.map(_ -> zero).toMap
+      (1 to iters).foreach { _ =>
+        v = states.map { s =>
+          s -> (if (removed.contains(s)) zero
+          else {
+            val pc = probs.getOrElse((s, CONV), zero)
+            channels.foldLeft(pc) { (acc, t) =>
+              probs.get((s, t)).map(p => acc.add(term(p, v(t)))).getOrElse(acc)
+            }
+          })
+        }.toMap
+      }
+      v(START)
+    }
+    val vFull = solve(None)
+    val rows = channels.map { c =>
+      if (vFull.signum <= 0) (c, null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double])
+      else {
+        val re = math.max(0.0,
+          1.0 - solve(Some(c)).doubleValue / vFull.doubleValue)
+        (c, java.lang.Double.valueOf(
+          JBD.valueOf(re).setScale(6, RoundingMode.HALF_UP).doubleValue), null)
+      }
+    }
+    // shares from the exact DECIMAL(18,6) total of the rounded effects
+    val reTot = rows.flatMap(r => Option(r._2)).map(d =>
+      JBD.valueOf(d.doubleValue).setScale(6, RoundingMode.HALF_UP))
+      .foldLeft(JBD.ZERO)(_.add(_))
+    val out = rows.map { case (c, re, _) =>
+      val share: java.lang.Double =
+        if (re == null || reTot.signum <= 0) null
+        else JBD.valueOf(re.doubleValue / reTot.doubleValue)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue
+      (c, re, share)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("channel", "removal_effect", "attribution")
+  }
+
   /** Consecutive event n-gram counts per key — [[transitions]]
     * generalized to length-`n` paths (the sequence-mining staple: which
     * 3-step flows dominate, which never-seen path preceded the error).

@@ -162,6 +162,17 @@ object StatsQueries extends QueryGroup {
         Seq("treatment" -> 1L, "control" -> 1L))
     }),
 
+    // Markov-chain multi-touch attribution: removal-effect credit per
+    // event-type channel, journeys truncated at first purchase —
+    // transition counts reduce the corpus to a |channels|² matrix; the
+    // 100-round absorption fixpoint (12-dp decimal terms) runs on the
+    // driver and the oracle re-derives it via a recursive CTE
+    "events_markov_attribution" -> ((s, dir) => {
+      graft.ops.Funnels.markovAttribution(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", convType = "purchase",
+        tieCols = Seq("event_id"))
+    }),
+
     // isotonic (PAVA) recalibration of the logistic click score over
     // exact score deciles — driver PAVA over 10 cells; the oracle
     // re-derives it via the minimax (max-over-j min-over-k block mean)
@@ -331,6 +342,61 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    // recursive-CTE absorption fixpoint with the engine's exact
+    // arithmetic: probs = round(cnt/total, 12) decimals, per-term
+    // round(p·v, 12) decimal sums, 100 rounds, removal = v(state)=0
+    "events_markov_attribution" ->
+      ("WITH RECURSIVE " +
+        "ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events " +
+        "  WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+        "o AS (SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "      ROWS UNBOUNDED PRECEDING) AS nconv, " +
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM ev), " +
+        "j AS (SELECT * FROM o WHERE nconv = 0 OR (nconv = 1 AND conv = 1)), " +
+        "sq AS (SELECT *, lag(event_type) OVER " +
+        "    (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
+        "    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt " +
+        "  FROM j), " +
+        "pairs AS (SELECT COALESCE(prev, '__START__') AS f, " +
+        "    CASE WHEN conv = 1 THEN '__CONV__' ELSE event_type END AS t FROM sq " +
+        "  UNION ALL SELECT event_type, '__NULL__' FROM sq " +
+        "    WHERE nxt IS NULL AND conv = 0), " +
+        "cnts AS (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2), " +
+        "tots AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1), " +
+        "probs AS (SELECT c.f, c.t, CAST(round(CAST(c.cnt AS DOUBLE) / t.tot, 12) " +
+        "    AS DECIMAL(28,12)) AS p FROM cnts c JOIN tots t ON t.f = c.f), " +
+        "chans AS (SELECT DISTINCT x AS ch FROM " +
+        "    (SELECT f AS x FROM cnts UNION SELECT t FROM cnts) " +
+        "  WHERE x NOT IN ('__START__', '__CONV__', '__NULL__')), " +
+        "states AS (SELECT '__START__' AS s UNION ALL SELECT ch FROM chans), " +
+        "removals AS (SELECT '__none__' AS r UNION ALL SELECT ch FROM chans), " +
+        "pconv AS (SELECT f, p FROM probs WHERE t = '__CONV__'), " +
+        "prs AS (SELECT f, t, p FROM probs WHERE t IN (SELECT ch FROM chans) " +
+        "  UNION ALL SELECT s, s, CAST(0 AS DECIMAL(28,12)) FROM states), " +
+        "iter AS (SELECT r.r, s.s, 0 AS k, CAST(0 AS DECIMAL(28,12)) AS v " +
+        "    FROM removals r CROSS JOIN states s " +
+        "  UNION ALL " +
+        "  SELECT i.r, pr.f AS s, i.k + 1, " +
+        "    CAST(CASE WHEN pr.f = i.r THEN 0 ELSE " +
+        "      COALESCE(MAX(pc.p), 0) + COALESCE(sum(CAST(round(" +
+        "        CAST(pr.p AS DOUBLE) * CAST(i.v AS DOUBLE), 12) " +
+        "        AS DECIMAL(28,12))), 0) END AS DECIMAL(28,12)) AS v " +
+        "  FROM iter i JOIN prs pr ON pr.t = i.s " +
+        "  LEFT JOIN pconv pc ON pc.f = pr.f " +
+        "  WHERE i.k < 100 GROUP BY i.r, pr.f, i.k), " +
+        "fin AS (SELECT r, s, v FROM iter WHERE k = 100), " +
+        "vf AS (SELECT v FROM fin WHERE r = '__none__' AND s = '__START__'), " +
+        "re AS (SELECT f.r AS channel, CASE WHEN CAST(vf.v AS DOUBLE) > 0 THEN " +
+        "      CAST(round(greatest(1.0 - CAST(f.v AS DOUBLE) " +
+        "        / CAST(vf.v AS DOUBLE), 0), 6) AS DECIMAL(18,6)) END AS re " +
+        "  FROM fin f CROSS JOIN vf WHERE f.s = '__START__' AND f.r <> '__none__'), " +
+        "tot AS (SELECT sum(re) AS t FROM re) " +
+        "SELECT channel, CAST(re AS DOUBLE) AS removal_effect, " +
+        "  CASE WHEN re IS NOT NULL AND CAST(t AS DOUBLE) > 0 " +
+        "    THEN round(CAST(re AS DOUBLE) / CAST(t AS DOUBLE), 6) END AS attribution " +
+        "FROM re CROSS JOIN tot"),
 
     "stats_anova_f" ->
       ("WITH g AS (SELECT event_type AS gg, CAST(count(*) AS BIGINT) AS n, " +

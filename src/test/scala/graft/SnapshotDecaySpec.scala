@@ -334,4 +334,50 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted
     assert(chained === combined)
   }
+
+  test("markovAttribution: only the channel on converting paths gets credit") {
+    val s = spark; import s.implicits._
+    // user 1..4: a → conv; user 5..6: b → null. Removing a kills ALL
+    // conversions (effect 1); removing b kills none (effect 0).
+    val ev = ((1 to 4).flatMap(u => Seq((u.toLong, 1L, 1L, "a"), (u.toLong, 2L, 2L, "conv"))) ++
+      (5 to 6).map(u => (u.toLong, 1L, 1L, "b")))
+      .toDF("u", "ts", "eid", "t")
+    val out = Funnels.markovAttribution(ev, "u", "ts", "t", "conv", Seq("eid"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("removal_effect"), r.getAs[Double]("attribution"))).toMap
+    assert(out("a") === ((1.0, 1.0)))
+    assert(out("b") === ((0.0, 0.0)))
+  }
+
+  test("markovAttribution: journeys truncate at the first conversion; no-conversion chain gives NULLs") {
+    val s = spark; import s.implicits._
+    // post-conversion events must not create transitions: user 1's
+    // trailing "b" is ignored, so b never appears on a converting path
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "conv"), (1L, 3L, 3L, "b"),
+      (2L, 1L, 4L, "b")).toDF("u", "ts", "eid", "t")
+    val out = Funnels.markovAttribution(ev, "u", "ts", "t", "conv", Seq("eid"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("removal_effect")).toMap
+    assert(out("a") === 1.0 && out("b") === 0.0)
+    // chain with zero conversions → NULL effects, not a crash
+    val none = Seq((1L, 1L, 1L, "a"), (2L, 1L, 2L, "b")).toDF("u", "ts", "eid", "t")
+    val rows = Funnels.markovAttribution(none, "u", "ts", "t", "conv", Seq("eid")).collect()
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("markovAttribution: split paths share credit by removal effect") {
+    val s = spark; import s.implicits._
+    // 2 users convert via a, 1 via b → a carries more credit than b,
+    // shares sum to ~1
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "conv"),
+      (2L, 1L, 3L, "a"), (2L, 2L, 4L, "conv"),
+      (3L, 1L, 5L, "b"), (3L, 2L, 6L, "conv"),
+      (4L, 1L, 7L, "b")).toDF("u", "ts", "eid", "t")
+    val out = Funnels.markovAttribution(ev, "u", "ts", "t", "conv", Seq("eid"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("removal_effect"), r.getAs[Double]("attribution"))).toMap
+    assert(out("a")._1 > out("b")._1)
+    val shareSum = out.values.map(_._2).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
+  }
 }
