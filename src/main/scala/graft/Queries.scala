@@ -22,7 +22,8 @@ object Queries {
     StatsQueries,
     CurationQueries,
     GraphQueries,
-    SegmentationQueries)
+    SegmentationQueries,
+    BasketQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence analytics: item-pair counts, item-item
+  * cosine similarity (the "customers also bought" primitive), and
+  * support/confidence/lift association rules.
+  *
+  * The reference engine's closest surface is a client-side MR job over
+  * scan results (tenggyut/HIndex drives aggregation through
+  * `TableMapReduceUtil`, hbase-server/.../mapreduce/TableMapReduceUtil.java:77);
+  * here the whole mining pipeline is declarative DataFrame ops.
+  *
+  * Scale shape: the pair generator is a self-equi-join on the basket id
+  * — fan-out is Σ n_b·(n_b−1)/2 over baskets, bounded by `maxBasket`
+  * (oversize baskets are DROPPED, both here and in the oracle — one
+  * pathological 10⁶-item basket would otherwise emit 5·10¹¹ pairs).
+  * Counting is a map-side-combined groupBy on (i,j); top-k is a
+  * per-item window over the PAIR frame (pairs per item, never corpus
+  * rows). All similarity math happens on exact integer counts; doubles
+  * appear only in the final rounded projection, so hashes are stable.
+  */
+object Baskets {
+
+  /** Distinct (basket, item) pairs with oversize baskets removed. */
+  private def cleaned(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    val d = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull).distinct()
+    val sizes = d.groupBy("b").agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") <= maxBasket)
+    d.join(sizes.select("b"), Seq("b"))
+  }
+
+  /** Unordered item-pair co-occurrence counts (i < j): how many baskets
+    * contain both. One self-join + one aggregate. */
+  def pairCounts(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 64): DataFrame = {
+    val d = cleaned(df, basketCol, itemCol, maxBasket)
+    d.alias("a").join(d.alias("c"),
+        col("a.b") === col("c.b") && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+  }
+
+  /** Top-k most-cosine-similar items per item:
+    * cos(i,j) = cooc(i,j) / √(n_i · n_j) with n_i = baskets containing
+    * i. Ties break by ascending neighbor id (total order → stable
+    * hash). Pairs below `minCooc` are ignored — at corpus scale the
+    * cooc=1 tail is noise and dominates the pair frame. */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int, minCooc: Long = 2L, maxBasket: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val d = cleaned(df, basketCol, itemCol, maxBasket)
+    val n = d.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = pairCounts(df, basketCol, itemCol, maxBasket)
+      .filter(col("cooc") >= minCooc)
+    val directed = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("cooc"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("cooc")))
+      .join(n.select(col("i").as("item"), col("n").as("n_item")), Seq("item"))
+      .join(n.select(col("i").as("neighbor"), col("n").as("n_neighbor")),
+        Seq("neighbor"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cooc").desc, col("neighbor").asc)
+    directed
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("item"), col("neighbor"), col("cooc"),
+        col("__rk").cast("long").as("rank"),
+        round(col("cooc").cast("double") /
+          sqrt((col("n_item") * col("n_neighbor")).cast("double")), 6)
+          .as("cosine"))
+  }
+
+  /** Directed association rules i→j with
+    * support = cooc/N, confidence = cooc/n_i,
+    * lift = cooc·N / (n_i·n_j) (exact integer products, one double
+    * division). Emits both directions of each qualifying pair. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minCooc: Long = 2L, minConfidence: Double = 0.0,
+      maxBasket: Int = 64): DataFrame = {
+    val d = cleaned(df, basketCol, itemCol, maxBasket)
+    val n = d.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    // lazy scalar: N rides along as a broadcast single-row frame instead
+    // of a driver action at build time
+    val nBaskets = d.agg(countDistinct(col("b")).as("__N"))
+    val pairs = pairCounts(df, basketCol, itemCol, maxBasket)
+      .filter(col("cooc") >= minCooc)
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("cooc"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("cooc")))
+      .join(n.select(col("i").as("antecedent"), col("n").as("n_ante")),
+        Seq("antecedent"))
+      .join(n.select(col("i").as("consequent"), col("n").as("n_cons")),
+        Seq("consequent"))
+    directed
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence",
+        round(col("cooc").cast("double") / col("n_ante"), 6))
+      .filter(col("confidence") >= minConfidence)
+      .select(col("antecedent"), col("consequent"), col("cooc"),
+        round(col("cooc").cast("double") / col("__N").cast("double"), 6)
+          .as("support"),
+        col("confidence"),
+        round((col("cooc") * col("__N")).cast("double") /
+          (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
+  }
+}

@@ -272,6 +272,109 @@ object Funnels {
     out.toSeq.toDF("channel", "removal_effect", "attribution")
   }
 
+  /** Exact Shapley-value multi-touch attribution — the axiomatically
+    * fair complement to [[markovAttribution]]'s removal effects. The
+    * cooperative game is over CHANNEL SUBSETS: the per-user touched-set
+    * T(u) = distinct channels seen strictly before the user's first
+    * `convType` event (all channels if the user never converts), and the
+    * coalition value v(S) = |{u converting : T(u) ⊆ S}| / N — "how many
+    * conversions survive if only the channels in S exist". Shapley then
+    * credits channel c with φ(c) = Σ_{S ⊆ C∖{c}} |S|!(|C|−1−|S|)!/|C|! ·
+    * (v(S∪{c}) − v(S)); by efficiency Σφ = v(C) − v(∅).
+    *
+    * Arithmetic contract: everything until the final projection is
+    * INTEGER — subset-cover counts and |S|!·(|C|−1−|S|)! weights
+    * accumulate in BigInt, and `shapley` is the single rounded division
+    * φ_int / (|C|!·N); `share` = φ_int(c)/Σφ_int. A DuckDB oracle
+    * re-derives both with bitmask subsets + a recursive factorial CTE.
+    *
+    * Scale shape: one per-user window pass marks the first conversion,
+    * one distinct + aggregate reduces the corpus to ≤ 2^|C| bitmask
+    * counts (|C| capped at 12), and the 2^|C|·|C| Shapley sum runs on
+    * the driver. The corpus is touched exactly twice (channel discovery
+    * + mask build), never joined.
+    *
+    * @return one row per channel: (channel, shapley, share); share is
+    *         NULL when no conversion is attributable to any channel
+    */
+  def shapleyAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, maxChannels: Int = 12): DataFrame = {
+    require(maxChannels >= 1 && maxChannels <= 20,
+      s"maxChannels must be in [1, 20]: $maxChannels")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+    val channels = ev.select(col(typeCol).cast("string").as("c"))
+      .filter(col("c") =!= convType).distinct()
+      .as[String].collect().sorted
+    require(channels.length <= maxChannels,
+      s"${channels.length} channels exceeds maxChannels=$maxChannels " +
+        "(Shapley cost is 2^|C|); pre-bucket the channel column")
+    val c = channels.length
+    val idx = channels.zipWithIndex.toMap
+    val bit = typedLit(idx.map { case (k, i) => k -> (1L << i) })
+    // first-conversion instant per user; NULL = never converts
+    val firstConv = ev.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__ct"))
+    val touched = ev.filter(col(typeCol) =!= convType)
+      .join(firstConv, col(userCol) === col("__u"), "left")
+      .filter(col("__ct").isNull || col(tsCol) < col("__ct"))
+      .select(col(userCol).as("u"),
+        element_at(bit, col(typeCol).cast("string")).as("__b")).distinct()
+    // distinct bit values sum to the OR: mask of the touched set
+    val masks = ev.select(col(userCol).as("u")).distinct()
+      .join(touched, Seq("u"), "left")
+      .join(firstConv.select(col("__u").as("u"),
+        lit(1L).as("__conv")), Seq("u"), "left")
+      .groupBy("u").agg(coalesce(sum(col("__b")), lit(0L)).as("m"),
+        coalesce(first(col("__conv")), lit(0L)).as("cv"))
+    val agg = masks.groupBy("m", "cv").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nUsers = agg.map(_._3).sum
+    val convByMask = agg.filter(_._2 == 1L).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toMap
+    // cover(S) = Σ_{m ⊆ S} conv(m)  (zeta transform over ≤ 2^c masks)
+    val full = (1L << c) - 1
+    val cover = new Array[Long](1 << c)
+    var s = 0
+    while (s <= full.toInt) {
+      var acc = 0L
+      convByMask.foreach { case (m, n) => if ((m & ~s & full) == 0) acc += n }
+      cover(s) = acc; s += 1
+    }
+    val fact = new Array[BigInt](c + 1)
+    fact(0) = BigInt(1)
+    (1 to c).foreach(i => fact(i) = fact(i - 1) * i)
+    val phiInt = channels.indices.map { ci =>
+      var acc = BigInt(0)
+      var sub = 0
+      while (sub <= full.toInt) {
+        if ((sub & (1 << ci)) == 0) {
+          val k = java.lang.Integer.bitCount(sub)
+          acc += fact(k) * fact(c - 1 - k) *
+            (cover(sub | (1 << ci)) - cover(sub))
+        }
+        sub += 1
+      }
+      acc
+    }
+    val phiTot = phiInt.sum
+    // divide in DOUBLE then 6-dp round — the exact arithmetic the DuckDB
+    // oracle performs, so halfway cells can't diverge
+    def r6(num: BigInt, den: BigInt): java.lang.Double =
+      java.math.BigDecimal.valueOf(num.toDouble / den.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val denom = fact(c) * nUsers
+    val rows = channels.indices.map { ci =>
+      val shap = if (denom.signum > 0) r6(phiInt(ci), denom)
+      else null.asInstanceOf[java.lang.Double]
+      val share = if (phiTot.signum > 0) r6(phiInt(ci), phiTot)
+      else null.asInstanceOf[java.lang.Double]
+      (channels(ci), shap, share)
+    }
+    rows.toDF("channel", "shapley", "share")
+  }
+
   /** Consecutive event n-gram counts per key — [[transitions]]
     * generalized to length-`n` paths (the sequence-mining staple: which
     * 3-step flows dominate, which never-seen path preceded the error).

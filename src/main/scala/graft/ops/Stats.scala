@@ -652,6 +652,56 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Lagged cross-correlation between two bucketed series — the
+    * lead/lag detector (does `keyA` activity precede `keyB` conversions,
+    * and by how many days?). For each lag k in [−maxLag, maxLag],
+    * r(k) = corr(x_t, y_{t+k}) over the overlapping buckets, with the
+    * FULL-series means and sums-of-squares in the normalizer (the same
+    * convention [[acf]] uses, documented here so the DuckDB oracle
+    * re-derives it exactly): r = Σ(x_t−mx)(y_{t+k}−my) / √(SSx·SSy).
+    *
+    * Scale shape: two per-series daily aggregates (one shuffle over the
+    * filtered rows), a 2·maxLag+1-way lag explode on the SMALL daily
+    * frame (series length, not corpus length), and one equi-join on
+    * (day+lag) — never a window over raw events. Products are 6-dp
+    * decimals so summation order can't change the hash.
+    */
+  def ccf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      keyA: String, keyB: String, maxLag: Int,
+      bucketNs: Long = 86400000000000L): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, s"maxLag must be in [0, 64]: $maxLag")
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    def series(k: String, xn: String) = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol) === k)
+      .groupBy(expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).cast("double").as(xn))
+    val a = series(keyA, "__xa"); val b = series(keyB, "__xb")
+    def stats(s: DataFrame, xn: String, mn: String, ssn: String) = {
+      val m = s.agg((sum(col(xn).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as(mn))
+      s.crossJoin(broadcast(m))
+        .agg(first(col(mn)).as(mn),
+          sum(round((col(xn) - col(mn)) * (col(xn) - col(mn)), 6)
+            .cast("decimal(28,6)")).cast("double").as(ssn))
+    }
+    val sa = stats(a, "__xa", "__ma", "__ssa")
+    val sb = stats(b, "__xb", "__mb", "__ssb")
+    val lags = a.withColumn("lag",
+        explode(array((-maxLag to maxLag).map(lit): _*)))
+      .select((col("__day") + col("lag")).as("__day"), col("lag"), col("__xa"))
+    lags.join(b, Seq("__day"))
+      .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round((col("__xa") - col("__ma")) * (col("__xb") - col("__mb")), 6)
+          .cast("decimal(28,6)")).cast("double").as("__num"),
+        first(col("__ssa")).as("__ssa"), first(col("__ssb")).as("__ssb"))
+      .filter(col("__ssa") > 0.0 && col("__ssb") > 0.0)
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        round(col("__num") / sqrt(col("__ssa") * col("__ssb")), 6).as("r"))
+  }
+
   def changePoint(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, bucketNs: Long = 86400000000000L): DataFrame = {
     require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")

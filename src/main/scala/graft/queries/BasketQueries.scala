@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+
+/** Market-basket mining gates over `lineitem` (basket = order, item =
+  * part): item-item cosine neighbors and association rules, both with
+  * exact-count DuckDB oracles (the only doubles are final rounded
+  * projections of integer counts, so hashes are stable).
+  */
+object BasketQueries extends QueryGroup {
+
+  def defs: Map[String, Q] = Map(
+
+    // "customers also bought": top-3 cosine neighbors per part over
+    // order baskets, cooc >= 2 (the cooc=1 tail is noise and 30x the
+    // pair frame)
+    "basket_itemsim" -> ((s, dir) => {
+      graft.ops.Baskets.itemSimilarity(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", k = 3, minCooc = 2L)
+    }),
+
+    // directed association rules at the same support floor:
+    // support/confidence/lift from exact basket counts
+    "basket_rules" -> ((s, dir) => {
+      graft.ops.Baskets.associationRules(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCooc = 2L)
+    })
+  )
+
+  // Shared oracle prelude: distinct (basket, item) with oversize baskets
+  // (> 64 items) dropped, per-item basket counts, pair co-occurrence.
+  private val base =
+    "WITH d0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+      "  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+      "sz AS (SELECT b FROM d0 GROUP BY b HAVING count(*) <= 64), " +
+      "d AS (SELECT d0.* FROM d0 JOIN sz USING (b)), " +
+      "n AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY i), " +
+      "p AS (SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS cooc " +
+      "  FROM d a JOIN d c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2 " +
+      "  HAVING count(*) >= 2), " +
+      "dir AS (SELECT ia AS x, ib AS y, cooc FROM p " +
+      "  UNION ALL SELECT ib, ia, cooc FROM p) "
+
+  def oracles: Map[String, String] = Map(
+
+    "basket_itemsim" -> (base +
+      ", j AS (SELECT dir.x, dir.y, dir.cooc, na.n AS nx, nb.n AS ny, " +
+      "    row_number() OVER (PARTITION BY dir.x " +
+      "      ORDER BY dir.cooc DESC, dir.y ASC) AS rk " +
+      "  FROM dir JOIN n na ON na.i = dir.x JOIN n nb ON nb.i = dir.y) " +
+      "SELECT x AS item, y AS neighbor, cooc, CAST(rk AS BIGINT) AS rank, " +
+      "  round(CAST(cooc AS DOUBLE) / sqrt(CAST(nx * ny AS DOUBLE)), 6) AS cosine " +
+      "FROM j WHERE rk <= 3"),
+
+    "basket_rules" -> (base +
+      ", nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nn FROM d) " +
+      "SELECT dir.x AS antecedent, dir.y AS consequent, dir.cooc, " +
+      "  round(CAST(dir.cooc AS DOUBLE) / CAST(nb.nn AS DOUBLE), 6) AS support, " +
+      "  round(CAST(dir.cooc AS DOUBLE) / na.n, 6) AS confidence, " +
+      "  round(CAST(dir.cooc * nb.nn AS DOUBLE) / CAST(na.n * nc.n AS DOUBLE), 6) AS lift " +
+      "FROM dir JOIN n na ON na.i = dir.x JOIN n nc ON nc.i = dir.y " +
+      "CROSS JOIN nb")
+  )
+}

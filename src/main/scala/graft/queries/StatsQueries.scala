@@ -173,6 +173,24 @@ object StatsQueries extends QueryGroup {
         tieCols = Seq("event_id"))
     }),
 
+    // exact Shapley multi-touch attribution: coalition value = share of
+    // conversions reachable with only the channels in S; integer
+    // subset-cover counts + BigInt factorial weights, one rounded
+    // division at the end (oracle: bitmask subsets + recursive factorial)
+    "events_shapley_attribution" -> ((s, dir) => {
+      graft.ops.Funnels.shapleyAttribution(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", convType = "purchase")
+    }),
+
+    // lagged cross-correlation between click and purchase daily value
+    // series at lags -7..7 — the lead/lag fingerprint next to
+    // events_acf's self-seasonality
+    "events_ccf" -> ((s, dir) => {
+      graft.ops.Stats.ccf(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value", keyA = "click", keyB = "purchase",
+        maxLag = 7)
+    }),
+
     // isotonic (PAVA) recalibration of the logistic click score over
     // exact score deciles — driver PAVA over 10 cells; the oracle
     // re-derives it via the minimax (max-over-j min-over-k block mean)
@@ -397,6 +415,81 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN re IS NOT NULL AND CAST(t AS DOUBLE) > 0 " +
         "    THEN round(CAST(re AS DOUBLE) / CAST(t AS DOUBLE), 6) END AS attribution " +
         "FROM re CROSS JOIN tot"),
+
+    // bitmask subset enumeration + recursive-factorial weights replay
+    // the engine's integer Shapley sum exactly; the only doubles are the
+    // two final rounded divisions (same operand order as the driver)
+    "events_shapley_attribution" ->
+      ("WITH RECURSIVE " +
+        "ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events " +
+        "  WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+        "ch AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS ix FROM " +
+        "  (SELECT DISTINCT event_type AS c FROM ev WHERE event_type <> 'purchase')), " +
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ch), " +
+        "fc AS (SELECT user_id, min(ts) AS ct FROM ev " +
+        "  WHERE event_type = 'purchase' GROUP BY 1), " +
+        "tch AS (SELECT DISTINCT e.user_id, ch.ix FROM ev e " +
+        "  JOIN ch ON ch.c = e.event_type " +
+        "  LEFT JOIN fc ON fc.user_id = e.user_id " +
+        "  WHERE fc.ct IS NULL OR e.ts < fc.ct), " +
+        "users AS (SELECT DISTINCT user_id FROM ev), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users), " +
+        "tm AS (SELECT user_id, CAST(sum(1::BIGINT << ix) AS BIGINT) AS m " +
+        "  FROM tch GROUP BY 1), " +
+        "cm AS (SELECT COALESCE(tm.m, 0) AS m, CAST(count(*) AS BIGINT) AS n " +
+        "  FROM fc LEFT JOIN tm ON tm.user_id = fc.user_id GROUP BY 1), " +
+        "subs AS (SELECT unnest(range(0, (SELECT 1::BIGINT << c FROM nc))) AS s), " +
+        "msk AS (SELECT (1::BIGINT << c) - 1 AS fullm FROM nc), " +
+        // cm padded with a zero row so the CROSS JOIN never empties cover
+        "cm0 AS (SELECT 0::BIGINT AS m, 0::BIGINT AS n " +
+        "  UNION ALL SELECT m, n FROM cm), " +
+        "cover AS (SELECT s.s, CAST(sum(CASE WHEN " +
+        "      (cm0.m & ~s.s & msk.fullm) = 0 THEN cm0.n ELSE 0 END) " +
+        "    AS BIGINT) AS cov " +
+        "  FROM subs s CROSS JOIN msk CROSS JOIN cm0 GROUP BY 1), " +
+        "f AS (SELECT 0 AS k, 1::BIGINT AS f " +
+        "  UNION ALL SELECT k + 1, f * (k + 1) FROM f WHERE k < 12), " +
+        "phi AS (SELECT ch.c AS channel, " +
+        "    CAST(sum(fa.f * fb.f * (c1.cov - c0.cov)) AS BIGINT) AS p " +
+        "  FROM ch CROSS JOIN nc JOIN subs s ON (s.s & (1::BIGINT << ch.ix)) = 0 " +
+        "  JOIN cover c0 ON c0.s = s.s " +
+        "  JOIN cover c1 ON c1.s = (s.s | (1::BIGINT << ch.ix)) " +
+        "  JOIN f fa ON fa.k = bit_count(s.s) " +
+        "  JOIN f fb ON fb.k = nc.c - 1 - bit_count(s.s) " +
+        "  GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(p) AS BIGINT) AS t FROM phi), " +
+        "fcn AS (SELECT f.f * nn.n AS d FROM f, nc, nn WHERE f.k = nc.c) " +
+        "SELECT channel, " +
+        "  CASE WHEN fcn.d > 0 THEN " +
+        "    round(CAST(p AS DOUBLE) / CAST(fcn.d AS DOUBLE), 6) END AS shapley, " +
+        "  CASE WHEN tot.t > 0 THEN " +
+        "    round(CAST(p AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) END AS share " +
+        "FROM phi CROSS JOIN tot CROSS JOIN fcn"),
+
+    // the acf oracle's device for two distinct series: full-series
+    // means/SS in the normalizer, day+lag equi-join for the numerator
+    "events_ccf" ->
+      ("WITH d AS (" + dailySeries + "), " +
+        "a AS (SELECT day, x AS xa FROM d WHERE key = 'click'), " +
+        "b AS (SELECT day, x AS xb FROM d WHERE key = 'purchase'), " +
+        "sa AS (SELECT CAST(sum(CAST(xa AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS ma FROM a), " +
+        "sb AS (SELECT CAST(sum(CAST(xb AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS mb FROM b), " +
+        "ssa AS (SELECT CAST(sum(CAST(round((xa - ma) * (xa - ma), 6) " +
+        "    AS DECIMAL(28,6))) AS DOUBLE) AS v FROM a CROSS JOIN sa), " +
+        "ssb AS (SELECT CAST(sum(CAST(round((xb - mb) * (xb - mb), 6) " +
+        "    AS DECIMAL(28,6))) AS DOUBLE) AS v FROM b CROSS JOIN sb), " +
+        "p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "    CAST(sum(CAST(round((a.xa - sa.ma) * (b.xb - sb.mb), 6) " +
+        "      AS DECIMAL(28,6))) AS DOUBLE) AS num " +
+        "  FROM a JOIN (SELECT unnest(range(-7, 8)) AS lag) l ON true " +
+        "  JOIN b ON b.day = a.day + l.lag " +
+        "  CROSS JOIN sa CROSS JOIN sb GROUP BY 1) " +
+        "SELECT CAST(p.lag AS BIGINT) AS lag, n_pairs, " +
+        "  round(num / sqrt(ssa.v * ssb.v), 6) AS r " +
+        "FROM p CROSS JOIN ssa CROSS JOIN ssb " +
+        "WHERE ssa.v > 0 AND ssb.v > 0"),
 
     "stats_anova_f" ->
       ("WITH g AS (SELECT event_type AS gg, CAST(count(*) AS BIGINT) AS n, " +

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Baskets
+
+/** Hand-computed market-basket cases: pair counts, cosine neighbors,
+  * association rules, and the oversize-basket guard. */
+class BasketsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("BasketsSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // b1={1,2,3} b2={1,2} b3={1,3} b4={2,3} b5={1,2}; n1=4 n2=4 n3=3
+  private def demo = {
+    val s = spark; import s.implicits._
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L), (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L),
+      (2L, 1L) /* duplicate (basket,item) row must not double count */)
+      .toDF("b", "i")
+  }
+
+  test("pairCounts: hand-computed co-occurrences, duplicates collapse") {
+    val got = Baskets.pairCounts(demo, "b", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 2L))
+  }
+
+  test("pairCounts: oversize baskets are dropped entirely") {
+    val got = Baskets.pairCounts(demo, "b", "i", maxBasket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // b1 (3 items) gone: (1,2) only via b2,b5; singles via b3,b4
+    assert(got === Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
+  test("itemSimilarity: cosine values and deterministic tie order") {
+    val got = Baskets.itemSimilarity(demo, "b", "i", k = 2, minCooc = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor"), r.getAs[Double]("cosine"))).toMap
+    assert(got((1L, 1L)) === ((2L, 0.75)))            // 3/sqrt(4*4)
+    assert(got((1L, 2L)) === ((3L, 0.57735)))         // 2/sqrt(4*3)
+    assert(got((2L, 1L)) === ((1L, 0.75)))
+    // item 3: cooc ties at 2 -> ascending neighbor id breaks the tie
+    assert(got((3L, 1L))._1 === 1L && got((3L, 2L))._1 === 2L)
+  }
+
+  test("associationRules: support/confidence/lift from exact counts") {
+    val got = Baskets.associationRules(demo, "b", "i", minCooc = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")) ->
+        ((r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift")))).toMap
+    assert(got((1L, 2L)) === ((0.6, 0.75, 0.9375)))   // 3/5, 3/4, 3*5/(4*4)
+    assert(got((2L, 1L)) === ((0.6, 0.75, 0.9375)))
+    assert(got((3L, 1L)) === ((0.4, 0.666667, 0.833333))) // 2/5, 2/3, 2*5/(3*4)
+    // confidence floor prunes
+    val floored = Baskets.associationRules(demo, "b", "i", minCooc = 2L,
+      minConfidence = 0.7).collect()
+    assert(floored.forall(_.getAs[Double]("confidence") >= 0.7))
+    assert(floored.length === 2)
+  }
+}

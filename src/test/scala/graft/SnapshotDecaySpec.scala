@@ -364,6 +364,42 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("shapleyAttribution: hand-computed two-channel game") {
+    val s = spark; import s.implicits._
+    // users 1-4: a -> conv (T={a}); users 5-6: b only, never convert.
+    // cover(S) = 4 iff a in S else 0; phi_int(a) = 0!1!*4 + 1!0!*4 = 8,
+    // shapley(a) = 8/(2!*6) = 0.666667; phi(b) = 0.
+    val ev = ((1 to 4).flatMap(u => Seq((u.toLong, 1L, "a"), (u.toLong, 2L, "conv"))) ++
+      (5 to 6).map(u => (u.toLong, 1L, "b"))).toDF("u", "ts", "t")
+    val out = Funnels.shapleyAttribution(ev, "u", "ts", "t", "conv")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("shapley"), r.getAs[Double]("share"))).toMap
+    assert(out("a") === ((0.666667, 1.0)))
+    assert(out("b") === ((0.0, 0.0)))
+  }
+
+  test("shapleyAttribution: symmetric channels split credit equally") {
+    val s = spark; import s.implicits._
+    // both converting users touch {a,b}: phi(a) = phi(b) by symmetry
+    val ev = (1 to 2).flatMap(u => Seq((u.toLong, 1L, "a"), (u.toLong, 2L, "b"),
+      (u.toLong, 3L, "conv"))).toDF("u", "ts", "t")
+    val out = Funnels.shapleyAttribution(ev, "u", "ts", "t", "conv")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("shapley"), r.getAs[Double]("share"))).toMap
+    assert(out("a") === ((0.5, 0.5)) && out("b") === ((0.5, 0.5)))
+  }
+
+  test("shapleyAttribution: post-conversion touches earn nothing") {
+    val s = spark; import s.implicits._
+    // conv happens BEFORE the only a-touch: T = {} for the converting
+    // user, so a's marginal contribution is zero everywhere
+    val ev = Seq((1L, 1L, "conv"), (1L, 2L, "a")).toDF("u", "ts", "t")
+    val rows = Funnels.shapleyAttribution(ev, "u", "ts", "t", "conv").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("shapley") === 0.0)
+    assert(rows.head.isNullAt(2), "share is NULL when no credit exists")
+  }
+
   test("markovAttribution: split paths share credit by removal effect") {
     val s = spark; import s.implicits._
     // 2 users convert via a, 1 via b → a carries more credit than b,

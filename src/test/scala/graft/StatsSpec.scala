@@ -145,6 +145,30 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("ccf: a series shifted by +2 days peaks at lag 2 with r = 1") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    val xs = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 10.0)
+    // y_t = x_{t-2}: identical values two days later
+    val df = (xs.zipWithIndex.map { case (x, d) => ("a", d * day, x) } ++
+      xs.zipWithIndex.map { case (x, d) => ("b", (d + 2) * day, x) })
+      .toDF("k", "ts", "v")
+    val r = Stats.ccf(df, "k", "ts", "v", "a", "b", maxLag = 3).collect()
+      .map(x => x.getAs[Long]("lag") ->
+        (x.getAs[Long]("n_pairs"), x.getAs[Double]("r"))).toMap
+    assert(r(2L) === ((10L, 1.0)), s"got $r")
+    assert(r(-3L)._1 === 5L) // overlap shrinks away from the true shift
+    assert(math.abs(r(0L)._2) < 1.0)
+  }
+
+  test("ccf: constant series (zero variance) emits no rows") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    val df = ((0 until 5).map(d => ("a", d * day, 3.0)) ++
+      (0 until 5).map(d => ("b", d * day, d.toDouble))).toDF("k", "ts", "v")
+    assert(Stats.ccf(df, "k", "ts", "v", "a", "b", maxLag = 2).count() === 0L)
+  }
+
   test("seasonalNaiveError: perfectly periodic series has MASE 0; MASE < 1 beats naive") {
     val s = spark; import s.implicits._
     val day = 86400000000000L
