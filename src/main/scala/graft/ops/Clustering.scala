@@ -637,4 +637,59 @@ object Clustering {
     }
     visited
   }
+
+  /** Newman modularity of a labeled partition over an undirected graph:
+    * Q = Σ_c ( l_c/m − (d_c/2m)² ) where l_c = edges internal to
+    * community c, d_c = total degree of c's nodes, m = edge count — how
+    * much denser the communities are than a degree-preserving random
+    * rewire (Q ≈ 0 no structure, 0.3+ strong). The evaluation gate for
+    * any community assignment (label propagation, connected components,
+    * or an external segmentation).
+    *
+    * Exactness: per-community contribution is the single-division
+    * rational (4m·l_c − d_c²) / (4m²) — every numerator term is
+    * INTEGER, so engines agree bit-for-bit after one rounded double
+    * division. Edges are normalized to distinct undirected pairs
+    * (a<b, self-loops dropped); nodes missing from `labels` drop with
+    * their edges (document the label frame's coverage).
+    *
+    * Shape: one distinct on edges, two label joins (broadcast-sized
+    * label dim joins at the gate's scale; bucketed joins at corpus
+    * scale), two aggregates. No iteration.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__lbl"))
+    val labeled = e
+      .join(lab.select(col("__id").as("a"), col("__lbl").as("__la")), Seq("a"))
+      .join(lab.select(col("__id").as("b"), col("__lbl").as("__lb")), Seq("b"))
+    val m = labeled.agg(count(lit(1)).as("__m"))
+    val internal = labeled.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = labeled.select(col("a").as("id"), col("__la").as("label"))
+      .unionByName(labeled.select(col("b").as("id"), col("__lb").as("label")))
+    val comm = deg.groupBy("label")
+      .agg(countDistinct(col("id")).as("n_nodes"),
+        count(lit(1)).as("degree_sum"))
+      .join(internal, Seq("label"), "left")
+      .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("__num",
+        lit(4L) * col("__m") * col("internal_edges") -
+          col("degree_sum") * col("degree_sum"))
+    val total = comm.agg(sum(col("__num")).as("__numt"), max(col("__m")).as("__m2"))
+    comm.crossJoin(broadcast(total))
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        col("internal_edges"),
+        round(col("__num").cast("double") /
+          (lit(4L) * col("__m") * col("__m")).cast("double"), 6).as("q_contrib"),
+        round(col("__numt").cast("double") /
+          (lit(4L) * col("__m2") * col("__m2")).cast("double"), 6).as("q_total"))
+  }
 }

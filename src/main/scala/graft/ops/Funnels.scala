@@ -272,6 +272,31 @@ object Funnels {
     out.toSeq.toDF("channel", "removal_effect", "attribution")
   }
 
+  /** Conditional next-step entropy of the event stream: for each
+    * current state, H(next | cur) = −Σ_next p·log₂p over the
+    * [[transitions]] matrix — the navigation-predictability read (0 bits
+    * = deterministic flow, log₂|types| = uniform chaos). High-entropy
+    * states are where UX forks; near-zero states are rails.
+    *
+    * Determinism: p = n/total from exact counts; each −p·log₂p term is
+    * rounded to 12 dp and summed as DECIMAL(28,12) (the [[Stats.woeIv]]
+    * device) so summation order can't move the hash.
+    */
+  def transitionEntropy(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, maxGapNs: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    val t = transitions(events, keyCol, tsCol, typeCol, maxGapNs, tieCols)
+    val tot = t.groupBy("from_type").agg(sum("n").as("__tot"))
+    val p = col("n").cast("double") / col("__tot").cast("double")
+    t.join(tot, Seq("from_type"))
+      // ln(p)/ln(2) rather than log2(): both engines evaluate the same
+      // libm-log expression (the woeIv parity device)
+      .withColumn("__term",
+        round(-p * (log(p) / log(lit(2.0))), 12).cast("decimal(28,12)"))
+      .groupBy("from_type")
+      .agg(max(col("__tot")).as("n"), count(lit(1)).as("n_next"),
+        round(sum(col("__term")).cast("double"), 6).as("entropy_bits"))
+  }
+
   /** Exact Shapley-value multi-touch attribution — the axiomatically
     * fair complement to [[markovAttribution]]'s removal effects. The
     * cooperative game is over CHANNEL SUBSETS: the per-user touched-set

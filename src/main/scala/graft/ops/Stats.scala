@@ -652,6 +652,155 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Per-segment two-sample KS: [[ksTest]] fanned out over `byCol` —
+    * one row (seg, n_a, n_b, d, ks_stat, p_approx) per segment. The
+    * cumulative CDFs use a window PARTITIONED by segment (per-task work
+    * is one segment's distinct values, parallel across segments — the
+    * scale-out axis), unlike ksTest's global prefix-sum device. */
+  def ksTestBy(df: DataFrame, valueCol: String, groupCol: String,
+      labelA: String, labelB: String, byCol: String): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol)
+    val perValue = df
+      .filter(v.isNotNull && !isnan(v) && g.isin(labelA, labelB) &&
+        col(byCol).isNotNull)
+      .groupBy(col(byCol).as("seg"), v.as("__v"))
+      .agg(count(when(g === labelA, 1)).as("ca"),
+        count(when(g === labelB, 1)).as("cb"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perValue.groupBy("seg")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val dm = perValue
+      .withColumn("__cca", sum(col("ca")).over(w))
+      .withColumn("__ccb", sum(col("cb")).over(w))
+      .join(tot, Seq("seg"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .groupBy("seg")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("__cca").cast("double") / col("na") -
+          col("__ccb").cast("double") / col("nb"))).as("__d"))
+    val c = round(col("__d") *
+      sqrt(col("n_a").cast("double") * col("n_b") / (col("n_a") + col("n_b"))), 6)
+    dm.select(col("seg"), col("n_a"), col("n_b"), round(col("__d"), 6).as("d"),
+      c.as("ks_stat"),
+      round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * c * c)), 6).as("p_approx"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction over a frame of
+    * (hypothesis key, p-value): rank p ascending (ties broken by key —
+    * total order), threshold_i = α·i/m, and reject H_1..H_k* where
+    * k* = max{i : p_i ≤ α·i/m}. The multiple-testing guard that keeps a
+    * 50-segment drift scan from crying wolf α·50 times.
+    *
+    * Shape note: the ranking window is a single partition sized by the
+    * NUMBER OF HYPOTHESES (segments, not rows) — driver-small by
+    * construction. NULL p-values are excluded. */
+  def bhAdjust(df: DataFrame, keyCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val f = df.filter(col(pCol).isNotNull)
+    val w = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+    val ranked = f.crossJoin(broadcast(f.agg(count(lit(1)).as("__m"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__thr", lit(alpha) * col("rank") / col("__m"))
+      .withColumn("__ok", col(pCol) <= col("__thr"))
+    val kstar = ranked.agg(
+      coalesce(max(when(col("__ok"), col("rank"))), lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col(keyCol), col(pCol), col("rank"),
+        round(col("__thr"), 6).as("bh_threshold"),
+        (col("rank") <= col("__k")).as("significant"))
+  }
+
+  /** Quantile treatment effects: the per-quantile difference between
+    * treatment and control value distributions — where in the
+    * distribution an intervention moves mass (a mean shift can hide a
+    * "helps the tail, hurts the head" effect that QTE exposes).
+    * Quantile definition is type-1 (inverse empirical CDF): the
+    * smallest 6-dp-rounded value whose cumulative count reaches
+    * ⌈k·n/Q⌉ — exact INTEGER thresholds ((n·k + Q−1) div Q), so both
+    * engines select the identical element and the diff hashes stably.
+    *
+    * Shape: distinct-value counts per arm (one shuffle), a cumulative
+    * window partitioned by arm over distinct values, a Q-way explode of
+    * the distinct-value frame, one aggregate. Never sorts raw rows. */
+  def quantileTreatmentEffect(df: DataFrame, groupCol: String,
+      valueCol: String, labelT: String, labelC: String,
+      nQuantiles: Int = 10): DataFrame = {
+    require(nQuantiles >= 2 && nQuantiles <= 1000,
+      s"nQuantiles must be in [2, 1000]: $nQuantiles")
+    val vd = col(valueCol).cast("double")
+    val f = df
+      .filter(vd.isNotNull && !isnan(vd) && col(groupCol).isin(labelT, labelC))
+      .select(when(col(groupCol) === labelT, lit("t")).otherwise(lit("c")).as("g"),
+        round(vd, 6).as("__v"))
+    val perValue = f.groupBy("g", "__v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("__c", sum(col("cnt")).over(w))
+      .join(perValue.groupBy("g").agg(sum("cnt").as("n")), Seq("g"))
+    val qs = cum
+      .withColumn("k", explode(array((1 until nQuantiles).map(lit): _*)))
+      .filter(col("__c") >=
+        expr(s"(n * k + ${nQuantiles - 1}) div $nQuantiles"))
+      .groupBy("g", "k").agg(min(col("__v")).as("q"))
+    qs.filter(col("g") === "t").select(col("k"), col("q").as("q_treat"))
+      .join(qs.filter(col("g") === "c").select(col("k"), col("q").as("q_ctrl")),
+        Seq("k"))
+      .select(col("k").cast("long").as("quantile_k"),
+        round(col("k").cast("double") / nQuantiles, 6).as("q"),
+        col("q_treat"), col("q_ctrl"),
+        round(col("q_treat") - col("q_ctrl"), 6).as("qte"))
+  }
+
+  /** Wald's sequential probability ratio test over a Bernoulli stream
+    * in event-time order: cumulative log-likelihood ratio
+    * LLR_n = s_n·ln(p1/p0) + (n−s_n)·ln((1−p1)/(1−p0)) with stop
+    * boundaries A = ln((1−β)/α) (accept H1) and B = ln(β/(1−α))
+    * (accept H0); the decision is the FIRST boundary crossing, or
+    * `inconclusive` at end-of-stream. The always-valid alternative to
+    * fixed-horizon tests when an experiment is monitored continuously.
+    *
+    * Determinism: LLR is computed pointwise from exact cumulative
+    * integer counts times caller-fixed double constants — no float
+    * accumulation, so any engine replaying the same (ts, tie) order
+    * gets bit-identical LLRs. Cumulative counts use [[runningTotals]]
+    * (partition prefix-sum, no global window).
+    *
+    * @param la ln(p1/p0); @param lb ln((1−p1)/(1−p0)); pass the SAME
+    * literals to any re-implementation (the query layer splices these
+    * into the DuckDB oracle so both engines share constants exactly)
+    */
+  def sprt(df: DataFrame, tsCol: String, tieCols: Seq[String],
+      success: Column, la: Double, lb: Double,
+      upperA: Double, lowerB: Double): DataFrame = {
+    require(la > 0 && lb < 0, s"need la > 0 > lb: la=$la lb=$lb")
+    require(upperA > 0 && lowerB < 0, s"need A > 0 > B: A=$upperA B=$lowerB")
+    val ordered = df.select((tsCol +: tieCols).map(col) :+
+      when(success, 1L).otherwise(0L).as("__x"): _*)
+    val cum = runningTotals(ordered, (tsCol +: tieCols).map(col),
+      Seq("s" -> col("__x"), "n" -> lit(1L)))
+      .withColumn("llr",
+        col("__c_s").cast("double") * la +
+          (col("__c_n") - col("__c_s")).cast("double") * lb)
+    val crossed = cum
+      .filter(col("llr") >= upperA || col("llr") <= lowerB)
+      .orderBy(col("__c_n").asc).limit(1)
+      .withColumn("decision",
+        when(col("llr") >= upperA, "accept_h1").otherwise("accept_h0"))
+    val fallback = cum.orderBy(col("__c_n").desc).limit(1)
+      .withColumn("decision", lit("inconclusive"))
+    crossed.unionByName(fallback)
+      .orderBy(when(col("decision") === "inconclusive", 1).otherwise(0))
+      .limit(1)
+      .select(col("decision"), col("__c_n").as("n_obs"),
+        col("__c_s").as("successes"), round(col("llr"), 6).as("llr"),
+        round(lit(upperA), 6).as("bound_h1"), round(lit(lowerB), 6).as("bound_h0"))
+  }
+
   /** Lagged cross-correlation between two bucketed series — the
     * lead/lag detector (does `keyA` activity precede `keyB` conversions,
     * and by how many days?). For each lag k in [−maxLag, maxLag],

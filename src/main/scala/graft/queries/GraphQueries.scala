@@ -51,6 +51,24 @@ object GraphQueries extends QueryGroup {
         seeds, maxHops = 3)
     }),
 
+    // Newman modularity of the nation partition over the supplier
+    // co-part graph (shared part, hub parts capped at degree 30):
+    // integer numerators (4m*l_c - d_c^2), one rounded division
+    "graph_modularity" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val pd = li.groupBy("pk").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= 2 && col("__d") <= 30)
+      val c = li.join(pd.select("pk"), Seq("pk"))
+      val pairs = c.alias("x").join(c.alias("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      val labels = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"),
+          col("s_nationkey").cast("long").as("nation"))
+      graft.ops.Clustering.modularity(pairs, "a", "b", labels, "id", "nation")
+    }),
+
     "graph_bfs_dist" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(concat(lit("p"), col("l_partkey")).as("p"),
@@ -64,6 +82,37 @@ object GraphQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // same capped co-part pair set; per-nation integer numerators and
+    // the single rounded division on both sides
+    "graph_modularity" ->
+      ("WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem), " +
+        "pd AS (SELECT pk FROM e0 GROUP BY pk " +
+        "  HAVING count(*) >= 2 AND count(*) <= 30), " +
+        "c AS (SELECT e0.* FROM e0 JOIN pd USING (pk)), " +
+        "pr AS (SELECT DISTINCT x.sk AS a, y.sk AS b FROM c x " +
+        "  JOIN c y ON x.pk = y.pk AND x.sk < y.sk), " +
+        "lab AS (SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS lbl " +
+        "  FROM supplier), " +
+        "le AS (SELECT pr.a, pr.b, la.lbl AS la, lb2.lbl AS lb FROM pr " +
+        "  JOIN lab la ON la.id = pr.a JOIN lab lb2 ON lb2.id = pr.b), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM le), " +
+        "intl AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS ie FROM le " +
+        "  WHERE la = lb GROUP BY 1), " +
+        "deg AS (SELECT a AS id, la AS label FROM le " +
+        "  UNION ALL SELECT b, lb FROM le), " +
+        "comm AS (SELECT label, CAST(count(DISTINCT id) AS BIGINT) AS n_nodes, " +
+        "    CAST(count(*) AS BIGINT) AS degree_sum FROM deg GROUP BY 1), " +
+        "j AS (SELECT comm.label, n_nodes, degree_sum, " +
+        "    COALESCE(intl.ie, 0) AS internal_edges, " +
+        "    4 * m.m * COALESCE(intl.ie, 0) - degree_sum * degree_sum AS num, " +
+        "    m.m AS m FROM comm LEFT JOIN intl ON intl.label = comm.label " +
+        "  CROSS JOIN m), " +
+        "t AS (SELECT CAST(sum(num) AS BIGINT) AS numt FROM j) " +
+        "SELECT label, n_nodes, degree_sum, internal_edges, " +
+        "  round(CAST(num AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 6) AS q_contrib, " +
+        "  round(CAST(t.numt AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 6) AS q_total " +
+        "FROM j CROSS JOIN t"),
 
     "graph_adamic_adar" ->
       ("WITH e AS (SELECT DISTINCT l_suppkey AS a, l_partkey AS r FROM lineitem), " +

@@ -15,6 +15,16 @@ object StatsQueries extends QueryGroup {
 
   private val dayNs = 86400000000000L
 
+  // SPRT constants (H0 p=0.15 vs H1 p=0.2, alpha = beta = 0.05):
+  // computed ONCE here and spliced verbatim into both the engine call
+  // and the DuckDB oracle, so no libm-log divergence can split them
+  private val SprtLa = math.log(0.2 / 0.15)
+  private val SprtLb = math.log(0.8 / 0.85)
+  private val SprtA = math.log(0.95 / 0.05)
+  private val SprtB = math.log(0.05 / 0.95)
+  private def d17(x: Double): String =
+    "%.17e".formatLocal(java.util.Locale.ROOT, x)
+
   def defs: Map[String, Q] = Map(
 
     // KS distribution drift between click and view purchase values —
@@ -180,6 +190,45 @@ object StatsQueries extends QueryGroup {
     "events_shapley_attribution" -> ((s, dir) => {
       graft.ops.Funnels.shapleyAttribution(Tables.load(s, dir, "events"),
         "user_id", "ts", "event_type", convType = "purchase")
+    }),
+
+    // per-segment KS drift scan with Benjamini-Hochberg FDR control:
+    // 8 user segments x (click vs view) KS p-values, step-up at
+    // alpha = 0.05 — the multiple-testing-safe drift alarm
+    "stats_fdr_bh" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("seg", pmod(col("user_id"), lit(8L)))
+      val ks = graft.ops.Stats.ksTestBy(ev, "value", "event_type",
+        "click", "view", "seg")
+      graft.ops.Stats.bhAdjust(ks, "seg", "p_approx", alpha = 0.05)
+    }),
+
+    // quantile treatment effects at deciles (even users = treatment):
+    // type-1 quantiles from exact integer rank thresholds
+    "stats_qte" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("grp",
+          when(pmod(col("user_id"), lit(2L)) === 0, "t").otherwise("c"))
+      graft.ops.Stats.quantileTreatmentEffect(ev, "grp", "value", "t", "c")
+    }),
+
+    // Wald SPRT on the purchase rate in event-time order: H0 p=0.15 vs
+    // H1 p=0.2, alpha = beta = 0.05 — constants computed once here and
+    // spliced verbatim into the oracle so both engines share them
+    "stats_sprt" -> ((s, dir) => {
+      graft.ops.Stats.sprt(Tables.load(s, dir, "events"),
+        "ts", Seq("event_id"), col("event_type") === "purchase",
+        la = SprtLa, lb = SprtLb, upperA = SprtA, lowerB = SprtB)
+    }),
+
+    // conditional next-step entropy per current event type over the
+    // 1-hour transition matrix — navigation predictability in bits
+    "events_transition_entropy" -> ((s, dir) => {
+      graft.ops.Funnels.transitionEntropy(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        maxGapNs = 3600L * 1000000000L, tieCols = Seq("event_id"))
     }),
 
     // lagged cross-correlation between click and purchase daily value
@@ -465,6 +514,97 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN tot.t > 0 THEN " +
         "    round(CAST(p AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) END AS share " +
         "FROM phi CROSS JOIN tot CROSS JOIN fcn"),
+
+    // per-segment KS (windows partitioned by seg) -> BH step-up: rank
+    // p ascending with seg tie-break, k* = max rank with p <= a*i/m
+    "stats_fdr_bh" ->
+      ("WITH f AS (SELECT user_id % 8 AS seg, CAST(value AS DOUBLE) AS v, " +
+        "    event_type AS g FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "    AND event_type IN ('click', 'view') AND user_id IS NOT NULL), " +
+        "pv AS (SELECT seg, v, count(*) FILTER (WHERE g = 'click') AS ca, " +
+        "    count(*) FILTER (WHERE g = 'view') AS cb FROM f GROUP BY 1, 2), " +
+        "c AS (SELECT seg, v, sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb " +
+        "  FROM pv WINDOW w AS (PARTITION BY seg ORDER BY v " +
+        "    ROWS UNBOUNDED PRECEDING)), " +
+        "t AS (SELECT seg, CAST(sum(ca) AS BIGINT) AS na, " +
+        "    CAST(sum(cb) AS BIGINT) AS nb FROM pv GROUP BY 1), " +
+        "d AS (SELECT c.seg, max(na) AS n_a, max(nb) AS n_b, " +
+        "    max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)) AS dm " +
+        "  FROM c JOIN t ON t.seg = c.seg WHERE na > 0 AND nb > 0 GROUP BY 1), " +
+        "k AS (SELECT seg, round(dm * sqrt(CAST(n_a AS DOUBLE) * n_b " +
+        "    / (n_a + n_b)), 6) AS ks FROM d), " +
+        "p AS (SELECT seg, round(least(1.0, 2 * exp(-2 * ks * ks)), 6) " +
+        "    AS p_approx FROM k), " +
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p), " +
+        "r AS (SELECT seg, p_approx, " +
+        "    CAST(row_number() OVER (ORDER BY p_approx, seg) AS BIGINT) AS rank, " +
+        "    0.05 * row_number() OVER (ORDER BY p_approx, seg) / mm.m AS thr " +
+        "  FROM p CROSS JOIN mm), " +
+        "ks2 AS (SELECT COALESCE(max(CASE WHEN p_approx <= thr THEN rank END), 0) " +
+        "    AS kk FROM r) " +
+        "SELECT seg, p_approx, rank, round(thr, 6) AS bh_threshold, " +
+        "  rank <= ks2.kk AS significant FROM r CROSS JOIN ks2"),
+
+    // type-1 quantiles per arm via distinct-value cumulative counts and
+    // the exact integer threshold (n*k + 9) // 10
+    "stats_qte" ->
+      ("WITH f AS (SELECT CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS g, " +
+        "    round(CAST(value AS DOUBLE), 6) AS v FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL), " +
+        "pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2), " +
+        "tt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM pv GROUP BY 1), " +
+        "c AS (SELECT pv.g, v, sum(cnt) OVER (PARTITION BY pv.g ORDER BY v " +
+        "    ROWS UNBOUNDED PRECEDING) AS cc, tt.n " +
+        "  FROM pv JOIN tt ON tt.g = pv.g), " +
+        "q AS (SELECT g, k.k, min(v) AS q FROM c " +
+        "  JOIN (SELECT unnest(range(1, 10)) AS k) k " +
+        "    ON c.cc >= (c.n * k.k + 9) // 10 GROUP BY 1, 2) " +
+        "SELECT CAST(t.k AS BIGINT) AS quantile_k, " +
+        "  round(CAST(t.k AS DOUBLE) / 10, 6) AS q, " +
+        "  t.q AS q_treat, c2.q AS q_ctrl, round(t.q - c2.q, 6) AS qte " +
+        "FROM q t JOIN q c2 ON c2.k = t.k AND t.g = 't' AND c2.g = 'c'"),
+
+    // cumulative LLR from exact integer counts x the spliced constants;
+    // first crossing wins, end-of-stream row as the inconclusive fallback
+    "stats_sprt" ->
+      ("WITH o AS (SELECT epoch_ns(ts) AS ts, event_id, " +
+        "    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x FROM events), " +
+        "c AS (SELECT CAST(sum(x) OVER w AS BIGINT) AS cs, " +
+        "    CAST(count(*) OVER w AS BIGINT) AS cn FROM o " +
+        "  WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), " +
+        "l AS (SELECT cn, cs, CAST(cs AS DOUBLE) * (" + d17(SprtLa) + ") " +
+        "    + CAST(cn - cs AS DOUBLE) * (" + d17(SprtLb) + ") AS llr FROM c), " +
+        "cr AS (SELECT CASE WHEN llr >= " + d17(SprtA) + " THEN 'accept_h1' " +
+        "    ELSE 'accept_h0' END AS decision, cn, cs, llr FROM l " +
+        "  WHERE llr >= " + d17(SprtA) + " OR llr <= " + d17(SprtB) + " " +
+        "  ORDER BY cn LIMIT 1), " +
+        "fb AS (SELECT 'inconclusive' AS decision, cn, cs, llr FROM l " +
+        "  ORDER BY cn DESC LIMIT 1), " +
+        "u AS (SELECT * FROM cr UNION ALL SELECT * FROM fb) " +
+        "SELECT decision, cn AS n_obs, cs AS successes, round(llr, 6) AS llr, " +
+        "  round(" + d17(SprtA) + ", 6) AS bound_h1, " +
+        "  round(" + d17(SprtB) + ", 6) AS bound_h0 " +
+        "FROM u ORDER BY CASE WHEN decision = 'inconclusive' THEN 1 ELSE 0 END " +
+        "LIMIT 1"),
+
+    // transitions matrix (the events_transitions window) -> per-from
+    // -p*ln(p)/ln(2) terms rounded to 12 dp, decimal-summed
+    "events_transition_entropy" ->
+      ("WITH x AS (SELECT event_type AS ft, lead(event_type) OVER w AS tt, " +
+        "  epoch_ns(lead(ts) OVER w) - epoch_ns(ts) AS gap FROM events " +
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "tr AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n FROM x " +
+        "  WHERE tt IS NOT NULL AND gap <= 3600000000000 GROUP BY 1, 2), " +
+        "tot AS (SELECT ft, CAST(sum(n) AS BIGINT) AS t FROM tr GROUP BY 1), " +
+        "term AS (SELECT tr.ft, tot.t, CAST(round(" +
+        "    -(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * " +
+        "    (ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) / ln(2.0)), 12) " +
+        "    AS DECIMAL(28,12)) AS term " +
+        "  FROM tr JOIN tot ON tot.ft = tr.ft) " +
+        "SELECT ft AS from_type, max(t) AS n, CAST(count(*) AS BIGINT) AS n_next, " +
+        "  round(CAST(sum(term) AS DOUBLE), 6) AS entropy_bits " +
+        "FROM term GROUP BY 1"),
 
     // the acf oracle's device for two distinct series: full-series
     // means/SS in the normalizer, day+lag equi-join for the numerator

@@ -534,4 +534,35 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(v - pr(id)) < 1e-12, s"node $id: ppr $v vs pr ${pr(id)}")
     }
   }
+
+  // ---- modularity ----------------------------------------------------
+
+  test("modularity: two bridged triangles, hand-computed Q") {
+    val s = spark; import s.implicits._
+    // triangles {1,2,3} (label X) and {4,5,6} (label Y), bridge 3-4:
+    // m = 7, l_X = l_Y = 3, d_X = d_Y = 7,
+    // contrib = (4*7*3 - 49)/196 = 35/196 = 0.178571, Q = 0.357143
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (4L, 3L) /* reverse dup collapses */)
+      .toDF("a", "b")
+    val labels = Seq((1L, "X"), (2L, "X"), (3L, "X"),
+      (4L, "Y"), (5L, "Y"), (6L, "Y")).toDF("id", "c")
+    val out = Clustering.modularity(edges, "a", "b", labels, "id", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("degree_sum"),
+          r.getAs[Long]("internal_edges"), r.getAs[Double]("q_contrib"),
+          r.getAs[Double]("q_total")))).toMap
+    assert(out("X") === ((3L, 7L, 3L, 0.178571, 0.357143)))
+    assert(out("Y") === ((3L, 7L, 3L, 0.178571, 0.357143)))
+  }
+
+  test("modularity: one community holding every edge scores Q = 0") {
+    val s = spark; import s.implicits._
+    // all nodes in one label: l = m, d = 2m -> 4m*m - 4m^2 = 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val labels = Seq((1L, "Z"), (2L, "Z"), (3L, "Z")).toDF("id", "c")
+    val r = Clustering.modularity(edges, "a", "b", labels, "id", "c")
+      .collect().head
+    assert(r.getAs[Double]("q_total") === 0.0)
+  }
 }

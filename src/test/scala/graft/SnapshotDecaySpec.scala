@@ -364,6 +364,24 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("transitionEntropy: uniform fork = 1 bit, rail = 0 bits") {
+    val s = spark; import s.implicits._
+    // from 'a': 2x ->b, 2x ->c (1 bit); from 'b': always ->c (0 bits)
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "c"),
+      (4L, 1L, "a"), (4L, 2L, "c"),
+      (5L, 1L, "b"), (5L, 2L, "c")).toDF("u", "ts", "t")
+    val out = Funnels.transitionEntropy(ev, "u", "ts", "t", maxGapNs = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_next"),
+          r.getAs[Double]("entropy_bits")))).toMap
+    assert(out("a") === ((4L, 2L, 1.0)))
+    assert(out("b") === ((1L, 1L, 0.0)))
+    assert(!out.contains("c"), "terminal states emit no transitions")
+  }
+
   test("shapleyAttribution: hand-computed two-channel game") {
     val s = spark; import s.implicits._
     // users 1-4: a -> conv (T={a}); users 5-6: b only, never convert.

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -143,6 +144,80 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = Stats.acf(df, "k", "ts", "v", maxLag = 1).collect().head
       .getAs[Long]("n_pairs")
     assert(n === 2L)
+  }
+
+  test("bhAdjust: step-up rejects through the largest passing rank") {
+    val s = spark; import s.implicits._
+    // m=4, alpha=0.2: thresholds 0.05/0.10/0.15/0.20.
+    // ps sorted: 0.01 <= 0.05 ok; 0.12 > 0.10 fail; 0.14 <= 0.15 ok ->
+    // k* = 3: the SKIPPED middle one is still rejected. 0.9 stays.
+    val ps = Seq(("a", 0.01), ("b", 0.12), ("c", 0.14), ("d", 0.9))
+      .toDF("k", "p")
+    val out = Stats.bhAdjust(ps, "k", "p", alpha = 0.2).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("rank"),
+        r.getAs[Boolean]("significant"))).toMap
+    assert(out("a") === ((1L, true)))
+    assert(out("b") === ((2L, true)), "step-up rescues ranks below k*")
+    assert(out("c") === ((3L, true)))
+    assert(out("d") === ((4L, false)))
+  }
+
+  test("bhAdjust: nothing passes -> nothing significant") {
+    val s = spark; import s.implicits._
+    val ps = Seq(("a", 0.5), ("b", 0.9)).toDF("k", "p")
+    val out = Stats.bhAdjust(ps, "k", "p", alpha = 0.05).collect()
+    assert(out.forall(!_.getAs[Boolean]("significant")))
+  }
+
+  test("quantileTreatmentEffect: hand-computed decile shift") {
+    val s = spark; import s.implicits._
+    // treatment = control + 10 pointwise: every decile's qte = 10
+    val df = ((1 to 100).map(i => ("t", i.toDouble + 10)) ++
+      (1 to 100).map(i => ("c", i.toDouble))).toDF("g", "v")
+    val out = Stats.quantileTreatmentEffect(df, "g", "v", "t", "c")
+      .collect().map(r => r.getAs[Long]("quantile_k") ->
+        (r.getAs[Double]("q_treat"), r.getAs[Double]("q_ctrl"),
+          r.getAs[Double]("qte"))).toMap
+    assert(out.size === 9)
+    // type-1: q_ctrl at k=5 is ceil(0.5*100)=50th value = 50.0
+    assert(out(5L) === ((60.0, 50.0, 10.0)))
+    assert(out.values.forall(_._3 === 10.0))
+  }
+
+  test("sprt: all-success stream accepts H1 at the expected n; empty-ish inconclusive") {
+    val s = spark; import s.implicits._
+    val la = math.log(0.2 / 0.15); val lb = math.log(0.8 / 0.85)
+    val a = math.log(0.95 / 0.05); val b = math.log(0.05 / 0.95)
+    // every obs is a success: llr = n*la crosses A at n = ceil(A/la) = 11
+    val up = (1 to 40).map(i => (i.toLong, 1L, "hit")).toDF("ts", "id", "t")
+    val r1 = Stats.sprt(up, "ts", Seq("id"), col("t") === "hit", la, lb, a, b)
+      .collect().head
+    assert(r1.getString(0) === "accept_h1")
+    assert(r1.getAs[Long]("n_obs") === math.ceil(a / la).toLong)
+    // every obs a failure: llr = n*lb (negative) crosses B
+    val down = (1 to 200).map(i => (i.toLong, 1L, "miss")).toDF("ts", "id", "t")
+    val r2 = Stats.sprt(down, "ts", Seq("id"), col("t") === "hit", la, lb, a, b)
+      .collect().head
+    assert(r2.getString(0) === "accept_h0")
+    assert(r2.getAs[Long]("n_obs") === math.ceil(b / lb).toLong)
+    // too short to cross either bound
+    val short = (1 to 3).map(i => (i.toLong, 1L, "hit")).toDF("ts", "id", "t")
+    val r3 = Stats.sprt(short, "ts", Seq("id"), col("t") === "hit", la, lb, a, b)
+      .collect().head
+    assert(r3.getString(0) === "inconclusive" && r3.getAs[Long]("n_obs") === 3L)
+  }
+
+  test("ksTestBy: shifted segment alarms, identical segment doesn't") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 60).flatMap { i =>
+      Seq((0L, "a", i.toDouble), (0L, "b", i.toDouble),     // seg 0: same
+        (1L, "a", i.toDouble), (1L, "b", i.toDouble + 100)) // seg 1: shifted
+    }.toDF("seg", "g", "v")
+    val out = Stats.ksTestBy(rows, "v", "g", "a", "b", "seg").collect()
+      .map(r => r.getAs[Long]("seg") ->
+        (r.getAs[Double]("d"), r.getAs[Double]("p_approx"))).toMap
+    assert(out(0L)._1 === 0.0 && out(0L)._2 === 1.0)
+    assert(out(1L)._1 === 1.0 && out(1L)._2 < 1e-6)
   }
 
   test("ccf: a series shifted by +2 days peaks at lag 2 with r = 1") {
