@@ -652,6 +652,58 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    * per-key success rates — the feature-store staple that stops a
+    * 1-for-2 key from outranking a 400-for-1000 one. The prior
+    * Beta(K·m, K·(1−m)) comes from the observed rate distribution:
+    * m = mean of per-key rates, K = m(1−m)/var − 1 (clamped at 0), and
+    * each key's posterior mean is (s + K·m)/(n + K).
+    *
+    * Determinism: rates are 12-dp decimals, the variance numerator sums
+    * 12-dp-rounded squared deviations as DECIMAL(28,12), and the
+    * K/posterior chain is a fixed double expression over those exact
+    * aggregates — the oracle replays the identical operand order.
+    * Keys with n < `minN` are excluded from BOTH the prior fit and the
+    * output (tiny-n rates would corrupt the moment estimates).
+    *
+    * Shape: one per-key aggregate, two scalar aggregates, one broadcast
+    * join back. `prior_strength`/`shrunk_rate` are NULL when the rate
+    * variance is zero or fewer than two keys survive (no prior exists).
+    */
+  def ebShrinkage(df: DataFrame, keyCol: String, success: Column,
+      minN: Long = 5L): DataFrame = {
+    require(minN >= 1, s"minN must be >= 1: $minN")
+    val per = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("s"))
+      .filter(col("n") >= minN)
+    val withR = per.withColumn("__r",
+      round(col("s").cast("double") / col("n").cast("double"), 12)
+        .cast("decimal(14,12)"))
+    val mAgg = withR.agg(
+      (sum(col("__r")).cast("double") / count(lit(1))).as("__m"),
+      count(lit(1)).as("__i"))
+    val stats = withR.crossJoin(broadcast(mAgg))
+      .agg(max(col("__m")).as("__m"), max(col("__i")).as("__i"),
+        sum(round((col("__r").cast("double") - col("__m")) *
+          (col("__r").cast("double") - col("__m")), 12)
+          .cast("decimal(28,12)")).cast("double").as("__ss"))
+      .withColumn("__v", when(col("__i") >= 2,
+        col("__ss") / (col("__i") - lit(1L)).cast("double")))
+      .withColumn("__k", when(col("__v") > 0,
+        greatest(lit(0.0),
+          col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1)))
+    per.crossJoin(broadcast(stats))
+      .select(col("key"), col("n"), col("s"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("rate"),
+        round(col("__m"), 6).as("prior_mean"),
+        round(col("__k"), 6).as("prior_strength"),
+        when(col("__k").isNotNull,
+          round((col("s").cast("double") + col("__k") * col("__m")) /
+            (col("n").cast("double") + col("__k")), 6)).as("shrunk_rate"))
+  }
+
   /** Per-segment two-sample KS: [[ksTest]] fanned out over `byCol` —
     * one row (seg, n_a, n_b, d, ks_stat, p_approx) per segment. The
     * cumulative CDFs use a window PARTITIONED by segment (per-task work

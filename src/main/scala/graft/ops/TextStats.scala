@@ -163,4 +163,38 @@ object TextStats {
           / (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")).cast("double"), 6)
           .as("slope"))
   }
+
+  /** Vocabulary species-richness estimators — "how much vocabulary does
+    * the corpus HAVE that we haven't sampled yet", the coverage
+    * diagnostic beside [[zipfSlope]]'s shape read:
+    *   - Chao1 richness: V + f1²/(2·f2) (bias-corrected V + f1(f1−1)/2
+    *     when no doubletons), where f1/f2 = singleton/doubleton counts —
+    *     a lower bound on the true vocabulary size;
+    *   - Good–Turing unseen mass: f1/N — the probability the NEXT token
+    *     is a never-seen word (high ⇒ corpus far from vocab-complete).
+    *
+    * Whitespace tokens of `lower(text)` (the [[graft.ops.Tokenize]]
+    * vocab convention). All inputs to the two estimates are exact
+    * integers; each output is one rounded double division. One token
+    * aggregate + one scalar row — no second corpus pass.
+    */
+  def speciesRichness(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(count(lit(1)).as("vocab"), sum("cnt").as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocab"), col("n_tokens"), col("f1"), col("f2"),
+        round(col("vocab").cast("double") +
+          when(col("f2") > 0,
+            (col("f1") * col("f1")).cast("double") /
+              (lit(2L) * col("f2")).cast("double"))
+            .otherwise((col("f1") * (col("f1") - 1)).cast("double") / 2.0), 6)
+          .as("chao1"),
+        round(col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("gt_unseen_mass"))
+  }
 }

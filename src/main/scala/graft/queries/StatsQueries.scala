@@ -192,6 +192,21 @@ object StatsQueries extends QueryGroup {
         "user_id", "ts", "event_type", convType = "purchase")
     }),
 
+    // empirical-Bayes beta-binomial shrinkage of per-user purchase
+    // rates (MoM prior over users with >= 5 events): the small-n-safe
+    // ranking rate
+    "stats_eb_shrinkage" -> ((s, dir) => {
+      graft.ops.Stats.ebShrinkage(Tables.load(s, dir, "events"),
+        "user_id", col("event_type") === "purchase", minN = 5L)
+    }),
+
+    // Chao1 vocabulary richness + Good-Turing unseen mass over the
+    // document corpus — is the corpus vocab-complete or far from it
+    "text_species_richness" -> ((s, dir) => {
+      graft.ops.TextStats.speciesRichness(
+        Tables.load(s, dir, "documents"), "text")
+    }),
+
     // per-segment KS drift scan with Benjamini-Hochberg FDR control:
     // 8 user segments x (click vs view) KS p-values, step-up at
     // alpha = 0.05 — the multiple-testing-safe drift alarm
@@ -514,6 +529,51 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN tot.t > 0 THEN " +
         "    round(CAST(p AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) END AS share " +
         "FROM phi CROSS JOIN tot CROSS JOIN fcn"),
+
+    // 12-dp decimal rates, decimal-summed squared deviations, then the
+    // identical double chain for K and the posterior mean
+    "stats_eb_shrinkage" ->
+      ("WITH per AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "      AS BIGINT) AS s " +
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY 1 " +
+        "  HAVING count(*) >= 5), " +
+        "r AS (SELECT per.*, CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) " +
+        "    AS DECIMAL(14,12)) AS rr FROM per), " +
+        "ms AS (SELECT CAST(sum(rr) AS DOUBLE) / count(*) AS m, " +
+        "    CAST(count(*) AS BIGINT) AS i FROM r), " +
+        "vs AS (SELECT ms.m, ms.i, CAST(sum(CAST(round(" +
+        "      (CAST(rr AS DOUBLE) - ms.m) * (CAST(rr AS DOUBLE) - ms.m), 12) " +
+        "      AS DECIMAL(28,12))) AS DOUBLE) AS ss " +
+        "  FROM r CROSS JOIN ms GROUP BY 1, 2), " +
+        "ks AS (SELECT m, CASE WHEN i >= 2 THEN ss / CAST(i - 1 AS DOUBLE) END AS v " +
+        "  FROM vs), " +
+        "kk AS (SELECT m, CASE WHEN v > 0 THEN " +
+        "    greatest(0.0, m * (1.0 - m) / v - 1) END AS k FROM ks) " +
+        "SELECT key, n, s, " +
+        "  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate, " +
+        "  round(kk.m, 6) AS prior_mean, round(kk.k, 6) AS prior_strength, " +
+        "  CASE WHEN kk.k IS NOT NULL THEN " +
+        "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
+        "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
+        "FROM per CROSS JOIN kk"),
+
+    // exact integer f1/f2/V/N, one rounded double division per estimate
+    "text_species_richness" ->
+      ("WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM " +
+        "    (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) " +
+        "  WHERE length(word) > 0 GROUP BY word), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS vocab, " +
+        "    CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+        "    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, " +
+        "    CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 " +
+        "  FROM c) " +
+        "SELECT vocab, n_tokens, f1, f2, " +
+        "  round(CAST(vocab AS DOUBLE) + CASE WHEN f2 > 0 THEN " +
+        "      CAST(f1 * f1 AS DOUBLE) / CAST(2 * f2 AS DOUBLE) " +
+        "    ELSE CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0 END, 6) AS chao1, " +
+        "  round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "    AS gt_unseen_mass FROM a"),
 
     // per-segment KS (windows partitioned by seg) -> BH step-up: rank
     // p ascending with seg tie-break, k* = max rank with p <= a*i/m

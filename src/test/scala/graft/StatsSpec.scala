@@ -146,6 +146,30 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("ebShrinkage: hand-computed beta-binomial posterior means") {
+    val s = spark; import s.implicits._
+    // rates .2/.8/.5 over n=10 each: m=.5, v=.09, K=.25/.09-1=1.777778
+    val rows = (1 to 2).map(i => ("a", true)) ++ (1 to 8).map(_ => ("a", false)) ++
+      (1 to 8).map(_ => ("b", true)) ++ (1 to 2).map(_ => ("b", false)) ++
+      (1 to 5).map(_ => ("c", true)) ++ (1 to 5).map(_ => ("c", false)) ++
+      Seq(("tiny", true)) // n=1 < minN: excluded from prior AND output
+    val out = Stats.ebShrinkage(rows.toDF("k", "hit"), "k", col("hit"), minN = 5L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("rate"), r.getAs[Double]("prior_mean"),
+          r.getAs[Double]("shrunk_rate")))).toMap
+    assert(!out.contains("tiny"))
+    assert(out("c") === ((0.5, 0.5, 0.5)))
+    assert(out("a")._1 === 0.2 && out("a")._3 === 0.245283)
+    assert(out("b")._3 === 1.0 - 0.245283, "symmetric shrink toward the mean")
+  }
+
+  test("ebShrinkage: zero rate variance -> no prior, NULL shrunk rates") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 10).flatMap(i => Seq(("a", i <= 5), ("b", i <= 5)))
+    val out = Stats.ebShrinkage(rows.toDF("k", "hit"), "k", col("hit")).collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(6)))
+  }
+
   test("bhAdjust: step-up rejects through the largest passing rank") {
     val s = spark; import s.implicits._
     // m=4, alpha=0.2: thresholds 0.05/0.10/0.15/0.20.

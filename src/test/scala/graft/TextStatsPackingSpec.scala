@@ -93,4 +93,20 @@ class TextStatsPackingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(run1 === run2)
   }
+
+  test("speciesRichness: hand-computed Chao1 and Good-Turing mass") {
+    val s = spark; import s.implicits._
+    // tokens: a:2 b:2 c:2 d:1 -> V=4 N=7 f1=1 f2=3,
+    // chao1 = 4 + 1/6 = 4.166667, unseen = 1/7 = 0.142857
+    val docs = Seq("A a b B c", "c d").toDF("text")
+    val r = TextStats.speciesRichness(docs, "text").collect().head
+    assert(r.getAs[Long]("vocab") === 4L && r.getAs[Long]("n_tokens") === 7L)
+    assert(r.getAs[Long]("f1") === 1L && r.getAs[Long]("f2") === 3L)
+    assert(r.getAs[Double]("chao1") === 4.166667)
+    assert(r.getAs[Double]("gt_unseen_mass") === 0.142857)
+    // no doubletons -> bias-corrected form f1(f1-1)/2
+    val r2 = TextStats.speciesRichness(Seq("a b").toDF("text"), "text")
+      .collect().head
+    assert(r2.getAs[Double]("chao1") === 3.0)
+  }
 }
