@@ -638,6 +638,39 @@ object Clustering {
     visited
   }
 
+  /** Newman degree assortativity of an undirected graph: the Pearson
+    * correlation of endpoint degrees over edges — positive means hubs
+    * attach to hubs (social nets), negative means hub-and-spoke
+    * (infrastructure, bipartite projections). Formula in pure INTEGER
+    * moments over the m distinct edges (S1 = Σd_a·d_b, S2 = Σ(d_a+d_b),
+    * S3 = Σ(d_a²+d_b²)): r = (4m·S1 − S2²) / (2m·S3 − S2²) — one
+    * rounded double division, NULL for degree-regular graphs (0/0).
+    * Moment sums are BIGINT — fine through ~10⁶-degree hubs; switch the
+    * products to DECIMAL(38,0) beyond.
+    *
+    * Shape: one distinct, one degree aggregate, two joins, one scalar
+    * aggregate — no iteration. */
+  def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val m = e
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") * col("db")).as("s1"),
+        sum(col("da") + col("db")).as("s2"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("s3"))
+    val num = lit(4L) * col("m") * col("s1") - col("s2") * col("s2")
+    val den = lit(2L) * col("m") * col("s3") - col("s2") * col("s2")
+    m.select(col("m"), col("s1"), col("s2"), col("s3"),
+      when(den =!= 0, round(num.cast("double") / den.cast("double"), 6)).as("r"))
+  }
+
   /** Newman modularity of a labeled partition over an undirected graph:
     * Q = Σ_c ( l_c/m − (d_c/2m)² ) where l_c = edges internal to
     * community c, d_c = total degree of c's nodes, m = edge count — how

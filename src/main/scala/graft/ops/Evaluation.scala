@@ -667,4 +667,59 @@ object Evaluation {
       round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
       round(fitCol, 6).as("fitted"))
   }
+
+  /** Split-conformal prediction intervals per group at 90% nominal
+    * coverage: fit the trivial per-group predictor (calibration-split
+    * mean), take q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest absolute residual
+    * on the calibration split, and measure realized coverage of
+    * |y − ŷ| ≤ q̂ on the held-out split. The distribution-free "are my
+    * error bars honest" gate — if `coverage` lands far under 0.9, the
+    * residual distribution shifted between splits.
+    *
+    * Determinism: predictions are exact-moment means (6-dp decimal sums
+    * / count), residuals are 6-dp-rounded doubles, and q̂ is an exact
+    * ORDER-STATISTIC pick — cumulative distinct-residual counts against
+    * the integer threshold ⌈(n+1)·9/10⌉ = ((n+1)·9+9) div 10 (clamped
+    * to n_cal; the n_cal < 9 case where conformal demands q̂ = ∞ is
+    * reported as coverage over the max residual instead). No
+    * interpolation anywhere, so both engines pick identical elements.
+    *
+    * Shape: per-group aggregates, one distinct-residual cumulative
+    * window per group, one test-split aggregate — groups process in
+    * parallel, nothing global. */
+  def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
+      calib: Column): DataFrame = {
+    val vd = col(valueCol).cast("double")
+    val f = df.filter(vd.isNotNull && !isnan(vd) && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), round(vd, 6).as("__v"),
+        calib.as("__cal"))
+    val pred = f.filter(col("__cal"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_cal"),
+        (sum(col("__v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("__pred"))
+    val withR = f.join(pred, Seq("g"))
+      .withColumn("__r", round(abs(col("__v") - col("__pred")), 6))
+    val calCum = withR.filter(col("__cal"))
+      .groupBy("g", "__r").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("g")).orderBy(col("__r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qhat = calCum
+      .join(pred.select(col("g"), col("n_cal")), Seq("g"))
+      .filter(col("__cum") >=
+        least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
+      .groupBy("g").agg(min(col("__r")).as("q_hat"))
+    withR.filter(!col("__cal"))
+      .join(qhat, Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_test"),
+        max(col("q_hat")).as("q_hat"),
+        sum(when(col("__r") <= col("q_hat"), 1L).otherwise(0L)).as("__in"))
+      .join(pred.select(col("g"), col("n_cal"), col("__pred")), Seq("g"))
+      .select(col("g").as("grp"), col("n_cal"), col("n_test"),
+        round(col("__pred"), 6).as("prediction"), col("q_hat"),
+        round(col("__in").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+  }
 }

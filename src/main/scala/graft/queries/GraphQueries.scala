@@ -51,6 +51,20 @@ object GraphQueries extends QueryGroup {
         seeds, maxHops = 3)
     }),
 
+    // degree assortativity of the supplier co-part graph: integer
+    // moments over edges, one rounded division
+    "graph_assortativity" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val pd = li.groupBy("pk").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= 2 && col("__d") <= 30)
+      val c = li.join(pd.select("pk"), Seq("pk"))
+      val pairs = c.alias("x").join(c.alias("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      graft.ops.Clustering.assortativity(pairs, "a", "b")
+    }),
+
     // Newman modularity of the nation partition over the supplier
     // co-part graph (shared part, hub parts capped at degree 30):
     // integer numerators (4m*l_c - d_c^2), one rounded division
@@ -82,6 +96,28 @@ object GraphQueries extends QueryGroup {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // same capped co-part pair set; integer moment sums S1/S2/S3 and
+    // the (4mS1 - S2^2)/(2mS3 - S2^2) division on both sides
+    "graph_assortativity" ->
+      ("WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem), " +
+        "pd AS (SELECT pk FROM e0 GROUP BY pk " +
+        "  HAVING count(*) >= 2 AND count(*) <= 30), " +
+        "c AS (SELECT e0.* FROM e0 JOIN pd USING (pk)), " +
+        "pr AS (SELECT DISTINCT x.sk AS a, y.sk AS b FROM c x " +
+        "  JOIN c y ON x.pk = y.pk AND x.sk < y.sk), " +
+        "deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM " +
+        "  (SELECT a AS id FROM pr UNION ALL SELECT b FROM pr) GROUP BY 1), " +
+        "w AS (SELECT da.d AS da, db.d AS db FROM pr " +
+        "  JOIN deg da ON da.id = pr.a JOIN deg db ON db.id = pr.b), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS m, " +
+        "    CAST(sum(da * db) AS BIGINT) AS s1, " +
+        "    CAST(sum(da + db) AS BIGINT) AS s2, " +
+        "    CAST(sum(da * da + db * db) AS BIGINT) AS s3 FROM w) " +
+        "SELECT m, s1, s2, s3, " +
+        "  CASE WHEN 2 * m * s3 - s2 * s2 <> 0 THEN " +
+        "    round(CAST(4 * m * s1 - s2 * s2 AS DOUBLE) / " +
+        "      CAST(2 * m * s3 - s2 * s2 AS DOUBLE), 6) END AS r FROM s"),
 
     // same capped co-part pair set; per-nation integer numerators and
     // the single rounded division on both sides

@@ -192,6 +192,14 @@ object StatsQueries extends QueryGroup {
         "user_id", "ts", "event_type", convType = "purchase")
     }),
 
+    // split-conformal 90% intervals per event type (even users
+    // calibrate, odd users test): exact order-statistic q-hat, honest
+    // held-out coverage
+    "eval_conformal" -> ((s, dir) => {
+      graft.ops.Evaluation.conformalInterval(Tables.load(s, dir, "events"),
+        "event_type", "value", pmod(col("user_id"), lit(2L)) === 0)
+    }),
+
     // empirical-Bayes beta-binomial shrinkage of per-user purchase
     // rates (MoM prior over users with >= 5 events): the small-n-safe
     // ranking rate
@@ -529,6 +537,35 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN tot.t > 0 THEN " +
         "    round(CAST(p AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) END AS share " +
         "FROM phi CROSS JOIN tot CROSS JOIN fcn"),
+
+    // calibration-split means, 6-dp residuals, exact order-stat pick at
+    // the integer threshold ((n+1)*9+9)//10 clamped to n_cal
+    "eval_conformal" ->
+      ("WITH f AS (SELECT event_type AS g, round(CAST(value AS DOUBLE), 6) AS v, " +
+        "    user_id % 2 = 0 AS cal FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "    AND event_type IS NOT NULL), " +
+        "pred AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal, " +
+        "    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS pred " +
+        "  FROM f WHERE cal GROUP BY 1), " +
+        "wr AS (SELECT f.g, f.cal, round(abs(f.v - pred.pred), 6) AS r " +
+        "  FROM f JOIN pred ON pred.g = f.g), " +
+        "cc AS (SELECT g, r, CAST(count(*) AS BIGINT) AS c FROM wr " +
+        "  WHERE cal GROUP BY 1, 2), " +
+        "cm AS (SELECT g, r, sum(c) OVER (PARTITION BY g ORDER BY r " +
+        "    ROWS UNBOUNDED PRECEDING) AS cum FROM cc), " +
+        "q AS (SELECT cm.g, min(r) AS q_hat FROM cm " +
+        "  JOIN pred ON pred.g = cm.g " +
+        "  WHERE cum >= least(((pred.n_cal + 1) * 9 + 9) // 10, pred.n_cal) " +
+        "  GROUP BY 1), " +
+        "t AS (SELECT wr.g, CAST(count(*) AS BIGINT) AS n_test, " +
+        "    max(q.q_hat) AS q_hat, " +
+        "    CAST(sum(CASE WHEN wr.r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS ic " +
+        "  FROM wr JOIN q ON q.g = wr.g WHERE NOT cal GROUP BY 1) " +
+        "SELECT t.g AS grp, pred.n_cal, t.n_test, " +
+        "  round(pred.pred, 6) AS prediction, t.q_hat, " +
+        "  round(CAST(ic AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS coverage " +
+        "FROM t JOIN pred ON pred.g = t.g"),
 
     // 12-dp decimal rates, decimal-summed squared deviations, then the
     // identical double chain for K and the posterior mean

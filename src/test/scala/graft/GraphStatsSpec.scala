@@ -556,6 +556,21 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("Y") === ((3L, 7L, 3L, 0.178571, 0.357143)))
   }
 
+  test("assortativity: star is -1, regular cycle undefined, bridged triangles hand-value") {
+    val s = spark; import s.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    assert(Clustering.assortativity(star, "a", "b").collect().head
+      .getAs[Double]("r") === -1.0)
+    // C4: every degree equal -> 0/0 -> NULL
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    assert(Clustering.assortativity(cycle, "a", "b").collect().head.isNullAt(4))
+    // bridged triangles: S1=41 S2=34 S3=86 m=7 -> -8/48 = -0.166667
+    val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    assert(Clustering.assortativity(bridged, "a", "b").collect().head
+      .getAs[Double]("r") === -0.166667)
+  }
+
   test("modularity: one community holding every edge scores Q = 0") {
     val s = spark; import s.implicits._
     // all nodes in one label: l = m, d = 2m -> 4m*m - 4m^2 = 0

@@ -185,4 +185,32 @@ class IngestEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
       tieCols = Seq("id"), nBins = 4).orderBy("bin").collect()
     assert(out2.map(_.getAs[Double]("fitted")).toSeq === Seq(0.1, 0.3, 0.6, 0.9))
   }
+
+  test("conformalInterval: hand-computed order-stat q-hat and exact coverage") {
+    val s = spark; import s.implicits._
+    // calibration (g, even ids): values 10..19 -> pred 14.5, residuals
+    // .5,1.5,...,4.5 (x2 each); n_cal=10 -> k = ceil(11*0.9) = 10 ->
+    // q_hat = max residual 4.5. Test split 5 values: 14 in, 30 out etc.
+    val cal = (10 to 19).map(v => ("g", v.toDouble, 0L))
+    val test = Seq(14.0, 10.0, 19.0, 30.0, -5.0).map(v => ("g", v, 1L))
+    val out = Evaluation.conformalInterval((cal ++ test).toDF("g", "v", "id"),
+      "g", "v", col("id") % 2 === 0).collect().head
+    assert(out.getAs[Long]("n_cal") === 10L && out.getAs[Long]("n_test") === 5L)
+    assert(out.getAs[Double]("prediction") === 14.5)
+    assert(out.getAs[Double]("q_hat") === 4.5)
+    // residuals .5, 4.5, 4.5 in; 15.5, 19.5 out -> coverage 0.6
+    assert(out.getAs[Double]("coverage") === 0.6)
+  }
+
+  test("conformalInterval: tiny calibration clamps to the max residual") {
+    val s = spark; import s.implicits._
+    // n_cal = 2 -> raw k = ceil(3*0.9) = 3 > n_cal -> clamp to 2:
+    // q_hat = largest calibration residual
+    val rows = Seq(("g", 10.0, 0L), ("g", 20.0, 0L),
+      ("g", 15.0, 1L), ("g", 40.0, 1L)).toDF("g", "v", "id")
+    val out = Evaluation.conformalInterval(rows, "g", "v", col("id") === 0L)
+      .collect().head
+    assert(out.getAs[Double]("q_hat") === 5.0)
+    assert(out.getAs[Double]("coverage") === 0.5)
+  }
 }
