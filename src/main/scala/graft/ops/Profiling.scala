@@ -1288,4 +1288,57 @@ object Profiling {
           round(col("entropy") / log(col("n_classes").cast("double")), 6))
           .otherwise(lit(0.0)))
   }
+
+  /** Slice finder (Chung et al.): enumerate every 1..|dims| dimensional
+    * data slice over the given categorical dims and rank them by how
+    * anomalous the slice's metric mean is vs the corpus —
+    * z = (mean_slice − mean_all) / (sd_all/√n_slice) — surfacing the
+    * "model is fine on average, broken on seg=3&type=error" pockets a
+    * global mean hides. One CUBE aggregate generates every slice combo
+    * (grand total excluded), so the corpus is scanned once regardless
+    * of how many dims combine.
+    *
+    * Exactness: 6-dp decimal moment sums; the z chain is a fixed double
+    * expression; ranking orders by the ROUNDED |z| with slice-label
+    * tie-break (total order → stable top-k hash). Slices under `minN`
+    * are noise and dropped.
+    */
+  def sliceFinder(df: DataFrame, dims: Seq[String], valueCol: String,
+      minN: Long = 20L, topK: Int = 20): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 3,
+      s"dims must have 1..3 columns (CUBE fan-out is 2^|dims|): $dims")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val vd = col(valueCol).cast("double")
+    val f = df
+      .filter(vd.isNotNull && !isnan(vd) &&
+        dims.map(col(_).isNotNull).reduce(_ && _))
+      .select(dims.map(d => col(d).cast("string").as(d)) :+
+        round(vd, 6).as("__v"): _*)
+    val g = f
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(18,6)")).cast("double").as("__s"),
+        sum(round(col("__v") * col("__v"), 6).cast("decimal(28,6)"))
+          .cast("double").as("__s2"))
+      .select((col("__s") / col("__n")).as("__gm"),
+        ((col("__s2") - col("__s") * col("__s") / col("__n")) /
+          (col("__n") - 1)).as("__gv"))
+    val aggCols = count(lit(1)).as("n") +:
+      sum(col("__v").cast("decimal(18,6)")).cast("double").as("__s") +:
+      dims.map(d => grouping(col(d)).as(s"__g_$d"))
+    val cubed = f.cube(dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val lab = cubed
+      .filter(dims.map(d => col(s"__g_$d") === 0).reduce(_ || _) &&
+        col("n") >= minN)
+      .select(concat_ws("&", dims.map(d =>
+          when(col(s"__g_$d") === 0, concat(lit(d + "="), col(d)))): _*)
+        .as("slice"),
+        col("n"), (col("__s") / col("n")).as("__m"))
+    val z = lab.crossJoin(broadcast(g))
+      .select(col("slice"), col("n"), round(col("__m"), 6).as("mean"),
+        round((col("__m") - col("__gm")) /
+          (sqrt(col("__gv")) / sqrt(col("n").cast("double"))), 6).as("z"))
+    z.withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("z")).desc, col("slice").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

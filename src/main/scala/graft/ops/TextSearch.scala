@@ -341,4 +341,79 @@ object TextSearch {
       .orderBy(col("score").desc, col("phrase").asc)
       .limit(k)
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — words vote for their neighbors, so
+    * terms that co-occur with many well-connected terms surface even
+    * when raw frequency is flat (the graph-centrality complement to
+    * [[graft.ops.LangModel]] PMI and RAKE's degree/frequency score).
+    *
+    * Graph: adjacent-token pairs (window 2 after dropping tokens
+    * shorter than `minLen`) per document, both directions. Words map to
+    * dense long ids through a vocab frame (the PageRank kernel is
+    * long-keyed), ranks map back at the end.
+    *
+    * FP power iteration ⇒ rows-only gate; spec-gated on planted-hub
+    * ranking, mass conservation comes from the pageRank kernel's own
+    * gates. Shape: one token pass (lead window per doc), vocab-sized
+    * joins, then the [[graft.ops.Clustering.pageRank]] loop (edge list
+    * never reshuffles per round). */
+  def textRank(df: DataFrame, textCol: String, minLen: Int = 4,
+      iters: Int = 10, k: Int = 50): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1: $minLen")
+    require(k >= 1, s"k must be >= 1: $k")
+    val docs = df
+      .select(monotonically_increasing_id().as("__doc"),
+        filter(split(lower(col(textCol)), " "),
+          t => length(t) >= minLen).as("__ts"))
+    val pos = docs
+      .select(col("__doc"), posexplode(col("__ts")).as(Seq("__p", "__w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc")).orderBy(col("__p"))
+    val adj = pos.withColumn("__next", lead(col("__w"), 1).over(w))
+      .filter(col("__next").isNotNull && col("__next") =!= col("__w"))
+      .select(col("__w").as("wa"), col("__next").as("wb"))
+    val vocab = adj.select(col("wa").as("word"))
+      .unionByName(adj.select(col("wb").as("word"))).distinct()
+      .withColumn("__id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("word")))
+        .cast("long"))
+    val ids = adj
+      .join(vocab.select(col("word").as("wa"), col("__id").as("src")), Seq("wa"))
+      .join(vocab.select(col("word").as("wb"), col("__id").as("dst")), Seq("wb"))
+    // WEIGHTED edges (co-occurrence counts) — the standard TextRank
+    // variant; an unweighted graph over a small vocab degenerates to
+    // near-complete and ranks flatten to uniform
+    val und = ids.select("src", "dst")
+      .unionByName(ids.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint(true)
+    val damping = 0.85
+    val nodes = und.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val wout = und.groupBy("src").agg(sum("w").as("__wout"))
+    // same per-round discipline as Clustering.pageRank: edge list never
+    // reshuffles, node-sized state broadcasts, lineage truncated
+    var state = nodes.join(wout, nodes("id") === wout("src"))
+      .select(col("id"), lit(1.0 / n).as("rank"), col("__wout"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val contrib = und.join(broadcast(state), col("src") === col("id"))
+        .select(col("dst").as("id"),
+          (col("rank") * col("w") / col("__wout")).as("__c"))
+        .groupBy("id").agg(sum("__c").as("__in"))
+      state = state.select("id", "__wout")
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"),
+          col("__wout"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    state.join(vocab, col("id") === col("__id"))
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(k)
+      .select(col("word"), round(col("rank"), 6).as("rank"))
+  }
 }

@@ -192,6 +192,24 @@ object StatsQueries extends QueryGroup {
         "user_id", "ts", "event_type", convType = "purchase")
     }),
 
+    // slice finder: every type x segment CUBE slice ranked by |z| of
+    // its mean-value deviation — the "broken pocket" detector
+    "profile_slice_finder" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("type", col("event_type"))
+        .withColumn("seg", pmod(col("user_id"), lit(4L)))
+      graft.ops.Profiling.sliceFinder(ev, Seq("type", "seg"), "value",
+        minN = 20L, topK = 20)
+    }),
+
+    // TextRank keywords over the document corpus (rows-only: FP power
+    // iteration; planted-hub ranking is spec-gated)
+    "text_textrank" -> ((s, dir) => {
+      graft.ops.TextSearch.textRank(Tables.load(s, dir, "documents"),
+        "text", minLen = 4, iters = 10, k = 50)
+    }),
+
     // split-conformal 90% intervals per event type (even users
     // calibrate, odd users test): exact order-statistic q-hat, honest
     // held-out coverage
@@ -537,6 +555,33 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN tot.t > 0 THEN " +
         "    round(CAST(p AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) END AS share " +
         "FROM phi CROSS JOIN tot CROSS JOIN fcn"),
+
+    // one CUBE replays every slice; identical z chain and ROUNDED-|z|
+    // ordering with slice tie-break on both sides
+    "profile_slice_finder" ->
+      ("WITH f AS (SELECT event_type AS type, CAST(user_id % 4 AS VARCHAR) AS seg, " +
+        "    round(CAST(value AS DOUBLE), 6) AS v FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "    AND event_type IS NOT NULL AND user_id IS NOT NULL), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s, " +
+        "    CAST(sum(CAST(round(v * v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2 " +
+        "  FROM f), " +
+        "gs AS (SELECT s / n AS gm, (s2 - s * s / n) / (n - 1) AS gv FROM g), " +
+        "sl AS (SELECT type, seg, GROUPING(type) AS gt, GROUPING(seg) AS gsg, " +
+        "    CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s " +
+        "  FROM f GROUP BY CUBE(type, seg)), " +
+        "lab AS (SELECT concat_ws('&', " +
+        "    CASE WHEN gt = 0 THEN 'type=' || type END, " +
+        "    CASE WHEN gsg = 0 THEN 'seg=' || seg END) AS slice, " +
+        "    n, s / n AS m FROM sl WHERE (gt = 0 OR gsg = 0) AND n >= 20), " +
+        "z AS (SELECT slice, n, round(m, 6) AS mean, " +
+        "    round((m - gs.gm) / (sqrt(gs.gv) / sqrt(CAST(n AS DOUBLE))), 6) AS z " +
+        "  FROM lab CROSS JOIN gs), " +
+        "r AS (SELECT z.*, CAST(row_number() OVER " +
+        "    (ORDER BY abs(z) DESC, slice) AS BIGINT) AS rank FROM z) " +
+        "SELECT slice, n, mean, z, rank FROM r WHERE rank <= 20"),
 
     // calibration-split means, 6-dp residuals, exact order-stat pick at
     // the integer threshold ((n+1)*9+9)//10 clamped to n_cal

@@ -223,4 +223,30 @@ class CurationPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === "embargo" && out(4L) === "embargo")
     assert(out(5L) === "test" && out(6L) === "test")
   }
+
+  test("sliceFinder: the anomalous pocket outranks its parents; grand total excluded") {
+    val s = spark; import s.implicits._
+    // background mean 10; (b, 1) slice sits at 40 -> largest |z|
+    val rows = (1 to 40).map(i => ("a", (i % 2).toString, 10.0)) ++
+      (1 to 20).map(_ => ("b", "0", 10.0)) ++
+      (1 to 20).map(_ => ("b", "1", 40.0))
+    val out = Profiling.sliceFinder(rows.toDF("t", "g", "v"), Seq("t", "g"), "v",
+      minN = 10L, topK = 20).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("rank")))
+      .toMap
+    assert(out("t=b&g=1")._2 === 1L, s"got $out")
+    assert(out("t=b&g=1")._1 === 20L)
+    assert(!out.keys.exists(_.isEmpty), "grand total must not appear")
+    // every 1-d and 2-d slice with n >= minN shows up
+    assert(out.contains("t=a") && out.contains("g=1") && out.contains("t=b"))
+  }
+
+  test("sliceFinder: minN floor prunes tiny slices") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 30).map(i => ("a", "0", i.toDouble)) ++
+      Seq(("b", "1", 99.0), ("b", "1", 98.0))
+    val out = Profiling.sliceFinder(rows.toDF("t", "g", "v"), Seq("t", "g"), "v",
+      minN = 10L, topK = 20).collect().map(_.getString(0)).toSet
+    assert(!out.exists(_.contains("t=b")))
+  }
 }

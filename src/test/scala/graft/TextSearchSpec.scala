@@ -144,4 +144,22 @@ class TextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq
     assert(t === Seq(10L, 20L))
   }
+
+  test("textRank: the hub word every term co-occurs with ranks first") {
+    val s = spark; import s.implicits._
+    // 'central' is adjacent to every other keyword; 'orphan' pairs only
+    // with one rare partner
+    val docs = Seq(
+      "central alpha central beta central gamma central delta",
+      "alpha central beta central gamma central",
+      "orphan partner").toDF("text")
+    val out = TextSearch.textRank(docs, "text", minLen = 4, iters = 10, k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(out.head._1 === "central", s"got ${out.toSeq}")
+    val ranks = out.toMap
+    assert(ranks("central") > ranks("alpha"))
+    assert(ranks("alpha") > 0 && ranks.contains("orphan"))
+    // short tokens never enter the graph
+    assert(!ranks.keys.exists(_.length < 4))
+  }
 }
