@@ -77,6 +77,30 @@ object Baskets {
           .as("cosine"))
   }
 
+  /** Frequent ordered item TRIPLES (i < j < k) with basket support —
+    * depth-3 of the Apriori lattice, enough to surface bundle structure
+    * pairs can't ([[pairCounts]] sees A-B and B-C; only the triple
+    * distinguishes one bundle from two). Fan-out is Σ C(n_b, 3) —
+    * cubic in basket size, which is why `maxBasket` is a hard guard on
+    * both engines. `support` = cooc/N over the cleaned basket count. */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minCooc: Long = 2L, maxBasket: Int = 64): DataFrame = {
+    val d = cleaned(df, basketCol, itemCol, maxBasket)
+    val nBaskets = d.agg(countDistinct(col("b")).as("__N"))
+    d.alias("x").join(d.alias("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .join(d.alias("z"),
+        col("x.b") === col("z.b") && col("y.i") < col("z.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"),
+        col("z.i").as("item_c"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("cooc"),
+        round(col("cooc").cast("double") / col("__N").cast("double"), 6)
+          .as("support"))
+  }
+
   /** Directed association rules i→j with
     * support = cooc/N, confidence = cooc/n_i,
     * lift = cooc·N / (n_i·n_j) (exact integer products, one double

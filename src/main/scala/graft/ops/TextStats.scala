@@ -164,6 +164,59 @@ object TextStats {
           .as("slope"))
   }
 
+  /** Heaps'-law fit V(N) ≈ K·N^β over nested deterministic subcorpora —
+    * the vocabulary SCALING read next to [[speciesRichness]]'s point
+    * estimate: β near 1 means vocabulary still growing linearly (far
+    * from saturation), β ≪ 1 means diminishing novelty. Subcorpus s
+    * keeps docs whose 16-bit md5(doc id) hash falls under 2^16 >> s
+    * (s = 0 is the full corpus) — the engine's standard deterministic
+    * sampling device, so both engines slice identically.
+    *
+    * Fit: log-log OLS over the `levels` (ln N_s, ln V_s) points;
+    * each OLS moment term is rounded to 12 dp and summed as
+    * DECIMAL(28,12) (order-independent), then β, α, K = e^α run as one
+    * fixed double chain. Shape: one token pass fanned out ×levels
+    * (subsets are nested, the corpus is scanned once), two aggregates.
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+      levels: Int = 5): DataFrame = {
+    require(levels >= 2 && levels <= 12,
+      s"levels must be in [2, 12]: $levels")
+    val hash = substring(md5(col(idCol).cast("string")), 1, 4)
+    val toks = df
+      .select(hash.as("__h"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val thr = (s: Int) => "%04x".format(65536 >> s)
+    val bySub = toks
+      .withColumn("s", explode(array((0 until levels).map(lit): _*)))
+      .filter(col("s") === 0 ||
+        (0 until levels).tail.map(s =>
+          col("s") === s && col("__h") < thr(s)).reduce(_ || _))
+      .groupBy("s", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("s")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("vocab"))
+    val pts = bySub
+      .select(col("s"), col("n_tokens"), col("vocab"),
+        log(col("n_tokens").cast("double")).as("__x"),
+        log(col("vocab").cast("double")).as("__y"))
+    val moments = pts.agg(count(lit(1)).as("__n"),
+      sum(round(col("__x"), 12).cast("decimal(28,12)")).cast("double").as("__sx"),
+      sum(round(col("__y"), 12).cast("decimal(28,12)")).cast("double").as("__sy"),
+      sum(round(col("__x") * col("__y"), 12).cast("decimal(28,12)"))
+        .cast("double").as("__sxy"),
+      sum(round(col("__x") * col("__x"), 12).cast("decimal(28,12)"))
+        .cast("double").as("__sxx"))
+    val beta = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    moments
+      .withColumn("__b", beta)
+      .withColumn("__a", (col("__sy") - col("__b") * col("__sx")) / col("__n"))
+      .select(col("__n").as("n_points"),
+        round(col("__b"), 6).as("beta"),
+        round(exp(col("__a")), 6).as("k"))
+  }
+
   /** Vocabulary species-richness estimators — "how much vocabulary does
     * the corpus HAVE that we haven't sampled yet", the coverage
     * diagnostic beside [[zipfSlope]]'s shape read:

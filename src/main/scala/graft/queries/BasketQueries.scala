@@ -24,6 +24,12 @@ object BasketQueries extends QueryGroup {
     "basket_rules" -> ((s, dir) => {
       graft.ops.Baskets.associationRules(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCooc = 2L)
+    }),
+
+    // depth-3 Apriori: ordered part triples co-bought in >= 2 orders
+    "basket_triples" -> ((s, dir) => {
+      graft.ops.Baskets.frequentTriples(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCooc = 2L)
     })
   )
 
@@ -51,6 +57,21 @@ object BasketQueries extends QueryGroup {
       "SELECT x AS item, y AS neighbor, cooc, CAST(rk AS BIGINT) AS rank, " +
       "  round(CAST(cooc AS DOUBLE) / sqrt(CAST(nx * ny AS DOUBLE)), 6) AS cosine " +
       "FROM j WHERE rk <= 3"),
+
+    "basket_triples" ->
+      ("WITH d0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem " +
+        "  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+        "sz AS (SELECT b FROM d0 GROUP BY b HAVING count(*) <= 64), " +
+        "d AS (SELECT d0.* FROM d0 JOIN sz USING (b)), " +
+        "nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nn FROM d), " +
+        "t AS (SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c, " +
+        "    CAST(count(*) AS BIGINT) AS cooc " +
+        "  FROM d x JOIN d y ON x.b = y.b AND x.i < y.i " +
+        "  JOIN d z ON x.b = z.b AND y.i < z.i " +
+        "  GROUP BY 1, 2, 3 HAVING count(*) >= 2) " +
+        "SELECT item_a, item_b, item_c, cooc, " +
+        "  round(CAST(cooc AS DOUBLE) / CAST(nb.nn AS DOUBLE), 6) AS support " +
+        "FROM t CROSS JOIN nb"),
 
     "basket_rules" -> (base +
       ", nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nn FROM d) " +

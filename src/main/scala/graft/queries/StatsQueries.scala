@@ -233,6 +233,13 @@ object StatsQueries extends QueryGroup {
         Tables.load(s, dir, "documents"), "text")
     }),
 
+    // Heaps'-law V ~ K*N^beta fit over 5 nested hash-sliced subcorpora
+    // — is vocabulary still growing, and how fast
+    "text_heaps_law" -> ((s, dir) => {
+      graft.ops.TextStats.heapsLaw(Tables.load(s, dir, "documents"),
+        "doc_id", "text", levels = 5)
+    }),
+
     // per-segment KS drift scan with Benjamini-Hochberg FDR control:
     // 8 user segments x (click vs view) KS p-values, step-up at
     // alpha = 0.05 — the multiple-testing-safe drift alarm
@@ -639,6 +646,32 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // nested md5-sliced subcorpora, 12-dp decimal OLS moments, one
+    // double chain for beta/alpha/K
+    "text_heaps_law" ->
+      ("WITH toks AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h, " +
+        "    word FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) " +
+        "      AS word FROM documents) WHERE length(word) > 0), " +
+        "sub AS (SELECT s.s, word FROM toks " +
+        "  JOIN (SELECT unnest(range(0, 5)) AS s) s ON s.s = 0 " +
+        "    OR (s.s = 1 AND h < '8000') OR (s.s = 2 AND h < '4000') " +
+        "    OR (s.s = 3 AND h < '2000') OR (s.s = 4 AND h < '1000')), " +
+        "wc AS (SELECT s, word, count(*) AS cnt FROM sub GROUP BY 1, 2), " +
+        "pt AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+        "    CAST(count(*) AS BIGINT) AS vocab FROM wc GROUP BY 1), " +
+        "xy AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, " +
+        "    ln(CAST(vocab AS DOUBLE)) AS y FROM pt), " +
+        "mo AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx, " +
+        "    CAST(sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy, " +
+        "    CAST(sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy, " +
+        "    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx " +
+        "  FROM xy), " +
+        "fit AS (SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b, sx, sy " +
+        "  FROM mo) " +
+        "SELECT n AS n_points, round(b, 6) AS beta, " +
+        "  round(exp((sy - b * sx) / n), 6) AS k FROM fit"),
 
     // exact integer f1/f2/V/N, one rounded double division per estimate
     "text_species_richness" ->

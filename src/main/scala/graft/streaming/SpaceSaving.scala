@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming heavy hitters with BOUNDED state — Space-Saving (Metwally
+  * et al. 2005) over an event ingest. [[Trending]] keeps exact counts
+  * for every open (window, key) pair, which is the right answer while
+  * key cardinality fits memory; this monitor is the 100 TB-shaped
+  * fallback: at most `m` counters EVER, any key with true frequency
+  * > N/m is guaranteed present, and every estimate carries its own
+  * error bound (`est − err ≤ true ≤ est`).
+  *
+  * Per micro-batch: one exact batch aggregate (the only distributed
+  * work), then the m-counter summary absorbs the batch's counts on the
+  * driver — keys applied in sorted order so a replayed batch produces
+  * a bit-identical summary. The summary persists to `statePath` tagged
+  * by batch id (append-only; a crash-replayed batch re-appends an
+  * identical state and dedup-on-read collapses it), and the current
+  * top counters land in `outPath` per batch.
+  */
+object SpaceSaving {
+
+  /** Absorb sorted (key, cnt) pairs into an (m)-bounded counter map.
+    * Exposed for the spec. */
+  private[streaming] def absorb(state: collection.mutable.LinkedHashMap[String, (Long, Long)],
+      batch: Seq[(String, Long)], m: Int): Unit = {
+    batch.foreach { case (k, c) =>
+      state.get(k) match {
+        case Some((cnt, err)) => state(k) = (cnt + c, err)
+        case None if state.size < m => state(k) = (c, 0L)
+        case None =>
+          val (kMin, (cMin, _)) = state.minBy { case (key, (cnt, _)) => (cnt, key) }
+          state.remove(kMin)
+          state(k) = (cMin + c, cMin)
+      }
+    }
+  }
+
+  /** Start the monitor: top-`k` heavy hitters (of the ≤ `m` tracked
+    * counters) appended to `outPath` per batch as
+    * (batch_id, key, est_count, err_bound, rank). */
+  def start(spark: SparkSession, stream: DataFrame, keyCol: String,
+      m: Int, k: Int, outPath: String, statePath: String,
+      checkpoint: String): StreamingQuery = {
+    require(m >= 1 && k >= 1 && k <= m, s"need 1 <= k <= m: k=$k m=$m")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val counts = batch.groupBy(col(keyCol).cast("string").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1)
+        if (counts.nonEmpty) {
+          val state = collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+          // resume from the latest persisted summary (< this batch);
+          // duplicate rows from a replayed append collapse on read
+          val prior = try {
+            spark.read.parquet(statePath)
+              .filter(col("batch_id") < batchId).dropDuplicates("batch_id", "key")
+          } catch { case _: org.apache.spark.sql.AnalysisException => null }
+          if (prior != null && !prior.isEmpty) {
+            val latest = prior.agg(max(col("batch_id"))).head.getLong(0)
+            prior.filter(col("batch_id") === latest)
+              .select("key", "est_count", "err_bound")
+              .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
+              .foreach(r => state(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+          }
+          absorb(state, counts.toSeq, m)
+          val rows = state.toSeq.map { case (key, (c, e)) => (batchId, key, c, e) }
+          rows.toDF("batch_id", "key", "est_count", "err_bound")
+            .write.mode(SaveMode.Append).parquet(statePath)
+          rows.sortBy { case (_, key, c, _) => (-c, key) }.take(k)
+            .zipWithIndex
+            .map { case ((b, key, c, e), i) => (b, key, c, e, (i + 1).toLong) }
+            .toDF("batch_id", "key", "est_count", "err_bound", "rank")
+            .write.mode(SaveMode.Append).parquet(outPath)
+        }
+        ()
+      }
+      .start()
+  }
+}

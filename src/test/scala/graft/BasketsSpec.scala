@@ -56,6 +56,21 @@ class BasketsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((3L, 1L))._1 === 1L && got((3L, 2L))._1 === 2L)
   }
 
+  test("frequentTriples: hand-computed triple supports") {
+    val s = spark; import s.implicits._
+    // b1=b2={1,2,3}, b3={1,2,4}: triple (1,2,3) in 2 baskets of 3
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L)).toDF("b", "i")
+    val out = Baskets.frequentTriples(df, "b", "i", minCooc = 2L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 2L, 3L, 2L)))
+    assert(r.getAs[Double]("support") === 0.666667)
+    // at minCooc=1 the singleton triple appears too
+    assert(Baskets.frequentTriples(df, "b", "i", minCooc = 1L).count() === 2L)
+  }
+
   test("associationRules: support/confidence/lift from exact counts") {
     val got = Baskets.associationRules(demo, "b", "i", minCooc = 2L)
       .collect()

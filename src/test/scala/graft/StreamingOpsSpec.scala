@@ -4,10 +4,11 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{DriftMonitor, GoldenState, LiveAggregate, SketchMonitor, StreamingDedup, StreamingNearDedup, WindowedStats}
+import graft.streaming.{DriftMonitor, GoldenState, LiveAggregate, SketchMonitor, SpaceSaving, StreamingDedup, StreamingNearDedup, WindowedStats}
 
 /** Stateful streaming operators: first-arrival dedup
   * (flatMapGroupsWithState) and watermarked windowed aggregation. */
@@ -434,6 +435,37 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val b1 = rows(1)
       assert(b1.getAs[Long]("n") === 1L && b1.getAs[Long]("n_late") === 0L)
       assert(b1.getAs[Double]("lag_mean_s") === 1.0)
+    } finally q.stop()
+  }
+
+  test("space-saving heavy hitters: bounded counters, guaranteed hot key, honest error bounds") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = Files.createTempDirectory("graft-ss-out").toString
+    val st = Files.createTempDirectory("graft-ss-state").toString
+    val ckpt = Files.createTempDirectory("graft-ss-ck").toString
+    val q = SpaceSaving.start(spark, in.toDF().toDF("k"), "k",
+      m = 3, k = 3, out, st, ckpt)
+    try {
+      // batch 0: hot=5, warm=2, one-offs x,y force evictions
+      in.addData(Seq.fill(5)("hot") ++ Seq.fill(2)("warm") ++ Seq("x", "y"): _*)
+      q.processAllAvailable()
+      // batch 1: hot keeps going; z churns the tail
+      in.addData(Seq.fill(4)("hot") ++ Seq("z"): _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.groupBy("batch_id").count().count() === 2L)
+      val last: Map[String, (Long, Long)] = rows.filter(col("batch_id") === 1)
+        .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(last.size <= 3, "state never exceeds m counters")
+      // the true heavy key survives with an exact-or-over count whose
+      // error bound still brackets the truth: est - err <= 9 <= est
+      val (estHot, errHot) = last("hot")
+      assert(estHot >= 9L && estHot - errHot <= 9L)
+      // total estimated mass is >= true mass (SS never undercounts)
+      val stateRows = spark.read.parquet(st).filter(col("batch_id") === 1)
+      assert(stateRows.count() <= 3L)
     } finally q.stop()
   }
 }

@@ -94,6 +94,23 @@ class TextStatsPackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run1 === run2)
   }
 
+  test("heapsLaw: all-unique vocab fits beta = 1 exactly; constant vocab fits ~0") {
+    val s = spark; import s.implicits._
+    // every token unique -> V = N at every level -> y = x -> slope 1, K 1
+    val uniq = (1 to 200).map(i => (i.toLong, s"uaa$i ubb$i ucc$i"))
+      .toDF("doc_id", "text")
+    val r1 = TextStats.heapsLaw(uniq, "doc_id", "text").collect().head
+    assert(r1.getAs[Long]("n_points") === 5L)
+    assert(r1.getAs[Double]("beta") === 1.0)
+    assert(r1.getAs[Double]("k") === 1.0)
+    // identical docs -> V constant -> slope ~0, K ~ vocab size
+    val const = (1 to 200).map(i => (i.toLong, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val r2 = TextStats.heapsLaw(const, "doc_id", "text").collect().head
+    assert(math.abs(r2.getAs[Double]("beta")) < 1e-5)
+    assert(math.abs(r2.getAs[Double]("k") - 3.0) < 0.01)
+  }
+
   test("speciesRichness: hand-computed Chao1 and Good-Turing mass") {
     val s = spark; import s.implicits._
     // tokens: a:2 b:2 c:2 d:1 -> V=4 N=7 f1=1 f2=3,
