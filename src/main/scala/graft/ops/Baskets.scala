@@ -46,6 +46,26 @@ object Baskets {
       .agg(count(lit(1)).as("cooc"))
   }
 
+  /** Both directions of every pair ≥ `minCooc` with the 6-dp cosine
+    * attached: (item, neighbor, cooc, cosine). */
+  private def directedCosine(df: DataFrame, basketCol: String,
+      itemCol: String, minCooc: Long, maxBasket: Int): DataFrame = {
+    val d = cleaned(df, basketCol, itemCol, maxBasket)
+    val n = d.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = pairCounts(df, basketCol, itemCol, maxBasket)
+      .filter(col("cooc") >= minCooc)
+    pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("cooc"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("cooc")))
+      .join(n.select(col("i").as("item"), col("n").as("n_item")), Seq("item"))
+      .join(n.select(col("i").as("neighbor"), col("n").as("n_neighbor")),
+        Seq("neighbor"))
+      .withColumn("cosine",
+        round(col("cooc").cast("double") /
+          sqrt((col("n_item") * col("n_neighbor")).cast("double")), 6))
+  }
+
   /** Top-k most-cosine-similar items per item:
     * cos(i,j) = cooc(i,j) / √(n_i · n_j) with n_i = baskets containing
     * i. Ties break by ascending neighbor id (total order → stable
@@ -54,27 +74,43 @@ object Baskets {
   def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
       k: Int, minCooc: Long = 2L, maxBasket: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val d = cleaned(df, basketCol, itemCol, maxBasket)
-    val n = d.groupBy(col("i")).agg(count(lit(1)).as("n"))
-    val pairs = pairCounts(df, basketCol, itemCol, maxBasket)
-      .filter(col("cooc") >= minCooc)
-    val directed = pairs.select(col("item_a").as("item"),
-        col("item_b").as("neighbor"), col("cooc"))
-      .unionByName(pairs.select(col("item_b").as("item"),
-        col("item_a").as("neighbor"), col("cooc")))
-      .join(n.select(col("i").as("item"), col("n").as("n_item")), Seq("item"))
-      .join(n.select(col("i").as("neighbor"), col("n").as("n_neighbor")),
-        Seq("neighbor"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cooc").desc, col("neighbor").asc)
-    directed
+    directedCosine(df, basketCol, itemCol, minCooc, maxBasket)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("item"), col("neighbor"), col("cooc"),
+        col("__rk").cast("long").as("rank"), col("cosine"))
+  }
+
+  /** Item-kNN basket completion: for each basket, the top-k items NOT
+    * already in it, scored by the summed cosine similarity to the
+    * basket's items — the "customers who bought these also bought"
+    * recommender, fully deterministic (cosines are 6-dp values from
+    * integer counts, scores are decimal sums, ties break on item id).
+    *
+    * Shape: basket⋈similarity fan-out is Σ_b n_b · avg-neighbors —
+    * bounded by the minCooc-pruned pair frame; the in-basket exclusion
+    * is one anti-join; ranking windows are per-basket. */
+  def recommend(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int, minCooc: Long = 2L, maxBasket: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val d = cleaned(df, basketCol, itemCol, maxBasket)
+    val sims = directedCosine(df, basketCol, itemCol, minCooc, maxBasket)
+      .select(col("item").as("i"), col("neighbor"), col("cosine"))
+    val cand = d.join(sims, Seq("i"))
+      .join(d.select(col("b"), col("i").as("neighbor")),
+        Seq("b", "neighbor"), "left_anti")
+      .groupBy(col("b").as("basket"), col("neighbor").as("item"))
+      .agg(count(lit(1)).as("n_links"),
+        sum(col("cosine").cast("decimal(18,6)")).as("__s"))
+    val w = Window.partitionBy(col("basket"))
+      .orderBy(col("__s").desc, col("item").asc)
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("basket"), col("item"), col("n_links"),
         col("__rk").cast("long").as("rank"),
-        round(col("cooc").cast("double") /
-          sqrt((col("n_item") * col("n_neighbor")).cast("double")), 6)
-          .as("cosine"))
+        round(col("__s").cast("double"), 6).as("score"))
   }
 
   /** Frequent ordered item TRIPLES (i < j < k) with basket support —

@@ -244,4 +244,65 @@ object LangModel {
       count(when(col("ca").isNotNull && col("cb").isNotNull, lit(1)))
         .as("terms_shared"))
   }
+
+  /** Multinomial Naive Bayes with add-1 smoothing, trained and scored
+    * in one pass — the generative multiclass complement to
+    * [[logOddsWeights]]'s binary discriminative scorer (the classic
+    * fasttext-free language/source classifier for corpus triage).
+    *
+    * Model: P(c|d) ∝ P(c)·Π_w P(w|c)^n_dw with
+    * log P(w|c) = ln((cnt_wc + 1)/(tot_c + V)) over the minCount-pruned
+    * vocabulary (V = its size; tot_c counts only kept words, so the
+    * smoothing denominator is exactly reproducible). Out-of-vocab
+    * tokens drop on both engines.
+    *
+    * Determinism: every per-(doc,word,class) term is
+    * round(n_dw · logp, 12) summed as DECIMAL(28,12); the prior is one
+    * double ln of exact doc counts; argmax breaks ties on ascending
+    * class label. @return (doc id, actual, predicted, correct)
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = docs
+      .filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).cast("string").as("__y"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("__wc"))
+      .filter(col("__wc") >= minCount).select("w")
+    val kept = toks.join(vocab, Seq("w"))
+    val vSize = vocab.agg(count(lit(1)).as("__V"))
+    val classTok = kept.groupBy(col("__y").as("__c"), col("w"))
+      .agg(count(lit(1)).as("__cwc"))
+    val classTot = classTok.groupBy("__c").agg(sum("__cwc").as("__ctot"))
+    val docCnt = docs.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__dc"))
+    val nDocs = docCnt.agg(sum("__dc").as("__nd"))
+    val classes = docCnt.join(classTot, Seq("__c"))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vSize))
+      .select(col("__c"), col("__ctot"), col("__V"),
+        log(col("__dc").cast("double") / col("__nd").cast("double"))
+          .as("__prior"))
+    val docTok = kept.groupBy("__id", "__y", "w")
+      .agg(count(lit(1)).as("__dwc"))
+    val terms = docTok
+      .crossJoin(broadcast(classes))
+      .join(classTok, Seq("__c", "w"), "left")
+      .withColumn("__term", round(col("__dwc") *
+        log((coalesce(col("__cwc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__ctot") + col("__V")).cast("double")), 12)
+        .cast("decimal(28,12)"))
+    val scores = terms.groupBy("__id", "__y", "__c")
+      .agg((max(col("__prior")) + sum(col("__term")).cast("double"))
+        .as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__score").desc, col("__c").asc)
+    scores.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__id").as(idCol), col("__y").as("actual"),
+        col("__c").as("predicted"),
+        (col("__y") === col("__c")).as("correct"))
+  }
 }

@@ -30,6 +30,13 @@ object BasketQueries extends QueryGroup {
     "basket_triples" -> ((s, dir) => {
       graft.ops.Baskets.frequentTriples(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCooc = 2L)
+    }),
+
+    // item-kNN basket completion: top-3 not-in-basket parts by summed
+    // cosine to the basket's items
+    "basket_recommend" -> ((s, dir) => {
+      graft.ops.Baskets.recommend(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", k = 3, minCooc = 2L)
     })
   )
 
@@ -72,6 +79,22 @@ object BasketQueries extends QueryGroup {
         "SELECT item_a, item_b, item_c, cooc, " +
         "  round(CAST(cooc AS DOUBLE) / CAST(nb.nn AS DOUBLE), 6) AS support " +
         "FROM t CROSS JOIN nb"),
+
+    "basket_recommend" -> (base +
+      ", sim AS (SELECT dir.x AS i, dir.y AS neighbor, " +
+      "    round(CAST(dir.cooc AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) " +
+      "      AS cosine " +
+      "  FROM dir JOIN n na ON na.i = dir.x JOIN n nb ON nb.i = dir.y), " +
+      "cand AS (SELECT d.b AS basket, sim.neighbor AS item, " +
+      "    CAST(count(*) AS BIGINT) AS n_links, " +
+      "    sum(CAST(cosine AS DECIMAL(18,6))) AS s " +
+      "  FROM d JOIN sim ON sim.i = d.i " +
+      "  WHERE NOT EXISTS (SELECT 1 FROM d d2 " +
+      "    WHERE d2.b = d.b AND d2.i = sim.neighbor) GROUP BY 1, 2), " +
+      "rk AS (SELECT basket, item, n_links, s, row_number() OVER " +
+      "    (PARTITION BY basket ORDER BY s DESC, item) AS rn FROM cand) " +
+      "SELECT basket, item, n_links, CAST(rn AS BIGINT) AS rank, " +
+      "  round(CAST(s AS DOUBLE), 6) AS score FROM rk WHERE rn <= 3"),
 
     "basket_rules" -> (base +
       ", nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nn FROM d) " +

@@ -240,6 +240,13 @@ object StatsQueries extends QueryGroup {
         "doc_id", "text", levels = 5)
     }),
 
+    // multinomial NB language classifier (train + self-score, add-1
+    // smoothing over the minCount vocab): per-doc predictions
+    "text_naive_bayes" -> ((s, dir) => {
+      graft.ops.LangModel.naiveBayes(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", minCount = 5L)
+    }),
+
     // per-segment KS drift scan with Benjamini-Hochberg FDR control:
     // 8 user segments x (click vs view) KS p-values, step-up at
     // alpha = 0.05 — the multiple-testing-safe drift alarm
@@ -646,6 +653,38 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // identical smoothing arithmetic: integer counts -> one ln per
+    // (class, word), 12-dp decimal term sums, argmax with label tie-break
+    "text_naive_bayes" ->
+      ("WITH toks AS (SELECT id, y, w FROM (SELECT doc_id AS id, lang AS y, " +
+        "    unnest(string_split(lower(text), ' ')) AS w FROM documents " +
+        "    WHERE lang IS NOT NULL) WHERE length(w) > 0), " +
+        "vocab AS (SELECT w FROM toks GROUP BY w HAVING count(*) >= 5), " +
+        "kept AS (SELECT toks.* FROM toks JOIN vocab USING (w)), " +
+        "vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab), " +
+        "ct AS (SELECT y AS c, w, CAST(count(*) AS BIGINT) AS cwc " +
+        "  FROM kept GROUP BY 1, 2), " +
+        "ctot AS (SELECT c, CAST(sum(cwc) AS BIGINT) AS ctot FROM ct GROUP BY 1), " +
+        "dcn AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS dc " +
+        "  FROM documents WHERE lang IS NOT NULL GROUP BY 1), " +
+        "nd AS (SELECT CAST(sum(dc) AS BIGINT) AS nd FROM dcn), " +
+        "cls AS (SELECT dcn.c, ctot.ctot, vs.v, " +
+        "    ln(CAST(dc AS DOUBLE) / CAST(nd.nd AS DOUBLE)) AS prior " +
+        "  FROM dcn JOIN ctot ON ctot.c = dcn.c CROSS JOIN nd CROSS JOIN vs), " +
+        "dt AS (SELECT id, y, w, CAST(count(*) AS BIGINT) AS dwc " +
+        "  FROM kept GROUP BY 1, 2, 3), " +
+        "terms AS (SELECT dt.id, dt.y, cls.c, cls.prior, " +
+        "    CAST(round(dt.dwc * ln(CAST(COALESCE(ct.cwc, 0) + 1 AS DOUBLE) / " +
+        "      CAST(cls.ctot + cls.v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS term " +
+        "  FROM dt CROSS JOIN cls " +
+        "  LEFT JOIN ct ON ct.c = cls.c AND ct.w = dt.w), " +
+        "sc AS (SELECT id, y, c, max(prior) + CAST(sum(term) AS DOUBLE) AS score " +
+        "  FROM terms GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT sc.*, row_number() OVER (PARTITION BY id " +
+        "    ORDER BY score DESC, c) AS rn FROM sc) " +
+        "SELECT id AS doc_id, y AS actual, c AS predicted, y = c AS correct " +
+        "FROM rk WHERE rn = 1"),
 
     // nested md5-sliced subcorpora, 12-dp decimal OLS moments, one
     // double chain for beta/alpha/K

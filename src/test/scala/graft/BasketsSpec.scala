@@ -71,6 +71,20 @@ class BasketsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Baskets.frequentTriples(df, "b", "i", minCooc = 1L).count() === 2L)
   }
 
+  test("recommend: summed-cosine basket completion, in-basket items excluded") {
+    val s = spark; import s.implicits._
+    val out = Baskets.recommend(demo, "b", "i", k = 2, minCooc = 2L).collect()
+      .map(r => (r.getAs[Long]("basket"), r.getAs[Long]("item")) ->
+        (r.getAs[Long]("n_links"), r.getAs[Double]("score"))).toMap
+    // b1 holds every item -> nothing to recommend
+    assert(!out.keys.exists(_._1 == 1L))
+    // b2={1,2}: item 3 via both -> 2 * 0.57735
+    assert(out((2L, 3L)) === ((2L, 1.1547)))
+    // b3={1,3}: item 2 via 1 (0.75) and 3 (0.57735)
+    assert(out((3L, 2L)) === ((2L, 1.32735)))
+    assert(out((4L, 1L)) === ((2L, 1.32735)))
+  }
+
   test("associationRules: support/confidence/lift from exact counts") {
     val got = Baskets.associationRules(demo, "b", "i", minCooc = 2L)
       .collect()

@@ -1271,4 +1271,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(got.toSeq === Seq((5L, 1), (3L, 2)))
   }
+
+  test("naiveBayes: separable vocab classifies both classes; OOV-only doc drops") {
+    import graft.ops.LangModel
+    val s = spark; import s.implicits._
+    // 'aaaa' dominates class en, 'bbbb' dominates class fr; the shared
+    // filler 'cccc' is uninformative
+    val docs = ((1 to 6).map(i => (i.toLong, "aaaa aaaa cccc", "en")) ++
+      (7 to 12).map(i => (i.toLong, "bbbb bbbb cccc", "fr")) ++
+      Seq((13L, "aaaa cccc", "fr"),      // mislabeled -> predicted en
+        (14L, "zzzz qqqq", "en")))       // all tokens OOV (minCount=5)
+      .toDF("doc_id", "text", "lang")
+    val out = LangModel.naiveBayes(docs, "doc_id", "text", "lang", minCount = 5L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getBoolean(3))).toMap
+    assert(!out.contains(14L), "OOV-only doc has no score")
+    assert(out(1L) === (("en", true)) && out(7L) === (("fr", true)))
+    assert(out(13L) === (("en", false)), "content beats the wrong label")
+    assert((1 to 12).forall(i => out(i.toLong)._2))
+  }
 }
