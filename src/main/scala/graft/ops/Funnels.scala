@@ -83,6 +83,46 @@ object Funnels {
     chained.select(col(userCol), depthOf(steps).as("steps_completed"))
   }
 
+  /** Per-transition funnel conversion rates with Wilson 95% score
+    * intervals — [[funnel]]'s leak view plus honest uncertainty (a 40%
+    * step conversion over 10 users and over 10 000 users are different
+    * facts; the Wilson interval says by how much, and stays sane at
+    * p near 0/1 where the Wald interval collapses).
+    *
+    * One row per transition i ≥ 2: (step_idx, step, n_prev, n_reached,
+    * conversion, ci_lo, ci_hi) with
+    * center = p + z²/2n, radius = z·√(p(1−p)/n + z²/4n²),
+    * bounds = (center ± radius)/(1 + z²/n). `z` (and z² derived from
+    * it) is caller-fixed so a re-implementation splices the SAME
+    * literal; everything else is exact integer step counts. */
+  def funnelWilson(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      z: Double = 1.959963984540054): DataFrame = {
+    require(steps.size >= 2, s"funnelWilson needs at least 2 steps: $steps")
+    require(z > 0, s"z must be positive: $z")
+    val k = steps.size
+    val depths = funnel(events, userCol, tsCol, typeCol, steps)
+    val aggCols = (1 to k).map(i =>
+      sum(when(col("steps_completed") >= i, 1L).otherwise(0L)).as(s"__n$i"))
+    val row = depths.agg(aggCols.head, aggCols.tail: _*)
+    val longF = row.select(explode(array((2 to k).map(i =>
+        struct(lit(i.toLong).as("step_idx"), lit(steps(i - 1)).as("step"),
+          col(s"__n${i - 1}").as("n_prev"), col(s"__n$i").as("n_reached"))): _*))
+        .as("s"))
+      .select(col("s.*")).filter(col("n_prev") > 0)
+    val n = col("n_prev").cast("double")
+    val p = col("n_reached").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / n
+    val center = p + lit(z2) / (lit(2.0) * n)
+    val rad = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z2) / (lit(4.0) * n * n))
+    longF.select(col("step_idx"), col("step"), col("n_prev"), col("n_reached"),
+      round(p, 6).as("conversion"),
+      round((center - rad) / denom, 6).as("ci_lo"),
+      round((center + rad) / denom, 6).as("ci_hi"))
+  }
+
   /** Time-to-convert distribution per funnel transition: for every
     * consecutive step pair, the exact interpolated percentiles of
     * (t_step − t_prev) over the users who completed the transition —

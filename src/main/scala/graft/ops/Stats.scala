@@ -652,6 +652,77 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** SAX motif mining per series: z-normalize the bucketed series with
+    * exact moments, discretize into 3 symbols at the Gaussian-tercile
+    * breakpoints (±Φ⁻¹(2/3), passed in so the caller can splice the
+    * SAME literal into a re-implementation), and count length-3 motifs
+    * over CONSECUTIVE buckets — the repeated-shape detector (which
+    * weekly ramp/dip patterns recur, which shape preceded the
+    * incident). Output (key, motif, n), |Σ|³-bounded per key.
+    *
+    * Determinism: z = (x − m)/sd is one double chain from decimal
+    * moments; symbol thresholds compare those doubles; motif pair-up is
+    * the [[graft.ops.Funnels.sequenceNgrams]] lead device with a
+    * day-continuity guard. Zero-variance series drop (no shape). */
+  def saxMotifs(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, breakpoint: Double = 0.4307272992954576,
+      bucketNs: Long = 86400000000000L): DataFrame = {
+    require(breakpoint > 0, s"breakpoint must be positive: $breakpoint")
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).cast("double").as("__x"))
+    val moments = daily.groupBy("key")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(18,6)")).cast("double").as("__s"),
+        sum(round(col("__x") * col("__x"), 6).cast("decimal(28,6)"))
+          .cast("double").as("__s2"))
+      .filter(col("__n") >= 3)
+      .select(col("key"), (col("__s") / col("__n")).as("__m"),
+        ((col("__s2") - col("__s") * col("__s") / col("__n")) /
+          (col("__n") - 1)).as("__var"))
+      .filter(col("__var") > 0)
+    val z = (col("__x") - col("__m")) / sqrt(col("__var"))
+    val sym = daily.join(moments, Seq("key"))
+      .withColumn("__l", when(z < -breakpoint, "a")
+        .when(z < breakpoint, "b").otherwise("c"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__day"))
+    sym
+      .withColumn("__l2", lead(col("__l"), 1).over(w))
+      .withColumn("__l3", lead(col("__l"), 2).over(w))
+      .withColumn("__d2", lead(col("__day"), 1).over(w) - col("__day"))
+      .withColumn("__d3", lead(col("__day"), 2).over(w) - col("__day"))
+      .filter(col("__l3").isNotNull && col("__d2") === 1 && col("__d3") === 2)
+      .groupBy(col("key"),
+        concat(col("__l"), col("__l2"), col("__l3")).as("motif"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Standardized Pearson residuals of an a×b contingency table:
+    * (obs − exp)/√exp per cell — the "WHICH cell drives the
+    * chi-square" drill-down next to [[cramersV]]'s single-number
+    * association strength (|residual| ≳ 2 flags the cell). Exp and the
+    * residual are one fixed double chain from exact integer marginals.
+    */
+  def chisqResiduals(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val f = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+    val cells = f.groupBy("a", "b").agg(count(lit(1)).as("n_obs"))
+    val rows = cells.groupBy("a").agg(sum("n_obs").as("__rt"))
+    val cols_ = cells.groupBy("b").agg(sum("n_obs").as("__ct"))
+    val tot = cells.agg(sum("n_obs").as("__N"))
+    val exp_ = (col("__rt") * col("__ct")).cast("double") / col("__N").cast("double")
+    cells.join(rows, Seq("a")).join(cols_, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_obs"),
+        round(exp_, 6).as("expected"),
+        round((col("n_obs").cast("double") - exp_) / sqrt(exp_), 6)
+          .as("std_residual"))
+  }
+
   /** Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
     * per-key success rates — the feature-store staple that stops a
     * 1-for-2 key from outranking a 400-for-1000 one. The prior

@@ -25,6 +25,12 @@ object StatsQueries extends QueryGroup {
   private def d17(x: Double): String =
     "%.17e".formatLocal(java.util.Locale.ROOT, x)
 
+  // SAX 3-symbol Gaussian-tercile breakpoint and the Wilson z — fixed
+  // here, spliced into both engines
+  private val SaxBp = 0.4307272992954576
+  private val WilsonZ = 1.959963984540054
+  private val WilsonZ2 = WilsonZ * WilsonZ
+
   def defs: Map[String, Q] = Map(
 
     // KS distribution drift between click and view purchase values —
@@ -245,6 +251,29 @@ object StatsQueries extends QueryGroup {
     "text_naive_bayes" -> ((s, dir) => {
       graft.ops.LangModel.naiveBayes(Tables.load(s, dir, "documents"),
         "doc_id", "text", "lang", minCount = 5L)
+    }),
+
+    // SAX length-3 motifs of the daily value series per event type —
+    // which 3-day shapes recur
+    "events_sax_motifs" -> ((s, dir) => {
+      graft.ops.Stats.saxMotifs(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value", breakpoint = SaxBp)
+    }),
+
+    // standardized chi-square cell residuals of event type x segment —
+    // which cell drives the association
+    "stats_chisq_residuals" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("seg", pmod(col("user_id"), lit(4L)))
+      graft.ops.Stats.chisqResiduals(ev, "event_type", "seg")
+    }),
+
+    // view->click->purchase funnel conversions with Wilson 95% CIs
+    "events_funnel_ci" -> ((s, dir) => {
+      graft.ops.Funnels.funnelWilson(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        z = WilsonZ)
     }),
 
     // per-segment KS drift scan with Benjamini-Hochberg FDR control:
@@ -653,6 +682,72 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // same moment chain, spliced breakpoint, lead window with the
+    // day-continuity guard
+    "events_sax_motifs" ->
+      ("WITH d AS (" + dailySeries + "), " +
+        "mo AS (SELECT key, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s, " +
+        "    CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2 " +
+        "  FROM d GROUP BY 1), " +
+        "mv AS (SELECT key, s / n AS m, (s2 - s * s / n) / (n - 1) AS var " +
+        "  FROM mo WHERE n >= 3), " +
+        "sym AS (SELECT d.key, d.day, " +
+        "    CASE WHEN (x - m) / sqrt(var) < -(" + d17(SaxBp) + ") THEN 'a' " +
+        "      WHEN (x - m) / sqrt(var) < " + d17(SaxBp) + " THEN 'b' " +
+        "      ELSE 'c' END AS l " +
+        "  FROM d JOIN mv ON mv.key = d.key WHERE var > 0), " +
+        "sq AS (SELECT key, l, lead(l, 1) OVER w AS l2, lead(l, 2) OVER w AS l3, " +
+        "    lead(day, 1) OVER w - day AS d2, lead(day, 2) OVER w - day AS d3 " +
+        "  FROM sym WINDOW w AS (PARTITION BY key ORDER BY day)) " +
+        "SELECT key, l || l2 || l3 AS motif, CAST(count(*) AS BIGINT) AS n " +
+        "FROM sq WHERE l3 IS NOT NULL AND d2 = 1 AND d3 = 2 GROUP BY 1, 2"),
+
+    // integer marginals -> one double chain per cell
+    "stats_chisq_residuals" ->
+      ("WITH f AS (SELECT event_type AS a, CAST(user_id % 4 AS VARCHAR) AS b " +
+        "  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL), " +
+        "c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_obs FROM f GROUP BY 1, 2), " +
+        "r AS (SELECT a, CAST(sum(n_obs) AS BIGINT) AS rt FROM c GROUP BY 1), " +
+        "cl AS (SELECT b, CAST(sum(n_obs) AS BIGINT) AS ct FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM c) " +
+        "SELECT c.a, c.b, n_obs, " +
+        "  round(CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS expected, " +
+        "  round((CAST(n_obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE)) " +
+        "    / sqrt(CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS std_residual " +
+        "FROM c JOIN r USING (a) JOIN cl USING (b) CROSS JOIN t"),
+
+    // the events_funnel depth chain + the Wilson chain with spliced z
+    "events_funnel_ci" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events " +
+        "    WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e " +
+        "    JOIN s1 USING (user_id) " +
+        "    WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+        "    JOIN s2 USING (user_id) " +
+        "    WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY e.user_id), " +
+        "fun AS (SELECT s1.user_id, 1 + CAST(s2.user_id IS NOT NULL AS BIGINT) " +
+        "    + CAST(s3.user_id IS NOT NULL AS BIGINT) AS dep " +
+        "  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)), " +
+        "cnt AS (SELECT CAST(sum(CASE WHEN dep >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "    CAST(sum(CASE WHEN dep >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "    CAST(sum(CASE WHEN dep >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3 FROM fun), " +
+        "lf AS (SELECT 2::BIGINT AS step_idx, 'click' AS step, n1 AS n_prev, " +
+        "    n2 AS n_reached FROM cnt " +
+        "  UNION ALL SELECT 3, 'purchase', n2, n3 FROM cnt), " +
+        "w AS (SELECT step_idx, step, n_prev, n_reached, " +
+        "    CAST(n_reached AS DOUBLE) / CAST(n_prev AS DOUBLE) AS p, " +
+        "    CAST(n_prev AS DOUBLE) AS n FROM lf WHERE n_prev > 0) " +
+        "SELECT step_idx, step, n_prev, n_reached, round(p, 6) AS conversion, " +
+        "  round((p + " + d17(WilsonZ2) + " / (2.0 * n) - " + d17(WilsonZ) + " * " +
+        "    sqrt(p * (1.0 - p) / n + " + d17(WilsonZ2) + " / (4.0 * n * n))) / " +
+        "    (1.0 + " + d17(WilsonZ2) + " / n), 6) AS ci_lo, " +
+        "  round((p + " + d17(WilsonZ2) + " / (2.0 * n) + " + d17(WilsonZ) + " * " +
+        "    sqrt(p * (1.0 - p) / n + " + d17(WilsonZ2) + " / (4.0 * n * n))) / " +
+        "    (1.0 + " + d17(WilsonZ2) + " / n), 6) AS ci_hi " +
+        "FROM w"),
 
     // identical smoothing arithmetic: integer counts -> one ln per
     // (class, word), 12-dp decimal term sums, argmax with label tie-break

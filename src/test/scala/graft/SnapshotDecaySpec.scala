@@ -364,6 +364,29 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("funnelWilson: hand conversion rates with symmetric Wilson bounds at p=0.5") {
+    val s = spark; import s.implicits._
+    // 10 viewers, 5 clickers, 2 purchasers
+    val ev = ((1 to 10).map(u => (u.toLong, 1L, "view")) ++
+      (1 to 5).map(u => (u.toLong, 2L, "click")) ++
+      (1 to 2).map(u => (u.toLong, 3L, "purchase"))).toDF("u", "ts", "t")
+    val out = Funnels.funnelWilson(ev, "u", "ts", "t",
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getAs[String]("step") ->
+        ((r.getAs[Long]("n_prev"), r.getAs[Long]("n_reached"),
+          r.getAs[Double]("conversion"), r.getAs[Double]("ci_lo"),
+          r.getAs[Double]("ci_hi")))).toMap
+    assert(out.size === 2, "step 1 has no transition row")
+    val (np, nr, conv, lo, hi) = out("click")
+    assert((np, nr, conv) === ((10L, 5L, 0.5)))
+    // Wilson at p=.5 is symmetric about .5 and well inside (0,1)
+    assert(math.abs(lo + hi - 1.0) < 1e-6, s"lo=$lo hi=$hi")
+    assert(lo > 0.23 && lo < 0.24, s"known Wilson bound for 5/10: $lo")
+    val p2 = out("purchase")
+    assert((p2._1, p2._2, p2._3) === ((5L, 2L, 0.4)))
+    assert(p2._4 > 0.0 && p2._5 < 1.0 && p2._4 < 0.4 && p2._5 > 0.4)
+  }
+
   test("transitionEntropy: uniform fork = 1 bit, rail = 0 bits") {
     val s = spark; import s.implicits._
     // from 'a': 2x ->b, 2x ->c (1 bit); from 'b': always ->c (0 bits)

@@ -146,6 +146,39 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("saxMotifs: hand-computed symbols and consecutive-day windows") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // values 0,0,10,0,0,10 -> letters a a c a a c -> aac,aca,caa,aac
+    val df = Seq(0.0, 0.0, 10.0, 0.0, 0.0, 10.0).zipWithIndex
+      .map { case (v, d) => ("k", d * day, v) }.toDF("k", "ts", "v")
+    val out = Stats.saxMotifs(df, "k", "ts", "v").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("aac" -> 2L, "aca" -> 1L, "caa" -> 1L))
+    // a missing day breaks the window (no motif across the gap)
+    val gap = Seq(0, 1, 2, 4, 5, 6).map(d =>
+      ("k", d * day, if (d % 3 == 0) 10.0 else 0.0)).toDF("k", "ts", "v")
+    assert(Stats.saxMotifs(gap, "k", "ts", "v")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) === 2L)
+    // constant series has no shape
+    val flat = (0 to 5).map(d => ("k", d * day, 7.0)).toDF("k", "ts", "v")
+    assert(Stats.saxMotifs(flat, "k", "ts", "v").count() === 0L)
+  }
+
+  test("chisqResiduals: balanced 2x2 with a diagonal excess") {
+    val s = spark; import s.implicits._
+    // rows a/b x cols x/y, all marginals 40 over N=80 -> expected 20
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val out = Stats.chisqResiduals(rows.toDF("p", "q"), "p", "q").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        (r.getAs[Double]("expected"), r.getAs[Double]("std_residual"))).toMap
+    assert(out(("a", "x")) === ((20.0, 2.236068)))
+    assert(out(("b", "y")) === ((20.0, 2.236068)))
+    assert(out(("a", "y")) === ((20.0, -2.236068)))
+    assert(out(("b", "x")) === ((20.0, -2.236068)))
+  }
+
   test("ebShrinkage: hand-computed beta-binomial posterior means") {
     val s = spark; import s.implicits._
     // rates .2/.8/.5 over n=10 each: m=.5, v=.09, K=.25/.09-1=1.777778
