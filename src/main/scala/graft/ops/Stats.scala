@@ -652,6 +652,76 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Period-over-period mix-shift decomposition — the "why did the
+    * metric move" answer: the overall-mean change M2 − M1 splits
+    * EXACTLY (telescoping identity) into per-segment
+    * rate_effect = w2·(r2 − r1)  ("the segment itself changed") and
+    * mix_effect  = r1·(w2 − w1)  ("traffic shifted between segments"),
+    * where r = segment mean and w = segment row share. A flat metric
+    * hiding "every segment improved but mix rotated to the worst one"
+    * is exposed here.
+    *
+    * Exactness: r and w are double divisions of exact decimal/long
+    * aggregates; effects are one multiply each, rounded at 6 dp.
+    * Segments must appear in BOTH periods (inner join — a segment
+    * born/dead between periods needs its own bookkeeping convention;
+    * callers pre-coalesce if they want the zero-weight treatment). */
+  def mixShift(df: DataFrame, segCol: String, periodCol: String,
+      valueCol: String, period1: String, period2: String): DataFrame = {
+    require(period1 != period2, s"periods must differ: $period1")
+    val v = col(valueCol).cast("double")
+    val cells = df
+      .filter(v.isNotNull && !isnan(v) && col(segCol).isNotNull &&
+        col(periodCol).isin(period1, period2))
+      .groupBy(col(segCol).as("segment"), col(periodCol).as("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(v, 6).cast("decimal(18,6)")).cast("double").as("__s"))
+    val tot = cells.groupBy("__p").agg(sum("__n").as("__tot"))
+    val wr = cells.join(tot, Seq("__p"))
+      .select(col("segment"), col("__p"),
+        (col("__s") / col("__n")).as("__r"),
+        (col("__n").cast("double") / col("__tot").cast("double")).as("__w"),
+        col("__n"))
+    val p1 = wr.filter(col("__p") === period1)
+      .select(col("segment"), col("__r").as("__r1"), col("__w").as("__w1"),
+        col("__n").as("n_1"))
+    val p2 = wr.filter(col("__p") === period2)
+      .select(col("segment"), col("__r").as("__r2"), col("__w").as("__w2"),
+        col("__n").as("n_2"))
+    p1.join(p2, Seq("segment"))
+      .select(col("segment"), col("n_1"), col("n_2"),
+        round(col("__r1"), 6).as("rate_1"), round(col("__r2"), 6).as("rate_2"),
+        round(col("__w1"), 6).as("share_1"), round(col("__w2"), 6).as("share_2"),
+        round(col("__w2") * (col("__r2") - col("__r1")), 6).as("rate_effect"),
+        round(col("__r1") * (col("__w2") - col("__w1")), 6).as("mix_effect"))
+  }
+
+  /** Longest consecutive-day activity streak per key — the
+    * gaps-and-islands classic (row_number difference groups consecutive
+    * days into one island; the per-key argmax picks the longest, ties
+    * to the EARLIEST start). Works on the bucketed distinct-day frame,
+    * so per-key work is days-active, never events.
+    * @return (key, streak_days, start_day, end_day) */
+  def longestStreak(df: DataFrame, keyCol: String, tsCol: String,
+      bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val days = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("__day"))
+    val islands = days
+      .withColumn("__isl", col("__day") - row_number().over(w))
+      .groupBy("key", "__isl")
+      .agg(count(lit(1)).as("streak_days"), min(col("__day")).as("start_day"),
+        max(col("__day")).as("end_day"))
+    val best = Window.partitionBy(col("key"))
+      .orderBy(col("streak_days").desc, col("start_day").asc)
+    islands.withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(col("key"), col("streak_days"), col("start_day"), col("end_day"))
+  }
+
   /** SAX motif mining per series: z-normalize the bucketed series with
     * exact moments, discretize into 3 symbols at the Gaussian-tercile
     * breakpoints (±Φ⁻¹(2/3), passed in so the caller can splice the

@@ -253,6 +253,22 @@ object StatsQueries extends QueryGroup {
         "doc_id", "text", "lang", minCount = 5L)
     }),
 
+    // mix-shift decomposition of the mean event value across the month
+    // midpoint: per-type rate effect vs traffic-mix effect
+    "events_mix_shift" -> ((s, dir) => {
+      val mid = 1705363200000000000L
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("period", when(col("ts") < mid, "pre").otherwise("post"))
+      graft.ops.Stats.mixShift(ev, "event_type", "period", "value",
+        period1 = "pre", period2 = "post")
+    }),
+
+    // longest consecutive-day activity streak per user (gaps-and-islands)
+    "events_streaks" -> ((s, dir) => {
+      graft.ops.Stats.longestStreak(Tables.load(s, dir, "events"),
+        "user_id", "ts")
+    }),
+
     // SAX length-3 motifs of the daily value series per event type —
     // which 3-day shapes recur
     "events_sax_motifs" -> ((s, dir) => {
@@ -682,6 +698,42 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // telescoping decomposition: exact cell aggregates, one multiply
+    // per effect
+    "events_mix_shift" ->
+      ("WITH f AS (SELECT event_type AS segment, " +
+        "    CASE WHEN epoch_ns(ts) < 1705363200000000000 THEN 'pre' " +
+        "      ELSE 'post' END AS p, round(CAST(value AS DOUBLE), 6) AS v " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "    AND event_type IS NOT NULL), " +
+        "c AS (SELECT segment, p, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s " +
+        "  FROM f GROUP BY 1, 2), " +
+        "t AS (SELECT p, CAST(sum(n) AS BIGINT) AS nn FROM c GROUP BY 1), " +
+        "wr AS (SELECT segment, c.p, s / n AS r, " +
+        "    CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS w, n " +
+        "  FROM c JOIN t ON t.p = c.p) " +
+        "SELECT a.segment, a.n AS n_1, b.n AS n_2, " +
+        "  round(a.r, 6) AS rate_1, round(b.r, 6) AS rate_2, " +
+        "  round(a.w, 6) AS share_1, round(b.w, 6) AS share_2, " +
+        "  round(b.w * (b.r - a.r), 6) AS rate_effect, " +
+        "  round(a.r * (b.w - a.w), 6) AS mix_effect " +
+        "FROM wr a JOIN wr b ON b.segment = a.segment " +
+        "WHERE a.p = 'pre' AND b.p = 'post'"),
+
+    // gaps-and-islands: day - row_number() groups consecutive days
+    "events_streaks" ->
+      ("WITH d AS (SELECT DISTINCT user_id AS key, " +
+        "    epoch_ns(ts) // 86400000000000 AS day FROM events " +
+        "  WHERE user_id IS NOT NULL), " +
+        "i AS (SELECT key, day, day - row_number() OVER " +
+        "    (PARTITION BY key ORDER BY day) AS isl FROM d), " +
+        "g AS (SELECT key, isl, CAST(count(*) AS BIGINT) AS streak_days, " +
+        "    min(day) AS start_day, max(day) AS end_day FROM i GROUP BY 1, 2), " +
+        "r AS (SELECT g.*, row_number() OVER (PARTITION BY key " +
+        "    ORDER BY streak_days DESC, start_day) AS rk FROM g) " +
+        "SELECT key, streak_days, start_day, end_day FROM r WHERE rk = 1"),
 
     // same moment chain, spliced breakpoint, lead window with the
     // day-continuity guard

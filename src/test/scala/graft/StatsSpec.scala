@@ -146,6 +146,40 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("mixShift: effects telescope to the overall mean change") {
+    val s = spark; import s.implicits._
+    // pre: A 10x1.0 B 10x3.0 (M1=2.0); post: A 5x2.0 B 15x3.0 (M2=2.75)
+    val rows = (1 to 10).map(_ => ("A", "pre", 1.0)) ++
+      (1 to 10).map(_ => ("B", "pre", 3.0)) ++
+      (1 to 5).map(_ => ("A", "post", 2.0)) ++
+      (1 to 15).map(_ => ("B", "post", 3.0))
+    val out = Stats.mixShift(rows.toDF("seg", "p", "v"), "seg", "p", "v",
+      "pre", "post").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("rate_effect"), r.getAs[Double]("mix_effect")))).toMap
+    assert(out("A") === ((0.25, -0.25)))
+    assert(out("B") === ((0.0, 0.75)))
+    val total = out.values.map(t => t._1 + t._2).sum
+    assert(math.abs(total - 0.75) < 1e-9, "effects sum to M2 - M1")
+  }
+
+  test("longestStreak: islands split on gaps; ties take the earliest run") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    val df = (Seq(1, 2, 3, 5, 6).map(d => (1L, d * day)) ++
+      Seq(1, 2, 4, 5).map(d => (2L, d * day)) ++
+      Seq(9).map(d => (3L, d * day)) ++
+      Seq((1L, 2 * day))) // duplicate same-day event collapses
+      .toDF("u", "ts")
+    val out = Stats.longestStreak(df, "u", "ts").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("streak_days"), r.getAs[Long]("start_day"),
+          r.getAs[Long]("end_day")))).toMap
+    assert(out(1L) === ((3L, 1L, 3L)))
+    assert(out(2L) === ((2L, 1L, 2L)), "tie broken by earliest start")
+    assert(out(3L) === ((1L, 9L, 9L)))
+  }
+
   test("saxMotifs: hand-computed symbols and consecutive-day windows") {
     val s = spark; import s.implicits._
     val day = 86400000000000L
