@@ -668,6 +668,48 @@ object Evaluation {
       round(fitCol, 6).as("fitted"))
   }
 
+  /** Pinball (quantile) loss evaluation per group: fit the τ-quantile
+    * on the calibration split (the same exact type-1 order-statistic
+    * pick as [[conformalInterval]], threshold ⌈τ·n⌉ over distinct
+    * 6-dp values), then score the held-out split with
+    * L_τ(y, q̂) = (1−τ)(q̂−y) if y < q̂ else τ(y−q̂) — the metric that
+    * makes quantile forecasts comparable (a p90 that wins on pinball
+    * loss IS the better p90, no distributional assumptions).
+    *
+    * τ ∈ {k/10 : k ∈ taus}; loss terms are 12-dp decimals so the mean
+    * is summation-order-free. @return one row per (group, τ). */
+  def pinballLoss(df: DataFrame, groupCol: String, valueCol: String,
+      calib: Column, taus: Seq[Int] = Seq(1, 5, 9)): DataFrame = {
+    require(taus.nonEmpty && taus.forall(k => k >= 1 && k <= 9),
+      s"taus must be decile indices in [1,9]: $taus")
+    val vd = col(valueCol).cast("double")
+    val f = df.filter(vd.isNotNull && !isnan(vd) && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), round(vd, 6).as("__v"), calib.as("__cal"))
+    val calCum = f.filter(col("__cal"))
+      .groupBy("g", "__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nCal = f.filter(col("__cal")).groupBy("g")
+      .agg(count(lit(1)).as("__n"))
+    val qs = calCum.join(nCal, Seq("g"))
+      .withColumn("k", explode(array(taus.map(lit): _*)))
+      .filter(col("__cum") >= expr("(__n * k + 9) div 10"))
+      .groupBy("g", "k").agg(min(col("__v")).as("q_hat"))
+    val tau = col("k").cast("double") / 10.0
+    val term = when(col("__v") < col("q_hat"),
+      (lit(1.0) - tau) * (col("q_hat") - col("__v")))
+      .otherwise(tau * (col("__v") - col("q_hat")))
+    f.filter(!col("__cal"))
+      .join(qs, Seq("g"))
+      .groupBy("g", "k")
+      .agg(count(lit(1)).as("n_test"), max(col("q_hat")).as("q_hat"),
+        sum(round(term, 12).cast("decimal(28,12)")).cast("double").as("__l"))
+      .select(col("g").as("grp"), round(tau, 6).as("tau"), col("q_hat"),
+        col("n_test"),
+        round(col("__l") / col("n_test").cast("double"), 6).as("pinball"))
+  }
+
   /** Split-conformal prediction intervals per group at 90% nominal
     * coverage: fit the trivial per-group predictor (calibration-split
     * mean), take q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest absolute residual

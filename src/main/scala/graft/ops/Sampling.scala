@@ -299,4 +299,56 @@ object Sampling {
         .when(t >= cutTs, lit("test"))
         .otherwise(lit("embargo")))
   }
+
+  /** Neyman-allocation stratified sampling: the survey-theory optimum
+    * that spends the budget where the VARIANCE is — stratum h gets
+    * n_h ∝ N_h·σ_h (a high-variance stratum earns more samples than its
+    * row share), the allocation that minimizes the estimator variance
+    * at fixed total n. Rows are then kept by the engine's deterministic
+    * 32-bit md5-uniform against rate_h = n_h/N_h (expected-size
+    * sampling — the exact-k variant is [[priority]] per stratum).
+    *
+    * Determinism: σ_h from 6-dp decimal moments; stratum weights
+    * N_h·σ_h are 6-dp-rounded before the decimal total (order-free
+    * denominator); n_h = ⌊n·w_h/Σw⌋ capped at N_h; the keep predicate
+    * compares the id-hash uniform to one double chain. Strata with
+    * fewer than 2 rows (no variance) are excluded from allocation.
+    *
+    * @return kept rows: (id, stratum, rate) — expected Σ rate_h·N_h ≈ n
+    */
+  def neyman(df: DataFrame, strataCol: String, idCol: String,
+      valueCol: String, totalN: Long): DataFrame = {
+    require(totalN >= 1, s"totalN must be >= 1: $totalN")
+    val vd = col(valueCol).cast("double")
+    val v = round(vd, 6)
+    val f = df.filter(col(strataCol).isNotNull && col(idCol).isNotNull &&
+      vd.isNotNull && !isnan(vd))
+    val strata = f.groupBy(col(strataCol).as("__st"))
+      .agg(count(lit(1)).as("__nh"),
+        sum(v.cast("decimal(18,6)")).cast("double").as("__s"),
+        sum(round(v * v, 6).cast("decimal(28,6)")).cast("double").as("__s2"))
+      .filter(col("__nh") >= 2)
+      .withColumn("__var",
+        (col("__s2") - col("__s") * col("__s") / col("__nh")) /
+          (col("__nh") - 1))
+      .withColumn("__w",
+        round(col("__nh").cast("double") *
+          sqrt(greatest(col("__var"), lit(0.0))), 6))
+    val tot = strata.agg(
+      sum(col("__w").cast("decimal(28,6)")).cast("double").as("__wt"))
+    val alloc = strata.crossJoin(broadcast(tot))
+      .filter(col("__wt") > 0)
+      .withColumn("__alloc", least(col("__nh"),
+        floor(lit(totalN.toDouble) * col("__w") / col("__wt")).cast("long")))
+      .withColumn("__rate",
+        col("__alloc").cast("double") / col("__nh").cast("double"))
+      .select(col("__st"), col("__rate"))
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h + 1).cast("double") / lit(4294967296.0)
+    f.select(col(idCol), col(strataCol).as("stratum"), u.as("__u"))
+      .join(alloc, col("stratum") === col("__st"))
+      .filter(col("__u") < col("__rate"))
+      .select(col(idCol), col("stratum"), round(col("__rate"), 6).as("rate"))
+  }
 }

@@ -652,6 +652,42 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Within (fixed-effects) OLS estimator: the pooled slope of y on x
+    * AFTER demeaning both within each segment — the panel-data answer
+    * to "does x move y, holding every segment's level fixed" (a
+    * cross-segment confounder that shifts both x̄_s and ȳ_s cancels
+    * here but poisons the pooled OLS). β = Σ(x−x̄_s)(y−ȳ_s) / Σ(x−x̄_s)².
+    *
+    * Exactness: segment means from decimal sums; each cross/square
+    * product rounded to 12 dp and decimal-summed; one final division.
+    * Segments with a single row contribute nothing (their deviations
+    * are 0) and degenerate (zero x-variance) input yields NULL. */
+  def withinOls(df: DataFrame, segCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val xd = col(xCol).cast("double"); val yd = col(yCol).cast("double")
+    val f = df
+      .filter(col(segCol).isNotNull && xd.isNotNull && yd.isNotNull &&
+        !isnan(xd) && !isnan(yd))
+      .select(col(segCol).as("__g"), round(xd, 6).as("__x"),
+        round(yd, 6).as("__y"))
+    val means = f.groupBy("__g")
+      .agg(count(lit(1)).as("__n"),
+        (sum(col("__x").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("__mx"),
+        (sum(col("__y").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("__my"))
+    f.join(means, Seq("__g"))
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct(col("__g")).as("n_segments"),
+        sum(round((col("__x") - col("__mx")) * (col("__y") - col("__my")), 12)
+          .cast("decimal(38,12)")).cast("double").as("__num"),
+        sum(round((col("__x") - col("__mx")) * (col("__x") - col("__mx")), 12)
+          .cast("decimal(38,12)")).cast("double").as("__den"))
+      .select(col("n_obs"), col("n_segments"),
+        when(col("__den") > 0,
+          round(col("__num") / col("__den"), 6)).as("beta_within"))
+  }
+
   /** Period-over-period mix-shift decomposition — the "why did the
     * metric move" answer: the overall-mean change M2 − M1 splits
     * EXACTLY (telescoping identity) into per-segment

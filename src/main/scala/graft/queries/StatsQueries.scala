@@ -253,6 +253,28 @@ object StatsQueries extends QueryGroup {
         "doc_id", "text", "lang", minCount = 5L)
     }),
 
+    // within (fixed-effects) OLS: value-on-day slope with per-type
+    // levels removed — the confound-resistant pooled trend
+    "stats_within_ols" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("day", expr("ts div 86400000000000"))
+      graft.ops.Stats.withinOls(ev, "event_type", "day", "value")
+    }),
+
+    // Neyman-allocation stratified sample of events by type (budget
+    // 1000): variance-optimal rates, deterministic md5 keeps
+    "sample_neyman" -> ((s, dir) => {
+      graft.ops.Sampling.neyman(Tables.load(s, dir, "events"),
+        "event_type", "event_id", "value", totalN = 1000L)
+    }),
+
+    // pinball loss of calibration-split decile forecasts per event type
+    // (even users calibrate, odd users test)
+    "eval_pinball" -> ((s, dir) => {
+      graft.ops.Evaluation.pinballLoss(Tables.load(s, dir, "events"),
+        "event_type", "value", pmod(col("user_id"), lit(2L)) === 0)
+    }),
+
     // mix-shift decomposition of the mean event value across the month
     // midpoint: per-type rate effect vs traffic-mix effect
     "events_mix_shift" -> ((s, dir) => {
@@ -698,6 +720,76 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // demeaned cross/square products as 12-dp decimals, one division
+    "stats_within_ols" ->
+      ("WITH f AS (SELECT event_type AS g, " +
+        "    round(CAST(epoch_ns(ts) // 86400000000000 AS DOUBLE), 6) AS x, " +
+        "    round(CAST(value AS DOUBLE), 6) AS y FROM events " +
+        "  WHERE event_type IS NOT NULL AND value IS NOT NULL " +
+        "    AND NOT isnan(value)), " +
+        "m AS (SELECT g, CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS mx, CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS my FROM f GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_obs, " +
+        "    CAST(count(DISTINCT f.g) AS BIGINT) AS n_segments, " +
+        "    CAST(sum(CAST(round((x - mx) * (y - my), 12) AS DECIMAL(38,12))) " +
+        "      AS DOUBLE) AS num, " +
+        "    CAST(sum(CAST(round((x - mx) * (x - mx), 12) AS DECIMAL(38,12))) " +
+        "      AS DOUBLE) AS den " +
+        "  FROM f JOIN m ON m.g = f.g) " +
+        "SELECT n_obs, n_segments, " +
+        "  CASE WHEN den > 0 THEN round(num / den, 6) END AS beta_within FROM a"),
+
+    // same moment/weight/alloc chain, same 32-bit md5 uniform keep
+    "sample_neyman" ->
+      ("WITH f AS (SELECT event_id AS id, event_type AS st, " +
+        "    round(CAST(value AS DOUBLE), 6) AS v FROM events " +
+        "  WHERE event_type IS NOT NULL AND event_id IS NOT NULL " +
+        "    AND value IS NOT NULL AND NOT isnan(value)), " +
+        "s AS (SELECT st, CAST(count(*) AS BIGINT) AS nh, " +
+        "    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sm, " +
+        "    CAST(sum(CAST(round(v * v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2 " +
+        "  FROM f GROUP BY 1 HAVING count(*) >= 2), " +
+        "w AS (SELECT st, nh, round(CAST(nh AS DOUBLE) * " +
+        "    sqrt(greatest((s2 - sm * sm / nh) / (nh - 1), 0.0)), 6) AS w FROM s), " +
+        "t AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wt FROM w), " +
+        "al AS (SELECT st, least(nh, CAST(floor(1000.0 * w / t.wt) AS BIGINT)) " +
+        "    AS alloc, nh FROM w CROSS JOIN t WHERE t.wt > 0), " +
+        "r AS (SELECT st, CAST(alloc AS DOUBLE) / CAST(nh AS DOUBLE) AS rate " +
+        "  FROM al) " +
+        "SELECT f.id AS event_id, f.st AS stratum, round(r.rate, 6) AS rate " +
+        "FROM f JOIN r ON r.st = f.st " +
+        "WHERE ((('0x' || substr(md5(CAST(f.id AS VARCHAR)), 1, 8))::BIGINT + 1) " +
+        "  / 4294967296.0) < r.rate"),
+
+    // order-stat decile fits on the calibration split, 12-dp decimal
+    // loss sums on the held-out split
+    "eval_pinball" ->
+      ("WITH f AS (SELECT event_type AS g, round(CAST(value AS DOUBLE), 6) AS v, " +
+        "    user_id % 2 = 0 AS cal FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "    AND event_type IS NOT NULL), " +
+        "cc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM f " +
+        "  WHERE cal GROUP BY 1, 2), " +
+        "cm AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v " +
+        "    ROWS UNBOUNDED PRECEDING) AS cum FROM cc), " +
+        "nc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM f " +
+        "  WHERE cal GROUP BY 1), " +
+        "q AS (SELECT cm.g, k.k, min(v) AS q_hat FROM cm " +
+        "  JOIN nc ON nc.g = cm.g " +
+        "  JOIN (SELECT unnest([1, 5, 9]) AS k) k " +
+        "    ON cm.cum >= (nc.n * k.k + 9) // 10 GROUP BY 1, 2), " +
+        "t AS (SELECT f.g, q.k, q.q_hat, " +
+        "    CASE WHEN f.v < q.q_hat THEN " +
+        "      (1.0 - CAST(q.k AS DOUBLE) / 10.0) * (q.q_hat - f.v) " +
+        "    ELSE CAST(q.k AS DOUBLE) / 10.0 * (f.v - q.q_hat) END AS term " +
+        "  FROM f JOIN q ON q.g = f.g WHERE NOT cal) " +
+        "SELECT g AS grp, round(CAST(k AS DOUBLE) / 10.0, 6) AS tau, q_hat, " +
+        "  CAST(count(*) AS BIGINT) AS n_test, " +
+        "  round(CAST(sum(CAST(round(term, 12) AS DECIMAL(28,12))) AS DOUBLE) " +
+        "    / count(*), 6) AS pinball " +
+        "FROM t GROUP BY 1, 2, 3"),
 
     // telescoping decomposition: exact cell aggregates, one multiply
     // per effect

@@ -224,6 +224,27 @@ class CurationPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) === "test" && out(6L) === "test")
   }
 
+  test("neyman: allocation follows N*sigma; zero-variance strata excluded; deterministic") {
+    val s = spark; import s.implicits._
+    import graft.ops.Sampling
+    // A: sd ~50 over 100 rows; C: sd ~5 over 100 rows; B: constant
+    val rows = (1 to 100).map(i => (i.toLong, "A", if (i % 2 == 0) 100.0 else 0.0)) ++
+      (1 to 100).map(i => (1000L + i, "C", if (i % 2 == 0) 10.0 else 0.0)) ++
+      (1 to 100).map(i => (2000L + i, "B", 7.0))
+    val df = rows.toDF("id", "st", "v")
+    val out = Sampling.neyman(df, "st", "id", "v", totalN = 60L).collect()
+    val byStrat = out.groupBy(_.getString(1))
+    assert(!byStrat.contains("B"), "zero-variance stratum gets no budget")
+    val rateA = byStrat("A").head.getAs[Double]("rate")
+    val rateC = byStrat("C").head.getAs[Double]("rate")
+    assert(rateA > rateC && rateA < 1.0 && rateC > 0.0,
+      s"A ($rateA) must outrank C ($rateC)")
+    // deterministic: same rows, shuffled partitioning -> same sample
+    val again = Sampling.neyman(df.repartition(7), "st", "id", "v", 60L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_.getLong(0)).toSet)
+  }
+
   test("sliceFinder: the anomalous pocket outranks its parents; grand total excluded") {
     val s = spark; import s.implicits._
     // background mean 10; (b, 1) slice sits at 40 -> largest |z|

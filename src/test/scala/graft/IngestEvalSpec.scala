@@ -202,6 +202,20 @@ class IngestEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[Double]("coverage") === 0.6)
   }
 
+  test("pinballLoss: hand-computed decile fits and losses") {
+    val s = spark; import s.implicits._
+    // calibration 1..10 -> q(.1)=1 q(.5)=5 q(.9)=9; test {5, 7}
+    val rows = (1 to 10).map(v => ("g", v.toDouble, 0L)) ++
+      Seq(("g", 5.0, 1L), ("g", 7.0, 1L))
+    val out = Evaluation.pinballLoss(rows.toDF("g", "v", "id"), "g", "v",
+      col("id") === 0L).collect()
+      .map(r => r.getAs[Double]("tau") ->
+        ((r.getAs[Double]("q_hat"), r.getAs[Double]("pinball")))).toMap
+    assert(out(0.1) === ((1.0, 0.5)))  // .1*(4+6)/2
+    assert(out(0.5) === ((5.0, 0.5)))  // (.5*0 + .5*2)/2
+    assert(out(0.9) === ((9.0, 0.3)))  // (.1*4 + .1*2)/2
+  }
+
   test("conformalInterval: tiny calibration clamps to the max residual") {
     val s = spark; import s.implicits._
     // n_cal = 2 -> raw k = ceil(3*0.9) = 3 > n_cal -> clamp to 2:

@@ -146,6 +146,21 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("withinOls: per-segment demeaning kills the cross-segment confound") {
+    val s = spark; import s.implicits._
+    // both segments have slope +1, but B sits at high-x/low-y: pooled
+    // OLS would go negative; the within estimator recovers exactly 1
+    val rows = Seq(("A", 0.0, 10.0), ("A", 1.0, 11.0), ("A", 2.0, 12.0),
+      ("B", 10.0, 0.0), ("B", 11.0, 1.0), ("B", 12.0, 2.0))
+    val r = Stats.withinOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_obs") === 6L && r.getAs[Long]("n_segments") === 2L)
+    assert(r.getAs[Double]("beta_within") === 1.0)
+    // zero within-x variance -> NULL
+    val flat = Seq(("A", 5.0, 1.0), ("A", 5.0, 2.0)).toDF("g", "x", "y")
+    assert(Stats.withinOls(flat, "g", "x", "y").collect().head.isNullAt(2))
+  }
+
   test("mixShift: effects telescope to the overall mean change") {
     val s = spark; import s.implicits._
     // pre: A 10x1.0 B 10x3.0 (M1=2.0); post: A 5x2.0 B 15x3.0 (M2=2.75)
