@@ -335,4 +335,36 @@ object Snapshots {
           .cast("decimal(28,6)").as("total")): _*)
       .filter(col("cnt") > 0)
   }
+
+  /** Interval-union coverage per key: treat each event as the interval
+    * [ts, ts + durNs) and report the total length of the UNION of those
+    * intervals (overlaps merged — the classic sweep that answers "how
+    * long was the user actually active", where a naive n·dur double
+    * counts every burst). Also returns the merged-island count.
+    *
+    * Device: one (key, ts) sort; an island starts where ts exceeds the
+    * running max of previous interval ends; island id = prefix sum of
+    * start flags; per-island span = max(end) − min(ts). All exact
+    * integer arithmetic on the engine's long ts axis.
+    * @return (key, n_intervals, covered) — covered in ts-axis units */
+  def intervalCoverage(df: DataFrame, keyCol: String, tsCol: String,
+      durNs: Long): DataFrame = {
+    require(durNs > 0, s"durNs must be positive: $durNs")
+    val w = Window.partitionBy(col("key")).orderBy(col("__ts"))
+    val prevMaxEnd = max(col("__ts") + durNs)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).as("__ts"))
+      .withColumn("__new", when(prevMaxEnd.isNull ||
+        col("__ts") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy("key", "__isl")
+      .agg(min(col("__ts")).as("__start"),
+        (max(col("__ts")) + durNs).as("__end"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__end") - col("__start")).as("covered"))
+  }
 }

@@ -484,6 +484,23 @@ object PipelineQueries extends QueryGroup {
       Clustering.connectedComponents(docs, "doc_id", edges, "id_a", "id_b")
     }),
 
+    // duplicate-cluster SIZE distribution: how much of the corpus sits
+    // in 2-copy pairs vs mega-clusters (the dedup savings histogram);
+    // same banded edge set + CC as dedup_cluster_cc, then two aggregates
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val cc = defs("dedup_cluster_cc")(s, dir)
+      cc.groupBy(col("rep")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // interval-union activity coverage: each event opens a 5-minute
+    // window; overlaps merge, so bursts don't double-count (exact longs)
+    "events_active_coverage" -> ((s, dir) => {
+      graft.ops.Snapshots.intervalCoverage(Tables.load(s, dir, "events"),
+        "user_id", "ts", durNs = 300L * 1000000000L)
+    }),
+
     // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only check;
     // recall/precision properties in DedupSpec)
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -2782,6 +2799,38 @@ object PipelineQueries extends QueryGroup {
         "  UNION " +
         "  SELECT e.dst, r.lbl FROM e JOIN r ON r.id = e.src) " +
         "SELECT id AS doc_id, min(lbl) AS rep FROM r GROUP BY id"),
+
+    // the same recursive closure, then size histogram
+    "dedup_cluster_sizes" ->
+      ("WITH RECURSIVE e AS (" +
+        "  SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a JOIN documents b " +
+        "    ON a.source = b.source AND a.lang = b.lang " +
+        "   AND abs(a.n_chars - b.n_chars) <= 2 AND a.doc_id <> b.doc_id), " +
+        "r(id, lbl) AS (" +
+        "  SELECT doc_id, doc_id FROM documents " +
+        "  UNION " +
+        "  SELECT e.dst, r.lbl FROM e JOIN r ON r.id = e.src), " +
+        "cc AS (SELECT id, min(lbl) AS rep FROM r GROUP BY id), " +
+        "sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS s FROM cc GROUP BY 1) " +
+        "SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters " +
+        "FROM sz GROUP BY 1"),
+
+    // running-max island sweep on the nanos axis: union of
+    // [ts, ts + 3e11) intervals per user
+    "events_active_coverage" ->
+      ("WITH f AS (SELECT user_id AS key, epoch_ns(ts) AS ts FROM events " +
+        "  WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "fl AS (SELECT key, ts, CASE WHEN max(ts + 300000000000) OVER " +
+        "    (PARTITION BY key ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "      AND 1 PRECEDING) IS NULL OR ts > max(ts + 300000000000) OVER " +
+        "    (PARTITION BY key ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "      AND 1 PRECEDING) THEN 1 ELSE 0 END AS nw FROM f), " +
+        "isl AS (SELECT key, ts, sum(nw) OVER (PARTITION BY key ORDER BY ts " +
+        "    ROWS UNBOUNDED PRECEDING) AS isl FROM fl), " +
+        "g AS (SELECT key, isl, min(ts) AS s, max(ts) + 300000000000 AS e " +
+        "  FROM isl GROUP BY 1, 2) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_intervals, " +
+        "  CAST(sum(e - s) AS BIGINT) AS covered FROM g GROUP BY 1"),
 
     // thresholds: 0.25→'4000', 0.5→'8000', 0.75→'c000' (16-bit hex grid)
     "sample_stratified" ->

@@ -364,6 +364,23 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("intervalCoverage: overlaps merge, gaps split, exact union lengths") {
+    val s = spark; import s.implicits._
+    val df = (Seq(0L, 5L, 30L, 35L, 100L).map(t => (1L, t)) ++
+      Seq(0L, 2L).map(t => (2L, t)) ++
+      Seq(0L, 3L).map(t => (3L, t))).toDF("u", "ts")
+    val ten = graft.ops.Snapshots.intervalCoverage(df.filter(col("u") =!= 3L),
+      "u", "ts", durNs = 10L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // u1: [0,15) [30,45) [100,110) -> 3 islands, 40 covered
+    assert(ten(1L) === ((3L, 40L)))
+    // u2: [0,10)+[2,12) merge -> 12
+    assert(ten(2L) === ((1L, 12L)))
+    val two = graft.ops.Snapshots.intervalCoverage(df.filter(col("u") === 3L),
+      "u", "ts", durNs = 2L).collect().head
+    assert((two.getLong(1), two.getLong(2)) === ((2L, 4L)))
+  }
+
   test("funnelWilson: hand conversion rates with symmetric Wilson bounds at p=0.5") {
     val s = spark; import s.implicits._
     // 10 viewers, 5 clickers, 2 purchasers
