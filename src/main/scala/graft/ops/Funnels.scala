@@ -312,6 +312,32 @@ object Funnels {
     out.toSeq.toDF("channel", "removal_effect", "attribution")
   }
 
+  /** Dwell-time share per event type: each event is credited with
+    * min(next_event_gap, cap) of the user's clock, so the metric reads
+    * "where does user TIME go" rather than "where do clicks go" — the
+    * two diverge wildly when one surface fires events at 10× the rate.
+    * Terminal events (no successor) earn nothing; the cap stops an
+    * overnight gap from crediting 8 h to the last page. Exact long
+    * arithmetic; share is the one rounded division.
+    * @return (type, n_events, dwell, share) — dwell in ts-axis units */
+  def dwellShare(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, capNs: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    require(capNs > 0, s"capNs must be positive: $capNs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy((tsCol +: tieCols).map(col): _*)
+    val withGap = events.filter(col(userCol).isNotNull)
+      .withColumn("__gap", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("__gap").isNotNull)
+      .withColumn("__dwell", least(col("__gap"), lit(capNs)))
+    val perType = withGap.groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__dwell")).as("dwell"))
+    val tot = perType.agg(sum(col("dwell")).as("__tot"))
+    perType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"), col("dwell"),
+        round(col("dwell").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Conditional next-step entropy of the event stream: for each
     * current state, H(next | cur) = −Σ_next p·log₂p over the
     * [[transitions]] matrix — the navigation-predictability read (0 bits

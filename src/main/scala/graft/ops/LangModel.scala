@@ -245,6 +245,49 @@ object LangModel {
         .as("terms_shared"))
   }
 
+  /** Distinctive terms between two subcorpora — Monroe, Colaresi &
+    * Quinn's log-odds-ratio with an informative Dirichlet prior, the
+    * "what words make A sound like A (vs B)" ranking that raw
+    * frequency ratios butcher (rare words explode, common words wash
+    * out; the prior αw = α0·f_w and the per-word variance fix both):
+    * δ_w = ln((y_Aw+α_w)/(n_A+α0−y_Aw−α_w)) − ln((y_Bw+α_w)/(n_B+α0−y_Bw−α_w)),
+    * z_w = δ_w / √(1/(y_Aw+α_w) + 1/(y_Bw+α_w)); top-k by |z| each way.
+    *
+    * Determinism: every input is an exact integer count; α_w and the
+    * δ/σ/z chain are fixed double expressions; ranking orders by the
+    * 6-dp-rounded z with word tie-break. */
+  def distinctiveTerms(docs: DataFrame, textCol: String, labelCol: String,
+      labelA: String, labelB: String, alpha0: Double = 100.0,
+      k: Int = 50): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    require(alpha0 > 0 && k >= 1, s"need alpha0 > 0, k >= 1: $alpha0, $k")
+    val toks = docs
+      .filter(col(labelCol).isin(labelA, labelB))
+      .select(col(labelCol).cast("string").as("__y"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy("w")
+      .agg(sum(when(col("__y") === labelA, 1L).otherwise(0L)).as("__ya"),
+        sum(when(col("__y") === labelB, 1L).otherwise(0L)).as("__yb"))
+    val tot = counts.agg(sum("__ya").as("__na"), sum("__yb").as("__nb"),
+      sum(col("__ya") + col("__yb")).as("__nt"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("__aw", lit(alpha0) *
+        (col("__ya") + col("__yb")).cast("double") / col("__nt").cast("double"))
+    val dA = log((col("__ya") + col("__aw")) /
+      (col("__na") + lit(alpha0) - col("__ya") - col("__aw")))
+    val dB = log((col("__yb") + col("__aw")) /
+      (col("__nb") + lit(alpha0) - col("__yb") - col("__aw")))
+    val z = (dA - dB) / sqrt(lit(1.0) / (col("__ya") + col("__aw")) +
+      lit(1.0) / (col("__yb") + col("__aw")))
+    val scored = withP.select(col("w").as("word"), col("__ya").as("count_a"),
+      col("__yb").as("count_b"), round(z, 6).as("z"))
+    val top = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("z")).desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(top).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Multinomial Naive Bayes with add-1 smoothing, trained and scored
     * in one pass — the generative multiclass complement to
     * [[logOddsWeights]]'s binary discriminative scorer (the classic

@@ -253,6 +253,21 @@ object StatsQueries extends QueryGroup {
         "doc_id", "text", "lang", minCount = 5L)
     }),
 
+    // Monroe log-odds distinctive terms: what vocabulary separates the
+    // en subcorpus from es (informative Dirichlet prior, z-ranked)
+    "text_distinctive_terms" -> ((s, dir) => {
+      graft.ops.LangModel.distinctiveTerms(Tables.load(s, dir, "documents"),
+        "text", "lang", labelA = "en", labelB = "es", alpha0 = 100.0, k = 50)
+    }),
+
+    // dwell-time share per event type (5-minute cap): where user TIME
+    // goes, not where clicks go
+    "events_dwell_share" -> ((s, dir) => {
+      graft.ops.Funnels.dwellShare(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", capNs = 300L * 1000000000L,
+        tieCols = Seq("event_id"))
+    }),
+
     // within (fixed-effects) OLS: value-on-day slope with per-type
     // levels removed — the confound-resistant pooled trend
     "stats_within_ols" -> ((s, dir) => {
@@ -720,6 +735,42 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // identical prior/delta/z double chain from integer counts; rank by
+    // rounded |z| with word tie-break
+    "text_distinctive_terms" ->
+      ("WITH toks AS (SELECT lang AS y, w FROM (SELECT lang, " +
+        "    unnest(string_split(lower(text), ' ')) AS w FROM documents " +
+        "    WHERE lang IN ('en', 'es')) WHERE length(w) > 0), " +
+        "c AS (SELECT w, CAST(sum(CASE WHEN y = 'en' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "    AS ya, CAST(sum(CASE WHEN y = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS yb " +
+        "  FROM toks GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb, " +
+        "    CAST(sum(ya + yb) AS BIGINT) AS nt FROM c), " +
+        "p AS (SELECT w, ya, yb, na, nb, " +
+        "    100.0 * CAST(ya + yb AS DOUBLE) / CAST(nt AS DOUBLE) AS aw " +
+        "  FROM c CROSS JOIN t), " +
+        "zc AS (SELECT w AS word, ya AS count_a, yb AS count_b, " +
+        "    round((ln((ya + aw) / (na + 100.0 - ya - aw)) - " +
+        "      ln((yb + aw) / (nb + 100.0 - yb - aw))) / " +
+        "      sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)), 6) AS z FROM p), " +
+        "r AS (SELECT zc.*, CAST(row_number() OVER " +
+        "    (ORDER BY abs(z) DESC, word) AS BIGINT) AS rank FROM zc) " +
+        "SELECT word, count_a, count_b, z, rank FROM r WHERE rank <= 50"),
+
+    // lead-gap dwell credit capped at 3e11 ns; exact longs, one division
+    "events_dwell_share" ->
+      ("WITH g AS (SELECT event_type, " +
+        "    epoch_ns(lead(ts) OVER w) - epoch_ns(ts) AS gap FROM events " +
+        "  WHERE user_id IS NOT NULL " +
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "    CAST(sum(least(gap, 300000000000)) AS BIGINT) AS dwell " +
+        "  FROM g WHERE gap IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(dwell) AS BIGINT) AS tot FROM d) " +
+        "SELECT event_type, n_events, dwell, " +
+        "  round(CAST(dwell AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share " +
+        "FROM d CROSS JOIN t"),
 
     // demeaned cross/square products as 12-dp decimals, one division
     "stats_within_ols" ->

@@ -1272,6 +1272,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq((5L, 1), (3L, 2)))
   }
 
+  test("distinctiveTerms: exclusive words get signed z, shared filler stays near 0") {
+    import graft.ops.LangModel
+    val s = spark; import s.implicits._
+    val docs = ((1 to 10).map(_ => ("xxxx yyyy", "en")) ++
+      (1 to 10).map(_ => ("zzzz yyyy", "es"))).toDF("text", "lang")
+    val out = LangModel.distinctiveTerms(docs, "text", "lang", "en", "es",
+      alpha0 = 10.0, k = 10).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("z")).toMap
+    assert(out("xxxx") > 0 && out("zzzz") < 0, s"got $out")
+    assert(math.abs(out("xxxx") + out("zzzz")) < 1e-6, "symmetric corpora")
+    assert(math.abs(out("yyyy")) < math.abs(out("xxxx")))
+  }
+
   test("naiveBayes: separable vocab classifies both classes; OOV-only doc drops") {
     import graft.ops.LangModel
     val s = spark; import s.implicits._

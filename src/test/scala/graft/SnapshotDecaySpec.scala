@@ -364,6 +364,20 @@ class SnapshotDecaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.isNullAt(1)))
   }
 
+  test("dwellShare: lead gaps capped, terminal events earn nothing") {
+    val s = spark; import s.implicits._
+    // gaps: a->10, b->990 (capped to 100); final a uncredited
+    val ev = Seq((1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 1000L, 3L, "a"))
+      .toDF("u", "ts", "eid", "t")
+    val out = Funnels.dwellShare(ev, "u", "ts", "t", capNs = 100L,
+      tieCols = Seq("eid")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("dwell"),
+          r.getAs[Double]("share")))).toMap
+    assert(out("a") === ((1L, 10L, 0.090909)))
+    assert(out("b") === ((1L, 100L, 0.909091)))
+  }
+
   test("intervalCoverage: overlaps merge, gaps split, exact union lengths") {
     val s = spark; import s.implicits._
     val df = (Seq(0L, 5L, 30L, 35L, 100L).map(t => (1L, t)) ++
