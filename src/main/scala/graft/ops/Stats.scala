@@ -652,6 +652,106 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Iterative proportional fitting (raking): reweight a sample's
+    * (a × b) contingency cells so the weighted marginals match known
+    * population totals — the survey-weighting workhorse (post-stratify
+    * on two dimensions jointly when only the one-way margins are
+    * known). `iters` alternating row/column scalings; each scaled
+    * weight is rounded to 12 dp so any engine replaying the same
+    * half-steps lands on identical doubles (sums of weights are decimal
+    * — order-free).
+    *
+    * Scale shape: the corpus collapses to |A|·|B| cells in one
+    * aggregate; the fixpoint runs on the driver over that tiny matrix
+    * (the [[graft.ops.Funnels.markovAttribution]] discipline).
+    *
+    * @param sample    rows to be weighted
+    * @param popTotals population frame supplying the target marginals
+    * @return one row per sample cell: (a, b, n_sample, weight) —
+    *         weight·n sums to the population margins after convergence
+    */
+  def raking(sample: DataFrame, popTotals: DataFrame, aCol: String,
+      bCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50]: $iters")
+    val spark = sample.sparkSession
+    import spark.implicits._
+    def cells(df: DataFrame) = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val obs = cells(sample).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pop = cells(popTotals).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowT = pop.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val colT = pop.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    def r12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+    // only cells whose margins exist in the population can be raked
+    val kept = obs.filter(c => rowT.contains(c._1) && colT.contains(c._2))
+    var w = kept.map { case (a, b, n) => (a, b) -> n.toDouble }.toMap
+    (1 to iters).foreach { _ =>
+      // per-element 12-dp decimal before summing — the exact arithmetic
+      // a SQL `sum(CAST(w AS DECIMAL(28,12)))` replay performs
+      def dec12(x: Double): BigDecimal =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val rs = w.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(x => dec12(x._2)).sum.toDouble).toMap
+      w = w.map { case ((a, b), v) =>
+        (a, b) -> (if (rs(a) > 0) r12(v * (rowT(a) / rs(a))) else v) }
+      val cs = w.toSeq.groupBy(_._1._2).view
+        .mapValues(_.map(x => dec12(x._2)).sum.toDouble).toMap
+      w = w.map { case ((a, b), v) =>
+        (a, b) -> (if (cs(b) > 0) r12(v * (colT(b) / cs(b))) else v) }
+    }
+    kept.map { case (a, b, n) =>
+      val ww = w((a, b))
+      (a, b, n, java.math.BigDecimal.valueOf(ww / n)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    }.toSeq.toDF("a", "b", "n_sample", "weight")
+  }
+
+  /** Bilateral price indexes between two periods over matched items:
+    * Laspeyres Σp₂q₁/Σp₁q₁ (base-period basket), Paasche Σp₂q₂/Σp₁q₂
+    * (current basket), Fisher = √(L·P) (the superlative compromise) —
+    * with unit prices p_t = revenue_t/quantity_t per item. Items must
+    * appear in BOTH periods (matched-model method).
+    *
+    * Input frame: (item, period, revenue, quantity) pre-aggregated rows
+    * with period ∈ {p1Label, p2Label}. Each p·q product is rounded to
+    * 12 dp and decimal-summed; the three indexes are single double
+    * expressions. */
+  def priceIndex(df: DataFrame, itemCol: String, periodCol: String,
+      revenueCol: String, quantityCol: String,
+      p1Label: String, p2Label: String): DataFrame = {
+    require(p1Label != p2Label, s"periods must differ: $p1Label")
+    def side(lbl: String, pn: String, qn: String) = df
+      .filter(col(periodCol) === lbl && col(quantityCol).cast("double") > 0)
+      .groupBy(col(itemCol).as("__i"))
+      .agg((sum(round(col(revenueCol).cast("double"), 6).cast("decimal(18,6)"))
+        .cast("double") /
+        sum(round(col(quantityCol).cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double")).as(pn),
+        sum(round(col(quantityCol).cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double").as(qn))
+    val j = side(p1Label, "__p1", "__q1")
+      .join(side(p2Label, "__p2", "__q2"), Seq("__i"))
+    j.agg(count(lit(1)).as("n_items"),
+        sum(round(col("__p2") * col("__q1"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__l2"),
+        sum(round(col("__p1") * col("__q1"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__l1"),
+        sum(round(col("__p2") * col("__q2"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__pa2"),
+        sum(round(col("__p1") * col("__q2"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__pa1"))
+      .select(col("n_items"),
+        round(col("__l2") / col("__l1"), 6).as("laspeyres"),
+        round(col("__pa2") / col("__pa1"), 6).as("paasche"),
+        round(sqrt((col("__l2") / col("__l1")) * (col("__pa2") / col("__pa1"))), 6)
+          .as("fisher"))
+  }
+
   /** Within (fixed-effects) OLS estimator: the pooled slope of y on x
     * AFTER demeaning both within each segment — the panel-data answer
     * to "does x move y, holding every segment's level fixed" (a

@@ -31,6 +31,39 @@ object StatsQueries extends QueryGroup {
   private val WilsonZ = 1.959963984540054
   private val WilsonZ2 = WilsonZ * WilsonZ
 
+  // IPF raking oracle: the 5-iteration driver fixpoint unrolled into a
+  // half-step CTE chain (rsᵢ/wrᵢ = row sums + row rescale, csᵢ/wcᵢ =
+  // the column pass), generated here so iteration count stays in sync
+  private def rakingOracle: String = {
+    val dims = "event_type AS a, CAST(user_id % 4 AS VARCHAR) AS b"
+    val base =
+      "WITH s0 AS (SELECT " + dims + ", CAST(count(*) AS BIGINT) AS n " +
+        "  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL " +
+        "    AND user_id % 2 = 1 GROUP BY 1, 2), " +
+        "p0 AS (SELECT " + dims + ", CAST(count(*) AS BIGINT) AS n " +
+        "  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL " +
+        "  GROUP BY 1, 2), " +
+        "rt AS (SELECT a, CAST(sum(n) AS DOUBLE) AS t FROM p0 GROUP BY 1), " +
+        "ct AS (SELECT b, CAST(sum(n) AS DOUBLE) AS t FROM p0 GROUP BY 1), " +
+        "wc0 AS (SELECT s0.a, s0.b, s0.n, CAST(s0.n AS DOUBLE) AS w " +
+        "  FROM s0 JOIN rt ON rt.a = s0.a JOIN ct ON ct.b = s0.b)"
+    val steps = (1 to 5).map { i =>
+      val prev = s"wc${i - 1}"
+      s", rs$i AS (SELECT a, CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) " +
+        s"    AS s FROM $prev GROUP BY 1), " +
+        s"wr$i AS (SELECT p.a, p.b, p.n, CASE WHEN rs$i.s > 0 THEN " +
+        s"    round(p.w * (rt.t / rs$i.s), 12) ELSE p.w END AS w " +
+        s"  FROM $prev p JOIN rs$i ON rs$i.a = p.a JOIN rt ON rt.a = p.a), " +
+        s"cs$i AS (SELECT b, CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) " +
+        s"    AS s FROM wr$i GROUP BY 1), " +
+        s"wc$i AS (SELECT p.a, p.b, p.n, CASE WHEN cs$i.s > 0 THEN " +
+        s"    round(p.w * (ct.t / cs$i.s), 12) ELSE p.w END AS w " +
+        s"  FROM wr$i p JOIN cs$i ON cs$i.b = p.b JOIN ct ON ct.b = p.b)"
+    }.mkString
+    base + steps +
+      " SELECT a, b, n AS n_sample, round(w / n, 6) AS weight FROM wc5"
+  }
+
   def defs: Map[String, Q] = Map(
 
     // KS distribution drift between click and view purchase values —
@@ -251,6 +284,29 @@ object StatsQueries extends QueryGroup {
     "text_naive_bayes" -> ((s, dir) => {
       graft.ops.LangModel.naiveBayes(Tables.load(s, dir, "documents"),
         "doc_id", "text", "lang", minCount = 5L)
+    }),
+
+    // IPF raking: reweight the odd-user sample's (type x segment) cells
+    // to the full-population marginals — 5 alternating scalings, driver
+    // fixpoint over the 20-cell matrix, unrolled-CTE oracle
+    "stats_raking" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("seg", pmod(col("user_id"), lit(4L)))
+      val sample = ev.filter(pmod(col("user_id"), lit(2L)) === 1)
+      graft.ops.Stats.raking(sample, ev, "event_type", "seg", iters = 5)
+    }),
+
+    // matched-model Laspeyres/Paasche/Fisher price indexes across the
+    // 1998 order-date midpoint
+    "stats_price_index" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .withColumn("period",
+          when(col("o_orderdate") < "1998-01-01", "p1").otherwise("p2"))
+      graft.ops.Stats.priceIndex(li, "l_partkey", "period",
+        "l_extendedprice", "l_quantity", "p1", "p2")
     }),
 
     // Monroe log-odds distinctive terms: what vocabulary separates the
@@ -735,6 +791,38 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // unrolled half-step CTE chain replaying the driver fixpoint:
+    // decimal weight sums, round-12 rescales, identical guards
+    "stats_raking" -> rakingOracle,
+
+    // per-item unit prices from decimal revenue/quantity sums; 12-dp
+    // decimal p*q products; three rounded index divisions
+    "stats_price_index" ->
+      ("WITH li AS (SELECT l_partkey AS i, " +
+        "    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'p1' " +
+        "      ELSE 'p2' END AS per, l_extendedprice AS rev, l_quantity AS qty " +
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "  WHERE l_quantity > 0), " +
+        "s AS (SELECT i, per, " +
+        "    CAST(sum(CAST(round(CAST(rev AS DOUBLE), 6) AS DECIMAL(18,6))) " +
+        "      AS DOUBLE) / " +
+        "    CAST(sum(CAST(round(CAST(qty AS DOUBLE), 6) AS DECIMAL(18,6))) " +
+        "      AS DOUBLE) AS p, " +
+        "    CAST(sum(CAST(round(CAST(qty AS DOUBLE), 6) AS DECIMAL(18,6))) " +
+        "      AS DOUBLE) AS q " +
+        "  FROM li GROUP BY 1, 2), " +
+        "j AS (SELECT a.i, a.p AS p1, a.q AS q1, b.p AS p2, b.q AS q2 " +
+        "  FROM s a JOIN s b ON b.i = a.i AND a.per = 'p1' AND b.per = 'p2'), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_items, " +
+        "    CAST(sum(CAST(round(p2 * q1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS l2, " +
+        "    CAST(sum(CAST(round(p1 * q1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS l1, " +
+        "    CAST(sum(CAST(round(p2 * q2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS pa2, " +
+        "    CAST(sum(CAST(round(p1 * q2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS pa1 " +
+        "  FROM j) " +
+        "SELECT n_items, round(l2 / l1, 6) AS laspeyres, " +
+        "  round(pa2 / pa1, 6) AS paasche, " +
+        "  round(sqrt((l2 / l1) * (pa2 / pa1)), 6) AS fisher FROM m"),
 
     // identical prior/delta/z double chain from integer counts; rank by
     // rounded |z| with word tie-break

@@ -146,6 +146,40 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("raking: weighted cells converge to the population marginals") {
+    val s = spark; import s.implicits._
+    // uniform sample (10 per cell) raked to skewed population margins:
+    // rows A=30/B=10, cols 0=20/1=20
+    val sample = (for (a <- Seq("A", "B"); b <- Seq(0L, 1L); _ <- 1 to 10)
+      yield (a, b)).toDF("a", "b")
+    val pop = (Seq.fill(15)(("A", 0L)) ++ Seq.fill(15)(("A", 1L)) ++
+      Seq.fill(5)(("B", 0L)) ++ Seq.fill(5)(("B", 1L))).toDF("a", "b")
+    val out = Stats.raking(sample, pop, "a", "b", iters = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("weight"))).toMap
+    val wTot = out.toSeq.map { case ((a, _), (n, w)) => a -> n * w }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(math.abs(wTot("A") - 30.0) < 1e-3, s"row A: ${wTot("A")}")
+    assert(math.abs(wTot("B") - 10.0) < 1e-3)
+    val cTot = out.toSeq.map { case ((_, b), (n, w)) => b -> n * w }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(math.abs(cTot("0") - 20.0) < 1e-3 && math.abs(cTot("1") - 20.0) < 1e-3)
+  }
+
+  test("priceIndex: hand-computed matched-model indexes; unmatched items drop") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "p1", 10.0, 10.0), (1L, "p2", 20.0, 10.0),  // price 1 -> 2
+      (2L, "p1", 30.0, 10.0), (2L, "p2", 30.0, 10.0),  // price 3 flat
+      (3L, "p2", 99.0, 1.0))                           // p2-only: dropped
+    val r = Stats.priceIndex(rows.toDF("i", "per", "rev", "qty"),
+      "i", "per", "rev", "qty", "p1", "p2").collect().head
+    assert(r.getAs[Long]("n_items") === 2L)
+    assert(r.getAs[Double]("laspeyres") === 1.25)   // 50/40
+    assert(r.getAs[Double]("paasche") === 1.25)
+    assert(r.getAs[Double]("fisher") === 1.25)
+  }
+
   test("withinOls: per-segment demeaning kills the cross-segment confound") {
     val s = spark; import s.implicits._
     // both segments have slope +1, but B sits at high-x/low-y: pooled
