@@ -612,4 +612,36 @@ object Dedup {
     survivors.join(confirmed, Seq("span"), "left_semi")
       .select("doc_id", "pos", "span")
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo) — the
+    * third blocking family next to the banded grids and LSH: sort each
+    * block by a fuzzy key and emit pairs within a sliding window of
+    * `window` positions, so near-identical records land adjacent even
+    * when no exact key matches. Window semantics: id_b is 1..window−1
+    * positions after id_a in the (sortCols, idCol) total order within
+    * its block.
+    *
+    * Scale shape: the sort window is PARTITIONED by the block columns —
+    * per-task work is one block, parallel across blocks; no global
+    * sort, no cross-block pairs (that's the documented trade: a pair
+    * straddling blocks needs a second pass with a different blocking,
+    * same as multi-grid banding). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      blockCols: Seq[String], sortCols: Seq[String],
+      window: Int): DataFrame = {
+    require(blockCols.nonEmpty, "sortedNeighborhood needs block columns " +
+      "(an unblocked global sort is a single-partition window)")
+    require(window >= 2 && window <= 64, s"window must be in [2, 64]: $window")
+    val w = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy((sortCols :+ idCol).map(col): _*)
+    val withLeads = (1 until window).foldLeft(
+        df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))) {
+      (d, o) => d.withColumn(s"__b$o", lead(col(idCol), o).over(w))
+    }
+    (1 until window).map(o =>
+        withLeads.filter(col(s"__b$o").isNotNull)
+          .select(col(idCol).as("id_a"), col(s"__b$o").as("id_b")))
+      .reduce(_ unionByName _)
+      .distinct()
+  }
 }

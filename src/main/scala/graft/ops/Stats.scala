@@ -652,6 +652,32 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Fano factor (index of dispersion) of bucketed counts per series:
+    * var/mean of the daily event counts — the burstiness read (Poisson
+    * arrivals give 1; > 1 means clumping, < 1 regularity). One count
+    * aggregate, one moment aggregate, one rounded division; NULL for
+    * series with < 2 buckets or zero mean. */
+  def fanoFactor(df: DataFrame, keyCol: String, tsCol: String,
+      bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val daily = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(count(lit(1)).as("__c"))
+    daily.groupBy("key")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__c")).as("n_events"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .select(col("key"), col("n_buckets"), col("n_events"),
+        when(col("n_buckets") >= 2 && col("n_events") > 0,
+          round(((col("__s2").cast("double") -
+            col("n_events").cast("double") * col("n_events").cast("double") /
+              col("n_buckets").cast("double")) /
+            (col("n_buckets") - 1).cast("double")) /
+            (col("n_events").cast("double") / col("n_buckets").cast("double")),
+            6)).as("fano"))
+  }
+
   /** Iterative proportional fitting (raking): reweight a sample's
     * (a × b) contingency cells so the weighted marginals match known
     * population totals — the survey-weighting workhorse (post-stratify

@@ -286,6 +286,39 @@ object StatsQueries extends QueryGroup {
         "doc_id", "text", "lang", minCount = 5L)
     }),
 
+    // rank-biased overlap between the en and es top-50 frequency
+    // rankings — do the corpora agree where it matters (rank 1), p=0.9
+    "eval_rbo" -> ((s, dir) => {
+      def topWords(lang: String) = {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("lang") === lang)
+        docs.select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("__c"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("__c").desc, col("w").asc)).cast("long"))
+      }
+      graft.ops.Evaluation.rbo(topWords("en"), topWords("es"),
+        "w", "rnk", p = 0.9, depth = 50)
+    }),
+
+    // sorted-neighborhood blocking inside (source, lang) blocks sorted
+    // by n_chars: the window-3 candidate pair set
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      graft.ops.Dedup.sortedNeighborhoodPairs(
+        Tables.load(s, dir, "documents"), "doc_id",
+        blockCols = Seq("source", "lang"), sortCols = Seq("n_chars"),
+        window = 3)
+    }),
+
+    // Fano factor of daily event counts per type — burstiness vs the
+    // Poisson baseline of 1
+    "events_fano" -> ((s, dir) => {
+      graft.ops.Stats.fanoFactor(Tables.load(s, dir, "events"),
+        "event_type", "ts")
+    }),
+
     // IPF raking: reweight the odd-user sample's (type x segment) cells
     // to the full-population marginals — 5 alternating scalings, driver
     // fixpoint over the 20-cell matrix, unrolled-CTE oracle
@@ -791,6 +824,55 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // same overlap-at-depth set arithmetic; pow rounded 12 before the
+    // term product; (1.0 - p) evaluated identically on both engines
+    "eval_rbo" ->
+      ("WITH ta AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM " +
+        "  (SELECT word AS w, CAST(count(*) AS BIGINT) AS c FROM " +
+        "    (SELECT unnest(string_split(lower(text), ' ')) AS word " +
+        "     FROM documents WHERE lang = 'en') " +
+        "   WHERE length(word) > 0 GROUP BY 1)), " +
+        "tb AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM " +
+        "  (SELECT word AS w, CAST(count(*) AS BIGINT) AS c FROM " +
+        "    (SELECT unnest(string_split(lower(text), ' ')) AS word " +
+        "     FROM documents WHERE lang = 'es') " +
+        "   WHERE length(word) > 0 GROUP BY 1)), " +
+        "m AS (SELECT greatest(ta.r, tb.r) AS mr FROM ta JOIN tb ON tb.w = ta.w " +
+        "  WHERE ta.r <= 50 AND tb.r <= 50), " +
+        "x AS (SELECT d.d, CAST(count(*) AS BIGINT) AS x FROM m " +
+        "  JOIN (SELECT unnest(range(1, 51)) AS d) d ON m.mr <= d.d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(CAST(round(round(pow(0.9, d - 1), 12) * " +
+        "    CAST(x AS DOUBLE) / CAST(d AS DOUBLE), 12) AS DECIMAL(28,12))) " +
+        "    AS DOUBLE) AS s, max(x) AS nc FROM x) " +
+        "SELECT 50::BIGINT AS depth, COALESCE(nc, 0) AS n_common, " +
+        "  round((1.0 - 0.9) * COALESCE(s, 0.0), 6) AS rbo FROM t"),
+
+    // the same window-lead pair generation per (source, lang) block
+    "dedup_sorted_neighborhood" ->
+      ("WITH o AS (SELECT doc_id, lead(doc_id, 1) OVER w AS b1, " +
+        "    lead(doc_id, 2) OVER w AS b2 FROM documents " +
+        "  WHERE source IS NOT NULL AND lang IS NOT NULL " +
+        "  WINDOW w AS (PARTITION BY source, lang ORDER BY n_chars, doc_id)) " +
+        "SELECT DISTINCT doc_id AS id_a, b AS id_b FROM (" +
+        "  SELECT doc_id, b1 AS b FROM o WHERE b1 IS NOT NULL " +
+        "  UNION ALL SELECT doc_id, b2 FROM o WHERE b2 IS NOT NULL)"),
+
+    // integer daily counts -> one double chain: var/mean
+    "events_fano" ->
+      ("WITH d AS (SELECT event_type AS key, epoch_ns(ts) // 86400000000000 " +
+        "    AS day, CAST(count(*) AS BIGINT) AS c FROM events " +
+        "  WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "    CAST(sum(c) AS BIGINT) AS n_events, " +
+        "    CAST(sum(c * c) AS BIGINT) AS s2 FROM d GROUP BY 1) " +
+        "SELECT key, n_buckets, n_events, " +
+        "  CASE WHEN n_buckets >= 2 AND n_events > 0 THEN " +
+        "    round(((CAST(s2 AS DOUBLE) - CAST(n_events AS DOUBLE) * " +
+        "      CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)) / " +
+        "      CAST(n_buckets - 1 AS DOUBLE)) / " +
+        "      (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)), 6) " +
+        "  END AS fano FROM a"),
 
     // unrolled half-step CTE chain replaying the driver fixpoint:
     // decimal weight sums, round-12 rescales, identical guards

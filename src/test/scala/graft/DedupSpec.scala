@@ -346,4 +346,16 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(after > before, s"capped expansion must be counted: before=$before after=$after")
   }
+
+  test("sortedNeighborhoodPairs: window pairs inside blocks, never across") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "s1", "en", 10L), (2L, "s1", "en", 11L),
+      (3L, "s1", "en", 12L), (4L, "s1", "en", 13L),
+      (5L, "s2", "en", 10L), (6L, "s2", "en", 11L)).toDF("id", "src", "lg", "nc")
+    val got = graft.ops.Dedup.sortedNeighborhoodPairs(df, "id",
+      Seq("src", "lg"), Seq("nc"), window = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L)), s"got $got")
+  }
 }

@@ -202,6 +202,28 @@ class IngestEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[Double]("coverage") === 0.6)
   }
 
+  test("rbo: identical lists score 1 - p^D, disjoint lists score 0") {
+    val s = spark; import s.implicits._
+    val a = (1 to 50).map(i => (s"w$i", i.toLong)).toDF("it", "r")
+    val same = Evaluation.rbo(a, a, "it", "r", p = 0.9, depth = 50)
+      .collect().head
+    val expect = BigDecimal(1.0 - math.pow(0.9, 50))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same.getAs[Double]("rbo") === expect)
+    assert(same.getAs[Long]("n_common") === 50L)
+    val b = (1 to 50).map(i => (s"x$i", i.toLong)).toDF("it", "r")
+    val none = Evaluation.rbo(a, b, "it", "r").collect().head
+    assert(none.getAs[Double]("rbo") === 0.0 && none.getAs[Long]("n_common") === 0L)
+    // a top-1 swap hurts more than a tail swap
+    def swap(df: org.apache.spark.sql.DataFrame, r1: Long, w: String) =
+      df.withColumn("it", when(col("r") === r1, w).otherwise(col("it")))
+    val headSwap = Evaluation.rbo(a, swap(a, 1L, "zz"), "it", "r")
+      .collect().head.getAs[Double]("rbo")
+    val tailSwap = Evaluation.rbo(a, swap(a, 50L, "zz"), "it", "r")
+      .collect().head.getAs[Double]("rbo")
+    assert(headSwap < tailSwap)
+  }
+
   test("pinballLoss: hand-computed decile fits and losses") {
     val s = spark; import s.implicits._
     // calibration 1..10 -> q(.1)=1 q(.5)=5 q(.9)=9; test {5, 7}

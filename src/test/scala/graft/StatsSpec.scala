@@ -146,6 +146,18 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("fanoFactor: hand-computed dispersion; degenerate series NULL") {
+    val s = spark; import s.implicits._
+    val day = 86400000000000L
+    // type a: day counts 1,3 -> mean 2 var 2 -> fano 1.0
+    val ev = (Seq(("a", 0L)) ++ Seq.fill(3)(("a", day)) ++
+      Seq(("b", 0L))).toDF("t", "ts")
+    val out = Stats.fanoFactor(ev, "t", "ts").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("fano") === 1.0)
+    assert(out("b").isNullAt(3), "single bucket has no dispersion")
+  }
+
   test("raking: weighted cells converge to the population marginals") {
     val s = spark; import s.implicits._
     // uniform sample (10 per cell) raked to skewed population margins:
