@@ -652,6 +652,68 @@ object Stats {
         round(col("__ivt").cast("double"), 6).as("iv"))
   }
 
+  /** Lorenz curve at deciles: after ranking units by their total
+    * ascending, L(k) = share of the grand total held by the bottom
+    * k/10 of units — the curve behind the Gini number (which decile
+    * the concentration actually lives in; "bottom 80% holds 30%" is
+    * readable here and invisible in the scalar).
+    *
+    * Exactness: unit totals are 6-dp decimal sums; the rank cut is the
+    * integer threshold ⌈k·n/10⌉ under the (total, unit) total order;
+    * cumulative and grand totals stay decimal until the one rounded
+    * division per decile. The rank window is unit-count-sized. */
+  def lorenzCurve(df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val totals = df
+      .filter(col(unitCol).isNotNull && v.isNotNull && !isnan(v))
+      .groupBy(col(unitCol).as("__u"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__t"))
+    val ranked = totals.withColumn("__r", row_number().over(
+      Window.orderBy(col("__t").asc, col("__u").asc)).cast("long"))
+    val n = ranked.agg(count(lit(1)).as("__n"),
+      sum(col("__t")).as("__g"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile", explode(array((1 to 10).map(lit): _*)))
+      .filter(col("__r") <= expr("(__n * decile + 9) div 10"))
+      .groupBy(col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_units"),
+        max(col("__g")).as("__g"),
+        sum(col("__t")).as("__c"))
+      .select(col("decile"), col("n_units"),
+        round(col("__c").cast("double"), 6).as("cum_value"),
+        when(col("__g").cast("double") =!= 0.0,
+          round(col("__c").cast("double") / col("__g").cast("double"), 6))
+          .as("share"))
+  }
+
+  /** Declared-mixture conformance check: per-class chi-square terms of
+    * the observed class counts against caller-declared target shares —
+    * the "is the sampled corpus actually 40% en" release gate next to
+    * [[graft.ops.Sampling]]'s mixture builders. Classes observed but
+    * not declared get NULL expected (a loud signal, not a silent drop).
+    * Expected counts and terms are one double chain from integer counts
+    * and the spliced share literals. */
+  def mixtureCheck(df: DataFrame, classCol: String,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      s"targets must be positive shares: $targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol).cast("string").as("clazz"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tgt = broadcast(targets.toDF("clazz", "__share"))
+    val tot = obs.agg(sum("n_obs").as("__N"))
+    obs.join(tgt, Seq("clazz"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__exp", col("__share") * col("__N").cast("double"))
+      .select(col("clazz"), col("n_obs"),
+        round(col("__exp"), 6).as("expected"),
+        round((col("n_obs").cast("double") - col("__exp")) *
+          (col("n_obs").cast("double") - col("__exp")) / col("__exp"), 6)
+          .as("chi2_term"))
+  }
+
   /** Fano factor (index of dispersion) of bucketed counts per series:
     * var/mean of the daily event counts — the burstiness read (Poisson
     * arrivals give 1; > 1 means clumping, < 1 regularity). One count

@@ -286,6 +286,22 @@ object StatsQueries extends QueryGroup {
         "doc_id", "text", "lang", minCount = 5L)
     }),
 
+    // Lorenz curve of per-user purchase value at deciles — where the
+    // revenue concentration lives (the curve behind events_gini)
+    "events_lorenz" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+      graft.ops.Stats.lorenzCurve(ev, "user_id", "value")
+    }),
+
+    // declared-mixture conformance: is the corpus actually the lang mix
+    // it claims (chi-square terms vs spliced target shares)
+    "validate_mixture" -> ((s, dir) => {
+      graft.ops.Stats.mixtureCheck(Tables.load(s, dir, "documents"),
+        "lang", Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.15))
+    }),
+
     // rank-biased overlap between the en and es top-50 frequency
     // rankings — do the corpora agree where it matters (rank 1), p=0.9
     "eval_rbo" -> ((s, dir) => {
@@ -824,6 +840,40 @@ object StatsQueries extends QueryGroup {
         "    round((CAST(s AS DOUBLE) + kk.k * kk.m) / " +
         "      (CAST(n AS DOUBLE) + kk.k), 6) END AS shrunk_rate " +
         "FROM per CROSS JOIN kk"),
+
+    // decimal unit totals, integer rank cuts, one division per decile
+    "events_lorenz" ->
+      ("WITH t AS (SELECT user_id AS u, " +
+        "    sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) AS tt " +
+        "  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL " +
+        "    AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1), " +
+        "r AS (SELECT u, tt, CAST(row_number() OVER (ORDER BY tt, u) AS BIGINT) " +
+        "    AS rk FROM t), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS nn, sum(tt) AS g FROM r), " +
+        "c AS (SELECT d.d, CAST(count(*) AS BIGINT) AS n_units, " +
+        "    max(n.g) AS g, sum(tt) AS cum FROM r CROSS JOIN n " +
+        "  JOIN (SELECT unnest(range(1, 11)) AS d) d " +
+        "    ON r.rk <= (n.nn * d.d + 9) // 10 GROUP BY 1) " +
+        "SELECT CAST(d AS BIGINT) AS decile, n_units, " +
+        "  round(CAST(cum AS DOUBLE), 6) AS cum_value, " +
+        "  CASE WHEN CAST(g AS DOUBLE) <> 0.0 THEN " +
+        "    round(CAST(cum AS DOUBLE) / CAST(g AS DOUBLE), 6) END AS share " +
+        "FROM c"),
+
+    // integer counts vs spliced target shares; one chi-square term each
+    "validate_mixture" ->
+      ("WITH o AS (SELECT lang AS clazz, CAST(count(*) AS BIGINT) AS n_obs " +
+        "  FROM documents WHERE lang IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM o), " +
+        "s AS (SELECT clazz, CAST(share AS DOUBLE) AS share FROM " +
+        "  (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), " +
+        "    ('fr', 0.15), ('zh', 0.15)) AS v(clazz, share)) " +
+        "SELECT o.clazz, o.n_obs, " +
+        "  round(s.share * CAST(t.nn AS DOUBLE), 6) AS expected, " +
+        "  round((CAST(o.n_obs AS DOUBLE) - s.share * CAST(t.nn AS DOUBLE)) * " +
+        "    (CAST(o.n_obs AS DOUBLE) - s.share * CAST(t.nn AS DOUBLE)) / " +
+        "    (s.share * CAST(t.nn AS DOUBLE)), 6) AS chi2_term " +
+        "FROM o LEFT JOIN s ON s.clazz = o.clazz CROSS JOIN t"),
 
     // same overlap-at-depth set arithmetic; pow rounded 12 before the
     // term product; (1.0 - p) evaluated identically on both engines

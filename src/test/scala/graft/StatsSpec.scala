@@ -146,6 +146,34 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("lorenzCurve: perfectly equal units climb linearly; concentration bends") {
+    val s = spark; import s.implicits._
+    // 10 units each worth 10 -> share at decile k is k/10 exactly
+    val eq = (1 to 10).map(u => (u.toLong, 10.0)).toDF("u", "v")
+    val le = Stats.lorenzCurve(eq, "u", "v").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("share")).toMap
+    (1 to 10).foreach(k => assert(le(k.toLong) === k / 10.0))
+    // one unit holds 91 of 100: bottom 90% holds 9%
+    val skew = ((1 to 9).map(u => (u.toLong, 1.0)) :+ ((10L, 91.0))).toDF("u", "v")
+    val ls = Stats.lorenzCurve(skew, "u", "v").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("share")).toMap
+    assert(ls(9L) === 0.09 && ls(10L) === 1.0)
+  }
+
+  test("mixtureCheck: matching mix scores ~0; undeclared class flags NULL") {
+    val s = spark; import s.implicits._
+    val rows = (Seq.fill(40)("en") ++ Seq.fill(60)("de") ++ Seq.fill(5)("xx"))
+      .toDF("c")
+    val out = Stats.mixtureCheck(rows, "c",
+      Seq("en" -> 0.5, "de" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // N=105: expected 52.5 each; en term = 12.5^2/52.5 = 2.97619
+    assert(out("en").getAs[Double]("expected") === 52.5)
+    assert(out("en").getAs[Double]("chi2_term") === 2.97619)
+    assert(out("xx").isNullAt(2) && out("xx").isNullAt(3),
+      "undeclared class surfaces with NULL expectation")
+  }
+
   test("fanoFactor: hand-computed dispersion; degenerate series NULL") {
     val s = spark; import s.implicits._
     val day = 86400000000000L
