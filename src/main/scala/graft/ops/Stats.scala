@@ -192,6 +192,37 @@ object Stats {
           .otherwise(round(exp(col("__c_ln").cast("double")), 6)).as("surv"))
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive
+    * sibling: H(t) = Σ_{tᵢ≤t} dᵢ/n_riskᵢ, the estimator whose
+    * INCREMENTS are interpretable ("instantaneous conversion pressure
+    * at day t") and whose Fleming–Harrington survival e^−H beats KM in
+    * small risk sets. Same risk-set construction as KM (two
+    * [[runningTotals]] passes, no single-partition window); hazard
+    * terms are 12-dp decimals so the cumulative sum is order-free.
+    * @return (t, n_risk, n_event, n_censored, cum_hazard, surv_fh) */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val dur = col(durationCol).cast("long")
+    val ev = col(eventCol).cast("int")
+    val perT = df.filter(dur.isNotNull && dur >= 0 && ev.isin(0, 1))
+      .groupBy(dur.as("t"))
+      .agg(sum(ev.cast("long")).as("d"),
+        sum((lit(1) - ev).cast("long")).as("c"))
+    val total = perT.agg(sum(col("d") + col("c")).cast("long").as("__N"))
+    val cum = runningTotals(perT.crossJoin(broadcast(total)), Seq(col("t")),
+      Seq("leave" -> (col("d") + col("c"))))
+      .withColumn("n_risk", col("__N") - (col("__c_leave") - col("d") - col("c")))
+      .withColumn("__h",
+        round(col("d").cast("double") / col("n_risk").cast("double"), 12)
+          .cast("decimal(28,12)"))
+    runningTotals(cum, Seq(col("t")), Seq("h" -> col("__h")))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_event"),
+        col("c").as("n_censored"),
+        round(col("__c_h").cast("double"), 6).as("cum_hazard"),
+        round(exp(-col("__c_h").cast("double")), 6).as("surv_fh"))
+  }
+
   /** Per-series sample autocorrelation at lags 1..`maxLag` over
     * `bucketNs`-bucketed sums of `valueCol` (default daily): for each
     * `keyCol` series, r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the

@@ -167,4 +167,43 @@ object Validation {
       .select(groupCols.map(col) :+
         round(col("__n") + noise, 6).as("noisy_n"): _*)
   }
+
+  /** Cross-table reconciliation audit: does a header-level total equal
+    * the sum of its detail lines — the warehouse trust check (billing
+    * header vs line items, ledger vs journal) that catches partial
+    * loads and double-applied CDC batches. Compares each header's
+    * stated total against the 2-dp-decimal sum of its lines and
+    * reports the per-key delta plus match flags at `toleranceCents`.
+    *
+    * Exactness: both sides ride DECIMAL(18,2) (money semantics); the
+    * delta is exact decimal subtraction — no fp drift can create a
+    * phantom mismatch. Headers with NO lines and lines with no header
+    * both surface (full outer join), never drop.
+    * @return (key, header_total, detail_total, delta_cents, status) */
+  def reconcile(header: DataFrame, detail: DataFrame, headerKey: String,
+      headerTotal: String, detailKey: String, detailAmount: String,
+      toleranceCents: Long = 0L): DataFrame = {
+    require(toleranceCents >= 0, s"toleranceCents must be >= 0: $toleranceCents")
+    val h = header.filter(col(headerKey).isNotNull)
+      .select(col(headerKey).as("key"),
+        col(headerTotal).cast("decimal(18,2)").as("__ht"))
+    val d = detail.filter(col(detailKey).isNotNull)
+      .groupBy(col(detailKey).as("key"))
+      .agg(sum(col(detailAmount).cast("decimal(18,2)")).cast("decimal(18,2)")
+        .as("__dt"))
+    h.join(d, Seq("key"), "full_outer")
+      .withColumn("__delta",
+        (coalesce(col("__ht"), lit(BigDecimal(0)).cast("decimal(18,2)")) -
+          coalesce(col("__dt"), lit(BigDecimal(0)).cast("decimal(18,2)")))
+          .cast("decimal(19,2)"))
+      .select(col("key"),
+        round(col("__ht").cast("double"), 2).as("header_total"),
+        round(col("__dt").cast("double"), 2).as("detail_total"),
+        (col("__delta") * 100).cast("long").as("delta_cents"),
+        when(col("__ht").isNull, "missing_header")
+          .when(col("__dt").isNull, "missing_detail")
+          .when(abs(col("__delta") * 100).cast("long") <= toleranceCents,
+            "matched")
+          .otherwise("mismatched").as("status"))
+  }
 }

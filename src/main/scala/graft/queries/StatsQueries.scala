@@ -613,6 +613,31 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value")
     }),
 
+    // Nelson-Aalen cumulative hazard on the same time-to-first-purchase
+    // frame as events_kaplan_meier (additive increments + e^-H survival)
+    "events_nelson_aalen" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("__t0"),
+          max(col("ts")).as("__t1"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"))
+        .select(
+          ((coalesce(col("__tp"), col("__t1")) - col("__t0")) / dayNs)
+            .cast("long").as("dur"),
+          col("__tp").isNotNull.cast("int").as("evt"))
+      graft.ops.Stats.nelsonAalen(u, "dur", "evt")
+    }),
+
+    // header-vs-detail reconciliation: o_totalprice against the summed
+    // line extendedprice (TPC-H totals include tax/discount, so the
+    // deterministic delta distribution is the artifact)
+    "validate_reconciliation" -> ((s, dir) => {
+      graft.ops.Validation.reconcile(
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"),
+        "o_orderkey", "o_totalprice", "l_orderkey", "l_extendedprice")
+    }),
+
     "events_kaplan_meier" -> ((s, dir) => {
       val dayNs = 86400000000000L
       val u = Tables.load(s, dir, "events")
@@ -1847,6 +1872,46 @@ object StatsQueries extends QueryGroup {
         "  CASE WHEN vxx > 0 AND vyy > 0 " +
         "    THEN round((cxy * cxy) / (vxx * vyy), 6) END AS var_reduction " +
         "FROM th"),
+
+    // the KM risk-set chain with 12-dp decimal hazard increments
+    "events_nelson_aalen" ->
+      ("WITH u AS (SELECT user_id, " +
+        "    (COALESCE(min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END), " +
+        "      max(epoch_ns(ts))) - min(epoch_ns(ts))) // " + dayNs + " AS t, " +
+        "    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) " +
+        "      IS NOT NULL THEN 1 ELSE 0 END AS evt " +
+        "  FROM events GROUP BY user_id), " +
+        "pt AS (SELECT t, CAST(sum(evt) AS BIGINT) AS d, " +
+        "    CAST(sum(1 - evt) AS BIGINT) AS c FROM u GROUP BY t), " +
+        "tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS N FROM pt), " +
+        "cum AS (SELECT *, sum(d + c) OVER (ORDER BY t) AS cl FROM pt, tot), " +
+        "rk AS (SELECT *, N - (cl - d - c) AS n_risk FROM cum), " +
+        "hz AS (SELECT *, CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 12) " +
+        "    AS DECIMAL(28,12)) AS h FROM rk), " +
+        "fin AS (SELECT t, n_risk, d, c, sum(h) OVER (ORDER BY t) AS ch FROM hz) " +
+        "SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event, " +
+        "  c AS n_censored, round(CAST(ch AS DOUBLE), 6) AS cum_hazard, " +
+        "  round(exp(-CAST(ch AS DOUBLE)), 6) AS surv_fh " +
+        "FROM fin WHERE d > 0"),
+
+    // exact DECIMAL(18,2) money reconciliation; full outer so orphans
+    // on either side surface
+    "validate_reconciliation" ->
+      ("WITH h AS (SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) " +
+        "    AS ht FROM orders WHERE o_orderkey IS NOT NULL), " +
+        "d AS (SELECT l_orderkey AS key, CAST(sum(CAST(l_extendedprice " +
+        "    AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dt FROM lineitem " +
+        "  WHERE l_orderkey IS NOT NULL GROUP BY 1), " +
+        "j AS (SELECT COALESCE(h.key, d.key) AS key, ht, dt, " +
+        "    CAST(COALESCE(ht, 0) - COALESCE(dt, 0) AS DECIMAL(19,2)) AS delta " +
+        "  FROM h FULL OUTER JOIN d ON d.key = h.key) " +
+        "SELECT key, round(CAST(ht AS DOUBLE), 2) AS header_total, " +
+        "  round(CAST(dt AS DOUBLE), 2) AS detail_total, " +
+        "  CAST(delta * 100 AS BIGINT) AS delta_cents, " +
+        "  CASE WHEN ht IS NULL THEN 'missing_header' " +
+        "    WHEN dt IS NULL THEN 'missing_detail' " +
+        "    WHEN abs(CAST(delta * 100 AS BIGINT)) <= 0 THEN 'matched' " +
+        "    ELSE 'mismatched' END AS status FROM j"),
 
     "events_kaplan_meier" ->
       ("WITH u AS (SELECT user_id, " +

@@ -268,6 +268,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reconcile: exact decimal deltas, orphans on both sides surface") {
+    import graft.ops.Validation
+    val s = spark; import s.implicits._
+    val header = Seq((1L, 100.00), (2L, 50.00), (4L, 10.00)).toDF("k", "tot")
+    val detail = Seq((1L, 60.00), (1L, 40.00), (2L, 49.50), (3L, 5.00))
+      .toDF("k", "amt")
+    val out = Validation.reconcile(header, detail, "k", "tot", "k", "amt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("delta_cents"), r.getString(4)))).toMap
+    assert(out(1L) === ((0L, "matched")))
+    assert(out(2L) === ((50L, "mismatched")))
+    assert(out(3L)._2 === "missing_header")
+    assert(out(4L)._2 === "missing_detail")
+    // a 50-cent tolerance absorbs the rounding gap
+    val tol = Validation.reconcile(header, detail, "k", "tot", "k", "amt",
+      toleranceCents = 50L).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(tol(2L) === "matched")
+  }
+
   test("validation report counts planted violations per constraint") {
     val s = spark; import s.implicits._
     import graft.ops.Validation._

@@ -146,6 +146,18 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2L)
   }
 
+  test("nelsonAalen: hand-computed hazard increments and e^-H survival") {
+    val s = spark; import s.implicits._
+    // t=1: risk 4, d=2 -> h .5 ; t=2: risk 1, d=1 -> h 1.0
+    val subj = Seq((1L, 1), (1L, 1), (1L, 0), (2L, 1)).toDF("dur", "evt")
+    val out = Stats.nelsonAalen(subj, "dur", "evt").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Double]("cum_hazard"),
+          r.getAs[Double]("surv_fh")))).toMap
+    assert(out(1L) === ((4L, 0.5, 0.606531)))
+    assert(out(2L) === ((1L, 1.5, 0.22313)))
+  }
+
   test("lorenzCurve: perfectly equal units climb linearly; concentration bends") {
     val s = spark; import s.implicits._
     // 10 units each worth 10 -> share at decile k is k/10 exactly
