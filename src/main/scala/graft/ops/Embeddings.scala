@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column utilities for training-data pipelines: L2 stats and
@@ -485,4 +485,30 @@ object Embeddings {
         sum(round(col("__v").cast("double"), 6).cast("decimal(18,6)")).as("__s"))
       .withColumn("centroid", round(col("__s").cast("double") / col("n"), 6))
       .select("label", "dim", "n", "centroid")
+
+  /** Embedding-centroid drift between two cohorts per label: the L2
+    * distance between each cohort's per-label mean vector — the
+    * embedding-space monitor ("did this class's representation move
+    * between snapshots / splits"), cheap enough to run per release
+    * where a full distribution test isn't. Centroids use
+    * [[labelCentroids]]' exact decimal device; per-dim squared diffs
+    * are 12-dp decimals; one √ + round at the end. Labels present in
+    * only one cohort drop (no drift is defined).
+    * @param cohort boolean column: true = cohort A, false = cohort B */
+  def centroidDrift(df: DataFrame, labelCol: String, vecCol: String,
+      cohort: Column): DataFrame = {
+    def side(flag: Boolean, cn: String, nn: String) =
+      labelCentroids(df.filter(if (flag) cohort else !cohort),
+        labelCol, vecCol)
+        .select(col("label"), col("dim"), col("centroid").as(cn),
+          col("n").as(nn))
+    side(true, "__ca", "__na")
+      .join(side(false, "__cb", "__nb"), Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(round((col("__ca") - col("__cb")) * (col("__ca") - col("__cb")), 12)
+          .cast("decimal(28,12)")).cast("double").as("__ss"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(col("__ss")), 6).as("l2_drift"))
+  }
 }

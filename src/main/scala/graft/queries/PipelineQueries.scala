@@ -1739,6 +1739,14 @@ object PipelineQueries extends QueryGroup {
     // per-label centroid vectors (class prototypes), exploded to
     // (label, dim, n, centroid) — map-side-combined groupBy, the shuffle
     // never carries the exploded n×dims set
+    // per-label centroid drift between even- and odd-id cohorts — the
+    // embedding-space release monitor
+    "emb_centroid_drift" -> ((s, dir) => {
+      graft.ops.Embeddings.centroidDrift(
+        Tables.load(s, dir, "embeddings"), "label", "embedding",
+        pmod(col("vec_id"), lit(2L)) === 0)
+    }),
+
     "emb_label_centroid" -> ((s, dir) => {
       Embeddings.labelCentroids(Tables.load(s, dir, "embeddings"), "label", "embedding")
     }),
@@ -3305,6 +3313,21 @@ object PipelineQueries extends QueryGroup {
 
     // 1-based dim via generate_subscripts ≡ Spark posexplode pos + 1;
     // exact decimal element sums, one double divide at the end
+    // two cohort centroids via the unnest device, 12-dp squared diffs
+    "emb_centroid_drift" ->
+      ("WITH x AS (SELECT label, vec_id % 2 = 0 AS ca, unnest(embedding) AS v, " +
+        "    generate_subscripts(embedding, 1) AS i FROM embeddings), " +
+        "c AS (SELECT label, ca, i, CAST(count(*) AS BIGINT) AS n, " +
+        "    round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) " +
+        "      AS DOUBLE) / count(*), 6) AS ct FROM x GROUP BY 1, 2, 3), " +
+        "j AS (SELECT a.label, a.i, a.ct AS cta, b.ct AS ctb, a.n AS na, " +
+        "    b.n AS nb FROM c a JOIN c b ON b.label = a.label AND b.i = a.i " +
+        "  AND a.ca AND NOT b.ca) " +
+        "SELECT label, max(na) AS n_a, max(nb) AS n_b, " +
+        "  round(sqrt(CAST(sum(CAST(round((cta - ctb) * (cta - ctb), 12) " +
+        "    AS DECIMAL(28,12))) AS DOUBLE)), 6) AS l2_drift " +
+        "FROM j GROUP BY 1"),
+
     "emb_label_centroid" ->
       ("SELECT label, i AS dim, count(*) AS n, " +
         "  round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) " +

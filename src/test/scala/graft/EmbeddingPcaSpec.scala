@@ -136,4 +136,21 @@ class EmbeddingPcaSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(varc - 1.0) < 0.05, s"whitened var comp ${c + 1}: $varc")
     }
   }
+
+  test("centroidDrift: hand-computed L2 between cohort centroids; one-cohort labels drop") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val rows = Seq(
+      (0L, "X", Array(1.0f, 0.0f)), (2L, "X", Array(3.0f, 0.0f)), // A: (2,0)
+      (1L, "X", Array(2.0f, 4.0f)),                               // B: (2,4)
+      (4L, "Y", Array(9.0f, 9.0f)))                               // A only
+      .toDF("id", "lbl", "vec")
+    val out = Embeddings.centroidDrift(rows, "lbl", "vec",
+      pmod(col("id"), lit(2L)) === 0).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "X")
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) === ((2L, 1L)))
+    assert(r.getAs[Double]("l2_drift") === 4.0)
+  }
 }
