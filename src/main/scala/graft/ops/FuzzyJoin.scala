@@ -167,6 +167,49 @@ object FuzzyJoin {
       .distinct()
   }
 
+  /** Damerau–Levenshtein self-join: unordered within-table pairs
+    * (id_a < id_b) with unrestricted DL distance ≤ `maxDist`, scored by
+    * the codegen'd [[org.apache.spark.sql.graftfn.DamerauLevenshtein]]
+    * expression (byte-exact DuckDB `damerau_levenshtein` parity). The
+    * typo-model variant of [[selfPairs]]: an adjacent-character swap
+    * (`form`/`from`) costs ONE edit, so swap-typos surface at d=1
+    * where Levenshtein needs d=2 and drags in far more false pairs.
+    *
+    * The deletion-neighborhood blocking stays LOSSLESS for DL: every
+    * unit edit — substitution, insertion, deletion, AND transposition —
+    * admits a common string reachable by ≤1 deletion per side (for a
+    * transposition xy→yx, deleting x from both sides leaves matching
+    * strings), so two strings within DL distance d share a ≤d-deletion
+    * variant and the equi-join on variant hashes sees every true pair.
+    * Verification uses the true DL distance, removing collision-added
+    * candidates. Same per-distance length caps as [[selfPairs]]. */
+  def damerauSelfPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxLen: Int = 0): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] (variant fan-out is len^maxDist): $maxDist")
+    require(maxLen <= lenCap(maxDist),
+      s"maxLen=$maxLen exceeds the d=$maxDist cap of ${lenCap(maxDist)} " +
+        "(deletion-neighborhood size ~C(len, d) strings per row)")
+    org.apache.spark.sql.graftfn.GraftFunctions.register(df.sparkSession)
+    val dlName = org.apache.spark.sql.graftfn.GraftFunctions.DamerauName
+    val effLen = if (maxLen > 0) maxLen else lenCap(maxDist)
+    val vk = variantKeys(df, strCol, maxDist, effLen, "__sl")
+      .localCheckpoint(true)
+    val verified = vk.join(vk.withColumnRenamed("__sl", "__sr"), "__h")
+      .filter(col("__sl") <= col("__sr"))
+      .select(col("__sl"), col("__sr")).distinct()
+      .withColumn("dist", expr(s"$dlName(__sl, __sr)"))
+      .filter(col("dist") <= maxDist)
+    val l = df.select(col(idCol).cast("long").as("id_l"), col(strCol).as("__sl"))
+    val r = df.select(col(idCol).cast("long").as("id_r"), col(strCol).as("__sr"))
+    verified.join(l, "__sl").join(r, "__sr")
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+      .distinct()
+  }
+
   /** Jaro–Winkler self-join over DISTINCT string values: every
     * unordered value pair (a < b) with similarity ≥ `minSim`, scored by
     * the codegen'd [[org.apache.spark.sql.graftfn.JaroWinkler]]

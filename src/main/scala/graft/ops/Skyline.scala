@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skyline (Pareto-front / maximal-vector) query: the rows not DOMINATED
+  * by any other row, where `b` dominates `a` iff `b` is at least as good
+  * on every criterion and strictly better on at least one. The classic
+  * multi-criteria shortlist operator (Börzsönyi/Kossmann/Stocker, ICDE
+  * 2001): "cheap AND large" parts, "high-quality AND recent" documents —
+  * no weighting function needed, the answer is every non-dominated
+  * trade-off.
+  *
+  * Scale shape — the canonical two-phase distributed skyline:
+  *
+  *  1. LOCAL phase: `mapPartitions` keeps a per-partition window of
+  *     non-dominated rows (each incoming row is checked against the
+  *     window; dominated rows die, dominating rows evict). Output is
+  *     each partition's skyline — for real-world dimensionality (2-6
+  *     criteria) this is a tiny fraction of the partition, and any row
+  *     dominated ANYWHERE in the partition is gone before a single
+  *     byte shuffles.
+  *  2. GLOBAL phase: the union of local skylines (≤ partitions ×
+  *     local-skyline size — kilobytes, not the corpus) is checked
+  *     against itself the same way in ONE task. Correct because
+  *     dominance is transitive and a globally non-dominated row is
+  *     non-dominated in its own partition, so it survives phase 1.
+  *
+  * No shuffle of corpus-sized data anywhere: phase 1 is
+  * exchange-free, phase 2 coalesces only the candidate set. The
+  * `maxSkyline` guard bounds the window (an anti-correlated adversarial
+  * distribution can make the skyline itself huge; a shortlist past the
+  * cap is not a shortlist — fail loudly, don't OOM).
+  *
+  * Determinism: output is a row SET (no order contract); ties —
+  * distinct rows with identical criteria vectors — are all kept unless
+  * one is strictly dominated, mirroring the NOT EXISTS strict-dominance
+  * SQL the oracle runs.
+  *
+  * Reference frame: HIndex has no multi-criteria surface (its planner
+  * optimizes single-predicate index access,
+  * hbase-secondaryindex/.../ScanFilterEvaluator.java) — beyond-reference
+  * analytics tier, SURVEY §2.11.
+  */
+object Skyline {
+
+  /** `criteria`: (column, minimize?) per dimension — minimize=true means
+    * smaller is better. All criteria columns are cast to double for the
+    * dominance test; rows with any NULL/NaN criterion are excluded (they
+    * are incomparable under dominance). Returns the input rows (original
+    * schema) forming the skyline. */
+  def skyline(df: DataFrame, criteria: Seq[(String, Boolean)],
+      maxSkyline: Int = 100000): DataFrame = {
+    require(criteria.nonEmpty, "skyline needs at least one criterion")
+    require(criteria.size <= 8,
+      s"skyline dimensionality is capped at 8 (the skyline of a high-dim " +
+        s"space approaches the whole input): ${criteria.size}")
+    val spark = df.sparkSession
+    val names = criteria.map(_._1)
+    // orient every criterion to MINIMIZE (negate the maximized ones) so
+    // the kernel's dominance test is one direction
+    val oriented = criteria.map { case (c, minimize) =>
+      val d = col(c).cast("double")
+      (if (minimize) d else -d).as(s"__sk_$c")
+    }
+    val skNames = names.map(n => s"__sk_$n")
+    val clean = df.filter(names.map(n =>
+      col(n).isNotNull && !isnan(col(n).cast("double"))).reduce(_ && _))
+    val prepared = clean.select(col("*") +: oriented: _*)
+    val schema = prepared.schema
+    val d = skNames.size
+    val idx = skNames.map(schema.fieldIndex)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+
+    // dominance window pass shared by both phases: true = keep
+    def localSkyline(rows: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = {
+      val window = new java.util.ArrayList[(Array[Double], org.apache.spark.sql.Row)]()
+      rows.foreach { r =>
+        val v = new Array[Double](d)
+        var i = 0
+        while (i < d) { v(i) = r.getDouble(idx(i)); i += 1 }
+        // check against the window: drop r if dominated; evict dominated
+        var dominated = false
+        var j = 0
+        while (j < window.size && !dominated) {
+          val w = window.get(j)._1
+          // w dominates v? (all <=, one <)
+          var allLe = true
+          var oneLt = false
+          var k = 0
+          while (k < d && allLe) {
+            if (w(k) > v(k)) allLe = false
+            else if (w(k) < v(k)) oneLt = true
+            k += 1
+          }
+          if (allLe && oneLt) dominated = true
+          else {
+            // v dominates w? then evict w (swap-remove)
+            var allLe2 = true
+            var oneLt2 = false
+            k = 0
+            while (k < d && allLe2) {
+              if (v(k) > w(k)) allLe2 = false
+              else if (v(k) < w(k)) oneLt2 = true
+              k += 1
+            }
+            if (allLe2 && oneLt2) {
+              window.set(j, window.get(window.size - 1))
+              window.remove(window.size - 1)
+              // do NOT advance j: the swapped-in element needs checking
+            } else j += 1
+          }
+        }
+        if (!dominated) {
+          window.add((v, r))
+          require(window.size <= maxSkyline,
+            s"skyline window exceeded maxSkyline=$maxSkyline — " +
+              "anti-correlated criteria make the skyline itself corpus-sized; " +
+              "reduce dimensionality or raise the cap deliberately")
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      window.asScala.iterator.map(_._2)
+    }
+
+    val local = prepared.mapPartitions(localSkyline(_))(enc)
+    // phase 2: candidate set is tiny — one task finishes the job
+    val global = local.coalesce(1).mapPartitions(localSkyline(_))(enc)
+    global.select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

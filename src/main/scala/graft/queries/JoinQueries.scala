@@ -198,6 +198,23 @@ object JoinQueries extends QueryGroup {
         Tables.load(s, dir, "part"), "p_name", minSim = 0.88)
     }),
 
+    // unrestricted Damerau-Levenshtein near-pairs: customer names plus
+    // planted adjacent-swap typos (ONE DL edit, TWO Levenshtein edits —
+    // the typo model Levenshtein misses at d=1), deletion-neighborhood
+    // blocked, scored by the codegen graft_damerau expression with
+    // byte-exact DuckDB damerau_levenshtein parity
+    "join_damerau" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val planted = cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 2000000).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 16),
+            substring(col("c_name"), 18, 1),
+            substring(col("c_name"), 17, 1)).as("c_name"))
+      graft.ops.FuzzyJoin.damerauSelfPairs(cust.union(planted),
+        "c_custkey", "c_name", maxDist = 1)
+    }),
+
     // view-value linearly interpolated at each click time per user
     // (two merge-scan as-ofs + a pure lerp; exact hits pass through,
     // flat extrapolation at the edges)
@@ -364,6 +381,17 @@ object JoinQueries extends QueryGroup {
         "  round(jaro_winkler_similarity(x.a, y.a), 6) AS sim " +
         "FROM v x JOIN v y ON x.a < y.a " +
         "WHERE round(jaro_winkler_similarity(x.a, y.a), 6) >= 0.88"),
+    "join_damerau" ->
+      ("WITH u AS (SELECT c_custkey, c_name FROM customer " +
+        "  UNION ALL " +
+        "  SELECT c_custkey + 2000000, " +
+        "    substr(c_name, 1, 16) || substr(c_name, 18, 1) || substr(c_name, 17, 1) " +
+        "  FROM customer WHERE c_custkey % 7 = 0) " +
+        "SELECT least(a.c_custkey, b.c_custkey) AS id_a, " +
+        "  greatest(a.c_custkey, b.c_custkey) AS id_b, " +
+        "  CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM u a JOIN u b ON a.c_custkey < b.c_custkey " +
+        "WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1"),
     "join_interpolate" ->
       ("WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events " +
         "  WHERE event_type = 'click'), " +

@@ -61,6 +61,15 @@ object SegmentationQueries extends QueryGroup {
         "l_extendedprice")
     }),
 
+    // skyline shortlist of parts: cheapest-AND-largest Pareto front
+    // (minimize retail price, maximize size) — two-phase distributed
+    // skyline, zero corpus shuffle; oracle is the strict-dominance
+    // NOT EXISTS self-join
+    "skyline_parts" -> ((s, dir) => {
+      graft.ops.Skyline.skyline(Tables.load(s, dir, "part"),
+        Seq(("p_retailprice", true), ("p_size", false)))
+    }),
+
     // one-pass decision stump per feature: histogram → boundary sweep →
     // lowest weighted Gini; the per-round kernel of distributed tree
     // learners, reproduced exactly by the SQL oracle from integer counts
@@ -84,6 +93,12 @@ object SegmentationQueries extends QueryGroup {
       s"AND NOT isnan(CAST($feature AS DOUBLE))"
 
   def oracles: Map[String, String] = Map(
+
+    "skyline_parts" ->
+      ("SELECT * FROM part a WHERE NOT EXISTS (" +
+        "SELECT 1 FROM part b " +
+        "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size " +
+        "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"),
 
     "events_rfm" ->
       ("WITH u AS (SELECT user_id, max(epoch_ns(ts)) AS lastts, " +

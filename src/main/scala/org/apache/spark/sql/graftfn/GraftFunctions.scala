@@ -117,6 +117,37 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unrestricted Damerau–Levenshtein distance as a codegen'd binary
+  * expression — the record-linkage distance that counts an adjacent-char
+  * swap as ONE edit (typo model: `form`/`from`), where plain Levenshtein
+  * charges two. Byte-level over the UTF-8 encoding, exactly DuckDB's
+  * `damerau_levenshtein` semantics (fuzz-pinned): full Lowrance–Wagner —
+  * transposed blocks may be further edited (`ca`→`abc` = 2, not the
+  * OSA 3), alphabet is the 256 byte values. The O(|a|·|b|) table runs as
+  * one static call inside the generated stage.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = GraftFunctions.DamerauName
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.damerauBytes(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      "org.apache.spark.sql.graftfn.GraftFunctions.damerauBytes(" +
+        s"$a.getBytes(), $b.getBytes())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Function registration. Two paths, preferred first:
   *
   *  - sessions the engine builds: [[injections]] feeds
@@ -136,6 +167,55 @@ object GraftFunctions {
   val TokRangeName = "graft_tok_range"
   val TokSliceName = "graft_tok_slice"
   val JaroWinklerName = "graft_jaro_winkler"
+  val DamerauName = "graft_damerau"
+
+  /** Unrestricted Damerau–Levenshtein over raw bytes (Lowrance–Wagner
+    * 1975, the `d[k,l]` last-occurrence recurrence) — see
+    * [[DamerauLevenshtein]] for the contract. Static so generated code
+    * calls it directly. */
+  def damerauBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    // da(byte) = last row index i where a(i-1) == byte (1-based), 0 if none
+    val da = new Array[Int](256)
+    // (la+2) x (lb+2) table with the -1 sentinel border at index 0
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    i = 1
+    while (i <= la) {
+      var db = 0
+      val ai = a(i - 1) & 0xff
+      j = 1
+      while (j <= lb) {
+        val bj = b(j - 1) & 0xff
+        val k = da(bj)
+        val l = db
+        var cost = 1
+        if (ai == bj) { cost = 0; db = j }
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = sub
+        if (ins < m) m = ins
+        if (del < m) m = del
+        if (trans < m) m = trans
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da(ai) = i
+      i += 1
+    }
+    d((la + 1) * w + lb + 1)
+  }
 
   /** Classic Jaro–Winkler over raw bytes (see [[JaroWinkler]] for the
     * contract). Static so generated code calls it directly. */
@@ -207,7 +287,10 @@ object GraftFunctions {
       exprs => TokenSliceJoin(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier(JaroWinklerName),
       new ExpressionInfo(classOf[JaroWinkler].getName, JaroWinklerName),
-      exprs => JaroWinkler(exprs(0), exprs(1))))
+      exprs => JaroWinkler(exprs(0), exprs(1))),
+    (FunctionIdentifier(DamerauName),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, DamerauName),
+      exprs => DamerauLevenshtein(exprs(0), exprs(1))))
 
   /** Idempotently register the codegen functions in a HANDED session —
     * fallback for sessions built without `GraftExtensions`. */

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfn.GraftFunctions
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FuzzyJoin, Skyline}
+
+/** Contracts of the unrestricted Damerau-Levenshtein expression (DuckDB
+  * damerau_levenshtein parity, fuzz-pinned) and the two-phase skyline. */
+class DamerauSkylineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("DamerauSkylineSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def dl(a: String, b: String): Int =
+    GraftFunctions.damerauBytes(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  test("unrestricted DL: transposed block may be edited further") {
+    assert(dl("ca", "abc") === 2) // OSA says 3; Lowrance-Wagner 2
+    assert(dl("ab", "ba") === 1)
+    assert(dl("abcd", "acbd") === 1)
+    assert(dl("xaby", "xbay") === 1)
+    assert(dl("aabb", "bbaa") === 3)
+    assert(dl("kitten", "sitting") === 3)
+    assert(dl("flaw", "lawn") === 2)
+    assert(dl("abc", "abc") === 0)
+    assert(dl("", "abc") === 3)
+    assert(dl("a", "") === 1)
+  }
+
+  test("byte-level semantics (DuckDB parity on multibyte chars)") {
+    assert(dl("aü", "üa") === 2)   // 2-byte ü: swap is NOT one byte-transposition
+    assert(dl("héllo", "hello") === 2)
+    assert(dl("€", "") === 3)      // 3-byte char
+  }
+
+  test("DuckDB fuzz-pinned corpus (seed 7, alphabet abcü€)") {
+    val cases = Seq(
+      ("büaa€", "c", 8), ("", "baaüüaba", 10), ("üa€ab€a€", "aba€bc", 10),
+      ("b€a€c€", "a€", 8), ("ca€", "€", 2), ("", "ü€ü", 7),
+      ("ü€ücc", "bba", 9), ("€ücü", "€aa€", 5), ("bcbüüa", "€", 8),
+      ("cc€ü€", "aacüaac", 8), ("cücaücb", "ü", 7), ("", "cbb", 3),
+      ("üüabüü", "cbü€cücü", 7), ("bab", "bb", 1), ("", "€bccabü", 10),
+      ("c€€cb€€a", "€üüüüaü", 13), ("ababüb", "c", 7), ("", "a", 1),
+      ("€a", "€aab€", 5), ("bcc€cü", "a", 9), ("üüücaba", "cüb€a", 7),
+      ("€cb", "a€cac€cb", 7), ("b€€€c", "€bb", 8), ("bb€üca", "", 9),
+      ("ücb€", "üccab", 4), ("b", "bcbü€€a", 11), ("caaübüb", "caüüüa", 4),
+      ("bb", "", 2), ("€ü", "€€", 3), ("cb€€baa", "€", 8), ("üb", "acb", 2),
+      ("€b€c", "€üba", 5), ("ü€€ü€", "€b", 10), ("€aüb€abb", "ü€", 8),
+      ("€", "", 3), ("€€€üa", "abbcaa€ü", 7), ("aaüc€€€€", "cü€", 12),
+      ("ü€b€c€bü", "üa", 14), ("ücabüa", "cab", 5), ("bcbüb", "ü", 4))
+    cases.foreach { case (a, b, want) =>
+      assert(dl(a, b) === want, s"dl($a, $b)")
+    }
+  }
+
+  test("expression codegen path agrees with the static fn and symmetry holds") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    val rows = Seq(("form", "from"), ("ca", "abc"), ("aü", "üa"), ("x", "x"))
+    val got = rows.toDF("a", "b")
+      .select(expr(s"${GraftFunctions.DamerauName}(a, b)").as("d"),
+        expr(s"${GraftFunctions.DamerauName}(b, a)").as("dr"))
+      .collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      assert(r.getInt(0) === dl(a, b))
+      assert(r.getInt(0) === r.getInt(1), "symmetric")
+    }
+  }
+
+  test("damerauSelfPairs finds swap-typos at d=1 that Levenshtein misses") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "form"), (2L, "from"),       // one transposition apart
+      (3L, "paris"), (4L, "pairs"),     // one transposition apart
+      (5L, "zebra"), (6L, "quilt")      // unrelated
+    ).toDF("id", "name")
+    val pairs = FuzzyJoin.damerauSelfPairs(df, "id", "name", maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1L), (3L, 4L, 1L)))
+    // plain Levenshtein at the same threshold finds nothing
+    val lev = FuzzyJoin.selfPairs(df, "id", "name", maxDist = 1)
+    assert(lev.count() === 0)
+  }
+
+  test("skyline: hand-computed 2-D front, ties kept, dominated evicted") {
+    val s = spark; import s.implicits._
+    // minimize price, maximize size
+    val df = Seq(
+      (1L, 10.0, 5), (2L, 10.0, 5),  // tie pair: both on the front
+      (3L, 8.0, 5),                  // dominates 1,2 on price
+      (4L, 8.0, 7),                  // dominates 3
+      (5L, 12.0, 9),                 // front (bigger size)
+      (6L, 13.0, 9),                 // dominated by 5
+      (7L, 7.0, 1)                   // front (cheapest)
+    ).toDF("id", "price", "size")
+    val front = Skyline.skyline(df,
+      Seq(("price", true), ("size", false)))
+      .select("id").as[Long].collect().toSet
+    assert(front === Set(4L, 5L, 7L))
+  }
+
+  test("skyline: 3-D result equals the brute-force dominance filter") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble,
+        rnd.nextInt(20).toDouble))
+    val df = rows.toDF("id", "x", "y", "z").repartition(7)
+    // minimize x, minimize y, maximize z
+    val got = Skyline.skyline(df,
+      Seq(("x", true), ("y", true), ("z", false)))
+      .select("id").as[Long].collect().toSet
+    val brute = rows.filter { case (_, x, y, z) =>
+      !rows.exists { case (_, x2, y2, z2) =>
+        x2 <= x && y2 <= y && z2 >= z && (x2 < x || y2 < y || z2 > z)
+      }
+    }.map(_._1).toSet
+    assert(got === brute)
+  }
+
+  test("skyline: NULL/NaN criteria rows are excluded; cap trips loudly") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some(1.0), 5), (2L, None, 9), (3L, Some(Double.NaN), 9))
+      .toDF("id", "price", "size")
+    val front = Skyline.skyline(df, Seq(("price", true), ("size", false)))
+      .select("id").as[Long].collect().toSet
+    assert(front === Set(1L))
+    val anti = (1 to 50).map(i => (i.toLong, i.toDouble, 51.0 - i))
+      .toDF("id", "x", "y")
+    val e = intercept[org.apache.spark.SparkException] {
+      Skyline.skyline(anti, Seq(("x", true), ("y", true)), maxSkyline = 10)
+        .count()
+    }
+    assert(e.getMessage.contains("maxSkyline") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxSkyline"))
+  }
+}
