@@ -497,6 +497,39 @@ object Funnels {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Skip-gram co-occurrence counts per key: ordered (a, b) event-type
+    * pairs where b occurs within the next `maxSkip` EVENTS after a —
+    * the word2vec-windowed generalization of [[transitions]] (row
+    * distance 1..maxSkip, not just adjacent), and the non-contiguous
+    * sequential-pattern miner ("click … eventually error, with up to k
+    * steps between"). [[sequenceNgrams]] requires every intermediate
+    * step to match; this counts the pair REGARDLESS of what sits
+    * between.
+    *
+    * Shape: one (key, ts)-sort window computes maxSkip leads; the pair
+    * stream explodes to ≤ maxSkip rows per event (linear, bounded — no
+    * self-join), then hash-aggregates to ≤ |types|² rows. `maxSkip` is
+    * capped at 16: a wider window multiplies the event stream by its
+    * width — past that, mine windows instead.
+    *
+    * Determinism contract: (tsCol +: tieCols) must totally order each
+    * key's events. @param tsCol epoch-nanos long (the engine ts axis) */
+  def skipGrams(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, maxSkip: Int,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(maxSkip >= 1 && maxSkip <= 16, s"maxSkip must be in [1, 16]: $maxSkip")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy((tsCol +: tieCols).map(col): _*)
+    events
+      .withColumn("__ld",
+        array((1 to maxSkip).map(i => lead(col(typeCol), i).over(w)): _*))
+      .select(col(typeCol).as("gram_a"),
+        explode(col("__ld")).as("gram_b"))
+      .filter(col("gram_b").isNotNull)
+      .groupBy("gram_a", "gram_b")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Market-basket co-occurrence mining: for every item pair appearing
     * together in at least `minPairCount` baskets (basket = the DISTINCT
     * items of one `userCol`), the association statistics —

@@ -1329,4 +1329,48 @@ object Stats {
         round((col("__sn") - col("__st")).cast("double") / (col("n") - col("t")), 6)
           .as("mean_right"))
   }
+
+  /** Stratified inverse-propensity-weighted average treatment effect —
+    * the observational-causal workhorse (Rosenbaum & Rubin 1983;
+    * Horvitz–Thompson weighting): within discrete propensity strata the
+    * IPW estimator reduces EXACTLY to the stratum-mean difference, so
+    * the per-stratum table (propensity p̂ₛ = treatedₛ/nₛ, both arm
+    * means, ATEₛ = ȳₜ − ȳ꜀) is the whole estimator — the overall ATE is
+    * the nₛ-weighted sum of ATEₛ, left to the consumer because a
+    * cross-stratum double sum has no deterministic order.
+    *
+    * Positivity violations (a stratum with an empty arm) are KEPT with
+    * a NULL ate rather than silently dropped — the diagnostic a real
+    * causal read needs first.
+    *
+    * Determinism: arm sums are 6-dp DECIMAL (exact, order-free); means
+    * divide the decimal sum cast to double by the long count — one IEEE
+    * division, bit-equal in any engine; p̂ is long/long → double.
+    * One hash aggregate over (stratum, arm); stratum cardinality output.
+    */
+  def ipwAte(df: DataFrame, stratumCol: String, treated: Column,
+      outcome: Column): DataFrame = {
+    val y = round(outcome.cast("double"), 6).cast("decimal(18,6)")
+    val clean = df.filter(col(stratumCol).isNotNull &&
+      outcome.isNotNull && !isnan(outcome.cast("double")))
+    clean
+      .withColumn("__t", when(treated, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__y", y)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__t")).as("n_treated"),
+        sum(when(col("__t") === 1L, col("__y"))).as("__st"),
+        sum(when(col("__t") === 0L, col("__y"))).as("__sc"))
+      .withColumn("n_control", col("n") - col("n_treated"))
+      .withColumn("propensity", col("n_treated") / col("n"))
+      .withColumn("mean_treated",
+        when(col("n_treated") > 0L,
+          col("__st").cast("double") / col("n_treated")))
+      .withColumn("mean_control",
+        when(col("n_control") > 0L,
+          col("__sc").cast("double") / col("n_control")))
+      .withColumn("ate", col("mean_treated") - col("mean_control"))
+      .select("stratum", "n", "n_treated", "n_control", "propensity",
+        "mean_treated", "mean_control", "ate")
+  }
 }

@@ -1147,6 +1147,15 @@ object PipelineQueries extends QueryGroup {
         maxGapNs = 3600L * 1000000000L, tieCols = Seq("event_id"))
     }),
 
+    // skip-gram pairs: (a, b) with b within the next 3 events of a —
+    // non-contiguous co-occurrence (word2vec window over the event
+    // stream), one sort + bounded explode, |types|²-sized output
+    "events_skipgrams" -> ((s, dir) => {
+      graft.ops.Funnels.skipGrams(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", maxSkip = 3,
+        tieCols = Seq("event_id"))
+    }),
+
     // per-user inter-arrival burstiness: exact integer moment sums →
     // one fixed double chain (CV ≈ 0 flags machine cadence)
     "events_interarrival" -> ((s, dir) => {
@@ -2954,6 +2963,18 @@ object PipelineQueries extends QueryGroup {
         "SELECT g1 AS gram_1, g2 AS gram_2, g3 AS gram_3, CAST(count(*) AS BIGINT) AS cnt " +
         "FROM x WHERE g2 IS NOT NULL AND ga <= 3600000000000 " +
         "  AND g3 IS NOT NULL AND gb <= 3600000000000 GROUP BY 1, 2, 3"),
+
+    // skip-gram pairs: three leads on the same (user, ts, event_id)
+    // window, each lead contributing one pair row
+    "events_skipgrams" ->
+      ("WITH x AS (SELECT event_type AS a, lead(event_type, 1) OVER w AS b1, " +
+        "  lead(event_type, 2) OVER w AS b2, lead(event_type, 3) OVER w AS b3 " +
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT a, b1 AS b FROM x WHERE b1 IS NOT NULL " +
+        "  UNION ALL SELECT a, b2 FROM x WHERE b2 IS NOT NULL " +
+        "  UNION ALL SELECT a, b3 FROM x WHERE b3 IS NOT NULL) " +
+        "SELECT a AS gram_a, b AS gram_b, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM p GROUP BY 1, 2"),
 
     // inter-arrival: exact integer Σg/Σg², then the engine's exact
     // double chain (variance clamped at 0 for constant-gap keys)

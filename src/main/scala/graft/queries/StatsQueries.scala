@@ -66,6 +66,36 @@ object StatsQueries extends QueryGroup {
 
   def defs: Map[String, Q] = Map(
 
+    // stratified IPW average treatment effect: high-priority orders as
+    // "treatment", order value as outcome, market segment as propensity
+    // strata — per-stratum propensity + arm means + ATE, positivity
+    // violations kept with NULL ate
+    "stats_ipw_ate" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.Stats.ipwAte(o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_mktsegment",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        col("o_totalprice"))
+    }),
+
+    // seasonality-adjusted anomalies: robust MAD outliers WITHIN each
+    // (weekday, hour-of-day) cell — a value is anomalous vs its own
+    // seasonal slot, not the global distribution (3am spikes aren't
+    // judged against noon traffic); exact integer slot derivation on
+    // the nanos axis
+    "events_seasonal_anomaly" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .withColumn("dow", pmod(expr("ts div 86400000000000") + 4, lit(7L)))
+        .withColumn("hod", expr("(ts % 86400000000000) div 3600000000000"))
+        .select("event_id", "ts", "event_type", "value", "dow", "hod")
+      graft.ops.Profiling.madOutliers(ev, Seq("dow", "hod"), "value",
+        threshold = 3.0)
+        .select("event_id", "dow", "hod", "m")
+    }),
+
     // KS distribution drift between click and view purchase values —
     // the any-shape-change alarm next to events_welch_ttest's
     // mean-only test.
@@ -676,6 +706,50 @@ object StatsQueries extends QueryGroup {
       "  AND event_type IS NOT NULL GROUP BY 1, 2"
 
   def oracles: Map[String, String] = Map(
+
+    // per-stratum IPW: decimal arm sums → one IEEE double division per
+    // mean; propensity is long/long; NULL ate marks positivity breaks
+    "stats_ipw_ate" ->
+      ("WITH j AS (SELECT c.c_mktsegment AS stratum, " +
+        "    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "      THEN 1 ELSE 0 END AS t, " +
+        "    CAST(round(CAST(o.o_totalprice AS DOUBLE), 6) AS DECIMAL(18,6)) AS y " +
+        "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "  WHERE o.o_totalprice IS NOT NULL AND NOT isnan(o.o_totalprice)), " +
+        "a AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(t) AS BIGINT) AS n_treated, " +
+        "    sum(CASE WHEN t = 1 THEN y END) AS st, " +
+        "    sum(CASE WHEN t = 0 THEN y END) AS sc " +
+        "  FROM j GROUP BY 1) " +
+        "SELECT stratum, n, n_treated, n - n_treated AS n_control, " +
+        "  CAST(n_treated AS DOUBLE) / n AS propensity, " +
+        "  CASE WHEN n_treated > 0 THEN CAST(st AS DOUBLE) / n_treated END " +
+        "    AS mean_treated, " +
+        "  CASE WHEN n - n_treated > 0 THEN CAST(sc AS DOUBLE) / (n - n_treated) END " +
+        "    AS mean_control, " +
+        "  CASE WHEN n_treated > 0 AND n - n_treated > 0 THEN " +
+        "    CAST(st AS DOUBLE) / n_treated - CAST(sc AS DOUBLE) / (n - n_treated) END " +
+        "    AS ate " +
+        "FROM a"),
+
+    // seasonal-slot MAD: same device as events_mad_outliers with the
+    // (weekday, hour) cell as the group; slots from exact integer
+    // division on the nanos axis
+    "events_seasonal_anomaly" ->
+      ("WITH e AS (SELECT event_id, " +
+        "    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow, " +
+        "    (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hod, " +
+        "    round(CAST(value AS DOUBLE), 6) AS v FROM events " +
+        "  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)), " +
+        " med AS (SELECT dow, hod, quantile_cont(v, 0.5) AS med " +
+        "  FROM e GROUP BY 1, 2), " +
+        " d AS (SELECT e.event_id, e.dow, e.hod, e.v - med.med AS dev " +
+        "  FROM e JOIN med USING (dow, hod)), " +
+        " md AS (SELECT dow, hod, quantile_cont(abs(dev), 0.5) AS mad " +
+        "  FROM d GROUP BY 1, 2) " +
+        "SELECT d.event_id, d.dow, d.hod, round(0.6745 * d.dev / md.mad, 6) AS m " +
+        "FROM d JOIN md USING (dow, hod) " +
+        "WHERE md.mad > 0 AND abs(round(0.6745 * d.dev / md.mad, 6)) > 3.0"),
 
     // recursive-CTE absorption fixpoint with the engine's exact
     // arithmetic: probs = round(cnt/total, 12) decimals, per-term

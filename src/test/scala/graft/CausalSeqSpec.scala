@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Funnels, Stats}
+
+/** Hand-computed contracts for the stratified IPW ATE and event
+  * skip-gram mining (round-6 causal/sequence additions). */
+class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("CausalSeqSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("ipwAte: per-stratum means/ate hand-computed; positivity kept NULL") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", true, 10.0), ("a", true, 14.0), ("a", false, 8.0), ("a", false, 4.0),
+      ("b", true, 9.0), ("b", false, 3.0), ("b", false, 6.0),
+      ("c", true, 5.0) // treated-only: positivity violation
+    ).toDF("seg", "t", "y")
+    val out = Stats.ipwAte(df, "seg", col("t"), col("y"))
+      .orderBy("stratum").collect()
+    assert(out.length === 3)
+    val a = out(0)
+    assert(a.getAs[Long]("n") === 4 && a.getAs[Long]("n_treated") === 2)
+    assert(a.getAs[Double]("propensity") === 0.5)
+    assert(a.getAs[Double]("mean_treated") === 12.0)
+    assert(a.getAs[Double]("mean_control") === 6.0)
+    assert(a.getAs[Double]("ate") === 6.0)
+    val b = out(1)
+    assert(b.getAs[Double]("mean_treated") === 9.0)
+    assert(b.getAs[Double]("mean_control") === 4.5)
+    assert(b.getAs[Double]("ate") === 4.5)
+    val c = out(2)
+    assert(c.getAs[Long]("n_control") === 0)
+    assert(c.isNullAt(c.fieldIndex("mean_control")))
+    assert(c.isNullAt(c.fieldIndex("ate")))
+  }
+
+  test("ipwAte: NaN/NULL outcomes and NULL strata are excluded") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Some("a"), true, Some(10.0)), (Some("a"), false, Some(2.0)),
+      (Some("a"), true, Some(Double.NaN)), (Some("a"), false, None),
+      (None, true, Some(7.0))
+    ).toDF("seg", "t", "y")
+    val out = Stats.ipwAte(df, "seg", col("t"), col("y")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n") === 2)
+    assert(out(0).getAs[Double]("ate") === 8.0)
+  }
+
+  test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
+    val s = spark; import s.implicits._
+    // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
+    // user 2: A B      → (A,B)
+    val df = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"), (1L, 40L, "D"),
+      (2L, 10L, "A"), (2L, 20L, "B")
+    ).toDF("u", "ts", "et")
+    val got = Funnels.skipGrams(df, "u", "ts", "et", maxSkip = 3)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(got === Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("A", "D") -> 1L,
+      ("B", "C") -> 1L, ("B", "D") -> 1L, ("C", "D") -> 1L))
+    // maxSkip=1 degenerates to adjacent transitions
+    val adj = Funnels.skipGrams(df, "u", "ts", "et", maxSkip = 1)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(adj === Map(("A", "B") -> 2L, ("B", "C") -> 1L, ("C", "D") -> 1L))
+  }
+}
