@@ -419,6 +419,75 @@ object Dedup {
     verifyJaccard(withSh, threshold)
   }
 
+  /** Prefix-filtered set-similarity self-join (AllPairs/PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): every document pair
+    * with n-gram Jaccard ≥ `threshold`, with NO blocking column and NO
+    * loss. Where [[ngramJaccardNearDups]] trusts a caller-chosen block
+    * key (pairs across blocks are invisible by design), this derives
+    * its candidates from the similarity threshold itself:
+    *
+    *  - order each document's shingle set by GLOBAL rarity (document
+    *    frequency asc, hash asc — the canonical rare-first order);
+    *  - keep only the PREFIX of length |x| − ⌈t·|x|⌉ + 1: two sets with
+    *    J ≥ t must share ≥ ⌈t·|x|⌉ shingles per side (J ≥ t ⇒
+    *    |A∩B| ≥ t·max(|A|,|B|)), and the smallest-ordered common
+    *    shingle provably lands inside BOTH prefixes (if it didn't, the
+    *    ≥ |x|−⌈t|x|⌉+1 elements before it would all be non-shared,
+    *    leaving < t·|x| shared — contradiction);
+    *  - equi-join prefixes on the shingle hash, size-filter candidates
+    *    (min ≥ t·max, also implied by J ≥ t), verify with the exact
+    *    two-pointer Jaccard kernel.
+    *
+    * Scale shape: the join key is predominantly RARE shingles (the
+    * rare-first order pushes every document's most discriminating
+    * shingles into its prefix, and a shingle shared by k docs
+    * contributes C(k,2) candidates only if it survives into prefixes) —
+    * candidate volume tracks true-pair density, not corpus size. The
+    * document-frequency table is one |shingles| aggregate; prefix
+    * length derives per row; ⌈t·|x|⌉ runs in integer arithmetic on the
+    * 6-dp threshold (fp ceil(0.4·5) = 3 would silently shrink the
+    * prefix and lose boundary pairs).
+    *
+    * Returns (id_a, id_b, jaccard) — identical contract (and identical
+    * verify kernel and rounding) to [[ngramJaccardNearDups]]. */
+  def ppJoinNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    requireIntegralId(df, idCol)
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t6 = math.round(threshold * 1e6) // 6-dp integer threshold
+    val grams = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, MinHash.wordNgramHashes(text, n)) })
+      .toDF("id", "sh")
+      .localCheckpoint(true) // reused by prefix build AND verification
+    val tok = grams.select(col("id"), col("sh"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+      .select("id", "sz", "h")
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("__df"))
+    // rare-first rank within each doc; prefix = sz - ceil(t*sz) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__df"), col("h"))
+    val prefix = tok.join(dfreq, "h")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("sz") - expr(s"(sz * ${t6}L + 999999) div 1000000") + 1)
+      .select("id", "sz", "h")
+    val cands = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      // size filter: J >= t forces min >= t*max (integer 6-dp form)
+      .filter(least(col("sz_a"), col("sz_b")) * 1000000L >=
+        greatest(col("sz_a"), col("sz_b")) * t6)
+      .select("id_a", "id_b").distinct()
+      .repartition(col("id_a"))
+    val withSh = cands
+      .join(grams.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    verifyJaccard(withSh, threshold)
+  }
+
   /** SimHash near-dups: candidates via exact match on `maxHamming + 1`
     * near-equal-width bit chunks — by pigeonhole, two signatures within
     * hamming distance `maxHamming` differ in at most `maxHamming` chunks,

@@ -440,6 +440,16 @@ object PipelineQueries extends QueryGroup {
       Dedup.ngramJaccardNearDups(docs, "doc_id", "text", "blk", 0.4, n = 3)
     }),
 
+    // PPJoin prefix-filtered similarity self-join: NO blocking column —
+    // candidates derive from the threshold itself (rare-first prefixes
+    // + size filter), provably lossless; the oracle is the FULL
+    // all-pairs Jaccard, so any pair the prefix filter missed would
+    // hash-fail the gate
+    "dedup_ppjoin" -> ((s, dir) => {
+      graft.ops.Dedup.ppJoinNearDups(Tables.load(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.4, n = 3)
+    }),
+
     // DIRECTED containment near-dups: 15-word truncations of the first
     // 10 docs are planted — each must surface as contained_id with
     // containment 1.0 (its Jaccard vs the full doc is far below any
@@ -2625,6 +2635,19 @@ object PipelineQueries extends QueryGroup {
         "FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4"),
+    // all-pairs Jaccard with NO blocking — the losslessness referee for
+    // the engine's prefix-filtered candidate generation
+    "dedup_ppjoin" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), " +
+        "    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh " +
+        "  FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard " +
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id " +
+        "WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.4"),
     "ann_brute_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5), " +
         "sims AS (SELECT q.q_id, e.vec_id, " +

@@ -358,4 +358,47 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
       (5L, 6L)), s"got $got")
   }
+
+  test("ppJoinNearDups: equals brute-force Jaccard with NO blocking, at the exact boundary") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"w$i")
+    def doc(): String = (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 60L).map(id => (id, doc()))
+    // planted near-dups: light mutations of the first five docs
+    val mutated = (1L to 5L).map { id =>
+      val words = base(id.toInt - 1)._2.split(" ")
+      (id + 1000L, (words.take(10) :+ "zzz").mkString(" "))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.ppJoinNearDups(docs, "doc_id", "text",
+      threshold = 0.3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every pair, exact Jaccard over distinct word trigrams
+    val shingles = (base ++ mutated).map { case (id, t) =>
+      (id, graft.ops.MinHash.wordNgramHashes(t, 3)) }
+    val brute = (for {
+      i <- shingles.indices; j <- shingles.indices if shingles(i)._1 < shingles(j)._1
+      jac = graft.ops.MinHash.jaccardHashes(shingles(i)._2, shingles(j)._2)
+      r = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if r >= 0.3
+    } yield (shingles(i)._1, shingles(j)._1, r)).toSet
+    assert(brute.nonEmpty, "planted mutations must produce true pairs")
+    assert(got === brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("ppJoinNearDups: integer prefix arithmetic holds at ceil boundaries (t=0.4, |x|=5)") {
+    val s = spark; import s.implicits._
+    // two 7-token docs sharing enough trigrams to sit exactly at J = 0.4:
+    // shingle sets of size 5 each, intersection 2/union 8 = 0.25 < 0.4;
+    // craft instead size 5 with intersection 4 → 4/6 = 0.6667 ≥ 0.4 and
+    // a disjoint pair — the gate is that NOTHING at the boundary is lost
+    val a = "t1 t2 t3 t4 t5 t6 t7"        // 5 trigrams
+    val b = "t1 t2 t3 t4 t5 t6 x7"        // shares 4 of them
+    val c = "u1 u2 u3 u4 u5 u6 u7"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.ppJoinNearDups(docs, "doc_id", "text", 0.4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
 }
