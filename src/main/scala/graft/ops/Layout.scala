@@ -118,6 +118,118 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path + "_manifest")
   }
 
+  /** Per-file Bloom filter bits used by [[writeBloomManifest]] /
+    * [[bloomPrunedRead]]. k=4 probes derived from one 64-bit value hash
+    * by repeated golden-ratio remixing — deterministic, so the manifest
+    * is reproducible and the membership test is re-derivable anywhere.
+    * False positives only ever ADD files to a read (correctness never
+    * depends on the bloom); false negatives are impossible by
+    * construction. */
+  private[ops] final val BloomK = 4
+
+  private[ops] def bloomProbes(h0: Long, mBits: Int): Array[Int] = {
+    val out = new Array[Int](BloomK)
+    var h = h0
+    var i = 0
+    while (i < BloomK) {
+      h = (h ^ (h >>> 33)) * 0x9e3779b97f4a7c15L
+      out(i) = ((h >>> 8) % mBits).toInt.abs
+      i += 1
+    }
+    out
+  }
+
+  /** Typed aggregator building one `mBits`-bit bloom per group from
+    * value hashes; merge is bitwise OR (associative/commutative — safe
+    * under any partial-aggregation plan). */
+  private final class BloomAgg(mBits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      val ps = bloomProbes(h, mBits)
+      var i = 0
+      while (i < ps.length) {
+        b(ps(i) >>> 3) = (b(ps(i) >>> 3) | (1 << (ps(i) & 7))).toByte
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private[graft] def mightContain(bloom: Array[Byte], h0: Long): Boolean = {
+    val mBits = bloom.length * 8
+    val ps = bloomProbes(h0, mBits)
+    var i = 0
+    while (i < ps.length) {
+      if ((bloom(ps(i) >>> 3) & (1 << (ps(i) & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Value hash feeding the bloom: the repo-wide 64-bit string hash over
+    * the column's canonical string form (matches [[MinHash.baseHash]] so
+    * build and probe agree on every type). */
+  private def valueHash(c: Column): Column =
+    xxhash64(c.cast("string"))
+
+  /** Per-file BLOOM manifest — the point-lookup complement of
+    * [[writeManifest]]'s min/max stats. Min/max prunes range predicates
+    * on the CLUSTERED column; a point lookup on any other high-
+    * cardinality column (the "find this orderkey in a price-clustered
+    * table" read) overlaps every [min,max] interval and min/max prunes
+    * nothing. A `bitsPerFile`-bit bloom of the column's value hashes
+    * (k=4, OR-mergeable, built in one all-map-side aggregate) lets the
+    * reader skip every file whose bloom rejects the probe — the same
+    * device as parquet bloom filters / Iceberg puffin blobs, held in
+    * the O(files) manifest so planning touches ONE tiny table instead
+    * of every footer. ~8 KB per file at the default 65536 bits; fpp at
+    * 5k distinct values/file ≈ (1−e^(−4·5k/65536))⁴ ≈ 0.5% — a false
+    * positive costs one extra file read, never a wrong row. */
+  def writeBloomManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, bitsPerFile: Int = 65536): Unit = {
+    require(bitsPerFile >= 64 && (bitsPerFile & (bitsPerFile - 1)) == 0,
+      s"bitsPerFile must be a power of two >= 64: $bitsPerFile")
+    val agg = udaf(new BloomAgg(bitsPerFile))
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"),
+        valueHash(col(colName)).as("__h"))
+      .groupBy("file")
+      .agg(agg(col("__h")).as(s"bloom_$colName"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + s"_bloom_$colName")
+  }
+
+  /** Point-lookup read through the bloom manifest: open only the files
+    * whose bloom might contain `value`, then apply the exact residual
+    * predicate. Returns exactly `read(path) WHERE colName = value`.
+    * File set is O(true matches + fpp·files); a clustered layout is NOT
+    * required — this is the read path min/max cannot serve. */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, value: Any): DataFrame = {
+    import spark.implicits._
+    val probeH = spark.range(1)
+      .select(valueHash(lit(value))).as[Long].head()
+    val files = spark.read.parquet(path + s"_bloom_$colName")
+      .select(col("file"), col(s"bloom_$colName")).as[(String, Array[Byte])]
+      .collect()
+      .collect { case (f, bloom) if mightContain(bloom, probeH) => f }
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(colName) === lit(value))
+  }
+
   /** Range read through the manifest: select only the data files whose
     * [min, max] interval overlaps [lo, hi], read exactly those, apply
     * the residual predicate. With a range-clustered layout

@@ -410,6 +410,21 @@ object PipelineQueries extends QueryGroup {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     }),
 
+    // bloom-manifest point lookup: the table is clustered by PRICE, so
+    // every file's [min,max] orderkey interval overlaps any probe and
+    // min/max prunes nothing — the per-file bloom skips the
+    // non-containing files instead; result must equal the plain WHERE
+    "layout_bloom_read" -> ((s, dir) => {
+      val path = graft.GraftEngine.tablePath(dir, "li_bloom")
+      graft.ops.Layout.compactWrite(
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        path, 5000L, Seq("l_extendedprice"))
+      graft.ops.Layout.writeBloomManifest(s, path, "l_orderkey")
+      graft.ops.Layout.bloomPrunedRead(s, path, "l_orderkey", 1234L)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
     // BPE-ish pre-tokenizer (word pieces + punctuation as tokens)
     "text_bpe_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -2281,6 +2296,8 @@ object PipelineQueries extends QueryGroup {
         "FROM d GROUP BY 1"),
     "layout_manifest_read" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) BETWEEN 10000.0 AND 20000.0"),
+    "layout_bloom_read" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_orderkey = 1234"),
     "text_js_divergence" ->
       ("WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents WHERE doc_id % 2 = 0), tb AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents WHERE doc_id % 2 = 1), ca AS (SELECT term, count(*) AS c FROM ta WHERE length(term) > 0 GROUP BY 1), cb AS (SELECT term, count(*) AS c FROM tb WHERE length(term) > 0 GROUP BY 1), na AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS t FROM ca), nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS t FROM cb), j AS (SELECT COALESCE(ca.c, 0) AS xa, COALESCE(cb.c, 0) AS xb, ca.c IS NOT NULL AND cb.c IS NOT NULL AS shared FROM ca FULL OUTER JOIN cb ON ca.term = cb.term), t AS (SELECT shared, CASE WHEN xa > 0 THEN (xa / (SELECT n FROM na)) * ln((xa / (SELECT n FROM na)) / ((xa / (SELECT n FROM na) + xb / (SELECT n FROM nb)) / 2.0)) ELSE 0.0 END / 2.0 + CASE WHEN xb > 0 THEN (xb / (SELECT n FROM nb)) * ln((xb / (SELECT n FROM nb)) / ((xa / (SELECT n FROM na) + xb / (SELECT n FROM nb)) / 2.0)) ELSE 0.0 END / 2.0 AS contrib FROM j) SELECT round(CAST(sum(CAST(round(contrib, 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS js, CAST((SELECT n FROM na) AS BIGINT) AS tokens_a, CAST((SELECT n FROM nb) AS BIGINT) AS tokens_b, (SELECT t FROM na) AS terms_a, (SELECT t FROM nb) AS terms_b, count(*) FILTER (WHERE shared) AS terms_shared FROM t"),
     "events_pair_lift" ->

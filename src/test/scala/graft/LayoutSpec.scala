@@ -127,4 +127,40 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val none = Layout.manifestPrunedRead(spark, dir, "v", 50000.0, 60000.0)
     assert(none.count() == 0 && none.columns.toSeq == Seq("v", "tag"))
   }
+
+  test("bloom manifest: point lookup equals plain filter, skips most files, never false-negative") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/t"
+    // cluster by v; probe on tag (uncorrelated: every file's tag span is
+    // full-range, so min/max pruning would open all 10 files)
+    val df = (0L until 10000L).map(i => (i, (i * 7919L) % 5000L)).toDF("v", "tag")
+    Layout.compactWrite(df, dir, 1000L, Seq("v"))
+    Layout.writeBloomManifest(spark, dir, "tag")
+    val man = spark.read.parquet(dir + "_bloom_tag")
+    assert(man.count() == 10L)
+    // every present tag value must be found exactly (no false negatives):
+    // sample a spread of present values
+    Seq(0L, 1L, 777L, 2500L, 4999L).foreach { t =>
+      val want = df.filter(col("tag") === t).collect().toSet
+      val got = Layout.bloomPrunedRead(spark, dir, "tag", t).collect().toSet
+      assert(got.map(r => (r.getLong(0), r.getLong(1))) ===
+        want.map(r => (r.getLong(0), r.getLong(1))), s"tag=$t")
+    }
+    // pruning measurement: each tag value lives in exactly 2 files
+    // (10000/5000); bloom at 65536 bits over 1000 values/file has fpp
+    // ~1e-5 — probing 100 values must open far fewer than 10 files each
+    val blooms = man.select(col("file"), col("bloom_tag"))
+      .as[(String, Array[Byte])].collect()
+    val probed = (0L until 100L).map { t =>
+      val h = spark.range(1).select(xxhash64(lit(t).cast("string")))
+        .as[Long].head()
+      blooms.count { case (_, b) => Layout.mightContain(b, h) }
+    }
+    val avgOpened = probed.map(_.toLong).sum.toDouble / probed.size
+    assert(avgOpened <= 3.0,
+      s"bloom should open ~2 of 10 files per probe, got avg $avgOpened")
+    // absent value: reads nothing (or only fp files), returns empty
+    val absent = Layout.bloomPrunedRead(spark, dir, "tag", 99999L)
+    assert(absent.count() == 0L)
+  }
 }
