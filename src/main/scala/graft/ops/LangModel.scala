@@ -113,6 +113,66 @@ object LangModel {
         round(-sum(col("__lnp")).cast("double") / count(lit(1)), 6).as("xent"))
   }
 
+  /** Kneser–Ney smoothed bigram model (interpolated, absolute discount
+    * D — Kneser & Ney 1995, Chen & Goodman 1998's standard formulation):
+    *
+    * {{{
+    * P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *             + D · N1+(w1,•)/c(w1) · P_cont(w2)
+    * P_cont(w2)  = N1+(•,w2) / N1+(•,•)
+    * }}}
+    *
+    * The continuation probability asks "in how many distinct contexts
+    * does w2 complete a bigram" rather than "how often does w2 occur" —
+    * the fix for the 'Francisco' pathology (frequent but only ever
+    * after 'San', so it should get LITTLE unseen-context mass). This is
+    * the n-gram smoother the add-one [[bigramCrossEntropy]] model
+    * approximates crudely, and the scoring backbone of KenLM-style
+    * corpus quality filters.
+    *
+    * Returns the model table for observed bigrams:
+    * (w1, w2, c12, c1, n1p_w1, n1p_w2, p_cont, p_kn). Every input to
+    * the probability is an exact integer count from one aggregate pass
+    * (bigram counts, left/right continuation type counts, total bigram
+    * types); the doubles chain is a FIXED expression tree —
+    * max(c12−D,0)/c1 + D·n1p_w1/c1·p_cont with literal D — identical
+    * IEEE arithmetic on any engine. `minCount` prunes the emitted table
+    * (the model is fully determined by counts; pruning is output-side
+    * only). Scale: three hash aggregates over the bigram stream + two
+    * broadcast-sized joins; nothing pair-quadratic. */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, minCount: Long = 1L): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1): $discount")
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("__toks"))
+    val pairs = base.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(lower(element_at(col("__toks"), i)).as("w1"),
+          lower(element_at(col("__toks"), i + 1)).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val cbg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = cbg.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1p_w1"))
+    val right = cbg.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+    val total = cbg.agg(count(lit(1)).as("__nt"))
+    val d = lit(discount)
+    cbg.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("p_cont",
+        col("n1p_w2").cast("double") / col("__nt").cast("double"))
+      .withColumn("p_kn", round(
+        greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1").cast("double")
+          + d * col("n1p_w1").cast("double") / col("c1").cast("double")
+            * col("p_cont"), 6))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_w1"), col("n1p_w2"), round(col("p_cont"), 6).as("p_cont"),
+        col("p_kn"))
+  }
+
   /** Top pointwise-mutual-information term pairs — the collocation /
     * topic-association mining pass (which terms co-occur in documents
     * far more than chance): over the `vocabSize` most frequent terms,

@@ -519,6 +519,15 @@ object Stats {
       .groupBy(col(keyCol).as("key"),
         expr(s"$tsCol div ${bucketNs}L").as("__day"))
       .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__x"))
+    truncatedConv(daily, window)
+  }
+
+  /** The truncated 2^-lag convolution shared by [[ewma]] and
+    * [[holtForecast]]: input (key, __day, __x DECIMAL(18,6)) →
+    * (key, day, n_terms, ewma) where ewma = Σ 2^-lag·x / Σ 2^-lag over
+    * the buckets PRESENT in the window (missing buckets contribute
+    * nothing to either sum). */
+  private def truncatedConv(daily: DataFrame, window: Int): DataFrame = {
     val contrib = daily
       .withColumn("__lag", explode(array((0 to window).map(lit): _*)))
       .select(col("key"), (col("__day") + col("__lag")).as("__day"),
@@ -532,6 +541,44 @@ object Stats {
       .select(col("key"), col("day"), col("n_terms"),
         round(col("__num").cast("double") / col("__den").cast("double"), 6)
           .as("ewma"))
+  }
+
+  /** Brown double exponential smoothing (Holt-equivalent at α = β = ½):
+    * trend-aware forecasting for per-key daily series. The single EWMA
+    * lags a trending series by a constant offset; Brown's device runs
+    * the SAME smoother twice — S′ = smooth(y), S″ = smooth(S′) — and
+    * reads level = 2S′ − S″, trend = S′ − S″ (the α/(1−α) factor is 1
+    * at α = ½), one-step forecast = level + trend = 3S′ − 2S″
+    * (Brown 1963; Holt 1957/2004 reprint).
+    *
+    * Exactness: both passes are the [[ewma]] truncated 2^-lag
+    * convolution (decimal weights, decimal sums, one double division,
+    * 6-dp round); the second pass consumes the ROUNDED S′ — both
+    * engines see identical inputs, so level/trend/forecast are pure
+    * IEEE arithmetic on identical doubles. Two shuffles total, both
+    * window-bounded fan-out joins — no recursion, no sequential scan:
+    * the recursive Holt update is unreplayable distributedly without a
+    * sequential pass, the truncated twin convolution is embarrassingly
+    * parallel and differs by < 2^-window (0.02% at window 12).
+    *
+    * @return (key, day, s1, s2, level, trend, forecast) */
+  def holtForecast(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, window: Int = 12,
+      bucketNs: Long = 86400000000000L): DataFrame = {
+    require(window >= 1 && window <= 12,
+      s"window must be in [1, 12] (decimal weight scale): $window")
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val s1 = ewma(df, keyCol, tsCol, valueCol, window, bucketNs)
+      .select(col("key"), col("day"), col("ewma").as("s1"))
+    val daily2 = s1.select(col("key"), col("day").as("__day"),
+      col("s1").cast("decimal(18,6)").as("__x"))
+    val s2 = truncatedConv(daily2, window)
+      .select(col("key"), col("day"), col("ewma").as("s2"))
+    s1.join(s2, Seq("key", "day"))
+      .select(col("key"), col("day"), col("s1"), col("s2"),
+        round(lit(2.0) * col("s1") - col("s2"), 6).as("level"),
+        round(col("s1") - col("s2"), 6).as("trend"),
+        round(lit(3.0) * col("s1") - lit(2.0) * col("s2"), 6).as("forecast"))
   }
 
   /** Theil–Sen robust trend per series: the median of all pairwise

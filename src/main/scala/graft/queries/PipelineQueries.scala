@@ -1279,6 +1279,16 @@ object PipelineQueries extends QueryGroup {
         Tables.load(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Kneser-Ney interpolated bigram model: continuation counts (in how
+    // many distinct contexts does w2 appear) carry the unseen mass —
+    // the 'Francisco' fix add-one smoothing lacks; exact integer counts
+    // into one fixed IEEE chain with literal D = 0.75
+    "text_kneser_ney" -> ((s, dir) => {
+      graft.ops.LangModel.kneserNeyBigrams(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        discount = 0.75, minCount = 3L)
+    }),
+
     // tokenizer-faithful BPE counts: merges trained on the aggregated
     // word-frequency vocab (how real BPE trainers work), broadcast
     // ranks, memoized per-partition kernel. No SQL oracle (iterative
@@ -2162,6 +2172,26 @@ object PipelineQueries extends QueryGroup {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big, " +
         "  round(-CAST(sum(CAST(lnp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS xent " +
         "FROM sc GROUP BY doc_id"),
+    // KN bigrams: same pair extraction as text_lm_bigram; left/right
+    // continuation type counts from the bigram-type table; fixed chain
+    // max(c12-0.75,0)/c1 + 0.75*n1p_w1/c1*p_cont with raw p_cont
+    "text_kneser_ney" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        " p0 AS (SELECT doc_id, unnest(generate_series(1, len(toks)-1)) AS i, toks FROM t), " +
+        " p AS (SELECT lower(toks[i]) AS w1, lower(toks[i+1]) AS w2 FROM p0), " +
+        " cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY w1, w2), " +
+        " lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, " +
+        "    CAST(count(*) AS BIGINT) AS n1p_w1 FROM cbg GROUP BY w1), " +
+        " rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2 FROM cbg GROUP BY w2), " +
+        " tot AS (SELECT count(*) AS nt FROM cbg) " +
+        "SELECT w1, w2, c12, c1, n1p_w1, n1p_w2, " +
+        "  round(CAST(n1p_w2 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p_cont, " +
+        "  round(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) " +
+        "    + 0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(c1 AS DOUBLE) " +
+        "      * (CAST(n1p_w2 AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS p_kn " +
+        "FROM cbg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot " +
+        "WHERE c12 >= 3"),
+
     // train + score replicated in full: document-frequency log-odds
     // weights over the top-1000 vocabulary, then per-token decimal sums
     "text_classifier_score" ->

@@ -628,6 +628,15 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value", window = 12)
     }),
 
+    // Brown/Holt double exponential smoothing: the same truncated
+    // 2^-lag convolution run twice, level/trend/one-step forecast read
+    // from 2S'-S'' / S'-S'' / 3S'-2S'' — trend-aware where the single
+    // EWMA lags a drifting series by a constant offset
+    "events_holt" -> ((s, dir) => {
+      graft.ops.Stats.holtForecast(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value", window = 12)
+    }),
+
     // Theil-Sen robust trend per event type (median pairwise slope over
     // the daily series — exact lower-median row pick, hash-oracled)
     "events_theil_sen" -> ((s, dir) => {
@@ -1749,6 +1758,32 @@ object StatsQueries extends QueryGroup {
         "FROM d a JOIN d b ON b.key = a.key " +
         "  AND b.day >= a.day - 12 AND b.day <= a.day " +
         "GROUP BY 1, 2"),
+
+    // twin convolution: S'' replays the engine's second pass over the
+    // ROUNDED S' series, so both engines feed identical doubles into
+    // the final level/trend/forecast IEEE chain
+    "events_holt" ->
+      ("WITH d AS (" + dailyDecimalSeries + "), " +
+        "s1 AS (SELECT a.key, CAST(a.day AS BIGINT) AS day, " +
+        "    round(CAST(sum(b.x * CAST(power(0.5, a.day - b.day) " +
+        "        AS DECIMAL(13,12))) AS DOUBLE) / " +
+        "      CAST(sum(CAST(power(0.5, a.day - b.day) AS DECIMAL(13,12))) " +
+        "        AS DOUBLE), 6) AS s1 " +
+        "  FROM d a JOIN d b ON b.key = a.key " +
+        "    AND b.day >= a.day - 12 AND b.day <= a.day GROUP BY 1, 2), " +
+        "d2 AS (SELECT key, day, CAST(s1 AS DECIMAL(18,6)) AS x FROM s1), " +
+        "s2 AS (SELECT a.key, a.day, " +
+        "    round(CAST(sum(b.x * CAST(power(0.5, a.day - b.day) " +
+        "        AS DECIMAL(13,12))) AS DOUBLE) / " +
+        "      CAST(sum(CAST(power(0.5, a.day - b.day) AS DECIMAL(13,12))) " +
+        "        AS DOUBLE), 6) AS s2 " +
+        "  FROM d2 a JOIN d2 b ON b.key = a.key " +
+        "    AND b.day >= a.day - 12 AND b.day <= a.day GROUP BY 1, 2) " +
+        "SELECT s1.key, s1.day, s1.s1, s2.s2, " +
+        "  round(2.0 * s1.s1 - s2.s2, 6) AS level, " +
+        "  round(s1.s1 - s2.s2, 6) AS trend, " +
+        "  round(3.0 * s1.s1 - 2.0 * s2.s2, 6) AS forecast " +
+        "FROM s1 JOIN s2 ON s2.key = s1.key AND s2.day = s1.day"),
 
     "events_theil_sen" ->
       ("WITH d AS (" + dailyDecimalSeries + "), " +

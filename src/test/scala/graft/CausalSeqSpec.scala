@@ -62,6 +62,49 @@ class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[Double]("ate") === 8.0)
   }
 
+  test("kneserNeyBigrams: hand-computed probabilities, mass splits by continuation") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = graft.ops.LangModel.kneserNeyBigrams(docs, "doc_id", "text",
+      discount = 0.75, minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("p_kn"))).toMap
+    // c(a,b)=c(a,c)=1, c1(a)=2, N1+(a,.)=2, P_cont = 0.5 each:
+    // p = max(1-.75,0)/2 + .75*2/2*0.5 = 0.125 + 0.375 = 0.5
+    assert(m(("a", "b")) === 0.5 && m(("a", "c")) === 0.5)
+    val docs2 = Seq((1L, "a b"), (2L, "a b"), (3L, "c b")).toDF("doc_id", "text")
+    val m2 = graft.ops.LangModel.kneserNeyBigrams(docs2, "doc_id", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("p_kn"))).toMap
+    // b is the only continuation anywhere: both conditionals reach 1.0
+    assert(m2(("a", "b")) === 1.0 && m2(("c", "b")) === 1.0)
+  }
+
+  test("holtForecast: constant series gives zero trend; rising series positive trend") {
+    val s = spark; import s.implicits._
+    val dayNs = 86400000000000L
+    val const = (0 until 20).map(i => ("k", i * dayNs + 1L, 5.0))
+      .toDF("key", "ts", "v")
+    val hc = graft.ops.Stats.holtForecast(const, "key", "ts", "v")
+      .orderBy("day").collect()
+    hc.foreach { r =>
+      assert(r.getAs[Double]("trend") === 0.0)
+      assert(r.getAs[Double]("forecast") === 5.0)
+      assert(r.getAs[Double]("level") === 5.0)
+    }
+    val rising = (0 until 20).map(i => ("k", i * dayNs + 1L, i.toDouble))
+      .toDF("key", "ts", "v")
+    val hr = graft.ops.Stats.holtForecast(rising, "key", "ts", "v")
+      .orderBy("day").collect()
+    val late = hr.drop(13) // past the window warm-up
+    late.foreach { r =>
+      assert(r.getAs[Double]("trend") > 0.9,
+        s"steady +1/day slope should be recovered: ${r}")
+      // forecast leads the lagging level in the trend direction
+      assert(r.getAs[Double]("forecast") > r.getAs[Double]("s1"))
+    }
+  }
+
   test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
     val s = spark; import s.implicits._
     // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
