@@ -382,6 +382,42 @@ object Profiling {
     * [[weightedMedian]] device), so a group with millions of distinct
     * scores never serializes into one window partition. Output: group
     * columns + (auc, n_pos, n_neg); single-class groups get NULL auc. */
+  /** Exact average precision (area under the precision–recall curve,
+    * the ranking metric that matters under class imbalance — ROC-AUC
+    * stays rosy when negatives dwarf positives because FPR divides by
+    * ALL negatives; AP divides by retrieved): ties merged per distinct
+    * score (the standard tie treatment — every row at a threshold
+    * enters together),
+    * {{{ AP = Σ_thresholds Δtp · P(threshold) / total_pos }}}
+    * with P = tp/(tp+fp) cumulative from the top score down.
+    *
+    * Shape: one distinct-score aggregate, then the distributed
+    * prefix-sum for both cumulatives (no single-partition window), one
+    * scalar reduce. Determinism: counts exact; each threshold term is
+    * rounded to 12 dp and summed as DECIMAL (FP-order-free), one final
+    * 6-dp round — bit-reproducible on any engine.
+    * @return one row (ap, n_pos, n) */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      positive: Column): DataFrame = {
+    val v = col(scoreCol).cast("double")
+    val g = df.filter(col(scoreCol).isNotNull && !isnan(v))
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(positive, 1L).otherwise(0L)).as("__p"))
+    val cum = Stats.runningTotals(g, Seq(col("__s").desc),
+      Seq("n" -> col("__n"), "p" -> col("__p")))
+    val term = round(col("__p").cast("double") *
+      (col("__c_p").cast("double") / col("__c_n").cast("double")), 12)
+      .cast("decimal(28,12)")
+    cum.agg(sum(term).as("__sum"), sum(col("__p")).as("__pos"),
+        sum(col("__n")).as("__tot"))
+      .select(
+        round(when(col("__pos") > 0,
+          col("__sum").cast("double") / col("__pos")), 6).as("ap"),
+        col("__pos").cast("long").as("n_pos"),
+        col("__tot").cast("long").as("n"))
+  }
+
   def rocAucBy(df: DataFrame, groupCols: Seq[String], scoreCol: String,
       positive: Column): DataFrame = {
     require(groupCols.nonEmpty, "rocAucBy needs group columns — use rocAuc for the global statistic")

@@ -100,6 +100,71 @@ object Stats {
       round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * c * c)), 6).as("p_approx"))
   }
 
+  /** Two-sample Wasserstein-1 (earth-mover) distance:
+    * W₁ = ∫ |F_a − F_b| dx over the empirical CDFs — the MAGNITUDE
+    * companion to [[ksTest]]'s sup-norm: KS says "the CDFs separate
+    * somewhere", W₁ says "by this much value-mass in the metric's own
+    * units" (two distributions with the same tiny KS gap spread over
+    * the whole axis vs one point differ 100× in W₁). The standard
+    * drift cost between a training corpus and production traffic.
+    *
+    * Exact for empirical distributions: on the merged distinct values
+    * v₁<…<v_m, W₁ = Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ). Cumulatives
+    * ride [[runningTotals]]; the NEIGHBOR gap needs lead(v), realized
+    * distributedly: range-repartition, per-partition lead, and each
+    * partition's last row closes its gap with the next non-empty
+    * partition's min — a partition-count-sized boundary table computed
+    * once (no single-partition window over the values).
+    *
+    * Determinism: per-value terms |ca/na − cb/nb|·gap are one fixed
+    * IEEE chain on exact longs/input doubles, rounded to 12 dp and
+    * summed as DECIMAL — order-free, oracle-replayable.
+    * @return one row (n_a, n_b, w1) */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+      labelA: String, labelB: String): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol)
+    val perValue = df
+      .filter(v.isNotNull && !isnan(v) && g.isin(labelA, labelB))
+      .groupBy(v.as("__v"))
+      .agg(count(when(g === labelA, 1)).as("ca"),
+        count(when(g === labelB, 1)).as("cb"))
+    val cum = runningTotals(perValue, Seq(col("__v")),
+      Seq("ca" -> col("ca"), "cb" -> col("cb")))
+    val ranged = cum.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wl = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+    val withNext = ranged.withColumn("__nv", lead(col("__v"), 1).over(wl))
+    // partition-count-sized boundary fix: last row of partition p gets
+    // the min value of the next NON-EMPTY partition
+    val firsts = ranged.groupBy(col("__pid"))
+      .agg(min(col("__v")).as("__fv")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val nextMin: Map[Int, Double] = firsts.zipWithIndex.collect {
+      case ((pid, _), i) if i + 1 < firsts.length => pid -> firsts(i + 1)._2
+    }.toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = nextMin.toSeq.toDF("__pid", "__bnext")
+    val fixed = withNext
+      .join(broadcast(bounds), Seq("__pid"), "left")
+      .withColumn("__gap",
+        coalesce(col("__nv"), col("__bnext")) - col("__v"))
+      .filter(col("__gap").isNotNull) // the global max has no gap after
+    val term = round(
+      abs(col("__c_ca").cast("double") / col("na") -
+        col("__c_cb").cast("double") / col("nb")) * col("__gap"), 12)
+      .cast("decimal(28,12)")
+    fixed
+      .crossJoin(broadcast(perValue.agg(
+        sum("ca").as("na"), sum("cb").as("nb"))))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(term).as("__w"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__w").cast("double"), 6).as("w1"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) test with tie-corrected normal
     * approximation: ranks all values of both samples together (average
     * ranks on ties), U_a = R_a − n_a(n_a+1)/2, and

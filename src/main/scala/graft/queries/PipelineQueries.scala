@@ -1003,6 +1003,15 @@ object PipelineQueries extends QueryGroup {
         col("event_type") === "purchase")
     }),
 
+    // exact PR-AUC (average precision): the imbalance-honest ranking
+    // metric next to events_auc — ties merged per distinct score,
+    // 12-dp decimal term sums
+    "eval_average_precision" -> ((s, dir) => {
+      graft.ops.Profiling.averagePrecision(
+        Tables.load(s, dir, "events"), "value",
+        col("event_type") === "purchase")
+    }),
+
     // per-group winsorization: clip the event metric to its type's
     // exact [p05, p95]; one broadcast of per-group bounds, fact table
     // scanned once and never shuffled
@@ -2054,6 +2063,22 @@ object PipelineQueries extends QueryGroup {
         "SELECT round(CAST(rs - np*(np+1) AS DOUBLE) " +
         "    / (CASE WHEN np > 0 AND nn > 0 THEN CAST(2*np*nn AS DOUBLE) END), 6) AS auc, " +
         "  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM t"),
+    // PR-AUC: cumulative tp/(tp+fp) from the top score down, 12-dp
+    // decimal term sums — ties merged per distinct score
+    "eval_average_precision" ->
+      ("WITH e AS (SELECT value AS s, event_type FROM events " +
+        "    WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        " g AS (SELECT s, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p " +
+        "  FROM e GROUP BY s), " +
+        " c AS (SELECT n, p, sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cn, " +
+        "    sum(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cp FROM g), " +
+        " t AS (SELECT sum(CAST(round(CAST(p AS DOUBLE) * " +
+        "      (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)), 12) AS DECIMAL(28,12))) AS sm, " +
+        "    CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nt FROM c) " +
+        "SELECT round(CASE WHEN np > 0 THEN CAST(sm AS DOUBLE) / np END, 6) AS ap, " +
+        "  np AS n_pos, nt AS n FROM t"),
+
     "events_winsorize" ->
       ("WITH b AS (SELECT event_type AS et, quantile_cont(value, 0.05) AS lo, " +
         "    quantile_cont(value, 0.95) AS hi FROM events " +

@@ -104,6 +104,13 @@ object StatsQueries extends QueryGroup {
         "value", "event_type", "click", "view")
     }),
 
+    // Wasserstein-1 drift magnitude on the same pair: the CDF-gap
+    // INTEGRAL in the metric's own units, next to KS's sup-norm
+    "events_wasserstein" -> ((s, dir) => {
+      graft.ops.Stats.wasserstein1(Tables.load(s, dir, "events"),
+        "value", "event_type", "click", "view")
+    }),
+
     // rank-sum (tie-corrected z) on the same pair — robust location
     // shift for heavy-tailed metrics
     "events_mannwhitney" -> ((s, dir) => {
@@ -1830,6 +1837,24 @@ object StatsQueries extends QueryGroup {
         "    / (n_a + n_b)), 6) AS ks FROM d) " +
         "SELECT n_a, n_b, round(dm, 6) AS d, ks AS ks_stat, " +
         "  round(least(1.0, 2 * exp(-2 * ks * ks)), 6) AS p_approx FROM k"),
+
+    // CDF-gap integral: |Fa-Fb| x gap-to-next-value per distinct value,
+    // 12-dp decimal term sums (the engine's boundary-fixed lead replays
+    // as one window lead here)
+    "events_wasserstein" ->
+      ("WITH f AS (" + twoSample + "), " +
+        "pv AS (SELECT v, count(*) FILTER (WHERE g = 'click') AS ca, " +
+        "    count(*) FILTER (WHERE g = 'view') AS cb FROM f GROUP BY v), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+        "    CAST(sum(cb) AS BIGINT) AS nb FROM pv), " +
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cca, " +
+        "    sum(cb) OVER (ORDER BY v) AS ccb, " +
+        "    lead(v) OVER (ORDER BY v) AS nv FROM pv), " +
+        "s AS (SELECT sum(CAST(round(abs(CAST(cca AS DOUBLE) / na " +
+        "      - CAST(ccb AS DOUBLE) / nb) * (nv - v), 12) AS DECIMAL(28,12))) AS w " +
+        "  FROM c, t WHERE nv IS NOT NULL) " +
+        "SELECT t.na AS n_a, t.nb AS n_b, round(CAST(s.w AS DOUBLE), 6) AS w1 " +
+        "FROM s, t"),
 
     "events_mannwhitney" ->
       ("WITH f AS (" + twoSample + "), " +

@@ -105,6 +105,45 @@ class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("averagePrecision: hand-computed with ties; perfect ranker gives 1.0") {
+    val s = spark; import s.implicits._
+    // scores desc: 0.9(pos), 0.8(neg), 0.7(pos) →
+    // AP = [1·(1/1) + 1·(2/3)] / 2 = 0.833333...
+    val df = Seq((0.9, true), (0.8, false), (0.7, true)).toDF("score", "pos")
+    val r = graft.ops.Profiling.averagePrecision(df, "score", col("pos")).head()
+    assert(math.abs(r.getAs[Double]("ap") - 0.833333) < 1e-9)
+    assert(r.getAs[Long]("n_pos") === 2 && r.getAs[Long]("n") === 3)
+    // perfect separation → AP = 1
+    val perfect = Seq((0.9, true), (0.8, true), (0.1, false)).toDF("score", "pos")
+    assert(graft.ops.Profiling.averagePrecision(perfect, "score", col("pos"))
+      .head().getAs[Double]("ap") === 1.0)
+    // tie mixing pos and neg at one score: threshold admits both rows
+    // → AP = 1·(1/2)/1 = 0.5
+    val tied = Seq((0.5, true), (0.5, false)).toDF("score", "pos")
+    assert(graft.ops.Profiling.averagePrecision(tied, "score", col("pos"))
+      .head().getAs[Double]("ap") === 0.5)
+  }
+
+  test("wasserstein1: point masses a distance apart; invariant to sample size ratio") {
+    val s = spark; import s.implicits._
+    // all of A at 0, all of B at 3 → W1 = 3
+    val df = (Seq.fill(4)(("a", 0.0)) ++ Seq.fill(7)(("b", 3.0)))
+      .toDF("g", "v")
+    val r = graft.ops.Stats.wasserstein1(df, "v", "g", "a", "b").head()
+    assert(r.getAs[Double]("w1") === 3.0)
+    assert(r.getAs[Long]("n_a") === 4 && r.getAs[Long]("n_b") === 7)
+    // identical distributions → 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(graft.ops.Stats.wasserstein1(same, "v", "g", "a", "b")
+      .head().getAs[Double]("w1") === 0.0)
+    // uniform {0,1,2} vs shifted {1,2,3} → W1 = 1 (many distinct values
+    // exercises the cross-partition boundary gap fix)
+    val shift = (Seq(0.0, 1.0, 2.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("b", _))).toDF("g", "v").repartition(5)
+    assert(graft.ops.Stats.wasserstein1(shift, "v", "g", "a", "b")
+      .head().getAs[Double]("w1") === 1.0)
+  }
+
   test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
     val s = spark; import s.implicits._
     // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
