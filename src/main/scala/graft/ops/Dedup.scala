@@ -452,6 +452,19 @@ object Dedup {
     * verify kernel and rounding) to [[ngramJaccardNearDups]]. */
   def ppJoinNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
+    val (grams, cands) = ppJoinCandidates(df, idCol, textCol, threshold, n)
+    val withSh = cands
+      .join(grams.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    verifyJaccard(withSh, threshold)
+  }
+
+  /** The candidate stage of [[ppJoinNearDups]], exposed for the scale
+    * rehearsal's candidates-vs-cross measurement: returns the shingle
+    * table (id, sh) and the DISTINCT candidate pair frame (id_a, id_b)
+    * that survives the prefix + size filters. */
+  private[graft] def ppJoinCandidates(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int): (DataFrame, DataFrame) = {
     requireIntegralId(df, idCol)
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
@@ -482,10 +495,7 @@ object Dedup {
         greatest(col("sz_a"), col("sz_b")) * t6)
       .select("id_a", "id_b").distinct()
       .repartition(col("id_a"))
-    val withSh = cands
-      .join(grams.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    verifyJaccard(withSh, threshold)
+    (grams, cands)
   }
 
   /** SimHash near-dups: candidates via exact match on `maxHamming + 1`

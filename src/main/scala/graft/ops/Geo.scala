@@ -80,4 +80,62 @@ object Geo {
       .select("id_a", "id_b", "dist_km")
       .distinct()
   }
+
+  /** Grid-blocked DBSCAN (Ester et al., KDD'96) over geographic points:
+    * density clusters with noise, built ENTIRELY from scale-shaped
+    * pieces the engine already proves lossless —
+    *
+    *  - ε-neighbor pairs from [[radiusSelfJoin]] (3×3 modular grid
+    *    probe, never all-pairs; the geo gate's full-cross oracle proves
+    *    the blocking exact);
+    *  - core points = ε-neighborhood of ≥ `minPts` rows (self
+    *    included) — one count aggregate;
+    *  - clusters = connected components over CORE–CORE ε-edges
+    *    ([[Clustering.connectedComponents]] pointer jumping, rep = min
+    *    id — deterministic labels);
+    *  - border points (non-core with ≥ 1 core ε-neighbor) attach to the
+    *    SMALLEST core neighbor's cluster rep — the classic DBSCAN
+    *    order-dependence resolved to a canonical deterministic choice;
+    *  - everything else is noise (cluster NULL).
+    *
+    * Returns (id, role ∈ core|border|noise, cluster). Membership rides
+    * the 6-dp rounded haversine, so the boundary — and therefore every
+    * label — is engine-portable and the whole operator hash-oracles
+    * against a recursive-CTE SQL replay. */
+  def dbscan(df: DataFrame, idCol: String, latCol: String, lonCol: String,
+      epsKm: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val pairs = radiusSelfJoin(df, idCol, latCol, lonCol, epsKm)
+      .localCheckpoint(true) // reused: degree count, core edges, border attach
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val ids = df.select(col(idCol).cast("long").as("id"))
+      .filter(col(latCol).isNotNull && col(lonCol).isNotNull &&
+        abs(col(latCol).cast("double")) <= 80.0)
+      .distinct()
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("__nb"))
+    val labeled = ids.join(deg, Seq("id"), "left")
+      .withColumn("__core", coalesce(col("__nb"), lit(0L)) + 1L >= minPts)
+    val coreIds = labeled.filter(col("__core")).select("id")
+      .localCheckpoint(true)
+    val coreEdges = pairs
+      .join(coreIds.select(col("id").as("id_a")), Seq("id_a"))
+      .join(coreIds.select(col("id").as("id_b")), Seq("id_b"))
+    val cc = graft.ops.Clustering.connectedComponents(
+      coreIds, "id", coreEdges, "id_a", "id_b")
+    // border: smallest core neighbor's rep (canonical deterministic tie)
+    val borderRep = sym
+      .join(coreIds.select(col("id").as("nb")), Seq("nb"))
+      .join(cc.select(col("id").as("nb"), col("rep")), Seq("nb"))
+      .groupBy("id").agg(min(col("rep")).as("__brep"))
+    labeled
+      .join(cc.select(col("id"), col("rep").as("__crep")), Seq("id"), "left")
+      .join(borderRep, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__core"), lit("core"))
+          .when(col("__brep").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("__core"), col("__crep"))
+          .otherwise(col("__brep")).as("cluster"))
+  }
 }

@@ -158,6 +158,18 @@ object CurationQueries extends QueryGroup {
         (((col("c_custkey") * 7919) % 16000) / 100.0 - 80.0).as("lat"),
         (((col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).as("lon"))
       graft.ops.Geo.radiusSelfJoin(pts, "id", "lat", "lon", radiusKm = 75.0)
+    }),
+
+    // grid-blocked DBSCAN on the same synthetic coordinates: density
+    // clusters (CC over core-core eps-edges) + canonical border
+    // attachment + noise — the whole labeling hash-oracled against a
+    // recursive-CTE replay of the textbook algorithm
+    "geo_dbscan" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (((col("c_custkey") * 7919) % 16000) / 100.0 - 80.0).as("lat"),
+        (((col("c_custkey") * 104729) % 36000) / 100.0 - 180.0).as("lon"))
+      graft.ops.Geo.dbscan(pts, "id", "lat", "lon", epsKm = 75.0, minPts = 3)
     })
   )
 
@@ -412,6 +424,43 @@ object CurationQueries extends QueryGroup {
         "      sin((b.lon - a.lon) * 0.017453292519943295 / 2) * " +
         "      sin((b.lon - a.lon) * 0.017453292519943295 / 2))), 6) AS dist_km " +
         "  FROM p a JOIN p b ON a.id < b.id) " +
-        "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 75.0")
+        "SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 75.0"),
+
+    // textbook DBSCAN replay: cross-join eps-pairs, degree+1 core test,
+    // recursive min-label closure over core-core edges, border = min
+    // core neighbor's rep, the rest noise
+    "geo_dbscan" ->
+      ("WITH RECURSIVE p AS (SELECT c_custkey AS id, " +
+        "    ((c_custkey * 7919) % 16000) / 100.0 - 80.0 AS lat, " +
+        "    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon " +
+        "  FROM customer), " +
+        "d AS (SELECT a.id AS ia, b.id AS ib, " +
+        "    round(12742.0176 * asin(sqrt(" +
+        "      sin((b.lat - a.lat) * 0.017453292519943295 / 2) * " +
+        "      sin((b.lat - a.lat) * 0.017453292519943295 / 2) + " +
+        "      cos(a.lat * 0.017453292519943295) * " +
+        "      cos(b.lat * 0.017453292519943295) * " +
+        "      sin((b.lon - a.lon) * 0.017453292519943295 / 2) * " +
+        "      sin((b.lon - a.lon) * 0.017453292519943295 / 2))), 6) AS dk " +
+        "  FROM p a JOIN p b ON a.id < b.id), " +
+        "e AS (SELECT ia AS id, ib AS nb FROM d WHERE dk <= 75.0 " +
+        "  UNION ALL SELECT ib, ia FROM d WHERE dk <= 75.0), " +
+        "deg AS (SELECT p.id, COALESCE(c.cnt, 0) + 1 AS n FROM p " +
+        "  LEFT JOIN (SELECT id, count(*) AS cnt FROM e GROUP BY 1) c " +
+        "    ON c.id = p.id), " +
+        "core AS (SELECT id FROM deg WHERE n >= 3), " +
+        "ce AS (SELECT e.id AS src, e.nb AS dst FROM e " +
+        "  JOIN core ca ON ca.id = e.id JOIN core cb ON cb.id = e.nb), " +
+        "r(id, lbl) AS (SELECT id, id FROM core " +
+        "  UNION SELECT ce.dst, r.lbl FROM ce JOIN r ON r.id = ce.src), " +
+        "cc AS (SELECT id, min(lbl) AS rep FROM r GROUP BY id), " +
+        "br AS (SELECT e.id, min(cc.rep) AS brep FROM e " +
+        "  JOIN core ON core.id = e.nb JOIN cc ON cc.id = e.nb GROUP BY e.id) " +
+        "SELECT p.id, " +
+        "  CASE WHEN core.id IS NOT NULL THEN 'core' " +
+        "    WHEN br.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role, " +
+        "  CASE WHEN core.id IS NOT NULL THEN cc.rep ELSE br.brep END AS cluster " +
+        "FROM p LEFT JOIN core ON core.id = p.id " +
+        "  LEFT JOIN cc ON cc.id = p.id LEFT JOIN br ON br.id = p.id")
   )
 }

@@ -95,4 +95,27 @@ class GeoRakeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Geo.radiusSelfJoin(df, "id", "lat", "lon", 0.0)
     }
   }
+
+  test("dbscan: planted clusters, border attachment, noise; canonical labels") {
+    val s = spark; import s.implicits._
+    // cluster A: 3 mutually-close points near (0,0); cluster B: 3 near
+    // (0, 10deg); point 7 within eps of ONE core of A only (border);
+    // point 8 isolated (noise). eps = 120km, minPts = 3.
+    // 1 deg lon at equator ≈ 111.32 km.
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 0.5), (3L, 0.5, 0.25),      // A cores
+      (4L, 0.0, 10.0), (5L, 0.0, 10.5), (6L, 0.5, 10.25),   // B cores
+      (7L, 0.0, 1.3),                                        // border of A (near 2 only)
+      (8L, 40.0, 40.0)                                       // noise
+    ).toDF("id", "lat", "lon")
+    val out = Geo.dbscan(pts, "id", "lat", "lon", epsKm = 120.0, minPts = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) === ("core", 1L) && out(2L) === ("core", 1L) &&
+      out(3L) === ("core", 1L))
+    assert(out(4L) === ("core", 4L) && out(5L) === ("core", 4L) &&
+      out(6L) === ("core", 4L))
+    assert(out(7L) === ("border", 1L), s"got ${out(7L)}")
+    assert(out(8L) === ("noise", -1L))
+  }
 }
