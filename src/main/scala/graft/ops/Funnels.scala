@@ -631,6 +631,54 @@ object Funnels {
         round(sum(col("__share")).cast("double"), 6).as("revenue"))
   }
 
+  /** Time-decay multi-touch attribution: each touch inside the window
+    * earns weight ∝ 2^(−Δt/halfLife) of the purchase value (Δt = time
+    * before conversion) — the "recent touches matter more" model
+    * between last-touch (halfLife→0) and linear (halfLife→∞), and the
+    * default attribution in most ad platforms.
+    *
+    * Determinism: the decay basis is u = round(exp(−ln2·Δt/halfLife),
+    * 12) — exp on an IEEE-identical argument (Δt is an exact nanos
+    * long; ln2 is a spliced literal), matching the repo's established
+    * cross-engine libm-exp contract; normalization divides by the
+    * per-purchase DECIMAL sum of the rounded bases, so shares are one
+    * IEEE chain on identical inputs. No-touch purchases fall to the
+    * "direct" channel. Same join/window shape as
+    * [[positionAttribution]] — per-purchase windows, channel-sized
+    * output. */
+  def timeDecayAttribution(purchases: DataFrame, pIdCol: String,
+      keyCols: Seq[String], pTsCol: String, valueCol: String,
+      touches: DataFrame, tTsCol: String, channelCol: String,
+      windowNs: Long, halfLifeNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive: $windowNs")
+    require(halfLifeNs > 0, s"halfLifeNs must be positive: $halfLifeNs")
+    val v = round(col(valueCol).cast("double"), 6)
+    val p = purchases.select(col(pIdCol).as("__pid"),
+      struct(keyCols.map(col): _*).as("__k"), col(pTsCol).as("__pt"), v.as("__v"))
+    val t = touches.select(struct(keyCols.map(col): _*).as("__k"),
+      col(tTsCol).as("__tt"), col(channelCol).as("__ch"))
+    val joined = p.join(t, p("__k") === t("__k") &&
+      col("__tt") <= col("__pt") && col("__tt") > col("__pt") - windowNs)
+    val ln2 = 0.6931471805599453 // ln(2), spliced verbatim into the oracle
+    val u = round(exp(lit(-ln2) *
+      ((col("__pt") - col("__tt")).cast("double") / lit(halfLifeNs.toDouble))), 12)
+    val wAll = Window.partitionBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weighted = joined
+      .withColumn("__u", u.cast("decimal(24,12)"))
+      .withColumn("__su", sum(col("__u")).over(wAll))
+      .select(col("__ch").as("channel"),
+        round(col("__v") * (col("__u").cast("double") / col("__su").cast("double")), 6)
+          .cast("decimal(18,6)").as("__share"))
+    val direct = p.join(joined.select("__pid").distinct(), Seq("__pid"), "left_anti")
+      .select(lit("direct").as("channel"),
+        col("__v").cast("decimal(18,6)").as("__share"))
+    weighted.unionByName(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_contacts"),
+        round(sum(col("__share")).cast("double"), 6).as("revenue"))
+  }
+
   /** Top session paths: the ordered sequence of event types in each
     * session (capped at the first `maxSteps` events) rendered as a
     * `a>b>c` string, counted across sessions — the "how do users actually

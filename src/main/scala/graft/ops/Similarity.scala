@@ -90,6 +90,61 @@ object Similarity {
     rankTopK(partial, qidCol, idCol, k)
   }
 
+  /** Late-interaction MaxSim retrieval (ColBERT — Khattab & Zaharia,
+    * SIGIR'20): documents and queries are SETS of vectors (one per
+    * token/passage-chunk), scored
+    * {{{ score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cos(qv, dv) }}}
+    * — each query vector finds its best-matching document vector, so
+    * multi-aspect queries match documents covering every aspect, where
+    * single-vector cosine averages the aspects away.
+    *
+    * Scale shape: the query vector set broadcasts (capped); corpus
+    * vectors stream ONCE through the codegen'd [[graftfn]] dot product
+    * against every query vector, and BOTH reductions are associative
+    * hash aggregates — max over a document's vectors per query vector
+    * (partial max runs map-side; a document's vectors need NO
+    * co-location), then the per-(doc, query) sum of 6-dp-rounded maxes
+    * as exact decimals. Final top-k is the window over per-(query)
+    * survivors. Nothing requires a document's vectors in one task —
+    * the operator survives arbitrarily large documents and corpora.
+    *
+    * @return (qdoc, ddoc, score, rank), rank 1..k per qdoc by
+    *         (score desc, ddoc) */
+  def maxSimTopK(corpus: DataFrame, docCol: String, vecCol: String,
+      queries: DataFrame, qdocCol: String, qvidCol: String, qvecCol: String,
+      k: Int, maxQueryVectors: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    org.apache.spark.sql.graftfn.GraftFunctions.register(spark)
+    val dot = org.apache.spark.sql.graftfn.GraftFunctions.DotName
+    val qv = queries.select(col(qdocCol).cast("long").as("qdoc"),
+        col(qvidCol).cast("long").as("__qvid"),
+        col(qvecCol).as("__qvec"))
+      .withColumn("__nq", sqrt(expr(s"$dot(__qvec, __qvec)")))
+      .filter(col("__nq") > 0.0)
+    val nq = qv.limit(maxQueryVectors + 1).count()
+    require(nq <= maxQueryVectors,
+      s"query vector count exceeds maxQueryVectors=$maxQueryVectors — " +
+        "the query set is broadcast; batch larger query loads")
+    val cv = corpus.select(col(docCol).cast("long").as("ddoc"),
+        col(vecCol).as("__dvec"))
+      .withColumn("__nd", sqrt(expr(s"$dot(__dvec, __dvec)")))
+      .filter(col("__nd") > 0.0)
+    val perQv = cv.crossJoin(broadcast(qv))
+      .withColumn("__cos",
+        expr(s"$dot(__dvec, __qvec)") / (col("__nd") * col("__nq")))
+      .groupBy("ddoc", "qdoc", "__qvid")
+      .agg(max(col("__cos")).as("__mx"))
+    val scored = perQv.groupBy("ddoc", "qdoc")
+      .agg(round(sum(round(col("__mx"), 6).cast("decimal(18,6)"))
+        .cast("double"), 6).as("score"))
+    val w = Window.partitionBy(col("qdoc"))
+      .orderBy(col("score").desc, col("ddoc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qdoc"), col("ddoc"), col("score"), col("rank"))
+  }
+
   /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998):
     * greedily select `k` of the `fetchK` nearest candidates maximizing
     * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the standard

@@ -563,6 +563,21 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", k = 10)
     }),
 
+    // late-interaction MaxSim retrieval: vectors grouped into 8-vector
+    // "documents", queries = the first two docs; each query vector
+    // takes its best doc-vector cosine, the doc score is the decimal
+    // sum of rounded maxes — multi-aspect matching single-vector
+    // cosine averages away
+    "ann_maxsim_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = emb.select(expr("vec_id div 8").as("ddoc"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(expr("vec_id div 8").as("qdoc"), col("vec_id"),
+          col("embedding"))
+      Similarity.maxSimTopK(docs, "ddoc", "embedding",
+        queries, "qdoc", "vec_id", "embedding", k = 5)
+    }),
+
     // Matryoshka truncation sweep: brute-force recall@10 of the
     // truncated-dim embedding (first 8/16/32 components) vs the full
     // 64-dim ranking — the "how many dims can we drop" read behind
@@ -2733,6 +2748,30 @@ object PipelineQueries extends QueryGroup {
         "SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sims) " +
         "WHERE rank <= 10"),
+
+    // ColBERT-style late-interaction MaxSim: 8-vector docs, score =
+    // sum over query vectors of the best doc-vector cosine — both
+    // reductions associative (map-side partial max, decimal sum of
+    // rounded maxes), no doc co-location required
+    "ann_maxsim_topk" ->
+      ("WITH nv AS (SELECT vec_id, embedding, " +
+        "    sqrt(list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm " +
+        "  FROM embeddings), " +
+        "v AS (SELECT vec_id // 8 AS ddoc, embedding, nrm AS nd FROM nv WHERE nrm > 0), " +
+        "q AS (SELECT vec_id // 8 AS qdoc, vec_id AS qvid, embedding AS qvec, " +
+        "    nrm AS nq FROM nv WHERE vec_id < 16 AND nrm > 0), " +
+        "c AS (SELECT v.ddoc, q.qdoc, q.qvid, " +
+        "    list_sum(list_transform(range(1, len(v.embedding) + 1), " +
+        "      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) " +
+        "      / (v.nd * q.nq) AS cs " +
+        "  FROM v CROSS JOIN q), " +
+        "m AS (SELECT ddoc, qdoc, qvid, max(cs) AS mx FROM c GROUP BY 1, 2, 3), " +
+        "sc AS (SELECT ddoc, qdoc, round(CAST(sum(CAST(round(mx, 6) " +
+        "    AS DECIMAL(18,6))) AS DOUBLE), 6) AS score FROM m GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qdoc " +
+        "    ORDER BY score DESC, ddoc) AS rank FROM sc) " +
+        "SELECT qdoc, ddoc, score, rank FROM r WHERE rank <= 5"),
 
     // hard negatives: the ann_brute_topk formula restricted to
     // label-mismatched non-self pairs BEFORE ranking

@@ -589,6 +589,25 @@ object StatsQueries extends QueryGroup {
 
     // position-based (U-shaped 40/20/40) multi-touch attribution: every
     // in-window touch shares the purchase value; unattributed -> direct
+    // time-decay attribution: each touch earns 2^(-age/halfLife) of
+    // the purchase (1-day half-life, 7-day window) — the "recency
+    // matters" model between last-touch and linear; exp on identical
+    // IEEE args, decimal-normalized shares
+    "events_attribution_decay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val v = col("value").cast("double")
+      val purchases = ev
+        .filter(col("event_type") === "purchase" && v.isNotNull && !isnan(v))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val touches = ev
+        .filter(col("event_type") =!= "purchase" && col("event_type") =!= "error")
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("event_type").as("ch"))
+      graft.ops.Funnels.timeDecayAttribution(purchases, "event_id",
+        Seq("user_id"), "ts", "value", touches, "touch_ts", "ch",
+        windowNs = 604800000000000L, halfLifeNs = 86400000000000L)
+    }),
+
     "events_attribution_position" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val v = col("value").cast("double")
@@ -1711,6 +1730,29 @@ object StatsQueries extends QueryGroup {
         "  ASOF LEFT JOIN cl ON j1.user_id = cl.user_id AND j1.t >= cl.ct) " +
         "SELECT user_id, event_id, COALESCE(c, 0) AS purchases_so_far, " +
         "  v AS last_click_value FROM j2"),
+
+    // decay bases u = round(exp(-ln2 * age/halfLife), 12) on identical
+    // IEEE args (ln2 spliced), per-purchase DECIMAL normalization
+    "events_attribution_decay" ->
+      ("WITH p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS pt, " +
+        "    round(CAST(value AS DOUBLE), 6) AS v FROM events " +
+        "  WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)), " +
+        "t AS (SELECT user_id, epoch_ns(ts) AS tt, event_type AS ch FROM events " +
+        "  WHERE event_type NOT IN ('purchase', 'error')), " +
+        "j AS (SELECT p.pid, p.v, t.ch, " +
+        "    CAST(round(exp(-0.6931471805599453 * " +
+        "      (CAST(p.pt - t.tt AS DOUBLE) / 86400000000000.0)), 12) " +
+        "      AS DECIMAL(24,12)) AS u " +
+        "  FROM p JOIN t ON t.user_id = p.user_id AND t.tt <= p.pt " +
+        "    AND t.tt > p.pt - 604800000000000), " +
+        "w AS (SELECT pid, v, ch, u, sum(u) OVER (PARTITION BY pid) AS su FROM j), " +
+        "sh AS (SELECT ch AS channel, CAST(round(v * (CAST(u AS DOUBLE) " +
+        "      / CAST(su AS DOUBLE)), 6) AS DECIMAL(18,6)) AS share FROM w " +
+        "  UNION ALL SELECT 'direct', CAST(p.v AS DECIMAL(18,6)) FROM p " +
+        "  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)) " +
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_contacts, " +
+        "  round(CAST(sum(share) AS DOUBLE), 6) AS revenue " +
+        "FROM sh GROUP BY 1"),
 
     "events_attribution_position" ->
       ("WITH p AS (SELECT event_id AS pid, user_id, epoch_ns(ts) AS pt, " +

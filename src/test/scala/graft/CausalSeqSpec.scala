@@ -144,6 +144,40 @@ class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getAs[Double]("w1") === 1.0)
   }
 
+  test("maxSimTopK: multi-aspect doc beats single-aspect doc; scores hand-computed") {
+    val s = spark; import s.implicits._
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    // query doc 0 has two aspects (e1, e2); doc 10 covers both, doc 11
+    // only the first (twice)
+    val corpus = Seq((10L, e1), (10L, e2), (11L, e1), (11L, e1))
+      .toDF("ddoc", "vec")
+    val queries = Seq((0L, 100L, e1), (0L, 101L, e2)).toDF("qdoc", "qvid", "qvec")
+    val got = graft.ops.Similarity.maxSimTopK(corpus, "ddoc", "vec",
+      queries, "qdoc", "qvid", "qvec", k = 2)
+      .orderBy("rank").collect()
+    assert(got(0).getLong(1) === 10L && got(0).getAs[Double]("score") === 2.0)
+    assert(got(1).getLong(1) === 11L && got(1).getAs[Double]("score") === 1.0)
+  }
+
+  test("timeDecayAttribution: half-life halves the weight; direct bucket kept") {
+    val s = spark; import s.implicits._
+    val h = 1000L // half-life ns
+    val purchases = Seq((1L, 10L, 2000L, 30.0), (2L, 20L, 500L, 7.0))
+      .toDF("pid", "user", "pts", "value")
+    // user 10: touch at age 0 (w=1.0) and age h (w=0.5) → shares 20/10
+    val touches = Seq((10L, 2000L, "click"), (10L, 1000L, "view"))
+      .toDF("user", "tts", "ch")
+    val out = graft.ops.Funnels.timeDecayAttribution(purchases, "pid",
+      Seq("user"), "pts", "value", touches, "tts", "ch",
+      windowNs = 10000L, halfLifeNs = h)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getAs[Double]("revenue")))).toMap
+    assert(out("click") === ((1L, 20.0)))
+    assert(out("view") === ((1L, 10.0)))
+    assert(out("direct") === ((1L, 7.0)), "no-touch purchase falls to direct")
+  }
+
   test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
     val s = spark; import s.implicits._
     // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
