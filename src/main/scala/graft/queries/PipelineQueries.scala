@@ -186,6 +186,26 @@ object PipelineQueries extends QueryGroup {
         Tables.load(s, dir, "documents"), "text", minCount = 10L)
     }),
 
+    // Porter-stemmed vocabulary collapse: corpus token counts keyed by
+    // the codegen graft_porter_stem expression — inflection families
+    // (connect/connected/connection) fold to one row. No SQL oracle
+    // (DuckDB's stem() lives in the unavailable fts extension) —
+    // rows-only gate; the algorithm is pinned by PorterSpec against the
+    // published paper's examples.
+    "text_stem_vocab" -> ((s, dir) => {
+      org.apache.spark.sql.graftfn.GraftFunctions.register(s)
+      Tables.load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(expr(
+          s"${org.apache.spark.sql.graftfn.GraftFunctions.PorterName}(w)")
+          .as("stem"), col("w"))
+        .groupBy("stem")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_forms"))
+        .filter(col("n_tokens") >= 10)
+    }),
+
     // robust (modified z-score) outliers: median/MAD have 50% breakdown
     // vs the moment-based events_zscore; order statistics over 6-dp
     // values are engine-exact — no FP-summation sensitivity

@@ -168,6 +168,7 @@ object GraftFunctions {
   val TokSliceName = "graft_tok_slice"
   val JaroWinklerName = "graft_jaro_winkler"
   val DamerauName = "graft_damerau"
+  val PorterName = "graft_porter_stem"
 
   /** Unrestricted Damerau–Levenshtein over raw bytes (Lowrance–Wagner
     * 1975, the `d[k,l]` last-occurrence recurrence) — see
@@ -290,7 +291,10 @@ object GraftFunctions {
       exprs => JaroWinkler(exprs(0), exprs(1))),
     (FunctionIdentifier(DamerauName),
       new ExpressionInfo(classOf[DamerauLevenshtein].getName, DamerauName),
-      exprs => DamerauLevenshtein(exprs(0), exprs(1))))
+      exprs => DamerauLevenshtein(exprs(0), exprs(1))),
+    (FunctionIdentifier(PorterName),
+      new ExpressionInfo(classOf[PorterStem].getName, PorterName),
+      exprs => PorterStem(exprs(0))))
 
   /** Idempotently register the codegen functions in a HANDED session —
     * fallback for sessions built without `GraftExtensions`. */

@@ -1,0 +1,205 @@
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The original Porter stemming algorithm (M. F. Porter, "An algorithm
+  * for suffix stripping", Program 14(3), 1980) as a codegen'd unary
+  * expression — the canonical recall-booster for lexical retrieval
+  * (BM25/phrase/boolean search match `connection` against `connected`)
+  * and for vocabulary-collapsed corpus statistics. Implemented directly
+  * from the published specification: measure m = count of VC sequences
+  * in the [C](VC)^m[V] form; steps 1a/1b(+cleanup)/1c/2/3/4/5a/5b in
+  * order, longest-matching suffix per step.
+  *
+  * Contract: lowercase ASCII words stem per the paper (spec pins the
+  * paper's own step examples); non-alpha and short inputs pass through
+  * the same rules (the algorithm is total on any string — characters
+  * outside a-z are simply consonants). Case is NOT folded here — callers
+  * lower() first, matching the engine's corpus tokenization.
+  */
+case class PorterStem(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.PorterName
+
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(
+      PorterStemmer.stem(s.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"org.apache.spark.sql.graftfn.PorterStemmer.stem($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): PorterStem =
+    copy(child = newChild)
+}
+
+object PorterStemmer {
+
+  // b holds the working word; k = index of its last char
+  private final class W(var b: Array[Char], var k: Int) {
+    def cons(i: Int): Boolean = b(i) match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' => false
+      case 'y' => if (i == 0) true else !cons(i - 1)
+      case _ => true
+    }
+    /** m() for b[0..j]: number of VC sequences. */
+    def m(j: Int): Int = {
+      var n = 0
+      var i = 0
+      var done = false
+      while (!done) {
+        if (i > j) return n
+        if (!cons(i)) done = true else i += 1
+      }
+      i += 1
+      while (true) {
+        done = false
+        while (!done) {
+          if (i > j) return n
+          if (cons(i)) done = true else i += 1
+        }
+        i += 1
+        n += 1
+        done = false
+        while (!done) {
+          if (i > j) return n
+          if (!cons(i)) done = true else i += 1
+        }
+        i += 1
+      }
+      n
+    }
+    def vowelInStem(j: Int): Boolean = {
+      var i = 0
+      while (i <= j) { if (!cons(i)) return true; i += 1 }
+      false
+    }
+    def doubleC(j: Int): Boolean =
+      j >= 1 && b(j) == b(j - 1) && cons(j)
+    /** cvc(i) = C-V-C ending at i where final C is not w, x or y. */
+    def cvc(i: Int): Boolean = {
+      if (i < 2 || !cons(i) || cons(i - 1) || !cons(i - 2)) return false
+      val ch = b(i)
+      ch != 'w' && ch != 'x' && ch != 'y'
+    }
+    def ends(s: String): Option[Int] = {
+      val l = s.length
+      if (l > k + 1) return None
+      var i = 0
+      while (i < l) {
+        if (b(k - l + 1 + i) != s(i)) return None
+        i += 1
+      }
+      Some(k - l) // index of last stem char before the suffix
+    }
+    def setTo(j: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { b(j + 1 + i) = s(i); i += 1 }
+      k = j + s.length
+    }
+    /** Replace suffix when m(stem) > threshold. */
+    def r(j: Int, s: String, thr: Int): Boolean =
+      if (m(j) > thr) { setTo(j, s); true } else false
+  }
+
+  def stem(word: String): String = {
+    if (word.length <= 2) return word // per the paper, length-1/2 words pass
+    val w = new W(word.toCharArray, word.length - 1)
+
+    // Step 1a
+    w.ends("sses").foreach(j => w.setTo(j, "ss"))
+    if (!word.endsWith("sses")) {
+      w.ends("ies") match {
+        case Some(j) => w.setTo(j, "i")
+        case None =>
+          // S with not-SS precedes: plain plural
+          if (w.b(w.k) == 's' && !(w.k >= 1 && w.b(w.k - 1) == 's')) w.k -= 1
+      }
+    }
+
+    // Step 1b
+    var extraClean = false
+    w.ends("eed") match {
+      case Some(j) =>
+        if (w.m(j) > 0) w.k -= 1 // eed -> ee
+      case None =>
+        val ed = w.ends("ed")
+        if (ed.exists(w.vowelInStem)) { w.k = ed.get; extraClean = true }
+        else {
+          val ing = w.ends("ing")
+          if (ing.exists(w.vowelInStem)) { w.k = ing.get; extraClean = true }
+        }
+    }
+    if (extraClean) {
+      // AT->ATE, BL->BLE, IZ->IZE; double consonant (not l,s,z) -> single;
+      // (m=1 and cvc) -> add E
+      if (w.ends("at").isDefined || w.ends("bl").isDefined || w.ends("iz").isDefined) {
+        w.k += 1
+        w.b = java.util.Arrays.copyOf(w.b, math.max(w.b.length, w.k + 1))
+        w.b(w.k) = 'e'
+      } else if (w.doubleC(w.k)) {
+        val ch = w.b(w.k)
+        if (ch != 'l' && ch != 's' && ch != 'z') w.k -= 1
+      } else if (w.m(w.k) == 1 && w.cvc(w.k)) {
+        w.k += 1
+        w.b = java.util.Arrays.copyOf(w.b, math.max(w.b.length, w.k + 1))
+        w.b(w.k) = 'e'
+      }
+    }
+
+    // Step 1c: (*v*) Y -> I
+    if (w.b(w.k) == 'y' && w.vowelInStem(w.k - 1)) w.b(w.k) = 'i'
+
+    // Step 2 (m > 0), longest match on the penultimate char per the
+    // reference implementation's switch
+    val step2: Seq[(String, String)] = Seq(
+      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+      "anci" -> "ance", "izer" -> "ize", "abli" -> "able",
+      "alli" -> "al", "entli" -> "ent", "eli" -> "e", "ousli" -> "ous",
+      "ization" -> "ize", "ation" -> "ate", "ator" -> "ate",
+      "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
+      "biliti" -> "ble")
+    step2.collectFirst {
+      case (suf, rep) if w.ends(suf).isDefined => (w.ends(suf).get, rep)
+    }.foreach { case (j, rep) => w.r(j, rep, 0) }
+
+    // Step 3 (m > 0)
+    val step3: Seq[(String, String)] = Seq(
+      "icate" -> "ic", "ative" -> "", "alize" -> "al",
+      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
+    step3.collectFirst {
+      case (suf, rep) if w.ends(suf).isDefined => (w.ends(suf).get, rep)
+    }.foreach { case (j, rep) => w.r(j, rep, 0) }
+
+    // Step 4 (m > 1); "ion" requires stem ending s or t
+    val step4: Seq[String] = Seq(
+      "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+      "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+      "ous", "ive", "ize")
+    step4.collectFirst {
+      case suf if w.ends(suf).isDefined &&
+        (suf != "ion" || {
+          val j = w.ends(suf).get
+          j >= 0 && (w.b(j) == 's' || w.b(j) == 't')
+        }) => (w.ends(suf).get, suf)
+    }.foreach { case (j, _) => if (w.m(j) > 1) w.k = j }
+
+    // Step 5a: (m>1) E -> ; (m=1 and not cvc) E ->
+    if (w.b(w.k) == 'e') {
+      val a = w.m(w.k - 1)
+      if (a > 1 || (a == 1 && !w.cvc(w.k - 1))) w.k -= 1
+    }
+    // Step 5b: (m>1 and *d and *L) single letter
+    if (w.b(w.k) == 'l' && w.doubleC(w.k) && w.m(w.k - 1) > 1) w.k -= 1
+
+    new String(w.b, 0, w.k + 1)
+  }
+}

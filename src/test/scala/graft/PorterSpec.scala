@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfn.{GraftFunctions, PorterStemmer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the Porter stemmer expression, pinned by the published
+  * algorithm's own step examples (Porter 1980, Program 14(3)). */
+class PorterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("PorterSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def st(w: String): String = PorterStemmer.stem(w)
+
+  test("step 1a: plural stripping") {
+    assert(st("caresses") === "caress")
+    assert(st("ponies") === "poni")
+    assert(st("ties") === "ti")
+    assert(st("caress") === "caress")
+    assert(st("cats") === "cat")
+  }
+
+  test("step 1b: ed/ing with cleanup") {
+    assert(st("feed") === "feed")
+    assert(st("agreed") === "agre") // 1b eed->ee, then 5a drops the e
+    assert(st("plastered") === "plaster")
+    assert(st("bled") === "bled")
+    assert(st("motoring") === "motor")
+    assert(st("sing") === "sing")
+    assert(st("conflated") === "conflat") // 1b restores e, 5a re-drops (m>1)
+    assert(st("troubled") === "troubl")
+    assert(st("sized") === "size")
+    assert(st("hopping") === "hop")
+    assert(st("tanned") === "tan")
+    assert(st("falling") === "fall")
+    assert(st("hissing") === "hiss")
+    assert(st("fizzed") === "fizz")
+    assert(st("failing") === "fail")
+    assert(st("filing") === "file")
+  }
+
+  test("step 1c: y -> i after a vowel-bearing stem") {
+    assert(st("happy") === "happi")
+    assert(st("sky") === "sky")
+  }
+
+  test("steps 2-3: suffix mapping above measure 0") {
+    assert(st("relational") === "relat")       // ational->ate then step4 ate
+    assert(st("conditional") === "condit")     // tional->tion then step4 ion
+    assert(st("rational") === "ration")        // m=0 blocks step2; step4 al
+    assert(st("digitizer") === "digit")
+    assert(st("electriciti") === "electr")     // iciti->ic then step4 ic
+    assert(st("electrical") === "electr")
+    assert(st("hopeful") === "hope")
+    assert(st("goodness") === "good")
+  }
+
+  test("step 4: measure-2 suffix deletion") {
+    assert(st("allowance") === "allow")
+    assert(st("inference") === "infer")
+    assert(st("airliner") === "airlin")
+    assert(st("adjustable") === "adjust")
+    assert(st("replacement") === "replac")
+    assert(st("adjustment") === "adjust")
+    assert(st("dependent") === "depend")
+    assert(st("adoption") === "adopt")
+    assert(st("communism") === "commun")
+    assert(st("activate") === "activ")
+    assert(st("effective") === "effect")
+  }
+
+  test("step 5: final e and double l") {
+    assert(st("probate") === "probat")
+    assert(st("rate") === "rate")
+    assert(st("cease") === "ceas")
+    assert(st("controll") === "control")
+    assert(st("roll") === "roll")
+  }
+
+  test("stemming collapses inflection families to one key") {
+    val fams = Seq(
+      Seq("connect", "connected", "connecting", "connection", "connections"),
+      Seq("relate", "related", "relating"))
+    fams.foreach { fam =>
+      val stems = fam.map(st).distinct
+      assert(stems.size === 1, s"$fam -> ${fam.map(st)}")
+    }
+  }
+
+  test("expression codegen path agrees with the static fn; null-safe; short passthrough") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(s)
+    val words = Seq("caresses", "happy", "a", "xy", "", "relational")
+    val got = words.toDF("w")
+      .select(expr(s"${GraftFunctions.PorterName}(w)").as("st"))
+      .as[String].collect()
+    assert(got.toSeq === words.map(PorterStemmer.stem))
+    assert(st("a") === "a" && st("xy") === "xy" && st("") === "")
+  }
+}
