@@ -24,6 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Eager checkpoint + STATS truncation for iterative state frames.
+    *
+    * `localCheckpoint(true)` truncates the execution lineage but
+    * PRESERVES the logical plan's computed statistics into the new
+    * LogicalRDD leaf (origin stats). In a pointer-jumping loop the
+    * label-of-label self-join makes next round's sizeInBytes estimate
+    * the SQUARE of this round's — with preserved stats that estimate
+    * has 2^round bits after k rounds, and Catalyst's size-only stats
+    * visitor then spends HOURS multiplying gigabit BigInts at plan time
+    * (observed: geo_dbscan at sf0.1, whose geographic chain components
+    * need ~20 jump rounds — planning, not execution, was the hang).
+    * Rebuilding the frame from the checkpointed RDD drops origin stats;
+    * the estimate resets to the conservative default each round instead
+    * of compounding, and AQE re-plans from REAL runtime sizes anyway.
+    * The Row round-trip costs one extra copy of a node-sized frame per
+    * round — noise next to the round's shuffles. */
+  private def freshState(df: DataFrame): DataFrame = {
+    val eager = df.localCheckpoint(true)
+    df.sparkSession.createDataFrame(eager.rdd, eager.schema)
+  }
+
   /** Connected components over an undirected pair set.
     *
     * @param nodes one row per node (singletons become their own rep)
@@ -45,10 +66,10 @@ object Clustering {
     // edge list, because round 1 against identity labels would just be
     // that aggregation plus two wasted joins (neighbor lookup on
     // identity, pointer jump through identity).
-    var labels = sym.select(col("src").as("id"), col("dst").as("lbl"))
-      .unionByName(sym.select(col("src").as("id"), col("src").as("lbl")))
-      .groupBy("id").agg(min("lbl").as("lbl"))
-      .localCheckpoint(true)
+    var labels = freshState(
+      sym.select(col("src").as("id"), col("dst").as("lbl"))
+        .unionByName(sym.select(col("src").as("id"), col("src").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl")))
     var iter = 1
     var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
@@ -63,11 +84,11 @@ object Clustering {
       // anything change" is a trivial filter over the eagerly
       // checkpointed result — no second join, no recompute (r4 paid a
       // full extra join+count job per round here).
-      val next = labels.withColumn("__own", lit(1))
-        .unionByName(prop).unionByName(l2)
-        .groupBy("id").agg(min("lbl").as("lbl"),
-          max(when(col("__own") === 1, col("lbl"))).as("prev"))
-        .localCheckpoint(true)
+      val next = freshState(
+        labels.withColumn("__own", lit(1))
+          .unionByName(prop).unionByName(l2)
+          .groupBy("id").agg(min("lbl").as("lbl"),
+            max(when(col("__own") === 1, col("lbl"))).as("prev")))
       converged = next.filter(col("lbl") < col("prev")).isEmpty
       labels = next.select("id", "lbl")
       iter += 1
