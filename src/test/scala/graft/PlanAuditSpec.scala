@@ -256,6 +256,52 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"key equi-condition must drive the join (band is the residual):\n$plan")
   }
 
+  test("PPJoin plans as equi-joins only — no cartesian anywhere in candidate gen") {
+    val plan = q("dedup_ppjoin").queryExecution.executedPlan
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty,
+      s"prefix-filter candidates must come from hash equi-joins, never a cross:\n$plan")
+  }
+
+  test("skyline shuffles nothing corpus-sized: one coalesce, no exchange, no join") {
+    val plan = q("skyline_parts").queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, s"two-phase skyline needs no join:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"local skylines coalesce (narrow), they must not shuffle:\n$plan")
+  }
+
+  test("MaxSim streams the corpus once against a broadcast query set") {
+    val plan = q("ann_maxsim_topk").queryExecution.executedPlan
+    val sc = scans(q("ann_maxsim_topk"))
+    assert(sc.size <= 2, s"corpus must be scanned once (plus the query slice):\n$plan")
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(bad.isEmpty,
+      s"the query set must broadcast — a shuffled join ships the corpus:\n$plan")
+    val aggs = plan.collect { case a: HashAggregateExec => a }
+    assert(aggs.nonEmpty && aggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      s"per-query-vector max must combine map-side:\n$plan")
+  }
+
+  test("time-decay attribution windows per purchase, never unpartitioned over touches") {
+    val plan = q("events_attribution_decay").queryExecution.executedPlan
+    val unpart = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w }
+    assert(unpart.isEmpty,
+      s"normalization windows must partition by purchase id:\n$plan")
+  }
+
   test("Gini rank never windows the ranked table in one partition") {
     val plan = q("events_gini").queryExecution.executedPlan
     // the distributed prefix-count device allows exactly one kind of
