@@ -800,4 +800,31 @@ object Evaluation {
         round(col("__in").cast("double") / col("n_test").cast("double"), 6)
           .as("coverage"))
   }
+
+  /** McNemar's test for two classifiers scored on the SAME examples
+    * (McNemar 1947; Dietterich's recommended paired test, NeCo 1998):
+    * only the DISAGREEMENT cells carry information — b = A right/B
+    * wrong, c = A wrong/B right — and the continuity-corrected
+    * χ² = (|b−c|−1)²/(b+c) tests whether the two error rates differ.
+    * Accuracy deltas without this pairing routinely over-claim: two
+    * models can differ by 2% accuracy with b ≈ c (no evidence) or tie
+    * on accuracy with wildly asymmetric disagreements.
+    *
+    * `aCorrect`/`bCorrect` are boolean predicates over the row (e.g.
+    * `pred_a === truth`). One hash aggregate; exact integer cells, one
+    * double chain for χ². b + c = 0 → NULL chi2 (no disagreements).
+    * @return one row (n, both_right, both_wrong, a_only, b_only, chi2) */
+  def mcnemar(df: DataFrame, aCorrect: Column, bCorrect: Column): DataFrame = {
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(aCorrect && bCorrect, 1L).otherwise(0L)).as("both_right"),
+        sum(when(!aCorrect && !bCorrect, 1L).otherwise(0L)).as("both_wrong"),
+        sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!aCorrect && bCorrect, 1L).otherwise(0L)).as("b_only"))
+      .withColumn("chi2", round(
+        when(col("a_only") + col("b_only") > 0,
+          pow(abs(col("a_only") - col("b_only")).cast("double") - 1.0, 2.0) /
+            (col("a_only") + col("b_only")).cast("double")), 6))
+      .select("n", "both_right", "both_wrong", "a_only", "b_only", "chi2")
+  }
 }

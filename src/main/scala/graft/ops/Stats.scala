@@ -697,6 +697,57 @@ object Stats {
         col("__slope").as("slope"))
   }
 
+  /** Mann–Kendall trend test per series (Mann 1945; Kendall 1975): the
+    * nonparametric "is there a monotone trend" test —
+    * S = Σ_{i<j} sign(xⱼ − xᵢ) over the daily buckets in time order,
+    * tie-corrected variance
+    * Var = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, and the
+    * continuity-corrected z = (S∓1)/√Var. The hypothesis-test companion
+    * to [[theilSen]]'s slope estimate: same robustness (any monotone
+    * transform, outlier-immune), but a calibrated significance level
+    * instead of a magnitude.
+    *
+    * Exactness: signs compare exact DECIMAL bucket sums; S, n and the
+    * tie term are exact integers; z is one fixed double chain. Shape:
+    * the O(buckets²) pairwise join is per-series over BUCKETED data —
+    * [[theilSen]]'s contract exactly. Series with Var = 0 (all values
+    * tied) or < 2 buckets report NULL z. */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .filter(v.isNotNull && !isnan(v) && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__x"))
+      .localCheckpoint(true) // reused: pairs (twice), ties, bucket count
+    val pairs = daily.select(col("key"), col("__day").as("__di"), col("__x").as("__xi"))
+      .join(daily.select(col("key"), col("__day").as("__dj"), col("__x").as("__xj")),
+        Seq("key"))
+      .filter(col("__di") < col("__dj"))
+    val sAgg = pairs.groupBy("key")
+      .agg(sum(signum(col("__xj") - col("__xi")).cast("long")).as("s"))
+    val ties = daily.groupBy("key", "__x").agg(count(lit(1)).as("__t"))
+      .groupBy("key")
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5)).as("__tt"))
+    val n = daily.groupBy("key").agg(count(lit(1)).as("n_buckets"))
+    n.join(sAgg, Seq("key"), "left")
+      .join(ties, Seq("key"))
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("__var",
+        (col("n_buckets") * (col("n_buckets") - 1) * (lit(2) * col("n_buckets") + 5)
+          - col("__tt")).cast("double") / lit(18.0))
+      .withColumn("z", round(
+        when(col("__var") > 0.0 && col("s") > 0,
+          (col("s") - 1).cast("double") / sqrt(col("__var")))
+          .when(col("__var") > 0.0 && col("s") < 0,
+            (col("s") + 1).cast("double") / sqrt(col("__var")))
+          .when(col("__var") > 0.0, lit(0.0)), 6))
+      .select(col("key"), col("n_buckets"), col("s"),
+        round(col("__var"), 6).as("var_s"), col("z"))
+  }
+
   /** Offline change-point detection per series: the CUSUM
     * binary-segmentation split (Page 1954 / Pettitt-style statistic) —
     * the bucket t* maximizing the cumulative sum's deviation from the

@@ -90,6 +90,53 @@ object TextSearch {
     scoreTopK(post, stats, k)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+    * SIGIR'98; Zhai & Lafferty SIGIR'01) — the language-modeling ranker
+    * next to [[bm25TopK]]'s probabilistic one:
+    * {{{ score(q, d) = Σ_{w∈q} ln( (tf(w,d) + μ·P(w|C)) / (|d| + μ) ) }}}
+    * with collection model P(w|C) = cf(w)/|C|. Unlike BM25, EVERY
+    * (document, query-term) pair scores — absent terms contribute the
+    * smoothing mass ln(μ·P(w|C)/(|d|+μ)), which is what makes document
+    * length and collection statistics trade off correctly. Query terms
+    * absent from the whole corpus are dropped (their ln would be −∞ for
+    * every document alike — rank-neutral, and both engines must agree).
+    *
+    * Shape: postings restricted to the query terms (one aggregate), a
+    * |docs|×|q| dense frame from the doc-length table × the tiny term
+    * list (broadcast), collection stats as a broadcast scalar row. Each
+    * term's ln is rounded to 12 dp and summed as DECIMAL — the exact
+    * cross-engine device of the whole search family. Top-k by
+    * (score desc, doc_id). */
+  def qlDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], mu: Double, k: Int): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    require(mu > 0.0, s"mu must be positive: $mu")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = query.map(_.toLowerCase).distinct
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val stats = base.agg(sum(size(col("__t"))).as("c_len"))
+    val dl = base.select(col("doc_id"), size(col("__t")).as("dl"))
+    val tok = base.select(col("doc_id"), explode(col("__t")).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val cf = tok.groupBy("term").agg(count(lit(1)).as("cf")) // >0 by construction
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dense = dl.crossJoin(broadcast(cf)) // corpus-present terms only
+      .join(tf, Seq("doc_id", "term"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .crossJoin(broadcast(stats))
+    val term = round(log(
+      (col("tf") + lit(mu) * (col("cf").cast("double") / col("c_len").cast("double"))) /
+        (col("dl") + lit(mu))), 12).cast("decimal(28,12)")
+    val scored = dense
+      .groupBy("doc_id")
+      .agg(round(sum(term).cast("double"), 6).as("score"))
+    // top-k over per-doc scores: TakeOrderedAndProject shape
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Materialize the inverted index at `path`: `postings/` directory-
     * partitioned by `bucket = pmod(hash(term), nBuckets)` (one term-sorted
     * file per bucket), `meta/` one row (n_docs, sum_dl, n_buckets). */

@@ -1160,6 +1160,19 @@ object PipelineQueries extends QueryGroup {
       graft.ops.Evaluation.brierScore(ev, "p", col("event_type") === "click")
     }),
 
+    // McNemar paired-classifier test: two click-predictors (value
+    // threshold vs props.k threshold) scored on the same events — only
+    // the disagreement cells test whether the error rates differ
+    "eval_mcnemar" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val truth = col("event_type") === "click"
+      val predA = col("value") > 50.0
+      val predB = coalesce(
+        get_json_object(col("props"), "$.k").cast("long") > 50L, lit(false))
+      graft.ops.Evaluation.mcnemar(ev, predA === truth, predB === truth)
+    }),
+
     // PSI drift monitor: purchase-value distribution vs the view-value
     // reference over the reference's exact decile bins (+1 smoothing) —
     // the "retrain or not" gate; 12-dp decimal term sums
@@ -1379,6 +1392,14 @@ object PipelineQueries extends QueryGroup {
     "search_bm25" -> ((s, dir) => {
       graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
         "doc_id", "text", Seq("scan", "merge", "la"), 10)
+    }),
+
+    // query-likelihood Dirichlet retrieval: the language-modeling
+    // ranker next to BM25 — every (doc, query-term) pair scores, absent
+    // terms contribute the smoothing mass; 12-dp decimal ln sums
+    "search_ql_dirichlet" -> ((s, dir) => {
+      graft.ops.TextSearch.qlDirichletTopK(Tables.load(s, dir, "documents"),
+        "doc_id", "text", Seq("scan", "merge", "la"), mu = 2000.0, k = 10)
     }),
 
     // hybrid retrieval: RRF fusion of two BM25 rankings (multi-query
@@ -2281,6 +2302,47 @@ object PipelineQueries extends QueryGroup {
         "  FROM documents) WHERE rn <= 15"),
     // BM25 with the engine's exact arithmetic: per-term scores rounded
     // to 6dp then summed as exact decimals; avgdl = exact-int sum / N
+    // only disagreement cells inform; continuity-corrected chi2, NULL
+    // when the classifiers never disagree
+    "eval_mcnemar" ->
+      ("WITH e AS (SELECT (event_type = 'click') AS truth, " +
+        "    (value > 50.0) AS pa, " +
+        "    COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) > 50, FALSE) AS pb " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "c AS (SELECT (pa = truth) AS aok, (pb = truth) AS bok FROM e) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(sum(CASE WHEN aok AND bok THEN 1 ELSE 0 END) AS BIGINT) AS both_right, " +
+        "  CAST(sum(CASE WHEN NOT aok AND NOT bok THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong, " +
+        "  CAST(sum(CASE WHEN aok AND NOT bok THEN 1 ELSE 0 END) AS BIGINT) AS a_only, " +
+        "  CAST(sum(CASE WHEN NOT aok AND bok THEN 1 ELSE 0 END) AS BIGINT) AS b_only, " +
+        "  round(CASE WHEN sum(CASE WHEN aok AND NOT bok THEN 1 ELSE 0 END) " +
+        "      + sum(CASE WHEN NOT aok AND bok THEN 1 ELSE 0 END) > 0 THEN " +
+        "    pow(CAST(abs(sum(CASE WHEN aok AND NOT bok THEN 1 ELSE 0 END) " +
+        "      - sum(CASE WHEN NOT aok AND bok THEN 1 ELSE 0 END)) AS DOUBLE) - 1.0, 2.0) " +
+        "    / CAST(sum(CASE WHEN aok AND NOT bok THEN 1 ELSE 0 END) " +
+        "      + sum(CASE WHEN NOT aok AND bok THEN 1 ELSE 0 END) AS DOUBLE) END, 6) AS chi2 " +
+        "FROM c"),
+
+    // dense (doc x query-term) grid: absent terms score the smoothing
+    // mass; same tokenization as the BM25 family
+    "search_ql_dirichlet" ->
+      ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        " dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+        " st AS (SELECT CAST(sum(dl) AS BIGINT) AS c_len FROM dl), " +
+        " qt AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok " +
+        "   WHERE term IN ('scan', 'merge', 'la') GROUP BY 1), " +
+        " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok " +
+        "   WHERE term IN ('scan', 'merge', 'la') GROUP BY 1, 2), " +
+        " dense AS (SELECT dl.doc_id, dl.dl, qt.term, qt.cf, " +
+        "     COALESCE(tf.tf, 0) AS tf FROM dl CROSS JOIN qt " +
+        "   LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = qt.term), " +
+        " sc AS (SELECT doc_id, round(CAST(sum(CAST(round(" +
+        "     ln((tf + 2000.0 * (CAST(cf AS DOUBLE) / CAST(c_len AS DOUBLE))) " +
+        "       / (dl + 2000.0)), 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS score " +
+        "   FROM dense CROSS JOIN st GROUP BY doc_id) " +
+        "SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10"),
+
     "search_bm25" -> bm25OracleSql,
     "search_bm25_index" -> bm25OracleSql,
     "search_bm25_incr" -> bm25OracleSql,

@@ -663,6 +663,14 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value", window = 12)
     }),
 
+    // Mann-Kendall monotone-trend test per event type: S from exact
+    // decimal sign comparisons, tie-corrected variance, continuity-
+    // corrected z — the significance companion to the Theil-Sen slope
+    "stats_mann_kendall" -> ((s, dir) => {
+      graft.ops.Stats.mannKendall(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value")
+    }),
+
     // Theil-Sen robust trend per event type (median pairwise slope over
     // the daily series — exact lower-median row pick, hash-oracled)
     "events_theil_sen" -> ((s, dir) => {
@@ -1833,6 +1841,26 @@ object StatsQueries extends QueryGroup {
         "  round(s1.s1 - s2.s2, 6) AS trend, " +
         "  round(3.0 * s1.s1 - 2.0 * s2.s2, 6) AS forecast " +
         "FROM s1 JOIN s2 ON s2.key = s1.key AND s2.day = s1.day"),
+
+    // pairwise sign sum + tie groups + integer variance numerator; z on
+    // the UNROUNDED variance, var_s rounded only at emit (engine order)
+    "stats_mann_kendall" ->
+      ("WITH d AS (" + dailyDecimalSeries + "), " +
+        "sp AS (SELECT a.key, CAST(sum(CASE WHEN b.x > a.x THEN 1 " +
+        "    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s " +
+        "  FROM d a JOIN d b ON b.key = a.key AND a.day < b.day GROUP BY 1), " +
+        "tg AS (SELECT key, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt " +
+        "  FROM (SELECT key, x, count(*) AS t FROM d GROUP BY 1, 2) GROUP BY 1), " +
+        "nb AS (SELECT key, CAST(count(*) AS BIGINT) AS n_buckets FROM d GROUP BY 1), " +
+        "vr AS (SELECT nb.key, nb.n_buckets, COALESCE(sp.s, 0) AS s, " +
+        "    CAST(nb.n_buckets * (nb.n_buckets - 1) * (2 * nb.n_buckets + 5) " +
+        "      - tg.tt AS DOUBLE) / 18.0 AS v " +
+        "  FROM nb LEFT JOIN sp ON sp.key = nb.key JOIN tg ON tg.key = nb.key) " +
+        "SELECT key, n_buckets, s, round(v, 6) AS var_s, " +
+        "  round(CASE WHEN v > 0 AND s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(v) " +
+        "    WHEN v > 0 AND s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(v) " +
+        "    WHEN v > 0 THEN 0.0 END, 6) AS z " +
+        "FROM vr"),
 
     "events_theil_sen" ->
       ("WITH d AS (" + dailyDecimalSeries + "), " +

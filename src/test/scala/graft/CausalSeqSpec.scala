@@ -178,6 +178,58 @@ class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("direct") === ((1L, 7.0)), "no-touch purchase falls to direct")
   }
 
+  test("mannKendall: monotone series detected, all-tied series has NULL z") {
+    val s = spark; import s.implicits._
+    val dayNs = 86400000000000L
+    val rising = (0 until 4).map(i => ("k", i * dayNs + 1L, i.toDouble))
+    val flat = (0 until 5).map(i => ("f", i * dayNs + 1L, 7.0))
+    val df = (rising ++ flat).toDF("key", "ts", "v")
+    val out = graft.ops.Stats.mannKendall(df, "key", "ts", "v")
+      .collect().map(r => (r.getString(0), r)).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("s") === 6L) // all 6 pairs increasing
+    // var = 4*3*13/18 = 8.6667; z = (6-1)/sqrt(var) ~= 1.6984
+    assert(math.abs(k.getAs[Double]("z") - 1.698415) < 1e-4)
+    val f = out("f")
+    assert(f.getAs[Long]("s") === 0L)
+    assert(f.isNullAt(f.fieldIndex("z")), "all-tied variance is 0 -> NULL z")
+  }
+
+  test("mcnemar: disagreement cells and continuity-corrected chi2") {
+    val s = spark; import s.implicits._
+    // aOk, bOk: 4 both-right, 1 both-wrong, 3 a-only, 1 b-only
+    val rows = Seq.fill(4)((true, true)) ++ Seq((false, false)) ++
+      Seq.fill(3)((true, false)) ++ Seq((false, true))
+    val df = rows.toDF("aok", "bok")
+    val r = graft.ops.Evaluation.mcnemar(df, col("aok"), col("bok")).head()
+    assert(r.getAs[Long]("n") === 9 && r.getAs[Long]("a_only") === 3 &&
+      r.getAs[Long]("b_only") === 1)
+    // chi2 = (|3-1|-1)^2 / 4 = 0.25
+    assert(r.getAs[Double]("chi2") === 0.25)
+    // never-disagree case: NULL chi2
+    val agree = Seq((true, true), (false, false)).toDF("aok", "bok")
+    val r2 = graft.ops.Evaluation.mcnemar(agree, col("aok"), col("bok")).head()
+    assert(r2.isNullAt(r2.fieldIndex("chi2")))
+  }
+
+  test("qlDirichlet: term presence ranks above absence; smoothing mass still scores") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "scan scan merge other filler words here now"),
+      (2L, "other filler words here now and more stuff"),
+      (3L, "scan only short doc")).toDF("doc_id", "text")
+    val out = graft.ops.TextSearch.qlDirichletTopK(docs, "doc_id", "text",
+      Seq("scan", "merge"), mu = 100.0, k = 3).collect()
+    assert(out.length === 3, "every doc scores (smoothing mass), even term-free doc 2")
+    assert(out.head.getLong(0) === 1L, "doc with both terms ranks first")
+    assert(out.last.getLong(0) === 2L, "term-free doc ranks last")
+    // query term absent from the corpus entirely is dropped, not -inf
+    val out2 = graft.ops.TextSearch.qlDirichletTopK(docs, "doc_id", "text",
+      Seq("scan", "zzzunseen"), mu = 100.0, k = 3).collect()
+    assert(out2.length === 3 && !out2.exists(r =>
+      r.getAs[Double]("score").isNegInfinity))
+  }
+
   test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
     val s = spark; import s.implicits._
     // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
