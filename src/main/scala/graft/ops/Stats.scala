@@ -257,6 +257,102 @@ object Stats {
           .otherwise(round(exp(col("__c_ln").cast("double")), 6)).as("surv"))
   }
 
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
+    * two cohorts' survival curves differ", the hypothesis test beside
+    * [[kaplanMeier]]'s estimate. At each distinct event time the
+    * observed group-A events dᴬ are compared with the hypergeometric
+    * expectation d·nᴬ/n under equal hazards; the statistic
+    * z = (O − E)/√V (V = Σ d·(nᴬ/n)(1−nᴬ/n)(n−d)/(n−1)) is the
+    * workhorse of retention-cohort and churn-intervention readouts —
+    * comparing raw conversion fractions ignores censoring entirely.
+    *
+    * Shape: ONE per-time aggregate carrying both groups' event/censor
+    * counts, one [[runningTotals]] pass for both risk sets, one scalar
+    * reduce. O is an exact long; per-time E and V terms are 12-dp
+    * decimals (order-free sums); z/chi2 are one IEEE chain.
+    * @return one row (n_a, n_b, o_a, e_a, var_a, z, chi2) */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String, labelA: String, labelB: String): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    val dur = col(durationCol).cast("long")
+    val ev = col(eventCol).cast("int")
+    val g = col(groupCol)
+    val isA = (g === labelA).cast("long")
+    val isB = (g === labelB).cast("long")
+    val perT = df.filter(dur.isNotNull && dur >= 0 && ev.isin(0, 1) &&
+        g.isin(labelA, labelB))
+      .groupBy(dur.as("t"))
+      .agg(sum(ev.cast("long") * isA).as("d1"),
+        sum((lit(1) - ev).cast("long") * isA).as("c1"),
+        sum(ev.cast("long") * isB).as("d2"),
+        sum((lit(1) - ev).cast("long") * isB).as("c2"))
+    val totals = perT.agg(
+      sum(col("d1") + col("c1")).cast("long").as("__N1"),
+      sum(col("d2") + col("c2")).cast("long").as("__N2"))
+    val cum = runningTotals(perT.crossJoin(broadcast(totals)),
+      Seq(col("t")),
+      Seq("l1" -> (col("d1") + col("c1")), "l2" -> (col("d2") + col("c2"))))
+      .withColumn("n1", col("__N1") - (col("__c_l1") - col("d1") - col("c1")))
+      .withColumn("n2", col("__N2") - (col("__c_l2") - col("d2") - col("c2")))
+      .filter(col("d1") + col("d2") > 0)
+    val nt = (col("n1") + col("n2")).cast("double")
+    val dt = (col("d1") + col("d2")).cast("double")
+    val pA = col("n1").cast("double") / nt
+    val eTerm = round(dt * pA, 12).cast("decimal(28,12)")
+    val vTerm = round(
+      when(col("n1") + col("n2") > 1,
+        dt * pA * (lit(1.0) - pA) *
+          (nt - dt) / (nt - lit(1.0))).otherwise(lit(0.0)), 12)
+      .cast("decimal(28,12)")
+    cum.agg(max(col("__N1")).as("n_a"), max(col("__N2")).as("n_b"),
+        sum(col("d1")).as("o_a"),
+        sum(eTerm).as("__e"), sum(vTerm).as("__v"))
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        round(col("__e").cast("double"), 6).as("e_a"),
+        round(col("__v").cast("double"), 6).as("var_a"),
+        round(when(col("__v") > 0,
+          (col("o_a").cast("double") - col("__e").cast("double")) /
+            sqrt(col("__v").cast("double"))), 6).as("z"),
+        round(when(col("__v") > 0,
+          pow(col("o_a").cast("double") - col("__e").cast("double"), 2.0) /
+            col("__v").cast("double")), 6).as("chi2"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): "does
+    * the success proportion trend monotonically across ORDERED dose
+    * buckets" — the per-decile conversion monotonicity check a plain
+    * χ² independence test cannot see (χ² is order-blind).
+    * T = Σ wₖ(rₖ − nₖ·p̄), Var = p̄(1−p̄)(Σ wₖ²nₖ − (Σ wₖnₖ)²/N),
+    * z = T/√Var — with bucket index as the score wₖ.
+    *
+    * One hash aggregate over (bucket); exact integer cell counts into
+    * one fixed double chain. Buckets with no rows simply don't
+    * contribute (weights are the PROVIDED bucket values, so missing
+    * buckets don't shift the scores).
+    * @return one row (n, n_pos, t_stat, var_t, z) */
+  def cochranArmitage(df: DataFrame, bucketCol: String,
+      positive: Column): DataFrame = {
+    val w = col(bucketCol).cast("long")
+    val cells = df.filter(w.isNotNull)
+      .groupBy(w.as("__w"))
+      .agg(count(lit(1)).as("__n"), sum(when(positive, 1L).otherwise(0L)).as("__r"))
+    cells.agg(
+        sum(col("__n")).as("n"), sum(col("__r")).as("n_pos"),
+        sum(col("__w") * col("__r")).as("__wr"),
+        sum(col("__w") * col("__n")).as("__wn"),
+        sum(col("__w") * col("__w") * col("__n")).as("__w2n"))
+      .withColumn("__p", col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("t_stat",
+        col("__wr").cast("double") - col("__p") * col("__wn").cast("double"))
+      .withColumn("__var", col("__p") * (lit(1.0) - col("__p")) *
+        (col("__w2n").cast("double") -
+          col("__wn").cast("double") * col("__wn").cast("double") / col("n").cast("double")))
+      .select(col("n"), col("n_pos"),
+        round(col("t_stat"), 6).as("t_stat"),
+        round(col("__var"), 6).as("var_t"),
+        round(when(col("__var") > 0, col("t_stat") / sqrt(col("__var"))), 6).as("z"))
+  }
+
   /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive
     * sibling: H(t) = Σ_{tᵢ≤t} dᵢ/n_riskᵢ, the estimator whose
     * INCREMENTS are interpretable ("instantaneous conversion pressure

@@ -723,6 +723,36 @@ object StatsQueries extends QueryGroup {
             .cast("long").as("dur"),
           col("__tp").isNotNull.cast("int").as("evt"))
       graft.ops.Stats.kaplanMeier(u, "dur", "evt")
+    }),
+
+    // log-rank test on the same time-to-first-purchase durations: do
+    // even and odd user cohorts convert at different hazards —
+    // censoring-honest where a raw conversion-rate diff is not
+    "events_logrank" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val u = Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("__t0"),
+          max(col("ts")).as("__t1"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"))
+        .select(
+          ((coalesce(col("__tp"), col("__t1")) - col("__t0")) / dayNs)
+            .cast("long").as("dur"),
+          col("__tp").isNotNull.cast("int").as("evt"),
+          when(pmod(col("user_id"), lit(2L)) === 0, "a").otherwise("b").as("grp"))
+      graft.ops.Stats.logRank(u, "dur", "evt", "grp", "a", "b")
+    }),
+
+    // Cochran-Armitage conversion trend across ordered value buckets:
+    // does click share rise monotonically with the metric decile —
+    // the ordered test a plain chi-square independence check can't see
+    "stats_cochran_armitage" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .withColumn("bucket",
+          least(floor(col("value") / 10.0), lit(9.0)).cast("long"))
+      graft.ops.Stats.cochranArmitage(ev, "bucket",
+        col("event_type") === "click")
     })
   )
 
@@ -2143,6 +2173,69 @@ object StatsQueries extends QueryGroup {
         "  c AS n_censored, " +
         "  CASE WHEN cdead > 0 THEN 0.0 " +
         "    ELSE round(exp(CAST(cln AS DOUBLE)), 6) END AS surv " +
-        "FROM fin WHERE d > 0")
+        "FROM fin WHERE d > 0"),
+
+    // per-event-time hypergeometric expectation and variance, 12-dp
+    // decimal term sums; O is an exact long
+    "events_logrank" ->
+      ("WITH u AS (SELECT user_id, " +
+        "    (COALESCE(min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END), " +
+        "      max(epoch_ns(ts))) - min(epoch_ns(ts))) // " + dayNs + " AS t, " +
+        "    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) " +
+        "      IS NOT NULL THEN 1 ELSE 0 END AS evt, " +
+        "    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp " +
+        "  FROM events GROUP BY user_id), " +
+        "pt AS (SELECT t, " +
+        "    CAST(sum(CASE WHEN grp = 'a' THEN evt ELSE 0 END) AS BIGINT) AS d1, " +
+        "    CAST(sum(CASE WHEN grp = 'a' THEN 1 - evt ELSE 0 END) AS BIGINT) AS c1, " +
+        "    CAST(sum(CASE WHEN grp = 'b' THEN evt ELSE 0 END) AS BIGINT) AS d2, " +
+        "    CAST(sum(CASE WHEN grp = 'b' THEN 1 - evt ELSE 0 END) AS BIGINT) AS c2 " +
+        "  FROM u GROUP BY t), " +
+        "tot AS (SELECT CAST(sum(d1 + c1) AS BIGINT) AS N1, " +
+        "    CAST(sum(d2 + c2) AS BIGINT) AS N2 FROM pt), " +
+        "cum AS (SELECT *, sum(d1 + c1) OVER (ORDER BY t) AS cl1, " +
+        "    sum(d2 + c2) OVER (ORDER BY t) AS cl2 FROM pt, tot), " +
+        "rk AS (SELECT *, N1 - (cl1 - d1 - c1) AS r1, " +
+        "    N2 - (cl2 - d2 - c2) AS r2 FROM cum WHERE d1 + d2 > 0), " +
+        "tm AS (SELECT *, " +
+        "    CAST(round(CAST(d1 + d2 AS DOUBLE) * " +
+        "      (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)), 12) " +
+        "      AS DECIMAL(28,12)) AS et, " +
+        "    CAST(round(CASE WHEN r1 + r2 > 1 THEN " +
+        "      CAST(d1 + d2 AS DOUBLE) * " +
+        "      (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)) * " +
+        "      (1.0 - CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)) * " +
+        "      (CAST(r1 + r2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE)) / " +
+        "      (CAST(r1 + r2 AS DOUBLE) - 1.0) ELSE 0.0 END, 12) " +
+        "      AS DECIMAL(28,12)) AS vt FROM rk), " +
+        "ag AS (SELECT max(N1) AS n_a, max(N2) AS n_b, " +
+        "    CAST(sum(d1) AS BIGINT) AS o_a, sum(et) AS e, sum(vt) AS v FROM tm) " +
+        "SELECT n_a, n_b, o_a, round(CAST(e AS DOUBLE), 6) AS e_a, " +
+        "  round(CAST(v AS DOUBLE), 6) AS var_a, " +
+        "  round(CASE WHEN v > 0 THEN (CAST(o_a AS DOUBLE) - CAST(e AS DOUBLE)) " +
+        "    / sqrt(CAST(v AS DOUBLE)) END, 6) AS z, " +
+        "  round(CASE WHEN v > 0 THEN pow(CAST(o_a AS DOUBLE) - CAST(e AS DOUBLE), 2.0) " +
+        "    / CAST(v AS DOUBLE) END, 6) AS chi2 " +
+        "FROM ag"),
+
+    // exact cell counts into one fixed chain: T, Var(T), z
+    "stats_cochran_armitage" ->
+      ("WITH e AS (SELECT CAST(least(floor(value / 10.0), 9.0) AS BIGINT) AS w, " +
+        "    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(y) AS BIGINT) AS r FROM e GROUP BY w), " +
+        "a AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS n_pos, " +
+        "    CAST(sum(w * r) AS BIGINT) AS wr, CAST(sum(w * n) AS BIGINT) AS wn, " +
+        "    CAST(sum(w * w * n) AS BIGINT) AS w2n FROM c), " +
+        "s AS (SELECT *, CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS p, " +
+        "    CAST(wr AS DOUBLE) - (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "      * CAST(wn AS DOUBLE) AS t, " +
+        "    (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "    (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "    (CAST(w2n AS DOUBLE) - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE) " +
+        "      / CAST(n AS DOUBLE)) AS v FROM a) " +
+        "SELECT n, n_pos, round(t, 6) AS t_stat, round(v, 6) AS var_t, " +
+        "  round(CASE WHEN v > 0 THEN t / sqrt(v) END, 6) AS z FROM s")
   )
 }

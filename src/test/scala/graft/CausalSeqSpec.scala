@@ -230,6 +230,46 @@ class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Double]("score").isNegInfinity))
   }
 
+  test("logRank: hand-computed hypergeometric terms on a two-time case") {
+    val s = spark; import s.implicits._
+    // group a events at t=1,1; group b at t=2,2:
+    // t=1: d=2, n1=2, n=4 -> E1=1, V=1/3; t=2: n1=0 -> E1=0, V=0
+    // O=2, E=1, V=1/3 -> z=sqrt(3)=1.732051, chi2=3
+    val df = Seq(
+      (1L, 1, "a"), (1L, 1, "a"), (2L, 1, "b"), (2L, 1, "b")
+    ).toDF("dur", "evt", "grp")
+    val r = graft.ops.Stats.logRank(df, "dur", "evt", "grp", "a", "b").head()
+    assert(r.getAs[Long]("o_a") === 2L)
+    assert(r.getAs[Double]("e_a") === 1.0)
+    assert(math.abs(r.getAs[Double]("z") - 1.732051) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chi2") - 3.0) < 1e-6)
+    // censoring honored: a censored subject stays in the risk set up to
+    // its censor time but contributes no event
+    val cens = Seq((1L, 1, "a"), (5L, 0, "a"), (1L, 1, "b"), (5L, 0, "b"))
+      .toDF("dur", "evt", "grp")
+    val rc = graft.ops.Stats.logRank(cens, "dur", "evt", "grp", "a", "b").head()
+    assert(rc.getAs[Long]("o_a") === 1L && rc.getAs[Double]("e_a") === 1.0)
+  }
+
+  test("cochranArmitage: hand-computed trend statistic") {
+    val s = spark; import s.implicits._
+    // buckets 0,1,2 with conversion 0/2, 1/2, 2/2 -> T=2, Var=1, z=2
+    val df = Seq(
+      (0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true)).toDF("bucket", "y")
+    val r = graft.ops.Stats.cochranArmitage(df, "bucket", col("y")).head()
+    assert(r.getAs[Long]("n") === 6 && r.getAs[Long]("n_pos") === 3)
+    assert(r.getAs[Double]("t_stat") === 2.0)
+    assert(r.getAs[Double]("var_t") === 1.0)
+    assert(r.getAs[Double]("z") === 2.0)
+    // order-blindness check: reversing the trend flips the sign
+    val rev = Seq(
+      (2L, false), (2L, false), (1L, true), (1L, false),
+      (0L, true), (0L, true)).toDF("bucket", "y")
+    val r2 = graft.ops.Stats.cochranArmitage(rev, "bucket", col("y")).head()
+    assert(r2.getAs[Double]("z") === -2.0)
+  }
+
   test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
     val s = spark; import s.implicits._
     // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
