@@ -1166,6 +1166,53 @@ object Stats {
           round(col("__num") / col("__den"), 6)).as("beta_within"))
   }
 
+  /** Two-way fixed-effects (TWFE) within estimator — the
+    * panel-regression workhorse behind modern difference-in-differences
+    * (entity AND period fixed effects absorbed by double demeaning):
+    * x̃ = x − x̄ᵢ − x̄ₜ + x̄, β = Σx̃ỹ / Σx̃x̃. Where [[withinOls]]
+    * absorbs one grouping, this absorbs both — any time-invariant
+    * entity confounder AND any common period shock drop out of β.
+    *
+    * Exactness: each mean is one double division of an exact decimal
+    * sum by a long count; the demeaned products are rounded to 12 dp
+    * and summed as DECIMAL (order-free); β is one division. Shape: two
+    * group aggregates + one broadcast scalar + one wide aggregate —
+    * entity/period cardinality never bounds a window.
+    * @return one row (n_obs, n_entities, n_periods, beta_twfe) */
+  def twoWayWithinOls(df: DataFrame, entityCol: String, timeCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val xd = col(xCol).cast("double"); val yd = col(yCol).cast("double")
+    val f = df
+      .filter(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        xd.isNotNull && yd.isNotNull && !isnan(xd) && !isnan(yd))
+      .select(col(entityCol).as("__i"), col(timeCol).as("__t"),
+        round(xd, 6).as("__x"), round(yd, 6).as("__y"))
+    def meansBy(k: String, mx: String, my: String) =
+      f.groupBy(k).agg(
+        (sum(col("__x").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as(mx),
+        (sum(col("__y").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as(my))
+    val mi = meansBy("__i", "__mxi", "__myi")
+    val mt = meansBy("__t", "__mxt", "__myt")
+    val mg = f.agg(
+      (sum(col("__x").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("__mxg"),
+      (sum(col("__y").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("__myg"))
+    val xt = col("__x") - col("__mxi") - col("__mxt") + col("__mxg")
+    val yt = col("__y") - col("__myi") - col("__myt") + col("__myg")
+    f.join(mi, Seq("__i")).join(mt, Seq("__t")).crossJoin(broadcast(mg))
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct(col("__i")).as("n_entities"),
+        countDistinct(col("__t")).as("n_periods"),
+        sum(round(xt * yt, 12).cast("decimal(38,12)")).cast("double").as("__num"),
+        sum(round(xt * xt, 12).cast("decimal(38,12)")).cast("double").as("__den"))
+      .select(col("n_obs"), col("n_entities"), col("n_periods"),
+        when(col("__den") > 0,
+          round(col("__num") / col("__den"), 6)).as("beta_twfe"))
+  }
+
   /** Period-over-period mix-shift decomposition — the "why did the
     * metric move" answer: the overall-mean change M2 − M1 splits
     * EXACTLY (telescoping identity) into per-segment

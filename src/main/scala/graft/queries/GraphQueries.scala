@@ -92,6 +92,31 @@ object GraphQueries extends QueryGroup {
       val seeds = s.range(1, 4).toDF("k")
         .select(concat(lit("p"), col("k")).as("id"))
       graft.ops.Clustering.bfsDistances(edges, "src", "dst", seeds, maxHops = 3)
+    }),
+
+    // sampled harmonic centrality: sum of 1/d to each of the 3 pivot
+    // sources (the standard K-pivot estimator of Σ 1/d — closeness's
+    // disconnected-safe sibling); one bounded BFS per pivot, 12-dp
+    // decimal reciprocal sums
+    "graph_harmonic" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("p"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+      val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+        .unionByName(li.select(col("sn").as("src"), col("p").as("dst")))
+        .localCheckpoint(true) // three BFS runs share the edge set
+      val perSeed = (1 to 3).map { k =>
+        val seed = s.range(k, k + 1).toDF("k")
+          .select(concat(lit("p"), col("k")).as("id"))
+        graft.ops.Clustering.bfsDistances(edges, "src", "dst", seed,
+          maxHops = 3)
+      }
+      perSeed.reduce(_ unionByName _)
+        .filter(col("dist") > 0)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_sources"),
+          round(sum(round(lit(1.0) / col("dist"), 12).cast("decimal(28,12)"))
+            .cast("double"), 6).as("harmonic"))
     })
   )
 
@@ -191,6 +216,24 @@ object GraphQueries extends QueryGroup {
         "  SELECT 'p' || CAST(k AS VARCHAR), 0 FROM range(1, 4) t(k) " +
         "  UNION SELECT e.dst, b.dist + 1 FROM bfs b " +
         "    JOIN e ON e.src = b.id WHERE b.dist < 3) " +
-        "SELECT id, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY id")
+        "SELECT id, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY id"),
+
+    // per-pivot labeled BFS closure, then the reciprocal-distance sum
+    "graph_harmonic" ->
+      ("WITH RECURSIVE " +
+        "e AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src, " +
+        "    's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem " +
+        "  UNION SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR), " +
+        "    'p' || CAST(l_partkey AS VARCHAR) FROM lineitem), " +
+        "bfs(s0, id, dist) AS (" +
+        "  SELECT 'p' || CAST(k AS VARCHAR), 'p' || CAST(k AS VARCHAR), 0 " +
+        "    FROM range(1, 4) t(k) " +
+        "  UNION SELECT b.s0, e.dst, b.dist + 1 FROM bfs b " +
+        "    JOIN e ON e.src = b.id WHERE b.dist < 3), " +
+        "d AS (SELECT s0, id, min(dist) AS dist FROM bfs GROUP BY 1, 2) " +
+        "SELECT id, CAST(count(*) AS BIGINT) AS n_sources, " +
+        "  round(CAST(sum(CAST(round(CAST(1 AS DOUBLE) / dist, 12) " +
+        "    AS DECIMAL(28,12))) AS DOUBLE), 6) AS harmonic " +
+        "FROM d WHERE dist > 0 GROUP BY id")
   )
 }

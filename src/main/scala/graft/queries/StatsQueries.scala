@@ -418,6 +418,16 @@ object StatsQueries extends QueryGroup {
       graft.ops.Stats.withinOls(ev, "event_type", "day", "value")
     }),
 
+    // two-way fixed effects: quantity->price elasticity net of BOTH
+    // supplier heterogeneity and month shocks (double demeaning) — the
+    // TWFE DiD workhorse; exact decimal means, 12-dp product sums
+    "stats_twfe" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("month", date_trunc("month", col("l_shipdate")))
+      graft.ops.Stats.twoWayWithinOls(li, "l_suppkey", "month",
+        "l_quantity", "l_extendedprice")
+    }),
+
     // Neyman-allocation stratified sample of events by type (budget
     // 1000): variance-optimal rates, deterministic md5 keeps
     "sample_neyman" -> ((s, dir) => {
@@ -1183,6 +1193,35 @@ object StatsQueries extends QueryGroup {
         "  FROM f JOIN m ON m.g = f.g) " +
         "SELECT n_obs, n_segments, " +
         "  CASE WHEN den > 0 THEN round(num / den, 6) END AS beta_within FROM a"),
+
+    // double demeaning replayed: per-entity + per-month + grand means,
+    // identical left-assoc IEEE chain x - mxi - mxt + mxg
+    "stats_twfe" ->
+      ("WITH f AS (SELECT l_suppkey AS i, date_trunc('month', l_shipdate) AS t, " +
+        "    round(CAST(l_quantity AS DOUBLE), 6) AS x, " +
+        "    round(CAST(l_extendedprice AS DOUBLE), 6) AS y FROM lineitem " +
+        "  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL " +
+        "    AND l_quantity IS NOT NULL AND NOT isnan(l_quantity) " +
+        "    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)), " +
+        "mi AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS mxi, CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS myi FROM f GROUP BY 1), " +
+        "mt AS (SELECT t, CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS mxt, CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS myt FROM f GROUP BY 1), " +
+        "mg AS (SELECT CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS mxg, CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) " +
+        "    / count(*) AS myg FROM f), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_obs, " +
+        "    CAST(count(DISTINCT f.i) AS BIGINT) AS n_entities, " +
+        "    CAST(count(DISTINCT f.t) AS BIGINT) AS n_periods, " +
+        "    CAST(sum(CAST(round((x - mxi - mxt + mxg) * (y - myi - myt + myg), 12) " +
+        "      AS DECIMAL(38,12))) AS DOUBLE) AS num, " +
+        "    CAST(sum(CAST(round((x - mxi - mxt + mxg) * (x - mxi - mxt + mxg), 12) " +
+        "      AS DECIMAL(38,12))) AS DOUBLE) AS den " +
+        "  FROM f JOIN mi ON mi.i = f.i JOIN mt ON mt.t = f.t CROSS JOIN mg) " +
+        "SELECT n_obs, n_entities, n_periods, " +
+        "  CASE WHEN den > 0 THEN round(num / den, 6) END AS beta_twfe FROM a"),
 
     // same moment/weight/alloc chain, same 32-bit md5 uniform keep
     "sample_neyman" ->
