@@ -322,7 +322,7 @@ object Dedup {
     * expression measured 60s+ for 106k pairs); the division and HALF_UP
     * rounding run in DataFrame land so the arithmetic matches the DuckDB
     * oracle bit-for-bit. */
-  private def verifyJaccard(cands: DataFrame, threshold: Double): DataFrame = {
+  private[ops] def verifyJaccard(cands: DataFrame, threshold: Double): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
     cands.select(col("id_a").cast("long"), col("id_b").cast("long"),

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Materialized MinHash-LSH dedup index — the "index the corpus once,
+  * screen every new batch against it" form of
+  * [[Dedup.minHashNewVsCorpus]], exactly as [[TextSearch.buildIndex]]
+  * is the materialized form of inline BM25. Without it, every ingest
+  * batch re-shingles, re-signs and re-bands the WHOLE corpus; with it,
+  * the corpus pays that once and each batch pays only its own hashing
+  * plus a bucket-pruned candidate join.
+  *
+  * Layout at `path`:
+  *  - `bands/` (band, bandHash, id), directory-partitioned by
+  *    `bucket = pmod(hash(bandHash), nBuckets)` and bandHash-sorted
+  *    within files — a small query batch probes few distinct buckets,
+  *    so the read PRUNES whole directories (the [[TextSearch]]
+  *    term-bucket device applied to band hashes);
+  *  - `sigs/` (id, sig) for the signature prefilter;
+  *  - `shingles/` (id, sh) for exact verification (joined by candidate
+  *    id only — never scanned whole);
+  *  - `meta/` one row (num_hashes, bands, shingle_size, n_buckets) —
+  *    query-side parameters come FROM the index, so a mismatched probe
+  *    is impossible.
+  *
+  * [[queryIndex]] is BIT-IDENTICAL to the inline
+  * [[Dedup.minHashNewVsCorpus]] on the same corpus (same band cap
+  * semantics — groups are never split across buckets, so the pruned
+  * per-group counts equal the full-corpus counts; same prefilter
+  * margin; same exact-Jaccard rounding), which the spec pins.
+  * [[append]] adds a new batch's rows to all three tables — screening
+  * then covers the grown corpus with no rebuild.
+  */
+object LshIndex {
+
+  private case class Meta(numHashes: Int, bands: Int, shingleSize: Int,
+      nBuckets: Int)
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    Meta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+      r.getAs[Int]("shingle_size"), r.getAs[Int]("n_buckets"))
+  }
+
+  /** (id, sig, bands) via the [[MinHash]] kernels. */
+  private def sigBanded(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sig = MinHash.signatureFromHashes(
+          MinHash.shingleHashes(text, shingleSize), numHashes)
+        (id, sig, MinHash.bands(sig, bands, rowsPerBand))
+      }).toDF("id", "sig", "bands")
+  }
+
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, MinHash.shingleHashes(text, shingleSize))
+      }).toDF("id", "sh")
+  }
+
+  private def bandRows(sb: DataFrame, nBuckets: Int): DataFrame =
+    sb.select(col("id"), posexplode(col("bands")).as(Seq("band", "bandHash")))
+      .withColumn("bucket", pmod(hash(col("bandHash")), lit(nBuckets)))
+
+  def build(corpus: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+      nBuckets: Int = 64): Unit = {
+    require(numHashes % bands == 0,
+      s"bands must divide numHashes: $numHashes / $bands")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sb = sigBanded(corpus, idCol, textCol, numHashes, bands, shingleSize)
+      .localCheckpoint(true) // one text pass feeds bands AND sigs
+    bandRows(sb, nBuckets)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bandHash"), col("id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$path/bands")
+    sb.select("id", "sig").write.mode(SaveMode.Overwrite).parquet(s"$path/sigs")
+    shingleTable(corpus, idCol, textCol, shingleSize)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+    Seq((numHashes, bands, shingleSize, nBuckets))
+      .toDF("num_hashes", "bands", "shingle_size", "n_buckets")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Append a batch to the index (no rebuild): its band/sig/shingle
+    * rows land beside the existing ones. Appended band files aren't
+    * re-sorted into the old ones — bucket pruning still applies (the
+    * partition column routes them), only intra-file ordering is looser
+    * until a compaction pass. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val m = readMeta(batch.sparkSession, path)
+    val sb = sigBanded(batch, idCol, textCol, m.numHashes, m.bands, m.shingleSize)
+      .localCheckpoint(true)
+    bandRows(sb, m.nBuckets)
+      .write.mode(SaveMode.Append).partitionBy("bucket")
+      .parquet(s"$path/bands")
+    sb.select("id", "sig").write.mode(SaveMode.Append).parquet(s"$path/sigs")
+    shingleTable(batch, idCol, textCol, m.shingleSize)
+      .write.mode(SaveMode.Append).parquet(s"$path/shingles")
+  }
+
+  /** Screen `newDf` against the indexed corpus: (new_id, corpus_id,
+    * jaccard) for all cross pairs with exact Jaccard ≥ `threshold` —
+    * bit-identical to [[Dedup.minHashNewVsCorpus]] over the same
+    * corpus. The corpus never re-hashes; the band read is
+    * bucket-pruned to the buckets the batch actually probes. */
+  /** The distinct band-hash buckets a batch would probe — exposed for
+    * the spec's partition-pruning measurement. */
+  private[graft] def probeBucketsFor(newDf: DataFrame, idCol: String,
+      textCol: String, path: String): Array[Int] = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val m = readMeta(spark, path)
+    bandRows(sigBanded(newDf, idCol, textCol, m.numHashes, m.bands,
+      m.shingleSize), m.nBuckets)
+      .select("bucket").distinct().as[Int].collect()
+  }
+
+  def queryIndex(newDf: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.7,
+      maxBandGroup: Int = 5000): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val m = readMeta(spark, path)
+    val newSB = sigBanded(newDf, idCol, textCol, m.numHashes, m.bands,
+      m.shingleSize).localCheckpoint(true)
+    val probes = bandRows(newSB, m.nBuckets)
+      .select(col("band"), col("bandHash"), col("bucket"),
+        col("id").as("new_id"))
+      .localCheckpoint(true)
+    val buckets = probes.select("bucket").distinct().as[Int].collect()
+    val corpBands = spark.read.parquet(s"$path/bands")
+      .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+    // cap per (band, bandHash) group: a group lives entirely in ONE
+    // bucket, so counts over the pruned read equal full-corpus counts
+    val grpW = Window.partitionBy(col("band"), col("bandHash"))
+    val corpCapped = corpBands
+      .withColumn("__n", count(lit(1)).over(grpW))
+      .filter(col("__n") <= maxBandGroup)
+      .select(col("band"), col("bandHash"), col("id").as("corpus_id"))
+    val cands = probes
+      .join(corpCapped, Seq("band", "bandHash"))
+      .select("new_id", "corpus_id")
+      .dropDuplicates("new_id", "corpus_id")
+      .repartition(col("new_id"))
+    val margin = 3.0 * math.sqrt(0.25 / m.numHashes)
+    val corpSigs = spark.read.parquet(s"$path/sigs")
+    val prefiltered = cands
+      .join(newSB.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(corpSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.collect { case (ia, ib, sa, sb)
+        if MinHash.estimateJaccard(sa, sb) >= threshold - margin => (ia, ib)
+      }).toDF("new_id", "corpus_id")
+    val corpSh = spark.read.parquet(s"$path/shingles")
+    val newSh = shingleTable(newDf, idCol, textCol, m.shingleSize)
+    val withSh = prefiltered
+      .join(newSh.select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(corpSh.select(col("id").as("corpus_id"), col("sh").as("sh_b")), Seq("corpus_id"))
+      .withColumnRenamed("new_id", "id_a")
+      .withColumnRenamed("corpus_id", "id_b")
+    Dedup.verifyJaccard(withSh, threshold)
+      .withColumnRenamed("id_a", "new_id")
+      .withColumnRenamed("id_b", "corpus_id")
+  }
+}

@@ -573,6 +573,22 @@ object PipelineQueries extends QueryGroup {
       Dedup.minHashNewVsCorpus(fresh, docs, "doc_id", "text", threshold = 0.5)
     }),
 
+    // materialized LSH dedup index: corpus shingled/signed/banded ONCE
+    // on disk (bucket-partitioned bands), every ingest batch screens
+    // against it bit-identically to the inline new-vs-corpus path —
+    // same planted batch as dedup_incremental, so the two gates' rows
+    // must agree (LshIndexSpec pins the bit identity + append path)
+    "dedup_incremental_index" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val fresh = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val path = graft.GraftEngine.tablePath(dir, "lsh_index")
+      graft.ops.LshIndex.build(docs, "doc_id", "text", path)
+      graft.ops.LshIndex.queryIndex(fresh, "doc_id", "text", path,
+        threshold = 0.5)
+    }),
+
     // ---- similarity search --------------------------------------------
     // exact brute-force cosine top-k, queries = first 5 vectors
     "ann_brute_topk" -> ((s, dir) => {
