@@ -793,6 +793,76 @@ object Stats {
         col("__slope").as("slope"))
   }
 
+  /** Deterministic randomization (permutation) test for a two-group
+    * mean difference (Fisher 1935; the modern A/B "is the lift real
+    * without normality assumptions" check): the observed |mean_A −
+    * mean_B| is ranked against `reps` random relabelings of the same
+    * values, p = (1 + #{relabelings ≥ observed}) / (reps + 1)
+    * (the add-one form that keeps p valid and never zero).
+    *
+    * Relabelings are HASH-DECIDED, not RNG-state-decided: replicate r
+    * assigns a row to pseudo-A iff its md5(id:r) 32-bit uniform falls
+    * below ⌊n_A·2³²/n⌋ (exact integer threshold — unconditional
+    * random assignment preserving the expected group share, the
+    * standard randomization-test variant). Deterministic, partition-
+    * invariant, and re-derivable in SQL — same device as the Poisson
+    * bootstrap. Means are decimal-sum/count doubles, so every
+    * replicate statistic is bit-identical across engines and the
+    * ≥-comparison can't flip.
+    *
+    * Shape: one `reps`-way fan-out of the cleaned values (bounded
+    * explode), one hash aggregate per (rep) — no window, no driver
+    * loop. @return one row (n_a, n_b, obs_diff, reps, n_ge, p_value) */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, labelA: String, labelB: String,
+      reps: Int = 100, seed: String = "pt1"): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    require(reps >= 1 && reps <= 1000, s"reps must be in [1, 1000]: $reps")
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol)
+    val clean = df
+      .filter(v.isNotNull && !isnan(v) && g.isin(labelA, labelB))
+      .select(col(idCol).cast("string").as("__id"),
+        round(v, 6).cast("decimal(18,6)").as("__x"),
+        (g === labelA).as("__a"))
+      .localCheckpoint(true) // feeds the observed stat AND the fan-out
+    val totals = clean.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+      count(lit(1)).as("__n"),
+      sum(when(col("__a"), col("__x"))).as("__sa"),
+      sum(when(!col("__a"), col("__x"))).as("__sb"))
+    val obs = totals.select(col("__na"), (col("__n") - col("__na")).as("__nb"),
+      abs(col("__sa").cast("double") / col("__na") -
+        col("__sb").cast("double") / (col("__n") - col("__na"))).as("__obs"),
+      (col("__na") * lit(4294967296L)).as("__thrNum"), col("__n"))
+    val fan = clean
+      .crossJoin(broadcast(obs))
+      .withColumn("__r", explode(array((0 until reps).map(lit): _*)))
+      .withColumn("__u", conv(substring(md5(
+        concat(col("__id"), lit(":"), col("__r"), lit(":"), lit(seed))
+          .cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("__pa", col("__u") < expr("__thrNum div __n"))
+    val perRep = fan.groupBy("__r")
+      .agg(sum(when(col("__pa"), col("__x"))).as("__psa"),
+        sum(when(col("__pa"), 1L).otherwise(0L)).as("__pna"),
+        sum(when(!col("__pa"), col("__x"))).as("__psb"),
+        sum(when(!col("__pa"), 1L).otherwise(0L)).as("__pnb"),
+        max(col("__obs")).as("__obs"))
+      .withColumn("__stat",
+        when(col("__pna") > 0 && col("__pnb") > 0,
+          abs(col("__psa").cast("double") / col("__pna") -
+            col("__psb").cast("double") / col("__pnb"))))
+    perRep.agg(count(lit(1)).as("__reps"),
+        sum(when(col("__stat").isNotNull && col("__stat") >= col("__obs"), 1L)
+          .otherwise(0L)).as("n_ge"),
+        max(col("__obs")).as("__o"))
+      .crossJoin(broadcast(obs.select(col("__na").as("n_a"), col("__nb").as("n_b"))))
+      .select(col("n_a"), col("n_b"), round(col("__o"), 6).as("obs_diff"),
+        col("__reps").cast("long").as("reps"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double") /
+          (col("__reps") + 1).cast("double"), 6).as("p_value"))
+  }
+
   /** Mann–Kendall trend test per series (Mann 1945; Kendall 1975): the
     * nonparametric "is there a monotone trend" test —
     * S = Σ_{i<j} sign(xⱼ − xᵢ) over the daily buckets in time order,

@@ -111,6 +111,14 @@ object StatsQueries extends QueryGroup {
         "value", "event_type", "click", "view")
     }),
 
+    // deterministic randomization test on the same pair: hash-decided
+    // relabelings (md5 uniforms vs an exact integer threshold), add-one
+    // p-value — assumption-free where the t-test leans on normality
+    "stats_permutation" -> ((s, dir) => {
+      graft.ops.Stats.permutationTest(Tables.load(s, dir, "events"),
+        "event_id", "value", "event_type", "click", "view", reps = 100)
+    }),
+
     // rank-sum (tie-corrected z) on the same pair — robust location
     // shift for heavy-tailed metrics
     "events_mannwhitney" -> ((s, dir) => {
@@ -1976,6 +1984,42 @@ object StatsQueries extends QueryGroup {
         "    / (n_a + n_b)), 6) AS ks FROM d) " +
         "SELECT n_a, n_b, round(dm, 6) AS d, ks AS ks_stat, " +
         "  round(least(1.0, 2 * exp(-2 * ks * ks)), 6) AS p_approx FROM k"),
+
+    // hash-relabel replay: same md5 32-bit uniforms, same exact integer
+    // threshold, same decimal-mean chain per replicate
+    "stats_permutation" ->
+      ("WITH f AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
+        "    CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS x, " +
+        "    (event_type = 'click') AS a FROM events " +
+        "  WHERE event_type IN ('click', 'view') AND value IS NOT NULL " +
+        "    AND NOT isnan(value)), " +
+        "t AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "    CAST(count(*) AS BIGINT) AS n, " +
+        "    sum(CASE WHEN a THEN x END) AS sa, " +
+        "    sum(CASE WHEN NOT a THEN x END) AS sb FROM f), " +
+        "o AS (SELECT na, n - na AS nb, " +
+        "    abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / (n - na)) AS obs, " +
+        "    (na * 4294967296) // n AS thr, n FROM t), " +
+        "rr AS (SELECT f.x, o.obs, o.thr, g.range AS r, " +
+        "    ('0x' || substr(md5(f.id || ':' || g.range || ':pt1'), 1, 8))::BIGINT AS u " +
+        "  FROM f CROSS JOIN range(0, 100) g CROSS JOIN o), " +
+        "pr AS (SELECT r, max(obs) AS obs, " +
+        "    sum(CASE WHEN u < thr THEN x END) AS psa, " +
+        "    CAST(sum(CASE WHEN u < thr THEN 1 ELSE 0 END) AS BIGINT) AS pna, " +
+        "    sum(CASE WHEN u >= thr THEN x END) AS psb, " +
+        "    CAST(sum(CASE WHEN u >= thr THEN 1 ELSE 0 END) AS BIGINT) AS pnb " +
+        "  FROM rr GROUP BY r), " +
+        "st AS (SELECT r, obs, CASE WHEN pna > 0 AND pnb > 0 THEN " +
+        "    abs(CAST(psa AS DOUBLE) / pna - CAST(psb AS DOUBLE) / pnb) END AS stat " +
+        "  FROM pr), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS reps, " +
+        "    CAST(sum(CASE WHEN stat IS NOT NULL AND stat >= obs " +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge, max(obs) AS ob FROM st) " +
+        "SELECT o.na AS n_a, o.nb AS n_b, round(ag.ob, 6) AS obs_diff, " +
+        "  ag.reps, ag.n_ge, " +
+        "  round(CAST(ag.n_ge + 1 AS DOUBLE) / CAST(ag.reps + 1 AS DOUBLE), 6) " +
+        "    AS p_value " +
+        "FROM ag, o"),
 
     // CDF-gap integral: |Fa-Fb| x gap-to-next-value per distinct value,
     // 12-dp decimal term sums (the engine's boundary-fixed lead replays
