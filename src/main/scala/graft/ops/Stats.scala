@@ -914,6 +914,63 @@ object Stats {
         round(col("__var"), 6).as("var_s"), col("z"))
   }
 
+  /** Kendall's τ-b rank correlation between two per-bucket measures of
+    * the same series (Kendall 1938; tie-corrected τ-b): the
+    * concordance-based dependence measure that, unlike [[spearman]],
+    * has a direct probabilistic reading (P(concordant) −
+    * P(discordant)) and degrades gracefully under heavy ties.
+    * C − D counts pairs whose two measures move together vs opposite;
+    * τ-b = (C − D)/√((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2 and n₁/n₂ the
+    * per-measure tie-pair counts.
+    *
+    * Exactness: concordance compares exact DECIMAL bucket sums; all
+    * counts are integers; τ-b is one double chain. Shape: per-series
+    * O(buckets²) pairwise join — the [[theilSen]]/[[mannKendall]]
+    * bucketed contract. */
+  def kendallTau(df: DataFrame, keyCol: String, tsCol: String,
+      xCol: String, yCol: String,
+      bucketNs: Long = 86400000000000L): DataFrame = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    val xd = col(xCol).cast("double"); val yd = col(yCol).cast("double")
+    val daily = df
+      .filter(xd.isNotNull && !isnan(xd) && yd.isNotNull && !isnan(yd) &&
+        col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$tsCol div ${bucketNs}L").as("__day"))
+      .agg(sum(round(xd, 6).cast("decimal(18,6)")).as("__x"),
+        sum(round(yd, 6).cast("decimal(18,6)")).as("__y"))
+      .localCheckpoint(true) // pairs (self-join), tie tables, counts
+    val pairs = daily.select(col("key"), col("__day").as("__di"),
+        col("__x").as("__xi"), col("__y").as("__yi"))
+      .join(daily.select(col("key"), col("__day").as("__dj"),
+        col("__x").as("__xj"), col("__y").as("__yj")), Seq("key"))
+      .filter(col("__di") < col("__dj"))
+    val cd = pairs.groupBy("key").agg(
+      sum(when((col("__xj") > col("__xi") && col("__yj") > col("__yi")) ||
+        (col("__xj") < col("__xi") && col("__yj") < col("__yi")), 1L)
+        .otherwise(0L)).as("c"),
+      sum(when((col("__xj") > col("__xi") && col("__yj") < col("__yi")) ||
+        (col("__xj") < col("__xi") && col("__yj") > col("__yi")), 1L)
+        .otherwise(0L)).as("d"))
+    def tiePairs(c: String) = daily.groupBy(col("key"), col(c))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy("key")
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L)).as("__tp")) // 2x pairs
+    val n = daily.groupBy("key").agg(count(lit(1)).as("n_buckets"))
+    n.join(cd, Seq("key"), "left")
+      .join(tiePairs("__x").withColumnRenamed("__tp", "__tx"), Seq("key"))
+      .join(tiePairs("__y").withColumnRenamed("__tp", "__ty"), Seq("key"))
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+      .withColumn("__n0", col("n_buckets") * (col("n_buckets") - 1)) // 2x pairs
+      .withColumn("tau_b", round(
+        when((col("__n0") - col("__tx")) * (col("__n0") - col("__ty")) > 0,
+          lit(2.0) * (col("c") - col("d")).cast("double") /
+            sqrt((col("__n0") - col("__tx")).cast("double") *
+              (col("__n0") - col("__ty")).cast("double"))), 6))
+      .select(col("key"), col("n_buckets"), col("c"), col("d"), col("tau_b"))
+  }
+
   /** Offline change-point detection per series: the CUSUM
     * binary-segmentation split (Page 1954 / Pettitt-style statistic) —
     * the bucket t* maximizing the cumulative sum's deviation from the

@@ -681,6 +681,14 @@ object StatsQueries extends QueryGroup {
         "event_type", "ts", "value", window = 12)
     }),
 
+    // Kendall tau-b between the daily value-sum and props.k-sum series
+    // per event type: concordance-based dependence with tie correction
+    "stats_kendall_tau" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      graft.ops.Stats.kendallTau(ev, "event_type", "ts", "value", "k")
+    }),
+
     // Mann-Kendall monotone-trend test per event type: S from exact
     // decimal sign comparisons, tie-corrected variance, continuity-
     // corrected z — the significance companion to the Theil-Sen slope
@@ -1918,6 +1926,37 @@ object StatsQueries extends QueryGroup {
         "  round(s1.s1 - s2.s2, 6) AS trend, " +
         "  round(3.0 * s1.s1 - 2.0 * s2.s2, 6) AS forecast " +
         "FROM s1 JOIN s2 ON s2.key = s1.key AND s2.day = s1.day"),
+
+    // doubled pair counts (n0', tie') keep everything integer; the 2x
+    // factor moves into the final chain
+    "stats_kendall_tau" ->
+      ("WITH d AS (SELECT event_type AS key, epoch_ns(ts) // 86400000000000 AS day, " +
+        "    sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) AS x, " +
+        "    sum(CAST(round(CAST(CAST(json_extract(props, '$.k') AS BIGINT) " +
+        "      AS DOUBLE), 6) AS DECIMAL(18,6))) AS y " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value) " +
+        "    AND json_extract(props, '$.k') IS NOT NULL " +
+        "    AND event_type IS NOT NULL GROUP BY 1, 2), " +
+        "cd AS (SELECT a.key, " +
+        "    CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y) " +
+        "      OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "    CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y) " +
+        "      OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "  FROM d a JOIN d b ON b.key = a.key AND a.day < b.day GROUP BY 1), " +
+        "tx AS (SELECT key, CAST(COALESCE(sum(t * (t - 1)), 0) AS BIGINT) AS tp " +
+        "  FROM (SELECT key, x, count(*) AS t FROM d GROUP BY 1, 2) GROUP BY 1), " +
+        "ty AS (SELECT key, CAST(COALESCE(sum(t * (t - 1)), 0) AS BIGINT) AS tp " +
+        "  FROM (SELECT key, y, count(*) AS t FROM d GROUP BY 1, 2) GROUP BY 1), " +
+        "nb AS (SELECT key, CAST(count(*) AS BIGINT) AS n_buckets FROM d GROUP BY 1) " +
+        "SELECT nb.key, nb.n_buckets, COALESCE(cd.c, 0) AS c, COALESCE(cd.d, 0) AS d, " +
+        "  round(CASE WHEN (nb.n_buckets * (nb.n_buckets - 1) - tx.tp) " +
+        "      * (nb.n_buckets * (nb.n_buckets - 1) - ty.tp) > 0 THEN " +
+        "    2.0 * CAST(COALESCE(cd.c, 0) - COALESCE(cd.d, 0) AS DOUBLE) / " +
+        "    sqrt(CAST(nb.n_buckets * (nb.n_buckets - 1) - tx.tp AS DOUBLE) " +
+        "      * CAST(nb.n_buckets * (nb.n_buckets - 1) - ty.tp AS DOUBLE)) END, 6) " +
+        "    AS tau_b " +
+        "FROM nb LEFT JOIN cd ON cd.key = nb.key " +
+        "  JOIN tx ON tx.key = nb.key JOIN ty ON ty.key = nb.key"),
 
     // pairwise sign sum + tie groups + integer variance numerator; z on
     // the UNROUNDED variance, var_s rounded only at emit (engine order)

@@ -270,6 +270,27 @@ class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[Double]("z") === -2.0)
   }
 
+  test("kendallTau: perfect concordance/discordance and tie correction") {
+    val s = spark; import s.implicits._
+    val dayNs = 86400000000000L
+    val conc = (0 until 5).map(i => ("c", i * dayNs + 1L, i.toDouble, 2.0 * i))
+    val disc = (0 until 5).map(i => ("d", i * dayNs + 1L, i.toDouble, -i.toDouble))
+    // x strictly rising, y tied in two groups: C-D and denominators shrink
+    val tied = (0 until 4).map(i => ("t", i * dayNs + 1L, i.toDouble, (i / 2).toDouble))
+    val df = (conc ++ disc ++ tied).toDF("key", "ts", "x", "y")
+    val out = graft.ops.Stats.kendallTau(df, "key", "ts", "x", "y")
+      .collect().map(r => (r.getString(0), r)).toMap
+    assert(out("c").getAs[Double]("tau_b") === 1.0)
+    assert(out("d").getAs[Double]("tau_b") === -1.0)
+    // tied: n0'=12, C=5 (pairs crossing the tie boundary + within... )
+    // C - D = 5, ty' = 2*1 + 2*1 = wait: y groups sizes 2,2 -> ty' = 2+2 = 4
+    // tau = 2*5 / sqrt(12 * (12-4)) = 10/sqrt(96) = 1.0206 -> capped? No:
+    // within-tie pairs are neither C nor D. C = pairs with y strictly
+    // rising: (0,2),(0,3),(1,2),(1,3) = 4, D = 0.
+    // tau = 2*4/sqrt(12*8) = 8/9.79796 = 0.816497
+    assert(math.abs(out("t").getAs[Double]("tau_b") - 0.816497) < 1e-6)
+  }
+
   test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
     val s = spark; import s.implicits._
     // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
