@@ -659,6 +659,38 @@ object Clustering {
     visited
   }
 
+  /** Multi-source BFS with SOURCE-LABELED distances: one frontier loop
+    * carries (source, node) states, so K pivots cost one traversal
+    * instead of K (the per-round job overhead dominates bounded-hop BFS
+    * on a cluster — K sequential loops pay it K times). Same min-dist
+    * semantics per (source, node) as running [[bfsDistances]] once per
+    * source. Frontier size is ≤ K·|reachable| — the K factor rides
+    * INSIDE each round's shuffle, where it parallelizes, not in the
+    * round count. @return (src0, id, dist) */
+  def bfsDistancesBySource(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    var visited = sources.toDF("id").distinct()
+      .select(col("id").as("src0"), col("id"))
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = e.join(broadcast(frontier
+          .select(col("src0"), col("id").as("src"))), "src")
+        .select(col("src0"), col("dst").as("id")).distinct()
+        .join(visited.select("src0", "id"), Seq("src0", "id"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+
   /** Newman degree assortativity of an undirected graph: the Pearson
     * correlation of endpoint degrees over edges — positive means hubs
     * attach to hubs (social nets), negative means hub-and-spoke

@@ -104,14 +104,10 @@ object GraphQueries extends QueryGroup {
           concat(lit("s"), col("l_suppkey")).as("sn"))
       val edges = li.select(col("p").as("src"), col("sn").as("dst"))
         .unionByName(li.select(col("sn").as("src"), col("p").as("dst")))
-        .localCheckpoint(true) // three BFS runs share the edge set
-      val perSeed = (1 to 3).map { k =>
-        val seed = s.range(k, k + 1).toDF("k")
-          .select(concat(lit("p"), col("k")).as("id"))
-        graft.ops.Clustering.bfsDistances(edges, "src", "dst", seed,
+      val seeds = s.range(1, 4).toDF("k")
+        .select(concat(lit("p"), col("k")).as("id"))
+      graft.ops.Clustering.bfsDistancesBySource(edges, "src", "dst", seeds,
           maxHops = 3)
-      }
-      perSeed.reduce(_ unionByName _)
         .filter(col("dist") > 0)
         .groupBy("id")
         .agg(count(lit(1)).as("n_sources"),
