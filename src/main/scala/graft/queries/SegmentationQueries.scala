@@ -70,6 +70,17 @@ object SegmentationQueries extends QueryGroup {
         Seq(("p_retailprice", true), ("p_size", false)))
     }),
 
+    // 3-criteria skyline over the returned-lineitem slice: cheap AND
+    // large AND low-tax trade-offs — exercises the d=3 dominance window
+    // against the same NOT EXISTS oracle
+    "skyline_lineitem_3d" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_tax")
+      graft.ops.Skyline.skyline(li,
+        Seq(("l_extendedprice", true), ("l_quantity", false), ("l_tax", true)))
+    }),
+
     // one-pass decision stump per feature: histogram → boundary sweep →
     // lowest weighted Gini; the per-round kernel of distributed tree
     // learners, reproduced exactly by the SQL oracle from integer counts
@@ -99,6 +110,15 @@ object SegmentationQueries extends QueryGroup {
         "SELECT 1 FROM part b " +
         "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size " +
         "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"),
+
+    "skyline_lineitem_3d" ->
+      ("WITH s AS (SELECT l_orderkey, l_quantity, l_extendedprice, l_tax " +
+        "  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1) " +
+        "SELECT * FROM s a WHERE NOT EXISTS (SELECT 1 FROM s b " +
+        "WHERE b.l_extendedprice <= a.l_extendedprice " +
+        "  AND b.l_quantity >= a.l_quantity AND b.l_tax <= a.l_tax " +
+        "  AND (b.l_extendedprice < a.l_extendedprice " +
+        "    OR b.l_quantity > a.l_quantity OR b.l_tax < a.l_tax))"),
 
     "events_rfm" ->
       ("WITH u AS (SELECT user_id, max(epoch_ns(ts)) AS lastts, " +
