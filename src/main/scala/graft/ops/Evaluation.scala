@@ -105,6 +105,49 @@ object Evaluation {
       .withColumn("obs_rate", round(col("n_pos").cast("double") / col("n"), 6))
   }
 
+  /** Matthews correlation coefficient from binary confusion counts —
+    * the single-number classifier summary that stays honest under
+    * class imbalance (accuracy and F1 both inflate when one class
+    * dominates; MCC is the ±1-bounded Pearson correlation of truth and
+    * prediction). Exact integer cells; the denominator product runs in
+    * DECIMAL(38,0) (four n-scale factors overflow a long at ~10⁵
+    * rows); NULL when any marginal is empty (0/0).
+    * @return one row (n, tp, fp, fn, tn, mcc) */
+  def mcc(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n"),
+        sum(when(truth && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(!truth && pred, 1L).otherwise(0L)).as("fp"),
+        sum(when(truth && !pred, 1L).otherwise(0L)).as("fn"),
+        sum(when(!truth && !pred, 1L).otherwise(0L)).as("tn"))
+      .withColumn("__den",
+        dec(col("tp") + col("fp")) * dec(col("tp") + col("fn")) *
+          dec(col("tn") + col("fp")) * dec(col("tn") + col("fn")))
+      .withColumn("mcc", round(
+        when(col("__den") > 0,
+          (dec(col("tp")) * dec(col("tn")) - dec(col("fp")) * dec(col("fn")))
+            .cast("double") / sqrt(col("__den").cast("double"))), 6))
+      .select("n", "tp", "fp", "fn", "tn", "mcc")
+  }
+
+  /** Expected calibration error — the [[calibration]] table collapsed
+    * to its standard scalar: ECE = Σ (nₖ/N)·|mean_pred_k − obs_rate_k|
+    * over equal-width probability bins (Naeini et al., AAAI'15). Uses
+    * the SAME binning and 6-dp bin statistics as [[calibration]], so
+    * the scalar always agrees with the table a reviewer drills into;
+    * per-bin terms are 12-dp decimals (order-free sum).
+    * @return one row (n, n_bins_used, ece) */
+  def expectedCalibrationError(df: DataFrame, probCol: String,
+      positive: Column, nBins: Int = 10): DataFrame = {
+    val bins = calibration(df, probCol, positive, nBins)
+    val term = round(col("n").cast("double") *
+      abs(col("mean_pred") - col("obs_rate")), 12).cast("decimal(28,12)")
+    bins.agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins_used"),
+        sum(term).as("__s"))
+      .select(col("n"), col("n_bins_used"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6).as("ece"))
+  }
+
   /** Brier score: mean squared error of probability predictions
     * against binary outcomes — the strictly proper scoring rule that
     * punishes confident misses quadratically. One row (brier, n);

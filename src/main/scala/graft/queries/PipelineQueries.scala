@@ -1111,6 +1111,24 @@ object PipelineQueries extends QueryGroup {
       graft.ops.Evaluation.calibration(ev, "p", col("event_type") === "click", 10)
     }),
 
+    // MCC: imbalance-honest single-number classifier summary from the
+    // same value-threshold predictor
+    "eval_mcc" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      graft.ops.Evaluation.mcc(ev,
+        col("event_type") === "click", col("value") > 50.0)
+    }),
+
+    // ECE: the calibration table collapsed to its standard scalar —
+    // same bins/rounding as eval_calibration, so scalar and table agree
+    "eval_ece" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("value") - 50) / 10)), 6))
+      graft.ops.Evaluation.expectedCalibrationError(ev, "p",
+        col("event_type") === "click", 10)
+    }),
+
     // Jensen–Shannon vocabulary drift between the two deterministic
     // corpus halves — the text-distribution complement of PSI/chi-sq;
     // 12-dp decimal term sums, no smoothing needed (JS is finite)
@@ -2462,6 +2480,48 @@ object PipelineQueries extends QueryGroup {
         "  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_pred, " +
         "  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate " +
         "FROM d GROUP BY 1"),
+    // DECIMAL(38,0) denominator product (four n-scale factors), one
+    // sqrt; NULL on any empty marginal
+    "eval_mcc" ->
+      ("WITH c AS (SELECT " +
+        "    CAST(count(*) AS BIGINT) AS n, " +
+        "    CAST(sum(CASE WHEN event_type = 'click' AND value > 50.0 " +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "    CAST(sum(CASE WHEN event_type <> 'click' AND value > 50.0 " +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "    CAST(sum(CASE WHEN event_type = 'click' AND NOT (value > 50.0) " +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "    CAST(sum(CASE WHEN event_type <> 'click' AND NOT (value > 50.0) " +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS tn " +
+        "  FROM events WHERE value IS NOT NULL AND NOT isnan(value)) " +
+        "SELECT n, tp, fp, fn, tn, " +
+        "  round(CASE WHEN CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn) " +
+        "      * (tn + fp) * (tn + fn) > 0 THEN " +
+        "    CAST(CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn " +
+        "      AS DOUBLE) / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn) " +
+        "      * (tn + fp) * (tn + fn) AS DOUBLE)) END, 6) AS mcc " +
+        "FROM c"),
+
+    // the calibration bins collapsed: sum (n_k/N)|mean_pred - obs|,
+    // 12-dp decimal terms over the SAME 6-dp bin stats
+    "eval_ece" ->
+      ("WITH d AS (SELECT round(CAST(1 AS DOUBLE) " +
+        "    / (CAST(1 AS DOUBLE) + exp(-(value - 50) / 10)), 6) AS p, " +
+        "    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y FROM events " +
+        "  WHERE value IS NOT NULL AND NOT isnan(value)), " +
+        "b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, " +
+        "    CAST(count(*) AS BIGINT) AS n, " +
+        "    round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) " +
+        "      AS mean_pred, " +
+        "    round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS obs_rate " +
+        "  FROM d GROUP BY 1) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        "  CAST(count(*) AS BIGINT) AS n_bins_used, " +
+        "  round(CAST(sum(CAST(round(CAST(n AS DOUBLE) " +
+        "      * abs(mean_pred - obs_rate), 12) AS DECIMAL(28,12))) AS DOUBLE) " +
+        "    / CAST(sum(n) AS DOUBLE), 6) AS ece " +
+        "FROM b"),
+
     "layout_manifest_read" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) BETWEEN 10000.0 AND 20000.0"),
     "layout_bloom_read" ->

@@ -291,6 +291,35 @@ class CausalSeqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out("t").getAs[Double]("tau_b") - 0.816497) < 1e-6)
   }
 
+  test("mcc: perfect/inverted/empty-marginal cases") {
+    val s = spark; import s.implicits._
+    val perfect = Seq((true, true), (true, true), (false, false))
+      .toDF("t", "p")
+    assert(graft.ops.Evaluation.mcc(perfect, col("t"), col("p"))
+      .head().getAs[Double]("mcc") === 1.0)
+    val inverted = Seq((true, false), (false, true)).toDF("t", "p")
+    assert(graft.ops.Evaluation.mcc(inverted, col("t"), col("p"))
+      .head().getAs[Double]("mcc") === -1.0)
+    // predictor always fires -> empty negative-prediction marginal -> NULL
+    val onesided = Seq((true, true), (false, true)).toDF("t", "p")
+    val r = graft.ops.Evaluation.mcc(onesided, col("t"), col("p")).head()
+    assert(r.isNullAt(r.fieldIndex("mcc")))
+  }
+
+  test("ece: perfectly calibrated bins give 0; known miscalibration hand-computed") {
+    val s = spark; import s.implicits._
+    // bin 2 (p=0.25, 4 rows, 1 positive): |0.25-0.25|=0
+    // bin 7 (p=0.75, 4 rows, 1 positive): |0.75-0.25|=0.5
+    // ECE = (4*0 + 4*0.5)/8 = 0.25
+    val rows = Seq.fill(3)((0.25, false)) ++ Seq((0.25, true)) ++
+      Seq.fill(3)((0.75, false)) ++ Seq((0.75, true))
+    val df = rows.toDF("p", "y")
+    val r = graft.ops.Evaluation.expectedCalibrationError(df, "p", col("y"), 10)
+      .head()
+    assert(r.getAs[Long]("n") === 8 && r.getAs[Long]("n_bins_used") === 2)
+    assert(r.getAs[Double]("ece") === 0.25)
+  }
+
   test("skipGrams: window-3 pairs hand-computed, no cross-key leakage") {
     val s = spark; import s.implicits._
     // user 1: A B C D  → pairs (A,B)(A,C)(A,D)(B,C)(B,D)(C,D)
