@@ -165,6 +165,45 @@ object Stats {
         round(col("__w").cast("double"), 6).as("w1"))
   }
 
+  /** Per-SEGMENT Wasserstein-1 — [[wasserstein1]] stratified the way
+    * [[ksTestBy]] stratifies [[ksTest]]: drift magnitude per cohort
+    * slice, because an aggregate W₁ near zero can hide one segment
+    * drifting hard both ways. Windows partition by segment (width =
+    * the segment's distinct values — the [[ksTestBy]] contract, bounded
+    * per slice, never corpus-global).
+    * @return (seg, n_a, n_b, w1) per segment with both samples */
+  def wasserstein1By(df: DataFrame, valueCol: String, groupCol: String,
+      labelA: String, labelB: String, byCol: String): DataFrame = {
+    require(labelA != labelB, s"labels must differ: $labelA")
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol)
+    val perValue = df
+      .filter(v.isNotNull && !isnan(v) && g.isin(labelA, labelB) &&
+        col(byCol).isNotNull)
+      .groupBy(col(byCol).as("seg"), v.as("__v"))
+      .agg(count(when(g === labelA, 1)).as("ca"),
+        count(when(g === labelB, 1)).as("cb"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("__v"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perValue.groupBy("seg")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val term = round(
+      abs(col("__cca").cast("double") / col("na") -
+        col("__ccb").cast("double") / col("nb")) * (col("__nv") - col("__v")), 12)
+      .cast("decimal(28,12)")
+    perValue
+      .withColumn("__cca", sum(col("ca")).over(wc))
+      .withColumn("__ccb", sum(col("cb")).over(wc))
+      .withColumn("__nv", lead(col("__v"), 1).over(w))
+      .join(tot, Seq("seg"))
+      .filter(col("na") > 0 && col("nb") > 0 && col("__nv").isNotNull)
+      .groupBy("seg")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(term).as("__w"))
+      .select(col("seg"), col("n_a"), col("n_b"),
+        round(coalesce(col("__w").cast("double"), lit(0.0)), 6).as("w1"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) test with tie-corrected normal
     * approximation: ranks all values of both samples together (average
     * ranks on ties), U_a = R_a − n_a(n_a+1)/2, and

@@ -501,6 +501,16 @@ object StatsQueries extends QueryGroup {
       graft.ops.Stats.bhAdjust(ks, "seg", "p_approx", alpha = 0.05)
     }),
 
+    // per-segment Wasserstein-1: drift magnitude per user slice — an
+    // aggregate W1 near zero can hide one segment drifting hard
+    "events_wasserstein_by" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("seg", pmod(col("user_id"), lit(8L)))
+      graft.ops.Stats.wasserstein1By(ev, "value", "event_type",
+        "click", "view", "seg")
+    }),
+
     // quantile treatment effects at deciles (even users = treatment):
     // type-1 quantiles from exact integer rank thresholds
     "stats_qte" -> ((s, dir) => {
@@ -2059,6 +2069,28 @@ object StatsQueries extends QueryGroup {
         "  round(CAST(ag.n_ge + 1 AS DOUBLE) / CAST(ag.reps + 1 AS DOUBLE), 6) " +
         "    AS p_value " +
         "FROM ag, o"),
+
+    // per-segment CDF-gap integral: same device windowed by segment
+    "events_wasserstein_by" ->
+      ("WITH f AS (SELECT user_id % 8 AS seg, CAST(value AS DOUBLE) AS v, " +
+        "    event_type AS g FROM events " +
+        "  WHERE event_type IN ('click', 'view') AND value IS NOT NULL " +
+        "    AND NOT isnan(value) AND user_id IS NOT NULL), " +
+        "pv AS (SELECT seg, v, count(*) FILTER (WHERE g = 'click') AS ca, " +
+        "    count(*) FILTER (WHERE g = 'view') AS cb FROM f GROUP BY 1, 2), " +
+        "t AS (SELECT seg, CAST(sum(ca) AS BIGINT) AS na, " +
+        "    CAST(sum(cb) AS BIGINT) AS nb FROM pv GROUP BY 1), " +
+        "c AS (SELECT seg, v, sum(ca) OVER (PARTITION BY seg ORDER BY v) AS cca, " +
+        "    sum(cb) OVER (PARTITION BY seg ORDER BY v) AS ccb, " +
+        "    lead(v) OVER (PARTITION BY seg ORDER BY v) AS nv FROM pv), " +
+        "s AS (SELECT c.seg, t.na, t.nb, " +
+        "    CAST(round(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb) " +
+        "      * (nv - v), 12) AS DECIMAL(28,12)) AS term " +
+        "  FROM c JOIN t ON t.seg = c.seg " +
+        "  WHERE na > 0 AND nb > 0 AND nv IS NOT NULL) " +
+        "SELECT seg, max(na) AS n_a, max(nb) AS n_b, " +
+        "  round(CAST(COALESCE(sum(term), 0) AS DOUBLE), 6) AS w1 " +
+        "FROM s GROUP BY seg"),
 
     // CDF-gap integral: |Fa-Fb| x gap-to-next-value per distinct value,
     // 12-dp decimal term sums (the engine's boundary-fixed lead replays
