@@ -215,6 +215,44 @@ object LangModel {
       .select("t1", "t2", "c12", "pmi")
   }
 
+  /** t-score collocations (Church & Hanks 1990; Manning & Schütze
+    * §5.3) — [[pmiPairs]]'s confidence-weighted sibling over the SAME
+    * document-level counts: t = (c₁₂ − c₁·c₂/N)/√c₁₂. PMI rewards
+    * RARE pairs (a hapax pair maxes it out); the t-score asks whether
+    * the association has enough EVIDENCE, favoring frequent genuinely-
+    * associated pairs — the standard complementary view when mining
+    * corpus collocations. Same top-V vocabulary broadcast, per-doc
+    * pair join and top-k shapes as pmiPairs; exact integer counts, one
+    * fixed double chain per pair. */
+  def tScorePairs(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minCount: Long, k: Int): DataFrame = {
+    require(vocabSize > 1, s"vocabSize must be > 1: $vocabSize")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k > 0, s"k must be positive: $k")
+    val vocab = unigramVocab(docs, textCol, vocabSize).select("term")
+    val docTerms = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(toks(col(textCol))).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("term"))
+      .distinct()
+      .join(broadcast(vocab), Seq("term"))
+    val c1 = docTerms.groupBy("term").agg(count(lit(1)).as("__c"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val a = docTerms.select(col("doc_id"), col("term").as("t1"))
+    val b = docTerms.select(col("doc_id"), col("term").as("t2"))
+    a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(broadcast(c1.select(col("term").as("t1"), col("__c").as("__c1"))), Seq("t1"))
+      .join(broadcast(c1.select(col("term").as("t2"), col("__c").as("__c2"))), Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("t_score", round(
+        (col("c12").cast("double") -
+          (col("__c1") * col("__c2")).cast("double") / col("__n").cast("double")) /
+          sqrt(col("c12").cast("double")), 6))
+      .orderBy(col("t_score").desc, col("t1"), col("t2")).limit(k)
+      .select("t1", "t2", "c12", "t_score")
+  }
+
   /** Per-term log-odds weights between two document slices — the
     * trainable half of a fastText/CCNet-style linear quality
     * classifier, as a TABLE instead of an opaque model file: for the

@@ -402,6 +402,13 @@ object PipelineQueries extends QueryGroup {
         Tables.load(s, dir, "documents"), "doc_id", "text", 200, 3L, 100)
     }),
 
+    // t-score collocations over the same counts: PMI rewards rarity, the
+    // t-score demands EVIDENCE — frequent genuinely-associated pairs win
+    "text_tscore_pairs" -> ((s, dir) => {
+      graft.ops.LangModel.tScorePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 200, 3L, 100)
+    }),
+
     // small-file compaction: content-identical rewrite at ~150 rows per
     // file range-clustered on n_chars; any read over the compacted copy
     // must equal the plain table
@@ -2858,6 +2865,24 @@ object PipelineQueries extends QueryGroup {
         "    / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi " +
         "FROM p JOIN c1 ca ON p.t1 = ca.term JOIN c1 cb ON p.t2 = cb.term " +
         "CROSS JOIN n ORDER BY pmi DESC, t1, t2 LIMIT 100"),
+    // same count pipeline, the evidence-weighted statistic
+    "text_tscore_pairs" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, lower(t) AS term FROM (" +
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+        " v AS (SELECT lower(t) AS term FROM (" +
+        "    SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
+        "  GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 200), " +
+        " dt AS (SELECT doc_id, term FROM tok JOIN v USING (term)), " +
+        " c1 AS (SELECT term, count(*) AS c FROM dt GROUP BY term), " +
+        " n AS (SELECT count(*) AS n FROM documents), " +
+        " p AS (SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS c12 " +
+        "  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 3) " +
+        "SELECT t1, t2, c12, round((CAST(c12 AS DOUBLE) " +
+        "    - CAST(ca.c * cb.c AS DOUBLE) / CAST(n.n AS DOUBLE)) " +
+        "    / sqrt(CAST(c12 AS DOUBLE)), 6) AS t_score " +
+        "FROM p JOIN c1 ca ON p.t1 = ca.term JOIN c1 cb ON p.t2 = cb.term " +
+        "CROSS JOIN n ORDER BY t_score DESC, t1, t2 LIMIT 100"),
     "layout_compact_read" ->
       ("SELECT doc_id, source, n_chars FROM documents " +
         "WHERE n_chars BETWEEN 500 AND 2000"),
