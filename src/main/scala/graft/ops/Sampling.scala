@@ -351,4 +351,45 @@ object Sampling {
       .filter(col("__u") < col("__rate"))
       .select(col(idCol), col("stratum"), round(col("__rate"), 6).as("rate"))
   }
+
+  /** Madow systematic PPS sampling (Madow 1949): exactly `n` draws with
+    * inclusion probability ∝ integer `weightCol`, heavy rows drawn with
+    * MULTIPLICITY — the fixed-size importance sampler survey statistics
+    * actually uses (hash-Bernoulli [[weighted]] gives random size;
+    * Efraimidis–Spirakis gives without-replacement, distorting big
+    * weights). A deterministic start u is drawn once; draw j lands at
+    * weight-position u + j·W/n, and a row spanning [cum−w, cum) takes
+    * every draw inside its span.
+    *
+    * EXACT integer arithmetic throughout: positions are scaled by n
+    * (so the step is the integer W), the start is a hash mod W, and a
+    * row's copy count is
+    * ⌊(b−u−1+W)/W⌋ − ⌊(a−u−1+W)/W⌋ with a = n·(cum−w), b = n·cum —
+    * nonneg operands, so truncating and floor division agree on BOTH
+    * engines. Σ copies = n exactly, by telescoping. Cum rides the
+    * distributed prefix sum ([[graft.ops.Curation.runningTotal]]) in
+    * (idCol) order — one range shuffle, no global window. n·W must fit
+    * a long (~9·10¹⁸): at larger corpus×sample scales move the scaled
+    * positions to DECIMAL(38,0).
+    * @return selected rows (idCol, weight, copies) with copies ≥ 1 */
+  def systematicPps(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, seed: String = "pps1"): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val w = col(weightCol).cast("long")
+    val f = df.filter(w.isNotNull && w > 0)
+      .select(col(idCol), w.as("__w"))
+    val cum = Curation.runningTotal(f, Seq(col(idCol)), col("__w"), "__cum")
+    val tot = cum.agg(max(col("__cum")).as("__tw"))
+    // start: 32-bit md5 uniform of the seed, mod W — one scalar
+    val start = tot.select(col("__tw"),
+      pmod(conv(substring(md5(lit(seed).cast("binary")), 1, 8), 16, 10)
+        .cast("long"), col("__tw")).as("__u"))
+    cum.crossJoin(broadcast(start))
+      .withColumn("__a", (col("__cum") - col("__w")) * n)
+      .withColumn("__b", col("__cum") * n)
+      .withColumn("copies",
+        expr("(__b - __u - 1 + __tw) div __tw - (__a - __u - 1 + __tw) div __tw"))
+      .filter(col("copies") > 0)
+      .select(col(idCol), col("__w").as("weight"), col("copies"))
+  }
 }

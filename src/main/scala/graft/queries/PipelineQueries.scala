@@ -1694,6 +1694,14 @@ object PipelineQueries extends QueryGroup {
         .select("doc_id", "lang", "quality")
     }),
 
+    // Madow systematic PPS: exactly 100 draws with inclusion odds
+    // proportional to n_chars, heavy docs drawn with multiplicity —
+    // exact integer positions over the distributed prefix sum
+    "sample_systematic_pps" -> ((s, dir) => {
+      Sampling.systematicPps(Tables.load(s, dir, "documents"),
+        "doc_id", "n_chars", n = 100)
+    }),
+
     // mixture resampling: output lang proportions pinned to 40/30/30
     // en/zh/fr (other langs dropped), binding stratum kept whole —
     // the data-mixing step of corpus assembly
@@ -3192,6 +3200,21 @@ object PipelineQueries extends QueryGroup {
         "SELECT doc_id, lang, quality FROM c " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
         "CASE WHEN cells >= 65536 THEN 'g' ELSE printf('%04x', cells) END"),
+
+    // scaled-integer systematic PPS: same md5 start mod W, same
+    // nonnegative floor-division copy counts, cum in doc_id order
+    "sample_systematic_pps" ->
+      ("WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents " +
+        "  WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+        "c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id " +
+        "    ROWS UNBOUNDED PRECEDING) AS cum FROM f), " +
+        "t AS (SELECT max(cum) AS tw FROM c), " +
+        "s AS (SELECT tw, ('0x' || substr(md5('pps1'), 1, 8))::BIGINT % tw AS u FROM t), " +
+        "k AS (SELECT doc_id, w, " +
+        "    ((cum * 100 - u - 1 + tw) // tw) - (((cum - w) * 100 - u - 1 + tw) // tw) " +
+        "      AS copies FROM c, s) " +
+        "SELECT doc_id, w AS weight, CAST(copies AS BIGINT) AS copies " +
+        "FROM k WHERE copies > 0"),
 
     // mixture fractions recomputed from counts in-SQL: cap = min(cnt/w),
     // per-stratum cells = floor(least(cap*w/cnt, 1)*65536) — identical
