@@ -470,7 +470,12 @@ object Dedup {
       s"threshold must be in (0, 1]: $threshold")
     val spark = df.sparkSession
     import spark.implicits._
-    val t6 = math.round(threshold * 1e6) // 6-dp integer threshold
+    // 6-dp integer threshold, FLOORED: rounding up (e.g. 2.0/3.0 →
+    // 666667) would tighten the prefix/size filters past the exact
+    // threshold and drop genuine boundary pairs (J exactly = t).
+    // Flooring only loosens the candidate filters — losslessness holds
+    // because verifyJaccard applies the exact threshold afterwards.
+    val t6 = (threshold * 1e6).toLong
     val grams = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, MinHash.wordNgramHashes(text, n)) })
       .toDF("id", "sh")

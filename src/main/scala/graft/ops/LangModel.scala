@@ -380,10 +380,14 @@ object LangModel {
       lit(1.0) / (col("__yb") + col("__aw")))
     val scored = withP.select(col("w").as("word"), col("__ya").as("count_a"),
       col("__yb").as("count_b"), round(z, 6).as("z"))
+    // top-k FIRST (TakeOrderedAndProject — per-partition heaps, never a
+    // global sort), THEN the rank window over the ≤k survivors: the
+    // total order (|z| desc, word asc) makes limit-then-rank identical
+    // to rank-then-filter, without a vocabulary-sized single partition
     val top = org.apache.spark.sql.expressions.Window
       .orderBy(abs(col("z")).desc, col("word").asc)
-    scored.withColumn("rank", row_number().over(top).cast("long"))
-      .filter(col("rank") <= k)
+    scored.orderBy(abs(col("z")).desc, col("word").asc).limit(k)
+      .withColumn("rank", row_number().over(top).cast("long"))
   }
 
   /** Multinomial Naive Bayes with add-1 smoothing, trained and scored

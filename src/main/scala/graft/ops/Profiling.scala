@@ -1001,11 +1001,13 @@ object Profiling {
       .agg(count(lit(1)).as("__c"))
     val wx = Window.partitionBy(col("__x"))
     val wy = Window.partitionBy(col("__y"))
-    val wall = Window.partitionBy()
+    // grand total as a broadcast scalar, not an unpartitioned window —
+    // cells are bounded by |X|·|Y| but that product is uncontrolled for
+    // high-cardinality pairs, and the marginal windows already partition
     val m = cells
       .withColumn("__nx", sum(col("__c")).over(wx))
       .withColumn("__ny", sum(col("__c")).over(wy))
-      .withColumn("__n", sum(col("__c")).over(wall))
+      .crossJoin(broadcast(cells.agg(sum(col("__c")).as("__n"))))
     // fixed double chain: (c/N) · ln((c·N)/(nx·ny)), all four operands
     // cast explicitly so the oracle can mirror the exact op order
     val term = (col("__c").cast("double") / col("__n").cast("double")) *
@@ -1373,8 +1375,11 @@ object Profiling {
       .select(col("slice"), col("n"), round(col("__m"), 6).as("mean"),
         round((col("__m") - col("__gm")) /
           (sqrt(col("__gv")) / sqrt(col("n").cast("double"))), 6).as("z"))
-    z.withColumn("rank", row_number().over(
+    // top-k FIRST (TakeOrderedAndProject), THEN the rank window over the
+    // ≤topK survivors — limit-then-rank equals rank-then-filter under the
+    // total order, without a CUBE-cell-count-sized single partition
+    z.orderBy(abs(col("z")).desc, col("slice").asc).limit(topK)
+      .withColumn("rank", row_number().over(
         Window.orderBy(abs(col("z")).desc, col("slice").asc)).cast("long"))
-      .filter(col("rank") <= topK)
   }
 }

@@ -132,8 +132,13 @@ object Stats {
         count(when(g === labelB, 1)).as("cb"))
     val cum = runningTotals(perValue, Seq(col("__v")),
       Seq("ca" -> col("ca"), "cb" -> col("cb")))
+    // Materialize the range partitioning ONCE (eager localCheckpoint):
+    // repartitionByRange boundaries come from reservoir sampling and are
+    // not stable across separate actions, so the boundary map collected
+    // below and the final aggregate must read the SAME physical layout.
     val ranged = cum.repartitionByRange(col("__v"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val wl = Window.partitionBy(col("__pid")).orderBy(col("__v"))
     val withNext = ranged.withColumn("__nv", lead(col("__v"), 1).over(wl))
     // partition-count-sized boundary fix: last row of partition p gets
@@ -191,16 +196,22 @@ object Stats {
       abs(col("__cca").cast("double") / col("na") -
         col("__ccb").cast("double") / col("nb")) * (col("__nv") - col("__v")), 12)
       .cast("decimal(28,12)")
-    perValue
+    // Aggregate FROM the per-segment totals frame so a segment whose
+    // merged sample has exactly one distinct value (both groups present)
+    // still emits a row — its correct W₁ is 0, but every per-value row
+    // fails the __nv.isNotNull gap filter and the term sum has no rows.
+    val termSums = perValue
       .withColumn("__cca", sum(col("ca")).over(wc))
       .withColumn("__ccb", sum(col("cb")).over(wc))
       .withColumn("__nv", lead(col("__v"), 1).over(w))
       .join(tot, Seq("seg"))
       .filter(col("na") > 0 && col("nb") > 0 && col("__nv").isNotNull)
       .groupBy("seg")
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        sum(term).as("__w"))
-      .select(col("seg"), col("n_a"), col("n_b"),
+      .agg(sum(term).as("__w"))
+    tot
+      .filter(col("na") > 0 && col("nb") > 0)
+      .join(termSums, Seq("seg"), "left")
+      .select(col("seg"), col("na").as("n_a"), col("nb").as("n_b"),
         round(coalesce(col("__w").cast("double"), lit(0.0)), 6).as("w1"))
   }
 
@@ -1124,8 +1135,12 @@ object Stats {
       .filter(col(unitCol).isNotNull && v.isNotNull && !isnan(v))
       .groupBy(col(unitCol).as("__u"))
       .agg(sum(round(v, 6).cast("decimal(18,6)")).as("__t"))
-    val ranked = totals.withColumn("__r", row_number().over(
-      Window.orderBy(col("__t").asc, col("__u").asc)).cast("long"))
+    // rank every unit WITHOUT a single-partition window: the cumulative
+    // count of 1s under the (__t, __u) total order IS row_number, and
+    // [[Curation.runningTotal]]'s prefix-count device keeps it
+    // range-partitioned (the giniCoefficient discipline).
+    val ranked = Curation.runningTotal(totals,
+      Seq(col("__t"), col("__u")), lit(1L), "__r")
     val n = ranked.agg(count(lit(1)).as("__n"),
       sum(col("__t")).as("__g"))
     ranked.crossJoin(broadcast(n))
@@ -1338,6 +1353,15 @@ object Stats {
     * x̃ = x − x̄ᵢ − x̄ₜ + x̄, β = Σx̃ỹ / Σx̃x̃. Where [[withinOls]]
     * absorbs one grouping, this absorbs both — any time-invariant
     * entity confounder AND any common period shock drop out of β.
+    *
+    * APPROXIMATION NOTE: this is the ONE-SHOT double-demeaning form,
+    * which equals the true two-way within estimator only on BALANCED
+    * panels (every entity observed in every period). On unbalanced
+    * panels the single pass leaves residual fixed-effect correlation
+    * and β differs from the exact TWFE coefficient (which requires
+    * iterating the demeaning to convergence or solving the full
+    * two-way projection). Callers on unbalanced panels should treat
+    * beta_twfe as the standard first-pass approximation.
     *
     * Exactness: each mean is one double division of an exact decimal
     * sum by a long count; the demeaned products are rounded to 12 dp

@@ -402,9 +402,10 @@ object TextSearch {
     *
     * FP power iteration ⇒ rows-only gate; spec-gated on planted-hub
     * ranking, mass conservation comes from the pageRank kernel's own
-    * gates. Shape: one token pass (lead window per doc), vocab-sized
-    * joins, then the [[graft.ops.Clustering.pageRank]] loop (edge list
-    * never reshuffles per round). */
+    * gates. Shape: one token pass (lead window per doc), string-keyed
+    * nodes (no dense-id vocabulary, no global rank), then the
+    * [[graft.ops.Clustering.pageRank]] loop (edge list never reshuffles
+    * per round). */
   def textRank(df: DataFrame, textCol: String, minLen: Int = 4,
       iters: Int = 10, k: Int = 50): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1: $minLen")
@@ -420,19 +421,15 @@ object TextSearch {
     val adj = pos.withColumn("__next", lead(col("__w"), 1).over(w))
       .filter(col("__next").isNotNull && col("__next") =!= col("__w"))
       .select(col("__w").as("wa"), col("__next").as("wb"))
-    val vocab = adj.select(col("wa").as("word"))
-      .unionByName(adj.select(col("wb").as("word"))).distinct()
-      .withColumn("__id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("word")))
-        .cast("long"))
-    val ids = adj
-      .join(vocab.select(col("word").as("wa"), col("__id").as("src")), Seq("wa"))
-      .join(vocab.select(col("word").as("wb"), col("__id").as("dst")), Seq("wb"))
+    // Nodes are keyed by the word STRING itself — no dense-id vocabulary,
+    // so no global rank window (a crawl-scale vocab through one task) and
+    // no id-assignment joins; the rank kernel only ever groups/joins on
+    // the key, which hashes strings as well as longs.
     // WEIGHTED edges (co-occurrence counts) — the standard TextRank
     // variant; an unweighted graph over a small vocab degenerates to
     // near-complete and ranks flatten to uniform
-    val und = ids.select("src", "dst")
-      .unionByName(ids.select(col("dst").as("src"), col("src").as("dst")))
+    val und = adj.select(col("wa").as("src"), col("wb").as("dst"))
+      .unionByName(adj.select(col("wb").as("src"), col("wa").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
       .localCheckpoint(true)
     val damping = 0.85
@@ -458,7 +455,7 @@ object TextSearch {
         .localCheckpoint(true)
       it += 1
     }
-    state.join(vocab, col("id") === col("__id"))
+    state.select(col("id").as("word"), col("rank"))
       .orderBy(col("rank").desc, col("word").asc)
       .limit(k)
       .select(col("word"), round(col("rank"), 6).as("rank"))

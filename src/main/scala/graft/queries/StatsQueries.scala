@@ -353,9 +353,12 @@ object StatsQueries extends QueryGroup {
       def topWords(lang: String) = {
         val docs = Tables.load(s, dir, "documents")
           .filter(col("lang") === lang)
+        // top-50 first (rbo only reads ranks <= depth) — the rank window
+        // then runs over 50 rows, not the language's whole vocabulary
         docs.select(explode(split(lower(col("text")), " ")).as("w"))
           .filter(length(col("w")) > 0)
           .groupBy("w").agg(count(lit(1)).as("__c"))
+          .orderBy(col("__c").desc, col("w").asc).limit(50)
           .withColumn("rnk", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("__c").desc, col("w").asc)).cast("long"))

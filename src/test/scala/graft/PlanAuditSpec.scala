@@ -302,6 +302,56 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"normalization windows must partition by purchase id:\n$plan")
   }
 
+  test("NO query plans an unpartitioned window ordered by row data") {
+    // The engine-wide prefix-sum discipline, enforced: a WindowExec with
+    // an empty partition spec ordered by DATA columns is the single-task
+    // global rank that kills 100 TB plans (events_lorenz/text_textrank
+    // shipped exactly this shape through r6). Two sanctioned forms:
+    //   - the runningTotal offsets fold (ordered by __pid — one row per
+    //     shuffle partition, never the corpus);
+    //   - allowlisted queries whose window provably runs over a bounded
+    //     frame (variant/hypothesis/cell counts), each justified below.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    val allow: Map[String, String] = Map(
+      "events_ab_test" -> "two-variant pivot: window over exactly 2 rows",
+      "events_welch_ttest" -> "two-variant moments: window over exactly 2 rows",
+      "stats_fdr_bh" -> "BH step-up ranks the HYPOTHESIS list (segments), not events",
+      "eval_srm" -> "variant-count cells: window over |variants| rows",
+      "agg_weighted_median" -> "group-offsets fold: one row per GROUP (documented device)",
+      "events_auc_by_segment" -> "segment-offsets fold: one row per segment",
+      "eval_gains_table" -> "cumulative over score bins: require-bounded nBins <= 1000",
+      "eval_qini" -> "cumulative over score bins: require-bounded nBins <= 1000",
+      "text_zipf_slope" -> "rank after limit(n<=100); checkpoint hides the limit from the plan")
+    // a window whose subtree contains a LIMIT is bounded by construction
+    // (the limit-then-rank top-k device) — allowed generically
+    def boundedByLimit(w: WindowExec): Boolean = w.exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val bad =
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty &&
+              !w.orderSpec.forall(_.child.toString.contains("__pid")) &&
+              !boundedByLimit(w) => w
+          }
+        } catch { case e: Throwable =>
+          failures += s"$name: failed to plan (${e.getClass.getSimpleName}: ${e.getMessage})"
+          Nil
+        }
+      if (bad.nonEmpty && !allow.contains(name))
+        failures += s"$name: ${bad.size} unpartitioned window(s) over " +
+          bad.map(_.orderSpec.map(_.child.toString).mkString(",")).mkString("; ")
+    }
+    assert(failures.isEmpty,
+      s"corpus-global windows (add a fix or a justified allowlist row):\n" +
+        failures.mkString("\n"))
+  }
+
   test("Gini rank never windows the ranked table in one partition") {
     val plan = q("events_gini").queryExecution.executedPlan
     // the distributed prefix-count device allows exactly one kind of
