@@ -1,0 +1,690 @@
+package graft.ops
+
+import graft.ops.MediaCodec.Raster
+
+/** Baseline-sequential JPEG (ITU-T T.81 / ISO 10918-1), pure JVM — the
+  * last §2.11 media transform that was a disclosed stub: real crawl
+  * data is overwhelmingly JPEG, so perceptual dedup / resize pipelines
+  * need an actual raster, not just header metadata.
+  *
+  * Decoder: baseline sequential DCT, 8-bit precision, grayscale or
+  * YCbCr (1 or 3 components), arbitrary sampling factors up to 2×2
+  * (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multi-segment DQT/DHT.
+  * Progressive, arithmetic-coded, 12-bit and CMYK streams return None.
+  * Totality contract matches [[MediaCodec.decodePng]]: malformed or
+  * unsupported payloads → None, NEVER an exception — one corrupt blob
+  * in 100 TB of crawl data must not kill a stage.
+  *
+  * Encoder: baseline 4:4:4 (or single-component grayscale), JFIF
+  * headers, ITU T.81 Annex K quantization + Huffman tables with
+  * libjpeg-style linear quality scaling — used to plant deterministic
+  * JPEG fixtures in the multimodal queries and specs (the environment
+  * ships no media libraries; interop is spec-gated against the JDK's
+  * own ImageIO reader/writer in MultimodalPixelSpec).
+  *
+  * Reference behavior: HIndex stores media as opaque HBase cell bytes
+  * (no decode surface); this transform exists for the training-data
+  * pipeline tier, not the reference surface.
+  */
+object JpegCodec {
+
+  // ---- shared tables ---------------------------------------------------
+
+  /** zigzag(k) = natural-order index of the k-th coefficient in
+    * zigzag scan order (T.81 figure A.6). */
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // T.81 Annex K.1 — the standard quantization tables, zigzag order
+  // is NOT used here: these are natural (row-major) order.
+  private val stdQLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val stdQChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  // T.81 Annex K.3 — standard Huffman tables as (BITS[16], HUFFVAL)
+  private val dcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val dcLumaVals = (0 to 11).toArray
+  private val dcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val dcChromaVals = (0 to 11).toArray
+  private val acLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val acLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+  private val acChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val acChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  // ---- Huffman (decode side: T.81 F.2.2.3 canonical construction) ------
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k; mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        } else maxcode(l) = -1
+        code <<= 1
+        l += 1
+      }
+      require(k == vals.length, s"huffman BITS/HUFFVAL mismatch: $k vs ${vals.length}")
+    }
+    def decode(in: BitReader): Int = {
+      var code = in.readBit()
+      var l = 1
+      while (maxcode(l) < 0 || code > maxcode(l)) {
+        l += 1
+        if (l > 16) throw new IllegalStateException("bad huffman code")
+        code = (code << 1) | in.readBit()
+      }
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  /** Entropy-coded-segment bit reader: removes 0xFF00 byte stuffing;
+    * a real marker (RST/EOI/anything non-zero after 0xFF) ends the
+    * entropy stream — subsequent reads pad with zero bits (the
+    * conventional lenient tail), and `atMarker` lets the MCU loop
+    * consume restart markers explicitly. */
+  private final class BitReader(b: Array[Byte], start: Int) {
+    var pos: Int = start
+    private var acc = 0
+    private var n = 0
+    private var ended = false
+    def readBit(): Int = {
+      if (n == 0) {
+        if (ended || pos >= b.length) { acc = 0; n = 8 }
+        else {
+          var v = b(pos) & 0xff
+          pos += 1
+          if (v == 0xff) {
+            val next = if (pos < b.length) b(pos) & 0xff else 0xd9
+            if (next == 0x00) pos += 1 // stuffed literal 0xFF
+            else { pos -= 1; ended = true; v = 0 } // real marker: stop before it
+          }
+          acc = v; n = 8
+        }
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def readBits(count: Int): Int = {
+      var v = 0; var i = 0
+      while (i < count) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker; resets the
+      * entropy state for the next restart interval. */
+    def consumeRst(): Boolean = {
+      n = 0
+      if (!ended) {
+        // we may be exactly at the marker without having tripped `ended`
+        while (pos + 1 < b.length && (b(pos) & 0xff) != 0xff) pos += 1
+      }
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+          ((b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7)) {
+        pos += 2; ended = false; true
+      } else false
+    }
+  }
+
+  /** DC/AC magnitude sign extension (T.81 F.2.2.1 EXTEND). */
+  @inline private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  // ---- IDCT / FDCT (separable, double precision) -----------------------
+
+  // cosTab(u)(x) = cos((2x+1)·u·π/16) · (u == 0 ? 1/√2 : 1) · 1/2
+  private val cosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** In-place-ish 2D inverse DCT of one dequantized 8×8 block
+    * (natural order) into spatial samples, level-shifted and clamped
+    * to [0,255]. */
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows: for each row y of coefficients, 1-D IDCT across u
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += cosTab(u)(x) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    // columns
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += cosTab(v)(yy) * tmp(v * 8 + x); v += 1 }
+        val p = math.round(s).toInt + 128
+        out(yy * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** 2D forward DCT of one level-shifted 8×8 spatial block (natural
+    * order) into coefficients. */
+  private def fdctBlock(samples: Array[Int], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows: 1-D DCT across x for each spatial row
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += cosTab(u)(x) * (samples(y * 8 + x) - 128); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += cosTab(v)(yy) * tmp(yy * 8 + u); yy += 1 }
+        out(v * 8 + u) = s
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def rb16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int,
+    var dcTab: Int = 0, var acTab: Int = 0)
+
+  /** Baseline-sequential JPEG raster decode. Grayscale in → 1-channel
+    * Raster, YCbCr in → 3-channel RGB Raster; None for progressive /
+    * arithmetic / 12-bit / 4-component / malformed payloads. */
+  def decodeJpeg(b: Array[Byte]): Option[Raster] = {
+    if (b == null || b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8)
+      return None
+    try {
+      val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+      val dcTabs = new Array[HuffTable](4)
+      val acTabs = new Array[HuffTable](4)
+      var comps: Array[Component] = null
+      var width = 0; var height = 0
+      var restartInterval = 0
+      var i = 2
+      var sosAt = -1
+      while (sosAt < 0 && i + 4 <= b.length) {
+        if (u8(b, i) != 0xff) return None
+        val marker = u8(b, i + 1)
+        if (marker == 0xd8) i += 2
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else {
+          val len = rb16(b, i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val body = i + 4
+          val bodyLen = len - 2
+          marker match {
+            case 0xdb => // DQT: one or more tables
+              var p = body
+              while (p < body + bodyLen) {
+                val pq = u8(b, p) >> 4; val tq = u8(b, p) & 0xf
+                if (tq > 3) return None
+                if (pq == 0) {
+                  var k = 0
+                  while (k < 64) { qt(tq)(k) = u8(b, p + 1 + k); k += 1 }
+                  p += 65
+                } else { // 16-bit precision (rare; not baseline-typical)
+                  var k = 0
+                  while (k < 64) { qt(tq)(k) = rb16(b, p + 1 + 2 * k); k += 1 }
+                  p += 129
+                }
+              }
+            case 0xc4 => // DHT: one or more tables
+              var p = body
+              while (p < body + bodyLen) {
+                val tc = u8(b, p) >> 4; val th = u8(b, p) & 0xf
+                if (tc > 1 || th > 3) return None
+                val bits = Array.tabulate(16)(k => u8(b, p + 1 + k))
+                val nv = bits.sum
+                if (p + 17 + nv > body + bodyLen + 1) return None
+                val vals = Array.tabulate(nv)(k => u8(b, p + 17 + k))
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                p += 17 + nv
+              }
+            case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-seq huffman also fine)
+              if (u8(b, body) != 8) return None // 12-bit: unsupported
+              height = rb16(b, body + 1); width = rb16(b, body + 3)
+              val nc = u8(b, body + 5)
+              if (nc != 1 && nc != 3) return None
+              if (width <= 0 || height <= 0 ||
+                  width.toLong * height * nc > (1L << 28)) return None
+              comps = Array.tabulate(nc) { c =>
+                val o = body + 6 + 3 * c
+                Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 0xf,
+                  u8(b, o + 2))
+              }
+              if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
+                  c.tq > 3)) return None
+            case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+                0xcd | 0xce | 0xcf =>
+              return None // progressive / arithmetic / lossless
+            case 0xdd => restartInterval = rb16(b, body)
+            case 0xda => // SOS
+              if (comps == null) return None
+              val ns = u8(b, body)
+              if (ns != comps.length) return None // no multi-scan support
+              var c = 0
+              while (c < ns) {
+                val cid = u8(b, body + 1 + 2 * c)
+                val sel = u8(b, body + 2 + 2 * c)
+                comps.find(_.id == cid) match {
+                  case Some(comp) =>
+                    comp.dcTab = sel >> 4; comp.acTab = sel & 0xf
+                  case None => return None
+                }
+                c += 1
+              }
+              sosAt = body + 1 + 2 * ns + 3 // skip Ss/Se/Ah-Al
+            case _ => // APPn / COM / others: skip
+          }
+          if (sosAt < 0) i += 2 + len
+        }
+      }
+      if (sosAt < 0 || comps == null) return None
+      if (comps.exists(c => qt(c.tq) == null ||
+          dcTabs(c.dcTab) == null || acTabs(c.acTab) == null)) return None
+
+      val hmax = comps.map(_.h).max
+      val vmax = comps.map(_.v).max
+      val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      // per-component padded plane
+      val planeW = comps.map(c => mcusX * c.h * 8)
+      val planeH = comps.map(c => mcusY * c.v * 8)
+      val planes = comps.indices.map(c =>
+        new Array[Byte](planeW(c) * planeH(c))).toArray
+      val preds = new Array[Int](comps.length)
+      val in = new BitReader(b, sosAt)
+      val coef = new Array[Int](64)
+      val pix = new Array[Int](64)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!in.consumeRst()) return None
+          java.util.Arrays.fill(preds, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var c = 0
+        while (c < comps.length) {
+          val comp = comps(c)
+          val q = qt(comp.tq)
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              // decode one block
+              java.util.Arrays.fill(coef, 0)
+              val t = dcTabs(comp.dcTab).decode(in)
+              if (t > 15) return None
+              preds(c) += extend(in.readBits(t), t)
+              coef(0) = preds(c) * q(0)
+              var k = 1
+              var eob = false
+              while (!eob && k < 64) {
+                val rs = acTabs(comp.acTab).decode(in)
+                val r = rs >> 4; val s = rs & 0xf
+                if (s == 0) { if (r == 15) k += 16 else eob = true }
+                else {
+                  k += r
+                  if (k > 63) return None
+                  coef(zigzag(k)) = extend(in.readBits(s), s) * q(k)
+                  k += 1
+                }
+              }
+              idctBlock(coef, pix)
+              // place into the component plane
+              val x0 = (mx * comp.h + bx) * 8
+              val y0 = (my * comp.v + by) * 8
+              val pw = planeW(c)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  planes(c)((y0 + yy) * pw + x0 + xx) = pix(yy * 8 + xx).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+
+      // upsample (sample replication) + color convert
+      if (comps.length == 1) {
+        val out = new Array[Byte](width * height)
+        val pw = planeW(0)
+        var y = 0
+        while (y < height) {
+          System.arraycopy(planes(0), y * pw, out, y * width, width)
+          y += 1
+        }
+        Some(Raster(width, height, 1, out))
+      } else {
+        val out = new Array[Byte](width * height * 3)
+        val yW = planeW(0); val cbW = planeW(1); val crW = planeW(2)
+        val cy = comps(0); val ccb = comps(1); val ccr = comps(2)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val lum = planes(0)((y * cy.v / vmax) * yW + (x * cy.h / hmax)) & 0xff
+            val cb = (planes(1)((y * ccb.v / vmax) * cbW + (x * ccb.h / hmax)) & 0xff) - 128
+            val cr = (planes(2)((y * ccr.v / vmax) * crW + (x * ccr.h / hmax)) & 0xff) - 128
+            val r = math.round(lum + 1.402 * cr).toInt
+            val g = math.round(lum - 0.344136 * cb - 0.714136 * cr).toInt
+            val bl = math.round(lum + 1.772 * cb).toInt
+            val o = (y * width + x) * 3
+            out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+            out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+            out(o + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(Raster(width, height, 3, out))
+      }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: IllegalStateException => None
+      case _: IllegalArgumentException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  // ---- encoder ---------------------------------------------------------
+
+  // encode-side canonical code assignment from (BITS, HUFFVAL):
+  // codes(symbol) = (code, length)
+  private def encodeTable(bits: Array[Int], vals: Array[Int]): Array[Int] = {
+    // packed as (length << 16) | code, indexed by symbol
+    val out = new Array[Int](256)
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < bits(l - 1)) {
+        out(vals(k)) = (l << 16) | code
+        code += 1; k += 1; c += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out
+  }
+  private lazy val encDcLuma = encodeTable(dcLumaBits, dcLumaVals)
+  private lazy val encDcChroma = encodeTable(dcChromaBits, dcChromaVals)
+  private lazy val encAcLuma = encodeTable(acLumaBits, acLumaVals)
+  private lazy val encAcChroma = encodeTable(acChromaBits, acChromaVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1-bits (T.81 F.1.2.3)
+      acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  /** libjpeg-style linear quality scaling of a base table. */
+  private def scaledQ(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    base.map { v =>
+      val s = (v * scale + 50) / 100
+      math.max(1, math.min(255, s))
+    }
+  }
+
+  /** Encode a [[Raster]] (1 = grayscale or 3 = RGB channels) as a
+    * baseline 4:4:4 JFIF JPEG with the Annex K tables at `quality`
+    * (libjpeg scaling). Deterministic: same raster + quality → same
+    * bytes. 2- and 4-channel rasters drop alpha / reject. */
+  def encodeJpeg(r: Raster, quality: Int = 90): Array[Byte] = {
+    require(r.width > 0 && r.height > 0, "empty raster")
+    require(r.channels == 1 || r.channels == 3 || r.channels == 4,
+      s"unsupported channel count: ${r.channels}")
+    val gray = r.channels == 1
+    val qLum = scaledQ(stdQLuma, quality)
+    val qChr = scaledQ(stdQChroma, quality)
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8) // SOI
+    // APP0 JFIF
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT (natural order tables are WRITTEN in zigzag order)
+    def zz(t: Array[Int]): Array[Int] = Array.tabulate(64)(k => t(zigzag(k)))
+    seg(0xdb, 0 +: zz(qLum))
+    if (!gray) seg(0xdb, 1 +: zz(qChr))
+    // SOF0
+    val nc = if (gray) 1 else 3
+    val sofComps =
+      if (gray) Array(1, 0x11, 0)
+      else Array(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    seg(0xc0, Array(8, (r.height >> 8) & 0xff, r.height & 0xff,
+      (r.width >> 8) & 0xff, r.width & 0xff, nc) ++ sofComps)
+    // DHT
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit =
+      seg(0xc4, tcTh +: (bits ++ vals))
+    dht(0x00, dcLumaBits, dcLumaVals)
+    dht(0x10, acLumaBits, acLumaVals)
+    if (!gray) {
+      dht(0x01, dcChromaBits, dcChromaVals)
+      dht(0x11, acChromaBits, acChromaVals)
+    }
+    // SOS
+    val sosComps = if (gray) Array(1, 0x00) else Array(1, 0x00, 2, 0x11, 3, 0x11)
+    seg(0xda, nc +: (sosComps ++ Array(0, 63, 0)))
+
+    // color planes (full res, 4:4:4)
+    val w = r.width; val h = r.height
+    val yP = new Array[Int](w * h)
+    val cbP = if (gray) null else new Array[Int](w * h)
+    val crP = if (gray) null else new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      if (gray) yP(p) = r.pixels(p) & 0xff
+      else {
+        val o = p * r.channels
+        val rr = r.pixels(o) & 0xff
+        val gg = r.pixels(o + 1) & 0xff
+        val bb = r.pixels(o + 2) & 0xff
+        yP(p) = math.round(0.299 * rr + 0.587 * gg + 0.114 * bb).toInt.min(255)
+        cbP(p) = (math.round(-0.168736 * rr - 0.331264 * gg + 0.5 * bb).toInt + 128)
+          .max(0).min(255)
+        crP(p) = (math.round(0.5 * rr - 0.418688 * gg - 0.081312 * bb).toInt + 128)
+          .max(0).min(255)
+      }
+      p += 1
+    }
+
+    val bw = new BitWriter(out)
+    val preds = new Array[Int](3)
+    val block = new Array[Int](64)
+    val freq = new Array[Double](64)
+    val quant = new Array[Int](64)
+    val mbx = (w + 7) / 8; val mby = (h + 7) / 8
+
+    def encodeBlock(plane: Array[Int], x0: Int, y0: Int, ci: Int,
+        q: Array[Int], dcT: Array[Int], acT: Array[Int]): Unit = {
+      // fill with edge replication for partial blocks
+      var yy = 0
+      while (yy < 8) {
+        val sy = math.min(y0 + yy, h - 1)
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(x0 + xx, w - 1)
+          block(yy * 8 + xx) = plane(sy * w + sx)
+          xx += 1
+        }
+        yy += 1
+      }
+      fdctBlock(block, freq)
+      var k = 0
+      while (k < 64) {
+        val nat = zigzag(k)
+        quant(k) = math.round(freq(nat) / q(nat)).toInt
+        k += 1
+      }
+      // DC
+      val diff = quant(0) - preds(ci)
+      preds(ci) = quant(0)
+      val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val dcCode = dcT(t)
+      bw.write(dcCode & 0xffff, dcCode >> 16)
+      if (t > 0) {
+        val v = if (diff < 0) diff + (1 << t) - 1 else diff
+        bw.write(v, t)
+      }
+      // AC with run-length + EOB/ZRL
+      var run = 0
+      k = 1
+      while (k < 64) {
+        val v = quant(k)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) {
+            val zrl = acT(0xf0); bw.write(zrl & 0xffff, zrl >> 16); run -= 16
+          }
+          val s = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+          val code = acT((run << 4) | s)
+          bw.write(code & 0xffff, code >> 16)
+          val mag = if (v < 0) v + (1 << s) - 1 else v
+          bw.write(mag, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val eob = acT(0x00); bw.write(eob & 0xffff, eob >> 16) }
+    }
+
+    var my = 0
+    while (my < mby) {
+      var mx = 0
+      while (mx < mbx) {
+        encodeBlock(yP, mx * 8, my * 8, 0, qLum, encDcLuma, encAcLuma)
+        if (!gray) {
+          encodeBlock(cbP, mx * 8, my * 8, 1, qChr, encDcChroma, encAcChroma)
+          encodeBlock(crP, mx * 8, my * 8, 2, qChr, encDcChroma, encAcChroma)
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

@@ -316,11 +316,12 @@ object MediaCodec {
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
-  /** Sniff-and-decode: PNG or BMP raster, else None. */
+  /** Sniff-and-decode: PNG, BMP or baseline JPEG raster, else None. */
   def decodeRaster(b: Array[Byte]): Option[Raster] =
     if (b == null || b.length < 2) None
     else if (u8(b, 0) == 0x89 && b(1) == 'P') decodePng(b)
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) JpegCodec.decodeJpeg(b)
     else None
 
   /** 16-bit PCM WAV sample decode (the format [[encodeWav]] writes). */

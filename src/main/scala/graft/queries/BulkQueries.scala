@@ -138,20 +138,74 @@ object BulkQueries extends QueryGroup {
       val payloads = Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .mapPartitions(_.map { id =>
-          val m = (id % 3).toInt
+          val m = (id % 4).toInt
           val bytes =
             if (m == 0) graft.ops.MediaCodec.encodePng(
               (16 + id % 64).toInt, (16 + (id * 7) % 48).toInt, seed = id)
             else if (m == 1) graft.ops.MediaCodec.encodeBmp(
               (8 + id % 100).toInt, (8 + id % 50).toInt)
-            else graft.ops.MediaCodec.encodeWav(
+            else if (m == 2) graft.ops.MediaCodec.encodeWav(
               (8000 + (id % 5) * 2000).toInt, (1 + id % 2).toInt,
               (id % 1000).toInt)
+            else { // REAL baseline JPEG bytes (our own encoder)
+              val w = (16 + id % 48).toInt; val h = (16 + (id * 5) % 40).toInt
+              val px = new Array[Byte](w * h * 3)
+              var p = 0
+              while (p < px.length) {
+                px(p) = (((p % (w * 3)) + p / (w * 3)) * 255 /
+                  (w * 3 + h)).toByte
+                p += 1
+              }
+              graft.ops.JpegCodec.encodeJpeg(
+                graft.ops.MediaCodec.Raster(w, h, 3, px), quality = 90)
+            }
           (id, bytes)
         }).toDF("doc_id", "media")
       Multimodal.decodeMeta(payloads, "media")
         .select("doc_id", "format", "width", "height", "channels",
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
+    }),
+
+    // REAL pixel decode through REAL JPEG bytes: a smooth per-id
+    // gradient is encoded (baseline 4:4:4 or grayscale, quality 92),
+    // decoded back by the baseline decoder, and the query emits the
+    // DECODED dimensions plus a bounded-error flag vs the source
+    // raster — the oracle re-derives dims from pure id arithmetic and
+    // asserts every round trip stayed within tolerance (pixel
+    // bit-identity is impossible for a lossy codec; the ±tolerance
+    // check and ImageIO cross-decoder agreement live in JpegCodecSpec)
+    "mm_jpeg_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (16 + id % 48).toInt
+          val h = (16 + (id * 5) % 40).toInt
+          val ch = if (id % 3 == 0) 1 else 3
+          val px = new Array[Byte](w * h * ch)
+          var i = 0
+          while (i < px.length) {
+            val x = (i / ch) % w; val y = i / (ch * w); val c = i % ch
+            px(i) = ((x + y + c * 7 + (id % 11).toInt) * 255 /
+              (w + h + ch * 7 + (id % 11).toInt)).toByte
+            i += 1
+          }
+          val bytes = graft.ops.JpegCodec.encodeJpeg(
+            graft.ops.MediaCodec.Raster(w, h, ch, px), quality = 92)
+          val dec = graft.ops.MediaCodec.decodeRaster(bytes)
+          def err(a: Array[Byte], b: Array[Byte]): Int = {
+            var m = 0; var k = 0
+            while (k < a.length) {
+              val d = math.abs((a(k) & 0xff) - (b(k) & 0xff))
+              if (d > m) m = d; k += 1
+            }
+            m
+          }
+          val ok = dec.exists(r => r.width == w && r.height == h &&
+            r.channels == ch && r.pixels.length == px.length &&
+            err(r.pixels, px) <= 4)
+          (id, w, h, ch, ok)
+        }).toDF("doc_id", "width", "height", "channels", "roundtrip_ok")
     }),
 
     // REAL audio math over REAL WAV bytes: square-wave tones make RMS
@@ -301,16 +355,28 @@ object BulkQueries extends QueryGroup {
     // recover exactly these through the real container bytes
     "mm_decode_real" ->
       ("SELECT doc_id, " +
-        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format, " +
-        "CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64 " +
-        "  WHEN 1 THEN 8 + doc_id % 100 ELSE -1 END AS INT) AS width, " +
-        "CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 48 " +
-        "  WHEN 1 THEN 8 + doc_id % 50 ELSE -1 END AS INT) AS height, " +
-        "CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 " +
-        "  ELSE 1 + doc_id % 2 END AS INT) AS channels, " +
-        "CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 5) * 2000 " +
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav' " +
+        "  ELSE 'jpeg' END AS format, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 64 " +
+        "  WHEN 1 THEN 8 + doc_id % 100 WHEN 2 THEN -1 " +
+        "  ELSE 16 + doc_id % 48 END AS INT) AS width, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 48 " +
+        "  WHEN 1 THEN 8 + doc_id % 50 WHEN 2 THEN -1 " +
+        "  ELSE 16 + (doc_id * 5) % 40 END AS INT) AS height, " +
+        "CAST(CASE doc_id % 4 WHEN 2 THEN 1 + doc_id % 2 " +
+        "  ELSE 3 END AS INT) AS channels, " +
+        "CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + (doc_id % 5) * 2000 " +
         "  ELSE -1 END AS INT) AS sample_rate, " +
-        "CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
-        "FROM documents")
+        "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
+        "FROM documents"),
+
+    // the JPEG round trip: dims are pure id arithmetic, the bounded-
+    // error flag must be TRUE for every row (tolerance ±4 at q92)
+    "mm_jpeg_roundtrip" ->
+      ("SELECT doc_id, " +
+        "CAST(16 + doc_id % 48 AS INT) AS width, " +
+        "CAST(16 + (doc_id * 5) % 40 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels, " +
+        "TRUE AS roundtrip_ok FROM documents")
   )
 }

@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{JpegCodec, MediaCodec}
+import graft.ops.MediaCodec.Raster
+
+/** Baseline JPEG codec, checked against INDEPENDENT references: the
+  * JDK's own ImageIO JPEG reader must accept [[JpegCodec.encodeJpeg]]'s
+  * output and agree with [[JpegCodec.decodeJpeg]] on the pixels, and
+  * ImageIO's own JPEG writer (4:2:0 subsampled) must be decodable by
+  * [[JpegCodec.decodeJpeg]] to pixels matching ImageIO's read of the
+  * same bytes. JPEG is lossy and IDCT/upsampling implementations are
+  * allowed small deviations by the spec, so comparisons are bounded-
+  * error, not bit-identity (unlike the PNG/BMP paths).
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  /** Smooth (wrap-free) deterministic gradient raster. */
+  private def gradient(w: Int, h: Int, ch: Int, phase: Int): Raster = {
+    val px = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      px((y * w + x) * ch + c) =
+        (((x + y + c * 7 + phase) * 255) / (w + h + ch * 7 + phase)).toByte
+    Raster(w, h, ch, px)
+  }
+
+  private def maxErr(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length, s"length ${a.length} vs ${b.length}")
+    var m = 0; var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff)); if (d > m) m = d; i += 1
+    }
+    m
+  }
+  private def meanErr(a: Array[Byte], b: Array[Byte]): Double = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+    s.toDouble / a.length
+  }
+
+  private def imageIoRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      out((y * w + x) * 3) = ((rgb >> 16) & 0xff).toByte
+      out((y * w + x) * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+      out((y * w + x) * 3 + 2) = (rgb & 0xff).toByte
+    }
+    (w, h, out)
+  }
+
+  private def imageIoWriteJpeg(r: Raster, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val t = if (r.channels == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(r.width, r.height, t)
+    for (y <- 0 until r.height; x <- 0 until r.width) {
+      val o = (y * r.width + x) * r.channels
+      if (r.channels == 1)
+        // raw sample write: setRGB on TYPE_BYTE_GRAY would gamma-convert
+        img.getRaster.setSample(x, y, 0, r.pixels(o) & 0xff)
+      else {
+        val (rr, gg, bb) =
+          (r.pixels(o) & 0xff, r.pixels(o + 1) & 0xff, r.pixels(o + 2) & 0xff)
+        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+      }
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("encode → decode round trip: RGB gradient within ±3 at quality 92") {
+    val src = gradient(37, 29, 3, 5)
+    val bytes = JpegCodec.encodeJpeg(src, quality = 92)
+    val dec = JpegCodec.decodeJpeg(bytes).get
+    assert(dec.width == 37 && dec.height == 29 && dec.channels == 3)
+    assert(maxErr(dec.pixels, src.pixels) <= 3,
+      s"maxErr=${maxErr(dec.pixels, src.pixels)}")
+  }
+
+  test("encode → decode round trip: grayscale, odd dims (partial blocks)") {
+    val src = gradient(23, 17, 1, 11)
+    val bytes = JpegCodec.encodeJpeg(src, quality = 92)
+    val dec = JpegCodec.decodeJpeg(bytes).get
+    assert(dec.width == 23 && dec.height == 17 && dec.channels == 1)
+    assert(maxErr(dec.pixels, src.pixels) <= 3)
+  }
+
+  test("flat-color block decodes exactly (DC-only spectrum)") {
+    val px = Array.fill[Byte](16 * 16 * 3)(200.toByte)
+    val bytes = JpegCodec.encodeJpeg(Raster(16, 16, 3, px), quality = 90)
+    val dec = JpegCodec.decodeJpeg(bytes).get
+    assert(maxErr(dec.pixels, px) <= 1)
+  }
+
+  test("our encoder interops: the JDK's independent reader accepts the bytes") {
+    val src = gradient(31, 22, 3, 3)
+    val bytes = JpegCodec.encodeJpeg(src, quality = 92)
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(w == 31 && h == 22)
+    // both decoders read the SAME compressed stream: only IDCT rounding
+    // may differ (T.81 tolerates small IDCT deviations)
+    val dec = JpegCodec.decodeJpeg(bytes).get
+    assert(maxErr(dec.pixels, ref) <= 2,
+      s"decoders disagree by ${maxErr(dec.pixels, ref)}")
+  }
+
+  test("our decoder interops: reads the JDK writer's 4:2:0 output") {
+    val src = gradient(40, 24, 3, 9)
+    val bytes = imageIoWriteJpeg(src, 0.9f)
+    val dec = JpegCodec.decodeJpeg(bytes).get
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(dec.width == w && dec.height == h && dec.channels == 3)
+    // ImageIO upsamples chroma with interpolation, we replicate samples:
+    // bounded disagreement on a smooth image, tight mean
+    assert(meanErr(dec.pixels, ref) <= 3.0,
+      s"meanErr=${meanErr(dec.pixels, ref)}")
+    assert(maxErr(dec.pixels, ref) <= 24,
+      s"maxErr=${maxErr(dec.pixels, ref)}")
+    // and the decode is faithful to the SOURCE image too
+    assert(meanErr(dec.pixels, src.pixels) <= 4.0)
+  }
+
+  test("our decoder reads the JDK writer's grayscale output near-exactly") {
+    val src = gradient(19, 33, 1, 7)
+    val bytes = imageIoWriteJpeg(src, 0.95f)
+    val dec = JpegCodec.decodeJpeg(bytes).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(dec.width == 19 && dec.height == 33 && dec.channels == 1)
+    var worst = 0
+    for (y <- 0 until 33; x <- 0 until 19) {
+      // raw sample read: getRGB on a gray image gamma-converts
+      val ref = img.getRaster.getSample(x, y, 0)
+      val got = dec.pixels(y * 19 + x) & 0xff
+      worst = math.max(worst, math.abs(ref - got))
+    }
+    assert(worst <= 2, s"gray disagreement $worst")
+  }
+
+  test("progressive JPEG returns None (disclosed unsupported), never throws") {
+    val bytes = imageIoWriteJpeg(gradient(24, 24, 3, 1), 0.9f, progressive = true)
+    assert(JpegCodec.decodeJpeg(bytes).isEmpty)
+  }
+
+  test("malformed totality: truncation at every prefix length returns None or a raster") {
+    val bytes = JpegCodec.encodeJpeg(gradient(17, 13, 3, 2), quality = 85)
+    // every truncation must be total — either a (possibly garbage-tail)
+    // raster from zero-padded entropy bits or None, never an exception
+    var l = 0
+    while (l < bytes.length) {
+      val r = JpegCodec.decodeJpeg(java.util.Arrays.copyOf(bytes, l))
+      r.foreach(x => assert(x.width == 17 && x.height == 13))
+      l += 7
+    }
+    assert(JpegCodec.decodeJpeg(Array.fill[Byte](64)(0x55)) == None)
+    assert(JpegCodec.decodeJpeg(null) == None)
+  }
+
+  test("parseMeta classifies our encoder's output") {
+    val m = MediaCodec.parseMeta(JpegCodec.encodeJpeg(gradient(45, 27, 3, 4)))
+    assert(m.format == "jpeg" && m.width == 45 && m.height == 27 &&
+      m.channels == 3)
+  }
+
+  test("decodeRaster sniffs JPEG and feeds the perceptual-hash pipeline") {
+    val src = gradient(64, 48, 3, 6)
+    val bytes = JpegCodec.encodeJpeg(src, quality = 92)
+    val viaJpeg = MediaCodec.decodeRaster(bytes).get
+    // dHash of the decoded JPEG matches the dHash of the source raster:
+    // gradient-sign structure survives quality-92 compression
+    assert(MediaCodec.dHash64(viaJpeg) == MediaCodec.dHash64(src))
+  }
+}
