@@ -1,0 +1,303 @@
+package graft.ops
+
+import graft.ops.MediaCodec.Raster
+
+/** GIF87a/89a raster codec, pure JVM — with [[JpegCodec]] this closes
+  * the four dominant crawl-image containers (PNG/BMP/GIF/JPEG) for the
+  * perceptual-dedup / resize tier. GIF is LOSSLESS (palette + LZW), so
+  * unlike JPEG the decode is bit-identity-checkable against the JDK's
+  * independent ImageIO reader (GifCodecSpec).
+  *
+  * Decoder: global/local color tables, interlaced and sequential
+  * images, 89a extension blocks (skipped; transparency index ignored —
+  * the raster has no alpha plane), FIRST frame of animated GIFs (frame
+  * SAMPLING beyond the first frame needs per-frame disposal compositing,
+  * out of scope). Malformed payloads → None, never throws (the
+  * [[MediaCodec.decodePng]] totality contract).
+  *
+  * Encoder: GIF89a, single frame, 256-entry global palette, real LZW
+  * with dictionary reset at 4096 — deterministic fixture bytes for the
+  * gates (same raster → same bytes).
+  *
+  * Reference behavior: media stays opaque cell bytes in HIndex
+  * (training-pipeline tier, not reference surface).
+  */
+object GifCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  // ---- decoder ---------------------------------------------------------
+
+  /** First-frame GIF raster decode → 3-channel RGB. */
+  def decodeGif(b: Array[Byte]): Option[Raster] = {
+    if (b == null || b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F')
+      return None
+    try {
+      val sw = le16(b, 6); val sh = le16(b, 8)
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh * 3 > (1L << 28)) return None
+      val flags = u8(b, 10)
+      var pos = 13
+      var globalPal: Array[Byte] = null
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        globalPal = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+        pos += 3 * n
+      }
+      // scan blocks to the first image descriptor
+      while (pos < b.length) {
+        u8(b, pos) match {
+          case 0x21 => // extension: label + sub-blocks
+            pos += 2
+            while (u8(b, pos) != 0) pos += 1 + u8(b, pos)
+            pos += 1
+          case 0x2c => // image descriptor
+            val ix = le16(b, pos + 1); val iy = le16(b, pos + 3)
+            val iw = le16(b, pos + 5); val ih = le16(b, pos + 7)
+            val iflags = u8(b, pos + 9)
+            pos += 10
+            var pal = globalPal
+            if ((iflags & 0x80) != 0) {
+              val n = 2 << (iflags & 7)
+              pal = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+              pos += 3 * n
+            }
+            if (pal == null || iw <= 0 || ih <= 0 ||
+                ix + iw > sw || iy + ih > sh) return None
+            val interlaced = (iflags & 0x40) != 0
+            val minCode = u8(b, pos); pos += 1
+            if (minCode < 2 || minCode > 11) return None
+            // concatenate data sub-blocks (bounds-checked: a truncated
+            // stream must return None, not throw from the buffer write)
+            val data = new java.io.ByteArrayOutputStream
+            while (u8(b, pos) != 0) {
+              val n = u8(b, pos)
+              if (pos + 1 + n > b.length) return None
+              data.write(b, pos + 1, n)
+              pos += 1 + n
+            }
+            val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
+              .getOrElse(return None)
+            // paint the frame onto a screen-sized canvas (background = 0)
+            val out = new Array[Byte](sw * sh * 3)
+            if (globalPal != null) { // background color fill
+              val bg = u8(b, 11) * 3
+              if (bg + 2 < globalPal.length) {
+                var p = 0
+                while (p < sw * sh) {
+                  out(p * 3) = globalPal(bg)
+                  out(p * 3 + 1) = globalPal(bg + 1)
+                  out(p * 3 + 2) = globalPal(bg + 2)
+                  p += 1
+                }
+              }
+            }
+            val rowOrder: Array[Int] =
+              if (!interlaced) Array.range(0, ih)
+              else { // the four GIF interlace passes
+                val o = new Array[Int](ih); var k = 0
+                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                  var r = start
+                  while (r < ih) { o(k) = r; k += 1; r += step }
+                }
+                o
+              }
+            var srcRow = 0
+            while (srcRow < ih) {
+              val y = iy + rowOrder(srcRow)
+              var x = 0
+              while (x < iw) {
+                val idx = (indices(srcRow * iw + x) & 0xff) * 3
+                if (idx + 2 < pal.length) {
+                  val o = (y * sw + ix + x) * 3
+                  out(o) = pal(idx); out(o + 1) = pal(idx + 1); out(o + 2) = pal(idx + 2)
+                }
+                x += 1
+              }
+              srcRow += 1
+            }
+            return Some(Raster(sw, sh, 3, out))
+          case 0x3b => return None // trailer before any image
+          case _ => return None
+        }
+      }
+      None
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** GIF-variant LZW decode to exactly `expected` palette indices. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary: prefix link + tail byte, canonical GIF growth to 4096
+    val prefix = new Array[Int](4096)
+    val tail = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outN = 0
+    var dictN = eoi + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var acc = 0; var accN = 0; var pos = 0
+    val stack = new Array[Byte](4096); var sp = 0
+    def emit(code: Int): Byte = { // expand code to out, return FIRST byte
+      var c = code
+      sp = 0
+      while (c >= clear) { stack(sp) = tail(c); sp += 1; c = prefix(c) }
+      val first = c.toByte
+      if (outN < expected) { out(outN) = first; outN += 1 }
+      while (sp > 0) {
+        sp -= 1
+        if (outN < expected) { out(outN) = stack(sp); outN += 1 }
+      }
+      first
+    }
+    while (outN < expected) {
+      while (accN < codeSize) {
+        if (pos >= data.length) return if (outN == expected) Some(out) else None
+        acc |= (data(pos) & 0xff) << accN
+        accN += 8; pos += 1
+      }
+      val code = acc & ((1 << codeSize) - 1)
+      acc >>>= codeSize; accN -= codeSize
+      if (code == clear) {
+        dictN = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outN == expected) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None
+        emit(code); prev = code
+      } else {
+        if (code > dictN || (code == dictN && prev < 0)) return None
+        val first =
+          if (code < dictN) emit(code)
+          else { // KwK case: code == dictN
+            val f = firstByte(code = prev, clear, prefix, tail)
+            if (dictN < 4096) { prefix(dictN) = prev; tail(dictN) = f }
+            emit(dictN)
+          }
+        if (code < dictN && dictN < 4096) {
+          prefix(dictN) = prev; tail(dictN) = first
+        }
+        if (dictN < 4096) {
+          dictN += 1
+          if (dictN == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  private def firstByte(code: Int, clear: Int, prefix: Array[Int],
+      tail: Array[Byte]): Byte = {
+    var c = code
+    while (c >= clear) c = prefix(c)
+    c.toByte
+  }
+
+  // ---- encoder ---------------------------------------------------------
+
+  /** Encode a raster as a single-frame GIF89a with a fixed 256-entry
+    * 3-3-2 RGB palette (each pixel maps to its nearest 3-3-2 cell —
+    * lossy palette, lossless LZW; a raster already on palette cells
+    * round-trips bit-identically). */
+  def encodeGif(r: Raster): Array[Byte] = {
+    require(r.width > 0 && r.height > 0 && r.width * r.height * 3 < (1 << 28),
+      s"bad raster ${r.width}x${r.height}")
+    require(r.channels == 1 || r.channels == 3 || r.channels == 4,
+      s"unsupported channels ${r.channels}")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(r.width); w16(r.height)
+    out.write(0xf7) // global palette, 256 entries, 8-bit color res
+    out.write(0)    // background index
+    out.write(0)    // aspect
+    // 3-3-2 palette: index = (r>>5)<<5 | (g>>5)<<2 | (b>>6)
+    var i = 0
+    while (i < 256) {
+      val rr = (i >> 5) & 7; val gg = (i >> 2) & 7; val bb = i & 3
+      out.write(rr * 255 / 7); out.write(gg * 255 / 7); out.write(bb * 255 / 3)
+      i += 1
+    }
+    out.write(0x2c); w16(0); w16(0); w16(r.width); w16(r.height)
+    out.write(0) // no local palette, not interlaced
+    // palette indices
+    val n = r.width * r.height
+    val idx = new Array[Byte](n)
+    var p = 0
+    while (p < n) {
+      val (rr, gg, bb) = r.channels match {
+        case 1 =>
+          val v = r.pixels(p) & 0xff; (v, v, v)
+        case c =>
+          (r.pixels(p * c) & 0xff, r.pixels(p * c + 1) & 0xff,
+            r.pixels(p * c + 2) & 0xff)
+      }
+      idx(p) = (((rr >> 5) << 5) | ((gg >> 5) << 2) | (bb >> 6)).toByte
+      p += 1
+    }
+    out.write(8) // LZW min code size
+    val lzw = lzwEncode(idx, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.write(len); out.write(lzw, off, len)
+      off += len
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW encode (dictionary reset at 4096, clear emitted). */
+  private def lzwEncode(data: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream
+    var acc = 0L; var accN = 0
+    var codeSize = minCode + 1
+    var dictN = eoi + 1
+    // The code-size bump happens AFTER a code is written, checking the
+    // free-slot count (the classic GIFCOMPR `free_ent > maxcode` inside
+    // `output`): the decoder creates each dictionary entry one code
+    // LATER than the encoder does, so the encoder must keep the old
+    // width for exactly one more code after crossing a power of two.
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accN; accN += codeSize
+      while (accN >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; accN -= 8 }
+      if (codeSize < 12 && dictN > (1 << codeSize) - 1) codeSize += 1
+    }
+    // dictionary: (prefixCode, byte) → code, via a flat hash map
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    put(clear)
+    var prev = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      val key = (prev << 8) | c
+      val hit = dict.get(key)
+      if (hit != null) prev = hit
+      else {
+        put(prev)
+        if (dictN < 4096) {
+          dict.put(key, dictN)
+          dictN += 1
+        } else {
+          put(clear)
+          dict.clear(); dictN = eoi + 1; codeSize = minCode + 1
+        }
+        prev = c
+      }
+      i += 1
+    }
+    put(prev)
+    put(eoi)
+    if (accN > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+}

@@ -316,12 +316,13 @@ object MediaCodec {
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
-  /** Sniff-and-decode: PNG, BMP or baseline JPEG raster, else None. */
+  /** Sniff-and-decode: PNG, BMP, GIF or baseline JPEG raster, else None. */
   def decodeRaster(b: Array[Byte]): Option[Raster] =
-    if (b == null || b.length < 2) None
+    if (b == null || b.length < 3) None
     else if (u8(b, 0) == 0x89 && b(1) == 'P') decodePng(b)
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) JpegCodec.decodeJpeg(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') GifCodec.decodeGif(b)
     else None
 
   /** 16-bit PCM WAV sample decode (the format [[encodeWav]] writes). */

@@ -166,6 +166,36 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL pixel decode through REAL GIF bytes: per-id pixels sit
+    // exactly on the encoder's 3-3-2 palette cells, so the LZW round
+    // trip must be BIT-identical (GIF is lossless — a stronger gate
+    // than JPEG's bounded error); ImageIO cross-decoder agreement and
+    // interlace/dictionary-reset cases live in GifCodecSpec
+    "mm_gif_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (12 + id % 52).toInt
+          val h = (12 + (id * 3) % 44).toInt
+          val px = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val i = ((p * 7 + id) % 256).toInt
+            px(p * 3) = (((i >> 5) & 7) * 255 / 7).toByte
+            px(p * 3 + 1) = (((i >> 2) & 7) * 255 / 7).toByte
+            px(p * 3 + 2) = ((i & 3) * 255 / 3).toByte
+            p += 1
+          }
+          val bytes = graft.ops.GifCodec.encodeGif(
+            graft.ops.MediaCodec.Raster(w, h, 3, px))
+          val dec = graft.ops.MediaCodec.decodeRaster(bytes)
+          val ok = dec.exists(r => r.width == w && r.height == h &&
+            r.channels == 3 && java.util.Arrays.equals(r.pixels, px))
+          (id, w, h, ok)
+        }).toDF("doc_id", "width", "height", "bit_exact")
+    }),
+
     // REAL pixel decode through REAL JPEG bytes: a smooth per-id
     // gradient is encoded (baseline 4:4:4 or grayscale, quality 92),
     // decoded back by the baseline decoder, and the query emits the
@@ -369,6 +399,14 @@ object BulkQueries extends QueryGroup {
         "  ELSE -1 END AS INT) AS sample_rate, " +
         "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents"),
+
+    // the GIF round trip: dims are pure id arithmetic, the decode must
+    // be BIT-exact for every row (lossless LZW over palette cells)
+    "mm_gif_roundtrip" ->
+      ("SELECT doc_id, " +
+        "CAST(12 + doc_id % 52 AS INT) AS width, " +
+        "CAST(12 + (doc_id * 3) % 44 AS INT) AS height, " +
+        "TRUE AS bit_exact FROM documents"),
 
     // the JPEG round trip: dims are pure id arithmetic, the bounded-
     // error flag must be TRUE for every row (tolerance ±4 at q92)

@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{GifCodec, MediaCodec}
+import graft.ops.MediaCodec.Raster
+
+/** GIF codec, checked against the JDK's INDEPENDENT ImageIO GIF
+  * reader. GIF is lossless (palette + LZW), so — unlike JPEG — decode
+  * comparisons are BIT-identity, and a raster whose colors sit exactly
+  * on the encoder's 3-3-2 palette cells round-trips byte-identically.
+  */
+class GifCodecSpec extends AnyFunSuite {
+
+  /** Raster whose pixels all sit exactly on 3-3-2 palette cells. */
+  private def paletteAligned(w: Int, h: Int, phase: Int): Raster = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (x * 7 + y * 13 + phase) % 256
+      val o = (y * w + x) * 3
+      px(o) = (((i >> 5) & 7) * 255 / 7).toByte
+      px(o + 1) = (((i >> 2) & 7) * 255 / 7).toByte
+      px(o + 2) = ((i & 3) * 255 / 3).toByte
+    }
+    Raster(w, h, 3, px)
+  }
+
+  private def imageIoRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      out((y * w + x) * 3) = ((rgb >> 16) & 0xff).toByte
+      out((y * w + x) * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+      out((y * w + x) * 3 + 2) = (rgb & 0xff).toByte
+    }
+    (w, h, out)
+  }
+
+  private def imageIoWriteGif(r: Raster): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      r.width, r.height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until r.height; x <- 0 until r.width) {
+      val o = (y * r.width + x) * 3
+      img.setRGB(x, y, ((r.pixels(o) & 0xff) << 16) |
+        ((r.pixels(o + 1) & 0xff) << 8) | (r.pixels(o + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  test("encode → decode round trip is byte-identical on palette-aligned pixels") {
+    val src = paletteAligned(41, 27, 3)
+    val bytes = GifCodec.encodeGif(src)
+    val dec = GifCodec.decodeGif(bytes).get
+    assert(dec.width == 41 && dec.height == 27 && dec.channels == 3)
+    assert(java.util.Arrays.equals(dec.pixels, src.pixels))
+  }
+
+  test("our encoder interops: the JDK reader decodes identical pixels") {
+    val src = paletteAligned(33, 19, 7)
+    val bytes = GifCodec.encodeGif(src)
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(w == 33 && h == 19)
+    assert(java.util.Arrays.equals(ref, src.pixels))
+  }
+
+  test("our decoder interops: reads the JDK writer's GIF bit-identically") {
+    // ImageIO quantizes to its own palette; compare OUR decode of its
+    // bytes against ITS OWN decode of the same bytes — exact equality,
+    // the same contract as the PNG/BMP paths
+    val src = paletteAligned(29, 23, 11)
+    val bytes = imageIoWriteGif(src)
+    val dec = GifCodec.decodeGif(bytes).get
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(dec.width == w && dec.height == h)
+    assert(java.util.Arrays.equals(dec.pixels, ref))
+  }
+
+  test("dictionary-reset path: large image forces LZW past 4096 codes") {
+    // noisy 128x96 image → >4096 dictionary entries → at least one
+    // mid-stream clear; decode must still be byte-identical
+    val w = 128; val h = 96
+    val px = new Array[Byte](w * h * 3)
+    var s = 12345L
+    for (i <- px.indices) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      px(i) = ((((s >>> 58).toInt & 7) * 255) / 7).toByte // on palette cells
+    }
+    // project all three channels onto valid 3-3-2 cells
+    for (p <- 0 until w * h) {
+      val o = p * 3
+      px(o + 2) = ((((px(o + 2) & 0xff) >> 6) * 255) / 3).toByte
+    }
+    val src = Raster(w, h, 3, px)
+    val bytes = GifCodec.encodeGif(src)
+    val dec = GifCodec.decodeGif(bytes).get
+    assert(java.util.Arrays.equals(dec.pixels, src.pixels))
+    val (_, _, ref) = imageIoRgb(bytes) // and the JDK agrees
+    assert(java.util.Arrays.equals(ref, src.pixels))
+  }
+
+  test("interlaced GIF decodes correctly (hand-built four-pass stream)") {
+    // ImageIO's GIF writer does not expose interlacing, so build a REAL
+    // interlaced stream from our own encoder: encode the raster with its
+    // rows pre-permuted into GIF pass order (0,8,..,4,..,2,..,1,..), then
+    // set the interlace flag in the image descriptor — the decoder must
+    // undo the permutation and return the ORIGINAL row order
+    val w = 16; val h = 13
+    val src = paletteAligned(w, h, 5)
+    val passOrder = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+      .flatMap { case (s, st) => s until h by st }
+    val permuted = new Array[Byte](src.pixels.length)
+    for ((srcRow, k) <- passOrder.zipWithIndex)
+      System.arraycopy(src.pixels, srcRow * w * 3, permuted, k * w * 3, w * 3)
+    val bytes = GifCodec.encodeGif(Raster(w, h, 3, permuted))
+    // image descriptor: header(6) + LSD(7) + palette(768) → 0x2C at 781,
+    // flags byte at 781 + 9
+    assert(bytes(781) == 0x2c)
+    bytes(790) = (bytes(790) | 0x40).toByte
+    val dec = GifCodec.decodeGif(bytes).get
+    assert(java.util.Arrays.equals(dec.pixels, src.pixels))
+  }
+
+  test("malformed totality: truncation at every prefix, garbage, null") {
+    val bytes = GifCodec.encodeGif(paletteAligned(21, 14, 1))
+    var l = 0
+    while (l < bytes.length) {
+      GifCodec.decodeGif(java.util.Arrays.copyOf(bytes, l)) // must not throw
+      l += 5
+    }
+    assert(GifCodec.decodeGif(Array.fill[Byte](64)(0x33)) == None)
+    assert(GifCodec.decodeGif(null) == None)
+    // corrupt every single byte in turn on a tiny image — still total
+    val tiny = GifCodec.encodeGif(paletteAligned(9, 7, 2))
+    for (i <- tiny.indices) {
+      val c = tiny.clone(); c(i) = (c(i) ^ 0x5a).toByte
+      GifCodec.decodeGif(c) // any result is fine, throwing is not
+    }
+  }
+
+  test("grayscale raster input maps through the palette") {
+    val px = Array.tabulate[Byte](24 * 18)(i => (((i % 8) * 255) / 7).toByte)
+    val bytes = GifCodec.encodeGif(Raster(24, 18, 1, px))
+    val dec = GifCodec.decodeGif(bytes).get
+    assert(dec.channels == 3)
+    // gray value v lands on palette cell with r=g≈v (3-bit), b (2-bit)
+    for (p <- 0 until 24 * 18) {
+      val v = px(p) & 0xff
+      assert(math.abs((dec.pixels(p * 3) & 0xff) - v) <= 18)
+    }
+  }
+
+  test("decodeRaster sniffs GIF; parseMeta classifies it") {
+    val src = paletteAligned(30, 20, 9)
+    val bytes = GifCodec.encodeGif(src)
+    val viaSniff = MediaCodec.decodeRaster(bytes).get
+    assert(java.util.Arrays.equals(viaSniff.pixels, src.pixels))
+    val m = MediaCodec.parseMeta(bytes)
+    assert(m.format == "gif" && m.width == 30 && m.height == 20)
+  }
+}
