@@ -194,6 +194,8 @@ object MediaCodec {
           }
         }
         out
+      } else if (Mp4Codec.sniff(b)) {
+        Mp4Codec.parseMp4Meta(b)
       } else unknown
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
   }

@@ -1,0 +1,211 @@
+package graft.ops
+
+import graft.ops.MediaCodec.MediaMeta
+
+/** ISO-BMFF (MP4/MOV/M4A) container METADATA, pure JVM — the feasible
+  * slice of the video tier: box-tree walking to track dimensions,
+  * frame counts and audio parameters. Actual video-frame pixel decode
+  * (H.264/H.265/AV1/VP9) stays a disclosed stub — no codec libraries
+  * in the environment, and a pure-JVM H.264 decoder is out of scope.
+  * At 100 TB the metadata pass is the cheap first stage regardless:
+  * resolution / duration / track-shape screens run on headers alone,
+  * reading a few KB per blob.
+  *
+  * Parser: walks `moov → trak → {tkhd, mdia → {mdhd, hdlr, minf →
+  * stbl → {stts, stsd}}}`; the video track supplies width/height
+  * (tkhd 16.16 fixed) and total sample count (stts), the audio track
+  * supplies channel count (stsd AudioSampleEntry) and sample rate
+  * (mdhd timescale). Malformed/truncated payloads classify as best
+  * they can and NEVER throw (the [[MediaCodec.parseMeta]] contract).
+  *
+  * Encoder: a deterministic structural skeleton (ftyp + moov with one
+  * video and optionally one audio trak, empty mdat) for fixtures —
+  * enough structure that any box-walking reader sees consistent track
+  * metadata.
+  */
+object Mp4Codec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def rb16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def rb32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+
+  /** True when the payload starts with a plausible ISO-BMFF ftyp box. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Walk the children of a box body, invoking f(type, bodyStart,
+    * bodyEnd) per child; stops quietly on malformed sizes. */
+  private def walk(b: Array[Byte], start: Int, end: Int)
+      (f: (String, Int, Int) => Unit): Unit = {
+    var i = start
+    while (i + 8 <= end) {
+      var size = rb32(b, i)
+      val tag = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      var hdr = 8
+      if (size == 1 && i + 16 <= end) { // 64-bit size
+        size = (rb32(b, i + 8) << 32) | rb32(b, i + 12)
+        hdr = 16
+      } else if (size == 0) size = (end - i).toLong // box extends to end
+      if (size < hdr || i + size > end) return
+      f(tag, i + hdr, i + size.toInt)
+      i += size.toInt
+    }
+  }
+
+  /** Parse track metadata out of an MP4/MOV payload. Returns
+    * format "mp4"; width/height/nFrames from the first video track,
+    * channels/sampleRate from the first audio track; -1 where absent. */
+  def parseMp4Meta(payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val unknown = MediaMeta("unknown", -1, -1, -1, -1, -1, n)
+    if (!sniff(payload)) return unknown
+    try {
+      var width = -1; var height = -1; var nFrames = -1
+      var channels = -1; var sampleRate = -1
+      walk(payload, 0, payload.length) { (tag, s, e) =>
+        if (tag == "moov") walk(payload, s, e) { (t2, s2, e2) =>
+          if (t2 == "trak") {
+            // per-track state
+            var tw = -1; var th = -1; var handler = ""
+            var frames = -1; var mdhdTimescale = -1
+            var ch = -1
+            walk(payload, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "tkhd") {
+                val v = u8(payload, s3)
+                // v0: ... width at body+76, height at +80 (16.16)
+                // v1: 64-bit times push those to +88/+92
+                val off = if (v == 1) s3 + 88 else s3 + 76
+                if (off + 8 <= e3) {
+                  tw = (rb32(payload, off) >> 16).toInt
+                  th = (rb32(payload, off + 4) >> 16).toInt
+                }
+              } else if (t3 == "mdia") walk(payload, s3, e3) { (t4, s4, e4) =>
+                if (t4 == "mdhd") {
+                  val v = u8(payload, s4)
+                  val off = if (v == 1) s4 + 20 else s4 + 12
+                  if (off + 4 <= e4) mdhdTimescale = rb32(payload, off).toInt
+                } else if (t4 == "hdlr") {
+                  if (s4 + 12 <= e4)
+                    handler = new String(payload, s4 + 8, 4,
+                      java.nio.charset.StandardCharsets.US_ASCII)
+                } else if (t4 == "minf") walk(payload, s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walk(payload, s5, e5) { (t6, s6, e6) =>
+                    if (t6 == "stts") {
+                      // total samples = Σ entry counts
+                      if (s6 + 8 <= e6) {
+                        val entries = rb32(payload, s6 + 4).toInt
+                        var total = 0L; var k = 0
+                        while (k < entries && s6 + 8 + 8 * k + 4 <= e6) {
+                          total += rb32(payload, s6 + 8 + 8 * k)
+                          k += 1
+                        }
+                        if (k == entries) frames = total.min(Int.MaxValue).toInt
+                      }
+                    } else if (t6 == "stsd") {
+                      // first AudioSampleEntry: channelcount at +24
+                      if (s6 + 8 <= e6) walk(payload, s6 + 8, e6) { (_, s7, e7) =>
+                        // s7 is the entry BODY start (after its header)
+                        if (ch < 0 && s7 + 18 <= e7)
+                          ch = rb16(payload, s7 + 16)
+                      }
+                    }
+                  }
+                }
+              }
+            }
+            if (handler == "vide" && width < 0) {
+              width = tw; height = th; nFrames = frames
+            } else if (handler == "soun" && sampleRate < 0) {
+              sampleRate = mdhdTimescale; channels = ch
+            }
+          }
+        }
+      }
+      MediaMeta("mp4", width, height, channels, sampleRate, nFrames, n)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => unknown.copy(format = "mp4")
+      case _: IndexOutOfBoundsException => unknown.copy(format = "mp4")
+    }
+  }
+
+  // ---- skeleton encoder ------------------------------------------------
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(tag: String, body: Array[Byte]*): Array[Byte] = {
+    val total = 8 + body.map(_.length).sum
+    be32(total) ++ tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      body.flatten
+  }
+
+  /** Deterministic structural MP4: one video trak (dims + an stts whose
+    * sample counts sum to `nFrames`) and, when `sampleRate > 0`, one
+    * audio trak (mdhd timescale = sampleRate, stsd AudioSampleEntry
+    * with `channels`). Empty mdat — structure, not media. */
+  def encodeMp4Skeleton(width: Int, height: Int, nFrames: Int,
+      sampleRate: Int = -1, channels: Int = -1): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0,
+      s"bad skeleton params: ${width}x$height, $nFrames frames")
+    val ftyp = box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      be32(512),
+      "isomiso2".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val timescale = 1000
+    val duration = nFrames.toLong * 40 // 25 fps nominal
+    def fullHdr0 = be32(0) // version 0 + flags
+    val mvhd = box("mvhd", fullHdr0, be32(0), be32(0), be32(timescale),
+      be32(duration), be32(0x00010000L), be16(0x0100), be16(0),
+      be32(0), be32(0),
+      // identity matrix
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      // pre_defined[6] + next_track_ID
+      Array.fill[Byte](24)(0), be32(3))
+    def tkhd(trackId: Int, w: Int, h: Int) = box("tkhd",
+      be32(7) /* v0, flags: enabled+in-movie+in-preview */,
+      be32(0), be32(0), be32(trackId), be32(0), be32(duration),
+      be32(0), be32(0), be16(0), be16(0), be16(0), be16(0),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    def mdhd(ts: Int, dur: Long) = box("mdhd", fullHdr0, be32(0), be32(0),
+      be32(ts), be32(dur), be16(0x55c4), be16(0))
+    def hdlr(kind: String) = box("hdlr", fullHdr0, be32(0),
+      kind.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      Array.fill[Byte](12)(0), Array[Byte](0))
+    def stts(count: Int, delta: Int) =
+      if (count == 0) box("stts", fullHdr0, be32(0))
+      else box("stts", fullHdr0, be32(1), be32(count), be32(delta))
+    val videoTrak = box("trak", tkhd(1, width, height),
+      box("mdia", mdhd(timescale, duration), hdlr("vide"),
+        box("minf", box("stbl",
+          box("stsd", fullHdr0, be32(0)),
+          stts(nFrames, 40)))))
+    val audioTrak =
+      if (sampleRate <= 0) Array.empty[Byte]
+      else {
+        // AudioSampleEntry "mp4a": 6 reserved + 2 dataref + 2 version +
+        // 2 revision + 4 vendor + 2 channelcount + 2 samplesize +
+        // 2 predef + 2 reserved + 4 samplerate(16.16)
+        val entry = box("mp4a", Array.fill[Byte](6)(0), be16(1),
+          be16(0), be16(0), be32(0), be16(channels.max(1)), be16(16),
+          be16(0), be16(0), be32(sampleRate.toLong << 16))
+        box("trak", tkhd(2, 0, 0),
+          box("mdia", mdhd(sampleRate, 0), hdlr("soun"),
+            box("minf", box("stbl",
+              box("stsd", fullHdr0, be32(1), entry),
+              stts(0, 0)))))
+      }
+    val moov =
+      if (audioTrak.isEmpty) box("moov", mvhd, videoTrak)
+      else box("moov", mvhd, videoTrak, audioTrak)
+    ftyp ++ moov ++ box("mdat")
+  }
+}

@@ -166,6 +166,31 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL video-container metadata through REAL ISO-BMFF bytes: a
+    // structural MP4 skeleton (video trak + optional audio trak) is
+    // assembled per id and read back through the box-tree walker —
+    // dims from tkhd 16.16, frame count from stts, audio params from
+    // mdhd/stsd; the oracle re-derives every field from id arithmetic
+    // (pixel decode of video codecs stays a disclosed stub)
+    "mm_decode_mp4" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (160 + (id % 16) * 80).toInt
+          val h = (120 + (id % 12) * 60).toInt
+          val frames = (25 * (1 + id % 240)).toInt
+          val audio = id % 3 != 0
+          val bytes = graft.ops.Mp4Codec.encodeMp4Skeleton(w, h, frames,
+            if (audio) (8000 * (1 + id % 5)).toInt else -1,
+            if (audio) (1 + id % 2).toInt else -1)
+          (id, bytes)
+        }).toDF("doc_id", "media")
+      Multimodal.decodeMeta(payloads, "media")
+        .select("doc_id", "format", "width", "height", "channels",
+          "sample_rate", "n_frames")
+    }),
+
     // REAL pixel decode through REAL GIF bytes: per-id pixels sit
     // exactly on the encoder's 3-3-2 palette cells, so the LZW round
     // trip must be BIT-identical (GIF is lossless — a stronger gate
@@ -398,6 +423,16 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + (doc_id % 5) * 2000 " +
         "  ELSE -1 END AS INT) AS sample_rate, " +
         "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
+        "FROM documents"),
+
+    // the MP4 skeleton round trip: every field pure id arithmetic
+    "mm_decode_mp4" ->
+      ("SELECT doc_id, 'mp4' AS format, " +
+        "CAST(160 + (doc_id % 16) * 80 AS INT) AS width, " +
+        "CAST(120 + (doc_id % 12) * 60 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 + doc_id % 2 END AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 8000 * (1 + doc_id % 5) END AS INT) AS sample_rate, " +
+        "CAST(25 * (1 + doc_id % 240) AS INT) AS n_frames " +
         "FROM documents"),
 
     // the GIF round trip: dims are pure id arithmetic, the decode must

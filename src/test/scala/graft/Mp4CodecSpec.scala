@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCodec, Mp4Codec}
+
+/** ISO-BMFF metadata parser vs the skeleton writer — and the totality
+  * contract. No independent MP4 reader ships with the JDK, so (unlike
+  * PNG/BMP/GIF/JPEG/WAV) interop is round-trip + hand-checked offsets;
+  * the box layout follows ISO 14496-12 §8 field by field.
+  */
+class Mp4CodecSpec extends AnyFunSuite {
+
+  test("video-only skeleton round-trips dims and frame count") {
+    val bytes = Mp4Codec.encodeMp4Skeleton(640, 360, 250)
+    val m = Mp4Codec.parseMp4Meta(bytes)
+    assert(m.format == "mp4" && m.width == 640 && m.height == 360 &&
+      m.nFrames == 250 && m.sampleRate == -1 && m.channels == -1)
+  }
+
+  test("video+audio skeleton round-trips all five fields") {
+    val bytes = Mp4Codec.encodeMp4Skeleton(1920, 1080, 7200,
+      sampleRate = 48000, channels = 2)
+    val m = Mp4Codec.parseMp4Meta(bytes)
+    assert(m.width == 1920 && m.height == 1080 && m.nFrames == 7200)
+    assert(m.sampleRate == 48000 && m.channels == 2)
+  }
+
+  test("parseMeta sniffs ftyp and routes to the MP4 parser") {
+    val bytes = Mp4Codec.encodeMp4Skeleton(320, 240, 10, 8000, 1)
+    val m = MediaCodec.parseMeta(bytes)
+    assert(m.format == "mp4" && m.width == 320 && m.height == 240 &&
+      m.sampleRate == 8000 && m.channels == 1 && m.nFrames == 10)
+    assert(m.nBytes == bytes.length.toLong)
+  }
+
+  test("multi-entry stts sums sample counts") {
+    // hand-splice: replace the single-entry stts with a two-entry one
+    val bytes = Mp4Codec.encodeMp4Skeleton(64, 48, 30)
+    // find the stts box and rewrite counts 30×40 → 12×40 + 18×33
+    val idx = {
+      var i = -1
+      for (k <- 0 until bytes.length - 4 if i < 0)
+        if (bytes(k) == 's' && bytes(k + 1) == 't' && bytes(k + 2) == 't' &&
+          bytes(k + 3) == 's') i = k
+      i
+    }
+    assert(idx > 0)
+    val pre = java.util.Arrays.copyOfRange(bytes, 0, idx - 4)
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val newStts = be32(8 + 8 + 16) ++ "stts".getBytes("US-ASCII") ++
+      be32(0) ++ be32(2) ++ be32(12) ++ be32(40) ++ be32(18) ++ be32(33)
+    val post = java.util.Arrays.copyOfRange(
+      bytes, idx - 4 + 24 /* old stts total */, bytes.length)
+    // splice grows every ancestor box by 8 — rather than patching four
+    // sizes, rebuild: walk is size-driven, so just verify the DELTA form
+    // is parseable when ancestor sizes are fixed up
+    val delta = newStts.length - 24
+    val spliced = pre ++ newStts ++ post
+    // fix ancestor sizes: moov/trak/mdia/minf/stbl all start before idx
+    // and end after it — bump any box whose span crosses the splice
+    def rb32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    def fix(b: Array[Byte], start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = rb32(b, i)
+        if (size < 8 || i + size > end) return
+        if (i < idx - 4 && idx - 4 < i + size) {
+          val nv = size + delta
+          b(i) = ((nv >> 24) & 0xff).toByte; b(i + 1) = ((nv >> 16) & 0xff).toByte
+          b(i + 2) = ((nv >> 8) & 0xff).toByte; b(i + 3) = (nv & 0xff).toByte
+          fix(b, i + 8, i + nv)
+          return
+        }
+        i += size
+      }
+    }
+    fix(spliced, 0, spliced.length)
+    val m = Mp4Codec.parseMp4Meta(spliced)
+    assert(m.nFrames == 30, s"12+18 should sum to 30, got ${m.nFrames}")
+  }
+
+  test("malformed totality: truncation at every prefix, garbage, null") {
+    val bytes = Mp4Codec.encodeMp4Skeleton(128, 96, 50, 44100, 2)
+    var l = 0
+    while (l < bytes.length) {
+      MediaCodec.parseMeta(java.util.Arrays.copyOf(bytes, l)) // must not throw
+      l += 3
+    }
+    // per-byte corruption — any result, no exception
+    for (i <- bytes.indices) {
+      val c = bytes.clone(); c(i) = (c(i) ^ 0x5a).toByte
+      Mp4Codec.parseMp4Meta(c)
+    }
+    assert(Mp4Codec.parseMp4Meta(null).format == "unknown")
+    assert(Mp4Codec.parseMp4Meta(Array.fill[Byte](32)(0x11)).format == "unknown")
+  }
+
+  test("64-bit and to-end box sizes do not derail the walk") {
+    val bytes = Mp4Codec.encodeMp4Skeleton(100, 80, 5)
+    // append a size-0 (extends-to-end) box: the walk must stop cleanly
+    val trailer = Array[Byte](0, 0, 0, 0, 'f', 'r', 'e', 'e', 1, 2, 3)
+    val m = Mp4Codec.parseMp4Meta(bytes ++ trailer)
+    assert(m.width == 100 && m.height == 80 && m.nFrames == 5)
+  }
+}
