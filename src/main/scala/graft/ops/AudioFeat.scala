@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.ops.MediaCodec.Pcm
+
+/** Audio spectral FEATURE EXTRACTION over real PCM, pure JVM — the
+  * feature stage between [[MediaCodec.audioStats]]'s time-domain
+  * energy screen and any downstream audio-quality model: frame the
+  * signal, Hann-window it, radix-2 FFT, and summarize the power
+  * spectrum (dominant bin, spectral centroid, 85% rolloff, flux).
+  * These are the classic cheap screens for audio curation — silence
+  * vs tone vs broadband speech/music separate on centroid+flux long
+  * before a codec-level model runs.
+  *
+  * Determinism: the FFT is a fixed butterfly order over doubles —
+  * same samples, same features on every JVM. The dominant bin of an
+  * integer-bin tone is analytic (leakage of a Hann-windowed,
+  * bin-aligned tone stays within the ±1-bin mainlobe, strictly below
+  * the peak), which is what the `mm_audio_spectral` gate replays as
+  * id arithmetic.
+  */
+object AudioFeat {
+
+  /** In-place iterative radix-2 decimation-in-time FFT.
+    * `re.length` must be a power of two and equal `im.length`. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0 && n > 0,
+      s"fft length must be a power of two: $n vs ${im.length}")
+    // bit reversal
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr0 = re(blk + k + len / 2); val vi0 = im(blk + k + len / 2)
+          val vr = vr0 * cr - vi0 * ci
+          val vi = vr0 * ci + vi0 * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Spectral features of one PCM payload.
+    * @param nFrames     full frames analyzed (hop = frameSize)
+    * @param dominantBin argmax power bin over all frames' mean spectrum
+    *                    (ties → lowest bin), in [0, frameSize/2]
+    * @param centroidHz  mean-spectrum power-weighted frequency
+    * @param rolloffHz   85% cumulative-power frequency of the mean spectrum
+    * @param fluxMean    mean L2 power change between consecutive frames */
+  final case class SpectralStats(nFrames: Int, dominantBin: Int,
+    centroidHz: Double, rolloffHz: Double, fluxMean: Double)
+
+  /** Frame (hop = frameSize, no overlap), Hann-window, FFT, and
+    * summarize. Multi-channel input is mixed to mono first. Payloads
+    * shorter than one frame yield nFrames = 0 with -1/NaN-free zero
+    * features. */
+  def spectralStats(p: Pcm, frameSize: Int = 256): SpectralStats = {
+    require(frameSize >= 8 && (frameSize & (frameSize - 1)) == 0,
+      s"frameSize must be a power of two >= 8: $frameSize")
+    val nSamp = p.samples.length / p.channels
+    val nFrames = nSamp / frameSize
+    if (nFrames == 0) return SpectralStats(0, 0, 0.0, 0.0, 0.0)
+    val half = frameSize / 2
+    val hann = Array.tabulate(frameSize)(i =>
+      0.5 * (1.0 - math.cos(2.0 * math.Pi * i / frameSize)))
+    val mean = new Array[Double](half + 1)
+    var prev: Array[Double] = null
+    var flux = 0.0
+    val re = new Array[Double](frameSize)
+    val im = new Array[Double](frameSize)
+    var f = 0
+    while (f < nFrames) {
+      var i = 0
+      while (i < frameSize) {
+        // mono mix
+        var s = 0.0
+        var c = 0
+        while (c < p.channels) {
+          s += p.samples((f * frameSize + i) * p.channels + c)
+          c += 1
+        }
+        re(i) = (s / p.channels) * hann(i)
+        im(i) = 0.0
+        i += 1
+      }
+      fft(re, im)
+      val pw = new Array[Double](half + 1)
+      i = 0
+      while (i <= half) {
+        pw(i) = re(i) * re(i) + im(i) * im(i)
+        mean(i) += pw(i)
+        i += 1
+      }
+      if (prev != null) {
+        var d = 0.0
+        i = 0
+        while (i <= half) { val g = pw(i) - prev(i); d += g * g; i += 1 }
+        flux += math.sqrt(d)
+      }
+      prev = pw
+      f += 1
+    }
+    var tot = 0.0; var wsum = 0.0
+    var best = 0
+    var i = 0
+    while (i <= half) {
+      mean(i) /= nFrames
+      tot += mean(i)
+      wsum += i * mean(i)
+      if (mean(i) > mean(best)) best = i
+      i += 1
+    }
+    val binHz = p.sampleRate.toDouble / frameSize
+    val centroid = if (tot > 0) (wsum / tot) * binHz else 0.0
+    var cum = 0.0; var roll = 0
+    i = 0
+    while (i <= half && cum < 0.85 * tot) { cum += mean(i); roll = i; i += 1 }
+    SpectralStats(nFrames, best, centroid, (if (tot > 0) roll else 0) * binHz,
+      if (nFrames > 1) flux / (nFrames - 1) else 0.0)
+  }
+}

@@ -218,4 +218,32 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Spectral features per row from REAL PCM decode + FFT
+    * ([[AudioFeat.spectralStats]]): appends `n_spec_frames`,
+    * `dominant_bin`, `centroid_hz`, `rolloff_hz`, `flux_mean`; null
+    * for non-PCM payloads. Same per-partition kernel shape as the
+    * other decoders — the batch is the partition, no driver hop. */
+  def withSpectralStats(df: DataFrame, binCol: String,
+      frameSize: Int = 256): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_spec_frames", IntegerType),
+      StructField("dominant_bin", IntegerType),
+      StructField("centroid_hz", DoubleType),
+      StructField("rolloff_hz", DoubleType),
+      StructField("flux_mean", DoubleType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        MediaCodec.decodeWavPcm(row.getAs[Array[Byte]](binIdx)) match {
+          case Some(p) =>
+            val s = AudioFeat.spectralStats(p, frameSize)
+            Row.fromSeq(row.toSeq ++ Seq[Any](s.nFrames, s.dominantBin,
+              s.centroidHz, s.rolloffHz, s.fluxMean))
+          case None => Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
 }

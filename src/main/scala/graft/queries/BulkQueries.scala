@@ -166,6 +166,29 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL spectral features through REAL WAV bytes + a REAL FFT:
+    // square-wave tones whose half-period is a power of two are
+    // BIN-ALIGNED at frameSize 256 (fundamental bin = 128/hp exactly),
+    // so the dominant power bin of the Hann-windowed spectrum is
+    // analytic — the full decode → frame → FFT → argmax chain
+    // hash-matches pure id arithmetic; centroid/rolloff/flux are
+    // spec-gated (AudioFeatSpec) since no SQL engine replays an FFT
+    "mm_audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (256 * (1 + id % 4)).toInt
+          val hp = 2 << (id % 3).toInt // 2, 4, 8 samples
+          val bytes = graft.ops.MediaCodec.encodeWavTone(
+            8000, (1 + id % 2).toInt, frames,
+            amplitude = (500 + id % 500).toInt, halfPeriod = hp)
+          (id, bytes)
+        }).toDF("doc_id", "media")
+        .transform(Multimodal.withSpectralStats(_, "media", frameSize = 256))
+        .select("doc_id", "n_spec_frames", "dominant_bin")
+    }),
+
     // REAL video-container metadata through REAL ISO-BMFF bytes: a
     // structural MP4 skeleton (video trak + optional audio trak) is
     // assembled per id and read back through the box-tree walker —
@@ -424,6 +447,14 @@ object BulkQueries extends QueryGroup {
         "  ELSE -1 END AS INT) AS sample_rate, " +
         "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents"),
+
+    // spectral gate: frames analyzed and the bin-aligned square-wave
+    // fundamental (128 / halfPeriod) as pure id arithmetic
+    "mm_audio_spectral" ->
+      ("SELECT doc_id, " +
+        "CAST(1 + doc_id % 4 AS INT) AS n_spec_frames, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 32 ELSE 16 END AS INT)" +
+        " AS dominant_bin FROM documents"),
 
     // the MP4 skeleton round trip: every field pure id arithmetic
     "mm_decode_mp4" ->

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AudioFeat, MediaCodec}
+import graft.ops.MediaCodec.Pcm
+
+/** FFT + spectral features vs INDEPENDENT references: a naive O(n²)
+  * DFT (exactness), Parseval's theorem (energy conservation), and
+  * analytic tones (a bin-aligned sine's centroid IS its frequency;
+  * a square wave's dominant bin IS its fundamental).
+  */
+class AudioFeatSpec extends AnyFunSuite {
+
+  test("fft matches a naive DFT to 1e-9 on random data") {
+    val n = 64
+    val rnd = new scala.util.Random(7)
+    val re = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val im = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val (fr, fi) = (re.clone(), im.clone())
+    AudioFeat.fft(fr, fi)
+    for (k <- 0 until n) {
+      var sr = 0.0; var si = 0.0
+      for (t <- 0 until n) {
+        val a = -2.0 * math.Pi * k * t / n
+        sr += re(t) * math.cos(a) - im(t) * math.sin(a)
+        si += re(t) * math.sin(a) + im(t) * math.cos(a)
+      }
+      assert(math.abs(fr(k) - sr) < 1e-9 && math.abs(fi(k) - si) < 1e-9,
+        s"bin $k: (${fr(k)}, ${fi(k)}) vs naive ($sr, $si)")
+    }
+  }
+
+  test("Parseval: time-domain energy equals spectrum energy / n") {
+    val n = 128
+    val rnd = new scala.util.Random(42)
+    val re = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val im = new Array[Double](n)
+    val timeE = re.map(x => x * x).sum
+    AudioFeat.fft(re, im)
+    val freqE = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+    assert(math.abs(timeE - freqE) < 1e-9)
+  }
+
+  test("bin-aligned sine: centroid equals the tone frequency, rolloff at the bin") {
+    val rate = 8000; val fs = 256
+    val bin = 32 // 1000 Hz
+    val samples = Array.tabulate[Short](fs * 4)(i =>
+      (math.sin(2.0 * math.Pi * bin * i / fs) * 10000).toShort)
+    val s = AudioFeat.spectralStats(Pcm(rate, 1, samples), fs)
+    assert(s.nFrames == 4 && s.dominantBin == bin)
+    // Hann leakage is symmetric around the bin → centroid stays put
+    assert(math.abs(s.centroidHz - 1000.0) < 2.0, s"centroid ${s.centroidHz}")
+    assert(math.abs(s.rolloffHz - 1000.0) <= rate.toDouble / fs + 1e-9)
+    // stationary tone → near-zero flux
+    assert(s.fluxMean < 1e-6 * 10000 * 10000)
+  }
+
+  test("square wave: dominant bin is the fundamental 128/halfPeriod") {
+    for (hp <- Seq(2, 4, 8)) {
+      val bytes = MediaCodec.encodeWavTone(8000, 2, 1024, 700, hp)
+      val p = MediaCodec.decodeWavPcm(bytes).get
+      val s = AudioFeat.spectralStats(p, 256)
+      assert(s.nFrames == 4)
+      assert(s.dominantBin == 128 / hp, s"hp=$hp got bin ${s.dominantBin}")
+    }
+  }
+
+  test("broadband noise has higher centroid and flux than a low tone") {
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill[Short](2048)((rnd.nextInt(2000) - 1000).toShort)
+    val tone = Array.tabulate[Short](2048)(i =>
+      (math.sin(2.0 * math.Pi * 4 * i / 256) * 1000).toShort) // 125 Hz
+    val sn = AudioFeat.spectralStats(Pcm(8000, 1, noise), 256)
+    val st = AudioFeat.spectralStats(Pcm(8000, 1, tone), 256)
+    assert(sn.centroidHz > st.centroidHz * 3)
+    assert(sn.fluxMean > st.fluxMean * 10)
+  }
+
+  test("short payload yields zero frames, zero features, no throw") {
+    val s = AudioFeat.spectralStats(Pcm(8000, 1, new Array[Short](100)), 256)
+    assert(s.nFrames == 0 && s.dominantBin == 0 && s.centroidHz == 0.0)
+  }
+}
