@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Fold tools_compare.py's stdout + the Verify dir's errors.json into a
+committed per-round correctness artifact.
+
+Usage:
+  sbt "runMain graft.Verify /root/testdata/sf0.01 target/verify_rN"
+  python3 tools_compare.py /root/testdata/sf0.01 target/verify_rN \
+    | python3 tools_selfpublish.py target/verify_rN CORRECTNESS_SELF_rN.json
+
+The artifact records, per oracle-gated query: status (ok / hash / rows /
+schema / missing / error) and row count; plus every rows-only query that
+dumped (status "rows_only" — no SQL oracle), every Verify-side execution
+failure, and a summary block. A regression is then a red diff in git,
+not a silently-empty driver file.
+"""
+import json
+import os
+import re
+import sys
+
+verify_dir, out_path = sys.argv[1], sys.argv[2]
+
+per_query = {}
+summary_line = ""
+for line in sys.stdin:
+    line = line.rstrip("\n")
+    m = re.match(r"^(OK|HASH|ROWS|SCHEMA|MISSING|ERROR)\s+([^\s:]+):?\s*(.*)$", line)
+    if m:
+        status, name, detail = m.group(1).lower(), m.group(2), m.group(3)
+        rows = None
+        rm = re.match(r"\((\d+) rows\)", detail)
+        if rm:
+            rows = int(rm.group(1))
+        per_query[name] = {"status": status}
+        if rows is not None:
+            per_query[name]["rows"] = rows
+        if status != "ok" and detail:
+            per_query[name]["detail"] = detail[:200]
+    elif re.match(r"^\d+/\d+ pass", line):
+        summary_line = line
+
+# rows-only queries: dumped parquet dirs with no oracle row
+oracle = {}
+try:
+    with open(os.path.join(verify_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+except OSError:
+    pass
+for d in sorted(os.listdir(verify_dir)):
+    p = os.path.join(verify_dir, d)
+    if os.path.isdir(p) and d not in per_query:
+        per_query[d] = {"status": "rows_only" if d not in oracle else "unchecked"}
+
+errors = {}
+try:
+    with open(os.path.join(verify_dir, "errors.json")) as f:
+        errors = json.load(f)
+except OSError:
+    pass
+for name, err in errors.items():
+    per_query[name] = {"status": "error", "detail": str(err)[:200]}
+
+statuses = [q["status"] for q in per_query.values()]
+artifact = {
+    "summary": {
+        "compare": summary_line,
+        "n_queries": len(per_query),
+        "n_ok": statuses.count("ok"),
+        "n_rows_only": statuses.count("rows_only"),
+        "n_failing": len(per_query) - statuses.count("ok")
+        - statuses.count("rows_only"),
+        "verify_errors": len(errors),
+    },
+    "queries": dict(sorted(per_query.items())),
+}
+with open(out_path, "w") as f:
+    json.dump(artifact, f, indent=1, sort_keys=False)
+    f.write("\n")
+print(f"[selfpublish] wrote {out_path}: {artifact['summary']}")
+if artifact["summary"]["n_failing"] > 0:
+    sys.exit(1)
