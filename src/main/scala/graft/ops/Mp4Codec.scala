@@ -131,6 +131,80 @@ object Mp4Codec {
     }
   }
 
+  /** Uniform frame sampling positions from the video track's REAL
+    * timing tables: k indices i_j = ⌊j·n/k⌋ over the stts total n,
+    * each with its presentation time in ms (cumulative stts deltas /
+    * mdhd timescale, integer math — no frame data is touched, so the
+    * planner for "grab k frames per video" runs on headers alone and
+    * hands exact byte-offsets-in-time to whatever decoder follows).
+    * Empty when the payload has no parseable video track. */
+  def sampleFramePositions(payload: Array[Byte], k: Int): Array[(Long, Long)] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    if (!sniff(payload)) return Array.empty
+    try {
+      // collect the video trak's (timescale, stts entries)
+      var timescale = -1L
+      var entries: Array[(Long, Long)] = null
+      walk(payload, 0, payload.length) { (tag, s, e) =>
+        if (tag == "moov") walk(payload, s, e) { (t2, s2, e2) =>
+          if (t2 == "trak" && entries == null) {
+            var handler = ""; var ts = -1L
+            var ent: Array[(Long, Long)] = null
+            walk(payload, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "mdia") walk(payload, s3, e3) { (t4, s4, e4) =>
+                if (t4 == "mdhd") {
+                  val v = u8(payload, s4)
+                  val off = if (v == 1) s4 + 20 else s4 + 12
+                  if (off + 4 <= e4) ts = rb32(payload, off)
+                } else if (t4 == "hdlr") {
+                  if (s4 + 12 <= e4)
+                    handler = new String(payload, s4 + 8, 4,
+                      java.nio.charset.StandardCharsets.US_ASCII)
+                } else if (t4 == "minf") walk(payload, s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walk(payload, s5, e5) { (t6, s6, e6) =>
+                    if (t6 == "stts" && s6 + 8 <= e6) {
+                      val n = rb32(payload, s6 + 4).toInt
+                      if (n >= 0 && n < (1 << 20) && s6 + 8 + 8L * n <= e6) {
+                        ent = Array.tabulate(n)(i => (
+                          rb32(payload, s6 + 8 + 8 * i),
+                          rb32(payload, s6 + 12 + 8 * i)))
+                      }
+                    }
+                  }
+                }
+              }
+            }
+            if (handler == "vide" && ent != null) {
+              timescale = ts; entries = ent
+            }
+          }
+        }
+      }
+      if (entries == null || timescale <= 0) return Array.empty
+      val total = entries.map(_._1).sum
+      if (total <= 0) return Array.empty
+      val idxs = (0 until k).map(j => j.toLong * total / k).distinct
+      // one ordered sweep over the run-length entries for all indices
+      val out = Array.newBuilder[(Long, Long)]
+      var ei = 0; var framesBefore = 0L; var ticksBefore = 0L
+      idxs.foreach { idx =>
+        while (ei < entries.length && framesBefore + entries(ei)._1 <= idx) {
+          framesBefore += entries(ei)._1
+          ticksBefore += entries(ei)._1 * entries(ei)._2
+          ei += 1
+        }
+        if (ei < entries.length) {
+          val ticks = ticksBefore + (idx - framesBefore) * entries(ei)._2
+          out += ((idx, ticks * 1000L / timescale))
+        }
+      }
+      out.result()
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Array.empty
+      case _: IndexOutOfBoundsException => Array.empty
+    }
+  }
+
   // ---- skeleton encoder ------------------------------------------------
 
   private def be32(v: Long): Array[Byte] = Array(

@@ -219,6 +219,45 @@ object Multimodal {
     }(enc)
   }
 
+  /** Exact per-image color statistics from REAL raster decode:
+    * appends `n_px` and per-channel pixel-value sums `sum_r`, `sum_g`,
+    * `sum_b` as LONGS (no division → bit-exact across engines; means
+    * are one division away for whoever wants them). Gray rasters
+    * report the gray sum in all three (r = g = b); alpha is ignored.
+    * Null for undecodable payloads. */
+  def withImageStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_px", LongType), StructField("sum_r", LongType),
+      StructField("sum_g", LongType), StructField("sum_b", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        MediaCodec.decodeRaster(row.getAs[Array[Byte]](binIdx)) match {
+          case Some(r) =>
+            val n = r.width.toLong * r.height
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            val ch = r.channels
+            while (p < n) {
+              if (ch <= 2) { // gray / gray+alpha
+                val v = (r.pixels((p * ch).toInt) & 0xff).toLong
+                sr += v; sg += v; sb += v
+              } else {
+                val o = (p * ch).toInt
+                sr += r.pixels(o) & 0xff
+                sg += r.pixels(o + 1) & 0xff
+                sb += r.pixels(o + 2) & 0xff
+              }
+              p += 1
+            }
+            Row.fromSeq(row.toSeq ++ Seq[Any](n, sr, sg, sb))
+          case None => Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   /** Spectral features per row from REAL PCM decode + FFT
     * ([[AudioFeat.spectralStats]]): appends `n_spec_frames`,
     * `dominant_bin`, `centroid_hz`, `rolloff_hz`, `flux_mean`; null

@@ -166,6 +166,50 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL pixel VALUES through REAL PNG bytes: the oracle replays the
+    // fixture's pixel formula cell by cell (generate_series grid) and
+    // must match the decoded per-channel SUMS exactly — the strongest
+    // image gate (dims gates can't see a pixel-value bug; this one
+    // hashes every pixel through encode → Inflater → unfilter → sum)
+    "mm_image_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (16 + id % 40).toInt
+          val h = (16 + (id * 3) % 32).toInt
+          val ph = (id % 17).toInt
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val p = i / 3; val c = i % 3
+            px(i) = (((p % w) * 3 + (p / w) * 5 + c * 11 + ph) % 256).toByte
+            i += 1
+          }
+          (id, graft.ops.MediaCodec.encodePngRaster(
+            graft.ops.MediaCodec.Raster(w, h, 3, px)))
+        }).toDF("doc_id", "media")
+        .transform(Multimodal.withImageStats(_, "media"))
+        .select("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
+    }),
+
+    // REAL frame-sample planning through REAL stts timing tables: k
+    // uniform frame indices + presentation times in ms from the video
+    // track's run-length timing — header-only math, the 100 TB shape
+    // for "grab k frames per video" (codec decode stays disclosed)
+    "mm_frame_sample_real" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val frames = (25 * (1 + id % 240)).toInt
+          val bytes = graft.ops.Mp4Codec.encodeMp4Skeleton(
+            (160 + (id % 16) * 80).toInt, (120 + (id % 12) * 60).toInt, frames)
+          graft.ops.Mp4Codec.sampleFramePositions(bytes, 8)
+            .map { case (idx, tsMs) => (id, idx, tsMs) }
+        }).toDF("doc_id", "frame_idx", "ts_ms")
+    }),
+
     // REAL spectral features through REAL WAV bytes + a REAL FFT:
     // square-wave tones whose half-period is a power of two are
     // BIN-ALIGNED at frameSize 256 (fundamental bin = 128/hp exactly),
@@ -447,6 +491,27 @@ object BulkQueries extends QueryGroup {
         "  ELSE -1 END AS INT) AS sample_rate, " +
         "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents"),
+
+    // pixel-value sums replayed cell by cell over the fixture grid
+    "mm_image_stats" ->
+      ("WITH g AS (SELECT doc_id, 16 + doc_id % 40 AS w, " +
+        "16 + (doc_id * 3) % 32 AS h, doc_id % 17 AS ph FROM documents) " +
+        "SELECT doc_id, CAST(w * h AS BIGINT) AS n_px, " +
+        "CAST(SUM((x * 3 + y * 5 + ph) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(SUM((x * 3 + y * 5 + 11 + ph) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(SUM((x * 3 + y * 5 + 22 + ph) % 256) AS BIGINT) AS sum_b " +
+        // constant series bounds (max w = 55, max h = 47) + a filter:
+        // this DuckDB build rejects lateral column params in table fns
+        "FROM g, generate_series(0, 55) AS gx(x), " +
+        "generate_series(0, 47) AS gy(y) " +
+        "WHERE x < w AND y < h GROUP BY doc_id, w, h"),
+
+    // uniform stts sampling: idx_j = (j*n) div 8, ts = idx * 40ms
+    "mm_frame_sample_real" ->
+      ("SELECT d.doc_id, CAST((j * n) // 8 AS BIGINT) AS frame_idx, " +
+        "CAST(((j * n) // 8) * 40 AS BIGINT) AS ts_ms " +
+        "FROM (SELECT doc_id, 25 * (1 + doc_id % 240) AS n FROM documents) d, " +
+        "generate_series(0, 7) AS s(j)"),
 
     // spectral gate: frames analyzed and the bin-aligned square-wave
     // fundamental (128 / halfPeriod) as pure id arithmetic

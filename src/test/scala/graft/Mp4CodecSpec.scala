@@ -83,6 +83,27 @@ class Mp4CodecSpec extends AnyFunSuite {
     assert(m.nFrames == 30, s"12+18 should sum to 30, got ${m.nFrames}")
   }
 
+  test("sampleFramePositions: uniform indices + exact stts timestamps") {
+    val bytes = Mp4Codec.encodeMp4Skeleton(320, 240, 100) // delta 40ms
+    val s = Mp4Codec.sampleFramePositions(bytes, 8)
+    assert(s.map(_._1).toSeq == (0 until 8).map(j => j * 100L / 8))
+    assert(s.forall { case (idx, ts) => ts == idx * 40 })
+  }
+
+  test("sampleFramePositions: k > frames collapses to distinct indices") {
+    val bytes = Mp4Codec.encodeMp4Skeleton(64, 48, 5)
+    val s = Mp4Codec.sampleFramePositions(bytes, 8)
+    assert(s.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(s.map(_._2).toSeq == Seq(0L, 40L, 80L, 120L, 160L))
+  }
+
+  test("sampleFramePositions: audio-only / garbage payloads yield empty") {
+    val audioOnly = Mp4Codec.encodeMp4Skeleton(1, 1, 0, 8000, 1)
+    assert(Mp4Codec.sampleFramePositions(audioOnly, 4).isEmpty)
+    assert(Mp4Codec.sampleFramePositions(Array.fill[Byte](40)(9), 4).isEmpty)
+    assert(Mp4Codec.sampleFramePositions(null, 4).isEmpty)
+  }
+
   test("malformed totality: truncation at every prefix, garbage, null") {
     val bytes = Mp4Codec.encodeMp4Skeleton(128, 96, 50, 44100, 2)
     var l = 0
