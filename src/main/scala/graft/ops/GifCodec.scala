@@ -30,12 +30,30 @@ object GifCodec {
   // ---- decoder ---------------------------------------------------------
 
   /** First-frame GIF raster decode → 3-channel RGB. */
-  def decodeGif(b: Array[Byte]): Option[Raster] = {
+  def decodeGif(b: Array[Byte]): Option[Raster] =
+    decodeGifFrames(b, 1).headOption.map(_._1)
+
+  /** ANIMATED GIF frame extraction with real compositing — the one
+    * "video" decode that is pure-JVM feasible: each returned raster is
+    * the full canvas AS DISPLAYED at that frame, honoring the Graphic
+    * Control Extension's transparency index and disposal methods
+    * (1 = leave, 2 = restore-to-background, 3 = restore-to-previous),
+    * paired with the frame's cumulative presentation time in
+    * centiseconds (Σ delays). `maxFrames` bounds work and memory —
+    * the frame-sampling tier never materializes a whole animation.
+    * Malformed tails yield the frames decoded so far; a malformed
+    * FIRST frame yields empty. Never throws. */
+  def decodeGifFrames(b: Array[Byte],
+      maxFrames: Int): Array[(Raster, Long)] = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1: $maxFrames")
     if (b == null || b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F')
-      return None
+      return Array.empty
+    val frames = Array.newBuilder[(Raster, Long)]
+    var nFrames = 0
     try {
       val sw = le16(b, 6); val sh = le16(b, 8)
-      if (sw <= 0 || sh <= 0 || sw.toLong * sh * 3 > (1L << 28)) return None
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh * 3 > (1L << 28))
+        return Array.empty
       val flags = u8(b, 10)
       var pos = 13
       var globalPal: Array[Byte] = null
@@ -44,11 +62,37 @@ object GifCodec {
         globalPal = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
         pos += 3 * n
       }
-      // scan blocks to the first image descriptor
-      while (pos < b.length) {
+      // the live canvas; background fill from the global palette
+      val canvas = new Array[Byte](sw * sh * 3)
+      if (globalPal != null) {
+        val bg = u8(b, 11) * 3
+        if (bg + 2 < globalPal.length) {
+          var p = 0
+          while (p < sw * sh) {
+            canvas(p * 3) = globalPal(bg)
+            canvas(p * 3 + 1) = globalPal(bg + 1)
+            canvas(p * 3 + 2) = globalPal(bg + 2)
+            p += 1
+          }
+        }
+      }
+      val background = canvas.clone()
+      // pending GCE state (applies to the NEXT image)
+      var transparentIdx = -1
+      var disposal = 0
+      var delayCs = 0
+      var clockCs = 0L
+      while (pos < b.length && nFrames < maxFrames) {
         u8(b, pos) match {
-          case 0x21 => // extension: label + sub-blocks
+          case 0x21 => // extension
+            val label = u8(b, pos + 1)
             pos += 2
+            if (label == 0xf9 && pos + 5 < b.length && u8(b, pos) == 4) {
+              val packed = u8(b, pos + 1)
+              disposal = (packed >> 2) & 7
+              delayCs = le16(b, pos + 2)
+              transparentIdx = if ((packed & 1) != 0) u8(b, pos + 4) else -1
+            }
             while (u8(b, pos) != 0) pos += 1 + u8(b, pos)
             pos += 1
           case 0x2c => // image descriptor
@@ -63,35 +107,25 @@ object GifCodec {
               pos += 3 * n
             }
             if (pal == null || iw <= 0 || ih <= 0 ||
-                ix + iw > sw || iy + ih > sh) return None
+                ix + iw > sw || iy + ih > sh) return frames.result()
             val interlaced = (iflags & 0x40) != 0
             val minCode = u8(b, pos); pos += 1
-            if (minCode < 2 || minCode > 11) return None
+            if (minCode < 2 || minCode > 11) return frames.result()
             // concatenate data sub-blocks (bounds-checked: a truncated
-            // stream must return None, not throw from the buffer write)
+            // stream must yield frames-so-far, not throw)
             val data = new java.io.ByteArrayOutputStream
             while (u8(b, pos) != 0) {
               val n = u8(b, pos)
-              if (pos + 1 + n > b.length) return None
+              if (pos + 1 + n > b.length) return frames.result()
               data.write(b, pos + 1, n)
               pos += 1 + n
             }
+            pos += 1 // block terminator
             val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
-              .getOrElse(return None)
-            // paint the frame onto a screen-sized canvas (background = 0)
-            val out = new Array[Byte](sw * sh * 3)
-            if (globalPal != null) { // background color fill
-              val bg = u8(b, 11) * 3
-              if (bg + 2 < globalPal.length) {
-                var p = 0
-                while (p < sw * sh) {
-                  out(p * 3) = globalPal(bg)
-                  out(p * 3 + 1) = globalPal(bg + 1)
-                  out(p * 3 + 2) = globalPal(bg + 2)
-                  p += 1
-                }
-              }
-            }
+              .getOrElse(return frames.result())
+            // snapshot for disposal 3 BEFORE drawing
+            val before =
+              if (disposal == 3) canvas.clone() else null
             val rowOrder: Array[Int] =
               if (!interlaced) Array.range(0, ih)
               else { // the four GIF interlace passes
@@ -107,24 +141,40 @@ object GifCodec {
               val y = iy + rowOrder(srcRow)
               var x = 0
               while (x < iw) {
-                val idx = (indices(srcRow * iw + x) & 0xff) * 3
-                if (idx + 2 < pal.length) {
+                val ci = indices(srcRow * iw + x) & 0xff
+                if (ci != transparentIdx && ci * 3 + 2 < pal.length) {
                   val o = (y * sw + ix + x) * 3
-                  out(o) = pal(idx); out(o + 1) = pal(idx + 1); out(o + 2) = pal(idx + 2)
+                  canvas(o) = pal(ci * 3)
+                  canvas(o + 1) = pal(ci * 3 + 1)
+                  canvas(o + 2) = pal(ci * 3 + 2)
                 }
                 x += 1
               }
               srcRow += 1
             }
-            return Some(Raster(sw, sh, 3, out))
-          case 0x3b => return None // trailer before any image
-          case _ => return None
+            clockCs += delayCs
+            frames += ((Raster(sw, sh, 3, canvas.clone()), clockCs))
+            nFrames += 1
+            // dispose the frame REGION for the next frame
+            if (disposal == 2) {
+              var y = iy
+              while (y < iy + ih) {
+                System.arraycopy(background, (y * sw + ix) * 3,
+                  canvas, (y * sw + ix) * 3, iw * 3)
+                y += 1
+              }
+            } else if (disposal == 3 && before != null) {
+              System.arraycopy(before, 0, canvas, 0, canvas.length)
+            }
+            transparentIdx = -1; disposal = 0; delayCs = 0
+          case 0x3b => return frames.result() // trailer
+          case _ => return frames.result()
         }
       }
-      None
+      frames.result()
     } catch {
-      case _: ArrayIndexOutOfBoundsException => None
-      case _: NegativeArraySizeException => None
+      case _: ArrayIndexOutOfBoundsException => frames.result()
+      case _: NegativeArraySizeException => frames.result()
     }
   }
 
@@ -224,6 +274,60 @@ object GifCodec {
       out.write(rr * 255 / 7); out.write(gg * 255 / 7); out.write(bb * 255 / 3)
       i += 1
     }
+    writeImageBlock(out, r)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** One frame of an animation: 3-3-2 palette cell mapping like
+    * [[encodeGif]]; `transparentIdx >= 0` marks that palette index
+    * transparent in the frame's GCE (pixels mapping to it leave the
+    * canvas untouched). */
+  final case class GifFrame(raster: Raster, delayCs: Int = 4,
+    disposal: Int = 0, transparentIdx: Int = -1)
+
+  /** Multi-frame GIF89a animation over the same 3-3-2 global palette:
+    * NETSCAPE loop extension + one GCE (disposal/delay/transparency) +
+    * full-canvas image block per frame. All rasters must share the
+    * first frame's dimensions. Deterministic bytes. */
+  def encodeGifAnimated(frames: Seq[GifFrame]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val r0 = frames.head.raster
+    require(frames.forall(f => f.raster.width == r0.width &&
+      f.raster.height == r0.height), "frames must share dimensions")
+    require(frames.forall(f => f.disposal >= 0 && f.disposal <= 3),
+      "disposal must be 0..3")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(r0.width); w16(r0.height)
+    out.write(0xf7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) {
+      val rr = (i >> 5) & 7; val gg = (i >> 2) & 7; val bb = i & 3
+      out.write(rr * 255 / 7); out.write(gg * 255 / 7); out.write(bb * 255 / 3)
+      i += 1
+    }
+    // NETSCAPE 2.0 infinite-loop application extension
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); w16(0); out.write(0)
+    frames.foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+      w16(f.delayCs)
+      out.write(if (f.transparentIdx >= 0) f.transparentIdx else 0)
+      out.write(0)
+      writeImageBlock(out, f.raster)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Image descriptor + 3-3-2 palette mapping + LZW data sub-blocks. */
+  private def writeImageBlock(out: java.io.ByteArrayOutputStream,
+      r: Raster): Unit = {
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write(0x2c); w16(0); w16(0); w16(r.width); w16(r.height)
     out.write(0) // no local palette, not interlaced
     // palette indices
@@ -249,9 +353,7 @@ object GifCodec {
       out.write(len); out.write(lzw, off, len)
       off += len
     }
-    out.write(0)    // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
+    out.write(0) // block terminator
   }
 
   /** GIF-variant LZW encode (dictionary reset at 4096, clear emitted). */

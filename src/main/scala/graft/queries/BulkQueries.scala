@@ -166,6 +166,47 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL animated-GIF frame extraction: per-id animations of solid
+    // palette-cell frames decode through the full GCE/compositing path;
+    // each frame emits its cumulative timestamp and exact channel sums
+    // (solid color ⇒ sum = w·h·palette-component, pure id arithmetic —
+    // disposal/transparency semantics are spec-gated in GifCodecSpec)
+    "mm_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val w = (20 + id % 20).toInt; val h = (14 + id % 10).toInt
+          val nF = (2 + id % 3).toInt
+          def solid(i: Int): graft.ops.MediaCodec.Raster = {
+            val px = new Array[Byte](w * h * 3)
+            var p = 0
+            while (p < w * h) {
+              px(p * 3) = (((i >> 5) & 7) * 255 / 7).toByte
+              px(p * 3 + 1) = (((i >> 2) & 7) * 255 / 7).toByte
+              px(p * 3 + 2) = ((i & 3) * 255 / 3).toByte
+              p += 1
+            }
+            graft.ops.MediaCodec.Raster(w, h, 3, px)
+          }
+          val bytes = graft.ops.GifCodec.encodeGifAnimated(
+            (0 until nF).map(f => graft.ops.GifCodec.GifFrame(
+              solid(((id * 31 + f * 67) % 256).toInt), delayCs = 4 + f)))
+          graft.ops.GifCodec.decodeGifFrames(bytes, 8).zipWithIndex.map {
+            case ((r, ts), fi) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              while (p < r.width * r.height) {
+                sr += r.pixels(p * 3) & 0xff
+                sg += r.pixels(p * 3 + 1) & 0xff
+                sb += r.pixels(p * 3 + 2) & 0xff
+                p += 1
+              }
+              (id, fi.toLong, ts, sr, sg, sb)
+          }
+        }).toDF("doc_id", "frame_idx", "ts_cs", "sum_r", "sum_g", "sum_b")
+    }),
+
     // REAL pixel VALUES through REAL PNG bytes: the oracle replays the
     // fixture's pixel formula cell by cell (generate_series grid) and
     // must match the decoded per-channel SUMS exactly — the strongest
@@ -491,6 +532,20 @@ object BulkQueries extends QueryGroup {
         "  ELSE -1 END AS INT) AS sample_rate, " +
         "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents"),
+
+    // animated frames: solid palette-cell colors make every channel
+    // sum w·h·component; timestamps telescope the per-frame delays
+    "mm_gif_frames" ->
+      ("WITH g AS (SELECT doc_id, 20 + doc_id % 20 AS w, " +
+        "14 + doc_id % 10 AS h, 2 + doc_id % 3 AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, f, (doc_id * 31 + f * 67) % 256 AS c " +
+        "FROM g, generate_series(0, 3) AS s(f) WHERE f < nf) " +
+        "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST((f + 1) * 4 + f * (f + 1) // 2 AS BIGINT) AS ts_cs, " +
+        "CAST(w * h * (((c // 32) % 8) * 255 // 7) AS BIGINT) AS sum_r, " +
+        "CAST(w * h * (((c // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
+        "CAST(w * h * ((c % 4) * 255 // 3) AS BIGINT) AS sum_b " +
+        "FROM fr"),
 
     // pixel-value sums replayed cell by cell over the fixture grid
     "mm_image_stats" ->

@@ -124,6 +124,98 @@ class GifCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(dec.pixels, src.pixels))
   }
 
+  /** Solid raster on the exact 3-3-2 cell of palette index i. */
+  private def solid(w: Int, h: Int, i: Int): Raster = {
+    val px = new Array[Byte](w * h * 3)
+    for (p <- 0 until w * h) {
+      px(p * 3) = (((i >> 5) & 7) * 255 / 7).toByte
+      px(p * 3 + 1) = (((i >> 2) & 7) * 255 / 7).toByte
+      px(p * 3 + 2) = ((i & 3) * 255 / 3).toByte
+    }
+    Raster(w, h, 3, px)
+  }
+
+  test("animation: frames composite in order with cumulative timestamps") {
+    import GifCodec.GifFrame
+    val bytes = GifCodec.encodeGifAnimated(Seq(
+      GifFrame(solid(20, 12, 0xe0), delayCs = 4),   // red-ish
+      GifFrame(solid(20, 12, 0x1c), delayCs = 10),  // green-ish
+      GifFrame(solid(20, 12, 0x03), delayCs = 20))) // blue-ish
+    val fs = GifCodec.decodeGifFrames(bytes, 10)
+    assert(fs.length == 3)
+    assert(fs.map(_._2).toSeq == Seq(4L, 14L, 34L))
+    assert(java.util.Arrays.equals(fs(0)._1.pixels, solid(20, 12, 0xe0).pixels))
+    assert(java.util.Arrays.equals(fs(1)._1.pixels, solid(20, 12, 0x1c).pixels))
+    assert(java.util.Arrays.equals(fs(2)._1.pixels, solid(20, 12, 0x03).pixels))
+    // maxFrames bounds the work
+    assert(GifCodec.decodeGifFrames(bytes, 2).length == 2)
+    // first frame equals the single-frame decode
+    assert(java.util.Arrays.equals(
+      GifCodec.decodeGif(bytes).get.pixels, fs(0)._1.pixels))
+  }
+
+  test("animation: ImageIO reads the same per-frame pixels (full-frame opaque)") {
+    import GifCodec.GifFrame
+    val bytes = GifCodec.encodeGifAnimated(Seq(
+      GifFrame(solid(16, 10, 0x92)), GifFrame(solid(16, 10, 0x4b))))
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val ours = GifCodec.decodeGifFrames(bytes, 4)
+    assert(rd.getNumImages(true) == 2 && ours.length == 2)
+    for (i <- 0 until 2) {
+      val img = rd.read(i)
+      for (y <- 0 until 10; x <- 0 until 16) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * 16 + x) * 3
+        assert(((rgb >> 16) & 0xff) == (ours(i)._1.pixels(o) & 0xff) &&
+          ((rgb >> 8) & 0xff) == (ours(i)._1.pixels(o + 1) & 0xff) &&
+          (rgb & 0xff) == (ours(i)._1.pixels(o + 2) & 0xff),
+          s"frame $i pixel ($x,$y)")
+      }
+    }
+    rd.dispose()
+  }
+
+  test("animation: transparency keeps the previous canvas") {
+    import GifCodec.GifFrame
+    val a = solid(14, 9, 0xe0)
+    val bytes = GifCodec.encodeGifAnimated(Seq(
+      GifFrame(a),
+      // frame 2 is all index 0x03, but 0x03 is declared transparent →
+      // nothing draws, the canvas still shows frame 1
+      GifFrame(solid(14, 9, 0x03), transparentIdx = 0x03)))
+    val fs = GifCodec.decodeGifFrames(bytes, 4)
+    assert(fs.length == 2)
+    assert(java.util.Arrays.equals(fs(1)._1.pixels, a.pixels))
+  }
+
+  test("animation: disposal 2 restores the background before the next frame") {
+    import GifCodec.GifFrame
+    val bytes = GifCodec.encodeGifAnimated(Seq(
+      GifFrame(solid(14, 9, 0xe0), disposal = 2),
+      // all-transparent second frame: shows whatever disposal left —
+      // the background (palette index 0 = black), NOT frame 1's red
+      GifFrame(solid(14, 9, 0x03), transparentIdx = 0x03)))
+    val fs = GifCodec.decodeGifFrames(bytes, 4)
+    assert(fs.length == 2)
+    assert(java.util.Arrays.equals(fs(1)._1.pixels, solid(14, 9, 0).pixels))
+  }
+
+  test("animation: disposal 3 restores the pre-frame canvas") {
+    import GifCodec.GifFrame
+    val a = solid(14, 9, 0x92)
+    val bytes = GifCodec.encodeGifAnimated(Seq(
+      GifFrame(a),
+      GifFrame(solid(14, 9, 0x1c), disposal = 3), // draw green, then undo
+      GifFrame(solid(14, 9, 0x03), transparentIdx = 0x03))) // transparent
+    val fs = GifCodec.decodeGifFrames(bytes, 4)
+    assert(fs.length == 3)
+    assert(java.util.Arrays.equals(fs(1)._1.pixels, solid(14, 9, 0x1c).pixels))
+    assert(java.util.Arrays.equals(fs(2)._1.pixels, a.pixels),
+      "frame 3 must see frame 1's canvas (frame 2 was disposed to previous)")
+  }
+
   test("malformed totality: truncation at every prefix, garbage, null") {
     val bytes = GifCodec.encodeGif(paletteAligned(21, 14, 1))
     var l = 0
