@@ -196,6 +196,8 @@ object MediaCodec {
         out
       } else if (Mp4Codec.sniff(b)) {
         Mp4Codec.parseMp4Meta(b)
+      } else if (WebmCodec.sniff(b)) {
+        WebmCodec.parseWebmMeta(b)
       } else unknown
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
   }

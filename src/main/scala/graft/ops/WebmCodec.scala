@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.ops.MediaCodec.MediaMeta
+
+/** EBML / Matroska / WebM container METADATA, pure JVM — the second
+  * dominant crawl video container next to [[Mp4Codec]]'s ISO-BMFF:
+  * variable-length-integer element walking to the video track's pixel
+  * dimensions and the audio track's channels/sampling rate. Codec
+  * payload decode (VP8/VP9/AV1/Opus) stays a disclosed stub, same
+  * rationale as MP4: the header pass is the 100 TB first screen.
+  *
+  * Parser: `Segment → Tracks → TrackEntry → {TrackType, Video{
+  * PixelWidth, PixelHeight}, Audio{SamplingFrequency, Channels}}`.
+  * Unknown-size elements (streamed Segments write size as all-ones)
+  * extend to the parent's end. Malformed payloads classify without
+  * throwing.
+  *
+  * Encoder: a deterministic structural skeleton for fixtures.
+  */
+object WebmCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** True for the EBML magic 0x1A45DFA3. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && u8(b, 0) == 0x1a && u8(b, 1) == 0x45 &&
+      u8(b, 2) == 0xdf && u8(b, 3) == 0xa3
+
+  /** Read an EBML element ID at `i`: (id-with-marker, byteLen).
+    * IDs keep their leading marker bits (the conventional form). */
+  private def readId(b: Array[Byte], i: Int): (Long, Int) = {
+    val first = u8(b, i)
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 4) throw new IllegalStateException("bad id")
+    var v = first.toLong
+    var k = 1
+    while (k < len) { v = (v << 8) | u8(b, i + k); k += 1 }
+    (v, len)
+  }
+
+  /** Read an EBML size at `i`: (value, byteLen); -1 = unknown size. */
+  private def readSize(b: Array[Byte], i: Int): (Long, Int) = {
+    val first = u8(b, i)
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 8) throw new IllegalStateException("bad size")
+    var v = (first & (0xff >> len)).toLong
+    var allOnes = (first & (0xff >> len)) == (0xff >> len)
+    var k = 1
+    while (k < len) {
+      v = (v << 8) | u8(b, i + k)
+      allOnes &&= u8(b, i + k) == 0xff
+      k += 1
+    }
+    (if (allOnes) -1L else v, len)
+  }
+
+  private def readUint(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L; var i = s
+    while (i < e) { v = (v << 8) | u8(b, i); i += 1 }
+    v
+  }
+
+  private def readFloat(b: Array[Byte], s: Int, e: Int): Double =
+    (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(readUint(b, s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(readUint(b, s, e))
+      case _ => -1.0
+    }
+
+  /** Walk child elements of [start, end), calling f(id, bodyStart,
+    * bodyEnd); unknown-size children extend to `end`. */
+  private def walk(b: Array[Byte], start: Int, end: Int)
+      (f: (Long, Int, Int) => Unit): Unit = {
+    var i = start
+    while (i + 2 <= end) {
+      val (id, idLen) = readId(b, i)
+      val (size, szLen) = readSize(b, i + idLen)
+      val bodyStart = i + idLen + szLen
+      val bodyEnd = if (size < 0) end else bodyStart + size
+      if (bodyEnd > end || bodyEnd < bodyStart) return
+      f(id, bodyStart, bodyEnd.toInt)
+      if (size < 0) return // unknown-size element consumes the rest
+      i = bodyEnd.toInt
+    }
+  }
+
+  // element IDs (with marker bits)
+  private val SEGMENT = 0x18538067L
+  private val TRACKS = 0x1654AE6BL
+  private val TRACK_ENTRY = 0xAEL
+  private val TRACK_TYPE = 0x83L
+  private val VIDEO = 0xE0L
+  private val AUDIO = 0xE1L
+  private val PIXEL_W = 0xB0L
+  private val PIXEL_H = 0xBAL
+  private val SAMPLING = 0xB5L
+  private val CHANNELS = 0x9FL
+
+  /** Parse WebM/MKV track metadata: format "webm", width/height from
+    * the first video track, channels/sampleRate from the first audio
+    * track; -1 where absent (frame counts are not in Matroska headers). */
+  def parseWebmMeta(payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val unknown = MediaMeta("unknown", -1, -1, -1, -1, -1, n)
+    if (!sniff(payload)) return unknown
+    try {
+      var width = -1; var height = -1
+      var channels = -1; var sampleRate = -1
+      walk(payload, 0, payload.length) { (id, s, e) =>
+        if (id == SEGMENT) walk(payload, s, e) { (id2, s2, e2) =>
+          if (id2 == TRACKS) walk(payload, s2, e2) { (id3, s3, e3) =>
+            if (id3 == TRACK_ENTRY) {
+              var tpe = -1L
+              var tw = -1; var th = -1; var ch = -1; var rate = -1
+              walk(payload, s3, e3) { (id4, s4, e4) =>
+                if (id4 == TRACK_TYPE) tpe = readUint(payload, s4, e4)
+                else if (id4 == VIDEO) walk(payload, s4, e4) { (id5, s5, e5) =>
+                  if (id5 == PIXEL_W) tw = readUint(payload, s5, e5).toInt
+                  else if (id5 == PIXEL_H) th = readUint(payload, s5, e5).toInt
+                }
+                else if (id4 == AUDIO) walk(payload, s4, e4) { (id5, s5, e5) =>
+                  if (id5 == SAMPLING)
+                    rate = math.round(readFloat(payload, s5, e5)).toInt
+                  else if (id5 == CHANNELS) ch = readUint(payload, s5, e5).toInt
+                }
+              }
+              if (tpe == 1 && width < 0) { width = tw; height = th }
+              else if (tpe == 2 && sampleRate < 0) {
+                sampleRate = rate; channels = ch
+              }
+            }
+          }
+        }
+      }
+      MediaMeta("webm", width, height, channels, sampleRate, -1, n)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => unknown.copy(format = "webm")
+      case _: IllegalStateException => unknown.copy(format = "webm")
+    }
+  }
+
+  // ---- skeleton encoder ------------------------------------------------
+
+  private def id(v: Long): Array[Byte] = {
+    val len = if (v <= 0xffL) 1 else if (v <= 0xffffL) 2
+      else if (v <= 0xffffffL) 3 else 4
+    Array.tabulate(len)(k => ((v >> (8 * (len - 1 - k))) & 0xff).toByte)
+  }
+
+  /** Minimal-length EBML size encoding. */
+  private def sz(v: Long): Array[Byte] = {
+    var len = 1
+    while (len <= 8 && v >= (1L << (7 * len)) - 1) len += 1
+    require(len <= 8, s"size too large: $v")
+    val marked = v | (1L << (7 * len))
+    Array.tabulate(len)(k => ((marked >> (8 * (len - 1 - k))) & 0xff).toByte)
+  }
+
+  private def el(eid: Long, body: Array[Byte]*): Array[Byte] = {
+    val b = body.flatten.toArray
+    id(eid) ++ sz(b.length) ++ b
+  }
+
+  private def uint(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && v >= (1L << (8 * len))) len += 1
+    Array.tabulate(len)(k => ((v >> (8 * (len - 1 - k))) & 0xff).toByte)
+  }
+
+  private def float4(v: Double): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(v.toFloat)
+    Array.tabulate(4)(k => ((bits >> (8 * (3 - k))) & 0xff).toByte)
+  }
+
+  /** Deterministic structural WebM: EBML header + Segment(Tracks with
+    * one video TrackEntry and, when `sampleRate > 0`, one audio
+    * TrackEntry). */
+  def encodeWebmSkeleton(width: Int, height: Int,
+      sampleRate: Int = -1, channels: Int = -1): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val header = el(0x1A45DFA3L,
+      el(0x4286L, uint(1)),      // EBMLVersion
+      el(0x42F7L, uint(1)),      // EBMLReadVersion
+      el(0x42F2L, uint(4)),      // EBMLMaxIDLength
+      el(0x42F3L, uint(8)),      // EBMLMaxSizeLength
+      el(0x4282L, "webm".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      el(0x4287L, uint(2)),      // DocTypeVersion
+      el(0x4285L, uint(2)))      // DocTypeReadVersion
+    val videoEntry = el(TRACK_ENTRY,
+      el(0xD7L, uint(1)),        // TrackNumber
+      el(0x73C5L, uint(1)),      // TrackUID
+      el(TRACK_TYPE, uint(1)),
+      el(VIDEO, el(PIXEL_W, uint(width)), el(PIXEL_H, uint(height))))
+    val audioEntry =
+      if (sampleRate <= 0) Array.empty[Byte]
+      else el(TRACK_ENTRY,
+        el(0xD7L, uint(2)), el(0x73C5L, uint(2)),
+        el(TRACK_TYPE, uint(2)),
+        el(AUDIO, el(SAMPLING, float4(sampleRate.toDouble)),
+          el(CHANNELS, uint(channels.max(1)))))
+    val tracks =
+      if (audioEntry.isEmpty) el(TRACKS, videoEntry)
+      else el(TRACKS, videoEntry, audioEntry)
+    header ++ el(SEGMENT, tracks)
+  }
+}

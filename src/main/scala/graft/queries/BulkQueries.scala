@@ -166,6 +166,25 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL EBML/WebM container metadata — the second dominant crawl
+    // video container next to ISO-BMFF: varint element walking to
+    // track dims / audio params, every field id-arithmetic
+    "mm_decode_webm" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val audio = id % 4 != 0
+          (id, graft.ops.WebmCodec.encodeWebmSkeleton(
+            (320 + (id % 10) * 160).toInt, (180 + (id % 8) * 90).toInt,
+            if (audio) (16000 + (id % 4).toInt * 8000) else -1,
+            if (audio) (1 + id % 2).toInt else -1))
+        }).toDF("doc_id", "media")
+      Multimodal.decodeMeta(payloads, "media")
+        .select("doc_id", "format", "width", "height", "channels",
+          "sample_rate")
+    }),
+
     // REAL animated-GIF frame extraction: per-id animations of solid
     // palette-cell frames decode through the full GCE/compositing path;
     // each frame emits its cumulative timestamp and exact channel sums
@@ -531,6 +550,15 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + (doc_id % 5) * 2000 " +
         "  ELSE -1 END AS INT) AS sample_rate, " +
         "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
+        "FROM documents"),
+
+    // the EBML skeleton round trip: every field pure id arithmetic
+    "mm_decode_webm" ->
+      ("SELECT doc_id, 'webm' AS format, " +
+        "CAST(320 + (doc_id % 10) * 160 AS INT) AS width, " +
+        "CAST(180 + (doc_id % 8) * 90 AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 1 + doc_id % 2 END AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN -1 ELSE 16000 + (doc_id % 4) * 8000 END AS INT) AS sample_rate " +
         "FROM documents"),
 
     // animated frames: solid palette-cell colors make every channel

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCodec, WebmCodec}
+
+/** EBML/WebM metadata parser vs the skeleton writer + totality. Like
+  * MP4, no independent reader ships with the JDK — round-trip plus
+  * field-by-field layout per the Matroska spec.
+  */
+class WebmCodecSpec extends AnyFunSuite {
+
+  test("video-only skeleton round-trips dimensions") {
+    val m = WebmCodec.parseWebmMeta(WebmCodec.encodeWebmSkeleton(1280, 720))
+    assert(m.format == "webm" && m.width == 1280 && m.height == 720 &&
+      m.sampleRate == -1 && m.channels == -1)
+  }
+
+  test("video+audio skeleton round-trips all four fields") {
+    val m = WebmCodec.parseWebmMeta(
+      WebmCodec.encodeWebmSkeleton(640, 360, sampleRate = 48000, channels = 2))
+    assert(m.width == 640 && m.height == 360 &&
+      m.sampleRate == 48000 && m.channels == 2)
+  }
+
+  test("parseMeta sniffs the EBML magic") {
+    val bytes = WebmCodec.encodeWebmSkeleton(320, 180, 44100, 1)
+    val m = MediaCodec.parseMeta(bytes)
+    assert(m.format == "webm" && m.width == 320 && m.height == 180 &&
+      m.sampleRate == 44100 && m.channels == 1 && m.nBytes == bytes.length)
+  }
+
+  test("unknown-size Segment (streamed form) still parses") {
+    val bytes = WebmCodec.encodeWebmSkeleton(800, 600)
+    // find the Segment (0x18538067) and overwrite its size with the
+    // 1-byte unknown-size marker 0xFF; the size field my writer emits
+    // for this payload is also 1 byte, so lengths stay consistent
+    var i = 0
+    while (!(i + 4 < bytes.length && (bytes(i) & 0xff) == 0x18 &&
+        (bytes(i + 1) & 0xff) == 0x53)) i += 1
+    assert((bytes(i + 4) & 0x80) != 0, "expected a 1-byte size field")
+    bytes(i + 4) = 0xff.toByte
+    val m = WebmCodec.parseWebmMeta(bytes)
+    assert(m.width == 800 && m.height == 600)
+  }
+
+  test("malformed totality: truncation, per-byte corruption, garbage, null") {
+    val bytes = WebmCodec.encodeWebmSkeleton(256, 144, 24000, 2)
+    var l = 0
+    while (l < bytes.length) {
+      MediaCodec.parseMeta(java.util.Arrays.copyOf(bytes, l))
+      l += 3
+    }
+    for (i <- bytes.indices) {
+      val c = bytes.clone(); c(i) = (c(i) ^ 0x77).toByte
+      WebmCodec.parseWebmMeta(c)
+    }
+    assert(WebmCodec.parseWebmMeta(null).format == "unknown")
+    assert(WebmCodec.parseWebmMeta(Array.fill[Byte](16)(0x42)).format == "unknown")
+  }
+}
