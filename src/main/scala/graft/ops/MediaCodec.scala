@@ -198,6 +198,8 @@ object MediaCodec {
         Mp4Codec.parseMp4Meta(b)
       } else if (WebmCodec.sniff(b)) {
         WebmCodec.parseWebmMeta(b)
+      } else if (Mp3Codec.sniff(b)) {
+        Mp3Codec.parseMp3Meta(b)
       } else unknown
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
   }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.ops.MediaCodec.MediaMeta
+
+/** MPEG-audio (MP3) frame-header METADATA, pure JVM — the dominant
+  * crawl audio container next to WAV: ID3v2 skip, frame-sync scan,
+  * and a header-table walk over the whole stream counting frames
+  * (frame lengths are fully determined by the header, so duration is
+  * header math — no synthesis-filterbank decode, which stays a
+  * disclosed stub like the video codecs).
+  *
+  * Parser: Layer III, MPEG1/2/2.5, all bitrate/samplerate indexes,
+  * padding bit honored; free-format (bitrate index 0) and bad syncs
+  * classify as unknown. nFrames = MPEG frame count (× 1152 or 576
+  * samples per frame for duration). Never throws.
+  *
+  * Encoder: constant-bitrate Layer III skeleton frames (zero payload)
+  * with exactly the declared header fields, for fixtures.
+  */
+object Mp3Codec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  // MPEG1 Layer III bitrates (kbps) by index 1..14
+  private val br1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320, 0)
+  // MPEG2/2.5 Layer III bitrates
+  private val br2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 144, 160, 0)
+  private val rates1 = Array(44100, 48000, 32000, 0)
+  private val rates2 = Array(22050, 24000, 16000, 0)
+  private val rates25 = Array(11025, 12000, 8000, 0)
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0))
+
+  /** Parse MP3 stream metadata: channels, sample rate, frame count. */
+  def parseMp3Meta(payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val unknown = MediaMeta("unknown", -1, -1, -1, -1, -1, n)
+    if (!sniff(payload)) return unknown
+    try {
+      var i = 0
+      // skip ID3v2 (syncsafe size)
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        val size = (u8(payload, 6) << 21) | (u8(payload, 7) << 14) |
+          (u8(payload, 8) << 7) | u8(payload, 9)
+        i = 10 + size
+      }
+      var channels = -1; var rate = -1
+      var frames = 0
+      var ok = true
+      while (ok && i + 4 <= payload.length) {
+        if (u8(payload, i) != 0xff || (u8(payload, i + 1) & 0xe0) != 0xe0) {
+          ok = false
+        } else {
+          val h1 = u8(payload, i + 1); val h2 = u8(payload, i + 2)
+          val h3 = u8(payload, i + 3)
+          val verBits = (h1 >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+          val layerBits = (h1 >> 1) & 3 // 1 = Layer III
+          val brIdx = (h2 >> 4) & 0xf
+          val srIdx = (h2 >> 2) & 3
+          val padding = (h2 >> 1) & 1
+          val mode = (h3 >> 6) & 3      // 3 = mono
+          if (layerBits != 1 || verBits == 1 || srIdx == 3 ||
+              brIdx == 0 || brIdx == 15) { ok = false }
+          else {
+            val mpeg1 = verBits == 3
+            val sr = (if (mpeg1) rates1 else if (verBits == 2) rates2
+              else rates25)(srIdx)
+            val kbps = (if (mpeg1) br1 else br2)(brIdx)
+            val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / sr + padding
+            if (frameLen <= 4) ok = false
+            else {
+              if (frames == 0) {
+                channels = if (mode == 3) 1 else 2
+                rate = sr
+              }
+              frames += 1
+              i += frameLen
+            }
+          }
+        }
+      }
+      if (frames == 0) unknown
+      else MediaMeta("mp3", -1, -1, channels, rate, frames, n)
+    } catch { case _: ArrayIndexOutOfBoundsException => unknown }
+  }
+
+  /** CBR Layer III skeleton: `nFrames` zero-payload frames.
+    * @param mpeg1  true → MPEG1 (1152 samples/frame), false → MPEG2
+    * @param srIdx  sample-rate index 0..2 into the version's table
+    * @param brIdx  bitrate index 1..14
+    * @param mono   channel mode */
+  def encodeMp3Skeleton(nFrames: Int, mpeg1: Boolean, srIdx: Int,
+      brIdx: Int, mono: Boolean): Array[Byte] = {
+    require(nFrames >= 1 && srIdx >= 0 && srIdx <= 2 &&
+      brIdx >= 1 && brIdx <= 14, s"bad params: $nFrames $srIdx $brIdx")
+    val sr = (if (mpeg1) rates1 else rates2)(srIdx)
+    val kbps = (if (mpeg1) br1 else br2)(brIdx)
+    val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / sr // no padding
+    val out = new Array[Byte](nFrames * frameLen)
+    val h1 = 0xe0 | (if (mpeg1) 3 << 3 else 2 << 3) | (1 << 1) | 1
+    val h2 = (brIdx << 4) | (srIdx << 2)
+    val h3 = if (mono) 3 << 6 else 0
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xff.toByte; out(o + 1) = h1.toByte
+      out(o + 2) = h2.toByte; out(o + 3) = h3.toByte
+      f += 1
+    }
+    out
+  }
+}

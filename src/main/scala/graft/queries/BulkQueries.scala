@@ -166,6 +166,22 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
 
+    // REAL MPEG-audio metadata — ID3v2 skip + full frame walk; the
+    // frame count is header math (duration without any decode)
+    "mm_decode_mp3" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.ops.Mp3Codec.encodeMp3Skeleton(
+            (50 + id % 200).toInt, mpeg1 = id % 2 == 0,
+            srIdx = (id % 3).toInt, brIdx = (1 + id % 14).toInt,
+            mono = id % 3 == 0))
+        }).toDF("doc_id", "media")
+      Multimodal.decodeMeta(payloads, "media")
+        .select("doc_id", "format", "channels", "sample_rate", "n_frames")
+    }),
+
     // REAL EBML/WebM container metadata — the second dominant crawl
     // video container next to ISO-BMFF: varint element walking to
     // track dims / audio params, every field id-arithmetic
@@ -551,6 +567,16 @@ object BulkQueries extends QueryGroup {
         "  ELSE -1 END AS INT) AS sample_rate, " +
         "CAST(CASE doc_id % 4 WHEN 2 THEN doc_id % 1000 ELSE 1 END AS INT) AS n_frames " +
         "FROM documents"),
+
+    // MP3 skeleton round trip: version table lookups as id arithmetic
+    "mm_decode_mp3" ->
+      ("SELECT doc_id, 'mp3' AS format, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN " +
+        "  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END " +
+        "ELSE CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END " +
+        "END AS INT) AS sample_rate, " +
+        "CAST(50 + doc_id % 200 AS INT) AS n_frames FROM documents"),
 
     // the EBML skeleton round trip: every field pure id arithmetic
     "mm_decode_webm" ->

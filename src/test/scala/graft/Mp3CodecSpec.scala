@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCodec, Mp3Codec}
+
+/** MPEG-audio header parser vs the CBR skeleton writer + totality. */
+class Mp3CodecSpec extends AnyFunSuite {
+
+  test("MPEG1 CBR skeleton round-trips rate/channels/frame count") {
+    val bytes = Mp3Codec.encodeMp3Skeleton(120, mpeg1 = true, srIdx = 0,
+      brIdx = 9, mono = false) // 44100 Hz, 128 kbps, stereo
+    val m = Mp3Codec.parseMp3Meta(bytes)
+    assert(m.format == "mp3" && m.sampleRate == 44100 && m.channels == 2 &&
+      m.nFrames == 120)
+  }
+
+  test("MPEG2 mono round-trips; frame length honors the version tables") {
+    val bytes = Mp3Codec.encodeMp3Skeleton(75, mpeg1 = false, srIdx = 2,
+      brIdx = 8, mono = true) // 16000 Hz, 64 kbps → 288-byte frames
+    assert(bytes.length == 75 * 288)
+    val m = Mp3Codec.parseMp3Meta(bytes)
+    assert(m.sampleRate == 16000 && m.channels == 1 && m.nFrames == 75)
+  }
+
+  test("ID3v2 tag is skipped (syncsafe size)") {
+    val frames = Mp3Codec.encodeMp3Skeleton(10, mpeg1 = true, srIdx = 1,
+      brIdx = 5, mono = true)
+    val tagBody = new Array[Byte](200)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      0, 0, (200 >> 7).toByte, (200 & 0x7f).toByte) ++ tagBody
+    val m = MediaCodec.parseMeta(id3 ++ frames)
+    assert(m.format == "mp3" && m.sampleRate == 48000 && m.nFrames == 10)
+  }
+
+  test("trailing ID3v1 garbage stops the frame walk cleanly") {
+    val frames = Mp3Codec.encodeMp3Skeleton(5, mpeg1 = true, srIdx = 0,
+      brIdx = 9, mono = false)
+    val m = Mp3Codec.parseMp3Meta(frames ++ Array.fill[Byte](128)('T'))
+    assert(m.nFrames == 5)
+  }
+
+  test("malformed totality: truncation, corruption, garbage, null") {
+    val bytes = Mp3Codec.encodeMp3Skeleton(20, mpeg1 = true, srIdx = 2,
+      brIdx = 3, mono = true)
+    var l = 0
+    while (l < bytes.length) {
+      MediaCodec.parseMeta(java.util.Arrays.copyOf(bytes, l)); l += 3
+    }
+    for (i <- 0 until math.min(bytes.length, 600)) {
+      val c = bytes.clone(); c(i) = (c(i) ^ 0x24).toByte
+      Mp3Codec.parseMp3Meta(c)
+    }
+    assert(Mp3Codec.parseMp3Meta(null).format == "unknown")
+    // free-format (bitrate index 0) is classified unknown, not decoded
+    val free = bytes.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Mp3Codec.parseMp3Meta(free).format == "unknown")
+  }
+}
