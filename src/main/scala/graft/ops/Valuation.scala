@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data VALUATION: exact closed-form KNN-Shapley
+  * (Jia et al., VLDB 2019 — "Efficient Task-Specific Data Valuation
+  * for Nearest Neighbor Algorithms"). Each training point gets its
+  * exact Shapley value for a KNN classifier's accuracy on a probe
+  * set: the principled "which examples helped / hurt" screen used to
+  * prune mislabeled or harmful data before a big run — exact, not a
+  * Monte-Carlo TMC estimate, because for KNN the Shapley sum
+  * telescopes along the distance ranking:
+  *
+  * {{{ s_(N) = 1[y_(N) = y] / N
+  *     s_(j) = s_(j+1) + (1[y_(j)=y] − 1[y_(j+1)=y]) · min(K,j) / (K·j) }}}
+  *
+  * over train points ordered by similarity to the probe (rank 1 =
+  * nearest). Values per (probe, train) pair; average over probes for
+  * a per-example score.
+  *
+  * Scale shape: probes broadcast (capped like [[Similarity.knnGraph]]);
+  * similarities stream map-side (corpus never shuffles for scoring);
+  * the per-probe ranking AND the per-probe suffix sum both run through
+  * the distributed prefix-count device with broadcast per-probe
+  * offsets (the [[Profiling.rocAucBy]] pattern) — no corpus-sized
+  * window task anywhere, so the plan survives the 100 TB corpus the
+  * valuation is supposed to screen.
+  *
+  * Determinism: ranking ties break on train id; each telescoping term
+  * is one fixed double chain rounded to 12 dp and summed as
+  * DECIMAL(28,12) — engine-replayable, so the gate is a full hash
+  * match ([[graft.SparkEntry]] `emb_knn_shapley`).
+  */
+object Valuation {
+
+  /** @param train  (id, vec, label) training corpus
+    * @param probes (id, vec, label) probe/validation points (≤ maxProbes)
+    * @param k      the KNN classifier's K
+    * @return (probe_id, train id, rank, shapley) for every pair */
+  def knnShapley(train: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      maxProbes: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val qRows = probes
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .as[(Long, Array[Float], Long)].collect()
+    require(qRows.length >= 1 && qRows.length <= maxProbes,
+      s"probe count ${qRows.length} outside [1, $maxProbes] — " +
+        "exact valuation scores every train point per probe; cap the probe set")
+    val qb = spark.sparkContext.broadcast(qRows)
+    // map-side similarity + label-match stream: (q, id, sim, m)
+    val sims = train
+      .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val qs = qb.value
+        it.flatMap { case (id, v, y) =>
+          val nv = VecKernel.norm(v)
+          qs.iterator.map { case (qid, qv, qy) =>
+            (qid, id, VecKernel.dot(v, qv) / (nv * VecKernel.norm(qv)),
+              if (y == qy) 1L else 0L)
+          }
+        }
+      }.toDF("q_id", "id", "__sim", "__m")
+    // rank within probe via the global prefix count + per-probe offsets
+    val ordered = sims.withColumn("__negsim", -col("__sim"))
+    val counted = Curation.runningTotal(ordered,
+      Seq(col("q_id"), col("__negsim"), col("id")), lit(1L), "__gr")
+    val qTotals = sims.groupBy("q_id").agg(count(lit(1)).as("__nt"))
+      .withColumn("__roff", coalesce(
+        sum(col("__nt")).over(Window.orderBy(col("q_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = counted
+      .join(broadcast(qTotals), Seq("q_id"))
+      .withColumn("__rank", col("__gr") - col("__roff"))
+      .select(col("q_id"), col("id"), col("__sim"), col("__m"),
+        col("__rank"), col("__nt"))
+    // the NEXT-worse rank's indicator via a rank equi-join (no window)
+    val nexts = ranked.select(col("q_id"),
+      (col("__rank") - 1).as("__rank"), col("__m").as("__mn"))
+    val terms = ranked.join(nexts, Seq("q_id", "__rank"), "left")
+      .withColumn("__d", when(col("__mn").isNotNull,
+        round((col("__m") - col("__mn")).cast("double") *
+          least(lit(k), col("__rank")).cast("double") /
+          (lit(k) * col("__rank")).cast("double"), 12))
+        .otherwise(lit(0.0)).cast("decimal(28,12)"))
+    // per-probe SUFFIX sum of __d = global prefix over (q, rank DESC)
+    // minus broadcast per-probe offsets — the same device as the rank
+    val cum = Curation.runningTotal(
+      terms.withColumn("__negrank", -col("__rank")),
+      Seq(col("q_id"), col("__negrank")), col("__d"), "__gcum")
+    val dTotals = terms.groupBy("q_id").agg(sum(col("__d")).as("__dt"))
+      .withColumn("__doff", coalesce(
+        sum(col("__dt")).over(Window.orderBy(col("q_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0).cast("decimal(28,12)")))
+      .select(col("q_id"), col("__doff"))
+    // base s_(N) = m_N / N per probe
+    val base = ranked.filter(col("__rank") === col("__nt"))
+      .select(col("q_id"),
+        (col("__m").cast("double") / col("__nt").cast("double")).as("__sN"))
+    cum.join(broadcast(dTotals), Seq("q_id"))
+      .join(broadcast(base), Seq("q_id"))
+      .select(col("q_id").as("probe_id"), col("id"),
+        col("__rank").cast("long").as("rank"),
+        round(col("__sN") +
+          (col("__gcum") - col("__doff")).cast("double"), 6).as("shapley"))
+  }
+
+  /** Per-train-point valuation: the SUM of KNN-Shapley over the probe
+    * set plus the probe count — the pruning score is sum/n ("drop
+    * everything below zero"; sign and order are division-invariant).
+    * Emitted division-free on purpose: 6-dp inputs sum exactly as
+    * DECIMAL, whereas a double mean lands on .5-at-7th-digit rounding
+    * boundaries that engines round differently. */
+  def knnShapleyTotals(train: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      maxProbes: Int = 256): DataFrame =
+    knnShapley(train, probes, idCol, vecCol, labelCol, k, maxProbes)
+      .groupBy(col("id"))
+      .agg(sum(col("shapley").cast("decimal(18,6)")).cast("double")
+          .as("shapley_sum"),
+        count(lit(1)).as("n_probes"))
+}

@@ -730,6 +730,28 @@ object PipelineQueries extends QueryGroup {
         queries, "q_id", "q_vec", "q_label", k = 10)
     }),
 
+    // exact KNN-Shapley data valuation (Jia et al. VLDB'19): every
+    // training vector's exact Shapley value for a K=3 NN classifier on
+    // a 4-probe validation slice — the closed-form telescoping sum
+    // along the distance ranking, both the rank and the suffix sum
+    // through the distributed prefix-count device (no per-probe
+    // corpus-sized window); DuckDB replays the full recursion
+    "emb_knn_shapley" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.Valuation.knnShapley(
+        emb.filter(col("vec_id") >= 4), emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", "label", k = 3)
+    }),
+
+    // the per-example pruning score: exact Shapley sum over the probes
+    // (division-free — a double mean hits engine-ambiguous .5 rounding)
+    "emb_knn_shapley_mean" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.ops.Valuation.knnShapleyTotals(
+        emb.filter(col("vec_id") >= 4), emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", "label", k = 3)
+    }),
+
     // the ANN tuning loop: per-query recall of the IVF probe against the
     // exact brute-force top-k on the same query sample (rows-only — the
     // approximate side is hash-seeded; hand-computed cases in spec)
@@ -2963,6 +2985,75 @@ object PipelineQueries extends QueryGroup {
         "r AS (SELECT *, row_number() OVER (PARTITION BY qdoc " +
         "    ORDER BY score DESC, ddoc) AS rank FROM sc) " +
         "SELECT qdoc, ddoc, score, rank FROM r WHERE rank <= 5"),
+
+    // KNN-Shapley: the full closed-form recursion replayed — rank by
+    // the kernel-operand-order cosine, telescoping term rounded to
+    // 12 dp, per-probe suffix sum as DECIMAL, base m_N/N, final 6 dp
+    "emb_knn_shapley" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label " +
+        "  FROM embeddings WHERE vec_id < 4), " +
+        "t AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 4), " +
+        "sims AS (SELECT q.q_id, t.vec_id AS id, " +
+        "  list_sum(list_transform(range(1, len(t.embedding) + 1), " +
+        "    i -> CAST(t.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / " +
+        "  (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1), " +
+        "    i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))) * " +
+        "   sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1), " +
+        "    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))) AS sim, " +
+        "  CASE WHEN t.label = q.q_label THEN 1 ELSE 0 END AS m " +
+        "  FROM t CROSS JOIN q), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "    ORDER BY sim DESC, id) AS rnk, " +
+        "  count(*) OVER (PARTITION BY q_id) AS nt FROM sims), " +
+        "terms AS (SELECT r.q_id, r.id, r.rnk, r.m, r.nt, " +
+        "  CASE WHEN n.m IS NOT NULL THEN " +
+        "    round(CAST(r.m - n.m AS DOUBLE) * CAST(LEAST(3, r.rnk) AS DOUBLE) " +
+        "      / CAST(3 * r.rnk AS DOUBLE), 12) ELSE 0.0 END AS d " +
+        "  FROM ranked r LEFT JOIN ranked n " +
+        "    ON r.q_id = n.q_id AND n.rnk = r.rnk + 1), " +
+        "suff AS (SELECT q_id, id, rnk, m, nt, " +
+        "  SUM(CAST(d AS DECIMAL(28,12))) OVER (PARTITION BY q_id " +
+        "    ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "  FROM terms), " +
+        "base AS (SELECT q_id, CAST(m AS DOUBLE) / CAST(nt AS DOUBLE) AS sn " +
+        "  FROM suff WHERE rnk = nt) " +
+        "SELECT s.q_id AS probe_id, s.id, CAST(s.rnk AS BIGINT) AS rank, " +
+        "round(b.sn + CAST(s.cum AS DOUBLE), 6) AS shapley " +
+        "FROM suff s JOIN base b ON s.q_id = b.q_id"),
+
+    // the pruning score: per-train-point mean over the probes
+    "emb_knn_shapley_mean" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label " +
+        "  FROM embeddings WHERE vec_id < 4), " +
+        "t AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 4), " +
+        "sims AS (SELECT q.q_id, t.vec_id AS id, " +
+        "  list_sum(list_transform(range(1, len(t.embedding) + 1), " +
+        "    i -> CAST(t.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))) / " +
+        "  (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1), " +
+        "    i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))) * " +
+        "   sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1), " +
+        "    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))) AS sim, " +
+        "  CASE WHEN t.label = q.q_label THEN 1 ELSE 0 END AS m " +
+        "  FROM t CROSS JOIN q), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "    ORDER BY sim DESC, id) AS rnk, " +
+        "  count(*) OVER (PARTITION BY q_id) AS nt FROM sims), " +
+        "terms AS (SELECT r.q_id, r.id, r.rnk, r.m, r.nt, " +
+        "  CASE WHEN n.m IS NOT NULL THEN " +
+        "    round(CAST(r.m - n.m AS DOUBLE) * CAST(LEAST(3, r.rnk) AS DOUBLE) " +
+        "      / CAST(3 * r.rnk AS DOUBLE), 12) ELSE 0.0 END AS d " +
+        "  FROM ranked r LEFT JOIN ranked n " +
+        "    ON r.q_id = n.q_id AND n.rnk = r.rnk + 1), " +
+        "suff AS (SELECT q_id, id, rnk, m, nt, " +
+        "  SUM(CAST(d AS DECIMAL(28,12))) OVER (PARTITION BY q_id " +
+        "    ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "  FROM terms), " +
+        "base AS (SELECT q_id, CAST(m AS DOUBLE) / CAST(nt AS DOUBLE) AS sn " +
+        "  FROM suff WHERE rnk = nt), " +
+        "vals AS (SELECT s.id, round(b.sn + CAST(s.cum AS DOUBLE), 6) AS v " +
+        "  FROM suff s JOIN base b ON s.q_id = b.q_id) " +
+        "SELECT id, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS shapley_sum, " +
+        "CAST(count(*) AS BIGINT) AS n_probes FROM vals GROUP BY id"),
 
     // hard negatives: the ann_brute_topk formula restricted to
     // label-mismatched non-self pairs BEFORE ranking

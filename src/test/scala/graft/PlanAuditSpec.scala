@@ -322,7 +322,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "events_auc_by_segment" -> "segment-offsets fold: one row per segment",
       "eval_gains_table" -> "cumulative over score bins: require-bounded nBins <= 1000",
       "eval_qini" -> "cumulative over score bins: require-bounded nBins <= 1000",
-      "text_zipf_slope" -> "rank after limit(n<=100); checkpoint hides the limit from the plan")
+      "text_zipf_slope" -> "rank after limit(n<=100); checkpoint hides the limit from the plan",
+      "emb_knn_shapley" -> "probe-offsets fold: one row per probe (require-capped maxProbes)",
+      "emb_knn_shapley_mean" -> "probe-offsets fold: one row per probe (require-capped maxProbes)")
     // a window whose subtree contains a LIMIT is bounded by construction
     // (the limit-then-rank top-k device) — allowed generically
     def boundedByLimit(w: WindowExec): Boolean = w.exists {

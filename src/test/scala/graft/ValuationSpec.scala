@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Valuation
+
+/** KNN-Shapley vs the DEFINITION: brute-force Shapley values computed
+  * by enumerating every subset of a small training set with the exact
+  * KNN utility v(S) = (1/K)·Σ_{j ≤ min(K,|S|)} 1[y_(j)(S) = y] — the
+  * closed-form recursion must reproduce them to rounding.
+  */
+class ValuationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("ValuationSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Brute-force Shapley for one probe: train points indexed 0..n-1
+    * with (similarity, labelMatch); utility of a subset is the mean
+    * label-match over its min(K,|S|) most-similar members. */
+  private def bruteShapley(sims: Array[Double], m: Array[Boolean],
+      k: Int): Array[Double] = {
+    val n = sims.length
+    def v(s: Seq[Int]): Double =
+      if (s.isEmpty) 0.0
+      else {
+        val top = s.sortBy(i => (-sims(i), i)).take(k)
+        top.count(m(_)).toDouble / k
+      }
+    def fact(x: Int): Double = (1 to x).map(_.toDouble).product
+    Array.tabulate(n) { i =>
+      val others = (0 until n).filterNot(_ == i)
+      (0 to others.length).map { size =>
+        others.combinations(size).map { s =>
+          val w = fact(size) * fact(n - size - 1) / fact(n)
+          w * (v(s :+ i) - v(s))
+        }.sum
+      }.sum
+    }
+  }
+
+  test("closed form matches brute-force subset enumeration (n=6, K=2)") {
+    val s = spark; import s.implicits._
+    // 2-D unit-circle vectors: distinct cosines to the probe at angle 0
+    val angles = Array(0.15, 0.4, 0.7, 1.1, 1.6, 2.3)
+    val labels = Array(1L, 0L, 1L, 1L, 0L, 1L)
+    val train = angles.zipWithIndex.map { case (a, i) =>
+      (i.toLong + 10, Array(math.cos(a).toFloat, math.sin(a).toFloat),
+        labels(i))
+    }.toSeq.toDF("id", "vec", "label")
+    val probe = Seq((1L, Array(1.0f, 0.0f), 1L)).toDF("id", "vec", "label")
+    val got = Valuation.knnShapley(train, probe, "id", "vec", "label", k = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("shapley"))
+      .toMap
+    // brute force: similarity = cos(angle), match = label == 1
+    val sims = angles.map(math.cos)
+    val want = bruteShapley(sims, labels.map(_ == 1L), 2)
+    for (i <- angles.indices)
+      assert(math.abs(got(i.toLong + 10) - want(i)) < 1e-6,
+        s"train $i: closed ${got(i.toLong + 10)} vs brute ${want(i)}")
+    // efficiency: Σ shapley = v(N) = fraction of matches in top-K
+    val topMatches = angles.indices.sortBy(i => -sims(i)).take(2)
+      .count(labels(_) == 1L).toDouble / 2
+    // tolerance: six outputs each rounded to 6 dp can drift Σ by 3e-6
+    assert(math.abs(got.values.sum - topMatches) < 5e-6,
+      "Shapley values must sum to the grand-coalition utility")
+  }
+
+  test("multi-probe mean + helpful/harmful signs") {
+    val s = spark; import s.implicits._
+    // mislabeled near-duplicate of the probe must get NEGATIVE value
+    val train = Seq(
+      (10L, Array(0.999f, 0.045f), 0L), // wrong label right next door
+      (11L, Array(0.95f, 0.31f), 1L),
+      (12L, Array(0.9f, 0.44f), 1L),
+      (13L, Array(0.5f, 0.87f), 0L)).toDF("id", "vec", "label")
+    val probes = Seq(
+      (1L, Array(1.0f, 0.0f), 1L),
+      (2L, Array(0.98f, 0.2f), 1L)).toDF("id", "vec", "label")
+    val mean = Valuation.knnShapleyTotals(train, probes, "id", "vec", "label",
+      k = 2).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Double]("shapley_sum")).toMap
+    assert(mean(10L) < 0, s"mislabeled near-dup must be harmful: ${mean(10L)}")
+    assert(mean(11L) > 0 && mean(12L) > 0,
+      s"correct near neighbors must help: ${mean(11L)}, ${mean(12L)}")
+    assert(mean.values.forall(v => !v.isNaN))
+  }
+
+  test("probe cap is enforced loudly") {
+    val s = spark; import s.implicits._
+    val df = (1 to 10).map(i => (i.toLong, Array(1.0f, 0.0f), 0L))
+      .toDF("id", "vec", "label")
+    val e = intercept[IllegalArgumentException] {
+      Valuation.knnShapley(df, df, "id", "vec", "label", 1, maxProbes = 5)
+    }
+    assert(e.getMessage.contains("probe count"))
+  }
+}
