@@ -1,0 +1,225 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import MediaCodec.Raster
+
+/** RIFF AVI container with Motion-JPEG video — the REAL video decode
+  * path, pure JVM: the container walk is ours, every frame is a
+  * baseline JPEG decoded by [[JpegCodec]] (Huffman + IDCT, no media
+  * libraries). MJPEG-in-AVI is the simplest genuinely-deployed video
+  * coding (webcams, surveillance, legacy crawl payloads), and it is
+  * exactly a container over the still codec we already own — so
+  * "video" stops being a disclosed stub: container metadata, frame
+  * timing, frame extraction and pixel decode are all real here.
+  * Inter-frame codecs (H.264/VP9) remain out of scope (patent-bound
+  * entropy coders, no libs in this environment) — [[Mp4Codec]] /
+  * [[WebmCodec]] cover their container metadata.
+  *
+  * Layout written and parsed (AVI RIFF form, OpenDML not required):
+  * {{{ RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+  *                 LIST('movi' '00dc' <jpeg> ...) idx1) }}}
+  *
+  * Malformed-totality: parse/decode of corrupt payloads returns
+  * unknown/None/empty — a bad blob in 100 TB of crawl must classify,
+  * not throw. Scale shape: everything is per-row kernel work inside
+  * `mapPartitions` (no shuffle, no driver hop); a frame-sample plan
+  * reads the idx1 index and decodes only the k sampled frames.
+  */
+object AviCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def rl32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def fourcc(b: Array[Byte], i: Int): String = new String(b, i, 4, US_ASCII)
+
+  /** RIFF....AVI ? */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+      b(2) == 'F' && b(3) == 'F' && b(8) == 'A' && b(9) == 'V' &&
+      b(10) == 'I' && b(11) == ' '
+
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+    rate: Int, scale: Int, handler: String) {
+    /** exact per-frame duration in ms only when it divides evenly;
+      * callers needing exact timestamps use frame math (1000L*scale*i/rate). */
+    def fpsX1000: Long = if (scale > 0) rate.toLong * 1000 / scale else -1L
+  }
+
+  // ---- writer ---------------------------------------------------------
+
+  private def wl32(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+  private def wl16(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def tag(o: ByteArrayOutputStream, t: String): Unit =
+    o.write(t.getBytes(US_ASCII))
+
+  /** Encode rasters as an MJPEG AVI at `rate/scale` fps (e.g. 30/1,
+    * 30000/1001). Every frame is a standalone baseline JPEG from
+    * [[JpegCodec.encodeJpeg]]; an idx1 keyframe index is written so
+    * index-driven samplers can seek without walking movi. */
+  def encodeAviMjpeg(frames: Seq[Raster], rate: Int, scale: Int = 1,
+      quality: Int = 90): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    require(rate > 0 && scale > 0, s"bad fps $rate/$scale")
+    val w = frames.head.width; val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "all frames must share dimensions")
+    val jpegs = frames.map(f => JpegCodec.encodeJpeg(f, quality)).toArray
+    val maxJpeg = jpegs.map(_.length).max
+
+    // LIST hdrl
+    val hdrl = new ByteArrayOutputStream()
+    tag(hdrl, "hdrl")
+    // avih: 56-byte main header
+    tag(hdrl, "avih"); wl32(hdrl, 56)
+    wl32(hdrl, (1000000L * scale / rate).toInt) // dwMicroSecPerFrame
+    wl32(hdrl, 0)          // dwMaxBytesPerSec
+    wl32(hdrl, 0)          // dwPaddingGranularity
+    wl32(hdrl, 0x10)       // dwFlags: AVIF_HASINDEX
+    wl32(hdrl, jpegs.length) // dwTotalFrames
+    wl32(hdrl, 0)          // dwInitialFrames
+    wl32(hdrl, 1)          // dwStreams
+    wl32(hdrl, maxJpeg)    // dwSuggestedBufferSize
+    wl32(hdrl, w); wl32(hdrl, h)
+    wl32(hdrl, 0); wl32(hdrl, 0); wl32(hdrl, 0); wl32(hdrl, 0) // reserved
+    // LIST strl
+    val strl = new ByteArrayOutputStream()
+    tag(strl, "strl")
+    tag(strl, "strh"); wl32(strl, 56)
+    tag(strl, "vids"); tag(strl, "MJPG")
+    wl32(strl, 0)          // dwFlags
+    wl16(strl, 0); wl16(strl, 0) // priority, language
+    wl32(strl, 0)          // dwInitialFrames
+    wl32(strl, scale); wl32(strl, rate) // dwScale, dwRate (fps = rate/scale)
+    wl32(strl, 0)          // dwStart
+    wl32(strl, jpegs.length) // dwLength (in frames)
+    wl32(strl, maxJpeg)    // dwSuggestedBufferSize
+    wl32(strl, -1)         // dwQuality
+    wl32(strl, 0)          // dwSampleSize (0: variable-size frames)
+    wl16(strl, 0); wl16(strl, 0); wl16(strl, w); wl16(strl, h) // rcFrame
+    // strf: BITMAPINFOHEADER
+    tag(strl, "strf"); wl32(strl, 40)
+    wl32(strl, 40); wl32(strl, w); wl32(strl, h)
+    wl16(strl, 1); wl16(strl, 24) // planes, bitcount
+    tag(strl, "MJPG")      // biCompression
+    wl32(strl, w * h * 3)  // biSizeImage
+    wl32(strl, 0); wl32(strl, 0); wl32(strl, 0); wl32(strl, 0)
+    val strlB = strl.toByteArray
+    tag(hdrl, "LIST"); wl32(hdrl, strlB.length); hdrl.write(strlB)
+    val hdrlB = hdrl.toByteArray
+
+    // LIST movi + idx1 (offsets relative to the 'movi' fourcc position)
+    val movi = new ByteArrayOutputStream()
+    tag(movi, "movi")
+    val idx = new ByteArrayOutputStream()
+    for (j <- jpegs) {
+      val off = movi.size() - 4 // offset of this chunk from after 'movi' tag
+      tag(movi, "00dc"); wl32(movi, j.length); movi.write(j)
+      if ((j.length & 1) == 1) movi.write(0) // RIFF even padding
+      tag(idx, "00dc"); wl32(idx, 0x10) // AVIIF_KEYFRAME
+      wl32(idx, off + 4); wl32(idx, j.length)
+    }
+    val moviB = movi.toByteArray
+    val idxB = idx.toByteArray
+
+    val out = new ByteArrayOutputStream()
+    tag(out, "RIFF")
+    wl32(out, 4 + 8 + hdrlB.length + 8 + moviB.length + 8 + idxB.length)
+    tag(out, "AVI ")
+    tag(out, "LIST"); wl32(out, hdrlB.length); out.write(hdrlB)
+    tag(out, "LIST"); wl32(out, moviB.length); out.write(moviB)
+    tag(out, "idx1"); wl32(out, idxB.length); out.write(idxB)
+    out.toByteArray
+  }
+
+  // ---- parser / decoder -----------------------------------------------
+
+  /** Container metadata from avih + the first `vids` strh: dimensions,
+    * total frames, exact fps as rate/scale, handler fourcc. */
+  def parseAviMeta(b: Array[Byte]): Option[AviMeta] = {
+    if (!sniff(b)) return None
+    try {
+      var w = -1; var h = -1; var nf = -1
+      var rate = -1; var scale = -1; var handler = ""
+      // walk top-level chunks; descend into LIST hdrl / LIST strl
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val t = fourcc(b, i); val len = rl32(b, i + 4)
+          if (len < 0 || i + 8 + len > to) return
+          if (t == "LIST" && len >= 4) {
+            val lt = fourcc(b, i + 8)
+            if ((lt == "hdrl" || lt == "strl") && depth < 4)
+              walk(i + 12, i + 8 + len, depth + 1)
+          } else if (t == "avih" && len >= 40) {
+            nf = rl32(b, i + 8 + 16)
+            w = rl32(b, i + 8 + 32); h = rl32(b, i + 8 + 36)
+          } else if (t == "strh" && len >= 40 && fourcc(b, i + 8) == "vids" &&
+              handler.isEmpty) {
+            handler = fourcc(b, i + 12)
+            scale = rl32(b, i + 8 + 20); rate = rl32(b, i + 8 + 24)
+          }
+          i += 8 + len + (len & 1)
+        }
+      }
+      walk(12, b.length, 0)
+      if (w > 0 && h > 0 && nf >= 0) Some(AviMeta(w, h, nf, rate, scale, handler))
+      else None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** [[MediaCodec.MediaMeta]] adapter for [[MediaCodec.parseMeta]]'s
+    * dispatch: n_frames from avih, fps lands nowhere (no slot) — use
+    * [[parseAviMeta]] when timing matters. */
+  def parseMetaAdapter(b: Array[Byte]): MediaCodec.MediaMeta =
+    parseAviMeta(b) match {
+      case Some(m) => MediaCodec.MediaMeta("avi", m.width, m.height, -1, -1,
+        m.nFrames, b.length.toLong)
+      case None => MediaCodec.MediaMeta("avi", -1, -1, -1, -1, -1,
+        if (b == null) 0L else b.length.toLong)
+    }
+
+  /** Decode up to `maxFrames` video frames: walk LIST movi for `??dc`
+    * chunks, JPEG-decode each. Returns (raster, frameIdx, tsMs) with
+    * the presentation time from exact stream-header math
+    * (1000·scale·idx/rate, integer). Frames that fail to decode are
+    * skipped (idx still advances — timing stays aligned). */
+  def decodeAviFrames(b: Array[Byte], maxFrames: Int = 64): Seq[(Raster, Int, Long)] = {
+    val meta = parseAviMeta(b).getOrElse(return Nil)
+    try {
+      val out = Seq.newBuilder[(Raster, Int, Long)]
+      var n = 0; var idx = 0
+      var i = 12
+      while (i + 8 <= b.length && n < maxFrames) {
+        val t = fourcc(b, i); val len = rl32(b, i + 4)
+        if (len < 0 || i + 8 + len > b.length) return out.result()
+        if (t == "LIST" && len >= 4 && fourcc(b, i + 8) == "movi") {
+          var j = i + 12
+          val end = i + 8 + len
+          while (j + 8 <= end && n < maxFrames) {
+            val ct = fourcc(b, j); val cl = rl32(b, j + 4)
+            if (cl < 0 || j + 8 + cl > end) return out.result()
+            if (ct.endsWith("dc") || ct.endsWith("db")) {
+              val frame = java.util.Arrays.copyOfRange(b, j + 8, j + 8 + cl)
+              JpegCodec.decodeJpeg(frame).foreach { r =>
+                val ts = if (meta.rate > 0)
+                  1000L * meta.scale * idx / meta.rate else -1L
+                out += ((r, idx, ts)); n += 1
+              }
+              idx += 1
+            }
+            j += 8 + cl + (cl & 1)
+          }
+        }
+        i += 8 + len + (len & 1)
+      }
+      out.result()
+    } catch { case _: ArrayIndexOutOfBoundsException => Nil }
+  }
+}

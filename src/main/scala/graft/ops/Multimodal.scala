@@ -130,10 +130,13 @@ object Multimodal {
   //
   // PNG rasters decode through MediaCodec.decodePng (JDK Inflater + the
   // five PNG filter types), BMP through decodeBmp, WAV PCM through
-  // decodeWavPcm — so perceptual hashing, near-dup image detection,
-  // resize, and audio energy below operate on REAL pixels/samples, not
-  // metadata arithmetic. Only formats needing external codecs (JPEG
-  // raster, video) remain out of scope.
+  // decodeWavPcm, JPEG through JpegCodec (Huffman + IDCT), GIF through
+  // GifCodec (LZW + GCE compositing), MJPEG-in-AVI video frames through
+  // AviCodec + JpegCodec — so perceptual hashing, near-dup image
+  // detection, resize, audio energy, and video frame extraction below
+  // operate on REAL pixels/samples, not metadata arithmetic. Only
+  // inter-frame video codecs (H.264/VP9) and transform audio (MP3/AAC
+  // payload) remain metadata-only (their containers parse for real).
 
   /** Perceptual hashes over decoded rasters: appends `phash_a` (8×8
     * average hash) and `phash_d` (9×8 difference hash) long columns;

@@ -242,6 +242,63 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "frame_idx", "ts_cs", "sum_r", "sum_g", "sum_b")
     }),
 
+    // REAL video metadata through a REAL RIFF-AVI container walk:
+    // avih/strh fields recovered from genuine MJPEG AVIs (every frame
+    // a real baseline JPEG from our own encoder) — id arithmetic gate
+    "mm_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (32 + (id % 16) * 8).toInt
+          val h = (24 + (id % 12) * 8).toInt
+          val nF = (1 + id % 3).toInt
+          val frames = (0 until nF).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) {
+              px(i) = (((i / 3 % w) * 2 + (i / 3 / w) * 3 + f * 17) % 256).toByte
+              i += 1
+            }
+            graft.ops.MediaCodec.Raster(w, h, 3, px)
+          }
+          (id, graft.ops.AviCodec.encodeAviMjpeg(frames,
+            rate = (10 + (id % 4) * 5).toInt))
+        }).toDF("doc_id", "media")
+        .transform(Multimodal.decodeMeta(_, "media"))
+        .select("doc_id", "format", "width", "height", "n_frames")
+    }),
+
+    // REAL video FRAME decode: MJPEG frames extracted from the movi
+    // walk and pixel-decoded by the pure-JVM JPEG path; dims come from
+    // the DECODED rasters (a failed/fake decode can't fake them) and
+    // timestamps from exact integer stream-header math — pixel values
+    // are spec-gated (AviCodecSpec) since the DCT path is lossy
+    "mm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val w = (16 + (id % 6) * 8).toInt
+          val h = (16 + (id % 4) * 8).toInt
+          val nF = (2 + id % 3).toInt
+          val rate = (10 + (id % 4) * 5).toInt
+          val frames = (0 until nF).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) {
+              px(i) = (((i / 3 % w) * 3 + (i / 3 / w) * 5 + f * 29) % 256).toByte
+              i += 1
+            }
+            graft.ops.MediaCodec.Raster(w, h, 3, px)
+          }
+          val avi = graft.ops.AviCodec.encodeAviMjpeg(frames, rate = rate)
+          graft.ops.AviCodec.decodeAviFrames(avi, 8).map {
+            case (r, idx, ts) => (id, idx.toLong, ts, r.width, r.height)
+          }
+        }).toDF("doc_id", "frame_idx", "ts_ms", "width", "height")
+    }),
+
     // REAL pixel VALUES through REAL PNG bytes: the oracle replays the
     // fixture's pixel formula cell by cell (generate_series grid) and
     // must match the decoded per-channel SUMS exactly — the strongest
@@ -600,6 +657,24 @@ object BulkQueries extends QueryGroup {
         "CAST(w * h * (((c // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
         "CAST(w * h * ((c % 4) * 255 // 3) AS BIGINT) AS sum_b " +
         "FROM fr"),
+
+    // the AVI round trip: avih fields as pure id arithmetic
+    "mm_video_meta" ->
+      ("SELECT doc_id, 'avi' AS format, " +
+        "CAST(32 + (doc_id % 16) * 8 AS INT) AS width, " +
+        "CAST(24 + (doc_id % 12) * 8 AS INT) AS height, " +
+        "CAST(1 + doc_id % 3 AS INT) AS n_frames FROM documents"),
+
+    // MJPEG frame extraction: decoded dims + integer-exact timestamps
+    // (1000·i // rate) per planted frame
+    "mm_video_frames" ->
+      ("WITH g AS (SELECT doc_id, 16 + (doc_id % 6) * 8 AS w, " +
+        "16 + (doc_id % 4) * 8 AS h, 2 + doc_id % 3 AS nf, " +
+        "10 + (doc_id % 4) * 5 AS rate FROM documents) " +
+        "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+        "CAST((1000 * f) // rate AS BIGINT) AS ts_ms, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height " +
+        "FROM g, generate_series(0, 3) AS s(f) WHERE f < nf"),
 
     // pixel-value sums replayed cell by cell over the fixture grid
     "mm_image_stats" ->

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AviCodec, JpegCodec, MediaCodec}
+import graft.ops.MediaCodec.Raster
+
+/** AVI/MJPEG container: write → parse → frame-decode round trips.
+  * Pixel fidelity bounds mirror JpegCodecSpec (smooth gradients decode
+  * within a few levels through the lossy DCT path). */
+class AviCodecSpec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int, phase: Int): Raster = {
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      val p = i / 3; val c = i % 3
+      px(i) = (((p % w) * 2 + (p / w) * 3 + c * 7 + phase) % 256).toByte
+      i += 1
+    }
+    Raster(w, h, 3, px)
+  }
+
+  private def maxErr(a: Array[Byte], b: Array[Byte]): Int = {
+    var m = 0; var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff)); if (d > m) m = d; i += 1
+    }
+    m
+  }
+
+  test("metadata round trip: dims, frame count, exact fps fraction") {
+    val frames = (0 until 5).map(f => gradient(48, 32, f * 20))
+    val avi = AviCodec.encodeAviMjpeg(frames, rate = 30000, scale = 1001)
+    val m = AviCodec.parseAviMeta(avi).get
+    assert(m.width == 48 && m.height == 32 && m.nFrames == 5)
+    assert(m.rate == 30000 && m.scale == 1001 && m.handler == "MJPG")
+    assert(m.fpsX1000 == 29970L)
+  }
+
+  test("parseMeta dispatch routes RIFF-AVI (not wav, not unknown)") {
+    val avi = AviCodec.encodeAviMjpeg(Seq(gradient(24, 16, 0)), rate = 25)
+    val meta = MediaCodec.parseMeta(avi)
+    assert(meta.format == "avi" && meta.width == 24 && meta.height == 16)
+    assert(meta.nFrames == 1)
+  }
+
+  test("frame decode: every frame real-JPEG-decodes at source dims with close pixels") {
+    val srcs = (0 until 4).map(f => gradient(40, 24, f * 31))
+    val avi = AviCodec.encodeAviMjpeg(srcs, rate = 10)
+    val got = AviCodec.decodeAviFrames(avi)
+    assert(got.length == 4)
+    got.zip(srcs).zipWithIndex.foreach { case (((r, idx, ts), src), i) =>
+      assert(idx == i && ts == i * 100L)
+      assert(r.width == 40 && r.height == 24 && r.channels == 3)
+      assert(maxErr(r.pixels, src.pixels) <= 24,
+        s"frame $i drifted past the JPEG bound")
+    }
+  }
+
+  test("frame timestamps use exact integer stream math at NTSC rates") {
+    val frames = (0 until 3).map(f => gradient(16, 16, f))
+    val avi = AviCodec.encodeAviMjpeg(frames, rate = 30000, scale = 1001)
+    val ts = AviCodec.decodeAviFrames(avi).map(_._3)
+    // 1000 * 1001 * i / 30000
+    assert(ts == Seq(0L, 33L, 66L))
+  }
+
+  test("maxFrames caps the decode") {
+    val frames = (0 until 6).map(f => gradient(16, 16, f))
+    val avi = AviCodec.encodeAviMjpeg(frames, rate = 5)
+    assert(AviCodec.decodeAviFrames(avi, maxFrames = 2).length == 2)
+  }
+
+  test("malformed payloads: classify or empty, never throw") {
+    assert(AviCodec.parseAviMeta(null).isEmpty)
+    assert(AviCodec.parseAviMeta(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(AviCodec.decodeAviFrames(Array.fill[Byte](64)(0x41)).isEmpty)
+    val avi = AviCodec.encodeAviMjpeg(Seq(gradient(16, 16, 0)), rate = 25)
+    // truncate inside the movi payload
+    val cut = java.util.Arrays.copyOf(avi, avi.length / 2)
+    AviCodec.decodeAviFrames(cut) // must not throw; may be empty
+    assert(MediaCodec.parseMeta(cut).format == "avi") // header intact
+    // corrupt one JPEG frame body: frame skipped, no exception
+    val broken = avi.clone()
+    val moviAt = {
+      var i = 12; var at = -1
+      while (at < 0 && i + 12 < broken.length) {
+        if (new String(broken, i, 4, "US-ASCII") == "LIST" &&
+          new String(broken, i + 8, 4, "US-ASCII") == "movi") at = i
+        else i += 1
+      }
+      at
+    }
+    java.util.Arrays.fill(broken, moviAt + 30, moviAt + 60, 0x00.toByte)
+    assert(AviCodec.decodeAviFrames(broken).isEmpty)
+  }
+
+  test("idx1 offsets point at the movi chunks they index") {
+    val frames = (0 until 3).map(f => gradient(20, 12, f * 50))
+    val avi = AviCodec.encodeAviMjpeg(frames, rate = 25)
+    // locate idx1 and movi
+    def rl32(i: Int): Int = (avi(i) & 0xff) | ((avi(i + 1) & 0xff) << 8) |
+      ((avi(i + 2) & 0xff) << 16) | ((avi(i + 3) & 0xff) << 24)
+    var i = 12; var idxAt = -1; var moviAt = -1
+    while (i + 8 <= avi.length) {
+      val t = new String(avi, i, 4, "US-ASCII")
+      if (t == "idx1") idxAt = i
+      if (t == "LIST" && new String(avi, i + 8, 4, "US-ASCII") == "movi")
+        moviAt = i + 8
+      i += 8 + rl32(i + 4) + (rl32(i + 4) & 1)
+    }
+    assert(idxAt > 0 && moviAt > 0)
+    val n = rl32(idxAt + 4) / 16
+    assert(n == 3)
+    for (k <- 0 until n) {
+      val e = idxAt + 8 + k * 16
+      assert(new String(avi, e, 4, "US-ASCII") == "00dc")
+      val off = rl32(e + 8); val len = rl32(e + 12)
+      // offset is from the 'movi' fourcc; chunk header sits there
+      assert(new String(avi, moviAt + off, 4, "US-ASCII") == "00dc")
+      assert(rl32(avi.indexOf(0) * 0 + moviAt + off + 4) == len)
+      // the indexed bytes are a decodable JPEG
+      val frame = java.util.Arrays.copyOfRange(avi, moviAt + off + 8,
+        moviAt + off + 8 + len)
+      assert(JpegCodec.decodeJpeg(frame).nonEmpty)
+    }
+  }
+}
