@@ -240,7 +240,7 @@ object ScaleRehearsal {
       (tris, recs.get, t)
     }
     val (tris, recsNo, tNo) = run(0)
-    val (_, recsB, tB) = run(1 << 24)
+    val (_, recsB, tB) = run(-1) // AUTO: sized from m, codegen'd probe
     TriMeasure(scale, edges.distinct().count(), tris, recsNo, recsB, tNo, tB)
   }
 
@@ -545,6 +545,22 @@ object ScaleRehearsal {
          |edges (no false negatives — identical result, same oracle hash)
          |drops non-triangle wedges BEFORE that shuffle. Total shuffle
          |records over the run, same listener as above.
+         |
+         |r7 HONESTY NOTE + FIX: the r7 capture showed the bloom LOSING at
+         |3x (88.7 s vs 61.6 s) despite the 59% shuffle cut. Two real
+         |causes, both fixed this round: (a) the FIXED 2^24-bit sketch
+         |saturated at 3.6M closing edges (4.7 bits/key at 5 hashes →
+         |~12% FP — the probe survivors ballooned), and (b) the probe was
+         |a Scala UDF, so every one of the 524M wedges paid a boxed
+         |closure call outside whole-stage codegen; on a CPU-bound
+         |local[32] box that costs more than the memory-local shuffle it
+         |avoids. The bloom column below is now AUTO mode: sketch sized
+         |~12 bits/key from the measured edge count (`Bloom.sizeBits`),
+         |probe via the codegen'd `graftfn.BloomHit` expression, engaged
+         |only when the exact wedge count is >= 8x the edge count. On a
+         |network-bound cluster the shuffle-record cut is the operative
+         |win; the wall-times here are the CPU-bound local check that the
+         |probe no longer drags.
          |
          || scale | edges | triangles | shuffle recs (no bloom) | shuffle recs (bloom) | t no-bloom (s) | t bloom (s) |
          ||---|---|---|---|---|---|---|

@@ -181,7 +181,7 @@ object AviCodec {
     parseAviMeta(b) match {
       case Some(m) => MediaCodec.MediaMeta("avi", m.width, m.height, -1, -1,
         m.nFrames, b.length.toLong)
-      case None => MediaCodec.MediaMeta("avi", -1, -1, -1, -1, -1,
+      case None => MediaCodec.MediaMeta("unknown", -1, -1, -1, -1, -1,
         if (b == null) 0L else b.length.toLong)
     }
 

@@ -64,6 +64,12 @@ object Bloom {
     true
   }
 
+  /** Public static alias of [[contains]] for generated code — whole-stage
+    * codegen emits `graft.ops.Bloom.containsJ(...)` through the static
+    * forwarder ([[org.apache.spark.sql.graftfn.BloomHit]]). */
+  def containsJ(bits: Array[Long], numHashes: Int, h: Long): Boolean =
+    contains(bits, numHashes, h)
+
   /** Distributed sketch build: one pass over `keys` (any type `xxhash64`
     * accepts), per-partition bit arrays OR-merged — numBits/8 bytes of
     * driver traffic per partition, nothing else moves. */
@@ -107,7 +113,8 @@ object Bloom {
     val spark = big.sparkSession
     val bits = buildBits(small, smallKey, numBits, numHashes)
     val bitsB = spark.sparkContext.broadcast(bits)
-    val hit = udf((h: Long) => contains(bitsB.value, numHashes, h))
+    def hit(h: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftfn.BloomHit.column(h, bitsB, numHashes)
     require(!big.columns.contains("__bh") && !big.columns.contains("__bk"),
       "column names __bh/__bk are reserved by Bloom.antiJoin — rename first")
     val keyed = big.withColumn("__bh", xxhash64(col(bigKey)))
@@ -128,7 +135,20 @@ object Bloom {
     val spark = big.sparkSession
     val bits = buildBits(small, smallKey, numBits, numHashes)
     val bitsB = spark.sparkContext.broadcast(bits)
-    val hit = udf((h: Long) => contains(bitsB.value, numHashes, h))
-    big.filter(col(bigKey).isNotNull && hit(xxhash64(col(bigKey))))
+    big.filter(col(bigKey).isNotNull &&
+      org.apache.spark.sql.graftfn.BloomHit.column(
+        xxhash64(col(bigKey)), bitsB, numHashes))
+  }
+
+  /** The sketch size that keeps the probe's false-positive rate ~0.5%
+    * for `nKeys` keys at 5 hashes (~12 bits/key), as a power of two in
+    * [2^20, 2^27] — the 16 MB cap keeps the broadcast cluster-friendly.
+    * The r7 rehearsal's fixed 2^24 sketch saturated at 3.6M keys
+    * (4.7 bits/key → ~12% FP); sizing from the measured key count is
+    * what keeps the FP rate flat as the corpus grows. */
+  def sizeBits(nKeys: Long, bitsPerKey: Int = 12): Int = {
+    val want = math.max(1L << 20, nKeys * bitsPerKey)
+    val capped = math.min(want, 1L << 27)
+    java.lang.Long.highestOneBit(capped * 2 - 1).toInt // next pow2 >= capped
   }
 }

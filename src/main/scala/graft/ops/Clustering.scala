@@ -246,13 +246,20 @@ object Clustering {
     * Σ deg² a naive self-join pays on skewed graphs. Two shuffles on the
     * edge list (wedge join + closing-edge semi-join), one aggregate.
     *
-    * @param wedgeBloomBits size of the closing-edge bloom that prunes the
-    *   wedge set before its exchange (0 disables — the measurement
-    *   baseline in ScaleRehearsal; exactness is unaffected either way)
+    * @param wedgeBloomBits closing-edge bloom that prunes the wedge set
+    *   before its exchange: −1 (default) = AUTO — size the sketch from
+    *   the measured edge count (~12 bits/key, [[Bloom.sizeBits]]) and
+    *   engage it only when the exact wedge count Σ C(outdeg,2) exceeds
+    *   `autoBloomWedgeFactor`·m, i.e. when the shuffle rows it removes
+    *   dwarf the build pass + per-wedge probe it costs (the r7 rehearsal
+    *   measured a FIXED 2^24 sketch losing at 3×: saturated to ~12% FP
+    *   AND probing through a UDF — both fixed here); 0 = off (the
+    *   rehearsal baseline); >0 = forced with that many bits. Exactness
+    *   is unaffected in every mode.
     * @return (id, deg, triangles, coeff) for every node with deg ≥ 1;
     *         coeff = 2·T / (deg·(deg−1)), 0 when deg < 2, rounded 6 dp */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
-      wedgeBloomBits: Int = 1 << 24): DataFrame = {
+      wedgeBloomBits: Int = -1, autoBloomWedgeFactor: Double = 8.0): DataFrame = {
     // the canonical edge set feeds THREE consumers (degrees, orientation,
     // closing-edge probe) — materialize once or the upstream edge
     // construction (often itself a join) runs three times
@@ -292,15 +299,29 @@ object Clustering {
     // bloom sketch of the m closing edges (no false negatives → exact
     // composition, the [[Bloom]] reducer pattern) drops non-triangle
     // wedges BEFORE that exchange — only true triangles + ~FP-rate reach
-    // the shuffle
-    val wedgesP = if (wedgeBloomBits <= 0) wedges else {
+    // the shuffle. AUTO mode sizes the sketch from m and engages it only
+    // when the wedge set (Σ C(outdeg,2), exact, one cheap aggregate over
+    // the oriented edges) is ≥ autoBloomWedgeFactor × m — below that the
+    // build pass + per-wedge probe cost more than the shuffle they save.
+    val effectiveBits: Int =
+      if (wedgeBloomBits >= 0) wedgeBloomBits
+      else {
+        val m = e.count()
+        val wedgeCount = oriented.groupBy("u").agg(count(lit(1)).as("__d"))
+          .agg(coalesce(sum(col("__d") * (col("__d") - 1)), lit(0L)))
+          .head().getLong(0) / 2
+        if (wedgeCount >= autoBloomWedgeFactor * m) Bloom.sizeBits(m) else 0
+      }
+    val wedgesP = if (effectiveBits <= 0) wedges else {
       val spark = wedges.sparkSession
       val bits = Bloom.buildBits(
         closing.select(struct(col("v"), col("w")).as("__k")), "__k",
-        numBits = wedgeBloomBits, numHashes = 5)
+        numBits = effectiveBits, numHashes = 5)
       val bitsB = spark.sparkContext.broadcast(bits)
-      val hit = udf((h: Long) => Bloom.contains(bitsB.value, 5, h))
-      wedges.filter(hit(xxhash64(struct(col("v"), col("w")))))
+      // codegen'd probe (graftfn.BloomHit) — the r7 UDF probe cost more
+      // CPU than the saved shuffle on a CPU-bound local run
+      wedges.filter(org.apache.spark.sql.graftfn.BloomHit.column(
+        xxhash64(struct(col("v"), col("w"))), bitsB, 5))
     }
     val tris = wedgesP.join(closing, Seq("v", "w"), "left_semi")
     val nodeTris = tris.select(col("u").as("id"))

@@ -322,7 +322,7 @@ object JpegCodec {
                 if (tc > 1 || th > 3) return None
                 val bits = Array.tabulate(16)(k => u8(b, p + 1 + k))
                 val nv = bits.sum
-                if (p + 17 + nv > body + bodyLen + 1) return None
+                if (p + 17 + nv > body + bodyLen) return None
                 val vals = Array.tabulate(nv)(k => u8(b, p + 17 + k))
                 val t = new HuffTable(bits, vals)
                 if (tc == 0) dcTabs(th) = t else acTabs(th) = t
@@ -337,8 +337,11 @@ object JpegCodec {
                   width.toLong * height * nc > (1L << 28)) return None
               comps = Array.tabulate(nc) { c =>
                 val o = body + 6 + 3 * c
-                Component(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 0xf,
-                  u8(b, o + 2))
+                // T.81 A.2: a one-component scan is non-interleaved — the
+                // MCU is a single 8x8 block and sampling factors are ignored
+                val hf = if (nc == 1) 1 else u8(b, o + 1) >> 4
+                val vf = if (nc == 1) 1 else u8(b, o + 1) & 0xf
+                Component(u8(b, o), hf, vf, u8(b, o + 2))
               }
               if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
                   c.tq > 3)) return None

@@ -43,12 +43,20 @@ object Mp3Codec {
     if (!sniff(payload)) return unknown
     try {
       var i = 0
-      // skip ID3v2 (syncsafe size)
+      // skip ID3v2 (syncsafe size; +10 when the footer flag — header byte 5
+      // bit 0x10 — says a '3DI' footer trails the tag)
       if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
           payload(2) == '3') {
         val size = (u8(payload, 6) << 21) | (u8(payload, 7) << 14) |
           (u8(payload, 8) << 7) | u8(payload, 9)
-        i = 10 + size
+        i = 10 + size + (if ((u8(payload, 5) & 0x10) != 0) 10 else 0)
+        // resync: tolerate padding between tag and first frame by scanning
+        // forward (bounded) to the next 0xFFE sync word
+        var scans = 0
+        while (i + 4 <= payload.length && scans < 4096 &&
+            !(u8(payload, i) == 0xff && (u8(payload, i + 1) & 0xe0) == 0xe0)) {
+          i += 1; scans += 1
+        }
       }
       var channels = -1; var rate = -1
       var frames = 0
@@ -75,12 +83,23 @@ object Mp3Codec {
             val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / sr + padding
             if (frameLen <= 4) ok = false
             else {
-              if (frames == 0) {
+              if (frames == 0 && channels < 0) {
                 channels = if (mode == 3) 1 else 2
                 rate = sr
+                // a Xing/Info VBR header frame carries no audio — skip it
+                // without counting so header-math duration matches tools
+                val off = i + (if (mpeg1) { if (mode == 3) 21 else 36 }
+                  else { if (mode == 3) 13 else 21 })
+                val isVbrTag = off + 4 <= payload.length && {
+                  val t = new String(payload, off, 4, "US-ASCII")
+                  t == "Xing" || t == "Info"
+                }
+                if (isVbrTag) { i += frameLen }
+                else { frames += 1; i += frameLen }
+              } else {
+                frames += 1
+                i += frameLen
               }
-              frames += 1
-              i += frameLen
             }
           }
         }

@@ -61,8 +61,12 @@ object Valuation {
         it.flatMap { case (id, v, y) =>
           val nv = VecKernel.norm(v)
           qs.iterator.map { case (qid, qv, qy) =>
-            (qid, id, VecKernel.dot(v, qv) / (nv * VecKernel.norm(qv)),
-              if (y == qy) 1L else 0L)
+            // zero-norm vectors get sim 0.0 (NOT NaN) so the ranking stays
+            // total and the documented id tiebreak decides their order
+            val nq = VecKernel.norm(qv)
+            val sim = if (nv == 0f || nq == 0f) 0.0
+              else VecKernel.dot(v, qv) / (nv * nq)
+            (qid, id, sim, if (y == qy) 1L else 0L)
           }
         }
       }.toDF("q_id", "id", "__sim", "__m")

@@ -53,6 +53,21 @@ class GraphStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 3)
   }
 
+  test("triangleCounts: forced bloom (codegen'd BloomHit) equals no-bloom") {
+    val s = spark; import s.implicits._
+    // K5 ∪ a path: dense enough that the bloom actually drops wedges
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val noBloom = Clustering.triangleCounts(edges, "src", "dst",
+      wedgeBloomBits = 0).orderBy("id").collect().toSeq
+    val bloom = Clustering.triangleCounts(edges, "src", "dst",
+      wedgeBloomBits = 1 << 10).orderBy("id").collect().toSeq
+    val auto = Clustering.triangleCounts(edges, "src", "dst")
+      .orderBy("id").collect().toSeq
+    assert(bloom == noBloom) // no false negatives → identical composition
+    assert(auto == noBloom)  // auto gate changes cost only, never results
+  }
+
   test("triangleCounts: triangle-free star has zero triangles, zero coeff") {
     val s = spark; import s.implicits._
     val edges = (2L to 20L).map(i => (1L, i)).toDF("src", "dst")
