@@ -34,6 +34,10 @@ object Bench {
     // bucketed-table DDL is ingest cost, not query cost — pre-build
     GraftEngine.ensureCoBucketed(spark, warmDir)
     GraftEngine.ensureCoBucketed(spark, sfDir)
+    // media-fixture synthesis is ingest cost too (r7: the inline
+    // encoders were ~half the mm group's timed cost) — pre-build
+    graft.queries.MediaFixtures.ensure(spark, warmDir)
+    graft.queries.MediaFixtures.ensure(spark, sfDir)
 
     // Materialize via the `noop` sink: every output column of every row is
     // produced by the physical plan (unlike `count()`, under which Catalyst

@@ -134,34 +134,9 @@ object BulkQueries extends QueryGroup {
     // parameters from doc_id, so any wrong length/offset/CRC in either
     // codec breaks the round-trip hash
     "mm_decode_real" -> ((s, dir) => {
-      import s.implicits._
-      val payloads = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val m = (id % 4).toInt
-          val bytes =
-            if (m == 0) graft.ops.MediaCodec.encodePng(
-              (16 + id % 64).toInt, (16 + (id * 7) % 48).toInt, seed = id)
-            else if (m == 1) graft.ops.MediaCodec.encodeBmp(
-              (8 + id % 100).toInt, (8 + id % 50).toInt)
-            else if (m == 2) graft.ops.MediaCodec.encodeWav(
-              (8000 + (id % 5) * 2000).toInt, (1 + id % 2).toInt,
-              (id % 1000).toInt)
-            else { // REAL baseline JPEG bytes (our own encoder)
-              val w = (16 + id % 48).toInt; val h = (16 + (id * 5) % 40).toInt
-              val px = new Array[Byte](w * h * 3)
-              var p = 0
-              while (p < px.length) {
-                px(p) = (((p % (w * 3)) + p / (w * 3)) * 255 /
-                  (w * 3 + h)).toByte
-                p += 1
-              }
-              graft.ops.JpegCodec.encodeJpeg(
-                graft.ops.MediaCodec.Raster(w, h, 3, px), quality = 90)
-            }
-          (id, bytes)
-        }).toDF("doc_id", "media")
-      Multimodal.decodeMeta(payloads, "media")
+      // payloads read from the materialized fixture table (built once —
+      // see MediaFixtures; same id arithmetic, so oracles are unchanged)
+      Multimodal.decodeMeta(MediaFixtures.media(s, dir, "real"), "media")
         .select("doc_id", "format", "width", "height", "channels",
           "sample_rate", "n_frames") // n_bytes: deflate-length, not SQL-derivable
     }),
@@ -169,16 +144,7 @@ object BulkQueries extends QueryGroup {
     // REAL MPEG-audio metadata — ID3v2 skip + full frame walk; the
     // frame count is header math (duration without any decode)
     "mm_decode_mp3" -> ((s, dir) => {
-      import s.implicits._
-      val payloads = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          (id, graft.ops.Mp3Codec.encodeMp3Skeleton(
-            (50 + id % 200).toInt, mpeg1 = id % 2 == 0,
-            srIdx = (id % 3).toInt, brIdx = (1 + id % 14).toInt,
-            mono = id % 3 == 0))
-        }).toDF("doc_id", "media")
-      Multimodal.decodeMeta(payloads, "media")
+      Multimodal.decodeMeta(MediaFixtures.media(s, dir, "mp3"), "media")
         .select("doc_id", "format", "channels", "sample_rate", "n_frames")
     }),
 
@@ -186,17 +152,7 @@ object BulkQueries extends QueryGroup {
     // video container next to ISO-BMFF: varint element walking to
     // track dims / audio params, every field id-arithmetic
     "mm_decode_webm" -> ((s, dir) => {
-      import s.implicits._
-      val payloads = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val audio = id % 4 != 0
-          (id, graft.ops.WebmCodec.encodeWebmSkeleton(
-            (320 + (id % 10) * 160).toInt, (180 + (id % 8) * 90).toInt,
-            if (audio) (16000 + (id % 4).toInt * 8000) else -1,
-            if (audio) (1 + id % 2).toInt else -1))
-        }).toDF("doc_id", "media")
-      Multimodal.decodeMeta(payloads, "media")
+      Multimodal.decodeMeta(MediaFixtures.media(s, dir, "webm"), "media")
         .select("doc_id", "format", "width", "height", "channels",
           "sample_rate")
     }),
@@ -208,25 +164,8 @@ object BulkQueries extends QueryGroup {
     // disposal/transparency semantics are spec-gated in GifCodecSpec)
     "mm_gif_frames" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val w = (20 + id % 20).toInt; val h = (14 + id % 10).toInt
-          val nF = (2 + id % 3).toInt
-          def solid(i: Int): graft.ops.MediaCodec.Raster = {
-            val px = new Array[Byte](w * h * 3)
-            var p = 0
-            while (p < w * h) {
-              px(p * 3) = (((i >> 5) & 7) * 255 / 7).toByte
-              px(p * 3 + 1) = (((i >> 2) & 7) * 255 / 7).toByte
-              px(p * 3 + 2) = ((i & 3) * 255 / 3).toByte
-              p += 1
-            }
-            graft.ops.MediaCodec.Raster(w, h, 3, px)
-          }
-          val bytes = graft.ops.GifCodec.encodeGifAnimated(
-            (0 until nF).map(f => graft.ops.GifCodec.GifFrame(
-              solid(((id * 31 + f * 67) % 256).toInt), delayCs = 4 + f)))
+      MediaFixtures.media(s, dir, "gif_anim").as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
           graft.ops.GifCodec.decodeGifFrames(bytes, 8).zipWithIndex.map {
             case ((r, ts), fi) =>
               var sr = 0L; var sg = 0L; var sb = 0L
@@ -246,25 +185,7 @@ object BulkQueries extends QueryGroup {
     // avih/strh fields recovered from genuine MJPEG AVIs (every frame
     // a real baseline JPEG from our own encoder) — id arithmetic gate
     "mm_video_meta" -> ((s, dir) => {
-      import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = (32 + (id % 16) * 8).toInt
-          val h = (24 + (id % 12) * 8).toInt
-          val nF = (1 + id % 3).toInt
-          val frames = (0 until nF).map { f =>
-            val px = new Array[Byte](w * h * 3)
-            var i = 0
-            while (i < px.length) {
-              px(i) = (((i / 3 % w) * 2 + (i / 3 / w) * 3 + f * 17) % 256).toByte
-              i += 1
-            }
-            graft.ops.MediaCodec.Raster(w, h, 3, px)
-          }
-          (id, graft.ops.AviCodec.encodeAviMjpeg(frames,
-            rate = (10 + (id % 4) * 5).toInt))
-        }).toDF("doc_id", "media")
+      MediaFixtures.media(s, dir, "avi_meta")
         .transform(Multimodal.decodeMeta(_, "media"))
         .select("doc_id", "format", "width", "height", "n_frames")
     }),
@@ -276,23 +197,8 @@ object BulkQueries extends QueryGroup {
     // are spec-gated (AviCodecSpec) since the DCT path is lossy
     "mm_video_frames" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val w = (16 + (id % 6) * 8).toInt
-          val h = (16 + (id % 4) * 8).toInt
-          val nF = (2 + id % 3).toInt
-          val rate = (10 + (id % 4) * 5).toInt
-          val frames = (0 until nF).map { f =>
-            val px = new Array[Byte](w * h * 3)
-            var i = 0
-            while (i < px.length) {
-              px(i) = (((i / 3 % w) * 3 + (i / 3 / w) * 5 + f * 29) % 256).toByte
-              i += 1
-            }
-            graft.ops.MediaCodec.Raster(w, h, 3, px)
-          }
-          val avi = graft.ops.AviCodec.encodeAviMjpeg(frames, rate = rate)
+      MediaFixtures.media(s, dir, "avi_frames").as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, avi) =>
           graft.ops.AviCodec.decodeAviFrames(avi, 8).map {
             case (r, idx, ts) => (id, idx.toLong, ts, r.width, r.height)
           }
@@ -305,23 +211,7 @@ object BulkQueries extends QueryGroup {
     // image gate (dims gates can't see a pixel-value bug; this one
     // hashes every pixel through encode → Inflater → unfilter → sum)
     "mm_image_stats" -> ((s, dir) => {
-      import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = (16 + id % 40).toInt
-          val h = (16 + (id * 3) % 32).toInt
-          val ph = (id % 17).toInt
-          val px = new Array[Byte](w * h * 3)
-          var i = 0
-          while (i < px.length) {
-            val p = i / 3; val c = i % 3
-            px(i) = (((p % w) * 3 + (p / w) * 5 + c * 11 + ph) % 256).toByte
-            i += 1
-          }
-          (id, graft.ops.MediaCodec.encodePngRaster(
-            graft.ops.MediaCodec.Raster(w, h, 3, px)))
-        }).toDF("doc_id", "media")
+      MediaFixtures.media(s, dir, "png_stats")
         .transform(Multimodal.withImageStats(_, "media"))
         .select("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
     }),
@@ -332,12 +222,8 @@ object BulkQueries extends QueryGroup {
     // for "grab k frames per video" (codec decode stays disclosed)
     "mm_frame_sample_real" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val frames = (25 * (1 + id % 240)).toInt
-          val bytes = graft.ops.Mp4Codec.encodeMp4Skeleton(
-            (160 + (id % 16) * 80).toInt, (120 + (id % 12) * 60).toInt, frames)
+      MediaFixtures.media(s, dir, "mp4_sample").as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
           graft.ops.Mp4Codec.sampleFramePositions(bytes, 8)
             .map { case (idx, tsMs) => (id, idx, tsMs) }
         }).toDF("doc_id", "frame_idx", "ts_ms")
@@ -351,17 +237,7 @@ object BulkQueries extends QueryGroup {
     // hash-matches pure id arithmetic; centroid/rolloff/flux are
     // spec-gated (AudioFeatSpec) since no SQL engine replays an FFT
     "mm_audio_spectral" -> ((s, dir) => {
-      import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val frames = (256 * (1 + id % 4)).toInt
-          val hp = 2 << (id % 3).toInt // 2, 4, 8 samples
-          val bytes = graft.ops.MediaCodec.encodeWavTone(
-            8000, (1 + id % 2).toInt, frames,
-            amplitude = (500 + id % 500).toInt, halfPeriod = hp)
-          (id, bytes)
-        }).toDF("doc_id", "media")
+      MediaFixtures.media(s, dir, "wav_tone")
         .transform(Multimodal.withSpectralStats(_, "media", frameSize = 256))
         .select("doc_id", "n_spec_frames", "dominant_bin")
     }),
@@ -373,20 +249,7 @@ object BulkQueries extends QueryGroup {
     // mdhd/stsd; the oracle re-derives every field from id arithmetic
     // (pixel decode of video codecs stays a disclosed stub)
     "mm_decode_mp4" -> ((s, dir) => {
-      import s.implicits._
-      val payloads = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = (160 + (id % 16) * 80).toInt
-          val h = (120 + (id % 12) * 60).toInt
-          val frames = (25 * (1 + id % 240)).toInt
-          val audio = id % 3 != 0
-          val bytes = graft.ops.Mp4Codec.encodeMp4Skeleton(w, h, frames,
-            if (audio) (8000 * (1 + id % 5)).toInt else -1,
-            if (audio) (1 + id % 2).toInt else -1)
-          (id, bytes)
-        }).toDF("doc_id", "media")
-      Multimodal.decodeMeta(payloads, "media")
+      Multimodal.decodeMeta(MediaFixtures.media(s, dir, "mp4"), "media")
         .select("doc_id", "format", "width", "height", "channels",
           "sample_rate", "n_frames")
     }),
@@ -445,8 +308,13 @@ object BulkQueries extends QueryGroup {
               (w + h + ch * 7 + (id % 11).toInt)).toByte
             i += 1
           }
-          val bytes = graft.ops.JpegCodec.encodeJpeg(
-            graft.ops.MediaCodec.Raster(w, h, ch, px), quality = 92)
+          // every 5th doc takes the PROGRESSIVE (SOF2) path — multi-scan
+          // spectral-selection reassembly must land within the same
+          // tolerance (oracle unchanged: roundtrip_ok stays TRUE)
+          val raster = graft.ops.MediaCodec.Raster(w, h, ch, px)
+          val bytes =
+            if (id % 5 == 0) graft.ops.JpegCodec.encodeJpegProgressive(raster, quality = 92)
+            else graft.ops.JpegCodec.encodeJpeg(raster, quality = 92)
           val dec = graft.ops.MediaCodec.decodeRaster(bytes)
           def err(a: Array[Byte], b: Array[Byte]): Int = {
             var m = 0; var k = 0
@@ -469,18 +337,7 @@ object BulkQueries extends QueryGroup {
     // hash-matches a pure-arithmetic oracle. Every fourth doc is a
     // silent WAV (rms 0, silence_ratio 1).
     "mm_audio_energy" -> ((s, dir) => {
-      import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val frames = (128 + id % 128).toInt
-          val channels = (1 + id % 2).toInt
-          val bytes =
-            if (id % 4 == 0) graft.ops.MediaCodec.encodeWav(8000, channels, frames)
-            else graft.ops.MediaCodec.encodeWavTone(8000, channels, frames,
-              amplitude = (100 + id % 900).toInt, halfPeriod = (1 + id % 7).toInt)
-          (id, bytes)
-        }).toDF("doc_id", "media")
+      MediaFixtures.media(s, dir, "wav_energy")
         .transform(Multimodal.withAudioStats(_, "media", frameSize = 64,
           silenceThreshold = 50.0))
         .select("doc_id", "rms", "peak", "silence_ratio", "n_samples")
@@ -492,32 +349,14 @@ object BulkQueries extends QueryGroup {
     // so the decode→grayGrid→dHash→chunk-block→verify chain must be
     // pixel-exact to hash-match
     "mm_image_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val imgs = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val seed = id / 2
-          (id, graft.ops.MediaCodec.encodePng(
-            (16 + seed % 40).toInt, (16 + (seed * 3) % 32).toInt, seed))
-        }).toDF("doc_id", "media")
-      Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 0)
+      Multimodal.imageNearDups(MediaFixtures.media(s, dir, "png_neardup"),
+        "doc_id", "media", maxHamming = 0)
     }),
 
     // perceptual hashes over decoded rasters (rows-only: the hash value
     // itself isn't SQL-derivable); PNG and BMP payloads both decode
     "mm_image_phash" -> ((s, dir) => {
-      import s.implicits._
-      val imgs = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val bytes =
-            if (id % 2 == 0) graft.ops.MediaCodec.encodePng(
-              (16 + id % 48).toInt, (16 + (id * 7) % 40).toInt, seed = id)
-            else graft.ops.MediaCodec.encodeBmp(
-              (8 + id % 64).toInt, (8 + id % 32).toInt)
-          (id, bytes)
-        }).toDF("doc_id", "media")
-      Multimodal.withImageHashes(imgs, "media")
+      Multimodal.withImageHashes(MediaFixtures.media(s, dir, "png_phash"), "media")
         .select("doc_id", "phash_a", "phash_d")
     }),
 
@@ -525,13 +364,7 @@ object BulkQueries extends QueryGroup {
     // emits the round-tripped dims + mean luma of the resized raster
     "mm_image_resize" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map { id =>
-          val src = graft.ops.MediaCodec.encodePng(
-            (16 + id % 48).toInt, (16 + (id * 7) % 40).toInt, seed = id)
-          (id, src)
-        }).toDF("doc_id", "media")
+      MediaFixtures.media(s, dir, "png_resize")
         .transform(Multimodal.resizeImages(_, "media", 8, 8))
         .select(col("doc_id"), col("resized")).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, png) =>
