@@ -7,20 +7,24 @@ import graft.ops.MediaCodec.Raster
   * data is overwhelmingly JPEG, so perceptual dedup / resize pipelines
   * need an actual raster, not just header metadata.
   *
-  * Decoder: baseline sequential DCT, 8-bit precision, grayscale or
-  * YCbCr (1 or 3 components), arbitrary sampling factors up to 2×2
-  * (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multi-segment DQT/DHT.
-  * Progressive, arithmetic-coded, 12-bit and CMYK streams return None.
+  * Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
+  * T.81 Annex G: spectral selection + successive approximation — ~30-40%
+  * of web JPEGs), 8-bit precision, grayscale or YCbCr (1 or 3
+  * components), arbitrary sampling factors up to 2×2 (4:4:4 / 4:2:2 /
+  * 4:2:0), restart intervals, multi-segment DQT/DHT. Arithmetic-coded,
+  * lossless, 12-bit and CMYK streams return None.
   * Totality contract matches [[MediaCodec.decodePng]]: malformed or
   * unsupported payloads → None, NEVER an exception — one corrupt blob
   * in 100 TB of crawl data must not kill a stage.
   *
-  * Encoder: baseline 4:4:4 (or single-component grayscale), JFIF
-  * headers, ITU T.81 Annex K quantization + Huffman tables with
-  * libjpeg-style linear quality scaling — used to plant deterministic
-  * JPEG fixtures in the multimodal queries and specs (the environment
-  * ships no media libraries; interop is spec-gated against the JDK's
-  * own ImageIO reader/writer in MultimodalPixelSpec).
+  * Encoders: baseline 4:4:4 ([[encodeJpeg]]) and a spectral-selection
+  * progressive variant ([[encodeJpegProgressive]]) — single-component
+  * grayscale supported by both — JFIF headers, ITU T.81 Annex K
+  * quantization + Huffman tables with libjpeg-style linear quality
+  * scaling; used to plant deterministic JPEG fixtures in the multimodal
+  * queries and specs (the environment ships no media libraries; interop
+  * is spec-gated against the JDK's own ImageIO reader/writer, including
+  * its SA+4:2:0 default progression, in JpegCodecSpec).
   *
   * Reference behavior: HIndex stores media as opaque HBase cell bytes
   * (no decode surface); this transform exists for the training-data
@@ -345,9 +349,11 @@ object JpegCodec {
               }
               if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
                   c.tq > 3)) return None
-            case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            case 0xc2 => // progressive DCT, huffman: full multi-scan path
+              return decodeProgressiveJpeg(b)
+            case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                 0xcd | 0xce | 0xcf =>
-              return None // progressive / arithmetic / lossless
+              return None // arithmetic / lossless / differential
             case 0xdd => restartInterval = rb16(b, body)
             case 0xda => // SOS
               if (comps == null) return None
@@ -445,46 +451,407 @@ object JpegCodec {
         mcu += 1
       }
 
-      // upsample (sample replication) + color convert
-      if (comps.length == 1) {
-        val out = new Array[Byte](width * height)
-        val pw = planeW(0)
-        var y = 0
-        while (y < height) {
-          System.arraycopy(planes(0), y * pw, out, y * width, width)
-          y += 1
-        }
-        Some(Raster(width, height, 1, out))
-      } else {
-        val out = new Array[Byte](width * height * 3)
-        val yW = planeW(0); val cbW = planeW(1); val crW = planeW(2)
-        val cy = comps(0); val ccb = comps(1); val ccr = comps(2)
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) {
-            val lum = planes(0)((y * cy.v / vmax) * yW + (x * cy.h / hmax)) & 0xff
-            val cb = (planes(1)((y * ccb.v / vmax) * cbW + (x * ccb.h / hmax)) & 0xff) - 128
-            val cr = (planes(2)((y * ccr.v / vmax) * crW + (x * ccr.h / hmax)) & 0xff) - 128
-            val r = math.round(lum + 1.402 * cr).toInt
-            val g = math.round(lum - 0.344136 * cb - 0.714136 * cr).toInt
-            val bl = math.round(lum + 1.772 * cb).toInt
-            val o = (y * width + x) * 3
-            out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
-            out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
-            out(o + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
-            x += 1
-          }
-          y += 1
-        }
-        Some(Raster(width, height, 3, out))
-      }
+      Some(assemble(comps, planes, planeW, width, height, hmax, vmax))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
       case _: IllegalStateException => None
       case _: IllegalArgumentException => None
       case _: NegativeArraySizeException => None
     }
+  }
+
+  /** Upsample (sample replication) + color convert the decoded component
+    * planes into the output [[Raster]] — shared by the baseline and
+    * progressive paths. */
+  private def assemble(comps: Array[Component], planes: Array[Array[Byte]],
+      planeW: Array[Int], width: Int, height: Int, hmax: Int, vmax: Int): Raster = {
+    if (comps.length == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * pw, out, y * width, width)
+        y += 1
+      }
+      Raster(width, height, 1, out)
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      val yW = planeW(0); val cbW = planeW(1); val crW = planeW(2)
+      val cy = comps(0); val ccb = comps(1); val ccr = comps(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val lum = planes(0)((y * cy.v / vmax) * yW + (x * cy.h / hmax)) & 0xff
+          val cb = (planes(1)((y * ccb.v / vmax) * cbW + (x * ccb.h / hmax)) & 0xff) - 128
+          val cr = (planes(2)((y * ccr.v / vmax) * crW + (x * ccr.h / hmax)) & 0xff) - 128
+          val r = math.round(lum + 1.402 * cr).toInt
+          val g = math.round(lum - 0.344136 * cb - 0.714136 * cr).toInt
+          val bl = math.round(lum + 1.772 * cb).toInt
+          val o = (y * width + x) * 3
+          out(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          out(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+          out(o + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Raster(width, height, 3, out)
+    }
+  }
+
+  // ---- progressive decoder (T.81 Annex G, huffman) ----------------------
+
+  /** Progressive JPEG raster decode: spectral selection + successive
+    * approximation (T.81 G.1.2), huffman entropy coding, restart
+    * intervals, grayscale/YCbCr up to 2×2 sampling — ~30-40% of web
+    * JPEGs. Coefficients accumulate across scans into per-component
+    * block arrays; dequantize + IDCT run once at EOI. Arithmetic
+    * coding and 12-bit stay None. Same totality contract as
+    * [[decodeJpeg]].
+    */
+  private def decodeProgressiveJpeg(b: Array[Byte]): Option[Raster] = {
+    try {
+      val qt = Array.ofDim[Int](4, 64)
+      val dcTabs = new Array[HuffTable](4)
+      val acTabs = new Array[HuffTable](4)
+      var comps: Array[Component] = null
+      var width = 0; var height = 0
+      var restartInterval = 0
+      // per-component coefficient storage, allocated at SOF
+      var coefs: Array[Array[Int]] = null
+      var mcusX = 0; var mcusY = 0
+      var hmax = 1; var vmax = 1
+      var i = 2
+      var done = false
+      while (!done && i + 4 <= b.length) {
+        if (u8(b, i) != 0xff) return None
+        val marker = u8(b, i + 1)
+        if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+        else if (marker == 0xd9) { done = true }
+        else {
+          val len = rb16(b, i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val body = i + 4
+          val bodyLen = len - 2
+          marker match {
+            case 0xdb =>
+              var p = body
+              while (p < body + bodyLen) {
+                val pq = u8(b, p) >> 4; val tq = u8(b, p) & 0xf
+                if (tq > 3) return None
+                if (pq == 0) {
+                  var k = 0
+                  while (k < 64) { qt(tq)(k) = u8(b, p + 1 + k); k += 1 }
+                  p += 65
+                } else {
+                  var k = 0
+                  while (k < 64) { qt(tq)(k) = rb16(b, p + 1 + 2 * k); k += 1 }
+                  p += 129
+                }
+              }
+            case 0xc4 =>
+              var p = body
+              while (p < body + bodyLen) {
+                val tc = u8(b, p) >> 4; val th = u8(b, p) & 0xf
+                if (tc > 1 || th > 3) return None
+                val bits = Array.tabulate(16)(k => u8(b, p + 1 + k))
+                val nv = bits.sum
+                if (p + 17 + nv > body + bodyLen) return None
+                val vals = Array.tabulate(nv)(k => u8(b, p + 17 + k))
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                p += 17 + nv
+              }
+            case 0xc2 =>
+              if (u8(b, body) != 8) return None
+              height = rb16(b, body + 1); width = rb16(b, body + 3)
+              val nc = u8(b, body + 5)
+              if (nc != 1 && nc != 3) return None
+              if (width <= 0 || height <= 0 ||
+                  width.toLong * height * nc > (1L << 28)) return None
+              comps = Array.tabulate(nc) { c =>
+                val o = body + 6 + 3 * c
+                val hf = if (nc == 1) 1 else u8(b, o + 1) >> 4
+                val vf = if (nc == 1) 1 else u8(b, o + 1) & 0xf
+                Component(u8(b, o), hf, vf, u8(b, o + 2))
+              }
+              if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
+                  c.tq > 3)) return None
+              hmax = comps.map(_.h).max
+              vmax = comps.map(_.v).max
+              mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+              coefs = comps.map(c =>
+                new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+            case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                0xcb | 0xcd | 0xce | 0xcf =>
+              return None // not progressive-huffman (second SOF = malformed)
+            case 0xdd => restartInterval = rb16(b, body)
+            case 0xda =>
+              if (comps == null) return None
+              val ns = u8(b, body)
+              if (ns < 1 || ns > comps.length) return None
+              val scanComps = new Array[Int](ns) // component indices
+              var c = 0
+              while (c < ns) {
+                val cid = u8(b, body + 1 + 2 * c)
+                val sel = u8(b, body + 2 + 2 * c)
+                val ci = comps.indexWhere(_.id == cid)
+                if (ci < 0) return None
+                comps(ci).dcTab = sel >> 4
+                comps(ci).acTab = sel & 0xf
+                scanComps(c) = ci
+                c += 1
+              }
+              val ss = u8(b, body + 1 + 2 * ns)
+              val se = u8(b, body + 2 + 2 * ns)
+              val ahAl = u8(b, body + 3 + 2 * ns)
+              val ah = ahAl >> 4; val al = ahAl & 0xf
+              if (ss > 63 || se > 63 || se < ss) return None
+              if (ss > 0 && ns != 1) return None // AC scans are single-comp
+              val in = new BitReader(b, body + 4 + 2 * ns)
+              if (!decodeScan(in, b, comps, scanComps, coefs, dcTabs, acTabs,
+                  ss, se, ah, al, mcusX, mcusY, hmax, vmax, width, height,
+                  restartInterval)) return None
+              // resync to the next REAL marker after the entropy data
+              // (skip stuffed 0xFF00, fill 0xFFs, and trailing RSTs)
+              i = in.pos
+              var found = false
+              while (!found && i + 1 < b.length) {
+                if (u8(b, i) == 0xff) {
+                  val m2 = u8(b, i + 1)
+                  if (m2 == 0x00 || m2 == 0xff) i += 1
+                  else if (m2 >= 0xd0 && m2 <= 0xd7) i += 2
+                  else found = true
+                } else i += 1
+              }
+              if (!found) done = true
+            case _ => // APPn/COM: skip
+          }
+          if (marker != 0xda && !done) i += 2 + len
+        }
+      }
+      if (comps == null || coefs == null) return None
+      if (comps.exists(c => qt(c.tq) == null)) return None
+
+      // dequantize + IDCT every block into padded planes
+      val planeW = comps.map(c => mcusX * c.h * 8)
+      val planeH = comps.map(c => mcusY * c.v * 8)
+      val planes = comps.indices.map(c =>
+        new Array[Byte](planeW(c) * planeH(c))).toArray
+      val block = new Array[Int](64)
+      val pix = new Array[Int](64)
+      var c = 0
+      while (c < comps.length) {
+        val comp = comps(c)
+        val q = qt(comp.tq)
+        val blocksW = mcusX * comp.h
+        val blocksH = mcusY * comp.v
+        val arr = coefs(c)
+        var by = 0
+        while (by < blocksH) {
+          var bx = 0
+          while (bx < blocksW) {
+            val off = (by * blocksW + bx) * 64
+            // stored in zigzag-index space scaled at decode: arr holds
+            // NATURAL-order raw coefficients; quantizer index is zigzag
+            var k = 0
+            while (k < 64) { block(zigzag(k)) = arr(off + zigzag(k)) * q(k); k += 1 }
+            idctBlock(block, pix)
+            val x0 = bx * 8; val y0 = by * 8
+            val pw = planeW(c)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c)((y0 + yy) * pw + x0 + xx) = pix(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      Some(assemble(comps, planes, planeW, width, height, hmax, vmax))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: IllegalStateException => None
+      case _: IllegalArgumentException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** Decode ONE progressive scan's entropy data into the coefficient
+    * arrays (natural-order indices). Returns false on malformed data. */
+  private def decodeScan(in: BitReader, b: Array[Byte],
+      comps: Array[Component], scanComps: Array[Int],
+      coefs: Array[Array[Int]], dcTabs: Array[HuffTable],
+      acTabs: Array[HuffTable], ss: Int, se: Int, ah: Int, al: Int,
+      mcusX: Int, mcusY: Int, hmax: Int, vmax: Int,
+      width: Int, height: Int, restartInterval: Int): Boolean = {
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+
+    def dcFirst(ci: Int, off: Int): Boolean = {
+      val t = dcTabs(comps(ci).dcTab)
+      if (t == null) return false
+      val s = t.decode(in)
+      if (s > 15) return false
+      preds(ci) += extend(in.readBits(s), s)
+      coefs(ci)(off) = preds(ci) << al
+      true
+    }
+    def dcRefine(ci: Int, off: Int): Boolean = {
+      if (in.readBit() != 0) coefs(ci)(off) |= 1 << al
+      true
+    }
+    def acFirst(ci: Int, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val t = acTabs(comps(ci).acTab)
+      if (t == null) return false
+      val arr = coefs(ci)
+      var k = ss
+      while (k <= se) {
+        val rs = t.decode(in)
+        val r = rs >> 4; val s = rs & 0xf
+        if (s == 0) {
+          if (r == 15) k += 16
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += in.readBits(r)
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          arr(off + zigzag(k)) = extend(in.readBits(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(ci: Int, off: Int): Boolean = {
+      val t = acTabs(comps(ci).acTab)
+      if (t == null) return false
+      val arr = coefs(ci)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var break = false
+        while (k <= se && !break) {
+          val rs = t.decode(in)
+          var r = rs >> 4; val s = rs & 0xf
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += in.readBits(r)
+              break = true
+            }
+            // r == 15: pass 16 zero-history coefficients below
+          } else {
+            if (s != 1) return false // SA refinement emits only ±1
+            newVal = if (in.readBit() != 0) p1 else m1
+          }
+          if (!break) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + zigzag(k)
+              if (arr(z) != 0) {
+                // correction bit for an already-nonzero coefficient
+                if (in.readBit() != 0 && (arr(z) & p1) == 0)
+                  arr(z) += (if (arr(z) >= 0) p1 else m1)
+              } else {
+                r -= 1
+                if (r < 0) {
+                  if (newVal != 0) arr(z) = newVal
+                  placed = true
+                }
+              }
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // finish the current block: correction bits for remaining
+        // nonzero coefficients only
+        while (k <= se) {
+          val z = off + zigzag(k)
+          if (arr(z) != 0 && in.readBit() != 0 && (arr(z) & p1) == 0)
+            arr(z) += (if (arr(z) >= 0) p1 else m1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def decodeBlock(ci: Int, off: Int): Boolean =
+      if (ss == 0) { if (ah == 0) dcFirst(ci, off) else dcRefine(ci, off) }
+      else { if (ah == 0) acFirst(ci, off) else acRefine(ci, off) }
+
+    def restart(): Boolean = {
+      if (!in.consumeRst()) return false
+      java.util.Arrays.fill(preds, 0)
+      eobrun = 0
+      true
+    }
+
+    if (scanComps.length > 1) {
+      // interleaved (DC) scan over MCUs (T.81: ns > 1 ⇔ interleaved)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0 &&
+            !restart()) return false
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var c = 0
+        while (c < scanComps.length) {
+          val ci = scanComps(c)
+          val comp = comps(ci)
+          val blocksW = mcusX * comp.h
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              val row = my * comp.v + by
+              val colB = mx * comp.h + bx
+              if (!decodeBlock(ci, (row * blocksW + colB) * 64)) return false
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved scan: the component's own ceil-dims block grid
+      val ci = scanComps(0)
+      val comp = comps(ci)
+      val compW = (width * comp.h + hmax - 1) / hmax
+      val compH = (height * comp.v + vmax - 1) / vmax
+      val bw = (compW + 7) / 8
+      val bh = (compH + 7) / 8
+      val stride = mcusX * comp.h // padded row stride in blocks
+      var n = 0
+      val total = bw * bh
+      while (n < total) {
+        if (restartInterval > 0 && n > 0 && n % restartInterval == 0 &&
+            !restart()) return false
+        val row = n / bw; val colB = n % bw
+        if (!decodeBlock(ci, (row * stride + colB) * 64)) return false
+        n += 1
+      }
+    }
+    true
   }
 
   // ---- encoder ---------------------------------------------------------
@@ -688,6 +1055,178 @@ object JpegCodec {
     }
     bw.flush()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a [[Raster]] as a PROGRESSIVE (SOF2) 4:4:4 JFIF JPEG using a
+    * pure spectral-selection progression: one interleaved DC scan, then
+    * per-component AC band scans (1-5, 6-63), all at Ah=Al=0 with the
+    * Annex K tables. Deterministic like [[encodeJpeg]]; decodes to the
+    * SAME raster as the baseline encoding of the same input (identical
+    * quantized coefficients, only the scan order differs) — which is
+    * exactly what makes it a strong fixture: the progressive reassembly
+    * path must reproduce the baseline result bit-for-bit. Successive
+    * approximation is exercised by ImageIO-written fixtures in
+    * JpegCodecSpec (libjpeg's default progression uses it). */
+  def encodeJpegProgressive(r: Raster, quality: Int = 90): Array[Byte] = {
+    require(r.width > 0 && r.height > 0, "empty raster")
+    require(r.channels == 1 || r.channels == 3 || r.channels == 4,
+      s"unsupported channel count: ${r.channels}")
+    val gray = r.channels == 1
+    val qLum = scaledQ(stdQLuma, quality)
+    val qChr = scaledQ(stdQChroma, quality)
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def zzT(t: Array[Int]): Array[Int] = Array.tabulate(64)(k => t(zigzag(k)))
+    seg(0xdb, 0 +: zzT(qLum))
+    if (!gray) seg(0xdb, 1 +: zzT(qChr))
+    val nc = if (gray) 1 else 3
+    val sofComps =
+      if (gray) Array(1, 0x11, 0)
+      else Array(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    seg(0xc2, Array(8, (r.height >> 8) & 0xff, r.height & 0xff,
+      (r.width >> 8) & 0xff, r.width & 0xff, nc) ++ sofComps) // SOF2
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit =
+      seg(0xc4, tcTh +: (bits ++ vals))
+    dht(0x00, dcLumaBits, dcLumaVals)
+    dht(0x10, acLumaBits, acLumaVals)
+    if (!gray) {
+      dht(0x01, dcChromaBits, dcChromaVals)
+      dht(0x11, acChromaBits, acChromaVals)
+    }
+
+    // ---- quantize all blocks once (scans revisit them) ----
+    val w = r.width; val h = r.height
+    val yP = new Array[Int](w * h)
+    val cbP = if (gray) null else new Array[Int](w * h)
+    val crP = if (gray) null else new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      if (gray) yP(p) = r.pixels(p) & 0xff
+      else {
+        val o = p * r.channels
+        val rr = r.pixels(o) & 0xff
+        val gg = r.pixels(o + 1) & 0xff
+        val bb = r.pixels(o + 2) & 0xff
+        yP(p) = math.round(0.299 * rr + 0.587 * gg + 0.114 * bb).toInt.min(255)
+        cbP(p) = (math.round(-0.168736 * rr - 0.331264 * gg + 0.5 * bb).toInt + 128)
+          .max(0).min(255)
+        crP(p) = (math.round(0.5 * rr - 0.418688 * gg - 0.081312 * bb).toInt + 128)
+          .max(0).min(255)
+      }
+      p += 1
+    }
+    val mbx = (w + 7) / 8; val mby = (h + 7) / 8
+    val nBlocks = mbx * mby
+    // coefBlocks(c)(blockIdx * 64 + zigzagIdx) — stored in ZIGZAG order
+    val coefBlocks = Array.tabulate(nc)(_ => new Array[Int](nBlocks * 64))
+    val block = new Array[Int](64)
+    val freq = new Array[Double](64)
+    val planes = if (gray) Array(yP) else Array(yP, cbP, crP)
+    val quants = if (gray) Array(qLum) else Array(qLum, qChr, qChr)
+    var bi = 0
+    while (bi < nBlocks) {
+      val x0 = (bi % mbx) * 8; val y0 = (bi / mbx) * 8
+      var c = 0
+      while (c < nc) {
+        var yy = 0
+        while (yy < 8) {
+          val sy = math.min(y0 + yy, h - 1)
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(x0 + xx, w - 1)
+            block(yy * 8 + xx) = planes(c)(sy * w + sx)
+            xx += 1
+          }
+          yy += 1
+        }
+        fdctBlock(block, freq)
+        var k = 0
+        while (k < 64) {
+          val nat = zigzag(k)
+          coefBlocks(c)(bi * 64 + k) = math.round(freq(nat) / quants(c)(nat)).toInt
+          k += 1
+        }
+        c += 1
+      }
+      bi += 1
+    }
+
+    def writeMag(bw: BitWriter, v: Int, s: Int): Unit = {
+      val mag = if (v < 0) v + (1 << s) - 1 else v
+      bw.write(mag, s)
+    }
+    def size(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    // ---- scan 1: DC, interleaved (4:4:4 ⇒ MCU = one block/comp) ----
+    val sosComps = if (gray) Array(1, 0x00) else Array(1, 0x00, 2, 0x11, 3, 0x11)
+    seg(0xda, nc +: (sosComps ++ Array(0, 0, 0))) // Ss=0 Se=0 AhAl=0
+    locally {
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](nc)
+      var b2 = 0
+      while (b2 < nBlocks) {
+        var c = 0
+        while (c < nc) {
+          val dc = coefBlocks(c)(b2 * 64)
+          val diff = dc - preds(c)
+          preds(c) = dc
+          val t = size(diff)
+          val tab = if (c == 0) encDcLuma else encDcChroma
+          val code = tab(t)
+          bw.write(code & 0xffff, code >> 16)
+          if (t > 0) writeMag(bw, diff, t)
+          c += 1
+        }
+        b2 += 1
+      }
+      bw.flush()
+    }
+
+    // ---- AC band scans, one component at a time ----
+    def acScan(c: Int, ss: Int, se: Int): Unit = {
+      val compId = c + 1
+      val acSel = if (c == 0) 0x00 else 0x11 // Td unused in AC scans; Ta selects
+      seg(0xda, Array(1, compId, acSel, ss, se, 0))
+      val bw = new BitWriter(out)
+      val tab = if (c == 0) encAcLuma else encAcChroma
+      var b2 = 0
+      while (b2 < nBlocks) {
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          val v = coefBlocks(c)(b2 * 64 + k)
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) {
+              val zrl = tab(0xf0); bw.write(zrl & 0xffff, zrl >> 16); run -= 16
+            }
+            val s = size(v)
+            val code = tab((run << 4) | s)
+            bw.write(code & 0xffff, code >> 16)
+            writeMag(bw, v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val eob = tab(0x00); bw.write(eob & 0xffff, eob >> 16) }
+        b2 += 1
+      }
+      bw.flush()
+    }
+    var c = 0
+    while (c < nc) { acScan(c, 1, 5); acScan(c, 6, 63); c += 1 }
+
+    marker(0xd9)
     out.toByteArray
   }
 }

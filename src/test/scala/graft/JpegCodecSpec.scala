@@ -150,9 +150,95 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 2, s"gray disagreement $worst")
   }
 
-  test("progressive JPEG returns None (disclosed unsupported), never throws") {
-    val bytes = imageIoWriteJpeg(gradient(24, 24, 3, 1), 0.9f, progressive = true)
-    assert(JpegCodec.decodeJpeg(bytes).isEmpty)
+  test("progressive (our SS encoder) decodes IDENTICALLY to baseline encoding") {
+    // same quantized coefficients, different scan order — the progressive
+    // reassembly must reproduce the baseline raster bit-for-bit
+    for ((w, h, ch, ph) <- Seq((37, 29, 3, 5), (23, 17, 1, 11), (64, 48, 3, 0))) {
+      val src = gradient(w, h, ch, ph)
+      val base = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(src, 92)).get
+      val prog = JpegCodec.decodeJpeg(JpegCodec.encodeJpegProgressive(src, 92)).get
+      assert(prog.width == base.width && prog.height == base.height &&
+        prog.channels == base.channels, s"dims at ${(w, h, ch)}")
+      assert(java.util.Arrays.equals(prog.pixels, base.pixels),
+        s"progressive != baseline at ${(w, h, ch)}: " +
+          s"maxErr=${maxErr(prog.pixels, base.pixels)}")
+    }
+  }
+
+  test("progressive: the JDK's independent reader accepts our SOF2 bytes") {
+    val src = gradient(31, 22, 3, 3)
+    val bytes = JpegCodec.encodeJpegProgressive(src, 92)
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(w == 31 && h == 22)
+    val dec = JpegCodec.decodeJpeg(bytes).get
+    assert(maxErr(dec.pixels, ref) <= 2,
+      s"decoders disagree by ${maxErr(dec.pixels, ref)}")
+  }
+
+  test("progressive: decodes the JDK writer's default progression (SA + 4:2:0)") {
+    // libjpeg's jpeg_simple_progression: spectral selection AND successive
+    // approximation, subsampled chroma — the real-crawl shape
+    val src = gradient(40, 24, 3, 9)
+    val bytes = imageIoWriteJpeg(src, 0.9f, progressive = true)
+    val dec = JpegCodec.decodeJpeg(bytes).getOrElse(
+      fail("progressive decode returned None"))
+    val (w, h, ref) = imageIoRgb(bytes)
+    assert(dec.width == w && dec.height == h && dec.channels == 3)
+    assert(meanErr(dec.pixels, ref) <= 3.0, s"meanErr=${meanErr(dec.pixels, ref)}")
+    assert(maxErr(dec.pixels, ref) <= 24, s"maxErr=${maxErr(dec.pixels, ref)}")
+    assert(meanErr(dec.pixels, src.pixels) <= 4.0)
+  }
+
+  test("progressive grayscale from the JDK writer decodes near-exactly") {
+    val src = gradient(19, 33, 1, 7)
+    val bytes = imageIoWriteJpeg(src, 0.95f, progressive = true)
+    val dec = JpegCodec.decodeJpeg(bytes).getOrElse(
+      fail("progressive gray decode returned None"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(dec.width == 19 && dec.height == 33 && dec.channels == 1)
+    var worst = 0
+    for (y <- 0 until 33; x <- 0 until 19) {
+      val ref = img.getRaster.getSample(x, y, 0)
+      val got = dec.pixels(y * 19 + x) & 0xff
+      worst = math.max(worst, math.abs(ref - got))
+    }
+    assert(worst <= 2, s"gray disagreement $worst")
+  }
+
+  test("progressive totality: truncation at every prefix returns None or a raster") {
+    val bytes = JpegCodec.encodeJpegProgressive(gradient(17, 13, 3, 2), 85)
+    var l = 0
+    while (l < bytes.length) {
+      val r = JpegCodec.decodeJpeg(java.util.Arrays.copyOf(bytes, l))
+      r.foreach(x => assert(x.width == 17 && x.height == 13))
+      l += 7
+    }
+  }
+
+  test("grayscale declaring 2x2 sampling factors decodes non-interleaved (T.81 A.2)") {
+    // some gray-from-color encoders keep h=v=2 in SOF; a one-component
+    // scan must ignore the factors (MCU = one 8x8 block) — decoding with
+    // 16x16 MCUs silently scrambles the raster
+    val src = gradient(32, 16, 1, 4) // dims multiples of 16: the silent case
+    val bytes = JpegCodec.encodeJpeg(src, quality = 92)
+    val want = JpegCodec.decodeJpeg(bytes).get
+    // patch the single SOF component's sampling byte 0x11 -> 0x22
+    val patched = bytes.clone()
+    var i = 2
+    var sofAt = -1
+    while (sofAt < 0 && i + 4 < patched.length) {
+      if ((patched(i) & 0xff) == 0xff && (patched(i + 1) & 0xff) == 0xc0) sofAt = i
+      else i += 1
+    }
+    assert(sofAt > 0)
+    val sampOff = sofAt + 4 + 6 + 1 // marker+len, precision+dims+nc, comp id
+    assert((patched(sampOff) & 0xff) == 0x11)
+    patched(sampOff) = 0x22.toByte
+    val dec = JpegCodec.decodeJpeg(patched).getOrElse(
+      fail("2x2-gray must decode, not None"))
+    assert(dec.width == 32 && dec.height == 16 && dec.channels == 1)
+    assert(java.util.Arrays.equals(dec.pixels, want.pixels),
+      "sampling factors must be ignored for a one-component scan")
   }
 
   test("malformed totality: truncation at every prefix length returns None or a raster") {
