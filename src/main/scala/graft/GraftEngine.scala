@@ -36,6 +36,17 @@ object GraftEngine {
       }
     }
 
+  /** EXPLAIN the index decision for `df` — which index (combination) the
+    * rewrite picks, why every rejected candidate lost, and the measured
+    * files-touched economics vs a full scan. The reporting face of the
+    * reference's `ScanFilterEvaluator` best-combination scoring
+    * (`ScanFilterEvaluator.java:527-726`), which decides silently.
+    * See [[graft.index.IndexAdvisor.explain]]. */
+  def explainIndexChoice(df: DataFrame,
+      catalog: IndexCatalog = IndexCatalog.default,
+      measureFiles: Boolean = true): Seq[graft.index.IndexAdvisor.Choice] =
+    graft.index.IndexAdvisor.explain(df, catalog, measureFiles)
+
   /** Statement-scoped hint SQL entry (reference: per-Scan index
     * expressions, `.../client/IndexUtils.java:45-70`). For sessions built
     * with [[GraftExtensions]] the `GRAFT_INDEX`/`GRAFT_NO_INDEX` comment

@@ -51,13 +51,21 @@ object ScaleRehearsal {
     val results = Seq(1, 10).map(measure(spark, catalog, sfDir, _))
     // covering reads reuse the layouts measure() just built/registered
     val coverResults = Seq(1, 10).map(measureCovering(spark, _))
+    // advisor EXPLAIN over the same layouts (reporting face of the
+    // reference's ScanFilterEvaluator scoring — see IndexAdvisor)
+    val advisorTexts = Seq(1, 10).map { s =>
+      val df = spark.read.parquet(s"$root/x$s/customer")
+        .filter(col("c_nationkey") === 7)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      s"x$s:\n" + IndexAdvisor.explain(df, catalog).map(_.toString).mkString("\n")
+    }
     val covResults = Seq(1, 10).map(measureCov(spark, sfDir, _))
     val triResults = Seq(1, 3).map(measureTri(spark, sfDir, _))
     val manResults = Seq(1, 10).map(measureManifest(spark, sfDir, _))
     val blockResults = measureBlocked(spark)
     val lshResults = Seq(1, 10).map(measureLsh(spark, _))
     write(sfDir, results, coverResults, covResults, triResults, manResults,
-      blockResults, lshResults)
+      blockResults, lshResults, advisorTexts)
     println(s"[rehearsal] wrote /root/repo/SCALE_REHEARSAL.md")
     spark.stop()
   }
@@ -442,7 +450,7 @@ object ScaleRehearsal {
   private def write(sfDir: String, rs: Seq[Measure], cover: Seq[CoverRead],
       cov: Seq[CovMeasure], tri: Seq[TriMeasure],
       man: Seq[ManMeasure], blocks: Seq[BlockMeasure],
-      lsh: Seq[LshMeasure]): Unit = {
+      lsh: Seq[LshMeasure], advisor: Seq[String] = Nil): Unit = {
     def f(d: Double) = String.format(Locale.ROOT, "%.3f", Double.box(d))
     val rows = rs.map { m =>
       s"| ${m.scale}x | ${m.baseRows} | ${m.matched} | ${m.baseFilesTotal} | " +
@@ -494,6 +502,18 @@ object ScaleRehearsal {
          |  zero-Exchange assertion) covers the regime where the base fetch
          |  must also be bounded — pick per workload, as the reference's
          |  load balancer does by colocating index and data regions.
+         |
+         |# Index-choice EXPLAIN (IndexAdvisor over the same layouts)
+         |
+         |`GraftEngine.explainIndexChoice` re-runs the selection policy
+         |against the optimized plan and reports the decision the optimizer
+         |made silently — chosen index, why each rejected candidate lost,
+         |and index-files-touched vs the full-scan file count (the metric
+         |the tables above gate on). Output at both scales:
+         |
+         |```
+         |@ADVISOR@
+         |```
          |
          |# Covering (index-only) reads — base-table I/O vs data growth
          |
@@ -686,6 +706,7 @@ object ScaleRehearsal {
       .replace("@COVROWS@",
         cov.map(m => s"| ${m.scale}x | ${m.rows} | ${m.cells} | " +
           s"${m.shuffleRecords} | ${f(m.t)} |").mkString("\n"))
+      .replace("@ADVISOR@", advisor.mkString("\n\n"))
       .replace("@TRIROWS@",
         tri.map(m => s"| ${m.scale}x | ${m.edges} | ${m.triangles} | " +
           s"${m.shuffleNoBloom} | ${m.shuffleBloom} | ${f(m.tNoBloom)} | " +

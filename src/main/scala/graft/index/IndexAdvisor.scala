@@ -1,0 +1,235 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, input_file_name, lit}
+
+/** Index-choice EXPLAIN surface — the reporting half of the reference's
+  * cost model: `ScanFilterEvaluator.java:527-726` scores every candidate
+  * index combination and picks the best, but the decision is invisible to
+  * the user. [[explain]] re-runs the same selection policy
+  * ([[IndexSelection]]) against a query's optimized plan and reports WHAT
+  * was chosen, WHY each rejected candidate lost, and the measured
+  * files-touched economics (index files with matches vs the full-scan
+  * file count — the same metric SCALE_REHEARSAL gates on).
+  *
+  * The advisor never changes the plan; `mode` is read off the plan the
+  * optimizer actually produced (covering / semi-join / full scan), so a
+  * disagreement between `mode` and the re-derived `chosen` is itself a
+  * bug signal.
+  *
+  * Scale note: the files-touched probe executes one tiny job per chosen
+  * index scan (count of DISTINCT matched file names over the
+  * footer-pruned index read — O(matching files)); pass `measureFiles =
+  * false` for a plan-only report.
+  */
+object IndexAdvisor {
+
+  /** One candidate index's verdict for a query. */
+  final case class CandidateReport(index: String, usable: Boolean,
+      covered: Seq[String], reason: String)
+
+  /** The advisor's report for one (table, predicate) site. */
+  final case class Choice(
+      table: String,
+      predicate: String,
+      mode: String, // "covering" | "index semi-join" | "full scan"
+      chosen: String, // rendered RowkeyPlan ("-" when none)
+      filesIndexTouched: Long, // index files with matches (-1 if not measured)
+      filesIndexTotal: Long, // files in the chosen index tables
+      filesBaseTotal: Long, // full-scan comparator
+      candidates: Seq[CandidateReport]) {
+    override def toString: String = {
+      val cands = candidates.map(c =>
+        s"    ${if (c.usable) "usable " else "unusable"} ${c.index}" +
+          (if (c.covered.nonEmpty) s" covers=${c.covered.mkString(",")}" else "") +
+          s" — ${c.reason}").mkString("\n")
+      s"""index choice for $table:
+         |  predicate: $predicate
+         |  mode: $mode
+         |  chosen: $chosen
+         |  files: index ${if (filesIndexTouched < 0) "?" else filesIndexTouched.toString}/$filesIndexTotal touched vs $filesBaseTotal full-scan
+         |$cands""".stripMargin
+    }
+  }
+
+  import IndexSelection._
+
+  /** Explain the index decision for every cataloged Filter site in `df`'s
+    * optimized plan. */
+  def explain(df: DataFrame, catalog: IndexCatalog = IndexCatalog.default,
+      measureFiles: Boolean = true): Seq[Choice] = {
+    val spark = df.sparkSession
+    val plan = df.queryExecution.optimizedPlan
+    val indexPathSet = catalog.tables.flatMap(t =>
+      catalog.get(t).toSeq.flatMap(_.indexPaths.values)).map(norm).toSet
+
+    def pathOf(rel: LogicalRelation): Option[String] = rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(p => norm(p.toUri.getPath))
+      case _ => None
+    }
+    def fileCount(path: String): Long =
+      try spark.read.parquet(path).inputFiles.length.toLong
+      catch { case _: Throwable => -1L }
+
+    // what the optimizer actually did, per base table
+    val semiJoined: Set[String] = plan.collect {
+      case Join(left, right, LeftSemi, _, _)
+          if right.exists {
+            case r: LogicalRelation => pathOf(r).exists(indexPathSet.contains)
+            case _ => false
+          } =>
+        left.collect { case r: LogicalRelation => pathOf(r) }.flatten
+    }.flatten.toSet
+    val scannedPaths: Set[String] = plan.collect {
+      case r: LogicalRelation => pathOf(r)
+    }.flatten.toSet
+
+    // covering rewrites leave NO base Filter behind — report them from the
+    // index-relation scan itself
+    val coveringSites: Seq[Choice] = catalog.tables.flatMap { t =>
+      val entry = catalog.get(t).get
+      val hit = entry.indexPaths.find { case (_, p) =>
+        scannedPaths.contains(norm(p)) } // index read...
+      val baseRead = scannedPaths.contains(norm(entry.basePath))
+      hit match {
+        case Some((idxName, idxPath)) if !baseRead =>
+          Some(Choice(t, "(covered — predicate folded into the index scan)",
+            "covering", s"$idxName (index-only scan)",
+            -1L, fileCount(idxPath), fileCount(entry.basePath),
+            Seq(CandidateReport(idxName, usable = true,
+              entry.indices.indices.find(_.name == idxName)
+                .map(_.columnNames).getOrElse(Nil),
+              "covering: every referenced column lives in the index table"))))
+        case _ => None
+      }
+    }
+
+    // ordinary sites: Filter over a cataloged base relation
+    val filterSites = plan.collect {
+      case Filter(cond, rel: LogicalRelation)
+          if pathOf(rel).exists(p => catalog.lookupByBasePath(p).isDefined) =>
+        (cond, rel)
+    }
+    val reports = filterSites.flatMap { case (cond, rel) =>
+      val path = pathOf(rel).get
+      val entry = catalog.lookupByBasePath(path).get
+      val available = entry.indices.indices
+        .filter(s => entry.indexPaths.contains(s.name))
+      val notBuilt = entry.indices.indices
+        .filterNot(s => entry.indexPaths.contains(s.name))
+      val normCond = DerivedPredicates.normalize(cond,
+        available.flatMap(_.columns).filter(_.partition.isDefined))
+      val conjuncts = splitConjuncts(normCond)
+      val leaves = conjuncts.flatMap(toLeaf)
+      val byCol = groupLeaves(leaves)
+
+      val usableSpecs = available.filter(s =>
+        s.where.forall(w => conjuncts.exists(c => toLeaf(c).exists {
+          case Eq(n, l) => n == w.column && String.valueOf(
+            CatalystTypeConverters.convertToScala(l.value, l.dataType)) == w.value
+          case _ => false
+        })))
+      val partialRejected = available.filterNot(usableSpecs.contains)
+
+      val chosen: Option[RowkeyPlan] = select(conjuncts, usableSpecs)
+      val chosenNames: Set[String] = chosen.toSeq.flatMap(indexNames).toSet
+
+      val cands: Seq[CandidateReport] =
+        notBuilt.map(s => CandidateReport(s.name, usable = false, Nil,
+          "not built: no materialized index path")) ++
+        partialRejected.map(s => CandidateReport(s.name, usable = false, Nil,
+          s"partial index WHERE ${s.where.get.column}='${s.where.get.value}' " +
+            "is not a top-level conjunct of the predicate")) ++
+        usableSpecs.map { s =>
+          usableLeaves(s, byCol) match {
+            case None => CandidateReport(s.name, usable = false, Nil,
+              s"leading column '${s.columns.head.indexColName}' has no " +
+                "EQ/IN/range conjunct (prefix rule, ScanFilterEvaluator:1030-1099)")
+            case Some(ls) if chosenNames.contains(s.name) =>
+              CandidateReport(s.name, usable = true, ls.map(_.column),
+                s"CHOSEN: resolves ${ls.size} predicate column(s), " +
+                  s"arity ${s.columns.size}")
+            case Some(ls) =>
+              CandidateReport(s.name, usable = true, ls.map(_.column),
+                s"lost the (columns-resolved desc, group size, arity) " +
+                  s"ordering: resolves ${ls.size} col(s) at arity ${s.columns.size}")
+          }
+        }
+
+      val mode =
+        if (semiJoined.contains(path)) "index semi-join"
+        else "full scan"
+      val (touched, idxTotal) = chosen match {
+        case Some(p) =>
+          val scans = indexScans(p)
+          val total = scans.map(s => fileCount(entry.indexPaths(s.spec.name))).sum
+          val t =
+            if (!measureFiles) -1L
+            else scans.map { s =>
+              val idx = spark.read.parquet(entry.indexPaths(s.spec.name))
+              val pred = s.leaves.map(leafColumn).reduce(_ && _)
+              idx.filter(pred).select(input_file_name()).distinct().count()
+            }.sum
+          (t, total)
+        case None => (-1L, 0L)
+      }
+      Some(Choice(entry.indices.table, normCond.sql, mode,
+        chosen.map(render).getOrElse("- (no usable index: full scan)"),
+        touched, idxTotal, fileCount(entry.basePath), cands))
+    }
+    coveringSites ++ reports
+  }
+
+  // ---- helpers ---------------------------------------------------------
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  private def indexNames(p: RowkeyPlan): Seq[String] = p match {
+    case IndexScan(spec, _) => Seq(spec.name)
+    case AndMerge(parts) => parts.flatMap(indexNames)
+    case OrMerge(parts) => parts.flatMap(indexNames)
+  }
+
+  private def indexScans(p: RowkeyPlan): Seq[IndexScan] = p match {
+    case s: IndexScan => Seq(s)
+    case AndMerge(parts) => parts.flatMap(indexScans)
+    case OrMerge(parts) => parts.flatMap(indexScans)
+  }
+
+  /** Render a RowkeyPlan the way EXPLAIN renders joins. */
+  def render(p: RowkeyPlan): String = p match {
+    case IndexScan(spec, leaves) =>
+      s"${spec.name}[${leaves.map(renderLeaf).mkString(" AND ")}]"
+    case AndMerge(parts) => parts.map(render).mkString("AND-merge(", ", ", ")")
+    case OrMerge(parts) => parts.map(render).mkString("OR-merge(", ", ", ")")
+  }
+
+  private def renderLeaf(l: Leaf): String = l match {
+    case Eq(c, v) => s"$c = ${ext(v)}"
+    case EqSet(c, vs) => s"$c IN (${vs.map(ext).mkString(",")})"
+    case Range(c, lo, loInc, hi, hiInc) =>
+      val loS = lo.map(v => s"${ext(v)} <${if (loInc) "=" else ""} ").getOrElse("")
+      val hiS = hi.map(v => s" <${if (hiInc) "=" else ""} ${ext(v)}").getOrElse("")
+      s"$loS$c$hiS"
+  }
+
+  private def ext(l: Literal): Any =
+    CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+  /** A Leaf as a DataFrame filter Column over the raw index table. */
+  private def leafColumn(l: Leaf): org.apache.spark.sql.Column = l match {
+    case Eq(c, v) => col(c) === lit(ext(v))
+    case EqSet(c, vs) => col(c).isin(vs.map(ext): _*)
+    case Range(c, lo, loInc, hi, hiInc) =>
+      val loC = lo.map(v => if (loInc) col(c) >= lit(ext(v)) else col(c) > lit(ext(v)))
+      val hiC = hi.map(v => if (hiInc) col(c) <= lit(ext(v)) else col(c) < lit(ext(v)))
+      (loC.toSeq ++ hiC.toSeq).reduce(_ && _)
+  }
+}

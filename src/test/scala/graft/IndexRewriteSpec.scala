@@ -371,6 +371,45 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("explainIndexChoice: chosen index, losers' reasons, file economics") {
+    val df = managed("customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") === 7)
+    val reports = GraftEngine.explainIndexChoice(df)
+    assert(reports.size == 1, s"one report expected: $reports")
+    val r = reports.head
+    assert(r.mode == "index semi-join", s"mode: $r")
+    assert(r.chosen.startsWith("idx_mkt_nation"), s"chosen: ${r.chosen}")
+    // economics: the chosen composite scan touches a strict subset of its
+    // index files; the full-scan comparator is the base file count
+    assert(r.filesIndexTotal >= 1 && r.filesBaseTotal >= 1, r.toString)
+    assert(r.filesIndexTouched >= 0 && r.filesIndexTouched <= r.filesIndexTotal,
+      r.toString)
+    // the single-col idx_nation must be reported usable-but-lost with the
+    // reference ordering as the reason
+    val lost = r.candidates.find(_.index == "idx_nation")
+      .getOrElse(fail(s"idx_nation missing from candidates: ${r.candidates}"))
+    assert(lost.usable && lost.reason.contains("lost"), lost.toString)
+    // prefix-rule rejections carry the leading column in the reason
+    val df2 = managed("orders").filter(col("o_custkey") <= 20L)
+    val r2 = GraftEngine.explainIndexChoice(df2, measureFiles = false).head
+    assert(r2.chosen.startsWith("idx_cust"), r2.toString)
+    val prefixRejected = r2.candidates.find(_.index == "idx_status")
+      .getOrElse(fail(s"idx_status missing: ${r2.candidates}"))
+    assert(!prefixRejected.usable && prefixRejected.reason.contains("prefix rule"),
+      prefixRejected.toString)
+    // partial-index rejection names the missing WHERE conjunct
+    val partialRejected = r2.candidates.find(_.index == "idx_open_cust").get
+    assert(!partialRejected.usable &&
+      partialRejected.reason.contains("not a top-level conjunct"),
+      partialRejected.toString)
+    // an unindexable predicate reports full scan with no chosen index
+    val r3 = GraftEngine.explainIndexChoice(
+      managed("customer").filter(col("c_acctbal") > 0.0),
+      measureFiles = false)
+    assert(r3.head.mode == "full scan" && r3.head.chosen.startsWith("-"),
+      r3.head.toString)
+  }
+
   test("hint grammar: malformed strings parse to None") {
     import graft.index.IndexHint
     assert(IndexHint.parse("").isEmpty)
