@@ -35,14 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Valuation {
 
-  /** @param train  (id, vec, label) training corpus
-    * @param probes (id, vec, label) probe/validation points (≤ maxProbes)
-    * @param k      the KNN classifier's K
-    * @return (probe_id, train id, rank, shapley) for every pair */
-  def knnShapley(train: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, k: Int,
-      maxProbes: Int = 256): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
+  /** The similarity kernel alone: the (q_id, id, __sim, __m) stream of
+    * every (probe, train) pair — the EXPENSIVE half of the valuation
+    * (one dot product per pair over the corpus). Materialize this as the
+    * micro-batch STATE for [[knnShapleyIncremental]]: new train points
+    * only ever append rows (probes are fixed), so maintenance never
+    * re-reads old corpus vectors. */
+  def knnShapleySims(train: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, maxProbes: Int = 256): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     val qRows = probes
@@ -53,7 +53,7 @@ object Valuation {
         "exact valuation scores every train point per probe; cap the probe set")
     val qb = spark.sparkContext.broadcast(qRows)
     // map-side similarity + label-match stream: (q, id, sim, m)
-    val sims = train
+    train
       .select(col(idCol).cast("long"), col(vecCol), col(labelCol).cast("long"))
       .as[(Long, Array[Float], Long)]
       .mapPartitions { it =>
@@ -70,6 +70,43 @@ object Valuation {
           }
         }
       }.toDF("q_id", "id", "__sim", "__m")
+  }
+
+  /** @param train  (id, vec, label) training corpus
+    * @param probes (id, vec, label) probe/validation points (≤ maxProbes)
+    * @param k      the KNN classifier's K
+    * @return (probe_id, train id, rank, shapley) for every pair */
+  def knnShapley(train: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      maxProbes: Int = 256): DataFrame =
+    knnShapleyFromSims(
+      knnShapleySims(train, probes, idCol, vecCol, labelCol, maxProbes), k)
+
+  /** Micro-batch maintenance: fold NEW train points into an existing
+    * valuation. `prevSims` is the materialized [[knnShapleySims]] state
+    * of everything scored so far (probes fixed); only the new rows pay
+    * dot products — the rank + telescoping-suffix arithmetic is recomputed
+    * over the merged stream, which is arithmetic-only (no corpus vector
+    * is re-read) and BIT-IDENTICAL to a from-scratch batch because the
+    * ranking's total order (q_id, −sim, id) is input-order-independent
+    * (ValuationSpec pins batch ≡ incremental on planted inserts).
+    * The same discipline as `covState`/`statsState`: state is mergeable,
+    * appends commute, the expensive kernel runs once per row ever.
+    * @return (updated sims state, valuation) — persist the state for the
+    *         next micro-batch (e.g. under a streaming `foreachBatch`). */
+  def knnShapleyIncremental(prevSims: DataFrame, newTrain: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, maxProbes: Int = 256): (DataFrame, DataFrame) = {
+    val merged = prevSims.select("q_id", "id", "__sim", "__m").unionByName(
+      knnShapleySims(newTrain, probes, idCol, vecCol, labelCol, maxProbes))
+    (merged, knnShapleyFromSims(merged, k))
+  }
+
+  /** The cheap half: exact ranks + telescoping suffix sums over a
+    * (q_id, id, __sim, __m) pair stream — see [[knnShapley]] for the
+    * distributed-device commentary. */
+  def knnShapleyFromSims(sims: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
     // rank within probe via the global prefix count + per-probe offsets
     val ordered = sims.withColumn("__negsim", -col("__sim"))
     val counted = Curation.runningTotal(ordered,

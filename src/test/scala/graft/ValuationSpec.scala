@@ -96,6 +96,43 @@ class ValuationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean.values.forall(v => !v.isNaN))
   }
 
+  test("incremental micro-batch ≡ from-scratch batch, bit-identical") {
+    val s = spark; import s.implicits._
+    // 40 train points on the unit circle, planted so inserts land at the
+    // TOP, MIDDLE and BOTTOM of every probe's ranking
+    def row(i: Int): (Long, Array[Float], Long) = {
+      val a = 0.05 + i * 0.07
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat), (i % 3 % 2).toLong)
+    }
+    val all = (0 until 40).map(row)
+    val inserts = Set(0, 1, 19, 20, 38, 39) // nearest / middle / farthest
+    val base = all.filterNot(t => inserts.contains(t._1.toInt)).toDF("id", "vec", "label")
+    val delta = all.filter(t => inserts.contains(t._1.toInt)).toDF("id", "vec", "label")
+    val probes = Seq(
+      (100L, Array(1.0f, 0.0f), 1L),
+      (101L, Array(0.0f, 1.0f), 0L)).toDF("id", "vec", "label")
+    val batch = Valuation.knnShapley(all.toDF("id", "vec", "label"), probes,
+      "id", "vec", "label", k = 3)
+      .orderBy("probe_id", "id").collect().map(_.toString).toSeq
+    // micro-batch: state = sims of the base corpus; fold the inserts in
+    val state0 = Valuation.knnShapleySims(base, probes, "id", "vec", "label")
+      .localCheckpoint(true) // materialized state, as a foreachBatch would
+    val (state1, incr) = Valuation.knnShapleyIncremental(state0, delta,
+      probes, "id", "vec", "label", k = 3)
+    val got = incr.orderBy("probe_id", "id").collect().map(_.toString).toSeq
+    assert(got == batch, "incremental must be BIT-identical to batch")
+    assert(state1.count() == 40L * 2, "state carries every (probe, train) pair")
+    // second fold on the updated state stays identical too (associativity)
+    val more = Seq((77L, Array(0.6f, 0.8f), 1L)).toDF("id", "vec", "label")
+    val full2 = Valuation.knnShapley(
+      all.toDF("id", "vec", "label").unionByName(more), probes,
+      "id", "vec", "label", k = 3)
+      .orderBy("probe_id", "id").collect().map(_.toString).toSeq
+    val (_, incr2) = Valuation.knnShapleyIncremental(
+      state1.localCheckpoint(true), more, probes, "id", "vec", "label", k = 3)
+    assert(incr2.orderBy("probe_id", "id").collect().map(_.toString).toSeq == full2)
+  }
+
   test("probe cap is enforced loudly") {
     val s = spark; import s.implicits._
     val df = (1 to 10).map(i => (i.toLong, Array(1.0f, 0.0f), 0L))
