@@ -33,6 +33,49 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(m.format == "mp3" && m.sampleRate == 48000 && m.nFrames == 10)
   }
 
+  test("ID3v2 FOOTER flag adds 10 bytes to the skip (header byte 5 bit 4)") {
+    val frames = Mp3Codec.encodeMp3Skeleton(10, mpeg1 = true, srIdx = 1,
+      brIdx = 5, mono = true)
+    val tagBody = new Array[Byte](200)
+    // flags = 0x10 → a '3DI' footer trails the 200-byte body
+    val footer = Array[Byte]('3', 'D', 'I', 3, 0, 0x10, 0, 0,
+      (200 >> 7).toByte, (200 & 0x7f).toByte)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0x10,
+      0, 0, (200 >> 7).toByte, (200 & 0x7f).toByte) ++ tagBody ++ footer
+    val m = MediaCodec.parseMeta(id3 ++ frames)
+    assert(m.format == "mp3" && m.sampleRate == 48000 && m.nFrames == 10,
+      s"footer skip broken: $m")
+  }
+
+  test("padding between the ID3v2 tag and first frame is resync'd over") {
+    val frames = Mp3Codec.encodeMp3Skeleton(7, mpeg1 = true, srIdx = 0,
+      brIdx = 9, mono = false)
+    val tagBody = new Array[Byte](100)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      0, 0, 0, 100.toByte) ++ tagBody
+    val pad = new Array[Byte](37) // zero padding before the first sync
+    val m = Mp3Codec.parseMp3Meta(id3 ++ pad ++ frames)
+    assert(m.format == "mp3" && m.nFrames == 7, s"resync broken: $m")
+  }
+
+  test("a Xing/Info VBR header frame is not counted as audio") {
+    // MPEG1 stereo: side info puts the tag at offset 36 from frame start
+    val frames = Mp3Codec.encodeMp3Skeleton(13, mpeg1 = true, srIdx = 0,
+      brIdx = 9, mono = false)
+    val frameLen = frames.length / 13
+    val withTag = frames.clone()
+    withTag(36) = 'X'; withTag(37) = 'i'; withTag(38) = 'n'; withTag(39) = 'g'
+    val m = Mp3Codec.parseMp3Meta(withTag)
+    assert(m.nFrames == 12, s"Xing frame must not count: $m")
+    assert(m.sampleRate == 44100 && m.channels == 2)
+    // 'Info' (CBR variant of the tag) likewise
+    val info = frames.clone()
+    info(36) = 'I'; info(37) = 'n'; info(38) = 'f'; info(39) = 'o'
+    assert(Mp3Codec.parseMp3Meta(info).nFrames == 12)
+    // an untagged stream is never miscounted (frameLen sanity)
+    assert(frameLen > 40 && Mp3Codec.parseMp3Meta(frames).nFrames == 13)
+  }
+
   test("trailing ID3v1 garbage stops the frame walk cleanly") {
     val frames = Mp3Codec.encodeMp3Skeleton(5, mpeg1 = true, srIdx = 0,
       brIdx = 9, mono = false)

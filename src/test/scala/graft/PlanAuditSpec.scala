@@ -325,23 +325,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "text_zipf_slope" -> "rank after limit(n<=100); checkpoint hides the limit from the plan",
       "emb_knn_shapley" -> "probe-offsets fold: one row per probe (require-capped maxProbes)",
       "emb_knn_shapley_mean" -> "probe-offsets fold: one row per probe (require-capped maxProbes)")
-    // a window whose subtree contains a LIMIT is bounded by construction
-    // (the limit-then-rank top-k device) — allowed generically
-    def boundedByLimit(w: WindowExec): Boolean = w.exists {
-      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
-      case _ => false
-    }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val bad =
-        try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan
-          plan.collect {
-            case w: WindowExec if w.partitionSpec.isEmpty &&
-              !w.orderSpec.forall(_.child.toString.contains("__pid")) &&
-              !boundedByLimit(w) => w
-          }
-        } catch { case e: Throwable =>
+        try globalDataWindows(fn(spark, sfDir))
+        catch { case e: Throwable =>
           failures += s"$name: failed to plan (${e.getClass.getSimpleName}: ${e.getMessage})"
           Nil
         }
@@ -352,6 +340,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty,
       s"corpus-global windows (add a fix or a justified allowlist row):\n" +
         failures.mkString("\n"))
+  }
+
+  /** The sweep's detector: unpartitioned WindowExec ordered by DATA
+    * columns — excluding the runningTotal offsets fold (ordered by
+    * __pid, one row per shuffle partition) and windows bounded by a
+    * LIMIT in their subtree (the limit-then-rank top-k device). */
+  private def globalDataWindows(df: DataFrame) = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    def boundedByLimit(w: WindowExec): Boolean = w.exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.orderSpec.forall(_.child.toString.contains("__pid")) &&
+        !boundedByLimit(w) => w
+    }
+  }
+
+  test("the window sweep goes RED on a planted corpus-ordered global window") {
+    // proves the detector has teeth: the exact shape that shipped in
+    // events_lorenz/text_textrank through r6 must be flagged
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number, sum => fsum}
+    val corpus = Tables.load(spark, sfDir, "lineitem")
+    val planted = corpus.withColumn("r",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    assert(globalDataWindows(planted).nonEmpty,
+      "the detector must flag an unpartitioned row_number over a corpus column")
+    // ...and stays green on the sanctioned offsets-fold shape
+    val offsets = corpus.groupBy(col("l_returnflag").as("__pid"))
+      .count()
+      .withColumn("off", fsum(col("count")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    assert(globalDataWindows(offsets).isEmpty,
+      "the __pid offsets fold is the sanctioned device and must pass")
   }
 
   test("Gini rank never windows the ranked table in one partition") {
