@@ -324,7 +324,8 @@ object MediaCodec {
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
-  /** Sniff-and-decode: PNG, BMP, GIF or baseline JPEG raster, else None. */
+  /** Sniff-and-decode: PNG, BMP, GIF or JPEG (baseline + progressive)
+    * raster, else None. */
   def decodeRaster(b: Array[Byte]): Option[Raster] =
     if (b == null || b.length < 3) None
     else if (u8(b, 0) == 0x89 && b(1) == 'P') decodePng(b)

@@ -1,0 +1,215 @@
+package graft.ops
+
+/** WARC (Web ARChive, ISO 28500) container codec, pure JVM — the
+  * container 100 TB crawl corpora actually arrive in (Common Crawl ships
+  * `.warc.gz`). A WARC file is a sequence of records, each a
+  * `WARC/1.0\r\n` version line, RFC-822-style named headers, a blank
+  * line, `Content-Length` payload bytes, and a `\r\n\r\n` separator; the
+  * gzip transport compresses records as CONCATENATED gzip members so
+  * readers can stream.
+  *
+  * [[parseWarc]] handles both transports (the JDK `GZIPInputStream`
+  * natively walks concatenated members) and splits `application/http`
+  * response payloads into status / headers / body so the body can flow
+  * straight into [[MediaCodec.parseMeta]] (media) or
+  * [[graft.functions.TextFunctions.stripHtml]] (text) — the
+  * crawl-to-pipeline on-ramp. Totality contract as every codec here:
+  * malformed input yields the records parsed so far (possibly none),
+  * NEVER an exception.
+  *
+  * Scale shape: one `.warc.gz` file is one task's unit (per-record gzip
+  * members are not block-splittable without an external index — the
+  * Common Crawl layout solves this with ~1 GB files, thousands of them);
+  * `binaryFile`-read then flatMap [[parseWarc]] keeps the whole decode
+  * map-side with zero shuffle.
+  *
+  * [[encodeWarc]] is the deterministic fixture writer (id-arithmetic
+  * oracles), emitting spec-shaped response/request records in either
+  * transport.
+  *
+  * Reference behavior: HIndex stores crawl payloads as opaque cell
+  * bytes; this is pipeline-tier functionality (SURVEY §2.11).
+  */
+object WarcCodec {
+
+  /** One parsed record. `httpStatus`/`httpContentType`/`body` are the
+    * embedded HTTP message's pieces for `application/http` payloads; for
+    * non-HTTP payloads `body` is the raw payload and `httpStatus` = -1. */
+  final case class WarcRecord(
+      warcType: String,
+      targetUri: String,
+      contentType: String,
+      contentLength: Long,
+      httpStatus: Int,
+      httpContentType: String,
+      body: Array[Byte])
+
+  private val CRLF = "\r\n".getBytes("US-ASCII")
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 5 &&
+      ((b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C' && b(4) == '/') ||
+        ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b))
+
+  /** Parse up to `maxRecords` records from a plain or gzipped WARC blob. */
+  def parseWarc(b: Array[Byte], maxRecords: Int = 1024): Seq[WarcRecord] = {
+    if (b == null || b.length < 5) return Nil
+    try {
+      val plain =
+        if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) gunzipAll(b)
+        else b
+      val out = Seq.newBuilder[WarcRecord]
+      var i = 0
+      var n = 0
+      while (n < maxRecords && i < plain.length) {
+        parseRecord(plain, i) match {
+          case Some((rec, next)) => out += rec; i = next; n += 1
+          case None => i = plain.length // stop cleanly on malformed tail
+        }
+      }
+      out.result()
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** Decompress a (possibly multi-member) gzip stream fully. */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 8192)
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val buf = new Array[Byte](8192)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** One record at offset `i`; returns (record, offsetAfterSeparator). */
+  private def parseRecord(b: Array[Byte], i0: Int): Option[(WarcRecord, Int)] = {
+    var i = i0
+    // tolerate extra blank lines between records
+    while (i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n') i += 2
+    val vEnd = lineEnd(b, i)
+    if (vEnd < 0) return None
+    val version = ascii(b, i, vEnd)
+    if (!version.startsWith("WARC/")) return None
+    i = vEnd + 2
+    var warcType = ""; var uri = ""; var cType = ""; var cLen = -1L
+    var done = false
+    while (!done) {
+      val e = lineEnd(b, i)
+      if (e < 0) return None
+      if (e == i) { done = true; i += 2 } // blank line ends headers
+      else {
+        val line = ascii(b, i, e)
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val k = line.substring(0, c).trim.toLowerCase
+          val v = line.substring(c + 1).trim
+          k match {
+            case "warc-type" => warcType = v
+            case "warc-target-uri" => uri = v
+            case "content-type" => cType = v
+            case "content-length" =>
+              cLen = try v.toLong catch { case _: NumberFormatException => -1L }
+            case _ =>
+          }
+        }
+        i = e + 2
+      }
+    }
+    if (cLen < 0 || i + cLen > b.length) return None
+    val payload = java.util.Arrays.copyOfRange(b, i, i + cLen.toInt)
+    i += cLen.toInt
+    // record separator: two CRLFs (lenient — accept fewer at EOF)
+    var sep = 0
+    while (sep < 2 && i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n') {
+      i += 2; sep += 1
+    }
+    val (status, httpCt, body) =
+      if (cType.toLowerCase.startsWith("application/http")) splitHttp(payload)
+      else (-1, "", payload)
+    Some((WarcRecord(warcType, uri, cType, cLen, status, httpCt, body), i))
+  }
+
+  /** Split an HTTP/1.x message into (status, content-type, body).
+    * A malformed message yields (-1, "", whole payload). */
+  private def splitHttp(p: Array[Byte]): (Int, String, Array[Byte]) = {
+    val e0 = lineEnd(p, 0)
+    if (e0 < 0) return (-1, "", p)
+    val start = ascii(p, 0, e0)
+    val status =
+      if (start.startsWith("HTTP/")) {
+        val parts = start.split(" ")
+        if (parts.length >= 2)
+          try parts(1).toInt catch { case _: NumberFormatException => -1 }
+        else -1
+      } else -1 // request records carry "GET /uri HTTP/1.1"
+    var i = e0 + 2
+    var ct = ""
+    var done = false
+    while (!done) {
+      val e = lineEnd(p, i)
+      if (e < 0) return (status, ct, Array.emptyByteArray)
+      if (e == i) { done = true; i += 2 }
+      else {
+        val line = ascii(p, i, e)
+        val c = line.indexOf(':')
+        if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("content-type"))
+          ct = line.substring(c + 1).trim
+        i = e + 2
+      }
+    }
+    (status, ct, java.util.Arrays.copyOfRange(p, i, p.length))
+  }
+
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def ascii(b: Array[Byte], from: Int, to: Int): String =
+    new String(b, from, to - from, "US-ASCII")
+
+  // ---- writer (deterministic fixtures) ---------------------------------
+
+  /** One record to write: WARC type, target URI, HTTP status (<0 = raw
+    * payload, no HTTP framing), HTTP content type, body bytes. */
+  final case class WarcEntry(warcType: String, targetUri: String,
+      httpStatus: Int, httpContentType: String, body: Array[Byte])
+
+  /** Serialize records as WARC/1.0; `gzipPerRecord` emits one gzip
+    * member per record (the Common Crawl transport). Deterministic:
+    * fixed header order, no dates/uuids — fixture ids live in the URI. */
+  def encodeWarc(entries: Seq[WarcEntry], gzipPerRecord: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    entries.foreach { e =>
+      val payload: Array[Byte] =
+        if (e.httpStatus >= 0) {
+          val reason = if (e.httpStatus == 200) "OK" else "X"
+          val head = (s"HTTP/1.1 ${e.httpStatus} $reason\r\n" +
+            s"Content-Type: ${e.httpContentType}\r\n" +
+            s"Content-Length: ${e.body.length}\r\n\r\n").getBytes("US-ASCII")
+          head ++ e.body
+        } else e.body
+      val cType =
+        if (e.httpStatus >= 0) "application/http; msgtype=response"
+        else "application/octet-stream"
+      val head = (s"WARC/1.0\r\n" +
+        s"WARC-Type: ${e.warcType}\r\n" +
+        s"WARC-Target-URI: ${e.targetUri}\r\n" +
+        s"Content-Type: $cType\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
+      val record = head ++ payload ++ CRLF ++ CRLF
+      if (gzipPerRecord) {
+        val bos = new java.io.ByteArrayOutputStream
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(record); gz.finish(); gz.close()
+        out.write(bos.toByteArray)
+      } else out.write(record)
+    }
+    out.toByteArray
+  }
+}

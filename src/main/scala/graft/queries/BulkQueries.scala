@@ -374,6 +374,39 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "width", "height", "mean_luma")
     }),
 
+    // REAL crawl container: WARC/1.0 (ISO 28500) record walk over both
+    // transports (plain + per-record gzip members), HTTP payload split,
+    // and the PNG body fed straight into the media sniffer — every
+    // emitted field re-derived by the oracle from id arithmetic
+    "mm_warc_records" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "warc").as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          graft.ops.WarcCodec.parseWarc(b).zipWithIndex.map { case (r, ix) =>
+            val info: Long =
+              if (r.httpContentType == "image/png")
+                graft.ops.MediaCodec.parseMeta(r.body).width.toLong
+              else r.body.length.toLong
+            (id, ix.toLong, r.warcType, r.httpStatus, r.httpContentType, info)
+          }
+        }).toDF("doc_id", "rec_idx", "warc_type", "http_status", "mime", "info")
+    }),
+
+    // crawl → text on-ramp: WARC record walk → HTTP body → stripHtml —
+    // the full "we crawled pages" to "text operators" path in one plan
+    "pipeline_warc_text" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "warc").as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          graft.ops.WarcCodec.parseWarc(b).collectFirst {
+            case r if r.httpContentType == "text/html" =>
+              (id, new String(r.body, "UTF-8"))
+          }
+        }).toDF("doc_id", "html")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.stripHtml(col("html")).as("text_out"))
+    }),
+
     // multimodal: frame sampling over the decoded n_frames
     "mm_frame_sample" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -558,6 +591,18 @@ object BulkQueries extends QueryGroup {
 
     // the JPEG round trip: dims are pure id arithmetic, the bounded-
     // error flag must be TRUE for every row (tolerance ±4 at q92)
+    "mm_warc_records" ->
+      ("SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx, 'response' AS warc_type, " +
+        "CAST(200 AS INT) AS http_status, 'text/html' AS mime, " +
+        "CAST(30 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS info FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'response', " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT), 'image/png', " +
+        "CAST(16 + doc_id % 16 AS BIGINT) FROM documents " +
+        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'request', " +
+        "CAST(-1 AS INT), '', " +
+        "CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents"),
+    "pipeline_warc_text" ->
+      "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out FROM documents",
     "mm_jpeg_roundtrip" ->
       ("SELECT doc_id, " +
         "CAST(16 + doc_id % 48 AS INT) AS width, " +

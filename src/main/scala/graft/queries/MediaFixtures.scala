@@ -36,7 +36,7 @@ object MediaFixtures {
   /** One row per doc_id; a column per fixture family (see builders). */
   private val columns = Seq("doc_id", "real", "mp3", "webm", "gif_anim",
     "avi_meta", "avi_frames", "png_stats", "mp4_sample", "wav_tone",
-    "mp4", "wav_energy", "png_neardup", "png_phash", "png_resize")
+    "mp4", "wav_energy", "png_neardup", "png_phash", "png_resize", "warc")
 
   // ---- per-family encoders: EXACTLY the former inline id arithmetic ----
 
@@ -185,11 +185,30 @@ object MediaFixtures {
     MediaCodec.encodePng(
       (16 + id % 48).toInt, (16 + (id * 7) % 40).toInt, seed = id)
 
+  /** Three-record WARC per doc: an HTML response, a PNG response (404
+    * every 4th), and a raw request record; even ids take the
+    * per-record-gzip transport (`.warc.gz`), odd ids plain. */
+  private def warcBlob(id: Long): Array[Byte] = {
+    import graft.ops.WarcCodec
+    val html = s"<html><body>doc $id</body></html>".getBytes("US-ASCII")
+    val png = MediaCodec.encodePng((16 + id % 16).toInt, (16 + id % 8).toInt,
+      seed = id)
+    val req = s"GET /$id HTTP/1.1\r\n\r\n".getBytes("US-ASCII")
+    WarcCodec.encodeWarc(Seq(
+      WarcCodec.WarcEntry("response", s"http://x/$id/0", 200, "text/html", html),
+      WarcCodec.WarcEntry("response", s"http://x/$id/1",
+        if (id % 4 == 0) 404 else 200, "image/png", png),
+      WarcCodec.WarcEntry("request", s"http://x/$id/2", -1, "", req)),
+      gzipPerRecord = id % 2 == 0)
+  }
+
   // ---- build + read --------------------------------------------------
 
+  // column count in the path → a schema change auto-rebuilds stale
+  // local tables instead of failing the read
   private def path(dir: String): String =
     "/root/repo/target/graft-warehouse/media_fixtures_" +
-      dir.replaceAll(".*/", "")
+      dir.replaceAll(".*/", "") + s"_c${columns.size}"
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
@@ -210,7 +229,7 @@ object MediaFixtures {
                 aviMetaBlob(id), aviFramesBlob(id), pngStatsBlob(id),
                 mp4SampleBlob(id), wavToneBlob(id), mp4Blob(id),
                 wavEnergyBlob(id), pngNeardupBlob(id), pngPhashBlob(id),
-                pngResizeBlob(id))
+                pngResizeBlob(id), warcBlob(id))
             }).toDF(columns: _*)
             .write.mode("overwrite").parquet(p)
         }

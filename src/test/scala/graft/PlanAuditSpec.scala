@@ -360,6 +360,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("media-fixture reads prune to the one blob column being decoded") {
+    // the fixture table carries 15+ blob families; a query decoding one
+    // must not read the other ~90% of the table's bytes
+    val schemas = scans(q("mm_video_meta"))
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("media_fixtures")))
+      .map(_.metadata("ReadSchema"))
+    assert(schemas.nonEmpty, "expected a media_fixtures scan")
+    assert(schemas.forall(s => s.contains("avi_meta") && !s.contains("png_stats")
+        && !s.contains("gif_anim") && !s.contains("warc")),
+      s"fixture scan must prune to the avi_meta column: $schemas")
+  }
+
   test("the window sweep goes RED on a planted corpus-ordered global window") {
     // proves the detector has teeth: the exact shape that shipped in
     // events_lorenz/text_textrank through r6 must be flagged

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCodec, WarcCodec}
+import graft.ops.WarcCodec.WarcEntry
+
+/** WARC (ISO 28500) container walk vs the deterministic writer: both
+  * transports, HTTP payload split, media hand-off, totality. */
+class WarcCodecSpec extends AnyFunSuite {
+
+  private def entries = Seq(
+    WarcEntry("response", "http://a/0", 200, "text/html",
+      "<html><body>hello</body></html>".getBytes("US-ASCII")),
+    WarcEntry("response", "http://a/1", 404, "text/plain",
+      "nope".getBytes("US-ASCII")),
+    WarcEntry("request", "http://a/2", -1, "",
+      "GET /a HTTP/1.1\r\n\r\n".getBytes("US-ASCII")))
+
+  test("plain transport round-trips types, statuses, mimes, bodies") {
+    val recs = WarcCodec.parseWarc(WarcCodec.encodeWarc(entries))
+    assert(recs.map(_.warcType) == Seq("response", "response", "request"))
+    assert(recs.map(_.httpStatus) == Seq(200, 404, -1))
+    assert(recs.map(_.httpContentType) == Seq("text/html", "text/plain", ""))
+    assert(new String(recs(0).body, "US-ASCII") == "<html><body>hello</body></html>")
+    assert(new String(recs(2).body, "US-ASCII") == "GET /a HTTP/1.1\r\n\r\n")
+  }
+
+  test("per-record gzip members (the Common Crawl transport) parse identically") {
+    val plain = WarcCodec.parseWarc(WarcCodec.encodeWarc(entries))
+    val gz = WarcCodec.parseWarc(WarcCodec.encodeWarc(entries, gzipPerRecord = true))
+    assert(gz.map(r => (r.warcType, r.httpStatus, r.httpContentType,
+        new String(r.body, "US-ASCII"))) ==
+      plain.map(r => (r.warcType, r.httpStatus, r.httpContentType,
+        new String(r.body, "US-ASCII"))))
+  }
+
+  test("a PNG response body hands off to the media sniffer intact") {
+    val png = MediaCodec.encodePng(24, 18, seed = 7L)
+    val warc = WarcCodec.encodeWarc(Seq(
+      WarcEntry("response", "http://a/img", 200, "image/png", png)),
+      gzipPerRecord = true)
+    val rec = WarcCodec.parseWarc(warc).head
+    val meta = MediaCodec.parseMeta(rec.body)
+    assert(meta.format == "png" && meta.width == 24 && meta.height == 18)
+    assert(java.util.Arrays.equals(rec.body, png))
+  }
+
+  test("maxRecords caps the walk") {
+    val many = WarcCodec.encodeWarc(Seq.fill(10)(entries.head))
+    assert(WarcCodec.parseWarc(many, maxRecords = 3).size == 3)
+    assert(WarcCodec.parseWarc(many).size == 10)
+  }
+
+  test("sniff accepts WARC/ and gzip magic, rejects other bytes") {
+    assert(WarcCodec.sniff(WarcCodec.encodeWarc(entries)))
+    assert(WarcCodec.sniff(WarcCodec.encodeWarc(entries, gzipPerRecord = true)))
+    assert(!WarcCodec.sniff("HTTP/1.1 200 OK".getBytes("US-ASCII")))
+    assert(!WarcCodec.sniff(null))
+  }
+
+  test("malformed totality: truncation at every prefix, corruption, null") {
+    for (gz <- Seq(false, true)) {
+      val bytes = WarcCodec.encodeWarc(entries, gzipPerRecord = gz)
+      var l = 0
+      while (l < bytes.length) {
+        // parsed-so-far or Nil, never an exception; never MORE records
+        assert(WarcCodec.parseWarc(java.util.Arrays.copyOf(bytes, l)).size <= 3)
+        l += 5
+      }
+      for (i <- 0 until bytes.length by 11) {
+        val c = bytes.clone(); c(i) = (c(i) ^ 0x5a).toByte
+        WarcCodec.parseWarc(c)
+      }
+    }
+    assert(WarcCodec.parseWarc(null).isEmpty)
+    assert(WarcCodec.parseWarc("WARC/1.0\r\nbogus".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("a record with a bad Content-Length stops the walk cleanly") {
+    val good = WarcCodec.encodeWarc(Seq(entries.head))
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http\r\nContent-Length: 999999\r\n\r\nx")
+      .getBytes("US-ASCII")
+    val recs = WarcCodec.parseWarc(good ++ bad)
+    assert(recs.size == 1) // the good record survives, the bad tail stops
+  }
+}
