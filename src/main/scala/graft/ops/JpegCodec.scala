@@ -183,8 +183,16 @@ object JpegCodec {
     def consumeRst(): Boolean = {
       n = 0
       if (!ended) {
-        // we may be exactly at the marker without having tripped `ended`
-        while (pos + 1 < b.length && (b(pos) & 0xff) != 0xff) pos += 1
+        // we may be exactly at the marker without having tripped `ended`;
+        // a 0xFF padding byte before the marker is stuffed as FF 00
+        // (encoders always stuff) — skip those pairs too
+        var scanning = true
+        while (scanning && pos + 1 < b.length) {
+          val v = b(pos) & 0xff
+          if (v != 0xff) pos += 1
+          else if ((b(pos + 1) & 0xff) == 0x00) pos += 2
+          else scanning = false
+        }
       }
       if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
           ((b(pos + 1) & 0xff) >= 0xd0 && (b(pos + 1) & 0xff) <= 0xd7)) {
@@ -916,7 +924,8 @@ object JpegCodec {
     * baseline 4:4:4 JFIF JPEG with the Annex K tables at `quality`
     * (libjpeg scaling). Deterministic: same raster + quality → same
     * bytes. 2- and 4-channel rasters drop alpha / reject. */
-  def encodeJpeg(r: Raster, quality: Int = 90): Array[Byte] = {
+  def encodeJpeg(r: Raster, quality: Int = 90,
+      restartInterval: Int = 0): Array[Byte] = {
     require(r.width > 0 && r.height > 0, "empty raster")
     require(r.channels == 1 || r.channels == 3 || r.channels == 4,
       s"unsupported channel count: ${r.channels}")
@@ -954,6 +963,8 @@ object JpegCodec {
       dht(0x01, dcChromaBits, dcChromaVals)
       dht(0x11, acChromaBits, acChromaVals)
     }
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
     // SOS
     val sosComps = if (gray) Array(1, 0x00) else Array(1, 0x00, 2, 0x11, 3, 0x11)
     seg(0xda, nc +: (sosComps ++ Array(0, 63, 0)))
@@ -1040,15 +1051,24 @@ object JpegCodec {
       if (run > 0) { val eob = acT(0x00); bw.write(eob & 0xffff, eob >> 16) }
     }
 
+    var rstIdx = 0
+    var mcu = 0
     var my = 0
     while (my < mby) {
       var mx = 0
       while (mx < mbx) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + (rstIdx & 7))
+          rstIdx += 1
+          java.util.Arrays.fill(preds, 0)
+        }
         encodeBlock(yP, mx * 8, my * 8, 0, qLum, encDcLuma, encAcLuma)
         if (!gray) {
           encodeBlock(cbP, mx * 8, my * 8, 1, qChr, encDcChroma, encAcChroma)
           encodeBlock(crP, mx * 8, my * 8, 2, qChr, encDcChroma, encAcChroma)
         }
+        mcu += 1
         mx += 1
       }
       my += 1
@@ -1068,7 +1088,8 @@ object JpegCodec {
     * path must reproduce the baseline result bit-for-bit. Successive
     * approximation is exercised by ImageIO-written fixtures in
     * JpegCodecSpec (libjpeg's default progression uses it). */
-  def encodeJpegProgressive(r: Raster, quality: Int = 90): Array[Byte] = {
+  def encodeJpegProgressive(r: Raster, quality: Int = 90,
+      restartInterval: Int = 0): Array[Byte] = {
     require(r.width > 0 && r.height > 0, "empty raster")
     require(r.channels == 1 || r.channels == 3 || r.channels == 4,
       s"unsupported channel count: ${r.channels}")
@@ -1167,14 +1188,28 @@ object JpegCodec {
     def size(v: Int): Int =
       if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+    // restart emit: byte-align the entropy stream, then RST(m mod 8)
+    var rstIdx = 0
+    def emitRst(bw: BitWriter): Unit = {
+      bw.flush()
+      marker(0xd0 + (rstIdx & 7))
+      rstIdx += 1
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+
     // ---- scan 1: DC, interleaved (4:4:4 ⇒ MCU = one block/comp) ----
     val sosComps = if (gray) Array(1, 0x00) else Array(1, 0x00, 2, 0x11, 3, 0x11)
     seg(0xda, nc +: (sosComps ++ Array(0, 0, 0))) // Ss=0 Se=0 AhAl=0
     locally {
       val bw = new BitWriter(out)
       val preds = new Array[Int](nc)
+      rstIdx = 0
       var b2 = 0
       while (b2 < nBlocks) {
+        if (restartInterval > 0 && b2 > 0 && b2 % restartInterval == 0) {
+          emitRst(bw); java.util.Arrays.fill(preds, 0)
+        }
         var c = 0
         while (c < nc) {
           val dc = coefBlocks(c)(b2 * 64)
@@ -1199,8 +1234,11 @@ object JpegCodec {
       seg(0xda, Array(1, compId, acSel, ss, se, 0))
       val bw = new BitWriter(out)
       val tab = if (c == 0) encAcLuma else encAcChroma
+      rstIdx = 0
       var b2 = 0
       while (b2 < nBlocks) {
+        if (restartInterval > 0 && b2 > 0 && b2 % restartInterval == 0)
+          emitRst(bw) // EOB runs never span a block here (EOB0 per block)
         var run = 0
         var k = ss
         while (k <= se) {

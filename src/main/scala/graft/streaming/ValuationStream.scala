@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Valuation
+
+/** Streaming micro-batch KNN-Shapley maintenance — exact training-data
+  * valuation kept current as new train points ARRIVE, without ever
+  * re-reading old corpus vectors.
+  *
+  * State discipline (the `covState`/`statsState` pattern applied to
+  * valuation): the mergeable state is the (probe, train) similarity
+  * stream ([[Valuation.knnShapleySims]]) materialized as an append-only
+  * parquet table — appends commute because the probe set is fixed and
+  * the final ranking's total order (probe, −sim, id) is input-order
+  * independent. Each micro-batch pays one dot product per NEW
+  * (probe, train) pair; the rank + telescoping-suffix arithmetic
+  * ([[Valuation.knnShapleyFromSims]]) recomputes over the merged state
+  * and is BIT-identical to a from-scratch batch (ValuationSpec pins
+  * this on planted inserts; StreamingValuationSpec pins the streamed
+  * path).
+  *
+  * `foreachBatch` rather than watermark machinery, exactly like
+  * [[IncrementalIndex]]: valuation needs the batch merge + atomic
+  * output swap, and micro-batch retries re-run an idempotent append
+  * (the batch's rows are anti-joined against the state before the
+  * append, so a replayed batch cannot double-append).
+  */
+object ValuationStream {
+
+  /** Start maintaining valuations over a streaming DataFrame of train
+    * rows (`idCol`, `vecCol`, `labelCol`).
+    * @param statePath append-only sims state table (created on first batch)
+    * @param outPath   per-(probe, train) valuation, atomically rewritten
+    *                  per batch */
+  def start(spark: SparkSession, train: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      statePath: String, outPath: String, checkpoint: String,
+      maxProbes: Int = 256): StreamingQuery = {
+    train.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val newSims = Valuation.knnShapleySims(
+            batch, probes, idCol, vecCol, labelCol, maxProbes)
+          val exists = new java.io.File(statePath, "_SUCCESS").isFile
+          // idempotent append: a retried batch's ids are already present
+          val toAppend = if (!exists) newSims else {
+            val prior = spark.read.parquet(statePath).select("id").distinct()
+            newSims.join(prior, Seq("id"), "left_anti")
+          }
+          toAppend.write.mode("append").parquet(statePath)
+          val sims = spark.read.parquet(statePath)
+          Valuation.knnShapleyFromSims(sims, k)
+            .write.mode("overwrite").parquet(outPath)
+        }
+      }
+      .start()
+  }
+}

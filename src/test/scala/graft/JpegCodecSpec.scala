@@ -205,6 +205,24 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 2, s"gray disagreement $worst")
   }
 
+  test("restart markers: baseline and progressive decode identically with DRI") {
+    val src = gradient(41, 27, 3, 6) // odd dims: restart mid-row, partial MCUs
+    val plain = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(src, 92)).get
+    for (ri <- Seq(1, 3, 7)) {
+      val withRst = JpegCodec.decodeJpeg(
+        JpegCodec.encodeJpeg(src, 92, restartInterval = ri)).get
+      assert(java.util.Arrays.equals(withRst.pixels, plain.pixels),
+        s"baseline DRI=$ri changed pixels")
+      val progRst = JpegCodec.decodeJpeg(
+        JpegCodec.encodeJpegProgressive(src, 92, restartInterval = ri)).get
+      assert(java.util.Arrays.equals(progRst.pixels, plain.pixels),
+        s"progressive DRI=$ri changed pixels")
+    }
+    // the JDK reader agrees on the restart-marked streams too
+    val (_, _, ref) = imageIoRgb(JpegCodec.encodeJpeg(src, 92, restartInterval = 3))
+    assert(maxErr(plain.pixels, ref) <= 2)
+  }
+
   test("progressive totality: truncation at every prefix returns None or a raster") {
     val bytes = JpegCodec.encodeJpegProgressive(gradient(17, 13, 3, 2), 85)
     var l = 0

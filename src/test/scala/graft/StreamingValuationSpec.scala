@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Valuation
+import graft.streaming.ValuationStream
+
+/** Streaming KNN-Shapley maintenance: train points arriving over two
+  * micro-batches must yield BIT-identical valuations to one batch over
+  * the union — only the new rows' dot products are paid per batch. */
+class StreamingValuationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("StreamingValuationSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def row(i: Int): (Long, Array[Float], Long) = {
+    val a = 0.05 + i * 0.11
+    (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat), (i % 3 % 2).toLong)
+  }
+
+  test("two streamed micro-batches equal one batch over the union") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-valstream").toString
+    val all = (0 until 30).map(row)
+    val probes = Seq(
+      (100L, Array(1.0f, 0.0f), 1L),
+      (101L, Array(0.0f, 1.0f), 0L)).toDF("id", "vec", "label")
+
+    val stream = MemoryStream[(Long, Array[Float], Long)](s)
+    stream.addData(all.take(18): _*)
+    val q1 = ValuationStream.start(spark,
+      stream.toDF.toDF("id", "vec", "label"), probes, "id", "vec", "label",
+      k = 3, s"$root/state", s"$root/out", s"$root/ckpt")
+    q1.awaitTermination(60000)
+    stream.addData(all.drop(18): _*)
+    val q2 = ValuationStream.start(spark,
+      stream.toDF.toDF("id", "vec", "label"), probes, "id", "vec", "label",
+      k = 3, s"$root/state", s"$root/out", s"$root/ckpt")
+    q2.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$root/out")
+      .orderBy("probe_id", "id").collect().map(_.toString).toSeq
+    val batch = Valuation.knnShapley(all.toDF("id", "vec", "label"), probes,
+      "id", "vec", "label", k = 3)
+      .orderBy("probe_id", "id").collect().map(_.toString).toSeq
+    assert(streamed == batch, "streamed valuation must be bit-identical")
+    // state carries every (probe, train) pair exactly once
+    assert(spark.read.parquet(s"$root/state").count() == 30L * 2)
+  }
+
+  test("a replayed batch cannot double-append the state (idempotent retry)") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-valretry").toString
+    val all = (0 until 12).map(row)
+    val probes = Seq((100L, Array(1.0f, 0.0f), 1L)).toDF("id", "vec", "label")
+    // simulate a retry by streaming the SAME rows through two queries
+    // with different checkpoints (worst case: full batch replay)
+    for (attempt <- 1 to 2) {
+      val stream = MemoryStream[(Long, Array[Float], Long)](s)
+      stream.addData(all: _*)
+      val q = ValuationStream.start(spark,
+        stream.toDF.toDF("id", "vec", "label"), probes, "id", "vec", "label",
+        k = 2, s"$root/state", s"$root/out", s"$root/ckpt$attempt")
+      q.awaitTermination(60000)
+    }
+    assert(spark.read.parquet(s"$root/state").count() == 12L,
+      "replay must not duplicate state rows")
+    val streamed = spark.read.parquet(s"$root/out")
+      .orderBy("probe_id", "id").collect().map(_.toString).toSeq
+    val batch = Valuation.knnShapley(all.toDF("id", "vec", "label"), probes,
+      "id", "vec", "label", k = 2)
+      .orderBy("probe_id", "id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+}
