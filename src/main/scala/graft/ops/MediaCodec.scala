@@ -217,37 +217,87 @@ object MediaCodec {
   final case class Pcm(sampleRate: Int, channels: Int,
     samples: Array[Short])
 
+  /** One sample (bit-depth-aware, big-endian bit packing) from an
+    * unfiltered scanline: pixel `x`, channel `c` of `ch` channels. */
+  private def pngSample(line: Array[Byte], x: Int, c: Int, depth: Int,
+      ch: Int): Int = {
+    if (depth == 8) line(x * ch + c) & 0xff
+    else if (depth == 16)
+      ((line((x * ch + c) * 2) & 0xff) << 8) | (line((x * ch + c) * 2 + 1) & 0xff)
+    else {
+      val bitPos = (x * ch + c) * depth
+      val shift = 8 - depth - (bitPos & 7)
+      (line(bitPos >> 3) >> shift) & ((1 << depth) - 1)
+    }
+  }
+
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep), PNG spec §8.2. */
+  private val adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** Full PNG raster decode, no libraries: concatenate IDAT chunks,
-    * JDK `Inflater`, then per-scanline unfilter of all five PNG filter
-    * types (None/Sub/Up/Average/Paeth — PNG spec §9). Supports the
-    * non-interlaced 8-bit-depth color types (gray / gray+alpha / RGB /
-    * RGBA). Malformed or unsupported payloads → None, never throws. */
+    * JDK `Inflater`, per-scanline unfilter of all five PNG filter types
+    * (None/Sub/Up/Average/Paeth — PNG spec §9). Supports every legal
+    * color-type × bit-depth combination: gray 1/2/4/8/16 (sub-byte
+    * scaled to 8-bit, 16-bit truncated to the high byte), palette
+    * 1/2/4/8 (PLTE expansion, tRNS → RGBA), gray+alpha / RGB / RGBA at
+    * 8/16 — plus Adam7 interlace (each pass independently filtered).
+    * Malformed or unsupported payloads → None, never throws. */
   def decodePng(b: Array[Byte]): Option[Raster] = {
     if (b == null || b.length < 33 || u8(b, 0) != 0x89 || b(1) != 'P') return None
     try {
       val w = rb32(b, 16); val h = rb32(b, 20)
-      val bitDepth = u8(b, 24); val colorType = u8(b, 25)
+      val depth = u8(b, 24); val colorType = u8(b, 25)
       val interlace = u8(b, 28)
-      val ch = colorType match {
-        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+      val chRaw = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => -1
       }
-      if (w <= 0 || h <= 0 || bitDepth != 8 || ch < 0 || interlace != 0 ||
-          w.toLong * h * ch > (1L << 28)) return None
-      // concatenate every IDAT chunk payload
+      val depthOk = colorType match {
+        case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+        case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+        case 2 | 4 | 6 => depth == 8 || depth == 16
+        case _ => false
+      }
+      if (w <= 0 || h <= 0 || chRaw < 0 || !depthOk || interlace > 1 ||
+          w.toLong * h * 4 > (1L << 28)) return None
+      // chunk walk: concatenate IDAT, grab PLTE/tRNS
       val idat = new java.io.ByteArrayOutputStream
+      var plte: Array[Byte] = null
+      var trns: Array[Byte] = null
       var i = 8
       var stop = false
       while (!stop && i + 8 <= b.length) {
         val len = rb32(b, i)
+        if (len < 0 || i + 8 + len > b.length) return None
         val tag = new String(b, i + 4, 4, US_ASCII)
-        if (tag == "IDAT") idat.write(b, i + 8, len)
-        if (tag == "IEND") stop = true
+        tag match {
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "PLTE" => plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case "tRNS" => trns = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case "IEND" => stop = true
+          case _ =>
+        }
         i += 12 + len
       }
+      if (colorType == 3 && (plte == null || plte.length < 3 || plte.length % 3 != 0))
+        return None
+      val passes =
+        if (interlace == 0) Array((0, 0, 1, 1)) else adam7
+      def subW(p: (Int, Int, Int, Int)): Int =
+        if (w > p._1) (w - p._1 + p._3 - 1) / p._3 else 0
+      def subH(p: (Int, Int, Int, Int)): Int =
+        if (h > p._2) (h - p._2 + p._4 - 1) / p._4 else 0
+      def scanBytes(sw: Int): Int = (sw * chRaw * depth + 7) / 8
+      val totalRaw = passes.map { p =>
+        val sw = subW(p); val sh = subH(p)
+        if (sw == 0 || sh == 0) 0L else sh.toLong * (1 + scanBytes(sw))
+      }.sum
+      if (totalRaw <= 0 || totalRaw > (1L << 28)) return None
+      val raw = new Array[Byte](totalRaw.toInt)
       val inflater = new java.util.zip.Inflater
       inflater.setInput(idat.toByteArray)
-      val stride = w * ch
-      val raw = new Array[Byte](h * (1 + stride))
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
@@ -256,38 +306,82 @@ object MediaCodec {
       }
       inflater.end()
       if (off != raw.length) return None
-      // unfilter in place into the output array
-      val out = new Array[Byte](h * stride)
-      val bpp = ch
-      var y = 0
-      while (y < h) {
-        val filter = raw(y * (1 + stride)) & 0xff
-        val src = y * (1 + stride) + 1
-        val dst = y * stride
-        var x = 0
-        while (x < stride) {
-          val rx = raw(src + x) & 0xff
-          val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
-          val up = if (y > 0) out(dst - stride + x) & 0xff else 0
-          val c = if (y > 0 && x >= bpp) out(dst - stride + x - bpp) & 0xff else 0
-          val v = filter match {
-            case 0 => rx
-            case 1 => rx + a
-            case 2 => rx + up
-            case 3 => rx + (a + up) / 2
-            case 4 =>
-              val p = a + up - c
-              val pa = math.abs(p - a); val pb = math.abs(p - up)
-              val pc = math.abs(p - c)
-              rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-            case _ => return None
-          }
-          out(dst + x) = (v & 0xff).toByte
-          x += 1
-        }
-        y += 1
+
+      val bpp = math.max(1, chRaw * depth / 8)
+      val outCh = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case 3 => if (trns != null) 4 else 3
       }
-      Some(Raster(w, h, ch, out))
+      val out = new Array[Byte](w * h * outCh)
+      var rp = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val p = passes(pi)
+        val sw = subW(p); val sh = subH(p)
+        if (sw > 0 && sh > 0) {
+          val sb = scanBytes(sw)
+          val prev = new Array[Byte](sb)
+          val cur = new Array[Byte](sb)
+          var sy = 0
+          while (sy < sh) {
+            val filter = raw(rp) & 0xff
+            rp += 1
+            var x = 0
+            while (x < sb) {
+              val rx = raw(rp + x) & 0xff
+              val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+              val up = prev(x) & 0xff
+              val c = if (x >= bpp) prev(x - bpp) & 0xff else 0
+              val v = filter match {
+                case 0 => rx
+                case 1 => rx + a
+                case 2 => rx + up
+                case 3 => rx + (a + up) / 2
+                case 4 =>
+                  val pp = a + up - c
+                  val pa = math.abs(pp - a); val pb = math.abs(pp - up)
+                  val pc = math.abs(pp - c)
+                  rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+                case _ => return None
+              }
+              cur(x) = (v & 0xff).toByte
+              x += 1
+            }
+            rp += sb
+            val yy = p._2 + sy * p._4
+            var sx = 0
+            while (sx < sw) {
+              val xx = p._1 + sx * p._3
+              val o = (yy * w + xx) * outCh
+              if (colorType == 3) {
+                val idx = pngSample(cur, sx, 0, depth, 1)
+                if ((idx + 1) * 3 > plte.length) return None
+                out(o) = plte(idx * 3)
+                out(o + 1) = plte(idx * 3 + 1)
+                out(o + 2) = plte(idx * 3 + 2)
+                if (outCh == 4)
+                  out(o + 3) = if (idx < trns.length) trns(idx) else 0xff.toByte
+              } else {
+                var cc = 0
+                while (cc < chRaw) {
+                  val s = pngSample(cur, sx, cc, depth, chRaw)
+                  val v8 =
+                    if (depth == 16) s >>> 8
+                    else if (depth == 8) s
+                    else s * 255 / ((1 << depth) - 1)
+                  out(o + cc) = v8.toByte
+                  cc += 1
+                }
+              }
+              sx += 1
+            }
+            System.arraycopy(cur, 0, prev, 0, sb)
+            sy += 1
+          }
+        }
+        pi += 1
+      }
+      Some(Raster(w, h, outCh, out))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
       case _: java.util.zip.DataFormatException => None
@@ -467,6 +561,19 @@ object MediaCodec {
     Raster(nw, nh, r.channels, out)
   }
 
+  private def deflateAll(raw: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    buf.toByteArray
+  }
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
   /** Re-encode a raster as PNG (any of the four supported channel
     * layouts) — filter-0 scanlines, one deflate stream; decodable by
     * [[decodePng]] and any PNG reader. */
@@ -482,16 +589,94 @@ object MediaCodec {
       System.arraycopy(r.pixels, y * stride, raw, y * (1 + stride) + 1, stride)
       y += 1
     }
-    val deflater = new java.util.zip.Deflater
-    deflater.setInput(raw); deflater.finish()
-    val buf = new java.io.ByteArrayOutputStream
-    val tmp = new Array[Byte](8192)
-    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
-    deflater.end()
-    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val ihdr = be32(r.width) ++ be32(r.height) ++
       Array[Byte](8, colorType.toByte, 0, 0, 0)
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.toByteArray) ++
+    pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflateAll(raw)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Palette (color type 3) PNG of a 3-channel raster at the MINIMAL
+    * legal bit depth for its distinct-color count (1/2/4/8, first-seen
+    * palette order, big-endian bit packing). Throws if the raster has
+    * more than 256 distinct colors — quantization is the caller's
+    * choice, not this encoder's. */
+  def encodePngPaletted(r: Raster): Array[Byte] = {
+    require(r.channels == 3, s"palette encode needs RGB: ${r.channels}")
+    val palette = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val idx = new Array[Int](r.width * r.height)
+    var p = 0
+    while (p < idx.length) {
+      val rgb = ((r.pixels(p * 3) & 0xff) << 16) |
+        ((r.pixels(p * 3 + 1) & 0xff) << 8) | (r.pixels(p * 3 + 2) & 0xff)
+      idx(p) = palette.getOrElseUpdate(rgb, palette.size)
+      p += 1
+    }
+    require(palette.size <= 256, s"${palette.size} distinct colors > 256")
+    val depth =
+      if (palette.size <= 2) 1
+      else if (palette.size <= 4) 2
+      else if (palette.size <= 16) 4
+      else 8
+    val sb = (r.width * depth + 7) / 8
+    val raw = new Array[Byte](r.height * (1 + sb))
+    var y = 0
+    while (y < r.height) {
+      val base = y * (1 + sb) + 1 // filter byte 0
+      var x = 0
+      while (x < r.width) {
+        val bitPos = x * depth
+        val shift = 8 - depth - (bitPos & 7)
+        raw(base + (bitPos >> 3)) =
+          (raw(base + (bitPos >> 3)) | (idx(y * r.width + x) << shift)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val plte = new Array[Byte](palette.size * 3)
+    palette.foreach { case (rgb, i) =>
+      plte(i * 3) = ((rgb >> 16) & 0xff).toByte
+      plte(i * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+      plte(i * 3 + 2) = (rgb & 0xff).toByte
+    }
+    val ihdr = be32(r.width) ++ be32(r.height) ++
+      Array[Byte](depth.toByte, 3, 0, 0, 0)
+    pngSig ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", deflateAll(raw)) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Adam7-interlaced PNG of an 8-bit raster (any channel layout):
+    * seven independently-filtered passes, one deflate stream — the
+    * progressive-render variant a crawl decoder must handle. */
+  def encodePngInterlaced(r: Raster): Array[Byte] = {
+    val colorType = r.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case c => throw new IllegalArgumentException(s"channels: $c")
+    }
+    val passes = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val out = new java.io.ByteArrayOutputStream
+    for ((x0, y0, dx, dy) <- passes) {
+      val sw = if (r.width > x0) (r.width - x0 + dx - 1) / dx else 0
+      val sh = if (r.height > y0) (r.height - y0 + dy - 1) / dy else 0
+      if (sw > 0 && sh > 0) {
+        var sy = 0
+        while (sy < sh) {
+          out.write(0) // filter None
+          val yy = y0 + sy * dy
+          var sx = 0
+          while (sx < sw) {
+            val xx = x0 + sx * dx
+            out.write(r.pixels, (yy * r.width + xx) * r.channels, r.channels)
+            sx += 1
+          }
+          sy += 1
+        }
+      }
+    }
+    val ihdr = be32(r.width) ++ be32(r.height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 1) // interlace = Adam7
+    pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflateAll(out.toByteArray)) ++
       chunk("IEND", Array.empty[Byte])
   }
 

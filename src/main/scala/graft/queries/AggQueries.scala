@@ -264,12 +264,20 @@ object AggQueries extends QueryGroup {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      // percent_rank/cume_dist emitted as integer PPM floor-divisions
+      // (the order is total, so rank = row_number and peers are single):
+      // round(double, 6) lands on half-ulp boundaries that Spark and
+      // DuckDB round differently (bit at sf0.001; the standing gotcha)
       Tables.load(s, dir, "lineitem")
         .filter(col("l_suppkey") < 5)
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("l_suppkey"))))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          when(col("__n") > 1,
+            expr("(__rn - 1) * 1000000 div (__n - 1)")).as("pct_rank_ppm"),
+          expr("__rn * 1000000 div __n").as("cume_ppm"))
     })
   )
 
@@ -408,8 +416,12 @@ object AggQueries extends QueryGroup {
     "scan_window_rank" ->
       ("SELECT l_suppkey, l_orderkey, l_linenumber, " +
         "  ntile(4) OVER w AS quartile, " +
-        "  round(percent_rank() OVER w, 6) AS pct_rank, " +
-        "  round(cume_dist() OVER w, 6) AS cume " +
+        "  CASE WHEN count(*) OVER (PARTITION BY l_suppkey) > 1 THEN " +
+        "    CAST((row_number() OVER w - 1) * 1000000 " +
+        "      // (count(*) OVER (PARTITION BY l_suppkey) - 1) AS BIGINT) " +
+        "  END AS pct_rank_ppm, " +
+        "  CAST(row_number() OVER w * 1000000 " +
+        "    // count(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS cume_ppm " +
         "FROM lineitem WHERE l_suppkey < 5 " +
         "WINDOW w AS (PARTITION BY l_suppkey " +
         "  ORDER BY l_extendedprice, l_orderkey, l_linenumber)")

@@ -407,6 +407,32 @@ object BulkQueries extends QueryGroup {
           graft.functions.TextFunctions.stripHtml(col("html")).as("text_out"))
     }),
 
+    // PNG format matrix through REAL bytes: the SAME palette-cell pixel
+    // formula encoded plain / palette-depth-1-2-4-8 / Adam7-interlaced —
+    // per-channel sums must hash-match the oracle's cell-by-cell replay
+    // for every variant (a wrong palette expansion, bit unpack or pass
+    // offset shifts a sum)
+    "mm_png_formats" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "png_fmt").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val r = graft.ops.MediaCodec.decodePng(bytes).get
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < r.width * r.height) {
+            sr += r.pixels(p * 3) & 0xff
+            sg += r.pixels(p * 3 + 1) & 0xff
+            sb += r.pixels(p * 3 + 2) & 0xff
+            p += 1
+          }
+          val variant = (id % 3) match {
+            case 0 => "plain"; case 1 => "palette"; case _ => "adam7"
+          }
+          (id, variant, r.width, r.height, sr, sg, sb)
+        }).toDF("doc_id", "variant", "width", "height",
+          "sum_r", "sum_g", "sum_b")
+    }),
+
     // multimodal: frame sampling over the decoded n_frames
     "mm_frame_sample" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -603,6 +629,19 @@ object BulkQueries extends QueryGroup {
         "CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents"),
     "pipeline_warc_text" ->
       "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out FROM documents",
+    "mm_png_formats" ->
+      ("WITH g AS (SELECT doc_id, 16 + doc_id % 24 AS w, 12 + doc_id % 10 AS h, " +
+        "CASE (doc_id // 3) % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 200 END AS nc, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'plain' WHEN 1 THEN 'palette' ELSE 'adam7' END AS variant " +
+        "FROM documents), " +
+        "px AS (SELECT doc_id, variant, w, h, ((y * w + x) * 7 + doc_id) % nc AS i " +
+        "FROM g, generate_series(0, 39) AS gx(x), generate_series(0, 21) AS gy(y) " +
+        "WHERE x < w AND y < h) " +
+        "SELECT doc_id, variant, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(SUM(((i // 32) % 8) * 255 // 7) AS BIGINT) AS sum_r, " +
+        "CAST(SUM(((i // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
+        "CAST(SUM((i % 4) * 255 // 3) AS BIGINT) AS sum_b " +
+        "FROM px GROUP BY doc_id, variant, w, h"),
     "mm_jpeg_roundtrip" ->
       ("SELECT doc_id, " +
         "CAST(16 + doc_id % 48 AS INT) AS width, " +

@@ -36,7 +36,8 @@ object MediaFixtures {
   /** One row per doc_id; a column per fixture family (see builders). */
   private val columns = Seq("doc_id", "real", "mp3", "webm", "gif_anim",
     "avi_meta", "avi_frames", "png_stats", "mp4_sample", "wav_tone",
-    "mp4", "wav_energy", "png_neardup", "png_phash", "png_resize", "warc")
+    "mp4", "wav_energy", "png_neardup", "png_phash", "png_resize", "warc",
+    "png_fmt")
 
   // ---- per-family encoders: EXACTLY the former inline id arithmetic ----
 
@@ -202,6 +203,30 @@ object MediaFixtures {
       gzipPerRecord = id % 2 == 0)
   }
 
+  /** PNG format-variant blob: the SAME palette-cell pixel formula encoded
+    * plain / paletted (minimal depth from the id-chosen color count) /
+    * Adam7-interlaced by id%3 — one decode path per variant, one oracle. */
+  private def pngFmtBlob(id: Long): Array[Byte] = {
+    val w = (16 + id % 24).toInt
+    val h = (12 + id % 10).toInt
+    val nc = Array(2, 4, 16, 200)(((id / 3) % 4).toInt)
+    val px = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val i = ((p * 7 + id) % nc).toInt
+      px(p * 3) = (((i >> 5) & 7) * 255 / 7).toByte
+      px(p * 3 + 1) = (((i >> 2) & 7) * 255 / 7).toByte
+      px(p * 3 + 2) = ((i & 3) * 255 / 3).toByte
+      p += 1
+    }
+    val r = Raster(w, h, 3, px)
+    (id % 3) match {
+      case 0 => MediaCodec.encodePngRaster(r)
+      case 1 => MediaCodec.encodePngPaletted(r)
+      case _ => MediaCodec.encodePngInterlaced(r)
+    }
+  }
+
   // ---- build + read --------------------------------------------------
 
   // column count in the path → a schema change auto-rebuilds stale
@@ -229,7 +254,7 @@ object MediaFixtures {
                 aviMetaBlob(id), aviFramesBlob(id), pngStatsBlob(id),
                 mp4SampleBlob(id), wavToneBlob(id), mp4Blob(id),
                 wavEnergyBlob(id), pngNeardupBlob(id), pngPhashBlob(id),
-                pngResizeBlob(id), warcBlob(id))
+                pngResizeBlob(id), warcBlob(id), pngFmtBlob(id))
             }).toDF(columns: _*)
             .write.mode("overwrite").parquet(p)
         }

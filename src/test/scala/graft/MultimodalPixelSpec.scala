@@ -56,6 +56,89 @@ class MultimodalPixelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(r.pixels, ref))
   }
 
+  /** RGB raster with exactly `nColors` distinct 3-3-2-cube colors. */
+  private def palettedRaster(w: Int, h: Int, nColors: Int, seed: Int): Raster = {
+    val px = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val i = (p * 7 + seed) % nColors
+      px(p * 3) = (((i >> 5) & 7) * 255 / 7).toByte
+      px(p * 3 + 1) = (((i >> 2) & 7) * 255 / 7).toByte
+      px(p * 3 + 2) = ((i & 3) * 255 / 3).toByte
+      p += 1
+    }
+    Raster(w, h, 3, px)
+  }
+
+  test("decodePng: palette color type at depths 1/2/4/8, bit-exact, JDK agrees") {
+    for ((nColors, wantDepth) <- Seq((2, 1), (4, 2), (16, 4), (200, 8))) {
+      val src = palettedRaster(29, 17, nColors, seed = nColors)
+      val bytes = MediaCodec.encodePngPaletted(src)
+      // declared depth (IHDR byte 24) is minimal for the color count
+      assert((bytes(24) & 0xff) == wantDepth, s"depth for $nColors colors")
+      assert((bytes(25) & 0xff) == 3, "color type 3")
+      val dec = MediaCodec.decodePng(bytes).getOrElse(fail(s"None at $nColors"))
+      assert(dec.channels == 3 && java.util.Arrays.equals(dec.pixels, src.pixels),
+        s"palette depth $wantDepth not bit-exact")
+      val (w, h, ref) = imageIoRgb(bytes) // independent reader agrees
+      assert(w == 29 && h == 17 && java.util.Arrays.equals(dec.pixels, ref))
+    }
+  }
+
+  test("decodePng: Adam7 interlace decodes bit-identically to the plain layout") {
+    // odd dims: every pass shape, including empty-pass edges at tiny sizes
+    for ((w, h) <- Seq((37, 21), (8, 8), (5, 3), (1, 1), (2, 9))) {
+      val plain = MediaCodec.decodePng(MediaCodec.encodePng(w, h, seed = w * 100 + h)).get
+      val inter = MediaCodec.decodePng(
+        MediaCodec.encodePngInterlaced(plain)).getOrElse(fail(s"None at ${(w, h)}"))
+      assert(java.util.Arrays.equals(inter.pixels, plain.pixels), s"dims ${(w, h)}")
+      val (iw, ih, ref) = imageIoRgb(MediaCodec.encodePngInterlaced(plain))
+      assert(iw == w && ih == h && java.util.Arrays.equals(inter.pixels, ref))
+    }
+  }
+
+  test("decodePng: JDK-written indexed, 1-bit binary and 16-bit gray PNGs") {
+    import java.awt.image.BufferedImage
+    def write(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // indexed (palette) from the JDK's own writer
+    val idxImg = new BufferedImage(23, 11, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 11; x <- 0 until 23)
+      idxImg.setRGB(x, y, if ((x * 31 + y * 7) % 2 == 0) 0xff0000 else 0x0000ff)
+    val dec = MediaCodec.decodePng(write(idxImg)).get
+    val ref = imageIoRgb(write(idxImg))._3
+    assert(dec.channels == 3 && java.util.Arrays.equals(dec.pixels, ref))
+    // 1-bit black/white
+    val binImg = new BufferedImage(19, 9, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 9; x <- 0 until 19)
+      binImg.setRGB(x, y, if ((x + y) % 3 == 0) 0xffffff else 0x000000)
+    val decB = MediaCodec.decodePng(write(binImg)).getOrElse(fail("binary None"))
+    for (y <- 0 until 9; x <- 0 until 19) {
+      val want = if ((x + y) % 3 == 0) 255 else 0
+      assert((decB.pixels(y * 19 + x) & 0xff) == want, s"($x,$y)")
+    }
+    // 16-bit gray truncates to the high byte
+    val g16 = new BufferedImage(13, 7, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 7; x <- 0 until 13)
+      g16.getRaster.setSample(x, y, 0, (x * 17 + y * 301) * 64 % 65536)
+    val dec16 = MediaCodec.decodePng(write(g16)).getOrElse(fail("16-bit None"))
+    assert(dec16.channels == 1)
+    for (y <- 0 until 7; x <- 0 until 13) {
+      val want = ((x * 17 + y * 301) * 64 % 65536) >>> 8
+      assert((dec16.pixels(y * 13 + x) & 0xff) == want, s"16-bit ($x,$y)")
+    }
+  }
+
+  test("decodePng: palette/interlaced totality — truncation never throws") {
+    val pal = MediaCodec.encodePngPaletted(palettedRaster(21, 13, 16, 3))
+    val inter = MediaCodec.encodePngInterlaced(palettedRaster(21, 13, 200, 5))
+    for (bytes <- Seq(pal, inter); l <- 0 until bytes.length by 7)
+      MediaCodec.decodePng(java.util.Arrays.copyOf(bytes, l))
+  }
+
   test("decodePng: inverts all five filter types exactly") {
     // Known pixels, scanlines FILTERED forward per the PNG spec with
     // filter types 0..4 (one per row), deflated, wrapped in real chunks.
