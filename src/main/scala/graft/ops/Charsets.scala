@@ -1,0 +1,106 @@
+package graft.ops
+
+/** Charset sniffing + transcoding for crawl text — the step between "we
+  * have HTTP body BYTES" ([[WarcCodec]]) and every text operator, because
+  * real crawl bodies are not all UTF-8 (legacy Latin-1/Windows-1252 pages
+  * remain a real share of the web).
+  *
+  * Detection order (the practical browser rule, WHATWG-encoding-shaped):
+  *  1. byte-order mark (UTF-8 / UTF-16LE / UTF-16BE);
+  *  2. an HTML `<meta charset=...>` / `http-equiv` declaration in the
+  *     first 1024 bytes (ASCII-compatible scan);
+  *  3. strict UTF-8 validation of the whole buffer → UTF-8;
+  *  4. fallback ISO-8859-1 (decodes any byte sequence — total).
+  *
+  * [[decodeText]] strips the BOM and transcodes with the sniffed charset;
+  * unmappable bytes cannot occur (UTF-8 is validated first, Latin-1 maps
+  * every byte, UTF-16 replaces malformed pairs) — total, never throws.
+  * Pure per-row JVM kernels for `mapPartitions` hot paths, same shape as
+  * the media codecs.
+  */
+object Charsets {
+
+  /** Sniffed charset name (a valid `java.nio.charset` name). */
+  def sniffCharset(b: Array[Byte]): String = {
+    if (b == null || b.length == 0) return "UTF-8"
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+        (b(2) & 0xff) == 0xbf) return "UTF-8"
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)
+      return "UTF-16LE"
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      return "UTF-16BE"
+    metaCharset(b) match {
+      case Some(cs) => cs
+      case None => if (isValidUtf8(b)) "UTF-8" else "ISO-8859-1"
+    }
+  }
+
+  /** `<meta charset=x>` / `<meta http-equiv=... content="...charset=x">`
+    * in the first 1024 bytes, case-insensitive; returns a sanitized name
+    * the JVM knows, else None. */
+  private[graft] def metaCharset(b: Array[Byte]): Option[String] = {
+    val n = math.min(b.length, 1024)
+    val head = new String(b, 0, n, "ISO-8859-1").toLowerCase
+    val m = "charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)".r.findFirstMatchIn(head)
+    m.map(_.group(1)).flatMap { raw =>
+      val name = raw match {
+        case "utf8" => "UTF-8"
+        case other => other
+      }
+      try {
+        if (java.nio.charset.Charset.isSupported(name))
+          Some(java.nio.charset.Charset.forName(name).name())
+        else None
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Strict UTF-8 validation (RFC 3629: no overlongs, no surrogates,
+    * max U+10FFFF). */
+  private[graft] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation or overlong lead
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= b.length || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= b.length || (b(i + 1) & 0xc0) != 0x80 ||
+            (b(i + 2) & 0xc0) != 0x80) return false
+        val cp = ((c & 0xf) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+        if (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)) return false
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= b.length || (b(i + 1) & 0xc0) != 0x80 ||
+            (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        val cp = ((c & 0x7) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        if (cp < 0x10000 || cp > 0x10ffff) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  /** Sniff + transcode to a String; BOM stripped; total (malformed
+    * sequences become U+FFFD via the decoder's REPLACE action). */
+  def decodeText(b: Array[Byte]): String = {
+    if (b == null || b.length == 0) return ""
+    val cs = sniffCharset(b)
+    // strip the BOM only when the bytes actually carry one (a META-
+    // declared utf-16 body without a BOM must keep its first two bytes)
+    val skip =
+      if (b.length >= 3 && (b(0) & 0xff) == 0xef &&
+        (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) 3
+      else if (b.length >= 2 &&
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe ||
+          (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)) 2
+      else 0
+    val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(b, skip, b.length - skip)).toString
+  }
+}

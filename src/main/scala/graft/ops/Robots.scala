@@ -1,0 +1,121 @@
+package graft.ops
+
+/** robots.txt (RFC 9309 / Google REP) parsing + matching — the crawl
+  * politeness filter: before any fetch lands in the corpus, its URL must
+  * pass the host's robots rules, and a 100 TB pipeline re-checks them
+  * when re-crawling or attributing provenance.
+  *
+  * Semantics implemented exactly as RFC 9309 §2:
+  *  - groups of `User-agent:` lines followed by `Allow:`/`Disallow:`
+  *    rules; a UA line after rules starts a NEW group; multiple UA lines
+  *    before rules share one group;
+  *  - group selection: the MOST SPECIFIC matching user-agent (longest
+  *    name that is a case-insensitive substring-prefix of the product
+  *    token), `*` only when nothing else matches;
+  *  - rule selection: the longest-match rule (by pattern octet length)
+  *    wins; Allow wins ties; no matching rule → allowed; empty
+  *    `Disallow:` matches nothing;
+  *  - `*` matches any octet sequence, `$` anchors the pattern end;
+  *  - unknown directives ignored; `Crawl-delay` retained per group
+  *    (non-standard but ubiquitous).
+  *
+  * Pure per-row kernel (`mapPartitions` shape); total — any byte soup
+  * parses to "no groups" = everything allowed, per the RFC's
+  * unavailable-robots rule.
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+      crawlDelay: Option[Double])
+
+  /** Parse robots.txt text into groups. Never throws. */
+  def parse(text: String): Seq[Group] = {
+    if (text == null) return Nil
+    val groups = Seq.newBuilder[Group]
+    var agents = Seq.empty[String]
+    var rules = Seq.newBuilder[Rule]
+    var delay: Option[Double] = None
+    var inRules = false
+    var open = false
+    def flush(): Unit = {
+      if (open && agents.nonEmpty) groups += Group(agents, rules.result(), delay)
+      agents = Seq.empty; rules = Seq.newBuilder[Rule]; delay = None
+      inRules = false; open = false
+    }
+    text.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim // comments
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents :+= value.toLowerCase
+            open = true
+          case "allow" if open =>
+            inRules = true
+            if (value.nonEmpty) rules += Rule(allow = true, value)
+          case "disallow" if open =>
+            inRules = true
+            if (value.nonEmpty) rules += Rule(allow = false, value)
+          case "crawl-delay" if open =>
+            inRules = true
+            delay = try Some(value.toDouble) catch { case _: NumberFormatException => delay }
+          case _ => // sitemap/host/unknown: ignored
+        }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  /** Does `pattern` (with `*` wildcards, optional trailing `$` anchor)
+    * match a prefix of `path`? RFC 9309 §2.2.3. Translated to a regex so
+    * anchored patterns backtrack correctly (a slash-star-dot-php-dollar
+    * rule must match `/a.php.php` — a greedy leftmost scan would not).
+    * Patterns are a handful of characters; per-check compilation is fine
+    * at the robots-check call rate, and rules are typically filtered
+    * once per (host, path) pair, not per corpus row. */
+  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    val sb = new StringBuilder
+    p.foreach {
+      case '*' => sb.append(".*")
+      case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
+    }
+    if (!anchored) sb.append(".*")
+    path.matches(sb.toString)
+  }
+
+  /** The group governing `agent` (RFC 9309 §2.2.1: most specific
+    * user-agent line wins; `*` is the fallback). */
+  private[graft] def groupFor(groups: Seq[Group], agent: String): Option[Group] = {
+    val a = agent.toLowerCase
+    val named = groups.flatMap(g =>
+      g.agents.filter(ua => ua != "*" && a.startsWith(ua)).map(ua => (ua.length, g)))
+    if (named.nonEmpty) Some(named.maxBy(_._1)._2)
+    else groups.find(_.agents.contains("*"))
+  }
+
+  /** RFC 9309 verdict for (agent, path): longest-match rule, Allow wins
+    * ties, no rule / no group / empty robots → allowed. */
+  def isAllowed(groups: Seq[Group], agent: String, path: String): Boolean =
+    groupFor(groups, agent) match {
+      case None => true
+      case Some(g) =>
+        val matches = g.rules.filter(r => patternMatches(r.pattern, path))
+        if (matches.isEmpty) true
+        else {
+          val best = matches.map(r => (r.pattern.length, r.allow))
+            .sortBy { case (len, allow) => (-len, !allow) } // longest, Allow first
+          best.head._2
+        }
+    }
+
+  /** Crawl delay for (agent) if the governing group declares one. */
+  def crawlDelay(groups: Seq[Group], agent: String): Option[Double] =
+    groupFor(groups, agent).flatMap(_.crawlDelay)
+}

@@ -433,6 +433,57 @@ object BulkQueries extends QueryGroup {
           "sum_r", "sum_g", "sum_b")
     }),
 
+    // charset sniff + transcode — crawl bodies are BYTES in mixed
+    // encodings; five variants (plain UTF-8, BOM'd UTF-8, bare Latin-1,
+    // BOM'd UTF-16LE, meta-declared windows-1252) must all sniff AND
+    // decode to the oracle's expected text byte-for-byte
+    "pipeline_charset_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes: Array[Byte] = (id % 5) match {
+            case 0 => s"plain $id".getBytes("UTF-8")
+            case 1 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              s"bom $id".getBytes("UTF-8")
+            case 2 => s"café $id".getBytes("ISO-8859-1")
+            case 3 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+              s"wide $id".getBytes("UTF-16LE")
+            case _ => ("<meta charset=\"windows-1252\">eur"
+              .getBytes("US-ASCII") :+ 0x80.toByte) ++
+              s" $id".getBytes("US-ASCII")
+          }
+          (id, graft.ops.Charsets.sniffCharset(bytes),
+            graft.ops.Charsets.decodeText(bytes))
+        }).toDF("doc_id", "charset", "text_out")
+    }),
+
+    // robots.txt politeness filter (RFC 9309): three robots shapes ×
+    // four path shapes; group selection, longest-match + Allow-tie and
+    // $-anchored wildcards all land in the oracle's CASE replay
+    "pipeline_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val robots = (id % 3) match {
+            case 0 => "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+            case 1 => "User-agent: graftbot\nDisallow: /*.php$\n\n" +
+              "User-agent: *\nDisallow: /\n"
+            case _ => "User-agent: *\nDisallow:\nCrawl-delay: 2\n"
+          }
+          val path = (id % 4) match {
+            case 0 => s"/public/x$id"
+            case 1 => s"/private/x$id"
+            case 2 => s"/private/ok$id"
+            case _ => s"/page$id.php"
+          }
+          val gs = graft.ops.Robots.parse(robots)
+          (id, path, graft.ops.Robots.isAllowed(gs, "graftbot/1.0", path),
+            graft.ops.Robots.crawlDelay(gs, "graftbot/1.0").getOrElse(-1.0))
+        }).toDF("doc_id", "path", "allowed", "crawl_delay")
+    }),
+
     // multimodal: frame sampling over the decoded n_frames
     "mm_frame_sample" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -629,6 +680,32 @@ object BulkQueries extends QueryGroup {
         "CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents"),
     "pipeline_warc_text" ->
       "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out FROM documents",
+    "pipeline_robots_filter" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN '/public/x' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN '/private/ok' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '/page' || CAST(doc_id AS VARCHAR) || '.php' END AS path, " +
+        // v0: Disallow /private/ blocks path1; the longer Allow
+        // /private/ok re-admits path2. v1: the graftbot group's /*.php$
+        // blocks path3 only (the * group's Disallow / is NOT its group).
+        // v2: empty Disallow = allow everything.
+        "CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 1 THEN FALSE " +
+        "WHEN doc_id % 3 = 1 AND doc_id % 4 = 3 THEN FALSE " +
+        "ELSE TRUE END AS allowed, " +
+        "CASE WHEN doc_id % 3 = 2 THEN 2.0 ELSE -1.0 END AS crawl_delay " +
+        "FROM documents"),
+    "pipeline_charset_decode" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-8' " +
+        "WHEN 2 THEN 'ISO-8859-1' WHEN 3 THEN 'UTF-16LE' " +
+        "ELSE 'windows-1252' END AS charset, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'plain ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'bom ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'café ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 3 THEN 'wide ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '<meta charset=\"windows-1252\">eur€ ' || CAST(doc_id AS VARCHAR) " +
+        "END AS text_out FROM documents"),
     "mm_png_formats" ->
       ("WITH g AS (SELECT doc_id, 16 + doc_id % 24 AS w, 12 + doc_id % 10 AS h, " +
         "CASE (doc_id // 3) % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 200 END AS nc, " +

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Charsets
+
+/** Charset sniff + transcode: BOMs, meta declarations, strict UTF-8
+  * validation edges, Latin-1 fallback, totality. */
+class CharsetsSpec extends AnyFunSuite {
+
+  test("BOMs win: UTF-8 / UTF-16LE / UTF-16BE") {
+    assert(Charsets.sniffCharset(
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "x".getBytes("UTF-8"))
+      == "UTF-8")
+    assert(Charsets.sniffCharset(
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ "x".getBytes("UTF-16LE"))
+      == "UTF-16LE")
+    assert(Charsets.sniffCharset(
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++ "x".getBytes("UTF-16BE"))
+      == "UTF-16BE")
+  }
+
+  test("meta charset declaration in the first 1KB, case-insensitive, quoted or not") {
+    assert(Charsets.sniffCharset(
+      "<META CHARSET='Windows-1252'><p>x".getBytes("US-ASCII")) == "windows-1252")
+    assert(Charsets.sniffCharset(
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=iso-8859-1\">").getBytes("US-ASCII")) == "ISO-8859-1")
+    assert(Charsets.sniffCharset(
+      "<meta charset=utf8>".getBytes("US-ASCII")) == "UTF-8")
+    // unknown names fall through to content detection
+    assert(Charsets.sniffCharset(
+      "<meta charset=not-a-charset>plain ascii".getBytes("US-ASCII")) == "UTF-8")
+  }
+
+  test("strict UTF-8 validation: accepts real sequences, rejects the classics") {
+    assert(Charsets.isValidUtf8("héllo — κόσμε 漢字 🙂".getBytes("UTF-8")))
+    assert(Charsets.isValidUtf8(Array.empty[Byte]))
+    // overlong encoding of NUL (C0 80)
+    assert(!Charsets.isValidUtf8(Array[Byte](0xc0.toByte, 0x80.toByte)))
+    // UTF-16 surrogate D800 encoded as 3 bytes (ED A0 80)
+    assert(!Charsets.isValidUtf8(Array[Byte](0xed.toByte, 0xa0.toByte, 0x80.toByte)))
+    // beyond U+10FFFF (F5 ...)
+    assert(!Charsets.isValidUtf8(Array[Byte](0xf5.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte)))
+    // truncated multibyte tail
+    assert(!Charsets.isValidUtf8("é".getBytes("UTF-8").take(1)))
+    // bare continuation byte
+    assert(!Charsets.isValidUtf8(Array[Byte](0x80.toByte)))
+  }
+
+  test("non-UTF-8 bytes with no declaration fall back to Latin-1") {
+    val b = "café".getBytes("ISO-8859-1") // é = single 0xE9: invalid UTF-8
+    assert(Charsets.sniffCharset(b) == "ISO-8859-1")
+    assert(Charsets.decodeText(b) == "café")
+  }
+
+  test("decodeText strips BOMs and round-trips every variant") {
+    assert(Charsets.decodeText(
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+        "bom text".getBytes("UTF-8")) == "bom text")
+    assert(Charsets.decodeText(
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        "wide".getBytes("UTF-16LE")) == "wide")
+    assert(Charsets.decodeText("plain".getBytes("UTF-8")) == "plain")
+    // windows-1252 via meta: 0x80 is the euro sign
+    val cp = "<meta charset=windows-1252>eur".getBytes("US-ASCII") :+ 0x80.toByte
+    assert(Charsets.decodeText(cp) == "<meta charset=windows-1252>eur€")
+  }
+
+  test("totality: random bytes, nulls, empties never throw") {
+    assert(Charsets.decodeText(null) == "")
+    assert(Charsets.decodeText(Array.empty[Byte]) == "")
+    assert(Charsets.sniffCharset(null) == "UTF-8")
+    val rnd = new java.util.Random(7)
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Charsets.decodeText(b) // any byte soup decodes (Latin-1 is total)
+    }
+  }
+}
