@@ -118,4 +118,18 @@ object Robots {
   /** Crawl delay for (agent) if the governing group declares one. */
   def crawlDelay(groups: Seq[Group], agent: String): Option[Double] =
     groupFor(groups, agent).flatMap(_.crawlDelay)
+
+  /** `Sitemap:` URLs — RFC 9309 allows them anywhere in the file,
+    * outside any group. Order-preserving; never throws. */
+  def sitemaps(text: String): Seq[String] = {
+    if (text == null) return Nil
+    text.split("\r?\n").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+  }
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+/** sitemaps.org XML parsing — the crawl FRONTIER source next to the
+  * [[Robots]] politeness filter: a host's sitemap enumerates the URLs it
+  * wants indexed with freshness hints, so pipelines diff it against the
+  * crawled corpus for coverage/staleness screens.
+  *
+  * Handles both document shapes: `<urlset>` of `<url>` entries
+  * (loc / lastmod / changefreq / priority) and `<sitemapindex>` of
+  * `<sitemap><loc>` children, plus the gzipped transport (BOM-free
+  * UTF-8 assumed, as the spec requires). The parser is a deliberate
+  * regex element-walk, not an XML stack: sitemap files are flat
+  * machine-generated lists, and a walk that never throws beats a
+  * validating parser that dies on the web's malformed tails — the
+  * same totality stance as every codec here. Entity-decodes the five
+  * predefined XML entities in loc values (the spec requires escaping).
+  *
+  * Scale shape: one sitemap file (≤ 50k URLs by spec) is one row's
+  * work in a `mapPartitions` pass — map-side, no shuffle.
+  */
+object Sitemaps {
+
+  /** One `<url>` (or `<sitemap>`) entry; absent fields are ""/NaN-free
+    * sentinels (-1.0 priority, "" strings) to stay SQL-friendly. */
+  final case class SitemapEntry(loc: String, lastmod: String,
+      changefreq: String, priority: Double, isIndex: Boolean)
+
+  private val urlRx = "(?s)<url\\b[^>]*>(.*?)</url>".r
+  private val smRx = "(?s)<sitemap\\b[^>]*>(.*?)</sitemap>".r
+
+  private def field(body: String, tag: String): String = {
+    val m = s"(?s)<$tag\\b[^>]*>(.*?)</$tag>".r.findFirstMatchIn(body)
+    m.map(_.group(1).trim).getOrElse("")
+  }
+
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&") // amp LAST: no double decode
+
+  /** Parse a sitemap or sitemap-index document (plain or gzipped bytes).
+    * Returns entries in document order; malformed input yields the
+    * entries parsed so far (possibly none), never throws. */
+  def parse(b: Array[Byte], maxEntries: Int = 50000): Seq[SitemapEntry] = {
+    if (b == null || b.length == 0) return Nil
+    try {
+      val bytes =
+        if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(b), 8192)
+          val out = new java.io.ByteArrayOutputStream(b.length * 4)
+          val buf = new Array[Byte](8192)
+          var r = in.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+          out.toByteArray
+        } else b
+      val text = new String(bytes, "UTF-8")
+      val isIndex = text.contains("<sitemapindex")
+      val blocks = (if (isIndex) smRx else urlRx).findAllMatchIn(text)
+      blocks.take(maxEntries).flatMap { m =>
+        val body = m.group(1)
+        val loc = unescape(field(body, "loc"))
+        if (loc.isEmpty) None
+        else Some(SitemapEntry(loc, field(body, "lastmod"),
+          field(body, "changefreq"),
+          field(body, "priority") match {
+            case "" => -1.0
+            case p => try p.toDouble catch { case _: NumberFormatException => -1.0 }
+          }, isIndex))
+      }.toSeq
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** Deterministic writer for fixtures: a urlset (or index when
+    * `asIndex`) of the given (loc, lastmod, priority) rows. */
+  def encode(entries: Seq[(String, String, Double)],
+      asIndex: Boolean = false, gzip: Boolean = false): Array[Byte] = {
+    val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    val (root, item) = if (asIndex) ("sitemapindex", "sitemap") else ("urlset", "url")
+    sb.append(s"<$root xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+    entries.foreach { case (loc, lastmod, prio) =>
+      sb.append(s"<$item><loc>").append(
+        loc.replace("&", "&amp;").replace("<", "&lt;")).append("</loc>")
+      if (lastmod.nonEmpty) sb.append(s"<lastmod>$lastmod</lastmod>")
+      if (!asIndex && prio >= 0)
+        sb.append("<priority>").append(
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(prio)))
+          .append("</priority>")
+      sb.append(s"</$item>\n")
+    }
+    sb.append(s"</$root>\n")
+    val raw = sb.toString.getBytes("UTF-8")
+    if (!gzip) raw
+    else {
+      val bos = new java.io.ByteArrayOutputStream
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+  }
+}

@@ -484,6 +484,27 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "path", "allowed", "crawl_delay")
     }),
 
+    // sitemap walk (sitemaps.org): urlset AND sitemapindex shapes, plain
+    // and gzipped, entity-decoded locs — the crawl-frontier source next
+    // to the robots filter; every field re-derived by the oracle
+    "pipeline_sitemap_urls" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val n = (1 + id % 3).toInt
+          val entries = (0 until n).map { j =>
+            (s"https://s$id.example.com/p$j", s"2026-0${1 + j % 9}-01",
+              (j + 1) * 0.1)
+          }
+          val bytes = graft.ops.Sitemaps.encode(entries,
+            asIndex = id % 5 == 0, gzip = id % 2 == 0)
+          graft.ops.Sitemaps.parse(bytes).zipWithIndex.map { case (e, ix) =>
+            (id, ix.toLong, e.loc, e.lastmod, e.priority, e.isIndex)
+          }
+        }).toDF("doc_id", "entry_idx", "loc", "lastmod", "priority", "is_index")
+    }),
+
     // multimodal: frame sampling over the decoded n_frames
     "mm_frame_sample" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -680,6 +701,19 @@ object BulkQueries extends QueryGroup {
         "CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents"),
     "pipeline_warc_text" ->
       "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out FROM documents",
+    "pipeline_sitemap_urls" ->
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS n, " +
+        "doc_id % 5 = 0 AS isidx FROM documents) " +
+        "SELECT doc_id, CAST(j AS BIGINT) AS entry_idx, " +
+        "'https://s' || CAST(doc_id AS VARCHAR) || '.example.com/p' || " +
+        "CAST(j AS VARCHAR) AS loc, " +
+        "'2026-0' || CAST(1 + j % 9 AS VARCHAR) || '-01' AS lastmod, " +
+        // priority literals on BOTH sides: (j+1)*0.1 in double drifts an
+        // ulp from the parsed '0.3' at j=2
+        "CASE WHEN isidx THEN -1.0 WHEN j = 0 THEN 0.1 " +
+        "WHEN j = 1 THEN 0.2 ELSE 0.3 END AS priority, " +
+        "isidx AS is_index " +
+        "FROM g, generate_series(0, 3) AS s(j) WHERE j < n"),
     "pipeline_robots_filter" ->
       ("SELECT doc_id, " +
         "CASE doc_id % 4 WHEN 0 THEN '/public/x' || CAST(doc_id AS VARCHAR) " +

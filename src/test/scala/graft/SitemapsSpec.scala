@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Robots, Sitemaps}
+
+/** sitemaps.org walk: both document shapes, both transports, entity
+  * decoding, caps, totality — plus robots' Sitemap: line extraction. */
+class SitemapsSpec extends AnyFunSuite {
+
+  test("urlset round-trips loc/lastmod/priority in document order") {
+    val entries = Seq(
+      ("https://a/1", "2026-01-02", 0.8),
+      ("https://a/2", "", -1.0),
+      ("https://a/3", "2026-03-04", 0.1))
+    val got = Sitemaps.parse(Sitemaps.encode(entries))
+    assert(got.map(_.loc) == entries.map(_._1))
+    assert(got.map(_.lastmod) == Seq("2026-01-02", "", "2026-03-04"))
+    assert(got.map(_.priority) == Seq(0.8, -1.0, 0.1))
+    assert(got.forall(!_.isIndex))
+  }
+
+  test("sitemapindex shape parses as index entries, gzip transport matches plain") {
+    val entries = Seq(("https://a/s1.xml", "2026-02-01", -1.0),
+      ("https://a/s2.xml", "", -1.0))
+    val plain = Sitemaps.parse(Sitemaps.encode(entries, asIndex = true))
+    val gz = Sitemaps.parse(Sitemaps.encode(entries, asIndex = true, gzip = true))
+    assert(plain.forall(_.isIndex) && plain.map(_.loc) == entries.map(_._1))
+    assert(gz == plain)
+  }
+
+  test("XML entities in loc decode once (amp last)") {
+    val xml = ("<?xml version=\"1.0\"?><urlset><url>" +
+      "<loc>https://a/?x=1&amp;y=2&amp;lt;</loc></url></urlset>").getBytes("UTF-8")
+    val got = Sitemaps.parse(xml)
+    assert(got.head.loc == "https://a/?x=1&y=2&lt;") // &amp;lt; is TEXT "&lt;"
+  }
+
+  test("maxEntries caps; entries missing <loc> are skipped; garbage is total") {
+    val many = Sitemaps.encode((1 to 20).map(i => (s"https://a/$i", "", -1.0)))
+    assert(Sitemaps.parse(many, maxEntries = 5).size == 5)
+    val noloc = ("<urlset><url><lastmod>2026-01-01</lastmod></url>" +
+      "<url><loc>https://a/x</loc></url></urlset>").getBytes("UTF-8")
+    assert(Sitemaps.parse(noloc).map(_.loc) == Seq("https://a/x"))
+    assert(Sitemaps.parse(null).isEmpty)
+    assert(Sitemaps.parse("not xml at all".getBytes("UTF-8")).isEmpty)
+    assert(Sitemaps.parse(Array[Byte](0x1f.toByte, 0x8b.toByte, 3, 4)).isEmpty)
+    // truncation of a gzip sitemap never throws
+    val gz = Sitemaps.encode(Seq(("https://a/1", "", 0.5)), gzip = true)
+    for (l <- 0 until gz.length) Sitemaps.parse(java.util.Arrays.copyOf(gz, l))
+  }
+
+  test("robots Sitemap: lines surface in order, outside any group") {
+    val g = """Sitemap: https://a/s1.xml
+      |User-agent: *
+      |Disallow: /x
+      |SITEMAP: https://a/s2.xml # comment
+      |""".stripMargin
+    assert(Robots.sitemaps(g) == Seq("https://a/s1.xml", "https://a/s2.xml"))
+    assert(Robots.sitemaps(null).isEmpty)
+  }
+}
