@@ -43,16 +43,13 @@ object Sitemaps {
   def parse(b: Array[Byte], maxEntries: Int = 50000): Seq[SitemapEntry] = {
     if (b == null || b.length == 0) return Nil
     try {
+      // bounded (WarcCodec.MaxInflated): a gzip bomb yields a truncated
+      // document and therefore only the entries parsed so far, never an
+      // unbounded ByteArrayOutputStream
       val bytes =
-        if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(b), 8192)
-          val out = new java.io.ByteArrayOutputStream(b.length * 4)
-          val buf = new Array[Byte](8192)
-          var r = in.read(buf)
-          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-          out.toByteArray
-        } else b
+        if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+          WarcCodec.gunzipAll(b)
+        else b
       val text = new String(bytes, "UTF-8")
       val isIndex = text.contains("<sitemapindex")
       val blocks = (if (isIndex) smRx else urlRx).findAllMatchIn(text)

