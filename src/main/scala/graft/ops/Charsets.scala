@@ -37,11 +37,24 @@ object Charsets {
 
   /** `<meta charset=x>` / `<meta http-equiv=... content="...charset=x">`
     * in the first 1024 bytes, case-insensitive; returns a sanitized name
-    * the JVM knows, else None. */
+    * the JVM knows, else None. The charset= scan is anchored INSIDE
+    * `<meta ...>` tags (per the WHATWG prescan): early inline JS or text
+    * containing a bare `charset=` token (a `document.charset='x'`
+    * assignment, an echoed Content-Type string) must not mis-sniff an
+    * otherwise valid UTF-8 page. */
   private[graft] def metaCharset(b: Array[Byte]): Option[String] = {
     val n = math.min(b.length, 1024)
     val head = new String(b, 0, n, "ISO-8859-1").toLowerCase
-    val m = "charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)".r.findFirstMatchIn(head)
+    val rx = "charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)".r
+    val m = Iterator.iterate(head.indexOf("<meta"))(
+        p => head.indexOf("<meta", p + 1))
+      .takeWhile(_ >= 0)
+      .flatMap { p => // scan only up to the tag close (or window end)
+        val close = head.indexOf('>', p)
+        val tag = head.substring(p, if (close < 0) head.length else close)
+        rx.findFirstMatchIn(tag)
+      }
+      .nextOption()
     m.map(_.group(1)).flatMap { raw =>
       val name = raw match {
         case "utf8" => "UTF-8"

@@ -25,7 +25,15 @@ package graft.ops
   */
 object Robots {
 
-  final case class Rule(allow: Boolean, pattern: String)
+  final case class Rule(allow: Boolean, pattern: String) {
+    /** Compiled ONCE per parsed rule, not per path check — a corpus-wide
+      * filter evaluates one host's rules against millions of paths, and
+      * per-check `Pattern.compile` would pay regex construction per
+      * row × rule. Lazy so parse stays allocation-light for rules that
+      * are never evaluated; `Pattern` matching is thread-safe. */
+    @transient private[graft] lazy val rx: java.util.regex.Pattern =
+      Robots.compilePattern(pattern)
+  }
   final case class Group(agents: Seq[String], rules: Seq[Rule],
       crawlDelay: Option[Double])
 
@@ -71,14 +79,11 @@ object Robots {
     groups.result()
   }
 
-  /** Does `pattern` (with `*` wildcards, optional trailing `$` anchor)
-    * match a prefix of `path`? RFC 9309 §2.2.3. Translated to a regex so
+  /** Translate an RFC 9309 §2.2.3 pattern (`*` wildcards, optional
+    * trailing `$` anchor, implicit prefix match) to a compiled regex so
     * anchored patterns backtrack correctly (a slash-star-dot-php-dollar
-    * rule must match `/a.php.php` — a greedy leftmost scan would not).
-    * Patterns are a handful of characters; per-check compilation is fine
-    * at the robots-check call rate, and rules are typically filtered
-    * once per (host, path) pair, not per corpus row. */
-  private[graft] def patternMatches(pattern: String, path: String): Boolean = {
+    * rule must match `/a.php.php` — a greedy leftmost scan would not). */
+  private[graft] def compilePattern(pattern: String): java.util.regex.Pattern = {
     val anchored = pattern.endsWith("$")
     val p = if (anchored) pattern.dropRight(1) else pattern
     val sb = new StringBuilder
@@ -87,26 +92,44 @@ object Robots {
       case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
     }
     if (!anchored) sb.append(".*")
-    path.matches(sb.toString)
+    java.util.regex.Pattern.compile(sb.toString)
   }
 
-  /** The group governing `agent` (RFC 9309 §2.2.1: most specific
-    * user-agent line wins; `*` is the fallback). */
-  private[graft] def groupFor(groups: Seq[Group], agent: String): Option[Group] = {
+  private[graft] def patternMatches(rule: Rule, path: String): Boolean =
+    rule.rx.matcher(path).matches()
+
+  /** The EFFECTIVE group governing `agent` — RFC 9309 §2.2.1: pick the
+    * most specific matching user-agent token (`*` only when nothing else
+    * matches), then COMBINE the rules of every group carrying a matching
+    * token of that specificity: real robots.txt files routinely repeat
+    * `User-agent: *` (or the same named agent) across several groups,
+    * and honoring only the first would silently drop the later groups'
+    * Disallow lines — a politeness-filter correctness gap. Crawl-delay:
+    * first declared among the merged groups, in document order. */
+  private[graft] def effectiveGroup(groups: Seq[Group], agent: String): Option[Group] = {
     val a = agent.toLowerCase
-    val named = groups.flatMap(g =>
-      g.agents.filter(ua => ua != "*" && a.startsWith(ua)).map(ua => (ua.length, g)))
-    if (named.nonEmpty) Some(named.maxBy(_._1)._2)
-    else groups.find(_.agents.contains("*"))
+    val bestLen = groups.iterator
+      .flatMap(_.agents.iterator.filter(ua => ua != "*" && a.startsWith(ua)))
+      .map(_.length)
+      .foldLeft(0)(math.max)
+    val merged =
+      if (bestLen > 0)
+        groups.filter(_.agents.exists(ua =>
+          ua != "*" && ua.length == bestLen && a.startsWith(ua)))
+      else groups.filter(_.agents.contains("*"))
+    if (merged.isEmpty) None
+    else Some(Group(merged.flatMap(_.agents).distinct,
+      merged.flatMap(_.rules), merged.flatMap(_.crawlDelay).headOption))
   }
 
-  /** RFC 9309 verdict for (agent, path): longest-match rule, Allow wins
-    * ties, no rule / no group / empty robots → allowed. */
+  /** RFC 9309 verdict for (agent, path): longest-match rule over the
+    * merged effective group, Allow wins ties, no rule / no group / empty
+    * robots → allowed. */
   def isAllowed(groups: Seq[Group], agent: String, path: String): Boolean =
-    groupFor(groups, agent) match {
+    effectiveGroup(groups, agent) match {
       case None => true
       case Some(g) =>
-        val matches = g.rules.filter(r => patternMatches(r.pattern, path))
+        val matches = g.rules.filter(r => patternMatches(r, path))
         if (matches.isEmpty) true
         else {
           val best = matches.map(r => (r.pattern.length, r.allow))
@@ -115,9 +138,9 @@ object Robots {
         }
     }
 
-  /** Crawl delay for (agent) if the governing group declares one. */
+  /** Crawl delay for (agent) if any governing group declares one. */
   def crawlDelay(groups: Seq[Group], agent: String): Option[Double] =
-    groupFor(groups, agent).flatMap(_.crawlDelay)
+    effectiveGroup(groups, agent).flatMap(_.crawlDelay)
 
   /** `Sitemap:` URLs — RFC 9309 allows them anywhere in the file,
     * outside any group. Order-preserving; never throws. */

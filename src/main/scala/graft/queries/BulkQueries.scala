@@ -473,11 +473,19 @@ object BulkQueries extends QueryGroup {
       Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .mapPartitions(_.map { id =>
-          val robots = (id % 3) match {
+          // 5 robots variants × 4 paths (coprime moduli → all 20 combos);
+          // v3/v4 repeat the SAME user-agent across groups, so the RFC
+          // 9309 §2.2.1 group MERGE is load-bearing: honoring only the
+          // first group would flip several verdicts
+          val robots = (id % 5) match {
             case 0 => "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
             case 1 => "User-agent: graftbot\nDisallow: /*.php$\n\n" +
               "User-agent: *\nDisallow: /\n"
-            case _ => "User-agent: *\nDisallow:\nCrawl-delay: 2\n"
+            case 2 => "User-agent: *\nDisallow:\nCrawl-delay: 2\n"
+            case 3 => "User-agent: *\nDisallow: /private/\n\n" +
+              "User-agent: *\nAllow: /private/ok\nDisallow: /*.php$\nCrawl-delay: 3\n"
+            case _ => "User-agent: graftbot\nDisallow: /private/\n\n" +
+              "User-agent: graftbot\nDisallow: /*.php$\n"
           }
           val path = (id % 4) match {
             case 0 => s"/public/x$id"
@@ -737,11 +745,18 @@ object BulkQueries extends QueryGroup {
         // v0: Disallow /private/ blocks path1; the longer Allow
         // /private/ok re-admits path2. v1: the graftbot group's /*.php$
         // blocks path3 only (the * group's Disallow / is NOT its group).
-        // v2: empty Disallow = allow everything.
-        "CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 1 THEN FALSE " +
-        "WHEN doc_id % 3 = 1 AND doc_id % 4 = 3 THEN FALSE " +
+        // v2: empty Disallow = allow everything. v3: MERGED star groups —
+        // group A's Disallow /private/ plus group B's Allow /private/ok
+        // and php-anchor Disallow: blocks path1 and path3, re-admits
+        // path2, crawl-delay 3 from the second group. v4: merged NAMED
+        // groups — blocks path1, path2 (prefix, no allow) and path3.
+        "CASE WHEN doc_id % 5 = 0 AND doc_id % 4 = 1 THEN FALSE " +
+        "WHEN doc_id % 5 = 1 AND doc_id % 4 = 3 THEN FALSE " +
+        "WHEN doc_id % 5 = 3 AND doc_id % 4 IN (1, 3) THEN FALSE " +
+        "WHEN doc_id % 5 = 4 AND doc_id % 4 <> 0 THEN FALSE " +
         "ELSE TRUE END AS allowed, " +
-        "CASE WHEN doc_id % 3 = 2 THEN 2.0 ELSE -1.0 END AS crawl_delay " +
+        "CASE WHEN doc_id % 5 = 2 THEN 2.0 " +
+        "WHEN doc_id % 5 = 3 THEN 3.0 ELSE -1.0 END AS crawl_delay " +
         "FROM documents"),
     "pipeline_charset_decode" ->
       ("SELECT doc_id, " +

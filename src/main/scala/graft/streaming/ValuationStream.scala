@@ -23,9 +23,15 @@ import graft.ops.Valuation
   *
   * `foreachBatch` rather than watermark machinery, exactly like
   * [[IncrementalIndex]]: valuation needs the batch merge + atomic
-  * output swap, and micro-batch retries re-run an idempotent append
-  * (the batch's rows are anti-joined against the state before the
-  * append, so a replayed batch cannot double-append).
+  * output swap, and micro-batch retries re-run an idempotent append.
+  * Replay detection is scoped to the BATCH: state rows carry the
+  * micro-batch id, and a batch's rows are anti-joined only against
+  * state rows written under the same batch id — so a replayed batch
+  * cannot double-append, while a LATER batch that legitimately carries
+  * an id seen before still lands. Train ids are expected unique across
+  * the stream (each arriving row is a new train point); a re-sent id
+  * is appended as a distinct occurrence, not deduplicated — upstream
+  * exactly-once delivery is the source's contract, not this sink's.
   */
 object ValuationStream {
 
@@ -42,18 +48,28 @@ object ValuationStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{col, lit}
           val newSims = Valuation.knnShapleySims(
             batch, probes, idCol, vecCol, labelCol, maxProbes)
-          val exists = new java.io.File(statePath, "_SUCCESS").isFile
-          // idempotent append: a retried batch's ids are already present
+            .withColumn("batch_id", lit(batchId))
+          // Hadoop FS probe, not java.io.File: statePath may be HDFS/S3
+          val stateDir = new org.apache.hadoop.fs.Path(statePath)
+          val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val exists = fs.exists(
+            new org.apache.hadoop.fs.Path(stateDir, "_SUCCESS"))
+          // idempotent append scoped to REPLAY: only rows this same
+          // micro-batch already wrote are dropped; later batches with
+          // previously-seen ids append normally
           val toAppend = if (!exists) newSims else {
-            val prior = spark.read.parquet(statePath).select("id").distinct()
-            newSims.join(prior, Seq("id"), "left_anti")
+            val replayed = spark.read.parquet(statePath)
+              .where(col("batch_id") === batchId)
+              .select("id").distinct()
+            newSims.join(replayed, Seq("id"), "left_anti")
           }
           toAppend.write.mode("append").parquet(statePath)
-          val sims = spark.read.parquet(statePath)
+          val sims = spark.read.parquet(statePath).drop("batch_id")
           Valuation.knnShapleyFromSims(sims, k)
             .write.mode("overwrite").parquet(outPath)
         }

@@ -33,6 +33,24 @@ class CharsetsSpec extends AnyFunSuite {
       "<meta charset=not-a-charset>plain ascii".getBytes("US-ASCII")) == "UTF-8")
   }
 
+  test("charset= outside a meta tag does NOT mis-sniff (WHATWG prescan anchor)") {
+    // inline JS before any meta declaration
+    assert(Charsets.sniffCharset(
+      "<script>document.charset='shift_jis';</script><p>plain utf-8 é"
+        .getBytes("UTF-8")) == "UTF-8")
+    // an echoed Content-Type string in body text
+    assert(Charsets.sniffCharset(
+      "<pre>Content-Type: text/html; charset=iso-8859-1</pre>ok"
+        .getBytes("US-ASCII")) == "UTF-8")
+    // a real meta AFTER an inline-JS decoy must still win
+    assert(Charsets.sniffCharset(
+      ("<script>var s='charset=koi8-r';</script>" +
+        "<meta charset=windows-1252>").getBytes("US-ASCII")) == "windows-1252")
+    // charset= in a NON-meta tag attribute is ignored too
+    assert(Charsets.sniffCharset(
+      "<a href=\"/x?charset=ebcdic\">link</a>".getBytes("US-ASCII")) == "UTF-8")
+  }
+
   test("strict UTF-8 validation: accepts real sequences, rejects the classics") {
     assert(Charsets.isValidUtf8("héllo — κόσμε 漢字 🙂".getBytes("UTF-8")))
     assert(Charsets.isValidUtf8(Array.empty[Byte]))

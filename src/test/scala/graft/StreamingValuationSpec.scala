@@ -62,6 +62,27 @@ class StreamingValuationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$root/state").count() == 30L * 2)
   }
 
+  test("a LATER batch carrying a previously-seen id still lands (dedup is replay-scoped)") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-valreseen").toString
+    val probes = Seq((100L, Array(1.0f, 0.0f), 1L)).toDF("id", "vec", "label")
+    val stream = MemoryStream[(Long, Array[Float], Long)](s)
+    stream.addData((0 until 6).map(row): _*)
+    val q1 = ValuationStream.start(spark,
+      stream.toDF.toDF("id", "vec", "label"), probes, "id", "vec", "label",
+      k = 2, s"$root/state", s"$root/out", s"$root/ckpt")
+    q1.awaitTermination(60000)
+    // batch 2 re-sends id 3 (a legitimate later arrival, NOT a replay)
+    stream.addData(row(3))
+    val q2 = ValuationStream.start(spark,
+      stream.toDF.toDF("id", "vec", "label"), probes, "id", "vec", "label",
+      k = 2, s"$root/state", s"$root/out", s"$root/ckpt")
+    q2.awaitTermination(60000)
+    // 6 first-batch pairs + the re-sent id's pair: an all-ids anti-join
+    // would have silently dropped the batch-2 row
+    assert(spark.read.parquet(s"$root/state").count() == 7L)
+  }
+
   test("a replayed batch cannot double-append the state (idempotent retry)") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-valretry").toString
