@@ -202,6 +202,10 @@ object MediaCodec {
         WebmCodec.parseWebmMeta(b)
       } else if (Mp3Codec.sniff(b)) {
         Mp3Codec.parseMp3Meta(b)
+      } else if (PdfCodec.sniff(b)) {
+        // nFrames = page count (the cheap first screen; text extraction
+        // is PdfCodec.extractText)
+        MediaMeta("pdf", -1, -1, -1, -1, PdfCodec.pageCount(b), n)
       } else unknown
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
   }

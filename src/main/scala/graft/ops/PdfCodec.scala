@@ -1,0 +1,827 @@
+package graft.ops
+
+import scala.collection.mutable
+
+/** PDF text extraction, pure JVM — the single biggest crawl-content
+  * family after HTML: a double-digit share of crawled training text
+  * arrives as PDF, and a 100 TB curation pipeline needs a first-screen
+  * extractor that never throws and never shells out.
+  *
+  * Subset implemented (ISO 32000-1, classic file structure):
+  *  - header sniff, `startxref` → classic cross-reference TABLE walk
+  *    (with `/Prev` chains for incrementally-updated files); when the
+  *    xref is damaged or is a 1.5+ xref STREAM, a whole-file scan for
+  *    `N G obj` headers rebuilds the index (the standard repair-tool
+  *    strategy), so xref-stream files still parse when their objects
+  *    are not packed into object streams;
+  *  - full object grammar: numbers, booleans, null, names with `#xx`
+  *    escapes, literal strings (nesting, all escapes, octal, line
+  *    continuations), hex strings, arrays, dictionaries, indirect
+  *    references, streams (`/Length` resolved indirectly if needed;
+  *    `endstream` re-scan when the length lies);
+  *  - `FlateDecode` via the bounded inflater shared with [[WarcCodec]]
+  *    (same 2^28 bomb cap); other filters leave the stream undecoded
+  *    and its text is skipped;
+  *  - page tree walk from `/Root → /Pages → /Kids` with `/Resources`
+  *    INHERITANCE down the tree and a visited-set cycle guard;
+  *  - content-stream text operators: `BT`/`ET`, `Tf` (font select),
+  *    `Tj`, `TJ` (kerning numbers ignored), `'` and `"` (newline +
+  *    show), `T*` (newline);
+  *  - per-font byte→text decode: `/ToUnicode` CMap (`bfchar` +
+  *    `bfrange`, 1- or 2-byte codes) wins; else `/WinAnsiEncoding` (≈
+  *    windows-1252, the JDK charset); else Latin-1 fallback.
+  *
+  * Disclosed limits (return None or skip, never throw): encrypted files
+  * (trailer `/Encrypt`), object streams (`/Type /ObjStm` packing),
+  * Type0/CID fonts WITHOUT a ToUnicode map, non-Flate filters, CMap
+  * array-form bfrange destinations, and predictor-coded streams.
+  *
+  * Scale shape: one PDF blob is one row's work in a `mapPartitions`
+  * pass — map-side, zero shuffle, bounded memory (stream cap + page
+  * cap). Reference behavior: HIndex stores document payloads as opaque
+  * cell bytes (pipeline tier, SURVEY §2.11).
+  */
+object PdfCodec {
+
+  /** Extracted document: page count and text (pages joined by \n). */
+  final case class PdfText(nPages: Int, text: String)
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 5 && b(0) == '%' && b(1) == 'P' &&
+      b(2) == 'D' && b(3) == 'F' && b(4) == '-'
+
+  // ---- object model ----------------------------------------------------
+
+  private sealed trait PObj
+  private case class PNum(v: Double) extends PObj
+  private case class PBool(v: Boolean) extends PObj
+  private case object PNull extends PObj
+  private case class PName(s: String) extends PObj
+  private case class PStr(bytes: Array[Byte]) extends PObj
+  private case class PArr(items: Vector[PObj]) extends PObj
+  private case class PDict(m: Map[String, PObj]) extends PObj
+  private case class PRef(num: Int, gen: Int) extends PObj
+  private case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+  private case class POp(op: String) extends PObj // content-stream operator
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Byte lexer + recursive-descent object parser. Throws internally on
+    * malformed input; every public entry point catches. */
+  private final class Lex(val b: Array[Byte], var pos: Int) {
+    def eof: Boolean = pos >= b.length
+    def peek: Int = if (eof) -1 else b(pos) & 0xff
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = peek
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to EOL
+          while (!eof && peek != '\n' && peek != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    def token(): String = { // regular token: run of non-ws non-delim bytes
+      skipWs()
+      val start = pos
+      while (!eof && !isWs(peek) && !isDelim(peek)) pos += 1
+      new String(b, start, pos - start, "US-ASCII")
+    }
+
+    def expect(s: String): Unit = {
+      val t = token()
+      if (t != s) throw new IllegalArgumentException(s"expected $s got $t")
+    }
+
+    private def name(): PName = { // pos at '/'
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && !isWs(peek) && !isDelim(peek)) {
+        val c = peek
+        if (c == '#' && pos + 2 < b.length) {
+          val h = Character.digit(b(pos + 1), 16) * 16 +
+            Character.digit(b(pos + 2), 16)
+          if (h >= 0) { sb.append(h.toChar); pos += 3 }
+          else { sb.append(c.toChar); pos += 1 }
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def literalString(): PStr = { // pos at '('
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream
+      var depth = 1
+      while (depth > 0) {
+        if (eof) throw new IllegalArgumentException("unterminated string")
+        val c = peek; pos += 1
+        c match {
+          case '(' => depth += 1; out.write(c)
+          case ')' => depth -= 1; if (depth > 0) out.write(c)
+          case '\\' =>
+            if (eof) throw new IllegalArgumentException("bad escape")
+            val e = peek; pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' | ')' | '\\' => out.write(e)
+              case '\r' => if (!eof && peek == '\n') pos += 1 // continuation
+              case '\n' => // line continuation: nothing
+              case d if d >= '0' && d <= '7' => // octal, up to 3 digits
+                var v = d - '0'; var k = 1
+                while (k < 3 && !eof && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (peek - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other) // unknown escape: literal
+            }
+          case _ => out.write(c)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def hexString(): PStr = { // pos at '<', next is not '<'
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream
+      var hi = -1
+      var go = true
+      while (go) {
+        if (eof) throw new IllegalArgumentException("unterminated hex string")
+        val c = peek; pos += 1
+        if (c == '>') go = false
+        else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) throw new IllegalArgumentException("bad hex digit")
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+      }
+      if (hi >= 0) out.write(hi * 16) // odd digit count: pad with 0
+      PStr(out.toByteArray)
+    }
+
+    /** One object (or content-stream operator). `content` = yield POp
+      * for bare keywords instead of failing. */
+    def obj(content: Boolean): PObj = {
+      skipWs()
+      if (eof) throw new IllegalArgumentException("eof")
+      val c = peek
+      if (c == '/') name()
+      else if (c == '(') literalString()
+      else if (c == '[') {
+        pos += 1
+        val items = Vector.newBuilder[PObj]
+        skipWs()
+        while (peek != ']') { items += obj(content); skipWs() }
+        pos += 1
+        PArr(items.result())
+      } else if (c == '<') {
+        if (pos + 1 < b.length && b(pos + 1) == '<') {
+          pos += 2
+          val m = Map.newBuilder[String, PObj]
+          skipWs()
+          while (!(peek == '>' && pos + 1 < b.length && b(pos + 1) == '>')) {
+            val k = obj(content) match {
+              case PName(n) => n
+              case other => throw new IllegalArgumentException(s"dict key $other")
+            }
+            m += k -> obj(content)
+            skipWs()
+          }
+          pos += 2
+          PDict(m.result())
+        } else hexString()
+      } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        val start = pos
+        pos += 1
+        while (!eof && (peek == '.' || (peek >= '0' && peek <= '9'))) pos += 1
+        val first = new String(b, start, pos - start, "US-ASCII")
+        // lookahead for "gen R" making an indirect reference
+        val save = pos
+        skipWs()
+        val d2start = pos
+        if (!eof && peek >= '0' && peek <= '9') {
+          while (!eof && peek >= '0' && peek <= '9') pos += 1
+          val second = new String(b, d2start, pos - d2start, "US-ASCII")
+          val save2 = pos
+          skipWs()
+          if (!eof && peek == 'R' &&
+              (pos + 1 >= b.length || isWs(b(pos + 1) & 0xff) || isDelim(b(pos + 1) & 0xff))) {
+            pos += 1
+            return PRef(first.toInt, second.toInt)
+          }
+          pos = save2
+          pos = save // not a reference: rewind fully
+        } else pos = save
+        PNum(first.toDouble)
+      } else {
+        val t = token()
+        t match {
+          case "true" => PBool(true)
+          case "false" => PBool(false)
+          case "null" => PNull
+          case "" => throw new IllegalArgumentException(s"stray byte $c")
+          case op if content => POp(op)
+          case other => throw new IllegalArgumentException(s"keyword $other")
+        }
+      }
+    }
+  }
+
+  // ---- document structure ----------------------------------------------
+
+  /** Indexed document: object offsets + trailer dictionary pieces. */
+  private final class Doc(val b: Array[Byte], val offsets: Map[Int, Int],
+      val root: Option[PRef]) {
+    private val cache = mutable.Map.empty[Int, PObj]
+
+    /** Parse object N at its indexed offset: `N G obj <object> endobj`,
+      * with stream payload attached when present. */
+    def objectAt(num: Int): PObj = cache.getOrElseUpdate(num, {
+      offsets.get(num) match {
+        case None => PNull
+        case Some(off) =>
+          val lx = new Lex(b, off)
+          lx.token(); lx.token() // obj number, generation
+          lx.expect("obj")
+          val o = lx.obj(content = false)
+          lx.skipWs()
+          o match {
+            case d: PDict if lx.pos + 6 <= b.length &&
+                new String(b, lx.pos, 6, "US-ASCII") == "stream" =>
+              var p = lx.pos + 6
+              if (p < b.length && b(p) == '\r') p += 1
+              if (p < b.length && b(p) == '\n') p += 1
+              val len = resolve(d.m.getOrElse("Length", PNull), 4) match {
+                case PNum(v) if v >= 0 && p + v <= b.length => v.toInt
+                case _ => -1
+              }
+              val end =
+                if (len >= 0 && slantEndstream(p + len)) p + len
+                else findEndstream(p) // the Length lied: re-scan
+              if (end < 0) PNull
+              else PStream(d, java.util.Arrays.copyOfRange(b, p, end))
+            case other => other
+          }
+      }
+    })
+
+    private def slantEndstream(at: Int): Boolean = {
+      var p = at
+      while (p < b.length && isWs(b(p) & 0xff)) p += 1
+      p + 9 <= b.length && new String(b, p, 9, "US-ASCII") == "endstream"
+    }
+
+    private def findEndstream(from: Int): Int = {
+      val pat = "endstream".getBytes("US-ASCII")
+      var i = from
+      while (i + pat.length <= b.length) {
+        var j = 0
+        while (j < pat.length && b(i + j) == pat(j)) j += 1
+        if (j == pat.length) {
+          var e = i // strip the EOL that precedes endstream
+          if (e > from && b(e - 1) == '\n') e -= 1
+          if (e > from && b(e - 1) == '\r') e -= 1
+          return e
+        }
+        i += 1
+      }
+      -1
+    }
+
+    /** Follow references (bounded depth — reference cycles are malformed). */
+    def resolve(o: PObj, depth: Int = 8): PObj = o match {
+      case PRef(n, _) if depth > 0 => resolve(objectAt(n), depth - 1)
+      case _: PRef => PNull
+      case other => other
+    }
+
+    /** Decoded stream bytes; None when a filter is unsupported. */
+    def streamData(s: PStream): Option[Array[Byte]] = {
+      val filters: Seq[String] = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+        case PName(n) => Seq(n)
+        case PArr(items) => items.map(resolve(_)).collect { case PName(n) => n }
+        case _ => Nil
+      }
+      filters.foldLeft(Option(s.raw)) { (acc, f) =>
+        acc.flatMap { data =>
+          f match {
+            case "FlateDecode" => WarcCodec.inflateBounded(data)
+            case _ => None // non-Flate filters: disclosed unsupported
+          }
+        }
+      }
+    }
+  }
+
+  /** Build the object index: classic xref table walk from `startxref`
+    * (following `/Prev`); on any failure, whole-file `N G obj` scan. */
+  private def index(b: Array[Byte]): Doc = {
+    def trailerRoot(t: PDict): Option[PRef] =
+      t.m.get("Root").collect { case r: PRef => r }
+
+    def viaXref(): Option[Doc] = {
+      // locate startxref near EOF
+      val tail = new String(b, math.max(0, b.length - 256),
+        math.min(256, b.length), "ISO-8859-1")
+      val sx = tail.lastIndexOf("startxref")
+      if (sx < 0) return None
+      val lx0 = new Lex(b, math.max(0, b.length - 256) + sx)
+      lx0.expect("startxref")
+      val off0 = lx0.token().toInt
+      val offsets = mutable.Map.empty[Int, Int]
+      var root: Option[PRef] = None
+      var encrypted = false
+      var off = off0
+      var hops = 0
+      while (off >= 0 && off < b.length && hops < 64) {
+        hops += 1
+        val lx = new Lex(b, off)
+        val t0 = lx.token()
+        if (t0 != "xref") return None // xref STREAM or garbage → fallback scan
+        var go = true
+        while (go) {
+          lx.skipWs()
+          val save = lx.pos
+          val first = lx.token()
+          if (first == "trailer") go = false
+          else {
+            val start = first.toInt
+            val count = lx.token().toInt
+            lx.skipWs()
+            var k = 0
+            while (k < count) {
+              // fixed 20-byte entries: 10-digit offset, 5-digit gen, f/n
+              val entry = new String(b, lx.pos, 18, "US-ASCII")
+              val typ = entry.charAt(17)
+              if (typ == 'n') {
+                val o = entry.substring(0, 10).toInt
+                // first xref in the chain wins (newest increment)
+                if (!offsets.contains(start + k)) offsets(start + k) = o
+              }
+              lx.pos += 20
+              if (lx.pos > 2 && (b(lx.pos - 1) != '\n' && b(lx.pos - 1) != '\r'))
+                lx.pos -= 1 // tolerate 19-byte lines
+              k += 1
+            }
+            if (save == lx.pos) go = false // no progress: malformed
+          }
+        }
+        val trailer = lx.obj(content = false) match {
+          case d: PDict => d
+          case _ => return None
+        }
+        if (root.isEmpty) root = trailerRoot(trailer)
+        if (trailer.m.contains("Encrypt")) encrypted = true
+        off = trailer.m.get("Prev") match {
+          case Some(PNum(v)) => v.toInt
+          case _ => -1
+        }
+      }
+      if (encrypted) throw new UnsupportedOperationException("encrypted")
+      if (offsets.isEmpty) None else Some(new Doc(b, offsets.toMap, root))
+    }
+
+    def viaScan(): Doc = {
+      // whole-file scan for object headers; LAST definition of an object
+      // number wins (matches incremental-update semantics)
+      val offsets = mutable.Map.empty[Int, Int]
+      var i = 0
+      while (i < b.length) {
+        if (b(i) == 'o' && i + 2 < b.length && b(i + 1) == 'b' && b(i + 2) == 'j' &&
+            (i + 3 >= b.length || isWs(b(i + 3) & 0xff) || isDelim(b(i + 3) & 0xff))) {
+          // walk back: ws, gen digits, ws, obj-number digits
+          var p = i - 1
+          while (p >= 0 && isWs(b(p) & 0xff)) p -= 1
+          val genEnd = p
+          while (p >= 0 && b(p) >= '0' && b(p) <= '9') p -= 1
+          if (genEnd > p) {
+            var q = p
+            while (q >= 0 && isWs(b(q) & 0xff)) q -= 1
+            val numEnd = q
+            while (q >= 0 && b(q) >= '0' && b(q) <= '9') q -= 1
+            if (numEnd > q && (q < 0 || isWs(b(q) & 0xff) || isDelim(b(q) & 0xff))) {
+              val num = new String(b, q + 1, numEnd - q, "US-ASCII").toInt
+              offsets(num) = q + 1
+            }
+          }
+        }
+        i += 1
+      }
+      // root: the trailer dict if present, else the object whose dict
+      // says Type Catalog
+      var root: Option[PRef] = None
+      val ttl = new String(b, 0, math.min(b.length, b.length), "ISO-8859-1")
+      val tr = ttl.lastIndexOf("trailer")
+      if (tr >= 0) {
+        try {
+          val lx = new Lex(b, tr)
+          lx.expect("trailer")
+          lx.obj(content = false) match {
+            case d: PDict =>
+              if (d.m.contains("Encrypt"))
+                throw new UnsupportedOperationException("encrypted")
+              root = d.m.get("Root").collect { case r: PRef => r }
+            case _ =>
+          }
+        } catch { case _: IllegalArgumentException => }
+      }
+      val doc = new Doc(b, offsets.toMap, root)
+      if (root.isEmpty) {
+        val cat = offsets.keys.toSeq.sorted.find { n =>
+          doc.resolve(doc.objectAt(n)) match {
+            case PDict(m) => m.get("Type").contains(PName("Catalog"))
+            case PStream(PDict(m), _) => m.get("Type").contains(PName("Catalog"))
+            case _ => false
+          }
+        }
+        cat.map(n => new Doc(b, offsets.toMap, Some(PRef(n, 0)))).getOrElse(doc)
+      } else doc
+    }
+
+    (try viaXref() catch {
+      case e: UnsupportedOperationException => throw e
+      case _: Exception => None
+    }).getOrElse(viaScan())
+  }
+
+  // ---- page tree ---------------------------------------------------------
+
+  /** Leaf pages in document order with INHERITED resources. */
+  private def pages(doc: Doc, maxPages: Int): Seq[(PDict, PDict)] = {
+    val out = Vector.newBuilder[(PDict, PDict)]
+    var n = 0
+    val seen = mutable.Set.empty[Int]
+    def walk(node: PObj, inheritedRes: PDict): Unit = {
+      if (n >= maxPages) return
+      doc.resolve(node) match {
+        case d: PDict =>
+          node match {
+            case PRef(num, _) =>
+              if (seen.contains(num)) return else seen += num
+            case _ =>
+          }
+          val res = doc.resolve(d.m.getOrElse("Resources", PNull)) match {
+            case r: PDict => r
+            case _ => inheritedRes
+          }
+          d.m.get("Type") match {
+            case Some(PName("Pages")) =>
+              doc.resolve(d.m.getOrElse("Kids", PNull)) match {
+                case PArr(kids) => kids.foreach(walk(_, res))
+                case _ =>
+              }
+            case Some(PName("Page")) =>
+              if (n < maxPages) { out += ((d, res)); n += 1 }
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    val rootDict = doc.root.map(doc.resolve(_)).getOrElse(PNull)
+    rootDict match {
+      case PDict(m) => walk(m.getOrElse("Pages", PNull), PDict(Map.empty))
+      case _ =>
+    }
+    out.result()
+  }
+
+  // ---- fonts --------------------------------------------------------------
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Per-font decoder: code bytes → text. */
+  private final case class FontDec(twoByte: Boolean,
+      cmap: Map[Int, String], winAnsi: Boolean) {
+    def decode(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder
+      if (twoByte) {
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          cmap.get(code).foreach(sb.append) // unmapped CID: skipped (disclosed)
+          i += 2
+        }
+      } else {
+        var i = 0
+        while (i < bytes.length) {
+          val code = bytes(i) & 0xff
+          cmap.get(code) match {
+            case Some(s) => sb.append(s)
+            case None =>
+              if (winAnsi) sb.append(new String(bytes, i, 1, Cp1252))
+              else sb.append((code & 0xff).toChar) // Latin-1 fallback
+          }
+          i += 1
+        }
+      }
+      sb.toString
+    }
+  }
+
+  private val IdentityFont = FontDec(twoByte = false, Map.empty, winAnsi = false)
+
+  /** Parse a ToUnicode CMap stream: bfchar pairs + bfrange triples
+    * (hex-string destinations; array-form destinations are skipped). */
+  private[graft] def parseCMap(data: Array[Byte]): Map[Int, String] = {
+    val text = new String(data, "ISO-8859-1")
+    val out = Map.newBuilder[Int, String]
+    def hexToInt(h: String): Int = java.lang.Integer.parseInt(h, 16)
+    def hexToStr(h: String): String = {
+      // UTF-16BE code units
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) {
+        sb.append(hexToInt(h.substring(i, i + 4)).toChar)
+        i += 4
+      }
+      sb.toString
+    }
+    val hexTok = "<([0-9a-fA-F]+)>".r
+    // bfchar sections: pairs of hex strings
+    val bfchar = "(?s)beginbfchar(.*?)endbfchar".r
+    bfchar.findAllMatchIn(text).foreach { m =>
+      val toks = hexTok.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => out += hexToInt(src) -> hexToStr(dst)
+        case _ =>
+      }
+    }
+    // bfrange sections: lo hi dstStart triples
+    val bfrange = "(?s)beginbfrange(.*?)endbfrange".r
+    bfrange.findAllMatchIn(text).foreach { m =>
+      val toks = hexTok.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      toks.grouped(3).foreach {
+        case Seq(lo, hi, dst) =>
+          val l = hexToInt(lo); val h = hexToInt(hi); val d0 = hexToInt(dst)
+          var c = l
+          while (c <= h && c - l < 65536) {
+            out += c -> (d0 + (c - l)).toChar.toString
+            c += 1
+          }
+        case _ =>
+      }
+    }
+    out.result()
+  }
+
+  private def fontDecoder(doc: Doc, fontObj: PObj): FontDec =
+    doc.resolve(fontObj) match {
+      case PDict(fm) =>
+        val twoByte = fm.get("Subtype").contains(PName("Type0"))
+        val cmap = doc.resolve(fm.getOrElse("ToUnicode", PNull)) match {
+          case s: PStream => doc.streamData(s).map(parseCMap).getOrElse(Map.empty)
+          case _ => Map.empty[Int, String]
+        }
+        val winAnsi = doc.resolve(fm.getOrElse("Encoding", PNull)) match {
+          case PName("WinAnsiEncoding") => true
+          case PDict(em) => em.get("BaseEncoding").contains(PName("WinAnsiEncoding"))
+          case _ => false
+        }
+        FontDec(twoByte, cmap, winAnsi)
+      case _ => IdentityFont
+    }
+
+  // ---- content-stream text --------------------------------------------------
+
+  private def pageText(doc: Doc, page: PDict, res: PDict,
+      sb: StringBuilder): Unit = {
+    // font table from resources
+    val fonts: Map[String, FontDec] =
+      doc.resolve(res.m.getOrElse("Font", PNull)) match {
+        case PDict(fm) => fm.map { case (k, v) => k -> fontDecoder(doc, v) }
+        case _ => Map.empty
+      }
+    val streams: Seq[PStream] =
+      doc.resolve(page.m.getOrElse("Contents", PNull)) match {
+        case s: PStream => Seq(s)
+        case PArr(items) => items.map(doc.resolve(_)).collect { case s: PStream => s }
+        case _ => Nil
+      }
+    val data = streams.flatMap(doc.streamData(_))
+    if (data.isEmpty) return
+    val joined =
+      if (data.size == 1) data.head
+      else { // content stream pieces concatenate with a separator byte
+        val bos = new java.io.ByteArrayOutputStream
+        data.foreach { d => bos.write(d); bos.write('\n') }
+        bos.toByteArray
+      }
+    val lx = new Lex(joined, 0)
+    var font = IdentityFont
+    val stack = mutable.ArrayBuffer.empty[PObj] // operand stack
+    def showStr(o: PObj): Unit = o match {
+      case PStr(bytes) => sb.append(font.decode(bytes))
+      case _ =>
+    }
+    var go = true
+    while (go) {
+      lx.skipWs()
+      if (lx.eof) go = false
+      else {
+        val o = try lx.obj(content = true) catch {
+          case _: Exception => go = false; PNull
+        }
+        o match {
+          case POp(op) =>
+            op match {
+              case "Tf" =>
+                if (stack.size >= 2) stack(stack.size - 2) match {
+                  case PName(fn) => font = fonts.getOrElse(fn, IdentityFont)
+                  case _ =>
+                }
+              case "Tj" => if (stack.nonEmpty) showStr(stack.last)
+              case "TJ" =>
+                if (stack.nonEmpty) stack.last match {
+                  case PArr(items) => items.foreach {
+                    case s: PStr => showStr(s)
+                    case _ => // kerning adjustment: ignored (disclosed)
+                  }
+                  case _ =>
+                }
+              case "'" =>
+                sb.append('\n'); if (stack.nonEmpty) showStr(stack.last)
+              case "\"" =>
+                sb.append('\n'); if (stack.nonEmpty) showStr(stack.last)
+              case "T*" => sb.append('\n')
+              case _ => // positioning, graphics, state: no text
+            }
+            stack.clear()
+          case operand => stack += operand
+        }
+      }
+    }
+  }
+
+  // ---- public API -----------------------------------------------------------
+
+  /** Extract text. None: not a PDF, encrypted, or no parsable page tree.
+    * Total — malformed input never throws. */
+  def extractText(b: Array[Byte], maxPages: Int = 256): Option[PdfText] = {
+    if (!sniff(b)) return None
+    try {
+      val doc = index(b)
+      val ps = pages(doc, maxPages)
+      if (ps.isEmpty) return None
+      val texts = ps.map { case (page, res) =>
+        val sb = new StringBuilder
+        try pageText(doc, page, res, sb) catch { case _: Exception => }
+        sb.toString
+      }
+      Some(PdfText(ps.size, texts.mkString("\n")))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Page count only (no content decode) — the cheap 100 TB first
+    * screen for [[MediaCodec.parseMeta]]. */
+  def pageCount(b: Array[Byte], maxPages: Int = 4096): Int = {
+    if (!sniff(b)) return -1
+    try {
+      val doc = index(b)
+      val ps = pages(doc, maxPages)
+      if (ps.isEmpty) -1 else ps.size
+    } catch { case _: Throwable => -1 }
+  }
+
+  // ---- deterministic fixture writer ----------------------------------------
+
+  /** One page to write: text shown with the page's chosen devices. */
+  final case class PdfPage(text: String)
+
+  /** Serialize a classic (table-xref) PDF. Deterministic: fixed object
+    * order, no dates/ids.
+    * @param flate      Flate-compress content streams
+    * @param useTJ      show text as a TJ array split into 3 fragments
+    *                   with kerning numbers between them
+    * @param useHex     show text as a hex string
+    * @param quoteSplit show text as two runs: `(first) Tj` then
+    *                   a quote-operator line with the second half
+    * @param toUnicode  attach a ToUnicode CMap where code 0xD9 maps to
+    *                   U+03A9 (Ω) and everything else is identity */
+  def encodePdf(pageTexts: Seq[String], flate: Boolean = false,
+      useTJ: Boolean = false, useHex: Boolean = false,
+      quoteSplit: Boolean = false, toUnicode: Boolean = false): Array[Byte] = {
+    def escape(s: String): Array[Byte] = {
+      val bytes = s.getBytes(Cp1252)
+      val out = new java.io.ByteArrayOutputStream
+      bytes.foreach { c =>
+        if (c == '(' || c == ')' || c == '\\') { out.write('\\'); out.write(c) }
+        else out.write(c)
+      }
+      out.toByteArray
+    }
+    def cp1252Hex(s: String): String =
+      s.getBytes(Cp1252).map(c => f"${c & 0xff}%02X").mkString
+
+    val nPages = pageTexts.size
+    // object numbering: 1 catalog, 2 pages, 3 font, (4 cmap if toUnicode),
+    // then per page: page obj, content obj
+    val cmapNum = if (toUnicode) 4 else -1
+    val firstPage = if (toUnicode) 5 else 4
+    val objs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+
+    val kids = (0 until nPages)
+      .map(i => s"${firstPage + i * 2} 0 R").mkString(" ")
+    objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes("US-ASCII")
+    // resources on the PAGES node: exercises inheritance down the tree
+    objs += 2 -> (s"<< /Type /Pages /Kids [ $kids ] /Count $nPages " +
+      "/Resources << /Font << /F1 3 0 R >> >> >>").getBytes("US-ASCII")
+    val fontDict =
+      if (toUnicode)
+        s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /ToUnicode $cmapNum 0 R >>"
+      else
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    objs += 3 -> fontDict.getBytes("US-ASCII")
+    if (toUnicode) {
+      val cmap = ("/CIDInit /ProcSet findresource begin\n" +
+        "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<D9> <03A9>\nendbfchar\n" +
+        "1 beginbfrange\n<20> <7E> <0020>\nendbfrange\n" +
+        "endcmap\nend").getBytes("US-ASCII")
+      objs += cmapNum -> (s"<< /Length ${cmap.length} >>\nstream\n"
+        .getBytes("US-ASCII") ++ cmap ++ "\nendstream".getBytes("US-ASCII"))
+    }
+    pageTexts.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = firstPage + i * 2
+      val contNum = pageNum + 1
+      objs += pageNum -> (s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [ 0 0 612 792 ] /Contents $contNum 0 R >>").getBytes("US-ASCII")
+      val show = new java.io.ByteArrayOutputStream
+      show.write("BT /F1 12 Tf 72 720 Td ".getBytes("US-ASCII"))
+      if (toUnicode) {
+        // codes: Ω written as byte 0xD9, ASCII identity via the bfrange
+        val coded = text.map(ch => if (ch == 'Ω') 0xd9 else ch.toInt)
+        show.write(("<" + coded.map(c => f"$c%02X").mkString + "> Tj ")
+          .getBytes("US-ASCII"))
+      } else if (useHex) {
+        show.write(s"<${cp1252Hex(text)}> Tj ".getBytes("US-ASCII"))
+      } else if (useTJ) {
+        val third = math.max(1, text.length / 3)
+        val (a, rest) = text.splitAt(third)
+        val (bb, cc) = rest.splitAt(third)
+        show.write("[ (".getBytes("US-ASCII")); show.write(escape(a))
+        show.write(") -250 (".getBytes("US-ASCII")); show.write(escape(bb))
+        show.write(") 40 (".getBytes("US-ASCII")); show.write(escape(cc))
+        show.write(") ] TJ ".getBytes("US-ASCII"))
+      } else if (quoteSplit) {
+        val half = text.length / 2
+        val (a, bb) = text.splitAt(half)
+        show.write("(".getBytes("US-ASCII")); show.write(escape(a))
+        show.write(") Tj (".getBytes("US-ASCII")); show.write(escape(bb))
+        show.write(") ' ".getBytes("US-ASCII"))
+      } else {
+        show.write("(".getBytes("US-ASCII")); show.write(escape(text))
+        show.write(") Tj ".getBytes("US-ASCII"))
+      }
+      show.write("ET".getBytes("US-ASCII"))
+      val content0 = show.toByteArray
+      val (content, filter) =
+        if (flate) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(content0); d.finish()
+          val bos = new java.io.ByteArrayOutputStream
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end()
+          (bos.toByteArray, "/Filter /FlateDecode ")
+        } else (content0, "")
+      objs += contNum -> (s"<< $filter/Length ${content.length} >>\nstream\n"
+        .getBytes("US-ASCII") ++ content ++ "\nendstream".getBytes("US-ASCII"))
+    }
+
+    val out = new java.io.ByteArrayOutputStream
+    // binary-comment second line per spec convention
+    out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(Cp1252))
+    val sorted = objs.sortBy(_._1)
+    val offsets = mutable.Map.empty[Int, Int]
+    sorted.foreach { case (num, body) =>
+      offsets(num) = out.size()
+      out.write(s"$num 0 obj\n".getBytes("US-ASCII"))
+      out.write(body)
+      out.write("\nendobj\n".getBytes("US-ASCII"))
+    }
+    val xrefOff = out.size()
+    val maxNum = sorted.map(_._1).max
+    out.write(s"xref\n0 ${maxNum + 1}\n".getBytes("US-ASCII"))
+    out.write("0000000000 65535 f \n".getBytes("US-ASCII"))
+    (1 to maxNum).foreach { n =>
+      val line = offsets.get(n) match {
+        case Some(o) => f"$o%010d 00000 n \n"
+        case None => "0000000000 65535 f \n"
+      }
+      out.write(line.getBytes("US-ASCII"))
+    }
+    out.write((s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n").getBytes("US-ASCII"))
+    out.toByteArray
+  }
+}

@@ -465,6 +465,31 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "charset", "text_out")
     }),
 
+    // PDF text extraction through REAL bytes: five show-device variants
+    // (plain literal string / Flate-compressed 2-page / TJ fragment
+    // array / hex string via the quote operator / ToUnicode CMap) — the
+    // extracted text and page count must hash-match the oracle's
+    // id-arithmetic replay for every variant
+    "pipeline_pdf_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.PdfCodec
+          val pdf = (id % 5) match {
+            case 0 => PdfCodec.encodePdf(Seq(s"Résumé naïve $id"))
+            case 1 => PdfCodec.encodePdf(
+              Seq(s"alpha $id", s"beta $id"), flate = true)
+            case 2 => PdfCodec.encodePdf(Seq(s"fragment kern $id"), useTJ = true)
+            case 3 => PdfCodec.encodePdf(
+              Seq(s"paren (x) and $id"), useHex = true, quoteSplit = false)
+            case _ => PdfCodec.encodePdf(Seq(s"Ω mass $id"), toUnicode = true)
+          }
+          val t = PdfCodec.extractText(pdf).get
+          (id, t.nPages, t.text)
+        }).toDF("doc_id", "n_pages", "text_out")
+    }),
+
     // robots.txt politeness filter (RFC 9309): three robots shapes ×
     // four path shapes; group selection, longest-match + Allow-tie and
     // $-anchored wildcards all land in the oracle's CASE replay
@@ -736,6 +761,17 @@ object BulkQueries extends QueryGroup {
         "WHEN j = 1 THEN 0.2 ELSE 0.3 END AS priority, " +
         "isidx AS is_index " +
         "FROM g, generate_series(0, 3) AS s(j) WHERE j < n"),
+    "pipeline_pdf_text" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 1 END AS INT) AS n_pages, " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN 'Résumé naïve ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'alpha ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'beta ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'fragment kern ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 3 THEN 'paren (x) and ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'Ω mass ' || CAST(doc_id AS VARCHAR) END AS text_out " +
+        "FROM documents"),
     "pipeline_robots_filter" ->
       ("SELECT doc_id, " +
         "CASE doc_id % 4 WHEN 0 THEN '/public/x' || CAST(doc_id AS VARCHAR) " +

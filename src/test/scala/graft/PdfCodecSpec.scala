@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PdfCodec
+
+/** PDF text extraction vs the deterministic writer: every show-device
+  * variant, resource inheritance, xref fallback, totality. */
+class PdfCodecSpec extends AnyFunSuite {
+
+  test("plain literal-string page round-trips, WinAnsi bytes included") {
+    val pdf = PdfCodec.encodePdf(Seq("Résumé naïve €9"))
+    val t = PdfCodec.extractText(pdf).get
+    assert(t.nPages == 1)
+    assert(t.text == "Résumé naïve €9")
+  }
+
+  test("multi-page documents join pages with a newline, in order") {
+    val pdf = PdfCodec.encodePdf(Seq("alpha 1", "beta 2", "gamma 3"))
+    val t = PdfCodec.extractText(pdf).get
+    assert(t.nPages == 3)
+    assert(t.text == "alpha 1\nbeta 2\ngamma 3")
+    assert(PdfCodec.pageCount(pdf) == 3)
+  }
+
+  test("FlateDecode'd content streams extract identically") {
+    val plain = PdfCodec.extractText(PdfCodec.encodePdf(Seq("press x", "two"))).get
+    val flate = PdfCodec.extractText(
+      PdfCodec.encodePdf(Seq("press x", "two"), flate = true)).get
+    assert(flate == plain)
+  }
+
+  test("TJ arrays concatenate string fragments, kerning numbers ignored") {
+    val t = PdfCodec.extractText(
+      PdfCodec.encodePdf(Seq("kerning split text"), useTJ = true)).get
+    assert(t.text == "kerning split text")
+  }
+
+  test("hex strings decode; escaped parens, backslash and octal survive") {
+    val hx = PdfCodec.extractText(
+      PdfCodec.encodePdf(Seq("hexed body"), useHex = true)).get
+    assert(hx.text == "hexed body")
+    val esc = PdfCodec.extractText(
+      PdfCodec.encodePdf(Seq("""a (nested) \ pair"""))).get
+    assert(esc.text == """a (nested) \ pair""")
+    // hand-built octal escape: \101 = 'A', with a line continuation
+    val content = "BT /F1 12 Tf (oct \\101\\&\\\n joined) Tj ET"
+    val pdf = new String(PdfCodec.encodePdf(Seq("PLACEHOLDER")), "ISO-8859-1")
+      .replace("(PLACEHOLDER) Tj", content.drop("BT /F1 12 Tf ".length))
+    // keep Length honest: the replacement changes it, so the re-scan for
+    // endstream must kick in (Length-lies path)
+    val t = PdfCodec.extractText(pdf.getBytes("ISO-8859-1")).get
+    assert(t.text == "oct A& joined")
+  }
+
+  test("the quote operator starts a new line before showing") {
+    val t = PdfCodec.extractText(
+      PdfCodec.encodePdf(Seq("first half-second half"), quoteSplit = true)).get
+    assert(t.text.count(_ == '\n') == 1)
+    assert(t.text.replace("\n", "") == "first half-second half")
+  }
+
+  test("ToUnicode CMap wins over byte decode (bfchar + bfrange)") {
+    val t = PdfCodec.extractText(
+      PdfCodec.encodePdf(Seq("Ω mass 42"), toUnicode = true)).get
+    assert(t.text == "Ω mass 42")
+  }
+
+  test("resources are inherited from the Pages node (fixture puts them there)") {
+    // the writer intentionally hangs /Font off the PAGES node, so any
+    // successful decode already proves inheritance; double-check the
+    // page objects themselves carry no Resources key
+    val pdf = new String(PdfCodec.encodePdf(Seq("x")), "ISO-8859-1")
+    assert(!pdf.split("/Type /Page[^s]").last.contains("/Resources"))
+  }
+
+  test("a broken startxref falls back to the whole-file object scan") {
+    val pdf = PdfCodec.encodePdf(Seq("scan me", "again"))
+    val s = new String(pdf, "ISO-8859-1")
+    val broken = s.replaceAll("startxref\n\\d+", "startxref\n999999999")
+      .getBytes("ISO-8859-1")
+    val t = PdfCodec.extractText(broken).get
+    assert(t.text == "scan me\nagain")
+  }
+
+  test("an encrypted trailer returns None (disclosed limit)") {
+    val pdf = new String(PdfCodec.encodePdf(Seq("secret")), "ISO-8859-1")
+    val enc = pdf.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+      .getBytes("ISO-8859-1")
+    assert(PdfCodec.extractText(enc).isEmpty)
+  }
+
+  test("sniff + totality: truncation at every prefix, corruption, null, non-PDF") {
+    val pdf = PdfCodec.encodePdf(Seq("stability page", "two"), flate = true)
+    assert(PdfCodec.sniff(pdf))
+    assert(!PdfCodec.sniff("not a pdf".getBytes("US-ASCII")))
+    assert(PdfCodec.extractText(null).isEmpty)
+    assert(PdfCodec.extractText("plain text".getBytes("US-ASCII")).isEmpty)
+    var l = 0
+    while (l < pdf.length) {
+      PdfCodec.extractText(java.util.Arrays.copyOf(pdf, l)) // never throws
+      l += 7
+    }
+    for (i <- 0 until pdf.length by 13) {
+      val c = pdf.clone(); c(i) = (c(i) ^ 0x5a).toByte
+      PdfCodec.extractText(c) // never throws
+      PdfCodec.pageCount(c)
+    }
+  }
+
+  test("maxPages caps the page walk") {
+    val pdf = PdfCodec.encodePdf((1 to 10).map(i => s"p$i"))
+    assert(PdfCodec.extractText(pdf, maxPages = 4).get.nPages == 4)
+  }
+}
