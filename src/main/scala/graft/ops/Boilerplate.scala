@@ -1,0 +1,216 @@
+package graft.ops
+
+/** Main-content (boilerplate-aware) HTML extraction — the quality gap
+  * between "tags stripped" and "training-grade text". A regex tag-strip
+  * ([[graft.functions.TextFunctions.stripHtml]]) keeps every navigation
+  * link, cookie banner and footer token in the corpus; this kernel
+  * scores BLOCK-level segments Boilerpipe-style (text quantity + link
+  * density + structural role) over a tolerant tag scan — no DOM build,
+  * no library, total on the malformed tails of the real web.
+  *
+  * Block model: text between block-level tag boundaries (`p`, `div`,
+  * headings, list/table items, `article`, `section`, `br`, ...). Per
+  * block the scanner tracks
+  *  - word count (whitespace tokens after entity decode),
+  *  - link word count (tokens inside `a` elements),
+  *  - a STRUCTURAL flag (any text inside `nav`/`header`/`footer`/
+  *    `aside`/`form` — role-tagged chrome), and
+  *  - a HEADING flag (block opened by `h1`..`h6`).
+  * Raw-text elements (`script`/`style`/`noscript`/`template`/
+  * `textarea`/`title`) are skipped to their literal close tag;
+  * comments and declarations are skipped.
+  *
+  * Classification (deterministic, integer arithmetic only):
+  *  - structural blocks are never content;
+  *  - a block is content when `words >= minWords` (default 8) and
+  *    `linkWords * 3 <= words` (link density ≤ 1/3 — the Boilerpipe
+  *    threshold);
+  *  - a non-structural, link-free heading is kept when the NEXT block
+  *    qualifies by the main rule (headlines belong to their article).
+  * Kept blocks join with a newline, block order preserved.
+  *
+  * Scale shape: pure per-row kernel for `mapPartitions` — map-side,
+  * zero shuffle, single pass over the input string. Reference behavior:
+  * HIndex never interprets cell bytes; pipeline tier (SURVEY §2.11).
+  */
+object Boilerplate {
+
+  /** One scored block in document order. */
+  final case class Block(text: String, words: Int, linkWords: Int,
+      heading: Boolean, structural: Boolean)
+
+  private val boundaryTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "tr", "td", "th", "article", "section", "main", "blockquote",
+    "pre", "dl", "dt", "dd", "hr", "br", "nav", "header", "footer",
+    "aside", "form", "fieldset", "figure", "figcaption", "body")
+  private val structuralTags = Set("nav", "header", "footer", "aside", "form")
+  private val rawTextTags = Set(
+    "script", "style", "noscript", "template", "textarea", "title")
+  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  private def decodeEntity(name: String): Option[String] = name match {
+    case "amp" => Some("&")
+    case "lt" => Some("<")
+    case "gt" => Some(">")
+    case "quot" => Some("\"")
+    case "apos" => Some("'")
+    case "nbsp" => Some(" ")
+    case n if n.startsWith("#x") || n.startsWith("#X") =>
+      try Some(Character.toChars(Integer.parseInt(n.drop(2), 16)).mkString)
+      catch { case _: Exception => None }
+    case n if n.startsWith("#") =>
+      try Some(Character.toChars(n.drop(1).toInt).mkString)
+      catch { case _: Exception => None }
+    case _ => None
+  }
+
+  /** Tolerant block scan. Never throws; null → Nil. */
+  def blocks(html: String): Seq[Block] = {
+    if (html == null || html.isEmpty) return Nil
+    val out = Vector.newBuilder[Block]
+    val text = new StringBuilder
+    val linkText = new StringBuilder
+    var structDepth = 0
+    var anchorDepth = 0
+    var blockStructural = false
+    var blockHeading = false
+
+    def finalizeBlock(): Unit = {
+      val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val linkToks = linkText.toString.split("\\s+").count(_.nonEmpty)
+        out += Block(toks.mkString(" "), toks.length, linkToks,
+          blockHeading, blockStructural)
+      }
+      text.clear(); linkText.clear()
+      blockStructural = false
+      blockHeading = false
+    }
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) { // comment
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val e = html.indexOf('>', i) // declaration / processing instr.
+          i = if (e < 0) n else e + 1
+        } else {
+          // tag: optional '/', name letters+digits, attrs to '>' honoring quotes
+          var p = i + 1
+          val closing = p < n && html.charAt(p) == '/'
+          if (closing) p += 1
+          val nameStart = p
+          while (p < n && (html.charAt(p).isLetterOrDigit)) p += 1
+          val name = html.substring(nameStart, p).toLowerCase
+          if (name.isEmpty) { // stray '<': literal text
+            text.append('<'); if (anchorDepth > 0) linkText.append('<')
+            i += 1
+          } else {
+            // scan to tag end, skipping quoted attribute values
+            var q = 0 // 0 none, 1 single, 2 double
+            var done = false
+            while (!done && p < n) {
+              val ch = html.charAt(p)
+              if (q == 0 && ch == '>') done = true
+              else {
+                if (q == 0 && ch == '\'') q = 1
+                else if (q == 0 && ch == '"') q = 2
+                else if (q == 1 && ch == '\'') q = 0
+                else if (q == 2 && ch == '"') q = 0
+                p += 1
+              }
+            }
+            i = if (done) p + 1 else n
+            if (!closing && rawTextTags.contains(name)) {
+              // skip to the literal close tag, case-insensitive
+              val close = s"</$name"
+              var e = i
+              var found = -1
+              while (found < 0 && e + close.length <= n) {
+                if (html.regionMatches(true, e, close, 0, close.length)) found = e
+                else e += 1
+              }
+              if (found < 0) i = n
+              else {
+                val gt = html.indexOf('>', found)
+                i = if (gt < 0) n else gt + 1
+              }
+            } else if (name == "a") {
+              if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+              else anchorDepth += 1
+            } else if (boundaryTags.contains(name)) {
+              finalizeBlock()
+              if (structuralTags.contains(name)) {
+                if (closing) { if (structDepth > 0) structDepth -= 1 }
+                else structDepth += 1
+              }
+              if (!closing && headingTags.contains(name)) blockHeading = true
+            }
+            // non-boundary, non-anchor tags (span, em, img, ...): inline
+          }
+        }
+      } else if (c == '&') {
+        // entity: name up to ';' within 12 chars
+        val e = html.indexOf(';', i + 1)
+        val dec =
+          if (e > i && e - i <= 12) decodeEntity(html.substring(i + 1, e))
+          else None
+        dec match {
+          case Some(s) =>
+            text.append(s); if (anchorDepth > 0) linkText.append(s)
+            i = e + 1
+          case None =>
+            text.append('&'); if (anchorDepth > 0) linkText.append('&')
+            i += 1
+        }
+      } else {
+        if (!c.isWhitespace && structDepth > 0) blockStructural = true
+        text.append(c)
+        if (anchorDepth > 0) linkText.append(c)
+        i += 1
+      }
+    }
+    finalizeBlock()
+    out.result()
+  }
+
+  /** Main-content text: classified blocks joined with newlines. Total. */
+  def mainContent(html: String, minWords: Int = 8): String = {
+    val bs = blocks(html)
+    if (bs.isEmpty) return ""
+    def base(b: Block): Boolean =
+      !b.structural && b.words >= minWords && b.linkWords * 3 <= b.words
+    val keep = new Array[Boolean](bs.size)
+    var i = 0
+    while (i < bs.size) { keep(i) = base(bs(i)); i += 1 }
+    // heading rule: a clean heading rides with the article block after it
+    i = 0
+    while (i < bs.size) {
+      val b = bs(i)
+      if (!keep(i) && b.heading && !b.structural && b.linkWords == 0 &&
+          i + 1 < bs.size && keep(i + 1)) keep(i) = true
+      i += 1
+    }
+    val sb = new StringBuilder
+    i = 0
+    while (i < bs.size) {
+      if (keep(i)) {
+        if (sb.nonEmpty) sb.append('\n')
+        sb.append(bs(i).text)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Number of blocks [[mainContent]] keeps — cheap corpus screen. */
+  def mainBlockCount(html: String, minWords: Int = 8): Int = {
+    val t = mainContent(html, minWords)
+    if (t.isEmpty) 0 else t.count(_ == '\n') + 1
+  }
+}

@@ -344,6 +344,41 @@ object PipelineQueries extends QueryGroup {
       d.select(col("doc_id"), TextFunctions.stripHtml(html).as("text_out"))
     }),
 
+    // main-content (boilerplate-aware) extraction: block-level text/link
+    // density scoring over a tolerant tag scan — three page shapes plant
+    // nav/cookie-banner/footer/link-list chrome around known article
+    // paragraphs; the extracted text must be EXACTLY the article (plus
+    // its clean heading), chrome-free, or the hash fails. The regex
+    // stripHtml gate (text_html_strip) keeps all chrome by design; this
+    // is the training-grade-text counterpart.
+    "text_main_content" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val p1 = s"The quick brown fox jumps over the lazy dog $id times in total."
+          val p2 = s"Long paragraphs require at least eight plain words to survive $id."
+          val nav = "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/c\">Contact</a></nav>"
+          val cookie = "<div><a href=\"#\">Accept all cookies</a> " +
+            "<a href=\"#\">Reject</a> now</div>"
+          val links = "<p><a href=1>one</a> <a href=2>two</a> " +
+            "<a href=3>three four five six seven eight</a></p>"
+          val footer = "<footer>Copyright 2026 example.com all rights " +
+            "reserved worldwide forever and ever</footer>"
+          val html = (id % 3) match {
+            case 0 => s"<html><body>$nav<header><h1>Site $id</h1></header>" +
+              s"$cookie<article><h2>Headline number $id here</h2>" +
+              s"<p>$p1</p><p>$p2</p>$links</article>$footer</body></html>"
+            case 1 => // malformed: stray close, unclosed paragraphs
+              s"</div>$nav$cookie<p>$p1<p>$p2$footer"
+            case _ => s"$nav$links<p>$p1</p>$footer"
+          }
+          (id, graft.ops.Boilerplate.mainBlockCount(html),
+            graft.ops.Boilerplate.mainContent(html))
+        }).toDF("doc_id", "n_kept", "text_out")
+    }),
+
     // URL canonicalization: scheme/host lowercase, fragment + default
     // port + tracking params stripped, empty path → '/', malformed →
     // NULL. Parse-and-rebuild from RE2-compatible regexp_extracts —
@@ -2573,6 +2608,17 @@ object PipelineQueries extends QueryGroup {
       ("WITH g AS (SELECT event_type AS v, count(*) AS n, sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) AS sm, sum(CAST(round(round(CAST(value AS DOUBLE), 6) * round(CAST(value AS DOUBLE), 6), 6) AS DECIMAL(28,6))) AS s2 FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1), ab AS (SELECT (SELECT v FROM g WHERE v = 'click') AS variant_a, (SELECT v FROM g WHERE v = 'view') AS variant_b, (SELECT n FROM g WHERE v = 'click') AS n_a, (SELECT n FROM g WHERE v = 'view') AS n_b, (SELECT sm FROM g WHERE v = 'click') AS s_a, (SELECT sm FROM g WHERE v = 'view') AS s_b, (SELECT s2 FROM g WHERE v = 'click') AS s2_a, (SELECT s2 FROM g WHERE v = 'view') AS s2_b), c AS (SELECT *, CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma, CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb, ((CAST(s2_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS qa, ((CAST(s2_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS qb FROM ab) SELECT variant_a, variant_b, n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, CASE WHEN n_a >= 2 AND n_b >= 2 AND qa + qb > 0 THEN round((ma - mb) / sqrt(qa + qb), 6) END AS t, CASE WHEN n_a >= 2 AND n_b >= 2 AND qa + qb > 0 THEN round((qa + qb) * (qa + qb) / (qa * qa / (CAST(n_a AS DOUBLE) - 1.0) + qb * qb / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df FROM c"),
     "text_html_strip" ->
       ("WITH h AS (SELECT doc_id, '<html><head><style>p{color:red}</style><script>var x = 1 < 2;</script></head><body><h1>T' || doc_id || '</h1><p class=\"a\">' || substr(text, 1, 80) || ' &amp; more &lt;tag&gt;</p><!-- note --></body></html>' AS html FROM documents) SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '\"', 'g'), '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS text_out FROM h"),
+    "text_main_content" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "'The quick brown fox jumps over the lazy dog ' || CAST(doc_id AS VARCHAR) || ' times in total.' AS p1, " +
+        "'Long paragraphs require at least eight plain words to survive ' || CAST(doc_id AS VARCHAR) || '.' AS p2 " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 1 END AS INT) AS n_kept, " +
+        "CASE doc_id % 3 " +
+        "WHEN 0 THEN 'Headline number ' || CAST(doc_id AS VARCHAR) || ' here' || chr(10) || p1 || chr(10) || p2 " +
+        "WHEN 1 THEN p1 || chr(10) || p2 " +
+        "ELSE p1 END AS text_out FROM p"),
     "text_url_canonical" ->
       ("WITH u AS (SELECT doc_id, n_chars, CASE doc_id % 6 WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 40) || '.COM:80/Page' || doc_id || '?utm_source=x&id=' || doc_id || '#frag' WHEN 1 THEN 'https://blog.site' || (doc_id % 40) || '.com/a/b' || doc_id WHEN 2 THEN 'https://site' || (doc_id % 40) || '.com:8443/x?a=1&utm_campaign=c&b=2' WHEN 3 THEN 'http://site' || (doc_id % 40) || '.com' WHEN 4 THEN 'https://site' || (doc_id % 40) || '.com:443/?gclid=z' ELSE 'not a url ' || doc_id END AS url FROM documents), parts AS (SELECT doc_id, n_chars, url, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS hst, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS prt, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth, regexp_extract(url, '\\?([^#]*)', 1) AS qry FROM u), canon AS (SELECT doc_id, n_chars, url, sch, hst, CASE WHEN prt = '' THEN '' WHEN sch = 'http' AND prt = '80' THEN '' WHEN sch = 'https' AND prt = '443' THEN '' ELSE ':' || prt END AS keep_port, CASE WHEN pth = '' THEN '/' ELSE pth END AS cpath, COALESCE(array_to_string(list_filter(string_split(qry, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid)=')), '&'), '') AS cq FROM parts), final AS (SELECT doc_id, n_chars, url, CASE WHEN sch <> '' AND hst <> '' THEN sch || '://' || hst || keep_port || cpath || CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canon_url, CASE WHEN sch <> '' AND hst <> '' THEN CASE WHEN len(string_split(hst, '.')) < 2 THEN hst ELSE array_to_string(string_split(hst, '.')[-2:], '.') END END AS domain FROM canon) SELECT doc_id, url, canon_url, domain FROM final"),
     "text_domain_stats" ->

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Boilerplate
+
+/** Boilerpipe-style main-content extraction: block scoring, structural
+  * drops, link density, heading rule, malformed-markup totality. */
+class BoilerplateSpec extends AnyFunSuite {
+
+  private val p1 = "The quick brown fox jumps over the lazy dog 7 times in total."
+  private val p2 = "Long paragraphs require at least eight plain words to survive 7."
+
+  test("article paragraphs survive; nav, cookie banner and footer do not") {
+    val html =
+      s"""<html><head><title>T</title><style>p{color:red}</style></head><body>
+         |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+         |<div><a href="#">Accept all cookies</a> <a href="#">Reject</a> now</div>
+         |<article><p>$p1</p><p>$p2</p></article>
+         |<footer>Copyright 2026 example.com all rights reserved worldwide forever and ever</footer>
+         |</body></html>""".stripMargin
+    assert(Boilerplate.mainContent(html) == s"$p1\n$p2")
+  }
+
+  test("high link-density blocks drop even when long") {
+    val html = "<p><a href=1>one</a> <a href=2>two</a> " +
+      "<a href=3>three four five six seven eight</a></p>" +
+      s"<p>$p1</p>"
+    assert(Boilerplate.mainContent(html) == p1)
+  }
+
+  test("a clean heading rides with the article block after it; orphans drop") {
+    val kept = s"<h2>Headline number 7 here</h2><p>$p1</p>"
+    assert(Boilerplate.mainContent(kept) == s"Headline number 7 here\n$p1")
+    val orphan = "<h2>Headline number 7 here</h2><div><a href=x>just links</a></div>"
+    assert(Boilerplate.mainContent(orphan) == "")
+    val linky = s"<h2><a href=x>Linked headline</a></h2><p>$p1</p>"
+    assert(Boilerplate.mainContent(linky) == p1) // linked heading: not clean
+  }
+
+  test("structural chrome drops regardless of length; headings inside headers drop") {
+    val html = s"<header><h1>A long enough heading with many plain words here</h1></header>" +
+      s"<aside>$p1</aside><form>$p2</form><p>$p1</p>"
+    assert(Boilerplate.mainContent(html) == p1)
+  }
+
+  test("malformed markup is total: unclosed tags, stray closes, quoted '>' attrs") {
+    val html = s"</div><p>$p1<p>$p2" + // unclosed + stray close
+      "<img alt=\"a > b\"><div" // attr with '>' in quotes; trailing open tag
+    assert(Boilerplate.mainContent(html) == s"$p1\n$p2")
+    assert(Boilerplate.mainContent(null) == "")
+    assert(Boilerplate.mainContent("") == "")
+    assert(Boilerplate.mainContent("no tags at all but nine plain words here yes") ==
+      "no tags at all but nine plain words here yes")
+  }
+
+  test("raw-text elements are skipped to their literal close tag") {
+    val html = "<script>var s = '<p>not text</p>';</script>" +
+      s"<p>$p1</p><textarea>eight words of textarea content should not count</textarea>"
+    assert(Boilerplate.mainContent(html) == p1)
+  }
+
+  test("entities decode; inline tags do not split blocks") {
+    val html = "<p>Fish &amp; chips &lt;tag&gt; with <em>inline</em> emphasis " +
+      "plus &#233; and &#x20AC; money</p>"
+    assert(Boilerplate.mainContent(html) ==
+      "Fish & chips <tag> with inline emphasis plus é and € money")
+  }
+
+  test("block metadata: words, link words, heading and structural flags") {
+    val bs = Boilerplate.blocks(
+      "<nav>one two</nav><h3>head line</h3><p>a <a href=x>b c</a> d</p>")
+    assert(bs.size == 3)
+    assert(bs(0).structural && bs(0).words == 2)
+    assert(bs(1).heading && !bs(1).structural)
+    assert(bs(2).words == 4 && bs(2).linkWords == 2)
+  }
+}
