@@ -291,6 +291,108 @@ object WarcCodec {
   private def ascii(b: Array[Byte], from: Int, to: Int): String =
     new String(b, from, to - from, "US-ASCII")
 
+  // ---- CDX-style record index ------------------------------------------
+
+  /** One manifest row: the record's byte extent inside the WARC blob
+    * (for the gzip transport: its gzip MEMBER's extent) + a payload
+    * digest. This is the reference's secondary-index idea applied to
+    * the crawl container (`SeekPointFetcher.java:47`'s seek-point
+    * batching): build the manifest once per `.warc.gz`, then point
+    * lookups read ONE `[offset, offset+length)` range from object
+    * storage instead of streaming the whole file. */
+  final case class CdxEntry(targetUri: String, warcType: String,
+      offset: Long, length: Long, digest: String)
+
+  private def sha1Hex(b: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(b).map(x => f"${x & 0xff}%02x").mkString
+  }
+
+  /** Walk one gzip member starting at `start`: RFC 1952 header fields,
+    * raw-deflate body via Inflater (bounded), 8-byte trailer. Returns
+    * (inflated bytes, offset after the member). */
+  private def gzipMember(b: Array[Byte], start: Int): Option[(Array[Byte], Int)] = {
+    var p = start
+    if (p + 10 > b.length || (b(p) & 0xff) != 0x1f ||
+      (b(p + 1) & 0xff) != 0x8b || b(p + 2) != 8) return None
+    val flg = b(p + 3) & 0xff
+    p += 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > b.length) return None
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
+    if ((flg & 16) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 }
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= b.length) return None
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, b.length - p)
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && out.size() < MaxInflated) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return None
+        out.write(buf, 0, math.min(n, MaxInflated - out.size()))
+      }
+      if (!inf.finished() || out.size() >= MaxInflated) return None
+      val consumed = (b.length - p) - inf.getRemaining
+      val end = p + consumed + 8 // CRC32 + ISIZE trailer
+      if (end > b.length) None else Some((out.toByteArray, end))
+    } catch { case _: Exception => None } finally inf.end()
+  }
+
+  /** Build the CDX manifest for a plain or per-record-gzip WARC blob:
+    * one entry per record with its byte extent and body SHA-1. Total —
+    * malformed tails yield the entries indexed so far. */
+  def buildCdx(b: Array[Byte], maxRecords: Int = 1024): Seq[CdxEntry] = {
+    if (b == null || b.length < 5) return Nil
+    try {
+      val out = Seq.newBuilder[CdxEntry]
+      var n = 0
+      if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+        var i = 0
+        while (n < maxRecords && i < b.length) {
+          gzipMember(b, i) match {
+            case Some((plain, end)) =>
+              parseRecord(plain, 0) match {
+                case Some((rec, _)) =>
+                  out += CdxEntry(rec.targetUri, rec.warcType,
+                    i.toLong, (end - i).toLong, sha1Hex(rec.body))
+                case None =>
+              }
+              i = end; n += 1
+            case None => i = b.length
+          }
+        }
+      } else {
+        var i = 0
+        while (n < maxRecords && i < b.length) {
+          var start = i // skip inter-record blank lines, as parseRecord does
+          while (start + 1 < b.length && b(start) == '\r' && b(start + 1) == '\n')
+            start += 2
+          parseRecord(b, i) match {
+            case Some((rec, next)) =>
+              out += CdxEntry(rec.targetUri, rec.warcType,
+                start.toLong, (next - start).toLong, sha1Hex(rec.body))
+              i = next; n += 1
+            case None => i = b.length
+          }
+        }
+      }
+      out.result()
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** Point read: parse exactly ONE record from its CDX extent — the
+    * seek-side of the manifest. Only `length` bytes are touched. */
+  def parseWarcAt(b: Array[Byte], offset: Long, length: Long): Option[WarcRecord] = {
+    if (b == null || offset < 0 || length <= 0 ||
+      offset + length > b.length) return None
+    val slice = java.util.Arrays.copyOfRange(b, offset.toInt, (offset + length).toInt)
+    parseWarc(slice, maxRecords = 1).headOption
+  }
+
   // ---- writer (deterministic fixtures) ---------------------------------
 
   /** One record to write: WARC type, target URI, HTTP status (<0 = raw

@@ -397,6 +397,32 @@ object BulkQueries extends QueryGroup {
           "encoding", "info")
     }),
 
+    // CDX-style record index over WARC blobs: one pass builds the
+    // (uri, offset, length, digest) manifest per file — per gzip MEMBER
+    // on the .warc.gz transport — then the point lookup parses exactly
+    // ONE record from its byte extent instead of walking the file.
+    // partial_read proves bytes-touched < file size for every row;
+    // digest_ok proves the slice parse reproduces the indexed payload
+    "mm_warc_cdx_lookup" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "warc").as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          import graft.ops.WarcCodec
+          val cdx = WarcCodec.buildCdx(b)
+          cdx.find(_.targetUri == s"http://x/$id/1").flatMap { e =>
+            WarcCodec.parseWarcAt(b, e.offset, e.length).map { r =>
+              val width = graft.ops.MediaCodec.parseMeta(r.body).width
+              (id, e.targetUri, r.httpStatus, width,
+                e.length < b.length, // point read strictly under full walk
+                java.security.MessageDigest.getInstance("SHA-1")
+                  .digest(r.body).map(x => f"${x & 0xff}%02x")
+                  .mkString == e.digest)
+            }
+          }
+        }).toDF("doc_id", "uri", "http_status", "width",
+          "partial_read", "digest_ok")
+    }),
+
     // crawl → text on-ramp: WARC record walk → HTTP body decode →
     // stripHtml — the full "we crawled pages" to "text operators" path
     // in one plan; the httpEncoding guard keeps flagged (undecodable)
@@ -463,6 +489,68 @@ object BulkQueries extends QueryGroup {
           (id, graft.ops.Charsets.sniffCharset(bytes),
             graft.ops.Charsets.decodeText(bytes))
         }).toDF("doc_id", "charset", "text_out")
+    }),
+
+    // END-TO-END crawl curation: WARC record walk (both transports) →
+    // HTTP body decode (identity/gzip/chunked by id) → charset sniff +
+    // transcode (UTF-8 and meta-declared windows-1252) → robots verdict
+    // (merged-group policy; /private/ paths drop) → main-content
+    // extraction (nav/footer chrome drops) → quality screen → exact
+    // dedup (doc pairs share an article; min doc_id survives, groups
+    // keyed by sha2 so the shuffle carries hashes, not page text). Each
+    // stage is individually gated elsewhere; THIS is the composition a
+    // user actually runs, and any interface mismatch between stages
+    // breaks the hash.
+    "pipeline_crawl_curate" -> ((s, dir) => {
+      import s.implicits._
+      val curated = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.{Boilerplate, Charsets, Robots, WarcCodec}
+          val k = id / 2 // doc pairs (2k, 2k+1) share one article
+          val p1 = s"Curated article body number $k with café crème words to keep."
+          val p2 = s"Second curated paragraph $k keeps at least eight plain words too."
+          val meta =
+            if (k % 2 == 1) "<meta charset=\"windows-1252\">" else ""
+          val html = s"<html><head>$meta<title>T</title></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+            s"<article><p>$p1</p><p>$p2</p></article>" +
+            "<footer>Copyright 2026 example.com all rights reserved " +
+            "worldwide forever</footer></body></html>"
+          val body =
+            if (k % 2 == 1) html.getBytes("windows-1252")
+            else html.getBytes("UTF-8")
+          val path = if (id % 4 == 1) s"/private/x$id" else s"/public/x$id"
+          val uri = s"https://h${id % 7}.example.com$path"
+          val coding = (id % 3) match {
+            case 0 => "identity"; case 1 => "gzip"; case _ => "chunked"
+          }
+          val warc = WarcCodec.encodeWarc(
+            Seq(WarcCodec.WarcEntry("response", uri, 200, "text/html",
+              body, coding)),
+            gzipPerRecord = k % 2 == 0)
+          val robots = Robots.parse(
+            "User-agent: *\nDisallow: /private/\n\n" +
+              "User-agent: *\nDisallow: /tmp/\n")
+          WarcCodec.parseWarc(warc).collectFirst {
+            case r if r.httpContentType.startsWith("text/html") &&
+                r.httpEncoding.isEmpty &&
+                Robots.isAllowed(robots, "graftbot/1.0",
+                  r.targetUri.replaceFirst("^https?://[^/]+", "")) =>
+              val text = Boilerplate.mainContent(Charsets.decodeText(r.body))
+              (id, r.targetUri, text,
+                text.split("\\s+").count(_.nonEmpty))
+          }
+        }).toDF("doc_id", "url", "text_out", "n_words")
+        .where(col("n_words") >= 10) // quality screen
+      curated
+        .groupBy(sha2(col("text_out"), 256).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          expr("min_by(url, doc_id)").as("url"),
+          count(lit(1)).as("n_dupes"),
+          first(col("text_out")).as("text_out"),
+          first(col("n_words")).as("n_words"))
+        .select("doc_id", "url", "n_dupes", "n_words", "text_out")
     }),
 
     // PDF text extraction through REAL bytes: five show-device variants
@@ -748,6 +836,11 @@ object BulkQueries extends QueryGroup {
     "pipeline_warc_text" ->
       ("SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out " +
         "FROM documents WHERE doc_id % 5 <> 4"),
+    "mm_warc_cdx_lookup" ->
+      ("SELECT doc_id, 'http://x/' || CAST(doc_id AS VARCHAR) || '/1' AS uri, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
+        "CAST(16 + doc_id % 16 AS INT) AS width, " +
+        "TRUE AS partial_read, TRUE AS digest_ok FROM documents"),
     "pipeline_sitemap_urls" ->
       ("WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS n, " +
         "doc_id % 5 = 0 AS isidx FROM documents) " +
@@ -761,6 +854,20 @@ object BulkQueries extends QueryGroup {
         "WHEN j = 1 THEN 0.2 ELSE 0.3 END AS priority, " +
         "isidx AS is_index " +
         "FROM g, generate_series(0, 3) AS s(j) WHERE j < n"),
+    // even ids always survive (public path, min of their pair); the odd
+    // sibling survives robots only when its path is not private
+    // (sibling%4==1 ⇔ id%4==0), which sets the duplicate count
+    "pipeline_crawl_curate" ->
+      ("SELECT doc_id, " +
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/public/x' || " +
+        "CAST(doc_id AS VARCHAR) AS url, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_dupes, " +
+        "CAST(22 AS INT) AS n_words, " +
+        "'Curated article body number ' || CAST(doc_id // 2 AS VARCHAR) || " +
+        "' with café crème words to keep.' || chr(10) || " +
+        "'Second curated paragraph ' || CAST(doc_id // 2 AS VARCHAR) || " +
+        "' keeps at least eight plain words too.' AS text_out " +
+        "FROM documents WHERE doc_id % 2 = 0"),
     "pipeline_pdf_text" ->
       ("SELECT doc_id, " +
         "CAST(CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 1 END AS INT) AS n_pages, " +

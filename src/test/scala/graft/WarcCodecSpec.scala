@@ -159,6 +159,52 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcCodec.gunzipAll(gz).length <= WarcCodec.MaxInflated)
   }
 
+  test("CDX manifest: extents tile the blob and point reads match the full walk") {
+    for (gz <- Seq(false, true)) {
+      val blob = WarcCodec.encodeWarc(entries, gzipPerRecord = gz)
+      val cdx = WarcCodec.buildCdx(blob)
+      val full = WarcCodec.parseWarc(blob)
+      assert(cdx.size == full.size)
+      assert(cdx.map(_.targetUri) == full.map(_.targetUri))
+      // extents are disjoint, in order, and cover the whole blob
+      assert(cdx.head.offset == 0)
+      cdx.sliding(2).foreach {
+        case Seq(a, b2) => assert(a.offset + a.length == b2.offset)
+        case _ =>
+      }
+      assert(cdx.last.offset + cdx.last.length == blob.length)
+      // each point read reproduces the full walk's record
+      cdx.zip(full).foreach { case (e, rec) =>
+        assert(e.length < blob.length) // strictly fewer bytes than the file
+        val r = WarcCodec.parseWarcAt(blob, e.offset, e.length).get
+        assert(r.targetUri == rec.targetUri && r.httpStatus == rec.httpStatus)
+        assert(java.util.Arrays.equals(r.body, rec.body))
+      }
+    }
+  }
+
+  test("CDX indexes CODED bodies too: digest covers the decoded payload") {
+    val blob = WarcCodec.encodeWarc(Seq(
+      WarcEntry("response", "http://a/z", 200, "text/html", htmlBody, "gzip")),
+      gzipPerRecord = true)
+    val e = WarcCodec.buildCdx(blob).head
+    val r = WarcCodec.parseWarcAt(blob, e.offset, e.length).get
+    assert(java.util.Arrays.equals(r.body, htmlBody)) // decoded in the slice too
+  }
+
+  test("CDX totality: truncation, garbage offsets, null") {
+    val blob = WarcCodec.encodeWarc(entries, gzipPerRecord = true)
+    var l = 0
+    while (l < blob.length) {
+      WarcCodec.buildCdx(java.util.Arrays.copyOf(blob, l)) // never throws
+      l += 9
+    }
+    assert(WarcCodec.buildCdx(null).isEmpty)
+    assert(WarcCodec.parseWarcAt(blob, -1, 10).isEmpty)
+    assert(WarcCodec.parseWarcAt(blob, 0, blob.length + 1L).isEmpty)
+    assert(WarcCodec.parseWarcAt(null, 0, 1).isEmpty)
+  }
+
   test("a record with a bad Content-Length stops the walk cleanly") {
     val good = WarcCodec.encodeWarc(Seq(entries.head))
     val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
