@@ -28,6 +28,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.suppressSanctionedWindowWarning()
 
     GraftEngine.ensureWarehouse(spark, warmDir)
     GraftEngine.ensureWarehouse(spark, sfDir)
