@@ -7,13 +7,15 @@ import scala.collection.mutable
   * arrives as PDF, and a 100 TB curation pipeline needs a first-screen
   * extractor that never throws and never shells out.
   *
-  * Subset implemented (ISO 32000-1, classic file structure):
+  * Subset implemented (ISO 32000-1, classic AND 1.5+ file structure):
   *  - header sniff, `startxref` → classic cross-reference TABLE walk
-  *    (with `/Prev` chains for incrementally-updated files); when the
-  *    xref is damaged or is a 1.5+ xref STREAM, a whole-file scan for
-  *    `N G obj` headers rebuilds the index (the standard repair-tool
-  *    strategy), so xref-stream files still parse when their objects
-  *    are not packed into object streams;
+  *    (with `/Prev` chains for incrementally-updated files) AND 1.5+
+  *    cross-reference STREAMS (`/Type /XRef`, `/W` field widths,
+  *    `/Index` subsections, PNG-predictor-coded entries) including
+  *    type-2 entries resolving objects packed into compressed OBJECT
+  *    STREAMS (`/Type /ObjStm`); when the xref is damaged, a whole-file
+  *    scan for `N G obj` headers rebuilds the index (the standard
+  *    repair-tool strategy);
   *  - full object grammar: numbers, booleans, null, names with `#xx`
   *    escapes, literal strings (nesting, all escapes, octal, line
   *    continuations), hex strings, arrays, dictionaries, indirect
@@ -32,9 +34,9 @@ import scala.collection.mutable
   *    windows-1252, the JDK charset); else Latin-1 fallback.
   *
   * Disclosed limits (return None or skip, never throw): encrypted files
-  * (trailer `/Encrypt`), object streams (`/Type /ObjStm` packing),
-  * Type0/CID fonts WITHOUT a ToUnicode map, non-Flate filters, CMap
-  * array-form bfrange destinations, and predictor-coded streams.
+  * (trailer `/Encrypt`), Type0/CID fonts WITHOUT a ToUnicode map,
+  * non-Flate filters, CMap array-form bfrange destinations, and the
+  * TIFF predictor (PNG predictors 10–15 are decoded).
   *
   * Scale shape: one PDF blob is one row's work in a `mapPartitions`
   * pass — map-side, zero shuffle, bounded memory (stream cap + page
@@ -239,41 +241,83 @@ object PdfCodec {
 
   // ---- document structure ----------------------------------------------
 
-  /** Indexed document: object offsets + trailer dictionary pieces. */
+  /** Indexed document: object offsets (top-level), object-stream
+    * membership (PDF 1.5+ ObjStm: objNum → (container stream obj,
+    * index)), and the trailer's root pointer. */
   private final class Doc(val b: Array[Byte], val offsets: Map[Int, Int],
-      val root: Option[PRef]) {
+      val inStm: Map[Int, (Int, Int)], val root: Option[PRef]) {
     private val cache = mutable.Map.empty[Int, PObj]
+    private val inProgress = mutable.Set.empty[Int] // cycle guard
 
-    /** Parse object N at its indexed offset: `N G obj <object> endobj`,
-      * with stream payload attached when present. */
-    def objectAt(num: Int): PObj = cache.getOrElseUpdate(num, {
-      offsets.get(num) match {
+    /** Parse object N: at its top-level offset (`N G obj <object>
+      * endobj`, stream payload attached when present) or out of its
+      * containing object stream. */
+    def objectAt(num: Int): PObj = cache.get(num) match {
+      case Some(o) => o
+      case None =>
+        if (!inProgress.add(num)) return PNull // self-referential: malformed
+        try {
+          val o = computeObject(num)
+          cache(num) = o
+          o
+        } finally inProgress -= num
+    }
+
+    private def computeObject(num: Int): PObj = offsets.get(num) match {
+      case Some(off) =>
+        val lx = new Lex(b, off)
+        lx.token(); lx.token() // obj number, generation
+        lx.expect("obj")
+        val o = lx.obj(content = false)
+        lx.skipWs()
+        o match {
+          case d: PDict if lx.pos + 6 <= b.length &&
+              new String(b, lx.pos, 6, "US-ASCII") == "stream" =>
+            var p = lx.pos + 6
+            if (p < b.length && b(p) == '\r') p += 1
+            if (p < b.length && b(p) == '\n') p += 1
+            val len = resolve(d.m.getOrElse("Length", PNull), 4) match {
+              case PNum(v) if v >= 0 && p + v <= b.length => v.toInt
+              case _ => -1
+            }
+            val end =
+              if (len >= 0 && slantEndstream(p + len)) p + len
+              else findEndstream(p) // the Length lied: re-scan
+            if (end < 0) PNull
+            else PStream(d, java.util.Arrays.copyOfRange(b, p, end))
+          case other => other
+        }
+      case None => inStm.get(num) match {
         case None => PNull
-        case Some(off) =>
-          val lx = new Lex(b, off)
-          lx.token(); lx.token() // obj number, generation
-          lx.expect("obj")
-          val o = lx.obj(content = false)
-          lx.skipWs()
-          o match {
-            case d: PDict if lx.pos + 6 <= b.length &&
-                new String(b, lx.pos, 6, "US-ASCII") == "stream" =>
-              var p = lx.pos + 6
-              if (p < b.length && b(p) == '\r') p += 1
-              if (p < b.length && b(p) == '\n') p += 1
-              val len = resolve(d.m.getOrElse("Length", PNull), 4) match {
-                case PNum(v) if v >= 0 && p + v <= b.length => v.toInt
-                case _ => -1
-              }
-              val end =
-                if (len >= 0 && slantEndstream(p + len)) p + len
-                else findEndstream(p) // the Length lied: re-scan
-              if (end < 0) PNull
-              else PStream(d, java.util.Arrays.copyOfRange(b, p, end))
-            case other => other
+        case Some((stmNum, idx)) =>
+          objectAt(stmNum) match {
+            case s: PStream =>
+              streamData(s).map { data =>
+                val count = resolve(s.dict.m.getOrElse("N", PNull)) match {
+                  case PNum(v) => v.toInt
+                  case _ => 0
+                }
+                val first = resolve(s.dict.m.getOrElse("First", PNull)) match {
+                  case PNum(v) => v.toInt
+                  case _ => 0
+                }
+                val hdr = new Lex(data, 0)
+                val pairs = (0 until count).map { _ =>
+                  (hdr.token().toInt, hdr.token().toInt)
+                }
+                // trust the xref's index but fall back to a header search
+                val hit =
+                  if (idx >= 0 && idx < pairs.size && pairs(idx)._1 == num)
+                    Some(pairs(idx))
+                  else pairs.find(_._1 == num)
+                hit.map { case (_, off) =>
+                  new Lex(data, first + off).obj(content = false)
+                }.getOrElse(PNull)
+              }.getOrElse(PNull)
+            case _ => PNull
           }
       }
-    })
+    }
 
     private def slantEndstream(at: Int): Boolean = {
       var p = at
@@ -305,17 +349,35 @@ object PdfCodec {
       case other => other
     }
 
-    /** Decoded stream bytes; None when a filter is unsupported. */
+    /** Decoded stream bytes; None when a filter is unsupported. Applies
+      * the PNG predictors (10–15, `/DecodeParms`) after FlateDecode —
+      * xref streams are almost always predictor-coded in the wild. */
     def streamData(s: PStream): Option[Array[Byte]] = {
       val filters: Seq[String] = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
         case PName(n) => Seq(n)
         case PArr(items) => items.map(resolve(_)).collect { case PName(n) => n }
         case _ => Nil
       }
+      val parms = resolve(s.dict.m.get("DecodeParms")
+        .orElse(s.dict.m.get("DP")).getOrElse(PNull)) match {
+        case d: PDict => d.m
+        case PArr(items) => items.map(resolve(_)).collectFirst {
+          case PDict(m) => m }.getOrElse(Map.empty[String, PObj])
+        case _ => Map.empty[String, PObj]
+      }
+      def num(k: String, dflt: Int): Int = resolve(parms.getOrElse(k, PNull)) match {
+        case PNum(v) => v.toInt
+        case _ => dflt
+      }
       filters.foldLeft(Option(s.raw)) { (acc, f) =>
         acc.flatMap { data =>
           f match {
-            case "FlateDecode" => WarcCodec.inflateBounded(data)
+            case "FlateDecode" =>
+              WarcCodec.inflateBounded(data).flatMap { inflated =>
+                val pred = num("Predictor", 1)
+                if (pred < 10) Some(inflated) // 1 = none; 2 (TIFF) disclosed
+                else pngPredictor(inflated, num("Columns", 1))
+              }
             case _ => None // non-Flate filters: disclosed unsupported
           }
         }
@@ -323,11 +385,123 @@ object PdfCodec {
     }
   }
 
+  /** Undo PNG row predictors (filters 0–4, 8-bit single-component rows
+    * of `columns` bytes + 1 filter byte each) — RFC 2083 §6, the same
+    * math as the raster decoder's scanline defilter. */
+  private[graft] def pngPredictor(data: Array[Byte], columns: Int): Option[Array[Byte]] = {
+    if (columns <= 0 || data.length % (columns + 1) != 0) return None
+    val rowLen = columns + 1
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    var prev = new Array[Byte](columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xff
+      val cur = new Array[Byte](columns)
+      var c = 0
+      while (c < columns) {
+        val raw = data(r * rowLen + 1 + c) & 0xff
+        val left = if (c > 0) cur(c - 1) & 0xff else 0
+        val up = prev(c) & 0xff
+        val ul = if (c > 0) prev(c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        cur(c) = (v & 0xff).toByte
+        c += 1
+      }
+      System.arraycopy(cur, 0, out, r * columns, columns)
+      prev = cur
+      r += 1
+    }
+    Some(out)
+  }
+
   /** Build the object index: classic xref table walk from `startxref`
     * (following `/Prev`); on any failure, whole-file `N G obj` scan. */
   private def index(b: Array[Byte]): Doc = {
     def trailerRoot(t: PDict): Option[PRef] =
       t.m.get("Root").collect { case r: PRef => r }
+
+    // Parse a PDF 1.5+ cross-reference STREAM object at `off`:
+    // /Type /XRef, /W field widths, /Index subsections, binary entries
+    // (type 0 free / 1 top-level offset / 2 object-stream member).
+    // Returns the stream dict for /Root /Prev /Encrypt chaining.
+    def xrefStream(off: Int, offsets: mutable.Map[Int, Int],
+        inStm: mutable.Map[Int, (Int, Int)]): Option[PDict] = {
+      val lx = new Lex(b, off)
+      lx.token(); lx.token()
+      lx.expect("obj")
+      val dict = lx.obj(content = false) match {
+        case d: PDict if d.m.get("Type").contains(PName("XRef")) => d
+        case _ => return None
+      }
+      lx.skipWs()
+      if (!(lx.pos + 6 <= b.length &&
+        new String(b, lx.pos, 6, "US-ASCII") == "stream")) return None
+      var p = lx.pos + 6
+      if (p < b.length && b(p) == '\r') p += 1
+      if (p < b.length && b(p) == '\n') p += 1
+      // xref-stream dict entries are direct by spec (ISO 32000 §7.5.8.2)
+      val len = dict.m.get("Length") match {
+        case Some(PNum(v)) if v >= 0 && p + v <= b.length => v.toInt
+        case _ => return None
+      }
+      val raw = PStream(dict, java.util.Arrays.copyOfRange(b, p, p + len))
+      // a Doc with no index suffices: stream decode resolves nothing here
+      val data = new Doc(b, Map.empty, Map.empty, None).streamData(raw)
+        .getOrElse(return None)
+      val w = dict.m.get("W") match {
+        case Some(PArr(items)) => items.collect { case PNum(v) => v.toInt }
+        case _ => return None
+      }
+      if (w.size < 3 || w.exists(x => x < 0 || x > 8)) return None
+      val entryLen = w.sum
+      if (entryLen <= 0) return None
+      val size = dict.m.get("Size") match {
+        case Some(PNum(v)) => v.toInt
+        case _ => return None
+      }
+      val index: Seq[(Int, Int)] = dict.m.get("Index") match {
+        case Some(PArr(items)) =>
+          val ns = items.collect { case PNum(v) => v.toInt }
+          ns.grouped(2).collect { case Seq(a, c) => (a, c) }.toSeq
+        case _ => Seq((0, size))
+      }
+      var pos = 0
+      def field(width: Int): Long = {
+        var v = 0L; var k = 0
+        while (k < width) { v = (v << 8) | (data(pos) & 0xff); pos += 1; k += 1 }
+        v
+      }
+      index.foreach { case (start, count) =>
+        var k = 0
+        while (k < count && pos + entryLen <= data.length) {
+          val typ = if (w(0) == 0) 1L else field(w(0))
+          val f2 = field(w(1))
+          val f3 = field(w(2))
+          val num = start + k
+          typ match {
+            case 1 => if (!offsets.contains(num) && !inStm.contains(num))
+              offsets(num) = f2.toInt
+            case 2 => if (!offsets.contains(num) && !inStm.contains(num))
+              inStm(num) = (f2.toInt, f3.toInt)
+            case _ => // type 0 free (or unknown): skip
+          }
+          k += 1
+        }
+      }
+      Some(dict)
+    }
 
     def viaXref(): Option[Doc] = {
       // locate startxref near EOF
@@ -339,6 +513,7 @@ object PdfCodec {
       lx0.expect("startxref")
       val off0 = lx0.token().toInt
       val offsets = mutable.Map.empty[Int, Int]
+      val inStm = mutable.Map.empty[Int, (Int, Int)]
       var root: Option[PRef] = None
       var encrypted = false
       var off = off0
@@ -347,7 +522,22 @@ object PdfCodec {
         hops += 1
         val lx = new Lex(b, off)
         val t0 = lx.token()
-        if (t0 != "xref") return None // xref STREAM or garbage → fallback scan
+        if (t0 != "xref") {
+          // PDF 1.5+ cross-reference STREAM (or garbage → fallback scan)
+          val dict = xrefStream(off, offsets, inStm).getOrElse(return None)
+          if (root.isEmpty)
+            root = dict.m.get("Root").collect { case r: PRef => r }
+          if (dict.m.contains("Encrypt")) encrypted = true
+          if (encrypted) throw new UnsupportedOperationException("encrypted")
+          off = dict.m.get("Prev") match {
+            case Some(PNum(v)) => v.toInt
+            case _ => -1
+          }
+          if (off < 0) {
+            return if (offsets.isEmpty && inStm.isEmpty) None
+            else Some(new Doc(b, offsets.toMap, inStm.toMap, root))
+          }
+        } else {
         var go = true
         while (go) {
           lx.skipWs()
@@ -386,9 +576,11 @@ object PdfCodec {
           case Some(PNum(v)) => v.toInt
           case _ => -1
         }
+        }
       }
       if (encrypted) throw new UnsupportedOperationException("encrypted")
-      if (offsets.isEmpty) None else Some(new Doc(b, offsets.toMap, root))
+      if (offsets.isEmpty && inStm.isEmpty) None
+      else Some(new Doc(b, offsets.toMap, inStm.toMap, root))
     }
 
     def viaScan(): Doc = {
@@ -435,7 +627,7 @@ object PdfCodec {
           }
         } catch { case _: IllegalArgumentException => }
       }
-      val doc = new Doc(b, offsets.toMap, root)
+      val doc = new Doc(b, offsets.toMap, Map.empty, root)
       if (root.isEmpty) {
         val cat = offsets.keys.toSeq.sorted.find { n =>
           doc.resolve(doc.objectAt(n)) match {
@@ -444,7 +636,8 @@ object PdfCodec {
             case _ => false
           }
         }
-        cat.map(n => new Doc(b, offsets.toMap, Some(PRef(n, 0)))).getOrElse(doc)
+        cat.map(n => new Doc(b, offsets.toMap, Map.empty, Some(PRef(n, 0))))
+          .getOrElse(doc)
       } else doc
     }
 
@@ -798,6 +991,129 @@ object PdfCodec {
         .getBytes("US-ASCII") ++ content ++ "\nendstream".getBytes("US-ASCII"))
     }
 
+    assemble(objs)
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val bos = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Serialize a MODERN (PDF 1.5+) file: catalog/pages/font/page dicts
+    * packed into one compressed OBJECT STREAM, content streams top-level,
+    * and a cross-reference STREAM with PNG-Up-predictor-coded entries
+    * (/W [1 4 2], /DecodeParms /Predictor 12) — the layout most real
+    * PDFs use, exercising the reader's ObjStm + xref-stream + predictor
+    * paths end-to-end. Deterministic like [[encodePdf]]. */
+  def encodePdfModern(pageTexts: Seq[String]): Array[Byte] = {
+    def contentBytes(text: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      out.write("BT /F1 12 Tf 72 720 Td (".getBytes("US-ASCII"))
+      text.getBytes(Cp1252).foreach { c =>
+        if (c == '(' || c == ')' || c == '\\') out.write('\\')
+        out.write(c)
+      }
+      out.write(") Tj ET".getBytes("US-ASCII"))
+      out.toByteArray
+    }
+    val nPages = pageTexts.size
+    val objStmNum = 50
+    val xrefNum = 60
+    def pageNum(i: Int) = 4 + i * 2
+    def contNum(i: Int) = 5 + i * 2
+
+    // object-stream members: (num, serialized dict)
+    val kids = (0 until nPages).map(i => s"${pageNum(i)} 0 R").mkString(" ")
+    val members: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> (s"<< /Type /Pages /Kids [ $kids ] /Count $nPages " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>"),
+        3 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding /WinAnsiEncoding >>")) ++
+        (0 until nPages).map { i =>
+          pageNum(i) -> (s"<< /Type /Page /Parent 2 0 R " +
+            s"/MediaBox [ 0 0 612 792 ] /Contents ${contNum(i)} 0 R >>")
+        }
+    val bodyParts = members.map(_._2 + " ")
+    val memberOffsets = bodyParts.scanLeft(0)(_ + _.length)
+    val header = members.zip(memberOffsets).map { case ((num, _), off) =>
+      s"$num $off " }.mkString
+    val stmPlain = (header + bodyParts.mkString).getBytes(Cp1252)
+    val stmData = deflate(stmPlain)
+    val objStmBody = (s"<< /Type /ObjStm /N ${members.size} " +
+      s"/First ${header.length} /Filter /FlateDecode " +
+      s"/Length ${stmData.length} >>\nstream\n").getBytes(Cp1252) ++
+      stmData ++ "\nendstream".getBytes(Cp1252)
+
+    val out = new java.io.ByteArrayOutputStream
+    out.write("%PDF-1.5\n%âãÏÓ\n".getBytes(Cp1252))
+    val offsets = mutable.Map.empty[Int, Int]
+    def emit(num: Int, body: Array[Byte]): Unit = {
+      offsets(num) = out.size()
+      out.write(s"$num 0 obj\n".getBytes(Cp1252))
+      out.write(body)
+      out.write("\nendobj\n".getBytes(Cp1252))
+    }
+    pageTexts.zipWithIndex.foreach { case (text, i) =>
+      val content = contentBytes(text)
+      emit(contNum(i),
+        (s"<< /Length ${content.length} >>\nstream\n").getBytes(Cp1252) ++
+          content ++ "\nendstream".getBytes(Cp1252))
+    }
+    emit(objStmNum, objStmBody)
+
+    // xref-stream entries, 7-byte rows (W = 1 4 2), PNG Up predictor
+    val size = xrefNum + 1
+    val xrefOff = out.size()
+    offsets(xrefNum) = xrefOff
+    val rows = new Array[Byte](size * 7)
+    def put(num: Int, typ: Int, f2: Long, f3: Int): Unit = {
+      val p = num * 7
+      rows(p) = typ.toByte
+      rows(p + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(p + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(p + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(p + 4) = (f2 & 0xff).toByte
+      rows(p + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(p + 6) = (f3 & 0xff).toByte
+    }
+    put(0, 0, 0L, 0xffff)
+    members.zipWithIndex.foreach { case ((num, _), idx) =>
+      put(num, 2, objStmNum.toLong, idx) }
+    (0 until nPages).foreach(i => put(contNum(i), 1, offsets(contNum(i)).toLong, 0))
+    put(objStmNum, 1, offsets(objStmNum).toLong, 0)
+    put(xrefNum, 1, xrefOff.toLong, 0)
+    // Up predictor: filter byte 2 + (cur − up) per 7-byte column row
+    val coded = new Array[Byte](size * 8)
+    var r = 0
+    while (r < size) {
+      coded(r * 8) = 2
+      var c = 0
+      while (c < 7) {
+        val up = if (r > 0) rows((r - 1) * 7 + c) & 0xff else 0
+        coded(r * 8 + 1 + c) = (((rows(r * 7 + c) & 0xff) - up) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    val xrefData = deflate(coded)
+    out.write(s"$xrefNum 0 obj\n".getBytes(Cp1252))
+    out.write((s"<< /Type /XRef /W [ 1 4 2 ] /Index [ 0 $size ] /Size $size " +
+      "/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 7 >> /Length ${xrefData.length} " +
+      ">>\nstream\n").getBytes(Cp1252))
+    out.write(xrefData)
+    out.write("\nendstream\nendobj\n".getBytes(Cp1252))
+    out.write(s"startxref\n$xrefOff\n%%EOF\n".getBytes(Cp1252))
+    out.toByteArray
+  }
+
+  private def assemble(objs: mutable.ArrayBuffer[(Int, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
     // binary-comment second line per spec convention
     out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(Cp1252))

@@ -553,9 +553,10 @@ object BulkQueries extends QueryGroup {
         .select("doc_id", "url", "n_dupes", "n_words", "text_out")
     }),
 
-    // PDF text extraction through REAL bytes: five show-device variants
-    // (plain literal string / Flate-compressed 2-page / TJ fragment
-    // array / hex string via the quote operator / ToUnicode CMap) — the
+    // PDF text extraction through REAL bytes: six layout/show-device
+    // variants (plain literal string / Flate-compressed 2-page / TJ
+    // fragment array / hex string / ToUnicode CMap / MODERN 1.5+ file
+    // with xref stream + object stream + PNG-predicted entries) — the
     // extracted text and page count must hash-match the oracle's
     // id-arithmetic replay for every variant
     "pipeline_pdf_text" -> ((s, dir) => {
@@ -564,14 +565,16 @@ object BulkQueries extends QueryGroup {
         .select(col("doc_id").cast("long")).as[Long]
         .mapPartitions(_.map { id =>
           import graft.ops.PdfCodec
-          val pdf = (id % 5) match {
+          val pdf = (id % 6) match {
             case 0 => PdfCodec.encodePdf(Seq(s"Résumé naïve $id"))
             case 1 => PdfCodec.encodePdf(
               Seq(s"alpha $id", s"beta $id"), flate = true)
             case 2 => PdfCodec.encodePdf(Seq(s"fragment kern $id"), useTJ = true)
             case 3 => PdfCodec.encodePdf(
               Seq(s"paren (x) and $id"), useHex = true, quoteSplit = false)
-            case _ => PdfCodec.encodePdf(Seq(s"Ω mass $id"), toUnicode = true)
+            case 4 => PdfCodec.encodePdf(Seq(s"Ω mass $id"), toUnicode = true)
+            case _ => PdfCodec.encodePdfModern(
+              Seq(s"modern xref $id", s"objstm café $id"))
           }
           val t = PdfCodec.extractText(pdf).get
           (id, t.nPages, t.text)
@@ -870,14 +873,16 @@ object BulkQueries extends QueryGroup {
         "FROM documents WHERE doc_id % 2 = 0"),
     "pipeline_pdf_text" ->
       ("SELECT doc_id, " +
-        "CAST(CASE WHEN doc_id % 5 = 1 THEN 2 ELSE 1 END AS INT) AS n_pages, " +
-        "CASE doc_id % 5 " +
+        "CAST(CASE WHEN doc_id % 6 IN (1, 5) THEN 2 ELSE 1 END AS INT) AS n_pages, " +
+        "CASE doc_id % 6 " +
         "WHEN 0 THEN 'Résumé naïve ' || CAST(doc_id AS VARCHAR) " +
         "WHEN 1 THEN 'alpha ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
         "'beta ' || CAST(doc_id AS VARCHAR) " +
         "WHEN 2 THEN 'fragment kern ' || CAST(doc_id AS VARCHAR) " +
         "WHEN 3 THEN 'paren (x) and ' || CAST(doc_id AS VARCHAR) " +
-        "ELSE 'Ω mass ' || CAST(doc_id AS VARCHAR) END AS text_out " +
+        "WHEN 4 THEN 'Ω mass ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'modern xref ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'objstm café ' || CAST(doc_id AS VARCHAR) END AS text_out " +
         "FROM documents"),
     "pipeline_robots_filter" ->
       ("SELECT doc_id, " +

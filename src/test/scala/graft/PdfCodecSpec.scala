@@ -108,6 +108,49 @@ class PdfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("modern layout: xref STREAM + object stream + PNG predictor round-trips") {
+    val pdf = PdfCodec.encodePdfModern(Seq("modern page one 7", "objstm two 7"))
+    val t = PdfCodec.extractText(pdf).get
+    assert(t.nPages == 2)
+    assert(t.text == "modern page one 7\nobjstm two 7")
+    assert(PdfCodec.pageCount(pdf) == 2)
+    // WinAnsi bytes survive through the ObjStm-housed font dict
+    val acc = PdfCodec.extractText(PdfCodec.encodePdfModern(Seq("café €5"))).get
+    assert(acc.text == "café €5")
+  }
+
+  test("modern layout totality: truncation and corruption never throw") {
+    val pdf = PdfCodec.encodePdfModern(Seq("stability modern", "two"))
+    var l = 0
+    while (l < pdf.length) {
+      PdfCodec.extractText(java.util.Arrays.copyOf(pdf, l))
+      l += 7
+    }
+    for (i <- 0 until pdf.length by 13) {
+      val c = pdf.clone(); c(i) = (c(i) ^ 0x5a).toByte
+      PdfCodec.extractText(c)
+      PdfCodec.pageCount(c)
+    }
+  }
+
+  test("PNG predictor decode: Up and Sub filters reconstruct rows") {
+    // rows of 3 columns; encode Up by hand, decode must invert it
+    val plain = Array[Byte](1, 2, 3, 5, 7, 9, 6, 8, 12)
+    val up = new Array[Byte](12)
+    for (r <- 0 until 3) {
+      up(r * 4) = 2
+      for (c <- 0 until 3) {
+        val prev = if (r > 0) plain((r - 1) * 3 + c) & 0xff else 0
+        up(r * 4 + 1 + c) = (((plain(r * 3 + c) & 0xff) - prev) & 0xff).toByte
+      }
+    }
+    assert(PdfCodec.pngPredictor(up, 3).exists(java.util.Arrays.equals(_, plain)))
+    // bad filter type / ragged length → None, not a throw
+    val bad = up.clone(); bad(0) = 9
+    assert(PdfCodec.pngPredictor(bad, 3).isEmpty)
+    assert(PdfCodec.pngPredictor(up, 5).isEmpty)
+  }
+
   test("maxPages caps the page walk") {
     val pdf = PdfCodec.encodePdf((1 to 10).map(i => s"p$i"))
     assert(PdfCodec.extractText(pdf, maxPages = 4).get.nPages == 4)
