@@ -213,4 +213,103 @@ object Boilerplate {
     val t = mainContent(html, minWords)
     if (t.isEmpty) 0 else t.count(_ == '\n') + 1
   }
+
+  // ---- page metadata ------------------------------------------------------
+
+  /** Head metadata a curation pipeline keys on: `<title>`, `<meta
+    * name=description>`, `<link rel=canonical>`, `<meta
+    * property=og:title>`. Absent fields are "". */
+  final case class PageMeta(title: String, description: String,
+      canonical: String, ogTitle: String)
+
+  /** Attribute map of one tag's interior (after the name): quoted or
+    * bare values, case-insensitive keys, tolerant of malformed tails. */
+  private[graft] def attrs(tag: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val n = tag.length
+    while (i < n) {
+      while (i < n && (tag.charAt(i).isWhitespace || tag.charAt(i) == '/')) i += 1
+      val k0 = i
+      while (i < n && !tag.charAt(i).isWhitespace && tag.charAt(i) != '=' &&
+        tag.charAt(i) != '>') i += 1
+      val key = tag.substring(k0, i).toLowerCase
+      while (i < n && tag.charAt(i).isWhitespace) i += 1
+      if (i < n && tag.charAt(i) == '=') {
+        i += 1
+        while (i < n && tag.charAt(i).isWhitespace) i += 1
+        if (i < n && (tag.charAt(i) == '"' || tag.charAt(i) == '\'')) {
+          val q = tag.charAt(i); i += 1
+          val v0 = i
+          while (i < n && tag.charAt(i) != q) i += 1
+          if (key.nonEmpty) out += key -> tag.substring(v0, math.min(i, n))
+          i += 1
+        } else {
+          val v0 = i
+          while (i < n && !tag.charAt(i).isWhitespace && tag.charAt(i) != '>') i += 1
+          if (key.nonEmpty) out += key -> tag.substring(v0, i)
+        }
+      } else if (key.nonEmpty) out += key -> ""
+    }
+    out.result()
+  }
+
+  private def decodeAll(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val e = s.indexOf(';', i + 1)
+        val dec = if (e > i && e - i <= 12) decodeEntity(s.substring(i + 1, e))
+          else None
+        dec match {
+          case Some(d) => sb.append(d); i = e + 1
+          case None => sb.append('&'); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Extract head metadata. First occurrence of each field wins; text
+    * entity-decoded and whitespace-normalized. Total; null → empties. */
+  def pageMeta(html: String): PageMeta = {
+    if (html == null || html.isEmpty) return PageMeta("", "", "", "")
+    var title = ""; var desc = ""; var canonical = ""; var og = ""
+    val lower = html.toLowerCase
+    // title: raw-text element, first instance
+    val t0 = lower.indexOf("<title")
+    if (t0 >= 0) {
+      val open = lower.indexOf('>', t0)
+      val close = if (open < 0) -1 else lower.indexOf("</title", open + 1)
+      if (open >= 0 && close > open)
+        title = decodeAll(html.substring(open + 1, close))
+          .split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+    // meta / link tags: attribute-parse each instance in order
+    def eachTag(name: String)(f: Map[String, String] => Unit): Unit = {
+      var p = lower.indexOf(s"<$name")
+      while (p >= 0) {
+        val close = lower.indexOf('>', p)
+        val interior = html.substring(p + name.length + 1,
+          if (close < 0) html.length else close)
+        f(attrs(interior))
+        p = if (close < 0) -1 else lower.indexOf(s"<$name", close)
+      }
+    }
+    eachTag("meta") { a =>
+      val content = decodeAll(a.getOrElse("content", "")).trim
+      if (desc.isEmpty && a.get("name").exists(_.equalsIgnoreCase("description")) &&
+        content.nonEmpty) desc = content
+      if (og.isEmpty && a.get("property").exists(_.equalsIgnoreCase("og:title")) &&
+        content.nonEmpty) og = content
+    }
+    eachTag("link") { a =>
+      if (canonical.isEmpty &&
+        a.get("rel").exists(_.equalsIgnoreCase("canonical")))
+        canonical = a.getOrElse("href", "").trim
+    }
+    PageMeta(title, desc, canonical, og)
+  }
 }

@@ -581,6 +581,35 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "n_pages", "text_out")
     }),
 
+    // crawl → PDF on-ramp: a WARC response carrying application/pdf
+    // (classic AND modern layouts; gzip Content-Encoding on a third of
+    // ids) → body decode → media sniff dispatch → PdfCodec text — the
+    // content-type routing a real curation pipeline runs next to the
+    // HTML path
+    "pipeline_warc_pdf" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.{MediaCodec, PdfCodec, WarcCodec}
+          val pdf =
+            if (id % 2 == 0) PdfCodec.encodePdf(Seq(s"warc pdf $id"), flate = true)
+            else PdfCodec.encodePdfModern(Seq(s"warc pdf $id"))
+          val warc = WarcCodec.encodeWarc(
+            Seq(WarcCodec.WarcEntry("response", s"http://x/$id.pdf", 200,
+              "application/pdf", pdf,
+              if (id % 3 == 0) "gzip" else "identity")),
+            gzipPerRecord = id % 2 == 1)
+          WarcCodec.parseWarc(warc).collectFirst {
+            case r if r.httpContentType == "application/pdf" &&
+                r.httpEncoding.isEmpty =>
+              val fmt = MediaCodec.parseMeta(r.body).format
+              val t = PdfCodec.extractText(r.body).get
+              (id, fmt, t.nPages, t.text)
+          }
+        }).toDF("doc_id", "format", "n_pages", "text_out")
+    }),
+
     // robots.txt politeness filter (RFC 9309): three robots shapes ×
     // four path shapes; group selection, longest-match + Allow-tie and
     // $-anchored wildcards all land in the oracle's CASE replay
@@ -884,6 +913,9 @@ object BulkQueries extends QueryGroup {
         "ELSE 'modern xref ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
         "'objstm café ' || CAST(doc_id AS VARCHAR) END AS text_out " +
         "FROM documents"),
+    "pipeline_warc_pdf" ->
+      ("SELECT doc_id, 'pdf' AS format, CAST(1 AS INT) AS n_pages, " +
+        "'warc pdf ' || CAST(doc_id AS VARCHAR) AS text_out FROM documents"),
     "pipeline_robots_filter" ->
       ("SELECT doc_id, " +
         "CASE doc_id % 4 WHEN 0 THEN '/public/x' || CAST(doc_id AS VARCHAR) " +

@@ -379,6 +379,33 @@ object PipelineQueries extends QueryGroup {
         }).toDF("doc_id", "n_kept", "text_out")
     }),
 
+    // head-metadata extraction (title / meta description / canonical /
+    // og:title) through an attribute-level tag parse — quote styles,
+    // attribute order, entities and missing fields all vary by id; the
+    // oracle replays every field from id arithmetic
+    "text_page_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val html = (id % 4) match {
+            case 0 => s"<html><head><title>Doc &amp; title $id</title>" +
+              s"<meta name=\"description\" content=\"About page $id\">" +
+              s"<link rel=\"canonical\" href=\"https://x.com/p$id\">" +
+              s"<meta property=\"og:title\" content=\"OG $id\"></head><body>x</body></html>"
+            case 1 => // single quotes, attribute order flipped, no og
+              s"<head><meta content='Flipped desc $id' name='description'>" +
+              s"<title> Spaced   title $id </title>" +
+              s"<link href='https://y.com/c$id' rel='canonical'></head>"
+            case 2 => // bare attribute values, no description/canonical
+              s"<title>Bare $id</title><meta property=og:title content=OgBare$id>"
+            case _ => s"<p>no head at all $id</p>"
+          }
+          val m = graft.ops.Boilerplate.pageMeta(html)
+          (id, m.title, m.description, m.canonical, m.ogTitle)
+        }).toDF("doc_id", "title", "description", "canonical", "og_title")
+    }),
+
     // URL canonicalization: scheme/host lowercase, fragment + default
     // port + tracking params stripped, empty path → '/', malformed →
     // NULL. Parse-and-rebuild from RE2-compatible regexp_extracts —
@@ -2619,6 +2646,18 @@ object PipelineQueries extends QueryGroup {
         "WHEN 0 THEN 'Headline number ' || CAST(doc_id AS VARCHAR) || ' here' || chr(10) || p1 || chr(10) || p2 " +
         "WHEN 1 THEN p1 || chr(10) || p2 " +
         "ELSE p1 END AS text_out FROM p"),
+    "text_page_meta" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'Doc & title ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'Spaced title ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'Bare ' || CAST(doc_id AS VARCHAR) ELSE '' END AS title, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'About page ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'Flipped desc ' || CAST(doc_id AS VARCHAR) ELSE '' END AS description, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'https://x.com/p' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'https://y.com/c' || CAST(doc_id AS VARCHAR) ELSE '' END AS canonical, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'OG ' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'OgBare' || CAST(doc_id AS VARCHAR) ELSE '' END AS og_title " +
+        "FROM documents"),
     "text_url_canonical" ->
       ("WITH u AS (SELECT doc_id, n_chars, CASE doc_id % 6 WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 40) || '.COM:80/Page' || doc_id || '?utm_source=x&id=' || doc_id || '#frag' WHEN 1 THEN 'https://blog.site' || (doc_id % 40) || '.com/a/b' || doc_id WHEN 2 THEN 'https://site' || (doc_id % 40) || '.com:8443/x?a=1&utm_campaign=c&b=2' WHEN 3 THEN 'http://site' || (doc_id % 40) || '.com' WHEN 4 THEN 'https://site' || (doc_id % 40) || '.com:443/?gclid=z' ELSE 'not a url ' || doc_id END AS url FROM documents), parts AS (SELECT doc_id, n_chars, url, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS hst, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS prt, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth, regexp_extract(url, '\\?([^#]*)', 1) AS qry FROM u), canon AS (SELECT doc_id, n_chars, url, sch, hst, CASE WHEN prt = '' THEN '' WHEN sch = 'http' AND prt = '80' THEN '' WHEN sch = 'https' AND prt = '443' THEN '' ELSE ':' || prt END AS keep_port, CASE WHEN pth = '' THEN '/' ELSE pth END AS cpath, COALESCE(array_to_string(list_filter(string_split(qry, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid)=')), '&'), '') AS cq FROM parts), final AS (SELECT doc_id, n_chars, url, CASE WHEN sch <> '' AND hst <> '' THEN sch || '://' || hst || keep_port || cpath || CASE WHEN cq = '' THEN '' ELSE '?' || cq END END AS canon_url, CASE WHEN sch <> '' AND hst <> '' THEN CASE WHEN len(string_split(hst, '.')) < 2 THEN hst ELSE array_to_string(string_split(hst, '.')[-2:], '.') END END AS domain FROM canon) SELECT doc_id, url, canon_url, domain FROM final"),
     "text_domain_stats" ->

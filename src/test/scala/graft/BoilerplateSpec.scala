@@ -67,6 +67,32 @@ class BoilerplateSpec extends AnyFunSuite {
       "Fish & chips <tag> with inline emphasis plus é and € money")
   }
 
+  test("pageMeta: title/description/canonical/og across quote styles and order") {
+    val m = Boilerplate.pageMeta(
+      "<html><head><title> A &amp; B </title>" +
+        "<meta content='D1' name='description'>" +
+        "<meta property=og:title content=OT>" +
+        "<link href=\"https://c/x\" rel=\"canonical\"></head></html>")
+    assert(m.title == "A & B")
+    assert(m.description == "D1")
+    assert(m.canonical == "https://c/x")
+    assert(m.ogTitle == "OT")
+    // first occurrence wins; unrelated meta/link ignored; totality
+    val m2 = Boilerplate.pageMeta(
+      "<meta name=description content=first><meta name=description content=second>" +
+        "<link rel=stylesheet href=/s.css><title>T1</title><title>T2</title>")
+    assert(m2.description == "first" && m2.title == "T1" && m2.canonical == "")
+    assert(Boilerplate.pageMeta(null) == Boilerplate.PageMeta("", "", "", ""))
+    assert(Boilerplate.pageMeta("<title>unclosed") ==
+      Boilerplate.PageMeta("", "", "", ""))
+  }
+
+  test("attrs: quoted, bare, valueless and malformed attributes parse") {
+    val a = Boilerplate.attrs(" name=\"x y\" id='q' bare=7 checked  broken=\"unclosed")
+    assert(a("name") == "x y" && a("id") == "q" && a("bare") == "7")
+    assert(a("checked") == "" && a("broken") == "unclosed")
+  }
+
   test("block metadata: words, link words, heading and structural flags") {
     val bs = Boilerplate.blocks(
       "<nav>one two</nav><h3>head line</h3><p>a <a href=x>b c</a> d</p>")
