@@ -1,0 +1,286 @@
+package graft.ops
+
+/** AV1 OBU sequence-header BITSTREAM parsing, pure JVM — the third leg
+  * of the codec-level tier ([[H264Codec]] for AVC, [[Vp9Codec]] for
+  * VP9): AV1 is the growth codec in crawled video, and its sequence
+  * header carries the authoritative profile / level / bit depth /
+  * maximum frame dimensions. The header is a few hundred bits of the
+  * AV1 Bitstream & Decoding Process Specification (§5.3 OBU framing,
+  * §5.5 sequence header, §5.5.2 color config) — no tile data is
+  * touched; full picture decode stays a disclosed stub (same rationale
+  * as the other codec rows: the header pass is the 100 TB screen).
+  *
+  * Parser: OBU walk (leb128 sizes, extension-header skip) to
+  * OBU_SEQUENCE_HEADER → bit reader through profile, level/tier,
+  * operating points (decoder-model and display-delay branches
+  * included), frame-dimension bits, the feature-flag block (reduced
+  * and full paths) and color config to bit depth + monochrome.
+  * Malformed input returns None and NEVER throws.
+  *
+  * Encoder: a deterministic sequence-header writer (reduced or full
+  * still-picture-header form) + the `av1C` AV1CodecConfigurationRecord
+  * wrapper (AV1-in-ISOBMFF spec) for MP4 `av01` sample entries.
+  */
+object Av1Codec {
+
+  /** The curation screen's slice of a sequence header. Width/height are
+    * max_frame dimensions (what the decoder allocates for). */
+  final case class Av1SeqInfo(profile: Int, levelIdx: Int, tier: Int,
+      width: Int, height: Int, bitDepth: Int, monochrome: Boolean,
+      reducedStillPicture: Boolean)
+
+  private final class BitReader(b: Array[Byte], from: Int, until: Int) {
+    private var pos = from * 8
+    private val end = until * 8
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        if (pos >= end) throw new IllegalStateException("eob")
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        k += 1
+      }
+      v
+    }
+  }
+
+  /** leb128 (§4.10.5): (value, nBytes); throws on >8 bytes / overflow. */
+  private def leb128(b: Array[Byte], i: Int): (Long, Int) = {
+    var v = 0L
+    var k = 0
+    while (k < 8) {
+      if (i + k >= b.length) throw new IllegalStateException("eob")
+      val byte = b(i + k) & 0xff
+      v |= (byte & 0x7fL) << (7 * k)
+      if ((byte & 0x80) == 0) return (v, k + 1)
+      k += 1
+    }
+    throw new IllegalStateException("leb128 too long")
+  }
+
+  /** Parse the first OBU_SEQUENCE_HEADER out of an OBU stream (a
+    * temporal unit, an av1C configOBUs blob, …). None on malformed
+    * bits or when no sequence header is present. */
+  def parseSequenceHeader(obus: Array[Byte]): Option[Av1SeqInfo] = {
+    if (obus == null || obus.length < 2) return None
+    try {
+      var i = 0
+      while (i < obus.length) {
+        val hdr = obus(i) & 0xff
+        if ((hdr & 0x80) != 0) return None // obu_forbidden_bit
+        val obuType = (hdr >> 3) & 0xf
+        val hasExt = (hdr & 0x04) != 0
+        val hasSize = (hdr & 0x02) != 0
+        var p = i + 1
+        if (hasExt) p += 1 // temporal/spatial id byte
+        val (size, szLen) =
+          if (hasSize) leb128(obus, p)
+          else ((obus.length - p).toLong, 0)
+        p += szLen
+        if (size < 0 || p + size > obus.length) return None
+        if (obuType == 1) // OBU_SEQUENCE_HEADER
+          return parseSeqBody(obus, p, p + size.toInt)
+        i = p + size.toInt
+      }
+      None
+    } catch {
+      case _: IllegalStateException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  private def parseSeqBody(b: Array[Byte], from: Int, until: Int): Option[Av1SeqInfo] = {
+    val r = new BitReader(b, from, until)
+    val profile = r.u(3)
+    if (profile > 2) return None
+    r.u(1) // still_picture
+    val reduced = r.u(1) == 1
+    var levelIdx = 0
+    var tier = 0
+    var decoderModel = false
+    var bufferDelayBits = 0
+    if (reduced) {
+      levelIdx = r.u(5)
+    } else {
+      if (r.u(1) == 1) { // timing_info_present_flag
+        r.u(32); r.u(32) // num_units_in_display_tick, time_scale
+        if (r.u(1) == 1) uvlc(r) // equal_picture_interval → ticks uvlc
+        decoderModel = r.u(1) == 1
+        if (decoderModel) {
+          bufferDelayBits = r.u(5) + 1
+          r.u(32) // num_units_in_decoding_tick
+          r.u(5); r.u(5) // buffer_removal / frame_presentation lengths
+        }
+      }
+      val initialDisplayDelay = r.u(1) == 1
+      val nOps = r.u(5) + 1
+      var op = 0
+      while (op < nOps) {
+        r.u(12) // operating_point_idc
+        val lvl = r.u(5)
+        val t = if (lvl > 7) r.u(1) else 0
+        if (op == 0) { levelIdx = lvl; tier = t }
+        if (decoderModel && r.u(1) == 1) {
+          r.u(bufferDelayBits); r.u(bufferDelayBits) // decoding/encoder delay
+          r.u(1) // low_delay_mode_flag
+        }
+        if (initialDisplayDelay && r.u(1) == 1) r.u(4)
+        op += 1
+      }
+    }
+    val wBits = r.u(4) + 1
+    val hBits = r.u(4) + 1
+    val width = r.u(wBits) + 1
+    val height = r.u(hBits) + 1
+    var enableOrderHint = false
+    if (!reduced) {
+      if (r.u(1) == 1) { // frame_id_numbers_present_flag
+        r.u(4); r.u(3) // delta/additional frame id lengths
+      }
+    }
+    r.u(1) // use_128x128_superblock
+    r.u(1); r.u(1) // enable_filter_intra, enable_intra_edge_filter
+    if (!reduced) {
+      r.u(1); r.u(1) // enable_interintra_compound, enable_masked_compound
+      r.u(1); r.u(1) // enable_warped_motion, enable_dual_filter
+      enableOrderHint = r.u(1) == 1
+      if (enableOrderHint) { r.u(1); r.u(1) } // jnt_comp, ref_frame_mvs
+      val forceSct = if (r.u(1) == 1) 2 else r.u(1) // seq_choose/force sct
+      if (forceSct != 0) {
+        if (r.u(1) == 0) r.u(1) // seq_choose_integer_mv → force_integer_mv
+      }
+      if (enableOrderHint) r.u(3) // order_hint_bits_minus_1
+    }
+    r.u(1); r.u(1); r.u(1) // enable_superres, enable_cdef, enable_restoration
+    // color_config (§5.5.2)
+    val highBd = r.u(1) == 1
+    val bitDepth =
+      if (profile == 2 && highBd) { if (r.u(1) == 1) 12 else 10 }
+      else if (highBd) 10
+      else 8
+    val mono = if (profile == 1) false else r.u(1) == 1
+    Some(Av1SeqInfo(profile, levelIdx, tier, width, height, bitDepth,
+      mono, reduced))
+  }
+
+  /** uvlc (§4.10.3). */
+  private def uvlc(r: BitReader): Long = {
+    var zeros = 0
+    while (r.u(1) == 0) {
+      zeros += 1
+      if (zeros > 31) throw new IllegalStateException("uvlc overflow")
+    }
+    if (zeros == 0) 0L else (1L << zeros) - 1 + r.u(zeros)
+  }
+
+  // ---- deterministic encoder (fixtures) --------------------------------
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        k -= 1
+      }
+    }
+    def pad(): Array[Byte] = {
+      if (nBits > 0) u(0, 8 - nBits)
+      buf.toByteArray
+    }
+  }
+
+  private def leb128Bytes(v: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4)
+    var x = v
+    do {
+      val b = (x & 0x7f).toInt
+      x >>>= 7
+      out.write(if (x != 0) b | 0x80 else b)
+    } while (x != 0)
+    out.toByteArray
+  }
+
+  /** Deterministic sequence-header OBU (header byte + leb128 size +
+    * body). `reduced` exercises the still-picture shortcut; the full
+    * path writes one operating point with no timing/decoder-model. */
+  def encodeSequenceHeaderObu(profile: Int, levelIdx: Int, width: Int,
+      height: Int, bitDepth: Int = 8, monochrome: Boolean = false,
+      reduced: Boolean = false): Array[Byte] = {
+    require(profile >= 0 && profile <= 2, s"bad profile $profile")
+    require(levelIdx >= 0 && levelIdx <= 31, s"bad level $levelIdx")
+    require(width >= 1 && width <= 65536 && height >= 1 && height <= 65536,
+      s"bad dims ${width}x$height")
+    require(Set(8, 10, 12).contains(bitDepth), s"bad bit depth $bitDepth")
+    require(bitDepth < 12 || profile == 2, "12-bit needs profile 2")
+    require(!monochrome || profile != 1, "profile 1 has no monochrome")
+    val w = new BitWriter
+    w.u(profile, 3)
+    w.u(0, 1) // still_picture
+    w.u(if (reduced) 1 else 0, 1)
+    if (reduced) w.u(levelIdx, 5)
+    else {
+      w.u(0, 1) // timing_info_present_flag
+      w.u(0, 1) // initial_display_delay_present_flag
+      w.u(0, 5) // operating_points_cnt_minus_1
+      w.u(0, 12) // operating_point_idc[0]
+      w.u(levelIdx, 5)
+      if (levelIdx > 7) w.u(0, 1) // seq_tier = 0
+    }
+    w.u(15, 4); w.u(15, 4) // 16-bit dimension fields
+    w.u(width - 1, 16)
+    w.u(height - 1, 16)
+    if (!reduced) w.u(0, 1) // frame_id_numbers_present_flag
+    w.u(1, 1) // use_128x128_superblock
+    w.u(0, 1); w.u(0, 1) // filter_intra, intra_edge_filter
+    if (!reduced) {
+      w.u(0, 1); w.u(0, 1) // interintra, masked compound
+      w.u(0, 1); w.u(0, 1) // warped motion, dual filter
+      w.u(0, 1) // enable_order_hint
+      w.u(1, 1) // seq_choose_screen_content_tools = 1 (force = 2)
+      w.u(1, 1) // seq_choose_integer_mv = 1
+    }
+    w.u(0, 1); w.u(0, 1); w.u(0, 1) // superres, cdef, restoration
+    // color_config
+    w.u(if (bitDepth > 8) 1 else 0, 1) // high_bitdepth
+    if (profile == 2 && bitDepth > 8) w.u(if (bitDepth == 12) 1 else 0, 1)
+    if (profile != 1) w.u(if (monochrome) 1 else 0, 1)
+    val body = w.pad()
+    (Array[Byte](0x0a) // type=1 (sequence header), has_size=1
+      ++ leb128Bytes(body.length) ++ body)
+  }
+
+  /** AV1CodecConfigurationRecord (`av1C` box body, AV1-in-ISOBMFF §2.3):
+    * marker/version + the summary fields + the sequence-header OBU as
+    * configOBUs. */
+  def buildAv1C(seqObu: Array[Byte]): Array[Byte] = {
+    val info = parseSequenceHeader(seqObu).getOrElse(
+      throw new IllegalArgumentException("not a sequence header OBU"))
+    val out = new java.io.ByteArrayOutputStream(seqObu.length + 4)
+    out.write(0x81) // marker=1, version=1
+    out.write(((info.profile & 7) << 5) | (info.levelIdx & 0x1f))
+    val highBd = if (info.bitDepth > 8) 1 else 0
+    val twelve = if (info.bitDepth == 12) 1 else 0
+    val mono = if (info.monochrome) 1 else 0
+    // tier | high_bitdepth | twelve_bit | monochrome | ss_x | ss_y | csp
+    val ss = if (info.profile == 1) 0 else 1 // profile 1 = 4:4:4
+    out.write((info.tier << 7) | (highBd << 6) | (twelve << 5) |
+      (mono << 4) | (ss << 3) | (ss << 2) | 0)
+    out.write(0) // no initial_presentation_delay
+    out.write(seqObu, 0, seqObu.length)
+    out.toByteArray
+  }
+
+  /** configOBUs slice of an av1C record (offset 4 onward); None when
+    * the record is malformed. */
+  def obusFromAv1C(av1C: Array[Byte]): Option[Array[Byte]] = {
+    if (av1C == null || av1C.length < 5) return None
+    if ((av1C(0) & 0xff) != 0x81) return None // marker + version 1
+    Some(java.util.Arrays.copyOfRange(av1C, 4, av1C.length))
+  }
+}

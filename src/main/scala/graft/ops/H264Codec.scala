@@ -1,0 +1,299 @@
+package graft.ops
+
+/** H.264/AVC sequence-parameter-set (SPS) BITSTREAM parsing, pure JVM —
+  * the codec-level tier below [[Mp4Codec]]'s container walk. Container
+  * headers (tkhd 16.16 dims) are advisory and frequently wrong or absent
+  * in crawled files; the SPS inside the avcC configuration record is what
+  * the decoder actually obeys, so resolution / profile / level screening
+  * at 100 TB should read it directly. Parsing an SPS needs no frame
+  * decode: it is a few hundred bits of Exp-Golomb (ITU-T H.264 §7.3.2.1.1
+  * / §9.1), reachable from the stsd sample entry without touching mdat.
+  * Full H.264 picture decode stays a disclosed stub (same rationale as
+  * the container tier: no codec libs, out of pure-JVM scope, and the
+  * header pass IS the 100 TB first screen).
+  *
+  * Reference analogue: HIndex stores cell bytes opaquely
+  * (`hbase-secondaryindex` never interprets values); this tier is where
+  * a Spark-first engine must do better for multimodal curation.
+  *
+  * Parser: NAL → RBSP (emulation-prevention 0x000003 removal) → bit
+  * reader with ue(v)/se(v) → profile/level, chroma format + bit depth
+  * (high profiles, scaling lists skipped per §7.3.2.1.1.1), coded
+  * macroblock grid, frame cropping → display dimensions via the
+  * CropUnitX/Y rules of §7.4.2.1.1. Malformed input returns None and
+  * NEVER throws.
+  *
+  * Encoder: a deterministic SPS writer (the same field order, with
+  * emulation-prevention insertion) for fixtures, plus the
+  * AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1) wrapper that
+  * carries it inside an `avcC` box.
+  */
+object H264Codec {
+
+  /** Everything a curation screen wants from an SPS. Width/height are
+    * DISPLAY dimensions (after frame cropping). */
+  final case class SpsInfo(profileIdc: Int, levelIdc: Int,
+      width: Int, height: Int, chromaFormatIdc: Int, bitDepthLuma: Int,
+      frameMbsOnly: Boolean)
+
+  // profiles whose SPS carries the chroma/bit-depth block (§7.3.2.1.1)
+  private val highProfiles = Set(100, 110, 122, 244, 44, 83, 86, 118,
+    128, 138, 139, 134, 135)
+
+  /** NAL payload → RBSP: drop each 0x03 in a 0x00 0x00 0x03 run. */
+  private def rbsp(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length - from)
+    var zeros = 0
+    var i = from
+    while (i < nal.length) {
+      val b = nal(i) & 0xff
+      if (zeros >= 2 && b == 3) zeros = 0 // emulation-prevention byte
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** MSB-first bit reader over an RBSP; throws on exhaustion (callers
+    * catch — the parse contract is Option, never an exception). */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val byteIdx = pos >> 3
+        if (byteIdx >= b.length) throw new IllegalStateException("eob")
+        v = (v << 1) | ((b(byteIdx) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    /** Unsigned Exp-Golomb (§9.1). */
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IllegalStateException("ue overflow")
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+    /** Signed Exp-Golomb (§9.1.1). */
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** Skip one scaling list (§7.3.2.1.1.1). */
+  private def skipScalingList(r: BitReader, size: Int): Unit = {
+    var lastScale = 8
+    var nextScale = 8
+    var j = 0
+    while (j < size) {
+      if (nextScale != 0) {
+        val delta = r.se()
+        nextScale = (lastScale + delta + 256) % 256
+      }
+      lastScale = if (nextScale == 0) lastScale else nextScale
+      j += 1
+    }
+  }
+
+  /** Parse an SPS NAL unit (header byte included). None on anything
+    * malformed — wrong NAL type, truncated bits, absurd field values. */
+  def parseSps(nal: Array[Byte]): Option[SpsInfo] = {
+    if (nal == null || nal.length < 4) return None
+    if ((nal(0) & 0x1f) != 7) return None // nal_unit_type must be SPS
+    try {
+      val r = new BitReader(rbsp(nal, 1))
+      val profileIdc = r.u(8)
+      r.u(8) // constraint_set flags + reserved_zero_2bits
+      val levelIdc = r.u(8)
+      r.ue() // seq_parameter_set_id
+      var chromaFormatIdc = 1 // 4:2:0 implied for non-high profiles
+      var separateColour = false
+      var bitDepthLuma = 8
+      if (highProfiles.contains(profileIdc)) {
+        chromaFormatIdc = r.ue()
+        if (chromaFormatIdc > 3) return None
+        if (chromaFormatIdc == 3) separateColour = r.u(1) == 1
+        bitDepthLuma = 8 + r.ue()
+        r.ue() // bit_depth_chroma_minus8
+        r.u(1) // qpprime_y_zero_transform_bypass_flag
+        if (r.u(1) == 1) { // seq_scaling_matrix_present_flag
+          val nLists = if (chromaFormatIdc == 3) 12 else 8
+          var i = 0
+          while (i < nLists) {
+            if (r.u(1) == 1) skipScalingList(r, if (i < 6) 16 else 64)
+            i += 1
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      val pocType = r.ue()
+      if (pocType == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+      else if (pocType == 1) {
+        r.u(1) // delta_pic_order_always_zero_flag
+        r.se(); r.se() // offset_for_non_ref_pic / top_to_bottom_field
+        val n = r.ue()
+        if (n > 255) return None
+        var i = 0
+        while (i < n) { r.se(); i += 1 }
+      }
+      r.ue() // max_num_ref_frames
+      r.u(1) // gaps_in_frame_num_value_allowed_flag
+      val widthMbs = r.ue() + 1
+      val heightUnits = r.ue() + 1
+      if (widthMbs > (1 << 16) || heightUnits > (1 << 16)) return None
+      val frameMbsOnly = r.u(1) == 1
+      if (!frameMbsOnly) r.u(1) // mb_adaptive_frame_field_flag
+      r.u(1) // direct_8x8_inference_flag
+      var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+      if (r.u(1) == 1) { // frame_cropping_flag
+        cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue()
+      }
+      // §7.4.2.1.1: ChromaArrayType 0 (mono / separate planes) crops in
+      // luma samples; otherwise in chroma sample units SubWidthC /
+      // SubHeightC, with the vertical unit doubled for field coding.
+      val chromaArrayType = if (separateColour) 0 else chromaFormatIdc
+      val (subW, subH) = chromaArrayType match {
+        case 1 => (2, 2)
+        case 2 => (2, 1)
+        case _ => (1, 1)
+      }
+      val fieldFactor = if (frameMbsOnly) 1 else 2
+      val (unitX, unitY) =
+        if (chromaArrayType == 0) (1, fieldFactor)
+        else (subW, subH * fieldFactor)
+      val width = widthMbs * 16 - (cropL + cropR) * unitX
+      val height = fieldFactor * heightUnits * 16 - (cropT + cropB) * unitY
+      if (width <= 0 || height <= 0) return None
+      Some(SpsInfo(profileIdc, levelIdc, width, height,
+        chromaFormatIdc, bitDepthLuma, frameMbsOnly))
+    } catch {
+      case _: IllegalStateException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** First SPS NAL out of an AVCDecoderConfigurationRecord (the `avcC`
+    * box body, ISO 14496-15 §5.2.4.1). None if the record is malformed
+    * or carries no SPS. */
+  def spsFromAvcC(avcC: Array[Byte]): Option[Array[Byte]] = {
+    if (avcC == null || avcC.length < 8) return None
+    if ((avcC(0) & 0xff) != 1) return None // configurationVersion
+    val numSps = avcC(5) & 0x1f
+    if (numSps < 1) return None
+    val len = ((avcC(6) & 0xff) << 8) | (avcC(7) & 0xff)
+    if (8 + len > avcC.length) return None
+    Some(java.util.Arrays.copyOfRange(avcC, 8, 8 + len))
+  }
+
+  // ---- deterministic encoder (fixtures) --------------------------------
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        k -= 1
+      }
+    }
+    def ue(v: Int): Unit = {
+      require(v >= 0, s"ue value must be >= 0: $v")
+      val codeNum = v + 1
+      val nZeros = 31 - Integer.numberOfLeadingZeros(codeNum)
+      u(0, nZeros)
+      u(codeNum, nZeros + 1)
+    }
+    /** rbsp_trailing_bits: stop bit + zero-pad to a byte boundary. */
+    def stopAndPad(): Array[Byte] = {
+      u(1, 1)
+      if (nBits > 0) u(0, 8 - nBits)
+      buf.toByteArray
+    }
+  }
+
+  /** RBSP → NAL payload: insert 0x03 after any 0x00 0x00 that precedes
+    * a byte <= 0x03 (§7.4.1.1). */
+  private def addEmulationPrevention(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i) & 0xff
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic SPS NAL: baseline/main write no chroma block, high
+    * (100) writes 4:2:0 8-bit; dimensions come from the macroblock grid
+    * minus right/bottom cropping (crop units: 2 luma px at 4:2:0,
+    * frame_mbs_only = 1). */
+  def encodeSps(profileIdc: Int, levelIdc: Int, widthMbs: Int,
+      heightMbs: Int, cropRight: Int = 0, cropBottom: Int = 0): Array[Byte] = {
+    require(widthMbs >= 1 && heightMbs >= 1,
+      s"bad mb grid ${widthMbs}x$heightMbs")
+    require(cropRight >= 0 && cropBottom >= 0 &&
+      cropRight * 2 < widthMbs * 16 && cropBottom * 2 < heightMbs * 16,
+      s"crop exceeds coded size: $cropRight/$cropBottom")
+    val w = new BitWriter
+    w.u(profileIdc, 8)
+    w.u(0, 8) // constraint flags + reserved
+    w.u(levelIdc, 8)
+    w.ue(0) // seq_parameter_set_id
+    if (highProfiles.contains(profileIdc)) {
+      w.ue(1) // chroma_format_idc = 4:2:0
+      w.ue(0); w.ue(0) // bit depths luma/chroma = 8
+      w.u(0, 1) // qpprime bypass
+      w.u(0, 1) // no scaling matrix
+    }
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type = 2 (no extra fields)
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num_value_allowed_flag
+    w.ue(widthMbs - 1)
+    w.ue(heightMbs - 1)
+    w.u(1, 1) // frame_mbs_only_flag
+    w.u(1, 1) // direct_8x8_inference_flag
+    if (cropRight > 0 || cropBottom > 0) {
+      w.u(1, 1) // frame_cropping_flag
+      w.ue(0); w.ue(cropRight); w.ue(0); w.ue(cropBottom)
+    } else w.u(0, 1)
+    w.u(0, 1) // vui_parameters_present_flag
+    val payload = addEmulationPrevention(w.stopAndPad())
+    (Array[Byte](0x67) ++ payload) // nal_ref_idc=3, type=7 (SPS)
+  }
+
+  /** Wrap one SPS NAL in an AVCDecoderConfigurationRecord (no PPS —
+    * fixtures exercise the SPS path; readers must tolerate numPps=0). */
+  def buildAvcC(sps: Array[Byte]): Array[Byte] = {
+    require(sps != null && sps.length >= 4, "sps too short")
+    val out = new java.io.ByteArrayOutputStream(sps.length + 8)
+    out.write(1) // configurationVersion
+    out.write(sps(1) & 0xff) // AVCProfileIndication
+    out.write(sps(2) & 0xff) // profile_compatibility
+    out.write(sps(3) & 0xff) // AVCLevelIndication
+    out.write(0xff) // reserved + lengthSizeMinusOne = 3
+    out.write(0xe1) // reserved + numOfSequenceParameterSets = 1
+    out.write((sps.length >> 8) & 0xff)
+    out.write(sps.length & 0xff)
+    out.write(sps, 0, sps.length)
+    out.write(0) // numOfPictureParameterSets = 0
+    out.toByteArray
+  }
+}

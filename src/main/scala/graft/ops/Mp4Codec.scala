@@ -205,6 +205,54 @@ object Mp4Codec {
     }
   }
 
+  /** Pull the AVCDecoderConfigurationRecord (`avcC` box body) out of
+    * the first video track's `avc1`/`avc3` sample entry — the hand-off
+    * point to [[H264Codec.spsFromAvcC]]. The record lives in the moov
+    * header, so codec-level screening reads zero mdat bytes. None when
+    * absent or malformed; never throws. */
+  def extractAvcC(payload: Array[Byte]): Option[Array[Byte]] =
+    extractConfigBox(payload, Set("avc1", "avc3"), "avcC")
+
+  /** Same walk for AV1's `av1C` record inside an `av01` sample entry
+    * (AV1-in-ISOBMFF) — hand-off to [[Av1Codec.obusFromAv1C]]. */
+  def extractAv1C(payload: Array[Byte]): Option[Array[Byte]] =
+    extractConfigBox(payload, Set("av01"), "av1C")
+
+  /** Codec-configuration child box of the first matching stsd
+    * VisualSampleEntry (78 fixed bytes before children). */
+  private def extractConfigBox(payload: Array[Byte], entryTags: Set[String],
+      boxTag: String): Option[Array[Byte]] = {
+    if (!sniff(payload)) return None
+    try {
+      var found: Array[Byte] = null
+      walk(payload, 0, payload.length) { (tag, s, e) =>
+        if (tag == "moov") walk(payload, s, e) { (t2, s2, e2) =>
+          if (t2 == "trak" && found == null)
+            walk(payload, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "mdia") walk(payload, s3, e3) { (t4, s4, e4) =>
+                if (t4 == "minf") walk(payload, s4, e4) { (t5, s5, e5) =>
+                  if (t5 == "stbl") walk(payload, s5, e5) { (t6, s6, e6) =>
+                    if (t6 == "stsd" && s6 + 8 <= e6)
+                      walk(payload, s6 + 8, e6) { (t7, s7, e7) =>
+                        if (entryTags.contains(t7) && s7 + 78 < e7)
+                          walk(payload, s7 + 78, e7) { (t8, s8, e8) =>
+                            if (t8 == boxTag && found == null)
+                              found = java.util.Arrays.copyOfRange(payload, s8, e8)
+                          }
+                      }
+                  }
+                }
+              }
+            }
+        }
+      }
+      Option(found)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
   // ---- skeleton encoder ------------------------------------------------
 
   private def be32(v: Long): Array[Byte] = Array(
@@ -222,9 +270,14 @@ object Mp4Codec {
   /** Deterministic structural MP4: one video trak (dims + an stts whose
     * sample counts sum to `nFrames`) and, when `sampleRate > 0`, one
     * audio trak (mdhd timescale = sampleRate, stsd AudioSampleEntry
-    * with `channels`). Empty mdat — structure, not media. */
+    * with `channels`). When `avcC` is non-null the video stsd carries a
+    * real `avc1` VisualSampleEntry wrapping it (ISO 14496-15), so the
+    * codec-level SPS path is exercised end-to-end through the container.
+    * Empty mdat — structure, not media. */
   def encodeMp4Skeleton(width: Int, height: Int, nFrames: Int,
-      sampleRate: Int = -1, channels: Int = -1): Array[Byte] = {
+      sampleRate: Int = -1, channels: Int = -1,
+      avcC: Array[Byte] = null,
+      av1C: Array[Byte] = null): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0,
       s"bad skeleton params: ${width}x$height, $nFrames frames")
     val ftyp = box("ftyp",
@@ -257,10 +310,24 @@ object Mp4Codec {
     def stts(count: Int, delta: Int) =
       if (count == 0) box("stts", fullHdr0, be32(0))
       else box("stts", fullHdr0, be32(1), be32(count), be32(delta))
+    val videoStsd = {
+      // VisualSampleEntry: 6 reserved + 2 dataref + 16 predef/reserved +
+      // 2 width + 2 height + 2×4 dpi(16.16) + 4 reserved + 2 frame_count
+      // + 32 compressorname + 2 depth + 2 predef(-1), then config child
+      def entry(tag: String, cfgTag: String, cfg: Array[Byte]) =
+        box(tag, Array.fill[Byte](6)(0), be16(1),
+          Array.fill[Byte](16)(0), be16(width), be16(height),
+          be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+          Array.fill[Byte](32)(0), be16(24), be16(0xffff),
+          box(cfgTag, cfg))
+      if (avcC != null) box("stsd", fullHdr0, be32(1), entry("avc1", "avcC", avcC))
+      else if (av1C != null) box("stsd", fullHdr0, be32(1), entry("av01", "av1C", av1C))
+      else box("stsd", fullHdr0, be32(0))
+    }
     val videoTrak = box("trak", tkhd(1, width, height),
       box("mdia", mdhd(timescale, duration), hdlr("vide"),
         box("minf", box("stbl",
-          box("stsd", fullHdr0, be32(0)),
+          videoStsd,
           stts(nFrames, 40)))))
     val audioTrak =
       if (sampleRate <= 0) Array.empty[Byte]

@@ -1,0 +1,143 @@
+package graft.ops
+
+/** VP9 uncompressed frame-header BITSTREAM parsing, pure JVM — the
+  * codec-level tier below [[WebmCodec]]'s EBML walk, twin of
+  * [[H264Codec]] for the WebM side of the crawl. Matroska headers name
+  * the codec but the PixelWidth/PixelHeight elements are advisory; the
+  * keyframe's uncompressed header (VP9 Bitstream & Decoding Process
+  * Specification v0.7 §6.2) carries the authoritative profile, bit
+  * depth, color space and frame dimensions, and costs a few dozen bits
+  * to read — no arithmetic-coded tile data is touched. Full VP9 picture
+  * decode stays a disclosed stub (inter-frame prediction is out of
+  * pure-JVM scope; the header pass is the 100 TB first screen).
+  *
+  * Parser: MSB-first bit reader → frame marker, profile bits,
+  * show-existing shortcut, frame type, sync code, color config
+  * (bit depth for profiles ≥ 2, subsampling for profiles 1/3),
+  * frame size. Non-key frames carry no size → dims report -1.
+  * Malformed input returns None and NEVER throws.
+  *
+  * Encoder: a deterministic keyframe-header writer for fixtures.
+  */
+object Vp9Codec {
+
+  /** Parsed uncompressed-header fields; width/height are -1 when the
+    * frame is not a keyframe (inter frames inherit the last size). */
+  final case class Vp9Header(profile: Int, bitDepth: Int, colorSpace: Int,
+      width: Int, height: Int, keyFrame: Boolean, showFrame: Boolean)
+
+  private val SyncCode = 0x498342
+
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val byteIdx = pos >> 3
+        if (byteIdx >= b.length) throw new IllegalStateException("eob")
+        v = (v << 1) | ((b(byteIdx) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        k += 1
+      }
+      v
+    }
+  }
+
+  /** Parse the uncompressed header off the front of a VP9 frame
+    * payload (a WebM SimpleBlock body). None on malformed bits. */
+  def parseHeader(frame: Array[Byte]): Option[Vp9Header] = {
+    if (frame == null || frame.length < 1) return None
+    try {
+      val r = new BitReader(frame)
+      if (r.u(2) != 2) return None // frame_marker
+      val profile = r.u(1) + 2 * r.u(1) // low bit first (§6.2)
+      if (profile == 3 && r.u(1) != 0) return None // reserved_zero
+      if (r.u(1) == 1) { // show_existing_frame
+        r.u(3) // frame_to_show_map_idx
+        return Some(Vp9Header(profile, -1, -1, -1, -1,
+          keyFrame = false, showFrame = true))
+      }
+      val keyFrame = r.u(1) == 0 // frame_type: 0 = KEY_FRAME
+      val showFrame = r.u(1) == 1
+      r.u(1) // error_resilient_mode
+      if (!keyFrame)
+        return Some(Vp9Header(profile, -1, -1, -1, -1, keyFrame, showFrame))
+      if (r.u(24) != SyncCode) return None
+      // color_config (§6.2.2)
+      val bitDepth =
+        if (profile >= 2) { if (r.u(1) == 1) 12 else 10 }
+        else 8
+      val colorSpace = r.u(3)
+      if (colorSpace != 7) { // != CS_RGB
+        r.u(1) // color_range
+        if (profile == 1 || profile == 3) {
+          r.u(1); r.u(1) // subsampling_x / subsampling_y
+          if (r.u(1) != 0) return None // reserved_zero
+        }
+      } else if (profile == 1 || profile == 3) {
+        if (r.u(1) != 0) return None // reserved_zero
+      }
+      val width = r.u(16) + 1
+      val height = r.u(16) + 1
+      Some(Vp9Header(profile, bitDepth, colorSpace, width, height,
+        keyFrame, showFrame))
+    } catch {
+      case _: IllegalStateException => None
+    }
+  }
+
+  // ---- deterministic encoder (fixtures) --------------------------------
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        k -= 1
+      }
+    }
+    def pad(): Array[Byte] = {
+      if (nBits > 0) u(0, 8 - nBits)
+      buf.toByteArray
+    }
+  }
+
+  /** Deterministic VP9 keyframe header. Profiles 2/3 take the 10/12-bit
+    * flag; profiles 1/3 write 4:4:4 subsampling. `colorSpace` must not
+    * be CS_RGB (7) — the fixture path always exercises the color-range
+    * branch. */
+  def encodeKeyHeader(profile: Int, width: Int, height: Int,
+      colorSpace: Int = 2, twelveBit: Boolean = false): Array[Byte] = {
+    require(profile >= 0 && profile <= 3, s"bad profile $profile")
+    require(width >= 1 && width <= 65536 && height >= 1 && height <= 65536,
+      s"bad dims ${width}x$height")
+    require(colorSpace >= 0 && colorSpace < 7, s"bad color space $colorSpace")
+    val w = new BitWriter
+    w.u(2, 2) // frame_marker
+    w.u(profile & 1, 1) // profile_low_bit
+    w.u((profile >> 1) & 1, 1) // profile_high_bit
+    if (profile == 3) w.u(0, 1) // reserved_zero
+    w.u(0, 1) // show_existing_frame = 0
+    w.u(0, 1) // frame_type = KEY_FRAME
+    w.u(1, 1) // show_frame
+    w.u(0, 1) // error_resilient_mode
+    w.u(SyncCode, 24)
+    if (profile >= 2) w.u(if (twelveBit) 1 else 0, 1)
+    w.u(colorSpace, 3)
+    w.u(1, 1) // color_range = full
+    if (profile == 1 || profile == 3) {
+      w.u(0, 1); w.u(0, 1) // 4:4:4
+      w.u(0, 1) // reserved_zero
+    }
+    w.u(width - 1, 16)
+    w.u(height - 1, 16)
+    w.u(0, 1) // render_and_frame_size_different = 0
+    w.pad()
+  }
+}

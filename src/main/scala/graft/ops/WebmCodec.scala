@@ -95,6 +95,11 @@ object WebmCodec {
   private val PIXEL_H = 0xBAL
   private val SAMPLING = 0xB5L
   private val CHANNELS = 0x9FL
+  private val TRACK_NUMBER = 0xD7L
+  private val CODEC_ID = 0x86L
+  private val CLUSTER = 0x1F43B675L
+  private val CLUSTER_TS = 0xE7L
+  private val SIMPLE_BLOCK = 0xA3L
 
   /** Parse WebM/MKV track metadata: format "webm", width/height from
     * the first video track, channels/sampleRate from the first audio
@@ -136,6 +141,52 @@ object WebmCodec {
     } catch {
       case _: ArrayIndexOutOfBoundsException => unknown.copy(format = "webm")
       case _: IllegalStateException => unknown.copy(format = "webm")
+    }
+  }
+
+  /** The first video track's CodecID (e.g. "V_VP9") plus the payload of
+    * the first un-laced SimpleBlock carrying that track — the hand-off
+    * point to the codec-level header parsers ([[Vp9Codec.parseHeader]]).
+    * Reads only up to the first matching block: at 100 TB the screen
+    * touches a few KB per blob regardless of file size. None when no
+    * video track / no block / laced block; never throws. */
+  def extractFirstVideoBlock(payload: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (!sniff(payload)) return None
+    try {
+      var trackNum = -1L
+      var codec = ""
+      var block: Array[Byte] = null
+      walk(payload, 0, payload.length) { (id, s, e) =>
+        if (id == SEGMENT) walk(payload, s, e) { (id2, s2, e2) =>
+          if (id2 == TRACKS) walk(payload, s2, e2) { (id3, s3, e3) =>
+            if (id3 == TRACK_ENTRY && trackNum < 0) {
+              var tpe = -1L; var num = -1L; var cid = ""
+              walk(payload, s3, e3) { (id4, s4, e4) =>
+                if (id4 == TRACK_TYPE) tpe = readUint(payload, s4, e4)
+                else if (id4 == TRACK_NUMBER) num = readUint(payload, s4, e4)
+                else if (id4 == CODEC_ID)
+                  cid = new String(payload, s4, e4 - s4,
+                    java.nio.charset.StandardCharsets.US_ASCII)
+              }
+              if (tpe == 1) { trackNum = num; codec = cid }
+            }
+          } else if (id2 == CLUSTER && block == null && trackNum > 0)
+            walk(payload, s2, e2) { (id3, s3, e3) =>
+              if (id3 == SIMPLE_BLOCK && block == null && s3 < e3) {
+                // block header: track vint + s16 rel-timestamp + flags
+                val (num, nLen) = readSize(payload, s3)
+                val dataStart = s3 + nLen + 3
+                val lacing = if (dataStart <= e3) u8(payload, s3 + nLen + 2) & 0x06 else -1
+                if (num == trackNum && lacing == 0 && dataStart <= e3)
+                  block = java.util.Arrays.copyOfRange(payload, dataStart, e3)
+              }
+            }
+        }
+      }
+      if (block == null) None else Some((codec, block))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: IllegalStateException => None
     }
   }
 
@@ -202,5 +253,34 @@ object WebmCodec {
       if (audioEntry.isEmpty) el(TRACKS, videoEntry)
       else el(TRACKS, videoEntry, audioEntry)
     header ++ el(SEGMENT, tracks)
+  }
+
+  /** Deterministic WebM with a REAL codec payload: one video TrackEntry
+    * carrying `codecId` (e.g. "V_VP9") and one Cluster with a single
+    * un-laced keyframe SimpleBlock whose body is `frame` — enough
+    * structure that [[extractFirstVideoBlock]] exercises the same walk
+    * a real file takes (Tracks for the codec, first Cluster for the
+    * first frame header). */
+  def encodeWebmVideo(width: Int, height: Int, codecId: String,
+      frame: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(frame != null && frame.nonEmpty, "empty frame")
+    val header = el(0x1A45DFA3L,
+      el(0x4286L, uint(1)), el(0x42F7L, uint(1)),
+      el(0x42F2L, uint(4)), el(0x42F3L, uint(8)),
+      el(0x4282L, "webm".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      el(0x4287L, uint(2)), el(0x4285L, uint(2)))
+    val videoEntry = el(TRACK_ENTRY,
+      el(TRACK_NUMBER, uint(1)),
+      el(0x73C5L, uint(1)),
+      el(TRACK_TYPE, uint(1)),
+      el(CODEC_ID, codecId.getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      el(VIDEO, el(PIXEL_W, uint(width)), el(PIXEL_H, uint(height))))
+    // SimpleBlock body: track vint (1, size-coded) + s16 ts + flags(key)
+    val blockBody = Array[Byte](0x81.toByte, 0, 0, 0x80.toByte) ++ frame
+    val cluster = el(CLUSTER,
+      el(CLUSTER_TS, uint(0)),
+      el(SIMPLE_BLOCK, blockBody))
+    header ++ el(SEGMENT, el(TRACKS, videoEntry), cluster)
   }
 }

@@ -254,6 +254,70 @@ object BulkQueries extends QueryGroup {
           "sample_rate", "n_frames")
     }),
 
+    // REAL codec-level H.264: the SPS inside the avcC configuration
+    // record is what the decoder obeys (container dims are advisory in
+    // crawled files) — profile/level/display dims recovered through
+    // NAL → RBSP → Exp-Golomb + the §7.4.2.1.1 cropping rules, all id
+    // arithmetic; no mdat byte is touched (the 100 TB header screen)
+    "mm_h264_sps" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "mp4_avc").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val sps = graft.ops.Mp4Codec.extractAvcC(bytes)
+            .flatMap(graft.ops.H264Codec.spsFromAvcC)
+            .flatMap(graft.ops.H264Codec.parseSps)
+          (id, sps.map(_.profileIdc).getOrElse(-1),
+            sps.map(_.levelIdc).getOrElse(-1),
+            sps.map(_.width).getOrElse(-1), sps.map(_.height).getOrElse(-1))
+        }).toDF("doc_id", "profile_idc", "level_idc", "width", "height")
+    }),
+
+    // REAL codec-level VP9: the keyframe's uncompressed header (sync
+    // code, profile bits, bit depth for profiles ≥ 2, color config,
+    // 16-bit dims) read out of the first Cluster's SimpleBlock — the
+    // authoritative dims/bit-depth screen the EBML track header can't
+    // give; every field id arithmetic
+    "mm_vp9_header" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "webm_vp9").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val blk = graft.ops.WebmCodec.extractFirstVideoBlock(bytes)
+          val hdr = blk.flatMap(b => graft.ops.Vp9Codec.parseHeader(b._2))
+          (id, blk.map(_._1).getOrElse(""),
+            hdr.map(_.profile).getOrElse(-1),
+            hdr.map(_.bitDepth).getOrElse(-1),
+            hdr.map(_.colorSpace).getOrElse(-1),
+            hdr.map(_.width).getOrElse(-1), hdr.map(_.height).getOrElse(-1),
+            hdr.exists(_.keyFrame))
+        }).toDF("doc_id", "codec", "profile", "bit_depth", "color_space",
+          "width", "height", "keyframe")
+    }),
+
+    // REAL codec-level AV1: the sequence-header OBU (profile, level,
+    // bit-depth branches, max frame dims) reached through BOTH
+    // containers — even ids via the MP4 av01/av1C record, odd ids via a
+    // WebM V_AV1 SimpleBlock — so one gate covers the OBU walk, the
+    // leb128 framing, the operating-point loop and both hand-offs
+    "mm_av1_seqhdr" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "av1_seq").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val obus =
+            if (graft.ops.Mp4Codec.sniff(bytes))
+              graft.ops.Mp4Codec.extractAv1C(bytes)
+                .flatMap(graft.ops.Av1Codec.obusFromAv1C)
+            else graft.ops.WebmCodec.extractFirstVideoBlock(bytes).map(_._2)
+          val hdr = obus.flatMap(graft.ops.Av1Codec.parseSequenceHeader)
+          (id, if (graft.ops.Mp4Codec.sniff(bytes)) "mp4" else "webm",
+            hdr.map(_.profile).getOrElse(-1),
+            hdr.map(_.levelIdx).getOrElse(-1),
+            hdr.map(_.bitDepth).getOrElse(-1),
+            hdr.exists(_.monochrome),
+            hdr.map(_.width).getOrElse(-1), hdr.map(_.height).getOrElse(-1))
+        }).toDF("doc_id", "container", "profile", "level_idx", "bit_depth",
+          "mono", "width", "height")
+    }),
+
     // REAL pixel decode through REAL GIF bytes: per-id pixels sit
     // exactly on the encoder's 3-3-2 palette cells, so the LZW round
     // trip must be BIT-identical (GIF is lossless — a stronger gate
@@ -837,6 +901,46 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 + doc_id % 2 END AS INT) AS channels, " +
         "CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 8000 * (1 + doc_id % 5) END AS INT) AS sample_rate, " +
         "CAST(25 * (1 + doc_id % 240) AS INT) AS n_frames " +
+        "FROM documents"),
+
+    // H.264 SPS through the avcC record: every field re-derived from
+    // the fixture's id arithmetic — width/height only match if the
+    // Exp-Golomb walk AND the 4:2:0 crop-unit rules are both right
+    "mm_h264_sps" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS INT) AS profile_idc, " +
+        "CAST(30 + doc_id % 21 AS INT) AS level_idc, " +
+        "CAST((2 + doc_id % 20) * 16 - 2 * (doc_id % 8) AS INT) AS width, " +
+        "CAST((2 + doc_id % 15) * 16 - 2 * (doc_id % 4) AS INT) AS height " +
+        "FROM documents"),
+
+    // VP9 uncompressed header: profile/bit-depth branch structure means
+    // a mis-read flag shifts every later field — dims only match if the
+    // whole bit walk is right
+    "mm_vp9_header" ->
+      ("SELECT doc_id, 'V_VP9' AS codec, " +
+        "CAST(doc_id % 4 AS INT) AS profile, " +
+        "CAST(CASE WHEN doc_id % 4 < 2 THEN 8 " +
+        "  ELSE 10 + 2 * ((doc_id // 4) % 2) END AS INT) AS bit_depth, " +
+        "CAST(1 + doc_id % 5 AS INT) AS color_space, " +
+        "CAST(320 + (doc_id % 12) * 16 AS INT) AS width, " +
+        "CAST(180 + (doc_id % 9) * 16 AS INT) AS height, " +
+        "TRUE AS keyframe FROM documents"),
+
+    // AV1 sequence header via both containers: the bit-depth CASE tree
+    // mirrors the profile-conditional twelve_bit branch; container
+    // column pins which hand-off path ran
+    "mm_av1_seqhdr" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container, " +
+        "CAST(doc_id % 3 AS INT) AS profile, " +
+        "CAST(doc_id % 24 AS INT) AS level_idx, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN " +
+        "  CASE (doc_id // 3) % 3 WHEN 0 THEN 8 WHEN 1 THEN 10 ELSE 12 END " +
+        "ELSE CASE (doc_id // 3) % 2 WHEN 0 THEN 8 ELSE 10 END END AS INT) AS bit_depth, " +
+        "(doc_id % 3 <> 1 AND doc_id % 7 = 0) AS mono, " +
+        "CAST(426 + (doc_id % 14) * 64 AS INT) AS width, " +
+        "CAST(240 + (doc_id % 10) * 48 AS INT) AS height " +
         "FROM documents"),
 
     // the GIF round trip: dims are pure id arithmetic, the decode must

@@ -30,14 +30,15 @@ import graft.Tables
   */
 object MediaFixtures {
 
-  import graft.ops.{AviCodec, GifCodec, JpegCodec, MediaCodec, Mp3Codec, Mp4Codec, WebmCodec}
+  import graft.ops.{Av1Codec, AviCodec, GifCodec, H264Codec, JpegCodec,
+    MediaCodec, Mp3Codec, Mp4Codec, Vp9Codec, WebmCodec}
   import MediaCodec.Raster
 
   /** One row per doc_id; a column per fixture family (see builders). */
   private val columns = Seq("doc_id", "real", "mp3", "webm", "gif_anim",
     "avi_meta", "avi_frames", "png_stats", "mp4_sample", "wav_tone",
     "mp4", "wav_energy", "png_neardup", "png_phash", "png_resize", "warc",
-    "png_fmt")
+    "png_fmt", "mp4_avc", "webm_vp9", "av1_seq")
 
   // ---- per-family encoders: EXACTLY the former inline id arithmetic ----
 
@@ -239,10 +240,59 @@ object MediaFixtures {
     }
   }
 
+  /** MP4 whose video stsd carries a REAL avc1/avcC with a REAL H.264
+    * SPS: profile cycles baseline/main/high, display dims come from the
+    * macroblock grid minus right/bottom cropping — the codec-level gate
+    * must re-derive them through Exp-Golomb, not the container header. */
+  private def mp4AvcBlob(id: Long): Array[Byte] = {
+    val profile = Array(66, 77, 100)((id % 3).toInt)
+    val level = (30 + id % 21).toInt
+    val wMbs = (2 + id % 20).toInt
+    val hMbs = (2 + id % 15).toInt
+    val cropR = (id % 8).toInt
+    val cropB = (id % 4).toInt
+    val sps = H264Codec.encodeSps(profile, level, wMbs, hMbs, cropR, cropB)
+    Mp4Codec.encodeMp4Skeleton(wMbs * 16 - 2 * cropR, hMbs * 16 - 2 * cropB,
+      (1 + id % 100).toInt, avcC = H264Codec.buildAvcC(sps))
+  }
+
+  /** WebM whose first Cluster carries a REAL VP9 keyframe header in an
+    * un-laced SimpleBlock: profile 0-3 (bit-depth flag for 2/3,
+    * subsampling bits for 1/3), dims and color space id arithmetic. */
+  private def webmVp9Blob(id: Long): Array[Byte] = {
+    val profile = (id % 4).toInt
+    val w = (320 + (id % 12) * 16).toInt
+    val h = (180 + (id % 9) * 16).toInt
+    val frame = Vp9Codec.encodeKeyHeader(profile, w, h,
+      colorSpace = (1 + id % 5).toInt, twelveBit = (id / 4) % 2 == 1)
+    WebmCodec.encodeWebmVideo(w, h, "V_VP9", frame)
+  }
+
+  /** AV1 sequence header through BOTH containers: even ids ride an MP4
+    * `av01` sample entry's av1C record, odd ids a WebM V_AV1
+    * SimpleBlock; profile × bit-depth × reduced-header-form matrix and
+    * dims all id arithmetic. */
+  private def av1Blob(id: Long): Array[Byte] = {
+    val profile = (id % 3).toInt
+    val bd =
+      if (profile == 2) Array(8, 10, 12)(((id / 3) % 3).toInt)
+      else Array(8, 10)(((id / 3) % 2).toInt)
+    val mono = profile != 1 && id % 7 == 0
+    val w = (426 + (id % 14) * 64).toInt
+    val h = (240 + (id % 10) * 48).toInt
+    val obu = Av1Codec.encodeSequenceHeaderObu(profile, (id % 24).toInt,
+      w, h, bitDepth = bd, monochrome = mono, reduced = (id / 2) % 2 == 1)
+    if (id % 2 == 0)
+      Mp4Codec.encodeMp4Skeleton(w, h, 24, av1C = Av1Codec.buildAv1C(obu))
+    else WebmCodec.encodeWebmVideo(w, h, "V_AV1", obu)
+  }
+
   // ---- build + read --------------------------------------------------
 
-  // r9: warc gained body-coding variants, mp3 frame count capped
-  private val version = 2
+  // r9: warc gained body-coding variants, mp3 frame count capped,
+  // codec-level families added (mp4_avc H.264 SPS, webm_vp9 VP9
+  // header, av1_seq AV1 sequence header via both containers)
+  private val version = 3
 
   // column count + content version in the path → a schema OR formula
   // change auto-rebuilds stale local tables instead of failing the read
@@ -269,7 +319,8 @@ object MediaFixtures {
                 aviMetaBlob(id), aviFramesBlob(id), pngStatsBlob(id),
                 mp4SampleBlob(id), wavToneBlob(id), mp4Blob(id),
                 wavEnergyBlob(id), pngNeardupBlob(id), pngPhashBlob(id),
-                pngResizeBlob(id), warcBlob(id), pngFmtBlob(id))
+                pngResizeBlob(id), warcBlob(id), pngFmtBlob(id),
+                mp4AvcBlob(id), webmVp9Blob(id), av1Blob(id))
             }).toDF(columns: _*)
             .write.mode("overwrite").parquet(p)
         }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Av1Codec, Mp4Codec, WebmCodec}
+
+/** AV1 sequence-header round trips (reduced + full header forms, the
+  * profile × bit-depth matrix, operating points) + both container
+  * hand-offs (av1C in MP4, V_AV1 SimpleBlock in WebM) + totality. */
+class Av1CodecSpec extends AnyFunSuite {
+
+  test("sequence header round-trips across profiles and both forms") {
+    for (profile <- 0 to 2; reduced <- Seq(false, true)) {
+      val obu = Av1Codec.encodeSequenceHeaderObu(profile, 8, 1280, 720,
+        reduced = reduced)
+      val info = Av1Codec.parseSequenceHeader(obu).get
+      assert(info.profile == profile)
+      assert(info.levelIdx == 8)
+      assert(info.width == 1280 && info.height == 720)
+      assert(info.bitDepth == 8 && !info.monochrome)
+      assert(info.reducedStillPicture == reduced)
+    }
+  }
+
+  test("bit-depth branches: 8/10 everywhere, 12 on profile 2 only") {
+    assert(Av1Codec.parseSequenceHeader(
+      Av1Codec.encodeSequenceHeaderObu(0, 4, 640, 360, bitDepth = 10))
+      .get.bitDepth == 10)
+    assert(Av1Codec.parseSequenceHeader(
+      Av1Codec.encodeSequenceHeaderObu(2, 4, 640, 360, bitDepth = 10))
+      .get.bitDepth == 10)
+    assert(Av1Codec.parseSequenceHeader(
+      Av1Codec.encodeSequenceHeaderObu(2, 4, 640, 360, bitDepth = 12))
+      .get.bitDepth == 12)
+    intercept[IllegalArgumentException] {
+      Av1Codec.encodeSequenceHeaderObu(0, 4, 640, 360, bitDepth = 12)
+    }
+  }
+
+  test("levels above 7 carry the tier bit; monochrome round-trips") {
+    val hi = Av1Codec.parseSequenceHeader(
+      Av1Codec.encodeSequenceHeaderObu(0, 19, 3840, 2160)).get
+    assert(hi.levelIdx == 19 && hi.tier == 0)
+    val mono = Av1Codec.parseSequenceHeader(
+      Av1Codec.encodeSequenceHeaderObu(0, 5, 320, 240, monochrome = true)).get
+    assert(mono.monochrome)
+    intercept[IllegalArgumentException] {
+      Av1Codec.encodeSequenceHeaderObu(1, 5, 320, 240, monochrome = true)
+    }
+  }
+
+  test("the parser skips leading non-sequence OBUs") {
+    val seq = Av1Codec.encodeSequenceHeaderObu(1, 9, 1920, 804)
+    // a temporal-delimiter OBU (type 2, has_size, empty body) in front
+    val td = Array[Byte](0x12, 0x00)
+    val info = Av1Codec.parseSequenceHeader(td ++ seq).get
+    assert(info.profile == 1 && info.width == 1920 && info.height == 804)
+  }
+
+  test("av1C wraps the OBU and both sides agree") {
+    val obu = Av1Codec.encodeSequenceHeaderObu(2, 12, 1920, 1080,
+      bitDepth = 12)
+    val av1C = Av1Codec.buildAv1C(obu)
+    assert((av1C(0) & 0xff) == 0x81)
+    assert(((av1C(1) >> 5) & 7) == 2 && (av1C(1) & 0x1f) == 12)
+    val back = Av1Codec.obusFromAv1C(av1C).flatMap(Av1Codec.parseSequenceHeader).get
+    assert(back.profile == 2 && back.bitDepth == 12)
+    assert(back.width == 1920 && back.height == 1080)
+  }
+
+  test("the MP4 container carries av1C to the codec tier") {
+    val obu = Av1Codec.encodeSequenceHeaderObu(0, 13, 2560, 1440, bitDepth = 10)
+    val mp4 = Mp4Codec.encodeMp4Skeleton(2560, 1440, 24,
+      av1C = Av1Codec.buildAv1C(obu))
+    val meta = Mp4Codec.parseMp4Meta(mp4)
+    assert(meta.format == "mp4" && meta.width == 2560 && meta.nFrames == 24)
+    val info = Mp4Codec.extractAv1C(mp4)
+      .flatMap(Av1Codec.obusFromAv1C).flatMap(Av1Codec.parseSequenceHeader).get
+    assert(info.levelIdx == 13 && info.bitDepth == 10)
+    assert(info.width == 2560 && info.height == 1440)
+    assert(Mp4Codec.extractAvcC(mp4).isEmpty) // no avc1 entry here
+  }
+
+  test("the WebM container carries the OBU stream to the codec tier") {
+    val obu = Av1Codec.encodeSequenceHeaderObu(0, 8, 854, 480)
+    val webm = WebmCodec.encodeWebmVideo(854, 480, "V_AV1", obu)
+    val (codec, blk) = WebmCodec.extractFirstVideoBlock(webm).get
+    assert(codec == "V_AV1")
+    val info = Av1Codec.parseSequenceHeader(blk).get
+    assert(info.width == 854 && info.height == 480)
+  }
+
+  test("totality: garbage, truncation, forbidden bit, null") {
+    assert(Av1Codec.parseSequenceHeader(null).isEmpty)
+    assert(Av1Codec.parseSequenceHeader(Array.empty[Byte]).isEmpty)
+    assert(Av1Codec.parseSequenceHeader(Array[Byte](0x8a.toByte, 0)).isEmpty)
+    val good = Av1Codec.encodeSequenceHeaderObu(0, 8, 1280, 720)
+    for (cut <- 1 until good.length)
+      Av1Codec.parseSequenceHeader(java.util.Arrays.copyOf(good, cut))
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      val junk = Array.fill[Byte](2 + rnd.nextInt(30))(rnd.nextInt.toByte)
+      junk(0) = 0x0a // force a sized sequence-header OBU so the walk runs
+      Av1Codec.parseSequenceHeader(junk) // must not throw
+    }
+    assert(Av1Codec.obusFromAv1C(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Av1Codec.obusFromAv1C(null).isEmpty)
+  }
+}

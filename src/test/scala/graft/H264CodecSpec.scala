@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{H264Codec, Mp4Codec}
+
+/** H.264 SPS bitstream round trips (Exp-Golomb, cropping rules,
+  * emulation prevention) + the avcC/MP4 container hand-off + totality. */
+class H264CodecSpec extends AnyFunSuite {
+
+  test("SPS round-trips profile, level and uncropped dims") {
+    for (profile <- Seq(66, 77, 100); level <- Seq(30, 41, 52)) {
+      val sps = H264Codec.encodeSps(profile, level, widthMbs = 8, heightMbs = 5)
+      val info = H264Codec.parseSps(sps).get
+      assert(info.profileIdc == profile)
+      assert(info.levelIdc == level)
+      assert(info.width == 128 && info.height == 80)
+      assert(info.chromaFormatIdc == 1 && info.bitDepthLuma == 8)
+      assert(info.frameMbsOnly)
+    }
+  }
+
+  test("frame cropping subtracts 2 luma px per crop unit at 4:2:0") {
+    // 1920x1080: 120x68 macroblocks, bottom crop 4 units = 8 px
+    val sps = H264Codec.encodeSps(100, 40, widthMbs = 120, heightMbs = 68,
+      cropRight = 0, cropBottom = 4)
+    val info = H264Codec.parseSps(sps).get
+    assert(info.width == 1920 && info.height == 1080)
+    // asymmetric crop on both axes
+    val sps2 = H264Codec.encodeSps(66, 31, widthMbs = 3, heightMbs = 2,
+      cropRight = 7, cropBottom = 3)
+    val info2 = H264Codec.parseSps(sps2).get
+    assert(info2.width == 48 - 14 && info2.height == 32 - 6)
+  }
+
+  test("large mb grids survive the Exp-Golomb width (emulation path)") {
+    // long zero runs in ue(v) produce 0x00 0x00 byte pairs; a wrong
+    // emulation-prevention insert/remove breaks the round trip
+    for (wMbs <- Seq(256, 1000, 4095); hMbs <- Seq(512, 2047)) {
+      val sps = H264Codec.encodeSps(66, 10, wMbs, hMbs)
+      val info = H264Codec.parseSps(sps).get
+      assert(info.width == wMbs * 16 && info.height == hMbs * 16)
+    }
+  }
+
+  test("avcC wraps and unwraps the SPS bit-exactly") {
+    val sps = H264Codec.encodeSps(100, 42, 10, 7, cropRight = 2)
+    val avcC = H264Codec.buildAvcC(sps)
+    assert((avcC(0) & 0xff) == 1 && (avcC(1) & 0xff) == 100)
+    val back = H264Codec.spsFromAvcC(avcC).get
+    assert(java.util.Arrays.equals(back, sps))
+  }
+
+  test("the MP4 container carries the avcC to the codec tier") {
+    val sps = H264Codec.encodeSps(77, 31, 45, 34, cropRight = 4, cropBottom = 2)
+    val mp4 = Mp4Codec.encodeMp4Skeleton(712, 540, 50,
+      avcC = H264Codec.buildAvcC(sps))
+    // container metadata still parses (tkhd dims, stts frames)
+    val meta = Mp4Codec.parseMp4Meta(mp4)
+    assert(meta.format == "mp4" && meta.width == 712 && meta.height == 540)
+    assert(meta.nFrames == 50)
+    // codec-level dims come from the SPS, not tkhd
+    val info = Mp4Codec.extractAvcC(mp4)
+      .flatMap(H264Codec.spsFromAvcC).flatMap(H264Codec.parseSps).get
+    assert(info.profileIdc == 77 && info.width == 712 && info.height == 540)
+  }
+
+  test("extractAvcC is None for MP4s without an avc1 entry") {
+    val plain = Mp4Codec.encodeMp4Skeleton(320, 240, 10)
+    assert(Mp4Codec.extractAvcC(plain).isEmpty)
+    assert(Mp4Codec.extractAvcC("not mp4".getBytes("US-ASCII")).isEmpty)
+    assert(Mp4Codec.extractAvcC(null).isEmpty)
+  }
+
+  test("parseSps totality: garbage, truncation, wrong NAL type, null") {
+    assert(H264Codec.parseSps(null).isEmpty)
+    assert(H264Codec.parseSps(Array[Byte](0x67)).isEmpty)
+    assert(H264Codec.parseSps(Array[Byte](0x68, 1, 2, 3, 4)).isEmpty) // PPS
+    val good = H264Codec.encodeSps(66, 30, 8, 6)
+    for (cut <- 4 until good.length)
+      H264Codec.parseSps(java.util.Arrays.copyOf(good, cut)) // must not throw
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 200) {
+      val junk = Array.fill[Byte](1 + rnd.nextInt(40))(rnd.nextInt.toByte)
+      junk(0) = 0x67 // force the SPS type so the bit walk actually runs
+      H264Codec.parseSps(junk) // must not throw
+    }
+  }
+
+  test("spsFromAvcC totality: short, bad version, truncated length") {
+    assert(H264Codec.spsFromAvcC(null).isEmpty)
+    assert(H264Codec.spsFromAvcC(Array[Byte](1, 2, 3)).isEmpty)
+    val avcC = H264Codec.buildAvcC(H264Codec.encodeSps(66, 30, 4, 3))
+    avcC(0) = 2 // unknown configurationVersion
+    assert(H264Codec.spsFromAvcC(avcC).isEmpty)
+    val short = java.util.Arrays.copyOf(
+      H264Codec.buildAvcC(H264Codec.encodeSps(66, 30, 4, 3)), 9)
+    assert(H264Codec.spsFromAvcC(short).isEmpty)
+  }
+}

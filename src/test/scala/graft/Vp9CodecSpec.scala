@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Vp9Codec, WebmCodec}
+
+/** VP9 uncompressed-header round trips (profile/bit-depth branches,
+  * color config, dims) + the WebM SimpleBlock hand-off + totality. */
+class Vp9CodecSpec extends AnyFunSuite {
+
+  test("keyframe header round-trips across all four profiles") {
+    for (profile <- 0 to 3; cs <- Seq(1, 2, 5)) {
+      val frame = Vp9Codec.encodeKeyHeader(profile, 640, 360, colorSpace = cs)
+      val h = Vp9Codec.parseHeader(frame).get
+      assert(h.profile == profile)
+      assert(h.colorSpace == cs)
+      assert(h.width == 640 && h.height == 360)
+      assert(h.keyFrame && h.showFrame)
+      assert(h.bitDepth == (if (profile >= 2) 10 else 8))
+    }
+  }
+
+  test("profiles 2/3 carry the ten-or-twelve bit flag") {
+    for (profile <- Seq(2, 3)) {
+      val ten = Vp9Codec.parseHeader(
+        Vp9Codec.encodeKeyHeader(profile, 320, 180, twelveBit = false)).get
+      val twelve = Vp9Codec.parseHeader(
+        Vp9Codec.encodeKeyHeader(profile, 320, 180, twelveBit = true)).get
+      assert(ten.bitDepth == 10 && twelve.bitDepth == 12)
+      assert(ten.width == 320 && twelve.width == 320)
+    }
+  }
+
+  test("16-bit dimension extremes survive") {
+    val h = Vp9Codec.parseHeader(Vp9Codec.encodeKeyHeader(0, 1, 65536)).get
+    assert(h.width == 1 && h.height == 65536)
+    val h2 = Vp9Codec.parseHeader(Vp9Codec.encodeKeyHeader(1, 7680, 4320)).get
+    assert(h2.width == 7680 && h2.height == 4320)
+  }
+
+  test("the WebM container hands the first SimpleBlock to the codec tier") {
+    val frame = Vp9Codec.encodeKeyHeader(2, 1920, 1080, twelveBit = true)
+    val webm = WebmCodec.encodeWebmVideo(1920, 1080, "V_VP9", frame)
+    // the EBML metadata walk still sees the track dims
+    val meta = WebmCodec.parseWebmMeta(webm)
+    assert(meta.format == "webm" && meta.width == 1920 && meta.height == 1080)
+    // the codec walk sees the authoritative header
+    val (codec, blk) = WebmCodec.extractFirstVideoBlock(webm).get
+    assert(codec == "V_VP9")
+    val h = Vp9Codec.parseHeader(blk).get
+    assert(h.profile == 2 && h.bitDepth == 12)
+    assert(h.width == 1920 && h.height == 1080)
+  }
+
+  test("extractFirstVideoBlock is None without a cluster or on junk") {
+    val bare = WebmCodec.encodeWebmSkeleton(640, 360)
+    assert(WebmCodec.extractFirstVideoBlock(bare).isEmpty)
+    assert(WebmCodec.extractFirstVideoBlock("junk".getBytes("US-ASCII")).isEmpty)
+    assert(WebmCodec.extractFirstVideoBlock(null).isEmpty)
+  }
+
+  test("non-key and show-existing frames carry no dimensions") {
+    // inter frame: marker 10, profile 00, show_existing 0, frame_type 1,
+    // show_frame 1, error_resilient 0 → 10 0 0 0 1 1 0 ...
+    val inter = Array[Byte](0x86.toByte, 0x00)
+    val hi = Vp9Codec.parseHeader(inter).get
+    assert(!hi.keyFrame && hi.width == -1 && hi.height == -1)
+    // show_existing: marker 10, profile 00, show_existing 1, idx 011
+    val se = Array[Byte](0x8b.toByte, 0x00)
+    val hs = Vp9Codec.parseHeader(se).get
+    assert(!hs.keyFrame && hs.showFrame && hs.width == -1)
+  }
+
+  test("totality: bad marker, bad sync code, truncation, random junk") {
+    assert(Vp9Codec.parseHeader(null).isEmpty)
+    assert(Vp9Codec.parseHeader(Array.empty[Byte]).isEmpty)
+    assert(Vp9Codec.parseHeader(Array[Byte](0x00, 0x00)).isEmpty) // marker 00
+    val good = Vp9Codec.encodeKeyHeader(0, 640, 360)
+    val badSync = good.clone(); badSync(2) = 0x00 // corrupt the sync code
+    assert(Vp9Codec.parseHeader(badSync).isEmpty)
+    for (cut <- 1 until good.length)
+      Vp9Codec.parseHeader(java.util.Arrays.copyOf(good, cut)) // no throw
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200)
+      Vp9Codec.parseHeader(
+        Array.fill[Byte](1 + rnd.nextInt(24))(rnd.nextInt.toByte))
+  }
+}
