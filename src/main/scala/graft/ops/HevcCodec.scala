@@ -1,0 +1,284 @@
+package graft.ops
+
+/** H.265/HEVC sequence-parameter-set BITSTREAM parsing, pure JVM — the
+  * fourth leg of the codec-level tier ([[H264Codec]], [[Vp9Codec]],
+  * [[Av1Codec]]): HEVC carries a large share of crawled MP4 video, and
+  * like AVC its container dims are advisory — the SPS
+  * (ITU-T H.265 §7.3.2.2.1) holds the authoritative profile / tier /
+  * level, luma dimensions and conformance window. The read is a few
+  * hundred bits reachable from the `hvcC` configuration record in the
+  * `hvc1`/`hev1` sample entry; no slice data is touched. Full HEVC
+  * picture decode stays a disclosed stub (CTU/WPP decoding is out of
+  * pure-JVM scope; the header pass is the 100 TB first screen).
+  *
+  * Parser: 2-byte NAL header (type 33) → RBSP (same emulation
+  * prevention as AVC) → profile_tier_level (§7.3.3, incl. the
+  * sub-layer present-flag loop) → chroma format, luma dims,
+  * conformance window, bit depths. Display dims subtract the window in
+  * SubWidthC/SubHeightC units (§7.4.3.2.1). Malformed input returns
+  * None and NEVER throws.
+  *
+  * Encoder: a deterministic SPS writer (single temporal layer) + the
+  * HEVCDecoderConfigurationRecord wrapper (ISO 14496-15 §8.3.3.1).
+  */
+object HevcCodec {
+
+  /** The curation screen's slice of an HEVC SPS. Width/height are
+    * DISPLAY dims (after the conformance window). */
+  final case class HevcSpsInfo(profileIdc: Int, tier: Int, levelIdc: Int,
+      width: Int, height: Int, chromaFormatIdc: Int, bitDepthLuma: Int)
+
+  /** NAL payload → RBSP: drop each 0x03 in a 0x00 0x00 0x03 run. */
+  private def rbsp(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length - from)
+    var zeros = 0
+    var i = from
+    while (i < nal.length) {
+      val b = nal(i) & 0xff
+      if (zeros >= 2 && b == 3) zeros = 0
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val byteIdx = pos >> 3
+        if (byteIdx >= b.length) throw new IllegalStateException("eob")
+        v = (v << 1) | ((b(byteIdx) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new IllegalStateException("ue overflow")
+      }
+      (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+    }
+  }
+
+  /** profile_tier_level (§7.3.3) with profilePresentFlag = 1; returns
+    * (profile_idc, tier, level_idc), skipping sub-layer PTLs. */
+  private def profileTierLevel(r: BitReader, maxSubLayersMinus1: Int): (Int, Int, Int) = {
+    r.u(2) // general_profile_space
+    val tier = r.u(1)
+    val profile = r.u(5)
+    r.u(32) // general_profile_compatibility_flags
+    r.u(4) // progressive/interlaced/non-packed/frame-only source flags
+    r.u(32); r.u(12) // 44 reserved/constraint bits (incl. inbld)
+    val level = r.u(8)
+    val profPresent = new Array[Boolean](maxSubLayersMinus1)
+    val levelPresent = new Array[Boolean](maxSubLayersMinus1)
+    var i = 0
+    while (i < maxSubLayersMinus1) {
+      profPresent(i) = r.u(1) == 1
+      levelPresent(i) = r.u(1) == 1
+      i += 1
+    }
+    if (maxSubLayersMinus1 > 0) {
+      var k = maxSubLayersMinus1
+      while (k < 8) { r.u(2); k += 1 } // reserved_zero_2bits
+    }
+    i = 0
+    while (i < maxSubLayersMinus1) {
+      if (profPresent(i)) { r.u(32); r.u(32); r.u(24) } // 88-bit sub PTL
+      if (levelPresent(i)) r.u(8)
+      i += 1
+    }
+    (profile, tier, level)
+  }
+
+  /** Parse an HEVC SPS NAL unit (2-byte NAL header included). */
+  def parseSps(nal: Array[Byte]): Option[HevcSpsInfo] = {
+    if (nal == null || nal.length < 5) return None
+    if (((nal(0) >> 1) & 0x3f) != 33) return None // nal_unit_type = SPS_NUT
+    try {
+      val r = new BitReader(rbsp(nal, 2))
+      r.u(4) // sps_video_parameter_set_id
+      val maxSubLayersMinus1 = r.u(3)
+      r.u(1) // sps_temporal_id_nesting_flag
+      val (profile, tier, level) = profileTierLevel(r, maxSubLayersMinus1)
+      r.ue() // sps_seq_parameter_set_id
+      val chroma = r.ue()
+      if (chroma > 3) return None
+      if (chroma == 3) r.u(1) // separate_colour_plane_flag
+      val picW = r.ue()
+      val picH = r.ue()
+      if (picW <= 0 || picH <= 0 || picW > (1 << 20) || picH > (1 << 20))
+        return None
+      var winL = 0; var winR = 0; var winT = 0; var winB = 0
+      if (r.u(1) == 1) { // conformance_window_flag
+        winL = r.ue(); winR = r.ue(); winT = r.ue(); winB = r.ue()
+      }
+      val bitDepthLuma = 8 + r.ue()
+      r.ue() // bit_depth_chroma_minus8
+      // §7.4.3.2.1: window offsets are in SubWidthC/SubHeightC units
+      val (subW, subH) = chroma match {
+        case 1 => (2, 2)
+        case 2 => (2, 1)
+        case _ => (1, 1)
+      }
+      val width = picW - (winL + winR) * subW
+      val height = picH - (winT + winB) * subH
+      if (width <= 0 || height <= 0) return None
+      Some(HevcSpsInfo(profile, tier, level, width, height, chroma,
+        bitDepthLuma))
+    } catch {
+      case _: IllegalStateException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** First SPS NAL out of an HEVCDecoderConfigurationRecord (`hvcC`
+    * box body): 22 fixed header bytes, then NAL-unit arrays keyed by
+    * type (§8.3.3.1). */
+  def spsFromHvcC(hvcC: Array[Byte]): Option[Array[Byte]] = {
+    if (hvcC == null || hvcC.length < 24) return None
+    if ((hvcC(0) & 0xff) != 1) return None // configurationVersion
+    try {
+      val nArrays = hvcC(22) & 0xff
+      var p = 23
+      var a = 0
+      while (a < nArrays) {
+        if (p + 3 > hvcC.length) return None
+        val nalType = hvcC(p) & 0x3f
+        val nNalus = ((hvcC(p + 1) & 0xff) << 8) | (hvcC(p + 2) & 0xff)
+        p += 3
+        var n = 0
+        while (n < nNalus) {
+          if (p + 2 > hvcC.length) return None
+          val len = ((hvcC(p) & 0xff) << 8) | (hvcC(p + 1) & 0xff)
+          p += 2
+          if (p + len > hvcC.length) return None
+          if (nalType == 33)
+            return Some(java.util.Arrays.copyOfRange(hvcC, p, p + len))
+          p += len
+          n += 1
+        }
+        a += 1
+      }
+      None
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  // ---- deterministic encoder (fixtures) --------------------------------
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        k -= 1
+      }
+    }
+    def ue(v: Int): Unit = {
+      require(v >= 0, s"ue value must be >= 0: $v")
+      val codeNum = v + 1
+      val nZeros = 31 - Integer.numberOfLeadingZeros(codeNum)
+      u(0, nZeros)
+      u(codeNum, nZeros + 1)
+    }
+    def stopAndPad(): Array[Byte] = {
+      u(1, 1)
+      if (nBits > 0) u(0, 8 - nBits)
+      buf.toByteArray
+    }
+  }
+
+  private def addEmulationPrevention(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i) & 0xff
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic HEVC SPS NAL (single temporal layer, 4:2:0):
+    * display dims come from the luma grid minus the right/bottom
+    * conformance window (offsets in chroma units = 2 luma px each). */
+  def encodeSps(profileIdc: Int, tier: Int, levelIdc: Int,
+      width: Int, height: Int, winRight: Int = 0, winBottom: Int = 0,
+      bitDepth: Int = 8): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(winRight >= 0 && winBottom >= 0, "bad window")
+    require(bitDepth >= 8 && bitDepth <= 16, s"bad bit depth $bitDepth")
+    val w = new BitWriter
+    w.u(0, 4) // sps_video_parameter_set_id
+    w.u(0, 3) // sps_max_sub_layers_minus1
+    w.u(1, 1) // sps_temporal_id_nesting_flag
+    // profile_tier_level, profilePresentFlag = 1, no sub-layers
+    w.u(0, 2) // profile_space
+    w.u(tier & 1, 1)
+    w.u(profileIdc, 5)
+    w.u(1 << (31 - profileIdc), 32) // compatibility flag for own profile
+    w.u(0x8, 4) // progressive=1, interlaced/non-packed/frame-only=0
+    w.u(0, 32); w.u(0, 12) // constraint/reserved bits
+    w.u(levelIdc, 8)
+    w.ue(0) // sps_seq_parameter_set_id
+    w.ue(1) // chroma_format_idc = 4:2:0
+    w.ue(width + 2 * winRight) // pic_width_in_luma_samples
+    w.ue(height + 2 * winBottom) // pic_height_in_luma_samples
+    if (winRight > 0 || winBottom > 0) {
+      w.u(1, 1) // conformance_window_flag
+      w.ue(0); w.ue(winRight); w.ue(0); w.ue(winBottom)
+    } else w.u(0, 1)
+    w.ue(bitDepth - 8) // bit_depth_luma_minus8
+    w.ue(bitDepth - 8) // bit_depth_chroma_minus8
+    val payload = addEmulationPrevention(w.stopAndPad())
+    // NAL header: forbidden 0, type 33, layer 0, temporal_id_plus1 1
+    (Array[Byte](0x42, 0x01) ++ payload)
+  }
+
+  /** Wrap one SPS NAL in an HEVCDecoderConfigurationRecord (one array,
+    * type 33; readers must tolerate absent VPS/PPS arrays). */
+  def buildHvcC(sps: Array[Byte]): Array[Byte] = {
+    require(sps != null && sps.length >= 5, "sps too short")
+    val info = parseSps(sps).getOrElse(
+      throw new IllegalArgumentException("not an SPS NAL"))
+    val out = new java.io.ByteArrayOutputStream(sps.length + 26)
+    out.write(1) // configurationVersion
+    out.write(((info.tier & 1) << 5) | (info.profileIdc & 0x1f))
+    out.write(Array.fill[Byte](4)(0), 0, 4) // compatibility flags
+    out.write(Array.fill[Byte](6)(0), 0, 6) // constraint flags
+    out.write(info.levelIdc & 0xff)
+    out.write(0xf0); out.write(0) // min_spatial_segmentation + reserved
+    out.write(0xfc) // parallelismType
+    out.write(0xfc | (info.chromaFormatIdc & 3))
+    out.write(0xf8 | ((info.bitDepthLuma - 8) & 7))
+    out.write(0xf8 | ((info.bitDepthLuma - 8) & 7))
+    out.write(0); out.write(0) // avgFrameRate
+    out.write(0x0f) // constantFrameRate/numTemporalLayers/nested/lengthSize
+    out.write(1) // numOfArrays
+    out.write(0x21) // array_completeness=0, NAL_unit_type=33
+    out.write(0); out.write(1) // numNalus = 1
+    out.write((sps.length >> 8) & 0xff)
+    out.write(sps.length & 0xff)
+    out.write(sps, 0, sps.length)
+    out.toByteArray
+  }
+}

@@ -218,6 +218,11 @@ object Mp4Codec {
   def extractAv1C(payload: Array[Byte]): Option[Array[Byte]] =
     extractConfigBox(payload, Set("av01"), "av1C")
 
+  /** Same walk for HEVC's `hvcC` record inside an `hvc1`/`hev1` sample
+    * entry — hand-off to [[HevcCodec.spsFromHvcC]]. */
+  def extractHvcC(payload: Array[Byte]): Option[Array[Byte]] =
+    extractConfigBox(payload, Set("hvc1", "hev1"), "hvcC")
+
   /** Codec-configuration child box of the first matching stsd
     * VisualSampleEntry (78 fixed bytes before children). */
   private def extractConfigBox(payload: Array[Byte], entryTags: Set[String],
@@ -277,7 +282,8 @@ object Mp4Codec {
   def encodeMp4Skeleton(width: Int, height: Int, nFrames: Int,
       sampleRate: Int = -1, channels: Int = -1,
       avcC: Array[Byte] = null,
-      av1C: Array[Byte] = null): Array[Byte] = {
+      av1C: Array[Byte] = null,
+      hvcC: Array[Byte] = null): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0,
       s"bad skeleton params: ${width}x$height, $nFrames frames")
     val ftyp = box("ftyp",
@@ -322,6 +328,7 @@ object Mp4Codec {
           box(cfgTag, cfg))
       if (avcC != null) box("stsd", fullHdr0, be32(1), entry("avc1", "avcC", avcC))
       else if (av1C != null) box("stsd", fullHdr0, be32(1), entry("av01", "av1C", av1C))
+      else if (hvcC != null) box("stsd", fullHdr0, be32(1), entry("hvc1", "hvcC", hvcC))
       else box("stsd", fullHdr0, be32(0))
     }
     val videoTrak = box("trak", tkhd(1, width, height),

@@ -318,6 +318,26 @@ object BulkQueries extends QueryGroup {
           "mono", "width", "height")
     }),
 
+    // REAL codec-level HEVC: the SPS inside the hvcC record —
+    // profile_tier_level (96-bit general PTL), conformance-window
+    // display dims, Main/Main10 bit depth; all id arithmetic, read
+    // from the moov header alone
+    "mm_hevc_sps" -> ((s, dir) => {
+      import s.implicits._
+      MediaFixtures.media(s, dir, "mp4_hevc").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val sps = graft.ops.Mp4Codec.extractHvcC(bytes)
+            .flatMap(graft.ops.HevcCodec.spsFromHvcC)
+            .flatMap(graft.ops.HevcCodec.parseSps)
+          (id, sps.map(_.profileIdc).getOrElse(-1),
+            sps.map(_.tier).getOrElse(-1),
+            sps.map(_.levelIdc).getOrElse(-1),
+            sps.map(_.bitDepthLuma).getOrElse(-1),
+            sps.map(_.width).getOrElse(-1), sps.map(_.height).getOrElse(-1))
+        }).toDF("doc_id", "profile_idc", "tier", "level_idc", "bit_depth",
+          "width", "height")
+    }),
+
     // REAL pixel decode through REAL GIF bytes: per-id pixels sit
     // exactly on the encoder's 3-3-2 palette cells, so the LZW round
     // trip must be BIT-identical (GIF is lossless — a stronger gate
@@ -941,6 +961,18 @@ object BulkQueries extends QueryGroup {
         "(doc_id % 3 <> 1 AND doc_id % 7 = 0) AS mono, " +
         "CAST(426 + (doc_id % 14) * 64 AS INT) AS width, " +
         "CAST(240 + (doc_id % 10) * 48 AS INT) AS height " +
+        "FROM documents"),
+
+    // HEVC SPS through the hvcC record: Main/Main10 tie bit depth to
+    // the profile; dims subtract the conformance window in chroma units
+    "mm_hevc_sps" ->
+      ("SELECT doc_id, " +
+        "CAST(1 + doc_id % 2 AS INT) AS profile_idc, " +
+        "CAST((doc_id // 2) % 2 AS INT) AS tier, " +
+        "CAST(30 + (doc_id % 40) * 3 AS INT) AS level_idc, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 10 ELSE 8 END AS INT) AS bit_depth, " +
+        "CAST(256 + (doc_id % 20) * 8 AS INT) AS width, " +
+        "CAST(144 + (doc_id % 15) * 8 AS INT) AS height " +
         "FROM documents"),
 
     // the GIF round trip: dims are pure id arithmetic, the decode must

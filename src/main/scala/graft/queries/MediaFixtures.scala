@@ -30,15 +30,15 @@ import graft.Tables
   */
 object MediaFixtures {
 
-  import graft.ops.{Av1Codec, AviCodec, GifCodec, H264Codec, JpegCodec,
-    MediaCodec, Mp3Codec, Mp4Codec, Vp9Codec, WebmCodec}
+  import graft.ops.{Av1Codec, AviCodec, GifCodec, H264Codec, HevcCodec,
+    JpegCodec, MediaCodec, Mp3Codec, Mp4Codec, Vp9Codec, WebmCodec}
   import MediaCodec.Raster
 
   /** One row per doc_id; a column per fixture family (see builders). */
   private val columns = Seq("doc_id", "real", "mp3", "webm", "gif_anim",
     "avi_meta", "avi_frames", "png_stats", "mp4_sample", "wav_tone",
     "mp4", "wav_energy", "png_neardup", "png_phash", "png_resize", "warc",
-    "png_fmt", "mp4_avc", "webm_vp9", "av1_seq")
+    "png_fmt", "mp4_avc", "webm_vp9", "av1_seq", "mp4_hevc")
 
   // ---- per-family encoders: EXACTLY the former inline id arithmetic ----
 
@@ -287,6 +287,21 @@ object MediaFixtures {
     else WebmCodec.encodeWebmVideo(w, h, "V_AV1", obu)
   }
 
+  /** MP4 whose video stsd carries a REAL hvc1/hvcC with a REAL HEVC
+    * SPS: Main/Main10 profiles, both tiers, display dims from the luma
+    * grid minus the conformance window — the gate must re-derive them
+    * through profile_tier_level + the window-unit rules. */
+  private def hevcBlob(id: Long): Array[Byte] = {
+    val profile = (1 + id % 2).toInt
+    val w = (256 + (id % 20) * 8).toInt
+    val h = (144 + (id % 15) * 8).toInt
+    val sps = HevcCodec.encodeSps(profile, ((id / 2) % 2).toInt,
+      (30 + (id % 40) * 3).toInt, w, h,
+      winRight = (id % 4).toInt, winBottom = (id % 3).toInt,
+      bitDepth = if (profile == 2) 10 else 8)
+    Mp4Codec.encodeMp4Skeleton(w, h, 24, hvcC = HevcCodec.buildHvcC(sps))
+  }
+
   // ---- build + read --------------------------------------------------
 
   // r9: warc gained body-coding variants, mp3 frame count capped,
@@ -320,7 +335,7 @@ object MediaFixtures {
                 mp4SampleBlob(id), wavToneBlob(id), mp4Blob(id),
                 wavEnergyBlob(id), pngNeardupBlob(id), pngPhashBlob(id),
                 pngResizeBlob(id), warcBlob(id), pngFmtBlob(id),
-                mp4AvcBlob(id), webmVp9Blob(id), av1Blob(id))
+                mp4AvcBlob(id), webmVp9Blob(id), av1Blob(id), hevcBlob(id))
             }).toDF(columns: _*)
             .write.mode("overwrite").parquet(p)
         }

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{HevcCodec, Mp4Codec}
+
+/** HEVC SPS round trips (profile/tier/level, conformance window, bit
+  * depth) + the hvcC/MP4 container hand-off + totality. */
+class HevcCodecSpec extends AnyFunSuite {
+
+  test("SPS round-trips profile, tier, level and uncropped dims") {
+    for (profile <- Seq(1, 2); tier <- Seq(0, 1); level <- Seq(93, 120, 153)) {
+      val sps = HevcCodec.encodeSps(profile, tier, level, 1280, 720)
+      val info = HevcCodec.parseSps(sps).get
+      assert(info.profileIdc == profile && info.tier == tier)
+      assert(info.levelIdc == level)
+      assert(info.width == 1280 && info.height == 720)
+      assert(info.chromaFormatIdc == 1 && info.bitDepthLuma == 8)
+    }
+  }
+
+  test("conformance window subtracts 2 luma px per unit at 4:2:0") {
+    // 1920x1080 inside a 1920x1088 luma grid: bottom offset 4 units
+    val sps = HevcCodec.encodeSps(1, 0, 123, 1920, 1080, winBottom = 4)
+    val info = HevcCodec.parseSps(sps).get
+    assert(info.width == 1920 && info.height == 1080)
+    val sps2 = HevcCodec.encodeSps(2, 1, 150, 710, 398,
+      winRight = 5, winBottom = 1, bitDepth = 10)
+    val info2 = HevcCodec.parseSps(sps2).get
+    assert(info2.width == 710 && info2.height == 398)
+    assert(info2.bitDepthLuma == 10)
+  }
+
+  test("hvcC wraps and unwraps the SPS bit-exactly") {
+    val sps = HevcCodec.encodeSps(2, 0, 120, 1920, 804, bitDepth = 10)
+    val hvcC = HevcCodec.buildHvcC(sps)
+    assert((hvcC(0) & 0xff) == 1)
+    assert((hvcC(1) & 0x1f) == 2) // profile in the summary byte
+    assert((hvcC(12) & 0xff) == 120) // level
+    val back = HevcCodec.spsFromHvcC(hvcC).get
+    assert(java.util.Arrays.equals(back, sps))
+  }
+
+  test("the MP4 container carries hvcC to the codec tier") {
+    val sps = HevcCodec.encodeSps(1, 0, 93, 854, 480, winBottom = 2)
+    val mp4 = Mp4Codec.encodeMp4Skeleton(854, 480, 30,
+      hvcC = HevcCodec.buildHvcC(sps))
+    val meta = Mp4Codec.parseMp4Meta(mp4)
+    assert(meta.format == "mp4" && meta.width == 854 && meta.nFrames == 30)
+    val info = Mp4Codec.extractHvcC(mp4)
+      .flatMap(HevcCodec.spsFromHvcC).flatMap(HevcCodec.parseSps).get
+    assert(info.profileIdc == 1 && info.width == 854 && info.height == 480)
+    assert(Mp4Codec.extractAvcC(mp4).isEmpty)
+    assert(Mp4Codec.extractAv1C(mp4).isEmpty)
+  }
+
+  test("parseSps totality: garbage, truncation, wrong NAL type, null") {
+    assert(HevcCodec.parseSps(null).isEmpty)
+    assert(HevcCodec.parseSps(Array[Byte](0x42, 0x01)).isEmpty)
+    assert(HevcCodec.parseSps(Array[Byte](0x40, 0x01, 1, 2, 3)).isEmpty) // VPS
+    val good = HevcCodec.encodeSps(1, 0, 93, 640, 360)
+    for (cut <- 5 until good.length)
+      HevcCodec.parseSps(java.util.Arrays.copyOf(good, cut)) // no throw
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      val junk = Array.fill[Byte](2 + rnd.nextInt(40))(rnd.nextInt.toByte)
+      junk(0) = 0x42 // force the SPS type so the bit walk runs
+      HevcCodec.parseSps(junk) // must not throw
+    }
+  }
+
+  test("spsFromHvcC totality: short, bad version, truncated arrays") {
+    assert(HevcCodec.spsFromHvcC(null).isEmpty)
+    assert(HevcCodec.spsFromHvcC(Array[Byte](1, 2, 3)).isEmpty)
+    val hvcC = HevcCodec.buildHvcC(HevcCodec.encodeSps(1, 0, 93, 320, 240))
+    val bad = hvcC.clone(); bad(0) = 2
+    assert(HevcCodec.spsFromHvcC(bad).isEmpty)
+    for (cut <- 24 until hvcC.length)
+      HevcCodec.spsFromHvcC(java.util.Arrays.copyOf(hvcC, cut)) // no throw
+  }
+}
