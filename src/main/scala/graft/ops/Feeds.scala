@@ -1,0 +1,136 @@
+package graft.ops
+
+/** RSS 2.0 / Atom feed parsing — the third crawl-frontier source next
+  * to [[Sitemaps]] and [[Robots]]: feeds enumerate a host's NEW
+  * content with timestamps, so discovery pipelines poll them to find
+  * fresh URLs between sitemap refreshes (News/blog crawls are
+  * feed-driven almost entirely).
+  *
+  * Handles both vocabularies: RSS 2.0 `<channel>` of `<item>` entries
+  * (title / link / guid / pubDate) and Atom `<feed>` of `<entry>`
+  * entries (title / link@href / id / updated|published), plus the
+  * gzipped transport. Same deliberate stance as the sitemap walk: a
+  * regex element-walk that never throws beats a validating XML parser
+  * that dies on the web's malformed tails. Entity-decodes the five
+  * predefined XML entities; strips CDATA wrappers (common around
+  * titles).
+  *
+  * Scale shape: one feed is one row's work in a `mapPartitions` pass —
+  * map-side, no shuffle.
+  */
+object Feeds {
+
+  /** One feed entry; absent fields are "" to stay SQL-friendly.
+    * `isAtom` records which vocabulary matched. */
+  final case class FeedEntry(title: String, link: String, id: String,
+      published: String, isAtom: Boolean)
+
+  private val itemRx = "(?s)<item\\b[^>]*>(.*?)</item>".r
+  private val entryRx = "(?s)<entry\\b[^>]*>(.*?)</entry>".r
+  private val atomLinkRx =
+    "(?s)<link\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*?/?>".r
+  private val atomRelRx = "rel\\s*=\\s*[\"']([^\"']*)[\"']".r
+
+  private def field(body: String, tag: String): String = {
+    val m = s"(?s)<$tag\\b[^>]*>(.*?)</$tag>".r.findFirstMatchIn(body)
+    m.map(x => stripCdata(x.group(1)).trim).getOrElse("")
+  }
+
+  private def stripCdata(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("<![CDATA[") && t.endsWith("]]>"))
+      t.substring(9, t.length - 3)
+    else t
+  }
+
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&#39;", "'")
+      .replace("&amp;", "&") // amp LAST: no double decode
+
+  /** Atom `<link>` resolution: prefer rel="alternate" (or no rel), fall
+    * back to the first href — RFC 4287 §4.2.7.2's default relation. */
+  private def atomLink(body: String): String = {
+    val links = atomLinkRx.findAllMatchIn(body).map { m =>
+      val rel = atomRelRx.findFirstMatchIn(m.matched)
+        .map(_.group(1)).getOrElse("alternate")
+      (rel, m.group(1))
+    }.toSeq
+    links.collectFirst { case ("alternate", href) => href }
+      .orElse(links.headOption.map(_._2))
+      .getOrElse("")
+  }
+
+  /** Parse an RSS 2.0 or Atom document (plain or gzipped bytes).
+    * Returns entries in document order; malformed input yields the
+    * entries parsed so far (possibly none), never throws. */
+  def parse(b: Array[Byte], maxEntries: Int = 10000): Seq[FeedEntry] = {
+    if (b == null || b.length == 0) return Nil
+    try {
+      // bomb-capped, same transport handling as the sitemap walk
+      val bytes =
+        if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+          WarcCodec.gunzipAll(b)
+        else b
+      val text = new String(bytes, "UTF-8")
+      val isAtom = !text.contains("<rss") &&
+        (text.contains("<feed") || text.contains("<entry"))
+      val blocks = (if (isAtom) entryRx else itemRx).findAllMatchIn(text)
+      blocks.take(maxEntries).flatMap { m =>
+        val body = m.group(1)
+        val title = unescape(field(body, "title"))
+        val link =
+          if (isAtom) unescape(atomLink(body))
+          else unescape(field(body, "link"))
+        val id = unescape(field(body, if (isAtom) "id" else "guid"))
+        val published =
+          if (isAtom) {
+            val u = field(body, "updated")
+            if (u.nonEmpty) u else field(body, "published")
+          } else field(body, "pubDate")
+        if (title.isEmpty && link.isEmpty && id.isEmpty) None
+        else Some(FeedEntry(title, link, id, published, isAtom))
+      }.toSeq
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** Deterministic writer for fixtures: an RSS channel (or Atom feed
+    * when `asAtom`) of (title, link, id, published) rows. */
+  def encode(entries: Seq[(String, String, String, String)],
+      asAtom: Boolean = false, gzip: Boolean = false): Array[Byte] = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+    val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    if (asAtom) {
+      sb.append("<feed xmlns=\"http://www.w3.org/2005/Atom\">\n")
+      entries.foreach { case (title, link, id, published) =>
+        sb.append("<entry><title>").append(esc(title)).append("</title>")
+        sb.append("<link rel=\"alternate\" href=\"").append(esc(link))
+          .append("\"/>")
+        sb.append("<id>").append(esc(id)).append("</id>")
+        if (published.nonEmpty)
+          sb.append("<updated>").append(published).append("</updated>")
+        sb.append("</entry>\n")
+      }
+      sb.append("</feed>\n")
+    } else {
+      sb.append("<rss version=\"2.0\"><channel>\n")
+      entries.foreach { case (title, link, id, published) =>
+        sb.append("<item><title><![CDATA[").append(title).append("]]></title>")
+        sb.append("<link>").append(esc(link)).append("</link>")
+        sb.append("<guid>").append(esc(id)).append("</guid>")
+        if (published.nonEmpty)
+          sb.append("<pubDate>").append(published).append("</pubDate>")
+        sb.append("</item>\n")
+      }
+      sb.append("</channel></rss>\n")
+    }
+    val raw = sb.toString.getBytes("UTF-8")
+    if (!gzip) raw
+    else {
+      val bos = new java.io.ByteArrayOutputStream
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+  }
+}

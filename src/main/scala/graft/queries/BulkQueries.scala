@@ -749,6 +749,30 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "loc", "lastmod", "priority", "is_index")
     }),
 
+    // crawl frontier: RSS 2.0 / Atom feed entries through BOTH
+    // vocabularies and BOTH transports — titles ride CDATA on the RSS
+    // side and entity escaping on the Atom side, so the gate only
+    // passes if unescape + CDATA strip + the rel="alternate" link
+    // resolution are all right
+    "pipeline_feed_entries" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val n = (1 + id % 4).toInt
+          val entries = (0 until n).map { j =>
+            (s"Post $id-$j & more", s"https://b$id.example.com/post/$j",
+              s"tag:b$id,2026:$j", s"2026-0${1 + j % 9}-02")
+          }
+          val bytes = graft.ops.Feeds.encode(entries,
+            asAtom = id % 3 == 0, gzip = id % 2 == 1)
+          graft.ops.Feeds.parse(bytes).zipWithIndex.map { case (e, ix) =>
+            (id, ix.toLong, e.title, e.link, e.id, e.published, e.isAtom)
+          }
+        }).toDF("doc_id", "entry_idx", "title", "link", "id", "published",
+          "is_atom")
+    }),
+
     // multimodal: frame sampling over the decoded n_frames
     "mm_frame_sample" -> ((s, dir) => {
       val media = Tables.load(s, dir, "documents")
@@ -1009,6 +1033,22 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
         "CAST(16 + doc_id % 16 AS INT) AS width, " +
         "TRUE AS partial_read, TRUE AS digest_ok FROM documents"),
+    // feed entries re-derived field by field; is_atom pins which
+    // vocabulary was parsed
+    "pipeline_feed_entries" ->
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 4 AS n, " +
+        "doc_id % 3 = 0 AS atom FROM documents) " +
+        "SELECT doc_id, CAST(j AS BIGINT) AS entry_idx, " +
+        "'Post ' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) || " +
+        "' & more' AS title, " +
+        "'https://b' || CAST(doc_id AS VARCHAR) || '.example.com/post/' || " +
+        "CAST(j AS VARCHAR) AS link, " +
+        "'tag:b' || CAST(doc_id AS VARCHAR) || ',2026:' || " +
+        "CAST(j AS VARCHAR) AS id, " +
+        "'2026-0' || CAST(1 + j % 9 AS VARCHAR) || '-02' AS published, " +
+        "atom AS is_atom " +
+        "FROM g, generate_series(0, 3) AS s(j) WHERE j < n"),
+
     "pipeline_sitemap_urls" ->
       ("WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS n, " +
         "doc_id % 5 = 0 AS isidx FROM documents) " +

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Feeds
+
+/** RSS 2.0 / Atom feed walk vs the deterministic writer: both
+  * vocabularies, both transports, CDATA/entity handling, link
+  * relations, totality. */
+class FeedsSpec extends AnyFunSuite {
+
+  private val entries = Seq(
+    ("Hello & <World>", "https://a.example.com/1", "tag:a,2026:1",
+      "Mon, 05 Jan 2026 08:00:00 GMT"),
+    ("Second", "https://a.example.com/2", "tag:a,2026:2", ""),
+    ("Third", "https://a.example.com/3?x=1&y=2", "tag:a,2026:3",
+      "Wed, 07 Jan 2026 09:30:00 GMT"))
+
+  test("RSS round-trips titles (CDATA), links, guids, pubDates") {
+    val out = Feeds.parse(Feeds.encode(entries))
+    assert(out.size == 3)
+    assert(out.forall(!_.isAtom))
+    assert(out.map(_.title) == entries.map(_._1))
+    assert(out.map(_.link) == entries.map(_._2))
+    assert(out.map(_.id) == entries.map(_._3))
+    assert(out.map(_.published) == entries.map(_._4))
+  }
+
+  test("Atom round-trips through entity escaping and link@href") {
+    val out = Feeds.parse(Feeds.encode(entries, asAtom = true))
+    assert(out.size == 3)
+    assert(out.forall(_.isAtom))
+    assert(out.map(_.title) == entries.map(_._1))
+    assert(out.map(_.link) == entries.map(_._2))
+  }
+
+  test("the gzip transport parses identically") {
+    val plain = Feeds.parse(Feeds.encode(entries))
+    val gz = Feeds.parse(Feeds.encode(entries, gzip = true))
+    assert(gz == plain)
+  }
+
+  test("Atom link resolution prefers rel=alternate over others") {
+    val atom = ("<?xml version=\"1.0\"?><feed><entry>" +
+      "<title>T</title>" +
+      "<link rel=\"self\" href=\"https://x/self\"/>" +
+      "<link rel=\"alternate\" href=\"https://x/page\"/>" +
+      "<id>i1</id><updated>2026-01-01</updated>" +
+      "</entry></feed>").getBytes("UTF-8")
+    assert(Feeds.parse(atom).head.link == "https://x/page")
+    // no alternate → first href wins
+    val atom2 = ("<feed><entry><title>T</title>" +
+      "<link rel=\"self\" href=\"https://x/self\"/>" +
+      "<id>i2</id></entry></feed>").getBytes("UTF-8")
+    assert(Feeds.parse(atom2).head.link == "https://x/self")
+  }
+
+  test("Atom published is the updated fallback order") {
+    val atom = ("<feed><entry><title>T</title><id>i</id>" +
+      "<published>2026-01-02</published></entry></feed>").getBytes("UTF-8")
+    assert(Feeds.parse(atom).head.published == "2026-01-02")
+  }
+
+  test("maxEntries caps the walk; empty items are dropped") {
+    val many = Feeds.encode(Seq.fill(20)(entries.head))
+    assert(Feeds.parse(many, maxEntries = 5).size == 5)
+    val empty = "<rss><channel><item></item></channel></rss>".getBytes("UTF-8")
+    assert(Feeds.parse(empty).isEmpty)
+  }
+
+  test("totality: null, empty, truncated, binary junk, gzip bomb-ish") {
+    assert(Feeds.parse(null).isEmpty)
+    assert(Feeds.parse(Array.empty[Byte]).isEmpty)
+    val good = Feeds.encode(entries)
+    for (cut <- 1 until good.length by 7)
+      Feeds.parse(java.util.Arrays.copyOf(good, cut)) // must not throw
+    val rnd = new scala.util.Random(19)
+    for (_ <- 1 to 50)
+      Feeds.parse(Array.fill[Byte](1 + rnd.nextInt(64))(rnd.nextInt.toByte))
+    // truncated gzip member
+    val gz = Feeds.encode(entries, gzip = true)
+    Feeds.parse(java.util.Arrays.copyOf(gz, gz.length / 2))
+  }
+}
