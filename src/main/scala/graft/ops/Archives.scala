@@ -1,0 +1,318 @@
+package graft.ops
+
+/** ZIP and USTAR-tar archive containers, pure JVM — training corpora
+  * and crawl dumps ship as `.zip` / `.tar` / `.tar.gz` blobs, so the
+  * ingest tier needs a member walk and member extraction with the same
+  * totality contract as the media codecs (never throw; bomb-capped
+  * inflation).
+  *
+  * ZIP (APPNOTE.TXT): the END-of-central-directory record is found by
+  * a bounded tail scan, the central directory enumerates every member
+  * with its LOCAL-header offset, and extraction reads exactly ONE
+  * member's local header + compressed bytes (stored or raw-deflate via
+  * `Inflater(true)`, CRC-verified). That is the [[graft.ops.WarcCodec]]
+  * CDX story again — the reference's seek-point idea
+  * (`SeekPointFetcher.java:47`) applied to the archive container: a
+  * point lookup costs O(member), not O(archive).
+  *
+  * TAR (POSIX ustar): 512-byte headers with octal sizes and the
+  * prefix-field name split, entries padded to block boundaries;
+  * `.tar.gz` rides the same bounded gunzip as the WARC transport.
+  *
+  * Scale shape: one archive is one row's work in a `mapPartitions`
+  * pass; member extraction never materializes sibling members.
+  */
+object Archives {
+
+  /** One archive member. `offset` is the ZIP local-header offset (tar:
+    * the header block offset) — the seek point for later extraction. */
+  final case class ArchiveEntry(name: String, size: Long, csize: Long,
+      method: String, crc32: Long, offset: Long)
+
+  private val MaxInflated = 1 << 28 // matches the raster/WARC decoders
+
+  // ---- ZIP -------------------------------------------------------------
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (u16(b, i).toLong | (u16(b, i + 2).toLong << 16)) & 0xffffffffL
+
+  /** True for the ZIP local-header magic PK\0304 or the gzip/tar sniffs
+    * this walker also accepts. */
+  def sniffZip(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'P' && b(1) == 'K' &&
+      (b(2) & 0xff) <= 7 && (b(3) & 0xff) <= 8
+
+  /** Walk the central directory (found via a bounded EOCD tail scan).
+    * Returns members in directory order; malformed input yields Nil. */
+  def parseZipEntries(b: Array[Byte], maxEntries: Int = 65535): Seq[ArchiveEntry] = {
+    if (b == null || b.length < 22) return Nil
+    try {
+      // EOCD signature 0x06054b50 within the last 64 KB + 22 bytes
+      var eocd = -1
+      var i = b.length - 22
+      val stop = math.max(0, b.length - 22 - 65535)
+      while (eocd < 0 && i >= stop) {
+        if (b(i) == 'P' && b(i + 1) == 'K' && (b(i + 2) & 0xff) == 5 &&
+          (b(i + 3) & 0xff) == 6) eocd = i
+        i -= 1
+      }
+      if (eocd < 0) return Nil
+      val n = u16(b, eocd + 10)
+      val cdOff = u32(b, eocd + 16)
+      if (cdOff > b.length) return Nil
+      val out = Seq.newBuilder[ArchiveEntry]
+      var p = cdOff.toInt
+      var k = 0
+      while (k < math.min(n, maxEntries)) {
+        if (p + 46 > b.length || u32(b, p) != 0x02014b50L) return out.result()
+        val method = u16(b, p + 10)
+        val crc = u32(b, p + 16)
+        val csize = u32(b, p + 20)
+        val usize = u32(b, p + 24)
+        val nameLen = u16(b, p + 28)
+        val extraLen = u16(b, p + 30)
+        val commentLen = u16(b, p + 32)
+        val lhOff = u32(b, p + 42)
+        if (p + 46 + nameLen > b.length) return out.result()
+        val name = new String(b, p + 46, nameLen,
+          java.nio.charset.StandardCharsets.UTF_8)
+        out += ArchiveEntry(name, usize, csize,
+          if (method == 0) "stored" else if (method == 8) "deflate"
+          else s"method$method", crc, lhOff)
+        p += 46 + nameLen + extraLen + commentLen
+        k += 1
+      }
+      out.result()
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Nil
+    }
+  }
+
+  /** Extract ONE member by its central-directory entry: reads the local
+    * header at `e.offset`, then exactly `e.csize` compressed bytes.
+    * None on CRC mismatch, unsupported method, bomb-cap breach, or any
+    * malformed framing. */
+  def extractZipEntry(b: Array[Byte], e: ArchiveEntry): Option[Array[Byte]] = {
+    if (b == null || e == null) return None
+    try {
+      val p = e.offset.toInt
+      if (p < 0 || p + 30 > b.length || u32(b, p) != 0x04034b50L) return None
+      val nameLen = u16(b, p + 26)
+      val extraLen = u16(b, p + 28)
+      val dataOff = p + 30 + nameLen + extraLen
+      if (dataOff + e.csize > b.length || e.size > MaxInflated) return None
+      val data =
+        if (e.method == "stored") {
+          if (e.csize != e.size) return None
+          java.util.Arrays.copyOfRange(b, dataOff, dataOff + e.csize.toInt)
+        } else if (e.method == "deflate") {
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          try {
+            inf.setInput(b, dataOff, e.csize.toInt)
+            val out = new Array[Byte](e.size.toInt)
+            var done = 0
+            while (done < out.length && !inf.finished()) {
+              val got = inf.inflate(out, done, out.length - done)
+              if (got == 0 && inf.needsInput()) return None // truncated
+              done += got
+            }
+            if (done != out.length) return None
+            out
+          } finally inf.end()
+        } else return None
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (crc.getValue != e.crc32) None else Some(data)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  /** Deterministic ZIP writer for fixtures (and a legitimate sink for
+    * small export bundles): stored or per-member raw-deflate. */
+  def encodeZip(members: Seq[(String, Array[Byte])],
+      deflate: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16(v.toInt); w16((v >> 16).toInt) }
+    val central = new java.io.ByteArrayOutputStream()
+    def c16(v: Int): Unit = { central.write(v & 0xff); central.write((v >> 8) & 0xff) }
+    def c32(v: Long): Unit = { c16(v.toInt); c16((v >> 16).toInt) }
+    members.foreach { case (name, data) =>
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val comp =
+        if (!deflate) data
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(data); d.finish()
+            val buf = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+            buf.toByteArray
+          } finally d.end()
+        }
+      val method = if (deflate) 8 else 0
+      val lhOff = out.size()
+      w32(0x04034b50L); w16(20); w16(0); w16(method)
+      w16(0); w16(0x5821) // fixed DOS time/date (deterministic)
+      w32(crc.getValue); w32(comp.length); w32(data.length)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(comp)
+      c32(0x02014b50L); c16(20); c16(20); c16(0); c16(method)
+      c16(0); c16(0x5821)
+      c32(crc.getValue); c32(comp.length); c32(data.length)
+      c16(nameB.length); c16(0); c16(0); c16(0); c16(0); c32(0)
+      c32(lhOff); central.write(nameB)
+    }
+    val cdOff = out.size()
+    val cd = central.toByteArray
+    out.write(cd)
+    w32(0x06054b50L); w16(0); w16(0)
+    w16(members.size); w16(members.size)
+    w32(cd.length); w32(cdOff); w16(0)
+    out.toByteArray
+  }
+
+  // ---- TAR -------------------------------------------------------------
+
+  /** True for a plausible ustar header (magic at 257) or a gzip blob. */
+  def sniffTar(b: Array[Byte]): Boolean =
+    (b != null && b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
+      b(259) == 't' && b(260) == 'a' && b(261) == 'r') ||
+      (b != null && b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = b(i) & 0xff
+      if (c >= '0' && c <= '7') v = (v << 3) + (c - '0')
+      else if (c != ' ' && c != 0) return -1
+      i += 1
+    }
+    v
+  }
+
+  private def str(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && b(end) != 0) end += 1
+    new String(b, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Walk a tar (or tar.gz) blob: regular-file members only (typeflag
+    * '0'/NUL), name = prefix "/" name per ustar. Malformed/truncated
+    * input yields the members walked so far. */
+  def parseTarEntries(b0: Array[Byte], maxEntries: Int = 65535): Seq[ArchiveEntry] = {
+    if (b0 == null || b0.length < 2) return Nil
+    try {
+      val b =
+        if ((b0(0) & 0xff) == 0x1f && (b0(1) & 0xff) == 0x8b)
+          WarcCodec.gunzipAll(b0)
+        else b0
+      if (b.length < 512) return Nil
+      val out = Seq.newBuilder[ArchiveEntry]
+      var p = 0
+      var k = 0
+      while (p + 512 <= b.length && k < maxEntries) {
+        if (b(p) == 0) return out.result() // terminator block
+        val size = octal(b, p + 124, 11)
+        if (size < 0) return out.result()
+        val typeflag = b(p + 156)
+        // checksum verification: header bytes with the checksum field
+        // treated as spaces
+        val stored = octal(b, p + 148, 7)
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' ' else b(p + i) & 0xff)
+          i += 1
+        }
+        if (stored != sum) return out.result()
+        if (typeflag == '0' || typeflag == 0) {
+          val prefix = str(b, p + 345, 155)
+          val base = str(b, p, 100)
+          val name = if (prefix.isEmpty) base else prefix + "/" + base
+          out += ArchiveEntry(name, size, size, "tar", -1L, p.toLong)
+          k += 1
+        }
+        p += 512 + ((size + 511) / 512).toInt * 512
+      }
+      out.result()
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Nil
+      case _: java.io.IOException => Nil // truncated/garbage gzip member
+    }
+  }
+
+  /** Extract one tar member by its header offset (post-gunzip offsets —
+    * pass the same bytes given to [[parseTarEntries]]). */
+  def extractTarEntry(b0: Array[Byte], e: ArchiveEntry): Option[Array[Byte]] = {
+    if (b0 == null || e == null || b0.length < 2) return None
+    try {
+      val b =
+        if ((b0(0) & 0xff) == 0x1f && (b0(1) & 0xff) == 0x8b)
+          WarcCodec.gunzipAll(b0)
+        else b0
+      val p = e.offset.toInt
+      if (p < 0 || p + 512 + e.size > b.length || e.size > MaxInflated) None
+      else Some(java.util.Arrays.copyOfRange(b, p + 512, p + 512 + e.size.toInt))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic ustar writer for fixtures (regular files, fixed
+    * mtime, root ownership). */
+  def encodeTar(members: Seq[(String, Array[Byte])],
+      gzip: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      val hdr = new Array[Byte](512)
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(nameB.length <= 100, s"name too long for fixture: $name")
+      System.arraycopy(nameB, 0, hdr, 0, nameB.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("US-ASCII"), 0, hdr, off, len - 1)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) // uid / gid
+      oct(data.length.toLong, 124, 12)
+      oct(0, 136, 12) // mtime
+      hdr(156) = '0' // regular file
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, hdr, 257, 5)
+      hdr(263) = '0'; hdr(264) = '0' // version "00"
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += hdr(i) & 0xff; i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      val padded = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(padded.getBytes("US-ASCII"), 0, hdr, 148, 6)
+      hdr(154) = 0; hdr(155) = ' '
+      out.write(hdr)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two terminator blocks
+    val raw = out.toByteArray
+    if (!gzip) raw
+    else {
+      val bos = new java.io.ByteArrayOutputStream
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+  }
+}

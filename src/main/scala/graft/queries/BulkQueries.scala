@@ -749,6 +749,41 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "loc", "lastmod", "priority", "is_index")
     }),
 
+    // archive-container ingest: ZIP central-directory walk (stored +
+    // deflate members, CRC-verified extraction via the local-header
+    // seek point) and ustar tar walk (checksum-verified headers, tgz
+    // transport) — member names, sizes and EXTRACTED text must all
+    // re-derive from id arithmetic, so a wrong offset/CRC/inflate in
+    // either writer or walker hash-fails
+    "mm_archive_members" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.Archives
+          val members = (0 until (1 + id % 3).toInt).map { j =>
+            (s"m$j.txt", s"member $j of doc $id".getBytes("UTF-8"))
+          }
+          val m = (id % 4).toInt
+          val blob = m match {
+            case 0 => Archives.encodeZip(members)
+            case 1 => Archives.encodeZip(members, deflate = false)
+            case 2 => Archives.encodeTar(members)
+            case _ => Archives.encodeTar(members, gzip = true)
+          }
+          val entries =
+            if (m < 2) Archives.parseZipEntries(blob)
+            else Archives.parseTarEntries(blob)
+          entries.zipWithIndex.map { case (e, ix) =>
+            val text =
+              (if (m < 2) Archives.extractZipEntry(blob, e)
+               else Archives.extractTarEntry(blob, e))
+                .map(new String(_, "UTF-8")).getOrElse("")
+            (id, ix.toLong, e.name, e.size, e.method, text)
+          }
+        }).toDF("doc_id", "entry_idx", "name", "size", "method", "text")
+    }),
+
     // crawl frontier: RSS 2.0 / Atom feed entries through BOTH
     // vocabularies and BOTH transports — titles ride CDATA on the RSS
     // side and entity escaping on the Atom side, so the gate only
@@ -1033,6 +1068,21 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
         "CAST(16 + doc_id % 16 AS INT) AS width, " +
         "TRUE AS partial_read, TRUE AS digest_ok FROM documents"),
+    // archive members re-derived field by field; the text column only
+    // matches if extraction (inflate/CRC or tar offset math) is right
+    "mm_archive_members" ->
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS n, doc_id % 4 AS m " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(j AS BIGINT) AS entry_idx, " +
+        "'m' || CAST(j AS VARCHAR) || '.txt' AS name, " +
+        "CAST(length('member ' || CAST(j AS VARCHAR) || ' of doc ' || " +
+        "CAST(doc_id AS VARCHAR)) AS BIGINT) AS size, " +
+        "CASE WHEN m = 0 THEN 'deflate' WHEN m = 1 THEN 'stored' " +
+        "ELSE 'tar' END AS method, " +
+        "'member ' || CAST(j AS VARCHAR) || ' of doc ' || " +
+        "CAST(doc_id AS VARCHAR) AS text " +
+        "FROM g, generate_series(0, 2) AS s(j) WHERE j < n"),
+
     // feed entries re-derived field by field; is_atom pins which
     // vocabulary was parsed
     "pipeline_feed_entries" ->
