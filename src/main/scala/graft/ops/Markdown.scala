@@ -1,0 +1,259 @@
+package graft.ops
+
+/** HTML → Markdown conversion — the structure-PRESERVING text hand-off
+  * for LLM corpora. [[Boilerplate.mainContent]] decides WHAT to keep;
+  * this kernel decides what the kept HTML LOOKS like as training text:
+  * real pipelines convert to Markdown rather than flat-stripping,
+  * because headings / lists / links / code fences carry signal a model
+  * should see (and markdown is the de-facto pretraining convention for
+  * structured prose).
+  *
+  * Single-pass tolerant tag scan, same stance as the other HTML
+  * kernels: no DOM, total on malformed input. Mapping: `h1..h6` →
+  * `#`-runs; `p`/`div`/`section`/... → paragraph breaks; `br` → line
+  * break; `strong`/`b` → `**`, `em`/`i` → `*`, inline `code` →
+  * backticks; `a href` → `[text](href)`; `img` → `![alt](src)`;
+  * `ul`/`ol`/`li` → `-` / `1.` items with 2-space nesting and real
+  * ordinal counters; `blockquote` → `> ` line prefixes; `pre` → fenced
+  * blocks (whitespace preserved verbatim); `hr` → `---`; table rows →
+  * `|`-separated lines (header separator omitted — disclosed
+  * simplification). `script`/`style`/... raw-text elements are skipped
+  * to their literal close tag; entities decode; whitespace collapses
+  * outside `pre`; the markdown metacharacters that would corrupt
+  * structure are backslash-escaped in text runs.
+  *
+  * Scale shape: pure per-row kernel for `mapPartitions` — map-side,
+  * zero shuffle, one pass over the input string.
+  */
+object Markdown {
+
+  private val rawTextTags = Set(
+    "script", "style", "noscript", "template", "textarea", "title")
+  private val headingLevel = Map(
+    "h1" -> 1, "h2" -> 2, "h3" -> 3, "h4" -> 4, "h5" -> 5, "h6" -> 6)
+
+  private def decodeEntity(name: String): Option[String] = name match {
+    case "amp" => Some("&")
+    case "lt" => Some("<")
+    case "gt" => Some(">")
+    case "quot" => Some("\"")
+    case "apos" => Some("'")
+    case "nbsp" => Some(" ")
+    case n if n.startsWith("#x") || n.startsWith("#X") =>
+      try Some(Character.toChars(Integer.parseInt(n.drop(2), 16)).mkString)
+      catch { case _: Exception => None }
+    case n if n.startsWith("#") =>
+      try Some(Character.toChars(n.drop(1).toInt).mkString)
+      catch { case _: Exception => None }
+    case _ => None
+  }
+
+  /** Convert an HTML fragment/document to Markdown. Never throws;
+    * null → "". */
+  def htmlToMarkdown(html: String): String = {
+    if (html == null || html.isEmpty) return ""
+    val out = new StringBuilder(html.length)
+    val lower = html.toLowerCase(java.util.Locale.ROOT) // one pass, reused
+    var i = 0
+    val n = html.length
+    var pre = false
+    var listStack = List.empty[(Boolean, Int)] // (ordered, next ordinal)
+    var quoteDepth = 0
+    var linkHref: String = null
+    var linkStart = -1 // out index where the link text begins
+    var cellSep = false // inside a table row, next td/th needs " | "
+
+    def atLineStart: Boolean = out.isEmpty || out.last == '\n'
+
+    def trimTrailingSpaces(): Unit =
+      while (out.nonEmpty && out.last == ' ') out.setLength(out.length - 1)
+
+    def ensureLineBreak(): Unit = {
+      trimTrailingSpaces()
+      if (!atLineStart) out.append('\n')
+    }
+
+    def ensureBlockBreak(): Unit = {
+      ensureLineBreak()
+      var nl = 0
+      var k = out.length - 1
+      while (k >= 0 && out(k) == '\n') { nl += 1; k -= 1 }
+      if (k >= 0 && nl < 2) out.append('\n')
+    }
+
+    /** Line-start decorations: blockquote markers (list markers are
+      * emitted by the `li` handler itself). */
+    def linePrefix(): Unit =
+      if (quoteDepth > 0 && atLineStart) {
+        var q = 0
+        while (q < quoteDepth) { out.append("> "); q += 1 }
+      }
+
+    def appendText(s: String): Unit = {
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (pre) out.append(c)
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+          // collapse runs; never emit a leading space on a line
+          if (!atLineStart && out.nonEmpty && out.last != ' ') out.append(' ')
+        } else {
+          if (atLineStart) linePrefix()
+          c match {
+            case '*' | '_' | '[' | ']' | '`' | '\\' =>
+              out.append('\\').append(c)
+            case '#' if atLineStart => out.append('\\').append(c)
+            case _ => out.append(c)
+          }
+          ()
+        }
+        j += 1
+      }
+    }
+
+    /** Decode the text run [from, until) and append. */
+    def text(from: Int, until: Int): Unit = {
+      var j = from
+      val sb = new StringBuilder(until - from)
+      while (j < until) {
+        val c = html.charAt(j)
+        if (c == '&') {
+          val semi = html.indexOf(';', j + 1)
+          if (semi > j && semi - j <= 10) {
+            decodeEntity(html.substring(j + 1, semi)) match {
+              case Some(d) => sb.append(d); j = semi + 1
+              case None => sb.append(c); j += 1
+            }
+          } else { sb.append(c); j += 1 }
+        } else { sb.append(c); j += 1 }
+      }
+      appendText(sb.toString)
+    }
+
+    def attr(tag: String, name: String): String = {
+      val rx = (name + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
+      rx.findFirstMatchIn(tag) match {
+        case Some(m) =>
+          val raw = Option(m.group(2)).orElse(Option(m.group(3)))
+            .getOrElse(Option(m.group(4)).getOrElse(""))
+          raw
+        case None => ""
+      }
+    }
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { text(i, n); i = n }
+      else {
+        if (lt > i) text(i, lt)
+        // comments / declarations
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lt + 1 < n && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val gt = html.indexOf('>', lt + 1)
+          if (gt < 0) { i = n } // truncated tag: drop the tail
+          else {
+            val rawTag = html.substring(lt + 1, gt)
+            val closing = rawTag.startsWith("/")
+            val body = if (closing) rawTag.drop(1) else rawTag
+            val name = body.takeWhile(c => c.isLetterOrDigit).toLowerCase
+            i = gt + 1
+            if (!closing && rawTextTags.contains(name)) {
+              // skip to the literal close tag
+              val close = lower.indexOf(s"</$name", i)
+              i = if (close < 0) n
+                else math.max(i, html.indexOf('>', close) + 1)
+              if (i == 0) i = n
+            } else name match {
+              case h if headingLevel.contains(h) =>
+                if (!closing) {
+                  ensureBlockBreak()
+                  out.append("#" * headingLevel(h)).append(' ')
+                } else ensureBlockBreak()
+              case "p" | "div" | "article" | "section" | "main" | "header" |
+                  "footer" | "figure" | "figcaption" | "fieldset" | "form" |
+                  "dl" | "dd" | "dt" | "body" =>
+                ensureBlockBreak()
+              case "br" =>
+                ensureLineBreak()
+              case "hr" =>
+                ensureBlockBreak(); out.append("---"); ensureBlockBreak()
+              case "strong" | "b" =>
+                if (!pre) out.append("**")
+              case "em" | "i" =>
+                if (!pre) out.append("*")
+              case "code" =>
+                if (!pre) out.append('`')
+              case "pre" =>
+                if (!closing) {
+                  ensureBlockBreak(); out.append("```\n"); pre = true
+                } else {
+                  pre = false; ensureLineBreak(); out.append("```")
+                  ensureBlockBreak()
+                }
+              case "a" =>
+                if (!closing) {
+                  linkHref = attr(rawTag, "href")
+                  if (linkHref.nonEmpty) { out.append('['); linkStart = out.length }
+                } else if (linkHref != null && linkHref.nonEmpty) {
+                  // an empty link text keeps the href as the text
+                  if (out.length == linkStart) out.append(linkHref)
+                  out.append("](").append(linkHref).append(')')
+                  linkHref = null; linkStart = -1
+                }
+              case "img" =>
+                if (!closing) {
+                  val alt = attr(rawTag, "alt")
+                  val src = attr(rawTag, "src")
+                  if (src.nonEmpty)
+                    out.append("![").append(alt).append("](").append(src).append(')')
+                }
+              case "ul" | "ol" =>
+                if (!closing) {
+                  if (listStack.isEmpty) ensureBlockBreak() else ensureLineBreak()
+                  listStack = (name == "ol", 1) :: listStack
+                } else {
+                  if (listStack.nonEmpty) listStack = listStack.tail
+                  if (listStack.isEmpty) ensureBlockBreak()
+                }
+              case "li" =>
+                if (!closing && listStack.nonEmpty) {
+                  ensureLineBreak()
+                  linePrefix()
+                  out.append("  " * (listStack.size - 1))
+                  val (ordered, cnt) = listStack.head
+                  if (ordered) {
+                    out.append(cnt).append(". ")
+                    listStack = (true, cnt + 1) :: listStack.tail
+                  } else out.append("- ")
+                } else if (closing) ensureLineBreak()
+              case "blockquote" =>
+                ensureBlockBreak()
+                if (!closing) quoteDepth += 1
+                else if (quoteDepth > 0) quoteDepth -= 1
+              case "table" =>
+                ensureBlockBreak(); cellSep = false
+              case "tr" =>
+                if (!closing) { ensureLineBreak(); cellSep = false }
+                else ensureLineBreak()
+              case "td" | "th" =>
+                if (!closing) {
+                  if (cellSep) out.append(" | ")
+                  cellSep = true
+                }
+              case _ => () // unknown tags pass through silently
+            }
+          }
+        }
+      }
+    }
+    // close an unterminated link so the output stays well-formed
+    if (linkHref != null && linkHref.nonEmpty)
+      out.append("](").append(linkHref).append(')')
+    out.toString.trim
+  }
+}

@@ -379,6 +379,28 @@ object PipelineQueries extends QueryGroup {
         }).toDF("doc_id", "n_kept", "text_out")
     }),
 
+    // HTML → Markdown: the structure-PRESERVING text hand-off (heading
+    // runs, inline markup, link targets, list ordinals, fences, quote
+    // prefixes) — the oracle replays the EXACT markdown string, so a
+    // wrong separator, ordinal or escape anywhere hash-fails
+    "text_markdown" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val hl = (1 + id % 3).toInt
+          val html = s"<html><body><h$hl>Title $id &amp; notes</h$hl>" +
+            s"<p>Para with <b>bold $id</b>, <em>em</em> and " +
+            s"<a href=\"https://x.example.com/$id\">link $id</a>.</p>" +
+            (if (id % 2 == 0) s"<ul><li>alpha $id</li><li>beta $id</li></ul>"
+             else s"<ol><li>first $id</li><li>second $id</li></ol>") +
+            (if (id % 5 == 0) s"<pre>code $id\nline two</pre>" else "") +
+            s"<blockquote><p>quoted $id</p></blockquote>" +
+            "<script>var hidden = 1;</script></body></html>"
+          (id, graft.ops.Markdown.htmlToMarkdown(html))
+        }).toDF("doc_id", "md")
+    }),
+
     // head-metadata extraction (title / meta description / canonical /
     // og:title) through an attribute-level tag parse — quote styles,
     // attribute order, entities and missing fields all vary by id; the
@@ -2646,6 +2668,22 @@ object PipelineQueries extends QueryGroup {
         "WHEN 0 THEN 'Headline number ' || CAST(doc_id AS VARCHAR) || ' here' || chr(10) || p1 || chr(10) || p2 " +
         "WHEN 1 THEN p1 || chr(10) || p2 " +
         "ELSE p1 END AS text_out FROM p"),
+    "text_markdown" ->
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS hl, " +
+        "CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "repeat('#', hl) || ' Title ' || i || ' & notes' || chr(10) || chr(10) || " +
+        "'Para with **bold ' || i || '**, *em* and [link ' || i || " +
+        "'](https://x.example.com/' || i || ').' || chr(10) || chr(10) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN " +
+        "'- alpha ' || i || chr(10) || '- beta ' || i " +
+        "ELSE '1. first ' || i || chr(10) || '2. second ' || i END || " +
+        "chr(10) || chr(10) || " +
+        "CASE WHEN doc_id % 5 = 0 THEN " +
+        "'```' || chr(10) || 'code ' || i || chr(10) || 'line two' || " +
+        "chr(10) || '```' || chr(10) || chr(10) ELSE '' END || " +
+        "'> quoted ' || i AS md FROM g"),
+
     "text_page_meta" ->
       ("SELECT doc_id, " +
         "CASE doc_id % 4 WHEN 0 THEN 'Doc & title ' || CAST(doc_id AS VARCHAR) " +

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Markdown.htmlToMarkdown
+
+/** HTML → Markdown kernel: structural mapping, inline markup, lists,
+  * links, fences, entity/whitespace handling, totality. */
+class MarkdownSpec extends AnyFunSuite {
+
+  test("headings map to # runs with block separation") {
+    val md = htmlToMarkdown("<h1>Top</h1><p>Body text.</p><h3>Sub</h3>")
+    assert(md == "# Top\n\nBody text.\n\n### Sub")
+  }
+
+  test("inline markup: bold, italic, code, entities, collapse") {
+    val md = htmlToMarkdown(
+      "<p>A  <b>bold</b> and <em>it</em> and <code>x+1</code> &amp; more</p>")
+    assert(md == "A **bold** and *it* and `x+1` & more")
+  }
+
+  test("links and images") {
+    assert(htmlToMarkdown("<p><a href=\"https://x/1\">see</a></p>") ==
+      "[see](https://x/1)")
+    assert(htmlToMarkdown("<p><a href=\"https://x/2\"></a></p>") ==
+      "[https://x/2](https://x/2)")
+    assert(htmlToMarkdown("<p><img src=\"i.png\" alt=\"pic\"/></p>") ==
+      "![pic](i.png)")
+    // no href → plain text
+    assert(htmlToMarkdown("<p><a name=\"x\">plain</a></p>") == "plain")
+  }
+
+  test("unordered and ordered lists with nesting and real ordinals") {
+    val md = htmlToMarkdown(
+      "<ul><li>one</li><li>two<ol><li>a</li><li>b</li></ol></li></ul>")
+    assert(md == "- one\n- two\n  1. a\n  2. b")
+  }
+
+  test("pre becomes a fence and preserves verbatim whitespace") {
+    val md = htmlToMarkdown("<p>before</p><pre>x  =  1\n  y = 2</pre><p>after</p>")
+    assert(md == "before\n\n```\nx  =  1\n  y = 2\n```\n\nafter")
+  }
+
+  test("blockquote prefixes lines; hr becomes a rule") {
+    val md = htmlToMarkdown("<blockquote><p>quoted words</p></blockquote><hr/>")
+    assert(md.startsWith("> quoted words"))
+    assert(md.endsWith("---"))
+  }
+
+  test("tables render as pipe-separated rows") {
+    val md = htmlToMarkdown(
+      "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>")
+    assert(md == "a | b\n1 | 2")
+  }
+
+  test("script/style bodies never leak; markdown metachars escape") {
+    val md = htmlToMarkdown(
+      "<script>var a = '<p>no</p>';</script><p>2*3 and [x]_y</p>")
+    assert(!md.contains("var a"))
+    assert(md == "2\\*3 and \\[x\\]_y".replace("_y", "\\_y"))
+  }
+
+  test("totality: null, empty, truncated tags, junk") {
+    assert(htmlToMarkdown(null) == "")
+    assert(htmlToMarkdown("") == "")
+    htmlToMarkdown("<p>unclosed <a href=\"https://x\">link")
+    htmlToMarkdown("<h1")
+    htmlToMarkdown("</div></div><li>stray</li>")
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 100) {
+      val junk = new String(Array.fill(1 + rnd.nextInt(80))(
+        (32 + rnd.nextInt(90)).toChar))
+      htmlToMarkdown(junk) // must not throw
+    }
+  }
+}
