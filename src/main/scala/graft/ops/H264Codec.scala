@@ -243,9 +243,13 @@ object H264Codec {
   /** Deterministic SPS NAL: baseline/main write no chroma block, high
     * (100) writes 4:2:0 8-bit; dimensions come from the macroblock grid
     * minus right/bottom cropping (crop units: 2 luma px at 4:2:0,
-    * frame_mbs_only = 1). */
+    * frame_mbs_only = 1). `scalingLists` (high profiles only) writes a
+    * seq scaling matrix — list 0 present with 16 non-trivial deltas,
+    * the rest absent — to plant the §7.3.2.1.1.1 skip path the parser
+    * must cross without losing bit alignment. */
   def encodeSps(profileIdc: Int, levelIdc: Int, widthMbs: Int,
-      heightMbs: Int, cropRight: Int = 0, cropBottom: Int = 0): Array[Byte] = {
+      heightMbs: Int, cropRight: Int = 0, cropBottom: Int = 0,
+      scalingLists: Boolean = false): Array[Byte] = {
     require(widthMbs >= 1 && heightMbs >= 1,
       s"bad mb grid ${widthMbs}x$heightMbs")
     require(cropRight >= 0 && cropBottom >= 0 &&
@@ -260,8 +264,21 @@ object H264Codec {
       w.ue(1) // chroma_format_idc = 4:2:0
       w.ue(0); w.ue(0) // bit depths luma/chroma = 8
       w.u(0, 1) // qpprime bypass
-      w.u(0, 1) // no scaling matrix
-    }
+      if (scalingLists) {
+        w.u(1, 1) // seq_scaling_matrix_present_flag
+        w.u(1, 1) // list 0 present: 16 alternating ±4 deltas (se(v))
+        var j = 0
+        while (j < 16) {
+          val delta = if (j % 2 == 0) 4 else -4
+          // se(v) encoding: code_num = 2|v|-1 for v>0, 2|v| for v<0
+          w.ue(if (delta > 0) 2 * delta - 1 else -2 * delta)
+          j += 1
+        }
+        var k = 1
+        while (k < 8) { w.u(0, 1); k += 1 } // lists 1..7 absent
+      } else w.u(0, 1) // no scaling matrix
+    } else require(!scalingLists,
+      s"scaling lists need a high profile, got $profileIdc")
     w.ue(0) // log2_max_frame_num_minus4
     w.ue(2) // pic_order_cnt_type = 2 (no extra fields)
     w.ue(1) // max_num_ref_frames

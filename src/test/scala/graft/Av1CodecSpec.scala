@@ -90,6 +90,52 @@ class Av1CodecSpec extends AnyFunSuite {
     assert(info.width == 854 && info.height == 480)
   }
 
+  test("timing/decoder-model/display-delay branches parse through") {
+    // handcrafted non-reduced header exercising every optional branch
+    // the fixture encoder skips: timing info with equal picture
+    // interval, decoder model (8-bit buffer delays), two operating
+    // points (tiered level 9 + plain level 5), frame-id numbers,
+    // order-hint block, screen-content force bits
+    val bits = new StringBuilder
+    def u(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bits.append((v >> k) & 1); k -= 1 }
+    }
+    u(0, 3); u(0, 1); u(0, 1) // profile 0, still 0, reduced 0
+    u(1, 1) // timing_info_present
+    u(1, 32); u(30, 32) // num_units_in_display_tick, time_scale
+    u(1, 1); u(1, 1) // equal_picture_interval, uvlc(0) = '1'
+    u(1, 1) // decoder_model_info_present
+    u(7, 5) // buffer_delay_length_minus_1 → 8-bit delays
+    u(1, 32); u(0, 5); u(0, 5) // decoding tick, removal/presentation lens
+    u(1, 1) // initial_display_delay_present
+    u(1, 5) // operating_points_cnt_minus_1 → 2 ops
+    u(0, 12); u(9, 5); u(1, 1) // op0: idc, level 9 (>7), tier 1
+    u(1, 1); u(3, 8); u(4, 8); u(0, 1) // op0 decoder model + delays
+    u(1, 1); u(5, 4) // op0 initial display delay present, value
+    u(0, 12); u(5, 5) // op1: level 5 (≤7 → no tier)
+    u(0, 1); u(0, 1) // op1: no decoder model, no display delay
+    u(15, 4); u(15, 4) // 16-bit dimension widths
+    u(1279, 16); u(719, 16)
+    u(1, 1); u(5, 4); u(2, 3) // frame_id_numbers + lengths
+    u(1, 1); u(0, 1); u(0, 1) // superblock, filter_intra, intra_edge
+    u(0, 1); u(0, 1); u(0, 1); u(0, 1) // compound/warped/dual
+    u(1, 1); u(1, 1); u(1, 1) // order_hint + jnt_comp + ref_frame_mvs
+    u(0, 1); u(1, 1) // seq_choose_sct 0 → force_sct 1
+    u(0, 1); u(1, 1) // seq_choose_integer_mv 0 → force 1
+    u(6, 3) // order_hint_bits_minus_1
+    u(0, 1); u(0, 1); u(0, 1) // superres, cdef, restoration
+    u(0, 1); u(0, 1) // high_bitdepth 0, monochrome 0
+    while (bits.length % 8 != 0) bits.append('0')
+    val body = bits.toString.grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    val obu = Array[Byte](0x0a, body.length.toByte) ++ body
+    val info = Av1Codec.parseSequenceHeader(obu).get
+    assert(info.profile == 0 && info.levelIdx == 9 && info.tier == 1)
+    assert(info.width == 1280 && info.height == 720)
+    assert(info.bitDepth == 8 && !info.monochrome && !info.reducedStillPicture)
+  }
+
   test("totality: garbage, truncation, forbidden bit, null") {
     assert(Av1Codec.parseSequenceHeader(null).isEmpty)
     assert(Av1Codec.parseSequenceHeader(Array.empty[Byte]).isEmpty)

@@ -43,6 +43,19 @@ class H264CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("a seq scaling matrix is skipped without losing bit alignment") {
+    // list 0 present with 16 non-trivial deltas, lists 1-7 absent; the
+    // fields AFTER the matrix (dims, cropping) must still parse right
+    val sps = H264Codec.encodeSps(100, 41, 22, 17, cropRight = 3,
+      cropBottom = 1, scalingLists = true)
+    val info = H264Codec.parseSps(sps).get
+    assert(info.profileIdc == 100 && info.levelIdc == 41)
+    assert(info.width == 22 * 16 - 6 && info.height == 17 * 16 - 2)
+    intercept[IllegalArgumentException] {
+      H264Codec.encodeSps(66, 30, 4, 3, scalingLists = true)
+    }
+  }
+
   test("avcC wraps and unwraps the SPS bit-exactly") {
     val sps = H264Codec.encodeSps(100, 42, 10, 7, cropRight = 2)
     val avcC = H264Codec.buildAvcC(sps)

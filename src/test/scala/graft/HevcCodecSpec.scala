@@ -54,6 +54,56 @@ class HevcCodecSpec extends AnyFunSuite {
     assert(Mp4Codec.extractAv1C(mp4).isEmpty)
   }
 
+  test("sub-layer PTLs are skipped without losing bit alignment") {
+    // handcrafted SPS with sps_max_sub_layers_minus1 = 2: sub-layer 0
+    // carries a full 88-bit profile + 8-bit level, sub-layer 1 nothing;
+    // the reserved_zero_2bits run and the fields AFTER the PTL (dims,
+    // window, bit depth) must still land on the right bits
+    val bits = new StringBuilder
+    def u(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bits.append((v >> k) & 1); k -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val codeNum = v + 1
+      val z = 31 - Integer.numberOfLeadingZeros(codeNum)
+      u(0, z); u(codeNum, z + 1)
+    }
+    u(0, 4); u(2, 3); u(1, 1) // vps id, max_sub_layers_minus1 = 2, nesting
+    u(0, 2); u(0, 1); u(1, 5) // PTL: space, tier, profile 1
+    u(0, 32); u(8, 4) // compat flags, source flags
+    u(0, 32); u(0, 12) // 44 reserved bits
+    u(93, 8) // general_level_idc
+    u(1, 1); u(1, 1) // sub0: profile present, level present
+    u(0, 1); u(0, 1) // sub1: neither
+    u(0, 12) // reserved_zero_2bits for i = 2..7
+    u(0, 32); u(0, 32); u(0, 24) // sub0 88-bit profile block
+    u(60, 8) // sub0 level
+    ue(0) // sps id
+    ue(1) // chroma 4:2:0
+    ue(322); ue(146) // luma grid
+    u(1, 1); ue(0); ue(1); ue(0); ue(1) // window: right 1, bottom 1
+    ue(2); ue(2) // bit depths 10/10
+    u(1, 1) // rbsp stop bit
+    while (bits.length % 8 != 0) bits.append('0')
+    val raw = bits.toString.grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    // emulation prevention: the zero-heavy PTL produces 00 00 0x runs
+    val ep = new java.io.ByteArrayOutputStream()
+    var zeros = 0
+    raw.foreach { b =>
+      val v = b & 0xff
+      if (zeros >= 2 && v <= 3) { ep.write(3); zeros = 0 }
+      ep.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+    }
+    val nal = Array[Byte](0x42, 0x01) ++ ep.toByteArray
+    val info = HevcCodec.parseSps(nal).get
+    assert(info.profileIdc == 1 && info.tier == 0 && info.levelIdc == 93)
+    assert(info.width == 320 && info.height == 144)
+    assert(info.bitDepthLuma == 10)
+  }
+
   test("parseSps totality: garbage, truncation, wrong NAL type, null") {
     assert(HevcCodec.parseSps(null).isEmpty)
     assert(HevcCodec.parseSps(Array[Byte](0x42, 0x01)).isEmpty)
