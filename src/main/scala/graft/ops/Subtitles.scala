@@ -1,0 +1,116 @@
+package graft.ops
+
+/** SRT / WebVTT subtitle parsing — the speech-text alignment tier of
+  * the multimodal story: crawled video rarely ships transcripts as
+  * plain text, it ships `.srt`/`.vtt` cue files, and training pipelines
+  * join cue time ranges against sampled frames
+  * ([[Mp4Codec.sampleFramePositions]]) to build (frame, caption)
+  * pairs. A cue is (start ms, end ms, text); both formats reduce to
+  * that triple.
+  *
+  * Handles: SRT blocks (ordinal line, `HH:MM:SS,mmm --> HH:MM:SS,mmm`,
+  * text lines to the blank separator) and WebVTT (`WEBVTT` header,
+  * optional cue identifiers, `HH:MM:SS.mmm` or `MM:SS.mmm` times,
+  * cue-settings after the arrow ignored, NOTE/STYLE/REGION blocks
+  * skipped, the five XML entities decoded, inline `<v>`/`<i>`/... voice
+  * and styling tags stripped). Same totality stance as every parser
+  * here: malformed blocks are skipped, the walk never throws.
+  *
+  * Scale shape: one cue file is one row's work in a `mapPartitions`
+  * pass — map-side, no shuffle.
+  */
+object Subtitles {
+
+  /** One cue; times in milliseconds. */
+  final case class Cue(index: Int, startMs: Long, endMs: Long, text: String)
+
+  // HH:MM:SS,mmm (SRT) / HH:MM:SS.mmm or MM:SS.mmm (VTT)
+  private val timeRx =
+    "(?:(\\d{1,2}):)?(\\d{1,2}):(\\d{2})[.,](\\d{3})".r
+  private val arrowRx =
+    ("(?:(?:\\d{1,2}):)?(?:\\d{1,2}):(?:\\d{2})[.,](?:\\d{3})\\s*-->\\s*" +
+      "(?:(?:\\d{1,2}):)?(?:\\d{1,2}):(?:\\d{2})[.,](?:\\d{3})").r
+  private val tagRx = "</?[a-zA-Z][^>]*>".r
+
+  private def parseTime(s: String): Long = timeRx.findFirstMatchIn(s) match {
+    case Some(m) =>
+      val h = Option(m.group(1)).map(_.toLong).getOrElse(0L)
+      h * 3600000L + m.group(2).toLong * 60000L +
+        m.group(3).toLong * 1000L + m.group(4).toLong
+    case None => -1L
+  }
+
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+
+  /** Parse an SRT or WebVTT document. Cues in document order with a
+    * 0-based re-index (source ordinals are unreliable on the real
+    * web); malformed blocks are skipped; never throws. */
+  def parse(b: Array[Byte], maxCues: Int = 100000): Seq[Cue] = {
+    if (b == null || b.length == 0) return Nil
+    try {
+      var text = new String(b, "UTF-8")
+      if (text.nonEmpty && text.charAt(0) == '\uFEFF') text = text.substring(1)
+      val lines = text.split("\r\n|\n|\r", -1)
+      val out = Seq.newBuilder[Cue]
+      var idx = 0
+      var i = 0
+      var skipBlock = false
+      while (i < lines.length && idx < maxCues) {
+        val line = lines(i).trim
+        if (line.isEmpty) { skipBlock = false; i += 1 }
+        else if (skipBlock) i += 1
+        else if (line.startsWith("WEBVTT")) { skipBlock = true; i += 1 }
+        else if (line.startsWith("NOTE") || line.startsWith("STYLE") ||
+          line.startsWith("REGION")) { skipBlock = true; i += 1 }
+        else if (arrowRx.findFirstIn(line).isDefined) {
+          val parts = line.split("-->")
+          val start = parseTime(parts(0))
+          val end = if (parts.length > 1) parseTime(parts(1)) else -1L
+          i += 1
+          val sb = new StringBuilder
+          while (i < lines.length && lines(i).trim.nonEmpty) {
+            if (sb.nonEmpty) sb.append('\n')
+            sb.append(lines(i).trim)
+            i += 1
+          }
+          if (start >= 0 && end >= start && sb.nonEmpty) {
+            val clean = unescape(tagRx.replaceAllIn(sb.toString, ""))
+            if (clean.trim.nonEmpty) {
+              out += Cue(idx, start, end, clean)
+              idx += 1
+            }
+          }
+        } else i += 1 // ordinal / cue-identifier / junk line
+      }
+      out.result()
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** Deterministic writers for fixtures. */
+  def encodeSrt(cues: Seq[(Long, Long, String)]): Array[Byte] = {
+    def t(ms: Long): String = "%02d:%02d:%02d,%03d".format(
+      ms / 3600000, ms / 60000 % 60, ms / 1000 % 60, ms % 1000)
+    val sb = new StringBuilder
+    cues.zipWithIndex.foreach { case ((s, e, txt), k) =>
+      sb.append(k + 1).append('\n')
+        .append(t(s)).append(" --> ").append(t(e)).append('\n')
+        .append(txt).append("\n\n")
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  def encodeVtt(cues: Seq[(Long, Long, String)]): Array[Byte] = {
+    def t(ms: Long): String = "%02d:%02d:%02d.%03d".format(
+      ms / 3600000, ms / 60000 % 60, ms / 1000 % 60, ms % 1000)
+    val sb = new StringBuilder("WEBVTT\n\n")
+    cues.zipWithIndex.foreach { case ((s, e, txt), k) =>
+      sb.append("cue-").append(k + 1).append('\n')
+        .append(t(s)).append(" --> ").append(t(e))
+        .append(" align:start\n") // cue settings must be ignored
+        .append(txt.replace("&", "&amp;")).append("\n\n")
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+}

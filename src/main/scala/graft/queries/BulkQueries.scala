@@ -749,6 +749,29 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "loc", "lastmod", "priority", "is_index")
     }),
 
+    // subtitle cues through BOTH formats: SRT (comma millis, ordinal
+    // lines) and WebVTT (dot millis, cue identifiers, cue settings to
+    // ignore, entity escaping) — start/end ms and text re-derived from
+    // id arithmetic, the speech-text alignment feed for (frame,
+    // caption) pairs
+    "mm_subtitle_cues" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val cues = (0 until (1 + id % 4).toInt).map { j =>
+            val start = (id % 7) * 500 + j * 2000L
+            (start, start + 1500, s"caption $j for doc $id")
+          }
+          val bytes =
+            if (id % 2 == 0) graft.ops.Subtitles.encodeSrt(cues)
+            else graft.ops.Subtitles.encodeVtt(cues)
+          graft.ops.Subtitles.parse(bytes).map { c =>
+            (id, c.index.toLong, c.startMs, c.endMs, c.text)
+          }
+        }).toDF("doc_id", "cue_idx", "start_ms", "end_ms", "text")
+    }),
+
     // archive-container ingest: ZIP central-directory walk (stored +
     // deflate members, CRC-verified extraction via the local-header
     // seek point) and ustar tar walk (checksum-verified headers, tgz
@@ -1068,6 +1091,16 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
         "CAST(16 + doc_id % 16 AS INT) AS width, " +
         "TRUE AS partial_read, TRUE AS digest_ok FROM documents"),
+    // subtitle cues re-derived field by field (ms math + text)
+    "mm_subtitle_cues" ->
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents) " +
+        "SELECT doc_id, CAST(j AS BIGINT) AS cue_idx, " +
+        "CAST((doc_id % 7) * 500 + j * 2000 AS BIGINT) AS start_ms, " +
+        "CAST((doc_id % 7) * 500 + j * 2000 + 1500 AS BIGINT) AS end_ms, " +
+        "'caption ' || CAST(j AS VARCHAR) || ' for doc ' || " +
+        "CAST(doc_id AS VARCHAR) AS text " +
+        "FROM g, generate_series(0, 3) AS s(j) WHERE j < n"),
+
     // archive members re-derived field by field; the text column only
     // matches if extraction (inflate/CRC or tar offset math) is right
     "mm_archive_members" ->

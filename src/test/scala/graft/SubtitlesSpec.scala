@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Subtitles
+
+/** SRT / WebVTT cue walk vs the deterministic writers: time math, both
+  * formats, tag/entity handling, malformed-block skipping, totality. */
+class SubtitlesSpec extends AnyFunSuite {
+
+  private val cues = Seq(
+    (0L, 1500L, "first caption"),
+    (2000L, 3900L, "second line one\nsecond line two"),
+    (3661234L, 3665000L, "over an hour in"))
+
+  test("SRT round-trips times and multi-line text") {
+    val out = Subtitles.parse(Subtitles.encodeSrt(cues))
+    assert(out.size == 3)
+    assert(out.map(c => (c.startMs, c.endMs, c.text)) == cues)
+    assert(out.map(_.index) == Seq(0, 1, 2))
+  }
+
+  test("WebVTT round-trips through header, identifiers and settings") {
+    val out = Subtitles.parse(Subtitles.encodeVtt(cues))
+    assert(out.map(c => (c.startMs, c.endMs, c.text)) == cues)
+  }
+
+  test("VTT short times (MM:SS.mmm) and voice tags parse") {
+    val vtt = ("WEBVTT\n\n00:05.000 --> 00:07.500\n" +
+      "<v Speaker>Hello &amp; welcome</v>\n\n" +
+      "NOTE this block is\nskipped entirely\n\n" +
+      "01:00.000 --> 01:02.000\n<i>styled</i> text\n").getBytes("UTF-8")
+    val out = Subtitles.parse(vtt)
+    assert(out.size == 2)
+    assert(out(0).startMs == 5000 && out(0).endMs == 7500)
+    assert(out(0).text == "Hello & welcome")
+    assert(out(1).startMs == 60000 && out(1).text == "styled text")
+  }
+
+  test("malformed blocks are skipped, good neighbors survive") {
+    val srt = ("1\n00:00:00,000 --> 00:00:01,000\nok one\n\n" +
+      "2\nnot a time line\nlost text\n\n" +
+      "3\n00:00:05,000 --> 00:00:04,000\nend before start\n\n" +
+      "4\n00:00:06,000 --> 00:00:07,000\nok two\n").getBytes("UTF-8")
+    val out = Subtitles.parse(srt)
+    assert(out.map(_.text) == Seq("ok one", "ok two"))
+    assert(out.map(_.index) == Seq(0, 1)) // re-indexed, not source ordinals
+  }
+
+  test("a UTF-8 BOM is tolerated") {
+    val withBom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      Subtitles.encodeSrt(cues.take(1))
+    assert(Subtitles.parse(withBom).size == 1)
+  }
+
+  test("maxCues caps the walk; totality on junk") {
+    val many = Subtitles.encodeSrt(Seq.fill(30)((0L, 1L, "x")))
+    assert(Subtitles.parse(many, maxCues = 7).size == 7)
+    assert(Subtitles.parse(null).isEmpty)
+    assert(Subtitles.parse(Array.empty[Byte]).isEmpty)
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 100)
+      Subtitles.parse(Array.fill[Byte](1 + rnd.nextInt(80))(rnd.nextInt.toByte))
+  }
+}
