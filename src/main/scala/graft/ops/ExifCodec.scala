@@ -1,0 +1,178 @@
+package graft.ops
+
+/** EXIF metadata parsing (JPEG APP1 → TIFF IFD walk), pure JVM — the
+  * image-metadata analog of the video codec headers: crawled photos
+  * carry an Exif block whose Orientation tag decides whether the
+  * raster needs rotating BEFORE it becomes training data (a model fed
+  * sideways images learns sideways features), and Make/Model/DateTime
+  * drive dedup and provenance screens. The read walks a few hundred
+  * bytes of the APP1 segment; no scan data is touched.
+  *
+  * Parser: marker-segment walk to APP1 `Exif\0\0` → TIFF header (both
+  * byte orders: `II`*42 little, `MM`*42 big) → IFD0 entry table →
+  * Orientation (0x0112 SHORT), Make / Model / Software / DateTime
+  * (ASCII, inline or offset-addressed), ImageDescription. Values out
+  * of line bounds, bad counts, truncation → field-level defaults, the
+  * walk never throws.
+  *
+  * Encoder: a deterministic APP1 builder (either endianness) and an
+  * injector that splices it after SOI in any JPEG — fixtures ride the
+  * real [[JpegCodec]] output.
+  */
+object ExifCodec {
+
+  /** The curation slice of IFD0. `orientation` -1 when absent;
+    * strings "" when absent. */
+  final case class ExifMeta(orientation: Int, make: String, model: String,
+      dateTime: String, description: String)
+
+  val Empty: ExifMeta = ExifMeta(-1, "", "", "", "")
+
+  private val TagOrientation = 0x0112
+  private val TagMake = 0x010f
+  private val TagModel = 0x0110
+  private val TagDateTime = 0x0132
+  private val TagDescription = 0x010e
+
+  /** Parse the first APP1 Exif block of a JPEG. [[Empty]]-field
+    * defaults on anything malformed; never throws. */
+  def parseExif(jpeg: Array[Byte]): ExifMeta = {
+    if (jpeg == null || jpeg.length < 4 ||
+      (jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8) return Empty
+    try {
+      var i = 2
+      while (i + 4 <= jpeg.length) {
+        if ((jpeg(i) & 0xff) != 0xff) return Empty
+        val marker = jpeg(i + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return Empty // EOI / SOS
+        val len = ((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > jpeg.length) return Empty
+        if (marker == 0xe1 && len >= 16 &&
+          jpeg(i + 4) == 'E' && jpeg(i + 5) == 'x' && jpeg(i + 6) == 'i' &&
+          jpeg(i + 7) == 'f' && jpeg(i + 8) == 0 && jpeg(i + 9) == 0)
+          return parseTiff(jpeg, i + 10, i + 2 + len)
+        i += 2 + len
+      }
+      Empty
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Empty
+    }
+  }
+
+  private def parseTiff(b: Array[Byte], tiff: Int, end: Int): ExifMeta = {
+    if (tiff + 8 > end) return Empty
+    val little =
+      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+      else return Empty
+    def u16(i: Int): Int =
+      if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (little) (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+      else ((u16(i).toLong << 16) | u16(i + 2)) & 0xffffffffL
+    if (u16(tiff + 2) != 42) return Empty
+    val ifd0 = tiff + u32(tiff + 4).toInt
+    if (ifd0 + 2 > end) return Empty
+    val n = u16(ifd0)
+    var orientation = -1
+    var make = ""; var model = ""; var dateTime = ""; var desc = ""
+    var k = 0
+    while (k < n) {
+      val e = ifd0 + 2 + 12 * k
+      if (e + 12 > end) return ExifMeta(orientation, make, model, dateTime, desc)
+      val tag = u16(e)
+      val tpe = u16(e + 2)
+      val count = u32(e + 4)
+      def ascii(): String = {
+        if (tpe != 2 || count <= 0 || count > 4096) return ""
+        val off = if (count <= 4) e + 8 else tiff + u32(e + 8).toInt
+        if (off < tiff || off + count > end) return ""
+        var len = count.toInt
+        while (len > 0 && b(off + len - 1) == 0) len -= 1 // NUL terminator
+        new String(b, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      tag match {
+        case TagOrientation if tpe == 3 && count == 1 =>
+          orientation = u16(e + 8)
+        case TagMake => make = ascii()
+        case TagModel => model = ascii()
+        case TagDateTime => dateTime = ascii()
+        case TagDescription => desc = ascii()
+        case _ => ()
+      }
+      k += 1
+    }
+    ExifMeta(orientation, make, model, dateTime, desc)
+  }
+
+  // ---- deterministic encoder (fixtures) --------------------------------
+
+  /** Build an APP1 Exif segment (marker + length included) carrying
+    * IFD0 with the five tags this parser reads, in the chosen byte
+    * order; long strings go to the offset-addressed value area. */
+  def buildExifApp1(orientation: Int, make: String, model: String,
+      dateTime: String = "", description: String = "",
+      littleEndian: Boolean = true): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+      else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { w16(v.toInt & 0xffff); w16((v >> 16).toInt) }
+      else { w16((v >> 16).toInt); w16(v.toInt & 0xffff) }
+    // header
+    if (littleEndian) { tiff.write('I'); tiff.write('I') }
+    else { tiff.write('M'); tiff.write('M') }
+    w16(42); w32(8) // IFD0 at offset 8
+    val strings = Seq(TagDescription -> description, TagMake -> make,
+      TagModel -> model, TagDateTime -> dateTime).filter(_._2.nonEmpty)
+    val nEntries = strings.size + 1
+    w16(nEntries)
+    // the value area starts after: 8 hdr + 2 count + 12n entries + 4 next
+    var valueOff = 8 + 2 + 12 * nEntries + 4
+    val values = new java.io.ByteArrayOutputStream()
+    // entries must be in ascending tag order (TIFF 6.0 requirement)
+    val entries = (strings.map { case (tag, s) => (tag, s) } :+
+      (TagOrientation -> "")).sortBy(_._1)
+    entries.foreach { case (tag, s) =>
+      w16(tag)
+      if (tag == TagOrientation) {
+        w16(3); w32(1) // SHORT × 1
+        w16(orientation); w16(0) // value padded to 4 bytes
+      } else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val withNul = bytes :+ 0.toByte
+        w16(2); w32(withNul.length.toLong)
+        if (withNul.length <= 4) {
+          var j = 0
+          while (j < 4) {
+            tiff.write(if (j < withNul.length) withNul(j) & 0xff else 0)
+            j += 1
+          }
+        } else {
+          w32(valueOff.toLong)
+          values.write(withNul, 0, withNul.length)
+          valueOff += withNul.length
+        }
+      }
+    }
+    w32(0) // next IFD
+    values.toByteArray.foreach(v => tiff.write(v & 0xff))
+    val body = tiff.toByteArray
+    val payload = "Exif".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 0) ++ body
+    val len = payload.length + 2
+    Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** Splice an APP1 segment right after SOI of an existing JPEG. */
+  def injectApp1(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] = {
+    require(jpeg != null && jpeg.length >= 2 &&
+      (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+}

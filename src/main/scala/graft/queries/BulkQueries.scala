@@ -749,6 +749,31 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "loc", "lastmod", "priority", "is_index")
     }),
 
+    // EXIF through REAL JPEG bytes: an APP1/TIFF block (both byte
+    // orders by id parity, inline AND offset-addressed ASCII values)
+    // is spliced after SOI of a real encoder output and walked back —
+    // orientation decides rotation before an image becomes training
+    // data, so this read is the screen that keeps rasters upright
+    "mm_exif_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          val px = new Array[Byte](8 * 8 * 3) // one tiny shared raster
+          val base = graft.ops.JpegCodec.encodeJpeg(
+            graft.ops.MediaCodec.Raster(8, 8, 3, px), quality = 90)
+          it.map { id =>
+            val app1 = graft.ops.ExifCodec.buildExifApp1(
+              (1 + id % 8).toInt, s"Maker${id % 5}", s"Cam $id",
+              dateTime = s"2026:01:0${1 + id % 9} 12:00:00",
+              littleEndian = id % 2 == 0)
+            val jpeg = graft.ops.ExifCodec.injectApp1(base, app1)
+            val m = graft.ops.ExifCodec.parseExif(jpeg)
+            (id, m.orientation, m.make, m.model, m.dateTime)
+          }
+        }.toDF("doc_id", "orientation", "make", "model", "date_time")
+    }),
+
     // subtitle cues through BOTH formats: SRT (comma millis, ordinal
     // lines) and WebVTT (dot millis, cue identifiers, cue settings to
     // ignore, entity escaping) — start/end ms and text re-derived from
@@ -1091,6 +1116,14 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
         "CAST(16 + doc_id % 16 AS INT) AS width, " +
         "TRUE AS partial_read, TRUE AS digest_ok FROM documents"),
+    // EXIF fields re-derived: both endians land on the same values
+    "mm_exif_meta" ->
+      ("SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation, " +
+        "'Maker' || CAST(doc_id % 5 AS VARCHAR) AS make, " +
+        "'Cam ' || CAST(doc_id AS VARCHAR) AS model, " +
+        "'2026:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' 12:00:00' " +
+        "AS date_time FROM documents"),
+
     // subtitle cues re-derived field by field (ms math + text)
     "mm_subtitle_cues" ->
       ("WITH g AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents) " +

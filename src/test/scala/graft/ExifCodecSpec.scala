@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ExifCodec, JpegCodec, MediaCodec}
+
+/** EXIF APP1/TIFF walk vs the deterministic builder: both byte orders,
+  * inline vs offset-addressed values, real-JPEG splice, ImageIO
+  * cross-read of the host JPEG, totality. */
+class ExifCodecSpec extends AnyFunSuite {
+
+  private def jpeg(): Array[Byte] = {
+    val px = new Array[Byte](16 * 16 * 3)
+    JpegCodec.encodeJpeg(MediaCodec.Raster(16, 16, 3, px), quality = 90)
+  }
+
+  test("both byte orders round-trip every field") {
+    for (le <- Seq(true, false)) {
+      val app1 = ExifCodec.buildExifApp1(6, "NeatCo", "Model X100",
+        dateTime = "2026:02:03 04:05:06", description = "a test shot",
+        littleEndian = le)
+      val m = ExifCodec.parseExif(ExifCodec.injectApp1(jpeg(), app1))
+      assert(m.orientation == 6)
+      assert(m.make == "NeatCo" && m.model == "Model X100")
+      assert(m.dateTime == "2026:02:03 04:05:06")
+      assert(m.description == "a test shot")
+    }
+  }
+
+  test("short strings ride the inline 4-byte value slot") {
+    // "abc" + NUL = exactly 4 bytes → inline, no offset indirection
+    val m = ExifCodec.parseExif(ExifCodec.injectApp1(jpeg(),
+      ExifCodec.buildExifApp1(1, "abc", "long model name here")))
+    assert(m.make == "abc" && m.model == "long model name here")
+  }
+
+  test("the host JPEG still decodes after the splice (ImageIO + ours)") {
+    val spliced = ExifCodec.injectApp1(jpeg(),
+      ExifCodec.buildExifApp1(3, "M", "N"))
+    val ours = MediaCodec.decodeRaster(spliced)
+    assert(ours.exists(r => r.width == 16 && r.height == 16))
+    val io = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(spliced))
+    assert(io != null && io.getWidth == 16 && io.getHeight == 16)
+  }
+
+  test("JPEGs without EXIF, or with junk APP1, yield the empty meta") {
+    assert(ExifCodec.parseExif(jpeg()) == ExifCodec.Empty)
+    assert(ExifCodec.parseExif(null) == ExifCodec.Empty)
+    assert(ExifCodec.parseExif("nope".getBytes("US-ASCII")) == ExifCodec.Empty)
+    // APP1 that is not Exif (e.g. XMP) is skipped without a parse
+    val xmp = Array[Byte](0xff.toByte, 0xe1.toByte, 0, 8,
+      'h', 't', 't', 'p', ':', '/')
+    assert(ExifCodec.parseExif(ExifCodec.injectApp1(jpeg(), xmp)) ==
+      ExifCodec.Empty)
+  }
+
+  test("totality: truncation anywhere in the APP1 never throws") {
+    val full = ExifCodec.injectApp1(jpeg(),
+      ExifCodec.buildExifApp1(8, "MakerName", "ModelName",
+        dateTime = "2026:01:01 00:00:00"))
+    for (cut <- 2 until math.min(full.length, 220))
+      ExifCodec.parseExif(java.util.Arrays.copyOf(full, cut)) // no throw
+    // corrupt interior bytes of the TIFF block
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 200) {
+      val b = full.clone()
+      b(4 + rnd.nextInt(100)) = rnd.nextInt.toByte
+      ExifCodec.parseExif(b) // no throw
+    }
+  }
+}
