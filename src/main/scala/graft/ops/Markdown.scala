@@ -53,7 +53,18 @@ object Markdown {
   def htmlToMarkdown(html: String): String = {
     if (html == null || html.isEmpty) return ""
     val out = new StringBuilder(html.length)
-    val lower = html.toLowerCase(java.util.Locale.ROOT) // one pass, reused
+    // ASCII-only lowercase (String.toLowerCase can change length for
+    // some Unicode, e.g. U+0130, which would misalign index math)
+    val lower = {
+      val a = html.toCharArray
+      var li = 0
+      while (li < a.length) {
+        val c = a(li)
+        if (c >= 'A' && c <= 'Z') a(li) = (c + 32).toChar
+        li += 1
+      }
+      new String(a)
+    }
     var i = 0
     val n = html.length
     var pre = false

@@ -1,0 +1,207 @@
+package graft.ops
+
+/** Outlink extraction with RFC 3986 reference resolution — the edge
+  * producer of the crawl graph: every discovered page yields (source,
+  * target, anchor, nofollow) edges that feed the frontier
+  * ([[Sitemaps]]/[[Feeds]] are the push side, this is the pull side)
+  * and the host-graph analytics (PageRank-family in `ops/Clustering`).
+  * Real hrefs are mostly RELATIVE — path-relative, root-relative,
+  * scheme-relative, query-only, dot-segmented — so the resolver is the
+  * load-bearing part, implemented per RFC 3986 §5.2 (merge +
+  * remove_dot_segments), honoring an in-document `<base href>`.
+  *
+  * Skips non-navigational schemes (javascript/mailto/tel/data),
+  * strips fragments (a crawl treats #frag as the same resource),
+  * decodes entities in hrefs (`&amp;` in query strings is ubiquitous),
+  * and flags `rel="nofollow"` (link-graph edges that must not carry
+  * authority). Tolerant tag scan, never throws.
+  *
+  * Scale shape: one page is one row's work in a `mapPartitions` pass —
+  * map-side; the edge list that comes out is what shuffles, not the
+  * HTML.
+  */
+object Outlinks {
+
+  /** One extracted link in document order. */
+  final case class Link(url: String, anchor: String, nofollow: Boolean)
+
+  private val skipSchemes =
+    Set("javascript", "mailto", "tel", "data", "about", "ftp")
+
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&#39;", "'").replace("&amp;", "&")
+
+  // ---- RFC 3986 §5.2 reference resolution ------------------------------
+
+  private final case class Parts(scheme: String, authority: String,
+      path: String, query: String)
+
+  /** Split an absolute or relative reference into RFC 3986 components
+    * (fragment discarded). */
+  private def split(ref0: String): Parts = {
+    var ref = ref0
+    val hash = ref.indexOf('#')
+    if (hash >= 0) ref = ref.substring(0, hash)
+    var scheme = ""
+    val colon = ref.indexOf(':')
+    if (colon > 0 && ref.substring(0, colon).forall(c =>
+        c.isLetterOrDigit || c == '+' || c == '-' || c == '.') &&
+      ref.charAt(0).isLetter) {
+      scheme = ref.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
+      ref = ref.substring(colon + 1)
+    }
+    var authority = ""
+    if (ref.startsWith("//")) {
+      val end = ref.indexWhere(c => c == '/' || c == '?', 2) match {
+        case -1 => ref.length
+        case e => e
+      }
+      authority = ref.substring(2, end)
+      ref = ref.substring(end)
+    }
+    val q = ref.indexOf('?')
+    if (q >= 0) Parts(scheme, authority, ref.substring(0, q), ref.substring(q + 1))
+    else Parts(scheme, authority, ref, null)
+  }
+
+  /** remove_dot_segments (§5.2.4). */
+  private def removeDots(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val abs = path.startsWith("/")
+    var trailingSlash = false
+    path.split("/", -1).foreach {
+      case "" => ()
+      case "." => trailingSlash = true
+      case ".." =>
+        if (out.nonEmpty) out.remove(out.length - 1)
+        trailingSlash = true
+      case seg => out += seg; trailingSlash = false
+    }
+    val body = out.mkString("/")
+    val lead = if (abs) "/" else ""
+    val tail =
+      if ((path.endsWith("/") || trailingSlash) && body.nonEmpty) "/" else ""
+    val r = lead + body + tail
+    if (r.isEmpty && abs) "/" else r
+  }
+
+  /** §5.2.3 merge. */
+  private def merge(base: Parts, refPath: String): String =
+    if (base.authority.nonEmpty && base.path.isEmpty) "/" + refPath
+    else {
+      val slash = base.path.lastIndexOf('/')
+      if (slash < 0) refPath else base.path.substring(0, slash + 1) + refPath
+    }
+
+  /** Resolve `ref` against absolute `base` (§5.2.2), fragment dropped.
+    * Returns "" when the result has no usable scheme+authority or the
+    * ref's scheme is non-navigational; never throws. */
+  def resolve(base: String, ref: String): String = {
+    if (base == null || ref == null) return ""
+    try {
+      val r = split(ref.trim)
+      if (r.scheme.nonEmpty && skipSchemes.contains(r.scheme)) return ""
+      val b = split(base.trim)
+      if (b.scheme.isEmpty || (b.authority.isEmpty && r.authority.isEmpty &&
+        r.scheme.isEmpty)) return ""
+      val t =
+        if (r.scheme.nonEmpty) r.copy(path = removeDots(r.path))
+        else if (r.authority.nonEmpty)
+          Parts(b.scheme, r.authority, removeDots(r.path), r.query)
+        else if (r.path.isEmpty)
+          Parts(b.scheme, b.authority, b.path,
+            if (r.query != null) r.query else b.query)
+        else if (r.path.startsWith("/"))
+          Parts(b.scheme, b.authority, removeDots(r.path), r.query)
+        else Parts(b.scheme, b.authority, removeDots(merge(b, r.path)), r.query)
+      if (t.scheme.isEmpty || t.authority.isEmpty) return ""
+      val p = if (t.path.isEmpty) "/" else t.path
+      t.scheme + "://" + t.authority + p +
+        (if (t.query != null && t.query.nonEmpty) "?" + t.query else "")
+    } catch { case _: Throwable => "" }
+  }
+
+  // ---- extraction -------------------------------------------------------
+
+  /** ASCII-only lowercase: String.toLowerCase can CHANGE LENGTH for
+    * some Unicode (U+0130), which would misalign the index math below. */
+  private def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  private val attrRx =
+    "([a-zA-Z-]+)\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
+
+  private def attr(tag: String, name: String): String = {
+    attrRx.findAllMatchIn(tag)
+      .find(_.group(1).equalsIgnoreCase(name))
+      .map(m => Option(m.group(3)).orElse(Option(m.group(4)))
+        .getOrElse(Option(m.group(5)).getOrElse("")))
+      .getOrElse("")
+  }
+
+  /** Extract resolved outlinks from a page. `pageUrl` is the fetch
+    * URL; an in-document `<base href>` (first one wins, per HTML)
+    * overrides it. Anchor text is the tag-stripped text to the
+    * matching close; links that resolve to "" are dropped. */
+  def extractLinks(html: String, pageUrl: String,
+      maxLinks: Int = 10000): Seq[Link] = {
+    if (html == null || html.isEmpty || pageUrl == null) return Nil
+    try {
+      val lower = asciiLower(html)
+      // first <base href> wins
+      var base = pageUrl
+      val bIdx = lower.indexOf("<base")
+      if (bIdx >= 0) {
+        val bEnd = html.indexOf('>', bIdx)
+        if (bEnd > bIdx) {
+          val href = attr(html.substring(bIdx, bEnd), "href")
+          if (href.nonEmpty) {
+            val resolved = resolve(pageUrl, unescape(href))
+            if (resolved.nonEmpty) base = resolved
+          }
+        }
+      }
+      val out = Seq.newBuilder[Link]
+      var n = 0
+      var i = 0
+      while (n < maxLinks) {
+        val a = lower.indexOf("<a", i)
+        // must be "<a " or "<a>" — not <article>/<aside>
+        if (a < 0) return out.result()
+        val after = if (a + 2 < html.length) html.charAt(a + 2) else ' '
+        if (after != ' ' && after != '>' && after != '\t' && after != '\n' &&
+          after != '\r' && after != '/') { i = a + 2 }
+        else {
+          val tagEnd = html.indexOf('>', a)
+          if (tagEnd < 0) return out.result()
+          val tag = html.substring(a, tagEnd)
+          val close = lower.indexOf("</a", tagEnd)
+          val rawText =
+            if (close < 0) "" else html.substring(tagEnd + 1, close)
+          val anchor = unescape(rawText.replaceAll("<[^>]*>", " "))
+            .replaceAll("\\s+", " ").trim
+          val href = unescape(attr(tag, "href"))
+          if (href.nonEmpty) {
+            val url = resolve(base, href)
+            if (url.nonEmpty) {
+              val rel = attr(tag, "rel").toLowerCase(java.util.Locale.ROOT)
+              out += Link(url, anchor, rel.split("\\s+").contains("nofollow"))
+              n += 1
+            }
+          }
+          i = if (close < 0) tagEnd + 1 else close + 3
+        }
+      }
+      out.result()
+    } catch { case _: Throwable => Nil }
+  }
+}

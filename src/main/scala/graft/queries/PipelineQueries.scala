@@ -401,6 +401,34 @@ object PipelineQueries extends QueryGroup {
         }).toDF("doc_id", "md")
     }),
 
+    // outlink extraction + RFC 3986 resolution: path-relative,
+    // root-relative, dot-segmented, absolute, fragment-only and
+    // skipped-scheme hrefs against a per-id page URL, with a third of
+    // the pages overriding it via <base href> — every resolved URL is
+    // re-derived by the oracle, so a wrong merge/dot-removal/base rule
+    // hash-fails; nofollow rides the rel attribute
+    "text_outlinks" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val pageUrl = s"https://h${id % 9}.example.com/dir/page$id.html"
+          val baseTag =
+            if (id % 3 == 0) s"<base href=\"https://based$id.org/bx/\">"
+            else ""
+          val html = s"<html><head>$baseTag</head><body>" +
+            s"<a href=\"sub/x$id\">first $id</a>" +
+            s"<a href=\"/top$id?a=1&amp;b=2\">second</a>" +
+            s"<a href=\"../up/y$id\">third</a>" +
+            s"<a rel=\"nofollow\" href=\"https://other${id % 4}.net/abs\">fourth</a>" +
+            "<a href=\"mailto:x@y.z\">mail</a>" +
+            "<a href=\"#sec\">self</a></body></html>"
+          graft.ops.Outlinks.extractLinks(html, pageUrl).zipWithIndex.map {
+            case (l, ix) => (id, ix.toLong, l.url, l.anchor, l.nofollow)
+          }
+        }).toDF("doc_id", "link_idx", "url", "anchor", "nofollow")
+    }),
+
     // head-metadata extraction (title / meta description / canonical /
     // og:title) through an attribute-level tag parse — quote styles,
     // attribute order, entities and missing fields all vary by id; the
@@ -2683,6 +2711,25 @@ object PipelineQueries extends QueryGroup {
         "'```' || chr(10) || 'code ' || i || chr(10) || 'line two' || " +
         "chr(10) || '```' || chr(10) || chr(10) ELSE '' END || " +
         "'> quoted ' || i AS md FROM g"),
+
+    "text_outlinks" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "doc_id % 3 = 0 AS hasbase FROM documents), " +
+        "h AS (SELECT doc_id, i, hasbase, " +
+        "CASE WHEN hasbase THEN 'based' || i || '.org' " +
+        "ELSE 'h' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' END AS host, " +
+        "CASE WHEN hasbase THEN '/bx/' ELSE '/dir/' END AS dir FROM g) " +
+        "SELECT doc_id, CAST(j AS BIGINT) AS link_idx, " +
+        "CASE j WHEN 0 THEN 'https://' || host || dir || 'sub/x' || i " +
+        "WHEN 1 THEN 'https://' || host || '/top' || i || '?a=1&b=2' " +
+        "WHEN 2 THEN 'https://' || host || '/up/y' || i " +
+        "WHEN 3 THEN 'https://other' || CAST(doc_id % 4 AS VARCHAR) || '.net/abs' " +
+        "ELSE CASE WHEN hasbase THEN 'https://' || host || '/bx/' " +
+        "  ELSE 'https://' || host || '/dir/page' || i || '.html' END END AS url, " +
+        "CASE j WHEN 0 THEN 'first ' || i WHEN 1 THEN 'second' " +
+        "WHEN 2 THEN 'third' WHEN 3 THEN 'fourth' ELSE 'self' END AS anchor, " +
+        "j = 3 AS nofollow " +
+        "FROM h, generate_series(0, 4) AS s(j)"),
 
     "text_page_meta" ->
       ("SELECT doc_id, " +

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Outlinks
+
+/** RFC 3986 reference resolution (the spec's own §5.4 examples) +
+  * outlink extraction: base-tag override, scheme skipping, fragment
+  * stripping, nofollow, totality. */
+class OutlinksSpec extends AnyFunSuite {
+
+  private val base = "http://a/b/c/d;p?q"
+
+  test("RFC 3986 §5.4.1 normal examples resolve exactly") {
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g/",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "g/h" -> "http://a/b/c/g/h",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    cases.foreach { case (ref, want) =>
+      assert(Outlinks.resolve(base, ref) == want, s"ref=$ref")
+    }
+  }
+
+  test("RFC 3986 §5.4.2 abnormal examples (dot overflow, mid dots)") {
+    val cases = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g..." -> "http://a/b/c/g...",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "http:g" -> "") // opaque same-scheme ref: no authority → dropped
+    cases.foreach { case (ref, want) =>
+      assert(Outlinks.resolve(base, ref) == want, s"ref=$ref")
+    }
+  }
+
+  test("fragments are stripped; skip schemes return empty") {
+    assert(Outlinks.resolve(base, "g#s/../x") == "http://a/b/c/g")
+    assert(Outlinks.resolve(base, "#frag") == "http://a/b/c/d;p?q")
+    assert(Outlinks.resolve(base, "mailto:x@y.z") == "")
+    assert(Outlinks.resolve(base, "javascript:void(0)") == "")
+    assert(Outlinks.resolve(null, "g") == "")
+    assert(Outlinks.resolve("nonsense", "g") == "")
+  }
+
+  test("extractLinks resolves against the page URL and honors <base>") {
+    val html = "<html><body>" +
+      "<a href=\"x\">one</a>" +
+      "<a href=\"/y?a=1&amp;b=2\">two</a>" +
+      "<a rel=\"tag nofollow\" href=\"https://e.net/z\">three</a>" +
+      "<a href=\"tel:123\">skip</a>" +
+      "<article>not a link</article></body></html>"
+    val links = Outlinks.extractLinks(html, "https://s.com/d/p.html")
+    assert(links.map(_.url) == Seq("https://s.com/d/x",
+      "https://s.com/y?a=1&b=2", "https://e.net/z"))
+    assert(links.map(_.anchor) == Seq("one", "two", "three"))
+    assert(links.map(_.nofollow) == Seq(false, false, true))
+    val based = "<head><base href=\"https://b.org/root/\"></head>" +
+      "<body><a href=\"x\">one</a></body>"
+    assert(Outlinks.extractLinks(based, "https://s.com/d/p.html")
+      .head.url == "https://b.org/root/x")
+  }
+
+  test("anchor text is tag-stripped and whitespace-collapsed") {
+    val html = "<a href=\"x\"> <b>bold</b>\n  and  plain </a>"
+    val l = Outlinks.extractLinks(html, "https://s.com/").head
+    assert(l.anchor == "bold and plain")
+  }
+
+  test("maxLinks caps; totality on junk and truncation") {
+    val many = (1 to 50).map(k => s"<a href=\"p$k\">$k</a>").mkString
+    assert(Outlinks.extractLinks(many, "https://s.com/", maxLinks = 9).size == 9)
+    assert(Outlinks.extractLinks(null, "https://s.com/").isEmpty)
+    assert(Outlinks.extractLinks("<a href=\"x\">unclosed", "https://s.com/")
+      .map(_.url) == Seq("https://s.com/x"))
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 100) {
+      val junk = new String(Array.fill(1 + rnd.nextInt(60))(
+        (32 + rnd.nextInt(90)).toChar))
+      Outlinks.extractLinks(junk, "https://s.com/") // must not throw
+    }
+  }
+}
