@@ -1,0 +1,135 @@
+package graft.ops
+
+/** ID3v2 text-frame parsing — the audio-metadata analog of
+  * [[ExifCodec]]: crawled MP3s carry their title / artist / album /
+  * year in an ID3v2 block that [[Mp3Codec]] deliberately skips for
+  * duration math; provenance, dedup and caption-pairing screens need
+  * the values. Reads only the tag block (bounded by its syncsafe
+  * size); no audio frame is touched.
+  *
+  * Parser: ID3v2.3 and v2.4 headers (v2.4 syncsafe frame sizes, v2.3
+  * plain 32-bit), the standard text frames (TIT2 title, TPE1 artist,
+  * TALB album, TYER/TDRC year) with the three text encodings that
+  * occur in practice: ISO-8859-1 (0), UTF-16 with BOM (1), UTF-8 (3;
+  * UTF-16BE (2) folded into the UTF-16 path). Extended headers are
+  * skipped; padding / unknown frames walked over; truncation yields
+  * the fields parsed so far; never throws.
+  *
+  * Encoder: deterministic v2.3 (latin-1 or UTF-16) and v2.4 (UTF-8)
+  * writers whose output [[Mp3Codec.parseMp3Meta]] already skips
+  * correctly — the two readers compose on the same bytes.
+  */
+object Id3Codec {
+
+  /** The curation slice of an ID3v2 block; "" where absent. */
+  final case class Id3Meta(title: String, artist: String, album: String,
+      year: String)
+
+  val Empty: Id3Meta = Id3Meta("", "", "", "")
+
+  private def syncsafe(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
+      ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
+
+  private def u32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def decodeText(b: Array[Byte], off: Int, len: Int): String = {
+    if (len <= 0) return ""
+    val enc = b(off) & 0xff
+    val s = off + 1
+    val l = len - 1
+    val raw = enc match {
+      case 0 => new String(b, s, l, java.nio.charset.StandardCharsets.ISO_8859_1)
+      case 1 | 2 => new String(b, s, l, java.nio.charset.StandardCharsets.UTF_16)
+      case 3 => new String(b, s, l, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => ""
+    }
+    // text frames are NUL-terminated (possibly multi-value; keep first)
+    val cut = raw.indexOf('\u0000')
+    if (cut >= 0) raw.substring(0, cut) else raw
+  }
+
+  /** Parse the leading ID3v2 block of an MP3 (or a bare tag blob). */
+  def parseId3(mp3: Array[Byte]): Id3Meta = {
+    if (mp3 == null || mp3.length < 10 ||
+      mp3(0) != 'I' || mp3(1) != 'D' || mp3(2) != '3') return Empty
+    try {
+      val major = mp3(3) & 0xff
+      if (major < 3 || major > 4) return Empty
+      val flags = mp3(5) & 0xff
+      val tagEnd = math.min(mp3.length, 10 + syncsafe(mp3, 6))
+      var p = 10
+      if ((flags & 0x40) != 0 && p + 4 <= tagEnd) {
+        // extended header: v2.4 syncsafe size INCLUDES itself; v2.3
+        // plain size EXCLUDES its own 4 size bytes
+        val ext = if (major == 4) syncsafe(mp3, p) else u32(mp3, p) + 4
+        p += ext
+      }
+      var title = ""; var artist = ""; var album = ""; var year = ""
+      while (p + 10 <= tagEnd && mp3(p) != 0) {
+        val id = new String(mp3, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = if (major == 4) syncsafe(mp3, p + 4) else u32(mp3, p + 4)
+        if (size < 0 || p + 10 + size > tagEnd)
+          return Id3Meta(title, artist, album, year)
+        id match {
+          case "TIT2" => title = decodeText(mp3, p + 10, size)
+          case "TPE1" => artist = decodeText(mp3, p + 10, size)
+          case "TALB" => album = decodeText(mp3, p + 10, size)
+          case "TYER" | "TDRC" => year = decodeText(mp3, p + 10, size)
+          case _ => ()
+        }
+        p += 10 + size
+      }
+      Id3Meta(title, artist, album, year)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Empty
+      case _: StringIndexOutOfBoundsException => Empty
+    }
+  }
+
+  // ---- deterministic encoder (fixtures) --------------------------------
+
+  /** Build an ID3v2 block: v2.3 with ISO-8859-1 (`utf16` false) or
+    * UTF-16-with-BOM text, or v2.4 with UTF-8 (`v24` true — encoding
+    * choice then fixed). Splice in front of any MP3. */
+  def buildId3(title: String, artist: String, album: String, year: String,
+      v24: Boolean = false, utf16: Boolean = false): Array[Byte] = {
+    val frames = new java.io.ByteArrayOutputStream()
+    def frame(id: String, text: String): Unit = {
+      if (text.isEmpty) return
+      val body: Array[Byte] =
+        if (v24) 3.toByte +: text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else if (utf16)
+          1.toByte +: text.getBytes(java.nio.charset.StandardCharsets.UTF_16)
+        else
+          0.toByte +: text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      frames.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+      val sz = body.length
+      if (v24) { // syncsafe
+        frames.write((sz >> 21) & 0x7f); frames.write((sz >> 14) & 0x7f)
+        frames.write((sz >> 7) & 0x7f); frames.write(sz & 0x7f)
+      } else {
+        frames.write((sz >> 24) & 0xff); frames.write((sz >> 16) & 0xff)
+        frames.write((sz >> 8) & 0xff); frames.write(sz & 0xff)
+      }
+      frames.write(0); frames.write(0) // frame flags
+      frames.write(body, 0, body.length)
+    }
+    frame("TIT2", title)
+    frame("TPE1", artist)
+    frame("TALB", album)
+    frame(if (v24) "TDRC" else "TYER", year)
+    val body = frames.toByteArray
+    val out = new java.io.ByteArrayOutputStream(body.length + 10)
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(if (v24) 4 else 3); out.write(0) // version, revision
+    out.write(0) // flags
+    val sz = body.length
+    out.write((sz >> 21) & 0x7f); out.write((sz >> 14) & 0x7f)
+    out.write((sz >> 7) & 0x7f); out.write(sz & 0x7f)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+}

@@ -749,6 +749,28 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "loc", "lastmod", "priority", "is_index")
     }),
 
+    // ID3v2 text frames over REAL MPEG audio: v2.3 latin-1 / v2.3
+    // UTF-16 / v2.4 UTF-8 by id, spliced in front of a real frame
+    // walk — the SAME bytes must yield the tags here AND the frame
+    // count through Mp3Codec's tag skip (the two readers compose)
+    "mm_id3_tags" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val tag = graft.ops.Id3Codec.buildId3(
+            s"Track $id", s"Artist ${id % 7}", s"Album ${id % 4}",
+            (1990 + id % 30).toString,
+            v24 = id % 3 == 2, utf16 = id % 3 == 1)
+          val mp3 = tag ++ graft.ops.Mp3Codec.encodeMp3Skeleton(
+            (4 + id % 5).toInt, mpeg1 = true, srIdx = 0, brIdx = 1,
+            mono = false)
+          val m = graft.ops.Id3Codec.parseId3(mp3)
+          val meta = graft.ops.Mp3Codec.parseMp3Meta(mp3)
+          (id, m.title, m.artist, m.album, m.year, meta.nFrames)
+        }).toDF("doc_id", "title", "artist", "album", "year", "n_frames")
+    }),
+
     // EXIF through REAL JPEG bytes: an APP1/TIFF block (both byte
     // orders by id parity, inline AND offset-addressed ASCII values)
     // is spliced after SOI of a real encoder output and walked back —
@@ -1116,6 +1138,14 @@ object BulkQueries extends QueryGroup {
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
         "CAST(16 + doc_id % 16 AS INT) AS width, " +
         "TRUE AS partial_read, TRUE AS digest_ok FROM documents"),
+    // ID3 fields re-derived; n_frames proves the tag skip still works
+    "mm_id3_tags" ->
+      ("SELECT doc_id, 'Track ' || CAST(doc_id AS VARCHAR) AS title, " +
+        "'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist, " +
+        "'Album ' || CAST(doc_id % 4 AS VARCHAR) AS album, " +
+        "CAST(1990 + doc_id % 30 AS VARCHAR) AS year, " +
+        "CAST(4 + doc_id % 5 AS INT) AS n_frames FROM documents"),
+
     // EXIF fields re-derived: both endians land on the same values
     "mm_exif_meta" ->
       ("SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation, " +

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Id3Codec, Mp3Codec}
+
+/** ID3v2 tag walk vs the deterministic builder: v2.3/v2.4, all three
+  * text encodings, composition with the MP3 frame walk, totality. */
+class Id3CodecSpec extends AnyFunSuite {
+
+  test("v2.3 latin-1, v2.3 UTF-16 and v2.4 UTF-8 all round-trip") {
+    val variants = Seq((false, false), (false, true), (true, false))
+    variants.foreach { case (v24, utf16) =>
+      val tag = Id3Codec.buildId3("Süß Title", "Ärtist", "Albúm", "2001",
+        v24 = v24, utf16 = utf16)
+      val m = Id3Codec.parseId3(tag)
+      if (!v24 && !utf16) {
+        // latin-1 carries these exact chars fine
+        assert(m.title == "Süß Title" && m.artist == "Ärtist")
+      } else {
+        assert(m.title == "Süß Title" && m.artist == "Ärtist" &&
+          m.album == "Albúm")
+      }
+      assert(m.year == "2001")
+    }
+  }
+
+  test("the MP3 frame walk skips the tag and still counts frames") {
+    val tag = Id3Codec.buildId3("T", "A", "B", "1999")
+    val mp3 = tag ++ Mp3Codec.encodeMp3Skeleton(7, mpeg1 = true,
+      srIdx = 1, brIdx = 3, mono = true)
+    assert(Mp3Codec.parseMp3Meta(mp3).nFrames == 7)
+    assert(Id3Codec.parseId3(mp3).title == "T")
+  }
+
+  test("empty fields are omitted; unknown frames are walked over") {
+    val tag = Id3Codec.buildId3("Only Title", "", "", "")
+    val m = Id3Codec.parseId3(tag)
+    assert(m.title == "Only Title" && m.artist == "" && m.year == "")
+  }
+
+  test("totality: junk, truncation, bad version, non-ID3") {
+    assert(Id3Codec.parseId3(null) == Id3Codec.Empty)
+    assert(Id3Codec.parseId3("MP3".getBytes("US-ASCII")) == Id3Codec.Empty)
+    val good = Id3Codec.buildId3("Title", "Artist", "Album", "2020")
+    for (cut <- 3 until good.length)
+      Id3Codec.parseId3(java.util.Arrays.copyOf(good, cut)) // no throw
+    val badVer = good.clone(); badVer(3) = 9
+    assert(Id3Codec.parseId3(badVer) == Id3Codec.Empty)
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 200) {
+      val junk = Array.fill[Byte](3 + rnd.nextInt(60))(rnd.nextInt.toByte)
+      junk(0) = 'I'; junk(1) = 'D'; junk(2) = '3'
+      Id3Codec.parseId3(junk) // must not throw
+    }
+  }
+}
