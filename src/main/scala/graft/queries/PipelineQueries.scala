@@ -429,6 +429,32 @@ object PipelineQueries extends QueryGroup {
         }).toDF("doc_id", "link_idx", "url", "anchor", "nofollow")
     }),
 
+    // COMPOSITION: page → outlinks → follow-edge list → host-graph
+    // in-degree. The per-row kernel (extract + RFC 3986 resolve +
+    // nofollow drop) is map-side; only the (src_host, dst_host) edge
+    // list shuffles — the 100 TB shape for link-graph construction
+    // (edges are tiny; HTML never crosses the wire). The oracle
+    // re-derives every in-degree from the planted link pattern.
+    "pipeline_crawl_graph" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val pageUrl = s"https://h${id % 9}.example.com/p$id"
+          val html =
+            s"<a href=\"https://h${(id + 1) % 9}.example.com/x$id\">next</a>" +
+              s"<a href=\"/local$id\">local</a>" +
+              s"<a rel=\"nofollow\" href=\"https://h${(id + 2) % 9}.example.com/y\">ad</a>" +
+              "<a href=\"javascript:void(0)\">menu</a>"
+          graft.ops.Outlinks.extractLinks(html, pageUrl)
+            .filterNot(_.nofollow)
+            .map(l => (s"h${id % 9}.example.com", l.url.split("/")(2)))
+        }).toDF("src_host", "dst_host")
+        .groupBy("dst_host")
+        .agg(count(lit(1)).as("in_edges"),
+          countDistinct(col("src_host")).as("n_src_hosts"))
+    }),
+
     // head-metadata extraction (title / meta description / canonical /
     // og:title) through an attribute-level tag parse — quote styles,
     // attribute order, entities and missing fields all vary by id; the
@@ -2711,6 +2737,21 @@ object PipelineQueries extends QueryGroup {
         "'```' || chr(10) || 'code ' || i || chr(10) || 'line two' || " +
         "chr(10) || '```' || chr(10) || chr(10) ELSE '' END || " +
         "'> quoted ' || i AS md FROM g"),
+
+    // in-degree of host k = local links from residue k + external
+    // links from residue (k+8)%9; src-host distinct count mirrors it
+    "pipeline_crawl_graph" ->
+      ("WITH c AS (SELECT doc_id % 9 AS h, count(*) AS n FROM documents " +
+        "GROUP BY 1), " +
+        "hosts AS (SELECT j AS dst FROM generate_series(0, 8) AS s(j)), " +
+        "j2 AS (SELECT dst, COALESCE(l.n, 0) AS loc, COALESCE(p.n, 0) AS ext " +
+        "FROM hosts LEFT JOIN c l ON l.h = dst " +
+        "LEFT JOIN c p ON p.h = (dst + 8) % 9) " +
+        "SELECT 'h' || CAST(dst AS VARCHAR) || '.example.com' AS dst_host, " +
+        "CAST(loc + ext AS BIGINT) AS in_edges, " +
+        "CAST(CASE WHEN loc > 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN ext > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_src_hosts " +
+        "FROM j2 WHERE loc + ext > 0"),
 
     "text_outlinks" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
