@@ -206,6 +206,12 @@ object MediaCodec {
         // nFrames = page count (the cheap first screen; text extraction
         // is PdfCodec.extractText)
         MediaMeta("pdf", -1, -1, -1, -1, PdfCodec.pageCount(b), n)
+      } else if (Archives.sniffZip(b)) {
+        // nFrames = member count (the archive walk is Archives.*)
+        MediaMeta("zip", -1, -1, -1, -1, Archives.parseZipEntries(b).size, n)
+      } else if (b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
+          b(259) == 't' && b(260) == 'a' && b(261) == 'r') {
+        MediaMeta("tar", -1, -1, -1, -1, Archives.parseTarEntries(b).size, n)
       } else unknown
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
   }

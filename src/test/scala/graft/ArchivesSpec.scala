@@ -99,6 +99,13 @@ class ArchivesSpec extends AnyFunSuite {
     assert(es.head.name == "x.txt" && es.head.size == 7)
   }
 
+  test("the media classifier recognizes both containers") {
+    val zipMeta = graft.ops.MediaCodec.parseMeta(Archives.encodeZip(members))
+    assert(zipMeta.format == "zip" && zipMeta.nFrames == 3)
+    val tarMeta = graft.ops.MediaCodec.parseMeta(Archives.encodeTar(members))
+    assert(tarMeta.format == "tar" && tarMeta.nFrames == 3)
+  }
+
   test("totality: null, junk, truncation, missing EOCD, bomb cap") {
     assert(Archives.parseZipEntries(null).isEmpty)
     assert(Archives.parseTarEntries(null).isEmpty)
