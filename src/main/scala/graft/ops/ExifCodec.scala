@@ -106,6 +106,44 @@ object ExifCodec {
     ExifMeta(orientation, make, model, dateTime, desc)
   }
 
+  /** Apply an EXIF orientation (1–8) to a raster — the transform the
+    * Orientation tag demands before the image becomes training data:
+    * 1 identity, 2 flip-H, 3 rotate 180, 4 flip-V, 5 transpose,
+    * 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW (dims swap for
+    * 5–8). Unknown values return the input unchanged. Pure per-pixel
+    * index math; channels preserved. */
+  def applyOrientation(r: MediaCodec.Raster, orientation: Int): MediaCodec.Raster = {
+    if (r == null || orientation <= 1 || orientation > 8) return r
+    val w = r.width; val h = r.height; val c = r.channels
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](r.pixels.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // destination coordinates of source (x, y)
+        val (dx, dy) = orientation match {
+          case 2 => (w - 1 - x, y) // flip horizontal
+          case 3 => (w - 1 - x, h - 1 - y) // rotate 180
+          case 4 => (x, h - 1 - y) // flip vertical
+          case 5 => (y, x) // transpose
+          case 6 => (h - 1 - y, x) // rotate 90 CW
+          case 7 => (h - 1 - y, w - 1 - x) // transverse
+          case _ => (y, w - 1 - x) // 8: rotate 270 CW
+        }
+        val s = (y * w + x) * c
+        val d = (dy * ow + dx) * c
+        var k = 0
+        while (k < c) { out(d + k) = r.pixels(s + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodec.Raster(ow, oh, c, out)
+  }
+
   // ---- deterministic encoder (fixtures) --------------------------------
 
   /** Build an APP1 Exif segment (marker + length included) carrying

@@ -796,6 +796,42 @@ object BulkQueries extends QueryGroup {
         }.toDF("doc_id", "orientation", "make", "model", "date_time")
     }),
 
+    // EXIF orientation APPLIED: the orientation VALUE is parsed from a
+    // real APP1 block, then the 8-way transform runs on a planted
+    // raster — output dims plus two corner probes (top-left +
+    // top-right source pixels differ across all 8 orientations) pin
+    // the exact mapping; a wrong flip/rotate direction hash-fails
+    "mm_exif_orient" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 7).toInt
+          val px = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val x = p % w; val y = p / w
+            var k = 0
+            while (k < 3) {
+              px(p * 3 + k) = ((x * 3 + y * 5 + k * 11 + id) % 256).toByte
+              k += 1
+            }
+            p += 1
+          }
+          val o = (1 + id % 8).toInt
+          val app1 = graft.ops.ExifCodec.buildExifApp1(o, "M", "N",
+            littleEndian = id % 2 == 0)
+          val jpeg = graft.ops.ExifCodec.injectApp1(Array[Byte](
+            0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte), app1)
+          val parsed = graft.ops.ExifCodec.parseExif(jpeg).orientation
+          val r = graft.ops.ExifCodec.applyOrientation(
+            graft.ops.MediaCodec.Raster(w, h, 3, px), parsed)
+          (id, parsed, r.width, r.height,
+            r.pixels(0) & 0xff, r.pixels((r.width - 1) * 3) & 0xff)
+        }).toDF("doc_id", "orientation", "out_w", "out_h", "tl", "tr")
+    }),
+
     // subtitle cues through BOTH formats: SRT (comma millis, ordinal
     // lines) and WebVTT (dot millis, cue identifiers, cue settings to
     // ignore, entity escaping) — start/end ms and text re-derived from
@@ -1153,6 +1189,25 @@ object BulkQueries extends QueryGroup {
         "'Cam ' || CAST(doc_id AS VARCHAR) AS model, " +
         "'2026:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' 12:00:00' " +
         "AS date_time FROM documents"),
+
+    // corner-probe oracle: the source pixel landing on each output
+    // corner is orientation-specific; px(x,y) = (3x + 5y + id) mod 256
+    "mm_exif_orient" ->
+      ("WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h, " +
+        "CAST(1 + doc_id % 8 AS INT) AS o FROM documents) " +
+        "SELECT doc_id, o AS orientation, " +
+        "CAST(CASE WHEN o >= 5 THEN h ELSE w END AS INT) AS out_w, " +
+        "CAST(CASE WHEN o >= 5 THEN w ELSE h END AS INT) AS out_h, " +
+        "CAST((CASE o WHEN 1 THEN 0 WHEN 2 THEN 3*(w-1) " +
+        "WHEN 3 THEN 3*(w-1) + 5*(h-1) WHEN 4 THEN 5*(h-1) " +
+        "WHEN 5 THEN 0 WHEN 6 THEN 5*(h-1) " +
+        "WHEN 7 THEN 3*(w-1) + 5*(h-1) ELSE 3*(w-1) END + doc_id) % 256 " +
+        "AS INT) AS tl, " +
+        "CAST((CASE o WHEN 1 THEN 3*(w-1) WHEN 2 THEN 0 " +
+        "WHEN 3 THEN 5*(h-1) WHEN 4 THEN 3*(w-1) + 5*(h-1) " +
+        "WHEN 5 THEN 5*(h-1) WHEN 6 THEN 0 " +
+        "WHEN 7 THEN 3*(w-1) ELSE 3*(w-1) + 5*(h-1) END + doc_id) % 256 " +
+        "AS INT) AS tr FROM g"),
 
     // subtitle cues re-derived field by field (ms math + text)
     "mm_subtitle_cues" ->

@@ -55,6 +55,34 @@ class ExifCodecSpec extends AnyFunSuite {
       ExifCodec.Empty)
   }
 
+  test("orientation transforms: involutions, rotation cycle, dims") {
+    import graft.ops.MediaCodec.Raster
+    val w = 5; val h = 3
+    val px = Array.tabulate[Byte](w * h * 2)(i => (i * 13).toByte)
+    val r = Raster(w, h, 2, px)
+    def eq(a: Raster, b: Raster): Boolean =
+      a.width == b.width && a.height == b.height &&
+        java.util.Arrays.equals(a.pixels, b.pixels)
+    // flips and 180 are involutions
+    for (o <- Seq(2, 3, 4, 5, 7))
+      assert(eq(ExifCodec.applyOrientation(ExifCodec.applyOrientation(r, o), o), r),
+        s"orientation $o should be an involution")
+    // 90 CW applied four times is identity; once swaps dims
+    val once = ExifCodec.applyOrientation(r, 6)
+    assert(once.width == h && once.height == w)
+    val four = Iterator.iterate(r)(ExifCodec.applyOrientation(_, 6))
+      .drop(4).next()
+    assert(eq(four, r))
+    // 6 then 8 (90 CW then 270 CW) is identity
+    assert(eq(ExifCodec.applyOrientation(once, 8), r))
+    // spot pixel: rot90 CW sends source (0, h-1) to dest (0, 0)
+    val src = (h - 1) * w * 2
+    assert(once.pixels(0) == px(src) && once.pixels(1) == px(src + 1))
+    // unknown orientation is a no-op
+    assert(eq(ExifCodec.applyOrientation(r, 0), r))
+    assert(eq(ExifCodec.applyOrientation(r, 9), r))
+  }
+
   test("totality: truncation anywhere in the APP1 never throws") {
     val full = ExifCodec.injectApp1(jpeg(),
       ExifCodec.buildExifApp1(8, "MakerName", "ModelName",
