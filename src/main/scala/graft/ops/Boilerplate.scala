@@ -312,4 +312,38 @@ object Boilerplate {
     }
     PageMeta(title, desc, canonical, og)
   }
+
+  /** Page-level robots directives from `<meta name="robots">` (and the
+    * `googlebot` alias): the page-side counterpart of the RFC 9309
+    * path rules in [[Robots]] — a curation pipeline must drop noindex
+    * pages and must not let nofollow pages feed the link graph.
+    * Directives are comma-separated tokens, case-insensitive; `none`
+    * means `noindex, nofollow` (Google's documented shorthand); the
+    * union over all matching tags applies (most-restrictive wins).
+    * Returns (noindex, nofollow, noarchive); total, never throws. */
+  def robotsMeta(html: String): (Boolean, Boolean, Boolean) = {
+    if (html == null || html.isEmpty) return (false, false, false)
+    var noindex = false; var nofollow = false; var noarchive = false
+    val lower = html.toLowerCase
+    var p = lower.indexOf("<meta")
+    while (p >= 0) {
+      val close = lower.indexOf('>', p)
+      val interior = html.substring(p + 5,
+        if (close < 0) html.length else close)
+      val a = attrs(interior)
+      val isRobots = a.get("name").exists(n =>
+        n.equalsIgnoreCase("robots") || n.equalsIgnoreCase("googlebot"))
+      if (isRobots) {
+        a.getOrElse("content", "").toLowerCase.split(',').map(_.trim).foreach {
+          case "noindex" => noindex = true
+          case "nofollow" => nofollow = true
+          case "noarchive" => noarchive = true
+          case "none" => noindex = true; nofollow = true
+          case _ => ()
+        }
+      }
+      p = if (close < 0) -1 else lower.indexOf("<meta", close)
+    }
+    (noindex, nofollow, noarchive)
+  }
 }

@@ -429,6 +429,30 @@ object PipelineQueries extends QueryGroup {
         }).toDF("doc_id", "link_idx", "url", "anchor", "nofollow")
     }),
 
+    // page-level robots directives: the page-side counterpart of the
+    // RFC 9309 path rules — noindex drops the page, nofollow bars its
+    // edges from the link graph; casing, the googlebot alias, the
+    // 'none' shorthand and multi-tag unions all vary by id
+    "text_robots_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val meta = (id % 5) match {
+            case 0 => "<meta name=\"robots\" content=\"noindex, follow\">"
+            case 1 => "<meta name=\"ROBOTS\" content=\"NOFOLLOW\">"
+            case 2 => "<meta name=\"googlebot\" content=\"none\">"
+            case 3 => "<meta name=\"robots\" content=\"noarchive\">" +
+              "<meta name=\"robots\" content=\"nofollow\">"
+            case _ => "<meta name=\"viewport\" content=\"width=1\">"
+          }
+          val html = s"<html><head>$meta<title>t$id</title></head>" +
+            s"<body>page $id</body></html>"
+          val (ni, nf, na) = graft.ops.Boilerplate.robotsMeta(html)
+          (id, ni, nf, na)
+        }).toDF("doc_id", "noindex", "nofollow", "noarchive")
+    }),
+
     // COMPOSITION: page → outlinks → follow-edge list → host-graph
     // in-degree. The per-row kernel (extract + RFC 3986 resolve +
     // nofollow drop) is map-side; only the (src_host, dst_host) edge
@@ -2737,6 +2761,12 @@ object PipelineQueries extends QueryGroup {
         "'```' || chr(10) || 'code ' || i || chr(10) || 'line two' || " +
         "chr(10) || '```' || chr(10) || chr(10) ELSE '' END || " +
         "'> quoted ' || i AS md FROM g"),
+
+    "text_robots_meta" ->
+      ("SELECT doc_id, " +
+        "doc_id % 5 IN (0, 2) AS noindex, " +
+        "doc_id % 5 IN (1, 2, 3) AS nofollow, " +
+        "doc_id % 5 = 3 AS noarchive FROM documents"),
 
     // in-degree of host k = local links from residue k + external
     // links from residue (k+8)%9; src-host distinct count mirrors it

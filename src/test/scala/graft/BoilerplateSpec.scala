@@ -101,4 +101,22 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(bs(1).heading && !bs(1).structural)
     assert(bs(2).words == 4 && bs(2).linkWords == 2)
   }
+
+  test("robotsMeta: casing, googlebot alias, none shorthand, unions") {
+    import graft.ops.Boilerplate.robotsMeta
+    assert(robotsMeta("<meta name=\"robots\" content=\"noindex, follow\">") ==
+      ((true, false, false)))
+    assert(robotsMeta("<meta name='ROBOTS' content='NOFOLLOW'>") ==
+      ((false, true, false)))
+    assert(robotsMeta("<meta name=googlebot content=none>") ==
+      ((true, true, false)))
+    assert(robotsMeta("<meta name=\"robots\" content=\"noarchive\">" +
+      "<meta name=\"robots\" content=\"nofollow\">") ==
+      ((false, true, true)))
+    assert(robotsMeta("<meta name=\"viewport\" content=\"noindex\">") ==
+      ((false, false, false)))
+    assert(robotsMeta(null) == ((false, false, false)))
+    assert(robotsMeta("<meta name=\"robots\" content=\"noindex") ==
+      ((true, false, false))) // unterminated tag still parses
+  }
 }
