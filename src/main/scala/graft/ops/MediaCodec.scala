@@ -175,6 +175,8 @@ object MediaCodec {
         MediaMeta("wav", -1, -1, ch, rate, frames, n)
       } else if (AviCodec.sniff(b)) {
         AviCodec.parseMetaAdapter(b)
+      } else if (WebpCodec.sniff(b)) {
+        WebpCodec.parseWebpMeta(b)
       } else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
         MediaMeta("gif", rl16(b, 6), rl16(b, 8), -1, -1, 1, n)
       } else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {

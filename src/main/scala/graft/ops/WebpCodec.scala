@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.ops.MediaCodec.MediaMeta
+
+/** WebP container METADATA, pure JVM — WebP is a top-share crawl image
+  * format next to JPEG/PNG, and its dimensions live in three different
+  * places depending on encoding: the `VP8 ` lossy bitstream header
+  * (keyframe tag + 0x9D012A start code + 14-bit dims), the `VP8L`
+  * lossless signature byte + packed 14-bit dims, or the `VP8X`
+  * extended header (24-bit canvas dims + feature flags — alpha,
+  * animation). Full pixel decode (VP8 prediction / VP8L transforms)
+  * stays a disclosed stub, consistent with the video-codec rows: the
+  * header pass is the 100 TB resolution/animation screen.
+  *
+  * Parser: RIFF walk to the first VP8 /VP8L/VP8X chunk; `channels`
+  * reports 4 when an alpha flag is present else 3; `nFrames` is 1 for
+  * stills and the ANMF chunk count when the VP8X animation flag is
+  * set. Malformed payloads classify best-effort, never throw.
+  *
+  * Encoder: deterministic writers for all three variants.
+  */
+object WebpCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def rl24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+  private def rl32(b: Array[Byte], i: Int): Long =
+    (rl24(b, i).toLong | (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  /** True for RIFF....WEBP. */
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 16 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** Parse WebP metadata: dims from whichever of VP8 /VP8L/VP8X leads;
+    * channels 4 when alpha is flagged, else 3; nFrames = ANMF count
+    * for animations, 1 for stills. */
+  def parseWebpMeta(payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val unknown = MediaMeta("unknown", -1, -1, -1, -1, -1, n)
+    if (!sniff(payload)) return unknown
+    try {
+      val b = payload
+      var width = -1; var height = -1; var alpha = false
+      var frames = 1
+      var i = 12
+      var done = false
+      while (!done && i + 8 <= b.length) {
+        val tag = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = rl32(b, i + 4)
+        val body = i + 8
+        if (body + len > b.length) done = true
+        else tag match {
+          case "VP8 " if width < 0 =>
+            // frame tag (3) + start code 9D 01 2A + 16-bit w/h (14 used)
+            if (len >= 10 && u8(b, body + 3) == 0x9d &&
+              u8(b, body + 4) == 0x01 && u8(b, body + 5) == 0x2a) {
+              width = (u8(b, body + 6) | (u8(b, body + 7) << 8)) & 0x3fff
+              height = (u8(b, body + 8) | (u8(b, body + 9) << 8)) & 0x3fff
+            }
+            done = true
+          case "VP8L" if width < 0 =>
+            if (len >= 5 && u8(b, body) == 0x2f) {
+              val bits = rl32(b, body + 1)
+              width = (bits & 0x3fff).toInt + 1
+              height = ((bits >> 14) & 0x3fff).toInt + 1
+              alpha = ((bits >> 28) & 1) == 1
+            }
+            done = true
+          case "VP8X" =>
+            if (len >= 10) {
+              val flags = u8(b, body)
+              alpha = (flags & 0x10) != 0
+              width = rl24(b, body + 4) + 1
+              height = rl24(b, body + 7) + 1
+              if ((flags & 0x02) != 0) { // animation: count ANMF chunks
+                frames = 0
+                var j = body + len.toInt + (len.toInt & 1)
+                while (j + 8 <= b.length) {
+                  val t2 = new String(b, j, 4,
+                    java.nio.charset.StandardCharsets.US_ASCII)
+                  val l2 = rl32(b, j + 4)
+                  if (t2 == "ANMF") frames += 1
+                  j += 8 + l2.toInt + (l2.toInt & 1)
+                }
+              }
+            }
+            done = true
+          case _ =>
+            i = body + len.toInt + (len.toInt & 1)
+        }
+      }
+      if (width < 0) unknown.copy(format = "webp")
+      else MediaMeta("webp", width, height, if (alpha) 4 else 3, -1, frames, n)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => unknown.copy(format = "webp")
+    }
+  }
+
+  // ---- deterministic encoders (fixtures) --------------------------------
+
+  private def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le24(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte)
+  private def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      le32(body.length.toLong) ++ body ++ pad
+  }
+
+  private def riff(chunks: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      le32(chunks.length + 4L) ++
+      "WEBP".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ chunks
+
+  /** Structural lossy WebP: a VP8 chunk with a valid keyframe header
+    * (tag + start code + dims) and stub partition bytes. */
+  def encodeWebpLossy(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0x3fff && height >= 1 && height <= 0x3fff,
+      s"bad dims ${width}x$height")
+    val body = Array[Byte](0x10, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le16(width) ++ le16(height) ++ Array.fill[Byte](8)(0)
+    riff(chunk("VP8 ", body))
+  }
+
+  /** Structural lossless WebP: the VP8L signature + packed dims/alpha. */
+  def encodeWebpLossless(width: Int, height: Int,
+      alpha: Boolean = false): Array[Byte] = {
+    require(width >= 1 && width <= 0x4000 && height >= 1 && height <= 0x4000,
+      s"bad dims ${width}x$height")
+    val bits = (width - 1).toLong | ((height - 1).toLong << 14) |
+      (if (alpha) 1L << 28 else 0L)
+    riff(chunk("VP8L", Array[Byte](0x2f) ++ le32(bits) ++ Array.fill[Byte](4)(0)))
+  }
+
+  /** Structural extended WebP: VP8X canvas + flags, optionally `nFrames`
+    * ANMF stubs for animations. */
+  def encodeWebpExtended(width: Int, height: Int, alpha: Boolean = false,
+      nFrames: Int = 0): Array[Byte] = {
+    require(width >= 1 && width <= (1 << 24) && height >= 1 && height <= (1 << 24),
+      s"bad dims ${width}x$height")
+    require(nFrames >= 0, s"bad frame count $nFrames")
+    val flags = (if (alpha) 0x10 else 0) | (if (nFrames > 0) 0x02 else 0)
+    val vp8x = chunk("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
+      le24(width - 1) ++ le24(height - 1))
+    val anmf = (0 until nFrames).map(f =>
+      chunk("ANMF", le24(0) ++ le24(0) ++ le24(width - 1) ++
+        le24(height - 1) ++ le24(40 + f) ++ Array[Byte](0)))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    riff(vp8x ++ anmf)
+  }
+}

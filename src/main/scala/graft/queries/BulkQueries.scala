@@ -796,6 +796,31 @@ object BulkQueries extends QueryGroup {
         }.toDF("doc_id", "orientation", "make", "model", "date_time")
     }),
 
+    // WebP metadata through all three header homes: VP8 lossy
+    // (start-code + 14-bit dims), VP8L lossless (packed dims + alpha
+    // bit), VP8X extended (24-bit canvas, alpha flag, ANMF-counted
+    // animation frames) — routed through the SNIFFER so the format
+    // dispatch is under test too
+    "mm_webp_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (20 + id % 50).toInt
+          val h = (16 + id % 40).toInt
+          val bytes = (id % 4) match {
+            case 0 => graft.ops.WebpCodec.encodeWebpLossy(w, h)
+            case 1 => graft.ops.WebpCodec.encodeWebpLossless(w, h,
+              alpha = (id / 4) % 2 == 1)
+            case 2 => graft.ops.WebpCodec.encodeWebpExtended(w, h, alpha = true)
+            case _ => graft.ops.WebpCodec.encodeWebpExtended(w, h,
+              nFrames = (1 + (id / 4) % 4).toInt)
+          }
+          val m = graft.ops.MediaCodec.parseMeta(bytes)
+          (id, m.format, m.width, m.height, m.channels, m.nFrames)
+        }).toDF("doc_id", "format", "width", "height", "channels", "n_frames")
+    }),
+
     // EXIF orientation APPLIED: the orientation VALUE is parsed from a
     // real APP1 block, then the 8-way transform runs on a planted
     // raster — output dims plus two corner probes (top-left +
@@ -1189,6 +1214,17 @@ object BulkQueries extends QueryGroup {
         "'Cam ' || CAST(doc_id AS VARCHAR) AS model, " +
         "'2026:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' 12:00:00' " +
         "AS date_time FROM documents"),
+
+    // WebP fields re-derived per variant
+    "mm_webp_meta" ->
+      ("SELECT doc_id, 'webp' AS format, " +
+        "CAST(20 + doc_id % 50 AS INT) AS width, " +
+        "CAST(16 + doc_id % 40 AS INT) AS height, " +
+        "CAST(CASE doc_id % 4 WHEN 1 THEN " +
+        "  CASE (doc_id // 4) % 2 WHEN 1 THEN 4 ELSE 3 END " +
+        "WHEN 2 THEN 4 ELSE 3 END AS INT) AS channels, " +
+        "CAST(CASE doc_id % 4 WHEN 3 THEN 1 + (doc_id // 4) % 4 ELSE 1 END " +
+        "AS INT) AS n_frames FROM documents"),
 
     // corner-probe oracle: the source pixel landing on each output
     // corner is orientation-specific; px(x,y) = (3x + 5y + id) mod 256

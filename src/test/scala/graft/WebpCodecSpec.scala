@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCodec, WebpCodec}
+
+/** WebP header walk vs the deterministic writers: all three dimension
+  * homes, alpha/animation flags, sniffer dispatch, totality. */
+class WebpCodecSpec extends AnyFunSuite {
+
+  test("VP8 lossy dims round-trip through the start-code header") {
+    val m = WebpCodec.parseWebpMeta(WebpCodec.encodeWebpLossy(640, 427))
+    assert(m.format == "webp" && m.width == 640 && m.height == 427)
+    assert(m.channels == 3 && m.nFrames == 1)
+  }
+
+  test("VP8L lossless packs dims and the alpha bit") {
+    val plain = WebpCodec.parseWebpMeta(WebpCodec.encodeWebpLossless(16384, 1))
+    assert(plain.width == 16384 && plain.height == 1 && plain.channels == 3)
+    val a = WebpCodec.parseWebpMeta(
+      WebpCodec.encodeWebpLossless(300, 200, alpha = true))
+    assert(a.channels == 4)
+  }
+
+  test("VP8X canvas dims, alpha flag and ANMF frame count") {
+    val still = WebpCodec.parseWebpMeta(
+      WebpCodec.encodeWebpExtended(4000, 3000, alpha = true))
+    assert(still.width == 4000 && still.height == 3000)
+    assert(still.channels == 4 && still.nFrames == 1)
+    val anim = WebpCodec.parseWebpMeta(
+      WebpCodec.encodeWebpExtended(120, 90, nFrames = 5))
+    assert(anim.nFrames == 5 && anim.channels == 3)
+  }
+
+  test("the media sniffer dispatches WebP but not WAV/AVI") {
+    assert(MediaCodec.parseMeta(WebpCodec.encodeWebpLossy(32, 24)).format ==
+      "webp")
+    assert(MediaCodec.parseMeta(MediaCodec.encodeWav(8000, 1, 10)).format ==
+      "wav")
+  }
+
+  test("totality: junk, truncation, wrong start code") {
+    assert(WebpCodec.parseWebpMeta(null).format == "unknown")
+    assert(WebpCodec.parseWebpMeta("RIFFxxxx".getBytes("US-ASCII")).format ==
+      "unknown")
+    val good = WebpCodec.encodeWebpLossy(100, 80)
+    val bad = good.clone(); bad(23) = 0 // corrupt the 0x9D012A start code
+    assert(WebpCodec.parseWebpMeta(bad).width == -1)
+    for (cut <- 1 until good.length)
+      WebpCodec.parseWebpMeta(java.util.Arrays.copyOf(good, cut)) // no throw
+  }
+}
