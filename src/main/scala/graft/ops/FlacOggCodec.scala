@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.ops.MediaCodec.MediaMeta
+
+/** FLAC and Ogg/Opus audio-container METADATA, pure JVM — with WAV and
+  * MP3 these cover the audio blobs a crawl actually serves. Both reads
+  * are header-only (the 100 TB duration/channel screen); sample decode
+  * stays a disclosed stub like the video codecs.
+  *
+  * FLAC: `fLaC` magic + the mandatory-first STREAMINFO metadata block
+  * (sample rate 20 bits, channels-1 3 bits, bits-per-sample-1 5 bits,
+  * total samples 36 bits — RFC 9639 §8.2).
+  *
+  * Ogg/Opus: the first `OggS` page (version 0, BOS flag) whose payload
+  * starts with `OpusHead` (RFC 7845 §5.1): version, channel count,
+  * pre-skip, input sample rate (informational; Opus always decodes at
+  * 48 kHz — reported as the container states it). Frame counts need
+  * the last page's granule position: the parser scans pages to the
+  * last granule and reports total PCM samples at 48 kHz minus
+  * pre-skip, exactly how players compute Opus duration.
+  *
+  * Malformed payloads classify best-effort and never throw;
+  * deterministic skeleton writers plant fixtures.
+  */
+object FlacOggCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  // ---- FLAC -------------------------------------------------------------
+
+  def sniffFlac(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  /** STREAMINFO → MediaMeta("flac", -1, -1, channels, rate, samples). */
+  def parseFlacMeta(payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val unknown = MediaMeta("unknown", -1, -1, -1, -1, -1, n)
+    if (!sniffFlac(payload)) return unknown
+    try {
+      val b = payload
+      // first metadata block header: 1 byte (last flag + type), 3 byte len
+      if ((u8(b, 4) & 0x7f) != 0) return unknown.copy(format = "flac")
+      if (b.length < 8 + 34) return unknown.copy(format = "flac")
+      val s = 8 // STREAMINFO body
+      // bytes 10..17 of the body: rate(20) ch-1(3) bps-1(5) total(36)
+      val rate = (u8(b, s + 10) << 12) | (u8(b, s + 11) << 4) |
+        (u8(b, s + 12) >> 4)
+      val channels = ((u8(b, s + 12) >> 1) & 0x7) + 1
+      val total = ((u8(b, s + 13).toLong & 0x0f) << 32) |
+        (u8(b, s + 14).toLong << 24) | (u8(b, s + 15).toLong << 16) |
+        (u8(b, s + 16).toLong << 8) | u8(b, s + 17).toLong
+      MediaMeta("flac", -1, -1, channels, rate,
+        total.min(Int.MaxValue).toInt, n)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => unknown.copy(format = "flac")
+    }
+  }
+
+  /** Structural FLAC: magic + a single STREAMINFO block. */
+  def encodeFlacSkeleton(sampleRate: Int, channels: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate < (1 << 20), s"bad rate $sampleRate")
+    require(channels >= 1 && channels <= 8, s"bad channels $channels")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "bad total")
+    val out = new Array[Byte](8 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block, type 0 (STREAMINFO)
+    out(7) = 34 // block length
+    val s = 8
+    // min/max block size 4096
+    out(s) = 0x10; out(s + 1) = 0; out(s + 2) = 0x10; out(s + 3) = 0
+    out(s + 10) = ((sampleRate >> 12) & 0xff).toByte
+    out(s + 11) = ((sampleRate >> 4) & 0xff).toByte
+    out(s + 12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((16 - 1) >> 4)).toByte
+    out(s + 13) = ((((16 - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toByte
+    out(s + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(s + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(s + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(s + 17) = (totalSamples & 0xff).toByte
+    out
+  }
+
+  // ---- Ogg / Opus ---------------------------------------------------------
+
+  def sniffOgg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 28 &&
+      b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'
+
+  private def rl32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  private def rl64(b: Array[Byte], i: Int): Long =
+    rl32(b, i) | (rl32(b, i + 4) << 32)
+
+  /** Ogg/Opus → MediaMeta("ogg", -1, -1, channels, inputRate,
+    * totalSamples@48k − preSkip). Walks every page for the final
+    * granule position. */
+  def parseOggOpusMeta(payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val unknown = MediaMeta("unknown", -1, -1, -1, -1, -1, n)
+    if (!sniffOgg(payload)) return unknown
+    try {
+      val b = payload
+      var channels = -1; var rate = -1; var preSkip = 0
+      var lastGranule = -1L
+      def finish(): MediaMeta =
+        if (channels < 0) unknown.copy(format = "ogg")
+        else {
+          val frames =
+            if (lastGranule >= 0) (lastGranule - preSkip).max(0L)
+            else -1L
+          MediaMeta("ogg", -1, -1, channels, rate,
+            frames.min(Int.MaxValue).toInt, n)
+        }
+      var i = 0
+      while (i + 27 <= b.length && b(i) == 'O' && b(i + 1) == 'g' &&
+        b(i + 2) == 'g' && b(i + 3) == 'S') {
+        val granule = rl64(b, i + 6)
+        val nSegs = u8(b, i + 26)
+        if (i + 27 + nSegs > b.length) return finish()
+        var bodyLen = 0
+        var k = 0
+        while (k < nSegs) { bodyLen += u8(b, i + 27 + k); k += 1 }
+        val body = i + 27 + nSegs
+        if (body + bodyLen > b.length) return finish()
+        if (channels < 0 && bodyLen >= 19 &&
+          b(body) == 'O' && b(body + 1) == 'p' && b(body + 2) == 'u' &&
+          b(body + 3) == 's' && b(body + 4) == 'H') {
+          channels = u8(b, body + 9)
+          preSkip = u8(b, body + 10) | (u8(b, body + 11) << 8)
+          rate = rl32(b, body + 12).toInt
+        }
+        if (granule >= 0) lastGranule = granule
+        i = body + bodyLen
+      }
+      finish()
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => unknown.copy(format = "ogg")
+    }
+  }
+
+  /** Structural Ogg/Opus: a BOS page with OpusHead, then one audio page
+    * whose granule position encodes `samples48k + preSkip`. CRCs are
+    * zeroed (this walker, like many scanners, does not verify them —
+    * disclosed). */
+  def encodeOggOpusSkeleton(channels: Int, inputRate: Int,
+      samples48k: Long, preSkip: Int = 312): Array[Byte] = {
+    require(channels >= 1 && channels <= 255, s"bad channels $channels")
+    require(samples48k >= 0 && preSkip >= 0, "bad samples/preskip")
+    val out = new java.io.ByteArrayOutputStream()
+    def page(granule: Long, bos: Boolean, body: Array[Byte]): Unit = {
+      out.write("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+      out.write(0) // version
+      out.write(if (bos) 0x02 else 0x04) // header type: BOS / EOS
+      var g = granule
+      var k = 0
+      while (k < 8) { out.write((g & 0xff).toInt); g >>>= 8; k += 1 }
+      out.write(Array[Byte](1, 0, 0, 0), 0, 4) // serial
+      out.write(Array[Byte](0, 0, 0, 0), 0, 4) // page seq (stub)
+      out.write(Array[Byte](0, 0, 0, 0), 0, 4) // CRC zeroed
+      require(body.length < 255 * 255, "fixture body too large")
+      val full = body.length / 255
+      out.write(full + 1)
+      var s = 0
+      while (s < full) { out.write(255); s += 1 }
+      out.write(body.length - full * 255)
+      out.write(body, 0, body.length)
+    }
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 8)
+    head.write(1) // version
+    head.write(channels)
+    head.write(preSkip & 0xff); head.write((preSkip >> 8) & 0xff)
+    var r = inputRate.toLong & 0xffffffffL
+    var k = 0
+    while (k < 4) { head.write((r & 0xff).toInt); r >>>= 8; k += 1 }
+    head.write(0); head.write(0) // output gain
+    head.write(0) // channel mapping family 0
+    page(0L, bos = true, head.toByteArray)
+    page(samples48k + preSkip, bos = false,
+      Array.fill[Byte](20)(0x5a)) // stub audio packet
+    out.toByteArray
+  }
+}

@@ -204,6 +204,10 @@ object MediaCodec {
         WebmCodec.parseWebmMeta(b)
       } else if (Mp3Codec.sniff(b)) {
         Mp3Codec.parseMp3Meta(b)
+      } else if (FlacOggCodec.sniffFlac(b)) {
+        FlacOggCodec.parseFlacMeta(b)
+      } else if (FlacOggCodec.sniffOgg(b)) {
+        FlacOggCodec.parseOggOpusMeta(b)
       } else if (PdfCodec.sniff(b)) {
         // nFrames = page count (the cheap first screen; text extraction
         // is PdfCodec.extractText)

@@ -796,6 +796,27 @@ object BulkQueries extends QueryGroup {
         }.toDF("doc_id", "orientation", "make", "model", "date_time")
     }),
 
+    // FLAC STREAMINFO (RFC 9639 bit-packed rate/channels/total) and
+    // Ogg/Opus (OpusHead + final granule position minus pre-skip, the
+    // way players compute Opus duration) — the remaining crawl audio
+    // containers next to WAV/MP3, via the sniffer
+    "mm_flac_ogg_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 2 == 0) graft.ops.FlacOggCodec.encodeFlacSkeleton(
+              8000 * (1 + id % 6).toInt, (1 + id % 4).toInt,
+              1000 + id % 9999)
+            else graft.ops.FlacOggCodec.encodeOggOpusSkeleton(
+              (1 + id % 2).toInt, 16000 * (1 + id % 3).toInt,
+              480L * (1 + id % 100))
+          val m = graft.ops.MediaCodec.parseMeta(bytes)
+          (id, m.format, m.channels, m.sampleRate, m.nFrames)
+        }).toDF("doc_id", "format", "channels", "sample_rate", "n_frames")
+    }),
+
     // WebP metadata through all three header homes: VP8 lossy
     // (start-code + 14-bit dims), VP8L lossless (packed dims + alpha
     // bit), VP8X extended (24-bit canvas, alpha flag, ANMF-counted
@@ -1214,6 +1235,18 @@ object BulkQueries extends QueryGroup {
         "'Cam ' || CAST(doc_id AS VARCHAR) AS model, " +
         "'2026:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' 12:00:00' " +
         "AS date_time FROM documents"),
+
+    // FLAC/Opus fields re-derived; ogg n_frames = granule - pre-skip
+    "mm_flac_ogg_meta" ->
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'ogg' END AS format, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 4 " +
+        "ELSE 1 + doc_id % 2 END AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 6) " +
+        "ELSE 16000 * (1 + doc_id % 3) END AS INT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 9999 " +
+        "ELSE 480 * (1 + doc_id % 100) END AS INT) AS n_frames " +
+        "FROM documents"),
 
     // WebP fields re-derived per variant
     "mm_webp_meta" ->

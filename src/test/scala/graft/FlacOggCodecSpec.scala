@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FlacOggCodec, MediaCodec}
+
+/** FLAC STREAMINFO and Ogg/Opus header walks vs the deterministic
+  * writers: bit packing, granule duration math, sniffer dispatch,
+  * totality. */
+class FlacOggCodecSpec extends AnyFunSuite {
+
+  test("FLAC STREAMINFO bit fields round-trip") {
+    val m = FlacOggCodec.parseFlacMeta(
+      FlacOggCodec.encodeFlacSkeleton(44100, 2, 1234567L))
+    assert(m.format == "flac" && m.channels == 2)
+    assert(m.sampleRate == 44100 && m.nFrames == 1234567)
+    // rate needing all 20 bits, 8 channels, 36-bit total
+    val hi = FlacOggCodec.parseFlacMeta(
+      FlacOggCodec.encodeFlacSkeleton(655350, 8, (1L << 35) + 5))
+    assert(hi.sampleRate == 655350 && hi.channels == 8)
+  }
+
+  test("Ogg/Opus: OpusHead fields + granule-minus-preskip duration") {
+    val m = FlacOggCodec.parseOggOpusMeta(
+      FlacOggCodec.encodeOggOpusSkeleton(2, 48000, 96000L, preSkip = 312))
+    assert(m.format == "ogg" && m.channels == 2 && m.sampleRate == 48000)
+    assert(m.nFrames == 96000) // granule (96000+312) minus pre-skip
+  }
+
+  test("the media sniffer dispatches both") {
+    assert(MediaCodec.parseMeta(
+      FlacOggCodec.encodeFlacSkeleton(8000, 1, 10)).format == "flac")
+    assert(MediaCodec.parseMeta(
+      FlacOggCodec.encodeOggOpusSkeleton(1, 16000, 480)).format == "ogg")
+  }
+
+  test("totality: junk, truncation, non-Opus ogg") {
+    assert(FlacOggCodec.parseFlacMeta(null).format == "unknown")
+    assert(FlacOggCodec.parseOggOpusMeta(null).format == "unknown")
+    val flac = FlacOggCodec.encodeFlacSkeleton(44100, 2, 100)
+    for (cut <- 1 until flac.length)
+      FlacOggCodec.parseFlacMeta(java.util.Arrays.copyOf(flac, cut))
+    val ogg = FlacOggCodec.encodeOggOpusSkeleton(2, 48000, 9600)
+    for (cut <- 1 until ogg.length)
+      FlacOggCodec.parseOggOpusMeta(java.util.Arrays.copyOf(ogg, cut))
+    // an Ogg stream that is not Opus classifies format-only
+    val vorbis = ogg.clone()
+    vorbis(28 + 1) = 'x' // corrupt "OpusHead" in the BOS payload
+    assert(FlacOggCodec.parseOggOpusMeta(vorbis).channels == -1)
+  }
+}
