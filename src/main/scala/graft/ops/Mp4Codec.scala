@@ -65,8 +65,16 @@ object Mp4Codec {
     try {
       var width = -1; var height = -1; var nFrames = -1
       var channels = -1; var sampleRate = -1
+      var fragFrames = 0L // moof/traf/trun sample counts (fMP4/DASH/CMAF)
       walk(payload, 0, payload.length) { (tag, s, e) =>
-        if (tag == "moov") walk(payload, s, e) { (t2, s2, e2) =>
+        if (tag == "moof") walk(payload, s, e) { (t2, s2, e2) =>
+          if (t2 == "traf") walk(payload, s2, e2) { (t3, s3, e3) =>
+            // trun: fullbox header then sample_count (§8.8.8)
+            if (t3 == "trun" && s3 + 8 <= e3)
+              fragFrames += rb32(payload, s3 + 4)
+          }
+        }
+        else if (tag == "moov") walk(payload, s, e) { (t2, s2, e2) =>
           if (t2 == "trak") {
             // per-track state
             var tw = -1; var th = -1; var handler = ""
@@ -124,6 +132,10 @@ object Mp4Codec {
           }
         }
       }
+      // fragmented files carry samples in trun boxes, not stts — fold
+      // the fragment totals in (stts is empty/absent in fMP4)
+      if (fragFrames > 0)
+        nFrames = (nFrames.max(0) + fragFrames).min(Int.MaxValue).toInt
       MediaMeta("mp4", width, height, channels, sampleRate, nFrames, n)
     } catch {
       case _: ArrayIndexOutOfBoundsException => unknown.copy(format = "mp4")
@@ -355,5 +367,25 @@ object Mp4Codec {
       if (audioTrak.isEmpty) box("moov", mvhd, videoTrak)
       else box("moov", mvhd, videoTrak, audioTrak)
     ftyp ++ moov ++ box("mdat")
+  }
+
+  /** Deterministic FRAGMENTED structural MP4 (the DASH/CMAF shape):
+    * a moov whose stts is EMPTY, then one `moof(mfhd, traf(tfhd,
+    * trun))` per fragment — samples live in trun counts, the way
+    * streaming-era files actually ship (and the case the stts-only
+    * count reports as zero frames). */
+  def encodeMp4Fragmented(width: Int, height: Int,
+      fragmentSamples: Seq[Int]): Array[Byte] = {
+    require(fragmentSamples.nonEmpty && fragmentSamples.forall(_ >= 0),
+      "bad fragment sample counts")
+    val base = encodeMp4Skeleton(width, height, 0)
+    val frags = fragmentSamples.zipWithIndex.map { case (cnt, i) =>
+      box("moof",
+        box("mfhd", be32(0), be32(i + 1L)),
+        box("traf",
+          box("tfhd", be32(0), be32(1)), // track_ID 1
+          box("trun", be32(0), be32(cnt.toLong)))) ++ box("mdat")
+    }
+    frags.foldLeft(base)(_ ++ _)
   }
 }

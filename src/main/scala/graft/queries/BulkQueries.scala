@@ -796,6 +796,24 @@ object BulkQueries extends QueryGroup {
         }.toDF("doc_id", "orientation", "make", "model", "date_time")
     }),
 
+    // FRAGMENTED MP4 (the DASH/CMAF shape): samples live in per-moof
+    // trun counts, not stts — the frame total must come from the
+    // fragment walk (a stts-only reader reports zero)
+    "mm_decode_fmp4" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (1 + id % 5).toInt
+          val frags = (0 until k).map(f => (3 + (id + f) % 7).toInt)
+          val m = graft.ops.Mp4Codec.parseMp4Meta(
+            graft.ops.Mp4Codec.encodeMp4Fragmented(
+              (320 + (id % 8) * 16).toInt, (180 + (id % 6) * 16).toInt,
+              frags))
+          (id, m.format, m.width, m.height, m.nFrames)
+        }).toDF("doc_id", "format", "width", "height", "n_frames")
+    }),
+
     // FLAC STREAMINFO (RFC 9639 bit-packed rate/channels/total) and
     // Ogg/Opus (OpusHead + final granule position minus pre-skip, the
     // way players compute Opus duration) — the remaining crawl audio
@@ -1235,6 +1253,17 @@ object BulkQueries extends QueryGroup {
         "'Cam ' || CAST(doc_id AS VARCHAR) AS model, " +
         "'2026:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' 12:00:00' " +
         "AS date_time FROM documents"),
+
+    // fMP4 frames = Σ per-fragment trun sample counts
+    "mm_decode_fmp4" ->
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 5 AS k FROM documents), " +
+        "e AS (SELECT doc_id, f FROM g, generate_series(0, 4) AS s(f) " +
+        "WHERE f < k) " +
+        "SELECT doc_id, 'mp4' AS format, " +
+        "CAST(320 + (doc_id % 8) * 16 AS INT) AS width, " +
+        "CAST(180 + (doc_id % 6) * 16 AS INT) AS height, " +
+        "CAST(SUM(3 + (doc_id + f) % 7) AS INT) AS n_frames " +
+        "FROM e GROUP BY doc_id"),
 
     // FLAC/Opus fields re-derived; ogg n_frames = granule - pre-skip
     "mm_flac_ogg_meta" ->

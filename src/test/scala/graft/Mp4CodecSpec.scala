@@ -127,4 +127,20 @@ class Mp4CodecSpec extends AnyFunSuite {
     val m = Mp4Codec.parseMp4Meta(bytes ++ trailer)
     assert(m.width == 100 && m.height == 80 && m.nFrames == 5)
   }
+
+  test("fragmented files count samples from moof/traf/trun, not stts") {
+    val m = Mp4Codec.parseMp4Meta(
+      Mp4Codec.encodeMp4Fragmented(640, 360, Seq(12, 7, 30)))
+    assert(m.format == "mp4" && m.width == 640 && m.height == 360)
+    assert(m.nFrames == 49)
+    // a single empty fragment still classifies with zero-frame stts
+    val empty = Mp4Codec.parseMp4Meta(
+      Mp4Codec.encodeMp4Fragmented(320, 180, Seq(0)))
+    assert(empty.nFrames <= 0) // no trun samples anywhere
+    // progressive + fragments compose additively
+    val both = Mp4Codec.encodeMp4Skeleton(100, 80, 5) ++
+      Mp4Codec.encodeMp4Fragmented(100, 80, Seq(4)).drop(
+        Mp4Codec.encodeMp4Skeleton(100, 80, 0).length)
+    assert(Mp4Codec.parseMp4Meta(both).nFrames == 9)
+  }
 }
