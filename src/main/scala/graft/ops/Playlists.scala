@@ -1,0 +1,133 @@
+package graft.ops
+
+/** HLS (m3u8, RFC 8216) playlist parsing — the streaming-manifest
+  * counterpart of [[Sitemaps]]/[[Feeds]]: crawled video is increasingly
+  * served as HLS, where the playlist (not the container) enumerates the
+  * media — a MASTER playlist lists variant streams with bandwidth and
+  * resolution, a MEDIA playlist lists segments with exact durations.
+  * A crawl pipeline reads these to size/dedup/select streams without
+  * fetching a single media byte.
+  *
+  * Handles: `#EXTM3U` gate, `#EXT-X-STREAM-INF` attribute lists
+  * (BANDWIDTH, RESOLUTION=WxH, quoted attribute values with commas
+  * inside), `#EXTINF:<duration>,<title>` with decimal durations read
+  * exactly into milliseconds (BigDecimal — no fp drift), URI lines,
+  * `#EXT-X-ENDLIST` / other tags skipped. Malformed lines are skipped;
+  * never throws.
+  *
+  * Scale shape: one playlist is one row's work in a `mapPartitions`
+  * pass — map-side, no shuffle.
+  */
+object Playlists {
+
+  /** One playlist row: kind "segment" (durationMs set) or "variant"
+    * (bandwidth/width/height set); -1 where absent. */
+  final case class PlaylistEntry(kind: String, uri: String,
+      durationMs: Long, bandwidth: Long, width: Int, height: Int)
+
+  /** Split an attribute list on commas OUTSIDE quoted values. */
+  private def splitAttrs(s: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    var start = 0
+    var inQ = false
+    def emit(end: Int): Unit = {
+      val part = s.substring(start, end).trim
+      val eq = part.indexOf('=')
+      if (eq > 0) {
+        val v = part.substring(eq + 1).trim
+        val unq = if (v.length >= 2 && v.head == '"' && v.last == '"')
+          v.substring(1, v.length - 1) else v
+        out += ((part.substring(0, eq).trim.toUpperCase(java.util.Locale.ROOT), unq))
+      }
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') inQ = !inQ
+      else if (c == ',' && !inQ) { emit(i); start = i + 1 }
+      i += 1
+    }
+    emit(s.length)
+    out.result()
+  }
+
+  /** Parse an m3u8 document. Master playlists yield "variant" rows,
+    * media playlists "segment" rows, in document order. */
+  def parse(b: Array[Byte], maxEntries: Int = 10000): Seq[PlaylistEntry] = {
+    if (b == null || b.length == 0) return Nil
+    try {
+      var text = new String(b, "UTF-8")
+      if (text.nonEmpty && text.charAt(0) == '\uFEFF') text = text.substring(1)
+      val lines = text.split("\r\n|\n|\r", -1).map(_.trim)
+      if (!lines.headOption.exists(_.startsWith("#EXTM3U"))) return Nil
+      val out = Seq.newBuilder[PlaylistEntry]
+      var n = 0
+      // pending state: the tag line applies to the NEXT URI line
+      var pendDur = -1L
+      var pendBw = -1L
+      var pendW = -1
+      var pendH = -1
+      var pendKind: String = null
+      var i = 1
+      while (i < lines.length && n < maxEntries) {
+        val line = lines(i)
+        if (line.startsWith("#EXTINF:")) {
+          val spec = line.substring(8)
+          val comma = spec.indexOf(',')
+          val durStr = (if (comma >= 0) spec.substring(0, comma) else spec).trim
+          pendDur = try {
+            (BigDecimal(durStr) * 1000).setScale(0,
+              BigDecimal.RoundingMode.HALF_UP).toLong
+          } catch { case _: NumberFormatException => -1L }
+          pendKind = "segment"
+        } else if (line.startsWith("#EXT-X-STREAM-INF:")) {
+          splitAttrs(line.substring(18)).foreach {
+            case ("BANDWIDTH", v) =>
+              pendBw = try v.toLong catch { case _: NumberFormatException => -1L }
+            case ("RESOLUTION", v) =>
+              val x = v.indexOf('x')
+              if (x > 0) try {
+                pendW = v.substring(0, x).trim.toInt
+                pendH = v.substring(x + 1).trim.toInt
+              } catch { case _: NumberFormatException => () }
+            case _ => ()
+          }
+          pendKind = "variant"
+        } else if (line.nonEmpty && !line.startsWith("#")) {
+          if (pendKind != null) {
+            out += PlaylistEntry(pendKind, line, pendDur, pendBw, pendW, pendH)
+            n += 1
+          }
+          pendDur = -1L; pendBw = -1L; pendW = -1; pendH = -1
+          pendKind = null
+        }
+        i += 1
+      }
+      out.result()
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** Deterministic writers for fixtures. */
+  def encodeMedia(segments: Seq[(Long, String)]): Array[Byte] = {
+    val sb = new StringBuilder("#EXTM3U\n#EXT-X-VERSION:3\n")
+    sb.append("#EXT-X-TARGETDURATION:10\n#EXT-X-MEDIA-SEQUENCE:0\n")
+    segments.foreach { case (ms, uri) =>
+      sb.append("#EXTINF:").append(
+        java.math.BigDecimal.valueOf(ms, 3).toPlainString)
+        .append(",\n").append(uri).append('\n')
+    }
+    sb.append("#EXT-X-ENDLIST\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  def encodeMaster(variants: Seq[(Long, Int, Int, String)]): Array[Byte] = {
+    val sb = new StringBuilder("#EXTM3U\n")
+    variants.foreach { case (bw, w, h, uri) =>
+      sb.append("#EXT-X-STREAM-INF:BANDWIDTH=").append(bw)
+        .append(",CODECS=\"avc1.640028,mp4a.40.2\"") // quoted comma inside
+        .append(",RESOLUTION=").append(w).append('x').append(h).append('\n')
+        .append(uri).append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+}

@@ -796,6 +796,32 @@ object BulkQueries extends QueryGroup {
         }.toDF("doc_id", "orientation", "make", "model", "date_time")
     }),
 
+    // HLS playlists through BOTH shapes: media (#EXTINF decimal
+    // durations read exactly into ms) and master (#EXT-X-STREAM-INF
+    // with a quoted comma-bearing CODECS attribute the splitter must
+    // not break on) — the streaming-manifest frontier next to
+    // sitemaps/feeds
+    "pipeline_hls_entries" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val k = (1 + id % 4).toInt
+          val bytes =
+            if (id % 2 == 0) graft.ops.Playlists.encodeMedia(
+              (0 until k).map(j =>
+                (1000L * (2 + (id + j) % 5) + 500 * (j % 2), s"seg$j.ts")))
+            else graft.ops.Playlists.encodeMaster(
+              (0 until k).map(j => (100000L * (1 + j + id % 3),
+                (426 + j * 128).toInt, (240 + j * 72).toInt, s"v$j.m3u8")))
+          graft.ops.Playlists.parse(bytes).zipWithIndex.map { case (e, ix) =>
+            (id, ix.toLong, e.kind, e.uri, e.durationMs, e.bandwidth,
+              e.width, e.height)
+          }
+        }).toDF("doc_id", "entry_idx", "kind", "uri", "duration_ms",
+          "bandwidth", "width", "height")
+    }),
+
     // FRAGMENTED MP4 (the DASH/CMAF shape): samples live in per-moof
     // trun counts, not stts — the frame total must come from the
     // fragment walk (a stts-only reader reports zero)
@@ -1253,6 +1279,22 @@ object BulkQueries extends QueryGroup {
         "'Cam ' || CAST(doc_id AS VARCHAR) AS model, " +
         "'2026:01:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ' 12:00:00' " +
         "AS date_time FROM documents"),
+
+    // HLS rows re-derived per shape; ms math exact on both sides
+    "pipeline_hls_entries" ->
+      ("WITH g AS (SELECT doc_id, 1 + doc_id % 4 AS k, " +
+        "doc_id % 2 = 0 AS med FROM documents) " +
+        "SELECT doc_id, CAST(j AS BIGINT) AS entry_idx, " +
+        "CASE WHEN med THEN 'segment' ELSE 'variant' END AS kind, " +
+        "CASE WHEN med THEN 'seg' || CAST(j AS VARCHAR) || '.ts' " +
+        "ELSE 'v' || CAST(j AS VARCHAR) || '.m3u8' END AS uri, " +
+        "CAST(CASE WHEN med THEN 1000 * (2 + (doc_id + j) % 5) + 500 * (j % 2) " +
+        "ELSE -1 END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE WHEN med THEN -1 " +
+        "ELSE 100000 * (1 + j + doc_id % 3) END AS BIGINT) AS bandwidth, " +
+        "CAST(CASE WHEN med THEN -1 ELSE 426 + j * 128 END AS INT) AS width, " +
+        "CAST(CASE WHEN med THEN -1 ELSE 240 + j * 72 END AS INT) AS height " +
+        "FROM g, generate_series(0, 3) AS s(j) WHERE j < k"),
 
     // fMP4 frames = Σ per-fragment trun sample counts
     "mm_decode_fmp4" ->

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Playlists
+
+/** HLS m3u8 walk vs the deterministic writers: exact duration math,
+  * quoted-attribute splitting, tag skipping, totality. */
+class PlaylistsSpec extends AnyFunSuite {
+
+  test("media playlists yield segments with exact millisecond durations") {
+    val segs = Seq((2000L, "a.ts"), (2500L, "b.ts"), (10001L, "c.ts"))
+    val out = Playlists.parse(Playlists.encodeMedia(segs))
+    assert(out.map(e => (e.durationMs, e.uri)) == segs)
+    assert(out.forall(_.kind == "segment"))
+    assert(out.forall(e => e.bandwidth == -1 && e.width == -1))
+  }
+
+  test("master playlists split attributes without breaking quoted commas") {
+    val out = Playlists.parse(Playlists.encodeMaster(Seq(
+      (800000L, 1280, 720, "hi.m3u8"), (300000L, 640, 360, "lo.m3u8"))))
+    assert(out.map(_.kind) == Seq("variant", "variant"))
+    assert(out.map(_.bandwidth) == Seq(800000L, 300000L))
+    assert(out.map(e => (e.width, e.height)) == Seq((1280, 720), (640, 360)))
+    assert(out.map(_.uri) == Seq("hi.m3u8", "lo.m3u8"))
+  }
+
+  test("unknown tags and decimal forms are tolerated") {
+    val doc = ("#EXTM3U\n#EXT-X-PLAYLIST-TYPE:VOD\n" +
+      "#EXTINF:9.009,title here\nseg.ts\n" +
+      "#EXTINF:4\nplain.ts\n#EXT-X-ENDLIST\n").getBytes("UTF-8")
+    val out = Playlists.parse(doc)
+    assert(out.map(_.durationMs) == Seq(9009L, 4000L))
+  }
+
+  test("documents without the #EXTM3U gate yield nothing") {
+    assert(Playlists.parse("seg.ts\n".getBytes("UTF-8")).isEmpty)
+    assert(Playlists.parse(null).isEmpty)
+    assert(Playlists.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("maxEntries caps; junk totality") {
+    val many = Playlists.encodeMedia((1 to 50).map(i => (1000L, s"s$i.ts")))
+    assert(Playlists.parse(many, maxEntries = 6).size == 6)
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 100)
+      Playlists.parse(("#EXTM3U\n" + new String(Array.fill(
+        1 + rnd.nextInt(60))((32 + rnd.nextInt(90)).toChar))).getBytes("UTF-8"))
+  }
+}
