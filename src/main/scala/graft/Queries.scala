@@ -23,7 +23,8 @@ object Queries {
     CurationQueries,
     GraphQueries,
     SegmentationQueries,
-    BasketQueries)
+    BasketQueries,
+    CodeQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

@@ -1,0 +1,396 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Source-code curation kernels — the training-data family (The Stack /
+  * StarCoder-class corpora) the crawl tier hands off to whenever a blob
+  * is a program rather than prose. Everything here is a pure per-row
+  * kernel for `mapPartitions`: language identification, license
+  * detection, secret scanning + redaction, minified/generated-file
+  * screening, per-language comment stripping, and the line-shape stats
+  * the published code filters threshold on. Total on arbitrary input —
+  * junk bytes classify, never throw.
+  *
+  * Scale shape: map-side only; no state, no shuffle. At 100 TB the
+  * whole tier is one pass over the code column, and the downstream
+  * dedup reuses the engine's existing MinHash/SimHash kernels over
+  * [[stripComments]]-normalized text.
+  *
+  * Reference behavior: HIndex never interprets cell bytes
+  * (`SeekPointFetcher.java:47` fetches opaque values); this tier is
+  * SURVEY §2.11 pipeline surface, not reference surface.
+  */
+object SourceCode {
+
+  // ---------------------------------------------------------------- langid
+
+  /** Language verdict: `via` is `extension`, `shebang`, `content` or
+    * `none` (lang = "unknown"). */
+  final case class LangGuess(lang: String, via: String)
+
+  private val extLang: Map[String, String] = Map(
+    "py" -> "python", "pyi" -> "python",
+    "scala" -> "scala", "sbt" -> "scala",
+    "java" -> "java",
+    "js" -> "javascript", "mjs" -> "javascript", "cjs" -> "javascript",
+    "ts" -> "typescript", "tsx" -> "typescript",
+    "c" -> "c", "h" -> "c",
+    "cpp" -> "cpp", "cc" -> "cpp", "cxx" -> "cpp", "hpp" -> "cpp",
+    "go" -> "go",
+    "rs" -> "rust",
+    "rb" -> "ruby",
+    "php" -> "php",
+    "cs" -> "csharp",
+    "kt" -> "kotlin", "kts" -> "kotlin",
+    "swift" -> "swift",
+    "sh" -> "shell", "bash" -> "shell",
+    "pl" -> "perl", "pm" -> "perl",
+    "r" -> "r",
+    "sql" -> "sql",
+    "html" -> "html", "htm" -> "html",
+    "css" -> "css",
+    "json" -> "json",
+    "yaml" -> "yaml", "yml" -> "yaml",
+    "toml" -> "toml",
+    "md" -> "markdown", "markdown" -> "markdown",
+    "lua" -> "lua",
+    "dart" -> "dart",
+    "zig" -> "zig")
+
+  private val shebangLang: Seq[(String, String)] = Seq(
+    "python" -> "python", "node" -> "javascript", "bash" -> "shell",
+    "sh" -> "shell", "ruby" -> "ruby", "perl" -> "perl", "php" -> "php",
+    "Rscript" -> "r")
+
+  /** Content signatures: (language, required markers). A language wins
+    * when ALL its markers occur; first match in declaration order (the
+    * more specific signatures sit first). Deterministic by design. */
+  private val contentSigs: Seq[(String, Seq[String])] = Seq(
+    "rust" -> Seq("fn ", "let mut "),
+    "go" -> Seq("package ", "func "),
+    "java" -> Seq("public class ", "public static void main"),
+    "scala" -> Seq("object ", "def "),
+    "python" -> Seq("def ", "import "),
+    "javascript" -> Seq("function ", "var "),
+    "c" -> Seq("#include ", "int main"),
+    "shell" -> Seq("#!/bin/sh", ""),
+    "php" -> Seq("<?php", ""),
+    "html" -> Seq("<html", ""),
+    "sql" -> Seq("select ", " from "))
+
+  /** Identify the language of `path`'s content: extension map first
+    * (the decisive signal in repo corpora), then the shebang line, then
+    * content keyword signatures; "unknown" otherwise. Case-insensitive
+    * on extension and content, case-sensitive on shebang binary names. */
+  def detectLanguage(path: String, text: String): LangGuess = {
+    val p = if (path == null) "" else path
+    val t = if (text == null) "" else text
+    val base = p.substring(p.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0 && dot < base.length - 1) {
+      val ext = base.substring(dot + 1).toLowerCase
+      extLang.get(ext) match {
+        case Some(l) => return LangGuess(l, "extension")
+        case None => ()
+      }
+    }
+    if (t.startsWith("#!")) {
+      val nl = t.indexOf('\n')
+      val line = if (nl < 0) t else t.substring(0, nl)
+      // binary = last path segment of the interpreter; `env X` uses X
+      val toks = line.drop(2).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val bin0 = toks.headOption.map(s => s.substring(s.lastIndexOf('/') + 1))
+      val bin = bin0 match {
+        case Some("env") => toks.drop(1).headOption.getOrElse("")
+        case Some(b) => b
+        case None => ""
+      }
+      shebangLang.collectFirst {
+        case (pfx, l) if bin.startsWith(pfx) => LangGuess(l, "shebang")
+      } match {
+        case Some(g) => return g
+        case None => ()
+      }
+    }
+    val lower = t.toLowerCase
+    contentSigs.collectFirst {
+      case (l, markers) if markers.forall(m => m.isEmpty || lower.contains(m.toLowerCase)) =>
+        LangGuess(l, "content")
+    }.getOrElse(LangGuess("unknown", "none"))
+  }
+
+  // --------------------------------------------------------------- license
+
+  /** License verdict: `via` is `spdx-tag`, `phrase` or `none`. */
+  final case class LicenseHit(license: String, via: String)
+
+  /** Canonical phrase fingerprints (normalized: lowercase, runs of
+    * non-alphanumerics collapsed to one space) for the licenses that
+    * dominate open-source corpora. Checked in order; SPDX tags win. */
+  private val licensePhrases: Seq[(String, String)] = Seq(
+    "MIT" -> "permission is hereby granted free of charge to any person obtaining a copy",
+    "Apache-2.0" -> "licensed under the apache license version 2 0",
+    "GPL-3.0-or-later" -> "gnu general public license as published by the free software foundation either version 3",
+    "GPL-2.0-only" -> "gnu general public license version 2",
+    "BSD-3-Clause" -> "redistribution and use in source and binary forms with or without modification",
+    "MPL-2.0" -> "mozilla public license v 2 0",
+    "Unlicense" -> "this is free and unencumbered software released into the public domain")
+
+  private val spdxTag = java.util.regex.Pattern.compile(
+    "SPDX-License-Identifier:\\s*([A-Za-z0-9 .+\\-()]+)")
+
+  private def normalizeLicenseText(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+
+  /** Detect the file's license: an explicit `SPDX-License-Identifier:`
+    * tag anywhere in the first `window` chars wins (trailing comment
+    * noise trimmed); otherwise the normalized header is scanned for
+    * canonical license phrases; "none" if neither. */
+  def detectLicense(text: String, window: Int = 4096): LicenseHit = {
+    val t = if (text == null) "" else text
+    val head = if (t.length > window) t.substring(0, window) else t
+    val m = spdxTag.matcher(head)
+    if (m.find()) {
+      val raw = m.group(1).trim
+      // trim trailing comment-closer / punctuation noise on the tag line
+      val id = raw.replaceAll("[*/#\\s]+$", "")
+      if (id.nonEmpty) return LicenseHit(id, "spdx-tag")
+    }
+    val norm = normalizeLicenseText(head)
+    licensePhrases.collectFirst {
+      case (id, phrase) if norm.contains(phrase) => LicenseHit(id, "phrase")
+    }.getOrElse(LicenseHit("none", "none"))
+  }
+
+  // --------------------------------------------------------------- secrets
+
+  /** One secret occurrence: `kind` + the [start, start+len) span in the
+    * input string. */
+  final case class SecretHit(kind: String, start: Int, len: Int)
+
+  private val secretPatterns: Seq[(String, java.util.regex.Pattern)] = Seq(
+    "aws-access-key" ->
+      java.util.regex.Pattern.compile("\\bAKIA[0-9A-Z]{16}\\b"),
+    "github-token" ->
+      java.util.regex.Pattern.compile("\\bghp_[A-Za-z0-9]{36}\\b"),
+    "slack-token" ->
+      java.util.regex.Pattern.compile("\\bxox[baprs]-[A-Za-z0-9-]{10,48}\\b"),
+    "private-key" ->
+      java.util.regex.Pattern.compile(
+        "-----BEGIN (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY(?: BLOCK)?-----"),
+    "generic-credential" ->
+      java.util.regex.Pattern.compile(
+        "(?i)\\b(?:api[_-]?key|secret|token|passwd|password)\\b\\s*[:=]\\s*[\"']([A-Za-z0-9+/_\\-]{20,})[\"']"))
+
+  /** Shannon entropy in bits/char. Deterministic for a given string
+    * (one summation order); used only as a >=/< threshold. */
+  private[graft] def entropyBitsPerChar(s: String): Double = {
+    if (s == null || s.isEmpty) return 0.0
+    val counts = scala.collection.mutable.TreeMap.empty[Char, Int]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      counts.update(c, counts.getOrElse(c, 0) + 1)
+      i += 1
+    }
+    var h = 0.0
+    val n = s.length.toDouble
+    counts.valuesIterator.foreach { cnt =>
+      val p = cnt / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    h
+  }
+
+  /** Scan for credential-shaped substrings. Structured token formats
+    * (AWS/GitHub/Slack/PEM) match on shape alone; the generic
+    * `key = "<value>"` pattern additionally requires the VALUE's
+    * Shannon entropy >= `minEntropy` bits/char, so `password =
+    * "aaaaaaaaaaaaaaaaaaaaaa"` test fixtures don't fire. Hits are
+    * reported in document order, overlaps allowed across kinds. */
+  def scanSecrets(text: String, minEntropy: Double = 3.5): Seq[SecretHit] = {
+    val t = if (text == null) "" else text
+    if (t.isEmpty) return Nil
+    val out = ArrayBuffer.empty[SecretHit]
+    secretPatterns.foreach { case (kind, pat) =>
+      val m = pat.matcher(t)
+      while (m.find()) {
+        if (kind != "generic-credential")
+          out += SecretHit(kind, m.start, m.end - m.start)
+        else if (entropyBitsPerChar(m.group(1)) >= minEntropy)
+          out += SecretHit(kind, m.start(1), m.end(1) - m.start(1))
+      }
+    }
+    out.sortBy(h => (h.start, h.kind)).toSeq
+  }
+
+  /** Redact every [[scanSecrets]] span with `[REDACTED:<kind>]`,
+    * merging overlaps left-to-right (first hit wins inside an overlap).
+    * Returns (redacted text, number of spans redacted). */
+  def redactSecrets(text: String, minEntropy: Double = 3.5): (String, Int) = {
+    val t = if (text == null) "" else text
+    val hits = scanSecrets(t, minEntropy)
+    if (hits.isEmpty) return (t, 0)
+    val sb = new java.lang.StringBuilder(t.length)
+    var pos = 0
+    var n = 0
+    hits.foreach { h =>
+      if (h.start >= pos) {
+        sb.append(t, pos, h.start)
+        sb.append("[REDACTED:").append(h.kind).append("]")
+        pos = h.start + h.len
+        n += 1
+      }
+    }
+    sb.append(t, pos, t.length)
+    (sb.toString, n)
+  }
+
+  // ----------------------------------------------------------- line shape
+
+  /** Line-shape stats, the published code-filter thresholds' inputs.
+    * Ratios are exact integer PPM (micro-units) so every engine
+    * re-derives them bit-identically: `avgLineLenPpm` =
+    * floor(1e6 * chars / lines) over NON-EMPTY line count when
+    * `lines > 0` else 0; `alnumFracPpm` = floor(1e6 * alnum / chars)
+    * when `chars > 0` else 0. `chars` excludes line terminators. */
+  final case class CodeShape(
+      lines: Int, blankLines: Int, chars: Long, maxLineLen: Int,
+      avgLineLenPpm: Long, alnumFracPpm: Long,
+      minified: Boolean, generated: Boolean)
+
+  private val generatedMarkers = Seq(
+    "do not edit", "@generated", "code generated by", "auto-generated",
+    "autogenerated", "this file was generated")
+
+  /** Compute [[CodeShape]] in one pass. Minified = a single line longer
+    * than `minifiedLineLen` chars, or average non-blank line length
+    * above `minifiedAvgLen` with at least 1 line (the packed-JS shape).
+    * Generated = any marker phrase in the first `markerWindow` chars,
+    * case-insensitive (protoc/Thrift/stringer-style headers). */
+  def shape(text: String, minifiedLineLen: Int = 1000,
+      minifiedAvgLen: Int = 300, markerWindow: Int = 1024): CodeShape = {
+    val t = if (text == null) "" else text
+    var lines = 0
+    var blank = 0
+    var chars = 0L
+    var maxLen = 0
+    var lineLen = 0
+    var lineHasInk = false
+    var i = 0
+    def closeLine(): Unit = {
+      lines += 1
+      if (!lineHasInk) blank += 1
+      if (lineLen > maxLen) maxLen = lineLen
+      lineLen = 0
+      lineHasInk = false
+    }
+    var alnum = 0L
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '\n') closeLine()
+      else if (c != '\r') {
+        lineLen += 1
+        chars += 1
+        if (!Character.isWhitespace(c)) lineHasInk = true
+        if (Character.isLetterOrDigit(c)) alnum += 1
+      }
+      i += 1
+    }
+    if (lineLen > 0 || lineHasInk) closeLine()
+    val nonBlank = lines - blank
+    val avgPpm =
+      if (nonBlank > 0) chars * 1000000L / nonBlank else 0L
+    val alnumPpm = if (chars > 0) alnum * 1000000L / chars else 0L
+    val head = if (t.length > markerWindow) t.substring(0, markerWindow) else t
+    val headLower = head.toLowerCase
+    val gen = generatedMarkers.exists(headLower.contains)
+    val minified =
+      maxLen > minifiedLineLen || (nonBlank > 0 && avgPpm > minifiedAvgLen * 1000000L)
+    CodeShape(lines, blank, chars, maxLen, avgPpm, alnumPpm, minified, gen)
+  }
+
+  // ------------------------------------------------------ comment strip
+
+  private val hashCommentLangs =
+    Set("python", "shell", "ruby", "perl", "r", "yaml", "toml")
+
+  /** Strip comments for dedup normalization: `//` line + `/* */` block
+    * comments for the C family, `#` line comments for the hash family
+    * (python/shell/ruby/perl/r/yaml/toml), `--` for sql. String and
+    * char literals are respected — a comment-opener inside quotes is
+    * text, and a quote inside a comment is comment. Escapes (`\"`)
+    * honored inside strings; python triple-quotes treated as ordinary
+    * quotes pairwise (adjacent empties), which is lossless for
+    * stripping purposes. Unknown languages return the input unchanged.
+    * Line structure outside comments is preserved; block comments
+    * collapse to nothing (their interior newlines kept, so line counts
+    * survive for the shape stats). */
+  def stripComments(text: String, lang: String): String = {
+    val t = if (text == null) "" else text
+    val l = if (lang == null) "" else lang
+    val cFamily = Set("c", "cpp", "java", "javascript", "typescript",
+      "scala", "go", "rust", "kotlin", "swift", "csharp", "dart",
+      "php", "zig", "css")
+    val (lineMarkers, blockComments): (Seq[String], Boolean) =
+      if (cFamily.contains(l)) (Seq("//"), true)
+      else if (hashCommentLangs.contains(l)) (Seq("#"), false)
+      else if (l == "sql") (Seq("--"), true)
+      else return t
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    var inStr = false
+    var strCh = '"'
+    var inBlock = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inBlock) {
+        if (c == '\n') sb.append('\n')
+        if (c == '*' && i + 1 < t.length && t.charAt(i + 1) == '/') {
+          inBlock = false; i += 1
+        }
+        i += 1
+      } else if (inStr) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < t.length) { sb.append(t.charAt(i + 1)); i += 1 }
+        else if (c == strCh) inStr = false
+        else if (c == '\n') inStr = false // unterminated literal: resync
+        i += 1
+      } else {
+        val lineHit = lineMarkers.exists(m => t.startsWith(m, i))
+        if (lineHit) {
+          while (i < t.length && t.charAt(i) != '\n') i += 1
+        } else if (blockComments && t.startsWith("/*", i)) {
+          inBlock = true
+          i += 2
+        } else {
+          if (c == '"' || c == '\'') { inStr = true; strCh = c }
+          sb.append(c)
+          i += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Comment-line count for the shape stats: lines whose first
+    * non-whitespace characters open a comment for `lang` (line marker,
+    * or a line inside / opening a C-family block comment). Total. */
+  def commentLines(text: String, lang: String): Int = {
+    val t = if (text == null) "" else text
+    val stripped = stripComments(t, lang)
+    if (stripped eq t) return 0
+    // stripComments preserves line structure, so the i-th lines align;
+    // a line that had ink and lost all of it to stripping was comment-only
+    val before = t.split("\n", -1)
+    val after = stripped.split("\n", -1)
+    var n = 0
+    var i = 0
+    while (i < before.length && i < after.length) {
+      if (before(i).exists(!Character.isWhitespace(_)) &&
+          after(i).forall(Character.isWhitespace)) n += 1
+      i += 1
+    }
+    n
+  }
+}
