@@ -24,7 +24,8 @@ object Queries {
     GraphQueries,
     SegmentationQueries,
     BasketQueries,
-    CodeQueries)
+    CodeQueries,
+    OnrampQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

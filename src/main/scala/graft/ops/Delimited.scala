@@ -1,0 +1,145 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Delimited-text (CSV/TSV) dialect sniffing + RFC 4180 parsing — the
+  * data-file on-ramp next to the crawl tier: datasets, logs and dumps
+  * arrive as delimiter-separated blobs whose dialect (delimiter, quote
+  * usage, header presence) is NOT declared. Spark's CSV reader needs
+  * the dialect up front; this kernel infers it, so ingest can route
+  * a 100 TB mixed dump without per-file human configuration.
+  *
+  * Sniffing is deterministic: candidate delimiters are scored by
+  * quote-aware per-line field-count consistency over a bounded probe
+  * window; ties break by fixed candidate order. Parsing is RFC 4180:
+  * quoted fields may contain delimiters, doubled quotes and newlines.
+  * Total on arbitrary text — junk yields one-column rows, never
+  * throws. Scale shape: one blob = one row's `mapPartitions` work;
+  * for big single files, sniff on the head then hand the dialect to
+  * the distributed line parser.
+  *
+  * Reference behavior: the reference's ImportTsv fixes '\t' by flag
+  * (`hbase-secondaryindex` bulk tier); sniffing is the generalization
+  * a mixed corpus needs. SURVEY §2.11 pipeline surface.
+  */
+object Delimited {
+
+  /** Inferred dialect: delimiter, whether any field was quoted in the
+    * probe window, and whether the first row is a header. */
+  final case class Dialect(delimiter: Char, quoted: Boolean, header: Boolean)
+
+  private val candidates: Seq[Char] = Seq(',', '\t', ';', '|')
+
+  /** Split one LOGICAL record (no embedded newlines) quote-aware.
+    * Doubled quotes inside a quoted field unescape to one quote. */
+  private[graft] def splitRecord(line: String, d: Char): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            sb.append('"'); i += 1
+          } else inQ = false
+        } else sb.append(c)
+      } else {
+        if (c == '"' && sb.length() == 0) inQ = true
+        else if (c == d) { out += sb.toString; sb.setLength(0) }
+        else sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  /** Sniff the dialect from the first `probeLines` logical records.
+    * Winner = the candidate splitting every probe record into the SAME
+    * field count >= 2 (quote-aware); if none is perfectly consistent,
+    * the candidate with the highest minimum field count >= 2 wins;
+    * ties break in candidate order (',' first). Header = every
+    * first-record field is non-numeric AND some second-record field is
+    * numeric (the standard csv.Sniffer-style vote, made deterministic). */
+  def sniffDialect(text: String, probeLines: Int = 16): Dialect = {
+    val t = if (text == null) "" else text
+    val probe = logicalRecords(t, probeLines)
+    if (probe.isEmpty) return Dialect(',', quoted = false, header = false)
+    var best: Char = ','
+    var bestConsistent = false
+    var bestFields = 1
+    candidates.foreach { d =>
+      val counts = probe.map(r => splitRecord(r, d).length)
+      val consistent = counts.distinct.size == 1 && counts.head >= 2
+      val minF = counts.min
+      val better =
+        if (consistent && !bestConsistent) true
+        else if (consistent == bestConsistent && minF > bestFields) true
+        else false
+      if (better) { best = d; bestConsistent = consistent; bestFields = minF }
+    }
+    val quoted = probe.exists(_.contains('"'))
+    val header = probe.length >= 2 && {
+      val h = splitRecord(probe.head, best)
+      val r2 = splitRecord(probe(1), best)
+      h.forall(f => f.nonEmpty && !isNumeric(f)) && r2.exists(isNumeric)
+    }
+    Dialect(best, quoted, header)
+  }
+
+  private def isNumeric(s: String): Boolean = {
+    if (s.isEmpty) return false
+    var i = 0
+    var digits = 0
+    var dots = 0
+    if (s.charAt(0) == '-' || s.charAt(0) == '+') i = 1
+    var ok = i < s.length
+    while (ok && i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      else if (c == '.' && dots == 0) dots += 1
+      else ok = false
+      i += 1
+    }
+    ok && digits > 0
+  }
+
+  /** First `max` LOGICAL records (quote-aware: a newline inside an
+    * open quote does not terminate the record). `\r\n` normalized. */
+  private[graft] def logicalRecords(text: String, max: Int): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < text.length && out.length < max) {
+      val c = text.charAt(i)
+      if (c == '"') { inQ = !inQ; sb.append(c) }
+      else if (c == '\n' && !inQ) {
+        val s = sb.toString.stripSuffix("\r")
+        if (s.nonEmpty || inQ) out += s
+        sb.setLength(0)
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length() > 0 && out.length < max) out += sb.toString.stripSuffix("\r")
+    out.toSeq
+  }
+
+  /** Parse the whole blob with an explicit dialect: logical-record
+    * walk + quote-aware split; header row dropped when
+    * `dialect.header`. Empty trailing line ignored. */
+  def parseRows(text: String, dialect: Dialect): Seq[Seq[String]] = {
+    val t = if (text == null) "" else text
+    val recs = logicalRecords(t, Int.MaxValue)
+    val body = if (dialect.header && recs.nonEmpty) recs.tail else recs
+    body.map(r => splitRecord(r, dialect.delimiter))
+  }
+
+  /** Sniff + parse in one call. */
+  def sniffAndParse(text: String): (Dialect, Seq[Seq[String]]) = {
+    val d = sniffDialect(text)
+    (d, parseRows(text, d))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+/** Mojibake detection and repair — the fix-encoding pass (ftfy-class)
+  * every large text pipeline runs after charset decode. The dominant
+  * real-world corruption is UTF-8 bytes mis-decoded as windows-1252 /
+  * Latin-1 (once, or twice for the double-encoded tail): "é" arrives
+  * as "Ã©", the right single quote U+2019 as "â€™". The repair is the
+  * exact inverse — re-encode the suspect text as cp1252, re-decode as
+  * strict UTF-8 — applied only while it (a) round-trips losslessly,
+  * (b) strictly lowers the mojibake signature count, so clean text
+  * (including legitimate "Ã " in Portuguese) is a fixed point unless
+  * the UTF-8 re-read is bit-perfect.
+  *
+  * Deterministic, pure-JVM, total: any input returns a string, never
+  * throws. Scale shape: per-row `mapPartitions` kernel, zero shuffle.
+  * Reference behavior: HIndex stores cell bytes opaquely; this is
+  * SURVEY §2.11 pipeline surface.
+  */
+object Mojibake {
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Count of mojibake signature bigrams: a UTF-8 LEAD-byte echo (a
+    * char whose cp1252 byte is 0xC2–0xF4 — 'Ã', 'â', 'æ', 'ã', …)
+    * followed by a char whose cp1252 byte is a valid UTF-8
+    * CONTINUATION byte (0x80–0xBF — the '€ ™ ¥ ©'-class symbols).
+    * Clean prose almost never puts "Ã" before "©"; every mis-decoded
+    * two/three-byte sequence does ("não"/"tête" score 0 — their
+    * accents precede plain ASCII). */
+  def suspicionScore(s: String): Int = {
+    if (s == null || s.length < 2) return 0
+    var n = 0
+    var i = 0
+    while (i < s.length - 1) {
+      val lead = toCp1252Byte(s.charAt(i))
+      if (lead >= 0xC2 && lead <= 0xF4) {
+        val cont = toCp1252Byte(s.charAt(i + 1))
+        if (cont >= 0x80 && cont <= 0xBF) n += 1
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** cp1252 byte value (0-255) of `c`, or -1 if not representable. */
+  private def toCp1252Byte(c: Char): Int = {
+    if (c < 0x80) return c.toInt
+    // the 0x80-0x9F window holds cp1252's specials; 0xA0-0xFF is Latin-1
+    if (c >= 0xA0 && c <= 0xFF) return c.toInt
+    cp1252Specials.getOrElse(c, -1)
+  }
+
+  /** The 27 printable cp1252 codepoints in 0x80–0x9F (the five holes
+    * 0x81/0x8D/0x8F/0x90/0x9D are unmapped). */
+  private val cp1252Specials: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** One inverse pass: re-encode as cp1252 (None if any char has no
+    * cp1252 byte), re-decode as STRICT UTF-8 (None if the bytes are
+    * not valid UTF-8 — that means the text was never a UTF-8
+    * mis-decode). */
+  private def undecodeOnce(s: String): Option[String] = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val b = toCp1252Byte(s.charAt(i))
+      if (b < 0) return None
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!Charsets.isValidUtf8(bytes)) return None
+    // pure-ASCII bytes would "repair" to themselves forever; require a
+    // multibyte sequence to exist for the pass to mean anything
+    Some(new String(bytes, Utf8))
+  }
+
+  /** Repair result: the fixed text and the number of inverse passes
+    * applied (0 = input was already clean or unrepairable). */
+  final case class Repair(text: String, passes: Int)
+
+  /** Undo up to `maxPasses` layers of UTF-8-read-as-cp1252. A pass is
+    * accepted only when the inverse is exact (cp1252-encodable, valid
+    * strict UTF-8) AND the result strictly lowers [[suspicionScore]]
+    * (or removes all suspicion) — so "Ã " in legitimate Portuguese
+    * survives unless the whole string round-trips as real UTF-8 with
+    * less mojibake signature. Total: null → "". */
+  def repair(s: String, maxPasses: Int = 3): Repair = {
+    var cur = if (s == null) "" else s
+    var passes = 0
+    var curScore = suspicionScore(cur)
+    while (passes < maxPasses && curScore > 0) {
+      undecodeOnce(cur) match {
+        case Some(next) if next != cur =>
+          val nextScore = suspicionScore(next)
+          if (nextScore < curScore) {
+            cur = next
+            curScore = nextScore
+            passes += 1
+          } else return Repair(cur, passes)
+        case _ => return Repair(cur, passes)
+      }
+    }
+    Repair(cur, passes)
+  }
+
+  /** Deterministic CORRUPTION (for fixtures and specs): decode the
+    * text's UTF-8 bytes as cp1252, `layers` times. Bytes landing in
+    * cp1252's five holes round-trip through U+FFFD and are NOT
+    * invertible — callers planting fixtures should stick to text whose
+    * UTF-8 bytes avoid 0x81/0x8D/0x8F/0x90/0x9D (true for Latin-1
+    * accents and the common punctuation specials). */
+  def corrupt(s: String, layers: Int = 1): String = {
+    var cur = if (s == null) "" else s
+    var k = 0
+    while (k < layers) {
+      cur = new String(cur.getBytes(Utf8), Cp1252)
+      k += 1
+    }
+    cur
+  }
+}

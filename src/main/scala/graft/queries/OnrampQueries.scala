@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Delimited, Mojibake}
+
+/** Data-file / encoding on-ramp tier (SURVEY §2.11): mojibake repair
+  * and delimited-dialect sniffing — the operators between "bytes
+  * decoded" and "rows usable" for the dataset-dump side of a corpus
+  * (the crawl side's analogue is WARC → charset → main content).
+  * Fixtures are id arithmetic; kernels are pure map passes.
+  */
+object OnrampQueries extends QueryGroup {
+
+  def defs: Map[String, Q] = Map(
+
+    // mojibake repair: corrupt deterministically (UTF-8 read as
+    // cp1252, once or twice), repair must return the EXACT original
+    // with the right pass count; clean ASCII and legitimate accented
+    // text must be fixed points — the oracle replays the clean string
+    "text_mojibake_fix" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (input, layers) = (id % 4) match {
+            case 0 =>
+              (Mojibake.corrupt(s"Article $id — déjà vu at the café"), 1)
+            case 1 =>
+              (Mojibake.corrupt(s"Quote ‘n’ dash – €$id …", layers = 2), 2)
+            case 2 => (s"plain log line $id", 0)
+            case _ => (s"São Paulo à noite $id", 0)
+          }
+          val r = Mojibake.repair(input)
+          (id, r.text, r.passes, r.passes > 0)
+        }).toDF("doc_id", "fixed", "passes", "was_mojibake")
+    }),
+
+    // delimited-dialect sniff + RFC 4180 parse: four dialects (comma/
+    // tab/semicolon/pipe) × header-vote outcomes × quoted fields with
+    // embedded delimiter, newline and doubled quotes; the sniffed
+    // dialect, row count and a probe cell all replay by id arithmetic
+    "pipeline_csv_sniff" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val text = (id % 4) match {
+            case 0 => s"name,qty\n\"Val, $id\",$id\n"
+            case 1 => s"k$id\t$id\t2\nm$id\t$id\t3\n"
+            case 2 => s"a;b\n\"L1\nL2 $id\";$id\n"
+            case _ => s"h1|h2\n\"say \"\"$id\"\"\"|$id\n"
+          }
+          val (d, rows) = Delimited.sniffAndParse(text)
+          (id, d.delimiter.toString, d.quoted, d.header,
+            rows.length, rows.head.head)
+        }).toDF("doc_id", "delim", "quoted", "header", "n_rows", "cell")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "text_mojibake_fix" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 4 " +
+        "WHEN 0 THEN 'Article ' || i || ' — déjà vu at the café' " +
+        "WHEN 1 THEN 'Quote ‘n’ dash – €' || i || ' …' " +
+        "WHEN 2 THEN 'plain log line ' || i " +
+        "ELSE 'São Paulo à noite ' || i END AS fixed, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS INT) AS passes, " +
+        "doc_id % 4 IN (0, 1) AS was_mojibake " +
+        "FROM g"),
+
+    "pipeline_csv_sniff" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN chr(9) " +
+        "WHEN 2 THEN ';' ELSE '|' END AS delim, " +
+        "doc_id % 4 <> 1 AS quoted, " +
+        "doc_id % 4 <> 1 AS header, " +
+        "CAST(CASE doc_id % 4 WHEN 1 THEN 2 ELSE 1 END AS INT) AS n_rows, " +
+        "CASE doc_id % 4 " +
+        "WHEN 0 THEN 'Val, ' || i " +
+        "WHEN 1 THEN 'k' || i " +
+        "WHEN 2 THEN 'L1' || chr(10) || 'L2 ' || i " +
+        "ELSE 'say \"' || i || '\"' END AS cell " +
+        "FROM g"))
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Delimited, Mojibake}
+
+/** Mojibake repair (round trips, pass counts, clean-text fixed points)
+  * and delimited-file dialect sniffing / RFC 4180 parsing. */
+class MojibakeDelimitedSpec extends AnyFunSuite {
+
+  // ----------------------------------------------------------- mojibake
+
+  test("single-layer UTF-8-as-cp1252 corruption repairs exactly") {
+    val clean = "déjà vu — it’s café naïve"
+    val bad = Mojibake.corrupt(clean)
+    assert(bad != clean)
+    assert(Mojibake.suspicionScore(bad) > 0)
+    val r = Mojibake.repair(bad)
+    assert(r.text == clean && r.passes == 1)
+  }
+
+  test("double-encoded text needs two passes") {
+    val clean = "élan"
+    val bad2 = Mojibake.corrupt(clean, layers = 2)
+    val r = Mojibake.repair(bad2)
+    assert(r.text == clean && r.passes == 2)
+  }
+
+  test("cp1252 specials round-trip (curly quote, euro, dash)") {
+    // NB: avoid '”' (U+201D) — its UTF-8 tail byte 0x9D is a cp1252 hole
+    val clean = "‘quoted’ – €5 …done"
+    val r = Mojibake.repair(Mojibake.corrupt(clean))
+    assert(r.text == clean && r.passes == 1)
+  }
+
+  test("clean ASCII and legitimate accents are fixed points") {
+    assert(Mojibake.repair("plain ascii text") == Mojibake.Repair("plain ascii text", 0))
+    val pt = "São Paulo à noite" // legit 'ã'/'à' before low-ASCII — score 0
+    assert(Mojibake.suspicionScore(pt) == 0)
+    assert(Mojibake.repair(pt).text == pt)
+  }
+
+  test("suspicion without a valid inverse is left alone; totality") {
+    // 'Ã' followed by a char that is a continuation byte in cp1252 but
+    // whose full byte run is NOT valid UTF-8 (lone lead byte at end)
+    val odd = "broken Ã"
+    assert(Mojibake.repair(odd).text == odd)
+    assert(Mojibake.repair(null).text == "")
+    assert(Mojibake.repair("").passes == 0)
+  }
+
+  test("CJK through the double corruption repairs (3-byte sequences)") {
+    val clean = "日本語テキスト"
+    val bad = Mojibake.corrupt(clean)
+    // 3-byte UTF-8 may hit cp1252 holes; only assert when invertible
+    if (!bad.contains('�')) {
+      val r = Mojibake.repair(bad)
+      assert(r.text == clean)
+    }
+  }
+
+  // ---------------------------------------------------------- delimited
+
+  test("sniff comma with quoted delimiter-bearing field and header") {
+    val csv = "name,city,age\n\"Doe, Jane\",Paris,44\nBob,Lyon,31\n"
+    val d = Delimited.sniffDialect(csv)
+    assert(d == Delimited.Dialect(',', quoted = true, header = true))
+    val rows = Delimited.parseRows(csv, d)
+    assert(rows == Seq(Seq("Doe, Jane", "Paris", "44"), Seq("Bob", "Lyon", "31")))
+  }
+
+  test("sniff tab without header") {
+    val tsv = "a\t1\t2\nb\t3\t4\n"
+    val d = Delimited.sniffDialect(tsv)
+    assert(d.delimiter == '\t' && !d.header && !d.quoted)
+    assert(Delimited.parseRows(tsv, d).length == 2)
+  }
+
+  test("semicolon with quoted newline inside a field") {
+    val txt = "k;v\n\"line1\nline2\";9\n"
+    val d = Delimited.sniffDialect(txt)
+    assert(d.delimiter == ';')
+    val rows = Delimited.parseRows(txt, d.copy(header = true))
+    assert(rows == Seq(Seq("line1\nline2", "9")))
+  }
+
+  test("doubled quotes unescape; pipe dialect; crlf") {
+    val txt = "x|y\r\n\"say \"\"hi\"\"\"|2\r\n"
+    val d = Delimited.sniffDialect(txt)
+    assert(d.delimiter == '|' && d.header) // string row then numeric row
+    val rows = Delimited.parseRows(txt, d)
+    assert(rows == Seq(Seq("say \"hi\"", "2")))
+  }
+
+  test("consistency beats raw field count (commas inside quotes)") {
+    // ',' splits record 2 into varying counts unless quote-aware;
+    // quote-aware it is 2 fields everywhere, ';' would give 1
+    val txt = "a,b\n\"x,y,z\",c\n\"p,q\",d\n"
+    assert(Delimited.sniffDialect(txt).delimiter == ',')
+  }
+
+  test("junk and empties are total") {
+    assert(Delimited.sniffDialect("") == Delimited.Dialect(',', false, false))
+    val (d, rows) = Delimited.sniffAndParse("single line no delims")
+    assert(d.delimiter == ',' && rows == Seq(Seq("single line no delims")))
+    assert(Delimited.parseRows(null, Delimited.Dialect(',', false, false)).isEmpty)
+  }
+
+  test("header vote: numeric first row means no header") {
+    val txt = "1,2,3\n4,5,6\n"
+    assert(!Delimited.sniffDialect(txt).header)
+    // all-string rows: no numeric second row, no header claim
+    val txt2 = "aa,bb\ncc,dd\n"
+    assert(!Delimited.sniffDialect(txt2).header)
+  }
+}
