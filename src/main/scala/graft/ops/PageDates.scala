@@ -1,0 +1,132 @@
+package graft.ops
+
+/** Publish-date extraction — the recency field a training-corpus
+  * snapshot filters and dedup-survivor policies key on ("keep the
+  * newest copy", "drop pre-cutoff news"). Sources in precedence order
+  * (highest-trust first, first hit wins):
+  *
+  *  1. `<meta property="article:published_time">` (OpenGraph) —
+  *     `og` source tag
+  *  2. `<meta name="date">` / `<meta itemprop="datePublished">` —
+  *     `meta`
+  *  3. `"datePublished": "…"` inside a `<script
+  *     type="application/ld+json">` block — `jsonld`
+  *  4. `<time datetime="…">` — `time`
+  *  5. a `/YYYY/MM/DD/` or `/YYYY-MM-DD` segment in the page URL —
+  *     `url`
+  *
+  * Dates parse from the ISO-8601 prefix (`YYYY-MM-DD`, any time/zone
+  * suffix ignored) and validate (year 1990–2035, real month, day
+  * bounds incl. leap-February) — an invalid candidate falls through
+  * to the next source rather than poisoning the field. Output is the
+  * normalized `YYYY-MM-DD` string + source tag, or ("", "none").
+  * Total on junk; pure per-row kernel, zero shuffle (SURVEY §2.11;
+  * the reference never interprets cell bytes).
+  */
+object PageDates {
+
+  final case class PublishDate(date: String, source: String)
+
+  private val monthDays = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+  private def leap(y: Int): Boolean =
+    (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+
+  /** Validate + normalize (y, m, d) → "YYYY-MM-DD"; None if out of
+    * range. */
+  private def norm(y: Int, m: Int, d: Int): Option[String] = {
+    if (y < 1990 || y > 2035 || m < 1 || m > 12) return None
+    val dm = if (m == 2 && leap(y)) 29 else monthDays(m - 1)
+    if (d < 1 || d > dm) return None
+    Some(f"$y%04d-$m%02d-$d%02d")
+  }
+
+  /** Parse the ISO-8601 date PREFIX of a string ("2024-03-05",
+    * "2024-03-05T10:11:12+02:00", …). */
+  private[graft] def parseIso(s: String): Option[String] = {
+    val t = if (s == null) "" else s.trim
+    if (t.length < 10) return None
+    def dig(i: Int): Boolean = { val c = t.charAt(i); c >= '0' && c <= '9' }
+    if (!(dig(0) && dig(1) && dig(2) && dig(3) && t.charAt(4) == '-' &&
+        dig(5) && dig(6) && t.charAt(7) == '-' && dig(8) && dig(9)))
+      return None
+    if (t.length > 10) {
+      val c = t.charAt(10)
+      if (c != 'T' && c != ' ' && c != 't') return None
+    }
+    norm(t.substring(0, 4).toInt, t.substring(5, 7).toInt,
+      t.substring(8, 10).toInt)
+  }
+
+  private val jsonLdDate = java.util.regex.Pattern.compile(
+    "\"datePublished\"\\s*:\\s*\"([^\"]{10,40})\"")
+  private val urlYmd = java.util.regex.Pattern.compile(
+    "/(\\d{4})[/-](\\d{2})[/-](\\d{2})(?:[/?#.]|$)")
+
+  /** Walk `<meta>` / `<time>` / JSON-LD script tags and the URL in
+    * precedence order. */
+  def extract(html: String, url: String): PublishDate = {
+    val h = if (html == null) "" else html
+    val lower = h.toLowerCase
+    var og: Option[String] = None
+    var meta: Option[String] = None
+    var time: Option[String] = None
+    var jsonld: Option[String] = None
+
+    var i = lower.indexOf('<')
+    while (i >= 0 && i < lower.length - 1) {
+      val end = lower.indexOf('>', i + 1)
+      if (end < 0) i = -1
+      else {
+        val inner = h.substring(i + 1, end)
+        val innerLower = lower.substring(i + 1, end)
+        if (innerLower.startsWith("meta") &&
+            (og.isEmpty || meta.isEmpty)) {
+          val a = Boilerplate.attrs(inner.drop(4))
+          val content = a.getOrElse("content", "")
+          val prop = a.getOrElse("property", "")
+          val name = a.getOrElse("name", "")
+          val itemprop = a.getOrElse("itemprop", "")
+          if (og.isEmpty && prop.equalsIgnoreCase("article:published_time"))
+            og = parseIso(content)
+          else if (meta.isEmpty && (name.equalsIgnoreCase("date") ||
+              itemprop.equalsIgnoreCase("datePublished")))
+            meta = parseIso(content)
+          i = lower.indexOf('<', end + 1)
+        } else if (innerLower.startsWith("time") && time.isEmpty &&
+            (inner.length == 4 || !Character.isLetter(inner.charAt(4)))) {
+          val a = Boilerplate.attrs(inner.drop(4))
+          a.get("datetime").foreach(v => time = parseIso(v))
+          i = lower.indexOf('<', end + 1)
+        } else if (innerLower.startsWith("script") && jsonld.isEmpty &&
+            innerLower.contains("application/ld+json")) {
+          val close = lower.indexOf("</script", end + 1)
+          val body = if (close < 0) h.substring(end + 1)
+            else h.substring(end + 1, close)
+          val m = jsonLdDate.matcher(body)
+          if (m.find()) jsonld = parseIso(m.group(1))
+          i = if (close < 0) -1 else lower.indexOf('<', close + 1)
+        } else i = lower.indexOf('<', end + 1)
+      }
+    }
+
+    og.map(PublishDate(_, "og"))
+      .orElse(meta.map(PublishDate(_, "meta")))
+      .orElse(jsonld.map(PublishDate(_, "jsonld")))
+      .orElse(time.map(PublishDate(_, "time")))
+      .orElse(fromUrl(url).map(PublishDate(_, "url")))
+      .getOrElse(PublishDate("", "none"))
+  }
+
+  /** `/YYYY/MM/DD/` or `/YYYY-MM-DD` in the URL path (query/fragment
+    * boundaries accepted). */
+  private[graft] def fromUrl(url: String): Option[String] = {
+    val u = if (url == null) "" else url
+    val m = urlYmd.matcher(u)
+    while (m.find()) {
+      val d = norm(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+      if (d.isDefined) return d
+    }
+    None
+  }
+}

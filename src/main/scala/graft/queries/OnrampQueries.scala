@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Delimited, Mojibake}
+import graft.ops.{Delimited, Mojibake, PageDates}
 
 /** Data-file / encoding on-ramp tier (SURVEY §2.11): mojibake repair
   * and delimited-dialect sniffing — the operators between "bytes
@@ -56,6 +56,41 @@ object OnrampQueries extends QueryGroup {
           (id, d.delimiter.toString, d.quoted, d.header,
             rows.length, rows.head.head)
         }).toDF("doc_id", "delim", "quoted", "header", "n_rows", "cell")
+    }),
+
+    // publish-date extraction: og > meta > JSON-LD > <time> > URL
+    // precedence with validation fall-through (an invalid og date must
+    // NOT shadow the valid meta one); the normalized date and source
+    // tag replay from id arithmetic
+    "text_publish_date" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val y = 2015 + (id % 10)
+          val m = 1 + (id % 12)
+          val d = 1 + (id % 28)
+          val date = f"$y%04d-$m%02d-$d%02d"
+          val (html, url) = (id % 6) match {
+            case 0 => ("<meta property=\"article:published_time\" " +
+              s"""content="${date}T08:30:00Z">""" +
+              "<meta name=\"date\" content=\"1999-01-01\">" +
+              "<time datetime=\"2001-02-03\">x</time>", "")
+            case 1 => ("<meta property=\"article:published_time\" " +
+              s"""content="$y-13-40">""" +
+              s"""<meta name="date" content="$date">""", "")
+            case 2 => ("<script type=\"application/ld+json\">" +
+              s"""{"@type":"NewsArticle","datePublished":"${date}T00:00:00+01:00"}""" +
+              "</script>", "")
+            case 3 =>
+              (s"""<article><time datetime="${date}T12:00:00">w</time></article>""", "")
+            case 4 => ("<p>no dates here</p>",
+              f"https://h.example.com/$y%04d/$m%02d/$d%02d/post-$id.html")
+            case _ => (s"<p>plain $id</p>", s"https://h.example.com/about/$id")
+          }
+          val r = PageDates.extract(html, url)
+          (id, r.date, r.source)
+        }).toDF("doc_id", "pub_date", "source")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -84,5 +119,18 @@ object OnrampQueries extends QueryGroup {
         "WHEN 1 THEN 'k' || i " +
         "WHEN 2 THEN 'L1' || chr(10) || 'L2 ' || i " +
         "ELSE 'say \"' || i || '\"' END AS cell " +
+        "FROM g"),
+
+    "text_publish_date" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "CAST(2015 + doc_id % 10 AS VARCHAR) || '-' || " +
+        "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-' || " +
+        "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS dt " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 6 = 5 THEN '' ELSE dt END AS pub_date, " +
+        "CASE doc_id % 6 WHEN 0 THEN 'og' WHEN 1 THEN 'meta' " +
+        "WHEN 2 THEN 'jsonld' WHEN 3 THEN 'time' WHEN 4 THEN 'url' " +
+        "ELSE 'none' END AS source " +
         "FROM g"))
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PageDates
+
+/** Publish-date extraction: source precedence, ISO prefix parsing,
+  * validation fall-through, URL patterns, totality. */
+class PageDatesSpec extends AnyFunSuite {
+
+  test("og beats meta beats jsonld beats time beats url") {
+    val html =
+      "<meta property=\"article:published_time\" content=\"2024-03-05T08:30:00Z\">" +
+        "<meta name=\"date\" content=\"1999-01-01\">" +
+        "<script type=\"application/ld+json\">{\"datePublished\":\"2000-06-07\"}</script>" +
+        "<time datetime=\"2001-02-03\">x</time>"
+    assert(PageDates.extract(html, "https://e/2010/01/02/p") ==
+      PageDates.PublishDate("2024-03-05", "og"))
+    val noOg = html.replace("article:published_time", "og:unrelated")
+    assert(PageDates.extract(noOg, "") ==
+      PageDates.PublishDate("1999-01-01", "meta"))
+  }
+
+  test("invalid candidate falls through to the next source") {
+    val html =
+      "<meta property=\"article:published_time\" content=\"2024-13-40\">" +
+        "<meta itemprop=\"datePublished\" content=\"2022-11-30T01:00:00\">"
+    assert(PageDates.extract(html, "") ==
+      PageDates.PublishDate("2022-11-30", "meta"))
+  }
+
+  test("iso prefix: time suffixes, junk, short strings") {
+    assert(PageDates.parseIso("2020-02-29") == Some("2020-02-29")) // leap
+    assert(PageDates.parseIso("2021-02-29").isEmpty) // not leap
+    assert(PageDates.parseIso("2024-03-05T10:11:12+02:00") == Some("2024-03-05"))
+    assert(PageDates.parseIso("2024-03-05 10:11:12") == Some("2024-03-05"))
+    assert(PageDates.parseIso("2024-03-05junk").isEmpty)
+    assert(PageDates.parseIso("05/03/2024").isEmpty)
+    assert(PageDates.parseIso("1989-01-01").isEmpty) // below window
+    assert(PageDates.parseIso(null).isEmpty)
+  }
+
+  test("url patterns: slashed, dashed, invalid skipped, first valid wins") {
+    assert(PageDates.fromUrl("https://e.com/2023/05/12/title") == Some("2023-05-12"))
+    assert(PageDates.fromUrl("https://e.com/posts/2023-05-12.html") == Some("2023-05-12"))
+    assert(PageDates.fromUrl("https://e.com/9999/99/99/x/2020/01/02/") == Some("2020-01-02"))
+    assert(PageDates.fromUrl("https://e.com/about/1234").isEmpty)
+    assert(PageDates.fromUrl(null).isEmpty)
+  }
+
+  test("jsonld inside script only; <timer> is not <time>; totality") {
+    val decoy = "<p>\"datePublished\":\"2020-01-01\"</p><timer datetime=\"2020-02-02\">"
+    assert(PageDates.extract(decoy, "") == PageDates.PublishDate("", "none"))
+    assert(PageDates.extract(null, null) == PageDates.PublishDate("", "none"))
+    assert(PageDates.extract("<meta", "") == PageDates.PublishDate("", "none"))
+  }
+}
