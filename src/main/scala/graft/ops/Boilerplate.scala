@@ -254,7 +254,8 @@ object Boilerplate {
     out.result()
   }
 
-  private def decodeAll(s: String): String = {
+  /** Entity-decode a text run (named + numeric refs). */
+  private[graft] def decodeEntities(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -284,7 +285,7 @@ object Boilerplate {
       val open = lower.indexOf('>', t0)
       val close = if (open < 0) -1 else lower.indexOf("</title", open + 1)
       if (open >= 0 && close > open)
-        title = decodeAll(html.substring(open + 1, close))
+        title = decodeEntities(html.substring(open + 1, close))
           .split("\\s+").filter(_.nonEmpty).mkString(" ")
     }
     // meta / link tags: attribute-parse each instance in order
@@ -299,7 +300,7 @@ object Boilerplate {
       }
     }
     eachTag("meta") { a =>
-      val content = decodeAll(a.getOrElse("content", "")).trim
+      val content = decodeEntities(a.getOrElse("content", "")).trim
       if (desc.isEmpty && a.get("name").exists(_.equalsIgnoreCase("description")) &&
         content.nonEmpty) desc = content
       if (og.isEmpty && a.get("property").exists(_.equalsIgnoreCase("og:title")) &&

@@ -1,0 +1,67 @@
+package graft.ops
+
+/** Soft-404 / error-page detection — the crawl-quality screen between
+  * the HTTP status and the text tier: a large share of "200 OK" crawl
+  * responses are actually error, parked-domain or empty-search pages,
+  * and they poison a corpus because every other quality signal (valid
+  * HTML, real sentences) passes. Signals, all deterministic:
+  *
+  *  - hard errors: status >= 400 (the trivial case, kept here so one
+  *    verdict covers the routing decision);
+  *  - error phrases in the TITLE (strongest: "404", "not found",
+  *    "server error", "forbidden", "unavailable" — bare "error" is
+  *    deliberately absent: legit titles carry it);
+  *  - error phrases in the first `bodyWindow` chars of the body text
+  *    ("page not found", "does not exist", "no longer available",
+  *    "been removed", "error 404"), needed because soft-404 titles are
+  *    often the site name;
+  *  - near-empty body (< `minWords` words) WITH any title/body signal
+  *    — emptiness alone never condemns a page.
+  *
+  * Verdict: `hard404` (status), `soft404` (200-class + signals), or
+  * `ok`. Total on null/junk; pure per-row kernel (SURVEY §2.11).
+  */
+object ErrorPages {
+
+  final case class Verdict(kind: String, titleHit: Boolean, bodyHit: Boolean)
+
+  private val titlePhrases = Seq(
+    "404", "not found", "server error", "internal error", "forbidden",
+    "unavailable", "access denied")
+
+  private val bodyPhrases = Seq(
+    "page not found", "does not exist", "no longer available",
+    "been removed", "error 404", "page you requested",
+    "page you are looking for")
+
+  /** Classify one page. `title` and `body` are decoded text (the
+    * charset/boilerplate tiers run first); `status` is the HTTP code. */
+  def classify(status: Int, title: String, body: String,
+      bodyWindow: Int = 512, minWords: Int = 20): Verdict = {
+    val t = (if (title == null) "" else title).toLowerCase
+    val b0 = if (body == null) "" else body
+    val b = (if (b0.length > bodyWindow) b0.substring(0, bodyWindow)
+      else b0).toLowerCase
+    val titleHit = titlePhrases.exists(t.contains)
+    val bodyHit = bodyPhrases.exists(b.contains)
+    if (status >= 400) Verdict("hard404", titleHit, bodyHit)
+    else if (titleHit || bodyHit) Verdict("soft404", titleHit, bodyHit)
+    else Verdict("ok", titleHit, bodyHit)
+  }
+
+  /** Word count helper for the emptiness co-signal (exposed for
+    * composition; emptiness alone is NOT an error verdict). */
+  def nearEmpty(body: String, minWords: Int = 20): Boolean = {
+    val b = if (body == null) "" else body
+    var words = 0
+    var inWord = false
+    var i = 0
+    while (i < b.length && words < minWords) {
+      val ws = Character.isWhitespace(b.charAt(i))
+      if (!ws && !inWord) { words += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    words < minWords
+  }
+}

@@ -1,0 +1,197 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML `<table>` extraction to rectangular string grids — the
+  * structured-data harvest next to main-content text: pages carry
+  * facts in tables (specs, standings, finances) that a text-flattening
+  * pass destroys. This kernel resolves the table model for real:
+  * `colspan`/`rowspan` expansion via the standard slot-grid algorithm
+  * (cells place left-to-right into the first free slot of their row;
+  * spans mark slots below/right as occupied), implicit cell/row close
+  * (the tag-soup `<tr><td>a<td>b` the web actually ships), `th`/`td`
+  * equivalence, nested-table skip (inner tables are their own entry),
+  * entity-decoded tag-stripped collapsed cell text. Spanning cells
+  * REPEAT their text into every covered slot (downstream consumers
+  * get a rectangle, not a ragged array with holes); short rows pad "".
+  *
+  * Bounded against hostile input (`maxTables`/`maxRows`/`maxCols`) and
+  * total on junk. Pure per-row kernel, zero shuffle (SURVEY §2.11).
+  */
+object HtmlTables {
+
+  /** One extracted table: a rectangular grid, rows × cols. */
+  final case class Table(grid: Vector[Vector[String]]) {
+    def rows: Int = grid.length
+    def cols: Int = if (grid.isEmpty) 0 else grid.head.length
+  }
+
+  private final case class Cell(text: String, colspan: Int, rowspan: Int)
+
+  /** Extract up to `maxTables` top-level tables. */
+  def extract(html: String, maxTables: Int = 16, maxRows: Int = 1024,
+      maxCols: Int = 256): Seq[Table] = {
+    val h = if (html == null) "" else html
+    val lower = h.toLowerCase
+    val out = ArrayBuffer.empty[Table]
+    var from = 0
+    while (out.length < maxTables) {
+      val open = lower.indexOf("<table", from)
+      if (open < 0) return out.toSeq
+      val openEnd = lower.indexOf('>', open)
+      if (openEnd < 0) return out.toSeq
+      // find the MATCHING close (inner tables nest)
+      var depth = 1
+      var i = openEnd + 1
+      var close = -1
+      while (close < 0 && i < lower.length) {
+        val nextOpen = lower.indexOf("<table", i)
+        val nextClose = lower.indexOf("</table", i)
+        if (nextClose < 0) { close = lower.length; i = lower.length }
+        else if (nextOpen >= 0 && nextOpen < nextClose) {
+          depth += 1; i = nextOpen + 6
+        } else {
+          depth -= 1
+          if (depth == 0) close = nextClose else i = nextClose + 7
+        }
+      }
+      if (close < 0) close = lower.length
+      val body = h.substring(openEnd + 1, math.min(close, h.length))
+      out += parseOne(body, maxRows, maxCols)
+      // resume INSIDE the outer table so nested tables extract as
+      // their own entries (parseOne already skips their cells)
+      from = math.min(openEnd + 1, lower.length)
+    }
+    out.toSeq
+  }
+
+  /** Parse one table body (matching-close already cut) to a grid. */
+  private def parseOne(body: String, maxRows: Int, maxCols: Int): Table = {
+    val lower = body.toLowerCase
+    // collect rows of Cells with span attrs; implicit closes
+    val rows = ArrayBuffer.empty[ArrayBuffer[Cell]]
+    var cur: ArrayBuffer[Cell] = null
+    var cellStart = -1
+    var cellSpan = (1, 1)
+    var i = 0
+    var innerDepth = 0
+    def closeCell(endAt: Int): Unit = {
+      if (cellStart >= 0 && cur != null) {
+        val raw = body.substring(cellStart, math.max(cellStart, endAt))
+        cur += Cell(cellText(raw), cellSpan._1, cellSpan._2)
+        cellStart = -1
+      }
+    }
+    def closeRow(endAt: Int): Unit = {
+      closeCell(endAt)
+      if (cur != null && rows.length < maxRows) rows += cur
+      cur = null
+    }
+    while (i < lower.length) {
+      val lt = lower.indexOf('<', i)
+      if (lt < 0) { i = lower.length }
+      else {
+        val gt = lower.indexOf('>', lt)
+        if (gt < 0) { i = lower.length }
+        else {
+          val tag = lower.substring(lt + 1, gt)
+          // boundary-aware tag-name test: "th" must not match "<thead>"
+          def isTag(name: String): Boolean =
+            tag == name || (tag.startsWith(name) && {
+              val c = tag.charAt(name.length)
+              c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/'
+            })
+          if (tag.startsWith("table")) { innerDepth += 1; i = gt + 1 }
+          else if (tag.startsWith("/table")) {
+            if (innerDepth > 0) innerDepth -= 1
+            i = gt + 1
+          } else if (innerDepth > 0) { i = gt + 1 }
+          else if (isTag("tr")) {
+            closeRow(lt)
+            cur = ArrayBuffer.empty[Cell]
+            i = gt + 1
+          } else if (isTag("td") || isTag("th")) {
+            closeCell(lt)
+            if (cur == null) cur = ArrayBuffer.empty[Cell]
+            val a = Boilerplate.attrs(body.substring(lt + 3, gt))
+            def span(k: String): Int =
+              a.get(k).flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+                .filter(v => v >= 1 && v <= maxCols).getOrElse(1)
+            cellSpan = (span("colspan"), span("rowspan"))
+            cellStart = gt + 1
+            i = gt + 1
+          } else if (tag == "/td" || tag == "/th" ||
+              tag.startsWith("/td ") || tag.startsWith("/th ")) {
+            closeCell(lt)
+            i = gt + 1
+          } else if (tag == "/tr" || tag.startsWith("/tr ")) {
+            closeRow(lt)
+            i = gt + 1
+          } else i = gt + 1
+        }
+      }
+    }
+    closeRow(body.length)
+
+    // slot-grid placement with span occupation
+    val nRows = rows.length
+    if (nRows == 0) return Table(Vector.empty)
+    val grid = ArrayBuffer.empty[ArrayBuffer[String]]
+    val pending = scala.collection.mutable.Map.empty[(Int, Int), String]
+    var width = 0
+    var r = 0
+    while (r < nRows) {
+      val rowOut = ArrayBuffer.empty[String]
+      def slotFree(c: Int): Boolean = !pending.contains((r, c))
+      var c = 0
+      rows(r).foreach { cell =>
+        while (c < maxCols && !slotFree(c)) {
+          rowOut.padToInPlace(c + 1, "")
+          rowOut(c) = pending((r, c))
+          c += 1
+        }
+        if (c < maxCols) {
+          var cc = 0
+          while (cc < cell.colspan && c + cc < maxCols) {
+            rowOut.padToInPlace(c + cc + 1, "")
+            rowOut(c + cc) = cell.text
+            var rr = 1
+            while (rr < cell.rowspan && r + rr < maxRows) {
+              pending((r + rr, c + cc)) = cell.text
+              rr += 1
+            }
+            cc += 1
+          }
+          c += cell.colspan
+        }
+      }
+      // flush any remaining pending slots on this row past the last cell
+      while (c < maxCols && pending.contains((r, c))) {
+        rowOut.padToInPlace(c + 1, "")
+        rowOut(c) = pending((r, c))
+        c += 1
+      }
+      pending.filterInPlace { case ((pr, _), _) => pr > r }
+      if (rowOut.length > width) width = rowOut.length
+      grid += rowOut
+      r += 1
+    }
+    Table(grid.map(row => row.padTo(width, "").toVector).toVector)
+  }
+
+  /** Tag-strip + entity-decode + whitespace-collapse one cell. */
+  private def cellText(raw: String): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var inTag = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (inTag) { if (c == '>') { inTag = false; sb.append(' ') } }
+      else if (c == '<') inTag = true
+      else sb.append(c)
+      i += 1
+    }
+    Boilerplate.decodeEntities(sb.toString)
+      .replaceAll("\\s+", " ").trim
+  }
+}

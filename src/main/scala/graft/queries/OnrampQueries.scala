@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Delimited, Mojibake, PageDates}
+import graft.ops.{Delimited, ErrorPages, HtmlTables, Mojibake, PageDates}
 
 /** Data-file / encoding on-ramp tier (SURVEY §2.11): mojibake repair
   * and delimited-dialect sniffing — the operators between "bytes
@@ -91,6 +91,55 @@ object OnrampQueries extends QueryGroup {
           val r = PageDates.extract(html, url)
           (id, r.date, r.source)
         }).toDF("doc_id", "pub_date", "source")
+    }),
+
+    // HTML table → rectangular grid: colspan repetition, rowspan slot
+    // occupation, tag-soup implicit closes; one output row per cell so
+    // the oracle replays the WHOLE resolved grid
+    "text_html_tables" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val html = (id % 4) match {
+            case 0 => "<table><tr><th>K</th><th>V</th></tr>" +
+              s"<tr><td>k$id</td><td>$id</td></tr></table>"
+            case 1 => s"<table><tr><td colspan=2>w$id</td><td>x</td></tr>" +
+              s"<tr><td>a$id</td></tr></table>"
+            case 2 => s"<table><tr><td rowspan=2>t$id</td><td>r0</td></tr>" +
+              s"<tr><td>r$id</td></tr></table>"
+            case _ => s"<table><tr><td>a$id<td>b<tr><td>c$id</table>"
+          }
+          HtmlTables.extract(html).zipWithIndex.flatMap { case (t, ti) =>
+            t.grid.zipWithIndex.flatMap { case (row, r) =>
+              row.zipWithIndex.map { case (cell, c) =>
+                (id, ti, r, c, cell)
+              }
+            }
+          }
+        }).toDF("doc_id", "table_idx", "row_idx", "col_idx", "cell")
+    }),
+
+    // soft-404 classification: hard status, title phrase, body phrase,
+    // a legit "Error handling" title that must stay ok, and a phrase
+    // past the body window that must not fire
+    "text_soft404" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (st, title, body) = (id % 5) match {
+            case 0 => (404, "x", "y")
+            case 1 => (200, s"404 Not Found – site $id", "")
+            case 2 => (200, s"Example Site $id",
+              "Sorry, the page you requested does not exist.")
+            case 3 => (200, s"Error handling in Rust $id",
+              s"A long technical article about results and panics $id")
+            case _ => (301, "Moved", ("lorem " * 120) + "page not found")
+          }
+          val v = ErrorPages.classify(st, title, body)
+          (id, v.kind, v.titleHit, v.bodyHit)
+        }).toDF("doc_id", "verdict", "title_hit", "body_hit")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -132,5 +181,30 @@ object OnrampQueries extends QueryGroup {
         "CASE doc_id % 6 WHEN 0 THEN 'og' WHEN 1 THEN 'meta' " +
         "WHEN 2 THEN 'jsonld' WHEN 3 THEN 'time' WHEN 4 THEN 'url' " +
         "ELSE 'none' END AS source " +
-        "FROM g"))
+        "FROM g"),
+
+    "text_html_tables" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(0 AS INT) AS table_idx, " +
+        "CAST(CASE WHEN doc_id % 4 = 1 THEN j // 3 ELSE j // 2 END AS INT) AS row_idx, " +
+        "CAST(CASE WHEN doc_id % 4 = 1 THEN j % 3 ELSE j % 2 END AS INT) AS col_idx, " +
+        "CASE doc_id % 4 " +
+        "WHEN 0 THEN CASE j WHEN 0 THEN 'K' WHEN 1 THEN 'V' " +
+        "WHEN 2 THEN 'k' || i ELSE i END " +
+        "WHEN 1 THEN CASE j WHEN 0 THEN 'w' || i WHEN 1 THEN 'w' || i " +
+        "WHEN 2 THEN 'x' WHEN 3 THEN 'a' || i ELSE '' END " +
+        "WHEN 2 THEN CASE j WHEN 0 THEN 't' || i WHEN 1 THEN 'r0' " +
+        "WHEN 2 THEN 't' || i ELSE 'r' || i END " +
+        "ELSE CASE j WHEN 0 THEN 'a' || i WHEN 1 THEN 'b' " +
+        "WHEN 2 THEN 'c' || i ELSE '' END END AS cell " +
+        "FROM g, generate_series(0, 5) AS s(j) " +
+        "WHERE j < CASE WHEN doc_id % 4 = 1 THEN 6 ELSE 4 END"),
+
+    "text_soft404" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'hard404' WHEN 1 THEN 'soft404' " +
+        "WHEN 2 THEN 'soft404' ELSE 'ok' END AS verdict, " +
+        "doc_id % 5 = 1 AS title_hit, " +
+        "doc_id % 5 = 2 AS body_hit " +
+        "FROM documents"))
 }

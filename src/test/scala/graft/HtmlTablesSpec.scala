@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ErrorPages, HtmlTables}
+
+/** HTML table grid resolution (spans, tag soup, nesting) and soft-404
+  * classification. */
+class HtmlTablesSpec extends AnyFunSuite {
+
+  test("simple table with th header and entities") {
+    val t = HtmlTables.extract(
+      "<table><tr><th>H &amp; 1</th><th>H2</th></tr>" +
+        "<tr><td> a </td><td>b<br>c</td></tr></table>")
+    assert(t.length == 1)
+    assert(t.head.grid == Vector(Vector("H & 1", "H2"), Vector("a", "b c")))
+  }
+
+  test("colspan repeats into covered slots; short rows pad") {
+    val t = HtmlTables.extract(
+      "<table><tr><td colspan=2>wide</td><td>x</td></tr>" +
+        "<tr><td>a</td></tr></table>").head
+    assert(t.grid == Vector(Vector("wide", "wide", "x"), Vector("a", "", "")))
+  }
+
+  test("rowspan occupies the slot below") {
+    val t = HtmlTables.extract(
+      "<table><tr><td rowspan=\"2\">tall</td><td>r0</td></tr>" +
+        "<tr><td>r1</td></tr></table>").head
+    assert(t.grid == Vector(Vector("tall", "r0"), Vector("tall", "r1")))
+  }
+
+  test("tag soup: implicit cell and row closes") {
+    val t = HtmlTables.extract(
+      "<table><tr><td>a<td>b<tr><td>c</table>").head
+    assert(t.grid == Vector(Vector("a", "b"), Vector("c", "")))
+  }
+
+  test("thead/tbody wrappers are transparent; nested table is separate") {
+    val ts = HtmlTables.extract(
+      "<table><thead><tr><th>h</th></tr></thead>" +
+        "<tbody><tr><td><table><tr><td>inner</td></tr></table>outer</td></tr>" +
+        "</tbody></table>")
+    assert(ts.length == 2)
+    assert(ts(0).grid(0) == Vector("h"))
+    // outer's cell text contains the inner's text run (tag-stripped)
+    assert(ts(0).grid(1).head.contains("outer"))
+    assert(ts(1).grid == Vector(Vector("inner")))
+  }
+
+  test("totality: junk, unclosed, empty, caps") {
+    assert(HtmlTables.extract(null).isEmpty)
+    assert(HtmlTables.extract("no tables here").isEmpty)
+    val unclosed = HtmlTables.extract("<table><tr><td>x")
+    assert(unclosed.head.grid == Vector(Vector("x")))
+    assert(HtmlTables.extract("<table></table>").head.grid.isEmpty)
+    val many = (1 to 40).map(i => s"<table><tr><td>$i</td></tr></table>").mkString
+    assert(HtmlTables.extract(many, maxTables = 16).length == 16)
+  }
+
+  // ------------------------------------------------------------ soft-404
+
+  test("hard, soft and ok verdicts") {
+    assert(ErrorPages.classify(404, "x", "y").kind == "hard404")
+    assert(ErrorPages.classify(200, "404 Not Found", "").kind == "soft404")
+    assert(ErrorPages.classify(200, "Site name",
+      "Sorry, this page does not exist anymore").kind == "soft404")
+    assert(ErrorPages.classify(200, "Error handling in Rust",
+      "A long technical article about results and panics").kind == "ok")
+  }
+
+  test("body window bounds the phrase scan; nearEmpty") {
+    val far = ("word " * 200) + "page not found"
+    assert(ErrorPages.classify(200, "t", far).kind == "ok")
+    assert(ErrorPages.nearEmpty("one two three"))
+    assert(!ErrorPages.nearEmpty(("w " * 30)))
+    assert(ErrorPages.classify(200, null, null).kind == "ok")
+  }
+}
