@@ -1,0 +1,120 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Checksum-validated PII detection — the scrub tier beyond regex
+  * shapes ([[graft.functions.TextFunctions.redactPii]] handles
+  * email/phone): payment-card numbers are only PII when the Luhn
+  * check passes, IBANs when the ISO 7064 mod-97 check passes, IPv4
+  * only with in-range octets — validation is what keeps redaction
+  * from eating order numbers and version strings. Spans merge
+  * left-to-right into `[REDACTED:<kind>]` like the code-secret pass.
+  *
+  * Deterministic, total, pure per-row kernel (SURVEY §2.11).
+  */
+object Pii {
+
+  final case class Hit(kind: String, start: Int, len: Int)
+
+  // 13-19 digits in groups separated by single spaces/dashes
+  private val cardPat = java.util.regex.Pattern.compile(
+    "(?<![0-9])(?:\\d[ -]?){12,18}\\d(?![0-9])")
+  private val ipPat = java.util.regex.Pattern.compile(
+    "(?<![0-9.])((?:\\d{1,3}\\.){3}\\d{1,3})(?![0-9.])")
+  private val ibanPat = java.util.regex.Pattern.compile(
+    "\\b([A-Z]{2}\\d{2}(?:[ ]?[A-Z0-9]{1,4}){2,8})\\b")
+
+  /** Luhn checksum over the digit string (spaces/dashes stripped by
+    * the caller). */
+  private[graft] def luhnOk(digits: String): Boolean = {
+    if (digits.length < 13 || digits.length > 19) return false
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      val c = digits.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** ISO 13616 / ISO 7064 mod-97 IBAN check (rearrange + A=10..Z=35,
+    * incremental mod so no big integers). */
+  private[graft] def ibanOk(iban: String): Boolean = {
+    val s = iban.replace(" ", "").toUpperCase
+    if (s.length < 15 || s.length > 34) return false
+    if (!s.substring(0, 2).forall(c => c >= 'A' && c <= 'Z')) return false
+    if (!s.substring(2, 4).forall(_.isDigit)) return false
+    val rearranged = s.substring(4) + s.substring(0, 4)
+    var m = 0L
+    var i = 0
+    while (i < rearranged.length) {
+      val c = rearranged.charAt(i)
+      val v =
+        if (c >= '0' && c <= '9') (c - '0').toString
+        else if (c >= 'A' && c <= 'Z') (c - 'A' + 10).toString
+        else return false
+      var j = 0
+      while (j < v.length) { m = (m * 10 + (v.charAt(j) - '0')) % 97; j += 1 }
+      i += 1
+    }
+    m == 1L
+  }
+
+  private def ipv4Ok(ip: String): Boolean =
+    ip.split("\\.").forall { o =>
+      o.nonEmpty && o.length <= 3 && (o.length == 1 || o.charAt(0) != '0') &&
+        o.forall(_.isDigit) && o.toInt <= 255
+    }
+
+  /** All validated hits in document order. */
+  def scan(text: String): Seq[Hit] = {
+    val t = if (text == null) "" else text
+    if (t.isEmpty) return Nil
+    val out = ArrayBuffer.empty[Hit]
+    val cm = cardPat.matcher(t)
+    while (cm.find()) {
+      val digits = t.substring(cm.start, cm.end).filter(_.isDigit)
+      if (luhnOk(digits)) out += Hit("card", cm.start, cm.end - cm.start)
+    }
+    val im = ipPat.matcher(t)
+    while (im.find()) {
+      if (ipv4Ok(im.group(1))) out += Hit("ipv4", im.start(1), im.end(1) - im.start(1))
+    }
+    val bm = ibanPat.matcher(t)
+    while (bm.find()) {
+      if (ibanOk(bm.group(1))) out += Hit("iban", bm.start(1), bm.end(1) - bm.start(1))
+    }
+    out.sortBy(h => (h.start, h.kind)).toSeq
+  }
+
+  /** Redact validated spans; overlaps keep the first hit. Returns the
+    * scrubbed text + per-kind counts (card, ipv4, iban). */
+  def redact(text: String): (String, Int, Int, Int) = {
+    val t = if (text == null) "" else text
+    val hits = scan(t)
+    if (hits.isEmpty) return (t, 0, 0, 0)
+    val sb = new java.lang.StringBuilder(t.length)
+    var pos = 0
+    var (nc, ni, nb) = (0, 0, 0)
+    hits.foreach { h =>
+      if (h.start >= pos) {
+        sb.append(t, pos, h.start)
+        sb.append("[REDACTED:").append(h.kind).append("]")
+        pos = h.start + h.len
+        h.kind match {
+          case "card" => nc += 1
+          case "ipv4" => ni += 1
+          case _ => nb += 1
+        }
+      }
+    }
+    sb.append(t, pos, t.length)
+    (sb.toString, nc, ni, nb)
+  }
+}

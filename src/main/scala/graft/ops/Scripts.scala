@@ -1,0 +1,66 @@
+package graft.ops
+
+/** Unicode script-mix profiling — the routing signal between charset
+  * decode and language ID: a corpus router needs "this page is 90%
+  * Han with Latin fragments" before any language model runs, and
+  * mixed-script spam (Cyrillic lookalikes inside Latin words) is a
+  * quality screen of its own. Counts LETTER codepoints per script
+  * (digits/punctuation are script-COMMON and excluded, so appended
+  * ids never shift the fractions); fractions are exact integer PPM.
+  *
+  * Uses `Character.UnicodeScript` (JDK, Unicode-table-driven,
+  * deterministic). Surrogate pairs handled via code-point iteration.
+  * Total on junk; pure per-row kernel (SURVEY §2.11).
+  */
+object Scripts {
+
+  /** Script profile: letter counts are exact, fractions are floor-PPM
+    * over total letters (0 when no letters). `bidi` = any Arabic or
+    * Hebrew letter present. `dominant` = script name of the max
+    * letter count ("NONE" when letterless; ties break alphabetically
+    * for determinism). */
+  final case class ScriptMix(
+      letters: Long, latinPpm: Long, cyrillicPpm: Long, hanPpm: Long,
+      arabicPpm: Long, otherPpm: Long, dominant: String, bidi: Boolean)
+
+  def profile(text: String): ScriptMix = {
+    val t = if (text == null) "" else text
+    var latin = 0L
+    var cyr = 0L
+    var han = 0L
+    var arab = 0L
+    var other = 0L
+    val byName = scala.collection.mutable.TreeMap.empty[String, Long]
+    var bidi = false
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        val sc = Character.UnicodeScript.of(cp)
+        val name = sc.name
+        byName.update(name, byName.getOrElse(name, 0L) + 1L)
+        sc match {
+          case Character.UnicodeScript.LATIN => latin += 1
+          case Character.UnicodeScript.CYRILLIC => cyr += 1
+          case Character.UnicodeScript.HAN => han += 1
+          case Character.UnicodeScript.ARABIC => arab += 1; bidi = true
+          case Character.UnicodeScript.HEBREW => other += 1; bidi = true
+          case _ => other += 1
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    val n = latin + cyr + han + arab + other
+    def ppm(x: Long): Long = if (n > 0) x * 1000000L / n else 0L
+    val dominant =
+      if (n == 0) "NONE"
+      else {
+        // TreeMap iterates name-ascending: first hit of the max count
+        // is the alphabetically-first tied script
+        val maxC = byName.values.max
+        byName.collectFirst { case (nm, c) if c == maxC => nm }.get
+      }
+    ScriptMix(n, ppm(latin), ppm(cyr), ppm(han), ppm(arab), ppm(other),
+      dominant, bidi)
+  }
+}

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Delimited, ErrorPages, HtmlTables, Mojibake, PageDates}
+import graft.ops.{Delimited, ErrorPages, HtmlTables, Mojibake, PageDates,
+  Pii, Scripts}
 
 /** Data-file / encoding on-ramp tier (SURVEY §2.11): mojibake repair
   * and delimited-dialect sniffing — the operators between "bytes
@@ -140,6 +141,49 @@ object OnrampQueries extends QueryGroup {
           val v = ErrorPages.classify(st, title, body)
           (id, v.kind, v.titleHit, v.bodyHit)
         }).toDF("doc_id", "verdict", "title_hit", "body_hit")
+    }),
+
+    // Unicode script-mix profile: letter counts per script in exact
+    // floor-PPM over LETTERS ONLY (appended ids are script-COMMON
+    // digits and cannot shift the fractions) — the router between
+    // charset decode and language ID
+    "text_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val text = (id % 4) match {
+            case 0 => s"The quick brown fox $id"
+            case 1 => s"привет мир $id"
+            case 2 => s"hello 世界 word $id"
+            case _ => s"مرحبا بالعالم $id"
+          }
+          val p = Scripts.profile(text)
+          (id, p.letters, p.latinPpm, p.cyrillicPpm, p.hanPpm,
+            p.arabicPpm, p.dominant, p.bidi)
+        }).toDF("doc_id", "n_letters", "latin_ppm", "cyrillic_ppm",
+          "han_ppm", "arabic_ppm", "dominant", "bidi")
+    }),
+
+    // checksum-validated PII: Luhn card vs near-miss, in-range IPv4 vs
+    // out-of-range, mod-97 IBAN vs wrong check digits — validation is
+    // what keeps the scrub from eating order numbers; the full
+    // redacted string replays
+    "text_pii_checksum" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val text = (id % 5) match {
+            case 0 => s"pay with 4111 1111 1111 1111 ref $id"
+            case 1 => s"invalid 4111 1111 1111 1112 ref $id"
+            case 2 => s"host 203.0.113.7 port $id"
+            case 3 => s"acct DE89 3704 0044 0532 0130 00 ref $id"
+            case _ => s"bad DE89 3704 0044 0532 0130 01 ip 999.1.2.3 n $id"
+          }
+          val (red, nc, ni, nb) = Pii.redact(text)
+          (id, nc, ni, nb, red)
+        }).toDF("doc_id", "n_cards", "n_ips", "n_ibans", "redacted")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -206,5 +250,34 @@ object OnrampQueries extends QueryGroup {
         "WHEN 2 THEN 'soft404' ELSE 'ok' END AS verdict, " +
         "doc_id % 5 = 1 AS title_hit, " +
         "doc_id % 5 = 2 AS body_hit " +
-        "FROM documents"))
+        "FROM documents"),
+
+    "text_script_mix" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 9 " +
+        "WHEN 2 THEN 11 ELSE 12 END AS BIGINT) AS n_letters, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 1000000 " +
+        "WHEN 2 THEN 9 * 1000000 // 11 ELSE 0 END AS BIGINT) AS latin_ppm, " +
+        "CAST(CASE doc_id % 4 WHEN 1 THEN 1000000 ELSE 0 END AS BIGINT) AS cyrillic_ppm, " +
+        "CAST(CASE doc_id % 4 WHEN 2 THEN 2 * 1000000 // 11 ELSE 0 END AS BIGINT) AS han_ppm, " +
+        "CAST(CASE doc_id % 4 WHEN 3 THEN 1000000 ELSE 0 END AS BIGINT) AS arabic_ppm, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'LATIN' WHEN 1 THEN 'CYRILLIC' " +
+        "WHEN 2 THEN 'LATIN' ELSE 'ARABIC' END AS dominant, " +
+        "doc_id % 4 = 3 AS bidi " +
+        "FROM documents"),
+
+    "text_pii_checksum" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_cards, " +
+        "CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INT) AS n_ips, " +
+        "CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS INT) AS n_ibans, " +
+        "CASE doc_id % 5 " +
+        "WHEN 0 THEN 'pay with [REDACTED:card] ref ' || i " +
+        "WHEN 1 THEN 'invalid 4111 1111 1111 1112 ref ' || i " +
+        "WHEN 2 THEN 'host [REDACTED:ipv4] port ' || i " +
+        "WHEN 3 THEN 'acct [REDACTED:iban] ref ' || i " +
+        "ELSE 'bad DE89 3704 0044 0532 0130 01 ip 999.1.2.3 n ' || i " +
+        "END AS redacted " +
+        "FROM g"))
 }

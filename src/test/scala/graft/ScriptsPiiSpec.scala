@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Pii, Scripts}
+
+/** Unicode script profiling and checksum-validated PII detection. */
+class ScriptsPiiSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- scripts
+
+  test("pure Latin, pure Cyrillic, mixed Han") {
+    val en = Scripts.profile("The quick brown fox 99")
+    assert(en.letters == 16 && en.latinPpm == 1000000L &&
+      en.dominant == "LATIN" && !en.bidi)
+    val ru = Scripts.profile("привет мир")
+    assert(ru.letters == 9 && ru.cyrillicPpm == 1000000L &&
+      ru.dominant == "CYRILLIC")
+    val mix = Scripts.profile("hello 世界 word")
+    assert(mix.letters == 11 && mix.latinPpm == 9L * 1000000L / 11 &&
+      mix.hanPpm == 2L * 1000000L / 11 && mix.dominant == "LATIN")
+  }
+
+  test("arabic sets bidi; hebrew counts as other+bidi; surrogates") {
+    val ar = Scripts.profile("مرحبا بالعالم")
+    assert(ar.letters == 12 && ar.arabicPpm == 1000000L && ar.bidi &&
+      ar.dominant == "ARABIC")
+    val he = Scripts.profile("שלום")
+    assert(he.letters == 4 && he.otherPpm == 1000000L && he.bidi)
+    // an astral-plane letter (Gothic U+10330) must count once, not twice
+    val gothic = new String(Character.toChars(0x10330)) + "ab"
+    val g = Scripts.profile(gothic)
+    assert(g.letters == 3)
+  }
+
+  test("letterless and null are NONE") {
+    assert(Scripts.profile("123 456 !?").dominant == "NONE")
+    assert(Scripts.profile(null).letters == 0)
+  }
+
+  // ----------------------------------------------------------------- pii
+
+  test("luhn separates valid cards from near-misses") {
+    assert(Pii.luhnOk("4111111111111111"))
+    assert(!Pii.luhnOk("4111111111111112"))
+    assert(Pii.luhnOk("5500005555555559")) // 16-digit MC test number
+    assert(!Pii.luhnOk("123")) // too short
+  }
+
+  test("iban mod-97") {
+    assert(Pii.ibanOk("DE89 3704 0044 0532 0130 00"))
+    assert(Pii.ibanOk("GB82WEST12345698765432"))
+    assert(!Pii.ibanOk("DE89 3704 0044 0532 0130 01"))
+    assert(!Pii.ibanOk("XX00"))
+  }
+
+  test("scan validates before reporting") {
+    val txt = "pay 4111 1111 1111 1111 not 4111 1111 1111 1112 " +
+      "ip 203.0.113.7 bad 999.1.2.3 ver 1.2.3.4 " +
+      "acct DE89 3704 0044 0532 0130 00"
+    val kinds = Pii.scan(txt).map(_.kind)
+    assert(kinds.count(_ == "card") == 1)
+    assert(kinds.count(_ == "iban") == 1)
+    // 203.0.113.7 valid; 999.x invalid; 1.2.3.4 is in-range (known
+    // version-string collision, documented tradeoff)
+    assert(kinds.count(_ == "ipv4") == 2)
+  }
+
+  test("redact splices and counts per kind; totality") {
+    val (red, nc, ni, nb) = Pii.redact("card 4111 1111 1111 1111 done")
+    assert(red == "card [REDACTED:card] done" && nc == 1 && ni == 0 && nb == 0)
+    assert(Pii.redact("clean text") == ("clean text", 0, 0, 0))
+    assert(Pii.redact(null)._1 == "")
+    // leading-zero octets are not IPs
+    assert(Pii.scan("10.01.2.3").isEmpty)
+  }
+}
