@@ -222,6 +222,23 @@ object Boilerplate {
   final case class PageMeta(title: String, description: String,
       canonical: String, ogTitle: String)
 
+  /** ASCII-only lowercase for parallel-index scanning:
+    * `String.toLowerCase` can CHANGE LENGTH for some Unicode (e.g.
+    * U+0130 grows to two chars), which silently desynchronizes index
+    * math between a string and its lowered copy — on real Turkish
+    * pages, not hypothetically. Every scanner in this tier that walks
+    * `lower` with indexes into the original MUST use this. */
+  private[graft] def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
   /** Attribute map of one tag's interior (after the name): quoted or
     * bare values, case-insensitive keys, tolerant of malformed tails. */
   private[graft] def attrs(tag: String): Map[String, String] = {
@@ -235,6 +252,12 @@ object Boilerplate {
         tag.charAt(i) != '>') i += 1
       val key = tag.substring(k0, i).toLowerCase
       while (i < n && tag.charAt(i).isWhitespace) i += 1
+      // defensive totality: callers pass tag interiors without '>',
+      // but a stray one must terminate, not spin (zero-progress state)
+      if (i < n && tag.charAt(i) == '>') {
+        if (key.nonEmpty) out += key -> ""
+        return out.result()
+      }
       if (i < n && tag.charAt(i) == '=') {
         i += 1
         while (i < n && tag.charAt(i).isWhitespace) i += 1
@@ -278,7 +301,7 @@ object Boilerplate {
   def pageMeta(html: String): PageMeta = {
     if (html == null || html.isEmpty) return PageMeta("", "", "", "")
     var title = ""; var desc = ""; var canonical = ""; var og = ""
-    val lower = html.toLowerCase
+    val lower = asciiLower(html)
     // title: raw-text element, first instance
     val t0 = lower.indexOf("<title")
     if (t0 >= 0) {
@@ -325,7 +348,7 @@ object Boilerplate {
   def robotsMeta(html: String): (Boolean, Boolean, Boolean) = {
     if (html == null || html.isEmpty) return (false, false, false)
     var noindex = false; var nofollow = false; var noarchive = false
-    val lower = html.toLowerCase
+    val lower = asciiLower(html)
     var p = lower.indexOf("<meta")
     while (p >= 0) {
       val close = lower.indexOf('>', p)

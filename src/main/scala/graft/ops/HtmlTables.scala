@@ -32,7 +32,7 @@ object HtmlTables {
   def extract(html: String, maxTables: Int = 16, maxRows: Int = 1024,
       maxCols: Int = 256): Seq[Table] = {
     val h = if (html == null) "" else html
-    val lower = h.toLowerCase
+    val lower = Boilerplate.asciiLower(h)
     val out = ArrayBuffer.empty[Table]
     var from = 0
     while (out.length < maxTables) {
@@ -67,7 +67,7 @@ object HtmlTables {
 
   /** Parse one table body (matching-close already cut) to a grid. */
   private def parseOne(body: String, maxRows: Int, maxCols: Int): Table = {
-    val lower = body.toLowerCase
+    val lower = Boilerplate.asciiLower(body)
     // collect rows of Cells with span attrs; implicit closes
     val rows = ArrayBuffer.empty[ArrayBuffer[Cell]]
     var cur: ArrayBuffer[Cell] = null

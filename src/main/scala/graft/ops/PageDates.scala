@@ -67,7 +67,7 @@ object PageDates {
     * precedence order. */
   def extract(html: String, url: String): PublishDate = {
     val h = if (html == null) "" else html
-    val lower = h.toLowerCase
+    val lower = Boilerplate.asciiLower(h)
     var og: Option[String] = None
     var meta: Option[String] = None
     var time: Option[String] = None

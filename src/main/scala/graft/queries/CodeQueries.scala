@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Archives, SourceCode}
+import graft.ops.{Archives, Dedup, SourceCode}
 
 /** Source-code curation tier (SURVEY §2.11): language identification,
   * license detection, secret scanning/redaction, minified/generated
@@ -179,6 +179,25 @@ object CodeQueries extends QueryGroup {
           }
         }).toDF("doc_id", "member_idx", "member", "lang", "license",
           "n_secrets", "minified", "kept")
+    }),
+
+    // COMPOSITION: comment-strip normalization → the engine's exact
+    // dedup. Docs 2j and 2j+1 carry the same code body under different
+    // author comments; only the normalized text collapses them. The
+    // shuffle ships md5 fingerprints, never code — the 100 TB shape
+    // for function-level code dedup
+    "code_dedup_normalized" -> ((s, dir) => {
+      import s.implicits._
+      val coded = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id / 2
+          val code = s"// author $id\nint f$k() {\n" +
+            s"  return ${k * 7}; // result\n}\n"
+          (id, SourceCode.stripComments(code, "c"))
+        }).toDF("doc_id", "norm")
+      Dedup.exactDupMapping(coded, "doc_id", "norm")
+        .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -288,5 +307,11 @@ object CodeQueries extends QueryGroup {
         "CAST(CASE j WHEN 2 THEN 1 ELSE 0 END AS INT) AS n_secrets, " +
         "j = 1 AS minified, " +
         "j <> 1 AS kept " +
-        "FROM g, generate_series(0, 2) AS s(j)"))
+        "FROM g, generate_series(0, 2) AS s(j)"),
+
+    // pairs (2j, 2j+1) collapse to min-id 2j; the partner of every odd
+    // id is always present (contiguous ids), so the formula is exact
+    "code_dedup_normalized" ->
+      ("SELECT doc_id, CAST((doc_id // 2) * 2 AS BIGINT) AS keep_id, " +
+        "doc_id % 2 = 1 AS is_dup FROM documents"))
 }
