@@ -26,7 +26,7 @@ object Pii {
 
   /** Luhn checksum over the digit string (spaces/dashes stripped by
     * the caller). */
-  private[graft] def luhnOk(digits: String): Boolean = {
+  def luhnOk(digits: String): Boolean = {
     if (digits.length < 13 || digits.length > 19) return false
     var sum = 0
     var alt = false
@@ -45,7 +45,7 @@ object Pii {
 
   /** ISO 13616 / ISO 7064 mod-97 IBAN check (rearrange + A=10..Z=35,
     * incremental mod so no big integers). */
-  private[graft] def ibanOk(iban: String): Boolean = {
+  def ibanOk(iban: String): Boolean = {
     val s = iban.replace(" ", "").toUpperCase
     if (s.length < 15 || s.length > 34) return false
     if (!s.substring(0, 2).forall(c => c >= 'A' && c <= 'Z')) return false

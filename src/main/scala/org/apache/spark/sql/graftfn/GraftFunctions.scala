@@ -169,6 +169,9 @@ object GraftFunctions {
   val JaroWinklerName = "graft_jaro_winkler"
   val DamerauName = "graft_damerau"
   val PorterName = "graft_porter_stem"
+  val FixMojibakeName = "graft_fix_mojibake"
+  val ScriptDominantName = "graft_script_dominant"
+  val LuhnName = "graft_luhn"
 
   /** Unrestricted Damerau–Levenshtein over raw bytes (Lowrance–Wagner
     * 1975, the `d[k,l]` last-occurrence recurrence) — see
@@ -294,7 +297,16 @@ object GraftFunctions {
       exprs => DamerauLevenshtein(exprs(0), exprs(1))),
     (FunctionIdentifier(PorterName),
       new ExpressionInfo(classOf[PorterStem].getName, PorterName),
-      exprs => PorterStem(exprs(0))))
+      exprs => PorterStem(exprs(0))),
+    (FunctionIdentifier(FixMojibakeName),
+      new ExpressionInfo(classOf[FixMojibake].getName, FixMojibakeName),
+      exprs => FixMojibake(exprs(0))),
+    (FunctionIdentifier(ScriptDominantName),
+      new ExpressionInfo(classOf[ScriptDominant].getName, ScriptDominantName),
+      exprs => ScriptDominant(exprs(0))),
+    (FunctionIdentifier(LuhnName),
+      new ExpressionInfo(classOf[LuhnCheck].getName, LuhnName),
+      exprs => LuhnCheck(exprs(0))))
 
   /** Idempotently register the codegen functions in a HANDED session —
     * fallback for sessions built without `GraftExtensions`. */

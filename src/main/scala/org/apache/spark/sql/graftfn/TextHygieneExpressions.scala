@@ -1,0 +1,79 @@
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hygiene kernels so they are
+  * callable from SQL and compose inside WholeStageCodegen spans (no UDF
+  * serialization boundary, no per-row encoder round trip): mojibake
+  * repair, dominant-script routing, Luhn validation. The generated code
+  * calls the static forwarders on [[TextHygiene]] — one virtual-free
+  * static call per row, same contract as the `mapPartitions` kernels
+  * (`graft.ops.Mojibake` / `graft.ops.Scripts` / `graft.ops.Pii`) and
+  * therefore the same oracle arithmetic.
+  */
+object TextHygiene {
+  /** Static forwarder targets for generated code (a top-level object
+    * emits true static methods on the class). */
+  def fixMojibake(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.ops.Mojibake.repair(s.toString).text)
+
+  def dominantScript(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.ops.Scripts.profile(s.toString).dominant)
+
+  def luhnOk(s: UTF8String): Boolean =
+    graft.ops.Pii.luhnOk(s.toString.filter(_.isDigit))
+}
+
+/** `graft_fix_mojibake(text)` — undo UTF-8-read-as-cp1252 layers (see
+  * [[graft.ops.Mojibake.repair]]); clean text is a fixed point. */
+case class FixMojibake(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.FixMojibakeName
+  override protected def nullSafeEval(s: Any): Any =
+    TextHygiene.fixMojibake(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftfn.TextHygiene.fixMojibake($c)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): FixMojibake =
+    copy(child = newChild)
+}
+
+/** `graft_script_dominant(text)` — dominant Unicode script of the
+  * letter codepoints ("NONE" when letterless); the langid router. */
+case class ScriptDominant(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.ScriptDominantName
+  override protected def nullSafeEval(s: Any): Any =
+    TextHygiene.dominantScript(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftfn.TextHygiene.dominantScript($c)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): ScriptDominant =
+    copy(child = newChild)
+}
+
+/** `graft_luhn(text)` — Luhn checksum over the string's digits (other
+  * chars stripped); the payment-card PII validation gate. */
+case class LuhnCheck(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = GraftFunctions.LuhnName
+  override protected def nullSafeEval(s: Any): Any =
+    TextHygiene.luhnOk(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftfn.TextHygiene.luhnOk($c)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): LuhnCheck =
+    copy(child = newChild)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftfn.GraftFunctions
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Mojibake, Pii, Scripts}
+
+/** SQL-level text-hygiene expressions: parity with the mapPartitions
+  * kernels, null contract, codegen participation. */
+class TextHygieneFnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("TextHygieneFnSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("graft_fix_mojibake matches the kernel and repairs from SQL") {
+    val sp = spark; import sp.implicits._
+    val clean = Seq("déjà vu — café", "plain ascii", "São Paulo à noite")
+    val rows = clean.map(c => (c, Mojibake.corrupt(c))).toDF("clean", "bad")
+    val got = rows.selectExpr("clean", "graft_fix_mojibake(bad) AS fixed")
+      .collect()
+    got.foreach { r =>
+      val (c, f) = (r.getString(0), r.getString(1))
+      val expect = if (Mojibake.suspicionScore(Mojibake.corrupt(c)) > 0) c
+        else Mojibake.corrupt(c) // ascii corrupt == identity anyway
+      assert(f == expect)
+    }
+    val n = rows.selectExpr("graft_fix_mojibake(NULL) AS x").head
+    assert(n.isNullAt(0))
+  }
+
+  test("graft_script_dominant routes and matches Scripts.profile") {
+    val sp = spark; import sp.implicits._
+    val texts = Seq("hello world", "привет мир", "世界 hello 世界世界", "123")
+    val got = texts.toDF("t")
+      .selectExpr("t", "graft_script_dominant(t) AS d").collect()
+    got.foreach { r =>
+      assert(r.getString(1) == Scripts.profile(r.getString(0)).dominant)
+    }
+    assert(got.map(_.getString(1)).toSeq ==
+      Seq("LATIN", "CYRILLIC", "HAN", "NONE"))
+  }
+
+  test("graft_luhn validates digits with separators; matches Pii.luhnOk") {
+    val sp = spark; import sp.implicits._
+    val cases = Seq("4111 1111 1111 1111", "4111-1111-1111-1112",
+      "5500005555555559", "12")
+    val got = cases.toDF("c").selectExpr("c", "graft_luhn(c) AS ok").collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == Pii.luhnOk(r.getString(0).filter(_.isDigit)))
+    }
+    assert(got.map(_.getBoolean(1)).toSeq == Seq(true, false, true, false))
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    // over a parquet scan (codegen-able source; local Seqs short-circuit
+    // as LocalTableScan) the projection must carry the `*(n)` marker —
+    // i.e. none of the three forces a codegen fallback
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("graft_fix_mojibake(text) AS f",
+        "graft_script_dominant(text) AS d", "graft_luhn(text) AS l")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[graft_fix_mojibake".r
+      .findFirstIn(plan).isDefined, s"not codegen'd in:\n$plan")
+    val r = df.limit(4).collect()
+    assert(r.length == 4 && r.forall(x => !x.isNullAt(0)))
+  }
+}
