@@ -1,0 +1,196 @@
+package graft.ops
+
+/** EXIF GPS extraction + whitelist metadata scrub — the location-PII
+  * pass of the multimodal tier: phone cameras embed latitude/longitude
+  * in the GPS IFD, and a training corpus must either harvest it as an
+  * explicit (audited) field or remove it. Extraction walks the GPS
+  * IFD (pointer tag 0x8825 in IFD0, both byte orders) and returns
+  * EXACT signed milli-arcseconds — integer math over the RATIONAL
+  * triples, no floating point, so the oracle replays bit-for-bit.
+  * The scrub is a WHITELIST rebuild, not a GPS blacklist: the APP1 is
+  * re-encoded from the five known-safe parsed fields (orientation,
+  * make, model, datetime, description), so unknown/maker-note/future
+  * PII tags are dropped by construction — the correct privacy posture.
+  * JPEG image bytes are untouched; decode is unaffected.
+  *
+  * Total on junk; pure per-row kernel (SURVEY §2.11). Reference
+  * behavior: HIndex stores cell bytes opaquely.
+  */
+object ExifGps {
+
+  /** Exact GPS position in signed milli-arcseconds (north/east
+    * positive). 1 milli-arcsecond ≈ 31 mm of latitude. */
+  final case class Gps(latMas: Long, lonMas: Long)
+
+  private val TagGpsInfo = 0x8825
+  private val GpsLatRef = 1
+  private val GpsLat = 2
+  private val GpsLonRef = 3
+  private val GpsLon = 4
+
+  /** Locate the Exif APP1 segment; returns (payloadTiffStart, end,
+    * segStart, segEnd) or null. */
+  private def findApp1(jpeg: Array[Byte]): Array[Int] = {
+    if (jpeg == null || jpeg.length < 4 ||
+      (jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8) return null
+    var i = 2
+    while (i + 4 <= jpeg.length) {
+      if ((jpeg(i) & 0xff) != 0xff) return null
+      val marker = jpeg(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return null
+      val len = ((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff)
+      if (len < 2 || i + 2 + len > jpeg.length) return null
+      if (marker == 0xe1 && len >= 16 &&
+        jpeg(i + 4) == 'E' && jpeg(i + 5) == 'x' && jpeg(i + 6) == 'i' &&
+        jpeg(i + 7) == 'f' && jpeg(i + 8) == 0 && jpeg(i + 9) == 0)
+        return Array(i + 10, i + 2 + len, i, i + 2 + len)
+      i += 2 + len
+    }
+    null
+  }
+
+  /** Parse GPS lat/lon; None when absent or malformed. */
+  def parseGps(jpeg: Array[Byte]): Option[Gps] = {
+    val loc = findApp1(jpeg)
+    if (loc == null) return None
+    val (tiff, end) = (loc(0), loc(1))
+    try {
+      val b = jpeg
+      if (tiff + 8 > end) return None
+      val little =
+        if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
+        else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
+        else return None
+      def u16(i: Int): Int =
+        if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      def u32(i: Int): Long =
+        if (little) (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+        else ((u16(i).toLong << 16) | u16(i + 2)) & 0xffffffffL
+      if (u16(tiff + 2) != 42) return None
+      val ifd0 = tiff + u32(tiff + 4).toInt
+      if (ifd0 + 2 > end) return None
+      val n = u16(ifd0)
+      var gpsOff = -1L
+      var k = 0
+      while (k < n && gpsOff < 0) {
+        val e = ifd0 + 2 + 12 * k
+        if (e + 12 > end) return None
+        if (u16(e) == TagGpsInfo && (u16(e + 2) == 4 || u16(e + 2) == 3))
+          gpsOff = u32(e + 8)
+        k += 1
+      }
+      if (gpsOff < 0) return None
+      val g = tiff + gpsOff.toInt
+      if (g + 2 > end) return None
+      val gn = u16(g)
+      var latRef = ' '
+      var lonRef = ' '
+      var latMas = -1L
+      var lonMas = -1L
+      def rational3Mas(e: Int): Long = {
+        // RATIONAL × 3 is 24 bytes, always offset-addressed
+        val off = tiff + u32(e + 8).toInt
+        if (off < tiff || off + 24 > end) return -1L
+        def rat(i: Int): (Long, Long) = (u32(i), u32(i + 4))
+        val (dn, dd) = rat(off)
+        val (mn, md) = rat(off + 8)
+        val (sn, sd) = rat(off + 16)
+        if (dd == 0 || md == 0 || sd == 0) return -1L
+        // exact milli-arcseconds: deg*3.6e6 + min*6e4 + sec*1e3 (floored
+        // per component — fixtures use dividing denominators)
+        dn * 3600000L / dd + mn * 60000L / md + sn * 1000L / sd
+      }
+      var j = 0
+      while (j < gn) {
+        val e = g + 2 + 12 * j
+        if (e + 12 > end) return None
+        u16(e) match {
+          case GpsLatRef if u16(e + 2) == 2 =>
+            latRef = (b(e + 8) & 0xff).toChar
+          case GpsLat if u16(e + 2) == 5 && u32(e + 4) == 3 =>
+            latMas = rational3Mas(e)
+          case GpsLonRef if u16(e + 2) == 2 =>
+            lonRef = (b(e + 8) & 0xff).toChar
+          case GpsLon if u16(e + 2) == 5 && u32(e + 4) == 3 =>
+            lonMas = rational3Mas(e)
+          case _ => ()
+        }
+        j += 1
+      }
+      if (latMas < 0 || lonMas < 0 || latRef == ' ' || lonRef == ' ') None
+      else Some(Gps(
+        if (latRef == 'S') -latMas else latMas,
+        if (lonRef == 'W') -lonMas else lonMas))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Deterministic APP1 with IFD0 (Make + Orientation + GPS pointer)
+    * and a GPS IFD (refs + DMS rationals) — the fixture writer.
+    * `latDms`/`lonDms` are ((degN,degD),(minN,minD),(secN,secD)). */
+  def buildGpsApp1(orientation: Int, make: String,
+      latRef: Char, latDms: Seq[(Long, Long)],
+      lonRef: Char, lonDms: Seq[(Long, Long)],
+      littleEndian: Boolean = true): Array[Byte] = {
+    require(latDms.length == 3 && lonDms.length == 3, "DMS triples")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { w16(v.toInt & 0xffff); w16((v >> 16).toInt) }
+      else { w16((v >> 16).toInt); w16(v.toInt & 0xffff) }
+    if (littleEndian) { out.write('I'); out.write('I') }
+    else { out.write('M'); out.write('M') }
+    w16(42); w32(8)
+    // IFD0: Make(0x010f, inline <=4), Orientation(0x0112), GPS(0x8825)
+    val makeB = (make.take(3) + "\u0000").getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    w16(3)
+    w16(0x010f); w16(2); w32(makeB.length.toLong)
+    var j = 0
+    while (j < 4) { out.write(if (j < makeB.length) makeB(j) & 0xff else 0); j += 1 }
+    w16(0x0112); w16(3); w32(1); w16(orientation); w16(0)
+    val gpsIfd = 8 + 2 + 3 * 12 + 4 // = 50
+    w16(TagGpsInfo); w16(4); w32(1); w32(gpsIfd.toLong)
+    w32(0) // next IFD
+    // GPS IFD: 4 entries + next
+    val valArea = gpsIfd + 2 + 4 * 12 + 4 // = 104
+    w16(4)
+    w16(GpsLatRef); w16(2); w32(2)
+    out.write(latRef); out.write(0); out.write(0); out.write(0)
+    w16(GpsLat); w16(5); w32(3); w32(valArea.toLong)
+    w16(GpsLonRef); w16(2); w32(2)
+    out.write(lonRef); out.write(0); out.write(0); out.write(0)
+    w16(GpsLon); w16(5); w32(3); w32((valArea + 24).toLong)
+    w32(0)
+    (latDms ++ lonDms).foreach { case (num, den) => w32(num); w32(den) }
+    val body = out.toByteArray
+    val payload = "Exif".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 0) ++ body
+    val len = payload.length + 2
+    Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** Whitelist metadata scrub: re-encode the APP1 from the five parsed
+    * known-safe fields; everything else (GPS, maker notes, unknown
+    * tags) is dropped by construction. A JPEG without a valid
+    * orientation keeps no APP1 at all. Non-JPEG input returns
+    * unchanged. */
+  def scrubExif(jpeg: Array[Byte]): Array[Byte] = {
+    val loc = findApp1(jpeg)
+    if (loc == null) return jpeg
+    val (segStart, segEnd) = (loc(2), loc(3))
+    val meta = ExifCodec.parseExif(jpeg)
+    val without = jpeg.take(segStart) ++ jpeg.drop(segEnd)
+    if (meta.orientation >= 1 && meta.orientation <= 8) {
+      val app1 = ExifCodec.buildExifApp1(meta.orientation, meta.make,
+        meta.model, meta.dateTime, meta.description)
+      ExifCodec.injectApp1(without, app1)
+    } else without
+  }
+}

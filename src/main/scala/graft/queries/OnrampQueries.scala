@@ -184,6 +184,40 @@ object OnrampQueries extends QueryGroup {
           val (red, nc, ni, nb) = Pii.redact(text)
           (id, nc, ni, nb, red)
         }).toDF("doc_id", "n_cards", "n_ips", "n_ibans", "redacted")
+    }),
+
+    // EXIF GPS extraction (exact signed milli-arcseconds, both byte
+    // orders, all four hemisphere sign combinations) + the whitelist
+    // scrub: after scrubbing, GPS must be gone while orientation and
+    // make survive and the raster still decodes upstream
+    "mm_exif_gps" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          val base = graft.ops.JpegCodec.encodeJpeg(
+            graft.ops.MediaCodec.Raster(8, 8, 3, new Array[Byte](8 * 8 * 3)),
+            quality = 90)
+          it.map { id =>
+            def dms(d: Long, m: Long, sN: Long) =
+              Seq((d, 1L), (m, 1L), (sN, 10L))
+            val app1 = graft.ops.ExifGps.buildGpsApp1(
+              (1 + id % 8).toInt, s"M${id % 10}",
+              if (id % 3 == 0) 'S' else 'N',
+              dms(id % 90, id % 60, id % 600),
+              if (id % 5 == 0) 'W' else 'E',
+              dms(id % 180, id % 60, id % 600),
+              littleEndian = id % 2 == 0)
+            val jpeg = graft.ops.ExifCodec.injectApp1(base, app1)
+            val g = graft.ops.ExifGps.parseGps(jpeg).get
+            val scrubbed = graft.ops.ExifGps.scrubExif(jpeg)
+            val after = graft.ops.ExifCodec.parseExif(scrubbed)
+            (id, g.latMas, g.lonMas,
+              graft.ops.ExifGps.parseGps(scrubbed).isDefined,
+              after.orientation, after.make)
+          }
+        }.toDF("doc_id", "lat_mas", "lon_mas", "gps_after",
+          "orient_after", "make_after")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -279,5 +313,18 @@ object OnrampQueries extends QueryGroup {
         "WHEN 3 THEN 'acct [REDACTED:iban] ref ' || i " +
         "ELSE 'bad DE89 3704 0044 0532 0130 01 ip 999.1.2.3 n ' || i " +
         "END AS redacted " +
+        "FROM g"),
+
+    "mm_exif_gps" ->
+      ("WITH g AS (SELECT doc_id, " +
+        "(doc_id % 90) * 3600000 + (doc_id % 60) * 60000 + (doc_id % 600) * 100 AS latb, " +
+        "(doc_id % 180) * 3600000 + (doc_id % 60) * 60000 + (doc_id % 600) * 100 AS lonb " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN -latb ELSE latb END AS BIGINT) AS lat_mas, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN -lonb ELSE lonb END AS BIGINT) AS lon_mas, " +
+        "FALSE AS gps_after, " +
+        "CAST(1 + doc_id % 8 AS INT) AS orient_after, " +
+        "'M' || CAST(doc_id % 10 AS VARCHAR) AS make_after " +
         "FROM g"))
 }

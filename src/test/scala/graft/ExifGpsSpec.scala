@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ExifCodec, ExifGps, JpegCodec, MediaCodec}
+
+/** EXIF GPS extraction (exact milli-arcseconds, both byte orders,
+  * hemisphere signs) and the whitelist metadata scrub. */
+class ExifGpsSpec extends AnyFunSuite {
+
+  private val base = JpegCodec.encodeJpeg(
+    MediaCodec.Raster(8, 8, 3, new Array[Byte](8 * 8 * 3)), quality = 90)
+
+  private def dms(d: Long, m: Long, sN: Long, sD: Long) =
+    Seq((d, 1L), (m, 1L), (sN, sD))
+
+  test("round trip: exact milli-arcseconds, both byte orders") {
+    for (le <- Seq(true, false)) {
+      val app1 = ExifGps.buildGpsApp1(3, "Cam",
+        'N', dms(37, 46, 298, 10), 'E', dms(122, 25, 91, 10),
+        littleEndian = le)
+      val jpeg = ExifCodec.injectApp1(base, app1)
+      val g = ExifGps.parseGps(jpeg).get
+      assert(g.latMas == 37L * 3600000 + 46L * 60000 + 29800)
+      assert(g.lonMas == 122L * 3600000 + 25L * 60000 + 9100)
+    }
+  }
+
+  test("S and W hemispheres are negative") {
+    val app1 = ExifGps.buildGpsApp1(1, "C",
+      'S', dms(33, 52, 0, 1), 'W', dms(151, 12, 5, 1))
+    val g = ExifGps.parseGps(ExifCodec.injectApp1(base, app1)).get
+    assert(g.latMas == -(33L * 3600000 + 52L * 60000))
+    assert(g.lonMas == -(151L * 3600000 + 12L * 60000 + 5000))
+  }
+
+  test("scrub removes GPS, keeps safe fields, image still decodes") {
+    val app1 = ExifGps.buildGpsApp1(6, "Mk",
+      'N', dms(1, 2, 3, 1), 'E', dms(4, 5, 6, 1))
+    val jpeg = ExifCodec.injectApp1(base, app1)
+    assert(ExifGps.parseGps(jpeg).isDefined)
+    val scrubbed = ExifGps.scrubExif(jpeg)
+    assert(ExifGps.parseGps(scrubbed).isEmpty)
+    val m = ExifCodec.parseExif(scrubbed)
+    assert(m.orientation == 6 && m.make == "Mk")
+    val r = JpegCodec.decodeJpeg(scrubbed)
+    assert(r.isDefined && r.get.width == 8 && r.get.height == 8)
+  }
+
+  test("no-APP1, no-orientation and junk are total") {
+    assert(ExifGps.parseGps(base).isEmpty)
+    assert(ExifGps.scrubExif(base).sameElements(base))
+    assert(ExifGps.parseGps(null).isEmpty)
+    assert(ExifGps.parseGps(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ExifGps.scrubExif(Array[Byte](1, 2, 3)).length == 3)
+    // truncated GPS IFD: every prefix parses to None, never throws
+    val app1 = ExifGps.buildGpsApp1(2, "X",
+      'N', dms(10, 20, 30, 1), 'E', dms(40, 50, 60, 1))
+    val jpeg = ExifCodec.injectApp1(base, app1)
+    var cut = 4
+    while (cut < jpeg.length) {
+      ExifGps.parseGps(jpeg.take(cut))
+      cut += 7
+    }
+    succeed
+  }
+}
