@@ -1,0 +1,214 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** JSON-LD structured-data extraction — the schema.org entity harvest
+  * next to [[PageDates]]: pages declare their article/product/person
+  * facts in `<script type="application/ld+json">` blocks, and a corpus
+  * builder wants them as typed columns (entity type, name/headline,
+  * author, date) rather than re-guessing from body text.
+  *
+  * Ships its own MINIMAL total JSON reader (strings with escapes,
+  * numbers, bools, null, arrays, objects; depth-capped, trailing junk
+  * tolerated at top level only) — malformed blocks yield no entities,
+  * never throw. Arrays and `@graph` wrappers flatten to one entity per
+  * object. Pure per-row kernel, zero shuffle (SURVEY §2.11).
+  */
+object JsonLd {
+
+  final case class Entity(etype: String, name: String, author: String,
+      date: String, url: String)
+
+  // ------------------------------------------------------- JSON reader
+
+  private final class P(val s: String) {
+    var i = 0
+    def ws(): Unit = {
+      while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+        s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    }
+  }
+
+  /** Parse one JSON value; None on malformed. Depth-capped at 32. */
+  private[graft] def parseJson(s: String): Option[Any] = {
+    if (s == null) return None
+    val p = new P(s)
+    p.ws()
+    val v = value(p, 0)
+    v
+  }
+
+  private def value(p: P, depth: Int): Option[Any] = {
+    if (depth > 32 || p.i >= p.s.length) return None
+    p.s.charAt(p.i) match {
+      case '{' => obj(p, depth)
+      case '[' => arr(p, depth)
+      case '"' => str(p)
+      case 't' =>
+        if (p.s.startsWith("true", p.i)) { p.i += 4; Some(true) } else None
+      case 'f' =>
+        if (p.s.startsWith("false", p.i)) { p.i += 5; Some(false) } else None
+      case 'n' =>
+        if (p.s.startsWith("null", p.i)) { p.i += 4; Some(null) } else None
+      case c if c == '-' || (c >= '0' && c <= '9') => num(p)
+      case _ => None
+    }
+  }
+
+  private def obj(p: P, depth: Int): Option[Map[String, Any]] = {
+    p.i += 1 // '{'
+    val m = Map.newBuilder[String, Any]
+    p.ws()
+    if (p.i < p.s.length && p.s.charAt(p.i) == '}') { p.i += 1; return Some(m.result()) }
+    while (true) {
+      p.ws()
+      if (p.i >= p.s.length || p.s.charAt(p.i) != '"') return None
+      val k = str(p).getOrElse(return None)
+      p.ws()
+      if (p.i >= p.s.length || p.s.charAt(p.i) != ':') return None
+      p.i += 1
+      p.ws()
+      val v = value(p, depth + 1).getOrElse(return None)
+      m += k -> v
+      p.ws()
+      if (p.i >= p.s.length) return None
+      p.s.charAt(p.i) match {
+        case ',' => p.i += 1
+        case '}' => p.i += 1; return Some(m.result())
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  private def arr(p: P, depth: Int): Option[Vector[Any]] = {
+    p.i += 1 // '['
+    val out = Vector.newBuilder[Any]
+    p.ws()
+    if (p.i < p.s.length && p.s.charAt(p.i) == ']') { p.i += 1; return Some(out.result()) }
+    while (true) {
+      p.ws()
+      val v = value(p, depth + 1).getOrElse(return None)
+      out += v
+      p.ws()
+      if (p.i >= p.s.length) return None
+      p.s.charAt(p.i) match {
+        case ',' => p.i += 1
+        case ']' => p.i += 1; return Some(out.result())
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  private def str(p: P): Option[String] = {
+    p.i += 1 // opening quote
+    val sb = new java.lang.StringBuilder
+    while (p.i < p.s.length) {
+      val c = p.s.charAt(p.i)
+      if (c == '"') { p.i += 1; return Some(sb.toString) }
+      else if (c == '\\' && p.i + 1 < p.s.length) {
+        p.s.charAt(p.i + 1) match {
+          case '"' => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '/' => sb.append('/')
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'u' if p.i + 5 < p.s.length =>
+            try sb.append(Integer.parseInt(p.s.substring(p.i + 2, p.i + 6), 16).toChar)
+            catch { case _: NumberFormatException => return None }
+            p.i += 4
+          case _ => return None
+        }
+        p.i += 2
+      } else { sb.append(c); p.i += 1 }
+    }
+    None // unterminated
+  }
+
+  private def num(p: P): Option[Any] = {
+    val start = p.i
+    if (p.s.charAt(p.i) == '-') p.i += 1
+    while (p.i < p.s.length && {
+      val c = p.s.charAt(p.i)
+      (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' ||
+        c == '+' || c == '-'
+    }) p.i += 1
+    try Some(p.s.substring(start, p.i).toDouble)
+    catch { case _: NumberFormatException => None }
+  }
+
+  // ---------------------------------------------------------- entities
+
+  private def strField(m: Map[String, Any], k: String): String =
+    m.get(k) match {
+      case Some(s: String) => s
+      case _ => ""
+    }
+
+  private def toEntity(m: Map[String, Any]): Option[Entity] = {
+    val etype = m.get("@type") match {
+      case Some(s: String) => s
+      case Some(v: Vector[_]) =>
+        v.collectFirst { case s: String => s }.getOrElse("")
+      case _ => ""
+    }
+    if (etype.isEmpty) return None
+    val author = m.get("author") match {
+      case Some(s: String) => s
+      case Some(a: Map[_, _]) =>
+        strField(a.asInstanceOf[Map[String, Any]], "name")
+      case Some(v: Vector[_]) =>
+        v.collectFirst {
+          case a: Map[_, _] => strField(a.asInstanceOf[Map[String, Any]], "name")
+          case s: String => s
+        }.getOrElse("")
+      case _ => ""
+    }
+    val name = {
+      val n = strField(m, "name")
+      if (n.nonEmpty) n else strField(m, "headline")
+    }
+    Some(Entity(etype, name, author, strField(m, "datePublished"),
+      strField(m, "url")))
+  }
+
+  private def flatten(v: Any): Seq[Map[String, Any]] = v match {
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      mm.get("@graph") match {
+        case Some(g: Vector[_]) => g.flatMap(flatten) :+ mm
+        case _ => Seq(mm)
+      }
+    case a: Vector[_] => a.flatMap(flatten)
+    case _ => Nil
+  }
+
+  /** All typed entities from every ld+json block in document order.
+    * A `@graph` wrapper contributes its members (plus itself when it
+    * carries an `@type` of its own). */
+  def entities(html: String): Seq[Entity] = {
+    val h = if (html == null) "" else html
+    val lower = Boilerplate.asciiLower(h)
+    val out = ArrayBuffer.empty[Entity]
+    var i = lower.indexOf("<script")
+    while (i >= 0) {
+      val gt = lower.indexOf('>', i)
+      if (gt < 0) return out.toSeq
+      val tag = lower.substring(i, gt)
+      val close = lower.indexOf("</script", gt + 1)
+      if (tag.contains("application/ld+json")) {
+        val body = if (close < 0) h.substring(gt + 1)
+          else h.substring(gt + 1, close)
+        parseJson(body.trim).foreach { v =>
+          flatten(v).foreach(m => toEntity(m).foreach(out += _))
+        }
+      }
+      i = if (close < 0) -1 else lower.indexOf("<script", close + 1)
+    }
+    out.toSeq
+  }
+}

@@ -218,6 +218,34 @@ object OnrampQueries extends QueryGroup {
           }
         }.toDF("doc_id", "lat_mas", "lon_mas", "gps_after",
           "orient_after", "make_after")
+    }),
+
+    // JSON-LD schema.org entity harvest: object author, entity arrays,
+    // @graph flattening and a malformed-block residue that must yield
+    // nothing — every extracted field replays by id arithmetic
+    "text_jsonld_entities" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val json = (id % 4) match {
+            case 0 => s"""{"@type":"NewsArticle","headline":"Story $id",""" +
+              s""""datePublished":"2024-01-0${1 + id % 9}",""" +
+              s""""author":{"@type":"Person","name":"A$id"},""" +
+              s""""url":"https://e.example.com/$id"}"""
+            case 1 => s"""[{"@type":"Person","name":"P$id"},""" +
+              s"""{"@type":"Product","name":"W$id","author":"C$id"}]"""
+            case 2 => s"""{"@graph":[{"@type":"WebSite","name":"S$id"},""" +
+              s"""{"@type":"Organization","name":"O$id"}]}"""
+            case _ => s"""{"@type":"X$id", truncated"""
+          }
+          val html = "<html><head><script type=\"application/ld+json\">" +
+            json + "</script></head><body>b</body></html>"
+          graft.ops.JsonLd.entities(html).zipWithIndex.map { case (e, ix) =>
+            (id, ix, e.etype, e.name, e.author, e.date, e.url)
+          }
+        }).toDF("doc_id", "ent_idx", "etype", "name", "author",
+          "pub_date", "url")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -326,5 +354,23 @@ object OnrampQueries extends QueryGroup {
         "FALSE AS gps_after, " +
         "CAST(1 + doc_id % 8 AS INT) AS orient_after, " +
         "'M' || CAST(doc_id % 10 AS VARCHAR) AS make_after " +
-        "FROM g"))
+        "FROM g"),
+
+    "text_jsonld_entities" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS ent_idx, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'NewsArticle' " +
+        "WHEN 1 THEN CASE j WHEN 0 THEN 'Person' ELSE 'Product' END " +
+        "ELSE CASE j WHEN 0 THEN 'WebSite' ELSE 'Organization' END END AS etype, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'Story ' || i " +
+        "WHEN 1 THEN CASE j WHEN 0 THEN 'P' || i ELSE 'W' || i END " +
+        "ELSE CASE j WHEN 0 THEN 'S' || i ELSE 'O' || i END END AS name, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 'A' || i " +
+        "WHEN doc_id % 4 = 1 AND j = 1 THEN 'C' || i ELSE '' END AS author, " +
+        "CASE WHEN doc_id % 4 = 0 THEN '2024-01-0' || CAST(1 + doc_id % 9 AS VARCHAR) " +
+        "ELSE '' END AS pub_date, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 'https://e.example.com/' || i " +
+        "ELSE '' END AS url " +
+        "FROM g, generate_series(0, 1) AS s(j) " +
+        "WHERE (doc_id % 4 = 0 AND j = 0) OR doc_id % 4 IN (1, 2)"))
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming crawl frontier with per-host politeness — the stateful
+  * scheduler between link discovery ([[graft.ops.Outlinks]] /
+  * [[graft.ops.Sitemaps]] / [[graft.ops.Feeds]]) and the fetcher: URLs
+  * stream in as they are discovered; each HOST carries state (URLs
+  * already admitted + the last scheduled fetch slot) and every new URL
+  * is assigned a deterministic fetch slot at least `delayMs` after the
+  * host's previous one (RFC 9309 crawl-delay semantics).
+  *
+  * The idiomatic 100 TB shape: state is hash-partitioned BY HOST in
+  * Spark's streaming state store, so each micro-batch shuffles only
+  * `(host, url-hash, ts)` triples — one state lookup per host per
+  * batch, no join against crawl history. Within a batch a host's URLs
+  * schedule in `(priority DESC, url)` order, making output independent
+  * of arrival order inside the batch (deterministic replay).
+  *
+  * Frontier dedup state is bounded by `maxSeenPerHost` URL hashes per
+  * host (64-bit fingerprints); beyond the cap new URLs still schedule
+  * but are no longer recorded (disclosed: a pathological host can then
+  * re-admit — the politeness budget still throttles it). For global
+  * exact dedup compose with [[StreamingDedup]] upstream.
+  */
+object CrawlFrontier {
+
+  final case class Discovered(url: String, host: String, ts: Long,
+      priority: Int)
+  final case class Scheduled(url: String, host: String, scheduled_ts: Long)
+  final case class HostState(lastSlot: Long, seen: Array[Long])
+
+  private def fp(url: String): Long = {
+    // FNV-1a 64-bit over UTF-8 — stable across JVMs, no dependencies
+    val b = url.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Schedule a streaming frame of `(url, host, ts, priority)` rows.
+    * Append-mode output: one row per first-seen URL with its fetch
+    * slot. */
+  def schedule(input: DataFrame, delayMs: Long,
+      maxSeenPerHost: Int = 10000): Dataset[Scheduled] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input
+      .select(col("url").cast("string"), col("host").cast("string"),
+        col("ts").cast("long"), col("priority").cast("int"))
+      .as[Discovered]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[Discovered], state: GroupState[HostState]) =>
+          val st = state.getOption.getOrElse(HostState(Long.MinValue, Array.empty))
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          st.seen.foreach(seen += _)
+          // deterministic within-batch order: priority desc, then url
+          val batch = rows.toArray.sortBy(d => (-d.priority, d.url))
+          var lastSlot = st.lastSlot
+          val out = Vector.newBuilder[Scheduled]
+          val newSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+          batch.foreach { d =>
+            val f = fp(d.url)
+            if (!seen.contains(f)) {
+              val slot =
+                if (lastSlot == Long.MinValue) d.ts
+                else math.max(d.ts, lastSlot + delayMs)
+              lastSlot = slot
+              out += Scheduled(d.url, host, slot)
+              if (seen.size < maxSeenPerHost) { seen += f; newSeen += f }
+            }
+          }
+          state.update(HostState(lastSlot, st.seen ++ newSeen))
+          out.result().iterator
+      }
+  }
+
+  /** Batch reference of the SAME schedule (for equivalence tests and
+    * backfills): fold each host's URLs in (ts batch order is absent in
+    * batch mode, so the deterministic order is (priority DESC, url)
+    * over the whole set). */
+  def scheduleBatch(rows: Seq[Discovered], delayMs: Long,
+      maxSeenPerHost: Int = 10000): Seq[Scheduled] = {
+    rows.groupBy(_.host).toSeq.sortBy(_._1).flatMap { case (host, hs) =>
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var lastSlot = Long.MinValue
+      hs.sortBy(d => (-d.priority, d.url)).flatMap { d =>
+        val f = fp(d.url)
+        if (seen.contains(f)) None
+        else {
+          val slot =
+            if (lastSlot == Long.MinValue) d.ts
+            else math.max(d.ts, lastSlot + delayMs)
+          lastSlot = slot
+          if (seen.size < maxSeenPerHost) seen += f
+          Some(Scheduled(d.url, host, slot))
+        }
+      }
+    }
+  }
+}

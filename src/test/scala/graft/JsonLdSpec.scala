@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.JsonLd
+import graft.ops.JsonLd.Entity
+
+/** JSON-LD entity extraction: reader correctness, entity shapes,
+  * @graph flattening, malformed totality. */
+class JsonLdSpec extends AnyFunSuite {
+
+  private def ld(json: String): String =
+    s"""<html><script type="application/ld+json">$json</script></html>"""
+
+  test("article with object author and escapes") {
+    val es = JsonLd.entities(ld(
+      """{"@type":"NewsArticle","headline":"Big \"News\" Day",
+        |"datePublished":"2024-03-05","author":{"@type":"Person","name":"J. Doe"},
+        |"url":"https://e/x"}""".stripMargin))
+    assert(es == Seq(Entity("NewsArticle", "Big \"News\" Day", "J. Doe",
+      "2024-03-05", "https://e/x")))
+  }
+
+  test("array of entities and string author") {
+    val es = JsonLd.entities(ld(
+      """[{"@type":"Person","name":"Ann"},
+        |{"@type":"Product","name":"Widget","author":"Corp"}]""".stripMargin))
+    assert(es.map(_.etype) == Seq("Person", "Product"))
+    assert(es(1).author == "Corp")
+  }
+
+  test("@graph flattens; members plus typed wrapper") {
+    val es = JsonLd.entities(ld(
+      """{"@graph":[{"@type":"WebSite","name":"S"},
+        |{"@type":"Organization","name":"O"}]}""".stripMargin))
+    assert(es.map(_.etype).sorted == Seq("Organization", "WebSite"))
+  }
+
+  test("reader: numbers, bools, nulls, unicode escapes, nesting") {
+    val v = JsonLd.parseJson(
+      """{"a":[1,2.5,-3e2,true,null],"b":{"c":"A"}}""").get
+      .asInstanceOf[Map[String, Any]]
+    assert(v("a").asInstanceOf[Vector[Any]](2) == -300.0)
+    assert(v("b").asInstanceOf[Map[String, Any]]("c") == "A")
+  }
+
+  test("malformed blocks yield nothing; non-ld scripts skipped; totality") {
+    assert(JsonLd.entities(ld("""{"@type":"X", truncated""")).isEmpty)
+    assert(JsonLd.entities(
+      "<script>var x = {\"@type\":\"Y\"};</script>").isEmpty)
+    assert(JsonLd.entities(null).isEmpty)
+    assert(JsonLd.entities("<script type=\"application/ld+json\">").isEmpty)
+    assert(JsonLd.parseJson("[1,").isEmpty)
+    assert(JsonLd.parseJson("{\"a\"}").isEmpty)
+  }
+
+  test("typeless objects are skipped; @type arrays take the first") {
+    val es = JsonLd.entities(ld(
+      """[{"name":"untyped"},{"@type":["Article","CreativeWork"],"name":"t"}]"""))
+    assert(es == Seq(Entity("Article", "t", "", "", "")))
+  }
+}
