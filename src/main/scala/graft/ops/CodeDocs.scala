@@ -1,0 +1,140 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Code-adjacent document formats — the two biggest non-plain-file
+  * carriers in code corpora:
+  *
+  *  - Jupyter notebooks (`.ipynb`): JSON documents whose `cells` carry
+  *    code and markdown as line arrays. Extraction keeps cell type,
+  *    order, and JOINED source, and DROPS outputs — outputs are where
+  *    notebooks hide megabytes of base64 images and leaked data, so a
+  *    corpus wants them gone by construction (The-Stack-style). Reuses
+  *    [[JsonLd.parseJson]] (total, depth-capped).
+  *
+  *  - Unified diffs (git patches): commit-history corpora pair a
+  *    message with a diff; the parser yields per-file hunks with
+  *    exact added/removed line counts and the hunk headers, tolerant
+  *    of the tails real `git format-patch` output ships.
+  *
+  * Both total on junk; pure per-row kernels (SURVEY §2.11).
+  */
+object CodeDocs {
+
+  // ---------------------------------------------------------- notebooks
+
+  /** One notebook cell: `kind` is `code` | `markdown` | other strings
+    * as declared; `source` is the joined text; `execCount` -1 when
+    * absent/null. */
+  final case class Cell(idx: Int, kind: String, source: String, execCount: Int)
+
+  /** Extract cells from an `.ipynb` JSON string; malformed → Nil. */
+  def parseNotebook(json: String): Seq[Cell] = {
+    JsonLd.parseJson(if (json == null) "" else json.trim) match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].get("cells") match {
+          case Some(cells: Vector[_]) =>
+            cells.zipWithIndex.flatMap {
+              case (c: Map[_, _], ix) =>
+                val cm = c.asInstanceOf[Map[String, Any]]
+                val kind = cm.get("cell_type") match {
+                  case Some(s: String) => s
+                  case _ => "" // typeless cell: skipped below
+                }
+                val src = cm.get("source") match {
+                  case Some(v: Vector[_]) =>
+                    v.collect { case s: String => s }.mkString
+                  case Some(s: String) => s
+                  case _ => ""
+                }
+                val exec = cm.get("execution_count") match {
+                  case Some(d: Double) => d.toInt
+                  case _ => -1
+                }
+                if (kind.isEmpty) None else Some(Cell(ix, kind, src, exec))
+              case _ => None
+            }
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
+  /** The training-text view of a notebook: code cells joined with
+    * markdown rendered as comments of `commentPrefix` — the flat file
+    * a code-corpus pipeline tokenizes. */
+  def notebookToSource(json: String, commentPrefix: String = "# "): String = {
+    val cells = parseNotebook(json)
+    cells.map { c =>
+      if (c.kind == "markdown")
+        c.source.split("\n", -1).map(l => commentPrefix + l).mkString("\n")
+      else c.source
+    }.mkString("\n\n")
+  }
+
+  // -------------------------------------------------------------- diffs
+
+  /** One hunk: header line numbers plus exact +/- line counts. */
+  final case class Hunk(oldStart: Int, oldLen: Int, newStart: Int,
+      newLen: Int, added: Int, removed: Int)
+
+  /** One file's diff: paths from the `---`/`+++` lines (a/ b/ prefixes
+    * stripped, `/dev/null` preserved) and its hunks. */
+  final case class FileDiff(oldPath: String, newPath: String,
+      hunks: Seq[Hunk])
+
+  private val hunkHeader = java.util.regex.Pattern.compile(
+    "^@@ -(\\d+)(?:,(\\d+))? \\+(\\d+)(?:,(\\d+))? @@")
+
+  private def stripPrefix(p: String): String = {
+    val t = p.trim
+    if (t == "/dev/null") t
+    else if (t.startsWith("a/") || t.startsWith("b/")) t.substring(2)
+    else t
+  }
+
+  /** Parse a unified diff (one or many files). Tolerant: unknown lines
+    * between files skip; a truncated hunk keeps the counts seen so
+    * far; never throws. */
+  def parseUnifiedDiff(diff: String): Seq[FileDiff] = {
+    val d = if (diff == null) "" else diff
+    val lines = d.split("\n", -1)
+    val out = ArrayBuffer.empty[FileDiff]
+    var oldPath = ""
+    var newPath = ""
+    var hunks = ArrayBuffer.empty[Hunk]
+    var cur: Hunk = null
+    def closeHunk(): Unit = {
+      if (cur != null) { hunks += cur; cur = null }
+    }
+    def closeFile(): Unit = {
+      closeHunk()
+      if (oldPath.nonEmpty || newPath.nonEmpty)
+        out += FileDiff(oldPath, newPath, hunks.toSeq)
+      oldPath = ""; newPath = ""; hunks = ArrayBuffer.empty[Hunk]
+    }
+    lines.foreach { line =>
+      if (line.startsWith("--- ")) {
+        closeFile()
+        oldPath = stripPrefix(line.substring(4))
+      } else if (line.startsWith("+++ ")) {
+        newPath = stripPrefix(line.substring(4))
+      } else {
+        val m = hunkHeader.matcher(line)
+        if (m.find()) {
+          closeHunk()
+          def g(i: Int, dflt: Int): Int =
+            Option(m.group(i)).map(_.toInt).getOrElse(dflt)
+          cur = Hunk(g(1, 0), g(2, 1), g(3, 0), g(4, 1), 0, 0)
+        } else if (cur != null) {
+          if (line.startsWith("+")) cur = cur.copy(added = cur.added + 1)
+          else if (line.startsWith("-")) cur = cur.copy(removed = cur.removed + 1)
+          else if (!line.startsWith(" ") && !line.startsWith("\\") && line.nonEmpty)
+            closeHunk() // context ended (e.g. next "diff --git" line)
+        }
+      }
+    }
+    closeFile()
+    out.toSeq
+  }
+}

@@ -198,6 +198,65 @@ object CodeQueries extends QueryGroup {
         }).toDF("doc_id", "norm")
       Dedup.exactDupMapping(coded, "doc_id", "norm")
         .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+    }),
+
+    // Jupyter notebook extraction: cell types/order/joined sources and
+    // exec counts survive, OUTPUTS (the base64-image/leak channel) are
+    // dropped by construction; malformed JSON yields zero rows
+    "code_notebook_cells" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val json = (id % 3) match {
+            case 0 =>
+              s"""{"nbformat":4,"cells":[""" +
+                s"""{"cell_type":"markdown","source":["# T$id"]},""" +
+                s"""{"cell_type":"code","execution_count":${1 + id % 5},""" +
+                s""""source":["x = $id"],"outputs":[{"data":"ZZZZ"}]},""" +
+                s"""{"cell_type":"code","execution_count":null,""" +
+                s""""source":["y = ${id * 2}"]}]}"""
+            case 1 => s"""{"cells":[{"cell_type":"code", busted $id"""
+            case _ =>
+              s"""{"cells":[{"cell_type":"code","execution_count":null,""" +
+                s""""source":"z = $id"}]}"""
+          }
+          graft.ops.CodeDocs.parseNotebook(json).map { c =>
+            (id, c.idx, c.kind, c.source, c.execCount)
+          }
+        }).toDF("doc_id", "cell_idx", "kind", "source", "exec_count")
+    }),
+
+    // unified-diff parsing: per-file hunks with exact +/- line counts,
+    // a/ b/ prefix strip and the /dev/null new-file shape — the
+    // commit-history corpus feed
+    "code_diff_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val adds = (1 + id % 7).toInt
+          val newLines = (1 to adds).map(k => s"+line $k").mkString("\n")
+          val diff =
+            s"""--- a/src/a$id.py
+               |+++ b/src/a$id.py
+               |@@ -1,2 +1,3 @@
+               | import os
+               |-x = 1
+               |+x = $id
+               |+y = 2
+               |--- /dev/null
+               |+++ b/docs/n$id.md
+               |@@ -0,0 +1,$adds @@
+               |$newLines
+               |""".stripMargin
+          graft.ops.CodeDocs.parseUnifiedDiff(diff).zipWithIndex.map {
+            case (f, ix) =>
+              (id, ix, f.oldPath, f.newPath, f.hunks.length,
+                f.hunks.map(_.added).sum, f.hunks.map(_.removed).sum)
+          }
+        }).toDF("doc_id", "file_idx", "old_path", "new_path", "n_hunks",
+          "added", "removed")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -313,5 +372,30 @@ object CodeQueries extends QueryGroup {
     // id is always present (contiguous ids), so the formula is exact
     "code_dedup_normalized" ->
       ("SELECT doc_id, CAST((doc_id // 2) * 2 AS BIGINT) AS keep_id, " +
-        "doc_id % 2 = 1 AS is_dup FROM documents"))
+        "doc_id % 2 = 1 AS is_dup FROM documents"),
+
+    "code_notebook_cells" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS cell_idx, " +
+        "CASE WHEN doc_id % 3 = 0 AND j = 0 THEN 'markdown' " +
+        "ELSE 'code' END AS kind, " +
+        "CASE WHEN doc_id % 3 = 2 THEN 'z = ' || i " +
+        "WHEN j = 0 THEN '# T' || i " +
+        "WHEN j = 1 THEN 'x = ' || i " +
+        "ELSE 'y = ' || CAST(doc_id * 2 AS VARCHAR) END AS source, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 AND j = 1 THEN 1 + doc_id % 5 " +
+        "ELSE -1 END AS INT) AS exec_count " +
+        "FROM g, generate_series(0, 2) AS s(j) " +
+        "WHERE (doc_id % 3 = 0) OR (doc_id % 3 = 2 AND j = 0)"),
+
+    "code_diff_stats" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS file_idx, " +
+        "CASE j WHEN 0 THEN 'src/a' || i || '.py' ELSE '/dev/null' END AS old_path, " +
+        "CASE j WHEN 0 THEN 'src/a' || i || '.py' " +
+        "ELSE 'docs/n' || i || '.md' END AS new_path, " +
+        "CAST(1 AS INT) AS n_hunks, " +
+        "CAST(CASE j WHEN 0 THEN 2 ELSE 1 + doc_id % 7 END AS INT) AS added, " +
+        "CAST(CASE j WHEN 0 THEN 1 ELSE 0 END AS INT) AS removed " +
+        "FROM g, generate_series(0, 1) AS s(j)"))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CodeDocs
+import graft.ops.CodeDocs.{Cell, FileDiff, Hunk}
+
+/** Notebook cell extraction (outputs dropped by construction) and
+  * unified-diff parsing. */
+class CodeDocsSpec extends AnyFunSuite {
+
+  private val nb =
+    """{"nbformat":4,"cells":[
+      |{"cell_type":"markdown","source":["# Title\n","intro"]},
+      |{"cell_type":"code","execution_count":3,
+      | "source":["x = 1\n","print(x)"],
+      | "outputs":[{"data":{"image/png":"AAAA"}}]},
+      |{"cell_type":"code","execution_count":null,"source":"y = 2"}
+      |]}""".stripMargin
+
+  test("notebook cells: types, joined source, exec counts, outputs gone") {
+    val cells = CodeDocs.parseNotebook(nb)
+    assert(cells == Seq(
+      Cell(0, "markdown", "# Title\nintro", -1),
+      Cell(1, "code", "x = 1\nprint(x)", 3),
+      Cell(2, "code", "y = 2", -1)))
+    assert(!cells.exists(_.source.contains("AAAA")))
+  }
+
+  test("notebookToSource renders markdown as comments") {
+    val src = CodeDocs.notebookToSource(nb)
+    assert(src ==
+      "# # Title\n# intro\n\nx = 1\nprint(x)\n\ny = 2")
+  }
+
+  test("notebook totality: junk, no cells, typeless cells") {
+    assert(CodeDocs.parseNotebook("{broken").isEmpty)
+    assert(CodeDocs.parseNotebook(null).isEmpty)
+    assert(CodeDocs.parseNotebook("""{"cells":[{"source":["x"]}]}""").isEmpty)
+    assert(CodeDocs.parseNotebook("""{"nbformat":4}""").isEmpty)
+  }
+
+  test("unified diff: files, hunks, exact counts, prefix strip") {
+    val diff =
+      """diff --git a/src/m.py b/src/m.py
+        |--- a/src/m.py
+        |+++ b/src/m.py
+        |@@ -1,3 +1,4 @@
+        | import os
+        |-x = 1
+        |+x = 2
+        |+y = 3
+        | print(x)
+        |--- /dev/null
+        |+++ b/new.txt
+        |@@ -0,0 +1,2 @@
+        |+hello
+        |+world
+        |""".stripMargin
+    val got = CodeDocs.parseUnifiedDiff(diff)
+    assert(got == Seq(
+      FileDiff("src/m.py", "src/m.py",
+        Seq(Hunk(1, 3, 1, 4, added = 2, removed = 1))),
+      FileDiff("/dev/null", "new.txt",
+        Seq(Hunk(0, 0, 1, 2, added = 2, removed = 0)))))
+  }
+
+  test("diff tolerance: singleton lengths, no-newline marker, junk") {
+    val d = "--- a/f\n+++ b/f\n@@ -5 +5 @@\n-a\n+b\n\\ No newline at end of file\n"
+    val got = CodeDocs.parseUnifiedDiff(d)
+    assert(got.head.hunks == Seq(Hunk(5, 1, 5, 1, 1, 1)))
+    assert(CodeDocs.parseUnifiedDiff("random text").isEmpty)
+    assert(CodeDocs.parseUnifiedDiff(null).isEmpty)
+    // truncated hunk keeps counts so far
+    val t = CodeDocs.parseUnifiedDiff("--- a/x\n+++ b/x\n@@ -1,9 +1,9 @@\n+only")
+    assert(t.head.hunks.head.added == 1)
+  }
+}
