@@ -1,0 +1,138 @@
+package graft.ops
+
+/** LaTeX → training text (detex-class) — the arXiv corpus ships as
+  * LaTeX source, and the text pipeline wants prose with the markup
+  * resolved, not dropped wholesale:
+  *
+  *  - `%` comments to end of line (`\%` is a literal percent),
+  *  - math vanishes: `$...$`, `$$...$$`, `\(...\)`, `\[...\]` and the
+  *    equation/align/displaymath/gather environments (math is not
+  *    prose; pipelines that keep it route the raw file instead),
+  *  - environments: figure/table/tabular/tikzpicture/lstlisting/
+  *    verbatim DROP with their content (floats and code), all other
+  *    `\begin{x}...\end{x}` keep their content; `\item` → `- `,
+  *  - commands: sectioning/emphasis (`\section{x}`, `\textbf{x}`,
+  *    `\emph{x}`, ...) keep the braced argument; reference-like
+  *    commands (`\cite`, `\ref`, `\label`, `\url`, `\includegraphics`,
+  *    `\bibliography`, ...) drop argument and all; any UNKNOWN
+  *    `\cmd[opt]{arg}` keeps `arg` (the safe default for wrappers),
+  *    argumentless unknowns vanish,
+  *  - `~` → space, `\\` → newline, `\&` etc. unescape, braces drop.
+  *
+  * Canonical whitespace like [[Wikitext.toText]]. Total on junk.
+  * Pure per-row kernel (SURVEY §2.11).
+  */
+object Latex {
+
+  private val dropEnvs = Set("figure", "figure*", "table", "table*",
+    "tabular", "tikzpicture", "lstlisting", "verbatim", "equation",
+    "equation*", "align", "align*", "displaymath", "gather", "gather*",
+    "eqnarray", "eqnarray*")
+
+  private val dropArgCommands = Set("cite", "citep", "citet", "ref",
+    "eqref", "autoref", "label", "url", "href", "includegraphics",
+    "bibliography", "bibliographystyle", "input", "include",
+    "usepackage", "documentclass", "vspace", "hspace", "pagestyle",
+    "newcommand", "renewcommand", "setlength", "footnote")
+
+  private def isCmdChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Find the end of a balanced `{...}` group starting at `i` (which
+    * must point at '{'); returns index AFTER the closing brace, or
+    * length when unclosed. */
+  private def groupEnd(s: String, i: Int): Int = {
+    var depth = 0
+    var j = i
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c == '\\' && j + 1 < s.length) j += 1
+      else if (c == '{') depth += 1
+      else if (c == '}') { depth -= 1; if (depth == 0) return j + 1 }
+      j += 1
+    }
+    s.length
+  }
+
+  def toText(latex: String): String = {
+    val src = if (latex == null) "" else latex
+    val sb = new java.lang.StringBuilder(src.length)
+    var i = 0
+
+    def skipMathUntil(close: String): Int = {
+      val e = src.indexOf(close, i)
+      if (e < 0) src.length else e + close.length
+    }
+
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (c == '%') {
+        val nl = src.indexOf('\n', i)
+        i = if (nl < 0) src.length else nl // keep the newline itself
+      } else if (c == '$') {
+        if (src.startsWith("$$", i)) { i += 2; i = skipMathUntil("$$") }
+        else { i += 1; i = skipMathUntil("$") }
+      } else if (c == '~') { sb.append(' '); i += 1 }
+      else if (c == '{' || c == '}') i += 1
+      else if (c == '\\') {
+        if (i + 1 >= src.length) i += 1
+        else {
+          val n = src.charAt(i + 1)
+          if (n == '\\') { sb.append('\n'); i += 2 }
+          else if (n == '(') { i += 2; i = skipMathUntil("\\)") }
+          else if (n == '[') { i += 2; i = skipMathUntil("\\]") }
+          else if (!isCmdChar(n)) { sb.append(n); i += 2 } // \% \& \_ ...
+          else {
+            var j = i + 1
+            while (j < src.length && isCmdChar(src.charAt(j))) j += 1
+            val cmd = src.substring(i + 1, j)
+            // swallow * variants and optional [..] args
+            if (j < src.length && src.charAt(j) == '*') j += 1
+            while (j < src.length && src.charAt(j) == '[') {
+              val e = src.indexOf(']', j)
+              j = if (e < 0) src.length else e + 1
+            }
+            cmd match {
+              case "begin" | "end" if j < src.length && src.charAt(j) == '{' =>
+                val ge = groupEnd(src, j)
+                val env = src.substring(j + 1, math.max(j + 1, ge - 1))
+                if (cmd == "begin" && dropEnvs.contains(env)) {
+                  val endTok = s"\\end{$env}"
+                  val e = src.indexOf(endTok, ge)
+                  i = if (e < 0) src.length else e + endTok.length
+                } else i = ge
+              case "item" =>
+                sb.append("- "); i = j
+              case _ if j < src.length && src.charAt(j) == '{' =>
+                if (dropArgCommands.contains(cmd)) {
+                  // drop every consecutive braced argument
+                  var k = j
+                  while (k < src.length && src.charAt(k) == '{')
+                    k = groupEnd(src, k)
+                  i = k
+                } else i = j + 1 // unknown/formatting: keep arg text
+              case _ => i = j // argumentless: vanishes
+            }
+          }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+
+    // canonical whitespace (same policy as Wikitext)
+    val lines = sb.toString.split("\n", -1)
+      .map(_.replaceAll("\\s+", " ").trim)
+    val out = new StringBuilder
+    var blankPending = false
+    var wrote = false
+    lines.foreach { l =>
+      if (l.isEmpty) { if (wrote) blankPending = true }
+      else {
+        if (blankPending) { out.append("\n\n"); blankPending = false }
+        else if (wrote) out.append("\n")
+        out.append(l)
+        wrote = true
+      }
+    }
+    out.toString
+  }
+}

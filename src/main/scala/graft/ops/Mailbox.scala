@@ -1,0 +1,205 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** mbox / RFC 5322 / MIME mail extraction — mailing-list archives are
+  * a classic training corpus and they ship as mbox files of MIME
+  * messages:
+  *
+  *  - mbox split on `From ` separator lines (column 0, RFC 4155),
+  *    `>From ` unstuffing in bodies,
+  *  - header parse with RFC 5322 UNFOLDING (continuation lines start
+  *    with whitespace), case-insensitive lookup, first-wins,
+  *  - MIME multipart walk: boundary from the Content-Type parameter
+  *    (quoted or bare), nested multiparts recursed, preamble/epilogue
+  *    dropped,
+  *  - per-part Content-Transfer-Encoding decode: quoted-printable
+  *    (`=XX` + soft `=\n` breaks, `_`→space only in headers — not
+  *    applied here), base64 (forgiving: non-alphabet bytes skipped),
+  *    7bit/8bit identity,
+  *  - body text = the FIRST `text/plain` leaf (fallback: first
+  *    `text/html` stripped through [[Boilerplate.mainContent]]'s
+  *    simpler cousin `stripTags` is not needed — callers route HTML
+  *    to the HTML tier; here the html fallback returns the raw html),
+  *  - charset decode via [[Charsets.decodeText]] (BOM/UTF-8/Latin-1).
+  *
+  * Total on junk. Pure per-row kernel (SURVEY §2.11).
+  */
+object Mailbox {
+
+  final case class Message(from: String, subject: String, date: String,
+      messageId: String, bodyText: String, nParts: Int)
+
+  /** Split an mbox blob into raw message strings (separator lines
+    * removed, `>From ` unstuffed). */
+  def splitMbox(mbox: String): Seq[String] = {
+    val m = if (mbox == null) "" else mbox
+    if (m.isEmpty) return Nil
+    val lines = m.split("\n", -1)
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var started = false
+    lines.foreach { l =>
+      if (l.startsWith("From ")) {
+        if (started && cur.nonEmpty) out += cur.toString.stripSuffix("\n")
+        cur.clear()
+        started = true
+      } else if (started) {
+        val unstuffed = if (l.startsWith(">From ")) l.substring(1) else l
+        cur.append(unstuffed).append('\n')
+      }
+    }
+    if (started && cur.nonEmpty) out += cur.toString.stripSuffix("\n")
+    out.toSeq
+  }
+
+  /** Split one raw message into (headers, body) at the first blank
+    * line; headers unfolded. */
+  private[graft] def splitHeaders(raw: String): (Seq[(String, String)], String) = {
+    val lines = raw.split("\n", -1)
+    val headers = ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var curName = ""
+    val curVal = new StringBuilder
+    def flush(): Unit = {
+      if (curName.nonEmpty) headers += curName -> curVal.toString.trim
+      curName = ""; curVal.clear()
+    }
+    var done = false
+    while (i < lines.length && !done) {
+      val l = lines(i)
+      if (l.isEmpty || l == "\r") { done = true }
+      else if (l.charAt(0) == ' ' || l.charAt(0) == '\t') {
+        curVal.append(' ').append(l.trim) // unfold
+      } else {
+        val colon = l.indexOf(':')
+        if (colon <= 0) { done = true; i -= 1 } // not a header: body began
+        else {
+          flush()
+          curName = l.substring(0, colon).trim
+          curVal.append(l.substring(colon + 1).stripSuffix("\r").trim)
+        }
+      }
+      i += 1
+    }
+    flush()
+    val body = if (i >= lines.length) "" else lines.drop(i).mkString("\n")
+    (headers.toSeq, body)
+  }
+
+  private def header(hs: Seq[(String, String)], name: String): String =
+    hs.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .getOrElse("")
+
+  /** Content-Type parameter (e.g. boundary, charset), quote-stripped. */
+  private[graft] def ctParam(ct: String, param: String): String = {
+    val lower = ct.toLowerCase
+    val key = param.toLowerCase + "="
+    val at = lower.indexOf(key)
+    if (at < 0) return ""
+    var v = ct.substring(at + key.length)
+    val semi = v.indexOf(';')
+    if (semi >= 0) v = v.substring(0, semi)
+    v = v.trim
+    if (v.length >= 2 && v.charAt(0) == '"' && v.charAt(v.length - 1) == '"')
+      v = v.substring(1, v.length - 1)
+    v.trim
+  }
+
+  /** Decode quoted-printable text (soft breaks removed, =XX decoded to
+    * bytes, then charset-decoded). */
+  private[graft] def decodeQp(s: String, charsetHint: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '=') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\n') i += 2 // soft break
+        else if (i + 2 < s.length && s.charAt(i + 1) == '\r' &&
+          s.charAt(i + 2) == '\n') i += 3
+        else if (i + 2 < s.length) {
+          try {
+            out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+            i += 3
+          } catch {
+            case _: NumberFormatException => out.write('='); i += 1
+          }
+        } else { out.write('='); i += 1 }
+      } else if (c == '\r') i += 1
+      else { out.write(c.toInt & 0xff); i += 1 } // QP is 7-bit transport
+      }
+    decodeWithHint(out.toByteArray, charsetHint)
+  }
+
+  private def decodeWithHint(b: Array[Byte], charsetHint: String): String = {
+    val hint = charsetHint.toLowerCase
+    try {
+      if (hint.contains("8859") || hint == "latin1" || hint.contains("1252"))
+        new String(b, java.nio.charset.Charset.forName("windows-1252"))
+      else Charsets.decodeText(b)
+    } catch { case _: Exception => Charsets.decodeText(b) }
+  }
+
+  private def decodeBody(body: String, cte: String, charsetHint: String): String =
+    cte.trim.toLowerCase match {
+      case "quoted-printable" => decodeQp(body, charsetHint)
+      case "base64" =>
+        // MIME decoder skips line breaks and any non-alphabet bytes
+        try decodeWithHint(
+          java.util.Base64.getMimeDecoder.decode(body), charsetHint)
+        catch { case _: IllegalArgumentException => "" }
+      case _ => body
+    }
+
+  /** One MIME leaf: media type (lowercased, no params) + decoded text. */
+  final case class Part(mediaType: String, text: String)
+
+  /** Flatten the MIME tree to leaves in document order. */
+  private[graft] def parts(headers: Seq[(String, String)], body: String,
+      depth: Int = 0): Seq[Part] = {
+    if (depth > 8) return Nil
+    val ct = header(headers, "Content-Type")
+    val mediaType = {
+      val semi = ct.indexOf(';')
+      (if (semi >= 0) ct.substring(0, semi) else ct).trim.toLowerCase match {
+        case "" => "text/plain"
+        case t => t
+      }
+    }
+    if (mediaType.startsWith("multipart/")) {
+      val boundary = ctParam(ct, "boundary")
+      if (boundary.isEmpty) return Nil
+      val sep = "--" + boundary
+      val chunks = body.split("\n", -1)
+      val segments = ArrayBuffer.empty[ArrayBuffer[String]]
+      var cur: ArrayBuffer[String] = null
+      var closed = false
+      chunks.foreach { l =>
+        val t = l.stripSuffix("\r")
+        if (!closed && t == sep) { cur = ArrayBuffer.empty; segments += cur }
+        else if (!closed && t == sep + "--") { cur = null; closed = true }
+        else if (cur != null) cur += l
+      }
+      segments.flatMap { seg =>
+        val (hs, b) = splitHeaders(seg.mkString("\n"))
+        parts(hs, b, depth + 1)
+      }.toSeq
+    } else {
+      val cte = header(headers, "Content-Transfer-Encoding")
+      val charset = ctParam(ct, "charset")
+      Seq(Part(mediaType, decodeBody(body, cte, charset)))
+    }
+  }
+
+  /** Parse one raw RFC 5322 message. Body text = first text/plain
+    * leaf; falls back to the first text-typed leaf (raw). */
+  def parseMessage(raw: String): Message = {
+    val (hs, body) = splitHeaders(if (raw == null) "" else raw)
+    val leaves = parts(hs, body)
+    val text = leaves.collectFirst { case Part("text/plain", t) => t }
+      .orElse(leaves.collectFirst { case Part(mt, t) if mt.startsWith("text/") => t })
+      .getOrElse("")
+    Message(header(hs, "From"), header(hs, "Subject"), header(hs, "Date"),
+      header(hs, "Message-ID"), text, leaves.length)
+  }
+}

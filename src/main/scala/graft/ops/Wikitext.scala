@@ -1,0 +1,183 @@
+package graft.ops
+
+/** MediaWiki wikitext → training text — Wikipedia dumps are the
+  * canonical corpus, and they ship as wikitext, not HTML. The kernel
+  * removes the non-content syntax the dumps actually contain:
+  *
+  *  - templates `{{...}}` (nested, depth-counted — infoboxes,
+  *    citations, navboxes all vanish),
+  *  - tables `{| ... |}` (nested),
+  *  - HTML comments and `<ref>...</ref>` / self-closed `<ref/>`
+  *    (citation footnotes), then remaining tags stripped,
+  *  - file/image/category links `[[File:...]]` dropped WHOLE (their
+  *    captions carry nested brackets — bracket-depth aware),
+  *  - wiki links `[[target|label]]` → label, `[[target]]` → target,
+  *  - external links `[http://x label]` → label, bare → "",
+  *  - bold/italic quote runs, `==` heading fences (title text kept),
+  *    leading `*#:;` list markers, `----` rules, `__MAGICWORDS__`,
+  *  - entities decoded (shared decoder).
+  *
+  * Canonical output: lines trimmed, inner whitespace collapsed, blank
+  * runs collapsed to one blank line. Total on junk (unclosed anything
+  * consumes to end). Pure per-row kernel (SURVEY §2.11).
+  */
+object Wikitext {
+
+  /** Drop `open...close` spans with nesting (two-char delimiters). */
+  private def dropNested(s: String, open: String, close: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var depth = 0
+    while (i < s.length) {
+      if (s.startsWith(open, i)) { depth += 1; i += open.length }
+      else if (depth > 0 && s.startsWith(close, i)) { depth -= 1; i += close.length }
+      else {
+        if (depth == 0) sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private val dropLinkPrefixes =
+    Seq("file:", "image:", "category:", "media:")
+
+  /** Resolve `[[...]]` links: label for piped, target otherwise;
+    * file/image/category dropped whole (nested-bracket aware). */
+  private def resolveLinks(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("[[", i)) {
+        // find matching ]] at depth
+        var j = i + 2
+        var depth = 1
+        while (j < s.length && depth > 0) {
+          if (s.startsWith("[[", j)) { depth += 1; j += 2 }
+          else if (s.startsWith("]]", j)) { depth -= 1; j += 2 }
+          else j += 1
+        }
+        val innerEnd = if (depth == 0) j - 2 else s.length
+        val inner = s.substring(i + 2, innerEnd)
+        val lower = inner.toLowerCase
+        if (!dropLinkPrefixes.exists(lower.startsWith)) {
+          // recurse for nested links inside the label
+          val resolved = resolveLinks(inner)
+          val bar = resolved.lastIndexOf('|')
+          sb.append(if (bar >= 0) resolved.substring(bar + 1) else resolved)
+        }
+        i = j
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def externalLinks(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '[' && (s.startsWith("[http://", i) ||
+        s.startsWith("[https://", i) || s.startsWith("[ftp://", i))) {
+        val end = s.indexOf(']', i)
+        val stop = if (end < 0) s.length else end
+        val inner = s.substring(i + 1, stop)
+        val sp = inner.indexOf(' ')
+        if (sp >= 0) sb.append(inner.substring(sp + 1))
+        i = if (end < 0) s.length else end + 1
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Strip `<ref...>...</ref>`, `<ref .../>`, comments, then all other
+    * tags (their inner TEXT is kept). */
+  private def dropRefsAndTags(s: String): String = {
+    val noComments = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) s.length else e + 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    val sb = new java.lang.StringBuilder(noComments.length)
+    var i = 0
+    while (i < noComments.length) {
+      val c = noComments.charAt(i)
+      if (c == '<') {
+        val low = noComments.regionMatches(true, i + 1, "ref", 0, 3)
+        if (low && (i + 4 >= noComments.length ||
+            !Character.isLetter(noComments.charAt(i + 4)))) {
+          val gt = noComments.indexOf('>', i)
+          if (gt < 0) i = noComments.length
+          else if (noComments.charAt(gt - 1) == '/') i = gt + 1 // <ref/>
+          else {
+            // consume to </ref>
+            var e = i
+            var found = -1
+            while (found < 0 && e < noComments.length) {
+              val cand = noComments.indexOf("</", e + 1)
+              if (cand < 0) e = noComments.length
+              else if (noComments.regionMatches(true, cand + 2, "ref", 0, 3))
+                found = noComments.indexOf('>', cand)
+              else e = cand + 1
+            }
+            i = if (found < 0) noComments.length else found + 1
+          }
+        } else {
+          // ordinary tag: skip the tag itself, keep inner text
+          val gt = noComments.indexOf('>', i)
+          i = if (gt < 0) noComments.length else gt + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val magicWord = java.util.regex.Pattern.compile("__[A-Z]+__")
+
+  /** Full pipeline → canonical plain text. */
+  def toText(wikitext: String): String = {
+    val w0 = if (wikitext == null) "" else wikitext
+    var s = dropRefsAndTags(w0)
+    s = dropNested(s, "{{", "}}")
+    s = dropNested(s, "{|", "|}")
+    s = resolveLinks(s)
+    s = externalLinks(s)
+    s = magicWord.matcher(s).replaceAll("")
+    val lines = s.split("\n", -1).map { raw =>
+      var l = raw
+      // heading fences: == Title == (any level, symmetric or not)
+      l = l.replaceAll("^\\s*=+\\s*", "").replaceAll("\\s*=+\\s*$", "")
+      // list markers and indents
+      l = l.replaceAll("^[*#:;]+\\s*", "")
+      // bold/italic quote runs
+      l = l.replace("'''", "").replace("''", "")
+      if (l.matches("-{4,}\\s*")) l = ""
+      Boilerplate.decodeEntities(l).replaceAll("\\s+", " ").trim
+    }
+    // collapse blank runs to one
+    val out = new StringBuilder
+    var blankPending = false
+    var wrote = false
+    lines.foreach { l =>
+      if (l.isEmpty) { if (wrote) blankPending = true }
+      else {
+        if (blankPending) { out.append("\n\n"); blankPending = false }
+        else if (wrote) out.append("\n")
+        out.append(l)
+        wrote = true
+      }
+    }
+    out.toString
+  }
+}

@@ -246,6 +246,73 @@ object OnrampQueries extends QueryGroup {
           }
         }).toDF("doc_id", "ent_idx", "etype", "name", "author",
           "pub_date", "url")
+    }),
+
+    // MediaWiki wikitext → text: templates/tables/refs vanish, links
+    // resolve, file links drop whole, headings/lists/quotes normalize
+    // — the Wikipedia-dump on-ramp; the EXACT canonical text replays
+    "text_wikitext" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 3) match {
+            case 0 => s"{{Infobox|x=$id}}\n== History ==\n'''Item''' " +
+              s"[[Page $id|page $id]] works.<ref>c$id</ref>\n* point $id\n"
+            case 1 => s"A$id [https://x.example.com/$id link $id] B\n\n\n" +
+              s"C [[File:F$id.png|cap $id]] D"
+            case _ => s"Table:\n{| x\n| $id\n|}\nDone $id"
+          }
+          (id, graft.ops.Wikitext.toText(w))
+        }).toDF("doc_id", "text_out")
+    }),
+
+    // LaTeX → text: comments/math/cites vanish, formatting args and
+    // items survive — the arXiv on-ramp; exact detex output replays
+    "text_latex" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val t = (id % 3) match {
+            case 0 => s"\\section{Part $id} Text $id is " +
+              s"\\textbf{bold $id}. % note\nEnd $id"
+            case 1 => s"Math $$a+b$$ gone; \\cite{x$id} dropped; " +
+              s"value 100\\% kept $id"
+            case _ => s"\\begin{itemize}\n\\item alpha $id\n" +
+              s"\\item beta $id\n\\end{itemize}\nTail $id"
+          }
+          (id, graft.ops.Latex.toText(t))
+        }).toDF("doc_id", "text_out")
+    }),
+
+    // mbox/MIME mail: split, unfolded headers, multipart walk with
+    // text/plain preference, quoted-printable + charset decode — the
+    // mailing-list-archive on-ramp; every field replays
+    "pipeline_mbox_parse" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val mbox =
+            s"From alice$id@example.com Mon Jan  1 00:00:00 2024\n" +
+              s"From: Alice <alice$id@example.com>\n" +
+              s"Subject: Re: topic\n  $id folded\n\nhello $id\n" +
+              s"From bob$id@example.com Tue Jan  2 00:00:00 2024\n" +
+              s"From: Bob <bob$id@example.com>\n" +
+              s"Subject: digest $id\n" +
+              "Content-Type: multipart/alternative; boundary=\"b1\"\n\n" +
+              "--b1\nContent-Type: text/html\n\n<b>html</b>\n" +
+              "--b1\nContent-Type: text/plain; charset=iso-8859-1\n" +
+              "Content-Transfer-Encoding: quoted-printable\n\n" +
+              s"caf=E9 $id\n--b1--\n"
+          graft.ops.Mailbox.splitMbox(mbox).zipWithIndex.map {
+            case (raw, ix) =>
+              val m = graft.ops.Mailbox.parseMessage(raw)
+              (id, ix, m.from, m.subject, m.nParts, m.bodyText)
+          }
+        }).toDF("doc_id", "msg_idx", "from_addr", "subject", "n_parts",
+          "body")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -372,5 +439,37 @@ object OnrampQueries extends QueryGroup {
         "CASE WHEN doc_id % 4 = 0 THEN 'https://e.example.com/' || i " +
         "ELSE '' END AS url " +
         "FROM g, generate_series(0, 1) AS s(j) " +
-        "WHERE (doc_id % 4 = 0 AND j = 0) OR doc_id % 4 IN (1, 2)"))
+        "WHERE (doc_id % 4 = 0 AND j = 0) OR doc_id % 4 IN (1, 2)"),
+
+    "text_wikitext" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 3 " +
+        "WHEN 0 THEN 'History' || chr(10) || 'Item page ' || i || " +
+        "' works.' || chr(10) || 'point ' || i " +
+        "WHEN 1 THEN 'A' || i || ' link ' || i || ' B' || chr(10) || " +
+        "chr(10) || 'C D' " +
+        "ELSE 'Table:' || chr(10) || chr(10) || 'Done ' || i " +
+        "END AS text_out FROM g"),
+
+    "text_latex" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 3 " +
+        "WHEN 0 THEN 'Part ' || i || ' Text ' || i || ' is bold ' || i || " +
+        "'.' || chr(10) || 'End ' || i " +
+        "WHEN 1 THEN 'Math gone; dropped; value 100% kept ' || i " +
+        "ELSE '- alpha ' || i || chr(10) || '- beta ' || i || chr(10) || " +
+        "chr(10) || 'Tail ' || i END AS text_out FROM g"),
+
+    "pipeline_mbox_parse" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS msg_idx, " +
+        "CASE j WHEN 0 THEN 'Alice <alice' || i || '@example.com>' " +
+        "ELSE 'Bob <bob' || i || '@example.com>' END AS from_addr, " +
+        "CASE j WHEN 0 THEN 'Re: topic ' || i || ' folded' " +
+        "ELSE 'digest ' || i END AS subject, " +
+        "CAST(CASE j WHEN 0 THEN 1 ELSE 2 END AS INT) AS n_parts, " +
+        "CASE j WHEN 0 THEN 'hello ' || i ELSE 'café ' || i END AS body " +
+        "FROM g, generate_series(0, 1) AS s(j)"))
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Latex.toText
+
+/** LaTeX → text: comments, math, environments, command policy,
+  * escapes, totality. */
+class LatexSpec extends AnyFunSuite {
+
+  test("comments and escaped percent") {
+    assert(toText("Real text % a comment\nmore 100\\% sure") ==
+      "Real text\nmore 100% sure")
+  }
+
+  test("math vanishes in all four delimiters and environments") {
+    assert(toText("Let $x=1$ and \\(y\\) hold; then $$z$$ and \\[w\\].") ==
+      "Let and hold; then and .")
+    assert(toText("a\n\\begin{equation}\nE=mc^2\n\\end{equation}\nb") ==
+      "a\n\nb")
+  }
+
+  test("environments: drop floats, keep prose, items become dashes") {
+    assert(toText("\\begin{figure}caption junk\\end{figure}keep") == "keep")
+    val itm = "\\begin{itemize}\\item first\\item second\\end{itemize}"
+    assert(toText(itm) == "- first- second")
+    assert(toText("\\begin{abstract}The gist.\\end{abstract}") == "The gist.")
+  }
+
+  test("command policy: keep formatting args, drop reference-like") {
+    assert(toText("\\section{Intro} \\textbf{Bold} \\emph{em} text") ==
+      "Intro Bold em text")
+    assert(toText("Shown \\cite{knuth84} in \\ref{fig:1}.") == "Shown in .")
+    assert(toText("\\href{http://x}{click}") == "")
+    assert(toText("A \\unknowncmd{inner} B \\relax C") == "A inner B C")
+  }
+
+  test("tilde, forced breaks, braces") {
+    assert(toText("Fig.~3 shows\\\\next line {grouped}") ==
+      "Fig. 3 shows\nnext line grouped")
+  }
+
+  test("totality: unclosed math/env/brace, null") {
+    assert(toText("$ never closed") == "")
+    assert(toText("\\begin{figure} runaway") == "")
+    assert(toText("\\textbf{unclosed") == "unclosed")
+    assert(toText(null) == "")
+  }
+}

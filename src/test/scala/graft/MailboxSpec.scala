@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Mailbox
+
+/** mbox split, header unfolding, MIME multipart walk, QP/base64
+  * transfer decoding, charset hints, totality. */
+class MailboxSpec extends AnyFunSuite {
+
+  test("mbox split with unstuffing") {
+    val mbox = "From alice@e Mon Jan  1 00:00:00 2024\n" +
+      "Subject: one\n\nbody1\n>From quoted line\n" +
+      "From bob@e Tue Jan  2 00:00:00 2024\nSubject: two\n\nbody2\n"
+    val msgs = Mailbox.splitMbox(mbox)
+    assert(msgs.length == 2)
+    assert(msgs(0).contains("body1\nFrom quoted line"))
+    assert(msgs(1).startsWith("Subject: two"))
+  }
+
+  test("header unfolding and first-wins lookup") {
+    val raw = "Subject: a long\n  folded subject\nFrom: X <x@e>\n" +
+      "Subject: duplicate\n\nhello"
+    val m = Mailbox.parseMessage(raw)
+    assert(m.subject == "a long folded subject")
+    assert(m.from == "X <x@e>")
+    assert(m.bodyText == "hello")
+  }
+
+  test("quoted-printable with soft breaks and latin-1 hint") {
+    val raw = "Content-Type: text/plain; charset=iso-8859-1\n" +
+      "Content-Transfer-Encoding: quoted-printable\n\n" +
+      "caf=E9 au=\nlait =3D fine"
+    val m = Mailbox.parseMessage(raw)
+    assert(m.bodyText == "café aulait = fine")
+  }
+
+  test("base64 body decodes through the mime decoder") {
+    val payload = java.util.Base64.getEncoder.encodeToString(
+      "hello base64 world".getBytes("UTF-8"))
+    val raw = "Content-Transfer-Encoding: base64\n\n" +
+      payload.grouped(10).mkString("\n")
+    assert(Mailbox.parseMessage(raw).bodyText == "hello base64 world")
+  }
+
+  test("multipart: nested alternative, text/plain preferred") {
+    val raw =
+      """Content-Type: multipart/mixed; boundary="outer"
+        |
+        |preamble junk
+        |--outer
+        |Content-Type: multipart/alternative; boundary=inner
+        |
+        |--inner
+        |Content-Type: text/html
+        |
+        |<b>html ver</b>
+        |--inner
+        |Content-Type: text/plain; charset=utf-8
+        |
+        |plain ver
+        |--inner--
+        |--outer
+        |Content-Type: application/pdf
+        |Content-Transfer-Encoding: base64
+        |
+        |AAAA
+        |--outer--
+        |epilogue""".stripMargin
+    val m = Mailbox.parseMessage(raw)
+    assert(m.bodyText == "plain ver")
+    assert(m.nParts == 3)
+  }
+
+  test("html-only falls back to raw html; totality") {
+    val raw = "Content-Type: text/html\n\n<p>only html</p>"
+    assert(Mailbox.parseMessage(raw).bodyText == "<p>only html</p>")
+    assert(Mailbox.parseMessage(null).bodyText == "")
+    assert(Mailbox.splitMbox(null).isEmpty)
+    assert(Mailbox.splitMbox("no separator").isEmpty)
+    val broken = "Content-Type: multipart/mixed; boundary=x\n\nno parts"
+    assert(Mailbox.parseMessage(broken).nParts == 0)
+  }
+}

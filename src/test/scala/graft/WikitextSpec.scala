@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Wikitext.toText
+
+/** Wikitext → text: templates, tables, links, refs, formatting,
+  * canonical whitespace, totality. */
+class WikitextSpec extends AnyFunSuite {
+
+  test("nested templates and tables vanish") {
+    assert(toText("Before {{infobox|a={{cite|x}}|b=2}} after") ==
+      "Before after")
+    // a dropped block line leaves one paragraph break
+    assert(toText("A\n{| class=x\n|-\n| cell {| inner |} more\n|}\nB") ==
+      "A\n\nB")
+  }
+
+  test("wiki links resolve; file/category links drop whole") {
+    assert(toText("See [[Main Page|the main page]] and [[Physics]].") ==
+      "See the main page and Physics.")
+    assert(toText("x [[File:Pic.jpg|thumb|A [[nested]] caption]] y") ==
+      "x y")
+    assert(toText("[[Category:Things]]tail") == "tail")
+  }
+
+  test("external links keep labels; refs and comments vanish") {
+    assert(toText("a [https://e.com label text] b [http://bare] c") ==
+      "a label text b c")
+    assert(toText("Fact.<ref>{{cite web|url=x}}</ref> More<ref name=a/> end") ==
+      "Fact. More end")
+    assert(toText("keep <!-- not this --> that") == "keep that")
+  }
+
+  test("headings, lists, bold/italic, magic words, rules") {
+    val w = "== History ==\n'''Bold''' and ''italic'' text.\n" +
+      "* item one\n# item two\n---- \n__TOC__\nEnd."
+    assert(toText(w) ==
+      "History\nBold and italic text.\nitem one\nitem two\n\nEnd.")
+  }
+
+  test("entities, blank-run collapse, tags stripped but text kept") {
+    val w = "A &amp; B\n\n\n\nC <small>kept</small> D"
+    assert(toText(w) == "A & B\n\nC kept D")
+  }
+
+  test("totality: unclosed everything") {
+    assert(toText("open {{never closed") == "open")
+    assert(toText("open [[link") == "open link")
+    assert(toText("a <ref>dangling") == "a")
+    assert(toText(null) == "")
+    assert(toText("") == "")
+  }
+}
