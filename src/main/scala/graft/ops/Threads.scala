@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parent-pointer forest flattening — thread reconstruction for
+  * conversation corpora (mail `In-Reply-To` chains, forum replies,
+  * comment trees): given `(id, parent)` rows (parent NULL at roots),
+  * produce `(id, root, depth)` so packing/grouping can emit whole
+  * conversations. Conversation context is a first-class training
+  * signal; flattening is what turns a reply log into documents.
+  *
+  * Algorithm: POINTER DOUBLING (the CC kernel's directed sibling) —
+  * state `(id, anc, dist)` starts at the parent pointer and each round
+  * self-joins `state.anc = state.id`, composing ancestor hops so the
+  * known-ancestor distance DOUBLES per round: `ceil(log2(maxDepth))`
+  * rounds total, each one hash-shuffle on `id`. Roots are their own
+  * fixpoint (`anc = id, dist = 0`). No driver-side iteration over
+  * rows; depth is exact hop count. Orphan parents (pointer to a
+  * missing id) are treated as roots of their subtree — the mail
+  * reality where the quoted ancestor never arrived.
+  *
+  * State frames re-materialize each round via `freshState`-style RDD
+  * rebuild (stats reset — see the geo_dbscan note in the verify
+  * recipe) to keep Catalyst from squaring size estimates.
+  */
+object Threads {
+
+  /** Flatten a forest. `maxIters` bounds rounds (2^maxIters depth). */
+  def flattenForest(edges: DataFrame, idCol: String, parentCol: String,
+      maxIters: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    val ids = edges.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("parent"))
+
+    // orphan pointers (parent not present) become roots of their branch
+    val present = ids.select(col("id").as("pid"))
+    val cleaned = ids.join(present, col("parent") === col("pid"), "left")
+      .select(col("id"),
+        when(col("pid").isNull, lit(null).cast("long"))
+          .otherwise(col("parent")).as("parent"))
+
+    var state = cleaned.select(col("id"),
+      when(col("parent").isNull, col("id")).otherwise(col("parent")).as("anc"),
+      when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("dist"))
+
+    var round = 0
+    var converged = false
+    while (round < maxIters && !converged) {
+      val hop = state.select(col("id").as("h_id"), col("anc").as("h_anc"),
+        col("dist").as("h_dist"))
+      val next = state.join(hop, state("anc") === hop("h_id"))
+        .select(col("id"), col("h_anc").as("anc"),
+          (col("dist") + col("h_dist")).as("dist"))
+      val materialized = next.localCheckpoint(true)
+      // rebuild from the RDD so plan-time stats reset each round
+      val stateNext = spark.createDataFrame(materialized.rdd, materialized.schema)
+      // fixpoint when no distance grew this round
+      val grew = stateNext.join(
+        state.select(col("id").as("s_id"), col("dist").as("s_dist")),
+        col("id") === col("s_id"))
+        .filter(col("dist") > col("s_dist")).limit(1).count()
+      state = stateNext
+      converged = grew == 0
+      round += 1
+    }
+    state.select(col("id"), col("anc").as("root"),
+      col("dist").cast("int").as("depth"))
+  }
+}

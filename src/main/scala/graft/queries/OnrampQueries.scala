@@ -313,6 +313,19 @@ object OnrampQueries extends QueryGroup {
           }
         }).toDF("doc_id", "msg_idx", "from_addr", "subject", "n_parts",
           "body")
+    }),
+
+    // conversation-thread reconstruction: a planted reply forest (every
+    // 5-block is a chain: 5k root, 5k+j replies to 5k+j-1) flattened by
+    // the GENERIC pointer-doubling operator — root and exact depth for
+    // every message replay from the plant
+    "pipeline_mail_threads" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id").cast("long") - 1).as("parent"))
+      graft.ops.Threads.flattenForest(edges, "id", "parent")
+        .withColumnRenamed("id", "doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -471,5 +484,9 @@ object OnrampQueries extends QueryGroup {
         "ELSE 'digest ' || i END AS subject, " +
         "CAST(CASE j WHEN 0 THEN 1 ELSE 2 END AS INT) AS n_parts, " +
         "CASE j WHEN 0 THEN 'hello ' || i ELSE 'café ' || i END AS body " +
-        "FROM g, generate_series(0, 1) AS s(j)"))
+        "FROM g, generate_series(0, 1) AS s(j)"),
+
+    "pipeline_mail_threads" ->
+      ("SELECT doc_id, CAST((doc_id // 5) * 5 AS BIGINT) AS root, " +
+        "CAST(doc_id % 5 AS INT) AS depth FROM documents"))
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Threads
+
+/** Parent-pointer forest flattening: chains, branches, orphans,
+  * convergence, depth exactness. */
+class ThreadsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("ThreadsSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def flat(rows: Seq[(Long, Option[Long])]): Map[Long, (Long, Int)] = {
+    val s = spark; import s.implicits._
+    Threads.flattenForest(rows.toDF("id", "parent"), "id", "parent")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+  }
+
+  test("chain, branch and second tree flatten with exact depths") {
+    val got = flat(Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(2L)), (4L, Some(2L)),
+      (5L, Some(3L)),
+      (10L, None), (11L, Some(10L))))
+    assert(got == Map(
+      1L -> (1L, 0), 2L -> (1L, 1), 3L -> (1L, 2), 4L -> (1L, 2),
+      5L -> (1L, 3),
+      10L -> (10L, 0), 11L -> (10L, 1)))
+  }
+
+  test("orphan parent pointers become branch roots") {
+    val got = flat(Seq((7L, Some(999L)), (8L, Some(7L))))
+    assert(got == Map(7L -> (7L, 0), 8L -> (7L, 1)))
+  }
+
+  test("deep chain needs only log rounds (depth 40 under 16 iters)") {
+    val rows = (0L until 41L).map(i =>
+      (i, if (i == 0) None else Some(i - 1)))
+    val got = flat(rows)
+    assert(got(40L) == (0L, 40))
+    assert(got(20L) == (0L, 20))
+  }
+
+  test("all roots converge immediately") {
+    val got = flat(Seq((1L, None), (2L, None)))
+    assert(got == Map(1L -> (1L, 0), 2L -> (2L, 0)))
+  }
+}
