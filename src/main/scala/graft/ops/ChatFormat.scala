@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / preference-data formatting — the last mile between a curated
+  * conversation corpus and the trainer:
+  *
+  *  - [[render]]: messages → ONE training string under a deterministic
+  *    chat template (`<|role|>\n` + content + `\n<|end|>\n`), plus the
+  *    EXACT character spans of assistant content — the spans a
+  *    loss-mask builder needs (loss on assistant tokens only). Spans
+  *    are computed against the rendered string, so template and mask
+  *    cannot drift apart.
+  *
+  *  - [[preferencePairs]]: scored responses per prompt → (chosen,
+  *    rejected) rows for reward-model / DPO training: chosen = highest
+  *    score, rejected = lowest, deterministic min-id tie-breaks, one
+  *    pair per prompt, degenerate prompts (one response, or all scores
+  *    equal) dropped. One hash window per side — no self-join.
+  *
+  * Reference behavior: HIndex never interprets cell bytes; SURVEY
+  * §2.11 pipeline tier.
+  */
+object ChatFormat {
+
+  final case class Turn(role: String, content: String)
+
+  /** One assistant span in the rendered string: [start, start+len). */
+  final case class Span(start: Int, len: Int)
+
+  final case class Rendered(text: String, spans: Seq[Span])
+
+  /** Render with the graft template. Roles are free-form; every turn
+    * renders as `<|role|>\n{content}\n<|end|>\n`, and each
+    * assistant-role content contributes one span. */
+  def render(turns: Seq[Turn]): Rendered = {
+    val sb = new java.lang.StringBuilder
+    val spans = Vector.newBuilder[Span]
+    turns.foreach { t =>
+      sb.append("<|").append(t.role).append("|>\n")
+      val start = sb.length
+      sb.append(t.content)
+      if (t.role == "assistant")
+        spans += Span(start, t.content.length)
+      sb.append("\n<|end|>\n")
+    }
+    Rendered(sb.toString, spans.result())
+  }
+
+  /** Build one (chosen, rejected) pair per prompt from scored
+    * responses. Output: promptCol, chosen_id, rejected_id, chosen
+    * score, rejected score, margin. */
+  def preferencePairs(responses: DataFrame, promptCol: String,
+      idCol: String, scoreCol: String): DataFrame = {
+    val wBest = Window.partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wWorst = Window.partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    responses
+      .withColumn("__best_id", first(col(idCol)).over(wBest))
+      .withColumn("__best_s", first(col(scoreCol)).over(wBest))
+      .withColumn("__worst_id", first(col(idCol)).over(wWorst))
+      .withColumn("__worst_s", first(col(scoreCol)).over(wWorst))
+      .groupBy(col(promptCol),
+        col("__best_id").as("chosen_id"), col("__best_s").as("chosen_score"),
+        col("__worst_id").as("rejected_id"),
+        col("__worst_s").as("rejected_score"))
+      .agg(count(lit(1)).as("n_responses"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") > col("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+  }
+}

@@ -326,6 +326,43 @@ object OnrampQueries extends QueryGroup {
             .otherwise(col("doc_id").cast("long") - 1).as("parent"))
       graft.ops.Threads.flattenForest(edges, "id", "parent")
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // chat-template rendering with EXACT assistant spans (the loss-mask
+    // feed): template and mask cannot drift because spans are computed
+    // against the rendered string — and the oracle re-derives both the
+    // full string AND every offset from id arithmetic
+    "pipeline_chat_render" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.ChatFormat.{Turn, render}
+          val turns = (id % 3) match {
+            case 0 => Seq(Turn("system", s"Be helpful $id"),
+              Turn("user", s"Q $id?"), Turn("assistant", s"A $id."))
+            case 1 => Seq(Turn("user", s"U$id"),
+              Turn("assistant", s"R1 $id"), Turn("user", "More"),
+              Turn("assistant", s"R2 $id"))
+            case _ => Seq(Turn("user", s"Only $id"))
+          }
+          val r = render(turns)
+          r.spans.zipWithIndex.map { case (sp, ix) =>
+            (id, ix, sp.start, sp.len, r.text.length, r.text)
+          }
+        }).toDF("doc_id", "span_idx", "span_start", "span_len",
+          "rendered_len", "rendered")
+    }),
+
+    // preference-pair construction for reward-model/DPO data: chosen =
+    // max score, rejected = min, deterministic min-id ties, degenerate
+    // prompts dropped; scores planted so every 4-doc prompt survives
+    "pipeline_pref_pairs" -> ((s, dir) => {
+      val responses = Tables.load(s, dir, "documents")
+        .select((col("doc_id").cast("long") / 4).cast("long").as("prompt"),
+          col("doc_id").cast("long").as("id"),
+          (col("doc_id").cast("long") * 13 % 7).as("score"))
+      graft.ops.ChatFormat.preferencePairs(responses, "prompt", "id", "score")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -488,5 +525,42 @@ object OnrampQueries extends QueryGroup {
 
     "pipeline_mail_threads" ->
       ("SELECT doc_id, CAST((doc_id // 5) * 5 AS BIGINT) AS root, " +
-        "CAST(doc_id % 5 AS INT) AS depth FROM documents"))
+        "CAST(doc_id % 5 AS INT) AS depth FROM documents"),
+
+    "pipeline_chat_render" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS li FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS span_idx, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 66 + 2 * li " +
+        "WHEN j = 0 THEN 33 + li ELSE 81 + 2 * li END AS INT) AS span_start, " +
+        "CAST(3 + li AS INT) AS span_len, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 78 + 3 * li " +
+        "ELSE 93 + 3 * li END AS INT) AS rendered_len, " +
+        "CASE doc_id % 3 WHEN 0 THEN " +
+        "'<|system|>' || chr(10) || 'Be helpful ' || i || chr(10) || '<|end|>' || chr(10) || " +
+        "'<|user|>' || chr(10) || 'Q ' || i || '?' || chr(10) || '<|end|>' || chr(10) || " +
+        "'<|assistant|>' || chr(10) || 'A ' || i || '.' || chr(10) || '<|end|>' || chr(10) " +
+        "ELSE " +
+        "'<|user|>' || chr(10) || 'U' || i || chr(10) || '<|end|>' || chr(10) || " +
+        "'<|assistant|>' || chr(10) || 'R1 ' || i || chr(10) || '<|end|>' || chr(10) || " +
+        "'<|user|>' || chr(10) || 'More' || chr(10) || '<|end|>' || chr(10) || " +
+        "'<|assistant|>' || chr(10) || 'R2 ' || i || chr(10) || '<|end|>' || chr(10) " +
+        "END AS rendered " +
+        "FROM g, generate_series(0, 1) AS s(j) " +
+        "WHERE (doc_id % 3 = 0 AND j = 0) OR doc_id % 3 = 1"),
+
+    "pipeline_pref_pairs" ->
+      ("WITH r AS (SELECT doc_id // 4 AS prompt, doc_id AS id, " +
+        "CAST(doc_id * 13 % 7 AS BIGINT) AS score FROM documents), " +
+        "best AS (SELECT prompt, id, score, row_number() OVER " +
+        "(PARTITION BY prompt ORDER BY score DESC, id) AS rb, " +
+        "row_number() OVER (PARTITION BY prompt ORDER BY score ASC, id) AS rw, " +
+        "count(*) OVER (PARTITION BY prompt) AS n FROM r) " +
+        "SELECT b.prompt, b.id AS chosen_id, b.score AS chosen_score, " +
+        "w.id AS rejected_id, w.score AS rejected_score, " +
+        "CAST(b.n AS BIGINT) AS n_responses, " +
+        "b.score - w.score AS margin " +
+        "FROM best b JOIN best w ON b.prompt = w.prompt " +
+        "AND b.rb = 1 AND w.rw = 1 " +
+        "WHERE b.id <> w.id AND b.score > w.score"))
 }

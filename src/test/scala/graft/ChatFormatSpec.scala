@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ChatFormat
+import graft.ops.ChatFormat.{Span, Turn}
+
+/** Chat-template rendering with exact assistant spans, and
+  * preference-pair construction. */
+class ChatFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("ChatFormatSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("render: template shape and span-content agreement") {
+    val r = ChatFormat.render(Seq(
+      Turn("system", "Be terse"), Turn("user", "Hi"),
+      Turn("assistant", "Hello!")))
+    assert(r.text ==
+      "<|system|>\nBe terse\n<|end|>\n<|user|>\nHi\n<|end|>\n" +
+        "<|assistant|>\nHello!\n<|end|>\n")
+    assert(r.spans.length == 1)
+    val Span(st, ln) = r.spans.head
+    assert(r.text.substring(st, st + ln) == "Hello!")
+  }
+
+  test("render: multiple assistant turns, empty content, no assistant") {
+    val r = ChatFormat.render(Seq(
+      Turn("assistant", ""), Turn("user", "u"), Turn("assistant", "x")))
+    assert(r.spans.length == 2)
+    assert(r.spans.head.len == 0)
+    assert(r.text.substring(r.spans(1).start,
+      r.spans(1).start + r.spans(1).len) == "x")
+    assert(ChatFormat.render(Seq(Turn("user", "only"))).spans.isEmpty)
+    assert(ChatFormat.render(Nil).text == "")
+  }
+
+  test("preference pairs: extremes, ties by id, degenerates dropped") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("p1", 1L, 3.0), ("p1", 2L, 9.0), ("p1", 3L, 9.0), ("p1", 4L, 1.0),
+      ("p2", 5L, 5.0), ("p2", 6L, 5.0), // all equal: dropped
+      ("p3", 7L, 2.0) // singleton: dropped
+    ).toDF("prompt", "id", "score")
+    val got = ChatFormat.preferencePairs(df, "prompt", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getDouble(6))).toSeq
+    assert(got == Seq(("p1", 2L, 4L, 8.0))) // tie at 9.0 → min id 2
+  }
+}
