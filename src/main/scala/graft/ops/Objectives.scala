@@ -1,0 +1,96 @@
+package graft.ops
+
+/** Training-objective data transforms — the deterministic rewrites
+  * between a curated corpus and the pretraining batch:
+  *
+  *  - [[fim]]: fill-in-the-middle (the infilling objective code models
+  *    train with): split the document at two cut points into
+  *    prefix/middle/suffix and emit PSM order
+  *    (`<fim_prefix>P<fim_suffix>S<fim_middle>M`) or SPM order. Cut
+  *    points come from the caller (hash-decided upstream) so the
+  *    transform itself is pure and exactly replayable.
+  *
+  *  - [[spanCorruption]]: T5-style denoising: replace chosen token
+  *    spans with numbered sentinels in the input and emit the
+  *    complementary target (`<extra_id_k> dropped tokens ...` closed
+  *    by a final sentinel). Span starts are caller-chosen positions
+  *    over the WHITESPACE tokenization; overlapping/out-of-range
+  *    requests clamp deterministically.
+  *
+  * Both are per-row map transforms — zero shuffle at any scale.
+  * SURVEY §2.11 pipeline tier.
+  */
+object Objectives {
+
+  /** PSM (`spmOrder = false`) or SPM fill-in-the-middle rewrite.
+    * Cuts clamp into [0, len] and order (a <= b). */
+  def fim(text: String, cutA: Int, cutB: Int,
+      spmOrder: Boolean = false): String = {
+    val t = if (text == null) "" else text
+    val a0 = math.max(0, math.min(cutA, t.length))
+    val b0 = math.max(0, math.min(cutB, t.length))
+    val (a, b) = if (a0 <= b0) (a0, b0) else (b0, a0)
+    val prefix = t.substring(0, a)
+    val middle = t.substring(a, b)
+    val suffix = t.substring(b)
+    if (spmOrder)
+      "<fim_prefix><fim_suffix>" + suffix + "<fim_middle>" + prefix + middle
+    else
+      "<fim_prefix>" + prefix + "<fim_suffix>" + suffix +
+        "<fim_middle>" + middle
+  }
+
+  /** T5 span corruption over whitespace tokens. `spans` are
+    * (startTokenIdx, nTokens) requests, processed in ascending start
+    * order; requests that overlap an earlier span or start out of
+    * range are dropped, lengths clamp to the end. Returns
+    * (input, target): input has each span replaced by `<extra_id_k>`,
+    * target is `<extra_id_k> tokens... <extra_id_k+1> ... <extra_id_n>`
+    * with the final sentinel closing it (the T5 convention). */
+  def spanCorruption(text: String,
+      spans: Seq[(Int, Int)]): (String, String) = {
+    val t = if (text == null) "" else text
+    val toks = t.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return ("", "")
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lastEnd = 0
+    spans.filter { case (s, n) => n > 0 && s >= 0 && s < toks.length }
+      .sortBy(_._1)
+      .foreach { case (s, n) =>
+        if (s >= lastEnd) {
+          val len = math.min(n, toks.length - s)
+          accepted += ((s, len))
+          lastEnd = s + len
+        }
+      }
+    val input = new StringBuilder
+    val target = new StringBuilder
+    var i = 0
+    var k = 0
+    while (i < toks.length) {
+      accepted.find(_._1 == i) match {
+        case Some((_, len)) =>
+          if (input.nonEmpty) input.append(' ')
+          input.append(s"<extra_id_$k>")
+          if (target.nonEmpty) target.append(' ')
+          target.append(s"<extra_id_$k>")
+          var j = 0
+          while (j < len) {
+            target.append(' ').append(toks(i + j))
+            j += 1
+          }
+          i += len
+          k += 1
+        case None =>
+          if (input.nonEmpty) input.append(' ')
+          input.append(toks(i))
+          i += 1
+      }
+    }
+    if (k > 0) {
+      if (target.nonEmpty) target.append(' ')
+      target.append(s"<extra_id_$k>")
+    }
+    (input.toString, target.toString)
+  }
+}

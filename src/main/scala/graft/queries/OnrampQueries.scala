@@ -363,6 +363,36 @@ object OnrampQueries extends QueryGroup {
           col("doc_id").cast("long").as("id"),
           (col("doc_id").cast("long") * 13 % 7).as("score"))
       graft.ops.ChatFormat.preferencePairs(responses, "prompt", "id", "score")
+    }),
+
+    // fill-in-the-middle rewrite (PSM and SPM orders by parity) with
+    // id-decided cut points — the code-model infilling objective; the
+    // oracle re-slices the document with substr arithmetic
+    "pipeline_fim" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val text = s"fn f$id() { return $id; }"
+          val a = (id % 8).toInt
+          (id, graft.ops.Objectives.fim(text, a, a + 6,
+            spmOrder = id % 2 == 1))
+        }).toDF("doc_id", "fim_text")
+    }),
+
+    // T5 span corruption with an id-decided span over planted tokens:
+    // input sentinelization AND the complementary target (with the
+    // closing sentinel) both replay exactly
+    "pipeline_span_corrupt" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val text = (0 until 6).map(k => s"t${k}x$id").mkString(" ")
+          val (in, tgt) = graft.ops.Objectives.spanCorruption(
+            text, Seq(((id % 4).toInt, 2)))
+          (id, in, tgt)
+        }).toDF("doc_id", "input", "target")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -562,5 +592,40 @@ object OnrampQueries extends QueryGroup {
         "b.score - w.score AS margin " +
         "FROM best b JOIN best w ON b.prompt = w.prompt " +
         "AND b.rb = 1 AND w.rw = 1 " +
-        "WHERE b.id <> w.id AND b.score > w.score"))
+        "WHERE b.id <> w.id AND b.score > w.score"),
+
+    "pipeline_fim" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(doc_id % 8 AS INT) AS a FROM documents), " +
+        "t AS (SELECT doc_id, a, " +
+        "'fn f' || i || '() { return ' || i || '; }' AS txt FROM g), " +
+        "p AS (SELECT doc_id, substr(txt, 1, a) AS pre, " +
+        "substr(txt, a + 1, 6) AS mid, substr(txt, a + 7) AS suf FROM t) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 1 THEN " +
+        "'<fim_prefix><fim_suffix>' || suf || '<fim_middle>' || pre || mid " +
+        "ELSE '<fim_prefix>' || pre || '<fim_suffix>' || suf || " +
+        "'<fim_middle>' || mid END AS fim_text " +
+        "FROM p"),
+
+    "pipeline_span_corrupt" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(doc_id % 4 AS INT) AS p FROM documents), " +
+        "t AS (SELECT doc_id, p, " +
+        "'t0x' || i AS t0, 't1x' || i AS t1, 't2x' || i AS t2, " +
+        "'t3x' || i AS t3, 't4x' || i AS t4, 't5x' || i AS t5 FROM g) " +
+        "SELECT doc_id, " +
+        "CASE p " +
+        "WHEN 0 THEN '<extra_id_0> ' || t2 || ' ' || t3 || ' ' || t4 || ' ' || t5 " +
+        "WHEN 1 THEN t0 || ' <extra_id_0> ' || t3 || ' ' || t4 || ' ' || t5 " +
+        "WHEN 2 THEN t0 || ' ' || t1 || ' <extra_id_0> ' || t4 || ' ' || t5 " +
+        "ELSE t0 || ' ' || t1 || ' ' || t2 || ' <extra_id_0> ' || t5 " +
+        "END AS input, " +
+        "CASE p " +
+        "WHEN 0 THEN '<extra_id_0> ' || t0 || ' ' || t1 || ' <extra_id_1>' " +
+        "WHEN 1 THEN '<extra_id_0> ' || t1 || ' ' || t2 || ' <extra_id_1>' " +
+        "WHEN 2 THEN '<extra_id_0> ' || t2 || ' ' || t3 || ' <extra_id_1>' " +
+        "ELSE '<extra_id_0> ' || t3 || ' ' || t4 || ' <extra_id_1>' " +
+        "END AS target " +
+        "FROM t"))
 }

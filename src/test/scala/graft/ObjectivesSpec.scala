@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Objectives
+
+/** FIM and span-corruption training transforms. */
+class ObjectivesSpec extends AnyFunSuite {
+
+  test("fim PSM and SPM orders reconstruct the document") {
+    val t = "0123456789"
+    assert(Objectives.fim(t, 3, 7) ==
+      "<fim_prefix>012<fim_suffix>789<fim_middle>3456")
+    assert(Objectives.fim(t, 3, 7, spmOrder = true) ==
+      "<fim_prefix><fim_suffix>789<fim_middle>0123456")
+  }
+
+  test("fim cut clamping and swapped cuts") {
+    assert(Objectives.fim("abc", -5, 99) ==
+      "<fim_prefix><fim_suffix><fim_middle>abc")
+    assert(Objectives.fim("abcdef", 4, 2) ==
+      "<fim_prefix>ab<fim_suffix>ef<fim_middle>cd")
+    assert(Objectives.fim(null, 0, 0) ==
+      "<fim_prefix><fim_suffix><fim_middle>")
+  }
+
+  test("span corruption: sentinels, complement target, final close") {
+    val (in, tgt) = Objectives.spanCorruption(
+      "a b c d e f g", Seq((1, 2), (5, 1)))
+    assert(in == "a <extra_id_0> d e <extra_id_1> g")
+    assert(tgt == "<extra_id_0> b c <extra_id_1> f <extra_id_2>")
+  }
+
+  test("span corruption: overlaps dropped, lengths clamp, empties") {
+    val (in, tgt) = Objectives.spanCorruption(
+      "a b c d", Seq((0, 2), (1, 1), (3, 9)))
+    assert(in == "<extra_id_0> c <extra_id_1>")
+    assert(tgt == "<extra_id_0> a b <extra_id_1> d <extra_id_2>")
+    assert(Objectives.spanCorruption("", Seq((0, 1))) == ("", ""))
+    val (in2, tgt2) = Objectives.spanCorruption("x y", Nil)
+    assert(in2 == "x y" && tgt2 == "")
+  }
+}
