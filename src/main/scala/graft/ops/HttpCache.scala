@@ -1,0 +1,115 @@
+package graft.ops
+
+/** HTTP caching / recrawl-freshness semantics (RFC 9111) — the signal
+  * between a fetch and the recrawl scheduler: response headers say how
+  * long the copy stays fresh and which validator a revalidation can
+  * use, and a 100 TB crawl that ignores them refetches the unchanged
+  * web. Deterministic integer-second math:
+  *
+  *  - `Cache-Control: max-age=N` (and `s-maxage`, which wins for
+  *    shared caches) → fresh until `date + N`,
+  *  - `no-store` / `no-cache` → never fresh (always revalidate),
+  *  - else `Expires` → fresh until that time (invalid dates = stale),
+  *  - else the RFC 9111 §4.2.2 heuristic: 10% of `date −
+  *    last-modified`,
+  *  - validators: `ETag` (strong vs `W/` weak) preferred over
+  *    `Last-Modified`.
+  *
+  * RFC 1123 dates (`Sun, 06 Nov 1994 08:49:37 GMT`) parse with a
+  * fixed-locale hand parser — no JVM locale dependence. Total on
+  * junk. Pure per-row kernel (SURVEY §2.11).
+  */
+object HttpCache {
+
+  /** Freshness verdict: `freshUntil` epoch seconds (-1 = must
+    * revalidate immediately), validator kind `etag-strong` /
+    * `etag-weak` / `last-modified` / `none`, heuristic flag. */
+  final case class Freshness(freshUntil: Long, validator: String,
+      validatorValue: String, heuristic: Boolean)
+
+  private val months = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5,
+    "jun" -> 6, "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10,
+    "nov" -> 11, "dec" -> 12)
+
+  private def daysFromCivil(y: Int, m: Int, d: Int): Long = {
+    // Howard Hinnant's civil-days algorithm (public domain)
+    val yy = if (m <= 2) y - 1 else y
+    val era = (if (yy >= 0) yy else yy - 399) / 400
+    val yoe = yy - era * 400
+    val doy = (153 * (if (m > 2) m - 3 else m + 9) + 2) / 5 + d - 1
+    val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+    era * 146097L + doe - 719468L
+  }
+
+  /** Parse an RFC 1123 HTTP date to epoch seconds; None on junk. */
+  def parseHttpDate(s: String): Option[Long] = {
+    if (s == null) return None
+    // "Sun, 06 Nov 1994 08:49:37 GMT" — weekday token optional
+    val t = s.trim
+    val body = {
+      val comma = t.indexOf(',')
+      if (comma >= 0) t.substring(comma + 1).trim else t
+    }
+    val parts = body.split("[ :]+").filter(_.nonEmpty)
+    if (parts.length < 6) return None
+    try {
+      val d = parts(0).toInt
+      val m = months.getOrElse(parts(1).toLowerCase, return None)
+      val y = parts(2).toInt
+      val hh = parts(3).toInt
+      val mm = parts(4).toInt
+      val ss = parts(5).toInt
+      if (d < 1 || d > 31 || hh > 23 || mm > 59 || ss > 60 ||
+        y < 1970 || y > 9999) return None
+      Some(daysFromCivil(y, m, d) * 86400L + hh * 3600L + mm * 60L + ss)
+    } catch {
+      case _: NumberFormatException => None
+    }
+  }
+
+  /** Directive value from a Cache-Control header (`max-age=60`). */
+  private def ccDirective(cc: String, name: String): Option[Long] = {
+    cc.toLowerCase.split(',').map(_.trim).collectFirst {
+      case d if d.startsWith(name + "=") =>
+        d.substring(name.length + 1).trim.takeWhile(_.isDigit)
+    }.filter(_.nonEmpty).map(_.toLong)
+  }
+
+  private def ccFlag(cc: String, name: String): Boolean =
+    cc.toLowerCase.split(',').map(_.trim).contains(name)
+
+  /** Compute freshness from response headers (names matched
+    * case-insensitively; pass what the WARC/HTTP split produced). */
+  def freshness(headers: Seq[(String, String)]): Freshness = {
+    val hs = if (headers == null) Nil else headers
+    def h(name: String): String =
+      hs.collectFirst { case (k, v) if k != null &&
+        k.equalsIgnoreCase(name) => if (v == null) "" else v.trim }
+        .getOrElse("")
+    val date = parseHttpDate(h("Date")).getOrElse(0L)
+    val etag = h("ETag")
+    val lastMod = h("Last-Modified")
+    val (vKind, vVal) =
+      if (etag.nonEmpty) {
+        if (etag.startsWith("W/")) ("etag-weak", etag) else ("etag-strong", etag)
+      } else if (lastMod.nonEmpty) ("last-modified", lastMod)
+      else ("none", "")
+    val cc = h("Cache-Control")
+    if (cc.nonEmpty && (ccFlag(cc, "no-store") || ccFlag(cc, "no-cache")))
+      return Freshness(-1L, vKind, vVal, heuristic = false)
+    ccDirective(cc, "s-maxage").orElse(ccDirective(cc, "max-age")) match {
+      case Some(age) => Freshness(date + age, vKind, vVal, heuristic = false)
+      case None =>
+        val expires = h("Expires")
+        if (expires.nonEmpty)
+          Freshness(parseHttpDate(expires).getOrElse(-1L), vKind, vVal,
+            heuristic = false)
+        else parseHttpDate(lastMod) match {
+          case Some(lm) if date > lm =>
+            Freshness(date + (date - lm) / 10, vKind, vVal, heuristic = true)
+          case _ => Freshness(-1L, vKind, vVal, heuristic = false)
+        }
+    }
+  }
+}

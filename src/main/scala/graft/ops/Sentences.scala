@@ -1,0 +1,121 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Rule-based sentence segmentation + sentence-aligned chunking — the
+  * boundary primitive between document text and every sentence-scoped
+  * operator (RAG chunks that never cut mid-sentence, per-sentence
+  * dedup spans, alignment corpora). A terminator `[.!?]` ends a
+  * sentence when followed by whitespace and a sentence-opener
+  * (uppercase, digit, quote/bracket), EXCEPT:
+  *
+  *  - known abbreviations before the period (`Mr. Dr. Prof. St. vs.
+  *    etc. e.g. i.e. Inc. Ltd. Fig. No.` + month abbreviations),
+  *  - single-capital initials (`J. Doe`),
+  *  - decimals and versions (`3.14`, digit on BOTH sides of the dot),
+  *  - ellipsis runs attach to the sentence (`...` splits only when
+  *    the opener rule fires after the run).
+  *
+  * Closing quotes/brackets after the terminator stay with the
+  * sentence. Output spans index the ORIGINAL string; texts are the
+  * trimmed slices. Total on junk; pure per-row kernel (SURVEY §2.11).
+  */
+object Sentences {
+
+  final case class Sentence(idx: Int, start: Int, end: Int, text: String)
+
+  private val abbrevs: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "st", "vs", "etc", "e.g", "i.e",
+    "inc", "ltd", "co", "corp", "fig", "no", "al", "jr", "sr",
+    "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept",
+    "oct", "nov", "dec")
+
+  private def wordBefore(s: String, i: Int): String = {
+    // token (letters/dots) ending right before position i (the '.')
+    var b = i
+    while (b > 0 && (Character.isLetter(s.charAt(b - 1)) ||
+      s.charAt(b - 1) == '.')) b -= 1
+    s.substring(b, i).toLowerCase.stripSuffix(".")
+  }
+
+  private def isOpener(c: Char): Boolean =
+    Character.isUpperCase(c) || Character.isDigit(c) ||
+      c == '"' || c == '“' || c == '‘' || c == '(' || c == '['
+
+  /** Split into sentences with exact spans. */
+  def split(text: String): Seq[Sentence] = {
+    val t = if (text == null) "" else text
+    val out = ArrayBuffer.empty[Sentence]
+    var start = 0
+    var i = 0
+    def emit(endExclusive: Int): Unit = {
+      val raw = t.substring(start, endExclusive)
+      val trimmed = raw.trim
+      if (trimmed.nonEmpty) {
+        val lead = raw.indexOf(trimmed.charAt(0))
+        out += Sentence(out.length, start + lead,
+          start + lead + trimmed.length, trimmed)
+      }
+      start = endExclusive
+    }
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        // swallow terminator runs (ellipsis, ?! clusters)
+        var j = i + 1
+        while (j < t.length && (t.charAt(j) == '.' || t.charAt(j) == '!' ||
+          t.charAt(j) == '?')) j += 1
+        // closing quotes/brackets attach
+        while (j < t.length && (t.charAt(j) == '"' || t.charAt(j) == '”' ||
+          t.charAt(j) == '’' || t.charAt(j) == ')' || t.charAt(j) == ']'))
+          j += 1
+        val isDot = c == '.' && j == i + 1
+        val abbrevBlock = isDot && {
+          val w = wordBefore(t, i)
+          abbrevs.contains(w) || (w.length == 1 && i > 0 &&
+            Character.isUpperCase(t.charAt(i - 1)))
+        }
+        val decimalBlock = isDot && i > 0 &&
+          Character.isDigit(t.charAt(i - 1)) &&
+          i + 1 < t.length && Character.isDigit(t.charAt(i + 1))
+        // boundary requires whitespace then an opener (or end of text)
+        var k = j
+        while (k < t.length && (t.charAt(k) == ' ' || t.charAt(k) == '\t'))
+          k += 1
+        val opens = k >= t.length || t.charAt(k) == '\n' ||
+          isOpener(t.charAt(k))
+        val wsAfter = j >= t.length || Character.isWhitespace(t.charAt(j))
+        if (!abbrevBlock && !decimalBlock && wsAfter && opens) {
+          emit(j)
+          i = j
+        } else i = j
+      } else if (c == '\n' && i + 1 < t.length && t.charAt(i + 1) == '\n') {
+        // paragraph break is always a boundary
+        emit(i)
+        i += 1
+      } else i += 1
+    }
+    emit(t.length)
+    out.toSeq
+  }
+
+  /** Pack sentences into chunks of at most `maxChars` (a chunk always
+    * holds >= 1 sentence — an oversized single sentence becomes its
+    * own chunk). Returns (chunkIdx, joined text). */
+  def chunkBySentence(text: String, maxChars: Int): Seq[(Int, String)] = {
+    val ss = split(text)
+    val out = ArrayBuffer.empty[(Int, String)]
+    val cur = new StringBuilder
+    def flush(): Unit = {
+      if (cur.nonEmpty) { out += ((out.length, cur.toString)); cur.clear() }
+    }
+    ss.foreach { s =>
+      val add = if (cur.isEmpty) s.text.length else s.text.length + 1
+      if (cur.nonEmpty && cur.length + add > maxChars) flush()
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(s.text)
+    }
+    flush()
+    out.toSeq
+  }
+}

@@ -393,6 +393,52 @@ object OnrampQueries extends QueryGroup {
             text, Seq(((id % 4).toInt, 2)))
           (id, in, tgt)
         }).toDF("doc_id", "input", "target")
+    }),
+
+    // sentence segmentation: abbreviation/initial/decimal guards,
+    // ellipsis + quote attachment, paragraph breaks — every sentence
+    // TEXT and its exact span offsets replay by id arithmetic
+    "text_sentences" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val text = (id % 3) match {
+            case 0 => s"Dr. Smith met J. Doe $id. They left. Cost 3.14 now."
+            case 1 => s"""Wait... Maybe $id said "Go." Then left!"""
+            case _ => s"Para one $id\n\nPara two. End $id"
+          }
+          graft.ops.Sentences.split(text).map { sn =>
+            (id, sn.idx, sn.start, sn.end - sn.start, sn.text)
+          }
+        }).toDF("doc_id", "s_idx", "s_start", "s_len", "s_text")
+    }),
+
+    // RFC 9111 recrawl freshness: max-age / no-cache / Expires /
+    // heuristic 10% paths with strong/weak validators — exact epoch
+    // seconds replay (the RFC 1123 parser is inside the hash)
+    "pipeline_recrawl_plan" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val headers = (id % 4) match {
+            case 0 => Seq(
+              "Date" -> "Thu, 01 Jan 1970 00:00:00 GMT",
+              "Cache-Control" -> s"public, max-age=${60 + id % 600}",
+              "ETag" -> s""""e$id"""")
+            case 1 => Seq("Cache-Control" -> "no-cache",
+              "ETag" -> s"""W/"v$id"""")
+            case 2 => Seq(
+              "Expires" -> "Thu, 01 Jan 1970 01:00:00 GMT",
+              "Last-Modified" -> "Thu, 01 Jan 1970 00:30:00 GMT")
+            case _ => Seq(
+              "Date" -> "Thu, 01 Jan 1970 02:00:00 GMT",
+              "Last-Modified" -> "Thu, 01 Jan 1970 00:00:00 GMT")
+          }
+          val f = graft.ops.HttpCache.freshness(headers)
+          (id, f.freshUntil, f.validator, f.heuristic)
+        }).toDF("doc_id", "fresh_until", "validator", "heuristic")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -627,5 +673,38 @@ object OnrampQueries extends QueryGroup {
         "WHEN 2 THEN '<extra_id_0> ' || t2 || ' ' || t3 || ' <extra_id_1>' " +
         "ELSE '<extra_id_0> ' || t3 || ' ' || t4 || ' <extra_id_1>' " +
         "END AS target " +
-        "FROM t"))
+        "FROM t"),
+
+    "text_sentences" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS li FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS s_idx, " +
+        "CAST(CASE doc_id % 3 " +
+        "WHEN 0 THEN CASE j WHEN 0 THEN 0 WHEN 1 THEN 23 + li ELSE 34 + li END " +
+        "WHEN 1 THEN CASE j WHEN 0 THEN 0 WHEN 1 THEN 8 ELSE 26 + li END " +
+        "ELSE CASE j WHEN 0 THEN 0 WHEN 1 THEN 11 + li ELSE 21 + li END " +
+        "END AS INT) AS s_start, " +
+        "CAST(CASE doc_id % 3 " +
+        "WHEN 0 THEN CASE j WHEN 0 THEN 22 + li WHEN 1 THEN 10 ELSE 14 END " +
+        "WHEN 1 THEN CASE j WHEN 0 THEN 7 WHEN 1 THEN 17 + li ELSE 10 END " +
+        "ELSE CASE j WHEN 0 THEN 9 + li WHEN 1 THEN 9 ELSE 4 + li END " +
+        "END AS INT) AS s_len, " +
+        "CASE doc_id % 3 " +
+        "WHEN 0 THEN CASE j WHEN 0 THEN 'Dr. Smith met J. Doe ' || i || '.' " +
+        "WHEN 1 THEN 'They left.' ELSE 'Cost 3.14 now.' END " +
+        "WHEN 1 THEN CASE j WHEN 0 THEN 'Wait...' " +
+        "WHEN 1 THEN 'Maybe ' || i || ' said \"Go.\"' ELSE 'Then left!' END " +
+        "ELSE CASE j WHEN 0 THEN 'Para one ' || i " +
+        "WHEN 1 THEN 'Para two.' ELSE 'End ' || i END " +
+        "END AS s_text " +
+        "FROM g, generate_series(0, 2) AS s(j)"),
+
+    "pipeline_recrawl_plan" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 60 + doc_id % 600 " +
+        "WHEN 1 THEN -1 WHEN 2 THEN 3600 ELSE 7920 END AS BIGINT) AS fresh_until, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'etag-strong' WHEN 1 THEN 'etag-weak' " +
+        "ELSE 'last-modified' END AS validator, " +
+        "doc_id % 4 = 3 AS heuristic " +
+        "FROM documents"))
 }

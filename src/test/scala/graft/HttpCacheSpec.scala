@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.HttpCache
+
+/** RFC 9111 freshness math, RFC 1123 date parsing, validators. */
+class HttpCacheSpec extends AnyFunSuite {
+
+  test("rfc1123 dates parse to exact epochs") {
+    assert(HttpCache.parseHttpDate("Sun, 06 Nov 1994 08:49:37 GMT") ==
+      Some(784111777L))
+    assert(HttpCache.parseHttpDate("Thu, 01 Jan 1970 00:00:00 GMT") == Some(0L))
+    assert(HttpCache.parseHttpDate("06 Nov 1994 08:49:37 GMT") ==
+      Some(784111777L)) // weekday optional
+    assert(HttpCache.parseHttpDate("garbage").isEmpty)
+    assert(HttpCache.parseHttpDate(null).isEmpty)
+  }
+
+  test("max-age wins over expires; s-maxage wins over max-age") {
+    val date = "Thu, 01 Jan 1970 00:00:00 GMT"
+    val f = HttpCache.freshness(Seq("Date" -> date,
+      "Cache-Control" -> "public, max-age=600",
+      "Expires" -> "Sun, 06 Nov 1994 08:49:37 GMT"))
+    assert(f.freshUntil == 600L && !f.heuristic)
+    val f2 = HttpCache.freshness(Seq("Date" -> date,
+      "Cache-Control" -> "max-age=600, s-maxage=60"))
+    assert(f2.freshUntil == 60L)
+  }
+
+  test("no-store / no-cache force revalidation") {
+    val f = HttpCache.freshness(Seq(
+      "Cache-Control" -> "no-store", "ETag" -> "\"abc\""))
+    assert(f.freshUntil == -1L && f.validator == "etag-strong")
+  }
+
+  test("expires fallback and heuristic 10% rule") {
+    val f = HttpCache.freshness(Seq(
+      "Expires" -> "Thu, 01 Jan 1970 00:10:00 GMT"))
+    assert(f.freshUntil == 600L && !f.heuristic)
+    val h = HttpCache.freshness(Seq(
+      "Date" -> "Thu, 01 Jan 1970 02:00:00 GMT",
+      "Last-Modified" -> "Thu, 01 Jan 1970 00:00:00 GMT"))
+    assert(h.freshUntil == 7200L + 720L && h.heuristic)
+    assert(h.validator == "last-modified")
+  }
+
+  test("weak etags and nothing-at-all") {
+    val f = HttpCache.freshness(Seq("ETag" -> "W/\"v1\""))
+    assert(f.validator == "etag-weak" && f.freshUntil == -1L)
+    val n = HttpCache.freshness(Nil)
+    assert(n == HttpCache.Freshness(-1L, "none", "", false))
+  }
+}

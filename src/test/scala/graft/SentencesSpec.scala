@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sentences
+
+/** Sentence segmentation: abbreviations, initials, decimals, ellipsis,
+  * quotes, paragraph breaks, span exactness; sentence-aligned
+  * chunking. */
+class SentencesSpec extends AnyFunSuite {
+
+  private def texts(s: String): Seq[String] =
+    Sentences.split(s).map(_.text)
+
+  test("plain boundaries and terminator clusters") {
+    assert(texts("One here. Two there! Three?") ==
+      Seq("One here.", "Two there!", "Three?"))
+    assert(texts("Really?! Yes.") == Seq("Really?!", "Yes."))
+  }
+
+  test("abbreviations and initials do not split") {
+    assert(texts("Dr. Smith met Mr. J. Doe at St. Mary. They talked.") ==
+      Seq("Dr. Smith met Mr. J. Doe at St. Mary.", "They talked."))
+    assert(texts("See e.g. the appendix. Then stop.") ==
+      Seq("See e.g. the appendix.", "Then stop."))
+  }
+
+  test("decimals and versions do not split; sentence-final numbers do") {
+    assert(texts("Pi is 3.14 roughly. Use v2.1 today.") ==
+      Seq("Pi is 3.14 roughly.", "Use v2.1 today."))
+    assert(texts("It costs 5. Then more.") == Seq("It costs 5.", "Then more."))
+  }
+
+  test("ellipsis attaches; quotes attach; lowercase continuation holds") {
+    assert(texts("Wait... Maybe not. ok then. Next.") ==
+      Seq("Wait...", "Maybe not. ok then.", "Next."))
+    assert(texts("He said \"Go now.\" She left.") ==
+      Seq("He said \"Go now.\"", "She left."))
+  }
+
+  test("paragraph breaks always split; spans index the original") {
+    val t = "No terminator here\n\nNew para. Done."
+    val ss = Sentences.split(t)
+    assert(ss.map(_.text) == Seq("No terminator here", "New para.", "Done."))
+    ss.foreach(s => assert(t.substring(s.start, s.end) == s.text))
+  }
+
+  test("chunking packs whole sentences up to the budget") {
+    val t = "Aaaa bbbb. Cccc dddd. Eeee ffff. Gg."
+    val chunks = Sentences.chunkBySentence(t, 22)
+    assert(chunks == Seq((0, "Aaaa bbbb. Cccc dddd."), (1, "Eeee ffff. Gg.")))
+    // oversized single sentence still emits
+    assert(Sentences.chunkBySentence("x" * 50 + ".", 10).length == 1)
+  }
+
+  test("totality") {
+    assert(Sentences.split(null).isEmpty)
+    assert(Sentences.split("   ").isEmpty)
+    assert(Sentences.split("no terminator at all").map(_.text) ==
+      Seq("no terminator at all"))
+  }
+}
