@@ -1,0 +1,65 @@
+package graft.ops
+
+/** Keyed pseudonymization — the privacy operator between raw
+  * identifiers and a releasable corpus: user/session/device IDs are
+  * replaced by STABLE keyed tokens so joins and longitudinal analyses
+  * still work while the raw IDs never leave the trust boundary; key
+  * rotation yields an unlinkable new token universe.
+  *
+  * Two constructions:
+  *
+  *  - [[hmacSha256Hex]]: RFC 2104 HMAC-SHA256 (javax.crypto) — the
+  *    library construction for production keys (arbitrary bytes).
+  *  - [[tokenHexChain]]: an HMAC-SHAPED nested keyed hash with
+  *    HEX-DOMAIN chaining: `sha256(opad ∥ hex(sha256(ipad ∥ v)))`
+  *    with the standard 0x36/0x5C pads over an ASCII key. The inner
+  *    digest crosses the boundary as hex TEXT, which keeps the
+  *    construction byte-replayable in engines whose sha256 only
+  *    accepts strings (DuckDB) — the nested-keyed-hashing security
+  *    argument is unchanged, but it is NOT RFC 2104 interop;
+  *    disclosed, and the real HMAC is right above for when interop
+  *    matters.
+  *
+  * Deterministic, total; pure per-row kernels (SURVEY §2.11).
+  */
+object Pseudonymize {
+
+  /** RFC 2104 HMAC-SHA256, lowercase hex. */
+  def hmacSha256Hex(key: Array[Byte], msg: Array[Byte]): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      if (key == null || key.isEmpty) Array[Byte](0) else key, "HmacSHA256"))
+    val d = mac.doFinal(if (msg == null) Array.emptyByteArray else msg)
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** The 64-byte 0x36/0x5C pads of an ASCII key, as strings (every
+    * padded byte stays < 0x80, so the pad IS a one-byte-per-char
+    * string in any engine). */
+  private[graft] def pads(key: String): (String, String) = {
+    require(key != null && key.nonEmpty && key.length <= 64 &&
+      key.forall(_ < 0x80), "tokenHexChain needs a 1..64-char ASCII key")
+    val blk = key.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .padTo(64, 0.toByte)
+    (new String(blk.map(b => (b ^ 0x36).toChar)),
+      new String(blk.map(b => (b ^ 0x5c).toChar)))
+  }
+
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Hex-domain nested keyed token; `outLen` hex chars (default 16 =
+    * 64 bits, ample for corpus-scale uniqueness). */
+  def tokenHexChain(key: String, value: String, outLen: Int = 16): String = {
+    val (ipad, opad) = pads(key)
+    val v = if (value == null) "" else value
+    sha256Hex(opad + sha256Hex(ipad + v)).substring(0, outLen)
+  }
+}

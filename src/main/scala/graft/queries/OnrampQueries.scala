@@ -439,6 +439,20 @@ object OnrampQueries extends QueryGroup {
           val f = graft.ops.HttpCache.freshness(headers)
           (id, f.freshUntil, f.validator, f.heuristic)
         }).toDF("doc_id", "fresh_until", "validator", "heuristic")
+    }),
+
+    // keyed pseudonymization: stable hex-chain tokens (nested keyed
+    // sha256, disclosed non-RFC-2104 hex chaining so the oracle can
+    // replay byte-for-byte); adjacent docs share a raw id, so the
+    // JOIN-stability property is visible in the token equality
+    "pipeline_pseudonymize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val raw = s"user${id / 2}"
+          (id, raw, graft.ops.Pseudonymize.tokenHexChain("graftkey", raw))
+        }).toDF("doc_id", "raw_id", "token")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -706,5 +720,16 @@ object OnrampQueries extends QueryGroup {
         "CASE doc_id % 4 WHEN 0 THEN 'etag-strong' WHEN 1 THEN 'etag-weak' " +
         "ELSE 'last-modified' END AS validator, " +
         "doc_id % 4 = 3 AS heuristic " +
-        "FROM documents"))
+        "FROM documents"),
+
+    "pipeline_pseudonymize" -> {
+      // the 0x36/0x5C pads of the fixture key are pure printable ASCII
+      // (quote-free), so they splice as plain SQL literals
+      val (ip, op) = graft.ops.Pseudonymize.pads("graftkey")
+      "WITH g AS (SELECT doc_id, 'user' || CAST(doc_id // 2 AS VARCHAR) " +
+        "AS raw_id FROM documents) " +
+        "SELECT doc_id, raw_id, " +
+        s"substr(sha256('$op' || sha256('$ip' || raw_id)), 1, 16) AS token " +
+        "FROM g"
+    })
 }

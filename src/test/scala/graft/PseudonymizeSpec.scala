@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Pseudonymize
+
+/** HMAC-SHA256 against RFC 4231 vectors; hex-chain token properties. */
+class PseudonymizeSpec extends AnyFunSuite {
+
+  test("RFC 4231 test case 1 and 2") {
+    // TC1: key = 0x0b * 20, data = "Hi There"
+    val k1 = Array.fill[Byte](20)(0x0b)
+    assert(Pseudonymize.hmacSha256Hex(k1, "Hi There".getBytes("UTF-8")) ==
+      "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+    // TC2: key = "Jefe", data = "what do ya want for nothing?"
+    assert(Pseudonymize.hmacSha256Hex("Jefe".getBytes("UTF-8"),
+      "what do ya want for nothing?".getBytes("UTF-8")) ==
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("hex-chain tokens: stable, key-separated, value-separated") {
+    val a = Pseudonymize.tokenHexChain("graftkey", "user1")
+    assert(a == Pseudonymize.tokenHexChain("graftkey", "user1"))
+    assert(a != Pseudonymize.tokenHexChain("graftkey", "user2"))
+    assert(a != Pseudonymize.tokenHexChain("otherkey", "user1"))
+    assert(a.length == 16 && a.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+    assert(Pseudonymize.tokenHexChain("k", "v", 64).length == 64)
+  }
+
+  test("pads are ASCII and key rules enforced") {
+    val (i, o) = Pseudonymize.pads("graftkey")
+    assert(i.length == 64 && o.length == 64)
+    assert(i.forall(_ < 0x80) && o.forall(_ < 0x80))
+    assert(i.drop(8).forall(_ == '6')) // 0x00 ^ 0x36
+    assert(o.drop(8).forall(_ == '\\')) // 0x00 ^ 0x5c
+    intercept[IllegalArgumentException](Pseudonymize.tokenHexChain("", "v"))
+    intercept[IllegalArgumentException](
+      Pseudonymize.tokenHexChain("kéy", "v"))
+  }
+}
