@@ -1,0 +1,44 @@
+package graft.ops
+
+/** Internationalized-domain (IDN) host normalization — the missing
+  * half of URL canonicalization on a real crawl: the same host arrives
+  * as Unicode (`münchen.de`) from anchor text and as punycode
+  * (`xn--mnchen-3ya.de`) from HTTP metadata, and host-keyed dedup,
+  * per-domain caps and the link graph silently split unless both
+  * normalize to ONE form. Normal form here = lowercase ASCII
+  * (punycode) via `java.net.IDN` (JDK, RFC 3490), label by label.
+  *
+  * Unconvertible labels (rare junk) keep their lowercased original —
+  * total, never throws. Pure per-row kernel (SURVEY §2.11); composes
+  * with [[graft.functions.UrlFunctions.canonicalize]] and the
+  * outlink/frontier tier.
+  */
+object Idn {
+
+  /** Normalize one hostname to lowercase ASCII/punycode. */
+  def toAsciiHost(host: String): String = {
+    val h = if (host == null) "" else host.trim
+    if (h.isEmpty) return ""
+    h.split('.').map { label =>
+      if (label.forall(c => c < 0x80)) label.toLowerCase
+      else
+        try java.net.IDN.toASCII(label).toLowerCase
+        catch { case _: IllegalArgumentException => label.toLowerCase }
+    }.mkString(".")
+  }
+
+  /** Replace the host inside a URL with its normalized form; URLs
+    * without a `scheme://host` shape return unchanged. */
+  def normalizeUrlHost(url: String): String = {
+    val u = if (url == null) "" else url
+    val ss = u.indexOf("://")
+    if (ss < 0) return u
+    val hostStart = ss + 3
+    var hostEnd = hostStart
+    while (hostEnd < u.length && u.charAt(hostEnd) != '/' &&
+      u.charAt(hostEnd) != '?' && u.charAt(hostEnd) != '#' &&
+      u.charAt(hostEnd) != ':') hostEnd += 1
+    val host = u.substring(hostStart, hostEnd)
+    u.substring(0, hostStart) + toAsciiHost(host) + u.substring(hostEnd)
+  }
+}

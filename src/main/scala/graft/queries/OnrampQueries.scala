@@ -453,6 +453,25 @@ object OnrampQueries extends QueryGroup {
           val raw = s"user${id / 2}"
           (id, raw, graft.ops.Pseudonymize.tokenHexChain("graftkey", raw))
         }).toDF("doc_id", "raw_id", "token")
+    }),
+
+    // IDN host normalization: unicode and punycode forms of the SAME
+    // host must collapse to one ASCII form (host-keyed dedup/caps and
+    // the link graph split silently otherwise); expected punycode is
+    // pinned per residue
+    "text_idn_hosts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val url = (id % 4) match {
+            case 0 => s"https://münchen.de/seite$id"
+            case 1 => s"https://xn--mnchen-3ya.de/seite$id"
+            case 2 => s"https://例え.jp:443/p$id?q=$id"
+            case _ => s"https://WWW.Example.COM/path$id"
+          }
+          (id, graft.ops.Idn.normalizeUrlHost(url))
+        }).toDF("doc_id", "url_norm")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -731,5 +750,15 @@ object OnrampQueries extends QueryGroup {
         "SELECT doc_id, raw_id, " +
         s"substr(sha256('$op' || sha256('$ip' || raw_id)), 1, 16) AS token " +
         "FROM g"
-    })
+    },
+
+    "text_idn_hosts" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 4 " +
+        "WHEN 0 THEN 'https://xn--mnchen-3ya.de/seite' || i " +
+        "WHEN 1 THEN 'https://xn--mnchen-3ya.de/seite' || i " +
+        "WHEN 2 THEN 'https://xn--r8jz45g.jp:443/p' || i || '?q=' || i " +
+        "ELSE 'https://www.example.com/path' || i END AS url_norm " +
+        "FROM g"))
 }

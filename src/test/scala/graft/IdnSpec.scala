@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Idn
+
+/** IDN host normalization: punycode, passthrough, URL splicing. */
+class IdnSpec extends AnyFunSuite {
+
+  test("unicode labels become punycode, ascii lowercases") {
+    assert(Idn.toAsciiHost("münchen.de") == "xn--mnchen-3ya.de")
+    assert(Idn.toAsciiHost("例え.jp") == "xn--r8jz45g.jp")
+    assert(Idn.toAsciiHost("WWW.Example.COM") == "www.example.com")
+    // already-punycode stays put
+    assert(Idn.toAsciiHost("xn--mnchen-3ya.de") == "xn--mnchen-3ya.de")
+  }
+
+  test("url splicing keeps scheme/port/path/query") {
+    assert(Idn.normalizeUrlHost("https://münchen.de:8080/a?b=1#c") ==
+      "https://xn--mnchen-3ya.de:8080/a?b=1#c")
+    assert(Idn.normalizeUrlHost("no scheme here") == "no scheme here")
+    assert(Idn.normalizeUrlHost(null) == "")
+  }
+
+  test("totality on junk labels") {
+    assert(Idn.toAsciiHost("") == "")
+    assert(Idn.toAsciiHost(null) == "")
+    assert(Idn.toAsciiHost("a..b") == "a..b")
+    Idn.toAsciiHost("\uD800bad.surrogate") // must not throw
+    succeed
+  }
+}
