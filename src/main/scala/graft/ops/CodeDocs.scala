@@ -95,7 +95,14 @@ object CodeDocs {
 
   /** Parse a unified diff (one or many files). Tolerant: unknown lines
     * between files skip; a truncated hunk keeps the counts seen so
-    * far; never throws. */
+    * far; never throws.
+    *
+    * `---`/`+++` are only file headers when no hunk is OPEN: the hunk
+    * header's declared old/new lengths bound how many content lines
+    * follow (what git itself relies on), so a removed line rendered
+    * `--- x` or an added `+++ y` inside a live hunk counts as content
+    * instead of truncating the file — real-world SQL-comment diffs hit
+    * this constantly. */
   def parseUnifiedDiff(diff: String): Seq[FileDiff] = {
     val d = if (diff == null) "" else diff
     val lines = d.split("\n", -1)
@@ -104,8 +111,11 @@ object CodeDocs {
     var newPath = ""
     var hunks = ArrayBuffer.empty[Hunk]
     var cur: Hunk = null
+    var remOld = 0 // declared old-side lines not yet seen
+    var remNew = 0
     def closeHunk(): Unit = {
       if (cur != null) { hunks += cur; cur = null }
+      remOld = 0; remNew = 0
     }
     def closeFile(): Unit = {
       closeHunk()
@@ -113,11 +123,12 @@ object CodeDocs {
         out += FileDiff(oldPath, newPath, hunks.toSeq)
       oldPath = ""; newPath = ""; hunks = ArrayBuffer.empty[Hunk]
     }
+    def hunkOpen: Boolean = cur != null && (remOld > 0 || remNew > 0)
     lines.foreach { line =>
-      if (line.startsWith("--- ")) {
+      if (!hunkOpen && line.startsWith("--- ")) {
         closeFile()
         oldPath = stripPrefix(line.substring(4))
-      } else if (line.startsWith("+++ ")) {
+      } else if (!hunkOpen && line.startsWith("+++ ")) {
         newPath = stripPrefix(line.substring(4))
       } else {
         val m = hunkHeader.matcher(line)
@@ -126,11 +137,17 @@ object CodeDocs {
           def g(i: Int, dflt: Int): Int =
             Option(m.group(i)).map(_.toInt).getOrElse(dflt)
           cur = Hunk(g(1, 0), g(2, 1), g(3, 0), g(4, 1), 0, 0)
+          remOld = g(2, 1); remNew = g(4, 1)
         } else if (cur != null) {
-          if (line.startsWith("+")) cur = cur.copy(added = cur.added + 1)
-          else if (line.startsWith("-")) cur = cur.copy(removed = cur.removed + 1)
-          else if (!line.startsWith(" ") && !line.startsWith("\\") && line.nonEmpty)
-            closeHunk() // context ended (e.g. next "diff --git" line)
+          if (line.startsWith("+")) {
+            cur = cur.copy(added = cur.added + 1); remNew -= 1
+          } else if (line.startsWith("-")) {
+            cur = cur.copy(removed = cur.removed + 1); remOld -= 1
+          } else if (line.startsWith(" ") || line.isEmpty) {
+            remOld -= 1; remNew -= 1 // context line (some tools emit "")
+          } else if (!line.startsWith("\\"))
+            closeHunk() // foreign line (e.g. next "diff --git") ends the hunk
+          if (cur != null && remOld <= 0 && remNew <= 0) closeHunk()
         }
       }
     }

@@ -15,9 +15,12 @@ package graft.ops
   *  - validators: `ETag` (strong vs `W/` weak) preferred over
   *    `Last-Modified`.
   *
-  * RFC 1123 dates (`Sun, 06 Nov 1994 08:49:37 GMT`) parse with a
-  * fixed-locale hand parser — no JVM locale dependence. Total on
-  * junk. Pure per-row kernel (SURVEY §2.11).
+  * Dates parse with a fixed-locale hand parser (no JVM locale
+  * dependence) covering the RFC 9110 §5.6.7 MUST-accept list: RFC
+  * 1123 (`Sun, 06 Nov 1994 08:49:37 GMT`), obsolete RFC 850
+  * (`Sunday, 06-Nov-94 ...`, two-digit years expanded 00–69 → 20xx),
+  * and asctime (`Sun Nov  6 08:49:37 1994`). Total on junk. Pure
+  * per-row kernel (SURVEY §2.11).
   */
 object HttpCache {
 
@@ -42,42 +45,74 @@ object HttpCache {
     era * 146097L + doe - 719468L
   }
 
-  /** Parse an RFC 1123 HTTP date to epoch seconds; None on junk. */
+  /** Parse an HTTP date to epoch seconds; None on junk. Accepts the
+    * full RFC 9110 §5.6.7 MUST-accept list:
+    *
+    *  - IMF-fixdate / RFC 1123: `Sun, 06 Nov 1994 08:49:37 GMT`
+    *  - obsolete RFC 850:       `Sunday, 06-Nov-94 08:49:37 GMT`
+    *    (two-digit years expand per the RFC: 00–69 → 20xx, 70–99 →
+    *    19xx; legacy servers still emit these in Expires)
+    *  - obsolete asctime:       `Sun Nov  6 08:49:37 1994`
+    */
   def parseHttpDate(s: String): Option[Long] = {
     if (s == null) return None
-    // "Sun, 06 Nov 1994 08:49:37 GMT" — weekday token optional
     val t = s.trim
-    val body = {
-      val comma = t.indexOf(',')
-      if (comma >= 0) t.substring(comma + 1).trim else t
-    }
-    val parts = body.split("[ :]+").filter(_.nonEmpty)
-    if (parts.length < 6) return None
+    val comma = t.indexOf(',')
     try {
-      val d = parts(0).toInt
-      val m = months.getOrElse(parts(1).toLowerCase, return None)
-      val y = parts(2).toInt
-      val hh = parts(3).toInt
-      val mm = parts(4).toInt
-      val ss = parts(5).toInt
-      if (d < 1 || d > 31 || hh > 23 || mm > 59 || ss > 60 ||
-        y < 1970 || y > 9999) return None
-      Some(daysFromCivil(y, m, d) * 86400L + hh * 3600L + mm * 60L + ss)
+      if (comma >= 0) {
+        // RFC 1123 (space-separated) and RFC 850 (dash-separated) share
+        // the day/month/year/time token order after the weekday comma
+        val parts = t.substring(comma + 1).trim
+          .split("[ :\\-]+").filter(_.nonEmpty)
+        if (parts.length < 6) return None
+        val d = parts(0).toInt
+        val m = months.getOrElse(
+          parts(1).toLowerCase(java.util.Locale.ROOT), return None)
+        val y0 = parts(2).toInt
+        val y = if (parts(2).length == 2) {
+          if (y0 <= 69) 2000 + y0 else 1900 + y0
+        } else y0
+        epoch(y, m, d, parts(3).toInt, parts(4).toInt, parts(5).toInt)
+      } else {
+        val parts = t.split("[ :\\-]+").filter(_.nonEmpty)
+        if (parts.nonEmpty && parts(0).forall(_.isDigit)) {
+          // lenient: day-first with the weekday omitted entirely
+          if (parts.length < 6) return None
+          val m = months.getOrElse(
+            parts(1).toLowerCase(java.util.Locale.ROOT), return None)
+          epoch(parts(2).toInt, m, parts(0).toInt,
+            parts(3).toInt, parts(4).toInt, parts(5).toInt)
+        } else {
+          // asctime: "Sun Nov  6 08:49:37 1994" — weekday first, no comma
+          if (parts.length < 7) return None
+          val m = months.getOrElse(
+            parts(1).toLowerCase(java.util.Locale.ROOT), return None)
+          epoch(parts(6).toInt, m, parts(2).toInt,
+            parts(3).toInt, parts(4).toInt, parts(5).toInt)
+        }
+      }
     } catch {
       case _: NumberFormatException => None
     }
   }
 
+  private def epoch(y: Int, m: Int, d: Int, hh: Int, mm: Int,
+      ss: Int): Option[Long] = {
+    if (d < 1 || d > 31 || hh > 23 || mm > 59 || ss > 60 ||
+      y < 1970 || y > 9999) None
+    else Some(daysFromCivil(y, m, d) * 86400L + hh * 3600L + mm * 60L + ss)
+  }
+
   /** Directive value from a Cache-Control header (`max-age=60`). */
   private def ccDirective(cc: String, name: String): Option[Long] = {
-    cc.toLowerCase.split(',').map(_.trim).collectFirst {
+    cc.toLowerCase(java.util.Locale.ROOT).split(',').map(_.trim).collectFirst {
       case d if d.startsWith(name + "=") =>
         d.substring(name.length + 1).trim.takeWhile(_.isDigit)
     }.filter(_.nonEmpty).map(_.toLong)
   }
 
   private def ccFlag(cc: String, name: String): Boolean =
-    cc.toLowerCase.split(',').map(_.trim).contains(name)
+    cc.toLowerCase(java.util.Locale.ROOT).split(',').map(_.trim).contains(name)
 
   /** Compute freshness from response headers (names matched
     * case-insensitively; pass what the WARC/HTTP split produced). */

@@ -15,15 +15,20 @@ package graft.ops
   */
 object Idn {
 
-  /** Normalize one hostname to lowercase ASCII/punycode. */
+  /** Normalize one hostname to lowercase ASCII/punycode. Lowercasing is
+    * locale-pinned (Locale.ROOT): under a Turkish/Azeri default locale,
+    * `"I".toLowerCase` is U+0131 (dotless i) — a non-ASCII "normalized"
+    * host that differs across JVMs and silently splits host-keyed
+    * dedup/caps. */
   def toAsciiHost(host: String): String = {
     val h = if (host == null) "" else host.trim
     if (h.isEmpty) return ""
+    val Root = java.util.Locale.ROOT
     h.split('.').map { label =>
-      if (label.forall(c => c < 0x80)) label.toLowerCase
+      if (label.forall(c => c < 0x80)) label.toLowerCase(Root)
       else
-        try java.net.IDN.toASCII(label).toLowerCase
-        catch { case _: IllegalArgumentException => label.toLowerCase }
+        try java.net.IDN.toASCII(label).toLowerCase(Root)
+        catch { case _: IllegalArgumentException => label.toLowerCase(Root) }
     }.mkString(".")
   }
 

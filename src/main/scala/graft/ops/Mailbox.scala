@@ -93,8 +93,8 @@ object Mailbox {
 
   /** Content-Type parameter (e.g. boundary, charset), quote-stripped. */
   private[graft] def ctParam(ct: String, param: String): String = {
-    val lower = ct.toLowerCase
-    val key = param.toLowerCase + "="
+    val lower = ct.toLowerCase(java.util.Locale.ROOT)
+    val key = param.toLowerCase(java.util.Locale.ROOT) + "="
     val at = lower.indexOf(key)
     if (at < 0) return ""
     var v = ct.substring(at + key.length)
@@ -132,7 +132,7 @@ object Mailbox {
   }
 
   private def decodeWithHint(b: Array[Byte], charsetHint: String): String = {
-    val hint = charsetHint.toLowerCase
+    val hint = charsetHint.toLowerCase(java.util.Locale.ROOT)
     try {
       if (hint.contains("8859") || hint == "latin1" || hint.contains("1252"))
         new String(b, java.nio.charset.Charset.forName("windows-1252"))
@@ -141,7 +141,7 @@ object Mailbox {
   }
 
   private def decodeBody(body: String, cte: String, charsetHint: String): String =
-    cte.trim.toLowerCase match {
+    cte.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "quoted-printable" => decodeQp(body, charsetHint)
       case "base64" =>
         // MIME decoder skips line breaks and any non-alphabet bytes
@@ -161,7 +161,7 @@ object Mailbox {
     val ct = header(headers, "Content-Type")
     val mediaType = {
       val semi = ct.indexOf(';')
-      (if (semi >= 0) ct.substring(0, semi) else ct).trim.toLowerCase match {
+      (if (semi >= 0) ct.substring(0, semi) else ct).trim.toLowerCase(java.util.Locale.ROOT) match {
         case "" => "text/plain"
         case t => t
       }

@@ -72,24 +72,33 @@ object Pii {
         o.forall(_.isDigit) && o.toInt <= 255
     }
 
-  /** All validated hits in document order. */
+  /** All validated hits in document order. A card candidate that is a
+    * digit sub-run of a VALIDATED IBAN (e.g. 18 Luhn-passing digits
+    * inside `DE89 3704 ...`) is dropped — the longer checksummed hit
+    * wins, so per-kind counts and redaction labels don't drift when
+    * spans overlap. */
   def scan(text: String): Seq[Hit] = {
     val t = if (text == null) "" else text
     if (t.isEmpty) return Nil
+    val ibans = ArrayBuffer.empty[Hit]
+    val bm = ibanPat.matcher(t)
+    while (bm.find()) {
+      if (ibanOk(bm.group(1))) ibans += Hit("iban", bm.start(1), bm.end(1) - bm.start(1))
+    }
     val out = ArrayBuffer.empty[Hit]
     val cm = cardPat.matcher(t)
     while (cm.find()) {
       val digits = t.substring(cm.start, cm.end).filter(_.isDigit)
-      if (luhnOk(digits)) out += Hit("card", cm.start, cm.end - cm.start)
+      val insideIban = ibans.exists(ib =>
+        cm.start < ib.start + ib.len && ib.start < cm.end)
+      if (luhnOk(digits) && !insideIban)
+        out += Hit("card", cm.start, cm.end - cm.start)
     }
     val im = ipPat.matcher(t)
     while (im.find()) {
       if (ipv4Ok(im.group(1))) out += Hit("ipv4", im.start(1), im.end(1) - im.start(1))
     }
-    val bm = ibanPat.matcher(t)
-    while (bm.find()) {
-      if (ibanOk(bm.group(1))) out += Hit("iban", bm.start(1), bm.end(1) - bm.start(1))
-    }
+    out ++= ibans
     out.sortBy(h => (h.start, h.kind)).toSeq
   }
 

@@ -55,9 +55,12 @@ object Pseudonymize {
     sb.toString
   }
 
-  /** Hex-domain nested keyed token; `outLen` hex chars (default 16 =
-    * 64 bits, ample for corpus-scale uniqueness). */
-  def tokenHexChain(key: String, value: String, outLen: Int = 16): String = {
+  /** Hex-domain nested keyed token; `outLen` hex chars. Default 32 hex
+    * chars = 128 bits: at 64 bits, billion-identifier corpora see
+    * non-negligible birthday collisions (~0.3% chance of at least one
+    * at 1e9 ids, growing quadratically) that silently MERGE distinct
+    * users' join keys — callers must opt in to shorter tokens. */
+  def tokenHexChain(key: String, value: String, outLen: Int = 32): String = {
     val (ipad, opad) = pads(key)
     val v = if (value == null) "" else value
     sha256Hex(opad + sha256Hex(ipad + v)).substring(0, outLen)

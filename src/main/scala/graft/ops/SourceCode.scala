@@ -88,7 +88,7 @@ object SourceCode {
     val base = p.substring(p.lastIndexOf('/') + 1)
     val dot = base.lastIndexOf('.')
     if (dot > 0 && dot < base.length - 1) {
-      val ext = base.substring(dot + 1).toLowerCase
+      val ext = base.substring(dot + 1).toLowerCase(java.util.Locale.ROOT)
       extLang.get(ext) match {
         case Some(l) => return LangGuess(l, "extension")
         case None => ()
@@ -112,9 +112,9 @@ object SourceCode {
         case None => ()
       }
     }
-    val lower = t.toLowerCase
+    val lower = t.toLowerCase(java.util.Locale.ROOT)
     contentSigs.collectFirst {
-      case (l, markers) if markers.forall(m => m.isEmpty || lower.contains(m.toLowerCase)) =>
+      case (l, markers) if markers.forall(m => m.isEmpty || lower.contains(m.toLowerCase(java.util.Locale.ROOT))) =>
         LangGuess(l, "content")
     }.getOrElse(LangGuess("unknown", "none"))
   }
@@ -140,7 +140,7 @@ object SourceCode {
     "SPDX-License-Identifier:\\s*([A-Za-z0-9 .+\\-()]+)")
 
   private def normalizeLicenseText(s: String): String =
-    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim
 
   /** Detect the file's license: an explicit `SPDX-License-Identifier:`
     * tag anywhere in the first `window` chars wins (trailing comment
@@ -303,7 +303,7 @@ object SourceCode {
       if (nonBlank > 0) chars * 1000000L / nonBlank else 0L
     val alnumPpm = if (chars > 0) alnum * 1000000L / chars else 0L
     val head = if (t.length > markerWindow) t.substring(0, markerWindow) else t
-    val headLower = head.toLowerCase
+    val headLower = head.toLowerCase(java.util.Locale.ROOT)
     val gen = generatedMarkers.exists(headLower.contains)
     val minified =
       maxLen > minifiedLineLen || (nonBlank > 0 && avgPpm > minifiedAvgLen * 1000000L)

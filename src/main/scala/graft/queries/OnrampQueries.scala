@@ -748,7 +748,7 @@ object OnrampQueries extends QueryGroup {
       "WITH g AS (SELECT doc_id, 'user' || CAST(doc_id // 2 AS VARCHAR) " +
         "AS raw_id FROM documents) " +
         "SELECT doc_id, raw_id, " +
-        s"substr(sha256('$op' || sha256('$ip' || raw_id)), 1, 16) AS token " +
+        s"substr(sha256('$op' || sha256('$ip' || raw_id)), 1, 32) AS token " +
         "FROM g"
     },
 

@@ -75,4 +75,26 @@ class CodeDocsSpec extends AnyFunSuite {
     val t = CodeDocs.parseUnifiedDiff("--- a/x\n+++ b/x\n@@ -1,9 +1,9 @@\n+only")
     assert(t.head.hunks.head.added == 1)
   }
+
+  test("---/+++ content inside an open hunk is NOT a file header") {
+    // a removed SQL comment renders as "--- …" and an added one as
+    // "+++ …"; the hunk header's declared lengths say they're content
+    val d =
+      """--- a/q.sql
+        |+++ b/q.sql
+        |@@ -1,3 +1,3 @@
+        | SELECT 1
+        |--- drop this comment
+        |+++ add this comment
+        | FROM t
+        |""".stripMargin
+    val got = CodeDocs.parseUnifiedDiff(d)
+    assert(got == Seq(FileDiff("q.sql", "q.sql",
+      Seq(Hunk(1, 3, 1, 3, added = 1, removed = 1)))))
+    // once the hunk's budget is exhausted, --- IS the next file header
+    val two = CodeDocs.parseUnifiedDiff(
+      "--- a/f\n+++ b/f\n@@ -1 +1 @@\n-x\n+y\n--- a/g\n+++ b/g\n@@ -1 +1 @@\n-p\n+q\n")
+    assert(two.map(_.newPath) == Seq("f", "g"))
+    assert(two.forall(_.hunks == Seq(Hunk(1, 1, 1, 1, 1, 1))))
+  }
 }

@@ -17,6 +17,22 @@ class HttpCacheSpec extends AnyFunSuite {
     assert(HttpCache.parseHttpDate(null).isEmpty)
   }
 
+  test("RFC 9110 obsolete formats: RFC 850 and asctime") {
+    // RFC 850: dash-separated, two-digit year (70-99 -> 19xx)
+    assert(HttpCache.parseHttpDate("Sunday, 06-Nov-94 08:49:37 GMT") ==
+      Some(784111777L))
+    // 00-69 -> 20xx per RFC 9110 §5.6.7
+    assert(HttpCache.parseHttpDate("Saturday, 01-Jan-00 00:00:00 GMT") ==
+      Some(946684800L))
+    // asctime: weekday first, no comma, day may be space-padded
+    assert(HttpCache.parseHttpDate("Sun Nov  6 08:49:37 1994") ==
+      Some(784111777L))
+    assert(HttpCache.parseHttpDate("Thu Jan  1 00:00:00 1970") == Some(0L))
+    // all three formats agree on the same instant
+    assert(HttpCache.parseHttpDate("Sun, 06 Nov 1994 08:49:37 GMT") ==
+      HttpCache.parseHttpDate("Sunday, 06-Nov-94 08:49:37 GMT"))
+  }
+
   test("max-age wins over expires; s-maxage wins over max-age") {
     val date = "Thu, 01 Jan 1970 00:00:00 GMT"
     val f = HttpCache.freshness(Seq("Date" -> date,

@@ -22,6 +22,18 @@ class IdnSpec extends AnyFunSuite {
     assert(Idn.normalizeUrlHost(null) == "")
   }
 
+  test("locale-independent lowercasing (Turkish-I hazard)") {
+    // under a tr default locale, naive toLowerCase turns 'I' into
+    // U+0131 (dotless i) — a non-ASCII "normalized" host that differs
+    // across JVMs and splits host-keyed dedup; Locale.ROOT pins it
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(Idn.toAsciiHost("ISTANBUL.Example.COM") == "istanbul.example.com")
+      assert(Idn.toAsciiHost("ISTANBUL.Example.COM").forall(_ < 0x80))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("totality on junk labels") {
     assert(Idn.toAsciiHost("") == "")
     assert(Idn.toAsciiHost(null) == "")

@@ -23,8 +23,11 @@ class PseudonymizeSpec extends AnyFunSuite {
     assert(a == Pseudonymize.tokenHexChain("graftkey", "user1"))
     assert(a != Pseudonymize.tokenHexChain("graftkey", "user2"))
     assert(a != Pseudonymize.tokenHexChain("otherkey", "user1"))
-    assert(a.length == 16 && a.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+    // default is 32 hex chars (128 bits) — 64-bit tokens birthday-collide
+    // at billion-identifier scale; shorter lengths are opt-in
+    assert(a.length == 32 && a.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
     assert(Pseudonymize.tokenHexChain("k", "v", 64).length == 64)
+    assert(Pseudonymize.tokenHexChain("graftkey", "user1", 16) == a.take(16))
   }
 
   test("pads are ASCII and key rules enforced") {

@@ -66,6 +66,19 @@ class ScriptsPiiSpec extends AnyFunSuite {
     assert(kinds.count(_ == "ipv4") == 2)
   }
 
+  test("card sub-run inside a validated IBAN yields ONE iban hit") {
+    // DE95 4111 1111 1111 1111 00 is mod-97 valid AND its interior
+    // digit run "4111...1100" (18 digits) passes Luhn — the longer
+    // checksummed IBAN must win, not a phantom card
+    val txt = "acct DE95 4111 1111 1111 1111 00 end"
+    val hits = Pii.scan(txt)
+    assert(hits.map(_.kind) == Seq("iban"))
+    val (red, nc, ni, nb) = Pii.redact(txt)
+    assert(red == "acct [REDACTED:iban] end" && nc == 0 && ni == 0 && nb == 1)
+    // the same card digits OUTSIDE an IBAN still flag as card
+    assert(Pii.scan("pay 4111 1111 1111 1111 now").map(_.kind) == Seq("card"))
+  }
+
   test("redact splices and counts per kind; totality") {
     val (red, nc, ni, nb) = Pii.redact("card 4111 1111 1111 1111 done")
     assert(red == "card [REDACTED:card] done" && nc == 1 && ni == 0 && nb == 0)
