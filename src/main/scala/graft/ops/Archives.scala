@@ -207,9 +207,42 @@ object Archives {
     new String(b, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Parse one pax extended-header payload: repeated `NN key=value\n`
+    * records where NN is the decimal byte length of the WHOLE record
+    * (length digits + space + key + `=` + value + newline). Malformed
+    * tails yield the records parsed so far. */
+  private[graft] def parsePax(d: Array[Byte]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < d.length && d(i) != 0) {
+      var j = i
+      while (j < d.length && d(j) != ' ') j += 1
+      val len =
+        try new String(d, i, j - i, "US-ASCII").trim.toInt
+        catch { case _: NumberFormatException => return out.result() }
+      if (len <= 0 || i + len > d.length || j + 1 >= i + len)
+        return out.result()
+      val rec = new String(d, j + 1, i + len - (j + 1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = rec.indexOf('=')
+      if (eq > 0) out += rec.substring(0, eq) -> {
+        val v = rec.substring(eq + 1)
+        if (v.endsWith("\n")) v.substring(0, v.length - 1) else v
+      }
+      i += len
+    }
+    out.result()
+  }
+
   /** Walk a tar (or tar.gz) blob: regular-file members only (typeflag
-    * '0'/NUL), name = prefix "/" name per ustar. Malformed/truncated
-    * input yields the members walked so far. */
+    * '0'/NUL), name = prefix "/" name per ustar. GNU long names
+    * (typeflag 'L', the `././@LongLink` convention) and pax extended
+    * headers ('x' per-file, 'g' global — `path`/`size` keys) override
+    * the 100-char header fields, so modern `git archive`/`tar` dumps
+    * with deep paths walk correctly instead of surfacing truncated
+    * names and pseudo-entries. Precedence per POSIX: pax `path` > GNU
+    * longname > global default > ustar prefix/name. Malformed or
+    * truncated input yields the members walked so far. */
   def parseTarEntries(b0: Array[Byte], maxEntries: Int = 65535): Seq[ArchiveEntry] = {
     if (b0 == null || b0.length < 2) return Nil
     try {
@@ -221,6 +254,9 @@ object Archives {
       val out = Seq.newBuilder[ArchiveEntry]
       var p = 0
       var k = 0
+      var gnuName: Option[String] = None
+      var paxOver: Map[String, String] = Map.empty
+      var paxGlobal: Map[String, String] = Map.empty
       while (p + 512 <= b.length && k < maxEntries) {
         if (b(p) == 0) return out.result() // terminator block
         val size = octal(b, p + 124, 11)
@@ -236,14 +272,35 @@ object Archives {
           i += 1
         }
         if (stored != sum) return out.result()
-        if (typeflag == '0' || typeflag == 0) {
-          val prefix = str(b, p + 345, 155)
-          val base = str(b, p, 100)
-          val name = if (prefix.isEmpty) base else prefix + "/" + base
-          out += ArchiveEntry(name, size, size, "tar", -1L, p.toLong)
-          k += 1
+        val dataOff = p + 512
+        def data: Array[Byte] = {
+          val end = math.min(b.length.toLong, dataOff + size).toInt
+          if (size > MaxInflated || dataOff >= end) Array.emptyByteArray
+          else java.util.Arrays.copyOfRange(b, dataOff, end)
         }
-        p += 512 + ((size + 511) / 512).toInt * 512
+        var effSize = size
+        typeflag.toChar match {
+          case 'L' => // GNU longname: data = next member's name, NUL-ended
+            gnuName = Some(str(data, 0, data.length))
+          case 'K' => () // GNU longlink: link target — not surfaced here
+          case 'x' => paxOver = paxOver ++ parsePax(data)
+          case 'g' => paxGlobal = paxGlobal ++ parsePax(data)
+          case '0' | '\u0000' => // NUL = pre-POSIX regular file
+            val prefix = str(b, p + 345, 155)
+            val base = str(b, p, 100)
+            val ustarName = if (prefix.isEmpty) base else prefix + "/" + base
+            val name = paxOver.get("path").orElse(gnuName)
+              .orElse(paxGlobal.get("path")).getOrElse(ustarName)
+            // pax size override carries files past the 8 GiB octal field
+            effSize = paxOver.get("size")
+              .flatMap(s => s.toLongOption).getOrElse(size)
+            out += ArchiveEntry(name, effSize, effSize, "tar", -1L, p.toLong)
+            k += 1
+            gnuName = None; paxOver = Map.empty
+          case _ => // dir/symlink/...: consumes any pending overrides
+            gnuName = None; paxOver = Map.empty
+        }
+        p += 512 + ((effSize + 511) / 512).toInt * 512
       }
       out.result()
     } catch {
@@ -270,16 +327,30 @@ object Archives {
     }
   }
 
+  /** One pax `NN key=value\n` record with its self-referential length
+    * prefix (NN counts the digits themselves). */
+  private[graft] def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var len = body.length + 1 // at least one length digit
+    while (String.valueOf(len).length + body.length != len)
+      len = String.valueOf(len).length + body.length
+    String.valueOf(len).getBytes("US-ASCII") ++ body
+  }
+
   /** Deterministic ustar writer for fixtures (regular files, fixed
-    * mtime, root ownership). */
+    * mtime, root ownership). Names over 100 bytes are carried via the
+    * override style `longNames` selects: `"gnu"` = a typeflag-'L'
+    * `././@LongLink` entry (what GNU tar emits), `"pax"` = a
+    * typeflag-'x' extended header with a `path` record (what
+    * `git archive` / POSIX-2001 tar emit). */
   def encodeTar(members: Seq[(String, Array[Byte])],
-      gzip: Boolean = false): Array[Byte] = {
+      gzip: Boolean = false, longNames: String = "gnu"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    members.foreach { case (name, data) =>
+    def writeEntry(nameField: Array[Byte], typeflag: Byte,
+        data: Array[Byte]): Unit = {
       val hdr = new Array[Byte](512)
-      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      require(nameB.length <= 100, s"name too long for fixture: $name")
-      System.arraycopy(nameB, 0, hdr, 0, nameB.length)
+      System.arraycopy(nameField, 0, hdr, 0, math.min(nameField.length, 100))
       def oct(v: Long, off: Int, len: Int): Unit = {
         val s = java.lang.Long.toOctalString(v)
         val padded = ("0" * (len - 1 - s.length)) + s
@@ -289,7 +360,7 @@ object Archives {
       oct(0, 108, 8); oct(0, 116, 8) // uid / gid
       oct(data.length.toLong, 124, 12)
       oct(0, 136, 12) // mtime
-      hdr(156) = '0' // regular file
+      hdr(156) = typeflag
       System.arraycopy("ustar".getBytes("US-ASCII"), 0, hdr, 257, 5)
       hdr(263) = '0'; hdr(264) = '0' // version "00"
       java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
@@ -304,6 +375,20 @@ object Archives {
       out.write(data)
       val pad = (512 - data.length % 512) % 512
       out.write(new Array[Byte](pad))
+    }
+    members.foreach { case (name, data) =>
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (nameB.length > 100) longNames match {
+        case "gnu" =>
+          writeEntry("././@LongLink".getBytes("US-ASCII"), 'L',
+            nameB ++ Array[Byte](0))
+        case "pax" =>
+          writeEntry("PaxHeaders/x".getBytes("US-ASCII"), 'x',
+            paxRecord("path", name))
+        case other =>
+          throw new IllegalArgumentException(s"longNames: $other")
+      }
+      writeEntry(nameB, '0', data)
     }
     out.write(new Array[Byte](1024)) // two terminator blocks
     val raw = out.toByteArray

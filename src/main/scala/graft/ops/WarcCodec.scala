@@ -162,9 +162,35 @@ object WarcCodec {
     None // unreachable
   }
 
+  /** Bounded zstd (RFC 8878) decode for `Content-Encoding: zstd` via
+    * the zstd-jni already on Spark's runtime classpath; None on
+    * malformed input or a [[MaxInflated]] breach (bomb stance shared
+    * with every decompression path here). */
+  private[graft] def zstdBounded(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(b.length * 4, MaxInflated))
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0 && out.size() < MaxInflated) {
+          out.write(buf, 0, math.min(r, MaxInflated - out.size()))
+          r = in.read(buf)
+        }
+        if (out.size() >= MaxInflated) None else Some(out.toByteArray)
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Undo transfer- then content-coding on an HTTP body. Returns
     * (octets, flag): flag `""` = plain/decoded; else the coding token
-    * this codec left in place (body = raw coded bytes). */
+    * this codec left in place (body = raw coded bytes). gzip, deflate
+    * and zstd decode; brotli stays flagged — RFC 7932 needs its
+    * embedded 120 KB static dictionary and no public JVM decoder ships
+    * on the Spark classpath, so `br` records keep raw bytes and the
+    * crawl-coverage accounting (pipeline_crawl_coverage) surfaces how
+    * much of a corpus that skip costs. */
   private[graft] def decodeBody(raw: Array[Byte], contentEncoding: String,
       transferEncoding: String): (Array[Byte], String) = {
     val te = transferEncoding.trim.toLowerCase
@@ -181,7 +207,9 @@ object WarcCodec {
             gunzipBounded(d).map((_, "")).getOrElse((d, ce))
           case "deflate" =>
             inflateBounded(d).map((_, "")).getOrElse((d, "deflate"))
-          case other => (d, other) // br / zstd / multi-coding: raw + flag
+          case "zstd" =>
+            zstdBounded(d).map((_, "")).getOrElse((d, "zstd"))
+          case other => (d, other) // br / multi-coding: raw + flag
         }
     }
   }
@@ -440,6 +468,11 @@ object WarcCodec {
           val (wire, codingHeaders) = e.coding match {
             case "identity" => (e.body, "")
             case "gzip" => (gzipBytes(e.body), "Content-Encoding: gzip\r\n")
+            case "zstd" =>
+              val bos = new java.io.ByteArrayOutputStream
+              val zs = new com.github.luben.zstd.ZstdOutputStream(bos)
+              zs.write(e.body); zs.close()
+              (bos.toByteArray, "Content-Encoding: zstd\r\n")
             case "deflate" =>
               val d = new java.util.zip.Deflater()
               d.setInput(e.body); d.finish()

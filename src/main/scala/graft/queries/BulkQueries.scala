@@ -460,11 +460,11 @@ object BulkQueries extends QueryGroup {
 
     // REAL crawl container: WARC/1.0 (ISO 28500) record walk over both
     // transports (plain + per-record gzip members), HTTP payload split
-    // WITH body decode (identity / gzip / chunked / chunked+gzip per id
-    // arithmetic; br stays raw + flagged), and the PNG body fed straight
-    // into the media sniffer — the `info` byte length only matches the
-    // oracle when de-chunk + inflate actually ran (a compressed or
-    // still-framed body has a different length)
+    // WITH body decode (identity / gzip / chunked / chunked+gzip / zstd
+    // per id arithmetic; br stays raw + flagged), and the PNG body fed
+    // straight into the media sniffer — the `info` byte length only
+    // matches the oracle when de-chunk + inflate/zstd actually ran (a
+    // compressed or still-framed body has a different length)
     "mm_warc_records" -> ((s, dir) => {
       import s.implicits._
       MediaFixtures.media(s, dir, "warc").as[(Long, Array[Byte])]
@@ -635,6 +635,80 @@ object BulkQueries extends QueryGroup {
           first(col("text_out")).as("text_out"),
           first(col("n_words")).as("n_words"))
         .select("doc_id", "url", "n_dupes", "n_words", "text_out")
+    }),
+
+    // skipped-record ACCOUNTING over the crawl composition: every
+    // record lands in exactly one disposition class (decoded+curated /
+    // flagged-coding / robots-blocked / soft-404 / quality-dropped) and
+    // the class COUNTS are the output — at 100 TB, silent skip classes
+    // are the difference between "curated" and "quietly lost 20%", so
+    // the flagship composition's drops are hash-gated, not just logged.
+    // gzip and zstd codings DECODE into the curated class; only br (no
+    // JVM decoder) lands in flagged_coding.
+    "pipeline_crawl_coverage" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.{Boilerplate, Charsets, ErrorPages, Robots, WarcCodec}
+          val cls = (id % 7).toInt
+          val body =
+            if (cls == 2) "<html><head><title>404 Not Found</title></head>" +
+              "<body><p>Sorry, the page you requested does not exist.</p>" +
+              "</body></html>"
+            else if (cls == 3) s"<html><body><p>tiny $id</p></body></html>"
+            else s"<html><body><article><p>Coverage article $id keeps " +
+              "at least ten useful plain words in the body.</p></article>" +
+              "</body></html>"
+          val path = if (cls == 1) s"/private/x$id" else s"/public/x$id"
+          val coding = cls match {
+            case 0 => "br"; case 4 => "gzip"; case 5 => "zstd"
+            case _ => "identity"
+          }
+          val warc = WarcCodec.encodeWarc(Seq(WarcCodec.WarcEntry(
+            "response", s"https://h${id % 5}.example.com$path", 200,
+            "text/html", body.getBytes("UTF-8"), coding)),
+            gzipPerRecord = id % 2 == 0)
+          val robots = Robots.parse("User-agent: *\nDisallow: /private/\n")
+          val disposition = WarcCodec.parseWarc(warc).headOption match {
+            case None => "unparsed"
+            case Some(r) =>
+              if (r.httpEncoding.nonEmpty) "flagged_" + r.httpEncoding
+              else if (!Robots.isAllowed(robots, "graftbot/1.0",
+                r.targetUri.replaceFirst("^https?://[^/]+", "")))
+                "robots_blocked"
+              else {
+                val html = Charsets.decodeText(r.body)
+                val tOpen = html.indexOf("<title>")
+                val title =
+                  if (tOpen < 0) ""
+                  else {
+                    val e = html.indexOf("</title>", tOpen)
+                    if (e < 0) "" else html.substring(tOpen + 7, e)
+                  }
+                val text = Boilerplate.mainContent(html)
+                if (ErrorPages.classify(r.httpStatus, title, text).kind != "ok")
+                  "soft404_dropped"
+                else if (text.split("\\s+").count(_.nonEmpty) < 10)
+                  "quality_dropped"
+                else "curated"
+              }
+          }
+          (id, disposition)
+        }).toDF("doc_id", "disposition")
+        .groupBy()
+        .agg(
+          count(lit(1)).as("records_total"),
+          sum(when(col("disposition") === "curated", 1L).otherwise(0L))
+            .as("curated"),
+          sum(when(col("disposition").startsWith("flagged_"), 1L)
+            .otherwise(0L)).as("flagged_coding"),
+          sum(when(col("disposition") === "robots_blocked", 1L).otherwise(0L))
+            .as("robots_blocked"),
+          sum(when(col("disposition") === "soft404_dropped", 1L).otherwise(0L))
+            .as("soft404_dropped"),
+          sum(when(col("disposition") === "quality_dropped", 1L).otherwise(0L))
+            .as("quality_dropped"))
     }),
 
     // PDF text extraction through REAL bytes: six layout/show-device
@@ -980,6 +1054,30 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "name", "size", "method", "text")
     }),
 
+    // GNU-longname ('L' pseudo-entry) and pax ('x' path-record) tar
+    // walks: >100-char member paths must surface with their FULL name
+    // and the override pseudo-entries must NOT appear as data members —
+    // real repo dumps (git archive, GNU tar) hit both styles constantly
+    "mm_tar_longnames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.Archives
+          val deep = ("d/" * (51 + id % 3).toInt) + s"f$id.txt"
+          val members = Seq(
+            (deep, s"deep $id".getBytes("UTF-8")),
+            (s"short$id.txt", s"short $id".getBytes("UTF-8")))
+          val tar = Archives.encodeTar(members, gzip = id % 4 >= 2,
+            longNames = if (id % 2 == 0) "gnu" else "pax")
+          Archives.parseTarEntries(tar).zipWithIndex.map { case (e, ix) =>
+            val text = Archives.extractTarEntry(tar, e)
+              .map(new String(_, "UTF-8")).getOrElse("")
+            (id, ix.toLong, e.name, e.size, text)
+          }
+        }).toDF("doc_id", "entry_idx", "name", "size", "text")
+    }),
+
     // crawl frontier: RSS 2.0 / Atom feed entries through BOTH
     // vocabularies and BOTH transports — titles ride CDATA on the RSS
     // side and entity escaping on the Atom side, so the gate only
@@ -1248,7 +1346,7 @@ object BulkQueries extends QueryGroup {
     "mm_warc_records" ->
       ("SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx, 'response' AS warc_type, " +
         "CAST(200 AS INT) AS http_status, 'text/html' AS mime, " +
-        "CASE WHEN doc_id % 5 = 4 THEN 'br' ELSE '' END AS encoding, " +
+        "CASE WHEN doc_id % 6 = 5 THEN 'br' ELSE '' END AS encoding, " +
         "CAST(30 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS info FROM documents " +
         "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'response', " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT), 'image/png', " +
@@ -1258,7 +1356,7 @@ object BulkQueries extends QueryGroup {
         "CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents"),
     "pipeline_warc_text" ->
       ("SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out " +
-        "FROM documents WHERE doc_id % 5 <> 4"),
+        "FROM documents WHERE doc_id % 6 <> 5"),
     "mm_warc_cdx_lookup" ->
       ("SELECT doc_id, 'http://x/' || CAST(doc_id AS VARCHAR) || '/1' AS uri, " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
@@ -1374,6 +1472,18 @@ object BulkQueries extends QueryGroup {
         "CAST(doc_id AS VARCHAR) AS text " +
         "FROM g, generate_series(0, 2) AS s(j) WHERE j < n"),
 
+    // long-name members re-derived: the full deep path only matches if
+    // the L/x override was applied and the pseudo-entry suppressed
+    "mm_tar_longnames" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(51 + doc_id % 3 AS INT) AS n FROM documents) " +
+        "SELECT doc_id, CAST(j AS BIGINT) AS entry_idx, " +
+        "CASE j WHEN 0 THEN repeat('d/', n) || 'f' || i || '.txt' " +
+        "ELSE 'short' || i || '.txt' END AS name, " +
+        "CAST(CASE j WHEN 0 THEN 5 ELSE 6 END + length(i) AS BIGINT) AS size, " +
+        "CASE j WHEN 0 THEN 'deep ' || i ELSE 'short ' || i END AS text " +
+        "FROM g, generate_series(0, 1) AS s(j)"),
+
     // feed entries re-derived field by field; is_atom pins which
     // vocabulary was parsed
     "pipeline_feed_entries" ->
@@ -1417,6 +1527,22 @@ object BulkQueries extends QueryGroup {
         "'Second curated paragraph ' || CAST(doc_id // 2 AS VARCHAR) || " +
         "' keeps at least eight plain words too.' AS text_out " +
         "FROM documents WHERE doc_id % 2 = 0"),
+    // coverage classes replay from the id arithmetic that planted them;
+    // gzip (cls 4) and zstd (cls 5) must land in CURATED for the hash
+    // to match — a regression in either decoder moves them to flagged
+    "pipeline_crawl_coverage" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS records_total, " +
+        "CAST(sum(CASE WHEN doc_id % 7 >= 4 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS curated, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS flagged_coding, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS robots_blocked, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS soft404_dropped, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS quality_dropped " +
+        "FROM documents"),
     "pipeline_pdf_text" ->
       ("SELECT doc_id, " +
         "CAST(CASE WHEN doc_id % 6 IN (1, 5) THEN 2 ELSE 1 END AS INT) AS n_pages, " +

@@ -191,21 +191,22 @@ object MediaFixtures {
       (16 + id % 48).toInt, (16 + (id * 7) % 40).toInt, seed = id)
 
   /** Three-record WARC per doc: an HTML response whose BODY coding
-    * cycles id%5 over identity / gzip / chunked / chunked+gzip / br
-    * (br = the parser's can't-decode flag path — body stays raw), a PNG
-    * response (404 every 4th), and a raw request record; even ids take
-    * the per-record-gzip transport (`.warc.gz`), odd ids plain. Real
-    * Common Crawl bodies are stored AS SENT (mostly compressed), so the
-    * decode paths are the load-bearing part of the on-ramp. */
+    * cycles id%6 over identity / gzip / chunked / chunked+gzip / zstd /
+    * br (zstd DECODES via zstd-jni; br = the parser's can't-decode flag
+    * path — body stays raw), a PNG response (404 every 4th), and a raw
+    * request record; even ids take the per-record-gzip transport
+    * (`.warc.gz`), odd ids plain. Real Common Crawl bodies are stored
+    * AS SENT (mostly compressed), so the decode paths are the
+    * load-bearing part of the on-ramp. */
   private def warcBlob(id: Long): Array[Byte] = {
     import graft.ops.WarcCodec
     val html = s"<html><body>doc $id</body></html>".getBytes("US-ASCII")
     val png = MediaCodec.encodePng((16 + id % 16).toInt, (16 + id % 8).toInt,
       seed = id)
     val req = s"GET /$id HTTP/1.1\r\n\r\n".getBytes("US-ASCII")
-    val coding = (id % 5) match {
+    val coding = (id % 6) match {
       case 0 => "identity"; case 1 => "gzip"; case 2 => "chunked"
-      case 3 => "chunked+gzip"; case _ => "br"
+      case 3 => "chunked+gzip"; case 4 => "zstd"; case _ => "br"
     }
     WarcCodec.encodeWarc(Seq(
       WarcCodec.WarcEntry("response", s"http://x/$id/0", 200, "text/html",
@@ -307,7 +308,8 @@ object MediaFixtures {
   // r9: warc gained body-coding variants, mp3 frame count capped,
   // codec-level families added (mp4_avc H.264 SPS, webm_vp9 VP9
   // header, av1_seq AV1 sequence header via both containers)
-  private val version = 3
+  // r10: warc coding cycle widened to id%6 with a DECODING zstd variant
+  private val version = 4
 
   // column count + content version in the path → a schema OR formula
   // change auto-rebuilds stale local tables instead of failing the read

@@ -99,6 +99,57 @@ class ArchivesSpec extends AnyFunSuite {
     assert(es.head.name == "x.txt" && es.head.size == 7)
   }
 
+  test("GNU longname entries carry >100-char paths") {
+    val deep = "very/" * 25 + "deep/file-with-a-quite-long-name.txt" // 161
+    assert(deep.length > 100)
+    val mix = Seq(("short.txt", "s".getBytes("UTF-8")),
+      (deep, "deep payload".getBytes("UTF-8")))
+    for (gz <- Seq(false, true)) {
+      val tar = Archives.encodeTar(mix, gzip = gz, longNames = "gnu")
+      val es = Archives.parseTarEntries(tar)
+      assert(es.map(_.name) == mix.map(_._1))
+      assert(new String(Archives.extractTarEntry(tar, es(1)).get, "UTF-8") ==
+        "deep payload")
+    }
+  }
+
+  test("pax path override wins over the truncated header name") {
+    val deep = "pax/" * 30 + "leaf.txt" // 128 chars
+    val mix = Seq((deep, "pax payload".getBytes("UTF-8")),
+      ("tail.txt", "t".getBytes("UTF-8")))
+    val tar = Archives.encodeTar(mix, longNames = "pax")
+    val es = Archives.parseTarEntries(tar)
+    // the x pseudo-entry must NOT surface as a data member
+    assert(es.map(_.name) == mix.map(_._1))
+    assert(new String(Archives.extractTarEntry(tar, es(0)).get, "UTF-8") ==
+      "pax payload")
+    // pax record grammar: self-referential length prefix
+    val rec = Archives.paxRecord("path", "a/b")
+    assert(new String(rec, "UTF-8") == "12 path=a/b\n")
+    assert(Archives.parsePax(rec) == Map("path" -> "a/b"))
+    // multi-record payload + malformed tail tolerance
+    val two = Archives.paxRecord("path", "x") ++ Archives.paxRecord("size", "7")
+    assert(Archives.parsePax(two) == Map("path" -> "x", "size" -> "7"))
+    assert(Archives.parsePax("junk no digits".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("system tar reads our GNU and pax long-name tars (cross-check)") {
+    val deep = "xx/" * 40 + "end.txt" // 127 chars
+    val mix = Seq((deep, "sys payload".getBytes("UTF-8")))
+    for (mode <- Seq("gnu", "pax")) {
+      val f = java.io.File.createTempFile(s"graft_$mode", ".tar")
+      try {
+        val fos = new java.io.FileOutputStream(f)
+        fos.write(Archives.encodeTar(mix, longNames = mode)); fos.close()
+        val pr = new ProcessBuilder("tar", "-tf", f.getAbsolutePath)
+          .redirectErrorStream(true).start()
+        val listing = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+        assert(pr.waitFor() == 0, s"tar -tf failed ($mode): $listing")
+        assert(listing.trim.linesIterator.toSeq == Seq(deep), s"($mode) $listing")
+      } finally f.delete()
+    }
+  }
+
   test("the media classifier recognizes both containers") {
     val zipMeta = graft.ops.MediaCodec.parseMeta(Archives.encodeZip(members))
     assert(zipMeta.format == "zip" && zipMeta.nFrames == 3)

@@ -82,7 +82,8 @@ class WarcCodecSpec extends AnyFunSuite {
 
   test("HTTP body codings decode back to the plain octets, both transports") {
     for (gz <- Seq(false, true);
-         coding <- Seq("identity", "gzip", "deflate", "chunked", "chunked+gzip")) {
+         coding <- Seq("identity", "gzip", "deflate", "chunked",
+           "chunked+gzip", "zstd")) {
       val warc = WarcCodec.encodeWarc(Seq(
         WarcEntry("response", "http://a/c", 200, "text/html", htmlBody, coding)),
         gzipPerRecord = gz)
@@ -99,6 +100,19 @@ class WarcCodecSpec extends AnyFunSuite {
     val rec = WarcCodec.parseWarc(warc).head
     assert(rec.httpEncoding == "br")
     assert(java.util.Arrays.equals(rec.body, htmlBody)) // fixture wrote raw
+  }
+
+  test("malformed zstd keeps the raw body and flags zstd") {
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: zstd\r\nContent-Length: 9\r\n\r\nnot zstd!")
+      .getBytes("US-ASCII")
+    val warc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a/z\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    val rec = WarcCodec.parseWarc(warc).head
+    assert(rec.httpEncoding == "zstd")
+    assert(new String(rec.body, "US-ASCII") == "not zstd!")
   }
 
   test("malformed chunk framing keeps the raw body and flags chunked") {
