@@ -182,11 +182,13 @@ object Archives {
 
   // ---- TAR -------------------------------------------------------------
 
-  /** True for a plausible ustar header (magic at 257) or a gzip blob. */
+  /** True for a plausible ustar header (magic at 257) or a gzip /
+    * bzip2 / xz transport blob. */
   def sniffTar(b: Array[Byte]): Boolean =
     (b != null && b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
       b(259) == 't' && b(260) == 'a' && b(261) == 'r') ||
-      (b != null && b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      (b != null && b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) ||
+      Dumps.sniffBzip2(b) || Dumps.sniffXz(b)
 
   private def octal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L
@@ -243,13 +245,22 @@ object Archives {
     * names and pseudo-entries. Precedence per POSIX: pax `path` > GNU
     * longname > global default > ustar prefix/name. Malformed or
     * truncated input yields the members walked so far. */
+  /** Undo a tar blob's compression transport: gzip (tgz), bzip2
+    * (`.tar.bz2`) or xz (`.tar.xz`), all bounded by the shared bomb
+    * cap; plain blobs pass through. */
+  private def deTransport(b0: Array[Byte]): Array[Byte] =
+    if ((b0(0) & 0xff) == 0x1f && (b0(1) & 0xff) == 0x8b)
+      WarcCodec.gunzipAll(b0)
+    else if (Dumps.sniffBzip2(b0))
+      Dumps.bunzip2Bounded(b0).getOrElse(Array.emptyByteArray)
+    else if (Dumps.sniffXz(b0))
+      Dumps.unxzBounded(b0).getOrElse(Array.emptyByteArray)
+    else b0
+
   def parseTarEntries(b0: Array[Byte], maxEntries: Int = 65535): Seq[ArchiveEntry] = {
     if (b0 == null || b0.length < 2) return Nil
     try {
-      val b =
-        if ((b0(0) & 0xff) == 0x1f && (b0(1) & 0xff) == 0x8b)
-          WarcCodec.gunzipAll(b0)
-        else b0
+      val b = deTransport(b0)
       if (b.length < 512) return Nil
       val out = Seq.newBuilder[ArchiveEntry]
       var p = 0
@@ -314,10 +325,7 @@ object Archives {
   def extractTarEntry(b0: Array[Byte], e: ArchiveEntry): Option[Array[Byte]] = {
     if (b0 == null || e == null || b0.length < 2) return None
     try {
-      val b =
-        if ((b0(0) & 0xff) == 0x1f && (b0(1) & 0xff) == 0x8b)
-          WarcCodec.gunzipAll(b0)
-        else b0
+      val b = deTransport(b0)
       val p = e.offset.toInt
       if (p < 0 || p + 512 + e.size > b.length || e.size > MaxInflated) None
       else Some(java.util.Arrays.copyOfRange(b, p + 512, p + 512 + e.size.toInt))

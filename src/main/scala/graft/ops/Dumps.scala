@@ -1,0 +1,239 @@
+package graft.ops
+
+/** Compressed-dump transports (bzip2, xz) and the MediaWiki XML dump
+  * walk — the on-ramp for the single most-used public corpus this
+  * engine must ingest end-to-end: Wikipedia ships as
+  * `*-pages-articles-multistream.xml.bz2` (concatenated bzip2 streams),
+  * and source tarballs ride `.tar.bz2` / `.tar.xz`.
+  *
+  * Decoders come from Spark's own runtime classpath (commons-compress
+  * for bzip2, the xz artifact for LZMA2) and share the engine-wide
+  * 2^28 inflated-byte bomb cap ([[WarcCodec.MaxInflated]]): a hostile
+  * blob yields None, never an unbounded allocation. Fixture writers
+  * ([[encodeBzip2]]/[[encodeXz]]) keep the oracles deterministic.
+  *
+  * The page walk is the tolerant-scan stance of the HTML-adjacent
+  * parsers (JsonLd/HtmlTables): `<page>` elements are located by index
+  * scan, `<title>`/`<ns>`/`<text>` extracted with XML entity decode,
+  * malformed tails yield the pages parsed so far — never an exception.
+  * One dump file is one task's unit in a `binaryFile`-read `flatMap`
+  * (bzip2 streams are not block-splittable without an external index;
+  * the multistream layout's per-stream index is the CDX idea again).
+  *
+  * Reference behavior: HIndex stores payloads as opaque cell bytes
+  * (`SeekPointFetcher.java:47`); this tier is pipeline value-add
+  * (SURVEY §2.11).
+  */
+object Dumps {
+
+  private val MaxInflated = WarcCodec.MaxInflated
+
+  /** True for the bzip2 magic `BZh1`..`BZh9`. */
+  def sniffBzip2(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'B' && b(1) == 'Z' &&
+      b(2) == 'h' && b(3) >= '1' && b(3) <= '9'
+
+  /** True for the xz magic FD `7zXZ` 00. */
+  def sniffXz(b: Array[Byte]): Boolean =
+    b != null && b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
+      b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' && b(5) == 0
+
+  private def drainBounded(in: java.io.InputStream,
+      sizeHint: Int): Option[Array[Byte]] =
+    try {
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(sizeHint, 64), MaxInflated))
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0 && out.size() < MaxInflated) {
+          out.write(buf, 0, math.min(r, MaxInflated - out.size()))
+          r = in.read(buf)
+        }
+        if (out.size() >= MaxInflated) None else Some(out.toByteArray)
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Bounded bzip2 decode; concatenated streams (the Wikipedia
+    * MULTISTREAM layout) decode as one contiguous output. None on
+    * malformed input or a bomb-cap breach. */
+  def bunzip2Bounded(b: Array[Byte]): Option[Array[Byte]] = {
+    if (!sniffBzip2(b)) return None
+    try drainBounded(
+      new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(b), true), b.length * 4)
+    catch { case _: Exception => None }
+  }
+
+  /** Bounded xz decode (LZMA2); the decoder's own memory limit is
+    * pinned so a hostile dictionary size cannot OOM an executor. */
+  def unxzBounded(b: Array[Byte]): Option[Array[Byte]] = {
+    if (!sniffXz(b)) return None
+    try drainBounded(
+      new org.tukaani.xz.XZInputStream(
+        new java.io.ByteArrayInputStream(b), 1 << 18 /* KiB = 256 MiB */),
+      b.length * 4)
+    catch { case _: Exception => None }
+  }
+
+  /** Deterministic bzip2 writer for fixtures. */
+  def encodeBzip2(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos)
+    z.write(b); z.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic xz writer for fixtures (fixed preset). */
+  def encodeXz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new org.tukaani.xz.XZOutputStream(bos,
+      new org.tukaani.xz.LZMA2Options(6))
+    z.write(b); z.close()
+    bos.toByteArray
+  }
+
+  // ---- MediaWiki XML dump walk -----------------------------------------
+
+  /** One dump page: export-schema `<title>`, `<ns>` (0 = article) and
+    * the LATEST revision's raw wikitext (entity-decoded — feed it to
+    * [[Wikitext.toText]]). */
+  final case class WikiPage(idx: Int, title: String, ns: Int, text: String)
+
+  /** Decode the five XML predefined entities plus numeric refs —
+    * MediaWiki dumps escape wikitext bodies with exactly these. */
+  private[graft] def unescapeXml(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          val rep: Option[String] = ent match {
+            case "lt" => Some("<")
+            case "gt" => Some(">")
+            case "amp" => Some("&")
+            case "quot" => Some("\"")
+            case "apos" => Some("'")
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              try Some(new String(Character.toChars(
+                Integer.parseInt(ent.substring(2), 16))))
+              catch { case _: Exception => None }
+            case _ if ent.startsWith("#") =>
+              try Some(new String(Character.toChars(
+                Integer.parseInt(ent.substring(1)))))
+              catch { case _: Exception => None }
+            case _ => None
+          }
+          rep match {
+            case Some(r) => sb.append(r); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** First `<tag ...>content</tag>` inside `[from, to)`; (content,
+    * found). Attributes on the open tag are tolerated (MediaWiki's
+    * `<text bytes=".." xml:space="preserve">`). */
+  private def element(xml: String, tag: String, from: Int,
+      to: Int): Option[String] = {
+    var i = from
+    val open = "<" + tag
+    while (i < to) {
+      val at = xml.indexOf(open, i)
+      if (at < 0 || at >= to) return None
+      val after = at + open.length
+      if (after < xml.length &&
+        (xml.charAt(after) == '>' || xml.charAt(after) == ' ' ||
+          xml.charAt(after) == '\t' || xml.charAt(after) == '\n' ||
+          xml.charAt(after) == '/')) {
+        val gt = xml.indexOf('>', after)
+        if (gt < 0 || gt >= to) return None
+        if (xml.charAt(gt - 1) == '/') return Some("") // self-closing
+        val close = xml.indexOf("</" + tag + ">", gt + 1)
+        if (close < 0 || close > to) return None
+        return Some(xml.substring(gt + 1, close))
+      }
+      i = after
+    }
+    None
+  }
+
+  /** Walk a MediaWiki export XML string: one [[WikiPage]] per `<page>`
+    * element, latest (= first listed) revision's text. Total — junk and
+    * truncated tails yield the pages parsed so far. */
+  def parsePages(xml: String, maxPages: Int = 10000): Seq[WikiPage] = {
+    if (xml == null || xml.isEmpty) return Nil
+    val out = Seq.newBuilder[WikiPage]
+    var i = 0
+    var n = 0
+    while (n < maxPages) {
+      val at = xml.indexOf("<page>", i)
+      if (at < 0) return out.result()
+      val end = xml.indexOf("</page>", at)
+      if (end < 0) return out.result()
+      val title = element(xml, "title", at, end)
+        .map(unescapeXml).getOrElse("")
+      val ns = element(xml, "ns", at, end)
+        .flatMap(_.trim.toIntOption).getOrElse(0)
+      val rev = xml.indexOf("<revision>", at)
+      val text =
+        if (rev >= 0 && rev < end)
+          element(xml, "text", rev, end).map(unescapeXml).getOrElse("")
+        else ""
+      out += WikiPage(n, title, ns, text)
+      n += 1
+      i = end + 7
+    }
+    out.result()
+  }
+
+  /** The composed on-ramp: a dump blob in any transport (bz2 / xz /
+    * gzip / plain XML) → decoded XML → page walk. Returns Nil when the
+    * transport fails (bomb, junk) — totality end to end. */
+  def pagesFromDump(blob: Array[Byte], maxPages: Int = 10000): Seq[WikiPage] = {
+    if (blob == null || blob.length < 6) return Nil
+    val xmlBytes: Option[Array[Byte]] =
+      if (sniffBzip2(blob)) bunzip2Bounded(blob)
+      else if (sniffXz(blob)) unxzBounded(blob)
+      else if ((blob(0) & 0xff) == 0x1f && (blob(1) & 0xff) == 0x8b)
+        try Some(WarcCodec.gunzipAll(blob)) catch { case _: Exception => None }
+      else Some(blob)
+    xmlBytes match {
+      case Some(xb) =>
+        parsePages(new String(xb, java.nio.charset.StandardCharsets.UTF_8),
+          maxPages)
+      case None => Nil
+    }
+  }
+
+  /** Deterministic MediaWiki export-shaped XML for fixtures (titles and
+    * wikitext entity-escaped exactly as the real dumps do). */
+  def encodeDumpXml(pages: Seq[(String, Int, String)]): String = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("<mediawiki xml:lang=\"en\">\n")
+    pages.foreach { case (title, ns, text) =>
+      sb.append("  <page>\n")
+        .append("    <title>").append(esc(title)).append("</title>\n")
+        .append("    <ns>").append(ns).append("</ns>\n")
+        .append("    <revision>\n")
+        .append("      <text bytes=\"").append(text.length)
+        .append("\" xml:space=\"preserve\">").append(esc(text))
+        .append("</text>\n")
+        .append("    </revision>\n")
+        .append("  </page>\n")
+    }
+    sb.append("</mediawiki>\n")
+    sb.toString
+  }
+}

@@ -455,6 +455,39 @@ object OnrampQueries extends QueryGroup {
         }).toDF("doc_id", "raw_id", "token")
     }),
 
+    // the Wikipedia on-ramp END TO END: MediaWiki export XML (entity-
+    // escaped wikitext bodies) through the real dump transports (bz2 —
+    // the multistream layout's codec — and xz, plus plain) → bounded
+    // decode → tolerant page walk → ns-0 article filter (the planted
+    // Talk: page must drop) → wikitext-to-text; title AND text replay
+    // by id arithmetic, so a wrong transport, entity decode, ns filter
+    // or wikitext rule all hash-fail
+    "pipeline_wiki_dump" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.{Dumps, Wikitext}
+          val w = (id % 2) match {
+            case 0 => s"{{Infobox|x=$id}}\n== History ==\n'''Item''' " +
+              s"[[Page $id|page $id]] works.<ref>c$id</ref>\n* point $id\n"
+            case _ => s"A$id [https://x.example.com/$id link $id] B\n\n\n" +
+              s"C [[File:F$id.png|cap $id]] D"
+          }
+          val xml = Dumps.encodeDumpXml(Seq(
+            (s"Article $id & more", 0, w),
+            (s"Talk:Article $id", 1, s"talk $id")))
+          val blob = (id % 3) match {
+            case 0 => Dumps.encodeBzip2(xml.getBytes("UTF-8"))
+            case 1 => Dumps.encodeXz(xml.getBytes("UTF-8"))
+            case _ => xml.getBytes("UTF-8")
+          }
+          Dumps.pagesFromDump(blob).filter(_.ns == 0).map { p =>
+            (id, p.title, Wikitext.toText(p.text))
+          }
+        }).toDF("doc_id", "title", "text_out")
+    }),
+
     // IDN host normalization: unicode and punycode forms of the SAME
     // host must collapse to one ASCII form (host-keyed dedup/caps and
     // the link graph split silently otherwise); expected punycode is
@@ -751,6 +784,15 @@ object OnrampQueries extends QueryGroup {
         s"substr(sha256('$op' || sha256('$ip' || raw_id)), 1, 32) AS token " +
         "FROM g"
     },
+
+    "pipeline_wiki_dump" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, 'Article ' || i || ' & more' AS title, " +
+        "CASE doc_id % 2 " +
+        "WHEN 0 THEN 'History' || chr(10) || 'Item page ' || i || " +
+        "' works.' || chr(10) || 'point ' || i " +
+        "ELSE 'A' || i || ' link ' || i || ' B' || chr(10) || chr(10) || 'C D' " +
+        "END AS text_out FROM g"),
 
     "text_idn_hosts" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Archives, Dumps}
+
+/** bzip2/xz dump transports + the MediaWiki export-XML page walk:
+  * round-trips, the multistream layout, entity decode, tar.bz2/tar.xz
+  * composition, totality. */
+class DumpsSpec extends AnyFunSuite {
+
+  private val payload =
+    ("wiki dump payload line\n" * 40).getBytes("UTF-8")
+
+  test("bzip2 and xz round-trip; sniffs reject each other") {
+    val bz = Dumps.encodeBzip2(payload)
+    val xz = Dumps.encodeXz(payload)
+    assert(Dumps.sniffBzip2(bz) && !Dumps.sniffXz(bz))
+    assert(Dumps.sniffXz(xz) && !Dumps.sniffBzip2(xz))
+    assert(java.util.Arrays.equals(Dumps.bunzip2Bounded(bz).get, payload))
+    assert(java.util.Arrays.equals(Dumps.unxzBounded(xz).get, payload))
+  }
+
+  test("concatenated bzip2 streams (the multistream layout) decode as one") {
+    val a = "first stream ".getBytes("UTF-8")
+    val b = "second stream".getBytes("UTF-8")
+    val multi = Dumps.encodeBzip2(a) ++ Dumps.encodeBzip2(b)
+    assert(new String(Dumps.bunzip2Bounded(multi).get, "UTF-8") ==
+      "first stream second stream")
+  }
+
+  test("transport totality: junk, wrong magic, truncation never throw") {
+    assert(Dumps.bunzip2Bounded(null).isEmpty)
+    assert(Dumps.unxzBounded(null).isEmpty)
+    assert(Dumps.bunzip2Bounded("BZh9garbage!".getBytes("UTF-8")).isEmpty)
+    assert(Dumps.bunzip2Bounded(payload).isEmpty) // not bz2 at all
+    val bz = Dumps.encodeBzip2(payload)
+    for (cut <- 5 until bz.length by 7)
+      Dumps.bunzip2Bounded(java.util.Arrays.copyOf(bz, cut)) // no throw
+    val xz = Dumps.encodeXz(payload)
+    for (cut <- 7 until xz.length by 7)
+      Dumps.unxzBounded(java.util.Arrays.copyOf(xz, cut)) // no throw
+  }
+
+  test("tar rides the bz2 and xz transports end to end") {
+    val members = Seq(("a.txt", "alpha".getBytes("UTF-8")),
+      ("deep/" * 25 + "b.txt", "beta".getBytes("UTF-8"))) // long name too
+    val tar = Archives.encodeTar(members)
+    for (blob <- Seq(Dumps.encodeBzip2(tar), Dumps.encodeXz(tar))) {
+      assert(Archives.sniffTar(blob))
+      val es = Archives.parseTarEntries(blob)
+      assert(es.map(_.name) == members.map(_._1))
+      assert(new String(Archives.extractTarEntry(blob, es(1)).get, "UTF-8") ==
+        "beta")
+    }
+  }
+
+  test("XML entity decode covers the five named + numeric refs") {
+    assert(Dumps.unescapeXml("a &lt;b&gt; &amp; &quot;c&quot; &apos;d&apos;") ==
+      "a <b> & \"c\" 'd'")
+    assert(Dumps.unescapeXml("x&#65;y&#x42;z") == "xAyBz")
+    assert(Dumps.unescapeXml("no entities") == "no entities")
+    // malformed refs pass through untouched
+    assert(Dumps.unescapeXml("a & b &unknown; &#xZZ; c") ==
+      "a & b &unknown; &#xZZ; c")
+  }
+
+  test("page walk: titles, ns, escaped wikitext, text attributes") {
+    val xml = Dumps.encodeDumpXml(Seq(
+      ("A & B", 0, "text with <ref>x</ref> & stuff"),
+      ("Talk:A", 1, "talk body")))
+    val pages = Dumps.parsePages(xml)
+    assert(pages.map(_.title) == Seq("A & B", "Talk:A"))
+    assert(pages.map(_.ns) == Seq(0, 1))
+    assert(pages.head.text == "text with <ref>x</ref> & stuff")
+  }
+
+  test("page walk totality: truncation at every prefix, junk, empty") {
+    val xml = Dumps.encodeDumpXml(Seq(("T", 0, "body")))
+    for (cut <- 1 until xml.length by 3)
+      Dumps.parsePages(xml.substring(0, cut)) // no throw
+    assert(Dumps.parsePages("").isEmpty)
+    assert(Dumps.parsePages(null).isEmpty)
+    assert(Dumps.parsePages("<page><title>only").isEmpty)
+    assert(Dumps.pagesFromDump(null).isEmpty)
+    assert(Dumps.pagesFromDump("BZh9junk".getBytes("UTF-8")).isEmpty)
+    // maxPages caps the walk
+    val many = Dumps.encodeDumpXml((0 until 9).map(i => (s"P$i", 0, "b")))
+    assert(Dumps.parsePages(many, maxPages = 3).size == 3)
+  }
+
+  test("pagesFromDump routes all transports to identical pages") {
+    val xml = Dumps.encodeDumpXml(Seq(("T", 0, "the body")))
+    val plain = xml.getBytes("UTF-8")
+    val viaBz = Dumps.pagesFromDump(Dumps.encodeBzip2(plain))
+    val viaXz = Dumps.pagesFromDump(Dumps.encodeXz(plain))
+    val viaPlain = Dumps.pagesFromDump(plain)
+    assert(viaBz == viaPlain && viaXz == viaPlain)
+    assert(viaPlain.head.text == "the body")
+  }
+}
