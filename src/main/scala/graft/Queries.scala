@@ -25,7 +25,8 @@ object Queries {
     SegmentationQueries,
     BasketQueries,
     CodeQueries,
-    OnrampQueries)
+    OnrampQueries,
+    OfficeQueries)
 
   lazy val all: Map[String, Q] = {
     val defs = groups.flatMap(_.defs)

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Archives, OfficeCodec}
+
+/** Office-document tier (SURVEY §2.11): OOXML (docx/xlsx/pptx) and
+  * EPUB text extraction over the ZIP seek-point walk — the biggest
+  * crawl-document family after PDF. Fixtures are id arithmetic through
+  * the deterministic writers; kernels are pure map passes (one
+  * document = one row's work, no shuffle).
+  */
+object OfficeQueries extends QueryGroup {
+
+  def defs: Map[String, Q] = Map(
+
+    // docx paragraph/run model: headings, entity-bearing text, tab and
+    // break runs all land in ONE text column the oracle replays exactly
+    "pipeline_docx_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val docx = OfficeCodec.encodeDocx(Seq(
+            s"Heading $id",
+            s"Body & café $id\tT",
+            s"L1 $id\nL2"))
+          (id, OfficeCodec.docxText(docx).getOrElse(""))
+        }).toDF("doc_id", "text_out")
+    }),
+
+    // xlsx cells: shared strings (entity-bearing), dedup'd repeats and
+    // numeric <v> literals — one output row per cell, grid replayed
+    "pipeline_xlsx_cells" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val xlsx = OfficeCodec.encodeXlsx(Seq(
+            Seq("name", s"item $id & co"),
+            Seq(s"qty$id", s"${id * 3}")))
+          OfficeCodec.xlsxCells(xlsx).map(c =>
+            (id, c.sheet, c.ref, c.value))
+        }).toDF("doc_id", "sheet", "ref", "cell_value")
+    }),
+
+    // pptx slide text in deck order; odd decks have one slide, even two
+    "pipeline_pptx_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val slides =
+            Seq(Seq(s"Deck $id", s"by author $id")) ++
+              (if (id % 2 == 0) Seq(Seq(s"Point $id")) else Nil)
+          OfficeCodec.pptxSlides(OfficeCodec.encodePptx(slides)).map {
+            case (n, text) => (id, n, text)
+          }
+        }).toDF("doc_id", "slide_idx", "slide_text")
+    }),
+
+    // EPUB spine walk: container → OPF → chapters in reading order,
+    // XHTML stripped to text with single-pass entity decode
+    "pipeline_epub_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val epub = OfficeCodec.encodeEpub(Seq(
+            (s"Ch0 $id", s"<h1>Ch0 $id</h1><p>Alpha &amp; $id</p>"),
+            ("Ch1", s"<p>Beta $id</p>")))
+          OfficeCodec.epubChapters(epub).map(c =>
+            (id, c.idx, c.href, c.text))
+        }).toDF("doc_id", "ch_idx", "href", "text_out")
+    }),
+
+    // routing + unit counts across all four families and the plain-zip
+    // fallthrough — the dispatch a curation pipeline runs on PK blobs
+    "mm_office_detect" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val blob = (id % 5) match {
+            case 0 => OfficeCodec.encodeDocx(Seq(s"Doc $id"))
+            case 1 => OfficeCodec.encodeXlsx(Seq(Seq(s"a$id", "7")))
+            case 2 => OfficeCodec.encodePptx(Seq(Seq(s"S $id")))
+            case 3 => OfficeCodec.encodeEpub(Seq(("T", s"<p>b $id</p>")))
+            case _ => Archives.encodeZip(Seq(("x.txt", "p".getBytes("UTF-8"))))
+          }
+          val family = OfficeCodec.detectOffice(blob)
+          val nUnits: Long = family match {
+            case "docx" => OfficeCodec.docxText(blob).map(_.length.toLong).getOrElse(-1L)
+            case "xlsx" => OfficeCodec.xlsxCells(blob).size.toLong
+            case "pptx" => OfficeCodec.pptxSlides(blob).size.toLong
+            case "epub" => OfficeCodec.epubChapters(blob).size.toLong
+            case _ => 0L
+          }
+          (id, family, nUnits)
+        }).toDF("doc_id", "family", "n_units")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_docx_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, 'Heading ' || i || chr(10) || " +
+        "'Body & café ' || i || chr(9) || 'T' || chr(10) || " +
+        "'L1 ' || i || chr(10) || 'L2' AS text_out FROM g"),
+
+    "pipeline_xlsx_cells" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(1 AS INT) AS sheet, " +
+        "CASE j WHEN 0 THEN 'A1' WHEN 1 THEN 'B1' " +
+        "WHEN 2 THEN 'A2' ELSE 'B2' END AS ref, " +
+        "CASE j WHEN 0 THEN 'name' WHEN 1 THEN 'item ' || i || ' & co' " +
+        "WHEN 2 THEN 'qty' || i " +
+        "ELSE CAST(doc_id * 3 AS VARCHAR) END AS cell_value " +
+        "FROM g, generate_series(0, 3) AS s(j)"),
+
+    "pipeline_pptx_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(1 AS INT) AS slide_idx, " +
+        "'Deck ' || i || chr(10) || 'by author ' || i AS slide_text FROM g " +
+        "UNION ALL SELECT doc_id, CAST(2 AS INT), 'Point ' || i " +
+        "FROM g WHERE doc_id % 2 = 0"),
+
+    "pipeline_epub_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS ch_idx, " +
+        "'ch' || CAST(j AS VARCHAR) || '.xhtml' AS href, " +
+        "CASE j WHEN 0 THEN 'Ch0 ' || i || ' Ch0 ' || i || ' Alpha & ' || i " +
+        "ELSE 'Ch1 Beta ' || i END AS text_out " +
+        "FROM g, generate_series(0, 1) AS s(j)"),
+
+    "mm_office_detect" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' " +
+        "WHEN 2 THEN 'pptx' WHEN 3 THEN 'epub' ELSE '' END AS family, " +
+        "CAST(CASE doc_id % 5 WHEN 0 THEN 4 + length(i) WHEN 1 THEN 2 " +
+        "WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_units " +
+        "FROM g"))
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Archives, OfficeCodec}
+
+/** OOXML (docx/xlsx/pptx) + EPUB extraction vs the deterministic
+  * writers: routing, paragraph/run model, shared strings, spine order,
+  * entity decode, totality. */
+class OfficeCodecSpec extends AnyFunSuite {
+
+  test("docx: paragraphs, tab/br runs, entities, xml:space") {
+    val paras = Seq("Heading one", "Body & <stuff>\twith tab",
+      "line1\nline2", "")
+    val docx = OfficeCodec.encodeDocx(paras)
+    assert(OfficeCodec.detectOffice(docx) == "docx")
+    assert(OfficeCodec.docxText(docx).get ==
+      "Heading one\nBody & <stuff>\twith tab\nline1\nline2\n")
+  }
+
+  test("docx run model: split runs concatenate, w:pPr does not match w:p") {
+    // hand-built document.xml with properties tags and split runs
+    val xml = """<?xml version="1.0"?><w:document><w:body>""" +
+      """<w:p><w:pPr><w:jc w:val="left"/></w:pPr>""" +
+      """<w:r><w:t>Hel</w:t></w:r><w:r><w:t>lo </w:t></w:r>""" +
+      """<w:r><w:t xml:space="preserve">world</w:t></w:r></w:p>""" +
+      """<w:p/></w:body></w:document>"""
+    val zip = Archives.encodeZip(Seq(
+      ("word/document.xml", xml.getBytes("UTF-8"))))
+    assert(OfficeCodec.docxText(zip).get == "Hello world\n")
+  }
+
+  test("xlsx: shared strings, numeric cells, inline strings resolve") {
+    val rows = Seq(Seq("name & co", "42"), Seq("row2", "-7"))
+    val xlsx = OfficeCodec.encodeXlsx(rows)
+    assert(OfficeCodec.detectOffice(xlsx) == "xlsx")
+    val cells = OfficeCodec.xlsxCells(xlsx)
+    assert(cells == Seq(
+      OfficeCodec.XlsxCell(1, "A1", "name & co"),
+      OfficeCodec.XlsxCell(1, "B1", "42"),
+      OfficeCodec.XlsxCell(1, "A2", "row2"),
+      OfficeCodec.XlsxCell(1, "B2", "-7")))
+    // duplicate strings share one sst slot (the writer dedups)
+    val dup = OfficeCodec.xlsxCells(
+      OfficeCodec.encodeXlsx(Seq(Seq("same", "same"))))
+    assert(dup.map(_.value) == Seq("same", "same"))
+    // inline string cell via a hand-built sheet
+    val inlXml = """<?xml version="1.0"?><worksheet><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>inline &amp; x</t></is></c>""" +
+      """</row></sheetData></worksheet>"""
+    val inlZip = Archives.encodeZip(Seq(
+      ("xl/workbook.xml", "<workbook/>".getBytes("UTF-8")),
+      ("xl/worksheets/sheet1.xml", inlXml.getBytes("UTF-8"))))
+    assert(OfficeCodec.xlsxCells(inlZip) ==
+      Seq(OfficeCodec.XlsxCell(1, "A1", "inline & x")))
+  }
+
+  test("pptx: slides in deck order, one line per a:p") {
+    val pptx = OfficeCodec.encodePptx(Seq(
+      Seq("Title slide", "subtitle"), Seq("Second & last")))
+    assert(OfficeCodec.detectOffice(pptx) == "pptx")
+    assert(OfficeCodec.pptxSlides(pptx) == Seq(
+      (1, "Title slide\nsubtitle"), (2, "Second & last")))
+  }
+
+  test("epub: container -> opf -> spine order, xhtml strip, entities") {
+    val epub = OfficeCodec.encodeEpub(Seq(
+      ("One", "<h1>Ch One</h1><p>Para &amp; more</p>"),
+      ("Two", "<p>Second <b>chapter</b></p><script>drop()</script>")))
+    assert(OfficeCodec.detectOffice(epub) == "epub")
+    val ch = OfficeCodec.epubChapters(epub)
+    assert(ch.map(_.href) == Seq("ch0.xhtml", "ch1.xhtml"))
+    assert(ch(0).text == "One Ch One Para & more")
+    assert(ch(1).text == "Two Second chapter")
+    assert(OfficeCodec.epubText(epub).get ==
+      "One Ch One Para & more\n\nTwo Second chapter")
+  }
+
+  test("xhtmlToText: single-pass entity decode, no double decode") {
+    assert(OfficeCodec.xhtmlToText("<p>a &amp;lt; b</p>") == "a &lt; b")
+    assert(OfficeCodec.xhtmlToText("x&nbsp;y") == "x y")
+    assert(OfficeCodec.xhtmlToText("<style>p{}</style>bare") == "bare")
+  }
+
+  test("routing: plain zip and junk fall through cleanly") {
+    val plainZip = Archives.encodeZip(Seq(("a.txt", "x".getBytes("UTF-8"))))
+    assert(OfficeCodec.detectOffice(plainZip) == "")
+    assert(OfficeCodec.detectOffice("junk".getBytes("UTF-8")) == "")
+    assert(OfficeCodec.docxText(plainZip).isEmpty)
+    assert(OfficeCodec.xlsxCells(plainZip).isEmpty)
+    assert(OfficeCodec.pptxSlides(plainZip).isEmpty)
+    assert(OfficeCodec.epubChapters(plainZip).isEmpty)
+    assert(OfficeCodec.epubText(plainZip).isEmpty)
+  }
+
+  test("totality: truncation at every prefix never throws") {
+    val docx = OfficeCodec.encodeDocx(Seq("some body text"))
+    for (cut <- 1 until docx.length by 13)
+      OfficeCodec.docxText(java.util.Arrays.copyOf(docx, cut)) // no throw
+    val epub = OfficeCodec.encodeEpub(Seq(("T", "<p>b</p>")))
+    for (cut <- 1 until epub.length by 13)
+      OfficeCodec.epubChapters(java.util.Arrays.copyOf(epub, cut)) // no throw
+    // malformed interior XML: unterminated tags end walks cleanly
+    val badDoc = Archives.encodeZip(Seq(("word/document.xml",
+      "<w:document><w:p><w:t>unclosed".getBytes("UTF-8"))))
+    OfficeCodec.docxText(badDoc) // no throw
+    assert(OfficeCodec.docxText(null).isEmpty)
+  }
+
+  test("the JDK reads office fixtures as plain zips (cross-container)") {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(
+        OfficeCodec.encodeDocx(Seq("hello"))))
+    val names = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toSeq
+    assert(names == Seq("[Content_Types].xml", "word/document.xml"))
+  }
+}
