@@ -36,77 +36,148 @@ object Mp3Codec {
       ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
         (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0))
 
+  /** Offset of the first frame sync after an ID3v2 tag (with bounded
+    * resync over inter-tag padding); 0 when no tag leads. */
+  private def audioStart(payload: Array[Byte]): Int = {
+    var i = 0
+    // skip ID3v2 (syncsafe size; +10 when the footer flag — header byte 5
+    // bit 0x10 — says a '3DI' footer trails the tag)
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      val size = (u8(payload, 6) << 21) | (u8(payload, 7) << 14) |
+        (u8(payload, 8) << 7) | u8(payload, 9)
+      i = 10 + size + (if ((u8(payload, 5) & 0x10) != 0) 10 else 0)
+      // resync: tolerate padding between tag and first frame by scanning
+      // forward (bounded) to the next 0xFFE sync word
+      var scans = 0
+      while (i + 4 <= payload.length && scans < 4096 &&
+          !(u8(payload, i) == 0xff && (u8(payload, i + 1) & 0xe0) == 0xe0)) {
+        i += 1; scans += 1
+      }
+    }
+    i
+  }
+
+  /** Frame-header walk shared by [[parseMp3Meta]] and [[frameProfile]]:
+    * `onFrame(kbps, sampleRate, mpeg1, channelMode)` fires once per
+    * AUDIO frame (a leading Xing/Info VBR tag frame is skipped without
+    * firing — it carries no audio, so header-math duration matches
+    * tools). Stops cleanly at the first bad sync/header. */
+  private def walkFrames(payload: Array[Byte])(
+      onFrame: (Int, Int, Boolean, Int) => Unit): Unit = {
+    var i = audioStart(payload)
+    var first = true
+    var ok = true
+    while (ok && i + 4 <= payload.length) {
+      if (u8(payload, i) != 0xff || (u8(payload, i + 1) & 0xe0) != 0xe0) {
+        ok = false
+      } else {
+        val h1 = u8(payload, i + 1); val h2 = u8(payload, i + 2)
+        val h3 = u8(payload, i + 3)
+        val verBits = (h1 >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (h1 >> 1) & 3 // 1 = Layer III
+        val brIdx = (h2 >> 4) & 0xf
+        val srIdx = (h2 >> 2) & 3
+        val padding = (h2 >> 1) & 1
+        val mode = (h3 >> 6) & 3      // 3 = mono
+        if (layerBits != 1 || verBits == 1 || srIdx == 3 ||
+            brIdx == 0 || brIdx == 15) { ok = false }
+        else {
+          val mpeg1 = verBits == 3
+          val sr = (if (mpeg1) rates1 else if (verBits == 2) rates2
+            else rates25)(srIdx)
+          val kbps = (if (mpeg1) br1 else br2)(brIdx)
+          val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / sr + padding
+          if (frameLen <= 4) ok = false
+          else {
+            val isVbrTag = first && {
+              val off = i + (if (mpeg1) { if (mode == 3) 21 else 36 }
+                else { if (mode == 3) 13 else 21 })
+              off + 4 <= payload.length && {
+                val t = new String(payload, off, 4, "US-ASCII")
+                t == "Xing" || t == "Info"
+              }
+            }
+            if (!isVbrTag) onFrame(kbps, sr, mpeg1, mode)
+            first = false
+            i += frameLen
+          }
+        }
+      }
+    }
+  }
+
   /** Parse MP3 stream metadata: channels, sample rate, frame count. */
   def parseMp3Meta(payload: Array[Byte]): MediaMeta = {
     val n = if (payload == null) 0L else payload.length.toLong
     val unknown = MediaMeta("unknown", -1, -1, -1, -1, -1, n)
     if (!sniff(payload)) return unknown
     try {
-      var i = 0
-      // skip ID3v2 (syncsafe size; +10 when the footer flag — header byte 5
-      // bit 0x10 — says a '3DI' footer trails the tag)
-      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
-          payload(2) == '3') {
-        val size = (u8(payload, 6) << 21) | (u8(payload, 7) << 14) |
-          (u8(payload, 8) << 7) | u8(payload, 9)
-        i = 10 + size + (if ((u8(payload, 5) & 0x10) != 0) 10 else 0)
-        // resync: tolerate padding between tag and first frame by scanning
-        // forward (bounded) to the next 0xFFE sync word
-        var scans = 0
-        while (i + 4 <= payload.length && scans < 4096 &&
-            !(u8(payload, i) == 0xff && (u8(payload, i + 1) & 0xe0) == 0xe0)) {
-          i += 1; scans += 1
-        }
-      }
       var channels = -1; var rate = -1
       var frames = 0
-      var ok = true
-      while (ok && i + 4 <= payload.length) {
-        if (u8(payload, i) != 0xff || (u8(payload, i + 1) & 0xe0) != 0xe0) {
-          ok = false
-        } else {
-          val h1 = u8(payload, i + 1); val h2 = u8(payload, i + 2)
-          val h3 = u8(payload, i + 3)
-          val verBits = (h1 >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-          val layerBits = (h1 >> 1) & 3 // 1 = Layer III
-          val brIdx = (h2 >> 4) & 0xf
-          val srIdx = (h2 >> 2) & 3
-          val padding = (h2 >> 1) & 1
-          val mode = (h3 >> 6) & 3      // 3 = mono
-          if (layerBits != 1 || verBits == 1 || srIdx == 3 ||
-              brIdx == 0 || brIdx == 15) { ok = false }
-          else {
-            val mpeg1 = verBits == 3
-            val sr = (if (mpeg1) rates1 else if (verBits == 2) rates2
-              else rates25)(srIdx)
-            val kbps = (if (mpeg1) br1 else br2)(brIdx)
-            val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / sr + padding
-            if (frameLen <= 4) ok = false
-            else {
-              if (frames == 0 && channels < 0) {
-                channels = if (mode == 3) 1 else 2
-                rate = sr
-                // a Xing/Info VBR header frame carries no audio — skip it
-                // without counting so header-math duration matches tools
-                val off = i + (if (mpeg1) { if (mode == 3) 21 else 36 }
-                  else { if (mode == 3) 13 else 21 })
-                val isVbrTag = off + 4 <= payload.length && {
-                  val t = new String(payload, off, 4, "US-ASCII")
-                  t == "Xing" || t == "Info"
-                }
-                if (isVbrTag) { i += frameLen }
-                else { frames += 1; i += frameLen }
-              } else {
-                frames += 1
-                i += frameLen
-              }
-            }
-          }
+      walkFrames(payload) { (_, sr, _, mode) =>
+        if (frames == 0) {
+          channels = if (mode == 3) 1 else 2
+          rate = sr
         }
+        frames += 1
       }
       if (frames == 0) unknown
       else MediaMeta("mp3", -1, -1, channels, rate, frames, n)
     } catch { case _: ArrayIndexOutOfBoundsException => unknown }
+  }
+
+  /** Frame-level stream profile from headers alone — the audio-quality
+    * first screen next to the PCM/RMS path: per-frame bitrate histogram
+    * bounds, CBR/VBR verdict (distinct bitrates > 1 = `vbr`), and
+    * header-math duration. No synthesis-filterbank decode. None when no
+    * audio frame parses. */
+  final case class Mp3Profile(nFrames: Int, mode: String, minKbps: Int,
+      maxKbps: Int, channels: Int, sampleRate: Int, durationMs: Long)
+
+  def frameProfile(payload: Array[Byte]): Option[Mp3Profile] = {
+    if (!sniff(payload)) return None
+    try {
+      var frames = 0
+      var minK = Int.MaxValue; var maxK = -1
+      var channels = -1; var rate = -1
+      var samples = 0L
+      walkFrames(payload) { (kbps, sr, mpeg1, mode) =>
+        if (frames == 0) {
+          channels = if (mode == 3) 1 else 2
+          rate = sr
+        }
+        frames += 1
+        if (kbps < minK) minK = kbps
+        if (kbps > maxK) maxK = kbps
+        samples += (if (mpeg1) 1152 else 576)
+      }
+      if (frames == 0) None
+      else Some(Mp3Profile(frames, if (minK == maxK) "cbr" else "vbr",
+        minK, maxK, channels, rate, samples * 1000 / rate))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** VBR Layer III skeleton: one zero-payload frame per bitrate index
+    * in `brIdxs` (each frame's length follows ITS index — the
+    * variable-bitrate layout [[frameProfile]] screens). */
+  def encodeMp3Frames(brIdxs: Seq[Int], mpeg1: Boolean, srIdx: Int,
+      mono: Boolean): Array[Byte] = {
+    require(brIdxs.nonEmpty && srIdx >= 0 && srIdx <= 2 &&
+      brIdxs.forall(b => b >= 1 && b <= 14), s"bad params: $brIdxs $srIdx")
+    val sr = (if (mpeg1) rates1 else rates2)(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    val h1 = 0xe0 | (if (mpeg1) 3 << 3 else 2 << 3) | (1 << 1) | 1
+    val h3 = if (mono) 3 << 6 else 0
+    brIdxs.foreach { brIdx =>
+      val kbps = (if (mpeg1) br1 else br2)(brIdx)
+      val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / sr // no padding
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xff.toByte; f(1) = h1.toByte
+      f(2) = ((brIdx << 4) | (srIdx << 2)).toByte; f(3) = h3.toByte
+      out.write(f)
+    }
+    out.toByteArray
   }
 
   /** CBR Layer III skeleton: `nFrames` zero-payload frames.

@@ -1054,6 +1054,35 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "name", "size", "method", "text")
     }),
 
+    // frame-level MP3 stream profile from headers alone: CBR vs VBR
+    // verdict, per-frame bitrate bounds and header-math duration — the
+    // audio-quality first screen next to the PCM/RMS path; both MPEG
+    // versions, all sample rates, alternating-bitrate VBR streams
+    "mm_mp3_profile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.Mp3Codec
+          val mpeg1 = id % 4 < 2
+          val srIdx = (id % 3).toInt
+          val blob =
+            if (id % 2 == 0)
+              Mp3Codec.encodeMp3Skeleton((4 + id % 5).toInt, mpeg1,
+                srIdx, (1 + id % 14).toInt, mono = true)
+            else {
+              val b0 = (1 + id % 13).toInt
+              val n = (3 + id % 4).toInt
+              Mp3Codec.encodeMp3Frames(
+                (0 until n).map(j => b0 + (j % 2)), mpeg1, srIdx,
+                mono = false)
+            }
+          val p = Mp3Codec.frameProfile(blob).get
+          (id, p.mode, p.nFrames, p.minKbps, p.maxKbps, p.durationMs)
+        }).toDF("doc_id", "mode", "n_frames", "min_kbps", "max_kbps",
+          "duration_ms")
+    }),
+
     // GNU-longname ('L' pseudo-entry) and pax ('x' path-record) tar
     // walks: >100-char member paths must surface with their FULL name
     // and the override pseudo-entries must NOT appear as data members —
@@ -1471,6 +1500,36 @@ object BulkQueries extends QueryGroup {
         "'member ' || CAST(j AS VARCHAR) || ' of doc ' || " +
         "CAST(doc_id AS VARCHAR) AS text " +
         "FROM g, generate_series(0, 2) AS s(j) WHERE j < n"),
+
+    // bitrate tables are ISO 11172-3 public constants; duration is
+    // integer header math on both sides
+    "mm_mp3_profile" ->
+      ("WITH g AS (SELECT doc_id, doc_id % 4 < 2 AS m1, " +
+        "CAST(doc_id % 3 AS INT) AS sri, " +
+        "CAST(1 + doc_id % 14 AS INT) AS bi, " +
+        "CAST(1 + doc_id % 13 AS INT) AS b0, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5 " +
+        "ELSE 3 + doc_id % 4 END AS BIGINT) AS n FROM documents), " +
+        "t AS (SELECT doc_id, m1, n, " +
+        "CASE WHEN m1 THEN ([44100,48000,32000])[1+sri] " +
+        "ELSE ([22050,24000,16000])[1+sri] END AS rate, " +
+        "CASE WHEN m1 THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])" +
+        "[CASE WHEN doc_id % 2 = 0 THEN bi ELSE b0 END] " +
+        "ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])" +
+        "[CASE WHEN doc_id % 2 = 0 THEN bi ELSE b0 END] END AS mink, " +
+        "CASE WHEN m1 THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])" +
+        "[CASE WHEN doc_id % 2 = 0 THEN bi ELSE b0 + 1 END] " +
+        "ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])" +
+        "[CASE WHEN doc_id % 2 = 0 THEN bi ELSE b0 + 1 END] END AS maxk " +
+        "FROM g) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'cbr' ELSE 'vbr' END AS mode, " +
+        "CAST(n AS INT) AS n_frames, " +
+        "CAST(mink AS INT) AS min_kbps, " +
+        "CAST(maxk AS INT) AS max_kbps, " +
+        "CAST(n * (CASE WHEN m1 THEN 1152 ELSE 576 END) * 1000 // rate " +
+        "AS BIGINT) AS duration_ms " +
+        "FROM t"),
 
     // long-name members re-derived: the full deep path only matches if
     // the L/x override was applied and the pseudo-entry suppressed

@@ -1826,6 +1826,25 @@ object PipelineQueries extends QueryGroup {
         s, textIndexPath(s, dir), Seq("key", "order", "sort"))
     }),
 
+    // phrase retrieval with PLANTED occurrences: every 4th doc gets
+    // 1 + id%3 copies of an out-of-vocabulary phrase appended, the
+    // positional index is built over that derived corpus, and the
+    // planted counts replay — guaranteed non-empty at EVERY scale
+    // factor, so the index path is end-to-end exercised where the
+    // driver measures it (search_phrase_index's natural phrase can be
+    // vacuous at small sf)
+    "search_phrase_planted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"),
+              expr("repeat(' qx7 zv9 kk3', int(1 + doc_id % 3))")))
+            .otherwise(col("text")).as("text"))
+      val path = graft.GraftEngine.tablePath(dir, "text_idx_planted")
+      graft.ops.TextSearch.buildIndex(docs, "doc_id", "text", path)
+      graft.ops.TextSearch.searchPhrase(s, path, Seq("qx7", "zv9", "kk3"))
+    }),
+
     // conjunctive boolean retrieval: docs containing ALL query terms,
     // summed tf as the rank column
     "search_bool_and" -> ((s, dir) => {
@@ -2987,6 +3006,11 @@ object PipelineQueries extends QueryGroup {
         "  JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2 " +
         "WHERE a.term = 'key' AND b.term = 'order' AND c.term = 'sort' " +
         "GROUP BY a.doc_id"),
+    // planted counts replay directly — the phrase is out-of-vocabulary
+    // for the base corpus, so occurrences = exactly the planted copies
+    "search_phrase_planted" ->
+      ("SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS n_occur " +
+        "FROM documents WHERE doc_id % 4 = 0"),
     "search_bool_and" ->
       ("WITH tok AS (SELECT doc_id, lower(t) AS term FROM (" +
         "    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +

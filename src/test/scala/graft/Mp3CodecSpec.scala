@@ -83,6 +83,35 @@ class Mp3CodecSpec extends AnyFunSuite {
     assert(m.nFrames == 5)
   }
 
+  test("frameProfile: CBR verdict, bounds, header-math duration") {
+    val cbr = Mp3Codec.encodeMp3Skeleton(10, mpeg1 = true, srIdx = 0,
+      brIdx = 9, mono = true) // 128 kbps @ 44100
+    val p = Mp3Codec.frameProfile(cbr).get
+    assert(p.mode == "cbr" && p.nFrames == 10)
+    assert(p.minKbps == 128 && p.maxKbps == 128)
+    assert(p.channels == 1 && p.sampleRate == 44100)
+    assert(p.durationMs == 10L * 1152 * 1000 / 44100)
+  }
+
+  test("frameProfile: VBR stream with per-frame lengths") {
+    // frames at 64/96/320/64 kbps — each frame's length follows ITS index
+    val vbr = Mp3Codec.encodeMp3Frames(Seq(5, 7, 14, 5), mpeg1 = true,
+      srIdx = 1, mono = false)
+    val p = Mp3Codec.frameProfile(vbr).get
+    assert(p.mode == "vbr" && p.nFrames == 4)
+    assert(p.minKbps == 64 && p.maxKbps == 320)
+    assert(p.channels == 2 && p.sampleRate == 48000)
+    assert(p.durationMs == 4L * 1152 * 1000 / 48000)
+    // MPEG2: 576 samples per frame
+    val v2 = Mp3Codec.frameProfile(Mp3Codec.encodeMp3Frames(
+      Seq(2, 3), mpeg1 = false, srIdx = 0, mono = true)).get
+    assert(v2.minKbps == 16 && v2.maxKbps == 24)
+    assert(v2.durationMs == 2L * 576 * 1000 / 22050)
+    // junk yields None, never throws
+    assert(Mp3Codec.frameProfile("junk".getBytes("UTF-8")).isEmpty)
+    assert(Mp3Codec.frameProfile(null).isEmpty)
+  }
+
   test("malformed totality: truncation, corruption, garbage, null") {
     val bytes = Mp3Codec.encodeMp3Skeleton(20, mpeg1 = true, srIdx = 2,
       brIdx = 3, mono = true)
