@@ -75,18 +75,23 @@ object OfficeQueries extends QueryGroup {
         }).toDF("doc_id", "ch_idx", "href", "text_out")
     }),
 
-    // routing + unit counts across all four families and the plain-zip
+    // routing + unit counts across all seven families and the plain-zip
     // fallthrough — the dispatch a curation pipeline runs on PK blobs
+    // (the ODF families must resolve by DECLARED mimetype, not just
+    // member shape)
     "mm_office_detect" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .mapPartitions(_.map { id =>
-          val blob = (id % 5) match {
+          val blob = (id % 8) match {
             case 0 => OfficeCodec.encodeDocx(Seq(s"Doc $id"))
             case 1 => OfficeCodec.encodeXlsx(Seq(Seq(s"a$id", "7")))
             case 2 => OfficeCodec.encodePptx(Seq(Seq(s"S $id")))
             case 3 => OfficeCodec.encodeEpub(Seq(("T", s"<p>b $id</p>")))
+            case 4 => OfficeCodec.encodeOdt(Seq(s"Odt $id"))
+            case 5 => OfficeCodec.encodeOds("S", Seq(Seq(s"a$id", "5")))
+            case 6 => OfficeCodec.encodeOdp(Seq(("P1", Seq(s"s $id"))))
             case _ => Archives.encodeZip(Seq(("x.txt", "p".getBytes("UTF-8"))))
           }
           val family = OfficeCodec.detectOffice(blob)
@@ -95,10 +100,83 @@ object OfficeQueries extends QueryGroup {
             case "xlsx" => OfficeCodec.xlsxCells(blob).size.toLong
             case "pptx" => OfficeCodec.pptxSlides(blob).size.toLong
             case "epub" => OfficeCodec.epubChapters(blob).size.toLong
+            case "odt" => OfficeCodec.odtText(blob).map(_.length.toLong).getOrElse(-1L)
+            case "ods" => OfficeCodec.odsCells(blob).size.toLong
+            case "odp" => OfficeCodec.odpSlides(blob).size.toLong
             case _ => 0L
           }
           (id, family, nUnits)
         }).toDF("doc_id", "family", "n_units")
+    }),
+
+    // ODT mixed-content model: character data sits directly in
+    // text:p/text:span (unlike docx leaf runs), tabs/line-breaks are
+    // elements, and the planted annotation body must NOT leak into text
+    "pipeline_odt_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val odt = OfficeCodec.encodeOdt(Seq(
+            s"Título & $id",
+            s"Tab\there $id",
+            s"Line1 $id\nLine2"), annotation = s"note $id")
+          (id, OfficeCodec.odtText(odt).getOrElse(""))
+        }).toDF("doc_id", "text_out")
+    }),
+
+    // ODS cells: typed office:value numerics, paragraph-text strings,
+    // empty cells advance the column index without surfacing
+    "pipeline_ods_cells" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val ods = OfficeCodec.encodeOds(s"T$id", Seq(
+            Seq(s"h & $id", "7"),
+            Seq("", s"v$id")))
+          OfficeCodec.odsCells(ods).map(c =>
+            (id, c.table, c.row, c.colIdx, c.value))
+        }).toDF("doc_id", "table_name", "row_idx", "col_idx", "cell_value")
+    }),
+
+    // ODP pages in deck order with their draw:name labels
+    "pipeline_odp_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val slides =
+            Seq(("Intro", Seq(s"Open $id", s"agenda $id"))) ++
+              (if (id % 2 == 0) Seq(("End", Seq(s"bye $id"))) else Nil)
+          OfficeCodec.odpSlides(OfficeCodec.encodeOdp(slides)).zipWithIndex
+            .map { case ((name, text), ix) => (id, ix, name, text) }
+        }).toDF("doc_id", "page_idx", "page_name", "page_text")
+    }),
+
+    // crawl → office on-ramp: a WARC response carrying a docx (gzip
+    // Content-Encoding on a third of ids, both WARC transports) → body
+    // decode → office routing → text — the content-type dispatch next
+    // to the HTML and PDF paths
+    "pipeline_warc_docx" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.WarcCodec
+          val docx = OfficeCodec.encodeDocx(Seq(s"warc docx $id"))
+          val warc = WarcCodec.encodeWarc(
+            Seq(WarcCodec.WarcEntry("response", s"http://x/$id.docx", 200,
+              "application/vnd.openxmlformats-officedocument" +
+                ".wordprocessingml.document", docx,
+              if (id % 3 == 0) "gzip" else "identity")),
+            gzipPerRecord = id % 2 == 1)
+          WarcCodec.parseWarc(warc).collectFirst {
+            case r if r.httpEncoding.isEmpty &&
+                OfficeCodec.detectOffice(r.body) == "docx" =>
+              (id, OfficeCodec.docxText(r.body).getOrElse(""))
+          }
+        }).toDF("doc_id", "text_out")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -136,9 +214,37 @@ object OfficeQueries extends QueryGroup {
     "mm_office_detect" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
         "SELECT doc_id, " +
-        "CASE doc_id % 5 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' " +
-        "WHEN 2 THEN 'pptx' WHEN 3 THEN 'epub' ELSE '' END AS family, " +
-        "CAST(CASE doc_id % 5 WHEN 0 THEN 4 + length(i) WHEN 1 THEN 2 " +
-        "WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS BIGINT) AS n_units " +
-        "FROM g"))
+        "CASE doc_id % 8 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' " +
+        "WHEN 2 THEN 'pptx' WHEN 3 THEN 'epub' WHEN 4 THEN 'odt' " +
+        "WHEN 5 THEN 'ods' WHEN 6 THEN 'odp' ELSE '' END AS family, " +
+        "CAST(CASE doc_id % 8 WHEN 0 THEN 4 + length(i) WHEN 1 THEN 2 " +
+        "WHEN 2 THEN 1 WHEN 3 THEN 1 WHEN 4 THEN 4 + length(i) " +
+        "WHEN 5 THEN 2 WHEN 6 THEN 1 ELSE 0 END AS BIGINT) AS n_units " +
+        "FROM g"),
+
+    "pipeline_odt_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, 'Título & ' || i || chr(10) || " +
+        "'Tab' || chr(9) || 'here ' || i || chr(10) || " +
+        "'Line1 ' || i || chr(10) || 'Line2' AS text_out FROM g"),
+
+    "pipeline_ods_cells" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, 'T' || i AS table_name, " +
+        "CAST(CASE j WHEN 2 THEN 1 ELSE 0 END AS INT) AS row_idx, " +
+        "CAST(CASE j WHEN 0 THEN 0 ELSE 1 END AS INT) AS col_idx, " +
+        "CASE j WHEN 0 THEN 'h & ' || i WHEN 1 THEN '7' " +
+        "ELSE 'v' || i END AS cell_value " +
+        "FROM g, generate_series(0, 2) AS s(j)"),
+
+    "pipeline_odp_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(0 AS INT) AS page_idx, 'Intro' AS page_name, " +
+        "'Open ' || i || chr(10) || 'agenda ' || i AS page_text FROM g " +
+        "UNION ALL SELECT doc_id, CAST(1 AS INT), 'End', 'bye ' || i " +
+        "FROM g WHERE doc_id % 2 = 0"),
+
+    "pipeline_warc_docx" ->
+      ("SELECT doc_id, 'warc docx ' || CAST(doc_id AS VARCHAR) AS text_out " +
+        "FROM documents"))
 }

@@ -76,6 +76,72 @@ class OfficeCodecSpec extends AnyFunSuite {
       "One Ch One Para & more\n\nTwo Second chapter")
   }
 
+  test("odt: mixed content, tab/break elements, annotation stripped") {
+    val odt = OfficeCodec.encodeOdt(
+      Seq("Para & one", "a\tb", "x\ny"), annotation = "SECRET note")
+    assert(OfficeCodec.detectOffice(odt) == "odt")
+    val text = OfficeCodec.odtText(odt).get
+    assert(text == "Para & one\na\tb\nx\ny")
+    assert(!text.contains("SECRET"))
+    // hand-built content.xml: span-nested text, text:s spaces, footnote
+    val xml = """<office:document-content><office:body><office:text>""" +
+      """<text:h>Head</text:h>""" +
+      """<text:p>Hello <text:span>spanned</text:span><text:s text:c="3"/>end""" +
+      """<text:note><text:note-body><text:p>foot</text:p></text:note-body>""" +
+      """</text:note></text:p>""" +
+      """</office:text></office:body></office:document-content>"""
+    val zip = Archives.encodeZip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.text".getBytes("US-ASCII")),
+      ("content.xml", xml.getBytes("UTF-8"))))
+    assert(OfficeCodec.odtText(zip).get == "Head\nHello spanned   end")
+  }
+
+  test("ods: typed numerics, empty-cell column advance, repeats") {
+    val ods = OfficeCodec.encodeOds("Tbl", Seq(
+      Seq("head", "42"), Seq("", "after-gap")))
+    assert(OfficeCodec.detectOffice(ods) == "ods")
+    assert(OfficeCodec.odsCells(ods) == Seq(
+      OfficeCodec.OdsCell("Tbl", 0, 0, "head"),
+      OfficeCodec.OdsCell("Tbl", 0, 1, "42"),
+      OfficeCodec.OdsCell("Tbl", 1, 1, "after-gap")))
+    // hand-built row with number-columns-repeated on a non-empty cell
+    val xml = """<office:document-content><office:body><office:spreadsheet>""" +
+      """<table:table table:name="R"><table:table-row>""" +
+      """<table:table-cell table:number-columns-repeated="2">""" +
+      """<text:p>dup</text:p></table:table-cell>""" +
+      """<table:table-cell><text:p>tail</text:p></table:table-cell>""" +
+      """</table:table-row></table:table>""" +
+      """</office:spreadsheet></office:body></office:document-content>"""
+    val zip = Archives.encodeZip(Seq(
+      ("mimetype",
+        "application/vnd.oasis.opendocument.spreadsheet".getBytes("US-ASCII")),
+      ("content.xml", xml.getBytes("UTF-8"))))
+    assert(OfficeCodec.odsCells(zip) == Seq(
+      OfficeCodec.OdsCell("R", 0, 0, "dup"),
+      OfficeCodec.OdsCell("R", 0, 1, "dup"),
+      OfficeCodec.OdsCell("R", 0, 2, "tail")))
+  }
+
+  test("odp: pages in deck order with names") {
+    val odp = OfficeCodec.encodeOdp(Seq(
+      ("One", Seq("line a", "line b")), ("Two", Seq("solo"))))
+    assert(OfficeCodec.detectOffice(odp) == "odp")
+    assert(OfficeCodec.odpSlides(odp) == Seq(
+      ("One", "line a\nline b"), ("Two", "solo")))
+  }
+
+  test("odf totality: truncation never throws, junk content is safe") {
+    val odt = OfficeCodec.encodeOdt(Seq("body text"))
+    for (cut <- 1 until odt.length by 13)
+      OfficeCodec.odtText(java.util.Arrays.copyOf(odt, cut)) // no throw
+    val bad = Archives.encodeZip(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.text".getBytes("US-ASCII")),
+      ("content.xml", "<office:text><text:p>unclosed".getBytes("UTF-8"))))
+    OfficeCodec.odtText(bad) // no throw
+    assert(OfficeCodec.odsCells("junk".getBytes("UTF-8")).isEmpty)
+    assert(OfficeCodec.odpSlides("junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("xhtmlToText: single-pass entity decode, no double decode") {
     assert(OfficeCodec.xhtmlToText("<p>a &amp;lt; b</p>") == "a &lt; b")
     assert(OfficeCodec.xhtmlToText("x&nbsp;y") == "x y")
