@@ -1,0 +1,494 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HFile version-2 codec, pure JVM — the reference's ON-DISK format.
+  * HBase 0.98 store files and bulk-load output are HFiles, so reading
+  * them IS the migration path from the reference to this engine: point
+  * `binaryFile` at an existing store/bulkload directory and the cells
+  * land in a DataFrame with zero HBase runtime.
+  *
+  * Layout (all cited from the reference source):
+  *  - fixed 212-byte trailer (`FixedFileTrailer.java:130`): 8-byte
+  *    `TRABLK"$` magic, a DELIMITED `FileTrailerProto`
+  *    (`hbase-protocol/src/main/protobuf/HFile.proto:32-46`) zero-padded
+  *    to size, and `major | minor << 24` as the last 4 bytes
+  *    (`FixedFileTrailer.java:642-644`); protobuf trailers are minor
+  *    version ≥ 2 (`HFileReaderV2.java:63`).
+  *  - blocks (`HFileBlock.java:238-250`): 8-byte type magic
+  *    (`BlockType.java:41,68,71,82`), onDiskSizeWithoutHeader,
+  *    uncompressedSizeWithoutHeader, prevBlockOffset, and — with
+  *    checksums, minor ≥ 1 — checksumType, bytesPerChecksum,
+  *    onDiskDataSizeWithHeader (33-byte header total,
+  *    `HConstants.java:71-78`); CRC chunks cover header+data.
+  *  - data blocks: back-to-back KeyValues — keyLen(4) valueLen(4),
+  *    key = rowLen(2) row cfLen(1) cf qualifier ts(8) type(1), value,
+  *    then an OPTIONAL Hadoop-vlong mvcc when the file info declares
+  *    `KEY_VALUE_VERSION` ≥ 1 (`HFileWriterV2.java:52-60`,
+  *    `HFileReaderV2.java:163-168`).
+  *  - load-on-open: `IDXROOT2` root index (entries = offset(8),
+  *    onDiskSize(4), Hadoop-vint-prefixed firstKey —
+  *    `HFileBlockIndex.java:607-609`) and `FILEINF2` file info
+  *    (`PBUF` magic + delimited `FileInfoProto` map,
+  *    `HFile.java:738-765`).
+  *
+  * Scope: compression NONE and GZ (`Compression.Algorithm` ordinals 2
+  * and 1, `Compression.java:105-240`); LZO/SNAPPY/LZ4 and encrypted
+  * files return None/Nil (disclosed — none are on a vanilla classpath).
+  * Totality contract as every codec here. The root index gives point
+  * reads the reference's own seek-point economics: one data block per
+  * get, not a file scan.
+  */
+object HFileCodec {
+
+  final case class HCell(row: String, family: String, qualifier: String,
+      ts: Long, kvType: Int, value: String, mvcc: Long)
+
+  final case class Trailer(fileInfoOffset: Long, loadOnOpenOffset: Long,
+      dataIndexCount: Int, entryCount: Long, firstDataBlockOffset: Long,
+      lastDataBlockOffset: Long, compressionCodec: Int, majorVersion: Int,
+      minorVersion: Int)
+
+  final case class IndexEntry(offset: Long, onDiskSize: Int,
+      firstKeyRow: String)
+
+  private val TrailerSize = 212
+  private val TrailerMagic = "TRABLK\"$".getBytes("US-ASCII")
+  private val HdrChecksum = 33 // HFILEBLOCK_HEADER_SIZE (minor >= 1)
+  private val HdrNoChecksum = 24
+  private val CodecGz = 1
+  private val CodecNone = 2
+
+  private def i32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+  private def i64(b: Array[Byte], p: Int): Long =
+    (i32(b, p).toLong << 32) | (i32(b, p + 4) & 0xffffffffL)
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= TrailerSize && {
+      val p = b.length - TrailerSize
+      (0 until 8).forall(k => b(p + k) == TrailerMagic(k))
+    }
+
+  /** Parse the fixed trailer; None for non-HFiles, pre-protobuf minor
+    * versions (< 2), or non-v2 majors. */
+  def parseTrailer(b: Array[Byte]): Option[Trailer] = {
+    if (!sniff(b)) return None
+    val base = b.length - TrailerSize
+    val ver = i32(b, b.length - 4)
+    val major = ver & 0x00ffffff
+    val minor = ver >>> 24
+    if (major != 2 || minor < 2) return None
+    ProtoWire.parseDelimited(b, base + 8).map { case (fs, _) =>
+      Trailer(
+        fileInfoOffset = ProtoWire.varintOf(fs, 1).getOrElse(-1L),
+        loadOnOpenOffset = ProtoWire.varintOf(fs, 2).getOrElse(-1L),
+        dataIndexCount = ProtoWire.varintOf(fs, 5).getOrElse(0L).toInt,
+        entryCount = ProtoWire.varintOf(fs, 7).getOrElse(0L),
+        firstDataBlockOffset = ProtoWire.varintOf(fs, 9).getOrElse(-1L),
+        lastDataBlockOffset = ProtoWire.varintOf(fs, 10).getOrElse(-1L),
+        compressionCodec = ProtoWire.varintOf(fs, 12).getOrElse(2L).toInt,
+        majorVersion = major, minorVersion = minor)
+    }
+  }
+
+  /** One block at `off`: (typeMagic, decoded data, offsetOfNextBlock).
+    * CRC32 chunks verified when the header declares checksum type 1;
+    * GZ blocks inflate (bounded). None on any mismatch. */
+  private def readBlock(b: Array[Byte], off: Long, minor: Int,
+      codec: Int): Option[(String, Array[Byte], Long)] = {
+    val hdr = if (minor >= 1) HdrChecksum else HdrNoChecksum
+    val p = off.toInt
+    if (off < 0 || p + hdr > b.length) return None
+    val magic = new String(b, p, 8, "US-ASCII")
+    val onDiskSizeWithoutHeader = i32(b, p + 8)
+    val uncompressedSize = i32(b, p + 12)
+    if (onDiskSizeWithoutHeader < 0 || uncompressedSize < 0 ||
+      uncompressedSize > WarcCodec.MaxInflated) return None
+    val next = off + hdr + onDiskSizeWithoutHeader
+    if (next > b.length) return None
+    val (dataLen, checksumOk) =
+      if (minor >= 1) {
+        val checksumType = b(p + 24) & 0xff
+        val bytesPerChecksum = i32(b, p + 25)
+        val onDiskDataSizeWithHeader = i32(b, p + 29)
+        val dl = onDiskDataSizeWithHeader - hdr
+        if (dl < 0 || p + hdr + dl > b.length) return None
+        val ok = checksumType match {
+          case 0 => true // NULL
+          case 1 => // CRC32 chunks over header+data
+            if (bytesPerChecksum <= 0) false
+            else {
+              val nChunks =
+                (onDiskDataSizeWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
+              var cp = p + onDiskDataSizeWithHeader
+              var covered = 0
+              var good =
+                onDiskSizeWithoutHeader == dl + 4 * nChunks &&
+                  cp + 4 * nChunks <= b.length
+              var c = 0
+              while (good && c < nChunks) {
+                val chunk = math.min(bytesPerChecksum,
+                  onDiskDataSizeWithHeader - covered)
+                val crc = new java.util.zip.CRC32
+                crc.update(b, p + covered, chunk)
+                good = (crc.getValue & 0xffffffffL) == (i32(b, cp) & 0xffffffffL)
+                covered += chunk; cp += 4; c += 1
+              }
+              good
+            }
+          case _ => false // CRC32C et al: not verified here
+        }
+        (dl, ok)
+      } else (onDiskSizeWithoutHeader, true)
+    if (!checksumOk) return None
+    val raw = java.util.Arrays.copyOfRange(b, p + hdr, p + hdr + dataLen)
+    val data = codec match {
+      case CodecNone => raw
+      case CodecGz =>
+        WarcCodec.gunzipBounded(raw) match {
+          case Some(d) if d.length == uncompressedSize => d
+          case _ => return None
+        }
+      case _ => return None // LZO/SNAPPY/LZ4/encrypted: unsupported
+    }
+    Some((magic, data, next))
+  }
+
+  // ---- Hadoop Writable vint/vlong (WritableUtils) ------------------------
+
+  private[graft] def writeVLong(out: java.io.ByteArrayOutputStream,
+      v0: Long): Unit = {
+    var i = v0
+    if (i >= -112 && i <= 127) { out.write(i.toInt); return }
+    var len = -112
+    if (i < 0) { i ^= -1L; len = -120 }
+    var tmp = i
+    while (tmp != 0) { tmp >>= 8; len -= 1 }
+    out.write(len)
+    val n = if (len < -120) -(len + 120) else -(len + 112)
+    var idx = n
+    while (idx != 0) {
+      val shift = (idx - 1) * 8
+      out.write(((i >> shift) & 0xff).toInt)
+      idx -= 1
+    }
+  }
+
+  /** (value, posAfter); None on truncation. */
+  private[graft] def readVLong(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    if (pos >= b.length) return None
+    val first = b(pos) // signed byte, as Hadoop reads it
+    if (first >= -112) return Some((first.toLong, pos + 1))
+    val len = if (first < -120) -119 - first else -111 - first
+    if (pos + len > b.length) return None
+    var i = 0L
+    var k = 1
+    while (k < len) { i = (i << 8) | (b(pos + k) & 0xffL); k += 1 }
+    val neg = first < -120
+    Some((if (neg) i ^ -1L else i, pos + len))
+  }
+
+  // ---- cells --------------------------------------------------------------
+
+  private def decodeCells(data: Array[Byte], withMvcc: Boolean,
+      out: ArrayBuffer[HCell], max: Int): Unit = {
+    var i = 0
+    while (i + 8 <= data.length && out.size < max) {
+      val keyLen = i32(data, i)
+      val valLen = i32(data, i + 4)
+      if (keyLen < 11 || valLen < 0 || i + 8 + keyLen + valLen > data.length)
+        return
+      val k = i + 8
+      val rowLen = ((data(k) & 0xff) << 8) | (data(k + 1) & 0xff)
+      if (rowLen < 0 || k + 2 + rowLen + 1 > data.length) return
+      val row = new String(data, k + 2, rowLen, "UTF-8")
+      val cfLen = data(k + 2 + rowLen) & 0xff
+      val qLen = keyLen - 2 - rowLen - 1 - cfLen - 8 - 1
+      if (qLen < 0) return
+      val cfOff = k + 2 + rowLen + 1
+      val family = new String(data, cfOff, cfLen, "UTF-8")
+      val qualifier = new String(data, cfOff + cfLen, qLen, "UTF-8")
+      val ts = i64(data, cfOff + cfLen + qLen)
+      val kvType = data(cfOff + cfLen + qLen + 8) & 0xff
+      val value = new String(data, k + keyLen, valLen, "UTF-8")
+      var next = k + keyLen + valLen
+      var mvcc = 0L
+      if (withMvcc) readVLong(data, next) match {
+        case Some((m, p)) => mvcc = m; next = p
+        case None => return
+      }
+      out += HCell(row, family, qualifier, ts, kvType, value, mvcc)
+      i = next
+    }
+  }
+
+  /** File-info map (key → raw value bytes); empty on malformed. */
+  def fileInfo(b: Array[Byte]): Map[String, Array[Byte]] =
+    parseTrailer(b) match {
+      case Some(t) if t.fileInfoOffset >= 0 =>
+        readBlock(b, t.fileInfoOffset, t.minorVersion, t.compressionCodec) match {
+          case Some(("FILEINF2", data, _)) if data.length >= 4 &&
+              new String(data, 0, 4, "US-ASCII") == "PBUF" =>
+            ProtoWire.parseDelimited(data, 4) match {
+              case Some((fs, _)) =>
+                fs.collect { case f if f.number == 1 && f.wireType == 2 =>
+                  val entry = ProtoWire.parseMessage(f.bytes)
+                  for (k <- ProtoWire.bytesOf(entry, 1);
+                       v <- ProtoWire.bytesOf(entry, 2))
+                    yield new String(k, "UTF-8") -> v
+                }.flatten.toMap
+              case None => Map.empty
+            }
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+
+  private def includesMvcc(info: Map[String, Array[Byte]]): Boolean =
+    info.get("KEY_VALUE_VERSION").exists(v => v.length >= 4 && i32(v, 0) >= 1)
+
+  /** Scan every cell (full-file walk over the data-block chain). */
+  def scanCells(b: Array[Byte], maxCells: Int = 1 << 20): Seq[HCell] = {
+    val t = parseTrailer(b).getOrElse(return Nil)
+    if (t.firstDataBlockOffset < 0) return Nil
+    val mvcc = includesMvcc(fileInfo(b))
+    val out = ArrayBuffer.empty[HCell]
+    try {
+      var off = t.firstDataBlockOffset
+      var going = true
+      while (going && off <= t.lastDataBlockOffset && out.size < maxCells) {
+        readBlock(b, off, t.minorVersion, t.compressionCodec) match {
+          case Some(("DATABLK*", data, next)) =>
+            decodeCells(data, mvcc, out, maxCells); off = next
+          case Some((_, _, next)) => off = next // meta/bloom: skip
+          case None => going = false
+        }
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    out.result().toSeq
+  }
+
+  /** Root data index (the seek points). Nil on malformed/multi-level
+    * beyond root (numDataIndexLevels > 1 still yields root entries —
+    * each then points at intermediate blocks, not handled here). */
+  def rootIndex(b: Array[Byte]): Seq[IndexEntry] = {
+    val t = parseTrailer(b).getOrElse(return Nil)
+    if (t.loadOnOpenOffset < 0) return Nil
+    readBlock(b, t.loadOnOpenOffset, t.minorVersion, t.compressionCodec) match {
+      case Some(("IDXROOT2", data, _)) =>
+        val out = ArrayBuffer.empty[IndexEntry]
+        var p = 0
+        var k = 0
+        try {
+          while (k < t.dataIndexCount && p + 12 <= data.length) {
+            val off = i64(data, p)
+            val size = i32(data, p + 8)
+            readVLong(data, p + 12) match {
+              case Some((klen, p2)) if klen >= 13 && p2 + klen <= data.length =>
+                // firstKey = full KV key; row = 2-byte-len prefix field
+                val rowLen = ((data(p2) & 0xff) << 8) | (data(p2 + 1) & 0xff)
+                if (rowLen < 0 || p2 + 2 + rowLen > data.length) return out.result().toSeq
+                out += IndexEntry(off, size,
+                  new String(data, p2 + 2, rowLen, "UTF-8"))
+                p = p2 + klen.toInt
+                k += 1
+              case _ => return out.result().toSeq
+            }
+          }
+        } catch { case _: ArrayIndexOutOfBoundsException => () }
+        out.result().toSeq
+      case _ => Nil
+    }
+  }
+
+  /** Index-guided point read: binary-search the root index for the
+    * last entry with firstKeyRow <= row, decode exactly ONE data block,
+    * and filter to the row. Returns (matching cells, data blocks read)
+    * — the blocks-read count is the seek-point evidence. */
+  def pointGet(b: Array[Byte], row: String): (Seq[HCell], Int) = {
+    val t = parseTrailer(b).getOrElse(return (Nil, 0))
+    val idx = rootIndex(b)
+    if (idx.isEmpty) return (Nil, 0)
+    // last entry whose firstKeyRow <= row (entries are sorted)
+    var lo = 0
+    var hi = idx.size - 1
+    var pick = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (idx(mid).firstKeyRow.compareTo(row) <= 0) { pick = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (pick < 0) return (Nil, 0)
+    val mvcc = includesMvcc(fileInfo(b))
+    readBlock(b, idx(pick).offset, t.minorVersion, t.compressionCodec) match {
+      case Some(("DATABLK*", data, _)) =>
+        val out = ArrayBuffer.empty[HCell]
+        decodeCells(data, mvcc, out, 1 << 20)
+        (out.filter(_.row == row).toSeq, 1)
+      case _ => (Nil, 1)
+    }
+  }
+
+  // ---- writer (fixtures + export) -----------------------------------------
+
+  private def kvBytes(c: HCell, withMvcc: Boolean): Array[Byte] = {
+    val row = c.row.getBytes("UTF-8")
+    val cf = c.family.getBytes("UTF-8")
+    val q = c.qualifier.getBytes("UTF-8")
+    val v = c.value.getBytes("UTF-8")
+    val keyLen = 2 + row.length + 1 + cf.length + q.length + 8 + 1
+    val out = new java.io.ByteArrayOutputStream(8 + keyLen + v.length + 4)
+    def w32(x: Int): Unit = {
+      out.write(x >>> 24); out.write((x >>> 16) & 0xff)
+      out.write((x >>> 8) & 0xff); out.write(x & 0xff)
+    }
+    w32(keyLen); w32(v.length)
+    out.write(row.length >>> 8); out.write(row.length & 0xff); out.write(row, 0, row.length)
+    out.write(cf.length); out.write(cf, 0, cf.length)
+    out.write(q, 0, q.length)
+    w32((c.ts >>> 32).toInt); w32(c.ts.toInt)
+    out.write(c.kvType)
+    out.write(v, 0, v.length)
+    if (withMvcc) writeVLong(out, c.mvcc)
+    out.toByteArray
+  }
+
+  /** The KV's key part (for root-index firstKey entries). */
+  private def keyOf(c: HCell): Array[Byte] = {
+    val kv = kvBytes(c, withMvcc = false)
+    val keyLen = i32(kv, 0)
+    java.util.Arrays.copyOfRange(kv, 8, 8 + keyLen)
+  }
+
+  private val BytesPerChecksum = 16384
+
+  private def blockBytes(magic: String, data: Array[Byte],
+      prevOffset: Long): Array[Byte] = {
+    val hdrAndData = new java.io.ByteArrayOutputStream(HdrChecksum + data.length)
+    def w32(x: Int): Unit = {
+      hdrAndData.write(x >>> 24); hdrAndData.write((x >>> 16) & 0xff)
+      hdrAndData.write((x >>> 8) & 0xff); hdrAndData.write(x & 0xff)
+    }
+    val onDiskDataSizeWithHeader = HdrChecksum + data.length
+    val nChunks =
+      (onDiskDataSizeWithHeader + BytesPerChecksum - 1) / BytesPerChecksum
+    hdrAndData.write(magic.getBytes("US-ASCII"), 0, 8)
+    w32(data.length + 4 * nChunks) // onDiskSizeWithoutHeader (incl checksums)
+    w32(data.length) // uncompressedSizeWithoutHeader
+    w32((prevOffset >>> 32).toInt); w32(prevOffset.toInt)
+    hdrAndData.write(1) // checksum type CRC32
+    w32(BytesPerChecksum)
+    w32(onDiskDataSizeWithHeader)
+    hdrAndData.write(data, 0, data.length)
+    val hd = hdrAndData.toByteArray
+    val out = new java.io.ByteArrayOutputStream(hd.length + 4 * nChunks)
+    out.write(hd, 0, hd.length)
+    var covered = 0
+    var c = 0
+    while (c < nChunks) {
+      val chunk = math.min(BytesPerChecksum, hd.length - covered)
+      val crc = new java.util.zip.CRC32
+      crc.update(hd, covered, chunk)
+      val v = crc.getValue
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      covered += chunk; c += 1
+    }
+    out.toByteArray
+  }
+
+  /** Serialize cells (must be pre-sorted by row for the index to hold)
+    * as an HFile v2 minor-3-compatible file: NONE compression, CRC32
+    * checksums, protobuf trailer/file-info, single-level root index.
+    * `withMvcc` writes the per-KV Hadoop-vlong and declares
+    * KEY_VALUE_VERSION=1 + MAX_MEMSTORE_TS in the file info, exactly
+    * as `HFileWriterV2.java:380` does. */
+  def encodeHFile(cells: Seq[HCell], blockSize: Int = 4096,
+      withMvcc: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // off, size, firstKey
+    var prevData = -1L
+    // data blocks
+    var i = 0
+    while (i < cells.length) {
+      val blockStart = out.size().toLong
+      val data = new java.io.ByteArrayOutputStream(blockSize + 256)
+      val firstKey = keyOf(cells(i))
+      while (i < cells.length && data.size() < blockSize) {
+        val kv = kvBytes(cells(i), withMvcc)
+        data.write(kv, 0, kv.length)
+        i += 1
+      }
+      val blk = blockBytes("DATABLK*", data.toByteArray, prevData)
+      index += ((blockStart, blk.length, firstKey))
+      out.write(blk, 0, blk.length)
+      prevData = blockStart
+    }
+    val firstDataOffset = if (index.isEmpty) -1L else index.head._1
+    val lastDataOffset = if (index.isEmpty) -1L else index.last._1
+    // load-on-open: root index
+    val loadOnOpenOffset = out.size().toLong
+    val idxData = new java.io.ByteArrayOutputStream()
+    index.foreach { case (off, size, firstKey) =>
+      idxData.write(((off >>> 56) & 0xff).toInt); idxData.write(((off >>> 48) & 0xff).toInt)
+      idxData.write(((off >>> 40) & 0xff).toInt); idxData.write(((off >>> 32) & 0xff).toInt)
+      idxData.write(((off >>> 24) & 0xff).toInt); idxData.write(((off >>> 16) & 0xff).toInt)
+      idxData.write(((off >>> 8) & 0xff).toInt); idxData.write((off & 0xff).toInt)
+      idxData.write((size >>> 24) & 0xff); idxData.write((size >>> 16) & 0xff)
+      idxData.write((size >>> 8) & 0xff); idxData.write(size & 0xff)
+      writeVLong(idxData, firstKey.length.toLong)
+      idxData.write(firstKey, 0, firstKey.length)
+    }
+    val idxBlk = blockBytes("IDXROOT2", idxData.toByteArray, -1L)
+    out.write(idxBlk, 0, idxBlk.length)
+    // file info
+    val fileInfoOffset = out.size().toLong
+    val infoEntries = ArrayBuffer.empty[(String, Array[Byte])]
+    if (withMvcc) {
+      val one = Array[Byte](0, 0, 0, 1)
+      val maxTs = Array.fill[Byte](8)(0); maxTs(7) = 9
+      infoEntries += (("KEY_VALUE_VERSION", one))
+      infoEntries += (("MAX_MEMSTORE_TS_KEY", maxTs))
+    }
+    val infoProto = new ProtoWire.Writer
+    infoEntries.foreach { case (k, v) =>
+      val pair = new ProtoWire.Writer
+      pair.bytesField(1, k.getBytes("UTF-8")).bytesField(2, v)
+      infoProto.messageField(1, pair)
+    }
+    val infoData = new java.io.ByteArrayOutputStream()
+    infoData.write("PBUF".getBytes("US-ASCII"), 0, 4)
+    val delim = infoProto.delimited
+    infoData.write(delim, 0, delim.length)
+    val infoBlk = blockBytes("FILEINF2", infoData.toByteArray, -1L)
+    out.write(infoBlk, 0, infoBlk.length)
+    // trailer
+    val tp = new ProtoWire.Writer
+    tp.varintField(1, fileInfoOffset)
+      .varintField(2, loadOnOpenOffset)
+      .varintField(3, idxData.size().toLong)
+      .varintField(4, out.size().toLong)
+      .varintField(5, index.size.toLong)
+      .varintField(6, 0L)
+      .varintField(7, cells.size.toLong)
+      .varintField(8, 1L) // single-level index
+      .varintField(9, firstDataOffset)
+      .varintField(10, lastDataOffset)
+      .stringField(11, "org.apache.hadoop.hbase.KeyValue$KVComparator")
+      .varintField(12, CodecNone.toLong)
+    val pb = tp.delimited
+    val trailer = new Array[Byte](TrailerSize)
+    System.arraycopy(TrailerMagic, 0, trailer, 0, 8)
+    require(8 + pb.length <= TrailerSize - 4, "trailer proto too large")
+    System.arraycopy(pb, 0, trailer, 8, pb.length)
+    val ver = 2 | (2 << 24) // major 2, minor 2 (PBUF trailer + checksums)
+    trailer(TrailerSize - 4) = (ver >>> 24).toByte
+    trailer(TrailerSize - 3) = ((ver >>> 16) & 0xff).toByte
+    trailer(TrailerSize - 2) = ((ver >>> 8) & 0xff).toByte
+    trailer(TrailerSize - 1) = (ver & 0xff).toByte
+    out.write(trailer, 0, TrailerSize)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal protobuf WIRE-FORMAT codec (the public encoding spec:
+  * varints, `(field << 3) | wireType` tags, length-delimited fields) —
+  * schema-less. Two jobs:
+  *
+  *  - the structural layer under [[HFileCodec]]: HBase 0.98 serializes
+  *    the HFile trailer and file-info as delimited protobuf messages
+  *    (`FileTrailerProto` / `FileInfoProto`,
+  *    `hbase-protocol/src/main/protobuf/HFile.proto:32-46,49-51`), so
+  *    reading the reference's files needs exactly this wire walk;
+  *  - a generic pb-blob PROFILER for corpus work: field numbers, wire
+  *    types and payload sizes of unknown protobuf blobs without any
+  *    schema — the first screen over a directory of `.pb` shards.
+  *
+  * Total: malformed input yields the fields parsed so far, never an
+  * exception. (SURVEY §2.11)
+  */
+object ProtoWire {
+
+  /** One wire field. For wire types 0/1/5 the numeric payload is in
+    * `varint`; for type 2 the raw bytes are in `bytes`. */
+  final case class Field(number: Int, wireType: Int, varint: Long,
+      bytes: Array[Byte])
+
+  /** Base-128 varint at `pos`; returns (value, posAfter) or None on
+    * truncation/overlong (> 10 bytes). */
+  def readVarint(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    var v = 0L
+    var shift = 0
+    var i = pos
+    while (i < b.length && shift <= 63) {
+      val x = b(i) & 0xff
+      v |= (x & 0x7fL) << shift
+      i += 1
+      if ((x & 0x80) == 0) return Some((v, i))
+      shift += 7
+    }
+    None
+  }
+
+  /** Parse one message's fields in `[from, to)`. Unknown/overlong tails
+    * end the walk cleanly. Groups (wire types 3/4) end the walk — they
+    * are pre-proto2 relics no modern writer emits. */
+  def parseMessage(b: Array[Byte], from: Int = 0, to: Int = -1): Seq[Field] = {
+    if (b == null) return Nil
+    val end = if (to < 0) b.length else math.min(to, b.length)
+    val out = ArrayBuffer.empty[Field]
+    var i = math.max(from, 0)
+    var going = true
+    while (going && i < end) {
+      readVarint(b, i) match {
+        case Some((tag, p1)) if tag > 0 =>
+          val number = (tag >>> 3).toInt
+          val wt = (tag & 7).toInt
+          wt match {
+            case 0 => readVarint(b, p1) match {
+              case Some((v, p2)) if p2 <= end =>
+                out += Field(number, 0, v, Array.emptyByteArray); i = p2
+              case _ => going = false
+            }
+            case 1 =>
+              if (p1 + 8 > end) going = false
+              else {
+                var v = 0L
+                var k = 0
+                while (k < 8) { v |= (b(p1 + k) & 0xffL) << (8 * k); k += 1 }
+                out += Field(number, 1, v, Array.emptyByteArray); i = p1 + 8
+              }
+            case 2 => readVarint(b, p1) match {
+              case Some((len, p2)) if len >= 0 && p2 + len <= end =>
+                out += Field(number, 2, len,
+                  java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt))
+                i = p2 + len.toInt
+              case _ => going = false
+            }
+            case 5 =>
+              if (p1 + 4 > end) going = false
+              else {
+                var v = 0L
+                var k = 0
+                while (k < 4) { v |= (b(p1 + k) & 0xffL) << (8 * k); k += 1 }
+                out += Field(number, 5, v, Array.emptyByteArray); i = p1 + 4
+              }
+            case _ => going = false // groups / reserved
+          }
+        case _ => going = false
+      }
+    }
+    out.result().toSeq
+  }
+
+  /** Parse a `writeDelimitedTo`-style message (varint length prefix):
+    * (fields, offsetAfter). */
+  def parseDelimited(b: Array[Byte], pos: Int): Option[(Seq[Field], Int)] =
+    readVarint(b, pos).flatMap { case (len, p1) =>
+      if (len < 0 || p1 + len > b.length) None
+      else Some((parseMessage(b, p1, p1 + len.toInt), p1 + len.toInt))
+    }
+
+  /** First occurrence helpers over a parsed message. */
+  def varintOf(fs: Seq[Field], number: Int): Option[Long] =
+    fs.collectFirst { case f if f.number == number && f.wireType == 0 => f.varint }
+  def bytesOf(fs: Seq[Field], number: Int): Option[Array[Byte]] =
+    fs.collectFirst { case f if f.number == number && f.wireType == 2 => f.bytes }
+
+  // ---- writer ------------------------------------------------------------
+
+  final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    def writeVarint(v0: Long): this.type = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+      this
+    }
+    def varintField(number: Int, v: Long): this.type = {
+      writeVarint((number.toLong << 3) | 0); writeVarint(v)
+    }
+    def bytesField(number: Int, b: Array[Byte]): this.type = {
+      writeVarint((number.toLong << 3) | 2); writeVarint(b.length.toLong)
+      out.write(b); this
+    }
+    def stringField(number: Int, s: String): this.type =
+      bytesField(number, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def messageField(number: Int, m: Writer): this.type =
+      bytesField(number, m.toBytes)
+    def toBytes: Array[Byte] = out.toByteArray
+    /** varint length prefix + message (protobuf `writeDelimitedTo`). */
+    def delimited: Array[Byte] = {
+      val body = toBytes
+      val w = new Writer
+      w.writeVarint(body.length.toLong)
+      w.toBytes ++ body
+    }
+  }
+}

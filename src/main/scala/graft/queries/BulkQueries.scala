@@ -1054,6 +1054,52 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "entry_idx", "name", "size", "method", "text")
     }),
 
+    // the MIGRATION on-ramp: HFile v2 — the reference's own on-disk
+    // store/bulk-load format — full cell walk over multi-block files,
+    // both with and without per-KV mvcc vlongs (file-info declared);
+    // every cell field replays by id arithmetic, so a wrong block
+    // header, checksum, KeyValue offset or vlong hash-fails
+    "bulk_hfile_scan" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.HFileCodec
+          val n = (2 + id % 4).toInt
+          val withMvcc = id % 2 == 1
+          val cells = (0 until n).map { j =>
+            HFileCodec.HCell(s"r$id-$j", "d", s"q${j % 2}", 1000L + j, 4,
+              s"v$id-$j", if (withMvcc) j + 1L else 0L)
+          }
+          val hf = HFileCodec.encodeHFile(cells, blockSize = 64,
+            withMvcc = withMvcc)
+          HFileCodec.scanCells(hf).map(c =>
+            (id, c.row, c.qualifier, c.ts, c.value, c.mvcc))
+        }).toDF("doc_id", "row_key", "qualifier", "ts", "cell_value", "mvcc")
+    }),
+
+    // HFile root-index point read: binary-search the load-on-open index,
+    // decode exactly ONE data block (the reference's seek-point
+    // economics, SeekPointFetcher.java:47) — blocks_read == 1 is in the
+    // hash, so a regression to a file walk fails the gate
+    "bulk_hfile_point_get" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.HFileCodec
+          val cells = (0 until 8).map { j =>
+            HFileCodec.HCell(f"k$id-$j%02d", "d", "q", 7L, 4, s"pv$id-$j", 0L)
+          }
+          val hf = HFileCodec.encodeHFile(cells, blockSize = 64)
+          val nBlocks = HFileCodec.parseTrailer(hf).get.dataIndexCount
+          val probe = (id % 8).toInt
+          val (got, blocksRead) = HFileCodec.pointGet(hf, f"k$id-$probe%02d")
+          (id, got.head.row, got.head.value, blocksRead,
+            blocksRead < nBlocks)
+        }).toDF("doc_id", "row_key", "cell_value", "blocks_read", "partial")
+    }),
+
     // frame-level MP3 stream profile from headers alone: CBR vs VBR
     // verdict, per-frame bitrate bounds and header-math duration — the
     // audio-quality first screen next to the PCM/RMS path; both MPEG
@@ -1500,6 +1546,28 @@ object BulkQueries extends QueryGroup {
         "'member ' || CAST(j AS VARCHAR) || ' of doc ' || " +
         "CAST(doc_id AS VARCHAR) AS text " +
         "FROM g, generate_series(0, 2) AS s(j) WHERE j < n"),
+
+    // every HFile cell field re-derived from the id arithmetic that
+    // planted it
+    "bulk_hfile_scan" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(2 + doc_id % 4 AS INT) AS n FROM documents) " +
+        "SELECT doc_id, " +
+        "'r' || i || '-' || CAST(j AS VARCHAR) AS row_key, " +
+        "'q' || CAST(j % 2 AS VARCHAR) AS qualifier, " +
+        "CAST(1000 + j AS BIGINT) AS ts, " +
+        "'v' || i || '-' || CAST(j AS VARCHAR) AS cell_value, " +
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN j + 1 ELSE 0 END AS BIGINT) AS mvcc " +
+        "FROM g, generate_series(0, 5) AS s(j) WHERE j < n"),
+
+    "bulk_hfile_point_get" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "doc_id % 8 AS p FROM documents) " +
+        "SELECT doc_id, " +
+        "'k' || i || '-' || lpad(CAST(p AS VARCHAR), 2, '0') AS row_key, " +
+        "'pv' || i || '-' || CAST(p AS VARCHAR) AS cell_value, " +
+        "CAST(1 AS INT) AS blocks_read, TRUE AS partial " +
+        "FROM g"),
 
     // bitrate tables are ISO 11172-3 public constants; duration is
     // integer header math on both sides

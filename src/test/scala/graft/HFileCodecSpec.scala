@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{HFileCodec, ProtoWire}
+import graft.ops.HFileCodec.HCell
+
+/** HFile v2 (the reference's on-disk format) vs the deterministic
+  * writer: trailer/protobuf plumbing, block checksums, cell walk,
+  * mvcc vlongs, root-index point reads, totality. */
+class HFileCodecSpec extends AnyFunSuite {
+
+  private def cell(i: Int): HCell =
+    HCell(f"row$i%03d", "d", s"q${i % 3}", 1000L + i, 4, s"value-$i", 0L)
+
+  private val cells = (0 until 40).map(cell)
+
+  test("protobuf wire round-trips varints, bytes, delimited messages") {
+    val w = new ProtoWire.Writer
+    w.varintField(1, 300L).varintField(7, 0L)
+      .stringField(11, "org.apache.hadoop.hbase.KeyValue$KVComparator")
+    val fs = ProtoWire.parseMessage(w.toBytes)
+    assert(ProtoWire.varintOf(fs, 1).contains(300L))
+    assert(ProtoWire.varintOf(fs, 7).contains(0L))
+    assert(ProtoWire.bytesOf(fs, 11).map(new String(_, "UTF-8"))
+      .contains("org.apache.hadoop.hbase.KeyValue$KVComparator"))
+    val (fs2, after) = ProtoWire.parseDelimited(w.delimited, 0).get
+    assert(fs2.map(_.number) == fs.map(_.number))
+    assert(after == w.delimited.length)
+    // truncation never throws
+    val d = w.delimited
+    for (cut <- 0 until d.length)
+      ProtoWire.parseMessage(java.util.Arrays.copyOf(d, cut))
+    assert(ProtoWire.parseMessage(null).isEmpty)
+  }
+
+  test("hadoop vlong round-trips the WritableUtils encoding") {
+    val vals = Seq(0L, 1L, -1L, 127L, -112L, 128L, -113L, 255L, 65536L,
+      -65537L, Long.MaxValue, Long.MinValue, 9L)
+    vals.foreach { v =>
+      val bos = new java.io.ByteArrayOutputStream
+      HFileCodec.writeVLong(bos, v)
+      val b = bos.toByteArray
+      assert(HFileCodec.readVLong(b, 0).contains((v, b.length)), s"v=$v")
+    }
+    // known single-byte forms: [-112, 127] encode as themselves
+    val one = new java.io.ByteArrayOutputStream
+    HFileCodec.writeVLong(one, 100L)
+    assert(one.toByteArray.sameElements(Array[Byte](100)))
+  }
+
+  test("scan round-trips cells across multiple blocks") {
+    for (mvcc <- Seq(false, true)) {
+      val withTs = if (mvcc) cells.map(c => c.copy(mvcc = c.ts % 7)) else cells
+      val hf = HFileCodec.encodeHFile(withTs, blockSize = 256, withMvcc = mvcc)
+      assert(HFileCodec.sniff(hf))
+      val t = HFileCodec.parseTrailer(hf).get
+      assert(t.entryCount == 40 && t.dataIndexCount > 1) // multi-block
+      assert(t.compressionCodec == 2) // NONE
+      val got = HFileCodec.scanCells(hf)
+      assert(got == withTs)
+    }
+  }
+
+  test("root index + point get touch ONE data block") {
+    val hf = HFileCodec.encodeHFile(cells, blockSize = 256)
+    val idx = HFileCodec.rootIndex(hf)
+    assert(idx.size == HFileCodec.parseTrailer(hf).get.dataIndexCount)
+    assert(idx.map(_.firstKeyRow) == idx.map(_.firstKeyRow).sorted)
+    for (probe <- Seq(0, 7, 19, 39)) {
+      val (got, blocksRead) = HFileCodec.pointGet(hf, f"row$probe%03d")
+      assert(blocksRead == 1, s"probe $probe read $blocksRead blocks")
+      assert(got == Seq(cell(probe)), s"probe $probe")
+    }
+    // a missing row before the first key reads nothing
+    assert(HFileCodec.pointGet(hf, "aaa")._1.isEmpty)
+    // a missing row inside the range reads one block, finds nothing
+    assert(HFileCodec.pointGet(hf, "row0075")._1.isEmpty)
+  }
+
+  test("file info carries the mvcc declaration") {
+    val plain = HFileCodec.encodeHFile(cells, blockSize = 512)
+    assert(!HFileCodec.fileInfo(plain).contains("KEY_VALUE_VERSION"))
+    val mvcc = HFileCodec.encodeHFile(cells, blockSize = 512, withMvcc = true)
+    val info = HFileCodec.fileInfo(mvcc)
+    assert(info.contains("KEY_VALUE_VERSION"))
+    assert(info.contains("MAX_MEMSTORE_TS_KEY"))
+  }
+
+  test("a corrupted data byte fails its block's CRC and stops the walk") {
+    val hf = HFileCodec.encodeHFile(cells, blockSize = 256)
+    val full = HFileCodec.scanCells(hf).size
+    val bad = hf.clone()
+    bad(40) = (bad(40) ^ 0x55).toByte // inside the first block's data
+    val got = HFileCodec.scanCells(bad)
+    assert(got.size < full) // first block rejected, walk stopped cleanly
+  }
+
+  test("totality: truncation at every prefix, junk, null") {
+    val hf = HFileCodec.encodeHFile(cells, blockSize = 256)
+    for (cut <- 0 until hf.length by 29) {
+      val c = java.util.Arrays.copyOf(hf, cut)
+      HFileCodec.scanCells(c); HFileCodec.rootIndex(c)
+      HFileCodec.pointGet(c, "row007") // no throw
+    }
+    assert(HFileCodec.scanCells(null).isEmpty)
+    assert(HFileCodec.parseTrailer("junk".getBytes("UTF-8")).isEmpty)
+    assert(HFileCodec.scanCells(new Array[Byte](300)).isEmpty)
+    // empty file (zero cells) round-trips as empty
+    val empty = HFileCodec.encodeHFile(Nil)
+    assert(HFileCodec.parseTrailer(empty).get.entryCount == 0)
+    assert(HFileCodec.scanCells(empty).isEmpty)
+  }
+}
