@@ -183,12 +183,13 @@ object Archives {
   // ---- TAR -------------------------------------------------------------
 
   /** True for a plausible ustar header (magic at 257) or a gzip /
-    * bzip2 / xz transport blob. */
+    * bzip2 / xz / zstd transport blob. */
   def sniffTar(b: Array[Byte]): Boolean =
     (b != null && b.length >= 263 && b(257) == 'u' && b(258) == 's' &&
       b(259) == 't' && b(260) == 'a' && b(261) == 'r') ||
       (b != null && b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) ||
-      Dumps.sniffBzip2(b) || Dumps.sniffXz(b)
+      Dumps.sniffBzip2(b) || Dumps.sniffXz(b) ||
+      (b != null && sniffZstd(b))
 
   private def octal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L
@@ -245,9 +246,14 @@ object Archives {
     * names and pseudo-entries. Precedence per POSIX: pax `path` > GNU
     * longname > global default > ustar prefix/name. Malformed or
     * truncated input yields the members walked so far. */
+  /** True for the zstd frame magic 28 B5 2F FD. */
+  private def sniffZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd
+
   /** Undo a tar blob's compression transport: gzip (tgz), bzip2
-    * (`.tar.bz2`) or xz (`.tar.xz`), all bounded by the shared bomb
-    * cap; plain blobs pass through. */
+    * (`.tar.bz2`), xz (`.tar.xz`) or zstd (`.tar.zst`), all bounded by
+    * the shared bomb cap; plain blobs pass through. */
   private def deTransport(b0: Array[Byte]): Array[Byte] =
     if ((b0(0) & 0xff) == 0x1f && (b0(1) & 0xff) == 0x8b)
       WarcCodec.gunzipAll(b0)
@@ -255,6 +261,8 @@ object Archives {
       Dumps.bunzip2Bounded(b0).getOrElse(Array.emptyByteArray)
     else if (Dumps.sniffXz(b0))
       Dumps.unxzBounded(b0).getOrElse(Array.emptyByteArray)
+    else if (sniffZstd(b0))
+      WarcCodec.zstdBounded(b0).getOrElse(Array.emptyByteArray)
     else b0
 
   def parseTarEntries(b0: Array[Byte], maxEntries: Int = 65535): Seq[ArchiveEntry] = {

@@ -42,11 +42,17 @@ class DumpsSpec extends AnyFunSuite {
       Dumps.unxzBounded(java.util.Arrays.copyOf(xz, cut)) // no throw
   }
 
-  test("tar rides the bz2 and xz transports end to end") {
+  test("tar rides the bz2, xz and zstd transports end to end") {
     val members = Seq(("a.txt", "alpha".getBytes("UTF-8")),
       ("deep/" * 25 + "b.txt", "beta".getBytes("UTF-8"))) // long name too
     val tar = Archives.encodeTar(members)
-    for (blob <- Seq(Dumps.encodeBzip2(tar), Dumps.encodeXz(tar))) {
+    val zstd = {
+      val bos = new java.io.ByteArrayOutputStream
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(tar); z.close()
+      bos.toByteArray
+    }
+    for (blob <- Seq(Dumps.encodeBzip2(tar), Dumps.encodeXz(tar), zstd)) {
       assert(Archives.sniffTar(blob))
       val es = Archives.parseTarEntries(blob)
       assert(es.map(_.name) == members.map(_._1))
