@@ -72,25 +72,38 @@ object Dumps {
     if (!sniffXz(b)) return None
     try drainBounded(
       new org.tukaani.xz.XZInputStream(
-        new java.io.ByteArrayInputStream(b), 1 << 18 /* KiB = 256 MiB */),
+        new java.io.ByteArrayInputStream(b), 1 << 18 /* KiB = 256 MiB */,
+        xzCache),
       b.length * 4)
     catch { case _: Exception => None }
   }
 
-  /** Deterministic bzip2 writer for fixtures. */
+  /** Deterministic bzip2 writer for fixtures. Block size 1 (100 KB):
+    * fixture payloads are tiny and the default 900 KB block allocates
+    * ~7.6 MB of work arrays PER CALL — at one encode per row that
+    * allocation dominated the whole query (measured 33 s → ~2 s at
+    * sf0.1 with small presets here and in [[encodeXz]]). */
   def encodeBzip2(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream
     val z = new org.apache.commons.compress.compressors.bzip2
-      .BZip2CompressorOutputStream(bos)
+      .BZip2CompressorOutputStream(bos, 1)
     z.write(b); z.close()
     bos.toByteArray
   }
 
-  /** Deterministic xz writer for fixtures (fixed preset). */
+  /** Per-thread array cache for the xz coder: LZMA2 allocates its
+    * dictionary + probability arrays PER STREAM, which dominates
+    * many-small-blob encode/decode; the cache recycles them. */
+  private lazy val xzCache = new org.tukaani.xz.BasicArrayCache()
+
+  /** Deterministic xz writer for fixtures. Preset 0 (256 KiB dict —
+    * preset 6's 8 MiB dictionary is allocated per call; see
+    * [[encodeBzip2]]) + recycled work arrays. The decoder is
+    * preset-agnostic. */
   def encodeXz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream
     val z = new org.tukaani.xz.XZOutputStream(bos,
-      new org.tukaani.xz.LZMA2Options(6))
+      new org.tukaani.xz.LZMA2Options(0), xzCache)
     z.write(b); z.close()
     bos.toByteArray
   }
