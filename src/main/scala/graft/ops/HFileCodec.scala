@@ -192,35 +192,50 @@ object HFileCodec {
 
   // ---- cells --------------------------------------------------------------
 
+  /** Decode ONE KeyValue (keyLen valLen key value [+ mvcc vlong]) at
+    * `off`; (cell, offsetAfter) or None on any malformed framing. Also
+    * the cell layout inside the reference's protobuf WAL
+    * (`KeyValue.java:2803-2817` — there each KV additionally rides a
+    * 4-byte total-length prefix). */
+  private[graft] def decodeOneKv(data: Array[Byte], off: Int,
+      withMvcc: Boolean): Option[(HCell, Int)] = {
+    val i = off
+    if (i + 8 > data.length) return None
+    val keyLen = i32(data, i)
+    val valLen = i32(data, i + 4)
+    if (keyLen < 11 || valLen < 0 || i + 8 + keyLen + valLen > data.length)
+      return None
+    val k = i + 8
+    val rowLen = ((data(k) & 0xff) << 8) | (data(k + 1) & 0xff)
+    if (rowLen < 0 || k + 2 + rowLen + 1 > data.length) return None
+    val row = new String(data, k + 2, rowLen, "UTF-8")
+    val cfLen = data(k + 2 + rowLen) & 0xff
+    val qLen = keyLen - 2 - rowLen - 1 - cfLen - 8 - 1
+    if (qLen < 0) return None
+    val cfOff = k + 2 + rowLen + 1
+    val family = new String(data, cfOff, cfLen, "UTF-8")
+    val qualifier = new String(data, cfOff + cfLen, qLen, "UTF-8")
+    val ts = i64(data, cfOff + cfLen + qLen)
+    val kvType = data(cfOff + cfLen + qLen + 8) & 0xff
+    val value = new String(data, k + keyLen, valLen, "UTF-8")
+    var next = k + keyLen + valLen
+    var mvcc = 0L
+    if (withMvcc) readVLong(data, next) match {
+      case Some((m, p)) => mvcc = m; next = p
+      case None => return None
+    }
+    Some((HCell(row, family, qualifier, ts, kvType, value, mvcc), next))
+  }
+
   private def decodeCells(data: Array[Byte], withMvcc: Boolean,
       out: ArrayBuffer[HCell], max: Int): Unit = {
     var i = 0
-    while (i + 8 <= data.length && out.size < max) {
-      val keyLen = i32(data, i)
-      val valLen = i32(data, i + 4)
-      if (keyLen < 11 || valLen < 0 || i + 8 + keyLen + valLen > data.length)
-        return
-      val k = i + 8
-      val rowLen = ((data(k) & 0xff) << 8) | (data(k + 1) & 0xff)
-      if (rowLen < 0 || k + 2 + rowLen + 1 > data.length) return
-      val row = new String(data, k + 2, rowLen, "UTF-8")
-      val cfLen = data(k + 2 + rowLen) & 0xff
-      val qLen = keyLen - 2 - rowLen - 1 - cfLen - 8 - 1
-      if (qLen < 0) return
-      val cfOff = k + 2 + rowLen + 1
-      val family = new String(data, cfOff, cfLen, "UTF-8")
-      val qualifier = new String(data, cfOff + cfLen, qLen, "UTF-8")
-      val ts = i64(data, cfOff + cfLen + qLen)
-      val kvType = data(cfOff + cfLen + qLen + 8) & 0xff
-      val value = new String(data, k + keyLen, valLen, "UTF-8")
-      var next = k + keyLen + valLen
-      var mvcc = 0L
-      if (withMvcc) readVLong(data, next) match {
-        case Some((m, p)) => mvcc = m; next = p
-        case None => return
+    var going = true
+    while (going && i + 8 <= data.length && out.size < max) {
+      decodeOneKv(data, i, withMvcc) match {
+        case Some((c, next)) => out += c; i = next
+        case None => going = false
       }
-      out += HCell(row, family, qualifier, ts, kvType, value, mvcc)
-      i = next
     }
   }
 

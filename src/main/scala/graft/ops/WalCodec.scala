@@ -1,0 +1,178 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HBase protobuf WAL (write-ahead log) codec — the OTHER on-disk
+  * artifact a migration from the reference inherits: region servers
+  * leave `PWAL` files behind, and replaying their tail against an
+  * exported snapshot is how a cutover catches the last edits.
+  *
+  * Layout (cited from the reference source):
+  *  - `PWAL` magic, then a DELIMITED `WALHeader` proto
+  *    (`ProtobufLogReader.java:58,98-100`; fields
+  *    `hbase-protocol/src/main/protobuf/WAL.proto:26-30`);
+  *  - entries: a DELIMITED `WALKey` proto (encoded_region_name=1,
+  *    table_name=2, log_sequence_number=3, write_time=4,
+  *    following_kv_count=7 — `WAL.proto:33-47`,
+  *    `ProtobufLogReader.java:212-258`) followed by exactly
+  *    `following_kv_count` cells, each a 4-byte big-endian TOTAL
+  *    length + the KeyValue bytes (`KeyValueCodec.java:54-69`,
+  *    `KeyValue.java:2803-2817,2849-2856`);
+  *  - optional completion trailer: `WALTrailer` proto bytes, a 4-byte
+  *    trailer size, and the `LAWP` magic at EOF
+  *    (`ProtobufLogReader.java:59,151-186`) — ABSENT on files cut by a
+  *    crash, which is exactly when replay matters, so the walker never
+  *    requires it.
+  *
+  * Dictionary-compressed WALs (`WALHeader.has_compression`) are
+  * disclosed unsupported — compression is off by default in the
+  * reference — and yield Nil rather than garbage. Totality contract as
+  * every codec here: a torn tail (the normal crash shape) yields the
+  * complete entries before the tear. Scale shape: one WAL file = one
+  * task in a `binaryFile` flatMap; edits are tiny relative to stores.
+  */
+object WalCodec {
+
+  /** One WAL entry: the WALKey envelope + its cells. */
+  final case class WalEntry(region: String, table: String, seq: Long,
+      writeTime: Long, cells: Seq[HFileCodec.HCell])
+
+  private val Magic = "PWAL".getBytes("US-ASCII")
+  private val CompleteMagic = "LAWP".getBytes("US-ASCII")
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (0 until 4).forall(k => b(k) == Magic(k))
+
+  /** True when the file carries the completion trailer — i.e. it was
+    * closed cleanly, not cut by a crash. */
+  def isCleanlyClosed(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      (0 until 4).forall(k => b(b.length - 4 + k) == CompleteMagic(k))
+
+  /** Walk a protobuf WAL blob. Malformed/torn tails yield the entries
+    * parsed so far; compressed WALs yield Nil (disclosed). */
+  def parseWal(b: Array[Byte], maxEntries: Int = 65535): Seq[WalEntry] = {
+    if (!sniff(b)) return Nil
+    val out = ArrayBuffer.empty[WalEntry]
+    try {
+      // header
+      val (hdr, afterHdr) = ProtoWire.parseDelimited(b, 4).getOrElse(return Nil)
+      if (ProtoWire.varintOf(hdr, 1).contains(1L)) return Nil // compressed
+      // edits stop before the trailer when the completion magic is present
+      val stop =
+        if (isCleanlyClosed(b)) {
+          val ts = ((b(b.length - 8) & 0xff) << 24) |
+            ((b(b.length - 7) & 0xff) << 16) |
+            ((b(b.length - 6) & 0xff) << 8) | (b(b.length - 5) & 0xff)
+          if (ts >= 0 && b.length - 8 - ts >= afterHdr) b.length - 8 - ts
+          else b.length
+        } else b.length
+      var i = afterHdr
+      var going = true
+      while (going && i < stop && out.size < maxEntries) {
+        ProtoWire.parseDelimited(b, i) match {
+          case Some((key, afterKey)) if afterKey <= stop =>
+            val region = ProtoWire.bytesOf(key, 1)
+              .map(new String(_, "UTF-8")).getOrElse("")
+            val table = ProtoWire.bytesOf(key, 2)
+              .map(new String(_, "UTF-8")).getOrElse("")
+            val seq = ProtoWire.varintOf(key, 3).getOrElse(-1L)
+            val wt = ProtoWire.varintOf(key, 4).getOrElse(-1L)
+            val nCells = ProtoWire.varintOf(key, 7).getOrElse(0L).toInt
+            val cells = ArrayBuffer.empty[HFileCodec.HCell]
+            var p = afterKey
+            var c = 0
+            var ok = true
+            while (ok && c < nCells) {
+              if (p + 4 > stop) ok = false
+              else {
+                val len = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+                  ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+                if (len < 0 || p + 4 + len > stop) ok = false
+                else {
+                  HFileCodec.decodeOneKv(b, p + 4, withMvcc = false) match {
+                    case Some((cell, after)) if after <= p + 4 + len =>
+                      cells += cell
+                      p += 4 + len
+                      c += 1
+                    case _ => ok = false
+                  }
+                }
+              }
+            }
+            if (!ok) going = false // torn entry: keep what came before
+            else {
+              // entries with zero cells are markers; the reference's own
+              // reader skips them (ProtobufLogReader.java:252-255)
+              if (cells.nonEmpty)
+                out += WalEntry(region, table, seq, wt, cells.toSeq)
+              i = p
+            }
+          case _ => going = false
+        }
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => () }
+    out.result().toSeq
+  }
+
+  /** Deterministic writer for fixtures: spec-shaped header, delimited
+    * WALKeys, 4-byte-length-prefixed KeyValues, optional completion
+    * trailer; `tearAtBytes >= 0` truncates the file (the crash shape). */
+  def encodeWal(entries: Seq[WalEntry], withTrailer: Boolean = true,
+      tearAtBytes: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic, 0, 4)
+    val hdr = new ProtoWire.Writer // has_compression absent = false
+    val hd = hdr.delimited
+    out.write(hd, 0, hd.length)
+    entries.foreach { e =>
+      val key = new ProtoWire.Writer
+      key.bytesField(1, e.region.getBytes("UTF-8"))
+        .bytesField(2, e.table.getBytes("UTF-8"))
+        .varintField(3, e.seq)
+        .varintField(4, e.writeTime)
+        .varintField(7, e.cells.size.toLong)
+      val kd = key.delimited
+      out.write(kd, 0, kd.length)
+      e.cells.foreach { c =>
+        val kv = kvOf(c)
+        out.write(kv.length >>> 24); out.write((kv.length >>> 16) & 0xff)
+        out.write((kv.length >>> 8) & 0xff); out.write(kv.length & 0xff)
+        out.write(kv, 0, kv.length)
+      }
+    }
+    if (withTrailer) {
+      val trailer = Array.emptyByteArray // WALTrailer has no fields
+      out.write(trailer, 0, trailer.length)
+      out.write(0); out.write(0); out.write(0); out.write(trailer.length)
+      out.write(CompleteMagic, 0, 4)
+    }
+    val full = out.toByteArray
+    if (tearAtBytes >= 0 && tearAtBytes < full.length)
+      java.util.Arrays.copyOf(full, tearAtBytes)
+    else full
+  }
+
+  /** KeyValue buffer (keyLen valLen key value) for one cell. */
+  private def kvOf(c: HFileCodec.HCell): Array[Byte] = {
+    val row = c.row.getBytes("UTF-8")
+    val cf = c.family.getBytes("UTF-8")
+    val q = c.qualifier.getBytes("UTF-8")
+    val v = c.value.getBytes("UTF-8")
+    val keyLen = 2 + row.length + 1 + cf.length + q.length + 8 + 1
+    val out = new java.io.ByteArrayOutputStream(8 + keyLen + v.length)
+    def w32(x: Int): Unit = {
+      out.write(x >>> 24); out.write((x >>> 16) & 0xff)
+      out.write((x >>> 8) & 0xff); out.write(x & 0xff)
+    }
+    w32(keyLen); w32(v.length)
+    out.write(row.length >>> 8); out.write(row.length & 0xff)
+    out.write(row, 0, row.length)
+    out.write(cf.length); out.write(cf, 0, cf.length)
+    out.write(q, 0, q.length)
+    w32((c.ts >>> 32).toInt); w32(c.ts.toInt)
+    out.write(c.kvType)
+    out.write(v, 0, v.length)
+    out.toByteArray
+  }
+}

@@ -1100,6 +1100,40 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "row_key", "cell_value", "blocks_read", "partial")
     }),
 
+    // the reference's protobuf WAL read END TO END: delimited WALKey
+    // envelopes + length-prefixed KeyValues, even ids cleanly closed
+    // (LAWP trailer), odd ids the CRASH shape — no trailer AND torn
+    // mid-entry, where the walker must return exactly the complete
+    // entries (replaying a region server's tail is when this matters)
+    "bulk_hbase_wal_read" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.WalCodec
+          import graft.ops.HFileCodec.HCell
+          val n = (1 + id % 3).toInt
+          def entry(j: Int) = WalCodec.WalEntry(s"r$id", "ns:tbl",
+            100L + j, 50000L + id + j,
+            (0 until 1 + j % 2).map(k =>
+              HCell(s"w$id-$j-$k", "d", "q", 7L, 4, s"wv$id-$j-$k", 0L)))
+          val good = (0 until n).map(entry)
+          val wal =
+            if (id % 2 == 0) WalCodec.encodeWal(good, withTrailer = true)
+            else {
+              val base = WalCodec.encodeWal(good, withTrailer = false)
+              WalCodec.encodeWal(good :+ entry(n), withTrailer = false,
+                tearAtBytes = base.length + 3)
+            }
+          val clean = WalCodec.isCleanlyClosed(wal)
+          WalCodec.parseWal(wal).zipWithIndex.map { case (e, ix) =>
+            (id, ix, e.region, e.table, e.seq, e.writeTime,
+              e.cells.size, e.cells.head.row, e.cells.head.value, clean)
+          }
+        }).toDF("doc_id", "entry_idx", "region", "table_name", "seq",
+          "write_time", "n_cells", "first_row", "first_value", "clean_close")
+    }),
+
     // frame-level MP3 stream profile from headers alone: CBR vs VBR
     // verdict, per-frame bitrate bounds and header-math duration — the
     // audio-quality first screen next to the PCM/RMS path; both MPEG
@@ -1545,6 +1579,22 @@ object BulkQueries extends QueryGroup {
         "ELSE 'tar' END AS method, " +
         "'member ' || CAST(j AS VARCHAR) || ' of doc ' || " +
         "CAST(doc_id AS VARCHAR) AS text " +
+        "FROM g, generate_series(0, 2) AS s(j) WHERE j < n"),
+
+    // WAL entries replay field by field; the torn odd-id files must
+    // yield EXACTLY the n complete entries (one more was planted and
+    // torn mid-entry)
+    "bulk_hbase_wal_read" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(1 + doc_id % 3 AS INT) AS n FROM documents) " +
+        "SELECT doc_id, CAST(j AS INT) AS entry_idx, " +
+        "'r' || i AS region, 'ns:tbl' AS table_name, " +
+        "CAST(100 + j AS BIGINT) AS seq, " +
+        "CAST(50000 + doc_id + j AS BIGINT) AS write_time, " +
+        "CAST(1 + j % 2 AS INT) AS n_cells, " +
+        "'w' || i || '-' || CAST(j AS VARCHAR) || '-0' AS first_row, " +
+        "'wv' || i || '-' || CAST(j AS VARCHAR) || '-0' AS first_value, " +
+        "doc_id % 2 = 0 AS clean_close " +
         "FROM g, generate_series(0, 2) AS s(j) WHERE j < n"),
 
     // every HFile cell field re-derived from the id arithmetic that

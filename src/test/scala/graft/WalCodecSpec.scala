@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{ProtoWire, WalCodec}
+import graft.ops.HFileCodec.HCell
+import graft.ops.WalCodec.WalEntry
+
+/** HBase protobuf WAL walk vs the deterministic writer: entry/cell
+  * round trips, the crash (torn-tail) shape, trailer detection,
+  * compressed-WAL refusal, totality. */
+class WalCodecSpec extends AnyFunSuite {
+
+  private def entry(i: Int, nCells: Int): WalEntry =
+    WalEntry(s"region$i", "ns:tbl", 100L + i, 5000L + i,
+      (0 until nCells).map(j =>
+        HCell(s"row$i-$j", "d", s"q$j", 77L + j, 4, s"val$i-$j", 0L)))
+
+  private val entries = Seq(entry(0, 2), entry(1, 1), entry(2, 3))
+
+  test("entries and cells round-trip, both with and without trailer") {
+    for (trailer <- Seq(true, false)) {
+      val wal = WalCodec.encodeWal(entries, withTrailer = trailer)
+      assert(WalCodec.sniff(wal))
+      assert(WalCodec.isCleanlyClosed(wal) == trailer)
+      assert(WalCodec.parseWal(wal) == entries)
+    }
+  }
+
+  test("a torn tail (the crash shape) yields the complete entries") {
+    val clean = WalCodec.encodeWal(entries, withTrailer = false)
+    // find how many entries survive every truncation point; must be
+    // monotone and complete entries only — never a partial cell
+    var lastGood = 0
+    for (cut <- 4 to clean.length) {
+      val got = WalCodec.parseWal(java.util.Arrays.copyOf(clean, cut))
+      assert(got == entries.take(got.size), s"cut=$cut")
+      assert(got.size >= lastGood, s"non-monotone at cut=$cut")
+      lastGood = got.size
+    }
+    assert(lastGood == 3)
+  }
+
+  test("zero-cell marker entries are skipped like the reference reader") {
+    val withMarker = Seq(entry(0, 1), entry(5, 0), entry(1, 2))
+    val wal = WalCodec.encodeWal(withMarker)
+    assert(WalCodec.parseWal(wal) == Seq(entry(0, 1), entry(1, 2)))
+  }
+
+  test("a compressed WAL is refused, not misread") {
+    // hand-build: PWAL + header with has_compression=true + junk
+    val hdr = new ProtoWire.Writer
+    hdr.varintField(1, 1L)
+    val wal = "PWAL".getBytes("US-ASCII") ++ hdr.delimited ++
+      Array.fill[Byte](32)(7)
+    assert(WalCodec.parseWal(wal).isEmpty)
+  }
+
+  test("totality: junk, null, non-WAL magic") {
+    assert(WalCodec.parseWal(null).isEmpty)
+    assert(WalCodec.parseWal("PWA".getBytes("US-ASCII")).isEmpty)
+    assert(WalCodec.parseWal("JUNKJUNKJUNK".getBytes("US-ASCII")).isEmpty)
+    assert(!WalCodec.isCleanlyClosed("short".getBytes("US-ASCII")))
+    // maxEntries caps the walk
+    val wal = WalCodec.encodeWal(entries)
+    assert(WalCodec.parseWal(wal, maxEntries = 2).size == 2)
+  }
+}
