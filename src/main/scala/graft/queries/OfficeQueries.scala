@@ -154,6 +154,29 @@ object OfficeQueries extends QueryGroup {
         }).toDF("doc_id", "page_idx", "page_name", "page_text")
     }),
 
+    // document metadata (Dublin Core): OOXML core properties and EPUB
+    // OPF metadata — provenance/authorship/language-hint fields a
+    // curation pipeline keeps next to the text; propless docs must
+    // yield empties, not garbage
+    "pipeline_office_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val blob = (id % 3) match {
+            case 0 => OfficeCodec.encodeDocx(Seq(s"body $id"),
+              title = s"Report & $id", creator = s"Author $id",
+              created = s"2024-0${1 + id % 9}-01T00:00:00Z")
+            case 1 => OfficeCodec.encodeEpub(
+              Seq(("C", s"<p>b $id</p>")), title = s"Book $id",
+              creator = s"Writer $id", language = if (id % 2 == 0) "en" else "de")
+            case _ => OfficeCodec.encodeDocx(Seq(s"plain $id"))
+          }
+          val m = OfficeCodec.officeMeta(blob)
+          (id, m.title, m.creator, m.created, m.language)
+        }).toDF("doc_id", "title", "creator", "created", "language")
+    }),
+
     // crawl → office on-ramp: a WARC response carrying a docx (gzip
     // Content-Encoding on a third of ids, both WARC transports) → body
     // decode → office routing → text — the content-type dispatch next
@@ -243,6 +266,21 @@ object OfficeQueries extends QueryGroup {
         "'Open ' || i || chr(10) || 'agenda ' || i AS page_text FROM g " +
         "UNION ALL SELECT doc_id, CAST(1 AS INT), 'End', 'bye ' || i " +
         "FROM g WHERE doc_id % 2 = 0"),
+
+    "pipeline_office_meta" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'Report & ' || i " +
+        "WHEN 1 THEN 'Book ' || i ELSE '' END AS title, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'Author ' || i " +
+        "WHEN 1 THEN 'Writer ' || i ELSE '' END AS creator, " +
+        "CASE doc_id % 3 WHEN 0 THEN '2024-0' || " +
+        "CAST(1 + doc_id % 9 AS VARCHAR) || '-01T00:00:00Z' " +
+        "ELSE '' END AS created, " +
+        "CASE WHEN doc_id % 3 = 1 THEN " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END) " +
+        "ELSE '' END AS language " +
+        "FROM g"),
 
     "pipeline_warc_docx" ->
       ("SELECT doc_id, 'warc docx ' || CAST(doc_id AS VARCHAR) AS text_out " +

@@ -142,6 +142,24 @@ class OfficeCodecSpec extends AnyFunSuite {
     assert(OfficeCodec.odpSlides("junk".getBytes("UTF-8")).isEmpty)
   }
 
+  test("office metadata: docx core props, epub OPF dc:*, empties") {
+    val docx = OfficeCodec.encodeDocx(Seq("b"), title = "T & x",
+      creator = "C", created = "2024-01-01T00:00:00Z")
+    assert(OfficeCodec.officeMeta(docx) ==
+      OfficeCodec.DocMeta("T & x", "C", "2024-01-01T00:00:00Z", ""))
+    val epub = OfficeCodec.encodeEpub(Seq(("One", "<p>b</p>")),
+      title = "Bk", creator = "W", language = "en")
+    assert(OfficeCodec.officeMeta(epub) ==
+      OfficeCodec.DocMeta("Bk", "W", "", "en"))
+    // the metadata-bearing epub still extracts its chapters
+    assert(OfficeCodec.epubChapters(epub).head.text == "One b")
+    // propless docs yield empties, junk yields empties
+    assert(OfficeCodec.officeMeta(OfficeCodec.encodeDocx(Seq("p"))) ==
+      OfficeCodec.DocMeta("", "", "", ""))
+    assert(OfficeCodec.officeMeta("junk".getBytes("UTF-8")) ==
+      OfficeCodec.DocMeta("", "", "", ""))
+  }
+
   test("xhtmlToText: single-pass entity decode, no double decode") {
     assert(OfficeCodec.xhtmlToText("<p>a &amp;lt; b</p>") == "a &lt; b")
     assert(OfficeCodec.xhtmlToText("x&nbsp;y") == "x y")
