@@ -38,11 +38,12 @@ object WarcCodec {
     *
     * `httpEncoding` is the body-decode verdict: `""` means `body` is
     * plain octets ready for the text/media hand-off (either sent as
-    * identity or de-chunked/inflated here); a non-empty token (e.g.
-    * `"br"`, `"zstd"`) means the sender used a coding this codec does
-    * not decode, so `body` holds the RAW coded bytes and downstream
-    * text/media stages must skip or route the record — never feed a
-    * flagged body to `stripHtml`. */
+    * identity or de-chunked/inflated/brotli-decoded here); a non-empty
+    * token (e.g. `"compress"`, or `"br"` when the stream needs the
+    * static dictionary) means a coding this codec could not decode, so
+    * `body` holds the RAW coded bytes and downstream text/media stages
+    * must skip or route the record — never feed a flagged body to
+    * `stripHtml`. */
   final case class WarcRecord(
       warcType: String,
       targetUri: String,
@@ -185,12 +186,13 @@ object WarcCodec {
 
   /** Undo transfer- then content-coding on an HTTP body. Returns
     * (octets, flag): flag `""` = plain/decoded; else the coding token
-    * this codec left in place (body = raw coded bytes). gzip, deflate
-    * and zstd decode; brotli stays flagged — RFC 7932 needs its
-    * embedded 120 KB static dictionary and no public JVM decoder ships
-    * on the Spark classpath, so `br` records keep raw bytes and the
-    * crawl-coverage accounting (pipeline_crawl_coverage) surfaces how
-    * much of a corpus that skip costs. */
+    * this codec left in place (body = raw coded bytes). gzip, deflate,
+    * zstd and brotli decode (the last via the pure-JVM [[Brotli]]
+    * subset — streams that reference RFC 7932's static dictionary or a
+    * non-trivial UTF8/Signed context map fall back to the raw+flag
+    * path, which the crawl-coverage accounting
+    * (pipeline_crawl_coverage) surfaces). Anything else — `compress`,
+    * multi-codings — keeps raw bytes and the flag. */
   private[graft] def decodeBody(raw: Array[Byte], contentEncoding: String,
       transferEncoding: String): (Array[Byte], String) = {
     val te = transferEncoding.trim.toLowerCase
@@ -209,7 +211,9 @@ object WarcCodec {
             inflateBounded(d).map((_, "")).getOrElse((d, "deflate"))
           case "zstd" =>
             zstdBounded(d).map((_, "")).getOrElse((d, "zstd"))
-          case other => (d, other) // br / multi-coding: raw + flag
+          case "br" =>
+            Brotli.decode(d).map((_, "")).getOrElse((d, "br"))
+          case other => (d, other) // compress / multi-coding: raw + flag
         }
     }
   }
@@ -426,9 +430,9 @@ object WarcCodec {
   /** One record to write: WARC type, target URI, HTTP status (<0 = raw
     * payload, no HTTP framing), HTTP content type, body bytes, and the
     * on-the-wire body coding: "identity" (default), "gzip", "deflate",
-    * "chunked", "chunked+gzip", or any other token written as a raw
-    * `Content-Encoding` header with the body untouched (exercises the
-    * parser's can't-decode flag path, e.g. "br"). */
+    * "br", "chunked", "chunked+gzip", or any other token written as a
+    * raw `Content-Encoding` header with the body untouched (exercises
+    * the parser's can't-decode flag path, e.g. "compress"). */
   final case class WarcEntry(warcType: String, targetUri: String,
       httpStatus: Int, httpContentType: String, body: Array[Byte],
       coding: String = "identity")
@@ -481,6 +485,8 @@ object WarcCodec {
               while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
               d.end()
               (bos.toByteArray, "Content-Encoding: deflate\r\n")
+            case "br" =>
+              (Brotli.encode(e.body), "Content-Encoding: br\r\n")
             case "chunked" => (chunkBytes(e.body), "Transfer-Encoding: chunked\r\n")
             case "chunked+gzip" =>
               (chunkBytes(gzipBytes(e.body)),

@@ -481,6 +481,33 @@ object BulkQueries extends QueryGroup {
           "encoding", "info")
     }),
 
+    // pure-JVM RFC 7932 brotli: the encoder option matrix (uncompressed
+    // meta-blocks / literals-only / greedy-LZ / two-tree context map /
+    // multi-meta-block + metadata block) per id, decoded back — the
+    // decoded text AND length must replay the oracle's id arithmetic,
+    // so a wrong prefix-code, context-map, ring-buffer or command
+    // decode hash-fails on real compressed bit streams
+    "mm_brotli_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.Brotli
+          val text = s"brotli stream $id " * (3 + (id % 5)).toInt
+          val plain = text.getBytes("UTF-8")
+          val opts = (id % 5) match {
+            case 0 => Brotli.EncOpts(uncompressed = true)
+            case 1 => Brotli.EncOpts(lz = false)
+            case 2 => Brotli.EncOpts()
+            case 3 => Brotli.EncOpts(twoTrees = true)
+            case _ => Brotli.EncOpts(metaBlockSize = 48,
+              metadata = Some(s"meta$id".getBytes("UTF-8")))
+          }
+          val out = Brotli.decode(Brotli.encode(plain, opts)).getOrElse(Array.emptyByteArray)
+          (id, (id % 5).toInt, out.length.toLong, new String(out, "UTF-8"))
+        }).toDF("doc_id", "mode_idx", "n_out", "text_out")
+    }),
+
     // CDX-style record index over WARC blobs: one pass builds the
     // (uri, offset, length, digest) manifest per file — per gzip MEMBER
     // on the .warc.gz transport — then the point lookup parses exactly
@@ -510,7 +537,8 @@ object BulkQueries extends QueryGroup {
     // crawl → text on-ramp: WARC record walk → HTTP body decode →
     // stripHtml — the full "we crawled pages" to "text operators" path
     // in one plan; the httpEncoding guard keeps flagged (undecodable)
-    // bodies out of the text hand-off, so br-coded docs drop out
+    // bodies out of the text hand-off (since r10's brotli decoder all
+    // six fixture codings decode, so every doc produces text)
     "pipeline_warc_text" -> ((s, dir) => {
       import s.implicits._
       MediaFixtures.media(s, dir, "warc").as[(Long, Array[Byte])]
@@ -643,8 +671,9 @@ object BulkQueries extends QueryGroup {
     // the class COUNTS are the output — at 100 TB, silent skip classes
     // are the difference between "curated" and "quietly lost 20%", so
     // the flagship composition's drops are hash-gated, not just logged.
-    // gzip and zstd codings DECODE into the curated class; only br (no
-    // JVM decoder) lands in flagged_coding.
+    // gzip, zstd AND br codings DECODE into the curated class (br via
+    // the pure-JVM Brotli subset); only `compress` (LZW, genuinely
+    // undecoded) lands in flagged_coding.
     "pipeline_crawl_coverage" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -662,7 +691,8 @@ object BulkQueries extends QueryGroup {
               "</body></html>"
           val path = if (cls == 1) s"/private/x$id" else s"/public/x$id"
           val coding = cls match {
-            case 0 => "br"; case 4 => "gzip"; case 5 => "zstd"
+            case 0 => "compress"; case 4 => "gzip"; case 5 => "zstd"
+            case 6 => "br"
             case _ => "identity"
           }
           val warc = WarcCodec.encodeWarc(Seq(WarcCodec.WarcEntry(
@@ -1448,14 +1478,13 @@ object BulkQueries extends QueryGroup {
     // the JPEG round trip: dims are pure id arithmetic, the bounded-
     // error flag must be TRUE for every row (tolerance ±4 at q92)
     // the html record's info (body LENGTH) equals the plain length for
-    // every coding — decoded gzip/chunked bodies must come back to the
-    // original octets, and the flagged br body is written raw in the
-    // fixture — so a missed decode (compressed/chunk-framed length)
-    // hash-fails
+    // every coding — decoded gzip/chunked/zstd/brotli bodies must come
+    // back to the original octets — so a missed decode
+    // (compressed/chunk-framed length) hash-fails
     "mm_warc_records" ->
       ("SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx, 'response' AS warc_type, " +
         "CAST(200 AS INT) AS http_status, 'text/html' AS mime, " +
-        "CASE WHEN doc_id % 6 = 5 THEN 'br' ELSE '' END AS encoding, " +
+        "'' AS encoding, " +
         "CAST(30 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS info FROM documents " +
         "UNION ALL SELECT doc_id, CAST(1 AS BIGINT), 'response', " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT), 'image/png', " +
@@ -1465,7 +1494,14 @@ object BulkQueries extends QueryGroup {
         "CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) FROM documents"),
     "pipeline_warc_text" ->
       ("SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS text_out " +
-        "FROM documents WHERE doc_id % 6 <> 5"),
+        "FROM documents"),
+    // option-matrix brotli round-trip replayed purely from id math
+    "mm_brotli_roundtrip" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(doc_id % 5 AS INT) AS mode_idx, " +
+        "CAST((15 + length(i)) * (3 + doc_id % 5) AS BIGINT) AS n_out, " +
+        "repeat('brotli stream ' || i || ' ', CAST(3 + doc_id % 5 AS INT)) " +
+        "AS text_out FROM g"),
     "mm_warc_cdx_lookup" ->
       ("SELECT doc_id, 'http://x/' || CAST(doc_id AS VARCHAR) || '/1' AS uri, " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +

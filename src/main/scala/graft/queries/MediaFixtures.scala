@@ -192,8 +192,8 @@ object MediaFixtures {
 
   /** Three-record WARC per doc: an HTML response whose BODY coding
     * cycles id%6 over identity / gzip / chunked / chunked+gzip / zstd /
-    * br (zstd DECODES via zstd-jni; br = the parser's can't-decode flag
-    * path — body stays raw), a PNG response (404 every 4th), and a raw
+    * br (zstd via zstd-jni, br via the pure-JVM [[graft.ops.Brotli]] —
+    * ALL six decode now), a PNG response (404 every 4th), and a raw
     * request record; even ids take the per-record-gzip transport
     * (`.warc.gz`), odd ids plain. Real Common Crawl bodies are stored
     * AS SENT (mostly compressed), so the decode paths are the
@@ -308,8 +308,9 @@ object MediaFixtures {
   // r9: warc gained body-coding variants, mp3 frame count capped,
   // codec-level families added (mp4_avc H.264 SPS, webm_vp9 VP9
   // header, av1_seq AV1 sequence header via both containers)
-  // r10: warc coding cycle widened to id%6 with a DECODING zstd variant
-  private val version = 4
+  // r10: warc coding cycle widened to id%6 with a DECODING zstd variant;
+  // the br variant now carries REAL brotli bytes (pure-JVM Brotli)
+  private val version = 5
 
   // column count + content version in the path → a schema OR formula
   // change auto-rebuilds stale local tables instead of failing the read

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Brotli
+import graft.ops.Brotli.EncOpts
+
+class BrotliSpec extends AnyFunSuite {
+
+  private def rt(data: Array[Byte], opts: EncOpts): Unit = {
+    val enc = Brotli.encode(data, opts)
+    val dec = Brotli.decode(enc)
+    assert(dec.isDefined, s"decode failed: ${Brotli.decodeOrReason(enc).left.getOrElse("")}")
+    assert(java.util.Arrays.equals(dec.get, data),
+      s"round-trip mismatch at ${dec.get.toSeq.zip(data.toSeq).indexWhere(p => p._1 != p._2)}")
+  }
+
+  private def texts: Seq[Array[Byte]] = Seq(
+    "".getBytes("UTF-8"),
+    "a".getBytes("UTF-8"),
+    "hello world".getBytes("UTF-8"),
+    ("the quick brown fox jumps over the lazy dog; " * 40).getBytes("UTF-8"),
+    ("abcabcabcabcabcabcabcabcabcabc" * 100).getBytes("UTF-8"),
+    Array.tabulate[Byte](10000)(i => ((i * 31 + i / 7) % 251).toByte),
+    Array.fill[Byte](5000)(0x41),
+    Array.tabulate[Byte](256)(_.toByte),
+    ("aaaa" + "b" * 17 + "aaaa" + "c" * 3 + "aaaa").getBytes("UTF-8"))
+
+  test("round-trip: uncompressed meta-blocks") {
+    texts.foreach(t => rt(t, EncOpts(uncompressed = true)))
+  }
+
+  test("round-trip: compressed, literals only (no LZ)") {
+    texts.foreach(t => rt(t, EncOpts(lz = false)))
+  }
+
+  test("round-trip: compressed with LZ matches and ring-buffer codes") {
+    texts.foreach(t => rt(t, EncOpts(lz = true)))
+  }
+
+  test("round-trip: two literal trees via RLE context map") {
+    texts.foreach(t => rt(t, EncOpts(lz = true, twoTrees = true)))
+    texts.foreach(t => rt(t, EncOpts(lz = false, twoTrees = true)))
+  }
+
+  test("round-trip: multi-meta-block splits") {
+    val big = ("splitting across meta blocks! " * 500).getBytes("UTF-8")
+    rt(big, EncOpts(metaBlockSize = 100))
+    rt(big, EncOpts(metaBlockSize = 100, uncompressed = true))
+    rt(big, EncOpts(metaBlockSize = 997, twoTrees = true))
+    // LZ matches that cross a meta-block boundary backwards
+    rt(big, EncOpts(metaBlockSize = 64))
+  }
+
+  test("round-trip: metadata meta-block is skipped") {
+    val meta = "ignored metadata".getBytes("UTF-8")
+    texts.foreach(t => rt(t, EncOpts(metadata = Some(meta))))
+    rt("x".getBytes, EncOpts(metadata = Some(Array.emptyByteArray)))
+    rt("x".getBytes, EncOpts(metadata = Some(new Array[Byte](300))))
+  }
+
+  test("empty stream decodes to empty output") {
+    assert(Brotli.decode(Brotli.encode(Array.emptyByteArray)).get.isEmpty)
+  }
+
+  test("junk totality: arbitrary bytes never throw") {
+    val rnd = new java.util.Random(42)
+    (0 until 500).foreach { i =>
+      val b = new Array[Byte](1 + rnd.nextInt(200))
+      rnd.nextBytes(b)
+      Brotli.decodeOrReason(b) // must not throw
+    }
+    assert(Brotli.decode(Array.emptyByteArray).isEmpty)
+    assert(Brotli.decode(null).isEmpty)
+  }
+
+  test("truncation totality: every prefix of a valid stream is handled") {
+    val enc = Brotli.encode(("truncate me " * 50).getBytes("UTF-8"))
+    (0 until enc.length).foreach { n =>
+      Brotli.decodeOrReason(java.util.Arrays.copyOf(enc, n)) // must not throw
+    }
+  }
+
+  test("bit flips never throw") {
+    val enc = Brotli.encode(("flip bits " * 80).getBytes("UTF-8"))
+    (0 until math.min(enc.length, 300)).foreach { i =>
+      val m = enc.clone()
+      m(i) = (m(i) ^ 0x5a).toByte
+      Brotli.decodeOrReason(m)
+    }
+  }
+
+  test("dictionary reference bails with 'dict', not garbage") {
+    // Hand-built stream: one compressed meta-block (MLEN 4) whose only
+    // command is an implied-distance copy of 4 with zero prior output —
+    // the implied last distance (initial ring value 4) exceeds produced
+    // output, i.e. a static-dictionary word reference.
+    val bits = new StringBuilder // LSB-first bit string
+    def put(v: Int, n: Int): Unit =
+      (0 until n).foreach(i => bits += (if (((v >> i) & 1) == 1) '1' else '0'))
+    put(0, 1) // WBITS = 16
+    put(1, 1) // ISLAST
+    put(0, 1) // ISLASTEMPTY = 0
+    put(0, 2) // MNIBBLES code 0 -> 4 nibbles
+    put(3, 16) // MLEN - 1 = 3
+    put(0, 1); put(0, 1); put(0, 1) // NBLTYPES L/I/D = 1
+    put(0, 2) // NPOSTFIX
+    put(0, 4) // NDIRECT
+    put(0, 2) // CMODE = LSB6
+    put(0, 1) // NTREESL = 1
+    put(0, 1) // NTREESD = 1
+    // literal code: simple, NSYM=1, symbol 0 (8 bits)
+    put(1, 2); put(0, 2); put(0, 8)
+    // command code: simple, NSYM=1, symbol 2 (10 bits; alphabet 704):
+    // cmd 2 = insert code 0 (len 0), copy code 2 (len 4), implied dist
+    put(1, 2); put(0, 2); put(2, 10)
+    // distance code: simple, NSYM=1, symbol 0 (6 bits; alphabet 64)
+    put(1, 2); put(0, 2); put(0, 6)
+    // command stream: the single 0-bit command symbol; no extra bits
+    val s = bits.toString
+    val nBytes = (s.length + 7) / 8
+    val raw = new Array[Byte](nBytes)
+    s.zipWithIndex.foreach { case (c, i) =>
+      if (c == '1') raw(i / 8) = (raw(i / 8) | (1 << (i % 8))).toByte
+    }
+    assert(Brotli.decodeOrReason(raw) == Left("dict"))
+    // and overlapping copies (dist < len) DO work through the encoder
+    rt(("abcd" + "abcd" * 10).getBytes("UTF-8"), EncOpts())
+  }
+
+  test("decode cross-check: java.util.zip has no brotli; option matrix is self-consistent") {
+    // differential check across encoder options: all encodings of the
+    // same payload must decode to the same bytes
+    val payload = ("differential " * 123).getBytes("UTF-8")
+    val encs = Seq(
+      EncOpts(uncompressed = true),
+      EncOpts(lz = false),
+      EncOpts(lz = true),
+      EncOpts(twoTrees = true),
+      EncOpts(metaBlockSize = 77),
+      EncOpts(metadata = Some("m".getBytes)))
+    val outs = encs.map(o => Brotli.decode(Brotli.encode(payload, o)).get.toSeq)
+    assert(outs.distinct.size == 1)
+    // and the compressed form actually compresses repetitive text
+    assert(Brotli.encode(payload).length < payload.length / 2)
+  }
+
+  test("deterministic: same input + options -> same bytes") {
+    val payload = ("determinism check " * 40).getBytes("UTF-8")
+    val a = Brotli.encode(payload, EncOpts(twoTrees = true))
+    val b = Brotli.encode(payload, EncOpts(twoTrees = true))
+    assert(java.util.Arrays.equals(a, b))
+  }
+}

@@ -83,7 +83,7 @@ class WarcCodecSpec extends AnyFunSuite {
   test("HTTP body codings decode back to the plain octets, both transports") {
     for (gz <- Seq(false, true);
          coding <- Seq("identity", "gzip", "deflate", "chunked",
-           "chunked+gzip", "zstd")) {
+           "chunked+gzip", "zstd", "br")) {
       val warc = WarcCodec.encodeWarc(Seq(
         WarcEntry("response", "http://a/c", 200, "text/html", htmlBody, coding)),
         gzipPerRecord = gz)
@@ -96,10 +96,24 @@ class WarcCodecSpec extends AnyFunSuite {
 
   test("an unknown Content-Encoding keeps the raw bytes and flags it") {
     val warc = WarcCodec.encodeWarc(Seq(
-      WarcEntry("response", "http://a/br", 200, "text/html", htmlBody, "br")))
+      WarcEntry("response", "http://a/lzw", 200, "text/html", htmlBody, "compress")))
+    val rec = WarcCodec.parseWarc(warc).head
+    assert(rec.httpEncoding == "compress")
+    assert(java.util.Arrays.equals(rec.body, htmlBody)) // fixture wrote raw
+  }
+
+  test("malformed brotli keeps the raw body and flags br") {
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      // 0x21 first byte: window header hits the reserved pattern
+      "Content-Encoding: br\r\nContent-Length: 7\r\n\r\n!not br")
+      .getBytes("US-ASCII")
+    val warc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a/b\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
     val rec = WarcCodec.parseWarc(warc).head
     assert(rec.httpEncoding == "br")
-    assert(java.util.Arrays.equals(rec.body, htmlBody)) // fixture wrote raw
+    assert(rec.body.length == 7)
   }
 
   test("malformed zstd keeps the raw body and flags zstd") {
