@@ -1,0 +1,361 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Compound File Binary container ([MS-CFB], the OLE2 "structured
+  * storage" format) — the outer shell of every legacy Office document
+  * (.doc/.xls/.ppt), of MSI and of many long-tail crawl blobs.
+  *
+  * Reader: v3 (512-byte) and v4 (4096-byte) sector sizes, header DIFAT
+  * plus chained DIFAT sectors, FAT chain walks with cycle guards, the
+  * directory-entry table (UTF-16LE names, object types, sizes), and
+  * BOTH stream homes: regular-sector chains and the mini stream
+  * (64-byte mini sectors allocated from the root entry's chain via the
+  * miniFAT, cutoff 4096). The directory is read as the flat entry
+  * table rather than by red-black-tree traversal — tolerant-reader
+  * stance: tree invariants are a SHOULD in the spec and real files
+  * violate them; entries with a valid type are surfaced either way.
+  * All reads are bounds-checked; malformed input yields what parsed,
+  * never throws; per-stream and total output bounded by the shared
+  * 2^28 cap.
+  *
+  * Writer (fixtures): v3 files with header-DIFAT FAT, a right-linked
+  * directory sibling chain, mini-stream placement for streams under
+  * the 4096 cutoff and regular chains above it — so the reader's two
+  * allocation paths are both exercised by real bytes.
+  *
+  * Reference analogue: opaque payload cells (SeekPointFetcher.java:47);
+  * container decode is the engine's value-add. Per-document map work.
+  */
+object Cfb {
+
+  private val MaxOut = WarcCodec.MaxInflated
+
+  private val EndOfChain = 0xfffffffeL
+  private val FatSect = 0xfffffffdL
+  private val DifSect = 0xfffffffcL
+  private val FreeSect = 0xffffffffL
+
+  final case class CfbEntry(name: String, objType: Int, size: Long,
+      bytes: Array[Byte])
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      (b(0) & 0xff) == 0xd0 && (b(1) & 0xff) == 0xcf &&
+      (b(2) & 0xff) == 0x11 && (b(3) & 0xff) == 0xe0 &&
+      (b(4) & 0xff) == 0xa1 && (b(5) & 0xff) == 0xb1 &&
+      (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0xe1
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    if (i + 1 >= b.length) -1
+    else (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    if (i + 3 >= b.length) -1L
+    else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def u64(b: Array[Byte], i: Int): Long =
+    u32(b, i) | (u32(b, i + 4) << 32)
+
+  /** Parse all STREAM entries (objType 2) plus the root (objType 5,
+    * bytes empty). Nil when not CFB or the header is unusable. */
+  def parse(b: Array[Byte]): Seq[CfbEntry] = {
+    if (!sniff(b) || b.length < 512) return Nil
+    try walk(b)
+    catch { case _: RuntimeException => Nil }
+  }
+
+  /** One named stream's bytes (exact name match). */
+  def stream(b: Array[Byte], name: String): Option[Array[Byte]] =
+    parse(b).find(e => e.objType == 2 && e.name == name).map(_.bytes)
+
+  private def walk(b: Array[Byte]): Seq[CfbEntry] = {
+    val sectorShift = u16(b, 30)
+    if (sectorShift != 9 && sectorShift != 12) return Nil
+    val ss = 1 << sectorShift
+    val miniShift = u16(b, 32)
+    if (miniShift != 6) return Nil
+    val numFat = u32(b, 44)
+    val firstDir = u32(b, 48)
+    val miniCutoff = u32(b, 56)
+    val firstMiniFat = u32(b, 60)
+    val firstDifat = u32(b, 68)
+    val numDifat = u32(b, 72)
+    val maxSect = (b.length - ss) / ss + 1 // sector ids are 0-based after header
+
+    def sectorOff(sect: Long): Int = 512 + (sect * ss).toInt
+
+    // ---- DIFAT: list of FAT sector ids
+    val fatSects = ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < 109 && fatSects.size < numFat) {
+      val v = u32(b, 76 + 4 * i)
+      if (v != FreeSect && v >= 0 && v < maxSect) fatSects += v
+      i += 1
+    }
+    var difat = firstDifat
+    var difatGuard = 0
+    while (difat < maxSect && difat >= 0 && difat != EndOfChain &&
+        difatGuard <= numDifat + 4 && fatSects.size < numFat) {
+      val off = sectorOff(difat)
+      var j = 0
+      while (j < ss / 4 - 1 && fatSects.size < numFat) {
+        val v = u32(b, off + 4 * j)
+        if (v != FreeSect && v >= 0 && v < maxSect) fatSects += v
+        j += 1
+      }
+      difat = u32(b, off + ss - 4)
+      difatGuard += 1
+    }
+
+    // ---- FAT lookup
+    val perSect = ss / 4
+    def fat(sect: Long): Long = {
+      val idx = sect / perSect
+      if (idx >= fatSects.size) return EndOfChain
+      u32(b, sectorOff(fatSects(idx.toInt)) + 4 * (sect % perSect).toInt)
+    }
+
+    def chainBytes(start: Long, limit: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(math.min(limit, 1 << 20).toInt.max(64))
+      var s = start
+      var guard = 0
+      while (s >= 0 && s < maxSect && s != EndOfChain && out.size < limit &&
+          guard < maxSect + 2) {
+        val off = sectorOff(s)
+        val n = math.min(ss.toLong, math.min(limit - out.size, (b.length - off).toLong))
+        if (n <= 0) return out.toByteArray
+        out.write(b, off, n.toInt)
+        if (out.size > MaxOut) throw new RuntimeException("cfb cap")
+        s = fat(s)
+        guard += 1
+      }
+      out.toByteArray
+    }
+
+    // ---- directory entries
+    val dirBytes = chainBytes(firstDir, MaxOut.toLong)
+    val entries = ArrayBuffer.empty[(String, Int, Long, Long)] // name, type, startSect, size
+    var d = 0
+    while (d + 128 <= dirBytes.length) {
+      val nameLen = u16(dirBytes, d + 64)
+      val objType = dirBytes(d + 66) & 0xff
+      if ((objType == 1 || objType == 2 || objType == 5) &&
+          nameLen >= 2 && nameLen <= 64) {
+        val name = new String(dirBytes, d, nameLen - 2, "UTF-16LE")
+        val start = u32(dirBytes, d + 116)
+        val size =
+          if (ss == 512) u32(dirBytes, d + 120) // v3: high 4 bytes unreliable
+          else u64(dirBytes, d + 120)
+        entries += ((name, objType, start, size))
+      }
+      d += 128
+    }
+    val root = entries.find(_._2 == 5).getOrElse(return Nil)
+
+    // ---- mini stream machinery
+    lazy val miniStream: Array[Byte] = chainBytes(root._3, root._4)
+    lazy val miniFatBytes: Array[Byte] =
+      if (firstMiniFat == EndOfChain || firstMiniFat == FreeSect) Array.emptyByteArray
+      else chainBytes(firstMiniFat, MaxOut.toLong)
+    def miniFat(ms: Long): Long = {
+      val off = 4 * ms
+      if (off + 4 > miniFatBytes.length) EndOfChain
+      else u32(miniFatBytes, off.toInt)
+    }
+    def miniChainBytes(start: Long, limit: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(math.min(limit, 1 << 16).toInt.max(64))
+      var s = start
+      var guard = 0
+      val maxMini = miniStream.length / 64 + 1
+      while (s >= 0 && s != EndOfChain && out.size < limit && guard < maxMini + 2) {
+        val off = (s * 64).toInt
+        if (off >= miniStream.length) return out.toByteArray
+        val n = math.min(64L, math.min(limit - out.size, (miniStream.length - off).toLong))
+        out.write(miniStream, off, n.toInt)
+        s = miniFat(s)
+        guard += 1
+      }
+      out.toByteArray
+    }
+
+    var total = 0L
+    entries.map { case (name, objType, start, size) =>
+      val bytes =
+        if (objType != 2 || size <= 0) Array.emptyByteArray
+        else if (size < miniCutoff) miniChainBytes(start, size)
+        else chainBytes(start, size)
+      total += bytes.length
+      if (total > MaxOut) throw new RuntimeException("cfb cap")
+      CfbEntry(name, objType, size, bytes)
+    }.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // writer (fixtures)
+  // ------------------------------------------------------------------
+
+  private def putU16(a: Array[Byte], i: Int, v: Int): Unit = {
+    a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+  }
+  private def putU32(a: Array[Byte], i: Int, v: Long): Unit = {
+    a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+    a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+  }
+
+  /** Serialize (name, bytes) streams as a v3 CFB file. Streams under
+    * 4096 bytes go to the mini stream; larger ones get regular chains. */
+  def encode(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val ss = 512
+    require(streams.forall(_._1.length <= 31), "CFB name cap")
+
+    val small = streams.filter(_._2.length < 4096)
+    val large = streams.filter(_._2.length >= 4096)
+
+    // mini stream: small payloads padded to 64-byte mini sectors
+    val miniStart = new java.util.HashMap[String, Int]()
+    val mini = new java.io.ByteArrayOutputStream()
+    small.foreach { case (n, p) =>
+      miniStart.put(n, mini.size / 64)
+      mini.write(p)
+      val pad = (64 - (p.length % 64)) % 64
+      mini.write(new Array[Byte](pad))
+    }
+    val miniBytes = mini.toByteArray
+    val nMiniSects = miniBytes.length / 64
+    // miniFAT: sequential chains per small stream
+    val miniFat = Array.fill(nMiniSects)(FreeSect)
+    small.foreach { case (n, p) =>
+      val st = miniStart.get(n)
+      val cnt = (p.length + 63) / 64
+      var k = 0
+      while (k < cnt) {
+        miniFat(st + k) = if (k == cnt - 1) EndOfChain else (st + k + 1).toLong
+        k += 1
+      }
+    }
+
+    def sectCount(len: Int): Int = (len + ss - 1) / ss
+
+    val nDirEntries = 1 + streams.size
+    val nDirSects = math.max(1, (nDirEntries * 128 + ss - 1) / ss)
+    val nMiniFatSects = if (nMiniSects == 0) 0 else sectCount(nMiniSects * 4)
+    val nMiniStreamSects = sectCount(miniBytes.length)
+    val nLargeSects = large.map(s => sectCount(s._2.length)).sum
+
+    // smallest FAT sector count covering everything incl. the FAT itself
+    var nFat = 1
+    while (nFat * (ss / 4) <
+        nFat + nDirSects + nMiniFatSects + nMiniStreamSects + nLargeSects) nFat += 1
+    require(nFat <= 109, "fixture too large for header DIFAT")
+
+    // sector ids
+    val fat0 = 0
+    val dir0 = fat0 + nFat
+    val mf0 = dir0 + nDirSects
+    val msc0 = mf0 + nMiniFatSects
+    val lg0 = msc0 + nMiniStreamSects
+    val totalSects = lg0 + nLargeSects
+
+    val fat = Array.fill(totalSects)(FreeSect)
+    (0 until nFat).foreach(s => fat(s) = FatSect)
+    def chain(start: Int, cnt: Int): Unit = {
+      var k = 0
+      while (k < cnt) {
+        fat(start + k) = if (k == cnt - 1) EndOfChain else (start + k + 1).toLong
+        k += 1
+      }
+    }
+    chain(dir0, nDirSects)
+    if (nMiniFatSects > 0) chain(mf0, nMiniFatSects)
+    if (nMiniStreamSects > 0) chain(msc0, nMiniStreamSects)
+    val largeStart = new java.util.HashMap[String, Int]()
+    var cursor = lg0
+    large.foreach { case (n, p) =>
+      largeStart.put(n, cursor)
+      chain(cursor, sectCount(p.length))
+      cursor += sectCount(p.length)
+    }
+
+    // directory entries: root (id 0) + streams as a right-linked chain
+    val dir = new Array[Byte](nDirSects * ss)
+    java.util.Arrays.fill(dir, 0.toByte)
+    def writeEntry(idx: Int, name: String, objType: Int, right: Long,
+        child: Long, start: Long, size: Long): Unit = {
+      val off = idx * 128
+      val nb = name.getBytes("UTF-16LE")
+      System.arraycopy(nb, 0, dir, off, math.min(nb.length, 62))
+      putU16(dir, off + 64, nb.length + 2)
+      dir(off + 66) = objType.toByte
+      dir(off + 67) = 1 // black
+      putU32(dir, off + 68, FreeSect) // left
+      putU32(dir, off + 72, right)
+      putU32(dir, off + 76, child)
+      putU32(dir, off + 116, start)
+      putU32(dir, off + 120, size)
+      putU32(dir, off + 124, 0L)
+    }
+    // unused trailing entries must be objType 0 (already zeroed)
+    writeEntry(0, "Root Entry", 5,
+      right = FreeSect,
+      child = if (streams.isEmpty) FreeSect else 1L,
+      start = if (nMiniStreamSects > 0) msc0.toLong else EndOfChain,
+      size = miniBytes.length.toLong)
+    streams.zipWithIndex.foreach { case ((n, p), ix) =>
+      val idx = ix + 1
+      val right = if (ix == streams.size - 1) FreeSect else (idx + 1).toLong
+      val (st, sz) =
+        if (p.length < 4096) (miniStart.get(n).toLong, p.length.toLong)
+        else (largeStart.get(n).toLong, p.length.toLong)
+      writeEntry(idx, n, 2, right, FreeSect, st, sz)
+    }
+
+    // header
+    val header = new Array[Byte](512)
+    val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    sig.zipWithIndex.foreach { case (v, k) => header(k) = v.toByte }
+    putU16(header, 24, 0x3e) // minor version
+    putU16(header, 26, 3) // major version (v3: 512-byte sectors)
+    putU16(header, 28, 0xfffe) // byte order
+    putU16(header, 30, 9) // sector shift
+    putU16(header, 32, 6) // mini sector shift
+    putU32(header, 44, nFat.toLong)
+    putU32(header, 48, dir0.toLong)
+    putU32(header, 56, 4096L)
+    putU32(header, 60, if (nMiniFatSects > 0) mf0.toLong else EndOfChain)
+    putU32(header, 64, nMiniFatSects.toLong)
+    putU32(header, 68, EndOfChain)
+    putU32(header, 72, 0L)
+    var k = 0
+    while (k < 109) {
+      putU32(header, 76 + 4 * k, if (k < nFat) k.toLong else FreeSect)
+      k += 1
+    }
+
+    // assemble
+    val out = new java.io.ByteArrayOutputStream(512 + totalSects * ss)
+    out.write(header)
+    val fatBytes = new Array[Byte](nFat * ss)
+    java.util.Arrays.fill(fatBytes, 0xff.toByte) // FREESECT filler
+    fat.indices.foreach(s => putU32(fatBytes, 4 * s, fat(s)))
+    out.write(fatBytes)
+    out.write(dir)
+    if (nMiniFatSects > 0) {
+      val mfb = new Array[Byte](nMiniFatSects * ss)
+      java.util.Arrays.fill(mfb, 0xff.toByte)
+      miniFat.indices.foreach(s => putU32(mfb, 4 * s, miniFat(s)))
+      out.write(mfb)
+    }
+    if (nMiniStreamSects > 0) {
+      out.write(miniBytes)
+      out.write(new Array[Byte](nMiniStreamSects * ss - miniBytes.length))
+    }
+    large.foreach { case (_, p) =>
+      out.write(p)
+      val pad = sectCount(p.length) * ss - p.length
+      out.write(new Array[Byte](pad))
+    }
+    out.toByteArray
+  }
+}

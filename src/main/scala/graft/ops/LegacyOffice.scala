@@ -1,0 +1,457 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Legacy binary Office extraction over the [[Cfb]] container — the
+  * pre-2007 .doc ([MS-DOC]), .xls BIFF8 ([MS-XLS]) and .ppt ([MS-PPT])
+  * families that still dominate any crawl's old-document tail.
+  *
+  * `.doc`: FIB parse (wIdent/nFib, the fWhichTblStm bit selecting
+  * 0Table/1Table, ccpText, fcClx/lcbClx), the Clx walk (Prc entries
+  * skipped, Pcdt → PlcPcd), and the PIECE TABLE: each Pcd's fc carries
+  * the fCompressed bit choosing 8-bit cp1252 (at fc/2) vs UTF-16LE
+  * text — both piece kinds extracted and concatenated in CP order;
+  * Word's control marks map to text (CR → newline, cell/TAB marks →
+  * tab, field/object marks dropped).
+  *
+  * `.xls`: BIFF8 record walk of the Workbook stream — SST shared
+  * strings (both fHighByte packings, rich-text run and ExtRst tails
+  * skipped per the header counts), BOUNDSHEET names matched to
+  * substream BOFs in file order, LABELSST and NUMBER/RK cells. SST
+  * CONTINUE spill is out of scope (fixtures stay under one record;
+  * a spilled SST yields the strings read so far).
+  *
+  * `.ppt`: the PowerPoint Document stream's record tree (recVer 0xF =
+  * container), TextCharsAtom (UTF-16LE) and TextBytesAtom (cp1252)
+  * leaves collected in stream order, grouped by the SlidePersistAtom
+  * runs inside SlideListWithText — reading order without the drawing
+  * layer.
+  *
+  * Everything is bounds-checked, total on junk, and per-document
+  * map-side. Reference analogue: opaque cells
+  * (SeekPointFetcher.java:47) — extraction is the engine's tier.
+  */
+object LegacyOffice {
+
+  // ------------------------------------------------------------------
+  // shared little-endian helpers
+  // ------------------------------------------------------------------
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    if (i < 0 || i + 1 >= b.length) -1
+    else (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    if (i < 0 || i + 3 >= b.length) -1L
+    else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def cp1252Str(b: Array[Byte], off: Int, len: Int): String = {
+    val sb = new StringBuilder(len)
+    var i = 0
+    while (i < len && off + i < b.length) {
+      sb += Rtf.cp1252(b(off + i) & 0xff)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def utf16Str(b: Array[Byte], off: Int, bytes: Int): String = {
+    val n = math.max(0, math.min(bytes, b.length - off))
+    new String(b, off, n - (n % 2), "UTF-16LE")
+  }
+
+  /** Route a CFB blob by its content streams. */
+  def detect(b: Array[Byte]): String = {
+    if (!Cfb.sniff(b)) return ""
+    val names = Cfb.parse(b).map(_.name).toSet
+    if (names.contains("WordDocument")) "doc"
+    else if (names.contains("Workbook") || names.contains("Book")) "xls"
+    else if (names.contains("PowerPoint Document")) "ppt"
+    else "cfb"
+  }
+
+  // ------------------------------------------------------------------
+  // .doc
+  // ------------------------------------------------------------------
+
+  /** Extract .doc text via the piece table; None when the blob is not
+    * a Word binary file (bad container, missing streams, bad FIB). */
+  def docText(blob: Array[Byte]): Option[String] = {
+    val entries = Cfb.parse(blob)
+    val wd = entries.find(e => e.objType == 2 && e.name == "WordDocument")
+      .map(_.bytes).getOrElse(return None)
+    if (u16(wd, 0) != 0xa5ec) return None
+    val flags = u16(wd, 0x000a)
+    val tableName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
+    val table = entries.find(e => e.objType == 2 && e.name == tableName)
+      .map(_.bytes).getOrElse(return None)
+    val ccpText = u32(wd, 0x004c)
+    val fcClx = u32(wd, 0x01a2)
+    val lcbClx = u32(wd, 0x01a6)
+    if (ccpText < 0 || fcClx < 0 || lcbClx <= 0 ||
+        fcClx + lcbClx > table.length) return None
+
+    // Clx: Prc entries (clxt=1) then Pcdt (clxt=2)
+    var p = fcClx.toInt
+    val end = (fcClx + lcbClx).toInt
+    while (p < end && (table(p) & 0xff) == 0x01) {
+      val cb = u16(table, p + 1)
+      if (cb < 0) return None
+      p += 3 + cb
+    }
+    if (p >= end || (table(p) & 0xff) != 0x02) return None
+    val lcbPlcPcd = u32(table, p + 1)
+    val plc = p + 5
+    if (lcbPlcPcd < 12 || plc + lcbPlcPcd > end + 1) return None
+    // PlcPcd: n+1 CPs (4 bytes) + n PCDs (8 bytes) => n = (lcb - 4) / 12
+    val n = ((lcbPlcPcd - 4) / 12).toInt
+    if (n <= 0) return Some("")
+    val sb = new StringBuilder
+    var k = 0
+    while (k < n) {
+      val cp0 = u32(table, plc + 4 * k)
+      val cp1 = u32(table, plc + 4 * (k + 1))
+      val pcdOff = plc + 4 * (n + 1) + 8 * k
+      val fcRaw = u32(table, pcdOff + 2)
+      val fCompressed = (fcRaw & 0x40000000L) != 0
+      val fc = fcRaw & 0x3fffffffL
+      val cps = math.max(0L, cp1 - cp0)
+      if (fCompressed) {
+        val off = (fc / 2).toInt
+        var i = 0
+        while (i < cps && off + i < wd.length) {
+          appendDocChar(sb, Rtf.cp1252(wd(off + i) & 0xff))
+          i += 1
+        }
+      } else {
+        val off = fc.toInt
+        var i = 0
+        while (i < cps && off + 2 * i + 1 < wd.length) {
+          appendDocChar(sb, (u16(wd, off + 2 * i)).toChar)
+          i += 1
+        }
+      }
+      k += 1
+    }
+    Some(sb.toString.trim)
+  }
+
+  private def appendDocChar(sb: StringBuilder, c: Char): Unit = c.toInt match {
+    case 0x0d => sb += '\n' // paragraph mark (CR)
+    case 0x07 => sb += '\t' // cell / row mark
+    case 0x0b => sb += '\n' // line break
+    case 0x0c => sb += '\n' // page / section break
+    case 0x01 | 0x02 | 0x05 | 0x08 => () // object/annotation anchors
+    case 0x13 | 0x14 | 0x15 => () // field begin / separator / end
+    case _ => sb += c
+  }
+
+  /** Fixture writer: a Word 97 binary with the given paragraph texts.
+    * Pieces alternate compressed (cp1252) and UTF-16LE; `tableOne`
+    * flips the fWhichTblStm bit so both table-stream names occur. */
+  def encodeDoc(paragraphs: Seq[String], tableOne: Boolean = false): Array[Byte] = {
+    val text = paragraphs.mkString("\r") + "\r"
+    // split text into two pieces when it has non-trivial length
+    val split = if (text.length >= 4) text.length / 2 else text.length
+    val piece1 = text.substring(0, split)
+    val piece2 = text.substring(split)
+    val fibLen = 32 + 2 + 28 + 2 + 88 + 2 + 93 * 8 + 2
+    val wd = new java.io.ByteArrayOutputStream()
+    val fib = new Array[Byte](fibLen)
+    putU16(fib, 0, 0xa5ec)
+    putU16(fib, 2, 0x00c1) // nFib: Word 97
+    putU16(fib, 0x000a, if (tableOne) 0x0200 else 0x0000)
+    putU16(fib, 32, 14) // csw
+    putU16(fib, 62, 22) // cslw
+    putU32(fib, 0x004c, text.length.toLong) // ccpText
+    putU16(fib, 152, 93) // cbRgFcLcb
+    // piece 1: cp1252-compressible iff every char decodes identically
+    // (bytes 0x80-0x9F remap in cp1252, so exclude them)
+    def compressible(s: String): Boolean =
+      s.forall(c => c < 0x80 || (c >= 0xa0 && c < 0x100))
+    val p1c = compressible(piece1)
+    val p2c = false // piece 2 always unicode: both decode paths exercised
+    val textStart = fibLen
+    val p1Bytes =
+      if (p1c) piece1.map(c => c.toByte).toArray
+      else piece1.getBytes("UTF-16LE")
+    val p2Bytes = piece2.getBytes("UTF-16LE")
+    wd.write(fib)
+    wd.write(p1Bytes)
+    wd.write(p2Bytes)
+    val wdBytes = wd.toByteArray
+    // table stream: Clx with one Prc to skip + Pcdt/PlcPcd
+    val prcData = Array[Byte](0x10, 0x20, 0x30)
+    val nPieces = if (piece2.isEmpty) 1 else 2
+    val lcbPlcPcd = 4 * (nPieces + 1) + 8 * nPieces
+    val tbl = new Array[Byte](1 + 3 + prcData.length + 5 + lcbPlcPcd)
+    var o = 0
+    tbl(o) = 0x01; putU16(tbl, o + 1, prcData.length)
+    System.arraycopy(prcData, 0, tbl, o + 3, prcData.length)
+    o += 3 + prcData.length
+    tbl(o) = 0x02
+    putU32(tbl, o + 1, lcbPlcPcd.toLong)
+    o += 5
+    putU32(tbl, o, 0L)
+    putU32(tbl, o + 4, piece1.length.toLong)
+    if (nPieces == 2) putU32(tbl, o + 8, text.length.toLong)
+    val pcd0 = o + 4 * (nPieces + 1)
+    val fc1 = if (p1c) (textStart.toLong * 2) | 0x40000000L else textStart.toLong
+    putU32(tbl, pcd0 + 2, fc1)
+    if (nPieces == 2) {
+      val fc2 = (textStart + p1Bytes.length).toLong
+      putU32(tbl, pcd0 + 10, fc2)
+    }
+    // FIB pointers into the table stream
+    putU32(wdBytes, 0x01a2, 0L) // fcClx
+    putU32(wdBytes, 0x01a6, tbl.length.toLong) // lcbClx
+    Cfb.encode(Seq(
+      "WordDocument" -> wdBytes,
+      (if (tableOne) "1Table" else "0Table") -> tbl,
+      "\u0005SummaryInformation" -> new Array[Byte](8)))
+  }
+
+  // ------------------------------------------------------------------
+  // .xls (BIFF8)
+  // ------------------------------------------------------------------
+
+  final case class XlsCell(sheet: String, row: Int, col: Int, value: String)
+
+  /** Extract BIFF8 cells (shared-string and numeric) per sheet. */
+  def xlsCells(blob: Array[Byte]): Seq[XlsCell] = {
+    val wb = Cfb.stream(blob, "Workbook")
+      .orElse(Cfb.stream(blob, "Book")).getOrElse(return Nil)
+    val sst = ArrayBuffer.empty[String]
+    val sheets = ArrayBuffer.empty[String]
+    val cells = ArrayBuffer.empty[(Int, Int, Int, String)] // sheetIdx, row, col, v
+    var sheetIdx = -1 // -1 = globals substream
+    var p = 0
+    while (p + 4 <= wb.length) {
+      val rt = u16(wb, p)
+      val len = u16(wb, p + 2)
+      if (len < 0 || p + 4 + len > wb.length) p = wb.length
+      else {
+        val d = p + 4
+        rt match {
+          case 0x0809 => // BOF
+            val dt = u16(wb, d + 2)
+            if (dt == 0x0010) sheetIdx += 1
+            else if (sheetIdx >= 0) sheetIdx += 1 // chart/macro substreams count
+          case 0x0085 => // BOUNDSHEET
+            val cch = wb(d + 6) & 0xff
+            val high = (wb(d + 7) & 0x01) != 0
+            val name =
+              if (high) utf16Str(wb, d + 8, cch * 2)
+              else cp1252Str(wb, d + 8, cch)
+            sheets += name
+          case 0x00fc => // SST
+            val cstUnique = u32(wb, d + 4)
+            var o = d + 8
+            var k = 0L
+            while (k < cstUnique && o + 3 <= d + len) {
+              val cch = u16(wb, o)
+              val gr = wb(o + 2) & 0xff
+              val high = (gr & 0x01) != 0
+              val fExt = (gr & 0x04) != 0
+              val fRich = (gr & 0x08) != 0
+              o += 3
+              var cRun = 0
+              var cbExt = 0L
+              if (fRich) { cRun = u16(wb, o); o += 2 }
+              if (fExt) { cbExt = u32(wb, o); o += 4 }
+              val s =
+                if (high) { val v = utf16Str(wb, o, cch * 2); o += cch * 2; v }
+                else { val v = cp1252Str(wb, o, cch); o += cch; v }
+              o += cRun * 4 + math.max(0L, cbExt).toInt
+              sst += s
+              k += 1
+            }
+          case 0x00fd => // LABELSST
+            val row = u16(wb, d)
+            val col = u16(wb, d + 2)
+            val isst = u32(wb, d + 6)
+            val v = if (isst >= 0 && isst < sst.size) sst(isst.toInt) else ""
+            cells += ((math.max(sheetIdx, 0), row, col, v))
+          case 0x0203 => // NUMBER (IEEE 754 double)
+            val row = u16(wb, d)
+            val col = u16(wb, d + 2)
+            var bits = 0L
+            var i = 0
+            while (i < 8) { bits |= (wb(d + 6 + i) & 0xffL) << (8 * i); i += 1 }
+            val num = java.lang.Double.longBitsToDouble(bits)
+            val v =
+              if (num == math.rint(num) && math.abs(num) < 1e15) num.toLong.toString
+              else num.toString
+            cells += ((math.max(sheetIdx, 0), row, col, v))
+          case 0x027e => // RK
+            val row = u16(wb, d)
+            val col = u16(wb, d + 2)
+            val rk = u32(wb, d + 6)
+            cells += ((math.max(sheetIdx, 0), row, col, decodeRk(rk)))
+          case _ => ()
+        }
+        p = d + len
+      }
+    }
+    cells.map { case (si, r, c, v) =>
+      XlsCell(if (si < sheets.size) sheets(si) else s"Sheet${si + 1}", r, c, v)
+    }.toSeq
+  }
+
+  private def decodeRk(rk: Long): String = {
+    val div100 = (rk & 1L) != 0
+    val isInt = (rk & 2L) != 0
+    val v: Double =
+      if (isInt) (rk >> 2).toInt.toDouble
+      else java.lang.Double.longBitsToDouble((rk & 0xfffffffcL) << 32)
+    val x = if (div100) v / 100.0 else v
+    if (x == math.rint(x) && math.abs(x) < 1e15) x.toLong.toString else x.toString
+  }
+
+  /** Fixture writer: one sheet of string + numeric cells. String cells
+    * go through a real SST (compressed and UTF-16 packings chosen per
+    * string content); numbers use NUMBER records. */
+  def encodeXls(sheetName: String, rows: Seq[Seq[String]]): Array[Byte] = {
+    val strings = ArrayBuffer.empty[String]
+    val strIdx = new java.util.HashMap[String, Int]()
+    def isNum(s: String): Boolean =
+      s.nonEmpty && s.forall(c => c.isDigit || c == '.' || c == '-') &&
+        (try { s.toDouble; true } catch { case _: NumberFormatException => false })
+    rows.flatten.filterNot(isNum).foreach { s =>
+      if (!strIdx.containsKey(s)) { strIdx.put(s, strings.size); strings += s }
+    }
+    val rec = new java.io.ByteArrayOutputStream()
+    def record(rt: Int, payload: Array[Byte]): Unit = {
+      val h = new Array[Byte](4)
+      putU16(h, 0, rt); putU16(h, 2, payload.length)
+      rec.write(h); rec.write(payload)
+    }
+    def bof(dt: Int): Array[Byte] = {
+      val a = new Array[Byte](16)
+      putU16(a, 0, 0x0600); putU16(a, 2, dt)
+      putU16(a, 4, 0x0dbb); putU16(a, 6, 0x07cc)
+      a
+    }
+    // globals
+    record(0x0809, bof(0x0005))
+    val sstBody = new java.io.ByteArrayOutputStream()
+    val cnt = new Array[Byte](8)
+    putU32(cnt, 0, strings.size.toLong); putU32(cnt, 4, strings.size.toLong)
+    sstBody.write(cnt)
+    strings.foreach { s =>
+      val high = s.exists(_ >= 0x100)
+      val h = new Array[Byte](3)
+      putU16(h, 0, s.length)
+      h(2) = if (high) 1 else 0
+      sstBody.write(h)
+      sstBody.write(
+        if (high) s.getBytes("UTF-16LE") else s.map(_.toByte).toArray)
+    }
+    record(0x00fc, sstBody.toByteArray)
+    // BOUNDSHEET: lbPlyPos patched after globals EOF is known — emit with
+    // placeholder 0 (readers here don't use it; ours matches by order)
+    val bs = new java.io.ByteArrayOutputStream()
+    val bsh = new Array[Byte](8)
+    putU32(bsh, 0, 0L); putU16(bsh, 4, 0)
+    bsh(6) = sheetName.length.toByte; bsh(7) = 0
+    bs.write(bsh); bs.write(sheetName.map(_.toByte).toArray)
+    record(0x0085, bs.toByteArray)
+    record(0x000a, Array.emptyByteArray) // EOF globals
+    // sheet substream
+    record(0x0809, bof(0x0010))
+    rows.zipWithIndex.foreach { case (cols, r) =>
+      cols.zipWithIndex.foreach { case (v, c) =>
+        if (isNum(v)) {
+          val a = new Array[Byte](14)
+          putU16(a, 0, r); putU16(a, 2, c); putU16(a, 4, 0)
+          val bits = java.lang.Double.doubleToLongBits(v.toDouble)
+          var i = 0
+          while (i < 8) { a(6 + i) = (bits >> (8 * i)).toByte; i += 1 }
+          record(0x0203, a)
+        } else {
+          val a = new Array[Byte](10)
+          putU16(a, 0, r); putU16(a, 2, c); putU16(a, 4, 0)
+          putU32(a, 6, strIdx.get(v).toLong)
+          record(0x00fd, a)
+        }
+      }
+    }
+    record(0x000a, Array.emptyByteArray) // EOF sheet
+    Cfb.encode(Seq("Workbook" -> rec.toByteArray))
+  }
+
+  // ------------------------------------------------------------------
+  // .ppt
+  // ------------------------------------------------------------------
+
+  /** Extract slide texts: (slideIdx starting at 1, text) in reading
+    * order from SlideListWithText; texts outside any slide group land
+    * on slide 0 (master/notes). */
+  def pptTexts(blob: Array[Byte]): Seq[(Int, String)] = {
+    val ds = Cfb.stream(blob, "PowerPoint Document").getOrElse(return Nil)
+    val out = ArrayBuffer.empty[(Int, String)]
+    var slide = 0
+    def walk(off: Int, end: Int, depth: Int): Unit = {
+      var p = off
+      while (p + 8 <= end && depth < 32) {
+        val verInst = u16(ds, p)
+        val rt = u16(ds, p + 2)
+        val len = u32(ds, p + 4)
+        if (len < 0 || p + 8 + len > end) return
+        val d = p + 8
+        if ((verInst & 0x000f) == 0x000f) walk(d, (d + len).toInt, depth + 1)
+        else rt match {
+          case 0x03f3 => slide += 1 // SlidePersistAtom: next slide's texts
+          case 0x0fa0 => // TextCharsAtom (UTF-16LE)
+            out += ((slide, utf16Str(ds, d, len.toInt)))
+          case 0x0fa8 => // TextBytesAtom (cp1252)
+            out += ((slide, cp1252Str(ds, d, len.toInt)))
+          case _ => ()
+        }
+        p = (d + len).toInt
+      }
+    }
+    walk(0, ds.length, 0)
+    out.toSeq
+  }
+
+  /** Fixture writer: Document container → SlideListWithText with one
+    * SlidePersistAtom per slide, text atoms alternating chars/bytes. */
+  def encodePpt(slides: Seq[Seq[String]]): Array[Byte] = {
+    def rec(verInst: Int, rt: Int, payload: Array[Byte]): Array[Byte] = {
+      val a = new Array[Byte](8 + payload.length)
+      putU16(a, 0, verInst); putU16(a, 2, rt)
+      putU32(a, 4, payload.length.toLong)
+      System.arraycopy(payload, 0, a, 8, payload.length)
+      a
+    }
+    val slwt = new java.io.ByteArrayOutputStream()
+    slides.zipWithIndex.foreach { case (texts, si) =>
+      slwt.write(rec(0x0000, 0x03f3, new Array[Byte](20))) // SlidePersistAtom
+      texts.zipWithIndex.foreach { case (t, ti) =>
+        slwt.write(rec(0x0000, 0x0f9f, { // TextHeaderAtom (type: title/body)
+          val a = new Array[Byte](4); putU32(a, 0, if (ti == 0) 0L else 1L); a
+        }))
+        if ((si + ti) % 2 == 0)
+          slwt.write(rec(0x0000, 0x0fa0, t.getBytes("UTF-16LE")))
+        else if (t.forall(_ < 0x100))
+          slwt.write(rec(0x0000, 0x0fa8, t.map(_.toByte).toArray))
+        else
+          slwt.write(rec(0x0000, 0x0fa0, t.getBytes("UTF-16LE")))
+      }
+    }
+    val slwtRec = rec(0x000f, 0x0ff0, slwt.toByteArray)
+    val doc = rec(0x000f, 0x03e8, slwtRec)
+    Cfb.encode(Seq("PowerPoint Document" -> doc,
+      "Current User" -> new Array[Byte](8)))
+  }
+
+  private def putU16(a: Array[Byte], i: Int, v: Int): Unit = {
+    a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+  }
+  private def putU32(a: Array[Byte], i: Int, v: Long): Unit = {
+    a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+    a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+  }
+}

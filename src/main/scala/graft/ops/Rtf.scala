@@ -1,0 +1,228 @@
+package graft.ops
+
+/** RTF text extraction (the Word-processor interchange format; spec:
+  * Microsoft "Rich Text Format (RTF) Specification", public since 1.0).
+  * Crawls and document dumps carry .rtf alongside .doc/.docx — after
+  * OOXML/ODF/PDF, this is the remaining mainstream word-processor
+  * format with plain-bytes text.
+  *
+  * Covered: group nesting, control words with numeric parameters,
+  * destination skipping (fonttbl/colortbl/stylesheet/info/pict/object/
+  * header/footer and EVERY `\*`-ignorable destination), the text
+  * control symbols (escaped braces/backslash, `\~` nbsp, `\-`/`\_`
+  * hyphens), `\par`/`\line` newlines and `\tab`, hex escapes `\'hh`
+  * decoded per the declared `\ansicpg` (windows-1252 default — the
+  * overwhelming real-world case; other codepages fall back to
+  * Latin-1), and `\uN` Unicode escapes honoring the current `\ucN`
+  * fallback-skip count per group. Malformed input yields the text
+  * walked so far, never throws — the crawl-tier totality stance.
+  *
+  * Reference analogue: HIndex stores document cells as opaque bytes
+  * (SeekPointFetcher.java:47); text extraction is this engine's
+  * value-add tier. Pure per-document map work — no shuffle.
+  */
+object Rtf {
+
+  /** Skip-destinations: group content is never text. */
+  private val SkipDests = Set(
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "headerl", "headerr", "headerf", "footerl",
+    "footerr", "footerf", "ftnsep", "ftnsepc", "xe", "tc", "txe",
+    "comment", "creatim", "revtim", "printim", "buptim", "author",
+    "operator", "title", "subject", "doccomm", "themedata",
+    "colorschememapping", "datastore", "latentstyles", "listtable",
+    "listoverridetable", "rsidtbl", "generator", "filetbl", "revtbl")
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 5 &&
+      b(0) == '{' && b(1) == '\\' && b(2) == 'r' && b(3) == 't' && b(4) == 'f'
+
+  /** Extract plain text; None when the blob is not RTF at all. */
+  def toText(b: Array[Byte]): Option[String] = {
+    if (!sniff(b)) return None
+    val out = new StringBuilder
+    // group state: (skipDepth marker, uc count) tracked via stacks
+    var depth = 0
+    var skipUntil = -1 // when >= 0: inside a skipped destination opened at this depth
+    var uc = 1
+    val ucStack = new java.util.ArrayDeque[Integer]()
+    var pendingUcSkip = 0
+    var i = 0
+    val n = b.length
+
+    def emit(c: Char): Unit =
+      if (skipUntil < 0) {
+        if (pendingUcSkip > 0) pendingUcSkip -= 1
+        else out += c
+      }
+
+    while (i < n) {
+      (b(i) & 0xff).toChar match {
+        case '{' =>
+          depth += 1
+          ucStack.push(uc)
+          i += 1
+          // `{\*\dest ...}`: ignorable destination — skip unless known-text
+          if (skipUntil < 0 && i + 1 < n && b(i) == '\\' && b(i + 1) == '*')
+            skipUntil = depth
+        case '}' =>
+          if (skipUntil == depth) skipUntil = -1
+          depth -= 1
+          if (!ucStack.isEmpty) uc = ucStack.pop()
+          if (depth < 0) return Some(normalize(out))
+          i += 1
+        case '\\' =>
+          i += 1
+          if (i >= n) return Some(normalize(out))
+          val c = (b(i) & 0xff).toChar
+          if (c == '\'') {
+            // \'hh — codepage byte
+            if (i + 2 < n) {
+              val hex = Integer.parseInt(
+                new String(b, i + 1, 2, "US-ASCII").replaceAll("[^0-9a-fA-F]", "0"), 16)
+              emit(cp1252(hex))
+              i += 3
+            } else i = n
+          } else if (c.isLetter) {
+            val start = i
+            while (i < n && ((b(i) & 0xff).toChar.isLetter)) i += 1
+            val word = new String(b, start, i - start, "US-ASCII")
+            var param = 0L
+            var hasParam = false
+            var neg = false
+            if (i < n && (b(i) == '-' || ((b(i) & 0xff).toChar.isDigit))) {
+              hasParam = true
+              if (b(i) == '-') { neg = true; i += 1 }
+              val ds = i
+              while (i < n && (b(i) & 0xff).toChar.isDigit && i - ds < 10) i += 1
+              if (i > ds) param = new String(b, ds, i - ds, "US-ASCII").toLong
+              if (neg) param = -param
+            }
+            if (i < n && b(i) == ' ') i += 1 // delimiter space is consumed
+            word match {
+              case _ if skipUntil >= 0 => () // inside skipped destination
+              case w if SkipDests(w) => skipUntil = depth
+              case "par" | "line" | "sect" | "page" => emit('\n')
+              case "cell" | "tab" => emit('\t')
+              case "row" => emit('\n')
+              case "emdash" => emit('\u2014')
+              case "endash" => emit('\u2013')
+              case "lquote" => emit('\u2018')
+              case "rquote" => emit('\u2019')
+              case "ldblquote" => emit('\u201c')
+              case "rdblquote" => emit('\u201d')
+              case "bullet" => emit('\u2022')
+              case "uc" if hasParam => uc = math.max(0, math.min(param, 8)).toInt
+              case "u" if hasParam =>
+                // \uN: signed 16-bit; then skip `uc` fallback chars
+                val cp = (if (param < 0) param + 65536 else param).toInt
+                if (skipUntil < 0) {
+                  if (pendingUcSkip > 0) pendingUcSkip -= 1
+                  else out += cp.toChar
+                  pendingUcSkip += uc
+                }
+              case "bin" if hasParam =>
+                i += math.max(0L, math.min(param, (n - i).toLong)).toInt
+              case _ => () // formatting word: ignored
+            }
+          } else {
+            c match {
+              case '\\' | '{' | '}' => emit(c)
+              case '~' => emit('\u00a0')
+              case '-' => () // optional hyphen
+              case '_' => emit('-')
+              case '*' => () // handled at group open; stray: ignore
+              case '\r' | '\n' => emit('\n') // \<newline> = \par
+              case _ => ()
+            }
+            i += 1
+          }
+        case '\r' | '\n' =>
+          i += 1 // raw newlines in RTF source are NOT text
+        case ch =>
+          emit(ch)
+          i += 1
+      }
+    }
+    Some(normalize(out))
+  }
+
+  private def normalize(sb: StringBuilder): String = {
+    // collapse trailing whitespace-only lines; keep interior structure
+    sb.toString.split('\n').map(_.trim).mkString("\n")
+      .replaceAll("\n{3,}", "\n\n").trim
+  }
+
+  /** windows-1252 byte to char (the 0x80-0x9F mappings differ from
+    * Latin-1; unmapped control slots fall back to the identity). */
+  private[graft] def cp1252(v: Int): Char = v match {
+    case 0x80 => '\u20ac'
+    case 0x82 => '\u201a'
+    case 0x83 => '\u0192'
+    case 0x84 => '\u201e'
+    case 0x85 => '\u2026'
+    case 0x86 => '\u2020'
+    case 0x87 => '\u2021'
+    case 0x88 => '\u02c6'
+    case 0x89 => '\u2030'
+    case 0x8a => '\u0160'
+    case 0x8b => '\u2039'
+    case 0x8c => '\u0152'
+    case 0x8e => '\u017d'
+    case 0x91 => '\u2018'
+    case 0x92 => '\u2019'
+    case 0x93 => '\u201c'
+    case 0x94 => '\u201d'
+    case 0x95 => '\u2022'
+    case 0x96 => '\u2013'
+    case 0x97 => '\u2014'
+    case 0x98 => '\u02dc'
+    case 0x99 => '\u2122'
+    case 0x9a => '\u0161'
+    case 0x9b => '\u203a'
+    case 0x9c => '\u0153'
+    case 0x9e => '\u017e'
+    case 0x9f => '\u0178'
+    case other => other.toChar
+  }
+
+  /** Deterministic fixture writer: paragraphs with a font/color table,
+    * an info group (both must be skipped on extract), bold/italic runs,
+    * tabs as `\tab`, and non-ASCII via `\uN` with a two-byte `\uc1`
+    * cp1252 fallback or `\'hh` when the char fits cp1252. */
+  def encode(paragraphs: Seq[String]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= "{\\rtf1\\ansi\\ansicpg1252\\deff0"
+    sb ++= "{\\fonttbl{\\f0\\fswiss Helvetica;}{\\f1\\froman Times;}}"
+    sb ++= "{\\colortbl;\\red0\\green0\\blue0;\\red255\\green0\\blue0;}"
+    sb ++= "{\\info{\\title fixture}{\\author graft}}"
+    sb ++= "{\\*\\generator graft 1.0;}"
+    sb ++= "\\uc1\\pard\\f0\\fs24 "
+    paragraphs.zipWithIndex.foreach { case (p, pi) =>
+      if (pi > 0) sb ++= "\\par\n"
+      var bold = false
+      p.zipWithIndex.foreach { case (ch, ci) =>
+        if (ci % 11 == 7) { sb ++= (if (bold) "\\b0 " else "\\b "); bold = !bold }
+        ch match {
+          case '\\' => sb ++= "\\\\"
+          case '{' => sb ++= "\\{"
+          case '}' => sb ++= "\\}"
+          case '\t' => sb ++= "\\tab "
+          case '\n' => sb ++= "\\line "
+          case c if c < 0x80 => sb += c
+          case c if c < 0x100 || cp1252inv.contains(c) =>
+            sb ++= f"\\'${cp1252inv.getOrElse(c, c.toInt)}%02x"
+          case c =>
+            val v = if (c.toInt > 32767) c.toInt - 65536 else c.toInt
+            sb ++= s"\\u$v?"
+        }
+      }
+      if (bold) sb ++= "\\b0 "
+    }
+    sb ++= "}"
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  private val cp1252inv: Map[Char, Int] =
+    (0x80 to 0x9f).map(v => cp1252(v) -> v).filter(_._1 != '\ufffd').toMap
+}

@@ -200,6 +200,100 @@ object OfficeQueries extends QueryGroup {
               (id, OfficeCodec.docxText(r.body).getOrElse(""))
           }
         }).toDF("doc_id", "text_out")
+    }),
+
+    // LEGACY .doc (r10): CFB container → FIB → piece table with a
+    // compressed cp1252 piece AND a UTF-16 piece per doc; the
+    // fWhichTblStm bit flips by parity so both 0Table/1Table route
+    "pipeline_doc_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.LegacyOffice
+          val doc = LegacyOffice.encodeDoc(Seq(
+            s"Legacy word $id",
+            s"café piece $id",
+            "end"), tableOne = id % 2 == 0)
+          (id, LegacyOffice.docText(doc).getOrElse(""))
+        }).toDF("doc_id", "text_out")
+    }),
+
+    // LEGACY .xls (r10): BIFF8 SST shared strings (dedup'd repeats) +
+    // NUMBER cells through a real Workbook stream in a real CFB shell
+    "pipeline_xls_cells" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.LegacyOffice
+          val xls = LegacyOffice.encodeXls(s"S$id", Seq(
+            Seq("item", s"w $id & co"),
+            Seq("item", s"${id * 3}")))
+          LegacyOffice.xlsCells(xls).map(c =>
+            (id, c.sheet, c.row, c.col, c.value))
+        }).toDF("doc_id", "sheet", "row_idx", "col_idx", "cell_value")
+    }),
+
+    // LEGACY .ppt (r10): SlideListWithText walk — SlidePersistAtom
+    // slide groups, TextCharsAtom (UTF-16) and TextBytesAtom (cp1252)
+    "pipeline_ppt_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.LegacyOffice
+          val slides =
+            Seq(Seq(s"Deck $id", s"sub $id")) ++
+              (if (id % 2 == 0) Seq(Seq(s"pt $id")) else Nil)
+          LegacyOffice.pptTexts(LegacyOffice.encodePpt(slides))
+            .zipWithIndex.map { case ((slide, text), ix) =>
+              (id, slide, ix, text)
+            }
+        }).toDF("doc_id", "slide_idx", "text_idx", "slide_text")
+    }),
+
+    // RTF (r10): control-word walk — fonttbl/colortbl/info skipped,
+    // cp1252 hex escapes + unicode escapes + tab/line controls decode
+    "pipeline_rtf_text" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.Rtf
+          val rtf = Rtf.encode(Seq(
+            s"Rich text $id",
+            s"café — dash $id\tT",
+            s"omega Ω $id"))
+          (id, Rtf.toText(rtf).getOrElse(""))
+        }).toDF("doc_id", "text_out")
+    }),
+
+    // legacy routing: CFB blobs dispatch by content stream, RTF by
+    // magic — the pre-2007 counterpart of mm_office_detect
+    "mm_office_detect_legacy" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.{LegacyOffice, Rtf}
+          val blob = (id % 4) match {
+            case 0 => LegacyOffice.encodeDoc(Seq(s"d $id"))
+            case 1 => LegacyOffice.encodeXls("S", Seq(Seq(s"a $id", "7")))
+            case 2 => LegacyOffice.encodePpt(Seq(Seq(s"t $id")))
+            case _ => Rtf.encode(Seq(s"r $id"))
+          }
+          val family =
+            if (Rtf.sniff(blob)) "rtf" else LegacyOffice.detect(blob)
+          val nUnits: Long = family match {
+            case "doc" => LegacyOffice.docText(blob).map(_.length.toLong).getOrElse(-1L)
+            case "xls" => LegacyOffice.xlsCells(blob).size.toLong
+            case "ppt" => LegacyOffice.pptTexts(blob).size.toLong
+            case "rtf" => Rtf.toText(blob).map(_.length.toLong).getOrElse(-1L)
+            case _ => 0L
+          }
+          (id, family, nUnits)
+        }).toDF("doc_id", "family", "n_units")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -284,5 +378,41 @@ object OfficeQueries extends QueryGroup {
 
     "pipeline_warc_docx" ->
       ("SELECT doc_id, 'warc docx ' || CAST(doc_id AS VARCHAR) AS text_out " +
-        "FROM documents"))
+        "FROM documents"),
+
+    "pipeline_doc_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, 'Legacy word ' || i || chr(10) || " +
+        "'café piece ' || i || chr(10) || 'end' AS text_out FROM g"),
+
+    "pipeline_xls_cells" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, 'S' || i AS sheet, " +
+        "CAST(j // 2 AS INT) AS row_idx, CAST(j % 2 AS INT) AS col_idx, " +
+        "CASE j WHEN 0 THEN 'item' WHEN 1 THEN 'w ' || i || ' & co' " +
+        "WHEN 2 THEN 'item' ELSE CAST(doc_id * 3 AS VARCHAR) END AS cell_value " +
+        "FROM g, generate_series(0, 3) AS s(j)"),
+
+    "pipeline_ppt_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(1 AS INT) AS slide_idx, CAST(j AS INT) AS text_idx, " +
+        "CASE j WHEN 0 THEN 'Deck ' || i ELSE 'sub ' || i END AS slide_text " +
+        "FROM g, generate_series(0, 1) AS s(j) " +
+        "UNION ALL SELECT doc_id, CAST(2 AS INT), CAST(2 AS INT), 'pt ' || i " +
+        "FROM g WHERE doc_id % 2 = 0"),
+
+    "pipeline_rtf_text" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, 'Rich text ' || i || chr(10) || " +
+        "'café — dash ' || i || chr(9) || 'T' || chr(10) || " +
+        "'omega Ω ' || i AS text_out FROM g"),
+
+    "mm_office_detect_legacy" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls' " +
+        "WHEN 2 THEN 'ppt' ELSE 'rtf' END AS family, " +
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 2 + length(i) WHEN 1 THEN 2 " +
+        "WHEN 2 THEN 1 ELSE 2 + length(i) END AS BIGINT) AS n_units " +
+        "FROM g"))
 }

@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Cfb, LegacyOffice, Rtf}
+
+class LegacyOfficeSpec extends AnyFunSuite {
+
+  // ---------------- CFB container ----------------
+
+  test("CFB round-trip: mini-stream and regular-chain placement") {
+    val small = ("small stream " * 10).getBytes("UTF-8") // < 4096: mini
+    val big = ("BIG payload block! " * 400).getBytes("UTF-8") // > 4096: regular
+    val tiny = "x".getBytes("UTF-8")
+    val blob = Cfb.encode(Seq("Alpha" -> small, "Beta" -> big, "Gamma" -> tiny))
+    assert(Cfb.sniff(blob))
+    val entries = Cfb.parse(blob).filter(_.objType == 2)
+    assert(entries.map(_.name) == Seq("Alpha", "Beta", "Gamma"))
+    assert(java.util.Arrays.equals(entries(0).bytes, small))
+    assert(java.util.Arrays.equals(entries(1).bytes, big))
+    assert(java.util.Arrays.equals(entries(2).bytes, tiny))
+    assert(Cfb.stream(blob, "Beta").exists(_.length == big.length))
+  }
+
+  test("CFB multi-FAT-sector file (payload spans several FAT pages)") {
+    // > 128 sectors of payload forces nFat > 1
+    val big = new Array[Byte](80000)
+    (big.indices).foreach(i => big(i) = ((i * 31) % 251).toByte)
+    val blob = Cfb.encode(Seq("Big" -> big))
+    assert(java.util.Arrays.equals(Cfb.stream(blob, "Big").get, big))
+  }
+
+  test("CFB totality: junk, truncation, flipped bytes never throw") {
+    val blob = Cfb.encode(Seq("S" -> ("d" * 5000).getBytes))
+    (0 until blob.length by 97).foreach { n =>
+      Cfb.parse(java.util.Arrays.copyOf(blob, n))
+    }
+    val rnd = new java.util.Random(7)
+    (0 until 100).foreach { _ =>
+      val m = blob.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Cfb.parse(m)
+    }
+    assert(Cfb.parse(null).isEmpty)
+    assert(Cfb.parse("not cfb at all".getBytes).isEmpty)
+  }
+
+  // ---------------- .doc ----------------
+
+  test("doc: two-piece text, compressed + unicode, both table streams") {
+    val paras = Seq("Hello legacy word", "café & naïve text", "third para")
+    for (tblOne <- Seq(false, true)) {
+      val blob = LegacyOffice.encodeDoc(paras, tableOne = tblOne)
+      assert(LegacyOffice.detect(blob) == "doc")
+      val txt = LegacyOffice.docText(blob).get
+      assert(txt == paras.mkString("\n"), s"tableOne=$tblOne got: $txt")
+    }
+  }
+
+  test("doc: non-cp1252 chars force a unicode piece and survive") {
+    val paras = Seq("Ω mass δ check", "第二 unicode 段")
+    val txt = LegacyOffice.docText(LegacyOffice.encodeDoc(paras)).get
+    assert(txt == paras.mkString("\n"))
+  }
+
+  test("doc totality: junk containers and truncations") {
+    val blob = LegacyOffice.encodeDoc(Seq("truncate me now please"))
+    (0 until blob.length by 131).foreach { n =>
+      LegacyOffice.docText(java.util.Arrays.copyOf(blob, n)) // no throw
+    }
+    assert(LegacyOffice.docText("garbage".getBytes).isEmpty)
+    // a CFB without WordDocument is not a doc
+    assert(LegacyOffice.docText(Cfb.encode(Seq("X" -> "y".getBytes))).isEmpty)
+  }
+
+  // ---------------- .xls ----------------
+
+  test("xls: SST strings (both packings), NUMBER cells, sheet name") {
+    val rows = Seq(
+      Seq("name", "qty", "price"),
+      Seq("wídget", "7", "19.5"),
+      Seq("Ωmega", "3", "2"))
+    val blob = LegacyOffice.encodeXls("Data", rows)
+    assert(LegacyOffice.detect(blob) == "xls")
+    val cells = LegacyOffice.xlsCells(blob)
+    assert(cells.forall(_.sheet == "Data"))
+    val grid = cells.map(c => (c.row, c.col) -> c.value).toMap
+    assert(grid((0, 0)) == "name")
+    assert(grid((1, 0)) == "wídget")
+    assert(grid((1, 1)) == "7")
+    assert(grid((1, 2)) == "19.5")
+    assert(grid((2, 0)) == "Ωmega")
+    assert(grid((2, 2)) == "2")
+    assert(cells.size == 9)
+  }
+
+  test("xls: shared strings dedup through the SST") {
+    val rows = Seq(Seq("dup", "dup", "dup"), Seq("dup", "other", "dup"))
+    val cells = LegacyOffice.xlsCells(LegacyOffice.encodeXls("S", rows))
+    assert(cells.count(_.value == "dup") == 5)
+    assert(cells.count(_.value == "other") == 1)
+  }
+
+  test("xls totality") {
+    val blob = LegacyOffice.encodeXls("S", Seq(Seq("a", "1")))
+    (0 until blob.length by 113).foreach { n =>
+      LegacyOffice.xlsCells(java.util.Arrays.copyOf(blob, n))
+    }
+    assert(LegacyOffice.xlsCells("junk".getBytes).isEmpty)
+  }
+
+  // ---------------- .ppt ----------------
+
+  test("ppt: slide texts in reading order, chars + bytes atoms") {
+    val slides = Seq(
+      Seq("Title Slide", "subtitle text"),
+      Seq("Agenda", "point one", "point twö"),
+      Seq("Ünïcode only 漢字"))
+    val blob = LegacyOffice.encodePpt(slides)
+    assert(LegacyOffice.detect(blob) == "ppt")
+    val texts = LegacyOffice.pptTexts(blob)
+    assert(texts.map(_._1).distinct == Seq(1, 2, 3))
+    assert(texts.filter(_._1 == 1).map(_._2) == slides(0))
+    assert(texts.filter(_._1 == 2).map(_._2) == slides(1))
+    assert(texts.filter(_._1 == 3).map(_._2) == slides(2))
+  }
+
+  test("ppt totality") {
+    val blob = LegacyOffice.encodePpt(Seq(Seq("t")))
+    (0 until blob.length by 127).foreach { n =>
+      LegacyOffice.pptTexts(java.util.Arrays.copyOf(blob, n))
+    }
+    assert(LegacyOffice.pptTexts("x".getBytes).isEmpty)
+  }
+
+  // ---------------- RTF ----------------
+
+  test("rtf: paragraphs, tabs, line breaks, bold runs dropped") {
+    val paras = Seq("Plain first paragraph", "tab\there line\nbreak", "third")
+    val txt = Rtf.toText(Rtf.encode(paras)).get
+    assert(txt == paras.mkString("\n"))
+  }
+
+  test("rtf: cp1252 hex escapes and unicode escapes round-trip") {
+    val paras = Seq("café crème déjà", "euro € dash — quote ’", "Ω δ 漢字")
+    val txt = Rtf.toText(Rtf.encode(paras)).get
+    assert(txt == paras.mkString("\n"))
+  }
+
+  test("rtf: fonttbl/colortbl/info/generator groups never leak text") {
+    val txt = Rtf.toText(Rtf.encode(Seq("only this"))).get
+    assert(txt == "only this")
+    assert(!txt.contains("Helvetica"))
+    assert(!txt.contains("fixture"))
+    assert(!txt.contains("graft 1.0"))
+  }
+
+  test("rtf: uc2 fallback skip count honored") {
+    val raw = ("{\\rtf1\\ansi\\uc2 a\\u937 XXb}").getBytes("US-ASCII")
+    assert(Rtf.toText(raw).get == "aΩb")
+    // and uc0: no fallback to skip
+    val raw0 = ("{\\rtf1\\ansi\\uc0 a\\u937 b}").getBytes("US-ASCII")
+    assert(Rtf.toText(raw0).get == "aΩb")
+  }
+
+  test("rtf: group-scoped uc, nested skips, escaped braces") {
+    val raw = ("{\\rtf1\\ansi\\uc1 x{\\uc2 \\u937 AB}\\u916 Y \\{br\\}}")
+      .getBytes("US-ASCII")
+    assert(Rtf.toText(raw).get == "xΩΔ {br}")
+  }
+
+  test("rtf totality: junk, truncation") {
+    val blob = Rtf.encode(Seq("truncate me at every offset"))
+    (0 until blob.length).foreach { n =>
+      Rtf.toText(java.util.Arrays.copyOf(blob, n))
+    }
+    assert(Rtf.toText("no rtf".getBytes).isEmpty)
+    assert(Rtf.toText(null).isEmpty)
+  }
+}
