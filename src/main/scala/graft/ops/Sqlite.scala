@@ -1,0 +1,515 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** SQLite database-file reader (+ fixture writer) — the single most
+  * common embedded-database artifact in crawls, app dumps and research
+  * datasets. Format is fully public (sqlite.org/fileformat2.html).
+  *
+  * Reader scope: the header (page size incl. the 1→65536 encoding,
+  * reserved-space byte, UTF-8 text encoding), table b-trees (leaf and
+  * interior pages, right-most pointers), the record format (all serial
+  * types: NULL, 1/2/3/4/6/8-byte big-endian ints, float64, the 8/9
+  * integer constants, blobs and text), varints, cell payload OVERFLOW
+  * chains (the spec's minLocal/maxLocal spill arithmetic), and the
+  * sqlite_schema catalog walk → named-table row extraction with rowid
+  * (INTEGER PRIMARY KEY aliases read the rowid back). Index b-trees,
+  * WAL files, freelists and pointer-map pages are not needed for a
+  * read-only row extraction and are skipped. Bounds-checked, total on
+  * junk, 2^28 output cap.
+  *
+  * Writer: single-table databases with a real schema page; rows pack
+  * minimal serial types; leaf pages split at capacity under ONE
+  * interior table page (fixtures stay < ~500 leaves), and oversized
+  * records spill to real overflow-page chains — so the reader's
+  * interior-walk and overflow paths run on real bytes.
+  *
+  * Per-file map work; at 100 TB one .sqlite blob = one task.
+  * Reference analogue: opaque cells (SeekPointFetcher.java:47).
+  */
+object Sqlite {
+
+  private val MaxOut = WarcCodec.MaxInflated
+
+  /** One decoded value: kind ∈ null/int/real/text/blob; text holds the
+    * rendering (blob → lowercase hex). */
+  final case class SqlValue(kind: String, text: String)
+
+  final case class SqliteTable(name: String, rootPage: Int, sql: String)
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 16 &&
+      new String(b, 0, 15, "US-ASCII") == "SQLite format 3" && b(15) == 0
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    if (i < 0 || i + 1 >= b.length) -1
+    else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    if (i < 0 || i + 3 >= b.length) -1L
+    else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** (value, bytesConsumed); big-endian 7-bit varint, 9th byte full. */
+  private def varint(b: Array[Byte], i0: Int): (Long, Int) = {
+    var v = 0L
+    var i = i0
+    var n = 0
+    while (n < 8 && i < b.length) {
+      val x = b(i) & 0xff
+      if (n < 8 && (x & 0x80) == 0) return ((v << 7) | x, n + 1)
+      v = (v << 7) | (x & 0x7f)
+      i += 1
+      n += 1
+    }
+    if (i < b.length) ((v << 8) | (b(i) & 0xff), 9) else (v, n)
+  }
+
+  private final class Db(val b: Array[Byte]) {
+    val pageSize: Int = {
+      val raw = u16(b, 16)
+      if (raw == 1) 65536 else raw
+    }
+    val reserved: Int = b(20) & 0xff
+    val usable: Int = pageSize - reserved
+    val nPages: Int = math.min(u32(b, 28), (b.length / math.max(pageSize, 1)).toLong).toInt
+    def pageOff(p: Int): Int = (p - 1) * pageSize
+    def ok: Boolean =
+      pageSize >= 512 && pageSize <= 65536 &&
+        (pageSize & (pageSize - 1)) == 0 && usable >= 480
+  }
+
+  /** Read one cell payload, following the overflow chain if needed. */
+  private def payload(db: Db, cellOff: Int, payloadLen: Long,
+      localStart: Int): Array[Byte] = {
+    val b = db.b
+    val u = db.usable
+    val maxLocal = u - 35
+    if (payloadLen <= maxLocal) {
+      val n = math.min(payloadLen, (b.length - localStart).toLong).toInt
+      return java.util.Arrays.copyOfRange(b, localStart, localStart + math.max(n, 0))
+    }
+    val minLocal = (u - 12) * 32 / 255 - 23
+    val k = minLocal + ((payloadLen - minLocal) % (u - 4)).toInt
+    val local = if (k <= maxLocal) k else minLocal
+    val out = new java.io.ByteArrayOutputStream(math.min(payloadLen, MaxOut.toLong).toInt)
+    out.write(b, localStart, math.min(local, b.length - localStart))
+    var next = u32(b, localStart + local)
+    var guard = 0
+    while (next > 0 && next <= db.nPages && out.size < payloadLen &&
+        guard < db.nPages + 2 && out.size < MaxOut) {
+      val off = db.pageOff(next.toInt)
+      val take = math.min((db.usable - 4).toLong, payloadLen - out.size).toInt
+      if (off + 4 + take > b.length) return out.toByteArray
+      out.write(b, off + 4, take)
+      next = u32(b, off)
+      guard += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a record (serial-type header + body) into values. */
+  private def record(p: Array[Byte]): Seq[SqlValue] = {
+    val (hdrLen, n0) = varint(p, 0)
+    if (hdrLen < n0 || hdrLen > p.length) return Nil
+    val types = ArrayBuffer.empty[Long]
+    var i = n0
+    while (i < hdrLen) {
+      val (t, n) = varint(p, i)
+      types += t
+      i += n
+    }
+    var body = hdrLen.toInt
+    types.map { t =>
+      def intVal(nb: Int): Long = {
+        var v = 0L
+        var k = 0
+        while (k < nb && body + k < p.length) { v = (v << 8) | (p(body + k) & 0xff); k += 1 }
+        // sign-extend
+        val shift = 64 - 8 * nb
+        v = (v << shift) >> shift
+        body += nb
+        v
+      }
+      t match {
+        case 0 => SqlValue("null", "")
+        case 1 => SqlValue("int", intVal(1).toString)
+        case 2 => SqlValue("int", intVal(2).toString)
+        case 3 => SqlValue("int", intVal(3).toString)
+        case 4 => SqlValue("int", intVal(4).toString)
+        case 5 => SqlValue("int", intVal(6).toString)
+        case 6 => SqlValue("int", intVal(8).toString)
+        case 7 =>
+          val bits = intVal(8)
+          val d = java.lang.Double.longBitsToDouble(bits)
+          SqlValue("real", if (d == math.rint(d) && math.abs(d) < 1e15)
+            s"${d.toLong}.0" else d.toString)
+        case 8 => SqlValue("int", "0")
+        case 9 => SqlValue("int", "1")
+        case tt if tt >= 13 && tt % 2 == 1 =>
+          val len = ((tt - 13) / 2).toInt
+          val s = new String(p, body, math.max(0, math.min(len, p.length - body)), "UTF-8")
+          body += len
+          SqlValue("text", s)
+        case tt if tt >= 12 =>
+          val len = ((tt - 12) / 2).toInt
+          val sb = new StringBuilder
+          var k = 0
+          while (k < len && body + k < p.length) {
+            sb ++= f"${p(body + k) & 0xff}%02x"
+            k += 1
+          }
+          body += len
+          SqlValue("blob", sb.toString)
+        case _ => SqlValue("null", "")
+      }
+    }.toSeq
+  }
+
+  /** Walk a table b-tree from `root`, emitting (rowid, record bytes). */
+  private def walkTable(db: Db, root: Int,
+      out: ArrayBuffer[(Long, Seq[SqlValue])], depth: Int): Unit = {
+    if (depth > 32 || root < 1 || root > db.nPages || out.size > 4_000_000) return
+    val b = db.b
+    val base = db.pageOff(root)
+    val hdr = base + (if (root == 1) 100 else 0)
+    val pageType = if (hdr < b.length) b(hdr) & 0xff else 0
+    val nCells = u16(b, hdr + 3)
+    if (nCells < 0) return
+    pageType match {
+      case 13 => // leaf table
+        var c = 0
+        while (c < nCells) {
+          val ptr = u16(b, hdr + 8 + 2 * c)
+          if (ptr > 0 && base + ptr < b.length) {
+            var off = base + ptr
+            val (plen, n1) = varint(b, off); off += n1
+            val (rowid, n2) = varint(b, off); off += n2
+            if (plen >= 0 && plen < MaxOut) {
+              val p = payload(db, base + ptr, plen, off)
+              out += ((rowid, record(p)))
+            }
+          }
+          c += 1
+        }
+      case 5 => // interior table
+        var c = 0
+        while (c < nCells) {
+          val ptr = u16(b, hdr + 12 + 2 * c)
+          if (ptr > 0 && base + ptr + 4 <= b.length) {
+            val child = u32(b, base + ptr)
+            walkTable(db, child.toInt, out, depth + 1)
+          }
+          c += 1
+        }
+        val right = u32(b, hdr + 8)
+        walkTable(db, right.toInt, out, depth + 1)
+      case _ => () // index/freelist/overflow: not table rows
+    }
+  }
+
+  /** The sqlite_schema catalog: CREATE TABLE entries only. */
+  def tables(b: Array[Byte]): Seq[SqliteTable] = {
+    if (!sniff(b)) return Nil
+    val db = new Db(b)
+    if (!db.ok) return Nil
+    val rows = ArrayBuffer.empty[(Long, Seq[SqlValue])]
+    try walkTable(db, 1, rows, 0)
+    catch { case _: RuntimeException => return Nil }
+    rows.toSeq.collect {
+      case (_, vs) if vs.length >= 5 && vs(0).text == "table" =>
+        SqliteTable(vs(1).text, vs(3).text.toIntOption.getOrElse(
+          vs(3).text.toDoubleOption.map(_.toInt).getOrElse(0)), vs(4).text)
+    }
+  }
+
+  /** All rows of `table` as (rowid, values). NULL first-column values
+    * of INTEGER PRIMARY KEY tables are materialized from the rowid. */
+  def rows(b: Array[Byte], table: String): Seq[(Long, Seq[SqlValue])] = {
+    val t = tables(b).find(_.name == table).getOrElse(return Nil)
+    val db = new Db(b)
+    val out = ArrayBuffer.empty[(Long, Seq[SqlValue])]
+    try walkTable(db, t.rootPage, out, 0)
+    catch { case _: RuntimeException => return Nil }
+    val ipkAlias = t.sql.toLowerCase(java.util.Locale.ROOT)
+      .contains("integer primary key")
+    out.toSeq.map { case (rowid, vs) =>
+      val fixed =
+        if (ipkAlias && vs.nonEmpty && vs.head.kind == "null")
+          SqlValue("int", rowid.toString) +: vs.tail
+        else vs
+      (rowid, fixed)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // writer (fixtures)
+  // ------------------------------------------------------------------
+
+  private def putU16(a: Array[Byte], i: Int, v: Int): Unit = {
+    a(i) = (v >> 8).toByte; a(i + 1) = v.toByte
+  }
+  private def putU32(a: Array[Byte], i: Int, v: Long): Unit = {
+    a(i) = (v >> 24).toByte; a(i + 1) = (v >> 16).toByte
+    a(i + 2) = (v >> 8).toByte; a(i + 3) = v.toByte
+  }
+
+  private def varintBytes(v: Long): Array[Byte] = {
+    require(v >= 0, "fixture varints are non-negative")
+    if (v == 0) return Array(0.toByte)
+    val parts = ArrayBuffer.empty[Byte]
+    var x = v
+    while (x > 0) { parts += (x & 0x7f).toByte; x >>= 7 }
+    val a = parts.reverse.toArray
+    var i = 0
+    while (i < a.length - 1) { a(i) = (a(i) | 0x80).toByte; i += 1 }
+    a
+  }
+
+  /** Minimal-serial-type record encode. Values: null/"int:..."/"real:
+    * ..."/plain text. */
+  private def encodeRecord(values: Seq[SqlValue]): Array[Byte] = {
+    val bodies = ArrayBuffer.empty[Array[Byte]]
+    val stypes = values.map { v =>
+      v.kind match {
+        case "null" => bodies += Array.emptyByteArray; 0L
+        case "int" =>
+          val x = v.text.toLong
+          if (x == 0) { bodies += Array.emptyByteArray; 8L }
+          else if (x == 1) { bodies += Array.emptyByteArray; 9L }
+          else {
+            val nb = if (x >= -128 && x < 128) 1
+              else if (x >= -32768 && x < 32768) 2
+              else if (x >= -8388608 && x < 8388608) 3
+              else if (x >= Int.MinValue && x <= Int.MaxValue) 4
+              else if (math.abs(x) < (1L << 47)) 6 else 8
+            val a = new Array[Byte](nb)
+            var k = 0
+            while (k < nb) { a(nb - 1 - k) = (x >> (8 * k)).toByte; k += 1 }
+            bodies += a
+            Seq(1L, 2L, 3L, 4L, 5L, 6L)(Seq(1, 2, 3, 4, 6, 8).indexOf(nb))
+          }
+        case "real" =>
+          val bits = java.lang.Double.doubleToLongBits(v.text.toDouble)
+          val a = new Array[Byte](8)
+          var k = 0
+          while (k < 8) { a(7 - k) = (bits >> (8 * k)).toByte; k += 1 }
+          bodies += a
+          7L
+        case "blob" =>
+          val a = v.text.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+          bodies += a
+          12L + 2 * a.length
+        case _ =>
+          val a = v.text.getBytes("UTF-8")
+          bodies += a
+          13L + 2 * a.length
+      }
+    }
+    val typeBytes = stypes.flatMap(varintBytes).toArray
+    // header length varint includes itself; fixtures stay single-byte
+    val hdrLen = 1 + typeBytes.length
+    require(hdrLen < 128, "fixture record header cap")
+    val hl = varintBytes(hdrLen.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(hl); out.write(typeBytes)
+    bodies.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Serialize a one-table database. `rows` are full records INCLUDING
+    * the first column; when `ipk` the first column is written as NULL
+    * (the rowid alias, like real SQLite does) and rowids count from 1. */
+  def encode(tableName: String, createSql: String,
+      rowValues: Seq[Seq[SqlValue]], pageSize: Int = 512): Array[Byte] = {
+    require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0)
+    val ipk = createSql.toLowerCase(java.util.Locale.ROOT)
+      .contains("integer primary key")
+
+    // ---- leaf pages for the data table
+    def localLen(recLen: Int): Int = {
+      val u = pageSize
+      if (recLen <= u - 35) recLen
+      else {
+        val minLocal = (u - 12) * 32 / 255 - 23
+        val k = minLocal + (recLen - minLocal) % (u - 4)
+        if (k <= u - 35) k else minLocal
+      }
+    }
+    def tableCell(rowid: Long, rec: Array[Byte],
+        overflowStart: => Int): (Array[Byte], Seq[Array[Byte]]) = {
+      val u = pageSize
+      val maxLocal = u - 35
+      if (rec.length <= maxLocal) {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(varintBytes(rec.length.toLong))
+        out.write(varintBytes(rowid))
+        out.write(rec)
+        (out.toByteArray, Nil)
+      } else {
+        val minLocal = (u - 12) * 32 / 255 - 23
+        val k = minLocal + (rec.length - minLocal) % (u - 4)
+        val local = if (k <= maxLocal) k else minLocal
+        val pages = ArrayBuffer.empty[Array[Byte]]
+        var off = local
+        while (off < rec.length) {
+          val take = math.min(u - 4, rec.length - off)
+          val pg = new Array[Byte](pageSize)
+          System.arraycopy(rec, off, pg, 4, take)
+          pages += pg
+          off += take
+        }
+        val first = overflowStart
+        var i = 0
+        while (i < pages.size - 1) { putU32(pages(i), 0, (first + i + 1).toLong); i += 1 }
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(varintBytes(rec.length.toLong))
+        out.write(varintBytes(rowid))
+        out.write(rec, 0, local)
+        val ptr = new Array[Byte](4)
+        putU32(ptr, 0, first.toLong)
+        out.write(ptr)
+        (out.toByteArray, pages.toSeq)
+      }
+    }
+
+    def buildLeaf(cells: Seq[Array[Byte]], isPage1: Boolean = false,
+        hdrExtra: Int = 0): Array[Byte] = {
+      val pg = new Array[Byte](pageSize)
+      val h = hdrExtra
+      pg(h) = 13
+      putU16(pg, h + 3, cells.size)
+      var content = pageSize
+      val ptrs = cells.map { c => content -= c.length; content }
+      putU16(pg, h + 5, content)
+      cells.zip(ptrs).zipWithIndex.foreach { case ((c, p), ix) =>
+        putU16(pg, h + 8 + 2 * ix, p)
+        System.arraycopy(c, 0, pg, p, c.length)
+      }
+      pg
+    }
+
+    // layout: page1 (schema leaf), [data interior?], data leaves, overflow
+    // first pass with provisional numbering: data root = 2
+    // leaves fill greedily; capacity = usable - 8 header - 2/ptr per cell
+    val pendingOverflow = ArrayBuffer.empty[Array[Byte]]
+    var overflowCursor = -1 // patched later
+
+    // rowids 1..n; build raw records
+    val recs = rowValues.zipWithIndex.map { case (vs, ix) =>
+      val vs2 = if (ipk) SqlValue("null", "") +: vs.tail else vs
+      (ix + 1L, encodeRecord(vs2))
+    }
+
+    // we must know final page numbers before emitting overflow pointers;
+    // two-phase: first split cells into leaves with a worst-case cell
+    // size (overflow cells are fixed-size: varints + local + 4)
+    final case class PlannedCell(rowid: Long, rec: Array[Byte]) {
+      val hasOverflow: Boolean = rec.length > pageSize - 35
+      val size: Int = {
+        val u = pageSize
+        if (!hasOverflow) varintBytes(rec.length.toLong).length +
+          varintBytes(rowid).length + rec.length
+        else {
+          val minLocal = (u - 12) * 32 / 255 - 23
+          val k = minLocal + (rec.length - minLocal) % (u - 4)
+          val local = if (k <= u - 35) k else minLocal
+          varintBytes(rec.length.toLong).length + varintBytes(rowid).length +
+            local + 4
+        }
+      }
+    }
+    val planned = recs.map { case (rid, r) => PlannedCell(rid, r) }
+    val leaves = ArrayBuffer(ArrayBuffer.empty[PlannedCell])
+    var free = pageSize - 8
+    planned.foreach { pc =>
+      if (pc.size + 2 > free && leaves.last.nonEmpty) {
+        leaves += ArrayBuffer.empty[PlannedCell]
+        free = pageSize - 8
+      }
+      leaves.last += pc
+      free -= pc.size + 2
+    }
+    val nLeaves = leaves.size
+    val interior = nLeaves > 1
+    require(!interior || nLeaves <= (pageSize - 12) / 7,
+      "fixture exceeds one interior page")
+    val dataRoot = 2
+    val firstLeaf = if (interior) 3 else 2
+    // overflow pages start right after all tree pages
+    val treePages = 1 + (if (interior) 1 else 0) + nLeaves
+    overflowCursor = 1 + treePages // page numbers are 1-based; page1 schema
+
+    // emit leaves with real overflow page numbers
+    val leafPages = ArrayBuffer.empty[Array[Byte]]
+    leaves.foreach { pcs =>
+      val cellBytes = pcs.map { pc =>
+        val (cb, ov) = tableCell(pc.rowid, pc.rec, {
+          val s = overflowCursor
+          overflowCursor += (pc.rec.length - localLen(pc.rec.length) +
+            (pageSize - 4) - 1) / (pageSize - 4)
+          s
+        })
+        pendingOverflow ++= ov
+        cb
+      }
+      leafPages += buildLeaf(cellBytes.toSeq)
+    }
+
+    // interior page over the leaves (keys = max rowid per leaf)
+    val interiorPage: Option[Array[Byte]] =
+      if (!interior) None
+      else {
+        val pg = new Array[Byte](pageSize)
+        pg(0) = 5
+        putU16(pg, 3, nLeaves - 1)
+        putU32(pg, 8, (firstLeaf + nLeaves - 1).toLong) // right-most
+        var content = pageSize
+        (0 until nLeaves - 1).foreach { i =>
+          val key = leaves(i).last.rowid
+          val cell = new Array[Byte](4) ++ varintBytes(key)
+          putU32(cell, 0, (firstLeaf + i).toLong)
+          content -= cell.length
+          putU16(pg, 12 + 2 * i, content)
+          System.arraycopy(cell, 0, pg, content, cell.length)
+        }
+        putU16(pg, 5, content)
+        Some(pg)
+      }
+
+    // schema page (page 1): one sqlite_schema row
+    val schemaRec = encodeRecord(Seq(
+      SqlValue("text", "table"), SqlValue("text", tableName),
+      SqlValue("text", tableName), SqlValue("int", dataRoot.toString),
+      SqlValue("text", createSql)))
+    require(schemaRec.length <= pageSize - 135, "schema row too large")
+    val schemaCell = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(varintBytes(schemaRec.length.toLong))
+      out.write(varintBytes(1L))
+      out.write(schemaRec)
+      out.toByteArray
+    }
+    val page1 = buildLeaf(Seq(schemaCell), hdrExtra = 100)
+    // db header over the first 100 bytes
+    val magic = "SQLite format 3".getBytes("US-ASCII")
+    System.arraycopy(magic, 0, page1, 0, magic.length)
+    page1(15) = 0
+    putU16(page1, 16, if (pageSize == 65536) 1 else pageSize)
+    page1(18) = 1; page1(19) = 1 // file format versions
+    page1(20) = 0 // reserved space
+    page1(21) = 64; page1(22) = 32; page1(23) = 32 // payload fractions
+    val totalPages = treePages + pendingOverflow.size
+    putU32(page1, 28, totalPages.toLong)
+    putU32(page1, 44, 4L) // schema format
+    putU32(page1, 56, 1L) // UTF-8
+    putU32(page1, 96, 3049000L) // sqlite version number slot
+
+    val out = new java.io.ByteArrayOutputStream(totalPages * pageSize)
+    out.write(page1)
+    interiorPage.foreach(out.write)
+    leafPages.foreach(out.write)
+    pendingOverflow.foreach(out.write)
+    out.toByteArray
+  }
+}

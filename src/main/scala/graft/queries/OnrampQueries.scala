@@ -16,6 +16,39 @@ object OnrampQueries extends QueryGroup {
 
   def defs: Map[String, Q] = Map(
 
+    // SQLite database files (r10): schema-catalog walk → named-table
+    // b-tree rows. Per doc: a real db (512-byte pages) with an INTEGER
+    // PRIMARY KEY alias, text/real/null/blob columns and — on every
+    // fifth id — an overflow-chain body bigger than a page, so both
+    // the rowid-alias and spill paths run in the hash gate. A GOLDEN
+    // db written by the actual sqlite3 library is spec-gated
+    // (SqliteSpec) next to this oracle.
+    "pipeline_sqlite_rows" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.Sqlite
+          import graft.ops.Sqlite.SqlValue
+          val k = if (id % 5 == 0) 200 else 2
+          val db = Sqlite.encode("d",
+            "CREATE TABLE d (id INTEGER PRIMARY KEY, title TEXT, " +
+              "score REAL, body TEXT, tag BLOB)",
+            Seq(
+              Seq(SqlValue("int", "1"), SqlValue("text", s"t$id"),
+                SqlValue("real", (id * 1.5).toString),
+                SqlValue("text", s"café $id"), SqlValue("blob", "")),
+              Seq(SqlValue("int", "2"), SqlValue("text", s"u$id"),
+                SqlValue("null", ""), SqlValue("text", "ov " * k),
+                SqlValue("blob", f"${id % 256}%02x${(id * 7) % 256}%02x"))))
+          Sqlite.rows(db, "d").map { case (rowid, vs) =>
+            (id, rowid, vs(1).text,
+              if (vs(2).kind == "null") None else Some(vs(2).text.toDouble),
+              vs(3).text, vs(4).text)
+          }
+        }).toDF("doc_id", "row_id", "title", "score", "body", "tag")
+    }),
+
     // mojibake repair: corrupt deterministically (UTF-8 read as
     // cp1252, once or twice), repair must return the EXACT original
     // with the right pass count; clean ASCII and legitimate accented
@@ -508,6 +541,13 @@ object OnrampQueries extends QueryGroup {
     }))
 
   def oracles: Map[String, String] = Map(
+    "pipeline_sqlite_rows" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, CAST(1 AS BIGINT) AS row_id, 't' || i AS title, " +
+        "doc_id * 1.5 AS score, 'café ' || i AS body, '' AS tag FROM g " +
+        "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'u' || i, NULL, " +
+        "repeat('ov ', CASE WHEN doc_id % 5 = 0 THEN 200 ELSE 2 END), " +
+        "printf('%02x%02x', doc_id % 256, (doc_id * 7) % 256) FROM g"),
     "text_mojibake_fix" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
         "SELECT doc_id, " +

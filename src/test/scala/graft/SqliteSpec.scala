@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sqlite
+import graft.ops.Sqlite.SqlValue
+
+class SqliteSpec extends AnyFunSuite {
+
+  private def iv(x: Long) = SqlValue("int", x.toString)
+  private def tv(s: String) = SqlValue("text", s)
+
+  test("round-trip: one leaf page, all serial types") {
+    val rows = Seq(
+      Seq(iv(1), tv("alpha"), SqlValue("real", "1.5"), SqlValue("null", ""),
+        SqlValue("blob", "0aff10")),
+      Seq(iv(2), tv("café Ω"), SqlValue("real", "2.0"), tv("x"),
+        SqlValue("blob", "")),
+      Seq(iv(0), iv(1), iv(127), iv(-128), iv(1L << 40)))
+    val db = Sqlite.encode("t", "CREATE TABLE t (a,b,c,d,e)", rows)
+    assert(Sqlite.sniff(db))
+    val ts = Sqlite.tables(db)
+    assert(ts.map(_.name) == Seq("t"))
+    val got = Sqlite.rows(db, "t").map(_._2)
+    assert(got.size == 3)
+    assert(got(0).map(_.text) == Seq("1", "alpha", "1.5", "", "0aff10"))
+    assert(got(0).map(_.kind) == Seq("int", "text", "real", "null", "blob"))
+    assert(got(1)(1).text == "café Ω")
+    assert(got(2).map(_.text) == Seq("0", "1", "127", "-128", (1L << 40).toString))
+  }
+
+  test("round-trip: interior page (many rows across several leaves)") {
+    val rows = (1 to 300).map(i => Seq(iv(i), tv(s"row number $i padding $i")))
+    val db = Sqlite.encode("big", "CREATE TABLE big (n, s)", rows)
+    val got = Sqlite.rows(db, "big")
+    assert(got.size == 300)
+    assert(got.map(_._1) == (1L to 300L)) // rowids in b-tree order
+    assert(got(249)._2(1).text == "row number 250 padding 250")
+  }
+
+  test("round-trip: overflow chains for oversized records") {
+    val bigText = ("overflow payload seg " * 200) // ~4KB >> 512-byte pages
+    val rows = Seq(
+      Seq(iv(1), tv("small")),
+      Seq(iv(2), tv(bigText)),
+      Seq(iv(3), tv("after")))
+    val db = Sqlite.encode("o", "CREATE TABLE o (n, s)", rows)
+    val got = Sqlite.rows(db, "o").map(_._2(1).text)
+    assert(got == Seq("small", bigText, "after"))
+  }
+
+  test("INTEGER PRIMARY KEY alias reads back from the rowid") {
+    val rows = (1 to 5).map(i => Seq(iv(i), tv(s"v$i")))
+    val db = Sqlite.encode("k",
+      "CREATE TABLE k (id INTEGER PRIMARY KEY, v TEXT)", rows)
+    val got = Sqlite.rows(db, "k")
+    assert(got.map(_._2.head.text) == Seq("1", "2", "3", "4", "5"))
+    assert(got.forall(_._2.head.kind == "int"))
+  }
+
+  test("GOLDEN: a database written by real SQLite parses bit-exactly") {
+    // src/test/resources/golden_sqlite.b64: generated with the python
+    // stdlib sqlite3 module (page_size 512, VACUUMed): CREATE TABLE
+    // docs (id INTEGER PRIMARY KEY, title TEXT, score REAL, body TEXT,
+    // tag BLOB); 60 rows, i in 1..60: title 't<i>', score NULL when
+    // i%10==0 else i*1.5, body 'line <i> café Ω ' repeated (40 when
+    // i%17==0 — forcing overflow chains — else i%7+1), tag = bytes
+    // ((i*13+j)%256 for j < i%5). The file contains interior, leaf AND
+    // overflow pages (verified at generation).
+    val b64 = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_sqlite.b64"), "US-ASCII").mkString.trim
+    val db = java.util.Base64.getDecoder.decode(b64)
+    assert(Sqlite.sniff(db))
+    val ts = Sqlite.tables(db)
+    assert(ts.map(_.name) == Seq("docs"))
+    assert(ts.head.sql.toLowerCase.contains("integer primary key"))
+    val rows = Sqlite.rows(db, "docs")
+    assert(rows.size == 60)
+    rows.foreach { case (rowid, vs) =>
+      val i = rowid.toInt
+      assert(vs(0).text == i.toString, s"id at $i")
+      assert(vs(1).text == s"t$i", s"title at $i")
+      if (i % 10 == 0) assert(vs(2).kind == "null")
+      else assert(vs(2).text.toDouble == i * 1.5, s"score at $i")
+      val mult = if (i % 17 == 0) 40 else i % 7 + 1
+      assert(vs(3).text == s"line $i café Ω " * mult, s"body at $i")
+      val blob = (0 until i % 5).map(j => f"${(i * 13 + j) % 256}%02x").mkString
+      assert(vs(4).text == blob, s"tag at $i")
+    }
+    // body length sum cross-checked against the generator's count
+    assert(rows.map(_._2(3).text.length).sum == 5127)
+  }
+
+  test("totality: junk, truncation, bit flips") {
+    val db = Sqlite.encode("t", "CREATE TABLE t (a, b)",
+      (1 to 50).map(i => Seq(iv(i), tv(s"pad $i " * 5))))
+    (0 until db.length by 61).foreach { n =>
+      Sqlite.tables(java.util.Arrays.copyOf(db, n))
+      Sqlite.rows(java.util.Arrays.copyOf(db, n), "t")
+    }
+    val rnd = new java.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val m = db.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Sqlite.rows(m, "t")
+    }
+    assert(Sqlite.tables(null).isEmpty)
+    assert(Sqlite.tables("not a db".getBytes).isEmpty)
+  }
+}
