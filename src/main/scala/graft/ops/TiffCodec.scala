@@ -1,0 +1,528 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.ops.MediaCodec.Raster
+
+/** Baseline TIFF 6.0 raster decode (+ fixture encoder) — the
+  * document-scan and scientific-imaging format a crawl's image tail is
+  * full of (and the container EXIF already walks for metadata; this
+  * adds the PIXELS). Spec: the public TIFF 6.0 specification.
+  *
+  * Covered: both byte orders (II/MM), IFD entry walk with out-of-line
+  * value offsets, strip organization (RowsPerStrip × StripOffsets ×
+  * StripByteCounts), Compression 1 (none), 32773 (PackBits) and 5
+  * (TIFF LZW — MSB-first codes, 9→12-bit widths with the TIFF
+  * early-change rule, Clear/EOI), Predictor 2 (horizontal
+  * differencing), PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
+  * inverted), 2 (RGB) and 3 (ColorMap palette → RGB), 8-bit samples,
+  * chunky planar config. Tiled TIFFs, 16-bit samples and JPEG-in-TIFF
+  * are disclosed out of scope (None). Bounds-checked, total on junk,
+  * decoded size capped by the shared 2^28 bound.
+  *
+  * The decoder returns the repo's [[MediaCodec.Raster]], so the whole
+  * image-stats/phash/near-dup tier composes unchanged. Map-side work.
+  */
+object TiffCodec {
+
+  private val MaxOut = WarcCodec.MaxInflated
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  def decode(b: Array[Byte]): Option[Raster] = {
+    if (!sniff(b)) return None
+    try decodeTiff(b)
+    catch {
+      case _: RuntimeException => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def decodeTiff(b: Array[Byte]): Option[Raster] = {
+    val le = b(0) == 'I'
+    def u16(i: Int): Int =
+      if (i < 0 || i + 1 >= b.length) -1
+      else if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 3 >= b.length) -1L
+      else if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    val ifd = u32(4)
+    if (ifd < 8 || ifd >= b.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || n > 512) return None
+
+    var width = -1
+    var height = -1
+    var bits = 8
+    var compression = 1
+    var photometric = 1
+    var spp = 1
+    var rowsPerStrip = Int.MaxValue
+    var predictor = 1
+    val stripOffsets = ArrayBuffer.empty[Long]
+    val stripCounts = ArrayBuffer.empty[Long]
+    var colorMapOff = -1L
+    var colorMapCount = 0
+
+    def entryValues(off: Int, typ: Int, count: Long): Seq[Long] = {
+      val size = typ match {
+        case 1 | 2 => 1 // byte/ascii
+        case 3 => 2 // short
+        case 4 => 4 // long
+        case _ => return Nil
+      }
+      val total = size * count
+      val base = if (total <= 4) off + 8 else u32(off + 8).toInt
+      (0L until math.min(count, 1 << 20)).map { k =>
+        val p = base + (size * k).toInt
+        size match {
+          case 1 => (if (p < b.length) b(p) & 0xffL else -1L)
+          case 2 => u16(p).toLong
+          case _ => u32(p)
+        }
+      }
+    }
+
+    var e = 0
+    while (e < n) {
+      val off = ifd.toInt + 2 + 12 * e
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      val count = u32(off + 4)
+      def first: Long = entryValues(off, typ, count).headOption.getOrElse(-1L)
+      tag match {
+        case 256 => width = first.toInt
+        case 257 => height = first.toInt
+        case 258 =>
+          val vs = entryValues(off, typ, count)
+          if (vs.nonEmpty) bits = vs.head.toInt
+          if (vs.exists(_ != vs.head)) return None // mixed depths: out of scope
+        case 259 => compression = first.toInt
+        case 262 => photometric = first.toInt
+        case 273 => stripOffsets ++= entryValues(off, typ, count)
+        case 277 => spp = first.toInt
+        case 278 => rowsPerStrip = first.toInt
+        case 279 => stripCounts ++= entryValues(off, typ, count)
+        case 284 => if (first != 1L) return None // planar: out of scope
+        case 317 => predictor = first.toInt
+        case 320 =>
+          colorMapCount = count.toInt
+          colorMapOff = if (2 * count <= 4) (off + 8).toLong else u32(off + 8)
+        case _ => ()
+      }
+      e += 1
+    }
+
+    if (width <= 0 || height <= 0 || spp <= 0) return None
+    if (bits != 8) return None // 1/4/16-bit: out of scope, disclosed
+    if (width.toLong * height * spp > MaxOut) return None
+    if (stripOffsets.isEmpty || stripOffsets.size != stripCounts.size) return None
+    if (predictor != 1 && predictor != 2) return None
+
+    // decode strips into one scanline buffer
+    val rowBytes = width * spp
+    val out = new Array[Byte](rowBytes * height)
+    var row = 0
+    var si = 0
+    while (si < stripOffsets.size && row < height) {
+      val so = stripOffsets(si)
+      val sc = stripCounts(si)
+      if (so < 0 || sc < 0 || so + sc > b.length) return None
+      val raw = java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
+      val stripRows = math.min(rowsPerStrip.toLong, (height - row).toLong).toInt
+      val want = rowBytes * stripRows
+      val data = compression match {
+        case 1 => raw
+        case 32773 => unpackBits(raw, want)
+        case 5 => lzwDecode(raw, want)
+        case _ => return None // JPEG/CCITT/deflate-in-tiff: out of scope
+      }
+      if (data == null || data.length < want) return None
+      System.arraycopy(data, 0, out, row * rowBytes, want)
+      row += stripRows
+      si += 1
+    }
+    if (row < height) return None
+
+    // the Predictor field is defined for the predictor-aware codecs
+    // (LZW; Deflate in TIFF-EP) — real readers ignore it on
+    // uncompressed/PackBits data, so match that
+    if (predictor == 2 && compression == 5) {
+      var r = 0
+      while (r < height) {
+        val base = r * rowBytes
+        var i = spp
+        while (i < rowBytes) {
+          out(base + i) = (out(base + i) + out(base + i - spp)).toByte
+          i += 1
+        }
+        r += 1
+      }
+    }
+
+    photometric match {
+      case 1 if spp == 1 => Some(Raster(width, height, 1, out))
+      case 0 if spp == 1 =>
+        var i = 0
+        while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
+        Some(Raster(width, height, 1, out))
+      case 2 if spp >= 3 =>
+        if (spp == 3) Some(Raster(width, height, 3, out))
+        else { // drop extra samples (alpha)
+          val rgb = new Array[Byte](width * height * 3)
+          var p = 0
+          while (p < width * height) {
+            rgb(p * 3) = out(p * spp)
+            rgb(p * 3 + 1) = out(p * spp + 1)
+            rgb(p * 3 + 2) = out(p * spp + 2)
+            p += 1
+          }
+          Some(Raster(width, height, 3, rgb))
+        }
+      case 3 if spp == 1 =>
+        // ColorMap: 3 * 2^bits SHORT entries (r..., g..., b...), 16-bit
+        val entries = colorMapCount / 3
+        if (colorMapOff < 0 || entries < 256) return None
+        def mapAt(k: Int): Int = u16(colorMapOff.toInt + 2 * k) >> 8
+        val rgb = new Array[Byte](width * height * 3)
+        var p = 0
+        while (p < width * height) {
+          val ix = out(p) & 0xff
+          rgb(p * 3) = mapAt(ix).toByte
+          rgb(p * 3 + 1) = mapAt(entries + ix).toByte
+          rgb(p * 3 + 2) = mapAt(2 * entries + ix).toByte
+          p += 1
+        }
+        Some(Raster(width, height, 3, rgb))
+      case _ => None
+    }
+  }
+
+  /** PackBits (Apple RLE): n in 0..127 = literal n+1; n in -127..-1 =
+    * repeat next byte 1-n times; -128 = noop. */
+  private[graft] def unpackBits(in: Array[Byte], want: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(want)
+    var i = 0
+    while (i < in.length && out.size < want) {
+      val n = in(i)
+      i += 1
+      if (n >= 0) {
+        val take = math.min(n + 1, in.length - i)
+        out.write(in, i, math.max(take, 0))
+        i += take
+      } else if (n != -128 && i < in.length) {
+        val v = in(i)
+        i += 1
+        var k = 0
+        while (k < 1 - n && out.size < want) { out.write(v); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  private[graft] def packBits(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length + 16)
+    var i = 0
+    while (i < in.length) {
+      // find run
+      var run = 1
+      while (i + run < in.length && run < 128 && in(i + run) == in(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run)
+        out.write(in(i))
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < in.length && lit < 128 &&
+            !(i + lit + 1 < in.length && in(i + lit) == in(i + lit + 1))) lit += 1
+        out.write(lit - 1)
+        out.write(in, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** TIFF LZW decode: MSB-first bit packing, 9-bit initial codes,
+    * Clear=256, EOI=257, code width bumps one code EARLY (the TIFF
+    * deviation from GIF). */
+  private[graft] def lzwDecode(in: Array[Byte], want: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(want)
+    var bitPos = 0L
+    def read(bitsN: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < bitsN) {
+        val bp = bitPos + k
+        val bi = (bp >> 3).toInt
+        if (bi >= in.length) return -1
+        v = (v << 1) | ((in(bi) >> (7 - (bp & 7)).toInt) & 1)
+        k += 1
+      }
+      bitPos += bitsN
+      v
+    }
+    val dict = new ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      dict.clear()
+      var k = 0
+      while (k < 256) { dict += Array(k.toByte); k += 1 }
+      dict += Array.emptyByteArray // 256 clear
+      dict += Array.emptyByteArray // 257 eoi
+    }
+    reset()
+    var width = 9
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done && out.size < want) {
+      val code = read(width)
+      if (code < 0 || code == 257) done = true
+      else if (code == 256) {
+        reset(); width = 9; prev = null
+      } else {
+        val entry: Array[Byte] =
+          if (code < dict.size) dict(code)
+          else if (prev != null && code == dict.size) prev :+ prev(0)
+          else return null
+        out.write(entry, 0, math.min(entry.length, want - out.size))
+        if (prev != null && dict.size < 4096) dict += (prev :+ entry(0))
+        prev = entry
+        // TIFF early change: bump width when the NEXT added code would
+        // no longer fit, i.e. at dict size 510/1022/2046
+        if (dict.size >= (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** TIFF LZW encode; the bit-width schedule SIMULATES the decoder
+    * (same add-then-maybe-bump rule), so the two stay in lockstep by
+    * construction — the classic early-change off-by-one cannot occur. */
+  private[graft] def lzwEncode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length + 64)
+    var cur = 0L
+    var nb = 0
+    def writeBits(code: Int, width: Int): Unit = {
+      cur = (cur << width) | code
+      nb += width
+      while (nb >= 8) {
+        out.write(((cur >> (nb - 8)) & 0xff).toInt)
+        nb -= 8
+      }
+    }
+    // decoder-mirror state
+    var decWidth = 9
+    var decSize = 258
+    var dataCodes = 0
+    def emit(code: Int): Unit = {
+      writeBits(code, decWidth)
+      dataCodes += 1
+      if (dataCodes >= 2) { // decoder adds an entry on the 2nd+ data code
+        if (decSize < 4096) decSize += 1
+        if (decSize >= (1 << decWidth) - 1 && decWidth < 12) decWidth += 1
+      }
+    }
+    writeBits(256, decWidth) // clear (read at width 9)
+    if (in.nonEmpty) {
+      val dict = new java.util.HashMap[String, Int]()
+      var next = 258
+      def key(s: String): String = s
+      var w = "" + (in(0) & 0xff).toChar
+      var i = 1
+      while (i < in.length) {
+        val c = (in(i) & 0xff).toChar
+        val wc = w + c
+        if (wc.length == 1 || dict.containsKey(key(wc))) w = wc
+        else {
+          emit(if (w.length == 1) w.charAt(0).toInt else dict.get(key(w)))
+          if (next < 4094) { dict.put(key(wc), next); next += 1 }
+          w = "" + c
+        }
+        i += 1
+      }
+      emit(if (w.length == 1) w.charAt(0).toInt else dict.get(key(w)))
+    }
+    writeBits(257, decWidth) // EOI (read at the decoder's current width)
+    if (nb > 0) out.write(((cur << (8 - nb)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // encoder (fixtures)
+  // ------------------------------------------------------------------
+
+  /** Serialize a Raster as little-endian TIFF. `compression`: 1 none,
+    * 5 LZW, 32773 PackBits. gray (1ch) or RGB (3ch); optional
+    * horizontal-differencing predictor; strips of `rowsPerStrip`. */
+  def encode(r: Raster, compression: Int = 1, rowsPerStrip: Int = 8,
+      predictor: Int = 1, whiteIsZero: Boolean = false,
+      paletted: Boolean = false): Array[Byte] = {
+    require(r.channels == 1 || r.channels == 3, "gray or RGB fixtures")
+    require(!paletted || r.channels == 1)
+    require(!whiteIsZero || r.channels == 1)
+    require(predictor == 1 || compression == 5,
+      "predictor 2 pairs with LZW (the predictor-aware codec)")
+    val spp = r.channels
+    val rowBytes = r.width * spp
+    val photometric =
+      if (paletted) 3 else if (spp == 3) 2 else if (whiteIsZero) 0 else 1
+
+    // pixel source (whiteIsZero stores inverted values)
+    val px =
+      if (!whiteIsZero) r.pixels
+      else r.pixels.map(v => (255 - (v & 0xff)).toByte)
+
+    // strips
+    val strips = ArrayBuffer.empty[Array[Byte]]
+    var row = 0
+    while (row < r.height) {
+      val rows = math.min(rowsPerStrip, r.height - row)
+      val raw = java.util.Arrays.copyOfRange(px, row * rowBytes,
+        (row + rows) * rowBytes)
+      if (predictor == 2) {
+        var rr = 0
+        while (rr < rows) {
+          val base = rr * rowBytes
+          var i = rowBytes - 1
+          while (i >= spp) {
+            raw(base + i) = (raw(base + i) - raw(base + i - spp)).toByte
+            i -= 1
+          }
+          rr += 1
+        }
+      }
+      strips += (compression match {
+        case 1 => raw
+        case 32773 => packBits(raw)
+        case 5 => lzwEncode(raw)
+        case other => throw new IllegalArgumentException(s"compression $other")
+      })
+      row += rows
+    }
+
+    // layout: header(8) + IFD + values + colormap + strips
+    val entries = ArrayBuffer.empty[(Int, Int, Long, Either[Long, Array[Byte]])]
+    def shortE(tag: Int, v: Int): Unit = entries += ((tag, 3, 1L, Left(v.toLong)))
+    def longE(tag: Int, v: Long): Unit = entries += ((tag, 4, 1L, Left(v)))
+    shortE(256, r.width)
+    shortE(257, r.height)
+    if (spp == 1) shortE(258, 8)
+    else entries += ((258, 3, 3L, Right(Array[Byte](8, 0, 8, 0, 8, 0))))
+    shortE(259, compression)
+    shortE(262, photometric)
+    // 273 strip offsets: patched later
+    shortE(277, spp)
+    shortE(278, rowsPerStrip)
+    // 279 strip byte counts
+    if (predictor == 2) shortE(317, 2)
+    val colorMap: Array[Byte] =
+      if (!paletted) Array.emptyByteArray
+      else {
+        // palette: index i -> (i, 255-i, i^0x55) via 16-bit entries
+        val a = new Array[Byte](2 * 3 * 256)
+        var i = 0
+        while (i < 256) {
+          // little-endian 16-bit: value v*257 keeps high byte = v
+          def put16(k: Int, v: Int): Unit = {
+            val full = v * 257
+            a(2 * k) = (full & 0xff).toByte
+            a(2 * k + 1) = ((full >> 8) & 0xff).toByte
+          }
+          put16(i, i)
+          put16(256 + i, 255 - i)
+          put16(512 + i, i ^ 0x55)
+          i += 1
+        }
+        a
+      }
+
+    val nStrips = strips.size
+    entries += ((273, 4, nStrips.toLong, Right(new Array[Byte](4 * nStrips))))
+    entries += ((279, 4, nStrips.toLong, Right(new Array[Byte](4 * nStrips))))
+    if (paletted) entries += ((320, 3, (3 * 256).toLong, Right(colorMap)))
+
+    val sorted = entries.sortBy(_._1)
+    val nE = sorted.size
+    val ifdOff = 8
+    val ifdSize = 2 + 12 * nE + 4
+    var valueOff = ifdOff + ifdSize
+    val valueBlobs = ArrayBuffer.empty[(Int, Array[Byte])] // (offset, bytes)
+    val entryBytes = new Array[Byte](ifdSize)
+    def pU16(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+    }
+    def pU32(a: Array[Byte], i: Int, v: Long): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+      a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+    }
+    pU16(entryBytes, 0, nE)
+    var stripOffsetsPos = -1
+    var stripCountsPos = -1
+    sorted.zipWithIndex.foreach { case ((tag, typ, count, v), ix) =>
+      val eo = 2 + 12 * ix
+      pU16(entryBytes, eo, tag)
+      pU16(entryBytes, eo + 2, typ)
+      pU32(entryBytes, eo + 4, count)
+      v match {
+        case Left(inline) =>
+          if (typ == 3) pU16(entryBytes, eo + 8, inline.toInt)
+          else pU32(entryBytes, eo + 8, inline)
+        case Right(blob) =>
+          if (blob.length <= 4) {
+            System.arraycopy(blob, 0, entryBytes, eo + 8, blob.length)
+            if (tag == 273) stripOffsetsPos = -(eo + 8) - 1 // inline marker
+            if (tag == 279) stripCountsPos = -(eo + 8) - 1
+          } else {
+            pU32(entryBytes, eo + 8, valueOff.toLong)
+            if (tag == 273) stripOffsetsPos = valueBlobs.size
+            if (tag == 279) stripCountsPos = valueBlobs.size
+            valueBlobs += ((valueOff, blob))
+            valueOff += blob.length + (blob.length & 1)
+          }
+      }
+    }
+    // strips placed after value blobs
+    val stripOffs = ArrayBuffer.empty[Int]
+    strips.foreach { s =>
+      stripOffs += valueOff
+      valueOff += s.length + (s.length & 1)
+    }
+    // patch strip offset/count arrays
+    def patchArray(pos: Int, values: Seq[Long]): Unit = {
+      if (pos >= 0) {
+        val (_, blob) = valueBlobs(pos)
+        values.zipWithIndex.foreach { case (v, k) => pU32(blob, 4 * k, v) }
+      } else {
+        val eo = -(pos + 1)
+        pU32(entryBytes, eo, values.head) // single strip inline
+      }
+    }
+    patchArray(stripOffsetsPos, stripOffs.map(_.toLong).toSeq)
+    patchArray(stripCountsPos, strips.map(_.length.toLong).toSeq)
+
+    val out = new java.io.ByteArrayOutputStream(valueOff)
+    out.write('I'); out.write('I'); out.write(42); out.write(0)
+    val hdr = new Array[Byte](4)
+    pU32(hdr, 0, ifdOff.toLong)
+    out.write(hdr)
+    out.write(entryBytes) // includes trailing next-IFD 0
+    valueBlobs.foreach { case (off, blob) =>
+      while (out.size < off) out.write(0)
+      out.write(blob)
+    }
+    strips.zip(stripOffs).foreach { case (s, off) =>
+      while (out.size < off) out.write(0)
+      out.write(s)
+    }
+    out.toByteArray
+  }
+}

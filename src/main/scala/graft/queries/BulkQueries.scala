@@ -578,6 +578,71 @@ object BulkQueries extends QueryGroup {
           "sum_r", "sum_g", "sum_b")
     }),
 
+    // baseline TIFF decode (r10): five variants — gray uncompressed,
+    // gray WhiteIsZero (inverted storage), RGB PackBits, RGB LZW with
+    // horizontal-differencing predictor, and ColorMap palette — all
+    // re-derived to per-channel sums the oracle replays from the pixel
+    // formula; a wrong LZW width bump, predictor pass, inversion or
+    // palette expansion shifts a sum and hash-fails. JDK-ImageIO
+    // cross-reads both directions live in TiffCodecSpec.
+    "mm_tiff_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.MediaCodec.Raster
+          import graft.ops.TiffCodec
+          val w = (16 + id % 13).toInt
+          val h = (8 + id % 7).toInt
+          val n = w * h
+          val variant = (id % 5).toInt
+          val src: Raster =
+            if (variant <= 1) {
+              val px = new Array[Byte](n)
+              var p = 0
+              while (p < n) { px(p) = ((p * 7 + id) % 251).toByte; p += 1 }
+              Raster(w, h, 1, px)
+            } else if (variant == 4) {
+              val px = new Array[Byte](n)
+              var p = 0
+              while (p < n) { px(p) = ((p * 3 + id) % 256).toByte; p += 1 }
+              Raster(w, h, 1, px)
+            } else {
+              val px = new Array[Byte](n * 3)
+              var p = 0
+              while (p < n) {
+                px(p * 3) = ((p * 5 + id) % 256).toByte
+                px(p * 3 + 1) = ((p * 11 + 7) % 256).toByte
+                px(p * 3 + 2) = ((p / 3 + id) % 256).toByte
+                p += 1
+              }
+              Raster(w, h, 3, px)
+            }
+          val tiff = variant match {
+            case 0 => TiffCodec.encode(src)
+            case 1 => TiffCodec.encode(src, whiteIsZero = true)
+            case 2 => TiffCodec.encode(src, compression = 32773, rowsPerStrip = 4)
+            case 3 => TiffCodec.encode(src, compression = 5, predictor = 2,
+              rowsPerStrip = 4)
+            case _ => TiffCodec.encode(src, paletted = true)
+          }
+          val r = TiffCodec.decode(tiff).get
+          var s0 = 0L; var s1 = 0L; var s2 = 0L
+          var p = 0
+          while (p < n) {
+            if (r.channels == 1) s0 += r.pixels(p) & 0xff
+            else {
+              s0 += r.pixels(p * 3) & 0xff
+              s1 += r.pixels(p * 3 + 1) & 0xff
+              s2 += r.pixels(p * 3 + 2) & 0xff
+            }
+            p += 1
+          }
+          (id, variant, r.width, r.height, r.channels, s0, s1, s2)
+        }).toDF("doc_id", "variant", "width", "height", "channels",
+          "sum_c0", "sum_c1", "sum_c2")
+    }),
+
     // charset sniff + transcode — crawl bodies are BYTES in mixed
     // encodings; five variants (plain UTF-8, BOM'd UTF-8, bare Latin-1,
     // BOM'd UTF-16LE, meta-declared windows-1252) must all sniff AND
@@ -1817,6 +1882,23 @@ object BulkQueries extends QueryGroup {
         "CAST(SUM(((i // 32) % 8) * 255 // 7) AS BIGINT) AS sum_r, " +
         "CAST(SUM(((i // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
         "CAST(SUM((i % 4) * 255 // 3) AS BIGINT) AS sum_b " +
+        "FROM px GROUP BY doc_id, variant, w, h"),
+    "mm_tiff_decode" ->
+      ("WITH g AS (SELECT doc_id, 16 + doc_id % 13 AS w, 8 + doc_id % 7 AS h, " +
+        "CAST(doc_id % 5 AS INT) AS variant FROM documents), " +
+        "px AS (SELECT doc_id, variant, w, h, p FROM g, " +
+        "generate_series(0, 391) AS s(p) WHERE p < w * h) " +
+        "SELECT doc_id, variant, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(CASE WHEN variant <= 1 THEN 1 ELSE 3 END AS INT) AS channels, " +
+        "CAST(SUM(CASE WHEN variant <= 1 THEN (p * 7 + doc_id) % 251 " +
+        "WHEN variant = 4 THEN (p * 3 + doc_id) % 256 " +
+        "ELSE (p * 5 + doc_id) % 256 END) AS BIGINT) AS sum_c0, " +
+        "CAST(SUM(CASE WHEN variant <= 1 THEN 0 " +
+        "WHEN variant = 4 THEN 255 - (p * 3 + doc_id) % 256 " +
+        "ELSE (p * 11 + 7) % 256 END) AS BIGINT) AS sum_c1, " +
+        "CAST(SUM(CASE WHEN variant <= 1 THEN 0 " +
+        "WHEN variant = 4 THEN xor((p * 3 + doc_id) % 256, 85) " +
+        "ELSE (p // 3 + doc_id) % 256 END) AS BIGINT) AS sum_c2 " +
         "FROM px GROUP BY doc_id, variant, w, h"),
     "mm_jpeg_roundtrip" ->
       ("SELECT doc_id, " +

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MediaCodec.Raster
+import graft.ops.TiffCodec
+
+class TiffCodecSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int): Raster = {
+    val px = new Array[Byte](w * h)
+    px.indices.foreach(i => px(i) = ((i * 7 + i / w * 3) % 251).toByte)
+    Raster(w, h, 1, px)
+  }
+
+  private def rgb(w: Int, h: Int): Raster = {
+    val px = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      px(p * 3) = ((p * 5) % 256).toByte
+      px(p * 3 + 1) = ((p * 11 + 7) % 256).toByte
+      px(p * 3 + 2) = ((p / 4) % 256).toByte
+      p += 1
+    }
+    Raster(w, h, 3, px)
+  }
+
+  private def assertSame(a: Raster, b: Raster): Unit = {
+    assert(a.width == b.width && a.height == b.height && a.channels == b.channels)
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+  }
+
+  test("round-trip: compression x channels x predictor x strip sizes") {
+    for {
+      r <- Seq(gray(37, 19), rgb(21, 14))
+      comp <- Seq(1, 32773, 5)
+      pred <- Seq(1, 2)
+      rps <- Seq(4, 64)
+      if pred == 1 || comp == 5 // predictor pairs with LZW
+    } {
+      val t = TiffCodec.encode(r, compression = comp, rowsPerStrip = rps,
+        predictor = pred)
+      assert(TiffCodec.sniff(t))
+      val back = TiffCodec.decode(t)
+      assert(back.isDefined, s"comp=$comp pred=$pred rps=$rps")
+      assertSame(r, back.get)
+    }
+  }
+
+  test("WhiteIsZero photometric inverts back to the same gray raster") {
+    val r = gray(16, 8)
+    val t = TiffCodec.encode(r, whiteIsZero = true)
+    assertSame(r, TiffCodec.decode(t).get)
+  }
+
+  test("palette photometric expands the ColorMap to RGB") {
+    val r = gray(12, 9) // indices
+    val t = TiffCodec.encode(r, paletted = true)
+    val d = TiffCodec.decode(t).get
+    assert(d.channels == 3)
+    (0 until 12 * 9).foreach { p =>
+      val ix = r.pixels(p) & 0xff
+      assert((d.pixels(p * 3) & 0xff) == ix)
+      assert((d.pixels(p * 3 + 1) & 0xff) == 255 - ix)
+      assert((d.pixels(p * 3 + 2) & 0xff) == (ix ^ 0x55))
+    }
+  }
+
+  test("CROSS-READ: javax.imageio (JDK TIFF plugin) reads our bytes") {
+    for (comp <- Seq(1, 32773, 5); pred <- Seq(1, 2)
+         if pred == 1 || comp == 5) {
+      val r = rgb(24, 10)
+      val t = TiffCodec.encode(r, compression = comp, predictor = pred,
+        rowsPerStrip = 4)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null, s"ImageIO rejected comp=$comp pred=$pred")
+      assert(img.getWidth == 24 && img.getHeight == 10)
+      (0 until 10).foreach { y =>
+        (0 until 24).foreach { x =>
+          val p = y * 24 + x
+          val exp = ((r.pixels(p * 3) & 0xff) << 16) |
+            ((r.pixels(p * 3 + 1) & 0xff) << 8) | (r.pixels(p * 3 + 2) & 0xff)
+          assert((img.getRGB(x, y) & 0xffffff) == exp,
+            s"pixel ($x,$y) comp=$comp pred=$pred")
+        }
+      }
+    }
+  }
+
+  test("CROSS-DECODE: TIFFs written by javax.imageio decode to the same pixels") {
+    for (compName <- Seq("None", "PackBits", "LZW")) {
+      val r = rgb(33, 17)
+      val img = new java.awt.image.BufferedImage(33, 17,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 17).foreach { y =>
+        (0 until 33).foreach { x =>
+          val p = y * 33 + x
+          img.setRGB(x, y, ((r.pixels(p * 3) & 0xff) << 16) |
+            ((r.pixels(p * 3 + 1) & 0xff) << 8) | (r.pixels(p * 3 + 2) & 0xff))
+        }
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val params = writer.getDefaultWriteParam
+      if (compName != "None") {
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionType(compName)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close()
+      val bytes = bos.toByteArray
+      val d = TiffCodec.decode(bytes)
+      assert(d.isDefined, s"our decoder rejected ImageIO $compName tiff")
+      assert(d.get.width == 33 && d.get.height == 17 && d.get.channels == 3)
+      assert(java.util.Arrays.equals(d.get.pixels, r.pixels), s"pixels $compName")
+    }
+  }
+
+  test("LZW kernel: repetitive data crosses the 9->10 bit width boundary") {
+    // >253 distinct two-byte additions force a width bump
+    val data = new Array[Byte](6000)
+    data.indices.foreach(i => data(i) = ((i * 31) % 256).toByte)
+    val enc = TiffCodec.lzwEncode(data)
+    val dec = TiffCodec.lzwDecode(enc, data.length)
+    assert(java.util.Arrays.equals(dec, data))
+    // and highly repetitive data (KwKwK case)
+    val rep = Array.fill[Byte](4000)(0x41)
+    assert(java.util.Arrays.equals(
+      TiffCodec.lzwDecode(TiffCodec.lzwEncode(rep), 4000), rep))
+  }
+
+  test("totality: junk, truncation, bit flips never throw") {
+    val t = TiffCodec.encode(rgb(20, 12), compression = 5, predictor = 2)
+    (0 until t.length by 53).foreach { n =>
+      TiffCodec.decode(java.util.Arrays.copyOf(t, n))
+    }
+    val rnd = new java.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val m = t.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      TiffCodec.decode(m)
+    }
+    assert(TiffCodec.decode(null).isEmpty)
+    assert(TiffCodec.decode("not a tiff".getBytes).isEmpty)
+  }
+}
