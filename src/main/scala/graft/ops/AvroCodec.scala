@@ -1,0 +1,443 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Apache Avro object-container-file reader (+ fixture writer) — the
+  * interchange format data-engineering pipelines emit next to parquet.
+  * Format is public (the Avro 1.x specification); this is a
+  * first-principles implementation, CROSS-VALIDATED in the spec
+  * against the real avro library on the Spark classpath in both
+  * directions (their writer → our reader; our writer → their reader).
+  *
+  * Covered: the container layout (Obj\0x01 magic, metadata map with
+  * avro.schema/avro.codec, 16-byte sync marker, per-block row counts
+  * and byte sizes, sync verification), codecs null / deflate (raw,
+  * nowrap) / snappy (xerial + 4-byte big-endian CRC32 of the
+  * uncompressed block, verified), and the binary encoding: zigzag
+  * varints, IEEE little-endian float/double, strings/bytes, booleans,
+  * enums, fixed, arrays and maps (block form incl. the negative-count
+  * + byte-size form), unions, and nested records. Schema JSON is read
+  * with the repo's minimal total JSON reader; named-type REFERENCES
+  * (reusing a previously defined record/enum/fixed by name) resolve
+  * through a definition registry. Logical types ride on their base
+  * types (rendered raw). Bounds-checked, total on junk, 2^28 cap.
+  *
+  * One .avro file = one task's map work at 100 TB; blocks make the
+  * format splittable but a per-file walk is the curation-tier unit.
+  */
+object AvroCodec {
+
+  private val MaxOut = WarcCodec.MaxInflated
+
+  // ---------------- schema model ----------------
+
+  sealed trait AvType
+  case object ANull extends AvType
+  case object ABool extends AvType
+  case object AInt extends AvType
+  case object ALong extends AvType
+  case object AFloat extends AvType
+  case object ADouble extends AvType
+  case object AString extends AvType
+  case object ABytes extends AvType
+  final case class AArray(items: AvType) extends AvType
+  final case class AMap(values: AvType) extends AvType
+  final case class AEnum(name: String, symbols: Vector[String]) extends AvType
+  final case class AFixed(name: String, size: Int) extends AvType
+  final case class AUnion(branches: Vector[AvType]) extends AvType
+  final case class ARecord(name: String, fields: Vector[(String, AvType)]) extends AvType
+
+  /** One decoded value rendered for hashing: kind ∈ null/bool/int/real/
+    * text/blob/array/map; arrays pipe-join elements, maps k=v. */
+  final case class Cell(kind: String, text: String)
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1
+
+  // ---------------- schema parse ----------------
+
+  private[graft] def parseSchema(json: String): Option[AvType] =
+    JsonLd.parseJson(json).flatMap { v =>
+      val defs = new java.util.HashMap[String, AvType]()
+      schemaOf(v, defs)
+    }
+
+  private def schemaOf(v: Any, defs: java.util.HashMap[String, AvType]): Option[AvType] =
+    v match {
+      case s: String => s match {
+        case "null" => Some(ANull)
+        case "boolean" => Some(ABool)
+        case "int" => Some(AInt)
+        case "long" => Some(ALong)
+        case "float" => Some(AFloat)
+        case "double" => Some(ADouble)
+        case "string" => Some(AString)
+        case "bytes" => Some(ABytes)
+        case ref => Option(defs.get(ref)) // named-type reference
+      }
+      case arr: Vector[_] =>
+        val bs = arr.flatMap(b => schemaOf(b, defs))
+        if (bs.size == arr.size) Some(AUnion(bs.toVector)) else None
+      case m: Map[_, _] =>
+        val obj = m.asInstanceOf[Map[String, Any]]
+        obj.get("type") match {
+          case Some("record") =>
+            val name = obj.get("name").collect { case s: String => s }.getOrElse("")
+            val fs = obj.get("fields") match {
+              case Some(fv: Vector[_]) =>
+                val parsed = fv.flatMap {
+                  case fm: Map[_, _] =>
+                    val f = fm.asInstanceOf[Map[String, Any]]
+                    for {
+                      n <- f.get("name").collect { case s: String => s }
+                      t <- f.get("type").flatMap(schemaOf(_, defs))
+                    } yield (n, t)
+                  case _ => None
+                }
+                if (parsed.size == fv.size) Some(parsed.toVector) else None
+              case _ => None
+            }
+            fs.map { fields =>
+              val r = ARecord(name, fields)
+              if (name.nonEmpty) defs.put(name, r)
+              r
+            }
+          case Some("enum") =>
+            val name = obj.get("name").collect { case s: String => s }.getOrElse("")
+            obj.get("symbols").collect { case sv: Vector[_] =>
+              val e = AEnum(name, sv.collect { case s: String => s }.toVector)
+              if (name.nonEmpty) defs.put(name, e)
+              e
+            }
+          case Some("fixed") =>
+            val name = obj.get("name").collect { case s: String => s }.getOrElse("")
+            obj.get("size").collect {
+              case d: Double => AFixed(name, d.toInt)
+              case l: Long => AFixed(name, l.toInt)
+            }.map { f => if (name.nonEmpty) defs.put(name, f); f }
+          case Some("array") =>
+            obj.get("items").flatMap(schemaOf(_, defs)).map(AArray)
+          case Some("map") =>
+            obj.get("values").flatMap(schemaOf(_, defs)).map(AMap)
+          case Some(other) => schemaOf(other, defs) // {"type":"long","logicalType":..}
+          case None => None
+        }
+      case _ => None
+    }
+
+  // ---------------- binary decode ----------------
+
+  private final class Bail extends RuntimeException(null, null, false, false)
+
+  private final class Reader(val b: Array[Byte], var i: Int, val end: Int) {
+    def u8(): Int = {
+      if (i >= end) throw new Bail
+      val v = b(i) & 0xff
+      i += 1
+      v
+    }
+    def varLong(): Long = {
+      var v = 0L
+      var shift = 0
+      var x = 0
+      do {
+        x = u8()
+        v |= (x & 0x7fL) << shift
+        shift += 7
+        if (shift > 70) throw new Bail
+      } while ((x & 0x80) != 0)
+      (v >>> 1) ^ -(v & 1) // zigzag
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || i + n > end) throw new Bail
+      val a = java.util.Arrays.copyOfRange(b, i, i + n)
+      i += n
+      a
+    }
+  }
+
+  private def decodeValue(r: Reader, t: AvType, depth: Int): Cell = {
+    if (depth > 32) throw new Bail
+    t match {
+      case ANull => Cell("null", "")
+      case ABool => Cell("bool", if (r.u8() != 0) "true" else "false")
+      case AInt | ALong => Cell("int", r.varLong().toString)
+      case AFloat =>
+        val bits = (0 until 4).map(k => (r.u8() & 0xffL) << (8 * k)).sum
+        val f = java.lang.Float.intBitsToFloat(bits.toInt)
+        Cell("real", if (f == math.rint(f) && math.abs(f) < 1e15) s"${f.toLong}.0"
+          else f.toString)
+      case ADouble =>
+        val bits = (0 until 8).map(k => (r.u8() & 0xffL) << (8 * k)).sum
+        val d = java.lang.Double.longBitsToDouble(bits)
+        Cell("real", if (d == math.rint(d) && math.abs(d) < 1e15) s"${d.toLong}.0"
+          else d.toString)
+      case AString =>
+        val n = r.varLong()
+        if (n < 0 || n > MaxOut) throw new Bail
+        Cell("text", new String(r.bytes(n.toInt), "UTF-8"))
+      case ABytes =>
+        val n = r.varLong()
+        if (n < 0 || n > MaxOut) throw new Bail
+        Cell("blob", r.bytes(n.toInt).map(x => f"${x & 0xff}%02x").mkString)
+      case AFixed(_, size) =>
+        Cell("blob", r.bytes(size).map(x => f"${x & 0xff}%02x").mkString)
+      case AEnum(_, symbols) =>
+        val ix = r.varLong().toInt
+        if (ix < 0 || ix >= symbols.size) throw new Bail
+        Cell("text", symbols(ix))
+      case AUnion(branches) =>
+        val ix = r.varLong().toInt
+        if (ix < 0 || ix >= branches.size) throw new Bail
+        decodeValue(r, branches(ix), depth + 1)
+      case AArray(items) =>
+        val parts = ArrayBuffer.empty[String]
+        var count = r.varLong()
+        var guard = 0
+        while (count != 0 && guard < (1 << 20)) {
+          if (count < 0) { r.varLong(); count = -count } // block byte size form
+          var k = 0L
+          while (k < count) {
+            parts += decodeValue(r, items, depth + 1).text
+            k += 1
+            guard += 1
+          }
+          count = r.varLong()
+        }
+        Cell("array", parts.mkString("|"))
+      case AMap(values) =>
+        val parts = ArrayBuffer.empty[String]
+        var count = r.varLong()
+        var guard = 0
+        while (count != 0 && guard < (1 << 20)) {
+          if (count < 0) { r.varLong(); count = -count }
+          var k = 0L
+          while (k < count) {
+            val key = decodeValue(r, AString, depth + 1).text
+            parts += s"$key=${decodeValue(r, values, depth + 1).text}"
+            k += 1
+            guard += 1
+          }
+          count = r.varLong()
+        }
+        Cell("map", parts.mkString("|"))
+      case ARecord(_, fields) =>
+        Cell("record", fields.map { case (n, ft) =>
+          s"$n=${decodeValue(r, ft, depth + 1).text}"
+        }.mkString("|"))
+    }
+  }
+
+  /** Read a container file: (schema json, codec, rows as field-name →
+    * Cell maps — top-level record fields become columns). */
+  def read(b: Array[Byte]): Option[(String, String, Seq[Map[String, Cell]])] = {
+    if (!sniff(b)) return None
+    try {
+      val r = new Reader(b, 4, b.length)
+      // metadata map
+      var schemaJson = ""
+      var codec = "null"
+      var count = r.varLong()
+      var guard = 0
+      while (count != 0 && guard < 4096) {
+        if (count < 0) { r.varLong(); count = -count }
+        var k = 0L
+        while (k < count) {
+          val keyN = r.varLong().toInt
+          val key = new String(r.bytes(keyN), "UTF-8")
+          val valN = r.varLong().toInt
+          val value = r.bytes(valN)
+          key match {
+            case "avro.schema" => schemaJson = new String(value, "UTF-8")
+            case "avro.codec" => codec = new String(value, "UTF-8")
+            case _ => ()
+          }
+          k += 1
+          guard += 1
+        }
+        count = r.varLong()
+      }
+      val sync = r.bytes(16)
+      val schema = parseSchema(schemaJson).getOrElse(return None)
+      val record = schema match {
+        case rec: ARecord => rec
+        case _ => return None
+      }
+      val rows = ArrayBuffer.empty[Map[String, Cell]]
+      var total = 0L
+      while (r.i < r.end && rows.size < 4_000_000) {
+        val nRows = r.varLong()
+        val nBytes = r.varLong()
+        if (nRows < 0 || nBytes < 0 || nBytes > MaxOut) return None
+        val blockRaw = r.bytes(nBytes.toInt)
+        val block = codec match {
+          case "null" => blockRaw
+          case "deflate" => // raw (nowrap) deflate; inflateBounded tries both
+            WarcCodec.inflateBounded(blockRaw).getOrElse(return None)
+          case "snappy" =>
+            if (blockRaw.length < 4) return None
+            val data = java.util.Arrays.copyOfRange(blockRaw, 0, blockRaw.length - 4)
+            val un = org.xerial.snappy.Snappy.uncompress(data)
+            val crc = new java.util.zip.CRC32()
+            crc.update(un)
+            val want = ((blockRaw(blockRaw.length - 4) & 0xffL) << 24) |
+              ((blockRaw(blockRaw.length - 3) & 0xffL) << 16) |
+              ((blockRaw(blockRaw.length - 2) & 0xffL) << 8) |
+              (blockRaw(blockRaw.length - 1) & 0xffL)
+            if (crc.getValue != want) return None
+            un
+          case _ => return None // unknown codec: disclosed skip
+        }
+        total += block.length
+        if (total > MaxOut) return None
+        val br = new Reader(block, 0, block.length)
+        var k = 0L
+        while (k < nRows) {
+          val cells = record.fields.map { case (n, ft) =>
+            n -> decodeValue(br, ft, 0)
+          }.toMap
+          rows += cells
+          k += 1
+        }
+        val s2 = r.bytes(16)
+        if (!java.util.Arrays.equals(s2, sync)) return None
+      }
+      Some((schemaJson, codec, rows.toSeq))
+    } catch {
+      case _: Bail => None
+      case _: RuntimeException => None
+      case _: java.io.IOException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  // ---------------- writer (fixtures) ----------------
+
+  private def zigzag(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = (v0 << 1) ^ (v0 >> 63)
+    do {
+      val x = (v & 0x7f).toInt
+      v >>>= 7
+      out.write(if (v != 0) x | 0x80 else x)
+    } while (v != 0)
+  }
+
+  /** Encode one value per schema; values use the Cell rendering. */
+  private def encodeValue(out: java.io.ByteArrayOutputStream, t: AvType,
+      v: Cell): Unit = t match {
+    case ANull => ()
+    case ABool => out.write(if (v.text == "true") 1 else 0)
+    case AInt | ALong => zigzag(out, v.text.toLong)
+    case AFloat =>
+      val bits = java.lang.Float.floatToIntBits(v.text.toFloat)
+      (0 until 4).foreach(k => out.write((bits >> (8 * k)) & 0xff))
+    case ADouble =>
+      val bits = java.lang.Double.doubleToLongBits(v.text.toDouble)
+      (0 until 8).foreach(k => out.write(((bits >> (8 * k)) & 0xff).toInt))
+    case AString =>
+      val b = v.text.getBytes("UTF-8")
+      zigzag(out, b.length.toLong)
+      out.write(b)
+    case ABytes =>
+      val b = v.text.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+      zigzag(out, b.length.toLong)
+      out.write(b)
+    case AFixed(_, size) =>
+      val b = v.text.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+      require(b.length == size)
+      out.write(b)
+    case AEnum(_, symbols) => zigzag(out, symbols.indexOf(v.text).toLong)
+    case AUnion(branches) =>
+      // null-vs-value unions: pick by kind
+      val ix =
+        if (v.kind == "null") branches.indexWhere(_ == ANull)
+        else branches.indexWhere(_ != ANull)
+      require(ix >= 0)
+      zigzag(out, ix.toLong)
+      encodeValue(out, branches(ix), v)
+    case AArray(items) =>
+      val parts = if (v.text.isEmpty) Nil else v.text.split('|').toSeq
+      if (parts.nonEmpty) {
+        zigzag(out, parts.size.toLong)
+        parts.foreach(p => encodeValue(out, items, Cell("", p)))
+      }
+      zigzag(out, 0L)
+    case AMap(values) =>
+      val parts = if (v.text.isEmpty) Nil else v.text.split('|').toSeq
+      if (parts.nonEmpty) {
+        zigzag(out, parts.size.toLong)
+        parts.foreach { p =>
+          val eq = p.indexOf('=')
+          encodeValue(out, AString, Cell("text", p.substring(0, eq)))
+          encodeValue(out, values, Cell("", p.substring(eq + 1)))
+        }
+      }
+      zigzag(out, 0L)
+    case ARecord(_, _) =>
+      throw new IllegalArgumentException("nested record fixtures unsupported")
+  }
+
+  /** Serialize rows (aligned with the record's fields) as a container
+    * file. `codec`: null / deflate / snappy. `blockRows` rows per
+    * block; the deterministic sync marker derives from the schema. */
+  def encode(schemaJson: String, rows: Seq[Seq[Cell]], codec: String = "null",
+      blockRows: Int = 100): Array[Byte] = {
+    val schema = parseSchema(schemaJson) match {
+      case Some(rec: ARecord) => rec
+      case _ => throw new IllegalArgumentException("schema must be a record")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('b'); out.write('j'); out.write(1)
+    // metadata map: one block of 2 entries
+    zigzag(out, 2L)
+    def kv(k: String, v: Array[Byte]): Unit = {
+      val kb = k.getBytes("UTF-8")
+      zigzag(out, kb.length.toLong)
+      out.write(kb)
+      zigzag(out, v.length.toLong)
+      out.write(v)
+    }
+    kv("avro.schema", schemaJson.getBytes("UTF-8"))
+    kv("avro.codec", codec.getBytes("UTF-8"))
+    zigzag(out, 0L)
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(schemaJson.getBytes("UTF-8"))
+    out.write(sync)
+    rows.grouped(blockRows).foreach { chunk =>
+      val body = new java.io.ByteArrayOutputStream()
+      chunk.foreach { cells =>
+        require(cells.size == schema.fields.size, "row arity")
+        schema.fields.zip(cells).foreach { case ((_, ft), c) =>
+          encodeValue(body, ft, c)
+        }
+      }
+      val raw = body.toByteArray
+      val coded = codec match {
+        case "null" => raw
+        case "deflate" =>
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(raw); d.finish()
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end()
+          bos.toByteArray
+        case "snappy" =>
+          val c = org.xerial.snappy.Snappy.compress(raw)
+          val crc = new java.util.zip.CRC32()
+          crc.update(raw)
+          val v = crc.getValue
+          c ++ Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        case other => throw new IllegalArgumentException(s"codec $other")
+      }
+      zigzag(out, chunk.size.toLong)
+      zigzag(out, coded.length.toLong)
+      out.write(coded)
+      out.write(sync)
+    }
+    out.toByteArray
+  }
+}

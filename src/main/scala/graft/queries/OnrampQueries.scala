@@ -49,6 +49,41 @@ object OnrampQueries extends QueryGroup {
         }).toDF("doc_id", "row_id", "title", "score", "body", "tag")
     }),
 
+    // Avro object-container files (r10): codec cycles null/deflate/
+    // snappy by id; the decoded rows (nullable-union score, string
+    // array, bytes) must replay the oracle's id arithmetic — both
+    // real-library cross-reads live in AvroCodecSpec
+    "pipeline_avro_rows" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.AvroCodec
+          import graft.ops.AvroCodec.Cell
+          val schema = """{"type":"record","name":"D","fields":[""" +
+            """{"name":"k","type":"long"},""" +
+            """{"name":"name","type":"string"},""" +
+            """{"name":"score","type":["null","double"]},""" +
+            """{"name":"tags","type":{"type":"array","items":"string"}}]}"""
+          val codec = Seq("null", "deflate", "snappy")((id % 3).toInt)
+          val rows = (0 until 3).map { k =>
+            Seq(Cell("int", k.toString), Cell("text", s"row $k of $id"),
+              if (k == 1) Cell("null", "")
+              else Cell("real", s"${id * 2 + k}.5"),
+              Cell("array", (0 until k).map(j => s"t$j").mkString("|")))
+          }
+          val enc = AvroCodec.encode(schema, rows, codec, blockRows = 2)
+          AvroCodec.read(enc).toSeq.flatMap { case (_, c, got) =>
+            got.map { r =>
+              (id, c, r("k").text.toLong, r("name").text,
+                if (r("score").kind == "null") None
+                else Some(r("score").text.toDouble),
+                r("tags").text)
+            }
+          }
+        }).toDF("doc_id", "codec", "k", "name", "score", "tags")
+    }),
+
     // mojibake repair: corrupt deterministically (UTF-8 read as
     // cp1252, once or twice), repair must return the EXACT original
     // with the right pass count; clean ASCII and legitimate accented
@@ -541,6 +576,15 @@ object OnrampQueries extends QueryGroup {
     }))
 
   def oracles: Map[String, String] = Map(
+    "pipeline_avro_rows" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate' " +
+        "ELSE 'snappy' END AS codec FROM documents) " +
+        "SELECT doc_id, codec, CAST(k AS BIGINT) AS k, " +
+        "'row ' || CAST(k AS VARCHAR) || ' of ' || i AS name, " +
+        "CASE WHEN k = 1 THEN NULL ELSE doc_id * 2 + k + 0.5 END AS score, " +
+        "CASE k WHEN 0 THEN '' WHEN 1 THEN 't0' ELSE 't0|t1' END AS tags " +
+        "FROM g, generate_series(0, 2) AS s(k)"),
     "pipeline_sqlite_rows" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
         "SELECT doc_id, CAST(1 AS BIGINT) AS row_id, 't' || i AS title, " +

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AvroCodec
+import graft.ops.AvroCodec.Cell
+
+class AvroCodecSpec extends AnyFunSuite {
+
+  private val schemaJson =
+    """{"type":"record","name":"Doc","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"score","type":["null","double"]},
+      |{"name":"tags","type":{"type":"array","items":"string"}},
+      |{"name":"flag","type":"boolean"},
+      |{"name":"payload","type":"bytes"}]}""".stripMargin.replace("\n", "")
+
+  private def mkRows(n: Int): Seq[Seq[Cell]] =
+    (1 to n).map { i =>
+      Seq(
+        Cell("int", i.toString),
+        Cell("text", s"name $i café"),
+        if (i % 4 == 0) Cell("null", "") else Cell("real", s"${i * 2}.5"),
+        Cell("array", (0 until i % 3).map(j => s"tag$j").mkString("|")),
+        Cell("bool", if (i % 2 == 0) "true" else "false"),
+        Cell("blob", f"${i % 256}%02x${(i * 3) % 256}%02x"))
+    }
+
+  test("round-trip: null / deflate / snappy codecs, multi-block") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val enc = AvroCodec.encode(schemaJson, mkRows(250), codec, blockRows = 64)
+      val (sj, c, rows) = AvroCodec.read(enc).get
+      assert(c == codec)
+      assert(sj == schemaJson)
+      assert(rows.size == 250)
+      assert(rows(0)("id").text == "1")
+      assert(rows(249)("name").text == "name 250 café")
+      assert(rows(3)("score").kind == "null")
+      assert(rows(4)("score").text == "10.5")
+      assert(rows(1)("tags").text == "tag0|tag1")
+      assert(rows(0)("payload").text == "0103")
+    }
+  }
+
+  test("CROSS-READ: the real avro library reads our container bytes") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val enc = AvroCodec.encode(schemaJson, mkRows(40), codec, blockRows = 7)
+      val reader = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.file.SeekableByteArrayInput(enc),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      var i = 0
+      while (reader.hasNext) {
+        val rec = reader.next()
+        i += 1
+        assert(rec.get("id").asInstanceOf[Long] == i.toLong)
+        assert(rec.get("name").toString == s"name $i café")
+        if (i % 4 == 0) assert(rec.get("score") == null)
+        else assert(rec.get("score").asInstanceOf[Double] == i * 2 + 0.5)
+        assert(rec.get("flag").asInstanceOf[Boolean] == (i % 2 == 0))
+      }
+      assert(i == 40, s"codec $codec")
+      reader.close()
+    }
+  }
+
+  test("CROSS-DECODE: files written by the real avro library parse") {
+    for (codecName <- Seq("null", "deflate", "snappy")) {
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val writer = new org.apache.avro.file.DataFileWriter[
+        org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      if (codecName != "null")
+        writer.setCodec(org.apache.avro.file.CodecFactory.fromString(codecName))
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.create(schema, bos)
+      (1 to 25).foreach { i =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i.toLong)
+        rec.put("name", s"avro row $i Ω")
+        rec.put("score", if (i % 4 == 0) null else java.lang.Double.valueOf(i * 1.5))
+        val tags = new java.util.ArrayList[CharSequence]()
+        (0 until i % 3).foreach(j => tags.add(s"t$j"))
+        rec.put("tags", tags)
+        rec.put("flag", java.lang.Boolean.valueOf(i % 2 == 1))
+        rec.put("payload", java.nio.ByteBuffer.wrap(Array(i.toByte, (i + 1).toByte)))
+        writer.append(rec)
+      }
+      writer.close()
+      val bytes = bos.toByteArray
+      val (_, codecRead, rows) = AvroCodec.read(bytes).getOrElse(
+        fail(s"our reader rejected real-avro $codecName file"))
+      assert(rows.size == 25, s"codec $codecName")
+      (1 to 25).foreach { i =>
+        val r = rows(i - 1)
+        assert(r("id").text == i.toString)
+        assert(r("name").text == s"avro row $i Ω")
+        if (i % 4 == 0) assert(r("score").kind == "null")
+        else assert(r("score").text.toDouble == i * 1.5)
+        assert(r("tags").text == (0 until i % 3).map(j => s"t$j").mkString("|"))
+        assert(r("flag").text == (if (i % 2 == 1) "true" else "false"))
+        assert(r("payload").text == f"${i % 256}%02x${(i + 1) % 256}%02x")
+      }
+    }
+  }
+
+  test("enums, fixed, maps and named-type references decode") {
+    val sj = """{"type":"record","name":"R","fields":[
+      |{"name":"e","type":{"type":"enum","name":"Color","symbols":["RED","GREEN","BLUE"]}},
+      |{"name":"e2","type":"Color"},
+      |{"name":"fx","type":{"type":"fixed","name":"F4","size":4}},
+      |{"name":"m","type":{"type":"map","values":"long"}}]}""".stripMargin.replace("\n", "")
+    val rows = Seq(Seq(
+      Cell("text", "GREEN"), Cell("text", "BLUE"),
+      Cell("blob", "deadbeef"), Cell("map", "a=1|b=22")))
+    val (_, _, got) = AvroCodec.read(AvroCodec.encode(sj, rows)).get
+    assert(got.head("e").text == "GREEN")
+    assert(got.head("e2").text == "BLUE")
+    assert(got.head("fx").text == "deadbeef")
+    assert(got.head("m").text == "a=1|b=22")
+  }
+
+  test("totality: junk, truncation, corrupt snappy crc") {
+    val enc = AvroCodec.encode(schemaJson, mkRows(30), "snappy")
+    (0 until enc.length by 37).foreach { n =>
+      AvroCodec.read(java.util.Arrays.copyOf(enc, n))
+    }
+    val rnd = new java.util.Random(5)
+    (0 until 150).foreach { _ =>
+      val m = enc.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      AvroCodec.read(m)
+    }
+    assert(AvroCodec.read(null).isEmpty)
+    assert(AvroCodec.read("Obj not avro".getBytes).isEmpty)
+  }
+}
