@@ -50,9 +50,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF_DIR__ lets an oracle reference the run's actual parquet files
+    // (e.g. DuckDB parquet_metadata() over the same inputs) — substituted
+    // at dump time so the SQL is correct for whatever sf the driver runs
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF_DIR__", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // A query that fails to run would otherwise just be a missing parquet
     // dir — invisible in the compare. Persist the failure list so a broken

@@ -1,0 +1,236 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Parquet footer reader — FileMetaData decoded first-principles from
+  * the Thrift COMPACT protocol (both public specs: parquet-format's
+  * parquet.thrift and the Thrift compact-protocol layout). This is the
+  * engine's scan-planning primitive: row counts, row-group extents,
+  * per-chunk codecs/sizes/value-counts — WITHOUT reading data pages.
+  * At 100 TB, planning reads `footer_len + 8` bytes per file via a
+  * tail seek (the CDX/HFile seek-point economics applied to the lake's
+  * own format); the gate asserts that partial-read property per file.
+  *
+  * Thrift compact scope: field-delta headers, zigzag varints, bools in
+  * the type nibble, byte/i16/i32/i64/double/binary, lists/sets (size
+  * nibble + spill varint), maps, nested structs with field-id reset —
+  * decoded generically to a field-id tree, then projected into the
+  * FileMetaData/RowGroup/ColumnChunk/SchemaElement shapes. The oracle
+  * is DuckDB's own parquet_metadata()/parquet_file_metadata() over the
+  * SAME driver-generated files (path injected via the __SF_DIR__
+  * substitution in Verify) — a real-file gate, not an id-arithmetic
+  * fixture. Total on junk; bounds-checked.
+  */
+object ParquetFooter {
+
+  final case class ChunkMeta(rowGroup: Int, column: Int, path: String,
+      typ: String, codec: String, numValues: Long,
+      compressedSize: Long, uncompressedSize: Long)
+  final case class FooterMeta(numRows: Long, numRowGroups: Int,
+      createdBy: String, footerBytes: Long, chunks: Seq[ChunkMeta])
+
+  private val TypeNames = Array("BOOLEAN", "INT32", "INT64", "INT96",
+    "FLOAT", "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")
+  private val CodecNames = Array("UNCOMPRESSED", "SNAPPY", "GZIP", "LZO",
+    "BROTLI", "LZ4", "ZSTD", "LZ4_RAW")
+
+  /** Tail-seek read of one parquet file's footer: (meta, fileSize). */
+  def readFile(path: String): Option[(FooterMeta, Long)] = {
+    val f =
+      try new java.io.RandomAccessFile(path, "r")
+      catch { case _: java.io.IOException => return None }
+    try {
+      val len = f.length()
+      if (len < 12) return None
+      f.seek(len - 8)
+      val tail = new Array[Byte](8)
+      f.readFully(tail)
+      if (!(tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1'))
+        return None
+      val footerLen = (tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
+        ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
+      if (footerLen <= 0 || footerLen > len - 12) return None
+      val footer = new Array[Byte](footerLen.toInt)
+      f.seek(len - 8 - footerLen)
+      f.readFully(footer)
+      decode(footer).map(m => (m, len))
+    } catch {
+      case _: java.io.IOException => None
+    } finally f.close()
+  }
+
+  /** Decode a FileMetaData thrift-compact blob. */
+  def decode(footer: Array[Byte]): Option[FooterMeta] = {
+    try {
+      val root = new Compact(footer).struct(0) // field-id -> value tree
+      val numRows = root.get(3) match {
+        case Some(l: Long) => l
+        case _ => return None
+      }
+      val createdBy = root.get(6) match {
+        case Some(b: Array[Byte]) => new String(b, "UTF-8")
+        case _ => ""
+      }
+      val rowGroups = root.get(4) match {
+        case Some(v: Vector[_]) => v
+        case _ => Vector.empty
+      }
+      val chunks = ArrayBuffer.empty[ChunkMeta]
+      rowGroups.zipWithIndex.foreach {
+        case (rg: Struct, rgIx) =>
+          val cols = rg.get(1) match {
+            case Some(v: Vector[_]) => v
+            case _ => Vector.empty
+          }
+          cols.zipWithIndex.foreach {
+            case (cc: Struct, colIx) =>
+              cc.get(3) match { // ColumnMetaData
+                case Some(md: Struct) =>
+                  val typ = md.get(1) match {
+                    case Some(t: Long) if t >= 0 && t < TypeNames.length =>
+                      TypeNames(t.toInt)
+                    case _ => "?"
+                  }
+                  val path = md.get(3) match {
+                    case Some(parts: Vector[_]) =>
+                      parts.collect { case b: Array[Byte] =>
+                        new String(b, "UTF-8")
+                      }.mkString(", ")
+                    case _ => ""
+                  }
+                  val codec = md.get(4) match {
+                    case Some(c: Long) if c >= 0 && c < CodecNames.length =>
+                      CodecNames(c.toInt)
+                    case _ => "?"
+                  }
+                  def longAt(s: Struct, id: Int): Long = s.get(id) match {
+                    case Some(l: Long) => l
+                    case _ => -1L
+                  }
+                  chunks += ChunkMeta(rgIx, colIx, path, typ, codec,
+                    longAt(md, 5), longAt(md, 7), longAt(md, 6))
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      Some(FooterMeta(numRows, rowGroups.size, createdBy,
+        footer.length.toLong, chunks.toSeq))
+    } catch {
+      case _: RuntimeException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // generic thrift compact protocol
+  // ------------------------------------------------------------------
+
+  /** A decoded struct: field id -> value (Long for all int/bool/enum,
+    * Array[Byte] for binary, Vector[Any] for list/set, Struct nested). */
+  final class Struct(val fields: Map[Int, Any]) {
+    def get(id: Int): Option[Any] = fields.get(id)
+  }
+
+  private final class Bail extends RuntimeException(null, null, false, false)
+
+  private final class Compact(b: Array[Byte]) {
+    private var i = 0
+    private def u8(): Int = {
+      if (i >= b.length) throw new Bail
+      val v = b(i) & 0xff
+      i += 1
+      v
+    }
+    private def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      var x = 0
+      do {
+        x = u8()
+        v |= (x & 0x7fL) << shift
+        shift += 7
+        if (shift > 70) throw new Bail
+      } while ((x & 0x80) != 0)
+      v
+    }
+    private def zigzag(): Long = {
+      val v = varint()
+      (v >>> 1) ^ -(v & 1)
+    }
+    private def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || i + n > b.length) throw new Bail
+      val a = java.util.Arrays.copyOfRange(b, i, i + n)
+      i += n
+      a
+    }
+
+    def struct(depth: Int): Struct = {
+      if (depth > 24) throw new Bail
+      var lastId = 0
+      val m = Map.newBuilder[Int, Any]
+      var done = false
+      var guard = 0
+      while (!done && guard < 100000) {
+        val h = u8()
+        if (h == 0) done = true
+        else {
+          val delta = (h >> 4) & 0xf
+          val typ = h & 0xf
+          val id = if (delta == 0) zigzag().toInt else lastId + delta
+          lastId = id
+          m += id -> value(typ, depth)
+        }
+        guard += 1
+      }
+      new Struct(m.result())
+    }
+
+    private def value(typ: Int, depth: Int): Any = typ match {
+      case 1 => 1L // bool true (encoded in the field-type nibble)
+      case 2 => 0L // bool false
+      case 3 => u8().toLong
+      case 4 | 5 | 6 => zigzag()
+      case 7 => // double: 8 bytes little-endian
+        val bits = (0 until 8).map(k => (u8() & 0xffL) << (8 * k)).sum
+        java.lang.Double.longBitsToDouble(bits)
+      case 8 =>
+        val n = varint()
+        if (n > (1 << 28)) throw new Bail
+        bytes(n.toInt)
+      case 9 | 10 => // list / set
+        val h = u8()
+        val elemType = h & 0xf
+        var size = (h >> 4) & 0xf
+        val n = if (size == 15) varint() else size.toLong
+        if (n < 0 || n > (1 << 24)) throw new Bail
+        val out = Vector.newBuilder[Any]
+        var k = 0L
+        while (k < n) {
+          out += (if (elemType == 1 || elemType == 2) u8().toLong
+          else value(elemType, depth + 1))
+          k += 1
+        }
+        out.result()
+      case 11 => // map
+        val n = varint()
+        if (n < 0 || n > (1 << 24)) throw new Bail
+        if (n == 0) Vector.empty
+        else {
+          val kv = u8()
+          val kt = (kv >> 4) & 0xf
+          val vt = kv & 0xf
+          val out = Vector.newBuilder[Any]
+          var k = 0L
+          while (k < n) {
+            out += ((value(kt, depth + 1), value(vt, depth + 1)))
+            k += 1
+          }
+          out.result()
+        }
+      case 12 => struct(depth + 1)
+      case _ => throw new Bail
+    }
+  }
+}

@@ -578,6 +578,45 @@ object BulkQueries extends QueryGroup {
           "sum_r", "sum_g", "sum_b")
     }),
 
+    // parquet FOOTER planning reads (r10): FileMetaData decoded from
+    // the thrift-compact footer via a TAIL SEEK — `footer_len + 8`
+    // bytes touched per file, never the data pages (asserted by the
+    // partial_read column). The oracle is DuckDB's own
+    // parquet_file_metadata() over the SAME driver-generated files.
+    "pipeline_parquet_meta" -> ((s, dir) => {
+      import s.implicits._
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      s.createDataset(tables).repartition(tables.size)
+        .mapPartitions(_.flatMap { t =>
+          graft.ops.ParquetFooter.readFile(s"$dir/$t.parquet").map {
+            case (m, size) =>
+              (t, m.numRows, m.numRowGroups.toLong,
+                m.footerBytes + 8 < size)
+          }
+        }).toDF("table_name", "num_rows", "num_row_groups", "partial_read")
+    }),
+
+    // per-chunk scan-planning detail: column paths (nested lists use
+    // the dotted path), physical types, codecs and value counts — vs
+    // DuckDB's parquet_metadata() on the same files
+    "pipeline_parquet_columns" -> ((s, dir) => {
+      import s.implicits._
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      s.createDataset(tables).repartition(tables.size)
+        .mapPartitions(_.flatMap { t =>
+          graft.ops.ParquetFooter.readFile(s"$dir/$t.parquet").toSeq
+            .flatMap { case (m, _) =>
+              m.chunks.map { c =>
+                (t, c.rowGroup.toLong, c.column.toLong, c.path, c.typ,
+                  c.numValues, c.codec)
+              }
+            }
+        }).toDF("table_name", "row_group_id", "column_id",
+          "path_in_schema", "col_type", "num_values", "compression")
+    }),
+
     // baseline TIFF decode (r10): five variants — gray uncompressed,
     // gray WhiteIsZero (inverted storage), RGB PackBits, RGB LZW with
     // horizontal-differencing predictor, and ColorMap palette — all
@@ -1883,6 +1922,27 @@ object BulkQueries extends QueryGroup {
         "CAST(SUM(((i // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
         "CAST(SUM((i % 4) * 255 // 3) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, variant, w, h"),
+    "pipeline_parquet_meta" -> {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.map { t =>
+        s"SELECT '$t' AS table_name, num_rows, " +
+          "CAST(num_row_groups AS BIGINT) AS num_row_groups, " +
+          "TRUE AS partial_read " +
+          s"FROM parquet_file_metadata('__SF_DIR__/$t.parquet')"
+      }.mkString(" UNION ALL ")
+    },
+    "pipeline_parquet_columns" -> {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.map { t =>
+        s"SELECT '$t' AS table_name, CAST(row_group_id AS BIGINT) AS row_group_id, " +
+          "CAST(column_id AS BIGINT) AS column_id, path_in_schema, " +
+          "type AS col_type, CAST(num_values AS BIGINT) AS num_values, " +
+          "compression " +
+          s"FROM parquet_metadata('__SF_DIR__/$t.parquet')"
+      }.mkString(" UNION ALL ")
+    },
     "mm_tiff_decode" ->
       ("WITH g AS (SELECT doc_id, 16 + doc_id % 13 AS w, 8 + doc_id % 7 AS h, " +
         "CAST(doc_id % 5 AS INT) AS variant FROM documents), " +

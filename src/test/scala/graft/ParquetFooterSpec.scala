@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ParquetFooter
+
+class ParquetFooterSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  test("every driver-generated footer parses via the tail seek") {
+    tables.foreach { t =>
+      val got = ParquetFooter.readFile(s"$dir/$t.parquet")
+      assert(got.isDefined, t)
+      val (m, size) = got.get
+      assert(m.numRows > 0, t)
+      assert(m.numRowGroups >= 1, t)
+      assert(m.footerBytes + 8 < size, s"$t: planning must not read pages")
+      assert(m.chunks.nonEmpty, t)
+      // chunk grid is rectangular: same column count per row group
+      val perRg = m.chunks.groupBy(_.rowGroup).values.map(_.size).toSet
+      assert(perRg.size == 1, t)
+      assert(m.chunks.forall(_.numValues > 0), t)
+      assert(m.chunks.forall(c => c.typ != "?" && c.codec != "?"), t)
+    }
+  }
+
+  test("TPC-H shape facts hold (region keys, nested embedding path)") {
+    val (region, _) = ParquetFooter.readFile(s"$dir/region.parquet").get
+    assert(region.numRows == 5)
+    assert(region.chunks.map(_.path).contains("r_regionkey"))
+    val (emb, _) = ParquetFooter.readFile(s"$dir/embeddings.parquet").get
+    assert(emb.chunks.exists(c =>
+      c.path.contains("embedding") && c.typ == "FLOAT"))
+  }
+
+  test("totality: junk footers and truncations never throw") {
+    assert(ParquetFooter.decode("not thrift".getBytes).isEmpty)
+    assert(ParquetFooter.decode(Array[Byte](0x19, 0x7f, -1, -1)).isEmpty)
+    assert(ParquetFooter.readFile("/nonexistent/x.parquet").isEmpty)
+    // random bytes through the compact reader
+    val rnd = new java.util.Random(9)
+    (0 until 300).foreach { _ =>
+      val a = new Array[Byte](1 + rnd.nextInt(100))
+      rnd.nextBytes(a)
+      ParquetFooter.decode(a)
+    }
+  }
+}
