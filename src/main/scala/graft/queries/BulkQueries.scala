@@ -578,6 +578,47 @@ object BulkQueries extends QueryGroup {
           "sum_r", "sum_g", "sum_b")
     }),
 
+    // FLAC frame decode (r10): real Rice-coded FLAC streams — verbatim
+    // / fixed-predictor subframes and the mid/side stereo assignment —
+    // decoded back to PCM; sample SUMS must replay the oracle's integer
+    // waveform exactly (CRC-8/CRC-16 verified on every frame in the
+    // decoder, so a bit slip dies loudly, not as a wrong sum)
+    "mm_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.FlacAudio
+          import graft.ops.MediaCodec.Pcm
+          val mode = (id % 4).toInt
+          val nCh = if (mode == 3) 2 else 1
+          val n = (600 + (id % 5) * 48).toInt
+          val samples = new Array[Short](n * nCh)
+          var k = 0
+          while (k < n) {
+            var c = 0
+            while (c < nCh) {
+              samples(k * nCh + c) =
+                (((k * 37 + id) % 1999) - 999 + c * 17).toShort
+              c += 1
+            }
+            k += 1
+          }
+          val pcm = Pcm(16000, nCh, samples)
+          val enc = mode match {
+            case 0 => FlacAudio.encode(pcm, 128, FlacAudio.Verbatim)
+            case 1 => FlacAudio.encode(pcm, 128, FlacAudio.Fixed1)
+            case 2 => FlacAudio.encode(pcm, 128, FlacAudio.Fixed2)
+            case _ => FlacAudio.encode(pcm, 128, FlacAudio.Fixed2, chanAsgn = 10)
+          }
+          val dec = FlacAudio.decode(enc).get
+          var sum = 0L
+          var sumAbs = 0L
+          dec.samples.foreach { v => sum += v; sumAbs += math.abs(v.toInt) }
+          (id, mode, dec.channels, dec.samples.length.toLong, sum, sumAbs)
+        }).toDF("doc_id", "mode", "channels", "n_samples", "sum_s", "sum_abs")
+    }),
+
     // parquet FOOTER planning reads (r10): FileMetaData decoded from
     // the thrift-compact footer via a TAIL SEEK — `footer_len + 8`
     // bytes touched per file, never the data pages (asserted by the
@@ -1922,6 +1963,19 @@ object BulkQueries extends QueryGroup {
         "CAST(SUM(((i // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
         "CAST(SUM((i % 4) * 255 // 3) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, variant, w, h"),
+    "mm_flac_decode" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS mode, " +
+        "CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS nch, " +
+        "600 + (doc_id % 5) * 48 AS n FROM documents), " +
+        "sm AS (SELECT doc_id, mode, nch, n, " +
+        "((k * 37 + doc_id) % 1999) - 999 + c * 17 AS v " +
+        "FROM g, generate_series(0, 839) AS sk(k), " +
+        "generate_series(0, 1) AS sc(c) WHERE k < n AND c < nch) " +
+        "SELECT doc_id, mode, CAST(nch AS INT) AS channels, " +
+        "CAST(n * nch AS BIGINT) AS n_samples, " +
+        "CAST(SUM(v) AS BIGINT) AS sum_s, " +
+        "CAST(SUM(abs(v)) AS BIGINT) AS sum_abs " +
+        "FROM sm GROUP BY doc_id, mode, nch, n"),
     "pipeline_parquet_meta" -> {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")

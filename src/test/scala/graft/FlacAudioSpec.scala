@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.FlacAudio
+import graft.ops.MediaCodec.Pcm
+
+class FlacAudioSpec extends AnyFunSuite {
+
+  private def tone(n: Int, channels: Int, f: Int => Int): Pcm = {
+    val s = new Array[Short](n * channels)
+    (0 until n).foreach { k =>
+      (0 until channels).foreach { c =>
+        s(k * channels + c) = (f(k) + c * 17).toShort
+      }
+    }
+    Pcm(44100, channels, s)
+  }
+
+  private def rt(pcm: Pcm, kind: FlacAudio.SubKind, blockSize: Int = 256,
+      chanAsgn: Int = -1): Unit = {
+    val enc = FlacAudio.encode(pcm, blockSize, kind, chanAsgn)
+    val dec = FlacAudio.decode(enc)
+    assert(dec.isDefined, s"kind=$kind asgn=$chanAsgn")
+    assert(dec.get.sampleRate == pcm.sampleRate)
+    assert(dec.get.channels == pcm.channels)
+    assert(java.util.Arrays.equals(dec.get.samples, pcm.samples),
+      s"kind=$kind asgn=$chanAsgn blockSize=$blockSize")
+  }
+
+  test("round-trip: mono verbatim / fixed1 / fixed2") {
+    val p = tone(3000, 1, k => (math.sin(k / 17.0) * 9000).toInt)
+    rt(p, FlacAudio.Verbatim)
+    rt(p, FlacAudio.Fixed1)
+    rt(p, FlacAudio.Fixed2)
+  }
+
+  test("round-trip: stereo, all four channel assignments") {
+    val p = tone(2500, 2, k => (math.sin(k / 23.0) * 12000).toInt + k % 37)
+    rt(p, FlacAudio.Fixed2) // independent
+    rt(p, FlacAudio.Fixed2, chanAsgn = 8) // left/side
+    rt(p, FlacAudio.Fixed2, chanAsgn = 9) // side/right
+    rt(p, FlacAudio.Fixed2, chanAsgn = 10) // mid/side
+    rt(p, FlacAudio.Verbatim, chanAsgn = 10)
+  }
+
+  test("constant runs become CONSTANT subframes and decode") {
+    val s = new Array[Short](2048)
+    java.util.Arrays.fill(s, 1234.toShort)
+    rt(Pcm(8000, 1, s), FlacAudio.Fixed2, blockSize = 512)
+    // silence
+    rt(Pcm(8000, 1, new Array[Short](1000)), FlacAudio.Fixed1)
+  }
+
+  test("multi-byte UTF-8 frame numbers (>=128 frames)") {
+    val p = tone(200 * 48, 1, k => (k % 251) - 125) // 200 frames at bs 48
+    rt(p, FlacAudio.Fixed2, blockSize = 48)
+  }
+
+  test("negative samples and full-scale extremes survive") {
+    val s = Array[Short](Short.MinValue, Short.MaxValue, -1, 0, 1,
+      -32767, 32766, -12345, 12345) ++ Array.fill[Short](991)(-7)
+    rt(Pcm(16000, 1, s), FlacAudio.Verbatim)
+    rt(Pcm(16000, 1, s), FlacAudio.Fixed2)
+  }
+
+  test("CRC gates: flipped bytes are rejected, not mis-decoded") {
+    val enc = FlacAudio.encode(tone(1000, 1, k => k % 100), 256, FlacAudio.Fixed2)
+    // find the first frame (after fLaC + 4-byte block header + 34 bytes)
+    val frameStart = 4 + 4 + 34
+    var rejected = 0
+    (frameStart until math.min(enc.length, frameStart + 40)).foreach { i =>
+      val m = enc.clone()
+      m(i) = (m(i) ^ 0x01).toByte
+      if (FlacAudio.decode(m).isEmpty) rejected += 1
+    }
+    assert(rejected >= 35, s"only $rejected/40 corruptions caught")
+  }
+
+  test("totality: junk, truncation") {
+    val enc = FlacAudio.encode(tone(500, 2, k => k), 128, FlacAudio.Fixed1)
+    (0 until enc.length by 23).foreach { n =>
+      FlacAudio.decode(java.util.Arrays.copyOf(enc, n))
+    }
+    assert(FlacAudio.decode("fLaC junk".getBytes).isEmpty)
+    assert(FlacAudio.decode(null).isEmpty)
+  }
+
+  test("composes with the audio feature tier (RMS on decoded PCM)") {
+    val p = tone(4000, 1, k => if (k < 2000) 0 else 10000)
+    val dec = FlacAudio.decode(FlacAudio.encode(p, 512, FlacAudio.Fixed2)).get
+    val rms = math.sqrt(dec.samples.map(s => s.toDouble * s).sum / dec.samples.length)
+    assert(rms > 6000 && rms < 8000)
+  }
+}
