@@ -578,6 +578,40 @@ object BulkQueries extends QueryGroup {
           "sum_r", "sum_g", "sum_b")
     }),
 
+    // ORC planning metadata (r10): Spark's OWN ORC writer produces the
+    // file; our protobuf tail walk (PostScript → chunk-decompressed
+    // Footer) must re-derive row counts, schema and integer min/max
+    // column statistics that the ORACLE recomputes with SQL aggregates
+    // over the source table — a cross-engine, real-file gate
+    "pipeline_orc_meta" -> ((s, dir) => {
+      import s.implicits._
+      val sf = dir.replaceAll(".*/", "")
+      val path = s"/root/repo/target/graft-warehouse/orc_meta_$sf"
+      val done = new java.io.File(path, "_SUCCESS")
+      if (!done.isFile) {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("lang"),
+            col("n_chars").cast("long"))
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "snappy").orc(path)
+      }
+      val orc = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".orc")).toSeq.sortBy(_.getName)
+      s.createDataset(orc.map(_.getPath)).repartition(1)
+        .mapPartitions(_.flatMap { p =>
+          graft.ops.OrcFooter.readFile(p).map { m =>
+            val id = m.rootFields.find(_.fieldName == "doc_id").get
+            val nc = m.rootFields.find(_.fieldName == "n_chars").get
+            (m.numRows, m.compression, m.rootFields.size,
+              m.rootFields.map(_.kind).mkString("|"),
+              id.intMin.getOrElse(-1L), id.intMax.getOrElse(-1L),
+              nc.intMin.getOrElse(-1L), nc.intMax.getOrElse(-1L),
+              m.stripes.map(_.numRows).sum == m.numRows)
+          }
+        }).toDF("num_rows", "compression", "n_cols", "kinds",
+          "min_id", "max_id", "min_chars", "max_chars", "stripes_ok")
+    }),
+
     // FLAC frame decode (r10): real Rice-coded FLAC streams — verbatim
     // / fixed-predictor subframes and the mid/side stereo assignment —
     // decoded back to PCM; sample SUMS must replay the oracle's integer
@@ -1963,6 +1997,14 @@ object BulkQueries extends QueryGroup {
         "CAST(SUM(((i // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
         "CAST(SUM((i % 4) * 255 // 3) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, variant, w, h"),
+    "pipeline_orc_meta" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS num_rows, 'SNAPPY' AS compression, " +
+        "3 AS n_cols, 'LONG|STRING|LONG' AS kinds, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, " +
+        "CAST(max(n_chars) AS BIGINT) AS max_chars, " +
+        "TRUE AS stripes_ok FROM documents"),
     "mm_flac_decode" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS mode, " +
         "CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS nch, " +

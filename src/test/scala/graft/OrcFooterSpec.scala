@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.OrcFooter
+
+/** ORC planning metadata decoded from files written by Spark's own ORC
+  * writer — cross-engine validation of the protobuf tail walk. */
+class OrcFooterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/repo/target/graft-warehouse/orc_footer_spec"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("OrcFooterSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def orcFiles(path: String): Seq[java.io.File] =
+    new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".orc")).toSeq.sortBy(_.getName)
+
+  test("Spark 4 default (zstd) ORC footer decodes") {
+    val s = spark
+    import s.implicits._
+    (0L until 300L).map(i => (i, i * 2)).toDF("x", "y")
+      .coalesce(1).write.mode("overwrite").orc(s"$dir/zstd")
+    val m = OrcFooter.readFile(orcFiles(s"$dir/zstd").head.getPath).get
+    assert(m.numRows == 300)
+    assert(m.compression == "ZSTD")
+    assert(m.rootFields(1).intMax.contains(598L))
+  }
+
+  test("Spark-written snappy ORC: rows, schema, int min/max stats") {
+    val s = spark
+    import s.implicits._
+    (0L until 1000L).map(i => (i, s"name $i", i * 3 + 7))
+      .toDF("id", "name", "score")
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "snappy").orc(s"$dir/snappy")
+    val f = orcFiles(s"$dir/snappy").head
+    val m = OrcFooter.readFile(f.getPath).get
+    assert(m.numRows == 1000)
+    assert(m.compression == "SNAPPY")
+    assert(m.bytesRead < f.length(), "planning must not read stripes")
+    assert(m.stripes.map(_.numRows).sum == 1000)
+    assert(m.rootFields.map(_.fieldName) == Seq("id", "name", "score"))
+    assert(m.rootFields.map(_.kind) == Seq("LONG", "STRING", "LONG"))
+    val id = m.rootFields(0)
+    assert(id.intMin.contains(0L) && id.intMax.contains(999L))
+    val score = m.rootFields(2)
+    assert(score.intMin.contains(7L) && score.intMax.contains(999L * 3 + 7))
+    assert(m.rootFields.forall(_.numValues == 1000L))
+  }
+
+  test("zlib and uncompressed ORC footers decode too") {
+    val s = spark
+    import s.implicits._
+    for (codec <- Seq("zlib", "none")) {
+      (0L until 200L).map(i => (i - 100, s"v$i")).toDF("delta", "v")
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", codec).orc(s"$dir/$codec")
+      val m = OrcFooter.readFile(orcFiles(s"$dir/$codec").head.getPath).get
+      assert(m.numRows == 200, codec)
+      assert(m.compression == (if (codec == "none") "NONE" else "ZLIB"))
+      // negative minimum exercises the zigzag sint64 decode
+      assert(m.rootFields(0).intMin.contains(-100L), codec)
+      assert(m.rootFields(0).intMax.contains(99L), codec)
+    }
+  }
+
+  test("multi-stripe file: stripe rows tile the total") {
+    val s = spark
+    import s.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("orc.stripe.size", "65536")
+    hc.set("orc.stripe.row.count", "100000")
+    try {
+      (0L until 400000L).map(i => (i, i % 97)).toDF("a", "b")
+        .coalesce(1).write.mode("overwrite").orc(s"$dir/stripes")
+    } finally { hc.unset("orc.stripe.size"); hc.unset("orc.stripe.row.count") }
+    val m = OrcFooter.readFile(orcFiles(s"$dir/stripes").head.getPath).get
+    assert(m.numRows == 400000)
+    assert(m.stripes.size > 1, "expected multiple stripes")
+    assert(m.stripes.map(_.numRows).sum == 400000)
+    assert(m.stripes.map(_.offset) == m.stripes.map(_.offset).sorted)
+  }
+
+  test("totality: junk, truncation, missing file") {
+    assert(OrcFooter.readFile("/nonexistent.orc").isEmpty)
+    val f = orcFiles(s"$dir/snappy").head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val junk = java.io.File.createTempFile("orcjunk", ".orc")
+    (0 until bytes.length by 997).foreach { n =>
+      java.nio.file.Files.write(junk.toPath,
+        java.util.Arrays.copyOf(bytes, n))
+      OrcFooter.readFile(junk.getPath) // must not throw
+    }
+    java.nio.file.Files.write(junk.toPath, "garbage".getBytes)
+    assert(OrcFooter.readFile(junk.getPath).isEmpty)
+    junk.delete()
+  }
+}
