@@ -1,0 +1,557 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Font-file metadata extraction — TTF/OTF (SFNT), TTC collections,
+  * WOFF (zlib-per-table) and WOFF2 (brotli payload via [[Brotli]]) —
+  * the web-asset family every crawl carries next to images. All four
+  * container formats are public W3C/OpenType specifications.
+  *
+  * Extracted: the name table's family / subfamily / full / PostScript
+  * names (Windows UTF-16BE records preferred, Mac ASCII fallback),
+  * head's unitsPerEm, maxp's glyph count, OS/2's weight class, and the
+  * cmap coverage count (formats 4 and 12 — the BMP segment and full
+  * Unicode group forms). WOFF tables inflate individually (bounded);
+  * WOFF2 carries ONE brotli stream — decodable when the stream stays
+  * inside the [[Brotli]] subset (our fixtures; real cwebp2-era files
+  * usually reference the RFC 7932 static dictionary and flag instead),
+  * and known-table-index tags resolve for the low indices the spec
+  * fixes (cmap..CFF); exotic indices flag rather than guess. The
+  * fixture SFNT is REAL enough for `java.awt.Font.createFont` — the
+  * JDK's own font engine cross-reads family names in the spec.
+  *
+  * Per-file map work; malformed input yields None, never throws.
+  */
+object FontCodec {
+
+  final case class FontMeta(format: String, family: String,
+      subfamily: String, fullName: String, unitsPerEm: Int,
+      numGlyphs: Int, weightClass: Int, cmapCount: Int)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    if (i < 0 || i + 1 >= b.length) -1
+    else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    if (i < 0 || i + 3 >= b.length) -1L
+    else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length < 4) return ""
+    val tag = u32(b, 0)
+    if (tag == 0x00010000L || tag == 0x4f54544fL) "sfnt" // 1.0 / OTTO
+    else if (tag == 0x74746366L) "ttc" // ttcf
+    else if (tag == 0x774f4646L) "woff"
+    else if (tag == 0x774f4632L) "woff2"
+    else ""
+  }
+
+  /** Extract metadata from any supported container; None if not a font
+    * or (WOFF2) the brotli stream needs unsupported features. */
+  def parse(b: Array[Byte]): Option[FontMeta] = sniff(b) match {
+    case "sfnt" => parseSfnt(b, 0, "sfnt")
+    case "ttc" =>
+      // first font of the collection
+      val n = u32(b, 8)
+      if (n <= 0) None
+      else parseSfnt(b, u32(b, 12).toInt, "ttc")
+    case "woff" => parseWoff(b)
+    case "woff2" => parseWoff2(b)
+    case _ => None
+  }
+
+  // ------------------------------------------------------------------
+  // SFNT
+  // ------------------------------------------------------------------
+
+  private def parseSfnt(b: Array[Byte], off: Int, format: String): Option[FontMeta] = {
+    val numTables = u16(b, off + 4)
+    if (numTables <= 0 || numTables > 512) return None
+    val tables = (0 until numTables).flatMap { k =>
+      val e = off + 12 + 16 * k
+      val tag = u32(b, e)
+      val tOff = u32(b, e + 8)
+      val tLen = u32(b, e + 12)
+      if (tag < 0 || tOff < 0 || tLen < 0 || tOff + tLen > b.length) None
+      else Some(tagStr(tag) ->
+        java.util.Arrays.copyOfRange(b, tOff.toInt, (tOff + tLen).toInt))
+    }.toMap
+    fromTables(tables, format)
+  }
+
+  private def tagStr(tag: Long): String =
+    new String(Array(((tag >> 24) & 0xff).toByte, ((tag >> 16) & 0xff).toByte,
+      ((tag >> 8) & 0xff).toByte, (tag & 0xff).toByte), "US-ASCII")
+
+  private def fromTables(tables: Map[String, Array[Byte]],
+      format: String): Option[FontMeta] = {
+    if (!tables.contains("name")) return None
+    val name = tables("name")
+    def nameEntry(id: Int): String = {
+      val count = u16(name, 2)
+      val strOff = u16(name, 4)
+      if (count < 0 || strOff < 0) return ""
+      var mac = ""
+      var win = ""
+      (0 until math.min(count, 512)).foreach { k =>
+        val r = 6 + 12 * k
+        val plat = u16(name, r)
+        val nid = u16(name, r + 6)
+        if (nid == id) {
+          val len = u16(name, r + 8)
+          val o = strOff + u16(name, r + 10)
+          if (len >= 0 && o >= 0 && o + len <= name.length) {
+            if (plat == 3)
+              win = new String(name, o, len - (len % 2), "UTF-16BE")
+            else if (plat == 1 && mac.isEmpty)
+              mac = new String(name, o, len, "ISO-8859-1")
+          }
+        }
+      }
+      if (win.nonEmpty) win else mac
+    }
+    val unitsPerEm = tables.get("head").map(h => u16(h, 18)).getOrElse(-1)
+    val numGlyphs = tables.get("maxp").map(m => u16(m, 4)).getOrElse(-1)
+    val weight = tables.get("OS/2").map(o => u16(o, 4)).getOrElse(-1)
+    val cmapCount = tables.get("cmap").map(cmapCoverage).getOrElse(-1)
+    Some(FontMeta(format, nameEntry(1), nameEntry(2), nameEntry(4),
+      unitsPerEm, numGlyphs, weight, cmapCount))
+  }
+
+  /** Count mapped codepoints across format-4 and format-12 subtables
+    * (distinct subtable max — platforms usually duplicate coverage). */
+  private def cmapCoverage(c: Array[Byte]): Int = {
+    val n = u16(c, 2)
+    var best = 0
+    (0 until math.min(math.max(n, 0), 32)).foreach { k =>
+      val off = u32(c, 4 + 8 * k + 4)
+      if (off > 0 && off < c.length) {
+        val fmt = u16(c, off.toInt)
+        val cnt = fmt match {
+          case 4 =>
+            val segX2 = u16(c, off.toInt + 6)
+            var total = 0
+            (0 until segX2 / 2).foreach { s =>
+              val end = u16(c, off.toInt + 14 + 2 * s)
+              val start = u16(c, off.toInt + 16 + segX2 + 2 * s)
+              if (end >= start && end != 0xffff) total += end - start + 1
+            }
+            total
+          case 12 =>
+            val groups = u32(c, off.toInt + 12)
+            var total = 0L
+            (0L until math.min(groups, 10000L)).foreach { g =>
+              val go = off.toInt + 16 + 12 * g.toInt
+              val s = u32(c, go)
+              val e = u32(c, go + 4)
+              if (e >= s) total += e - s + 1
+            }
+            math.min(total, Int.MaxValue.toLong).toInt
+          case _ => 0
+        }
+        if (cnt > best) best = cnt
+      }
+    }
+    best
+  }
+
+  // ------------------------------------------------------------------
+  // WOFF
+  // ------------------------------------------------------------------
+
+  private def parseWoff(b: Array[Byte]): Option[FontMeta] = {
+    val numTables = u16(b, 12)
+    if (numTables <= 0 || numTables > 512) return None
+    val tables = (0 until numTables).flatMap { k =>
+      val e = 44 + 20 * k
+      val tag = u32(b, e)
+      val off = u32(b, e + 4)
+      val compLen = u32(b, e + 8)
+      val origLen = u32(b, e + 12)
+      if (off < 0 || compLen < 0 || off + compLen > b.length) None
+      else {
+        val raw = java.util.Arrays.copyOfRange(b, off.toInt, (off + compLen).toInt)
+        val plain =
+          if (compLen == origLen) Some(raw)
+          else WarcCodec.inflateBounded(raw)
+        plain.filter(_.length == origLen).map(tagStr(tag) -> _)
+      }
+    }.toMap
+    fromTables(tables, "woff")
+  }
+
+  // ------------------------------------------------------------------
+  // WOFF2
+  // ------------------------------------------------------------------
+
+  /** The spec's known-table-tag order for the indices we trust; higher
+    * indices are rarer tables and flag rather than guess. */
+  private val Woff2KnownTags = Array("cmap", "head", "hhea", "hmtx",
+    "maxp", "name", "OS/2", "post", "cvt ", "fpgm", "glyf", "loca",
+    "prep", "CFF ")
+
+  private def uintBase128(b: Array[Byte], i0: Int): Option[(Long, Int)] = {
+    var v = 0L
+    var i = i0
+    var n = 0
+    while (n < 5 && i < b.length) {
+      val x = b(i) & 0xff
+      v = (v << 7) | (x & 0x7f)
+      i += 1
+      n += 1
+      if ((x & 0x80) == 0) return Some((v, i))
+    }
+    None
+  }
+
+  private def parseWoff2(b: Array[Byte]): Option[FontMeta] = {
+    val numTables = u16(b, 12)
+    val totalCompSize = u32(b, 20)
+    if (numTables <= 0 || numTables > 512 || totalCompSize < 0) return None
+    // table directory
+    final case class Dir(tag: String, origLen: Long, transformed: Boolean)
+    val dirs = ArrayBuffer.empty[Dir]
+    var i = 48
+    var k = 0
+    while (k < numTables) {
+      val flags = if (i < b.length) b(i) & 0xff else return None
+      i += 1
+      val tagIdx = flags & 0x3f
+      val transformVersion = (flags >> 6) & 0x3
+      val tag =
+        if (tagIdx == 63) {
+          val t = tagStr(u32(b, i))
+          i += 4
+          t
+        } else if (tagIdx < Woff2KnownTags.length) Woff2KnownTags(tagIdx)
+        else return None // exotic known-index: flag, don't guess
+      val (origLen, i2) = uintBase128(b, i).getOrElse(return None)
+      i = i2
+      val transformed = tag match {
+        case "glyf" | "loca" => transformVersion != 3
+        case _ => transformVersion != 0
+      }
+      if (transformed) {
+        val (_, i3) = uintBase128(b, i).getOrElse(return None)
+        i = i3
+      }
+      dirs += Dir(tag, origLen, transformed)
+      k += 1
+    }
+    // one brotli stream holds all tables back to back
+    val comp = java.util.Arrays.copyOfRange(b, i,
+      math.min(b.length.toLong, i + totalCompSize).toInt)
+    val plain = Brotli.decode(comp).getOrElse(return None)
+    var off = 0
+    val tables = dirs.flatMap { d =>
+      if (d.transformed || off + d.origLen > plain.length) {
+        off += d.origLen.toInt
+        None // transformed glyf/loca: not needed for metadata
+      } else {
+        val t = d.tag ->
+          java.util.Arrays.copyOfRange(plain, off, off + d.origLen.toInt)
+        off += d.origLen.toInt
+        Some(t)
+      }
+    }.toMap
+    fromTables(tables, "woff2")
+  }
+
+  // ------------------------------------------------------------------
+  // fixture writer: a minimal REAL TrueType font + WOFF/WOFF2 wrappers
+  // ------------------------------------------------------------------
+
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** Build a loadable TrueType font: head/hhea/maxp/OS_2/name/cmap(4)/
+    * post/loca/glyf/hmtx with `nGlyphs` empty glyphs and `nMapped`
+    * codepoints mapped from 'A'. */
+  def encodeTtf(family: String, subfamily: String, unitsPerEm: Int = 1000,
+      nGlyphs: Int = 4, nMapped: Int = 3, weight: Int = 400): Array[Byte] = {
+    require(nGlyphs >= 2 && nMapped >= 1 && nMapped <= 26)
+    val full = s"$family $subfamily"
+
+    def nameTable: Array[Byte] = {
+      // ids: 1 family, 2 subfamily, 4 full, 6 postscript
+      val entries = Seq((1, family), (2, subfamily), (4, full),
+        (6, full.replace(" ", "-")))
+      val recs = new java.io.ByteArrayOutputStream()
+      val strings = new java.io.ByteArrayOutputStream()
+      // mac (plat 1) then windows (plat 3) per id
+      val allRecs = ArrayBuffer.empty[(Int, Int, Int, Int, Array[Byte])]
+      entries.foreach { case (id, s) =>
+        allRecs += ((1, 0, 0, id, s.getBytes("ISO-8859-1")))
+        allRecs += ((3, 1, 0x409, id, s.getBytes("UTF-16BE")))
+      }
+      allRecs.foreach { case (plat, enc, lang, id, bytes) =>
+        recs.write(be16(plat)); recs.write(be16(enc)); recs.write(be16(lang))
+        recs.write(be16(id)); recs.write(be16(bytes.length))
+        recs.write(be16(strings.size))
+        strings.write(bytes)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(be16(0)) // format
+      out.write(be16(allRecs.size))
+      out.write(be16(6 + 12 * allRecs.size)) // string offset
+      out.write(recs.toByteArray)
+      out.write(strings.toByteArray)
+      out.toByteArray
+    }
+
+    def headTable: Array[Byte] = {
+      val h = new Array[Byte](54)
+      System.arraycopy(be32(0x00010000L), 0, h, 0, 4) // version
+      System.arraycopy(be32(0x5f0f3cf5L), 0, h, 12, 4) // magic
+      System.arraycopy(be16(0x000b), 0, h, 16, 2) // flags
+      System.arraycopy(be16(unitsPerEm), 0, h, 18, 2)
+      // xMin/yMin/xMax/yMax zeros; macStyle 0; lowestRecPPEM 8
+      System.arraycopy(be16(8), 0, h, 46, 2)
+      System.arraycopy(be16(2), 0, h, 48, 2) // fontDirectionHint
+      // indexToLocFormat 0 (short), glyphDataFormat 0
+      h
+    }
+
+    def hheaTable: Array[Byte] = {
+      val h = new Array[Byte](36)
+      System.arraycopy(be32(0x00010000L), 0, h, 0, 4)
+      System.arraycopy(be16(800), 0, h, 4, 2) // ascent
+      System.arraycopy(be16(-200 & 0xffff), 0, h, 6, 2) // descent
+      System.arraycopy(be16(90), 0, h, 8, 2) // lineGap
+      System.arraycopy(be16(500), 0, h, 10, 2) // advanceWidthMax
+      System.arraycopy(be16(nGlyphs), 0, h, 34, 2) // numOfLongHorMetrics
+      h
+    }
+
+    def maxpTable: Array[Byte] = {
+      val h = new Array[Byte](32)
+      System.arraycopy(be32(0x00010000L), 0, h, 0, 4)
+      System.arraycopy(be16(nGlyphs), 0, h, 4, 2)
+      System.arraycopy(be16(2), 0, h, 6, 2) // maxPoints
+      System.arraycopy(be16(1), 0, h, 8, 2) // maxContours
+      System.arraycopy(be16(2), 0, h, 10, 2)
+      System.arraycopy(be16(1), 0, h, 12, 2)
+      System.arraycopy(be16(2), 0, h, 14, 2) // maxZones
+      h
+    }
+
+    def os2Table: Array[Byte] = {
+      val h = new Array[Byte](96)
+      System.arraycopy(be16(4), 0, h, 0, 2) // version 4
+      System.arraycopy(be16(500), 0, h, 2, 2) // xAvgCharWidth
+      System.arraycopy(be16(weight), 0, h, 4, 2)
+      System.arraycopy(be16(5), 0, h, 6, 2) // width class
+      // usFirstCharIndex/usLastCharIndex
+      System.arraycopy(be16('A'.toInt), 0, h, 64, 2)
+      System.arraycopy(be16('A'.toInt + nMapped - 1), 0, h, 66, 2)
+      System.arraycopy(be16(800), 0, h, 68, 2) // sTypoAscender
+      System.arraycopy(be16(-200 & 0xffff), 0, h, 70, 2)
+      System.arraycopy(be16(90), 0, h, 72, 2)
+      System.arraycopy(be16(800), 0, h, 74, 2) // usWinAscent
+      System.arraycopy(be16(200), 0, h, 76, 2) // usWinDescent
+      h
+    }
+
+    def cmapTable: Array[Byte] = {
+      // format 4, two segments: ['A', 'A'+nMapped-1] -> glyphs 1.., sentinel
+      val segCount = 2
+      val sub = new java.io.ByteArrayOutputStream()
+      sub.write(be16(4)) // format
+      sub.write(be16(16 + 8 * segCount)) // length
+      sub.write(be16(0)) // language
+      sub.write(be16(segCount * 2))
+      sub.write(be16(4)) // searchRange
+      sub.write(be16(1)) // entrySelector
+      sub.write(be16(0)) // rangeShift
+      sub.write(be16('A'.toInt + nMapped - 1)); sub.write(be16(0xffff)) // endCodes
+      sub.write(be16(0)) // reservedPad
+      sub.write(be16('A'.toInt)); sub.write(be16(0xffff)) // startCodes
+      sub.write(be16((1 - 'A'.toInt) & 0xffff)); sub.write(be16(1)) // idDelta
+      sub.write(be16(0)); sub.write(be16(0)) // idRangeOffset
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(be16(0)) // version
+      out.write(be16(1)) // one subtable
+      out.write(be16(3)); out.write(be16(1)) // windows unicode BMP
+      out.write(be32(12))
+      out.write(sub.toByteArray)
+      out.toByteArray
+    }
+
+    def postTable: Array[Byte] = {
+      val h = new Array[Byte](32)
+      System.arraycopy(be32(0x00030000L), 0, h, 0, 4) // format 3
+      h
+    }
+
+    // empty glyphs: loca (short format) all zeros; glyf minimal pad
+    val locaTable = new Array[Byte](2 * (nGlyphs + 1))
+    val glyfTable = new Array[Byte](4)
+    val hmtxTable = {
+      val h = new Array[Byte](4 * nGlyphs)
+      (0 until nGlyphs).foreach(g =>
+        System.arraycopy(be16(500), 0, h, 4 * g, 2))
+      h
+    }
+
+    val tables: Seq[(String, Array[Byte])] = Seq(
+      "OS/2" -> os2Table, "cmap" -> cmapTable, "glyf" -> glyfTable,
+      "head" -> headTable, "hhea" -> hheaTable, "hmtx" -> hmtxTable,
+      "loca" -> locaTable, "maxp" -> maxpTable, "name" -> nameTable,
+      "post" -> postTable)
+    buildSfnt(tables)
+  }
+
+  private def tableChecksum(t: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < t.length) {
+      var w = 0L
+      var k = 0
+      while (k < 4) {
+        w = (w << 8) | (if (i + k < t.length) t(i + k) & 0xffL else 0L)
+        k += 1
+      }
+      sum = (sum + w) & 0xffffffffL
+      i += 4
+    }
+    sum
+  }
+
+  private def buildSfnt(tables: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val n = tables.size
+    var searchRange = 1
+    var entrySelector = 0
+    while (searchRange * 2 <= n) { searchRange *= 2; entrySelector += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(be32(0x00010000L))
+    out.write(be16(n))
+    out.write(be16(searchRange * 16))
+    out.write(be16(entrySelector))
+    out.write(be16((n - searchRange) * 16))
+    var off = 12 + 16 * n
+    val placed = tables.map { case (tag, t) =>
+      val rec = (tag, t, off)
+      off += t.length + ((4 - t.length % 4) % 4)
+      rec
+    }
+    placed.foreach { case (tag, t, o) =>
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(be32(tableChecksum(t)))
+      out.write(be32(o.toLong))
+      out.write(be32(t.length.toLong))
+    }
+    placed.foreach { case (_, t, _) =>
+      out.write(t)
+      out.write(new Array[Byte]((4 - t.length % 4) % 4))
+    }
+    val bytes = out.toByteArray
+    // head.checkSumAdjustment: 0xB1B0AFBA minus the whole-file sum
+    placed.find(_._1 == "head").foreach { case (_, _, headOff) =>
+      val sum = tableChecksum(bytes)
+      val adj = (0xb1b0afbaL - sum) & 0xffffffffL
+      val a = be32(adj)
+      System.arraycopy(a, 0, bytes, headOff + 8, 4)
+    }
+    bytes
+  }
+
+  /** Wrap an SFNT as WOFF (tables individually zlib-compressed). */
+  def encodeWoff(sfnt: Array[Byte]): Array[Byte] = {
+    val numTables = u16(sfnt, 4)
+    val tables = (0 until numTables).map { k =>
+      val e = 12 + 16 * k
+      val tag = u32(sfnt, e)
+      val o = u32(sfnt, e + 8).toInt
+      val l = u32(sfnt, e + 12).toInt
+      (tag, java.util.Arrays.copyOfRange(sfnt, o, o + l))
+    }
+    def deflate(p: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(p); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(be32(0x774f4646L)) // wOFF
+    out.write(be32(0x00010000L)) // flavor
+    val body = new java.io.ByteArrayOutputStream()
+    val dirs = ArrayBuffer.empty[Array[Byte]]
+    var off = 44 + 20 * numTables
+    tables.foreach { case (tag, plain) =>
+      val comp0 = deflate(plain)
+      val comp = if (comp0.length < plain.length) comp0 else plain
+      val d = new java.io.ByteArrayOutputStream()
+      d.write(be32(tag))
+      d.write(be32(off.toLong))
+      d.write(be32(comp.length.toLong))
+      d.write(be32(plain.length.toLong))
+      d.write(be32(tableChecksum(plain)))
+      dirs += d.toByteArray
+      body.write(comp)
+      val pad = (4 - comp.length % 4) % 4
+      body.write(new Array[Byte](pad))
+      off += comp.length + pad
+    }
+    out.write(be32((44 + 20 * numTables + body.size).toLong)) // length
+    out.write(be16(numTables))
+    out.write(be16(0))
+    out.write(be32(sfnt.length.toLong)) // totalSfntSize
+    out.write(be16(1)); out.write(be16(0)) // version
+    out.write(be32(0L)); out.write(be32(0L)); out.write(be32(0L)) // meta
+    out.write(be32(0L)); out.write(be32(0L)) // priv
+    dirs.foreach(out.write)
+    out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  /** Wrap an SFNT as WOFF2 (one brotli stream, null transforms,
+    * arbitrary-tag directory entries). */
+  def encodeWoff2(sfnt: Array[Byte]): Array[Byte] = {
+    val numTables = u16(sfnt, 4)
+    val tables = (0 until numTables).map { k =>
+      val e = 12 + 16 * k
+      val tag = u32(sfnt, e)
+      val o = u32(sfnt, e + 8).toInt
+      val l = u32(sfnt, e + 12).toInt
+      (tag, java.util.Arrays.copyOfRange(sfnt, o, o + l))
+    }
+    val plain = new java.io.ByteArrayOutputStream()
+    tables.foreach { case (_, t) => plain.write(t) }
+    val comp = Brotli.encode(plain.toByteArray)
+    val dir = new java.io.ByteArrayOutputStream()
+    tables.foreach { case (tag, t) =>
+      val tagName = tagStr(tag)
+      val isGlyfLoca = tagName == "glyf" || tagName == "loca"
+      // arbitrary tag (63) + null transform (3 for glyf/loca, else 0)
+      dir.write((if (isGlyfLoca) 0xc0 else 0x00) | 0x3f)
+      dir.write(be32(tag))
+      // UIntBase128 of origLength
+      val v = t.length.toLong
+      val parts = ArrayBuffer.empty[Int]
+      var x = v
+      do { parts += (x & 0x7f).toInt; x >>= 7 } while (x > 0)
+      val arr = parts.reverse.toArray
+      (0 until arr.length - 1).foreach(j => dir.write(arr(j) | 0x80))
+      dir.write(arr.last)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(be32(0x774f4632L)) // wOF2
+    out.write(be32(0x00010000L))
+    out.write(be32((48 + dir.size + comp.length).toLong)) // total length
+    out.write(be16(numTables))
+    out.write(be16(0))
+    out.write(be32(sfnt.length.toLong))
+    out.write(be32(comp.length.toLong)) // totalCompressedSize
+    out.write(be16(1)); out.write(be16(0))
+    out.write(be32(0L)); out.write(be32(0L)); out.write(be32(0L))
+    out.write(be32(0L)); out.write(be32(0L))
+    out.write(dir.toByteArray)
+    out.write(comp)
+    out.toByteArray
+  }
+}

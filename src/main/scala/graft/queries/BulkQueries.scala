@@ -578,6 +578,34 @@ object BulkQueries extends QueryGroup {
           "sum_r", "sum_g", "sum_b")
     }),
 
+    // font-asset metadata (r10): a REAL TrueType font per doc (the JDK
+    // font engine loads the same fixture in FontCodecSpec), wrapped by
+    // id across sfnt / WOFF (zlib tables) / WOFF2 (brotli stream) —
+    // family/metrics/coverage must replay the id arithmetic through
+    // whichever container decode the id selects
+    "mm_font_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.FontCodec
+          val ttf = FontCodec.encodeTtf(s"Fam $id", s"Style ${id % 4}",
+            unitsPerEm = (1000 + (id % 5) * 256).toInt,
+            nGlyphs = (3 + id % 6).toInt,
+            nMapped = (1 + id % 9).toInt,
+            weight = (100 * (1 + id % 9)).toInt)
+          val blob = (id % 3) match {
+            case 0 => ttf
+            case 1 => FontCodec.encodeWoff(ttf)
+            case _ => FontCodec.encodeWoff2(ttf)
+          }
+          val m = FontCodec.parse(blob).get
+          (id, m.format, m.family, m.subfamily, m.unitsPerEm,
+            m.numGlyphs, m.weightClass, m.cmapCount)
+        }).toDF("doc_id", "format", "family", "subfamily", "units_per_em",
+          "num_glyphs", "weight_class", "cmap_count")
+    }),
+
     // ORC planning metadata (r10): Spark's OWN ORC writer produces the
     // file; our protobuf tail walk (PostScript → chunk-decompressed
     // Footer) must re-derive row counts, schema and integer min/max
@@ -1997,6 +2025,17 @@ object BulkQueries extends QueryGroup {
         "CAST(SUM(((i // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
         "CAST(SUM((i % 4) * 255 // 3) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, variant, w, h"),
+    "mm_font_meta" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'sfnt' WHEN 1 THEN 'woff' " +
+        "ELSE 'woff2' END AS format, " +
+        "'Fam ' || i AS family, " +
+        "'Style ' || CAST(doc_id % 4 AS VARCHAR) AS subfamily, " +
+        "CAST(1000 + (doc_id % 5) * 256 AS INT) AS units_per_em, " +
+        "CAST(3 + doc_id % 6 AS INT) AS num_glyphs, " +
+        "CAST(100 * (1 + doc_id % 9) AS INT) AS weight_class, " +
+        "CAST(1 + doc_id % 9 AS INT) AS cmap_count FROM g"),
     "pipeline_orc_meta" ->
       ("SELECT CAST(count(*) AS BIGINT) AS num_rows, 'SNAPPY' AS compression, " +
         "3 AS n_cols, 'LONG|STRING|LONG' AS kinds, " +
