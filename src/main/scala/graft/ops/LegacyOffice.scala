@@ -18,8 +18,10 @@ import scala.collection.mutable.ArrayBuffer
   * strings (both fHighByte packings, rich-text run and ExtRst tails
   * skipped per the header counts), BOUNDSHEET names matched to
   * substream BOFs in file order, LABELSST and NUMBER/RK cells. SST
-  * CONTINUE spill is out of scope (fixtures stay under one record;
-  * a spilled SST yields the strings read so far).
+  * strings spilling into CONTINUE records decode too: numeric fields
+  * cross record boundaries transparently, character data restarts each
+  * continued segment with a fresh packing flag (compressed and UTF-16
+  * chunks may alternate within one string).
   *
   * `.ppt`: the PowerPoint Document stream's record tree (recVer 0xF =
   * container), TextCharsAtom (UTF-16LE) and TextBytesAtom (cp1252)
@@ -227,12 +229,14 @@ object LegacyOffice {
     val cells = ArrayBuffer.empty[(Int, Int, Int, String)] // sheetIdx, row, col, v
     var sheetIdx = -1 // -1 = globals substream
     var p = 0
+    var pNext = -1 // set by SST when it consumes trailing CONTINUEs
     while (p + 4 <= wb.length) {
       val rt = u16(wb, p)
       val len = u16(wb, p + 2)
       if (len < 0 || p + 4 + len > wb.length) p = wb.length
       else {
         val d = p + 4
+        pNext = -1
         rt match {
           case 0x0809 => // BOF
             val dt = u16(wb, d + 2)
@@ -245,28 +249,16 @@ object LegacyOffice {
               if (high) utf16Str(wb, d + 8, cch * 2)
               else cp1252Str(wb, d + 8, cch)
             sheets += name
-          case 0x00fc => // SST
-            val cstUnique = u32(wb, d + 4)
-            var o = d + 8
-            var k = 0L
-            while (k < cstUnique && o + 3 <= d + len) {
-              val cch = u16(wb, o)
-              val gr = wb(o + 2) & 0xff
-              val high = (gr & 0x01) != 0
-              val fExt = (gr & 0x04) != 0
-              val fRich = (gr & 0x08) != 0
-              o += 3
-              var cRun = 0
-              var cbExt = 0L
-              if (fRich) { cRun = u16(wb, o); o += 2 }
-              if (fExt) { cbExt = u32(wb, o); o += 4 }
-              val s =
-                if (high) { val v = utf16Str(wb, o, cch * 2); o += cch * 2; v }
-                else { val v = cp1252Str(wb, o, cch); o += cch; v }
-              o += cRun * 4 + math.max(0L, cbExt).toInt
-              sst += s
-              k += 1
+          case 0x00fc => // SST (+ trailing CONTINUE records)
+            val segs = ArrayBuffer((d + 8, d + len))
+            var q = d + len
+            while (q + 4 <= wb.length && u16(wb, q) == 0x003c) {
+              val cl = u16(wb, q + 2)
+              if (cl < 0 || q + 4 + cl > wb.length) q = wb.length
+              else { segs += ((q + 4, q + 4 + cl)); q += 4 + cl }
             }
+            pNext = q
+            parseSst(wb, segs.toSeq, u32(wb, d + 4), sst)
           case 0x00fd => // LABELSST
             val row = u16(wb, d)
             val col = u16(wb, d + 2)
@@ -291,12 +283,116 @@ object LegacyOffice {
             cells += ((math.max(sheetIdx, 0), row, col, decodeRk(rk)))
           case _ => ()
         }
-        p = d + len
+        p = if (pNext >= 0) pNext else d + len
       }
     }
     cells.map { case (si, r, c, v) =>
       XlsCell(if (si < sheets.size) sheets(si) else s"Sheet${si + 1}", r, c, v)
     }.toSeq
+  }
+
+  /** Cursor over the SST's record segments: numeric fields cross
+    * record boundaries transparently; CHARACTER data restarts each
+    * continued segment with a fresh fHighByte flag byte ([MS-XLS]
+    * ContinueFrt semantics for XLUnicodeRichExtendedString). */
+  private final class SegCursor(b: Array[Byte], segs: Seq[(Int, Int)]) {
+    private var si = 0
+    private var pos = if (segs.nonEmpty) segs.head._1 else 0
+    private def ensure(): Unit =
+      while (si < segs.size && pos >= segs(si)._2) {
+        si += 1
+        if (si < segs.size) pos = segs(si)._1
+      }
+    def remainingTotal: Int = {
+      ensure()
+      if (si >= segs.size) return 0
+      var r = segs(si)._2 - pos
+      var k = si + 1
+      while (k < segs.size) { r += segs(k)._2 - segs(k)._1; k += 1 }
+      r
+    }
+    def u8(): Int = {
+      ensure()
+      if (si >= segs.size) return -1
+      val v = b(pos) & 0xff
+      pos += 1
+      v
+    }
+    def u16c(): Int = { val a = u8(); val c = u8(); if (a < 0 || c < 0) -1 else a | (c << 8) }
+    def u32c(): Long = {
+      val a = u16c(); val c = u16c()
+      if (a < 0 || c < 0) -1L else (a.toLong & 0xffffL) | ((c.toLong & 0xffffL) << 16)
+    }
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        ensure()
+        if (si >= segs.size) return
+        val take = math.min(left, (segs(si)._2 - pos).toLong)
+        pos += take.toInt
+        left -= take
+      }
+    }
+    /** cch characters; initial packing per `highInit`; every segment
+      * crossing DURING character data re-reads the packing flag byte
+      * (continuations may switch compressed <-> UTF-16). */
+    def chars(cch: Int, highInit: Boolean): String = {
+      val sb = new StringBuilder(cch)
+      var left = cch
+      var high = highInit
+      while (left > 0 && si < segs.size) {
+        if (pos >= segs(si)._2) { // cross into the next CONTINUE segment
+          si += 1
+          if (si >= segs.size) return sb.toString
+          pos = segs(si)._1
+          if (pos >= segs(si)._2) () // empty segment: loop crosses again
+          else {
+            val g = b(pos) & 0xff // fresh grbit for the continued chars
+            pos += 1
+            high = (g & 0x01) != 0
+          }
+        } else {
+          val width = if (high) 2 else 1
+          val avail = (segs(si)._2 - pos) / width
+          if (avail <= 0) pos = segs(si)._2 // odd tail byte: drop, cross
+          else {
+            val take = math.min(left, avail)
+            if (high) {
+              sb ++= new String(b, pos, take * 2, "UTF-16LE")
+              pos += take * 2
+            } else {
+              var k = 0
+              while (k < take) { sb += Rtf.cp1252(b(pos + k) & 0xff); k += 1 }
+              pos += take
+            }
+            left -= take
+            if (left > 0 && pos >= segs(si)._2) () // next loop crosses
+          }
+        }
+      }
+      sb.toString
+    }
+  }
+
+  private def parseSst(wb: Array[Byte], segs: Seq[(Int, Int)],
+      cstUnique: Long, sst: ArrayBuffer[String]): Unit = {
+    val cur = new SegCursor(wb, segs)
+    var k = 0L
+    while (k < cstUnique && cur.remainingTotal >= 3) {
+      val cch = cur.u16c()
+      val gr = cur.u8()
+      if (cch < 0 || gr < 0) return
+      val high = (gr & 0x01) != 0
+      val fExt = (gr & 0x04) != 0
+      val fRich = (gr & 0x08) != 0
+      var cRun = 0
+      var cbExt = 0L
+      if (fRich) cRun = cur.u16c()
+      if (fExt) cbExt = cur.u32c()
+      sst += cur.chars(cch, high)
+      cur.skip(math.max(cRun, 0).toLong * 4 + math.max(cbExt, 0L))
+      k += 1
+    }
   }
 
   private def decodeRk(rk: Long): String = {
@@ -312,7 +408,8 @@ object LegacyOffice {
   /** Fixture writer: one sheet of string + numeric cells. String cells
     * go through a real SST (compressed and UTF-16 packings chosen per
     * string content); numbers use NUMBER records. */
-  def encodeXls(sheetName: String, rows: Seq[Seq[String]]): Array[Byte] = {
+  def encodeXls(sheetName: String, rows: Seq[Seq[String]],
+      sstSplitChars: Int = 0): Array[Byte] = {
     val strings = ArrayBuffer.empty[String]
     val strIdx = new java.util.HashMap[String, Int]()
     def isNum(s: String): Boolean =
@@ -335,20 +432,33 @@ object LegacyOffice {
     }
     // globals
     record(0x0809, bof(0x0005))
-    val sstBody = new java.io.ByteArrayOutputStream()
+    // SST body; sstSplitChars > 0 splits each longer string's char
+    // data into a CONTINUE record whose first byte is a fresh grbit
+    // (the continuation may switch compressed <-> UTF-16 packing)
+    val sstParts = ArrayBuffer(new java.io.ByteArrayOutputStream())
     val cnt = new Array[Byte](8)
     putU32(cnt, 0, strings.size.toLong); putU32(cnt, 4, strings.size.toLong)
-    sstBody.write(cnt)
-    strings.foreach { s =>
-      val high = s.exists(_ >= 0x100)
-      val h = new Array[Byte](3)
-      putU16(h, 0, s.length)
-      h(2) = if (high) 1 else 0
-      sstBody.write(h)
-      sstBody.write(
-        if (high) s.getBytes("UTF-16LE") else s.map(_.toByte).toArray)
+    sstParts.last.write(cnt)
+    def writeChunk(chunk: String, withCch: Option[Int]): Unit = {
+      val high = chunk.exists(_ >= 0x100)
+      withCch.foreach { cch =>
+        val c2 = new Array[Byte](2)
+        putU16(c2, 0, cch)
+        sstParts.last.write(c2)
+      }
+      sstParts.last.write(if (high) 1 else 0) // grbit (initial or continued)
+      sstParts.last.write(
+        if (high) chunk.getBytes("UTF-16LE") else chunk.map(_.toByte).toArray)
     }
-    record(0x00fc, sstBody.toByteArray)
+    strings.foreach { str =>
+      if (sstSplitChars > 0 && str.length > sstSplitChars) {
+        writeChunk(str.substring(0, sstSplitChars), Some(str.length))
+        sstParts += new java.io.ByteArrayOutputStream() // CONTINUE boundary
+        writeChunk(str.substring(sstSplitChars), None)
+      } else writeChunk(str, Some(str.length))
+    }
+    record(0x00fc, sstParts.head.toByteArray)
+    sstParts.tail.foreach(part => record(0x003c, part.toByteArray))
     // BOUNDSHEET: lbPlyPos patched after globals EOF is known — emit with
     // placeholder 0 (readers here don't use it; ours matches by order)
     val bs = new java.io.ByteArrayOutputStream()

@@ -219,8 +219,10 @@ object OfficeQueries extends QueryGroup {
         }).toDF("doc_id", "text_out")
     }),
 
-    // LEGACY .xls (r10): BIFF8 SST shared strings (dedup'd repeats) +
-    // NUMBER cells through a real Workbook stream in a real CFB shell
+    // LEGACY .xls (r10): BIFF8 SST shared strings (dedup'd repeats,
+    // spilled into a CONTINUE record mid-character-data with an
+    // encoding switch to UTF-16) + NUMBER cells through a real
+    // Workbook stream in a real CFB shell
     "pipeline_xls_cells" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -228,8 +230,8 @@ object OfficeQueries extends QueryGroup {
         .mapPartitions(_.flatMap { id =>
           import graft.ops.LegacyOffice
           val xls = LegacyOffice.encodeXls(s"S$id", Seq(
-            Seq("item", s"w $id & co"),
-            Seq("item", s"${id * 3}")))
+            Seq("item", s"w $id Ω co"),
+            Seq("item", s"${id * 3}")), sstSplitChars = 4)
           LegacyOffice.xlsCells(xls).map(c =>
             (id, c.sheet, c.row, c.col, c.value))
         }).toDF("doc_id", "sheet", "row_idx", "col_idx", "cell_value")
@@ -266,6 +268,29 @@ object OfficeQueries extends QueryGroup {
             s"café — dash $id\tT",
             s"omega Ω $id"))
           (id, Rtf.toText(rtf).getOrElse(""))
+        }).toDF("doc_id", "text_out")
+    }),
+
+    // crawl → legacy-doc composition: WARC response carrying a .doc
+    // (brotli Content-Encoding on a third of ids — the r10 decoder in
+    // the loop), CFB routing by content stream, piece-table text out
+    "pipeline_warc_doc" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.{LegacyOffice, WarcCodec}
+          val doc = LegacyOffice.encodeDoc(Seq(s"warc doc $id", "tail"))
+          val warc = WarcCodec.encodeWarc(
+            Seq(WarcCodec.WarcEntry("response", s"http://x/$id.doc", 200,
+              "application/msword", doc,
+              if (id % 3 == 0) "br" else "identity")),
+            gzipPerRecord = id % 2 == 1)
+          WarcCodec.parseWarc(warc).collectFirst {
+            case r if r.httpEncoding.isEmpty &&
+                LegacyOffice.detect(r.body) == "doc" =>
+              (id, LegacyOffice.docText(r.body).getOrElse(""))
+          }
         }).toDF("doc_id", "text_out")
     }),
 
@@ -389,7 +414,7 @@ object OfficeQueries extends QueryGroup {
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
         "SELECT doc_id, 'S' || i AS sheet, " +
         "CAST(j // 2 AS INT) AS row_idx, CAST(j % 2 AS INT) AS col_idx, " +
-        "CASE j WHEN 0 THEN 'item' WHEN 1 THEN 'w ' || i || ' & co' " +
+        "CASE j WHEN 0 THEN 'item' WHEN 1 THEN 'w ' || i || ' Ω co' " +
         "WHEN 2 THEN 'item' ELSE CAST(doc_id * 3 AS VARCHAR) END AS cell_value " +
         "FROM g, generate_series(0, 3) AS s(j)"),
 
@@ -406,6 +431,10 @@ object OfficeQueries extends QueryGroup {
         "SELECT doc_id, 'Rich text ' || i || chr(10) || " +
         "'café — dash ' || i || chr(9) || 'T' || chr(10) || " +
         "'omega Ω ' || i AS text_out FROM g"),
+
+    "pipeline_warc_doc" ->
+      ("SELECT doc_id, 'warc doc ' || CAST(doc_id AS VARCHAR) || chr(10) || " +
+        "'tail' AS text_out FROM documents"),
 
     "mm_office_detect_legacy" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +

@@ -101,6 +101,27 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(cells.count(_.value == "other") == 1)
   }
 
+  test("xls: SST CONTINUE splits — same packing, switch to unicode, back") {
+    val rows = Seq(
+      Seq("plain ascii body cell", "short"),
+      Seq("ascii start then Ωmega Δelta", "x"),
+      Seq("Ωstart unicode then plain ascii tail", "y"))
+    for (split <- Seq(4, 7, 12)) {
+      val blob = LegacyOffice.encodeXls("S", rows, sstSplitChars = split)
+      val cells = LegacyOffice.xlsCells(blob)
+      val vals = cells.map(_.value).toSet
+      rows.flatten.foreach(v => assert(vals.contains(v), s"split=$split '$v'"))
+    }
+  }
+
+  test("xls: every string split (multiple CONTINUE records)") {
+    val rows = Seq(Seq("first long string value", "second long string value",
+      "third Ω unicode string value"))
+    val blob = LegacyOffice.encodeXls("S", rows, sstSplitChars = 5)
+    val cells = LegacyOffice.xlsCells(blob)
+    assert(cells.map(_.value) == rows.head)
+  }
+
   test("xls totality") {
     val blob = LegacyOffice.encodeXls("S", Seq(Seq("a", "1")))
     (0 until blob.length by 113).foreach { n =>
