@@ -1,0 +1,158 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.ops.MediaCodec.Raster
+
+/** ICO/CUR favicon container — the most-fetched asset family on the
+  * web after HTML itself. Entries carry either an embedded PNG (the
+  * modern form — decoded via the in-repo [[MediaCodec.decodePng]]) or
+  * a headerless BMP DIB (BITMAPINFOHEADER with DOUBLED height for the
+  * AND mask; 32-bit BGRA and 24-bit BGR rows decoded bottom-up, the
+  * mask skipped). Format is public (Windows ICO, documented since
+  * Win3.x; PNG entries per the Vista extension).
+  *
+  * Bounds-checked, total on junk; entry rasters surface through the
+  * shared Raster type so phash/near-dup/stats compose. Map-side work.
+  */
+object IcoCodec {
+
+  final case class IcoEntry(width: Int, height: Int, kind: String,
+      bits: Int, raster: Option[Raster])
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    if (i < 0 || i + 1 >= b.length) -1
+    else (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    if (i < 0 || i + 3 >= b.length) -1L
+    else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 6 && u16(b, 0) == 0 &&
+      (u16(b, 2) == 1 || u16(b, 2) == 2) && u16(b, 4) > 0 && u16(b, 4) <= 64
+
+  def parse(b: Array[Byte]): Seq[IcoEntry] = {
+    if (!sniff(b)) return Nil
+    val count = u16(b, 4)
+    (0 until count).flatMap { k =>
+      val e = 6 + 16 * k
+      if (e + 16 > b.length) None
+      else {
+        val w0 = b(e) & 0xff
+        val h0 = b(e + 1) & 0xff
+        val size = u32(b, e + 8)
+        val off = u32(b, e + 12)
+        if (off < 0 || size <= 0 || off + size > b.length) None
+        else {
+          val img = java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
+          if (img.length >= 8 && (img(0) & 0xff) == 0x89 && img(1) == 'P') {
+            val r = MediaCodec.decodePng(img)
+            Some(IcoEntry(
+              r.map(_.width).getOrElse(if (w0 == 0) 256 else w0),
+              r.map(_.height).getOrElse(if (h0 == 0) 256 else h0),
+              "png", 32, r))
+          } else decodeDib(img).map { case (r, bits) =>
+            IcoEntry(r.width, r.height, "dib", bits, Some(r))
+          }.orElse(Some(IcoEntry(if (w0 == 0) 256 else w0,
+            if (h0 == 0) 256 else h0, "?", -1, None)))
+        }
+      }
+    }
+  }
+
+  /** Headerless DIB: BITMAPINFOHEADER + bottom-up pixel rows + AND
+    * mask; 32-bit BGRA and 24-bit BGR supported (palette depths are a
+    * legacy tail — flagged as "?" upstream). */
+  private def decodeDib(d: Array[Byte]): Option[(Raster, Int)] = {
+    if (u32(d, 0) != 40L) return None
+    val w = u32(d, 4).toInt
+    val h2 = u32(d, 8).toInt
+    val bits = u16(d, 14)
+    val compression = u32(d, 16)
+    if (w <= 0 || w > 1024 || h2 <= 0 || h2 % 2 != 0 || compression != 0L)
+      return None
+    val h = h2 / 2
+    if (bits != 32 && bits != 24) return None
+    val rowBytes = ((w * bits / 8) + 3) & ~3
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = 40 + (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * bits / 8
+        if (s + 2 < d.length) {
+          px((y * w + x) * 3) = d(s + 2) // R (stored BGR[A])
+          px((y * w + x) * 3 + 1) = d(s + 1)
+          px((y * w + x) * 3 + 2) = d(s)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((Raster(w, h, 3, px), bits))
+  }
+
+  /** Fixture writer: one container with PNG and/or 32-bit DIB entries. */
+  def encode(entries: Seq[(Raster, String)]): Array[Byte] = {
+    require(entries.nonEmpty && entries.size <= 16)
+    val images = entries.map { case (r, kind) =>
+      kind match {
+        case "png" => MediaCodec.encodePngRaster(
+          if (r.channels == 3) r else Raster(r.width, r.height, 3,
+            Array.tabulate(r.width * r.height * 3)(i => r.pixels(i / 3))))
+        case "dib" =>
+          require(r.channels == 3)
+          val rowBytes = (r.width * 4 + 3) & ~3
+          val maskRow = ((r.width + 31) / 32) * 4
+          val out = new Array[Byte](40 + rowBytes * r.height + maskRow * r.height)
+          def pU32(i: Int, v: Long): Unit = {
+            out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+            out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+          }
+          pU32(0, 40L)
+          pU32(4, r.width.toLong)
+          pU32(8, (r.height * 2).toLong)
+          out(12) = 1 // planes
+          out(14) = 32 // bitcount
+          var y = 0
+          while (y < r.height) {
+            val dst = 40 + (r.height - 1 - y) * rowBytes
+            var x = 0
+            while (x < r.width) {
+              val p = (y * r.width + x) * 3
+              out(dst + x * 4) = r.pixels(p + 2) // B
+              out(dst + x * 4 + 1) = r.pixels(p + 1)
+              out(dst + x * 4 + 2) = r.pixels(p)
+              out(dst + x * 4 + 3) = 0xff.toByte // alpha
+              x += 1
+            }
+            y += 1
+          }
+          out
+        case other => throw new IllegalArgumentException(other)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    w16(0); w16(1); w16(entries.size)
+    var off = 6 + 16 * entries.size
+    entries.zip(images).foreach { case ((r, _), img) =>
+      out.write(if (r.width >= 256) 0 else r.width)
+      out.write(if (r.height >= 256) 0 else r.height)
+      out.write(0); out.write(0)
+      w16(1); w16(32)
+      w32(img.length.toLong)
+      w32(off.toLong)
+      off += img.length
+    }
+    images.foreach(out.write)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+/** SVG asset profiling — dimensions (attribute or viewBox, unit
+  * suffixes stripped), element census (paths/shapes/texts/uses/images),
+  * the title, and the visible text content (script/style/defs/metadata
+  * subtrees excluded, same tolerant-scan stance as the HTML walkers).
+  * SVG is the one image format that is TEXT, so a crawl's image tier
+  * needs an XML-shaped screen for it — size caps and element counts
+  * are the first-pass quality/complexity signals.
+  */
+object Svg {
+
+  final case class SvgMeta(width: Double, height: Double,
+      viewBox: Option[(Double, Double, Double, Double)],
+      nPaths: Int, nShapes: Int, nTexts: Int, title: String, text: String)
+
+  def sniff(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4) return false
+    val head = new String(b, 0, math.min(b.length, 512), "UTF-8")
+    val t = head.dropWhile(_.isWhitespace)
+    t.startsWith("<svg") || ((t.startsWith("<?xml") || t.startsWith("<!--")) &&
+      head.contains("<svg"))
+  }
+
+  private val SkipSubtrees = Set("script", "style", "defs", "metadata", "desc")
+
+  def parse(b: Array[Byte]): Option[SvgMeta] = {
+    if (!sniff(b)) return None
+    val s = Charsets.decodeText(b)
+    val svgOpen = s.indexOf("<svg")
+    if (svgOpen < 0) return None
+    val tagEnd = s.indexOf('>', svgOpen)
+    if (tagEnd < 0) return None
+    val svgTag = s.substring(svgOpen, tagEnd)
+
+    def attr(name: String): Option[String] = {
+      val re = (name + "\\s*=\\s*[\"']([^\"']*)[\"']").r
+      re.findFirstMatchIn(svgTag).map(_.group(1))
+    }
+    def num(v: String): Double =
+      "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+        .findFirstIn(v.trim).flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val viewBox = attr("viewBox").flatMap { v =>
+      val parts = v.trim.split("[\\s,]+").flatMap(_.toDoubleOption)
+      if (parts.length == 4) Some((parts(0), parts(1), parts(2), parts(3)))
+      else None
+    }
+    val width = attr("width").map(num)
+      .orElse(viewBox.map(_._3)).getOrElse(-1.0)
+    val height = attr("height").map(num)
+      .orElse(viewBox.map(_._4)).getOrElse(-1.0)
+
+    // single pass: element census + text outside skipped subtrees
+    var nPaths = 0
+    var nShapes = 0
+    var nTexts = 0
+    var title = ""
+    val text = new StringBuilder
+    var i = tagEnd + 1
+    var skipUntil: String = null
+    while (i < s.length) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) {
+        if (skipUntil == null) text ++= s.substring(i)
+        i = s.length
+      } else {
+        if (skipUntil == null && lt > i) text ++= s.substring(i, lt)
+        val gt = s.indexOf('>', lt)
+        if (gt < 0) i = s.length
+        else {
+          val inner = s.substring(lt + 1, gt)
+          val closing = inner.startsWith("/")
+          val name = inner.dropWhile(_ == '/')
+            .takeWhile(c => c.isLetterOrDigit || c == ':').toLowerCase
+          if (skipUntil != null) {
+            if (closing && name == skipUntil) skipUntil = null
+          } else if (!closing) {
+            name match {
+              case "path" => nPaths += 1
+              case "rect" | "circle" | "ellipse" | "line" | "polyline" |
+                  "polygon" => nShapes += 1
+              case "text" | "tspan" => if (name == "text") nTexts += 1
+              case "title" =>
+                if (title.isEmpty) {
+                  val close = s.indexOf("</title>", gt)
+                  if (close > gt)
+                    title = Boilerplate.decodeEntities(
+                      s.substring(gt + 1, close).trim)
+                }
+                if (!inner.endsWith("/")) skipUntil = "title" // not body text
+              case n if SkipSubtrees(n) && !inner.endsWith("/") =>
+                skipUntil = n
+              case _ => ()
+            }
+          }
+          i = gt + 1
+        }
+      }
+    }
+    val plain = Boilerplate.decodeEntities(text.toString)
+      .split("\\s+").filter(_.nonEmpty).mkString(" ")
+    Some(SvgMeta(width, height, viewBox, nPaths, nShapes, nTexts, title, plain))
+  }
+}

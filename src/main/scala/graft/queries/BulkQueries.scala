@@ -578,6 +578,58 @@ object BulkQueries extends QueryGroup {
           "sum_r", "sum_g", "sum_b")
     }),
 
+    // favicon containers (r10): a two-entry .ico per doc — one 32-bit
+    // DIB (bottom-up BGRA + AND mask), one embedded PNG — both decode
+    // through the shared Raster path; per-entry pixel sums replay the
+    // oracle's formula, so a wrong row order / channel swap hash-fails
+    "mm_ico_entries" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.IcoCodec
+          import graft.ops.MediaCodec.Raster
+          val w = (8 + id % 9).toInt
+          val n = w * w
+          val px = new Array[Byte](n * 3)
+          var p = 0
+          while (p < n * 3) { px(p) = ((p * 7 + id) % 256).toByte; p += 1 }
+          val r = Raster(w, w, 3, px)
+          val ico = IcoCodec.encode(Seq(r -> "dib", r -> "png"))
+          IcoCodec.parse(ico).zipWithIndex.map { case (e, ix) =>
+            var sum = 0L
+            e.raster.foreach(_.pixels.foreach(b => sum += (b & 0xff)))
+            (id, ix, e.kind, e.width, e.height, sum)
+          }
+        }).toDF("doc_id", "entry_idx", "kind", "width", "height", "pix_sum")
+    }),
+
+    // SVG profiling (r10): dims/viewBox fallback, element census and
+    // text with defs/style/script subtrees excluded — the XML-shaped
+    // image screen next to the binary raster decoders
+    "mm_svg_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.Svg
+          val nPaths = (1 + id % 4).toInt
+          val svg = (s"""<svg xmlns="http://www.w3.org/2000/svg" """ +
+            (if (id % 2 == 0) s"""width="${16 + id % 10}" height="${8 + id % 6}" """
+            else "") +
+            s"""viewBox="0 0 ${32 + id % 20} ${24 + id % 12}">""" +
+            s"<title>Icon &amp; $id</title>" +
+            "<style>.x{fill:red}</style>" +
+            ("""<path d="M0 0"/>""" * nPaths) +
+            s"""<rect width="2" height="2"/><text x="0" y="9">label $id</text>""" +
+            "</svg>").getBytes("UTF-8")
+          val m = Svg.parse(svg).get
+          (id, m.width, m.height, m.nPaths, m.nShapes, m.nTexts,
+            m.title, m.text)
+        }).toDF("doc_id", "width", "height", "n_paths", "n_shapes",
+          "n_texts", "title", "text_out")
+    }),
+
     // font-asset metadata (r10): a REAL TrueType font per doc (the JDK
     // font engine loads the same fixture in FontCodecSpec), wrapped by
     // id across sfnt / WOFF (zlib tables) / WOFF2 (brotli stream) —
@@ -2025,6 +2077,26 @@ object BulkQueries extends QueryGroup {
         "CAST(SUM(((i // 4) % 8) * 255 // 7) AS BIGINT) AS sum_g, " +
         "CAST(SUM((i % 4) * 255 // 3) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, variant, w, h"),
+    "mm_ico_entries" ->
+      ("WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w FROM documents), " +
+        "px AS (SELECT doc_id, w, SUM((p * 7 + doc_id) % 256) AS s " +
+        "FROM g, generate_series(0, 866) AS gp(p) WHERE p < w * w * 3 " +
+        "GROUP BY doc_id, w) " +
+        "SELECT doc_id, CAST(j AS INT) AS entry_idx, " +
+        "CASE j WHEN 0 THEN 'dib' ELSE 'png' END AS kind, " +
+        "CAST(w AS INT) AS width, CAST(w AS INT) AS height, " +
+        "CAST(s AS BIGINT) AS pix_sum " +
+        "FROM px, generate_series(0, 1) AS gj(j)"),
+    "mm_svg_meta" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 10 AS DOUBLE) " +
+        "ELSE CAST(32 + doc_id % 20 AS DOUBLE) END AS width, " +
+        "CASE WHEN doc_id % 2 = 0 THEN CAST(8 + doc_id % 6 AS DOUBLE) " +
+        "ELSE CAST(24 + doc_id % 12 AS DOUBLE) END AS height, " +
+        "CAST(1 + doc_id % 4 AS INT) AS n_paths, CAST(1 AS INT) AS n_shapes, " +
+        "CAST(1 AS INT) AS n_texts, 'Icon & ' || i AS title, " +
+        "'label ' || i AS text_out FROM g"),
     "mm_font_meta" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +
         "SELECT doc_id, " +

