@@ -62,7 +62,18 @@ object Cfb {
     * bytes empty). Nil when not CFB or the header is unusable. */
   def parse(b: Array[Byte]): Seq[CfbEntry] = {
     if (!sniff(b) || b.length < 512) return Nil
-    try walk(b)
+    try walk(b, withBytes = true)
+    catch { case _: RuntimeException => Nil }
+  }
+
+  /** Directory names only — the ROUTING read: walks the FAT just far
+    * enough for the directory chain and never inflates stream bytes
+    * (content routing over millions of blobs must not pay extraction). */
+  def streamNames(b: Array[Byte]): Seq[String] = {
+    if (!sniff(b) || b.length < 512) return Nil
+    try walk(b, withBytes = false).collect {
+      case e if e.objType == 2 => e.name
+    }
     catch { case _: RuntimeException => Nil }
   }
 
@@ -70,7 +81,7 @@ object Cfb {
   def stream(b: Array[Byte], name: String): Option[Array[Byte]] =
     parse(b).find(e => e.objType == 2 && e.name == name).map(_.bytes)
 
-  private def walk(b: Array[Byte]): Seq[CfbEntry] = {
+  private def walk(b: Array[Byte], withBytes: Boolean): Seq[CfbEntry] = {
     val sectorShift = u16(b, 30)
     if (sectorShift != 9 && sectorShift != 12) return Nil
     val ss = 1 << sectorShift
@@ -183,7 +194,7 @@ object Cfb {
     var total = 0L
     entries.map { case (name, objType, start, size) =>
       val bytes =
-        if (objType != 2 || size <= 0) Array.emptyByteArray
+        if (!withBytes || objType != 2 || size <= 0) Array.emptyByteArray
         else if (size < miniCutoff) miniChainBytes(start, size)
         else chainBytes(start, size)
       total += bytes.length

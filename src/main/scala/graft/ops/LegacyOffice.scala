@@ -63,10 +63,12 @@ object LegacyOffice {
     new String(b, off, n - (n % 2), "UTF-16LE")
   }
 
-  /** Route a CFB blob by its content streams. */
+  /** Route a CFB blob by its content streams — a NAMES-ONLY directory
+    * walk (no stream-byte extraction; routing millions of blobs must
+    * not pay inflation). */
   def detect(b: Array[Byte]): String = {
     if (!Cfb.sniff(b)) return ""
-    val names = Cfb.parse(b).map(_.name).toSet
+    val names = Cfb.streamNames(b).toSet
     if (names.contains("WordDocument")) "doc"
     else if (names.contains("Workbook") || names.contains("Book")) "xls"
     else if (names.contains("PowerPoint Document")) "ppt"
