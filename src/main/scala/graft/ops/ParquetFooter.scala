@@ -25,7 +25,9 @@ object ParquetFooter {
 
   final case class ChunkMeta(rowGroup: Int, column: Int, path: String,
       typ: String, codec: String, numValues: Long,
-      compressedSize: Long, uncompressedSize: Long)
+      compressedSize: Long, uncompressedSize: Long,
+      nullCount: Long = -1L, statsMin: String = "", statsMax: String = "",
+      plainLogical: Boolean = true)
   final case class FooterMeta(numRows: Long, numRowGroups: Int,
       createdBy: String, footerBytes: Long, chunks: Seq[ChunkMeta])
 
@@ -75,6 +77,18 @@ object ParquetFooter {
         case Some(v: Vector[_]) => v
         case _ => Vector.empty
       }
+      // leaf schema elements in document order = column order; a leaf
+      // is "plain" when it carries neither convertedType (field 6) nor
+      // logicalType (field 10) — groups (num_children > 0) are skipped
+      val plainLeaves: Vector[Boolean] = (root.get(2) match {
+        case Some(v: Vector[_]) => v
+        case _ => Vector.empty
+      }).collect {
+        case se: Struct if !se.get(5).exists {
+          case n: Long => n > 0
+          case _ => false
+        } => se.get(6).isEmpty && se.get(10).isEmpty
+      }.toVector
       val chunks = ArrayBuffer.empty[ChunkMeta]
       rowGroups.zipWithIndex.foreach {
         case (rg: Struct, rgIx) =>
@@ -107,8 +121,33 @@ object ParquetFooter {
                     case Some(l: Long) => l
                     case _ => -1L
                   }
+                  // Statistics (field 12): min_value/max_value (6/5,
+                  // PLAIN-encoded) with the deprecated min/max (2/1)
+                  // fallback; typed render for plain int32/int64 only
+                  val stats = md.get(12) match {
+                    case Some(st: Struct) => Some(st)
+                    case _ => None
+                  }
+                  def leVal(v: Option[Any]): String = v match {
+                    case Some(bts: Array[Byte])
+                        if typ == "INT32" || typ == "INT64" =>
+                      var acc = 0L
+                      var k = bts.length - 1
+                      while (k >= 0) { acc = (acc << 8) | (bts(k) & 0xffL); k -= 1 }
+                      val bits = 8 * bts.length
+                      if (bits > 0 && bits < 64)
+                        acc = (acc << (64 - bits)) >> (64 - bits)
+                      acc.toString
+                    case _ => ""
+                  }
+                  val mn = stats.map(st =>
+                    leVal(st.get(6).orElse(st.get(2)))).getOrElse("")
+                  val mx = stats.map(st =>
+                    leVal(st.get(5).orElse(st.get(1)))).getOrElse("")
+                  val nulls = stats.map(st => longAt(st, 3)).getOrElse(-1L)
                   chunks += ChunkMeta(rgIx, colIx, path, typ, codec,
-                    longAt(md, 5), longAt(md, 7), longAt(md, 6))
+                    longAt(md, 5), longAt(md, 7), longAt(md, 6),
+                    nulls, mn, mx, plainLeaves.lift(colIx).getOrElse(true))
                 case _ => ()
               }
             case _ => ()

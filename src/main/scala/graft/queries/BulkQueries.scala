@@ -772,6 +772,28 @@ object BulkQueries extends QueryGroup {
           "path_in_schema", "col_type", "num_values", "compression")
     }),
 
+    // parquet column STATISTICS (r10): min/max/null-count decoded from
+    // the footer's Statistics structs for plain integer columns (the
+    // zone-map pruning inputs at 100 TB) — vs DuckDB's parquet_metadata
+    // stats over the same files, per row group
+    "pipeline_parquet_stats" -> ((s, dir) => {
+      import s.implicits._
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      s.createDataset(tables).repartition(tables.size)
+        .mapPartitions(_.flatMap { t =>
+          graft.ops.ParquetFooter.readFile(s"$dir/$t.parquet").toSeq
+            .flatMap { case (m, _) =>
+              m.chunks.filter(c => c.plainLogical && c.statsMin.nonEmpty &&
+                (c.typ == "INT32" || c.typ == "INT64")).map { c =>
+                (t, c.rowGroup.toLong, c.path, c.typ, c.nullCount,
+                  c.statsMin.toLong, c.statsMax.toLong)
+              }
+            }
+        }).toDF("table_name", "row_group_id", "path_in_schema", "col_type",
+          "null_count", "min_v", "max_v")
+    }),
+
     // baseline TIFF decode (r10): five variants — gray uncompressed,
     // gray WhiteIsZero (inverted storage), RGB PackBits, RGB LZW with
     // horizontal-differencing predictor, and ColorMap palette — all
@@ -2148,6 +2170,22 @@ object BulkQueries extends QueryGroup {
           "type AS col_type, CAST(num_values AS BIGINT) AS num_values, " +
           "compression " +
           s"FROM parquet_metadata('__SF_DIR__/$t.parquet')"
+      }.mkString(" UNION ALL ")
+    },
+    "pipeline_parquet_stats" -> {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.map { t =>
+        s"SELECT '$t' AS table_name, CAST(m.row_group_id AS BIGINT) AS row_group_id, " +
+          "m.path_in_schema, m.type AS col_type, " +
+          "CAST(m.stats_null_count AS BIGINT) AS null_count, " +
+          "CAST(m.stats_min_value AS BIGINT) AS min_v, " +
+          "CAST(m.stats_max_value AS BIGINT) AS max_v " +
+          s"FROM parquet_metadata('__SF_DIR__/$t.parquet') m " +
+          s"JOIN parquet_schema('__SF_DIR__/$t.parquet') s " +
+          "ON s.name = m.path_in_schema " +
+          "WHERE m.type IN ('INT32', 'INT64') " +
+          "AND s.converted_type IS NULL AND s.logical_type IS NULL"
       }.mkString(" UNION ALL ")
     },
     "mm_tiff_decode" ->
