@@ -14,10 +14,11 @@ import graft.ops.MediaCodec.Raster
   * StripByteCounts), Compression 1 (none), 32773 (PackBits) and 5
   * (TIFF LZW — MSB-first codes, 9→12-bit widths with the TIFF
   * early-change rule, Clear/EOI), Predictor 2 (horizontal
-  * differencing), PhotometricInterpretation 0/1 (grayscale, WhiteIsZero
-  * inverted), 2 (RGB) and 3 (ColorMap palette → RGB), 8-bit samples,
-  * chunky planar config. Tiled TIFFs, 16-bit samples and JPEG-in-TIFF
-  * are disclosed out of scope (None). Bounds-checked, total on junk,
+  * differencing, per BYTE at 8 bits and per 16-bit SAMPLE at 16),
+  * PhotometricInterpretation 0/1 (grayscale, WhiteIsZero inverted),
+  * 2 (RGB) and 3 (ColorMap palette → RGB), 8-bit samples via [[decode]]
+  * and 16-bit gray/RGB via [[decode16]] (both byte orders). Tiled
+  * TIFFs and JPEG-in-TIFF are disclosed out of scope (None). Bounds-checked, total on junk,
   * decoded size capped by the shared 2^28 bound.
   *
   * The decoder returns the repo's [[MediaCodec.Raster]], so the whole
@@ -35,6 +36,23 @@ object TiffCodec {
   def decode(b: Array[Byte]): Option[Raster] = {
     if (!sniff(b)) return None
     try decodeTiff(b)
+    catch {
+      case _: RuntimeException => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** 16-bit-per-sample raster (gray or RGB): unsigned samples in file
+    * byte order, predictor applied per 16-bit sample value. */
+  final case class Raster16(width: Int, height: Int, channels: Int,
+      samples: Array[Int])
+
+  /** Decode a 16-bit TIFF; None when not 16-bit (use [[decode]]) or
+    * otherwise out of scope. */
+  def decode16(b: Array[Byte]): Option[Raster16] = {
+    if (!sniff(b)) return None
+    try decodeTiff16(b)
     catch {
       case _: RuntimeException => None
       case _: ArrayIndexOutOfBoundsException => None
@@ -205,6 +223,205 @@ object TiffCodec {
         Some(Raster(width, height, 3, rgb))
       case _ => None
     }
+  }
+
+  private def decodeTiff16(b: Array[Byte]): Option[Raster16] = {
+    val le = b(0) == 'I'
+    def u16(i: Int): Int =
+      if (i < 0 || i + 1 >= b.length) -1
+      else if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 3 >= b.length) -1L
+      else if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd >= b.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || n > 512) return None
+    var width = -1
+    var height = -1
+    var bits = -1
+    var compression = 1
+    var photometric = 1
+    var spp = 1
+    var rowsPerStrip = Int.MaxValue
+    var predictor = 1
+    val stripOffsets = ArrayBuffer.empty[Long]
+    val stripCounts = ArrayBuffer.empty[Long]
+    def vals(off: Int, typ: Int, count: Long): Seq[Long] = {
+      val size = typ match {
+        case 1 | 2 => 1
+        case 3 => 2
+        case 4 => 4
+        case _ => return Nil
+      }
+      val base = if (size * count <= 4) off + 8 else u32(off + 8).toInt
+      (0L until math.min(count, 1 << 20)).map { k =>
+        val p = base + (size * k).toInt
+        size match {
+          case 1 => if (p < b.length) b(p) & 0xffL else -1L
+          case 2 => u16(p).toLong
+          case _ => u32(p)
+        }
+      }
+    }
+    var e = 0
+    while (e < n) {
+      val off = ifd.toInt + 2 + 12 * e
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      val count = u32(off + 4)
+      def first: Long = vals(off, typ, count).headOption.getOrElse(-1L)
+      tag match {
+        case 256 => width = first.toInt
+        case 257 => height = first.toInt
+        case 258 =>
+          val vs = vals(off, typ, count)
+          if (vs.nonEmpty) bits = vs.head.toInt
+          if (vs.exists(_ != vs.head)) return None
+        case 259 => compression = first.toInt
+        case 262 => photometric = first.toInt
+        case 273 => stripOffsets ++= vals(off, typ, count)
+        case 277 => spp = first.toInt
+        case 278 => rowsPerStrip = first.toInt
+        case 279 => stripCounts ++= vals(off, typ, count)
+        case 284 => if (first != 1L) return None
+        case 317 => predictor = first.toInt
+        case _ => ()
+      }
+      e += 1
+    }
+    if (bits != 16) return None // this is the 16-bit path
+    if (width <= 0 || height <= 0 || (photometric != 1 && photometric != 2))
+      return None
+    if (photometric == 2 && spp < 3) return None
+    if (width.toLong * height * spp * 2 > MaxOut) return None
+    if (stripOffsets.isEmpty || stripOffsets.size != stripCounts.size) return None
+    val rowBytes = width * spp * 2
+    val raw = new Array[Byte](rowBytes * height)
+    var row = 0
+    var si = 0
+    while (si < stripOffsets.size && row < height) {
+      val so = stripOffsets(si)
+      val sc = stripCounts(si)
+      if (so < 0 || sc < 0 || so + sc > b.length) return None
+      val chunk = java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
+      val stripRows = math.min(rowsPerStrip.toLong, (height - row).toLong).toInt
+      val want = rowBytes * stripRows
+      val data = compression match {
+        case 1 => chunk
+        case 32773 => unpackBits(chunk, want)
+        case 5 => lzwDecode(chunk, want)
+        case _ => return None
+      }
+      if (data == null || data.length < want) return None
+      System.arraycopy(data, 0, raw, row * rowBytes, want)
+      row += stripRows
+      si += 1
+    }
+    if (row < height) return None
+    val samples = new Array[Int](width * height * spp)
+    var k = 0
+    while (k < samples.length) {
+      val p = 2 * k
+      samples(k) =
+        if (le) (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8)
+        else ((raw(p) & 0xff) << 8) | (raw(p + 1) & 0xff)
+      k += 1
+    }
+    if (predictor == 2 && compression == 5) {
+      var r = 0
+      val rowSamples = width * spp
+      while (r < height) {
+        val base = r * rowSamples
+        var i = spp
+        while (i < rowSamples) {
+          samples(base + i) = (samples(base + i) + samples(base + i - spp)) & 0xffff
+          i += 1
+        }
+        r += 1
+      }
+    }
+    val ch = if (photometric == 2) math.min(spp, 3) else 1
+    if (ch == spp) Some(Raster16(width, height, ch, samples))
+    else { // drop alpha
+      val out = new Array[Int](width * height * ch)
+      var p = 0
+      while (p < width * height) {
+        var c = 0
+        while (c < ch) { out(p * ch + c) = samples(p * spp + c); c += 1 }
+        p += 1
+      }
+      Some(Raster16(width, height, ch, out))
+    }
+  }
+
+  /** Serialize a 16-bit raster as little-endian TIFF (gray or RGB). */
+  def encode16(r: Raster16, compression: Int = 1, rowsPerStrip: Int = 8,
+      predictor: Int = 1): Array[Byte] = {
+    require(r.channels == 1 || r.channels == 3)
+    require(predictor == 1 || compression == 5)
+    val spp = r.channels
+    val rowSamples = r.width * spp
+    // sample -> LE bytes with optional per-sample differencing
+    val strips = ArrayBuffer.empty[Array[Byte]]
+    var row = 0
+    while (row < r.height) {
+      val rows = math.min(rowsPerStrip, r.height - row)
+      val raw = new Array[Byte](rows * rowSamples * 2)
+      var rr = 0
+      while (rr < rows) {
+        var i = rowSamples - 1
+        while (i >= 0) {
+          val cur = r.samples((row + rr) * rowSamples + i)
+          val v =
+            if (predictor == 2 && i >= spp)
+              (cur - r.samples((row + rr) * rowSamples + i - spp)) & 0xffff
+            else cur
+          raw((rr * rowSamples + i) * 2) = (v & 0xff).toByte
+          raw((rr * rowSamples + i) * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i -= 1
+        }
+        rr += 1
+      }
+      strips += (compression match {
+        case 1 => raw
+        case 32773 => packBits(raw)
+        case 5 => lzwEncode(raw)
+        case other => throw new IllegalArgumentException(s"compression $other")
+      })
+      row += rows
+    }
+    buildTiff(r.width, r.height, spp, 16,
+      if (spp == 3) 2 else 1, compression, rowsPerStrip, predictor, strips.toSeq)
+  }
+
+  /** Shared little-endian TIFF assembly for the fixture encoders. */
+  private def buildTiff(width: Int, height: Int, spp: Int, bits: Int,
+      photometric: Int, compression: Int, rowsPerStrip: Int, predictor: Int,
+      strips: Seq[Array[Byte]]): Array[Byte] = {
+    val entries = ArrayBuffer.empty[(Int, Int, Long, Either[Long, Array[Byte]])]
+    def shortE(tag: Int, v: Int): Unit = entries += ((tag, 3, 1L, Left(v.toLong)))
+    shortE(256, width)
+    shortE(257, height)
+    if (spp == 1) shortE(258, bits)
+    else {
+      val a = new Array[Byte](6)
+      a(0) = bits.toByte; a(2) = bits.toByte; a(4) = bits.toByte
+      entries += ((258, 3, 3L, Right(a)))
+    }
+    shortE(259, compression)
+    shortE(262, photometric)
+    shortE(277, spp)
+    shortE(278, rowsPerStrip)
+    if (predictor == 2) shortE(317, 2)
+    val nStrips = strips.size
+    entries += ((273, 4, nStrips.toLong, Right(new Array[Byte](4 * nStrips))))
+    entries += ((279, 4, nStrips.toLong, Right(new Array[Byte](4 * nStrips))))
+    assembleTiff(entries, strips)
   }
 
   /** PackBits (Apple RLE): n in 0..127 = literal n+1; n in -127..-1 =
@@ -449,6 +666,15 @@ object TiffCodec {
     entries += ((273, 4, nStrips.toLong, Right(new Array[Byte](4 * nStrips))))
     entries += ((279, 4, nStrips.toLong, Right(new Array[Byte](4 * nStrips))))
     if (paletted) entries += ((320, 3, (3 * 256).toLong, Right(colorMap)))
+    assembleTiff(entries, strips.toSeq)
+  }
+
+  /** Layout + serialization shared by the 8- and 16-bit encoders:
+    * header, IFD (sorted tags), out-of-line values, strips; the
+    * 273/279 arrays are patched with final offsets. */
+  private def assembleTiff(
+      entries: ArrayBuffer[(Int, Int, Long, Either[Long, Array[Byte]])],
+      strips: Seq[Array[Byte]]): Array[Byte] = {
 
     val sorted = entries.sortBy(_._1)
     val nE = sorted.size

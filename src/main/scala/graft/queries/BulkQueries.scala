@@ -772,6 +772,37 @@ object BulkQueries extends QueryGroup {
           "path_in_schema", "col_type", "num_values", "compression")
     }),
 
+    // 16-bit TIFF decode (r10): gray16 + RGB16 with LZW and per-SAMPLE
+    // horizontal differencing — sample sums vs the oracle's integer
+    // formula (a wrong byte order or per-byte predictor halves/garbles
+    // the 16-bit values and hash-fails)
+    "mm_tiff16_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.TiffCodec
+          import graft.ops.TiffCodec.Raster16
+          val ch = if (id % 2 == 0) 1 else 3
+          val w = (9 + id % 7).toInt
+          val h = (5 + id % 5).toInt
+          val n = w * h * ch
+          val a = new Array[Int](n)
+          var k = 0
+          while (k < n) { a(k) = ((k * 257 + id * 31) % 65536).toInt; k += 1 }
+          val r = Raster16(w, h, ch, a)
+          val t = (id % 3) match {
+            case 0 => TiffCodec.encode16(r)
+            case 1 => TiffCodec.encode16(r, compression = 32773)
+            case _ => TiffCodec.encode16(r, compression = 5, predictor = 2)
+          }
+          val d = TiffCodec.decode16(t).get
+          var sum = 0L
+          d.samples.foreach(sum += _)
+          (id, d.width, d.height, d.channels, sum)
+        }).toDF("doc_id", "width", "height", "channels", "sum_s")
+    }),
+
     // parquet column STATISTICS (r10): min/max/null-count decoded from
     // the footer's Statistics structs for plain integer columns (the
     // zone-map pruning inputs at 100 TB) — vs DuckDB's parquet_metadata
@@ -2172,6 +2203,14 @@ object BulkQueries extends QueryGroup {
           s"FROM parquet_metadata('__SF_DIR__/$t.parquet')"
       }.mkString(" UNION ALL ")
     },
+    "mm_tiff16_decode" ->
+      ("WITH g AS (SELECT doc_id, 9 + doc_id % 7 AS w, 5 + doc_id % 5 AS h, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(ch AS INT) AS channels, " +
+        "CAST(SUM((k * 257 + doc_id * 31) % 65536) AS BIGINT) AS sum_s " +
+        "FROM g, generate_series(0, 404) AS s(k) WHERE k < w * h * ch " +
+        "GROUP BY doc_id, w, h, ch"),
     "pipeline_parquet_stats" -> {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")

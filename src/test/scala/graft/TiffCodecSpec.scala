@@ -131,6 +131,61 @@ class TiffCodecSpec extends AnyFunSuite {
       TiffCodec.lzwDecode(TiffCodec.lzwEncode(rep), 4000), rep))
   }
 
+  test("16-bit: gray and RGB round-trips across compressions") {
+    import graft.ops.TiffCodec.Raster16
+    def r16(w: Int, h: Int, ch: Int): Raster16 = {
+      val a = new Array[Int](w * h * ch)
+      a.indices.foreach(i => a(i) = (i * 257 + 13) % 65536)
+      Raster16(w, h, ch, a)
+    }
+    for {
+      r <- Seq(r16(23, 11, 1), r16(17, 9, 3))
+      comp <- Seq(1, 32773, 5)
+      pred <- Seq(1, 2)
+      if pred == 1 || comp == 5
+    } {
+      val t = TiffCodec.encode16(r, compression = comp, predictor = pred,
+        rowsPerStrip = 4)
+      val back = TiffCodec.decode16(t)
+      assert(back.isDefined, s"16bit comp=$comp pred=$pred ch=${r.channels}")
+      assert(java.util.Arrays.equals(back.get.samples, r.samples),
+        s"16bit comp=$comp pred=$pred ch=${r.channels}")
+      assert(TiffCodec.decode(t).isEmpty) // 8-bit path must decline
+    }
+  }
+
+  test("16-bit CROSS: ImageIO-written USHORT_GRAY TIFF decodes; ours reads back") {
+    import graft.ops.TiffCodec.Raster16
+    val w = 21; val h = 13
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val wr = img.getRaster
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      wr.setSample(x, y, 0, (x * 2999 + y * 77) % 65536)))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    val d = TiffCodec.decode16(bos.toByteArray)
+    assert(d.isDefined, "our decoder rejected ImageIO 16-bit tiff")
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      assert(d.get.samples(y * w + x) == (x * 2999 + y * 77) % 65536, s"($x,$y)")
+    })
+    // reverse: our 16-bit bytes through ImageIO
+    val a = new Array[Int](w * h)
+    a.indices.foreach(i => a(i) = (i * 523) % 65536)
+    // the JDK plugin rejects 16-bit horizontal differencing (its own
+    // limitation), so the reverse check uses plain LZW
+    val t = TiffCodec.encode16(Raster16(w, h, 1, a), compression = 5)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+    assert(back != null, "ImageIO rejected our 16-bit tiff")
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      assert(back.getRaster.getSample(x, y, 0) == a(y * w + x), s"rev ($x,$y)")
+    })
+  }
+
   test("totality: junk, truncation, bit flips never throw") {
     val t = TiffCodec.encode(rgb(20, 12), compression = 5, predictor = 2)
     (0 until t.length by 53).foreach { n =>
@@ -144,5 +199,9 @@ class TiffCodecSpec extends AnyFunSuite {
     }
     assert(TiffCodec.decode(null).isEmpty)
     assert(TiffCodec.decode("not a tiff".getBytes).isEmpty)
+    (0 until t.length by 53).foreach { n =>
+      TiffCodec.decode16(java.util.Arrays.copyOf(t, n))
+    }
+    assert(TiffCodec.decode16(null).isEmpty)
   }
 }
