@@ -278,7 +278,7 @@ object AvroCodec {
           case "snappy" =>
             if (blockRaw.length < 4) return None
             val data = java.util.Arrays.copyOfRange(blockRaw, 0, blockRaw.length - 4)
-            val un = org.xerial.snappy.Snappy.uncompress(data)
+            val un = WarcCodec.snappyBounded(data).getOrElse(return None)
             val crc = new java.util.zip.CRC32()
             crc.update(un)
             val want = ((blockRaw(blockRaw.length - 4) & 0xffL) << 24) |

@@ -93,9 +93,12 @@ object Cfb {
     val firstMiniFat = u32(b, 60)
     val firstDifat = u32(b, 68)
     val numDifat = u32(b, 72)
-    val maxSect = (b.length - ss) / ss + 1 // sector ids are 0-based after header
+    // [MS-CFB] 2.1: sector #n starts at (n+1)*sectorSize — the header
+    // occupies the first sector-sized slot (512 bytes used, zero-padded
+    // to 4096 in v4 files), so v3 and v4 share this formula.
+    val maxSect = b.length / ss - 1
 
-    def sectorOff(sect: Long): Int = 512 + (sect * ss).toInt
+    def sectorOff(sect: Long): Int = ((sect + 1) * ss).toInt
 
     // ---- DIFAT: list of FAT sector ids
     val fatSects = ArrayBuffer.empty[Long]
@@ -215,10 +218,12 @@ object Cfb {
     a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
   }
 
-  /** Serialize (name, bytes) streams as a v3 CFB file. Streams under
+  /** Serialize (name, bytes) streams as a CFB file — v3 (512-byte
+    * sectors) by default, v4 (4096-byte sectors, header zero-padded to
+    * one full sector per [MS-CFB] 2.2) when `v4` is set. Streams under
     * 4096 bytes go to the mini stream; larger ones get regular chains. */
-  def encode(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
-    val ss = 512
+  def encode(streams: Seq[(String, Array[Byte])], v4: Boolean = false): Array[Byte] = {
+    val ss = if (v4) 4096 else 512
     require(streams.forall(_._1.length <= 31), "CFB name cap")
 
     val small = streams.filter(_._2.length < 4096)
@@ -327,9 +332,9 @@ object Cfb {
     val sig = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
     sig.zipWithIndex.foreach { case (v, k) => header(k) = v.toByte }
     putU16(header, 24, 0x3e) // minor version
-    putU16(header, 26, 3) // major version (v3: 512-byte sectors)
+    putU16(header, 26, if (v4) 4 else 3) // major version
     putU16(header, 28, 0xfffe) // byte order
-    putU16(header, 30, 9) // sector shift
+    putU16(header, 30, if (v4) 12 else 9) // sector shift
     putU16(header, 32, 6) // mini sector shift
     putU32(header, 44, nFat.toLong)
     putU32(header, 48, dir0.toLong)
@@ -344,9 +349,11 @@ object Cfb {
       k += 1
     }
 
-    // assemble
-    val out = new java.io.ByteArrayOutputStream(512 + totalSects * ss)
+    // assemble — the header slot is one full sector (v4: 512 header
+    // bytes + 3584 zero pad), so sector 0 starts at byte ss
+    val out = new java.io.ByteArrayOutputStream(ss + totalSects * ss)
     out.write(header)
+    if (ss > 512) out.write(new Array[Byte](ss - 512))
     val fatBytes = new Array[Byte](nFat * ss)
     java.util.Arrays.fill(fatBytes, 0xff.toByte) // FREESECT filler
     fat.indices.foreach(s => putU32(fatBytes, 4 * s, fat(s)))

@@ -35,6 +35,11 @@ object IcoCodec {
 
   def parse(b: Array[Byte]): Seq[IcoEntry] = {
     if (!sniff(b)) return Nil
+    try parseEntries(b)
+    catch { case _: RuntimeException => Nil } // total on junk
+  }
+
+  private def parseEntries(b: Array[Byte]): Seq[IcoEntry] = {
     val count = u16(b, 4)
     (0 until count).flatMap { k =>
       val e = 6 + 16 * k
@@ -71,7 +76,10 @@ object IcoCodec {
     val h2 = u32(d, 8).toInt
     val bits = u16(d, 14)
     val compression = u32(d, 16)
-    if (w <= 0 || w > 1024 || h2 <= 0 || h2 % 2 != 0 || compression != 0L)
+    // bound BOTH dimensions — an unbounded height would let a tiny
+    // crafted entry demand a w*h*3 allocation far past the icon domain
+    if (w <= 0 || w > 1024 || h2 <= 0 || h2 > 2048 || h2 % 2 != 0 ||
+        compression != 0L)
       return None
     val h = h2 / 2
     if (bits != 32 && bits != 24) return None

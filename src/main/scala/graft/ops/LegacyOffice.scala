@@ -232,26 +232,28 @@ object LegacyOffice {
     var sheetIdx = -1 // -1 = globals substream
     var p = 0
     var pNext = -1 // set by SST when it consumes trailing CONTINUEs
-    while (p + 4 <= wb.length) {
+    try while (p + 4 <= wb.length) {
       val rt = u16(wb, p)
       val len = u16(wb, p + 2)
       if (len < 0 || p + 4 + len > wb.length) p = wb.length
       else {
         val d = p + 4
         pNext = -1
+        // every case guards len against the record's minimum size —
+        // a truncated record at the stream tail must not throw
         rt match {
-          case 0x0809 => // BOF
+          case 0x0809 if len >= 4 => // BOF
             val dt = u16(wb, d + 2)
             if (dt == 0x0010) sheetIdx += 1
             else if (sheetIdx >= 0) sheetIdx += 1 // chart/macro substreams count
-          case 0x0085 => // BOUNDSHEET
+          case 0x0085 if len >= 8 => // BOUNDSHEET
             val cch = wb(d + 6) & 0xff
             val high = (wb(d + 7) & 0x01) != 0
             val name =
-              if (high) utf16Str(wb, d + 8, cch * 2)
-              else cp1252Str(wb, d + 8, cch)
+              if (high) utf16Str(wb, d + 8, math.min(cch * 2, len - 8))
+              else cp1252Str(wb, d + 8, math.min(cch, len - 8))
             sheets += name
-          case 0x00fc => // SST (+ trailing CONTINUE records)
+          case 0x00fc if len >= 8 => // SST (+ trailing CONTINUE records)
             val segs = ArrayBuffer((d + 8, d + len))
             var q = d + len
             while (q + 4 <= wb.length && u16(wb, q) == 0x003c) {
@@ -261,13 +263,13 @@ object LegacyOffice {
             }
             pNext = q
             parseSst(wb, segs.toSeq, u32(wb, d + 4), sst)
-          case 0x00fd => // LABELSST
+          case 0x00fd if len >= 10 => // LABELSST
             val row = u16(wb, d)
             val col = u16(wb, d + 2)
             val isst = u32(wb, d + 6)
             val v = if (isst >= 0 && isst < sst.size) sst(isst.toInt) else ""
             cells += ((math.max(sheetIdx, 0), row, col, v))
-          case 0x0203 => // NUMBER (IEEE 754 double)
+          case 0x0203 if len >= 14 => // NUMBER (IEEE 754 double)
             val row = u16(wb, d)
             val col = u16(wb, d + 2)
             var bits = 0L
@@ -278,7 +280,7 @@ object LegacyOffice {
               if (num == math.rint(num) && math.abs(num) < 1e15) num.toLong.toString
               else num.toString
             cells += ((math.max(sheetIdx, 0), row, col, v))
-          case 0x027e => // RK
+          case 0x027e if len >= 10 => // RK
             val row = u16(wb, d)
             val col = u16(wb, d + 2)
             val rk = u32(wb, d + 6)
@@ -288,6 +290,7 @@ object LegacyOffice {
         p = if (pNext >= 0) pNext else d + len
       }
     }
+    catch { case _: RuntimeException => () } // total-on-junk: keep what parsed
     cells.map { case (si, r, c, v) =>
       XlsCell(if (si < sheets.size) sheets(si) else s"Sheet${si + 1}", r, c, v)
     }.toSeq

@@ -89,9 +89,7 @@ object OrcFooter {
         if (original) chunk
         else compression match {
           case 1 => WarcCodec.inflateBounded(chunk).getOrElse(return None)
-          case 2 =>
-            try org.xerial.snappy.Snappy.uncompress(chunk)
-            catch { case _: java.io.IOException => return None }
+          case 2 => WarcCodec.snappyBounded(chunk).getOrElse(return None)
           case 5 => WarcCodec.zstdBounded(chunk).getOrElse(return None)
           case _ => return None // LZO/LZ4 footers: not emitted by Spark
         }

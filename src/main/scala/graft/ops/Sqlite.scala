@@ -166,10 +166,15 @@ object Sqlite {
     }.toSeq
   }
 
-  /** Walk a table b-tree from `root`, emitting (rowid, record bytes). */
+  /** Walk a table b-tree from `root`, emitting (rowid, record bytes).
+    * `visited` breaks interior-page cycles: crafted pages pointing at
+    * each other would otherwise fan out up to F^32 visits before the
+    * depth cap bites — total pages visited is bounded by db.nPages. */
   private def walkTable(db: Db, root: Int,
-      out: ArrayBuffer[(Long, Seq[SqlValue])], depth: Int): Unit = {
+      out: ArrayBuffer[(Long, Seq[SqlValue])], depth: Int,
+      visited: java.util.HashSet[Int]): Unit = {
     if (depth > 32 || root < 1 || root > db.nPages || out.size > 4_000_000) return
+    if (!visited.add(root)) return // cycle: each page decoded at most once
     val b = db.b
     val base = db.pageOff(root)
     val hdr = base + (if (root == 1) 100 else 0)
@@ -198,12 +203,12 @@ object Sqlite {
           val ptr = u16(b, hdr + 12 + 2 * c)
           if (ptr > 0 && base + ptr + 4 <= b.length) {
             val child = u32(b, base + ptr)
-            walkTable(db, child.toInt, out, depth + 1)
+            walkTable(db, child.toInt, out, depth + 1, visited)
           }
           c += 1
         }
         val right = u32(b, hdr + 8)
-        walkTable(db, right.toInt, out, depth + 1)
+        walkTable(db, right.toInt, out, depth + 1, visited)
       case _ => () // index/freelist/overflow: not table rows
     }
   }
@@ -214,7 +219,7 @@ object Sqlite {
     val db = new Db(b)
     if (!db.ok) return Nil
     val rows = ArrayBuffer.empty[(Long, Seq[SqlValue])]
-    try walkTable(db, 1, rows, 0)
+    try walkTable(db, 1, rows, 0, new java.util.HashSet[Int]())
     catch { case _: RuntimeException => return Nil }
     rows.toSeq.collect {
       case (_, vs) if vs.length >= 5 && vs(0).text == "table" =>
@@ -229,7 +234,7 @@ object Sqlite {
     val t = tables(b).find(_.name == table).getOrElse(return Nil)
     val db = new Db(b)
     val out = ArrayBuffer.empty[(Long, Seq[SqlValue])]
-    try walkTable(db, t.rootPage, out, 0)
+    try walkTable(db, t.rootPage, out, 0, new java.util.HashSet[Int]())
     catch { case _: RuntimeException => return Nil }
     val ipkAlias = t.sql.toLowerCase(java.util.Locale.ROOT)
       .contains("integer primary key")

@@ -167,6 +167,18 @@ object WarcCodec {
     * the zstd-jni already on Spark's runtime classpath; None on
     * malformed input or a [[MaxInflated]] breach (bomb stance shared
     * with every decompression path here). */
+  /** Raw-snappy decode with the allocation gated BEFORE it happens:
+    * the block's self-declared uncompressed length is rejected above
+    * MaxInflated first, so a few-byte crafted block claiming ~2 GB
+    * never forces the allocation (OutOfMemoryError is an Error and
+    * would escape exception handlers). */
+  private[graft] def snappyBounded(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val n = org.xerial.snappy.Snappy.uncompressedLength(b)
+      if (n < 0 || n > MaxInflated) None
+      else Some(org.xerial.snappy.Snappy.uncompress(b))
+    } catch { case _: java.io.IOException => None }
+
   private[graft] def zstdBounded(b: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new com.github.luben.zstd.ZstdInputStream(

@@ -137,4 +137,18 @@ class AvroCodecSpec extends AnyFunSuite {
     assert(AvroCodec.read(null).isEmpty)
     assert(AvroCodec.read("Obj not avro".getBytes).isEmpty)
   }
+
+  test("snappy bomb: a few-byte block claiming ~2 GB is rejected pre-allocation") {
+    // raw-snappy preamble is a LE-7-bit varint of the uncompressed
+    // length; claim Int.MaxValue with 5 trailing junk bytes — the
+    // bounded decode must reject on the declared length, never allocate
+    val bomb = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0x07, 1, 2, 3, 4, 5)
+    assert(graft.ops.WarcCodec.snappyBounded(bomb).isEmpty)
+    // and a legitimate block still round-trips through the same path
+    val plain = ("bounded snappy path " * 50).getBytes("UTF-8")
+    val ok = graft.ops.WarcCodec.snappyBounded(
+      org.xerial.snappy.Snappy.compress(plain))
+    assert(ok.exists(java.util.Arrays.equals(_, plain)))
+  }
 }

@@ -30,6 +30,33 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Cfb.stream(blob, "Big").get, big))
   }
 
+  test("CFB v4 (4096-byte sectors): sector 0 starts at 4096, round-trips") {
+    val small = ("mini stream payload " * 12).getBytes("UTF-8") // < 4096
+    val big = ("V4 regular-chain block " * 600).getBytes("UTF-8") // > 4096
+    val blob = Cfb.encode(Seq("Mini" -> small, "Big" -> big), v4 = true)
+    // header slot is one full 4096-byte sector: bytes 512..4095 are pad
+    assert(blob.length % 4096 == 0)
+    assert((512 until 4096).forall(blob(_) == 0))
+    val entries = Cfb.parse(blob).filter(_.objType == 2)
+    assert(entries.map(_.name) == Seq("Mini", "Big"))
+    assert(java.util.Arrays.equals(entries(0).bytes, small))
+    assert(java.util.Arrays.equals(entries(1).bytes, big))
+    assert(Cfb.streamNames(blob) == Seq("Mini", "Big"))
+  }
+
+  test("CFB v4 totality: truncation and flips never throw") {
+    val blob = Cfb.encode(Seq("S" -> ("v4 " * 2000).getBytes), v4 = true)
+    (0 until blob.length by 499).foreach { n =>
+      Cfb.parse(java.util.Arrays.copyOf(blob, n))
+    }
+    val rnd = new java.util.Random(11)
+    (0 until 60).foreach { _ =>
+      val m = blob.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Cfb.parse(m)
+    }
+  }
+
   test("CFB totality: junk, truncation, flipped bytes never throw") {
     val blob = Cfb.encode(Seq("S" -> ("d" * 5000).getBytes))
     (0 until blob.length by 97).foreach { n =>
@@ -120,6 +147,30 @@ class LegacyOfficeSpec extends AnyFunSuite {
     val blob = LegacyOffice.encodeXls("S", rows, sstSplitChars = 5)
     val cells = LegacyOffice.xlsCells(blob)
     assert(cells.map(_.value) == rows.head)
+  }
+
+  test("xls: truncated records at stream tail never throw (len < record min)") {
+    // record headers claim lengths shorter than their fixed fields:
+    // BOUNDSHEET len=2 (needs 8), NUMBER len=6 (needs 14), LABELSST
+    // len=4 (needs 10), RK len=3 (needs 10), BOF len=0 (needs 4)
+    def rec(rt: Int, body: Array[Byte]): Array[Byte] =
+      Array(rt.toByte, (rt >> 8).toByte, body.length.toByte,
+        (body.length >> 8).toByte) ++ body
+    val wb = rec(0x0809, Array.emptyByteArray) ++
+      rec(0x0085, Array[Byte](0, 0)) ++
+      rec(0x0203, Array[Byte](1, 0, 2, 0, 3, 0)) ++
+      rec(0x00fd, Array[Byte](1, 0, 2, 0)) ++
+      rec(0x027e, Array[Byte](1, 0, 2))
+    val blob = Cfb.encode(Seq("Workbook" -> wb))
+    assert(LegacyOffice.xlsCells(blob).isEmpty) // total, no AIOOBE
+    // and byte-flip fuzz over a real workbook
+    val real = LegacyOffice.encodeXls("S", Seq(Seq("a", "1"), Seq("b", "2")))
+    val rnd = new java.util.Random(3)
+    (0 until 150).foreach { _ =>
+      val m = real.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      LegacyOffice.xlsCells(m) // no throw
+    }
   }
 
   test("xls totality") {

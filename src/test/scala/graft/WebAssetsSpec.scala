@@ -45,6 +45,28 @@ class WebAssetsSpec extends AnyFunSuite {
     assert(IcoCodec.parse(null).isEmpty)
   }
 
+  test("ico: crafted DIB height cannot force a huge/overflowing allocation") {
+    // take a real single-DIB ico and rewrite the BITMAPINFOHEADER
+    // height to hostile values; parse must stay total and mark the
+    // entry undecodable rather than allocate w*h*3
+    val ico = IcoCodec.encode(Seq(raster(16, 16) -> "dib"))
+    val dibOff = 6 + 16 // header + one dir entry
+    def putU32(a: Array[Byte], i: Int, v: Long): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+      a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+    }
+    for (h <- Seq(0x7ffffffeL, 0x20000000L, 1000000L, 4096L)) {
+      val m = ico.clone()
+      putU32(m, dibOff + 8, h)
+      val es = IcoCodec.parse(m)
+      assert(es.size == 1)
+      assert(es.head.raster.isEmpty, s"h=$h must not decode")
+    }
+    // boundary: the 1024-height cap itself is fine to REJECT above
+    val ok = IcoCodec.parse(ico)
+    assert(ok.head.raster.isDefined)
+  }
+
   test("svg: dimensions, viewBox fallback, census, text extraction") {
     val svg = ("""<?xml version="1.0"?>
       |<svg xmlns="http://www.w3.org/2000/svg" width="120px" height="80"
