@@ -12,23 +12,17 @@ import scala.collection.mutable.ArrayBuffer
   * degenerate single-symbol codes), block types with switch commands
   * and the block-type ring buffer, literal/distance context maps (RLE +
   * inverse-MTF), the insert-and-copy command alphabet (704 symbols),
-  * the distance ring buffer with short codes, and NPOSTFIX/NDIRECT
-  * distance layouts. Two RFC features are deliberately OUT of scope and
-  * make `decode` return None rather than guess:
-  *
-  *  - static-dictionary references (a distance beyond the produced
-  *    output): RFC 7932 defines the 122,784-byte dictionary by SHA-256
-  *    only — the bytes are not in the RFC text and no brotli artifact
-  *    ships on the Spark classpath, so a dictionary-free decoder cannot
-  *    resolve word ids. Streams whose distances are all
-  *    backward-resolvable decode fully.
-  *  - UTF8/Signed literal context modes with a NON-trivial context map:
-  *    those modes key tree selection on 256-entry lookup tables given
-  *    only as literal data in the RFC appendix. When the map is trivial
-  *    for the active block type (every context picks the same tree —
-  *    everything our encoder emits), the context value is irrelevant
-  *    and decode is exact; otherwise we bail instead of mis-selecting
-  *    trees. LSB6 and MSB6 modes are formula-defined, fully supported.
+  * the distance ring buffer with short codes, NPOSTFIX/NDIRECT
+  * distance layouts, all four literal context modes (LSB6/MSB6 by
+  * formula; UTF8/Signed via the §7.1 lookup tables), and STATIC
+  * DICTIONARY references (§8): the 122,784-byte dictionary — embedded
+  * as a classpath resource and gated at load by the RFC's own Appendix
+  * A SHA-256 — with the full 121-entry transform list of Appendix B.2
+  * (identity / ferment-first / ferment-all / omit-first-N /
+  * omit-last-N plus prefix and suffix strings). Real encoder output
+  * (CDN `br` bodies at any quality) therefore decodes end-to-end;
+  * golden fixtures produced by the reference encoder at q=11 gate this
+  * in BrotliSpec.
   *
   * Every decompression path shares the crawl tier's 2^28 inflated-byte
   * bomb cap ([[WarcCodec.MaxInflated]]).
@@ -50,14 +44,175 @@ object Brotli {
 
   private[graft] val MaxOut: Int = WarcCodec.MaxInflated
 
-  /** Decode one brotli stream; None on malformed input, a bomb-cap
-    * breach, or the two disclosed unsupported features. */
+  // ------------------------------------------------------------------
+  // static dictionary + context tables (RFC 7932 §7.1, §8, App. A/B)
+  // ------------------------------------------------------------------
+
+  private def loadResource(name: String, wantLen: Int, sha256: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing resource $name")
+    val b = try in.readAllBytes() finally in.close()
+    require(b.length == wantLen, s"$name length ${b.length} != $wantLen")
+    val dig = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    val hex = dig.map(x => f"${x & 0xff}%02x").mkString
+    require(hex == sha256, s"$name sha256 $hex != $sha256")
+    b
+  }
+
+  /** The RFC 7932 Appendix A static dictionary, authenticated by the
+    * SHA-256 the RFC itself publishes for it. */
+  private[graft] lazy val DictData: Array[Byte] = loadResource(
+    "/brotli_dict.bin", 122784,
+    "20e42eb1b511c21806d4d227d07e5dd06877d8ce7b3a817f378f313653f35c70")
+
+  /** Words per length bucket: NWORDS(len) = 1 << DictNdBits(len); words
+    * of length len start at DictOffset(len) (RFC 7932 §8). */
+  private val DictNdBits: Array[Int] = Array(
+    0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9, 8, 7, 7, 8,
+    7, 7, 6, 6, 5, 5)
+  private val DictOffset: Array[Int] = {
+    val o = new Array[Int](26)
+    var l = 5
+    while (l <= 25) { o(l) = o(l - 1) + ((l - 1) << DictNdBits(l - 1)); l += 1 }
+    require(o(25) == 122784) // buckets tile the dictionary exactly
+    o
+  }
+
+  /** §7.1 context lookup tables: UTF8 lut0/lut1 then Signed lut0/lut1
+    * (256 bytes each). Extracted from the MIT-licensed reference
+    * implementation's combined context table, whose leading half is
+    * formula-checkable (LSB6 = i&63, MSB6 = i>>2) — that structural
+    * anchor plus end-to-end golden decodes of reference-encoder output
+    * authenticate these 1024 bytes. */
+  private lazy val CtxData: Array[Byte] = loadResource(
+    "/brotli_context.bin", 1024,
+    "f03846d7f93469a8de40db59589ef6b11427f36a5353a142a7ee35a0542fdcbb")
+  private lazy val CtxUtf8L0: Array[Byte] = java.util.Arrays.copyOfRange(CtxData, 0, 256)
+  private lazy val CtxUtf8L1: Array[Byte] = java.util.Arrays.copyOfRange(CtxData, 256, 512)
+  private lazy val CtxSigL0: Array[Byte] = java.util.Arrays.copyOfRange(CtxData, 512, 768)
+  private lazy val CtxSigL1: Array[Byte] = java.util.Arrays.copyOfRange(CtxData, 768, 1024)
+
+  /** One word transform (RFC 7932 Appendix B.2): output = prefix +
+    * op(word) + suffix. op: 0 identity, 1 ferment-first, 2 ferment-all,
+    * 3..11 omit-first-1..9, 12..20 omit-last-1..9. Strings carry raw
+    * bytes via ISO-8859-1 (entry 102's prefix is the UTF-8 NBSP pair). */
+  private final case class T(prefix: String, op: Int, suffix: String) {
+    val p: Array[Byte] = prefix.getBytes("ISO-8859-1")
+    val s: Array[Byte] = suffix.getBytes("ISO-8859-1")
+  }
+
+  private lazy val Transforms: Array[T] = Array(
+    T("", 0, ""), T("", 0, " "), T(" ", 0, " "), T("", 3, ""),
+    T("", 1, " "), T("", 0, " the "), T(" ", 0, ""), T("s ", 0, " "),
+    T("", 0, " of "), T("", 1, ""), T("", 0, " and "), T("", 4, ""),
+    T("", 12, ""), T(", ", 0, " "), T("", 0, ", "), T(" ", 1, " "),
+    T("", 0, " in "), T("", 0, " to "), T("e ", 0, " "), T("", 0, "\""),
+    T("", 0, "."), T("", 0, "\">"), T("", 0, "\n"), T("", 14, ""),
+    T("", 0, "]"), T("", 0, " for "), T("", 5, ""), T("", 13, ""),
+    T("", 0, " a "), T("", 0, " that "), T(" ", 1, ""), T("", 0, ". "),
+    T(".", 0, ""), T(" ", 0, ", "), T("", 6, ""), T("", 0, " with "),
+    T("", 0, "'"), T("", 0, " from "), T("", 0, " by "), T("", 7, ""),
+    T("", 8, ""), T(" the ", 0, ""), T("", 15, ""), T("", 0, ". The "),
+    T("", 2, ""), T("", 0, " on "), T("", 0, " as "), T("", 0, " is "),
+    T("", 18, ""), T("", 12, "ing "), T("", 0, "\n\t"), T("", 0, ":"),
+    T(" ", 0, ". "), T("", 0, "ed "), T("", 11, ""), T("", 9, ""),
+    T("", 17, ""), T("", 0, "("), T("", 1, ", "), T("", 19, ""),
+    T("", 0, " at "), T("", 0, "ly "), T(" the ", 0, " of "),
+    T("", 16, ""), T("", 20, ""), T(" ", 1, ", "), T("", 1, "\""),
+    T(".", 0, "("), T("", 2, " "), T("", 1, "\">"), T("", 0, "=\""),
+    T(" ", 0, "."), T(".com/", 0, ""), T(" the ", 0, " of the "),
+    T("", 1, "'"), T("", 0, ". This "), T("", 0, ","), T(".", 0, " "),
+    T("", 1, "("), T("", 1, "."), T("", 0, " not "), T(" ", 0, "=\""),
+    T("", 0, "er "), T(" ", 2, " "), T("", 0, "al "), T(" ", 2, ""),
+    T("", 0, "='"), T("", 2, "\""), T("", 1, ". "), T(" ", 0, "("),
+    T("", 0, "ful "), T(" ", 1, ". "), T("", 0, "ive "),
+    T("", 0, "less "), T("", 2, "'"), T("", 0, "est "), T(" ", 1, "."),
+    T("", 2, "\">"), T(" ", 0, "='"), T("", 1, ","), T("", 0, "ize "),
+    T("", 2, "."), T("\u00c2\u00a0", 0, ""), T(" ", 0, ","),
+    T("", 1, "=\""), T("", 2, "=\""), T("", 0, "ous "), T("", 2, ", "),
+    T("", 1, "='"), T(" ", 1, ","), T(" ", 2, "=\""), T(" ", 2, ", "),
+    T("", 2, ","), T("", 2, "("), T("", 2, ". "), T(" ", 2, "."),
+    T("", 2, "='"), T(" ", 2, ". "), T(" ", 1, "=\""), T(" ", 2, "='"),
+    T(" ", 1, "='"))
+
+  /** Encoder-side index of the static dictionary: exact 4-byte prefix
+    * (big-endian int) -> packed (len << 16 | idx) candidates, longest
+    * length first. Identity-transform references only — enough for the
+    * encoder to emit real dictionary distances wherever input text
+    * contains dictionary words. */
+  private lazy val DictIndex: java.util.HashMap[Integer, Array[Int]] = {
+    val tmp = new java.util.HashMap[Integer, ArrayBuffer[Int]]()
+    var len = 24
+    while (len >= 4) { // descending: candidates stay longest-first
+      val n = 1 << DictNdBits(len)
+      var idx = 0
+      while (idx < n) {
+        val base = DictOffset(len) + idx * len
+        val key = ((DictData(base) & 0xff) << 24) |
+          ((DictData(base + 1) & 0xff) << 16) |
+          ((DictData(base + 2) & 0xff) << 8) | (DictData(base + 3) & 0xff)
+        tmp.computeIfAbsent(key, _ => ArrayBuffer.empty[Int]) += ((len << 16) | idx)
+        idx += 1
+      }
+      len -= 1
+    }
+    val out = new java.util.HashMap[Integer, Array[Int]](tmp.size * 2)
+    tmp.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  /** One ferment step at `pos` (RFC 7932 §8 word transformation):
+    * ASCII lowercase flips case; a 2-byte UTF-8 sequence XORs its
+    * trailing byte with 32; a 3-byte sequence XORs its third byte with
+    * 5. Returns the next position. */
+  private def ferment(b: Array[Byte], pos: Int): Int = {
+    val v = b(pos) & 0xff
+    if (v < 192) {
+      if (v >= 'a' && v <= 'z') b(pos) = (v ^ 32).toByte
+      pos + 1
+    } else if (v < 224) {
+      if (pos + 1 < b.length) b(pos + 1) = (b(pos + 1) ^ 32).toByte
+      pos + 2
+    } else {
+      if (pos + 2 < b.length) b(pos + 2) = (b(pos + 2) ^ 5).toByte
+      pos + 3
+    }
+  }
+
+  /** Dictionary word `idx` of length `len` with transform `tId`. */
+  private[graft] def dictWord(len: Int, idx: Int, tId: Int): Array[Byte] = {
+    val t = Transforms(tId)
+    val base = DictOffset(len) + idx * len
+    var w = java.util.Arrays.copyOfRange(DictData, base, base + len)
+    t.op match {
+      case 0 => ()
+      case 1 => if (w.nonEmpty) ferment(w, 0)
+      case 2 =>
+        var i = 0
+        while (i < w.length) i = ferment(w, i)
+      case k if k <= 11 => // omit first (k-2)
+        val n = k - 2
+        w = if (w.length > n) java.util.Arrays.copyOfRange(w, n, w.length)
+            else Array.emptyByteArray
+      case k => // omit last (k-11)
+        val n = k - 11
+        w = if (w.length > n) java.util.Arrays.copyOf(w, w.length - n)
+            else Array.emptyByteArray
+    }
+    val out = new Array[Byte](t.p.length + w.length + t.s.length)
+    System.arraycopy(t.p, 0, out, 0, t.p.length)
+    System.arraycopy(w, 0, out, t.p.length, w.length)
+    System.arraycopy(t.s, 0, out, t.p.length + w.length, t.s.length)
+    out
+  }
+
+  /** Decode one brotli stream; None on malformed input or a bomb-cap
+    * breach. */
   def decode(b: Array[Byte]): Option[Array[Byte]] =
     decodeOrReason(b).toOption
 
   /** Decode with a failure token for coverage accounting: Left of
-    * "dict" (static-dictionary reference), "ctx" (non-trivial UTF8 or
-    * Signed context map), "bomb" (2^28 cap), or "malformed". */
+    * "bomb" (2^28 cap) or "malformed". */
   def decodeOrReason(b: Array[Byte]): Either[String, Array[Byte]] = {
     if (b == null || b.isEmpty) return Left("malformed")
     try Right(new Decoder(b).run())
@@ -587,21 +742,6 @@ object Brotli {
       val nTreesD = readVarCount()
       val cmapD = readContextMap(nTreesD, 4 * stD.nTypes)
 
-      // trivial-map screen per literal block type (see object scaladoc)
-      val trivial = new Array[Boolean](stL.nTypes)
-      i = 0
-      while (i < stL.nTypes) {
-        var t = true
-        val base = cmapL(64 * i)
-        var j = 1
-        while (j < 64 && t) {
-          if (cmapL(64 * i + j) != base) t = false
-          j += 1
-        }
-        trivial(i) = t
-        i += 1
-      }
-
       val litCodes = Array.fill(nTreesL)(readPrefixCode(r, 256))
       val cmdCodes = Array.fill(stI.nTypes)(readPrefixCode(r, 704))
       val distAlpha = 16 + ndirect + (48 << npostfix)
@@ -630,7 +770,8 @@ object Brotli {
           val ctx = cmodes(bt) match {
             case 0 => out.p1 & 0x3f // LSB6
             case 1 => out.p1 >> 2 // MSB6
-            case _ => if (trivial(bt)) 0 else bail("ctx")
+            case 2 => (CtxUtf8L0(out.p1) | CtxUtf8L1(out.p2)) & 0xff // UTF8
+            case _ => (CtxSigL0(out.p1) | CtxSigL1(out.p2)) & 0xff // Signed
           }
           val lit = litCodes(cmapL(64 * bt + ctx)).readSym(r)
           out.put(lit.toByte)
@@ -638,7 +779,9 @@ object Brotli {
           k += 1
         }
         if (mlen > 0) {
+          val maxDist = math.min(windowSize, out.n.toLong)
           var dist = 0L
+          var explicit = false // dcode != 0: pushes UNLESS a dict ref
           if (implied) {
             dist = ringAt(0).toLong // distance code 0; not pushed
           } else {
@@ -661,18 +804,37 @@ object Brotli {
               val offset = ((2L + hbit) << n) - 4
               dist = ((offset + r.read(n)) << npostfix) + lcode + ndirect + 1
             }
-            if (dcode != 0) pushDist(dist.toInt)
+            // RFC 7932 §4: only BACKWARD distances (dcode != 0, within
+            // the produced output) enter the ring buffer — a static-
+            // dictionary reference must NOT update it
+            explicit = dcode != 0
           }
-          val maxDist = math.min(windowSize, out.n.toLong)
-          if (dist > maxDist) bail("dict") // static-dictionary reference
-          if (copyLen > mlen) bail("malformed")
-          val start = out.n - dist.toInt
-          var c = 0
-          while (c < copyLen) {
-            out.put(out.a(start + c))
-            c += 1
+          if (explicit && dist <= maxDist) pushDist(dist.toInt)
+          if (dist > maxDist) {
+            // static-dictionary reference (RFC 7932 §8): the copy
+            // length selects the word-length bucket, the excess
+            // distance encodes (index, transform)
+            if (copyLen < 4 || copyLen > 24) bail("malformed")
+            val len = copyLen.toInt
+            val wordId = dist - maxDist - 1
+            val tId = wordId >> DictNdBits(len)
+            if (tId >= 121) bail("malformed")
+            val idx = (wordId & ((1L << DictNdBits(len)) - 1)).toInt
+            val wb = dictWord(len, idx, tId.toInt)
+            if (wb.length > mlen) bail("malformed")
+            var c = 0
+            while (c < wb.length) { out.put(wb(c)); c += 1 }
+            mlen -= wb.length
+          } else {
+            if (copyLen > mlen) bail("malformed")
+            val start = out.n - dist.toInt
+            var c = 0
+            while (c < copyLen) {
+              out.put(out.a(start + c))
+              c += 1
+            }
+            mlen -= copyLen
           }
-          mlen -= copyLen
         }
       }
     }
@@ -740,6 +902,76 @@ object Brotli {
     w.result()
   }
 
+  /** Fixture writer: a stream that REFERENCES THE STATIC DICTIONARY —
+    * an uncompressed meta-block carrying `pre` (optional), then a
+    * compressed meta-block whose single command copies dictionary word
+    * (`len`, `idx`) through transform `transform`. Decodes to
+    * pre ++ dictWord(len, idx, transform); gates exercise the
+    * dictionary path with real bytes (the greedy-LZ encoder never
+    * emits out-of-window distances on its own). */
+  def encodeDictRef(pre: Array[Byte], len: Int, idx: Int,
+      transform: Int): Array[Byte] = {
+    require(len >= 4 && len <= 24 && transform >= 0 && transform < 121)
+    require(idx >= 0 && idx < (1 << DictNdBits(len)))
+    require(pre.length < (1 << 16) - 16, "pre must fit the WBITS=16 window")
+    val word = dictWord(len, idx, transform)
+    require(word.nonEmpty, "degenerate transform output")
+    val w = new BitWriter
+    w.write(0, 1) // WBITS = 16
+    if (pre.nonEmpty) {
+      w.write(0, 1) // ISLAST = 0
+      writeMLen(w, pre.length)
+      w.write(1, 1) // ISUNCOMPRESSED
+      w.alignByte()
+      w.writeBytes(pre, 0, pre.length)
+    }
+    // final compressed meta-block: MLEN = transformed word length
+    w.write(1, 1) // ISLAST
+    w.write(0, 1) // ISLASTEMPTY = 0
+    writeMLen(w, word.length)
+    w.write(0, 1); w.write(0, 1); w.write(0, 1) // NBLTYPES L/I/D = 1
+    w.write(0, 2) // NPOSTFIX
+    w.write(0, 4) // NDIRECT
+    w.write(0, 2) // CMODE = LSB6
+    w.write(0, 1) // NTREESL = 1
+    w.write(0, 1) // NTREESD = 1
+    // literal code: simple 1-symbol (never read: insert length 0)
+    w.write(1, 2); w.write(0, 2); w.write(97, 8)
+    // command symbol: insert code 0, copy code for `len`, explicit dist
+    val copyCode = {
+      var c = CopyBase.length - 1
+      while (CopyBase(c) > len) c -= 1
+      c
+    }
+    val cmd =
+      if (copyCode < 8) (2 << 6) | copyCode
+      else (3 << 6) | (copyCode - 8)
+    w.write(1, 2); w.write(0, 2); w.write(cmd, 10)
+    // distance: dist = maxDist + 1 + wordId, maxDist = pre.length
+    val wordId = idx.toLong + (1L << DictNdBits(len)) * transform
+    val dist = pre.length.toLong + 1L + wordId
+    val x = dist - 1
+    var n = 1
+    var dcode = -1
+    var extra = 0L
+    while (dcode < 0 && n <= 24) {
+      var h = 0
+      while (h <= 1 && dcode < 0) {
+        val lo = ((2L + h) << n) - 4
+        if (x >= lo && x < lo + (1L << n)) { dcode = 16 + 2 * (n - 1) + h; extra = x - lo }
+        h += 1
+      }
+      if (dcode < 0) n += 1
+    }
+    require(dcode >= 16 && dcode < 64)
+    w.write(1, 2); w.write(0, 2); w.write(dcode, 6)
+    // command stream: cmd sym (0 bits), insert extra (0 bits), copy extra
+    w.write(len - CopyBase(copyCode), CopyExtra(copyCode))
+    // distance sym (0 bits) + extra bits
+    w.write(extra.toInt, n)
+    w.result()
+  }
+
   private def writeMLen(w: BitWriter, len: Int): Unit = {
     require(len >= 1 && len <= (1 << 24), s"mlen $len")
     val v = len - 1
@@ -749,8 +981,11 @@ object Brotli {
   }
 
   /** One LZ command: literals [litFrom,litTo) then a copy of copyLen at
-    * dist; copyLen == 0 marks the trailing literals-only command. */
-  private final case class Cmd(litFrom: Int, litTo: Int, copyLen: Int, dist: Int)
+    * dist; copyLen == 0 marks the trailing literals-only command.
+    * dictRef: dist is a static-dictionary distance (beyond the produced
+    * output) — encoded as a long distance code, never via the ring. */
+  private final case class Cmd(litFrom: Int, litTo: Int, copyLen: Int,
+      dist: Int, dictRef: Boolean = false)
 
   private final class Encoder(w: BitWriter, data: Array[Byte], opts: EncOpts) {
     // mirrors the decoder's distance ring buffer across meta-blocks
@@ -848,6 +1083,28 @@ object Brotli {
         // trailing literals-only: decoder exhausts MLEN during the
         // insert and never reads the distance; copy code 0 has no extra
         (cmdSymbol(insCode, 0), null)
+      } else if (c.dictRef) {
+        // static-dictionary distance: long code only, no ring update
+        // (mirrors the decoder, which skips pushDist for dict refs)
+        val copyCode = codeFor(CopyBase, c.copyLen)
+        val x = c.dist - 1
+        var n = 1
+        var dc = -1
+        var extra = 0
+        while (dc < 0 && n <= 24) {
+          var h = 0
+          while (h <= 1 && dc < 0) {
+            val lo = ((2L + h) << n) - 4
+            if (x >= lo && x < lo + (1L << n)) {
+              dc = 16 + 2 * (n - 1) + h
+              extra = (x - lo).toInt
+            }
+            h += 1
+          }
+          if (dc < 0) n += 1
+        }
+        require(dc >= 16 && dc < 64, s"unencodable dict distance ${c.dist}")
+        (cmdSymbol(insCode, copyCode), (dc, extra, n))
       } else {
         val copyCode = codeFor(CopyBase, c.copyLen)
         if (c.dist == lastDist && insCode < 8 && copyCode < 16) {
@@ -903,9 +1160,12 @@ object Brotli {
       i
     }
 
-    /** Greedy LZ over a 4-byte-prefix hash table; matches stay within
-      * both the 64 KiB window and the already-produced output, so the
-      * stream never references the static dictionary. */
+    /** Greedy LZ over a 4-byte-prefix hash table; backward matches stay
+      * within the 64 KiB window and the already-produced output, and a
+      * parallel probe of the STATIC DICTIONARY (identity transform)
+      * emits real out-of-window dictionary distances when input text
+      * contains dictionary words — the same references a production
+      * encoder produces constantly on web text. */
     private def parse(off: Int, n: Int): Seq[Cmd] = {
       val end = off + n
       if (!opts.lz) return Seq(Cmd(off, end, 0, 0))
@@ -925,20 +1185,56 @@ object Brotli {
         val h = hash(i)
         val cand = table(h)
         table(h) = i
-        var advanced = false
+        // backward LZ match
+        var l = 0
         if (cand >= 0 && i - cand <= maxDist) {
-          var l = 0
           val maxL = math.min(end - i, 1 << 15)
           while (l < maxL && data(cand + l) == data(i + l)) l += 1
-          if (l >= 4) {
-            cmds += Cmd(litStart, i, l, i - cand)
-            var j = i + 1
-            val stop = math.min(i + l, end - 4)
-            while (j < stop) { table(hash(j)) = j; j += 1 }
-            i += l
-            litStart = i
-            advanced = true
+          if (l < 4) l = 0
+        }
+        // static-dictionary match (identity transform, longest-first)
+        var dictLen = 0
+        var dictIdx = -1
+        if (l < 24) { // a 24-byte LZ match can't be beaten by the dict
+          val key = Integer.valueOf(((data(i) & 0xff) << 24) |
+            ((data(i + 1) & 0xff) << 16) | ((data(i + 2) & 0xff) << 8) |
+            (data(i + 3) & 0xff))
+          val cs = DictIndex.get(key)
+          if (cs != null) {
+            var k = 0
+            while (k < cs.length && dictIdx < 0) {
+              val len = cs(k) >>> 16
+              if (len > l && i + len <= end) {
+                val idx = cs(k) & 0xffff
+                val base = DictOffset(len) + idx * len
+                var m = 4
+                while (m < len && DictData(base + m) == data(i + m)) m += 1
+                if (m == len) { dictLen = len; dictIdx = idx }
+              }
+              k += 1
+            }
           }
+        }
+        var advanced = false
+        if (dictLen > l) {
+          // distance = maxDistAtCopy + 1 + wordId; decoder's produced
+          // output at this copy is exactly i bytes
+          val dist = math.min(maxDist, i) + 1 + dictIdx
+          cmds += Cmd(litStart, i, dictLen, dist, dictRef = true)
+          var j = i + 1
+          val stop = math.min(i + dictLen, end - 4)
+          while (j < stop) { table(hash(j)) = j; j += 1 }
+          i += dictLen
+          litStart = i
+          advanced = true
+        } else if (l >= 4) {
+          cmds += Cmd(litStart, i, l, i - cand)
+          var j = i + 1
+          val stop = math.min(i + l, end - 4)
+          while (j < stop) { table(hash(j)) = j; j += 1 }
+          i += l
+          litStart = i
+          advanced = true
         }
         if (!advanced) i += 1
       }

@@ -12,10 +12,10 @@ import scala.collection.mutable.ArrayBuffer
   * head's unitsPerEm, maxp's glyph count, OS/2's weight class, and the
   * cmap coverage count (formats 4 and 12 — the BMP segment and full
   * Unicode group forms). WOFF tables inflate individually (bounded);
-  * WOFF2 carries ONE brotli stream — decodable when the stream stays
-  * inside the [[Brotli]] subset (our fixtures; real cwebp2-era files
-  * usually reference the RFC 7932 static dictionary and flag instead),
-  * and known-table-index tags resolve for the low indices the spec
+  * WOFF2 carries ONE brotli stream — decoded by the pure-JVM
+  * [[Brotli]] decoder (static-dictionary references and all context
+  * modes included, so real woff2 tooling output decodes, not just our
+  * fixtures), and known-table-index tags resolve for the low indices the spec
   * fixes (cmap..CFF); exotic indices flag rather than guess. The
   * fixture SFNT is REAL enough for `java.awt.Font.createFont` — the
   * JDK's own font engine cross-reads family names in the spec.

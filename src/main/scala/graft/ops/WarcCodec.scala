@@ -39,8 +39,8 @@ object WarcCodec {
     * `httpEncoding` is the body-decode verdict: `""` means `body` is
     * plain octets ready for the text/media hand-off (either sent as
     * identity or de-chunked/inflated/brotli-decoded here); a non-empty
-    * token (e.g. `"compress"`, or `"br"` when the stream needs the
-    * static dictionary) means a coding this codec could not decode, so
+    * token (e.g. `"compress"`, or `"br"` only when the stream itself is
+    * malformed) means a coding this codec could not decode, so
     * `body` holds the RAW coded bytes and downstream text/media stages
     * must skip or route the record — never feed a flagged body to
     * `stripHtml`. */
@@ -199,12 +199,13 @@ object WarcCodec {
   /** Undo transfer- then content-coding on an HTTP body. Returns
     * (octets, flag): flag `""` = plain/decoded; else the coding token
     * this codec left in place (body = raw coded bytes). gzip, deflate,
-    * zstd and brotli decode (the last via the pure-JVM [[Brotli]]
-    * subset — streams that reference RFC 7932's static dictionary or a
-    * non-trivial UTF8/Signed context map fall back to the raw+flag
-    * path, which the crawl-coverage accounting
-    * (pipeline_crawl_coverage) surfaces). Anything else — `compress`,
-    * multi-codings — keeps raw bytes and the flag. */
+    * zstd and brotli decode — the last via the pure-JVM [[Brotli]]
+    * decoder, INCLUDING RFC 7932 static-dictionary references and the
+    * UTF8/Signed context modes real CDN encoders emit; only malformed
+    * `br` streams fall back to the raw+flag path, which the
+    * crawl-coverage accounting (pipeline_crawl_coverage) surfaces.
+    * Anything else — `compress`, multi-codings — keeps raw bytes and
+    * the flag. */
   private[graft] def decodeBody(raw: Array[Byte], contentEncoding: String,
       transferEncoding: String): (Array[Byte], String) = {
     val te = transferEncoding.trim.toLowerCase

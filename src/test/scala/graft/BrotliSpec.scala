@@ -90,11 +90,12 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
-  test("dictionary reference bails with 'dict', not garbage") {
+  test("hand-built implied-distance dictionary reference decodes") {
     // Hand-built stream: one compressed meta-block (MLEN 4) whose only
     // command is an implied-distance copy of 4 with zero prior output —
     // the implied last distance (initial ring value 4) exceeds produced
-    // output, i.e. a static-dictionary word reference.
+    // output, i.e. static-dictionary word_id 3 of length 4, identity
+    // transform.
     val bits = new StringBuilder // LSB-first bit string
     def put(v: Int, n: Int): Unit =
       (0 until n).foreach(i => bits += (if (((v >> i) & 1) == 1) '1' else '0'))
@@ -123,9 +124,100 @@ class BrotliSpec extends AnyFunSuite {
     s.zipWithIndex.foreach { case (c, i) =>
       if (c == '1') raw(i / 8) = (raw(i / 8) | (1 << (i % 8))).toByte
     }
-    assert(Brotli.decodeOrReason(raw) == Left("dict"))
+    val got = Brotli.decode(raw)
+    assert(got.isDefined)
+    assert(java.util.Arrays.equals(got.get,
+      java.util.Arrays.copyOfRange(Brotli.DictData, 12, 16))) // word 3, len 4
     // and overlapping copies (dist < len) DO work through the encoder
     rt(("abcd" + "abcd" * 10).getBytes("UTF-8"), EncOpts())
+  }
+
+  // ---------------- static dictionary (RFC 7932 §8, App. A/B) --------
+
+  test("dictionary resource: RFC Appendix A SHA-256 gate and known words") {
+    val d = Brotli.DictData
+    assert(d.length == 122784)
+    // RFC's own published digest is re-checked at load; spot words:
+    assert(new String(d, 0, 12, "US-ASCII") == "timedownlife")
+    assert(new String(d, 9216, 6, "US-ASCII") == "&quot;") // first len-6 word
+  }
+
+  test("dictWord known-answer vectors (reference-decoder derived)") {
+    // outputs captured from the reference decoder fed hand-crafted
+    // one-command dictionary-reference streams (see transform notes)
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val vecs = Seq(
+      (4, 0, 0, "74696d65"), // "time"
+      (4, 15, 0, "776f726b"), // "work"
+      (5, 8, 5, "72696768742074686520"), // "right the "
+      (6, 3, 9, "537461747573"), // FermentFirst "status"
+      (8, 1, 44, "425553494e455353"), // FermentAll "business"
+      (10, 5, 3, "6f6e646974696f6e73"), // OmitFirst1 "conditions"
+      (13, 4, 12, "636f6e66696775726174696f"), // OmitLast1
+      (24, 31, 0, "e0a4b8e0a495e0a58de0a4b0e0a4bfe0a4afe0a4a4e0a4be"),
+      (7, 7, 72, "2e636f6d2f73746172746564"), // ".com/" prefix
+      (12, 2, 102, "c2a022203a2022687474703a2f2f"), // NBSP prefix
+      // ferment over multi-byte UTF-8: 2-byte seq XORs trailing byte
+      // with 32, 3-byte seq XORs third byte with 5
+      (4, 436, 9, "5a683ae5"), // "zh:\xe5" -> "Zh:\xe5"
+      (4, 436, 44, "5a483ae5"),
+      (4, 683, 44, "4b4dc292"), // "km\xc2\xb2" -> "KM\xc2\x92"
+      (4, 683, 9, "4b6dc2b2"),
+      (24, 31, 44, "e0a4bde0a490e0a588e0a4b5e0a4bae0a4aae0a4a1e0a4bb"))
+    vecs.foreach { case (l, i, t, want) =>
+      assert(hex(Brotli.dictWord(l, i, t)) == want, s"($l,$i,$t)")
+    }
+  }
+
+  test("encodeDictRef streams decode to pre ++ transformed word") {
+    val pre = "prefix data: ".getBytes("UTF-8")
+    for ((l, i, t) <- Seq((4, 15, 0), (6, 3, 9), (8, 1, 44), (10, 5, 3),
+        (13, 4, 12), (24, 31, 0), (5, 8, 5), (12, 2, 102))) {
+      val want = pre ++ Brotli.dictWord(l, i, t)
+      val got = Brotli.decode(Brotli.encodeDictRef(pre, l, i, t))
+      assert(got.isDefined, s"($l,$i,$t)")
+      assert(java.util.Arrays.equals(got.get, want), s"($l,$i,$t)")
+      // and with no prefix at all
+      val got0 = Brotli.decode(Brotli.encodeDictRef(Array.emptyByteArray, l, i, t))
+      assert(java.util.Arrays.equals(got0.get, Brotli.dictWord(l, i, t)))
+    }
+    // totality: truncations/flips of a dict-ref stream never throw
+    val enc = Brotli.encodeDictRef("abc".getBytes, 8, 1, 44)
+    (0 until enc.length).foreach(n =>
+      Brotli.decodeOrReason(java.util.Arrays.copyOf(enc, n)))
+    val rnd = new java.util.Random(9)
+    (0 until 200).foreach { _ =>
+      val m = enc.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Brotli.decodeOrReason(m)
+    }
+  }
+
+  test("GOLDEN: reference-encoder streams (q=1/5/11, all texts) decode exactly") {
+    // src/test/resources/brotli_golden.jsonl: produced by the reference
+    // brotli encoder — q=11 output leans on the static dictionary and
+    // non-trivial UTF8 context maps, the exact features this decoder
+    // must get right for real web `br` bodies
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/brotli_golden.jsonl"), "US-ASCII")
+    val lines = try src.getLines().toList finally src.close()
+    assert(lines.size >= 19)
+    val b64 = java.util.Base64.getDecoder
+    var dictHeavy = 0
+    lines.foreach { line =>
+      def field(k: String): String = {
+        val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
+        m.findFirstMatchIn(line).get.group(1)
+      }
+      val name = field("name")
+      val plain = b64.decode(field("plain"))
+      val br = b64.decode(field("br"))
+      val got = Brotli.decode(br)
+      assert(got.isDefined, s"$name: ${Brotli.decodeOrReason(br).left.getOrElse("")}")
+      assert(java.util.Arrays.equals(got.get, plain), s"$name mismatch")
+      if (br.length * 4 < plain.length) dictHeavy += 1
+    }
+    assert(dictHeavy >= 6) // several streams compress >4x (dictionary at work)
   }
 
   test("decode cross-check: java.util.zip has no brotli; option matrix is self-consistent") {
