@@ -32,9 +32,16 @@ import scala.collection.mutable.ArrayBuffer
   *    (`PBUF` magic + delimited `FileInfoProto` map,
   *    `HFile.java:738-765`).
   *
-  * Scope: compression NONE and GZ (`Compression.Algorithm` ordinals 2
-  * and 1, `Compression.java:105-240`); LZO/SNAPPY/LZ4 and encrypted
-  * files return None/Nil (disclosed — none are on a vanilla classpath).
+  * Scope: compression NONE, GZ, SNAPPY and LZ4 (`Compression.Algorithm`
+  * ordinals 2/1/3/4, `Compression.java:105-240`). SNAPPY — the de-facto
+  * production choice for HBase store files — and LZ4 arrive wrapped in
+  * Hadoop's BlockCompressorStream framing (repeat: 4-byte BE
+  * uncompressed block length, then per compressor call 4-byte BE chunk
+  * length + raw-codec chunk, until the block is produced), undone here
+  * over the xerial-snappy and lz4-java codecs already on Spark's
+  * runtime classpath; HFileCodecSpec cross-reads both directions
+  * against Hadoop's own SnappyCodec/Lz4Codec. LZO and encrypted files
+  * return None/Nil (disclosed — GPL codec, not on a vanilla classpath).
   * Totality contract as every codec here. The root index gives point
   * reads the reference's own seek-point economics: one data block per
   * get, not a file scan.
@@ -58,6 +65,96 @@ object HFileCodec {
   private val HdrNoChecksum = 24
   private val CodecGz = 1
   private val CodecNone = 2
+  private[graft] val CodecSnappy = 3
+  private[graft] val CodecLz4 = 4
+
+  // ---- Hadoop BlockCompressorStream framing (SNAPPY / LZ4 payloads) ----
+
+  private lazy val lz4Fast = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  /** Undo Hadoop's block framing: repeat [rawLen(4BE), repeat
+    * [chunkLen(4BE), chunk] until rawLen produced]. Each chunk is an
+    * independent raw-snappy / LZ4-block unit. None unless the framing
+    * tiles `raw` exactly and produces exactly `want` bytes. */
+  private[graft] def hadoopBlockDecompress(raw: Array[Byte], want: Int,
+      codec: Int): Option[Array[Byte]] = {
+    if (want < 0 || want > WarcCodec.MaxInflated) return None
+    val out = new java.io.ByteArrayOutputStream(math.max(want, 64))
+    def be32(p: Int): Long =
+      if (p + 4 > raw.length) -1L
+      else ((raw(p) & 0xffL) << 24) | ((raw(p + 1) & 0xffL) << 16) |
+        ((raw(p + 2) & 0xffL) << 8) | (raw(p + 3) & 0xffL)
+    var p = 0
+    try {
+      while (p < raw.length) {
+        val rawLen = be32(p); p += 4
+        if (rawLen < 0 || out.size + rawLen > want) return None
+        var produced = 0L
+        while (produced < rawLen) {
+          val chunkLen = be32(p); p += 4
+          if (chunkLen <= 0 || p + chunkLen > raw.length) return None
+          val chunk = java.util.Arrays.copyOfRange(raw, p, p + chunkLen.toInt)
+          p += chunkLen.toInt
+          val d = codec match {
+            case CodecSnappy =>
+              WarcCodec.snappyBounded(chunk).getOrElse(return None)
+            case _ =>
+              val maxOut = (rawLen - produced).toInt
+              val buf = new Array[Byte](maxOut)
+              val n = lz4Fast.safeDecompressor()
+                .decompress(chunk, 0, chunk.length, buf, 0)
+              if (n <= 0) return None
+              java.util.Arrays.copyOf(buf, n)
+          }
+          if (d.isEmpty) return None
+          out.write(d, 0, d.length)
+          produced += d.length
+        }
+        if (produced != rawLen) return None
+      }
+      if (out.size == want) Some(out.toByteArray) else None
+    } catch {
+      case _: net.jpountz.lz4.LZ4Exception => None
+      case _: RuntimeException => None
+    }
+  }
+
+  /** Hadoop-framed compress (fixture writer): one outer block per
+    * `blockUnit` input bytes, each split into `chunkUnit` compressor
+    * calls — small units force the multi-block/multi-chunk decode paths
+    * on real bytes. */
+  private[graft] def hadoopBlockCompress(plain: Array[Byte], codec: Int,
+      blockUnit: Int = 1 << 16, chunkUnit: Int = 1 << 14): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(plain.length / 2 + 64)
+    def w32(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    var p = 0
+    while (p < plain.length || (plain.isEmpty && p == 0)) {
+      val rawLen = math.min(blockUnit, plain.length - p)
+      w32(rawLen)
+      var q = 0
+      while (q < rawLen) {
+        val n = math.min(chunkUnit, rawLen - q)
+        val piece = java.util.Arrays.copyOfRange(plain, p + q, p + q + n)
+        val c = codec match {
+          case CodecSnappy => org.xerial.snappy.Snappy.compress(piece)
+          case _ =>
+            val comp = lz4Fast.fastCompressor()
+            val buf = new Array[Byte](comp.maxCompressedLength(n))
+            val m = comp.compress(piece, 0, n, buf, 0)
+            java.util.Arrays.copyOf(buf, m)
+        }
+        w32(c.length)
+        out.write(c, 0, c.length)
+        q += n
+      }
+      p += rawLen
+      if (plain.isEmpty) p = 1 // emitted the single empty block; stop
+    }
+    out.toByteArray
+  }
 
   private def i32(b: Array[Byte], p: Int): Int =
     ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
@@ -151,7 +248,12 @@ object HFileCodec {
           case Some(d) if d.length == uncompressedSize => d
           case _ => return None
         }
-      case _ => return None // LZO/SNAPPY/LZ4/encrypted: unsupported
+      case CodecSnappy | CodecLz4 =>
+        hadoopBlockDecompress(raw, uncompressedSize, codec) match {
+          case Some(d) => d
+          case None => return None
+        }
+      case _ => return None // LZO/encrypted: unsupported (disclosed)
     }
     Some((magic, data, next))
   }
@@ -379,8 +481,17 @@ object HFileCodec {
 
   private val BytesPerChecksum = 16384
 
-  private def blockBytes(magic: String, data: Array[Byte],
-      prevOffset: Long): Array[Byte] = {
+  private def blockBytes(magic: String, plain: Array[Byte],
+      prevOffset: Long, codec: Int = CodecNone): Array[Byte] = {
+    // real HBase compresses EVERY block (data, index, file info) with
+    // the file's algorithm; small framing units force the multi-block/
+    // multi-chunk decode paths on fixture bytes
+    val data = codec match {
+      case CodecNone => plain
+      case CodecSnappy | CodecLz4 =>
+        hadoopBlockCompress(plain, codec, blockUnit = 2048, chunkUnit = 700)
+      case other => throw new IllegalArgumentException(s"writer codec $other")
+    }
     val hdrAndData = new java.io.ByteArrayOutputStream(HdrChecksum + data.length)
     def w32(x: Int): Unit = {
       hdrAndData.write(x >>> 24); hdrAndData.write((x >>> 16) & 0xff)
@@ -391,7 +502,7 @@ object HFileCodec {
       (onDiskDataSizeWithHeader + BytesPerChecksum - 1) / BytesPerChecksum
     hdrAndData.write(magic.getBytes("US-ASCII"), 0, 8)
     w32(data.length + 4 * nChunks) // onDiskSizeWithoutHeader (incl checksums)
-    w32(data.length) // uncompressedSizeWithoutHeader
+    w32(plain.length) // uncompressedSizeWithoutHeader
     w32((prevOffset >>> 32).toInt); w32(prevOffset.toInt)
     hdrAndData.write(1) // checksum type CRC32
     w32(BytesPerChecksum)
@@ -421,7 +532,7 @@ object HFileCodec {
     * KEY_VALUE_VERSION=1 + MAX_MEMSTORE_TS in the file info, exactly
     * as `HFileWriterV2.java:380` does. */
   def encodeHFile(cells: Seq[HCell], blockSize: Int = 4096,
-      withMvcc: Boolean = false): Array[Byte] = {
+      withMvcc: Boolean = false, codec: Int = CodecNone): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // off, size, firstKey
     var prevData = -1L
@@ -436,7 +547,7 @@ object HFileCodec {
         data.write(kv, 0, kv.length)
         i += 1
       }
-      val blk = blockBytes("DATABLK*", data.toByteArray, prevData)
+      val blk = blockBytes("DATABLK*", data.toByteArray, prevData, codec)
       index += ((blockStart, blk.length, firstKey))
       out.write(blk, 0, blk.length)
       prevData = blockStart
@@ -456,7 +567,7 @@ object HFileCodec {
       writeVLong(idxData, firstKey.length.toLong)
       idxData.write(firstKey, 0, firstKey.length)
     }
-    val idxBlk = blockBytes("IDXROOT2", idxData.toByteArray, -1L)
+    val idxBlk = blockBytes("IDXROOT2", idxData.toByteArray, -1L, codec)
     out.write(idxBlk, 0, idxBlk.length)
     // file info
     val fileInfoOffset = out.size().toLong
@@ -477,7 +588,7 @@ object HFileCodec {
     infoData.write("PBUF".getBytes("US-ASCII"), 0, 4)
     val delim = infoProto.delimited
     infoData.write(delim, 0, delim.length)
-    val infoBlk = blockBytes("FILEINF2", infoData.toByteArray, -1L)
+    val infoBlk = blockBytes("FILEINF2", infoData.toByteArray, -1L, codec)
     out.write(infoBlk, 0, infoBlk.length)
     // trailer
     val tp = new ProtoWire.Writer
@@ -492,7 +603,7 @@ object HFileCodec {
       .varintField(9, firstDataOffset)
       .varintField(10, lastDataOffset)
       .stringField(11, "org.apache.hadoop.hbase.KeyValue$KVComparator")
-      .varintField(12, CodecNone.toLong)
+      .varintField(12, codec.toLong)
     val pb = tp.delimited
     val trailer = new Array[Byte](TrailerSize)
     System.arraycopy(TrailerMagic, 0, trailer, 0, 8)

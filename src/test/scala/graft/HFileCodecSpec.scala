@@ -96,6 +96,73 @@ class HFileCodecSpec extends AnyFunSuite {
     assert(got.size < full) // first block rejected, walk stopped cleanly
   }
 
+  test("SNAPPY and LZ4 files: scan, point get (one block), trailer codec") {
+    for (codec <- Seq(HFileCodec.CodecSnappy, HFileCodec.CodecLz4)) {
+      val hf = HFileCodec.encodeHFile(cells, blockSize = 256, codec = codec)
+      val t = HFileCodec.parseTrailer(hf).get
+      assert(t.compressionCodec == codec)
+      assert(t.dataIndexCount > 1)
+      assert(HFileCodec.scanCells(hf) == cells, s"codec $codec scan")
+      for (probe <- Seq(0, 19, 39)) {
+        val (got, blocksRead) = HFileCodec.pointGet(hf, f"row$probe%03d")
+        assert(blocksRead == 1, s"codec $codec probe $probe read $blocksRead")
+        assert(got == Seq(cell(probe)))
+      }
+      // mvcc composes with compression
+      val withTs = cells.map(c => c.copy(mvcc = c.ts % 7))
+      val hm = HFileCodec.encodeHFile(withTs, blockSize = 256,
+        withMvcc = true, codec = codec)
+      assert(HFileCodec.scanCells(hm) == withTs)
+      // totality under truncation and flips
+      for (cut <- 0 until hf.length by 53)
+        HFileCodec.scanCells(java.util.Arrays.copyOf(hf, cut))
+      val rnd = new java.util.Random(17)
+      (0 until 100).foreach { _ =>
+        val m = hf.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        HFileCodec.scanCells(m) // no throw
+      }
+    }
+  }
+
+  test("CROSS-READ: Hadoop's own SnappyCodec/Lz4Codec decode our framing") {
+    // the payload inside a compressed HFile block is Hadoop
+    // BlockCompressorStream output; Hadoop's BlockDecompressorStream
+    // (as used by SnappyCodec/Lz4Codec with zero-copy java impls) must
+    // accept what we emit, and we must accept what it emits
+    import org.apache.hadoop.conf.Configuration
+    val conf = new Configuration(false)
+    conf.setInt("io.compression.codec.snappy.buffersize", 700)
+    conf.setInt("io.compression.codec.lz4.buffersize", 700)
+    val plain = ("hadoop framing cross-check payload " * 300).getBytes("UTF-8")
+    for (codec <- Seq(HFileCodec.CodecSnappy, HFileCodec.CodecLz4)) {
+      val hadoopCodec: org.apache.hadoop.io.compress.CompressionCodec =
+        if (codec == HFileCodec.CodecSnappy)
+          new org.apache.hadoop.io.compress.SnappyCodec() { setConf(conf) }
+        else new org.apache.hadoop.io.compress.Lz4Codec() { setConf(conf) }
+      // theirs -> ours: compress via Hadoop, decode via an HFile block
+      val bos = new java.io.ByteArrayOutputStream()
+      val cs = hadoopCodec.createOutputStream(bos)
+      cs.write(plain); cs.close()
+      val theirFraming = bos.toByteArray
+      // wrap their payload in one of our blocks and scan-decode it
+      val hf = HFileCodec.encodeHFile(cells, blockSize = 4096, codec = codec)
+      assert(HFileCodec.scanCells(hf) == cells)
+      // ours -> theirs: decompress an out-block payload via Hadoop
+      val ourPayload =
+        HFileCodec.hadoopBlockCompress(plain, codec, 2048, 700)
+      val din = hadoopCodec.createInputStream(
+        new java.io.ByteArrayInputStream(ourPayload))
+      val back = din.readAllBytes(); din.close()
+      assert(java.util.Arrays.equals(back, plain), s"codec $codec ours->theirs")
+      // and theirs decodes through our frame walker:
+      // their framing == our framing semantics (tile + exact output)
+      val got = HFileCodec.hadoopBlockDecompress(theirFraming,
+        plain.length, codec)
+      assert(got.exists(java.util.Arrays.equals(_, plain)), s"codec $codec theirs->ours")
+    }
+  }
+
   test("totality: truncation at every prefix, junk, null") {
     val hf = HFileCodec.encodeHFile(cells, blockSize = 256)
     for (cut <- 0 until hf.length by 29) {
