@@ -25,7 +25,8 @@ object OrcFooter {
 
   final case class OrcStripe(offset: Long, dataLength: Long, numRows: Long)
   final case class OrcColumn(kind: String, fieldName: String,
-      numValues: Long, intMin: Option[Long], intMax: Option[Long])
+      numValues: Long, intMin: Option[Long], intMax: Option[Long],
+      strMin: Option[String] = None, strMax: Option[String] = None)
   final case class OrcMeta(numRows: Long, compression: String,
       stripes: Seq[OrcStripe], rootFields: Seq[OrcColumn],
       bytesRead: Long)
@@ -150,9 +151,15 @@ object OrcFooter {
       val nVals = st.flatMap(varintOf(_, 1)).getOrElse(-1L)
       val intStats = st.flatMap(s =>
         s.find(f => f.number == 2 && f.wireType == 2).map(f => parseMessage(f.bytes)))
+      // StringStatistics (ColumnStatistics field 4): minimum=1,
+      // maximum=2, both UTF-8 strings — the rowkey/URL zone maps
+      val strStats = st.flatMap(s =>
+        s.find(f => f.number == 4 && f.wireType == 2).map(f => parseMessage(f.bytes)))
       OrcColumn(kind, names.lift(ix).getOrElse(""), nVals,
         intStats.flatMap(varintOf(_, 1)).map(zig),
-        intStats.flatMap(varintOf(_, 2)).map(zig))
+        intStats.flatMap(varintOf(_, 2)).map(zig),
+        strStats.flatMap(bytesOf(_, 1)).map(new String(_, "UTF-8")),
+        strStats.flatMap(bytesOf(_, 2)).map(new String(_, "UTF-8")))
     }
     Some(OrcMeta(numRows, compression, stripes, cols, bytesRead))
   }

@@ -27,7 +27,7 @@ object ParquetFooter {
       typ: String, codec: String, numValues: Long,
       compressedSize: Long, uncompressedSize: Long,
       nullCount: Long = -1L, statsMin: String = "", statsMax: String = "",
-      plainLogical: Boolean = true)
+      plainLogical: Boolean = true, isString: Boolean = false)
   final case class FooterMeta(numRows: Long, numRowGroups: Int,
       createdBy: String, footerBytes: Long, chunks: Seq[ChunkMeta])
 
@@ -79,16 +79,26 @@ object ParquetFooter {
       }
       // leaf schema elements in document order = column order; a leaf
       // is "plain" when it carries neither convertedType (field 6) nor
-      // logicalType (field 10) — groups (num_children > 0) are skipped
-      val plainLeaves: Vector[Boolean] = (root.get(2) match {
+      // logicalType (field 10), and a STRING when convertedType is
+      // UTF8 (enum 0) or the LogicalType union picks STRING (field 1)
+      // — groups (num_children > 0) are skipped
+      val leafEls: Vector[Struct] = (root.get(2) match {
         case Some(v: Vector[_]) => v
         case _ => Vector.empty
       }).collect {
         case se: Struct if !se.get(5).exists {
           case n: Long => n > 0
           case _ => false
-        } => se.get(6).isEmpty && se.get(10).isEmpty
+        } => se
       }.toVector
+      val plainLeaves: Vector[Boolean] =
+        leafEls.map(se => se.get(6).isEmpty && se.get(10).isEmpty)
+      val stringLeaves: Vector[Boolean] = leafEls.map { se =>
+        se.get(6).contains(0L) || se.get(10).exists {
+          case lt: Struct => lt.get(1).isDefined
+          case _ => false
+        }
+      }
       val chunks = ArrayBuffer.empty[ChunkMeta]
       rowGroups.zipWithIndex.foreach {
         case (rg: Struct, rgIx) =>
@@ -128,6 +138,7 @@ object ParquetFooter {
                     case Some(st: Struct) => Some(st)
                     case _ => None
                   }
+                  val isStr = stringLeaves.lift(colIx).getOrElse(false)
                   def leVal(v: Option[Any]): String = v match {
                     case Some(bts: Array[Byte])
                         if typ == "INT32" || typ == "INT64" =>
@@ -138,6 +149,12 @@ object ParquetFooter {
                       if (bits > 0 && bits < 64)
                         acc = (acc << (64 - bits)) >> (64 - bits)
                       acc.toString
+                    case Some(bts: Array[Byte])
+                        if typ == "BYTE_ARRAY" && isStr =>
+                      // string zone maps: the stats value IS the
+                      // PLAIN-encoded UTF-8 bytes (rowkey/URL/host
+                      // pruning at 100 TB keys on these)
+                      new String(bts, "UTF-8")
                     case _ => ""
                   }
                   val mn = stats.map(st =>
@@ -147,7 +164,8 @@ object ParquetFooter {
                   val nulls = stats.map(st => longAt(st, 3)).getOrElse(-1L)
                   chunks += ChunkMeta(rgIx, colIx, path, typ, codec,
                     longAt(md, 5), longAt(md, 7), longAt(md, 6),
-                    nulls, mn, mx, plainLeaves.lift(colIx).getOrElse(true))
+                    nulls, mn, mx, plainLeaves.lift(colIx).getOrElse(true),
+                    isStr)
                 case _ => ()
               }
             case _ => ()

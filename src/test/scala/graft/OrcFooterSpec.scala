@@ -58,6 +58,23 @@ class OrcFooterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val score = m.rootFields(2)
     assert(score.intMin.contains(7L) && score.intMax.contains(999L * 3 + 7))
     assert(m.rootFields.forall(_.numValues == 1000L))
+    // string zone maps: "name 0" .. "name 999" sort lexicographically
+    val name = m.rootFields(1)
+    assert(name.strMin.contains("name 0"))
+    assert(name.strMax.contains("name 999"))
+    assert(id.strMin.isEmpty) // int columns carry no StringStatistics
+  }
+
+  test("string min/max statistics on a unicode column") {
+    val s = spark
+    import s.implicits._
+    Seq("alpha", "Ωmega", "beta", "café", "zzz")
+      .toDF("word").coalesce(1).write.mode("overwrite")
+      .option("compression", "snappy").orc(s"$dir/strs")
+    val m = OrcFooter.readFile(orcFiles(s"$dir/strs").head.getPath).get
+    val w = m.rootFields.head
+    assert(w.strMin.contains("alpha"))
+    assert(w.strMax.contains("Ωmega")) // UTF-8 byte order: Ω > z ASCII
   }
 
   test("zlib and uncompressed ORC footers decode too") {

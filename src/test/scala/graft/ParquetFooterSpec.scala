@@ -36,6 +36,25 @@ class ParquetFooterSpec extends AnyFunSuite {
       c.path.contains("embedding") && c.typ == "FLOAT"))
   }
 
+  test("string (BYTE_ARRAY) min/max statistics decode as UTF-8 zone maps") {
+    val (li, _) = ParquetFooter.readFile(s"$dir/lineitem.parquet").get
+    val rf = li.chunks.find(c => c.path == "l_returnflag" && c.rowGroup == 0).get
+    assert(rf.typ == "BYTE_ARRAY" && rf.isString)
+    assert(rf.statsMin == "A" && rf.statsMax == "R")
+    val ls = li.chunks.find(c => c.path == "l_linestatus" && c.rowGroup == 0).get
+    assert(ls.statsMin == "F" && ls.statsMax == "O")
+    // string leaves are NOT "plain" (they carry the String logical
+    // type) but are exactly the isString set
+    assert(!rf.plainLogical)
+    val (docs, _) = ParquetFooter.readFile(s"$dir/documents.parquet").get
+    val lang = docs.chunks.find(c => c.path == "lang" && c.rowGroup == 0).get
+    assert(lang.isString && lang.statsMin.nonEmpty)
+    assert(lang.statsMin <= lang.statsMax)
+    // int stats still untouched by the string path
+    val ok = docs.chunks.find(c => c.path == "doc_id" && c.rowGroup == 0).get
+    assert(!ok.isString && ok.statsMin.toLong <= ok.statsMax.toLong)
+  }
+
   test("totality: junk footers and truncations never throw") {
     assert(ParquetFooter.decode("not thrift".getBytes).isEmpty)
     assert(ParquetFooter.decode(Array[Byte](0x19, 0x7f, -1, -1)).isEmpty)
