@@ -16,9 +16,14 @@ package graft.ops
   * parsers (JsonLd/HtmlTables): `<page>` elements are located by index
   * scan, `<title>`/`<ns>`/`<text>` extracted with XML entity decode,
   * malformed tails yield the pages parsed so far — never an exception.
-  * One dump file is one task's unit in a `binaryFile`-read `flatMap`
-  * (bzip2 streams are not block-splittable without an external index;
-  * the multistream layout's per-stream index is the CDX idea again).
+  * Splittability: bzip2 is not block-splittable without an index, so a
+  * PLAIN dump is one task's unit — but the multistream layout IS
+  * splittable through [[buildBz2Index]]: one ingest pass records each
+  * concatenated stream's (offset, length, nPages, firstTitle), after
+  * which [[pagesFromStreamAt]] point reads decode one ~100-page stream
+  * and a 20 GB dump fans out across tasks by extent (the CDX pattern's
+  * third application, after WARC members and the ZIP central
+  * directory).
   *
   * Reference behavior: HIndex stores payloads as opaque cell bytes
   * (`SeekPointFetcher.java:47`); this tier is pipeline value-add
@@ -76,6 +81,115 @@ object Dumps {
         xzCache),
       b.length * 4)
     catch { case _: Exception => None }
+  }
+
+  /** Byte-exact position tracking over a slice of `b` — single-byte
+    * reads only, so a decoder's consumption count is never inflated by
+    * bulk-read buffering. */
+  private final class CountingByteIn(b: Array[Byte], off: Int)
+      extends java.io.InputStream {
+    private var p = off
+    def consumed: Int = p - off
+    override def read(): Int =
+      if (p >= b.length) -1
+      else { val v = b(p) & 0xff; p += 1; v }
+  }
+
+  /** One multistream-dump member: the byte extent of a single bzip2
+    * stream plus what a point reader needs to route (page count and
+    * first title in the member — the shape of Wikipedia's own
+    * `multistream-index.txt`). */
+  final case class Bz2Stream(offset: Long, length: Long, nPages: Int,
+      firstTitle: String)
+
+  /** Index a multistream bzip2 blob: one entry per concatenated stream,
+    * extents tiling the blob exactly. This is the CDX idea (WARC
+    * members, ZIP central directory) applied a third time: ONE
+    * sequential ingest pass per dump, after which point reads decode a
+    * single ~100-page stream and a 20 GB dump fans out across tasks by
+    * (path, offset, length) instead of one straggler decoding 2 GB of
+    * XML serially. Stops (returning what indexed) at the first
+    * malformed stream; never throws. */
+  def buildBz2Index(blob: Array[Byte],
+      maxStreams: Int = 1 << 20): Seq[Bz2Stream] = {
+    if (!sniffBzip2(blob)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Bz2Stream]
+    var off = 0L
+    var total = 0L
+    while (off < blob.length && out.size < maxStreams &&
+        off + 4 <= blob.length && blob(off.toInt) == 'B' &&
+        blob(off.toInt + 1) == 'Z' && blob(off.toInt + 2) == 'h') {
+      val consumed =
+        try {
+          // exact byte accounting: bzip2 consumes the underlying stream
+          // one byte at a time (its bit buffer never holds a full
+          // byte), so the wrapper's position at EOF IS the stream end
+          val in = new CountingByteIn(blob, off.toInt)
+          val z = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorInputStream(in, false) // ONE stream only
+          val bos = new java.io.ByteArrayOutputStream(4096)
+          val buf = new Array[Byte](8192)
+          var r = z.read(buf)
+          while (r >= 0 && bos.size() < MaxInflated &&
+              total + bos.size() < MaxInflated) {
+            bos.write(buf, 0, math.min(r, MaxInflated - bos.size()))
+            r = z.read(buf)
+          }
+          val n = in.consumed.toLong // bytes of THIS stream consumed
+          z.close()
+          if (bos.size() >= MaxInflated) -1L
+          else {
+            total += bos.size()
+            val xml = new String(bos.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val pages = parsePages(xml, maxPages = 100000)
+            out += Bz2Stream(off, n, pages.size,
+              pages.headOption.map(_.title).getOrElse(""))
+            n
+          }
+        } catch { case _: Exception => -1L }
+      if (consumed <= 0) return out.toSeq
+      off += consumed
+    }
+    out.toSeq
+  }
+
+  /** Decode the pages of ONE indexed stream extent — the point-read
+    * side of [[buildBz2Index]]. */
+  def pagesFromStreamAt(blob: Array[Byte], offset: Long,
+      length: Long): Seq[WikiPage] = {
+    if (blob == null || offset < 0 || length <= 0 ||
+      offset + length > blob.length) return Nil
+    val slice = java.util.Arrays.copyOfRange(blob, offset.toInt,
+      (offset + length).toInt)
+    bunzip2Bounded(slice) match {
+      case Some(xb) => parsePages(
+        new String(xb, java.nio.charset.StandardCharsets.UTF_8))
+      case None => Nil
+    }
+  }
+
+  /** Fixture writer: a Wikipedia-shaped MULTISTREAM dump — header
+    * stream (`<mediawiki>` open tag), one stream per page group, and a
+    * closing-tag stream, concatenated raw (exactly how the real
+    * `pages-articles-multistream.xml.bz2` is laid out). */
+  def encodeMultistream(groups: Seq[Seq[(String, Int, String)]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = {
+      val z = encodeBzip2(s.getBytes("UTF-8"))
+      out.write(z, 0, z.length)
+    }
+    put("<mediawiki xml:lang=\"en\">\n")
+    groups.foreach { pages =>
+      // reuse the single-stream fixture shape, minus the envelope
+      val whole = encodeDumpXml(pages)
+      val body = whole.linesWithSeparators
+        .filterNot(l => l.startsWith("<mediawiki") || l.startsWith("</mediawiki"))
+        .mkString
+      put(body)
+    }
+    put("</mediawiki>\n")
+    out.toByteArray
   }
 
   /** Deterministic bzip2 writer for fixtures. Block size 1 (100 KB):

@@ -29,6 +29,59 @@ class DumpsSpec extends AnyFunSuite {
       "first stream second stream")
   }
 
+  test("multistream index: extents tile the blob; point-read == full walk") {
+    val groups = (0 until 4).map { g =>
+      (0 until 3).map(j => (s"Title $g-$j", 0, s"body of $g/$j " * (g + 1)))
+    }
+    val blob = Dumps.encodeMultistream(groups)
+    val idx = Dumps.buildBz2Index(blob)
+    assert(idx.size == groups.size + 2) // header + groups + closing tag
+    // extents tile exactly
+    assert(idx.head.offset == 0)
+    assert(idx.map(_.length).sum == blob.length)
+    idx.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + a.length == b.offset)
+      case _ => ()
+    }
+    // header/footer streams carry no pages; group streams carry 3 each
+    assert(idx.head.nPages == 0 && idx.last.nPages == 0)
+    assert(idx.slice(1, 5).forall(_.nPages == 3))
+    assert(idx(2).firstTitle == "Title 1-0")
+    // point read of each group stream == the full walk's slice
+    val full = Dumps.pagesFromDump(blob)
+    assert(full.size == 12)
+    (0 until 4).foreach { g =>
+      val e = idx(1 + g)
+      val point = Dumps.pagesFromStreamAt(blob, e.offset, e.length)
+      val slice = full.filter(_.title.startsWith(s"Title $g-"))
+      assert(point.map(p => (p.title, p.text)) ==
+        slice.map(p => (p.title, p.text)), s"group $g")
+    }
+    // a 100-stream dump indexes fine (fan-out shape)
+    val big = Dumps.encodeMultistream(
+      (0 until 100).map(g => Seq((s"P$g", 0, s"b$g"))))
+    val bidx = Dumps.buildBz2Index(big)
+    assert(bidx.size == 102)
+    assert(bidx.map(_.length).sum == big.length)
+  }
+
+  test("multistream index totality: junk, truncation, mid-blob garbage") {
+    val blob = Dumps.encodeMultistream(Seq(Seq(("T", 0, "b"))))
+    (0 until blob.length by 7).foreach { n =>
+      Dumps.buildBz2Index(java.util.Arrays.copyOf(blob, n)) // no throw
+    }
+    assert(Dumps.buildBz2Index("BZh9junkjunk".getBytes).isEmpty ||
+      Dumps.buildBz2Index("BZh9junkjunk".getBytes).nonEmpty) // total either way
+    assert(Dumps.buildBz2Index(null).isEmpty)
+    assert(Dumps.buildBz2Index("plain".getBytes).isEmpty)
+    // garbage appended after valid streams: keeps the valid prefix
+    val withTail = blob ++ "garbage tail".getBytes
+    val idx = Dumps.buildBz2Index(withTail)
+    assert(idx.map(_.length).sum == blob.length)
+    assert(Dumps.pagesFromStreamAt(blob, -1, 10).isEmpty)
+    assert(Dumps.pagesFromStreamAt(blob, 0, blob.length + 99).isEmpty)
+  }
+
   test("transport totality: junk, wrong magic, truncation never throw") {
     assert(Dumps.bunzip2Bounded(null).isEmpty)
     assert(Dumps.unxzBounded(null).isEmpty)
