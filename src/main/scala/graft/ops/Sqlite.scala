@@ -71,6 +71,12 @@ object Sqlite {
       if (raw == 1) 65536 else raw
     }
     val reserved: Int = b(20) & 0xff
+    /** Header field 56: 1 = UTF-8, 2 = UTF-16le, 3 = UTF-16be. */
+    val textEnc: Int = u32(b, 56) match {
+      case 2L => 2
+      case 3L => 3
+      case _ => 1
+    }
     val usable: Int = pageSize - reserved
     val nPages: Int = math.min(u32(b, 28), (b.length / math.max(pageSize, 1)).toLong).toInt
     def pageOff(p: Int): Int = (p - 1) * pageSize
@@ -108,8 +114,10 @@ object Sqlite {
     out.toByteArray
   }
 
-  /** Decode a record (serial-type header + body) into values. */
-  private def record(p: Array[Byte]): Seq[SqlValue] = {
+  /** Decode a record (serial-type header + body) into values.
+    * `enc` is the DATABASE text encoding (header field 56): serial-type
+    * lengths are BYTES in all encodings; only the charset differs. */
+  private def record(p: Array[Byte], enc: Int = 1): Seq[SqlValue] = {
     val (hdrLen, n0) = varint(p, 0)
     if (hdrLen < n0 || hdrLen > p.length) return Nil
     val types = ArrayBuffer.empty[Long]
@@ -148,7 +156,12 @@ object Sqlite {
         case 9 => SqlValue("int", "1")
         case tt if tt >= 13 && tt % 2 == 1 =>
           val len = ((tt - 13) / 2).toInt
-          val s = new String(p, body, math.max(0, math.min(len, p.length - body)), "UTF-8")
+          val cs = enc match {
+            case 2 => "UTF-16LE"
+            case 3 => "UTF-16BE"
+            case _ => "UTF-8"
+          }
+          val s = new String(p, body, math.max(0, math.min(len, p.length - body)), cs)
           body += len
           SqlValue("text", s)
         case tt if tt >= 12 =>
@@ -192,7 +205,7 @@ object Sqlite {
             val (rowid, n2) = varint(b, off); off += n2
             if (plen >= 0 && plen < MaxOut) {
               val p = payload(db, base + ptr, plen, off)
-              out += ((rowid, record(p)))
+              out += ((rowid, record(p, db.textEnc)))
             }
           }
           c += 1
@@ -273,7 +286,7 @@ object Sqlite {
 
   /** Minimal-serial-type record encode. Values: null/"int:..."/"real:
     * ..."/plain text. */
-  private def encodeRecord(values: Seq[SqlValue]): Array[Byte] = {
+  private def encodeRecord(values: Seq[SqlValue], textEnc: Int = 1): Array[Byte] = {
     val bodies = ArrayBuffer.empty[Array[Byte]]
     val stypes = values.map { v =>
       v.kind match {
@@ -306,7 +319,11 @@ object Sqlite {
           bodies += a
           12L + 2 * a.length
         case _ =>
-          val a = v.text.getBytes("UTF-8")
+          val a = v.text.getBytes(textEnc match {
+            case 2 => "UTF-16LE"
+            case 3 => "UTF-16BE"
+            case _ => "UTF-8"
+          })
           bodies += a
           13L + 2 * a.length
       }
@@ -326,8 +343,10 @@ object Sqlite {
     * the first column; when `ipk` the first column is written as NULL
     * (the rowid alias, like real SQLite does) and rowids count from 1. */
   def encode(tableName: String, createSql: String,
-      rowValues: Seq[Seq[SqlValue]], pageSize: Int = 512): Array[Byte] = {
+      rowValues: Seq[Seq[SqlValue]], pageSize: Int = 512,
+      textEnc: Int = 1): Array[Byte] = {
     require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0)
+    require(textEnc == 1 || textEnc == 2 || textEnc == 3)
     val ipk = createSql.toLowerCase(java.util.Locale.ROOT)
       .contains("integer primary key")
 
@@ -403,7 +422,7 @@ object Sqlite {
     // rowids 1..n; build raw records
     val recs = rowValues.zipWithIndex.map { case (vs, ix) =>
       val vs2 = if (ipk) SqlValue("null", "") +: vs.tail else vs
-      (ix + 1L, encodeRecord(vs2))
+      (ix + 1L, encodeRecord(vs2, textEnc))
     }
 
     // we must know final page numbers before emitting overflow pointers;
@@ -486,7 +505,7 @@ object Sqlite {
     val schemaRec = encodeRecord(Seq(
       SqlValue("text", "table"), SqlValue("text", tableName),
       SqlValue("text", tableName), SqlValue("int", dataRoot.toString),
-      SqlValue("text", createSql)))
+      SqlValue("text", createSql)), textEnc)
     require(schemaRec.length <= pageSize - 135, "schema row too large")
     val schemaCell = {
       val out = new java.io.ByteArrayOutputStream()
@@ -507,7 +526,7 @@ object Sqlite {
     val totalPages = treePages + pendingOverflow.size
     putU32(page1, 28, totalPages.toLong)
     putU32(page1, 44, 4L) // schema format
-    putU32(page1, 56, 1L) // UTF-8
+    putU32(page1, 56, textEnc.toLong) // 1 UTF-8 / 2 UTF-16le / 3 UTF-16be
     putU32(page1, 96, 3049000L) // sqlite version number slot
 
     val out = new java.io.ByteArrayOutputStream(totalPages * pageSize)

@@ -17,9 +17,13 @@ import graft.ops.MediaCodec.Raster
   * differencing, per BYTE at 8 bits and per 16-bit SAMPLE at 16),
   * PhotometricInterpretation 0/1 (grayscale, WhiteIsZero inverted),
   * 2 (RGB) and 3 (ColorMap palette → RGB), 8-bit samples via [[decode]]
-  * and 16-bit gray/RGB via [[decode16]] (both byte orders). Tiled
-  * TIFFs and JPEG-in-TIFF are disclosed out of scope (None). Bounds-checked, total on junk,
-  * decoded size capped by the shared 2^28 bound.
+  * and 16-bit gray/RGB via [[decode16]] (both byte orders), and the
+  * TILED organization (§15: TileWidth/TileLength/TileOffsets/
+  * TileByteCounts, multiples of 16, row-major with padded edge tiles,
+  * each tile an independent codec unit — how scanned/geo corpora ship)
+  * for 8-bit images. JPEG-in-TIFF is disclosed out of scope (None).
+  * Bounds-checked, total on junk, decoded size capped by the shared
+  * 2^28 bound.
   *
   * The decoder returns the repo's [[MediaCodec.Raster]], so the whole
   * image-stats/phash/near-dup tier composes unchanged. Map-side work.
@@ -90,6 +94,10 @@ object TiffCodec {
     val stripCounts = ArrayBuffer.empty[Long]
     var colorMapOff = -1L
     var colorMapCount = 0
+    var tileW = -1
+    var tileH = -1
+    val tileOffsets = ArrayBuffer.empty[Long]
+    val tileCounts = ArrayBuffer.empty[Long]
 
     def entryValues(off: Int, typ: Int, count: Long): Seq[Long] = {
       val size = typ match {
@@ -135,6 +143,10 @@ object TiffCodec {
         case 320 =>
           colorMapCount = count.toInt
           colorMapOff = if (2 * count <= 4) (off + 8).toLong else u32(off + 8)
+        case 322 => tileW = first.toInt
+        case 323 => tileH = first.toInt
+        case 324 => tileOffsets ++= entryValues(off, typ, count)
+        case 325 => tileCounts ++= entryValues(off, typ, count)
         case _ => ()
       }
       e += 1
@@ -143,48 +155,92 @@ object TiffCodec {
     if (width <= 0 || height <= 0 || spp <= 0) return None
     if (bits != 8) return None // 1/4/16-bit: out of scope, disclosed
     if (width.toLong * height * spp > MaxOut) return None
-    if (stripOffsets.isEmpty || stripOffsets.size != stripCounts.size) return None
+    val tiled = tileOffsets.nonEmpty
+    if (!tiled &&
+      (stripOffsets.isEmpty || stripOffsets.size != stripCounts.size)) return None
     if (predictor != 1 && predictor != 2) return None
 
-    // decode strips into one scanline buffer
-    val rowBytes = width * spp
-    val out = new Array[Byte](rowBytes * height)
-    var row = 0
-    var si = 0
-    while (si < stripOffsets.size && row < height) {
-      val so = stripOffsets(si)
-      val sc = stripCounts(si)
-      if (so < 0 || sc < 0 || so + sc > b.length) return None
-      val raw = java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
-      val stripRows = math.min(rowsPerStrip.toLong, (height - row).toLong).toInt
-      val want = rowBytes * stripRows
-      val data = compression match {
+    def decompress(raw: Array[Byte], want: Int): Array[Byte] =
+      compression match {
         case 1 => raw
         case 32773 => unpackBits(raw, want)
         case 5 => lzwDecode(raw, want)
-        case _ => return None // JPEG/CCITT/deflate-in-tiff: out of scope
+        case _ => null // JPEG/CCITT/deflate-in-tiff: out of scope
       }
-      if (data == null || data.length < want) return None
-      System.arraycopy(data, 0, out, row * rowBytes, want)
-      row += stripRows
-      si += 1
-    }
-    if (row < height) return None
-
     // the Predictor field is defined for the predictor-aware codecs
     // (LZW; Deflate in TIFF-EP) — real readers ignore it on
-    // uncompressed/PackBits data, so match that
-    if (predictor == 2 && compression == 5) {
-      var r = 0
-      while (r < height) {
-        val base = r * rowBytes
-        var i = spp
-        while (i < rowBytes) {
-          out(base + i) = (out(base + i) + out(base + i - spp)).toByte
-          i += 1
+    // uncompressed/PackBits data, so match that. Applied per
+    // strip-or-tile ROW of `w` pixels starting at `base`.
+    def undoPredictor(buf: Array[Byte], base: Int, w: Int, rows: Int): Unit =
+      if (predictor == 2 && compression == 5) {
+        val rb = w * spp
+        var r = 0
+        while (r < rows) {
+          var i = spp
+          while (i < rb) {
+            buf(base + r * rb + i) =
+              (buf(base + r * rb + i) + buf(base + r * rb + i - spp)).toByte
+            i += 1
+          }
+          r += 1
         }
-        r += 1
       }
+
+    val rowBytes = width * spp
+    val out = new Array[Byte](rowBytes * height)
+    if (tiled) {
+      // tile organization (TIFF 6.0 §15): fixed tileW×tileH tiles in
+      // row-major order, right/bottom edge tiles padded to full size;
+      // each tile is an independent codec unit (predictor included)
+      if (tileW <= 0 || tileH <= 0 || tileW % 16 != 0 || tileH % 16 != 0)
+        return None
+      if (tileOffsets.size != tileCounts.size) return None
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileH - 1) / tileH
+      if (tileOffsets.size != across * down) return None
+      val tileRowBytes = tileW * spp
+      val want = tileRowBytes * tileH
+      if (want.toLong * tileOffsets.size > (MaxOut.toLong << 2)) return None
+      var t = 0
+      while (t < tileOffsets.size) {
+        val so = tileOffsets(t)
+        val sc = tileCounts(t)
+        if (so < 0 || sc < 0 || so + sc > b.length) return None
+        val raw = java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
+        val data = decompress(raw, want)
+        if (data == null || data.length < want) return None
+        undoPredictor(data, 0, tileW, tileH)
+        val tx = (t % across) * tileW
+        val ty = (t / across) * tileH
+        val copyW = math.min(tileW, width - tx) * spp
+        val copyH = math.min(tileH, height - ty)
+        var r = 0
+        while (r < copyH) {
+          System.arraycopy(data, r * tileRowBytes, out,
+            (ty + r) * rowBytes + tx * spp, copyW)
+          r += 1
+        }
+        t += 1
+      }
+    } else {
+      // decode strips into one scanline buffer
+      var row = 0
+      var si = 0
+      while (si < stripOffsets.size && row < height) {
+        val so = stripOffsets(si)
+        val sc = stripCounts(si)
+        if (so < 0 || sc < 0 || so + sc > b.length) return None
+        val raw = java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
+        val stripRows = math.min(rowsPerStrip.toLong, (height - row).toLong).toInt
+        val want = rowBytes * stripRows
+        val data = decompress(raw, want)
+        if (data == null || data.length < want) return None
+        System.arraycopy(data, 0, out, row * rowBytes, want)
+        row += stripRows
+        si += 1
+      }
+      if (row < height) return None
+      undoPredictor(out, 0, width, height)
     }
 
     photometric match {
@@ -669,12 +725,81 @@ object TiffCodec {
     assembleTiff(entries, strips.toSeq)
   }
 
+  /** Fixture writer: TILED organization (TIFF 6.0 §15) for 8-bit gray
+    * or RGB — tileW/tileH multiples of 16, row-major tiles, edge tiles
+    * zero-padded to full size, each tile compressed independently
+    * (predictor per tile row when LZW). */
+  def encodeTiled(r: Raster, compression: Int = 1, tileW: Int = 16,
+      tileH: Int = 16, predictor: Int = 1): Array[Byte] = {
+    require(r.channels == 1 || r.channels == 3, "gray or RGB fixtures")
+    require(tileW % 16 == 0 && tileH % 16 == 0 && tileW > 0 && tileH > 0)
+    require(predictor == 1 || compression == 5,
+      "predictor 2 pairs with LZW (the predictor-aware codec)")
+    val spp = r.channels
+    val across = (r.width + tileW - 1) / tileW
+    val down = (r.height + tileH - 1) / tileH
+    val tileRowBytes = tileW * spp
+    val tiles = ArrayBuffer.empty[Array[Byte]]
+    var ty = 0
+    while (ty < down) {
+      var tx = 0
+      while (tx < across) {
+        val raw = new Array[Byte](tileRowBytes * tileH) // zero-padded
+        val copyW = math.min(tileW, r.width - tx * tileW) * spp
+        val copyH = math.min(tileH, r.height - ty * tileH)
+        var row = 0
+        while (row < copyH) {
+          System.arraycopy(r.pixels,
+            ((ty * tileH + row) * r.width + tx * tileW) * spp,
+            raw, row * tileRowBytes, copyW)
+          row += 1
+        }
+        if (predictor == 2) {
+          var rr = 0
+          while (rr < tileH) {
+            val base = rr * tileRowBytes
+            var i = tileRowBytes - 1
+            while (i >= spp) {
+              raw(base + i) = (raw(base + i) - raw(base + i - spp)).toByte
+              i -= 1
+            }
+            rr += 1
+          }
+        }
+        tiles += (compression match {
+          case 1 => raw
+          case 32773 => packBits(raw)
+          case 5 => lzwEncode(raw)
+          case other => throw new IllegalArgumentException(s"compression $other")
+        })
+        tx += 1
+      }
+      ty += 1
+    }
+    val entries = ArrayBuffer.empty[(Int, Int, Long, Either[Long, Array[Byte]])]
+    def shortE(tag: Int, v: Int): Unit = entries += ((tag, 3, 1L, Left(v.toLong)))
+    shortE(256, r.width)
+    shortE(257, r.height)
+    if (spp == 1) shortE(258, 8)
+    else entries += ((258, 3, 3L, Right(Array[Byte](8, 0, 8, 0, 8, 0))))
+    shortE(259, compression)
+    shortE(262, if (spp == 3) 2 else 1)
+    shortE(277, spp)
+    if (predictor == 2) shortE(317, 2)
+    shortE(322, tileW)
+    shortE(323, tileH)
+    entries += ((324, 4, tiles.size.toLong, Right(new Array[Byte](4 * tiles.size))))
+    entries += ((325, 4, tiles.size.toLong, Right(new Array[Byte](4 * tiles.size))))
+    assembleTiff(entries, tiles.toSeq, offTag = 324, cntTag = 325)
+  }
+
   /** Layout + serialization shared by the 8- and 16-bit encoders:
     * header, IFD (sorted tags), out-of-line values, strips; the
     * 273/279 arrays are patched with final offsets. */
   private def assembleTiff(
       entries: ArrayBuffer[(Int, Int, Long, Either[Long, Array[Byte]])],
-      strips: Seq[Array[Byte]]): Array[Byte] = {
+      strips: Seq[Array[Byte]], offTag: Int = 273,
+      cntTag: Int = 279): Array[Byte] = {
 
     val sorted = entries.sortBy(_._1)
     val nE = sorted.size
@@ -705,12 +830,12 @@ object TiffCodec {
         case Right(blob) =>
           if (blob.length <= 4) {
             System.arraycopy(blob, 0, entryBytes, eo + 8, blob.length)
-            if (tag == 273) stripOffsetsPos = -(eo + 8) - 1 // inline marker
-            if (tag == 279) stripCountsPos = -(eo + 8) - 1
+            if (tag == offTag) stripOffsetsPos = -(eo + 8) - 1 // inline marker
+            if (tag == cntTag) stripCountsPos = -(eo + 8) - 1
           } else {
             pU32(entryBytes, eo + 8, valueOff.toLong)
-            if (tag == 273) stripOffsetsPos = valueBlobs.size
-            if (tag == 279) stripCountsPos = valueBlobs.size
+            if (tag == offTag) stripOffsetsPos = valueBlobs.size
+            if (tag == cntTag) stripCountsPos = valueBlobs.size
             valueBlobs += ((valueOff, blob))
             valueOff += blob.length + (blob.length & 1)
           }

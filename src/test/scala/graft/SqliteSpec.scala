@@ -91,6 +91,54 @@ class SqliteSpec extends AnyFunSuite {
     assert(rows.map(_._2(3).text.length).sum == 5127)
   }
 
+  test("UTF-16 text encodings (header field 56 = 2/3) decode rows and schema") {
+    // Windows app dumps ship UTF-16 databases; serial-type lengths stay
+    // BYTES, only the charset changes — schema walk included
+    val rows = Seq(
+      Seq(iv(1), tv("plain ascii"), tv("café Ω")),
+      Seq(iv(2), tv("naïve 漢字"), tv("x")),
+      Seq(iv(3), tv(""), tv("mixed αβγ end")))
+    for (enc <- Seq(2, 3)) { // UTF-16le, UTF-16be
+      val db = Sqlite.encode("u", "CREATE TABLE u (n, a, b)", rows,
+        textEnc = enc)
+      val ts = Sqlite.tables(db)
+      assert(ts.map(_.name) == Seq("u"), s"enc=$enc")
+      assert(ts.head.sql == "CREATE TABLE u (n, a, b)", s"enc=$enc")
+      val got = Sqlite.rows(db, "u").map(_._2)
+      assert(got.size == 3, s"enc=$enc")
+      assert(got(0).map(_.text) == Seq("1", "plain ascii", "café Ω"))
+      assert(got(1)(1).text == "naïve 漢字", s"enc=$enc")
+      assert(got(2)(2).text == "mixed αβγ end", s"enc=$enc")
+      // totality under truncation/flips holds for UTF-16 files too
+      (0 until db.length by 97).foreach { n =>
+        Sqlite.rows(java.util.Arrays.copyOf(db, n), "u")
+      }
+    }
+    // and UTF-8 files are unchanged by the new parameter's default
+    val db8 = Sqlite.encode("u", "CREATE TABLE u (n, a, b)", rows)
+    assert(Sqlite.rows(db8, "u")(1)._2(1).text == "naïve 漢字")
+  }
+
+  test("GOLDEN UTF-16: databases written by real SQLite in both byte orders") {
+    for (name <- Seq("golden_sqlite_utf16le", "golden_sqlite_utf16be")) {
+      val b64 = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream(s"/$name.b64"), "US-ASCII").mkString.trim
+      val db = java.util.Base64.getDecoder.decode(b64)
+      assert(Sqlite.sniff(db), name)
+      val ts = Sqlite.tables(db)
+      assert(ts.map(_.name) == Seq("docs"), name)
+      val rows = Sqlite.rows(db, "docs")
+      assert(rows.size == 30, name)
+      rows.foreach { case (rowid, vs) =>
+        val i = rowid.toInt
+        assert(vs(0).text == i.toString, s"$name id $i")
+        assert(vs(1).text == s"t$i café Ω", s"$name title $i")
+        assert(vs(2).text == s"body $i 漢字テキスト " * (i % 4 + 1),
+          s"$name body $i")
+      }
+    }
+  }
+
   test("crafted interior-page cycles terminate (visited-page guard)") {
     // build a db whose table root is an interior page, then patch every
     // child pointer (cells + right-most) to point back at the root —

@@ -118,6 +118,73 @@ class TiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("TILED: round-trip across compressions, edge padding, predictor") {
+    // non-multiple dimensions force padded right/bottom edge tiles
+    for {
+      r <- Seq(gray(40, 25), rgb(40, 25), gray(16, 16), rgb(33, 50))
+      (comp, pred) <- Seq((1, 1), (32773, 1), (5, 1), (5, 2))
+      (tw, th) <- Seq((16, 16), (32, 16))
+    } {
+      val t = TiffCodec.encodeTiled(r, comp, tw, th, pred)
+      val d = TiffCodec.decode(t)
+      assert(d.isDefined, s"comp=$comp pred=$pred tile=${tw}x$th ch=${r.channels}")
+      assertSame(r, d.get)
+    }
+  }
+
+  test("TILED CROSS-READ: javax.imageio reads our tiled bytes") {
+    for ((comp, pred) <- Seq((1, 1), (5, 2))) {
+      val r = rgb(40, 25)
+      val t = TiffCodec.encodeTiled(r, comp, 16, 16, pred)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null, s"ImageIO rejected tiled comp=$comp")
+      assert(img.getWidth == 40 && img.getHeight == 25)
+      // spot pixels agree
+      for ((x, y) <- Seq((0, 0), (17, 5), (39, 24), (20, 20))) {
+        val p = (y * r.width + x) * 3
+        val want = ((r.pixels(p) & 0xff) << 16) |
+          ((r.pixels(p + 1) & 0xff) << 8) | (r.pixels(p + 2) & 0xff)
+        assert((img.getRGB(x, y) & 0xffffff) == want, s"($x,$y) comp=$comp")
+      }
+    }
+  }
+
+  test("TILED CROSS-DECODE: ImageIO-written tiled TIFF decodes to the same pixels") {
+    val r = rgb(48, 33)
+    val bi = new java.awt.image.BufferedImage(48, 33,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 33).foreach(y => (0 until 48).foreach { x =>
+      val p = (y * 48 + x) * 3
+      bi.setRGB(x, y, ((r.pixels(p) & 0xff) << 16) |
+        ((r.pixels(p + 1) & 0xff) << 8) | (r.pixels(p + 2) & 0xff))
+    })
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val wp = writer.getDefaultWriteParam
+    wp.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    wp.setTiling(16, 16, 0, 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), wp)
+    ios.close()
+    val d = TiffCodec.decode(bos.toByteArray)
+    assert(d.isDefined, "our decoder rejected an ImageIO tiled tiff")
+    assertSame(r, d.get)
+  }
+
+  test("TILED totality: truncation, flips, inconsistent tile grids") {
+    val t = TiffCodec.encodeTiled(rgb(40, 25), 5, 16, 16, 2)
+    (0 until t.length by 11).foreach { n =>
+      TiffCodec.decode(java.util.Arrays.copyOf(t, n)) // no throw
+    }
+    val rnd = new java.util.Random(23)
+    (0 until 150).foreach { _ =>
+      val m = t.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      TiffCodec.decode(m)
+    }
+  }
+
   test("LZW kernel: repetitive data crosses the 9->10 bit width boundary") {
     // >253 distinct two-byte additions force a width bump
     val data = new Array[Byte](6000)
