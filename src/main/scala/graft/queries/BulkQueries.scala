@@ -508,6 +508,42 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "mode_idx", "n_out", "text_out")
     }),
 
+    // STATIC-DICTIONARY brotli (RFC 7932 §8): (a) the encoder now emits
+    // real out-of-window dictionary distances on web-shaped text and the
+    // round-trip must reproduce the input; (b) a directed one-command
+    // dictionary-reference stream per id variant decodes to a transform
+    // output the oracle carries as a LITERAL (captured from the
+    // reference decoder) — so the embedded dictionary bytes, the
+    // transform table and the distance decoding are all hash-gated
+    "mm_brotli_dict" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.Brotli
+          val text = ("the information about the world wide web and the " +
+            s"development of the international community for document $id ") *
+            (2 + (id % 3)).toInt
+          val plain = text.getBytes("UTF-8")
+          val enc = Brotli.encode(plain)
+          val rtOk = Brotli.decode(enc).exists(java.util.Arrays.equals(_, plain))
+          // directed reference: (len, idx, transform) per id variant;
+          // expected outputs are literals in the oracle SQL
+          val (len, idx, t) = ((id % 6).toInt: @unchecked) match {
+            case 0 => (4, 15, 0) // "work"
+            case 1 => (5, 8, 5) // "right the "
+            case 2 => (6, 3, 9) // "Status"
+            case 3 => (8, 1, 44) // "BUSINESS"
+            case 4 => (10, 5, 3) // "onditions"
+            case 5 => (7, 7, 72) // ".com/started"
+          }
+          val pre = s"doc $id: ".getBytes("UTF-8")
+          val dictOut = Brotli.decode(Brotli.encodeDictRef(pre, len, idx, t))
+            .map(new String(_, "UTF-8")).getOrElse("")
+          (id, rtOk, enc.length < plain.length, dictOut)
+        }).toDF("doc_id", "rt_ok", "compressed", "dict_out")
+    }),
+
     // CDX-style record index over WARC blobs: one pass builds the
     // (uri, offset, length, digest) manifest per file — per gzip MEMBER
     // on the .warc.gz transport — then the point lookup parses exactly
@@ -682,14 +718,17 @@ object BulkQueries extends QueryGroup {
           graft.ops.OrcFooter.readFile(p).map { m =>
             val id = m.rootFields.find(_.fieldName == "doc_id").get
             val nc = m.rootFields.find(_.fieldName == "n_chars").get
+            val lg = m.rootFields.find(_.fieldName == "lang").get
             (m.numRows, m.compression, m.rootFields.size,
               m.rootFields.map(_.kind).mkString("|"),
               id.intMin.getOrElse(-1L), id.intMax.getOrElse(-1L),
               nc.intMin.getOrElse(-1L), nc.intMax.getOrElse(-1L),
+              lg.strMin.getOrElse(""), lg.strMax.getOrElse(""),
               m.stripes.map(_.numRows).sum == m.numRows)
           }
         }).toDF("num_rows", "compression", "n_cols", "kinds",
-          "min_id", "max_id", "min_chars", "max_chars", "stripes_ok")
+          "min_id", "max_id", "min_chars", "max_chars",
+          "min_lang", "max_lang", "stripes_ok")
     }),
 
     // FLAC frame decode (r10): real Rice-coded FLAC streams — verbatim
@@ -825,6 +864,28 @@ object BulkQueries extends QueryGroup {
           "null_count", "min_v", "max_v")
     }),
 
+    // STRING zone maps (r11): BYTE_ARRAY min/max statistics decoded
+    // from real driver-generated files — the stats that prune
+    // rowkey/URL/host-shaped scans at 100 TB; oracle is DuckDB's own
+    // parquet_metadata() over the SAME files
+    "pipeline_parquet_string_stats" -> ((s, dir) => {
+      import s.implicits._
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      s.createDataset(tables).repartition(tables.size)
+        .mapPartitions(_.flatMap { t =>
+          graft.ops.ParquetFooter.readFile(s"$dir/$t.parquet").toSeq
+            .flatMap { case (m, _) =>
+              m.chunks.filter(c => c.isString && c.typ == "BYTE_ARRAY" &&
+                c.statsMin.nonEmpty).map { c =>
+                (t, c.rowGroup.toLong, c.path, c.nullCount,
+                  c.statsMin, c.statsMax)
+              }
+            }
+        }).toDF("table_name", "row_group_id", "path_in_schema",
+          "null_count", "min_v", "max_v")
+    }),
+
     // baseline TIFF decode (r10): five variants — gray uncompressed,
     // gray WhiteIsZero (inverted storage), RGB PackBits, RGB LZW with
     // horizontal-differencing predictor, and ColorMap palette — all
@@ -884,6 +945,53 @@ object BulkQueries extends QueryGroup {
               s2 += r.pixels(p * 3 + 2) & 0xff
             }
             p += 1
+          }
+          (id, variant, r.width, r.height, r.channels, s0, s1, s2)
+        }).toDF("doc_id", "variant", "width", "height", "channels",
+          "sum_c0", "sum_c1", "sum_c2")
+    }),
+
+    // TILED TIFF (r11): the organization scanned/geo corpora ship —
+    // row-major 16-multiple tiles, zero-padded edges, each tile an
+    // independent codec unit; four variants (none/PackBits/LZW/
+    // LZW+predictor × gray/RGB × edge-padding shapes) re-derived to
+    // channel sums the oracle replays; ImageIO cross-reads both
+    // directions live in TiffCodecSpec
+    "mm_tiff_tiled" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.MediaCodec.Raster
+          import graft.ops.TiffCodec
+          val w = (17 + id % 31).toInt // never a multiple of 16: edge tiles
+          val h = (9 + id % 23).toInt
+          val n = w * h
+          val variant = (id % 4).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val px = new Array[Byte](n * ch)
+          var p = 0
+          while (p < px.length) { px(p) = ((p * 13 + id) % 256).toByte; p += 1 }
+          val src = Raster(w, h, ch, px)
+          val tiff = variant match {
+            case 0 => TiffCodec.encodeTiled(src)
+            case 1 => TiffCodec.encodeTiled(src, compression = 32773)
+            case 2 => TiffCodec.encodeTiled(src, compression = 5,
+              tileW = 32, tileH = 16)
+            case _ => TiffCodec.encodeTiled(src, compression = 5,
+              predictor = 2)
+          }
+          val r = TiffCodec.decode(tiff).get
+          var s0 = 0L; var s1 = 0L; var s2 = 0L
+          var q = 0
+          while (q < n) {
+            if (r.channels == 1) s0 += r.pixels(q) & 0xff
+            else {
+              s0 += r.pixels(q * 3) & 0xff
+              s1 += r.pixels(q * 3 + 1) & 0xff
+              s2 += r.pixels(q * 3 + 2) & 0xff
+            }
+            q += 1
           }
           (id, variant, r.width, r.height, r.channels, s0, s1, s2)
         }).toDF("doc_id", "variant", "width", "height", "channels",
@@ -984,8 +1092,9 @@ object BulkQueries extends QueryGroup {
     // are the difference between "curated" and "quietly lost 20%", so
     // the flagship composition's drops are hash-gated, not just logged.
     // gzip, zstd AND br codings DECODE into the curated class (br via
-    // the pure-JVM Brotli subset); only `compress` (LZW, genuinely
-    // undecoded) lands in flagged_coding.
+    // the pure-JVM Brotli decoder, static-dictionary references
+    // included); only `compress` (LZW, genuinely undecoded) lands in
+    // flagged_coding.
     "pipeline_crawl_coverage" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -1420,6 +1529,37 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "row_key", "qualifier", "ts", "cell_value", "mvcc")
     }),
 
+    // SNAPPY/LZ4 HFiles — the de-facto PRODUCTION compression for HBase
+    // store files (Compression.java:105-240): every block (data, index,
+    // file info) rides Hadoop's BlockCompressorStream framing; the scan
+    // must reproduce the exact cells AND the root-index point read must
+    // still decode exactly one data block on compressed files
+    "bulk_hfile_compressed" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.HFileCodec
+          val codec =
+            if (id % 2 == 0) HFileCodec.CodecSnappy else HFileCodec.CodecLz4
+          val n = (3 + id % 3).toInt
+          val cells = (0 until n).map { j =>
+            HFileCodec.HCell(f"c$id-$j%02d", "d", s"q${j % 2}", 2000L + j, 4,
+              s"cv$id-$j", 0L)
+          }
+          val hf = HFileCodec.encodeHFile(cells, blockSize = 64, codec = codec)
+          val nBlocks = HFileCodec.parseTrailer(hf).get.dataIndexCount
+          val probe = (id % n).toInt
+          val (got, blocksRead) = HFileCodec.pointGet(hf, f"c$id-$probe%02d")
+          HFileCodec.scanCells(hf).map { c =>
+            (id, if (id % 2 == 0) "snappy" else "lz4", c.row, c.ts, c.value,
+              got.headOption.map(_.value).getOrElse(""),
+              blocksRead == 1 && blocksRead < nBlocks)
+          }
+        }).toDF("doc_id", "codec", "row_key", "ts", "cell_value",
+          "point_value", "point_partial")
+    }),
+
     // HFile root-index point read: binary-search the load-on-open index,
     // decode exactly ONE data block (the reference's seek-point
     // economics, SeekPointFetcher.java:47) — blocks_read == 1 is in the
@@ -1814,6 +1954,15 @@ object BulkQueries extends QueryGroup {
         "CAST((15 + length(i)) * (3 + doc_id % 5) AS BIGINT) AS n_out, " +
         "repeat('brotli stream ' || i || ' ', CAST(3 + doc_id % 5 AS INT)) " +
         "AS text_out FROM g"),
+    // directed dictionary-reference outputs as literals (captured from
+    // the reference decoder; see vectors in BrotliSpec)
+    "mm_brotli_dict" ->
+      ("SELECT doc_id, TRUE AS rt_ok, TRUE AS compressed, " +
+        "'doc ' || CAST(doc_id AS VARCHAR) || ': ' || " +
+        "CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'work' " +
+        "WHEN 1 THEN 'right the ' WHEN 2 THEN 'Status' " +
+        "WHEN 3 THEN 'BUSINESS' WHEN 4 THEN 'onditions' " +
+        "ELSE '.com/started' END AS dict_out FROM documents"),
     "mm_warc_cdx_lookup" ->
       ("SELECT doc_id, 'http://x/' || CAST(doc_id AS VARCHAR) || '/1' AS uri, " +
         "CAST(CASE WHEN doc_id % 4 = 0 THEN 404 ELSE 200 END AS INT) AS http_status, " +
@@ -1956,6 +2105,20 @@ object BulkQueries extends QueryGroup {
         "CAST(1000 + j AS BIGINT) AS ts, " +
         "'v' || i || '-' || CAST(j AS VARCHAR) AS cell_value, " +
         "CAST(CASE WHEN doc_id % 2 = 1 THEN j + 1 ELSE 0 END AS BIGINT) AS mvcc " +
+        "FROM g, generate_series(0, 5) AS s(j) WHERE j < n"),
+
+    // compressed store files replay the same cell arithmetic; the
+    // point read's one-block contract is in the hash (point_partial)
+    "bulk_hfile_compressed" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(3 + doc_id % 3 AS INT) AS n, doc_id % 2 = 0 AS sn " +
+        "FROM documents) " +
+        "SELECT doc_id, CASE WHEN sn THEN 'snappy' ELSE 'lz4' END AS codec, " +
+        "'c' || i || '-' || lpad(CAST(j AS VARCHAR), 2, '0') AS row_key, " +
+        "CAST(2000 + j AS BIGINT) AS ts, " +
+        "'cv' || i || '-' || CAST(j AS VARCHAR) AS cell_value, " +
+        "'cv' || i || '-' || CAST(doc_id % n AS VARCHAR) AS point_value, " +
+        "TRUE AS point_partial " +
         "FROM g, generate_series(0, 5) AS s(j) WHERE j < n"),
 
     "bulk_hfile_point_get" ->
@@ -2168,6 +2331,7 @@ object BulkQueries extends QueryGroup {
         "CAST(max(doc_id) AS BIGINT) AS max_id, " +
         "CAST(min(n_chars) AS BIGINT) AS min_chars, " +
         "CAST(max(n_chars) AS BIGINT) AS max_chars, " +
+        "min(lang) AS min_lang, max(lang) AS max_lang, " +
         "TRUE AS stripes_ok FROM documents"),
     "mm_flac_decode" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS mode, " +
@@ -2227,6 +2391,21 @@ object BulkQueries extends QueryGroup {
           "AND s.converted_type IS NULL AND s.logical_type IS NULL"
       }.mkString(" UNION ALL ")
     },
+    "pipeline_parquet_string_stats" -> {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.map { t =>
+        s"SELECT '$t' AS table_name, CAST(m.row_group_id AS BIGINT) AS row_group_id, " +
+          "m.path_in_schema, " +
+          "CAST(m.stats_null_count AS BIGINT) AS null_count, " +
+          "m.stats_min_value AS min_v, m.stats_max_value AS max_v " +
+          s"FROM parquet_metadata('__SF_DIR__/$t.parquet') m " +
+          s"JOIN parquet_schema('__SF_DIR__/$t.parquet') s " +
+          "ON s.name = m.path_in_schema " +
+          "WHERE m.type = 'BYTE_ARRAY' AND s.converted_type = 'UTF8' " +
+          "AND m.stats_min_value IS NOT NULL"
+      }.mkString(" UNION ALL ")
+    },
     "mm_tiff_decode" ->
       ("WITH g AS (SELECT doc_id, 16 + doc_id % 13 AS w, 8 + doc_id % 7 AS h, " +
         "CAST(doc_id % 5 AS INT) AS variant FROM documents), " +
@@ -2244,6 +2423,23 @@ object BulkQueries extends QueryGroup {
         "WHEN variant = 4 THEN xor((p * 3 + doc_id) % 256, 85) " +
         "ELSE (p // 3 + doc_id) % 256 END) AS BIGINT) AS sum_c2 " +
         "FROM px GROUP BY doc_id, variant, w, h"),
+    // tiled channel sums replay the pixel formula; tiling must be
+    // invisible in the output (padding dropped, tiles seamed exactly)
+    "mm_tiff_tiled" ->
+      ("WITH g AS (SELECT doc_id, 17 + doc_id % 31 AS w, 9 + doc_id % 23 AS h, " +
+        "CAST(doc_id % 4 AS INT) AS variant, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch FROM documents), " +
+        "px AS (SELECT doc_id, variant, w, h, ch, q FROM g, " +
+        "generate_series(0, 1460) AS s(q) WHERE q < w * h) " +
+        "SELECT doc_id, variant, CAST(w AS INT) AS width, " +
+        "CAST(h AS INT) AS height, CAST(ch AS INT) AS channels, " +
+        "CAST(SUM(CASE WHEN ch = 1 THEN (q * 13 + doc_id) % 256 " +
+        "ELSE (q * 39 + doc_id) % 256 END) AS BIGINT) AS sum_c0, " +
+        "CAST(SUM(CASE WHEN ch = 1 THEN 0 " +
+        "ELSE (q * 39 + 13 + doc_id) % 256 END) AS BIGINT) AS sum_c1, " +
+        "CAST(SUM(CASE WHEN ch = 1 THEN 0 " +
+        "ELSE (q * 39 + 26 + doc_id) % 256 END) AS BIGINT) AS sum_c2 " +
+        "FROM px GROUP BY doc_id, variant, w, h, ch"),
     "mm_jpeg_roundtrip" ->
       ("SELECT doc_id, " +
         "CAST(16 + doc_id % 48 AS INT) AS width, " +

@@ -556,6 +556,46 @@ object OnrampQueries extends QueryGroup {
         }).toDF("doc_id", "title", "text_out")
     }),
 
+    // MULTISTREAM dump index (r11): one pass per blob records each
+    // bzip2 stream's extent — extents must TILE the blob exactly
+    // (offsets contiguous, lengths summing to the byte count), and the
+    // point read of the stream holding a target page must reproduce the
+    // full walk's rows; this is what makes a 20 GB dump splittable
+    "pipeline_wiki_index" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.Dumps
+          val nGroups = (2 + id % 3).toInt
+          val groups = (0 until nGroups).map { g =>
+            (0 until 2).map { j =>
+              (s"Doc $id-$g-$j", 0, s"stream $g body $id text $j")
+            }
+          }
+          val blob = Dumps.encodeMultistream(groups)
+          val idx = Dumps.buildBz2Index(blob)
+          val tiled = idx.nonEmpty && idx.head.offset == 0 &&
+            idx.map(_.length).sum == blob.length &&
+            idx.sliding(2).forall {
+              case Seq(a, b) => a.offset + a.length == b.offset
+              case _ => true
+            }
+          // point-read the stream holding the target group vs full walk
+          val target = (id % nGroups).toInt
+          val entry = idx.find(_.firstTitle == s"Doc $id-$target-0")
+          val point = entry.toSeq.flatMap(e =>
+            Dumps.pagesFromStreamAt(blob, e.offset, e.length))
+          val full = Dumps.pagesFromDump(blob)
+            .filter(_.title.startsWith(s"Doc $id-$target-"))
+          val pointEqFull = point.map(p => (p.title, p.ns, p.text)) ==
+            full.map(p => (p.title, p.ns, p.text))
+          point.map { p =>
+            (id, idx.size, tiled && pointEqFull, p.title, p.text)
+          }
+        }).toDF("doc_id", "n_streams", "index_ok", "title", "text_out")
+    }),
+
     // IDN host normalization: unicode and punycode forms of the SAME
     // host must collapse to one ASCII form (host-keyed dedup/caps and
     // the link graph split silently otherwise); expected punycode is
@@ -877,6 +917,19 @@ object OnrampQueries extends QueryGroup {
         "' works.' || chr(10) || 'point ' || i " +
         "ELSE 'A' || i || ' link ' || i || ' B' || chr(10) || chr(10) || 'C D' " +
         "END AS text_out FROM g"),
+
+    // stream count = header + page groups + closing tag; titles/bodies
+    // replay the id arithmetic; index_ok carries the tiling and
+    // point-read-equals-full-walk contracts into the hash
+    "pipeline_wiki_index" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(2 + doc_id % 3 AS INT) AS ng FROM documents) " +
+        "SELECT doc_id, CAST(ng + 2 AS INT) AS n_streams, TRUE AS index_ok, " +
+        "'Doc ' || i || '-' || CAST(doc_id % ng AS VARCHAR) || '-' || " +
+        "CAST(j AS VARCHAR) AS title, " +
+        "'stream ' || CAST(doc_id % ng AS VARCHAR) || ' body ' || i || " +
+        "' text ' || CAST(j AS VARCHAR) AS text_out " +
+        "FROM g, generate_series(0, 1) AS s(j)"),
 
     "text_idn_hosts" ->
       ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents) " +

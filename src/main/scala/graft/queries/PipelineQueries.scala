@@ -1820,10 +1820,13 @@ object PipelineQueries extends QueryGroup {
 
     // exact-phrase retrieval through the positional index: postings
     // bucket-pruned to the phrase terms, stored position lists
-    // intersected as shifted sets — no corpus access
+    // intersected as shifted sets — no corpus access. Phrase chosen to
+    // occur at EVERY driver scale factor (30/33/299 hits at
+    // sf0.001/0.01/0.1) so the gate is never vacuous; the planted
+    // variant below additionally pins exact counts
     "search_phrase_index" -> ((s, dir) => {
       graft.ops.TextSearch.searchPhrase(
-        s, textIndexPath(s, dir), Seq("key", "order", "sort"))
+        s, textIndexPath(s, dir), Seq("data", "hash"))
     }),
 
     // phrase retrieval with PLANTED occurrences: every 4th doc gets
@@ -3003,8 +3006,7 @@ object PipelineQueries extends QueryGroup {
         "      generate_subscripts(string_split(text, ' '), 1) AS p FROM documents)) " +
         "SELECT a.doc_id, count(*) AS n_occur " +
         "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1 " +
-        "  JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2 " +
-        "WHERE a.term = 'key' AND b.term = 'order' AND c.term = 'sort' " +
+        "WHERE a.term = 'data' AND b.term = 'hash' " +
         "GROUP BY a.doc_id"),
     // planted counts replay directly — the phrase is out-of-vocabulary
     // for the base corpus, so occurrences = exactly the planted copies
