@@ -76,10 +76,23 @@ object HFileCodec {
     * [chunkLen(4BE), chunk] until rawLen produced]. Each chunk is an
     * independent raw-snappy / LZ4-block unit. None unless the framing
     * tiles `raw` exactly and produces exactly `want` bytes. */
+  /** As [[hadoopBlockDecompress]] with the exact-length check waived —
+    * for containers (SequenceFile buffers) that do not declare the
+    * decompressed size; bounded by the shared 2^28 cap. */
+  private[graft] def hadoopBlockDecompressLoose(raw: Array[Byte],
+      codec: Int): Option[Array[Byte]] =
+    hadoopBlockDecompressImpl(raw, -1, codec)
+
   private[graft] def hadoopBlockDecompress(raw: Array[Byte], want: Int,
+      codec: Int): Option[Array[Byte]] =
+    if (want < 0) None else hadoopBlockDecompressImpl(raw, want, codec)
+
+  private def hadoopBlockDecompressImpl(raw: Array[Byte], want0: Int,
       codec: Int): Option[Array[Byte]] = {
-    if (want < 0 || want > WarcCodec.MaxInflated) return None
-    val out = new java.io.ByteArrayOutputStream(math.max(want, 64))
+    val want = if (want0 < 0) WarcCodec.MaxInflated - 1 else want0
+    if (want > WarcCodec.MaxInflated) return None
+    val out = new java.io.ByteArrayOutputStream(
+      if (want0 < 0) math.max(raw.length, 64) else math.max(want, 64))
     def be32(p: Int): Long =
       if (p + 4 > raw.length) -1L
       else ((raw(p) & 0xffL) << 24) | ((raw(p + 1) & 0xffL) << 16) |
@@ -112,7 +125,7 @@ object HFileCodec {
         }
         if (produced != rawLen) return None
       }
-      if (out.size == want) Some(out.toByteArray) else None
+      if (want0 < 0 || out.size == want) Some(out.toByteArray) else None
     } catch {
       case _: net.jpountz.lz4.LZ4Exception => None
       case _: RuntimeException => None

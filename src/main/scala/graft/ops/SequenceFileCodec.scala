@@ -1,0 +1,368 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Hadoop SequenceFile v6 reader (+ fixture writer) and the decode of
+  * the reference's `Export` output — the THIRD on-disk migration
+  * artifact next to HFiles and WALs: HBase's Export MR job writes
+  * `SequenceFile<ImmutableBytesWritable, Result>`
+  * (`hbase-server/src/main/java/org/apache/hadoop/hbase/mapreduce/Export.java:79`
+  * sets SequenceFileOutputFormat), where the key is 4-byte-BE length +
+  * rowkey bytes (`ImmutableBytesWritable.java:158-161`) and the value
+  * is a DELIMITED `ClientProtos.Result` — varint length + message,
+  * repeated `Cell` field 1 with row/family/qualifier(bytes 1..3),
+  * timestamp(varint 4), cell_type(varint 5), value(bytes 6)
+  * (`ResultSerialization.java:128-140`, `Client.proto:80-83`,
+  * `Cell.proto:44-52`). Decoding these files lands a cluster's Export
+  * dumps in DataFrames with zero HBase runtime.
+  *
+  * SequenceFile layout (public Apache Hadoop format, SequenceFile.java):
+  * `SEQ` + version byte 6; key/value class names as Hadoop
+  * `Text.writeString` (vint length + UTF-8); `compressed` and
+  * `blockCompressed` boolean bytes; codec class name (when compressed);
+  * metadata (4-byte BE count + Text pairs); 16-byte sync marker. Then:
+  *  - uncompressed / RECORD-compressed: records of [recordLen(4BE),
+  *    keyLen(4BE), key, value] — value codec-compressed in RECORD
+  *    mode — with sync escapes (recordLen == -1 + the 16 sync bytes);
+  *  - BLOCK-compressed: per block, a sync escape, a vint record count,
+  *    then four vint-length-prefixed codec-compressed buffers
+  *    (keyLengths as vints, keys, valueLengths as vints, values).
+  *
+  * Codecs: Default (zlib), Gzip, Snappy and Lz4 — the last two ride
+  * the same Hadoop BlockCompressorStream framing as compressed HFile
+  * blocks ([[HFileCodec.hadoopBlockDecompressLoose]] reused). Vints
+  * are Hadoop WritableUtils vlongs ([[HFileCodec.readVLong]] reused).
+  * HBase's own SequenceFile use predates checksummed v6 features like
+  * custom serializations for keys — Export keys are plain Writables.
+  *
+  * Cross-validated both directions against Hadoop's own
+  * SequenceFile.Writer/Reader in SequenceFileCodecSpec. Bounds-checked,
+  * total on junk, all decompression under the shared 2^28 cap.
+  * Per-file map-side work (one Export part-file = one task's unit;
+  * sync markers would support splitting, same as the real InputFormat).
+  */
+object SequenceFileCodec {
+
+  private val MaxOut = WarcCodec.MaxInflated
+
+  final case class SeqHeader(version: Int, keyClass: String,
+      valClass: String, compressed: Boolean, blockCompressed: Boolean,
+      codecClass: String, metadata: Map[String, String])
+
+  final case class SeqRecord(key: Array[Byte], value: Array[Byte])
+
+  def sniff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'S' && b(1) == 'E' &&
+      b(2) == 'Q' && (b(3) & 0xff) >= 4 && (b(3) & 0xff) <= 6
+
+  private def i32(b: Array[Byte], p: Int): Long =
+    if (p < 0 || p + 4 > b.length) Long.MinValue
+    else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  /** Hadoop Text.writeString: vint byte length + UTF-8. Returns
+    * (string, nextPos) or None. */
+  private def readText(b: Array[Byte], p: Int): Option[(String, Int)] =
+    HFileCodec.readVLong(b, p).flatMap { case (len, next) =>
+      if (len < 0 || len > (1 << 16) || next + len > b.length) None
+      else Some((new String(b, next, len.toInt, "UTF-8"), next + len.toInt))
+    }
+
+  /** Parse the header; (header, posAfterHeader, sync16). */
+  def parseHeader(b: Array[Byte]): Option[(SeqHeader, Int, Array[Byte])] = {
+    if (!sniff(b)) return None
+    val version = b(3) & 0xff
+    if (version != 6) return None // pre-v6 layouts: disclosed out of scope
+    try {
+      var p = 4
+      val (kc, p1) = readText(b, p).getOrElse(return None); p = p1
+      val (vc, p2) = readText(b, p).getOrElse(return None); p = p2
+      if (p + 2 > b.length) return None
+      val compressed = b(p) != 0
+      val blockCompressed = b(p + 1) != 0
+      p += 2
+      var codec = ""
+      if (compressed) {
+        val (cc, p3) = readText(b, p).getOrElse(return None); p = p3
+        codec = cc
+      }
+      val nMeta = i32(b, p)
+      if (nMeta < 0 || nMeta > 1024) return None
+      p += 4
+      val md = Map.newBuilder[String, String]
+      var k = 0L
+      while (k < nMeta) {
+        val (mk, pa) = readText(b, p).getOrElse(return None); p = pa
+        val (mv, pb) = readText(b, p).getOrElse(return None); p = pb
+        md += (mk -> mv)
+        k += 1
+      }
+      if (p + 16 > b.length) return None
+      val sync = java.util.Arrays.copyOfRange(b, p, p + 16)
+      Some((SeqHeader(version, kc, vc, compressed, blockCompressed, codec,
+        md.result()), p + 16, sync))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Decompress one codec buffer by codec CLASS NAME. */
+  private def decodeBuf(codecClass: String, raw: Array[Byte]): Option[Array[Byte]] =
+    codecClass match {
+      case "" => Some(raw)
+      case c if c.endsWith(".DefaultCodec") => WarcCodec.inflateBounded(raw)
+      case c if c.endsWith(".GzipCodec") => WarcCodec.gunzipBounded(raw)
+      case c if c.endsWith(".SnappyCodec") =>
+        HFileCodec.hadoopBlockDecompressLoose(raw, HFileCodec.CodecSnappy)
+      case c if c.endsWith(".Lz4Codec") =>
+        HFileCodec.hadoopBlockDecompressLoose(raw, HFileCodec.CodecLz4)
+      case c if c.endsWith(".BZip2Codec") => Dumps.bunzip2Bounded(raw)
+      case _ => None // Zstd needs libzstd through JNI: not decoded here
+    }
+
+  /** All records across the three layouts; stops cleanly at the first
+    * malformed position (keeps records so far). */
+  def records(b: Array[Byte], maxRecords: Int = 4_000_000): Seq[SeqRecord] = {
+    val (hdr, start, sync) = parseHeader(b).getOrElse(return Nil)
+    val out = ArrayBuffer.empty[SeqRecord]
+    var total = 0L
+    try {
+      var p = start
+      if (hdr.blockCompressed) {
+        while (p + 4 <= b.length && out.size < maxRecords) {
+          // sync escape before every block
+          if (i32(b, p) != 0xffffffffL) return out.toSeq
+          p += 4
+          if (p + 16 > b.length ||
+            !java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(b, p, p + 16), sync))
+            return out.toSeq
+          p += 16
+          val (nRec, pAfterN) = HFileCodec.readVLong(b, p).getOrElse(return out.toSeq)
+          p = pAfterN
+          if (nRec <= 0 || nRec > maxRecords) return out.toSeq
+          def buf(): Option[Array[Byte]] = {
+            val (len, next) = HFileCodec.readVLong(b, p).getOrElse(return None)
+            p = next
+            if (len < 0 || p + len > b.length) return None
+            val raw = java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+            p += len.toInt
+            decodeBuf(hdr.codecClass, raw)
+          }
+          val keyLenBuf = buf().getOrElse(return out.toSeq)
+          val keyBuf = buf().getOrElse(return out.toSeq)
+          val valLenBuf = buf().getOrElse(return out.toSeq)
+          val valBuf = buf().getOrElse(return out.toSeq)
+          def lens(lb: Array[Byte]): Option[Seq[Int]] = {
+            val ls = ArrayBuffer.empty[Int]
+            var q = 0
+            while (ls.size < nRec) {
+              val (v, next) = HFileCodec.readVLong(lb, q).getOrElse(return None)
+              if (v < 0 || v > MaxOut) return None
+              ls += v.toInt
+              q = next
+            }
+            Some(ls.toSeq)
+          }
+          val kls = lens(keyLenBuf).getOrElse(return out.toSeq)
+          val vls = lens(valLenBuf).getOrElse(return out.toSeq)
+          if (kls.sum > keyBuf.length || vls.sum > valBuf.length)
+            return out.toSeq
+          var ko = 0
+          var vo = 0
+          var r = 0
+          while (r < nRec) {
+            total += kls(r).toLong + vls(r)
+            if (total > MaxOut) return out.toSeq
+            out += SeqRecord(
+              java.util.Arrays.copyOfRange(keyBuf, ko, ko + kls(r)),
+              java.util.Arrays.copyOfRange(valBuf, vo, vo + vls(r)))
+            ko += kls(r)
+            vo += vls(r)
+            r += 1
+          }
+        }
+      } else {
+        while (p + 4 <= b.length && out.size < maxRecords) {
+          val recLen = i32(b, p)
+          p += 4
+          if (recLen == 0xffffffffL) { // sync escape
+            if (p + 16 > b.length ||
+              !java.util.Arrays.equals(
+                java.util.Arrays.copyOfRange(b, p, p + 16), sync))
+              return out.toSeq
+            p += 16
+          } else {
+            if (recLen < 0 || recLen > MaxOut) return out.toSeq
+            val keyLen = i32(b, p)
+            p += 4
+            if (keyLen < 0 || keyLen > recLen || p + recLen - 4 > b.length + 4)
+              return out.toSeq
+            if (p + keyLen > b.length) return out.toSeq
+            val key = java.util.Arrays.copyOfRange(b, p, p + keyLen.toInt)
+            p += keyLen.toInt
+            val valLen = (recLen - keyLen).toInt
+            if (valLen < 0 || p + valLen > b.length) return out.toSeq
+            val rawVal = java.util.Arrays.copyOfRange(b, p, p + valLen)
+            p += valLen
+            val value =
+              if (hdr.compressed)
+                decodeBuf(hdr.codecClass, rawVal).getOrElse(return out.toSeq)
+              else rawVal
+            total += key.length.toLong + value.length
+            if (total > MaxOut) return out.toSeq
+            out += SeqRecord(key, value)
+          }
+        }
+      }
+      out.toSeq
+    } catch { case _: RuntimeException => out.toSeq }
+  }
+
+  // ------------------------------------------------------------------
+  // HBase Export interop
+  // ------------------------------------------------------------------
+
+  /** Decode an HBase Export part-file: rowkey (from the
+    * ImmutableBytesWritable key) + the Result proto's cells. */
+  def exportResults(b: Array[Byte]): Seq[(String, Seq[HFileCodec.HCell])] =
+    records(b).flatMap { r =>
+      // key: 4-byte BE length + rowkey bytes
+      val klen = i32(r.key, 0)
+      if (klen < 0 || 4 + klen > r.key.length) None
+      else {
+        val rowkey = new String(r.key, 4, klen.toInt, "UTF-8")
+        // value: DELIMITED ClientProtos.Result
+        ProtoWire.parseDelimited(r.value, 0).map { case (fs, _) =>
+          val cells = fs.collect {
+            case f if f.number == 1 && f.wireType == 2 =>
+              val c = ProtoWire.parseMessage(f.bytes)
+              HFileCodec.HCell(
+                ProtoWire.bytesOf(c, 1).map(new String(_, "UTF-8")).getOrElse(""),
+                ProtoWire.bytesOf(c, 2).map(new String(_, "UTF-8")).getOrElse(""),
+                ProtoWire.bytesOf(c, 3).map(new String(_, "UTF-8")).getOrElse(""),
+                ProtoWire.varintOf(c, 4).getOrElse(0L),
+                ProtoWire.varintOf(c, 5).getOrElse(4L).toInt,
+                ProtoWire.bytesOf(c, 6).map(new String(_, "UTF-8")).getOrElse(""),
+                0L)
+          }
+          (rowkey, cells)
+        }
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // fixture writers
+  // ------------------------------------------------------------------
+
+  private def writeI32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+    out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+  private def writeText(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    HFileCodec.writeVLong(out, b.length.toLong)
+    out.write(b, 0, b.length)
+  }
+
+  private def encodeBuf(codec: String, plain: Array[Byte]): Array[Byte] =
+    codec match {
+      case "" => plain
+      case c if c.endsWith(".DefaultCodec") =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(plain); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end()
+        bos.toByteArray
+      case c if c.endsWith(".SnappyCodec") =>
+        HFileCodec.hadoopBlockCompress(plain, HFileCodec.CodecSnappy, 2048, 700)
+      case c if c.endsWith(".Lz4Codec") =>
+        HFileCodec.hadoopBlockCompress(plain, HFileCodec.CodecLz4, 2048, 700)
+      case c if c.endsWith(".BZip2Codec") => Dumps.encodeBzip2(plain)
+      case other => throw new IllegalArgumentException(s"writer codec $other")
+    }
+
+  /** Serialize records as a v6 SequenceFile. `codecClass` "" = plain;
+    * otherwise RECORD compression, or BLOCK when `blockCompressed`.
+    * `syncEvery` records between sync escapes (record modes) or per
+    * block (block mode). Deterministic sync marker derived from the
+    * content (Date/Random are unavailable by design). */
+  def encode(recs: Seq[SeqRecord], keyClass: String, valClass: String,
+      codecClass: String = "", blockCompressed: Boolean = false,
+      syncEvery: Int = 3): Array[Byte] = {
+    require(!blockCompressed || codecClass.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('S'); out.write('E'); out.write('Q'); out.write(6)
+    writeText(out, keyClass)
+    writeText(out, valClass)
+    out.write(if (codecClass.nonEmpty) 1 else 0)
+    out.write(if (blockCompressed) 1 else 0)
+    if (codecClass.nonEmpty) writeText(out, codecClass)
+    writeI32(out, 0L) // metadata count
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-seq-$keyClass-${recs.size}".getBytes("UTF-8"))
+    out.write(sync, 0, 16)
+    if (blockCompressed) {
+      recs.grouped(math.max(syncEvery, 1)).foreach { grp =>
+        writeI32(out, 0xffffffffL)
+        out.write(sync, 0, 16)
+        HFileCodec.writeVLong(out, grp.size.toLong)
+        def buf(plain: Array[Byte]): Unit = {
+          val c = encodeBuf(codecClass, plain)
+          HFileCodec.writeVLong(out, c.length.toLong)
+          out.write(c, 0, c.length)
+        }
+        val klb = new java.io.ByteArrayOutputStream()
+        grp.foreach(r => HFileCodec.writeVLong(klb, r.key.length.toLong))
+        val kb = new java.io.ByteArrayOutputStream()
+        grp.foreach(r => kb.write(r.key, 0, r.key.length))
+        val vlb = new java.io.ByteArrayOutputStream()
+        grp.foreach(r => HFileCodec.writeVLong(vlb, r.value.length.toLong))
+        val vb = new java.io.ByteArrayOutputStream()
+        grp.foreach(r => vb.write(r.value, 0, r.value.length))
+        buf(klb.toByteArray); buf(kb.toByteArray)
+        buf(vlb.toByteArray); buf(vb.toByteArray)
+      }
+    } else {
+      recs.zipWithIndex.foreach { case (r, ix) =>
+        if (ix > 0 && syncEvery > 0 && ix % syncEvery == 0) {
+          writeI32(out, 0xffffffffL)
+          out.write(sync, 0, 16)
+        }
+        val v =
+          if (codecClass.nonEmpty) encodeBuf(codecClass, r.value) else r.value
+        writeI32(out, (r.key.length + v.length).toLong)
+        writeI32(out, r.key.length.toLong)
+        out.write(r.key, 0, r.key.length)
+        out.write(v, 0, v.length)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Serialize Export-shaped rows: ImmutableBytesWritable keys +
+    * delimited Result protos, exactly the reference job's bytes. */
+  def encodeExport(rows: Seq[(String, Seq[HFileCodec.HCell])],
+      codecClass: String = "", blockCompressed: Boolean = false): Array[Byte] = {
+    val recs = rows.map { case (rowkey, cells) =>
+      val kb = new java.io.ByteArrayOutputStream()
+      val rk = rowkey.getBytes("UTF-8")
+      writeI32(kb, rk.length.toLong)
+      kb.write(rk, 0, rk.length)
+      val result = new ProtoWire.Writer
+      cells.foreach { c =>
+        val cw = new ProtoWire.Writer
+        cw.bytesField(1, c.row.getBytes("UTF-8"))
+          .bytesField(2, c.family.getBytes("UTF-8"))
+          .bytesField(3, c.qualifier.getBytes("UTF-8"))
+          .varintField(4, c.ts)
+          .varintField(5, c.kvType.toLong)
+          .bytesField(6, c.value.getBytes("UTF-8"))
+        result.messageField(1, cw)
+      }
+      SeqRecord(kb.toByteArray, result.delimited)
+    }
+    encode(recs, "org.apache.hadoop.hbase.io.ImmutableBytesWritable",
+      "org.apache.hadoop.hbase.client.Result", codecClass, blockCompressed)
+  }
+}

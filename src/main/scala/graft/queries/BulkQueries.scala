@@ -1582,6 +1582,38 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "row_key", "cell_value", "blocks_read", "partial")
     }),
 
+    // the reference's EXPORT format end to end (r11): Hadoop
+    // SequenceFile<ImmutableBytesWritable, Result> — the third on-disk
+    // migration artifact after HFiles and WALs. Three layouts by id
+    // residue (plain / RECORD-zlib / BLOCK-snappy); rowkeys ride the
+    // 4-byte-BE-length Writable, cells the delimited ClientProtos
+    // .Result — every field hash-replayed
+    "bulk_seqfile_export" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.{HFileCodec, SequenceFileCodec}
+          val rows = (0 until (1 + id % 3).toInt).map { r =>
+            (f"e$id-$r%02d", (0 until 1 + (id + r).toInt % 2).map { j =>
+              HFileCodec.HCell(f"e$id-$r%02d", "d", s"q$j", 3000L + j, 4,
+                s"ev$id-$r-$j", 0L)
+            })
+          }
+          val (codec, block) = (id % 3) match {
+            case 0 => ("", false)
+            case 1 => ("org.apache.hadoop.io.compress.DefaultCodec", false)
+            case _ => ("org.apache.hadoop.io.compress.SnappyCodec", true)
+          }
+          val blob = SequenceFileCodec.encodeExport(rows, codec, block)
+          SequenceFileCodec.exportResults(blob).flatMap { case (rk, cells) =>
+            cells.map(c => (id,
+              (id % 3) match { case 0 => "none"; case 1 => "record"; case _ => "block" },
+              rk, c.qualifier, c.ts, c.value))
+          }
+        }).toDF("doc_id", "layout", "row_key", "qualifier", "ts", "cell_value")
+    }),
+
     // the reference's protobuf WAL read END TO END: delimited WALKey
     // envelopes + length-prefixed KeyValues, even ids cleanly closed
     // (LAWP trailer), odd ids the CRASH shape — no trailer AND torn
@@ -2106,6 +2138,24 @@ object BulkQueries extends QueryGroup {
         "'v' || i || '-' || CAST(j AS VARCHAR) AS cell_value, " +
         "CAST(CASE WHEN doc_id % 2 = 1 THEN j + 1 ELSE 0 END AS BIGINT) AS mvcc " +
         "FROM g, generate_series(0, 5) AS s(j) WHERE j < n"),
+
+    // Export rows replay: r rows per id, 1 + (id+r)%2 cells per row,
+    // layout from the id residue
+    "bulk_seqfile_export" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(1 + doc_id % 3 AS INT) AS nr FROM documents), " +
+        "rws AS (SELECT doc_id, i, r FROM g, generate_series(0, 2) AS s(r) " +
+        "WHERE r < nr) " +
+        "SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'none' " +
+        "WHEN 1 THEN 'record' ELSE 'block' END AS layout, " +
+        "'e' || i || '-' || lpad(CAST(r AS VARCHAR), 2, '0') AS row_key, " +
+        "'q' || CAST(j AS VARCHAR) AS qualifier, " +
+        "CAST(3000 + j AS BIGINT) AS ts, " +
+        "'ev' || i || '-' || CAST(r AS VARCHAR) || '-' || CAST(j AS VARCHAR) " +
+        "AS cell_value " +
+        "FROM rws, generate_series(0, 1) AS sj(j) " +
+        "WHERE j < 1 + (doc_id + r) % 2"),
 
     // compressed store files replay the same cell arithmetic; the
     // point read's one-block contract is in the hash (point_partial)

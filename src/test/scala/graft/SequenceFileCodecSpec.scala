@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.HFileCodec.HCell
+import graft.ops.SequenceFileCodec
+import graft.ops.SequenceFileCodec.SeqRecord
+
+/** Hadoop SequenceFile v6 + the reference Export decode, cross-read
+  * BOTH directions against Hadoop's own SequenceFile.Writer/Reader. */
+class SequenceFileCodecSpec extends AnyFunSuite {
+
+  private def recs(n: Int): Seq[SeqRecord] =
+    (0 until n).map { i =>
+      SeqRecord(s"key-$i".getBytes("UTF-8"),
+        (s"value payload $i " * (1 + i % 5)).getBytes("UTF-8"))
+    }
+
+  private val codecs = Seq("",
+    "org.apache.hadoop.io.compress.DefaultCodec",
+    "org.apache.hadoop.io.compress.SnappyCodec",
+    "org.apache.hadoop.io.compress.Lz4Codec",
+    "org.apache.hadoop.io.compress.BZip2Codec")
+
+  test("round-trip: plain, record-compressed, block-compressed x codecs") {
+    val rs = recs(17)
+    for (codec <- codecs; block <- Seq(false, true)
+        if !(block && codec.isEmpty)) {
+      val b = SequenceFileCodec.encode(rs, "k.Class", "v.Class", codec, block)
+      assert(SequenceFileCodec.sniff(b))
+      val (hdr, _, _) = SequenceFileCodec.parseHeader(b).get
+      assert(hdr.keyClass == "k.Class" && hdr.valClass == "v.Class")
+      assert(hdr.compressed == codec.nonEmpty)
+      assert(hdr.blockCompressed == block)
+      val got = SequenceFileCodec.records(b)
+      assert(got.size == rs.size, s"codec=$codec block=$block")
+      got.zip(rs).foreach { case (g, w) =>
+        assert(java.util.Arrays.equals(g.key, w.key))
+        assert(java.util.Arrays.equals(g.value, w.value))
+      }
+    }
+  }
+
+  test("CROSS-DECODE: files written by Hadoop's SequenceFile.Writer parse") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{BytesWritable, SequenceFile}
+    val conf = new Configuration(false)
+    conf.set("fs.defaultFS", "file:///")
+    conf.setInt("io.seqfile.compress.blocksize", 600) // several blocks
+    val rs = recs(25)
+    val dir = java.nio.file.Files.createTempDirectory("seqspec").toFile
+    for ((codecName, ct) <- Seq(
+        (null, SequenceFile.CompressionType.NONE),
+        ("org.apache.hadoop.io.compress.DefaultCodec",
+          SequenceFile.CompressionType.RECORD),
+        ("org.apache.hadoop.io.compress.SnappyCodec",
+          SequenceFile.CompressionType.BLOCK),
+        ("org.apache.hadoop.io.compress.Lz4Codec",
+          SequenceFile.CompressionType.BLOCK),
+        ("org.apache.hadoop.io.compress.BZip2Codec",
+          SequenceFile.CompressionType.RECORD))) {
+      val path = new Path(new java.io.File(dir,
+        s"h-${Option(codecName).map(_.split('.').last).getOrElse("none")}.seq")
+        .getPath)
+      val codec =
+        if (codecName == null) null
+        else Class.forName(codecName).getDeclaredConstructor().newInstance()
+          .asInstanceOf[org.apache.hadoop.io.compress.CompressionCodec] match {
+            case c: org.apache.hadoop.conf.Configurable => c.setConf(conf); c
+            case c => c
+          }
+      val w = SequenceFile.createWriter(conf,
+        SequenceFile.Writer.file(path),
+        SequenceFile.Writer.keyClass(classOf[BytesWritable]),
+        SequenceFile.Writer.valueClass(classOf[BytesWritable]),
+        SequenceFile.Writer.compression(ct, codec))
+      rs.foreach(r => w.append(new BytesWritable(r.key),
+        new BytesWritable(r.value)))
+      w.close()
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(path.toString).toPath)
+      val (hdr, _, _) = SequenceFileCodec.parseHeader(bytes).get
+      assert(hdr.keyClass == "org.apache.hadoop.io.BytesWritable")
+      val got = SequenceFileCodec.records(bytes)
+      assert(got.size == rs.size, s"codec=$codecName")
+      got.zip(rs).foreach { case (g, want) =>
+        // BytesWritable serializes as 4-byte BE length + bytes
+        assert((g.key.length - 4).toLong ==
+          ((g.key(0) & 0xffL) << 24 | (g.key(1) & 0xffL) << 16 |
+            (g.key(2) & 0xffL) << 8 | (g.key(3) & 0xffL)))
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(g.key, 4, g.key.length), want.key))
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(g.value, 4, g.value.length), want.value))
+      }
+    }
+  }
+
+  test("CROSS-READ: Hadoop's SequenceFile.Reader reads our bytes") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{BytesWritable, SequenceFile}
+    val conf = new Configuration(false)
+    conf.set("fs.defaultFS", "file:///")
+    val rs = recs(11)
+    // our records as BytesWritable-shaped payloads (4BE length + bytes)
+    def bw(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b.length >>> 24); out.write((b.length >>> 16) & 0xff)
+      out.write((b.length >>> 8) & 0xff); out.write(b.length & 0xff)
+      out.write(b, 0, b.length)
+      out.toByteArray
+    }
+    val shaped = rs.map(r => SeqRecord(bw(r.key), bw(r.value)))
+    val dir = java.nio.file.Files.createTempDirectory("seqspec2").toFile
+    for ((codec, block) <- Seq(("", false),
+        ("org.apache.hadoop.io.compress.DefaultCodec", false),
+        ("org.apache.hadoop.io.compress.SnappyCodec", true),
+        ("org.apache.hadoop.io.compress.Lz4Codec", true),
+        ("org.apache.hadoop.io.compress.BZip2Codec", true))) {
+      val bytes = SequenceFileCodec.encode(shaped,
+        "org.apache.hadoop.io.BytesWritable",
+        "org.apache.hadoop.io.BytesWritable", codec, block)
+      val f = new java.io.File(dir, s"ours-${codec.hashCode}-$block.seq")
+      java.nio.file.Files.write(f.toPath, bytes)
+      val r = new SequenceFile.Reader(conf,
+        SequenceFile.Reader.file(new Path(f.getPath)))
+      val k = new BytesWritable()
+      val v = new BytesWritable()
+      var i = 0
+      while (r.next(k, v)) {
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOf(k.getBytes, k.getLength), rs(i).key),
+          s"codec=$codec block=$block rec $i")
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOf(v.getBytes, v.getLength), rs(i).value))
+        i += 1
+      }
+      r.close()
+      assert(i == rs.size, s"codec=$codec block=$block")
+    }
+  }
+
+  test("Export decode: ImmutableBytesWritable keys + delimited Result protos") {
+    val rows = (0 until 9).map { i =>
+      (f"row$i%03d", (0 until 1 + i % 3).map { j =>
+        HCell(f"row$i%03d", "d", s"q$j", 1000L + j, 4, s"v$i-$j", 0L)
+      })
+    }
+    for (codec <- Seq("", "org.apache.hadoop.io.compress.SnappyCodec");
+        block <- Seq(false, true) if !(block && codec.isEmpty)) {
+      val b = SequenceFileCodec.encodeExport(rows, codec, block)
+      val (hdr, _, _) = SequenceFileCodec.parseHeader(b).get
+      assert(hdr.keyClass ==
+        "org.apache.hadoop.hbase.io.ImmutableBytesWritable")
+      assert(hdr.valClass == "org.apache.hadoop.hbase.client.Result")
+      val got = SequenceFileCodec.exportResults(b)
+      assert(got.map(_._1) == rows.map(_._1), s"codec=$codec block=$block")
+      got.zip(rows).foreach { case ((_, gc), (_, wc)) =>
+        assert(gc == wc)
+      }
+    }
+  }
+
+  test("totality: junk, truncation, bit flips, wrong versions") {
+    val b = SequenceFileCodec.encodeExport(Seq(("r", Seq(
+      HCell("r", "d", "q", 1L, 4, "v", 0L)))),
+      "org.apache.hadoop.io.compress.SnappyCodec", blockCompressed = true)
+    (0 until b.length).foreach { n =>
+      SequenceFileCodec.records(java.util.Arrays.copyOf(b, n)) // no throw
+      SequenceFileCodec.exportResults(java.util.Arrays.copyOf(b, n))
+    }
+    val rnd = new java.util.Random(31)
+    (0 until 200).foreach { _ =>
+      val m = b.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      SequenceFileCodec.records(m)
+    }
+    assert(SequenceFileCodec.records(null).isEmpty)
+    assert(SequenceFileCodec.records("not a seq file".getBytes).isEmpty)
+    val v4 = b.clone(); v4(3) = 4
+    assert(SequenceFileCodec.records(v4).isEmpty) // pre-v6: disclosed
+  }
+}
