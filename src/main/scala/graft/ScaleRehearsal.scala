@@ -69,8 +69,117 @@ object ScaleRehearsal {
     write(sfDir, results, coverResults, covResults, triResults, manResults,
       blockResults, lshResults, advisorTexts, cdxResults)
     appendThreads(thrResults)
+    appendDumpSplit(Seq(1, 10).map(measureDumpSplit))
+    appendStringPrune(measureStringPrune(spark, sfDir))
     println(s"[rehearsal] wrote /root/repo/SCALE_REHEARSAL.md")
     spark.stop()
+  }
+
+  final case class DumpMeasure(scale: Int, streams: Int, blobBytes: Long,
+      streamBytes: Long, tFull: Double, tIndex: Double, tPoint: Double)
+
+  /** Multistream dump split (r11): full single-task decode vs the
+    * per-stream index + one-stream point read as the dump grows 10x.
+    * At 100 TB the index pass runs once per dump and the per-stream
+    * extents fan the decode out across tasks. */
+  private def measureDumpSplit(scale: Int): DumpMeasure = {
+    import graft.ops.Dumps
+    val nStreams = 40 * scale
+    val groups = (0 until nStreams).map { g =>
+      (0 until 25).map(j =>
+        (s"Page $g-$j", 0, s"article body $g/$j " * 30))
+    }
+    val blob = Dumps.encodeMultistream(groups)
+    val t0 = System.nanoTime()
+    val full = Dumps.pagesFromDump(blob, maxPages = 1000000)
+    val tFull = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val idx = Dumps.buildBz2Index(blob)
+    val tIndex = (System.nanoTime() - t1) / 1e9
+    require(idx.map(_.length).sum == blob.length, "extents must tile")
+    val target = idx(1 + nStreams / 2) // a middle page-group stream
+    val t2 = System.nanoTime()
+    val point = Dumps.pagesFromStreamAt(blob, target.offset, target.length)
+    val tPoint = (System.nanoTime() - t2) / 1e9
+    require(point.size == 25 &&
+      point.map(_.title) == full.slice((nStreams / 2) * 25,
+        (nStreams / 2) * 25 + 25).map(_.title),
+      "point read must reproduce the full walk's slice")
+    DumpMeasure(scale, idx.size, blob.length.toLong, target.length,
+      tFull, tIndex, tPoint)
+  }
+
+  private def appendDumpSplit(rs: Seq[DumpMeasure]): Unit = {
+    def f(d: Double) = String.format(Locale.ROOT, "%.3f", Double.box(d))
+    val sb = new StringBuilder
+    sb.append("\n## Multistream dump split: point reads are O(one stream)\n\n")
+    sb.append("Wikipedia-shaped multistream bz2 (`Dumps.buildBz2Index` /\n")
+    sb.append("`pagesFromStreamAt`). The index pass is the once-per-dump cost;\n")
+    sb.append("a point read then decodes ONE stream's extent, and the extents\n")
+    sb.append("are the task boundaries that fan a 20 GB dump across executors.\n\n")
+    sb.append("| scale | streams | blob bytes | one-stream bytes | t full walk (s) | t index (s) | t point (s) |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    rs.foreach { r =>
+      sb.append(s"| ${r.scale}x | ${r.streams} | ${r.blobBytes} | ")
+      sb.append(s"${r.streamBytes} | ${f(r.tFull)} | ${f(r.tIndex)} | ${f(r.tPoint)} |\n")
+    }
+    val (a, b) = (rs.head, rs.last)
+    sb.append(f"\nThe blob grew ${b.blobBytes.toDouble / a.blobBytes}%.1fx; the point read's bytes ")
+    sb.append(f"and time stayed flat (${a.streamBytes} -> ${b.streamBytes} bytes, ")
+    sb.append(f"${f(a.tPoint)} -> ${f(b.tPoint)} s): decode cost is per STREAM, not per dump. ")
+    sb.append("The full walk (and the one-off index pass) grow linearly - exactly the\n")
+    sb.append("single-straggler profile the index removes by fanning streams across tasks.\n")
+    val path = java.nio.file.Paths.get("/root/repo/SCALE_REHEARSAL.md")
+    java.nio.file.Files.write(path, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  final case class PruneMeasure(files: Int, candidates: Int, rows: Long,
+      fullRows: Long)
+
+  /** String zone maps (r11): lay documents out range-partitioned by
+    * `lang`, then plan a `lang = 'fr'` scan from ParquetFooter's
+    * BYTE_ARRAY min/max statistics alone — candidate files whose
+    * [min,max] contains the key vs the full file census. */
+  private def measureStringPrune(spark: SparkSession,
+      sfDir: String): PruneMeasure = {
+    import graft.ops.ParquetFooter
+    val path = s"$root/zonemap/documents"
+    Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .repartitionByRange(16, col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    val key = "fr"
+    val candidates = files.filter { f =>
+      ParquetFooter.readFile(f.getPath).exists { case (m, _) =>
+        m.chunks.exists(c => c.path == "lang" && c.isString &&
+          c.statsMin.nonEmpty && c.statsMin <= key && key <= c.statsMax)
+      }
+    }
+    val rows = candidates.map { f =>
+      spark.read.parquet(f.getPath).filter(col("lang") === key).count()
+    }.sum
+    val fullRows = spark.read.parquet(path).filter(col("lang") === key).count()
+    require(rows == fullRows, "zone-map plan must find every matching row")
+    PruneMeasure(files.size, candidates.size, rows, fullRows)
+  }
+
+  private def appendStringPrune(r: PruneMeasure): Unit = {
+    val sb = new StringBuilder
+    sb.append("\n## String zone maps: footer statistics prune the file list\n\n")
+    sb.append("Documents laid out range-partitioned by `lang`; a `lang = 'fr'`\n")
+    sb.append("scan planned from `ParquetFooter`'s BYTE_ARRAY min/max statistics\n")
+    sb.append("alone (footer tail-reads, zero data pages for pruned files).\n\n")
+    sb.append(s"Files: ${r.files} total, ${r.candidates} candidate(s) by string\n")
+    sb.append(s"zone map, ${r.rows} rows found = the full scan's ${r.fullRows}.\n")
+    sb.append("At 100 TB this is the planner's rowkey/URL/host file-pruning path:\n")
+    sb.append(s"${r.files - r.candidates} of ${r.files} files cost one footer read and no data.\n")
+    val path = java.nio.file.Paths.get("/root/repo/SCALE_REHEARSAL.md")
+    java.nio.file.Files.write(path, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   final case class CovMeasure(scale: Int, rows: Long, cells: Long,

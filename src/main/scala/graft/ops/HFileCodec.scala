@@ -49,7 +49,8 @@ import scala.collection.mutable.ArrayBuffer
 object HFileCodec {
 
   final case class HCell(row: String, family: String, qualifier: String,
-      ts: Long, kvType: Int, value: String, mvcc: Long)
+      ts: Long, kvType: Int, value: String, mvcc: Long,
+      tags: String = "") // v3 cell tags, rendered "t<type>:<utf8>" joined by |
 
   final case class Trailer(fileInfoOffset: Long, loadOnOpenOffset: Long,
       dataIndexCount: Int, entryCount: Long, firstDataBlockOffset: Long,
@@ -181,15 +182,16 @@ object HFileCodec {
       (0 until 8).forall(k => b(p + k) == TrailerMagic(k))
     }
 
-  /** Parse the fixed trailer; None for non-HFiles, pre-protobuf minor
-    * versions (< 2), or non-v2 majors. */
+  /** Parse the fixed trailer; None for non-HFiles, pre-protobuf v2
+    * minors (< 2), or majors other than 2/3 (v3 trailers are always
+    * protobuf — `HFileReaderV3.java`). */
   def parseTrailer(b: Array[Byte]): Option[Trailer] = {
     if (!sniff(b)) return None
     val base = b.length - TrailerSize
     val ver = i32(b, b.length - 4)
     val major = ver & 0x00ffffff
     val minor = ver >>> 24
-    if (major != 2 || minor < 2) return None
+    if (!(major == 3 || (major == 2 && minor >= 2))) return None
     ProtoWire.parseDelimited(b, base + 8).map { case (fs, _) =>
       Trailer(
         fileInfoOffset = ProtoWire.varintOf(fs, 1).getOrElse(-1L),
@@ -206,9 +208,11 @@ object HFileCodec {
   /** One block at `off`: (typeMagic, decoded data, offsetOfNextBlock).
     * CRC32 chunks verified when the header declares checksum type 1;
     * GZ blocks inflate (bounded). None on any mismatch. */
-  private def readBlock(b: Array[Byte], off: Long, minor: Int,
+  private def readBlock(b: Array[Byte], off: Long, t: Trailer,
       codec: Int): Option[(String, Array[Byte], Long)] = {
-    val hdr = if (minor >= 1) HdrChecksum else HdrNoChecksum
+    val minor = t.minorVersion
+    val hdr = if (t.majorVersion >= 3 || minor >= 1) HdrChecksum
+      else HdrNoChecksum
     val p = off.toInt
     if (off < 0 || p + hdr > b.length) return None
     val magic = new String(b, p, 8, "US-ASCII")
@@ -313,7 +317,7 @@ object HFileCodec {
     * (`KeyValue.java:2803-2817` — there each KV additionally rides a
     * 4-byte total-length prefix). */
   private[graft] def decodeOneKv(data: Array[Byte], off: Int,
-      withMvcc: Boolean): Option[(HCell, Int)] = {
+      withMvcc: Boolean, withTags: Boolean = false): Option[(HCell, Int)] = {
     val i = off
     if (i + 8 > data.length) return None
     val keyLen = i32(data, i)
@@ -334,20 +338,42 @@ object HFileCodec {
     val kvType = data(cfOff + cfLen + qLen + 8) & 0xff
     val value = new String(data, k + keyLen, valLen, "UTF-8")
     var next = k + keyLen + valLen
+    var tags = ""
+    if (withTags) {
+      // v3: 2-byte BE tags-section length, then (tagLen(2B) type(1B)
+      // bytes)* — HFileReaderV3 reads this iff the file info declares
+      // MAX_TAGS_LEN
+      if (next + 2 > data.length) return None
+      val tl = ((data(next) & 0xff) << 8) | (data(next + 1) & 0xff)
+      next += 2
+      if (next + tl > data.length) return None
+      val end = next + tl
+      val sb = new StringBuilder
+      while (next + 3 <= end) {
+        val one = ((data(next) & 0xff) << 8) | (data(next + 1) & 0xff)
+        if (one < 1 || next + 2 + one > end) return None
+        val typ = data(next + 2) & 0xff
+        if (sb.nonEmpty) sb += '|'
+        sb ++= s"t$typ:" + new String(data, next + 3, one - 1, "UTF-8")
+        next += 2 + one
+      }
+      if (next != end) return None
+      tags = sb.toString
+    }
     var mvcc = 0L
     if (withMvcc) readVLong(data, next) match {
       case Some((m, p)) => mvcc = m; next = p
       case None => return None
     }
-    Some((HCell(row, family, qualifier, ts, kvType, value, mvcc), next))
+    Some((HCell(row, family, qualifier, ts, kvType, value, mvcc, tags), next))
   }
 
   private def decodeCells(data: Array[Byte], withMvcc: Boolean,
-      out: ArrayBuffer[HCell], max: Int): Unit = {
+      withTags: Boolean, out: ArrayBuffer[HCell], max: Int): Unit = {
     var i = 0
     var going = true
     while (going && i + 8 <= data.length && out.size < max) {
-      decodeOneKv(data, i, withMvcc) match {
+      decodeOneKv(data, i, withMvcc, withTags) match {
         case Some((c, next)) => out += c; i = next
         case None => going = false
       }
@@ -358,7 +384,7 @@ object HFileCodec {
   def fileInfo(b: Array[Byte]): Map[String, Array[Byte]] =
     parseTrailer(b) match {
       case Some(t) if t.fileInfoOffset >= 0 =>
-        readBlock(b, t.fileInfoOffset, t.minorVersion, t.compressionCodec) match {
+        readBlock(b, t.fileInfoOffset, t, t.compressionCodec) match {
           case Some(("FILEINF2", data, _)) if data.length >= 4 &&
               new String(data, 0, 4, "US-ASCII") == "PBUF" =>
             ProtoWire.parseDelimited(data, 4) match {
@@ -379,19 +405,26 @@ object HFileCodec {
   private def includesMvcc(info: Map[String, Array[Byte]]): Boolean =
     info.get("KEY_VALUE_VERSION").exists(v => v.length >= 4 && i32(v, 0) >= 1)
 
+  /** v3 cells carry a tags section iff the file info declares
+    * MAX_TAGS_LEN (`HFileWriterV3.java` / `HFileReaderV3.java`). */
+  private def includesTags(t: Trailer, info: Map[String, Array[Byte]]): Boolean =
+    t.majorVersion >= 3 && info.contains("MAX_TAGS_LEN")
+
   /** Scan every cell (full-file walk over the data-block chain). */
   def scanCells(b: Array[Byte], maxCells: Int = 1 << 20): Seq[HCell] = {
     val t = parseTrailer(b).getOrElse(return Nil)
     if (t.firstDataBlockOffset < 0) return Nil
-    val mvcc = includesMvcc(fileInfo(b))
+    val info = fileInfo(b)
+    val mvcc = includesMvcc(info)
+    val tags = includesTags(t, info)
     val out = ArrayBuffer.empty[HCell]
     try {
       var off = t.firstDataBlockOffset
       var going = true
       while (going && off <= t.lastDataBlockOffset && out.size < maxCells) {
-        readBlock(b, off, t.minorVersion, t.compressionCodec) match {
+        readBlock(b, off, t, t.compressionCodec) match {
           case Some(("DATABLK*", data, next)) =>
-            decodeCells(data, mvcc, out, maxCells); off = next
+            decodeCells(data, mvcc, tags, out, maxCells); off = next
           case Some((_, _, next)) => off = next // meta/bloom: skip
           case None => going = false
         }
@@ -406,7 +439,7 @@ object HFileCodec {
   def rootIndex(b: Array[Byte]): Seq[IndexEntry] = {
     val t = parseTrailer(b).getOrElse(return Nil)
     if (t.loadOnOpenOffset < 0) return Nil
-    readBlock(b, t.loadOnOpenOffset, t.minorVersion, t.compressionCodec) match {
+    readBlock(b, t.loadOnOpenOffset, t, t.compressionCodec) match {
       case Some(("IDXROOT2", data, _)) =>
         val out = ArrayBuffer.empty[IndexEntry]
         var p = 0
@@ -451,19 +484,188 @@ object HFileCodec {
       else hi = mid - 1
     }
     if (pick < 0) return (Nil, 0)
-    val mvcc = includesMvcc(fileInfo(b))
-    readBlock(b, idx(pick).offset, t.minorVersion, t.compressionCodec) match {
+    val info = fileInfo(b)
+    val mvcc = includesMvcc(info)
+    val tags = includesTags(t, info)
+    readBlock(b, idx(pick).offset, t, t.compressionCodec) match {
       case Some(("DATABLK*", data, _)) =>
         val out = ArrayBuffer.empty[HCell]
-        decodeCells(data, mvcc, out, 1 << 20)
+        decodeCells(data, mvcc, tags, out, 1 << 20)
         (out.filter(_.row == row).toSeq, 1)
       case _ => (Nil, 1)
     }
   }
 
+  // ---- bloom filters (GENERAL_BLOOM_META / BLOOM_CHUNK) -------------------
+
+  /** HBase's MurmurHash (murmur2-32 with the reference's exact signed-
+    * byte quirks, `MurmurHash.java`) — hashType 1, the store-file
+    * default. */
+  private[graft] def murmur(data: Array[Byte], offset: Int, length: Int,
+      seed: Int): Int = {
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ length
+    val len4 = length >> 2
+    var i = 0
+    while (i < len4) {
+      val i4 = (i << 2) + offset
+      var k: Int = data(i4 + 3) // SIGNED, as the reference reads it
+      k = k << 8
+      k = k | (data(i4 + 2) & 0xff)
+      k = k << 8
+      k = k | (data(i4 + 1) & 0xff)
+      k = k << 8
+      k = k | (data(i4) & 0xff)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    val lenM = len4 << 2
+    val left = length - lenM
+    val iM = lenM + offset
+    if (left != 0) {
+      if (left >= 3) h ^= data(iM + 2) << 16 // signed shifts, as above
+      if (left >= 2) h ^= data(iM + 1) << 8
+      if (left >= 1) h ^= data(iM)
+      h *= m
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** ByteBloomFilter membership over raw bloom bytes
+    * (`ByteBloomFilter.java:423-451`): two murmur passes seed the
+    * composite-hash chain; bits are LSB-first within each byte. */
+  private def bloomContains(key: Array[Byte], bits: Array[Byte],
+      hashCount: Int): Boolean = {
+    val bitSize = bits.length << 3
+    if (bitSize == 0) return false
+    val h1 = murmur(key, 0, key.length, 0)
+    val h2 = murmur(key, 0, key.length, h1)
+    var composite = h1
+    var i = 0
+    while (i < hashCount) {
+      val loc = math.abs(composite % bitSize)
+      composite += h2
+      if ((bits(loc >> 3) & (1 << (loc & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  final case class BloomMeta(totalByteSize: Long, hashCount: Int,
+      hashType: Int, keyCount: Long, chunks: Seq[(Long, Int, Array[Byte])])
+
+  /** Locate and parse the `BLMFMET2` general-bloom metadata in the
+    * load-on-open section (`CompoundBloomFilter.java:49-69`:
+    * version(4)=3, totalByteSize(8), hashCount(4), hashType(4),
+    * keyCount(8), maxKeys(8), numChunks(4), vint-prefixed comparator
+    * name, then numChunks x [offset(8), onDiskSize(4), vint-prefixed
+    * firstKey]). None when the file carries no bloom. */
+  def bloomMeta(b: Array[Byte]): Option[BloomMeta] = {
+    val t = parseTrailer(b).getOrElse(return None)
+    if (t.loadOnOpenOffset < 0) return None
+    try {
+      var off = t.loadOnOpenOffset
+      var guard = 0
+      while (guard < 8 && off >= 0 && off < b.length - TrailerSize) {
+        readBlock(b, off, t, t.compressionCodec) match {
+          case Some(("BLMFMET2", d, _)) =>
+            if (d.length < 40 || i32(d, 0) != 3) return None // VERSION 3
+            val totalByteSize = i64(d, 4)
+            val hashCount = i32(d, 12)
+            val hashType = i32(d, 16)
+            val keyCount = i64(d, 20)
+            // maxKeys at 28..35
+            val numChunks = i32(d, 36)
+            if (numChunks < 0 || numChunks > (1 << 20)) return None
+            var p = 40
+            // comparator class name (vint-prefixed bytes)
+            p = readVLong(d, p) match {
+              case Some((n, np)) if n >= 0 && np + n <= d.length => (np + n).toInt
+              case _ => return None
+            }
+            val chunks = ArrayBuffer.empty[(Long, Int, Array[Byte])]
+            var c = 0
+            while (c < numChunks) {
+              if (p + 12 > d.length) return None
+              val co = i64(d, p)
+              val cs = i32(d, p + 8)
+              p += 12
+              readVLong(d, p) match {
+                case Some((n, np)) if n >= 0 && np + n <= d.length =>
+                  chunks += ((co, cs,
+                    java.util.Arrays.copyOfRange(d, np, (np + n).toInt)))
+                  p = (np + n).toInt
+                case _ => return None
+              }
+              c += 1
+            }
+            return Some(BloomMeta(totalByteSize, hashCount, hashType,
+              keyCount, chunks.toSeq))
+          case Some((_, _, next)) => off = next; guard += 1
+          case None => return None
+        }
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** ROW-bloom membership probe: None when the file has no bloom (or a
+    * non-murmur hash type); Some(false) = the row is DEFINITELY absent
+    * — the screen that lets a point read skip the data block entirely. */
+  def bloomMightContain(b: Array[Byte], row: String): Option[Boolean] = {
+    val meta = bloomMeta(b).getOrElse(return None)
+    if (meta.hashType != 1 || meta.chunks.isEmpty) return None // murmur only
+    val t = parseTrailer(b).getOrElse(return None)
+    val key = row.getBytes("UTF-8")
+    // last chunk whose firstKey <= key (raw-bytes order)
+    def cmp(a: Array[Byte], c: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < c.length) {
+        val d = (a(i) & 0xff) - (c(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - c.length
+    }
+    var lo = 0
+    var hi = meta.chunks.size - 1
+    var pick = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(meta.chunks(mid)._3, key) <= 0) { pick = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (pick < 0) return Some(false) // before the first chunk: absent
+    readBlock(b, meta.chunks(pick)._1, t, t.compressionCodec) match {
+      case Some(("BLMFBLK2", bits, _)) =>
+        Some(bloomContains(key, bits, meta.hashCount))
+      case _ => None
+    }
+  }
+
+  /** Bloom-guarded point read: the bloom screen runs first, and a
+    * definite miss costs ZERO data blocks. Returns
+    * (cells, dataBlocksRead, bloomScreened). */
+  def pointGetBloom(b: Array[Byte], row: String): (Seq[HCell], Int, Boolean) =
+    bloomMightContain(b, row) match {
+      case Some(false) => (Nil, 0, true)
+      case _ =>
+        val (cells, blocks) = pointGet(b, row)
+        (cells, blocks, false)
+    }
+
   // ---- writer (fixtures + export) -----------------------------------------
 
-  private def kvBytes(c: HCell, withMvcc: Boolean): Array[Byte] = {
+  private def kvBytes(c: HCell, withMvcc: Boolean,
+      withTags: Boolean = false): Array[Byte] = {
     val row = c.row.getBytes("UTF-8")
     val cf = c.family.getBytes("UTF-8")
     val q = c.qualifier.getBytes("UTF-8")
@@ -481,6 +683,23 @@ object HFileCodec {
     w32((c.ts >>> 32).toInt); w32(c.ts.toInt)
     out.write(c.kvType)
     out.write(v, 0, v.length)
+    if (withTags) {
+      // one tag per "t<type>:<utf8>" segment of c.tags (empty -> 0)
+      val segs = if (c.tags.isEmpty) Nil
+        else c.tags.split('|').toSeq.map { seg =>
+          val i = seg.indexOf(':')
+          require(seg.startsWith("t") && i > 1, s"tag segment $seg")
+          (seg.substring(1, i).toInt, seg.substring(i + 1).getBytes("UTF-8"))
+        }
+      val total = segs.map(2 + 1 + _._2.length).sum
+      out.write(total >>> 8); out.write(total & 0xff)
+      segs.foreach { case (typ, tb) =>
+        val one = 1 + tb.length
+        out.write(one >>> 8); out.write(one & 0xff)
+        out.write(typ)
+        out.write(tb, 0, tb.length)
+      }
+    }
     if (withMvcc) writeVLong(out, c.mvcc)
     out.toByteArray
   }
@@ -545,9 +764,15 @@ object HFileCodec {
     * KEY_VALUE_VERSION=1 + MAX_MEMSTORE_TS in the file info, exactly
     * as `HFileWriterV2.java:380` does. */
   def encodeHFile(cells: Seq[HCell], blockSize: Int = 4096,
-      withMvcc: Boolean = false, codec: Int = CodecNone): Array[Byte] = {
+      withMvcc: Boolean = false, codec: Int = CodecNone,
+      v3Tags: Boolean = false, withBloom: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val index = ArrayBuffer.empty[(Long, Int, Array[Byte])] // off, size, firstKey
+    // bloom chunks: one INLINE chunk per data block (row bloom; 64-byte
+    // chunks at 3 murmur probes), recorded as (offset, size, firstRow)
+    val BloomBytes = 64
+    val BloomHashes = 3
+    val bloomChunks = ArrayBuffer.empty[(Long, Int, Array[Byte])]
     var prevData = -1L
     // data blocks
     var i = 0
@@ -555,15 +780,38 @@ object HFileCodec {
       val blockStart = out.size().toLong
       val data = new java.io.ByteArrayOutputStream(blockSize + 256)
       val firstKey = keyOf(cells(i))
+      val firstRow = cells(i).row.getBytes("UTF-8")
+      val blockRows = ArrayBuffer.empty[Array[Byte]]
       while (i < cells.length && data.size() < blockSize) {
-        val kv = kvBytes(cells(i), withMvcc)
+        val kv = kvBytes(cells(i), withMvcc, v3Tags)
         data.write(kv, 0, kv.length)
+        blockRows += cells(i).row.getBytes("UTF-8")
         i += 1
       }
       val blk = blockBytes("DATABLK*", data.toByteArray, prevData, codec)
       index += ((blockStart, blk.length, firstKey))
       out.write(blk, 0, blk.length)
       prevData = blockStart
+      if (withBloom) {
+        val bits = new Array[Byte](BloomBytes)
+        val bitSize = BloomBytes << 3
+        blockRows.distinct.foreach { row =>
+          val h1 = murmur(row, 0, row.length, 0)
+          val h2 = murmur(row, 0, row.length, h1)
+          var composite = h1
+          var k = 0
+          while (k < BloomHashes) {
+            val loc = math.abs(composite % bitSize)
+            composite += h2
+            bits(loc >> 3) = (bits(loc >> 3) | (1 << (loc & 7))).toByte
+            k += 1
+          }
+        }
+        val chunkStart = out.size().toLong
+        val cblk = blockBytes("BLMFBLK2", bits, -1L, codec)
+        bloomChunks += ((chunkStart, cblk.length, firstRow))
+        out.write(cblk, 0, cblk.length)
+      }
     }
     val firstDataOffset = if (index.isEmpty) -1L else index.head._1
     val lastDataOffset = if (index.isEmpty) -1L else index.last._1
@@ -591,6 +839,10 @@ object HFileCodec {
       infoEntries += (("KEY_VALUE_VERSION", one))
       infoEntries += (("MAX_MEMSTORE_TS_KEY", maxTs))
     }
+    if (v3Tags) {
+      val mtl = Array[Byte](0, 0, 0, 16)
+      infoEntries += (("MAX_TAGS_LEN", mtl))
+    }
     val infoProto = new ProtoWire.Writer
     infoEntries.foreach { case (k, v) =>
       val pair = new ProtoWire.Writer
@@ -603,6 +855,33 @@ object HFileCodec {
     infoData.write(delim, 0, delim.length)
     val infoBlk = blockBytes("FILEINF2", infoData.toByteArray, -1L, codec)
     out.write(infoBlk, 0, infoBlk.length)
+    if (withBloom && bloomChunks.nonEmpty) {
+      // GENERAL_BLOOM_META (CompoundBloomFilter.java:49-69)
+      val md = new java.io.ByteArrayOutputStream()
+      def w32m(x: Int): Unit = {
+        md.write(x >>> 24); md.write((x >>> 16) & 0xff)
+        md.write((x >>> 8) & 0xff); md.write(x & 0xff)
+      }
+      def w64m(x: Long): Unit = { w32m((x >>> 32).toInt); w32m(x.toInt) }
+      w32m(3) // VERSION
+      w64m(BloomBytes.toLong * bloomChunks.size) // totalByteSize
+      w32m(BloomHashes)
+      w32m(1) // hashType MURMUR
+      w64m(cells.map(_.row).distinct.size.toLong) // keyCount
+      w64m(cells.map(_.row).distinct.size.toLong) // maxKeys
+      w32m(bloomChunks.size)
+      val cmpName =
+        "org.apache.hadoop.hbase.util.Bytes$ByteArrayComparator".getBytes("UTF-8")
+      writeVLong(md, cmpName.length.toLong)
+      md.write(cmpName, 0, cmpName.length)
+      bloomChunks.foreach { case (off, size, firstRow) =>
+        w64m(off); w32m(size)
+        writeVLong(md, firstRow.length.toLong)
+        md.write(firstRow, 0, firstRow.length)
+      }
+      val bmBlk = blockBytes("BLMFMET2", md.toByteArray, -1L, codec)
+      out.write(bmBlk, 0, bmBlk.length)
+    }
     // trailer
     val tp = new ProtoWire.Writer
     tp.varintField(1, fileInfoOffset)
@@ -622,7 +901,8 @@ object HFileCodec {
     System.arraycopy(TrailerMagic, 0, trailer, 0, 8)
     require(8 + pb.length <= TrailerSize - 4, "trailer proto too large")
     System.arraycopy(pb, 0, trailer, 8, pb.length)
-    val ver = 2 | (2 << 24) // major 2, minor 2 (PBUF trailer + checksums)
+    val ver = // v3 when tags; else major 2 minor 2 (PBUF + checksums)
+      if (v3Tags) 3 | (3 << 24) else 2 | (2 << 24)
     trailer(TrailerSize - 4) = (ver >>> 24).toByte
     trailer(TrailerSize - 3) = ((ver >>> 16) & 0xff).toByte
     trailer(TrailerSize - 2) = ((ver >>> 8) & 0xff).toByte

@@ -1582,6 +1582,65 @@ object BulkQueries extends QueryGroup {
         }).toDF("doc_id", "row_key", "cell_value", "blocks_read", "partial")
     }),
 
+    // HFile ROW BLOOM (r11): the reference's own point-get screen
+    // (CompoundBloomFilter / ByteBloomFilter with murmur hashing) read
+    // from the BLMFMET2 load-on-open metadata + inline BLMFBLK2 chunk
+    // blocks — a definite bloom miss costs ZERO data blocks; present
+    // rows always pass (no false negatives, in the hash)
+    "bulk_hfile_bloom_get" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.ops.HFileCodec
+          val cells = (0 until 8).map { j =>
+            HFileCodec.HCell(f"b$id-$j%02d", "d", "q", 9L, 4, s"bv$id-$j", 0L)
+          }
+          val hf = HFileCodec.encodeHFile(cells, blockSize = 64,
+            withBloom = true)
+          val probe = (id % 8).toInt
+          val (got, blocks, scr) = HFileCodec.pointGetBloom(hf, f"b$id-$probe%02d")
+          val absents = (0 until 25).map(k => s"zz$id-none-$k")
+          val results = absents.map(HFileCodec.pointGetBloom(hf, _))
+          val screened = results.count(_._3)
+          val zeroBlockScreens = results.forall(r => !r._3 || r._2 == 0)
+          (id, got.headOption.map(_.value).getOrElse(""), blocks == 1 && !scr,
+            results.forall(_._1.isEmpty) && zeroBlockScreens,
+            screened > absents.size * 3 / 5)
+        }).toDF("doc_id", "point_value", "present_one_block",
+          "absent_clean", "mostly_screened")
+    }),
+
+    // HFile VERSION 3 (r11): HBase 1.x+ store files carry per-cell
+    // TAGS (2-byte section length + [tagLen type bytes]*) gated by the
+    // MAX_TAGS_LEN file-info declaration — the migration reader now
+    // spans 0.98 (v2) through 2.x (v3) store files; tags compose with
+    // mvcc and compression, all hash-replayed
+    "bulk_hfile_v3_tags" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          import graft.ops.HFileCodec
+          val n = (2 + id % 3).toInt
+          val cells = (0 until n).map { j =>
+            val tags = (j % 3) match {
+              case 0 => ""
+              case 1 => s"t1:acl-$id-$j"
+              case _ => s"t1:acl-$id-$j|t8:ttl-$j"
+            }
+            HFileCodec.HCell(f"v$id-$j%02d", "d", s"q${j % 2}", 4000L + j, 4,
+              s"vv$id-$j", j + 1L, tags)
+          }
+          val codec =
+            if (id % 2 == 0) 2 else HFileCodec.CodecSnappy
+          val hf = HFileCodec.encodeHFile(cells, blockSize = 64,
+            withMvcc = true, codec = codec, v3Tags = true)
+          HFileCodec.scanCells(hf).map(c =>
+            (id, c.row, c.ts, c.value, c.mvcc, c.tags))
+        }).toDF("doc_id", "row_key", "ts", "cell_value", "mvcc", "tags")
+    }),
+
     // the reference's EXPORT format end to end (r11): Hadoop
     // SequenceFile<ImmutableBytesWritable, Result> — the third on-disk
     // migration artifact after HFiles and WALs. Three layouts by id
@@ -2138,6 +2197,33 @@ object BulkQueries extends QueryGroup {
         "'v' || i || '-' || CAST(j AS VARCHAR) AS cell_value, " +
         "CAST(CASE WHEN doc_id % 2 = 1 THEN j + 1 ELSE 0 END AS BIGINT) AS mvcc " +
         "FROM g, generate_series(0, 5) AS s(j) WHERE j < n"),
+
+    // bloom contracts in the hash: present rows always found via one
+    // block, absent probes clean, and the screen rate over 25
+    // deterministic probes stays above the 60% floor (the fixture's
+    // 64-byte/3-hash chunks sit near zero false positives)
+    "bulk_hfile_bloom_get" ->
+      ("SELECT doc_id, " +
+        "'bv' || CAST(doc_id AS VARCHAR) || '-' || " +
+        "CAST(doc_id % 8 AS VARCHAR) AS point_value, " +
+        "TRUE AS present_one_block, TRUE AS absent_clean, " +
+        "TRUE AS mostly_screened FROM documents"),
+
+    // v3 tag strings replay the id arithmetic (the tags column is in
+    // the hash, so a mis-framed tags section dies loudly)
+    "bulk_hfile_v3_tags" ->
+      ("WITH g AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, " +
+        "CAST(2 + doc_id % 3 AS INT) AS n FROM documents) " +
+        "SELECT doc_id, " +
+        "'v' || i || '-' || lpad(CAST(j AS VARCHAR), 2, '0') AS row_key, " +
+        "CAST(4000 + j AS BIGINT) AS ts, " +
+        "'vv' || i || '-' || CAST(j AS VARCHAR) AS cell_value, " +
+        "CAST(j + 1 AS BIGINT) AS mvcc, " +
+        "CASE CAST(j % 3 AS INT) WHEN 0 THEN '' " +
+        "WHEN 1 THEN 't1:acl-' || i || '-' || CAST(j AS VARCHAR) " +
+        "ELSE 't1:acl-' || i || '-' || CAST(j AS VARCHAR) || " +
+        "'|t8:ttl-' || CAST(j AS VARCHAR) END AS tags " +
+        "FROM g, generate_series(0, 4) AS s(j) WHERE j < n"),
 
     // Export rows replay: r rows per id, 1 + (id+r)%2 cells per row,
     // layout from the id residue

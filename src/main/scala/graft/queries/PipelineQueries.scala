@@ -1833,9 +1833,9 @@ object PipelineQueries extends QueryGroup {
     // 1 + id%3 copies of an out-of-vocabulary phrase appended, the
     // positional index is built over that derived corpus, and the
     // planted counts replay — guaranteed non-empty at EVERY scale
-    // factor, so the index path is end-to-end exercised where the
-    // driver measures it (search_phrase_index's natural phrase can be
-    // vacuous at small sf)
+    // factor AND with exact expected counts (search_phrase_index's
+    // natural phrase is also non-vacuous since r11, but its counts
+    // depend on the corpus; the planted gate pins them)
     "search_phrase_planted" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),

@@ -125,6 +125,41 @@ class HFileCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("v3 files: cell tags decode, compose with mvcc and compression") {
+    val tagged = (0 until 24).map { i =>
+      cell(i).copy(tags =
+        if (i % 3 == 0) "" // empty tags section still framed in v3
+        else if (i % 3 == 1) s"t1:ACL$i"
+        else s"t1:ACL$i|t8:ttl-$i")
+    }
+    for (codec <- Seq(2, HFileCodec.CodecSnappy); mvcc <- Seq(false, true)) {
+      val withTs =
+        if (mvcc) tagged.map(c => c.copy(mvcc = c.ts % 5)) else tagged
+      val hf = HFileCodec.encodeHFile(withTs, blockSize = 256,
+        withMvcc = mvcc, codec = codec, v3Tags = true)
+      val t = HFileCodec.parseTrailer(hf).get
+      assert(t.majorVersion == 3)
+      assert(HFileCodec.fileInfo(hf).contains("MAX_TAGS_LEN"))
+      assert(HFileCodec.scanCells(hf) == withTs, s"codec=$codec mvcc=$mvcc")
+      val (got, blocksRead) = HFileCodec.pointGet(hf, "row007")
+      assert(blocksRead == 1)
+      assert(got == Seq(withTs(7)))
+    }
+    // a v2 file is bit-identical in behavior (tags field stays empty)
+    val v2 = HFileCodec.encodeHFile(cells, blockSize = 256)
+    assert(HFileCodec.scanCells(v2).forall(_.tags.isEmpty))
+    // v3 totality
+    val hf = HFileCodec.encodeHFile(tagged, blockSize = 256, v3Tags = true)
+    for (cut <- 0 until hf.length by 37)
+      HFileCodec.scanCells(java.util.Arrays.copyOf(hf, cut))
+    val rnd = new java.util.Random(29)
+    (0 until 120).foreach { _ =>
+      val m = hf.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      HFileCodec.scanCells(m) // no throw
+    }
+  }
+
   test("CROSS-READ: Hadoop's own SnappyCodec/Lz4Codec decode our framing") {
     // the payload inside a compressed HFile block is Hadoop
     // BlockCompressorStream output; Hadoop's BlockDecompressorStream
@@ -161,6 +196,90 @@ class HFileCodecSpec extends AnyFunSuite {
         plain.length, codec)
       assert(got.exists(java.util.Arrays.equals(_, plain)), s"codec $codec theirs->ours")
     }
+  }
+
+  test("bloom filter: no false negatives; misses skip ALL data blocks") {
+    for (codec <- Seq(2, HFileCodec.CodecSnappy)) {
+      val hf = HFileCodec.encodeHFile(cells, blockSize = 256,
+        codec = codec, withBloom = true)
+      // blooms are invisible to the scan and the plain point read
+      assert(HFileCodec.scanCells(hf) == cells, s"codec=$codec")
+      val meta = HFileCodec.bloomMeta(hf).get
+      assert(meta.hashType == 1 && meta.hashCount == 3)
+      assert(meta.chunks.size > 1) // one chunk per data block
+      // every present row passes the bloom (NO false negatives, ever)
+      (0 until 40).foreach { p =>
+        assert(HFileCodec.bloomMightContain(hf, f"row$p%03d").contains(true),
+          s"codec=$codec present row$p")
+        val (got, blocks, screened) = HFileCodec.pointGetBloom(hf, f"row$p%03d")
+        assert(!screened && blocks == 1 && got == Seq(cell(p)))
+      }
+      // absent rows: mostly screened, and a screen costs ZERO blocks
+      val absents = (0 until 200).map(k => s"nope-$k-missing")
+      val screened = absents.count { r =>
+        val (got, blocks, scr) = HFileCodec.pointGetBloom(hf, r)
+        assert(got.isEmpty)
+        if (scr) assert(blocks == 0) else assert(blocks <= 1)
+        scr
+      }
+      assert(screened > absents.size * 3 / 5, s"codec=$codec screened=$screened")
+    }
+    // files without blooms report None and fall back to the index read
+    val plain = HFileCodec.encodeHFile(cells, blockSize = 256)
+    assert(HFileCodec.bloomMeta(plain).isEmpty)
+    assert(HFileCodec.bloomMightContain(plain, "row001").isEmpty)
+    val (got, blocks, scr) = HFileCodec.pointGetBloom(plain, "row001")
+    assert(!scr && blocks == 1 && got == Seq(cell(1)))
+    // totality
+    val hf = HFileCodec.encodeHFile(cells, blockSize = 256, withBloom = true)
+    for (cut <- 0 until hf.length by 41) {
+      val c = java.util.Arrays.copyOf(hf, cut)
+      HFileCodec.bloomMeta(c); HFileCodec.pointGetBloom(c, "row003")
+    }
+    val rnd = new java.util.Random(37)
+    (0 until 120).foreach { _ =>
+      val m = hf.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      HFileCodec.pointGetBloom(m, "row003") // no throw
+    }
+  }
+
+  test("CROSS-CHECK: murmur vs Hadoop's MurmurHash (incl. the tail fork)") {
+    // HBase's MurmurHash (the bloom hash real store files use) is a
+    // DIVERGENT copy of Hadoop's: for 2-3-byte tails HBase XORs
+    // data[i_m+2]<<16 / data[i_m+1]<<8 / data[i_m] (canonical murmur2)
+    // while Hadoop XORs the same bytes with the SHIFTS REVERSED
+    // (MurmurHash.java in each project). Bloom compatibility needs the
+    // HBASE order, so: bit-equal when (len & 3) <= 1, and equal after
+    // re-applying Hadoop's swapped tail otherwise.
+    val hadoop = org.apache.hadoop.util.hash.MurmurHash.getInstance()
+    val rnd = new java.util.Random(41)
+    var forked = 0
+    (0 until 500).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(40))
+      rnd.nextBytes(b)
+      val seed = if (i % 3 == 0) 0 else rnd.nextInt()
+      val ours = HFileCodec.murmur(b, 0, b.length, seed)
+      val theirs = hadoop.hash(b, b.length, seed)
+      if ((b.length & 3) <= 1) {
+        assert(ours == theirs, s"case $i len=${b.length}")
+      } else {
+        // swap the tail bytes and HBase's value must become Hadoop's
+        val m = b.clone()
+        val im = b.length & ~3
+        if ((b.length & 3) == 3) {
+          m(im) = b(im + 2); m(im + 2) = b(im)
+        } else { // left == 2
+          m(im) = b(im + 1); m(im + 1) = b(im)
+        }
+        assert(HFileCodec.murmur(m, 0, m.length, seed) == theirs,
+          s"case $i len=${b.length} (tail-order fork)")
+        if (ours != theirs) forked += 1
+      }
+    }
+    assert(forked > 0) // the fork is real, not a vacuous branch
+    assert(HFileCodec.murmur(Array.emptyByteArray, 0, 0, 7) ==
+      hadoop.hash(Array.emptyByteArray, 0, 7))
   }
 
   test("totality: truncation at every prefix, junk, null") {

@@ -9,6 +9,11 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# cap DuckDB's memory: basket_triples' self-joins have been seen to
+# balloon past 79 GB and get OOM-killed when resident JVM heaps shrink
+# the headroom; a bounded run spills instead of dying silently
+con.execute("SET memory_limit='24GB'")
+con.execute("SET threads=8")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sfdir}/{t}.parquet"
     if os.path.exists(p):
