@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump `explain("formatted")` for a list of driver-contract
+  * queries into one file per query — the plans/r11 before/after evidence
+  * harness (one JVM for the whole batch, unlike RunOne's per-query
+  * spin-up).
+  *
+  * Usage: runMain graft.PlanDump <outDir> <suffix> <q1,q2,...> [sfDir]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.suppressSanctionedWindowWarning()
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        System.err.println(s"[plandump] $name ok")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}
