@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a comma-separated list of driver-contract queries in
+  * ONE JVM (noop sink, 2 passes, per-query min) — the multi-query
+  * iteration loop for perf work; RunOne's contract, batched.
+  *
+  * Usage: runMain graft.RunSome <q1,q2,...> [sfDir]
+  */
+object RunSome {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.suppressSanctionedWindowWarning()
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val gc = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      println(f"[runsome] $name%-32s p1=${ts.head}%6.2f p2=${ts.last}%6.2f min=${ts.min}%6.2f gcMs=$gc")
+      name -> ts.min
+    }
+    println("[runsome] total-min " + f"${results.map(_._2).sum}%.2f")
+    spark.stop()
+  }
+}

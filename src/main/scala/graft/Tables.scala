@@ -36,6 +36,51 @@ object Tables {
     }
   }
 
+  /** [[load]] + a deterministic fan-out for CPU-heavy narrow kernels.
+    *
+    * Effective scan parallelism of a parquet input is its ROW-GROUP
+    * count (the row group is parquet's split unit — byte-range splits
+    * beyond it schedule empty tasks), not the byte-split count. The
+    * driver-generated tables are one file with ONE row group, so every
+    * narrow pipeline over them runs as a single task regardless of
+    * `spark.sql.files.maxPartitionBytes` — the guide §2.5 "one huge
+    * unsplittable file → repartition immediately after the read" case.
+    *
+    * This hash-repartitions on `keys` to the session default parallelism
+    * ONLY when the file's row groups leave the scan below it; with
+    * many-file / many-row-group input (any real deployment) it is a
+    * no-op, so the extra exchange exists exactly when the input cannot
+    * be split. Key-hash partitioning is deterministic under task retry
+    * (SPARK-38388-safe). Use it where the per-row kernel dwarfs one
+    * shuffle of the rows it reads (decode / parse / digest kernels) —
+    * not for scan→filter→aggregate shapes, where the added exchange is
+    * pure overhead.
+    */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "loadSpread needs a deterministic partition key")
+    val df = load(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    val rgs = graft.ops.ParquetFooter.readFile(s"$sfDir/$name.parquet")
+      .map(_._1.numRowGroups).getOrElse(Int.MaxValue)
+    if (rgs < target) df.repartition(target, keys: _*) else df
+  }
+
+  /** The per-row fixture-kernel id feed: `documents.doc_id` as a SPREAD
+    * `Dataset[Long]`. ~90 `mm_*` / `pipeline_*` gates map an
+    * encode/decode kernel (CFB, WARC, brotli, TIFF, tar, …) over these
+    * ids with `mapPartitions`; the single-row-group scan otherwise
+    * serializes every one of those kernels onto ONE core (see
+    * [[loadSpread]] — same row-group gate, so at real scale this is a
+    * plain projection). The shuffle it adds moves one long per row. */
+  def docIds(spark: SparkSession, sfDir: String):
+      org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.functions.col
+    loadSpread(spark, sfDir, "documents", col("doc_id"))
+      .select(col("doc_id").cast("long"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+  }
+
   /** Epoch-nanos literal for a UTC wall-clock string `yyyy-MM-dd HH:mm:ss`
     * — comparable against the nanosAsLong-read `events.ts`. */
   def tsNanos(s: String): Long =

@@ -70,6 +70,13 @@ object Clustering {
       sym.select(col("src").as("id"), col("dst").as("lbl"))
         .unionByName(sym.select(col("src").as("id"), col("src").as("lbl")))
         .groupBy("id").agg(min("lbl").as("lbl")))
+    // NOTE (r11 optimization round, measured and REJECTED): hinting
+    // broadcast on the per-round label joins — the pageRank/hits lesson —
+    // made CC 1.5–1.9× SLOWER here (geo_dbscan 6.4→9.6 s,
+    // entity_resolution 5.9→10.2 s warm): every round pays two
+    // BroadcastQueryStage builds (driver round-trips), which at CC's
+    // round counts cost more than the small-frame sort-merge shuffles
+    // they replace. The SMJ loop stands.
     var iter = 1
     var converged = labels.isEmpty // no edges → nothing to iterate
     while (!converged && iter < maxIter) {
@@ -259,7 +266,8 @@ object Clustering {
     * @return (id, deg, triangles, coeff) for every node with deg ≥ 1;
     *         coeff = 2·T / (deg·(deg−1)), 0 when deg < 2, rounded 6 dp */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
-      wedgeBloomBits: Int = -1, autoBloomWedgeFactor: Double = 8.0): DataFrame = {
+      wedgeBloomBits: Int = -1, autoBloomWedgeFactor: Double = 8.0,
+      maxBroadcastEdges: Long = 15000000L): DataFrame = {
     // the canonical edge set feeds THREE consumers (degrees, orientation,
     // closing-edge probe) — materialize once or the upstream edge
     // construction (often itself a join) runs three times
@@ -269,14 +277,23 @@ object Clustering {
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
       .localCheckpoint(true)
+    // m decides two size-adaptive choices below (deg broadcast, AUTO
+    // bloom) — one cheap count on the materialized edge set
+    val m = e.count()
+    // deg is NODE-sized (≤ 2m rows); when it fits a broadcast the two
+    // orientation joins stop shuffling the edge list (e is checkpointed
+    // → no stats → Catalyst would sort-merge both). Past the cap the
+    // shuffle path stands — hub-safe at any scale either way.
+    val degBcast = m <= maxBroadcastEdges
+    def dg(df: DataFrame): DataFrame = if (degBcast) broadcast(df) else df
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient each edge low (deg, id) → high (deg, id); carry both ranks
     // so the wedge step can order its two endpoints without re-joining
     val ranked = e
-      .join(deg.select(col("id").as("a"), col("deg").as("__da")), "a")
-      .join(deg.select(col("id").as("b"), col("deg").as("__db")), "b")
-    val oriented = ranked.select(
+      .join(dg(deg.select(col("id").as("a"), col("deg").as("__da"))), "a")
+      .join(dg(deg.select(col("id").as("b"), col("deg").as("__db"))), "b")
+    val orientedPlan = ranked.select(
         when(col("__da") < col("__db") ||
           (col("__da") === col("__db") && col("a") < col("b")), col("a"))
           .otherwise(col("b")).as("u"),
@@ -287,6 +304,11 @@ object Clustering {
           struct(col("__db").as("d"), col("b").as("i"))).as("__ru"),
         greatest(struct(col("__da").as("d"), col("a").as("i")),
           struct(col("__db").as("d"), col("b").as("i"))).as("__rv"))
+    // oriented feeds FOUR consumers (both wedge sides, the closing-edge
+    // set, and AUTO mode's exact wedge count) — materialize it once, or
+    // the e⋈deg⋈deg orientation subtree re-executes per consumer
+    // (exchange reuse does not cover the re-aliased projections)
+    val oriented = orientedPlan.localCheckpoint(true)
     // wedges at the orientation-minimal vertex: (u→v, u→w) with v before
     // w in (deg, id) order; close with the oriented edge v→w
     val w1 = oriented.select(col("u"), col("v"), col("__rv"))
@@ -306,7 +328,6 @@ object Clustering {
     val effectiveBits: Int =
       if (wedgeBloomBits >= 0) wedgeBloomBits
       else {
-        val m = e.count()
         val wedgeCount = oriented.groupBy("u").agg(count(lit(1)).as("__d"))
           .agg(coalesce(sum(col("__d") * (col("__d") - 1)), lit(0L)))
           .head().getLong(0) / 2
@@ -324,11 +345,12 @@ object Clustering {
         xxhash64(struct(col("v"), col("w"))), bitsB, 5))
     }
     val tris = wedgesP.join(closing, Seq("v", "w"), "left_semi")
-    val nodeTris = tris.select(col("u").as("id"))
-      .unionAll(tris.select(col("v").as("id")))
-      .unionAll(tris.select(col("w").as("id")))
+    // one triangle credits its three corners via a 3-way explode — the
+    // unionAll form re-executed the wedge⋈closing semi-join per corner
+    val nodeTris = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    deg.join(nodeTris, Seq("id"), "left")
+    deg.join(dg(nodeTris), Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("coeff",
@@ -362,6 +384,9 @@ object Clustering {
       .localCheckpoint(true)
     var iter = 0
     var done = false
+    // edge count carries across rounds: this round's e.count() IS last
+    // round's pruned.count() — one count job per round, not two
+    var eCount = e.count()
     while (!done && iter < maxIter) {
       val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -374,7 +399,9 @@ object Clustering {
         .localCheckpoint(true)
       // fixpoint when no edge was peeled this round (counts are exact
       // on the checkpointed sets — one cheap job per round)
-      done = pruned.count() == e.count()
+      val pc = pruned.count()
+      done = pc == eCount
+      eCount = pc
       e = pruned
       iter += 1
     }
@@ -581,8 +608,8 @@ object Clustering {
     val poolSize = pool.count()
     val proposals = e.select("src").distinct()
       .withColumn("j", explode(array((1 to k * oversample).map(lit): _*)))
-      .withColumn("__u", conv(substring(md5(concat_ws(":",
-        col("src"), col("j"), lit(seed))), 1, 8), 16, 10).cast("long"))
+      .withColumn("__u", org.apache.spark.sql.graftfn.Md5U32.column(
+        concat_ws(":", col("src"), col("j"), lit(seed)).cast("binary")))
       .withColumn("__idx", pmod(col("__u"), lit(poolSize)))
     val cand = proposals.join(pool, Seq("__idx"))
       .filter(col("dst") =!= col("src"))

@@ -357,8 +357,9 @@ object Curation {
       .agg(round(sum(coalesce(col("__lam"),
           lit(BigDecimal(0)).cast("decimal(18,6)"))).cast("double") /
         count(lit(1)), 6).as("score"))
-    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-      1, 8), 16, 10).cast("long") + 1L).cast("double") / lit(4294967296.0)
+    val u = (org.apache.spark.sql.graftfn.Md5U32.column(
+      col("doc_id").cast("string").cast("binary")) + 1L).cast("double") /
+      lit(4294967296.0)
     scored
       .withColumn("draw", round(col("score") - log(-log(u)), 6))
       .orderBy(col("draw").desc, col("doc_id").asc)

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Parallelism repair for CPU-heavy narrow kernels behind unsplittable
+  * inputs (guide §2.5 "one huge unsplittable file → repartition
+  * immediately after the read").
+  *
+  * The driver test tables are single-file, single-ROW-GROUP parquet: the
+  * scan schedules `size / maxPartitionBytes` split tasks, but parquet
+  * can only split at row-group boundaries, so every split past the first
+  * produces zero rows and the whole narrow pipeline (tokenize / digest /
+  * decode / fan-out kernels) executes on ONE core. The same happens in
+  * production with gzip'd text, giant single-row-group parquet, or any
+  * other unsplittable blob.
+  */
+object Par {
+
+  /** Hash-repartition `df` on `keys` to the session default parallelism
+    * when its current partitioning is below it; no-op otherwise (so on
+    * many-file / many-partition input at scale this adds nothing).
+    * Deterministic key hash — safe under task retry (SPARK-38388).
+    *
+    * Call it only on NARROW or already-materialized frames: `.rdd` on a
+    * frame downstream of an un-executed exchange would trigger that
+    * exchange's execution under AQE.
+    */
+  def widen(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "widen needs a deterministic partition key")
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, keys: _*)
+  }
+}

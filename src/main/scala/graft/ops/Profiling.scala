@@ -1095,9 +1095,8 @@ object Profiling {
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("__id"))
       .withColumn("__r", explode(sequence(lit(0), lit(nReplicates - 1))))
-    val u = conv(substring(md5(
-      concat(col("__id"), lit(":"), col("__r").cast("string")).cast("binary")),
-      1, 8), 16, 10).cast("long")
+    val u = org.apache.spark.sql.graftfn.Md5U32.column(
+      concat(col("__id"), lit(":"), col("__r").cast("string")).cast("binary"))
     val w = PoissonCdf32.zipWithIndex
       .foldRight(lit(PoissonCdf32.length): Column) { case ((t, k), acc) =>
         when(u < t, k).otherwise(acc)
@@ -1262,8 +1261,7 @@ object Profiling {
     require(cols.nonEmpty, "tableChecksum needs at least one column")
     val key = concat_ws("\u0001",
       cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-    val h = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    val h = org.apache.spark.sql.graftfn.Md5U32.column(key.cast("binary"))
     df.agg(count(lit(1)).as("n_rows"),
       sum(h.cast("decimal(38,0)")).cast("string").as("checksum"))
   }

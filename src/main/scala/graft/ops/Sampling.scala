@@ -265,8 +265,8 @@ object Sampling {
     require(k > 0, s"k must be positive: $k")
     require(!df.columns.contains("priority"),
       "column name priority is reserved by Sampling.priority — rename first")
-    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
-      16, 10).cast("long")
+    val h = org.apache.spark.sql.graftfn.Md5U32.column(
+      col(idCol).cast("string").cast("binary"))
     val u = (h + 1).cast("double") / lit(4294967296.0)
     val key = round(-log(u) / weight.cast("double"), 12)
     df.filter(weight.isNotNull && weight.cast("double") > 0)
@@ -343,8 +343,8 @@ object Sampling {
       .withColumn("__rate",
         col("__alloc").cast("double") / col("__nh").cast("double"))
       .select(col("__st"), col("__rate"))
-    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
-      16, 10).cast("long")
+    val h = org.apache.spark.sql.graftfn.Md5U32.column(
+      col(idCol).cast("string").cast("binary"))
     val u = (h + 1).cast("double") / lit(4294967296.0)
     f.select(col(idCol), col(strataCol).as("stratum"), u.as("__u"))
       .join(alloc, col("stratum") === col("__st"))

@@ -870,11 +870,11 @@ object Stats {
     require(reps >= 1 && reps <= 1000, s"reps must be in [1, 1000]: $reps")
     val v = col(valueCol).cast("double")
     val g = col(groupCol)
-    val clean = df
+    val clean = Par.widen(df
       .filter(v.isNotNull && !isnan(v) && g.isin(labelA, labelB))
       .select(col(idCol).cast("string").as("__id"),
         round(v, 6).cast("decimal(18,6)").as("__x"),
-        (g === labelA).as("__a"))
+        (g === labelA).as("__a")), col("__id"))
       .localCheckpoint(true) // feeds the observed stat AND the fan-out
     val totals = clean.agg(
       sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
@@ -888,9 +888,9 @@ object Stats {
     val fan = clean
       .crossJoin(broadcast(obs))
       .withColumn("__r", explode(array((0 until reps).map(lit): _*)))
-      .withColumn("__u", conv(substring(md5(
+      .withColumn("__u", org.apache.spark.sql.graftfn.Md5U32.column(
         concat(col("__id"), lit(":"), col("__r"), lit(":"), lit(seed))
-          .cast("binary")), 1, 8), 16, 10).cast("long"))
+          .cast("binary")))
       .withColumn("__pa", col("__u") < expr("__thrNum div __n"))
     val perRep = fan.groupBy("__r")
       .agg(sum(when(col("__pa"), col("__x"))).as("__psa"),

@@ -158,7 +158,7 @@ object Validation {
     val b = sensitivity / epsilon
     val key = concat_ws("\u0001",
       (groupCols.map(c => col(c).cast("string")) :+ lit(seed)): _*)
-    val h = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+    val h = org.apache.spark.sql.graftfn.Md5U32.column(key.cast("binary"))
     val u = (h.cast("double") + 0.5) / lit(4294967296.0)
     val noise = lit(-b) * signum(u - 0.5) *
       log(lit(1.0) - lit(2.0) * abs(u - 0.5))

@@ -68,8 +68,11 @@ object AggQueries extends QueryGroup {
     // tie-order-free; generalizes AggregationClient.median's weighted
     // two-phase idea to an explicit weight column
     "agg_weighted_median" -> ((s, dir) => {
+      // per-row round+decimal in the (group, value) partial aggregate —
+      // spread the one-row-group scan (guide §2.5)
       graft.ops.Profiling.weightedMedian(
-        Tables.load(s, dir, "lineitem"),
+        Tables.loadSpread(s, dir, "lineitem",
+          col("l_orderkey"), col("l_linenumber")),
         Seq("l_returnflag"), "l_extendedprice", "l_quantity")
     }),
 
@@ -248,7 +251,10 @@ object AggQueries extends QueryGroup {
     // UNPIVOT/melt: the four lineitem measures to (measure, total) long
     // form via one stack projection + one aggregate
     "agg_unpivot" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
+      // the 4-way stack + decimal sums run in the scan stage — spread the
+      // one-row-group scan so the expand parallelizes (guide §2.5)
+      Tables.loadSpread(s, dir, "lineitem",
+          col("l_orderkey"), col("l_linenumber"))
         .selectExpr("stack(4, 'quantity', l_quantity, 'extendedprice', " +
           "l_extendedprice, 'discount', l_discount, 'tax', l_tax) " +
           "AS (measure, v)")

@@ -345,8 +345,7 @@ object BulkQueries extends QueryGroup {
     // interlace/dictionary-reset cases live in GifCodecSpec
     "mm_gif_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (12 + id % 52).toInt
           val h = (12 + (id * 3) % 44).toInt
@@ -378,8 +377,7 @@ object BulkQueries extends QueryGroup {
     // check and ImageIO cross-decoder agreement live in JpegCodecSpec)
     "mm_jpeg_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (16 + id % 48).toInt
           val h = (16 + (id * 5) % 40).toInt
@@ -489,8 +487,7 @@ object BulkQueries extends QueryGroup {
     // decode hash-fails on real compressed bit streams
     "mm_brotli_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.Brotli
           val text = s"brotli stream $id " * (3 + (id % 5)).toInt
@@ -517,8 +514,7 @@ object BulkQueries extends QueryGroup {
     // transform table and the distance decoding are all hash-gated
     "mm_brotli_dict" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.Brotli
           val text = ("the information about the world wide web and the " +
@@ -620,8 +616,7 @@ object BulkQueries extends QueryGroup {
     // oracle's formula, so a wrong row order / channel swap hash-fails
     "mm_ico_entries" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.IcoCodec
           import graft.ops.MediaCodec.Raster
@@ -645,8 +640,7 @@ object BulkQueries extends QueryGroup {
     // image screen next to the binary raster decoders
     "mm_svg_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.Svg
           val nPaths = (1 + id % 4).toInt
@@ -673,8 +667,7 @@ object BulkQueries extends QueryGroup {
     // whichever container decode the id selects
     "mm_font_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.FontCodec
           val ttf = FontCodec.encodeTtf(s"Fam $id", s"Style ${id % 4}",
@@ -738,8 +731,7 @@ object BulkQueries extends QueryGroup {
     // decoder, so a bit slip dies loudly, not as a wrong sum)
     "mm_flac_decode" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.FlacAudio
           import graft.ops.MediaCodec.Pcm
@@ -817,8 +809,7 @@ object BulkQueries extends QueryGroup {
     // the 16-bit values and hash-fails)
     "mm_tiff16_decode" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.TiffCodec
           import graft.ops.TiffCodec.Raster16
@@ -895,8 +886,7 @@ object BulkQueries extends QueryGroup {
     // cross-reads both directions live in TiffCodecSpec.
     "mm_tiff_decode" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.MediaCodec.Raster
           import graft.ops.TiffCodec
@@ -959,8 +949,7 @@ object BulkQueries extends QueryGroup {
     // directions live in TiffCodecSpec
     "mm_tiff_tiled" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.MediaCodec.Raster
           import graft.ops.TiffCodec
@@ -1004,8 +993,7 @@ object BulkQueries extends QueryGroup {
     // decode to the oracle's expected text byte-for-byte
     "pipeline_charset_decode" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val bytes: Array[Byte] = (id % 5) match {
             case 0 => s"plain $id".getBytes("UTF-8")
@@ -1035,8 +1023,7 @@ object BulkQueries extends QueryGroup {
     // breaks the hash.
     "pipeline_crawl_curate" -> ((s, dir) => {
       import s.implicits._
-      val curated = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val curated = Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.{Boilerplate, Charsets, Robots, WarcCodec}
           val k = id / 2 // doc pairs (2k, 2k+1) share one article
@@ -1097,8 +1084,7 @@ object BulkQueries extends QueryGroup {
     // flagged_coding.
     "pipeline_crawl_coverage" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.{Boilerplate, Charsets, ErrorPages, Robots, WarcCodec}
           val cls = (id % 7).toInt
@@ -1170,8 +1156,7 @@ object BulkQueries extends QueryGroup {
     // id-arithmetic replay for every variant
     "pipeline_pdf_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.PdfCodec
           val pdf = (id % 6) match {
@@ -1197,8 +1182,7 @@ object BulkQueries extends QueryGroup {
     // HTML path
     "pipeline_warc_pdf" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.{MediaCodec, PdfCodec, WarcCodec}
           val pdf =
@@ -1224,8 +1208,7 @@ object BulkQueries extends QueryGroup {
     // $-anchored wildcards all land in the oracle's CASE replay
     "pipeline_robots_filter" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           // 5 robots variants × 4 paths (coprime moduli → all 20 combos);
           // v3/v4 repeat the SAME user-agent across groups, so the RFC
@@ -1258,8 +1241,7 @@ object BulkQueries extends QueryGroup {
     // to the robots filter; every field re-derived by the oracle
     "pipeline_sitemap_urls" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val n = (1 + id % 3).toInt
           val entries = (0 until n).map { j =>
@@ -1280,8 +1262,7 @@ object BulkQueries extends QueryGroup {
     // count through Mp3Codec's tag skip (the two readers compose)
     "mm_id3_tags" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val tag = graft.ops.Id3Codec.buildId3(
             s"Track $id", s"Artist ${id % 7}", s"Album ${id % 4}",
@@ -1303,8 +1284,7 @@ object BulkQueries extends QueryGroup {
     // data, so this read is the screen that keeps rasters upright
     "mm_exif_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions { it =>
           val px = new Array[Byte](8 * 8 * 3) // one tiny shared raster
           val base = graft.ops.JpegCodec.encodeJpeg(
@@ -1328,8 +1308,7 @@ object BulkQueries extends QueryGroup {
     // sitemaps/feeds
     "pipeline_hls_entries" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val k = (1 + id % 4).toInt
           val bytes =
@@ -1352,8 +1331,7 @@ object BulkQueries extends QueryGroup {
     // fragment walk (a stts-only reader reports zero)
     "mm_decode_fmp4" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val k = (1 + id % 5).toInt
           val frags = (0 until k).map(f => (3 + (id + f) % 7).toInt)
@@ -1371,8 +1349,7 @@ object BulkQueries extends QueryGroup {
     // containers next to WAV/MP3, via the sniffer
     "mm_flac_ogg_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val bytes =
             if (id % 2 == 0) graft.ops.FlacOggCodec.encodeFlacSkeleton(
@@ -1393,8 +1370,7 @@ object BulkQueries extends QueryGroup {
     // dispatch is under test too
     "mm_webp_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (20 + id % 50).toInt
           val h = (16 + id % 40).toInt
@@ -1418,8 +1394,7 @@ object BulkQueries extends QueryGroup {
     // the exact mapping; a wrong flip/rotate direction hash-fails
     "mm_exif_orient" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (8 + id % 9).toInt
           val h = (6 + id % 7).toInt
@@ -1454,8 +1429,7 @@ object BulkQueries extends QueryGroup {
     // caption) pairs
     "mm_subtitle_cues" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val cues = (0 until (1 + id % 4).toInt).map { j =>
             val start = (id % 7) * 500 + j * 2000L
@@ -1478,8 +1452,7 @@ object BulkQueries extends QueryGroup {
     // either writer or walker hash-fails
     "mm_archive_members" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.Archives
           val members = (0 until (1 + id % 3).toInt).map { j =>
@@ -1512,8 +1485,7 @@ object BulkQueries extends QueryGroup {
     // header, checksum, KeyValue offset or vlong hash-fails
     "bulk_hfile_scan" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.HFileCodec
           val n = (2 + id % 4).toInt
@@ -1536,8 +1508,7 @@ object BulkQueries extends QueryGroup {
     // still decode exactly one data block on compressed files
     "bulk_hfile_compressed" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.HFileCodec
           val codec =
@@ -1566,8 +1537,7 @@ object BulkQueries extends QueryGroup {
     // hash, so a regression to a file walk fails the gate
     "bulk_hfile_point_get" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.HFileCodec
           val cells = (0 until 8).map { j =>
@@ -1589,8 +1559,7 @@ object BulkQueries extends QueryGroup {
     // rows always pass (no false negatives, in the hash)
     "bulk_hfile_bloom_get" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.HFileCodec
           val cells = (0 until 8).map { j =>
@@ -1618,8 +1587,7 @@ object BulkQueries extends QueryGroup {
     // mvcc and compression, all hash-replayed
     "bulk_hfile_v3_tags" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.HFileCodec
           val n = (2 + id % 3).toInt
@@ -1649,8 +1617,7 @@ object BulkQueries extends QueryGroup {
     // .Result — every field hash-replayed
     "bulk_seqfile_export" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.{HFileCodec, SequenceFileCodec}
           val rows = (0 until (1 + id % 3).toInt).map { r =>
@@ -1680,8 +1647,7 @@ object BulkQueries extends QueryGroup {
     // entries (replaying a region server's tail is when this matters)
     "bulk_hbase_wal_read" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.WalCodec
           import graft.ops.HFileCodec.HCell
@@ -1713,8 +1679,7 @@ object BulkQueries extends QueryGroup {
     // versions, all sample rates, alternating-bitrate VBR streams
     "mm_mp3_profile" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.Mp3Codec
           val mpeg1 = id % 4 < 2
@@ -1742,8 +1707,7 @@ object BulkQueries extends QueryGroup {
     // real repo dumps (git archive, GNU tar) hit both styles constantly
     "mm_tar_longnames" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.Archives
           val deep = ("d/" * (51 + id % 3).toInt) + s"f$id.txt"
@@ -1767,8 +1731,7 @@ object BulkQueries extends QueryGroup {
     // resolution are all right
     "pipeline_feed_entries" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val n = (1 + id % 4).toInt
           val entries = (0 until n).map { j =>

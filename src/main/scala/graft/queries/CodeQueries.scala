@@ -31,8 +31,7 @@ object CodeQueries extends QueryGroup {
     // broken signature flips lang/via and hash-fails
     "code_lang_id" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (path, text) = (id % 8) match {
             case 0 => (s"m$id/util.py", s"print($id)\n")
@@ -54,8 +53,7 @@ object CodeQueries extends QueryGroup {
     // through comment punctuation via normalization
     "code_license_scan" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = (id % 6) match {
             case 0 => s"// SPDX-License-Identifier: MIT\nint v$id;\n"
@@ -79,8 +77,7 @@ object CodeQueries extends QueryGroup {
     // the full redacted string is replayed by the oracle
     "code_secret_scan" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = (id % 5) match {
             case 0 => s"""val k = "${awsKey(id)}" // conn $id""" + "\n"
@@ -106,8 +103,7 @@ object CodeQueries extends QueryGroup {
     // max / avg-ppm / alnum-ppm are exact integer arithmetic both sides
     "code_shape_minified" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = (id % 4) match {
             case 0 => s"def f$id():\n    return $id\n\n"
@@ -129,8 +125,7 @@ object CodeQueries extends QueryGroup {
     // count are both replayed
     "code_comment_strip" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (lang, text) = (id % 3) match {
             case 0 => ("java",
@@ -152,8 +147,7 @@ object CodeQueries extends QueryGroup {
     // (zip offsets, UTF-8 round trip, kernel precedence) hash-fails
     "pipeline_code_curate" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val utf8 = java.nio.charset.StandardCharsets.UTF_8
           val members = Seq(
@@ -188,8 +182,7 @@ object CodeQueries extends QueryGroup {
     // for function-level code dedup
     "code_dedup_normalized" -> ((s, dir) => {
       import s.implicits._
-      val coded = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      val coded = Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val k = id / 2
           val code = s"// author $id\nint f$k() {\n" +
@@ -205,8 +198,7 @@ object CodeQueries extends QueryGroup {
     // dropped by construction; malformed JSON yields zero rows
     "code_notebook_cells" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val json = (id % 3) match {
             case 0 =>
@@ -232,8 +224,7 @@ object CodeQueries extends QueryGroup {
     // commit-history corpus feed
     "code_diff_stats" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val adds = (1 + id % 7).toInt
           val newLines = (1 to adds).map(k => s"+line $k").mkString("\n")

@@ -59,14 +59,18 @@ object CurationQueries extends QueryGroup {
     // OLS linear probe: price ~ quantity + discount from one exact
     // moment pass, fixed-order Cramer solve mirrored by the oracle
     "profile_ols_fit" -> ((s, dir) => {
-      graft.ops.Profiling.olsFit(Tables.load(s, dir, "lineitem"),
+      // 10 decimal(38,6) moment sums per row — spread the one-row-group
+      // scan so the partial aggregate parallelizes (guide §2.5)
+      graft.ops.Profiling.olsFit(
+        Tables.loadSpread(s, dir, "lineitem",
+          col("l_orderkey"), col("l_linenumber")),
         Seq("l_quantity", "l_discount"), "l_extendedprice")
     }),
 
     // RAKE corpus keywords: stopword-free phrase runs scored by summed
     // word degree/frequency ratios, top 50
     "text_rake" -> ((s, dir) => {
-      graft.ops.TextSearch.rakeKeywords(Tables.load(s, dir, "documents"),
+      graft.ops.TextSearch.rakeKeywords(Tables.loadSpread(s, dir, "documents", col("doc_id")),
         "doc_id", "text", CurationQueries.rakeStops, k = 50)
     }),
 
@@ -92,7 +96,11 @@ object CurationQueries extends QueryGroup {
     // order-independent content checksum over the integral/string key
     // columns — the anti-entropy replication fingerprint
     "profile_table_checksum" -> ((s, dir) => {
-      graft.ops.Profiling.tableChecksum(Tables.load(s, dir, "lineitem"),
+      // one md5 per row inside the partial aggregate — spread the
+      // one-row-group scan so the digest work parallelizes (guide §2.5)
+      graft.ops.Profiling.tableChecksum(
+        Tables.loadSpread(s, dir, "lineitem",
+          col("l_orderkey"), col("l_linenumber")),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_returnflag", "l_linestatus"))
     }),

@@ -310,7 +310,11 @@ object MediaFixtures {
   // header, av1_seq AV1 sequence header via both containers)
   // r10: warc coding cycle widened to id%6 with a DECODING zstd variant;
   // the br variant now carries REAL brotli bytes (pure-JVM Brotli)
-  private val version = 5
+  // r11 (optimization round): content unchanged; bumped so the table
+  // rebuilds under the spread id feed (Tables.docIds) — the encoder now
+  // runs on every core instead of one, and the resulting multi-file
+  // layout gives the mm_* scans real split parallelism
+  private val version = 6
 
   // column count + content version in the path → a schema OR formula
   // change auto-rebuilds stale local tables instead of failing the read
@@ -330,8 +334,7 @@ object MediaFixtures {
         val done = new java.io.File(p, "_SUCCESS")
         if (!done.isFile) {
           import s.implicits._
-          Tables.load(s, dir, "documents")
-            .select(col("doc_id").cast("long")).as[Long]
+          Tables.docIds(s, dir)
             .mapPartitions(_.map { id =>
               (id, realBlob(id), mp3Blob(id), webmBlob(id), gifAnimBlob(id),
                 aviMetaBlob(id), aviFramesBlob(id), pngStatsBlob(id),

@@ -19,8 +19,7 @@ object OfficeQueries extends QueryGroup {
     // break runs all land in ONE text column the oracle replays exactly
     "pipeline_docx_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val docx = OfficeCodec.encodeDocx(Seq(
             s"Heading $id",
@@ -34,8 +33,7 @@ object OfficeQueries extends QueryGroup {
     // numeric <v> literals — one output row per cell, grid replayed
     "pipeline_xlsx_cells" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val xlsx = OfficeCodec.encodeXlsx(Seq(
             Seq("name", s"item $id & co"),
@@ -48,8 +46,7 @@ object OfficeQueries extends QueryGroup {
     // pptx slide text in deck order; odd decks have one slide, even two
     "pipeline_pptx_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val slides =
             Seq(Seq(s"Deck $id", s"by author $id")) ++
@@ -64,8 +61,7 @@ object OfficeQueries extends QueryGroup {
     // XHTML stripped to text with single-pass entity decode
     "pipeline_epub_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val epub = OfficeCodec.encodeEpub(Seq(
             (s"Ch0 $id", s"<h1>Ch0 $id</h1><p>Alpha &amp; $id</p>"),
@@ -81,8 +77,7 @@ object OfficeQueries extends QueryGroup {
     // member shape)
     "mm_office_detect" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val blob = (id % 8) match {
             case 0 => OfficeCodec.encodeDocx(Seq(s"Doc $id"))
@@ -114,8 +109,7 @@ object OfficeQueries extends QueryGroup {
     // elements, and the planted annotation body must NOT leak into text
     "pipeline_odt_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val odt = OfficeCodec.encodeOdt(Seq(
             s"Título & $id",
@@ -129,8 +123,7 @@ object OfficeQueries extends QueryGroup {
     // empty cells advance the column index without surfacing
     "pipeline_ods_cells" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val ods = OfficeCodec.encodeOds(s"T$id", Seq(
             Seq(s"h & $id", "7"),
@@ -143,8 +136,7 @@ object OfficeQueries extends QueryGroup {
     // ODP pages in deck order with their draw:name labels
     "pipeline_odp_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val slides =
             Seq(("Intro", Seq(s"Open $id", s"agenda $id"))) ++
@@ -160,8 +152,7 @@ object OfficeQueries extends QueryGroup {
     // yield empties, not garbage
     "pipeline_office_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val blob = (id % 3) match {
             case 0 => OfficeCodec.encodeDocx(Seq(s"body $id"),
@@ -183,8 +174,7 @@ object OfficeQueries extends QueryGroup {
     // to the HTML and PDF paths
     "pipeline_warc_docx" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.WarcCodec
           val docx = OfficeCodec.encodeDocx(Seq(s"warc docx $id"))
@@ -207,8 +197,7 @@ object OfficeQueries extends QueryGroup {
     // fWhichTblStm bit flips by parity so both 0Table/1Table route
     "pipeline_doc_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.LegacyOffice
           val doc = LegacyOffice.encodeDoc(Seq(
@@ -225,8 +214,7 @@ object OfficeQueries extends QueryGroup {
     // Workbook stream in a real CFB shell
     "pipeline_xls_cells" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.LegacyOffice
           val xls = LegacyOffice.encodeXls(s"S$id", Seq(
@@ -241,8 +229,7 @@ object OfficeQueries extends QueryGroup {
     // slide groups, TextCharsAtom (UTF-16) and TextBytesAtom (cp1252)
     "pipeline_ppt_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.LegacyOffice
           val slides =
@@ -259,8 +246,7 @@ object OfficeQueries extends QueryGroup {
     // cp1252 hex escapes + unicode escapes + tab/line controls decode
     "pipeline_rtf_text" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.Rtf
           val rtf = Rtf.encode(Seq(
@@ -276,8 +262,7 @@ object OfficeQueries extends QueryGroup {
     // the loop), CFB routing by content stream, piece-table text out
     "pipeline_warc_doc" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.{LegacyOffice, WarcCodec}
           val doc = LegacyOffice.encodeDoc(Seq(s"warc doc $id", "tail"))
@@ -298,8 +283,7 @@ object OfficeQueries extends QueryGroup {
     // magic — the pre-2007 counterpart of mm_office_detect
     "mm_office_detect_legacy" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           import graft.ops.{LegacyOffice, Rtf}
           val blob = (id % 4) match {

@@ -25,8 +25,7 @@ object OnrampQueries extends QueryGroup {
     // (SqliteSpec) next to this oracle.
     "pipeline_sqlite_rows" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.Sqlite
           import graft.ops.Sqlite.SqlValue
@@ -55,8 +54,7 @@ object OnrampQueries extends QueryGroup {
     // real-library cross-reads live in AvroCodecSpec
     "pipeline_avro_rows" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.AvroCodec
           import graft.ops.AvroCodec.Cell
@@ -90,8 +88,7 @@ object OnrampQueries extends QueryGroup {
     // text must be fixed points — the oracle replays the clean string
     "text_mojibake_fix" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (input, layers) = (id % 4) match {
             case 0 =>
@@ -112,8 +109,7 @@ object OnrampQueries extends QueryGroup {
     // dialect, row count and a probe cell all replay by id arithmetic
     "pipeline_csv_sniff" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = (id % 4) match {
             case 0 => s"name,qty\n\"Val, $id\",$id\n"
@@ -133,8 +129,7 @@ object OnrampQueries extends QueryGroup {
     // tag replay from id arithmetic
     "text_publish_date" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val y = 2015 + (id % 10)
           val m = 1 + (id % 12)
@@ -167,8 +162,7 @@ object OnrampQueries extends QueryGroup {
     // the oracle replays the WHOLE resolved grid
     "text_html_tables" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val html = (id % 4) match {
             case 0 => "<table><tr><th>K</th><th>V</th></tr>" +
@@ -194,8 +188,7 @@ object OnrampQueries extends QueryGroup {
     // past the body window that must not fire
     "text_soft404" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (st, title, body) = (id % 5) match {
             case 0 => (404, "x", "y")
@@ -217,8 +210,7 @@ object OnrampQueries extends QueryGroup {
     // charset decode and language ID
     "text_script_mix" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = (id % 4) match {
             case 0 => s"The quick brown fox $id"
@@ -239,8 +231,7 @@ object OnrampQueries extends QueryGroup {
     // redacted string replays
     "text_pii_checksum" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = (id % 5) match {
             case 0 => s"pay with 4111 1111 1111 1111 ref $id"
@@ -260,8 +251,7 @@ object OnrampQueries extends QueryGroup {
     // make survive and the raster still decodes upstream
     "mm_exif_gps" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions { it =>
           val base = graft.ops.JpegCodec.encodeJpeg(
             graft.ops.MediaCodec.Raster(8, 8, 3, new Array[Byte](8 * 8 * 3)),
@@ -293,8 +283,7 @@ object OnrampQueries extends QueryGroup {
     // nothing — every extracted field replays by id arithmetic
     "text_jsonld_entities" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val json = (id % 4) match {
             case 0 => s"""{"@type":"NewsArticle","headline":"Story $id",""" +
@@ -321,8 +310,7 @@ object OnrampQueries extends QueryGroup {
     // — the Wikipedia-dump on-ramp; the EXACT canonical text replays
     "text_wikitext" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = (id % 3) match {
             case 0 => s"{{Infobox|x=$id}}\n== History ==\n'''Item''' " +
@@ -339,8 +327,7 @@ object OnrampQueries extends QueryGroup {
     // items survive — the arXiv on-ramp; exact detex output replays
     "text_latex" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val t = (id % 3) match {
             case 0 => s"\\section{Part $id} Text $id is " +
@@ -359,8 +346,7 @@ object OnrampQueries extends QueryGroup {
     // mailing-list-archive on-ramp; every field replays
     "pipeline_mbox_parse" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val mbox =
             s"From alice$id@example.com Mon Jan  1 00:00:00 2024\n" +
@@ -402,8 +388,7 @@ object OnrampQueries extends QueryGroup {
     // full string AND every offset from id arithmetic
     "pipeline_chat_render" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.ChatFormat.{Turn, render}
           val turns = (id % 3) match {
@@ -438,8 +423,7 @@ object OnrampQueries extends QueryGroup {
     // oracle re-slices the document with substr arithmetic
     "pipeline_fim" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = s"fn f$id() { return $id; }"
           val a = (id % 8).toInt
@@ -453,8 +437,7 @@ object OnrampQueries extends QueryGroup {
     // closing sentinel) both replay exactly
     "pipeline_span_corrupt" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val text = (0 until 6).map(k => s"t${k}x$id").mkString(" ")
           val (in, tgt) = graft.ops.Objectives.spanCorruption(
@@ -468,8 +451,7 @@ object OnrampQueries extends QueryGroup {
     // TEXT and its exact span offsets replay by id arithmetic
     "text_sentences" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val text = (id % 3) match {
             case 0 => s"Dr. Smith met J. Doe $id. They left. Cost 3.14 now."
@@ -487,8 +469,7 @@ object OnrampQueries extends QueryGroup {
     // seconds replay (the RFC 1123 parser is inside the hash)
     "pipeline_recrawl_plan" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val headers = (id % 4) match {
             case 0 => Seq(
@@ -515,8 +496,7 @@ object OnrampQueries extends QueryGroup {
     // JOIN-stability property is visible in the token equality
     "pipeline_pseudonymize" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val raw = s"user${id / 2}"
           (id, raw, graft.ops.Pseudonymize.tokenHexChain("graftkey", raw))
@@ -532,8 +512,7 @@ object OnrampQueries extends QueryGroup {
     // or wikitext rule all hash-fail
     "pipeline_wiki_dump" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.{Dumps, Wikitext}
           val w = (id % 2) match {
@@ -563,8 +542,7 @@ object OnrampQueries extends QueryGroup {
     // full walk's rows; this is what makes a 20 GB dump splittable
     "pipeline_wiki_index" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           import graft.ops.Dumps
           val nGroups = (2 + id % 3).toInt
@@ -602,8 +580,7 @@ object OnrampQueries extends QueryGroup {
     // pinned per residue
     "text_idn_hosts" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val url = (id % 4) match {
             case 0 => s"https://münchen.de/seite$id"

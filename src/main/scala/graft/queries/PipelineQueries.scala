@@ -353,8 +353,7 @@ object PipelineQueries extends QueryGroup {
     // is the training-grade-text counterpart.
     "text_main_content" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val p1 = s"The quick brown fox jumps over the lazy dog $id times in total."
           val p2 = s"Long paragraphs require at least eight plain words to survive $id."
@@ -385,8 +384,7 @@ object PipelineQueries extends QueryGroup {
     // wrong separator, ordinal or escape anywhere hash-fails
     "text_markdown" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val hl = (1 + id % 3).toInt
           val html = s"<html><body><h$hl>Title $id &amp; notes</h$hl>" +
@@ -409,8 +407,7 @@ object PipelineQueries extends QueryGroup {
     // hash-fails; nofollow rides the rel attribute
     "text_outlinks" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val pageUrl = s"https://h${id % 9}.example.com/dir/page$id.html"
           val baseTag =
@@ -435,8 +432,7 @@ object PipelineQueries extends QueryGroup {
     // 'none' shorthand and multi-tag unions all vary by id
     "text_robots_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val meta = (id % 5) match {
             case 0 => "<meta name=\"robots\" content=\"noindex, follow\">"
@@ -461,8 +457,7 @@ object PipelineQueries extends QueryGroup {
     // re-derives every in-degree from the planted link pattern.
     "pipeline_crawl_graph" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.flatMap { id =>
           val pageUrl = s"https://h${id % 9}.example.com/p$id"
           val html =
@@ -485,8 +480,7 @@ object PipelineQueries extends QueryGroup {
     // oracle replays every field from id arithmetic
     "text_page_meta" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+      Tables.docIds(s, dir)
         .mapPartitions(_.map { id =>
           val html = (id % 4) match {
             case 0 => s"<html><head><title>Doc &amp; title $id</title>" +
@@ -561,14 +555,14 @@ object PipelineQueries extends QueryGroup {
     // document-level counts, >= 3 co-occurrences
     "text_pmi_pairs" -> ((s, dir) => {
       graft.ops.LangModel.pmiPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 200, 3L, 100)
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 200, 3L, 100)
     }),
 
     // t-score collocations over the same counts: PMI rewards rarity, the
     // t-score demands EVIDENCE — frequent genuinely-associated pairs win
     "text_tscore_pairs" -> ((s, dir) => {
       graft.ops.LangModel.tScorePairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 200, 3L, 100)
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 200, 3L, 100)
     }),
 
     // small-file compaction: content-identical rewrite at ~150 rows per
@@ -650,7 +644,7 @@ object PipelineQueries extends QueryGroup {
     // all-pairs Jaccard, so any pair the prefix filter missed would
     // hash-fail the gate
     "dedup_ppjoin" -> ((s, dir) => {
-      graft.ops.Dedup.ppJoinNearDups(Tables.load(s, dir, "documents"),
+      graft.ops.Dedup.ppJoinNearDups(Tables.loadSpread(s, dir, "documents", col("doc_id")),
         "doc_id", "text", threshold = 0.4, n = 3)
     }),
 
@@ -718,7 +712,7 @@ object PipelineQueries extends QueryGroup {
     // MinHash+LSH near-dup pairs (xxhash64 signatures → rows-only check;
     // recall/precision properties in DedupSpec)
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashNearDups(Tables.load(s, dir, "documents"),
+      Dedup.minHashNearDups(Tables.loadSpread(s, dir, "documents", col("doc_id")),
         "doc_id", "text", threshold = 0.5)
     }),
 
@@ -727,7 +721,7 @@ object PipelineQueries extends QueryGroup {
     // template-correlated corpus (radius-8 recall is property-tested in
     // DedupSpec; radius is a per-call knob)
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashNearDups(Tables.load(s, dir, "documents"),
+      Dedup.simHashNearDups(Tables.loadSpread(s, dir, "documents", col("doc_id")),
         "doc_id", "text", maxHamming = 6)
     }),
 
@@ -735,7 +729,7 @@ object PipelineQueries extends QueryGroup {
     // first 50) banded against the existing corpus only — no corpus
     // self-join (rows-only; recall/isolation properties in DedupSpec)
     "dedup_incremental" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val docs = Tables.loadSpread(s, dir, "documents", col("doc_id")).select("doc_id", "text")
       val fresh = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text"))
@@ -748,7 +742,7 @@ object PipelineQueries extends QueryGroup {
     // same planted batch as dedup_incremental, so the two gates' rows
     // must agree (LshIndexSpec pins the bit identity + append path)
     "dedup_incremental_index" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val docs = Tables.loadSpread(s, dir, "documents", col("doc_id")).select("doc_id", "text")
       val fresh = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text"))
@@ -1027,7 +1021,7 @@ object PipelineQueries extends QueryGroup {
     // one window for dedup, one semi-join back, sample is a pushed-down
     // string compare — 2 shuffles total regardless of corpus size.
     "pipeline_curate" -> ((s, dir) => {
-      val scored = Tables.load(s, dir, "documents")
+      val scored = Tables.loadSpread(s, dir, "documents", col("doc_id"))
         .select(col("doc_id"), col("text"),
           TextFunctions.langId(col("text")).as("pred_lang"),
           TextFunctions.qualityScore(col("text")).as("quality"))
@@ -1125,8 +1119,8 @@ object PipelineQueries extends QueryGroup {
     // readout before an online A/B
     "eval_ips_policy" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
-      val u = conv(substring(md5(col("event_id").cast("string")
-        .cast("binary")), 1, 8), 16, 10).cast("long")
+      val u = org.apache.spark.sql.graftfn.Md5U32.column(
+        col("event_id").cast("string").cast("binary"))
       val logged = ev
         .withColumn("propensity",
           round(lit(0.2) + lit(0.6) * u / lit(4294967296.0), 6))
@@ -1206,14 +1200,14 @@ object PipelineQueries extends QueryGroup {
     // the wire for the non-duplicated majority
     "dedup_span_exact" -> ((s, dir) => {
       graft.ops.Dedup.dupSpans(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 8)
     }),
 
     // removal-actionable form: every placement of a confirmed
     // cross-document duplicated span
     "dedup_span_occurrences" -> ((s, dir) => {
       graft.ops.Dedup.dupSpanOccurrences(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 8)
     }),
 
     // per-user metric anomalies: |z| > 2 under exact-decimal moments
@@ -1512,7 +1506,11 @@ object PipelineQueries extends QueryGroup {
     // ONE aggregate row (exact decimal moments, no joins/explode), then
     // a tiny unpivot
     "profile_corr_matrix" -> ((s, dir) => {
-      graft.ops.Profiling.corrMatrix(Tables.load(s, dir, "lineitem"),
+      // 15 decimal moment sums per row: spread the single-row-group scan
+      // so the partial aggregate runs on every core (guide §2.5)
+      graft.ops.Profiling.corrMatrix(
+        Tables.loadSpread(s, dir, "lineitem",
+          col("l_orderkey"), col("l_linenumber")),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }),
 
@@ -1558,7 +1556,7 @@ object PipelineQueries extends QueryGroup {
     // unigram perplexity cannot see (same bag ⇒ same unigram score)
     "text_lm_bigram" -> ((s, dir) => {
       graft.ops.LangModel.bigramCrossEntropy(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text")
     }),
 
     // Kneser-Ney interpolated bigram model: continuation counts (in how
@@ -1567,7 +1565,7 @@ object PipelineQueries extends QueryGroup {
     // into one fixed IEEE chain with literal D = 0.75
     "text_kneser_ney" -> ((s, dir) => {
       graft.ops.LangModel.kneserNeyBigrams(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text",
         discount = 0.75, minCount = 3L)
     }),
 
@@ -1615,7 +1613,7 @@ object PipelineQueries extends QueryGroup {
     // BM25 ranked retrieval, no prebuilt index: one corpus lineage,
     // postings narrowed to the query terms before aggregation
     "search_bm25" -> ((s, dir) => {
-      graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
+      graft.ops.TextSearch.bm25TopK(Tables.loadSpread(s, dir, "documents", col("doc_id")),
         "doc_id", "text", Seq("scan", "merge", "la"), 10)
     }),
 
@@ -1804,7 +1802,7 @@ object PipelineQueries extends QueryGroup {
     // per-token 0-weights (model reads boilerplate, is not trained on
     // it) — CSV transport so the oracle can diff the arrays
     "pipeline_loss_mask" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents", col("doc_id"))
       graft.ops.Packing.lossMask(docs, "doc_id", "text",
         graft.ops.Dedup.dupSpanOccurrences(docs, "doc_id", "text", 8),
         "doc_id", "pos", 8)
@@ -1837,7 +1835,7 @@ object PipelineQueries extends QueryGroup {
     // natural phrase is also non-vacuous since r11, but its counts
     // depend on the corpus; the planted gate pins them)
     "search_phrase_planted" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents", col("doc_id"))
         .select(col("doc_id"),
           when(col("doc_id") % 4 === 0,
             concat(col("text"),
@@ -1859,7 +1857,7 @@ object PipelineQueries extends QueryGroup {
     // appended via incremental maintenance — must hash-match the same
     // oracle as a from-scratch build (append is exact, not approximate)
     "search_bm25_incr" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents", col("doc_id"))
       val path = graft.GraftEngine.tablePath(dir, "text_idx_incr")
       val cut = lit(250)
       graft.ops.TextSearch.buildIndex(
@@ -1887,7 +1885,7 @@ object PipelineQueries extends QueryGroup {
     // per-token sums so the score is aggregation-order-independent
     "text_lm_xent" -> ((s, dir) => {
       graft.ops.LangModel.crossEntropy(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 4096)
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 4096)
     }),
 
     // quality-weighted downsampling: keep probability ∝ quality score
@@ -2027,7 +2025,7 @@ object PipelineQueries extends QueryGroup {
     // window — group size bounded by the doc's own vocabulary)
     "text_tfidf_top" -> ((s, dir) => {
       graft.ops.TextSearch.tfidfTopTerms(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 3)
     }),
 
     // embedding QA: squared distance of each vector to its own label's

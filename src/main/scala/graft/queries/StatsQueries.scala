@@ -290,7 +290,7 @@ object StatsQueries extends QueryGroup {
     // TextRank keywords over the document corpus (rows-only: FP power
     // iteration; planted-hub ranking is spec-gated)
     "text_textrank" -> ((s, dir) => {
-      graft.ops.TextSearch.textRank(Tables.load(s, dir, "documents"),
+      graft.ops.TextSearch.textRank(Tables.loadSpread(s, dir, "documents", col("doc_id")),
         "text", minLen = 4, iters = 10, k = 50)
     }),
 
@@ -327,7 +327,7 @@ object StatsQueries extends QueryGroup {
     // multinomial NB language classifier (train + self-score, add-1
     // smoothing over the minCount vocab): per-doc predictions
     "text_naive_bayes" -> ((s, dir) => {
-      graft.ops.LangModel.naiveBayes(Tables.load(s, dir, "documents"),
+      graft.ops.LangModel.naiveBayes(Tables.loadSpread(s, dir, "documents", col("doc_id")),
         "doc_id", "text", "lang", minCount = 5L)
     }),
 
@@ -433,7 +433,10 @@ object StatsQueries extends QueryGroup {
     // supplier heterogeneity and month shocks (double demeaning) — the
     // TWFE DiD workhorse; exact decimal means, 12-dp product sums
     "stats_twfe" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      // decimal demeaning products per row — spread the one-row-group
+      // scan so the moment aggregates parallelize (guide §2.5)
+      val li = Tables.loadSpread(s, dir, "lineitem",
+          col("l_orderkey"), col("l_linenumber"))
         .withColumn("month", date_trunc("month", col("l_shipdate")))
       graft.ops.Stats.twoWayWithinOls(li, "l_suppkey", "month",
         "l_quantity", "l_extendedprice")
@@ -564,7 +567,11 @@ object StatsQueries extends QueryGroup {
     // Spearman rank correlation (quantity vs extended price): Pearson
     // on doubled average ranks — all moments exact integers
     "stats_spearman" -> ((s, dir) => {
-      graft.ops.Stats.spearman(Tables.load(s, dir, "lineitem"),
+      // decimal(38,0) rank-moment sums per row — spread the one-row-group
+      // scan (guide §2.5)
+      graft.ops.Stats.spearman(
+        Tables.loadSpread(s, dir, "lineitem",
+          col("l_orderkey"), col("l_linenumber")),
         "l_quantity", "l_extendedprice")
     }),
 

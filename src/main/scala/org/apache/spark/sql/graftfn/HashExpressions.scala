@@ -1,0 +1,62 @@
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Static MD5 kernel for generated code. One thread-local digest instance
+  * per executor thread — `MessageDigest.getInstance` per row would
+  * dominate the hash itself on short inputs. */
+object HashKernels {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 32 bits of MD5(b) as an unsigned value in a long — exactly
+    * `conv(substring(md5(b), 1, 8), 16, 10)` cast to long, without the
+    * 32-char hex render + substring + radix re-parse that chain pays per
+    * row. The engine's deterministic-uniform device (sampling,
+    * permutation tests, DP noise, negative edges) keys on this value, so
+    * bit-for-bit equality with the SQL chain is the contract
+    * (HashExprSpec fuzz-pins it, and every oracle keeps the
+    * `conv(substring(md5(...)))` spelling — DuckDB re-derives the same
+    * integer). */
+  def md5U32(b: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(b)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+}
+
+/** `graft_md5_u32(bin)` — the md5-derived 32-bit uniform as ONE codegen'd
+  * expression. Value-identical to `conv(substring(md5(bin),1,8),16,10)
+  * :: long` (the repo-wide deterministic-uniform idiom, re-derivable in
+  * DuckDB); this form skips materializing the hex string and re-parsing
+  * it, which measured as a large fraction of the md5 fan-out queries'
+  * per-row cost (guide §1.2 step 2: per-task work). */
+case class Md5U32(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = GraftFunctions.Md5U32Name
+  override protected def nullSafeEval(b: Any): Any =
+    HashKernels.md5U32(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftfn.HashKernels.md5U32($c)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Md5U32 =
+    copy(child = newChild)
+}
+
+object Md5U32 {
+  /** Wrap as a [[Column]] (the `classic.ExpressionUtils` bridge is
+    * `private[sql]`, hence this lives under `org.apache.spark.sql`). */
+  def column(bin: Column): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(Md5U32(
+      org.apache.spark.sql.classic.ExpressionUtils.expression(bin)))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins `graft_md5_u32` bit-for-bit to the SQL chain it replaces:
+  * `conv(substring(md5(bin), 1, 8), 16, 10) :: long`. The engine's
+  * deterministic-uniform device (sampling keeps, permutation relabels,
+  * DP noise, negative-edge draws) is DEFINED as that chain and every
+  * oracle re-derives it in DuckDB — so the fast expression must be
+  * value-identical on arbitrary bytes, including empty and multi-byte
+  * UTF-8 inputs. */
+class HashExprSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("HashExprSpec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("md5U32 equals conv(substring(md5,1,8),16,10) on fuzz strings") {
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(11)
+    val strs = (0 until 2000).map { i =>
+      val len = rnd.nextInt(40)
+      new String(Array.fill(len)((rnd.nextInt(94) + 33).toChar)) + s":$i"
+    } ++ Seq("", "a", "é€漢", "0" * 500)
+    val df = strs.toDF("s").withColumn("b", col("s").cast("binary"))
+    val got = df.select(
+      org.apache.spark.sql.graftfn.Md5U32.column(col("b")).as("fast"),
+      conv(substring(md5(col("b")), 1, 8), 16, 10).cast("long").as("ref"))
+    assert(got.filter(col("fast") =!= col("ref")).count() === 0L)
+    // and the interpreted (non-codegen) path agrees too
+    val interp = strs.map { s =>
+      org.apache.spark.sql.graftfn.HashKernels.md5U32(s.getBytes("UTF-8"))
+    }
+    val ref = got.select("ref").as[Long].collect()
+    assert(interp.zip(ref).forall { case (a, b) => a == b })
+  }
+
+  test("md5U32 null propagates") {
+    val s0 = spark
+    import s0.implicits._
+    val df = Seq(Some("x"), None).toDF("s")
+      .select(org.apache.spark.sql.graftfn.Md5U32.column(
+        col("s").cast("binary")).as("h"))
+    assert(df.filter(col("h").isNull).count() === 1L)
+  }
+}
