@@ -172,6 +172,7 @@ object GraftFunctions {
   val FixMojibakeName = "graft_fix_mojibake"
   val ScriptDominantName = "graft_script_dominant"
   val LuhnName = "graft_luhn"
+  val Md5U32Name = "graft_md5_u32"
 
   /** Unrestricted Damerau–Levenshtein over raw bytes (Lowrance–Wagner
     * 1975, the `d[k,l]` last-occurrence recurrence) — see
@@ -306,7 +307,10 @@ object GraftFunctions {
       exprs => ScriptDominant(exprs(0))),
     (FunctionIdentifier(LuhnName),
       new ExpressionInfo(classOf[LuhnCheck].getName, LuhnName),
-      exprs => LuhnCheck(exprs(0))))
+      exprs => LuhnCheck(exprs(0))),
+    (FunctionIdentifier(Md5U32Name),
+      new ExpressionInfo(classOf[Md5U32].getName, Md5U32Name),
+      exprs => Md5U32(exprs(0))))
 
   /** Idempotently register the codegen functions in a HANDED session —
     * fallback for sessions built without `GraftExtensions`. */
