@@ -671,9 +671,12 @@ object Evaluation {
     require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000]: $nBins")
     require(tieCols.nonEmpty, "isotonicCalibration needs tie columns for a total order")
     val sc = col(scoreCol).cast("double")
+    // clean feeds the rank pass AND the row count — one materialization
+    // instead of two full input passes (the count re-executed the chain)
     val clean = df.filter(sc.isNotNull && !isnan(sc))
       .select(sc.as("__s"), when(positive, 1L).otherwise(0L).as("__y"),
         struct(tieCols.map(col): _*).as("__t"))
+      .localCheckpoint(true)
     val ranked = graft.ops.Stats.runningTotals(clean,
       Seq(col("__s").asc, col("__t")), Seq("one" -> lit(1L)))
     val n = clean.count()

@@ -306,11 +306,15 @@ object Profiling {
   def weightedMedian(df: DataFrame, groupCols: Seq[String],
       valueCol: String, weightCol: String, out: String = "wmedian"): DataFrame = {
     require(groupCols.nonEmpty, "weightedMedian needs at least one group column")
+    // (group, value)-sized and consumed by BOTH the prefix sum and the
+    // per-group totals — materialize once instead of re-aggregating the
+    // input table per consumer
     val byValue = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(groupCols.map(col) :+ col(valueCol): _*)
       .agg(sum(round(col(weightCol).cast("double"), 6).cast("decimal(18,6)"))
         .as("__w"))
+      .localCheckpoint(true)
     val cum = Curation.runningTotal(byValue,
       groupCols.map(col) :+ col(valueCol), col("__w"), "__gcum")
     val tots = byValue.groupBy(groupCols.map(col): _*)
@@ -422,10 +426,13 @@ object Profiling {
       positive: Column): DataFrame = {
     require(groupCols.nonEmpty, "rocAucBy needs group columns — use rocAuc for the global statistic")
     val v = col(scoreCol).cast("double")
+    // distinct-score-sized; feeds the prefix sum AND the group offsets —
+    // materialize once instead of re-aggregating the input per consumer
     val g = df.filter(col(scoreCol).isNotNull && !isnan(v))
       .groupBy(groupCols.map(col) :+ col(scoreCol).as("__s"): _*)
       .agg(count(lit(1)).as("__n"),
         sum(when(positive, 1L).otherwise(0L)).as("__p"))
+      .localCheckpoint(true)
     val cum = Curation.runningTotal(g,
       groupCols.map(col) :+ col("__s"), col("__n"), "__gcum")
     val offs = g.groupBy(groupCols.map(col): _*)

@@ -555,14 +555,14 @@ object PipelineQueries extends QueryGroup {
     // document-level counts, >= 3 co-occurrences
     "text_pmi_pairs" -> ((s, dir) => {
       graft.ops.LangModel.pmiPairs(
-        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 200, 3L, 100)
+        Tables.load(s, dir, "documents"), "doc_id", "text", 200, 3L, 100)
     }),
 
     // t-score collocations over the same counts: PMI rewards rarity, the
     // t-score demands EVIDENCE — frequent genuinely-associated pairs win
     "text_tscore_pairs" -> ((s, dir) => {
       graft.ops.LangModel.tScorePairs(
-        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text", 200, 3L, 100)
+        Tables.load(s, dir, "documents"), "doc_id", "text", 200, 3L, 100)
     }),
 
     // small-file compaction: content-identical rewrite at ~150 rows per
@@ -644,7 +644,7 @@ object PipelineQueries extends QueryGroup {
     // all-pairs Jaccard, so any pair the prefix filter missed would
     // hash-fail the gate
     "dedup_ppjoin" -> ((s, dir) => {
-      graft.ops.Dedup.ppJoinNearDups(Tables.loadSpread(s, dir, "documents", col("doc_id")),
+      graft.ops.Dedup.ppJoinNearDups(Tables.load(s, dir, "documents"),
         "doc_id", "text", threshold = 0.4, n = 3)
     }),
 
@@ -721,7 +721,7 @@ object PipelineQueries extends QueryGroup {
     // template-correlated corpus (radius-8 recall is property-tested in
     // DedupSpec; radius is a per-call knob)
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashNearDups(Tables.loadSpread(s, dir, "documents", col("doc_id")),
+      Dedup.simHashNearDups(Tables.load(s, dir, "documents"),
         "doc_id", "text", maxHamming = 6)
     }),
 
@@ -1565,7 +1565,7 @@ object PipelineQueries extends QueryGroup {
     // into one fixed IEEE chain with literal D = 0.75
     "text_kneser_ney" -> ((s, dir) => {
       graft.ops.LangModel.kneserNeyBigrams(
-        Tables.loadSpread(s, dir, "documents", col("doc_id")), "doc_id", "text",
+        Tables.load(s, dir, "documents"), "doc_id", "text",
         discount = 0.75, minCount = 3L)
     }),
 
@@ -1613,7 +1613,7 @@ object PipelineQueries extends QueryGroup {
     // BM25 ranked retrieval, no prebuilt index: one corpus lineage,
     // postings narrowed to the query terms before aggregation
     "search_bm25" -> ((s, dir) => {
-      graft.ops.TextSearch.bm25TopK(Tables.loadSpread(s, dir, "documents", col("doc_id")),
+      graft.ops.TextSearch.bm25TopK(Tables.load(s, dir, "documents"),
         "doc_id", "text", Seq("scan", "merge", "la"), 10)
     }),
 
@@ -1835,7 +1835,7 @@ object PipelineQueries extends QueryGroup {
     // natural phrase is also non-vacuous since r11, but its counts
     // depend on the corpus; the planted gate pins them)
     "search_phrase_planted" -> ((s, dir) => {
-      val docs = Tables.loadSpread(s, dir, "documents", col("doc_id"))
+      val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           when(col("doc_id") % 4 === 0,
             concat(col("text"),

@@ -567,11 +567,7 @@ object StatsQueries extends QueryGroup {
     // Spearman rank correlation (quantity vs extended price): Pearson
     // on doubled average ranks — all moments exact integers
     "stats_spearman" -> ((s, dir) => {
-      // decimal(38,0) rank-moment sums per row — spread the one-row-group
-      // scan (guide §2.5)
-      graft.ops.Stats.spearman(
-        Tables.loadSpread(s, dir, "lineitem",
-          col("l_orderkey"), col("l_linenumber")),
+      graft.ops.Stats.spearman(Tables.load(s, dir, "lineitem"),
         "l_quantity", "l_extendedprice")
     }),
 
