@@ -752,11 +752,15 @@ object Clustering {
     * Shape: one distinct, one degree aggregate, two joins, one scalar
     * aggregate — no iteration. */
   def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // e feeds the degree union (twice) and the moment join — materialize
+    // once or the upstream edge construction (typically itself a join)
+    // re-executes per consumer (the triangleCounts discipline)
     val e = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val m = e
@@ -799,9 +803,13 @@ object Clustering {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
     val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__lbl"))
+    // labeled feeds FOUR consumers (edge count, internal-edge count, and
+    // both halves of the degree union) — materialize once or the pair
+    // join chain re-executes per consumer (the triangleCounts discipline)
     val labeled = e
       .join(lab.select(col("__id").as("a"), col("__lbl").as("__la")), Seq("a"))
       .join(lab.select(col("__id").as("b"), col("__lbl").as("__lb")), Seq("b"))
+      .localCheckpoint(true)
     val m = labeled.agg(count(lit(1)).as("__m"))
     val internal = labeled.filter(col("__la") === col("__lb"))
       .groupBy(col("__la").as("label"))

@@ -70,7 +70,7 @@ object CurationQueries extends QueryGroup {
     // RAKE corpus keywords: stopword-free phrase runs scored by summed
     // word degree/frequency ratios, top 50
     "text_rake" -> ((s, dir) => {
-      graft.ops.TextSearch.rakeKeywords(Tables.loadSpread(s, dir, "documents", col("doc_id")),
+      graft.ops.TextSearch.rakeKeywords(Tables.load(s, dir, "documents"),
         "doc_id", "text", CurationQueries.rakeStops, k = 50)
     }),
 
