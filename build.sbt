@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as JSON.
+// sbt's default LoggedOutput decorates forked stdout with an `[info] `
+// prefix, which left every BENCH_rNN.json with parsed=null (r01-r11).
+// StdoutOutput inherits the forked process's stdout verbatim, so the
+// bench's one-line JSON summary reaches the driver bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: per-query Spark JOB and STAGE counts (plus wall time) for a
+  * comma-separated list of driver-contract queries — the deterministic
+  * complement to RunSome's wall-clock numbers. Iterative operators pay a
+  * fixed number of driver jobs per round (checkpoint materializations,
+  * convergence counts, broadcast builds); that count is immune to the
+  * host's CPU-steal noise, so a "fused two jobs into one" optimization is
+  * verified here even when wall-clock A/Bs drown in drift.
+  *
+  * Usage: runMain graft.JobCount <q1,q2,...> [sfDir]
+  */
+object JobCount {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.suppressSanctionedWindowWarning()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    })
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // warm pass so codegen/JIT doesn't pollute the timed pass
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      Thread.sleep(300) // drain listener bus
+      jobs.set(0); stages.set(0)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      Thread.sleep(300)
+      println(f"[jobcount] $name%-32s jobs=${jobs.get}%4d stages=${stages.get}%4d t=$dt%6.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: near-dup PAIRS (from [[Dedup]] /
@@ -45,6 +45,26 @@ object Clustering {
     df.sparkSession.createDataFrame(eager.rdd, eager.schema)
   }
 
+  /** Read a numeric metric out of an [[Observation]] attached to a frame
+    * whose eager checkpoint already ran (blocks only for the listener
+    * round-trip, single-digit ms). observe() metrics ride the SAME job
+    * as the checkpoint materialization — the device that lets every
+    * iterative loop below drop its separate per-round count/isEmpty job
+    * (guide §1.2 step 1: fewer passes). */
+  private def metricLong(obs: Observation, key: String): Long =
+    obs.get(key) match {
+      case n: Number => n.longValue()
+      case null => 0L
+      case other => sys.error(s"unexpected metric type for $key: $other")
+    }
+
+  private def metricDouble(obs: Observation, key: String): Double =
+    obs.get(key) match {
+      case n: Number => n.doubleValue()
+      case null => 0.0
+      case other => sys.error(s"unexpected metric type for $key: $other")
+    }
+
   /** Connected components over an undirected pair set.
     *
     * @param nodes one row per node (singletons become their own rep)
@@ -66,10 +86,12 @@ object Clustering {
     // edge list, because round 1 against identity labels would just be
     // that aggregation plus two wasted joins (neighbor lookup on
     // identity, pointer jump through identity).
+    val obs0 = new Observation()
     var labels = freshState(
       sym.select(col("src").as("id"), col("dst").as("lbl"))
         .unionByName(sym.select(col("src").as("id"), col("src").as("lbl")))
-        .groupBy("id").agg(min("lbl").as("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .observe(obs0, count(lit(1)).as("__n")))
     // NOTE (r11 optimization round, measured and REJECTED): hinting
     // broadcast on the per-round label joins — the pageRank/hits lesson —
     // made CC 1.5–1.9× SLOWER here (geo_dbscan 6.4→9.6 s,
@@ -78,25 +100,36 @@ object Clustering {
     // round counts cost more than the small-frame sort-merge shuffles
     // they replace. The SMJ loop stands.
     var iter = 1
-    var converged = labels.isEmpty // no edges → nothing to iterate
+    // no edges → nothing to iterate (count observed on the init job)
+    var converged = metricLong(obs0, "__n") == 0L
     while (!converged && iter < maxIter) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
+      // ONE gather join per round (r12, guide §2.4): the neighbor
+      // propagation (u→v edges) and the pointer jump (label-of-label,
+      // realized as the synthetic edge lbl(v)→v) are both "send lbl(src)
+      // to dst" lookups, so they share a single join on src instead of
+      // two separate joins — the labels side shuffles once per round
+      // instead of three times (prop + both halves of the self-join),
+      // and one sort-merge pass disappears. Same multiset reaches the
+      // min-aggregate, so labels are bit-identical.
+      val ptr = sym.unionByName(
+        labels.select(col("lbl").as("src"), col("id").as("dst")))
+      val gathered = ptr
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .select(col("dst").as("id"), col("lbl"), lit(0).as("__own"))
-      // pointer jumping: follow the current label one hop (label-of-label)
-      val l2 = labels.select(col("id"), col("lbl").as("__via"))
-        .join(labels.select(col("id").as("__via"), col("lbl")), "__via")
-        .select(col("id"), col("lbl"), lit(0).as("__own"))
       // convergence detection rides the SAME aggregate: the one __own=1
-      // row per id carries the previous label out as `prev`, so "did
-      // anything change" is a trivial filter over the eagerly
-      // checkpointed result — no second join, no recompute (r4 paid a
-      // full extra join+count job per round here).
+      // row per id carries the previous label out as `prev`, and the
+      // changed-row count is observed DURING the checkpoint
+      // materialization (r12, guide §1.2 step 1: each round previously
+      // paid a second filter+isEmpty job over the checkpointed result —
+      // observe() folds it into the round's one job).
+      val obs = new org.apache.spark.sql.Observation()
       val next = freshState(
         labels.withColumn("__own", lit(1))
-          .unionByName(prop).unionByName(l2)
+          .unionByName(gathered)
           .groupBy("id").agg(min("lbl").as("lbl"),
-            max(when(col("__own") === 1, col("lbl"))).as("prev")))
-      converged = next.filter(col("lbl") < col("prev")).isEmpty
+            max(when(col("__own") === 1, col("lbl"))).as("prev"))
+          .observe(obs, count(when(col("lbl") < col("prev"), 1)).as("__changed")))
+      converged = metricLong(obs, "__changed") == 0L
       labels = next.select("id", "lbl")
       iter += 1
     }
@@ -154,12 +187,21 @@ object Clustering {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     // state carries the (static) out-degree alongside the rank: the
     // rank⋈degree join happens ONCE here instead of once per round, and
-    // a NULL degree doubles as the dangling flag — so each round is one
-    // edge join + one contribution aggregate + one tiny when()-sum for
-    // the dangling mass, with no per-round anti-join
+    // a NULL degree doubles as the dangling flag. The dangling mass —
+    // Σ rank over NULL-degree nodes, a scalar — is OBSERVED on the state
+    // checkpoint that produced it (r12): each round previously built a
+    // separate broadcast-aggregate stage (a driver round-trip) just to
+    // re-scan the state for that one number.
+    def danglingObs() = {
+      val obs = new Observation()
+      (obs, sum(when(col("__deg").isNull, col("rank"))).as("__dm"))
+    }
+    val (obs0, m0) = danglingObs()
     var state = nodes.join(outDeg, nodes("id") === outDeg("src"), "left")
       .select(col("id"), lit(1.0 / n).as("rank"), col("__deg"))
+      .observe(obs0, m0)
       .localCheckpoint(true)
+    var dm = metricDouble(obs0, "__dm")
     var iter = 0
     while (iter < iters) {
       // node-sized rank state broadcasts; the edge list never shuffles
@@ -169,16 +211,15 @@ object Clustering {
           col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
         .groupBy("id").agg(sum("__c").as("__in"))
-      // dangling nodes (no out-edges) leak their mass to everyone
-      val dangling = state.agg(coalesce(
-        sum(when(col("__deg").isNull, col("rank"))), lit(0.0)).as("__dm"))
+      val (obsI, mI) = danglingObs()
       state = state.select("id", "__deg")
         .join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("id"), (lit((1.0 - damping) / n) + lit(damping) *
-          (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"),
+          (coalesce(col("__in"), lit(0.0)) + lit(dm / n))).as("rank"),
           col("__deg"))
+        .observe(obsI, mI)
         .localCheckpoint(true)
+      dm = metricDouble(obsI, "__dm")
       iter += 1
     }
     state.select("id", "rank")
@@ -211,6 +252,13 @@ object Clustering {
     val nSeeds = seedSet.count()
     require(nSeeds > 0, "personalizedPageRank needs at least one seed")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // dangling mass observed on the state checkpoint, exactly as in
+    // [[pageRank]] — one fewer broadcast-aggregate stage per round
+    def danglingObs() = {
+      val obs = new Observation()
+      (obs, sum(when(col("__deg").isNull, col("rank"))).as("__dm"))
+    }
+    val (obs0, m0) = danglingObs()
     var state = nodes
       .join(outDeg, nodes("id") === outDeg("src"), "left")
       .select(col("id"), col("__deg"))
@@ -218,23 +266,25 @@ object Clustering {
       .select(col("id"), col("__deg"),
         coalesce(col("__s"), lit(0.0)).as("__p"),
         coalesce(col("__s"), lit(0.0)).as("rank"))
+      .observe(obs0, m0)
       .localCheckpoint(true)
+    var dm = metricDouble(obs0, "__dm")
     var iter = 0
     while (iter < iters) {
       val contrib = e.join(broadcast(state.filter(col("__deg").isNotNull)),
           col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
         .groupBy("id").agg(sum("__c").as("__in"))
-      val dangling = state.agg(coalesce(
-        sum(when(col("__deg").isNull, col("rank"))), lit(0.0)).as("__dm"))
+      val (obsI, mI) = danglingObs()
       state = state.select("id", "__deg", "__p")
         .join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("id"), col("__deg"), col("__p"),
           (lit(1.0 - damping) * col("__p") + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + col("__dm") * col("__p")))
+            (coalesce(col("__in"), lit(0.0)) + lit(dm) * col("__p")))
             .as("rank"))
+        .observe(obsI, mI)
         .localCheckpoint(true)
+      dm = metricDouble(obsI, "__dm")
       iter += 1
     }
     state.select("id", "rank")
@@ -267,7 +317,12 @@ object Clustering {
     *         coeff = 2·T / (deg·(deg−1)), 0 when deg < 2, rounded 6 dp */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
       wedgeBloomBits: Int = -1, autoBloomWedgeFactor: Double = 8.0,
-      maxBroadcastEdges: Long = 15000000L): DataFrame = {
+      // broadcast gate for the NODE-sized frames (deg, nodeTris): ≤ 2m
+      // rows of (long, long) ≈ 16B raw → ~64 MB built relation at the
+      // 4M-edge default — safely inside a stock driver/executor even
+      // with both frames resident (the r11 15M default allowed ~500 MB
+      // builds near the cap — ADVICE r11's driver-OOM hazard)
+      maxBroadcastEdges: Long = 4000000L): DataFrame = {
     // the canonical edge set feeds THREE consumers (degrees, orientation,
     // closing-edge probe) — materialize once or the upstream edge
     // construction (often itself a join) runs three times
@@ -313,8 +368,6 @@ object Clustering {
     // w in (deg, id) order; close with the oriented edge v→w
     val w1 = oriented.select(col("u"), col("v"), col("__rv"))
     val w2 = oriented.select(col("u"), col("v").as("w"), col("__rv").as("__rw"))
-    val wedges = w1.join(w2, "u").filter(col("__rv") < col("__rw"))
-      .select(col("u"), col("v"), col("w"))
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
     // the wedge set is the quadratic blow-up (O(m^1.5) rows); shuffling
     // it all into the closing-edge semi-join is the dominant cost. A
@@ -325,6 +378,16 @@ object Clustering {
     // when the wedge set (Σ C(outdeg,2), exact, one cheap aggregate over
     // the oriented edges) is ≥ autoBloomWedgeFactor × m — below that the
     // build pass + per-wedge probe cost more than the shuffle they save.
+    //
+    // NOTE (r12 optimization round, measured and REJECTED): broadcasting
+    // the m-sized wedge-partner and closing frames (BHJ probes, zero
+    // wedge exchanges, bloom off) was 1.3-1.7x SLOWER at sf0.1
+    // (graph_triangles 5.8 → 7.7-9.8 s warm): two 1.2M-row broadcast
+    // builds serialize on the driver, and the 41M-wedge hash-probe
+    // stream loses to the SMJ's sorted-run merge. The bloomed SMJ path
+    // stands.
+    val wedges = w1.join(w2, "u").filter(col("__rv") < col("__rw"))
+      .select(col("u"), col("v"), col("w"))
     val effectiveBits: Int =
       if (wedgeBloomBits >= 0) wedgeBloomBits
       else {
@@ -376,30 +439,33 @@ object Clustering {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // edge counts ride the checkpoint jobs as observe() metrics (r12):
+    // the peel previously paid a separate count job per round
+    val obs0 = new Observation()
     var e = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
+      .observe(obs0, count(lit(1)).as("__n"))
       .localCheckpoint(true)
     var iter = 0
     var done = false
-    // edge count carries across rounds: this round's e.count() IS last
-    // round's pruned.count() — one count job per round, not two
-    var eCount = e.count()
+    var eCount = metricLong(obs0, "__n")
     while (!done && iter < maxIter) {
       val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("id")
         .localCheckpoint(true)
+      val obsI = new Observation()
       val pruned = e
         .join(broadcast(keep.select(col("id").as("a"))), Seq("a"), "left_semi")
         .join(broadcast(keep.select(col("id").as("b"))), Seq("b"), "left_semi")
         .select("a", "b")
+        .observe(obsI, count(lit(1)).as("__n"))
         .localCheckpoint(true)
-      // fixpoint when no edge was peeled this round (counts are exact
-      // on the checkpointed sets — one cheap job per round)
-      val pc = pruned.count()
+      // fixpoint when no edge was peeled this round
+      val pc = metricLong(obsI, "__n")
       done = pc == eCount
       eCount = pc
       e = pruned
@@ -515,24 +581,32 @@ object Clustering {
       val hub = e.join(broadcast(auth), col("dst") === col("id"))
         .groupBy(col("src").as("__id")).agg(sum("auth").as("hub"))
         .select(col("__id").as("id"), col("hub"))
+      // the L2 norms ride the state checkpoint as observe() metrics
+      // (r12): renorm rounds previously paid a separate norm-aggregate
+      // broadcast stage, and the FINAL renorm paid a whole extra
+      // checkpoint job — now it's a lazy projection with literal norms
+      val obsS = new Observation()
       state = nodes
         .join(broadcast(hub), Seq("id"), "left")
         .join(broadcast(auth), Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
           coalesce(col("auth"), lit(0.0)).as("auth"))
+        .observe(obsS,
+          sum(col("hub") * col("hub")).as("__sh"),
+          sum(col("auth") * col("auth")).as("__sa"))
         .localCheckpoint(true)
       iter += 1
       if (iter % renormEvery == 0 || iter == iters) {
-        val nrm = state.agg(
-          sqrt(sum(col("hub") * col("hub"))).as("__nh"),
-          sqrt(sum(col("auth") * col("auth"))).as("__na"))
-        state = state.crossJoin(broadcast(nrm))
+        val nh = math.sqrt(metricDouble(obsS, "__sh"))
+        val na = math.sqrt(metricDouble(obsS, "__sa"))
+        val renormed = state
           .select(col("id"),
-            when(col("__nh") > 0, col("hub") / col("__nh"))
+            when(lit(nh) > 0, col("hub") / nh)
               .otherwise(lit(0.0)).as("hub"),
-            when(col("__na") > 0, col("auth") / col("__na"))
+            when(lit(na) > 0, col("auth") / na)
               .otherwise(lit(0.0)).as("auth"))
-          .localCheckpoint(true)
+        // only checkpoint when more rounds will iterate on it
+        state = if (iter == iters) renormed else renormed.localCheckpoint(true)
       }
     }
     state
@@ -643,25 +717,38 @@ object Clustering {
       .filter(col("w") >= 0)
       .groupBy("src", "dst").agg(min(col("w")).as("w"))
       .localCheckpoint(true)
+    val obs0 = new Observation()
     var dist = sources.toDF("id").distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L))
+      .observe(obs0, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     var frontier = dist
+    // frontier size rides the merged checkpoint as an observe() metric
+    // (r12): each round previously paid a SECOND checkpoint job for the
+    // frontier plus an isEmpty job on it. The frontier itself is now a
+    // lazy narrow filter over the checkpointed merged frame — the
+    // broadcast that consumes it next round re-reads checkpointed rows,
+    // not the merge chain (the r11 hazard was removing the MERGED
+    // materialization, which stays).
+    var frontierSize = metricLong(obs0, "__n")
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierSize > 0) {
       hop += 1
       val cand = e.join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), (col("dist") + col("w")).as("__d"))
         .groupBy("id").agg(min(col("__d")).as("__d"))
+      val obsI = new Observation()
       val merged = dist.join(cand, Seq("id"), "full_outer")
         .select(col("id"),
           least(coalesce(col("dist"), col("__d")),
             coalesce(col("__d"), col("dist"))).as("dist"),
           (col("__d").isNotNull &&
             (col("dist").isNull || col("__d") < col("dist"))).as("__improved"))
+        .observe(obsI, count(when(col("__improved"), 1)).as("__n"))
         .localCheckpoint(true)
       frontier = merged.filter(col("__improved")).select("id", "dist")
-        .localCheckpoint(true)
       dist = merged.select("id", "dist")
+      frontierSize = metricLong(obsI, "__n")
     }
     dist
   }
@@ -690,19 +777,31 @@ object Clustering {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
+    val obs0 = new Observation()
     var visited = sources.toDF("id").distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true)
+      .withColumn("dist", lit(0))
+      .observe(obs0, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     var frontier = visited
+    // frontier size observed on the next-layer checkpoint (r12): drops
+    // the per-round isEmpty job, and an empty last layer skips the
+    // final visited-union checkpoint outright
+    var frontierSize = metricLong(obs0, "__n")
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierSize > 0) {
       hop += 1
+      val obsI = new Observation()
       val next = e.join(broadcast(frontier.select(col("id").as("src"))), "src")
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop))
+        .observe(obsI, count(lit(1)).as("__n"))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
-      frontier = next
+      frontierSize = metricLong(obsI, "__n")
+      if (frontierSize > 0) {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
     }
     visited
   }
@@ -720,21 +819,30 @@ object Clustering {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
+    val obs0 = new Observation()
     var visited = sources.toDF("id").distinct()
       .select(col("id").as("src0"), col("id"))
-      .withColumn("dist", lit(0)).localCheckpoint(true)
+      .withColumn("dist", lit(0))
+      .observe(obs0, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     var frontier = visited
+    var frontierSize = metricLong(obs0, "__n") // see [[bfsDistances]]
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierSize > 0) {
       hop += 1
+      val obsI = new Observation()
       val next = e.join(broadcast(frontier
           .select(col("src0"), col("id").as("src"))), "src")
         .select(col("src0"), col("dst").as("id")).distinct()
         .join(visited.select("src0", "id"), Seq("src0", "id"), "left_anti")
         .withColumn("dist", lit(hop))
+        .observe(obsI, count(lit(1)).as("__n"))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
-      frontier = next
+      frontierSize = metricLong(obsI, "__n")
+      if (frontierSize > 0) {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
     }
     visited
   }

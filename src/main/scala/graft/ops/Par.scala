@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism repair for CPU-heavy narrow kernels behind unsplittable
   * inputs (guide §2.5 "one huge unsplittable file → repartition
@@ -17,17 +18,44 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Par {
 
   /** Hash-repartition `df` on `keys` to the session default parallelism
-    * when its current partitioning is below it; no-op otherwise (so on
-    * many-file / many-partition input at scale this adds nothing).
-    * Deterministic key hash — safe under task retry (SPARK-38388).
+    * when its source's REAL split granularity is below it; no-op
+    * otherwise (so on many-file / many-row-group input at scale this
+    * adds nothing). Deterministic key hash — safe under task retry
+    * (SPARK-38388).
     *
-    * Call it only on NARROW or already-materialized frames: `.rdd` on a
-    * frame downstream of an un-executed exchange would trigger that
-    * exchange's execution under AQE.
+    * The gate reads parquet ROW-GROUP counts from the plan's file-scan
+    * leaves (the same footer gate as [[graft.Tables.loadSpread]]): a
+    * single-row-group file larger than `parallelism × maxPartitionBytes`
+    * schedules many byte-split tasks of which all but one read zero
+    * rows, so `df.rdd.getNumPartitions` — the previous gate — passed in
+    * exactly the case this helper targets (and `.rdd` on a frame
+    * downstream of an un-executed exchange would trigger that exchange
+    * under AQE). Non-parquet or non-file sources fall back to
+    * repartitioning (this helper is only ever called on frames whose
+    * kernel cost dwarfs one shuffle of the rows it reads).
     */
   def widen(df: DataFrame, keys: Column*): DataFrame = {
     require(keys.nonEmpty, "widen needs a deterministic partition key")
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, keys: _*)
+    // splittability per FILE leaf = its parquet row-group sum (unknown
+    // footer / non-parquet file → 0 = unsplittable: repartition, the
+    // safe direction for a kernel feed). Non-file leaves (LocalRelation
+    // seeds etc.) do not constrain the scan's split granularity.
+    val fileSplits: Seq[Int] =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+          val fs = l.relation.asInstanceOf[HadoopFsRelation]
+          val files = fs.location.inputFiles.toSeq
+          val rgs = files.flatMap { f =>
+            val path =
+              if (f.contains(":/")) new java.net.URI(f).getPath else f
+            ParquetFooter.readFile(path).map(_._1.numRowGroups)
+          }
+          if (rgs.nonEmpty && rgs.length == files.length) rgs.sum else 0
+      }
+    // the chain is as splittable as its LEAST splittable file source;
+    // with no file source at all, repartition (kernel feeds only)
+    val minSplits = if (fileSplits.isEmpty) 0 else fileSplits.min
+    if (minSplits >= p) df else df.repartition(p, keys: _*)
   }
 }

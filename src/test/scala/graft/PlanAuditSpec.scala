@@ -223,9 +223,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so an accidental join/agg shuffle of rows still fails this audit
     val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-    val unexpected = exchanges.filterNot(e =>
+    val (spread, rest) = exchanges.partition(e =>
       e.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
-    assert(unexpected.size <= 1 && exchanges.size <= 2,
+    // exactly: ≤1 agg-fold shuffle AND ≤1 spread shuffle (the earlier
+    // combined bound also passed two spreads with no agg fold — ADVICE r11)
+    assert(rest.size <= 1 && spread.size <= 1,
       s"row data must never shuffle beyond the agg fold + the spread:\n$plan")
   }
 
