@@ -116,6 +116,21 @@ object Curation {
       .drop("__rank", "__n")
   }
 
+  /** [[curriculumBins]] with the row count `n` supplied by the caller
+    * (exact — same integer arithmetic): a caller binning the SAME frame
+    * by several different orders (e.g. the three RFM quantile passes)
+    * otherwise pays one count-aggregate subtree per pass, each
+    * re-deriving the (identical) N through the previous passes' chains. */
+  def curriculumBinsKnownN(df: DataFrame, orderCols: Seq[Column], nBins: Int,
+      n: Long, out: String = "bin"): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    require(n >= 0, s"n must be the frame's row count: $n")
+    val d = math.max(n, 1L) // n == 0 → no rows, divisor never observed
+    runningTotal(df, orderCols, lit(1L), "__rank")
+      .withColumn(out, expr(s"CAST((__rank * $nBins + $d - 1) div $d AS BIGINT)"))
+      .drop("__rank")
+  }
+
   /** Per-group row cap — "keep the best `cap` documents per source/domain",
     * the domain-balancing step of corpus curation. Winners are the top
     * `cap` by (`valueCol` desc, `idCol` asc) within each `groupCols` key.

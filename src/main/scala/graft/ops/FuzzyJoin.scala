@@ -78,7 +78,15 @@ object FuzzyJoin {
   }
 
   /** Deletion-variant blocking keys for the DISTINCT strings of
-    * `df(strCol)`: (variant hash, original string). */
+    * `df(strCol)`: (variant hash, original string). Spread on the
+    * variant hash (r12, guide §2.5): callers eagerly checkpoint this
+    * frame, and AQE coalesces the small distinct output to 1-2
+    * partitions — which then serialized the ENTIRE downstream candidate
+    * probe + verify pipeline onto 1-2 cores. The deterministic
+    * REPARTITION_BY_NUM layout survives the checkpoint and is never
+    * AQE-coalesced; at corpus scale the distinct output is many
+    * partitions anyway and this is one cheap re-hash of (long, short
+    * string) rows. */
   private def variantKeys(df: DataFrame, strCol: String, maxDist: Int,
       maxLen: Int, strOut: String): DataFrame = {
     val spark = df.sparkSession
@@ -93,6 +101,7 @@ object FuzzyJoin {
         deletionVariantHashes(s, maxDist).iterator.map(h => (h, s))
       })
       .toDF("__h", strOut)
+      .repartition(spark.sparkContext.defaultParallelism, col("__h"))
   }
 
   /** All (id_l, id_r, dist) pairs with
@@ -116,12 +125,17 @@ object FuzzyJoin {
     val effLen = if (maxLen > 0) maxLen else lenCap(maxDist)
     val lk = variantKeys(left, leftStr, maxDist, effLen, "__sl")
     val rk = variantKeys(right, rightStr, maxDist, effLen, "__sr")
-    // candidate DISTINCT STRING pairs; verify with the real distance
-    // (thresholded form: -1 above the cap, the true distance within it)
+    // verify BEFORE deduplicating (r12, guide §2.3 — filter before the
+    // exchange): the thresholded distance is a cheap banded scan, and
+    // running it on the raw (hash-duplicated) candidate stream means the
+    // distinct shuffles only TRUE near-pairs instead of every candidate
+    // (distance is a pure function of the pair, so dedup after scoring
+    // is the same set)
     val verified = lk.join(rk, "__h")
-      .select(col("__sl"), col("__sr")).distinct()
+      .select(col("__sl"), col("__sr"))
       .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
       .filter(col("dist") >= 0)
+      .distinct()
     // expand distinct-string matches back to id pairs
     val ls = left.select(col(leftId).cast("long").as("id_l"),
       col(leftStr).as("__sl"))
@@ -152,11 +166,13 @@ object FuzzyJoin {
     val effLen = if (maxLen > 0) maxLen else lenCap(maxDist)
     val vk = variantKeys(df, strCol, maxDist, effLen, "__sl")
       .localCheckpoint(true)
+    // verify before the distinct — see [[editDistanceJoin]] (r12)
     val verified = vk.join(vk.withColumnRenamed("__sl", "__sr"), "__h")
       .filter(col("__sl") <= col("__sr"))
-      .select(col("__sl"), col("__sr")).distinct()
+      .select(col("__sl"), col("__sr"))
       .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
       .filter(col("dist") >= 0)
+      .distinct()
     val l = df.select(col(idCol).cast("long").as("id_l"), col(strCol).as("__sl"))
     val r = df.select(col(idCol).cast("long").as("id_r"), col(strCol).as("__sr"))
     verified.join(l, "__sl").join(r, "__sr")
@@ -195,11 +211,15 @@ object FuzzyJoin {
     val effLen = if (maxLen > 0) maxLen else lenCap(maxDist)
     val vk = variantKeys(df, strCol, maxDist, effLen, "__sl")
       .localCheckpoint(true)
+    // verify before the distinct — see [[editDistanceJoin]] (r12); the
+    // DL scorer re-runs on hash-duplicated candidates (~1.24x calls at
+    // sf0.1) but the distinct exchange carries ~25x fewer rows
     val verified = vk.join(vk.withColumnRenamed("__sl", "__sr"), "__h")
       .filter(col("__sl") <= col("__sr"))
-      .select(col("__sl"), col("__sr")).distinct()
+      .select(col("__sl"), col("__sr"))
       .withColumn("dist", expr(s"$dlName(__sl, __sr)"))
       .filter(col("dist") <= maxDist)
+      .distinct()
     val l = df.select(col(idCol).cast("long").as("id_l"), col(strCol).as("__sl"))
     val r = df.select(col(idCol).cast("long").as("id_r"), col(strCol).as("__sr"))
     verified.join(l, "__sl").join(r, "__sr")

@@ -48,17 +48,29 @@ object Segmentation {
               col(valueCol).isNotNull && !isnan(col(valueCol)),
             round(col(valueCol), 6).cast("decimal(18,6)"))),
           lit(0).cast("decimal(18,6)")).as("__m"))
+    // ONE materialization of the user-grain frame (bounded by user
+    // cardinality — scale-safe) with the row count observed on the same
+    // job (r12): the three quantile passes each range-repartition it by
+    // a different order, and each previously re-derived BOTH the
+    // event-scale aggregate and the (identical) count N through the
+    // earlier passes' chains — events_rfm ran 52 driver jobs.
+    val obsN = new org.apache.spark.sql.Observation()
     val withRec = perUser
       .crossJoin(broadcast(events.agg(max(col(tsCol)).as("__gmax"))))
       .withColumn("recency_days",
         expr("(__gmax - __last) div 86400000000000"))
       .drop("__gmax", "__last")
-    val r = Curation.curriculumBins(withRec,
-      Seq(col("recency_days").asc, col("user_id").asc), nBins, "r_bucket")
-    val f = Curation.curriculumBins(r,
-      Seq(col("frequency").desc, col("user_id").asc), nBins, "f_bucket")
-    val m = Curation.curriculumBins(f,
-      Seq(col("__m").desc, col("user_id").asc), nBins, "m_bucket")
+      .observe(obsN, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val nUsers = obsN.get("__n").asInstanceOf[Number].longValue()
+    val r = Curation.curriculumBinsKnownN(withRec,
+      Seq(col("recency_days").asc, col("user_id").asc), nBins, nUsers,
+      "r_bucket")
+    val f = Curation.curriculumBinsKnownN(r,
+      Seq(col("frequency").desc, col("user_id").asc), nBins, nUsers,
+      "f_bucket")
+    val m = Curation.curriculumBinsKnownN(f,
+      Seq(col("__m").desc, col("user_id").asc), nBins, nUsers, "m_bucket")
     m.select(col("user_id"), col("recency_days"), col("frequency"),
       round(col("__m").cast("double"), 6).as("monetary"),
       col("r_bucket"), col("f_bucket"), col("m_bucket"),

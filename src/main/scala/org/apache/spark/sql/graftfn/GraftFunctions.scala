@@ -174,6 +174,19 @@ object GraftFunctions {
   val LuhnName = "graft_luhn"
   val Md5U32Name = "graft_md5_u32"
 
+  // per-thread scratch for [[damerauBytes]]: the DP table and the
+  // last-occurrence map were allocated PER CALL (~2.6 KB for 18-char
+  // inputs — ~2.5 GB of garbage across a 1M-pair verify stage). Every
+  // cell of `d` that the recurrence reads is explicitly written first
+  // (the zero-init was never load-bearing), so the table needs no
+  // clearing between calls; `da` relies on zeros and is re-filled.
+  private val dlDa = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+  private val dlD = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](1024)
+  }
+
   /** Unrestricted Damerau–Levenshtein over raw bytes (Lowrance–Wagner
     * 1975, the `d[k,l]` last-occurrence recurrence) — see
     * [[DamerauLevenshtein]] for the contract. Static so generated code
@@ -185,10 +198,15 @@ object GraftFunctions {
     if (lb == 0) return la
     val inf = la + lb
     // da(byte) = last row index i where a(i-1) == byte (1-based), 0 if none
-    val da = new Array[Int](256)
+    val da = dlDa.get()
+    java.util.Arrays.fill(da, 0)
     // (la+2) x (lb+2) table with the -1 sentinel border at index 0
     val w = lb + 2
-    val d = new Array[Int]((la + 2) * w)
+    var d = dlD.get()
+    if (d.length < (la + 2) * w) {
+      d = new Array[Int]((la + 2) * w)
+      dlD.set(d)
+    }
     d(0) = inf
     var i = 0
     while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
