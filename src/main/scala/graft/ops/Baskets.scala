@@ -24,12 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Baskets {
 
-  /** Distinct (basket, item) pairs with oversize baskets removed. */
+  /** Distinct (basket, item) pairs with oversize baskets removed.
+    *
+    * One exchange for the whole prelude (r12, guide §2.4 "two operations
+    * keyed the same way share one exchange"): the (b,i) dedup, the
+    * per-basket size aggregate, the size-filter join AND the downstream
+    * pair self-join are all clustered by `b`, so an explicit hash
+    * repartition on `b` satisfies every one of them — the previous shape
+    * paid a separate (b,i) distinct exchange plus a b-keyed sizes
+    * exchange per consumer. Pinned partition count (REPARTITION_BY_NUM):
+    * never AQE-coalesced, so the quadratic pair fan-out keeps full
+    * parallelism (the r5 straggler lesson); deterministic key hash,
+    * retry-safe. */
   private def cleaned(df: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    val p = df.sparkSession.sparkContext.defaultParallelism
     val d = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .filter(col("b").isNotNull && col("i").isNotNull).distinct()
+      .filter(col("b").isNotNull && col("i").isNotNull)
+      .repartition(p, col("b"))
+      .dropDuplicates("b", "i")
     val sizes = d.groupBy("b").agg(count(lit(1)).as("__nb"))
       .filter(col("__nb") <= maxBasket)
     d.join(sizes.select("b"), Seq("b"))

@@ -414,12 +414,21 @@ object LangModel {
       .select(col(idCol).as("__id"), col(labelCol).cast("string").as("__y"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("__wc"))
+    // ONE tokenize pass (r12, guide §2.4): the previous shape consumed
+    // the raw token stream from four branches (vocab count, kept join,
+    // class counts, doc counts), re-running the split+explode per
+    // branch. Every downstream count is an exact integer roll-up of the
+    // per-(doc, class, word) counts, so aggregate to that grain first —
+    // its single exchange is computed once and runtime-reused by every
+    // consumer, and the tokenizer feeds exactly one exchange.
+    val docTok0 = toks.groupBy("__id", "__y", "w")
+      .agg(count(lit(1)).as("__dwc"))
+    val vocab = docTok0.groupBy("w").agg(sum("__dwc").as("__wc"))
       .filter(col("__wc") >= minCount).select("w")
-    val kept = toks.join(vocab, Seq("w"))
     val vSize = vocab.agg(count(lit(1)).as("__V"))
-    val classTok = kept.groupBy(col("__y").as("__c"), col("w"))
-      .agg(count(lit(1)).as("__cwc"))
+    val docTok = docTok0.join(vocab, Seq("w"))
+    val classTok = docTok.groupBy(col("__y").as("__c"), col("w"))
+      .agg(sum(col("__dwc")).as("__cwc"))
     val classTot = classTok.groupBy("__c").agg(sum("__cwc").as("__ctot"))
     val docCnt = docs.filter(col(labelCol).isNotNull)
       .groupBy(col(labelCol).cast("string").as("__c"))
@@ -430,8 +439,6 @@ object LangModel {
       .select(col("__c"), col("__ctot"), col("__V"),
         log(col("__dc").cast("double") / col("__nd").cast("double"))
           .as("__prior"))
-    val docTok = kept.groupBy("__id", "__y", "w")
-      .agg(count(lit(1)).as("__dwc"))
     val terms = docTok
       .crossJoin(broadcast(classes))
       .join(classTok, Seq("__c", "w"), "left")

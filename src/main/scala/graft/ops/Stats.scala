@@ -1335,13 +1335,16 @@ object Stats {
           count(lit(1))).as("__mx"),
         (sum(col("__y").cast("decimal(18,6)")).cast("double") /
           count(lit(1))).as("__my"))
+    // n_segments = the means frame's row count — see twoWayWithinOls
+    // (countDistinct here forced an Expand doubling the final agg input)
+    val nSeg = means.agg(count(lit(1)).as("n_segments"))
     f.join(means, Seq("__g"))
       .agg(count(lit(1)).as("n_obs"),
-        countDistinct(col("__g")).as("n_segments"),
         sum(round((col("__x") - col("__mx")) * (col("__y") - col("__my")), 12)
           .cast("decimal(38,12)")).cast("double").as("__num"),
         sum(round((col("__x") - col("__mx")) * (col("__x") - col("__mx")), 12)
           .cast("decimal(38,12)")).cast("double").as("__den"))
+      .crossJoin(broadcast(nSeg))
       .select(col("n_obs"), col("n_segments"),
         when(col("__den") > 0,
           round(col("__num") / col("__den"), 6)).as("beta_within"))
@@ -1392,12 +1395,16 @@ object Stats {
         count(lit(1))).as("__myg"))
     val xt = col("__x") - col("__mxi") - col("__mxt") + col("__mxg")
     val yt = col("__y") - col("__myi") - col("__myt") + col("__myg")
+    // entity/period cardinalities are the mean frames' row counts — the
+    // countDistincts they replace forced an Expand that tripled every
+    // row through the final partial aggregate (r12, guide §2.3)
+    val nEnt = mi.agg(count(lit(1)).as("n_entities"))
+    val nPer = mt.agg(count(lit(1)).as("n_periods"))
     f.join(mi, Seq("__i")).join(mt, Seq("__t")).crossJoin(broadcast(mg))
       .agg(count(lit(1)).as("n_obs"),
-        countDistinct(col("__i")).as("n_entities"),
-        countDistinct(col("__t")).as("n_periods"),
         sum(round(xt * yt, 12).cast("decimal(38,12)")).cast("double").as("__num"),
         sum(round(xt * xt, 12).cast("decimal(38,12)")).cast("double").as("__den"))
+      .crossJoin(broadcast(nEnt)).crossJoin(broadcast(nPer))
       .select(col("n_obs"), col("n_entities"), col("n_periods"),
         when(col("__den") > 0,
           round(col("__num") / col("__den"), 6)).as("beta_twfe"))

@@ -225,11 +225,16 @@ object TextSearch {
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val post = postingsOf(docs, idCol, textCol).drop("positions", "dl")
-    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    // df = postings per term (unique per (doc, term)) — computed as a
+    // count window over the term partitioning instead of a separate
+    // corpus-sized aggregate joined back by term (r12, §2.4: the join
+    // shuffled the postings by term AND built the df table from its own
+    // second term-keyed exchange; the window needs just the one)
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    post.join(dfT, "term")
+    post.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
