@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling probe (r12, VERDICT r11 item 7): time the N slowest queries
+  * (slowest per the committed BENCH_FULL.json capture) at the session's
+  * core count and emit ONE machine-readable JSON line + file. Run it
+  * twice — `SPARK_GRAFT_CPUS=32` and `SPARK_GRAFT_CPUS=8` — and diff the
+  * per-query times to separate compute-bound queries (c8/c32 >> 1) from
+  * fixed-overhead/driver-bound ones (c8/c32 ≈ 1): the sf0.1 bench total
+  * cannot show this (r11 measured 8 cores ≈ 32 cores overall), so
+  * parallelism claims need this per-query evidence.
+  *
+  * Usage: runMain graft.ScaleProbe <outFile> [nSlowest] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val outFile = if (args.length > 0) args(0) else "/root/repo/SCALE_PROBE.json"
+    val n = if (args.length > 1) args(1).toInt else 25
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // slowest-N from the committed full capture (same-sf check)
+    val names: Seq[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
+      val qobj = txt.substring(txt.indexOf("\"queries\":{") + 11).takeWhile(_ != '}')
+      """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qobj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        .sortBy(-_._2).take(n).map(_._1)
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.suppressSanctionedWindowWarning()
+    def run(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup pass (JIT/codegen), then two timed passes, per-query min —
+    // the bench's own steady-state protocol
+    names.foreach { nm =>
+      try run(nm) catch { case e: Throwable =>
+        System.err.println(s"[probe-warmup] $nm failed: ${e.getClass.getSimpleName}")
+      }
+    }
+    val t1 = names.map(nm => nm -> run(nm)).toMap
+    val t2 = names.map(nm => nm -> run(nm)).toMap
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = names.map(nm =>
+        "\"" + nm + "\":" + r3(math.min(t1(nm), t2(nm))))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_probe","cpus":$cpus,"sf":"$sfDir","n":${names.size},"queries":$qs}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -537,18 +537,20 @@ object Clustering {
     * single score can't express (a crawl frontier wants hubs; a dedup
     * canonical-pick wants authorities).
     *
-    * Same O(E)-per-round scale shape as [[pageRank]], but ONE
-    * materializing job per round: the auth half-step's shuffle is
-    * shared between the hub update and the state join via Spark's
-    * exchange reuse, and because power iteration is SCALE-INVARIANT
-    * the L2 normalization runs only every `renormEvery` rounds (an
-    * overflow guard — values grow by the dominant eigenvalue of AᵀA
-    * per round, ~10³–10⁶; five unnormalized rounds stay far inside
-    * double range) and always on the final state. Measured 16.9 s →
-    * ~5 s at sf0.1: iterative graph cost on small data is per-round
-    * JOB overhead, not shuffle volume. FP sums vary with partitioning
-    * → rows-only gate + spec properties (star, cycle, norm
-    * invariance). Returns (id, hub, auth), L2-normalized. */
+    * Same O(E)-per-round scale shape as [[pageRank]]: two sparse
+    * half-step aggregates materialize per round (auth, then hub) and
+    * nothing else — zero-fill over the node set happens once at the
+    * end, and because power iteration is SCALE-INVARIANT the L2
+    * normalization runs only every `renormEvery` rounds (an overflow
+    * guard — values grow by the dominant eigenvalue of AᵀA per round,
+    * ~10³–10⁶; five unnormalized rounds stay far inside double range)
+    * and always on the final state, as a LAZY rescale of the
+    * checkpointed frames (norms observed on the half-step jobs).
+    * Iterative graph cost on small data is per-round JOB overhead, not
+    * shuffle volume (r8 measured 16.9 s → ~5 s from this discipline).
+    * FP sums vary with partitioning → rows-only gate + spec properties
+    * (star, cycle, norm invariance). Returns (id, hub, auth),
+    * L2-normalized. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, renormEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
@@ -560,56 +562,55 @@ object Clustering {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .dropDuplicates("id").localCheckpoint(true)
-    var state = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
-      .localCheckpoint(true)
+    // SPARSE state (r12): only nodes with out-edges ever carry nonzero
+    // hub, only in-edge nodes nonzero auth — the per-round zero-fill
+    // (nodes ⟕ hub ⟕ auth, a third checkpoint job with two broadcast
+    // builds) contributed nothing to the contribution sums OR the L2
+    // norms (zeros), so the loop now materializes exactly the two
+    // half-step aggregates per round and the zero-fill happens ONCE at
+    // the end. Norms ride the half-step checkpoints as observe()
+    // metrics; renorm is a lazy rescale of the checkpointed frames that
+    // the next consumer's broadcast build executes in place — no
+    // renorm-round checkpoint at all.
+    var hubS = e.select(col("src").as("id")).dropDuplicates("id")
+      .withColumn("hub", lit(1.0)).localCheckpoint(true)
+    var authS: DataFrame = null
     var iter = 0
     while (iter < iters) {
-      // auth feeds BOTH the hub update and the state join — materialize
-      // it once (exchange reuse does not fire across the union of
-      // subtrees here, measured)
-      // the state is NODE-sized — broadcast it so the edge list never
-      // shuffles for the join (checkpointed frames carry no size stats,
-      // so Catalyst would otherwise sort-merge 4 edge shuffles per
-      // round); only the map-side-combined aggregates shuffle. At
-      // web-graph scale where node state outgrows executors, swap these
-      // for co-partitioned joins.
-      val auth = e.join(broadcast(state.select(col("id"), col("hub"))),
-          col("src") === col("id"))
+      // node-sized frames broadcast — the edge list never shuffles per
+      // round (checkpointed frames carry no size stats, so Catalyst
+      // would otherwise sort-merge the edge side); only the map-side-
+      // combined aggregates shuffle. At web-graph scale where node
+      // state outgrows executors, swap these for co-partitioned joins.
+      val obsA = new Observation()
+      val auth = e.join(broadcast(hubS), col("src") === col("id"))
         .groupBy(col("dst").as("__id")).agg(sum("hub").as("auth"))
         .select(col("__id").as("id"), col("auth"))
+        .observe(obsA, sum(col("auth") * col("auth")).as("__s"))
         .localCheckpoint(true)
+      val obsH = new Observation()
       val hub = e.join(broadcast(auth), col("dst") === col("id"))
         .groupBy(col("src").as("__id")).agg(sum("auth").as("hub"))
         .select(col("__id").as("id"), col("hub"))
-      // the L2 norms ride the state checkpoint as observe() metrics
-      // (r12): renorm rounds previously paid a separate norm-aggregate
-      // broadcast stage, and the FINAL renorm paid a whole extra
-      // checkpoint job — now it's a lazy projection with literal norms
-      val obsS = new Observation()
-      state = nodes
-        .join(broadcast(hub), Seq("id"), "left")
-        .join(broadcast(auth), Seq("id"), "left")
-        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
-          coalesce(col("auth"), lit(0.0)).as("auth"))
-        .observe(obsS,
-          sum(col("hub") * col("hub")).as("__sh"),
-          sum(col("auth") * col("auth")).as("__sa"))
+        .observe(obsH, sum(col("hub") * col("hub")).as("__s"))
         .localCheckpoint(true)
+      authS = auth
+      hubS = hub
       iter += 1
       if (iter % renormEvery == 0 || iter == iters) {
-        val nh = math.sqrt(metricDouble(obsS, "__sh"))
-        val na = math.sqrt(metricDouble(obsS, "__sa"))
-        val renormed = state
-          .select(col("id"),
-            when(lit(nh) > 0, col("hub") / nh)
-              .otherwise(lit(0.0)).as("hub"),
-            when(lit(na) > 0, col("auth") / na)
-              .otherwise(lit(0.0)).as("auth"))
-        // only checkpoint when more rounds will iterate on it
-        state = if (iter == iters) renormed else renormed.localCheckpoint(true)
+        val nh = math.sqrt(metricDouble(obsH, "__s"))
+        val na = math.sqrt(metricDouble(obsA, "__s"))
+        hubS = hubS.select(col("id"),
+          when(lit(nh) > 0, col("hub") / nh).otherwise(lit(0.0)).as("hub"))
+        authS = authS.select(col("id"),
+          when(lit(na) > 0, col("auth") / na).otherwise(lit(0.0)).as("auth"))
       }
     }
-    state
+    nodes
+      .join(broadcast(hubS), Seq("id"), "left")
+      .join(broadcast(authS), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
   /** Adamic–Adar link prediction over a bipartite edge set: score every

@@ -126,10 +126,17 @@ object Dedup {
     val reps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
       .join(members.filter(col("id") === col("rep")).select("id"), Seq("id"), "left_semi")
       .as[(Long, String)]
+    // materialized once (r12): both the banding explode AND the
+    // signature prefilter consume this frame, and the mapPartitions
+    // kernel is opaque to exchange reuse — without the checkpoint the
+    // shingle+signature pass (the op's dominant CPU) ran twice. The
+    // frame is (id, 64 longs, band hashes) per DISTINCT text — far
+    // smaller than the corpus it derives from.
     val sigBanded = reps.mapPartitions(_.map { case (id, text) =>
       val sig = MinHash.signatureFromHashes(MinHash.shingleHashes(text, shingleSize), numHashes)
       (id, sig, MinHash.bands(sig, bands, rowsPerBand))
     }).toDF("id", "sig", "bands")
+      .localCheckpoint(true)
     val exploded = sigBanded.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bandHash")))
     // hot-band cap (skew guard #2); dropped rows are counted via
@@ -218,8 +225,11 @@ object Dedup {
         }).toDF("id", "sig", "bands")
     def explodeBands(sb: DataFrame): DataFrame =
       sb.select(col("id"), posexplode(col("bands")).as(Seq("band", "bandHash")))
-    val newSB = sigBanded(newDf)
-    val corpSB = sigBanded(corpusDf)
+    // both frames feed the band explode AND the signature prefilter —
+    // checkpoint so the opaque signature kernel runs once per side (r12,
+    // same reasoning as [[minHashNearDups]])
+    val newSB = sigBanded(newDf).localCheckpoint(true)
+    val corpSB = sigBanded(corpusDf).localCheckpoint(true)
     DedupMetrics.forwardObserved(spark)
     val grpW = Window.partitionBy(col("band"), col("bandHash"))
     val corpCapped = explodeBands(corpSB)

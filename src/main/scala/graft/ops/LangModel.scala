@@ -99,18 +99,27 @@ object LangModel {
         i => struct(lower(element_at(col("__toks"), i)).as("w1"),
           lower(element_at(col("__toks"), i + 1)).as("w2")))).as("__p"))
       .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-    val cbg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    // ONE bigram-explode pass (r12, §2.4 — the naiveBayes device): the
+    // model counts and the per-document scoring stream all roll up
+    // exactly from the (doc, w1, w2) occurrence counts, so aggregate to
+    // that grain once and let every consumer reuse its exchange. The
+    // per-occurrence decimal sum Σ lnp equals Σ lnp·c over groups
+    // (rounded decimal × integer count is exact), so xent is unchanged.
+    val pairsDoc = pairs.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("__c"))
+    val cbg = pairsDoc.groupBy("w1", "w2").agg(sum(col("__c")).as("__c12"))
+    val c1 = pairsDoc.groupBy("w1").agg(sum(col("__c")).as("__c1"))
     val vocabN = base.select(explode(col("__toks")).as("__tok"))
       .agg(count_distinct(lower(col("__tok"))).as("__v"))
     val lnp = log((col("__c12") + 1L).cast("double") /
       (col("__c1") + col("__v")).cast("double"))
-    pairs.join(cbg, Seq("w1", "w2")).join(c1, Seq("w1"))
+    pairsDoc.join(cbg, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocabN))
       .withColumn("__lnp", round(lnp, 6).cast("decimal(18,6)"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_big"),
-        round(-sum(col("__lnp")).cast("double") / count(lit(1)), 6).as("xent"))
+      .agg(sum(col("__c")).as("n_big"),
+        round(-sum(col("__lnp") * col("__c")).cast("double") /
+          sum(col("__c")), 6).as("xent"))
   }
 
   /** Kneser–Ney smoothed bigram model (interpolated, absolute discount

@@ -105,8 +105,17 @@ object Valuation {
   /** The cheap half: exact ranks + telescoping suffix sums over a
     * (q_id, id, __sim, __m) pair stream — see [[knnShapley]] for the
     * distributed-device commentary. */
-  def knnShapleyFromSims(sims: DataFrame, k: Int): DataFrame = {
+  def knnShapleyFromSims(sims0: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // materialize the pair stream ONCE (r12): this function consumes it
+    // from six subtrees (rank pass + probe totals, term join, suffix
+    // pass + per-probe offsets, base row), and without the checkpoint
+    // each consumer re-executes the upstream dot-product KERNEL — the
+    // expensive half of the valuation, paid ~6x. The frame is the op's
+    // own declared micro-batch state (bounded by probes ≤ maxProbes ×
+    // train rows), so materializing it is the documented usage, not a
+    // new scale hazard.
+    val sims = sims0.localCheckpoint(true)
     // rank within probe via the global prefix count + per-probe offsets
     val ordered = sims.withColumn("__negsim", -col("__sim"))
     val counted = Curation.runningTotal(ordered,
