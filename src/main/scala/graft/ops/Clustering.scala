@@ -509,11 +509,17 @@ object Clustering {
     var iter = 0
     while (iter < iters) {
       // node-sized label state broadcasts — the edge list never
-      // shuffles per round (see hits/pageRank; same caveat at web scale)
+      // shuffles per round (see hits/pageRank; same caveat at web scale).
+      // One id-keyed exchange serves the whole round (r12, §2.4): a
+      // HashPartitioning on `id` alone satisfies the (id, lbl) vote
+      // count, the per-id argmax AND the state join, where the grouping
+      // keys' own partitioning would re-shuffle between the aggregates.
+      val p = sym.sparkSession.sparkContext.defaultParallelism
       val votes = sym
         .join(broadcast(state.select(col("id").as("dst"), col("lbl").as("__lbl"))),
           "dst")
         .select(col("src").as("id"), col("__lbl"))
+        .repartition(p, col("id"))
         .groupBy("id", "__lbl").agg(count(lit(1)).as("__n"))
       // argmax as max(struct(n, −lbl)) — a plain hash aggregate with
       // map-side combine, no per-node sort window (the window form sorts
